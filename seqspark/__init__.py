@@ -1,0 +1,27 @@
+"""seqspark — a PySpark-native log analytics engine with the query and
+data-processing capabilities of ozontech/seq-db, re-expressed Spark-first.
+
+Public surface:
+- :class:`seqspark.engine.SearchTable` — search / aggregate / histogram /
+  fetch over typed tables or ingested document stores
+- :func:`seqspark.ingest.ingest_docs` — ES-bulk-style JSON ingest transform
+- :class:`seqspark.store.DocStore` — time-partitioned parquet store with
+  retention + compaction
+- :mod:`seqspark.streaming` — Structured Streaming ingest + async search
+- :mod:`seqspark.pipeline` — LLM-data-pipeline operators (dedup, ANN,
+  text analysis, multimodal plumbing)
+"""
+
+from .engine import AggQuery, SearchTable, TooManyUniqValuesError
+from .mapping import AutoMapping, Mapping
+from .seqql.parser import ParseError, parse
+
+__all__ = [
+    "AggQuery",
+    "SearchTable",
+    "TooManyUniqValuesError",
+    "AutoMapping",
+    "Mapping",
+    "ParseError",
+    "parse",
+]

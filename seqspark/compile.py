@@ -1,0 +1,198 @@
+"""Compile a seq-ql AST into a PySpark ``Column`` predicate.
+
+A document matches a field filter when ANY of the field's index tokens
+satisfies the token-level check — the DataFrame equivalent of walking a
+posting list (reference `pattern/pattern.go:295-309` Search):
+
+- literal:  token == value                    (`pattern/pattern.go:34-71`)
+- wildcard: glob over the token              (`pattern/pattern.go:73-155`)
+- range:    numeric when both bounds parse as finite floats (tokens that
+            don't parse never match), else lexicographic byte compare
+            (`pattern/pattern.go:157-262`, dispatch `:264-289`)
+
+Everything compiles to built-in ``pyspark.sql.functions`` so the predicates
+stay inside whole-stage codegen and push down to Parquet scans where the
+resolver exposes a scalar column — no Python UDFs anywhere on the hot path.
+
+Boolean structure maps 1:1 onto Column ``& | ~``; the reference's NOT
+pushdown (`parser/ast_node.go:39-85`) is left to Catalyst's
+BooleanSimplification.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+from typing import Callable, Dict, Optional
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from .seqql.ast import (
+    TOKEN_ALL,
+    TOKEN_EXISTS,
+    Literal,
+    Logical,
+    LogicalOp,
+    Node,
+    Range,
+    Term,
+    TermKind,
+)
+
+#: Go strconv.ParseFloat syntax (no underscores, optional exponent); the
+#: reference additionally rejects NaN/Inf results
+#: (`pattern/pattern.go:294-296` isNaNOrInf).
+_GO_FLOAT_RE = re.compile(r"^[+-]?(\d+(\.\d*)?|\.\d+)([eE][+-]?\d+)?$")
+
+
+def parses_as_number(s: str) -> Optional[float]:
+    if not _GO_FLOAT_RE.match(s):
+        return None
+    try:
+        v = float(s)
+    except ValueError:
+        return None
+    if v != v or v in (float("inf"), float("-inf")):
+        return None
+    return v
+
+
+class CompileError(ValueError):
+    pass
+
+
+@dataclass
+class FieldSpec:
+    """How one queryable field is physically stored.
+
+    ``tokens``  — Column of ``array<string>`` folded index tokens (null when
+                  the field is absent from the document).
+    ``scalar``  — optional fast path: when the field always has exactly one
+                  token, the folded token itself as a string Column; lets
+                  equality/range compile to directly pushable comparisons.
+    ``exists``  — boolean Column: the field is present (``_exists_:f``).
+    """
+
+    tokens: Callable[[], Column]
+    scalar: Optional[Callable[[], Column]] = None
+    exists: Optional[Callable[[], Column]] = None
+
+    def exists_col(self) -> Column:
+        if self.exists is not None:
+            return self.exists()
+        return self.tokens().isNotNull()
+
+
+class Resolver:
+    """Resolves a queried field name to a :class:`FieldSpec`."""
+
+    def __init__(self, specs: Dict[str, FieldSpec]):
+        self._specs = specs
+
+    def resolve(self, field: str) -> FieldSpec:
+        try:
+            return self._specs[field]
+        except KeyError:
+            raise CompileError(f"field {field!r} is not indexed") from None
+
+    def fields(self) -> Dict[str, FieldSpec]:
+        return dict(self._specs)
+
+
+def wildcard_regex(terms) -> str:
+    """Anchored regex equivalent to the reference wildcard matcher
+    (`pattern/pattern.go:73-155`): text terms in order, ``*`` = any run."""
+    parts = ["^"]
+    for t in terms:
+        if t.kind is TermKind.SYMBOL:
+            parts.append(".*")
+        else:
+            parts.append(re.escape(t.data))
+    parts.append("$")
+    return "".join(parts)
+
+
+def _token_check_literal(lit: Literal) -> Callable[[Column], Column]:
+    single = lit.single_text
+    if single is not None:
+        return lambda tok: tok == F.lit(single)
+    if lit.is_match_all:
+        # bare '*' matches every token, including the empty one
+        return lambda tok: tok.isNotNull()
+    rx = wildcard_regex(lit.terms)
+    return lambda tok: tok.rlike(rx)
+
+
+def _token_check_range(rng: Range) -> Callable[[Column], Column]:
+    from_num = to_num = None
+    if not rng.from_term.is_wildcard:
+        from_num = parses_as_number(rng.from_term.data)
+    if not rng.to_term.is_wildcard:
+        to_num = parses_as_number(rng.to_term.data)
+
+    numeric = (rng.from_term.is_wildcard or from_num is not None) and (
+        rng.to_term.is_wildcard or to_num is not None
+    )
+
+    if numeric:
+        def check_num(tok: Column) -> Column:
+            v = tok.try_cast("double")
+            cond = v.isNotNull() & ~F.isnan(v) & (v != F.lit(float("inf"))) & (
+                v != F.lit(float("-inf"))
+            )
+            if from_num is not None:
+                cond = cond & (v >= F.lit(from_num) if rng.include_from else v > F.lit(from_num))
+            if to_num is not None:
+                cond = cond & (v <= F.lit(to_num) if rng.include_to else v < F.lit(to_num))
+            return cond
+
+        return check_num
+
+    def check_text(tok: Column) -> Column:
+        cond = F.lit(True)
+        if not rng.from_term.is_wildcard:
+            b = F.lit(rng.from_term.data)
+            cond = cond & (tok >= b if rng.include_from else tok > b)
+        if not rng.to_term.is_wildcard:
+            b = F.lit(rng.to_term.data)
+            cond = cond & (tok <= b if rng.include_to else tok < b)
+        return cond
+
+    return check_text
+
+
+def _apply_check(spec: FieldSpec, check: Callable[[Column], Column]) -> Column:
+    if spec.scalar is not None:
+        s = spec.scalar()
+        return s.isNotNull() & check(s)
+    toks = spec.tokens()
+    return toks.isNotNull() & F.exists(toks, check)
+
+
+def compile_node(node: Node, resolver: Resolver) -> Column:
+    if isinstance(node, Literal):
+        if node.field == TOKEN_ALL:
+            return F.lit(True)
+        if node.field == TOKEN_EXISTS:
+            target = node.single_text
+            if target is None:
+                raise CompileError("_exists_ requires a plain field name")
+            return resolver.resolve(target).exists_col()
+        spec = resolver.resolve(node.field)
+        return _apply_check(spec, _token_check_literal(node))
+    if isinstance(node, Range):
+        spec = resolver.resolve(node.field)
+        return _apply_check(spec, _token_check_range(node))
+    if isinstance(node, Logical):
+        if node.op is LogicalOp.AND:
+            return compile_node(node.children[0], resolver) & compile_node(
+                node.children[1], resolver
+            )
+        if node.op is LogicalOp.OR:
+            return compile_node(node.children[0], resolver) | compile_node(
+                node.children[1], resolver
+            )
+        if node.op is LogicalOp.NOT:
+            return ~compile_node(node.children[0], resolver)
+    raise CompileError(f"unknown AST node {node!r}")

@@ -1,0 +1,146 @@
+"""Ingest transform: raw JSON documents → searchable document frame.
+
+Spark-first equivalent of the reference bulk pipeline
+(`proxy/bulk/processor.go:64-126`, `proxy/bulk/indexer.go:215-350`):
+
+- event time extracted from the first parseable of ``timestamp``/``time``/
+  ``ts`` in ES (``yyyy-MM-dd HH:mm:ss.SSS``), RFC3339Nano, RFC3339 formats
+  (`consts/consts.go:74-75`), falling back to ingest time;
+- timestamps outside the allowed drift window (past > 24h, future > 5m by
+  default) are clamped to ingest time (`proxy/bulk/processor.go:88-99`);
+- document ID = (mid, rid): mid is the unix-ms timestamp, rid a 64-bit
+  random discriminator (`seq/seq.go:115-119`) — here a deterministic
+  xxhash64 of the raw doc + a monotonic counter so replays are stable;
+- every mapped field is tokenized per its index type into a
+  ``tokens MAP<STRING, ARRAY<STRING>>`` column; ``_exists_`` presence is
+  derivable from map keys; doc size tracked as ``length(raw)``
+  (`proxy/bulk/indexer.go:336-337`).
+
+All of it is built-in column expressions — the transform runs vectorized on
+executors and scales linearly with input splits.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .mapping import Mapping
+from .tokenize import tokens_for_type
+
+#: reference defaults: --allowed-time-drift=24h, --future-allowed-time-drift=5m
+ALLOWED_DRIFT_MS = 24 * 3600 * 1000
+FUTURE_DRIFT_MS = 5 * 60 * 1000
+
+#: reference `consts/consts.go:74-75`
+TIME_FIELDS = ("timestamp", "time", "ts")
+_TIME_FORMATS = (
+    "yyyy-MM-dd HH:mm:ss.SSS",  # ES format "2006-01-02 15:04:05.999"
+    "yyyy-MM-dd HH:mm:ss",
+    "yyyy-MM-dd'T'HH:mm:ss.SSSSSSSSSXXX",  # RFC3339Nano
+    "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX",
+    "yyyy-MM-dd'T'HH:mm:ss.SSSXXX",
+    "yyyy-MM-dd'T'HH:mm:ssXXX",  # RFC3339
+)
+
+
+def parse_event_time(raw: Column) -> Column:
+    """First parseable time field/format, else NULL
+    (`proxy/bulk/processor.go:101-126` extractDocTime)."""
+    candidates: List[Column] = []
+    for f in TIME_FIELDS:
+        v = F.get_json_object(raw, f"$.{f}")
+        for fmt in _TIME_FORMATS:
+            candidates.append(F.try_to_timestamp(v, F.lit(fmt)))
+    return F.coalesce(*candidates)
+
+
+def clamp_drift(
+    event_ts: Column,
+    ingest_ts: Column,
+    allowed_drift_ms: int = ALLOWED_DRIFT_MS,
+    future_drift_ms: int = FUTURE_DRIFT_MS,
+) -> Column:
+    """Clamp to ingest time when delayed or from the future
+    (`proxy/bulk/processor.go:88-99` documentDelayed)."""
+    delay_ms = F.unix_millis(ingest_ts) - F.unix_millis(event_ts)
+    delayed = (delay_ms > F.lit(allowed_drift_ms)) | (-delay_ms > F.lit(future_drift_ms))
+    return F.when(event_ts.isNull() | delayed, ingest_ts).otherwise(event_ts)
+
+
+def ingest_docs(
+    raw_df: DataFrame,
+    mapping: Mapping,
+    raw_col: str = "raw",
+    ingest_ts: Optional[Column] = None,
+    case_sensitive: bool = False,
+    allowed_drift_ms: int = ALLOWED_DRIFT_MS,
+    future_drift_ms: int = FUTURE_DRIFT_MS,
+) -> DataFrame:
+    """Transform a frame with a raw-JSON string column into the document
+    store schema:
+
+    ``mid BIGINT`` (unix ms), ``rid BIGINT``, ``ts TIMESTAMP``,
+    ``raw STRING``, ``size INT``, ``tokens MAP<STRING, ARRAY<STRING>>``.
+    """
+    raw = F.col(raw_col)
+    if ingest_ts is None:
+        ingest_ts = F.current_timestamp()
+    event_ts = parse_event_time(raw)
+    ts = clamp_drift(event_ts, ingest_ts, allowed_drift_ms, future_drift_ms)
+
+    entries: Dict[str, Column] = {}
+    for fm in mapping.fields():
+        value = F.get_json_object(raw, f"$.{fm.name}")
+        entries[fm.name] = tokens_for_type(fm.main_type, value, case_sensitive)
+        for title, sub_type in fm.sub_types.items():
+            entries[f"{fm.name}.{title}"] = tokens_for_type(sub_type, value, case_sensitive)
+
+    keys: List[Column] = []
+    for name, toks in entries.items():
+        keys.append(
+            F.when(toks.isNotNull(), F.struct(F.lit(name).alias("key"), toks.alias("value")))
+        )
+    tokens_map = F.map_from_entries(
+        F.filter(F.array(*keys), lambda e: e.isNotNull())
+    ) if keys else F.lit(None).cast("map<string,array<string>>")
+
+    out = (
+        raw_df.withColumn("ts", ts)
+        .withColumn("mid", F.unix_millis(F.col("ts")))
+        .withColumn("rid", F.xxhash64(raw, F.monotonically_increasing_id()))
+        .withColumn("size", F.length(raw))
+        .withColumn("tokens", tokens_map)
+    )
+    cols = ["mid", "rid", "ts", raw_col, "size", "tokens"]
+    extra = [c for c in raw_df.columns if c != raw_col]
+    return out.select(*cols, *extra)
+
+
+def project_fields(raw: Column, fields: List[str], except_: bool = False) -> Column:
+    """JSON field projection/removal on the raw document — the `fields` pipe
+    applied at fetch (`storeapi/grpc_fetch.go:175-216`).
+
+    Keeps only (or drops) the listed top-level fields of the JSON text.
+    Uses from_json-free manipulation: builds a JSON object from the selected
+    paths. For `except`, removes paths with `json_tuple`-style rebuild.
+    """
+    if not except_:
+        pairs: List[Column] = []
+        for fld in fields:
+            v = F.try_variant_get(F.try_parse_json(raw), f"$.{fld}", "variant")
+            pairs.append(
+                F.when(
+                    v.isNotNull(),
+                    F.concat(F.lit(f'"{fld}":'), F.to_json(v)),
+                )
+            )
+        inner = F.array_join(F.filter(F.array(*pairs), lambda p: p.isNotNull()), ",")
+        return F.concat(F.lit("{"), inner, F.lit("}"))
+    # except: rebuild the object without the listed fields; the variant map
+    # schema preserves number/bool/object value types through to_json.
+    m = F.from_json(raw, "map<string,variant>")
+    kept = F.map_filter(m, lambda k, _v: ~k.isin(*fields))
+    return F.to_json(kept)

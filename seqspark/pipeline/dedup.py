@@ -1,0 +1,264 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+All variants are shuffle-frugal by construction:
+
+- exact: hash-groupBy on a digest — one shuffle on a short key;
+- MinHash-LSH: shingles → minhash signature → banded bucket keys →
+  candidates join only *within buckets* (never an all-pairs crossJoin);
+- SimHash: 64-bit signature, near-dups = bucket join on band keys;
+- n-gram Jaccard: exact verification on LSH candidates only.
+
+At 100 TB the bucket join is the only pairwise step and its fan-in is
+bounded by bucket size; skewed buckets (boilerplate docs) should be salted
+or capped with a per-bucket limit.
+"""
+
+from __future__ import annotations
+
+from typing import List, Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# Large primes for the universal-hash family (public-domain constants).
+_MERSENNE = (1 << 61) - 1
+
+
+def exact_dedup(df: DataFrame, cols: Sequence[str], keep_by: str) -> DataFrame:
+    """Keep one row per distinct value of ``cols`` (lowest ``keep_by``)."""
+    w = Window.partitionBy(*[F.col(c) for c in cols]).orderBy(F.col(keep_by))
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def shingles(text: Column, k: int = 5) -> Column:
+    """Word k-shingles of a normalized text column (array<string>)."""
+    words = F.split(F.lower(text), r"[^\p{L}\p{N}_]+")
+    words = F.filter(words, lambda w: F.length(w) > 0)
+    n = F.size(words)
+    idx = F.sequence(F.lit(1), F.greatest(n - F.lit(k - 1), F.lit(1)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.array_join(F.slice(words, i, k), " "))
+    )
+
+
+def minhash_signature(shingle_col: Column, num_hashes: int = 64, seed: int = 73) -> Column:
+    """Array of ``num_hashes`` minima of per-permutation hashes.
+
+    Permutation i is ``xxhash64(shingle, i)`` — xxhash64 is a built-in JVM
+    expression, so the signature computes inside codegen, no UDFs.
+    """
+    def perm(i):
+        return lambda s: F.xxhash64(s, F.lit(seed + i))
+
+    return F.array(
+        *[
+            F.array_min(F.transform(shingle_col, perm(i)))
+            for i in range(num_hashes)
+        ]
+    )
+
+
+def band_keys(sig: Column, bands: int, rows_per_band: int) -> Column:
+    """LSH band keys: hash of each contiguous signature slice."""
+    return F.array(
+        *[
+            F.concat(
+                F.lit(f"b{b}:"),
+                F.xxhash64(
+                    F.array_join(
+                        F.transform(
+                            F.slice(sig, b * rows_per_band + 1, rows_per_band),
+                            lambda v: v.cast("string"),
+                        ),
+                        ",",
+                    )
+                ).cast("string"),
+            )
+            for b in range(bands)
+        ]
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+    num_hashes: int = 64,
+    bands: int = 16,
+    max_bucket: int = 200,
+) -> DataFrame:
+    """Candidate near-duplicate pairs (id_a < id_b) via banded MinHash-LSH.
+
+    Plan shape: project → explode band keys → self-join per bucket. The
+    join key is the band bucket, so work scales with Σ bucket², not n² —
+    ``max_bucket`` caps pathological boilerplate buckets.
+    """
+    rows = bands and num_hashes // bands
+    sig = minhash_signature(shingles(F.col(text_col), k), num_hashes)
+    keyed = (
+        df.select(F.col(id_col).alias("id"), sig.alias("sig"))
+        .withColumn("band", F.explode(band_keys(F.col("sig"), bands, rows)))
+        .select("id", "band")
+    )
+    w = Window.partitionBy("band").orderBy("id")
+    keyed = keyed.withColumn("__bn", F.row_number().over(w)).filter(
+        F.col("__bn") <= max_bucket
+    )
+    a = keyed.select(F.col("band"), F.col("id").alias("id_a"))
+    b = keyed.select(F.col("band"), F.col("id").alias("id_b"))
+    pairs = (
+        a.join(b, "band")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    return pairs
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    candidates: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Exact n-gram Jaccard verification of candidate pairs.
+
+    Joins each side's shingle set onto the (small) candidate list —
+    broadcast when candidates fit — and computes |∩|/|∪| with
+    array_intersect/union: JVM-side, no UDF.
+    """
+    sh = df.select(
+        F.col(id_col).alias("id"), shingles(F.col(text_col), k).alias("sh")
+    )
+    out = (
+        candidates.join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+        .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_a", "sh_b"))
+            / F.size(F.array_union("sh_a", "sh_b")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return out
+
+
+def minhash_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Rows surviving near-dedup: drop the higher-id member of every
+    verified near-duplicate pair (greedy, deterministic)."""
+    cands = minhash_lsh_candidates(df, id_col, text_col, k, num_hashes, bands)
+    dupes = (
+        jaccard_pairs(df, cands, id_col, text_col, k, threshold)
+        .select(F.col("id_b").alias("__dup_id"))
+        .distinct()
+    )
+    return df.join(
+        F.broadcast(dupes), df[id_col] == dupes["__dup_id"], "left_anti"
+    )
+
+
+def simhash(text: Column, bits: int = 64) -> Column:
+    """64-bit SimHash of the token multiset.
+
+    Classic Charikar scheme: per-token 64-bit hash votes ±1 on each bit;
+    sign of the per-bit sum forms the fingerprint. Bit j extracted with
+    shiftright/bitwise-and — all built-ins.
+    """
+    words = F.filter(
+        F.split(F.lower(text), r"[^\p{L}\p{N}_]+"), lambda w: F.length(w) > 0
+    )
+    hashes = F.transform(words, lambda w: F.xxhash64(w))
+    def bit_set(h, j):
+        # bit j of a signed 64-bit hash; sign bit read via h < 0 (1 << 63
+        # overflows a SQL long literal)
+        if j == 63:
+            return h < 0
+        return h.bitwiseAND(F.lit(1 << j)) != 0
+
+    def vote_fn(j):
+        # PySpark derives the lambda's SQL arity from its signature, so the
+        # bit index must be closed over, not a default argument
+        return lambda acc, h: acc + F.when(bit_set(h, j), 1).otherwise(-1)
+
+    bit_votes = [
+        F.aggregate(hashes, F.lit(0).cast("long"), vote_fn(j)) for j in range(bits)
+    ]
+    fp = F.lit(0).cast("long")
+    for j, v in enumerate(bit_votes):
+        weight = -(1 << 63) if j == 63 else (1 << j)  # two's-complement sign bit
+        fp = fp + F.when(v > 0, F.lit(weight).cast("long")).otherwise(F.lit(0))
+    return fp
+
+
+def simhash_candidates(df: DataFrame, id_col: str, text_col: str, bands: int = 4) -> DataFrame:
+    """Near-dup candidates: docs sharing any 16-bit SimHash band
+    (Hamming-distance ≤ bands-1 guarantee by pigeonhole)."""
+    width = 64 // bands
+    fp = simhash(F.col(text_col))
+    keyed = df.select(F.col(id_col).alias("id"), fp.alias("fp"))
+    keyed = keyed.withColumn(
+        "band",
+        F.explode(
+            F.array(
+                *[
+                    F.concat(
+                        F.lit(f"s{b}:"),
+                        F.shiftright(F.col("fp"), b * width)
+                        .bitwiseAND(F.lit((1 << width) - 1))
+                        .cast("string"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ),
+    )
+    a = keyed.select("band", F.col("id").alias("id_a"), F.col("fp").alias("fp_a"))
+    b = keyed.select("band", F.col("id").alias("id_b"), F.col("fp").alias("fp_b"))
+    return (
+        a.join(b, "band")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "fp_a", "fp_b")
+        .distinct()
+    )
+
+
+def embedding_cosine_dupes(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.95,
+    bits: int = 16,
+    seed: int = 7,
+) -> DataFrame:
+    """Embedding near-dup pairs via random-hyperplane LSH prefilter +
+    exact cosine on candidates (see :mod:`seqspark.pipeline.ann`)."""
+    from .ann import cosine, hyperplane_sketch
+
+    sk = hyperplane_sketch(emb, vec_col, bits=bits, seed=seed)
+    keyed = sk.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"), F.col("sketch"))
+    a = keyed.select("sketch", F.col("id").alias("id_a"), F.col("v").alias("v_a"))
+    b = keyed.select("sketch", F.col("id").alias("id_b"), F.col("v").alias("v_b"))
+    return (
+        a.join(b, "sketch")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", cosine(F.col("v_a"), F.col("v_b")))
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", "cos")
+        .distinct()
+    )

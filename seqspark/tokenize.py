@@ -1,0 +1,124 @@
+"""Tokenizer *expressions* — JVM-side column builders, no Python UDFs.
+
+Each builder returns a PySpark ``Column`` computing the array of index tokens
+for one field value, reproducing the reference tokenizers bit-for-bit on
+their observable output:
+
+- text:    runs of unicode letter/digit/``_``/``*``; per-token max size;
+           case folding (`tokenizer/text_tokenizer.go:27-106`)
+- keyword: whole value, dropped if longer than max token size
+           (`tokenizer/keyword_tokenizer.go:22-42`)
+- path:    every ``/``-prefix plus the full value
+           (`tokenizer/path_tokenizer.go:32-70`)
+- exists:  no value tokens (`tokenizer/exists_tokenizer.go:11-13`)
+
+All operations stay inside Catalyst/whole-stage codegen (split/filter/
+transform/lower) so tokenization vectorizes on executors — the scale path
+for 100 TB ingest.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: default per-token size cap, reference `consts/consts.go` MaxTokenSize=72
+DEFAULT_MAX_TOKEN_SIZE = 72
+#: max indexed text field value length, reference `consts/consts.go:46` (32KB)
+MAX_TEXT_FIELD_VALUE_LENGTH = 32 * 1024
+
+#: separator class for the text tokenizer: anything that is NOT a unicode
+#: letter/number or ``_``/``*`` (`tokenizer/text_tokenizer.go:55-77`).
+TEXT_SEPARATOR_RE = r"[^\p{L}\p{N}_*]+"
+#: DuckDB (RE2) spelling of the same class, used by oracle SQL.
+TEXT_SEPARATOR_RE_DUCKDB = r"[^\p{L}\p{N}_*]+"
+
+
+def fold_case(col: Column, case_sensitive: bool = False) -> Column:
+    """Case folding (`tokenizer/tokenizer.go:15-48`)."""
+    return col if case_sensitive else F.lower(col)
+
+
+def text_tokens(
+    col: Column,
+    case_sensitive: bool = False,
+    max_token_size: int = DEFAULT_MAX_TOKEN_SIZE,
+    max_field_value_length: int = MAX_TEXT_FIELD_VALUE_LENGTH,
+) -> Column:
+    """Array of text tokens for a string column.
+
+    Matches `tokenizer/text_tokenizer.go:27-106`: value longer than the field
+    cap is skipped entirely (no partial indexing), empty runs are dropped,
+    tokens longer than ``max_token_size`` are dropped, case is folded.
+    Null input → null (field absent → no tokens).
+    """
+    toks = F.split(fold_case(col, case_sensitive), TEXT_SEPARATOR_RE)
+    toks = F.filter(toks, lambda t: (F.length(t) > 0) & (F.length(t) <= max_token_size))
+    return F.when(col.isNull(), F.lit(None).cast("array<string>")).otherwise(
+        F.when(F.length(col) > max_field_value_length, F.array().cast("array<string>"))
+        # empty value indexes a single empty token (text_tokenizer.go:41-44)
+        .when(F.length(col) == 0, F.array(F.lit("")))
+        .otherwise(toks)
+    )
+
+
+def keyword_tokens(
+    col: Column,
+    case_sensitive: bool = False,
+    max_token_size: int = DEFAULT_MAX_TOKEN_SIZE,
+) -> Column:
+    """Single-element token array for a keyword column: the folded whole
+    value; values over the size cap are skipped
+    (`tokenizer/keyword_tokenizer.go:22-42`)."""
+    return F.when(col.isNull(), F.lit(None).cast("array<string>")).otherwise(
+        F.when(F.length(col) > max_token_size, F.array().cast("array<string>"))
+        .otherwise(F.array(fold_case(col, case_sensitive)))
+    )
+
+
+def path_tokens(
+    col: Column,
+    case_sensitive: bool = False,
+    max_token_size: int = DEFAULT_MAX_TOKEN_SIZE,
+    separator: str = "/",
+) -> Column:
+    """Token array for a path column: every proper ``/``-prefix plus the full
+    value (`tokenizer/path_tokenizer.go:32-70`).
+
+    ``/a/b/c`` → ``['/a', '/a/b', '/a/b/c']``;  ``a/b`` → ``['a', 'a/b']``.
+    Implemented with split + transform over an index sequence — pure Catalyst.
+    """
+    folded = fold_case(col, case_sensitive)
+    parts = F.split(folded, separator)  # '' leading element when value starts with sep
+    n = F.size(parts)
+    # prefix i = join of parts[0..i] — build via aggregate over a slice.
+    # sequence(1, 0) would auto-step downward in Spark; guard the n==1 case
+    idx = F.when(n > 1, F.sequence(F.lit(1), n - F.lit(1))).otherwise(
+        F.array().cast("array<int>")
+    )
+    prefixes = F.transform(
+        idx, lambda i: F.array_join(F.slice(parts, 1, i), separator)
+    )
+    # Drop the empty first prefix produced by a leading separator, then
+    # append the full value.
+    prefixes = F.filter(prefixes, lambda p: F.length(p) > 0)
+    all_tokens = F.concat(prefixes, F.array(folded))
+    return F.when(col.isNull(), F.lit(None).cast("array<string>")).otherwise(
+        F.when(F.length(col) > max_token_size, F.array().cast("array<string>"))
+        .otherwise(all_tokens)
+    )
+
+
+def tokens_for_type(index_type: str, col: Column, case_sensitive: bool = False,
+                    max_token_size: int = DEFAULT_MAX_TOKEN_SIZE) -> Column:
+    if index_type == "text":
+        return text_tokens(col, case_sensitive, max_token_size)
+    if index_type in ("keyword", "tags", "object", "nested"):
+        return keyword_tokens(col, case_sensitive, max_token_size)
+    if index_type == "path":
+        return path_tokens(col, case_sensitive, max_token_size)
+    if index_type == "exists":
+        return F.when(col.isNull(), F.lit(None).cast("array<string>")).otherwise(
+            F.array().cast("array<string>")
+        )
+    raise ValueError(f"unknown index type {index_type!r}")

@@ -1,0 +1,113 @@
+"""Ingest transform tests (reference `proxy/bulk/processor.go`,
+`proxy/bulk/indexer.go`): time extraction, drift clamp, tokens map,
+fields-pipe JSON projection."""
+
+import json
+
+from pyspark.sql import functions as F
+
+from seqspark.ingest import ingest_docs, project_fields
+from seqspark.mapping import Mapping
+
+MAPPING = Mapping(
+    {
+        "service": "keyword",
+        "message": "text",
+        "level": "keyword",
+    }
+)
+
+
+def make_docs(spark, docs):
+    return spark.createDataFrame([(json.dumps(d),) for d in docs], "raw string")
+
+
+def test_time_extracted_from_timestamp_field(spark):
+    ingest_ts = F.to_timestamp(F.lit("2024-01-02 00:00:00"))
+    df = make_docs(spark, [{"timestamp": "2024-01-01 12:30:00.123", "service": "a"}])
+    row = ingest_docs(df, MAPPING, ingest_ts=ingest_ts).collect()[0]
+    assert row["mid"] == 1704112200123
+
+
+def test_time_fallback_chain_rfc3339(spark):
+    ingest_ts = F.to_timestamp(F.lit("2024-01-02 00:00:00"))
+    df = make_docs(spark, [{"time": "2024-01-01T15:00:00Z", "service": "a"}])
+    row = ingest_docs(df, MAPPING, ingest_ts=ingest_ts).collect()[0]
+    assert row["mid"] == 1704121200000
+
+
+def test_unparseable_time_uses_ingest_time(spark):
+    ingest_ts = F.to_timestamp(F.lit("2024-01-02 00:00:00"))
+    df = make_docs(spark, [{"timestamp": "not-a-date", "service": "a"}])
+    row = ingest_docs(df, MAPPING, ingest_ts=ingest_ts).collect()[0]
+    assert row["ts"].strftime("%Y-%m-%d %H:%M:%S") == "2024-01-02 00:00:00"
+
+
+def test_drift_clamp_old_doc(spark):
+    # doc 3 days older than ingest → clamped (allowed drift 24h)
+    ingest_ts = F.to_timestamp(F.lit("2024-01-10 00:00:00"))
+    df = make_docs(spark, [{"timestamp": "2024-01-07 00:00:00.000", "service": "a"}])
+    row = ingest_docs(df, MAPPING, ingest_ts=ingest_ts).collect()[0]
+    assert row["ts"].strftime("%Y-%m-%d") == "2024-01-10"
+
+
+def test_future_clamp(spark):
+    ingest_ts = F.to_timestamp(F.lit("2024-01-10 00:00:00"))
+    df = make_docs(spark, [{"timestamp": "2024-01-10 00:10:00.000", "service": "a"}])
+    row = ingest_docs(df, MAPPING, ingest_ts=ingest_ts).collect()[0]
+    assert row["ts"].strftime("%H:%M") == "00:00"
+
+
+def test_within_drift_kept(spark):
+    ingest_ts = F.to_timestamp(F.lit("2024-01-10 00:00:00"))
+    df = make_docs(spark, [{"timestamp": "2024-01-09 12:00:00.000", "service": "a"}])
+    row = ingest_docs(df, MAPPING, ingest_ts=ingest_ts).collect()[0]
+    assert row["ts"].strftime("%Y-%m-%d %H:%M") == "2024-01-09 12:00"
+
+
+def test_tokens_map_per_mapping(spark):
+    df = make_docs(
+        spark,
+        [{"service": "Auth-API", "message": "Failed to Connect: timeout", "extra": 1}],
+    )
+    row = ingest_docs(df, MAPPING).collect()[0]
+    toks = row["tokens"]
+    assert toks["service"] == ["auth-api"]
+    assert toks["message"] == ["failed", "to", "connect", "timeout"]
+    assert "level" not in toks  # absent field → no entry
+    assert "extra" not in toks  # unmapped field → not indexed
+    assert row["size"] == len(row["raw"])
+
+
+def test_docs_search_end_to_end(spark):
+    from seqspark import SearchTable
+
+    docs = [
+        {"timestamp": "2024-01-01 10:00:00.000", "service": "auth", "message": "login ok"},
+        {"timestamp": "2024-01-01 11:00:00.000", "service": "auth", "message": "login failed badly"},
+        {"timestamp": "2024-01-01 12:00:00.000", "service": "pay", "message": "charge failed"},
+    ]
+    ingest_ts = F.to_timestamp(F.lit("2024-01-01 12:00:00"))
+    frame = ingest_docs(make_docs(spark, docs), MAPPING, ingest_ts=ingest_ts)
+    st = SearchTable.from_docs(frame, MAPPING)
+    assert st.search("service:auth").count() == 2
+    assert st.search("message:failed").count() == 2
+    assert st.search("service:auth and message:failed").count() == 1
+    assert st.search("message:fail*").count() == 2
+    assert st.search("not service:auth").count() == 1
+    assert st.search("_exists_:level").count() == 0
+    assert st.search("*").count() == 3
+
+
+def test_project_fields_keep(spark):
+    df = make_docs(spark, [{"a": 1, "b": "x", "c": {"d": 2}}])
+    out = df.select(project_fields(F.col("raw"), ["a", "c"]).alias("j")).collect()[0]["j"]
+    assert json.loads(out) == {"a": 1, "c": {"d": 2}}
+
+
+def test_project_fields_except(spark):
+    df = make_docs(spark, [{"a": 1, "b": "x", "c": True}])
+    out = df.select(
+        project_fields(F.col("raw"), ["b"], except_=True).alias("j")
+    ).collect()[0]["j"]
+    assert json.loads(out) == {"a": 1, "c": True}

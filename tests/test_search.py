@@ -1,0 +1,148 @@
+"""Search-path integration tests over the driver's events table, mirroring
+the reference integration scenarios
+(`tests/integration_tests/integration_test.go`: search one/many/nothing,
+backwards, NOT, wildcard, range, from/to)."""
+
+from pyspark.sql import functions as F
+
+
+def duck_count(duck, sql):
+    return duck.execute(sql).fetchone()[0]
+
+
+def test_keyword_eq_matches_oracle(events_table, duck):
+    assert events_table.search("event_type:click").count() == duck_count(
+        duck, "SELECT count(*) FROM events WHERE lower(event_type)='click'"
+    )
+
+
+def test_search_nothing(events_table):
+    assert events_table.search("event_type:nosuch").count() == 0
+
+
+def test_bool_precedence(events_table, duck):
+    got = events_table.search(
+        "event_type:click and value:[10, *] or event_type:error and value:[30, *]"
+    ).count()
+    want = duck_count(
+        duck,
+        "SELECT count(*) FROM events WHERE (lower(event_type)='click' AND value>=10)"
+        " OR (lower(event_type)='error' AND value>=30)",
+    )
+    assert got == want
+
+
+def test_not(events_table, duck):
+    got = events_table.search("not event_type:click").count()
+    want = duck_count(duck, "SELECT count(*) FROM events WHERE lower(event_type)<>'click'")
+    assert got == want
+
+
+def test_wildcard(events_table, duck):
+    got = events_table.search("event_type:c*ck").count()
+    want = duck_count(
+        duck, "SELECT count(*) FROM events WHERE regexp_matches(lower(event_type), '^c.*ck$')"
+    )
+    assert got == want
+
+
+def test_range_numeric_half_open(events_table, duck):
+    got = events_table.search("value:[10, 20)").count()
+    want = duck_count(duck, "SELECT count(*) FROM events WHERE value>=10 AND value<20")
+    assert got == want
+
+
+def test_range_lexicographic(events_table, duck):
+    got = events_table.search("event_type:[click, error]").count()
+    want = duck_count(
+        duck,
+        "SELECT count(*) FROM events WHERE lower(event_type)>='click' AND lower(event_type)<='error'",
+    )
+    assert got == want
+
+
+def test_time_window(events_table, duck):
+    from_ms, to_ms = 1704067200000, 1704672000000
+    got = events_table.search("*", from_ms=from_ms, to_ms=to_ms).count()
+    want = duck_count(
+        duck,
+        f"SELECT count(*) FROM events WHERE epoch_ms(ts)>={from_ms} AND epoch_ms(ts)<={to_ms}",
+    )
+    assert got == want
+
+
+def test_order_desc_and_asc_are_reverses(events_table):
+    desc = [r[0] for r in events_table.search("*", size=10, order="desc").select("event_id").collect()]
+    asc = [r[0] for r in events_table.search("*", size=10, order="asc").select("event_id").collect()]
+    assert len(desc) == 10 and len(asc) == 10
+    assert desc[0] != asc[0]
+
+
+def test_offset_pagination_contiguous(events_table):
+    p1 = [r[0] for r in events_table.search("*", size=5, offset=0, order="asc").select("event_id").collect()]
+    p2 = [r[0] for r in events_table.search("*", size=5, offset=5, order="asc").select("event_id").collect()]
+    all10 = [r[0] for r in events_table.search("*", size=10, offset=0, order="asc").select("event_id").collect()]
+    assert p1 + p2 == all10
+
+
+def test_fields_pipe_projection(events_table):
+    df = events_table.search("* | fields event_id, event_type", size=3)
+    assert df.columns == ["event_id", "event_type"]
+
+
+def test_fetch_by_ids(events_table):
+    got = events_table.fetch_ids([1, 5, 9], "event_id").count()
+    assert got == 3
+
+
+def test_dedup_on_id(events_table, events):
+    doubled = events.union(events)
+    st2 = events_table.__class__(
+        doubled, events_table.mapping, events_table.resolver, "ts", "event_id"
+    )
+    n = st2.search("event_type:click", dedup_cols=["event_id"]).count()
+    assert n == events_table.search("event_type:click").count()
+
+
+def test_text_field_token_and(events_table, documents, duck):
+    from seqspark import SearchTable
+
+    st = SearchTable.from_typed(
+        documents.withColumn("ts", F.timestamp_millis(F.col("doc_id") * 1000)),
+        {"text": "text", "lang": "keyword", "source": "keyword", "doc_id": "keyword"},
+        ts_col="ts",
+        rid_col="doc_id",
+    )
+    got = st.search('text:"table scan"').count()
+    want = duck_count(
+        duck,
+        r"""SELECT count(*) FROM documents
+        WHERE len(list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}_*]+'), t -> t='table'))>0
+          AND len(list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}_*]+'), t -> t='scan'))>0""",
+    )
+    assert got == want
+
+
+def test_text_wildcard_per_token(documents, duck):
+    from seqspark import SearchTable
+
+    st = SearchTable.from_typed(
+        documents.withColumn("ts", F.timestamp_millis(F.col("doc_id") * 1000)),
+        {"text": "text", "doc_id": "keyword"},
+        ts_col="ts",
+    )
+    got = st.search("text:sc*n").count()
+    want = duck_count(
+        duck,
+        r"""SELECT count(*) FROM documents
+        WHERE len(list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}_*]+'),
+                  t -> regexp_matches(t, '^sc.*n$')))>0""",
+    )
+    assert got == want
+
+
+def test_max_search_docs_cap(events_table):
+    import pytest
+
+    with pytest.raises(ValueError):
+        events_table.search("*", size=200_000)
