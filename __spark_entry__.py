@@ -1,10 +1,11 @@
-"""Driver contract for the spark-graft builder (PySpark target).
+"""Driver contract for the seqspark engine.
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship query at sf0.001; ``queries()`` exposes
+one callable per implemented operator from SURVEY.md §2 (plus the
+LLM-pipeline operators); ``oracle_sql()`` gives the DuckDB-equivalent SQL
+for every SQL-expressible entry. Column aliases match between the Spark
+side and the SQL side; timestamps are compared as ``epoch_us`` BIGINTs and
+floating aggregates are rounded to 3 decimals on both sides.
 """
 
 from __future__ import annotations
@@ -12,27 +13,707 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from seqspark import AggQuery, SearchTable
+from seqspark.data import load_table
+
+# text-tokenizer separator class (same regex dialect in Spark/RE2)
+TOKRE = r"[^\p{L}\p{N}_*]+"
+
+EVENTS_MAPPING = {
+    "event_type": "keyword",
+    "user_id": "keyword",
+    "value": "keyword",
+    "event_id": "keyword",
+    "props": "text",
+}
+
+DOCS_MAPPING = {
+    "text": "text",
+    "lang": "keyword",
+    "source": "keyword",
+    "doc_id": "keyword",
+}
+
+
+def _events_table(spark: SparkSession, sf_dir: str) -> SearchTable:
+    ev = load_table(spark, sf_dir, "events")
+    return SearchTable.from_typed(ev, EVENTS_MAPPING, ts_col="ts", rid_col="event_id")
+
+
+def _docs_table(spark: SparkSession, sf_dir: str) -> SearchTable:
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "ts", F.timestamp_millis(F.col("doc_id") * 1000)
+    )
+    return SearchTable.from_typed(docs, DOCS_MAPPING, ts_col="ts", rid_col="doc_id")
+
+
+def _ev_cols(df: DataFrame) -> DataFrame:
+    return df.select(
+        "event_id",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+        "user_id",
+        "event_type",
+        "value",
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: compound seq-ql filter + top-100 page, newest first."""
+    st = _events_table(spark, "/root/testdata/sf0.001")
+    return _ev_cols(
+        st.search(
+            "event_type:in(click, view) and value:[10, *] or event_type:error",
+            size=100,
+            order="desc",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# queries: name -> callable(spark, sf_dir) -> DataFrame
+# --------------------------------------------------------------------------
+
+
+def _search(q: str, **kw):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return _ev_cols(_events_table(spark, sf_dir).search(q, **kw))
+
+    return run
+
+
+def q_keyword_eq(spark, sf_dir):
+    return _search("event_type:click")(spark, sf_dir)
+
+
+def q_keyword_wildcard(spark, sf_dir):
+    return _search("event_type:c*ck")(spark, sf_dir)
+
+
+def q_filter_in(spark, sf_dir):
+    return _search("event_type:in(click, view)")(spark, sf_dir)
+
+
+def q_range_numeric(spark, sf_dir):
+    return _search("value:[10, 20)")(spark, sf_dir)
+
+
+def q_range_open(spark, sf_dir):
+    return _search("value:[15, *]")(spark, sf_dir)
+
+
+def q_range_lexicographic(spark, sf_dir):
+    return _search("event_type:[click, error]")(spark, sf_dir)
+
+
+def q_exists(spark, sf_dir):
+    return _search("_exists_:props")(spark, sf_dir)
+
+
+def q_match_all(spark, sf_dir):
+    return _search("*")(spark, sf_dir)
+
+
+def q_bool_precedence(spark, sf_dir):
+    return _search(
+        "event_type:click and value:[10, *] or event_type:error and value:[30, *]"
+    )(spark, sf_dir)
+
+
+def q_bool_not(spark, sf_dir):
+    return _search("not event_type:click and value:[50, *]")(spark, sf_dir)
+
+
+def q_comment_strip(spark, sf_dir):
+    return _search("event_type:click # this comment is stripped\nor event_type:view")(
+        spark, sf_dir
+    )
+
+
+def q_time_range(spark, sf_dir):
+    # [2024-01-05 00:00, 2024-01-10 00:00] UTC in unix-ms
+    return _search("*", from_ms=1704412800000, to_ms=1704844800000)(spark, sf_dir)
+
+
+def q_fields_pipe(spark, sf_dir):
+    st = _events_table(spark, sf_dir)
+    return st.search("* | fields event_id, event_type")
+
+
+def q_order_limit_desc(spark, sf_dir):
+    return _search("*", size=100, order="desc")(spark, sf_dir)
+
+
+def q_order_limit_asc(spark, sf_dir):
+    return _search("*", size=100, order="asc")(spark, sf_dir)
+
+
+def q_offset_pagination(spark, sf_dir):
+    return _search("*", size=200, offset=500, order="asc")(spark, sf_dir)
+
+
+def q_merge_dedup(spark, sf_dir):
+    # replica merge: duplicate the source, dedup on doc id at read
+    st = _events_table(spark, sf_dir)
+    doubled = st.df.union(st.df)
+    st2 = SearchTable(doubled, st.mapping, st.resolver, "ts", "event_id")
+    return _ev_cols(st2.search("event_type:error", dedup_cols=["event_id"]))
+
+
+def q_fetch_by_ids(spark, sf_dir):
+    st = _events_table(spark, sf_dir)
+    return _ev_cols(st.fetch_ids(list(range(0, 500, 7)), "event_id"))
+
+
+def q_with_total(spark, sf_dir):
+    return _events_table(spark, sf_dir).total("event_type:click")
+
+
+def q_fulltext_and(spark, sf_dir):
+    st = _docs_table(spark, sf_dir)
+    return st.search('text:"table scan"').select("doc_id", "lang", "source")
+
+
+def q_fulltext_wildcard(spark, sf_dir):
+    st = _docs_table(spark, sf_dir)
+    return st.search("text:sc*n").select("doc_id", "source")
+
+
+def q_agg_count_group(spark, sf_dir):
+    st = _events_table(spark, sf_dir)
+    out = st.aggregate(AggQuery(func="count", field="event_type"))
+    return out.select("name", F.col("value").cast("long").alias("cnt"))
+
+
+def q_agg_unique(spark, sf_dir):
+    st = _events_table(spark, sf_dir)
+    return st.aggregate(AggQuery(func="unique", field="event_type")).select("name")
+
+
+def q_agg_sum_group(spark, sf_dir):
+    st = _events_table(spark, sf_dir)
+    out = st.aggregate(AggQuery(func="sum", field="value", group_by="event_type"))
+    return out.select("name", F.round("value", 3).alias("sum_value"))
+
+
+def q_agg_min_group(spark, sf_dir):
+    st = _events_table(spark, sf_dir)
+    out = st.aggregate(AggQuery(func="min", field="value", group_by="event_type"))
+    return out.select("name", F.col("value").alias("min_value"))
+
+
+def q_agg_max_group(spark, sf_dir):
+    st = _events_table(spark, sf_dir)
+    out = st.aggregate(AggQuery(func="max", field="value", group_by="event_type"))
+    return out.select("name", F.col("value").alias("max_value"))
+
+
+def q_agg_avg_group(spark, sf_dir):
+    st = _events_table(spark, sf_dir)
+    out = st.aggregate(AggQuery(func="avg", field="value", group_by="event_type"))
+    return out.select("name", F.round("value", 3).alias("avg_value"))
+
+
+def q_agg_filtered(spark, sf_dir):
+    st = _events_table(spark, sf_dir)
+    out = st.aggregate(
+        AggQuery(func="sum", field="value", group_by="event_type"),
+        q="value:[10, *] and not event_type:view",
+    )
+    return out.select("name", F.round("value", 3).alias("sum_value"))
+
+
+def q_agg_quantile(spark, sf_dir):
+    st = _events_table(spark, sf_dir)
+    out = st.aggregate(
+        AggQuery(
+            func="quantile",
+            field="value",
+            group_by="event_type",
+            quantiles=[0.5, 0.9],
+            exact_quantiles=True,
+        )
+    )
+    return out.select(
+        "name", F.round("q0", 3).alias("p50"), F.round("q1", 3).alias("p90")
+    )
+
+
+def q_agg_timeseries(spark, sf_dir):
+    st = _events_table(spark, sf_dir)
+    week = 7 * 86400000
+    out = st.aggregate(
+        AggQuery(func="count", field="event_type", interval_ms=week)
+    )
+    return out.select(
+        "mid_ms", "name", F.col("value").cast("long").alias("cnt")
+    )
+
+
+def q_date_histogram(spark, sf_dir):
+    st = _events_table(spark, sf_dir)
+    return st.histogram("event_type:error", interval_ms=6 * 3600 * 1000)
+
+
+def q_notexists_accounting(spark, sf_dir):
+    # docs missing the agg field are counted separately
+    # (`frac/processor/aggregator.go:77-117`): here, events where the json
+    # props lacks 'k2' vs has it
+    ev = load_table(spark, sf_dir, "events")
+    k2 = F.get_json_object(F.col("props"), "$.k2")
+    return (
+        ev.select(F.when(k2.isNull(), F.lit(1)).otherwise(F.lit(0)).alias("not_exists"))
+        .groupBy("not_exists")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def q_json_field_extract(spark, sf_dir):
+    # ingest-transform building block: JSON field extraction + numeric cast
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").try_cast("long")
+    return (
+        ev.select(F.col("event_id"), k.alias("k"))
+        .filter(F.col("k") >= 50)
+    )
+
+
+def q_ingest_tokenize(spark, sf_dir):
+    # text tokenizer parity: exploded (doc_id, token) pairs
+    from seqspark.tokenize import text_tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", F.explode(text_tokens(F.col("text"))).alias("token")
+    )
+
+
+def q_path_prefix_tokens(spark, sf_dir):
+    # path tokenizer: every /-prefix of a synthesized /lang/source path
+    from seqspark.tokenize import path_tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    path = F.concat(F.lit("/"), F.col("lang"), F.lit("/"), F.col("source"))
+    return docs.select("doc_id", F.explode(path_tokens(path)).alias("token"))
+
+
+def q_timestamp_parse_chain(spark, sf_dir):
+    # 3-format fallback chain (`proxy/bulk/processor.go:101-126`) over
+    # synthesized doc strings in each format
+    from seqspark.ingest import parse_event_time
+
+    ev = load_table(spark, sf_dir, "events")
+    es = F.date_format(F.col("ts"), "yyyy-MM-dd HH:mm:ss.SSS")
+    rfc = F.date_format(F.col("ts"), "yyyy-MM-dd'T'HH:mm:ssXXX")
+    raw = F.when(
+        F.col("event_id") % 2 == 0,
+        F.concat(F.lit('{"timestamp":"'), es, F.lit('"}')),
+    ).otherwise(F.concat(F.lit('{"time":"'), rfc, F.lit('"}')))
+    return ev.select(
+        "event_id", F.unix_micros(parse_event_time(raw)).alias("parsed_us")
+    )
+
+
+def q_doc_size_tracking(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select("event_id", F.length("props").alias("doc_size"))
+
+
+# ---------------------------------------------------------------- pipeline
+
+
+def q_dedup_exact(spark, sf_dir):
+    from seqspark.pipeline.dedup import exact_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    with_h = docs.withColumn("h", F.md5(F.col("text")))
+    return exact_dedup(with_h, ["h"], "doc_id").select("doc_id", "h")
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    # exact 3-gram Jaccard over a bounded id range (verification kernel of
+    # the LSH pipeline; bounded so the oracle can cross-join)
+    from seqspark.pipeline.dedup import jaccard_pairs, shingles
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 40)
+    ids = docs.select(F.col("doc_id").alias("id_a")).crossJoin(
+        docs.select(F.col("doc_id").alias("id_b"))
+    ).filter(F.col("id_a") < F.col("id_b"))
+    out = jaccard_pairs(docs, ids, "doc_id", "text", k=3, threshold=0.3)
+    return out.select("id_a", "id_b", F.round("jaccard", 3).alias("jaccard"))
+
+
+def q_minhash_lsh_pairs(spark, sf_dir):
+    # rows-only: banded LSH candidate generation then exact verification
+    from seqspark.pipeline.dedup import jaccard_pairs, minhash_lsh_candidates
+
+    docs = load_table(spark, sf_dir, "documents")
+    cands = minhash_lsh_candidates(docs, "doc_id", "text", k=3, num_hashes=32, bands=8)
+    return jaccard_pairs(docs, cands, "doc_id", "text", k=3, threshold=0.3).select(
+        "id_a", "id_b", F.round("jaccard", 3).alias("jaccard")
+    )
+
+
+def q_simhash_candidates(spark, sf_dir):
+    from seqspark.pipeline.dedup import simhash_candidates
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return simhash_candidates(docs, "doc_id", "text", bands=4).select("id_a", "id_b")
+
+
+def q_ann_brute_topk(spark, sf_dir):
+    from seqspark.pipeline.ann import brute_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).head()["embedding"]
+    out = brute_topk(emb.filter(F.col("vec_id") != 0), list(qv), k=10)
+    return out.select("vec_id", F.round("score", 4).alias("score"))
+
+
+def q_ann_lsh_topk(spark, sf_dir):
+    # rows-only: approximate NN via hyperplane LSH (bucketed, no crossJoin)
+    from seqspark.pipeline.ann import lsh_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).head()["embedding"]
+    out = lsh_topk(emb.filter(F.col("vec_id") != 0), list(qv), k=10, bits=12, bands=4)
+    return out.select("vec_id", F.round("score", 4).alias("score"))
+
+
+def q_embedding_cosine_pairs(spark, sf_dir):
+    # exact cosine over a bounded id range (oracle cross-joins the same)
+    from seqspark.pipeline.ann import cosine
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 60)
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", F.round(cosine(F.col("va"), F.col("vb")), 4))
+        .filter(F.col("cos") >= 0.3)
+        .select("id_a", "id_b", "cos")
+    )
+
+
+def q_text_token_count(spark, sf_dir):
+    from seqspark.pipeline.textstats import token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", token_count(F.col("text")).cast("long").alias("n_tokens"))
+
+
+def q_text_quality(spark, sf_dir):
+    from seqspark.pipeline.textstats import quality_score, stopword_ratio
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.round(stopword_ratio(F.col("text")), 4).alias("stopword_ratio"),
+        F.round(quality_score(F.col("text")), 4).alias("quality"),
+    )
+
+
+def q_text_fingerprint(spark, sf_dir):
+    from seqspark.pipeline.textstats import fingerprint_md5
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", fingerprint_md5(F.col("text")).alias("fp"))
+
+
+def q_multimodal_decode(spark, sf_dir):
+    # rows-only: binary-column decode plumbing over the deterministic fixture
+    from seqspark.pipeline.multimodal import decode_assets, make_fake_assets
+
+    assets = make_fake_assets(spark, 64)
+    return decode_assets(assets).select(
+        "asset_id", "media_type", "n_bytes", "sha256", "width", "height", "n_frames"
+    )
+
+
+def q_join_broadcast(spark, sf_dir):
+    # beyond-reference: broadcast dim join (orders ⋈ customer) — the pattern
+    # every enrichment join should take at 100 TB (no shuffle of the fact side)
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+    )
+
+
+def q_lineitem_pricing_summary(spark, sf_dir):
+    # TPC-H Q1-shaped scan-heavy aggregate — the bench workhorse
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.to_timestamp(F.lit("1998-09-02")))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "keyword_eq": q_keyword_eq,
+        "keyword_wildcard": q_keyword_wildcard,
+        "filter_in": q_filter_in,
+        "range_numeric": q_range_numeric,
+        "range_open": q_range_open,
+        "range_lexicographic": q_range_lexicographic,
+        "exists": q_exists,
+        "match_all": q_match_all,
+        "bool_precedence": q_bool_precedence,
+        "bool_not": q_bool_not,
+        "comment_strip": q_comment_strip,
+        "time_range": q_time_range,
+        "fields_pipe": q_fields_pipe,
+        "order_limit_desc": q_order_limit_desc,
+        "order_limit_asc": q_order_limit_asc,
+        "offset_pagination": q_offset_pagination,
+        "merge_dedup": q_merge_dedup,
+        "fetch_by_ids": q_fetch_by_ids,
+        "with_total": q_with_total,
+        "fulltext_and": q_fulltext_and,
+        "fulltext_wildcard": q_fulltext_wildcard,
+        "agg_count_group": q_agg_count_group,
+        "agg_unique": q_agg_unique,
+        "agg_sum_group": q_agg_sum_group,
+        "agg_min_group": q_agg_min_group,
+        "agg_max_group": q_agg_max_group,
+        "agg_avg_group": q_agg_avg_group,
+        "agg_filtered": q_agg_filtered,
+        "agg_quantile": q_agg_quantile,
+        "agg_timeseries": q_agg_timeseries,
+        "date_histogram": q_date_histogram,
+        "notexists_accounting": q_notexists_accounting,
+        "json_field_extract": q_json_field_extract,
+        "ingest_tokenize": q_ingest_tokenize,
+        "path_prefix_tokens": q_path_prefix_tokens,
+        "timestamp_parse_chain": q_timestamp_parse_chain,
+        "doc_size_tracking": q_doc_size_tracking,
+        "dedup_exact": q_dedup_exact,
+        "ngram_jaccard": q_ngram_jaccard,
+        "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "simhash_candidates": q_simhash_candidates,
+        "ann_brute_topk": q_ann_brute_topk,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "embedding_cosine_pairs": q_embedding_cosine_pairs,
+        "text_token_count": q_text_token_count,
+        "text_quality": q_text_quality,
+        "text_fingerprint": q_text_fingerprint,
+        "multimodal_decode": q_multimodal_decode,
+        "join_broadcast": q_join_broadcast,
+        "lineitem_pricing_summary": q_lineitem_pricing_summary,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# --------------------------------------------------------------------------
+# oracle SQL (DuckDB dialect) — same aliases, same row sets
+# --------------------------------------------------------------------------
+
+_EV = "event_id, epoch_us(ts) AS ts_us, user_id, event_type, value"
+_TOKS = r"string_split_regex(lower(text), '[^\p{L}\p{N}_*]+')"
+_WORDS = r"list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}_]+'), w -> len(w) > 0)"
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    sql = {
+        "keyword_eq": f"SELECT {_EV} FROM events WHERE lower(event_type) = 'click'",
+        "keyword_wildcard": f"SELECT {_EV} FROM events WHERE regexp_matches(lower(event_type), '^c.*ck$')",
+        "filter_in": f"SELECT {_EV} FROM events WHERE lower(event_type) IN ('click', 'view')",
+        "range_numeric": (
+            f"SELECT {_EV} FROM events WHERE "
+            "TRY_CAST(lower(CAST(value AS VARCHAR)) AS DOUBLE) >= 10 AND "
+            "TRY_CAST(lower(CAST(value AS VARCHAR)) AS DOUBLE) < 20"
+        ),
+        "range_open": (
+            f"SELECT {_EV} FROM events WHERE "
+            "TRY_CAST(lower(CAST(value AS VARCHAR)) AS DOUBLE) >= 15"
+        ),
+        "range_lexicographic": (
+            f"SELECT {_EV} FROM events WHERE "
+            "lower(event_type) >= 'click' AND lower(event_type) <= 'error'"
+        ),
+        "exists": f"SELECT {_EV} FROM events WHERE props IS NOT NULL",
+        "match_all": f"SELECT {_EV} FROM events",
+        "bool_precedence": (
+            f"SELECT {_EV} FROM events WHERE "
+            "(lower(event_type) = 'click' AND value >= 10) OR "
+            "(lower(event_type) = 'error' AND value >= 30)"
+        ),
+        "bool_not": (
+            f"SELECT {_EV} FROM events WHERE "
+            "lower(event_type) <> 'click' AND value >= 50"
+        ),
+        "comment_strip": (
+            f"SELECT {_EV} FROM events WHERE lower(event_type) IN ('click', 'view')"
+        ),
+        "time_range": (
+            f"SELECT {_EV} FROM events WHERE "
+            "epoch_ms(ts) >= 1704412800000 AND epoch_ms(ts) <= 1704844800000"
+        ),
+        "fields_pipe": "SELECT event_id, event_type FROM events",
+        "order_limit_desc": (
+            f"SELECT {_EV} FROM events ORDER BY ts DESC, event_id DESC LIMIT 100"
+        ),
+        "order_limit_asc": (
+            f"SELECT {_EV} FROM events ORDER BY ts ASC, event_id ASC LIMIT 100"
+        ),
+        "offset_pagination": (
+            f"SELECT {_EV} FROM events ORDER BY ts ASC, event_id ASC LIMIT 200 OFFSET 500"
+        ),
+        "merge_dedup": f"SELECT {_EV} FROM events WHERE lower(event_type) = 'error'",
+        "fetch_by_ids": (
+            f"SELECT {_EV} FROM events WHERE event_id IN "
+            f"({', '.join(str(i) for i in range(0, 500, 7))})"
+        ),
+        "with_total": "SELECT count(*) AS total FROM events WHERE lower(event_type) = 'click'",
+        "fulltext_and": (
+            "SELECT doc_id, lang, source FROM documents WHERE "
+            f"list_contains({_TOKS}, 'table') AND list_contains({_TOKS}, 'scan')"
+        ),
+        "fulltext_wildcard": (
+            "SELECT doc_id, source FROM documents WHERE "
+            f"len(list_filter({_TOKS}, t -> regexp_matches(t, '^sc.*n$'))) > 0"
+        ),
+        "agg_count_group": (
+            "SELECT lower(event_type) AS name, count(*) AS cnt FROM events GROUP BY 1"
+        ),
+        "agg_unique": "SELECT DISTINCT lower(event_type) AS name FROM events",
+        "agg_sum_group": (
+            "SELECT lower(event_type) AS name, round(sum(value), 3) AS sum_value "
+            "FROM events GROUP BY 1"
+        ),
+        "agg_min_group": (
+            "SELECT lower(event_type) AS name, min(value) AS min_value "
+            "FROM events GROUP BY 1"
+        ),
+        "agg_max_group": (
+            "SELECT lower(event_type) AS name, max(value) AS max_value "
+            "FROM events GROUP BY 1"
+        ),
+        "agg_avg_group": (
+            "SELECT lower(event_type) AS name, round(avg(value), 3) AS avg_value "
+            "FROM events GROUP BY 1"
+        ),
+        "agg_filtered": (
+            "SELECT lower(event_type) AS name, round(sum(value), 3) AS sum_value "
+            "FROM events WHERE value >= 10 AND lower(event_type) <> 'view' GROUP BY 1"
+        ),
+        "agg_quantile": (
+            "SELECT lower(event_type) AS name, "
+            "round(quantile_cont(value, 0.5), 3) AS p50, "
+            "round(quantile_cont(value, 0.9), 3) AS p90 "
+            "FROM events GROUP BY 1"
+        ),
+        "agg_timeseries": (
+            "SELECT epoch_ms(ts) - epoch_ms(ts) % 604800000 AS mid_ms, "
+            "lower(event_type) AS name, count(*) AS cnt FROM events GROUP BY 1, 2"
+        ),
+        "date_histogram": (
+            "SELECT epoch_ms(ts) - epoch_ms(ts) % 21600000 AS bucket_ms, "
+            "count(*) AS cnt FROM events WHERE lower(event_type) = 'error' GROUP BY 1"
+        ),
+        "notexists_accounting": (
+            "SELECT CASE WHEN json_extract_string(props, '$.k2') IS NULL THEN 1 ELSE 0 END "
+            "AS not_exists, count(*) AS cnt FROM events GROUP BY 1"
+        ),
+        "json_field_extract": (
+            "SELECT event_id, TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k "
+            "FROM events WHERE TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) >= 50"
+        ),
+        "ingest_tokenize": (
+            "SELECT doc_id, unnest(list_filter("
+            f"{_TOKS}, t -> len(t) > 0 AND len(t) <= 72)) AS token FROM documents"
+        ),
+        "path_prefix_tokens": (
+            "SELECT doc_id, unnest(["
+            "'/' || lower(lang), "
+            "'/' || lower(lang) || '/' || lower(source)"
+            "]) AS token FROM documents"
+        ),
+        "timestamp_parse_chain": "SELECT event_id, epoch_us(date_trunc('milliseconds', ts)) AS parsed_us FROM events WHERE event_id % 2 = 0 UNION ALL SELECT event_id, epoch_us(date_trunc('second', ts)) AS parsed_us FROM events WHERE event_id % 2 = 1",
+        "doc_size_tracking": "SELECT event_id, len(props) AS doc_size FROM events",
+        "dedup_exact": (
+            "SELECT doc_id, md5(text) AS h FROM documents "
+            "QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1"
+        ),
+        "ngram_jaccard": (
+            "WITH w AS (SELECT doc_id, " + _WORDS + " AS w FROM documents WHERE doc_id < 40), "
+            "sh AS (SELECT doc_id, list_distinct(list_transform("
+            "range(1, greatest(len(w) - 2, 1) + 1), "
+            "i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s FROM w) "
+            "SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+            "round(len(list_intersect(a.s, b.s))::DOUBLE / "
+            "len(list_distinct(list_concat(a.s, b.s))), 3) AS jaccard "
+            "FROM sh a, sh b WHERE a.doc_id < b.doc_id AND "
+            "len(list_intersect(a.s, b.s))::DOUBLE / "
+            "len(list_distinct(list_concat(a.s, b.s))) >= 0.3"
+        ),
+        "ann_brute_topk": (
+            "WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0) "
+            "SELECT vec_id, round(list_cosine_similarity(embedding::DOUBLE[], (SELECT qv FROM q)), 4) AS score "
+            "FROM embeddings WHERE vec_id <> 0 "
+            "ORDER BY list_cosine_similarity(embedding::DOUBLE[], (SELECT qv FROM q)) DESC, vec_id ASC LIMIT 10"
+        ),
+        "embedding_cosine_pairs": (
+            "SELECT a.vec_id AS id_a, b.vec_id AS id_b, "
+            "round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS cos "
+            "FROM embeddings a, embeddings b "
+            "WHERE a.vec_id < b.vec_id AND a.vec_id < 60 AND b.vec_id < 60 AND "
+            "round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) >= 0.3"
+        ),
+        "text_token_count": (
+            f"SELECT doc_id, len({_WORDS}) AS n_tokens FROM documents"
+        ),
+        "text_quality": None,  # filled below (long expression)
+        "text_fingerprint": (
+            f"SELECT doc_id, md5(array_to_string({_WORDS}, ' ')) AS fp FROM documents"
+        ),
+        "join_broadcast": (
+            "SELECT c_mktsegment, count(*) AS n_orders, "
+            "round(sum(o_totalprice), 2) AS total_price "
+            "FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1"
+        ),
+        "lineitem_pricing_summary": (
+            "SELECT l_returnflag, l_linestatus, "
+            "round(sum(l_quantity), 2) AS sum_qty, "
+            "round(sum(l_extendedprice), 2) AS sum_base_price, "
+            "round(avg(l_discount), 6) AS avg_disc, "
+            "count(*) AS count_order "
+            "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02' GROUP BY 1, 2"
+        ),
+    }
+    sw = "('the','a','and','of','to','in','is','that','it','for')"
+    n_sw = f"len(list_filter({_WORDS}, w -> w IN {sw}))"
+    n_w = f"len({_WORDS})"
+    mean_len = f"(CASE WHEN {n_w} > 0 THEN len(array_to_string({_WORDS}, ''))::DOUBLE / {n_w} ELSE 0 END)"
+    alpha = (
+        "(CASE WHEN len(text) > 0 THEN "
+        "len(regexp_replace(lower(text), '[^a-z]', '', 'g'))::DOUBLE / len(text) "
+        "ELSE 0 END)"
+    )
+    sw_ratio = f"(CASE WHEN {n_w} > 0 THEN {n_sw}::DOUBLE / {n_w} ELSE 0 END)"
+    sql["text_quality"] = (
+        "SELECT doc_id, "
+        f"round({sw_ratio}, 4) AS stopword_ratio, "
+        "round(("
+        f"(CASE WHEN {mean_len} >= 2 AND {mean_len} <= 12 THEN 1.0 ELSE 0.0 END) + "
+        f"{alpha} + "
+        f"(CASE WHEN {sw_ratio} > 0.01 THEN 1.0 ELSE 0.0 END)"
+        ") / 3.0, 4) AS quality FROM documents"
+    )
+    # rows-only entries (LSH candidate generation, multimodal plumbing) have
+    # no SQL equivalent on purpose: the driver records a weaker check for
+    # minhash_lsh_pairs, simhash_candidates, ann_lsh_topk, multimodal_decode
+    return {k: v for k, v in sql.items() if v is not None}

@@ -61,6 +61,10 @@ class AggQuery:
     group_by: Optional[str] = None
     quantiles: Sequence[float] = dc_field(default_factory=tuple)
     interval_ms: Optional[int] = None
+    #: exact percentile (full sort per group) vs percentile_approx (the
+    #: reference itself is approximate via seeded reservoir sampling,
+    #: `seq/qpr.go:316-415`; approx is the 100 TB path)
+    exact_quantiles: bool = False
 
 
 class SearchTable:
@@ -384,8 +388,9 @@ class SearchTable:
                 qs = list(aggq.quantiles)
                 if not qs:
                     raise ValueError("quantile agg requires quantiles")
+                pct = F.percentile if aggq.exact_quantiles else F.percentile_approx
                 aggs = [
-                    F.percentile_approx("__val", float(qv)).alias(f"q{i}")
+                    pct("__val", float(qv)).alias(f"q{i}")
                     for i, qv in enumerate(qs)
                 ]
                 out = base.groupBy("__mid", "__group").agg(*aggs)

@@ -82,6 +82,12 @@ def detect_lang(text: Column) -> Column:
     return best
 
 
+def fingerprint_md5(text: Column) -> Column:
+    """Portable md5 fingerprint of the normalized text (same normalization
+    as :func:`fingerprint`; md5 so SQL oracles can reproduce it)."""
+    return F.md5(F.array_join(words(text), " "))
+
+
 def fingerprint(text: Column) -> Column:
     """Deterministic document fingerprint: xxhash64 of the
     whitespace-normalized, case-folded text (rolling-hash equivalent for
