@@ -1,0 +1,147 @@
+"""Benchmark harness: the reference's six k6 query shapes
+(`/root/reference/benchmarks/k6/*.js`, see BASELINE.md) translated onto the
+driver's synthetic tables, plus the scan-heavy pricing summary.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {"q1": sec, ...}, "sf": <sf>}
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS   (default 32).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from seqspark import AggQuery, SearchTable
+from seqspark.data import load_table
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+EVENTS_MAPPING = {
+    "event_type": "keyword",
+    "user_id": "keyword",
+    "value": "keyword",
+    "event_id": "keyword",
+    "props": "text",
+}
+
+
+def main() -> None:
+    spark = (
+        SparkSession.builder.master(f"local[{CPUS}]")
+        .appName("seqspark-bench")
+        .config("spark.sql.shuffle.partitions", str(CPUS))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", "16g")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    events = load_table(spark, SF_DIR, "events")
+    docs = load_table(spark, SF_DIR, "documents").withColumn(
+        "ts", F.timestamp_millis(F.col("doc_id") * 1000)
+    )
+    lineitem = load_table(spark, SF_DIR, "lineitem")
+    st = SearchTable.from_typed(events, EVENTS_MAPPING, ts_col="ts", rid_col="event_id")
+    sd = SearchTable.from_typed(
+        docs,
+        {"text": "text", "lang": "keyword", "source": "keyword", "doc_id": "keyword"},
+        ts_col="ts",
+        rid_col="doc_id",
+    )
+
+    # warm the JVM + file listing (not part of the reference workload)
+    events.count()
+    docs.count()
+    lineitem.count()
+
+    def q1():
+        # match-all paging, ORDER_ASC, 3 pages of 100 (seq-db-paging.js)
+        n = 0
+        for page in range(3):
+            n += len(st.search("*", size=100, offset=page * 100, order="asc").collect())
+        return n
+
+    def q2():
+        # keyword OR + fetch (seq-db-fetch-5k-fulltext.js)
+        return len(
+            st.search(
+                "event_type:click or event_type:signup or event_type:error",
+                size=5000,
+            ).collect()
+        )
+
+    def q3():
+        # full-text phrase = token-AND fetch (seq-db-fetch-5k-fulltext-2.js);
+        # run on the text-mapped documents table
+        return len(sd.search('text:"table scan row"', size=5000).collect())
+
+    def q4():
+        # numeric range, bounded + open (seq-db-fetch-5k-range.js / -5k.js)
+        n = len(st.search("value:[50, 100)", size=5000).collect())
+        n += len(st.search("value:[50, *]", size=5000).collect())
+        return n
+
+    def q5():
+        # aggregation COUNT by keyword field, size=0 (seq-db-aggs.js)
+        return len(st.aggregate(AggQuery(func="count", field="event_type")).collect())
+
+    def q6():
+        # aggregation MIN group-by (seq-db-aggs-min-by-status.js)
+        return len(
+            st.aggregate(
+                AggQuery(func="min", field="value", group_by="event_type")
+            ).collect()
+        )
+
+    def q7():
+        # scan-heavy pricing summary (TPC-H Q1 shape) on lineitem
+        return len(
+            lineitem.filter(F.col("l_shipdate") <= F.to_timestamp(F.lit("1998-09-02")))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(
+                F.sum("l_quantity").alias("sum_qty"),
+                F.sum("l_extendedprice").alias("sum_base_price"),
+                F.avg("l_discount").alias("avg_disc"),
+                F.count(F.lit(1)).alias("count_order"),
+            )
+            .collect()
+        )
+
+    timings = {}
+    for name, fn in [("q1", q1), ("q2", q2), ("q3", q3), ("q4", q4), ("q5", q5), ("q6", q6), ("q7", q7)]:
+        t0 = time.perf_counter()
+        fn()
+        timings[name] = round(time.perf_counter() - t0, 4)
+
+    total = round(sum(timings.values()), 4)
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "seqspark_q1_q7_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
