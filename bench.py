@@ -55,12 +55,17 @@ def main() -> None:
         "ts", F.timestamp_millis(F.col("doc_id") * 1000)
     )
     lineitem = load_table(spark, SF_DIR, "lineitem")
-    st = SearchTable.from_typed(events, EVENTS_MAPPING, ts_col="ts", rid_col="event_id")
+    # assume_folded: the synthetic keyword values are lower-case on disk, as
+    # the reference's index guarantees — equality pushes into the parquet scan
+    st = SearchTable.from_typed(
+        events, EVENTS_MAPPING, ts_col="ts", rid_col="event_id", assume_folded=True
+    )
     sd = SearchTable.from_typed(
         docs,
         {"text": "text", "lang": "keyword", "source": "keyword", "doc_id": "keyword"},
         ts_col="ts",
         rid_col="doc_id",
+        assume_folded=True,
     )
 
     # warm the JVM + file listing (not part of the reference workload)

@@ -162,11 +162,19 @@ def _token_check_range(rng: Range) -> Callable[[Column], Column]:
     return check_text
 
 
-def _apply_check(spec: FieldSpec, check: Callable[[Column], Column]) -> Column:
+def _apply_check(
+    spec: FieldSpec,
+    check: Callable[[Column], Column],
+    eq_value: Optional[str] = None,
+) -> Column:
     if spec.scalar is not None:
         s = spec.scalar()
         return s.isNotNull() & check(s)
     toks = spec.tokens()
+    if eq_value is not None:
+        # native array_contains is ~2x faster than an exists() lambda and
+        # codegen-friendly — the hot path for every text-token match
+        return toks.isNotNull() & F.array_contains(toks, eq_value)
     return toks.isNotNull() & F.exists(toks, check)
 
 
@@ -180,7 +188,7 @@ def compile_node(node: Node, resolver: Resolver) -> Column:
                 raise CompileError("_exists_ requires a plain field name")
             return resolver.resolve(target).exists_col()
         spec = resolver.resolve(node.field)
-        return _apply_check(spec, _token_check_literal(node))
+        return _apply_check(spec, _token_check_literal(node), eq_value=node.single_text)
     if isinstance(node, Range):
         spec = resolver.resolve(node.field)
         return _apply_check(spec, _token_check_range(node))

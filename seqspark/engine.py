@@ -95,6 +95,11 @@ class SearchTable:
         self.rid_col = rid_col
         self.case_sensitive = case_sensitive
 
+    @staticmethod
+    def _public(df: DataFrame) -> DataFrame:
+        internal = [c for c in df.columns if c.startswith("__tok_")]
+        return df.drop(*internal) if internal else df
+
     # ------------------------------------------------------------------ build
 
     @classmethod
@@ -105,22 +110,36 @@ class SearchTable:
         ts_col: str = "ts",
         rid_col: Optional[str] = None,
         case_sensitive: bool = False,
+        assume_folded: bool = False,
     ) -> "SearchTable":
+        """``assume_folded=True`` declares that keyword column values are
+        already lower-case on disk (the reference guarantees this by folding
+        at index time, `tokenizer/tokenizer.go:15-48`); equality then
+        compiles to a bare ``col = 'v'`` that pushes down into the Parquet
+        scan — at 100 TB that is the difference between pruning row groups
+        and evaluating ``lower()`` on every row.
+
+        Tokenized (text/path) fields are materialized once as hidden
+        ``__tok_*`` columns so a multi-token query tokenizes each row once,
+        not once per query token."""
         mapping = Mapping({f: t for f, t in mapping_types.items()})
         specs: Dict[str, FieldSpec] = {}
         for fname, itype in mapping_types.items():
             col = F.col(fname).cast("string")
             if itype == "keyword":
-                folded = col if case_sensitive else F.lower(col)
+                folded = col if (case_sensitive or assume_folded) else F.lower(col)
                 specs[fname] = FieldSpec(
                     tokens=(lambda fc=folded: F.array(fc)),
                     scalar=(lambda fc=folded: fc),
                     exists=(lambda c=col: c.isNotNull()),
                 )
             else:
-                tok = tokens_for_type(itype, col, case_sensitive)
+                tokcol = f"__tok_{fname}"
+                df = df.withColumn(
+                    tokcol, tokens_for_type(itype, col, case_sensitive)
+                )
                 specs[fname] = FieldSpec(
-                    tokens=(lambda t=tok: t),
+                    tokens=(lambda tc=tokcol: F.col(tc)),
                     exists=(lambda c=col: c.isNotNull()),
                 )
         return cls(df, mapping, Resolver(specs), ts_col, rid_col, case_sensitive)
@@ -251,7 +270,7 @@ class SearchTable:
                     .filter(F.col("__rn") > offset)
                     .drop("__rn")
                 )
-        df = self.apply_pipes(df, pipes)
+        df = self.apply_pipes(self._public(df), pipes)
         return df
 
     def apply_pipes(self, df: DataFrame, pipes: List[PipeFields]) -> DataFrame:
@@ -281,10 +300,12 @@ class SearchTable:
         """Fetch-by-ID as a broadcast left-semi join (reference
         `storeapi/grpc_fetch.go:42-216`; ID lists are small, the table is
         not — broadcast keeps it shuffle-free at 100 TB)."""
-        return self.df.join(F.broadcast(ids_df), on=list(id_cols), how="left_semi")
+        return self._public(
+            self.df.join(F.broadcast(ids_df), on=list(id_cols), how="left_semi")
+        )
 
     def fetch_ids(self, ids: Sequence, id_col: str) -> DataFrame:
-        return self.df.filter(F.col(id_col).isin(list(ids)))
+        return self._public(self.df.filter(F.col(id_col).isin(list(ids))))
 
     # -------------------------------------------------------------- histogram
 
