@@ -1,0 +1,118 @@
+"""ES-bulk-shaped ingest front end.
+
+Library equivalent of the reference's ``POST /_bulk`` endpoint
+(`proxyapi/http_bulk.go:105-266`, `proxyapi/http_server.go:61-85`):
+
+- NDJSON body alternating action lines (``{"index": ...}`` / ``create`` /
+  ``delete`` / ``update``) and document lines; action lines are skipped,
+  ``delete``/``update`` actions are unsupported (as in the reference, which
+  only indexes);
+- optional gzip bodies;
+- returns per-document statuses plus the extracted raw docs, ready for
+  :func:`seqspark.ingest.ingest_docs`;
+- a fake ES version banner for shipper compatibility
+  (`proxyapi/http_server.go` ``/`` handler).
+
+The request-level parse is driver-side Python (requests are bounded —
+the reference caps in-flight bulks at 32); the heavy tokenize/append work
+happens distributed in ``ingest_docs``/``DocStore.append``.
+"""
+
+from __future__ import annotations
+
+import gzip
+import json
+from dataclasses import dataclass, field as dc_field
+from typing import List, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+
+ES_BANNER = {
+    "name": "seqspark",
+    "cluster_name": "seqspark",
+    "version": {"number": "8.9.0"},
+    "tagline": "You Know, for Search",
+}
+
+_ACTIONS = ("index", "create", "delete", "update")
+
+
+@dataclass
+class BulkResult:
+    docs: List[str] = dc_field(default_factory=list)
+    items: List[dict] = dc_field(default_factory=list)
+    errors: bool = False
+
+    def response(self) -> dict:
+        """ES-shaped bulk response body."""
+        return {"errors": self.errors, "items": self.items}
+
+
+def parse_bulk_body(body: bytes, gzipped: bool = False) -> BulkResult:
+    """Parse an ES-bulk NDJSON body into raw document strings.
+
+    Mirrors `proxyapi/http_bulk.go:150-260` handleESBulkRequest: walk the
+    lines, each action line announces what follows; ``index``/``create``
+    consume the next line as a document; ``delete``/``update`` are rejected
+    per-item; non-object docs error per-item.
+    """
+    if gzipped:
+        body = gzip.decompress(body)
+    res = BulkResult()
+    lines = [ln for ln in body.decode("utf-8").split("\n") if ln.strip()]
+    i = 0
+    while i < len(lines):
+        line = lines[i]
+        i += 1
+        try:
+            action_obj = json.loads(line)
+        except json.JSONDecodeError:
+            res.items.append({"index": {"status": 400, "error": "malformed action"}})
+            res.errors = True
+            continue
+        if not isinstance(action_obj, dict) or len(action_obj) != 1:
+            res.items.append({"index": {"status": 400, "error": "malformed action"}})
+            res.errors = True
+            continue
+        action = next(iter(action_obj))
+        if action not in _ACTIONS:
+            res.items.append({"index": {"status": 400, "error": f"unknown action {action}"}})
+            res.errors = True
+            continue
+        if action in ("delete",):
+            # delete carries no doc line
+            res.items.append({action: {"status": 400, "error": "unsupported action"}})
+            res.errors = True
+            continue
+        if action == "update":
+            i += 1  # consume the doc line
+            res.items.append({action: {"status": 400, "error": "unsupported action"}})
+            res.errors = True
+            continue
+        if i >= len(lines):
+            res.items.append({action: {"status": 400, "error": "missing document"}})
+            res.errors = True
+            break
+        doc_line = lines[i]
+        i += 1
+        try:
+            doc = json.loads(doc_line)
+        except json.JSONDecodeError:
+            res.items.append({action: {"status": 400, "error": "malformed document"}})
+            res.errors = True
+            continue
+        if not isinstance(doc, dict):
+            # reference: errNotAnObject (`proxy/bulk/processor.go:62`)
+            res.items.append({action: {"status": 400, "error": "not an object"}})
+            res.errors = True
+            continue
+        res.docs.append(doc_line)
+        res.items.append({action: {"status": 201}})
+    return res
+
+
+def bulk_to_df(spark: SparkSession, result: BulkResult) -> Optional[DataFrame]:
+    """Raw-doc DataFrame from a parsed bulk, ready for ``ingest_docs``."""
+    if not result.docs:
+        return None
+    return spark.createDataFrame([(d,) for d in result.docs], "raw string")

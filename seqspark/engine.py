@@ -94,6 +94,11 @@ class SearchTable:
         self.ts_col = ts_col
         self.rid_col = rid_col
         self.case_sensitive = case_sensitive
+        #: dedup keys applied on every search — set for doc stores whose
+        #: mapping has `nested` fields (child rows share the parent ID,
+        #: `proxy/bulk/indexer.go:162-167`; duplicates collapse at read like
+        #: `seq/qpr.go:465-487`)
+        self.default_dedup: Optional[Sequence[str]] = None
 
     @staticmethod
     def _public(df: DataFrame) -> DataFrame:
@@ -177,7 +182,10 @@ class SearchTable:
                     self._specs[fieldname] = spec_for(fieldname)
                 return self._specs[fieldname]
 
-        return cls(df, mapping, DocResolver(specs), ts_col, rid_col, case_sensitive)
+        table = cls(df, mapping, DocResolver(specs), ts_col, rid_col, case_sensitive)
+        if any(fm.main_type == "nested" for fm in mapping.fields()):
+            table.default_dedup = ["mid", "rid"]
+        return table
 
     # ----------------------------------------------------------------- basics
 
@@ -248,9 +256,10 @@ class SearchTable:
         if size is not None and size > MAX_SEARCH_DOCS:
             raise ValueError(f"size {size} exceeds max-search-docs {MAX_SEARCH_DOCS}")
         df, pipes = self._filtered(q, from_ms, to_ms)
-        if dedup_cols:
-            # replica dedup semantics (`seq/qpr.go:465-487`)
-            df = df.dropDuplicates(list(dedup_cols))
+        dedup = dedup_cols if dedup_cols is not None else self.default_dedup
+        if dedup:
+            # replica/nested-sub-doc dedup semantics (`seq/qpr.go:465-487`)
+            df = df.dropDuplicates(list(dedup))
         sort = self._sort_cols(order)
         if size is not None:
             df = df.orderBy(*sort).limit(offset + size)

@@ -91,32 +91,118 @@ def ingest_docs(
     event_ts = parse_event_time(raw)
     ts = clamp_drift(event_ts, ingest_ts, allowed_drift_ms, future_drift_ms)
 
-    entries: Dict[str, Column] = {}
-    for fm in mapping.fields():
-        value = F.get_json_object(raw, f"$.{fm.name}")
-        entries[fm.name] = tokens_for_type(fm.main_type, value, case_sensitive)
-        for title, sub_type in fm.sub_types.items():
-            entries[f"{fm.name}.{title}"] = tokens_for_type(sub_type, value, case_sensitive)
+    def entry_tokens(name: str, itype: str, value: Column, size: int = 0) -> Column:
+        from .tokenize import DEFAULT_MAX_TOKEN_SIZE
 
-    keys: List[Column] = []
-    for name, toks in entries.items():
-        keys.append(
-            F.when(toks.isNotNull(), F.struct(F.lit(name).alias("key"), toks.alias("value")))
+        return tokens_for_type(
+            itype, value, case_sensitive, size or DEFAULT_MAX_TOKEN_SIZE
         )
-    tokens_map = F.map_from_entries(
-        F.filter(F.array(*keys), lambda e: e.isNotNull())
-    ) if keys else F.lit(None).cast("map<string,array<string>>")
 
-    out = (
+    def tokens_map_from(entries: Dict[str, Column]) -> Column:
+        keys: List[Column] = [
+            F.when(
+                toks.isNotNull(),
+                F.struct(F.lit(name).alias("key"), toks.alias("value")),
+            )
+            for name, toks in entries.items()
+        ]
+        if not keys:
+            return F.lit(None).cast("map<string,array<string>>")
+        return F.map_from_entries(F.filter(F.array(*keys), lambda e: e.isNotNull()))
+
+    # --- parent document tokens -------------------------------------------
+    # object children are plain dotted JSON paths (`proxy/bulk/indexer.go:
+    # 87-90`); tags children extract from [{key,value}] arrays (`:136-144`);
+    # nested children are NOT indexed on the parent — they become child rows
+    # (`:98-103`).
+    entries: Dict[str, Column] = {}
+    nested_roots: List[str] = []
+    for fm in mapping.fields():
+        if fm.main_type in ("object", "tags"):
+            continue  # containers emit nothing themselves
+        if fm.main_type == "nested":
+            nested_roots.append(fm.name)
+            continue
+        container = mapping.container_of(fm.name)
+        if container is not None and container[1] == "nested":
+            continue  # handled in the child-row pass
+        if container is not None and container[1] == "tags":
+            cname, _ = container
+            tag_key = fm.name[len(cname) + 1 :]
+            arr = F.from_json(
+                F.get_json_object(raw, f"$.{cname}"),
+                "array<struct<key:string,value:string>>",
+            )
+            matches = F.filter(arr, lambda e: e.getField("key") == F.lit(tag_key))
+            value_toks = F.flatten(
+                F.transform(
+                    matches,
+                    lambda e: F.coalesce(
+                        entry_tokens(fm.name, fm.main_type, e.getField("value")),
+                        F.array().cast("array<string>"),
+                    ),
+                )
+            )
+            entries[fm.name] = F.when(F.size(matches) > 0, value_toks)
+            continue
+        value = F.get_json_object(raw, f"$.{fm.name}")
+        entries[fm.name] = entry_tokens(fm.name, fm.main_type, value, fm.size)
+        for title, (sub_type, sub_size) in fm.sub_types.items():
+            entries[f"{fm.name}.{title}"] = entry_tokens(
+                f"{fm.name}.{title}", sub_type, value, sub_size
+            )
+
+    parent = (
         raw_df.withColumn("ts", ts)
         .withColumn("mid", F.unix_millis(F.col("ts")))
         .withColumn("rid", F.xxhash64(raw, F.monotonically_increasing_id()))
         .withColumn("size", F.length(raw))
-        .withColumn("tokens", tokens_map)
+        .withColumn("tokens", tokens_map_from(entries))
     )
     cols = ["mid", "rid", "ts", raw_col, "size", "tokens"]
     extra = [c for c in raw_df.columns if c != raw_col]
-    return out.select(*cols, *extra)
+    parent = parent.select(*cols, *extra)
+
+    # --- nested child rows -------------------------------------------------
+    # one sub-document per array element sharing the parent's ID and
+    # inheriting the parent's tokens, so AND across parent fields and
+    # sibling element fields matches within ONE element
+    # (`proxy/bulk/indexer.go:32-46,98-103,162-167`); search over a docs
+    # table dedups by (mid, rid) to collapse the copies.
+    out = parent
+    for root in nested_roots:
+        children = [
+            fm
+            for fm in mapping.children_of(root)
+            if mapping.container_of(fm.name) == (root, "nested")
+            and fm.main_type not in ("object", "tags", "nested")
+        ]
+        if not children:
+            continue
+        elems = F.from_json(
+            F.get_json_object(F.col(raw_col), f"$.{root}"), "array<variant>"
+        )
+        child = parent.filter(F.size(elems) > 0).withColumn(
+            "__elem", F.explode(elems)
+        )
+        child_entries: Dict[str, Column] = {}
+        for fm in children:
+            sub = fm.name[len(root) + 1 :]
+            val = F.try_variant_get(F.col("__elem"), f"$.{sub}", "string")
+            child_entries[fm.name] = entry_tokens(fm.name, fm.main_type, val)
+        child_map = tokens_map_from(child_entries)
+        merged = F.map_concat(
+            F.coalesce(F.col("tokens"), F.create_map().cast("map<string,array<string>>")),
+            F.coalesce(child_map, F.create_map().cast("map<string,array<string>>")),
+        )
+        child = (
+            child.withColumn("tokens", merged)
+            .withColumn("size", F.lit(0))
+            .drop("__elem")
+            .select(*cols, *extra)
+        )
+        out = out.unionByName(child)
+    return out
 
 
 def project_fields(raw: Column, fields: List[str], except_: bool = False) -> Column:

@@ -29,19 +29,79 @@ class FieldMapping:
     name: str
     #: main index type used when the field is queried by its bare name
     main_type: str
-    #: title -> type for multi-type fields (`seq/mapping.go:125-166`)
-    sub_types: Dict[str, str] = dc_field(default_factory=dict)
+    #: title -> (type, size) for multi-type fields (`seq/mapping.go:125-166`)
+    sub_types: Dict[str, tuple] = dc_field(default_factory=dict)
     #: max indexed size override (0 = engine default)
     size: int = 0
 
 
 class Mapping:
-    """A compiled mapping: resolves a queried field name to its index type."""
+    """A compiled mapping: resolves a queried field name to its index type.
+
+    Stored flat with dotted names, exactly like the reference's compiled
+    ``seq.Mapping`` (`seq/mapping.go:93-166` convertMapping): an ``object``/
+    ``tags``/``nested`` container contributes its own entry plus one dotted
+    entry per child (``someobj.nested``), and a multi-type field contributes
+    ``name`` (main type) plus ``name.title`` per extra type.
+    """
 
     def __init__(self, fields: Optional[Dict[str, object]] = None):
         self._fields: Dict[str, FieldMapping] = {}
         for name, spec in (fields or {}).items():
             self.add(name, spec)
+
+    @classmethod
+    def from_yaml_obj(cls, obj: dict) -> "Mapping":
+        """Build from the reference's mapping.yaml structure
+        (`seq/mapping.go:58-73`):
+
+        .. code-block:: yaml
+
+            mapping-list:
+              - name: clientip
+                type: keyword
+              - name: message
+                types: [{type: text}, {title: keyword, type: keyword, size: 18}]
+              - name: someobj
+                type: object
+                mapping-list: [{name: nested, type: keyword}]
+        """
+        m = cls()
+        m._convert(obj.get("mapping-list", []), "")
+        if not m._fields:
+            raise ValueError("invalid mapping provided")
+        return m
+
+    @classmethod
+    def from_yaml(cls, text: str) -> "Mapping":
+        try:
+            import yaml  # type: ignore
+        except ImportError as e:  # pragma: no cover
+            raise RuntimeError("PyYAML not available; use from_yaml_obj") from e
+        return cls.from_yaml_obj(yaml.safe_load(text))
+
+    def _convert(self, items: list, path: str) -> None:
+        for el in items:
+            name = el.get("name", "")
+            fn = f"{path}.{name}" if path else name
+            types = el.get("types") or []
+            ftype = el.get("type")
+            if types:
+                spec_types = [
+                    {
+                        "type": t["type"],
+                        "title": t.get("title", ""),
+                        "size": int(t.get("size", 0)),
+                    }
+                    for t in types
+                ]
+                self.add(fn, {"types": spec_types})
+            elif name:
+                self.add(fn, ftype)
+            else:
+                raise ValueError("mapping entry without name")
+            if ftype in ("object", "tags", "nested"):
+                self._convert(el.get("mapping-list", []), fn)
 
     def add(self, name: str, spec: object) -> None:
         """``spec`` is a type string ("keyword") or a dict
@@ -57,15 +117,39 @@ class Mapping:
         types = spec.get("types", [])  # type: ignore[union-attr]
         if not types:
             raise ValueError(f"empty types for field {name!r}")
-        main = types[0]
+        # the entry without a title is the main type; titled entries become
+        # name.title sub-fields (`seq/mapping.go:127-166`)
+        main = next((t for t in types if not t.get("title")), None)
+        if main is None:
+            raise ValueError(f"no main (untitled) type for field {name!r}")
         fm = FieldMapping(name, main["type"], size=int(main.get("size", 0)))
-        for t in types[1:]:
-            title = t.get("title") or t["type"]
-            fm.sub_types[title] = t["type"]
+        for t in types:
+            if t.get("title"):
+                fm.sub_types[t["title"]] = (t["type"], int(t.get("size", 0)))
         self._fields[name] = fm
 
     def fields(self) -> List[FieldMapping]:
         return list(self._fields.values())
+
+    def get(self, name: str) -> Optional[FieldMapping]:
+        return self._fields.get(name)
+
+    def container_of(self, name: str) -> Optional[tuple]:
+        """Nearest ``tags``/``nested`` ancestor of a dotted field, as
+        ``(container_name, container_type)``; None when the field is reached
+        by a plain JSON path (top-level or under ``object`` parents, which
+        need no special extraction)."""
+        parts = name.split(".")
+        for i in range(len(parts) - 1, 0, -1):
+            prefix = ".".join(parts[:i])
+            fm = self._fields.get(prefix)
+            if fm is not None and fm.main_type in ("tags", "nested"):
+                return prefix, fm.main_type
+        return None
+
+    def children_of(self, container: str) -> List[FieldMapping]:
+        prefix = container + "."
+        return [fm for n, fm in self._fields.items() if n.startswith(prefix)]
 
     def index_type(self, queried: str) -> Optional[str]:
         """Index type for a queried field name, or None if not indexed.
@@ -87,12 +171,10 @@ class Mapping:
             base, _, title = queried.rpartition(".")
             parent = self._fields.get(base)
             if parent is not None and title in parent.sub_types:
-                return parent.sub_types[title]
-            # dotted path under object/nested/tags parents: indexed as keyword
-            root = queried.split(".", 1)[0]
-            rfm = self._fields.get(root)
-            if rfm is not None and rfm.main_type in ("object", "nested", "tags"):
-                return "keyword"
+                return parent.sub_types[title][0]
+        # undeclared children of object/nested/tags containers are NOT
+        # indexed (`proxy/bulk/indexer.go:80-85` skips unmapped fields;
+        # querying them is a parse error, `parser/seqql_filter.go:24-27`)
         return None
 
 

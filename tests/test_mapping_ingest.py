@@ -1,0 +1,161 @@
+"""Mapping YAML + object/tags/nested/multi-type ingest parity, mirroring the
+reference scenarios (`tests/integration_tests/single_test.go:190`
+TestSearchNestedWithAND, `integration_test.go:1773,1825` multi-type fields,
+`seq/mapping.go` mapping compilation)."""
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from seqspark import Mapping, SearchTable
+from seqspark.ingest import ingest_docs
+
+YAML_OBJ = {
+    "mapping-list": [
+        {"name": "service", "type": "keyword"},
+        {"name": "request_uri", "type": "path"},
+        {
+            "name": "message",
+            "types": [
+                {"type": "text"},
+                {"title": "keyword", "type": "keyword", "size": 18},
+            ],
+        },
+        {
+            "name": "someobj",
+            "type": "object",
+            "mapping-list": [
+                {"name": "inner", "type": "keyword"},
+                {"name": "innertext", "type": "text"},
+            ],
+        },
+        {
+            "name": "labels",
+            "type": "tags",
+            "mapping-list": [{"name": "env", "type": "keyword"}],
+        },
+        {
+            "name": "items",
+            "type": "nested",
+            "mapping-list": [
+                {"name": "kind", "type": "keyword"},
+                {"name": "state", "type": "keyword"},
+            ],
+        },
+    ]
+}
+
+
+@pytest.fixture(scope="module")
+def mapping():
+    return Mapping.from_yaml_obj(YAML_OBJ)
+
+
+def make_docs(spark, docs):
+    return spark.createDataFrame([(json.dumps(d),) for d in docs], "raw string")
+
+
+def ingest(spark, mapping, docs):
+    ingest_ts = F.to_timestamp(F.lit("2024-01-01 12:00:00"))
+    return ingest_docs(make_docs(spark, docs), mapping, ingest_ts=ingest_ts)
+
+
+def test_yaml_index_types(mapping):
+    assert mapping.index_type("service") == "keyword"
+    assert mapping.index_type("request_uri") == "path"
+    assert mapping.index_type("message") == "text"
+    assert mapping.index_type("message.keyword") == "keyword"
+    assert mapping.index_type("someobj.inner") == "keyword"
+    assert mapping.index_type("someobj.innertext") == "text"
+    assert mapping.index_type("labels.env") == "keyword"
+    assert mapping.index_type("items.kind") == "keyword"
+    assert mapping.index_type("not_mapped") is None
+
+
+def test_object_dotted_field(spark, mapping):
+    frame = ingest(spark, mapping, [{"someobj": {"inner": "ABC", "innertext": "x y"}}])
+    st = SearchTable.from_docs(frame, mapping)
+    assert st.search("someobj.inner:abc").count() == 1
+    assert st.search("someobj.innertext:y").count() == 1
+    assert st.search("someobj.inner:zzz").count() == 0
+
+
+def test_multi_type_title_field(spark, mapping):
+    frame = ingest(spark, mapping, [{"message": "Hello Brave World"}])
+    st = SearchTable.from_docs(frame, mapping)
+    # text main type: per-token match
+    assert st.search("message:brave").count() == 1
+    # keyword sub-field: whole (folded) value
+    assert st.search("message.keyword:'hello brave world'").count() == 1
+    assert st.search("message.keyword:brave").count() == 0
+
+
+def test_multi_type_size_cap(spark, mapping):
+    # keyword sub-type has size: 18 — longer values are not keyword-indexed
+    long_msg = "exceedingly long message value"  # 30 chars > 18
+    frame = ingest(spark, mapping, [{"message": long_msg}])
+    st = SearchTable.from_docs(frame, mapping)
+    assert st.search("message:exceedingly").count() == 1
+    assert st.search(f"message.keyword:'{long_msg}'").count() == 0
+
+
+def test_path_prefix_search(spark, mapping):
+    frame = ingest(spark, mapping, [{"request_uri": "/api/v1/users"}])
+    st = SearchTable.from_docs(frame, mapping)
+    assert st.search("request_uri:'/api'").count() == 1
+    assert st.search("request_uri:'/api/v1'").count() == 1
+    assert st.search("request_uri:'/api/v1/users'").count() == 1
+    assert st.search("request_uri:'/api/v2'").count() == 0
+
+
+def test_tags_indexing(spark, mapping):
+    frame = ingest(
+        spark,
+        mapping,
+        [
+            {"labels": [{"key": "env", "value": "Prod"}], "service": "a"},
+            {"labels": [{"key": "env", "value": "dev"}], "service": "b"},
+            {"labels": [{"key": "other", "value": "x"}], "service": "c"},
+        ],
+    )
+    st = SearchTable.from_docs(frame, mapping)
+    assert st.search("labels.env:prod").count() == 1
+    assert st.search("labels.env:dev").count() == 1
+    assert st.search("_exists_:labels.env").count() == 2
+
+
+def test_nested_element_scoped_and(spark, mapping):
+    # the defining nested behavior: AND across sibling fields matches only
+    # within ONE array element (single_test.go:190)
+    docs = [
+        {"service": "s1", "items": [{"kind": "a", "state": "ok"}, {"kind": "b", "state": "bad"}]},
+        {"service": "s2", "items": [{"kind": "a", "state": "bad"}, {"kind": "b", "state": "ok"}]},
+    ]
+    frame = ingest(spark, mapping, docs)
+    st = SearchTable.from_docs(frame, mapping)
+    assert st.search("items.kind:a and items.state:ok").count() == 1
+    assert st.search("items.kind:a and items.state:bad").count() == 1
+    assert st.search("items.kind:b and items.state:ok").count() == 1
+    # parent fields AND nested fields still combine
+    assert st.search("service:s1 and items.kind:a and items.state:ok").count() == 1
+    assert st.search("service:s2 and items.kind:a and items.state:ok").count() == 0
+    # no double counting: each parent doc matches at most once
+    assert st.search("items.kind:a").count() == 2
+
+
+def test_nested_child_rows_share_id(spark, mapping):
+    frame = ingest(spark, mapping, [{"items": [{"kind": "a"}, {"kind": "b"}]}])
+    rows = frame.select("mid", "rid", "size").collect()
+    assert len(rows) == 3  # parent + 2 children
+    assert len({(r["mid"], r["rid"]) for r in rows}) == 1
+    assert sorted(r["size"] for r in rows)[0:2] == [0, 0]
+
+
+def test_auto_mapping_indexes_everything(spark):
+    from seqspark import AutoMapping
+
+    frame = ingest(spark, AutoMapping(), [{"anything": "X", "num": 5}])
+    # AutoMapping has no declared fields, so tokens come from query-time
+    # resolution over typed columns instead; here just assert ingest works
+    assert frame.count() == 1

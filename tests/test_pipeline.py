@@ -1,0 +1,136 @@
+"""LLM-pipeline operator tests over the driver's documents/embeddings
+tables: dedup family, ANN, text stats, multimodal plumbing."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from seqspark.pipeline import ann, dedup, multimodal, textstats
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    from seqspark.data import load_table
+
+    return load_table(spark, "/root/testdata/sf0.001", "documents").cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    from seqspark.data import load_table
+
+    return load_table(spark, "/root/testdata/sf0.001", "embeddings").cache()
+
+
+def test_exact_dedup_keeps_one_per_text(spark, docs):
+    doubled = docs.union(docs)
+    kept = dedup.exact_dedup(doubled, ["text"], "doc_id")
+    assert kept.count() == docs.select("text").distinct().count()
+
+
+def test_shingles_deterministic(spark):
+    df = spark.createDataFrame([("a b c d e",)], "t string")
+    sh = df.select(dedup.shingles(F.col("t"), k=3).alias("s")).collect()[0]["s"]
+    assert sorted(sh) == ["a b c", "b c d", "c d e"]
+
+
+def test_minhash_finds_planted_near_dup(spark, docs):
+    base = docs.limit(30)
+    # plant a near-duplicate of doc 0 with one word changed
+    d0 = base.filter(F.col("doc_id") == 0).collect()[0]
+    words = d0["text"].split()
+    words[len(words) // 2] = "zzzz"
+    planted = spark.createDataFrame(
+        [(9999, " ".join(words), d0["lang"], d0["source"], d0["n_chars"])],
+        base.schema,
+    )
+    df = base.union(planted)
+    cands = dedup.minhash_lsh_candidates(df, "doc_id", "text", k=3, num_hashes=32, bands=8)
+    pairs = dedup.jaccard_pairs(df, cands, "doc_id", "text", k=3, threshold=0.5)
+    found = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (0, 9999) in found
+    # and dedup drops the planted copy
+    kept = dedup.minhash_dedup(df, "doc_id", "text", k=3, num_hashes=32, bands=8, threshold=0.5)
+    ids = {r["doc_id"] for r in kept.select("doc_id").collect()}
+    assert 0 in ids and 9999 not in ids
+
+
+def test_no_crossjoin_in_lsh_plan(spark, docs):
+    cands = dedup.minhash_lsh_candidates(docs, "doc_id", "text", num_hashes=32, bands=8)
+    plan = cands._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_simhash_identical_docs_same_fp(spark):
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox"), (2, "the quick brown fox"), (3, "totally different words here")],
+        "id long, t string",
+    )
+    fps = {r["id"]: r["fp"] for r in df.select("id", dedup.simhash(F.col("t")).alias("fp")).collect()}
+    assert fps[1] == fps[2]
+    assert fps[1] != fps[3]
+
+
+def test_brute_topk_self_first(emb):
+    qv = list(emb.filter(F.col("vec_id") == 7).collect()[0]["embedding"])
+    top = ann.brute_topk(emb, qv, k=3).collect()
+    assert top[0]["vec_id"] == 7
+    assert abs(top[0]["score"] - 1.0) < 1e-6
+    assert top[0]["score"] >= top[1]["score"] >= top[2]["score"]
+
+
+def test_lsh_topk_overlaps_brute(emb):
+    qv = list(emb.filter(F.col("vec_id") == 7).collect()[0]["embedding"])
+    brute = [r["vec_id"] for r in ann.brute_topk(emb, qv, k=10).collect()]
+    approx = [r["vec_id"] for r in ann.lsh_topk(emb, qv, k=10, bits=8, bands=4).collect()]
+    assert len(set(brute) & set(approx)) >= 5  # recall bound for tiny corpus
+
+
+def test_ivf_probe(emb):
+    rows = emb.filter(F.col("vec_id") < 4).collect()
+    centroids = [list(r["embedding"]) for r in rows]
+    qv = centroids[2]
+    cells = ann.ivf_assign(emb, centroids)
+    top = ann.ivf_topk(cells, centroids, qv, k=3, nprobe=2)
+    got = [r["vec_id"] for r in top.collect()]
+    assert rows[2]["vec_id"] in got
+
+
+def test_document_stats_schema_and_values(docs):
+    out = textstats.document_stats(docs.limit(10))
+    rows = out.collect()
+    for r in rows:
+        assert r["n_tokens"] > 0
+        assert 0.0 <= r["quality"] <= 1.0
+        assert r["lang_guess"] in ("en", "de", "fr", "es", "und")
+        assert isinstance(r["fingerprint"], int)
+
+
+def test_fingerprint_normalization(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello,   World!"), (2, "hello world"), (3, "other text")], "id long, t string"
+    )
+    fps = {r["id"]: r["fp"] for r in df.select("id", textstats.fingerprint(F.col("t")).alias("fp")).collect()}
+    assert fps[1] == fps[2] != fps[3]
+
+
+def test_multimodal_decode_and_frames(spark):
+    assets = multimodal.make_fake_assets(spark, 30)
+    decoded = multimodal.decode_assets(assets)
+    rows = decoded.collect()
+    assert len(rows) == 30
+    for r in rows:
+        assert r["n_bytes"] > 0 and len(r["sha256"]) == 64
+        assert r["width"] >= 16 and r["height"] >= 16
+    frames = multimodal.sample_frames(decoded, every_n=1)
+    vids = decoded.filter(F.col("media_type") == "video")
+    assert frames.count() == vids.agg(F.sum("n_frames")).collect()[0][0]
+
+
+def test_multimodal_real_decode_raises(spark):
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors.exceptions.captured import PythonException
+
+    assets = multimodal.make_fake_assets(spark, 3)
+    with pytest.raises((PythonException, Py4JJavaError)):
+        multimodal.decode_assets(assets, fake=False).collect()
