@@ -12,14 +12,24 @@ Public surface:
   text analysis, multimodal plumbing)
 """
 
-from .engine import AggQuery, SearchTable, TooManyUniqValuesError
+from .engine import (
+    AggParseError,
+    AggQuery,
+    ComplexSearchResult,
+    SearchTable,
+    TooManyUniqValuesError,
+    materialize_tokens,
+)
 from .mapping import AutoMapping, Mapping
 from .seqql.parser import ParseError, parse
 
 __all__ = [
+    "AggParseError",
     "AggQuery",
+    "ComplexSearchResult",
     "SearchTable",
     "TooManyUniqValuesError",
+    "materialize_tokens",
     "AutoMapping",
     "Mapping",
     "ParseError",

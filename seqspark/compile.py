@@ -72,11 +72,23 @@ class FieldSpec:
                   token, the folded token itself as a string Column; lets
                   equality/range compile to directly pushable comparisons.
     ``exists``  — boolean Column: the field is present (``_exists_:f``).
+    ``numeric`` — optional native-numeric fast path: when the underlying
+                  Spark column is already numeric, the RAW column; numeric
+                  ranges then compile to bare comparisons that reach
+                  Parquet ``PushedFilters`` and prune row groups — at
+                  100 TB the difference between skipping and decoding the
+                  column. Results are identical: a numeric token always
+                  parses back to the same double.
+    ``numeric_is_float`` — the native column is float/double, so NaN/±Inf
+                  values exist and must be rejected like the reference
+                  rejects NaN/Inf tokens (`pattern/pattern.go:294-296`).
     """
 
     tokens: Callable[[], Column]
     scalar: Optional[Callable[[], Column]] = None
     exists: Optional[Callable[[], Column]] = None
+    numeric: Optional[Callable[[], Column]] = None
+    numeric_is_float: bool = False
 
     def exists_col(self) -> Column:
         if self.exists is not None:
@@ -124,16 +136,45 @@ def _token_check_literal(lit: Literal) -> Callable[[Column], Column]:
     return lambda tok: tok.rlike(rx)
 
 
-def _token_check_range(rng: Range) -> Callable[[Column], Column]:
+def range_bounds(rng: Range) -> tuple[bool, Optional[float], Optional[float]]:
+    """(is_numeric, from, to): a range is numeric when every non-``*`` bound
+    parses as a finite Go float (`pattern/pattern.go:264-289` dispatch)."""
     from_num = to_num = None
     if not rng.from_term.is_wildcard:
         from_num = parses_as_number(rng.from_term.data)
     if not rng.to_term.is_wildcard:
         to_num = parses_as_number(rng.to_term.data)
-
     numeric = (rng.from_term.is_wildcard or from_num is not None) and (
         rng.to_term.is_wildcard or to_num is not None
     )
+    return numeric, from_num, to_num
+
+
+def range_on_native_numeric(rng: Range, col: Column, is_float: bool) -> Column:
+    """Numeric range directly on a native numeric column — same result as
+    the cast-token path (a numeric value's token round-trips through
+    ParseFloat to itself) but the comparisons reach Parquet
+    ``PushedFilters``/row-group min-max skipping."""
+    _, from_num, to_num = range_bounds(rng)
+    cond = col.isNotNull()
+    if is_float:
+        # reference rejects tokens parsing to NaN/Inf (`pattern/pattern.go:
+        # 294-296`); Spark orders NaN above all doubles, so guard explicitly
+        cond = (
+            cond
+            & ~F.isnan(col)
+            & (col != F.lit(float("inf")))
+            & (col != F.lit(float("-inf")))
+        )
+    if from_num is not None:
+        cond = cond & (col >= F.lit(from_num) if rng.include_from else col > F.lit(from_num))
+    if to_num is not None:
+        cond = cond & (col <= F.lit(to_num) if rng.include_to else col < F.lit(to_num))
+    return cond
+
+
+def _token_check_range(rng: Range) -> Callable[[Column], Column]:
+    numeric, from_num, to_num = range_bounds(rng)
 
     if numeric:
         def check_num(tok: Column) -> Column:
@@ -191,6 +232,8 @@ def compile_node(node: Node, resolver: Resolver) -> Column:
         return _apply_check(spec, _token_check_literal(node), eq_value=node.single_text)
     if isinstance(node, Range):
         spec = resolver.resolve(node.field)
+        if spec.numeric is not None and range_bounds(node)[0]:
+            return range_on_native_numeric(node, spec.numeric(), spec.numeric_is_float)
         return _apply_check(spec, _token_check_range(node))
     if isinstance(node, Logical):
         if node.op is LogicalOp.AND:

@@ -27,7 +27,7 @@ from __future__ import annotations
 from dataclasses import dataclass, field as dc_field
 from typing import Dict, List, Optional, Sequence
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from .compile import CompileError, FieldSpec, Resolver, compile_node
@@ -45,6 +45,43 @@ AGG_MAX_GROUP_TOKENS = 2_000
 
 class TooManyUniqValuesError(RuntimeError):
     """Reference `consts` ErrTooManyUniqValues (`frac/processor/eval_tree.go:78-85`)."""
+
+
+class AggParseError(RuntimeError):
+    """Strict-mode aggregation hit a non-numeric field token (reference
+    `frac/processor/aggregator.go:150-157` parseNum fails the whole agg)."""
+
+
+def materialize_tokens(
+    df: DataFrame,
+    mapping_types: Dict[str, object],
+    case_sensitive: bool = False,
+) -> DataFrame:
+    """Tokens-at-rest: attach a persisted ``__tok_<field>`` column per
+    tokenized (text/path) field so the token arrays are computed ONCE at
+    ingest and stored in the table (reference: sealed fractions carry
+    precomputed token dictionaries + posting lists,
+    `frac/sealed_index.go:218-266` — queries never re-tokenize).
+
+    Write the result through :class:`seqspark.store.DocStore` (or any
+    parquet/Delta sink); :meth:`SearchTable.from_typed` detects the columns
+    on read and skips per-query tokenization entirely.
+    """
+    mapping = Mapping(dict(mapping_types))
+    for fm in mapping.fields():
+        pairs = [(fm.name, fm.main_type)] + [
+            (f"{fm.name}.{t}", st) for t, (st, _s) in fm.sub_types.items()
+        ]
+        for qname, itype in pairs:
+            if itype in ("keyword",):
+                continue  # scalar fast path needs no token column
+            tokcol = "__tok_" + qname.replace(".", "__")
+            if tokcol not in df.columns:
+                df = df.withColumn(
+                    tokcol,
+                    tokens_for_type(itype, F.col(fm.name).cast("string"), case_sensitive),
+                )
+    return df
 
 
 @dataclass
@@ -111,42 +148,81 @@ class SearchTable:
     def from_typed(
         cls,
         df: DataFrame,
-        mapping_types: Dict[str, str],
+        mapping_types: Dict[str, object],
         ts_col: str = "ts",
         rid_col: Optional[str] = None,
         case_sensitive: bool = False,
         assume_folded: bool = False,
     ) -> "SearchTable":
-        """``assume_folded=True`` declares that keyword column values are
+        """``mapping_types`` maps a column name to its index type — either a
+        plain type string (``"keyword"``) or a multi-type spec
+        ``{"types": [{"type": "text"}, {"title": "keyword", "type":
+        "keyword"}]}`` that additionally registers ``name.title`` sub-fields
+        over the same column (`seq/mapping.go:125-166`,
+        `tests/integration_tests/integration_test.go:1773-1860`).
+
+        ``assume_folded=True`` declares that keyword column values are
         already lower-case on disk (the reference guarantees this by folding
         at index time, `tokenizer/tokenizer.go:15-48`); equality then
         compiles to a bare ``col = 'v'`` that pushes down into the Parquet
         scan — at 100 TB that is the difference between pruning row groups
         and evaluating ``lower()`` on every row.
 
-        Tokenized (text/path) fields are materialized once as hidden
-        ``__tok_*`` columns so a multi-token query tokenizes each row once,
-        not once per query token."""
-        mapping = Mapping({f: t for f, t in mapping_types.items()})
+        Natively numeric columns additionally get a ``numeric`` fast path:
+        numeric ranges compile to bare comparisons on the raw column
+        (Parquet ``PushedFilters`` + row-group min/max skipping) instead of
+        ``CAST(CAST(c AS STRING) AS DOUBLE)``.
+
+        Tokenized (text/path) fields: if the frame already carries a
+        ``__tok_<field>`` column (tokens persisted at ingest by
+        :func:`materialize_tokens` + :class:`seqspark.store.DocStore`), it
+        is used as-is — queries then pay ZERO tokenization cost, mirroring
+        the reference's tokens-at-rest posting lists
+        (`frac/sealed_index.go:218-266`). Otherwise the token array is
+        materialized once per scan as a hidden column so a multi-token
+        query tokenizes each row once, not once per query token."""
+        mapping = Mapping(dict(mapping_types))
+        dtypes = dict(df.dtypes)
+        _INT_TYPES = {"tinyint", "smallint", "int", "bigint"}
+        _FLOAT_TYPES = {"float", "double"}
         specs: Dict[str, FieldSpec] = {}
-        for fname, itype in mapping_types.items():
-            col = F.col(fname).cast("string")
+
+        def add_spec(qname: str, colname: str, itype: str, nonlocal_df: list) -> None:
+            col = F.col(colname).cast("string")
+            dtype = dtypes.get(colname, "")
+            numeric = None
+            numeric_is_float = False
+            if dtype in _INT_TYPES | _FLOAT_TYPES or dtype.startswith("decimal"):
+                numeric = lambda c=colname: F.col(c)
+                numeric_is_float = dtype in _FLOAT_TYPES
             if itype == "keyword":
                 folded = col if (case_sensitive or assume_folded) else F.lower(col)
-                specs[fname] = FieldSpec(
+                specs[qname] = FieldSpec(
                     tokens=(lambda fc=folded: F.array(fc)),
                     scalar=(lambda fc=folded: fc),
                     exists=(lambda c=col: c.isNotNull()),
+                    numeric=numeric,
+                    numeric_is_float=numeric_is_float,
                 )
             else:
-                tokcol = f"__tok_{fname}"
-                df = df.withColumn(
-                    tokcol, tokens_for_type(itype, col, case_sensitive)
-                )
-                specs[fname] = FieldSpec(
+                tokcol = "__tok_" + qname.replace(".", "__")
+                if tokcol not in nonlocal_df[0].columns:
+                    nonlocal_df[0] = nonlocal_df[0].withColumn(
+                        tokcol, tokens_for_type(itype, col, case_sensitive)
+                    )
+                specs[qname] = FieldSpec(
                     tokens=(lambda tc=tokcol: F.col(tc)),
                     exists=(lambda c=col: c.isNotNull()),
+                    numeric=numeric,
+                    numeric_is_float=numeric_is_float,
                 )
+
+        holder = [df]
+        for fm in mapping.fields():
+            add_spec(fm.name, fm.name, fm.main_type, holder)
+            for title, (sub_type, _size) in fm.sub_types.items():
+                add_spec(f"{fm.name}.{title}", fm.name, sub_type, holder)
+        df = holder[0]
         return cls(df, mapping, Resolver(specs), ts_col, rid_col, case_sensitive)
 
     @classmethod
@@ -215,7 +291,15 @@ class SearchTable:
         q: str = "*",
         from_ms: Optional[int] = None,
         to_ms: Optional[int] = None,
+        dedup_cols: Optional[Sequence[str]] = None,
     ) -> tuple[DataFrame, List[PipeFields]]:
+        """Filter by time + predicate, then collapse ID repetitions.
+
+        Dedup happens HERE so that search, total, histogram and aggregate
+        all see the same row set — the reference removes repetitions from
+        the total count and the histogram too at merge
+        (`seq/qpr.go:417-462` MergeQPRs → removeRepetitionsAdvanced:
+        ``dst.Total -= repetitionsCount`` + removeHistogramRepetition)."""
         query = self.parse(q)
         pred = compile_node(query.root, self.resolver)
         df = self.df
@@ -223,6 +307,9 @@ class SearchTable:
         if tf is not None:
             df = df.filter(tf)
         df = df.filter(pred)
+        dedup = dedup_cols if dedup_cols is not None else self.default_dedup
+        if dedup:
+            df = df.dropDuplicates(list(dedup))
         return df, query.pipes
 
     def _sort_cols(self, order: str) -> List[Column]:
@@ -255,32 +342,65 @@ class SearchTable:
         """
         if size is not None and size > MAX_SEARCH_DOCS:
             raise ValueError(f"size {size} exceeds max-search-docs {MAX_SEARCH_DOCS}")
-        df, pipes = self._filtered(q, from_ms, to_ms)
-        dedup = dedup_cols if dedup_cols is not None else self.default_dedup
-        if dedup:
-            # replica/nested-sub-doc dedup semantics (`seq/qpr.go:465-487`)
-            df = df.dropDuplicates(list(dedup))
+        df, pipes = self._filtered(q, from_ms, to_ms, dedup_cols)
+        df = self._paginate(df, size, offset, order)
+        return self.apply_pipes(self._public(df), pipes)
+
+    def _paginate(
+        self, df: DataFrame, size: Optional[int], offset: int, order: str
+    ) -> DataFrame:
+        """Top-k + offset via native Offset: ``orderBy().offset(o).limit(n)``
+        compiles to one ``TakeOrderedAndProject(limit=o+n, offset=o)`` —
+        limit pushdown with no window, no single-partition stage (the
+        early-exit top-k of `frac/processor/search.go:150-206` +
+        the offset slice of `proxy/search/ingestor.go:195-208`)."""
         sort = self._sort_cols(order)
+        df = df.orderBy(*sort)
+        if offset > 0:
+            df = df.offset(offset)
         if size is not None:
-            df = df.orderBy(*sort).limit(offset + size)
-            if offset > 0:
-                w = Window.orderBy(*sort)
-                df = (
-                    df.withColumn("__rn", F.row_number().over(w))
-                    .filter(F.col("__rn") > offset)
-                    .drop("__rn")
-                )
-        else:
-            df = df.orderBy(*sort)
-            if offset > 0:
-                w = Window.orderBy(*sort)
-                df = (
-                    df.withColumn("__rn", F.row_number().over(w))
-                    .filter(F.col("__rn") > offset)
-                    .drop("__rn")
-                )
-        df = self.apply_pipes(self._public(df), pipes)
+            df = df.limit(size)
         return df
+
+    def search_after(
+        self,
+        q: str = "*",
+        last_ts_ms: Optional[int] = None,
+        last_rid: Optional[int] = None,
+        size: int = 100,
+        order: str = "desc",
+        from_ms: Optional[int] = None,
+        to_ms: Optional[int] = None,
+    ) -> DataFrame:
+        """Keyset ("search after") pagination: resume strictly after the
+        (ts, rid) cursor of the last doc on the previous page.
+
+        The 100 TB path for deep paging/export: page N costs one pruned
+        top-k scan instead of the O(offset) re-scan that offset pagination
+        pays (the reference's iterative fraction search exists for exactly
+        this reason, `fracmanager/searcher.go:50-123`). The cursor predicate
+        on ``ts`` also prunes time partitions/row groups.
+        """
+        df, pipes = self._filtered(q, from_ms, to_ms)
+        if last_ts_ms is not None:
+            ts_ms = F.unix_millis(F.col(self.ts_col))
+            if order == "desc":
+                cond = ts_ms < F.lit(last_ts_ms)
+                if last_rid is not None and self.rid_col:
+                    cond = cond | (
+                        (ts_ms == F.lit(last_ts_ms))
+                        & (F.col(self.rid_col) < F.lit(last_rid))
+                    )
+            else:
+                cond = ts_ms > F.lit(last_ts_ms)
+                if last_rid is not None and self.rid_col:
+                    cond = cond | (
+                        (ts_ms == F.lit(last_ts_ms))
+                        & (F.col(self.rid_col) > F.lit(last_rid))
+                    )
+            df = df.filter(cond)
+        df = df.orderBy(*self._sort_cols(order)).limit(size)
+        return self.apply_pipes(self._public(df), pipes)
 
     def apply_pipes(self, df: DataFrame, pipes: List[PipeFields]) -> DataFrame:
         """`fields a,b` / `fields except a,b` projection
@@ -354,27 +474,58 @@ class SearchTable:
         from_ms: Optional[int] = None,
         to_ms: Optional[int] = None,
         max_group_tokens: int = AGG_MAX_GROUP_TOKENS,
+        strict: bool = False,
+        enforce_guard: bool = True,
+        ordered: bool = True,
     ) -> DataFrame:
         """One aggregation over the filtered set (reference
         `frac/processor/aggregator.go:34-346`, finalize `seq/qpr.go:199-314`).
 
-        Output schema (stable): ``name STRING`` (group token; NULL when no
-        group_by or for the not-exists bucket), ``mid_ms BIGINT`` (time bin
-        start; NULL without interval), ``value DOUBLE``, plus ``q0..qN``
-        DOUBLE for quantile requests.
+        Output schema (stable): ``mid_ms BIGINT`` (time bin start; NULL
+        without interval), ``name STRING`` (group token; NULL when no
+        group_by; the legacy ``_not_exists`` bucket name for count),
+        ``value DOUBLE`` (NaN for buckets with zero parsed samples,
+        `seq/qpr.go:288-290`), ``not_exists BIGINT`` (docs in this group
+        whose agg field is missing → bucket NotExists,
+        `frac/processor/aggregator.go:83-87`), plus ``q0..qN`` DOUBLE for
+        quantile requests. Result-level NotExists: :meth:`agg_not_exists`.
+
+        ``strict=True`` reproduces fail-on-first-unparsable-token
+        (`aggregator.go:150-157`); the default skips unparsable tokens
+        (cheaper at scale; both modes pinned in tests).
+
+        ``enforce_guard=True`` applies the ErrTooManyUniqValues guard
+        (`frac/processor/eval_tree.go:78-85`) on the aggregated bucket set.
+
+        ``ordered=True`` returns buckets in the reference order
+        (`seq/qpr.go:216-253`).
         """
+        df, _ = self._filtered(q, from_ms, to_ms)
+        return self._aggregate_on(
+            df, aggq, max_group_tokens, strict, enforce_guard, ordered
+        )
+
+    def _aggregate_on(
+        self,
+        df: DataFrame,
+        aggq: AggQuery,
+        max_group_tokens: int = AGG_MAX_GROUP_TOKENS,
+        strict: bool = False,
+        enforce_guard: bool = True,
+        ordered: bool = True,
+    ) -> DataFrame:
         func = aggq.func.lower()
         group_by = aggq.group_by
         fieldname = aggq.field
         if func in ("count", "unique") and group_by is None:
             group_by, fieldname = fieldname, None  # legacy alias
-        df, _ = self._filtered(q, from_ms, to_ms)
+        if func == "unique" and aggq.interval_ms:
+            # reference forbids unique+interval (`proxyapi/grpc_v1.go:365-375`)
+            raise ValueError("'unique' aggregations do not support timeseries")
 
-        group_cols: List[Column] = []
         if aggq.interval_ms:
             ts_ms = F.unix_millis(F.col(self.ts_col))
             df = df.withColumn("__mid", ts_ms - ts_ms % F.lit(aggq.interval_ms))
-            group_cols.append(F.col("__mid"))
         else:
             df = df.withColumn("__mid", F.lit(None).cast("long"))
 
@@ -383,60 +534,204 @@ class SearchTable:
         else:
             df = df.withColumn("__group", F.lit(None).cast("string"))
 
+        zero = F.lit(0).cast("long")
         if func == "count":
             out = (
                 df.filter(F.col("__group").isNotNull() | F.lit(group_by is None))
                 .groupBy("__mid", "__group")
                 .agg(F.count(F.lit(1)).cast("double").alias("value"))
+                .withColumn("not_exists", zero)
             )
+            if group_by is not None:
+                # legacy `_not_exists` bucket: docs whose group token is
+                # missing (`frac/processor/aggregator.go:219-227`)
+                ne = (
+                    df.filter(F.col("__group").isNull())
+                    .agg(F.count(F.lit(1)).cast("double").alias("value"))
+                    .filter(F.col("value") > 0)
+                    .select(
+                        F.lit(None).cast("long").alias("__mid"),
+                        F.lit("_not_exists").alias("__group"),
+                        F.col("value"),
+                        zero.alias("not_exists"),
+                    )
+                )
+                out = out.unionByName(ne)
         elif func == "unique":
+            # distinct group tokens as buckets, value 0 (the reference's
+            # unique buckets carry empty sample containers,
+            # `aggregator.go:236-283` + `seq/qpr.go:263-264`); the distinct
+            # count the API exposes = number of buckets
             out = (
                 df.filter(F.col("__group").isNotNull())
                 .select("__mid", "__group")
                 .distinct()
                 .withColumn("value", F.lit(0.0))
+                .withColumn("not_exists", zero)
             )
         else:
             if fieldname is None:
                 raise ValueError(f"agg func {func!r} requires a field")
             df = self._field_scalar_or_explode(df, fieldname, "__fieldtok")
-            val = F.col("__fieldtok").try_cast("double")
-            df = df.withColumn("__val", val)
+            df = df.withColumn("__val", F.col("__fieldtok").try_cast("double"))
+            if strict:
+                # fail the aggregation on the first unparsable token
+                # (`frac/processor/aggregator.go:150-157` parseNum) — one
+                # extra pruned pass over the filtered set, opt-in
+                bad = df.filter(
+                    F.col("__fieldtok").isNotNull()
+                    & (
+                        F.col("__val").isNull()
+                        | F.isnan("__val")
+                        | (F.col("__val") == F.lit(float("inf")))
+                        | (F.col("__val") == F.lit(float("-inf")))
+                    )
+                )
+                sample = bad.select("__fieldtok").head(1)
+                if sample:
+                    raise AggParseError(
+                        f"parse errors reached, last_value={sample[0][0]!r}"
+                    )
+            has_group = F.col("__group").isNotNull() | F.lit(group_by is None)
             has_field = F.col("__fieldtok").isNotNull()
-            base = df.filter(has_field)
-            agg_expr = {
+            base = df.filter(has_group & has_field)
+            agg_exprs = {
                 "sum": F.sum("__val"),
                 "min": F.min("__val"),
                 "max": F.max("__val"),
                 "avg": F.avg("__val"),
             }
-            if func in agg_expr:
+            n_samples = F.count("__val").alias("__n")
+            if func in agg_exprs:
                 out = base.groupBy("__mid", "__group").agg(
-                    agg_expr[func].alias("value")
+                    agg_exprs[func].alias("value"), n_samples
                 )
             elif func == "quantile":
                 qs = list(aggq.quantiles)
                 if not qs:
                     raise ValueError("quantile agg requires quantiles")
                 pct = F.percentile if aggq.exact_quantiles else F.percentile_approx
-                aggs = [
-                    pct("__val", float(qv)).alias(f"q{i}")
-                    for i, qv in enumerate(qs)
+                qcols = [
+                    pct("__val", float(qv)).alias(f"q{i}") for i, qv in enumerate(qs)
                 ]
-                out = base.groupBy("__mid", "__group").agg(*aggs)
+                out = base.groupBy("__mid", "__group").agg(*qcols, n_samples)
                 out = out.withColumn("value", F.col("q0"))
             else:
                 raise ValueError(f"unknown agg func {func!r}")
+            # buckets with rows but zero parsed samples → NaN
+            # (`seq/qpr.go:288-290`)
+            out = out.withColumn(
+                "value",
+                F.when(F.col("__n") == 0, F.lit(float("nan"))).otherwise(
+                    F.col("value")
+                ),
+            ).drop("__n")
+            if group_by is not None:
+                # per-group NotExists: group present, field missing
+                # (`frac/processor/aggregator.go:83-87`); groups that only
+                # have missing-field docs still get a bucket, value NaN
+                notex = (
+                    df.filter(F.col("__group").isNotNull() & ~has_field)
+                    .groupBy(
+                        F.col("__mid").alias("__mid_ne"),
+                        F.col("__group").alias("__group_ne"),
+                    )
+                    .agg(F.count(F.lit(1)).alias("not_exists"))
+                )
+                # null-safe join keys: __mid is NULL for non-timeseries aggs
+                cond = out["__mid"].eqNullSafe(notex["__mid_ne"]) & out[
+                    "__group"
+                ].eqNullSafe(notex["__group_ne"])
+                out = (
+                    out.join(notex, cond, "full_outer")
+                    .withColumn("__mid", F.coalesce(out["__mid"], notex["__mid_ne"]))
+                    .withColumn(
+                        "__group", F.coalesce(out["__group"], notex["__group_ne"])
+                    )
+                    .drop("__mid_ne", "__group_ne")
+                    .withColumn("not_exists", F.coalesce(F.col("not_exists"), zero))
+                    .withColumn(
+                        "value", F.coalesce(F.col("value"), F.lit(float("nan")))
+                    )
+                )
+            else:
+                out = out.withColumn("not_exists", zero)
 
         out = out.withColumnRenamed("__mid", "mid_ms").withColumnRenamed(
             "__group", "name"
         )
+        if enforce_guard and group_by is not None:
+            # the bucket set is bounded and tiny next to the input — a
+            # localCheckpoint makes the guard + the caller's collect cost a
+            # single scan of the data
+            out = out.localCheckpoint(eager=True)
+            n = out.select("name").distinct().count()
+            if n > max_group_tokens:
+                raise TooManyUniqValuesError(
+                    f"group_by {group_by!r} has {n} unique tokens > {max_group_tokens}"
+                )
+        if ordered:
+            out = self.order_buckets(out, func)
         return out
+
+    @staticmethod
+    def bucket_order_cols(func: str) -> List[Column]:
+        """Reference bucket ordering (`seq/qpr.go:216-253` sortBuckets):
+        time bin ascending first, then — default: value DESC, name ASC;
+        MIN: value ASC, name ASC; QUANTILE: name ASC, value DESC."""
+        mid = F.col("mid_ms").asc_nulls_first()
+        if func == "min":
+            return [mid, F.col("value").asc_nulls_last(), F.col("name").asc_nulls_first()]
+        if func == "quantile":
+            return [mid, F.col("name").asc_nulls_first(), F.col("value").desc_nulls_last()]
+        return [mid, F.col("value").desc_nulls_last(), F.col("name").asc_nulls_first()]
+
+    @classmethod
+    def order_buckets(cls, buckets: DataFrame, func: str) -> DataFrame:
+        return buckets.orderBy(*cls.bucket_order_cols(func))
+
+    def agg_not_exists(
+        self,
+        aggq: AggQuery,
+        q: str = "*",
+        from_ms: Optional[int] = None,
+        to_ms: Optional[int] = None,
+    ) -> DataFrame:
+        """Result-level NotExists counter (one row, ``not_exists BIGINT``):
+        count/unique — docs whose group token is missing
+        (`aggregator.go:199-201,260-262`); field aggs — docs whose field is
+        present but group is missing (`aggregator.go:89-93` groupNotExists),
+        or whose field is missing when there is no group_by
+        (`aggregator.go:285-346` no-group path)."""
+        func = aggq.func.lower()
+        group_by = aggq.group_by
+        fieldname = aggq.field
+        if func in ("count", "unique") and group_by is None:
+            group_by, fieldname = fieldname, None
+        df, _ = self._filtered(q, from_ms, to_ms)
+        if func in ("count", "unique"):
+            if group_by is None:
+                return df.limit(0).agg(F.count(F.lit(1)).alias("not_exists"))
+            df = self._field_scalar_or_explode(df, group_by, "__group")
+            miss = df.filter(F.col("__group").isNull())
+        else:
+            if fieldname is None:
+                raise ValueError(f"agg func {func!r} requires a field")
+            df = self._field_scalar_or_explode(df, fieldname, "__fieldtok")
+            if group_by is not None:
+                df = self._field_scalar_or_explode(df, group_by, "__group")
+                miss = df.filter(
+                    F.col("__group").isNull() & F.col("__fieldtok").isNotNull()
+                )
+            else:
+                miss = df.filter(F.col("__fieldtok").isNull())
+        return miss.agg(F.count(F.lit(1)).alias("not_exists"))
 
     def agg_guard(self, group_by: str, q: str = "*", limit: int = AGG_MAX_GROUP_TOKENS) -> None:
         """Pre-flight cardinality guard (reference
         `frac/processor/eval_tree.go:78-85` ErrTooManyUniqValues) —
-        approx_count_distinct keeps it one cheap pass."""
+        approx_count_distinct keeps it one cheap pass. :meth:`aggregate`
+        additionally enforces the exact guard on its bucket output."""
         df, _ = self._filtered(q)
         spec = self.resolver.resolve(group_by)
         col = spec.scalar() if spec.scalar is not None else F.explode(spec.tokens())
@@ -445,3 +740,71 @@ class SearchTable:
             raise TooManyUniqValuesError(
                 f"group_by {group_by!r} has ~{n} unique tokens > {limit}"
             )
+
+    # ---------------------------------------------------------- ComplexSearch
+
+    def complex_search(
+        self,
+        q: str = "*",
+        from_ms: Optional[int] = None,
+        to_ms: Optional[int] = None,
+        size: Optional[int] = 0,
+        offset: int = 0,
+        order: str = "desc",
+        with_total: bool = False,
+        hist_interval_ms: Optional[int] = None,
+        aggs: Sequence[AggQuery] = (),
+        cache: bool = True,
+        strict: bool = False,
+    ) -> "ComplexSearchResult":
+        """One request → docs + total + histogram + N aggregations from a
+        SINGLE filtered scan (reference `proxyapi/grpc_complex_search.go:
+        14-60`; the store evaluates all of them in one pass over the eval
+        tree, `frac/processor/search.go:71-85,196-204`).
+
+        The filtered frame is cached once and every branch reuses it — the
+        Spark translation of "iterate LIDs once, feed total, histogram and
+        every aggregator". At 100 TB this turns k+3 scans into one scan +
+        k+3 cheap cached passes. Call :meth:`ComplexSearchResult.unpersist`
+        when done.
+
+        Validation mirrors `grpc_complex_search.go:20-22`: at least one of
+        docs (size>0), with_total, histogram or aggs must be requested.
+        """
+        if not (size or with_total or hist_interval_ms or aggs):
+            raise ValueError(
+                "complex search requires size > 0, with_total, a histogram "
+                "interval or at least one aggregation"
+            )
+        base, pipes = self._filtered(q, from_ms, to_ms)
+        if cache:
+            base = base.persist()
+        docs = None
+        if size:
+            docs = self.apply_pipes(
+                self._public(self._paginate(base, size, offset, order)), pipes
+            )
+        total = base.agg(F.count(F.lit(1)).alias("total")) if with_total else None
+        hist = None
+        if hist_interval_ms:
+            ts_ms = F.unix_millis(F.col(self.ts_col))
+            bucket = (ts_ms - ts_ms % F.lit(hist_interval_ms)).alias("bucket_ms")
+            hist = base.groupBy(bucket).agg(F.count(F.lit(1)).alias("cnt"))
+        agg_results = [self._aggregate_on(base, aq, strict=strict) for aq in aggs]
+        return ComplexSearchResult(
+            docs=docs, total=total, histogram=hist, aggs=agg_results, _base=base
+        )
+
+
+@dataclass
+class ComplexSearchResult:
+    """Branches of one ComplexSearch request, all from one cached scan."""
+
+    docs: Optional[DataFrame]
+    total: Optional[DataFrame]
+    histogram: Optional[DataFrame]
+    aggs: List[DataFrame]
+    _base: DataFrame
+
+    def unpersist(self) -> None:
+        self._base.unpersist()

@@ -152,11 +152,19 @@ def ingest_docs(
                 f"{fm.name}.{title}", sub_type, value, sub_size
             )
 
+    # rid derives ONLY from stable inputs (doc bytes + mid) — never from
+    # monotonically_increasing_id, whose value depends on partition layout:
+    # an at-least-once foreachBatch retry must re-produce the SAME (mid, rid)
+    # so replica dedup (`seq/qpr.go:465-487`) can collapse the replay, and
+    # nested child rows (derived below from the same expression) must keep
+    # rids equal to their parent's. Two byte-identical docs with the same
+    # clamped timestamp intentionally collapse to one ID — content identity,
+    # the dedup-at-read semantics the reference applies to replica copies.
     parent = (
         raw_df.withColumn("ts", ts)
         .withColumn("mid", F.unix_millis(F.col("ts")))
-        .withColumn("rid", F.xxhash64(raw, F.monotonically_increasing_id()))
-        .withColumn("size", F.length(raw))
+        .withColumn("rid", F.xxhash64(raw, F.col("mid")))
+        .withColumn("size", F.octet_length(raw))
         .withColumn("tokens", tokens_map_from(entries))
     )
     cols = ["mid", "rid", "ts", raw_col, "size", "tokens"]

@@ -12,18 +12,61 @@ Spark-first replacement for the reference's fraction files
 - *time pruning at search*     → the `ts_bucket` partition column lets any
   `from`/`to` window prune whole directories before a single row is read —
   the 100 TB path: a 1h query over a month of data touches 1/720 of files.
+
+All filesystem operations go through the Hadoop FileSystem API (via the
+Spark JVM gateway), so the store works identically on local disk, HDFS and
+S3/GCS object stores — where a 100 TB store actually lives. No ``os.*`` /
+``shutil`` calls.
 """
 
 from __future__ import annotations
 
-import os
-import shutil
 from typing import Optional
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 PARTITION_COL = "ts_bucket"
+
+#: compaction scratch space; the leading underscore makes Spark's partition
+#: discovery ignore it, so a crash mid-compact can never surface duplicate
+#: rows as a phantom partition
+TMP_DIR = "_compact_tmp"
+
+
+class _HadoopFS:
+    """Thin wrapper over org.apache.hadoop.fs.FileSystem for one base path."""
+
+    def __init__(self, spark: SparkSession, base: str):
+        self._jvm = spark._jvm
+        self._Path = self._jvm.org.apache.hadoop.fs.Path
+        self._base = self._Path(base)
+        self._fs = self._base.getFileSystem(spark._jsc.hadoopConfiguration())
+
+    def path(self, *parts: str):
+        p = self._base
+        for part in parts:
+            p = self._Path(p, part)
+        return p
+
+    def exists(self, p) -> bool:
+        return self._fs.exists(p)
+
+    def list_dirs(self, p) -> list:
+        if not self._fs.exists(p):
+            return []
+        return [s.getPath() for s in self._fs.listStatus(p) if s.isDirectory()]
+
+    def size(self, p) -> int:
+        if not self._fs.exists(p):
+            return 0
+        return self._fs.getContentSummary(p).getLength()
+
+    def delete(self, p) -> bool:
+        return self._fs.delete(p, True)
+
+    def rename(self, src, dst) -> bool:
+        return self._fs.rename(src, dst)
 
 
 class DocStore:
@@ -33,6 +76,23 @@ class DocStore:
         self.spark = spark
         self.path = path
         self.bucket_fmt = bucket_fmt
+        self._fs = _HadoopFS(spark, path)
+        self._cleanup_stale_tmp()
+
+    def _cleanup_stale_tmp(self) -> None:
+        """Recover from a crashed compact: if the crash hit between the two
+        swap renames, the live partition is parked at ``_compact_tmp/
+        old-<bucket>`` — move it back before dropping any scratch."""
+        tmp = self._fs.path(TMP_DIR)
+        if not self._fs.exists(tmp):
+            return
+        for child in self._fs.list_dirs(tmp):
+            name = child.getName()
+            if name.startswith("old-"):
+                live = self._fs.path(f"{PARTITION_COL}={name[4:]}")
+                if not self._fs.exists(live):
+                    self._fs.rename(child, live)
+        self._fs.delete(tmp)
 
     def append(self, df: DataFrame, ts_col: str = "ts") -> None:
         (
@@ -48,21 +108,12 @@ class DocStore:
     # ------------------------------------------------------------- retention
 
     def partitions(self) -> list[str]:
-        if not os.path.isdir(self.path):
-            return []
-        return sorted(
-            d.split("=", 1)[1]
-            for d in os.listdir(self.path)
-            if d.startswith(f"{PARTITION_COL}=")
-        )
+        prefix = f"{PARTITION_COL}="
+        names = [p.getName() for p in self._fs.list_dirs(self._fs.path())]
+        return sorted(n.split("=", 1)[1] for n in names if n.startswith(prefix))
 
     def _partition_size(self, bucket: str) -> int:
-        p = os.path.join(self.path, f"{PARTITION_COL}={bucket}")
-        total = 0
-        for root, _dirs, files in os.walk(p):
-            for f in files:
-                total += os.path.getsize(os.path.join(root, f))
-        return total
+        return self._fs.size(self._fs.path(f"{PARTITION_COL}={bucket}"))
 
     def total_size(self) -> int:
         return sum(self._partition_size(b) for b in self.partitions())
@@ -95,23 +146,32 @@ class DocStore:
         return dropped
 
     def _drop(self, bucket: str) -> None:
-        shutil.rmtree(os.path.join(self.path, f"{PARTITION_COL}={bucket}"), ignore_errors=True)
+        self._fs.delete(self._fs.path(f"{PARTITION_COL}={bucket}"))
 
     # ------------------------------------------------------------ compaction
 
     def compact(self, bucket: str, target_files: int = 1) -> None:
         """Rewrite one partition into ``target_files`` files — the sealing
         analog (`frac/active_sealer.go`): many small append files become one
-        immutable well-sorted file; sorting by (ts, rid) maximizes parquet
-        min/max pruning for time predicates."""
-        part_path = os.path.join(self.path, f"{PARTITION_COL}={bucket}")
-        df = self.spark.read.parquet(part_path)
-        tmp = part_path + ".compact"
+        immutable well-sorted file; sorting by ts maximizes parquet min/max
+        pruning for time predicates.
+
+        Crash-safe: the replacement is written under ``_compact_tmp/`` (a
+        leading underscore — invisible to partition discovery), the live
+        partition is swapped in with two renames, and stale scratch is
+        cleaned up on startup.
+        """
+        part = self._fs.path(f"{PARTITION_COL}={bucket}")
+        tmp_new = self._fs.path(TMP_DIR, f"new-{bucket}")
+        tmp_old = self._fs.path(TMP_DIR, f"old-{bucket}")
+        df = self.spark.read.parquet(str(part.toUri()))
         (
             df.sort("ts")
             .coalesce(target_files)
             .write.mode("overwrite")
-            .parquet(tmp)
+            .parquet(str(tmp_new.toUri()))
         )
-        shutil.rmtree(part_path)
-        os.rename(tmp, part_path)
+        # swap: live → old scratch, new → live, drop scratch
+        self._fs.rename(part, tmp_old)
+        self._fs.rename(tmp_new, part)
+        self._fs.delete(tmp_old)

@@ -74,37 +74,93 @@ def stream_ingest(
 
 
 class AsyncSearcher:
-    """Persisted search jobs with status + retention
-    (reference `fracmanager/async_searcher.go`, API
-    `proxyapi/grpc_async_search.go:15-62`)."""
+    """Persisted long-running search jobs, executed in the background
+    (reference `fracmanager/async_searcher.go:32-200`, API
+    `proxyapi/grpc_async_search.go:15-62`):
+
+    - :meth:`start` records the request and returns IMMEDIATELY; the result
+      set is computed on a background thread (Spark job submission is
+      thread-safe on one SparkSession) and written to the job's own parquet
+      table — ``status`` is observably ``running`` until then, mirroring
+      the reference's background-goroutine processing
+      (`async_searcher.go:104-160`);
+    - the request (the query string) is persisted with the job, so
+      :meth:`resume_pending` can re-execute jobs that were still
+      running/pending when the process died — the reference's
+      restart-resume of unfinished searches (`async_searcher.go:77-82`);
+    - :meth:`expire` drops jobs past their TTL (retention loop).
+    """
 
     def __init__(self, spark: SparkSession, base_dir: str):
         self.spark = spark
         self.base_dir = base_dir
         os.makedirs(base_dir, exist_ok=True)
+        self._threads: dict[str, object] = {}
 
     def _job_dir(self, job_id: str) -> str:
         return os.path.join(self.base_dir, job_id)
 
-    def start(self, result_df: DataFrame, query: str, ttl_sec: int = 3600) -> str:
+    def _write_meta(self, job_id: str, meta: dict) -> None:
+        # write-then-rename so readers never observe a torn meta.json
+        p = os.path.join(self._job_dir(job_id), "meta.json")
+        with open(p + ".tmp", "w") as f:
+            json.dump(meta, f)
+        os.replace(p + ".tmp", p)
+
+    def _run(self, job_id: str, df_factory) -> None:
+        meta = self.status(job_id) or {}
+        try:
+            df = df_factory()
+            df.write.mode("overwrite").parquet(
+                os.path.join(self._job_dir(job_id), "result")
+            )
+            meta["status"] = "done"
+        except Exception as e:  # surfaced via status(), like the reference's
+            meta["status"] = "error"  # per-job error field
+            meta["error"] = str(e)
+        meta["finished_at"] = time.time()
+        self._write_meta(job_id, meta)
+
+    def start(
+        self,
+        query: str,
+        df_factory,
+        ttl_sec: int = 3600,
+        background: bool = True,
+    ) -> str:
+        """Register and launch a job. ``df_factory`` is a zero-arg callable
+        producing the result DataFrame (so resume can re-create it from the
+        persisted query). Returns the job id immediately."""
+        import threading
+
         job_id = uuid.uuid4().hex
         jd = self._job_dir(job_id)
         os.makedirs(jd, exist_ok=True)
-        meta = {
-            "job_id": job_id,
-            "query": query,
-            "status": "running",
-            "started_at": time.time(),
-            "ttl_sec": ttl_sec,
-        }
-        with open(os.path.join(jd, "meta.json"), "w") as f:
-            json.dump(meta, f)
-        result_df.write.mode("overwrite").parquet(os.path.join(jd, "result"))
-        meta["status"] = "done"
-        meta["finished_at"] = time.time()
-        with open(os.path.join(jd, "meta.json"), "w") as f:
-            json.dump(meta, f)
+        self._write_meta(
+            job_id,
+            {
+                "job_id": job_id,
+                "query": query,
+                "status": "running",
+                "started_at": time.time(),
+                "ttl_sec": ttl_sec,
+            },
+        )
+        if background:
+            t = threading.Thread(
+                target=self._run, args=(job_id, df_factory), daemon=True
+            )
+            self._threads[job_id] = t
+            t.start()
+        else:
+            self._run(job_id, df_factory)
         return job_id
+
+    def wait(self, job_id: str, timeout: Optional[float] = None) -> Optional[dict]:
+        t = self._threads.get(job_id)
+        if t is not None:
+            t.join(timeout)
+        return self.status(job_id)
 
     def status(self, job_id: str) -> Optional[dict]:
         p = os.path.join(self._job_dir(job_id), "meta.json")
@@ -113,8 +169,42 @@ class AsyncSearcher:
         with open(p) as f:
             return json.load(f)
 
+    def jobs(self) -> list[dict]:
+        out = []
+        for job_id in sorted(os.listdir(self.base_dir)):
+            meta = self.status(job_id)
+            if meta:
+                out.append(meta)
+        return out
+
     def fetch(self, job_id: str) -> DataFrame:
+        meta = self.status(job_id)
+        if not meta or meta.get("status") != "done":
+            raise RuntimeError(
+                f"job {job_id} is not done: {meta and meta.get('status')}"
+            )
         return self.spark.read.parquet(os.path.join(self._job_dir(job_id), "result"))
+
+    def resume_pending(self, df_factory_for_query) -> list[str]:
+        """Re-execute jobs that never finished (process died mid-run):
+        reference `fracmanager/async_searcher.go:77-82` resumes persisted
+        unfinished requests on startup. ``df_factory_for_query(query_str)``
+        rebuilds the result DataFrame from the persisted request."""
+        import threading
+
+        resumed = []
+        for meta in self.jobs():
+            if meta.get("status") == "running" and meta["job_id"] not in self._threads:
+                job_id = meta["job_id"]
+                t = threading.Thread(
+                    target=self._run,
+                    args=(job_id, lambda q=meta["query"]: df_factory_for_query(q)),
+                    daemon=True,
+                )
+                self._threads[job_id] = t
+                t.start()
+                resumed.append(job_id)
+        return resumed
 
     def expire(self) -> list[str]:
         """Drop jobs past their TTL (`fracmanager/async_searcher.go`

@@ -53,9 +53,14 @@ def text_tokens(
     Null input → null (field absent → no tokens).
     """
     toks = F.split(fold_case(col, case_sensitive), TEXT_SEPARATOR_RE)
-    toks = F.filter(toks, lambda t: (F.length(t) > 0) & (F.length(t) <= max_token_size))
+    # size caps compare BYTE lengths like the reference (len([]byte):
+    # MaxTokenSize=72 bytes, 32KB field cap) — octet_length, not length,
+    # so multi-byte UTF-8 behaves identically
+    toks = F.filter(
+        toks, lambda t: (F.length(t) > 0) & (F.octet_length(t) <= max_token_size)
+    )
     return F.when(col.isNull(), F.lit(None).cast("array<string>")).otherwise(
-        F.when(F.length(col) > max_field_value_length, F.array().cast("array<string>"))
+        F.when(F.octet_length(col) > max_field_value_length, F.array().cast("array<string>"))
         # empty value indexes a single empty token (text_tokenizer.go:41-44)
         .when(F.length(col) == 0, F.array(F.lit("")))
         .otherwise(toks)
@@ -68,10 +73,10 @@ def keyword_tokens(
     max_token_size: int = DEFAULT_MAX_TOKEN_SIZE,
 ) -> Column:
     """Single-element token array for a keyword column: the folded whole
-    value; values over the size cap are skipped
-    (`tokenizer/keyword_tokenizer.go:22-42`)."""
+    value; values over the BYTE-size cap are skipped
+    (`tokenizer/keyword_tokenizer.go:22-42`; the reference caps len([]byte))."""
     return F.when(col.isNull(), F.lit(None).cast("array<string>")).otherwise(
-        F.when(F.length(col) > max_token_size, F.array().cast("array<string>"))
+        F.when(F.octet_length(col) > max_token_size, F.array().cast("array<string>"))
         .otherwise(F.array(fold_case(col, case_sensitive)))
     )
 
@@ -104,7 +109,7 @@ def path_tokens(
     prefixes = F.filter(prefixes, lambda p: F.length(p) > 0)
     all_tokens = F.concat(prefixes, F.array(folded))
     return F.when(col.isNull(), F.lit(None).cast("array<string>")).otherwise(
-        F.when(F.length(col) > max_token_size, F.array().cast("array<string>"))
+        F.when(F.octet_length(col) > max_token_size, F.array().cast("array<string>"))
         .otherwise(all_tokens)
     )
 

@@ -1,0 +1,308 @@
+"""Round-3 engine features: numeric-range pushdown, tokens at rest,
+ComplexSearch, agg parity (NotExists buckets, NaN, ordering, strict parse,
+guard enforcement), keyset pagination, multi-type sub-fields on typed
+tables."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from seqspark import (
+    AggParseError,
+    AggQuery,
+    SearchTable,
+    TooManyUniqValuesError,
+    materialize_tokens,
+)
+
+EVENTS_MAPPING = {
+    "event_type": "keyword",
+    "user_id": "keyword",
+    "value": "keyword",
+    "props": "text",
+    "event_id": "keyword",
+}
+
+
+def physical_plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+# ----------------------------------------------------------- plan assertions
+
+
+def test_numeric_range_reaches_pushed_filters(events):
+    """`value:[10, 20)` on a native double column must compile to bare
+    comparisons that reach the Parquet scan — no CAST(CAST(c AS STRING) AS
+    DOUBLE) (VERDICT r2 'What's wrong #2')."""
+    st = SearchTable.from_typed(events, EVENTS_MAPPING, ts_col="ts", rid_col="event_id")
+    plan = physical_plan(events.filter(st.predicate("value:[10, 20)")))
+    assert "(value" in plan and ">= 10.0" in plan
+    assert "cast(value" not in plan.lower()
+
+
+def test_numeric_range_same_result_as_token_path(events):
+    """Native-column compilation must give the same rows as the
+    cast-token reference semantics."""
+    st = SearchTable.from_typed(events, EVENTS_MAPPING, ts_col="ts", rid_col="event_id")
+    native = events.filter(st.predicate("value:[10, 20)")).count()
+    tok = F.lower(F.col("value").cast("string")).try_cast("double")
+    expected = events.filter((tok >= 10) & (tok < 20)).count()
+    assert native == expected
+
+
+def test_numeric_range_float_rejects_nan_inf(spark):
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, float("nan")), (3, float("inf")), (4, 50.0), (5, None)],
+        "id int, v double",
+    ).withColumn("ts", F.timestamp_millis(F.col("id") * 1000))
+    st = SearchTable.from_typed(df, {"v": "keyword"}, ts_col="ts", rid_col="id")
+    # NaN/Inf tokens never match a numeric range (`pattern/pattern.go:294-296`)
+    ids = sorted(r["id"] for r in st.search("v:[0, *]").select("id").collect())
+    assert ids == [1, 4]
+
+
+def test_tokens_at_rest_no_retokenize(spark, documents, tmp_path):
+    """Persisted __tok_* columns are reused: the query plan over a
+    tokens-at-rest table contains no split() (VERDICT r2 top-next)."""
+    docs = documents.withColumn("ts", F.timestamp_millis(F.col("doc_id") * 1000))
+    m = {"text": "text", "lang": "keyword", "doc_id": "keyword"}
+    path = str(tmp_path / "docs_tok")
+    materialize_tokens(docs, m).write.parquet(path)
+    at_rest = spark.read.parquet(path)
+    st = SearchTable.from_typed(at_rest, m, ts_col="ts", rid_col="doc_id")
+    df = st.search('text:"table scan"')
+    assert "split(" not in physical_plan(df)
+    # identical result to the lazy-tokenizing path
+    lazy = SearchTable.from_typed(docs, m, ts_col="ts", rid_col="doc_id")
+    assert df.count() == lazy.search('text:"table scan"').count()
+    # hidden columns never leak into results
+    assert not [c for c in df.columns if c.startswith("__tok_")]
+
+
+def test_pagination_uses_native_offset(events):
+    """offset+size compiles to one TakeOrderedAndProject(limit, offset) —
+    no row_number window, no single-partition stage."""
+    st = SearchTable.from_typed(events, EVENTS_MAPPING, ts_col="ts", rid_col="event_id")
+    plan = physical_plan(st.search("*", size=100, offset=300, order="asc"))
+    assert "TakeOrderedAndProject" in plan and "offset=300" in plan
+    assert "Window" not in plan
+
+
+# --------------------------------------------------------- keyset pagination
+
+
+def test_search_after_matches_offset_pages(events):
+    st = SearchTable.from_typed(events, EVENTS_MAPPING, ts_col="ts", rid_col="event_id")
+    page1 = st.search("*", size=50, order="asc").select("ts", "event_id").collect()
+    import datetime
+
+    last = page1[-1]
+    last_ms = int(
+        last["ts"].replace(tzinfo=datetime.timezone.utc).timestamp() * 1000
+    )
+    keyset = st.search_after(
+        "*", last_ts_ms=last_ms, last_rid=last["event_id"], size=50, order="asc"
+    ).select("event_id")
+    offset = st.search("*", size=50, offset=50, order="asc").select("event_id")
+    assert [r[0] for r in keyset.collect()] == [r[0] for r in offset.collect()]
+
+
+def test_search_after_desc(events):
+    st = SearchTable.from_typed(events, EVENTS_MAPPING, ts_col="ts", rid_col="event_id")
+    page1 = st.search("*", size=30, order="desc").select("ts", "event_id").collect()
+    import datetime
+
+    last = page1[-1]
+    last_ms = int(
+        last["ts"].replace(tzinfo=datetime.timezone.utc).timestamp() * 1000
+    )
+    keyset = st.search_after(
+        "*", last_ts_ms=last_ms, last_rid=last["event_id"], size=30, order="desc"
+    )
+    offset = st.search("*", size=30, offset=30, order="desc")
+    assert [r["event_id"] for r in keyset.collect()] == [
+        r["event_id"] for r in offset.collect()
+    ]
+
+
+# ------------------------------------------------------------- ComplexSearch
+
+
+def test_complex_search_single_scan(events):
+    st = SearchTable.from_typed(events, EVENTS_MAPPING, ts_col="ts", rid_col="event_id")
+    res = st.complex_search(
+        "event_type:click",
+        size=10,
+        with_total=True,
+        hist_interval_ms=7 * 86400000,
+        aggs=[
+            AggQuery(func="count", field="event_type"),
+            AggQuery(func="avg", field="value", group_by="event_type"),
+        ],
+    )
+    try:
+        total = res.total.collect()[0]["total"]
+        assert total == st.total("event_type:click").collect()[0]["total"]
+        assert res.docs.count() == 10
+        assert res.histogram.agg(F.sum("cnt")).collect()[0][0] == total
+        counts = {r["name"]: r["value"] for r in res.aggs[0].collect()}
+        assert counts == {"click": float(total)}
+        avg = res.aggs[1].collect()[0]
+        assert avg["name"] == "click" and avg["value"] > 0
+    finally:
+        res.unpersist()
+
+
+def test_complex_search_requires_something(events):
+    st = SearchTable.from_typed(events, EVENTS_MAPPING, ts_col="ts", rid_col="event_id")
+    with pytest.raises(ValueError):
+        st.complex_search("*", size=0)
+
+
+# ---------------------------------------------------------------- agg parity
+
+
+@pytest.fixture(scope="module")
+def sparse(spark):
+    """group g: a/b/NULL; field v: numeric tokens, an unparsable token, and
+    missing values — exercises every NotExists path."""
+    rows = [
+        # (id, g, v)
+        (1, "a", "10"),
+        (2, "a", "30"),
+        (3, "a", None),      # group present, field missing
+        (4, "b", None),      # group whose docs ALL miss the field
+        (5, "b", None),
+        (6, None, "7"),      # field present, group missing
+        (7, None, None),     # both missing
+        (8, "c", "oops"),    # unparsable token
+    ]
+    df = spark.createDataFrame(rows, "id int, g string, v string").withColumn(
+        "ts", F.timestamp_millis(F.col("id") * 1000)
+    )
+    return SearchTable.from_typed(
+        df, {"g": "keyword", "v": "keyword", "id": "keyword"}, ts_col="ts", rid_col="id"
+    )
+
+
+def test_agg_sum_notexists_buckets(sparse):
+    out = sparse.aggregate(AggQuery(func="sum", field="v", group_by="g"))
+    rows = {r["name"]: r for r in out.collect()}
+    assert rows["a"]["value"] == 40.0 and rows["a"]["not_exists"] == 1
+    # group b only has missing-field docs: bucket exists, value NaN,
+    # NotExists = 2 (`frac/processor/aggregator.go:83-87`, `seq/qpr.go:288-290`)
+    assert math.isnan(rows["b"]["value"]) and rows["b"]["not_exists"] == 2
+    # unparsable-only group: bucket present with zero parsed samples → NaN
+    assert math.isnan(rows["c"]["value"]) and rows["c"]["not_exists"] == 0
+    assert set(rows) == {"a", "b", "c"}
+
+
+def test_agg_result_level_not_exists(sparse):
+    # field present but group missing → result-level NotExists
+    # (`aggregator.go:89-93`)
+    ne = sparse.agg_not_exists(AggQuery(func="sum", field="v", group_by="g"))
+    assert ne.collect()[0]["not_exists"] == 1
+    # count: docs whose group token is missing
+    ne2 = sparse.agg_not_exists(AggQuery(func="count", field="g"))
+    assert ne2.collect()[0]["not_exists"] == 2
+
+
+def test_agg_count_legacy_not_exists_bucket(sparse):
+    out = sparse.aggregate(AggQuery(func="count", field="g"))
+    rows = {r["name"]: r["value"] for r in out.collect()}
+    # docs 6 and 7 have no g → legacy bucket (`aggregator.go:219-227`)
+    assert rows["_not_exists"] == 2.0
+    assert rows["a"] == 3.0 and rows["b"] == 2.0 and rows["c"] == 1.0
+
+
+def test_agg_strict_parse_raises(sparse):
+    with pytest.raises(AggParseError, match="oops"):
+        sparse.aggregate(
+            AggQuery(func="sum", field="v", group_by="g"), strict=True
+        )
+    # default mode skips the unparsable token (pinned divergence)
+    out = sparse.aggregate(AggQuery(func="sum", field="v", group_by="g"))
+    assert out.count() == 3
+
+
+def test_agg_bucket_ordering(events):
+    st = SearchTable.from_typed(events, EVENTS_MAPPING, ts_col="ts", rid_col="event_id")
+    # default: value DESC then name ASC (`seq/qpr.go:216-253`)
+    out = st.aggregate(AggQuery(func="count", field="event_type")).collect()
+    vals = [r["value"] for r in out]
+    assert vals == sorted(vals, reverse=True)
+    # min: value ASC
+    out_min = st.aggregate(
+        AggQuery(func="min", field="value", group_by="event_type")
+    ).collect()
+    vals_min = [r["value"] for r in out_min]
+    assert vals_min == sorted(vals_min)
+    # quantile: name ASC
+    out_q = st.aggregate(
+        AggQuery(func="quantile", field="value", group_by="event_type", quantiles=[0.5])
+    ).collect()
+    names = [r["name"] for r in out_q]
+    assert names == sorted(names)
+
+
+def test_agg_guard_enforced_inside_aggregate(events):
+    st = SearchTable.from_typed(events, EVENTS_MAPPING, ts_col="ts", rid_col="event_id")
+    with pytest.raises(TooManyUniqValuesError):
+        st.aggregate(AggQuery(func="count", field="user_id"), max_group_tokens=5)
+    # under the limit passes
+    st.aggregate(AggQuery(func="count", field="event_type"), max_group_tokens=5)
+
+
+def test_agg_unique_forbids_interval(events):
+    st = SearchTable.from_typed(events, EVENTS_MAPPING, ts_col="ts", rid_col="event_id")
+    with pytest.raises(ValueError, match="timeseries"):
+        st.aggregate(AggQuery(func="unique", field="event_type", interval_ms=1000))
+
+
+def test_total_histogram_respect_dedup(spark):
+    """total/histogram count each (mid,rid) once on stores with nested child
+    rows, like search does (ADVICE r2: `seq/qpr.go` removeRepetitions)."""
+    rows = [(1, 1000, "a"), (1, 1000, "a"), (2, 2000, "b")]  # duplicated id
+    df = spark.createDataFrame(rows, "rid long, mid long, s string").withColumn(
+        "ts", F.timestamp_millis(F.col("mid"))
+    )
+    st = SearchTable.from_typed(df, {"s": "keyword"}, ts_col="ts", rid_col="rid")
+    st.default_dedup = ["mid", "rid"]
+    assert st.search("*").count() == 2
+    assert st.total("*").collect()[0]["total"] == 2
+    assert st.histogram("*", interval_ms=1000).agg(F.sum("cnt")).collect()[0][0] == 2
+
+
+# ------------------------------------------------------ multi-type sub-fields
+
+
+def test_from_typed_multitype_subfield(spark):
+    """`message` indexed as text + `message.keyword` sub-field on a typed
+    table (`tests/integration_tests/integration_test.go:1773-1860`)."""
+    rows = [(1, "Hello World"), (2, "hello there"), (3, "other text")]
+    df = spark.createDataFrame(rows, "id int, message string").withColumn(
+        "ts", F.timestamp_millis(F.col("id") * 1000)
+    )
+    st = SearchTable.from_typed(
+        df,
+        {
+            "message": {
+                "types": [
+                    {"type": "text"},
+                    {"title": "keyword", "type": "keyword"},
+                ]
+            },
+            "id": "keyword",
+        },
+        ts_col="ts",
+        rid_col="id",
+    )
+    # text semantics on the bare name: token match
+    assert st.search("message:hello").count() == 2
+    # keyword semantics on the sub-field: whole-value match only
+    assert st.search('message.keyword:"hello world"').count() == 1
+    assert st.search("message.keyword:hello").count() == 0
+    # wildcard over the whole value
+    assert st.search("message.keyword:hello*").count() == 2

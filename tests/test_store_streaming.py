@@ -104,8 +104,8 @@ def test_compaction_preserves_rows(spark, tmp):
 
 def test_async_search_lifecycle(spark, tmp):
     a = AsyncSearcher(spark, os.path.join(tmp, "async"))
-    job = a.start(spark.range(5).toDF("x"), "demo-query", ttl_sec=3600)
-    meta = a.status(job)
+    job = a.start("demo-query", lambda: spark.range(5).toDF("x"), ttl_sec=3600)
+    meta = a.wait(job, timeout=120)
     assert meta["status"] == "done"
     assert meta["query"] == "demo-query"
     assert a.fetch(job).count() == 5
@@ -116,6 +116,85 @@ def test_async_search_lifecycle(spark, tmp):
         json.dump(meta, f)
     assert job in a.expire()
     assert a.status(job) is None
+
+
+def test_async_search_runs_in_background(spark, tmp):
+    """start() returns while the job is still computing; status transitions
+    running → done are observable (`fracmanager/async_searcher.go:104-160`)."""
+    import threading
+    import time as _time
+
+    a = AsyncSearcher(spark, os.path.join(tmp, "async"))
+    gate = threading.Event()
+
+    def slow_df():
+        gate.wait(30)  # hold the job until the test has observed "running"
+        return spark.range(3).toDF("x")
+
+    job = a.start("slow-query", slow_df)
+    assert a.status(job)["status"] == "running"
+    gate.set()
+    meta = a.wait(job, timeout=120)
+    assert meta["status"] == "done"
+    assert a.fetch(job).count() == 3
+
+
+def test_async_search_error_status(spark, tmp):
+    a = AsyncSearcher(spark, os.path.join(tmp, "async"))
+
+    def boom():
+        raise RuntimeError("bad query")
+
+    job = a.start("boom", boom)
+    meta = a.wait(job, timeout=120)
+    assert meta["status"] == "error"
+    assert "bad query" in meta["error"]
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError):
+        a.fetch(job)
+
+
+def test_async_search_restart_resume(spark, tmp):
+    """A job persisted as running with no live thread (process died) is
+    re-executed from its stored query on restart
+    (`fracmanager/async_searcher.go:77-82`)."""
+    base = os.path.join(tmp, "async")
+    a = AsyncSearcher(spark, base)
+    job = a.start("select-7", lambda: spark.range(7).toDF("x"), background=False)
+    assert a.status(job)["status"] == "done"
+    # simulate a crash mid-run: meta says running, no result, no thread
+    crashed = a.start("select-4", lambda: spark.range(4).toDF("x"), background=False)
+    meta = a.status(crashed)
+    meta["status"] = "running"
+    with open(os.path.join(base, crashed, "meta.json"), "w") as f:
+        json.dump(meta, f)
+
+    b = AsyncSearcher(spark, base)  # "restarted" process
+    resumed = b.resume_pending(
+        lambda q: spark.range(int(q.split("-")[1])).toDF("x")
+    )
+    assert resumed == [crashed]
+    assert b.wait(crashed, timeout=120)["status"] == "done"
+    assert b.fetch(crashed).count() == 4
+    # finished jobs are not re-run
+    assert b.resume_pending(lambda q: spark.range(1).toDF("x")) == []
+
+
+def test_compact_crash_recovery(spark, tmp):
+    """A crash between the two swap renames leaves the live partition parked
+    in _compact_tmp/old-*; the next DocStore startup restores it."""
+    store = streamed_store(spark, tmp)
+    bucket = store.partitions()[0]
+    before = store.read().count()
+    # simulate: live partition parked in scratch, new copy never swapped in
+    fs = store._fs
+    fs._fs.mkdirs(fs.path("_compact_tmp"))
+    fs.rename(fs.path(f"ts_bucket={bucket}"), fs.path("_compact_tmp", f"old-{bucket}"))
+    assert bucket not in store.partitions()
+    store2 = DocStore(spark, store.path)  # restart runs recovery
+    assert bucket in store2.partitions()
+    assert store2.read().count() == before
 
 
 def test_es_bulk_roundtrip(spark, tmp):
