@@ -60,17 +60,31 @@ def main() -> None:
     st = SearchTable.from_typed(
         events, EVENTS_MAPPING, ts_col="ts", rid_col="event_id", assume_folded=True
     )
+    DOCS_MAPPING = {
+        "text": "text", "lang": "keyword", "source": "keyword", "doc_id": "keyword",
+    }
+
+    # tokens at rest: tokenize ONCE at ingest and persist, like the
+    # reference's seal-time posting lists (`frac/sealed_index.go:218-266`) —
+    # queries then never re-tokenize the corpus. Timed separately as
+    # setup_sec (the reference pays this in its ingest path too).
+    import shutil as _shutil
+    import tempfile
+
+    from seqspark.engine import materialize_tokens
+
+    tok_dir = tempfile.mkdtemp(prefix="seqspark-bench-") + "/docs_at_rest"
+    t0 = time.perf_counter()
+    materialize_tokens(docs, DOCS_MAPPING).write.parquet(tok_dir)
+    setup_sec = round(time.perf_counter() - t0, 4)
+    docs_at_rest = spark.read.parquet(tok_dir)
     sd = SearchTable.from_typed(
-        docs,
-        {"text": "text", "lang": "keyword", "source": "keyword", "doc_id": "keyword"},
-        ts_col="ts",
-        rid_col="doc_id",
-        assume_folded=True,
+        docs_at_rest, DOCS_MAPPING, ts_col="ts", rid_col="doc_id", assume_folded=True
     )
 
     # warm the JVM + file listing (not part of the reference workload)
     events.count()
-    docs.count()
+    docs_at_rest.count()
     lineitem.count()
 
     def q1():
@@ -141,10 +155,12 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "setup_sec": setup_sec,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
     )
+    _shutil.rmtree(tok_dir, ignore_errors=True)
     spark.stop()
 
 

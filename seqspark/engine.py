@@ -52,6 +52,67 @@ class AggParseError(RuntimeError):
     `frac/processor/aggregator.go:150-157` parseNum fails the whole agg)."""
 
 
+_SQL_TYPES = {"long": "BIGINT", "bigint": "BIGINT", "string": "STRING", "double": "DOUBLE"}
+
+
+def _local_bucket_frame(spark, rows, schema) -> DataFrame:
+    """Materialize driver-finalized buckets as a JVM-side LocalRelation via
+    parameterized VALUES — collect costs ~ms and involves no Python workers
+    (createDataFrame would back the frame with a Python RDD whose every
+    evaluation spins Python executors)."""
+    import math as _math
+
+    dtypes = [_SQL_TYPES[f.dataType.simpleString()] for f in schema.fields]
+    cols = [f.name for f in schema.fields]
+    args: Dict[str, object] = {}
+    tuples = []
+    i = 0
+    for r in rows:
+        ph = []
+        for v, d in zip(r, dtypes):
+            if v is None:
+                ph.append(f"CAST(NULL AS {d})")
+            elif d == "DOUBLE" and isinstance(v, float) and (
+                _math.isnan(v) or _math.isinf(v)
+            ):
+                lit = "NaN" if _math.isnan(v) else ("Infinity" if v > 0 else "-Infinity")
+                ph.append(f"CAST('{lit}' AS DOUBLE)")
+            else:
+                args[f"p{i}"] = v
+                ph.append(f"CAST(:p{i} AS {d})")
+                i += 1
+        tuples.append("(" + ", ".join(ph) + ")")
+    q = f"SELECT * FROM VALUES {', '.join(tuples)} AS t({', '.join(cols)})"
+    return spark.sql(q, args)
+
+
+def _sort_buckets_rows(rows, func: str):
+    """Driver-side bucket sort, the Go comparator of `seq/qpr.go:216-253`:
+    MID asc first, then default value DESC / name ASC; MIN value ASC / name
+    ASC; QUANTILE name ASC / value DESC. Go's cmp.Compare orders NaN below
+    every number."""
+
+    def eff(v):
+        if v is None or v != v:  # None/NaN sort below all numbers
+            return float("-inf")
+        return v
+
+    def mid_key(r):
+        m = r["mid_ms"]
+        return (0, 0) if m is None else (1, m)
+
+    def name_key(r):
+        return r["name"] or ""
+
+    if func == "min":
+        key = lambda r: (mid_key(r), eff(r["value"]), name_key(r))
+    elif func == "quantile":
+        key = lambda r: (mid_key(r), name_key(r), -eff(r["value"]))
+    else:
+        key = lambda r: (mid_key(r), -eff(r["value"]), name_key(r))
+    return sorted(rows, key=key)
+
+
 def materialize_tokens(
     df: DataFrame,
     mapping_types: Dict[str, object],
@@ -436,6 +497,38 @@ class SearchTable:
     def fetch_ids(self, ids: Sequence, id_col: str) -> DataFrame:
         return self._public(self.df.filter(F.col(id_col).isin(list(ids))))
 
+    # ----------------------------------------------------------------- status
+
+    def mapping_dict(self) -> Dict[str, object]:
+        """Active mapping as field → type(s) — the Mapping endpoint
+        (`proxyapi/grpc_mapping.go:9`)."""
+        out: Dict[str, object] = {}
+        for fm in self.mapping.fields():
+            if fm.sub_types:
+                out[fm.name] = {
+                    "type": fm.main_type,
+                    "titles": {t: st for t, (st, _s) in fm.sub_types.items()},
+                }
+            else:
+                out[fm.name] = fm.main_type
+        return out
+
+    def status(self) -> Dict[str, object]:
+        """Store status — doc count + time bounds, the Status endpoint
+        analog (`proxyapi/grpc_status.go:12`, `proxy/search/ingestor.go:
+        644-700` reports per-store oldest time). One aggregate scan."""
+        row = self.df.agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.unix_millis(F.min(self.ts_col)).alias("oldest_ms"),
+            F.unix_millis(F.max(self.ts_col)).alias("newest_ms"),
+        ).head()
+        return {
+            "docs": row["docs"],
+            "oldest_ms": row["oldest_ms"],
+            "newest_ms": row["newest_ms"],
+            "fields": self.mapping_dict(),
+        }
+
     # -------------------------------------------------------------- histogram
 
     def histogram(
@@ -661,15 +754,36 @@ class SearchTable:
             "__group", "name"
         )
         if enforce_guard and group_by is not None:
-            # the bucket set is bounded and tiny next to the input — a
-            # localCheckpoint makes the guard + the caller's collect cost a
-            # single scan of the data
-            out = out.localCheckpoint(eager=True)
-            n = out.select("name").distinct().count()
-            if n > max_group_tokens:
-                raise TooManyUniqValuesError(
-                    f"group_by {group_by!r} has {n} unique tokens > {max_group_tokens}"
-                )
+            if not aggq.interval_ms:
+                # non-timeseries: a passing bucket set is ≤ max_group_tokens
+                # rows — finalize it on the driver exactly like the
+                # reference's proxy-side merge (`seq/qpr.go:199-254`
+                # materializes + sorts final buckets in memory). The caller's
+                # collect then reads a 1-partition local relation (order
+                # preserved) instead of re-running the aggregation.
+                rows = out.collect()
+                if len(rows) > max_group_tokens:
+                    raise TooManyUniqValuesError(
+                        f"group_by {group_by!r} exceeds {max_group_tokens} "
+                        "unique tokens"
+                    )
+                if ordered:
+                    rows = _sort_buckets_rows(rows, func)
+                if not rows:
+                    return out.limit(0)
+                return _local_bucket_frame(out.sparkSession, rows, out.schema)
+            else:
+                # timeseries buckets = bins × groups can be large; keep the
+                # frame distributed, cache it so guard + collect share one
+                # execution
+                out = out.persist()
+                n = out.select("name").distinct().count()
+                if n > max_group_tokens:
+                    out.unpersist()
+                    raise TooManyUniqValuesError(
+                        f"group_by {group_by!r} has {n} unique tokens > "
+                        f"{max_group_tokens}"
+                    )
         if ordered:
             out = self.order_buckets(out, func)
         return out

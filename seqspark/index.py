@@ -1,0 +1,112 @@
+"""Materialized inverted index: the 100 TB full-text path.
+
+The reference serves every text query from per-fraction posting lists —
+sorted token dictionaries mapping token → LID list
+(`frac/sealed_index.go:218-266`, `frac/token/block.go`), built once at seal
+time. The Spark-native equivalent (SURVEY §7.2) is a materialized
+``(field, token, mid, rid)`` table:
+
+- built once per ingest/compaction from the document store's token columns
+  (`build_inverted_index`), partitioned by ``field`` and bucketable by
+  ``token`` so a token lookup touches one partition's dictionary pages;
+- a multi-token AND query becomes: filter the index to the query tokens →
+  group by doc id → ``HAVING count(DISTINCT token) = n`` → semi-join the
+  doc table on id (`search_tokens`). The index scan reads ONLY the rows of
+  the queried tokens (parquet dictionary/stats prune the token column), so
+  query cost is proportional to posting-list size, not corpus size — the
+  posting-list intersection of `node/node_and.go:41-56` as a DataFrame.
+
+Trade-off mirror of the reference: the index costs one extra table at
+ingest (like seal-time index files) and pays off when queries are selective;
+match-heavy queries should fall back to the token-column scan.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def build_inverted_index(
+    df: DataFrame,
+    token_cols: Dict[str, str],
+    id_cols: Sequence[str] = ("mid", "rid"),
+) -> DataFrame:
+    """Explode token-array columns into ``(field, token, <id_cols>)`` rows.
+
+    ``token_cols`` maps queried field name → the array<string> token column
+    (e.g. ``{"text": "__tok_text"}`` for a tokens-at-rest table, or
+    ``{"message": "tokens.message"}`` for a doc store). Duplicate tokens
+    within one document are collapsed — posting lists store each doc once
+    per token (`frac/token/block.go`).
+    """
+    parts: List[DataFrame] = []
+    ids = [F.col(c) for c in id_cols]
+    for field, col in token_cols.items():
+        parts.append(
+            df.select(
+                F.lit(field).alias("field"),
+                F.explode(F.array_distinct(F.col(col))).alias("token"),
+                *ids,
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def write_inverted_index(
+    index_df: DataFrame, path: str, mode: str = "overwrite"
+) -> None:
+    """Persist partitioned by field (one directory per field, like one
+    dictionary per indexed field); within a partition, sorting by token
+    gives parquet min/max pages the sorted-dictionary narrowing of
+    `pattern/pattern.go:50-64`."""
+    (
+        index_df.repartition("field")
+        .sortWithinPartitions("token")
+        .write.partitionBy("field")
+        .mode(mode)
+        .parquet(path)
+    )
+
+
+def matching_ids(
+    index_df: DataFrame,
+    field: str,
+    tokens: Sequence[str],
+    id_cols: Sequence[str] = ("mid", "rid"),
+) -> DataFrame:
+    """Doc ids whose ``field`` contains ALL of ``tokens`` — the AND-node
+    posting-list intersection (`node/node_and.go:41-56`): one pruned index
+    scan, group by id, keep ids that matched every token."""
+    toks = [t for t in tokens]
+    if not toks:
+        raise ValueError("at least one token required")
+    hits = index_df.filter(
+        (F.col("field") == F.lit(field)) & F.col("token").isin(toks)
+    )
+    return (
+        hits.groupBy(*[F.col(c) for c in id_cols])
+        .agg(F.count_distinct(F.col("token")).alias("__nt"))
+        .filter(F.col("__nt") == F.lit(len(toks)))
+        .drop("__nt")
+    )
+
+
+def search_tokens(
+    docs_df: DataFrame,
+    index_df: DataFrame,
+    field: str,
+    tokens: Sequence[str],
+    id_cols: Sequence[str] = ("mid", "rid"),
+) -> DataFrame:
+    """Fetch the documents matching all ``tokens``: semi-join the doc table
+    against the id set from the index. The id set is usually tiny next to
+    the corpus — exactly the fetch-after-search split of
+    `storeapi/grpc_search.go` + `grpc_fetch.go`."""
+    ids = matching_ids(index_df, field, tokens, id_cols)
+    return docs_df.join(ids, on=list(id_cols), how="left_semi")
