@@ -67,7 +67,15 @@ def hyperplane_sketch(
     emb: DataFrame, vec_col: str = "embedding", bits: int = 16, seed: int = 7,
     dim: int | None = None, out_col: str = "sketch",
 ) -> DataFrame:
-    """Append an integer sign-sketch column: bit i = sign(v · h_i)."""
+    """Append an integer sign-sketch column: bit i = sign(v · h_i).
+
+    Pass ``dim`` explicitly (library callers all do); the ``head()``
+    fallback exists for interactive use only — it runs a driver-side probe,
+    which a pipeline operator must not.
+
+    The sketch is deterministic in (bits, seed), so compute it ONCE at
+    ingest, persist the column (sketch-at-rest, like tokens-at-rest), and
+    :func:`lsh_topk` will reuse it without touching the vectors."""
     if dim is None:
         first = emb.select(F.size(F.col(vec_col)).alias("d")).head()
         dim = int(first["d"]) if first else 0
@@ -96,27 +104,54 @@ def lsh_topk(
     bits: int = 16,
     bands: int = 4,
     seed: int = 7,
+    sketch_col: str = "sketch",
 ) -> DataFrame:
     """Approximate top-k: keep rows whose sketch agrees with the query's on
     at least one band of bits, then exact cosine on the (small) candidate
     set. Recall is tuned with bits/bands; candidates shrink ~2^-bits/bands
-    per band."""
+    per band.
+
+    Sketch-at-rest: if ``sketch_col`` already exists on the frame (persisted
+    at ingest with :func:`hyperplane_sketch` under the same bits/seed), it
+    is used as-is — the query then reads only the sketch column to prune
+    and the vector column for the surviving candidates, never recomputing
+    ``bits`` dot products per row."""
     dim = len(query_vec)
     planes = _hyperplanes(dim, bits, seed)
     qs = _sketch_of(list(query_vec), planes)
     width = bits // bands
     mask = (1 << width) - 1
-    sk = hyperplane_sketch(emb, vec_col, bits=bits, seed=seed, dim=dim)
+    if sketch_col in emb.columns:
+        sk = emb
+    else:
+        sk = hyperplane_sketch(
+            emb, vec_col, bits=bits, seed=seed, dim=dim, out_col=sketch_col
+        )
     cond = None
     for b in range(bands):
         qband = (qs >> (b * width)) & mask
         c = (
-            F.shiftright(F.col("sketch"), b * width).bitwiseAND(F.lit(mask))
+            F.shiftright(F.col(sketch_col), b * width).bitwiseAND(F.lit(mask))
             == F.lit(qband)
         )
         cond = c if cond is None else (cond | c)
     cands = sk.filter(cond)
     return brute_topk(cands, query_vec, k, id_col, vec_col)
+
+
+def write_ivf(
+    emb_with_cells: DataFrame, path: str, cell_col: str = "cell",
+    mode: str = "overwrite",
+) -> None:
+    """Persist an IVF-assigned table partitioned by cell: `ivf_topk` filters
+    on the partition column, so non-probed cells are pruned at the directory
+    level and never read — the inverted-file property at 100 TB."""
+    (
+        emb_with_cells.repartition(cell_col)
+        .write.partitionBy(cell_col)
+        .mode(mode)
+        .parquet(path)
+    )
 
 
 def ivf_assign(

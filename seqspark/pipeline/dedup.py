@@ -245,12 +245,19 @@ def embedding_cosine_dupes(
     threshold: float = 0.95,
     bits: int = 16,
     seed: int = 7,
+    dim: int | None = None,
 ) -> DataFrame:
     """Embedding near-dup pairs via random-hyperplane LSH prefilter +
-    exact cosine on candidates (see :mod:`seqspark.pipeline.ann`)."""
+    exact cosine on candidates (see :mod:`seqspark.pipeline.ann`).
+
+    Pass ``dim`` (the embedding length) so the sketch builds without a
+    driver-side probe; a pre-persisted ``sketch`` column is reused as-is."""
     from .ann import cosine, hyperplane_sketch
 
-    sk = hyperplane_sketch(emb, vec_col, bits=bits, seed=seed)
+    if "sketch" in emb.columns:
+        sk = emb
+    else:
+        sk = hyperplane_sketch(emb, vec_col, bits=bits, seed=seed, dim=dim)
     keyed = sk.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"), F.col("sketch"))
     a = keyed.select("sketch", F.col("id").alias("id_a"), F.col("v").alias("v_a"))
     b = keyed.select("sketch", F.col("id").alias("id_b"), F.col("v").alias("v_b"))

@@ -1,0 +1,78 @@
+"""Materialized inverted-index tests (SURVEY §7.2): build, persist,
+token-AND lookup, semi-join fetch, and plan shape."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from seqspark.engine import materialize_tokens
+from seqspark.index import (
+    build_inverted_index,
+    matching_ids,
+    search_tokens,
+    write_inverted_index,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    from seqspark.data import load_table
+
+    return load_table(spark, "/root/testdata/sf0.001", "documents").cache()
+
+
+@pytest.fixture(scope="module")
+def index_df(docs):
+    tok = materialize_tokens(docs, {"text": "text"})
+    return build_inverted_index(tok, {"text": "__tok_text"}, id_cols=["doc_id"]).cache()
+
+
+def test_index_matches_token_scan(docs, index_df):
+    """Index-routed token-AND equals the array_contains scan path."""
+    via_index = search_tokens(docs, index_df, "text", ["table", "scan"], ["doc_id"])
+    toks = F.split(F.lower(F.col("text")), r"[^\p{L}\p{N}_*]+")
+    direct = docs.filter(
+        F.array_contains(toks, "table") & F.array_contains(toks, "scan")
+    )
+    assert sorted(r["doc_id"] for r in via_index.collect()) == sorted(
+        r["doc_id"] for r in direct.collect()
+    )
+
+
+def test_index_single_token(docs, index_df):
+    ids = matching_ids(index_df, "text", ["parquet"], ["doc_id"])
+    toks = F.split(F.lower(F.col("text")), r"[^\p{L}\p{N}_*]+")
+    direct = docs.filter(F.array_contains(toks, "parquet"))
+    assert ids.count() == direct.count()
+
+
+def test_index_dedups_repeated_tokens(spark):
+    df = spark.createDataFrame(
+        [(1, ["a", "a", "b"]), (2, ["b"])], "id long, toks array<string>"
+    )
+    idx = build_inverted_index(df, {"f": "toks"}, id_cols=["id"])
+    # doc 1 appears once per distinct token, not once per occurrence
+    assert idx.filter((F.col("token") == "a") & (F.col("id") == 1)).count() == 1
+    assert idx.count() == 3
+
+
+def test_index_requires_all_tokens(spark):
+    df = spark.createDataFrame(
+        [(1, ["x", "y"]), (2, ["x"]), (3, ["y"])], "id long, toks array<string>"
+    )
+    idx = build_inverted_index(df, {"f": "toks"}, id_cols=["id"])
+    ids = [r["id"] for r in matching_ids(idx, "f", ["x", "y"], ["id"]).collect()]
+    assert ids == [1]
+
+
+def test_index_persisted_roundtrip_and_plan(spark, docs, index_df, tmp_path):
+    """Persisted index: token lookups filter on the token column (pushable),
+    fetch is a LeftSemi join — no tokenization anywhere in the query plan."""
+    path = str(tmp_path / "inv_index")
+    write_inverted_index(index_df, path)
+    stored = spark.read.parquet(path)
+    out = search_tokens(docs, stored, "text", ["table", "scan"], ["doc_id"])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan
+    assert "split(" not in plan
+    direct = search_tokens(docs, index_df, "text", ["table", "scan"], ["doc_id"])
+    assert out.count() == direct.count()
