@@ -622,6 +622,24 @@ def q_export_keyset(spark, sf_dir):
     return _ev_cols(st.search("event_type:error and value:[40, *]", order="asc"))
 
 
+def q_corpus_curation(spark, sf_dir):
+    # LLM-training-data curation chain: quality gate → exact dedup →
+    # per-doc token budget — one declarative plan, no Python in the loop
+    from seqspark.pipeline.dedup import exact_dedup
+    from seqspark.pipeline.textstats import quality_score, token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.withColumn("q", quality_score(F.col("text"))).filter(
+        F.col("q") >= 0.5
+    )
+    kept = exact_dedup(scored.withColumn("h", F.md5("text")), ["h"], "doc_id")
+    return kept.select(
+        "doc_id",
+        F.round("q", 4).alias("quality"),
+        token_count(F.col("text")).cast("long").alias("n_tokens"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "keyword_eq": q_keyword_eq,
@@ -683,6 +701,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multitype_keyword_title": q_multitype_keyword_title,
         "inverted_index_and": q_inverted_index_and,
         "export_keyset": q_export_keyset,
+        "corpus_curation": q_corpus_curation,
     }
 
 
@@ -921,14 +940,25 @@ def oracle_sql() -> dict[str, str]:
         "ELSE 0 END)"
     )
     sw_ratio = f"(CASE WHEN {n_w} > 0 THEN {n_sw}::DOUBLE / {n_w} ELSE 0 END)"
-    sql["text_quality"] = (
-        "SELECT doc_id, "
-        f"round({sw_ratio}, 4) AS stopword_ratio, "
-        "round(("
+    quality = (
+        "(("
         f"(CASE WHEN {mean_len} >= 2 AND {mean_len} <= 12 THEN 1.0 ELSE 0.0 END) + "
         f"{alpha} + "
         f"(CASE WHEN {sw_ratio} > 0.01 THEN 1.0 ELSE 0.0 END)"
-        ") / 3.0, 4) AS quality FROM documents"
+        ") / 3.0)"
+    )
+    sql["text_quality"] = (
+        "SELECT doc_id, "
+        f"round({sw_ratio}, 4) AS stopword_ratio, "
+        f"round({quality}, 4) AS quality FROM documents"
+    )
+    sql["corpus_curation"] = (
+        f"WITH scored AS (SELECT doc_id, text, {quality} AS q "
+        f"FROM documents WHERE {quality} >= 0.5), "
+        "deduped AS (SELECT doc_id, q, text FROM scored "
+        "QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1) "
+        "SELECT doc_id, round(q, 4) AS quality, "
+        f"len({_WORDS}) AS n_tokens FROM deduped"
     )
     # rows-only entries (LSH candidate generation, multimodal plumbing) have
     # no SQL equivalent on purpose: the driver records a weaker check for

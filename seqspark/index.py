@@ -25,30 +25,32 @@ from __future__ import annotations
 
 from typing import Dict, List, Optional, Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
 def build_inverted_index(
     df: DataFrame,
-    token_cols: Dict[str, str],
+    token_cols: Dict[str, object],
     id_cols: Sequence[str] = ("mid", "rid"),
 ) -> DataFrame:
     """Explode token-array columns into ``(field, token, <id_cols>)`` rows.
 
-    ``token_cols`` maps queried field name → the array<string> token column
-    (e.g. ``{"text": "__tok_text"}`` for a tokens-at-rest table, or
-    ``{"message": "tokens.message"}`` for a doc store). Duplicate tokens
-    within one document are collapsed — posting lists store each doc once
-    per token (`frac/token/block.go`).
+    ``token_cols`` maps queried field name → the array<string> token column:
+    a column name (``{"text": "__tok_text"}`` for a tokens-at-rest table),
+    or a Column expression (``{"message": F.col("tokens")["message"]}`` for
+    a doc store's token map). Duplicate tokens within one document are
+    collapsed — posting lists store each doc once per token
+    (`frac/token/block.go`).
     """
     parts: List[DataFrame] = []
     ids = [F.col(c) for c in id_cols]
     for field, col in token_cols.items():
+        c = F.col(col) if isinstance(col, str) else col
         parts.append(
             df.select(
                 F.lit(field).alias("field"),
-                F.explode(F.array_distinct(F.col(col))).alias("token"),
+                F.explode(F.array_distinct(c)).alias("token"),
                 *ids,
             )
         )
@@ -110,3 +112,71 @@ def search_tokens(
     `storeapi/grpc_search.go` + `grpc_fetch.go`."""
     ids = matching_ids(index_df, field, tokens, id_cols)
     return docs_df.join(ids, on=list(id_cols), how="left_semi")
+
+
+class StoreIndex:
+    """Inverted index co-partitioned with a :class:`seqspark.store.DocStore`.
+
+    One index directory per store time bucket (``ts_bucket=.../``), mirroring
+    the reference's one-index-file-per-sealed-fraction layout
+    (`docs/en/internal/format-index-file.md`): sealing/compacting a bucket
+    rebuilds exactly that bucket's index, and retention that drops a data
+    bucket drops its index with it. Queries read the whole index (or a
+    time-pruned slice — ``ts_bucket`` is a partition column there too).
+    """
+
+    PARTITION_COL = "ts_bucket"  # same value space as DocStore's
+
+    def __init__(self, store, path: str, token_cols: Dict[str, object],
+                 id_cols: Sequence[str] = ("mid", "rid")):
+        self.store = store
+        self.path = path
+        self.token_cols = token_cols
+        self.id_cols = tuple(id_cols)
+
+    def _bucket_dir(self, bucket: str) -> str:
+        return f"{self.path}/{self.PARTITION_COL}={bucket}"
+
+    def refresh(self, buckets: Optional[Sequence[str]] = None) -> List[str]:
+        """(Re)build the index for the given store buckets (default: all).
+        Call after append/compact for the touched buckets — the seal-time
+        index build of `frac/active_sealer.go`."""
+        done: List[str] = []
+        from .store import PARTITION_COL as STORE_PART
+
+        for bucket in buckets if buckets is not None else self.store.partitions():
+            part = f"{self.store.path}/{STORE_PART}={bucket}"
+            df = self.store.spark.read.parquet(part)
+            idx = build_inverted_index(df, self.token_cols, self.id_cols)
+            (
+                idx.repartition("field")
+                .sortWithinPartitions("token")
+                .write.mode("overwrite")
+                .parquet(self._bucket_dir(bucket))
+            )
+            done.append(bucket)
+        return done
+
+    def prune(self) -> List[str]:
+        """Drop index buckets whose data bucket was retained away."""
+        from .store import _HadoopFS
+
+        fs = _HadoopFS(self.store.spark, self.path)
+        live = set(self.store.partitions())
+        dropped: List[str] = []
+        for p in fs.list_dirs(fs.path()):
+            name = p.getName()
+            if name.startswith(f"{self.PARTITION_COL}="):
+                bucket = name.split("=", 1)[1]
+                if bucket not in live:
+                    fs.delete(p)
+                    dropped.append(bucket)
+        return dropped
+
+    def read(self) -> DataFrame:
+        return self.store.spark.read.parquet(self.path)
+
+    def search(self, field: str, tokens: Sequence[str]) -> DataFrame:
+        return search_tokens(
+            self.store.read(), self.read(), field, tokens, self.id_cols
+        )

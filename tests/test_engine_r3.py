@@ -275,6 +275,30 @@ def test_total_histogram_respect_dedup(spark):
     assert st.histogram("*", interval_ms=1000).agg(F.sum("cnt")).collect()[0][0] == 2
 
 
+# --------------------------------------------------------- status / mapping
+
+
+def test_status_and_mapping_endpoints(events):
+    st = SearchTable.from_typed(events, EVENTS_MAPPING, ts_col="ts", rid_col="event_id")
+    s = st.status()
+    assert s["docs"] == events.count()
+    assert s["oldest_ms"] <= s["newest_ms"]
+    assert s["fields"]["event_type"] == "keyword"
+    assert s["fields"]["props"] == "text"
+
+
+def test_mapping_dict_multitype(spark):
+    df = spark.createDataFrame([(1, "x")], "id int, m string").withColumn(
+        "ts", F.timestamp_millis(F.col("id"))
+    )
+    st = SearchTable.from_typed(
+        df,
+        {"m": {"types": [{"type": "text"}, {"title": "keyword", "type": "keyword"}]}},
+        ts_col="ts",
+    )
+    assert st.mapping_dict()["m"] == {"type": "text", "titles": {"keyword": "keyword"}}
+
+
 # ------------------------------------------------------ multi-type sub-fields
 
 

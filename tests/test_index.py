@@ -64,6 +64,46 @@ def test_index_requires_all_tokens(spark):
     assert ids == [1]
 
 
+def test_store_index_lifecycle(spark, tmp_path):
+    """Per-bucket index co-maintained with the DocStore: refresh after
+    ingest, search == direct token scan, prune after retention."""
+    import json
+
+    from seqspark import Mapping, SearchTable
+    from seqspark.index import StoreIndex
+    from seqspark.ingest import ingest_docs
+    from seqspark.store import DocStore
+
+    m = Mapping({"service": "keyword", "message": "text"})
+    docs = [
+        {"timestamp": f"2024-01-0{d} 00:00:00.000", "service": s,
+         "message": f"alpha beta {s} d{d}"}
+        for d in (1, 2, 3)
+        for s in ("auth", "pay")
+    ]
+    BIG = 10**15
+    frame = ingest_docs(
+        spark.createDataFrame([(json.dumps(x),) for x in docs], "raw string"),
+        m, allowed_drift_ms=BIG, future_drift_ms=BIG,
+    )
+    store = DocStore(spark, str(tmp_path / "store"))
+    store.append(frame)
+    idx = StoreIndex(
+        store, str(tmp_path / "index"),
+        {"message": F.col("tokens")["message"]},
+    )
+    assert len(idx.refresh()) == 3
+    got = idx.search("message", ["alpha", "auth"])
+    direct = SearchTable.from_docs(store.read(), m).search(
+        "message:alpha and message:auth"
+    )
+    assert got.count() == direct.count() == 3
+    # retention drops a bucket; prune drops its index
+    dropped = store.retain(min_bucket=store.partitions()[1])
+    assert idx.prune() == dropped
+    assert idx.search("message", ["alpha", "auth"]).count() == 2
+
+
 def test_index_persisted_roundtrip_and_plan(spark, docs, index_df, tmp_path):
     """Persisted index: token lookups filter on the token column (pushable),
     fetch is a LeftSemi join — no tokenization anywhere in the query plan."""
