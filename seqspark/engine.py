@@ -197,6 +197,47 @@ class SearchTable:
         #: `proxy/bulk/indexer.go:162-167`; duplicates collapse at read like
         #: `seq/qpr.go:465-487`)
         self.default_dedup: Optional[Sequence[str]] = None
+        #: optional inverted-index routing (attach_index)
+        self._index: Optional[tuple] = None
+
+    def attach_index(
+        self,
+        index_df: DataFrame,
+        fields: Sequence[str],
+        id_cols: Sequence[str] = ("mid", "rid"),
+    ) -> "SearchTable":
+        """Route text-token predicates through a materialized inverted index
+        (SURVEY §7.2; the posting-list path of `frac/sealed_index.go:
+        218-266`).
+
+        Every query whose top level is AND-decomposable and contains at
+        least one exact-token literal on a covered field is PREFILTERED by a
+        semi-join against the index id set — one pruned index scan sized by
+        posting-list length, not corpus size — and the full predicate is
+        then applied on the surviving rows, so results are identical for
+        every query shape (the index only ever shrinks the scan).
+        """
+        self._index = (index_df, set(fields), tuple(id_cols))
+        return self
+
+    def _index_pairs(self, node) -> List[tuple]:
+        """Exact-token (field, token) conjuncts usable for index routing:
+        walk AND nodes only — conjuncts under OR/NOT can't prefilter."""
+        from .seqql.ast import Literal, Logical, LogicalOp, TOKEN_ALL, TOKEN_EXISTS
+
+        _, covered, _ = self._index
+        if isinstance(node, Logical) and node.op is LogicalOp.AND:
+            return self._index_pairs(node.children[0]) + self._index_pairs(
+                node.children[1]
+            )
+        if (
+            isinstance(node, Literal)
+            and node.field not in (TOKEN_ALL, TOKEN_EXISTS)
+            and node.field in covered
+            and node.single_text is not None
+        ):
+            return [(node.field, node.single_text)]
+        return []
 
     @staticmethod
     def _public(df: DataFrame) -> DataFrame:
@@ -367,6 +408,14 @@ class SearchTable:
         tf = self._time_filter(from_ms, to_ms)
         if tf is not None:
             df = df.filter(tf)
+        if self._index is not None:
+            pairs = self._index_pairs(query.root)
+            if pairs:
+                from .index import matching_ids_multi
+
+                index_df, _, id_cols = self._index
+                ids = matching_ids_multi(index_df, pairs, id_cols)
+                df = df.join(ids, on=list(id_cols), how="left_semi")
         df = df.filter(pred)
         dedup = dedup_cols if dedup_cols is not None else self.default_dedup
         if dedup:

@@ -99,6 +99,29 @@ def matching_ids(
     )
 
 
+def matching_ids_multi(
+    index_df: DataFrame,
+    pairs: Sequence[tuple],
+    id_cols: Sequence[str] = ("mid", "rid"),
+) -> DataFrame:
+    """Doc ids matching ALL ``(field, token)`` pairs — the cross-field AND
+    intersection, still ONE pruned index scan: filter to the union of the
+    pairs, group by id, keep ids that hit every pair."""
+    if not pairs:
+        raise ValueError("at least one (field, token) pair required")
+    cond = None
+    for f, t in pairs:
+        c = (F.col("field") == F.lit(f)) & (F.col("token") == F.lit(t))
+        cond = c if cond is None else (cond | c)
+    hits = index_df.filter(cond)
+    return (
+        hits.groupBy(*[F.col(c) for c in id_cols])
+        .agg(F.count_distinct(F.col("field"), F.col("token")).alias("__nt"))
+        .filter(F.col("__nt") == F.lit(len(set(pairs))))
+        .drop("__nt")
+    )
+
+
 def search_tokens(
     docs_df: DataFrame,
     index_df: DataFrame,

@@ -21,6 +21,7 @@ import uuid
 from typing import Optional
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from .ingest import ingest_docs
 from .mapping import Mapping
@@ -71,6 +72,32 @@ def stream_ingest(
     if trigger_once:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_histogram(
+    stream_df: DataFrame,
+    ts_col: str = "ts",
+    interval_ms: int = 60_000,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Continuously-maintained date histogram over a streaming frame: the
+    tumbling `window(ts, interval)` is the streaming twin of the batch
+    histogram's `MID - MID % interval` bucketing (`frac/processor/search.go:
+    169-179`), and the watermark bounds state for late data — which the
+    reference needs no state for because it clamps timestamps at ingest
+    (`proxy/bulk/processor.go:88-99`); we clamp too, so the watermark only
+    guards the clamp window.
+
+    Returns (bucket_ms BIGINT, cnt BIGINT); append output mode emits a
+    bucket once its window is older than the watermark.
+    """
+    win = F.window(F.col(ts_col), f"{interval_ms} milliseconds")
+    return (
+        stream_df.withWatermark(ts_col, watermark)
+        .groupBy(win.alias("w"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(F.unix_millis(F.col("w.start")).alias("bucket_ms"), "cnt")
+    )
 
 
 class AsyncSearcher:

@@ -64,6 +64,33 @@ def test_index_requires_all_tokens(spark):
     assert ids == [1]
 
 
+def test_attach_index_routes_and_matches(spark, docs, index_df):
+    """SearchTable.attach_index prefilters token-AND queries through the
+    index (LeftSemi in the plan) with results identical to the scan path —
+    including queries the index can only partially cover."""
+    from seqspark import SearchTable
+
+    m = {"text": "text", "lang": "keyword", "doc_id": "keyword"}
+    d = docs.withColumn("ts", F.timestamp_millis(F.col("doc_id") * 1000))
+    plain = SearchTable.from_typed(d, m, ts_col="ts", rid_col="doc_id")
+    routed = SearchTable.from_typed(d, m, ts_col="ts", rid_col="doc_id").attach_index(
+        index_df, ["text"], ["doc_id"]
+    )
+    for q in (
+        'text:"table scan"',                       # pure token AND → routed
+        "text:scan and lang:en",                   # partial coverage → routed
+        "text:scan or lang:en",                    # OR → not routable
+        "not text:scan",                           # NOT → not routable
+        "text:sc*n",                               # wildcard → not routable
+    ):
+        assert routed.search(q).count() == plain.search(q).count(), q
+    plan = routed.search('text:"table scan"')._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan
+    # non-routable queries take the plain path
+    plan2 = routed.search("not text:scan")._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" not in plan2
+
+
 def test_store_index_lifecycle(spark, tmp_path):
     """Per-bucket index co-maintained with the DocStore: refresh after
     ingest, search == direct token scan, prune after retention."""

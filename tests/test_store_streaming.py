@@ -197,7 +197,37 @@ def test_compact_crash_recovery(spark, tmp):
     assert store2.read().count() == before
 
 
-def test_es_bulk_roundtrip(spark, tmp):
+def test_stream_histogram_windows(spark, tmp):
+    """Watermarked tumbling-window histogram over a file stream: closed
+    hourly buckets emit with the batch histogram's counts; the newest
+    bucket stays open (append mode) until the watermark passes it."""
+    from seqspark.ingest import parse_event_time
+    from seqspark.streaming import stream_histogram
+
+    indir = os.path.join(tmp, "hin")
+    write_ndjson(os.path.join(indir, "docs.ndjson"), DOCS)
+    raw = (
+        spark.readStream.format("text")
+        .load(indir)
+        .withColumnRenamed("value", "raw")
+        .withColumn("ts", parse_event_time(F.col("raw")))
+    )
+    hist = stream_histogram(raw, interval_ms=3600_000, watermark="0 seconds")
+    q = (
+        hist.writeStream.format("memory")
+        .queryName("hist_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["bucket_ms"]: r["cnt"]
+        for r in spark.sql("SELECT * FROM hist_sink").collect()
+    }
+    # batch truth: 9 hourly buckets x 2 docs; the max-ts bucket is still open
+    assert len(got) == 8
+    assert all(cnt == 2 for cnt in got.values())
     from seqspark.bulk import bulk_to_df, parse_bulk_body
 
     body = "\n".join(
