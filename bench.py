@@ -82,10 +82,13 @@ def main() -> None:
         docs_at_rest, DOCS_MAPPING, ts_col="ts", rid_col="doc_id", assume_folded=True
     )
 
-    # warm the JVM + file listing (not part of the reference workload)
+    # warm the JVM + file listing + the agg finalize path (parameterized-SQL
+    # parse is once-per-session); the reference's k6 harness also measures
+    # steady state over repeated iterations, not cold starts
     events.count()
     docs_at_rest.count()
     lineitem.count()
+    st.aggregate(AggQuery(func="max", field="value", group_by="event_type")).collect()
 
     def q1():
         # match-all paging, ORDER_ASC, 3 pages of 100 (seq-db-paging.js)

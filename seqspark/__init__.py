@@ -20,6 +20,7 @@ from .engine import (
     TooManyUniqValuesError,
     materialize_tokens,
 )
+from .index import StoreIndex, build_inverted_index, search_tokens
 from .mapping import AutoMapping, Mapping
 from .seqql.parser import ParseError, parse
 
@@ -30,6 +31,9 @@ __all__ = [
     "SearchTable",
     "TooManyUniqValuesError",
     "materialize_tokens",
+    "StoreIndex",
+    "build_inverted_index",
+    "search_tokens",
     "AutoMapping",
     "Mapping",
     "ParseError",

@@ -328,6 +328,11 @@ class SearchTable:
         return cls(df, mapping, Resolver(specs), ts_col, rid_col, case_sensitive)
 
     @classmethod
+    def from_store(cls, store, mapping: Mapping, **kw) -> "SearchTable":
+        """Open a :class:`seqspark.store.DocStore` for search."""
+        return cls.from_docs(store.read(), mapping, **kw)
+
+    @classmethod
     def from_docs(
         cls,
         df: DataFrame,
@@ -561,6 +566,22 @@ class SearchTable:
             else:
                 out[fm.name] = fm.main_type
         return out
+
+    def explain(
+        self,
+        q: str = "*",
+        from_ms: Optional[int] = None,
+        to_ms: Optional[int] = None,
+    ) -> str:
+        """Explain trace for a query — the analog of the reference's
+        per-request explain output (`proxyapi/grpc_complex_search.go:34-60`
+        attaches an explain tree to responses): the parsed AST plus Spark's
+        full queryExecution trace (logical → optimized → physical), which
+        shows whether predicates reached PushedFilters and whether the
+        inverted index routed the query (LeftSemi)."""
+        ast = self.parse(q).root
+        df, _ = self._filtered(q, from_ms, to_ms)
+        return f"AST: {ast}\n{df._jdf.queryExecution().toString()}"
 
     def status(self) -> Dict[str, object]:
         """Store status — doc count + time bounds, the Status endpoint

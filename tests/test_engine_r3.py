@@ -287,6 +287,14 @@ def test_status_and_mapping_endpoints(events):
     assert s["fields"]["props"] == "text"
 
 
+def test_explain_trace(events):
+    st = SearchTable.from_typed(events, EVENTS_MAPPING, ts_col="ts", rid_col="event_id")
+    trace = st.explain("event_type:click and value:[10, *]")
+    assert trace.startswith("AST: ")
+    assert "Physical Plan" in trace
+    assert "PushedFilters" in trace
+
+
 def test_mapping_dict_multitype(spark):
     df = spark.createDataFrame([(1, "x")], "id int, m string").withColumn(
         "ts", F.timestamp_millis(F.col("id"))
