@@ -165,6 +165,41 @@ class AggQuery:
     exact_quantiles: bool = False
 
 
+def validate_agg(aggq: "AggQuery") -> None:
+    """Request validation, mirroring `proxyapi/grpc_v1.go:356-399`
+    validateAgg: COUNT needs group_by-or-field (legacy alias), UNIQUE needs
+    a group and never an interval, field funcs need a field, QUANTILE needs
+    quantiles all within [0, 1]."""
+    func = aggq.func.lower()
+    if func == "count":
+        if not aggq.group_by and not aggq.field:
+            raise ValueError("'group_by' or 'field' must be set")
+    elif func == "unique":
+        if not aggq.group_by and not aggq.field:
+            raise ValueError("'group_by' must be set")
+        if aggq.interval_ms:
+            raise ValueError(
+                "remove 'interval' parameter: 'unique' aggregations do not "
+                "support timeseries"
+            )
+    elif func in ("sum", "min", "max", "avg"):
+        if not aggq.field:
+            raise ValueError("'field' must be set")
+    elif func == "quantile":
+        if not aggq.field:
+            raise ValueError("'field' must be set")
+        if not aggq.quantiles:
+            raise ValueError(
+                "aggregation query with QUANTILE function must contain at "
+                "least one quantile"
+            )
+        for qv in aggq.quantiles:
+            if qv < 0 or qv > 1:
+                raise ValueError("quantile must be between 0 and 1")
+    else:
+        raise ValueError(f"unknown agg func {func!r}")
+
+
 class SearchTable:
     """A searchable table: a DataFrame + mapping + physical field layout.
 
@@ -677,14 +712,12 @@ class SearchTable:
         enforce_guard: bool = True,
         ordered: bool = True,
     ) -> DataFrame:
+        validate_agg(aggq)
         func = aggq.func.lower()
         group_by = aggq.group_by
         fieldname = aggq.field
         if func in ("count", "unique") and group_by is None:
             group_by, fieldname = fieldname, None  # legacy alias
-        if func == "unique" and aggq.interval_ms:
-            # reference forbids unique+interval (`proxyapi/grpc_v1.go:365-375`)
-            raise ValueError("'unique' aggregations do not support timeseries")
 
         if aggq.interval_ms:
             ts_ms = F.unix_millis(F.col(self.ts_col))

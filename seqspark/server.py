@@ -1,0 +1,173 @@
+"""Minimal ES-compatible HTTP front end (stdlib only) over the engine.
+
+HTTP parity with the reference's proxy server (`proxyapi/http_server.go:
+61-85`, `proxyapi/http_bulk.go:105-266`):
+
+- ``GET /``           → fake ES version banner (shipper compatibility);
+- ``POST /_bulk``     → NDJSON bulk ingest, gzip supported, per-item
+  statuses, HTTP 429 when more than ``max_inflight`` bulks are in flight
+  (reference `consts/consts.go:50` caps at 32);
+- ``GET /status``     → doc count + time bounds + mapping
+  (`proxyapi/grpc_status.go` / `grpc_mapping.go`);
+- ``POST /search``    → JSON ``{"query", "from_ms", "to_ms", "size",
+  "offset", "order", "with_total"}`` → matching docs (+ total), the
+  Search/ComplexSearch shape of `proxyapi/grpc_v1.go:175-254`.
+
+This is a thin network veneer: parsing/serving is driver-side Python (the
+reference proxy is the same kind of coordinator); all heavy work —
+tokenization, filtering, aggregation — runs distributed through
+:mod:`seqspark.ingest` / :class:`seqspark.engine.SearchTable`. Spark job
+submission is thread-safe, so the threading HTTP server maps cleanly onto
+concurrent queries.
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Optional
+
+from pyspark.sql import SparkSession
+
+from .bulk import ES_BANNER, bulk_to_df, parse_bulk_body
+from .engine import SearchTable
+from .ingest import ingest_docs
+from .mapping import Mapping
+from .store import DocStore
+
+#: reference `consts/consts.go:50` IngestorMaxInflightBulks
+MAX_INFLIGHT_BULKS = 32
+
+
+class SeqSparkServer:
+    """Bind a DocStore + mapping to an HTTP endpoint."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        store: DocStore,
+        mapping: Mapping,
+        host: str = "127.0.0.1",
+        port: int = 0,
+        max_inflight: int = MAX_INFLIGHT_BULKS,
+        allowed_drift_ms: Optional[int] = None,
+        future_drift_ms: Optional[int] = None,
+    ):
+        self.spark = spark
+        self.store = store
+        self.mapping = mapping
+        self._inflight = threading.Semaphore(max_inflight)
+        self._lock = threading.Lock()  # serialize parquet appends
+        from .ingest import ALLOWED_DRIFT_MS, FUTURE_DRIFT_MS
+
+        self._drift = ALLOWED_DRIFT_MS if allowed_drift_ms is None else allowed_drift_ms
+        self._future = FUTURE_DRIFT_MS if future_drift_ms is None else future_drift_ms
+        outer = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, *a):  # quiet test output
+                pass
+
+            def _json(self, code: int, obj) -> None:
+                body = json.dumps(obj).encode()
+                self.send_response(code)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def do_GET(self):
+                if self.path == "/":
+                    return self._json(200, ES_BANNER)
+                if self.path == "/status":
+                    return self._json(200, outer.status())
+                return self._json(404, {"error": "not found"})
+
+            def do_POST(self):
+                length = int(self.headers.get("Content-Length", 0))
+                body = self.rfile.read(length)
+                gzipped = self.headers.get("Content-Encoding") == "gzip"
+                if self.path == "/_bulk":
+                    if not outer._inflight.acquire(blocking=False):
+                        return self._json(429, {"error": "too many requests"})
+                    try:
+                        return self._json(200, outer.bulk(body, gzipped))
+                    finally:
+                        outer._inflight.release()
+                if self.path == "/search":
+                    try:
+                        req = json.loads(body.decode() or "{}")
+                        return self._json(200, outer.search(req))
+                    except Exception as e:  # request-shaped errors → 400
+                        return self._json(400, {"error": str(e)})
+                return self._json(404, {"error": "not found"})
+
+        self._httpd = ThreadingHTTPServer((host, port), Handler)
+        self.port = self._httpd.server_address[1]
+        self._thread: Optional[threading.Thread] = None
+
+    # ------------------------------------------------------------- handlers
+
+    def bulk(self, body: bytes, gzipped: bool) -> dict:
+        res = parse_bulk_body(body, gzipped=gzipped)
+        df = bulk_to_df(self.spark, res)
+        if df is not None:
+            docs = ingest_docs(
+                df,
+                self.mapping,
+                allowed_drift_ms=self._drift,
+                future_drift_ms=self._future,
+            )
+            with self._lock:
+                self.store.append(docs)
+        return res.response()
+
+    def _table(self) -> SearchTable:
+        return SearchTable.from_store(self.store, self.mapping)
+
+    def search(self, req: dict) -> dict:
+        st = self._table()
+        docs = st.search(
+            req.get("query", "*"),
+            from_ms=req.get("from_ms"),
+            to_ms=req.get("to_ms"),
+            size=req.get("size", 100),
+            offset=req.get("offset", 0),
+            order=req.get("order", "desc"),
+        ).select("mid", "rid", "raw")
+        out = {
+            "docs": [
+                {"mid": r["mid"], "rid": r["rid"], "data": r["raw"]}
+                for r in docs.collect()
+            ]
+        }
+        if req.get("with_total"):
+            out["total"] = st.total(
+                req.get("query", "*"),
+                from_ms=req.get("from_ms"),
+                to_ms=req.get("to_ms"),
+            ).collect()[0]["total"]
+        return out
+
+    def status(self) -> dict:
+        try:
+            return self._table().status()
+        except Exception:  # empty store has no parquet yet
+            return {"docs": 0, "oldest_ms": None, "newest_ms": None,
+                    "fields": {}}
+
+    # ------------------------------------------------------------ lifecycle
+
+    def start(self) -> "SeqSparkServer":
+        self._thread = threading.Thread(
+            target=self._httpd.serve_forever, daemon=True
+        )
+        self._thread.start()
+        return self
+
+    def stop(self) -> None:
+        self._httpd.shutdown()
+        self._httpd.server_close()
+        if self._thread:
+            self._thread.join(5)

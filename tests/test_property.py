@@ -1,0 +1,97 @@
+"""Property-based parity tests (hypothesis): the Spark tokenizer and range
+predicates agree with direct Python models of the reference semantics on
+randomized inputs. Each example batch runs as ONE Spark job over a list of
+generated strings, keeping runtime bounded."""
+
+import re
+
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from seqspark.compile import parses_as_number
+
+# alphabet chosen to exercise boundaries (runs, multi-byte UTF-8 vs byte
+# caps, '*'/'_' retention) while avoiding chars where Java and Python
+# disagree on \p{N}/lower() (e.g. Nl/No numerals, dotted-I)
+ALPHABET = (
+    "abcxyz XYZ 0189 _*-,.!/:"  # ascii letters/digits/retained/separators
+    "äßéñ"                      # 2-byte UTF-8 letters
+    "日本語中"                   # 3-byte CJK letters
+)
+
+texts = st.lists(
+    st.text(alphabet=ALPHABET, min_size=0, max_size=120), min_size=1, max_size=24
+)
+
+
+def model_text_tokens(s: str, max_token: int = 72) -> list:
+    """Python model of `tokenizer/text_tokenizer.go:27-106`: runs of
+    letter/digit/'_'/'*', folded, per-token byte cap, empty value → ['']."""
+    if len(s) == 0:
+        return [""]
+    toks = re.split(r"[^\w*]+", s.lower(), flags=re.UNICODE)
+    return [t for t in toks if t and len(t.encode("utf-8")) <= max_token]
+
+
+@settings(max_examples=8, deadline=None)
+@given(texts)
+def test_text_tokenizer_matches_python_model(spark, samples):
+    from seqspark.tokenize import text_tokens
+
+    df = spark.createDataFrame([(i, s) for i, s in enumerate(samples)], "i int, s string")
+    got = {
+        r["i"]: r["toks"]
+        for r in df.select("i", text_tokens(F.col("s")).alias("toks")).collect()
+    }
+    for i, s in enumerate(samples):
+        assert got[i] == model_text_tokens(s), repr(s)
+
+
+range_tokens = st.lists(
+    st.one_of(
+        st.text(alphabet="abc019.-+e", min_size=0, max_size=12),
+        st.floats(allow_nan=False, allow_infinity=False, width=32).map(str),
+        st.integers(-10**6, 10**6).map(str),
+    ),
+    min_size=1,
+    max_size=24,
+)
+bounds = st.one_of(
+    st.integers(-1000, 1000).map(str), st.text(alphabet="ab1.", min_size=1, max_size=4)
+)
+
+
+def model_range_match(tok, lo, hi, inc_lo=True, inc_hi=True):
+    """`pattern/pattern.go:157-262`: numeric compare when both bounds and
+    the token parse as finite Go floats, else lexicographic."""
+    lo_n, hi_n = parses_as_number(lo), parses_as_number(hi)
+    if lo_n is not None and hi_n is not None:
+        t = parses_as_number(tok)
+        if t is None:
+            return False
+        return (t >= lo_n if inc_lo else t > lo_n) and (
+            t <= hi_n if inc_hi else t < hi_n
+        )
+    return (tok >= lo if inc_lo else tok > lo) and (
+        tok <= hi if inc_hi else tok < hi
+    )
+
+
+@settings(max_examples=8, deadline=None)
+@given(range_tokens, bounds, bounds)
+def test_range_predicate_matches_python_model(spark, toks, lo, hi):
+    from seqspark import SearchTable
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(toks)], "i int, v string"
+    ).withColumn("ts", F.timestamp_millis(F.col("i")))
+    stbl = SearchTable.from_typed(
+        df, {"v": "keyword"}, ts_col="ts", rid_col="i", case_sensitive=True
+    )
+    try:
+        pred = stbl.predicate(f"v:['{lo}', '{hi}']")
+    except Exception:
+        return  # bound strings the grammar rejects are out of scope here
+    got = {r["i"] for r in df.filter(pred).select("i").collect()}
+    want = {i for i, t in enumerate(toks) if model_range_match(t, lo, hi)}
+    assert got == want, (lo, hi, toks)

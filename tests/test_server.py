@@ -1,0 +1,108 @@
+"""HTTP front-end tests: ES banner, bulk ingest round trip (plain + gzip),
+search with totals, status, per-item error statuses."""
+
+import gzip
+import json
+import urllib.request
+
+import pytest
+
+from seqspark import Mapping
+from seqspark.server import SeqSparkServer
+from seqspark.store import DocStore
+
+BIG = 10**15
+MAPPING = Mapping({"service": "keyword", "message": "text"})
+
+
+@pytest.fixture()
+def server(spark, tmp_path):
+    store = DocStore(spark, str(tmp_path / "store"))
+    srv = SeqSparkServer(
+        spark, store, MAPPING, allowed_drift_ms=BIG, future_drift_ms=BIG
+    ).start()
+    yield srv
+    srv.stop()
+
+
+def _get(srv, path):
+    try:
+        with urllib.request.urlopen(f"http://127.0.0.1:{srv.port}{path}") as r:
+            return r.status, json.loads(r.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+def _post(srv, path, body: bytes, headers=None):
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{srv.port}{path}", data=body, headers=headers or {}
+    )
+    try:
+        with urllib.request.urlopen(req) as r:
+            return r.status, json.loads(r.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+BULK = "\n".join(
+    [
+        '{"index": {}}',
+        '{"timestamp": "2024-01-01 10:00:00.000", "service": "auth", "message": "login ok"}',
+        '{"create": {}}',
+        '{"timestamp": "2024-01-01 11:00:00.000", "service": "pay", "message": "charge done"}',
+        '{"delete": {"_id": "3"}}',
+    ]
+).encode()
+
+
+def test_banner(server):
+    code, body = _get(server, "/")
+    assert code == 200
+    assert body["tagline"] == "You Know, for Search"
+
+
+def test_bulk_search_status_roundtrip(server):
+    code, body = _post(server, "/_bulk", BULK)
+    assert code == 200
+    assert body["errors"] is True  # the delete item is rejected
+    statuses = [list(i.values())[0]["status"] for i in body["items"]]
+    assert statuses == [201, 201, 400]
+
+    code, res = _post(
+        server,
+        "/search",
+        json.dumps({"query": "service:auth", "with_total": True}).encode(),
+    )
+    assert code == 200
+    assert res["total"] == 1
+    assert len(res["docs"]) == 1
+    assert json.loads(res["docs"][0]["data"])["service"] == "auth"
+
+    code, st = _get(server, "/status")
+    assert code == 200
+    assert st["docs"] == 2
+    assert st["fields"] == {"service": "keyword", "message": "text"}
+
+
+def test_bulk_gzip(server):
+    code, body = _post(
+        server,
+        "/_bulk",
+        gzip.compress(b'{"index": {}}\n{"service": "auth", "message": "zipped"}\n'),
+        headers={"Content-Encoding": "gzip"},
+    )
+    assert code == 200 and not body["errors"]
+    code, res = _post(server, "/search", json.dumps({"query": "message:zipped"}).encode())
+    assert len(res["docs"]) == 1
+
+
+def test_bad_query_is_400(server):
+    _post(server, "/_bulk", BULK)
+    code, res = _post(server, "/search", json.dumps({"query": "unmapped_field:x"}).encode())
+    assert code == 400
+    assert "not indexed" in res["error"]
+
+
+def test_unknown_path_404(server):
+    code, _ = _get(server, "/nope")
+    assert code == 404
