@@ -255,24 +255,42 @@ class SearchTable:
         self._index = (index_df, set(fields), tuple(id_cols))
         return self
 
-    def _index_pairs(self, node) -> List[tuple]:
-        """Exact-token (field, token) conjuncts usable for index routing:
-        walk AND nodes only — conjuncts under OR/NOT can't prefilter."""
-        from .seqql.ast import Literal, Logical, LogicalOp, TOKEN_ALL, TOKEN_EXISTS
+    def _index_conjuncts(self, node) -> tuple:
+        """Index-routable conjuncts: walk AND nodes only — anything under
+        OR/NOT can't prefilter. Returns (exact_pairs, wildcards) where
+        exact_pairs = [(field, token)] and wildcards = [(field, prefix,
+        regex)] for wildcard literals (prefix = leading literal run, the
+        dictionary-narrowing key; regex = anchored full pattern)."""
+        from .compile import wildcard_regex
+        from .seqql.ast import (
+            TOKEN_ALL,
+            TOKEN_EXISTS,
+            Literal,
+            Logical,
+            LogicalOp,
+            TermKind,
+        )
 
         _, covered, _ = self._index
         if isinstance(node, Logical) and node.op is LogicalOp.AND:
-            return self._index_pairs(node.children[0]) + self._index_pairs(
-                node.children[1]
-            )
+            l0, w0 = self._index_conjuncts(node.children[0])
+            l1, w1 = self._index_conjuncts(node.children[1])
+            return l0 + l1, w0 + w1
         if (
             isinstance(node, Literal)
             and node.field not in (TOKEN_ALL, TOKEN_EXISTS)
             and node.field in covered
-            and node.single_text is not None
         ):
-            return [(node.field, node.single_text)]
-        return []
+            if node.single_text is not None:
+                return [(node.field, node.single_text)], []
+            if not node.is_match_all:
+                prefix = (
+                    node.terms[0].data
+                    if node.terms and node.terms[0].kind is TermKind.TEXT
+                    else ""
+                )
+                return [], [(node.field, prefix, wildcard_regex(node.terms))]
+        return [], []
 
     @staticmethod
     def _public(df: DataFrame) -> DataFrame:
@@ -449,13 +467,17 @@ class SearchTable:
         if tf is not None:
             df = df.filter(tf)
         if self._index is not None:
-            pairs = self._index_pairs(query.root)
-            if pairs:
-                from .index import matching_ids_multi
+            pairs, wildcards = self._index_conjuncts(query.root)
+            if pairs or wildcards:
+                from .index import matching_ids_multi, matching_ids_wildcard
 
                 index_df, _, id_cols = self._index
-                ids = matching_ids_multi(index_df, pairs, id_cols)
-                df = df.join(ids, on=list(id_cols), how="left_semi")
+                if pairs:
+                    ids = matching_ids_multi(index_df, pairs, id_cols)
+                    df = df.join(ids, on=list(id_cols), how="left_semi")
+                for fld, prefix, rx in wildcards:
+                    ids = matching_ids_wildcard(index_df, fld, prefix, rx, id_cols)
+                    df = df.join(ids, on=list(id_cols), how="left_semi")
         df = df.filter(pred)
         dedup = dedup_cols if dedup_cols is not None else self.default_dedup
         if dedup:

@@ -122,6 +122,26 @@ def matching_ids_multi(
     )
 
 
+def matching_ids_wildcard(
+    index_df: DataFrame,
+    field: str,
+    prefix: str,
+    regex: Optional[str],
+    id_cols: Sequence[str] = ("mid", "rid"),
+) -> DataFrame:
+    """Doc ids with ANY token matching a wildcard — the dictionary-narrowing
+    path of `pattern/pattern.go:110-121`: a literal prefix becomes a
+    pushable ``startswith`` (parquet min/max pages on the token-sorted index
+    skip whole ranges), the full pattern is verified with the anchored
+    regex. OR-semantics per token → distinct ids."""
+    hits = index_df.filter(F.col("field") == F.lit(field))
+    if prefix:
+        hits = hits.filter(F.col("token").startswith(prefix))
+    if regex is not None:
+        hits = hits.filter(F.col("token").rlike(regex))
+    return hits.select(*[F.col(c) for c in id_cols]).distinct()
+
+
 def search_tokens(
     docs_df: DataFrame,
     index_df: DataFrame,

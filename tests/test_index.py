@@ -81,11 +81,16 @@ def test_attach_index_routes_and_matches(spark, docs, index_df):
         "text:scan and lang:en",                   # partial coverage → routed
         "text:scan or lang:en",                    # OR → not routable
         "not text:scan",                           # NOT → not routable
-        "text:sc*n",                               # wildcard → not routable
+        "text:sc*n",                               # wildcard → routed (dict narrowing)
+        "text:sc*n and text:table",                # mixed exact + wildcard
     ):
         assert routed.search(q).count() == plain.search(q).count(), q
     plan = routed.search('text:"table scan"')._jdf.queryExecution().executedPlan().toString()
     assert "LeftSemi" in plan
+    # wildcard routing pushes the literal prefix into the index scan
+    # (dictionary narrowing, `pattern/pattern.go:110-121`)
+    planw = routed.search("text:sc*n")._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in planw and "StartsWith" in planw
     # non-routable queries take the plain path
     plan2 = routed.search("not text:scan")._jdf.queryExecution().executedPlan().toString()
     assert "LeftSemi" not in plan2
