@@ -255,42 +255,65 @@ class SearchTable:
         self._index = (index_df, set(fields), tuple(id_cols))
         return self
 
-    def _index_conjuncts(self, node) -> tuple:
-        """Index-routable conjuncts: walk AND nodes only — anything under
-        OR/NOT can't prefilter. Returns (exact_pairs, wildcards) where
-        exact_pairs = [(field, token)] and wildcards = [(field, prefix,
-        regex)] for wildcard literals (prefix = leading literal run, the
-        dictionary-narrowing key; regex = anchored full pattern)."""
+    def _index_leaf(self, node) -> Optional[tuple]:
+        """(field, exact_token_or_None, prefix, regex_or_None) when ``node``
+        is an index-covered literal, else None."""
         from .compile import wildcard_regex
-        from .seqql.ast import (
-            TOKEN_ALL,
-            TOKEN_EXISTS,
-            Literal,
-            Logical,
-            LogicalOp,
-            TermKind,
-        )
+        from .seqql.ast import TOKEN_ALL, TOKEN_EXISTS, Literal, TermKind
 
         _, covered, _ = self._index
-        if isinstance(node, Logical) and node.op is LogicalOp.AND:
-            l0, w0 = self._index_conjuncts(node.children[0])
-            l1, w1 = self._index_conjuncts(node.children[1])
-            return l0 + l1, w0 + w1
         if (
-            isinstance(node, Literal)
-            and node.field not in (TOKEN_ALL, TOKEN_EXISTS)
-            and node.field in covered
+            not isinstance(node, Literal)
+            or node.field in (TOKEN_ALL, TOKEN_EXISTS)
+            or node.field not in covered
+            or node.is_match_all
         ):
-            if node.single_text is not None:
-                return [(node.field, node.single_text)], []
-            if not node.is_match_all:
-                prefix = (
-                    node.terms[0].data
-                    if node.terms and node.terms[0].kind is TermKind.TEXT
-                    else ""
-                )
-                return [], [(node.field, prefix, wildcard_regex(node.terms))]
-        return [], []
+            return None
+        if node.single_text is not None:
+            return (node.field, node.single_text, "", None)
+        prefix = (
+            node.terms[0].data
+            if node.terms and node.terms[0].kind is TermKind.TEXT
+            else ""
+        )
+        return (node.field, None, prefix, wildcard_regex(node.terms))
+
+    def _or_leaves(self, node) -> Optional[List[tuple]]:
+        """Leaves of a pure-OR subtree when EVERY disjunct is index-covered
+        (otherwise routing would drop matches of uncovered disjuncts)."""
+        from .seqql.ast import Logical, LogicalOp
+
+        if isinstance(node, Logical) and node.op is LogicalOp.OR:
+            left = self._or_leaves(node.children[0])
+            right = self._or_leaves(node.children[1])
+            if left is None or right is None:
+                return None
+            return left + right
+        leaf = self._index_leaf(node)
+        return [leaf] if leaf is not None else None
+
+    def _index_conjuncts(self, node) -> tuple:
+        """Index-routable conjuncts: walk AND nodes; each conjunct routes as
+        an exact (field, token) pair, a wildcard (prefix narrowing), or a
+        fully-covered OR group (``in()`` / keyword-OR → posting-list
+        union). Anything else — NOT, partially-covered OR — is left to the
+        residual predicate."""
+        from .seqql.ast import Logical, LogicalOp
+
+        if isinstance(node, Logical) and node.op is LogicalOp.AND:
+            l0, w0, o0 = self._index_conjuncts(node.children[0])
+            l1, w1, o1 = self._index_conjuncts(node.children[1])
+            return l0 + l1, w0 + w1, o0 + o1
+        leaf = self._index_leaf(node)
+        if leaf is not None:
+            fld, token, prefix, rx = leaf
+            if token is not None:
+                return [(fld, token)], [], []
+            return [], [(fld, prefix, rx)], []
+        ors = self._or_leaves(node)
+        if ors is not None:
+            return [], [], [ors]
+        return [], [], []
 
     @staticmethod
     def _public(df: DataFrame) -> DataFrame:
@@ -467,9 +490,13 @@ class SearchTable:
         if tf is not None:
             df = df.filter(tf)
         if self._index is not None:
-            pairs, wildcards = self._index_conjuncts(query.root)
-            if pairs or wildcards:
-                from .index import matching_ids_multi, matching_ids_wildcard
+            pairs, wildcards, or_groups = self._index_conjuncts(query.root)
+            if pairs or wildcards or or_groups:
+                from .index import (
+                    matching_ids_multi,
+                    matching_ids_or,
+                    matching_ids_wildcard,
+                )
 
                 index_df, _, id_cols = self._index
                 if pairs:
@@ -477,6 +504,9 @@ class SearchTable:
                     df = df.join(ids, on=list(id_cols), how="left_semi")
                 for fld, prefix, rx in wildcards:
                     ids = matching_ids_wildcard(index_df, fld, prefix, rx, id_cols)
+                    df = df.join(ids, on=list(id_cols), how="left_semi")
+                for leaves in or_groups:
+                    ids = matching_ids_or(index_df, leaves, id_cols)
                     df = df.join(ids, on=list(id_cols), how="left_semi")
         df = df.filter(pred)
         dedup = dedup_cols if dedup_cols is not None else self.default_dedup
@@ -576,8 +606,20 @@ class SearchTable:
 
     def apply_pipes(self, df: DataFrame, pipes: List[PipeFields]) -> DataFrame:
         """`fields a,b` / `fields except a,b` projection
-        (reference `storeapi/grpc_fetch.go:170-216`)."""
+        (reference `storeapi/grpc_fetch.go:170-216`).
+
+        On a document store (a ``raw`` JSON column) the pipe filters the
+        JSON text of each returned document, exactly like the reference's
+        FieldsFilter on fetched docs; on a typed table it selects/drops
+        columns (the columnar analog, oracle-verified)."""
         for p in pipes:
+            if "raw" in df.columns:
+                from .ingest import project_fields
+
+                df = df.withColumn(
+                    "raw", project_fields(F.col("raw"), list(p.fields), p.except_)
+                )
+                continue
             existing = set(df.columns)
             if p.except_:
                 df = df.drop(*[f for f in p.fields if f in existing])

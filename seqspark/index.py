@@ -142,6 +142,31 @@ def matching_ids_wildcard(
     return hits.select(*[F.col(c) for c in id_cols]).distinct()
 
 
+def matching_ids_or(
+    index_df: DataFrame,
+    leaves: Sequence[tuple],
+    id_cols: Sequence[str] = ("mid", "rid"),
+) -> DataFrame:
+    """Doc ids matching ANY of the leaves — the OR-node posting-list union
+    (`node/node_or.go`), e.g. an ``in()`` disjunction. Each leaf is
+    ``(field, exact_token_or_None, prefix, regex_or_None)``; one pruned
+    index scan, distinct ids."""
+    if not leaves:
+        raise ValueError("at least one leaf required")
+    cond = None
+    for fld, token, prefix, regex in leaves:
+        c = F.col("field") == F.lit(fld)
+        if token is not None:
+            c = c & (F.col("token") == F.lit(token))
+        else:
+            if prefix:
+                c = c & F.col("token").startswith(prefix)
+            if regex is not None:
+                c = c & F.col("token").rlike(regex)
+        cond = c if cond is None else (cond | c)
+    return index_df.filter(cond).select(*[F.col(c) for c in id_cols]).distinct()
+
+
 def search_tokens(
     docs_df: DataFrame,
     index_df: DataFrame,

@@ -38,6 +38,7 @@ def stream_ingest(
     case_sensitive: bool = False,
     allowed_drift_ms: Optional[int] = None,
     future_drift_ms: Optional[int] = None,
+    index=None,
 ):
     """File-source streaming ingest: NDJSON files dropped into ``input_dir``
     are tokenized per mapping and appended to the store.
@@ -63,7 +64,22 @@ def stream_ingest(
             allowed_drift_ms=drift,
             future_drift_ms=future,
         )
+        if index is not None:
+            docs = docs.persist()  # one transform pass for append + buckets
         store.append(docs)
+        if index is not None:
+            # refresh exactly the buckets this micro-batch touched — the
+            # seal-time index build of `frac/active_sealer.go`, incremental
+            touched = [
+                r["b"]
+                for r in docs.select(
+                    F.date_format("ts", store.bucket_fmt).alias("b")
+                )
+                .distinct()
+                .collect()
+            ]
+            index.refresh(touched)
+            docs.unpersist()
 
     writer = (
         raw_stream.writeStream.foreachBatch(write_batch)

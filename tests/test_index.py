@@ -83,6 +83,9 @@ def test_attach_index_routes_and_matches(spark, docs, index_df):
         "not text:scan",                           # NOT → not routable
         "text:sc*n",                               # wildcard → routed (dict narrowing)
         "text:sc*n and text:table",                # mixed exact + wildcard
+        "text:in(scan, tab*)",                     # in() → routed OR union
+        "text:scan or text:table",                 # covered OR → routed union
+        "text:scan or lang:fr",                    # lang uncovered → not routable
     ):
         assert routed.search(q).count() == plain.search(q).count(), q
     plan = routed.search('text:"table scan"')._jdf.queryExecution().executedPlan().toString()
@@ -91,9 +94,13 @@ def test_attach_index_routes_and_matches(spark, docs, index_df):
     # (dictionary narrowing, `pattern/pattern.go:110-121`)
     planw = routed.search("text:sc*n")._jdf.queryExecution().executedPlan().toString()
     assert "LeftSemi" in planw and "StartsWith" in planw
+    # in() routes as one index union
+    plani = routed.search("text:in(scan, tab*)")._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plani
     # non-routable queries take the plain path
-    plan2 = routed.search("not text:scan")._jdf.queryExecution().executedPlan().toString()
-    assert "LeftSemi" not in plan2
+    for nq in ("not text:scan", "text:scan or lang:fr"):
+        plan2 = routed.search(nq)._jdf.queryExecution().executedPlan().toString()
+        assert "LeftSemi" not in plan2, nq
 
 
 def test_store_index_lifecycle(spark, tmp_path):

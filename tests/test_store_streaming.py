@@ -197,6 +197,48 @@ def test_compact_crash_recovery(spark, tmp):
     assert store2.read().count() == before
 
 
+def test_fields_pipe_projects_raw_json(spark):
+    """On a doc store, `| fields` filters the returned JSON text itself
+    (reference FieldsFilter on fetched docs, `storeapi/grpc_fetch.go:
+    170-216`)."""
+    frame = ingest_docs(
+        spark.createDataFrame(
+            [(json.dumps({"timestamp": "2024-01-01 10:00:00.000",
+                          "service": "auth", "message": "hi"}),)],
+            "raw string",
+        ),
+        MAPPING, allowed_drift_ms=BIG, future_drift_ms=BIG,
+    )
+    st = SearchTable.from_docs(frame, MAPPING)
+    row = st.search("service:auth | fields service").select("raw").collect()[0]
+    assert json.loads(row["raw"]) == {"service": "auth"}
+    row2 = st.search("service:auth | fields except message, timestamp").select("raw").collect()[0]
+    assert json.loads(row2["raw"]) == {"service": "auth"}
+
+
+def test_stream_ingest_maintains_index(spark, tmp):
+    """stream_ingest(index=...) refreshes exactly the touched buckets; the
+    index answers queries immediately after the batch."""
+    from seqspark.index import StoreIndex
+
+    indir = os.path.join(tmp, "in")
+    write_ndjson(os.path.join(indir, "docs.ndjson"), DOCS)
+    store = DocStore(spark, os.path.join(tmp, "store"))
+    idx = StoreIndex(
+        store, os.path.join(tmp, "index"), {"message": F.col("tokens")["message"]}
+    )
+    q = stream_ingest(
+        spark, indir, store, MAPPING, os.path.join(tmp, "ckpt"),
+        allowed_drift_ms=BIG, future_drift_ms=BIG, index=idx,
+    )
+    q.awaitTermination(120)
+    assert idx.search("message", ["msg", "auth"]).count() == 9
+    st = SearchTable.from_store(store, MAPPING).attach_index(
+        idx.read(), ["message"]
+    )
+    assert st.search("message:msg and message:auth").count() == 9
+
+
 def test_stream_histogram_windows(spark, tmp):
     """Watermarked tumbling-window histogram over a file stream: closed
     hourly buckets emit with the batch histogram's counts; the newest
