@@ -622,6 +622,20 @@ def q_export_keyset(spark, sf_dir):
     return _ev_cols(st.search("event_type:error and value:[40, *]", order="asc"))
 
 
+def q_case_sensitive_eq(spark, sf_dir):
+    # --case-sensitive mode: no folding at index or query time
+    # (`tokenizer/tokenizer.go:15-48` gate)
+    ev = load_table(spark, sf_dir, "events")
+    st = SearchTable.from_typed(
+        ev,
+        {"event_type": "keyword", "event_id": "keyword"},
+        ts_col="ts",
+        rid_col="event_id",
+        case_sensitive=True,
+    )
+    return st.search("event_type:click").select("event_id", "event_type")
+
+
 def q_corpus_curation(spark, sf_dir):
     # LLM-training-data curation chain: quality gate → exact dedup →
     # per-doc token budget — one declarative plan, no Python in the loop
@@ -702,6 +716,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "inverted_index_and": q_inverted_index_and,
         "export_keyset": q_export_keyset,
         "corpus_curation": q_corpus_curation,
+        "case_sensitive_eq": q_case_sensitive_eq,
     }
 
 
@@ -928,6 +943,9 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT {_EV} FROM events WHERE "
             "lower(event_type) = 'error' AND value >= 40 "
             "ORDER BY ts ASC, event_id ASC"
+        ),
+        "case_sensitive_eq": (
+            "SELECT event_id, event_type FROM events WHERE event_type = 'click'"
         ),
     }
     sw = "('the','a','and','of','to','in','is','that','it','for')"

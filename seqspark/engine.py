@@ -717,9 +717,6 @@ class SearchTable:
 
     # ------------------------------------------------------------ aggregation
 
-    def _field_tokens(self, fieldname: str) -> Column:
-        return self.resolver.resolve(fieldname).tokens()
-
     def _field_scalar_or_explode(self, df: DataFrame, fieldname: str, out: str) -> DataFrame:
         """Attach one row per (doc, token-of-field); docs without the field
         keep a single row with NULL (NotExists accounting,

@@ -71,13 +71,22 @@ def keyword_tokens(
     col: Column,
     case_sensitive: bool = False,
     max_token_size: int = DEFAULT_MAX_TOKEN_SIZE,
+    partial_indexing: bool = False,
 ) -> Column:
     """Single-element token array for a keyword column: the folded whole
-    value; values over the BYTE-size cap are skipped
-    (`tokenizer/keyword_tokenizer.go:22-42`; the reference caps len([]byte))."""
+    value; values over the BYTE-size cap are skipped — or truncated to the
+    cap when ``partial_indexing`` is on, mirroring ``--partial-indexing``
+    (`tokenizer/keyword_tokenizer.go:22-42` + `docs/en/02-flags.md`).
+    Truncation counts characters (safe rune boundaries); only multi-byte
+    values near the cap can differ from the reference's byte cut."""
+    folded = fold_case(col, case_sensitive)
+    if partial_indexing:
+        over = F.array(F.substring(folded, 1, max_token_size))
+    else:
+        over = F.array().cast("array<string>")
     return F.when(col.isNull(), F.lit(None).cast("array<string>")).otherwise(
-        F.when(F.octet_length(col) > max_token_size, F.array().cast("array<string>"))
-        .otherwise(F.array(fold_case(col, case_sensitive)))
+        F.when(F.octet_length(col) > max_token_size, over)
+        .otherwise(F.array(folded))
     )
 
 

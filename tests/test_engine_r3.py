@@ -255,6 +255,60 @@ def test_agg_guard_enforced_inside_aggregate(events):
     st.aggregate(AggQuery(func="count", field="event_type"), max_group_tokens=5)
 
 
+def test_agg_request_validation(events):
+    """validate_agg parity with `proxyapi/grpc_v1.go:356-399`."""
+    st = SearchTable.from_typed(events, EVENTS_MAPPING, ts_col="ts", rid_col="event_id")
+    with pytest.raises(ValueError, match="group_by"):
+        st.aggregate(AggQuery(func="count"))
+    with pytest.raises(ValueError, match="field"):
+        st.aggregate(AggQuery(func="sum"))
+    with pytest.raises(ValueError, match="at least one quantile"):
+        st.aggregate(AggQuery(func="quantile", field="value"))
+    with pytest.raises(ValueError, match="between 0 and 1"):
+        st.aggregate(AggQuery(func="quantile", field="value", quantiles=[1.5]))
+    with pytest.raises(ValueError, match="unknown agg func"):
+        st.aggregate(AggQuery(func="median", field="value"))
+
+
+def test_partial_indexing_truncates_keyword(spark):
+    from seqspark.tokenize import keyword_tokens
+
+    df = spark.createDataFrame([("A" * 100,), ("ok",)], "v string")
+    strict = df.select(keyword_tokens(F.col("v")).alias("t")).collect()
+    partial = df.select(
+        keyword_tokens(F.col("v"), partial_indexing=True).alias("t")
+    ).collect()
+    assert strict[0]["t"] == [] and strict[1]["t"] == ["ok"]
+    assert partial[0]["t"] == ["a" * 72] and partial[1]["t"] == ["ok"]
+
+
+def test_restarted_session_reads_store(spark, tmp_path):
+    """'Restarted' leg of the reference's Active/Sealed/Restarted parity
+    (`tests/suites/single.go:96-120`): a fresh session (new catalog/conf
+    over the same files) sees identical results."""
+    import json as _json
+
+    from seqspark import Mapping
+    from seqspark.ingest import ingest_docs
+    from seqspark.store import DocStore
+
+    m = Mapping({"service": "keyword", "message": "text"})
+    BIG = 10**15
+    frame = ingest_docs(
+        spark.createDataFrame(
+            [(_json.dumps({"timestamp": "2024-01-01 10:00:00.000",
+                           "service": "auth", "message": "hello"}),)],
+            "raw string",
+        ),
+        m, allowed_drift_ms=BIG, future_drift_ms=BIG,
+    )
+    DocStore(spark, str(tmp_path / "s")).append(frame)
+    fresh = spark.newSession()
+    store2 = DocStore(fresh, str(tmp_path / "s"))
+    st = SearchTable.from_store(store2, m)
+    assert st.search("service:auth and message:hello").count() == 1
+
+
 def test_agg_unique_forbids_interval(events):
     st = SearchTable.from_typed(events, EVENTS_MAPPING, ts_col="ts", rid_col="event_id")
     with pytest.raises(ValueError, match="timeseries"):
