@@ -95,10 +95,15 @@ class SeqSparkServer:
                         return self._json(200, outer.bulk(body, gzipped))
                     finally:
                         outer._inflight.release()
-                if self.path == "/search":
+                handlers = {
+                    "/search": outer.search,
+                    "/complex": outer.complex,
+                    "/fetch": outer.fetch,
+                }
+                if self.path in handlers:
                     try:
                         req = json.loads(body.decode() or "{}")
-                        return self._json(200, outer.search(req))
+                        return self._json(200, handlers[self.path](req))
                     except Exception as e:  # request-shaped errors → 400
                         return self._json(400, {"error": str(e)})
                 return self._json(404, {"error": "not found"})
@@ -149,6 +154,78 @@ class SeqSparkServer:
                 to_ms=req.get("to_ms"),
             ).collect()[0]["total"]
         return out
+
+    def complex(self, req: dict) -> dict:
+        """ComplexSearch over HTTP (`proxyapi/grpc_complex_search.go:14-60`):
+        ``{"query", "from_ms", "to_ms", "size", "with_total",
+        "hist_interval_ms", "aggs": [{"func", "field", "group_by",
+        "quantiles", "interval_ms"}]}`` → docs + total + histogram +
+        agg buckets, all from one cached scan."""
+        from .engine import AggQuery
+
+        st = self._table()
+        aggs = [
+            AggQuery(
+                func=a["func"],
+                field=a.get("field"),
+                group_by=a.get("group_by"),
+                quantiles=a.get("quantiles", ()),
+                interval_ms=a.get("interval_ms"),
+            )
+            for a in req.get("aggs", [])
+        ]
+        res = st.complex_search(
+            req.get("query", "*"),
+            from_ms=req.get("from_ms"),
+            to_ms=req.get("to_ms"),
+            size=req.get("size", 0),
+            offset=req.get("offset", 0),
+            order=req.get("order", "desc"),
+            with_total=req.get("with_total", False),
+            hist_interval_ms=req.get("hist_interval_ms"),
+            aggs=aggs,
+        )
+        try:
+            out: dict = {}
+            if res.docs is not None:
+                out["docs"] = [
+                    {"mid": r["mid"], "rid": r["rid"], "data": r["raw"]}
+                    for r in res.docs.select("mid", "rid", "raw").collect()
+                ]
+            if res.total is not None:
+                out["total"] = res.total.collect()[0]["total"]
+            if res.histogram is not None:
+                out["histogram"] = {
+                    str(r["bucket_ms"]): r["cnt"] for r in res.histogram.collect()
+                }
+            out["aggs"] = [
+                [
+                    {k: (None if v != v else v) if isinstance(v, float) else v
+                     for k, v in r.asDict().items()}
+                    for r in adf.collect()
+                ]
+                for adf in res.aggs
+            ]
+            return out
+        finally:
+            res.unpersist()
+
+    def fetch(self, req: dict) -> dict:
+        """Fetch-by-ID (`proxyapi/grpc_fetch.go:21`): ``{"ids": [[mid, rid],
+        ...]}`` → docs in store order."""
+        st = self._table()
+        ids = req.get("ids", [])
+        spark = self.spark
+        ids_df = spark.createDataFrame(
+            [(int(m), int(r)) for m, r in ids], "mid long, rid long"
+        )
+        docs = st.fetch(ids_df, ["mid", "rid"]).select("mid", "rid", "raw")
+        return {
+            "docs": [
+                {"mid": r["mid"], "rid": r["rid"], "data": r["raw"]}
+                for r in docs.collect()
+            ]
+        }
 
     def status(self) -> dict:
         try:

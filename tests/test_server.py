@@ -96,6 +96,35 @@ def test_bulk_gzip(server):
     assert len(res["docs"]) == 1
 
 
+def test_complex_and_fetch_endpoints(server):
+    _post(server, "/_bulk", BULK)
+    code, res = _post(
+        server,
+        "/complex",
+        json.dumps(
+            {
+                "query": "*",
+                "with_total": True,
+                "hist_interval_ms": 3600_000,
+                "aggs": [{"func": "count", "field": "service"}],
+                "size": 10,
+            }
+        ).encode(),
+    )
+    assert code == 200
+    assert res["total"] == 2
+    assert len(res["docs"]) == 2
+    assert sum(res["histogram"].values()) == 2
+    counts = {b["name"]: b["value"] for b in res["aggs"][0]}
+    assert counts == {"auth": 1.0, "pay": 1.0}
+
+    ids = [[d["mid"], d["rid"]] for d in res["docs"][:1]]
+    code, fres = _post(server, "/fetch", json.dumps({"ids": ids}).encode())
+    assert code == 200
+    assert len(fres["docs"]) == 1
+    assert fres["docs"][0]["mid"] == ids[0][0]
+
+
 def test_bad_query_is_400(server):
     _post(server, "/_bulk", BULK)
     code, res = _post(server, "/search", json.dumps({"query": "unmapped_field:x"}).encode())
