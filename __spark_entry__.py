@@ -622,6 +622,41 @@ def q_export_keyset(spark, sf_dir):
     return _ev_cols(st.search("event_type:error and value:[40, *]", order="asc"))
 
 
+def q_pii_scrub(spark, sf_dir):
+    # PII masking over synthetic-PII-bearing text (the corpus itself is
+    # clean, so plant deterministic emails/IPs per doc)
+    from seqspark.pipeline.scrub import pii_scrub
+
+    docs = load_table(spark, sf_dir, "documents")
+    dirty = F.concat(
+        F.col("text"),
+        F.lit(" contact user"), F.col("doc_id").cast("string"),
+        F.lit("@example.com at 10.0.0."), (F.col("doc_id") % 256).cast("string"),
+    )
+    return docs.select("doc_id", pii_scrub(dirty).alias("clean"))
+
+
+def q_decontaminate(spark, sf_dir):
+    # flag corpus docs sharing any 8-gram with a benchmark set (docs 0-19)
+    from seqspark.pipeline.scrub import decontaminate
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") < 20).select(
+        F.col("text").alias("btext")
+    )
+    out = decontaminate(docs, bench, "doc_id", "text", "btext", n=8)
+    return out.select("doc_id", "contaminated")
+
+
+def q_repetition_ratio(spark, sf_dir):
+    from seqspark.pipeline.scrub import repetition_ratio
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", F.round(repetition_ratio(F.col("text"), n=3), 4).alias("rep")
+    )
+
+
 def q_case_sensitive_eq(spark, sf_dir):
     # --case-sensitive mode: no folding at index or query time
     # (`tokenizer/tokenizer.go:15-48` gate)
@@ -717,6 +752,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "export_keyset": q_export_keyset,
         "corpus_curation": q_corpus_curation,
         "case_sensitive_eq": q_case_sensitive_eq,
+        "pii_scrub": q_pii_scrub,
+        "decontaminate": q_decontaminate,
+        "repetition_ratio": q_repetition_ratio,
     }
 
 
@@ -946,6 +984,32 @@ def oracle_sql() -> dict[str, str]:
         ),
         "case_sensitive_eq": (
             "SELECT event_id, event_type FROM events WHERE event_type = 'click'"
+        ),
+        "pii_scrub": (
+            "SELECT doc_id, "
+            "regexp_replace(regexp_replace(regexp_replace("
+            "text || ' contact user' || doc_id || '@example.com at 10.0.0.' || (doc_id % 256), "
+            r"'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'), "
+            r"'\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g'), "
+            r"'\+?\d[\d\s().-]{7,}\d', '<PHONE>', 'g') AS clean "
+            "FROM documents"
+        ),
+        "decontaminate": (
+            "WITH grams AS (SELECT doc_id, unnest(list_distinct(list_transform("
+            "range(1, greatest(len(w) - 7, 0) + 1), "
+            "i -> array_to_string(w[i:i+7], ' ')))) AS gram "
+            f"FROM (SELECT doc_id, {_WORDS} AS w FROM documents)), "
+            "bench AS (SELECT DISTINCT gram FROM grams WHERE doc_id < 20), "
+            "hits AS (SELECT DISTINCT g.doc_id FROM grams g JOIN bench b USING (gram)) "
+            "SELECT d.doc_id, (h.doc_id IS NOT NULL) AS contaminated "
+            "FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id"
+        ),
+        "repetition_ratio": (
+            "SELECT doc_id, CASE WHEN len(w) - 2 >= 1 THEN round("
+            "1.0 - len(list_distinct(list_transform(range(1, len(w) - 1), "
+            "i -> array_to_string(w[i:i+2], ' '))))::DOUBLE / (len(w) - 2), 4) "
+            "ELSE 0.0 END AS rep "
+            f"FROM (SELECT doc_id, {_WORDS} AS w FROM documents)"
         ),
     }
     sw = "('the','a','and','of','to','in','is','that','it','for')"

@@ -139,6 +139,61 @@ def test_ivf_probe(emb):
     assert rows[2]["vec_id"] in got
 
 
+def test_pii_scrub_masks_and_preserves(spark):
+    from seqspark.pipeline import scrub
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail me at bob.smith+x@corp.example.org please"),
+            (2, "server 192.168.10.1 rebooted"),
+            (3, "call +1 (415) 555-0199 now"),
+            (4, "nothing sensitive here"),
+        ],
+        "id int, t string",
+    )
+    got = {r["id"]: r["c"] for r in df.select("id", scrub.pii_scrub(F.col("t")).alias("c")).collect()}
+    assert got[1] == "mail me at <EMAIL> please"
+    assert got[2] == "server <IP> rebooted"
+    assert got[3] == "call <PHONE> now"
+    assert got[4] == "nothing sensitive here"
+
+
+def test_decontaminate_flags_overlap(spark):
+    from seqspark.pipeline import scrub
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),   # contains bench 4-gram
+            (2, "totally unrelated words in this row"),
+            (3, "beta gamma delta epsilon trailing stuff"),  # same 4-gram
+        ],
+        "id int, t string",
+    )
+    bench = spark.createDataFrame(
+        [("beta gamma delta epsilon",)], "b string"
+    )
+    out = scrub.decontaminate(docs, bench, "id", "t", "b", n=4)
+    got = {r["id"]: r["contaminated"] for r in out.collect()}
+    assert got == {1: True, 2: False, 3: True}
+
+
+def test_repetition_ratio_bounds(spark):
+    from seqspark.pipeline import scrub
+
+    df = spark.createDataFrame(
+        [
+            (1, "spam ham spam ham spam ham spam ham spam ham"),  # loops
+            (2, "one two three four five six seven eight"),       # novel
+            (3, "hi"),                                            # too short
+        ],
+        "id int, t string",
+    )
+    got = {r["id"]: r["rep"] for r in df.select("id", scrub.repetition_ratio(F.col("t")).alias("rep")).collect()}
+    assert got[1] > 0.5
+    assert got[2] == 0.0
+    assert got[3] == 0.0
+
+
 def test_document_stats_schema_and_values(docs):
     out = textstats.document_stats(docs.limit(10))
     rows = out.collect()
