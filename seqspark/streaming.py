@@ -116,6 +116,97 @@ def stream_histogram(
     )
 
 
+def sessionize(
+    stream_df: DataFrame,
+    key_col: str,
+    ts_col: str = "ts",
+    gap_ms: int = 30 * 60 * 1000,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Custom stateful streaming operator: gap-based sessionization with
+    ``applyInPandasWithState`` (the sanctioned Arrow-batched path for state
+    Spark's built-ins can't express — the reference has no stateful
+    operators, this is a beyond-reference addition for event analytics).
+
+    Emits one row per CLOSED session — ``(key, session_start_ms,
+    session_end_ms, n_events)`` — when no event for ``key`` arrives within
+    ``gap_ms`` of the last one (decided by event-time timeout as the
+    watermark passes). State per key is three numbers; the watermark bounds
+    it. Scales: state is partitioned by key across executors, batches move
+    via Arrow.
+    """
+    import pandas as pd  # noqa: F401 (imported for executors)
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = (
+        f"{key_col} string, session_start_ms long, session_end_ms long, "
+        "n_events long"
+    )
+    state_schema = "start_ms long, last_ms long, n long"
+
+    def update(key, pdf_iter, state):
+        import pandas as pd
+
+        if state.hasTimedOut:
+            start_ms, last_ms, n = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    key_col: [key[0]],
+                    "session_start_ms": [start_ms],
+                    "session_end_ms": [last_ms],
+                    "n_events": [n],
+                }
+            )
+            return
+        # keys WITH data in a batch never get a separate timeout call, so
+        # session splits must happen inline: walk the sorted event times,
+        # closing the open session whenever the gap is exceeded
+        times = []
+        for pdf in pdf_iter:
+            times.extend(int(v) for v in pdf["__ts_ms"])
+        times.sort()
+        start_ms = last_ms = None
+        n = 0
+        if state.exists:
+            start_ms, last_ms, n = state.get
+        closed = []
+        for t in times:
+            if last_ms is None:
+                start_ms, last_ms, n = t, t, 1
+            elif t - last_ms <= gap_ms:
+                last_ms = max(last_ms, t)
+                n += 1
+            else:
+                closed.append((start_ms, last_ms, n))
+                start_ms, last_ms, n = t, t, 1
+        state.update((start_ms, last_ms, n))
+        state.setTimeoutTimestamp(last_ms + gap_ms)
+        yield pd.DataFrame(
+            {
+                key_col: [key[0]] * len(closed),
+                "session_start_ms": [c[0] for c in closed],
+                "session_end_ms": [c[1] for c in closed],
+                "n_events": [c[2] for c in closed],
+            }
+        )
+
+    from pyspark.sql import functions as FX
+
+    prepared = (
+        stream_df.withWatermark(ts_col, watermark)
+        .withColumn("__ts_ms", FX.unix_millis(FX.col(ts_col)))
+        .select(key_col, ts_col, "__ts_ms")
+    )
+    return prepared.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
 class AsyncSearcher:
     """Persisted long-running search jobs, executed in the background
     (reference `fracmanager/async_searcher.go:32-200`, API

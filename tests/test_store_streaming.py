@@ -239,7 +239,61 @@ def test_stream_ingest_maintains_index(spark, tmp):
     assert st.search("message:msg and message:auth").count() == 9
 
 
-def test_stream_histogram_windows(spark, tmp):
+def test_sessionize_stateful(spark, tmp):
+    """applyInPandasWithState sessionization: sessions close via event-time
+    timeout once later batches advance the watermark."""
+    from seqspark.streaming import sessionize
+
+    indir = os.path.join(tmp, "sess_in")
+    ckpt = os.path.join(tmp, "sess_ckpt")
+
+    def write_batch(name, rows):
+        write_ndjson(
+            os.path.join(indir, name),
+            [{"ts": t, "svc": s} for t, s in rows],
+        )
+
+    emitted = []
+
+    def run_once():
+        raw = (
+            spark.readStream.schema("ts string, svc string")
+            .json(indir)
+            .withColumn("ts", F.to_timestamp("ts"))
+        )
+        sess = sessionize(raw, "svc", gap_ms=60_000, watermark="0 seconds")
+        q = (
+            sess.writeStream.foreachBatch(
+                lambda df, _id: emitted.extend(df.collect())
+            )
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # batch 1: two auth events 10s apart (one session), one pay event
+    write_batch("b1.json", [
+        ("2024-01-01 10:00:00", "auth"),
+        ("2024-01-01 10:00:10", "auth"),
+        ("2024-01-01 10:00:05", "pay"),
+    ])
+    run_once()
+    # batch 2: far-future event advances the watermark past every timeout
+    write_batch("b2.json", [("2024-01-01 12:00:00", "auth")])
+    run_once()
+    # batch 3: another nudge so batch-2 state can also time out if due
+    write_batch("b3.json", [("2024-01-01 14:00:00", "pay")])
+    run_once()
+    rows = {
+        (r["svc"], r["n_events"]): (r["session_start_ms"], r["session_end_ms"])
+        for r in emitted
+    }
+    assert ("auth", 2) in rows  # the 10:00:00-10:00:10 session
+    start, end = rows[("auth", 2)]
+    assert end - start == 10_000
+    assert ("pay", 1) in rows
     """Watermarked tumbling-window histogram over a file stream: closed
     hourly buckets emit with the batch histogram's counts; the newest
     bucket stays open (append mode) until the watermark passes it."""
