@@ -15,11 +15,17 @@ Scale notes:
 - the doc-time range is applied on the timestamp column, so with a
   time-partitioned store it prunes partitions/row-groups (the fraction
   pruning of `fracmanager/searcher.go:89-101` for free);
-- top-k compiles to TakeOrderedAndProject (limit pushdown), offset is
-  resolved with a row_number window over the already-limited ≤offset+size
-  rows — never a full-table single-partition window;
+- top-k + offset compile to one TakeOrderedAndProject(limit, offset) via
+  native ``offset()``; deep paging has a keyset path (:meth:`SearchTable.
+  search_after`) that costs one pruned top-k scan instead of O(offset);
+- numeric ranges over native numeric columns reach Parquet PushedFilters;
+  text predicates hit persisted token columns (tokens at rest) or, via
+  :meth:`SearchTable.attach_index`, a materialized inverted index;
 - aggregations are plain groupBy → partial+final HashAggregate, the QPR
-  merge tree of `seq/qpr.go:417-462` done by Spark.
+  merge tree of `seq/qpr.go:417-462` done by Spark; the bounded bucket set
+  is finalized driver-side like the reference's proxy merge;
+- :meth:`SearchTable.complex_search` serves docs + total + histogram + N
+  aggregations from ONE cached filtered scan.
 """
 
 from __future__ import annotations

@@ -9,8 +9,9 @@ Spark-first equivalent of the reference bulk pipeline
 - timestamps outside the allowed drift window (past > 24h, future > 5m by
   default) are clamped to ingest time (`proxy/bulk/processor.go:88-99`);
 - document ID = (mid, rid): mid is the unix-ms timestamp, rid a 64-bit
-  random discriminator (`seq/seq.go:115-119`) — here a deterministic
-  xxhash64 of the raw doc + a monotonic counter so replays are stable;
+  discriminator (`seq/seq.go:115-119` uses randomness) — here a
+  deterministic ``xxhash64(raw, mid)`` so at-least-once replays re-produce
+  the same ID and collapse at read;
 - every mapped field is tokenized per its index type into a
   ``tokens MAP<STRING, ARRAY<STRING>>`` column; ``_exists_`` presence is
   derivable from map keys; doc size tracked as ``length(raw)``
