@@ -47,6 +47,45 @@ def test_text_tokenizer_matches_python_model(spark, samples):
         assert got[i] == model_text_tokens(s), repr(s)
 
 
+printable = st.text(
+    alphabet=st.characters(
+        codec="utf-8", exclude_categories=("Cs", "Cc", "Cn")
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+def quote_single(v: str) -> str:
+    """Quote a value for seq-ql single quotes: escape backslash, the quote,
+    and `*` (so the literal stays a literal, `parser/seqql.go:276-292`)."""
+    out = []
+    for ch in v:
+        if ch in ("\\", "'", "*"):
+            out.append("\\" + ch)
+        elif ch == "\n":
+            out.append("\\n")
+        elif ch == "\r":
+            out.append("\\r")
+        else:
+            out.append(ch)
+    return "'" + "".join(out) + "'"
+
+
+@settings(max_examples=200, deadline=None)
+@given(printable)
+def test_quoting_roundtrip(v):
+    """parse(field:'<escaped v>') must recover v exactly as one literal —
+    the lexer's unquote is the inverse of quoting for any printable text."""
+    from seqspark.mapping import AutoMapping
+    from seqspark.seqql.parser import parse
+
+    q = "f:" + quote_single(v)
+    lit = parse(q, AutoMapping()).root
+    assert [t.data for t in lit.terms] == [v.lower()]
+    assert not any(t.is_wildcard for t in lit.terms)
+
+
 range_tokens = st.lists(
     st.one_of(
         st.text(alphabet="abc019.-+e", min_size=0, max_size=12),

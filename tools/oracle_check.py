@@ -1,0 +1,96 @@
+"""Local replica of the driver's correctness gate: run every
+`__spark_entry__.queries()` entry AND its DuckDB oracle twin side by side,
+compare sorted columns + sorted normalized rows, and flag mismatches and
+vacuous (0-row) passes.
+
+Usage:
+    python tools/oracle_check.py [sf_dir]       # default /root/testdata/sf0.01
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+
+def norm(v):
+    if isinstance(v, float):
+        return "NaN" if math.isnan(v) else round(v, 6)
+    return v
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+
+    import duckdb
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master(f"local[{os.environ.get('SPARK_GRAFT_CPUS', '16')}]")
+        .appName("oracle-check")
+        .config("spark.sql.shuffle.partitions", "16")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as em
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+
+    qs, oracles = em.queries(), em.oracle_sql()
+    fails, n_ok, n_rows_only = [], 0, 0
+    for name, fn in qs.items():
+        try:
+            sdf = fn(spark, sf_dir)
+            scols = sorted(sdf.columns)
+            srows = sorted(tuple(norm(r[c]) for c in scols) for r in sdf.collect())
+        except Exception as e:
+            fails.append((name, f"SPARK {type(e).__name__}: {e}"))
+            continue
+        if name not in oracles:
+            n_rows_only += 1
+            print(f"{name}: rows-only ({len(srows)} rows)")
+            continue
+        try:
+            ores = con.execute(oracles[name]).fetchdf()
+            ocols = sorted(ores.columns)
+            orows = sorted(
+                tuple(norm(v) for v in row)
+                for row in ores[ocols].itertuples(index=False)
+            )
+        except Exception as e:
+            fails.append((name, f"ORACLE {e}"))
+            continue
+        if scols != ocols or srows != orows:
+            fails.append((name, f"MISMATCH rows={len(srows)}/{len(orows)}"))
+        elif not srows:
+            fails.append((name, "VACUOUS: both sides 0 rows"))
+        else:
+            n_ok += 1
+            print(f"{name}: ok ({len(srows)} rows)")
+    print(
+        f"\n{len(qs)} entries: {n_ok} oracle-green, {n_rows_only} rows-only, "
+        f"{len(fails)} problems"
+    )
+    for name, why in fails:
+        print(f"  FAIL {name}: {why}")
+    spark.stop()
+    return 1 if fails else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
