@@ -150,6 +150,30 @@ class DocStore:
 
     # ------------------------------------------------------------ compaction
 
+    def partition_file_count(self, bucket: str) -> int:
+        p = self._fs.path(f"{PARTITION_COL}={bucket}")
+        if not self._fs.exists(p):
+            return 0
+        return sum(
+            1
+            for s in self._fs._fs.listStatus(p)
+            if s.isFile() and not s.getPath().getName().startswith("_")
+        )
+
+    def maintain(self, max_files_per_partition: int = 8, target_files: int = 1) -> list[str]:
+        """Background-maintenance pass, the sealing loop of
+        `fracmanager/fracmanager.go:344-385`: every streaming micro-batch
+        appends small files (the active fraction's append-only blocks);
+        once a partition accumulates more than ``max_files_per_partition``
+        it is compacted into ``target_files`` sorted files (sealed).
+        Returns the compacted buckets."""
+        done: list[str] = []
+        for b in self.partitions():
+            if self.partition_file_count(b) > max_files_per_partition:
+                self.compact(b, target_files)
+                done.append(b)
+        return done
+
     def compact(self, bucket: str, target_files: int = 1) -> None:
         """Rewrite one partition into ``target_files`` files — the sealing
         analog (`frac/active_sealer.go`): many small append files become one

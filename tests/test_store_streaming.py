@@ -181,6 +181,52 @@ def test_async_search_restart_resume(spark, tmp):
     assert b.resume_pending(lambda q: spark.range(1).toDF("x")) == []
 
 
+def test_maintain_compacts_fragmented_partitions(spark, tmp):
+    """maintain() seals partitions that accumulated too many small append
+    files (`fracmanager/fracmanager.go:344-385` sealing loop)."""
+    store = DocStore(spark, os.path.join(tmp, "m_store"))
+    frame = ingest_docs(
+        spark.createDataFrame(
+            [(json.dumps({"timestamp": "2024-01-01 10:00:00.000",
+                          "service": "auth", "message": f"m{i}"}),) for i in range(3)],
+            "raw string",
+        ),
+        MAPPING, allowed_drift_ms=BIG, future_drift_ms=BIG,
+    ).repartition(4)
+    for _ in range(3):  # 3 appends x up-to-4 files each
+        store.append(frame)
+    bucket = store.partitions()[0]
+    before_rows = store.read().count()
+    assert store.partition_file_count(bucket) > 8
+    assert store.maintain(max_files_per_partition=8) == [bucket]
+    assert store.partition_file_count(bucket) == 1
+    assert store.read().count() == before_rows
+    # already sealed → no-op
+    assert store.maintain(max_files_per_partition=8) == []
+
+
+def test_mapping_evolution_old_store_new_field(spark, tmp):
+    """A store written under an older mapping answers queries that use a
+    newly mapped field: no rows (and _exists_ false), never an error."""
+    old = Mapping({"service": "keyword"})
+    frame = ingest_docs(
+        spark.createDataFrame(
+            [(json.dumps({"timestamp": "2024-01-01 10:00:00.000",
+                          "service": "auth", "level": "info"}),)],
+            "raw string",
+        ),
+        old, allowed_drift_ms=BIG, future_drift_ms=BIG,
+    )
+    store = DocStore(spark, os.path.join(tmp, "evo_store"))
+    store.append(frame)
+    new = Mapping({"service": "keyword", "level": "keyword"})
+    st = SearchTable.from_docs(store.read(), new)
+    assert st.search("service:auth").count() == 1
+    assert st.search("level:info").count() == 0  # not indexed at write time
+    assert st.search("_exists_:level").count() == 0
+    assert st.search("service:auth and not _exists_:level").count() == 1
+
+
 def test_compact_crash_recovery(spark, tmp):
     """A crash between the two swap renames leaves the live partition parked
     in _compact_tmp/old-*; the next DocStore startup restores it."""
