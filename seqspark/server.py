@@ -24,9 +24,13 @@ concurrent queries.
 from __future__ import annotations
 
 import json
+import logging
 import threading
+import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Optional
+
+logger = logging.getLogger("seqspark.server")
 
 from pyspark.sql import SparkSession
 
@@ -38,6 +42,9 @@ from .store import DocStore
 
 #: reference `consts/consts.go:50` IngestorMaxInflightBulks
 MAX_INFLIGHT_BULKS = 32
+
+#: reference `docs/en/02-flags.md` --log-search-threshold-ms default
+LOG_SEARCH_THRESHOLD_MS = 3000
 
 
 class SeqSparkServer:
@@ -53,12 +60,14 @@ class SeqSparkServer:
         max_inflight: int = MAX_INFLIGHT_BULKS,
         allowed_drift_ms: Optional[int] = None,
         future_drift_ms: Optional[int] = None,
+        log_search_threshold_ms: int = LOG_SEARCH_THRESHOLD_MS,
     ):
         self.spark = spark
         self.store = store
         self.mapping = mapping
         self._inflight = threading.Semaphore(max_inflight)
         self._lock = threading.Lock()  # serialize parquet appends
+        self._slow_ms = log_search_threshold_ms
         from .ingest import ALLOWED_DRIFT_MS, FUTURE_DRIFT_MS
 
         self._drift = ALLOWED_DRIFT_MS if allowed_drift_ms is None else allowed_drift_ms
@@ -103,7 +112,16 @@ class SeqSparkServer:
                 if self.path in handlers:
                     try:
                         req = json.loads(body.decode() or "{}")
-                        return self._json(200, handlers[self.path](req))
+                        t0 = time.perf_counter()
+                        resp = handlers[self.path](req)
+                        took_ms = (time.perf_counter() - t0) * 1000
+                        if took_ms >= outer._slow_ms:
+                            # slow-search log (`--log-search-threshold-ms`)
+                            logger.warning(
+                                "slow search took=%.0fms path=%s query=%r",
+                                took_ms, self.path, req.get("query", ""),
+                            )
+                        return self._json(200, resp)
                     except Exception as e:  # request-shaped errors → 400
                         return self._json(400, {"error": str(e)})
                 return self._json(404, {"error": "not found"})

@@ -135,3 +135,21 @@ def test_bad_query_is_400(server):
 def test_unknown_path_404(server):
     code, _ = _get(server, "/nope")
     assert code == 404
+
+
+def test_slow_search_logged(spark, tmp_path, caplog):
+    import logging
+
+    store = DocStore(spark, str(tmp_path / "slow_store"))
+    srv = SeqSparkServer(
+        spark, store, MAPPING,
+        allowed_drift_ms=BIG, future_drift_ms=BIG,
+        log_search_threshold_ms=0,  # every search is "slow"
+    ).start()
+    try:
+        _post(srv, "/_bulk", BULK)
+        with caplog.at_level(logging.WARNING, logger="seqspark.server"):
+            _post(srv, "/search", json.dumps({"query": "service:auth"}).encode())
+        assert any("slow search" in r.message for r in caplog.records)
+    finally:
+        srv.stop()
