@@ -86,6 +86,42 @@ def test_quoting_roundtrip(v):
     assert not any(t.is_wildcard for t in lit.terms)
 
 
+paths = st.lists(
+    st.text(alphabet="abc0/ _.", min_size=0, max_size=40), min_size=1, max_size=16
+)
+
+
+def model_path_tokens(s: str, max_token: int = 72) -> list:
+    """Python model of `tokenizer/path_tokenizer.go:32-70`: every proper
+    '/'-prefix plus the full folded value; oversized values skipped."""
+    if len(s.encode("utf-8")) > max_token:
+        return []
+    folded = s.lower()
+    parts = folded.split("/")
+    prefixes = []
+    for i in range(1, len(parts)):
+        p = "/".join(parts[:i])
+        if p:
+            prefixes.append(p)
+    return prefixes + [folded]
+
+
+@settings(max_examples=8, deadline=None)
+@given(paths)
+def test_path_tokenizer_matches_python_model(spark, samples):
+    from seqspark.tokenize import path_tokens
+
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(samples)], "i int, s string"
+    )
+    got = {
+        r["i"]: r["toks"]
+        for r in df.select("i", path_tokens(F.col("s")).alias("toks")).collect()
+    }
+    for i, s in enumerate(samples):
+        assert got[i] == model_path_tokens(s), repr(s)
+
+
 range_tokens = st.lists(
     st.one_of(
         st.text(alphabet="abc019.-+e", min_size=0, max_size=12),
