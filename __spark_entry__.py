@@ -457,6 +457,65 @@ def q_join_broadcast(spark, sf_dir):
     )
 
 
+def q_shipping_priority(spark, sf_dir):
+    # TPC-H Q3 shape: two broadcast-able dims against the lineitem fact —
+    # the dim tables broadcast, so the fact side never shuffles for the
+    # joins; only the final small groupBy aggregates exchange
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    li = load_table(spark, sf_dir, "lineitem")
+    cutoff = F.to_timestamp(F.lit("1995-03-15"))
+    return (
+        li.filter(F.col("l_shipdate") > cutoff)
+        .join(
+            F.broadcast(orders.filter(F.col("o_orderdate") < cutoff)),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            F.broadcast(cust.filter(F.col("c_mktsegment") == "BUILDING")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy("l_orderkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+def q_local_supplier_volume(spark, sf_dir):
+    # TPC-H Q5 shape: 5-way join where every dim broadcasts; tests the
+    # planner keeps the fact table shuffle-free through the join chain
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = load_table(spark, sf_dir, "nation")
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    supplier = load_table(spark, sf_dir, "supplier")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(F.broadcast(orders), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey")
+        )
+        .join(
+            F.broadcast(cust),
+            (F.col("o_custkey") == F.col("c_custkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
 def q_lineitem_pricing_summary(spark, sf_dir):
     # TPC-H Q1-shaped scan-heavy aggregate — the bench workhorse
     li = load_table(spark, sf_dir, "lineitem")
@@ -755,6 +814,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": q_pii_scrub,
         "decontaminate": q_decontaminate,
         "repetition_ratio": q_repetition_ratio,
+        "shipping_priority": q_shipping_priority,
+        "local_supplier_volume": q_local_supplier_volume,
     }
 
 
@@ -1010,6 +1071,24 @@ def oracle_sql() -> dict[str, str]:
             "i -> array_to_string(w[i:i+2], ' '))))::DOUBLE / (len(w) - 2), 4) "
             "ELSE 0.0 END AS rep "
             f"FROM (SELECT doc_id, {_WORDS} AS w FROM documents)"
+        ),
+        "shipping_priority": (
+            "SELECT l_orderkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "JOIN customer ON o_custkey = c_custkey "
+            "WHERE l_shipdate > TIMESTAMP '1995-03-15' "
+            "AND o_orderdate < TIMESTAMP '1995-03-15' "
+            "AND c_mktsegment = 'BUILDING' "
+            "GROUP BY 1 ORDER BY revenue DESC, l_orderkey ASC LIMIT 10"
+        ),
+        "local_supplier_volume": (
+            "SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "JOIN supplier ON l_suppkey = s_suppkey "
+            "JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey "
+            "JOIN nation ON s_nationkey = n_nationkey "
+            "JOIN region ON n_regionkey = r_regionkey "
+            "WHERE r_name = 'ASIA' GROUP BY 1"
         ),
     }
     sw = "('the','a','and','of','to','in','is','that','it','for')"

@@ -70,12 +70,24 @@ class _HadoopFS:
 
 
 class DocStore:
-    """A parquet-backed document store partitioned by time bucket."""
+    """A parquet-backed document store partitioned by time bucket.
 
-    def __init__(self, spark: SparkSession, path: str, bucket_fmt: str = "yyyy-MM-dd-HH"):
+    ``compression='zstd'`` by default — the codec the reference uses for
+    every doc/meta/index block (`disk/codec.go:6-9`, `frac/compress.go`);
+    zstd trades a little CPU for markedly smaller files, which at 100 TB is
+    less I/O on every scan."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        bucket_fmt: str = "yyyy-MM-dd-HH",
+        compression: str = "zstd",
+    ):
         self.spark = spark
         self.path = path
         self.bucket_fmt = bucket_fmt
+        self.compression = compression
         self._fs = _HadoopFS(spark, path)
         self._cleanup_stale_tmp()
 
@@ -98,6 +110,7 @@ class DocStore:
         (
             df.withColumn(PARTITION_COL, F.date_format(F.col(ts_col), self.bucket_fmt))
             .write.partitionBy(PARTITION_COL)
+            .option("compression", self.compression)
             .mode("append")
             .parquet(self.path)
         )
@@ -192,7 +205,8 @@ class DocStore:
         (
             df.sort("ts")
             .coalesce(target_files)
-            .write.mode("overwrite")
+            .write.option("compression", self.compression)
+            .mode("overwrite")
             .parquet(str(tmp_new.toUri()))
         )
         # swap: live → old scratch, new → live, drop scratch
