@@ -22,7 +22,9 @@ from .engine import (
 )
 from .index import StoreIndex, build_inverted_index, search_tokens
 from .mapping import AutoMapping, Mapping
+from .ratelimit import RateLimiter
 from .seqql.parser import ParseError, parse
+from .store import DocStore, TieredStore
 
 __all__ = [
     "AggParseError",
@@ -36,6 +38,9 @@ __all__ = [
     "search_tokens",
     "AutoMapping",
     "Mapping",
+    "RateLimiter",
+    "DocStore",
+    "TieredStore",
     "ParseError",
     "parse",
 ]

@@ -438,6 +438,10 @@ class SearchTable:
             for title in fm.sub_types:
                 sub = f"{fm.name}.{title}"
                 specs[sub] = spec_for(sub)
+        # drift-clamped docs carry an indexed original_timestamp token even
+        # when absent from the mapping (`docs/en/07-long-term-store.md`
+        # §"Avoid old docs in hot store")
+        specs.setdefault("original_timestamp", spec_for("original_timestamp"))
 
         class DocResolver(Resolver):
             def resolve(self, fieldname: str) -> FieldSpec:  # lazy dotted paths

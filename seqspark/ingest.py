@@ -153,6 +153,22 @@ def ingest_docs(
                 f"{fm.name}.{title}", sub_type, value, sub_size
             )
 
+    # old/future-doc rewrite preservation (`docs/en/07-long-term-store.md`
+    # §"Avoid old docs in hot store"): when the drift clamp rewrote the
+    # event time, the original timestamp is kept in an indexed
+    # `original_timestamp` field (overwriting any mapped field of that
+    # name, like the reference), so clamped docs stay findable
+    # (`_exists_:original_timestamp`) and their true time is queryable.
+    clamped = event_ts.isNotNull() & (F.unix_millis(ts) != F.unix_millis(event_ts))
+    entries["original_timestamp"] = F.when(
+        clamped,
+        entry_tokens(
+            "original_timestamp",
+            "keyword",
+            F.date_format(event_ts, "yyyy-MM-dd'T'HH:mm:ss.SSSXXX"),
+        ),
+    )
+
     # rid derives ONLY from stable inputs (doc bytes + mid) — never from
     # monotonically_increasing_id, whose value depends on partition layout:
     # an at-least-once foreachBatch retry must re-produce the SAME (mid, rid)

@@ -38,6 +38,7 @@ from .bulk import ES_BANNER, bulk_to_df, parse_bulk_body
 from .engine import SearchTable
 from .ingest import ingest_docs
 from .mapping import Mapping
+from .ratelimit import RateLimiter, fetch_key, search_key
 from .store import DocStore
 
 #: reference `consts/consts.go:50` IngestorMaxInflightBulks
@@ -61,11 +62,17 @@ class SeqSparkServer:
         allowed_drift_ms: Optional[int] = None,
         future_drift_ms: Optional[int] = None,
         log_search_threshold_ms: int = LOG_SEARCH_THRESHOLD_MS,
+        query_rate_limit: Optional[float] = None,
     ):
         self.spark = spark
         self.store = store
         self.mapping = mapping
         self._inflight = threading.Semaphore(max_inflight)
+        # per-query-shape admission control (`docs/en/08-rate-limiting.md`):
+        # enabled only when the flag is set, like --query-rate-limit
+        self._limiter = (
+            RateLimiter(query_rate_limit) if query_rate_limit is not None else None
+        )
         self._lock = threading.Lock()  # serialize parquet appends
         self._slow_ms = log_search_threshold_ms
         from .ingest import ALLOWED_DRIFT_MS, FUTURE_DRIFT_MS
@@ -112,6 +119,12 @@ class SeqSparkServer:
                 if self.path in handlers:
                     try:
                         req = json.loads(body.decode() or "{}")
+                        if not outer._rate_check(self.path, req):
+                            # gRPC ResourceExhausted analog
+                            # (`proxyapi/grpc_v1.go:220-222`)
+                            return self._json(
+                                429, {"error": "request was rate limited"}
+                            )
                         t0 = time.perf_counter()
                         resp = handlers[self.path](req)
                         took_ms = (time.perf_counter() - t0) * 1000
@@ -131,6 +144,25 @@ class SeqSparkServer:
         self._thread: Optional[threading.Thread] = None
 
     # ------------------------------------------------------------- handlers
+
+    def _rate_check(self, path: str, req: dict) -> bool:
+        """Key the request like the reference proxy: search/complex by
+        (query, aggs, histogram interval) — identical repeated queries
+        share one bucket (`proxyapi/grpc_v1.go:156-167`); fetch by its ID
+        list (`proxyapi/grpc_fetch.go:27-34`)."""
+        if self._limiter is None:
+            return True
+        if path == "/fetch":
+            key = fetch_key(
+                f"{m}-{r}" for m, r in req.get("ids", [])
+            )
+        else:
+            key = search_key(
+                req.get("query", "*"),
+                aggs=req.get("aggs", []),
+                hist_interval=req.get("hist_interval_ms"),
+            )
+        return self._limiter.account(key)
 
     def bulk(self, body: bytes, gzipped: bool) -> dict:
         res = parse_bulk_body(body, gzipped=gzipped)

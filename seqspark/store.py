@@ -213,3 +213,85 @@ class DocStore:
         self._fs.rename(part, tmp_old)
         self._fs.rename(tmp_new, part)
         self._fs.delete(tmp_old)
+
+
+class TieredStore:
+    """Hot + long-term (cold) store pair (`docs/en/07-long-term-store.md`).
+
+    The reference keeps a small fast (SSD) hot store with aggressive
+    rotation and a large slow (HDD) long-term store with full history:
+
+    - *write*: every bulk goes to BOTH tiers; a failure in either fails the
+      write (`07-long-term-store.md` §Write — "Error in writing to any of
+      them results an overall error"). Here: two parquet appends; an
+      exception from either propagates.
+    - *read*: hot answers what it still holds; anything older falls through
+      to the long-term store (`07-long-term-store.md` §Querying — hot
+      refuses when ``From`` is older than its oldest MID). Here the split
+      is exact instead of refuse-and-retry: the hot tier owns every
+      ``ts_bucket`` it still has, the cold tier serves only buckets
+      *strictly older* than the hot tier's oldest — so the union never
+      double-counts the dual-written rows, and the cold-side predicate is
+      on the partition column, so Spark prunes cold directories before
+      reading a byte. A recent-window query touches zero cold files.
+    - *rotation*: ``maintain()`` applies retention to the hot tier only;
+      the cold tier keeps full history (optionally bounded by
+      ``cold_min_bucket`` for regulatory deletes).
+
+    At 100 TB the tiers map to different storage classes (e.g. local SSD /
+    S3-IA) via their store paths — same layout, different ``path``.
+    """
+
+    def __init__(self, hot: DocStore, cold: DocStore):
+        if hot.bucket_fmt != cold.bucket_fmt:
+            raise ValueError("hot and cold stores must share bucket_fmt")
+        self.hot = hot
+        self.cold = cold
+        self.spark = hot.spark
+
+    def append(self, df: DataFrame, ts_col: str = "ts") -> None:
+        """Dual write — hot first, then cold, like the reference's bulk
+        send ordering; either failure aborts the bulk."""
+        self.hot.append(df, ts_col)
+        self.cold.append(df, ts_col)
+
+    def read(self) -> DataFrame:
+        """Union of (all hot partitions) + (cold partitions strictly older
+        than the hot tier's oldest bucket). Bucket ownership keeps the
+        dual-written overlap out; the `<` on the partition column prunes."""
+        hot_parts = self.hot.partitions()
+        if not hot_parts:
+            return self.cold.read()
+        oldest_hot = hot_parts[0]
+        cold_old = self.cold.read().filter(F.col(PARTITION_COL) < oldest_hot)
+        return self.hot.read().unionByName(cold_old)
+
+    def partitions(self) -> list[str]:
+        hot_parts = self.hot.partitions()
+        oldest_hot = hot_parts[0] if hot_parts else None
+        cold_only = [
+            b
+            for b in self.cold.partitions()
+            if oldest_hot is None or b < oldest_hot
+        ]
+        return sorted(cold_only + hot_parts)
+
+    def maintain(
+        self,
+        hot_max_total_bytes: Optional[int] = None,
+        hot_min_bucket: Optional[str] = None,
+        cold_min_bucket: Optional[str] = None,
+        max_files_per_partition: int = 8,
+    ) -> dict:
+        """Rotation + sealing pass: hot retention (size/age), optional cold
+        age bound, small-file compaction on both tiers."""
+        return {
+            "hot_dropped": self.hot.retain(hot_max_total_bytes, hot_min_bucket),
+            "cold_dropped": (
+                self.cold.retain(min_bucket=cold_min_bucket)
+                if cold_min_bucket is not None
+                else []
+            ),
+            "hot_compacted": self.hot.maintain(max_files_per_partition),
+            "cold_compacted": self.cold.maintain(max_files_per_partition),
+        }

@@ -1,0 +1,204 @@
+"""Long-term (hot/cold) tiered store and request rate limiting, mirroring
+`docs/en/07-long-term-store.md` and `docs/en/08-rate-limiting.md` /
+`network/ratelimiter/ratelimiter.go`."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from seqspark import Mapping, SearchTable
+from seqspark.ingest import ingest_docs
+from seqspark.ratelimit import RateLimiter, fetch_key, search_key
+from seqspark.store import DocStore, TieredStore
+
+MAPPING = Mapping({"service": "keyword", "message": "text"})
+BIG = 10**15
+
+DOCS = [
+    {"timestamp": f"2024-01-0{d} 00:00:00.000", "service": s, "message": f"m {d}"}
+    for d in (1, 2, 3, 4)
+    for s in ("auth", "pay")
+]
+
+
+def ingest_frame(spark, docs=DOCS):
+    return ingest_docs(
+        spark.createDataFrame([(json.dumps(d),) for d in docs], "raw string"),
+        MAPPING,
+        allowed_drift_ms=BIG,
+        future_drift_ms=BIG,
+    )
+
+
+@pytest.fixture()
+def tiered(spark, tmp_path):
+    hot = DocStore(spark, os.path.join(str(tmp_path), "hot"), bucket_fmt="yyyy-MM-dd")
+    cold = DocStore(spark, os.path.join(str(tmp_path), "cold"), bucket_fmt="yyyy-MM-dd")
+    return TieredStore(hot, cold)
+
+
+# ------------------------------------------------------------- tiered store
+
+
+def test_dual_write_then_exact_read(spark, tiered):
+    tiered.append(ingest_frame(spark))
+    # both tiers hold everything (07-long-term-store.md §Write)
+    assert tiered.hot.read().count() == len(DOCS)
+    assert tiered.cold.read().count() == len(DOCS)
+    # the union must not double-count the dual-written rows
+    assert tiered.read().count() == len(DOCS)
+
+
+def test_rotated_hot_falls_through_to_cold(spark, tiered):
+    tiered.append(ingest_frame(spark))
+    # rotate the two oldest days out of the hot tier
+    tiered.maintain(hot_min_bucket="2024-01-03")
+    assert tiered.hot.partitions() == ["2024-01-03", "2024-01-04"]
+    # full history still served, exactly once, via the cold tier
+    st = SearchTable.from_docs(tiered.read(), MAPPING)
+    assert st.search("*").count() == len(DOCS)
+    assert st.search("service:auth").count() == len(DOCS) // 2
+    day1 = st.search("*", from_ms=1704067200000, to_ms=1704067200000)
+    assert day1.count() == 2  # 2024-01-01 docs come from cold only
+    assert tiered.partitions() == [
+        "2024-01-01", "2024-01-02", "2024-01-03", "2024-01-04",
+    ]
+
+
+def test_recent_query_prunes_cold_partitions(spark, tiered):
+    tiered.append(ingest_frame(spark))
+    tiered.maintain(hot_min_bucket="2024-01-03")
+    # a query inside the hot window scans no cold files: the cold branch
+    # carries a partition filter `< oldest_hot`, so combined with the
+    # query's `>= 2024-01-03` its directory listing prunes to nothing
+    df = tiered.read().filter(F.col("ts_bucket") >= "2024-01-03")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "2024-01-03" in plan
+    assert df.count() == 4  # days 3+4, both services — all from hot
+
+
+def test_empty_hot_reads_cold(spark, tiered):
+    tiered.cold.append(ingest_frame(spark))
+    assert tiered.read().count() == len(DOCS)
+
+
+def test_mismatched_bucket_fmt_rejected(spark, tmp_path):
+    hot = DocStore(spark, os.path.join(str(tmp_path), "h"), bucket_fmt="yyyy-MM-dd")
+    cold = DocStore(spark, os.path.join(str(tmp_path), "c"), bucket_fmt="yyyy-MM-dd-HH")
+    with pytest.raises(ValueError):
+        TieredStore(hot, cold)
+
+
+# --------------------------------------------------- original_timestamp
+
+
+def test_clamped_doc_keeps_original_timestamp(spark):
+    ingest_ts = F.to_timestamp(F.lit("2024-01-10 00:00:00"))
+    docs = [
+        {"timestamp": "2024-01-01 00:00:00.000", "service": "a"},  # 9d old → clamped
+        {"timestamp": "2024-01-09 12:00:00.000", "service": "b"},  # fresh → kept
+    ]
+    frame = ingest_docs(
+        spark.createDataFrame([(json.dumps(d),) for d in docs], "raw string"),
+        MAPPING,
+        ingest_ts=ingest_ts,
+    )
+    rows = {r["tokens"]["service"][0]: r for r in frame.collect()}
+    # clamped doc: ts rewritten to ingest time, original kept + indexed
+    # (07-long-term-store.md §"Avoid old docs in hot store")
+    assert rows["a"]["ts"].strftime("%Y-%m-%d") == "2024-01-10"
+    assert rows["a"]["tokens"]["original_timestamp"] == ["2024-01-01t00:00:00.000z"]
+    assert "original_timestamp" not in rows["b"]["tokens"]
+    st = SearchTable.from_docs(frame, MAPPING)
+    assert st.search("_exists_:original_timestamp").count() == 1
+
+
+# ------------------------------------------------------------ rate limiter
+
+
+def make_clock(start=0.0):
+    state = {"t": start}
+
+    def advance(dt):
+        state["t"] += dt
+
+    return (lambda: state["t"]), advance
+
+
+def test_rate_limiter_burst_then_refuse():
+    clock, _ = make_clock()
+    rl = RateLimiter(2.0, clock=clock)
+    # burst allowance ≈ limit_per_sec requests + 1 (counter crosses the
+    # limit*10 threshold after it): 3 pass at limit 2.0, the 4th refuses
+    assert [rl.account("q") for _ in range(4)] == [True, True, True, False]
+
+
+def test_rate_limiter_drains_over_time():
+    clock, advance = make_clock()
+    rl = RateLimiter(2.0, clock=clock)
+    while rl.account("q"):
+        pass
+    advance(0.6)  # drains 2.0*10*0.6 = 12 > one request's cost
+    assert rl.account("q")
+    advance(10.0)  # full drain → key forgotten
+    assert rl.active_keys() == 0
+
+
+def test_rate_limiter_keys_independent():
+    clock, _ = make_clock()
+    rl = RateLimiter(0.1, clock=clock)
+    assert rl.account("a")
+    assert not rl.account("a")  # same query shape throttled
+    assert rl.account("b")  # different query unaffected
+
+
+def test_search_key_includes_aggs_and_interval():
+    base = search_key("level:error")
+    with_agg = search_key(
+        "level:error", aggs=[{"func": "sum", "field": "f", "group_by": "g"}]
+    )
+    with_hist = search_key("level:error", hist_interval=5000)
+    assert len({base, with_agg, with_hist}) == 3
+    # dicts and objects key identically (HTTP vs programmatic callers)
+    class A:
+        func, field, group_by = "sum", "f", "g"
+
+    assert with_agg == search_key("level:error", aggs=[A()])
+    assert fetch_key(["1-2", "3-4"]) == "1-2,3-4"
+
+
+def test_server_rate_limits_repeated_query(spark, tmp_path):
+    from seqspark.server import SeqSparkServer
+    import urllib.request
+
+    store = DocStore(spark, os.path.join(str(tmp_path), "store"))
+    store.append(ingest_frame(spark))
+    srv = SeqSparkServer(
+        spark, store, MAPPING, query_rate_limit=0.1
+    ).start()
+    try:
+        def post(path, obj):
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{srv.port}{path}",
+                data=json.dumps(obj).encode(),
+                headers={"Content-Type": "application/json"},
+            )
+            try:
+                with urllib.request.urlopen(req) as r:
+                    return r.status
+            except urllib.error.HTTPError as e:
+                return e.code
+
+        assert post("/search", {"query": "service:auth"}) == 200
+        # identical query shape → throttled (08-rate-limiting.md)
+        assert post("/search", {"query": "service:auth"}) == 429
+        # different query string → its own bucket
+        assert post("/search", {"query": "service:pay"}) == 200
+        # fetch keyed by id list
+        assert post("/fetch", {"ids": [[1, 2]]}) == 200
+        assert post("/fetch", {"ids": [[1, 2]]}) == 429
+        assert post("/fetch", {"ids": [[3, 4]]}) == 200
+    finally:
+        srv.stop()
