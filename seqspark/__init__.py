@@ -20,6 +20,7 @@ from .engine import (
     TooManyUniqValuesError,
     materialize_tokens,
 )
+from .circuitbreaker import CircuitBreaker, CircuitOpenError
 from .index import StoreIndex, build_inverted_index, search_tokens
 from .mapping import AutoMapping, Mapping
 from .ratelimit import RateLimiter
@@ -39,6 +40,8 @@ __all__ = [
     "AutoMapping",
     "Mapping",
     "RateLimiter",
+    "CircuitBreaker",
+    "CircuitOpenError",
     "DocStore",
     "TieredStore",
     "ParseError",

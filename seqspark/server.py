@@ -35,6 +35,7 @@ logger = logging.getLogger("seqspark.server")
 from pyspark.sql import SparkSession
 
 from .bulk import ES_BANNER, bulk_to_df, parse_bulk_body
+from .circuitbreaker import CircuitBreaker
 from .engine import SearchTable
 from .ingest import ingest_docs
 from .mapping import Mapping
@@ -46,6 +47,9 @@ MAX_INFLIGHT_BULKS = 32
 
 #: reference `docs/en/02-flags.md` --log-search-threshold-ms default
 LOG_SEARCH_THRESHOLD_MS = 3000
+
+#: reference `docs/en/02-flags.md` --search-requests-limit default
+MAX_INFLIGHT_SEARCHES = 30
 
 
 class SeqSparkServer:
@@ -63,6 +67,8 @@ class SeqSparkServer:
         future_drift_ms: Optional[int] = None,
         log_search_threshold_ms: int = LOG_SEARCH_THRESHOLD_MS,
         query_rate_limit: Optional[float] = None,
+        bulk_breaker: Optional[CircuitBreaker] = None,
+        max_inflight_searches: int = MAX_INFLIGHT_SEARCHES,
     ):
         self.spark = spark
         self.store = store
@@ -73,6 +79,10 @@ class SeqSparkServer:
         self._limiter = (
             RateLimiter(query_rate_limit) if query_rate_limit is not None else None
         )
+        # bulk overload protection (`--bulk-*` flags; network/circuitbreaker)
+        self._breaker = bulk_breaker if bulk_breaker is not None else CircuitBreaker()
+        # `--search-requests-limit`: concurrent search admission
+        self._searches = threading.Semaphore(max_inflight_searches)
         self._lock = threading.Lock()  # serialize parquet appends
         self._slow_ms = log_search_threshold_ms
         from .ingest import ALLOWED_DRIFT_MS, FUTURE_DRIFT_MS
@@ -108,7 +118,19 @@ class SeqSparkServer:
                     if not outer._inflight.acquire(blocking=False):
                         return self._json(429, {"error": "too many requests"})
                     try:
-                        return self._json(200, outer.bulk(body, gzipped))
+                        # overload protection: an open circuit sheds the
+                        # bulk before any Spark work is planned
+                        if not outer._breaker.allow():
+                            return self._json(
+                                503, {"error": "circuit breaker open"}
+                            )
+                        try:
+                            resp = outer.bulk(body, gzipped)
+                        except Exception as e:
+                            outer._breaker.record(False)
+                            return self._json(500, {"error": str(e)})
+                        outer._breaker.record(True)
+                        return self._json(200, resp)
                     finally:
                         outer._inflight.release()
                 handlers = {
@@ -117,6 +139,9 @@ class SeqSparkServer:
                     "/fetch": outer.fetch,
                 }
                 if self.path in handlers:
+                    if not outer._searches.acquire(blocking=False):
+                        # `--search-requests-limit` exceeded
+                        return self._json(429, {"error": "too many requests"})
                     try:
                         req = json.loads(body.decode() or "{}")
                         if not outer._rate_check(self.path, req):
@@ -137,6 +162,8 @@ class SeqSparkServer:
                         return self._json(200, resp)
                     except Exception as e:  # request-shaped errors → 400
                         return self._json(400, {"error": str(e)})
+                    finally:
+                        outer._searches.release()
                 return self._json(404, {"error": "not found"})
 
         self._httpd = ThreadingHTTPServer((host, port), Handler)
