@@ -748,6 +748,41 @@ def q_corpus_curation(spark, sf_dir):
     )
 
 
+def q_hash_sample(spark, sf_dir):
+    # deterministic content-keyed sampling: membership is a pure function
+    # of (doc_id, seed) — stable across reruns/repartitions, unlike
+    # df.sample (seqspark/pipeline/sampling.py)
+    from seqspark.pipeline.sampling import hash_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return hash_sample(docs, "doc_id", 0.25, seed="v1").select("doc_id", "source")
+
+
+def q_hash_split(spark, sf_dir):
+    # disjoint deterministic train/val/test split from the same hash
+    from seqspark.pipeline.sampling import hash_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    return hash_split(
+        docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}, seed="v1"
+    ).select("doc_id", "split")
+
+
+def q_mix_sources(spark, sf_dir):
+    # epoch mixing: per-source up/down-weighting by deterministic
+    # repetition — weight 2.5 → 2 copies + hash-chosen 50% a third
+    from seqspark.pipeline.sampling import mix_sources
+
+    docs = load_table(spark, sf_dir, "documents")
+    return mix_sources(
+        docs,
+        "source",
+        {"src0": 2.5, "src1": 2.0, "src2": 0.5, "src3": 0.0},
+        key_col="doc_id",
+        seed="v1",
+    ).select("doc_id", "source", "copy")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "keyword_eq": q_keyword_eq,
@@ -816,6 +851,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_ratio": q_repetition_ratio,
         "shipping_priority": q_shipping_priority,
         "local_supplier_volume": q_local_supplier_volume,
+        "hash_sample": q_hash_sample,
+        "hash_split": q_hash_split,
+        "mix_sources": q_mix_sources,
     }
 
 
@@ -1091,6 +1129,32 @@ def oracle_sql() -> dict[str, str]:
             "WHERE r_name = 'ASIA' GROUP BY 1"
         ),
     }
+    # deterministic sampling twin: same md5-prefix bucket both engines
+    # (15 hex digits = 60 bits, exact in a signed 64-bit int)
+    bucket = (
+        "(CAST(CONCAT('0x', SUBSTR(md5(CONCAT(CAST(doc_id AS VARCHAR), 'v1')), 1, 15)) "
+        "AS BIGINT) % 1000000)"
+    )
+    sql["hash_sample"] = (
+        f"SELECT doc_id, source FROM documents WHERE {bucket} < 250000"
+    )
+    sql["hash_split"] = (
+        "SELECT doc_id, CASE "
+        f"WHEN {bucket} < 800000 THEN 'train' "
+        f"WHEN {bucket} < 900000 THEN 'val' "
+        "ELSE 'test' END AS split FROM documents"
+    )
+    sql["mix_sources"] = (
+        "WITH weighted AS (SELECT doc_id, source, "
+        "CASE source WHEN 'src0' THEN 2.5 WHEN 'src1' THEN 2.0 "
+        "WHEN 'src2' THEN 0.5 WHEN 'src3' THEN 0.0 ELSE 1.0 END AS w, "
+        f"{bucket} AS b FROM documents), "
+        "counted AS (SELECT doc_id, source, "
+        "CAST(FLOOR(w) + (CASE WHEN b < ROUND((w - FLOOR(w)) * 1000000) "
+        "THEN 1 ELSE 0 END) AS INT) AS n FROM weighted) "
+        "SELECT c.doc_id, c.source, CAST(u.g AS INT) AS copy "
+        "FROM counted c, LATERAL unnest(range(1, c.n + 1)) u(g)"
+    )
     sw = "('the','a','and','of','to','in','is','that','it','for')"
     n_sw = f"len(list_filter({_WORDS}, w -> w IN {sw}))"
     n_w = f"len({_WORDS})"

@@ -1,0 +1,115 @@
+"""Deterministic sampling, dataset splitting and source mixing for
+training-data curation.
+
+Beyond the reference (seq-db has no sampling surface) — these are the
+operations a 100 TB pretraining pipeline runs after dedup/quality filtering:
+
+- :func:`hash_sample` — content-keyed Bernoulli sampling. Membership is a
+  pure function of (key, seed): reruns, repartitions and incremental
+  appends all agree on which rows are in, unlike ``df.sample`` whose
+  output depends on partition layout. Narrow (no shuffle), whole-stage
+  codegen, and the predicate prunes nothing extra — a scan + filter.
+- :func:`hash_split` — disjoint train/val/test assignment from the same
+  hash. A document can never leak between splits across runs, the property
+  eval-contamination audits depend on.
+- :func:`mix_sources` — per-source up/down-weighting by deterministic
+  repetition (epoch mixing): weight 2.5 → every row twice, plus a
+  hash-chosen 50% a third time. ``explode(sequence(...))`` is JVM-side;
+  output size = sum(weight_s * rows_s) with no Python in the loop.
+
+All three build on one primitive, :func:`hash_bucket`: the first 15 hex
+digits of md5(key || seed) read as a bigint, mod ``buckets``. md5 keeps the
+DuckDB oracle bit-identical (both engines expose it); 15 hex digits = 60
+bits stay exact in a signed 64-bit int on both sides.
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: resolution of the hash bucket space; 1e6 keeps three-decimal fractions
+#: exact (0.125 → 125000 buckets) while staying far under 2^60
+BUCKETS = 1_000_000
+
+
+def hash_bucket(key: Column, seed: str = "", buckets: int = BUCKETS) -> Column:
+    """Uniform bucket in [0, buckets) as a pure function of (key, seed)."""
+    h = F.conv(
+        F.substring(F.md5(F.concat(key.cast("string"), F.lit(seed))), 1, 15), 16, 10
+    ).cast("bigint")
+    return F.pmod(h, F.lit(buckets))
+
+
+def hash_sample(
+    df: DataFrame, key_col: str, fraction: float, seed: str = ""
+) -> DataFrame:
+    """Keep a deterministic ``fraction`` of rows, keyed on ``key_col``."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    return df.filter(
+        hash_bucket(F.col(key_col), seed) < int(round(fraction * BUCKETS))
+    )
+
+
+def hash_split(
+    df: DataFrame,
+    key_col: str,
+    weights: Dict[str, float],
+    seed: str = "",
+    out_col: str = "split",
+) -> DataFrame:
+    """Assign each row to one named split with probability proportional to
+    its weight; assignment is deterministic and disjoint."""
+    total = sum(weights.values())
+    if total <= 0:
+        raise ValueError("weights must sum to a positive value")
+    bucket = hash_bucket(F.col(key_col), seed)
+    expr = None
+    upper = 0.0
+    names = list(weights)
+    for name in names[:-1]:
+        upper += weights[name] / total * BUCKETS
+        branch = F.when(bucket < int(round(upper)), F.lit(name))
+        expr = branch if expr is None else expr.when(
+            bucket < int(round(upper)), F.lit(name)
+        )
+    last = F.lit(names[-1])
+    expr = last if expr is None else expr.otherwise(last)
+    return df.withColumn(out_col, expr)
+
+
+def mix_sources(
+    df: DataFrame,
+    source_col: str,
+    weights: Dict[str, float],
+    key_col: str,
+    seed: str = "",
+    default_weight: float = 1.0,
+    out_col: str = "copy",
+) -> DataFrame:
+    """Repeat each row ``weight[source]`` times (fractional part resolved
+    per-row by hash), emitting a 1-based ``copy`` index.
+
+    Weight 0 drops the source; weight <1 downsamples it; weight 2.5 yields
+    2 copies always and a 3rd for a deterministic 50% of rows.
+    """
+    if any(w < 0 for w in weights.values()) or default_weight < 0:
+        raise ValueError("weights must be >= 0")
+    w = None
+    for name, weight in weights.items():
+        branch = (F.col(source_col) == name, F.lit(float(weight)))
+        w = F.when(*branch) if w is None else w.when(*branch)
+    w = F.lit(float(default_weight)) if w is None else w.otherwise(
+        F.lit(float(default_weight))
+    )
+    whole = F.floor(w).cast("int")
+    frac_buckets = F.round((w - F.floor(w)) * BUCKETS).cast("bigint")
+    extra = (hash_bucket(F.col(key_col), seed) < frac_buckets).cast("int")
+    n = whole + extra
+    copies = F.when(n >= 1, F.sequence(F.lit(1), n)).otherwise(
+        F.array().cast("array<int>")
+    )
+    return df.withColumn(out_col, F.explode(copies))

@@ -1,0 +1,110 @@
+"""Deterministic sampling / splitting / source mixing
+(`seqspark/pipeline/sampling.py`) — training-data curation operators."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from seqspark.pipeline.sampling import (
+    BUCKETS,
+    hash_bucket,
+    hash_sample,
+    hash_split,
+    mix_sources,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(documents):
+    return documents.select("doc_id", "source", "text")
+
+
+def test_sample_deterministic_across_partitioning(docs):
+    a = {r["doc_id"] for r in hash_sample(docs, "doc_id", 0.3, "s").collect()}
+    b = {
+        r["doc_id"]
+        for r in hash_sample(docs.repartition(7), "doc_id", 0.3, "s").collect()
+    }
+    assert a == b  # membership is a pure function of (key, seed)
+    # a different seed draws a different (but still deterministic) subset
+    c = {r["doc_id"] for r in hash_sample(docs, "doc_id", 0.3, "s2").collect()}
+    assert a != c
+
+
+def test_sample_fraction_roughly_honored(docs):
+    n = docs.count()
+    got = hash_sample(docs, "doc_id", 0.5, "x").count()
+    assert abs(got / n - 0.5) < 0.15
+
+
+def test_sample_nested_subset_property(docs):
+    # bucket < f1*B implies bucket < f2*B for f1 <= f2: smaller samples are
+    # strict subsets of larger ones at the same seed — lets a pipeline grow
+    # its sample without reshuffling previous membership
+    small = {r["doc_id"] for r in hash_sample(docs, "doc_id", 0.1, "s").collect()}
+    large = {r["doc_id"] for r in hash_sample(docs, "doc_id", 0.4, "s").collect()}
+    assert small <= large
+
+
+def test_split_disjoint_and_total(docs):
+    out = hash_split(docs, "doc_id", {"train": 8, "val": 1, "test": 1}, "s")
+    counts = {r["split"]: r["n"] for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert sum(counts.values()) == docs.count()  # every row in exactly one split
+    assert set(counts) == {"train", "val", "test"}
+    assert counts["train"] > counts["val"]
+
+
+def test_split_stable_per_key(docs):
+    # same (key, seed) → same split on every run, regardless of weights'
+    # absolute scale (8/1/1 == 0.8/0.1/0.1)
+    a = {r["doc_id"]: r["split"] for r in hash_split(docs, "doc_id", {"train": 8, "val": 1, "test": 1}, "s").collect()}
+    b = {r["doc_id"]: r["split"] for r in hash_split(docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}, "s").collect()}
+    assert a == b
+
+
+def test_mix_sources_counts(spark):
+    rows = [(i, "web" if i % 2 == 0 else "code", f"t{i}") for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = mix_sources(df, "source", {"web": 2.0, "code": 0.0}, key_col="doc_id")
+    got = {r["source"]: r["n"] for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert got == {"web": 200}  # 100 web rows × 2 copies; code dropped
+    # copy index is 1-based and dense
+    assert {r["copy"] for r in out.select("copy").distinct().collect()} == {1, 2}
+
+
+def test_mix_sources_fractional_weight(spark):
+    rows = [(i, "web", f"t{i}") for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    n = mix_sources(df, "source", {"web": 1.5}, key_col="doc_id", seed="s").count()
+    assert abs(n / 400 - 1.5) < 0.15  # 1 copy always + hash-chosen ~50% extra
+
+
+def test_default_weight_and_validation(spark, docs):
+    out = mix_sources(docs, "source", {}, key_col="doc_id", default_weight=1.0)
+    assert out.count() == docs.count()
+    with pytest.raises(ValueError):
+        mix_sources(docs, "source", {"a": -1.0}, key_col="doc_id")
+    with pytest.raises(ValueError):
+        hash_sample(docs, "doc_id", 1.5)
+    with pytest.raises(ValueError):
+        hash_split(docs, "doc_id", {"a": 0.0})
+
+
+def test_sampling_plan_stays_jvm_side(docs):
+    # the 100 TB contract: a narrow scan+filter/project — no shuffle
+    # (Exchange), no Python (BatchEvalPython/ArrowEvalPython)
+    for df in (
+        hash_sample(docs, "doc_id", 0.25, "v1"),
+        hash_split(docs, "doc_id", {"train": 0.9, "test": 0.1}, "v1"),
+        mix_sources(docs, "source", {"src0": 2.5}, key_col="doc_id"),
+    ):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+        assert "EvalPython" not in plan
+
+
+def test_bucket_range(docs):
+    mm = docs.select(
+        F.min(hash_bucket(F.col("doc_id"))).alias("lo"),
+        F.max(hash_bucket(F.col("doc_id"))).alias("hi"),
+    ).collect()[0]
+    assert 0 <= mm["lo"] and mm["hi"] < BUCKETS
