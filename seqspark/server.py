@@ -83,6 +83,16 @@ class SeqSparkServer:
         self._breaker = bulk_breaker if bulk_breaker is not None else CircuitBreaker()
         # `--search-requests-limit`: concurrent search admission
         self._searches = threading.Semaphore(max_inflight_searches)
+        # debug-server surface (`docs/en/internal/debug-server.md`)
+        self._metrics_lock = threading.Lock()
+        self._counters: dict = {
+            "bulk_total": 0,
+            "bulk_errors_total": 0,
+            "bulk_shed_total": 0,
+            "search_total": 0,
+            "search_errors_total": 0,
+            "rate_limited_total": 0,
+        }
         self._lock = threading.Lock()  # serialize parquet appends
         self._slow_ms = log_search_threshold_ms
         from .ingest import ALLOWED_DRIFT_MS, FUTURE_DRIFT_MS
@@ -108,6 +118,25 @@ class SeqSparkServer:
                     return self._json(200, ES_BANNER)
                 if self.path == "/status":
                     return self._json(200, outer.status())
+                # debug-server surface (`docs/en/internal/debug-server.md`)
+                if self.path == "/metrics":
+                    body = outer.metrics_text().encode()
+                    self.send_response(200)
+                    self.send_header(
+                        "Content-Type", "text/plain; version=0.0.4"
+                    )
+                    self.send_header("Content-Length", str(len(body)))
+                    self.end_headers()
+                    self.wfile.write(body)
+                    return
+                if self.path == "/live":
+                    return self._json(200, {"status": "ok"})
+                if self.path == "/readiness":
+                    return (
+                        self._json(200, {"status": "ready"})
+                        if outer.ready()
+                        else self._json(503, {"status": "not ready"})
+                    )
                 return self._json(404, {"error": "not found"})
 
             def do_POST(self):
@@ -120,7 +149,9 @@ class SeqSparkServer:
                     try:
                         # overload protection: an open circuit sheds the
                         # bulk before any Spark work is planned
+                        outer._count("bulk_total")
                         if not outer._breaker.allow():
+                            outer._count("bulk_shed_total")
                             return self._json(
                                 503, {"error": "circuit breaker open"}
                             )
@@ -128,6 +159,7 @@ class SeqSparkServer:
                             resp = outer.bulk(body, gzipped)
                         except Exception as e:
                             outer._breaker.record(False)
+                            outer._count("bulk_errors_total")
                             return self._json(500, {"error": str(e)})
                         outer._breaker.record(True)
                         return self._json(200, resp)
@@ -144,9 +176,11 @@ class SeqSparkServer:
                         return self._json(429, {"error": "too many requests"})
                     try:
                         req = json.loads(body.decode() or "{}")
+                        outer._count("search_total")
                         if not outer._rate_check(self.path, req):
                             # gRPC ResourceExhausted analog
                             # (`proxyapi/grpc_v1.go:220-222`)
+                            outer._count("rate_limited_total")
                             return self._json(
                                 429, {"error": "request was rate limited"}
                             )
@@ -161,6 +195,7 @@ class SeqSparkServer:
                             )
                         return self._json(200, resp)
                     except Exception as e:  # request-shaped errors → 400
+                        outer._count("search_errors_total")
                         return self._json(400, {"error": str(e)})
                     finally:
                         outer._searches.release()
@@ -171,6 +206,38 @@ class SeqSparkServer:
         self._thread: Optional[threading.Thread] = None
 
     # ------------------------------------------------------------- handlers
+
+    def _count(self, name: str) -> None:
+        with self._metrics_lock:
+            self._counters[name] += 1
+
+    def metrics_text(self) -> str:
+        """Prometheus exposition format (`docs/en/internal/debug-server.md`
+        /metrics; metric names follow `metric/` conventions)."""
+        with self._metrics_lock:
+            counters = dict(self._counters)
+        lines = []
+        for name, value in sorted(counters.items()):
+            lines.append(f"# TYPE seqspark_{name} counter")
+            lines.append(f"seqspark_{name} {value}")
+        state = self._breaker.state
+        lines.append("# TYPE seqspark_bulk_circuit_open gauge")
+        lines.append(f'seqspark_bulk_circuit_open{{state="{state}"}} '
+                     f"{0 if state == 'closed' else 1}")
+        if self._limiter is not None:
+            lines.append("# TYPE seqspark_rate_limiter_active_keys gauge")
+            lines.append(
+                f"seqspark_rate_limiter_active_keys {self._limiter.active_keys()}"
+            )
+        return "\n".join(lines) + "\n"
+
+    def ready(self) -> bool:
+        """Readiness = the store path is reachable (k8s /readiness probe)."""
+        try:
+            self.store.partitions()
+            return True
+        except Exception:
+            return False
 
     def _rate_check(self, path: str, req: dict) -> bool:
         """Key the request like the reference proxy: search/complex by

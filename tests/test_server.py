@@ -153,3 +153,30 @@ def test_slow_search_logged(spark, tmp_path, caplog):
         assert any("slow search" in r.message for r in caplog.records)
     finally:
         srv.stop()
+
+
+def test_debug_server_surface(server):
+    # `docs/en/internal/debug-server.md`: /metrics, /live, /readiness
+    code, body = _get(server, "/live")
+    assert (code, body["status"]) == (200, "ok")
+    code, body = _get(server, "/readiness")
+    assert (code, body["status"]) == (200, "ready")
+
+    # drive one bulk and one search, then read the counters back
+    _post(server, "/_bulk", BULK)
+    _post(server, "/search", b'{"query": "*"}')
+    with urllib.request.urlopen(
+        f"http://127.0.0.1:{server.port}/metrics"
+    ) as r:
+        assert r.status == 200
+        assert r.headers["Content-Type"].startswith("text/plain")
+        text = r.read().decode()
+    metrics = {
+        line.split(" ")[0]: line.rsplit(" ", 1)[1]
+        for line in text.splitlines()
+        if line and not line.startswith("#")
+    }
+    assert metrics["seqspark_bulk_total"] == "1"
+    assert metrics["seqspark_search_total"] == "1"
+    assert metrics["seqspark_bulk_errors_total"] == "0"
+    assert 'seqspark_bulk_circuit_open{state="closed"} 0' in text
