@@ -27,6 +27,7 @@ import json
 import logging
 import threading
 import time
+import urllib.request
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Optional
 
@@ -51,6 +52,9 @@ LOG_SEARCH_THRESHOLD_MS = 3000
 #: reference `docs/en/02-flags.md` --search-requests-limit default
 MAX_INFLIGHT_SEARCHES = 30
 
+#: reference `consts/consts.go:44` MirrorRequestLimit
+MIRROR_REQUEST_LIMIT = 300
+
 
 class SeqSparkServer:
     """Bind a DocStore + mapping to an HTTP endpoint."""
@@ -69,6 +73,7 @@ class SeqSparkServer:
         query_rate_limit: Optional[float] = None,
         bulk_breaker: Optional[CircuitBreaker] = None,
         max_inflight_searches: int = MAX_INFLIGHT_SEARCHES,
+        mirror_url: Optional[str] = None,
     ):
         self.spark = spark
         self.store = store
@@ -83,6 +88,10 @@ class SeqSparkServer:
         self._breaker = bulk_breaker if bulk_breaker is not None else CircuitBreaker()
         # `--search-requests-limit`: concurrent search admission
         self._searches = threading.Semaphore(max_inflight_searches)
+        # `--mirror-addr` load mirroring (`proxyapi/grpc_v1.go:335-355`):
+        # search requests are re-sent fire-and-forget, capped in flight
+        self._mirror_url = mirror_url
+        self._mirror_inflight = 0
         # debug-server surface (`docs/en/internal/debug-server.md`)
         self._metrics_lock = threading.Lock()
         self._counters: dict = {
@@ -165,6 +174,35 @@ class SeqSparkServer:
                         return self._json(200, resp)
                     finally:
                         outer._inflight.release()
+                if self.path == "/export":
+                    # streaming NDJSON drain — Search's streaming twin
+                    # (`docs/en/10-public-api.md` /Export)
+                    if not outer._searches.acquire(blocking=False):
+                        return self._json(429, {"error": "too many requests"})
+                    try:
+                        req = json.loads(body.decode() or "{}")
+                        outer._count("search_total")
+                        if not outer._rate_check("/search", req):
+                            outer._count("rate_limited_total")
+                            return self._json(
+                                429, {"error": "request was rate limited"}
+                            )
+                        try:
+                            lines = outer.export_lines(req)
+                        except Exception as e:  # plan/parse errors → 400
+                            outer._count("search_errors_total")
+                            return self._json(400, {"error": str(e)})
+                        self.send_response(200)
+                        self.send_header(
+                            "Content-Type", "application/x-ndjson"
+                        )
+                        self.send_header("Connection", "close")
+                        self.end_headers()
+                        for line in lines:
+                            self.wfile.write(line.encode() + b"\n")
+                        return
+                    finally:
+                        outer._searches.release()
                 handlers = {
                     "/search": outer.search,
                     "/complex": outer.complex,
@@ -184,6 +222,7 @@ class SeqSparkServer:
                             return self._json(
                                 429, {"error": "request was rate limited"}
                             )
+                        outer._try_mirror(self.path, body)
                         t0 = time.perf_counter()
                         resp = handlers[self.path](req)
                         took_ms = (time.perf_counter() - t0) * 1000
@@ -238,6 +277,63 @@ class SeqSparkServer:
             return True
         except Exception:
             return False
+
+    def _try_mirror(self, path: str, body: bytes) -> None:
+        """`--mirror-addr` load mirroring (`proxyapi/grpc_v1.go:335-355`):
+        fire-and-forget re-send of the search request to a mirror proxy,
+        capped at MIRROR_REQUEST_LIMIT in flight; mirror failures are
+        logged, never surfaced to the caller."""
+        if not self._mirror_url:
+            return
+        with self._metrics_lock:
+            if self._mirror_inflight >= MIRROR_REQUEST_LIMIT:
+                return
+            self._mirror_inflight += 1
+
+        def run():
+            try:
+                urllib.request.urlopen(
+                    urllib.request.Request(
+                        self._mirror_url.rstrip("/") + path, data=body
+                    ),
+                    timeout=30,
+                ).read()
+            except Exception as e:
+                logger.error("failed to mirror request path=%s: %s", path, e)
+            finally:
+                with self._metrics_lock:
+                    self._mirror_inflight -= 1
+
+        threading.Thread(target=run, daemon=True).start()
+
+    def export_lines(self, req: dict):
+        """Build the export iterator: one JSON line per doc in stream order
+        (`docs/en/10-public-api.md` /Export — Search's streaming twin).
+        ``size`` absent/null drains the full match set via keyset
+        pagination; rows stream through ``toLocalIterator`` so the driver
+        never holds the result set."""
+        st = self._table()
+        docs = st.search(
+            req.get("query", "*"),
+            from_ms=req.get("from_ms"),
+            to_ms=req.get("to_ms"),
+            size=req.get("size"),
+            order=req.get("order", "desc"),
+        ).select("mid", "rid", "ts", "raw")
+
+        def lines():
+            for r in docs.toLocalIterator(prefetchPartitions=True):
+                yield json.dumps(
+                    {
+                        "doc": {
+                            "id": f"{r['mid']}-{r['rid']}",
+                            "data": r["raw"],
+                            "time": r["ts"].isoformat() + "Z",
+                        }
+                    }
+                )
+
+        return lines()
 
     def _rate_check(self, path: str, req: dict) -> bool:
         """Key the request like the reference proxy: search/complex by

@@ -180,3 +180,57 @@ def test_debug_server_surface(server):
     assert metrics["seqspark_search_total"] == "1"
     assert metrics["seqspark_bulk_errors_total"] == "0"
     assert 'seqspark_bulk_circuit_open{state="closed"} 0' in text
+
+
+def test_export_streams_ndjson(server):
+    # /Export: Search's streaming twin (`docs/en/10-public-api.md`)
+    _post(server, "/_bulk", BULK)
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{server.port}/export",
+        data=json.dumps({"query": "*", "order": "asc"}).encode(),
+    )
+    with urllib.request.urlopen(req) as r:
+        assert r.status == 200
+        assert r.headers["Content-Type"] == "application/x-ndjson"
+        lines = [json.loads(l) for l in r.read().decode().splitlines()]
+    assert len(lines) == 2  # the delete action indexes nothing
+    for line in lines:
+        doc = line["doc"]
+        assert "-" in doc["id"] and doc["time"].endswith("Z")
+    payloads = [json.loads(l["doc"]["data"]) for l in lines]
+    assert [p["service"] for p in payloads] == ["auth", "pay"]  # asc order
+
+
+def test_export_bad_query_is_400(server):
+    _post(server, "/_bulk", BULK)
+    code, body = _post(server, "/export", b'{"query": "service:("}')
+    assert code == 400 and "error" in body
+
+
+def test_mirror_forwards_search(spark, tmp_path):
+    import time as _time
+
+    mirror_store = DocStore(spark, str(tmp_path / "mirror"))
+    mirror = SeqSparkServer(
+        spark, mirror_store, MAPPING, allowed_drift_ms=BIG, future_drift_ms=BIG
+    ).start()
+    primary_store = DocStore(spark, str(tmp_path / "primary"))
+    primary = SeqSparkServer(
+        spark, primary_store, MAPPING,
+        allowed_drift_ms=BIG, future_drift_ms=BIG,
+        mirror_url=f"http://127.0.0.1:{mirror.port}",
+    ).start()
+    try:
+        _post(primary, "/_bulk", BULK)
+        _post(mirror, "/_bulk", BULK)
+        code, _ = _post(primary, "/search", b'{"query": "*"}')
+        assert code == 200
+        # fire-and-forget: the mirror sees the same search shortly after
+        for _ in range(100):
+            if mirror._counters["search_total"] >= 1:
+                break
+            _time.sleep(0.1)
+        assert mirror._counters["search_total"] >= 1
+    finally:
+        primary.stop()
+        mirror.stop()
