@@ -458,9 +458,10 @@ def q_join_broadcast(spark, sf_dir):
 
 
 def q_shipping_priority(spark, sf_dir):
-    # TPC-H Q3 shape: two broadcast-able dims against the lineitem fact —
-    # the dim tables broadcast, so the fact side never shuffles for the
-    # joins; only the final small groupBy aggregates exchange
+    # TPC-H Q3 shape. Only the true dim (customer, 150k rows/sf1) gets a
+    # broadcast hint; orders is a FACT table (1.5M rows/sf1, TB at the 100×
+    # target) so its join is left to AQE — at bench sf it still broadcasts,
+    # at scale it becomes a shuffle join instead of OOMing executors
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer")
     li = load_table(spark, sf_dir, "lineitem")
@@ -468,7 +469,7 @@ def q_shipping_priority(spark, sf_dir):
     return (
         li.filter(F.col("l_shipdate") > cutoff)
         .join(
-            F.broadcast(orders.filter(F.col("o_orderdate") < cutoff)),
+            orders.filter(F.col("o_orderdate") < cutoff),
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
         .join(
@@ -487,8 +488,10 @@ def q_shipping_priority(spark, sf_dir):
 
 
 def q_local_supplier_volume(spark, sf_dir):
-    # TPC-H Q5 shape: 5-way join where every dim broadcasts; tests the
-    # planner keeps the fact table shuffle-free through the join chain
+    # TPC-H Q5 shape: the true dims (region/nation/customer/supplier)
+    # broadcast; orders is a FACT table so its join is left to AQE —
+    # broadcast at bench sf, shuffle join at the 100× target where a
+    # forced hint would OOM executors
     region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     nation = load_table(spark, sf_dir, "nation")
     cust = load_table(spark, sf_dir, "customer")
@@ -496,7 +499,7 @@ def q_local_supplier_volume(spark, sf_dir):
     supplier = load_table(spark, sf_dir, "supplier")
     li = load_table(spark, sf_dir, "lineitem")
     return (
-        li.join(F.broadcast(orders), F.col("l_orderkey") == F.col("o_orderkey"))
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(
             F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey")
         )
@@ -781,6 +784,15 @@ def q_mix_sources(spark, sf_dir):
         key_col="doc_id",
         seed="v1",
     ).select("doc_id", "source", "copy")
+
+
+#: entries that deliberately have no SQL oracle twin (LSH candidate
+#: generation and multimodal plumbing are not SQL-expressible); the driver
+#: records a weaker rows-only check for these. Everything else MUST have an
+#: oracle_sql() entry — tests/test_contract.py pins the two key sets.
+ROWS_ONLY = frozenset(
+    {"minhash_lsh_pairs", "simhash_candidates", "ann_lsh_topk", "multimodal_decode"}
+)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

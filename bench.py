@@ -3,17 +3,25 @@
 driver's synthetic tables, plus the scan-heavy pricing summary.
 
 Prints ONE JSON line:
-  {"metric": "...", "value": <total sec>, "unit": "sec",
-   "queries": {"q1": sec, ...}, "sf": <sf>}
+  {"metric": "...", "value": <total sec = sum of per-query medians>,
+   "unit": "sec", "queries": {"q1": median sec, ...},
+   "queries_min": {"q1": min sec, ...}, "runs_per_query": N, "sf": <sf>}
 
-Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
-     SPARK_GRAFT_CPUS   (default 32).
+Each query runs N times (default 5) and reports the MEDIAN (headline) and
+MIN (plan floor) so a plan regression is distinguishable from transient
+machine load — the r3 bench was taken under concurrent load and q5/q6
+looked 2× worse than their steady state (see BASELINE.md).
+
+Env: SPARK_GRAFT_SF_DIR     (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS       (default 32),
+     SPARK_GRAFT_BENCH_RUNS (default 5).
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -27,6 +35,7 @@ from seqspark.data import load_table
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+RUNS = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5")))
 
 EVENTS_MAPPING = {
     "event_type": "keyword",
@@ -82,9 +91,9 @@ def main() -> None:
         docs_at_rest, DOCS_MAPPING, ts_col="ts", rid_col="doc_id", assume_folded=True
     )
 
-    # warm the JVM + file listing + the agg finalize path (parameterized-SQL
-    # parse is once-per-session); the reference's k6 harness also measures
-    # steady state over repeated iterations, not cold starts
+    # warm the JVM + file listing + the agg path; the reference's k6
+    # harness also measures steady state over repeated iterations, not
+    # cold starts
     events.count()
     docs_at_rest.count()
     lineitem.count()
@@ -144,10 +153,15 @@ def main() -> None:
         )
 
     timings = {}
+    timings_min = {}
     for name, fn in [("q1", q1), ("q2", q2), ("q3", q3), ("q4", q4), ("q5", q5), ("q6", q6), ("q7", q7)]:
-        t0 = time.perf_counter()
-        fn()
-        timings[name] = round(time.perf_counter() - t0, 4)
+        runs = []
+        for _ in range(RUNS):
+            t0 = time.perf_counter()
+            fn()
+            runs.append(time.perf_counter() - t0)
+        timings[name] = round(statistics.median(runs), 4)
+        timings_min[name] = round(min(runs), 4)
 
     total = round(sum(timings.values()), 4)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
@@ -158,6 +172,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "queries_min": timings_min,
+                "runs_per_query": RUNS,
                 "setup_sec": setup_sec,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }

@@ -58,67 +58,6 @@ class AggParseError(RuntimeError):
     `frac/processor/aggregator.go:150-157` parseNum fails the whole agg)."""
 
 
-_SQL_TYPES = {"long": "BIGINT", "bigint": "BIGINT", "string": "STRING", "double": "DOUBLE"}
-
-
-def _local_bucket_frame(spark, rows, schema) -> DataFrame:
-    """Materialize driver-finalized buckets as a JVM-side LocalRelation via
-    parameterized VALUES — collect costs ~ms and involves no Python workers
-    (createDataFrame would back the frame with a Python RDD whose every
-    evaluation spins Python executors)."""
-    import math as _math
-
-    dtypes = [_SQL_TYPES[f.dataType.simpleString()] for f in schema.fields]
-    cols = [f.name for f in schema.fields]
-    args: Dict[str, object] = {}
-    tuples = []
-    i = 0
-    for r in rows:
-        ph = []
-        for v, d in zip(r, dtypes):
-            if v is None:
-                ph.append(f"CAST(NULL AS {d})")
-            elif d == "DOUBLE" and isinstance(v, float) and (
-                _math.isnan(v) or _math.isinf(v)
-            ):
-                lit = "NaN" if _math.isnan(v) else ("Infinity" if v > 0 else "-Infinity")
-                ph.append(f"CAST('{lit}' AS DOUBLE)")
-            else:
-                args[f"p{i}"] = v
-                ph.append(f"CAST(:p{i} AS {d})")
-                i += 1
-        tuples.append("(" + ", ".join(ph) + ")")
-    q = f"SELECT * FROM VALUES {', '.join(tuples)} AS t({', '.join(cols)})"
-    return spark.sql(q, args)
-
-
-def _sort_buckets_rows(rows, func: str):
-    """Driver-side bucket sort, the Go comparator of `seq/qpr.go:216-253`:
-    MID asc first, then default value DESC / name ASC; MIN value ASC / name
-    ASC; QUANTILE name ASC / value DESC. Go's cmp.Compare orders NaN below
-    every number."""
-
-    def eff(v):
-        if v is None or v != v:  # None/NaN sort below all numbers
-            return float("-inf")
-        return v
-
-    def mid_key(r):
-        m = r["mid_ms"]
-        return (0, 0) if m is None else (1, m)
-
-    def name_key(r):
-        return r["name"] or ""
-
-    if func == "min":
-        key = lambda r: (mid_key(r), eff(r["value"]), name_key(r))
-    elif func == "quantile":
-        key = lambda r: (mid_key(r), name_key(r), -eff(r["value"]))
-    else:
-        key = lambda r: (mid_key(r), -eff(r["value"]), name_key(r))
-    return sorted(rows, key=key)
-
-
 def materialize_tokens(
     df: DataFrame,
     mapping_types: Dict[str, object],
@@ -928,36 +867,24 @@ class SearchTable:
             "__group", "name"
         )
         if enforce_guard and group_by is not None:
-            if not aggq.interval_ms:
-                # non-timeseries: a passing bucket set is ≤ max_group_tokens
-                # rows — finalize it on the driver exactly like the
-                # reference's proxy-side merge (`seq/qpr.go:199-254`
-                # materializes + sorts final buckets in memory). The caller's
-                # collect then reads a 1-partition local relation (order
-                # preserved) instead of re-running the aggregation.
-                rows = out.collect()
-                if len(rows) > max_group_tokens:
-                    raise TooManyUniqValuesError(
-                        f"group_by {group_by!r} exceeds {max_group_tokens} "
-                        "unique tokens"
-                    )
-                if ordered:
-                    rows = _sort_buckets_rows(rows, func)
-                if not rows:
-                    return out.limit(0)
-                return _local_bucket_frame(out.sparkSession, rows, out.schema)
-            else:
-                # timeseries buckets = bins × groups can be large; keep the
-                # frame distributed, cache it so guard + collect share one
-                # execution
-                out = out.persist()
+            # Exact ErrTooManyUniqValues guard on the bucket set, computed
+            # distributedly. Persist so the guard action and the caller's
+            # collect share ONE aggregation run — the cache plays the role of
+            # the reference proxy's materialized bucket merge
+            # (`seq/qpr.go:199-254`) without a driver round-trip.
+            out = out.persist()
+            if aggq.interval_ms:
+                # timeseries: the guard counts distinct group tokens, not
+                # bins × groups
                 n = out.select("name").distinct().count()
-                if n > max_group_tokens:
-                    out.unpersist()
-                    raise TooManyUniqValuesError(
-                        f"group_by {group_by!r} has {n} unique tokens > "
-                        f"{max_group_tokens}"
-                    )
+            else:
+                n = out.count()
+            if n > max_group_tokens:
+                out.unpersist()
+                raise TooManyUniqValuesError(
+                    f"group_by {group_by!r} has {n} unique tokens > "
+                    f"{max_group_tokens}"
+                )
         if ordered:
             out = self.order_buckets(out, func)
         return out
@@ -966,13 +893,21 @@ class SearchTable:
     def bucket_order_cols(func: str) -> List[Column]:
         """Reference bucket ordering (`seq/qpr.go:216-253` sortBuckets):
         time bin ascending first, then — default: value DESC, name ASC;
-        MIN: value ASC, name ASC; QUANTILE: name ASC, value DESC."""
+        MIN: value ASC, name ASC; QUANTILE: name ASC, value DESC.
+
+        Go's cmp.Compare orders NaN below every number; Spark sorts NaN
+        ABOVE all doubles, so sort on an effective value that maps
+        NULL/NaN to -Infinity."""
         mid = F.col("mid_ms").asc_nulls_first()
+        eff = F.when(
+            F.col("value").isNull() | F.isnan("value"), F.lit(float("-inf"))
+        ).otherwise(F.col("value"))
+        name = F.col("name").asc_nulls_first()
         if func == "min":
-            return [mid, F.col("value").asc_nulls_last(), F.col("name").asc_nulls_first()]
+            return [mid, eff.asc(), name]
         if func == "quantile":
-            return [mid, F.col("name").asc_nulls_first(), F.col("value").desc_nulls_last()]
-        return [mid, F.col("value").desc_nulls_last(), F.col("name").asc_nulls_first()]
+            return [mid, name, eff.desc()]
+        return [mid, eff.desc(), name]
 
     @classmethod
     def order_buckets(cls, buckets: DataFrame, func: str) -> DataFrame:
