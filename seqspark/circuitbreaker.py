@@ -42,6 +42,23 @@ class CircuitOpenError(Exception):
     """Raised (or mapped to HTTP 503) while the circuit is open."""
 
 
+class ProbeToken:
+    """Identity of the single half-open probe granted by :meth:`allow`.
+
+    Truthy, so ``if cb.allow():`` keeps working; carries a sequence number
+    so ``record`` can tell the granted probe apart from straggler requests
+    that were admitted before the circuit tripped.
+    """
+
+    __slots__ = ("seq",)
+
+    def __init__(self, seq: int):
+        self.seq = seq
+
+    def __bool__(self) -> bool:  # pragma: no cover - trivial
+        return True
+
+
 class CircuitBreaker:
     """Rolling-window error-rate breaker; thread-safe."""
 
@@ -64,6 +81,7 @@ class CircuitBreaker:
         self._state = CLOSED
         self._opened_at = 0.0
         self._probing = False
+        self._probe_seq = 0
         # bucket index -> [successes, failures]; indices outside the rolling
         # window are evicted lazily on access
         self._buckets: Dict[int, list] = {}
@@ -94,24 +112,42 @@ class CircuitBreaker:
                 return HALF_OPEN
             return self._state
 
-    def allow(self) -> bool:
-        """True if a request may proceed (closed, or the half-open probe)."""
+    def allow(self):
+        """Admission decision — truthy if the request may proceed.
+
+        Returns ``True`` while CLOSED; returns a :class:`ProbeToken` when
+        granting THE half-open probe (pass it to :meth:`record` — while
+        OPEN only that token's outcome may close or re-open the circuit);
+        returns ``False`` when the request must be refused.
+        """
         with self._lock:
             now = self._clock()
             if self._state == CLOSED:
                 return True
             if now - self._opened_at >= self.sleep_window_s and not self._probing:
                 self._probing = True  # one half-open attempt per sleep window
-                return True
+                self._probe_seq += 1
+                return ProbeToken(self._probe_seq)
             return False
 
-    def record(self, ok: bool) -> None:
-        """Record a completed request and re-evaluate the circuit."""
+    def record(self, ok: bool, token=None) -> None:
+        """Record a completed request and re-evaluate the circuit.
+
+        ``token`` is the value :meth:`allow` returned for this request.
+        While OPEN, only the granted half-open probe's ``record`` decides
+        (success closes + resets the window, failure restarts the sleep
+        window); stragglers admitted before the trip are ignored — an
+        in-flight success must NOT bypass the sleep window.
+        """
         with self._lock:
             now = self._clock()
             if self._state == OPEN:
-                # the half-open probe decides: success closes + resets the
-                # window, failure restarts the sleep window
+                if (
+                    not isinstance(token, ProbeToken)
+                    or token.seq != self._probe_seq
+                    or not self._probing
+                ):
+                    return  # straggler from before the trip — ignore
                 self._probing = False
                 if ok:
                     self._state = CLOSED
@@ -134,12 +170,13 @@ class CircuitBreaker:
 
     def execute(self, fn: Callable[[], object]) -> object:
         """Run ``fn`` under the breaker (`circuitbreaker.go:112-121`)."""
-        if not self.allow():
+        token = self.allow()
+        if not token:
             raise CircuitOpenError("circuit breaker open")
         try:
             out = fn()
         except Exception:
-            self.record(False)
+            self.record(False, token)
             raise
-        self.record(True)
+        self.record(True, token)
         return out

@@ -160,14 +160,21 @@ def ingest_docs(
     # name, like the reference), so clamped docs stay findable
     # (`_exists_:original_timestamp`) and their true time is queryable.
     clamped = event_ts.isNotNull() & (F.unix_millis(ts) != F.unix_millis(event_ts))
-    entries["original_timestamp"] = F.when(
-        clamped,
-        entry_tokens(
-            "original_timestamp",
-            "keyword",
-            F.date_format(event_ts, "yyyy-MM-dd'T'HH:mm:ss.SSSXXX"),
-        ),
+    clamp_tokens = entry_tokens(
+        "original_timestamp",
+        "keyword",
+        F.date_format(event_ts, "yyyy-MM-dd'T'HH:mm:ss.SSSXXX"),
     )
+    # The overwrite applies only to CLAMPED docs; a user-mapped
+    # `original_timestamp` field on a non-clamped doc keeps its own tokens
+    # (the reference rewrites the field only when it rewrites the time).
+    prev_original = entries.get("original_timestamp")
+    if prev_original is not None:
+        entries["original_timestamp"] = F.when(clamped, clamp_tokens).otherwise(
+            prev_original
+        )
+    else:
+        entries["original_timestamp"] = F.when(clamped, clamp_tokens)
 
     # rid derives ONLY from stable inputs (doc bytes + mid) — never from
     # monotonically_increasing_id, whose value depends on partition layout:

@@ -159,7 +159,8 @@ class SeqSparkServer:
                         # overload protection: an open circuit sheds the
                         # bulk before any Spark work is planned
                         outer._count("bulk_total")
-                        if not outer._breaker.allow():
+                        admit = outer._breaker.allow()
+                        if not admit:
                             outer._count("bulk_shed_total")
                             return self._json(
                                 503, {"error": "circuit breaker open"}
@@ -167,10 +168,10 @@ class SeqSparkServer:
                         try:
                             resp = outer.bulk(body, gzipped)
                         except Exception as e:
-                            outer._breaker.record(False)
+                            outer._breaker.record(False, admit)
                             outer._count("bulk_errors_total")
                             return self._json(500, {"error": str(e)})
-                        outer._breaker.record(True)
+                        outer._breaker.record(True, admit)
                         return self._json(200, resp)
                     finally:
                         outer._inflight.release()

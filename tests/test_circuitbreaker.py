@@ -65,9 +65,10 @@ def test_half_open_probe_closes_on_success():
     assert cb.state == OPEN
     advance(5.0)  # sleep window elapses → one probe allowed
     assert cb.state == HALF_OPEN
-    assert cb.allow()
+    probe = cb.allow()
+    assert probe
     assert not cb.allow()  # only one half-open attempt
-    cb.record(True)  # probe succeeds → closed, window reset
+    cb.record(True, probe)  # probe succeeds → closed, window reset
     assert cb.state == CLOSED
     assert cb.allow()
 
@@ -78,12 +79,50 @@ def test_half_open_probe_reopens_on_failure():
     for _ in range(15):
         cb.record(False)
     advance(5.0)
-    assert cb.allow()
-    cb.record(False)  # probe fails → sleep window restarts
+    probe = cb.allow()
+    assert probe
+    cb.record(False, probe)  # probe fails → sleep window restarts
     assert cb.state == OPEN
     assert not cb.allow()
     advance(5.0)
     assert cb.allow()  # next probe after another full sleep window
+
+
+def test_straggler_success_does_not_close_open_circuit():
+    # a request admitted while CLOSED that completes after the trip must
+    # NOT act as the half-open probe: only the token granted by allow()
+    # during HALF_OPEN may close the circuit (hystrix semantics)
+    clock, advance = make_clock()
+    cb = breaker(clock)
+    straggler = cb.allow()  # admitted while closed (returns True)
+    for _ in range(15):
+        cb.record(False)
+    assert cb.state == OPEN
+    cb.record(True, straggler)  # in-flight success lands after the trip
+    assert cb.state == OPEN  # sleep window NOT bypassed
+    assert not cb.allow()
+    advance(5.0)
+    probe = cb.allow()
+    cb.record(True)  # token-less straggler during HALF_OPEN: also ignored
+    assert cb.state != CLOSED
+    cb.record(True, probe)  # the granted probe decides
+    assert cb.state == CLOSED
+
+
+def test_stale_probe_token_from_prior_window_is_ignored():
+    clock, advance = make_clock()
+    cb = breaker(clock)
+    for _ in range(15):
+        cb.record(False)
+    advance(5.0)
+    stale = cb.allow()  # probe #1 granted...
+    cb.record(False, stale)  # ...fails → re-open, window restarts
+    advance(5.0)
+    probe2 = cb.allow()
+    cb.record(True, stale)  # late duplicate from probe #1: ignored
+    assert cb.state != CLOSED
+    cb.record(True, probe2)
+    assert cb.state == CLOSED
 
 
 def test_old_buckets_roll_out_of_window():

@@ -111,3 +111,41 @@ def test_project_fields_except(spark):
         project_fields(F.col("raw"), ["b"], except_=True).alias("j")
     ).collect()[0]["j"]
     assert json.loads(out) == {"a": 1, "c": True}
+
+def test_user_mapped_original_timestamp_survives_without_clamp(spark):
+    # a user-mapped `original_timestamp` field keeps its tokens when the
+    # drift clamp does NOT fire; the overwrite applies only to clamped docs
+    # (`docs/en/07-long-term-store.md` rewrites the field only on clamp)
+    mapping = Mapping({"service": "keyword", "original_timestamp": "keyword"})
+    ingest_ts = F.to_timestamp(F.lit("2024-01-10 00:00:00"))
+    df = make_docs(
+        spark,
+        [
+            {
+                "timestamp": "2024-01-09 12:00:00.000",  # within drift
+                "service": "a",
+                "original_timestamp": "User-Value",
+            }
+        ],
+    )
+    row = ingest_docs(df, mapping, ingest_ts=ingest_ts).collect()[0]
+    assert row["tokens"]["original_timestamp"] == ["user-value"]
+
+
+def test_clamp_overwrites_user_mapped_original_timestamp(spark):
+    mapping = Mapping({"service": "keyword", "original_timestamp": "keyword"})
+    ingest_ts = F.to_timestamp(F.lit("2024-01-10 00:00:00"))
+    df = make_docs(
+        spark,
+        [
+            {
+                "timestamp": "2024-01-01 00:00:00.000",  # 9 days old → clamped
+                "service": "a",
+                "original_timestamp": "User-Value",
+            }
+        ],
+    )
+    row = ingest_docs(df, mapping, ingest_ts=ingest_ts).collect()[0]
+    toks = row["tokens"]["original_timestamp"]
+    assert toks != ["user-value"]  # clamp wins on clamped docs
+    assert any(t.startswith("2024-01-01") for t in toks)
