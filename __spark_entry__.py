@@ -1143,24 +1143,28 @@ def oracle_sql() -> dict[str, str]:
     }
     # deterministic sampling twin: same md5-prefix bucket both engines
     # (15 hex digits = 60 bits, exact in a signed 64-bit int)
-    bucket = (
-        "(CAST(CONCAT('0x', SUBSTR(md5(CONCAT(CAST(doc_id AS VARCHAR), 'v1')), 1, 15)) "
-        "AS BIGINT) % 1000000)"
-    )
+    # each operator namespaces the seed (sample:/split:/mix: prefix) so one
+    # seed string yields independent hash streams across operators
+    def bucket(ns):
+        return (
+            "(CAST(CONCAT('0x', SUBSTR(md5(CONCAT(CAST(doc_id AS VARCHAR), "
+            f"'{ns}v1')), 1, 15)) AS BIGINT) % 1000000)"
+        )
+
     sql["hash_sample"] = (
-        f"SELECT doc_id, source FROM documents WHERE {bucket} < 250000"
+        f"SELECT doc_id, source FROM documents WHERE {bucket('sample:')} < 250000"
     )
     sql["hash_split"] = (
         "SELECT doc_id, CASE "
-        f"WHEN {bucket} < 800000 THEN 'train' "
-        f"WHEN {bucket} < 900000 THEN 'val' "
+        f"WHEN {bucket('split:')} < 800000 THEN 'train' "
+        f"WHEN {bucket('split:')} < 900000 THEN 'val' "
         "ELSE 'test' END AS split FROM documents"
     )
     sql["mix_sources"] = (
         "WITH weighted AS (SELECT doc_id, source, "
         "CASE source WHEN 'src0' THEN 2.5 WHEN 'src1' THEN 2.0 "
         "WHEN 'src2' THEN 0.5 WHEN 'src3' THEN 0.0 ELSE 1.0 END AS w, "
-        f"{bucket} AS b FROM documents), "
+        f"{bucket('mix:')} AS b FROM documents), "
         "counted AS (SELECT doc_id, source, "
         "CAST(FLOOR(w) + (CASE WHEN b < ROUND((w - FLOOR(w)) * 1000000) "
         "THEN 1 ELSE 0 END) AS INT) AS n FROM weighted) "

@@ -21,6 +21,12 @@ All three build on one primitive, :func:`hash_bucket`: the first 15 hex
 digits of md5(key || seed) read as a bigint, mod ``buckets``. md5 keeps the
 DuckDB oracle bit-identical (both engines expose it); 15 hex digits = 60
 bits stay exact in a signed 64-bit int on both sides.
+
+Each operator NAMESPACES the user seed (``sample:``/``split:``/``mix:``
+prefix) so the same seed string across operators yields independent hash
+streams — otherwise a 0.25 sample under seed s would fall entirely inside
+the 0.8 train prefix of a split under the same s, silently correlating
+sample membership with split assignment.
 """
 
 from __future__ import annotations
@@ -50,7 +56,8 @@ def hash_sample(
     if not 0.0 <= fraction <= 1.0:
         raise ValueError(f"fraction must be in [0, 1], got {fraction}")
     return df.filter(
-        hash_bucket(F.col(key_col), seed) < int(round(fraction * BUCKETS))
+        hash_bucket(F.col(key_col), "sample:" + seed)
+        < int(round(fraction * BUCKETS))
     )
 
 
@@ -66,7 +73,7 @@ def hash_split(
     total = sum(weights.values())
     if total <= 0:
         raise ValueError("weights must sum to a positive value")
-    bucket = hash_bucket(F.col(key_col), seed)
+    bucket = hash_bucket(F.col(key_col), "split:" + seed)
     expr = None
     upper = 0.0
     names = list(weights)
@@ -107,7 +114,7 @@ def mix_sources(
     )
     whole = F.floor(w).cast("int")
     frac_buckets = F.round((w - F.floor(w)) * BUCKETS).cast("bigint")
-    extra = (hash_bucket(F.col(key_col), seed) < frac_buckets).cast("int")
+    extra = (hash_bucket(F.col(key_col), "mix:" + seed) < frac_buckets).cast("int")
     n = whole + extra
     copies = F.when(n >= 1, F.sequence(F.lit(1), n)).otherwise(
         F.array().cast("array<int>")

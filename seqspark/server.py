@@ -23,6 +23,7 @@ concurrent queries.
 
 from __future__ import annotations
 
+import datetime as _dt
 import json
 import logging
 import threading
@@ -199,8 +200,25 @@ class SeqSparkServer:
                         )
                         self.send_header("Connection", "close")
                         self.end_headers()
-                        for line in lines:
-                            self.wfile.write(line.encode() + b"\n")
+                        # mid-stream failure after the 200 must be
+                        # distinguishable from a complete drain: a complete
+                        # stream always ends with an explicit
+                        # `{"end": true, "rows": N}` sentinel line; a
+                        # truncated one lacks it (and is counted).
+                        n = 0
+                        try:
+                            for line in lines:
+                                self.wfile.write(line.encode() + b"\n")
+                                n += 1
+                        except Exception as e:
+                            outer._count("search_errors_total")
+                            logger.error("export truncated rows=%d: %s", n, e)
+                            self.close_connection = True
+                            return
+                        self.wfile.write(
+                            json.dumps({"end": True, "rows": n}).encode()
+                            + b"\n"
+                        )
                         return
                     finally:
                         outer._searches.release()
@@ -324,12 +342,19 @@ class SeqSparkServer:
 
         def lines():
             for r in docs.toLocalIterator(prefetchPartitions=True):
+                # format from epoch millis (mid) so the label is truly UTC
+                # regardless of the Spark session / server timezone
+                t = _dt.datetime.fromtimestamp(
+                    r["mid"] / 1000.0, tz=_dt.timezone.utc
+                )
                 yield json.dumps(
                     {
                         "doc": {
                             "id": f"{r['mid']}-{r['rid']}",
                             "data": r["raw"],
-                            "time": r["ts"].isoformat() + "Z",
+                            "time": t.isoformat(
+                                timespec="milliseconds"
+                            ).replace("+00:00", "Z"),
                         }
                     }
                 )

@@ -108,3 +108,20 @@ def test_bucket_range(docs):
         F.max(hash_bucket(F.col("doc_id"))).alias("hi"),
     ).collect()[0]
     assert 0 <= mm["lo"] and mm["hi"] < BUCKETS
+
+def test_operator_seeds_are_independent(docs):
+    # the same user seed must yield INDEPENDENT hash streams per operator:
+    # a 0.25 sample under seed s intersects the 0.8/0.1/0.1 split under the
+    # same s in ≈0.8/0.1/0.1 proportions — not entirely inside train (which
+    # is what a shared, un-namespaced hash would produce)
+    split = hash_split(
+        docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}, seed="s"
+    )
+    sampled = hash_sample(split, "doc_id", 0.25, seed="s")
+    counts = {
+        r["split"]: r["n"]
+        for r in sampled.groupBy("split").agg(F.count("*").alias("n")).collect()
+    }
+    total = sum(counts.values())
+    assert set(counts) == {"train", "val", "test"}  # sample straddles splits
+    assert abs(counts["train"] / total - 0.8) < 0.12

@@ -193,12 +193,53 @@ def test_export_streams_ndjson(server):
         assert r.status == 200
         assert r.headers["Content-Type"] == "application/x-ndjson"
         lines = [json.loads(l) for l in r.read().decode().splitlines()]
+    # a COMPLETE stream ends with the `{"end": true}` sentinel — its
+    # absence tells the client the stream was truncated mid-drain
+    sentinel = lines.pop()
+    assert sentinel == {"end": True, "rows": 2}
     assert len(lines) == 2  # the delete action indexes nothing
     for line in lines:
         doc = line["doc"]
         assert "-" in doc["id"] and doc["time"].endswith("Z")
+        # the time label is epoch-derived UTC: it must round-trip to the
+        # mid half of the id regardless of server timezone
+        import datetime as dt
+
+        mid = int(doc["id"].split("-")[0])
+        parsed = dt.datetime.fromisoformat(doc["time"].replace("Z", "+00:00"))
+        assert int(parsed.timestamp() * 1000) == mid
     payloads = [json.loads(l["doc"]["data"]) for l in lines]
     assert [p["service"] for p in payloads] == ["auth", "pay"]  # asc order
+
+
+def test_export_truncation_is_detectable(server):
+    # kill the row iterator mid-stream: the client must NOT see the end
+    # sentinel, and the failure must count in search_errors_total
+    _post(server, "/_bulk", BULK)
+
+    def broken_lines(req):
+        def gen():
+            yield json.dumps({"doc": {"id": "1-1", "data": "{}", "time": "x"}})
+            raise RuntimeError("executor lost")
+
+        return gen()
+
+    server.export_lines = broken_lines
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{server.port}/export",
+        data=json.dumps({"query": "*"}).encode(),
+    )
+    with urllib.request.urlopen(req) as r:
+        assert r.status == 200
+        raw = r.read().decode()
+    lines = [json.loads(l) for l in raw.splitlines()]
+    assert lines, "one doc line was flushed before the failure"
+    assert all("end" not in l for l in lines)  # no sentinel → truncated
+    with urllib.request.urlopen(
+        f"http://127.0.0.1:{server.port}/metrics"
+    ) as r:
+        text = r.read().decode()
+    assert "seqspark_search_errors_total 1" in text
 
 
 def test_export_bad_query_is_400(server):
