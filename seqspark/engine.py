@@ -721,6 +721,7 @@ class SearchTable:
         strict: bool = False,
         enforce_guard: bool = True,
         ordered: bool = True,
+        persisted_sink: Optional[List[DataFrame]] = None,
     ) -> DataFrame:
         validate_agg(aggq)
         func = aggq.func.lower()
@@ -871,8 +872,14 @@ class SearchTable:
             # distributedly. Persist so the guard action and the caller's
             # collect share ONE aggregation run — the cache plays the role of
             # the reference proxy's materialized bucket merge
-            # (`seq/qpr.go:199-254`) without a driver round-trip.
+            # (`seq/qpr.go:199-254`) without a driver round-trip. The
+            # persisted frame is handed to ``persisted_sink`` so the owner
+            # (e.g. ComplexSearchResult.unpersist) can release it; bucket
+            # frames are guard-bounded (≤ max_group_tokens) so the cache
+            # cost per in-flight request is tiny.
             out = out.persist()
+            if persisted_sink is not None:
+                persisted_sink.append(out)
             if aggq.interval_ms:
                 # timeseries: the guard counts distinct group tokens, not
                 # bins × groups
@@ -895,19 +902,25 @@ class SearchTable:
         time bin ascending first, then — default: value DESC, name ASC;
         MIN: value ASC, name ASC; QUANTILE: name ASC, value DESC.
 
-        Go's cmp.Compare orders NaN below every number; Spark sorts NaN
-        ABOVE all doubles, so sort on an effective value that maps
-        NULL/NaN to -Infinity."""
+        Go's cmp.Compare orders NaN STRICTLY below every number including
+        -Infinity; Spark sorts NaN ABOVE all doubles. Sort on two keys — an
+        is-NaN/NULL flag first, then the raw value — so NaN buckets land
+        past genuine -Infinity values instead of tying with them (ties
+        inside the NaN group still break by name)."""
         mid = F.col("mid_ms").asc_nulls_first()
-        eff = F.when(
-            F.col("value").isNull() | F.isnan("value"), F.lit(float("-inf"))
-        ).otherwise(F.col("value"))
+        is_nan = F.col("value").isNull() | F.isnan("value")
+        # inside the NaN group every value is equal; collapse so the next
+        # key (name) breaks ties deterministically
+        eff = F.when(is_nan, F.lit(0.0)).otherwise(F.col("value"))
+        flag = is_nan.cast("int")
         name = F.col("name").asc_nulls_first()
         if func == "min":
-            return [mid, eff.asc(), name]
+            # value ASC → NaN below all numbers sorts FIRST
+            return [mid, flag.desc(), eff.asc(), name]
         if func == "quantile":
-            return [mid, name, eff.desc()]
-        return [mid, eff.desc(), name]
+            return [mid, name, flag.asc(), eff.desc()]
+        # default: value DESC → NaN sorts LAST
+        return [mid, flag.asc(), eff.desc(), name]
 
     @classmethod
     def order_buckets(cls, buckets: DataFrame, func: str) -> DataFrame:
@@ -1013,9 +1026,18 @@ class SearchTable:
             ts_ms = F.unix_millis(F.col(self.ts_col))
             bucket = (ts_ms - ts_ms % F.lit(hist_interval_ms)).alias("bucket_ms")
             hist = base.groupBy(bucket).agg(F.count(F.lit(1)).alias("cnt"))
-        agg_results = [self._aggregate_on(base, aq, strict=strict) for aq in aggs]
+        agg_bases: List[DataFrame] = []
+        agg_results = [
+            self._aggregate_on(base, aq, strict=strict, persisted_sink=agg_bases)
+            for aq in aggs
+        ]
         return ComplexSearchResult(
-            docs=docs, total=total, histogram=hist, aggs=agg_results, _base=base
+            docs=docs,
+            total=total,
+            histogram=hist,
+            aggs=agg_results,
+            _base=base,
+            _agg_bases=agg_bases,
         )
 
 
@@ -1028,6 +1050,13 @@ class ComplexSearchResult:
     histogram: Optional[DataFrame]
     aggs: List[DataFrame]
     _base: DataFrame
+    _agg_bases: List[DataFrame] = dc_field(default_factory=list)
 
     def unpersist(self) -> None:
+        """Release the cached scan AND every guard-persisted bucket frame
+        (each group-by agg persists its bucket set for the cardinality
+        guard; without this a server ComplexSearch with aggs would leak one
+        cached frame per request until session restart)."""
         self._base.unpersist()
+        for frame in self._agg_bases:
+            frame.unpersist()

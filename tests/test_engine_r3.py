@@ -392,3 +392,40 @@ def test_from_typed_multitype_subfield(spark):
     assert st.search("message.keyword:hello").count() == 0
     # wildcard over the whole value
     assert st.search("message.keyword:hello*").count() == 2
+
+def test_bucket_order_nan_below_neg_infinity(spark):
+    # Go's cmp.Compare orders NaN STRICTLY below -Inf (`seq/qpr.go:216-253`
+    # sortBuckets); a genuine -Infinity bucket must not tie with NaN ones
+    rows = [
+        (None, "nanb", float("nan")),
+        (None, "neg", float("-inf")),
+        (None, "pos", 1.0),
+        (None, "nana", float("nan")),
+    ]
+    df = spark.createDataFrame(rows, "mid_ms long, name string, value double")
+    # default: value DESC → pos, -inf, then the NaN group last (name asc)
+    names = [r["name"] for r in SearchTable.order_buckets(df, "sum").collect()]
+    assert names == ["pos", "neg", "nana", "nanb"]
+    # min: value ASC → NaN group FIRST (below -inf), then -inf, then pos
+    names = [r["name"] for r in SearchTable.order_buckets(df, "min").collect()]
+    assert names == ["nana", "nanb", "neg", "pos"]
+
+
+def test_complex_search_unpersists_agg_frames(events):
+    st = SearchTable.from_typed(
+        events, EVENTS_MAPPING, ts_col="ts", rid_col="event_id"
+    )
+    res = st.complex_search(
+        with_total=True,
+        aggs=[
+            AggQuery(func="sum", field="value", group_by="event_type"),
+            AggQuery(func="count", field="event_type"),
+        ],
+    )
+    for agg in res.aggs:
+        agg.collect()
+    assert len(res._agg_bases) == 2  # one guard-persisted frame per group-by agg
+    assert all(f.storageLevel.useMemory for f in res._agg_bases)
+    res.unpersist()
+    assert not res._base.storageLevel.useMemory
+    assert all(not f.storageLevel.useMemory for f in res._agg_bases)
