@@ -48,6 +48,10 @@ MAX_SEARCH_DOCS = 100_000
 #: guardrails, reference `docs/en/02-flags.md`
 AGG_MAX_GROUP_TOKENS = 2_000
 
+#: `--agg-max-field-tokens` default (`cmd/seq-db/flags.go:67`): max unique
+#: AggQuery.Field values a field aggregation may parse; 0 disables
+AGG_MAX_FIELD_TOKENS = 1_000_000
+
 
 class TooManyUniqValuesError(RuntimeError):
     """Reference `consts` ErrTooManyUniqValues (`frac/processor/eval_tree.go:78-85`)."""
@@ -685,6 +689,7 @@ class SearchTable:
         strict: bool = False,
         enforce_guard: bool = True,
         ordered: bool = True,
+        max_field_tokens: int = AGG_MAX_FIELD_TOKENS,
     ) -> DataFrame:
         """One aggregation over the filtered set (reference
         `frac/processor/aggregator.go:34-346`, finalize `seq/qpr.go:199-314`).
@@ -710,7 +715,13 @@ class SearchTable:
         """
         df, _ = self._filtered(q, from_ms, to_ms)
         return self._aggregate_on(
-            df, aggq, max_group_tokens, strict, enforce_guard, ordered
+            df,
+            aggq,
+            max_group_tokens,
+            strict,
+            enforce_guard,
+            ordered,
+            max_field_tokens=max_field_tokens,
         )
 
     def _aggregate_on(
@@ -722,6 +733,7 @@ class SearchTable:
         enforce_guard: bool = True,
         ordered: bool = True,
         persisted_sink: Optional[List[DataFrame]] = None,
+        max_field_tokens: int = AGG_MAX_FIELD_TOKENS,
     ) -> DataFrame:
         validate_agg(aggq)
         func = aggq.func.lower()
@@ -809,9 +821,16 @@ class SearchTable:
                 "avg": F.avg("__val"),
             }
             n_samples = F.count("__val").alias("__n")
+            # per-bucket approx-distinct of the raw field tokens: summed
+            # over buckets it upper-bounds the GLOBAL distinct-token count,
+            # so the `--agg-max-field-tokens` guard rides the same
+            # aggregation job for free (`frac/processor/eval_tree.go:78-85`,
+            # MaxFieldTokens); only a sum past the limit triggers a real
+            # second pass to confirm
+            ftok = F.approx_count_distinct("__fieldtok").alias("__ftok")
             if func in agg_exprs:
                 out = base.groupBy("__mid", "__group").agg(
-                    agg_exprs[func].alias("value"), n_samples
+                    agg_exprs[func].alias("value"), n_samples, ftok
                 )
             elif func == "quantile":
                 qs = list(aggq.quantiles)
@@ -821,7 +840,7 @@ class SearchTable:
                 qcols = [
                     pct("__val", float(qv)).alias(f"q{i}") for i, qv in enumerate(qs)
                 ]
-                out = base.groupBy("__mid", "__group").agg(*qcols, n_samples)
+                out = base.groupBy("__mid", "__group").agg(*qcols, n_samples, ftok)
                 out = out.withColumn("value", F.col("q0"))
             else:
                 raise ValueError(f"unknown agg func {func!r}")
@@ -867,8 +886,11 @@ class SearchTable:
         out = out.withColumnRenamed("__mid", "mid_ms").withColumnRenamed(
             "__group", "name"
         )
-        if enforce_guard and group_by is not None:
-            # Exact ErrTooManyUniqValues guard on the bucket set, computed
+        is_field_agg = func not in ("count", "unique")
+        group_guard = enforce_guard and group_by is not None
+        field_guard = enforce_guard and is_field_agg and max_field_tokens > 0
+        if group_guard or field_guard:
+            # Exact ErrTooManyUniqValues guards on the bucket set, computed
             # distributedly. Persist so the guard action and the caller's
             # collect share ONE aggregation run — the cache plays the role of
             # the reference proxy's materialized bucket merge
@@ -880,18 +902,37 @@ class SearchTable:
             out = out.persist()
             if persisted_sink is not None:
                 persisted_sink.append(out)
-            if aggq.interval_ms:
+            stat_cols = [
+                F.count(F.lit(1)).alias("__rows"),
+                F.count_distinct("name").alias("__groups"),
+            ]
+            if field_guard:
+                stat_cols.append(F.sum("__ftok").alias("__ftoks"))
+            stats = out.agg(*stat_cols).head()
+            if group_guard:
                 # timeseries: the guard counts distinct group tokens, not
                 # bins × groups
-                n = out.select("name").distinct().count()
-            else:
-                n = out.count()
-            if n > max_group_tokens:
-                out.unpersist()
-                raise TooManyUniqValuesError(
-                    f"group_by {group_by!r} has {n} unique tokens > "
-                    f"{max_group_tokens}"
-                )
+                n = stats["__groups"] if aggq.interval_ms else stats["__rows"]
+                if n > max_group_tokens:
+                    out.unpersist()
+                    raise TooManyUniqValuesError(
+                        f"group_by {group_by!r} has {n} unique tokens > "
+                        f"{max_group_tokens}"
+                    )
+            if field_guard and (stats["__ftoks"] or 0) > max_field_tokens:
+                # the per-bucket sum is only an UPPER bound on the global
+                # distinct count (a token may occur in many buckets) —
+                # confirm with one real pass before failing the request
+                n_f = df.agg(
+                    F.approx_count_distinct("__fieldtok").alias("n")
+                ).head()["n"]
+                if n_f > max_field_tokens:
+                    out.unpersist()
+                    raise TooManyUniqValuesError(
+                        f"field {fieldname!r} has ~{n_f} unique tokens > "
+                        f"{max_field_tokens} (--agg-max-field-tokens)"
+                    )
+        out = out.drop("__ftok")
         if ordered:
             out = self.order_buckets(out, func)
         return out

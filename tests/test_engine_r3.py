@@ -429,3 +429,23 @@ def test_complex_search_unpersists_agg_frames(events):
     res.unpersist()
     assert not res._base.storageLevel.useMemory
     assert all(not f.storageLevel.useMemory for f in res._agg_bases)
+
+def test_agg_field_token_guard(events):
+    # `--agg-max-field-tokens` (`cmd/seq-db/flags.go:67`,
+    # `frac/processor/eval_tree.go:78-85` MaxFieldTokens): a field agg over
+    # a high-cardinality token column fails fast instead of running unbounded
+    st = SearchTable.from_typed(
+        events, EVENTS_MAPPING, ts_col="ts", rid_col="event_id"
+    )
+    with pytest.raises(TooManyUniqValuesError, match="agg-max-field-tokens"):
+        st.aggregate(
+            AggQuery(func="min", field="user_id", group_by="event_type"),
+            max_field_tokens=5,
+        )
+    # no-group field agg is guarded too
+    with pytest.raises(TooManyUniqValuesError):
+        st.aggregate(AggQuery(func="sum", field="user_id"), max_field_tokens=5)
+    # 0 disables the limit (reference flag semantics)
+    st.aggregate(AggQuery(func="sum", field="user_id"), max_field_tokens=0)
+    # count/unique use the GROUP guard only, never the field guard
+    st.aggregate(AggQuery(func="count", field="event_type"), max_field_tokens=1)
