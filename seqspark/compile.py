@@ -82,6 +82,17 @@ class FieldSpec:
     ``numeric_is_float`` — the native column is float/double, so NaN/±Inf
                   values exist and must be rejected like the reference
                   rejects NaN/Inf tokens (`pattern/pattern.go:294-296`).
+    ``guard``   — optional boolean Column ANDed into scalar-path wildcard /
+                  range checks: true iff the value was actually indexed
+                  (e.g. within ``--max-token-size``). Equality does NOT
+                  need it — see ``max_token_bytes``.
+    ``max_token_bytes`` — the ``--max-token-size`` byte cap the field was
+                  indexed under (`consts` MaxTokenSize, default 72). An
+                  equality literal LONGER than the cap can never match an
+                  indexed token, so it compiles to FALSE; a literal within
+                  the cap can only equal a value that is itself within the
+                  cap, so the bare pushable ``col = 'v'`` stays correct
+                  without the guard.
     """
 
     tokens: Callable[[], Column]
@@ -89,6 +100,8 @@ class FieldSpec:
     exists: Optional[Callable[[], Column]] = None
     numeric: Optional[Callable[[], Column]] = None
     numeric_is_float: bool = False
+    guard: Optional[Callable[[], Column]] = None
+    max_token_bytes: Optional[int] = None
 
     def exists_col(self) -> Column:
         if self.exists is not None:
@@ -208,9 +221,23 @@ def _apply_check(
     check: Callable[[Column], Column],
     eq_value: Optional[str] = None,
 ) -> Column:
+    if (
+        eq_value is not None
+        and spec.max_token_bytes is not None
+        and len(eq_value.encode("utf-8")) > spec.max_token_bytes
+    ):
+        # the literal is longer than the index-time token cap — such a
+        # token was never indexed (`tokenizer/keyword_tokenizer.go:22-42`)
+        return F.lit(False)
     if spec.scalar is not None:
         s = spec.scalar()
-        return s.isNotNull() & check(s)
+        cond = s.isNotNull() & check(s)
+        if spec.guard is not None and eq_value is None:
+            # wildcard / lexicographic range could otherwise match a value
+            # that was over the cap and therefore never indexed; equality
+            # is safe bare (see FieldSpec.max_token_bytes)
+            cond = spec.guard() & cond
+        return cond
     toks = spec.tokens()
     if eq_value is not None:
         # native array_contains is ~2x faster than an exists() lambda and

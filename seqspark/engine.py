@@ -40,7 +40,7 @@ from .compile import CompileError, FieldSpec, Resolver, compile_node
 from .mapping import Mapping
 from .seqql.ast import PipeFields, Query
 from .seqql.parser import parse
-from .tokenize import tokens_for_type
+from .tokenize import DEFAULT_MAX_TOKEN_SIZE, keyword_tokens, tokens_for_type
 
 #: reference `conf/conf.go:24` MaxRequestedDocuments
 MAX_SEARCH_DOCS = 100_000
@@ -66,6 +66,8 @@ def materialize_tokens(
     df: DataFrame,
     mapping_types: Dict[str, object],
     case_sensitive: bool = False,
+    max_token_size: int = DEFAULT_MAX_TOKEN_SIZE,
+    partial_indexing: bool = False,
 ) -> DataFrame:
     """Tokens-at-rest: attach a persisted ``__tok_<field>`` column per
     tokenized (text/path) field so the token arrays are computed ONCE at
@@ -89,7 +91,13 @@ def materialize_tokens(
             if tokcol not in df.columns:
                 df = df.withColumn(
                     tokcol,
-                    tokens_for_type(itype, F.col(fm.name).cast("string"), case_sensitive),
+                    tokens_for_type(
+                        itype,
+                        F.col(fm.name).cast("string"),
+                        case_sensitive,
+                        max_token_size,
+                        partial_indexing,
+                    ),
                 )
     return df
 
@@ -280,6 +288,8 @@ class SearchTable:
         rid_col: Optional[str] = None,
         case_sensitive: bool = False,
         assume_folded: bool = False,
+        max_token_size: int = DEFAULT_MAX_TOKEN_SIZE,
+        partial_indexing: bool = False,
     ) -> "SearchTable":
         """``mapping_types`` maps a column name to its index type — either a
         plain type string (``"keyword"``) or a multi-type spec
@@ -322,20 +332,57 @@ class SearchTable:
             if dtype in _INT_TYPES | _FLOAT_TYPES or dtype.startswith("decimal"):
                 numeric = lambda c=colname: F.col(c)
                 numeric_is_float = dtype in _FLOAT_TYPES
-            if itype == "keyword":
-                folded = col if (case_sensitive or assume_folded) else F.lower(col)
+            if itype == "keyword" and partial_indexing:
+                # `--partial-indexing`: over-cap values are indexed as
+                # their first max_token_size chars. The truncation makes
+                # the bare-scalar fast path unsound (a cap-length literal
+                # may equal the TRUNCATION of a longer value), so this
+                # opt-in mode routes through the token array instead —
+                # parity over pushdown, like the reference flag trades
+                # exactness for coverage.
                 specs[qname] = FieldSpec(
-                    tokens=(lambda fc=folded: F.array(fc)),
+                    tokens=(
+                        lambda c=col: keyword_tokens(
+                            c, case_sensitive, max_token_size, True
+                        )
+                    ),
+                    exists=(lambda c=col: c.isNotNull()),
+                    numeric=numeric,
+                    numeric_is_float=numeric_is_float,
+                )
+            elif itype == "keyword":
+                folded = col if (case_sensitive or assume_folded) else F.lower(col)
+                # over-cap values were never indexed (`tokenizer/
+                # keyword_tokenizer.go:22-42`): equality stays a bare
+                # pushable comparison (compile proves a within-cap literal
+                # can't equal an over-cap value); wildcard/range AND in the
+                # byte-cap guard
+                specs[qname] = FieldSpec(
+                    tokens=(
+                        lambda c=col, fc=folded: F.when(
+                            c.isNull(), F.lit(None).cast("array<string>")
+                        ).otherwise(
+                            F.when(
+                                F.octet_length(c) > max_token_size,
+                                F.array().cast("array<string>"),
+                            ).otherwise(F.array(fc))
+                        )
+                    ),
                     scalar=(lambda fc=folded: fc),
                     exists=(lambda c=col: c.isNotNull()),
                     numeric=numeric,
                     numeric_is_float=numeric_is_float,
+                    guard=(lambda c=col: F.octet_length(c) <= max_token_size),
+                    max_token_bytes=max_token_size,
                 )
             else:
                 tokcol = "__tok_" + qname.replace(".", "__")
                 if tokcol not in nonlocal_df[0].columns:
                     nonlocal_df[0] = nonlocal_df[0].withColumn(
-                        tokcol, tokens_for_type(itype, col, case_sensitive)
+                        tokcol,
+                        tokens_for_type(
+                            itype, col, case_sensitive, max_token_size
+                        ),
                     )
                 specs[qname] = FieldSpec(
                     tokens=(lambda tc=tokcol: F.col(tc)),

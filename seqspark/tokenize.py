@@ -124,11 +124,12 @@ def path_tokens(
 
 
 def tokens_for_type(index_type: str, col: Column, case_sensitive: bool = False,
-                    max_token_size: int = DEFAULT_MAX_TOKEN_SIZE) -> Column:
+                    max_token_size: int = DEFAULT_MAX_TOKEN_SIZE,
+                    partial_indexing: bool = False) -> Column:
     if index_type == "text":
         return text_tokens(col, case_sensitive, max_token_size)
     if index_type in ("keyword", "tags", "object", "nested"):
-        return keyword_tokens(col, case_sensitive, max_token_size)
+        return keyword_tokens(col, case_sensitive, max_token_size, partial_indexing)
     if index_type == "path":
         return path_tokens(col, case_sensitive, max_token_size)
     if index_type == "exists":

@@ -449,3 +449,45 @@ def test_agg_field_token_guard(events):
     st.aggregate(AggQuery(func="sum", field="user_id"), max_field_tokens=0)
     # count/unique use the GROUP guard only, never the field guard
     st.aggregate(AggQuery(func="count", field="event_type"), max_field_tokens=1)
+
+def test_max_token_size_exposed_through_from_typed(spark):
+    # reference bench runs `--max-token-size=1024`
+    # (`benchmarks/docker-compose-seqdb.yml`): a 100-char token must be
+    # indexed under size=1024 and dropped under the default 72
+    long_tok = "x" * 100
+    df = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00", f"start {long_tok} end"), (2, "2024-01-01 00:00:01", "short words")],
+        "id long, ts_s string, msg string",
+    ).withColumn("ts", F.to_timestamp(F.col("ts_s")))
+    mk = lambda size: SearchTable.from_typed(
+        df, {"msg": "text"}, ts_col="ts", rid_col="id", max_token_size=size
+    )
+    assert mk(1024).search(f"msg:{long_tok}").count() == 1
+    assert mk(72).search(f"msg:{long_tok}").count() == 0
+    assert mk(72).search("msg:start").count() == 1  # siblings survive
+
+
+def test_keyword_token_cap_in_from_typed(spark):
+    long_val = "k" * 100
+    df = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00", long_val), (2, "2024-01-01 00:00:01", "small")],
+        "id long, ts_s string, svc string",
+    ).withColumn("ts", F.to_timestamp(F.col("ts_s")))
+    st = SearchTable.from_typed(df, {"svc": "keyword"}, ts_col="ts", rid_col="id")
+    # over-cap literal compiles to FALSE: the value was never indexed
+    assert st.search(f"svc:{long_val}").count() == 0
+    # wildcard must not match the unindexed over-cap value either
+    assert st.search("svc:k*").count() == 0
+    assert st.search("svc:small").count() == 1
+    # under a raised cap both match
+    st2 = SearchTable.from_typed(
+        df, {"svc": "keyword"}, ts_col="ts", rid_col="id", max_token_size=1024
+    )
+    assert st2.search(f"svc:{long_val}").count() == 1
+    assert st2.search("svc:k*").count() == 1
+    # --partial-indexing truncates instead of dropping
+    st3 = SearchTable.from_typed(
+        df, {"svc": "keyword"}, ts_col="ts", rid_col="id", partial_indexing=True
+    )
+    assert st3.search(f"svc:{'k' * 72}").count() == 1  # the truncation
+    assert st3.search(f"svc:{long_val}").count() == 0  # full value gone
