@@ -36,10 +36,15 @@ TABLES = (
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    dtypes = dict(df.dtypes)
-    for c in TS_COLS.get(name, []):
-        # only nanos-encoded (read back as bigint) columns need conversion;
-        # some sf dirs store these as plain micros timestamps already
-        if dtypes.get(c) == "bigint":
+    for c, t in df.dtypes:
+        if c in TS_COLS.get(name, ()) and t == "bigint":
+            # nanos-encoded INT64 timestamps (older testdata layout)
             df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` DIV 1000")))
+        elif t == "timestamp_ntz":
+            # parquet TIMESTAMP(isAdjustedToUTC=false) surfaces as
+            # TIMESTAMP_NTZ under Spark 4's inferTimestampNTZ; the engine
+            # (unix_millis, watermarks) needs TIMESTAMP. Sessions run UTC,
+            # so the cast reinterprets the same wall time as UTC instant —
+            # matching DuckDB's epoch() over the same naive value.
+            df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df

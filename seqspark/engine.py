@@ -320,6 +320,12 @@ class SearchTable:
         query tokenizes each row once, not once per query token."""
         mapping = Mapping(dict(mapping_types))
         dtypes = dict(df.dtypes)
+        if dtypes.get(ts_col) == "timestamp_ntz":
+            # TIMESTAMP_NTZ (parquet isAdjustedToUTC=false under Spark 4)
+            # breaks unix_millis/watermarks; sessions run UTC so casting
+            # reinterprets the wall time as a UTC instant.
+            df = df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+            dtypes[ts_col] = "timestamp"
         _INT_TYPES = {"tinyint", "smallint", "int", "bigint"}
         _FLOAT_TYPES = {"float", "double"}
         specs: Dict[str, FieldSpec] = {}
