@@ -107,6 +107,23 @@ def q_range_numeric(spark, sf_dir):
     return _search("value:[10, 20)")(spark, sf_dir)
 
 
+def q_legacy_query(spark, sf_dir):
+    # legacy dialect (reference `parser/query_parser.go:148` ParseQuery, the
+    # default when `use-seq-ql` is absent): uppercase operators, AND binds
+    # tighter than OR, `[a TO b]` inclusive range
+    return _search(
+        "event_type: click OR event_type: view AND value:[10 TO 50]",
+        dialect="legacy",
+    )(spark, sf_dir)
+
+
+def q_legacy_range(spark, sf_dir):
+    # `{a TO b}` exclusive bounds + NOT (`parser/token_range.go`)
+    return _search(
+        "NOT event_type:error AND value:{10 TO 50}", dialect="legacy"
+    )(spark, sf_dir)
+
+
 def q_range_open(spark, sf_dir):
     return _search("value:[15, *]")(spark, sf_dir)
 
@@ -866,6 +883,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_sample": q_hash_sample,
         "hash_split": q_hash_split,
         "mix_sources": q_mix_sources,
+        "legacy_query": q_legacy_query,
+        "legacy_range": q_legacy_range,
     }
 
 
@@ -1200,6 +1219,17 @@ def oracle_sql() -> dict[str, str]:
         "QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1) "
         "SELECT doc_id, round(q, 4) AS quality, "
         f"len({_WORDS}) AS n_tokens FROM deduped"
+    )
+    # legacy dialect (`parser/query_parser.go:148`): AND binds tighter than
+    # OR, [a TO b] inclusive-inclusive, text values token-AND-ed
+    sql["legacy_query"] = (
+        f"SELECT {_EV} FROM events WHERE "
+        "lower(event_type) = 'click' OR "
+        "(lower(event_type) = 'view' AND value >= 10 AND value <= 50)"
+    )
+    sql["legacy_range"] = (
+        f"SELECT {_EV} FROM events WHERE "
+        "NOT (lower(event_type) = 'error') AND value > 10 AND value < 50"
     )
     # rows-only entries (LSH candidate generation, multimodal plumbing) have
     # no SQL equivalent on purpose: the driver records a weaker check for

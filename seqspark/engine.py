@@ -39,6 +39,7 @@ from pyspark.sql import functions as F
 from .compile import CompileError, FieldSpec, Resolver, compile_node
 from .mapping import Mapping
 from .seqql.ast import PipeFields, Query
+from .seqql.legacy import parse_legacy
 from .seqql.parser import parse
 from .tokenize import DEFAULT_MAX_TOKEN_SIZE, keyword_tokens, tokens_for_type
 
@@ -184,6 +185,10 @@ class SearchTable:
         self.ts_col = ts_col
         self.rid_col = rid_col
         self.case_sensitive = case_sensitive
+        #: default query dialect — the reference serves two, chosen per
+        #: request by the `use-seq-ql` metadata key
+        #: (`storeapi/grpc_search.go:206-216`); per-call ``dialect=`` wins
+        self.dialect = "seqql"
         #: dedup keys applied on every search — set for doc stores whose
         #: mapping has `nested` fields (child rows share the parent ID,
         #: `proxy/bulk/indexer.go:162-167`; duplicates collapse at read like
@@ -454,11 +459,16 @@ class SearchTable:
 
     # ----------------------------------------------------------------- basics
 
-    def parse(self, q: str) -> Query:
+    def parse(self, q: str, dialect: Optional[str] = None) -> Query:
+        d = dialect or self.dialect
+        if d == "legacy":
+            return parse_legacy(q, self.mapping, self.case_sensitive)
+        if d != "seqql":
+            raise ValueError(f"unknown query dialect {d!r}")
         return parse(q, self.mapping, self.case_sensitive)
 
-    def predicate(self, q: str) -> Column:
-        return compile_node(self.parse(q).root, self.resolver)
+    def predicate(self, q: str, dialect: Optional[str] = None) -> Column:
+        return compile_node(self.parse(q, dialect).root, self.resolver)
 
     def _time_filter(
         self, from_ms: Optional[int], to_ms: Optional[int]
@@ -481,6 +491,7 @@ class SearchTable:
         from_ms: Optional[int] = None,
         to_ms: Optional[int] = None,
         dedup_cols: Optional[Sequence[str]] = None,
+        dialect: Optional[str] = None,
     ) -> tuple[DataFrame, List[PipeFields]]:
         """Filter by time + predicate, then collapse ID repetitions.
 
@@ -489,7 +500,7 @@ class SearchTable:
         the total count and the histogram too at merge
         (`seq/qpr.go:417-462` MergeQPRs → removeRepetitionsAdvanced:
         ``dst.Total -= repetitionsCount`` + removeHistogramRepetition)."""
-        query = self.parse(q)
+        query = self.parse(q, dialect)
         pred = compile_node(query.root, self.resolver)
         df = self.df
         tf = self._time_filter(from_ms, to_ms)
@@ -539,6 +550,7 @@ class SearchTable:
         offset: int = 0,
         order: str = "desc",
         dedup_cols: Optional[Sequence[str]] = None,
+        dialect: Optional[str] = None,
     ) -> DataFrame:
         """Filter + order by (ts, rid) + offset/size pagination
         (reference `seq/qpr.go:417-494` merge/paginate,
@@ -550,7 +562,7 @@ class SearchTable:
         """
         if size is not None and size > MAX_SEARCH_DOCS:
             raise ValueError(f"size {size} exceeds max-search-docs {MAX_SEARCH_DOCS}")
-        df, pipes = self._filtered(q, from_ms, to_ms, dedup_cols)
+        df, pipes = self._filtered(q, from_ms, to_ms, dedup_cols, dialect)
         df = self._paginate(df, size, offset, order)
         return self.apply_pipes(self._public(df), pipes)
 
@@ -579,6 +591,7 @@ class SearchTable:
         order: str = "desc",
         from_ms: Optional[int] = None,
         to_ms: Optional[int] = None,
+        dialect: Optional[str] = None,
     ) -> DataFrame:
         """Keyset ("search after") pagination: resume strictly after the
         (ts, rid) cursor of the last doc on the previous page.
@@ -589,7 +602,7 @@ class SearchTable:
         this reason, `fracmanager/searcher.go:50-123`). The cursor predicate
         on ``ts`` also prunes time partitions/row groups.
         """
-        df, pipes = self._filtered(q, from_ms, to_ms)
+        df, pipes = self._filtered(q, from_ms, to_ms, dialect=dialect)
         if last_ts_ms is not None:
             ts_ms = F.unix_millis(F.col(self.ts_col))
             if order == "desc":
@@ -639,10 +652,11 @@ class SearchTable:
         q: str = "*",
         from_ms: Optional[int] = None,
         to_ms: Optional[int] = None,
+        dialect: Optional[str] = None,
     ) -> DataFrame:
         """`with_total` — match count independent of size
         (reference `frac/processor/search.go:95-116`)."""
-        df, _ = self._filtered(q, from_ms, to_ms)
+        df, _ = self._filtered(q, from_ms, to_ms, dialect=dialect)
         return df.agg(F.count(F.lit(1)).alias("total"))
 
     def fetch(self, ids_df: DataFrame, id_cols: Sequence[str]) -> DataFrame:
@@ -677,6 +691,7 @@ class SearchTable:
         q: str = "*",
         from_ms: Optional[int] = None,
         to_ms: Optional[int] = None,
+        dialect: Optional[str] = None,
     ) -> str:
         """Explain trace for a query — the analog of the reference's
         per-request explain output (`proxyapi/grpc_complex_search.go:34-60`
@@ -684,8 +699,8 @@ class SearchTable:
         full queryExecution trace (logical → optimized → physical), which
         shows whether predicates reached PushedFilters and whether the
         inverted index routed the query (LeftSemi)."""
-        ast = self.parse(q).root
-        df, _ = self._filtered(q, from_ms, to_ms)
+        ast = self.parse(q, dialect).root
+        df, _ = self._filtered(q, from_ms, to_ms, dialect=dialect)
         return f"AST: {ast}\n{df._jdf.queryExecution().toString()}"
 
     def status(self) -> Dict[str, object]:
@@ -712,11 +727,12 @@ class SearchTable:
         interval_ms: int = 60_000,
         from_ms: Optional[int] = None,
         to_ms: Optional[int] = None,
+        dialect: Optional[str] = None,
     ) -> DataFrame:
         """Date histogram: doc count per time bucket, bucket = MID - MID %
         interval (reference `frac/processor/search.go:169-179`,
         `seq/qpr.go:113-136`). Output: (bucket_ms BIGINT, cnt BIGINT)."""
-        df, _ = self._filtered(q, from_ms, to_ms)
+        df, _ = self._filtered(q, from_ms, to_ms, dialect=dialect)
         ts_ms = F.unix_millis(F.col(self.ts_col))
         bucket = (ts_ms - ts_ms % F.lit(interval_ms)).alias("bucket_ms")
         return df.groupBy(bucket).agg(F.count(F.lit(1)).alias("cnt"))
@@ -743,6 +759,7 @@ class SearchTable:
         enforce_guard: bool = True,
         ordered: bool = True,
         max_field_tokens: int = AGG_MAX_FIELD_TOKENS,
+        dialect: Optional[str] = None,
     ) -> DataFrame:
         """One aggregation over the filtered set (reference
         `frac/processor/aggregator.go:34-346`, finalize `seq/qpr.go:199-314`).
@@ -766,7 +783,7 @@ class SearchTable:
         ``ordered=True`` returns buckets in the reference order
         (`seq/qpr.go:216-253`).
         """
-        df, _ = self._filtered(q, from_ms, to_ms)
+        df, _ = self._filtered(q, from_ms, to_ms, dialect=dialect)
         return self._aggregate_on(
             df,
             aggq,
@@ -1086,6 +1103,7 @@ class SearchTable:
         aggs: Sequence[AggQuery] = (),
         cache: bool = True,
         strict: bool = False,
+        dialect: Optional[str] = None,
     ) -> "ComplexSearchResult":
         """One request → docs + total + histogram + N aggregations from a
         SINGLE filtered scan (reference `proxyapi/grpc_complex_search.go:
@@ -1106,7 +1124,7 @@ class SearchTable:
                 "complex search requires size > 0, with_total, a histogram "
                 "interval or at least one aggregation"
             )
-        base, pipes = self._filtered(q, from_ms, to_ms)
+        base, pipes = self._filtered(q, from_ms, to_ms, dialect=dialect)
         if cache:
             base = base.persist()
         docs = None

@@ -183,6 +183,7 @@ class SeqSparkServer:
                         return self._json(429, {"error": "too many requests"})
                     try:
                         req = json.loads(body.decode() or "{}")
+                        outer._apply_dialect(self.headers, req)
                         outer._count("search_total")
                         if not outer._rate_check("/search", req):
                             outer._count("rate_limited_total")
@@ -233,6 +234,7 @@ class SeqSparkServer:
                         return self._json(429, {"error": "too many requests"})
                     try:
                         req = json.loads(body.decode() or "{}")
+                        outer._apply_dialect(self.headers, req)
                         outer._count("search_total")
                         if not outer._rate_check(self.path, req):
                             # gRPC ResourceExhausted analog
@@ -338,6 +340,7 @@ class SeqSparkServer:
             to_ms=req.get("to_ms"),
             size=req.get("size"),
             order=req.get("order", "desc"),
+            dialect=req.get("dialect"),
         ).select("mid", "rid", "ts", "raw")
 
         def lines():
@@ -360,6 +363,21 @@ class SeqSparkServer:
                 )
 
         return lines()
+
+    @staticmethod
+    def _apply_dialect(headers, req: dict) -> None:
+        """Per-request dialect selection, the `use-seq-ql` metadata key of
+        the reference (`storeapi/grpc_search.go:206-216`): header
+        `use-seq-ql: false` routes the query through the legacy parser,
+        `true` through seq-ql. A `dialect` field in the request body wins.
+        Unlike the reference (whose default is legacy), an absent header
+        keeps this server's established seq-ql default."""
+        if "dialect" not in req:
+            hdr = headers.get("use-seq-ql")
+            if hdr is not None:
+                req["dialect"] = (
+                    "seqql" if hdr.strip().lower() == "true" else "legacy"
+                )
 
     def _rate_check(self, path: str, req: dict) -> bool:
         """Key the request like the reference proxy: search/complex by
@@ -406,6 +424,7 @@ class SeqSparkServer:
             size=req.get("size", 100),
             offset=req.get("offset", 0),
             order=req.get("order", "desc"),
+            dialect=req.get("dialect"),
         ).select("mid", "rid", "raw")
         out = {
             "docs": [
@@ -418,6 +437,7 @@ class SeqSparkServer:
                 req.get("query", "*"),
                 from_ms=req.get("from_ms"),
                 to_ms=req.get("to_ms"),
+                dialect=req.get("dialect"),
             ).collect()[0]["total"]
         return out
 
@@ -450,6 +470,7 @@ class SeqSparkServer:
             with_total=req.get("with_total", False),
             hist_interval_ms=req.get("hist_interval_ms"),
             aggs=aggs,
+            dialect=req.get("dialect"),
         )
         try:
             out: dict = {}

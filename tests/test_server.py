@@ -275,3 +275,38 @@ def test_mirror_forwards_search(spark, tmp_path):
     finally:
         primary.stop()
         mirror.stop()
+
+
+def test_use_seq_ql_header_selects_dialect(server):
+    """`use-seq-ql: false` routes through the legacy parser
+    (`storeapi/grpc_search.go:206-216`); absent header keeps seq-ql."""
+    _post(server, "/_bulk", BULK)
+    # legacy dialect: uppercase OR, no pipes
+    code, res = _post(
+        server,
+        "/search",
+        json.dumps({"query": "service: auth OR service: pay"}).encode(),
+        headers={"use-seq-ql": "false"},
+    )
+    assert code == 200 and len(res["docs"]) == 2
+    # a pipe is seq-ql-only: legacy mode rejects it, seq-ql mode runs it
+    code, _ = _post(
+        server,
+        "/search",
+        json.dumps({"query": "service:auth | fields service"}).encode(),
+        headers={"use-seq-ql": "false"},
+    )
+    assert code == 400
+    code, res = _post(
+        server,
+        "/search",
+        json.dumps({"query": "service:auth | fields service"}).encode(),
+        headers={"use-seq-ql": "true"},
+    )
+    assert code == 200 and len(res["docs"]) == 1
+    code, res = _post(
+        server,
+        "/search",
+        json.dumps({"query": "service:auth", "with_total": True}).encode(),
+    )
+    assert code == 200 and res["total"] == 1
