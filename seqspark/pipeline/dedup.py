@@ -91,12 +91,25 @@ def minhash_lsh_candidates(
     num_hashes: int = 64,
     bands: int = 16,
     max_bucket: int = 200,
+    salt: bool = False,
 ) -> DataFrame:
     """Candidate near-duplicate pairs (id_a < id_b) via banded MinHash-LSH.
 
     Plan shape: project → explode band keys → self-join per bucket. The
-    join key is the band bucket, so work scales with Σ bucket², not n² —
-    ``max_bucket`` caps pathological boilerplate buckets.
+    join key is the band bucket, so work scales with Σ bucket², not n².
+
+    Pathological boilerplate buckets (every near-identical doc lands in the
+    same bucket for every band) are handled one of two ways:
+
+    - ``salt=False`` (default): members past ``max_bucket`` are DROPPED —
+      bounded work, but docs past the cap are never candidates;
+    - ``salt=True``: an oversized bucket splits into
+      ``ceil(size / max_bucket)`` hash-assigned salt groups and pairs form
+      within each group. Every doc stays a candidate (a boilerplate
+      cluster resolves to one survivor per salt group instead of 300
+      unexamined docs), and per-bucket work drops from size² to
+      ~size × max_bucket — the right trade at 100 TB where web
+      boilerplate makes million-doc buckets.
     """
     rows = bands and num_hashes // bands
     sig = minhash_signature(shingles(F.col(text_col), k), num_hashes)
@@ -105,10 +118,26 @@ def minhash_lsh_candidates(
         .withColumn("band", F.explode(band_keys(F.col("sig"), bands, rows)))
         .select("id", "band")
     )
-    w = Window.partitionBy("band").orderBy("id")
-    keyed = keyed.withColumn("__bn", F.row_number().over(w)).filter(
-        F.col("__bn") <= max_bucket
-    )
+    if salt:
+        # bucket size via a window over the same Exchange the join needs;
+        # salt-group id is a deterministic hash of the doc id
+        w = Window.partitionBy("band")
+        groups = F.greatest(
+            F.ceil(F.count(F.lit(1)).over(w) / F.lit(max_bucket)), F.lit(1)
+        )
+        keyed = keyed.withColumn(
+            "band",
+            F.concat(
+                F.col("band"),
+                F.lit("#"),
+                F.pmod(F.xxhash64(F.col("id")), groups).cast("string"),
+            ),
+        )
+    else:
+        w = Window.partitionBy("band").orderBy("id")
+        keyed = keyed.withColumn("__bn", F.row_number().over(w)).filter(
+            F.col("__bn") <= max_bucket
+        )
     a = keyed.select(F.col("band"), F.col("id").alias("id_a"))
     b = keyed.select(F.col("band"), F.col("id").alias("id_b"))
     pairs = (
@@ -159,10 +188,14 @@ def minhash_dedup(
     num_hashes: int = 64,
     bands: int = 16,
     threshold: float = 0.7,
+    max_bucket: int = 200,
+    salt: bool = False,
 ) -> DataFrame:
     """Rows surviving near-dedup: drop the higher-id member of every
     verified near-duplicate pair (greedy, deterministic)."""
-    cands = minhash_lsh_candidates(df, id_col, text_col, k, num_hashes, bands)
+    cands = minhash_lsh_candidates(
+        df, id_col, text_col, k, num_hashes, bands, max_bucket, salt
+    )
     dupes = (
         jaccard_pairs(df, cands, id_col, text_col, k, threshold)
         .select(F.col("id_b").alias("__dup_id"))

@@ -232,3 +232,35 @@ def test_multimodal_real_decode_raises(spark):
     assets = multimodal.make_fake_assets(spark, 3)
     with pytest.raises((PythonException, Py4JJavaError)):
         multimodal.decode_assets(assets, fake=False).collect()
+
+
+def test_salted_lsh_beats_capped_on_boilerplate(spark):
+    """A 500-doc boilerplate cluster vs max_bucket=50: the cap leaves every
+    doc past the bucket cap unexamined; salting splits the hot bucket into
+    hash-assigned groups so every doc is verified, and the cluster
+    collapses to at most one survivor per salt group."""
+    boiler = "terms of service apply to all users of this site " * 3
+    rows = [(i, boiler) for i in range(500)]
+    rows += [(1000 + i, f"unique document number {i} about topic {i * 7}") for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def survivors(salt):
+        kept = dedup.minhash_dedup(
+            df, "doc_id", "text", k=3, num_hashes=16, bands=4,
+            threshold=0.9, max_bucket=50, salt=salt,
+        )
+        return {r["doc_id"] for r in kept.select("doc_id").collect()}
+
+    capped = survivors(False)
+    salted = survivors(True)
+    uniques = {1000 + i for i in range(20)}
+    # uniques survive either way
+    assert uniques <= capped and uniques <= salted
+    # capped: docs past the per-band cap were never candidates -> hundreds
+    # of boilerplate copies survive
+    assert len(capped - uniques) >= 300
+    # salted: every boilerplate doc was a candidate in its salt group ->
+    # at most ceil(500/50)=10 survivors (one per non-empty group)
+    assert len(salted - uniques) <= 10
+    # recall strictly improved
+    assert len(salted) < len(capped)
