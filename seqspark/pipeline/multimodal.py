@@ -1,17 +1,24 @@
 """Multimodal column plumbing: image/audio/video as opaque binary columns
 with typed metadata, processed through Arrow-batched ``mapInPandas``.
 
-The decode kernels themselves are STUBBED (image/audio libraries are not in
-this container): ``decode_image_batch`` raises ``NotImplementedError``
-unless ``fake=True``, in which case a deterministic fake decoder produces
-stable metadata so the Spark-side plumbing — schema, batch iteration,
-partitioning — is fully testable. Swap ``_fake_decode`` for a PIL/ffmpeg
-call to go real; nothing else changes.
+``decode_assets(fake=True)`` (the CI default) runs a deterministic fake
+decoder so the Spark-side plumbing — schema, batch iteration,
+partitioning — is fully testable without media libraries.
+
+``fake=False`` runs REAL kernels behind per-modality capability
+detection, imported inside the executor batch function:
+
+- image: Pillow (``PIL.Image``) when installed, else
+  ``NotImplementedError``;
+- audio: stdlib ``wave`` (WAV) — always available; decoded metadata maps
+  (width, height, n_frames) → (channels, bits-per-sample, audio frames);
+- video: no ffmpeg binding in this container → ``NotImplementedError``.
 """
 
 from __future__ import annotations
 
 import hashlib
+import io
 from typing import Iterator
 
 import pandas as pd
@@ -59,6 +66,26 @@ def _fake_decode(content: bytes) -> tuple[int, int, int]:
     return width, height, n_frames
 
 
+def _real_decode(media_type: str, content: bytes) -> tuple[int, int, int]:
+    """Real per-modality decode, capability-detected at call time (runs in
+    the executor, so imports resolve against the worker's environment)."""
+    if media_type == "image":
+        try:
+            from PIL import Image
+        except ImportError as e:  # pragma: no cover - env-dependent
+            raise NotImplementedError(
+                "image decoding requires Pillow (pip install pillow)"
+            ) from e
+        with Image.open(io.BytesIO(content or b"")) as img:
+            return img.width, img.height, int(getattr(img, "n_frames", 1))
+    if media_type == "audio":
+        import wave
+
+        with wave.open(io.BytesIO(content or b""), "rb") as w:
+            return w.getnchannels(), w.getsampwidth() * 8, w.getnframes()
+    raise NotImplementedError(f"no decoder for media_type={media_type!r}")
+
+
 def decode_assets(assets: DataFrame, fake: bool = True) -> DataFrame:
     """Decode/feature-extract binary assets via ``mapInPandas`` — Arrow
     batches keep the Python crossing amortized; output partitioning follows
@@ -66,10 +93,8 @@ def decode_assets(assets: DataFrame, fake: bool = True) -> DataFrame:
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            if not fake:
-                raise NotImplementedError(
-                    "real media decoding requires PIL/ffmpeg; not in this container"
-                )
+            if len(pdf) == 0:
+                continue
             out = {
                 "asset_id": pdf["asset_id"],
                 "media_type": pdf["media_type"],
@@ -78,7 +103,12 @@ def decode_assets(assets: DataFrame, fake: bool = True) -> DataFrame:
                     lambda b: hashlib.sha256(b or b"").hexdigest()
                 ),
             }
-            decoded = pdf["content"].map(_fake_decode)
+            if fake:
+                decoded = pdf["content"].map(_fake_decode)
+            else:
+                decoded = pdf.apply(
+                    lambda r: _real_decode(r["media_type"], r["content"]), axis=1
+                )
             out["width"] = decoded.map(lambda t: t[0])
             out["height"] = decoded.map(lambda t: t[1])
             out["n_frames"] = decoded.map(lambda t: t[2])

@@ -226,12 +226,57 @@ def test_multimodal_decode_and_frames(spark):
 
 
 def test_multimodal_real_decode_raises(spark):
+    # image (no Pillow here) and video (no ffmpeg binding) must fail loudly
+    # under fake=False instead of returning fake metadata
     from py4j.protocol import Py4JJavaError
     from pyspark.errors.exceptions.captured import PythonException
 
     assets = multimodal.make_fake_assets(spark, 3)
     with pytest.raises((PythonException, Py4JJavaError)):
         multimodal.decode_assets(assets, fake=False).collect()
+
+
+def _wav_bytes(channels=2, sampwidth=2, nframes=120, rate=8000) -> bytes:
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(channels)
+        w.setsampwidth(sampwidth)
+        w.setframerate(rate)
+        w.writeframes(b"\x00" * channels * sampwidth * nframes)
+    return buf.getvalue()
+
+
+def test_multimodal_real_audio_decode(spark):
+    """fake=False runs the REAL stdlib-wave kernel: (width, height,
+    n_frames) map to (channels, bits per sample, audio frames)."""
+    rows = [
+        (1, "audio", bytearray(_wav_bytes(channels=2, sampwidth=2, nframes=120)), "{}"),
+        (2, "audio", bytearray(_wav_bytes(channels=1, sampwidth=1, nframes=55)), "{}"),
+    ]
+    assets = spark.createDataFrame(rows, multimodal.ASSET_SCHEMA)
+    got = {
+        r["asset_id"]: (r["width"], r["height"], r["n_frames"])
+        for r in multimodal.decode_assets(assets, fake=False).collect()
+    }
+    assert got == {1: (2, 16, 120), 2: (1, 8, 55)}
+
+
+def test_multimodal_real_image_decode(spark):
+    """Pinned skip without Pillow; the PIL kernel path when present."""
+    PIL_Image = pytest.importorskip("PIL.Image")
+    import io as _io
+
+    img = PIL_Image.new("RGB", (20, 10))
+    buf = _io.BytesIO()
+    img.save(buf, format="PNG")
+    assets = spark.createDataFrame(
+        [(1, "image", bytearray(buf.getvalue()), "{}")], multimodal.ASSET_SCHEMA
+    )
+    r = multimodal.decode_assets(assets, fake=False).collect()[0]
+    assert (r["width"], r["height"], r["n_frames"]) == (20, 10, 1)
 
 
 def test_salted_lsh_beats_capped_on_boilerplate(spark):
