@@ -169,6 +169,7 @@ def main() -> None:
         json.dumps(
             {
                 "metric": "seqspark_q1_q7_total",
+                "bench_schema": 2,  # v2: value = sum of per-query medians
                 "value": total,
                 "unit": "sec",
                 "queries": timings,

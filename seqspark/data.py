@@ -35,6 +35,10 @@ TABLES = (
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # read TIMESTAMP(isAdjustedToUTC=false) parquet as plain TIMESTAMP at
+    # the scan (not TIMESTAMP_NTZ + cast): keeps ts a raw scan column so
+    # time-range predicates still push down to parquet row groups
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     for c, t in df.dtypes:
         if c in TS_COLS.get(name, ()) and t == "bigint":

@@ -196,6 +196,9 @@ class SearchTable:
         self.default_dedup: Optional[Sequence[str]] = None
         #: optional inverted-index routing (attach_index)
         self._index: Optional[tuple] = None
+        #: bounded FIFO of guard-persisted bucket frames (direct
+        #: aggregate() calls, no owning ComplexSearchResult)
+        self._guard_cache: List[DataFrame] = []
 
     def attach_index(
         self,
@@ -972,10 +975,19 @@ class SearchTable:
             out = out.persist()
             if persisted_sink is not None:
                 persisted_sink.append(out)
-            stat_cols = [
-                F.count(F.lit(1)).alias("__rows"),
-                F.count_distinct("name").alias("__groups"),
-            ]
+            else:
+                # direct aggregate() calls have no owner to release the
+                # cache: keep a small FIFO per table so repeated requests
+                # don't accumulate persisted frames for the session's life
+                self._guard_cache.append(out)
+                if len(self._guard_cache) > 8:
+                    self._guard_cache.pop(0).unpersist()
+            stat_cols = [F.count(F.lit(1)).alias("__rows")]
+            if aggq.interval_ms:
+                # only timeseries needs distinct groups (bins × groups
+                # inflate the row count); skipping count_distinct elsewhere
+                # keeps the stats pass a single no-expand stage
+                stat_cols.append(F.count_distinct("name").alias("__groups"))
             if field_guard:
                 stat_cols.append(F.sum("__ftok").alias("__ftoks"))
             stats = out.agg(*stat_cols).head()
