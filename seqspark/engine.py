@@ -463,6 +463,10 @@ class SearchTable:
     # ----------------------------------------------------------------- basics
 
     def parse(self, q: str, dialect: Optional[str] = None) -> Query:
+        if not q or not q.strip():
+            # empty query → match-all, applied BEFORE dialect parse like the
+            # reference store (`storeapi/grpc_search.go:184-188`)
+            q = "_all_:*"
         d = dialect or self.dialect
         if d == "legacy":
             return parse_legacy(q, self.mapping, self.case_sensitive)

@@ -222,3 +222,20 @@ def test_table_level_default_dialect(events_table):
 def test_legacy_has_no_pipes(events_table):
     with pytest.raises(ParseError):
         events_table.search("event_type:click | fields event_id", dialect="legacy")
+
+
+def test_empty_query_is_match_all(events_table):
+    """Empty/whitespace query maps to `_all_:*` before dialect parse
+    (`storeapi/grpc_search.go:184-188`) in BOTH dialects."""
+    total = events_table.df.count()
+    for dialect in ("seqql", "legacy"):
+        assert (
+            events_table.search("", dialect=dialect, size=None).count() == total
+        )
+        assert (
+            events_table.search("  ", dialect=dialect, size=None).count() == total
+        )
+        assert (
+            events_table.search("_all_:*", dialect=dialect, size=None).count()
+            == total
+        )
