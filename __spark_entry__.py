@@ -117,6 +117,24 @@ def q_legacy_query(spark, sf_dir):
     )(spark, sf_dir)
 
 
+def q_dup_clusters(spark, sf_dir):
+    # connected components over verified jaccard pairs (cluster-level
+    # dedup survivor selection): iterative min-label propagation, verified
+    # against a DuckDB recursive CTE over the same pair set
+    from seqspark.pipeline.dedup import dup_clusters, jaccard_pairs
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    ids = (
+        docs.select(F.col("doc_id").alias("id_a"))
+        .crossJoin(docs.select(F.col("doc_id").alias("id_b")))
+        .filter(F.col("id_a") < F.col("id_b"))
+    )
+    pairs = jaccard_pairs(docs, ids, "doc_id", "text", k=3, threshold=0.3)
+    return dup_clusters(pairs).select(
+        F.col("id").alias("doc_id"), F.col("root").alias("cluster_root")
+    )
+
+
 def q_legacy_range(spark, sf_dir):
     # `{a TO b}` exclusive bounds + NOT (`parser/token_range.go`)
     return _search(
@@ -885,6 +903,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mix_sources": q_mix_sources,
         "legacy_query": q_legacy_query,
         "legacy_range": q_legacy_range,
+        "dup_clusters": q_dup_clusters,
     }
 
 
@@ -1230,6 +1249,24 @@ def oracle_sql() -> dict[str, str]:
     sql["legacy_range"] = (
         f"SELECT {_EV} FROM events WHERE "
         "NOT (lower(event_type) = 'error') AND value > 10 AND value < 50"
+    )
+    # connected components over the same jaccard pairs as ngram_jaccard,
+    # via a recursive min-root propagation CTE
+    sql["dup_clusters"] = (
+        "WITH RECURSIVE "
+        "w AS (SELECT doc_id, " + _WORDS + " AS w FROM documents WHERE doc_id < 200), "
+        "sh AS (SELECT doc_id, list_distinct(list_transform("
+        "range(1, greatest(len(w) - 2, 1) + 1), "
+        "i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s FROM w), "
+        "pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b "
+        "FROM sh a, sh b WHERE a.doc_id < b.doc_id AND "
+        "len(list_intersect(a.s, b.s))::DOUBLE / "
+        "len(list_distinct(list_concat(a.s, b.s))) >= 0.3), "
+        "sym AS (SELECT id_a AS u, id_b AS v FROM pairs "
+        "UNION ALL SELECT id_b, id_a FROM pairs), "
+        "reach(u, r) AS (SELECT u, u FROM (SELECT DISTINCT u FROM sym) "
+        "UNION SELECT s.v, reach.r FROM reach JOIN sym s ON s.u = reach.u) "
+        "SELECT u AS doc_id, min(r) AS cluster_root FROM reach GROUP BY u"
     )
     # rows-only entries (LSH candidate generation, multimodal plumbing) have
     # no SQL equivalent on purpose: the driver records a weaker check for

@@ -206,6 +206,64 @@ def minhash_dedup(
     )
 
 
+def dup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
+    """Connected components over verified duplicate pairs → (id, root).
+
+    Pairwise greedy dedup over-drops on chains (a~b, b~c drops both b and
+    c even though a~c may be false); cluster-level dedup keeps exactly one
+    survivor per component. Min-label propagation: every node starts as
+    its own root and repeatedly takes the minimum root among itself and
+    its neighbors — converges in O(component diameter) rounds (LSH dup
+    components are star-ish, so a handful), each round one join + one
+    groupBy over the PAIRS frame only (≪ corpus at 100 TB; the corpus
+    itself is never touched until the final keep-join).
+    """
+    edges = pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
+    sym = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    sym = sym.persist()
+    # per-round localCheckpoint: eager, truncates the lineage (which would
+    # otherwise double per iteration) and lets Spark GC the previous
+    # round's blocks once unreferenced
+    labels = sym.select("u").distinct().withColumn("root", F.col("u"))
+    labels = labels.localCheckpoint()
+    for _ in range(max_iter):
+        neigh = (
+            sym.join(labels.withColumnRenamed("u", "v"), "v")
+            .groupBy("u")
+            .agg(F.min("root").alias("nroot"))
+        )
+        new = (
+            labels.join(neigh, "u", "left")
+            .select(
+                "u",
+                F.least(
+                    F.col("root"), F.coalesce(F.col("nroot"), F.col("root"))
+                ).alias("root"),
+                (F.col("nroot") < F.col("root")).alias("__chg"),
+            )
+            .localCheckpoint()
+        )
+        changed = new.filter(F.col("__chg")).limit(1).count()
+        labels = new.drop("__chg")
+        if changed == 0:
+            break
+    sym.unpersist()
+    return labels.select(F.col("u").alias("id"), F.col("root"))
+
+
+def cluster_dedup(
+    df: DataFrame, id_col: str, pairs: DataFrame, max_iter: int = 20
+) -> DataFrame:
+    """Keep one row (the cluster-min id) per duplicate component; rows in
+    no component always survive. One broadcast anti-join against the
+    (small) set of non-root members."""
+    comp = dup_clusters(pairs, max_iter)
+    losers = comp.filter(F.col("id") != F.col("root")).select("id")
+    return df.join(
+        F.broadcast(losers), df[id_col] == losers["id"], "left_anti"
+    )
+
+
 def simhash(text: Column, bits: int = 64) -> Column:
     """64-bit SimHash of the token multiset.
 

@@ -309,3 +309,40 @@ def test_salted_lsh_beats_capped_on_boilerplate(spark):
     assert len(salted - uniques) <= 10
     # recall strictly improved
     assert len(salted) < len(capped)
+
+
+def test_dup_clusters_components(spark):
+    """Chain, triangle, isolated pair -> three components, min-id roots."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4),          # chain -> root 1
+         (10, 11), (11, 12), (10, 12),    # triangle -> root 10
+         (20, 21)],                       # pair -> root 20
+        "id_a long, id_b long",
+    )
+    comp = {r["id"]: r["root"] for r in dedup.dup_clusters(pairs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1,
+                    10: 10, 11: 10, 12: 10,
+                    20: 20, 21: 20}
+
+
+def test_cluster_dedup_keeps_one_per_component(spark):
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+    )
+    df = spark.createDataFrame(
+        [(i, f"doc {i}") for i in (1, 2, 3, 10, 11, 99)], "doc_id long, text string"
+    )
+    kept = {r["doc_id"] for r in dedup.cluster_dedup(df, "doc_id", pairs).collect()}
+    # one survivor per component (the min id) + untouched outsider 99
+    assert kept == {1, 10, 99}
+
+
+def test_cluster_dedup_vs_greedy_on_chain(spark):
+    """Chains show why cluster dedup exists: greedy pairwise drop removes
+    every id_b (2,3), cluster dedup also keeps exactly one -- but a
+    star a~b, a~c keeps {a} either way while a FALSE transitive chain
+    (a~b, b~c with a!~c) still keeps only a; the pinned point here is
+    that dup_clusters gives component structure, not pair soup."""
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "id_a long, id_b long")
+    comp = dedup.dup_clusters(pairs)
+    assert comp.filter(F.col("root") == 1).count() == 3
