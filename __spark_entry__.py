@@ -117,6 +117,21 @@ def q_legacy_query(spark, sf_dir):
     )(spark, sf_dir)
 
 
+def q_stratified_sample(spark, sf_dir):
+    # per-stratum deterministic quotas: corpus rebalance by language
+    from seqspark.pipeline.sampling import stratified_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return stratified_sample(
+        docs,
+        "doc_id",
+        "lang",
+        {"en": 0.5, "de": 0.2, "zh": 1.0},
+        seed="v1",
+        default_fraction=0.1,
+    ).select("doc_id", "lang")
+
+
 def q_dup_clusters(spark, sf_dir):
     # connected components over verified jaccard pairs (cluster-level
     # dedup survivor selection): iterative min-label propagation, verified
@@ -904,6 +919,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "legacy_query": q_legacy_query,
         "legacy_range": q_legacy_range,
         "dup_clusters": q_dup_clusters,
+        "stratified_sample": q_stratified_sample,
     }
 
 
@@ -1249,6 +1265,11 @@ def oracle_sql() -> dict[str, str]:
     sql["legacy_range"] = (
         f"SELECT {_EV} FROM events WHERE "
         "NOT (lower(event_type) = 'error') AND value > 10 AND value < 50"
+    )
+    sql["stratified_sample"] = (
+        "SELECT doc_id, lang FROM documents WHERE "
+        f"{bucket('strata:')} < CASE lang WHEN 'en' THEN 500000 "
+        "WHEN 'de' THEN 200000 WHEN 'zh' THEN 1000000 ELSE 100000 END"
     )
     # connected components over the same jaccard pairs as ngram_jaccard,
     # via a recursive min-root propagation CTE

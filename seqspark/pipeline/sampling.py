@@ -88,6 +88,37 @@ def hash_split(
     return df.withColumn(out_col, expr)
 
 
+def stratified_sample(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    fractions: Dict[str, float],
+    seed: str = "",
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Deterministic per-stratum Bernoulli sampling: keep ``fractions[s]``
+    of each stratum ``s`` (e.g. per-language or per-source quotas in a
+    corpus rebalance). Same guarantees as :func:`hash_sample` — membership
+    is a pure function of (key, seed), so reruns and incremental appends
+    agree — and the plan stays a narrow scan + filter (no shuffle, no
+    per-stratum jobs, unlike ``df.sampleBy``'s layout-dependent draw).
+
+    Strata absent from ``fractions`` keep ``default_fraction`` of rows.
+    """
+    for name, frac in fractions.items():
+        if not 0.0 <= frac <= 1.0:
+            raise ValueError(f"fraction for {name!r} must be in [0, 1]")
+    if not 0.0 <= default_fraction <= 1.0:
+        raise ValueError("default_fraction must be in [0, 1]")
+    cut = None
+    for name, frac in fractions.items():
+        branch = (F.col(strata_col) == name, F.lit(int(round(frac * BUCKETS))))
+        cut = F.when(*branch) if cut is None else cut.when(*branch)
+    default_cut = F.lit(int(round(default_fraction * BUCKETS)))
+    cut = default_cut if cut is None else cut.otherwise(default_cut)
+    return df.filter(hash_bucket(F.col(key_col), "strata:" + seed) < cut)
+
+
 def mix_sources(
     df: DataFrame,
     source_col: str,

@@ -125,3 +125,45 @@ def test_operator_seeds_are_independent(docs):
     total = sum(counts.values())
     assert set(counts) == {"train", "val", "test"}  # sample straddles splits
     assert abs(counts["train"] / total - 0.8) < 0.12
+
+
+def test_stratified_sample_quotas(docs):
+    from seqspark.pipeline.sampling import stratified_sample
+
+    fr = {"src0": 0.5, "src1": 0.2, "src2": 1.0}
+    out = stratified_sample(docs, "doc_id", "source", fr, seed="s1",
+                            default_fraction=0.0)
+    base = {r["source"]: r["n"] for r in
+            docs.groupBy("source").count().withColumnRenamed("count", "n").collect()}
+    got = {r["source"]: r["n"] for r in
+           out.groupBy("source").count().withColumnRenamed("count", "n").collect()}
+    # src2 keeps everything, absent strata (default 0.0) keep nothing
+    assert got.get("src2") == base.get("src2")
+    assert set(got) <= set(fr)
+    # src0/src1 land near their quotas
+    for src in ("src0", "src1"):
+        ratio = got.get(src, 0) / base[src]
+        assert abs(ratio - fr[src]) < 0.12, (src, ratio)
+
+
+def test_stratified_sample_deterministic_and_namespaced(docs):
+    from seqspark.pipeline.sampling import hash_sample, stratified_sample
+
+    a = {r["doc_id"] for r in stratified_sample(
+        docs, "doc_id", "source", {"src0": 0.4}, seed="s1").select("doc_id").collect()}
+    b = {r["doc_id"] for r in stratified_sample(
+        docs, "doc_id", "source", {"src0": 0.4}, seed="s1").select("doc_id").collect()}
+    assert a == b and a
+    # same seed string, different operator namespace -> independent stream:
+    # the 0.4 stratified draw must not be a subset of a 0.5 hash_sample
+    plain = {r["doc_id"] for r in hash_sample(
+        docs, "doc_id", 0.5, seed="s1").select("doc_id").collect()}
+    assert not a <= plain
+
+
+def test_stratified_sample_no_exchange(docs):
+    from seqspark.pipeline.sampling import stratified_sample
+
+    out = stratified_sample(docs, "doc_id", "source", {"src0": 0.5}, seed="s1")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
