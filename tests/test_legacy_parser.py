@@ -239,3 +239,37 @@ def test_empty_query_is_match_all(events_table):
             events_table.search("_all_:*", dialect=dialect, size=None).count()
             == total
         )
+
+
+# -------------------------------------------------------------- hypothesis
+
+
+def test_random_ast_dump_parse_fixpoint():
+    """`parser/ast_test.go` TestParsingASTStress: dump a random boolean
+    tree of keyword literals, reparse it, dump again — identical string."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from seqspark.seqql.ast import Literal, Term, and_node, not_node, or_node
+
+    fields = st.sampled_from(["s", "l", "m", "service", "level"])
+    # keyword-safe token data: reparse must produce the same single term
+    tokens = st.text(alphabet="abcdefghijklmnopqrstuvwxyz0123456789_", min_size=1, max_size=8)
+    leaves = st.builds(lambda f, t: Literal(field=f, terms=[Term.text(t)]), fields, tokens)
+
+    def trees(children):
+        return st.one_of(
+            st.builds(and_node, children, children),
+            st.builds(or_node, children, children),
+            st.builds(not_node, children),
+        )
+
+    ast = st.recursive(leaves, trees, max_leaves=12)
+
+    @settings(max_examples=200, deadline=None)
+    @given(ast)
+    def check(root):
+        q = dump(root)
+        assert dump(parse_legacy(q, M).root) == q
+
+    check()
