@@ -499,7 +499,12 @@ class SeqSparkServer:
 
     def fetch(self, req: dict) -> dict:
         """Fetch-by-ID (`proxyapi/grpc_fetch.go:21`): ``{"ids": [[mid, rid],
-        ...]}`` → docs in store order."""
+        ...]}`` → docs in store order. An optional ``fields`` list with
+        ``except`` flag filters each doc's top-level JSON fields — the
+        FieldsFilter of `storeapi/grpc_fetch.go:170-216` (allow-list by
+        default, block-list with ``"except": true``)."""
+        from .seqql.ast import PipeFields
+
         st = self._table()
         ids = req.get("ids", [])
         spark = self.spark
@@ -507,6 +512,11 @@ class SeqSparkServer:
             [(int(m), int(r)) for m, r in ids], "mid long, rid long"
         )
         docs = st.fetch(ids_df, ["mid", "rid"]).select("mid", "rid", "raw")
+        if req.get("fields"):
+            docs = st.apply_pipes(
+                docs,
+                [PipeFields(list(req["fields"]), bool(req.get("except")))],
+            )
         return {
             "docs": [
                 {"mid": r["mid"], "rid": r["rid"], "data": r["raw"]}

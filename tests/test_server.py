@@ -310,3 +310,25 @@ def test_use_seq_ql_header_selects_dialect(server):
         json.dumps({"query": "service:auth", "with_total": True}).encode(),
     )
     assert code == 200 and res["total"] == 1
+
+
+def test_fetch_fields_filter(server):
+    """FieldsFilter on /fetch (`storeapi/grpc_fetch.go:170-216`):
+    allow-list keeps only the named top-level JSON fields, block-list
+    removes them."""
+    _post(server, "/_bulk", BULK)
+    code, res = _post(server, "/search", json.dumps({"query": "service:auth"}).encode())
+    ids = [[d["mid"], d["rid"]] for d in res["docs"]]
+    code, res = _post(
+        server, "/fetch", json.dumps({"ids": ids, "fields": ["service"]}).encode()
+    )
+    assert code == 200
+    doc = json.loads(res["docs"][0]["data"])
+    assert doc == {"service": "auth"}
+    code, res = _post(
+        server,
+        "/fetch",
+        json.dumps({"ids": ids, "fields": ["service"], "except": True}).encode(),
+    )
+    doc = json.loads(res["docs"][0]["data"])
+    assert "service" not in doc and "message" in doc
