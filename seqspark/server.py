@@ -439,6 +439,16 @@ class SeqSparkServer:
                 to_ms=req.get("to_ms"),
                 dialect=req.get("dialect"),
             ).collect()[0]["total"]
+        if req.get("explain"):
+            # per-request explain (`proxyapi/grpc_v1.go:228`,
+            # `grpc_complex_search.go:34-60` attach an explain tree): the
+            # parsed AST + Spark's logical→physical trace
+            out["explain"] = st.explain(
+                req.get("query", "*"),
+                from_ms=req.get("from_ms"),
+                to_ms=req.get("to_ms"),
+                dialect=req.get("dialect"),
+            )
         return out
 
     def complex(self, req: dict) -> dict:

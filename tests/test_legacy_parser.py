@@ -273,3 +273,22 @@ def test_random_ast_dump_parse_fixpoint():
         assert dump(parse_legacy(q, M).root) == q
 
     check()
+
+
+def test_legacy_range_reaches_parquet_pushdown(spark):
+    """A legacy numeric range compiles to the same bare comparison as
+    seq-ql and reaches the Parquet scan as a pushed filter (the shared
+    events_table fixture is cached, which hides the scan — build fresh)."""
+    from seqspark import SearchTable
+    from seqspark.data import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    st = SearchTable.from_typed(
+        ev, {"value": "keyword", "event_id": "keyword"},
+        ts_col="ts", rid_col="event_id",
+    )
+    df = st.search("value:[10 TO 50]", dialect="legacy", size=None)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan
+    pushed = plan.split("PushedFilters: [", 1)[1][:200]
+    assert "GreaterThanOrEqua" in pushed, pushed

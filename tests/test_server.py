@@ -332,3 +332,20 @@ def test_fetch_fields_filter(server):
     )
     doc = json.loads(res["docs"][0]["data"])
     assert "service" not in doc and "message" in doc
+
+
+def test_search_explain_flag(server):
+    """`explain: true` attaches the AST + plan trace to the response
+    (`proxyapi/grpc_v1.go:228` Explain)."""
+    _post(server, "/_bulk", BULK)
+    code, res = _post(
+        server,
+        "/search",
+        json.dumps({"query": "service:auth", "explain": True}).encode(),
+    )
+    assert code == 200
+    assert res["explain"].startswith("AST: ")
+    assert "Physical Plan" in res["explain"]
+    # absent by default
+    code, res = _post(server, "/search", json.dumps({"query": "service:auth"}).encode())
+    assert "explain" not in res
