@@ -282,7 +282,10 @@ def test_legacy_range_reaches_parquet_pushdown(spark):
     from seqspark import SearchTable
     from seqspark.data import load_table
 
-    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    # sf0.01, not sf0.001: the session-shared events fixture caches the
+    # sf0.001 scan and Spark's cache manager would substitute
+    # InMemoryTableScan for the identical plan, hiding PushedFilters
+    ev = load_table(spark, "/root/testdata/sf0.01", "events")
     st = SearchTable.from_typed(
         ev, {"value": "keyword", "event_id": "keyword"},
         ts_col="ts", rid_col="event_id",
