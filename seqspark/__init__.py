@@ -24,6 +24,7 @@ from .circuitbreaker import CircuitBreaker, CircuitOpenError
 from .index import StoreIndex, build_inverted_index, search_tokens
 from .mapping import AutoMapping, Mapping
 from .ratelimit import RateLimiter
+from .seqql.legacy import parse_legacy
 from .seqql.parser import ParseError, parse
 from .store import DocStore, TieredStore
 
@@ -46,4 +47,5 @@ __all__ = [
     "TieredStore",
     "ParseError",
     "parse",
+    "parse_legacy",
 ]
