@@ -117,6 +117,25 @@ def q_legacy_query(spark, sf_dir):
     )(spark, sf_dir)
 
 
+def q_domain_stats(spark, sf_dir):
+    # per-domain URL histogram (blocklists / domain quotas): documents have
+    # no URLs, so synthesize two per doc from its columns (like
+    # path_prefix_tokens synthesizes paths)
+    from seqspark.pipeline.textstats import domain_stats
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "t",
+        F.concat(
+            F.lit("intro https://"),
+            F.col("source"),
+            F.lit(".Example.com/"),
+            F.col("lang"),
+            F.lit(" mid https://cdn.shared.net/a end"),
+        ),
+    )
+    return domain_stats(docs, "doc_id", "t")
+
+
 def q_stratified_sample(spark, sf_dir):
     # per-stratum deterministic quotas: corpus rebalance by language
     from seqspark.pipeline.sampling import stratified_sample
@@ -920,6 +939,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "legacy_range": q_legacy_range,
         "dup_clusters": q_dup_clusters,
         "stratified_sample": q_stratified_sample,
+        "domain_stats": q_domain_stats,
     }
 
 
@@ -1265,6 +1285,15 @@ def oracle_sql() -> dict[str, str]:
     sql["legacy_range"] = (
         f"SELECT {_EV} FROM events WHERE "
         "NOT (lower(event_type) = 'error') AND value > 10 AND value < 50"
+    )
+    sql["domain_stats"] = (
+        "WITH synth AS (SELECT doc_id, 'intro https://' || source || "
+        "'.Example.com/' || lang || ' mid https://cdn.shared.net/a end' AS t "
+        "FROM documents), "
+        r"u AS (SELECT doc_id, unnest(regexp_extract_all(t, 'https?://([\w\.\-]+)', 1)) AS d "
+        "FROM synth) "
+        "SELECT lower(d) AS domain, count(DISTINCT doc_id) AS n_docs, "
+        "count(*) AS n_urls FROM u GROUP BY 1"
     )
     sql["stratified_sample"] = (
         "SELECT doc_id, lang FROM documents WHERE "

@@ -96,6 +96,45 @@ def fingerprint(text: Column) -> Column:
     return F.xxhash64(normalized)
 
 
+_URL_RE = r"https?://[\w\.\-]+(?::\d+)?(?:/[^\s\"'<>]*)?"
+_DOMAIN_RE = r"https?://([\w\.\-]+)"
+
+
+def extract_urls(text: Column) -> Column:
+    """All http(s) URLs in the text (array<string>) — regexp_extract_all,
+    JVM-side."""
+    return F.regexp_extract_all(text, F.lit(_URL_RE), 0)
+
+
+def extract_domains(text: Column) -> Column:
+    """Distinct lower-cased host names of the text's URLs. Feeds per-domain
+    corpus stats: at 100 TB, domain-level dedup/quotas (groupBy on the
+    exploded domain) are how web corpora are rebalanced and blocklisted."""
+    return F.array_distinct(
+        F.transform(
+            F.regexp_extract_all(text, F.lit(_DOMAIN_RE), 1),
+            lambda d: F.lower(d),
+        )
+    )
+
+
+def domain_stats(
+    df: DataFrame, id_col: str, text_col: str = "text"
+) -> DataFrame:
+    """(domain, n_docs, n_urls): explode per URL, group by its host — the
+    domain histogram that drives blocklists and per-domain sampling quotas.
+    One explode + one groupBy; at 100 TB the shuffle key is the domain,
+    whose cardinality is millions, not the corpus size."""
+    per_url = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(extract_urls(F.col(text_col))).alias("url"),
+    ).withColumn("domain", F.lower(F.regexp_extract("url", _DOMAIN_RE, 1)))
+    return per_url.groupBy("domain").agg(
+        F.count_distinct("__id").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_urls"),
+    )
+
+
 def document_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     t = F.col(text_col)
     return df.withColumns(

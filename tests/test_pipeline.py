@@ -346,3 +346,26 @@ def test_cluster_dedup_vs_greedy_on_chain(spark):
     pairs = spark.createDataFrame([(1, 2), (2, 3)], "id_a long, id_b long")
     comp = dedup.dup_clusters(pairs)
     assert comp.filter(F.col("root") == 1).count() == 3
+
+
+def test_url_and_domain_extraction(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "see https://A.Example.com/x and http://b.org:8080/p?q=1 done"),
+            (2, "plain text, no links"),
+            (3, "dup https://a.example.com/y https://a.example.com/z"),
+        ],
+        "doc_id long, text string",
+    )
+    urls = {r["doc_id"]: r["u"] for r in
+            df.select("doc_id", textstats.extract_urls(F.col("text")).alias("u")).collect()}
+    assert urls[1] == ["https://A.Example.com/x", "http://b.org:8080/p?q=1"]
+    assert urls[2] == []
+    doms = {r["doc_id"]: r["d"] for r in
+            df.select("doc_id", textstats.extract_domains(F.col("text")).alias("d")).collect()}
+    assert doms[1] == ["a.example.com", "b.org"]
+    assert doms[3] == ["a.example.com"]
+    stats = {r["domain"]: (r["n_docs"], r["n_urls"]) for r in
+             textstats.domain_stats(df, "doc_id").collect()}
+    assert stats["a.example.com"] == (2, 3)
+    assert stats["b.org"] == (1, 1)
