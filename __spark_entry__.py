@@ -117,6 +117,18 @@ def q_legacy_query(spark, sf_dir):
     )(spark, sf_dir)
 
 
+def q_cap_per_group(spark, sf_dir):
+    # deterministic per-group caps: at most 10 docs per source, hash-ranked
+    # (sources hold 25 docs at sf0.01, so the cap BINDS on every group —
+    # a 40-cap would be a vacuous pass)
+    from seqspark.pipeline.sampling import cap_per_group
+
+    docs = load_table(spark, sf_dir, "documents")
+    return cap_per_group(docs, "doc_id", "source", 10, seed="v1").select(
+        "doc_id", "source"
+    )
+
+
 def q_domain_stats(spark, sf_dir):
     # per-domain URL histogram (blocklists / domain quotas): documents have
     # no URLs, so synthesize two per doc from its columns (like
@@ -940,6 +952,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_clusters": q_dup_clusters,
         "stratified_sample": q_stratified_sample,
         "domain_stats": q_domain_stats,
+        "cap_per_group": q_cap_per_group,
     }
 
 
@@ -1285,6 +1298,14 @@ def oracle_sql() -> dict[str, str]:
     sql["legacy_range"] = (
         f"SELECT {_EV} FROM events WHERE "
         "NOT (lower(event_type) = 'error') AND value > 10 AND value < 50"
+    )
+    cap_bucket = (
+        "(CAST(CONCAT('0x', SUBSTR(md5(CONCAT(CAST(doc_id AS VARCHAR), "
+        "'cap:v1')), 1, 15)) AS BIGINT) % 1000000)"
+    )
+    sql["cap_per_group"] = (
+        "SELECT doc_id, source FROM documents "
+        f"QUALIFY row_number() OVER (PARTITION BY source ORDER BY {cap_bucket}, doc_id) <= 10"
     )
     sql["domain_stats"] = (
         "WITH synth AS (SELECT doc_id, 'intro https://' || source || "

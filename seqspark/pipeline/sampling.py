@@ -119,6 +119,36 @@ def stratified_sample(
     return df.filter(hash_bucket(F.col(key_col), "strata:" + seed) < cut)
 
 
+def cap_per_group(
+    df: DataFrame,
+    key_col: str,
+    group_col: str,
+    n: int,
+    seed: str = "",
+) -> DataFrame:
+    """Keep at most ``n`` rows per group, chosen deterministically by hash
+    rank (per-domain / per-source caps after :func:`stratified_sample`'s
+    fraction quotas; a boilerplate domain contributes at most ``n`` docs).
+
+    The hash rank makes the survivors a uniform, rerun-stable draw rather
+    than "whatever sorted first". One shuffle on the group key; skewed hot
+    groups are exactly the rows the cap discards, so the window never
+    materializes more than it must.
+    """
+    if n < 0:
+        raise ValueError("n must be >= 0")
+    from pyspark.sql import Window
+
+    rank = F.row_number().over(
+        Window.partitionBy(group_col).orderBy(
+            hash_bucket(F.col(key_col), "cap:" + seed), F.col(key_col)
+        )
+    )
+    return (
+        df.withColumn("__rk", rank).filter(F.col("__rk") <= n).drop("__rk")
+    )
+
+
 def mix_sources(
     df: DataFrame,
     source_col: str,

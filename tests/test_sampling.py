@@ -167,3 +167,21 @@ def test_stratified_sample_no_exchange(docs):
     out = stratified_sample(docs, "doc_id", "source", {"src0": 0.5}, seed="s1")
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_cap_per_group(docs):
+    from seqspark.pipeline.sampling import cap_per_group
+
+    out = cap_per_group(docs, "doc_id", "source", 5, seed="s1")
+    sizes = {r["source"]: r["n"] for r in
+             out.groupBy("source").count().withColumnRenamed("count", "n").collect()}
+    assert sizes and all(n <= 5 for n in sizes.values())
+    # deterministic across repartitioning
+    a = {r["doc_id"] for r in out.collect()}
+    b = {r["doc_id"] for r in cap_per_group(
+        docs.repartition(7), "doc_id", "source", 5, seed="s1").collect()}
+    assert a == b
+    # different seed -> (almost surely) different survivors
+    c = {r["doc_id"] for r in cap_per_group(
+        docs, "doc_id", "source", 5, seed="s2").collect()}
+    assert a != c
