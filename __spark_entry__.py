@@ -117,6 +117,26 @@ def q_legacy_query(spark, sf_dir):
     )(spark, sf_dir)
 
 
+def q_ivf_update(spark, sf_dir):
+    # one Lloyd step of the IVF coarse-quantizer training (k=4 seeds = the
+    # 4 lowest-id vectors): assignment by max cosine, element-wise mean per
+    # cell; only k x dim floats cross the driver
+    from seqspark.pipeline.ann import ivf_update
+
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    seeds = [
+        list(map(float, r["embedding"]))
+        for r in emb.orderBy("vec_id").limit(4).select("embedding").collect()
+    ]
+    return ivf_update(emb, seeds).select(
+        F.col("cell").cast("int").alias("cell"),
+        F.col("pos").cast("int").alias("pos"),
+        F.round("v", 4).alias("v"),
+    )
+
+
 def q_cap_per_group(spark, sf_dir):
     # deterministic per-group caps: at most 10 docs per source, hash-ranked
     # (sources hold 25 docs at sf0.01, so the cap BINDS on every group —
@@ -953,6 +973,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "domain_stats": q_domain_stats,
         "cap_per_group": q_cap_per_group,
+        "ivf_update": q_ivf_update,
     }
 
 
@@ -1298,6 +1319,18 @@ def oracle_sql() -> dict[str, str]:
     sql["legacy_range"] = (
         f"SELECT {_EV} FROM events WHERE "
         "NOT (lower(event_type) = 'error') AND value > 10 AND value < 50"
+    )
+    sql["ivf_update"] = (
+        "WITH seeds AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, "
+        "embedding::DOUBLE[] AS c FROM embeddings ORDER BY vec_id LIMIT 4), "
+        "assigned AS (SELECT e.vec_id, e.embedding::DOUBLE[] AS v, "
+        "(SELECT s.cell FROM seeds s "
+        "ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], s.c) DESC, s.cell ASC "
+        "LIMIT 1) AS cell FROM embeddings e), "
+        "exploded AS (SELECT cell, generate_subscripts(v, 1) - 1 AS pos, "
+        "unnest(v) AS val FROM assigned) "
+        "SELECT CAST(cell AS INT) AS cell, CAST(pos AS INT) AS pos, "
+        "round(avg(val), 4) AS v FROM exploded GROUP BY 1, 2"
     )
     cap_bucket = (
         "(CAST(CONCAT('0x', SUBSTR(md5(CONCAT(CAST(doc_id AS VARCHAR), "

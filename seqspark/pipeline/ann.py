@@ -199,3 +199,52 @@ def ivf_topk(
     probe = order[:nprobe]
     cands = emb_with_cells.filter(F.col(cell_col).isin(probe))
     return brute_topk(cands, query_vec, k, id_col, vec_col)
+
+
+def ivf_update(
+    emb: DataFrame,
+    centroids: Sequence[Sequence[float]],
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """One Lloyd step for the IVF coarse quantizer: assign every vector to
+    its max-cosine centroid, then element-wise mean per cell. Output
+    ``(cell INT, pos INT, v DOUBLE)`` — the updated centroid coordinates.
+
+    Plan: one narrow assignment projection + one (cell, pos) shuffle whose
+    key space is k x dim, independent of corpus size."""
+    assigned = ivf_assign(emb, centroids, vec_col=vec_col)
+    return (
+        assigned.select("cell", F.posexplode(F.col(vec_col)))
+        .groupBy("cell", "pos")
+        .agg(F.avg("col").alias("v"))
+    )
+
+
+def ivf_train(
+    emb: DataFrame,
+    k: int = 8,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> List[List[float]]:
+    """Lloyd's k-means for the coarse quantizer. Deterministic: seeds are
+    the ``k`` lowest-id vectors; assignment is max-cosine (the same metric
+    :func:`ivf_topk` probes with); update is the element-wise mean.
+
+    Only k x dim floats ever cross the driver per iteration — the same
+    broadcast-centroid shape in which :func:`ivf_assign` consumes the
+    result; the corpus itself never leaves the executors. Cells that lose
+    every member keep their previous centroid."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    seeds = emb.orderBy(id_col).limit(k).select(vec_col).collect()
+    centroids = [list(map(float, r[vec_col])) for r in seeds]
+    for _ in range(iters):
+        by_cell: dict = {}
+        for r in ivf_update(emb, centroids, vec_col).collect():
+            by_cell.setdefault(r["cell"], {})[r["pos"]] = r["v"]
+        for ci in range(len(centroids)):
+            got = by_cell.get(ci)
+            if got:
+                centroids[ci] = [got[p] for p in range(len(got))]
+    return centroids

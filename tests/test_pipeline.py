@@ -369,3 +369,27 @@ def test_url_and_domain_extraction(spark):
              textstats.domain_stats(df, "doc_id").collect()}
     assert stats["a.example.com"] == (2, 3)
     assert stats["b.org"] == (1, 1)
+
+
+def test_ivf_train_converges_to_planted_clusters(spark):
+    """Two tight planted clusters, k=2: trained centroids must land on the
+    cluster means (cosine assignment separates them immediately)."""
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(30):
+        rows.append((i, [10.0 + rng.uniform(-0.1, 0.1), 0.5, 0.0]))
+    for i in range(30, 60):
+        rows.append((i, [0.0, 0.5, 10.0 + rng.uniform(-0.1, 0.1)]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = ann.ivf_train(emb, k=2, iters=3)
+    assert len(cents) == 2
+    # seed 0 is in cluster A (x-heavy), so centroid 0 must stay x-heavy and
+    # centroid 1 must migrate to the z-heavy cluster mean
+    assert cents[0][0] > 9.0 and abs(cents[0][2]) < 1e-6
+    assert cents[1][2] > 9.0 and abs(cents[1][0]) < 1e-6
+    # and the trained quantizer separates the clusters perfectly
+    cells = {r["vec_id"]: r["cell"] for r in ann.ivf_assign(emb, cents).collect()}
+    assert all(cells[i] == 0 for i in range(30))
+    assert all(cells[i] == 1 for i in range(30, 60))
