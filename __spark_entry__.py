@@ -117,6 +117,14 @@ def q_legacy_query(spark, sf_dir):
     )(spark, sf_dir)
 
 
+def q_sessionize(spark, sf_dir):
+    # gap-based sessionization: per-user session stats with a 1h gap
+    from seqspark.pipeline.sessions import session_stats
+
+    ev = load_table(spark, sf_dir, "events")
+    return session_stats(ev, "user_id", "ts", gap_ms=3600_000)
+
+
 def q_ivf_update(spark, sf_dir):
     # one Lloyd step of the IVF coarse-quantizer training (k=4 seeds = the
     # 4 lowest-id vectors): assignment by max cosine, element-wise mean per
@@ -974,6 +982,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_stats": q_domain_stats,
         "cap_per_group": q_cap_per_group,
         "ivf_update": q_ivf_update,
+        "sessionize": q_sessionize,
     }
 
 
@@ -1319,6 +1328,19 @@ def oracle_sql() -> dict[str, str]:
     sql["legacy_range"] = (
         f"SELECT {_EV} FROM events WHERE "
         "NOT (lower(event_type) = 'error') AND value > 10 AND value < 50"
+    )
+    sql["sessionize"] = (
+        "WITH s AS (SELECT user_id, epoch_ms(ts) AS ts_ms, "
+        "CASE WHEN lag(epoch_ms(ts)) OVER w IS NULL "
+        "OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER w > 3600000 THEN 1 ELSE 0 END AS brk "
+        "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)), "
+        "numbered AS (SELECT user_id, ts_ms, CAST(sum(brk) OVER "
+        "(PARTITION BY user_id ORDER BY ts_ms ROWS UNBOUNDED PRECEDING) AS INT) AS session_seq "
+        "FROM s) "
+        "SELECT user_id, session_seq, count(*) AS n_events, "
+        "min(ts_ms) AS start_ms, max(ts_ms) AS end_ms, "
+        "max(ts_ms) - min(ts_ms) AS duration_ms "
+        "FROM numbered GROUP BY 1, 2"
     )
     sql["ivf_update"] = (
         "WITH seeds AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, "

@@ -1,0 +1,67 @@
+"""Gap-based sessionization of event streams.
+
+Beyond the reference (seq-db has no session operator) — the classic
+log-analytics transform: consecutive events of the same actor belong to one
+session until a silence gap exceeds ``gap_ms``.
+
+One shuffle on the actor key (the window partition); the session id is a
+running count of gap-breaks, so the whole operator is two window
+expressions inside one partitioning — no joins, no iteration, and the
+partition key (actor) is the natural high-cardinality key that spreads
+evenly at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def sessionize(
+    df: DataFrame,
+    actor_col: str,
+    ts_col: str = "ts",
+    gap_ms: int = 30 * 60 * 1000,
+    out_col: str = "session_seq",
+) -> DataFrame:
+    """Append a per-actor session sequence number (1-based).
+
+    A new session starts at the actor's first event and whenever the gap
+    since their previous event is STRICTLY greater than ``gap_ms``.
+    Deterministic for ties via the (ts) ordering within the actor.
+    """
+    if gap_ms < 0:
+        raise ValueError("gap_ms must be >= 0")
+    w = Window.partitionBy(actor_col).orderBy(F.col(ts_col))
+    ts_ms = F.unix_millis(F.col(ts_col))
+    prev = F.lag(ts_ms).over(w)
+    is_break = F.when(
+        prev.isNull() | ((ts_ms - prev) > F.lit(gap_ms)), F.lit(1)
+    ).otherwise(F.lit(0))
+    return df.withColumn(
+        out_col,
+        F.sum(is_break).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).cast("int"),
+    )
+
+
+def session_stats(
+    df: DataFrame,
+    actor_col: str,
+    ts_col: str = "ts",
+    gap_ms: int = 30 * 60 * 1000,
+) -> DataFrame:
+    """(actor, session_seq, n_events, start_ms, end_ms, duration_ms) —
+    one extra aggregation over the sessionized frame, same partitioning."""
+    s = sessionize(df, actor_col, ts_col, gap_ms)
+    ts_ms = F.unix_millis(F.col(ts_col))
+    return (
+        s.groupBy(F.col(actor_col), F.col("session_seq"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min(ts_ms).alias("start_ms"),
+            F.max(ts_ms).alias("end_ms"),
+        )
+        .withColumn("duration_ms", F.col("end_ms") - F.col("start_ms"))
+    )

@@ -393,3 +393,32 @@ def test_ivf_train_converges_to_planted_clusters(spark):
     cells = {r["vec_id"]: r["cell"] for r in ann.ivf_assign(emb, cents).collect()}
     assert all(cells[i] == 0 for i in range(30))
     assert all(cells[i] == 1 for i in range(30, 60))
+def test_sessionize_gaps(spark):
+    from pyspark.sql import functions as F
+
+    from seqspark.pipeline.sessions import session_stats, sessionize
+
+    rows = [
+        ("u1", 0), ("u1", 1000), ("u1", 5000),      # session 1
+        ("u1", 100000), ("u1", 101000),             # session 2 (gap > 30s)
+        ("u2", 0),                                  # u2 session 1
+        ("u2", 30000),                              # exactly the gap -> SAME session
+        ("u2", 60001),                              # 30001ms gap -> new session
+    ]
+    df = spark.createDataFrame(
+        [(u, t) for u, t in rows], "user string, ms long"
+    ).withColumn("ts", F.timestamp_millis(F.col("ms")))
+    s = sessionize(df, "user", "ts", gap_ms=30000)
+    got = {(r["user"], r["ms"]): r["session_seq"] for r in s.collect()}
+    assert got == {
+        ("u1", 0): 1, ("u1", 1000): 1, ("u1", 5000): 1,
+        ("u1", 100000): 2, ("u1", 101000): 2,
+        ("u2", 0): 1, ("u2", 30000): 1, ("u2", 60001): 2,
+    }
+    st = {(r["user"], r["session_seq"]): (r["n_events"], r["duration_ms"])
+          for r in session_stats(df, "user", "ts", gap_ms=30000).collect()}
+    assert st[("u1", 1)] == (3, 5000)
+    assert st[("u1", 2)] == (2, 1000)
+    assert st[("u2", 1)] == (2, 30000)
+    assert st[("u2", 2)] == (1, 0)
+
