@@ -422,3 +422,10 @@ def test_sessionize_gaps(spark):
     assert st[("u2", 1)] == (2, 30000)
     assert st[("u2", 2)] == (1, 0)
 
+
+def test_dup_clusters_empty_pairs(spark):
+    pairs = spark.createDataFrame([], "id_a long, id_b long")
+    assert dedup.dup_clusters(pairs).count() == 0
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "doc_id long, text string")
+    kept = dedup.cluster_dedup(df, "doc_id", pairs)
+    assert kept.count() == 2
