@@ -503,6 +503,14 @@ class SeqSparkServer:
                 ]
                 for adf in res.aggs
             ]
+            if req.get("explain"):
+                # `grpc_complex_search.go:34-60` attaches the explain tree
+                out["explain"] = st.explain(
+                    req.get("query", "*"),
+                    from_ms=req.get("from_ms"),
+                    to_ms=req.get("to_ms"),
+                    dialect=req.get("dialect"),
+                )
             return out
         finally:
             res.unpersist()

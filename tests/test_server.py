@@ -349,3 +349,13 @@ def test_search_explain_flag(server):
     # absent by default
     code, res = _post(server, "/search", json.dumps({"query": "service:auth"}).encode())
     assert "explain" not in res
+
+
+def test_complex_explain_flag(server):
+    _post(server, "/_bulk", BULK)
+    code, res = _post(
+        server,
+        "/complex",
+        json.dumps({"query": "*", "with_total": True, "explain": True}).encode(),
+    )
+    assert code == 200 and res["explain"].startswith("AST: ")
