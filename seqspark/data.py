@@ -33,6 +33,14 @@ TABLES = (
 )
 
 
+def _ntz_as_utc(col):
+    """TIMESTAMP_NTZ → TIMESTAMP, reading the naive wall time as UTC
+    regardless of ``spark.sql.session.timeZone``: the cast interprets the
+    wall clock in the session zone (instant = wall − offset) and
+    ``from_utc_timestamp`` adds that offset back."""
+    return F.from_utc_timestamp(col.cast("timestamp"), F.current_timezone())
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # read TIMESTAMP(isAdjustedToUTC=false) parquet as plain TIMESTAMP at
@@ -45,10 +53,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # nanos-encoded INT64 timestamps (older testdata layout)
             df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` DIV 1000")))
         elif t == "timestamp_ntz":
-            # parquet TIMESTAMP(isAdjustedToUTC=false) surfaces as
-            # TIMESTAMP_NTZ under Spark 4's inferTimestampNTZ; the engine
-            # (unix_millis, watermarks) needs TIMESTAMP. Sessions run UTC,
-            # so the cast reinterprets the same wall time as UTC instant —
-            # matching DuckDB's epoch() over the same naive value.
-            df = df.withColumn(c, F.col(c).cast("timestamp"))
+            # TIMESTAMP_NTZ reaching here (e.g. the conf above couldn't
+            # apply to an already-analyzed plan): reinterpret the wall time
+            # as a UTC instant INDEPENDENT of the session timezone — a bare
+            # cast would shift epochs by the session offset. Matches
+            # DuckDB's epoch() over the same naive value.
+            df = df.withColumn(c, _ntz_as_utc(F.col(c)))
     return df

@@ -330,9 +330,12 @@ class SearchTable:
         dtypes = dict(df.dtypes)
         if dtypes.get(ts_col) == "timestamp_ntz":
             # TIMESTAMP_NTZ (parquet isAdjustedToUTC=false under Spark 4)
-            # breaks unix_millis/watermarks; sessions run UTC so casting
-            # reinterprets the wall time as a UTC instant.
-            df = df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+            # breaks unix_millis/watermarks; reinterpret the wall time as a
+            # UTC instant independent of the session timezone (a bare cast
+            # shifts epochs by the session offset)
+            from .data import _ntz_as_utc
+
+            df = df.withColumn(ts_col, _ntz_as_utc(F.col(ts_col)))
             dtypes[ts_col] = "timestamp"
         _INT_TYPES = {"tinyint", "smallint", "int", "bigint"}
         _FLOAT_TYPES = {"float", "double"}

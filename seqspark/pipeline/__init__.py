@@ -1,3 +1,11 @@
-from . import ann, dedup, multimodal, textstats
+from . import ann, dedup, multimodal, sampling, scrub, sessions, textstats
 
-__all__ = ["ann", "dedup", "multimodal", "textstats"]
+__all__ = [
+    "ann",
+    "dedup",
+    "multimodal",
+    "sampling",
+    "scrub",
+    "sessions",
+    "textstats",
+]

@@ -238,13 +238,34 @@ def ivf_train(
     if k < 1:
         raise ValueError("k must be >= 1")
     seeds = emb.orderBy(id_col).limit(k).select(vec_col).collect()
-    centroids = [list(map(float, r[vec_col])) for r in seeds]
+    centroids = []
+    for r in seeds:
+        v = r[vec_col]
+        if v is None or any(x is None for x in v):
+            raise ValueError(
+                "seed vectors are ragged or contain nulls — clean the "
+                "embedding column before training"
+            )
+        centroids.append([float(x) for x in v])
+    dim = len(centroids[0]) if centroids else 0
     for _ in range(iters):
         by_cell: dict = {}
         for r in ivf_update(emb, centroids, vec_col).collect():
             by_cell.setdefault(r["cell"], {})[r["pos"]] = r["v"]
         for ci in range(len(centroids)):
             got = by_cell.get(ci)
-            if got:
-                centroids[ci] = [got[p] for p in range(len(got))]
+            if not got:
+                continue  # empty cell keeps its previous centroid
+            # a NULL mean (all-null elements) or a non-dense position set
+            # (ragged vectors) would corrupt the centroid far from the bad
+            # input — fail at the source instead
+            if sorted(got) != list(range(dim)) or any(
+                got[p] is None for p in got
+            ):
+                raise ValueError(
+                    f"cell {ci}: vectors are ragged or contain nulls "
+                    f"(positions {sorted(got)[:5]}..., expected dense "
+                    f"0..{dim - 1})"
+                )
+            centroids[ci] = [got[p] for p in range(dim)]
     return centroids

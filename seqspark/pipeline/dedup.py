@@ -119,19 +119,36 @@ def minhash_lsh_candidates(
         .select("id", "band")
     )
     if salt:
-        # bucket size via a window over the same Exchange the join needs;
-        # salt-group id is a deterministic hash of the doc id
-        w = Window.partitionBy("band")
-        groups = F.greatest(
-            F.ceil(F.count(F.lit(1)).over(w) / F.lit(max_bucket)), F.lit(1)
+        # find the OVERSIZED buckets with a map-side-combining count (only
+        # (band, partial) rows shuffle, never the full bucket through one
+        # task) and broadcast just those — hot boilerplate buckets are few
+        # by nature, so the broadcast side stays tiny and the keyed frame
+        # is never re-shuffled before the salted join
+        hot = (
+            keyed.groupBy("band")
+            .count()
+            .filter(F.col("count") > max_bucket)
+            .select(
+                "band",
+                F.ceil(F.col("count") / F.lit(max_bucket)).alias("__groups"),
+            )
         )
-        keyed = keyed.withColumn(
-            "band",
-            F.concat(
-                F.col("band"),
-                F.lit("#"),
-                F.pmod(F.xxhash64(F.col("id")), groups).cast("string"),
-            ),
+        keyed = (
+            keyed.join(F.broadcast(hot), "band", "left")
+            .withColumn(
+                "band",
+                F.when(
+                    F.col("__groups").isNotNull(),
+                    F.concat(
+                        F.col("band"),
+                        F.lit("#"),
+                        F.pmod(
+                            F.xxhash64(F.col("id")), F.col("__groups")
+                        ).cast("string"),
+                    ),
+                ).otherwise(F.col("band")),
+            )
+            .drop("__groups")
         )
     else:
         w = Window.partitionBy("band").orderBy("id")
@@ -206,6 +223,10 @@ def minhash_dedup(
     )
 
 
+class ClusterConvergenceError(RuntimeError):
+    """dup_clusters did not converge within max_iter rounds."""
+
+
 def dup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     """Connected components over verified duplicate pairs → (id, root).
 
@@ -226,6 +247,7 @@ def dup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     # round's blocks once unreferenced
     labels = sym.select("u").distinct().withColumn("root", F.col("u"))
     labels = labels.localCheckpoint()
+    changed = 1
     for _ in range(max_iter):
         neigh = (
             sym.join(labels.withColumnRenamed("u", "v"), "v")
@@ -248,6 +270,15 @@ def dup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
         if changed == 0:
             break
     sym.unpersist()
+    if changed != 0:
+        # propagation distance exceeded max_iter: labels would silently
+        # split one component into several "roots" — fail loudly instead
+        # (`max_iter` bounds the component DIAMETER; raise it for long
+        # chains)
+        raise ClusterConvergenceError(
+            f"label propagation did not converge in {max_iter} rounds; "
+            "a component's diameter exceeds max_iter — raise max_iter"
+        )
     return labels.select(F.col("u").alias("id"), F.col("root"))
 
 
@@ -255,13 +286,13 @@ def cluster_dedup(
     df: DataFrame, id_col: str, pairs: DataFrame, max_iter: int = 20
 ) -> DataFrame:
     """Keep one row (the cluster-min id) per duplicate component; rows in
-    no component always survive. One broadcast anti-join against the
-    (small) set of non-root members."""
+    no component always survive. Anti-join against the non-root members —
+    no broadcast hint: at web-corpus dup rates the loser set is
+    corpus-sized, so the join must be allowed to shuffle (AQE still
+    broadcasts it when it is actually small)."""
     comp = dup_clusters(pairs, max_iter)
     losers = comp.filter(F.col("id") != F.col("root")).select("id")
-    return df.join(
-        F.broadcast(losers), df[id_col] == losers["id"], "left_anti"
-    )
+    return df.join(losers, df[id_col] == losers["id"], "left_anti")
 
 
 def simhash(text: Column, bits: int = 64) -> Column:

@@ -375,8 +375,13 @@ class SeqSparkServer:
         if "dialect" not in req:
             hdr = headers.get("use-seq-ql")
             if hdr is not None:
+                # Go strconv.ParseBool truth set; parse errors fall through
+                # to false → legacy, exactly like the reference's ignored
+                # error return
                 req["dialect"] = (
-                    "seqql" if hdr.strip().lower() == "true" else "legacy"
+                    "seqql"
+                    if hdr.strip().lower() in ("1", "t", "true")
+                    else "legacy"
                 )
 
     def _rate_check(self, path: str, req: dict) -> bool:
@@ -440,16 +445,20 @@ class SeqSparkServer:
                 dialect=req.get("dialect"),
             ).collect()[0]["total"]
         if req.get("explain"):
-            # per-request explain (`proxyapi/grpc_v1.go:228`,
-            # `grpc_complex_search.go:34-60` attach an explain tree): the
-            # parsed AST + Spark's logical→physical trace
-            out["explain"] = st.explain(
-                req.get("query", "*"),
-                from_ms=req.get("from_ms"),
-                to_ms=req.get("to_ms"),
-                dialect=req.get("dialect"),
-            )
+            out["explain"] = self._explain_of(st, req)
         return out
+
+    @staticmethod
+    def _explain_of(st: SearchTable, req: dict) -> str:
+        """Per-request explain (`proxyapi/grpc_v1.go:228`,
+        `grpc_complex_search.go:34-60` attach an explain tree): the parsed
+        AST + Spark's logical→physical trace."""
+        return st.explain(
+            req.get("query", "*"),
+            from_ms=req.get("from_ms"),
+            to_ms=req.get("to_ms"),
+            dialect=req.get("dialect"),
+        )
 
     def complex(self, req: dict) -> dict:
         """ComplexSearch over HTTP (`proxyapi/grpc_complex_search.go:14-60`):
@@ -504,13 +513,7 @@ class SeqSparkServer:
                 for adf in res.aggs
             ]
             if req.get("explain"):
-                # `grpc_complex_search.go:34-60` attaches the explain tree
-                out["explain"] = st.explain(
-                    req.get("query", "*"),
-                    from_ms=req.get("from_ms"),
-                    to_ms=req.get("to_ms"),
-                    dialect=req.get("dialect"),
-                )
+                out["explain"] = self._explain_of(st, req)
             return out
         finally:
             res.unpersist()

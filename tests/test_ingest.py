@@ -149,3 +149,28 @@ def test_clamp_overwrites_user_mapped_original_timestamp(spark):
     toks = row["tokens"]["original_timestamp"]
     assert toks != ["user-value"]  # clamp wins on clamped docs
     assert any(t.startswith("2024-01-01") for t in toks)
+
+
+def test_ntz_timestamps_read_as_utc_regardless_of_session_tz(spark):
+    """from_typed over a TIMESTAMP_NTZ ts column: epochs must equal the
+    wall time read as UTC even when the session timezone is not UTC."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from seqspark import SearchTable
+
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        df = spark.sql(
+            "select 1 as id, timestamp_ntz'2026-01-01 00:00:00' as ts"
+        )
+        st = SearchTable.from_typed(df, {"id": "keyword"}, ts_col="ts", rid_col="id")
+        got = st.df.select(F.unix_millis("ts").alias("m")).head()["m"]
+        want = int(
+            dt.datetime(2026, 1, 1, tzinfo=dt.timezone.utc).timestamp() * 1000
+        )
+        assert got == want
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)

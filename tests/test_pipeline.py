@@ -429,3 +429,31 @@ def test_dup_clusters_empty_pairs(spark):
     df = spark.createDataFrame([(1, "a"), (2, "b")], "doc_id long, text string")
     kept = dedup.cluster_dedup(df, "doc_id", pairs)
     assert kept.count() == 2
+
+def test_dup_clusters_long_chain_raises_then_converges(spark):
+    """A 25-node chain exceeds the default 20-round diameter bound: the
+    operator must FAIL LOUDLY, not return a silently split component."""
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 25)], "id_a long, id_b long"
+    )
+    with pytest.raises(dedup.ClusterConvergenceError):
+        dedup.dup_clusters(pairs, max_iter=5).collect()
+    comp = {r["id"]: r["root"] for r in dedup.dup_clusters(pairs, max_iter=30).collect()}
+    assert set(comp.values()) == {1} and len(comp) == 25
+
+
+def test_ivf_train_rejects_null_elements(spark):
+    # avg() skips scattered nulls (fine); a position that is null in EVERY
+    # member of a cell yields a NULL mean, which must fail loudly
+    emb = spark.createDataFrame(
+        [(0, [1.0, None]), (1, [3.0, None]), (2, [5.0, None])],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(ValueError, match="ragged or contain nulls"):
+        ann.ivf_train(emb, k=1, iters=1)
+    # null past the seed set: caught by the dense-position check instead
+    emb2 = spark.createDataFrame(
+        [(0, [1.0, 2.0]), (1, [3.0, None]), (2, [5.0, None])],
+        "vec_id long, embedding array<double>",
+    )
+    ann.ivf_train(emb2, k=1, iters=1)  # scattered nulls: avg skips, fine

@@ -359,3 +359,17 @@ def test_complex_explain_flag(server):
         json.dumps({"query": "*", "with_total": True, "explain": True}).encode(),
     )
     assert code == 200 and res["explain"].startswith("AST: ")
+
+
+def test_use_seq_ql_go_parsebool_values(server):
+    """Go strconv.ParseBool truth values ('1', 't', 'True') must select
+    seq-ql; invalid values fall through to legacy like the reference's
+    ignored parse error."""
+    _post(server, "/_bulk", BULK)
+    piped = json.dumps({"query": "service:auth | fields service"}).encode()
+    for val in ("1", "t", "True", "TRUE"):
+        code, _ = _post(server, "/search", piped, headers={"use-seq-ql": val})
+        assert code == 200, val
+    for val in ("0", "f", "False", "bogus"):
+        code, _ = _post(server, "/search", piped, headers={"use-seq-ql": val})
+        assert code == 400, val
