@@ -119,6 +119,10 @@ def minhash_lsh_candidates(
         .select("id", "band")
     )
     if salt:
+        # keyed feeds BOTH the hot-bucket count and the salted join, and
+        # the two have different exchanges (no ReusedExchange): checkpoint
+        # the (id, band) rows lazily so the minhash signatures compute once
+        keyed = keyed.localCheckpoint(eager=False)
         # find the OVERSIZED buckets with a map-side-combining count (only
         # (band, partial) rows shuffle, never the full bucket through one
         # task) and broadcast just those — hot boilerplate buckets are few
