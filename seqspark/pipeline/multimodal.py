@@ -117,6 +117,65 @@ def decode_assets(assets: DataFrame, fake: bool = True) -> DataFrame:
     return assets.mapInPandas(batches, DECODED_SCHEMA)
 
 
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType()),
+        StructField("content", BinaryType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+    ]
+)
+
+
+def resize_images(
+    assets: DataFrame, width: int, height: int, fake: bool = True
+) -> DataFrame:
+    """Resize image assets to (width, height) via ``mapInPandas``.
+
+    ``fake=True`` (CI default) emits a deterministic payload derived from
+    the source bytes + target size, so schema/partitioning/batch shape are
+    testable without Pillow; ``fake=False`` decodes and re-encodes PNG
+    through Pillow (capability-detected in the executor)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            pdf = pdf[pdf["media_type"] == "image"]
+            if len(pdf) == 0:
+                continue
+
+            if fake:
+                def kernel(b: bytes) -> bytes:
+                    seed = hashlib.sha256(
+                        (b or b"") + f"{width}x{height}".encode()
+                    ).digest()
+                    return seed * (max(1, (width * height) // len(seed)))
+            else:
+                def kernel(b: bytes) -> bytes:
+                    try:
+                        from PIL import Image
+                    except ImportError as e:  # pragma: no cover
+                        raise NotImplementedError(
+                            "image resize requires Pillow"
+                        ) from e
+                    import io as _io
+
+                    with Image.open(_io.BytesIO(b or b"")) as img:
+                        out = _io.BytesIO()
+                        img.resize((width, height)).save(out, format="PNG")
+                        return out.getvalue()
+
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "content": pdf["content"].map(kernel),
+                    "width": width,
+                    "height": height,
+                }
+            )
+
+    return assets.mapInPandas(batches, RESIZED_SCHEMA)
+
+
 def sample_frames(decoded: DataFrame, every_n: int = 2) -> DataFrame:
     """Frame-sampling plan for video assets: one output row per kept frame
     index — pure explode, runs JVM-side; the (stubbed) frame extraction

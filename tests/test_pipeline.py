@@ -457,3 +457,29 @@ def test_ivf_train_rejects_null_elements(spark):
         "vec_id long, embedding array<double>",
     )
     ann.ivf_train(emb2, k=1, iters=1)  # scattered nulls: avg skips, fine
+
+def test_resize_images_plumbing(spark):
+    assets = multimodal.make_fake_assets(spark, 12)
+    out = multimodal.resize_images(assets, 32, 16).collect()
+    n_images = assets.filter(F.col("media_type") == "image").count()
+    assert len(out) == n_images
+    for r in out:
+        assert (r["width"], r["height"]) == (32, 16)
+        assert len(r["content"]) > 0
+    # deterministic across reruns
+    again = multimodal.resize_images(assets, 32, 16).collect()
+    assert sorted(bytes(r["content"]) for r in out) == sorted(bytes(r["content"]) for r in again)
+
+
+def test_resize_images_real_kernel(spark):
+    PIL_Image = pytest.importorskip("PIL.Image")
+    import io as _io
+
+    img = PIL_Image.new("RGB", (40, 20))
+    buf = _io.BytesIO(); img.save(buf, format="PNG")
+    assets = spark.createDataFrame(
+        [(1, "image", bytearray(buf.getvalue()), "{}")], multimodal.ASSET_SCHEMA
+    )
+    r = multimodal.resize_images(assets, 10, 5, fake=False).collect()[0]
+    with PIL_Image.open(_io.BytesIO(bytes(r["content"]))) as got:
+        assert got.size == (10, 5)
