@@ -895,12 +895,28 @@ def q_mix_sources(spark, sf_dir):
     ).select("doc_id", "source", "copy")
 
 
+def q_multimodal_resize(spark, sf_dir):
+    # rows-only: resize plumbing (deterministic fake kernel) over the fixture
+    from seqspark.pipeline.multimodal import make_fake_assets, resize_images
+
+    assets = make_fake_assets(spark, 64)
+    return resize_images(assets, 32, 16).select(
+        "asset_id", F.length("content").alias("n_bytes"), "width", "height"
+    )
+
+
 #: entries that deliberately have no SQL oracle twin (LSH candidate
 #: generation and multimodal plumbing are not SQL-expressible); the driver
 #: records a weaker rows-only check for these. Everything else MUST have an
 #: oracle_sql() entry — tests/test_contract.py pins the two key sets.
 ROWS_ONLY = frozenset(
-    {"minhash_lsh_pairs", "simhash_candidates", "ann_lsh_topk", "multimodal_decode"}
+    {
+        "minhash_lsh_pairs",
+        "simhash_candidates",
+        "ann_lsh_topk",
+        "multimodal_decode",
+        "multimodal_resize",
+    }
 )
 
 
@@ -983,6 +999,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cap_per_group": q_cap_per_group,
         "ivf_update": q_ivf_update,
         "sessionize": q_sessionize,
+        "multimodal_resize": q_multimodal_resize,
     }
 
 
