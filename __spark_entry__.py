@@ -1412,6 +1412,6 @@ def oracle_sql() -> dict[str, str]:
         "SELECT u AS doc_id, min(r) AS cluster_root FROM reach GROUP BY u"
     )
     # rows-only entries (LSH candidate generation, multimodal plumbing) have
-    # no SQL equivalent on purpose: the driver records a weaker check for
-    # minhash_lsh_pairs, simhash_candidates, ann_lsh_topk, multimodal_decode
+    # no SQL equivalent on purpose — the driver records a weaker check for
+    # the names in ROWS_ONLY (pinned by tests/test_contract.py)
     return {k: v for k, v in sql.items() if v is not None}

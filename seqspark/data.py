@@ -35,10 +35,16 @@ TABLES = (
 
 def _ntz_as_utc(col):
     """TIMESTAMP_NTZ → TIMESTAMP, reading the naive wall time as UTC
-    regardless of ``spark.sql.session.timeZone``: the cast interprets the
-    wall clock in the session zone (instant = wall − offset) and
-    ``from_utc_timestamp`` adds that offset back."""
-    return F.from_utc_timestamp(col.cast("timestamp"), F.current_timezone())
+    regardless of ``spark.sql.session.timeZone``. Pure date arithmetic —
+    no cast through the session zone, so wall times inside a DST
+    spring-forward gap convert exactly instead of shifting an hour."""
+    micros = (
+        F.unix_date(col.cast("date")).cast("long") * F.lit(86_400_000_000)
+        + F.date_part(F.lit("HOUR"), col).cast("long") * F.lit(3_600_000_000)
+        + F.date_part(F.lit("MINUTE"), col).cast("long") * F.lit(60_000_000)
+        + (F.date_part(F.lit("SECOND"), col) * F.lit(1_000_000)).cast("long")
+    )
+    return F.timestamp_micros(micros)
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

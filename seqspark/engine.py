@@ -466,11 +466,16 @@ class SearchTable:
     # ----------------------------------------------------------------- basics
 
     def parse(self, q: str, dialect: Optional[str] = None) -> Query:
+        d = dialect or self.dialect
         if not q or not q.strip():
             # empty query → match-all, applied BEFORE dialect parse like the
             # reference store (`storeapi/grpc_search.go:184-188`)
             q = "_all_:*"
-        d = dialect or self.dialect
+        elif d == "legacy" and q.strip() == "*":
+            # bare `*` is this engine's own match-all default (and seq-ql's
+            # idiom); the legacy grammar spells it `_all_:*` — rewrite so
+            # every q-defaulting API works under a legacy dialect
+            q = "_all_:*"
         if d == "legacy":
             return parse_legacy(q, self.mapping, self.case_sensitive)
         if d != "seqql":
@@ -1062,6 +1067,7 @@ class SearchTable:
         q: str = "*",
         from_ms: Optional[int] = None,
         to_ms: Optional[int] = None,
+        dialect: Optional[str] = None,
     ) -> DataFrame:
         """Result-level NotExists counter (one row, ``not_exists BIGINT``):
         count/unique — docs whose group token is missing
@@ -1074,7 +1080,7 @@ class SearchTable:
         fieldname = aggq.field
         if func in ("count", "unique") and group_by is None:
             group_by, fieldname = fieldname, None
-        df, _ = self._filtered(q, from_ms, to_ms)
+        df, _ = self._filtered(q, from_ms, to_ms, dialect=dialect)
         if func in ("count", "unique"):
             if group_by is None:
                 return df.limit(0).agg(F.count(F.lit(1)).alias("not_exists"))
@@ -1093,12 +1099,18 @@ class SearchTable:
                 miss = df.filter(F.col("__fieldtok").isNull())
         return miss.agg(F.count(F.lit(1)).alias("not_exists"))
 
-    def agg_guard(self, group_by: str, q: str = "*", limit: int = AGG_MAX_GROUP_TOKENS) -> None:
+    def agg_guard(
+        self,
+        group_by: str,
+        q: str = "*",
+        limit: int = AGG_MAX_GROUP_TOKENS,
+        dialect: Optional[str] = None,
+    ) -> None:
         """Pre-flight cardinality guard (reference
         `frac/processor/eval_tree.go:78-85` ErrTooManyUniqValues) —
         approx_count_distinct keeps it one cheap pass. :meth:`aggregate`
         additionally enforces the exact guard on its bucket output."""
-        df, _ = self._filtered(q)
+        df, _ = self._filtered(q, dialect=dialect)
         spec = self.resolver.resolve(group_by)
         col = spec.scalar() if spec.scalar is not None else F.explode(spec.tokens())
         n = df.select(col.alias("g")).agg(F.approx_count_distinct("g").alias("n")).head()[0]

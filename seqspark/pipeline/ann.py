@@ -162,6 +162,8 @@ def ivf_assign(
 ) -> DataFrame:
     """Assign each vector to its nearest centroid (max cosine) — the coarse
     quantizer of an IVF index. Centroids are a broadcast-size literal array."""
+    if not centroids:
+        raise ValueError("centroids must be non-empty (empty corpus?)")
     best = None
     best_cell = None
     for ci, c in enumerate(centroids):

@@ -252,7 +252,10 @@ def dup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     labels = sym.select("u").distinct().withColumn("root", F.col("u"))
     labels = labels.localCheckpoint()
     changed = 1
-    for _ in range(max_iter):
+    # diameter-d components need d improving rounds plus ONE round that
+    # observes zero change, so a converged-at-exactly-max_iter component
+    # must not trip the error: iterate max_iter + 1 times
+    for _ in range(max_iter + 1):
         neigh = (
             sym.join(labels.withColumnRenamed("u", "v"), "v")
             .groupBy("u")

@@ -66,16 +66,22 @@ def _fake_decode(content: bytes) -> tuple[int, int, int]:
     return width, height, n_frames
 
 
+def _require_pil():
+    """Capability probe for the Pillow-backed kernels (runs in the
+    executor, so the import resolves against the worker's environment)."""
+    try:
+        from PIL import Image
+    except ImportError as e:  # pragma: no cover - env-dependent
+        raise NotImplementedError(
+            "this kernel requires Pillow (pip install pillow)"
+        ) from e
+    return Image
+
+
 def _real_decode(media_type: str, content: bytes) -> tuple[int, int, int]:
-    """Real per-modality decode, capability-detected at call time (runs in
-    the executor, so imports resolve against the worker's environment)."""
+    """Real per-modality decode, capability-detected at call time."""
     if media_type == "image":
-        try:
-            from PIL import Image
-        except ImportError as e:  # pragma: no cover - env-dependent
-            raise NotImplementedError(
-                "image decoding requires Pillow (pip install pillow)"
-            ) from e
+        Image = _require_pil()
         with Image.open(io.BytesIO(content or b"")) as img:
             return img.width, img.height, int(getattr(img, "n_frames", 1))
     if media_type == "audio":
@@ -151,16 +157,9 @@ def resize_images(
                     return seed * (max(1, (width * height) // len(seed)))
             else:
                 def kernel(b: bytes) -> bytes:
-                    try:
-                        from PIL import Image
-                    except ImportError as e:  # pragma: no cover
-                        raise NotImplementedError(
-                            "image resize requires Pillow"
-                        ) from e
-                    import io as _io
-
-                    with Image.open(_io.BytesIO(b or b"")) as img:
-                        out = _io.BytesIO()
+                    Image = _require_pil()
+                    with Image.open(io.BytesIO(b or b"")) as img:
+                        out = io.BytesIO()
                         img.resize((width, height)).save(out, format="PNG")
                         return out.getvalue()
 

@@ -243,7 +243,11 @@ class SeqSparkServer:
                             return self._json(
                                 429, {"error": "request was rate limited"}
                             )
-                        outer._try_mirror(self.path, body)
+                        # mirror the RESOLVED request (dialect applied from
+                        # the use-seq-ql header) — re-sending the raw bytes
+                        # would make the mirror parse a legacy query as
+                        # seq-ql
+                        outer._try_mirror(self.path, json.dumps(req).encode())
                         t0 = time.perf_counter()
                         resp = handlers[self.path](req)
                         took_ms = (time.perf_counter() - t0) * 1000

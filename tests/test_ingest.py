@@ -164,13 +164,20 @@ def test_ntz_timestamps_read_as_utc_regardless_of_session_tz(spark):
     spark.conf.set("spark.sql.session.timeZone", "America/New_York")
     try:
         df = spark.sql(
-            "select 1 as id, timestamp_ntz'2026-01-01 00:00:00' as ts"
+            "select 1 as id, timestamp_ntz'2026-01-01 00:00:00' as ts "
+            "union all "
+            # inside New York's 2026 spring-forward gap: a bare cast would
+            # shift this one by an extra hour
+            "select 2 as id, timestamp_ntz'2026-03-08 02:30:00' as ts"
         )
         st = SearchTable.from_typed(df, {"id": "keyword"}, ts_col="ts", rid_col="id")
-        got = st.df.select(F.unix_millis("ts").alias("m")).head()["m"]
-        want = int(
+        got = {r["id"]: r["m"] for r in
+               st.df.select("id", F.unix_millis("ts").alias("m")).collect()}
+        assert got[1] == int(
             dt.datetime(2026, 1, 1, tzinfo=dt.timezone.utc).timestamp() * 1000
         )
-        assert got == want
+        assert got[2] == int(
+            dt.datetime(2026, 3, 8, 2, 30, tzinfo=dt.timezone.utc).timestamp() * 1000
+        )
     finally:
         spark.conf.set("spark.sql.session.timeZone", prev)

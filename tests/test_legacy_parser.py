@@ -295,3 +295,13 @@ def test_legacy_range_reaches_parquet_pushdown(spark):
     assert "PushedFilters: [" in plan
     pushed = plan.split("PushedFilters: [", 1)[1][:200]
     assert "GreaterThanOrEqua" in pushed, pushed
+
+
+def test_legacy_bare_star_default_is_match_all(events_table):
+    """The engine's own q='*' default (and the server's) must work under
+    the legacy dialect: SearchTable.parse rewrites bare `*` to `_all_:*`
+    (the raw legacy grammar still rejects it, per the reference error
+    table)."""
+    total = events_table.df.count()
+    assert events_table.search(dialect="legacy", size=None).count() == total
+    assert events_table.total(dialect="legacy").collect()[0]["total"] == total

@@ -483,3 +483,18 @@ def test_resize_images_real_kernel(spark):
     r = multimodal.resize_images(assets, 10, 5, fake=False).collect()[0]
     with PIL_Image.open(_io.BytesIO(bytes(r["content"]))) as got:
         assert got.size == (10, 5)
+
+def test_dup_clusters_diameter_exactly_max_iter_converges(spark):
+    """Diameter == max_iter must converge (one extra observation round),
+    not raise."""
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 21)], "id_a long, id_b long"
+    )  # 21-node chain, diameter 20
+    comp = {r["id"]: r["root"] for r in dedup.dup_clusters(pairs, max_iter=20).collect()}
+    assert set(comp.values()) == {1} and len(comp) == 21
+
+
+def test_ivf_assign_empty_centroids_raises(spark):
+    emb = spark.createDataFrame([(0, [1.0])], "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="non-empty"):
+        ann.ivf_assign(emb, [])
