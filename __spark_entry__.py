@@ -895,6 +895,18 @@ def q_mix_sources(spark, sf_dir):
     ).select("doc_id", "source", "copy")
 
 
+def q_embedding_dup_clusters(spark, sf_dir):
+    # composition: exact embedding near-dup pairs (the same bounded kernel
+    # as embedding_cosine_pairs) -> connected components -> cluster roots;
+    # shows embedding dedup and graph labeling compose end-to-end
+    from seqspark.pipeline.dedup import dup_clusters
+
+    pairs = q_embedding_cosine_pairs(spark, sf_dir)
+    return dup_clusters(pairs).select(
+        F.col("id").alias("vec_id"), F.col("root").alias("cluster_root")
+    )
+
+
 def q_multimodal_resize(spark, sf_dir):
     # rows-only: resize plumbing (deterministic fake kernel) over the fixture
     from seqspark.pipeline.multimodal import make_fake_assets, resize_images
@@ -1000,6 +1012,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_update": q_ivf_update,
         "sessionize": q_sessionize,
         "multimodal_resize": q_multimodal_resize,
+        "embedding_dup_clusters": q_embedding_dup_clusters,
     }
 
 
@@ -1387,6 +1400,17 @@ def oracle_sql() -> dict[str, str]:
         "FROM synth) "
         "SELECT lower(d) AS domain, count(DISTINCT doc_id) AS n_docs, "
         "count(*) AS n_urls FROM u GROUP BY 1"
+    )
+    sql["embedding_dup_clusters"] = (
+        "WITH RECURSIVE pairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b "
+        "FROM embeddings a, embeddings b "
+        "WHERE a.vec_id < b.vec_id AND a.vec_id < 60 AND b.vec_id < 60 AND "
+        "round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) >= 0.3), "
+        "sym AS (SELECT id_a AS u, id_b AS v FROM pairs "
+        "UNION ALL SELECT id_b, id_a FROM pairs), "
+        "reach(u, r) AS (SELECT u, u FROM (SELECT DISTINCT u FROM sym) "
+        "UNION SELECT s.v, reach.r FROM reach JOIN sym s ON s.u = reach.u) "
+        "SELECT u AS vec_id, min(r) AS cluster_root FROM reach GROUP BY u"
     )
     sql["stratified_sample"] = (
         "SELECT doc_id, lang FROM documents WHERE "

@@ -498,3 +498,42 @@ def test_ivf_assign_empty_centroids_raises(spark):
     emb = spark.createDataFrame([(0, [1.0])], "vec_id long, embedding array<double>")
     with pytest.raises(ValueError, match="non-empty"):
         ann.ivf_assign(emb, [])
+
+def test_sessionize_matches_python_reference(spark):
+    """Property: sessionize equals a straightforward per-actor Python scan
+    over random event sets (hypothesis over timestamps)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=8, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(st.sampled_from(["a", "b", "c"]),
+                      st.integers(min_value=0, max_value=10**6)),
+            min_size=1, max_size=30, unique=True,
+        ),
+        st.integers(min_value=1, max_value=10**5),
+    )
+    def check(rows, gap):
+        from seqspark.pipeline.sessions import sessionize
+
+        df = spark.createDataFrame(rows, "user string, ms long").withColumn(
+            "ts", F.timestamp_millis(F.col("ms"))
+        )
+        got = {(r["user"], r["ms"]): r["session_seq"]
+               for r in sessionize(df, "user", "ts", gap_ms=gap).collect()}
+        # python reference
+        want = {}
+        by_user: dict = {}
+        for u, ms in sorted(rows):
+            by_user.setdefault(u, []).append(ms)
+        for u, tss in by_user.items():
+            seq, prev = 0, None
+            for ms in sorted(tss):
+                if prev is None or ms - prev > gap:
+                    seq += 1
+                want[(u, ms)] = seq
+                prev = ms
+        assert got == want
+
+    check()
