@@ -240,6 +240,11 @@ def ivf_train(
     if k < 1:
         raise ValueError("k must be >= 1")
     seeds = emb.orderBy(id_col).limit(k).select(vec_col).collect()
+    if len(seeds) < k:
+        raise ValueError(
+            f"corpus has only {len(seeds)} vectors, fewer than k={k} — "
+            "callers sizing structures to k would get a mismatched quantizer"
+        )
     centroids = []
     for r in seeds:
         v = r[vec_col]

@@ -112,8 +112,14 @@ def decode_assets(assets: DataFrame, fake: bool = True) -> DataFrame:
             if fake:
                 decoded = pdf["content"].map(_fake_decode)
             else:
-                decoded = pdf.apply(
-                    lambda r: _real_decode(r["media_type"], r["content"]), axis=1
+                # zip over the two columns directly — DataFrame.apply(axis=1)
+                # builds a Series object per row, the slowest pandas loop
+                decoded = pd.Series(
+                    [
+                        _real_decode(m, c)
+                        for m, c in zip(pdf["media_type"], pdf["content"])
+                    ],
+                    index=pdf.index,
                 )
             out["width"] = decoded.map(lambda t: t[0])
             out["height"] = decoded.map(lambda t: t[1])

@@ -183,6 +183,11 @@ class SeqSparkServer:
                         return self._json(429, {"error": "too many requests"})
                     try:
                         req = json.loads(body.decode() or "{}")
+                        if not isinstance(req, dict):
+                            outer._count("search_errors_total")
+                            return self._json(
+                                400, {"error": "request body must be a JSON object"}
+                            )
                         outer._apply_dialect(self.headers, req)
                         outer._count("search_total")
                         if not outer._rate_check("/search", req):
@@ -234,6 +239,8 @@ class SeqSparkServer:
                         return self._json(429, {"error": "too many requests"})
                     try:
                         req = json.loads(body.decode() or "{}")
+                        if not isinstance(req, dict):
+                            raise ValueError("request body must be a JSON object")
                         outer._apply_dialect(self.headers, req)
                         outer._count("search_total")
                         if not outer._rate_check(self.path, req):

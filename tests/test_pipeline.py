@@ -537,3 +537,10 @@ def test_sessionize_matches_python_reference(spark):
         assert got == want
 
     check()
+
+def test_ivf_train_rejects_k_larger_than_corpus(spark):
+    emb = spark.createDataFrame(
+        [(0, [1.0, 2.0]), (1, [3.0, 4.0])], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="fewer than k"):
+        ann.ivf_train(emb, k=8, iters=1)

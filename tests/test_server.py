@@ -373,3 +373,10 @@ def test_use_seq_ql_go_parsebool_values(server):
     for val in ("0", "f", "False", "bogus"):
         code, _ = _post(server, "/search", piped, headers={"use-seq-ql": val})
         assert code == 400, val
+
+
+def test_non_object_body_is_400(server):
+    for path in ("/search", "/export", "/complex"):
+        code, res = _post(server, path, b"[1, 2]", headers={"use-seq-ql": "false"})
+        assert code == 400, path
+        assert "JSON object" in res["error"]
