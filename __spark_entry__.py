@@ -157,6 +157,16 @@ def q_cap_per_group(spark, sf_dir):
     )
 
 
+def q_top_per_group(spark, sf_dir):
+    # top-3 events by value per event_type (value DESC, event_id tiebreak)
+    from seqspark.pipeline.sampling import top_per_group
+
+    ev = load_table(spark, sf_dir, "events")
+    return top_per_group(ev, "event_type", "value", 3, key_col="event_id").select(
+        "event_id", "event_type", "value"
+    )
+
+
 def q_domain_stats(spark, sf_dir):
     # per-domain URL histogram (blocklists / domain quotas): documents have
     # no URLs, so synthesize two per doc from its columns (like
@@ -1013,6 +1023,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": q_sessionize,
         "multimodal_resize": q_multimodal_resize,
         "embedding_dup_clusters": q_embedding_dup_clusters,
+        "top_per_group": q_top_per_group,
     }
 
 
@@ -1383,6 +1394,11 @@ def oracle_sql() -> dict[str, str]:
         "unnest(v) AS val FROM assigned) "
         "SELECT CAST(cell AS INT) AS cell, CAST(pos AS INT) AS pos, "
         "round(avg(val), 4) AS v FROM exploded GROUP BY 1, 2"
+    )
+    sql["top_per_group"] = (
+        "SELECT event_id, event_type, value FROM events "
+        "QUALIFY row_number() OVER (PARTITION BY event_type "
+        "ORDER BY value DESC, event_id) <= 3"
     )
     cap_bucket = (
         "(CAST(CONCAT('0x', SUBSTR(md5(CONCAT(CAST(doc_id AS VARCHAR), "

@@ -149,6 +149,29 @@ def cap_per_group(
     )
 
 
+def top_per_group(
+    df: DataFrame,
+    group_col: str,
+    order_col: str,
+    n: int,
+    key_col: str,
+    desc: bool = True,
+) -> DataFrame:
+    """Keep the top ``n`` rows of each group by ``order_col`` (ties broken
+    by ``key_col`` ascending, so the draw is deterministic) — e.g. the
+    best-quality documents per source after scoring. One shuffle on the
+    group key; rank + filter, no join."""
+    if n < 0:
+        raise ValueError("n must be >= 0")
+    from pyspark.sql import Window
+
+    order = F.col(order_col).desc() if desc else F.col(order_col).asc()
+    rank = F.row_number().over(
+        Window.partitionBy(group_col).orderBy(order, F.col(key_col))
+    )
+    return df.withColumn("__rk", rank).filter(F.col("__rk") <= n).drop("__rk")
+
+
 def mix_sources(
     df: DataFrame,
     source_col: str,

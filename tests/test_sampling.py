@@ -185,3 +185,18 @@ def test_cap_per_group(docs):
     c = {r["doc_id"] for r in cap_per_group(
         docs, "doc_id", "source", 5, seed="s2").collect()}
     assert a != c
+
+
+def test_top_per_group(spark):
+    from seqspark.pipeline.sampling import top_per_group
+
+    df = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "a", 30.0), (3, "a", 20.0), (4, "a", 30.0),
+         (5, "b", 1.0)],
+        "id long, g string, v double",
+    )
+    got = {r["id"] for r in top_per_group(df, "g", "v", 2, key_col="id").collect()}
+    # ties (2,4 both 30.0) break by id ascending -> 2 wins, then 3 (20.0)
+    assert got == {2, 4, 5}
+    asc = {r["id"] for r in top_per_group(df, "g", "v", 1, key_col="id", desc=False).collect()}
+    assert asc == {1, 5}
