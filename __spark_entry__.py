@@ -167,6 +167,21 @@ def q_top_per_group(spark, sf_dir):
     )
 
 
+def q_heavy_hitters(spark, sf_dir):
+    # composition: exact per-language token frequencies -> top-5 tokens per
+    # lang (token-frequency heavy hitters; ties break lexicographically)
+    from seqspark.pipeline.sampling import top_per_group
+    from seqspark.pipeline.textstats import words
+
+    docs = load_table(spark, sf_dir, "documents")
+    freq = (
+        docs.select("lang", F.explode(words(F.col("text"))).alias("token"))
+        .groupBy("lang", "token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return top_per_group(freq, "lang", "cnt", 5, key_col="token")
+
+
 def q_domain_stats(spark, sf_dir):
     # per-domain URL histogram (blocklists / domain quotas): documents have
     # no URLs, so synthesize two per doc from its columns (like
@@ -1024,6 +1039,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_resize": q_multimodal_resize,
         "embedding_dup_clusters": q_embedding_dup_clusters,
         "top_per_group": q_top_per_group,
+        "heavy_hitters": q_heavy_hitters,
     }
 
 
@@ -1394,6 +1410,12 @@ def oracle_sql() -> dict[str, str]:
         "unnest(v) AS val FROM assigned) "
         "SELECT CAST(cell AS INT) AS cell, CAST(pos AS INT) AS pos, "
         "round(avg(val), 4) AS v FROM exploded GROUP BY 1, 2"
+    )
+    sql["heavy_hitters"] = (
+        f"WITH w AS (SELECT lang, unnest({_WORDS}) AS token FROM documents), "
+        "freq AS (SELECT lang, token, count(*) AS cnt FROM w GROUP BY 1, 2) "
+        "SELECT lang, token, cnt FROM freq "
+        "QUALIFY row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, token) <= 5"
     )
     sql["top_per_group"] = (
         "SELECT event_id, event_type, value FROM events "
