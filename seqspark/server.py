@@ -182,22 +182,25 @@ class SeqSparkServer:
                     if not outer._searches.acquire(blocking=False):
                         return self._json(429, {"error": "too many requests"})
                     try:
-                        req = json.loads(body.decode() or "{}")
-                        if not isinstance(req, dict):
-                            outer._count("search_errors_total")
-                            return self._json(
-                                400, {"error": "request body must be a JSON object"}
-                            )
-                        outer._apply_dialect(self.headers, req)
-                        outer._count("search_total")
-                        if not outer._rate_check("/search", req):
-                            outer._count("rate_limited_total")
-                            return self._json(
-                                429, {"error": "request was rate limited"}
-                            )
+                        # everything before the 200 status line is
+                        # request-shaped: malformed JSON, wrong body type,
+                        # parse/plan errors all become a clean 400 (the
+                        # mid-stream path below has its own handling)
                         try:
+                            req = json.loads(body.decode() or "{}")
+                            if not isinstance(req, dict):
+                                raise ValueError(
+                                    "request body must be a JSON object"
+                                )
+                            outer._apply_dialect(self.headers, req)
+                            outer._count("search_total")
+                            if not outer._rate_check("/search", req):
+                                outer._count("rate_limited_total")
+                                return self._json(
+                                    429, {"error": "request was rate limited"}
+                                )
                             lines = outer.export_lines(req)
-                        except Exception as e:  # plan/parse errors → 400
+                        except Exception as e:
                             outer._count("search_errors_total")
                             return self._json(400, {"error": str(e)})
                         self.send_response(200)

@@ -196,7 +196,11 @@ def test_top_per_group(spark):
         "id long, g string, v double",
     )
     got = {r["id"] for r in top_per_group(df, "g", "v", 2, key_col="id").collect()}
-    # ties (2,4 both 30.0) break by id ascending -> 2 wins, then 3 (20.0)
+    # n=2 keeps both tied 30.0 rows, excluding 20.0
     assert got == {2, 4, 5}
+    # n=1 actually pins the key tie-break: of the tied 30.0 rows (ids 2, 4),
+    # the LOWER id must win deterministically
+    top1 = {r["id"] for r in top_per_group(df, "g", "v", 1, key_col="id").collect()}
+    assert top1 == {2, 5}
     asc = {r["id"] for r in top_per_group(df, "g", "v", 1, key_col="id", desc=False).collect()}
     assert asc == {1, 5}

@@ -380,3 +380,8 @@ def test_non_object_body_is_400(server):
         code, res = _post(server, path, b"[1, 2]", headers={"use-seq-ql": "false"})
         assert code == 400, path
         assert "JSON object" in res["error"]
+
+
+def test_export_malformed_json_is_400(server):
+    code, res = _post(server, "/export", b"{bad json", headers={"use-seq-ql": "false"})
+    assert code == 400 and "error" in res
