@@ -30,6 +30,8 @@ Scale notes:
 
 from __future__ import annotations
 
+import math
+import threading
 from dataclasses import dataclass, field as dc_field
 from typing import Dict, List, Optional, Sequence
 
@@ -123,6 +125,38 @@ class AggQuery:
     exact_quantiles: bool = False
 
 
+def _local_frame(spark, data, schema) -> DataFrame:
+    """Build a JVM-side LocalRelation (`LocalTableScan`) from driver rows.
+
+    A tuples-based ``createDataFrame`` routes through a pickled Python RDD
+    whose every action pays one Python-worker round-trip per partition
+    (~0.2–0.4 s for a 30-row frame on local[32]); a pyarrow Table embeds
+    the rows in the plan itself, so downstream collects are pure JVM
+    (~0.03 s). pyarrow (unlike the pandas conversion path) also preserves
+    the null-vs-NaN distinction exactly: ``float('nan')`` stays a DOUBLE
+    value, ``None`` stays SQL NULL — both occur in bucket frames (NaN =
+    zero parsed samples, NULL = quantile columns of NotExists-only
+    buckets).
+    """
+    import pyarrow as pa
+
+    from pyspark.sql.pandas.types import to_arrow_schema
+    from pyspark.sql.types import StructField, StructType
+
+    # relax nullability: collected rows may hold NULLs in fields Catalyst
+    # inferred non-nullable (codegen would read them unchecked otherwise)
+    relaxed = StructType(
+        [StructField(f.name, f.dataType, True, f.metadata) for f in schema.fields]
+    )
+    aschema = to_arrow_schema(relaxed)
+    cols = list(zip(*data)) if data else [[] for _ in relaxed.fields]
+    tbl = pa.Table.from_arrays(
+        [pa.array(list(c), type=f.type) for c, f in zip(cols, aschema)],
+        schema=aschema,
+    )
+    return spark.createDataFrame(tbl, relaxed)
+
+
 def validate_agg(aggq: "AggQuery") -> None:
     """Request validation, mirroring `proxyapi/grpc_v1.go:356-399`
     validateAgg: COUNT needs group_by-or-field (legacy alias), UNIQUE needs
@@ -196,9 +230,11 @@ class SearchTable:
         self.default_dedup: Optional[Sequence[str]] = None
         #: optional inverted-index routing (attach_index)
         self._index: Optional[tuple] = None
-        #: bounded FIFO of guard-persisted bucket frames (direct
-        #: aggregate() calls, no owning ComplexSearchResult)
+        #: bounded FIFO of guard-persisted bucket frames (timeseries
+        #: aggregate() calls with no owning ComplexSearchResult); the lock
+        #: makes append/evict safe from concurrent HTTP handler threads
         self._guard_cache: List[DataFrame] = []
+        self._guard_cache_lock = threading.Lock()
 
     def attach_index(
         self,
@@ -974,39 +1010,89 @@ class SearchTable:
         is_field_agg = func not in ("count", "unique")
         group_guard = enforce_guard and group_by is not None
         field_guard = enforce_guard and is_field_agg and max_field_tokens > 0
+        if (group_guard or field_guard) and not aggq.interval_ms:
+            # Non-timeseries guarded agg: the group guard BOUNDS the bucket
+            # set (≤ max_group_tokens rows; a single bucket without
+            # group_by), so materialize the buckets driver-side in the ONE
+            # job the caller would run anyway and check both guards on the
+            # collected rows — no persist, no second job, no cache
+            # bookkeeping. This is the reference-proxy shape: buckets merge
+            # on the coordinator (`seq/qpr.go:199-254`) before the guard
+            # verdict (`frac/processor/eval_tree.go:78-85`). limit(cap+1)
+            # keeps the failure path bounded too: a runaway group collects
+            # at most cap+1 rows before the error, never the full bucket
+            # set.
+            probe = out.limit(max_group_tokens + 1) if group_guard else out
+            rows = probe.collect()
+            if group_guard and len(rows) > max_group_tokens:
+                n = out.count()  # failure path only: exact n for the message
+                raise TooManyUniqValuesError(
+                    f"group_by {group_by!r} has {n} unique tokens > "
+                    f"{max_group_tokens}"
+                )
+            if field_guard and sum(r["__ftok"] or 0 for r in rows) > max_field_tokens:
+                # the per-bucket sum is only an UPPER bound on the global
+                # distinct count (a token may occur in many buckets) —
+                # confirm with one real pass before failing the request
+                n_f = df.agg(
+                    F.approx_count_distinct("__fieldtok").alias("n")
+                ).head()["n"]
+                if n_f > max_field_tokens:
+                    raise TooManyUniqValuesError(
+                        f"field {fieldname!r} has ~{n_f} unique tokens > "
+                        f"{max_field_tokens} (--agg-max-field-tokens)"
+                    )
+            # rebuild as a JVM-side LocalRelation: the caller's collect (and
+            # any downstream op) then reads ≤ guard-cap rows without
+            # re-running the aggregation. Ordering happens driver-side in
+            # Python (`_bucket_sort_key` mirrors `bucket_order_cols`
+            # exactly, property-tested) because orderBy on a LocalRelation
+            # still pays a range-partitioning sampling job.
+            local_schema = out.drop("__ftok").schema
+            names = [fld.name for fld in local_schema.fields]
+            data = [tuple(r[nm] for nm in names) for r in rows]
+            if ordered:
+                data.sort(key=self._bucket_sort_key(func, names))
+            return _local_frame(df.sparkSession, data, local_schema)
         if group_guard or field_guard:
-            # Exact ErrTooManyUniqValues guards on the bucket set, computed
-            # distributedly. Persist so the guard action and the caller's
+            # Timeseries guarded agg: bins × groups rows are NOT bounded by
+            # the group guard (which counts distinct group tokens), so stay
+            # lazy/distributed. Persist so the guard action and the caller's
             # collect share ONE aggregation run — the cache plays the role of
             # the reference proxy's materialized bucket merge
             # (`seq/qpr.go:199-254`) without a driver round-trip. The
             # persisted frame is handed to ``persisted_sink`` so the owner
-            # (e.g. ComplexSearchResult.unpersist) can release it; bucket
-            # frames are guard-bounded (≤ max_group_tokens) so the cache
-            # cost per in-flight request is tiny.
+            # (e.g. ComplexSearchResult.unpersist) can release it.
             out = out.persist()
             if persisted_sink is not None:
                 persisted_sink.append(out)
             else:
                 # direct aggregate() calls have no owner to release the
                 # cache: keep a small FIFO per table so repeated requests
-                # don't accumulate persisted frames for the session's life
-                self._guard_cache.append(out)
-                if len(self._guard_cache) > 8:
-                    self._guard_cache.pop(0).unpersist()
-            stat_cols = [F.count(F.lit(1)).alias("__rows")]
-            if aggq.interval_ms:
-                # only timeseries needs distinct groups (bins × groups
-                # inflate the row count); skipping count_distinct elsewhere
-                # keeps the stats pass a single no-expand stage
-                stat_cols.append(F.count_distinct("name").alias("__groups"))
+                # don't accumulate persisted frames for the session's life.
+                # The lock guards concurrent HTTP handler threads: without
+                # it one request could evict (unpersist) a frame another
+                # request is still collecting from (recompute, not
+                # corruption — but why pay it).
+                with self._guard_cache_lock:
+                    self._guard_cache.append(out)
+                    evicted = (
+                        self._guard_cache.pop(0)
+                        if len(self._guard_cache) > 8
+                        else None
+                    )
+                if evicted is not None:
+                    evicted.unpersist()
+            stat_cols = [
+                F.count(F.lit(1)).alias("__rows"),
+                F.count_distinct("name").alias("__groups"),
+            ]
             if field_guard:
                 stat_cols.append(F.sum("__ftok").alias("__ftoks"))
             stats = out.agg(*stat_cols).head()
             if group_guard:
-                # timeseries: the guard counts distinct group tokens, not
-                # bins × groups
-                n = stats["__groups"] if aggq.interval_ms else stats["__rows"]
+                # the guard counts distinct group tokens, not bins × groups
+                n = stats["__groups"]
                 if n > max_group_tokens:
                     out.unpersist()
                     raise TooManyUniqValuesError(
@@ -1030,6 +1116,36 @@ class SearchTable:
         if ordered:
             out = self.order_buckets(out, func)
         return out
+
+    @staticmethod
+    def _bucket_sort_key(func: str, cols: Sequence[str]):
+        """Python mirror of :meth:`bucket_order_cols` for driver-side
+        ordering of guard-bounded bucket rows (eager non-timeseries path).
+        Property-tested against the Spark exprs in
+        ``test_bucket_sort_key_matches_order_buckets``."""
+        i_mid = cols.index("mid_ms")
+        i_name = cols.index("name")
+        i_val = cols.index("value")
+
+        def key(row):
+            mid, name, val = row[i_mid], row[i_name], row[i_val]
+            midk = (0, 0) if mid is None else (1, mid)
+            namek = (0, "") if name is None else (1, name)
+            nan = val is None or (isinstance(val, float) and math.isnan(val))
+            # inside the NaN group every value is equal; collapse so the
+            # next key breaks ties deterministically (matches the Spark
+            # side's `eff`)
+            eff = 0.0 if nan else float(val)
+            flag = 1 if nan else 0
+            if func == "min":
+                # value ASC, NaN strictly below all numbers → NaN first
+                return (midk, -flag, eff, namek)
+            if func == "quantile":
+                return (midk, namek, flag, -eff)
+            # default: value DESC → NaN last
+            return (midk, flag, -eff, namek)
+
+        return key
 
     @staticmethod
     def bucket_order_cols(func: str) -> List[Column]:

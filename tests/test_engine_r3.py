@@ -6,6 +6,7 @@ tables."""
 import math
 
 import pytest
+from pyspark.sql import Row
 from pyspark.sql import functions as F
 
 from seqspark import (
@@ -411,6 +412,35 @@ def test_bucket_order_nan_below_neg_infinity(spark):
     assert names == ["nana", "nanb", "neg", "pos"]
 
 
+def test_bucket_sort_key_matches_order_buckets(spark):
+    """The eager guard path sorts buckets driver-side with
+    `_bucket_sort_key`; it must order EXACTLY like the Spark-side
+    `bucket_order_cols` (`seq/qpr.go:216-253` sortBuckets) for every
+    func, including the NaN-below--Inf and NULL edge cases."""
+    import random
+
+    rng = random.Random(42)
+    specials = [float("nan"), float("-inf"), float("inf"), 0.0, -1.5]
+    rows = []
+    for i in range(60):
+        mid = rng.choice([None, 0, 60_000, 120_000])
+        name = rng.choice([None, "a", "b", "aa", f"g{i % 7}"])
+        value = rng.choice(specials + [float(rng.randint(-5, 5))])
+        rows.append((mid, name, value))
+    df = spark.createDataFrame(rows, "mid_ms long, name string, value double")
+
+    def canon(r):
+        v = r["value"]
+        return (r["mid_ms"], r["name"], "nan" if v is not None and math.isnan(v) else v)
+
+    for func in ("sum", "min", "quantile", "count"):
+        spark_order = [canon(r) for r in SearchTable.order_buckets(df, func).collect()]
+        key = SearchTable._bucket_sort_key(func, ["mid_ms", "name", "value"])
+        py_order = [canon(Row(mid_ms=m, name=n, value=v)) for m, n, v in
+                    sorted(rows, key=key)]
+        assert py_order == spark_order, f"divergence for func={func}"
+
+
 def test_complex_search_unpersists_agg_frames(events):
     st = SearchTable.from_typed(
         events, EVENTS_MAPPING, ts_col="ts", rid_col="event_id"
@@ -418,13 +448,21 @@ def test_complex_search_unpersists_agg_frames(events):
     res = st.complex_search(
         with_total=True,
         aggs=[
+            # non-timeseries: guard checked eagerly on the bounded bucket
+            # set, nothing persisted
             AggQuery(func="sum", field="value", group_by="event_type"),
             AggQuery(func="count", field="event_type"),
+            # timeseries: bins × groups rows — guard stays lazy, frame
+            # persisted and owned by the result
+            AggQuery(
+                func="sum", field="value", group_by="event_type",
+                interval_ms=3_600_000,
+            ),
         ],
     )
     for agg in res.aggs:
         agg.collect()
-    assert len(res._agg_bases) == 2  # one guard-persisted frame per group-by agg
+    assert len(res._agg_bases) == 1  # only the timeseries agg persists
     assert all(f.storageLevel.useMemory for f in res._agg_bases)
     res.unpersist()
     assert not res._base.storageLevel.useMemory
