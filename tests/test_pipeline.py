@@ -311,6 +311,44 @@ def test_salted_lsh_beats_capped_on_boilerplate(spark):
     assert len(salted) < len(capped)
 
 
+def test_salted_lsh_pair_complexity_on_hot_bucket(spark):
+    """Skew-stress for the 100 TB promise in `minhash_lsh_candidates`'s
+    docstring (reference analog: skewed posting lists balanced in
+    `node/node_or.go`): a single planted boilerplate bucket must produce
+    ~size x max_bucket candidate pairs (salt groups), never size^2, while
+    keeping EVERY member a candidate; the unsalted cap must drop exactly
+    the post-cap members."""
+    n, cap = 2000, 50
+    boiler = "standard cookie banner text shown on every single page " * 2
+    df = spark.createDataFrame(
+        [(i, boiler) for i in range(n)], "doc_id long, text string"
+    )
+
+    pairs_salted = dedup.minhash_lsh_candidates(
+        df, "doc_id", "text", k=3, num_hashes=16, bands=4,
+        max_bucket=cap, salt=True,
+    ).collect()
+    # (a) work scales with size x max_bucket, not size^2: groups of ~cap
+    # members yield ~n/cap * C(cap,2) ~= n*cap/2 pairs
+    assert len(pairs_salted) <= n * cap
+    assert len(pairs_salted) < (n * (n - 1) // 2) / 10
+    # sanity floor: enough pairs that each salt group actually self-joined
+    assert len(pairs_salted) >= n // 2
+    # (b) every member of the hot bucket is a candidate in >= 1 pair
+    covered = {r["id_a"] for r in pairs_salted} | {r["id_b"] for r in pairs_salted}
+    assert covered == set(range(n))
+
+    pairs_capped = dedup.minhash_lsh_candidates(
+        df, "doc_id", "text", k=3, num_hashes=16, bands=4,
+        max_bucket=cap, salt=False,
+    ).collect()
+    # (c) the cap keeps the first max_bucket members by id and drops the
+    # rest from candidacy entirely
+    covered_capped = {r["id_a"] for r in pairs_capped} | {r["id_b"] for r in pairs_capped}
+    assert covered_capped == set(range(cap))
+    assert len(pairs_capped) == cap * (cap - 1) // 2
+
+
 def test_dup_clusters_components(spark):
     """Chain, triangle, isolated pair -> three components, min-id roots."""
     pairs = spark.createDataFrame(
