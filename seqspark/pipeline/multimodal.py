@@ -8,7 +8,10 @@ partitioning — is fully testable without media libraries.
 ``fake=False`` runs REAL kernels behind per-modality capability
 detection, imported inside the executor batch function:
 
-- image: Pillow (``PIL.Image``) when installed, else
+- image: Pillow (``PIL.Image``) when installed; without it, a stdlib
+  header parser covers PNG (incl. APNG frame counts), BMP and GIF
+  metadata, and a pure-stdlib PNG codec (zlib + scanline unfilter)
+  covers 8-bit RGB/RGBA PNG resize — other formats raise
   ``NotImplementedError``;
 - audio: stdlib ``wave`` (WAV) — always available; decoded metadata maps
   (width, height, n_frames) → (channels, bits-per-sample, audio frames);
@@ -19,7 +22,9 @@ from __future__ import annotations
 
 import hashlib
 import io
-from typing import Iterator
+import struct
+import zlib
+from typing import Iterator, Optional
 
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -78,10 +83,68 @@ def _require_pil():
     return Image
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunks(data: bytes) -> Iterator[tuple[bytes, bytes]]:
+    """Yield (type, payload) for each well-formed PNG chunk."""
+    pos = len(_PNG_SIG)
+    while pos + 8 <= len(data):
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        ctype = data[pos + 4 : pos + 8]
+        payload = data[pos + 8 : pos + 8 + length]
+        if len(payload) < length:
+            return
+        yield ctype, payload
+        pos += 12 + length  # len + type + payload + crc
+
+
+def _stdlib_image_meta(content: bytes) -> Optional[tuple[int, int, int]]:
+    """Header-only (width, height, n_frames) for PNG/BMP/GIF via struct —
+    no raster decode, so it works for any bit depth / color type. Returns
+    None for unrecognized formats (caller raises)."""
+    b = content or b""
+    if b.startswith(_PNG_SIG):
+        width = height = None
+        n_frames = 1
+        for ctype, payload in _png_chunks(b):
+            if ctype == b"IHDR" and len(payload) >= 8:
+                width, height = struct.unpack(">II", payload[:8])
+            elif ctype == b"acTL" and len(payload) >= 4:
+                # APNG animation control: num_frames
+                (n_frames,) = struct.unpack(">I", payload[:4])
+            elif ctype == b"IDAT":
+                break  # metadata chunks precede image data
+        if width is not None:
+            return int(width), int(height), int(n_frames)
+        return None
+    if b.startswith(b"BM") and len(b) >= 26:
+        (dib_size,) = struct.unpack("<I", b[14:18])
+        if dib_size >= 40 and len(b) >= 26:
+            width, height = struct.unpack("<ii", b[18:26])
+            # negative height = top-down row order, same pixel dimensions
+            return int(width), abs(int(height)), 1
+        return None
+    if b[:6] in (b"GIF87a", b"GIF89a") and len(b) >= 10:
+        width, height = struct.unpack("<HH", b[6:10])
+        # frame counting needs a full block walk; header-only path reports 1
+        return int(width), int(height), 1
+    return None
+
+
 def _real_decode(media_type: str, content: bytes) -> tuple[int, int, int]:
     """Real per-modality decode, capability-detected at call time."""
     if media_type == "image":
-        Image = _require_pil()
+        try:
+            Image = _require_pil()
+        except NotImplementedError:
+            meta = _stdlib_image_meta(content)
+            if meta is None:
+                raise NotImplementedError(
+                    "image format not recognized by the stdlib header parser "
+                    "(PNG/BMP/GIF) and Pillow is not installed"
+                )
+            return meta
         with Image.open(io.BytesIO(content or b"")) as img:
             return img.width, img.height, int(getattr(img, "n_frames", 1))
     if media_type == "audio":
@@ -129,9 +192,119 @@ def decode_assets(assets: DataFrame, fake: bool = True) -> DataFrame:
     return assets.mapInPandas(batches, DECODED_SCHEMA)
 
 
+def _png_decode_pixels(
+    b: bytes,
+) -> Optional[tuple[int, int, int, bytearray]]:
+    """Decode an 8-bit RGB/RGBA non-interlaced PNG to raw pixels with the
+    stdlib only (zlib inflate + scanline unfilter per the PNG spec's five
+    filter types). Returns (w, h, channels, pixels) or None when the image
+    is outside the supported subset."""
+    ihdr = None
+    idat = bytearray()
+    for ctype, payload in _png_chunks(b):
+        if ctype == b"IHDR":
+            ihdr = payload
+        elif ctype == b"IDAT":
+            idat.extend(payload)
+        elif ctype == b"IEND":
+            break
+    if ihdr is None or len(ihdr) < 13:
+        return None
+    w, h, depth, color, _comp, _filt, interlace = struct.unpack(">IIBBBBB", ihdr[:13])
+    if depth != 8 or color not in (2, 6) or interlace != 0 or not (w and h):
+        return None
+    ch = 3 if color == 2 else 4
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error:
+        return None
+    stride = w * ch
+    if len(raw) < h * (stride + 1):
+        return None
+    out = bytearray(h * stride)
+    prev = bytearray(stride)
+    pos = 0
+    for y in range(h):
+        ft = raw[pos]
+        pos += 1
+        line = bytearray(raw[pos : pos + stride])
+        pos += stride
+        if ft == 1:  # Sub
+            for i in range(ch, stride):
+                line[i] = (line[i] + line[i - ch]) & 0xFF
+        elif ft == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif ft == 3:  # Average
+            for i in range(stride):
+                a = line[i - ch] if i >= ch else 0
+                line[i] = (line[i] + ((a + prev[i]) >> 1)) & 0xFF
+        elif ft == 4:  # Paeth
+            for i in range(stride):
+                a = line[i - ch] if i >= ch else 0
+                up = prev[i]
+                c = prev[i - ch] if i >= ch else 0
+                p = a + up - c
+                pa, pb, pc = abs(p - a), abs(p - up), abs(p - c)
+                line[i] = (
+                    line[i]
+                    + (a if pa <= pb and pa <= pc else (up if pb <= pc else c))
+                ) & 0xFF
+        elif ft != 0:
+            return None
+        out[y * stride : (y + 1) * stride] = line
+        prev = line
+    return int(w), int(h), ch, out
+
+
+def _png_encode(w: int, h: int, ch: int, pixels: bytearray) -> bytes:
+    """Minimal PNG writer: filter-0 scanlines, one IDAT, CRC32 chunks."""
+    color = 2 if ch == 3 else 6
+    stride = w * ch
+    raw = bytearray()
+    for y in range(h):
+        raw.append(0)
+        raw.extend(pixels[y * stride : (y + 1) * stride])
+
+    def chunk(ctype: bytes, payload: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(payload))
+            + ctype
+            + payload
+            + struct.pack(">I", zlib.crc32(ctype + payload) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _stdlib_png_resize(b: bytes, width: int, height: int) -> Optional[bytes]:
+    """Nearest-neighbor resize of a supported PNG, stdlib only."""
+    dec = _png_decode_pixels(b or b"")
+    if dec is None:
+        return None
+    sw, sh, ch, px = dec
+    sstride = sw * ch
+    out = bytearray(width * height * ch)
+    for y in range(height):
+        srow = ((y * sh) // height) * sstride
+        orow = y * width * ch
+        for x in range(width):
+            sp = srow + ((x * sw) // width) * ch
+            op = orow + x * ch
+            out[op : op + ch] = px[sp : sp + ch]
+    return _png_encode(width, height, ch, out)
+
+
 RESIZED_SCHEMA = StructType(
     [
         StructField("asset_id", LongType()),
+        StructField("media_type", StringType()),
         StructField("content", BinaryType()),
         StructField("width", IntegerType()),
         StructField("height", IntegerType()),
@@ -140,20 +313,42 @@ RESIZED_SCHEMA = StructType(
 
 
 def resize_images(
-    assets: DataFrame, width: int, height: int, fake: bool = True
+    assets: DataFrame,
+    width: int,
+    height: int,
+    fake: bool = True,
+    on_other: str = "drop",
 ) -> DataFrame:
     """Resize image assets to (width, height) via ``mapInPandas``.
 
     ``fake=True`` (CI default) emits a deterministic payload derived from
     the source bytes + target size, so schema/partitioning/batch shape are
     testable without Pillow; ``fake=False`` decodes and re-encodes PNG
-    through Pillow (capability-detected in the executor)."""
+    through Pillow when installed, else through the stdlib PNG codec
+    (8-bit RGB/RGBA non-interlaced; other formats raise).
+
+    Non-image rows follow ``on_other``: ``"drop"`` removes them (the
+    historical behavior), ``"keep"`` passes them through with the original
+    bytes and NULL width/height (``media_type`` in the output says which),
+    ``"error"`` raises — so a caller feeding mixed assets gets an explicit
+    contract instead of a silently smaller frame."""
+    if on_other not in ("drop", "keep", "error"):
+        raise ValueError(f"on_other must be drop|keep|error, got {on_other!r}")
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
+            if on_other == "error":
+                other = pdf[pdf["media_type"] != "image"]
+                if len(other):
+                    raise ValueError(
+                        "resize_images(on_other='error'): non-image rows "
+                        f"present, e.g. asset_id={other['asset_id'].iloc[0]} "
+                        f"media_type={other['media_type'].iloc[0]!r}"
+                    )
+            passthrough = (
+                pdf[pdf["media_type"] != "image"] if on_other == "keep" else None
+            )
             pdf = pdf[pdf["media_type"] == "image"]
-            if len(pdf) == 0:
-                continue
 
             if fake:
                 def kernel(b: bytes) -> bytes:
@@ -163,20 +358,41 @@ def resize_images(
                     return seed * (max(1, (width * height) // len(seed)))
             else:
                 def kernel(b: bytes) -> bytes:
-                    Image = _require_pil()
+                    try:
+                        Image = _require_pil()
+                    except NotImplementedError:
+                        resized = _stdlib_png_resize(b, width, height)
+                        if resized is None:
+                            raise NotImplementedError(
+                                "resize without Pillow supports 8-bit "
+                                "RGB/RGBA non-interlaced PNG only"
+                            )
+                        return resized
                     with Image.open(io.BytesIO(b or b"")) as img:
                         out = io.BytesIO()
                         img.resize((width, height)).save(out, format="PNG")
                         return out.getvalue()
 
-            yield pd.DataFrame(
-                {
-                    "asset_id": pdf["asset_id"],
-                    "content": pdf["content"].map(kernel),
-                    "width": width,
-                    "height": height,
-                }
-            )
+            if len(pdf):
+                yield pd.DataFrame(
+                    {
+                        "asset_id": pdf["asset_id"],
+                        "media_type": pdf["media_type"],
+                        "content": pdf["content"].map(kernel),
+                        "width": width,
+                        "height": height,
+                    }
+                )
+            if passthrough is not None and len(passthrough):
+                yield pd.DataFrame(
+                    {
+                        "asset_id": passthrough["asset_id"],
+                        "media_type": passthrough["media_type"],
+                        "content": passthrough["content"],
+                        "width": pd.array([None] * len(passthrough), dtype="Int32"),
+                        "height": pd.array([None] * len(passthrough), dtype="Int32"),
+                    }
+                )
 
     return assets.mapInPandas(batches, RESIZED_SCHEMA)
 

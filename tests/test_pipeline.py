@@ -264,19 +264,107 @@ def test_multimodal_real_audio_decode(spark):
     assert got == {1: (2, 16, 120), 2: (1, 8, 55)}
 
 
-def test_multimodal_real_image_decode(spark):
-    """Pinned skip without Pillow; the PIL kernel path when present."""
-    PIL_Image = pytest.importorskip("PIL.Image")
-    import io as _io
+def _png_fixture(w: int, h: int, ch: int = 3) -> bytes:
+    """Hand-built PNG via the stdlib encoder (gradient pixels)."""
+    px = bytearray((x * 7 + c) % 256 for x in range(w * h) for c in range(ch))
+    return multimodal._png_encode(w, h, ch, px)
 
-    img = PIL_Image.new("RGB", (20, 10))
-    buf = _io.BytesIO()
-    img.save(buf, format="PNG")
-    assets = spark.createDataFrame(
-        [(1, "image", bytearray(buf.getvalue()), "{}")], multimodal.ASSET_SCHEMA
+
+def _bmp_fixture(w: int, h: int) -> bytes:
+    """Minimal BITMAPINFOHEADER BMP (headers only suffice for metadata)."""
+    import struct
+
+    dib = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, 0, 0, 0, 0, 0)
+    header = b"BM" + struct.pack("<IHHI", 54, 0, 0, 54)
+    return header + dib
+
+
+def test_multimodal_real_image_decode(spark):
+    """fake=False image decode works WITHOUT Pillow: the stdlib header
+    parser covers PNG (incl. APNG frame count), BMP and GIF."""
+    import struct as _struct
+    import zlib as _zlib
+
+    # APNG: insert an acTL chunk (3 frames) after IHDR
+    png = _png_fixture(20, 10)
+    ihdr_end = 8 + 12 + 13  # sig + IHDR chunk
+    actl_payload = _struct.pack(">II", 3, 0)
+    actl = (
+        _struct.pack(">I", 8) + b"acTL" + actl_payload
+        + _struct.pack(">I", _zlib.crc32(b"acTL" + actl_payload) & 0xFFFFFFFF)
     )
-    r = multimodal.decode_assets(assets, fake=False).collect()[0]
-    assert (r["width"], r["height"], r["n_frames"]) == (20, 10, 1)
+    apng = png[:ihdr_end] + actl + png[ihdr_end:]
+    gif = b"GIF89a" + _struct.pack("<HH", 7, 9) + b"\x00" * 4
+
+    rows = [
+        (1, "image", bytearray(png), "{}"),
+        (2, "image", bytearray(_bmp_fixture(33, 44)), "{}"),
+        (3, "image", bytearray(gif), "{}"),
+        (4, "image", bytearray(apng), "{}"),
+    ]
+    assets = spark.createDataFrame(rows, multimodal.ASSET_SCHEMA)
+    got = {
+        r["asset_id"]: (r["width"], r["height"], r["n_frames"])
+        for r in multimodal.decode_assets(assets, fake=False).collect()
+    }
+    assert got[1] == (20, 10, 1)
+    assert got[2] == (33, 44, 1)
+    assert got[3][:2] == (7, 9)
+    # Pillow (when present) and the stdlib parser both read acTL frames
+    assert got[4] == (20, 10, 3)
+
+
+def test_png_codec_roundtrip_and_filters():
+    """The stdlib PNG codec: encode→decode round-trips pixels exactly, and
+    the decoder unfilters all five PNG filter types correctly."""
+    import struct as _struct
+    import zlib as _zlib
+
+    w, h, ch = 5, 4, 3
+    px = bytearray((x * 31 + 7) % 256 for x in range(w * h * ch))
+    rt = multimodal._png_decode_pixels(multimodal._png_encode(w, h, ch, px))
+    assert rt == (w, h, ch, px)
+
+    # hand-filter scanlines with types 1..4 and expect the decoder to
+    # reconstruct the same pixels
+    stride = w * ch
+    raw = bytearray()
+    prev = bytearray(stride)
+    for y, ft in zip(range(h), (1, 2, 3, 4)):
+        line = px[y * stride : (y + 1) * stride]
+        filt = bytearray(stride)
+        for i in range(stride):
+            a = line[i - ch] if i >= ch else 0
+            b = prev[i]
+            c = prev[i - ch] if i >= ch else 0
+            if ft == 1:
+                filt[i] = (line[i] - a) & 0xFF
+            elif ft == 2:
+                filt[i] = (line[i] - b) & 0xFF
+            elif ft == 3:
+                filt[i] = (line[i] - ((a + b) >> 1)) & 0xFF
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                filt[i] = (line[i] - pr) & 0xFF
+        raw.append(ft)
+        raw.extend(filt)
+        prev = line
+
+    def chunk(t, p):
+        return _struct.pack(">I", len(p)) + t + p + _struct.pack(
+            ">I", _zlib.crc32(t + p) & 0xFFFFFFFF
+        )
+
+    ihdr = _struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    hand = (
+        multimodal._PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", _zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+    assert multimodal._png_decode_pixels(hand) == (w, h, ch, px)
 
 
 def test_salted_lsh_beats_capped_on_boilerplate(spark):
@@ -510,17 +598,45 @@ def test_resize_images_plumbing(spark):
 
 
 def test_resize_images_real_kernel(spark):
-    PIL_Image = pytest.importorskip("PIL.Image")
-    import io as _io
-
-    img = PIL_Image.new("RGB", (40, 20))
-    buf = _io.BytesIO(); img.save(buf, format="PNG")
+    """fake=False resize works WITHOUT Pillow via the stdlib PNG codec;
+    result is a valid PNG of the target size with nearest-neighbor pixels."""
+    # 2x1 source: left pixel red, right pixel blue
+    src_px = bytearray([255, 0, 0, 0, 0, 255])
+    src = multimodal._png_encode(2, 1, 3, src_px)
     assets = spark.createDataFrame(
-        [(1, "image", bytearray(buf.getvalue()), "{}")], multimodal.ASSET_SCHEMA
+        [(1, "image", bytearray(src), "{}")], multimodal.ASSET_SCHEMA
     )
-    r = multimodal.resize_images(assets, 10, 5, fake=False).collect()[0]
-    with PIL_Image.open(_io.BytesIO(bytes(r["content"]))) as got:
-        assert got.size == (10, 5)
+    r = multimodal.resize_images(assets, 4, 2, fake=False).collect()[0]
+    assert (r["width"], r["height"]) == (4, 2)
+    w, h, ch, px = multimodal._png_decode_pixels(bytes(r["content"]))
+    assert (w, h, ch) == (4, 2, 3)
+    # nearest-neighbor: columns 0-1 red, 2-3 blue, both rows
+    for y in range(2):
+        row = px[y * 12 : (y + 1) * 12]
+        assert bytes(row) == bytes([255, 0, 0] * 2 + [0, 0, 255] * 2)
+
+
+def test_resize_images_on_other(spark):
+    assets = multimodal.make_fake_assets(spark, 9)  # 3 per media type
+    # drop (default): images only
+    assert multimodal.resize_images(assets, 8, 8).count() == 3
+    # keep: everything, non-image passed through with NULL dims
+    kept = multimodal.resize_images(assets, 8, 8, on_other="keep").collect()
+    assert len(kept) == 9
+    others = [r for r in kept if r["media_type"] != "image"]
+    assert len(others) == 6
+    assert all(r["width"] is None and r["height"] is None for r in others)
+    src = {r["asset_id"]: bytes(r["content"])
+           for r in assets.select("asset_id", "content").collect()}
+    assert all(bytes(r["content"]) == src[r["asset_id"]] for r in others)
+    # error: loud failure on mixed input
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors.exceptions.captured import PythonException
+
+    with pytest.raises((PythonException, Py4JJavaError)):
+        multimodal.resize_images(assets, 8, 8, on_other="error").collect()
+    with pytest.raises(ValueError, match="drop|keep|error"):
+        multimodal.resize_images(assets, 8, 8, on_other="bogus")
 
 def test_dup_clusters_diameter_exactly_max_iter_converges(spark):
     """Diameter == max_iter must converge (one extra observation round),
