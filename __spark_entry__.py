@@ -196,6 +196,8 @@ def q_domain_stats(spark, sf_dir):
             F.lit(".Example.com/"),
             F.col("lang"),
             F.lit(" mid https://cdn.shared.net/a end"),
+            # credentials-in-URL: the host, never the userinfo, is the domain
+            F.lit(" auth http://user:pw@secure.shared.net/b"),
         ),
     )
     return domain_stats(docs, "doc_id", "t")
@@ -1432,9 +1434,10 @@ def oracle_sql() -> dict[str, str]:
     )
     sql["domain_stats"] = (
         "WITH synth AS (SELECT doc_id, 'intro https://' || source || "
-        "'.Example.com/' || lang || ' mid https://cdn.shared.net/a end' AS t "
+        "'.Example.com/' || lang || ' mid https://cdn.shared.net/a end' || "
+        "' auth http://user:pw@secure.shared.net/b' AS t "
         "FROM documents), "
-        r"u AS (SELECT doc_id, unnest(regexp_extract_all(t, 'https?://([\w\.\-]+)', 1)) AS d "
+        r"u AS (SELECT doc_id, unnest(regexp_extract_all(t, 'https?://(?:[^/@\s]+@)?([\w\.\-]+)', 1)) AS d "
         "FROM synth) "
         "SELECT lower(d) AS domain, count(DISTINCT doc_id) AS n_docs, "
         "count(*) AS n_urls FROM u GROUP BY 1"

@@ -96,8 +96,11 @@ def fingerprint(text: Column) -> Column:
     return F.xxhash64(normalized)
 
 
-_URL_RE = r"https?://[\w\.\-]+(?::\d+)?(?:/[^\s\"'<>]*)?"
-_DOMAIN_RE = r"https?://([\w\.\-]+)"
+#: optional `user:password@` userinfo is consumed before the host capture —
+#: credentials-in-URL appear in real web corpora, and without the skip the
+#: "domain" of `http://user@host/...` would be `user`
+_URL_RE = r"https?://(?:[^/@\s]+@)?[\w\.\-]+(?::\d+)?(?:/[^\s\"'<>]*)?"
+_DOMAIN_RE = r"https?://(?:[^/@\s]+@)?([\w\.\-]+)"
 
 
 def extract_urls(text: Column) -> Column:

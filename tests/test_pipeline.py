@@ -480,6 +480,7 @@ def test_url_and_domain_extraction(spark):
             (1, "see https://A.Example.com/x and http://b.org:8080/p?q=1 done"),
             (2, "plain text, no links"),
             (3, "dup https://a.example.com/y https://a.example.com/z"),
+            (4, "auth http://user:pw@Secure.Example.org/p and http://user@b.org/q"),
         ],
         "doc_id long, text string",
     )
@@ -487,14 +488,19 @@ def test_url_and_domain_extraction(spark):
             df.select("doc_id", textstats.extract_urls(F.col("text")).alias("u")).collect()}
     assert urls[1] == ["https://A.Example.com/x", "http://b.org:8080/p?q=1"]
     assert urls[2] == []
+    assert urls[4] == ["http://user:pw@Secure.Example.org/p", "http://user@b.org/q"]
     doms = {r["doc_id"]: r["d"] for r in
             df.select("doc_id", textstats.extract_domains(F.col("text")).alias("d")).collect()}
     assert doms[1] == ["a.example.com", "b.org"]
     assert doms[3] == ["a.example.com"]
+    # userinfo is NOT the domain
+    assert doms[4] == ["secure.example.org", "b.org"]
     stats = {r["domain"]: (r["n_docs"], r["n_urls"]) for r in
              textstats.domain_stats(df, "doc_id").collect()}
     assert stats["a.example.com"] == (2, 3)
-    assert stats["b.org"] == (1, 1)
+    assert stats["b.org"] == (2, 2)
+    assert stats["secure.example.org"] == (1, 1)
+    assert "user" not in stats
 
 
 def test_ivf_train_converges_to_planted_clusters(spark):

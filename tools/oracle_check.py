@@ -5,10 +5,14 @@ vacuous (0-row) passes.
 
 Usage:
     python tools/oracle_check.py [sf_dir]       # default /root/testdata/sf0.01
+        [--only name1,name2]                    # subset of entries
+        [--json PATH]                           # machine-readable artifact
 """
 
 from __future__ import annotations
 
+import argparse
+import json
 import math
 import os
 import sys
@@ -28,7 +32,13 @@ def norm(v):
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    ap = argparse.ArgumentParser()
+    ap.add_argument("sf_dir", nargs="?", default="/root/testdata/sf0.01")
+    ap.add_argument("--only", default=None, help="comma-separated entry names")
+    ap.add_argument("--json", default=None, help="write per-entry results here")
+    args = ap.parse_args()
+    sf_dir = args.sf_dir
+    only = set(args.only.split(",")) if args.only else None
 
     import duckdb
     from pyspark.sql import SparkSession
@@ -53,16 +63,21 @@ def main() -> int:
 
     qs, oracles = em.queries(), em.oracle_sql()
     fails, n_ok, n_rows_only = [], 0, 0
+    results: dict[str, dict] = {}
     for name, fn in qs.items():
+        if only is not None and name not in only:
+            continue
         try:
             sdf = fn(spark, sf_dir)
             scols = sorted(sdf.columns)
             srows = sorted(tuple(norm(r[c]) for c in scols) for r in sdf.collect())
         except Exception as e:
             fails.append((name, f"SPARK {type(e).__name__}: {e}"))
+            results[name] = {"status": "fail", "err": f"SPARK {type(e).__name__}: {e}"}
             continue
         if name not in oracles:
             n_rows_only += 1
+            results[name] = {"status": "rows_only", "rows": len(srows)}
             print(f"{name}: rows-only ({len(srows)} rows)")
             continue
         try:
@@ -74,20 +89,47 @@ def main() -> int:
             )
         except Exception as e:
             fails.append((name, f"ORACLE {e}"))
+            results[name] = {"status": "fail", "err": f"ORACLE {e}"}
             continue
         if scols != ocols or srows != orows:
             fails.append((name, f"MISMATCH rows={len(srows)}/{len(orows)}"))
+            results[name] = {
+                "status": "fail",
+                "err": f"MISMATCH rows={len(srows)}/{len(orows)}",
+                "schema_match": scols == ocols,
+            }
         elif not srows:
             fails.append((name, "VACUOUS: both sides 0 rows"))
+            results[name] = {"status": "fail", "err": "VACUOUS: both sides 0 rows"}
         else:
             n_ok += 1
+            results[name] = {"status": "ok", "rows": len(srows)}
             print(f"{name}: ok ({len(srows)} rows)")
+    n_checked = len(results)
     print(
-        f"\n{len(qs)} entries: {n_ok} oracle-green, {n_rows_only} rows-only, "
+        f"\n{n_checked} entries: {n_ok} oracle-green, {n_rows_only} rows-only, "
         f"{len(fails)} problems"
     )
     for name, why in fails:
         print(f"  FAIL {name}: {why}")
+    if args.json:
+        with open(args.json, "w") as fh:
+            json.dump(
+                {
+                    "sf_dir": sf_dir,
+                    "entries": results,
+                    "summary": {
+                        "checked": n_checked,
+                        "oracle_green": n_ok,
+                        "rows_only": n_rows_only,
+                        "problems": len(fails),
+                    },
+                },
+                fh,
+                indent=1,
+                sort_keys=True,
+            )
+            fh.write("\n")
     spark.stop()
     return 1 if fails else 0
 
