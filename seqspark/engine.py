@@ -241,6 +241,8 @@ class SearchTable:
         index_df: DataFrame,
         fields: Sequence[str],
         id_cols: Sequence[str] = ("mid", "rid"),
+        stats: Optional["IndexStats"] = None,
+        max_selectivity: float = 0.1,
     ) -> "SearchTable":
         """Route text-token predicates through a materialized inverted index
         (SURVEY §7.2; the posting-list path of `frac/sealed_index.go:
@@ -252,8 +254,24 @@ class SearchTable:
         posting-list length, not corpus size — and the full predicate is
         then applied on the surviving rows, so results are identical for
         every query shape (the index only ever shrinks the scan).
+
+        With ``stats`` (:func:`seqspark.index.collect_index_stats`), routing
+        becomes SELECTIVE — the dictionary-narrowing heuristic of
+        `pattern/pattern.go:50-64`: a conjunct routes through the index only
+        when its estimated doc-frequency ratio is ≤ ``max_selectivity``;
+        stop-word-grade tokens (and prefixless wildcards, whose posting
+        union is unbounded) stay on the scan path, where the predicate
+        matches most rows anyway and a semi-join would only add a shuffle.
+        Results are identical either way — the heuristic picks the plan,
+        never the answer.
         """
-        self._index = (index_df, set(fields), tuple(id_cols))
+        self._index = (
+            index_df,
+            set(fields),
+            tuple(id_cols),
+            stats,
+            max_selectivity,
+        )
         return self
 
     def _index_leaf(self, node) -> Optional[tuple]:
@@ -262,7 +280,7 @@ class SearchTable:
         from .compile import wildcard_regex
         from .seqql.ast import TOKEN_ALL, TOKEN_EXISTS, Literal, TermKind
 
-        _, covered, _ = self._index
+        covered = self._index[1]
         if (
             not isinstance(node, Literal)
             or node.field in (TOKEN_ALL, TOKEN_EXISTS)
@@ -292,6 +310,22 @@ class SearchTable:
             return left + right
         leaf = self._index_leaf(node)
         return [leaf] if leaf is not None else None
+
+    @staticmethod
+    def _or_group_ratio(leaves, stats) -> float:
+        """Upper-bound df ratio of an OR group: sum of exact-token ratios;
+        prefix leaves count at the hot-list floor (they are narrowed but
+        unlisted); a prefixless wildcard leaf is an unbounded dictionary
+        scan → never selective."""
+        total = 0.0
+        for fld, token, prefix, _regex in leaves:
+            if token is not None:
+                total += stats.ratio(fld, token)
+            elif prefix:
+                total += stats.floor
+            else:
+                return float("inf")
+        return total
 
     def _index_conjuncts(self, node) -> tuple:
         """Index-routable conjuncts: walk AND nodes; each conjunct routes as
@@ -559,14 +593,24 @@ class SearchTable:
             df = df.filter(tf)
         if self._index is not None:
             pairs, wildcards, or_groups = self._index_conjuncts(query.root)
+            index_df, _, id_cols, stats, max_sel = self._index
+            if stats is not None:
+                # selectivity routing: hot tokens (df ratio > max_sel) match
+                # most of the corpus — the semi-join would not shrink the
+                # scan, so leave those conjuncts to the scan predicate
+                pairs = [p for p in pairs if stats.ratio(*p) <= max_sel]
+                wildcards = [w for w in wildcards if w[1]]  # need a prefix
+                or_groups = [
+                    g
+                    for g in or_groups
+                    if self._or_group_ratio(g, stats) <= max_sel
+                ]
             if pairs or wildcards or or_groups:
                 from .index import (
                     matching_ids_multi,
                     matching_ids_or,
                     matching_ids_wildcard,
                 )
-
-                index_df, _, id_cols = self._index
                 if pairs:
                     ids = matching_ids_multi(index_df, pairs, id_cols)
                     df = df.join(ids, on=list(id_cols), how="left_semi")

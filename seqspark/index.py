@@ -23,10 +23,57 @@ match-heavy queries should fall back to the token-column scan.
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Sequence
+from dataclasses import dataclass, field as dc_field
+from typing import Dict, List, Optional, Sequence, Tuple
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+
+@dataclass
+class IndexStats:
+    """Doc-frequency stats of the HOTTEST index tokens — the
+    dictionary-narrowing signal of `pattern/pattern.go:50-64` turned into a
+    routing heuristic: a token absent from the hot list is rare by
+    construction (everything hotter is listed), so the posting-list
+    semi-join will shrink the scan; a listed token above the selectivity
+    threshold matches so much of the corpus that routing through the index
+    would just add a join to a near-full scan.
+
+    The struct is tiny (≤ top_k entries) and lives on the driver, like the
+    reference's in-memory token dictionaries."""
+
+    total_docs: int
+    df: Dict[Tuple[str, str], int] = dc_field(default_factory=dict)
+    #: df ratio the hot list was truncated at — tokens NOT listed are
+    #: guaranteed to have a ratio <= floor (0.0 when top_k wasn't reached)
+    floor: float = 0.0
+
+    def ratio(self, fld: str, token: str) -> float:
+        n = self.df.get((fld, token))
+        if n is None:
+            return self.floor
+        return n / max(1, self.total_docs)
+
+
+def collect_index_stats(
+    index_df: DataFrame, total_docs: int, top_k: int = 4096
+) -> IndexStats:
+    """One TakeOrdered aggregation over the index: doc frequency of the
+    ``top_k`` most frequent (field, token) pairs. k×(field+token) strings
+    cross the driver; the index itself never does."""
+    rows = (
+        index_df.groupBy("field", "token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "field", "token")
+        .limit(top_k)
+        .collect()
+    )
+    df = {(r["field"], r["token"]): r["n"] for r in rows}
+    floor = (
+        min(df.values()) / max(1, total_docs) if len(df) == top_k else 0.0
+    )
+    return IndexStats(total_docs=total_docs, df=df, floor=floor)
 
 
 def build_inverted_index(

@@ -103,6 +103,64 @@ def test_attach_index_routes_and_matches(spark, docs, index_df):
         assert "LeftSemi" not in plan2, nq
 
 
+def test_selectivity_routing_rare_vs_hot(spark):
+    """With IndexStats attached, a RARE token routes through the index
+    (LeftSemi) while a stop-word-grade token stays on the scan path — the
+    dictionary-narrowing heuristic of `pattern/pattern.go:50-64`. Results
+    are identical either way."""
+    from seqspark import SearchTable
+    from seqspark.index import collect_index_stats
+
+    n = 200
+    rows = [
+        (i, ("the common words here" if i else "the zyzzyx relic"), "en")
+        for i in range(n)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    d = df.withColumn("ts", F.timestamp_millis(F.col("doc_id") * 1000))
+    m = {"text": "text", "lang": "keyword", "doc_id": "keyword"}
+    tok = materialize_tokens(d, {"text": "text"})
+    idx = build_inverted_index(tok, {"text": "__tok_text"}, id_cols=["doc_id"]).cache()
+    stats = collect_index_stats(idx, total_docs=n, top_k=100)
+    # full vocabulary listed → exact ratios, floor 0
+    assert stats.ratio("text", "the") == 1.0
+    assert stats.ratio("text", "zyzzyx") == 1 / n
+    assert stats.floor == 0.0
+    # truncated hot list: unlisted tokens fall back to the truncation floor
+    # (an upper bound) — with only 3 entries the floor is stop-word-grade,
+    # so routing stays conservatively off
+    trunc = collect_index_stats(idx, total_docs=n, top_k=3)
+    assert trunc.ratio("text", "zyzzyx") == trunc.floor > 0.9
+
+    st = SearchTable.from_typed(d, m, ts_col="ts", rid_col="doc_id").attach_index(
+        idx, ["text"], ["doc_id"], stats=stats, max_selectivity=0.1
+    )
+
+    def plan(q):
+        return st.search(q)._jdf.queryExecution().executedPlan().toString()
+
+    # rare token → index semi-join
+    assert "LeftSemi" in plan("text:zyzzyx")
+    # hot token (match-all-ish) → plain scan, no join
+    assert "LeftSemi" not in plan("text:the")
+    # mixed AND: only the rare conjunct routes; results stay correct
+    assert "LeftSemi" in plan("text:zyzzyx and text:the")
+    assert st.search("text:zyzzyx and text:the").count() == 1
+    assert st.search("text:the").count() == n
+    # covered OR of two hot tokens → not routed; of rare tokens → routed
+    assert "LeftSemi" not in plan("text:the or text:common")
+    assert "LeftSemi" in plan("text:zyzzyx or text:relic")
+    # prefixless wildcard is an unbounded dictionary scan → not routed
+    assert "LeftSemi" not in plan("text:*yzzy*")
+    # prefixed wildcard still narrows → routed
+    assert "LeftSemi" in plan("text:zyz*")
+    # without stats: everything routes (back-compat)
+    st_all = SearchTable.from_typed(d, m, ts_col="ts", rid_col="doc_id").attach_index(
+        idx, ["text"], ["doc_id"]
+    )
+    assert "LeftSemi" in st_all.search("text:the")._jdf.queryExecution().executedPlan().toString()
+
+
 def test_store_index_lifecycle(spark, tmp_path):
     """Per-bucket index co-maintained with the DocStore: refresh after
     ingest, search == direct token scan, prune after retention."""
