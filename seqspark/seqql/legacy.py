@@ -411,7 +411,10 @@ class _LegacyParser:
             return not_node(self.parse_subexpr(depth))
         if field == "":
             raise self._err_unexpected_symbol("in place of field name")
-        index_type = self.mapping.index_type(field)
+        # nil mapping = every field keyword (`parser/query_parser.go:21-23`)
+        index_type = (
+            "keyword" if self.mapping is None else self.mapping.index_type(field)
+        )
         if index_type is None:
             self.pos = pos
             raise self._err(f'unindexed field "{field}"')
@@ -468,33 +471,39 @@ def parse_legacy(q: str, mapping, case_sensitive: bool = False) -> Query:
     return Query(root, [])
 
 
+def _dump_term(t: Term) -> str:
+    """Reference `parser/token_literal.go:61-79` Term.Dump: ``*`` for the
+    wildcard symbol, ``\"\"`` for the empty token, backslash before
+    specials and whitespace."""
+    if t.kind is TermKind.SYMBOL:
+        return "*"
+    if t.data == "":
+        return '""'
+    out = []
+    for ch in t.data:
+        if ch in _SPECIAL or ch.isspace():
+            out.append("\\")
+        out.append(ch)
+    return "".join(out)
+
+
 def dump(node: Node) -> str:
     """Golden-string form matching the reference's test Dump
-    (`parser/ast_node.go:88-125`, `parser/token_literal.go:16-22,61-79`) so
-    parity tests can assert the exact strings of `parser/ast_test.go`."""
+    (`parser/ast_node.go:88-125`, `parser/token_literal.go:16-22,61-79`,
+    `parser/token_range.go:16-32`) so parity tests can assert the exact
+    strings of `parser/ast_test.go` / `parser/process_test.go`."""
     from .ast import Logical, LogicalOp
 
     if isinstance(node, Literal):
-        out = [node.field, ":"]
-        for t in node.terms:
-            if t.kind is TermKind.SYMBOL:
-                out.append("*")
-            elif t.data == "":
-                out.append('""')
-            else:
-                for ch in t.data:
-                    if ch in _SPECIAL or ch.isspace():
-                        out.append("\\")
-                    out.append(ch)
-        return "".join(out)
+        return node.field + ":" + "".join(_dump_term(t) for t in node.terms)
     if isinstance(node, Range):
         return (
             node.field
             + ":"
             + ("[" if node.include_from else "{")
-            + ("*" if node.from_term.is_wildcard else node.from_term.data)
+            + _dump_term(node.from_term)
             + " TO "
-            + ("*" if node.to_term.is_wildcard else node.to_term.data)
+            + _dump_term(node.to_term)
             + ("]" if node.include_to else "}")
         )
     if isinstance(node, Logical):
@@ -503,3 +512,71 @@ def dump(node: Node) -> str:
         sep = " OR " if node.op is LogicalOp.OR else " AND "
         return f"({dump(node.children[0])}{sep}{dump(node.children[1])})"
     raise ValueError(f"unknown node {node!r}")
+
+
+def propagate_not(node: Node) -> tuple:
+    """Reference `parser/ast_node.go:39-85` propagateNot: push NOT down to
+    NAND positions. Returns ``(node, pending_not)``; NAND is encoded in
+    this AST as ``AND(NOT(x), y)`` — after propagation, NOT appears ONLY
+    in that position (or wrapping the root), which is exactly what the
+    reference's NAnd operator expresses. The engine itself doesn't need
+    this (Catalyst's BooleanSimplification does the same rewrite); it
+    exists for golden parse-tree parity with `parser/process_test.go`."""
+    from .ast import Logical, LogicalOp
+
+    if not isinstance(node, Logical):
+        return node, False
+    if node.op is LogicalOp.NOT:
+        nested, flag = propagate_not(node.children[0])
+        return nested, not flag
+    left, left_not = propagate_not(node.children[0])
+    right, right_not = propagate_not(node.children[1])
+    op = node.op
+    out_not = False
+    if op is LogicalOp.OR:
+        if left_not or right_not:
+            op = LogicalOp.AND
+            out_not = True
+            left_not, right_not = not left_not, not right_not
+        else:
+            return Logical(LogicalOp.OR, [left, right]), False
+    if left_not and right_not:
+        # De Morgan: (NOT a AND NOT b) == NOT (a OR b)
+        return Logical(LogicalOp.OR, [left, right]), True
+    if left_not:
+        return Logical(LogicalOp.AND, [not_node(left), right]), out_not
+    if right_not:
+        # reference swaps children so the negated side leads (`sic!`)
+        return Logical(LogicalOp.AND, [not_node(right), left]), out_not
+    return Logical(LogicalOp.AND, [left, right]), out_not
+
+
+def normalize_not(root: Node) -> Node:
+    """`parser/query_parser.go:148-158` ParseQuery tail: propagate NOT and
+    wrap the root when a negation remains pending."""
+    node, flag = propagate_not(root)
+    return not_node(node) if flag else node
+
+
+def dump_normalized(node: Node) -> str:
+    """Reference `ASTNode.String()` on post-`propagate_not` trees: an AND
+    whose left child is NOT is the NAnd encoding and renders as
+    ``(NOT x AND y)`` — matching `parser/process_test.go` expectations."""
+    from .ast import Logical, LogicalOp
+
+    if isinstance(node, Logical) and node.op is LogicalOp.AND:
+        left, right = node.children
+        if isinstance(left, Logical) and left.op is LogicalOp.NOT:
+            return (
+                f"(NOT {dump_normalized(left.children[0])}"
+                f" AND {dump_normalized(right)})"
+            )
+        return f"({dump_normalized(left)} AND {dump_normalized(right)})"
+    if isinstance(node, Logical):
+        if node.op is LogicalOp.NOT:
+            return f"(NOT {dump_normalized(node.children[0])})"
+        return (
+            f"({dump_normalized(node.children[0])}"
+            f" OR {dump_normalized(node.children[1])})"
+        )
+    return dump(node)

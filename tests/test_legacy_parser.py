@@ -171,6 +171,157 @@ def test_pinned_behaviors(query, expected):
     assert dump(parse_legacy(query, M).root) == expected
 
 
+# ------------------------------------------------- reference golden corpus
+# `parser/process_test.go` verbatim: the reference normalizes the tree with
+# propagateNot before String(), so these compare through
+# normalize_not + dump_normalized.
+
+#: `seq.TestMapping` (reference `seq/mapping.go:13-44`) restricted to the
+#: fields the vectors touch
+MREF = Mapping(
+    {
+        "service": "keyword",
+        "span_id": "keyword",
+        "trace_id": "keyword",
+        "message": "text",
+        "text": "text",
+        "k8s_pod": "keyword",
+        "level": "keyword",
+        "traceID": "keyword",
+        "request_uri": "path",
+        "m": "keyword",
+        "id": "keyword",
+    }
+)
+
+# `process_test.go` TestAll (seq.TestMapping)
+REF_GOLDEN_MAPPED = [
+    (r"service:some", r"service:some"),
+    (r'service:"some text"', r"service:some\ text"),
+    (r'text:"some text"', r"(text:some AND text:text)"),
+    (r'text:"some very long text"',
+     r"(((text:some AND text:very) AND text:long) AND text:text)"),
+    (r'text:"a b" AND text:"c d f" OR text:"e f"',
+     r"(((text:a AND text:b) AND ((text:c AND text:d) AND text:f)) OR (text:e AND text:f))"),
+    (r"service:some*", r"service:some*"),
+    (r"service:some*thing", r"service:some*thing"),
+    (r"service:some*thing*", r"service:some*thing*"),
+    (r"service:*thing*", r"service:*thing*"),
+    (r"service:*", r"service:*"),
+    (r"text:some*thing", r"text:some*thing"),
+    (r"text:a**b**", r"((text:a* AND text:*b*) AND text:*)"),
+    (r"level:[1 TO 3]", r"level:[1 TO 3]"),
+    (r"level:{1 TO 3}", r"level:{1 TO 3}"),
+    (r"level:[* TO *]", r"level:[* TO *]"),
+    (r"level:[abc TO cbd]", r"level:[abc TO cbd]"),
+    (r"service:some AND level:[1 TO 3] AND level:[3 TO 5]",
+     r"((service:some AND level:[1 TO 3]) AND level:[3 TO 5])"),
+    # `process_test.go` TestWildcardText (seq.TestMapping)
+    (r'text:"some* weird* *cases"',
+     r"((text:some* AND text:weird*) AND text:*cases)"),
+    (r'text:"some *weird cases* hmm very*intrs"',
+     r"((((text:some AND text:*weird) AND text:cases*) AND text:hmm) AND text:very*intrs)"),
+    (r"text:value=* AND text:value=\** AND text:value=\*\** AND text:\*\* AND text:\*\**",
+     r"(((((text:value AND text:*) AND (text:value AND text:\**)) AND (text:value AND text:\*\**)) AND text:\*\*) AND text:\*\**)"),
+    (r"text:val* AND text:val\**", r"(text:val* AND text:val\**)"),
+]
+
+# `process_test.go` TestTokenization + TestPropagateNot (nil mapping →
+# every field keyword, `parser/query_parser.go:21-23`)
+REF_GOLDEN_NIL = [
+    (r"service:abc", r"service:abc"),
+    (r'service:"quoted"', r"service:quoted"),
+    (r'service:"quoted spaces"', r"service:quoted\ spaces"),
+    (r"service:\"symbols\"", r"service:\"symbols\""),
+    (r'message:"[1 TO 3]"', r"message:\[1\ to\ 3\]"),
+    (r"  message  :   hi  ", r"message:hi"),
+    (r"MiXeD_CaSe:TeSt", r"MiXeD_CaSe:test"),
+    (r'MiXeD_CaSe:"TeSt"', r"MiXeD_CaSe:test"),
+    (r'service:""', r'service:""'),
+    (r"service:cms*", r"service:cms*"),
+    (r"service:cms*api", r"service:cms*api"),
+    (r"service:cms*inter*api", r"service:cms*inter*api"),
+    (r'service:"cms*inter*api"', r"service:cms*inter*api"),
+    (r'service:"cms* inter* *api"', r"service:cms*\ inter*\ *api"),
+    (r"level:[1 to 3]", r"level:[1 TO 3]"),
+    (r"level:[* to 3]", r"level:[* TO 3]"),
+    (r"level:{1 to *]", r"level:{1 TO *]"),
+    (r'level:[1 to 3] AND id:[* TO "*"]', r"(level:[1 TO 3] AND id:[* TO *])"),
+    (r'level:["from" to "to"]', r"level:[from TO to]"),
+    (r"level:[from to to]", r"level:[from TO to]"),
+    (r'level:["a b c" to "d e f"]', r"level:[a\ b\ c TO d\ e\ f]"),
+    (r'level:["hi" to "ho"]', r"level:[hi TO ho]"),
+    (r"level:[-123 to -456]", r"level:[-123 TO -456]"),
+    (r"  level  :  [  1  to  3  ]  ", r"level:[1 TO 3]"),
+    (r'level:["" to "a\*b"]', r'level:["" TO a\*b]'),
+    (r'id:[-3 to 6} OR (message:"hel lo" AND level:[1 to 3])',
+     r"(id:[-3 TO 6} OR (message:hel\ lo AND level:[1 TO 3]))"),
+    (r"level:  foo\-bar-baz-\/ban", r"level:foo-bar-baz-/ban"),
+    (r'level:  "foo\-bar-baz-\/ban"', r"level:foo\\-bar-baz-\\/ban"),
+    (r'level:"\"foo\"bar\"\\"', r"level:\"foo\"bar\"\\"),
+    # TestPropagateNot
+    (r"NOT NOT m:a", r"m:a"),
+    (r"m:a AND NOT NOT m:b", r"(m:a AND m:b)"),
+    (r"m:a AND NOT m:b", r"(NOT m:b AND m:a)"),
+    (r"NOT NOT m:a OR m:b", r"(m:a OR m:b)"),
+    (r"NOT m:a OR m:b", r"(NOT (NOT m:b AND m:a))"),
+    (r"NOT (NOT m:a AND NOT m:b)", r"(m:a OR m:b)"),
+    (r"NOT m:a OR m:b OR m:c OR m:d",
+     r"(NOT (NOT m:d AND (NOT m:c AND (NOT m:b AND m:a))))"),
+    (r"m:a OR m:b OR m:c OR NOT m:d",
+     r"(NOT (NOT ((m:a OR m:b) OR m:c) AND m:d))"),
+    (r"NOT m:a AND m:b AND m:c AND m:d",
+     r"(((NOT m:a AND m:b) AND m:c) AND m:d)"),
+    (r"m:a AND m:b AND m:c AND NOT m:d",
+     r"(NOT m:d AND ((m:a AND m:b) AND m:c))"),
+    (r"NOT ((NOT m:a OR (NOT m:b AND m:c)) AND (NOT m:d AND NOT m:e))",
+     r"((NOT (NOT m:b AND m:c) AND m:a) OR (m:d OR m:e))"),
+]
+
+
+@pytest.mark.parametrize("query,expected", REF_GOLDEN_MAPPED)
+def test_reference_golden_mapped(query, expected):
+    from seqspark.seqql.legacy import dump_normalized, normalize_not
+
+    root = parse_legacy(query, MREF).root
+    assert dump_normalized(normalize_not(root)) == expected
+
+
+@pytest.mark.parametrize("query,expected", REF_GOLDEN_NIL)
+def test_reference_golden_nil_mapping(query, expected):
+    from seqspark.seqql.legacy import dump_normalized, normalize_not
+
+    root = parse_legacy(query, None).root
+    assert dump_normalized(normalize_not(root)) == expected
+
+
+def test_reference_golden_case_sensitive():
+    """`process_test.go` TestTokenizationCaseSensitive +
+    TestExistsCaseSensitive."""
+    from seqspark.seqql.legacy import dump_normalized, normalize_not
+
+    for q, exp in ((r"service:AbCdEf", r"service:AbCdEf"),
+                   (r'service:"AbC"', r"service:AbC")):
+        root = parse_legacy(q, None, case_sensitive=True).root
+        assert dump_normalized(normalize_not(root)) == exp
+    # _exists_ values are field names: never folded in either mode
+    for cs in (True, False):
+        root = parse_legacy(r"_exists_:AbCdEfG", None, case_sensitive=cs).root
+        assert dump_normalized(normalize_not(root)) == r"_exists_:AbCdEfG"
+
+
+def test_reference_parse_range_structure():
+    """`process_test.go` TestParseRange: bound kinds and inclusivity."""
+    from seqspark.seqql.ast import Range, TermKind
+
+    root = parse_legacy(r"level:{1 TO *]", MREF).root
+    assert isinstance(root, Range)
+    assert root.field == "level"
+    assert root.include_from is False and root.include_to is True
+    assert root.from_term.kind is TermKind.TEXT and root.from_term.data == "1"
+    assert root.to_term.kind is TermKind.SYMBOL
+
+
 # ------------------------------------------------------------------ engine
 
 
