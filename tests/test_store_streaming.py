@@ -395,6 +395,78 @@ def test_sessionize_stateful(spark, tmp):
     assert st.search("message:paid").count() == 1
 
 
+def test_stream_histogram_out_of_order_parity(spark, tmp):
+    """Out-of-order arrival parity (`proxy/bulk/processor.go:88-99` clamp
+    policy): events arriving shuffled WITHIN a micro-batch and LATE across
+    micro-batches (but inside the watermark) land in the same buckets with
+    the same counts as the batch histogram; an event later than the
+    watermark is dropped — the streaming twin of the reference's
+    clamp-at-ingest, which guarantees such data never exists."""
+    import time as _time
+
+    from seqspark.ingest import parse_event_time
+    from seqspark.streaming import stream_histogram
+
+    def ev(ts):
+        return {"timestamp": ts, "service": "auth", "message": "m"}
+
+    indir = os.path.join(tmp, "ooin")
+    # batch 0: shuffled within the file; 12:05 advances max event time
+    write_ndjson(os.path.join(indir, "0.ndjson"), [
+        ev("2024-01-01 12:05:00.000"),
+        ev("2024-01-01 10:10:00.000"),
+        ev("2024-01-01 10:00:00.000"),
+        ev("2024-01-01 10:20:00.000"),
+    ])
+    # batch 1: LATE events (hour-10/11 data after 12:05 was seen) — the
+    # 90-minute watermark still admits them
+    write_ndjson(os.path.join(indir, "1.ndjson"), [
+        ev("2024-01-01 11:30:00.000"),
+        ev("2024-01-01 10:40:00.000"),
+        ev("2024-01-01 11:15:00.000"),
+    ])
+    # batch 2: one event PAST the watermark (09:10 < 12:05 - 90min window
+    # close) -> dropped; 20:00 pushes the watermark so hours 10-12 emit
+    write_ndjson(os.path.join(indir, "2.ndjson"), [
+        ev("2024-01-01 09:10:00.000"),
+        ev("2024-01-01 20:00:00.000"),
+    ])
+    now = _time.time()
+    for i in range(3):  # file-source batch order follows modification time
+        os.utime(os.path.join(indir, f"{i}.ndjson"), (now + i, now + i))
+
+    raw = (
+        spark.readStream.format("text")
+        .option("maxFilesPerTrigger", 1)
+        .load(indir)
+        .withColumnRenamed("value", "raw")
+        .withColumn("ts", parse_event_time(F.col("raw")))
+    )
+    hist = stream_histogram(raw, interval_ms=3600_000, watermark="90 minutes")
+    q = (
+        hist.writeStream.format("memory")
+        .queryName("oo_hist_sink")
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(tmp, "oockpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["bucket_ms"]: r["cnt"]
+        for r in spark.sql("SELECT * FROM oo_hist_sink").collect()
+    }
+
+    def bucket(hour):
+        return 1704067200000 + hour * 3600_000  # 2024-01-01 00:00 UTC
+
+    # parity with the batch histogram over the non-dropped rows: late
+    # in-watermark events counted in their EVENT-TIME buckets
+    assert got == {bucket(10): 4, bucket(11): 2, bucket(12): 1}
+    # the too-late 09:10 event is gone; the 20:00 bucket is still open
+    assert bucket(9) not in got and bucket(20) not in got
+
+
 def test_es_bulk_gzip(spark):
     import gzip
 
