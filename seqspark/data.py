@@ -47,12 +47,31 @@ def _ntz_as_utc(col):
     return F.timestamp_micros(micros)
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+#: confs every testdata read needs; applied by :func:`load_table`
+_SCAN_CONFS = {
+    # INT64 TIMESTAMP(NANOS) columns: read as long, converted below
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
     # read TIMESTAMP(isAdjustedToUTC=false) parquet as plain TIMESTAMP at
     # the scan (not TIMESTAMP_NTZ + cast): keeps ts a raw scan column so
     # time-range predicates still push down to parquet row groups
-    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
+}
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one testdata table with timestamp columns normalized to UTC
+    TIMESTAMP.
+
+    SESSION-WIDE SIDE EFFECT (documented, deliberate): the two parquet
+    scan confs in ``_SCAN_CONFS`` are applied to the shared session — scan
+    behavior is resolved from session confs at read/plan time, so they
+    cannot be scoped to one DataFrame. Every read this engine performs
+    needs the same values; if other code on the session reads parquet with
+    nanos timestamps or relies on TIMESTAMP_NTZ inference, set the confs
+    back after loading. Values already set are left untouched."""
+    for k, v in _SCAN_CONFS.items():
+        if spark.conf.get(k, None) != v:
+            spark.conf.set(k, v)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     for c, t in df.dtypes:
         if c in TS_COLS.get(name, ()) and t == "bigint":

@@ -1,0 +1,162 @@
+"""Scale-point benchmark: the bench.py query shapes at sf0.1 AND at a
+10x replication of it (sf1-equivalent row counts), so "would the plan
+survive 10x" is a measured number instead of plan inspection alone.
+
+The scaled tables are materialized ONCE to parquet (replica-suffixed ids
+keep uniqueness; timestamps keep the same range, so per-bucket density
+grows 10x like a hotter tenant would). Queries then run against parquet at
+both scales with identical code — any super-linear blowup is a plan
+problem, not a data artifact.
+
+Usage:
+    python tools/bench_scale.py [--runs 3] [--factor 10] [--keep-dir DIR]
+
+Prints one JSON line:
+    {"metric": "seqspark_scale_check", "factor": 10,
+     "queries_sf01": {...}, "queries_sf1": {...}, "ratio": {...}}
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import statistics
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from seqspark import AggQuery, SearchTable
+from seqspark.data import load_table
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+EVENTS_MAPPING = {
+    "event_type": "keyword",
+    "user_id": "keyword",
+    "value": "keyword",
+    "event_id": "keyword",
+    "props": "text",
+}
+
+
+def scale_out(df, factor: int, id_cols):
+    """factor x rows: union of replicas with replica-suffixed ids (narrow —
+    one generator column + concat, no shuffle before the write)."""
+    rep = df.withColumn("__r", F.explode(F.sequence(F.lit(0), F.lit(factor - 1))))
+    for c in id_cols:
+        rep = rep.withColumn(
+            c, F.concat(F.col(c).cast("string"), F.lit("#"), F.col("__r"))
+        )
+    return rep.drop("__r")
+
+
+def timed(fn, runs: int):
+    out = []
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        fn()
+        out.append(time.perf_counter() - t0)
+    return round(statistics.median(out), 4)
+
+
+def query_set(st, lineitem):
+    return {
+        "q2_keyword_or": lambda: st.search(
+            "event_type:click or event_type:signup or event_type:error", size=5000
+        ).collect(),
+        "q4_range": lambda: st.search("value:[50, 100)", size=5000).collect(),
+        "q5_agg_count": lambda: st.aggregate(
+            AggQuery(func="count", field="event_type")
+        ).collect(),
+        "q6_agg_min_group": lambda: st.aggregate(
+            AggQuery(func="min", field="value", group_by="event_type")
+        ).collect(),
+        "q7_pricing": lambda: lineitem.filter(
+            F.col("l_shipdate") <= F.to_timestamp(F.lit("1998-09-02"))
+        )
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.avg("l_discount").alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .collect(),
+    }
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--runs", type=int, default=3)
+    ap.add_argument("--factor", type=int, default=10)
+    ap.add_argument("--keep-dir", default=None)
+    args = ap.parse_args()
+
+    spark = (
+        SparkSession.builder.master(f"local[{CPUS}]")
+        .appName("seqspark-scale-bench")
+        .config("spark.sql.shuffle.partitions", str(CPUS))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", "16g")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    base_dir = args.keep_dir or tempfile.mkdtemp(prefix="seqspark-scale-")
+    ev1_path = os.path.join(base_dir, "events_x")
+    li1_path = os.path.join(base_dir, "lineitem_x")
+
+    events = load_table(spark, SF_DIR, "events")
+    lineitem = load_table(spark, SF_DIR, "lineitem")
+    t0 = time.perf_counter()
+    if not os.path.exists(ev1_path):
+        scale_out(events, args.factor, ["event_id"]).write.parquet(ev1_path)
+    if not os.path.exists(li1_path):
+        scale_out(lineitem, args.factor, []).write.parquet(li1_path)
+    setup = round(time.perf_counter() - t0, 2)
+
+    events_x = spark.read.parquet(ev1_path)
+    lineitem_x = spark.read.parquet(li1_path)
+
+    st = SearchTable.from_typed(
+        events, EVENTS_MAPPING, ts_col="ts", rid_col="event_id", assume_folded=True
+    )
+    st_x = SearchTable.from_typed(
+        events_x, EVENTS_MAPPING, ts_col="ts", rid_col="event_id", assume_folded=True
+    )
+
+    # warm
+    events.count(), events_x.count(), lineitem.count(), lineitem_x.count()
+
+    small = {k: timed(fn, args.runs) for k, fn in query_set(st, lineitem).items()}
+    big = {k: timed(fn, args.runs) for k, fn in query_set(st_x, lineitem_x).items()}
+    ratio = {k: round(big[k] / small[k], 2) if small[k] else None for k in small}
+    print(
+        json.dumps(
+            {
+                "metric": "seqspark_scale_check",
+                "factor": args.factor,
+                "runs": args.runs,
+                "setup_sec": setup,
+                "queries_sf01": small,
+                "queries_sf1": big,
+                "ratio": ratio,
+            }
+        )
+    )
+    if args.keep_dir is None:
+        shutil.rmtree(base_dir, ignore_errors=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
