@@ -976,9 +976,23 @@ class SearchTable:
                     raise AggParseError(
                         f"parse errors reached, last_value={sample[0][0]!r}"
                     )
-            has_group = F.col("__group").isNotNull() | F.lit(group_by is None)
             has_field = F.col("__fieldtok").isNotNull()
-            base = df.filter(has_group & has_field)
+            # Single-pass bucket accounting: with group_by, keep the
+            # missing-field rows IN the aggregation — every value expr runs
+            # on __val, which is NULL exactly when the field token is
+            # missing (nulls are skipped by sum/min/max/avg/percentile/
+            # count/HLL), so the agg results are unchanged and a
+            # count(missing) column yields the per-bucket NotExists
+            # (`frac/processor/aggregator.go:83-87`) with NO second
+            # aggregation and NO full-outer join — one shuffle total.
+            if group_by is not None:
+                base = df.filter(F.col("__group").isNotNull())
+                ne_cols = [
+                    F.count(F.when(~has_field, F.lit(1))).alias("not_exists")
+                ]
+            else:
+                base = df.filter(has_field)
+                ne_cols = []
             agg_exprs = {
                 "sum": F.sum("__val"),
                 "min": F.min("__val"),
@@ -995,7 +1009,7 @@ class SearchTable:
             ftok = F.approx_count_distinct("__fieldtok").alias("__ftok")
             if func in agg_exprs:
                 out = base.groupBy("__mid", "__group").agg(
-                    agg_exprs[func].alias("value"), n_samples, ftok
+                    agg_exprs[func].alias("value"), n_samples, ftok, *ne_cols
                 )
             elif func == "quantile":
                 qs = list(aggq.quantiles)
@@ -1005,7 +1019,9 @@ class SearchTable:
                 qcols = [
                     pct("__val", float(qv)).alias(f"q{i}") for i, qv in enumerate(qs)
                 ]
-                out = base.groupBy("__mid", "__group").agg(*qcols, n_samples, ftok)
+                out = base.groupBy("__mid", "__group").agg(
+                    *qcols, n_samples, ftok, *ne_cols
+                )
                 out = out.withColumn("value", F.col("q0"))
             else:
                 raise ValueError(f"unknown agg func {func!r}")
@@ -1017,36 +1033,11 @@ class SearchTable:
                     F.col("value")
                 ),
             ).drop("__n")
-            if group_by is not None:
-                # per-group NotExists: group present, field missing
-                # (`frac/processor/aggregator.go:83-87`); groups that only
-                # have missing-field docs still get a bucket, value NaN
-                notex = (
-                    df.filter(F.col("__group").isNotNull() & ~has_field)
-                    .groupBy(
-                        F.col("__mid").alias("__mid_ne"),
-                        F.col("__group").alias("__group_ne"),
-                    )
-                    .agg(F.count(F.lit(1)).alias("not_exists"))
-                )
-                # null-safe join keys: __mid is NULL for non-timeseries aggs
-                cond = out["__mid"].eqNullSafe(notex["__mid_ne"]) & out[
-                    "__group"
-                ].eqNullSafe(notex["__group_ne"])
-                out = (
-                    out.join(notex, cond, "full_outer")
-                    .withColumn("__mid", F.coalesce(out["__mid"], notex["__mid_ne"]))
-                    .withColumn(
-                        "__group", F.coalesce(out["__group"], notex["__group_ne"])
-                    )
-                    .drop("__mid_ne", "__group_ne")
-                    .withColumn("not_exists", F.coalesce(F.col("not_exists"), zero))
-                    .withColumn(
-                        "value", F.coalesce(F.col("value"), F.lit(float("nan")))
-                    )
-                )
-            else:
+            if group_by is None:
                 out = out.withColumn("not_exists", zero)
+            # with group_by, not_exists was computed inside the single
+            # aggregation pass above; groups that only have missing-field
+            # docs still get a bucket (their __n is 0 → value NaN)
 
         out = out.withColumnRenamed("__mid", "mid_ms").withColumnRenamed(
             "__group", "name"
