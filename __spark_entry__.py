@@ -475,6 +475,27 @@ def q_dedup_exact(spark, sf_dir):
     return exact_dedup(with_h, ["h"], "doc_id").select("doc_id", "h")
 
 
+def q_paragraph_dedup(spark, sf_dir):
+    # corpus-wide exact paragraph dedup (boilerplate removal): documents
+    # have no paragraph breaks, so synthesize three paragraphs per doc —
+    # its own text, a footer shared by ALL docs (survives only in doc 0),
+    # and a per-language closer (survives once per language)
+    from seqspark.pipeline.dedup import paragraph_dedup
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "t",
+        F.concat(
+            F.col("text"),
+            F.lit("\n\nstandard corpus footer paragraph\n\n"),
+            F.col("lang"),
+            F.lit(" closing paragraph"),
+        ),
+    )
+    return paragraph_dedup(docs, "doc_id", "t").select(
+        "doc_id", F.col("t").alias("text_dedup")
+    )
+
+
 def q_ngram_jaccard(spark, sf_dir):
     # exact 3-gram Jaccard over a bounded id range (verification kernel of
     # the LSH pipeline; bounded so the oracle can cross-join). id < 200
@@ -999,6 +1020,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "timestamp_parse_chain": q_timestamp_parse_chain,
         "doc_size_tracking": q_doc_size_tracking,
         "dedup_exact": q_dedup_exact,
+        "paragraph_dedup": q_paragraph_dedup,
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash_candidates": q_simhash_candidates,
@@ -1176,6 +1198,21 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": (
             "SELECT doc_id, md5(text) AS h FROM documents "
             "QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1"
+        ),
+        "paragraph_dedup": (
+            "WITH synth AS (SELECT doc_id, text || e'\\n\\n' || "
+            "'standard corpus footer paragraph' || e'\\n\\n' || lang || "
+            "' closing paragraph' AS t FROM documents), "
+            "p AS (SELECT doc_id, unnest(string_split(t, e'\\n\\n')) AS para, "
+            "unnest(range(1, len(string_split(t, e'\\n\\n')) + 1)) AS ord "
+            "FROM synth), "
+            "pf AS (SELECT * FROM p WHERE length(para) > 0), "
+            "w AS (SELECT doc_id, para, ord, row_number() OVER "
+            "(PARTITION BY para ORDER BY doc_id, ord) AS rn FROM pf) "
+            "SELECT s.doc_id, coalesce(string_agg(w.para, e'\\n\\n' "
+            "ORDER BY w.ord), '') AS text_dedup "
+            "FROM synth s LEFT JOIN w ON w.doc_id = s.doc_id AND w.rn = 1 "
+            "GROUP BY s.doc_id"
         ),
         "ngram_jaccard": (
             "WITH w AS (SELECT doc_id, " + _WORDS + " AS w FROM documents WHERE doc_id < 200), "

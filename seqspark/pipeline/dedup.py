@@ -34,6 +34,72 @@ def exact_dedup(df: DataFrame, cols: Sequence[str], keep_by: str) -> DataFrame:
     )
 
 
+def paragraph_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    sep: str = "\n\n",
+    min_len: int = 0,
+) -> DataFrame:
+    """Corpus-wide EXACT paragraph dedup: split every document on ``sep``,
+    keep each distinct paragraph's FIRST occurrence (ordered by
+    (id, position)), and reassemble documents from their surviving
+    paragraphs — the standard boilerplate-paragraph removal of web-corpus
+    pipelines (repeated footers/cookie banners vanish from every document
+    but the first).
+
+    Paragraphs shorter than ``min_len`` characters bypass dedup entirely
+    (headings like "Introduction" should not collapse across documents).
+
+    Scale shape: one shuffle keyed by the paragraph digest (short key, not
+    the paragraph text) to pick winners, one shuffle on ``id_col`` to
+    reassemble. No window over the corpus, no join wider than
+    (digest → winner). Output: (id_col, text_col) with ``text_col``
+    rebuilt from surviving paragraphs in original order (possibly empty).
+    """
+    pid = F.col(id_col)
+    paras = (
+        df.select(pid, F.posexplode(F.split(F.col(text_col), sep)).alias("__pos", "__para"))
+        .filter(F.length("__para") > 0)
+    )
+    protected = F.length("__para") < F.lit(min_len)
+    digest = F.sha2(F.col("__para"), 256)
+    keyed = paras.withColumn("__protected", protected).withColumn("__d", digest)
+    # first occurrence per digest: min (id, pos) struct — map-side combining
+    # aggregation, never a corpus-wide window
+    winners = (
+        keyed.filter(~F.col("__protected"))
+        .groupBy("__d")
+        .agg(F.min(F.struct(pid.alias("id"), F.col("__pos").alias("pos"))).alias("__w"))
+    )
+    # winners is distinct-paragraph-sized (not broadcastable at scale):
+    # plain shuffle join on the digest, AQE picks the strategy
+    kept = keyed.join(winners, "__d", "left").filter(
+        F.col("__protected")
+        | (
+            (F.col("__w.id") == pid) & (F.col("__w.pos") == F.col("__pos"))
+        )
+    )
+    rebuilt = kept.groupBy(pid).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("__pos"), F.col("__para")))
+                ),
+                lambda s: s["__para"],
+            ),
+            sep,
+        ).alias(text_col)
+    )
+    # a document whose every paragraph deduped away keeps its row with an
+    # empty text (callers decide whether to drop empties)
+    return (
+        df.select(pid)
+        .join(rebuilt, id_col, "left")
+        .withColumn(text_col, F.coalesce(F.col(text_col), F.lit("")))
+    )
+
+
 def shingles(text: Column, k: int = 5) -> Column:
     """Word k-shingles of a normalized text column (array<string>)."""
     words = F.split(F.lower(text), r"[^\p{L}\p{N}_]+")

@@ -399,6 +399,38 @@ def test_salted_lsh_beats_capped_on_boilerplate(spark):
     assert len(salted) < len(capped)
 
 
+def test_paragraph_dedup(spark):
+    """Exact paragraph dedup: a footer shared by every doc survives only in
+    its first occurrence; short paragraphs bypass dedup; paragraph order is
+    preserved on reassembly."""
+    footer = "follow us on social media for more updates and offers"
+    rows = [
+        (1, f"alpha body one\n\n{footer}\n\nunique tail one"),
+        (2, f"beta body two\n\n{footer}"),
+        (3, f"{footer}\n\ngamma body three"),
+        (4, "Intro\n\ndelta body four\n\nIntro"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r["text"] for r in
+           dedup.paragraph_dedup(df, "doc_id").collect()}
+    assert out[1] == f"alpha body one\n\n{footer}\n\nunique tail one"
+    assert out[2] == "beta body two"
+    assert out[3] == "gamma body three"
+    # within-doc duplicates collapse too (second "Intro" loses to the first)
+    assert out[4] == "Intro\n\ndelta body four"
+    # min_len: short paragraphs are protected from dedup everywhere
+    out2 = {r["doc_id"]: r["text"] for r in
+            dedup.paragraph_dedup(df, "doc_id", min_len=6).collect()}
+    assert out2[4] == "Intro\n\ndelta body four\n\nIntro"
+    # a doc that is 100% duplicate paragraphs ends up empty, not dropped
+    df2 = spark.createDataFrame(
+        [(1, footer), (2, footer)], "doc_id long, text string"
+    )
+    out3 = {r["doc_id"]: r["text"] for r in
+            dedup.paragraph_dedup(df2, "doc_id").collect()}
+    assert out3 == {1: footer, 2: ""}
+
+
 def test_salted_lsh_pair_complexity_on_hot_bucket(spark):
     """Skew-stress for the 100 TB promise in `minhash_lsh_candidates`'s
     docstring (reference analog: skewed posting lists balanced in
