@@ -442,6 +442,24 @@ def q_path_prefix_tokens(spark, sf_dir):
     return docs.select("doc_id", F.explode(path_tokens(path)).alias("token"))
 
 
+def q_index_hot_tokens(spark, sf_dir):
+    # doc-frequency hot list that drives selectivity-based index routing
+    # (seqspark.index.collect_index_stats): top-50 (field, token) pairs by
+    # doc frequency over the materialized inverted index
+    from seqspark.engine import materialize_tokens
+    from seqspark.index import build_inverted_index
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = materialize_tokens(docs, {"text": "text"})
+    idx = build_inverted_index(tok, {"text": "__tok_text"}, id_cols=["doc_id"])
+    return (
+        idx.groupBy("field", "token")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .orderBy(F.desc("df"), "field", "token")
+        .limit(50)
+    )
+
+
 def q_timestamp_parse_chain(spark, sf_dir):
     # 3-format fallback chain (`proxy/bulk/processor.go:101-126`) over
     # synthesized doc strings in each format
@@ -1016,6 +1034,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "notexists_accounting": q_notexists_accounting,
         "json_field_extract": q_json_field_extract,
         "ingest_tokenize": q_ingest_tokenize,
+        "index_hot_tokens": q_index_hot_tokens,
         "path_prefix_tokens": q_path_prefix_tokens,
         "timestamp_parse_chain": q_timestamp_parse_chain,
         "doc_size_tracking": q_doc_size_tracking,
@@ -1186,6 +1205,13 @@ def oracle_sql() -> dict[str, str]:
             # strlen = BYTE length, matching the reference's len([]byte) caps
             "SELECT doc_id, unnest(list_filter("
             f"{_TOKS}, t -> len(t) > 0 AND strlen(t) <= 72)) AS token FROM documents"
+        ),
+        "index_hot_tokens": (
+            "WITH tok AS (SELECT doc_id, unnest(list_distinct(list_filter("
+            f"{_TOKS}, t -> len(t) > 0 AND strlen(t) <= 72))) AS token "
+            "FROM documents) "
+            "SELECT 'text' AS field, token, count(*) AS df FROM tok "
+            "GROUP BY token ORDER BY df DESC, token LIMIT 50"
         ),
         "path_prefix_tokens": (
             "SELECT doc_id, unnest(["
