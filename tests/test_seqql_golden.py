@@ -220,6 +220,59 @@ def test_seqql_golden(query, expected):
     assert seqql_string(parse(got, M)) == got
 
 
+# `seqql_filter_test.go` TestParseSeqQLError — every query must fail to
+# parse (messages are not pinned; the reference's exact wording is its own)
+ERROR_QUERIES = [
+    'service:"some', 'service:some "', 'service:some"',
+    'service:some"service:clickhouse', 'service:"some"*"thing',
+    'service:"some"*thing"', 'service:"some" *"thing"',
+    "service: some thing", 'service:"some thing',
+    'service:    some"thing',
+    'service:"some text AND level:"3"', 'service:some text" AND level:"3"',
+    "AND", "NOT", "NOT NOT", "m:a NOT",
+    "service: AND level: 3", "service: some AND level:",
+    "m:a AND OR m : b", "m:a NOT AND m:b", 'service: some thing"',
+    "[1 TO 3]:some", r"service:a\*b", r"message:a\*b", "*:*",
+    'service:"workflow-api"and message:"Found"',
+    "level:[1 3]", "level:[1TO3]", "level:[1 TO 3", "level:1 TO 3]",
+    "level:[]", "level:[1 TO [3]]", "level:[1 TO 3]]", "level:[[1 TO 3]]",
+    "level:[[1 TO 3]", "level:[1 TP 3]", "level:[1 TO 3[", "level:]1 TO 3]",
+    "level:[", "level:[1", "level:[*", 'level:["1', "level:[ 1 to",
+    "level:[1 to", "level:[1 to *", "level:[1 to 2", "level:[1 to 2*",
+    'level:[1 to "2', 'level:[1 to "2"', "level:[1]", "level:[*]",
+    'level:[1 to "2]',
+    "level:[** TO 1]", "level:[1 TO a*]", "level:[1 TO a*b]",
+    "level:[1 TO *b]", 'level:["**" TO 1]', 'level:[1 TO "a*"]',
+    'level:[1, "a*b"]', 'level:[1, "*b"]',
+    ":[1 TO 3]", ":some", ':"abc"', "service:", '"":value',
+    "(m:a", "m:a)", "m:a AND (", "m:a (", "m:a )", "m:a( AND m:a",
+    "m:a (AND m:a)", "m:a) AND m:a", "some field:abc", "level service:abc",
+    "(level:3 AND level level:abc)", 'NOT (:"abc")',
+    "service:in", "service:in()", "service:in(1,)", "service:in)",
+    "service:in(1", "service:in(1,3^2)", "in(1):in(2)",
+    "service:in(2, in(4, 8))", "service:'in'(2, in(4, 8))",
+    "message:--||",
+    "source_type:access* | fields message | fields except login:admin",
+    "source_type:access* | fields message | fields login",
+    "* | fields event, ",
+]
+
+
+@pytest.mark.parametrize("query", ERROR_QUERIES)
+def test_seqql_golden_errors(query):
+    from seqspark.seqql.parser import ParseError
+
+    err_mapping = Mapping(
+        {
+            "service": "keyword", "level": "keyword", "m": "keyword",
+            "message": "text", "some": "keyword", "in": "keyword",
+            "source_type": "keyword", "login": "keyword", "event": "keyword",
+        }
+    )
+    with pytest.raises(ParseError):
+        parse(query, err_mapping)
+
+
 def test_seqql_golden_case_sensitive():
     """`seqql_filter_test.go` TestSeqQLCaseSensitive (nil mapping)."""
     nilish = Mapping({"service": "keyword", "text": "text"})
