@@ -442,6 +442,31 @@ def q_path_prefix_tokens(spark, sf_dir):
     return docs.select("doc_id", F.explode(path_tokens(path)).alias("token"))
 
 
+def q_gopher_quality(spark, sf_dir):
+    # Gopher rule-based quality flags (Rae et al. 2021 A1.1) with
+    # fixture-scaled thresholds so both keep outcomes occur
+    from seqspark.pipeline.textstats import gopher_filter
+
+    docs = load_table(spark, sf_dir, "documents")
+    return gopher_filter(docs, min_words=5, max_words=500).select(
+        "doc_id",
+        "rule_word_count",
+        "rule_mean_word_len",
+        "rule_symbol_ratio",
+        "rule_alpha_words",
+        "rule_required_words",
+        "gopher_keep",
+    )
+
+
+def q_token_budget(spark, sf_dir):
+    # per-source token accounting behind mixture weights
+    from seqspark.pipeline.textstats import token_budget_report
+
+    docs = load_table(spark, sf_dir, "documents")
+    return token_budget_report(docs, "source")
+
+
 def q_index_hot_tokens(spark, sf_dir):
     # doc-frequency hot list that drives selectivity-based index routing
     # (seqspark.index.collect_index_stats): top-50 (field, token) pairs by
@@ -1035,6 +1060,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_field_extract": q_json_field_extract,
         "ingest_tokenize": q_ingest_tokenize,
         "index_hot_tokens": q_index_hot_tokens,
+        "gopher_quality": q_gopher_quality,
+        "token_budget": q_token_budget,
         "path_prefix_tokens": q_path_prefix_tokens,
         "timestamp_parse_chain": q_timestamp_parse_chain,
         "doc_size_tracking": q_doc_size_tracking,
@@ -1205,6 +1232,30 @@ def oracle_sql() -> dict[str, str]:
             # strlen = BYTE length, matching the reference's len([]byte) caps
             "SELECT doc_id, unnest(list_filter("
             f"{_TOKS}, t -> len(t) > 0 AND strlen(t) <= 72)) AS token FROM documents"
+        ),
+        "gopher_quality": (
+            "WITH g AS (SELECT doc_id, text, " + _WORDS + " AS w FROM documents), "
+            "m AS (SELECT doc_id, text, w, len(w) AS n, "
+            "CASE WHEN len(w) > 0 THEN length(array_to_string(w, ''))::DOUBLE / len(w) ELSE 0 END AS mean_len, "
+            r"length(regexp_replace(text, '[^#…]', '', 'g')) + len(regexp_extract_all(text, '\.\.\.')) AS symbols, "
+            r"len(list_filter(w, x -> regexp_matches(x, '\p{L}'))) AS alpha_words, "
+            "len(list_intersect(w, ['the','be','to','of','and','that','have','with'])) AS req FROM g) "
+            "SELECT doc_id, "
+            "(n >= 5 AND n <= 500) AS rule_word_count, "
+            "(mean_len >= 3.0 AND mean_len <= 10.0) AS rule_mean_word_len, "
+            "(n > 0 AND symbols::DOUBLE / n <= 0.1) AS rule_symbol_ratio, "
+            "(n > 0 AND alpha_words::DOUBLE / n >= 0.8) AS rule_alpha_words, "
+            "(req >= 2) AS rule_required_words, "
+            "((n >= 5 AND n <= 500) AND (mean_len >= 3.0 AND mean_len <= 10.0) "
+            "AND (n > 0 AND symbols::DOUBLE / n <= 0.1) "
+            "AND (n > 0 AND alpha_words::DOUBLE / n >= 0.8) AND req >= 2) AS gopher_keep "
+            "FROM m"
+        ),
+        "token_budget": (
+            "WITH per AS (SELECT source, count(*) AS n_docs, "
+            f"sum(len({_WORDS}))::BIGINT AS n_tokens FROM documents GROUP BY source) "
+            "SELECT source, n_docs, n_tokens, "
+            "round(n_tokens::DOUBLE / sum(n_tokens) OVER (), 6) AS token_share FROM per"
         ),
         "index_hot_tokens": (
             "WITH tok AS (SELECT doc_id, unnest(list_distinct(list_filter("

@@ -4,7 +4,7 @@ document fingerprinting. All pure Catalyst expressions over the
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 _WORD_RE = r"[^\p{L}\p{N}_]+"
@@ -149,4 +149,79 @@ def document_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
             "lang_guess": detect_lang(t),
             "fingerprint": fingerprint(t),
         }
+    )
+
+
+#: the eight Gopher "required words" (Rae et al. 2021, §A1.1 — public)
+_GOPHER_REQUIRED = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    min_alpha_word_ratio: float = 0.8,
+    min_required_hits: int = 2,
+) -> DataFrame:
+    """Gopher-style rule-based quality flags (Rae et al. 2021 §A1.1, the
+    standard web-corpus pre-filter). Adds one boolean column per rule plus
+    ``gopher_keep`` (AND of all rules) — callers filter or inspect the
+    per-rule rejection mix. Pure Catalyst projection: at 100 TB this is a
+    narrow map over the scan, no shuffle, no Python.
+
+    Rules: word count in [min_words, max_words]; mean word length in
+    [min_mean_word_len, max_mean_word_len]; '#'/'…'-symbol-to-word ratio
+    ≤ max_symbol_ratio; ≥ min_alpha_word_ratio of words contain a letter;
+    ≥ min_required_hits distinct Gopher required words present."""
+    t = F.col(text_col)
+    ws = words(t)
+    n = F.size(ws)
+    mean_len = F.when(n > 0, F.length(F.array_join(ws, "")) / n).otherwise(
+        F.lit(0.0)
+    )
+    # symbols: '#', the one-char ellipsis, and each non-overlapping '...'
+    symbols = F.length(F.regexp_replace(t, r"[^#…]", "")) + F.size(
+        F.regexp_extract_all(t, F.lit(r"\.\.\."), 0)
+    )
+    alpha_words = F.size(F.filter(ws, lambda w: w.rlike(r"\p{L}")))
+    required_hits = F.size(
+        F.array_intersect(ws, F.array(*[F.lit(w) for w in _GOPHER_REQUIRED]))
+    )
+    rules = {
+        "rule_word_count": (n >= min_words) & (n <= max_words),
+        "rule_mean_word_len": (mean_len >= min_mean_word_len)
+        & (mean_len <= max_mean_word_len),
+        "rule_symbol_ratio": F.when(
+            n > 0, (symbols / n) <= max_symbol_ratio
+        ).otherwise(F.lit(False)),
+        "rule_alpha_words": F.when(
+            n > 0, (alpha_words / n) >= min_alpha_word_ratio
+        ).otherwise(F.lit(False)),
+        "rule_required_words": required_hits >= min_required_hits,
+    }
+    out = df.withColumns(rules)
+    keep = None
+    for name in rules:
+        keep = F.col(name) if keep is None else (keep & F.col(name))
+    return out.withColumn("gopher_keep", keep)
+
+
+def token_budget_report(
+    df: DataFrame, group_col: str, text_col: str = "text"
+) -> DataFrame:
+    """Per-group token accounting for mixture design: docs, whitespace
+    tokens, and each group's share of the corpus token budget. One
+    group-key shuffle (group cardinality ≪ corpus) + a scalar total —
+    the bookkeeping behind source-mixing weights."""
+    per = df.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_count(F.col(text_col))).cast("long").alias("n_tokens"),
+    )
+    total = F.sum("n_tokens").over(Window.partitionBy())
+    return per.withColumn(
+        "token_share", F.round(F.col("n_tokens") / total, 6)
     )

@@ -399,6 +399,45 @@ def test_salted_lsh_beats_capped_on_boilerplate(spark):
     assert len(salted) < len(capped)
 
 
+def test_gopher_filter_rules(spark):
+    """Each Gopher rule (Rae et al. 2021 A1.1) trips on a crafted doc and
+    gopher_keep is the AND of all rules."""
+    good = "the quick brown fox and the lazy dog have gone to rest with " \
+           "friends of that family near here today again"  # 20 words
+    rows = [
+        (1, good),
+        (2, "short text only"),                                  # word count
+        (3, "a i o u e " * 8),                                   # mean len < 3
+        (4, good + " " + "# # # # # # # # # #"),                 # symbols
+        (5, "the of and to 1 2 3 4 5 6 7 8 9 10 11 12 13 14 15 16"),  # alpha
+        (6, "zebra quokka lemur wombat gecko iguana falcon heron "
+            "osprey plover sparrow swallow finch siskin linnet "
+            "dunnock wren robin thrush ouzel"),                  # required words
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in
+           textstats.gopher_filter(df, min_words=10, max_words=100).collect()}
+    assert got[1]["gopher_keep"] is True
+    assert got[2]["rule_word_count"] is False and got[2]["gopher_keep"] is False
+    assert got[3]["rule_mean_word_len"] is False
+    assert got[4]["rule_symbol_ratio"] is False
+    assert got[5]["rule_alpha_words"] is False
+    assert got[6]["rule_required_words"] is False
+    for d in (2, 3, 4, 5, 6):
+        assert got[d]["gopher_keep"] is False
+
+
+def test_token_budget_report(spark):
+    df = spark.createDataFrame(
+        [(1, "a", "one two three"), (2, "a", "four five"), (3, "b", "six")],
+        "doc_id long, source string, text string",
+    )
+    got = {r["source"]: (r["n_docs"], r["n_tokens"], r["token_share"])
+           for r in textstats.token_budget_report(df, "source").collect()}
+    assert got["a"] == (2, 5, round(5 / 6, 6))
+    assert got["b"] == (1, 1, round(1 / 6, 6))
+
+
 def test_paragraph_dedup(spark):
     """Exact paragraph dedup: a footer shared by every doc survives only in
     its first occurrence; short paragraphs bypass dedup; paragraph order is
