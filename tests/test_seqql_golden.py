@@ -220,6 +220,32 @@ def test_seqql_golden(query, expected):
     assert seqql_string(parse(got, M)) == got
 
 
+# `seqql_pipes_test.go` TestParsePipeFields / TestParsePipeFieldsExcept
+PIPE_VECTORS = [
+    ("* | fields  message,error, level", "* | fields message, error, level"),
+    ("* | fields level", "* | fields level"),
+    ('* | fields "_id"', "* | fields _id"),
+    ('* | fields "_\\\\message\\\\_"', '* | fields "_\\\\message\\\\_"'),
+    ('* | fields "_\\\\message*"', '* | fields "_\\\\message\\*"'),
+    ("* | fields k8s_namespace", "* | fields k8s_namespace"),
+    ("* | fields except message,error, level",
+     "* | fields except message, error, level"),
+    ("* | fields except level", "* | fields except level"),
+    ('* | fields except "_id"', "* | fields except _id"),
+    ('* | fields except "_\\\\message\\\\_"',
+     '* | fields except "_\\\\message\\\\_"'),
+    ('* | fields except "_\\\\message*"', '* | fields except "_\\\\message\\*"'),
+    ("* | fields except k8s_namespace", "* | fields except k8s_namespace"),
+]
+
+
+@pytest.mark.parametrize("query,expected", PIPE_VECTORS)
+def test_seqql_golden_pipes(query, expected):
+    got = seqql_string(parse(query, M))
+    assert got == expected
+    assert seqql_string(parse(got, M)) == got
+
+
 # `seqql_filter_test.go` TestParseSeqQLError — every query must fail to
 # parse (messages are not pinned; the reference's exact wording is its own)
 ERROR_QUERIES = [
