@@ -442,6 +442,19 @@ def q_path_prefix_tokens(spark, sf_dir):
     return docs.select("doc_id", F.explode(path_tokens(path)).alias("token"))
 
 
+def q_ann_batch_topk(spark, sf_dir):
+    # exact batched cosine top-5 for three query vectors in one corpus pass
+    from seqspark.pipeline.ann import batch_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    corpus = emb.filter(F.col("vec_id") >= 3)
+    out = batch_topk(corpus, queries, k=5)
+    return out.select("query_id", "vec_id", F.round("score", 4).alias("score"))
+
+
 def q_gopher_quality(spark, sf_dir):
     # Gopher rule-based quality flags (Rae et al. 2021 A1.1) with
     # fixture-scaled thresholds so both keep outcomes occur
@@ -1060,6 +1073,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_field_extract": q_json_field_extract,
         "ingest_tokenize": q_ingest_tokenize,
         "index_hot_tokens": q_index_hot_tokens,
+        "ann_batch_topk": q_ann_batch_topk,
         "gopher_quality": q_gopher_quality,
         "token_budget": q_token_budget,
         "path_prefix_tokens": q_path_prefix_tokens,
@@ -1232,6 +1246,17 @@ def oracle_sql() -> dict[str, str]:
             # strlen = BYTE length, matching the reference's len([]byte) caps
             "SELECT doc_id, unnest(list_filter("
             f"{_TOKS}, t -> len(t) > 0 AND strlen(t) <= 72)) AS token FROM documents"
+        ),
+        "ann_batch_topk": (
+            "WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv "
+            "FROM embeddings WHERE vec_id < 3), "
+            "c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings "
+            "WHERE vec_id >= 3) "
+            "SELECT q.query_id, c.vec_id, "
+            "round(list_cosine_similarity(c.v, q.qv), 4) AS score "
+            "FROM q, c "
+            "QUALIFY row_number() OVER (PARTITION BY q.query_id "
+            "ORDER BY list_cosine_similarity(c.v, q.qv) DESC, c.vec_id) <= 5"
         ),
         "gopher_quality": (
             "WITH g AS (SELECT doc_id, text, " + _WORDS + " AS w FROM documents), "

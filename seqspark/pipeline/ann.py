@@ -58,6 +58,48 @@ def brute_topk(
     )
 
 
+def batch_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    q_id_col: str = "query_id",
+    q_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Exact cosine top-k for a SET of query vectors in ONE corpus pass.
+
+    The query table is broadcast (it must be small — batch lookups, not a
+    second corpus), every corpus row scores against every query via a
+    BroadcastNestedLoopJoin (the one place an all-pairs product is
+    *principled*: |corpus| × |Q| with tiny Q), and a per-query window
+    keeps the top k (ties broken by id).
+
+    Scale note: the window shuffles scored rows by query id, so each
+    query's candidates funnel through one task — fine for the intended
+    |Q| (≲ thousands); for query sets that are themselves corpus-sized,
+    use the sketch/IVF paths per query instead. Output:
+    (q_id_col, id_col, score DOUBLE) with exactly ≤ k rows per query.
+    """
+    from pyspark.sql import Window
+
+    score = (
+        dot(F.col(vec_col), F.col(q_vec_col))
+        / (norm(F.col(vec_col)) * norm(F.col(q_vec_col)))
+    ).alias("score")
+    scored = emb.crossJoin(F.broadcast(queries)).select(
+        F.col(q_id_col), F.col(id_col), score
+    )
+    w = Window.partitionBy(q_id_col).orderBy(
+        F.col("score").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
 def _hyperplanes(dim: int, bits: int, seed: int) -> List[List[float]]:
     rng = random.Random(seed)
     return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(bits)]

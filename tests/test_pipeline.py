@@ -79,6 +79,23 @@ def test_brute_topk_self_first(emb):
     assert top[0]["score"] >= top[1]["score"] >= top[2]["score"]
 
 
+def test_batch_topk_matches_per_query_brute(emb):
+    """Batched exact top-k == running brute_topk per query."""
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    corpus = emb.filter(F.col("vec_id") >= 3)
+    got = {}
+    for r in ann.batch_topk(corpus, queries, k=4).collect():
+        got.setdefault(r["query_id"], []).append((r["vec_id"], round(r["score"], 6)))
+    for q in queries.collect():
+        single = [
+            (r["vec_id"], round(r["score"], 6))
+            for r in ann.brute_topk(corpus, q["query_vec"], k=4).collect()
+        ]
+        assert got[q["query_id"]] == single
+
+
 def test_lsh_topk_overlaps_brute(emb):
     qv = list(emb.filter(F.col("vec_id") == 7).collect()[0]["embedding"])
     brute = [r["vec_id"] for r in ann.brute_topk(emb, qv, k=10).collect()]
