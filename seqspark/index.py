@@ -295,3 +295,28 @@ class StoreIndex:
         return search_tokens(
             self.store.read(), self.read(), field, tokens, self.id_cols
         )
+
+    def attach_to(
+        self,
+        table,
+        total_docs: Optional[int] = None,
+        top_k: int = 4096,
+        max_selectivity: float = 0.1,
+    ):
+        """Attach this index to a :class:`~seqspark.engine.SearchTable`
+        with selectivity routing: collects the hot-token doc-frequency
+        stats once (one TakeOrdered agg over the index — re-call after
+        :meth:`refresh` to pick up new data) and wires them through
+        ``attach_index``. Returns the table for chaining."""
+        idx = self.read()
+        total = (
+            total_docs if total_docs is not None else self.store.read().count()
+        )
+        stats = collect_index_stats(idx, total, top_k)
+        return table.attach_index(
+            idx,
+            list(self.token_cols),
+            self.id_cols,
+            stats=stats,
+            max_selectivity=max_selectivity,
+        )

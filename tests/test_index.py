@@ -195,6 +195,19 @@ def test_store_index_lifecycle(spark, tmp_path):
         "message:alpha and message:auth"
     )
     assert got.count() == direct.count() == 3
+    # attach_to wires selectivity stats automatically: "alpha" is in every
+    # doc (ratio 1.0 > max_selectivity → scan path), "d1" is rare (routed)
+    # 6-doc corpus: "d1" is in 2/6 docs (0.33), "alpha" in all (1.0)
+    st = idx.attach_to(
+        SearchTable.from_docs(store.read(), m), top_k=64, max_selectivity=0.4
+    )
+    assert st.search("message:d1 and message:auth").count() == direct.filter(
+        "1=1"
+    ).count() - 2  # d1 exists only in the first day's bucket
+    plan = st.search("message:d1")._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan
+    plan_hot = st.search("message:alpha")._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" not in plan_hot
     # retention drops a bucket; prune drops its index
     dropped = store.retain(min_bucket=store.partitions()[1])
     assert idx.prune() == dropped
