@@ -119,6 +119,13 @@ def hyperplane_sketch(
     ingest, persist the column (sketch-at-rest, like tokens-at-rest), and
     :func:`lsh_topk` will reuse it without touching the vectors."""
     if dim is None:
+        import warnings
+
+        warnings.warn(
+            "hyperplane_sketch(dim=None) runs a driver-side head() probe; "
+            "pass dim explicitly in pipelines",
+            stacklevel=2,
+        )
         first = emb.select(F.size(F.col(vec_col)).alias("d")).head()
         dim = int(first["d"]) if first else 0
     planes = _hyperplanes(dim, bits, seed)
