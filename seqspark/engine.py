@@ -794,9 +794,18 @@ class SearchTable:
         full queryExecution trace (logical → optimized → physical), which
         shows whether predicates reached PushedFilters and whether the
         inverted index routed the query (LeftSemi)."""
-        ast = self.parse(q, dialect).root
+        query = self.parse(q, dialect)
         df, _ = self._filtered(q, from_ms, to_ms, dialect=dialect)
-        return f"AST: {ast}\n{df._jdf.queryExecution().toString()}"
+        # canonical echo: the normalized seq-ql form of the query, like the
+        # server's SeqQLString round-trip (`parser/seqql.go:18-26`) — shows
+        # the user exactly how both dialects were understood
+        from .seqql.render import seqql_string
+
+        canonical = seqql_string(query)
+        return (
+            f"Query: {canonical}\nAST: {query.root}\n"
+            f"{df._jdf.queryExecution().toString()}"
+        )
 
     def status(self) -> Dict[str, object]:
         """Store status — doc count + time bounds, the Status endpoint

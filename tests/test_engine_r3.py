@@ -345,7 +345,8 @@ def test_status_and_mapping_endpoints(events):
 def test_explain_trace(events):
     st = SearchTable.from_typed(events, EVENTS_MAPPING, ts_col="ts", rid_col="event_id")
     trace = st.explain("event_type:click and value:[10, *]")
-    assert trace.startswith("AST: ")
+    assert trace.startswith("Query: ")
+    assert "AST: " in trace
     assert "Physical Plan" in trace
     assert "PushedFilters" in trace
 

@@ -344,7 +344,8 @@ def test_search_explain_flag(server):
         json.dumps({"query": "service:auth", "explain": True}).encode(),
     )
     assert code == 200
-    assert res["explain"].startswith("AST: ")
+    assert res["explain"].startswith("Query: service:auth")
+    assert "AST: " in res["explain"]
     assert "Physical Plan" in res["explain"]
     # absent by default
     code, res = _post(server, "/search", json.dumps({"query": "service:auth"}).encode())
@@ -358,7 +359,7 @@ def test_complex_explain_flag(server):
         "/complex",
         json.dumps({"query": "*", "with_total": True, "explain": True}).encode(),
     )
-    assert code == 200 and res["explain"].startswith("AST: ")
+    assert code == 200 and res["explain"].startswith("Query: *")
 
 
 def test_use_seq_ql_go_parsebool_values(server):
