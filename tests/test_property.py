@@ -170,3 +170,43 @@ def test_range_predicate_matches_python_model(spark, toks, lo, hi):
     got = {r["i"] for r in df.filter(pred).select("i").collect()}
     want = {i for i, t in enumerate(toks) if model_range_match(t, lo, hi)}
     assert got == want, (lo, hi, toks)
+
+
+# corpora of small docs built from a tiny paragraph vocabulary so
+# cross-document duplicates are frequent
+para_vocab = st.sampled_from(
+    ["alpha beta", "gamma", "delta epsilon zeta", "eta", "theta iota kappa"]
+)
+docs_corpus = st.lists(
+    st.lists(para_vocab, min_size=1, max_size=5), min_size=1, max_size=8
+)
+
+
+def model_paragraph_dedup(corpus):
+    """Python model: first (doc, pos) occurrence of each paragraph wins."""
+    seen = set()
+    out = {}
+    for doc_id, paras in enumerate(corpus):
+        kept = []
+        for p in paras:
+            if p not in seen:
+                seen.add(p)
+                kept.append(p)
+        out[doc_id] = "\n\n".join(kept)
+    return out
+
+
+@settings(max_examples=8, deadline=None)
+@given(docs_corpus)
+def test_paragraph_dedup_matches_python_model(spark, corpus):
+    from seqspark.pipeline.dedup import paragraph_dedup
+
+    df = spark.createDataFrame(
+        [(i, "\n\n".join(paras)) for i, paras in enumerate(corpus)],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r["text"]
+        for r in paragraph_dedup(df, "doc_id").collect()
+    }
+    assert got == model_paragraph_dedup(corpus)
