@@ -65,6 +65,10 @@ def paragraph_dedup(
     protected = F.length("__para") < F.lit(min_len)
     digest = F.sha2(F.col("__para"), 256)
     keyed = paras.withColumn("__protected", protected).withColumn("__d", digest)
+    # keyed feeds BOTH the winners aggregation and the reassembly join;
+    # checkpoint lazily so the split/explode/digest computes once (same
+    # pattern as the salted-LSH keyed frame)
+    keyed = keyed.localCheckpoint(eager=False)
     # first occurrence per digest: min (id, pos) struct — map-side combining
     # aggregation, never a corpus-wide window
     winners = (
