@@ -299,6 +299,52 @@ def test_seqql_golden_errors(query):
         parse(query, err_mapping)
 
 
+def test_seqql_fuzz_permutations():
+    """`seqql_filter_test.go` TestSeqQLParserFuzz: every character
+    permutation of these templates is invalid. Templates ≤ 8 chars are
+    enumerated exhaustively (Lehmer scheme, like the reference); longer
+    ones are sampled deterministically."""
+    import random
+
+    from seqspark.seqql.parser import ParseError
+
+    templates = [
+        "m:a[]", "m::a", "m:::a", 'm:a("', "m:()", 'm:"',
+        ':()""', 'm:a OR ()"', "AND OR NOT",
+    ]
+    fuzz_mapping = Mapping({"m": "keyword"})
+
+    def perms(template):
+        n = len(template)
+        if n <= 8:
+            p = [0] * n
+            while p[0] < n:
+                res = list(template)
+                for i, v in enumerate(p):
+                    res[i], res[i + v] = res[i + v], res[i]
+                yield "".join(res)
+                # nextPerm
+                for i in range(n - 1, -1, -1):
+                    if i == 0 or p[i] < n - i - 1:
+                        p[i] += 1
+                        break
+                    p[i] = 0
+        else:
+            rng = random.Random(hash(template) & 0xFFFF)
+            chars = list(template)
+            for _ in range(3000):
+                rng.shuffle(chars)
+                yield "".join(chars)
+
+    for template in templates:
+        for q in perms(template):
+            try:
+                parse(q, fuzz_mapping)
+            except ParseError:
+                continue
+            raise AssertionError(f"permutation parsed: {q!r} of {template!r}")
+
+
 def test_seqql_golden_case_sensitive():
     """`seqql_filter_test.go` TestSeqQLCaseSensitive (nil mapping)."""
     nilish = Mapping({"service": "keyword", "text": "text"})
