@@ -472,6 +472,35 @@ def q_gopher_quality(spark, sf_dir):
     )
 
 
+def q_c4_filter(spark, sf_dir):
+    # C4 line/page cleaning over synthesized multi-line pages: line 1 keeps
+    # (long + terminal '.'), lines 2-3 drop (short / no punctuation),
+    # line 4 varies the brace flag, line 5 varies the lorem flag
+    from seqspark.pipeline.textstats import c4_filter
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "t",
+        F.concat_ws(
+            "\n",
+            F.concat(F.col("text"), F.lit(".")),
+            F.lit("tiny line."),
+            F.lit("this line has no terminal punctuation"),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.lit("curly { brace sentence appears right here today."),
+            ).otherwise(F.lit("clean closing sentence for the document.")),
+            F.when(
+                F.col("doc_id") % 11 == 0,
+                F.lit("lorem ipsum dolor sit amet line here."),
+            ).otherwise(F.lit("regular final line of this document page.")),
+        ),
+    )
+    return c4_filter(docs, "t").select(
+        "doc_id", "text_clean", "rule_no_lorem", "rule_no_brace",
+        "rule_min_sentences", "c4_keep",
+    )
+
+
 def q_token_budget(spark, sf_dir):
     # per-source token accounting behind mixture weights
     from seqspark.pipeline.textstats import token_budget_report
@@ -1076,6 +1105,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_batch_topk": q_ann_batch_topk,
         "gopher_quality": q_gopher_quality,
         "token_budget": q_token_budget,
+        "c4_filter": q_c4_filter,
         "path_prefix_tokens": q_path_prefix_tokens,
         "timestamp_parse_chain": q_timestamp_parse_chain,
         "doc_size_tracking": q_doc_size_tracking,
@@ -1275,6 +1305,30 @@ def oracle_sql() -> dict[str, str]:
             "AND (n > 0 AND symbols::DOUBLE / n <= 0.1) "
             "AND (n > 0 AND alpha_words::DOUBLE / n >= 0.8) AND req >= 2) AS gopher_keep "
             "FROM m"
+        ),
+        "c4_filter": (
+            "WITH synth AS (SELECT doc_id, text || '.' || chr(10) || "
+            "'tiny line.' || chr(10) || "
+            "'this line has no terminal punctuation' || chr(10) || "
+            "(CASE WHEN doc_id % 7 = 0 THEN "
+            "'curly { brace sentence appears right here today.' ELSE "
+            "'clean closing sentence for the document.' END) || chr(10) || "
+            "(CASE WHEN doc_id % 11 = 0 THEN "
+            "'lorem ipsum dolor sit amet line here.' ELSE "
+            "'regular final line of this document page.' END) AS t "
+            "FROM documents), "
+            "c AS (SELECT doc_id, t, array_to_string(list_filter("
+            "string_split(t, chr(10)), "
+            "l -> regexp_matches(l, '[.!?\"]\\s*$') AND "
+            r"len(list_filter(string_split_regex(l, '\s+'), w -> len(w) > 0)) >= 5"
+            "), chr(10)) AS text_clean FROM synth) "
+            "SELECT doc_id, text_clean, "
+            "NOT contains(lower(t), 'lorem ipsum') AS rule_no_lorem, "
+            "NOT contains(t, '{') AS rule_no_brace, "
+            r"len(regexp_extract_all(text_clean, '[.!?]')) >= 3 AS rule_min_sentences, "
+            "(NOT contains(lower(t), 'lorem ipsum') AND NOT contains(t, '{') "
+            r"AND len(regexp_extract_all(text_clean, '[.!?]')) >= 3) AS c4_keep "
+            "FROM c"
         ),
         "token_budget": (
             "WITH per AS (SELECT source, count(*) AS n_docs, "

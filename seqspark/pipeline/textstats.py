@@ -210,6 +210,44 @@ def gopher_filter(
     return out.withColumn("gopher_keep", keep)
 
 
+def c4_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    min_line_words: int = 5,
+    min_sentences: int = 3,
+) -> DataFrame:
+    """C4-style cleaning (Raffel et al. 2020 §2.2, the public rules):
+    keep only lines that end in terminal punctuation AND have at least
+    ``min_line_words`` words; flag pages containing ``lorem ipsum`` or a
+    curly brace, or with fewer than ``min_sentences`` sentences after line
+    cleaning. Adds ``text_clean`` (kept lines re-joined), per-rule
+    booleans, and ``c4_keep``. Pure Catalyst projection — no shuffle, no
+    Python."""
+    t = F.col(text_col)
+    lines = F.split(t, "\n")
+    line_ok = lambda l: l.rlike(r'[.!?"]\s*$') & (
+        F.size(F.filter(F.split(l, r"\s+"), lambda w: F.length(w) > 0))
+        >= F.lit(min_line_words)
+    )
+    kept = F.filter(lines, line_ok)
+    clean = F.array_join(kept, "\n")
+    n_sentences = F.size(F.regexp_extract_all(clean, F.lit(r"[.!?]"), 0))
+    rules = {
+        "text_clean": clean,
+        "rule_no_lorem": ~F.lower(t).contains("lorem ipsum"),
+        "rule_no_brace": ~t.contains("{"),
+    }
+    out = df.withColumns(rules).withColumn(
+        "rule_min_sentences", n_sentences >= F.lit(min_sentences)
+    )
+    return out.withColumn(
+        "c4_keep",
+        F.col("rule_no_lorem")
+        & F.col("rule_no_brace")
+        & F.col("rule_min_sentences"),
+    )
+
+
 def token_budget_report(
     df: DataFrame, group_col: str, text_col: str = "text"
 ) -> DataFrame:

@@ -444,6 +444,29 @@ def test_gopher_filter_rules(spark):
         assert got[d]["gopher_keep"] is False
 
 
+def test_c4_filter_rules(spark):
+    rows = [
+        (1, "this is a good long sentence that ends properly.\n"
+            "another quality sentence with enough words here.\n"
+            "and one more complete sentence to finish it."),
+        (2, "no punctuation on this long line of text here\nshort."),
+        (3, "contains a curly { brace but three fine sentences stay here.\n"
+            "second complete sentence with enough words too.\n"
+            "third complete sentence with enough words also."),
+        (4, "Lorem Ipsum dolor sit amet is template filler text.\n"
+            "second complete sentence with enough words too.\n"
+            "third complete sentence with enough words also."),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in textstats.c4_filter(df).collect()}
+    assert got[1]["c4_keep"] is True
+    assert got[1]["text_clean"] == rows[0][1]
+    # doc 2: both lines dropped (no terminal punct / too short) -> 0 sentences
+    assert got[2]["text_clean"] == "" and got[2]["rule_min_sentences"] is False
+    assert got[3]["rule_no_brace"] is False and got[3]["c4_keep"] is False
+    assert got[4]["rule_no_lorem"] is False and got[4]["c4_keep"] is False
+
+
 def test_token_budget_report(spark):
     df = spark.createDataFrame(
         [(1, "a", "one two three"), (2, "a", "four five"), (3, "b", "six")],
