@@ -218,13 +218,37 @@ def q_stratified_sample(spark, sf_dir):
     ).select("doc_id", "lang")
 
 
+def _dedup_kernel_subset(docs):
+    """Bounded subset for the exact-verification kernels: the first 200 ids
+    (where sf0.01 plants near-dups) PLUS every doc whose text is exactly
+    duplicated anywhere (where larger SFs plant dups across the full id
+    space) — keeps the oracle's crossJoin small at ANY scale factor while
+    guaranteeing non-vacuous pairs."""
+    dup_texts = (
+        docs.groupBy("text")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") > 1)
+        .select("text")
+    )
+    return docs.filter(F.col("doc_id") < 200).unionByName(
+        docs.join(dup_texts, "text", "left_semi").filter(F.col("doc_id") >= 200)
+    )
+
+
+#: SQL twin of `_dedup_kernel_subset`
+_KERNEL_WHERE = (
+    "(doc_id < 200 OR text IN "
+    "(SELECT text FROM documents GROUP BY text HAVING count(*) > 1))"
+)
+
+
 def q_dup_clusters(spark, sf_dir):
     # connected components over verified jaccard pairs (cluster-level
     # dedup survivor selection): iterative min-label propagation, verified
     # against a DuckDB recursive CTE over the same pair set
     from seqspark.pipeline.dedup import dup_clusters, jaccard_pairs
 
-    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    docs = _dedup_kernel_subset(load_table(spark, sf_dir, "documents"))
     ids = (
         docs.select(F.col("doc_id").alias("id_a"))
         .crossJoin(docs.select(F.col("doc_id").alias("id_b")))
@@ -582,13 +606,14 @@ def q_paragraph_dedup(spark, sf_dir):
 
 
 def q_ngram_jaccard(spark, sf_dir):
-    # exact 3-gram Jaccard over a bounded id range (verification kernel of
-    # the LSH pipeline; bounded so the oracle can cross-join). id < 200
-    # contains planted near-dup pairs, so the entry verifies real matches
-    # (r2's id < 40 returned 0 rows — a vacuous pass)
+    # exact 3-gram Jaccard over the bounded kernel subset (verification
+    # kernel of the LSH pipeline; bounded so the oracle can cross-join).
+    # The subset contains planted pairs at EVERY scale factor — id < 200
+    # holds sf0.01's near-dups, the exact-dup-text branch holds larger
+    # SFs' pairs (r2's id < 40 returned 0 rows — a vacuous pass)
     from seqspark.pipeline.dedup import jaccard_pairs, shingles
 
-    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    docs = _dedup_kernel_subset(load_table(spark, sf_dir, "documents"))
     ids = docs.select(F.col("doc_id").alias("id_a")).crossJoin(
         docs.select(F.col("doc_id").alias("id_b"))
     ).filter(F.col("id_a") < F.col("id_b"))
@@ -1371,7 +1396,8 @@ def oracle_sql() -> dict[str, str]:
             "GROUP BY s.doc_id"
         ),
         "ngram_jaccard": (
-            "WITH w AS (SELECT doc_id, " + _WORDS + " AS w FROM documents WHERE doc_id < 200), "
+            "WITH w AS (SELECT doc_id, " + _WORDS + " AS w FROM documents "
+            "WHERE " + _KERNEL_WHERE + "), "
             "sh AS (SELECT doc_id, list_distinct(list_transform("
             "range(1, greatest(len(w) - 2, 1) + 1), "
             "i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s FROM w) "
@@ -1655,7 +1681,8 @@ def oracle_sql() -> dict[str, str]:
     # via a recursive min-root propagation CTE
     sql["dup_clusters"] = (
         "WITH RECURSIVE "
-        "w AS (SELECT doc_id, " + _WORDS + " AS w FROM documents WHERE doc_id < 200), "
+        "w AS (SELECT doc_id, " + _WORDS + " AS w FROM documents "
+        "WHERE " + _KERNEL_WHERE + "), "
         "sh AS (SELECT doc_id, list_distinct(list_transform("
         "range(1, greatest(len(w) - 2, 1) + 1), "
         "i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s FROM w), "
