@@ -68,7 +68,8 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     cannot be scoped to one DataFrame. Every read this engine performs
     needs the same values; if other code on the session reads parquet with
     nanos timestamps or relies on TIMESTAMP_NTZ inference, set the confs
-    back after loading. Values already set are left untouched."""
+    back after loading. Values already equal are skipped (no redundant
+    set); DIFFERING values are overwritten."""
     for k, v in _SCAN_CONFS.items():
         if spark.conf.get(k, None) != v:
             spark.conf.set(k, v)

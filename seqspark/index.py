@@ -71,7 +71,9 @@ def collect_index_stats(
     )
     df = {(r["field"], r["token"]): r["n"] for r in rows}
     floor = (
-        min(df.values()) / max(1, total_docs) if len(df) == top_k else 0.0
+        min(df.values()) / max(1, total_docs)
+        if df and len(df) == top_k
+        else 0.0
     )
     return IndexStats(total_docs=total_docs, df=df, floor=floor)
 

@@ -122,8 +122,9 @@ def hyperplane_sketch(
         import warnings
 
         warnings.warn(
-            "hyperplane_sketch(dim=None) runs a driver-side head() probe; "
-            "pass dim explicitly in pipelines",
+            "sketching without an explicit dim runs a driver-side head() "
+            "probe; pass dim=<embedding length> to hyperplane_sketch / "
+            "embedding_cosine_dupes in pipelines",
             stacklevel=2,
         )
         first = emb.select(F.size(F.col(vec_col)).alias("d")).head()

@@ -57,9 +57,19 @@ def paragraph_dedup(
     (digest → winner). Output: (id_col, text_col) with ``text_col``
     rebuilt from surviving paragraphs in original order (possibly empty).
     """
+    import re as _re
+
     pid = F.col(id_col)
+    # F.split takes a Java REGEX while array_join below takes a literal —
+    # escape the separator so both sides agree for any sep (a bare "|" or
+    # ". " would otherwise split between every character)
     paras = (
-        df.select(pid, F.posexplode(F.split(F.col(text_col), sep)).alias("__pos", "__para"))
+        df.select(
+            pid,
+            F.posexplode(F.split(F.col(text_col), _re.escape(sep))).alias(
+                "__pos", "__para"
+            ),
+        )
         .filter(F.length("__para") > 0)
     )
     protected = F.length("__para") < F.lit(min_len)

@@ -192,13 +192,23 @@ def decode_assets(assets: DataFrame, fake: bool = True) -> DataFrame:
     return assets.mapInPandas(batches, DECODED_SCHEMA)
 
 
+#: decompression-bomb guard for the stdlib PNG codec (the Pillow path this
+#: substitutes for has its own bomb protection): max decoded pixels
+_PNG_MAX_PIXELS = 64_000_000
+
+
 def _png_decode_pixels(
     b: bytes,
 ) -> Optional[tuple[int, int, int, bytearray]]:
     """Decode an 8-bit RGB/RGBA non-interlaced PNG to raw pixels with the
     stdlib only (zlib inflate + scanline unfilter per the PNG spec's five
     filter types). Returns (w, h, channels, pixels) or None when the image
-    is outside the supported subset."""
+    is outside the supported subset. Bomb-safe: dimensions are capped
+    BEFORE any allocation and the inflate is bounded to the expected
+    raster size, so a tiny adversarial IDAT cannot exhaust executor
+    memory."""
+    if not b.startswith(_PNG_SIG):
+        return None
     ihdr = None
     idat = bytearray()
     for ctype, payload in _png_chunks(b):
@@ -213,13 +223,17 @@ def _png_decode_pixels(
     w, h, depth, color, _comp, _filt, interlace = struct.unpack(">IIBBBBB", ihdr[:13])
     if depth != 8 or color not in (2, 6) or interlace != 0 or not (w and h):
         return None
+    if w * h > _PNG_MAX_PIXELS:
+        return None
     ch = 3 if color == 2 else 4
+    stride = w * ch
+    expected = h * (stride + 1)
     try:
-        raw = zlib.decompress(bytes(idat))
+        # bounded inflate: never produce more than the raster needs
+        raw = zlib.decompressobj().decompress(bytes(idat), expected)
     except zlib.error:
         return None
-    stride = w * ch
-    if len(raw) < h * (stride + 1):
+    if len(raw) < expected:
         return None
     out = bytearray(h * stride)
     prev = bytearray(stride)

@@ -531,11 +531,10 @@ def propagate_not(node: Node) -> tuple:
         return nested, not flag
     left, left_not = propagate_not(node.children[0])
     right, right_not = propagate_not(node.children[1])
-    op = node.op
     out_not = False
-    if op is LogicalOp.OR:
+    if node.op is LogicalOp.OR:
         if left_not or right_not:
-            op = LogicalOp.AND
+            # De Morgan: (±a OR ±b) == NOT (∓a AND ∓b)
             out_not = True
             left_not, right_not = not left_not, not right_not
         else:

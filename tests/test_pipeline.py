@@ -510,6 +510,56 @@ def test_paragraph_dedup(spark):
     assert out3 == {1: footer, 2: ""}
 
 
+def test_paragraph_dedup_regex_metachar_sep(spark):
+    """A separator full of regex metacharacters must behave literally on
+    BOTH the split and the rejoin side."""
+    df = spark.createDataFrame(
+        [(1, "alpha body here|shared bit|tail one"),
+         (2, "beta body there|shared bit")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["text"] for r in
+           dedup.paragraph_dedup(df, "doc_id", sep="|").collect()}
+    assert out[1] == "alpha body here|shared bit|tail one"
+    assert out[2] == "beta body there"
+
+
+def test_png_decoder_rejects_bombs():
+    """Crafted PNGs must fail decode cleanly, never allocate the declared
+    raster: absurd IHDR dimensions, over-inflating IDAT, bad signature."""
+    import struct as _struct
+    import zlib as _zlib
+
+    def chunk(t, p):
+        return _struct.pack(">I", len(p)) + t + p + _struct.pack(
+            ">I", _zlib.crc32(t + p) & 0xFFFFFFFF
+        )
+
+    # 100000 x 100000 declared -> over the pixel cap, rejected pre-alloc
+    ihdr_huge = _struct.pack(">IIBBBBB", 100_000, 100_000, 8, 2, 0, 0, 0)
+    bomb = (multimodal._PNG_SIG + chunk(b"IHDR", ihdr_huge)
+            + chunk(b"IDAT", _zlib.compress(b"\x00" * 64)) + chunk(b"IEND", b""))
+    assert multimodal._png_decode_pixels(bomb) is None
+
+    # small declared dims but IDAT inflates far beyond the raster: the
+    # bounded inflate stops at the expected size and decode still succeeds
+    px = bytearray(6)
+    ok = multimodal._png_encode(2, 1, 3, px)
+    # splice an IDAT with trailing zlib-compressed junk beyond the raster
+    raw = b"\x00" + bytes(6) + b"\x00" * 10_000_000
+    tampered = (multimodal._PNG_SIG
+                + chunk(b"IHDR", _struct.pack(">IIBBBBB", 2, 1, 8, 2, 0, 0, 0))
+                + chunk(b"IDAT", _zlib.compress(raw))
+                + chunk(b"IEND", b""))
+    got = multimodal._png_decode_pixels(tampered)
+    assert got is not None and got[0] == 2 and got[1] == 1
+
+    # wrong signature
+    assert multimodal._png_decode_pixels(b"BM" + ok[2:]) is None
+    # intact image still round-trips
+    assert multimodal._png_decode_pixels(ok) == (2, 1, 3, px)
+
+
 def test_salted_lsh_pair_complexity_on_hot_bucket(spark):
     """Skew-stress for the 100 TB promise in `minhash_lsh_candidates`'s
     docstring (reference analog: skewed posting lists balanced in

@@ -112,8 +112,10 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     base_dir = args.keep_dir or tempfile.mkdtemp(prefix="seqspark-scale-")
-    ev1_path = os.path.join(base_dir, "events_x")
-    li1_path = os.path.join(base_dir, "lineitem_x")
+    # factor in the path: a kept dir from a different --factor must not be
+    # silently reused and mislabeled
+    ev1_path = os.path.join(base_dir, f"events_x{args.factor}")
+    li1_path = os.path.join(base_dir, f"lineitem_x{args.factor}")
 
     events = load_table(spark, SF_DIR, "events")
     lineitem = load_table(spark, SF_DIR, "lineitem")

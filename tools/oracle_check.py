@@ -62,6 +62,15 @@ def main() -> int:
         )
 
     qs, oracles = em.queries(), em.oracle_sql()
+    if only is not None:
+        unknown = only - set(qs)
+        if unknown:
+            # a typo'd --only name would otherwise produce a vacuous
+            # all-green run — the exact failure mode this tool exists to
+            # prevent
+            print(f"unknown entry names in --only: {sorted(unknown)}")
+            spark.stop()
+            return 2
     fails, n_ok, n_rows_only = [], 0, 0
     results: dict[str, dict] = {}
     for name, fn in qs.items():
