@@ -118,6 +118,46 @@ class DocStore:
     def read(self) -> DataFrame:
         return self.spark.read.parquet(self.path)
 
+    # ---------------------------------------------------- bucket-pruned page
+
+    def _page_buckets(self, need: int, order: str = "desc") -> list[str]:
+        """Minimal bucket set covering a page of ``need`` rows: newest-first
+        (desc) or oldest-first buckets accumulated until their cumulative
+        row count reaches ``need`` — the reference's fraction pruning
+        (`proxy/search/ingestor.go` checks fractions in time order and
+        stops at MaxFractionHits). Bucket time ranges are disjoint, so the
+        global top-``need`` rows by (ts, rid) are fully contained in this
+        set; at 100 TB a first page reads ONE bucket, not the corpus."""
+        buckets = self.partitions()
+        if order == "desc":
+            buckets = list(reversed(buckets))
+        chosen: list[str] = []
+        seen = 0
+        for b in buckets:
+            chosen.append(b)
+            if seen >= need:
+                break
+            seen += (
+                self.spark.read.parquet(
+                    f"{self.path}/{PARTITION_COL}={b}"
+                ).count()
+            )
+            if seen >= need:
+                break
+        return chosen
+
+    def paged_frame(self, size: int, offset: int = 0, order: str = "desc") -> DataFrame:
+        """Frame restricted to the buckets a match-all page of
+        (size, offset) can touch. Sorting/paging happens on top (e.g.
+        ``SearchTable.search``) and returns exactly what the full-corpus
+        sort would — this only prunes the scan."""
+        chosen = self._page_buckets(offset + size, order)
+        if not chosen:
+            return self.read().limit(0)
+        return self.spark.read.option("basePath", self.path).parquet(
+            *[f"{self.path}/{PARTITION_COL}={b}" for b in chosen]
+        )
+
     # ------------------------------------------------------------- retention
 
     def partitions(self) -> list[str]:

@@ -83,6 +83,31 @@ def test_partitioned_layout_and_time_pruning(spark, tmp):
     assert n == 3
 
 
+def test_bucket_pruned_paging_matches_full_scan(spark, tmp):
+    """DocStore.paged_frame prunes to the newest/oldest buckets that cover
+    offset+size, and paging over it equals paging over the full store —
+    the fraction-pruning analog: a first page must not scan the corpus."""
+    store = streamed_store(spark, tmp)
+    full = SearchTable.from_docs(store.read(), MAPPING)
+    n_parts = len(store.partitions())  # 9 buckets x 2 docs
+    for size, offset, order in ((2, 0, "desc"), (3, 2, "desc"), (2, 0, "asc"),
+                                (5, 4, "asc")):
+        chosen = store._page_buckets(size + offset, order)
+        assert len(chosen) < n_parts  # actually pruned
+        paged = SearchTable.from_docs(
+            store.paged_frame(size, offset, order), MAPPING
+        ).search("*", size=size, offset=offset, order=order)
+        want = full.search("*", size=size, offset=offset, order=order)
+        assert [r["mid"] for r in paged.collect()] == [
+            r["mid"] for r in want.collect()
+        ], (size, offset, order)
+    # a page deeper than the store: all buckets selected, result matches
+    deep = SearchTable.from_docs(
+        store.paged_frame(100, 0, "desc"), MAPPING
+    ).search("*", size=100, order="desc")
+    assert deep.count() == full.search("*", size=100, order="desc").count()
+
+
 def test_retention_by_age_and_size(spark, tmp):
     store = streamed_store(spark, tmp)
     parts = store.partitions()
