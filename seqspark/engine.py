@@ -560,7 +560,26 @@ class SearchTable:
     ) -> Optional[Column]:
         """Request-level [from, to] window on doc time, millisecond
         granularity inclusive on both ends (reference
-        `proxyapi/grpc_v1.go:189-234`, MID is a unix-ms value)."""
+        `proxyapi/grpc_v1.go:189-234`, MID is a unix-ms value).
+
+        Compiled as BARE comparisons on the timestamp column — a
+        ``unix_millis(ts) >= lit`` wrapper blocks Parquet pushdown
+        entirely, so the most common log-search filter would scan every
+        row group at 100 TB. ``floor(ts_ms) >= from ⟺ ts >= from`` and
+        ``floor(ts_ms) <= to ⟺ ts < to+1`` for integer ms bounds, so the
+        bare forms are exactly the reference's MID semantics."""
+        dtype = dict(self.df.dtypes).get(self.ts_col)
+        if dtype == "timestamp":
+            ts = F.col(self.ts_col)
+            cond = None
+            if from_ms is not None:
+                cond = ts >= F.timestamp_millis(F.lit(from_ms))
+            if to_ms is not None:
+                c2 = ts < F.timestamp_millis(F.lit(to_ms + 1))
+                cond = c2 if cond is None else (cond & c2)
+            return cond
+        # non-TIMESTAMP ts (e.g. TIMESTAMP_NTZ reaching a user-built
+        # frame): fall back to the wrapper form, correct but not pushable
         ts_ms = F.unix_millis(F.col(self.ts_col))
         cond = None
         if from_ms is not None:

@@ -82,6 +82,29 @@ def test_tokens_at_rest_no_retokenize(spark, documents, tmp_path):
     assert not [c for c in df.columns if c.startswith("__tok_")]
 
 
+def test_time_range_reaches_pushed_filters(events, tmp_path):
+    """from_ms/to_ms compile to bare ts comparisons that reach the Parquet
+    scan — a unix_millis(ts) wrapper would block pushdown and scan every
+    row group at 100 TB. Bounds stay inclusive at ms granularity."""
+    path = str(tmp_path / "ev")
+    events.write.parquet(path)
+    pq = events.sparkSession.read.parquet(path)
+    st = SearchTable.from_typed(pq, EVENTS_MAPPING, ts_col="ts", rid_col="event_id")
+    import datetime
+
+    rows = pq.select("ts").orderBy("ts").limit(50).collect()
+    ms = lambda r: int(r["ts"].replace(tzinfo=datetime.timezone.utc).timestamp() * 1000)
+    lo, hi = ms(rows[10]), ms(rows[40])
+    df, _ = st._filtered("*", from_ms=lo, to_ms=hi)
+    plan = physical_plan(df)
+    assert "GreaterThanOrEqual(ts" in plan and "LessThan(ts" in plan
+    assert "unix_millis" not in plan
+    # inclusive on both ends: the boundary rows are in
+    got = {ms(r) for r in df.select("ts").collect()}
+    assert lo in got and hi in got
+    assert min(got) >= lo and max(got) <= hi
+
+
 def test_pagination_uses_native_offset(events):
     """offset+size compiles to one TakeOrderedAndProject(limit, offset) —
     no row_number window, no single-partition stage."""
