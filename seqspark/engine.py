@@ -718,21 +718,29 @@ class SearchTable:
         """
         df, pipes = self._filtered(q, from_ms, to_ms, dialect=dialect)
         if last_ts_ms is not None:
-            ts_ms = F.unix_millis(F.col(self.ts_col))
-            if order == "desc":
-                cond = ts_ms < F.lit(last_ts_ms)
-                if last_rid is not None and self.rid_col:
-                    cond = cond | (
-                        (ts_ms == F.lit(last_ts_ms))
-                        & (F.col(self.rid_col) < F.lit(last_rid))
-                    )
+            # bare ts comparisons (not unix_millis(ts) wrappers) so the
+            # cursor actually reaches PushedFilters — the whole point of
+            # keyset paging at scale. ms-cursor semantics on a possibly
+            # sub-ms column: "ms == last" ⟺ last ≤ ts < last+1.
+            dtype = dict(self.df.dtypes).get(self.ts_col)
+            if dtype == "timestamp":
+                ts = F.col(self.ts_col)
+                t0 = F.timestamp_millis(F.lit(last_ts_ms))
+                t1 = F.timestamp_millis(F.lit(last_ts_ms + 1))
+                lt, gt, eq = ts < t0, ts >= t1, (ts >= t0) & (ts < t1)
             else:
-                cond = ts_ms > F.lit(last_ts_ms)
+                ts_ms = F.unix_millis(F.col(self.ts_col))
+                lt = ts_ms < F.lit(last_ts_ms)
+                gt = ts_ms > F.lit(last_ts_ms)
+                eq = ts_ms == F.lit(last_ts_ms)
+            if order == "desc":
+                cond = lt
                 if last_rid is not None and self.rid_col:
-                    cond = cond | (
-                        (ts_ms == F.lit(last_ts_ms))
-                        & (F.col(self.rid_col) > F.lit(last_rid))
-                    )
+                    cond = cond | (eq & (F.col(self.rid_col) < F.lit(last_rid)))
+            else:
+                cond = gt
+                if last_rid is not None and self.rid_col:
+                    cond = cond | (eq & (F.col(self.rid_col) > F.lit(last_rid)))
             df = df.filter(cond)
         df = df.orderBy(*self._sort_cols(order)).limit(size)
         return self.apply_pipes(self._public(df), pipes)
