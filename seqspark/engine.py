@@ -230,6 +230,9 @@ class SearchTable:
         self.default_dedup: Optional[Sequence[str]] = None
         #: optional inverted-index routing (attach_index)
         self._index: Optional[tuple] = None
+        #: optional (partition_col, bucket_fmt) for time-bucket directory
+        #: pruning (set by from_docs(bucket_fmt=...))
+        self._partition_hint: Optional[tuple] = None
         #: bounded FIFO of guard-persisted bucket frames (timeseries
         #: aggregate() calls with no owning ComplexSearchResult); the lock
         #: makes append/evict safe from concurrent HTTP handler threads
@@ -499,9 +502,19 @@ class SearchTable:
         ts_col: str = "ts",
         rid_col: str = "rid",
         case_sensitive: bool = False,
+        bucket_fmt: Optional[str] = None,
     ) -> "SearchTable":
         """Docs frame from :func:`seqspark.ingest.ingest_docs`:
-        ``id``, ``ts``, ``rid``, ``raw``, ``tokens MAP<STRING,ARRAY<STRING>>``."""
+        ``id``, ``ts``, ``rid``, ``raw``, ``tokens MAP<STRING,ARRAY<STRING>>``.
+
+        Pass ``bucket_fmt`` (the owning :class:`~seqspark.store.DocStore`'s
+        ``bucket_fmt`` — :meth:`DocStore.search_table` does this for you)
+        to enable time-bucket PARTITION pruning: request time ranges then
+        also filter the ``ts_bucket`` partition column, so Spark skips
+        whole bucket directories, not just row groups. The format string
+        MUST match the store's exactly — a mismatched granularity would
+        compare differently-shaped strings and silently drop buckets,
+        which is why this is opt-in rather than inferred."""
         specs: Dict[str, FieldSpec] = {}
 
         def spec_for(fname: str) -> FieldSpec:
@@ -531,6 +544,15 @@ class SearchTable:
         table = cls(df, mapping, DocResolver(specs), ts_col, rid_col, case_sensitive)
         if any(fm.main_type == "nested" for fm in mapping.fields()):
             table.default_dedup = ["mid", "rid"]
+        # store-read frames carry the time-bucket partition column: derive
+        # bucket bounds from request time ranges so Spark prunes whole
+        # partition DIRECTORIES (PartitionFilters), not just row groups —
+        # the fraction-level time pruning of `proxy/search/ingestor.go`
+        if bucket_fmt is not None:
+            from .store import PARTITION_COL as _PCOL
+
+            if dict(df.dtypes).get(_PCOL) == "string":
+                table._partition_hint = (_PCOL, bucket_fmt)
         return table
 
     # ----------------------------------------------------------------- basics
@@ -610,6 +632,24 @@ class SearchTable:
         tf = self._time_filter(from_ms, to_ms)
         if tf is not None:
             df = df.filter(tf)
+        if self._partition_hint is not None:
+            # redundant-but-prunable bucket bounds: lexicographic compare is
+            # valid because date_format patterns like yyyy-MM-dd-HH order
+            # fields most-significant first; bucket granularity ⊇ the ts
+            # window, so the bounds are conservative (never drop matches).
+            # Bucket labels follow the session timezone, same as
+            # DocStore.append wrote them.
+            pcol, fmt = self._partition_hint
+            if from_ms is not None:
+                df = df.filter(
+                    F.col(pcol)
+                    >= F.date_format(F.timestamp_millis(F.lit(from_ms)), fmt)
+                )
+            if to_ms is not None:
+                df = df.filter(
+                    F.col(pcol)
+                    <= F.date_format(F.timestamp_millis(F.lit(to_ms)), fmt)
+                )
         if self._index is not None:
             pairs, wildcards, or_groups = self._index_conjuncts(query.root)
             index_df, _, id_cols, stats, max_sel = self._index

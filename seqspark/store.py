@@ -118,6 +118,17 @@ class DocStore:
     def read(self) -> DataFrame:
         return self.spark.read.parquet(self.path)
 
+    def search_table(self, mapping, **kwargs):
+        """A :class:`~seqspark.engine.SearchTable` over this store with
+        time-bucket partition pruning wired (the store knows its own
+        ``bucket_fmt``, so request time ranges prune whole bucket
+        directories)."""
+        from .engine import SearchTable
+
+        return SearchTable.from_docs(
+            self.read(), mapping, bucket_fmt=self.bucket_fmt, **kwargs
+        )
+
     # ---------------------------------------------------- bucket-pruned page
 
     def _page_buckets(self, need: int, order: str = "desc") -> list[str]:

@@ -83,6 +83,24 @@ def test_partitioned_layout_and_time_pruning(spark, tmp):
     assert n == 3
 
 
+def test_time_range_prunes_store_partitions(spark, tmp):
+    """store.search_table wires bucket_fmt so a from/to window filters the
+    ts_bucket PARTITION column — whole bucket directories are pruned
+    (PartitionFilters in the scan), with results identical to the
+    unpruned table."""
+    store = streamed_store(spark, tmp)
+    pruned = store.search_table(MAPPING)
+    plain = SearchTable.from_docs(store.read(), MAPPING)
+    F_, T_ = 1704153600000, 1704239999999  # 2024-01-02 only
+    a = pruned.search("service:auth", from_ms=F_, to_ms=T_)
+    assert a.count() == plain.search("service:auth", from_ms=F_, to_ms=T_).count() == 3
+    plan = a._jdf.queryExecution().executedPlan().toString()
+    i = plan.find("PartitionFilters")
+    assert i >= 0 and "ts_bucket" in plan[i : i + 200]
+    # the partition filter carries real bounds, not just isnotnull
+    assert ">= 2024-01-02" in plan[i : i + 300]
+
+
 def test_bucket_pruned_paging_matches_full_scan(spark, tmp):
     """DocStore.paged_frame prunes to the newest/oldest buckets that cover
     offset+size, and paging over it equals paging over the full store —
