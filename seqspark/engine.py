@@ -549,8 +549,16 @@ class SearchTable:
         # partition DIRECTORIES (PartitionFilters), not just row groups —
         # the fraction-level time pruning of `proxy/search/ingestor.go`
         if bucket_fmt is not None:
-            from .store import PARTITION_COL as _PCOL
+            from .store import MONOTONE_BUCKET_FMTS, PARTITION_COL as _PCOL
 
+            if bucket_fmt not in MONOTONE_BUCKET_FMTS:
+                # a non-zero-padded pattern (e.g. yyyy-M-d) breaks the
+                # lexicographic-order-equals-time-order property the prune
+                # bounds rely on — refusing beats silently dropping buckets
+                raise ValueError(
+                    f"bucket_fmt {bucket_fmt!r} is not lexicographically "
+                    f"monotone; use one of {MONOTONE_BUCKET_FMTS}"
+                )
             if dict(df.dtypes).get(_PCOL) == "string":
                 table._partition_hint = (_PCOL, bucket_fmt)
         return table

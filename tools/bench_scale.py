@@ -58,6 +58,25 @@ def scale_out(df, factor: int, id_cols):
     return rep.drop("__r")
 
 
+def write_ts_clustered(spark, df, path, parts: int):
+    """Materialize with the DocStore's at-rest layout: ts-range partitioned
+    files, each sorted by ts, INT64 TIMESTAMP_MICROS encoding (row-group
+    stats + pushdown; the Spark default INT96 has neither). Both scales go
+    through this writer so the q8 ratio measures the layout the store
+    actually produces (`seqspark/store.py` append/compact)."""
+    key = "spark.sql.parquet.outputTimestampType"
+    old = spark.conf.get(key)
+    spark.conf.set(key, "TIMESTAMP_MICROS")
+    try:
+        (
+            df.repartitionByRange(parts, "ts")
+            .sortWithinPartitions("ts")
+            .write.parquet(path)
+        )
+    finally:
+        spark.conf.set(key, old)
+
+
 def timed(fn, runs: int):
     out = []
     for _ in range(runs):
@@ -121,18 +140,29 @@ def main() -> None:
     base_dir = args.keep_dir or tempfile.mkdtemp(prefix="seqspark-scale-")
     # factor in the path: a kept dir from a different --factor must not be
     # silently reused and mislabeled
+    ev_small_path = os.path.join(base_dir, "events_x1")
     ev1_path = os.path.join(base_dir, f"events_x{args.factor}")
     li1_path = os.path.join(base_dir, f"lineitem_x{args.factor}")
 
-    events = load_table(spark, SF_DIR, "events")
+    events_raw = load_table(spark, SF_DIR, "events")
     lineitem = load_table(spark, SF_DIR, "lineitem")
     t0 = time.perf_counter()
+    # events at BOTH scales go through the store's ts-clustered layout so
+    # the time-window ratio is apples-to-apples
+    if not os.path.exists(ev_small_path):
+        write_ts_clustered(spark, events_raw, ev_small_path, 4)
     if not os.path.exists(ev1_path):
-        scale_out(events, args.factor, ["event_id"]).write.parquet(ev1_path)
+        write_ts_clustered(
+            spark,
+            scale_out(events_raw, args.factor, ["event_id"]),
+            ev1_path,
+            4 * args.factor,
+        )
     if not os.path.exists(li1_path):
         scale_out(lineitem, args.factor, []).write.parquet(li1_path)
     setup = round(time.perf_counter() - t0, 2)
 
+    events = spark.read.parquet(ev_small_path)
     events_x = spark.read.parquet(ev1_path)
     lineitem_x = spark.read.parquet(li1_path)
 
