@@ -96,6 +96,75 @@ def test_batch_topk_matches_per_query_brute(emb):
         assert got[q["query_id"]] == single
 
 
+def test_batch_topk_bounded_no_product_plan(emb):
+    """The batched scorer never materializes the |corpus|x|Q| product to a
+    shuffle: no BroadcastNestedLoopJoin/CartesianProduct; the window's
+    input is the per-partition local top-k (MapInArrow emits <= k x |Q|
+    rows per partition) — VERDICT r6 #3."""
+    queries = emb.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    corpus = emb.filter(F.col("vec_id") >= 2).repartition(8)
+    out = ann.batch_topk(corpus, queries, k=3)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "MapInArrow" in plan
+    # still exact: equals per-query brute force
+    got = {}
+    for r in out.collect():
+        got.setdefault(r["query_id"], []).append((r["vec_id"], round(r["score"], 6)))
+    for q in queries.collect():
+        single = [
+            (r["vec_id"], round(r["score"], 6))
+            for r in ann.brute_topk(corpus, q["query_vec"], k=3).collect()
+        ]
+        assert got[q["query_id"]] == single
+
+
+def test_batch_topk_null_zero_norm_and_ragged_excluded(spark):
+    """ADVICE r6: NULL / zero-norm / ragged vectors must not consume
+    top-k slots; a zero-norm query returns no rows at all."""
+    emb2 = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0]), (3, None), (4, [0.0, 0.0]),
+         (5, [1.0]), (6, [None, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    queries = spark.createDataFrame(
+        [(0, [1.0, 1.0]), (9, [0.0, 0.0])],
+        "query_id long, query_vec array<double>",
+    )
+    rows = ann.batch_topk(emb2, queries, k=10).collect()
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r["query_id"], []).append(r)
+    assert {r["vec_id"] for r in per_q[0]} == {1, 2}
+    assert all(r["score"] is not None for r in rows)
+    assert 9 not in per_q
+
+
+def test_batch_topk_mass_tie_breaks_by_id(spark):
+    """Many identical vectors (identical scores): the k winners are the
+    lowest ids, exactly — the argpartition narrowing must widen across
+    the tied boundary."""
+    emb2 = spark.createDataFrame(
+        [(i, [1.0, 2.0]) for i in range(50)] + [(100, [2.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    ).repartition(4)
+    queries = spark.createDataFrame(
+        [(0, [1.0, 2.0])], "query_id long, query_vec array<double>"
+    )
+    got = [r["vec_id"] for r in ann.batch_topk(emb2, queries, k=5).collect()]
+    assert got == [0, 1, 2, 3, 4]
+
+
+def test_hyperplane_sketch_requires_dim(emb):
+    with pytest.raises(ValueError, match="dim"):
+        ann.hyperplane_sketch(emb)
+    with pytest.raises(ValueError, match="dim"):
+        dedup.embedding_cosine_dupes(emb, "vec_id", "embedding")
+
+
 def test_lsh_topk_overlaps_brute(emb):
     qv = list(emb.filter(F.col("vec_id") == 7).collect()[0]["embedding"])
     brute = [r["vec_id"] for r in ann.brute_topk(emb, qv, k=10).collect()]
