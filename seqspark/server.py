@@ -43,6 +43,7 @@ from .ingest import ingest_docs
 from .mapping import Mapping
 from .ratelimit import RateLimiter, fetch_key, search_key
 from .store import DocStore
+from .streaming import AsyncSearcher
 
 #: reference `consts/consts.go:50` IngestorMaxInflightBulks
 MAX_INFLIGHT_BULKS = 32
@@ -75,6 +76,7 @@ class SeqSparkServer:
         bulk_breaker: Optional[CircuitBreaker] = None,
         max_inflight_searches: int = MAX_INFLIGHT_SEARCHES,
         mirror_url: Optional[str] = None,
+        async_dir: Optional[str] = None,
     ):
         self.spark = spark
         self.store = store
@@ -109,6 +111,17 @@ class SeqSparkServer:
 
         self._drift = ALLOWED_DRIFT_MS if allowed_drift_ms is None else allowed_drift_ms
         self._future = FUTURE_DRIFT_MS if future_drift_ms is None else future_drift_ms
+        # async search jobs (`proxyapi/grpc_async_search.go:15-62` over
+        # HTTP): persisted under the store so they survive restarts;
+        # `async_dir` overrides for object-store-backed stores (the job
+        # registry is driver-local state, like the reference's)
+        import os as _os
+
+        self._async = AsyncSearcher(
+            spark,
+            async_dir
+            or _os.path.join(store.path.removeprefix("file:"), "_async_search"),
+        )
         outer = self
 
         class Handler(BaseHTTPRequestHandler):
@@ -139,6 +152,8 @@ class SeqSparkServer:
                     self.end_headers()
                     self.wfile.write(body)
                     return
+                if self.path == "/async/list":
+                    return self._json(200, outer.async_list())
                 if self.path == "/live":
                     return self._json(200, {"status": "ok"})
                 if self.path == "/readiness":
@@ -231,10 +246,24 @@ class SeqSparkServer:
                         return
                     finally:
                         outer._searches.release()
+                if self.path == "/async/fetch":
+                    # no search semaphore: fetching a finished result is a
+                    # metadata + tiny parquet read, not a new search
+                    try:
+                        req = json.loads(body.decode() or "{}")
+                        if not isinstance(req, dict):
+                            raise ValueError("request body must be a JSON object")
+                        resp = outer.async_fetch(req)
+                    except KeyError as e:
+                        return self._json(404, {"error": str(e.args[0])})
+                    except Exception as e:
+                        return self._json(400, {"error": str(e)})
+                    return self._json(200, resp)
                 handlers = {
                     "/search": outer.search,
                     "/complex": outer.complex,
                     "/fetch": outer.fetch,
+                    "/async/start": outer.async_start,
                 }
                 if self.path in handlers:
                     if not outer._searches.acquire(blocking=False):
@@ -256,8 +285,10 @@ class SeqSparkServer:
                         # mirror the RESOLVED request (dialect applied from
                         # the use-seq-ql header) — re-sending the raw bytes
                         # would make the mirror parse a legacy query as
-                        # seq-ql
-                        outer._try_mirror(self.path, json.dumps(req).encode())
+                        # seq-ql; async starts are not mirrored (a mirror
+                        # would spawn a duplicate persistent job)
+                        if self.path != "/async/start":
+                            outer._try_mirror(self.path, json.dumps(req).encode())
                         t0 = time.perf_counter()
                         resp = handlers[self.path](req)
                         took_ms = (time.perf_counter() - t0) * 1000
@@ -565,6 +596,82 @@ class SeqSparkServer:
         except Exception:  # empty store has no parquet yet
             return {"docs": 0, "oldest_ms": None, "newest_ms": None,
                     "fields": {}}
+
+    # --------------------------------------------------------- async search
+
+    def _async_factory(self, req_json: str):
+        """Zero-arg factory rebuilding the complex-search result from the
+        PERSISTED request — the same callable shape resume_pending uses, so
+        a job that died mid-run re-executes identically after restart
+        (`fracmanager/async_searcher.go:77-82`). The response dict is
+        stored as a 1-row parquet (complex responses are guard/size-capped,
+        so the blob is bounded — the reference likewise persists the
+        serialized QPR)."""
+
+        def factory():
+            resp = self.complex(json.loads(req_json))
+            return self.spark.createDataFrame(
+                [(json.dumps(resp),)], "response string"
+            )
+
+        return factory
+
+    def async_start(self, req: dict) -> dict:
+        """`POST /async/start` — body is a /complex request plus optional
+        ``ttl_sec``; returns ``{"search_id"}`` immediately while the job
+        runs in the background (`grpc_async_search.go:15-43`)."""
+        ttl = int(req.pop("ttl_sec", 3600))
+        req_json = json.dumps(req)
+        job_id = self._async.start(
+            req_json, self._async_factory(req_json), ttl_sec=ttl
+        )
+        return {"search_id": job_id}
+
+    def async_fetch(self, req: dict) -> dict:
+        """`POST /async/fetch` — ``{"search_id", "size", "offset",
+        "with_docs"}``: pages WITHIN the persisted result like
+        `grpc_async_search.go:45-68` FetchAsyncSearchResult; ``done`` +
+        expiration always present, the response payload once done."""
+        self._async.expire()
+        job_id = req.get("search_id") or ""
+        meta = self._async.status(job_id)
+        if meta is None:
+            raise KeyError(f"unknown search_id {job_id!r}")
+        out = {
+            "search_id": job_id,
+            "done": meta["status"] == "done",
+            "status": meta["status"],
+            "expiration_ms": int(
+                (meta["started_at"] + meta.get("ttl_sec", 3600)) * 1000
+            ),
+        }
+        if meta["status"] == "error":
+            out["error"] = meta.get("error")
+        if meta["status"] == "done":
+            row = self._async.fetch(job_id).collect()[0]
+            resp = json.loads(row["response"])
+            docs = resp.get("docs", [])
+            if req.get("with_docs", True):
+                offset = int(req.get("offset", 0))
+                size = int(req.get("size", len(docs)))
+                resp["docs"] = docs[offset : offset + size]
+            else:
+                resp["docs"] = []
+            out["response"] = resp
+        return out
+
+    def async_list(self) -> dict:
+        """`GET /async/list` — all persisted jobs (expired ones dropped
+        first, the retention loop analog)."""
+        self._async.expire()
+        return {"searches": self._async.jobs()}
+
+    def resume_async(self) -> list:
+        """Re-execute async jobs that were running when the process died —
+        call after constructing the server on restart."""
+        return self._async.resume_pending(
+            lambda req_json: self._async_factory(req_json)()
+        )
 
     # ------------------------------------------------------------ lifecycle
 

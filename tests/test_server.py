@@ -386,3 +386,110 @@ def test_non_object_body_is_400(server):
 def test_export_malformed_json_is_400(server):
     code, res = _post(server, "/export", b"{bad json", headers={"use-seq-ql": "false"})
     assert code == 400 and "error" in res
+
+
+def _wait_async_done(srv, sid, tries=120):
+    import time as _t
+
+    for _ in range(tries):
+        code, res = _post(
+            srv, "/async/fetch", json.dumps({"search_id": sid}).encode()
+        )
+        assert code == 200, res
+        if res["done"] or res["status"] == "error":
+            return res
+        _t.sleep(0.5)
+    raise AssertionError("async job never finished")
+
+
+def test_async_search_http_lifecycle(server):
+    """/async/start -> /async/fetch (poll to done, page within the stored
+    result) -> /async/list — the HTTP analog of
+    proxyapi/grpc_async_search.go StartAsyncSearch/FetchAsyncSearchResult."""
+    _post(server, "/_bulk", BULK)
+    code, res = _post(
+        server,
+        "/async/start",
+        json.dumps({
+            "query": "*", "size": 10, "with_total": True,
+            "aggs": [{"func": "count", "field": "service"}],
+        }).encode(),
+        headers={"use-seq-ql": "true"},
+    )
+    assert code == 200 and "search_id" in res
+    sid = res["search_id"]
+    done = _wait_async_done(server, sid)
+    assert done["status"] == "done" and done["done"]
+    assert done["expiration_ms"] > 0
+    resp = done["response"]
+    assert resp["total"] == 2 and len(resp["docs"]) == 2
+    assert {b["name"] for b in resp["aggs"][0]} == {"auth", "pay"}
+    # paging within the persisted result
+    code, page = _post(server, "/async/fetch", json.dumps(
+        {"search_id": sid, "size": 1, "offset": 1}).encode())
+    assert len(page["response"]["docs"]) == 1
+    assert page["response"]["docs"][0] == resp["docs"][1]
+    # with_docs=False omits docs but keeps aggs
+    code, nodocs = _post(server, "/async/fetch", json.dumps(
+        {"search_id": sid, "with_docs": False}).encode())
+    assert nodocs["response"]["docs"] == [] and nodocs["response"]["aggs"]
+    # list surfaces the job
+    code, lst = _get(server, "/async/list")
+    assert sid in [j["job_id"] for j in lst["searches"]]
+    # unknown id -> 404
+    code, _res = _post(server, "/async/fetch", json.dumps(
+        {"search_id": "nope"}).encode())
+    assert code == 404
+
+
+def test_async_search_error_and_bad_query(server):
+    _post(server, "/_bulk", BULK)
+    code, res = _post(server, "/async/start", json.dumps(
+        {"query": "service:("}).encode(), headers={"use-seq-ql": "true"})
+    assert code == 200  # start succeeds; the failure is the JOB's status
+    done = _wait_async_done(server, res["search_id"])
+    assert done["status"] == "error" and not done["done"]
+    assert done["error"]
+
+
+def test_async_search_restart_resume_http(spark, tmp_path):
+    """A job persisted as running when the process died is re-executed from
+    its stored request by a NEW server over the same store dir
+    (`fracmanager/async_searcher.go:77-82`)."""
+    import os
+
+    store = DocStore(spark, str(tmp_path / "store"))
+    srv = SeqSparkServer(
+        spark, store, MAPPING, allowed_drift_ms=BIG, future_drift_ms=BIG
+    ).start()
+    try:
+        _post(srv, "/_bulk", BULK)
+        code, res = _post(srv, "/async/start", json.dumps(
+            {"query": "service:auth", "size": 5}).encode(),
+            headers={"use-seq-ql": "true"})
+        sid = res["search_id"]
+        done = _wait_async_done(srv, sid)
+        assert done["status"] == "done"
+        # simulate a crash mid-run: meta says running, thread registry empty
+        meta_path = os.path.join(
+            str(tmp_path / "store"), "_async_search", sid, "meta.json"
+        )
+        with open(meta_path) as f:
+            meta = json.load(f)
+        meta["status"] = "running"
+        with open(meta_path, "w") as f:
+            json.dump(meta, f)
+    finally:
+        srv.stop()
+
+    srv2 = SeqSparkServer(
+        spark, store, MAPPING, allowed_drift_ms=BIG, future_drift_ms=BIG
+    ).start()
+    try:
+        assert srv2.resume_async() == [sid]
+        done = _wait_async_done(srv2, sid)
+        assert done["status"] == "done"
+        assert len(done["response"]["docs"]) == 1
+        assert json.loads(done["response"]["docs"][0]["data"])["service"] == "auth"
+    finally:
+        srv2.stop()
