@@ -495,10 +495,14 @@ def dump(node: Node) -> str:
     from .ast import Logical, LogicalOp
 
     if isinstance(node, Literal):
+        # the reference's legacy Literal.Dump writes the field RAW
+        # (`parser/token_literal.go:15-21`) — only Range quotes it
         return node.field + ":" + "".join(_dump_term(t) for t in node.terms)
     if isinstance(node, Range):
+        from .render import quote_token_if_needed
+
         return (
-            node.field
+            quote_token_if_needed(node.field)
             + ":"
             + ("[" if node.include_from else "{")
             + _dump_term(node.from_term)

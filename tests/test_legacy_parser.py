@@ -456,3 +456,29 @@ def test_legacy_bare_star_default_is_match_all(events_table):
     total = events_table.df.count()
     assert events_table.search(dialect="legacy", size=None).count() == total
     assert events_table.total(dialect="legacy").collect()[0]["total"] == total
+
+
+def test_range_dump_quotes_field_like_reference():
+    """Range.Dump quotes the FIELD via quoteTokenIfNeeded
+    (`parser/token_range.go:17`) while Literal.Dump writes it raw
+    (`parser/token_literal.go:15-21`) — a reserved-word or special-rune
+    range field must render quoted, byte-for-byte with the reference
+    (ADVICE r6)."""
+    from seqspark.seqql.ast import Range, Term
+
+    node = Range(
+        field="and",
+        from_term=Term.text("1"),
+        to_term=Term.text("2"),
+        include_from=True,
+        include_to=True,
+    )
+    assert dump(node) == '"and":[1 TO 2]'
+    plain = Range(
+        field="size",
+        from_term=Term.text("1"),
+        to_term=Term.text("2"),
+        include_from=True,
+        include_to=False,
+    )
+    assert dump(plain) == "size:[1 TO 2}"
