@@ -496,6 +496,29 @@ def q_gopher_quality(spark, sf_dir):
     )
 
 
+def q_gopher_repetition(spark, sf_dir):
+    # Gopher repetition rules (Rae et al. 2021 A1.2): dup line/para
+    # fractions + top-2-gram and dup-5-gram char fractions (the n-gram
+    # family restricted to one member each so the oracle stays tractable;
+    # the full 13-rule default is pytest-covered)
+    from seqspark.pipeline.textstats import gopher_repetition_filter
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = gopher_repetition_filter(
+        docs, top_ngram_max={2: 0.20}, dup_ngram_max={5: 0.15}
+    )
+    return out.select(
+        "doc_id",
+        F.round("dup_line_frac", 4).alias("dup_line_frac"),
+        F.round("dup_line_char_frac", 4).alias("dup_line_char_frac"),
+        F.round("dup_para_frac", 4).alias("dup_para_frac"),
+        F.round("dup_para_char_frac", 4).alias("dup_para_char_frac"),
+        F.round("top_2gram_char_frac", 4).alias("top_2gram_char_frac"),
+        F.round("dup_5gram_char_frac", 4).alias("dup_5gram_char_frac"),
+        "gopher_rep_keep",
+    )
+
+
 def q_c4_filter(spark, sf_dir):
     # C4 line/page cleaning over synthesized multi-line pages: line 1 keeps
     # (long + terminal '.'), lines 2-3 drop (short / no punctuation),
@@ -1129,6 +1152,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "index_hot_tokens": q_index_hot_tokens,
         "ann_batch_topk": q_ann_batch_topk,
         "gopher_quality": q_gopher_quality,
+        "gopher_repetition": q_gopher_repetition,
         "token_budget": q_token_budget,
         "c4_filter": q_c4_filter,
         "path_prefix_tokens": q_path_prefix_tokens,
@@ -1330,6 +1354,50 @@ def oracle_sql() -> dict[str, str]:
             "AND (n > 0 AND symbols::DOUBLE / n <= 0.1) "
             "AND (n > 0 AND alpha_words::DOUBLE / n >= 0.8) AND req >= 2) AS gopher_keep "
             "FROM m"
+        ),
+        "gopher_repetition": (
+            "WITH base AS (SELECT doc_id, length(text) AS tc, "
+            "list_filter(string_split(text, chr(10)), l -> len(trim(l)) > 0) AS lines, "
+            r"list_filter(string_split_regex(text, '\n{2,}'), p -> len(trim(p)) > 0) AS paras, "
+            + _WORDS
+            + " AS w FROM documents), "
+            "lg AS (SELECT doc_id, item, count(*) AS c, length(item) AS ln FROM "
+            "(SELECT doc_id, unnest(lines) AS item FROM base) GROUP BY doc_id, item), "
+            "ls AS (SELECT doc_id, sum(c) AS n, "
+            "coalesce(sum(c) FILTER (WHERE c > 1), 0) AS dup_n, "
+            "coalesce(sum(c * ln) FILTER (WHERE c > 1), 0) AS dup_ch FROM lg GROUP BY doc_id), "
+            "pg AS (SELECT doc_id, item, count(*) AS c, length(item) AS ln FROM "
+            "(SELECT doc_id, unnest(paras) AS item FROM base) GROUP BY doc_id, item), "
+            "ps AS (SELECT doc_id, sum(c) AS n, "
+            "coalesce(sum(c) FILTER (WHERE c > 1), 0) AS dup_n, "
+            "coalesce(sum(c * ln) FILTER (WHERE c > 1), 0) AS dup_ch FROM pg GROUP BY doc_id), "
+            "g2 AS (SELECT doc_id, gram, count(*) AS c, length(gram) AS ln FROM "
+            "(SELECT doc_id, unnest(list_transform(range(1, len(w)), "
+            "i -> array_to_string(w[i:i+1], ' '))) AS gram FROM base) GROUP BY doc_id, gram), "
+            "g2s AS (SELECT doc_id, coalesce(max(c * ln) FILTER (WHERE c > 1), 0) AS top_ch "
+            "FROM g2 GROUP BY doc_id), "
+            "g5 AS (SELECT doc_id, gram, count(*) AS c, length(gram) AS ln FROM "
+            "(SELECT doc_id, unnest(list_transform(range(1, len(w) - 3), "
+            "i -> array_to_string(w[i:i+4], ' '))) AS gram FROM base) GROUP BY doc_id, gram), "
+            "g5s AS (SELECT doc_id, coalesce(sum(c * ln) FILTER (WHERE c > 1), 0) AS dup_ch "
+            "FROM g5 GROUP BY doc_id), "
+            "f AS (SELECT b.doc_id, "
+            "CASE WHEN coalesce(ls.n, 0) > 0 THEN ls.dup_n::DOUBLE / ls.n ELSE 0 END AS dlf, "
+            "CASE WHEN b.tc > 0 THEN coalesce(ls.dup_ch, 0)::DOUBLE / b.tc ELSE 0 END AS dlc, "
+            "CASE WHEN coalesce(ps.n, 0) > 0 THEN ps.dup_n::DOUBLE / ps.n ELSE 0 END AS dpf, "
+            "CASE WHEN b.tc > 0 THEN coalesce(ps.dup_ch, 0)::DOUBLE / b.tc ELSE 0 END AS dpc, "
+            "CASE WHEN b.tc > 0 THEN coalesce(g2s.top_ch, 0)::DOUBLE / b.tc ELSE 0 END AS t2, "
+            "CASE WHEN b.tc > 0 THEN coalesce(g5s.dup_ch, 0)::DOUBLE / b.tc ELSE 0 END AS d5 "
+            "FROM base b LEFT JOIN ls USING (doc_id) LEFT JOIN ps USING (doc_id) "
+            "LEFT JOIN g2s USING (doc_id) LEFT JOIN g5s USING (doc_id)) "
+            "SELECT doc_id, round(dlf, 4) AS dup_line_frac, "
+            "round(dlc, 4) AS dup_line_char_frac, "
+            "round(dpf, 4) AS dup_para_frac, "
+            "round(dpc, 4) AS dup_para_char_frac, "
+            "round(t2, 4) AS top_2gram_char_frac, "
+            "round(d5, 4) AS dup_5gram_char_frac, "
+            "(dlf <= 0.30 AND dlc <= 0.20 AND dpf <= 0.30 AND dpc <= 0.20 "
+            "AND t2 <= 0.20 AND d5 <= 0.15) AS gopher_rep_keep FROM f"
         ),
         "c4_filter": (
             "WITH synth AS (SELECT doc_id, text || '.' || chr(10) || "

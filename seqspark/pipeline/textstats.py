@@ -210,6 +210,151 @@ def gopher_filter(
     return out.withColumn("gopher_keep", keep)
 
 
+def _dup_members(items: Column) -> Column:
+    """Occurrences belonging to duplicate groups: sort the array, keep every
+    element equal to a neighbor — Σ over groups with count>1 of count
+    elements, in O(n log n) JVM expressions (no shuffle, no Python)."""
+    s = F.array_sort(items)
+    n = F.size(s)
+    return F.filter(
+        s,
+        lambda x, i: F.coalesce(F.get(s, i - 1) == x, F.lit(False))
+        | F.coalesce(F.get(s, i + 1) == x, F.lit(False)),
+    )
+
+
+def _chars_of(items: Column) -> Column:
+    return F.aggregate(
+        items, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+    )
+
+
+def word_ngrams(ws: Column, n: int) -> Column:
+    """Space-joined word n-grams (overlapping)."""
+    return F.when(
+        F.size(ws) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(ws) - n),
+            lambda i: F.array_join(F.slice(ws, i + 1, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def _top_gram_chars(grams: Column) -> Column:
+    """max over distinct grams of count × len(gram), via one sorted fold:
+    track the current run length and the best count×len seen."""
+    s = F.array_sort(grams)
+    init = F.struct(
+        F.lit("").alias("prev"),
+        F.lit(0).alias("run"),
+        F.lit(0).cast("long").alias("best"),
+    )
+
+    def step(acc, g):
+        run = F.when(g == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+        # a gram seen ONCE is not repetition — it must not dominate short
+        # docs, so only runs of >= 2 compete
+        return F.struct(
+            g.alias("prev"),
+            run.alias("run"),
+            F.when(
+                run >= 2,
+                F.greatest(acc["best"], (run * F.length(g)).cast("long")),
+            )
+            .otherwise(acc["best"])
+            .alias("best"),
+        )
+
+    return F.aggregate(s, init, step, lambda acc: acc["best"])
+
+
+#: Gopher §A1.2 thresholds (Rae et al. 2021, public)
+_TOP_NGRAM_MAX = {2: 0.20, 3: 0.18, 4: 0.16}
+_DUP_NGRAM_MAX = {5: 0.15, 6: 0.14, 7: 0.13, 8: 0.12, 9: 0.11, 10: 0.10}
+
+
+def gopher_repetition_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    max_dup_line_frac: float = 0.30,
+    max_dup_para_frac: float = 0.30,
+    max_dup_line_char_frac: float = 0.20,
+    max_dup_para_char_frac: float = 0.20,
+    top_ngram_max: dict | None = None,
+    dup_ngram_max: dict | None = None,
+) -> DataFrame:
+    """Gopher repetition-removal rules (Rae et al. 2021 §A1.2) — the
+    companion to :func:`gopher_filter`'s quality rules. Pure Catalyst
+    projection: every statistic is computed per document with array
+    expressions (sorted-neighbor duplicate detection, a sorted fold for
+    the top n-gram), so at 100 TB this is a narrow map over the scan with
+    NO shuffle and NO Python — corpus-wide explode+groupBy would shuffle
+    ~9 n-gram rows per word for no reason when the aggregation is
+    per-document.
+
+    Definitions (documented because implementations vary):
+
+    - lines / paragraphs are the non-blank ``\\n`` / blank-line splits;
+    - ``dup_*_frac``        = occurrences in duplicate groups / items;
+    - ``dup_*_char_frac``   = their characters / len(text);
+    - ``top_Ngram_char_frac`` = max over grams WITH count≥2 of
+      count×len(gram) / len(text) (a gram seen once is not repetition);
+    - ``dup_Ngram_char_frac`` = Σ over grams with count>1 of
+      count×len(gram) / len(text).
+
+    Adds the fraction columns, one boolean per rule, and
+    ``gopher_rep_keep`` (AND of all rules)."""
+    top_ngram_max = _TOP_NGRAM_MAX if top_ngram_max is None else top_ngram_max
+    dup_ngram_max = _DUP_NGRAM_MAX if dup_ngram_max is None else dup_ngram_max
+    t = F.col(text_col)
+    text_chars = F.length(t)
+    ws = words(t)
+
+    def _frac(num, den):
+        return F.when(den > 0, num.cast("double") / den).otherwise(F.lit(0.0))
+
+    cols: dict = {}
+    rules: dict = {}
+    for name, items, max_frac, max_char_frac in (
+        (
+            "line",
+            F.filter(F.split(t, r"\n"), lambda l: F.length(F.trim(l)) > 0),
+            max_dup_line_frac,
+            max_dup_line_char_frac,
+        ),
+        (
+            "para",
+            F.filter(F.split(t, r"\n{2,}"), lambda p: F.length(F.trim(p)) > 0),
+            max_dup_para_frac,
+            max_dup_para_char_frac,
+        ),
+    ):
+        dups = _dup_members(items)
+        cols[f"dup_{name}_frac"] = _frac(F.size(dups), F.size(items))
+        cols[f"dup_{name}_char_frac"] = _frac(_chars_of(dups), text_chars)
+        rules[f"rule_dup_{name}_frac"] = (
+            F.col(f"dup_{name}_frac") <= max_frac
+        )
+        rules[f"rule_dup_{name}_char_frac"] = (
+            F.col(f"dup_{name}_char_frac") <= max_char_frac
+        )
+    for n, mx in top_ngram_max.items():
+        cols[f"top_{n}gram_char_frac"] = _frac(
+            _top_gram_chars(word_ngrams(ws, n)), text_chars
+        )
+        rules[f"rule_top_{n}gram"] = F.col(f"top_{n}gram_char_frac") <= mx
+    for n, mx in dup_ngram_max.items():
+        cols[f"dup_{n}gram_char_frac"] = _frac(
+            _chars_of(_dup_members(word_ngrams(ws, n))), text_chars
+        )
+        rules[f"rule_dup_{n}gram"] = F.col(f"dup_{n}gram_char_frac") <= mx
+    out = df.withColumns(cols).withColumns(rules)
+    keep = None
+    for name in rules:
+        keep = F.col(name) if keep is None else (keep & F.col(name))
+    return out.withColumn("gopher_rep_keep", keep)
+
+
 def c4_filter(
     df: DataFrame,
     text_col: str = "text",

@@ -934,3 +934,40 @@ def test_ivf_train_rejects_k_larger_than_corpus(spark):
     )
     with pytest.raises(ValueError, match="fewer than k"):
         ann.ivf_train(emb, k=8, iters=1)
+
+
+def test_gopher_repetition_rules(spark):
+    """Gopher A1.2 repetition filter (full 13-rule default config):
+    duplicate lines/paragraphs and repeated n-grams are caught; clean
+    multi-line prose passes; a single long unrepeated n-gram in a short
+    doc must NOT fail the top-n-gram rules (count>=2 required)."""
+    clean = (
+        "the quick brown fox jumps over the lazy dog near a riverbank\n"
+        "meanwhile distant hills glow softly under an amber evening sky\n"
+        "children play games while elders discuss plans for the harvest"
+    )
+    df = spark.createDataFrame(
+        [
+            (1, clean),
+            (2, "buy now " * 40),                      # repeated 2-gram
+            (3, "same line\n" * 8 + "unique ending"),  # duplicate lines
+            (4, "para text\n\npara text\n\npara text"),# duplicate paragraphs
+            (5, "one two three four five six seven"),  # short but clean
+            (6, ""),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in textstats.gopher_repetition_filter(df).collect()}
+    assert out[1]["gopher_rep_keep"] and out[5]["gopher_rep_keep"] and out[6]["gopher_rep_keep"]
+    assert not out[2]["gopher_rep_keep"] and out[2]["top_2gram_char_frac"] > 0.2
+    assert not out[3]["gopher_rep_keep"] and out[3]["dup_line_frac"] > 0.3
+    assert not out[4]["gopher_rep_keep"] and out[4]["dup_para_frac"] > 0.3
+    # dup-5-gram catches long-range repetition the top-2-gram may miss
+    assert out[2]["dup_5gram_char_frac"] > 0.15
+    # pure Catalyst: no Python, no shuffle in the plan
+    plan = (
+        textstats.gopher_repetition_filter(df)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
+    assert "Python" not in plan and "MapInPandas" not in plan
