@@ -519,6 +519,35 @@ def q_gopher_repetition(spark, sf_dir):
     )
 
 
+def q_url_canonical(spark, sf_dir):
+    # URL canonicalization + URL-level dedup: two messy variants per doc
+    # (tracking params / default port / fragment / unsorted params /
+    # trailing slash / uppercase VS an already-canonical twin with an
+    # offset id) must collapse to ONE row each with the canonical string —
+    # every rule is cross-checked because the variants disagree on it
+    from seqspark.pipeline.textstats import url_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    messy = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("HTTPS://"), F.col("source"), F.lit(".Example.com:443/"),
+            F.col("lang"), F.lit("/page"), F.col("doc_id"),
+            F.lit("/?utm_source=x&b=2&a=1#frag"),
+        ).alias("url"),
+    )
+    clean_twin = docs.select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat(
+            F.lit("https://"), F.col("source"), F.lit(".example.com/"),
+            F.col("lang"), F.lit("/page"), F.col("doc_id"),
+            F.lit("?a=1&b=2"),
+        ).alias("url"),
+    )
+    out = url_dedup(messy.unionByName(clean_twin), "url", "doc_id")
+    return out.select("doc_id", "canonical_url")
+
+
 def q_c4_filter(spark, sf_dir):
     # C4 line/page cleaning over synthesized multi-line pages: line 1 keeps
     # (long + terminal '.'), lines 2-3 drop (short / no punctuation),
@@ -1153,6 +1182,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_batch_topk": q_ann_batch_topk,
         "gopher_quality": q_gopher_quality,
         "gopher_repetition": q_gopher_repetition,
+        "url_canonical": q_url_canonical,
         "token_budget": q_token_budget,
         "c4_filter": q_c4_filter,
         "path_prefix_tokens": q_path_prefix_tokens,
@@ -1398,6 +1428,16 @@ def oracle_sql() -> dict[str, str]:
             "round(d5, 4) AS dup_5gram_char_frac, "
             "(dlf <= 0.30 AND dlc <= 0.20 AND dpf <= 0.30 AND dpc <= 0.20 "
             "AND t2 <= 0.20 AND d5 <= 0.15) AS gopher_rep_keep FROM f"
+        ),
+        "url_canonical": (
+            # the canonical form is computable in closed form for the
+            # synthesized variants; the lowest id (the messy variant's
+            # doc_id) survives dedup — any broken canonicalization rule
+            # makes the two variants' canonicals disagree and the row
+            # count/values mismatch
+            "SELECT doc_id, 'https://' || lower(source) || '.example.com/' "
+            "|| lang || '/page' || doc_id || '?a=1&b=2' AS canonical_url "
+            "FROM documents"
         ),
         "c4_filter": (
             "WITH synth AS (SELECT doc_id, text || '.' || chr(10) || "

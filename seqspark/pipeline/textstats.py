@@ -393,6 +393,72 @@ def c4_filter(
     )
 
 
+#: query params dropped at canonicalization — tracking/session noise that
+#: makes byte-identical pages look distinct at URL-level dedup
+_TRACKING_PARAMS = (
+    "gclid", "fbclid", "yclid", "msclkid", "ref", "mc_cid", "mc_eid",
+)
+
+
+def canonical_url(url: Column) -> Column:
+    """Canonical form for URL-level dedup (the first dedup pass of every
+    web-corpus pipeline — far cheaper than content dedup because the key
+    is the URL string itself):
+
+    - fragment stripped; scheme and host:port lowercased;
+    - default ports dropped (``:80`` for http, ``:443`` for https);
+    - tracking query params dropped (``utm_*`` + the usual click ids);
+    - surviving query params sorted (param order never changes content);
+    - trailing slashes collapsed (empty path → ``/``).
+
+    Pure Catalyst string expressions — a narrow map, no Python. A string
+    with no ``scheme://`` prefix passes through unchanged."""
+    u = F.regexp_replace(url, r"#.*$", "")
+    scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.\-]*)://", 1))
+    hostport = F.lower(
+        F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.\-]*://([^/?\s]+)", 1)
+    )
+    hostport = (
+        F.when(scheme == "http", F.regexp_replace(hostport, r":80$", ""))
+        .when(scheme == "https", F.regexp_replace(hostport, r":443$", ""))
+        .otherwise(hostport)
+    )
+    pathq = F.regexp_extract(
+        u, r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/?\s]+([/?][^\s]*)?$", 1
+    )
+    path = F.regexp_replace(F.regexp_extract(pathq, r"^([^?]*)", 1), r"/+$", "")
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    query = F.regexp_extract(pathq, r"\?(.*)$", 1)
+    params = F.filter(
+        F.split(query, "&"),
+        lambda p: (F.length(p) > 0)
+        & ~F.regexp_extract(p, r"^([^=]*)", 1).startswith("utm_")
+        & ~F.regexp_extract(p, r"^([^=]*)", 1).isin(*_TRACKING_PARAMS),
+    )
+    qpart = F.when(
+        F.size(params) > 0, F.concat(F.lit("?"), F.array_join(F.array_sort(params), "&"))
+    ).otherwise(F.lit(""))
+    return F.when(
+        scheme == "", url
+    ).otherwise(F.concat(scheme, F.lit("://"), hostport, path, qpart))
+
+
+def url_dedup(
+    df: DataFrame, url_col: str, id_col: str, out_col: str = "canonical_url"
+) -> DataFrame:
+    """Keep ONE row per canonical URL (the lowest id wins, deterministic):
+    one shuffle keyed by the canonical string — corpus-size-proportional
+    but embarrassingly partitionable, the standard first pass before
+    content-level dedup."""
+    from .dedup import exact_dedup
+
+    return exact_dedup(
+        df.withColumn(out_col, canonical_url(F.col(url_col))),
+        [out_col],
+        id_col,
+    )
+
+
 def token_budget_report(
     df: DataFrame, group_col: str, text_col: str = "text"
 ) -> DataFrame:

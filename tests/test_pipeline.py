@@ -971,3 +971,43 @@ def test_gopher_repetition_rules(spark):
     )
     assert "Exchange" not in plan
     assert "Python" not in plan and "MapInPandas" not in plan
+
+
+def test_canonical_url_rules(spark):
+    """Each canonicalization rule in isolation, plus pass-through for
+    non-URL strings; url_dedup keeps the lowest id per canonical form."""
+    cases = [
+        (1, "HTTPS://Example.COM/a", "https://example.com/a"),
+        (2, "http://example.com:80/a", "http://example.com/a"),
+        (3, "https://example.com:443/a", "https://example.com/a"),
+        (4, "https://example.com:8080/a", "https://example.com:8080/a"),
+        (5, "https://example.com/a#section", "https://example.com/a"),
+        (6, "https://example.com/a/", "https://example.com/a"),
+        (7, "https://example.com", "https://example.com/"),
+        (8, "https://example.com/a?utm_source=x&utm_medium=y", "https://example.com/a"),
+        (9, "https://example.com/a?b=2&a=1", "https://example.com/a?a=1&b=2"),
+        (10, "https://example.com/a?gclid=123&q=1", "https://example.com/a?q=1"),
+        (11, "not a url at all", "not a url at all"),
+    ]
+    df = spark.createDataFrame(
+        [(i, u) for i, u, _ in cases], "id long, url string"
+    )
+    got = {
+        r["id"]: r["c"]
+        for r in df.select(
+            "id", textstats.canonical_url(F.col("url")).alias("c")
+        ).collect()
+    }
+    for i, _, want in cases:
+        assert got[i] == want, (i, got[i], want)
+    # dedup: ids 2 and 3 canonicalize differently (schemes differ), but a
+    # tracking-param variant of id 1 collapses into it
+    dupes = spark.createDataFrame(
+        [(1, "https://example.com/a"), (9, "HTTPS://example.com:443/a/"),
+         (5, "https://example.com/a?utm_source=z")],
+        "id long, url string",
+    )
+    kept = textstats.url_dedup(dupes, "url", "id").collect()
+    assert [(r["id"], r["canonical_url"]) for r in kept] == [
+        (1, "https://example.com/a")
+    ]
