@@ -519,6 +519,21 @@ def q_gopher_repetition(spark, sf_dir):
     )
 
 
+def q_unigram_perplexity(spark, sf_dir):
+    # CCNet-style LM quality score: unigram model trained on the corpus
+    # itself (vocab_k=100 so OOV hits occur), mean per-token logprob per doc
+    from seqspark.pipeline.textstats import train_unigram_lm, unigram_logprob_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    lm = train_unigram_lm(docs, vocab_k=100)
+    out = unigram_logprob_score(docs, lm, "doc_id")
+    return out.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.round("mean_logp", 4).alias("mean_logp"),
+    )
+
+
 def q_url_canonical(spark, sf_dir):
     # URL canonicalization + URL-level dedup: two messy variants per doc
     # (tracking params / default port / fragment / unsorted params /
@@ -1183,6 +1198,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_quality": q_gopher_quality,
         "gopher_repetition": q_gopher_repetition,
         "url_canonical": q_url_canonical,
+        "unigram_perplexity": q_unigram_perplexity,
         "token_budget": q_token_budget,
         "c4_filter": q_c4_filter,
         "path_prefix_tokens": q_path_prefix_tokens,
@@ -1428,6 +1444,23 @@ def oracle_sql() -> dict[str, str]:
             "round(d5, 4) AS dup_5gram_char_frac, "
             "(dlf <= 0.30 AND dlc <= 0.20 AND dpf <= 0.30 AND dpc <= 0.20 "
             "AND t2 <= 0.20 AND d5 <= 0.15) AS gopher_rep_keep FROM f"
+        ),
+        "unigram_perplexity": (
+            "WITH toks AS (SELECT doc_id, unnest(" + _WORDS + ") AS word "
+            "FROM documents), "
+            "counts AS (SELECT word, count(*) AS c FROM toks GROUP BY word), "
+            "agg AS (SELECT sum(c) AS total, count(*) AS v FROM counts), "
+            "top AS (SELECT word, c FROM counts ORDER BY c DESC, word LIMIT 100), "
+            "vocab AS (SELECT word, ln((c + 1)::DOUBLE / (total + v + 1)) AS logp "
+            "FROM top, agg), "
+            "oovp AS (SELECT ln(1.0 / (total + v + 1)) AS oov FROM agg), "
+            "scored AS (SELECT t.doc_id, coalesce(vocab.logp, oovp.oov) AS logp "
+            "FROM toks t LEFT JOIN vocab USING (word), oovp), "
+            "per AS (SELECT doc_id, count(*) AS n_tokens, avg(logp) AS mean_logp "
+            "FROM scored GROUP BY doc_id) "
+            "SELECT d.doc_id, coalesce(per.n_tokens, 0)::BIGINT AS n_tokens, "
+            "round(coalesce(per.mean_logp, 0.0), 4) AS mean_logp "
+            "FROM documents d LEFT JOIN per USING (doc_id)"
         ),
         "url_canonical": (
             # the canonical form is computable in closed form for the

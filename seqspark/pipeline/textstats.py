@@ -393,6 +393,81 @@ def c4_filter(
     )
 
 
+#: sentinel vocab row carrying the out-of-vocabulary log-probability —
+#: words() never yields an empty string, so the key cannot collide
+_OOV_WORD = ""
+
+
+def train_unigram_lm(
+    df: DataFrame, text_col: str = "text", vocab_k: int = 50_000
+) -> DataFrame:
+    """Train a unigram language model for perplexity-proxy quality scoring
+    (the CCNet-style LM filter, Wenzek et al. 2020, with a unigram model
+    instead of KenLM — no external model files).
+
+    Returns ``(word STRING, logp DOUBLE)``: the ``vocab_k`` most frequent
+    words with Laplace-smoothed log probabilities
+    ``ln((c_w + 1) / (total + V + 1))`` plus one sentinel row
+    (word = \"\") holding the OOV log probability ``ln(1 / (total + V + 1))``.
+    Ties at the vocabulary boundary break deterministically by word.
+
+    Cost: one explode + one groupBy keyed by WORD (cardinality = vocab,
+    not corpus) + a TakeOrdered — at 100 TB train on a sample
+    (``df.sample(...)``), exactly like production CCNet does."""
+    counts = (
+        df.select(F.explode(words(F.col(text_col))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    agg = counts.agg(
+        F.sum("c").alias("total"), F.count(F.lit(1)).alias("v")
+    )
+    top = counts.orderBy(F.desc("c"), "word").limit(vocab_k)
+    vocab = top.crossJoin(F.broadcast(agg)).select(
+        "word",
+        F.log((F.col("c") + 1) / (F.col("total") + F.col("v") + 1)).alias(
+            "logp"
+        ),
+    )
+    oov = agg.select(
+        F.lit(_OOV_WORD).alias("word"),
+        F.log(1.0 / (F.col("total") + F.col("v") + 1)).alias("logp"),
+    )
+    return vocab.unionByName(oov)
+
+
+def unigram_logprob_score(
+    df: DataFrame, lm: DataFrame, id_col: str, text_col: str = "text"
+) -> DataFrame:
+    """Score each document with the mean per-token log probability under a
+    :func:`train_unigram_lm` model — low (very negative) means
+    gibberish/boilerplate, the cut corpus filters apply. Adds ``n_tokens``
+    and ``mean_logp`` (0.0 for empty docs, pinned).
+
+    The LM is broadcast (≤ vocab_k+1 rows); the only shuffle is the
+    per-document re-aggregation keyed by id."""
+    oov = lm.filter(F.col("word") == _OOV_WORD).select(
+        F.col("logp").alias("__oov")
+    )
+    toks = df.select(
+        F.col(id_col), F.explode(words(F.col(text_col))).alias("word")
+    )
+    scored = (
+        toks.join(F.broadcast(lm.filter(F.col("word") != _OOV_WORD)), "word", "left")
+        .crossJoin(F.broadcast(oov))
+        .select(id_col, F.coalesce("logp", "__oov").alias("logp"))
+    )
+    per_doc = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.avg("logp").alias("mean_logp"),
+    )
+    return (
+        df.join(per_doc, id_col, "left")
+        .withColumn("n_tokens", F.coalesce("n_tokens", F.lit(0)))
+        .withColumn("mean_logp", F.coalesce("mean_logp", F.lit(0.0)))
+    )
+
+
 #: query params dropped at canonicalization — tracking/session noise that
 #: makes byte-identical pages look distinct at URL-level dedup
 _TRACKING_PARAMS = (

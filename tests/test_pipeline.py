@@ -1011,3 +1011,37 @@ def test_canonical_url_rules(spark):
     assert [(r["id"], r["canonical_url"]) for r in kept] == [
         (1, "https://example.com/a")
     ]
+
+
+def test_unigram_lm_perplexity_scoring(spark):
+    """Unigram-LM quality scoring: in-vocabulary common text scores higher
+    (less negative mean logp) than OOV gibberish; empty docs pin to 0;
+    the LM carries exactly vocab_k + 1 rows (OOV sentinel)."""
+    corpus = spark.createDataFrame(
+        [(i, "the cat sat on the mat " * 3) for i in range(8)]
+        + [(100, "zqxj vbnk wplf grtd hyum")],
+        "doc_id long, text string",
+    )
+    lm = textstats.train_unigram_lm(corpus, vocab_k=6)
+    rows = lm.collect()
+    assert len(rows) == 7
+    assert sum(1 for r in rows if r["word"] == "") == 1
+    scored = {
+        r["doc_id"]: r
+        for r in textstats.unigram_logprob_score(
+            spark.createDataFrame(
+                [(1, "the cat sat"), (2, "zzzz qqqq"), (3, "")],
+                "doc_id long, text string",
+            ),
+            lm,
+            "doc_id",
+        ).collect()
+    }
+    assert scored[1]["mean_logp"] > scored[2]["mean_logp"]
+    assert scored[3]["n_tokens"] == 0 and scored[3]["mean_logp"] == 0.0
+    # the LM side of the join is broadcast: no shuffle keyed by word
+    plan = (
+        textstats.unigram_logprob_score(corpus, lm, "doc_id")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan
