@@ -58,38 +58,6 @@ def brute_topk(
     )
 
 
-def _np_topk_merge(scores, ids, prev_scores, prev_ids, k):
-    """Exact top-k of (prev ∪ new) by (score desc, id asc). Vectorized
-    lexsort when ids are numeric/string numpy dtypes; python sort fallback
-    for object ids."""
-    import numpy as np
-
-    if prev_scores is not None:
-        scores = np.concatenate([prev_scores, scores])
-        ids = np.concatenate([prev_ids, ids])
-    if len(scores) > k:
-        # narrow by score alone, then widen to EVERY element tied with the
-        # k-th score so id tie-breaks stay exact even under mass-duplicate
-        # scores, and exact-sort only that subset
-        part = np.argpartition(-scores, k - 1)[:k]
-        boundary = scores[part].min()
-        at_or_above = scores >= boundary
-        scores, ids = scores[at_or_above], ids[at_or_above]
-    order = _np_order(scores, ids)[:k]
-    return scores[order], ids[order]
-
-
-def _np_order(scores, ids):
-    import numpy as np
-
-    if ids.dtype == object:
-        return np.array(
-            sorted(range(len(scores)), key=lambda i: (-scores[i], ids[i])),
-            dtype=np.int64,
-        )
-    return np.lexsort((ids, -scores))
-
-
 def batch_topk(
     emb: DataFrame,
     queries: DataFrame,
@@ -143,7 +111,35 @@ def batch_topk(
     nq = len(q_ids)
 
     def local_topk(batches):
+        # nested (not module-level) so cloudpickle ships everything BY
+        # VALUE — executors need no seqspark on their PYTHONPATH
         import pyarrow as pa
+
+        def _order(scores, ids):
+            if ids.dtype == object:
+                return np.array(
+                    sorted(
+                        range(len(scores)), key=lambda i: (-scores[i], ids[i])
+                    ),
+                    dtype=np.int64,
+                )
+            return np.lexsort((ids, -scores))
+
+        def _merge(scores, ids, prev_scores, prev_ids):
+            """Exact top-k of (prev ∪ new) by (score desc, id asc)."""
+            if prev_scores is not None:
+                scores = np.concatenate([prev_scores, scores])
+                ids = np.concatenate([prev_ids, ids])
+            if len(scores) > k:
+                # narrow by score alone, then widen to EVERY element tied
+                # with the k-th score so id tie-breaks stay exact even
+                # under mass-duplicate scores
+                part = np.argpartition(-scores, k - 1)[:k]
+                boundary = scores[part].min()
+                at_or_above = scores >= boundary
+                scores, ids = scores[at_or_above], ids[at_or_above]
+            order = _order(scores, ids)[:k]
+            return scores[order], ids[order]
 
         best = [(None, None)] * nq  # per query: (scores, ids)
         id_arrow_type = None
@@ -170,7 +166,7 @@ def batch_topk(
             for qi in range(nq):
                 s = S[:, qi]
                 fin = np.isfinite(s)  # non-finite inputs must not take slots
-                s, i = _np_topk_merge(s[fin], ids_np[fin], *best[qi], k)
+                s, i = _merge(s[fin], ids_np[fin], *best[qi])
                 best[qi] = (s, i)
         out_q, out_id, out_s = [], [], []
         for qi in range(nq):
