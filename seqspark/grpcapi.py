@@ -1,0 +1,466 @@
+"""seqproxyapi.v1 gRPC service over the engine — the reference's gRPC
+public API (`proxyapi/grpc_v1.go`, `api/seqproxyapi/v1/seq_proxy_api.
+proto`) re-expressed on the pure-stdlib wire stack
+(:mod:`seqspark.wire`).
+
+Every RPC lands on the SAME handler methods the HTTP server exposes
+(:class:`seqspark.server.SeqSparkServer` — which also does the heavy
+lifting distributed through Spark), so both transports stay behaviorally
+identical by construction:
+
+- Search / ComplexSearch / GetAggregation / GetHistogram → unary;
+- Fetch / Export → server-streaming ``Document`` / ``ExportResponse``;
+- Mapping / Status → unary metadata;
+- StartAsyncSearch / FetchAsyncSearchResult / CancelAsyncSearch → the
+  persisted async-search jobs (`proxyapi/grpc_async_search.go:15-62`).
+
+Parity details mirrored from the reference:
+
+- ``seq.ID`` string form = 16 lowercase hex chars of the LITTLE-ENDIAN
+  mid, '-', 16 hex chars of the little-endian rid (33 bytes total,
+  `seq/seq.go:37-59` Bytes / `seq/seq.go:69-90` FromString);
+- malformed ids in Fetch are skipped, not errors
+  (`proxyapi/grpc_fetch.go:38-47`);
+- ``Search`` demands ``size > 0`` → INVALID_ARGUMENT
+  (`proxyapi/grpc_search.go:19-21`);
+- intervals are ES-style single-unit durations (``500ms``/``5s``/``1m``/
+  ``2h``/``1d``/``1w``/``1M``/``1q``/``1y``, `util/data_units.go:9-55`);
+- the ``use-seq-ql`` request-metadata key selects the query dialect
+  (`storeapi/grpc_search.go:206-216`);
+- responses carry ``Error{code: ERROR_CODE_NO}`` on success.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import time
+from typing import Iterator, List, Optional, Tuple
+
+from .wire import seqproxy as sp
+from .wire.grpc import (
+    INVALID_ARGUMENT,
+    NOT_FOUND,
+    GrpcError,
+    GrpcServer,
+    Method,
+)
+
+SERVICE = "/seqproxyapi.v1.SeqProxyApi"
+
+_NO_ERROR = {"code": sp.ERROR_CODE_NO, "message": ""}
+
+_DURATION_UNITS_MS = {
+    "s": 1000,
+    "m": 60_000,
+    "h": 3_600_000,
+    "d": 86_400_000,
+    "w": 7 * 86_400_000,
+    "M": 30 * 86_400_000,
+    "q": 91 * 86_400_000,
+    "y": 365 * 86_400_000,
+}
+
+
+def seq_id_str(mid: int, rid: int) -> str:
+    """`seq/seq.go:37-59`: hex of little-endian uint64s, '-'-joined."""
+    return (
+        int(mid).to_bytes(8, "little").hex()
+        + "-"
+        + (int(rid) & (1 << 64) - 1).to_bytes(8, "little").hex()
+    )
+
+
+def seq_id_parse(s: str) -> Tuple[int, int]:
+    """`seq/seq.go:69-90` FromString: exactly 33 chars, two hex halves.
+
+    The wire value is a uint64 (the reference's RID type); the engine
+    stores rid as a signed BIGINT column, so the high half maps back to
+    the signed domain — ``seq_id_parse(seq_id_str(m, r)) == (m, r)`` for
+    any signed r, with identical wire bytes either way."""
+    if len(s) != 33:
+        raise ValueError("wrong id len, should be 33")
+    mid = int.from_bytes(bytes.fromhex(s[:16]), "little")
+    rid = int.from_bytes(bytes.fromhex(s[17:]), "little", signed=True)
+    return mid, rid
+
+
+def parse_es_duration(s: str) -> int:
+    """ES-style duration -> milliseconds (`util/data_units.go:9-55`):
+    integer + one unit; 'ms' is the only two-char unit."""
+    if len(s) < 2:
+        raise ValueError(f"error parse interval {s!r}")
+    if s[-2] == "m":
+        if s[-1] != "s":
+            raise ValueError(f"error parse interval {s!r}")
+        num, unit_ms = s[:-2], 1
+    elif s[-1] in _DURATION_UNITS_MS:
+        num, unit_ms = s[:-1], _DURATION_UNITS_MS[s[-1]]
+    else:
+        raise ValueError(f"error parse interval {s!r}")
+    try:
+        return int(num) * unit_ms
+    except ValueError:
+        raise ValueError(f"error parse interval {s!r}") from None
+
+
+class SeqProxyGrpc:
+    """gRPC front end bound to a :class:`~seqspark.server.SeqSparkServer`
+    core (construct the core with ``port=0`` and never ``start()`` it if
+    only the gRPC transport is wanted — both can serve concurrently)."""
+
+    def __init__(self, core, host: str = "127.0.0.1", port: int = 0):
+        self.core = core
+        m = lambda fn, req, resp, streaming=False: Method(
+            fn, req, resp, server_streaming=streaming
+        )
+        self._server = GrpcServer(
+            {
+                f"{SERVICE}/Search": m(
+                    self.search, sp.SEARCH_REQUEST, sp.SEARCH_RESPONSE
+                ),
+                f"{SERVICE}/ComplexSearch": m(
+                    self.complex_search,
+                    sp.COMPLEX_SEARCH_REQUEST,
+                    sp.COMPLEX_SEARCH_RESPONSE,
+                ),
+                f"{SERVICE}/GetAggregation": m(
+                    self.get_aggregation,
+                    sp.GET_AGGREGATION_REQUEST,
+                    sp.GET_AGGREGATION_RESPONSE,
+                ),
+                f"{SERVICE}/GetHistogram": m(
+                    self.get_histogram,
+                    sp.GET_HISTOGRAM_REQUEST,
+                    sp.GET_HISTOGRAM_RESPONSE,
+                ),
+                f"{SERVICE}/Fetch": m(
+                    self.fetch, sp.FETCH_REQUEST, sp.DOCUMENT, streaming=True
+                ),
+                f"{SERVICE}/Export": m(
+                    self.export, sp.EXPORT_REQUEST, sp.EXPORT_RESPONSE,
+                    streaming=True,
+                ),
+                f"{SERVICE}/Mapping": m(
+                    self.mapping, sp.MAPPING_REQUEST, sp.MAPPING_RESPONSE
+                ),
+                f"{SERVICE}/Status": m(
+                    self.status, sp.STATUS_REQUEST, sp.STATUS_RESPONSE
+                ),
+                f"{SERVICE}/StartAsyncSearch": m(
+                    self.start_async,
+                    sp.START_ASYNC_SEARCH_REQUEST,
+                    sp.START_ASYNC_SEARCH_RESPONSE,
+                ),
+                f"{SERVICE}/FetchAsyncSearchResult": m(
+                    self.fetch_async,
+                    sp.FETCH_ASYNC_SEARCH_RESULT_REQUEST,
+                    sp.FETCH_ASYNC_SEARCH_RESULT_RESPONSE,
+                ),
+                f"{SERVICE}/CancelAsyncSearch": m(
+                    self.cancel_async,
+                    sp.CANCEL_ASYNC_SEARCH_REQUEST,
+                    sp.CANCEL_ASYNC_SEARCH_RESPONSE,
+                ),
+            },
+            host=host,
+            port=port,
+        )
+        self.port = self._server.port
+
+    def start(self) -> "SeqProxyGrpc":
+        self._server.start()
+        return self
+
+    def stop(self) -> None:
+        self._server.stop()
+
+    # ------------------------------------------------------------ plumbing
+
+    @staticmethod
+    def _dialect(metadata: dict) -> Optional[str]:
+        """`storeapi/grpc_search.go:206-216`: the `use-seq-ql` metadata
+        key routes between dialects; Go strconv.ParseBool truth set,
+        parse errors → false → legacy."""
+        hdr = metadata.get("use-seq-ql")
+        if hdr is None:
+            return None
+        return "seqql" if hdr.strip().lower() in ("1", "t", "true") else "legacy"
+
+    @staticmethod
+    def _http_req(query: dict, metadata: dict, **extra) -> dict:
+        req = {
+            "query": query.get("query") or "*",
+            "from_ms": sp.ts_to_ms(query.get("from")),
+            "to_ms": sp.ts_to_ms(query.get("to")),
+        }
+        dialect = SeqProxyGrpc._dialect(metadata)
+        if dialect:
+            req["dialect"] = dialect
+        if query.get("explain"):
+            req["explain"] = True
+        req.update(extra)
+        return req
+
+    @staticmethod
+    def _agg_queries(aggs: List[dict]) -> List[dict]:
+        out = []
+        for a in aggs:
+            func = sp.AGG_FUNC.get(a.get("func", 0))
+            if func is None:
+                raise GrpcError(INVALID_ARGUMENT, f"unknown agg func {a.get('func')}")
+            q: dict = {"func": func}
+            if a.get("field"):
+                q["field"] = a["field"]
+            if a.get("group_by"):
+                q["group_by"] = a["group_by"]
+            if a.get("quantiles"):
+                q["quantiles"] = list(a["quantiles"])
+            if a.get("interval") is not None:
+                try:
+                    q["interval_ms"] = parse_es_duration(a["interval"])
+                except ValueError as e:
+                    raise GrpcError(
+                        INVALID_ARGUMENT, f"failed to parse 'interval': {e}"
+                    ) from None
+            out.append(q)
+        return out
+
+    @staticmethod
+    def _doc_proto(doc: dict) -> dict:
+        mid = int(doc["mid"])
+        data = doc.get("data") or ""
+        return {
+            "id": seq_id_str(mid, int(doc["rid"])),
+            "data": data.encode("utf-8") if isinstance(data, str) else data,
+            "time": sp.ms_to_ts(mid),
+        }
+
+    @staticmethod
+    def _agg_proto(rows: List[dict]) -> dict:
+        """HTTP agg bucket rows (mid_ms/name/value/not_exists/q*) ->
+        proto Aggregation. Result-level not_exists = docs whose agg field
+        is missing: the per-bucket counts summed, plus the legacy
+        `_not_exists` count bucket (`frac/processor/aggregator.go:83-87`,
+        `:219-227`)."""
+        buckets = []
+        total_ne = 0
+        for r in rows:
+            value = r.get("value")
+            if value is None:
+                value = float("nan")
+            qkeys = sorted(
+                (k for k in r if k.startswith("q") and k[1:].isdigit()),
+                key=lambda k: int(k[1:]),
+            )
+            b = {
+                "key": "" if r.get("name") is None else str(r["name"]),
+                "value": float(value),
+                "not_exists": int(r.get("not_exists") or 0),
+                "quantiles": [
+                    float("nan") if r[k] is None else float(r[k]) for k in qkeys
+                ],
+            }
+            if r.get("mid_ms") is not None:
+                b["ts"] = sp.ms_to_ts(int(r["mid_ms"]))
+            total_ne += b["not_exists"]
+            if b["key"] == "_not_exists":
+                total_ne += int(b["value"]) if not math.isnan(b["value"]) else 0
+            buckets.append(b)
+        return {"buckets": buckets, "not_exists": total_ne}
+
+    @staticmethod
+    def _hist_proto(hist: dict) -> dict:
+        return {
+            "buckets": [
+                {"doc_count": int(cnt), "ts": sp.ms_to_ts(int(ms))}
+                for ms, cnt in sorted(
+                    ((int(k), v) for k, v in hist.items())
+                )
+            ]
+        }
+
+    @classmethod
+    def _complex_proto(cls, out: dict) -> dict:
+        resp: dict = {
+            "total": int(out.get("total", 0)),
+            "docs": [cls._doc_proto(d) for d in out.get("docs", [])],
+            "aggs": [cls._agg_proto(rows) for rows in out.get("aggs", [])],
+            "error": _NO_ERROR,
+        }
+        if out.get("histogram") is not None:
+            resp["hist"] = cls._hist_proto(out["histogram"])
+        if out.get("explain"):
+            resp["explain"] = {"message": out["explain"], "children": []}
+        return resp
+
+    # ------------------------------------------------------------- methods
+
+    def search(self, req: dict, metadata: dict) -> dict:
+        if (req.get("size") or 0) <= 0:
+            # `proxyapi/grpc_search.go:19-21`
+            raise GrpcError(INVALID_ARGUMENT, '"size" must be greater than 0')
+        hreq = self._http_req(
+            req.get("query") or {},
+            metadata,
+            size=req["size"],
+            offset=req.get("offset", 0),
+            order=sp.ORDER.get(req.get("order", 0), "desc"),
+            with_total=req.get("with_total", False),
+        )
+        out = self.core.search(hreq)
+        return {
+            "total": int(out.get("total", 0)),
+            "docs": [self._doc_proto(d) for d in out.get("docs", [])],
+            "error": _NO_ERROR,
+        }
+
+    def _complex_req(self, req: dict, metadata: dict) -> dict:
+        hreq = self._http_req(
+            req.get("query") or {},
+            metadata,
+            size=req.get("size", 0),
+            offset=req.get("offset", 0),
+            order=sp.ORDER.get(req.get("order", 0), "desc"),
+            with_total=req.get("with_total", False),
+            aggs=self._agg_queries(req.get("aggs", [])),
+        )
+        hist = req.get("hist")
+        if hist:
+            try:
+                hreq["hist_interval_ms"] = parse_es_duration(hist["interval"])
+            except ValueError as e:
+                raise GrpcError(
+                    INVALID_ARGUMENT, f"failed to parse 'interval': {e}"
+                ) from None
+        return hreq
+
+    def complex_search(self, req: dict, metadata: dict) -> dict:
+        out = self.core.complex(self._complex_req(req, metadata))
+        return self._complex_proto(out)
+
+    def get_aggregation(self, req: dict, metadata: dict) -> dict:
+        creq = {"query": req.get("query"), "aggs": req.get("aggs", []),
+                "with_total": True}
+        out = self.core.complex(self._complex_req(creq, metadata))
+        return {
+            "total": int(out.get("total", 0)),
+            "aggs": [self._agg_proto(rows) for rows in out.get("aggs", [])],
+            "error": _NO_ERROR,
+        }
+
+    def get_histogram(self, req: dict, metadata: dict) -> dict:
+        hist = req.get("hist")
+        if not hist or not hist.get("interval"):
+            raise GrpcError(INVALID_ARGUMENT, "'hist.interval' must be set")
+        creq = {"query": req.get("query"), "hist": hist, "with_total": True}
+        out = self.core.complex(self._complex_req(creq, metadata))
+        return {
+            "total": int(out.get("total", 0)),
+            "hist": self._hist_proto(out.get("histogram") or {}),
+            "error": _NO_ERROR,
+        }
+
+    def fetch(self, req: dict, metadata: dict) -> Iterator[dict]:
+        ids = []
+        for s in req.get("ids", []):
+            try:
+                ids.append(seq_id_parse(s))
+            except ValueError:
+                continue  # logged-and-skipped in the reference
+        hreq: dict = {"ids": ids}
+        ff = req.get("fields_filter")
+        if ff and ff.get("fields"):
+            hreq["fields"] = list(ff["fields"])
+            hreq["except"] = not ff.get("allow_list", False)
+        out = self.core.fetch(hreq)
+        return iter([self._doc_proto(d) for d in out.get("docs", [])])
+
+    def export(self, req: dict, metadata: dict) -> Iterator[dict]:
+        hreq = self._http_req(
+            req.get("query") or {},
+            metadata,
+            size=req.get("size") or None,
+            offset=req.get("offset", 0),
+        )
+        lines = self.core.export_lines(hreq)
+
+        def docs():
+            for line in lines:
+                doc = json.loads(line)["doc"]
+                # HTTP export ids are decimal "mid-rid"; rid may be a
+                # negative long, so split only on the first separator
+                mid, rid = doc["id"].split("-", 1)
+                yield {
+                    "doc": {
+                        "id": seq_id_str(int(mid), int(rid)),
+                        "data": doc["data"].encode("utf-8"),
+                        "time": sp.ms_to_ts(int(mid)),
+                    }
+                }
+
+        return docs()
+
+    def mapping(self, req: dict, metadata: dict) -> dict:
+        """`proxyapi/grpc_mapping.go`: the raw mapping bytes (field →
+        type map, the same shape /status's ``fields`` carries)."""
+        fields = self.core._table().mapping_dict()
+        return {"data": json.dumps(fields, sort_keys=True).encode()}
+
+    def status(self, req: dict, metadata: dict) -> dict:
+        st = self.core.status()
+        oldest = st.get("oldest_ms")
+        values = {"oldest_time": sp.ms_to_ts(int(oldest))} if oldest is not None else None
+        return {
+            "number_of_stores": 1,
+            "oldest_storage_time": sp.ms_to_ts(int(oldest)) if oldest is not None else None,
+            "stores": [{"host": "local", "values": values, "error": None}],
+        }
+
+    def start_async(self, req: dict, metadata: dict) -> dict:
+        creq = self._complex_req(
+            {
+                "query": req.get("query"),
+                "aggs": req.get("aggs", []),
+                "hist": req.get("hist"),
+                "order": req.get("order", 0),
+            },
+            metadata,
+        )
+        # the reference's async search always materializes the matching
+        # ids/docs (FetchAsyncSearchResult pages WITHIN the stored result,
+        # `grpc_async_search.go:45-68`); store up to the engine's search
+        # cap and the total, so a query-only async request is valid
+        from .engine import MAX_SEARCH_DOCS
+
+        creq["size"] = MAX_SEARCH_DOCS
+        creq["with_total"] = True
+        retention = sp.duration_to_sec(req.get("retention"))
+        if retention:
+            creq["ttl_sec"] = int(retention)
+        out = self.core.async_start(creq)
+        return {"search_id": out["search_id"]}
+
+    def fetch_async(self, req: dict, metadata: dict) -> dict:
+        hreq = {
+            "search_id": req.get("search_id", ""),
+            "with_docs": req.get("with_docs", False),
+            "offset": req.get("offset", 0),
+        }
+        if req.get("size"):
+            hreq["size"] = req["size"]
+        out = self.core.async_fetch(hreq)
+        resp: dict = {
+            "done": bool(out.get("done")),
+            "expiration": sp.ms_to_ts(out.get("expiration_ms")),
+        }
+        if out.get("response") is not None:
+            resp["response"] = self._complex_proto(out["response"])
+        return resp
+
+    def cancel_async(self, req: dict, metadata: dict) -> dict:
+        job_id = req.get("search_id", "")
+        if self.core._async.status(job_id) is None:
+            raise GrpcError(NOT_FOUND, f"unknown search_id {job_id!r}")
+        self.core._async.cancel(job_id)
+        return {}

@@ -253,7 +253,27 @@ class AsyncSearcher:
             meta["status"] = "error"  # per-job error field
             meta["error"] = str(e)
         meta["finished_at"] = time.time()
+        # a concurrent cancel() wins: its meta rewrite marked the job
+        # canceled, and a canceled job must never flip to done/error
+        # (`proxyapi/grpc_async_search.go` CancelAsyncSearch)
+        current = self.status(job_id)
+        if current is not None and current.get("status") == "canceled":
+            return
         self._write_meta(job_id, meta)
+
+    def cancel(self, job_id: str) -> bool:
+        """Cancel an ongoing async search (CancelAsyncSearch,
+        `proxyapi/grpc_async_search.go`): marks the persisted job canceled
+        so its result is never published; the in-flight Spark job drains
+        harmlessly (its completion sees the canceled marker and discards).
+        Canceling a finished/unknown job is a no-op returning False."""
+        meta = self.status(job_id)
+        if meta is None or meta.get("status") != "running":
+            return False
+        meta["status"] = "canceled"
+        meta["finished_at"] = time.time()
+        self._write_meta(job_id, meta)
+        return True
 
     def start(
         self,

@@ -1,0 +1,20 @@
+"""Pure-stdlib wire protocols: protobuf, HPACK, HTTP/2, gRPC.
+
+The container ships no grpcio/protobuf/h2 wheels, so the gRPC transport
+parity layer (reference `api/seqproxyapi/v1/seq_proxy_api.proto` served
+by `proxyapi/grpc_v1.go`) is implemented from the public specs:
+
+- :mod:`seqspark.wire.pb`     — protobuf wire format
+  (https://protobuf.dev/programming-guides/encoding/);
+- :mod:`seqspark.wire.hpack`  — RFC 7541 header compression;
+- :mod:`seqspark.wire.h2`     — RFC 9113 HTTP/2 framing + flow control
+  (h2c prior-knowledge, the insecure-channel mode gRPC clients use
+  in-cluster);
+- :mod:`seqspark.wire.grpc`   — the gRPC-over-HTTP/2 protocol
+  (https://github.com/grpc/grpc/blob/master/doc/PROTOCOL-HTTP2.md):
+  message framing, status codes, trailers;
+- :mod:`seqspark.wire.seqproxy` — seqproxyapi.v1 message descriptors.
+
+This is a transport layer only — every RPC lands on the same engine
+methods the HTTP server uses (:mod:`seqspark.grpcapi`).
+"""

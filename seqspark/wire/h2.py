@@ -1,0 +1,524 @@
+"""Minimal HTTP/2 (RFC 9113) server + client — pure stdlib, h2c only.
+
+Carries the gRPC transport parity layer (reference gRPC API,
+`proxyapi/grpc_v1.go`). Cleartext prior-knowledge HTTP/2 ("h2c") is the
+mode gRPC clients use for insecure channels — the in-cluster deployment
+shape of the reference (`docs/en/02-flags.md` gRPC listen addrs carry no
+TLS flags).
+
+Implemented server surface (what a real gRPC client exercises):
+
+- connection preface check, SETTINGS exchange + acks;
+- HEADERS (+CONTINUATION, PADDED/PRIORITY flags) with stateful HPACK;
+- DATA with receive-side WINDOW_UPDATE replenishment;
+- send-side flow control honoring the peer's connection AND stream
+  windows plus SETTINGS_INITIAL_WINDOW_SIZE changes (RFC 9113 §6.9.2) —
+  without this, any response over 64 KiB (an /Export drain) deadlocks a
+  compliant client;
+- PING ack, RST_STREAM, GOAWAY, PRIORITY (ignored), frame-size limits.
+
+Each completed request stream is dispatched to the application callback
+on a worker thread, so a long Spark query never stalls the connection's
+frame loop (concurrent streams keep flowing — the reference proxy serves
+concurrent gRPC searches the same way).
+"""
+
+from __future__ import annotations
+
+import socket
+import struct
+import threading
+from typing import Callable, Iterable, List, Optional, Tuple
+
+from . import hpack
+
+# frame types (RFC 9113 §6)
+DATA = 0x0
+HEADERS = 0x1
+PRIORITY = 0x2
+RST_STREAM = 0x3
+SETTINGS = 0x4
+PUSH_PROMISE = 0x5
+PING = 0x6
+GOAWAY = 0x7
+WINDOW_UPDATE = 0x8
+CONTINUATION = 0x9
+
+# flags
+FLAG_END_STREAM = 0x1
+FLAG_ACK = 0x1
+FLAG_END_HEADERS = 0x4
+FLAG_PADDED = 0x8
+FLAG_PRIORITY = 0x20
+
+# settings ids
+SETTINGS_HEADER_TABLE_SIZE = 0x1
+SETTINGS_MAX_CONCURRENT_STREAMS = 0x3
+SETTINGS_INITIAL_WINDOW_SIZE = 0x4
+SETTINGS_MAX_FRAME_SIZE = 0x5
+
+PREFACE = b"PRI * HTTP/2.0\r\n\r\nSM\r\n\r\n"
+DEFAULT_WINDOW = 65535
+MAX_FRAME_SIZE = 16384
+
+#: application callback: (headers, body) -> (response headers, body chunk
+#: iterable, trailers). Chunks are written as DATA frames under flow
+#: control; trailers close the stream.
+Handler = Callable[
+    [List[Tuple[str, str]], bytes],
+    Tuple[List[Tuple[str, str]], Iterable[bytes], List[Tuple[str, str]]],
+]
+
+
+def pack_frame(ftype: int, flags: int, stream_id: int, payload: bytes) -> bytes:
+    return struct.pack(">I", len(payload))[1:] + bytes(
+        [ftype, flags]
+    ) + struct.pack(">I", stream_id & 0x7FFFFFFF) + payload
+
+
+def _recv_exact(sock: socket.socket, n: int) -> bytes:
+    buf = bytearray()
+    while len(buf) < n:
+        chunk = sock.recv(n - len(buf))
+        if not chunk:
+            raise ConnectionError("peer closed")
+        buf += chunk
+    return bytes(buf)
+
+
+def read_frame(sock: socket.socket) -> Tuple[int, int, int, bytes]:
+    head = _recv_exact(sock, 9)
+    length = int.from_bytes(head[:3], "big")
+    ftype, flags = head[3], head[4]
+    stream_id = int.from_bytes(head[5:9], "big") & 0x7FFFFFFF
+    payload = _recv_exact(sock, length) if length else b""
+    return ftype, flags, stream_id, payload
+
+
+def _strip_padding(flags: int, payload: bytes) -> bytes:
+    if flags & FLAG_PADDED:
+        if not payload:
+            raise ValueError("padded frame without pad length")
+        pad = payload[0]
+        if pad >= len(payload):
+            raise ValueError("padding exceeds frame")
+        payload = payload[1 : len(payload) - pad]
+    return payload
+
+
+class _Stream:
+    __slots__ = ("headers", "data", "header_block", "send_window", "reset")
+
+    def __init__(self, initial_window: int):
+        self.headers: Optional[List[Tuple[str, str]]] = None
+        self.header_block = bytearray()
+        self.data = bytearray()
+        self.send_window = initial_window
+        self.reset = False
+
+
+class _Conn:
+    """Server side of one HTTP/2 connection."""
+
+    def __init__(self, sock: socket.socket, handler: Handler):
+        self._sock = sock
+        self._handler = handler
+        self._decoder = hpack.Decoder()
+        self._encoder = hpack.Encoder()
+        self._write_lock = threading.Lock()
+        self._flow = threading.Condition()
+        self._send_window = DEFAULT_WINDOW  # connection-level, peer-governed
+        self._peer_initial_window = DEFAULT_WINDOW
+        self._peer_max_frame = MAX_FRAME_SIZE
+        self._streams: dict[int, _Stream] = {}
+        self._continuation_sid: Optional[int] = None
+        self._closed = False
+
+    # ------------------------------------------------------------- writing
+
+    def _write(self, data: bytes) -> None:
+        with self._write_lock:
+            self._sock.sendall(data)
+
+    def send_frame(self, ftype: int, flags: int, sid: int, payload: bytes) -> None:
+        self._write(pack_frame(ftype, flags, sid, payload))
+
+    def _send_data(self, sid: int, stream: _Stream, chunk: bytes) -> None:
+        """DATA under connection + stream flow control."""
+        view = memoryview(chunk)
+        while view:
+            with self._flow:
+                while not self._closed and not stream.reset and (
+                    self._send_window <= 0 or stream.send_window <= 0
+                ):
+                    self._flow.wait(timeout=30)
+                if self._closed or stream.reset:
+                    raise ConnectionError("stream closed while sending")
+                n = min(len(view), self._send_window, stream.send_window,
+                        self._peer_max_frame)
+                self._send_window -= n
+                stream.send_window -= n
+            self.send_frame(DATA, 0, sid, bytes(view[:n]))
+            view = view[n:]
+
+    # ------------------------------------------------------------- serving
+
+    def serve(self) -> None:
+        try:
+            preface = _recv_exact(self._sock, len(PREFACE))
+            if preface != PREFACE:
+                return
+            self.send_frame(SETTINGS, 0, 0, struct.pack(
+                ">HI", SETTINGS_MAX_CONCURRENT_STREAMS, 1024
+            ))
+            while True:
+                ftype, flags, sid, payload = read_frame(self._sock)
+                if self._continuation_sid is not None and ftype != CONTINUATION:
+                    raise ValueError("expected CONTINUATION")
+                if ftype == SETTINGS:
+                    self._on_settings(flags, payload)
+                elif ftype == HEADERS:
+                    self._on_headers(flags, sid, payload)
+                elif ftype == CONTINUATION:
+                    self._on_continuation(flags, sid, payload)
+                elif ftype == DATA:
+                    self._on_data(flags, sid, payload)
+                elif ftype == WINDOW_UPDATE:
+                    self._on_window_update(sid, payload)
+                elif ftype == PING:
+                    if not flags & FLAG_ACK:
+                        self.send_frame(PING, FLAG_ACK, 0, payload)
+                elif ftype == RST_STREAM:
+                    st = self._streams.pop(sid, None)
+                    if st is not None:
+                        with self._flow:
+                            st.reset = True
+                            self._flow.notify_all()
+                elif ftype == GOAWAY:
+                    return
+                # PRIORITY / PUSH_PROMISE / unknown: ignored
+        except (ConnectionError, OSError, ValueError):
+            pass
+        finally:
+            with self._flow:
+                self._closed = True
+                self._flow.notify_all()
+            try:
+                self._sock.close()
+            except OSError:
+                pass
+
+    # ------------------------------------------------------------ frame ops
+
+    def _on_settings(self, flags: int, payload: bytes) -> None:
+        if flags & FLAG_ACK:
+            return
+        for off in range(0, len(payload) - 5, 6):
+            ident, value = struct.unpack_from(">HI", payload, off)
+            if ident == SETTINGS_INITIAL_WINDOW_SIZE:
+                # §6.9.2: delta applies to every open stream's window
+                with self._flow:
+                    delta = value - self._peer_initial_window
+                    self._peer_initial_window = value
+                    for st in self._streams.values():
+                        st.send_window += delta
+                    self._flow.notify_all()
+            elif ident == SETTINGS_MAX_FRAME_SIZE:
+                self._peer_max_frame = max(MAX_FRAME_SIZE, min(value, 1 << 24 - 1))
+        self.send_frame(SETTINGS, FLAG_ACK, 0, b"")
+
+    def _stream(self, sid: int) -> _Stream:
+        st = self._streams.get(sid)
+        if st is None:
+            st = _Stream(self._peer_initial_window)
+            self._streams[sid] = st
+        return st
+
+    def _on_headers(self, flags: int, sid: int, payload: bytes) -> None:
+        payload = _strip_padding(flags, payload)
+        if flags & FLAG_PRIORITY:
+            payload = payload[5:]
+        st = self._stream(sid)
+        st.header_block += payload
+        if flags & FLAG_END_HEADERS:
+            self._finish_headers(sid, st, flags & FLAG_END_STREAM)
+        else:
+            self._continuation_sid = sid
+
+    def _on_continuation(self, flags: int, sid: int, payload: bytes) -> None:
+        if sid != self._continuation_sid:
+            raise ValueError("CONTINUATION on wrong stream")
+        st = self._stream(sid)
+        st.header_block += payload
+        if flags & FLAG_END_HEADERS:
+            self._continuation_sid = None
+            self._finish_headers(sid, st, 0)
+
+    def _finish_headers(self, sid: int, st: _Stream, end_stream: int) -> None:
+        block = bytes(st.header_block)
+        st.header_block = bytearray()
+        decoded = self._decoder.decode(block)
+        if st.headers is None:
+            st.headers = decoded
+        # (trailers from clients are legal but unused by gRPC requests)
+        if end_stream:
+            self._dispatch(sid, st)
+
+    def _on_data(self, flags: int, sid: int, payload: bytes) -> None:
+        data = _strip_padding(flags, payload)
+        st = self._stream(sid)
+        st.data += data
+        if payload:  # replenish receive windows (flow-controlled size incl. padding)
+            inc = struct.pack(">I", len(payload))
+            self.send_frame(WINDOW_UPDATE, 0, 0, inc)
+            if not flags & FLAG_END_STREAM:
+                self.send_frame(WINDOW_UPDATE, 0, sid, inc)
+        if flags & FLAG_END_STREAM:
+            self._dispatch(sid, st)
+
+    def _on_window_update(self, sid: int, payload: bytes) -> None:
+        if len(payload) != 4:
+            raise ValueError("bad WINDOW_UPDATE")
+        inc = int.from_bytes(payload, "big") & 0x7FFFFFFF
+        with self._flow:
+            if sid == 0:
+                self._send_window += inc
+            else:
+                st = self._streams.get(sid)
+                if st is not None:
+                    st.send_window += inc
+            self._flow.notify_all()
+
+    # ------------------------------------------------------------- dispatch
+
+    def _dispatch(self, sid: int, st: _Stream) -> None:
+        headers, body = st.headers or [], bytes(st.data)
+        st.data = bytearray()
+        threading.Thread(
+            target=self._run_handler, args=(sid, st, headers, body), daemon=True
+        ).start()
+
+    def _run_handler(self, sid, st, headers, body) -> None:
+        try:
+            resp_headers, chunks, trailers = self._handler(headers, body)
+        except Exception:
+            try:
+                self.send_frame(
+                    RST_STREAM, 0, sid, struct.pack(">I", 0x2)  # INTERNAL_ERROR
+                )
+            except OSError:
+                pass
+            self._streams.pop(sid, None)
+            return
+        try:
+            block = self._encoder.encode(resp_headers)
+            if chunks is None and not trailers:
+                self.send_frame(HEADERS, FLAG_END_HEADERS | FLAG_END_STREAM,
+                                sid, block)
+                return
+            self.send_frame(HEADERS, FLAG_END_HEADERS, sid, block)
+            for chunk in chunks or ():
+                if chunk:
+                    self._send_data(sid, st, chunk)
+            tblock = self._encoder.encode(trailers)
+            self.send_frame(HEADERS, FLAG_END_HEADERS | FLAG_END_STREAM,
+                            sid, tblock)
+        except (ConnectionError, OSError):
+            pass
+        finally:
+            self._streams.pop(sid, None)
+
+
+class H2Server:
+    """Threaded h2c server: one frame-loop thread per connection, one
+    worker thread per request stream."""
+
+    def __init__(self, handler: Handler, host: str = "127.0.0.1", port: int = 0):
+        self._handler = handler
+        self._lsock = socket.create_server((host, port))
+        self.port = self._lsock.getsockname()[1]
+        self._accept_thread: Optional[threading.Thread] = None
+        self._running = False
+
+    def start(self) -> "H2Server":
+        self._running = True
+        self._accept_thread = threading.Thread(target=self._accept, daemon=True)
+        self._accept_thread.start()
+        return self
+
+    def _accept(self) -> None:
+        while self._running:
+            try:
+                sock, _ = self._lsock.accept()
+            except OSError:
+                return
+            sock.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
+            conn = _Conn(sock, self._handler)
+            threading.Thread(target=conn.serve, daemon=True).start()
+
+    def stop(self) -> None:
+        self._running = False
+        try:
+            self._lsock.close()
+        except OSError:
+            pass
+
+
+# --------------------------------------------------------------------- client
+
+
+class H2ClientStream:
+    __slots__ = ("headers", "data", "trailers", "done", "cond", "recv_window")
+
+    def __init__(self):
+        self.headers: Optional[List[Tuple[str, str]]] = None
+        self.trailers: Optional[List[Tuple[str, str]]] = None
+        self.data = bytearray()
+        self.done = False
+        self.cond = threading.Condition()
+        self.recv_window = DEFAULT_WINDOW
+
+
+class H2Client:
+    """Prior-knowledge h2c client — enough HTTP/2 to drive unary and
+    server-streaming gRPC calls (used by :class:`seqspark.wire.grpc.
+    GrpcChannel` and the e2e tests)."""
+
+    def __init__(self, host: str, port: int, timeout: float = 60.0):
+        self._sock = socket.create_connection((host, port), timeout=timeout)
+        self._sock.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
+        self._encoder = hpack.Encoder()
+        self._decoder = hpack.Decoder()
+        self._write_lock = threading.Lock()
+        self._streams: dict[int, H2ClientStream] = {}
+        self._next_sid = 1
+        self._sid_lock = threading.Lock()
+        self._closed = False
+        self._header_sid: Optional[int] = None
+        self._header_block = bytearray()
+        self._header_end_stream = False
+        self._sock.sendall(PREFACE + pack_frame(SETTINGS, 0, 0, b""))
+        self._reader = threading.Thread(target=self._read_loop, daemon=True)
+        self._reader.start()
+
+    def _write(self, data: bytes) -> None:
+        with self._write_lock:
+            self._sock.sendall(data)
+
+    def request(
+        self,
+        headers: List[Tuple[str, str]],
+        body: bytes,
+        end_stream: bool = True,
+    ) -> H2ClientStream:
+        with self._sid_lock:
+            sid = self._next_sid
+            self._next_sid += 2
+            st = H2ClientStream()
+            self._streams[sid] = st
+        block = self._encoder.encode(headers)
+        frames = pack_frame(
+            HEADERS,
+            FLAG_END_HEADERS | (0 if body or not end_stream else FLAG_END_STREAM),
+            sid,
+            block,
+        )
+        if body:
+            for off in range(0, len(body), MAX_FRAME_SIZE):
+                chunk = body[off : off + MAX_FRAME_SIZE]
+                last = off + MAX_FRAME_SIZE >= len(body)
+                frames += pack_frame(
+                    DATA, FLAG_END_STREAM if (last and end_stream) else 0,
+                    sid, chunk,
+                )
+        self._write(frames)
+        return st
+
+    def wait(self, st: H2ClientStream, timeout: float = 120.0) -> None:
+        with st.cond:
+            if not st.cond.wait_for(lambda: st.done or self._closed, timeout):
+                raise TimeoutError("h2 stream timed out")
+            if not st.done and self._closed:
+                raise ConnectionError("h2 connection closed")
+
+    def _read_loop(self) -> None:
+        try:
+            while True:
+                ftype, flags, sid, payload = read_frame(self._sock)
+                if ftype == SETTINGS:
+                    if not flags & FLAG_ACK:
+                        self._write(pack_frame(SETTINGS, FLAG_ACK, 0, b""))
+                elif ftype == HEADERS:
+                    payload = _strip_padding(flags, payload)
+                    if flags & FLAG_PRIORITY:
+                        payload = payload[5:]
+                    self._header_sid = sid
+                    self._header_block = bytearray(payload)
+                    self._header_end_stream = bool(flags & FLAG_END_STREAM)
+                    if flags & FLAG_END_HEADERS:
+                        self._finish_headers()
+                elif ftype == CONTINUATION:
+                    self._header_block += payload
+                    if flags & FLAG_END_HEADERS:
+                        self._finish_headers()
+                elif ftype == DATA:
+                    st = self._streams.get(sid)
+                    data = _strip_padding(flags, payload)
+                    if st is not None:
+                        with st.cond:
+                            st.data += data
+                    if payload:
+                        inc = struct.pack(">I", len(payload))
+                        self._write(
+                            pack_frame(WINDOW_UPDATE, 0, 0, inc)
+                            + (pack_frame(WINDOW_UPDATE, 0, sid, inc)
+                               if not flags & FLAG_END_STREAM else b"")
+                        )
+                    if flags & FLAG_END_STREAM:
+                        self._end_stream(sid)
+                elif ftype == PING:
+                    if not flags & FLAG_ACK:
+                        self._write(pack_frame(PING, FLAG_ACK, 0, payload))
+                elif ftype == RST_STREAM:
+                    self._end_stream(sid)
+                elif ftype == GOAWAY:
+                    return
+        except (ConnectionError, OSError, ValueError):
+            pass
+        finally:
+            self._closed = True
+            for st in list(self._streams.values()):
+                with st.cond:
+                    st.cond.notify_all()
+
+    def _finish_headers(self) -> None:
+        sid = self._header_sid
+        decoded = self._decoder.decode(bytes(self._header_block))
+        self._header_block = bytearray()
+        self._header_sid = None
+        st = self._streams.get(sid)
+        if st is None:
+            return
+        with st.cond:
+            if st.headers is None:
+                st.headers = decoded
+            else:
+                st.trailers = decoded
+        if self._header_end_stream:
+            self._end_stream(sid)
+        self._header_end_stream = False
+
+    def _end_stream(self, sid: int) -> None:
+        st = self._streams.get(sid)
+        if st is None:
+            return
+        with st.cond:
+            st.done = True
+            st.cond.notify_all()
+
+    def close(self) -> None:
+        self._closed = True
+        try:
+            self._sock.close()
+        except OSError:
+            pass

@@ -1,0 +1,360 @@
+"""Wire-stack unit tests: protobuf codec, HPACK (RFC 7541 vectors),
+HTTP/2 framing, gRPC protocol — no Spark involved."""
+
+import struct
+import threading
+
+import pytest
+
+from seqspark.wire import grpc as g
+from seqspark.wire import h2, hpack, pb
+from seqspark.wire.pb import Field
+
+# ------------------------------------------------------------------ protobuf
+
+SIMPLE = {
+    1: Field("name", "string"),
+    2: Field("n", "int64"),
+    3: Field("flag", "bool"),
+    4: Field("score", "double"),
+    5: Field("raw", "bytes"),
+}
+
+NESTED = {
+    1: Field("inner", "message", SIMPLE),
+    2: Field("items", "message", SIMPLE, repeated=True),
+    3: Field("vals", "double", repeated=True),
+    4: Field("ids", "int64", repeated=True),
+    5: Field("tags", "string", repeated=True),
+    6: Field("maybe", "int32", optional=True),
+}
+
+
+def test_pb_golden_bytes():
+    # field 1 (string "abc"): tag 0x0a, len 3; field 2 (int64 150):
+    # tag 0x10, varint 0x96 0x01 — the canonical protobuf-docs example
+    assert pb.encode(SIMPLE, {"name": "abc"}) == b"\x0a\x03abc"
+    assert pb.encode(SIMPLE, {"n": 150}) == b"\x10\x96\x01"
+    assert pb.encode(SIMPLE, {"flag": True}) == b"\x18\x01"
+    # double 1.0 little-endian fixed64 on field 4 (tag 0x21)
+    assert pb.encode(SIMPLE, {"score": 1.0}) == b"\x21" + struct.pack("<d", 1.0)
+
+
+def test_pb_zero_values_omitted():
+    assert pb.encode(SIMPLE, {"name": "", "n": 0, "flag": False,
+                              "score": 0.0, "raw": b""}) == b""
+
+
+def test_pb_negative_int_ten_bytes():
+    enc = pb.encode(SIMPLE, {"n": -1})
+    assert len(enc) == 11  # tag + 10-byte varint
+    assert pb.decode(SIMPLE, enc)["n"] == -1
+
+
+def test_pb_roundtrip_nested():
+    msg = {
+        "inner": {"name": "x", "n": 7, "flag": True, "score": -2.5,
+                  "raw": b"\x00\xff"},
+        "items": [{"name": "a", "n": 1, "flag": False, "score": 0.0,
+                   "raw": b""},
+                  {"name": "b", "n": -5, "flag": True, "score": 1e300,
+                   "raw": b"z"}],
+        "vals": [0.5, -1.5, float("inf")],
+        "ids": [1, 0, 300, -2],
+        "tags": ["p", "", "q"],
+        "maybe": 0,
+    }
+    dec = pb.decode(NESTED, pb.encode(NESTED, msg))
+    assert dec == msg
+
+
+def test_pb_optional_presence():
+    # optional int32: explicit 0 is encoded, absent is None
+    assert pb.decode(NESTED, b"")["maybe"] is None
+    enc = pb.encode(NESTED, {"maybe": 0})
+    assert enc != b""
+    assert pb.decode(NESTED, enc)["maybe"] == 0
+
+
+def test_pb_packed_and_unpacked_repeated():
+    enc = pb.encode(NESTED, {"ids": [1, 2, 3]})
+    # packed: single LEN field
+    assert enc[0] == (4 << 3) | 2
+    assert pb.decode(NESTED, enc)["ids"] == [1, 2, 3]
+    # unpacked form (one varint field per element) must also decode
+    unpacked = b"".join(b"\x20" + pb.encode_varint(v) for v in (1, 2, 3))
+    assert pb.decode(NESTED, unpacked)["ids"] == [1, 2, 3]
+
+
+def test_pb_unknown_fields_skipped():
+    # unknown varint field 15, unknown LEN field 14, then known name
+    buf = (b"\x78\x2a"                      # field 15 varint 42
+           + b"\x72\x03zzz"                 # field 14 LEN "zzz"
+           + b"\x0a\x02hi")
+    assert pb.decode(SIMPLE, buf)["name"] == "hi"
+
+
+def test_pb_truncated_raises():
+    with pytest.raises(ValueError):
+        pb.decode(SIMPLE, b"\x0a\x05ab")  # LEN says 5, only 2 present
+    with pytest.raises(ValueError):
+        pb.decode(SIMPLE, b"\x10\x96")  # unterminated varint
+
+
+# -------------------------------------------------------------------- hpack
+
+
+def test_hpack_integer_vectors():
+    # RFC 7541 C.1: 10 in 5-bit prefix; 1337 in 5-bit; 42 in 8-bit
+    assert hpack.encode_int(10, 5) == b"\x0a"
+    assert hpack.encode_int(1337, 5) == b"\x1f\x9a\x0a"
+    assert hpack.encode_int(42, 8) == b"\x2a"
+    assert hpack.decode_int(b"\x0a", 0, 5) == (10, 1)
+    assert hpack.decode_int(b"\x1f\x9a\x0a", 0, 5) == (1337, 3)
+    assert hpack.decode_int(b"\x2a", 0, 8) == (42, 1)
+
+
+HUFF_VECTORS = {
+    b"www.example.com": "f1e3c2e5f23a6ba0ab90f4ff",
+    b"no-cache": "a8eb10649cbf",
+    b"custom-key": "25a849e95ba97d7f",
+    b"custom-value": "25a849e95bb8e8b4bf",
+    b"302": "6402",
+    b"private": "aec3771a4b",
+    b"Mon, 21 Oct 2013 20:13:21 GMT":
+        "d07abe941054d444a8200595040b8166e082a62d1bff",
+    b"https://www.example.com": "9d29ad171863c78f0b97c8e9ae82ae43d3",
+    b"gzip": "9bd9ab",
+    b"foo=ASDJKHQKBZXOQWEOPIUAXQWEOIU; max-age=3600; version=1":
+        "94e7821dd7f2e6c7b335dfdfcd5b3960d5af27087f3672c1ab270fb5291f9587"
+        "316065c003ed4ee5b1063d5007",
+}
+
+
+def test_huffman_rfc7541_appendix_c_vectors():
+    for raw, hexs in HUFF_VECTORS.items():
+        assert hpack.huffman_encode(raw).hex() == hexs
+        assert hpack.huffman_decode(bytes.fromhex(hexs)) == raw
+
+
+def test_huffman_roundtrip_all_bytes():
+    data = bytes(range(256))
+    assert hpack.huffman_decode(hpack.huffman_encode(data)) == data
+
+
+def test_huffman_bad_padding_rejected():
+    # a zero-padded tail is not an EOS prefix
+    with pytest.raises(ValueError):
+        hpack.huffman_decode(bytes.fromhex("f1e3c2e5f23a6ba0ab90f400"))
+
+
+def test_hpack_rfc7541_c3_request_sequence():
+    """C.3: three requests WITHOUT Huffman, dynamic table evolving."""
+    d = hpack.Decoder()
+    h1 = d.decode(bytes.fromhex(
+        "828684410f7777772e6578616d706c652e636f6d"))
+    assert h1 == [(":method", "GET"), (":scheme", "http"), (":path", "/"),
+                  (":authority", "www.example.com")]
+    h2_ = d.decode(bytes.fromhex("828684be58086e6f2d6361636865"))
+    assert h2_ == [(":method", "GET"), (":scheme", "http"), (":path", "/"),
+                   (":authority", "www.example.com"),
+                   ("cache-control", "no-cache")]
+    h3 = d.decode(bytes.fromhex(
+        "828785bf400a637573746f6d2d6b65790c637573746f6d2d76616c7565"))
+    assert h3 == [(":method", "GET"), (":scheme", "https"),
+                  (":path", "/index.html"), (":authority", "www.example.com"),
+                  ("custom-key", "custom-value")]
+
+
+def test_hpack_rfc7541_c4_request_sequence_huffman():
+    """C.4: the same three requests WITH Huffman coding."""
+    d = hpack.Decoder()
+    h1 = d.decode(bytes.fromhex("828684418cf1e3c2e5f23a6ba0ab90f4ff"))
+    assert h1[-1] == (":authority", "www.example.com")
+    h2_ = d.decode(bytes.fromhex("828684be5886a8eb10649cbf"))
+    assert h2_[-1] == ("cache-control", "no-cache")
+    h3 = d.decode(bytes.fromhex(
+        "828785bf408825a849e95ba97d7f8925a849e95bb8e8b4bf"))
+    assert h3[-1] == ("custom-key", "custom-value")
+
+
+def test_hpack_encoder_decoder_roundtrip():
+    headers = [
+        (":method", "POST"), (":scheme", "http"),
+        (":path", "/seqproxyapi.v1.SeqProxyApi/Search"),
+        (":authority", "localhost:1234"),
+        ("content-type", "application/grpc"), ("te", "trailers"),
+        ("use-seq-ql", "true"), ("grpc-status", "0"),
+    ]
+    for huffman in (True, False):
+        enc = hpack.Encoder(huffman=huffman).encode(headers)
+        assert hpack.Decoder().decode(enc) == headers
+
+
+def test_hpack_table_size_update_and_eviction():
+    d = hpack.Decoder(max_table_size=4096)
+    # add an entry via incremental indexing, then shrink the table to 0
+    block = hpack.encode_int(0, 6, 0x40) + hpack._encode_string("k", False) \
+        + hpack._encode_string("v", False)
+    assert d.decode(block) == [("k", "v")]
+    assert d.decode(hpack.encode_int(62, 7, 0x80)) == [("k", "v")]
+    d.decode(hpack.encode_int(0, 5, 0x20))  # size update to 0 → evict
+    with pytest.raises(ValueError):
+        d.decode(hpack.encode_int(62, 7, 0x80))
+
+
+# ------------------------------------------------------------------- h2/grpc
+
+REQ = {1: Field("name", "string"), 2: Field("n", "int64"),
+       3: Field("vals", "double", repeated=True)}
+RESP = {1: Field("echo", "string"), 2: Field("sum", "double")}
+
+
+@pytest.fixture()
+def echo_server():
+    def echo(req, md):
+        return {"echo": req["name"] + md.get("x-extra", ""),
+                "sum": sum(req["vals"]) + req["n"]}
+
+    def stream(req, md):
+        for i in range(req["n"]):
+            yield {"echo": f"{req['name']}-{i}", "sum": float(i)}
+
+    def boom(req, md):
+        raise ValueError("bad input here")
+
+    def big(req, md):
+        for i in range(req["n"]):
+            yield {"echo": "x" * 1000, "sum": float(i)}
+
+    srv = g.GrpcServer({
+        "/t.S/Echo": g.Method(echo, REQ, RESP),
+        "/t.S/Stream": g.Method(stream, REQ, RESP, server_streaming=True),
+        "/t.S/Boom": g.Method(boom, REQ, RESP),
+        "/t.S/Big": g.Method(big, REQ, RESP, server_streaming=True),
+    }).start()
+    yield srv
+    srv.stop()
+
+
+def test_grpc_unary_roundtrip(echo_server):
+    ch = g.GrpcChannel("127.0.0.1", echo_server.port)
+    try:
+        r = ch.unary("/t.S/Echo", {"name": "hi", "n": 5, "vals": [1.5, 2.5]},
+                     REQ, RESP, metadata=[("x-extra", "!")])
+        assert r["echo"] == "hi!"
+        assert r["sum"] == 9.0
+    finally:
+        ch.close()
+
+
+def test_grpc_streaming_and_multiplexed(echo_server):
+    ch = g.GrpcChannel("127.0.0.1", echo_server.port)
+    try:
+        rs = ch.server_streaming("/t.S/Stream", {"name": "s", "n": 3},
+                                 REQ, RESP)
+        assert [m["echo"] for m in rs] == ["s-0", "s-1", "s-2"]
+        # several concurrent streams on ONE connection
+        results = {}
+
+        def call(i):
+            results[i] = ch.unary("/t.S/Echo", {"name": f"c{i}", "n": i},
+                                  REQ, RESP)
+
+        threads = [threading.Thread(target=call, args=(i,)) for i in range(8)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(30)
+        assert {r["echo"] for r in results.values()} == {f"c{i}" for i in range(8)}
+    finally:
+        ch.close()
+
+
+def test_grpc_error_codes(echo_server):
+    ch = g.GrpcChannel("127.0.0.1", echo_server.port)
+    try:
+        with pytest.raises(g.GrpcError) as ei:
+            ch.unary("/t.S/Nope", {}, REQ, RESP)
+        assert ei.value.code == g.UNIMPLEMENTED
+        with pytest.raises(g.GrpcError) as ei:
+            ch.unary("/t.S/Boom", {"name": "x"}, REQ, RESP)
+        assert ei.value.code == g.INVALID_ARGUMENT
+        assert "bad input here" in ei.value.message
+    finally:
+        ch.close()
+
+
+def test_grpc_flow_control_large_stream(echo_server):
+    """300 × ~1 KB messages ≫ the 64 KiB initial window: requires the
+    server to honor WINDOW_UPDATE replenishment or the stream deadlocks."""
+    ch = g.GrpcChannel("127.0.0.1", echo_server.port)
+    try:
+        rs = ch.server_streaming("/t.S/Big", {"n": 300}, REQ, RESP)
+        assert len(rs) == 300
+        assert rs[-1]["sum"] == 299.0
+    finally:
+        ch.close()
+
+
+def test_grpc_compressed_flag_rejected(echo_server):
+    ch = g.GrpcChannel("127.0.0.1", echo_server.port)
+    try:
+        payload = pb.encode(REQ, {"name": "x"})
+        body = b"\x01" + struct.pack(">I", len(payload)) + payload
+        st = ch._client.request(
+            [(":method", "POST"), (":scheme", "http"), (":path", "/t.S/Echo"),
+             (":authority", "x"), ("content-type", "application/grpc"),
+             ("te", "trailers")],
+            body,
+        )
+        ch._client.wait(st, 30)
+        code, msg = ch._status_of(st)
+        assert code == g.UNIMPLEMENTED
+    finally:
+        ch.close()
+
+
+def test_h2_continuation_frames(echo_server):
+    """Header block split across HEADERS + CONTINUATION must reassemble."""
+    import socket
+
+    enc = hpack.Encoder()
+    sock = socket.create_connection(("127.0.0.1", echo_server.port), timeout=30)
+    try:
+        sock.sendall(h2.PREFACE + h2.pack_frame(h2.SETTINGS, 0, 0, b""))
+        block = enc.encode([
+            (":method", "POST"), (":scheme", "http"), (":path", "/t.S/Echo"),
+            (":authority", "x"), ("content-type", "application/grpc"),
+            ("te", "trailers"),
+        ])
+        half = len(block) // 2
+        body = g.frame_message(pb.encode(REQ, {"name": "cont", "n": 1}))
+        sock.sendall(
+            h2.pack_frame(h2.HEADERS, 0, 1, block[:half])
+            + h2.pack_frame(h2.CONTINUATION, h2.FLAG_END_HEADERS, 1,
+                            block[half:])
+            + h2.pack_frame(h2.DATA, h2.FLAG_END_STREAM, 1, body)
+        )
+        data = bytearray()
+        trailers_seen = False
+        dec = hpack.Decoder()
+        while not trailers_seen:
+            ftype, flags, sid, payload = h2.read_frame(sock)
+            if ftype == h2.DATA and sid == 1:
+                data += payload
+            elif ftype == h2.HEADERS and sid == 1:
+                headers = dec.decode(payload)
+                if ("grpc-status", "0") in headers:
+                    trailers_seen = True
+        msgs = list(g.iter_messages(bytes(data)))
+        assert pb.decode(RESP, msgs[0])["echo"] == "cont"
+    finally:
+        sock.close()
+
+
+def test_grpc_multiple_messages_in_body():
+    frames = g.frame_message(b"ab") + g.frame_message(b"") + g.frame_message(b"c")
+    assert list(g.iter_messages(frames)) == [b"ab", b"", b"c"]
+    with pytest.raises(g.GrpcError):
+        list(g.iter_messages(b"\x00\x00\x00\x00\x05ab"))
