@@ -1142,6 +1142,77 @@ def q_multimodal_resize(spark, sf_dir):
     )
 
 
+#: fixed k-means centroids (k=4, dim=64) for the semantic-dedup entries:
+#: trained ONCE via `ivf_train(k=4, iters=5)` on the sf0.01 embeddings,
+#: rounded to 6 decimals and frozen as literals so the DuckDB oracle can
+#: replicate the exact cell assignment (centroids are inputs, not outputs,
+#: of SemDeDup-style dedup)
+SEMDEDUP_CENTROIDS: list[list[float]] = [
+    [0.033493, -0.020694, 0.020575, -0.029421, 0.018005, -0.012202, -0.013685, 0.016735, 0.046333, -0.019294, 0.027382, -0.050595, -0.028354, -0.035077, -0.033433, 0.014992, 0.020965, 0.047931, 0.022585, 0.039306, -0.035204, 0.012499, 0.001258, -0.013402, -0.037954, 0.014519, 0.029393, 0.034704, -0.005512, 0.02856, 0.002477, 0.055549, 0.006289, -0.01476, 0.008219, 0.009777, -0.034968, 0.00374, -0.005019, 0.040447, -0.001016, -0.028123, 0.008404, 0.028389, -0.006417, 0.033034, 0.015913, -0.000636, -0.023682, 0.002282, 0.016692, 0.014679, 0.039796, -0.052296, 0.027627, -0.014513, 0.003416, -0.001111, -0.025128, -0.033078, -0.029792, -0.004926, -0.023516, -0.032204],
+    [-0.023607, 0.002035, 0.031498, -0.010068, -0.017604, 0.022323, -0.039918, 0.026526, -0.021199, 0.079815, -0.055989, 0.027718, 0.033003, -0.044653, 0.026257, -0.004664, 0.011041, -0.020246, 0.002886, -0.010216, 0.017778, 0.011819, 0.000543, -0.026992, 0.035869, 0.033793, -0.021592, 0.004533, -0.000531, 0.016636, 0.006151, 0.009759, -0.005063, 0.018737, 0.033127, 0.00425, -0.015879, -0.032559, -0.001087, -0.049307, -0.013274, -0.008386, 0.030975, 0.007542, -0.017674, -0.006888, -0.037751, 0.010071, -0.054993, -0.025741, -0.014282, 0.01933, -0.015865, 0.033191, 0.003753, 0.007921, 0.014469, -0.000662, -0.0025, 0.034269, -0.037721, 0.008029, -0.016919, -0.039698],
+    [0.015107, 0.008254, -0.012395, 0.027636, 0.036129, 0.02194, -0.032059, 0.003643, -0.015696, -0.059878, 0.016905, 0.004369, -0.036848, 0.025284, -0.019475, 0.019216, -0.017409, 0.015974, -0.019557, -0.026872, 0.007989, 0.0052, 0.031819, -0.011817, 0.002384, -0.035861, -0.015318, -0.003497, 0.020325, -0.007305, 0.0099, -0.063695, -0.020171, -0.00816, -0.00682, 0.011142, 0.001687, 0.033864, 0.009187, 0.02448, -0.000568, -0.012333, 0.021796, 0.014797, -0.052058, 0.003985, 0.016363, 0.021776, 0.026582, 0.028875, 0.017322, -0.009146, 0.000239, 0.00713, 0.02328, 0.020145, 0.014, -0.020598, -0.02216, 0.014377, 0.033707, -0.004156, 0.043042, 0.043965],
+    [-0.018408, -0.009435, -0.021001, -0.011904, -0.000802, -0.002635, 0.014054, -0.008816, -0.01747, 0.006482, 0.034709, 0.031948, 0.026714, 0.058162, 0.028697, -0.007833, 0.001794, -0.021981, -0.004984, 0.006425, -0.007196, -0.020371, -0.020685, 0.019977, -0.007792, 0.045695, 0.00269, 0.008665, -0.021732, -0.03469, 0.003316, -0.016305, 0.055679, -0.021765, -0.011619, -0.021622, 0.026395, -0.016788, -0.008316, -0.024388, 0.007449, 0.001523, -0.061918, -0.054559, 0.035274, -0.014844, 8.1e-05, -0.009684, 0.031694, -0.051884, 0.016212, -0.029142, 0.007579, -0.004628, -0.038092, -0.03078, -0.013773, 0.014923, 0.032572, -0.052624, 0.027062, 0.022264, -0.013611, -0.033439],
+]
+
+
+def _semdedup_rounded_pairs(spark, sf_dir):
+    """Within-cell pairs with the cosine ROUNDED to 4dp before the
+    threshold, so Spark and the DuckDB oracle apply the identical cut."""
+    from seqspark.pipeline.dedup import semantic_dedup_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        semantic_dedup_pairs(emb, SEMDEDUP_CENTROIDS, threshold=-1.0)
+        .withColumn("cos", F.round(F.col("cos"), 4))
+        .filter(F.col("cos") >= 0.4)
+    )
+
+
+def q_semantic_dedup_pairs(spark, sf_dir):
+    # SemDeDup cells: nearest-centroid assignment, then within-cell pairs
+    # only (sum(|cell|^2) pair work, never |corpus|^2)
+    return _semdedup_rounded_pairs(spark, sf_dir).select("a", "b", "cell", "cos")
+
+
+def q_semantic_dedup(spark, sf_dir):
+    # survivors under the deterministic min-id keep rule
+    emb = load_table(spark, sf_dir, "embeddings")
+    losers = (
+        _semdedup_rounded_pairs(spark, sf_dir)
+        .select(F.col("b").alias("vec_id"))
+        .distinct()
+    )
+    return emb.join(losers, "vec_id", "left_anti").select("vec_id", "label")
+
+
+def q_span_dedup(spark, sf_dir):
+    # corpus-wide duplicated-span removal (k-gram exact-substring dedup):
+    # first occurrence by (doc_id, pos) wins, later copies are cut out
+    from seqspark.pipeline.dedup import duplicate_span_removal
+
+    docs = load_table(spark, sf_dir, "documents")
+    return duplicate_span_removal(docs, k=8).select("doc_id", "clean_text")
+
+
+def q_fuzzy_contamination(spark, sf_dir):
+    # doc-pair word-3-gram Jaccard across a train/test split (fuzzy
+    # decontamination), with a document-frequency cap on join keys
+    from seqspark.pipeline.scrub import fuzzy_contamination_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 2 == 0).withColumnRenamed(
+        "doc_id", "train_id"
+    )
+    test = docs.filter(F.col("doc_id") % 2 == 1).withColumnRenamed(
+        "doc_id", "test_id"
+    )
+    out = fuzzy_contamination_pairs(
+        train, test, "train_id", "text", "test_id", "text",
+        n=3, threshold=0.4, max_df=100,
+    )
+    return out.withColumn("jaccard", F.round(F.col("jaccard"), 6))
+
+
 #: entries that deliberately have no SQL oracle twin (LSH candidate
 #: generation and multimodal plumbing are not SQL-expressible); the driver
 #: records a weaker rows-only check for these. Everything else MUST have an
@@ -1249,6 +1320,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_dup_clusters": q_embedding_dup_clusters,
         "top_per_group": q_top_per_group,
         "heavy_hitters": q_heavy_hitters,
+        "semantic_dedup_pairs": q_semantic_dedup_pairs,
+        "semantic_dedup": q_semantic_dedup,
+        "span_dedup": q_span_dedup,
+        "fuzzy_contamination": q_fuzzy_contamination,
     }
 
 
@@ -1836,6 +1911,89 @@ def oracle_sql() -> dict[str, str]:
         "reach(u, r) AS (SELECT u, u FROM (SELECT DISTINCT u FROM sym) "
         "UNION SELECT s.v, reach.r FROM reach JOIN sym s ON s.u = reach.u) "
         "SELECT u AS doc_id, min(r) AS cluster_root FROM reach GROUP BY u"
+    )
+    # SemDeDup cells: nearest-centroid (max cosine, first-wins ties exactly
+    # like ivf_assign's strict-greater chain) from the frozen literal
+    # centroids; DOUBLE[] casts make DuckDB compute in the same precision
+    # Spark does
+    def _clit(c):
+        return "[" + ",".join(repr(float(x)) for x in c) + "]"
+
+    _sims = ", ".join(
+        f"list_cosine_similarity(e, {_clit(c)}) AS s{i}"
+        for i, c in enumerate(SEMDEDUP_CENTROIDS)
+    )
+    _cells_cte = (
+        "WITH sims AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings), "
+        f"simv AS (SELECT vec_id, e, {_sims} FROM sims), "
+        "cells AS (SELECT vec_id, e, CASE "
+        "WHEN s0 >= s1 AND s0 >= s2 AND s0 >= s3 THEN 0 "
+        "WHEN s1 >= s2 AND s1 >= s3 THEN 1 "
+        "WHEN s2 >= s3 THEN 2 ELSE 3 END AS cell FROM simv) "
+    )
+    sql["semantic_dedup_pairs"] = (
+        _cells_cte
+        + "SELECT x.vec_id AS a, y.vec_id AS b, x.cell AS cell, "
+        "round(list_cosine_similarity(x.e, y.e), 4) AS cos "
+        "FROM cells x JOIN cells y ON x.cell = y.cell AND x.vec_id < y.vec_id "
+        "WHERE round(list_cosine_similarity(x.e, y.e), 4) >= 0.4"
+    )
+    sql["semantic_dedup"] = (
+        _cells_cte
+        + "SELECT vec_id, label FROM embeddings WHERE vec_id NOT IN ("
+        "SELECT y.vec_id FROM cells x JOIN cells y "
+        "ON x.cell = y.cell AND x.vec_id < y.vec_id "
+        "WHERE round(list_cosine_similarity(x.e, y.e), 4) >= 0.4)"
+    )
+    # duplicated-span removal: md5 over the space-joined 8-word window on
+    # both sides; first occurrence by (doc_id, pos) wins corpus-wide
+    sql["span_dedup"] = (
+        "WITH words AS (SELECT doc_id, string_split(text, ' ') AS ws "
+        "FROM documents), "
+        "pos_list AS (SELECT doc_id, ws, "
+        "unnest(generate_series(1, len(ws) - 8 + 1)) AS p FROM words), "
+        "occ AS (SELECT doc_id, p - 1 AS pos, "
+        "md5(array_to_string(ws[p : p + 7], ' ')) AS h FROM pos_list), "
+        "ranked AS (SELECT *, row_number() OVER "
+        "(PARTITION BY h ORDER BY doc_id, pos) AS rn FROM occ), "
+        "cov_raw AS (SELECT doc_id, "
+        "unnest(generate_series(pos, pos + 7)) AS cp FROM ranked WHERE rn > 1), "
+        "covered AS (SELECT DISTINCT doc_id, cp FROM cov_raw), "
+        "tok_idx AS (SELECT doc_id, ws, "
+        "unnest(generate_series(1, len(ws))) AS i FROM words), "
+        "toks AS (SELECT doc_id, i - 1 AS idx, ws[i] AS w FROM tok_idx), "
+        "kept AS (SELECT t.doc_id, t.idx, t.w FROM toks t "
+        "LEFT JOIN covered c ON c.doc_id = t.doc_id AND c.cp = t.idx "
+        "WHERE c.doc_id IS NULL) "
+        "SELECT w.doc_id, coalesce(k.ct, '') AS clean_text FROM words w "
+        "LEFT JOIN (SELECT doc_id, string_agg(w, ' ' ORDER BY idx) AS ct "
+        "FROM kept GROUP BY doc_id) k ON k.doc_id = w.doc_id"
+    )
+    # fuzzy contamination: doc-pair 3-gram Jaccard across the parity
+    # train/test split with a document-frequency cap on join grams
+    _g3 = (
+        "list_distinct(list_transform(range(1, greatest(len(W) - 2, 1) + 1), "
+        "i -> W[i] || ' ' || W[i+1] || ' ' || W[i+2]))"
+    ).replace("W", "w")
+    sql["fuzzy_contamination"] = (
+        "WITH tr AS (SELECT doc_id AS train_id, " + _WORDS + " AS w "
+        "FROM documents WHERE doc_id % 2 = 0), "
+        "te AS (SELECT doc_id AS test_id, " + _WORDS + " AS w "
+        "FROM documents WHERE doc_id % 2 = 1), "
+        f"dg AS (SELECT DISTINCT train_id, unnest({_g3}) AS gram FROM tr), "
+        f"bg AS (SELECT DISTINCT test_id, unnest({_g3}) AS gram FROM te), "
+        "capg AS (SELECT gram FROM (SELECT gram FROM dg UNION ALL "
+        "SELECT gram FROM bg) GROUP BY gram HAVING count(*) <= 100), "
+        "dgc AS (SELECT dg.* FROM dg JOIN capg USING (gram)), "
+        "bgc AS (SELECT bg.* FROM bg JOIN capg USING (gram)), "
+        "ds AS (SELECT train_id, count(*) AS na FROM dgc GROUP BY 1), "
+        "bs AS (SELECT test_id, count(*) AS nb FROM bgc GROUP BY 1), "
+        "ix AS (SELECT train_id, test_id, count(*) AS inter "
+        "FROM dgc JOIN bgc USING (gram) GROUP BY 1, 2) "
+        "SELECT ix.train_id, ix.test_id, ix.inter, "
+        "round(ix.inter / (ds.na + bs.nb - ix.inter)::DOUBLE, 6) AS jaccard "
+        "FROM ix JOIN ds USING (train_id) JOIN bs USING (test_id) "
+        "WHERE ix.inter / (ds.na + bs.nb - ix.inter)::DOUBLE >= 0.4"
     )
     # rows-only entries (LSH candidate generation, multimodal plumbing) have
     # no SQL equivalent on purpose — the driver records a weaker check for

@@ -478,3 +478,145 @@ def embedding_cosine_dupes(
         .select("id_a", "id_b", "cos")
         .distinct()
     )
+
+
+def semantic_dedup_pairs(
+    emb: DataFrame,
+    centroids: Sequence[Sequence[float]],
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic near-dup pairs (Abbas et al. 2023,
+    "SemDeDup: Data-efficient learning at web-scale through semantic
+    deduplication"): assign every embedding to its nearest k-means
+    centroid (max cosine, first-wins ties — :func:`seqspark.pipeline.ann.
+    ivf_assign`), then compare pairs only WITHIN a cell.
+
+    100 TB posture: centroids are a broadcast-size literal (k x dim
+    floats), assignment is a narrow projection, and the pair join is
+    keyed by cell — the pair count is sum(|cell|^2) instead of |corpus|^2,
+    the paper's own scaling argument. Train centroids with
+    :func:`seqspark.pipeline.ann.ivf_train` (k ~ sqrt(N) keeps cells
+    small); a skewed cell shows up in the Spark UI as one fat join key
+    and is fixed by retraining with larger k, not by salting (splitting a
+    cell across salts would lose within-cell pairs).
+
+    Output: ``(a, b, cell, cos)`` with a < b, cos >= threshold.
+    """
+    from .ann import cosine, ivf_assign
+
+    cells = ivf_assign(emb, centroids, vec_col=vec_col, out_col="__cell").select(
+        F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"), "__cell"
+    )
+    a = cells.select(
+        "__cell", F.col("__id").alias("a"), F.col("__v").alias("__va")
+    )
+    b = cells.select(
+        "__cell", F.col("__id").alias("b"), F.col("__v").alias("__vb")
+    )
+    return (
+        a.join(b, "__cell")
+        .filter(F.col("a") < F.col("b"))
+        .withColumn("cos", cosine(F.col("__va"), F.col("__vb")))
+        .filter(F.col("cos") >= threshold)
+        .select("a", "b", F.col("__cell").alias("cell"), "cos")
+    )
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    centroids: Sequence[Sequence[float]],
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Drop semantic near-duplicates: a row survives unless some
+    SMALLER-id row in its cell sits within the cosine threshold.
+
+    The keep rule is deterministic one-shot min-id (SemDeDup's one-shot
+    within-cluster pruning with id rank standing in for the paper's
+    centroid-distance rank — rank choice is a policy knob, the scaling
+    shape is identical). Anti-join on the loser set: one shuffle beyond
+    the pair join."""
+    losers = (
+        semantic_dedup_pairs(emb, centroids, threshold, id_col, vec_col)
+        .select(F.col("b").alias(id_col))
+        .distinct()
+    )
+    return emb.join(losers, id_col, "left_anti")
+
+
+def duplicate_span_removal(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    out_col: str = "clean_text",
+) -> DataFrame:
+    """Corpus-wide duplicated-span removal — the k-gram approximation of
+    exact substring deduplication (Lee et al. 2021, "Deduplicating
+    Training Data Makes Language Models Better", which uses suffix
+    arrays; a distributed engine approximates the same effect at k-word
+    granularity, the approach NeMo-Curator/Dolma-style pipelines take).
+
+    Every k-word window is hashed (md5 over the space-joined words); the
+    FIRST occurrence corpus-wide — ordered by (doc id, position) — is
+    kept, and every other occurrence marks its k positions for removal.
+    A document's surviving words are re-joined in order (documents made
+    entirely of duplicated text collapse to '').
+
+    100 TB posture: two hash-keyed shuffles (winner-agg is map-side
+    combinable min; occurrence/winner join shares the key) plus one
+    doc-keyed shuffle for reassembly — no corpus-wide window, no driver
+    state; the covered-position explode is bounded by k x duplicate
+    volume, not corpus size. Uniform md5 keys cannot skew.
+
+    Output: the input columns plus ``out_col``.
+    """
+    words = F.split(F.col(text_col), " ")
+    n = F.size(words)
+    shingles = F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(1), n - F.lit(k - 1)),
+            lambda p: F.struct(
+                (p - 1).alias("pos"),
+                F.md5(F.array_join(F.slice(words, p, k), " ")).alias("h"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<pos:int,h:string>>"))
+
+    occ = df.select(
+        F.col(id_col).alias("__did"), F.explode(shingles).alias("s")
+    ).select("__did", F.col("s.pos").alias("__pos"), F.col("s.h").alias("__h"))
+
+    winners = occ.groupBy("__h").agg(
+        F.min(F.struct(F.col("__did").alias("d"), F.col("__pos").alias("p"))).alias(
+            "__w"
+        )
+    )
+    dups = occ.join(winners, "__h").filter(
+        (F.col("__did") != F.col("__w.d")) | (F.col("__pos") != F.col("__w.p"))
+    )
+    covered = (
+        dups.select(
+            "__did",
+            F.explode(
+                F.sequence(F.col("__pos"), F.col("__pos") + F.lit(k - 1))
+            ).alias("__cp"),
+        )
+        .groupBy("__did")
+        .agg(F.collect_set("__cp").alias("__cover"))
+    )
+    out = df.join(
+        covered, df[id_col] == covered["__did"], "left"
+    ).drop("__did")
+    cover = F.coalesce(F.col("__cover"), F.array().cast("array<int>"))
+    kept = F.filter(
+        F.transform(
+            words, lambda w, i: F.when(~F.array_contains(cover, i), w)
+        ),
+        lambda w: w.isNotNull(),
+    )
+    return out.withColumn(out_col, F.array_join(kept, " ")).drop("__cover")

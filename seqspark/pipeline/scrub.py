@@ -97,3 +97,76 @@ def repetition_ratio(text: Column, n: int = 3) -> Column:
         total >= 1,
         F.lit(1.0) - F.size(F.array_distinct(grams)) / total.cast("double"),
     ).otherwise(F.lit(0.0))
+
+
+def fuzzy_contamination_pairs(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    doc_id: str,
+    doc_text: str,
+    bench_id: str,
+    bench_text: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_df: int = 100,
+) -> DataFrame:
+    """Document-level fuzzy contamination: (corpus doc, benchmark doc)
+    pairs whose EXACT word-n-gram Jaccard similarity reaches
+    ``threshold`` — the pair-level refinement of :func:`decontaminate`
+    (which only flags any-single-n-gram overlap). This is the standard
+    fuzzy train/test-overlap check (GPT-3 appendix C / PaLM-style
+    13-gram decontamination reports pairs, not booleans).
+
+    Mechanics: distinct n-gram set per doc on both sides; n-grams whose
+    document frequency across BOTH sides exceeds ``max_df`` are dropped
+    (stop-gram cap); the sides join on the n-gram, intersections are
+    counted per pair, and Jaccard = inter / (|A| + |B| - inter).
+
+    100 TB posture: one shuffle keyed by n-gram for the join; the
+    ``max_df`` cap bounds every join key's fanout to max_df^2 pairs, so
+    a boilerplate n-gram ("all rights reserved ...") cannot quadratically
+    explode the shuffle — the same frequency cutoff production dedup
+    pipelines apply. Set sizes are map-side-combinable counts.
+
+    Output: ``(doc_id, bench_id, inter BIGINT, jaccard DOUBLE)``.
+    """
+    def gram_sets(frame: DataFrame, idc: str, textc: str, side: str) -> DataFrame:
+        return frame.select(
+            F.col(idc).alias(f"__{side}_id"),
+            F.explode(word_ngrams(F.col(textc), n)).alias("gram"),
+        ).distinct()
+
+    d = gram_sets(docs, doc_id, doc_text, "d")
+    b = gram_sets(benchmark, bench_id, bench_text, "b")
+    df_cap = (
+        d.select("gram").unionAll(b.select("gram"))
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .filter(F.col("__df") <= max_df)
+        .select("gram")
+    )
+    d = d.join(df_cap, "gram", "left_semi")
+    b = b.join(df_cap, "gram", "left_semi")
+    d_sizes = d.groupBy("__d_id").agg(F.count(F.lit(1)).alias("__na"))
+    b_sizes = b.groupBy("__b_id").agg(F.count(F.lit(1)).alias("__nb"))
+    inter = (
+        d.join(b, "gram")
+        .groupBy("__d_id", "__b_id")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.join(d_sizes, "__d_id")
+        .join(b_sizes, "__b_id")
+        .withColumn(
+            "jaccard",
+            F.col("inter")
+            / (F.col("__na") + F.col("__nb") - F.col("inter")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select(
+            F.col("__d_id").alias(doc_id),
+            F.col("__b_id").alias(bench_id),
+            "inter",
+            "jaccard",
+        )
+    )

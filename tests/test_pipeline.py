@@ -1045,3 +1045,124 @@ def test_unigram_lm_perplexity_scoring(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "BroadcastHashJoin" in plan
+
+
+def test_semantic_dedup_planted_duplicates(spark):
+    """Planted near-identical vectors must pair up within their cell and
+    the min-id rule keeps exactly the lowest id of each dup group."""
+    from seqspark.pipeline.dedup import semantic_dedup, semantic_dedup_pairs
+
+    base_a = [1.0, 0.0, 0.0, 0.0]
+    base_b = [0.0, 1.0, 0.0, 0.0]
+    rows = [
+        (1, base_a), (2, [0.99, 0.01, 0.0, 0.0]),      # dup group {1, 2}
+        (3, base_b), (4, [0.01, 0.999, 0.0, 0.0]),     # dup group {3, 4}
+        (5, [0.0, 0.0, 1.0, 0.0]),                     # unique
+        (6, [-1.0, 0.0, 0.0, 0.0]),                    # anti-parallel: not a dup
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = [base_a, base_b, [0.0, 0.0, 1.0, 0.0], [0.0, 0.0, 0.0, 1.0]]
+    pairs = semantic_dedup_pairs(emb, cents, threshold=0.95)
+    got = {(r["a"], r["b"]) for r in pairs.collect()}
+    assert got == {(1, 2), (3, 4)}
+    surv = sorted(r["vec_id"] for r in semantic_dedup(emb, cents, 0.95).collect())
+    assert surv == [1, 3, 5, 6]
+
+
+def test_semantic_dedup_pairs_only_within_cells(spark):
+    """Cross-cell near-dups are invisible by design (the SemDeDup recall
+    trade): two identical vectors forced into different cells via tie
+    ordering never pair."""
+    from seqspark.pipeline.dedup import semantic_dedup_pairs
+
+    emb = spark.createDataFrame(
+        [(1, [1.0, 1.0]), (2, [1.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    # both centroids are equidistant -> first-wins puts BOTH in cell 0:
+    # same cell, so they DO pair (tie handling is deterministic)
+    same = semantic_dedup_pairs(emb, [[1.0, 0.0], [0.0, 1.0]], 0.9).collect()
+    assert [(r["a"], r["b"], r["cell"]) for r in same] == [(1, 2, 0)]
+
+
+def test_duplicate_span_removal_first_occurrence_wins(spark):
+    from seqspark.pipeline.dedup import duplicate_span_removal
+
+    boiler = "all rights reserved by the site owner today"  # 8 words
+    rows = [
+        (1, boiler + " unique alpha text"),
+        (2, "prefix words here " + boiler),         # dup span mid-doc
+        (3, boiler),                                # pure duplicate -> ""
+        (4, "short doc"),                           # < k words: untouched
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r["clean_text"]
+           for r in duplicate_span_removal(df, k=8).collect()}
+    assert out[1] == boiler + " unique alpha text"  # first occurrence kept
+    assert out[2] == "prefix words here"
+    assert out[3] == ""
+    assert out[4] == "short doc"
+    # idempotence: a second pass removes nothing more
+    cleaned = spark.createDataFrame(
+        [(k, v) for k, v in out.items() if v], "doc_id long, text string"
+    )
+    out2 = {r["doc_id"]: r["clean_text"]
+            for r in duplicate_span_removal(cleaned, k=8).collect()}
+    assert out2 == {k: v for k, v in out.items() if v}
+
+
+def test_duplicate_span_removal_overlapping_spans_merge(spark):
+    from seqspark.pipeline.dedup import duplicate_span_removal
+
+    # doc 2 repeats a 9-word run from doc 1: two overlapping dup 8-grams
+    # must merge into one 9-position cut, not leave a 1-word remainder
+    run = "w1 w2 w3 w4 w5 w6 w7 w8 w9"
+    df = spark.createDataFrame(
+        [(1, run + " tail"), (2, "head " + run)],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["clean_text"]
+           for r in duplicate_span_removal(df, k=8).collect()}
+    assert out[1] == run + " tail"
+    assert out[2] == "head"
+
+
+def test_fuzzy_contamination_pairs(spark):
+    from seqspark.pipeline.scrub import fuzzy_contamination_pairs
+
+    train = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "completely different training text with other words")],
+        "tid long, text string",
+    )
+    test = spark.createDataFrame(
+        [(10, "the quick brown fox jumps over a sleepy dog"),
+         (11, "nothing shared here at all whatsoever")],
+        "bid long, text string",
+    )
+    out = fuzzy_contamination_pairs(
+        train, test, "tid", "text", "bid", "text", n=3, threshold=0.3
+    ).collect()
+    assert [(r["tid"], r["bid"]) for r in out] == [(1, 10)]
+    assert 0.3 <= out[0]["jaccard"] < 1.0
+
+
+def test_fuzzy_contamination_df_cap_drops_boilerplate(spark):
+    from seqspark.pipeline.scrub import fuzzy_contamination_pairs
+
+    # a 3-gram shared by EVERY doc is dropped by the df cap, so two docs
+    # that only share boilerplate never pair
+    boiler = "copyright two thousand"
+    train = spark.createDataFrame(
+        [(i, boiler + f" train unique{i} words{i} here{i}") for i in range(4)],
+        "tid long, text string",
+    )
+    test = spark.createDataFrame(
+        [(10 + i, boiler + f" test other{i} tokens{i} there{i}") for i in range(4)],
+        "bid long, text string",
+    )
+    out = fuzzy_contamination_pairs(
+        train, test, "tid", "text", "bid", "text",
+        n=3, threshold=0.05, max_df=3,
+    ).collect()
+    assert out == []
