@@ -1213,6 +1213,64 @@ def q_fuzzy_contamination(spark, sf_dir):
     return out.withColumn("jaccard", F.round(F.col("jaccard"), 6))
 
 
+
+#: frozen quality-classifier model for the `quality_classifier` entry:
+#: trained ONCE via `train_quality_classifier(dim=256)` on the sf0.01
+#: documents (label = lang == 'en'; the synthetic corpus shares one
+#: vocabulary across langs, so the learned separation is weak — the entry
+#: verifies the hashed-feature SCORING machinery, which is the Spark-side
+#: deliverable; tests/test_pipeline.py proves learning on separable data)
+QC_BIAS = -0.248626
+QC_WEIGHTS: list[float] = [
+    0.168454, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0,
+    0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.094456,
+    0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0,
+    0.0, 0.0, 0.0, -0.046585, -0.143228, 0.0, 0.0, 0.0,
+    0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0,
+    0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0,
+    0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0,
+    -0.002956, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0,
+    0.0, 0.0, 0.0, 0.0, 0.0, 0.0, -0.093176, 0.0,
+    0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0,
+    0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0,
+    0.0, 0.0, 0.0, 0.0, -0.041879, 0.0, 0.0, 0.0,
+    0.0, 0.094616, 0.0, -0.062047, 0.0, -0.031478, 0.0, 0.0,
+    0.0, 0.0, 0.0, 0.0, 0.0, 0.0, -0.037835, 0.0,
+    0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, -0.102361,
+    0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0,
+    0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0,
+    0.0, 0.0, -0.027611, 0.0, 0.0, 0.0, 0.0, 0.0,
+    0.0, 0.0, 0.0, 0.0, 0.0, 0.0, -0.038594, 0.0,
+    0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.000674,
+    0.0, 0.203775, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0,
+    -0.038439, 0.0, 0.0, 0.0, 0.0, 0.0, -0.113738, 0.0,
+    0.0, 0.0, 0.0, 0.0, -0.154289, 0.0, 0.0, 0.0,
+    0.147417, 0.18755, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0,
+    0.0, 0.167775, 0.0, 0.0, -0.061226, 0.0, 0.0, 0.0,
+    0.0, -0.036155, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0,
+    0.0, 0.0, 0.0, 0.0, -0.070779, 0.0, 0.0, 0.0,
+    0.0, 0.0, 0.0, 0.0, -0.013573, 0.0, 0.0, 0.0,
+    0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0,
+    0.0, -0.091576, 0.0, 0.0, -0.05994, 0.0, 0.0, 0.0,
+    0.0, 0.088965, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0,
+    0.0, 0.0, 0.0, 0.0, 0.0, -0.101048, 0.0, 0.0,
+]
+
+
+def q_quality_classifier(spark, sf_dir):
+    # GPT-3-style corpus-quality classifier scoring: pure Catalyst (md5
+    # hashed-feature lookup in a literal weight array inside codegen)
+    from seqspark.pipeline.textstats import quality_classifier_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.round(
+            quality_classifier_score(F.col("text"), QC_WEIGHTS, QC_BIAS), 6
+        ).alias("quality_p"),
+    )
+
+
 #: entries that deliberately have no SQL oracle twin (LSH candidate
 #: generation and multimodal plumbing are not SQL-expressible); the driver
 #: records a weaker rows-only check for these. Everything else MUST have an
@@ -1324,6 +1382,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": q_semantic_dedup,
         "span_dedup": q_span_dedup,
         "fuzzy_contamination": q_fuzzy_contamination,
+        "quality_classifier": q_quality_classifier,
     }
 
 
@@ -1995,7 +2054,18 @@ def oracle_sql() -> dict[str, str]:
         "FROM ix JOIN ds USING (train_id) JOIN bs USING (test_id) "
         "WHERE ix.inter / (ds.na + bs.nb - ix.inter)::DOUBLE >= 0.4"
     )
-    # rows-only entries (LSH candidate generation, multimodal plumbing) have
+    # quality classifier: identical hashed-feature scoring in SQL — the
+    # weight vector rides as a literal list, the md5-prefix index matches
+    # hashed_token_index exactly
+    _qw = "[" + ",".join(repr(float(x)) for x in QC_WEIGHTS) + "]"
+    sql["quality_classifier"] = (
+        "WITH w AS (SELECT doc_id, " + _WORDS + " AS w FROM documents), "
+        "s AS (SELECT doc_id, len(w) AS n, list_sum(list_transform(w, "
+        f"x -> ({_qw}::DOUBLE[])[(('0x' || substring(md5(x), 1, 4))::INTEGER "
+        f"% {len(QC_WEIGHTS)}) + 1])) AS tot FROM w) "
+        f"SELECT doc_id, round(1.0 / (1.0 + exp(-({QC_BIAS!r} + "
+        "CASE WHEN n > 0 THEN tot / n ELSE 0.0 END))), 6) AS quality_p FROM s"
+    )
     # no SQL equivalent on purpose — the driver records a weaker check for
     # the names in ROWS_ONLY (pinned by tests/test_contract.py)
     return {k: v for k, v in sql.items() if v is not None}

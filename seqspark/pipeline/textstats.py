@@ -549,3 +549,104 @@ def token_budget_report(
     return per.withColumn(
         "token_share", F.round(F.col("n_tokens") / total, 6)
     )
+
+
+# ------------------------------------------------- quality classifier (GPT-3 style)
+
+
+def hashed_token_index(word: Column, dim: int) -> Column:
+    """Deterministic hashed-feature index of a token: the first 4 hex
+    chars of md5 parsed as an int, mod ``dim``. md5 is available and
+    bit-identical in every engine (Spark, DuckDB, Python), so scores are
+    reproducible outside Spark — unlike murmur-based ``F.hash``."""
+    return (
+        F.conv(F.substring(F.md5(word), 1, 4), 16, 10).cast("int") % dim
+    )
+
+
+def train_quality_classifier(
+    df: DataFrame,
+    label_col: str,
+    text_col: str = "text",
+    dim: int = 256,
+    sample_docs: int = 2000,
+    iters: int = 300,
+    lr: float = 0.5,
+    l2: float = 1e-3,
+) -> tuple[list[float], float]:
+    """Train a fasttext-style linear quality classifier: logistic
+    regression over hashed mean-token features — the GPT-3/PaLM corpus
+    curation step (classify docs as reference-corpus-like vs crawl-like,
+    keep high scorers; GPT-3 appendix A trains exactly this shape against
+    WebText as the positive class).
+
+    Feature extraction is distributed Catalyst (explode + groupBy); only
+    a ``sample_docs``-bounded dense matrix (sample_docs x dim doubles)
+    ever reaches the driver, where a deterministic full-batch gradient
+    descent fits (weights, bias). At 100 TB the sample cap IS the design:
+    classifier quality saturates in thousands of examples while scoring
+    (see :func:`quality_classifier_score`) stays corpus-side.
+
+    Returns ``(weights[dim], bias)``.
+    """
+    import numpy as np
+
+    feats = (
+        df.select(
+            F.col(label_col).cast("double").alias("__y"),
+            F.monotonically_increasing_id().alias("__doc"),
+            words(F.col(text_col)).alias("__ws"),
+        )
+        .filter(F.size("__ws") > 0)
+        .limit(sample_docs)
+        .select(
+            "__doc", "__y", F.explode("__ws").alias("__w"),
+        )
+        .withColumn("__idx", hashed_token_index(F.col("__w"), dim))
+        .groupBy("__doc", "__y")
+        .agg(
+            F.collect_list("__idx").alias("__idxs"),
+            F.count(F.lit(1)).alias("__n"),
+        )
+        .collect()
+    )
+    if not feats:
+        raise ValueError("no non-empty documents to train on")
+    X = np.zeros((len(feats), dim))
+    y = np.zeros(len(feats))
+    for i, row in enumerate(feats):
+        y[i] = row["__y"]
+        n = row["__n"]
+        for idx in row["__idxs"]:
+            X[i, idx] += 1.0 / n  # mean token features, fasttext-style
+    w = np.zeros(dim)
+    b = 0.0
+    for _ in range(iters):
+        z = X @ w + b
+        p = 1.0 / (1.0 + np.exp(-z))
+        g = p - y
+        w -= lr * (X.T @ g / len(y) + l2 * w)
+        b -= lr * float(g.mean())
+    return [float(v) for v in w], float(b)
+
+
+def quality_classifier_score(
+    text: Column, weights: list[float], bias: float
+) -> Column:
+    """Score a document with a trained :func:`train_quality_classifier`
+    model — PURE Catalyst (no UDF, no model files): mean of the hashed
+    token weights through a sigmoid. Weights are a broadcast-size literal
+    array riding the plan; the expression runs inside whole-stage codegen
+    on every executor. Empty documents score ``sigmoid(bias)``."""
+    dim = len(weights)
+    warr = F.array(*[F.lit(float(v)) for v in weights])
+    ws = words(text)
+    n = F.size(ws)
+    total = F.aggregate(
+        ws,
+        F.lit(0.0),
+        lambda acc, w: acc
+        + F.element_at(warr, hashed_token_index(w, dim) + 1),
+    )
+    z = F.lit(float(bias)) + F.when(n > 0, total / n).otherwise(F.lit(0.0))
+    return F.lit(1.0) / (F.lit(1.0) + F.exp(-z))

@@ -1166,3 +1166,51 @@ def test_fuzzy_contamination_df_cap_drops_boilerplate(spark):
         n=3, threshold=0.05, max_df=3,
     ).collect()
     assert out == []
+
+
+def test_quality_classifier_learns_separable_vocab(spark):
+    """Planted disjoint vocabularies must be perfectly separable; scoring
+    must run as pure Catalyst (no Python UDF in the plan)."""
+    import random
+
+    from seqspark.pipeline.textstats import (
+        quality_classifier_score,
+        train_quality_classifier,
+    )
+
+    rng = random.Random(11)
+    good_vocab = [f"good{i}" for i in range(30)]
+    bad_vocab = [f"bad{i}" for i in range(30)]
+    rows = []
+    for i in range(120):
+        vocab = good_vocab if i % 2 == 0 else bad_vocab
+        rows.append(
+            (i, i % 2 == 0, " ".join(rng.choice(vocab) for _ in range(25)))
+        )
+    df = spark.createDataFrame(rows, "doc_id long, y boolean, text string")
+    w, b = train_quality_classifier(df, "y", dim=128, sample_docs=120)
+    scored = df.select(
+        "doc_id", "y", quality_classifier_score(F.col("text"), w, b).alias("p")
+    )
+    plan = scored._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan  # codegen-side scoring, no UDF
+    rows = scored.collect()
+    acc = sum(1 for r in rows if (r["p"] >= 0.5) == r["y"]) / len(rows)
+    assert acc == 1.0
+    # empty document scores exactly sigmoid(bias)
+    import math
+
+    empty = spark.createDataFrame([("",)], "text string").select(
+        quality_classifier_score(F.col("text"), w, b).alias("p")
+    )
+    assert abs(empty.head()["p"] - 1 / (1 + math.exp(-b))) < 1e-12
+
+
+def test_quality_classifier_rejects_empty_corpus(spark):
+    import pytest as _pytest
+
+    from seqspark.pipeline.textstats import train_quality_classifier
+
+    df = spark.createDataFrame([], "doc_id long, y boolean, text string")
+    with _pytest.raises(ValueError):
+        train_quality_classifier(df, "y", dim=16)
