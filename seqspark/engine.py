@@ -882,6 +882,70 @@ class SearchTable:
             f"{df._jdf.queryExecution().toString()}"
         )
 
+    def explain_tree(
+        self,
+        q: str = "*",
+        from_ms: Optional[int] = None,
+        to_ms: Optional[int] = None,
+        dialect: Optional[str] = None,
+    ) -> Dict[str, object]:
+        """Structured explain: a span tree ``{message, duration_sec,
+        children}`` — the shape of the reference's query tracer
+        (`proxy/search/ingestor.go:576` builds nested ExplainEntry spans,
+        `grpc_complex_search.go:58` attaches the root). Children time the
+        actual phases: parse, predicate compilation + logical planning,
+        and physical planning; the physical plan text rides in the last
+        child so a gRPC client sees the same pushdown/routing evidence the
+        string explain carries."""
+        import time as _time
+
+        from .seqql.render import seqql_string
+
+        t_root = _time.perf_counter()
+        children: List[Dict[str, object]] = []
+
+        t0 = _time.perf_counter()
+        query = self.parse(q, dialect)
+        canonical = seqql_string(query)
+        children.append(
+            {
+                "message": f"parse [{dialect or self.dialect}]: {canonical}",
+                "duration_sec": _time.perf_counter() - t0,
+                "children": [
+                    {
+                        "message": f"AST: {query.root}",
+                        "duration_sec": 0.0,
+                        "children": [],
+                    }
+                ],
+            }
+        )
+
+        t0 = _time.perf_counter()
+        df, _ = self._filtered(q, from_ms, to_ms, dialect=dialect)
+        children.append(
+            {
+                "message": "compile predicates + logical plan",
+                "duration_sec": _time.perf_counter() - t0,
+                "children": [],
+            }
+        )
+
+        t0 = _time.perf_counter()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        children.append(
+            {
+                "message": f"physical plan:\n{plan}",
+                "duration_sec": _time.perf_counter() - t0,
+                "children": [],
+            }
+        )
+        return {
+            "message": f"explain: {canonical}",
+            "duration_sec": _time.perf_counter() - t_root,
+            "children": children,
+        }
+
     def status(self) -> Dict[str, object]:
         """Store status — doc count + time bounds, the Status endpoint
         analog (`proxyapi/grpc_status.go:12`, `proxy/search/ingestor.go:

@@ -335,9 +335,37 @@ class SeqProxyGrpc:
                 ) from None
         return hreq
 
+    @staticmethod
+    def _duration_proto(sec: float) -> dict:
+        whole = int(sec)
+        return {"seconds": whole, "nanos": int((sec - whole) * 1e9)}
+
+    @classmethod
+    def _explain_proto(cls, tree: dict) -> dict:
+        """engine.explain_tree span -> ExplainEntry (message + Duration +
+        nested children), the tracer shape of `proxy/search/ingestor.go:
+        576` / `grpc_complex_search.go:58`."""
+        return {
+            "message": tree["message"],
+            "duration": cls._duration_proto(float(tree.get("duration_sec", 0.0))),
+            "children": [cls._explain_proto(c) for c in tree.get("children", [])],
+        }
+
     def complex_search(self, req: dict, metadata: dict) -> dict:
-        out = self.core.complex(self._complex_req(req, metadata))
-        return self._complex_proto(out)
+        hreq = self._complex_req(req, metadata)
+        out = self.core.complex(hreq)
+        resp = self._complex_proto(out)
+        if (req.get("query") or {}).get("explain"):
+            # structured span tree with real phase timings, not the flat
+            # string the HTTP surface carries
+            tree = self.core._table().explain_tree(
+                hreq.get("query", "*"),
+                from_ms=hreq.get("from_ms"),
+                to_ms=hreq.get("to_ms"),
+                dialect=hreq.get("dialect"),
+            )
+            resp["explain"] = self._explain_proto(tree)
+        return resp
 
     def get_aggregation(self, req: dict, metadata: dict) -> dict:
         creq = {"query": req.get("query"), "aggs": req.get("aggs", []),

@@ -347,5 +347,19 @@ def test_explain_entry(rig):
         {"query": {"query": "service:auth", "explain": True}, "size": 1},
         sp.COMPLEX_SEARCH_REQUEST, sp.COMPLEX_SEARCH_RESPONSE,
     )
-    assert resp["explain"] is not None
-    assert "Query:" in resp["explain"]["message"]
+    tree = resp["explain"]
+    assert tree is not None
+    # span-tree shape (`grpc_complex_search.go:58` tracer): root covers
+    # parse -> compile -> physical plan children, each with a Duration
+    assert tree["message"].startswith("explain:")
+    msgs = [c["message"] for c in tree["children"]]
+    assert any(m.startswith("parse [") for m in msgs)
+    assert any("physical plan:" in m for m in msgs)
+    parse_child = tree["children"][0]
+    assert parse_child["children"][0]["message"].startswith("AST:")
+    root_ns = tree["duration"]["seconds"] * 10**9 + tree["duration"]["nanos"]
+    child_ns = sum(
+        c["duration"]["seconds"] * 10**9 + c["duration"]["nanos"]
+        for c in tree["children"]
+    )
+    assert 0 < child_ns <= root_ns
