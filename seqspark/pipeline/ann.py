@@ -305,21 +305,27 @@ def ivf_assign(
     out_col: str = "cell",
 ) -> DataFrame:
     """Assign each vector to its nearest centroid (max cosine) — the coarse
-    quantizer of an IVF index. Centroids are a broadcast-size literal array."""
+    quantizer of an IVF index. Centroids are a broadcast-size literal array.
+
+    The argmax is one ``array_position(sims, array_max(sims))`` over a
+    k-element sims array — expression size LINEAR in k. (The previous
+    when-chain ``best = when(s > best, s).otherwise(best)`` embedded the
+    running ``best`` twice per step, so the expression tree doubled per
+    centroid: k=16 × dim=64 OOMed the driver during analysis. Found by
+    the round-7 k-scaling measurement.) ``array_position`` returns the
+    FIRST index of the max, preserving the first-wins tie rule; a
+    zero-norm vector (all sims NaN, and NaN is the Spark ordering's
+    maximum) likewise lands in cell 0, exactly as before."""
     if not centroids:
         raise ValueError("centroids must be non-empty (empty corpus?)")
-    best = None
-    best_cell = None
-    for ci, c in enumerate(centroids):
-        cv = F.array(*[F.lit(float(x)) for x in c])
-        s = cosine(F.col(vec_col), cv)
-        if best is None:
-            best, best_cell = s, F.lit(ci)
-        else:
-            better = s > best
-            best_cell = F.when(better, F.lit(ci)).otherwise(best_cell)
-            best = F.when(better, s).otherwise(best)
-    return emb.withColumn(out_col, best_cell)
+    sims = F.array(
+        *[
+            cosine(F.col(vec_col), F.array(*[F.lit(float(x)) for x in c]))
+            for c in centroids
+        ]
+    )
+    cell = (F.array_position(sims, F.array_max(sims)) - 1).cast("int")
+    return emb.withColumn(out_col, cell)
 
 
 def ivf_topk(

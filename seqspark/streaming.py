@@ -116,6 +116,30 @@ def stream_histogram(
     )
 
 
+def stream_dedup(
+    stream_df: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming exact dedup: drop any row whose ``key_cols`` were already
+    seen, with state bounded by the watermark — the at-ingest half of the
+    reference's at-least-once story (duplicated bulks are collapsed at
+    READ by replica merge, `proxy/search/ingestor.go` dedup; a training
+    pipeline wants them gone before they hit storage).
+
+    Pure built-in operator: ``dropDuplicatesWithinWatermark`` keeps one
+    row per key and expires its state once the key's event time falls
+    behind the watermark — so state is O(keys per watermark window), not
+    O(stream history); at 100 TB/day this is the only state bound that
+    survives. Exactly-once within the window, at-least-once across
+    windows (a dup arriving after expiry passes — same trade the
+    reference makes by deduping at read within a fetch).
+    """
+    wm = stream_df.withWatermark(ts_col, watermark)
+    return wm.dropDuplicatesWithinWatermark(key_cols)
+
+
 def sessionize(
     stream_df: DataFrame,
     key_col: str,

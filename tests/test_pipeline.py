@@ -1214,3 +1214,35 @@ def test_quality_classifier_rejects_empty_corpus(spark):
     df = spark.createDataFrame([], "doc_id long, y boolean, text string")
     with _pytest.raises(ValueError):
         train_quality_classifier(df, "y", dim=16)
+
+
+def test_ivf_assign_scales_linearly_in_k(spark):
+    """k=64, dim=64 centroids must analyze and run (the pre-r7 when-chain
+    argmax doubled the expression tree per centroid and OOMed the driver
+    at k=16); ties still resolve first-wins."""
+    import random
+
+    rng = random.Random(5)
+    cents = [[rng.gauss(0, 1) for _ in range(64)] for _ in range(64)]
+    emb2 = spark.createDataFrame(
+        [(i, [rng.gauss(0, 1) for _ in range(64)]) for i in range(20)],
+        "vec_id long, embedding array<double>",
+    )
+    out = ann.ivf_assign(emb2, cents)
+    rows = out.collect()
+    assert all(0 <= r["cell"] < 64 for r in rows)
+    # exact argmax parity with a python reference (incl. first-wins ties)
+    import math
+
+    def cos(a, b):
+        dot = sum(x * y for x, y in zip(a, b))
+        return dot / (math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(x * x for x in b)))
+
+    for r in rows:
+        sims = [cos(r["embedding"], c) for c in cents]
+        assert r["cell"] == sims.index(max(sims))
+    # tie: identical sims pick the FIRST centroid
+    tied = spark.createDataFrame(
+        [(1, [1.0, 1.0])], "vec_id long, embedding array<double>"
+    )
+    assert ann.ivf_assign(tied, [[2.0, 2.0], [1.0, 1.0]]).head()["cell"] == 0

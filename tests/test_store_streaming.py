@@ -617,3 +617,47 @@ def test_es_bulk_gzip(spark):
     body = b'{"index": {}}\n{"service": "a"}\n'
     res = parse_bulk_body(gzip.compress(body), gzipped=True)
     assert len(res.docs) == 1 and not res.errors
+
+
+def test_stream_dedup_within_watermark(spark, tmp):
+    """Duplicate keys inside the watermark window collapse to one row;
+    state is the built-in dropDuplicatesWithinWatermark store (bounded by
+    the watermark, the only state bound that survives at stream scale)."""
+    from seqspark.ingest import parse_event_time
+    from seqspark.streaming import stream_dedup
+
+    dup_docs = [
+        {"timestamp": "2024-01-01 10:00:00.000", "service": "auth",
+         "message": "dup-a"},
+        {"timestamp": "2024-01-01 10:00:01.000", "service": "auth",
+         "message": "dup-a"},  # same digest key, 1s later
+        {"timestamp": "2024-01-01 10:00:02.000", "service": "pay",
+         "message": "uniq-b"},
+        {"timestamp": "2024-01-01 10:00:03.000", "service": "auth",
+         "message": "dup-a"},  # third copy
+        {"timestamp": "2024-01-01 10:00:04.000", "service": "pay",
+         "message": "uniq-c"},
+    ]
+    indir = os.path.join(tmp, "dedup_in")
+    write_ndjson(os.path.join(indir, "docs.ndjson"), dup_docs)
+    raw = (
+        spark.readStream.format("text")
+        .load(indir)
+        .withColumnRenamed("value", "raw")
+        .withColumn("ts", parse_event_time(F.col("raw")))
+        .withColumn("digest", F.md5(F.get_json_object("raw", "$.message")))
+    )
+    deduped = stream_dedup(raw, ["digest"], watermark="1 hour")
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql(
+        "SELECT get_json_object(raw, '$.message') AS m FROM dedup_sink"
+    ).collect()
+    msgs = sorted(r["m"] for r in rows)
+    assert msgs == ["dup-a", "uniq-b", "uniq-c"]
