@@ -1271,6 +1271,22 @@ def q_quality_classifier(spark, sf_dir):
     )
 
 
+
+def q_pack_sequences(spark, sf_dir):
+    # GPT-style concat-then-chunk packing: per-shard prefix sums place
+    # every doc's token span into seq_len-sized training sequences
+    from seqspark.pipeline.sampling import pack_sequences
+    from seqspark.pipeline.textstats import token_count
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "n_tokens", token_count(F.col("text")).cast("long")
+    )
+    out = pack_sequences(docs, "doc_id", "n_tokens", seq_len=512, shards=8)
+    return out.select(
+        "doc_id", "pack_shard", "start_tok", "first_seq", "last_seq"
+    )
+
+
 #: entries that deliberately have no SQL oracle twin (LSH candidate
 #: generation and multimodal plumbing are not SQL-expressible); the driver
 #: records a weaker rows-only check for these. Everything else MUST have an
@@ -1383,6 +1399,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_dedup": q_span_dedup,
         "fuzzy_contamination": q_fuzzy_contamination,
         "quality_classifier": q_quality_classifier,
+        "pack_sequences": q_pack_sequences,
     }
 
 
@@ -2066,6 +2083,23 @@ def oracle_sql() -> dict[str, str]:
         f"SELECT doc_id, round(1.0 / (1.0 + exp(-({QC_BIAS!r} + "
         "CASE WHEN n > 0 THEN tot / n ELSE 0.0 END))), 6) AS quality_p FROM s"
     )
-    # no SQL equivalent on purpose — the driver records a weaker check for
-    # the names in ROWS_ONLY (pinned by tests/test_contract.py)
+    # sequence packing: same shard hash (md5-prefix bucket % shards) and
+    # per-shard running token offsets via a window sum
+    sql["pack_sequences"] = (
+        "WITH t AS (SELECT doc_id, len(" + _WORDS + ") AS n, "
+        "(CAST(CONCAT('0x', SUBSTR(md5(CONCAT(CAST(doc_id AS VARCHAR), "
+        "'pack')), 1, 15)) AS BIGINT) % 1000000) % 8 AS pack_shard "
+        "FROM documents), "
+        "o AS (SELECT doc_id, n, pack_shard, sum(n) OVER ("
+        "PARTITION BY pack_shard ORDER BY doc_id "
+        "ROWS UNBOUNDED PRECEDING) AS end_tok FROM t) "
+        "SELECT doc_id, CAST(pack_shard AS INTEGER) AS pack_shard, "
+        "CAST(end_tok - n AS BIGINT) AS start_tok, "
+        "CAST(floor((end_tok - n) / 512) AS BIGINT) AS first_seq, "
+        "CAST(greatest(floor((end_tok - 1) / 512), "
+        "floor((end_tok - n) / 512)) AS BIGINT) AS last_seq FROM o"
+    )
+    # rows-only entries (LSH candidate generation, multimodal plumbing)
+    # have no SQL equivalent on purpose — the driver records a weaker
+    # check for the names in ROWS_ONLY (pinned by tests/test_contract.py)
     return {k: v for k, v in sql.items() if v is not None}

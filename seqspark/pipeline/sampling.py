@@ -33,7 +33,7 @@ from __future__ import annotations
 
 from typing import Dict
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 #: resolution of the hash bucket space; 1e6 keeps three-decimal fractions
@@ -204,3 +204,68 @@ def mix_sources(
         F.array().cast("array<int>")
     )
     return df.withColumn(out_col, F.explode(copies))
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    n_tokens_col: str,
+    seq_len: int,
+    shard_col: Column | None = None,
+    shards: int = 1024,
+    seed: str = "pack",
+) -> DataFrame:
+    """Concat-then-chunk sequence packing — assign every document its
+    token span in fixed-length training sequences (the GPT-style packing
+    step: shuffle docs, concatenate, cut every ``seq_len`` tokens;
+    documents may span a boundary).
+
+    Documents are first placed in a shard (``shard_col`` if given, else
+    :func:`hash_bucket` of the id with ``seed`` — deterministic like
+    every sampler here), then laid out in (shard, id) order. Output adds:
+
+    - ``pack_shard``      — the shard;
+    - ``start_tok``       — the doc's first token offset WITHIN the shard
+      stream;
+    - ``first_seq`` / ``last_seq`` — the range of seq_len-sized sequences
+      the doc touches (``shard * 2**32 + local_seq`` would globalize;
+      sequence ids here are shard-local).
+
+    100 TB shape: the running offset is a window sum partitioned BY SHARD
+    — there is no global ordering and no single-task funnel; each shard's
+    prefix sum is an independent partition of one shuffle, exactly how
+    production packers scale (pack within shards, shards are the unit of
+    parallelism). Rows-per-shard ≈ N/shards keeps every window partition
+    small; raise ``shards`` with corpus size.
+    """
+    shard = (
+        shard_col
+        if shard_col is not None
+        else (hash_bucket(F.col(id_col).cast("string"), seed) % shards)
+    )
+    out = df.withColumn("pack_shard", shard)
+    w = (
+        Window.partitionBy("pack_shard")
+        .orderBy(F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    end = F.sum(F.col(n_tokens_col)).over(w)
+    out = out.withColumn("__end_tok", end)
+    out = out.withColumn(
+        "start_tok", (F.col("__end_tok") - F.col(n_tokens_col)).cast("long")
+    )
+    return (
+        out.withColumn(
+            "first_seq", F.floor(F.col("start_tok") / seq_len).cast("long")
+        )
+        .withColumn(
+            # a doc's last token is end_tok - 1; empty docs (0 tokens)
+            # occupy no sequence — pin last_seq = first_seq for them
+            "last_seq",
+            F.greatest(
+                F.floor((F.col("__end_tok") - 1) / seq_len),
+                F.floor(F.col("start_tok") / seq_len),
+            ).cast("long"),
+        )
+        .drop("__end_tok")
+    )

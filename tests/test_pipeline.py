@@ -1246,3 +1246,40 @@ def test_ivf_assign_scales_linearly_in_k(spark):
         [(1, [1.0, 1.0])], "vec_id long, embedding array<double>"
     )
     assert ann.ivf_assign(tied, [[2.0, 2.0], [1.0, 1.0]]).head()["cell"] == 0
+
+
+def test_pack_sequences_layout(spark):
+    """Per-shard concat-then-chunk: offsets are contiguous in id order,
+    sequence spans are floor-divided token ranges, empty docs occupy no
+    sequence, and shards are independent streams."""
+    from seqspark.pipeline.sampling import pack_sequences
+
+    rows = [(i, 100 + (i * 37) % 400) for i in range(40)] + [(99, 0)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    out = pack_sequences(df, "doc_id", "n_tokens", seq_len=256, shards=4)
+    got = sorted(
+        (r["pack_shard"], r["doc_id"], r["start_tok"], r["n_tokens"],
+         r["first_seq"], r["last_seq"])
+        for r in out.collect()
+    )
+    by_shard = {}
+    for shard, did, start, n, fs, ls in got:
+        by_shard.setdefault(shard, []).append((did, start, n, fs, ls))
+    assert len(by_shard) > 1  # docs actually spread over shards
+    for shard, docs in by_shard.items():
+        expected_start = 0
+        for did, start, n, fs, ls in sorted(docs):
+            assert start == expected_start  # contiguous stream per shard
+            assert fs == start // 256
+            if n == 0:
+                assert ls == fs  # empty doc occupies no sequence
+            else:
+                assert ls == (start + n - 1) // 256
+            expected_start += n
+    # determinism: identical input -> identical layout
+    again = sorted(
+        (r["pack_shard"], r["doc_id"], r["start_tok"], r["n_tokens"],
+         r["first_seq"], r["last_seq"])
+        for r in pack_sequences(df, "doc_id", "n_tokens", 256, shards=4).collect()
+    )
+    assert again == got
