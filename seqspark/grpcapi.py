@@ -41,6 +41,7 @@ from .wire import seqproxy as sp
 from .wire.grpc import (
     INVALID_ARGUMENT,
     NOT_FOUND,
+    RESOURCE_EXHAUSTED,
     GrpcError,
     GrpcServer,
     Method,
@@ -294,6 +295,40 @@ class SeqProxyGrpc:
             resp["explain"] = {"message": out["explain"], "children": []}
         return resp
 
+    # -------------------------------------------------- admission control
+
+    def _admit(self, path: str, hreq: dict) -> None:
+        """The HTTP handler's admission control applied identically to
+        gRPC (the reference enforces both on its gRPC path:
+        `proxyapi/grpc_v1.go:156-167` rate-limit keying, `:219-222`
+        codes.ResourceExhausted; `--search-requests-limit` semaphore).
+        Callers must hold the semaphore via _admitted()."""
+        self.core._count("search_total")
+        if not self.core._rate_check(path, hreq):
+            self.core._count("rate_limited_total")
+            raise GrpcError(RESOURCE_EXHAUSTED, "request was rate limited")
+
+    def _admitted(self, path: str, hreq: dict, fn):
+        """Run ``fn()`` under the inflight-search semaphore + rate check,
+        with the HTTP server's slow-search log on the way out."""
+        if not self.core._searches.acquire(blocking=False):
+            raise GrpcError(RESOURCE_EXHAUSTED, "too many requests")
+        try:
+            self._admit(path, hreq)
+            t0 = time.perf_counter()
+            out = fn()
+            took_ms = (time.perf_counter() - t0) * 1000
+            if took_ms >= self.core._slow_ms:
+                import logging
+
+                logging.getLogger("seqspark.server").warning(
+                    "slow search took=%.0fms path=grpc%s query=%r",
+                    took_ms, path, hreq.get("query", ""),
+                )
+            return out
+        finally:
+            self.core._searches.release()
+
     # ------------------------------------------------------------- methods
 
     def search(self, req: dict, metadata: dict) -> dict:
@@ -308,7 +343,7 @@ class SeqProxyGrpc:
             order=sp.ORDER.get(req.get("order", 0), "desc"),
             with_total=req.get("with_total", False),
         )
-        out = self.core.search(hreq)
+        out = self._admitted("/search", hreq, lambda: self.core.search(hreq))
         return {
             "total": int(out.get("total", 0)),
             "docs": [self._doc_proto(d) for d in out.get("docs", [])],
@@ -353,7 +388,7 @@ class SeqProxyGrpc:
 
     def complex_search(self, req: dict, metadata: dict) -> dict:
         hreq = self._complex_req(req, metadata)
-        out = self.core.complex(hreq)
+        out = self._admitted("/complex", hreq, lambda: self.core.complex(hreq))
         resp = self._complex_proto(out)
         if (req.get("query") or {}).get("explain"):
             # structured span tree with real phase timings, not the flat
@@ -370,7 +405,8 @@ class SeqProxyGrpc:
     def get_aggregation(self, req: dict, metadata: dict) -> dict:
         creq = {"query": req.get("query"), "aggs": req.get("aggs", []),
                 "with_total": True}
-        out = self.core.complex(self._complex_req(creq, metadata))
+        hreq = self._complex_req(creq, metadata)
+        out = self._admitted("/complex", hreq, lambda: self.core.complex(hreq))
         return {
             "total": int(out.get("total", 0)),
             "aggs": [self._agg_proto(rows) for rows in out.get("aggs", [])],
@@ -382,7 +418,8 @@ class SeqProxyGrpc:
         if not hist or not hist.get("interval"):
             raise GrpcError(INVALID_ARGUMENT, "'hist.interval' must be set")
         creq = {"query": req.get("query"), "hist": hist, "with_total": True}
-        out = self.core.complex(self._complex_req(creq, metadata))
+        hreq = self._complex_req(creq, metadata)
+        out = self._admitted("/complex", hreq, lambda: self.core.complex(hreq))
         return {
             "total": int(out.get("total", 0)),
             "hist": self._hist_proto(out.get("histogram") or {}),
@@ -401,7 +438,7 @@ class SeqProxyGrpc:
         if ff and ff.get("fields"):
             hreq["fields"] = list(ff["fields"])
             hreq["except"] = not ff.get("allow_list", False)
-        out = self.core.fetch(hreq)
+        out = self._admitted("/fetch", hreq, lambda: self.core.fetch(hreq))
         return iter([self._doc_proto(d) for d in out.get("docs", [])])
 
     def export(self, req: dict, metadata: dict) -> Iterator[dict]:
@@ -411,21 +448,33 @@ class SeqProxyGrpc:
             size=req.get("size") or None,
             offset=req.get("offset", 0),
         )
-        lines = self.core.export_lines(hreq)
+        # like the HTTP /export handler, the semaphore is held for the
+        # WHOLE drain (an export is a long-lived search slot)
+        if not self.core._searches.acquire(blocking=False):
+            raise GrpcError(RESOURCE_EXHAUSTED, "too many requests")
+        try:
+            self._admit("/export", hreq)
+            lines = self.core.export_lines(hreq)
+        except BaseException:
+            self.core._searches.release()
+            raise
 
         def docs():
-            for line in lines:
-                doc = json.loads(line)["doc"]
-                # HTTP export ids are decimal "mid-rid"; rid may be a
-                # negative long, so split only on the first separator
-                mid, rid = doc["id"].split("-", 1)
-                yield {
-                    "doc": {
-                        "id": seq_id_str(int(mid), int(rid)),
-                        "data": doc["data"].encode("utf-8"),
-                        "time": sp.ms_to_ts(int(mid)),
+            try:
+                for line in lines:
+                    doc = json.loads(line)["doc"]
+                    # HTTP export ids are decimal "mid-rid"; rid may be a
+                    # negative long, so split only on the first separator
+                    mid, rid = doc["id"].split("-", 1)
+                    yield {
+                        "doc": {
+                            "id": seq_id_str(int(mid), int(rid)),
+                            "data": doc["data"].encode("utf-8"),
+                            "time": sp.ms_to_ts(int(mid)),
+                        }
                     }
-                }
+            finally:
+                self.core._searches.release()
 
         return docs()
 

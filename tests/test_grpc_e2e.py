@@ -363,3 +363,51 @@ def test_explain_entry(rig):
         for c in tree["children"]
     )
     assert 0 < child_ns <= root_ns
+
+
+def test_grpc_admission_control(rig, spark):
+    """The gRPC path enforces the same rate limit and inflight-search cap
+    the HTTP handler does (`proxyapi/grpc_v1.go:219-222`
+    codes.ResourceExhausted) — it must not be a side door around them."""
+    from seqspark.wire.grpc import RESOURCE_EXHAUSTED
+
+    core, _, _ = rig
+    # rate limit: second identical query is charged over the tiny budget
+    limited_core = SeqSparkServer(
+        spark, core.store, MAPPING, allowed_drift_ms=BIG,
+        future_drift_ms=BIG, query_rate_limit=1e-9,
+    )
+    srv = SeqProxyGrpc(limited_core).start()
+    ch = GrpcChannel("127.0.0.1", srv.port)
+    try:
+        req = {"query": {"query": "service:auth"}, "size": 1}
+        ch.unary(f"{SVC}/Search", req, sp.SEARCH_REQUEST, sp.SEARCH_RESPONSE)
+        with pytest.raises(GrpcError) as ei:
+            ch.unary(f"{SVC}/Search", req, sp.SEARCH_REQUEST,
+                     sp.SEARCH_RESPONSE)
+        assert ei.value.code == RESOURCE_EXHAUSTED
+        assert "rate limited" in ei.value.message
+    finally:
+        ch.close()
+        srv.stop()
+    # inflight cap: zero search slots -> immediate RESOURCE_EXHAUSTED
+    capped_core = SeqSparkServer(
+        spark, core.store, MAPPING, allowed_drift_ms=BIG,
+        future_drift_ms=BIG, max_inflight_searches=0,
+    )
+    srv2 = SeqProxyGrpc(capped_core).start()
+    ch2 = GrpcChannel("127.0.0.1", srv2.port)
+    try:
+        with pytest.raises(GrpcError) as ei:
+            ch2.unary(f"{SVC}/Search", {"query": {"query": "*"}, "size": 1},
+                      sp.SEARCH_REQUEST, sp.SEARCH_RESPONSE)
+        assert ei.value.code == RESOURCE_EXHAUSTED
+        # export path holds a slot for the whole drain — also refused
+        with pytest.raises(GrpcError) as ei:
+            ch2.server_streaming(
+                f"{SVC}/Export", {"query": {"query": "*"}, "size": 1},
+                sp.EXPORT_REQUEST, sp.EXPORT_RESPONSE)
+        assert ei.value.code == RESOURCE_EXHAUSTED
+    finally:
+        ch2.close()
+        srv2.stop()
