@@ -38,10 +38,12 @@ import time
 from typing import Iterator, List, Optional, Tuple
 
 from .wire import seqproxy as sp
+from .store import TooManyFractionsHit
 from .wire.grpc import (
     INVALID_ARGUMENT,
     NOT_FOUND,
     RESOURCE_EXHAUSTED,
+    UNKNOWN,
     GrpcError,
     GrpcServer,
     Method,
@@ -343,11 +345,25 @@ class SeqProxyGrpc:
             order=sp.ORDER.get(req.get("order", 0), "desc"),
             with_total=req.get("with_total", False),
         )
-        out = self._admitted("/search", hreq, lambda: self.core.search(hreq))
+        try:
+            out = self._admitted("/search", hreq, lambda: self.core.search(hreq))
+        except TooManyFractionsHit as e:
+            return {"error": self._fractions_error(e)}
         return {
             "total": int(out.get("total", 0)),
             "docs": [self._doc_proto(d) for d in out.get("docs", [])],
             "error": _NO_ERROR,
+        }
+
+    @staticmethod
+    def _fractions_error(e: Exception) -> dict:
+        """`parseProxyError` (`proxyapi/grpc_v1.go:417-425`): the
+        fraction-limit breach is NOT a gRPC status error — the response
+        carries Error{TOO_MANY_FRACTIONS_HIT} and no payload
+        (shouldHaveResponse=false)."""
+        return {
+            "code": sp.ERROR_CODE_TOO_MANY_FRACTIONS_HIT,
+            "message": str(e),
         }
 
     def _complex_req(self, req: dict, metadata: dict) -> dict:
@@ -388,7 +404,10 @@ class SeqProxyGrpc:
 
     def complex_search(self, req: dict, metadata: dict) -> dict:
         hreq = self._complex_req(req, metadata)
-        out = self._admitted("/complex", hreq, lambda: self.core.complex(hreq))
+        try:
+            out = self._admitted("/complex", hreq, lambda: self.core.complex(hreq))
+        except TooManyFractionsHit as e:
+            return {"error": self._fractions_error(e)}
         resp = self._complex_proto(out)
         if (req.get("query") or {}).get("explain"):
             # structured span tree with real phase timings, not the flat
@@ -406,7 +425,10 @@ class SeqProxyGrpc:
         creq = {"query": req.get("query"), "aggs": req.get("aggs", []),
                 "with_total": True}
         hreq = self._complex_req(creq, metadata)
-        out = self._admitted("/complex", hreq, lambda: self.core.complex(hreq))
+        try:
+            out = self._admitted("/complex", hreq, lambda: self.core.complex(hreq))
+        except TooManyFractionsHit as e:
+            return {"error": self._fractions_error(e)}
         return {
             "total": int(out.get("total", 0)),
             "aggs": [self._agg_proto(rows) for rows in out.get("aggs", [])],
@@ -419,7 +441,10 @@ class SeqProxyGrpc:
             raise GrpcError(INVALID_ARGUMENT, "'hist.interval' must be set")
         creq = {"query": req.get("query"), "hist": hist, "with_total": True}
         hreq = self._complex_req(creq, metadata)
-        out = self._admitted("/complex", hreq, lambda: self.core.complex(hreq))
+        try:
+            out = self._admitted("/complex", hreq, lambda: self.core.complex(hreq))
+        except TooManyFractionsHit as e:
+            return {"error": self._fractions_error(e)}
         return {
             "total": int(out.get("total", 0)),
             "hist": self._hist_proto(out.get("histogram") or {}),
@@ -455,6 +480,11 @@ class SeqProxyGrpc:
         try:
             self._admit("/export", hreq)
             lines = self.core.export_lines(hreq)
+        except TooManyFractionsHit as e:
+            self.core._searches.release()
+            # `grpc_export.go:55-57`: export surfaces the breach as a plain
+            # error status, not a response-carried Error
+            raise GrpcError(UNKNOWN, str(e)) from None
         except BaseException:
             self.core._searches.release()
             raise

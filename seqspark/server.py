@@ -77,6 +77,7 @@ class SeqSparkServer:
         max_inflight_searches: int = MAX_INFLIGHT_SEARCHES,
         mirror_url: Optional[str] = None,
         async_dir: Optional[str] = None,
+        max_fraction_hits: int = 6000,
     ):
         self.spark = spark
         self.store = store
@@ -107,6 +108,9 @@ class SeqSparkServer:
         }
         self._lock = threading.Lock()  # serialize parquet appends
         self._slow_ms = log_search_threshold_ms
+        # `--search-fraction-limit` (default 6000): cap how many time
+        # partitions one search may touch (`fracmanager/searcher.go:88-97`)
+        self._max_fraction_hits = max_fraction_hits
         from .ingest import ALLOWED_DRIFT_MS, FUTURE_DRIFT_MS
 
         self._drift = ALLOWED_DRIFT_MS if allowed_drift_ms is None else allowed_drift_ms
@@ -372,12 +376,18 @@ class SeqSparkServer:
 
         threading.Thread(target=run, daemon=True).start()
 
+    def _check_fractions(self, req: dict) -> None:
+        self.store.check_fraction_hits(
+            req.get("from_ms"), req.get("to_ms"), self._max_fraction_hits
+        )
+
     def export_lines(self, req: dict):
         """Build the export iterator: one JSON line per doc in stream order
         (`docs/en/10-public-api.md` /Export — Search's streaming twin).
         ``size`` absent/null drains the full match set via keyset
         pagination; rows stream through ``toLocalIterator`` so the driver
         never holds the result set."""
+        self._check_fractions(req)
         st = self._table()
         docs = st.search(
             req.get("query", "*"),
@@ -466,6 +476,7 @@ class SeqSparkServer:
         return SearchTable.from_store(self.store, self.mapping)
 
     def search(self, req: dict) -> dict:
+        self._check_fractions(req)
         st = self._table()
         docs = st.search(
             req.get("query", "*"),
@@ -513,6 +524,7 @@ class SeqSparkServer:
         agg buckets, all from one cached scan."""
         from .engine import AggQuery
 
+        self._check_fractions(req)
         st = self._table()
         aggs = [
             AggQuery(

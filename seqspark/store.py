@@ -128,6 +128,22 @@ class _HadoopFS:
         ]
 
 
+class TooManyFractionsHit(ValueError):
+    """A query's time window overlaps more store partitions than the
+    configured limit (`consts.ErrTooManyFractionsHit`,
+    `fracmanager/searcher.go:88-97` prepareFracs) — the guard that stops
+    an unbounded time range from fanning a search over the whole store."""
+
+
+#: java date_format pattern -> strftime, for the four monotone shapes
+_FMT_TO_STRFTIME = {
+    "yyyy": "%Y",
+    "yyyy-MM": "%Y-%m",
+    "yyyy-MM-dd": "%Y-%m-%d",
+    "yyyy-MM-dd-HH": "%Y-%m-%d-%H",
+}
+
+
 class DocStore:
     """A parquet-backed document store partitioned by time bucket.
 
@@ -320,6 +336,51 @@ class DocStore:
         return self.spark.read.option("basePath", self.path).parquet(
             *[f"{self.path}/{PARTITION_COL}={b}" for b in chosen]
         )
+
+    def _bucket_label(self, ms: int) -> str:
+        """The bucket label ``date_format(ts, bucket_fmt)`` would produce
+        for an epoch-ms instant — computed driver-side in the pinned
+        session timezone (``_check_meta`` guarantees it matches what
+        ``append`` wrote)."""
+        import datetime as _dt
+        import zoneinfo as _zi
+
+        tz = _zi.ZoneInfo(self._tz)
+        t = _dt.datetime.fromtimestamp(ms / 1000.0, tz=tz)
+        return t.strftime(_FMT_TO_STRFTIME[self.bucket_fmt])
+
+    def buckets_in_range(
+        self, from_ms: Optional[int], to_ms: Optional[int]
+    ) -> list[str]:
+        """Partitions a time window can touch — a driver-side metadata
+        filter (listing + lexicographic compare, zero Spark jobs), the
+        `FilterInRange` of `fracmanager/searcher.go:89`."""
+        buckets = self.partitions()
+        if from_ms is not None:
+            lo = self._bucket_label(from_ms)
+            buckets = [b for b in buckets if b >= lo]
+        if to_ms is not None:
+            hi = self._bucket_label(to_ms)
+            buckets = [b for b in buckets if b <= hi]
+        return buckets
+
+    def check_fraction_hits(
+        self,
+        from_ms: Optional[int],
+        to_ms: Optional[int],
+        max_fraction_hits: int,
+    ) -> None:
+        """`--search-fraction-limit` (default 6000, `cmd/seq-db/flags.go:
+        61`): refuse a search whose window overlaps more partitions than
+        the limit, with the reference's exact remedy message."""
+        if max_fraction_hits <= 0:
+            return
+        n = len(self.buckets_in_range(from_ms, to_ms))
+        if n > max_fraction_hits:
+            raise TooManyFractionsHit(
+                f"too many fractions hit ({n} > {max_fraction_hits}), "
+                "try decreasing query time range"
+            )
 
     # ------------------------------------------------------------- retention
 

