@@ -317,6 +317,10 @@ class SeqProxyGrpc:
             raise GrpcError(RESOURCE_EXHAUSTED, "too many requests")
         try:
             self._admit(path, hreq)
+            if path in ("/search", "/complex"):
+                # load mirroring, same as the HTTP handler: the RESOLVED
+                # request re-sent fire-and-forget (`grpc_v1.go:335-355`)
+                self.core._try_mirror(path, json.dumps(hreq).encode())
             t0 = time.perf_counter()
             out = fn()
             took_ms = (time.perf_counter() - t0) * 1000

@@ -29,11 +29,27 @@ from .h2 import H2Client, H2Server
 OK = 0
 UNKNOWN = 2
 INVALID_ARGUMENT = 3
+DEADLINE_EXCEEDED = 4
 NOT_FOUND = 5
 RESOURCE_EXHAUSTED = 8
 UNIMPLEMENTED = 12
 INTERNAL = 13
 UNAVAILABLE = 14
+
+#: grpc-timeout header units -> seconds (gRPC HTTP/2 protocol spec)
+_TIMEOUT_UNITS = {"H": 3600.0, "M": 60.0, "S": 1.0, "m": 1e-3,
+                  "u": 1e-6, "n": 1e-9}
+
+
+def parse_grpc_timeout(value: str) -> Optional[float]:
+    """``grpc-timeout`` header ("100m", "30S", ...) -> seconds, or None
+    if malformed (the spec says at most 8 digits + one unit char)."""
+    if not value or len(value) > 9:
+        return None
+    unit = _TIMEOUT_UNITS.get(value[-1])
+    if unit is None or not value[:-1].isdigit():
+        return None
+    return int(value[:-1]) * unit
 
 
 class GrpcError(Exception):
@@ -140,6 +156,14 @@ class GrpcServer:
             return self._trailers_only(
                 UNIMPLEMENTED, f"grpc-encoding {enc!r} not supported"
             )
+        # deadline: without cooperative cancellation the check runs after
+        # the handler — a client that set grpc-timeout has already given
+        # up, and the spec requires the server to report
+        # DEADLINE_EXCEEDED rather than a stale OK
+        import time as _time
+
+        timeout = parse_grpc_timeout(hmap.get("grpc-timeout", ""))
+        deadline = _time.monotonic() + timeout if timeout else None
         try:
             payloads = list(iter_messages(body))
             request = pb.decode(method.request, payloads[0] if payloads else b"")
@@ -187,6 +211,10 @@ class GrpcServer:
             return self._trailers_only(NOT_FOUND, str(e.args[0]))
         except Exception as e:
             return self._trailers_only(INTERNAL, str(e))
+        if deadline is not None and _time.monotonic() > deadline:
+            return self._trailers_only(
+                DEADLINE_EXCEEDED, "deadline exceeded before response"
+            )
         data = frame_message(pb.encode(method.response, response))
         return resp_headers, [data], [("grpc-status", "0"), ("grpc-message", "")]
 

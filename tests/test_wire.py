@@ -358,3 +358,39 @@ def test_grpc_multiple_messages_in_body():
     assert list(g.iter_messages(frames)) == [b"ab", b"", b"c"]
     with pytest.raises(g.GrpcError):
         list(g.iter_messages(b"\x00\x00\x00\x00\x05ab"))
+
+
+def test_grpc_timeout_parse():
+    assert g.parse_grpc_timeout("100m") == 0.1
+    assert g.parse_grpc_timeout("30S") == 30.0
+    assert g.parse_grpc_timeout("2M") == 120.0
+    assert g.parse_grpc_timeout("1H") == 3600.0
+    assert g.parse_grpc_timeout("500u") == pytest.approx(0.0005)
+    assert g.parse_grpc_timeout("7n") == pytest.approx(7e-9)
+    for bad in ("", "S", "12", "123456789S", "1.5S", "5x"):
+        assert g.parse_grpc_timeout(bad) is None
+
+
+def test_grpc_deadline_exceeded():
+    """A handler that outlives grpc-timeout must yield DEADLINE_EXCEEDED,
+    not a stale OK (gRPC HTTP/2 protocol spec)."""
+    import time as _t
+
+    def slow(req, md):
+        _t.sleep(0.2)
+        return {"echo": "late", "sum": 0.0}
+
+    srv = g.GrpcServer({"/t.S/Slow": g.Method(slow, REQ, RESP)}).start()
+    ch = g.GrpcChannel("127.0.0.1", srv.port)
+    try:
+        with pytest.raises(g.GrpcError) as ei:
+            ch.unary("/t.S/Slow", {"name": "x"}, REQ, RESP,
+                     metadata=[("grpc-timeout", "50m")])
+        assert ei.value.code == g.DEADLINE_EXCEEDED
+        # a generous deadline passes
+        r = ch.unary("/t.S/Slow", {"name": "x"}, REQ, RESP,
+                     metadata=[("grpc-timeout", "30S")])
+        assert r["echo"] == "late"
+    finally:
+        ch.close()
+        srv.stop()
