@@ -394,3 +394,72 @@ def test_grpc_deadline_exceeded():
     finally:
         ch.close()
         srv.stop()
+
+
+# -------------------------------------------------------- property testing
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_header_name = st.text(
+    alphabet=st.sampled_from("abcdefghijklmnopqrstuvwxyz0123456789-_"),
+    min_size=1, max_size=24,
+)
+_header_value = st.text(
+    alphabet=st.characters(min_codepoint=0x20, max_codepoint=0x7E),
+    max_size=64,
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.tuples(_header_name, _header_value), max_size=12),
+       st.booleans())
+def test_hpack_roundtrip_property(headers, huffman):
+    enc = hpack.Encoder(huffman=huffman).encode(headers)
+    assert hpack.Decoder().decode(enc) == headers
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.binary(max_size=128))
+def test_huffman_roundtrip_property(data):
+    assert hpack.huffman_decode(hpack.huffman_encode(data)) == data
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.integers(min_value=0, max_value=2**62), st.integers(1, 8))
+def test_hpack_int_roundtrip_property(value, prefix):
+    enc = hpack.encode_int(value, prefix)
+    got, pos = hpack.decode_int(enc, 0, prefix)
+    assert (got, pos) == (value, len(enc))
+
+
+_pb_msg = st.fixed_dictionaries({
+    "name": st.text(max_size=32),
+    "n": st.integers(min_value=-(2**63), max_value=2**63 - 1),
+    "flag": st.booleans(),
+    "score": st.floats(allow_nan=False),
+    "raw": st.binary(max_size=32),
+})
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.fixed_dictionaries({
+    "inner": _pb_msg,
+    "items": st.lists(_pb_msg, max_size=4),
+    "vals": st.lists(st.floats(allow_nan=False), max_size=8),
+    "ids": st.lists(st.integers(min_value=-(2**63), max_value=2**63 - 1),
+                    max_size=8),
+    "tags": st.lists(st.text(max_size=16), max_size=6),
+    "maybe": st.one_of(st.none(),
+                       st.integers(min_value=-(2**31), max_value=2**31 - 1)),
+}))
+def test_pb_roundtrip_property(msg):
+    enc = pb.encode(NESTED, msg)
+    assert pb.decode(NESTED, enc) == msg
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.integers(min_value=-(2**63), max_value=2**64 - 1))
+def test_pb_varint_roundtrip_property(v):
+    got, pos = pb.decode_varint(pb.encode_varint(v), 0)
+    assert got == (v & (1 << 64) - 1)
