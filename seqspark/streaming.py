@@ -39,6 +39,7 @@ def stream_ingest(
     allowed_drift_ms: Optional[int] = None,
     future_drift_ms: Optional[int] = None,
     index=None,
+    dedup_watermark: Optional[str] = None,
 ):
     """File-source streaming ingest: NDJSON files dropped into ``input_dir``
     are tokenized per mapping and appended to the store.
@@ -46,10 +47,35 @@ def stream_ingest(
     Uses ``foreachBatch`` so the batch path (:func:`ingest_docs` +
     ``DocStore.append``) is reused verbatim — the streaming/batch parity the
     reference tests as Active-vs-Sealed (`tests/suites/single.go:96-120`).
+
+    ``dedup_watermark`` (e.g. ``"1 hour"``) switches on at-ingest exact
+    dedup via :func:`stream_dedup`: byte-identical documents re-delivered
+    within the watermark window (shipper retries, at-least-once sources)
+    are dropped BEFORE they hit storage, keyed by md5 of the raw line
+    with the document's parsed event time as the state clock. Off by
+    default — the engine also dedups at read, like the reference.
     """
     raw_stream = spark.readStream.format("text").load(input_dir).withColumnRenamed(
         "value", "raw"
     )
+    if dedup_watermark is not None:
+        from .ingest import parse_event_time
+
+        raw_stream = (
+            raw_stream.withColumn(
+                "__ts",
+                # ingest-time fallback for docs without a parseable
+                # timestamp — the clamp path's own default
+                F.coalesce(
+                    parse_event_time(F.col("raw")), F.current_timestamp()
+                ),
+            )
+            .withColumn("__digest", F.md5(F.col("raw")))
+        )
+        raw_stream = stream_dedup(
+            raw_stream, ["__digest"], ts_col="__ts",
+            watermark=dedup_watermark,
+        ).drop("__ts", "__digest")
 
     from .ingest import ALLOWED_DRIFT_MS, FUTURE_DRIFT_MS
 

@@ -463,3 +463,109 @@ def test_pb_roundtrip_property(msg):
 def test_pb_varint_roundtrip_property(v):
     got, pos = pb.decode_varint(pb.encode_varint(v), 0)
     assert got == (v & (1 << 64) - 1)
+
+
+# ------------------------------------------------------ malformed-input hardening
+
+
+def _connect(port):
+    import socket
+
+    s = socket.create_connection(("127.0.0.1", port), timeout=10)
+    s.settimeout(10)
+    return s
+
+
+def test_h2_rejects_bad_preface(echo_server):
+    s = _connect(echo_server.port)
+    try:
+        s.sendall(b"GET / HTTP/1.1\r\nHost: x\r\n\r\n")
+        # server must close (clean FIN or RST), not hang or crash
+        try:
+            assert s.recv(1024) == b""
+        except ConnectionResetError:
+            pass
+    finally:
+        s.close()
+
+
+def test_h2_survives_garbage_frames(echo_server):
+    """Random bytes after a valid preface must at worst close the
+    connection — and the server must keep serving NEW connections."""
+    import os as _os
+
+    s = _connect(echo_server.port)
+    try:
+        s.sendall(h2.PREFACE + h2.pack_frame(h2.SETTINGS, 0, 0, b""))
+        s.sendall(_os.urandom(512))
+        try:
+            while s.recv(4096):
+                pass
+        except OSError:
+            pass
+    finally:
+        s.close()
+    # the listener is still healthy
+    ch = g.GrpcChannel("127.0.0.1", echo_server.port)
+    try:
+        r = ch.unary("/t.S/Echo", {"name": "ok", "n": 1}, REQ, RESP)
+        assert r["echo"] == "ok"
+    finally:
+        ch.close()
+
+
+def test_h2_truncated_frame_closes_cleanly(echo_server):
+    s = _connect(echo_server.port)
+    try:
+        s.sendall(h2.PREFACE + h2.pack_frame(h2.SETTINGS, 0, 0, b""))
+        # header promises 100 payload bytes, sends 3, then half-closes
+        s.sendall(b"\x00\x00\x64" + bytes([h2.DATA, 0]) +
+                  (1).to_bytes(4, "big") + b"abc")
+        s.shutdown(1)
+        while True:
+            try:
+                if s.recv(4096) == b"":
+                    break
+            except OSError:
+                break
+    finally:
+        s.close()
+
+
+def test_h2_bad_hpack_block_closes(echo_server):
+    s = _connect(echo_server.port)
+    try:
+        s.sendall(h2.PREFACE + h2.pack_frame(h2.SETTINGS, 0, 0, b""))
+        # indexed header field index 200: out of table -> decode error
+        s.sendall(h2.pack_frame(
+            h2.HEADERS, h2.FLAG_END_HEADERS | h2.FLAG_END_STREAM, 1,
+            hpack.encode_int(200, 7, 0x80)))
+        deadline = 50
+        while deadline:
+            try:
+                if s.recv(4096) == b"":
+                    break
+            except OSError:
+                break
+            deadline -= 1
+    finally:
+        s.close()
+    # still serving
+    ch = g.GrpcChannel("127.0.0.1", echo_server.port)
+    try:
+        assert ch.unary("/t.S/Echo", {"name": "z", "n": 0}, REQ, RESP)["echo"] == "z"
+    finally:
+        ch.close()
+
+
+def test_grpc_handler_crash_is_isolated(echo_server):
+    """A handler raising mid-setup must not take down the connection's
+    other streams (RST or trailers on that stream only)."""
+    ch = g.GrpcChannel("127.0.0.1", echo_server.port)
+    try:
+        with pytest.raises(g.GrpcError):
+            ch.unary("/t.S/Boom", {"name": "x"}, REQ, RESP)
+        r = ch.unary("/t.S/Echo", {"name": "after", "n": 1}, REQ, RESP)
+        assert r["echo"] == "after"
+    finally:
+        ch.close()
