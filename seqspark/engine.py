@@ -491,7 +491,14 @@ class SearchTable:
 
     @classmethod
     def from_store(cls, store, mapping: Mapping, **kw) -> "SearchTable":
-        """Open a :class:`seqspark.store.DocStore` for search."""
+        """Open a :class:`seqspark.store.DocStore` (or
+        :class:`~seqspark.store.TieredStore`) for search, wiring the
+        store's ``bucket_fmt`` so request time ranges prune whole bucket
+        directories (PartitionFilters). Before round 7 only
+        ``store.search_table`` passed the hint — the HTTP/gRPC server
+        built its table through here and silently scanned every bucket's
+        footers on time-ranged queries."""
+        kw.setdefault("bucket_fmt", store.bucket_fmt)
         return cls.from_docs(store.read(), mapping, **kw)
 
     @classmethod

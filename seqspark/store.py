@@ -508,6 +508,11 @@ class TieredStore:
         self.hot = hot
         self.cold = cold
         self.spark = hot.spark
+        #: server-facing attributes so a TieredStore drops into
+        #: SeqSparkServer/SeqProxyGrpc anywhere a DocStore does: the async
+        #: job dir and metadata live with the hot tier
+        self.bucket_fmt = hot.bucket_fmt
+        self.path = hot.path
 
     def append(self, df: DataFrame, ts_col: str = "ts") -> None:
         """Dual write — hot first, then cold, like the reference's bulk
@@ -535,6 +540,47 @@ class TieredStore:
             if oldest_hot is None or b < oldest_hot
         ]
         return sorted(cold_only + hot_parts)
+
+    def buckets_in_range(
+        self, from_ms: Optional[int], to_ms: Optional[int]
+    ) -> list[str]:
+        """Owned partitions a time window can touch (hot labels + the
+        cold-only tail) — same driver-side metadata filter as
+        :meth:`DocStore.buckets_in_range`."""
+        buckets = self.partitions()
+        if from_ms is not None:
+            lo = self.hot._bucket_label(from_ms)
+            buckets = [b for b in buckets if b >= lo]
+        if to_ms is not None:
+            hi = self.hot._bucket_label(to_ms)
+            buckets = [b for b in buckets if b <= hi]
+        return buckets
+
+    def check_fraction_hits(
+        self,
+        from_ms: Optional[int],
+        to_ms: Optional[int],
+        max_fraction_hits: int,
+    ) -> None:
+        """`--search-fraction-limit` across BOTH tiers' owned buckets."""
+        if max_fraction_hits <= 0:
+            return
+        n = len(self.buckets_in_range(from_ms, to_ms))
+        if n > max_fraction_hits:
+            raise TooManyFractionsHit(
+                f"too many fractions hit ({n} > {max_fraction_hits}), "
+                "try decreasing query time range"
+            )
+
+    def search_table(self, mapping, **kwargs):
+        """A SearchTable over the tiered union (hot + cold-only tail),
+        with time-bucket pruning wired — mirrors
+        :meth:`DocStore.search_table`."""
+        from .engine import SearchTable
+
+        return SearchTable.from_docs(
+            self.read(), mapping, bucket_fmt=self.bucket_fmt, **kwargs
+        )
 
     def maintain(
         self,

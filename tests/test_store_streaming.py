@@ -706,3 +706,67 @@ def test_stream_ingest_with_dedup_watermark(spark, tmp):
     # the batch-ingest of the DISTINCT set
     st = SearchTable.from_store(store, MAPPING)
     assert st.search("*").count() == len(docs)
+
+
+def test_from_store_wires_partition_pruning(spark, tmp):
+    """SearchTable.from_store (the HTTP/gRPC server's table path) must
+    carry the store's bucket_fmt: before round 7 it silently skipped
+    partition pruning that search_table applied."""
+    store = streamed_store(spark, tmp)
+    st = SearchTable.from_store(store, MAPPING)
+    F_, T_ = 1704153600000, 1704239999999  # 2024-01-02 only
+    a = st.search("service:auth", from_ms=F_, to_ms=T_)
+    assert a.count() == 3
+    plan = a._jdf.queryExecution().executedPlan().toString()
+    i = plan.find("PartitionFilters")
+    assert i >= 0 and "ts_bucket" in plan[i : i + 200]
+    assert ">= 2024-01-02" in plan[i : i + 300]
+
+
+def test_server_over_tiered_store(spark, tmp):
+    """A TieredStore drops into the server wherever a DocStore does:
+    dual-writes on bulk, hot retention moves history behind the cold
+    tier, searches stay complete, fraction guard spans both tiers."""
+    import json as _json
+    import urllib.request
+
+    from seqspark.server import SeqSparkServer
+    from seqspark.store import TieredStore, TooManyFractionsHit
+
+    hot = DocStore(spark, os.path.join(tmp, "hot"))
+    cold = DocStore(spark, os.path.join(tmp, "cold"))
+    tiered = TieredStore(hot, cold)
+    srv = SeqSparkServer(
+        spark, tiered, MAPPING, allowed_drift_ms=BIG, future_drift_ms=BIG
+    ).start()
+    try:
+        lines = []
+        for d in DOCS:
+            lines.append('{"index": {}}')
+            lines.append(json.dumps(d))
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{srv.port}/_bulk",
+            data="\n".join(lines).encode(),
+        )
+        urllib.request.urlopen(req).read()
+        assert hot.partitions() == cold.partitions() != []
+
+        def search_total():
+            r = urllib.request.Request(
+                f"http://127.0.0.1:{srv.port}/search",
+                data=_json.dumps({"query": "*", "size": 1,
+                                  "with_total": True}).encode(),
+            )
+            return _json.loads(urllib.request.urlopen(r).read())["total"]
+
+        assert search_total() == len(DOCS)
+        # rotate the oldest day out of hot: results must not change
+        tiered.maintain(hot_min_bucket="2024-01-02-00")
+        assert len(hot.partitions()) < len(cold.partitions())
+        assert search_total() == len(DOCS)
+        # fraction guard counts owned buckets across both tiers
+        with pytest.raises(TooManyFractionsHit):
+            tiered.check_fraction_hits(None, None, 3)
+        assert len(tiered.buckets_in_range(None, None)) == 9
+    finally:
+        srv.stop()
