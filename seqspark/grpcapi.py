@@ -83,6 +83,8 @@ def seq_id_parse(s: str) -> Tuple[int, int]:
     any signed r, with identical wire bytes either way."""
     if len(s) != 33:
         raise ValueError("wrong id len, should be 33")
+    if s[16] != "-":
+        raise ValueError("missing '-' separator at position 16")
     mid = int.from_bytes(bytes.fromhex(s[:16]), "little")
     rid = int.from_bytes(bytes.fromhex(s[17:]), "little", signed=True)
     return mid, rid

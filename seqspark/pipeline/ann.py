@@ -313,9 +313,10 @@ def ivf_assign(
     running ``best`` twice per step, so the expression tree doubled per
     centroid: k=16 × dim=64 OOMed the driver during analysis. Found by
     the round-7 k-scaling measurement.) ``array_position`` returns the
-    FIRST index of the max, preserving the first-wins tie rule; a
-    zero-norm vector (all sims NaN, and NaN is the Spark ordering's
-    maximum) likewise lands in cell 0, exactly as before."""
+    FIRST index of the max, preserving the first-wins tie rule. A NULL
+    embedding (every sim NULL) lands in cell 0 — same as the old chain,
+    pinned by coalesce; a zero-norm vector divides by zero, which under
+    ANSI SQL (the Spark 4 default) raises — clean your vectors first."""
     if not centroids:
         raise ValueError("centroids must be non-empty (empty corpus?)")
     sims = F.array(
@@ -324,7 +325,10 @@ def ivf_assign(
             for c in centroids
         ]
     )
-    cell = (F.array_position(sims, F.array_max(sims)) - 1).cast("int")
+    cell = F.coalesce(
+        (F.array_position(sims, F.array_max(sims)) - 1).cast("int"),
+        F.lit(0),
+    )
     return emb.withColumn(out_col, cell)
 
 

@@ -135,6 +135,26 @@ class TooManyFractionsHit(ValueError):
     an unbounded time range from fanning a search over the whole store."""
 
 
+def _filter_buckets_in_range(buckets, label_of, from_ms, to_ms):
+    """Shared range filter for both store kinds: partitions whose label
+    overlaps [from_ms, to_ms], lexicographic on monotone labels."""
+    if from_ms is not None:
+        lo = label_of(from_ms)
+        buckets = [b for b in buckets if b >= lo]
+    if to_ms is not None:
+        hi = label_of(to_ms)
+        buckets = [b for b in buckets if b <= hi]
+    return buckets
+
+
+def _check_fraction_hits(n: int, max_fraction_hits: int) -> None:
+    if max_fraction_hits > 0 and n > max_fraction_hits:
+        raise TooManyFractionsHit(
+            f"too many fractions hit ({n} > {max_fraction_hits}), "
+            "try decreasing query time range"
+        )
+
+
 #: java date_format pattern -> strftime, for the four monotone shapes
 _FMT_TO_STRFTIME = {
     "yyyy": "%Y",
@@ -355,14 +375,9 @@ class DocStore:
         """Partitions a time window can touch — a driver-side metadata
         filter (listing + lexicographic compare, zero Spark jobs), the
         `FilterInRange` of `fracmanager/searcher.go:89`."""
-        buckets = self.partitions()
-        if from_ms is not None:
-            lo = self._bucket_label(from_ms)
-            buckets = [b for b in buckets if b >= lo]
-        if to_ms is not None:
-            hi = self._bucket_label(to_ms)
-            buckets = [b for b in buckets if b <= hi]
-        return buckets
+        return _filter_buckets_in_range(
+            self.partitions(), self._bucket_label, from_ms, to_ms
+        )
 
     def check_fraction_hits(
         self,
@@ -373,13 +388,9 @@ class DocStore:
         """`--search-fraction-limit` (default 6000, `cmd/seq-db/flags.go:
         61`): refuse a search whose window overlaps more partitions than
         the limit, with the reference's exact remedy message."""
-        if max_fraction_hits <= 0:
-            return
-        n = len(self.buckets_in_range(from_ms, to_ms))
-        if n > max_fraction_hits:
-            raise TooManyFractionsHit(
-                f"too many fractions hit ({n} > {max_fraction_hits}), "
-                "try decreasing query time range"
+        if max_fraction_hits > 0:
+            _check_fraction_hits(
+                len(self.buckets_in_range(from_ms, to_ms)), max_fraction_hits
             )
 
     # ------------------------------------------------------------- retention
@@ -546,15 +557,11 @@ class TieredStore:
     ) -> list[str]:
         """Owned partitions a time window can touch (hot labels + the
         cold-only tail) — same driver-side metadata filter as
-        :meth:`DocStore.buckets_in_range`."""
-        buckets = self.partitions()
-        if from_ms is not None:
-            lo = self.hot._bucket_label(from_ms)
-            buckets = [b for b in buckets if b >= lo]
-        if to_ms is not None:
-            hi = self.hot._bucket_label(to_ms)
-            buckets = [b for b in buckets if b <= hi]
-        return buckets
+        :meth:`DocStore.buckets_in_range` (both tiers share bucket_fmt
+        and timezone, so the hot tier's labeler applies)."""
+        return _filter_buckets_in_range(
+            self.partitions(), self.hot._bucket_label, from_ms, to_ms
+        )
 
     def check_fraction_hits(
         self,
@@ -563,13 +570,9 @@ class TieredStore:
         max_fraction_hits: int,
     ) -> None:
         """`--search-fraction-limit` across BOTH tiers' owned buckets."""
-        if max_fraction_hits <= 0:
-            return
-        n = len(self.buckets_in_range(from_ms, to_ms))
-        if n > max_fraction_hits:
-            raise TooManyFractionsHit(
-                f"too many fractions hit ({n} > {max_fraction_hits}), "
-                "try decreasing query time range"
+        if max_fraction_hits > 0:
+            _check_fraction_hits(
+                len(self.buckets_in_range(from_ms, to_ms)), max_fraction_hits
             )
 
     def search_table(self, mapping, **kwargs):

@@ -280,6 +280,12 @@ class AsyncSearcher:
         self.base_dir = base_dir
         os.makedirs(base_dir, exist_ok=True)
         self._threads: dict[str, object] = {}
+        # serializes the check-then-write in _run/cancel so a cancel
+        # landing between a finishing job's status read and its meta
+        # write can never be overwritten by "done"
+        import threading as _threading
+
+        self._meta_lock = _threading.Lock()
 
     def _job_dir(self, job_id: str) -> str:
         return os.path.join(self.base_dir, job_id)
@@ -305,11 +311,14 @@ class AsyncSearcher:
         meta["finished_at"] = time.time()
         # a concurrent cancel() wins: its meta rewrite marked the job
         # canceled, and a canceled job must never flip to done/error
-        # (`proxyapi/grpc_async_search.go` CancelAsyncSearch)
-        current = self.status(job_id)
-        if current is not None and current.get("status") == "canceled":
-            return
-        self._write_meta(job_id, meta)
+        # (`proxyapi/grpc_async_search.go` CancelAsyncSearch). The lock
+        # makes check-then-write atomic against cancel()'s own
+        # check-then-write.
+        with self._meta_lock:
+            current = self.status(job_id)
+            if current is not None and current.get("status") == "canceled":
+                return
+            self._write_meta(job_id, meta)
 
     def cancel(self, job_id: str) -> bool:
         """Cancel an ongoing async search (CancelAsyncSearch,
@@ -317,13 +326,14 @@ class AsyncSearcher:
         so its result is never published; the in-flight Spark job drains
         harmlessly (its completion sees the canceled marker and discards).
         Canceling a finished/unknown job is a no-op returning False."""
-        meta = self.status(job_id)
-        if meta is None or meta.get("status") != "running":
-            return False
-        meta["status"] = "canceled"
-        meta["finished_at"] = time.time()
-        self._write_meta(job_id, meta)
-        return True
+        with self._meta_lock:
+            meta = self.status(job_id)
+            if meta is None or meta.get("status") != "running":
+                return False
+            meta["status"] = "canceled"
+            meta["finished_at"] = time.time()
+            self._write_meta(job_id, meta)
+            return True
 
     def start(
         self,

@@ -61,6 +61,14 @@ PREFACE = b"PRI * HTTP/2.0\r\n\r\nSM\r\n\r\n"
 DEFAULT_WINDOW = 65535
 MAX_FRAME_SIZE = 16384
 
+#: receive-side bounds (RFC 9113 §6.5.2: a peer may not exceed our
+#: MAX_FRAME_SIZE, which we leave at the 16384 default; the block/body
+#: caps bound per-stream buffering so a peer cannot grow memory without
+#: bound — §10.5 denial-of-service considerations)
+MAX_RECV_FRAME = MAX_FRAME_SIZE
+MAX_HEADER_BLOCK = 1 << 20
+MAX_BODY_BYTES = 64 << 20
+
 #: application callback: (headers, body) -> (response headers, body chunk
 #: iterable, trailers). Chunks are written as DATA frames under flow
 #: control; trailers close the stream.
@@ -107,7 +115,8 @@ def _strip_padding(flags: int, payload: bytes) -> bytes:
 
 
 class _Stream:
-    __slots__ = ("headers", "data", "header_block", "send_window", "reset")
+    __slots__ = ("headers", "data", "header_block", "send_window", "reset",
+                 "end_stream_pending")
 
     def __init__(self, initial_window: int):
         self.headers: Optional[List[Tuple[str, str]]] = None
@@ -115,6 +124,9 @@ class _Stream:
         self.data = bytearray()
         self.send_window = initial_window
         self.reset = False
+        #: END_STREAM seen on the HEADERS frame whose block is still
+        #: being continued — must survive into the CONTINUATION finish
+        self.end_stream_pending = False
 
 
 class _Conn:
@@ -173,6 +185,10 @@ class _Conn:
             ))
             while True:
                 ftype, flags, sid, payload = read_frame(self._sock)
+                if len(payload) > MAX_RECV_FRAME:
+                    # peer exceeded our (default) SETTINGS_MAX_FRAME_SIZE —
+                    # FRAME_SIZE_ERROR, connection-fatal (§4.2)
+                    raise ValueError("frame exceeds SETTINGS_MAX_FRAME_SIZE")
                 if self._continuation_sid is not None and ftype != CONTINUATION:
                     raise ValueError("expected CONTINUATION")
                 if ftype == SETTINGS:
@@ -224,7 +240,10 @@ class _Conn:
                         st.send_window += delta
                     self._flow.notify_all()
             elif ident == SETTINGS_MAX_FRAME_SIZE:
-                self._peer_max_frame = max(MAX_FRAME_SIZE, min(value, 1 << 24 - 1))
+                # RFC 9113 §6.5.2: legal range [2^14, 2^24 - 1]
+                self._peer_max_frame = max(
+                    MAX_FRAME_SIZE, min(value, (1 << 24) - 1)
+                )
         self.send_frame(SETTINGS, FLAG_ACK, 0, b"")
 
     def _stream(self, sid: int) -> _Stream:
@@ -240,9 +259,14 @@ class _Conn:
             payload = payload[5:]
         st = self._stream(sid)
         st.header_block += payload
+        if len(st.header_block) > MAX_HEADER_BLOCK:
+            raise ValueError("header block too large")
         if flags & FLAG_END_HEADERS:
             self._finish_headers(sid, st, flags & FLAG_END_STREAM)
         else:
+            # END_STREAM belongs to the HEADERS frame even when the block
+            # spans CONTINUATIONs — remember it for the finish
+            st.end_stream_pending = bool(flags & FLAG_END_STREAM)
             self._continuation_sid = sid
 
     def _on_continuation(self, flags: int, sid: int, payload: bytes) -> None:
@@ -250,9 +274,13 @@ class _Conn:
             raise ValueError("CONTINUATION on wrong stream")
         st = self._stream(sid)
         st.header_block += payload
+        if len(st.header_block) > MAX_HEADER_BLOCK:
+            raise ValueError("header block too large")
         if flags & FLAG_END_HEADERS:
             self._continuation_sid = None
-            self._finish_headers(sid, st, 0)
+            end_stream = 1 if st.end_stream_pending else 0
+            st.end_stream_pending = False
+            self._finish_headers(sid, st, end_stream)
 
     def _finish_headers(self, sid: int, st: _Stream, end_stream: int) -> None:
         block = bytes(st.header_block)
@@ -268,6 +296,8 @@ class _Conn:
         data = _strip_padding(flags, payload)
         st = self._stream(sid)
         st.data += data
+        if len(st.data) > MAX_BODY_BYTES:
+            raise ValueError("request body too large")
         if payload:  # replenish receive windows (flow-controlled size incl. padding)
             inc = struct.pack(">I", len(payload))
             self.send_frame(WINDOW_UPDATE, 0, 0, inc)
@@ -317,9 +347,22 @@ class _Conn:
                                 sid, block)
                 return
             self.send_frame(HEADERS, FLAG_END_HEADERS, sid, block)
-            for chunk in chunks or ():
-                if chunk:
-                    self._send_data(sid, st, chunk)
+            try:
+                for chunk in chunks or ():
+                    if chunk:
+                        self._send_data(sid, st, chunk)
+            except (ConnectionError, OSError):
+                raise
+            except Exception:
+                # a generator raising MID-stream (e.g. a Spark job failing
+                # partway through an Export drain) must terminate the
+                # stream visibly: RST ends it with no trailers, which a
+                # gRPC client reads as a missing grpc-status → error —
+                # never a silent hang until client timeout
+                self.send_frame(
+                    RST_STREAM, 0, sid, struct.pack(">I", 0x2)
+                )
+                return
             tblock = self._encoder.encode(trailers)
             self.send_frame(HEADERS, FLAG_END_HEADERS | FLAG_END_STREAM,
                             sid, tblock)
@@ -368,15 +411,16 @@ class H2Server:
 
 
 class H2ClientStream:
-    __slots__ = ("headers", "data", "trailers", "done", "cond", "recv_window")
+    __slots__ = ("headers", "data", "trailers", "done", "cond",
+                 "send_window")
 
-    def __init__(self):
+    def __init__(self, send_window: int = DEFAULT_WINDOW):
         self.headers: Optional[List[Tuple[str, str]]] = None
         self.trailers: Optional[List[Tuple[str, str]]] = None
         self.data = bytearray()
         self.done = False
         self.cond = threading.Condition()
-        self.recv_window = DEFAULT_WINDOW
+        self.send_window = send_window
 
 
 class H2Client:
@@ -397,6 +441,13 @@ class H2Client:
         self._header_sid: Optional[int] = None
         self._header_block = bytearray()
         self._header_end_stream = False
+        # send-side flow control toward the server: a request body larger
+        # than the 64 KiB initial windows must wait for WINDOW_UPDATEs —
+        # a conforming peer treats overshoot as FLOW_CONTROL_ERROR
+        self._flow = threading.Condition()
+        self._send_window = DEFAULT_WINDOW
+        self._peer_initial_window = DEFAULT_WINDOW
+        self._peer_max_frame = MAX_FRAME_SIZE
         self._sock.sendall(PREFACE + pack_frame(SETTINGS, 0, 0, b""))
         self._reader = threading.Thread(target=self._read_loop, daemon=True)
         self._reader.start()
@@ -414,24 +465,34 @@ class H2Client:
         with self._sid_lock:
             sid = self._next_sid
             self._next_sid += 2
-            st = H2ClientStream()
+            st = H2ClientStream(self._peer_initial_window)
             self._streams[sid] = st
         block = self._encoder.encode(headers)
-        frames = pack_frame(
+        self._write(pack_frame(
             HEADERS,
             FLAG_END_HEADERS | (0 if body or not end_stream else FLAG_END_STREAM),
             sid,
             block,
-        )
-        if body:
-            for off in range(0, len(body), MAX_FRAME_SIZE):
-                chunk = body[off : off + MAX_FRAME_SIZE]
-                last = off + MAX_FRAME_SIZE >= len(body)
-                frames += pack_frame(
-                    DATA, FLAG_END_STREAM if (last and end_stream) else 0,
-                    sid, chunk,
-                )
-        self._write(frames)
+        ))
+        view = memoryview(body or b"")
+        while view:
+            with self._flow:
+                while not self._closed and (
+                    self._send_window <= 0 or st.send_window <= 0
+                ):
+                    self._flow.wait(timeout=30)
+                if self._closed:
+                    raise ConnectionError("h2 connection closed while sending")
+                n = min(len(view), self._send_window, st.send_window,
+                        self._peer_max_frame)
+                self._send_window -= n
+                st.send_window -= n
+            last = n == len(view)
+            self._write(pack_frame(
+                DATA, FLAG_END_STREAM if (last and end_stream) else 0,
+                sid, bytes(view[:n]),
+            ))
+            view = view[n:]
         return st
 
     def wait(self, st: H2ClientStream, timeout: float = 120.0) -> None:
@@ -447,7 +508,30 @@ class H2Client:
                 ftype, flags, sid, payload = read_frame(self._sock)
                 if ftype == SETTINGS:
                     if not flags & FLAG_ACK:
+                        for off in range(0, len(payload) - 5, 6):
+                            ident, value = struct.unpack_from(">HI", payload, off)
+                            if ident == SETTINGS_INITIAL_WINDOW_SIZE:
+                                with self._flow:
+                                    delta = value - self._peer_initial_window
+                                    self._peer_initial_window = value
+                                    for s_ in self._streams.values():
+                                        s_.send_window += delta
+                                    self._flow.notify_all()
+                            elif ident == SETTINGS_MAX_FRAME_SIZE:
+                                self._peer_max_frame = max(
+                                    MAX_FRAME_SIZE, min(value, (1 << 24) - 1)
+                                )
                         self._write(pack_frame(SETTINGS, FLAG_ACK, 0, b""))
+                elif ftype == WINDOW_UPDATE:
+                    inc = int.from_bytes(payload[:4], "big") & 0x7FFFFFFF
+                    with self._flow:
+                        if sid == 0:
+                            self._send_window += inc
+                        else:
+                            s_ = self._streams.get(sid)
+                            if s_ is not None:
+                                s_.send_window += inc
+                        self._flow.notify_all()
                 elif ftype == HEADERS:
                     payload = _strip_padding(flags, payload)
                     if flags & FLAG_PRIORITY:
@@ -487,6 +571,8 @@ class H2Client:
             pass
         finally:
             self._closed = True
+            with self._flow:
+                self._flow.notify_all()  # wake request() senders
             for st in list(self._streams.values()):
                 with st.cond:
                     st.cond.notify_all()

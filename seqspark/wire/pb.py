@@ -111,14 +111,18 @@ def _skip(buf: bytes, pos: int, wire_type: int) -> int:
     if wire_type == 0:
         _, pos = decode_varint(buf, pos)
         return pos
-    if wire_type == 1:
-        return pos + 8
-    if wire_type == 2:
+    elif wire_type == 1:
+        pos += 8
+    elif wire_type == 2:
         n, pos = decode_varint(buf, pos)
-        return pos + n
-    if wire_type == 5:
-        return pos + 4
-    raise ValueError(f"cannot skip wire type {wire_type}")
+        pos += n
+    elif wire_type == 5:
+        pos += 4
+    else:
+        raise ValueError(f"cannot skip wire type {wire_type}")
+    if pos > len(buf):
+        raise ValueError("truncated field")
+    return pos
 
 
 # ----------------------------------------------------------------- encoding
@@ -254,6 +258,8 @@ def decode(descriptor: dict, buf: bytes) -> dict:
             if wire_type != 2:
                 raise ValueError(f"field {f.name!r}: message needs LEN wire")
             n, pos = decode_varint(buf, pos)
+            if pos + n > len(buf):
+                raise ValueError(f"field {f.name!r}: truncated message")
             sub = decode(f.message, buf[pos : pos + n])
             pos += n
             if f.repeated:
@@ -278,6 +284,8 @@ def decode(descriptor: dict, buf: bytes) -> dict:
         # scalar numerics
         if f.repeated and wire_type == 2:  # packed
             n, pos = decode_varint(buf, pos)
+            if pos + n > len(buf):
+                raise ValueError(f"field {f.name!r}: truncated packed field")
             msg[f.name].extend(_iter_packed(f, buf[pos : pos + n]))
             pos += n
             continue

@@ -1283,3 +1283,16 @@ def test_pack_sequences_layout(spark):
         for r in pack_sequences(df, "doc_id", "n_tokens", 256, shards=4).collect()
     )
     assert again == got
+
+
+def test_ivf_assign_null_embedding_lands_in_cell_zero(spark):
+    """NULL embeddings must keep a (deterministic) cell so they never
+    vanish from cell-keyed joins — review-finding regression."""
+    emb2 = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, None)],
+        "vec_id long, embedding array<double>",
+    )
+    out = {r["vec_id"]: r["cell"]
+           for r in ann.ivf_assign(emb2, [[1.0, 0.0], [0.0, 1.0]]).collect()}
+    assert out[1] == 0
+    assert out[2] == 0  # NULL -> cell 0, same as the pre-r7 chain

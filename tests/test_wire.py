@@ -569,3 +569,117 @@ def test_grpc_handler_crash_is_isolated(echo_server):
         assert r["echo"] == "after"
     finally:
         ch.close()
+
+
+# ------------------------------------------------- review-finding regressions
+
+
+def test_stream_error_midway_surfaces_not_hangs(echo_server):
+    """A streaming handler raising AFTER its first yield must end the
+    stream visibly (RST -> missing grpc-status -> error), not hang the
+    client until timeout."""
+    def half_then_boom(req, md):
+        yield {"echo": "one", "sum": 1.0}
+        raise RuntimeError("mid-stream failure")
+
+    srv = g.GrpcServer(
+        {"/t.S/Half": g.Method(half_then_boom, REQ, RESP,
+                               server_streaming=True)}
+    ).start()
+    ch = g.GrpcChannel("127.0.0.1", srv.port, timeout=15)
+    try:
+        with pytest.raises(g.GrpcError):
+            ch.server_streaming("/t.S/Half", {"n": 1}, REQ, RESP)
+    finally:
+        ch.close()
+        srv.stop()
+
+
+def test_end_stream_on_continued_headers(echo_server):
+    """END_STREAM on a HEADERS frame whose block spans CONTINUATION must
+    still dispatch the (bodyless) request."""
+    import socket
+
+    enc = hpack.Encoder()
+    s = socket.create_connection(("127.0.0.1", echo_server.port), timeout=15)
+    try:
+        s.settimeout(15)
+        s.sendall(h2.PREFACE + h2.pack_frame(h2.SETTINGS, 0, 0, b""))
+        block = enc.encode([
+            (":method", "POST"), (":scheme", "http"), (":path", "/t.S/Echo"),
+            (":authority", "x"), ("content-type", "application/grpc"),
+            ("te", "trailers"),
+        ])
+        half = len(block) // 2
+        s.sendall(
+            h2.pack_frame(h2.HEADERS, h2.FLAG_END_STREAM, 1, block[:half])
+            + h2.pack_frame(h2.CONTINUATION, h2.FLAG_END_HEADERS, 1,
+                            block[half:])
+        )
+        saw_response = False
+        dec = hpack.Decoder()
+        while not saw_response:
+            ftype, flags, sid, payload = h2.read_frame(s)
+            if ftype == h2.HEADERS and sid == 1:
+                headers = dec.decode(payload)
+                if any(k == ":status" for k, _ in headers) or any(
+                    k == "grpc-status" for k, _ in headers
+                ):
+                    saw_response = True
+    finally:
+        s.close()
+
+
+def test_oversized_frame_rejected(echo_server):
+    """A frame above our (default) SETTINGS_MAX_FRAME_SIZE is a
+    connection error — close, don't buffer."""
+    import socket
+
+    s = socket.create_connection(("127.0.0.1", echo_server.port), timeout=15)
+    try:
+        s.settimeout(15)
+        s.sendall(h2.PREFACE + h2.pack_frame(h2.SETTINGS, 0, 0, b""))
+        try:
+            # server may legally close (RST) as soon as it reads the
+            # oversized length — mid-send resets are the expected outcome
+            s.sendall(b"\x00\x80\x00" + bytes([h2.DATA, 0])
+                      + (1).to_bytes(4, "big") + b"x" * (1 << 15))
+            s.sendall(b"x" * ((1 << 23) - (1 << 15)))
+            while s.recv(65536):
+                pass
+        except OSError:
+            pass
+    finally:
+        s.close()
+    # server still healthy
+    ch = g.GrpcChannel("127.0.0.1", echo_server.port)
+    try:
+        assert ch.unary("/t.S/Echo", {"name": "up", "n": 0}, REQ, RESP)["echo"] == "up"
+    finally:
+        ch.close()
+
+
+def test_client_large_body_flow_control(echo_server):
+    """A request body over the 64 KiB initial window must flow under
+    WINDOW_UPDATE replenishment, not overshoot."""
+    big_name = "n" * 200_000
+
+    ch = g.GrpcChannel("127.0.0.1", echo_server.port)
+    try:
+        r = ch.unary("/t.S/Echo", {"name": big_name, "n": 0}, REQ, RESP)
+        assert r["echo"] == big_name
+    finally:
+        ch.close()
+
+
+def test_pb_truncated_nested_and_packed_raise():
+    enc = pb.encode(NESTED, {"inner": {"name": "hello"}})
+    with pytest.raises(ValueError):
+        pb.decode(NESTED, enc[:-2])  # truncated nested message
+    packed = pb.encode(NESTED, {"vals": [1.0, 2.0]})
+    with pytest.raises(ValueError):
+        pb.decode(NESTED, packed[:-3])  # truncated packed payload
+    # truncated UNKNOWN field must also raise, not silently succeed
+    unknown_len = b"\x7a\x10abc"  # field 15 LEN says 16, 3 present
+    with pytest.raises(ValueError):
+        pb.decode(SIMPLE, unknown_len)
