@@ -485,7 +485,7 @@ class SeqProxyGrpc:
             raise GrpcError(RESOURCE_EXHAUSTED, "too many requests")
         try:
             self._admit("/export", hreq)
-            lines = self.core.export_lines(hreq)
+            rows = self.core.export_docs(hreq)
         except TooManyFractionsHit as e:
             self.core._searches.release()
             # `grpc_export.go:55-57`: export surfaces the breach as a plain
@@ -497,16 +497,12 @@ class SeqProxyGrpc:
 
         def docs():
             try:
-                for line in lines:
-                    doc = json.loads(line)["doc"]
-                    # HTTP export ids are decimal "mid-rid"; rid may be a
-                    # negative long, so split only on the first separator
-                    mid, rid = doc["id"].split("-", 1)
+                for mid, rid, raw in rows:
                     yield {
                         "doc": {
-                            "id": seq_id_str(int(mid), int(rid)),
-                            "data": doc["data"].encode("utf-8"),
-                            "time": sp.ms_to_ts(int(mid)),
+                            "id": seq_id_str(mid, rid),
+                            "data": raw.encode("utf-8"),
+                            "time": sp.ms_to_ts(mid),
                         }
                     }
             finally:

@@ -381,12 +381,14 @@ class SeqSparkServer:
             req.get("from_ms"), req.get("to_ms"), self._max_fraction_hits
         )
 
-    def export_lines(self, req: dict):
-        """Build the export iterator: one JSON line per doc in stream order
+    def export_docs(self, req: dict):
+        """Export row iterator — (mid, rid, raw) tuples in stream order
         (`docs/en/10-public-api.md` /Export — Search's streaming twin).
         ``size`` absent/null drains the full match set via keyset
         pagination; rows stream through ``toLocalIterator`` so the driver
-        never holds the result set."""
+        never holds the result set. Both transports build on this: the
+        HTTP surface JSON-encodes each row, the gRPC surface
+        protobuf-encodes — neither pays the other's serialization."""
         self._check_fractions(req)
         st = self._table()
         docs = st.search(
@@ -396,20 +398,30 @@ class SeqSparkServer:
             size=req.get("size"),
             order=req.get("order", "desc"),
             dialect=req.get("dialect"),
-        ).select("mid", "rid", "ts", "raw")
+        ).select("mid", "rid", "raw")
+
+        def rows():
+            for r in docs.toLocalIterator(prefetchPartitions=True):
+                yield r["mid"], r["rid"], r["raw"]
+
+        return rows()
+
+    def export_lines(self, req: dict):
+        """One JSON line per export doc (the HTTP NDJSON drain)."""
+        rows = self.export_docs(req)
 
         def lines():
-            for r in docs.toLocalIterator(prefetchPartitions=True):
+            for mid, rid, raw in rows:
                 # format from epoch millis (mid) so the label is truly UTC
                 # regardless of the Spark session / server timezone
                 t = _dt.datetime.fromtimestamp(
-                    r["mid"] / 1000.0, tz=_dt.timezone.utc
+                    mid / 1000.0, tz=_dt.timezone.utc
                 )
                 yield json.dumps(
                     {
                         "doc": {
-                            "id": f"{r['mid']}-{r['rid']}",
-                            "data": r["raw"],
+                            "id": f"{mid}-{rid}",
+                            "data": raw,
                             "time": t.isoformat(
                                 timespec="milliseconds"
                             ).replace("+00:00", "Z"),
