@@ -63,7 +63,12 @@ def frame_message(payload: bytes) -> bytes:
     return b"\x00" + struct.pack(">I", len(payload)) + payload
 
 
-def iter_messages(body: bytes) -> Iterator[bytes]:
+def iter_messages(body: bytes, encoding: str = "identity") -> Iterator[bytes]:
+    """Length-prefixed gRPC messages; a set compressed flag decompresses
+    per the request's ``grpc-encoding`` (gzip via stdlib; anything else
+    is UNIMPLEMENTED, which the protocol lets a server declare)."""
+    import gzip as _gzip
+
     pos = 0
     while pos < len(body):
         if pos + 5 > len(body):
@@ -71,12 +76,21 @@ def iter_messages(body: bytes) -> Iterator[bytes]:
         compressed = body[pos]
         length = struct.unpack_from(">I", body, pos + 1)[0]
         pos += 5
-        if compressed:
-            raise GrpcError(UNIMPLEMENTED, "compressed messages not supported")
         if pos + length > len(body):
             raise GrpcError(INTERNAL, "truncated gRPC message")
-        yield body[pos : pos + length]
+        msg = body[pos : pos + length]
         pos += length
+        if compressed:
+            if encoding != "gzip":
+                raise GrpcError(
+                    UNIMPLEMENTED,
+                    f"compressed message with grpc-encoding {encoding!r}",
+                )
+            try:
+                msg = _gzip.decompress(msg)
+            except OSError as e:
+                raise GrpcError(INTERNAL, f"bad gzip message: {e}") from None
+        yield msg
 
 
 def _quote_message(msg: str) -> str:
@@ -152,7 +166,7 @@ class GrpcServer:
                 UNIMPLEMENTED, f"unknown method {path!r}"
             )
         enc = hmap.get("grpc-encoding", "identity")
-        if enc != "identity":
+        if enc not in ("identity", "gzip"):
             return self._trailers_only(
                 UNIMPLEMENTED, f"grpc-encoding {enc!r} not supported"
             )
@@ -165,7 +179,7 @@ class GrpcServer:
         timeout = parse_grpc_timeout(hmap.get("grpc-timeout", ""))
         deadline = _time.monotonic() + timeout if timeout else None
         try:
-            payloads = list(iter_messages(body))
+            payloads = list(iter_messages(body, enc))
             request = pb.decode(method.request, payloads[0] if payloads else b"")
         except GrpcError as e:
             return self._trailers_only(e.code, e.message)

@@ -654,7 +654,10 @@ class H2Client:
         self._header_end_stream = False
 
     def _end_stream(self, sid: int) -> None:
-        st = self._streams.get(sid)
+        # pop: callers hold their own H2ClientStream reference, and a
+        # long-lived channel must not accumulate finished-stream state
+        st = self._streams.pop(sid, None)
+        self._recv_pending_stream.pop(sid, None)
         if st is None:
             return
         with st.cond:

@@ -683,3 +683,39 @@ def test_pb_truncated_nested_and_packed_raise():
     unknown_len = b"\x7a\x10abc"  # field 15 LEN says 16, 3 present
     with pytest.raises(ValueError):
         pb.decode(SIMPLE, unknown_len)
+
+
+def test_grpc_gzip_request_encoding(echo_server):
+    """A gzip-compressed request (compressed flag + grpc-encoding: gzip)
+    decodes server-side; a flagged message under identity encoding stays
+    UNIMPLEMENTED."""
+    import gzip as _gzip
+
+    ch = g.GrpcChannel("127.0.0.1", echo_server.port)
+    try:
+        payload = pb.encode(REQ, {"name": "zipped", "n": 2})
+        comp = _gzip.compress(payload)
+        body = b"\x01" + struct.pack(">I", len(comp)) + comp
+        st = ch._client.request(
+            [(":method", "POST"), (":scheme", "http"), (":path", "/t.S/Echo"),
+             (":authority", "x"), ("content-type", "application/grpc"),
+             ("te", "trailers"), ("grpc-encoding", "gzip")],
+            body,
+        )
+        ch._client.wait(st, 30)
+        code, msg = ch._status_of(st)
+        assert code == g.OK, msg
+        resp = pb.decode(RESP, next(g.iter_messages(bytes(st.data))))
+        assert resp["echo"] == "zipped"
+        # flagged message WITHOUT gzip encoding stays rejected
+        st2 = ch._client.request(
+            [(":method", "POST"), (":scheme", "http"), (":path", "/t.S/Echo"),
+             (":authority", "x"), ("content-type", "application/grpc"),
+             ("te", "trailers")],
+            body,
+        )
+        ch._client.wait(st2, 30)
+        code2, _ = ch._status_of(st2)
+        assert code2 == g.UNIMPLEMENTED
+    finally:
+        ch.close()
