@@ -473,3 +473,58 @@ def test_fraction_hits_guard(rig, spark):
             assert "too many fractions hit" in json.loads(e.read())["error"]
     finally:
         capped_http.stop()
+
+
+def test_concurrent_mixed_workload(rig, spark):
+    """8 worker threads mixing Search/ComplexSearch/Fetch over ONE
+    multiplexed h2 connection while a bulk lands over HTTP-core — every
+    call succeeds and totals stay consistent (Spark job submission is
+    thread-safe; the connection frame loop must not serialize streams)."""
+    import threading
+
+    core, _, ch = rig
+    errors: list = []
+    results: dict = {}
+
+    def worker(i):
+        try:
+            if i % 3 == 0:
+                r = ch.unary(
+                    f"{SVC}/Search",
+                    {"query": {"query": "service:auth"}, "size": 10,
+                     "with_total": True},
+                    sp.SEARCH_REQUEST, sp.SEARCH_RESPONSE)
+                results[i] = ("search", r["total"])
+            elif i % 3 == 1:
+                r = ch.unary(
+                    f"{SVC}/ComplexSearch",
+                    {"query": {"query": "*"}, "with_total": True,
+                     "aggs": [{"group_by": "service", "func": 0}]},
+                    sp.COMPLEX_SEARCH_REQUEST, sp.COMPLEX_SEARCH_RESPONSE)
+                results[i] = ("complex", r["total"])
+            else:
+                listed = ch.unary(
+                    f"{SVC}/Search", {"query": {"query": "*"}, "size": 2},
+                    sp.SEARCH_REQUEST, sp.SEARCH_RESPONSE)
+                ids = [d["id"] for d in listed["docs"]]
+                docs = ch.server_streaming(
+                    f"{SVC}/Fetch", {"ids": ids}, sp.FETCH_REQUEST,
+                    sp.DOCUMENT)
+                results[i] = ("fetch", len(docs))
+        except Exception as e:  # pragma: no cover - failure detail
+            errors.append((i, repr(e)))
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(180)
+    assert not errors, errors
+    assert len(results) == 8
+    for i, (kind, value) in results.items():
+        if kind == "search":
+            assert value == 2
+        elif kind == "complex":
+            assert value == 4
+        else:
+            assert value == 2
