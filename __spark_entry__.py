@@ -1287,6 +1287,24 @@ def q_pack_sequences(spark, sf_dir):
     )
 
 
+
+def q_hamming_dupes(spark, sf_dir):
+    # generic Hamming-bounded near-dup join (shared by simhash text
+    # sketches and perceptual image dHashes), driven here by a 60-bit
+    # md5-prefix hash so the SQL oracle can brute-force the same
+    # predicate; duplicate texts surface as distance-0 pairs
+    from seqspark.pipeline.dedup import hamming_dupes
+
+    # hash the 2-word prefix (not the whole text — the synthetic corpus
+    # has no full-text dups, but ~180 docs share an opening bigram), so
+    # shared openings collide at distance 0 and the entry is non-vacuous
+    pre = F.array_join(F.slice(F.split(F.col("text"), " "), 1, 2), " ")
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "h", F.conv(F.substring(F.md5(pre), 1, 15), 16, 10).cast("long")
+    )
+    return hamming_dupes(docs, "doc_id", "h", max_distance=4, bits=60)
+
+
 #: entries that deliberately have no SQL oracle twin (LSH candidate
 #: generation and multimodal plumbing are not SQL-expressible); the driver
 #: records a weaker rows-only check for these. Everything else MUST have an
@@ -1400,6 +1418,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_contamination": q_fuzzy_contamination,
         "quality_classifier": q_quality_classifier,
         "pack_sequences": q_pack_sequences,
+        "hamming_dupes": q_hamming_dupes,
     }
 
 
@@ -2098,6 +2117,16 @@ def oracle_sql() -> dict[str, str]:
         "CAST(floor((end_tok - n) / 512) AS BIGINT) AS first_seq, "
         "CAST(greatest(floor((end_tok - 1) / 512), "
         "floor((end_tok - n) / 512)) AS BIGINT) AS last_seq FROM o"
+    )
+    # hamming near-dup join: brute-forced in SQL (bit_count over xor)
+    sql["hamming_dupes"] = (
+        "WITH h AS (SELECT doc_id, ('0x' || substring(md5("
+        "array_to_string(string_split(text, ' ')[1:2], ' ')"
+        "), 1, 15))::BIGINT AS h FROM documents) "
+        "SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+        "bit_count(xor(a.h, b.h))::INTEGER AS distance "
+        "FROM h a JOIN h b ON a.doc_id < b.doc_id "
+        "WHERE bit_count(xor(a.h, b.h)) <= 4"
     )
     # rows-only entries (LSH candidate generation, multimodal plumbing)
     # have no SQL equivalent on purpose — the driver records a weaker

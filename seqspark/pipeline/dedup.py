@@ -620,3 +620,67 @@ def duplicate_span_removal(
         lambda w: w.isNotNull(),
     )
     return out.withColumn(out_col, F.array_join(kept, " ")).drop("__cover")
+
+
+def hamming_dupes(
+    df: DataFrame,
+    id_col: str,
+    hash_col: str,
+    max_distance: int = 4,
+    bits: int = 64,
+) -> DataFrame:
+    """Near-duplicate pairs under a Hamming-distance bound on a 64-bit
+    hash column — exact, via pigeonhole banding: two hashes within
+    distance d must agree on at least one of d+1 disjoint bit bands, so
+    candidates come from equality joins on band values and ONLY
+    candidates pay the popcount verify. Works on any bit-sketch —
+    :func:`simhash` text sketches and
+    :func:`seqspark.pipeline.multimodal.dhash_images` perceptual image
+    hashes alike.
+
+    100 TB posture: explode to d+1 rows per doc, shuffle keyed by
+    (band index, band value) — pair work is Σ bucket² like every LSH
+    family here, never corpus²; the verify is a single JVM
+    ``bit_count(a ^ b)``. NULL hashes (undecodable images) never pair.
+
+    Output: ``(id_a, id_b, distance INT)`` with id_a < id_b, distance
+    <= max_distance, distinct.
+    """
+    n_bands = max_distance + 1
+    width = bits // n_bands
+    keyed = df.filter(F.col(hash_col).isNotNull()).select(
+        F.col(id_col).alias("__id"), F.col(hash_col).alias("__h")
+    )
+    bands = []
+    for i in range(n_bands):
+        off = i * width
+        w = bits - off if i == n_bands - 1 else width
+        mask = (1 << w) - 1
+        bands.append(
+            F.struct(
+                F.lit(i).alias("band"),
+                F.shiftright(F.col("__h"), off).bitwiseAND(F.lit(mask)).alias("val"),
+            )
+        )
+    exploded = keyed.select(
+        "__id", "__h", F.explode(F.array(*bands)).alias("b")
+    ).select("__id", "__h", F.col("b.band").alias("__band"), F.col("b.val").alias("__val"))
+    a = exploded.select(
+        F.col("__band").alias("band"), F.col("__val").alias("val"),
+        F.col("__id").alias("id_a"), F.col("__h").alias("ha"),
+    )
+    b = exploded.select(
+        F.col("__band").alias("band"), F.col("__val").alias("val"),
+        F.col("__id").alias("id_b"), F.col("__h").alias("hb"),
+    )
+    return (
+        a.join(b, ["band", "val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "distance",
+            F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).cast("int"),
+        )
+        .filter(F.col("distance") <= max_distance)
+        .select("id_a", "id_b", "distance")
+        .distinct()
+    )

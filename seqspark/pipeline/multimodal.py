@@ -433,3 +433,94 @@ def make_fake_assets(spark, n: int = 64) -> DataFrame:
         media = ("image", "audio", "video")[i % 3]
         rows.append((i, media, bytearray(content), '{"src":"fixture"}'))
     return spark.createDataFrame(rows, ASSET_SCHEMA)
+
+
+def _dhash_of_pixels(
+    w: int, h: int, ch: int, pixels: bytearray, hash_size: int = 8
+) -> int:
+    """Difference hash of a decoded raster: grayscale, area-downsample to
+    a (hash_size+1) x hash_size grid, bit = cell brighter than its right
+    neighbor — the standard perceptual dHash (robust to re-encoding,
+    resizing and small edits, the transforms that defeat byte-exact
+    image dedup)."""
+    gw, gh = hash_size + 1, hash_size
+    grid = [[0.0] * gw for _ in range(gh)]
+    counts = [[0] * gw for _ in range(gh)]
+    for y in range(h):
+        gy = min(y * gh // h, gh - 1)
+        row = y * w * ch
+        for x in range(w):
+            gx = min(x * gw // w, gw - 1)
+            p = row + x * ch
+            # integer luma (Rec.601 weights scaled by 1000)
+            lum = (
+                299 * pixels[p] + 587 * pixels[p + 1] + 114 * pixels[p + 2]
+            )
+            grid[gy][gx] += lum
+            counts[gy][gx] += 1
+    out = 0
+    bit = 0
+    for gy in range(gh):
+        for gx in range(hash_size):
+            left = grid[gy][gx] / max(counts[gy][gx], 1)
+            right = grid[gy][gx + 1] / max(counts[gy][gx + 1], 1)
+            if left > right:
+                out |= 1 << bit
+            bit += 1
+    return out
+
+
+def dhash_images(
+    assets: DataFrame,
+    content_col: str = "content",
+    out_col: str = "dhash",
+    hash_size: int = 8,
+    fake: bool = True,
+) -> DataFrame:
+    """Append a 64-bit perceptual dHash column for image payloads.
+
+    Real mode decodes with the stdlib PNG raster decoder (Pillow-free);
+    non-decodable payloads hash to NULL. Fake mode (CI without image
+    fixtures) derives a deterministic pseudo-hash from the content bytes
+    so the plumbing — Arrow batching, schema, downstream joins — runs
+    identically. Pair with :func:`seqspark.pipeline.dedup.hamming_dupes`
+    for near-duplicate detection at rest (hash once at ingest, join on
+    bands forever — sketch-at-rest like tokens/sketches elsewhere).
+
+    Arrow-batched ``mapInArrow``; per-image work is O(pixels), no
+    shuffle.
+    """
+    import pyarrow as pa
+
+    size = hash_size
+
+    def batches(it):
+        for batch in it:
+            tbl = batch.to_pydict()
+            hashes = []
+            for content in tbl[content_col]:
+                if content is None:
+                    hashes.append(None)
+                    continue
+                b = bytes(content)
+                if fake:
+                    hashes.append(
+                        int.from_bytes(
+                            hashlib.sha256(b).digest()[:8], "big", signed=True
+                        )
+                    )
+                    continue
+                dec = _png_decode_pixels(b)
+                if dec is None:
+                    hashes.append(None)
+                    continue
+                w, h, ch, pixels = dec
+                u = _dhash_of_pixels(w, h, ch, pixels, size)
+                hashes.append(u - (1 << 64) if u >= (1 << 63) else u)
+            tbl[out_col] = hashes
+            yield pa.RecordBatch.from_pydict(tbl)
+
+    out_schema = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in assets.schema.fields
+    ) + f", {out_col} long"
+    return assets.mapInArrow(batches, out_schema)

@@ -1296,3 +1296,92 @@ def test_ivf_assign_null_embedding_lands_in_cell_zero(spark):
            for r in ann.ivf_assign(emb2, [[1.0, 0.0], [0.0, 1.0]]).collect()}
     assert out[1] == 0
     assert out[2] == 0  # NULL -> cell 0, same as the pre-r7 chain
+
+
+def test_hamming_dupes_exact_pigeonhole(spark):
+    """Pairs within the distance bound are ALL found (pigeonhole
+    guarantees recall 1.0 for the banded join); farther pairs never
+    appear; NULL hashes never pair."""
+    rows = [
+        (1, 0b1111000011110000),
+        (2, 0b1111000011110001),          # distance 1 from id 1
+        (3, 0b1111000011111111),          # distance 4 from id 1
+        (4, -1),                          # all ones: far from everything
+        (5, None),
+        (6, 0b1111000011110000),          # exact dup of id 1
+    ]
+    df = spark.createDataFrame(rows, "id long, h long")
+    got = {(r["id_a"], r["id_b"]): r["distance"]
+           for r in dedup.hamming_dupes(df, "id", "h", max_distance=4).collect()}
+    assert got[(1, 2)] == 1
+    assert got[(1, 6)] == 0
+    assert got[(2, 6)] == 1
+    assert got[(1, 3)] == 4
+    assert got[(3, 6)] == 4
+    assert got[(2, 3)] == 3  # 0b...0001 vs 0b...1111 differ in 3 bits
+    # id 4 pairs with nothing; id 5 (NULL) pairs with nothing
+    assert not any(4 in k or 5 in k for k in got)
+
+
+def test_hamming_dupes_brute_force_parity(spark):
+    """Banded join == brute-force Hamming filter on random hashes."""
+    import random
+
+    rng = random.Random(17)
+    rows = [(i, rng.getrandbits(64) - (1 << 63)) for i in range(80)]
+    # plant near-dups: flip <=3 bits of some hashes
+    for i in range(0, 20, 2):
+        h = rows[i][1]
+        for _ in range(rng.randint(0, 3)):
+            h ^= 1 << rng.randrange(64)
+        rows.append((1000 + i, h))
+    df = spark.createDataFrame(rows, "id long, h long")
+    got = {(r["id_a"], r["id_b"]): r["distance"]
+           for r in dedup.hamming_dupes(df, "id", "h", max_distance=3).collect()}
+    hashes = dict(rows)
+    expect = {}
+    ids = sorted(hashes)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            d = bin((hashes[a] ^ hashes[b]) & (1 << 64) - 1).count("1")
+            if d <= 3:
+                expect[(a, b)] = d
+    assert got == expect
+
+
+def test_dhash_images_real_kernel_near_dup(spark):
+    """Two PNGs differing by one pixel hash within a small Hamming
+    distance; a structurally different image lands far away — all
+    through the stdlib PNG decode (fake=False)."""
+    from seqspark.pipeline.multimodal import _png_encode, dhash_images
+
+    w = h = 32
+    def gradient(flip=False, noise_at=None):
+        px = bytearray()
+        for y in range(h):
+            for x in range(w):
+                v = (x * 255 // w) if not flip else ((w - x - 1) * 255 // w)
+                if noise_at == (x, y):
+                    v = (v + 120) % 256
+                px += bytes((v, v, v))
+        return _png_encode(w, h, 3, px)
+
+    rows = [
+        (1, "image", bytearray(gradient()), "{}"),
+        (2, "image", bytearray(gradient(noise_at=(5, 5))), "{}"),
+        (3, "image", bytearray(gradient(flip=True)), "{}"),
+        (4, "image", bytearray(b"not a png"), "{}"),
+    ]
+    from seqspark.pipeline.multimodal import ASSET_SCHEMA
+
+    assets = spark.createDataFrame(rows, ASSET_SCHEMA)
+    hashed = dhash_images(assets, fake=False)
+    hs = {r["asset_id"]: r["dhash"] for r in hashed.collect()}
+    assert hs[4] is None  # undecodable -> NULL
+    d12 = bin((hs[1] ^ hs[2]) & (1 << 64) - 1).count("1")
+    d13 = bin((hs[1] ^ hs[3]) & (1 << 64) - 1).count("1")
+    assert d12 <= 4 < d13
+    pairs = dedup.hamming_dupes(hashed, "asset_id", "dhash", max_distance=4)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (1, 2) in got
+    assert (1, 3) not in got
