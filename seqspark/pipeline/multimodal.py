@@ -496,9 +496,8 @@ def dhash_images(
 
     def batches(it):
         for batch in it:
-            tbl = batch.to_pydict()
             hashes = []
-            for content in tbl[content_col]:
+            for content in batch.column(content_col).to_pylist():
                 if content is None:
                     hashes.append(None)
                     continue
@@ -517,8 +516,12 @@ def dhash_images(
                 w, h, ch, pixels = dec
                 u = _dhash_of_pixels(w, h, ch, pixels, size)
                 hashes.append(u - (1 << 64) if u >= (1 << 63) else u)
-            tbl[out_col] = hashes
-            yield pa.RecordBatch.from_pydict(tbl)
+            # explicit int64 array: an all-NULL batch must not infer a
+            # null-typed column that breaks the declared output schema
+            yield pa.RecordBatch.from_arrays(
+                list(batch.columns) + [pa.array(hashes, type=pa.int64())],
+                names=list(batch.schema.names) + [out_col],
+            )
 
     out_schema = ", ".join(
         f"`{f.name}` {f.dataType.simpleString()}" for f in assets.schema.fields

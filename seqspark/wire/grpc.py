@@ -63,11 +63,19 @@ def frame_message(payload: bytes) -> bytes:
     return b"\x00" + struct.pack(">I", len(payload)) + payload
 
 
+#: inflate bound per compressed message — gzip reaches ~1000:1, so an
+#: unbounded decompress of a body that passed the transport's size cap
+#: could still exhaust memory (same bomb-guard discipline as the PNG
+#: decoder's bounded inflate)
+MAX_DECOMPRESSED_MESSAGE = 16 << 20
+
+
 def iter_messages(body: bytes, encoding: str = "identity") -> Iterator[bytes]:
     """Length-prefixed gRPC messages; a set compressed flag decompresses
-    per the request's ``grpc-encoding`` (gzip via stdlib; anything else
-    is UNIMPLEMENTED, which the protocol lets a server declare)."""
-    import gzip as _gzip
+    per the request's ``grpc-encoding`` (gzip via stdlib, inflate bounded
+    against decompression bombs; anything else is UNIMPLEMENTED, which
+    the protocol lets a server declare)."""
+    import zlib as _zlib
 
     pos = 0
     while pos < len(body):
@@ -87,8 +95,16 @@ def iter_messages(body: bytes, encoding: str = "identity") -> Iterator[bytes]:
                     f"compressed message with grpc-encoding {encoding!r}",
                 )
             try:
-                msg = _gzip.decompress(msg)
-            except OSError as e:
+                d = _zlib.decompressobj(wbits=31)  # gzip wrapper
+                out = d.decompress(msg, MAX_DECOMPRESSED_MESSAGE)
+                if d.unconsumed_tail:
+                    raise GrpcError(
+                        RESOURCE_EXHAUSTED,
+                        "decompressed message exceeds "
+                        f"{MAX_DECOMPRESSED_MESSAGE} bytes",
+                    )
+                msg = out
+            except _zlib.error as e:
                 raise GrpcError(INTERNAL, f"bad gzip message: {e}") from None
         yield msg
 

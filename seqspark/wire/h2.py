@@ -225,6 +225,7 @@ class _Conn:
                         self.send_frame(PING, FLAG_ACK, 0, payload)
                 elif ftype == RST_STREAM:
                     st = self._streams.pop(sid, None)
+                    self._recv_pending_stream.pop(sid, None)
                     if st is not None:
                         with self._flow:
                             st.reset = True
@@ -509,18 +510,27 @@ class H2Client:
         body: bytes,
         end_stream: bool = True,
     ) -> H2ClientStream:
-        with self._sid_lock:
-            sid = self._next_sid
-            self._next_sid += 2
-            st = H2ClientStream(self._peer_initial_window)
-            self._streams[sid] = st
         block = self._encoder.encode(headers)
-        self._write(pack_frame(
-            HEADERS,
-            FLAG_END_HEADERS | (0 if body or not end_stream else FLAG_END_STREAM),
-            sid,
-            block,
-        ))
+        with self._sid_lock:
+            # one critical section covers sid allocation, stream
+            # registration AND the HEADERS write: (a) RFC 9113 §5.1.1
+            # demands strictly increasing stream ids on the wire, so two
+            # threads' HEADERS frames must leave in allocation order;
+            # (b) registering under _flow makes the read loop's
+            # INITIAL_WINDOW_SIZE delta either see this stream or be
+            # reflected in _peer_initial_window — never neither
+            with self._flow:
+                sid = self._next_sid
+                self._next_sid += 2
+                st = H2ClientStream(self._peer_initial_window)
+                self._streams[sid] = st
+            self._write(pack_frame(
+                HEADERS,
+                FLAG_END_HEADERS
+                | (0 if body or not end_stream else FLAG_END_STREAM),
+                sid,
+                block,
+            ))
         view = memoryview(body or b"")
         while view:
             with self._flow:

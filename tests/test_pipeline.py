@@ -1385,3 +1385,18 @@ def test_dhash_images_real_kernel_near_dup(spark):
     got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
     assert (1, 2) in got
     assert (1, 3) not in got
+
+
+def test_dhash_all_null_batch_keeps_schema(spark):
+    """A partition whose every payload is undecodable must still yield an
+    int64 hash column (explicit Arrow type, not null-type inference)."""
+    from seqspark.pipeline.multimodal import ASSET_SCHEMA, dhash_images
+
+    rows = [(i, "image", bytearray(b"not-a-png-%d" % i), "{}")
+            for i in range(6)]
+    assets = spark.createDataFrame(rows, ASSET_SCHEMA).repartition(2)
+    out = dhash_images(assets, fake=False)
+    got = out.collect()
+    assert len(got) == 6
+    assert all(r["dhash"] is None for r in got)
+    assert dict(out.dtypes)["dhash"] == "bigint"

@@ -719,3 +719,27 @@ def test_grpc_gzip_request_encoding(echo_server):
         assert code2 == g.UNIMPLEMENTED
     finally:
         ch.close()
+
+
+def test_gzip_bomb_bounded(echo_server):
+    """A tiny gzip body inflating past the message bound must be refused,
+    not materialized (bounded inflate like the PNG decoder)."""
+    import gzip as _gzip
+
+    bomb = _gzip.compress(b"\x00" * (g.MAX_DECOMPRESSED_MESSAGE + 1024))
+    assert len(bomb) < 1 << 20
+    ch = g.GrpcChannel("127.0.0.1", echo_server.port)
+    try:
+        body = b"\x01" + struct.pack(">I", len(bomb)) + bomb
+        st = ch._client.request(
+            [(":method", "POST"), (":scheme", "http"), (":path", "/t.S/Echo"),
+             (":authority", "x"), ("content-type", "application/grpc"),
+             ("te", "trailers"), ("grpc-encoding", "gzip")],
+            body,
+        )
+        ch._client.wait(st, 30)
+        code, msg = ch._status_of(st)
+        assert code == g.RESOURCE_EXHAUSTED
+        assert "exceeds" in msg
+    finally:
+        ch.close()
