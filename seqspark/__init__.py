@@ -10,6 +10,10 @@ Public surface:
 - :mod:`seqspark.streaming` — Structured Streaming ingest + async search
 - :mod:`seqspark.pipeline` — LLM-data-pipeline operators (dedup, ANN,
   text analysis, multimodal plumbing)
+- :class:`seqspark.server.SeqSparkServer` / :class:`seqspark.grpcapi.
+  SeqProxyGrpc` — the HTTP JSON and gRPC (seqproxyapi.v1) transports
+  over one engine (imported from their modules to keep the base import
+  light)
 """
 
 from .engine import (
