@@ -17,4 +17,14 @@ by `proxyapi/grpc_v1.go`) is implemented from the public specs:
 
 This is a transport layer only — every RPC lands on the same engine
 methods the HTTP server uses (:mod:`seqspark.grpcapi`).
+
+Interop validation, honestly stated: the container ships no external
+gRPC client, so conformance is established by (a) the RFC 7541 appendix
+C vectors byte-for-byte (Huffman table, integer coding, dynamic-table
+request sequences), (b) protocol-rule tests (flow-control windows and
+SETTINGS deltas, CONTINUATION reassembly, stream-id ordering, frame
+size limits, gRPC framing/trailers/status/deadline/gzip semantics), and
+(c) loopback e2e through this package's own client — not by a grpc-go
+handshake. The spec-visible behaviors a stock client depends on are
+individually pinned in ``tests/test_wire.py``.
 """
