@@ -1305,6 +1305,23 @@ def q_hamming_dupes(spark, sf_dir):
     return hamming_dupes(docs, "doc_id", "h", max_distance=4, bits=60)
 
 
+
+def q_image_dhash_dupes(spark, sf_dir):
+    # rows-only: perceptual-hash dedup plumbing — dHash over the
+    # deterministic asset fixture (fake mode: sha-derived hashes), then
+    # the exact Hamming-banded pair join; fixture ids 0..63 with payloads
+    # repeated every id%4, so identical payloads pair at distance 0
+    from seqspark.pipeline.dedup import hamming_dupes
+    from seqspark.pipeline.multimodal import dhash_images, make_fake_assets
+
+    assets = make_fake_assets(spark, 48)
+    # plant byte-identical copies under shifted ids: every asset pairs
+    # with its copy at distance 0 (48 deterministic pairs)
+    copies = assets.withColumn("asset_id", F.col("asset_id") + 1000)
+    hashed = dhash_images(assets.unionByName(copies), fake=True)
+    return hamming_dupes(hashed, "asset_id", "dhash", max_distance=4)
+
+
 #: entries that deliberately have no SQL oracle twin (LSH candidate
 #: generation and multimodal plumbing are not SQL-expressible); the driver
 #: records a weaker rows-only check for these. Everything else MUST have an
@@ -1316,6 +1333,7 @@ ROWS_ONLY = frozenset(
         "ann_lsh_topk",
         "multimodal_decode",
         "multimodal_resize",
+        "image_dhash_dupes",
     }
 )
 
@@ -1419,6 +1437,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_classifier": q_quality_classifier,
         "pack_sequences": q_pack_sequences,
         "hamming_dupes": q_hamming_dupes,
+        "image_dhash_dupes": q_image_dhash_dupes,
     }
 
 
