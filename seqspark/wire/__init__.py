@@ -19,12 +19,16 @@ This is a transport layer only — every RPC lands on the same engine
 methods the HTTP server uses (:mod:`seqspark.grpcapi`).
 
 Interop validation, honestly stated: the container ships no external
-gRPC client, so conformance is established by (a) the RFC 7541 appendix
-C vectors byte-for-byte (Huffman table, integer coding, dynamic-table
-request sequences), (b) protocol-rule tests (flow-control windows and
-SETTINGS deltas, CONTINUATION reassembly, stream-id ordering, frame
-size limits, gRPC framing/trailers/status/deadline/gzip semantics), and
-(c) loopback e2e through this package's own client — not by a grpc-go
-handshake. The spec-visible behaviors a stock client depends on are
-individually pinned in ``tests/test_wire.py``.
+gRPC client, so gRPC-layer conformance is established by (a) the RFC
+7541 appendix C vectors byte-for-byte (Huffman table, integer coding,
+dynamic-table request sequences), (b) protocol-rule tests (flow-control
+windows and SETTINGS deltas, CONTINUATION reassembly, stream-id
+ordering, frame size limits, gRPC framing/trailers/status/deadline/gzip
+semantics), and (c) loopback e2e through this package's own client. The
+HTTP/2 + HPACK layers additionally have REAL third-party interop
+coverage: ``java.net.http.HttpClient`` (the JDK's independent
+implementation, reached through the Spark JVM) drives the server via
+the RFC 7540 §3.2 h2c Upgrade and native h2 streams — its
+Huffman-coded headers decoded here, our frames consumed there
+(``tests/test_wire.py::test_java_httpclient_interop``).
 """

@@ -159,6 +159,30 @@ class _Conn:
         #: WINDOW_UPDATE we sent, connection-wide and per live stream
         self._recv_pending = 0
         self._recv_pending_stream: dict[int, int] = {}
+        #: bytes read past the connection start (prior-knowledge probe may
+        #: over-read into the first frames) — drained before the socket
+        self._pending = b""
+
+    def _recv_conn(self, n: int) -> bytes:
+        out = bytearray()
+        if self._pending:
+            take = self._pending[:n]
+            self._pending = self._pending[len(take):]
+            out += take
+        while len(out) < n:
+            chunk = self._sock.recv(n - len(out))
+            if not chunk:
+                raise ConnectionError("peer closed")
+            out += chunk
+        return bytes(out)
+
+    def _read_frame(self) -> Tuple[int, int, int, bytes]:
+        head = self._recv_conn(9)
+        length = int.from_bytes(head[:3], "big")
+        ftype, flags = head[3], head[4]
+        stream_id = int.from_bytes(head[5:9], "big") & 0x7FFFFFFF
+        payload = self._recv_conn(length) if length else b""
+        return ftype, flags, stream_id, payload
 
     # ------------------------------------------------------------- writing
 
@@ -189,11 +213,81 @@ class _Conn:
 
     # ------------------------------------------------------------- serving
 
+    def _read_connection_start(self):
+        """Accept either start sequence a real client uses: the direct h2
+        preface (prior knowledge — gRPC's mode) or an HTTP/1.1 request
+        carrying ``Upgrade: h2c`` (RFC 7540 §3.2 — what e.g.
+        ``java.net.http.HttpClient`` sends for http:// URLs with HTTP_2).
+        Returns None for prior knowledge, or the (headers, body) of the
+        upgraded request to be served as stream 1."""
+        buf = bytearray()
+        while True:
+            if buf.startswith(PREFACE[: len(buf)]) and len(buf) >= len(PREFACE):
+                # prior knowledge; keep any extra bytes for the frame loop
+                self._pending = bytes(buf[len(PREFACE):])
+                return None
+            if not buf.startswith(PREFACE[: min(len(buf), len(PREFACE))]):
+                if b"\r\n\r\n" in buf:
+                    break
+                if len(buf) > MAX_HEADER_BLOCK:
+                    raise ValueError("oversized request head")
+            chunk = self._sock.recv(4096)
+            if not chunk:
+                raise ConnectionError("peer closed during start")
+            buf += chunk
+        head, _, rest = bytes(buf).partition(b"\r\n\r\n")
+        lines = head.decode("latin-1").split("\r\n")
+        try:
+            method, path, _version = lines[0].split(" ", 2)
+        except ValueError:
+            raise ValueError("malformed request line") from None
+        hmap: dict[str, str] = {}
+        for line in lines[1:]:
+            k, _, v = line.partition(":")
+            hmap[k.strip().lower()] = v.strip()
+        if "h2c" not in hmap.get("upgrade", ""):
+            self._write(
+                b"HTTP/1.1 505 HTTP Version Not Supported\r\n"
+                b"Connection: close\r\nContent-Length: 0\r\n\r\n"
+            )
+            raise ConnectionError("no h2c upgrade offered")
+        # HTTP2-Settings: base64url SETTINGS payload (§3.2.1) — apply as
+        # the client's initial settings, never ACKed
+        import base64
+
+        h2s = hmap.get("http2-settings", "")
+        if h2s:
+            pad = "=" * (-len(h2s) % 4)
+            self._apply_settings(base64.urlsafe_b64decode(h2s + pad))
+        clen = int(hmap.get("content-length", "0") or 0)
+        body = bytearray(rest)
+        while len(body) < clen:
+            chunk = self._sock.recv(clen - len(body))
+            if not chunk:
+                raise ConnectionError("peer closed mid-body")
+            body += chunk
+        self._write(
+            b"HTTP/1.1 101 Switching Protocols\r\n"
+            b"Connection: Upgrade\r\nUpgrade: h2c\r\n\r\n"
+        )
+        preface = _recv_exact(self._sock, len(PREFACE))
+        if preface != PREFACE:
+            raise ValueError("missing h2 preface after 101")
+        self._pending = b""
+        pseudo = [
+            (":method", method),
+            (":scheme", "http"),
+            (":path", path),
+            (":authority", hmap.get("host", "")),
+        ]
+        skip = {"host", "connection", "upgrade", "http2-settings",
+                "content-length", "te"}
+        pseudo += [(k, v) for k, v in hmap.items() if k not in skip]
+        return pseudo, bytes(body)
+
     def serve(self) -> None:
         try:
-            preface = _recv_exact(self._sock, len(PREFACE))
-            if preface != PREFACE:
-                return
+            upgraded = self._read_connection_start()
             self.send_frame(SETTINGS, 0, 0, struct.pack(
                 ">HIHI",
                 SETTINGS_MAX_CONCURRENT_STREAMS, 1024,
@@ -202,8 +296,16 @@ class _Conn:
             self.send_frame(WINDOW_UPDATE, 0, 0, struct.pack(
                 ">I", RECV_WINDOW - DEFAULT_WINDOW
             ))
+            if upgraded is not None:
+                # the pre-upgrade request is served as stream 1 (§3.2),
+                # half-closed (remote) — the response flows as h2 frames
+                headers, body = upgraded
+                st = self._stream(1)
+                st.headers = headers
+                st.data = bytearray(body)
+                self._dispatch(1, st)
             while True:
-                ftype, flags, sid, payload = read_frame(self._sock)
+                ftype, flags, sid, payload = self._read_frame()
                 if len(payload) > MAX_RECV_FRAME:
                     # peer exceeded our (default) SETTINGS_MAX_FRAME_SIZE —
                     # FRAME_SIZE_ERROR, connection-fatal (§4.2)
@@ -249,6 +351,10 @@ class _Conn:
     def _on_settings(self, flags: int, payload: bytes) -> None:
         if flags & FLAG_ACK:
             return
+        self._apply_settings(payload)
+        self.send_frame(SETTINGS, FLAG_ACK, 0, b"")
+
+    def _apply_settings(self, payload: bytes) -> None:
         for off in range(0, len(payload) - 5, 6):
             ident, value = struct.unpack_from(">HI", payload, off)
             if ident == SETTINGS_INITIAL_WINDOW_SIZE:
@@ -264,7 +370,6 @@ class _Conn:
                 self._peer_max_frame = max(
                     MAX_FRAME_SIZE, min(value, (1 << 24) - 1)
                 )
-        self.send_frame(SETTINGS, FLAG_ACK, 0, b"")
 
     def _stream(self, sid: int) -> _Stream:
         st = self._streams.get(sid)
@@ -389,8 +494,6 @@ class _Conn:
                     if len(buf) >= MAX_FRAME_SIZE:
                         self._send_data(sid, st, bytes(buf))
                         buf.clear()
-                if buf:
-                    self._send_data(sid, st, bytes(buf))
             except (ConnectionError, OSError):
                 raise
             except Exception:
@@ -403,9 +506,19 @@ class _Conn:
                     RST_STREAM, 0, sid, struct.pack(">I", 0x2)
                 )
                 return
-            tblock = self._encoder.encode(trailers)
-            self.send_frame(HEADERS, FLAG_END_HEADERS | FLAG_END_STREAM,
-                            sid, tblock)
+            if trailers:
+                if buf:
+                    self._send_data(sid, st, bytes(buf))
+                tblock = self._encoder.encode(trailers)
+                self.send_frame(HEADERS, FLAG_END_HEADERS | FLAG_END_STREAM,
+                                sid, tblock)
+            else:
+                # plain-HTTP responses (no trailers) close with END_STREAM
+                # on the final DATA frame — what ordinary HTTP/2 clients
+                # (e.g. java.net.http) expect
+                if buf:
+                    self._send_data(sid, st, bytes(buf))
+                self.send_frame(DATA, FLAG_END_STREAM, sid, b"")
         except (ConnectionError, OSError):
             pass
         finally:

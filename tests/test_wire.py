@@ -480,9 +480,13 @@ def test_h2_rejects_bad_preface(echo_server):
     s = _connect(echo_server.port)
     try:
         s.sendall(b"GET / HTTP/1.1\r\nHost: x\r\n\r\n")
-        # server must close (clean FIN or RST), not hang or crash
+        # an HTTP/1.1 request WITHOUT an h2c upgrade offer gets a clean
+        # 505 and the connection closes — never a hang or crash
         try:
-            assert s.recv(1024) == b""
+            first = s.recv(1024)
+            assert first == b"" or first.startswith(b"HTTP/1.1 505")
+            if first:
+                assert s.recv(1024) == b""
         except ConnectionResetError:
             pass
     finally:
@@ -743,3 +747,63 @@ def test_gzip_bomb_bounded(echo_server):
         assert "exceeds" in msg
     finally:
         ch.close()
+
+
+# --------------------------------------------- third-party interop (Java 17)
+
+
+def test_java_httpclient_interop(spark):
+    """REAL third-party HTTP/2 interop: java.net.http.HttpClient (the
+    JDK's independent h2 + HPACK implementation, reached through the
+    Spark JVM) performs the RFC 7540 §3.2 h2c Upgrade against our
+    server, then issues a second request as a native h2 stream — its
+    Huffman-coded HPACK headers decoded by our decoder, our frames
+    consumed by its framing layer."""
+    def app(headers, body):
+        hmap = dict(headers)
+        resp = (
+            "echo:" + body.decode()
+            + "|path:" + hmap.get(":path", "")
+            + "|method:" + hmap.get(":method", "")
+        ).encode()
+        return [(":status", "200"), ("content-type", "text/plain")], [resp], []
+
+    srv = h2.H2Server(app).start()
+    try:
+        jvm = spark._jvm
+        client = (
+            jvm.java.net.http.HttpClient.newBuilder()
+            .version(jvm.java.net.http.HttpClient.Version.HTTP_2)
+            .build()
+        )
+        BodyPublishers = jvm.java.net.http.HttpRequest.BodyPublishers
+        BodyHandlers = jvm.java.net.http.HttpResponse.BodyHandlers
+
+        def post(path, payload):
+            req = (
+                jvm.java.net.http.HttpRequest.newBuilder(
+                    jvm.java.net.URI.create(
+                        f"http://127.0.0.1:{srv.port}{path}")
+                )
+                .POST(BodyPublishers.ofString(payload))
+                .build()
+            )
+            return client.send(req, BodyHandlers.ofString())
+
+        r1 = post("/hello", "from-java")
+        assert r1.version().toString() == "HTTP_2"  # upgrade succeeded
+        assert r1.statusCode() == 200
+        assert r1.body() == "echo:from-java|path:/hello|method:POST"
+        # second call rides the SAME connection as a plain h2 stream
+        r2 = post("/second", "again")
+        assert r2.version().toString() == "HTTP_2"
+        assert r2.body() == "echo:again|path:/second|method:POST"
+        # a large java-side body exercises our receive path + its flow
+        # control against our advertised windows
+        big = "x" * 300_000
+        r3 = post("/big", big)
+        assert r3.statusCode() == 200
+        assert r3.body().startswith("echo:" + "x" * 100)
+        assert len(r3.body()) == len("echo:|path:/big|method:POST") + len(big)
+    finally:
+        srv.stop()
