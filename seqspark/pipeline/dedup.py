@@ -15,7 +15,7 @@ or capped with a per-bucket limit.
 
 from __future__ import annotations
 
-from typing import List, Sequence
+from typing import List, Optional, Sequence
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
@@ -567,10 +567,16 @@ def duplicate_span_removal(
     entirely of duplicated text collapse to '').
 
     100 TB posture: two hash-keyed shuffles (winner-agg is map-side
-    combinable min; occurrence/winner join shares the key) plus one
-    doc-keyed shuffle for reassembly — no corpus-wide window, no driver
-    state; the covered-position explode is bounded by k x duplicate
-    volume, not corpus size. Uniform md5 keys cannot skew.
+    combinable min; occurrence/winner join shares the key) plus
+    (doc, position)-keyed shuffles for reassembly — no corpus-wide
+    window, no driver state; the covered-position explode is bounded by
+    k x duplicate volume, not corpus size. Uniform md5 keys cannot skew.
+    Reassembly is a positional anti-join over TOUCHED docs only (docs
+    with no duplicated span never explode their words): per-doc cost is
+    O(words + covered), strictly linear — the earlier
+    ``array_contains(cover, i)`` membership scan was
+    O(words x covered) per doc, which let one pathological
+    100k-word mostly-duplicated document pin an executor core.
 
     Output: the input columns plus ``out_col``.
     """
@@ -599,27 +605,59 @@ def duplicate_span_removal(
     dups = occ.join(winners, "__h").filter(
         (F.col("__did") != F.col("__w.d")) | (F.col("__pos") != F.col("__w.p"))
     )
-    covered = (
-        dups.select(
-            "__did",
-            F.explode(
-                F.sequence(F.col("__pos"), F.col("__pos") + F.lit(k - 1))
-            ).alias("__cp"),
+    covered = dups.select(
+        "__did",
+        F.explode(
+            F.sequence(F.col("__pos"), F.col("__pos") + F.lit(k - 1))
+        ).alias("__cp"),
+    ).distinct()
+    touched = covered.select("__did").distinct()
+    # posexplode ONLY the touched docs' words, anti-join out the covered
+    # positions, and rebuild in order — each stage linear in the doc
+    doc_words = (
+        df.join(touched, df[id_col] == touched["__did"], "left_semi")
+        .select(
+            F.col(id_col).alias("__did"),
+            F.posexplode(words).alias("__wp", "__w"),
+        )
+    )
+    rebuilt = (
+        doc_words.join(
+            covered,
+            (doc_words["__did"] == covered["__did"])
+            & (doc_words["__wp"] == covered["__cp"]),
+            "left_anti",
         )
         .groupBy("__did")
-        .agg(F.collect_set("__cp").alias("__cover"))
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("__wp", "__w"))
+                    ),
+                    lambda s: s["__w"],
+                ),
+                " ",
+            ).alias("__clean")
+        )
     )
-    out = df.join(
-        covered, df[id_col] == covered["__did"], "left"
-    ).drop("__did")
-    cover = F.coalesce(F.col("__cover"), F.array().cast("array<int>"))
-    kept = F.filter(
-        F.transform(
-            words, lambda w, i: F.when(~F.array_contains(cover, i), w)
-        ),
-        lambda w: w.isNotNull(),
+    out = (
+        df.join(
+            touched.withColumn("__touched", F.lit(True)),
+            df[id_col] == touched["__did"],
+            "left",
+        )
+        .drop("__did")
+        .join(rebuilt, df[id_col] == rebuilt["__did"], "left")
+        .drop("__did")
     )
-    return out.withColumn(out_col, F.array_join(kept, " ")).drop("__cover")
+    # untouched docs keep their words verbatim (array_join(split(...))
+    # round-trips exactly); a fully-covered doc collapses to ''
+    clean = F.when(
+        F.col("__touched").isNotNull(),
+        F.coalesce(F.col("__clean"), F.lit("")),
+    ).otherwise(F.array_join(words, " "))
+    return out.withColumn(out_col, clean).drop("__touched", "__clean")
 
 
 def hamming_dupes(
@@ -628,6 +666,8 @@ def hamming_dupes(
     hash_col: str,
     max_distance: int = 4,
     bits: int = 64,
+    max_bucket: Optional[int] = None,
+    salt: bool = False,
 ) -> DataFrame:
     """Near-duplicate pairs under a Hamming-distance bound on a 64-bit
     hash column — exact, via pigeonhole banding: two hashes within
@@ -643,10 +683,34 @@ def hamming_dupes(
     family here, never corpus²; the verify is a single JVM
     ``bit_count(a ^ b)``. NULL hashes (undecodable images) never pair.
 
+    Hot buckets: a degenerate asset population (constant-color images all
+    share one dHash; near-empty texts all simhash to 0) puts every such
+    row in the same band bucket → bucket² pair work. ``max_bucket``
+    bounds that, via the same two mechanics as
+    :func:`minhash_lsh_candidates`:
+
+    - ``salt=False``: members past ``max_bucket`` per (band, value)
+      bucket are DROPPED — bounded work, capped docs never pair through
+      that band (they may still pair through their other d other bands);
+    - ``salt=True``: an oversized bucket splits into
+      ``ceil(size / max_bucket)`` hash-of-id salt groups and pairs form
+      within each group — per-bucket work drops from size² to
+      ~size × max_bucket. Like the MinHash salt this is an approximation
+      on the hot key only: a pair whose ONLY agreeing band was salted
+      apart is lost, but an identical-hash cluster (the case that makes
+      buckets hot) still collapses transitively — every salt group pairs
+      internally, so cluster-level dedup keeps one survivor per group
+      instead of leaving a million-image bucket unexamined.
+
+    ``max_bucket=None`` (default) is the exact unbounded join — identical
+    output to pre-salt versions.
+
     Output: ``(id_a, id_b, distance INT)`` with id_a < id_b, distance
     <= max_distance, distinct.
     """
     n_bands = max_distance + 1
+    if not 1 <= n_bands <= bits:
+        raise ValueError(f"need 1..{bits} bands, got {n_bands}")
     width = bits // n_bands
     keyed = df.filter(F.col(hash_col).isNotNull()).select(
         F.col(id_col).alias("__id"), F.col(hash_col).alias("__h")
@@ -654,27 +718,67 @@ def hamming_dupes(
     bands = []
     for i in range(n_bands):
         off = i * width
-        w = bits - off if i == n_bands - 1 else width
-        mask = (1 << w) - 1
-        bands.append(
-            F.struct(
-                F.lit(i).alias("band"),
-                F.shiftright(F.col("__h"), off).bitwiseAND(F.lit(mask)).alias("val"),
-            )
-        )
+        if i == n_bands - 1:
+            # last band = all remaining high bits: arithmetic shiftright
+            # alone is a band-equality key (sign extension is a function
+            # of the top bit, itself part of the band), and a 64-bit
+            # all-ones mask would not even fit a long literal
+            val = F.shiftright(F.col("__h"), off)
+        else:
+            mask = (1 << width) - 1
+            val = F.shiftright(F.col("__h"), off).bitwiseAND(F.lit(mask))
+        bands.append(F.struct(F.lit(i).alias("band"), val.alias("val")))
     exploded = keyed.select(
         "__id", "__h", F.explode(F.array(*bands)).alias("b")
     ).select("__id", "__h", F.col("b.band").alias("__band"), F.col("b.val").alias("__val"))
+    if max_bucket is not None:
+        if salt:
+            # both the hot-bucket count and the salted join read this
+            # frame through different exchanges — checkpoint lazily so
+            # the band explode computes once (same shape as the MinHash
+            # salt at minhash_lsh_candidates)
+            exploded = exploded.localCheckpoint(eager=False)
+            hot = (
+                exploded.groupBy("__band", "__val")
+                .count()
+                .filter(F.col("count") > max_bucket)
+                .select(
+                    "__band", "__val",
+                    F.ceil(F.col("count") / F.lit(max_bucket)).alias("__groups"),
+                )
+            )
+            exploded = (
+                exploded.join(F.broadcast(hot), ["__band", "__val"], "left")
+                .withColumn(
+                    "__salt",
+                    F.when(
+                        F.col("__groups").isNotNull(),
+                        F.pmod(F.xxhash64(F.col("__id")), F.col("__groups")),
+                    ).otherwise(F.lit(0)),
+                )
+                .drop("__groups")
+            )
+        else:
+            w = Window.partitionBy("__band", "__val").orderBy("__id")
+            exploded = exploded.withColumn(
+                "__bn", F.row_number().over(w)
+            ).filter(F.col("__bn") <= max_bucket).drop("__bn").withColumn(
+                "__salt", F.lit(0)
+            )
+    else:
+        exploded = exploded.withColumn("__salt", F.lit(0))
     a = exploded.select(
         F.col("__band").alias("band"), F.col("__val").alias("val"),
+        F.col("__salt").alias("slt"),
         F.col("__id").alias("id_a"), F.col("__h").alias("ha"),
     )
     b = exploded.select(
         F.col("__band").alias("band"), F.col("__val").alias("val"),
+        F.col("__salt").alias("slt"),
         F.col("__id").alias("id_b"), F.col("__h").alias("hb"),
     )
     return (
-        a.join(b, ["band", "val"])
+        a.join(b, ["band", "val", "slt"])
         .filter(F.col("id_a") < F.col("id_b"))
         .withColumn(
             "distance",

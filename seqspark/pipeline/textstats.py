@@ -591,13 +591,22 @@ def train_quality_classifier(
     """
     import numpy as np
 
+    # deterministic, layout-independent sample: rank every candidate by a
+    # content hash and take the lowest `sample_docs` — a TakeOrdered of
+    # sample_docs rows, not a full sort. `.limit()` here would take
+    # whatever partitions enumerate first (biased toward early files and
+    # unstable under repartition); the hash rank is a uniform draw that
+    # survives any physical layout. The rank doubles as the per-doc
+    # grouping key (xxhash64 ties only occur between identical
+    # (text, label) rows, whose features are identical anyway).
     feats = (
         df.select(
             F.col(label_col).cast("double").alias("__y"),
-            F.monotonically_increasing_id().alias("__doc"),
+            F.xxhash64(F.col(text_col), F.col(label_col)).alias("__doc"),
             words(F.col(text_col)).alias("__ws"),
         )
         .filter(F.size("__ws") > 0)
+        .orderBy("__doc")
         .limit(sample_docs)
         .select(
             "__doc", "__y", F.explode("__ws").alias("__w"),

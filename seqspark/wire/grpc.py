@@ -193,7 +193,9 @@ class GrpcServer:
         import time as _time
 
         timeout = parse_grpc_timeout(hmap.get("grpc-timeout", ""))
-        deadline = _time.monotonic() + timeout if timeout else None
+        # `is not None`: a grpc-timeout of 0 means already-expired, not
+        # no-deadline (gRPC spec semantics)
+        deadline = _time.monotonic() + timeout if timeout is not None else None
         try:
             payloads = list(iter_messages(body, enc))
             request = pb.decode(method.request, payloads[0] if payloads else b"")

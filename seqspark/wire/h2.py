@@ -260,6 +260,14 @@ class _Conn:
             pad = "=" * (-len(h2s) % 4)
             self._apply_settings(base64.urlsafe_b64decode(h2s + pad))
         clen = int(hmap.get("content-length", "0") or 0)
+        if clen > MAX_BODY_BYTES:
+            # same bound the framed DATA path enforces — a client-declared
+            # Content-Length must not buy an unbounded pre-upgrade buffer
+            self._write(
+                b"HTTP/1.1 413 Payload Too Large\r\n"
+                b"Connection: close\r\nContent-Length: 0\r\n\r\n"
+            )
+            raise ConnectionError("upgrade body exceeds MAX_BODY_BYTES")
         body = bytearray(rest)
         while len(body) < clen:
             chunk = self._sock.recv(clen - len(body))

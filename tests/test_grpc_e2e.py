@@ -528,3 +528,81 @@ def test_concurrent_mixed_workload(rig, spark):
             assert value == 4
         else:
             assert value == 2
+
+
+def test_streaming_ingest_to_grpc_parity(spark, tmp_path):
+    """The reference's Active/Sealed/Restarted trichotomy extended to the
+    gRPC transport as ONE path: docs arrive via `stream_ingest` (with
+    at-ingest `stream_dedup` on), the store is compacted by `maintain()`
+    (Active -> Sealed), and the gRPC surface over the streamed store must
+    answer byte-for-byte like the HTTP surface over a batch-bulk of the
+    same distinct docs — ids, payloads, totals, aggregation buckets."""
+    import os
+
+    from seqspark.streaming import stream_ingest
+
+    indir = str(tmp_path / "in")
+    os.makedirs(indir)
+    lines = [
+        json.dumps({"timestamp": ts, "service": svc, "message": msg,
+                    "ms": ms})
+        for ts, svc, msg, ms in DOCS
+    ]
+    # at-least-once delivery: the shipper re-sends the first two docs
+    with open(os.path.join(indir, "a.ndjson"), "w") as f:
+        f.write("\n".join(lines + lines[:2]) + "\n")
+    store = DocStore(spark, str(tmp_path / "stream_store"))
+    q = stream_ingest(
+        spark, indir, store, MAPPING, str(tmp_path / "ckpt"),
+        allowed_drift_ms=BIG, future_drift_ms=BIG,
+        dedup_watermark="1 hour",
+    )
+    q.awaitTermination(120)
+    # seal: fragmented micro-batch appends compact to one file/partition
+    store.maintain(max_files_per_partition=0)
+    stream_core = SeqSparkServer(
+        spark, store, MAPPING, allowed_drift_ms=BIG, future_drift_ms=BIG
+    )
+    batch_store = DocStore(spark, str(tmp_path / "batch_store"))
+    batch_core = SeqSparkServer(
+        spark, batch_store, MAPPING, allowed_drift_ms=BIG, future_drift_ms=BIG
+    )
+    bulk = []
+    for line in lines:
+        bulk.append('{"index": {}}')
+        bulk.append(line)
+    batch_core.bulk("\n".join(bulk).encode(), gzipped=False)
+
+    srv = SeqProxyGrpc(stream_core).start()
+    ch = GrpcChannel("127.0.0.1", srv.port)
+    try:
+        for query in ("*", "service:auth", "message:failed"):
+            resp = ch.unary(
+                f"{SVC}/Search",
+                {"query": {"query": query}, "size": 10, "with_total": True},
+                sp.SEARCH_REQUEST, sp.SEARCH_RESPONSE,
+            )
+            http = batch_core.search(
+                {"query": query, "size": 10, "with_total": True}
+            )
+            assert resp["total"] == http["total"]
+            assert [d["id"] for d in resp["docs"]] == [
+                seq_id_str(d["mid"], d["rid"]) for d in http["docs"]
+            ]
+            assert [json.loads(d["data"]) for d in resp["docs"]] == [
+                json.loads(d["data"]) for d in http["docs"]
+            ]
+        agg = ch.unary(
+            f"{SVC}/GetAggregation",
+            {"query": {"query": "*"},
+             "aggs": [{"group_by": "service", "func": 0}]},
+            sp.GET_AGGREGATION_REQUEST, sp.GET_AGGREGATION_RESPONSE,
+        )
+        got = {b["key"]: b["value"] for b in agg["aggs"][0]["buckets"]}
+        want = {}
+        for _, svc, _, _ in DOCS:
+            want[svc] = want.get(svc, 0) + 1.0
+        assert got == want
+    finally:
+        ch.close()
+        srv.stop()

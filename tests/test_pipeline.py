@@ -1400,3 +1400,143 @@ def test_dhash_all_null_batch_keeps_schema(spark):
     assert len(got) == 6
     assert all(r["dhash"] is None for r in got)
     assert dict(out.dtypes)["dhash"] == "bigint"
+
+
+# ---------------------------------------------------------------- round 8
+
+
+def test_hamming_dupes_distance0_full_width(spark):
+    """max_distance=0 is a single full-width band: exact-hash matching.
+    Regression — the old code built a (1<<64)-1 mask literal for this
+    shape, which does not fit a Spark long and raised at plan time."""
+    rows = [(1, 42), (2, 42), (3, 43), (4, -(1 << 63)), (5, -(1 << 63))]
+    df = spark.createDataFrame(rows, "id long, h long")
+    got = {(r["id_a"], r["id_b"]): r["distance"]
+           for r in dedup.hamming_dupes(df, "id", "h", max_distance=0).collect()}
+    assert got == {(1, 2): 0, (4, 5): 0}
+
+
+def test_hamming_dupes_hot_bucket_salt_bounded(spark):
+    """A planted identical-hash population (the constant-color-image /
+    empty-text-simhash case): salted buckets bound candidate pairs to
+    ~size x max_bucket instead of size^2, and the cluster still
+    collapses transitively — every member pairs with SOMEONE, so
+    cluster-level dedup keeps one survivor per salt group rather than
+    leaving the hot bucket unexamined."""
+    n = 2000
+    df = spark.createDataFrame(
+        [(i, 0x0F0F0F0F) for i in range(n)], "id long, h long"
+    )
+    pairs = dedup.hamming_dupes(
+        df, "id", "h", max_distance=4, max_bucket=50, salt=True
+    ).collect()
+    # unbounded would be n(n-1)/2 = 1_999_000 pairs; salted is bounded by
+    # groups x (max_bucket-ish)^2 per band, far below n^2/4
+    assert 0 < len(pairs) < n * n / 8
+    paired = {r["id_a"] for r in pairs} | {r["id_b"] for r in pairs}
+    assert paired == set(range(n))  # nobody is dropped from candidacy
+    assert all(r["distance"] == 0 for r in pairs)
+
+
+def test_hamming_dupes_salt_preserves_other_bands(spark):
+    """Salting splits ONE (band, value) bucket; a near-dup pair that also
+    agrees on a non-hot band still meets there. Pin the property the
+    salt's exactness argument rests on."""
+    # hot bucket: 300 mutually-far docs share the LOW band value (d=4 ->
+    # 5 bands of 12 bits; all carry 0xABC in bits 0..11)
+    rows = [(i, (i << 20) | 0xABC) for i in range(300)]
+    # planted pair: differs only in bits 40,41 (one mid band); AGREES on
+    # the hot low band (0xABC) and on every other band. Salting the hot
+    # bucket hard may put 1000/1001 in different salt groups THERE, but
+    # the agreeing untouched bands still join them.
+    rows += [(1000, 0x7777000000000ABC | (3 << 40)),
+             (1001, 0x7777000000000ABC)]
+    df = spark.createDataFrame(rows, "id long, h long")
+    got = {(r["id_a"], r["id_b"])
+           for r in dedup.hamming_dupes(
+               df, "id", "h", max_distance=4, max_bucket=10, salt=True
+           ).collect()}
+    assert (1000, 1001) in got
+
+
+def test_hamming_dupes_cap_unsalted_drops_past_cap(spark):
+    """salt=False caps each bucket at max_bucket members (bounded work,
+    docs past the cap never pair through that band)."""
+    n = 500
+    df = spark.createDataFrame(
+        [(i, 7) for i in range(n)], "id long, h long"
+    )
+    pairs = dedup.hamming_dupes(
+        df, "id", "h", max_distance=4, max_bucket=20, salt=False
+    ).collect()
+    # every band keeps the same first-20 ids (ordered by id), so exactly
+    # C(20,2) distinct pairs survive
+    assert len(pairs) == 20 * 19 // 2
+    paired = {r["id_a"] for r in pairs} | {r["id_b"] for r in pairs}
+    assert paired == set(range(20))
+
+
+def test_hamming_dupes_salted_equals_unsalted_on_cold_buckets(spark):
+    """On a population with no hot buckets, max_bucket/salt must be a
+    no-op: identical pair set with and without salting."""
+    import random
+
+    rng = random.Random(99)
+    rows = [(i, rng.getrandbits(64) - (1 << 63)) for i in range(60)]
+    for i in range(0, 10):
+        rows.append((500 + i, rows[i][1] ^ (1 << rng.randrange(64))))
+    df = spark.createDataFrame(rows, "id long, h long")
+    base = {(r["id_a"], r["id_b"], r["distance"])
+            for r in dedup.hamming_dupes(df, "id", "h", max_distance=3).collect()}
+    salted = {(r["id_a"], r["id_b"], r["distance"])
+              for r in dedup.hamming_dupes(
+                  df, "id", "h", max_distance=3, max_bucket=50, salt=True
+              ).collect()}
+    assert salted == base
+
+
+def test_span_removal_pathological_doc_linear(spark):
+    """The r7 reassembly tested every word against every covered position
+    (O(words x covered) per doc — a 100k-word mostly-duplicated doc cost
+    ~10^10 comparisons). The positional anti-join is linear: a heavily
+    self-duplicated long doc must finish in seconds, with the duplicated
+    tail cut and the unique head kept."""
+    import time
+
+    from seqspark.pipeline.dedup import duplicate_span_removal
+
+    phrase = " ".join(f"boiler{i}" for i in range(100))
+    long_doc = phrase + " " + " ".join(
+        f"u{i}" for i in range(50)
+    ) + " " + " ".join([phrase] * 299)  # ~30k words, ~99% duplicated
+    df = spark.createDataFrame(
+        [(1, long_doc), (2, "clean control document body here")],
+        "doc_id long, text string",
+    )
+    t0 = time.monotonic()
+    out = {r["doc_id"]: r["clean_text"]
+           for r in duplicate_span_removal(df, k=8).collect()}
+    elapsed = time.monotonic() - t0
+    # first occurrence of the phrase + the unique words survive; the 299
+    # trailing repeats vanish
+    assert out[1] == phrase + " " + " ".join(f"u{i}" for i in range(50))
+    assert out[2] == "clean control document body here"
+    assert elapsed < 60, f"span removal took {elapsed:.1f}s — not linear"
+
+
+def test_quality_classifier_sample_layout_invariant(spark):
+    """Training reads a hash-ranked sample, not `.limit()`'s
+    partition-order-dependent rows: weights must be identical under any
+    repartition/shuffle of the input."""
+    rows = [(1.0 if i % 2 == 0 else 0.0,
+             " ".join(f"tok{(i * 7 + j) % 50}" for j in range(12)))
+            for i in range(200)]
+    df = spark.createDataFrame(rows, "label double, text string")
+    w1, b1 = textstats.train_quality_classifier(
+        df, "label", dim=32, sample_docs=120, iters=40
+    )
+    w2, b2 = textstats.train_quality_classifier(
+        df.repartition(13).sortWithinPartitions(F.desc("text")),
+        "label", dim=32, sample_docs=120, iters=40,
+    )
+    assert w1 == w2 and b1 == b2

@@ -807,3 +807,54 @@ def test_java_httpclient_interop(spark):
         assert len(r3.body()) == len("echo:|path:/big|method:POST") + len(big)
     finally:
         srv.stop()
+
+
+# ---------------------------------------------------------------- round 8
+
+
+def test_grpc_zero_timeout_is_deadline_exceeded(echo_server):
+    """grpc-timeout: 0S means 'already expired', not 'no deadline' —
+    even an instant handler must report DEADLINE_EXCEEDED (regression:
+    0.0 is falsy, so `if timeout` silently disabled the deadline)."""
+    ch = g.GrpcChannel("127.0.0.1", echo_server.port)
+    try:
+        for zero in ("0S", "0m"):
+            with pytest.raises(g.GrpcError) as ei:
+                ch.unary("/t.S/Echo", {"name": "x", "n": 1}, REQ, RESP,
+                         metadata=[("grpc-timeout", zero)])
+            assert ei.value.code == g.DEADLINE_EXCEEDED
+    finally:
+        ch.close()
+
+
+def test_h2c_upgrade_oversized_body_rejected(echo_server):
+    """An h2c Upgrade request declaring Content-Length past
+    MAX_BODY_BYTES must be refused with 413 BEFORE the body is read —
+    the framed DATA path enforces the cap, and the upgrade path must
+    not be the unmetered way around it."""
+    s = _connect(echo_server.port)
+    try:
+        s.sendall(
+            b"POST /t.S/Echo HTTP/1.1\r\n"
+            b"Host: x\r\n"
+            b"Connection: Upgrade, HTTP2-Settings\r\n"
+            b"Upgrade: h2c\r\n"
+            b"HTTP2-Settings: \r\n"
+            + f"Content-Length: {h2.MAX_BODY_BYTES + 1}\r\n\r\n".encode()
+        )
+        try:
+            first = s.recv(1024)
+            assert first == b"" or first.startswith(b"HTTP/1.1 413")
+            if first:
+                assert s.recv(1024) == b""
+        except ConnectionResetError:
+            pass
+    finally:
+        s.close()
+    # the listener keeps serving fresh connections
+    ch = g.GrpcChannel("127.0.0.1", echo_server.port)
+    try:
+        r = ch.unary("/t.S/Echo", {"name": "ok", "n": 1}, REQ, RESP)
+        assert r["echo"] == "ok"
+    finally:
+        ch.close()
