@@ -20,6 +20,8 @@ from typing import List, Optional, Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from .hof import let
+
 # Large primes for the universal-hash family (public-domain constants).
 _MERSENNE = (1 << 61) - 1
 
@@ -115,13 +117,25 @@ def paragraph_dedup(
 
 
 def shingles(text: Column, k: int = 5) -> Column:
-    """Word k-shingles of a normalized text column (array<string>)."""
-    words = F.split(F.lower(text), r"[^\p{L}\p{N}_]+")
-    words = F.filter(words, lambda w: F.length(w) > 0)
-    n = F.size(words)
-    idx = F.sequence(F.lit(1), F.greatest(n - F.lit(k - 1), F.lit(1)))
-    return F.array_distinct(
-        F.transform(idx, lambda i: F.array_join(F.slice(words, i, k), " "))
+    """Word k-shingles of a normalized text column (array<string>).
+
+    The word array is :func:`~seqspark.pipeline.hof.let`-bound: referenced
+    raw inside the transform lambda it would re-tokenize the whole text
+    once per position (O(n²) per document)."""
+
+    def build(ws: Column) -> Column:
+        n = F.size(ws)
+        idx = F.sequence(F.lit(1), F.greatest(n - F.lit(k - 1), F.lit(1)))
+        return F.array_distinct(
+            F.transform(idx, lambda i: F.array_join(F.slice(ws, i, k), " "))
+        )
+
+    return let(
+        F.filter(
+            F.split(F.lower(text), r"[^\p{L}\p{N}_]+"),
+            lambda w: F.length(w) > 0,
+        ),
+        build,
     )
 
 
@@ -129,16 +143,22 @@ def minhash_signature(shingle_col: Column, num_hashes: int = 64, seed: int = 73)
     """Array of ``num_hashes`` minima of per-permutation hashes.
 
     Permutation i is ``xxhash64(shingle, i)`` — xxhash64 is a built-in JVM
-    expression, so the signature computes inside codegen, no UDFs.
+    expression, so the signature computes inside codegen, no UDFs. The
+    shingle collection is ``let``-bound so the ``num_hashes`` transforms
+    share ONE shingle evaluation instead of re-running the (split +
+    k-gram) expression per permutation.
     """
     def perm(i):
         return lambda s: F.xxhash64(s, F.lit(seed + i))
 
-    return F.array(
-        *[
-            F.array_min(F.transform(shingle_col, perm(i)))
-            for i in range(num_hashes)
-        ]
+    return let(
+        shingle_col,
+        lambda sh: F.array(
+            *[
+                F.array_min(F.transform(sh, perm(i)))
+                for i in range(num_hashes)
+            ]
+        ),
     )
 
 
@@ -387,12 +407,11 @@ def simhash(text: Column, bits: int = 64) -> Column:
 
     Classic Charikar scheme: per-token 64-bit hash votes ±1 on each bit;
     sign of the per-bit sum forms the fingerprint. Bit j extracted with
-    shiftright/bitwise-and — all built-ins.
+    shiftright/bitwise-and — all built-ins. The token-hash array is
+    ``let``-bound so the ``bits`` per-bit vote folds share ONE
+    tokenize+hash pass instead of re-running it per bit (a 64× constant
+    saved on every row).
     """
-    words = F.filter(
-        F.split(F.lower(text), r"[^\p{L}\p{N}_]+"), lambda w: F.length(w) > 0
-    )
-    hashes = F.transform(words, lambda w: F.xxhash64(w))
     def bit_set(h, j):
         # bit j of a signed 64-bit hash; sign bit read via h < 0 (1 << 63
         # overflows a SQL long literal)
@@ -405,14 +424,21 @@ def simhash(text: Column, bits: int = 64) -> Column:
         # bit index must be closed over, not a default argument
         return lambda acc, h: acc + F.when(bit_set(h, j), 1).otherwise(-1)
 
-    bit_votes = [
-        F.aggregate(hashes, F.lit(0).cast("long"), vote_fn(j)) for j in range(bits)
-    ]
-    fp = F.lit(0).cast("long")
-    for j, v in enumerate(bit_votes):
-        weight = -(1 << 63) if j == 63 else (1 << j)  # two's-complement sign bit
-        fp = fp + F.when(v > 0, F.lit(weight).cast("long")).otherwise(F.lit(0))
-    return fp
+    def build(hashes: Column) -> Column:
+        bit_votes = [
+            F.aggregate(hashes, F.lit(0).cast("long"), vote_fn(j))
+            for j in range(bits)
+        ]
+        fp = F.lit(0).cast("long")
+        for j, v in enumerate(bit_votes):
+            weight = -(1 << 63) if j == 63 else (1 << j)  # two's-complement
+            fp = fp + F.when(v > 0, F.lit(weight).cast("long")).otherwise(F.lit(0))
+        return fp
+
+    words = F.filter(
+        F.split(F.lower(text), r"[^\p{L}\p{N}_]+"), lambda w: F.length(w) > 0
+    )
+    return let(F.transform(words, lambda w: F.xxhash64(w)), build)
 
 
 def simhash_candidates(df: DataFrame, id_col: str, text_col: str, bands: int = 4) -> DataFrame:
@@ -478,6 +504,44 @@ def embedding_cosine_dupes(
         .select("id_a", "id_b", "cos")
         .distinct()
     )
+
+
+def auto_k(emb: DataFrame, kmin: int = 4, kmax: int = 65536) -> int:
+    """The k ~ sqrt(N) operating point for :func:`seqspark.pipeline.ann.
+    ivf_train` / :func:`semantic_dedup`: small k leaves fat cells (pair
+    work is sum(|cell|^2)), large k pays k x dim assignment cost per row —
+    the measured sweep in BASELINE.md (k=4/16/64 at fixed N) bottoms out
+    near sqrt(N), the SemDeDup paper's own choice. This encodes that knob
+    so callers don't re-derive it.
+
+    N comes from the frame's parquet FOOTER metadata (driver-side reads
+    of a few KB per file, zero Spark jobs — the same discipline as
+    ``DocStore.bucket_row_count``); a frame with no parquet file source
+    (in-memory test data, post-shuffle views) falls back to one
+    ``count()`` job. The count is the SOURCE row count — an upstream
+    filter makes it an overestimate, which only nudges k upward: fine
+    for a knob.
+    """
+    import math
+
+    files = [f for f in emb.inputFiles() if f.endswith(".parquet")]
+    if files:
+        spark = emb.sparkSession
+        jvm = spark._jvm
+        conf = spark._jsc.hadoopConfiguration()
+        n = 0
+        for f in files:
+            inp = jvm.org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+                jvm.org.apache.hadoop.fs.Path(f), conf
+            )
+            reader = jvm.org.apache.parquet.hadoop.ParquetFileReader.open(inp)
+            try:
+                n += reader.getRecordCount()
+            finally:
+                reader.close()
+    else:
+        n = emb.count()
+    return max(kmin, min(kmax, round(math.sqrt(max(n, 1)))))
 
 
 def semantic_dedup_pairs(
@@ -581,17 +645,23 @@ def duplicate_span_removal(
     Output: the input columns plus ``out_col``.
     """
     words = F.split(F.col(text_col), " ")
-    n = F.size(words)
-    shingles = F.when(
-        n >= k,
-        F.transform(
-            F.sequence(F.lit(1), n - F.lit(k - 1)),
-            lambda p: F.struct(
-                (p - 1).alias("pos"),
-                F.md5(F.array_join(F.slice(words, p, k), " ")).alias("h"),
+
+    def build_shingles(ws: Column) -> Column:
+        # ws is let-bound: a raw `words` reference inside the transform
+        # would re-split the whole text once per position (O(n²)/doc)
+        n = F.size(ws)
+        return F.when(
+            n >= k,
+            F.transform(
+                F.sequence(F.lit(1), n - F.lit(k - 1)),
+                lambda p: F.struct(
+                    (p - 1).alias("pos"),
+                    F.md5(F.array_join(F.slice(ws, p, k), " ")).alias("h"),
+                ),
             ),
-        ),
-    ).otherwise(F.array().cast("array<struct<pos:int,h:string>>"))
+        ).otherwise(F.array().cast("array<struct<pos:int,h:string>>"))
+
+    shingles = let(words, build_shingles)
 
     occ = df.select(
         F.col(id_col).alias("__did"), F.explode(shingles).alias("s")

@@ -10,6 +10,10 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .hof import let
+
+from .hof import let
+
 #: deliberately simple, deterministic patterns (same regex dialect runs in
 #: the DuckDB oracle); production systems would swap in stricter ones
 EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
@@ -34,15 +38,25 @@ def pii_scrub(
 
 
 def word_ngrams(text: Column, n: int) -> Column:
-    """Distinct word n-grams of a normalized text column (array<string>)."""
-    words = F.split(F.lower(text), r"[^\p{L}\p{N}_]+")
-    words = F.filter(words, lambda w: F.length(w) > 0)
-    cnt = F.size(words)
-    idx = F.when(
-        cnt >= n, F.sequence(F.lit(1), cnt - F.lit(n - 1))
-    ).otherwise(F.array().cast("array<int>"))
-    return F.array_distinct(
-        F.transform(idx, lambda i: F.array_join(F.slice(words, i, n), " "))
+    """Distinct word n-grams of a normalized text column (array<string>).
+    The word array is let-bound — referencing it raw inside the transform
+    lambda would re-tokenize the text once per position (O(n²)/doc)."""
+
+    def build(ws: Column) -> Column:
+        cnt = F.size(ws)
+        idx = F.when(
+            cnt >= n, F.sequence(F.lit(1), cnt - F.lit(n - 1))
+        ).otherwise(F.array().cast("array<int>"))
+        return F.array_distinct(
+            F.transform(idx, lambda i: F.array_join(F.slice(ws, i, n), " "))
+        )
+
+    return let(
+        F.filter(
+            F.split(F.lower(text), r"[^\p{L}\p{N}_]+"),
+            lambda w: F.length(w) > 0,
+        ),
+        build,
     )
 
 
@@ -85,18 +99,28 @@ def repetition_ratio(text: Column, n: int = 3) -> Column:
     """1 - distinct/total word n-grams: 0 for novel text, →1 for looping
     boilerplate (the within-document repetition signal corpus filters cut
     on). Documents shorter than n words score 0."""
-    words = F.split(F.lower(text), r"[^\p{L}\p{N}_]+")
-    words = F.filter(words, lambda w: F.length(w) > 0)
-    cnt = F.size(words)
-    total = cnt - F.lit(n - 1)
-    idx = F.when(total >= 1, F.sequence(F.lit(1), total)).otherwise(
-        F.array().cast("array<int>")
+    def build(ws: Column) -> Column:
+        # let-bound words: a raw reference inside the transform would
+        # re-tokenize per position (O(n²)/doc)
+        total = F.size(ws) - F.lit(n - 1)
+        idx = F.when(total >= 1, F.sequence(F.lit(1), total)).otherwise(
+            F.array().cast("array<int>")
+        )
+        grams = F.transform(
+            idx, lambda i: F.array_join(F.slice(ws, i, n), " ")
+        )
+        return F.when(
+            total >= 1,
+            F.lit(1.0) - F.size(F.array_distinct(grams)) / total.cast("double"),
+        ).otherwise(F.lit(0.0))
+
+    return let(
+        F.filter(
+            F.split(F.lower(text), r"[^\p{L}\p{N}_]+"),
+            lambda w: F.length(w) > 0,
+        ),
+        build,
     )
-    grams = F.transform(idx, lambda i: F.array_join(F.slice(words, i, n), " "))
-    return F.when(
-        total >= 1,
-        F.lit(1.0) - F.size(F.array_distinct(grams)) / total.cast("double"),
-    ).otherwise(F.lit(0.0))
 
 
 def fuzzy_contamination_pairs(

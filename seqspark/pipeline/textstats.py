@@ -7,6 +7,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from .hof import let
+
 _WORD_RE = r"[^\p{L}\p{N}_]+"
 
 # Tiny per-language stopword lists for the n-gram/stopword heuristic
@@ -213,13 +215,16 @@ def gopher_filter(
 def _dup_members(items: Column) -> Column:
     """Occurrences belonging to duplicate groups: sort the array, keep every
     element equal to a neighbor — Σ over groups with count>1 of count
-    elements, in O(n log n) JVM expressions (no shuffle, no Python)."""
-    s = F.array_sort(items)
-    n = F.size(s)
-    return F.filter(
-        s,
-        lambda x, i: F.coalesce(F.get(s, i - 1) == x, F.lit(False))
-        | F.coalesce(F.get(s, i + 1) == x, F.lit(False)),
+    elements, in O(n log n) JVM expressions (no shuffle, no Python).
+    The sorted array is let-bound: referencing the sort expression inside
+    the filter lambda would RE-SORT per element (O(n² log n)/doc)."""
+    return let(
+        F.array_sort(items),
+        lambda s: F.filter(
+            s,
+            lambda x, i: F.coalesce(F.get(s, i - 1) == x, F.lit(False))
+            | F.coalesce(F.get(s, i + 1) == x, F.lit(False)),
+        ),
     )
 
 
@@ -230,14 +235,19 @@ def _chars_of(items: Column) -> Column:
 
 
 def word_ngrams(ws: Column, n: int) -> Column:
-    """Space-joined word n-grams (overlapping)."""
-    return F.when(
-        F.size(ws) >= n,
-        F.transform(
-            F.sequence(F.lit(0), F.size(ws) - n),
-            lambda i: F.array_join(F.slice(ws, i + 1, n), " "),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    """Space-joined word n-grams (overlapping). ``ws`` is let-bound —
+    callers pass a tokenize EXPRESSION, and a raw reference inside the
+    transform lambda would re-run it per position (O(n²)/doc)."""
+    return let(
+        ws,
+        lambda w: F.when(
+            F.size(w) >= n,
+            F.transform(
+                F.sequence(F.lit(0), F.size(w) - n),
+                lambda i: F.array_join(F.slice(w, i + 1, n), " "),
+            ),
+        ).otherwise(F.array().cast("array<string>")),
+    )
 
 
 def _top_gram_chars(grams: Column) -> Column:

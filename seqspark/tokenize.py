@@ -102,17 +102,26 @@ def path_tokens(
     ``/a/b/c`` → ``['/a', '/a/b', '/a/b/c']``;  ``a/b`` → ``['a', 'a/b']``.
     Implemented with split + transform over an index sequence — pure Catalyst.
     """
+    from .pipeline.hof import let
+
     folded = fold_case(col, case_sensitive)
-    parts = F.split(folded, separator)  # '' leading element when value starts with sep
-    n = F.size(parts)
-    # prefix i = join of parts[0..i] — build via aggregate over a slice.
-    # sequence(1, 0) would auto-step downward in Spark; guard the n==1 case
-    idx = F.when(n > 1, F.sequence(F.lit(1), n - F.lit(1))).otherwise(
-        F.array().cast("array<int>")
-    )
-    prefixes = F.transform(
-        idx, lambda i: F.array_join(F.slice(parts, 1, i), separator)
-    )
+
+    def build(parts: Column) -> Column:
+        # parts is let-bound: a raw split reference inside the transform
+        # would re-split the value once per prefix
+        n = F.size(parts)
+        # prefix i = join of parts[0..i] — build via transform over an
+        # index sequence. sequence(1, 0) would auto-step downward in
+        # Spark; guard the n==1 case
+        idx = F.when(n > 1, F.sequence(F.lit(1), n - F.lit(1))).otherwise(
+            F.array().cast("array<int>")
+        )
+        return F.transform(
+            idx, lambda i: F.array_join(F.slice(parts, 1, i), separator)
+        )
+
+    # '' leading element when value starts with sep
+    prefixes = let(F.split(folded, separator), build)
     # Drop the empty first prefix produced by a leading separator, then
     # append the full value.
     prefixes = F.filter(prefixes, lambda p: F.length(p) > 0)

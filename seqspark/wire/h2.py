@@ -153,6 +153,7 @@ class _Conn:
         self._peer_initial_window = DEFAULT_WINDOW
         self._peer_max_frame = MAX_FRAME_SIZE
         self._streams: dict[int, _Stream] = {}
+        self._max_sid_seen = 0  # for the GOAWAY last-stream-id on error
         self._continuation_sid: Optional[int] = None
         self._closed = False
         #: receive-window bookkeeping: bytes consumed since the last
@@ -343,7 +344,18 @@ class _Conn:
                 elif ftype == GOAWAY:
                     return
                 # PRIORITY / PUSH_PROMISE / unknown: ignored
-        except (ConnectionError, OSError, ValueError):
+        except ValueError:
+            # protocol violation: answer GOAWAY(PROTOCOL_ERROR) so a
+            # conforming peer learns WHY before the close (§5.4.1);
+            # best-effort — the socket may already be gone
+            try:
+                self.send_frame(
+                    GOAWAY, 0, 0,
+                    struct.pack(">II", self._max_sid_seen, 0x1),
+                )
+            except OSError:
+                pass
+        except (ConnectionError, OSError):
             pass
         finally:
             with self._flow:
@@ -384,6 +396,8 @@ class _Conn:
         if st is None:
             st = _Stream(self._peer_initial_window)
             self._streams[sid] = st
+            if sid > self._max_sid_seen:
+                self._max_sid_seen = sid
         return st
 
     def _on_headers(self, flags: int, sid: int, payload: bytes) -> None:
@@ -452,6 +466,20 @@ class _Conn:
         if len(payload) != 4:
             raise ValueError("bad WINDOW_UPDATE")
         inc = int.from_bytes(payload, "big") & 0x7FFFFFFF
+        if inc == 0:
+            # §6.9: zero increment is PROTOCOL_ERROR — connection-fatal on
+            # stream 0, RST_STREAM on a stream (a malicious peer could
+            # otherwise tickle the flow-control wait loop for free)
+            if sid == 0:
+                raise ValueError("zero-increment WINDOW_UPDATE on connection")
+            self.send_frame(RST_STREAM, 0, sid, struct.pack(">I", 0x1))
+            st = self._streams.pop(sid, None)
+            self._recv_pending_stream.pop(sid, None)
+            if st is not None:
+                with self._flow:
+                    st.reset = True
+                    self._flow.notify_all()
+            return
         with self._flow:
             if sid == 0:
                 self._send_window += inc

@@ -1540,3 +1540,63 @@ def test_quality_classifier_sample_layout_invariant(spark):
         "label", dim=32, sample_docs=120, iters=40,
     )
     assert w1 == w2 and b1 == b2
+
+
+def test_auto_k_footer_based_zero_jobs(spark, tmp_path):
+    """auto_k reads parquet footers for N (no Spark jobs on a file-backed
+    frame) and clamps round(sqrt(N)) into [kmin, kmax]. NOTE: no `emb`
+    fixture here, and the probe parquet is a PRIVATE copy written by this
+    test — a live .cache() twin of the same files makes Spark substitute
+    InMemoryRelation for the scan, inputFiles() comes back empty, and
+    auto_k (correctly) falls back to a count() job; other modules in the
+    session cache the shared testdata tables."""
+    from seqspark.pipeline.dedup import auto_k
+
+    path = str(tmp_path / "autok.parquet")
+    spark.range(1000).write.parquet(path)
+    files = spark.read.parquet(path)
+    n = 1000
+    sc = spark.sparkContext
+    group = "auto-k-probe"
+    sc.setJobGroup(group, "footer-based row count must be metadata-only")
+    try:
+        k = auto_k(files)
+        probe_jobs = sc.statusTracker().getJobIdsForGroup(group)
+    finally:
+        sc.setJobGroup("auto-k-done", "")
+    assert k == max(4, min(65536, round(n ** 0.5)))
+    assert probe_jobs == []
+    # clamping
+    assert auto_k(files, kmin=1000) == 1000
+    assert auto_k(files, kmin=1, kmax=2) == 2
+    # in-memory frame: count() fallback still answers
+    mem = spark.createDataFrame([(i,) for i in range(100)], "id long")
+    assert auto_k(mem) == 10
+
+
+def test_hof_let_binding_stays_linear_on_long_docs(spark):
+    """Regression for the round-8 find: outer expressions referenced
+    inside HOF lambdas are re-evaluated PER ELEMENT (no CSE across the
+    lambda boundary), which made shingling/simhash quadratic in document
+    length. With hof.let in place, a 30k-word doc must shingle and
+    simhash in seconds (the unbound forms measured 25 s+ at 20k words
+    and clean-quadratic growth)."""
+    import time
+
+    from seqspark.pipeline.dedup import shingles, simhash
+    from seqspark.pipeline.hof import let
+
+    doc = " ".join(f"w{i % 997}x{i % 31}" for i in range(30_000))
+    df = spark.createDataFrame([(1, doc)], "id long, text string")
+    t0 = time.monotonic()
+    n_shingles = df.select(F.explode(shingles(F.col("text"), 5))).count()
+    df.select(simhash(F.col("text")).alias("h")).collect()
+    elapsed = time.monotonic() - t0
+    assert n_shingles > 20_000
+    assert elapsed < 30, f"HOF pipeline took {elapsed:.1f}s — quadratic again?"
+    # let() itself: value evaluated once, bound var readable many times
+    got = spark.range(1).select(
+        let(F.array(F.lit(3), F.lit(4)),
+            lambda a: F.element_at(a, 1) * F.element_at(a, 2)).alias("v")
+    ).head()["v"]
+    assert got == 12

@@ -398,7 +398,7 @@ def test_grpc_deadline_exceeded():
 
 # -------------------------------------------------------- property testing
 
-from hypothesis import given, settings
+from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
 _header_name = st.text(
@@ -858,3 +858,141 @@ def test_h2c_upgrade_oversized_body_rejected(echo_server):
         assert r["echo"] == "ok"
     finally:
         ch.close()
+
+
+def _adversarial_frame(draw):
+    """One hostile frame: wrong-order CONTINUATION, zero-increment
+    WINDOW_UPDATE, SETTINGS floods, bogus sids/flags/payloads, giant
+    declared lengths — the shapes a conforming client never sends."""
+    kind = draw(st.sampled_from(
+        ["continuation", "win0", "settings", "settings_junk", "headers_junk",
+         "data_nostream", "ping", "rst", "priority", "unknown", "giant"]))
+    sid = draw(st.sampled_from([0, 1, 2, 3, 5, 7, 2**31 - 1]))
+    flags = draw(st.sampled_from([0, 1, 4, 5, 8, 0x20, 0xFF]))
+    blob = draw(st.binary(max_size=48))
+    if kind == "continuation":
+        return h2.pack_frame(h2.CONTINUATION, flags, sid, blob)
+    if kind == "win0":
+        return h2.pack_frame(h2.WINDOW_UPDATE, 0, sid, b"\x00\x00\x00\x00")
+    if kind == "settings":
+        return h2.pack_frame(h2.SETTINGS, 0, 0, b"") * draw(
+            st.integers(1, 20))  # flood
+    if kind == "settings_junk":
+        return h2.pack_frame(h2.SETTINGS, 0, 0, blob)
+    if kind == "headers_junk":
+        return h2.pack_frame(h2.HEADERS, flags, sid, blob)
+    if kind == "data_nostream":
+        return h2.pack_frame(h2.DATA, flags, sid, blob)
+    if kind == "ping":
+        return h2.pack_frame(h2.PING, flags, 0, blob[:8].ljust(8, b"\0"))
+    if kind == "rst":
+        return h2.pack_frame(h2.RST_STREAM, 0, sid, b"\x00\x00\x00\x01")
+    if kind == "priority":
+        return h2.pack_frame(h2.PRIORITY, 0, sid, blob[:5].ljust(5, b"\0"))
+    if kind == "unknown":
+        return h2.pack_frame(draw(st.integers(0x0A, 0xFF)), flags, sid, blob)
+    # giant: header DECLARES an oversized payload but sends little
+    return (len(blob) + 1_000_000).to_bytes(3, "big") + bytes(
+        [h2.DATA, 0]) + sid.to_bytes(4, "big") + blob
+
+
+@settings(max_examples=25, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.data())
+def test_h2_adversarial_frame_streams_never_hang(echo_server, data):
+    # one shared server across examples is intentional: each example opens
+    # its own connection; the thread-leak assertion is per-connection
+    """Property: ANY sequence of hostile frames after a valid preface
+    either keeps the connection alive (benign subset) or ends it with a
+    best-effort GOAWAY + close — never a hung server thread, and the
+    listener always serves the NEXT connection."""
+    import struct as _struct
+    import threading
+
+    frames = [
+        _adversarial_frame(data.draw) for _ in range(data.draw(st.integers(1, 8)))
+    ]
+    baseline = threading.active_count()
+    s = _connect(echo_server.port)
+    saw_goaway = False
+    try:
+        s.sendall(h2.PREFACE + h2.pack_frame(h2.SETTINGS, 0, 0, b""))
+        try:
+            for f in frames:
+                s.sendall(f)
+            # half-close our side: the server must answer and/or close,
+            # never block forever waiting on more of our bytes
+            s.shutdown(1)
+        except OSError:
+            # the server already closed on a fatal frame — a legitimate
+            # outcome; fall through to the drain + liveness assertions
+            pass
+        s.settimeout(15)
+        buf = bytearray()
+        while True:
+            try:
+                chunk = s.recv(65536)
+            except OSError:
+                break
+            if not chunk:
+                break
+            buf += chunk
+            if len(buf) > 4 << 20:
+                break
+        # scan the response stream for a GOAWAY frame
+        off = 0
+        while off + 9 <= len(buf):
+            ln = int.from_bytes(buf[off:off + 3], "big")
+            ftype = buf[off + 3]
+            if ftype == h2.GOAWAY:
+                saw_goaway = True
+                code = _struct.unpack_from(">I", buf, off + 9 + 4)[0]
+                assert code in (0x0, 0x1)  # NO_ERROR / PROTOCOL_ERROR
+            off += 9 + ln
+    finally:
+        s.close()
+    # no leaked handler/connection threads once the socket is gone
+    for _ in range(100):
+        if threading.active_count() <= baseline:
+            break
+        import time
+        time.sleep(0.05)
+    assert threading.active_count() <= baseline + 1
+    # the listener still serves a fresh, conforming connection
+    ch = g.GrpcChannel("127.0.0.1", echo_server.port)
+    try:
+        r = ch.unary("/t.S/Echo", {"name": "alive", "n": 1}, REQ, RESP)
+        assert r["echo"] == "alive"
+    finally:
+        ch.close()
+
+
+def test_h2_zero_increment_window_update_stream0_is_fatal(echo_server):
+    """Zero-increment WINDOW_UPDATE on stream 0 is PROTOCOL_ERROR
+    (RFC 9113 §6.9): connection answers GOAWAY and closes."""
+    import struct as _struct
+
+    s = _connect(echo_server.port)
+    try:
+        s.sendall(h2.PREFACE + h2.pack_frame(h2.SETTINGS, 0, 0, b""))
+        s.sendall(h2.pack_frame(h2.WINDOW_UPDATE, 0, 0, b"\x00\x00\x00\x00"))
+        s.settimeout(10)
+        buf = bytearray()
+        while True:
+            try:
+                chunk = s.recv(65536)
+            except OSError:
+                break
+            if not chunk:
+                break
+            buf += chunk
+        off, saw = 0, False
+        while off + 9 <= len(buf):
+            ln = int.from_bytes(buf[off:off + 3], "big")
+            if buf[off + 3] == h2.GOAWAY:
+                saw = True
+                assert _struct.unpack_from(">I", buf, off + 13)[0] == 0x1
+            off += 9 + ln
+        assert saw, "expected GOAWAY(PROTOCOL_ERROR)"
+    finally:
+        s.close()
