@@ -651,6 +651,32 @@ def q_dedup_exact(spark, sf_dir):
     return exact_dedup(with_h, ["h"], "doc_id").select("doc_id", "h")
 
 
+def q_incremental_dedup(spark, sf_dir):
+    # daily-increment corpus build: dedup a NEW batch against the digest
+    # set of an already-ingested corpus (docs with id % 4 == 0), then
+    # within-batch. The batch plants cross-corpus dupes (% 8 == 0 texts
+    # re-labeled +100000) and within-batch dupes (% 4 == 1 re-labeled
+    # +200000); only the original % 4 in {1,2,3} rows survive.
+    from seqspark.pipeline.dedup import corpus_digests, incremental_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    seen = corpus_digests(docs.filter(F.col("doc_id") % 4 == 0))
+    batch = (
+        docs.filter(F.col("doc_id") % 4 != 0)
+        .unionByName(
+            docs.filter(F.col("doc_id") % 8 == 0)
+            .withColumn("doc_id", F.col("doc_id") + F.lit(100000))
+        )
+        .unionByName(
+            docs.filter(F.col("doc_id") % 4 == 1)
+            .withColumn("doc_id", F.col("doc_id") + F.lit(200000))
+        )
+    )
+    return incremental_dedup(batch, seen).select(
+        "doc_id", F.md5(F.col("text")).alias("h")
+    )
+
+
 def q_paragraph_dedup(spark, sf_dir):
     # corpus-wide exact paragraph dedup (boilerplate removal): documents
     # have no paragraph breaks, so synthesize three paragraphs per doc —
@@ -1386,6 +1412,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "timestamp_parse_chain": q_timestamp_parse_chain,
         "doc_size_tracking": q_doc_size_tracking,
         "dedup_exact": q_dedup_exact,
+        "incremental_dedup": q_incremental_dedup,
         "paragraph_dedup": q_paragraph_dedup,
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
@@ -1709,6 +1736,21 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": (
             "SELECT doc_id, md5(text) AS h FROM documents "
             "QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1"
+        ),
+        "incremental_dedup": (
+            "WITH seen AS (SELECT DISTINCT md5(text) AS digest "
+            "FROM documents WHERE doc_id % 4 = 0), "
+            "batch AS ("
+            "SELECT doc_id, text FROM documents WHERE doc_id % 4 <> 0 "
+            "UNION ALL SELECT doc_id + 100000, text FROM documents "
+            "WHERE doc_id % 8 = 0 "
+            "UNION ALL SELECT doc_id + 200000, text FROM documents "
+            "WHERE doc_id % 4 = 1), "
+            "fresh AS (SELECT b.* FROM batch b LEFT JOIN seen s "
+            "ON md5(b.text) = s.digest WHERE s.digest IS NULL) "
+            "SELECT doc_id, md5(text) AS h FROM fresh "
+            "QUALIFY row_number() OVER (PARTITION BY md5(text) "
+            "ORDER BY doc_id) = 1"
         ),
         "paragraph_dedup": (
             "WITH synth AS (SELECT doc_id, text || e'\\n\\n' || "

@@ -36,6 +36,48 @@ def exact_dedup(df: DataFrame, cols: Sequence[str], keep_by: str) -> DataFrame:
     )
 
 
+def corpus_digests(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Distinct md5 digests of a corpus's documents — the compact "seen"
+    state for :func:`incremental_dedup`. Narrow (one 32-char column);
+    persist it per snapshot so the next batch dedups against digests,
+    never against the corpus text."""
+    return df.select(F.md5(F.col(text_col)).alias("digest")).distinct()
+
+
+def incremental_dedup(
+    new_df: DataFrame,
+    seen: DataFrame,
+    text_col: str = "text",
+    keep_by: str = "doc_id",
+    digest_col: str = "digest",
+) -> DataFrame:
+    """Exact-dedup a NEW batch against an already-ingested corpus: drop
+    any document whose md5(text) appears in ``seen`` (a digests frame
+    from :func:`corpus_digests`), then keep one survivor per digest
+    WITHIN the batch (lowest ``keep_by``) — the daily-increment shape of
+    production corpus builds, where re-deduping the full corpus per
+    batch would be O(corpus) instead of O(batch).
+
+    100 TB posture: the seen side is digests only (32 bytes/doc, not
+    text), the anti-join and the within-batch window share the digest
+    key (one hash partitioning serves both), and nothing rescans the
+    historical corpus. Output: the surviving new rows plus ``__digest``
+    dropped.
+    """
+    keyed = new_df.withColumn("__digest", F.md5(F.col(text_col)))
+    fresh = keyed.join(
+        seen.select(F.col(digest_col).alias("__digest")).distinct(),
+        "__digest",
+        "left_anti",
+    )
+    w = Window.partitionBy("__digest").orderBy(F.col(keep_by))
+    return (
+        fresh.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "__digest")
+    )
+
+
 def paragraph_dedup(
     df: DataFrame,
     id_col: str,

@@ -1600,3 +1600,29 @@ def test_hof_let_binding_stays_linear_on_long_docs(spark):
             lambda a: F.element_at(a, 1) * F.element_at(a, 2)).alias("v")
     ).head()["v"]
     assert got == 12
+
+
+def test_incremental_dedup_batch_vs_corpus(spark):
+    """Dedup a new batch against an existing corpus's digests: docs whose
+    text the corpus already holds are dropped, within-batch exact dupes
+    keep the lowest keep_by, genuinely new docs pass through."""
+    from seqspark.pipeline.dedup import corpus_digests, incremental_dedup
+
+    corpus = spark.createDataFrame(
+        [(1, "alpha body"), (2, "beta body")], "doc_id long, text string"
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, "alpha body"),    # already in corpus -> dropped
+            (11, "gamma body"),    # new -> kept
+            (12, "gamma body"),    # within-batch dup -> dropped (11 wins)
+            (13, "delta body"),    # new -> kept
+        ],
+        "doc_id long, text string",
+    )
+    out = incremental_dedup(batch, corpus_digests(corpus))
+    assert {r["doc_id"] for r in out.collect()} == {11, 13}
+    # idempotence: merging survivors into the corpus and re-running the
+    # SAME batch drops everything
+    merged = corpus_digests(corpus.unionByName(out))
+    assert incremental_dedup(batch, merged).count() == 0
