@@ -725,6 +725,32 @@ def q_minhash_lsh_pairs(spark, sf_dir):
     )
 
 
+def q_incremental_lsh_dupes(spark, sf_dir):
+    # rows-only: near-dup increment — batch docs verified (3-gram Jaccard)
+    # against a PERSISTED corpus band state plus within-batch. Planted:
+    # every doc_id % 10 == 0 corpus text re-enters the batch re-labeled.
+    from seqspark.pipeline.dedup import (
+        incremental_lsh_candidates,
+        jaccard_pairs,
+        minhash_band_state,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    batch = docs.filter(F.col("doc_id") % 2 == 1).unionByName(
+        docs.filter(F.col("doc_id") % 10 == 0)
+        .withColumn("doc_id", F.col("doc_id") + F.lit(500000))
+    )
+    state = minhash_band_state(corpus, "doc_id", "text", k=3, num_hashes=32, bands=8)
+    cands = incremental_lsh_candidates(
+        batch, state, "doc_id", "text", k=3, num_hashes=32, bands=8
+    )
+    union = corpus.unionByName(batch)
+    return jaccard_pairs(union, cands, "doc_id", "text", k=3, threshold=0.3).select(
+        "id_a", "id_b", F.round("jaccard", 3).alias("jaccard")
+    )
+
+
 def q_simhash_candidates(spark, sf_dir):
     from seqspark.pipeline.dedup import simhash_candidates
 
@@ -1355,6 +1381,7 @@ def q_image_dhash_dupes(spark, sf_dir):
 ROWS_ONLY = frozenset(
     {
         "minhash_lsh_pairs",
+        "incremental_lsh_dupes",
         "simhash_candidates",
         "ann_lsh_topk",
         "multimodal_decode",
@@ -1416,6 +1443,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "paragraph_dedup": q_paragraph_dedup,
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "incremental_lsh_dupes": q_incremental_lsh_dupes,
         "simhash_candidates": q_simhash_candidates,
         "ann_brute_topk": q_ann_brute_topk,
         "ann_lsh_topk": q_ann_lsh_topk,

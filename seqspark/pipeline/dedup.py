@@ -369,6 +369,105 @@ def minhash_dedup(
     )
 
 
+def minhash_band_state(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+    num_hashes: int = 64,
+    bands: int = 16,
+) -> DataFrame:
+    """The persistable LSH state of a corpus snapshot: one (band, id) row
+    per document per band. Store this next to the corpus (it is
+    ``bands`` short rows per doc, no text) and the next increment
+    near-dedups against it WITHOUT recomputing corpus signatures — the
+    near-dup companion to :func:`corpus_digests`."""
+    sig = minhash_signature(shingles(F.col(text_col), k), num_hashes)
+    rows = bands and num_hashes // bands
+    return (
+        df.select(F.col(id_col).alias("id"), sig.alias("sig"))
+        .withColumn("band", F.explode(band_keys(F.col("sig"), bands, rows)))
+        .select("band", "id")
+    )
+
+
+def incremental_lsh_candidates(
+    batch: DataFrame,
+    state: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+    num_hashes: int = 64,
+    bands: int = 16,
+    max_bucket: int = 200,
+) -> DataFrame:
+    """Near-duplicate CANDIDATE pairs for a new batch: ``(id_a, id_b)``
+    where ``id_a`` is a batch doc and ``id_b`` is either a corpus doc
+    (from :func:`minhash_band_state`'s persisted bands) or an
+    earlier-id batch doc. Verify with :func:`jaccard_pairs` over
+    ``corpus.select(id, text).unionByName(batch.select(id, text))``
+    restricted to the candidates — verification joins texts for
+    CANDIDATE ids only, so the corpus is touched selectively, not
+    rescanned.
+
+    100 TB posture: the batch band frame is built once
+    (``localCheckpoint``, same discipline as the salted LSH join);
+    both joins key on the band bucket. ``max_bucket`` caps the CORPUS
+    side per bucket (row_number over persisted state) — boilerplate
+    that saturated a bucket across snapshots must not make every new
+    batch pay bucket² forever.
+    """
+    rows = bands and num_hashes // bands
+    sig = minhash_signature(shingles(F.col(text_col), k), num_hashes)
+    b_keyed = (
+        batch.select(F.col(id_col).alias("id"), sig.alias("sig"))
+        .withColumn("band", F.explode(band_keys(F.col("sig"), bands, rows)))
+        .select("band", "id")
+        .localCheckpoint(eager=False)
+    )
+    w = Window.partitionBy("band").orderBy("id")
+    capped_state = (
+        state.withColumn("__bn", F.row_number().over(w))
+        .filter(F.col("__bn") <= max_bucket)
+        .drop("__bn")
+    )
+    vs_corpus = (
+        b_keyed.join(
+            capped_state.withColumnRenamed("id", "id_b"), "band"
+        )
+        .select(F.col("id").alias("id_a"), "id_b")
+    )
+    a = b_keyed.select("band", F.col("id").alias("id_a"))
+    b = b_keyed.select("band", F.col("id").alias("id_b"))
+    within = (
+        a.join(b, "band")
+        .filter(F.col("id_a") > F.col("id_b"))  # earlier batch doc wins
+        .select("id_a", "id_b")
+    )
+    return vs_corpus.unionByName(within).distinct()
+
+
+def semantic_dedup_auto(
+    emb: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    iters: int = 5,
+    kmin: int = 4,
+    kmax: int = 65536,
+) -> DataFrame:
+    """One-call SemDeDup: size the quantizer with :func:`auto_k`
+    (k ~ sqrt(N) from parquet footers), train centroids with
+    :func:`seqspark.pipeline.ann.ivf_train`, and prune with
+    :func:`semantic_dedup` — the measured operating point from
+    BASELINE.md's k-sweep, packaged so callers don't re-derive it."""
+    from .ann import ivf_train
+
+    k = auto_k(emb, kmin, kmax)
+    centroids = ivf_train(emb, k=k, iters=iters, id_col=id_col, vec_col=vec_col)
+    return semantic_dedup(emb, centroids, threshold, id_col, vec_col)
+
+
 class ClusterConvergenceError(RuntimeError):
     """dup_clusters did not converge within max_iter rounds."""
 

@@ -1626,3 +1626,64 @@ def test_incremental_dedup_batch_vs_corpus(spark):
     # SAME batch drops everything
     merged = corpus_digests(corpus.unionByName(out))
     assert incremental_dedup(batch, merged).count() == 0
+
+
+def test_incremental_lsh_candidates_vs_corpus_and_within_batch(spark):
+    """Near-dup increment: a batch doc that near-duplicates a CORPUS doc
+    pairs against the persisted band state; a batch doc that duplicates
+    an EARLIER batch doc pairs within the batch; novel docs pair with
+    nothing. Verification composes with jaccard_pairs over the union."""
+    from seqspark.pipeline.dedup import (
+        incremental_lsh_candidates,
+        jaccard_pairs,
+        minhash_band_state,
+    )
+
+    base = ("the quick brown fox jumps over the lazy dog while the band "
+            "plays on and the crowd cheers loudly for more music tonight")
+    corpus = spark.createDataFrame(
+        [(1, base), (2, "completely different corpus text about databases "
+                        "indexes storage engines and query planners today")],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, base + " encore"),                      # near-dups corpus 1
+            (11, "a wholly novel batch document with its own vocabulary "
+                 "unseen anywhere else in this tiny test universe"),
+            (12, "a wholly novel batch document with its own vocabulary "
+                 "unseen anywhere else in this tiny test galaxy"),  # ~11
+        ],
+        "doc_id long, text string",
+    )
+    state = minhash_band_state(corpus, "doc_id", "text")
+    cands = incremental_lsh_candidates(batch, state, "doc_id", "text")
+    got = {(r["id_a"], r["id_b"]) for r in cands.collect()}
+    assert (10, 1) in got
+    assert (12, 11) in got
+    assert not any(a == 11 and b in (1, 2) for a, b in got)
+    # verify stage: jaccard over the union, candidates only
+    union = corpus.unionByName(batch)
+    verified = jaccard_pairs(
+        union, cands.select("id_a", "id_b"), "doc_id", "text", threshold=0.5
+    )
+    vgot = {(r["id_a"], r["id_b"]) for r in verified.collect()}
+    assert (10, 1) in vgot and (12, 11) in vgot
+
+
+def test_semantic_dedup_auto_one_call(spark):
+    """auto_k -> ivf_train -> semantic_dedup wired as one call: planted
+    near-identical embeddings collapse to the min-id survivor."""
+    from seqspark.pipeline.dedup import semantic_dedup_auto
+
+    rows = []
+    for i in range(40):
+        base = [1.0, 0.0, 0.0, 0.0] if i % 2 == 0 else [0.0, 1.0, 0.0, 0.0]
+        rows.append((i, [v + 0.001 * (i % 5) for v in base]))
+    # an exact twin of vector 0 with a higher id: must be pruned
+    rows.append((100, [1.0, 0.0, 0.0, 0.0]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = semantic_dedup_auto(emb, threshold=0.9999, kmin=2, kmax=4)
+    kept = {r["vec_id"] for r in out.collect()}
+    assert 0 in kept
+    assert 100 not in kept
