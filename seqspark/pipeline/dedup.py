@@ -419,13 +419,18 @@ def incremental_lsh_candidates(
     """
     rows = bands and num_hashes // bands
     sig = minhash_signature(shingles(F.col(text_col), k), num_hashes)
+    w = Window.partitionBy("band").orderBy("id")
     b_keyed = (
         batch.select(F.col(id_col).alias("id"), sig.alias("sig"))
         .withColumn("band", F.explode(band_keys(F.col("sig"), bands, rows)))
         .select("band", "id")
+        # the batch self-join gets the same per-bucket cap as the corpus
+        # side: a boilerplate-heavy batch must not pay bucket² either
+        .withColumn("__bn", F.row_number().over(w))
+        .filter(F.col("__bn") <= max_bucket)
+        .drop("__bn")
         .localCheckpoint(eager=False)
     )
-    w = Window.partitionBy("band").orderBy("id")
     capped_state = (
         state.withColumn("__bn", F.row_number().over(w))
         .filter(F.col("__bn") <= max_bucket)
