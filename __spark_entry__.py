@@ -1358,6 +1358,20 @@ def q_hamming_dupes(spark, sf_dir):
 
 
 
+def q_hamming_dedup(spark, sf_dir):
+    # survivor side of the Hamming near-dup join: same 60-bit prefix hash
+    # as `hamming_dupes`, higher-id member of each pair dropped
+    from seqspark.pipeline.dedup import hamming_dedup
+
+    pre = F.array_join(F.slice(F.split(F.col("text"), " "), 1, 2), " ")
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "h", F.conv(F.substring(F.md5(pre), 1, 15), 16, 10).cast("long")
+    )
+    return hamming_dedup(docs, "doc_id", "h", max_distance=4, bits=60).select(
+        "doc_id", "h"
+    )
+
+
 def q_image_dhash_dupes(spark, sf_dir):
     # rows-only: perceptual-hash dedup plumbing — dHash over the
     # deterministic asset fixture (fake mode: sha-derived hashes), then
@@ -1492,6 +1506,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_classifier": q_quality_classifier,
         "pack_sequences": q_pack_sequences,
         "hamming_dupes": q_hamming_dupes,
+        "hamming_dedup": q_hamming_dedup,
         "image_dhash_dupes": q_image_dhash_dupes,
     }
 
@@ -2216,6 +2231,15 @@ def oracle_sql() -> dict[str, str]:
         "bit_count(xor(a.h, b.h))::INTEGER AS distance "
         "FROM h a JOIN h b ON a.doc_id < b.doc_id "
         "WHERE bit_count(xor(a.h, b.h)) <= 4"
+    )
+    sql["hamming_dedup"] = (
+        "WITH h AS (SELECT doc_id, ('0x' || substring(md5("
+        "array_to_string(string_split(text, ' ')[1:2], ' ')"
+        "), 1, 15))::BIGINT AS h FROM documents), "
+        "losers AS (SELECT DISTINCT b.doc_id FROM h a JOIN h b "
+        "ON a.doc_id < b.doc_id WHERE bit_count(xor(a.h, b.h)) <= 4) "
+        "SELECT h.doc_id, h.h FROM h LEFT JOIN losers l "
+        "ON l.doc_id = h.doc_id WHERE l.doc_id IS NULL"
     )
     # rows-only entries (LSH candidate generation, multimodal plumbing)
     # have no SQL equivalent on purpose — the driver records a weaker

@@ -65,8 +65,11 @@ def incremental_dedup(
     dropped.
     """
     keyed = new_df.withColumn("__digest", F.md5(F.col(text_col)))
+    # no .distinct() on the seen side: anti-join semantics never need a
+    # deduplicated right side, and the aggregate would shuffle the whole
+    # corpus digest set on every increment
     fresh = keyed.join(
-        seen.select(F.col(digest_col).alias("__digest")).distinct(),
+        seen.select(F.col(digest_col).alias("__digest")),
         "__digest",
         "left_anti",
     )
@@ -369,6 +372,32 @@ def minhash_dedup(
     )
 
 
+def hamming_dedup(
+    df: DataFrame,
+    id_col: str,
+    hash_col: str,
+    max_distance: int = 4,
+    bits: int = 64,
+    max_bucket: Optional[int] = None,
+    salt: bool = False,
+) -> DataFrame:
+    """Rows surviving Hamming near-dedup: drop the higher-id member of
+    every :func:`hamming_dupes` pair (greedy, deterministic) — the
+    survivor-keep wrapper :func:`minhash_dedup` provides for the MinHash
+    family, for bit-sketches (simhash text, dHash images). Greedy
+    over-drops on chains like every greedy dedup; compose
+    :func:`hamming_dupes` with :func:`dup_clusters`/:func:`cluster_dedup`
+    when one-survivor-per-component semantics matter."""
+    losers = (
+        hamming_dupes(df, id_col, hash_col, max_distance, bits, max_bucket, salt)
+        .select(F.col("id_b").alias("__dup"))
+        .distinct()
+    )
+    return df.join(
+        F.broadcast(losers), df[id_col] == losers["__dup"], "left_anti"
+    )
+
+
 def minhash_band_state(
     df: DataFrame,
     id_col: str,
@@ -376,19 +405,33 @@ def minhash_band_state(
     k: int = 5,
     num_hashes: int = 64,
     bands: int = 16,
+    max_bucket: Optional[int] = None,
 ) -> DataFrame:
     """The persistable LSH state of a corpus snapshot: one (band, id) row
     per document per band. Store this next to the corpus (it is
     ``bands`` short rows per doc, no text) and the next increment
     near-dedups against it WITHOUT recomputing corpus signatures — the
-    near-dup companion to :func:`corpus_digests`."""
+    near-dup companion to :func:`corpus_digests`.
+
+    Pass ``max_bucket`` to cap each band bucket at build time (lowest
+    ids win): the cap is paid ONCE when the snapshot is persisted, so
+    increments never re-sort the corpus state —
+    :func:`incremental_lsh_candidates` joins the state as-is."""
     sig = minhash_signature(shingles(F.col(text_col), k), num_hashes)
     rows = bands and num_hashes // bands
-    return (
+    state = (
         df.select(F.col(id_col).alias("id"), sig.alias("sig"))
         .withColumn("band", F.explode(band_keys(F.col("sig"), bands, rows)))
         .select("band", "id")
     )
+    if max_bucket is not None:
+        w = Window.partitionBy("band").orderBy("id")
+        state = (
+            state.withColumn("__bn", F.row_number().over(w))
+            .filter(F.col("__bn") <= max_bucket)
+            .drop("__bn")
+        )
+    return state
 
 
 def incremental_lsh_candidates(
@@ -410,37 +453,31 @@ def incremental_lsh_candidates(
     CANDIDATE ids only, so the corpus is touched selectively, not
     rescanned.
 
-    100 TB posture: the batch band frame is built once
-    (``localCheckpoint``, same discipline as the salted LSH join);
-    both joins key on the band bucket. ``max_bucket`` caps the CORPUS
-    side per bucket (row_number over persisted state) — boilerplate
-    that saturated a bucket across snapshots must not make every new
-    batch pay bucket² forever.
+    100 TB posture: the batch band frame is built once via
+    :func:`minhash_band_state` (one source of truth with the persisted
+    side) and ``localCheckpoint``-ed; both joins key on the band
+    bucket. ``max_bucket`` caps the BATCH side per bucket — a
+    boilerplate-heavy batch must not pay bucket² on its self-join. The
+    corpus state joins AS-IS: cap it once at persist time
+    (``minhash_band_state(..., max_bucket=...)``), not per increment —
+    re-sorting the whole corpus state every batch would be the
+    O(corpus) work this function exists to avoid.
     """
-    rows = bands and num_hashes // bands
-    sig = minhash_signature(shingles(F.col(text_col), k), num_hashes)
     w = Window.partitionBy("band").orderBy("id")
     b_keyed = (
-        batch.select(F.col(id_col).alias("id"), sig.alias("sig"))
-        .withColumn("band", F.explode(band_keys(F.col("sig"), bands, rows)))
-        .select("band", "id")
-        # the batch self-join gets the same per-bucket cap as the corpus
-        # side: a boilerplate-heavy batch must not pay bucket² either
+        minhash_band_state(batch, id_col, text_col, k, num_hashes, bands)
         .withColumn("__bn", F.row_number().over(w))
         .filter(F.col("__bn") <= max_bucket)
         .drop("__bn")
         .localCheckpoint(eager=False)
     )
-    capped_state = (
-        state.withColumn("__bn", F.row_number().over(w))
-        .filter(F.col("__bn") <= max_bucket)
-        .drop("__bn")
-    )
     vs_corpus = (
-        b_keyed.join(
-            capped_state.withColumnRenamed("id", "id_b"), "band"
-        )
+        b_keyed.join(state.withColumnRenamed("id", "id_b"), "band")
         .select(F.col("id").alias("id_a"), "id_b")
+        # a retried/overlapping increment can carry ids already present
+        # in the persisted state — a doc must not candidate with itself
+        # (it would then verify at jaccard 1.0 and greedily delete itself)
+        .filter(F.col("id_a") != F.col("id_b"))
     )
     a = b_keyed.select("band", F.col("id").alias("id_a"))
     b = b_keyed.select("band", F.col("id").alias("id_b"))

@@ -12,8 +12,6 @@ from pyspark.sql import functions as F
 
 from .hof import let
 
-from .hof import let
-
 #: deliberately simple, deterministic patterns (same regex dialect runs in
 #: the DuckDB oracle); production systems would swap in stricter ones
 EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"

@@ -603,21 +603,26 @@ def train_quality_classifier(
 
     # deterministic, layout-independent sample: rank every candidate by a
     # content hash and take the lowest `sample_docs` — a TakeOrdered of
-    # sample_docs rows, not a full sort. `.limit()` here would take
+    # sample_docs rows, not a full sort. `.limit()` alone would take
     # whatever partitions enumerate first (biased toward early files and
     # unstable under repartition); the hash rank is a uniform draw that
-    # survives any physical layout. The rank doubles as the per-doc
-    # grouping key (xxhash64 ties only occur between identical
-    # (text, label) rows, whose features are identical anyway).
+    # survives any physical layout. Rank ties (identical (text, label)
+    # rows) are interchangeable, so membership is layout-independent even
+    # when the cutoff lands inside a tie. The per-doc grouping key is a
+    # FRESH id assigned AFTER sampling, so k copies of a common reference
+    # doc stay k training examples (weight k, not 1) — full-batch GD is
+    # row-order invariant, so the id's arbitrary values cannot affect the
+    # learned weights.
     feats = (
         df.select(
             F.col(label_col).cast("double").alias("__y"),
-            F.xxhash64(F.col(text_col), F.col(label_col)).alias("__doc"),
+            F.xxhash64(F.col(text_col), F.col(label_col)).alias("__rk"),
             words(F.col(text_col)).alias("__ws"),
         )
         .filter(F.size("__ws") > 0)
-        .orderBy("__doc")
+        .orderBy("__rk")
         .limit(sample_docs)
+        .withColumn("__doc", F.monotonically_increasing_id())
         .select(
             "__doc", "__y", F.explode("__ws").alias("__w"),
         )
@@ -631,6 +636,10 @@ def train_quality_classifier(
     )
     if not feats:
         raise ValueError("no non-empty documents to train on")
+    # content-deterministic row order: groupBy collect order is not
+    # guaranteed, and float summation is not associative — sort by the
+    # example's content so the learned weights are bit-reproducible
+    feats.sort(key=lambda r: (r["__y"], r["__n"], sorted(r["__idxs"])))
     X = np.zeros((len(feats), dim))
     y = np.zeros(len(feats))
     for i, row in enumerate(feats):

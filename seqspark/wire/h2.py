@@ -295,8 +295,10 @@ class _Conn:
         return pseudo, bytes(body)
 
     def serve(self) -> None:
+        h2_live = False  # becomes True once the peer speaks h2 framing
         try:
             upgraded = self._read_connection_start()
+            h2_live = True
             self.send_frame(SETTINGS, 0, 0, struct.pack(
                 ">HIHI",
                 SETTINGS_MAX_CONCURRENT_STREAMS, 1024,
@@ -347,14 +349,17 @@ class _Conn:
         except ValueError:
             # protocol violation: answer GOAWAY(PROTOCOL_ERROR) so a
             # conforming peer learns WHY before the close (§5.4.1);
-            # best-effort — the socket may already be gone
-            try:
-                self.send_frame(
-                    GOAWAY, 0, 0,
-                    struct.pack(">II", self._max_sid_seen, 0x1),
-                )
-            except OSError:
-                pass
+            # best-effort — the socket may already be gone. Only once the
+            # peer actually speaks h2: a pre-upgrade HTTP/1.1 parse error
+            # must not get binary h2 framing on a text-protocol socket
+            if h2_live:
+                try:
+                    self.send_frame(
+                        GOAWAY, 0, 0,
+                        struct.pack(">II", self._max_sid_seen, 0x1),
+                    )
+                except OSError:
+                    pass
         except (ConnectionError, OSError):
             pass
         finally:
@@ -468,10 +473,13 @@ class _Conn:
         inc = int.from_bytes(payload, "big") & 0x7FFFFFFF
         if inc == 0:
             # §6.9: zero increment is PROTOCOL_ERROR — connection-fatal on
-            # stream 0, RST_STREAM on a stream (a malicious peer could
-            # otherwise tickle the flow-control wait loop for free)
-            if sid == 0:
-                raise ValueError("zero-increment WINDOW_UPDATE on connection")
+            # stream 0, RST_STREAM on an OPEN stream (a malicious peer
+            # could otherwise tickle the flow-control wait loop for free).
+            # On a stream we never opened it is ALSO connection-fatal:
+            # §5.1 forbids RST_STREAM on an idle stream, so answering RST
+            # there would itself be a protocol violation
+            if sid == 0 or sid not in self._streams:
+                raise ValueError("zero-increment WINDOW_UPDATE")
             self.send_frame(RST_STREAM, 0, sid, struct.pack(">I", 0x1))
             st = self._streams.pop(sid, None)
             self._recv_pending_stream.pop(sid, None)

@@ -1687,3 +1687,65 @@ def test_semantic_dedup_auto_one_call(spark):
     kept = {r["vec_id"] for r in out.collect()}
     assert 0 in kept
     assert 100 not in kept
+
+
+def test_hamming_dedup_greedy_survivors(spark):
+    """hamming_dedup keeps the lowest-id member of each near-dup pair and
+    leaves isolated hashes untouched (the bit-sketch twin of
+    minhash_dedup's greedy keep)."""
+    rows = [(1, 42), (2, 42), (3, 43), (4, 0x0F0F0F0F0F0F), (5, None)]
+    df = spark.createDataFrame(rows, "id long, h long")
+    kept = {r["id"]
+            for r in dedup.hamming_dedup(df, "id", "h", max_distance=4).collect()}
+    # 2 and 3 are within distance 4 of 1 -> dropped; 4 (24 set bits)
+    # is far; 5 (NULL)
+    # never pairs so it survives
+    assert kept == {1, 4, 5}
+
+
+def test_incremental_lsh_no_self_pairs_on_overlap(spark):
+    """A retried increment whose doc ids already exist in the persisted
+    band state must not emit (x, x) self-candidates — a doc verifying at
+    jaccard 1.0 against itself would be greedily deleted."""
+    from seqspark.pipeline.dedup import (
+        incremental_lsh_candidates,
+        minhash_band_state,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "some perfectly ordinary document text for the overlap case"),
+         (2, "a different document body that stands entirely on its own")],
+        "doc_id long, text string",
+    )
+    state = minhash_band_state(docs, "doc_id", "text")
+    # the SAME batch re-delivered (at-least-once): ids overlap the state
+    cands = incremental_lsh_candidates(docs, state, "doc_id", "text")
+    got = [(r["id_a"], r["id_b"]) for r in cands.collect()]
+    assert all(a != b for a, b in got), f"self-pairs leaked: {got}"
+
+
+def test_quality_classifier_duplicate_docs_keep_weight(spark):
+    """k copies of a doc are k training examples (weight k), not one —
+    the hash-ranked sample must not collapse duplicates."""
+    uniq = [(1.0 if i % 2 == 0 else 0.0,
+             " ".join(f"w{(i * 5 + j) % 30}" for j in range(8)))
+            for i in range(60)]
+    # 20 copies of ONE negative doc: enough weight to pull its tokens'
+    # scores down relative to a single-copy run
+    dup_doc = (0.0, "spam spam wonderful spam " * 2)
+    d_single = spark.createDataFrame(uniq + [dup_doc],
+                                     "label double, text string")
+    d_heavy = spark.createDataFrame(uniq + [dup_doc] * 20,
+                                    "label double, text string")
+    w1, b1 = textstats.train_quality_classifier(
+        d_single, "label", dim=32, sample_docs=100, iters=60
+    )
+    w2, b2 = textstats.train_quality_classifier(
+        d_heavy, "label", dim=32, sample_docs=100, iters=60
+    )
+    assert (w1, b1) != (w2, b2), "duplicate docs were collapsed to weight 1"
+    # and the heavy run is itself layout-invariant
+    w3, b3 = textstats.train_quality_classifier(
+        d_heavy.repartition(11), "label", dim=32, sample_docs=100, iters=60
+    )
+    assert (w2, b2) == (w3, b3)

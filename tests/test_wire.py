@@ -996,3 +996,34 @@ def test_h2_zero_increment_window_update_stream0_is_fatal(echo_server):
         assert saw, "expected GOAWAY(PROTOCOL_ERROR)"
     finally:
         s.close()
+
+
+def test_h2_zero_increment_window_update_idle_stream_is_fatal(echo_server):
+    """Zero-increment WINDOW_UPDATE on a stream the client never opened:
+    RST_STREAM there would itself violate §5.1 (no RST on idle), so the
+    server must treat it as connection-fatal — GOAWAY, never RST."""
+    s = _connect(echo_server.port)
+    try:
+        s.sendall(h2.PREFACE + h2.pack_frame(h2.SETTINGS, 0, 0, b""))
+        s.sendall(h2.pack_frame(h2.WINDOW_UPDATE, 0, 7, b"\x00\x00\x00\x00"))
+        s.settimeout(10)
+        buf = bytearray()
+        while True:
+            try:
+                chunk = s.recv(65536)
+            except OSError:
+                break
+            if not chunk:
+                break
+            buf += chunk
+        off, saw_goaway, saw_rst = 0, False, False
+        while off + 9 <= len(buf):
+            ln = int.from_bytes(buf[off:off + 3], "big")
+            if buf[off + 3] == h2.GOAWAY:
+                saw_goaway = True
+            if buf[off + 3] == h2.RST_STREAM:
+                saw_rst = True
+            off += 9 + ln
+        assert saw_goaway and not saw_rst
+    finally:
+        s.close()
