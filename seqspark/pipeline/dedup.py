@@ -328,8 +328,21 @@ def jaccard_pairs(
     Joins each side's shingle set onto the (small) candidate list —
     broadcast when candidates fit — and computes |∩|/|∪| with
     array_intersect/union: JVM-side, no UDF.
+
+    Only docs that APPEAR in a candidate pair shingle: ``df`` is
+    semi-joined to the candidate id set before the (tokenize + k-gram)
+    projection runs, so verification cost scales with the candidate
+    set, not the corpus — an incremental caller can hand in
+    ``corpus.unionByName(batch)`` without re-shingling history.
     """
-    sh = df.select(
+    cand_ids = (
+        candidates.select(F.col("id_a").alias("id"))
+        .unionByName(candidates.select(F.col("id_b").alias("id")))
+        .distinct()
+    )
+    sh = df.join(
+        cand_ids, df[id_col] == cand_ids["id"], "left_semi"
+    ).select(
         F.col(id_col).alias("id"), shingles(F.col(text_col), k).alias("sh")
     )
     out = (
@@ -367,9 +380,9 @@ def minhash_dedup(
         .select(F.col("id_b").alias("__dup_id"))
         .distinct()
     )
-    return df.join(
-        F.broadcast(dupes), df[id_col] == dupes["__dup_id"], "left_anti"
-    )
+    # no broadcast hint (same reasoning as hamming_dedup): dupes is
+    # corpus-dup-scale; AQE broadcasts when it fits
+    return df.join(dupes, df[id_col] == dupes["__dup_id"], "left_anti")
 
 
 def hamming_dedup(
@@ -393,9 +406,9 @@ def hamming_dedup(
         .select(F.col("id_b").alias("__dup"))
         .distinct()
     )
-    return df.join(
-        F.broadcast(losers), df[id_col] == losers["__dup"], "left_anti"
-    )
+    # no broadcast hint: the loser set is corpus-dup-scale (potentially
+    # billions at 100 TB) — let AQE pick broadcast when it actually fits
+    return df.join(losers, df[id_col] == losers["__dup"], "left_anti")
 
 
 def minhash_band_state(
@@ -425,13 +438,20 @@ def minhash_band_state(
         .select("band", "id")
     )
     if max_bucket is not None:
-        w = Window.partitionBy("band").orderBy("id")
-        state = (
-            state.withColumn("__bn", F.row_number().over(w))
-            .filter(F.col("__bn") <= max_bucket)
-            .drop("__bn")
-        )
+        state = _cap_buckets(state, max_bucket)
     return state
+
+
+def _cap_buckets(frame: DataFrame, max_bucket: int) -> DataFrame:
+    """Keep the ``max_bucket`` lowest-id members per (band) bucket — the
+    one shared cap implementation for persisted state and batch sides
+    (diverging cap semantics would silently desynchronize the join)."""
+    w = Window.partitionBy("band").orderBy("id")
+    return (
+        frame.withColumn("__bn", F.row_number().over(w))
+        .filter(F.col("__bn") <= max_bucket)
+        .drop("__bn")
+    )
 
 
 def incremental_lsh_candidates(
@@ -456,21 +476,19 @@ def incremental_lsh_candidates(
     100 TB posture: the batch band frame is built once via
     :func:`minhash_band_state` (one source of truth with the persisted
     side) and ``localCheckpoint``-ed; both joins key on the band
-    bucket. ``max_bucket`` caps the BATCH side per bucket — a
-    boilerplate-heavy batch must not pay bucket² on its self-join. The
-    corpus state joins AS-IS: cap it once at persist time
+    bucket. ``max_bucket`` caps ONLY the within-batch self-join — a
+    boilerplate-heavy batch must not pay bucket² there — and never the
+    batch-vs-corpus join: that side is |batch bucket| x |capped state
+    bucket|, linear in the batch, and capping it would silently let
+    capped docs enter the corpus as undetected duplicates. The corpus
+    state joins AS-IS: cap it once at persist time
     (``minhash_band_state(..., max_bucket=...)``), not per increment —
     re-sorting the whole corpus state every batch would be the
     O(corpus) work this function exists to avoid.
     """
-    w = Window.partitionBy("band").orderBy("id")
-    b_keyed = (
-        minhash_band_state(batch, id_col, text_col, k, num_hashes, bands)
-        .withColumn("__bn", F.row_number().over(w))
-        .filter(F.col("__bn") <= max_bucket)
-        .drop("__bn")
-        .localCheckpoint(eager=False)
-    )
+    b_keyed = minhash_band_state(
+        batch, id_col, text_col, k, num_hashes, bands
+    ).localCheckpoint(eager=False)
     vs_corpus = (
         b_keyed.join(state.withColumnRenamed("id", "id_b"), "band")
         .select(F.col("id").alias("id_a"), "id_b")
@@ -479,8 +497,9 @@ def incremental_lsh_candidates(
         # (it would then verify at jaccard 1.0 and greedily delete itself)
         .filter(F.col("id_a") != F.col("id_b"))
     )
-    a = b_keyed.select("band", F.col("id").alias("id_a"))
-    b = b_keyed.select("band", F.col("id").alias("id_b"))
+    b_capped = _cap_buckets(b_keyed, max_bucket)
+    a = b_capped.select("band", F.col("id").alias("id_a"))
+    b = b_capped.select("band", F.col("id").alias("id_b"))
     within = (
         a.join(b, "band")
         .filter(F.col("id_a") > F.col("id_b"))  # earlier batch doc wins

@@ -205,6 +205,12 @@ class GrpcServer:
             return self._trailers_only(INTERNAL, f"decode error: {e}")
 
         resp_headers = [(":status", "200"), ("content-type", "application/grpc")]
+        if deadline is not None and _time.monotonic() > deadline:
+            # already expired (e.g. grpc-timeout: 0S) — never invoke the
+            # handler, unary or streaming alike
+            return self._trailers_only(
+                DEADLINE_EXCEEDED, "deadline exceeded before response"
+            )
         if method.server_streaming:
             def chunks():
                 for msg in method.fn(request, hmap):
@@ -225,14 +231,33 @@ class GrpcServer:
             except Exception as e:
                 return self._trailers_only(INTERNAL, str(e))
 
+            # trailers are a MUTABLE list: the h2 writer encodes them only
+            # after the chunk iterator drains, so a deadline hit mid-stream
+            # rewrites them to DEADLINE_EXCEEDED — a stream that outlives
+            # grpc-timeout must not end with a stale OK (gRPC spec), which
+            # the unary branch already enforced
+            trailers = [("grpc-status", "0"), ("grpc-message", "")]
+
+            def expired() -> bool:
+                if deadline is not None and _time.monotonic() > deadline:
+                    trailers[:] = [
+                        ("grpc-status", str(DEADLINE_EXCEEDED)),
+                        ("grpc-message", "deadline exceeded during stream"),
+                    ]
+                    return True
+                return False
+
             def all_chunks():
                 if first is not None:
+                    if expired():
+                        return
                     yield first
-                yield from gen
+                for c in gen:
+                    if expired():
+                        return
+                    yield c
 
-            return resp_headers, all_chunks(), [
-                ("grpc-status", "0"), ("grpc-message", "")
-            ]
+            return resp_headers, all_chunks(), trailers
         try:
             response = method.fn(request, hmap)
         except GrpcError as e:

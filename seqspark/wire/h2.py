@@ -475,18 +475,27 @@ class _Conn:
             # §6.9: zero increment is PROTOCOL_ERROR — connection-fatal on
             # stream 0, RST_STREAM on an OPEN stream (a malicious peer
             # could otherwise tickle the flow-control wait loop for free).
-            # On a stream we never opened it is ALSO connection-fatal:
-            # §5.1 forbids RST_STREAM on an idle stream, so answering RST
-            # there would itself be a protocol violation
-            if sid == 0 or sid not in self._streams:
-                raise ValueError("zero-increment WINDOW_UPDATE")
+            # Three non-open cases, distinguished per §5.1:
+            # - CLOSED client stream (odd sid we've already seen and
+            #   popped): tolerate silently — frames on recently closed
+            #   streams must be ignored, and RSTing the connection here
+            #   would kill unrelated in-flight streams;
+            # - IDLE stream (never opened) or server-namespace (even)
+            #   sid: connection-fatal — RST_STREAM on an idle stream
+            #   would itself be a protocol violation.
+            if sid == 0:
+                raise ValueError("zero-increment WINDOW_UPDATE on connection")
+            st = self._streams.get(sid)
+            if st is None:
+                if sid % 2 == 1 and sid <= self._max_sid_seen:
+                    return  # closed stream: tolerate (§5.1)
+                raise ValueError("zero-increment WINDOW_UPDATE on idle stream")
             self.send_frame(RST_STREAM, 0, sid, struct.pack(">I", 0x1))
-            st = self._streams.pop(sid, None)
+            self._streams.pop(sid, None)
             self._recv_pending_stream.pop(sid, None)
-            if st is not None:
-                with self._flow:
-                    st.reset = True
-                    self._flow.notify_all()
+            with self._flow:
+                st.reset = True
+                self._flow.notify_all()
             return
         with self._flow:
             if sid == 0:

@@ -1027,3 +1027,40 @@ def test_h2_zero_increment_window_update_idle_stream_is_fatal(echo_server):
         assert saw_goaway and not saw_rst
     finally:
         s.close()
+
+
+def test_grpc_streaming_deadline_enforced(echo_server):
+    """Server-streaming RPCs honor grpc-timeout like unary ones: a zero
+    timeout never invokes the handler, and a deadline hit mid-stream
+    ends with DEADLINE_EXCEEDED trailers, not a stale OK."""
+    ch = g.GrpcChannel("127.0.0.1", echo_server.port)
+    try:
+        with pytest.raises(g.GrpcError) as ei:
+            ch.server_streaming("/t.S/Stream", {"name": "x", "n": 3},
+                                REQ, RESP, metadata=[("grpc-timeout", "0S")])
+        assert ei.value.code == g.DEADLINE_EXCEEDED
+        # generous deadline: the stream completes OK
+        msgs = ch.server_streaming("/t.S/Stream", {"name": "x", "n": 3},
+                                   REQ, RESP, metadata=[("grpc-timeout", "30S")])
+        assert len(msgs) == 3
+    finally:
+        ch.close()
+
+
+def test_h2_zero_increment_on_closed_stream_tolerated(echo_server):
+    """Zero-increment WINDOW_UPDATE on a CLOSED stream (a completed RPC's
+    sid) is ignored per RFC 9113 5.1 — the connection, and other
+    in-flight streams, survive."""
+    ch = g.GrpcChannel("127.0.0.1", echo_server.port)
+    try:
+        r1 = ch.unary("/t.S/Echo", {"name": "one", "n": 1}, REQ, RESP)
+        assert r1["echo"] == "one"
+        # stream 1 is now closed server-side; poke it with a zero update
+        # through the SAME connection the channel holds
+        conn = ch._client
+        conn._write(h2.pack_frame(h2.WINDOW_UPDATE, 0, 1, b"\x00\x00\x00\x00"))
+        # the connection must still serve the next RPC
+        r2 = ch.unary("/t.S/Echo", {"name": "two", "n": 2}, REQ, RESP)
+        assert r2["echo"] == "two"
+    finally:
+        ch.close()
