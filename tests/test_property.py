@@ -210,3 +210,34 @@ def test_paragraph_dedup_matches_python_model(spark, corpus):
         for r in paragraph_dedup(df, "doc_id").collect()
     }
     assert got == model_paragraph_dedup(corpus)
+
+
+def test_incremental_dedup_matches_reference(spark):
+    """Property (randomized fixed-seed corpus): incremental_dedup equals
+    a brute-force python reference — batch doc survives iff its text is
+    not in the corpus and it has the lowest id among batch docs sharing
+    that text."""
+    import random
+
+    from seqspark.pipeline.dedup import corpus_digests, incremental_dedup
+
+    rng = random.Random(41)
+    vocab = [f"t{i}" for i in range(12)]
+    def text():
+        return " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 4)))
+
+    for trial in range(4):
+        corpus_rows = [(i, text()) for i in range(rng.randint(0, 15))]
+        batch_rows = [(100 + i, text()) for i in range(rng.randint(1, 25))]
+        corpus = spark.createDataFrame(
+            corpus_rows or [(0, "seed corpus doc")], "doc_id long, text string"
+        )
+        batch = spark.createDataFrame(batch_rows, "doc_id long, text string")
+        got = {r["doc_id"]
+               for r in incremental_dedup(batch, corpus_digests(corpus)).collect()}
+        seen = {t for _, t in (corpus_rows or [(0, "seed corpus doc")])}
+        first = {}
+        for i, t in sorted(batch_rows):
+            if t not in seen and t not in first:
+                first[t] = i
+        assert got == set(first.values()), f"trial {trial}"
