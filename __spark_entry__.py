@@ -1558,13 +1558,13 @@ def oracle_sql() -> dict[str, str]:
         ),
         "fields_pipe": "SELECT event_id, event_type FROM events",
         "order_limit_desc": (
-            f"SELECT {_EV} FROM events ORDER BY ts DESC, event_id DESC LIMIT 100"
+            f"SELECT {_EV} FROM events ORDER BY epoch_ms(ts) DESC, event_id DESC, ts DESC LIMIT 100"
         ),
         "order_limit_asc": (
-            f"SELECT {_EV} FROM events ORDER BY ts ASC, event_id ASC LIMIT 100"
+            f"SELECT {_EV} FROM events ORDER BY epoch_ms(ts) ASC, event_id ASC, ts ASC LIMIT 100"
         ),
         "offset_pagination": (
-            f"SELECT {_EV} FROM events ORDER BY ts ASC, event_id ASC LIMIT 200 OFFSET 500"
+            f"SELECT {_EV} FROM events ORDER BY epoch_ms(ts) ASC, event_id ASC, ts ASC LIMIT 200 OFFSET 500"
         ),
         "merge_dedup": f"SELECT {_EV} FROM events WHERE lower(event_type) = 'error'",
         "fetch_by_ids": (

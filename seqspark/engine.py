@@ -458,7 +458,16 @@ class SearchTable:
                             ).otherwise(F.array(fc))
                         )
                     ),
-                    scalar=(lambda fc=folded: fc),
+                    # over-cap values were never indexed: the scalar agg
+                    # fast path must send them to the `_not_exists` bucket
+                    # (NULL) exactly like the token path — without the cap,
+                    # the same data aggregated differently depending on
+                    # whether tokens were materialized at ingest
+                    scalar=(
+                        lambda c=col, fc=folded: F.when(
+                            F.octet_length(c) <= max_token_size, fc
+                        )
+                    ),
                     exists=(lambda c=col: c.isNotNull()),
                     numeric=numeric,
                     numeric_is_float=numeric_is_float,
@@ -471,7 +480,8 @@ class SearchTable:
                     nonlocal_df[0] = nonlocal_df[0].withColumn(
                         tokcol,
                         tokens_for_type(
-                            itype, col, case_sensitive, max_token_size
+                            itype, col, case_sensitive, max_token_size,
+                            partial_indexing,
                         ),
                     )
                 specs[qname] = FieldSpec(
@@ -566,8 +576,14 @@ class SearchTable:
                     f"bucket_fmt {bucket_fmt!r} is not lexicographically "
                     f"monotone; use one of {MONOTONE_BUCKET_FMTS}"
                 )
-            if dict(df.dtypes).get(_PCOL) == "string":
-                table._partition_hint = (_PCOL, bucket_fmt)
+            # partition type inference turns yyyy labels into INT and
+            # yyyy-MM-dd into DATE directories — the hint carries the
+            # inferred type so the bounds compare in the column's own
+            # type (a silent string-only check used to disable directory
+            # pruning entirely for those two documented formats)
+            pdtype = dict(df.dtypes).get(_PCOL)
+            if pdtype in ("string", "date", "int", "bigint"):
+                table._partition_hint = (_PCOL, bucket_fmt, pdtype)
         return table
 
     # ----------------------------------------------------------------- basics
@@ -654,20 +670,50 @@ class SearchTable:
             # window, so the bounds are conservative (never drop matches).
             # Bucket labels follow the session timezone, same as
             # DocStore.append wrote them.
-            pcol, fmt = self._partition_hint
+            pcol, fmt, pdtype = self._partition_hint
+
+            def bound(ms: int) -> Column:
+                label = F.date_format(F.timestamp_millis(F.lit(ms)), fmt)
+                if pdtype == "date":
+                    return F.to_date(label)
+                if pdtype in ("int", "bigint"):
+                    return label.cast(pdtype)
+                return label
+
             if from_ms is not None:
-                df = df.filter(
-                    F.col(pcol)
-                    >= F.date_format(F.timestamp_millis(F.lit(from_ms)), fmt)
-                )
+                df = df.filter(F.col(pcol) >= bound(from_ms))
             if to_ms is not None:
-                df = df.filter(
-                    F.col(pcol)
-                    <= F.date_format(F.timestamp_millis(F.lit(to_ms)), fmt)
-                )
+                df = df.filter(F.col(pcol) <= bound(to_ms))
         if self._index is not None:
             pairs, wildcards, or_groups = self._index_conjuncts(query.root)
             index_df, _, id_cols, stats, max_sel = self._index
+            # the index is time-partitioned like the store (one directory
+            # per ts_bucket, index.py) — apply the SAME bucket bounds to
+            # the posting scan, or a 1-hour query over a month-old corpus
+            # reads every index bucket before the semi-join
+            if self._partition_hint is not None:
+                pcol, fmt, _pdtype = self._partition_hint
+                if pcol in index_df.columns:
+                    idx_pdtype = dict(index_df.dtypes).get(pcol)
+
+                    def ibound(ms: int) -> Column:
+                        label = F.date_format(
+                            F.timestamp_millis(F.lit(ms)), fmt
+                        )
+                        if idx_pdtype == "date":
+                            return F.to_date(label)
+                        if idx_pdtype in ("int", "bigint"):
+                            return label.cast(idx_pdtype)
+                        return label
+
+                    if from_ms is not None:
+                        index_df = index_df.filter(
+                            F.col(pcol) >= ibound(from_ms)
+                        )
+                    if to_ms is not None:
+                        index_df = index_df.filter(
+                            F.col(pcol) <= ibound(to_ms)
+                        )
             if stats is not None:
                 # selectivity routing: hot tokens (df ratio > max_sel) match
                 # most of the corpus — the semi-join would not shrink the
@@ -701,9 +747,26 @@ class SearchTable:
         return df, query.pipes
 
     def _sort_cols(self, order: str) -> List[Column]:
-        cols = [F.col(self.ts_col)]
+        """Result order is (MID, RID) = (millisecond timestamp, rid) — the
+        reference's document identity (`seq/seq.go:37-90`), NOT raw
+        sub-ms timestamp order: the wire cursor (`search_after`) can only
+        carry ms+rid, so sorting by raw micros would disagree with the
+        cursor's equality class and skip/duplicate rows whose timestamps
+        differ only below the millisecond. Raw ts rides as a final
+        tiebreak for deterministic output when rid is absent."""
+        dtype = dict(self.df.dtypes).get(self.ts_col, "")
+        if dtype.startswith("timestamp"):
+            key: Column = F.unix_millis(
+                F.col(self.ts_col).cast("timestamp")
+                if dtype == "timestamp_ntz"
+                else F.col(self.ts_col)
+            )
+        else:
+            key = F.col(self.ts_col)
+        cols = [key]
         if self.rid_col:
             cols.append(F.col(self.rid_col))
+        cols.append(F.col(self.ts_col))
         if order == "desc":
             return [c.desc() for c in cols]
         return [c.asc() for c in cols]
@@ -1212,26 +1275,23 @@ class SearchTable:
             # keeps the failure path bounded too: a runaway group collects
             # at most cap+1 rows before the error, never the full bucket
             # set.
-            probe = out.limit(max_group_tokens + 1) if group_guard else out
+            # +2, not +1: the synthetic `_not_exists` bucket (count aggs,
+            # missing-field docs) rides along and must NOT count toward
+            # the group-token guard — the reference guard counts unique
+            # group TOKENS (`eval_tree.go:78-85`), and a field with
+            # exactly max_group_tokens values plus missing docs would
+            # otherwise fail spuriously
+            probe = out.limit(max_group_tokens + 2) if group_guard else out
             rows = probe.collect()
-            if group_guard and len(rows) > max_group_tokens:
+            real_groups = sum(1 for r in rows if r["name"] != "_not_exists")
+            if group_guard and real_groups > max_group_tokens:
                 n = out.count()  # failure path only: exact n for the message
                 raise TooManyUniqValuesError(
                     f"group_by {group_by!r} has {n} unique tokens > "
                     f"{max_group_tokens}"
                 )
             if field_guard and sum(r["__ftok"] or 0 for r in rows) > max_field_tokens:
-                # the per-bucket sum is only an UPPER bound on the global
-                # distinct count (a token may occur in many buckets) —
-                # confirm with one real pass before failing the request
-                n_f = df.agg(
-                    F.approx_count_distinct("__fieldtok").alias("n")
-                ).head()["n"]
-                if n_f > max_field_tokens:
-                    raise TooManyUniqValuesError(
-                        f"field {fieldname!r} has ~{n_f} unique tokens > "
-                        f"{max_field_tokens} (--agg-max-field-tokens)"
-                    )
+                self._confirm_field_guard(df, fieldname, max_field_tokens)
             # rebuild as a JVM-side LocalRelation: the caller's collect (and
             # any downstream op) then reads ≤ guard-cap rows without
             # re-running the aggregation. Ordering happens driver-side in
@@ -1275,7 +1335,11 @@ class SearchTable:
                     evicted.unpersist()
             stat_cols = [
                 F.count(F.lit(1)).alias("__rows"),
-                F.count_distinct("name").alias("__groups"),
+                # exclude the synthetic `_not_exists` bucket — the guard
+                # counts real group tokens (same rule as the eager path)
+                F.count_distinct(
+                    F.when(F.col("name") != "_not_exists", F.col("name"))
+                ).alias("__groups"),
             ]
             if field_guard:
                 stat_cols.append(F.sum("__ftok").alias("__ftoks"))
@@ -1290,22 +1354,30 @@ class SearchTable:
                         f"{max_group_tokens}"
                     )
             if field_guard and (stats["__ftoks"] or 0) > max_field_tokens:
-                # the per-bucket sum is only an UPPER bound on the global
-                # distinct count (a token may occur in many buckets) —
-                # confirm with one real pass before failing the request
-                n_f = df.agg(
-                    F.approx_count_distinct("__fieldtok").alias("n")
-                ).head()["n"]
-                if n_f > max_field_tokens:
+                try:
+                    self._confirm_field_guard(df, fieldname, max_field_tokens)
+                except TooManyUniqValuesError:
                     out.unpersist()
-                    raise TooManyUniqValuesError(
-                        f"field {fieldname!r} has ~{n_f} unique tokens > "
-                        f"{max_field_tokens} (--agg-max-field-tokens)"
-                    )
+                    raise
         out = out.drop("__ftok")
         if ordered:
             out = self.order_buckets(out, func)
         return out
+
+    @staticmethod
+    def _confirm_field_guard(df, fieldname, max_field_tokens) -> None:
+        """The per-bucket __ftok sum is only an UPPER bound on the global
+        distinct count (a token may occur in many buckets) — confirm with
+        one real pass before failing the request. Shared by the eager and
+        timeseries guard paths (it was duplicated verbatim before)."""
+        n_f = df.agg(
+            F.approx_count_distinct("__fieldtok").alias("n")
+        ).head()["n"]
+        if n_f > max_field_tokens:
+            raise TooManyUniqValuesError(
+                f"field {fieldname!r} has ~{n_f} unique tokens > "
+                f"{max_field_tokens} (--agg-max-field-tokens)"
+            )
 
     @staticmethod
     def _bucket_sort_key(func: str, cols: Sequence[str]):
@@ -1464,22 +1536,43 @@ class SearchTable:
         base, pipes = self._filtered(q, from_ms, to_ms, dialect=dialect)
         if cache:
             base = base.persist()
-        docs = None
-        if size:
-            docs = self.apply_pipes(
-                self._public(self._paginate(base, size, offset, order)), pipes
-            )
-        total = base.agg(F.count(F.lit(1)).alias("total")) if with_total else None
-        hist = None
-        if hist_interval_ms:
-            ts_ms = F.unix_millis(F.col(self.ts_col))
-            bucket = (ts_ms - ts_ms % F.lit(hist_interval_ms)).alias("bucket_ms")
-            hist = base.groupBy(bucket).agg(F.count(F.lit(1)).alias("cnt"))
+        # everything between persist() and the ComplexSearchResult handoff
+        # runs under one try: a malformed agg (validate_agg raising inside
+        # _aggregate_on) must release the cached scan AND any earlier
+        # aggs' guard-persisted frames — before this, each bad request
+        # pinned one cached frame in executor storage until restart
         agg_bases: List[DataFrame] = []
-        agg_results = [
-            self._aggregate_on(base, aq, strict=strict, persisted_sink=agg_bases)
-            for aq in aggs
-        ]
+        try:
+            docs = None
+            if size:
+                docs = self.apply_pipes(
+                    self._public(self._paginate(base, size, offset, order)),
+                    pipes,
+                )
+            total = (
+                base.agg(F.count(F.lit(1)).alias("total"))
+                if with_total
+                else None
+            )
+            hist = None
+            if hist_interval_ms:
+                ts_ms = F.unix_millis(F.col(self.ts_col))
+                bucket = (ts_ms - ts_ms % F.lit(hist_interval_ms)).alias(
+                    "bucket_ms"
+                )
+                hist = base.groupBy(bucket).agg(F.count(F.lit(1)).alias("cnt"))
+            agg_results = [
+                self._aggregate_on(
+                    base, aq, strict=strict, persisted_sink=agg_bases
+                )
+                for aq in aggs
+            ]
+        except BaseException:
+            if cache:
+                base.unpersist()
+            for frame in agg_bases:
+                frame.unpersist()
+            raise
         return ComplexSearchResult(
             docs=docs,
             total=total,

@@ -228,13 +228,24 @@ class DocStore:
                 "timezone-dependent)"
             )
 
-    def _write_meta(self) -> None:
+    def _write_meta(self, ts_col: str = "ts") -> None:
         p = self._fs.path(META_FILE)
         if not self._fs.exists(p):
             self._fs.write_text(
                 p,
-                json.dumps({"bucket_fmt": self.bucket_fmt, "timezone": self._tz}),
+                json.dumps({"bucket_fmt": self.bucket_fmt,
+                            "timezone": self._tz, "ts_col": ts_col}),
             )
+
+    def _meta_ts_col(self) -> str:
+        """The timestamp column the store was first written with —
+        compaction must sort by it (a hardcoded "ts" broke maintain() on
+        stores appended with a custom ts_col). Pre-existing meta files
+        without the key default to "ts"."""
+        raw = self._fs.read_text(self._fs.path(META_FILE))
+        if raw is None:
+            return "ts"
+        return json.loads(raw).get("ts_col", "ts")
 
     def _cleanup_stale_tmp(self) -> None:
         """Recover from a crashed compact: if the crash hit between the two
@@ -260,7 +271,15 @@ class DocStore:
         the reference gets the same property free from append-order MIDs
         within a fraction (`docs/en/internal/fractions.md`)."""
         self._check_meta()
-        self._write_meta()
+        self._write_meta(ts_col)
+        pinned = self._meta_ts_col()
+        if ts_col != pinned:
+            raise ValueError(
+                f"store at {self.path} was first written with "
+                f"ts_col={pinned!r}; append got {ts_col!r} — compaction "
+                "sorts by the pinned column, so a mixed store would seal "
+                "unsorted"
+            )
         with _int64_timestamps(self.spark):
             (
                 df.withColumn(
@@ -473,7 +492,7 @@ class DocStore:
         df = self.spark.read.parquet(str(part.toUri()))
         with _int64_timestamps(self.spark):
             (
-                df.sort("ts")
+                df.sort(self._meta_ts_col())
                 .coalesce(target_files)
                 .write.option("compression", self.compression)
                 .mode("overwrite")
@@ -532,23 +551,26 @@ class TieredStore:
         self.cold.append(df, ts_col)
 
     def read(self) -> DataFrame:
-        """Union of (all hot partitions) + (cold partitions strictly older
-        than the hot tier's oldest bucket). Bucket ownership keeps the
-        dual-written overlap out; the `<` on the partition column prunes."""
+        """Union of (all hot partitions) + (cold partitions the hot tier
+        does NOT hold). Ownership is by bucket MEMBERSHIP, not a
+        `< oldest_hot` threshold: a late-arriving old doc (within the
+        ingest drift allowance) can create a hot bucket OLDER than
+        buckets hot retention already dropped, and a threshold would then
+        silently exclude those retained-away buckets from BOTH tiers.
+        The isin literal list still prunes cold's partition listing (hot
+        holds a bounded recent window, so the list stays small)."""
         hot_parts = self.hot.partitions()
         if not hot_parts:
             return self.cold.read()
-        oldest_hot = hot_parts[0]
-        cold_old = self.cold.read().filter(F.col(PARTITION_COL) < oldest_hot)
-        return self.hot.read().unionByName(cold_old)
+        cold_only = self.cold.read().filter(
+            ~F.col(PARTITION_COL).isin(hot_parts)
+        )
+        return self.hot.read().unionByName(cold_only)
 
     def partitions(self) -> list[str]:
         hot_parts = self.hot.partitions()
-        oldest_hot = hot_parts[0] if hot_parts else None
         cold_only = [
-            b
-            for b in self.cold.partitions()
-            if oldest_hot is None or b < oldest_hot
+            b for b in self.cold.partitions() if b not in set(hot_parts)
         ]
         return sorted(cold_only + hot_parts)
 

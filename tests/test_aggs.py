@@ -4,6 +4,8 @@
 
 import math
 
+from pyspark.sql import functions as F
+
 from seqspark import AggQuery
 
 
@@ -121,3 +123,74 @@ def test_agg_guard(events_table):
     events_table.agg_guard("event_type")  # 5 groups, fine
     with pytest.raises(TooManyUniqValuesError):
         events_table.agg_guard("event_id", limit=10)
+
+
+def test_group_guard_ignores_not_exists_bucket(spark):
+    """The group-cardinality guard counts REAL group tokens: a field with
+    exactly max_group_tokens values plus missing-field docs (which add
+    the synthetic `_not_exists` bucket) must pass, not fail by one."""
+    import pytest
+
+    from seqspark import AggQuery, SearchTable, TooManyUniqValuesError
+
+    rows = [(i, f"2024-01-01 10:00:{i % 60:02d}", f"g{i % 3}") for i in range(9)]
+    rows += [(100, "2024-01-01 10:01:00", None)]  # missing group field
+    df = spark.createDataFrame(rows, "event_id long, t string, grp string").select(
+        "event_id", F.to_timestamp("t").alias("ts"), "grp"
+    )
+    st = SearchTable.from_typed(
+        df, {"grp": "keyword", "event_id": "keyword"},
+        ts_col="ts", rid_col="event_id",
+    )
+    # 3 real groups + _not_exists: cap of exactly 3 must pass...
+    out = st.aggregate(AggQuery(func="count", field="grp"), max_group_tokens=3)
+    names = {r["name"] for r in out.collect()}
+    assert names == {"g0", "g1", "g2", "_not_exists"}
+    # ...and the timeseries path agrees
+    out_ts = st.aggregate(
+        AggQuery(func="count", field="grp", interval_ms=60_000),
+        max_group_tokens=3,
+    )
+    assert out_ts.count() >= 4
+    # a cap of 2 still fails (3 real groups)
+    with pytest.raises(TooManyUniqValuesError):
+        st.aggregate(AggQuery(func="count", field="grp"), max_group_tokens=2)
+
+
+def test_agg_scalar_fast_path_respects_token_cap(spark):
+    """Over-cap (>72-byte) keyword values were never indexed: the scalar
+    agg fast path must send them to the `_not_exists` bucket like the
+    token path, not mint a bucket named by the giant string."""
+    from seqspark import AggQuery, SearchTable
+
+    big = "x" * 100
+    rows = [(1, "2024-01-01 10:00:00", "ok"), (2, "2024-01-01 10:00:01", big)]
+    df = spark.createDataFrame(rows, "event_id long, t string, k string").select(
+        "event_id", F.to_timestamp("t").alias("ts"), "k"
+    )
+    st = SearchTable.from_typed(
+        df, {"k": "keyword", "event_id": "keyword"},
+        ts_col="ts", rid_col="event_id",
+    )
+    got = {r["name"]: r["value"]
+           for r in st.aggregate(AggQuery(func="count", field="k")).collect()}
+    assert got == {"ok": 1.0, "_not_exists": 1.0}
+    assert big not in got
+
+
+def test_complex_search_agg_error_releases_cache(spark, events_table):
+    """A malformed agg raising mid-request must release the persisted base
+    scan (and earlier aggs' frames) — each bad request used to pin one
+    cached frame until session restart."""
+    import pytest
+
+    from seqspark import AggQuery
+
+    jsc = spark.sparkContext._jsc
+    before = jsc.getPersistentRDDs().size()
+    with pytest.raises(ValueError):
+        events_table.complex_search(
+            q="*", with_total=True,
+            aggs=[AggQuery(func="sum", field=None)],  # malformed: no field
+        )
+    assert jsc.getPersistentRDDs().size() == before

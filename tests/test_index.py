@@ -285,3 +285,47 @@ def test_index_persisted_roundtrip_and_plan(spark, docs, index_df, tmp_path):
     assert "split(" not in plan
     direct = search_tokens(docs, index_df, "text", ["table", "scan"], ["doc_id"])
     assert out.count() == direct.count()
+
+
+def test_index_semi_join_prunes_time_buckets(spark, tmp_path):
+    """A time-ranged query on an indexed store must prune the INDEX scan
+    by ts_bucket too, not just the doc scan — the index is partitioned by
+    the same bucket column precisely so posting reads stay proportional
+    to the window, not the corpus."""
+    import json
+
+    from seqspark import Mapping
+    from seqspark.index import StoreIndex
+    from seqspark.ingest import ingest_docs
+    from seqspark.store import DocStore
+
+    m = Mapping({"service": "keyword", "message": "text"})
+    docs = [
+        {"timestamp": f"2024-01-0{d} 00:00:00.000", "service": s,
+         "message": f"alpha beta {s} d{d}"}
+        for d in (1, 2, 3)
+        for s in ("auth", "pay")
+    ]
+    BIG = 10**15
+    frame = ingest_docs(
+        spark.createDataFrame([(json.dumps(x),) for x in docs], "raw string"),
+        m, allowed_drift_ms=BIG, future_drift_ms=BIG,
+    )
+    store = DocStore(spark, str(tmp_path / "store"))
+    store.append(frame)
+    idx = StoreIndex(
+        store, str(tmp_path / "index"),
+        {"message": F.col("tokens")["message"]},
+    )
+    idx.refresh()
+    st = idx.attach_to(store.search_table(m), top_k=64, max_selectivity=0.5)
+    f_ms, t_ms = 1704153600000, 1704239999999  # 2024-01-02 only
+    out = st.search("message:d2 and message:auth", from_ms=f_ms, to_ms=t_ms)
+    assert out.count() == 1
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan  # the index route actually fired
+    # BOTH FileScans (docs + index postings) carry ts_bucket bounds
+    spans = [i for i in range(len(plan)) if plan.startswith("PartitionFilters", i)]
+    bounded = [plan[i : i + 260] for i in spans]
+    with_bounds = [w for w in bounded if "2024-01-02" in w and "ts_bucket" in w]
+    assert len(with_bounds) >= 2, f"index scan unpruned: {bounded}"

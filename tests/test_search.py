@@ -146,3 +146,44 @@ def test_max_search_docs_cap(events_table):
 
     with pytest.raises(ValueError):
         events_table.search("*", size=200_000)
+
+
+def test_search_after_sub_ms_timestamps_lossless(spark):
+    """Keyset paging over sub-millisecond timestamps: the wire cursor can
+    only carry (ms, rid), so result order is (ms, rid) — sorting by raw
+    micros would disagree with the cursor's equality class and lose rows
+    like (same ms, smaller sub-ms, larger rid). Page through a corpus
+    where every ms bucket holds several sub-ms rows and assert the pages
+    tile the full result exactly."""
+    from seqspark import SearchTable
+
+    rows = []
+    rid = 0
+    base_us = 1704067200 * 1_000_000
+    for ms in range(40):
+        for sub in (900, 100, 500):  # deliberately non-monotone sub-ms
+            rows.append((base_us + ms * 1000 + sub, rid))
+            rid += 1
+    df = spark.createDataFrame(rows, "us long, event_id long").select(
+        F.timestamp_micros(F.col("us")).alias("ts"), "event_id"
+    )
+    st = SearchTable.from_typed(
+        df, {"event_id": "keyword"}, ts_col="ts", rid_col="event_id"
+    )
+    full = [(r["event_id"]) for r in st.search("*", size=200, order="asc").collect()]
+    assert len(full) == len(rows)
+    paged = []
+    cursor = None
+    while True:
+        page = st.search_after(
+            "*",
+            last_ts_ms=cursor[0] if cursor else None,
+            last_rid=cursor[1] if cursor else None,
+            size=7, order="asc",
+        ).collect()
+        if not page:
+            break
+        paged.extend(r["event_id"] for r in page)
+        last = page[-1]
+        cursor = (int(last["ts"].timestamp() * 1000), last["event_id"])
+    assert paged == full, "keyset pages must tile the full ordered result"

@@ -770,3 +770,85 @@ def test_server_over_tiered_store(spark, tmp):
         assert len(tiered.buckets_in_range(None, None)) == 9
     finally:
         srv.stop()
+
+
+def test_partition_pruning_with_date_typed_buckets(spark, tmp):
+    """bucket_fmt='yyyy-MM-dd' directories are inferred as DATE partition
+    columns; the prune bounds must compare in that type — the old
+    string-only check silently disabled directory pruning for two of the
+    four documented MONOTONE_BUCKET_FMTS."""
+    store = DocStore(spark, os.path.join(tmp, "datestore"),
+                     bucket_fmt="yyyy-MM-dd")
+    lines = [
+        json.dumps({"timestamp": f"2024-01-0{d} 10:00:00.000",
+                    "service": "auth", "message": f"m{d}"})
+        for d in range(1, 6)
+    ]
+    frame = ingest_docs(
+        spark.createDataFrame([(l,) for l in lines], "raw string"),
+        MAPPING, allowed_drift_ms=BIG, future_drift_ms=BIG,
+    )
+    store.append(frame)
+    st = SearchTable.from_store(store, MAPPING)
+    f_ms, t_ms = 1704153600000, 1704239999999  # 2024-01-02 only
+    out = st.search("*", from_ms=f_ms, to_ms=t_ms)
+    assert out.count() == 1
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    i = plan.find("PartitionFilters")
+    assert i >= 0, "expected PartitionFilters in the plan"
+    window = plan[i : i + 300]
+    assert "ts_bucket" in window and "2024-01-02" in window
+
+
+def test_tiered_store_late_arrival_no_bucket_loss(spark, tmp):
+    """Bucket ownership is by MEMBERSHIP, not a `< oldest_hot` threshold:
+    after hot retention drops a middle bucket (still in cold), a LATE
+    event older than hot's window must not hide the retained-away bucket
+    from both tiers."""
+    from seqspark.store import TieredStore
+
+    def frame(hours):
+        lines = [json.dumps({"timestamp": f"2024-01-01 {h:02d}:00:00.000",
+                             "service": "auth", "message": f"m{h}"})
+                 for h in hours]
+        return ingest_docs(
+            spark.createDataFrame([(l,) for l in lines], "raw string"),
+            MAPPING, allowed_drift_ms=BIG, future_drift_ms=BIG,
+        )
+
+    hot = DocStore(spark, os.path.join(tmp, "la_hot"))
+    cold = DocStore(spark, os.path.join(tmp, "la_cold"))
+    tiered = TieredStore(hot, cold)
+    tiered.append(frame([10, 11, 12]))
+    # hot retention drops the 10:00 bucket (cold keeps it)
+    hot.retain(min_bucket=hot.partitions()[1])
+    assert len(hot.partitions()) == 2
+    # a LATE doc (09:00) lands in hot, making hot's oldest bucket OLDER
+    # than the retained-away 10:00 bucket
+    tiered.append(frame([9]))
+    assert tiered.read().count() == 4  # 9,10,11,12 — nothing lost
+    assert len(tiered.partitions()) == 4
+    st = SearchTable.from_store(tiered, MAPPING)
+    assert st.search("*").count() == 4
+
+
+def test_compact_respects_custom_ts_col(spark, tmp):
+    """A store appended with ts_col != 'ts' seals by the pinned column —
+    compact() used to hardcode sort('ts') and abort maintain() with an
+    AnalysisException."""
+    store = DocStore(spark, os.path.join(tmp, "custom_ts"))
+    df = spark.createDataFrame(
+        [(i, f"2024-01-01 10:{i:02d}:00") for i in range(6)],
+        "k long, t string",
+    ).select("k", F.to_timestamp("t").alias("event_time"))
+    for _ in range(3):
+        store.append(df.repartition(4), ts_col="event_time")
+    bucket = store.partitions()[0]
+    before = store.read().count()
+    assert store.maintain(max_files_per_partition=2) == [bucket]
+    assert store.partition_file_count(bucket) == 1
+    assert store.read().count() == before
+    # mixing ts_col on one store is refused (the pin exists so sealing
+    # sorts by the right column)
+    with pytest.raises(ValueError):
+        store.append(df.withColumnRenamed("event_time", "ts"), ts_col="ts")
