@@ -21,11 +21,24 @@ happens distributed in ``ingest_docs``/``DocStore.append``.
 from __future__ import annotations
 
 import gzip
+import io
 import json
 from dataclasses import dataclass, field as dc_field
 from typing import List, Optional
 
 from pyspark.sql import DataFrame, SparkSession
+
+#: decompressed-body cap, the same 64 MiB bomb-guard bound the gRPC wire
+#: enforces (`seqspark/wire/h2.py` MAX_BODY_BYTES)
+MAX_BULK_BODY_BYTES = 64 << 20
+
+
+class BadBulkRequest(ValueError):
+    """Request-shaped bulk error (corrupt gzip, non-UTF-8 bytes, oversized
+    body): the transport's 400. Never a backend failure — the ingest
+    circuit breaker must not count these (`proxyapi/http_bulk.go` returns
+    http.StatusBadRequest for malformed bodies without touching backend
+    health)."""
 
 ES_BANNER = {
     "name": "seqspark",
@@ -57,9 +70,22 @@ def parse_bulk_body(body: bytes, gzipped: bool = False) -> BulkResult:
     per-item; non-object docs error per-item.
     """
     if gzipped:
-        body = gzip.decompress(body)
+        try:
+            body = gzip.GzipFile(fileobj=io.BytesIO(body)).read(
+                MAX_BULK_BODY_BYTES + 1
+            )
+        except (OSError, EOFError) as e:
+            raise BadBulkRequest(f"corrupt gzip body: {e}") from None
+        if len(body) > MAX_BULK_BODY_BYTES:
+            raise BadBulkRequest(
+                f"decompressed bulk body exceeds {MAX_BULK_BODY_BYTES} bytes"
+            )
     res = BulkResult()
-    lines = [ln for ln in body.decode("utf-8").split("\n") if ln.strip()]
+    try:
+        text = body.decode("utf-8")
+    except UnicodeDecodeError as e:
+        raise BadBulkRequest(f"bulk body is not UTF-8: {e}") from None
+    lines = [ln for ln in text.split("\n") if ln.strip()]
     i = 0
     while i < len(lines):
         line = lines[i]

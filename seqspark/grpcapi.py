@@ -390,6 +390,10 @@ class SeqProxyGrpc:
                 raise GrpcError(
                     INVALID_ARGUMENT, f"failed to parse 'interval': {e}"
                 ) from None
+        # the gRPC surface carries a STRUCTURED span tree (complex_search
+        # attaches it itself); the HTTP core's string explain would be
+        # computed and thrown away — one full parse+plan pass per request
+        hreq.pop("explain", None)
         return hreq
 
     @staticmethod
@@ -410,21 +414,30 @@ class SeqProxyGrpc:
 
     def complex_search(self, req: dict, metadata: dict) -> dict:
         hreq = self._complex_req(req, metadata)
+        want_explain = bool((req.get("query") or {}).get("explain"))
+
+        def run():
+            out = self.core.complex(hreq)
+            if want_explain:
+                # structured span tree with real phase timings, not the
+                # flat string the HTTP surface carries; computed INSIDE the
+                # admission window so the planning pass counts against
+                # --search-requests-limit like the search it describes
+                out["__explain_tree"] = self.core._table().explain_tree(
+                    hreq.get("query", "*"),
+                    from_ms=hreq.get("from_ms"),
+                    to_ms=hreq.get("to_ms"),
+                    dialect=hreq.get("dialect"),
+                )
+            return out
+
         try:
-            out = self._admitted("/complex", hreq, lambda: self.core.complex(hreq))
+            out = self._admitted("/complex", hreq, run)
         except TooManyFractionsHit as e:
             return {"error": self._fractions_error(e)}
         resp = self._complex_proto(out)
-        if (req.get("query") or {}).get("explain"):
-            # structured span tree with real phase timings, not the flat
-            # string the HTTP surface carries
-            tree = self.core._table().explain_tree(
-                hreq.get("query", "*"),
-                from_ms=hreq.get("from_ms"),
-                to_ms=hreq.get("to_ms"),
-                dialect=hreq.get("dialect"),
-            )
-            resp["explain"] = self._explain_proto(tree)
+        if want_explain:
+            resp["explain"] = self._explain_proto(out["__explain_tree"])
         return resp
 
     def get_aggregation(self, req: dict, metadata: dict) -> dict:
@@ -547,7 +560,13 @@ class SeqProxyGrpc:
         retention = sp.duration_to_sec(req.get("retention"))
         if retention:
             creq["ttl_sec"] = int(retention)
-        out = self.core.async_start(creq)
+        # same admission control as the HTTP /async/start handler: the
+        # start itself is cheap, but it spawns a background complex_search
+        # — without the rate check one client could loop StartAsyncSearch
+        # and bypass --query-rate-limit entirely
+        out = self._admitted(
+            "/async/start", creq, lambda: self.core.async_start(creq)
+        )
         return {"search_id": out["search_id"]}
 
     def fetch_async(self, req: dict, metadata: dict) -> dict:

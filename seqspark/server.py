@@ -36,7 +36,13 @@ logger = logging.getLogger("seqspark.server")
 
 from pyspark.sql import SparkSession
 
-from .bulk import ES_BANNER, bulk_to_df, parse_bulk_body
+from .bulk import (
+    ES_BANNER,
+    MAX_BULK_BODY_BYTES,
+    BadBulkRequest,
+    bulk_to_df,
+    parse_bulk_body,
+)
 from .circuitbreaker import CircuitBreaker
 from .engine import SearchTable
 from .ingest import ingest_docs
@@ -170,6 +176,11 @@ class SeqSparkServer:
 
             def do_POST(self):
                 length = int(self.headers.get("Content-Length", 0))
+                if length > MAX_BULK_BODY_BYTES:
+                    # reject BEFORE buffering: a client-declared length must
+                    # not size a server allocation (same discipline as the
+                    # wire stack's pre-read MAX_BODY_BYTES check)
+                    return self._json(413, {"error": "request body too large"})
                 body = self.rfile.read(length)
                 gzipped = self.headers.get("Content-Encoding") == "gzip"
                 if self.path == "/_bulk":
@@ -187,6 +198,14 @@ class SeqSparkServer:
                             )
                         try:
                             resp = outer.bulk(body, gzipped)
+                        except BadBulkRequest as e:
+                            # client-shaped error: a 400 that proves nothing
+                            # about backend health — recorded as success so
+                            # one misbehaving shipper can never open the
+                            # circuit and shed everyone else's ingest
+                            outer._breaker.record(True, admit)
+                            outer._count("bulk_errors_total")
+                            return self._json(400, {"error": str(e)})
                         except Exception as e:
                             outer._breaker.record(False, admit)
                             outer._count("bulk_errors_total")
@@ -289,9 +308,12 @@ class SeqSparkServer:
                         # mirror the RESOLVED request (dialect applied from
                         # the use-seq-ql header) — re-sending the raw bytes
                         # would make the mirror parse a legacy query as
-                        # seq-ql; async starts are not mirrored (a mirror
-                        # would spawn a duplicate persistent job)
-                        if self.path != "/async/start":
+                        # seq-ql. Only search-shaped requests are mirrored:
+                        # the reference mirrors solely its shared search path
+                        # (`grpc_v1.go:291` tryMirrorRequest), never Fetch,
+                        # and async starts would spawn duplicate persistent
+                        # jobs on the mirror.
+                        if self.path in ("/search", "/complex"):
                             outer._try_mirror(self.path, json.dumps(req).encode())
                         t0 = time.perf_counter()
                         resp = handlers[self.path](req)
@@ -381,6 +403,16 @@ class SeqSparkServer:
             req.get("from_ms"), req.get("to_ms"), self._max_fraction_hits
         )
 
+    @staticmethod
+    def _int_or(req: dict, key: str, default: int) -> int:
+        """An explicit JSON ``null`` is the same as an absent field (the
+        reference's Go decoding gives this for free: null decodes to the
+        zero value). Without this, ``{"size": null}`` would reach the
+        engine as ``size=None`` — its UNBOUNDED export mode — and collect
+        the entire match set onto the driver."""
+        v = req.get(key)
+        return default if v is None else int(v)
+
     def export_docs(self, req: dict):
         """Export row iterator — (mid, rid, raw) tuples in stream order
         (`docs/en/10-public-api.md` /Export — Search's streaming twin).
@@ -391,11 +423,13 @@ class SeqSparkServer:
         protobuf-encodes — neither pays the other's serialization."""
         self._check_fractions(req)
         st = self._table()
+        size = req.get("size")
         docs = st.search(
             req.get("query", "*"),
             from_ms=req.get("from_ms"),
             to_ms=req.get("to_ms"),
-            size=req.get("size"),
+            size=None if size is None else int(size),
+            offset=self._int_or(req, "offset", 0),
             order=req.get("order", "desc"),
             dialect=req.get("dialect"),
         ).select("mid", "rid", "raw")
@@ -494,8 +528,8 @@ class SeqSparkServer:
             req.get("query", "*"),
             from_ms=req.get("from_ms"),
             to_ms=req.get("to_ms"),
-            size=req.get("size", 100),
-            offset=req.get("offset", 0),
+            size=self._int_or(req, "size", 100),
+            offset=self._int_or(req, "offset", 0),
             order=req.get("order", "desc"),
             dialect=req.get("dialect"),
         ).select("mid", "rid", "raw")
@@ -552,8 +586,8 @@ class SeqSparkServer:
             req.get("query", "*"),
             from_ms=req.get("from_ms"),
             to_ms=req.get("to_ms"),
-            size=req.get("size", 0),
-            offset=req.get("offset", 0),
+            size=self._int_or(req, "size", 0),
+            offset=self._int_or(req, "offset", 0),
             order=req.get("order", "desc"),
             with_total=req.get("with_total", False),
             hist_interval_ms=req.get("hist_interval_ms"),

@@ -231,7 +231,14 @@ def sessionize(
                 closed.append((start_ms, last_ms, n))
                 start_ms, last_ms, n = t, t, 1
         state.update((start_ms, last_ms, n))
-        state.setTimeoutTimestamp(last_ms + gap_ms)
+        # clamp to just past the watermark: Spark rejects a timeout at or
+        # below the current watermark with an IllegalArgumentException,
+        # which a backfill of events older than watermark - gap would
+        # otherwise trigger, failing the whole query. A clamped (late)
+        # session simply times out on the next batch instead.
+        state.setTimeoutTimestamp(
+            max(last_ms + gap_ms, state.getCurrentWatermarkMs() + 1)
+        )
         yield pd.DataFrame(
             {
                 key_col: [key[0]] * len(closed),
@@ -316,7 +323,10 @@ class AsyncSearcher:
         # check-then-write.
         with self._meta_lock:
             current = self.status(job_id)
-            if current is not None and current.get("status") == "canceled":
+            if current is None or current.get("status") == "canceled":
+                # canceled jobs never publish; a None status means the job
+                # dir was expired/deleted mid-run — writing meta.json would
+                # resurrect a deleted job (or raise into the daemon thread)
                 return
             self._write_meta(job_id, meta)
 
@@ -422,13 +432,39 @@ class AsyncSearcher:
 
     def expire(self) -> list[str]:
         """Drop jobs past their TTL (`fracmanager/async_searcher.go`
-        retention loop)."""
+        retention loop).
+
+        A job whose executing thread is still alive is never rmtree'd —
+        deleting under a running Spark write would race the result write
+        (the parquet job recreates the directory, resurrecting the job) or
+        crash the daemon thread mid-meta-rewrite. Instead the job is marked
+        canceled (so ``_run`` discards its result on completion) and the
+        directory is reclaimed on a later pass once the thread has drained.
+        """
         import shutil
 
         dropped = []
         for job_id in os.listdir(self.base_dir):
-            meta = self.status(job_id)
-            if meta and time.time() - meta["started_at"] > meta.get("ttl_sec", 3600):
-                shutil.rmtree(self._job_dir(job_id), ignore_errors=True)
-                dropped.append(job_id)
+            t = self._threads.get(job_id)
+            if t is not None and t.is_alive():
+                with self._meta_lock:
+                    meta = self.status(job_id)
+                    if (
+                        meta
+                        and meta.get("status") == "running"
+                        and time.time() - meta["started_at"]
+                        > meta.get("ttl_sec", 3600)
+                    ):
+                        meta["status"] = "canceled"
+                        meta["finished_at"] = time.time()
+                        self._write_meta(job_id, meta)
+                continue
+            with self._meta_lock:
+                meta = self.status(job_id)
+                if meta and time.time() - meta["started_at"] > meta.get(
+                    "ttl_sec", 3600
+                ):
+                    shutil.rmtree(self._job_dir(job_id), ignore_errors=True)
+                    self._threads.pop(job_id, None)
+                    dropped.append(job_id)
         return dropped

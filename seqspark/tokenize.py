@@ -120,8 +120,13 @@ def path_tokens(
             idx, lambda i: F.array_join(F.slice(parts, 1, i), separator)
         )
 
-    # '' leading element when value starts with sep
-    prefixes = let(F.split(folded, separator), build)
+    # '' leading element when value starts with sep. split takes a Java
+    # regex while array_join takes a literal — escape so a regex-special
+    # separator ('.', '|', '+') splits on the literal character and the
+    # prefixes re-join to real substrings of the input
+    import re
+
+    prefixes = let(F.split(folded, re.escape(separator)), build)
     # Drop the empty first prefix produced by a leading separator, then
     # append the full value.
     prefixes = F.filter(prefixes, lambda p: F.length(p) > 0)

@@ -408,6 +408,13 @@ def test_grpc_admission_control(rig, spark):
                 f"{SVC}/Export", {"query": {"query": "*"}, "size": 1},
                 sp.EXPORT_REQUEST, sp.EXPORT_RESPONSE)
         assert ei.value.code == RESOURCE_EXHAUSTED
+        # StartAsyncSearch spawns a background complex search — it must
+        # pass the same admission, not be a side door around it
+        with pytest.raises(GrpcError) as ei:
+            ch2.unary(f"{SVC}/StartAsyncSearch", {"query": {"query": "*"}},
+                      sp.START_ASYNC_SEARCH_REQUEST,
+                      sp.START_ASYNC_SEARCH_RESPONSE)
+        assert ei.value.code == RESOURCE_EXHAUSTED
     finally:
         ch2.close()
         srv2.stop()

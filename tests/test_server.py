@@ -493,3 +493,94 @@ def test_async_search_restart_resume_http(spark, tmp_path):
         assert json.loads(done["response"]["docs"][0]["data"])["service"] == "auth"
     finally:
         srv2.stop()
+
+
+def test_search_null_size_is_default_not_unbounded(server):
+    """An explicit JSON null size/offset is the same as an absent field —
+    it must NOT reach the engine as size=None (unbounded export mode) and
+    collect the entire match set onto the driver."""
+    _post(server, "/_bulk", BULK)
+    code, res = _post(
+        server,
+        "/search",
+        json.dumps({"query": "*", "size": None, "offset": None}).encode(),
+    )
+    assert code == 200
+    assert len(res["docs"]) <= 100
+    # /complex: null size means the default 0 docs, not a full drain
+    code, res = _post(
+        server,
+        "/complex",
+        json.dumps({"query": "*", "size": None, "with_total": True}).encode(),
+    )
+    assert code == 200
+    assert "docs" not in res or res["docs"] == []
+
+
+def test_bulk_bad_request_is_400_and_never_opens_circuit(server):
+    """Corrupt gzip is a client-shaped 400, not a backend failure: one
+    misbehaving shipper must not open the ingest circuit breaker and shed
+    every other shipper's bulks."""
+    for _ in range(8):  # well past DEFAULT_VOLUME_THRESHOLD
+        code, body = _post(
+            server, "/_bulk", b"\x1f\x8b\x08garbage-not-gzip",
+            headers={"Content-Encoding": "gzip"},
+        )
+        assert code == 400 and "gzip" in body["error"]
+    assert server._breaker.state == "closed"
+    code, _ = _post(server, "/_bulk", BULK)  # healthy ingest still admitted
+    assert code == 200
+
+
+def test_bulk_oversized_declared_body_is_413(server):
+    """A client-declared Content-Length above the body cap is rejected
+    BEFORE the server buffers anything."""
+    import http.client
+
+    conn = http.client.HTTPConnection("127.0.0.1", server.port, timeout=30)
+    try:
+        conn.putrequest("POST", "/_bulk")
+        conn.putheader("Content-Length", str(1 << 30))
+        conn.endheaders()
+        resp = conn.getresponse()  # answered without reading the body
+        assert resp.status == 413
+    finally:
+        conn.close()
+
+
+def test_export_honors_offset(server):
+    """ExportRequest carries an offset (`seq_proxy_api.proto` field 3,
+    `grpc_export.go:47`): resuming an export must not restart from row 0."""
+    _post(server, "/_bulk", BULK)
+    rows_all = list(server.export_docs({"query": "*", "order": "asc"}))
+    assert len(rows_all) == 2
+    rows_off = list(
+        server.export_docs({"query": "*", "order": "asc", "offset": 1})
+    )
+    assert rows_off == rows_all[1:]
+
+
+def test_fetch_is_not_mirrored(spark, tmp_path):
+    """The reference mirrors only its shared search path (`grpc_v1.go:291`)
+    — never Fetch. Both transports must agree."""
+    import time as _time
+
+    mirror_store = DocStore(spark, str(tmp_path / "mirror2"))
+    mirror = SeqSparkServer(
+        spark, mirror_store, MAPPING, allowed_drift_ms=BIG, future_drift_ms=BIG
+    ).start()
+    primary_store = DocStore(spark, str(tmp_path / "primary2"))
+    primary = SeqSparkServer(
+        spark, primary_store, MAPPING,
+        allowed_drift_ms=BIG, future_drift_ms=BIG,
+        mirror_url=f"http://127.0.0.1:{mirror.port}",
+    ).start()
+    try:
+        _post(primary, "/_bulk", BULK)
+        code, _ = _post(primary, "/fetch", b'{"ids": []}')
+        assert code == 200
+        _time.sleep(0.5)  # a mirrored request would land well within this
+        assert mirror._counters.get("search_total", 0) == 0
+    finally:
+        primary.stop()
+        mirror.stop()

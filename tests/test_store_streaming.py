@@ -852,3 +852,77 @@ def test_compact_respects_custom_ts_col(spark, tmp):
     # sorts by the right column)
     with pytest.raises(ValueError):
         store.append(df.withColumnRenamed("event_time", "ts"), ts_col="ts")
+
+
+def test_async_expire_never_deletes_running_job(spark, tmp):
+    """expire() must not rmtree a job whose thread is still executing —
+    deleting under a running Spark write races the result write (the
+    parquet job recreates the directory, resurrecting an expired job) or
+    crashes the daemon thread. A past-TTL running job is marked canceled;
+    the directory is reclaimed on a later pass once the thread drains."""
+    import threading
+    import time as _t
+
+    a = AsyncSearcher(spark, os.path.join(tmp, "async_expire"))
+    release = threading.Event()
+
+    def factory():
+        release.wait(60)
+        return spark.range(1)
+
+    jid = a.start("q", factory, ttl_sec=0)  # expired the moment it starts
+    _t.sleep(0.05)
+    dropped = a.expire()
+    assert jid not in dropped
+    meta = a.status(jid)
+    assert meta is not None and meta["status"] == "canceled"
+    release.set()
+    a.wait(jid, timeout=120)
+    # completion observed the cancel marker and discarded its result
+    assert a.status(jid)["status"] == "canceled"
+    dropped = a.expire()
+    assert jid in dropped and a.status(jid) is None
+
+
+def test_sessionize_survives_old_events_after_watermark(spark, tmp):
+    """A batch whose events are far older than the advanced watermark must
+    not fail the query: an unclamped setTimeoutTimestamp at/below the
+    watermark raises inside Spark and kills the stream."""
+    from seqspark.streaming import sessionize
+
+    indir = os.path.join(tmp, "sess_late_in")
+    ckpt = os.path.join(tmp, "sess_late_ckpt")
+    emitted = []
+
+    def write_batch(name, rows):
+        write_ndjson(
+            os.path.join(indir, name), [{"ts": t, "svc": s} for t, s in rows]
+        )
+
+    def run_once():
+        raw = (
+            spark.readStream.schema("ts string, svc string")
+            .json(indir)
+            .withColumn("ts", F.to_timestamp("ts"))
+        )
+        sess = sessionize(raw, "svc", gap_ms=60_000, watermark="0 seconds")
+        q = (
+            sess.writeStream.foreachBatch(
+                lambda df, _id: emitted.extend(df.collect())
+            )
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    write_batch("b1.json", [("2024-01-01 12:00:00", "auth")])
+    run_once()  # watermark advances to 12:00
+    # brand-new key, 3 hours older than the watermark
+    write_batch("b2.json", [("2024-01-01 09:00:00", "late")])
+    run_once()  # must complete, not raise
+    write_batch("b3.json", [("2024-01-01 14:00:00", "auth")])
+    run_once()
+    # the in-watermark session still closes correctly
+    assert any(r["svc"] == "auth" and r["n_events"] == 1 for r in emitted)

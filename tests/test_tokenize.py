@@ -81,3 +81,11 @@ def test_path_single_component(spark):
 
 def test_path_double_separator(spark):
     assert tok(spark, path_tokens, "a//b") == ["a", "a/", "a//b"]
+
+
+def test_path_regex_special_separator(spark):
+    """F.split takes a Java regex while array_join takes a literal — a
+    regex-special separator ('.') must be escaped or the prefixes bear no
+    relation to the input."""
+    got = tok(spark, lambda c: path_tokens(c, separator="."), "a.b.c")
+    assert got == ["a", "a.b", "a.b.c"]
