@@ -241,3 +241,28 @@ def test_incremental_dedup_matches_reference(spark):
             if t not in seen and t not in first:
                 first[t] = i
         assert got == set(first.values()), f"trial {trial}"
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    body=st.one_of(
+        st.binary(max_size=512),
+        st.binary(max_size=64).map(
+            lambda b: b"\x1f\x8b" + b  # gzip magic + garbage tail
+        ),
+    ),
+    gzipped=st.booleans(),
+)
+def test_bulk_parse_total_error_contract(body, gzipped):
+    """parse_bulk_body over arbitrary bytes either returns a BulkResult or
+    raises BadBulkRequest — never a raw gzip/unicode/json exception. The
+    HTTP handler relies on this split: BadBulkRequest -> 400 without
+    touching circuit-breaker health, anything else -> 500 + breaker."""
+    from seqspark.bulk import BadBulkRequest, BulkResult, parse_bulk_body
+
+    try:
+        res = parse_bulk_body(body, gzipped=gzipped)
+    except BadBulkRequest:
+        return
+    assert isinstance(res, BulkResult)
+    assert len(res.items) >= len(res.docs)
