@@ -71,20 +71,24 @@ def clamp_drift(
     return F.when(event_ts.isNull() | delayed, ingest_ts).otherwise(event_ts)
 
 
-def ingest_docs(
-    raw_df: DataFrame,
+def make_ingest_transform(
     mapping: Mapping,
     raw_col: str = "raw",
     ingest_ts: Optional[Column] = None,
     case_sensitive: bool = False,
     allowed_drift_ms: int = ALLOWED_DRIFT_MS,
     future_drift_ms: int = FUTURE_DRIFT_MS,
-) -> DataFrame:
-    """Transform a frame with a raw-JSON string column into the document
-    store schema:
+):
+    """Prebuild the ingest projection once and return a ``df -> df``
+    transform that reuses it.
 
-    ``mid BIGINT`` (unix ms), ``rid BIGINT``, ``ts TIMESTAMP``,
-    ``raw STRING``, ``size INT``, ``tokens MAP<STRING, ARRAY<STRING>>``.
+    Every Column here is an UNRESOLVED expression over ``raw_col`` —
+    frame-independent, so one build serves every batch. Building the
+    tree per call costs ~0.3 s of driver-side py4j for a typical mapping
+    (hundreds of Column constructions); on the hot bulk/streaming ingest
+    path that tax dominated per-batch latency, so callers with repeated
+    batches (``SeqSparkServer.bulk``, ``stream_ingest``) hold one
+    transform and apply it per batch.
     """
     raw = F.col(raw_col)
     if ingest_ts is None:
@@ -184,24 +188,16 @@ def ingest_docs(
     # rids equal to their parent's. Two byte-identical docs with the same
     # clamped timestamp intentionally collapse to one ID — content identity,
     # the dedup-at-read semantics the reference applies to replica copies.
-    parent = (
-        raw_df.withColumn("ts", ts)
-        .withColumn("mid", F.unix_millis(F.col("ts")))
-        .withColumn("rid", F.xxhash64(raw, F.col("mid")))
-        .withColumn("size", F.octet_length(raw))
-        .withColumn("tokens", tokens_map_from(entries))
-    )
+    tokens_col = tokens_map_from(entries)
     cols = ["mid", "rid", "ts", raw_col, "size", "tokens"]
-    extra = [c for c in raw_df.columns if c != raw_col]
-    parent = parent.select(*cols, *extra)
 
-    # --- nested child rows -------------------------------------------------
+    # --- nested child rows: prebuilt per-root expressions ------------------
     # one sub-document per array element sharing the parent's ID and
     # inheriting the parent's tokens, so AND across parent fields and
     # sibling element fields matches within ONE element
     # (`proxy/bulk/indexer.go:32-46,98-103,162-167`); search over a docs
     # table dedups by (mid, rid) to collapse the copies.
-    out = parent
+    child_specs: List[tuple] = []
     for root in nested_roots:
         children = [
             fm
@@ -214,9 +210,6 @@ def ingest_docs(
         elems = F.from_json(
             F.get_json_object(F.col(raw_col), f"$.{root}"), "array<variant>"
         )
-        child = parent.filter(F.size(elems) > 0).withColumn(
-            "__elem", F.explode(elems)
-        )
         child_entries: Dict[str, Column] = {}
         for fm in children:
             sub = fm.name[len(root) + 1 :]
@@ -227,14 +220,60 @@ def ingest_docs(
             F.coalesce(F.col("tokens"), F.create_map().cast("map<string,array<string>>")),
             F.coalesce(child_map, F.create_map().cast("map<string,array<string>>")),
         )
-        child = (
-            child.withColumn("tokens", merged)
-            .withColumn("size", F.lit(0))
-            .drop("__elem")
-            .select(*cols, *extra)
+        child_specs.append((elems, merged))
+
+    def transform(raw_df: DataFrame) -> DataFrame:
+        parent = (
+            raw_df.withColumn("ts", ts)
+            .withColumn("mid", F.unix_millis(F.col("ts")))
+            .withColumn("rid", F.xxhash64(raw, F.col("mid")))
+            .withColumn("size", F.octet_length(raw))
+            .withColumn("tokens", tokens_col)
         )
-        out = out.unionByName(child)
-    return out
+        extra = [c for c in raw_df.columns if c != raw_col]
+        parent = parent.select(*cols, *extra)
+        out = parent
+        for elems, merged in child_specs:
+            child = (
+                parent.filter(F.size(elems) > 0)
+                .withColumn("__elem", F.explode(elems))
+                .withColumn("tokens", merged)
+                .withColumn("size", F.lit(0))
+                .drop("__elem")
+                .select(*cols, *extra)
+            )
+            out = out.unionByName(child)
+        return out
+
+    return transform
+
+
+def ingest_docs(
+    raw_df: DataFrame,
+    mapping: Mapping,
+    raw_col: str = "raw",
+    ingest_ts: Optional[Column] = None,
+    case_sensitive: bool = False,
+    allowed_drift_ms: int = ALLOWED_DRIFT_MS,
+    future_drift_ms: int = FUTURE_DRIFT_MS,
+) -> DataFrame:
+    """Transform a frame with a raw-JSON string column into the document
+    store schema:
+
+    ``mid BIGINT`` (unix ms), ``rid BIGINT``, ``ts TIMESTAMP``,
+    ``raw STRING``, ``size INT``, ``tokens MAP<STRING, ARRAY<STRING>>``.
+
+    One-shot convenience over :func:`make_ingest_transform` — repeated
+    callers (per-bulk, per-micro-batch) should build the transform once.
+    """
+    return make_ingest_transform(
+        mapping,
+        raw_col=raw_col,
+        ingest_ts=ingest_ts,
+        case_sensitive=case_sensitive,
+        allowed_drift_ms=allowed_drift_ms,
+        future_drift_ms=future_drift_ms,
+    )(raw_df)
 
 
 def project_fields(raw: Column, fields: List[str], except_: bool = False) -> Column:

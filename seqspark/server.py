@@ -45,7 +45,7 @@ from .bulk import (
 )
 from .circuitbreaker import CircuitBreaker
 from .engine import SearchTable
-from .ingest import ingest_docs
+from .ingest import make_ingest_transform
 from .mapping import Mapping
 from .ratelimit import RateLimiter, fetch_key, search_key
 from .store import DocStore
@@ -113,6 +113,11 @@ class SeqSparkServer:
             "rate_limited_total": 0,
         }
         self._lock = threading.Lock()  # serialize parquet appends
+        # group-commit state: bulks that arrive while an append's Spark
+        # job is running queue here and flush together (_append_grouped)
+        self._gc_lock = threading.Lock()
+        self._gc_pending: list = []
+        self._gc_flushing = False
         self._slow_ms = log_search_threshold_ms
         # `--search-fraction-limit` (default 6000): cap how many time
         # partitions one search may touch (`fracmanager/searcher.go:88-97`)
@@ -121,6 +126,8 @@ class SeqSparkServer:
 
         self._drift = ALLOWED_DRIFT_MS if allowed_drift_ms is None else allowed_drift_ms
         self._future = FUTURE_DRIFT_MS if future_drift_ms is None else future_drift_ms
+        # lazily-built, reused across bulks (guarded by self._lock)
+        self._ingest_transform = None
         # async search jobs (`proxyapi/grpc_async_search.go:15-62` over
         # HTTP): persisted under the store so they survive restarts;
         # `async_dir` overrides for object-store-backed stores (the job
@@ -508,15 +515,67 @@ class SeqSparkServer:
         res = parse_bulk_body(body, gzipped=gzipped)
         df = bulk_to_df(self.spark, res)
         if df is not None:
-            docs = ingest_docs(
-                df,
+            self._append_grouped(df)
+        return res.response()
+
+    def _transform(self):
+        # the ingest projection is built once per server (the Column
+        # tree is frame-independent); rebuilding it per bulk cost
+        # ~0.3 s of driver py4j per request on the hot ingest path
+        if self._ingest_transform is None:
+            self._ingest_transform = make_ingest_transform(
                 self.mapping,
                 allowed_drift_ms=self._drift,
                 future_drift_ms=self._future,
             )
-            with self._lock:
-                self.store.append(docs)
-        return res.response()
+        return self._ingest_transform
+
+    def _append_grouped(self, df) -> None:
+        """Group-commit append: appends are serialized (one partitioned
+        parquet write at a time), and every bulk that arrives WHILE a
+        write's Spark job is running is queued and flushed together in the
+        next write — concurrent-shipper throughput scales with rows per
+        flush instead of paying the ~0.5 s fixed per-job write cost per
+        bulk. The Spark analog of the reference's in-memory active
+        fraction absorbing many bulks per seal (`frac/active.go`). A bulk
+        returns only after ITS rows are durable; a failed flush fails
+        every bulk in that group (none were stored)."""
+        entry = [df, threading.Event(), None]  # frame, done, error
+        with self._gc_lock:
+            self._gc_pending.append(entry)
+            i_flush = not self._gc_flushing
+            if i_flush:
+                self._gc_flushing = True
+        if not i_flush:
+            entry[1].wait()
+            if entry[2] is not None:
+                raise entry[2]
+            return
+        my_exc: Optional[Exception] = None
+        while True:
+            with self._gc_lock:
+                batch = self._gc_pending
+                self._gc_pending = []
+                if not batch:
+                    self._gc_flushing = False
+                    break
+            exc: Optional[Exception] = None
+            try:
+                out = batch[0][0]
+                for e in batch[1:]:
+                    out = out.unionByName(e[0])
+                with self._lock:
+                    self.store.append(self._transform()(out))
+            except Exception as err:  # noqa: BLE001 - delivered per waiter
+                exc = err
+            for e in batch:
+                e[2] = exc
+                if e is not entry:
+                    e[1].set()
+            if exc is not None and any(e is entry for e in batch):
+                my_exc = exc
+        if my_exc is not None:
+            raise my_exc
 
     def _table(self) -> SearchTable:
         return SearchTable.from_store(self.store, self.mapping)

@@ -23,7 +23,6 @@ from typing import Optional
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .ingest import ingest_docs
 from .mapping import Mapping
 from .store import DocStore
 
@@ -77,19 +76,21 @@ def stream_ingest(
             watermark=dedup_watermark,
         ).drop("__ts", "__digest")
 
-    from .ingest import ALLOWED_DRIFT_MS, FUTURE_DRIFT_MS
+    from .ingest import ALLOWED_DRIFT_MS, FUTURE_DRIFT_MS, make_ingest_transform
 
     drift = ALLOWED_DRIFT_MS if allowed_drift_ms is None else allowed_drift_ms
     future = FUTURE_DRIFT_MS if future_drift_ms is None else future_drift_ms
+    # one projection build for the life of the stream — per-micro-batch
+    # rebuilds cost ~0.3 s of driver py4j each at small trigger intervals
+    transform = make_ingest_transform(
+        mapping,
+        case_sensitive=case_sensitive,
+        allowed_drift_ms=drift,
+        future_drift_ms=future,
+    )
 
     def write_batch(batch_df: DataFrame, _batch_id: int) -> None:
-        docs = ingest_docs(
-            batch_df,
-            mapping,
-            case_sensitive=case_sensitive,
-            allowed_drift_ms=drift,
-            future_drift_ms=future,
-        )
+        docs = transform(batch_df)
         if index is not None:
             docs = docs.persist()  # one transform pass for append + buckets
         store.append(docs)

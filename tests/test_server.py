@@ -584,3 +584,65 @@ def test_fetch_is_not_mirrored(spark, tmp_path):
     finally:
         primary.stop()
         mirror.stop()
+
+
+def test_bulk_group_commit_coalesces_concurrent_bulks(server):
+    """Bulks that arrive while an append's Spark job is running flush
+    together in ONE partitioned write (group commit) — and every bulk
+    still returns only after its own rows are durable."""
+    import threading
+    import time as _time
+
+    calls = []
+    orig = server.store.append
+    first_flush = threading.Event()
+
+    def slow_append(df, **kw):
+        calls.append(1)
+        if len(calls) == 1:
+            first_flush.set()
+            _time.sleep(2.0)  # hold the first flush so the rest queue
+        return orig(df, **kw)
+
+    server.store.append = slow_append
+    try:
+        def mk(i):
+            return "\n".join(
+                [
+                    '{"index": {}}',
+                    json.dumps(
+                        {
+                            "timestamp": "2024-01-01 10:00:00.000",
+                            "service": f"s{i}",
+                            "message": f"m {i}",
+                        }
+                    ),
+                ]
+            ).encode()
+
+        codes = []
+        lock = threading.Lock()
+
+        def ship(i):
+            code, _ = _post(server, "/_bulk", mk(i))
+            with lock:
+                codes.append(code)
+
+        t0 = threading.Thread(target=ship, args=(0,))
+        t0.start()
+        assert first_flush.wait(30)
+        rest = [
+            threading.Thread(target=ship, args=(i,)) for i in range(1, 6)
+        ]
+        for t in rest:
+            t.start()
+        for t in [t0, *rest]:
+            t.join()
+    finally:
+        server.store.append = orig
+    assert codes == [200] * 6
+    assert len(calls) == 2  # one held flush + ONE grouped flush of the 5
+    code, res = _post(
+        server, "/search", json.dumps({"query": "*", "with_total": True}).encode()
+    )
+    assert code == 200 and res["total"] == 6
