@@ -22,6 +22,7 @@ S3/GCS object stores — where a 100 TB store actually lives. No ``os.*`` /
 from __future__ import annotations
 
 import json
+import threading
 from contextlib import contextmanager
 from typing import Optional
 
@@ -47,6 +48,16 @@ META_FILE = "_store_meta.json"
 MONOTONE_BUCKET_FMTS = ("yyyy", "yyyy-MM", "yyyy-MM-dd", "yyyy-MM-dd-HH")
 
 
+#: reentrancy state for _int64_timestamps, keyed per SparkSession: the
+#: conf is SESSION-global, so two concurrent appends (different stores,
+#: one session — e.g. a server bulk racing a streaming micro-batch) must
+#: not let the first exit restore INT96 while the second's write job is
+#: still running (that would silently write stat-less INT96 files and
+#: lose ts pushdown on them).
+_TS_GUARD_LOCK = threading.Lock()
+_TS_GUARD: dict = {}  # id(spark) -> [depth, saved_value]
+
+
 @contextmanager
 def _int64_timestamps(spark: SparkSession):
     """Write timestamps as INT64 TIMESTAMP_MICROS for the duration.
@@ -56,14 +67,25 @@ def _int64_timestamps(spark: SparkSession):
     pushdown — with it, a pushed ``ts >= X`` predicate reads every row
     group of every file no matter how tight the window. INT64 micros gets
     both stats and pushdown, which is the entire point of ts-clustered
-    row groups (VERDICT r6 #1)."""
+    row groups (VERDICT r6 #1). Reentrant across threads of one session:
+    only the outermost enter saves/sets and only the outermost exit
+    restores."""
     key = "spark.sql.parquet.outputTimestampType"
-    old = spark.conf.get(key)
-    spark.conf.set(key, "TIMESTAMP_MICROS")
+    sid = id(spark)
+    with _TS_GUARD_LOCK:
+        state = _TS_GUARD.get(sid)
+        if state is None:
+            state = _TS_GUARD[sid] = [0, spark.conf.get(key)]
+            spark.conf.set(key, "TIMESTAMP_MICROS")
+        state[0] += 1
     try:
         yield
     finally:
-        spark.conf.set(key, old)
+        with _TS_GUARD_LOCK:
+            state[0] -= 1
+            if state[0] == 0:
+                del _TS_GUARD[sid]
+                spark.conf.set(key, state[1])
 
 
 class _HadoopFS:

@@ -926,3 +926,58 @@ def test_sessionize_survives_old_events_after_watermark(spark, tmp):
     run_once()
     # the in-watermark session still closes correctly
     assert any(r["svc"] == "auth" and r["n_events"] == 1 for r in emitted)
+
+
+def test_concurrent_appends_keep_int64_timestamps(spark, tmp):
+    """The INT64-timestamp write conf is SESSION-global: two overlapping
+    appends (different stores, one session — a server bulk racing a
+    streaming micro-batch) must not let the first append's exit restore
+    INT96 while the second's write job runs. Every file of both stores
+    must be INT64 TIMESTAMP (stats + pushdown), and the conf must be back
+    to its original value afterward."""
+    import threading
+
+    import pyarrow.parquet as pq
+
+    key = "spark.sql.parquet.outputTimestampType"
+    before = spark.conf.get(key)
+    rows = [
+        (json.dumps({"timestamp": f"2024-01-01 10:00:{s:02d}.000",
+                     "service": "auth", "message": f"m{s}"}),)
+        for s in range(40)
+    ]
+    frame = ingest_docs(
+        spark.createDataFrame(rows, "raw string"),
+        MAPPING, allowed_drift_ms=BIG, future_drift_ms=BIG,
+    )
+    paths = [os.path.join(tmp, f"cc_store_{i}") for i in range(4)]
+    errs = []
+
+    def append_to(p):
+        try:
+            DocStore(spark, p).append(frame)
+        except Exception as e:  # pragma: no cover - surfaced via errs
+            errs.append(e)
+
+    threads = [threading.Thread(target=append_to, args=(p,)) for p in paths]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs
+    assert spark.conf.get(key) == before
+    for p in paths:
+        files = [
+            os.path.join(dp, f)
+            for dp, _, fs in os.walk(p)
+            for f in fs
+            if f.endswith(".parquet")
+        ]
+        assert files
+        for f in files:
+            schema = pq.ParquetFile(f).metadata.schema
+            ts = schema.column(
+                [schema.column(i).name for i in range(len(schema))].index("ts")
+            )
+            # INT96 shows physical_type INT96 and no logical type
+            assert ts.physical_type == "INT64", (f, ts.physical_type)
