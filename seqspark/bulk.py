@@ -70,11 +70,15 @@ def parse_bulk_body(body: bytes, gzipped: bool = False) -> BulkResult:
     per-item; non-object docs error per-item.
     """
     if gzipped:
+        import zlib
+
         try:
             body = gzip.GzipFile(fileobj=io.BytesIO(body)).read(
                 MAX_BULK_BODY_BYTES + 1
             )
-        except (OSError, EOFError) as e:
+        except (OSError, EOFError, zlib.error) as e:
+            # zlib.error is NOT an OSError: a body with a valid gzip
+            # header but corrupt deflate data raises it directly
             raise BadBulkRequest(f"corrupt gzip body: {e}") from None
         if len(body) > MAX_BULK_BODY_BYTES:
             raise BadBulkRequest(

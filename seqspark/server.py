@@ -539,41 +539,80 @@ class SeqSparkServer:
         bulk. The Spark analog of the reference's in-memory active
         fraction absorbing many bulks per seal (`frac/active.go`). A bulk
         returns only after ITS rows are durable; a failed flush fails
-        every bulk in that group (none were stored)."""
-        entry = [df, threading.Event(), None]  # frame, done, error
+        every bulk in that group (none were stored).
+
+        The flushing thread ("captain") hands captaincy to a queued waiter
+        once its own batch is flushed, so under sustained load no client's
+        response is delayed past its own flush + one predecessor."""
+        entry = [df, threading.Event(), None, False]  # frame, done, err, captain
         with self._gc_lock:
             self._gc_pending.append(entry)
-            i_flush = not self._gc_flushing
-            if i_flush:
+            captain = not self._gc_flushing
+            if captain:
                 self._gc_flushing = True
-        if not i_flush:
+        if not captain:
             entry[1].wait()
-            if entry[2] is not None:
-                raise entry[2]
-            return
+            if not entry[3]:
+                if entry[2] is not None:
+                    raise entry[2]
+                return
+            # promoted: the previous captain flushed its own batch and
+            # handed off with the queue (including this entry) non-empty
+        self._gc_flush_as_captain(entry)
+
+    def _gc_flush_as_captain(self, entry) -> None:
         my_exc: Optional[Exception] = None
-        while True:
-            with self._gc_lock:
-                batch = self._gc_pending
-                self._gc_pending = []
-                if not batch:
-                    self._gc_flushing = False
+        batch: list = []
+        try:
+            while True:
+                with self._gc_lock:
+                    batch = self._gc_pending
+                    self._gc_pending = []
+                    if not batch:
+                        self._gc_flushing = False
+                        break
+                exc: Optional[Exception] = None
+                try:
+                    out = batch[0][0]
+                    for e in batch[1:]:
+                        out = out.unionByName(e[0])
+                    with self._lock:
+                        self.store.append(self._transform()(out))
+                except Exception as err:  # noqa: BLE001 - delivered per waiter
+                    exc = err
+                mine = any(e is entry for e in batch)
+                for e in batch:
+                    e[2] = exc
+                    if e is not entry:
+                        e[1].set()
+                if mine:
+                    my_exc = exc
+                    # own rows are durable (or failed) — hand captaincy to
+                    # a queued waiter instead of serving the whole burst
+                    with self._gc_lock:
+                        if not self._gc_pending:
+                            self._gc_flushing = False
+                            break
+                        successor = self._gc_pending[0]
+                        successor[3] = True
+                        successor[1].set()
                     break
-            exc: Optional[Exception] = None
-            try:
-                out = batch[0][0]
-                for e in batch[1:]:
-                    out = out.unionByName(e[0])
-                with self._lock:
-                    self.store.append(self._transform()(out))
-            except Exception as err:  # noqa: BLE001 - delivered per waiter
-                exc = err
-            for e in batch:
-                e[2] = exc
-                if e is not entry:
+        except BaseException:
+            # never leave _gc_flushing stuck True (a wedged flag would
+            # park every future bulk forever): fail the in-flight batch
+            # (already drained from pending — a BaseException mid-append
+            # skipped its delivery loop) plus whatever is queued, and
+            # clear the flag so ingest recovers on the next bulk
+            with self._gc_lock:
+                leftover = self._gc_pending
+                self._gc_pending = []
+                self._gc_flushing = False
+            err = RuntimeError("bulk flush aborted")
+            for e in [*batch, *leftover]:
+                if e is not entry and not e[1].is_set():
+                    e[2] = err
                     e[1].set()
-            if exc is not None and any(e is entry for e in batch):
-                my_exc = exc
+            raise
         if my_exc is not None:
             raise my_exc
 

@@ -75,8 +75,12 @@ def _int64_timestamps(spark: SparkSession):
     with _TS_GUARD_LOCK:
         state = _TS_GUARD.get(sid)
         if state is None:
-            state = _TS_GUARD[sid] = [0, spark.conf.get(key)]
+            # save + set BEFORE recording state: if the set raises, no
+            # dead depth-0 entry is left to make later appends skip the
+            # set and silently write INT96
+            saved = spark.conf.get(key)
             spark.conf.set(key, "TIMESTAMP_MICROS")
+            state = _TS_GUARD[sid] = [0, saved]
         state[0] += 1
     try:
         yield

@@ -601,7 +601,14 @@ def test_bulk_group_commit_coalesces_concurrent_bulks(server):
         calls.append(1)
         if len(calls) == 1:
             first_flush.set()
-            _time.sleep(2.0)  # hold the first flush so the rest queue
+            # hold the first flush until all 5 others are QUEUED (event-
+            # gated, not wall-clock — a fixed sleep is flaky under load)
+            deadline = _time.time() + 30
+            while _time.time() < deadline:
+                with server._gc_lock:
+                    if len(server._gc_pending) >= 5:
+                        break
+                _time.sleep(0.01)
         return orig(df, **kw)
 
     server.store.append = slow_append
@@ -646,3 +653,15 @@ def test_bulk_group_commit_coalesces_concurrent_bulks(server):
         server, "/search", json.dumps({"query": "*", "with_total": True}).encode()
     )
     assert code == 200 and res["total"] == 6
+
+
+def test_bulk_corrupt_deflate_is_400(server):
+    """A gzip body with a VALID header but corrupt deflate data raises
+    zlib.error (not OSError) — it must still be a client 400, never a 500
+    that counts against the circuit breaker."""
+    body = b"\x1f\x8b\x08\x00\x00\x00\x00\x00\x00\x03\xff\xff\xff\xff\xff"
+    code, resp = _post(
+        server, "/_bulk", body, headers={"Content-Encoding": "gzip"}
+    )
+    assert code == 400 and "gzip" in resp["error"]
+    assert server._breaker.state == "closed"

@@ -22,7 +22,7 @@ parses). Prints one JSON line.
 
 Usage:
     python tools/bench_ingest.py [--docs 40000] [--shippers 4]
-        [--bulk-size 2000] [--runs 1]
+        [--bulk-size 2000]
 """
 
 from __future__ import annotations
