@@ -106,8 +106,11 @@ class SeqSparkServer:
         self._metrics_lock = threading.Lock()
         self._counters: dict = {
             "bulk_total": 0,
+            "bulk_docs_total": 0,
             "bulk_errors_total": 0,
             "bulk_shed_total": 0,
+            "bulk_flushes_total": 0,
+            "bulk_flushed_bulks_total": 0,
             "search_total": 0,
             "search_errors_total": 0,
             "rate_limited_total": 0,
@@ -516,6 +519,11 @@ class SeqSparkServer:
         df = bulk_to_df(self.spark, res)
         if df is not None:
             self._append_grouped(df)
+            # docs counted from the parsed bulk (driver-side, no Spark
+            # job) — the ingest-rate series the reference's benchmark
+            # dashboard tracks
+            with self._metrics_lock:
+                self._counters["bulk_docs_total"] += len(res.docs)
         return res.response()
 
     def _transform(self):
@@ -578,6 +586,11 @@ class SeqSparkServer:
                         out = out.unionByName(e[0])
                     with self._lock:
                         self.store.append(self._transform()(out))
+                    # flush count + group size expose the group-commit
+                    # amortization (flushes_total << bulk_total under load)
+                    with self._metrics_lock:
+                        self._counters["bulk_flushes_total"] += 1
+                        self._counters["bulk_flushed_bulks_total"] += len(batch)
                 except Exception as err:  # noqa: BLE001 - delivered per waiter
                     exc = err
                 mine = any(e is entry for e in batch)

@@ -179,6 +179,9 @@ def test_debug_server_surface(server):
     assert metrics["seqspark_bulk_total"] == "1"
     assert metrics["seqspark_search_total"] == "1"
     assert metrics["seqspark_bulk_errors_total"] == "0"
+    assert metrics["seqspark_bulk_docs_total"] == "2"  # the delete indexes 0
+    assert metrics["seqspark_bulk_flushes_total"] == "1"
+    assert metrics["seqspark_bulk_flushed_bulks_total"] == "1"
     assert 'seqspark_bulk_circuit_open{state="closed"} 0' in text
 
 
