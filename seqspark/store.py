@@ -31,6 +31,13 @@ from pyspark.sql import functions as F
 
 PARTITION_COL = "ts_bucket"
 
+#: the document-store schema, for the empty-store read (matches what
+#: ingest_docs + the partitioned write produce, partition column last)
+EMPTY_DOC_SCHEMA = (
+    "mid bigint, rid bigint, ts timestamp, raw string, size int, "
+    "tokens map<string,array<string>>, ts_bucket string"
+)
+
 #: compaction scratch space; the leading underscore makes Spark's partition
 #: discovery ignore it, so a crash mid-compact can never surface duplicate
 #: rows as a phantom partition
@@ -320,6 +327,12 @@ class DocStore:
         self._count_cache.clear()
 
     def read(self) -> DataFrame:
+        if not self.partitions():
+            # a store no append has reached yet: an EMPTY document frame,
+            # not an AnalysisException — a fresh deployment must answer
+            # queries with zero results, like the reference's empty store
+            # (searches before first ingest return no documents, not 400)
+            return self.spark.createDataFrame([], EMPTY_DOC_SCHEMA)
         return self.spark.read.parquet(self.path)
 
     def search_table(self, mapping, **kwargs):

@@ -668,3 +668,76 @@ def test_bulk_corrupt_deflate_is_400(server):
     )
     assert code == 400 and "gzip" in resp["error"]
     assert server._breaker.state == "closed"
+
+
+def test_concurrent_ingest_search_export(server):
+    """Whole-server thread-safety under mixed load: concurrent bulks
+    (exercising group commit), searches, and an export drain — every
+    response is a 2xx and the final total equals every doc ingested."""
+    import threading
+
+    n_bulk_threads, bulks_per_thread = 3, 4
+    codes = []
+    lock = threading.Lock()
+
+    def record(code):
+        with lock:
+            codes.append(code)
+
+    def ingest(tid):
+        for b in range(bulks_per_thread):
+            lines = []
+            for d in range(5):
+                lines.append('{"index": {}}')
+                lines.append(json.dumps({
+                    "timestamp": f"2024-01-01 10:{tid:02d}:{b * 5 + d:02d}.000",
+                    "service": f"svc{tid}",
+                    "message": f"doc {tid} {b} {d}",
+                }))
+            code, _ = _post(server, "/_bulk", "\n".join(lines).encode())
+            record(code)
+
+    def query():
+        for _ in range(6):
+            code, _ = _post(
+                server, "/search",
+                json.dumps({"query": "*", "with_total": True}).encode(),
+            )
+            record(code)
+
+    def export():
+        code, _ = _post(server, "/export", b'{"query": "*"}')
+        record(code)
+
+    threads = (
+        [threading.Thread(target=ingest, args=(t,)) for t in range(n_bulk_threads)]
+        + [threading.Thread(target=query) for _ in range(2)]
+        + [threading.Thread(target=export)]
+    )
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert all(c == 200 for c in codes), codes
+    code, res = _post(
+        server, "/search", json.dumps({"query": "*", "with_total": True}).encode()
+    )
+    assert code == 200
+    assert res["total"] == n_bulk_threads * bulks_per_thread * 5
+
+
+def test_search_before_first_ingest_is_empty_not_error(server):
+    """A fresh deployment answers queries BEFORE any ingest with zero
+    results (the reference's empty store), not a 400 from a missing
+    parquet path."""
+    code, res = _post(
+        server, "/search", json.dumps({"query": "*", "with_total": True}).encode()
+    )
+    assert code == 200
+    assert res["docs"] == [] and res["total"] == 0
+    code, res = _post(server, "/complex", json.dumps(
+        {"query": "*", "with_total": True, "hist_interval_ms": 3600_000,
+         "aggs": [{"func": "count", "field": "service"}]}).encode())
+    assert code == 200 and res["total"] == 0
+    code, body = _get(server, "/readiness")
+    assert (code, body["status"]) == (200, "ready")
