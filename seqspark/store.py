@@ -601,6 +601,12 @@ class TieredStore:
         hot_parts = self.hot.partitions()
         if not hot_parts:
             return self.cold.read()
+        if not self.cold.partitions():
+            # symmetric short-circuit: an emptied cold tier (regulatory
+            # cold_min_bucket deletes) reads as the synthetic empty-store
+            # frame, whose fixed schema cannot union with a hot tier that
+            # carries extra passthrough columns
+            return self.hot.read()
         cold_only = self.cold.read().filter(
             ~F.col(PARTITION_COL).isin(hot_parts)
         )
