@@ -22,6 +22,7 @@ S3/GCS object stores — where a 100 TB store actually lives. No ``os.*`` /
 from __future__ import annotations
 
 import json
+import os
 import threading
 from contextlib import contextmanager
 from typing import Optional
@@ -37,6 +38,27 @@ EMPTY_DOC_SCHEMA = (
     "mid bigint, rid bigint, ts timestamp, raw string, size int, "
     "tokens map<string,array<string>>, ts_bucket string"
 )
+
+#: per-store-path write locks, shared by every DocStore instance in this
+#: process (a server and a streaming ingest may each hold their own
+#: instance over ONE path). Serializes append against compact/retain:
+#: compact's directory swap would otherwise silently DELETE any file an
+#: overlapping append landed in the partition after compact's read —
+#: lost writes, not just transient duplicates. One process owns a store
+#: in this engine's runtime model (the reference's fracmanager likewise
+#: coordinates sealing and appends in-process); cross-process writers
+#: would need an external coordinator.
+_WRITE_LOCKS_GUARD = threading.Lock()
+_WRITE_LOCKS: dict = {}
+
+
+def _write_lock(path: str) -> "threading.RLock":
+    key = os.path.abspath(path)
+    with _WRITE_LOCKS_GUARD:
+        lock = _WRITE_LOCKS.get(key)
+        if lock is None:
+            lock = _WRITE_LOCKS[key] = threading.RLock()
+        return lock
 
 #: compaction scratch space; the leading underscore makes Spark's partition
 #: discovery ignore it, so a crash mid-compact can never surface duplicate
@@ -303,28 +325,30 @@ class DocStore:
         shuffle), so this costs O(n log n) CPU per task and nothing else;
         the reference gets the same property free from append-order MIDs
         within a fraction (`docs/en/internal/fractions.md`)."""
-        self._check_meta()
-        self._write_meta(ts_col)
-        pinned = self._meta_ts_col()
-        if ts_col != pinned:
-            raise ValueError(
-                f"store at {self.path} was first written with "
-                f"ts_col={pinned!r}; append got {ts_col!r} — compaction "
-                "sorts by the pinned column, so a mixed store would seal "
-                "unsorted"
-            )
-        with _int64_timestamps(self.spark):
-            (
-                df.withColumn(
-                    PARTITION_COL, F.date_format(F.col(ts_col), self.bucket_fmt)
+        with _write_lock(self.path):
+            self._check_meta()
+            self._write_meta(ts_col)
+            pinned = self._meta_ts_col()
+            if ts_col != pinned:
+                raise ValueError(
+                    f"store at {self.path} was first written with "
+                    f"ts_col={pinned!r}; append got {ts_col!r} — compaction "
+                    "sorts by the pinned column, so a mixed store would seal "
+                    "unsorted"
                 )
-                .sortWithinPartitions(PARTITION_COL, ts_col)
-                .write.partitionBy(PARTITION_COL)
-                .option("compression", self.compression)
-                .mode("append")
-                .parquet(self.path)
-            )
-        self._count_cache.clear()
+            with _int64_timestamps(self.spark):
+                (
+                    df.withColumn(
+                        PARTITION_COL,
+                        F.date_format(F.col(ts_col), self.bucket_fmt),
+                    )
+                    .sortWithinPartitions(PARTITION_COL, ts_col)
+                    .write.partitionBy(PARTITION_COL)
+                    .option("compression", self.compression)
+                    .mode("append")
+                    .parquet(self.path)
+                )
+            self._count_cache.clear()
 
     def read(self) -> DataFrame:
         if not self.partitions():
@@ -474,21 +498,22 @@ class DocStore:
         (reference `fracmanager/fracmanager.go:106-148` rotation: oldest
         fractions deleted when total size exceeds --total-size)."""
         dropped: list[str] = []
-        buckets = self.partitions()
-        if min_bucket is not None:
-            for b in [b for b in buckets if b < min_bucket]:
-                self._drop(b)
-                dropped.append(b)
-            buckets = [b for b in buckets if b >= min_bucket]
-        if max_total_bytes is not None:
-            sizes = {b: self._partition_size(b) for b in buckets}
-            total = sum(sizes.values())
-            for b in buckets:  # oldest first
-                if total <= max_total_bytes:
-                    break
-                self._drop(b)
-                total -= sizes[b]
-                dropped.append(b)
+        with _write_lock(self.path):
+            buckets = self.partitions()
+            if min_bucket is not None:
+                for b in [b for b in buckets if b < min_bucket]:
+                    self._drop(b)
+                    dropped.append(b)
+                buckets = [b for b in buckets if b >= min_bucket]
+            if max_total_bytes is not None:
+                sizes = {b: self._partition_size(b) for b in buckets}
+                total = sum(sizes.values())
+                for b in buckets:  # oldest first
+                    if total <= max_total_bytes:
+                        break
+                    self._drop(b)
+                    total -= sizes[b]
+                    dropped.append(b)
         return dropped
 
     def _drop(self, bucket: str) -> None:
@@ -525,23 +550,28 @@ class DocStore:
         partition is swapped in with two renames, and stale scratch is
         cleaned up on startup.
         """
-        part = self._fs.path(f"{PARTITION_COL}={bucket}")
-        tmp_new = self._fs.path(TMP_DIR, f"new-{bucket}")
-        tmp_old = self._fs.path(TMP_DIR, f"old-{bucket}")
-        df = self.spark.read.parquet(str(part.toUri()))
-        with _int64_timestamps(self.spark):
-            (
-                df.sort(self._meta_ts_col())
-                .coalesce(target_files)
-                .write.option("compression", self.compression)
-                .mode("overwrite")
-                .parquet(str(tmp_new.toUri()))
-            )
-        # swap: live → old scratch, new → live, drop scratch
-        self._fs.rename(part, tmp_old)
-        self._fs.rename(tmp_new, part)
-        self._fs.delete(tmp_old)
-        self._count_cache.pop(bucket, None)
+        # the write lock spans read-through-swap: an append landing a new
+        # file in the partition AFTER the read here would be renamed away
+        # and deleted by the swap — silently lost writes, the one failure
+        # mode sealing must never have
+        with _write_lock(self.path):
+            part = self._fs.path(f"{PARTITION_COL}={bucket}")
+            tmp_new = self._fs.path(TMP_DIR, f"new-{bucket}")
+            tmp_old = self._fs.path(TMP_DIR, f"old-{bucket}")
+            df = self.spark.read.parquet(str(part.toUri()))
+            with _int64_timestamps(self.spark):
+                (
+                    df.sort(self._meta_ts_col())
+                    .coalesce(target_files)
+                    .write.option("compression", self.compression)
+                    .mode("overwrite")
+                    .parquet(str(tmp_new.toUri()))
+                )
+            # swap: live → old scratch, new → live, drop scratch
+            self._fs.rename(part, tmp_old)
+            self._fs.rename(tmp_new, part)
+            self._fs.delete(tmp_old)
+            self._count_cache.pop(bucket, None)
 
 
 class TieredStore:

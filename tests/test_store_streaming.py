@@ -981,3 +981,61 @@ def test_concurrent_appends_keep_int64_timestamps(spark, tmp):
             )
             # INT96 shows physical_type INT96 and no logical type
             assert ts.physical_type == "INT64", (f, ts.physical_type)
+
+
+def test_concurrent_append_and_compact_lose_nothing(spark, tmp):
+    """compact()'s directory swap would silently DELETE any file an
+    overlapping append landed after compact's read — the per-path write
+    lock serializes them; under concurrent appenders + a compaction loop
+    every appended row must survive."""
+    import threading
+
+    path = os.path.join(tmp, "cc_compact_store")
+    rows_per_append, appends_per_thread, n_threads = 50, 4, 3
+
+    def frame(tid, k):
+        rows = [
+            (json.dumps({"timestamp": "2024-01-01 10:00:00.000",
+                         "service": f"s{tid}",
+                         "message": f"doc {tid} {k} {i}"}),)
+            for i in range(rows_per_append)
+        ]
+        return ingest_docs(
+            spark.createDataFrame(rows, "raw string"),
+            MAPPING, allowed_drift_ms=BIG, future_drift_ms=BIG,
+        )
+
+    store = DocStore(spark, path)
+    store.append(frame(9, 9))  # seed so the bucket exists for compact
+    bucket = store.partitions()[0]
+    stop = threading.Event()
+    errs = []
+
+    def appender(tid):
+        try:
+            st = DocStore(spark, path)  # own instance, same path
+            for k in range(appends_per_thread):
+                st.append(frame(tid, k))
+        except Exception as e:
+            errs.append(e)
+
+    def maintainer():
+        try:
+            st = DocStore(spark, path)
+            while not stop.is_set():
+                st.compact(bucket, target_files=1)
+        except Exception as e:
+            errs.append(e)
+
+    threads = [threading.Thread(target=appender, args=(t,)) for t in range(n_threads)]
+    m = threading.Thread(target=maintainer)
+    m.start()
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    stop.set()
+    m.join()
+    assert not errs, errs
+    expected = rows_per_append * (appends_per_thread * n_threads + 1)
+    assert DocStore(spark, path).read().count() == expected
