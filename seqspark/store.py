@@ -357,7 +357,14 @@ class DocStore:
             # queries with zero results, like the reference's empty store
             # (searches before first ingest return no documents, not 400)
             return self.spark.createDataFrame([], EMPTY_DOC_SCHEMA)
-        return self.spark.read.parquet(self.path)
+        # ignoreMissingFiles: retention/compaction may delete partition
+        # files between a query's file listing and its tasks reading them;
+        # a rotated-away bucket then yields fewer rows, not a failed
+        # search — the reference's semantics when rotation deletes a
+        # fraction under a running query (`fracmanager` rotation)
+        return self.spark.read.option("ignoreMissingFiles", "true").parquet(
+            self.path
+        )
 
     def search_table(self, mapping, **kwargs):
         """A :class:`~seqspark.engine.SearchTable` over this store with

@@ -1039,3 +1039,28 @@ def test_concurrent_append_and_compact_lose_nothing(spark, tmp):
     assert not errs, errs
     expected = rows_per_append * (appends_per_thread * n_threads + 1)
     assert DocStore(spark, path).read().count() == expected
+
+
+def test_retention_under_running_query_yields_partial_not_error(spark, tmp):
+    """Retention deleting a partition between a query's planning and its
+    tasks reading the files must degrade to fewer rows (the reference's
+    rotation-under-query semantics), not fail the search."""
+    import shutil
+
+    path = os.path.join(tmp, "rot_store")
+    store = DocStore(spark, path)
+    for h in (10, 11):
+        rows = [
+            (json.dumps({"timestamp": f"2024-01-01 {h}:00:{i:02d}.000",
+                         "service": "s", "message": f"m{h}{i}"}),)
+            for i in range(20)
+        ]
+        store.append(ingest_docs(
+            spark.createDataFrame(rows, "raw string"),
+            MAPPING, allowed_drift_ms=BIG, future_drift_ms=BIG,
+        ))
+    df = store.read()  # plan lists both partitions
+    assert df.count() == 40
+    victim = store.partitions()[0]
+    shutil.rmtree(os.path.join(path, f"ts_bucket={victim}"))
+    assert df.count() == 20  # partial, no exception
