@@ -339,20 +339,26 @@ class StoreIndex:
         index build of `frac/active_sealer.go`. Each rebuilt bucket also
         persists its hot-token stats (see :meth:`load_stats`)."""
         done: List[str] = []
-        from .store import PARTITION_COL as STORE_PART
+        from .store import PARTITION_COL as STORE_PART, _write_lock
 
         fs = self._fs()
         for bucket in buckets if buckets is not None else self.store.partitions():
-            part = f"{self.store.path}/{STORE_PART}={bucket}"
-            df = self.store.spark.read.parquet(part)
-            idx = build_inverted_index(df, self.token_cols, self.id_cols)
-            (
-                idx.repartition("field")
-                .sortWithinPartitions("token")
-                .write.mode("overwrite")
-                .parquet(self._bucket_dir(bucket))
-            )
-            self._write_bucket_stats(fs, bucket, idx)
+            # under the store's per-path write lock: a compact swapping
+            # the bucket directory mid-read would fail the rebuild, and an
+            # append landing a file after this read would leave the index
+            # PERMANENTLY missing those docs — and a routed index is
+            # authoritative (left_semi drops what it doesn't list)
+            with _write_lock(self.store.path):
+                part = f"{self.store.path}/{STORE_PART}={bucket}"
+                df = self.store.spark.read.parquet(part)
+                idx = build_inverted_index(df, self.token_cols, self.id_cols)
+                (
+                    idx.repartition("field")
+                    .sortWithinPartitions("token")
+                    .write.mode("overwrite")
+                    .parquet(self._bucket_dir(bucket))
+                )
+                self._write_bucket_stats(fs, bucket, idx)
             done.append(bucket)
         self._frame = None
         return done
