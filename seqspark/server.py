@@ -184,6 +184,12 @@ class SeqSparkServer:
                     )
                 return self._json(404, {"error": "not found"})
 
+            # per-recv socket timeout: a shipper that stalls mid-body
+            # (slowloris / dead connection) must not pin a handler thread
+            # forever; handle_one_request catches socket.timeout and
+            # closes the connection
+            timeout = 300
+
             def do_POST(self):
                 length = int(self.headers.get("Content-Length", 0))
                 if length > MAX_BULK_BODY_BYTES:

@@ -163,6 +163,10 @@ class _Conn:
         #: bytes read past the connection start (prior-knowledge probe may
         #: over-read into the first frames) — drained before the socket
         self._pending = b""
+        #: handler threads currently computing responses on this
+        #: connection — the idle-timeout must not fire while we are the
+        #: busy side (guarded by _flow)
+        self._busy = 0
 
     def _recv_conn(self, n: int) -> bytes:
         out = bytearray()
@@ -171,7 +175,19 @@ class _Conn:
             self._pending = self._pending[len(take):]
             out += take
         while len(out) < n:
-            chunk = self._sock.recv(n - len(out))
+            try:
+                chunk = self._sock.recv(n - len(out))
+            except TimeoutError:
+                # idle-timeout applies only to a TRULY idle connection: a
+                # silent socket while a handler computes (long query — the
+                # SERVER is the busy side) is legitimate, keep waiting. A
+                # stalled peer with no handler running — including one
+                # that opened a stream and never finished it — is
+                # reclaimed; _busy covers a streaming response drain for
+                # its whole duration.
+                if self._busy > 0:
+                    continue
+                raise
             if not chunk:
                 raise ConnectionError("peer closed")
             out += chunk
@@ -511,11 +527,20 @@ class _Conn:
     def _dispatch(self, sid: int, st: _Stream) -> None:
         headers, body = st.headers or [], bytes(st.data)
         st.data = bytearray()
+        with self._flow:
+            self._busy += 1
         threading.Thread(
             target=self._run_handler, args=(sid, st, headers, body), daemon=True
         ).start()
 
     def _run_handler(self, sid, st, headers, body) -> None:
+        try:
+            self._run_handler_inner(sid, st, headers, body)
+        finally:
+            with self._flow:
+                self._busy -= 1
+
+    def _run_handler_inner(self, sid, st, headers, body) -> None:
         try:
             resp_headers, chunks, trailers = self._handler(headers, body)
         except Exception:
@@ -582,12 +607,18 @@ class H2Server:
     """Threaded h2c server: one frame-loop thread per connection, one
     worker thread per request stream."""
 
-    def __init__(self, handler: Handler, host: str = "127.0.0.1", port: int = 0):
+    def __init__(self, handler: Handler, host: str = "127.0.0.1", port: int = 0,
+                 idle_timeout_s: float = 300.0):
         self._handler = handler
         self._lsock = socket.create_server((host, port))
         self.port = self._lsock.getsockname()[1]
         self._accept_thread: Optional[threading.Thread] = None
         self._running = False
+        #: per-recv socket timeout: a peer that connects and then sends
+        #: nothing (slowloris / dead client) must not pin a frame-loop
+        #: thread forever — socket.timeout is an OSError, so the serve
+        #: loop's normal close path reclaims the connection
+        self._idle_timeout = idle_timeout_s
 
     def start(self) -> "H2Server":
         self._running = True
@@ -602,6 +633,7 @@ class H2Server:
             except OSError:
                 return
             sock.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
+            sock.settimeout(self._idle_timeout)
             conn = _Conn(sock, self._handler)
             threading.Thread(target=conn.serve, daemon=True).start()
 

@@ -741,3 +741,33 @@ def test_search_before_first_ingest_is_empty_not_error(server):
     assert code == 200 and res["total"] == 0
     code, body = _get(server, "/readiness")
     assert (code, body["status"]) == (200, "ready")
+
+
+def test_stalled_bulk_connection_reclaimed(server):
+    """A shipper that sends headers with a Content-Length and then stalls
+    must not pin an HTTP handler thread forever: the handler socket
+    timeout closes the connection."""
+    import http.client
+    import threading
+    import time as _time
+
+    server._httpd.RequestHandlerClass.timeout = 1  # shrink for the test
+    try:
+        before = threading.active_count()
+        conn = http.client.HTTPConnection("127.0.0.1", server.port, timeout=30)
+        conn.putrequest("POST", "/_bulk")
+        conn.putheader("Content-Length", "1000")
+        conn.endheaders()  # declared body never sent
+        _time.sleep(0.2)
+        deadline = _time.time() + 10
+        while _time.time() < deadline:
+            if threading.active_count() <= before:
+                break
+            _time.sleep(0.1)
+        assert threading.active_count() <= before
+        conn.close()
+        # the server is still fully functional afterwards
+        code, _ = _post(server, "/_bulk", BULK)
+        assert code == 200
+    finally:
+        server._httpd.RequestHandlerClass.timeout = 300

@@ -1064,3 +1064,38 @@ def test_h2_zero_increment_on_closed_stream_tolerated(echo_server):
         assert r2["echo"] == "two"
     finally:
         ch.close()
+
+
+def test_h2_idle_connection_reclaimed():
+    """A peer that connects and sends nothing (slowloris / dead client)
+    must not pin a frame-loop thread forever: the per-recv idle timeout
+    closes the connection."""
+    import socket as _socket
+    import time as _time
+
+    from seqspark.wire import h2
+
+    srv = h2.H2Server(lambda headers, body: ([(":status", "200")], None, []),
+                      idle_timeout_s=1.0).start()
+    try:
+        before = threading.active_count()
+        socks = [_socket.create_connection(("127.0.0.1", srv.port))
+                 for _ in range(4)]
+        _time.sleep(0.2)
+        assert threading.active_count() >= before + 4
+        deadline = _time.time() + 10
+        while _time.time() < deadline:
+            if threading.active_count() <= before:
+                break
+            _time.sleep(0.1)
+        assert threading.active_count() <= before  # all reclaimed
+        for s in socks:
+            # server closed its side: recv yields EOF (or reset)
+            s.settimeout(2)
+            try:
+                assert s.recv(64) == b""
+            except OSError:
+                pass
+            s.close()
+    finally:
+        srv.stop()
