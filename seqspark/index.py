@@ -337,7 +337,12 @@ class StoreIndex:
         """(Re)build the index for the given store buckets (default: all).
         Call after append/compact for the touched buckets — the seal-time
         index build of `frac/active_sealer.go`. Each rebuilt bucket also
-        persists its hot-token stats (see :meth:`load_stats`)."""
+        persists its hot-token stats (see :meth:`load_stats`).
+
+        The store write lock is held PER BUCKET (inside the loop), so a
+        full-corpus refresh blocks appends only for one bucket's rebuild
+        at a time — ingest interleaves between buckets; it never waits
+        for the whole refresh."""
         done: List[str] = []
         from .store import PARTITION_COL as STORE_PART, _write_lock
 

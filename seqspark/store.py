@@ -53,7 +53,12 @@ _WRITE_LOCKS: dict = {}
 
 
 def _write_lock(path: str) -> "threading.RLock":
-    key = os.path.abspath(path)
+    # URI paths (s3a://, hdfs://) must NOT go through os.path.abspath —
+    # it would join them onto the cwd, and a cwd change between lookups
+    # would hand the same store two different locks, silently losing the
+    # append-vs-compact serialization. Local paths are normalized so two
+    # spellings of one directory share a lock.
+    key = path.rstrip("/") if "://" in path else os.path.abspath(path)
     with _WRITE_LOCKS_GUARD:
         lock = _WRITE_LOCKS.get(key)
         if lock is None:
@@ -249,6 +254,9 @@ class DocStore:
         #: per-bucket row counts from parquet footers (no Spark jobs);
         #: invalidated on append/compact/drop
         self._count_cache: dict[str, int] = {}
+        #: sticky "has ever held data" flag — lets read() skip the
+        #: partition listing on the hot search path; reset by retain/_drop
+        self._seen_data = False
         self._check_meta()
         self._cleanup_stale_tmp()
 
@@ -349,22 +357,39 @@ class DocStore:
                     .parquet(self.path)
                 )
             self._count_cache.clear()
+            self._seen_data = True
 
     def read(self) -> DataFrame:
-        if not self.partitions():
-            # a store no append has reached yet: an EMPTY document frame,
-            # not an AnalysisException — a fresh deployment must answer
-            # queries with zero results, like the reference's empty store
-            # (searches before first ingest return no documents, not 400)
-            return self.spark.createDataFrame([], EMPTY_DOC_SCHEMA)
+        # "has this store ever held data" is sticky except for
+        # retain-to-zero (which resets it): one listing on the first
+        # read, zero listings on the hot search path afterwards — on an
+        # object store partitions() is a full LIST RPC per call
+        if not self._seen_data:
+            if self.partitions():
+                self._seen_data = True
+            else:
+                # a store no append has reached yet: an EMPTY document
+                # frame, not an AnalysisException — a fresh deployment
+                # must answer queries with zero results, like the
+                # reference's empty store
+                return self.spark.createDataFrame([], EMPTY_DOC_SCHEMA)
         # ignoreMissingFiles: retention/compaction may delete partition
         # files between a query's file listing and its tasks reading them;
         # a rotated-away bucket then yields fewer rows, not a failed
         # search — the reference's semantics when rotation deletes a
         # fraction under a running query (`fracmanager` rotation)
-        return self.spark.read.option("ignoreMissingFiles", "true").parquet(
-            self.path
-        )
+        try:
+            return self.spark.read.option("ignoreMissingFiles", "true").parquet(
+                self.path
+            )
+        except Exception:
+            # TOCTOU with retention: the store can be emptied between the
+            # check above and the scan's own listing — fall back exactly
+            # like the fresh-store branch rather than failing the search
+            if self.partitions():
+                raise
+            self._seen_data = False
+            return self.spark.createDataFrame([], EMPTY_DOC_SCHEMA)
 
     def search_table(self, mapping, **kwargs):
         """A :class:`~seqspark.engine.SearchTable` over this store with
@@ -526,6 +551,7 @@ class DocStore:
     def _drop(self, bucket: str) -> None:
         self._fs.delete(self._fs.path(f"{PARTITION_COL}={bucket}"))
         self._count_cache.pop(bucket, None)
+        self._seen_data = False  # read() re-checks after retention
 
     # ------------------------------------------------------------ compaction
 
@@ -647,7 +673,16 @@ class TieredStore:
         cold_only = self.cold.read().filter(
             ~F.col(PARTITION_COL).isin(hot_parts)
         )
-        return self.hot.read().unionByName(cold_only)
+        try:
+            return self.hot.read().unionByName(cold_only)
+        except Exception:
+            # TOCTOU: retention emptied cold between the check above and
+            # its read (the synthetic empty frame then cannot union with
+            # a hot tier carrying passthrough columns). A GENUINE schema
+            # divergence between live tiers still raises.
+            if not self.cold.partitions():
+                return self.hot.read()
+            raise
 
     def partitions(self) -> list[str]:
         hot_parts = self.hot.partitions()

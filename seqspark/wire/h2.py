@@ -73,6 +73,12 @@ MAX_BODY_BYTES = 64 << 20
 #: immediate connection WINDOW_UPDATE): 1 MiB instead of the 64 KiB
 #: default, so bulk streams don't stall every 64 KiB waiting for updates
 RECV_WINDOW = 1 << 20
+
+#: server send-side stall bound: a stream whose peer provides no flow-
+#: control window for this long is aborted (RST + handler unwind), so a
+#: silent consumer cannot park a handler thread (and with it the
+#: connection idle timeout) forever
+SEND_STALL_LIMIT_S = 120.0
 #: replenish consumed receive window in batches of this many bytes — a
 #: WINDOW_UPDATE pair per DATA frame doubled the packet count and
 #: dominated small-message streaming throughput (measured: 50k-doc
@@ -205,22 +211,70 @@ class _Conn:
 
     def _write(self, data: bytes) -> None:
         with self._write_lock:
-            self._sock.sendall(data)
+            try:
+                self._sock.sendall(data)
+            except OSError:
+                # the socket timeout applies to sends too: a timeout (or
+                # error) mid-sendall may have written a PARTIAL frame, and
+                # a multiplexed byte stream with a truncated frame in it
+                # is unrecoverable — every later frame would be misparsed.
+                # Tear the whole connection down instead of serving
+                # garbage to the other streams.
+                with self._flow:
+                    self._closed = True
+                    self._flow.notify_all()
+                try:
+                    self._sock.close()
+                except OSError:
+                    pass
+                raise ConnectionError("h2 send failed mid-frame") from None
 
     def send_frame(self, ftype: int, flags: int, sid: int, payload: bytes) -> None:
         self._write(pack_frame(ftype, flags, sid, payload))
 
     def _send_data(self, sid: int, stream: _Stream, chunk: bytes) -> None:
-        """DATA under connection + stream flow control."""
+        """DATA under connection + stream flow control.
+
+        A peer that opens a window-0 stream (or stops sending
+        WINDOW_UPDATEs mid-download) and then goes silent would otherwise
+        park this handler thread forever — and a parked handler keeps
+        ``_busy`` high, which suppresses the connection idle timeout. A
+        stall bound converts that into a terminated stream: no window
+        progress for SEND_STALL_LIMIT_S ends the stream with RST and
+        unwinds the handler, after which the idle timeout can reclaim a
+        truly dead connection."""
         view = memoryview(chunk)
+        stalled = 0.0
         while view:
             with self._flow:
+                # wait granularity tracks the (patchable) stall limit so
+                # a shrunken limit still aborts promptly
+                tick = min(30.0, SEND_STALL_LIMIT_S)
                 while not self._closed and not stream.reset and (
                     self._send_window <= 0 or stream.send_window <= 0
                 ):
-                    self._flow.wait(timeout=30)
+                    if self._flow.wait(timeout=tick):
+                        stalled = 0.0
+                    else:
+                        stalled += tick
+                        if stalled >= SEND_STALL_LIMIT_S:
+                            break
                 if self._closed or stream.reset:
                     raise ConnectionError("stream closed while sending")
+                if stalled >= SEND_STALL_LIMIT_S and (
+                    self._send_window <= 0 or stream.send_window <= 0
+                ):
+                    try:
+                        # FLOW_CONTROL_ERROR: tell the peer why, if it is
+                        # still listening (RST is not flow-controlled)
+                        self.send_frame(
+                            RST_STREAM, 0, sid, struct.pack(">I", 0x3)
+                        )
+                    except OSError:
+                        pass
+                    raise ConnectionError(
+                        "peer stalled flow control; stream aborted"
+                    )
                 n = min(len(view), self._send_window, stream.send_window,
                         self._peer_max_frame)
                 self._send_window -= n

@@ -1099,3 +1099,59 @@ def test_h2_idle_connection_reclaimed():
             s.close()
     finally:
         srv.stop()
+
+
+def test_h2_flow_stalled_stream_aborted(echo_server, monkeypatch):
+    """A peer that opens a window-0 stream and never grants flow-control
+    credit must not park a handler thread forever (a parked handler keeps
+    _busy high, which would suppress the idle timeout): the stall bound
+    ends the stream with RST(FLOW_CONTROL_ERROR)."""
+    monkeypatch.setattr(h2, "SEND_STALL_LIMIT_S", 1.0)
+    s = _connect(echo_server.port)
+    try:
+        # window-0 connection: the server may send HEADERS but no DATA
+        s.sendall(h2.PREFACE + h2.pack_frame(
+            h2.SETTINGS, 0, 0, struct.pack(">HI", 0x4, 0)
+        ))
+        enc = hpack.Encoder()
+        block = enc.encode([
+            (":method", "POST"), (":scheme", "http"),
+            (":authority", "t"), (":path", "/t.S/Big"),
+            ("content-type", "application/grpc"), ("te", "trailers"),
+        ])
+        s.sendall(h2.pack_frame(h2.HEADERS, h2.FLAG_END_HEADERS, 1, block))
+        msg = pb.encode(REQ, {"name": "x", "n": 20, "vals": []})
+        body = b"\x00" + struct.pack(">I", len(msg)) + msg
+        s.sendall(h2.pack_frame(h2.DATA, h2.FLAG_END_STREAM, 1, body))
+        # then total silence: no WINDOW_UPDATE ever
+        s.settimeout(15)
+        buf = bytearray()
+        saw_rst = False
+        while not saw_rst:
+            try:
+                chunk = s.recv(65536)
+            except OSError:
+                break
+            if not chunk:
+                break
+            buf += chunk
+            off = 0
+            while off + 9 <= len(buf):
+                ln = int.from_bytes(buf[off:off + 3], "big")
+                if off + 9 + ln > len(buf):
+                    break
+                if buf[off + 3] == h2.RST_STREAM:
+                    saw_rst = True
+                    code = struct.unpack_from(">I", buf, off + 9)[0]
+                    assert code == 0x3  # FLOW_CONTROL_ERROR
+                off += 9 + ln
+        assert saw_rst, "expected RST_STREAM(FLOW_CONTROL_ERROR)"
+    finally:
+        s.close()
+    # the connection still serves a conforming client afterwards
+    ch = g.GrpcChannel("127.0.0.1", echo_server.port)
+    try:
+        r = ch.unary("/t.S/Echo", {"name": "ok", "n": 1, "vals": []}, REQ, RESP)
+        assert r["echo"] == "ok"
+    finally:
+        ch.close()
