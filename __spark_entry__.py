@@ -447,6 +447,41 @@ def q_json_field_extract(spark, sf_dir):
     )
 
 
+def q_auto_mapping_search(spark, sf_dir):
+    # --mapping=auto end to end (`cmd/seq-db/seq-db.go:297`,
+    # `tests/integration_tests/single_test.go:476` TestIndexingAllFields):
+    # raw JSON ingested with NO mapping, every top-level field
+    # keyword-indexed under its own name; exact + wildcard search works
+    from seqspark import AutoMapping, SearchTable
+    from seqspark.ingest import ingest_docs
+
+    ev = load_table(spark, sf_dir, "events")
+    raw = ev.select(
+        F.to_json(
+            F.struct(
+                F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSS").alias(
+                    "timestamp"
+                ),
+                F.col("event_id").cast("string").alias("event_id"),
+                F.col("event_type"),
+                F.col("user_id").cast("string").alias("user_id"),
+            )
+        ).alias("raw")
+    )
+    docs = ingest_docs(
+        raw,
+        AutoMapping(),
+        ingest_ts=F.timestamp_millis(F.lit(1704067200000)),
+        allowed_drift_ms=1 << 60,
+        future_drift_ms=1 << 60,
+    )
+    st = SearchTable.from_docs(docs, AutoMapping())
+    hits = st.search("event_type:click and user_id:1*", size=None)
+    return hits.select(
+        F.get_json_object("raw", "$.event_id").cast("long").alias("event_id")
+    )
+
+
 def q_ingest_tokenize(spark, sf_dir):
     # text tokenizer parity: exploded (doc_id, token) pairs
     from seqspark.tokenize import text_tokens
@@ -1440,6 +1475,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "date_histogram": q_date_histogram,
         "notexists_accounting": q_notexists_accounting,
         "json_field_extract": q_json_field_extract,
+        "auto_mapping_search": q_auto_mapping_search,
         "ingest_tokenize": q_ingest_tokenize,
         "index_hot_tokens": q_index_hot_tokens,
         "ann_batch_topk": q_ann_batch_topk,
@@ -1630,6 +1666,11 @@ def oracle_sql() -> dict[str, str]:
             # strlen = BYTE length, matching the reference's len([]byte) caps
             "SELECT doc_id, unnest(list_filter("
             f"{_TOKS}, t -> len(t) > 0 AND strlen(t) <= 72)) AS token FROM documents"
+        ),
+        "auto_mapping_search": (
+            "SELECT event_id FROM events "
+            "WHERE lower(event_type) = 'click' "
+            "AND CAST(user_id AS VARCHAR) LIKE '1%'"
         ),
         "ann_batch_topk": (
             "WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv "

@@ -189,6 +189,40 @@ def make_ingest_transform(
     # clamped timestamp intentionally collapse to one ID — content identity,
     # the dedup-at-read semantics the reference applies to replica copies.
     tokens_col = tokens_map_from(entries)
+    if getattr(mapping, "is_auto", False):
+        # --mapping=auto (`cmd/seq-db/seq-db.go:297`, nil-mapping branch
+        # of `proxy/bulk/indexer.go:67-76`): EVERY top-level JSON field is
+        # keyword-indexed under its own name. The field set varies per
+        # document, so the tokens map is built dynamically from the raw
+        # object — map over (key, value) pairs, values cast variant →
+        # string (numbers/bools become their literal text, exactly the
+        # reference's `level:"4130134"` behavior; objects/arrays fail the
+        # cast and are skipped, as is a JSON null).
+        dyn = F.from_json(raw, "map<string,variant>")
+        dyn_tokens = F.map_filter(
+            F.map_from_arrays(
+                F.map_keys(dyn),
+                F.transform(
+                    F.map_values(dyn),
+                    lambda v: entry_tokens(
+                        "", "keyword", F.try_variant_get(v, "$", "string")
+                    ),
+                ),
+            ),
+            lambda _k, v: v.isNotNull(),
+        )
+        # the drift-clamp rewrite overwrites any same-named field only on
+        # CLAMPED docs, like the static-mapping path
+        tokens_col = F.when(
+            clamped,
+            F.map_concat(
+                F.map_filter(
+                    dyn_tokens,
+                    lambda k, _v: k != F.lit("original_timestamp"),
+                ),
+                F.create_map(F.lit("original_timestamp"), clamp_tokens),
+            ),
+        ).otherwise(dyn_tokens)
     cols = ["mid", "rid", "ts", raw_col, "size", "tokens"]
 
     # --- nested child rows: prebuilt per-root expressions ------------------

@@ -38,12 +38,16 @@ class FieldMapping:
 class Mapping:
     """A compiled mapping: resolves a queried field name to its index type.
 
+    ``is_auto`` marks the index-all-fields mode (see :class:`AutoMapping`).
+
     Stored flat with dotted names, exactly like the reference's compiled
     ``seq.Mapping`` (`seq/mapping.go:93-166` convertMapping): an ``object``/
     ``tags``/``nested`` container contributes its own entry plus one dotted
     entry per child (``someobj.nested``), and a multi-type field contributes
     ``name`` (main type) plus ``name.title`` per extra type.
     """
+
+    is_auto = False
 
     def __init__(self, fields: Optional[Dict[str, object]] = None):
         self._fields: Dict[str, FieldMapping] = {}
@@ -180,7 +184,16 @@ class Mapping:
 
 class AutoMapping(Mapping):
     """``--mapping=auto``: every field is a keyword
-    (reference `proxy/bulk/indexer.go:250-259`, `parser/query_parser.go:21-24`)."""
+    (reference `proxy/bulk/indexer.go:67-76` nil-mapping branch,
+    `cmd/seq-db/seq-db.go:297`, `parser/query_parser.go:21-24`).
+
+    Queries resolve ANY field name as keyword; ingest tokenizes every
+    top-level JSON field dynamically (see ``make_ingest_transform``'s
+    auto branch). Querying a field no document carries returns zero
+    results, not an error — exactly the reference's
+    ``TestIndexingAllFields`` behavior."""
+
+    is_auto = True
 
     def __init__(self) -> None:
         super().__init__({})

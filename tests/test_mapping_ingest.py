@@ -156,6 +156,9 @@ def test_auto_mapping_indexes_everything(spark):
     from seqspark import AutoMapping
 
     frame = ingest(spark, AutoMapping(), [{"anything": "X", "num": 5}])
-    # AutoMapping has no declared fields, so tokens come from query-time
-    # resolution over typed columns instead; here just assert ingest works
-    assert frame.count() == 1
+    # every top-level field keyword-tokenized under its own name, numbers
+    # as their literal text (`proxy/bulk/indexer.go:67-76` nil mapping)
+    row = frame.collect()[0]
+    toks = dict(row["tokens"])
+    assert toks["anything"] == ["x"]
+    assert toks["num"] == ["5"]

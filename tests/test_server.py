@@ -771,3 +771,45 @@ def test_stalled_bulk_connection_reclaimed(server):
         assert code == 200
     finally:
         server._httpd.RequestHandlerClass.timeout = 300
+
+
+def test_index_all_fields_mode(spark, tmp_path):
+    """--mapping=auto (`TestIndexingAllFields`,
+    `tests/integration_tests/single_test.go:476`): with NO mapping every
+    top-level field is keyword-indexed — exact match, wildcard, numeric
+    literal — and querying a field no doc carries returns empty, not an
+    error."""
+    from seqspark import AutoMapping
+
+    store = DocStore(spark, str(tmp_path / "auto_store"))
+    srv = SeqSparkServer(
+        spark, store, AutoMapping(), allowed_drift_ms=BIG, future_drift_ms=BIG
+    ).start()
+    try:
+        lines = []
+        for i in range(1, 6):
+            lines.append('{"index": {}}')
+            lines.append(json.dumps({
+                "timestamp": f"2024-01-01 10:00:{i:02d}.000",
+                "service": f"service-{i}",
+                "message": f"I am tired of repeating the same message for the {i}-th time!",
+                "level": 4130134,
+            }))
+        code, body = _post(srv, "/_bulk", "\n".join(lines).encode())
+        assert code == 200 and not body["errors"]
+
+        def total(q):
+            code, res = _post(
+                srv, "/search",
+                json.dumps({"query": q, "with_total": True}).encode(),
+            )
+            assert code == 200, res
+            return res["total"]
+
+        assert total("service:service-1") == 1
+        assert total("service:service-*") == 5
+        assert total("level:4130134") == 5  # numeric value as keyword text
+        assert total("unknown:foobarbaz") == 0  # no error, zero results
+        assert total("_exists_:level") == 5
+    finally:
+        srv.stop()
