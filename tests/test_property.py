@@ -266,3 +266,58 @@ def test_bulk_parse_total_error_contract(body, gzipped):
         return
     assert isinstance(res, BulkResult)
     assert len(res.items) >= len(res.docs)
+
+
+auto_docs = st.lists(
+    st.dictionaries(
+        st.text(alphabet="abcxyz_", min_size=1, max_size=8).filter(
+            lambda k: k not in ("timestamp", "time", "ts", "original_timestamp")
+        ),
+        st.one_of(
+            st.text(alphabet=ALPHABET, min_size=0, max_size=20),
+            st.integers(-10**6, 10**6),
+            st.booleans(),
+        ),
+        max_size=5,
+    ),
+    min_size=1,
+    max_size=8,
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(auto_docs)
+def test_auto_mapping_ingest_matches_python_model(spark, docs):
+    """--mapping=auto tokenizes every top-level field as keyword: parity
+    with a Python model (json value -> literal text -> case-folded,
+    72-byte cap), including numbers and booleans as their JSON text."""
+    import json as _json
+
+    from seqspark.ingest import ingest_docs
+    from seqspark.mapping import AutoMapping
+
+    raws = [(_json.dumps(d),) for d in docs]
+    frame = ingest_docs(
+        spark.createDataFrame(raws, "raw string"),
+        AutoMapping(),
+        allowed_drift_ms=10**15,
+        future_drift_ms=10**15,
+    )
+    got = [dict(r["tokens"] or {}) for r in frame.collect()]
+
+    def model(d):
+        out = {}
+        for k, v in d.items():
+            if isinstance(v, bool):
+                text = "true" if v else "false"
+            else:
+                text = str(v)
+            text = text.lower()
+            if len(text.encode()) <= 72:
+                out[k] = [text]
+            else:
+                out[k] = []
+        return out
+
+    for d, g in zip(docs, got):
+        assert g == model(d), (d, g)
