@@ -32,6 +32,11 @@ from pyspark.sql import DataFrame, SparkSession
 #: enforces (`seqspark/wire/h2.py` MAX_BODY_BYTES)
 MAX_BULK_BODY_BYTES = 64 << 20
 
+#: per-document line cap — reference ``--max-document-size`` default
+#: (`cmd/seq-db/flags.go:63`): larger documents are SKIPPED (per-item
+#: 413 here; the reference counts a metric), never indexed
+MAX_DOCUMENT_SIZE = 128 << 10
+
 
 class BadBulkRequest(ValueError):
     """Request-shaped bulk error (corrupt gzip, non-UTF-8 bytes, oversized
@@ -61,7 +66,11 @@ class BulkResult:
         return {"errors": self.errors, "items": self.items}
 
 
-def parse_bulk_body(body: bytes, gzipped: bool = False) -> BulkResult:
+def parse_bulk_body(
+    body: bytes,
+    gzipped: bool = False,
+    max_document_size: int = MAX_DOCUMENT_SIZE,
+) -> BulkResult:
     """Parse an ES-bulk NDJSON body into raw document strings.
 
     Mirrors `proxyapi/http_bulk.go:150-260` handleESBulkRequest: walk the
@@ -89,11 +98,38 @@ def parse_bulk_body(body: bytes, gzipped: bool = False) -> BulkResult:
         text = body.decode("utf-8")
     except UnicodeDecodeError as e:
         raise BadBulkRequest(f"bulk body is not UTF-8: {e}") from None
-    lines = [ln for ln in text.split("\n") if ln.strip()]
+    # raw line sequence: blank lines are skipped only when EXPECTING an
+    # action line — the line immediately after an action IS the document,
+    # and a blank there means the shipper's protocol is misaligned (the
+    # reference's errWrongProtocol "empty document after action line",
+    # `proxyapi/http_bulk.go:207-209`, pinned by its TestScanLines)
+    raw_lines = text.split("\n")
+    lines: List[str] = []
+    expecting_doc = False
+    for ln in raw_lines[:-1] if raw_lines and raw_lines[-1] == "" else raw_lines:
+        if not ln.strip():
+            if expecting_doc:
+                raise BadBulkRequest("empty document after action line")
+            continue
+        lines.append(ln)
+        if expecting_doc:
+            expecting_doc = False
+        else:
+            # delete carries no doc line; everything else expects one
+            try:
+                a = json.loads(ln)
+                key = next(iter(a)) if isinstance(a, dict) and a else None
+            except json.JSONDecodeError:
+                key = None
+            expecting_doc = key != "delete"
     i = 0
     while i < len(lines):
         line = lines[i]
         i += 1
+        if len(line.encode("utf-8")) > max_document_size:
+            # reference --max-document-size: an oversized ACTION line is a
+            # protocol error (`http_bulk.go:228-230` isPrefix)
+            raise BadBulkRequest("action line is too long")
         try:
             action_obj = json.loads(line)
         except json.JSONDecodeError:
@@ -125,6 +161,16 @@ def parse_bulk_body(body: bytes, gzipped: bool = False) -> BulkResult:
             break
         doc_line = lines[i]
         i += 1
+        if len(doc_line.encode("utf-8")) > max_document_size:
+            # oversized documents are SKIPPED, never indexed — the
+            # reference drops them with a metric (`http_bulk.go:195-205`);
+            # the ES-shaped response carries a per-item 413 here
+            res.items.append({action: {
+                "status": 413,
+                "error": f"document exceeds max-document-size {max_document_size}",
+            }})
+            res.errors = True
+            continue
         try:
             doc = json.loads(doc_line)
         except json.JSONDecodeError:

@@ -813,3 +813,32 @@ def test_index_all_fields_mode(spark, tmp_path):
         assert total("_exists_:level") == 5
     finally:
         srv.stop()
+
+
+def test_bulk_line_protocol_parity():
+    """The reference's TestScanLines vectors (`proxyapi/http_bulk_test.go:
+    82`): blank lines skipped before actions but a blank WHERE THE
+    DOCUMENT BELONGS is a protocol error; oversized documents are
+    skipped, never indexed; an oversized action line fails the request."""
+    from seqspark.bulk import BadBulkRequest, parse_bulk_body
+
+    # blank lines around pairs are fine
+    res = parse_bulk_body(b'\n\n{"create":{}}\n{"level": "info"}\n\n')
+    assert len(res.docs) == 1 and not res.errors
+    # trailing newline fine
+    res = parse_bulk_body(b'{"create":{}}\n{"level": "info"}\n')
+    assert len(res.docs) == 1
+    # blank line AFTER the action = misaligned shipper -> whole-request 400
+    import pytest as _pytest
+
+    with _pytest.raises(BadBulkRequest, match="empty document"):
+        parse_bulk_body(b'\n\n{"create":{}}\n\n{"level": "info"}\n\n')
+    # oversized document: skipped with a per-item 413, nothing indexed
+    big = b'{"create":{}}\n{"pad": "' + b"a" * 40 + b'"}'
+    res = parse_bulk_body(big, max_document_size=32)
+    assert res.docs == [] and res.errors
+    assert res.items[0]["create"]["status"] == 413
+    # oversized ACTION line: protocol error
+    with _pytest.raises(BadBulkRequest, match="action line"):
+        parse_bulk_body(b'{"create":{"x": "' + b"a" * 40 + b'"}}\n{}',
+                        max_document_size=32)
