@@ -339,7 +339,25 @@ class SeqProxyGrpc:
 
     # ------------------------------------------------------------- methods
 
+    @staticmethod
+    def _require_query_window(req: dict) -> None:
+        """`proxyapi/grpc_v1.go:186-191` — the doSearch validation shared
+        by Search/ComplexSearch/GetAggregation/GetHistogram/Export: the
+        query message and its from/to window are REQUIRED. At 100 TB an
+        accidental unbounded search is a full-corpus scan; the reference
+        refuses it at the API boundary and so do we. (StartAsyncSearch is
+        exempt, matching `grpc_async_search.go:15`'s nil-safe getters.)"""
+        q = req.get("query")
+        if not q:
+            raise GrpcError(INVALID_ARGUMENT, "search query must be provided")
+        if q.get("from") is None or q.get("to") is None:
+            raise GrpcError(
+                INVALID_ARGUMENT,
+                'search query "from" and "to" fields must be provided',
+            )
+
     def search(self, req: dict, metadata: dict) -> dict:
+        self._require_query_window(req)
         if (req.get("size") or 0) <= 0:
             # `proxyapi/grpc_search.go:19-21`
             raise GrpcError(INVALID_ARGUMENT, '"size" must be greater than 0')
@@ -413,6 +431,17 @@ class SeqProxyGrpc:
         }
 
     def complex_search(self, req: dict, metadata: dict) -> dict:
+        self._require_query_window(req)
+        if (
+            (req.get("size") or 0) <= 0
+            and not req.get("hist")
+            and not req.get("aggs")
+        ):
+            # `grpc_complex_search.go:20-22`
+            raise GrpcError(
+                INVALID_ARGUMENT,
+                'one of "size", "hist" or "aggs" must be provided',
+            )
         hreq = self._complex_req(req, metadata)
         want_explain = bool((req.get("query") or {}).get("explain"))
 
@@ -441,6 +470,10 @@ class SeqProxyGrpc:
         return resp
 
     def get_aggregation(self, req: dict, metadata: dict) -> dict:
+        self._require_query_window(req)
+        if not req.get("aggs"):
+            # `grpc_get_aggregation.go:18-20`
+            raise GrpcError(INVALID_ARGUMENT, "agg query must be provided")
         creq = {"query": req.get("query"), "aggs": req.get("aggs", []),
                 "with_total": True}
         hreq = self._complex_req(creq, metadata)
@@ -455,6 +488,7 @@ class SeqProxyGrpc:
         }
 
     def get_histogram(self, req: dict, metadata: dict) -> dict:
+        self._require_query_window(req)
         hist = req.get("hist")
         if not hist or not hist.get("interval"):
             raise GrpcError(INVALID_ARGUMENT, "'hist.interval' must be set")
@@ -486,6 +520,16 @@ class SeqProxyGrpc:
         return iter([self._doc_proto(d) for d in out.get("docs", [])])
 
     def export(self, req: dict, metadata: dict) -> Iterator[dict]:
+        self._require_query_window(req)
+        from .engine import MAX_SEARCH_DOCS
+
+        if (req.get("size") or 0) > MAX_SEARCH_DOCS:
+            # `grpc_export.go:29-32` MaxRequestedDocuments guard
+            raise GrpcError(
+                INVALID_ARGUMENT,
+                f"too many documents are requested: "
+                f"count={req.get('size')}, max={MAX_SEARCH_DOCS}",
+            )
         hreq = self._http_req(
             req.get("query") or {},
             metadata,

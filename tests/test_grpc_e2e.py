@@ -33,6 +33,11 @@ MAPPING = Mapping({"service": "keyword", "message": "text", "ms": "keyword"})
 
 SVC = "/seqproxyapi.v1.SeqProxyApi"
 
+#: the reference's gRPC doSearch validation requires an explicit time
+#: window (`grpc_v1.go:189-191`); this span covers every fixture doc
+WIN = {"from": sp.ms_to_ts(0), "to": sp.ms_to_ts(4102444800000)}
+
+
 DOCS = [
     ("2024-01-01 10:00:00.000", "auth", "login ok", "12"),
     ("2024-01-01 10:30:00.000", "auth", "login failed", "7"),
@@ -93,7 +98,7 @@ def test_search_matches_http(rig):
     core, srv, ch = rig
     resp = ch.unary(
         f"{SVC}/Search",
-        {"query": {"query": "service:auth"}, "size": 10, "with_total": True},
+        {"query": {"query": "service:auth", **WIN}, "size": 10, "with_total": True},
         sp.SEARCH_REQUEST, sp.SEARCH_RESPONSE,
     )
     assert resp["total"] == 2
@@ -114,7 +119,7 @@ def test_search_matches_http(rig):
 def test_search_requires_positive_size(rig):
     _, _, ch = rig
     with pytest.raises(GrpcError) as ei:
-        ch.unary(f"{SVC}/Search", {"query": {"query": "*"}},
+        ch.unary(f"{SVC}/Search", {"query": {"query": "*", **WIN}},
                  sp.SEARCH_REQUEST, sp.SEARCH_RESPONSE)
     assert ei.value.code == INVALID_ARGUMENT  # grpc_search.go:19-21
 
@@ -123,7 +128,7 @@ def test_search_order_asc(rig):
     _, _, ch = rig
     asc = ch.unary(
         f"{SVC}/Search",
-        {"query": {"query": "*"}, "size": 10, "order": 1},
+        {"query": {"query": "*", **WIN}, "size": 10, "order": 1},
         sp.SEARCH_REQUEST, sp.SEARCH_RESPONSE,
     )
     mids = [seq_id_parse(d["id"])[0] for d in asc["docs"]]
@@ -135,7 +140,7 @@ def test_complex_search_aggs_hist_total(rig):
     resp = ch.unary(
         f"{SVC}/ComplexSearch",
         {
-            "query": {"query": "*"},
+            "query": {"query": "*", **WIN},
             "size": 2,
             "with_total": True,
             "aggs": [
@@ -166,7 +171,7 @@ def test_complex_bad_interval(rig):
     with pytest.raises(GrpcError) as ei:
         ch.unary(
             f"{SVC}/ComplexSearch",
-            {"query": {"query": "*"}, "hist": {"interval": "nope"}},
+            {"query": {"query": "*", **WIN}, "hist": {"interval": "nope"}},
             sp.COMPLEX_SEARCH_REQUEST, sp.COMPLEX_SEARCH_RESPONSE,
         )
     assert ei.value.code == INVALID_ARGUMENT
@@ -176,7 +181,7 @@ def test_get_aggregation(rig):
     _, _, ch = rig
     resp = ch.unary(
         f"{SVC}/GetAggregation",
-        {"query": {"query": "service:pay"},
+        {"query": {"query": "service:pay", **WIN},
          "aggs": [{"group_by": "message", "func": 0}]},
         sp.GET_AGGREGATION_REQUEST, sp.GET_AGGREGATION_RESPONSE,
     )
@@ -190,13 +195,13 @@ def test_get_histogram(rig):
     _, _, ch = rig
     resp = ch.unary(
         f"{SVC}/GetHistogram",
-        {"query": {"query": "*"}, "hist": {"interval": "1d"}},
+        {"query": {"query": "*", **WIN}, "hist": {"interval": "1d"}},
         sp.GET_HISTOGRAM_REQUEST, sp.GET_HISTOGRAM_RESPONSE,
     )
     assert len(resp["hist"]["buckets"]) == 1
     assert resp["hist"]["buckets"][0]["doc_count"] == 4
     with pytest.raises(GrpcError) as ei:
-        ch.unary(f"{SVC}/GetHistogram", {"query": {"query": "*"}},
+        ch.unary(f"{SVC}/GetHistogram", {"query": {"query": "*", **WIN}},
                  sp.GET_HISTOGRAM_REQUEST, sp.GET_HISTOGRAM_RESPONSE)
     assert ei.value.code == INVALID_ARGUMENT
 
@@ -204,7 +209,7 @@ def test_get_histogram(rig):
 def test_fetch_stream_and_fields_filter(rig):
     _, _, ch = rig
     listed = ch.unary(
-        f"{SVC}/Search", {"query": {"query": "*"}, "size": 10},
+        f"{SVC}/Search", {"query": {"query": "*", **WIN}, "size": 10},
         sp.SEARCH_REQUEST, sp.SEARCH_RESPONSE,
     )
     ids = [d["id"] for d in listed["docs"][:2]]
@@ -229,7 +234,7 @@ def test_export_stream(rig):
     _, _, ch = rig
     resp = ch.server_streaming(
         f"{SVC}/Export",
-        {"query": {"query": "service:pay"}, "size": 10},
+        {"query": {"query": "service:pay", **WIN}, "size": 10},
         sp.EXPORT_REQUEST, sp.EXPORT_RESPONSE,
     )
     assert len(resp) == 2
@@ -259,7 +264,7 @@ def test_async_search_lifecycle(rig):
     started = ch.unary(
         f"{SVC}/StartAsyncSearch",
         {"retention": {"seconds": 3600},
-         "query": {"query": "service:auth"},
+         "query": {"query": "service:auth", **WIN},
          "aggs": [{"group_by": "service", "func": 0}]},
         sp.START_ASYNC_SEARCH_REQUEST, sp.START_ASYNC_SEARCH_RESPONSE,
     )
@@ -332,7 +337,7 @@ def test_dialect_metadata(rig):
     # legacy dialect ranges: `ms:[10 TO 20]` parses only under legacy
     resp = ch.unary(
         f"{SVC}/Search",
-        {"query": {"query": "ms:[10 TO 20]"}, "size": 10},
+        {"query": {"query": "ms:[10 TO 20]", **WIN}, "size": 10},
         sp.SEARCH_REQUEST, sp.SEARCH_RESPONSE,
         metadata=[("use-seq-ql", "false")],
     )
@@ -344,7 +349,7 @@ def test_explain_entry(rig):
     _, _, ch = rig
     resp = ch.unary(
         f"{SVC}/ComplexSearch",
-        {"query": {"query": "service:auth", "explain": True}, "size": 1},
+        {"query": {"query": "service:auth", "explain": True, **WIN}, "size": 1},
         sp.COMPLEX_SEARCH_REQUEST, sp.COMPLEX_SEARCH_RESPONSE,
     )
     tree = resp["explain"]
@@ -380,7 +385,7 @@ def test_grpc_admission_control(rig, spark):
     srv = SeqProxyGrpc(limited_core).start()
     ch = GrpcChannel("127.0.0.1", srv.port)
     try:
-        req = {"query": {"query": "service:auth"}, "size": 1}
+        req = {"query": {"query": "service:auth", **WIN}, "size": 1}
         ch.unary(f"{SVC}/Search", req, sp.SEARCH_REQUEST, sp.SEARCH_RESPONSE)
         with pytest.raises(GrpcError) as ei:
             ch.unary(f"{SVC}/Search", req, sp.SEARCH_REQUEST,
@@ -399,19 +404,19 @@ def test_grpc_admission_control(rig, spark):
     ch2 = GrpcChannel("127.0.0.1", srv2.port)
     try:
         with pytest.raises(GrpcError) as ei:
-            ch2.unary(f"{SVC}/Search", {"query": {"query": "*"}, "size": 1},
+            ch2.unary(f"{SVC}/Search", {"query": {"query": "*", **WIN}, "size": 1},
                       sp.SEARCH_REQUEST, sp.SEARCH_RESPONSE)
         assert ei.value.code == RESOURCE_EXHAUSTED
         # export path holds a slot for the whole drain — also refused
         with pytest.raises(GrpcError) as ei:
             ch2.server_streaming(
-                f"{SVC}/Export", {"query": {"query": "*"}, "size": 1},
+                f"{SVC}/Export", {"query": {"query": "*", **WIN}, "size": 1},
                 sp.EXPORT_REQUEST, sp.EXPORT_RESPONSE)
         assert ei.value.code == RESOURCE_EXHAUSTED
         # StartAsyncSearch spawns a background complex search — it must
         # pass the same admission, not be a side door around it
         with pytest.raises(GrpcError) as ei:
-            ch2.unary(f"{SVC}/StartAsyncSearch", {"query": {"query": "*"}},
+            ch2.unary(f"{SVC}/StartAsyncSearch", {"query": {"query": "*", **WIN}},
                       sp.START_ASYNC_SEARCH_REQUEST,
                       sp.START_ASYNC_SEARCH_RESPONSE)
         assert ei.value.code == RESOURCE_EXHAUSTED
@@ -436,7 +441,7 @@ def test_fraction_hits_guard(rig, spark):
     ch = GrpcChannel("127.0.0.1", srv.port)
     try:
         wide = ch.unary(
-            f"{SVC}/Search", {"query": {"query": "*"}, "size": 10},
+            f"{SVC}/Search", {"query": {"query": "*", **WIN}, "size": 10},
             sp.SEARCH_REQUEST, sp.SEARCH_RESPONSE,
         )
         assert wide["error"]["code"] == sp.ERROR_CODE_TOO_MANY_FRACTIONS_HIT
@@ -455,7 +460,7 @@ def test_fraction_hits_guard(rig, spark):
         # export surfaces it as a plain error status (grpc_export.go:55-57)
         with pytest.raises(GrpcError):
             ch.server_streaming(
-                f"{SVC}/Export", {"query": {"query": "*"}, "size": 1},
+                f"{SVC}/Export", {"query": {"query": "*", **WIN}, "size": 1},
                 sp.EXPORT_REQUEST, sp.EXPORT_RESPONSE)
     finally:
         ch.close()
@@ -498,20 +503,20 @@ def test_concurrent_mixed_workload(rig, spark):
             if i % 3 == 0:
                 r = ch.unary(
                     f"{SVC}/Search",
-                    {"query": {"query": "service:auth"}, "size": 10,
+                    {"query": {"query": "service:auth", **WIN}, "size": 10,
                      "with_total": True},
                     sp.SEARCH_REQUEST, sp.SEARCH_RESPONSE)
                 results[i] = ("search", r["total"])
             elif i % 3 == 1:
                 r = ch.unary(
                     f"{SVC}/ComplexSearch",
-                    {"query": {"query": "*"}, "with_total": True,
+                    {"query": {"query": "*", **WIN}, "with_total": True,
                      "aggs": [{"group_by": "service", "func": 0}]},
                     sp.COMPLEX_SEARCH_REQUEST, sp.COMPLEX_SEARCH_RESPONSE)
                 results[i] = ("complex", r["total"])
             else:
                 listed = ch.unary(
-                    f"{SVC}/Search", {"query": {"query": "*"}, "size": 2},
+                    f"{SVC}/Search", {"query": {"query": "*", **WIN}, "size": 2},
                     sp.SEARCH_REQUEST, sp.SEARCH_RESPONSE)
                 ids = [d["id"] for d in listed["docs"]]
                 docs = ch.server_streaming(
@@ -586,7 +591,8 @@ def test_streaming_ingest_to_grpc_parity(spark, tmp_path):
         for query in ("*", "service:auth", "message:failed"):
             resp = ch.unary(
                 f"{SVC}/Search",
-                {"query": {"query": query}, "size": 10, "with_total": True},
+                {"query": {"query": query, **WIN}, "size": 10,
+                 "with_total": True},
                 sp.SEARCH_REQUEST, sp.SEARCH_RESPONSE,
             )
             http = batch_core.search(
@@ -601,7 +607,7 @@ def test_streaming_ingest_to_grpc_parity(spark, tmp_path):
             ]
         agg = ch.unary(
             f"{SVC}/GetAggregation",
-            {"query": {"query": "*"},
+            {"query": {"query": "*", **WIN},
              "aggs": [{"group_by": "service", "func": 0}]},
             sp.GET_AGGREGATION_REQUEST, sp.GET_AGGREGATION_RESPONSE,
         )
@@ -613,3 +619,38 @@ def test_streaming_ingest_to_grpc_parity(spark, tmp_path):
     finally:
         ch.close()
         srv.stop()
+
+
+def test_required_fields_validation(rig):
+    """The doSearch family's required-field validation
+    (`grpc_v1.go:186-191`, `grpc_complex_search.go:20-22`,
+    `grpc_get_aggregation.go:18-20`, `grpc_export.go:29-32`): nil query,
+    missing from/to, complex without size/hist/aggs, aggs-less
+    GetAggregation and oversize Export are all INVALID_ARGUMENT."""
+    _, _, ch = rig
+
+    def expect_invalid(path, req, req_desc, resp_desc, match):
+        with pytest.raises(GrpcError) as ei:
+            ch.unary(path, req, req_desc, resp_desc)
+        assert ei.value.code == INVALID_ARGUMENT
+        assert match in ei.value.message
+
+    expect_invalid(f"{SVC}/Search", {"size": 1},
+                   sp.SEARCH_REQUEST, sp.SEARCH_RESPONSE,
+                   "search query must be provided")
+    expect_invalid(f"{SVC}/Search", {"query": {"query": "*"}, "size": 1},
+                   sp.SEARCH_REQUEST, sp.SEARCH_RESPONSE,
+                   '"from" and "to"')
+    expect_invalid(f"{SVC}/ComplexSearch", {"query": {"query": "*", **WIN}},
+                   sp.COMPLEX_SEARCH_REQUEST, sp.COMPLEX_SEARCH_RESPONSE,
+                   'one of "size", "hist" or "aggs"')
+    expect_invalid(f"{SVC}/GetAggregation", {"query": {"query": "*", **WIN}},
+                   sp.GET_AGGREGATION_REQUEST, sp.GET_AGGREGATION_RESPONSE,
+                   "agg query must be provided")
+    with pytest.raises(GrpcError) as ei:
+        ch.server_streaming(
+            f"{SVC}/Export",
+            {"query": {"query": "*", **WIN}, "size": 200_000},
+            sp.EXPORT_REQUEST, sp.EXPORT_RESPONSE)
+    assert ei.value.code == INVALID_ARGUMENT
+    assert "too many documents" in ei.value.message
