@@ -511,6 +511,14 @@ class SeqProxyGrpc:
                 ids.append(seq_id_parse(s))
             except ValueError:
                 continue  # logged-and-skipped in the reference
+        from .engine import MAX_SEARCH_DOCS
+
+        if len(ids) > MAX_SEARCH_DOCS:
+            # `grpc_fetch.go:48-51` MaxRequestedDocuments guard
+            raise GrpcError(
+                INVALID_ARGUMENT,
+                f"too many documents are requested: count={len(ids)}",
+            )
         hreq: dict = {"ids": ids}
         ff = req.get("fields_filter")
         if ff and ff.get("fields"):

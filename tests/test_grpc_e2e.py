@@ -654,3 +654,16 @@ def test_required_fields_validation(rig):
             sp.EXPORT_REQUEST, sp.EXPORT_RESPONSE)
     assert ei.value.code == INVALID_ARGUMENT
     assert "too many documents" in ei.value.message
+
+
+def test_fetch_too_many_ids(rig):
+    """`grpc_fetch.go:48-51`: an id list over max-requested-documents is
+    INVALID_ARGUMENT, not an unbounded driver-side fetch."""
+    _, _, ch = rig
+    ids = [seq_id_str(i, i) for i in range(100_001)]
+    with pytest.raises(GrpcError) as ei:
+        list(ch.server_streaming(
+            f"{SVC}/Fetch", {"ids": ids},
+            sp.FETCH_REQUEST, sp.DOCUMENT))
+    assert ei.value.code == INVALID_ARGUMENT
+    assert "too many documents" in ei.value.message
