@@ -44,23 +44,41 @@ def text_tokens(
     case_sensitive: bool = False,
     max_token_size: int = DEFAULT_MAX_TOKEN_SIZE,
     max_field_value_length: int = MAX_TEXT_FIELD_VALUE_LENGTH,
+    partial_indexing: bool = False,
 ) -> Column:
     """Array of text tokens for a string column.
 
-    Matches `tokenizer/text_tokenizer.go:27-106`: value longer than the field
-    cap is skipped entirely (no partial indexing), empty runs are dropped,
-    tokens longer than ``max_token_size`` are dropped, case is folded.
-    Null input → null (field absent → no tokens).
+    Matches `tokenizer/text_tokenizer.go:27-106`: a value longer than the
+    field cap is skipped entirely — or TRUNCATED to the cap and tokenized
+    when ``partial_indexing`` is on (`--partial-indexing`; the reference's
+    TestTokenizePartial* vectors: truncate-then-tokenize vs skip). Empty
+    runs are dropped, tokens longer than ``max_token_size`` are dropped,
+    case is folded. Null input → null (field absent → no tokens).
     """
-    toks = F.split(fold_case(col, case_sensitive), TEXT_SEPARATOR_RE)
+    value = col
+    if partial_indexing:
+        # truncate-then-tokenize (`text_tokenizer.go:45-48` maxLength cut);
+        # substring counts characters — only multi-byte values near the
+        # cap can differ from the reference's byte cut, same caveat as the
+        # keyword tokenizer's partial mode
+        value = F.when(
+            F.octet_length(col) > max_field_value_length,
+            F.substring(col, 1, max_field_value_length),
+        ).otherwise(col)
+    toks = F.split(fold_case(value, case_sensitive), TEXT_SEPARATOR_RE)
     # size caps compare BYTE lengths like the reference (len([]byte):
     # MaxTokenSize=72 bytes, 32KB field cap) — octet_length, not length,
     # so multi-byte UTF-8 behaves identically
     toks = F.filter(
         toks, lambda t: (F.length(t) > 0) & (F.octet_length(t) <= max_token_size)
     )
+    over = (
+        toks
+        if partial_indexing
+        else F.array().cast("array<string>")
+    )
     return F.when(col.isNull(), F.lit(None).cast("array<string>")).otherwise(
-        F.when(F.octet_length(col) > max_field_value_length, F.array().cast("array<string>"))
+        F.when(F.octet_length(col) > max_field_value_length, over)
         # empty value indexes a single empty token (text_tokenizer.go:41-44)
         .when(F.length(col) == 0, F.array(F.lit("")))
         .otherwise(toks)
@@ -141,7 +159,8 @@ def tokens_for_type(index_type: str, col: Column, case_sensitive: bool = False,
                     max_token_size: int = DEFAULT_MAX_TOKEN_SIZE,
                     partial_indexing: bool = False) -> Column:
     if index_type == "text":
-        return text_tokens(col, case_sensitive, max_token_size)
+        return text_tokens(col, case_sensitive, max_token_size,
+                           partial_indexing=partial_indexing)
     if index_type in ("keyword", "tags", "object", "nested"):
         return keyword_tokens(col, case_sensitive, max_token_size, partial_indexing)
     if index_type == "path":

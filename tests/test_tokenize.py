@@ -89,3 +89,26 @@ def test_path_regex_special_separator(spark):
     relation to the input."""
     got = tok(spark, lambda c: path_tokens(c, separator="."), "a.b.c")
     assert got == ["a", "a.b", "a.b.c"]
+
+
+def test_text_partial_indexing_truncates(spark):
+    """--partial-indexing for TEXT fields (the reference's
+    TestTokenizePartial* vectors): an over-cap value is truncated to the
+    field cap and tokenized instead of skipped."""
+    from seqspark.tokenize import text_tokens
+
+    long = "abc " + "x" * 64
+    got = tok(
+        spark,
+        lambda c: text_tokens(c, max_field_value_length=32,
+                              partial_indexing=True),
+        long,
+    )
+    assert got == ["abc", "x" * 28]  # 32-char cut: 'abc ' + 28 x's
+    # default (no partial): skipped entirely
+    got = tok(
+        spark,
+        lambda c: text_tokens(c, max_field_value_length=32),
+        long,
+    )
+    assert got == []
