@@ -126,6 +126,22 @@ class Mapping:
         main = next((t for t in types if not t.get("title")), None)
         if main is None:
             raise ValueError(f"no main (untitled) type for field {name!r}")
+        # duplicate titles — including a SECOND untitled type — are a
+        # mapping error, not last-one-wins (`seq/mapping.go` "duplicate
+        # field title in mapping: <name>.<title|_empty_>", pinned by its
+        # TestReadMappingError vectors)
+        seen: set = set()
+        for t in types:
+            title = t.get("title") or "_empty_"
+            if title in seen:
+                raise ValueError(
+                    f"duplicate field title in mapping: {name}.{title}"
+                )
+            seen.add(title)
+            if t["type"] not in ALL_TYPES:
+                raise ValueError(
+                    f"unknown index type {t['type']!r} for field {name!r}"
+                )
         fm = FieldMapping(name, main["type"], size=int(main.get("size", 0)))
         for t in types:
             if t.get("title"):

@@ -182,3 +182,22 @@ def test_errors():
     for bad in ["service:", "and", "service:a and", "(service:a", "size:[1, ", "service:a | bogus x"]:
         with pytest.raises(ParseError):
             parse(bad, M)
+
+
+def test_mapping_duplicate_titles_rejected():
+    """`seq/mapping_test.go` TestReadMappingError vectors: duplicate
+    titles — including two untitled types — and unknown types are mapping
+    errors, not last-one-wins."""
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="duplicate field title"):
+        Mapping.from_yaml_obj({"mapping-list": [{"name": "message", "types": [
+            {"title": "path", "type": "path", "size": 255},
+            {"type": "text"},
+            {"title": "path", "type": "path", "size": 255}]}]})
+    with _pytest.raises(ValueError, match=r"duplicate field title.*_empty_"):
+        Mapping.from_yaml_obj({"mapping-list": [{"name": "message", "types": [
+            {"type": "text"}, {"type": "keyword"}]}]})
+    with _pytest.raises(ValueError, match="unknown index type"):
+        Mapping.from_yaml_obj({"mapping-list": [{"name": "message", "types": [
+            {"title": "x", "type": "unknown"}, {"type": "text"}]}]})
