@@ -98,34 +98,21 @@ def parse_bulk_body(
         text = body.decode("utf-8")
     except UnicodeDecodeError as e:
         raise BadBulkRequest(f"bulk body is not UTF-8: {e}") from None
-    # raw line sequence: blank lines are skipped only when EXPECTING an
-    # action line — the line immediately after an action IS the document,
-    # and a blank there means the shipper's protocol is misaligned (the
+    # single pass over the RAW line sequence (one json.loads per line):
+    # blank lines are skipped only when EXPECTING an action line — the
+    # line immediately after a doc-consuming action IS the document, and
+    # a blank there means the shipper's framing is misaligned (the
     # reference's errWrongProtocol "empty document after action line",
     # `proxyapi/http_bulk.go:207-209`, pinned by its TestScanLines)
-    raw_lines = text.split("\n")
-    lines: List[str] = []
-    expecting_doc = False
-    for ln in raw_lines[:-1] if raw_lines and raw_lines[-1] == "" else raw_lines:
-        if not ln.strip():
-            if expecting_doc:
-                raise BadBulkRequest("empty document after action line")
-            continue
-        lines.append(ln)
-        if expecting_doc:
-            expecting_doc = False
-        else:
-            # delete carries no doc line; everything else expects one
-            try:
-                a = json.loads(ln)
-                key = next(iter(a)) if isinstance(a, dict) and a else None
-            except json.JSONDecodeError:
-                key = None
-            expecting_doc = key != "delete"
-    i = 0
-    while i < len(lines):
+    lines = text.split("\n")
+    if lines and lines[-1] == "":
+        lines.pop()  # trailing newline
+    i, n = 0, len(lines)
+    while i < n:
         line = lines[i]
         i += 1
+        if not line.strip():
+            continue  # blank while expecting an action: skipped
         if len(line.encode("utf-8")) > max_document_size:
             # reference --max-document-size: an oversized ACTION line is a
             # protocol error (`http_bulk.go:228-230` isPrefix)
@@ -145,22 +132,24 @@ def parse_bulk_body(
             res.items.append({"index": {"status": 400, "error": f"unknown action {action}"}})
             res.errors = True
             continue
-        if action in ("delete",):
+        if action == "delete":
             # delete carries no doc line
             res.items.append({action: {"status": 400, "error": "unsupported action"}})
             res.errors = True
             continue
-        if action == "update":
-            i += 1  # consume the doc line
-            res.items.append({action: {"status": 400, "error": "unsupported action"}})
-            res.errors = True
-            continue
-        if i >= len(lines):
+        # every other action consumes the IMMEDIATE next line as its doc
+        if i >= n:
             res.items.append({action: {"status": 400, "error": "missing document"}})
             res.errors = True
             break
         doc_line = lines[i]
         i += 1
+        if not doc_line.strip():
+            raise BadBulkRequest("empty document after action line")
+        if action == "update":
+            res.items.append({action: {"status": 400, "error": "unsupported action"}})
+            res.errors = True
+            continue
         if len(doc_line.encode("utf-8")) > max_document_size:
             # oversized documents are SKIPPED, never indexed — the
             # reference drops them with a metric (`http_bulk.go:195-205`);

@@ -505,20 +505,23 @@ class SeqProxyGrpc:
         }
 
     def fetch(self, req: dict, metadata: dict) -> Iterator[dict]:
+        raw_ids = req.get("ids", [])
+        from .engine import MAX_SEARCH_DOCS
+
+        if len(raw_ids) > MAX_SEARCH_DOCS:
+            # `grpc_fetch.go:48-51` MaxRequestedDocuments guard — on the
+            # RAW list, before any parse work, so an oversized request
+            # cannot buy unbounded pre-validation CPU
+            raise GrpcError(
+                INVALID_ARGUMENT,
+                f"too many documents are requested: count={len(raw_ids)}",
+            )
         ids = []
-        for s in req.get("ids", []):
+        for s in raw_ids:
             try:
                 ids.append(seq_id_parse(s))
             except ValueError:
                 continue  # logged-and-skipped in the reference
-        from .engine import MAX_SEARCH_DOCS
-
-        if len(ids) > MAX_SEARCH_DOCS:
-            # `grpc_fetch.go:48-51` MaxRequestedDocuments guard
-            raise GrpcError(
-                INVALID_ARGUMENT,
-                f"too many documents are requested: count={len(ids)}",
-            )
         hreq: dict = {"ids": ids}
         ff = req.get("fields_filter")
         if ff and ff.get("fields"):

@@ -194,18 +194,22 @@ def make_ingest_transform(
         # of `proxy/bulk/indexer.go:67-76`): EVERY top-level JSON field is
         # keyword-indexed under its own name. The field set varies per
         # document, so the tokens map is built dynamically from the raw
-        # object — map over (key, value) pairs, values cast variant →
-        # string (numbers/bools become their literal text, exactly the
-        # reference's `level:"4130134"` behavior; objects/arrays fail the
-        # cast and are skipped, as is a JSON null).
-        dyn = F.from_json(raw, "map<string,variant>")
+        # object. from_json to map<string,string> mirrors the reference's
+        # encodeInsaneNode (`indexer.go:169-177`): strings and integers
+        # keep their literal text (`level:"4130134"`), bools become
+        # "true"/"false", objects/arrays their compact JSON text, and an
+        # explicit JSON null indexes as the token "null" (Encode of a
+        # null node). Sole divergence: non-canonical FLOAT literals are
+        # canonicalized by the JSON parser (1e10 → "1.0E10") where the
+        # reference keeps the raw bytes.
+        dyn = F.from_json(raw, "map<string,string>")
         dyn_tokens = F.map_filter(
             F.map_from_arrays(
                 F.map_keys(dyn),
                 F.transform(
                     F.map_values(dyn),
                     lambda v: entry_tokens(
-                        "", "keyword", F.try_variant_get(v, "$", "string")
+                        "", "keyword", F.coalesce(v, F.lit("null"))
                     ),
                 ),
             ),

@@ -72,17 +72,16 @@ def text_tokens(
     toks = F.filter(
         toks, lambda t: (F.length(t) > 0) & (F.octet_length(t) <= max_token_size)
     )
-    over = (
-        toks
-        if partial_indexing
-        else F.array().cast("array<string>")
-    )
-    return F.when(col.isNull(), F.lit(None).cast("array<string>")).otherwise(
-        F.when(F.octet_length(col) > max_field_value_length, over)
-        # empty value indexes a single empty token (text_tokenizer.go:41-44)
-        .when(F.length(col) == 0, F.array(F.lit("")))
-        .otherwise(toks)
-    )
+    # empty value indexes a single empty token (text_tokenizer.go:41-44)
+    out = F.when(F.length(col) == 0, F.array(F.lit(""))).otherwise(toks)
+    if not partial_indexing:
+        # without partial indexing an over-cap value is skipped entirely;
+        # with it, the truncation above already bounded `toks`
+        out = F.when(
+            F.octet_length(col) > max_field_value_length,
+            F.array().cast("array<string>"),
+        ).otherwise(out)
+    return F.when(col.isNull(), F.lit(None).cast("array<string>")).otherwise(out)
 
 
 def keyword_tokens(

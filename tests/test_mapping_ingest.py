@@ -162,3 +162,21 @@ def test_auto_mapping_indexes_everything(spark):
     toks = dict(row["tokens"])
     assert toks["anything"] == ["x"]
     assert toks["num"] == ["5"]
+
+
+def test_auto_mapping_value_rendering(spark):
+    """encodeInsaneNode parity (`proxy/bulk/indexer.go:169-177`): bools,
+    nulls and containers index as their JSON text; integers keep their
+    literal digits."""
+    from seqspark import AutoMapping
+
+    frame = ingest(
+        spark, AutoMapping(),
+        [{"b": True, "z": None, "o": {"x": 1}, "arr": [1, 2], "n": 4130134}],
+    )
+    toks = dict(frame.collect()[0]["tokens"])
+    assert toks["b"] == ["true"]
+    assert toks["z"] == ["null"]
+    assert toks["o"] == ['{"x":1}']
+    assert toks["arr"] == ["[1,2]"]
+    assert toks["n"] == ["4130134"]

@@ -842,3 +842,18 @@ def test_bulk_line_protocol_parity():
     with _pytest.raises(BadBulkRequest, match="action line"):
         parse_bulk_body(b'{"create":{"x": "' + b"a" * 40 + b'"}}\n{}',
                         max_document_size=32)
+
+
+def test_bulk_malformed_action_with_blank_stays_per_item():
+    """A malformed/unknown action consumes NO document line, so a blank
+    after it is just a blank before the next action — per-item error, not
+    a whole-request 400 (regression: a two-pass pre-scan classified these
+    differently from the main loop)."""
+    from seqspark.bulk import parse_bulk_body
+
+    res = parse_bulk_body(b'garbage\n{"index":{}}\n{"a":1}\n\n')
+    assert len(res.docs) == 1 and res.errors
+    statuses = [list(i.values())[0]["status"] for i in res.items]
+    assert statuses == [400, 201]
+    res = parse_bulk_body(b'{"foo":{}}\n\n{"index":{}}\n{"a":1}')
+    assert len(res.docs) == 1
