@@ -419,6 +419,30 @@ class SeqSparkServer:
             req.get("from_ms"), req.get("to_ms"), self._max_fraction_hits
         )
 
+    #: exception markers for reads that raced a compaction swap or
+    #: retention delete mid-task. ignoreMissingFiles covers clean
+    #: FileNotFoundException at task start, but the local-fs footer path
+    #: throws java.nio NoSuchFileException (NOT a FileNotFoundException
+    #: subclass) wrapped as FAILED_READ_FILE — transient by construction:
+    #: the same query replanned sees the post-swap listing.
+    _TRANSIENT_READ = (
+        "FAILED_READ_FILE",
+        "FileNotFoundException",
+        "NoSuchFileException",
+    )
+
+    def _retry_transient(self, fn):
+        """Run ``fn`` once more if it failed on a file that maintenance
+        swapped/deleted under it; anything else (including the same error
+        twice — real corruption) propagates."""
+        try:
+            return fn()
+        except Exception as e:  # noqa: BLE001 - filtered by marker below
+            msg = str(e)
+            if any(t in msg for t in self._TRANSIENT_READ):
+                return fn()
+            raise
+
     @staticmethod
     def _int_or(req: dict, key: str, default: int) -> int:
         """An explicit JSON ``null`` is the same as an absent field (the
@@ -639,6 +663,9 @@ class SeqSparkServer:
         return SearchTable.from_store(self.store, self.mapping)
 
     def search(self, req: dict) -> dict:
+        return self._retry_transient(lambda: self._search_impl(req))
+
+    def _search_impl(self, req: dict) -> dict:
         self._check_fractions(req)
         st = self._table()
         docs = st.search(
@@ -680,6 +707,9 @@ class SeqSparkServer:
         )
 
     def complex(self, req: dict) -> dict:
+        return self._retry_transient(lambda: self._complex_impl(req))
+
+    def _complex_impl(self, req: dict) -> dict:
         """ComplexSearch over HTTP (`proxyapi/grpc_complex_search.go:14-60`):
         ``{"query", "from_ms", "to_ms", "size", "with_total",
         "hist_interval_ms", "aggs": [{"func", "field", "group_by",
@@ -739,6 +769,9 @@ class SeqSparkServer:
             res.unpersist()
 
     def fetch(self, req: dict) -> dict:
+        return self._retry_transient(lambda: self._fetch_impl(req))
+
+    def _fetch_impl(self, req: dict) -> dict:
         """Fetch-by-ID (`proxyapi/grpc_fetch.go:21`): ``{"ids": [[mid, rid],
         ...]}`` → docs in store order. An optional ``fields`` list with
         ``except`` flag filters each doc's top-level JSON fields — the

@@ -257,6 +257,13 @@ class DocStore:
         #: sticky "has ever held data" flag — lets read() skip the
         #: partition listing on the hot search path; reset by retain/_drop
         self._seen_data = False
+        #: cached store schema: passing an explicit schema to the scan
+        #: skips parquet-footer schema inference entirely — one fewer
+        #: Spark job per query AND no plan-time FileNotFound race when
+        #: compaction swaps files between listing and footer read (the
+        #: burn-in's one failure mode). Invalidated when an append brings
+        #: new columns.
+        self._schema_cache = None
         self._check_meta()
         self._cleanup_stale_tmp()
 
@@ -358,6 +365,14 @@ class DocStore:
                 )
             self._count_cache.clear()
             self._seen_data = True
+            if self._schema_cache is not None:
+                # an append can widen the schema with passthrough columns;
+                # a stale explicit schema would silently DROP them from
+                # reads — re-infer on the next read
+                cached = {f.name for f in self._schema_cache.fields}
+                incoming = set(df.columns) | {PARTITION_COL}
+                if incoming - cached:
+                    self._schema_cache = None
 
     def read(self) -> DataFrame:
         # "has this store ever held data" is sticky except for
@@ -378,18 +393,26 @@ class DocStore:
         # a rotated-away bucket then yields fewer rows, not a failed
         # search — the reference's semantics when rotation deletes a
         # fraction under a running query (`fracmanager` rotation)
-        try:
-            return self.spark.read.option("ignoreMissingFiles", "true").parquet(
-                self.path
-            )
-        except Exception:
-            # TOCTOU with retention: the store can be emptied between the
-            # check above and the scan's own listing — fall back exactly
-            # like the fresh-store branch rather than failing the search
-            if self.partitions():
-                raise
-            self._seen_data = False
-            return self.spark.createDataFrame([], EMPTY_DOC_SCHEMA)
+        reader = self.spark.read.option("ignoreMissingFiles", "true")
+        if self._schema_cache is not None:
+            # explicit schema: no footer-inference job, no plan-time race
+            return reader.schema(self._schema_cache).parquet(self.path)
+        for attempt in range(3):
+            try:
+                df = reader.parquet(self.path)
+                self._schema_cache = df.schema
+                return df
+            except Exception:
+                if not self.partitions():
+                    # TOCTOU with retention: the store was emptied between
+                    # the check above and the scan's own listing — fall
+                    # back exactly like the fresh-store branch
+                    self._seen_data = False
+                    return self.spark.createDataFrame([], EMPTY_DOC_SCHEMA)
+                if attempt == 2:
+                    raise
+                # schema inference raced a compaction swap (footer read of
+                # a just-replaced file) — re-list and infer again
 
     def search_table(self, mapping, **kwargs):
         """A :class:`~seqspark.engine.SearchTable` over this store with

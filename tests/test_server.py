@@ -857,3 +857,36 @@ def test_bulk_malformed_action_with_blank_stays_per_item():
     assert statuses == [400, 201]
     res = parse_bulk_body(b'{"foo":{}}\n\n{"index":{}}\n{"a":1}')
     assert len(res.docs) == 1
+
+
+def test_retry_transient_semantics(server):
+    """One replan for maintenance-raced reads; real errors (and a repeat
+    of the same transient error — genuine corruption) propagate."""
+    calls = {"n": 0}
+
+    def flaky():
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("[FAILED_READ_FILE.NO_HINT] part-0001")
+        return "ok"
+
+    assert server._retry_transient(flaky) == "ok" and calls["n"] == 2
+
+    def always():
+        raise RuntimeError("java.nio.file.NoSuchFileException: part-0002")
+
+    with pytest.raises(RuntimeError):
+        server._retry_transient(always)  # transient twice -> surfaces
+
+    def real():
+        raise ValueError("field 'x' is not indexed")
+
+    calls["n"] = 0
+
+    def count_real():
+        calls["n"] += 1
+        real()
+
+    with pytest.raises(ValueError):
+        server._retry_transient(count_real)
+    assert calls["n"] == 1  # non-transient: no second attempt

