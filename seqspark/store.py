@@ -657,6 +657,10 @@ class TieredStore:
     S3-IA) via their store paths — same layout, different ``path``.
     """
 
+    #: tombstone registry filename (underscore prefix: invisible to
+    #: partition discovery), stored at the hot tier's root
+    ROTATED_FILE = "_rotated_buckets.json"
+
     def __init__(self, hot: DocStore, cold: DocStore):
         if hot.bucket_fmt != cold.bucket_fmt:
             raise ValueError("hot and cold stores must share bucket_fmt")
@@ -668,6 +672,21 @@ class TieredStore:
         #: job dir and metadata live with the hot tier
         self.bucket_fmt = hot.bucket_fmt
         self.path = hot.path
+        #: rotation tombstones: buckets hot retention has dropped. A
+        #: shipper writing an old timestamp AFTER rotation re-creates the
+        #: bucket in hot with only the post-rotation rows — but cold's
+        #: dual-written copy has BOTH the pre-rotation rows and (via the
+        #: dual write) the new ones, so ownership of a tombstoned bucket
+        #: must stay with cold or the pre-rotation rows silently vanish
+        #: from reads (found by the tiered burn-in).
+        raw = hot._fs.read_text(hot._fs.path(self.ROTATED_FILE))
+        self._rotated: set = set(json.loads(raw)) if raw else set()
+
+    def _persist_rotated(self) -> None:
+        self.hot._fs.write_text(
+            self.hot._fs.path(self.ROTATED_FILE),
+            json.dumps(sorted(self._rotated)),
+        )
 
     def append(self, df: DataFrame, ts_col: str = "ts") -> None:
         """Dual write — hot first, then cold, like the reference's bulk
@@ -685,7 +704,11 @@ class TieredStore:
         The isin literal list still prunes cold's partition listing (hot
         holds a bounded recent window, so the list stays small)."""
         hot_parts = self.hot.partitions()
-        if not hot_parts:
+        # ownership: hot's buckets MINUS rotation tombstones — a bucket
+        # hot once dropped is served by cold even if late/cycling writes
+        # re-created a (partial) hot copy
+        owned_hot = [b for b in hot_parts if b not in self._rotated]
+        if not owned_hot:
             return self.cold.read()
         if not self.cold.partitions():
             # symmetric short-circuit: an emptied cold tier (regulatory
@@ -693,11 +716,14 @@ class TieredStore:
             # frame, whose fixed schema cannot union with a hot tier that
             # carries extra passthrough columns
             return self.hot.read()
+        hot_df = self.hot.read()
+        if len(owned_hot) != len(hot_parts):
+            hot_df = hot_df.filter(F.col(PARTITION_COL).isin(owned_hot))
         cold_only = self.cold.read().filter(
-            ~F.col(PARTITION_COL).isin(hot_parts)
+            ~F.col(PARTITION_COL).isin(owned_hot)
         )
         try:
-            return self.hot.read().unionByName(cold_only)
+            return hot_df.unionByName(cold_only)
         except Exception:
             # TOCTOU: retention emptied cold between the check above and
             # its read (the synthetic empty frame then cannot union with
@@ -755,14 +781,23 @@ class TieredStore:
         max_files_per_partition: int = 8,
     ) -> dict:
         """Rotation + sealing pass: hot retention (size/age), optional cold
-        age bound, small-file compaction on both tiers."""
+        age bound, small-file compaction on both tiers. Rotation is
+        recorded in the tombstone registry so cold keeps ownership of
+        dropped buckets forever (see ``_rotated``); rotate through THIS
+        method, not ``hot.retain`` directly, or re-created hot buckets
+        will shadow cold's complete copies."""
+        hot_dropped = self.hot.retain(hot_max_total_bytes, hot_min_bucket)
+        if hot_dropped:
+            self._rotated.update(hot_dropped)
+            self._persist_rotated()
+        cold_dropped = (
+            self.cold.retain(min_bucket=cold_min_bucket)
+            if cold_min_bucket is not None
+            else []
+        )
         return {
-            "hot_dropped": self.hot.retain(hot_max_total_bytes, hot_min_bucket),
-            "cold_dropped": (
-                self.cold.retain(min_bucket=cold_min_bucket)
-                if cold_min_bucket is not None
-                else []
-            ),
+            "hot_dropped": hot_dropped,
+            "cold_dropped": cold_dropped,
             "hot_compacted": self.hot.maintain(max_files_per_partition),
             "cold_compacted": self.cold.maintain(max_files_per_partition),
         }

@@ -202,3 +202,44 @@ def test_server_rate_limits_repeated_query(spark, tmp_path):
         assert post("/fetch", {"ids": [[3, 4]]}) == 200
     finally:
         srv.stop()
+
+
+def test_rotation_tombstones_keep_cold_ownership(spark, tmp_path):
+    """A shipper writing an OLD timestamp after hot rotation re-creates
+    the bucket in hot with only the new rows; cold's dual-written copy
+    has everything. The rotation tombstone keeps ownership with cold —
+    without it the pre-rotation rows silently vanish from reads (found
+    by the tiered burn-in)."""
+    import json as _json
+
+    from seqspark.ingest import ingest_docs
+
+    hot = DocStore(spark, str(tmp_path / "t_hot"))
+    cold = DocStore(spark, str(tmp_path / "t_cold"))
+    store = TieredStore(hot, cold)
+
+    def frame(hour, tag, n=5):
+        rows = [
+            (_json.dumps({"timestamp": f"2024-01-01 {hour:02d}:00:{i:02d}.000",
+                          "service": "s", "message": f"{tag} {i}"}),)
+            for i in range(n)
+        ]
+        return ingest_docs(
+            spark.createDataFrame(rows, "raw string"),
+            MAPPING, allowed_drift_ms=BIG, future_drift_ms=BIG,
+        )
+
+    for h in (10, 11, 12):
+        store.append(frame(h, f"pre{h}"))
+    assert store.read().count() == 15
+    # rotate bucket 10 out of hot (recorded as a tombstone)
+    dropped = store.maintain(hot_min_bucket="2024-01-01-11")["hot_dropped"]
+    assert dropped == ["2024-01-01-10"]
+    assert store.read().count() == 15  # cold serves the rotated bucket
+    # late/cycling write to the ROTATED hour re-creates a partial hot copy
+    store.append(frame(10, "post10"))
+    assert store.read().count() == 20  # pre-rotation rows still visible
+    # tombstones survive a restart (persisted at the hot tier)
+    store2 = TieredStore(DocStore(spark, str(tmp_path / "t_hot")),
+                         DocStore(spark, str(tmp_path / "t_cold")))
+    assert store2.read().count() == 20
