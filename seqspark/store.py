@@ -300,12 +300,23 @@ class DocStore:
 
     def _write_meta(self, ts_col: str = "ts") -> None:
         p = self._fs.path(META_FILE)
-        if not self._fs.exists(p):
+        raw = self._fs.read_text(p)
+        if raw is None:
             self._fs.write_text(
                 p,
                 json.dumps({"bucket_fmt": self.bucket_fmt,
                             "timezone": self._tz, "ts_col": ts_col}),
             )
+            return
+        meta = json.loads(raw)
+        if "ts_col" not in meta:
+            # legacy meta (written before ts_col pinning): backfill from
+            # the first post-upgrade append instead of assuming "ts" —
+            # a pre-existing store appended with a custom ts_col would
+            # otherwise be rejected by the pin check, and compact would
+            # sort by a possibly-absent column
+            meta["ts_col"] = ts_col
+            self._fs.write_text(p, json.dumps(meta))
 
     def _meta_ts_col(self) -> str:
         """The timestamp column the store was first written with —
@@ -615,9 +626,25 @@ class DocStore:
             tmp_new = self._fs.path(TMP_DIR, f"new-{bucket}")
             tmp_old = self._fs.path(TMP_DIR, f"old-{bucket}")
             df = self.spark.read.parquet(str(part.toUri()))
+            sort_col = self._meta_ts_col()
+            if sort_col not in df.columns:
+                # legacy store (meta lacks ts_col, default "ts") written
+                # with a custom timestamp column: sorting by an absent
+                # column would fail the whole compact. The data was
+                # ts-clustered at append time; a best-effort fallback to
+                # the first timestamp-typed column preserves that.
+                ts_like = [f.name for f in df.schema.fields
+                           if f.dataType.typeName().startswith("timestamp")]
+                if not ts_like:
+                    raise ValueError(
+                        f"store at {self.path} has no {sort_col!r} column "
+                        "and no timestamp column to sort by; append once "
+                        "with the correct ts_col to backfill the meta"
+                    )
+                sort_col = ts_like[0]
             with _int64_timestamps(self.spark):
                 (
-                    df.sort(self._meta_ts_col())
+                    df.sort(sort_col)
                     .coalesce(target_files)
                     .write.option("compression", self.compression)
                     .mode("overwrite")

@@ -210,24 +210,28 @@ class _Conn:
     # ------------------------------------------------------------- writing
 
     def _write(self, data: bytes) -> None:
-        with self._write_lock:
-            try:
+        try:
+            with self._write_lock:
                 self._sock.sendall(data)
-            except OSError:
-                # the socket timeout applies to sends too: a timeout (or
-                # error) mid-sendall may have written a PARTIAL frame, and
-                # a multiplexed byte stream with a truncated frame in it
-                # is unrecoverable — every later frame would be misparsed.
-                # Tear the whole connection down instead of serving
-                # garbage to the other streams.
-                with self._flow:
-                    self._closed = True
-                    self._flow.notify_all()
-                try:
-                    self._sock.close()
-                except OSError:
-                    pass
-                raise ConnectionError("h2 send failed mid-frame") from None
+            return
+        except OSError:
+            pass
+        # the socket timeout applies to sends too: a timeout (or error)
+        # mid-sendall may have written a PARTIAL frame, and a multiplexed
+        # byte stream with a truncated frame in it is unrecoverable —
+        # every later frame would be misparsed. Tear the whole connection
+        # down instead of serving garbage to the other streams. The
+        # teardown runs AFTER _write_lock is released: taking _flow while
+        # holding _write_lock deadlocks against _send_data, whose caller
+        # may hold _flow while waiting for _write_lock (ABBA).
+        with self._flow:
+            self._closed = True
+            self._flow.notify_all()
+        try:
+            self._sock.close()
+        except OSError:
+            pass
+        raise ConnectionError("h2 send failed mid-frame") from None
 
     def send_frame(self, ftype: int, flags: int, sid: int, payload: bytes) -> None:
         self._write(pack_frame(ftype, flags, sid, payload))
@@ -246,6 +250,7 @@ class _Conn:
         view = memoryview(chunk)
         stalled = 0.0
         while view:
+            abort = False
             with self._flow:
                 # wait granularity tracks the (patchable) stall limit so
                 # a shrunken limit still aborts promptly
@@ -264,21 +269,29 @@ class _Conn:
                 if stalled >= SEND_STALL_LIMIT_S and (
                     self._send_window <= 0 or stream.send_window <= 0
                 ):
-                    try:
-                        # FLOW_CONTROL_ERROR: tell the peer why, if it is
-                        # still listening (RST is not flow-controlled)
-                        self.send_frame(
-                            RST_STREAM, 0, sid, struct.pack(">I", 0x3)
-                        )
-                    except OSError:
-                        pass
-                    raise ConnectionError(
-                        "peer stalled flow control; stream aborted"
+                    # record the decision under _flow; perform the send
+                    # outside it — send_frame can block in sendall, and
+                    # holding _flow through that would stall the frame
+                    # loop's WINDOW_UPDATE processing (and, combined with
+                    # _write's teardown, risked an ABBA deadlock)
+                    abort = True
+                else:
+                    n = min(len(view), self._send_window,
+                            stream.send_window, self._peer_max_frame)
+                    self._send_window -= n
+                    stream.send_window -= n
+            if abort:
+                try:
+                    # FLOW_CONTROL_ERROR: tell the peer why, if it is
+                    # still listening (RST is not flow-controlled)
+                    self.send_frame(
+                        RST_STREAM, 0, sid, struct.pack(">I", 0x3)
                     )
-                n = min(len(view), self._send_window, stream.send_window,
-                        self._peer_max_frame)
-                self._send_window -= n
-                stream.send_window -= n
+                except (OSError, ConnectionError):
+                    pass
+                raise ConnectionError(
+                    "peer stalled flow control; stream aborted"
+                )
             self.send_frame(DATA, 0, sid, bytes(view[:n]))
             view = view[n:]
 

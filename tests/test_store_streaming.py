@@ -854,6 +854,67 @@ def test_compact_respects_custom_ts_col(spark, tmp):
         store.append(df.withColumnRenamed("event_time", "ts"), ts_col="ts")
 
 
+def test_legacy_meta_backfills_ts_col(spark, tmp):
+    """A pre-ts_col store (meta file written before the key existed)
+    appended with a custom ts_col must not be rejected by the pin check:
+    the first post-upgrade append backfills the key from the caller, and
+    compaction then sorts by it."""
+    path = os.path.join(tmp, "legacy_ts")
+    store = DocStore(spark, path)
+    df = spark.createDataFrame(
+        [(i, f"2024-01-01 10:{i:02d}:00") for i in range(6)],
+        "k long, t string",
+    ).select("k", F.to_timestamp("t").alias("event_time"))
+    store.append(df, ts_col="event_time")
+    # simulate legacy: strip the ts_col key from the on-disk meta
+    meta_path = os.path.join(path, "_store_meta.json")
+    meta = json.loads(open(meta_path).read())
+    del meta["ts_col"]
+    with open(meta_path, "w") as f:
+        f.write(json.dumps(meta))
+    crc = os.path.join(os.path.dirname(meta_path), "._store_meta.json.crc")
+    if os.path.exists(crc):  # hadoop LocalFileSystem checksum sidecar
+        os.remove(crc)
+    # a fresh handle appends with the custom column: no ValueError, and
+    # the meta is backfilled so the pin holds from here on
+    store2 = DocStore(spark, path)
+    store2.append(df, ts_col="event_time")
+    assert json.loads(open(meta_path).read())["ts_col"] == "event_time"
+    with pytest.raises(ValueError):
+        store2.append(df.withColumnRenamed("event_time", "ts"), ts_col="ts")
+    bucket = store2.partitions()[0]
+    store2.compact(bucket)
+    assert store2.partition_file_count(bucket) == 1
+    assert store2.read().count() == 12
+
+
+def test_legacy_meta_compact_falls_back_to_timestamp_column(spark, tmp):
+    """compact() on a legacy store (meta lacks ts_col) whose data has no
+    'ts' column must not fail on the absent default: it sorts by the
+    first timestamp-typed column instead."""
+    path = os.path.join(tmp, "legacy_compact")
+    store = DocStore(spark, path)
+    df = spark.createDataFrame(
+        [(i, f"2024-01-01 10:{i:02d}:00") for i in range(6)],
+        "k long, t string",
+    ).select("k", F.to_timestamp("t").alias("event_time"))
+    for _ in range(2):
+        store.append(df.repartition(3), ts_col="event_time")
+    meta_path = os.path.join(path, "_store_meta.json")
+    meta = json.loads(open(meta_path).read())
+    del meta["ts_col"]
+    with open(meta_path, "w") as f:
+        f.write(json.dumps(meta))
+    crc = os.path.join(os.path.dirname(meta_path), "._store_meta.json.crc")
+    if os.path.exists(crc):  # hadoop LocalFileSystem checksum sidecar
+        os.remove(crc)
+    store2 = DocStore(spark, path)
+    bucket = store2.partitions()[0]
+    store2.compact(bucket)  # no AnalysisException on missing 'ts'
+    assert store2.partition_file_count(bucket) == 1
+    assert store2.read().count() == 12
+
+
 def test_async_expire_never_deletes_running_job(spark, tmp):
     """expire() must not rmtree a job whose thread is still executing —
     deleting under a running Spark write races the result write (the

@@ -1155,3 +1155,55 @@ def test_h2_flow_stalled_stream_aborted(echo_server, monkeypatch):
         assert r["echo"] == "ok"
     finally:
         ch.close()
+
+def test_h2_write_teardown_no_abba_deadlock():
+    """Regression: _write's OSError teardown used to acquire _flow while
+    still holding _write_lock, while _send_data's stall-abort sent
+    RST_STREAM (→ _write_lock) while holding _flow. A dead peer with two
+    in-flight streaming responses deadlocked both threads permanently.
+    Reproduce the exact interleaving with a socket that parks one sender
+    mid-sendall and then dies: both threads must unwind promptly."""
+    entered = threading.Event()
+    release = threading.Event()
+
+    class DeadSock:
+        def __init__(self):
+            self.first = True
+
+        def sendall(self, data):
+            if self.first:
+                self.first = False
+                entered.set()
+                release.wait(timeout=10)
+            raise OSError("broken pipe")
+
+        def close(self):
+            pass
+
+    conn = h2._Conn(DeadSock(), lambda headers, body: ([], None, []))
+    done = []
+
+    def writer():  # thread B: parked mid-sendall holding _write_lock
+        try:
+            conn._write(b"frame-1")
+        except ConnectionError:
+            done.append("writer")
+
+    def flow_holder():  # thread A: holds _flow, then needs _write_lock
+        with conn._flow:
+            release.set()  # let B's sendall raise while A wants the lock
+            try:
+                conn.send_frame(h2.RST_STREAM, 0, 1, struct.pack(">I", 0x3))
+            except ConnectionError:
+                done.append("flow_holder")
+
+    tb = threading.Thread(target=writer, daemon=True)
+    tb.start()
+    assert entered.wait(timeout=10)
+    ta = threading.Thread(target=flow_holder, daemon=True)
+    ta.start()
+    tb.join(timeout=15)
+    ta.join(timeout=15)
+    assert not tb.is_alive() and not ta.is_alive(), "ABBA deadlock"
+    assert sorted(done) == ["flow_holder", "writer"]
+    assert conn._closed
