@@ -819,7 +819,7 @@ class SearchTable:
         q: str = "*",
         last_ts_ms: Optional[int] = None,
         last_rid: Optional[int] = None,
-        size: int = 100,
+        size: Optional[int] = 100,
         order: str = "desc",
         from_ms: Optional[int] = None,
         to_ms: Optional[int] = None,
@@ -860,7 +860,9 @@ class SearchTable:
                 if last_rid is not None and self.rid_col:
                     cond = cond | (eq & (F.col(self.rid_col) > F.lit(last_rid)))
             df = df.filter(cond)
-        df = df.orderBy(*self._sort_cols(order)).limit(size)
+        df = df.orderBy(*self._sort_cols(order))
+        if size is not None:  # None = unbounded (export-resume mode)
+            df = df.limit(size)
         return self.apply_pipes(self._public(df), pipes)
 
     def apply_pipes(self, df: DataFrame, pipes: List[PipeFields]) -> DataFrame:

@@ -191,7 +191,16 @@ class SeqSparkServer:
             timeout = 300
 
             def do_POST(self):
-                length = int(self.headers.get("Content-Length", 0))
+                try:
+                    length = int(self.headers.get("Content-Length", 0))
+                    if length < 0:
+                        raise ValueError(length)
+                except ValueError:
+                    # malformed header must produce a 400, not an
+                    # unhandled handler exception / connection abort
+                    return self._json(
+                        400, {"error": "invalid Content-Length header"}
+                    )
                 if length > MAX_BULK_BODY_BYTES:
                     # reject BEFORE buffering: a client-declared length must
                     # not size a server allocation (same discipline as the
@@ -462,21 +471,67 @@ class SeqSparkServer:
         HTTP surface JSON-encodes each row, the gRPC surface
         protobuf-encodes — neither pays the other's serialization."""
         self._check_fractions(req)
-        st = self._table()
         size = req.get("size")
-        docs = st.search(
-            req.get("query", "*"),
+        size = None if size is None else int(size)
+        offset = self._int_or(req, "offset", 0)
+        order = req.get("order", "desc")
+        q = req.get("query", "*")
+        kw = dict(
             from_ms=req.get("from_ms"),
             to_ms=req.get("to_ms"),
-            size=None if size is None else int(size),
-            offset=self._int_or(req, "offset", 0),
-            order=req.get("order", "desc"),
             dialect=req.get("dialect"),
+        )
+
+        # the first plan is built EAGERLY so request-shaped errors (seq-ql
+        # parse, size cap, bad dialect) raise here — the transports turn
+        # those into a clean 400 / INVALID_ARGUMENT before any bytes of
+        # the stream are sent
+        first = self._table().search(
+            q, size=size, offset=offset, order=order, **kw
         ).select("mid", "rid", "raw")
 
         def rows():
-            for r in docs.toLocalIterator(prefetchPartitions=True):
-                yield r["mid"], r["rid"], r["raw"]
+            # Resume-on-transient-failure drain: an export is a LONG read
+            # (minutes at scale), and retention/compaction deleting files
+            # under it mid-stream escapes both ignoreMissingFiles (the
+            # local-fs nio path) and _retry_transient (which only guards
+            # call-shaped work). On a transient read failure, replan
+            # against the post-swap listing and resume strictly after the
+            # last yielded (mid, rid) via keyset search_after — no
+            # duplicates, no loss, O(remaining) cost. A transient failure
+            # with NO progress since the previous one is real corruption
+            # and propagates.
+            docs = first
+            yielded = 0
+            cursor = None  # (mid, rid) of the last row handed out
+            failed_at: object = object()  # sentinel ≠ any cursor
+            while True:
+                try:
+                    for r in docs.toLocalIterator(prefetchPartitions=True):
+                        yield r["mid"], r["rid"], r["raw"]
+                        yielded += 1
+                        cursor = (r["mid"], r["rid"])
+                    return
+                except Exception as e:  # noqa: BLE001 - filtered below
+                    if not any(t in str(e) for t in self._TRANSIENT_READ):
+                        raise
+                    if cursor == failed_at:
+                        raise
+                    failed_at = cursor
+                st = self._table()  # replan: post-swap file listing
+                if cursor is None:
+                    docs = st.search(
+                        q, size=size, offset=offset, order=order, **kw
+                    )
+                else:
+                    remaining = None if size is None else size - yielded
+                    if remaining == 0:
+                        return
+                    docs = st.search_after(
+                        q, last_ts_ms=cursor[0], last_rid=cursor[1],
+                        size=remaining, order=order, **kw
+                    )
+                docs = docs.select("mid", "rid", "raw")
 
         return rows()
 

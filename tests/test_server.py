@@ -551,6 +551,25 @@ def test_bulk_oversized_declared_body_is_413(server):
         conn.close()
 
 
+def test_malformed_content_length_is_400(server):
+    """A non-numeric (or negative) Content-Length must produce a 400 JSON
+    error, not an unhandled handler exception / connection abort."""
+    import http.client
+
+    for bad in ("banana", "-5", "1e3"):
+        conn = http.client.HTTPConnection("127.0.0.1", server.port,
+                                          timeout=30)
+        try:
+            conn.putrequest("POST", "/_bulk", skip_host=False)
+            conn.putheader("Content-Length", bad)
+            conn.endheaders()
+            resp = conn.getresponse()
+            assert resp.status == 400, bad
+            assert b"Content-Length" in resp.read()
+        finally:
+            conn.close()
+
+
 def test_export_honors_offset(server):
     """ExportRequest carries an offset (`seq_proxy_api.proto` field 3,
     `grpc_export.go:47`): resuming an export must not restart from row 0."""
@@ -890,3 +909,131 @@ def test_retry_transient_semantics(server):
     with pytest.raises(ValueError):
         server._retry_transient(count_real)
     assert calls["n"] == 1  # non-transient: no second attempt
+
+
+def _flaky_rig(spark, tmp_path, n_docs=6):
+    """Server with n_docs spread over hours; returns (srv, expected rows)."""
+    store = DocStore(spark, str(tmp_path / "flaky_store"))
+    srv = SeqSparkServer(
+        spark, store, MAPPING, allowed_drift_ms=BIG, future_drift_ms=BIG
+    )
+    lines = []
+    for i in range(n_docs):
+        lines.append('{"index": {}}')
+        lines.append(json.dumps({
+            "timestamp": f"2024-01-01 1{i % 3}:0{i}:00.000",
+            "service": "auth", "message": f"msg {i}",
+        }))
+    srv.bulk("\n".join(lines).encode(), gzipped=False)
+    expected = list(srv.export_docs({"query": "*", "order": "asc"}))
+    assert len(expected) == n_docs
+    return srv, expected
+
+
+class _FlakyDF:
+    """Wraps a DataFrame; its local iterator dies with a transient-read
+    marker after ``fail_after`` rows."""
+
+    def __init__(self, df, fail_after):
+        self._df, self._fail_after = df, fail_after
+
+    def select(self, *cols):
+        return _FlakyDF(self._df.select(*cols), self._fail_after)
+
+    def toLocalIterator(self, **kw):
+        def gen():
+            for i, r in enumerate(self._df.toLocalIterator(**kw)):
+                if i == self._fail_after:
+                    raise RuntimeError(
+                        "injected: FAILED_READ_FILE mid-compaction swap"
+                    )
+                yield r
+        return gen()
+
+
+def test_export_resumes_after_transient_read_failure(spark, tmp_path,
+                                                     monkeypatch):
+    """A compaction/retention swap failing an export mid-stream must not
+    truncate it: the drain replans and RESUMES via keyset search_after
+    strictly after the last yielded (mid, rid) — same rows, same order,
+    no duplicates, no loss."""
+    srv, expected = _flaky_rig(spark, tmp_path)
+    real_table = srv._table
+    searches = {"n": 0}
+
+    class FlakyTable:
+        def __init__(self, real):
+            self._real = real
+
+        def search(self, *a, **k):
+            searches["n"] += 1
+            df = self._real.search(*a, **k)
+            # first plan dies after 2 rows; the resume path must then go
+            # through search_after, not a fresh search
+            return _FlakyDF(df, 2) if searches["n"] == 1 else df
+
+        def search_after(self, *a, **k):
+            searches["after"] = (a, k)
+            return self._real.search_after(*a, **k)
+
+    monkeypatch.setattr(srv, "_table", lambda: FlakyTable(real_table()))
+    got = list(srv.export_docs({"query": "*", "order": "asc"}))
+    assert got == expected  # ordered, complete, no dup/loss
+    assert "after" in searches  # resumed with the keyset cursor
+    assert searches["after"][1]["last_ts_ms"] == expected[1][0]
+    assert searches["after"][1]["last_rid"] == expected[1][1]
+
+
+def test_export_resume_respects_size_budget(spark, tmp_path, monkeypatch):
+    """The resume must only drain the REMAINING budget when the request
+    carried a size."""
+    srv, expected = _flaky_rig(spark, tmp_path)
+    real_table = srv._table
+    searches = {"n": 0}
+
+    class FlakyTable:
+        def __init__(self, real):
+            self._real = real
+
+        def search(self, *a, **k):
+            searches["n"] += 1
+            df = self._real.search(*a, **k)
+            return _FlakyDF(df, 3) if searches["n"] == 1 else df
+
+        def search_after(self, *a, **k):
+            searches["after"] = k
+            return self._real.search_after(*a, **k)
+
+    monkeypatch.setattr(srv, "_table", lambda: FlakyTable(real_table()))
+    got = list(srv.export_docs({"query": "*", "order": "asc", "size": 5}))
+    assert got == expected[:5]
+    assert searches["after"]["size"] == 2  # 5 requested - 3 yielded
+
+
+def test_export_gives_up_without_progress(spark, tmp_path, monkeypatch):
+    """Two consecutive transient failures at the SAME cursor are real
+    corruption, not a swap race — the drain must propagate, not loop."""
+    srv, _ = _flaky_rig(spark, tmp_path)
+    real_table = srv._table
+
+    class AlwaysFlaky:
+        def __init__(self, real):
+            self._real = real
+
+        def search(self, *a, **k):
+            return _FlakyDF(self._real.search(*a, **k), 0)
+
+        def search_after(self, *a, **k):
+            return _FlakyDF(self._real.search_after(*a, **k), 0)
+
+    monkeypatch.setattr(srv, "_table", lambda: AlwaysFlaky(real_table()))
+    with pytest.raises(RuntimeError, match="FAILED_READ_FILE"):
+        list(srv.export_docs({"query": "*", "order": "asc"}))
+
+
+def test_export_bad_query_still_raises_eagerly(server):
+    """Request-shaped errors must raise at export_docs() call time (the
+    HTTP handler turns them into a 400 BEFORE the 200 status line) — the
+    lazy resume drain must not swallow them into a truncated stream."""
+    with pytest.raises(Exception):
+        server.export_docs({"query": "service:((", "order": "asc"})
