@@ -1192,6 +1192,20 @@ def q_hash_split(spark, sf_dir):
     ).select("doc_id", "split")
 
 
+def q_train_shuffle(spark, sf_dir):
+    # training OUTPUT layout: deterministic global shuffle + fixed shard
+    # assignment — (shard, pos) is a pure function of (doc_id, seed), so
+    # reruns/repartitions/incremental rebuilds produce the identical
+    # layout. One hash-partitioned shuffle, per-shard window rank: no
+    # global sort funnel (seqspark/pipeline/sampling.py train_shuffle)
+    from seqspark.pipeline.sampling import train_shuffle
+
+    docs = load_table(spark, sf_dir, "documents")
+    return train_shuffle(docs, "doc_id", shards=8, seed="v1").select(
+        "doc_id", "shard", "pos"
+    )
+
+
 def q_mix_sources(spark, sf_dir):
     # epoch mixing: per-source up/down-weighting by deterministic
     # repetition — weight 2.5 → 2 copies + hash-chosen 50% a third
@@ -1522,6 +1536,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "local_supplier_volume": q_local_supplier_volume,
         "hash_sample": q_hash_sample,
         "hash_split": q_hash_split,
+        "train_shuffle": q_train_shuffle,
         "mix_sources": q_mix_sources,
         "legacy_query": q_legacy_query,
         "legacy_range": q_legacy_range,
@@ -2010,6 +2025,16 @@ def oracle_sql() -> dict[str, str]:
         f"WHEN {bucket('split:')} < 800000 THEN 'train' "
         f"WHEN {bucket('split:')} < 900000 THEN 'val' "
         "ELSE 'test' END AS split FROM documents"
+    )
+    shard8 = (
+        "(CAST(CONCAT('0x', SUBSTR(md5(CONCAT(CAST(doc_id AS VARCHAR), "
+        "'shard:v1')), 1, 15)) AS BIGINT) % 8)"
+    )
+    sql["train_shuffle"] = (
+        f"SELECT doc_id, CAST({shard8} AS INTEGER) AS shard, "
+        f"CAST(row_number() OVER (PARTITION BY {shard8} "
+        "ORDER BY md5(CONCAT(CAST(doc_id AS VARCHAR), 'order:v1')), doc_id)"
+        " - 1 AS BIGINT) AS pos FROM documents"
     )
     sql["mix_sources"] = (
         "WITH weighted AS (SELECT doc_id, source, "

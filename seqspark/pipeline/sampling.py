@@ -269,3 +269,70 @@ def pack_sequences(
         )
         .drop("__end_tok")
     )
+
+
+def train_shuffle(
+    df: DataFrame, id_col: str, shards: int, seed: str = ""
+) -> DataFrame:
+    """Deterministic global shuffle + fixed shard layout — the training
+    OUTPUT stage: every document gets a ``(shard, pos)`` coordinate that
+    is a pure function of (id, seed), so reruns, repartitions and
+    incremental rebuilds all produce the identical layout (the property
+    resumable training jobs depend on: step N reads the same batch on
+    every rerun).
+
+    - ``shard``: :func:`hash_bucket` of the id under the ``shard:``
+      namespace, mod ``shards`` — balanced in expectation (±√(N/shards)).
+    - ``pos``: 0-based rank within the shard, ordered by an INDEPENDENT
+      ``order:``-namespaced md5 (ties by id). Two namespaces, like every
+      sampler here: one hash for placement and the same hash for order
+      would make pos a monotone function of shard-local hash — fine — but
+      correlating with any other operator seeded the same way.
+
+    Reading shard 0 pos 0.., then shard 1 pos 0.. is a deterministic
+    pseudorandom permutation of the corpus: cross-shard order comes from
+    the shard hash, within-shard order from the order hash.
+
+    100 TB shape: ONE hash-partitioned shuffle (by shard); each window
+    partition holds ≈N/shards rows and ranks independently — no global
+    sort, no single-task funnel, no two-pass rank whose second job could
+    see different range boundaries. Raise ``shards`` with corpus size to
+    keep window partitions executor-sized.
+    """
+    if shards <= 0:
+        raise ValueError(f"shards must be positive, got {shards}")
+    key = F.col(id_col).cast("string")
+    out = df.withColumn(
+        "shard", hash_bucket(key, "shard:" + seed, shards).cast("int")
+    ).withColumn(
+        "__okey", F.md5(F.concat(key, F.lit("order:" + seed)))
+    )
+    w = Window.partitionBy("shard").orderBy("__okey", F.col(id_col))
+    return out.withColumn(
+        "pos", (F.row_number().over(w) - 1).cast("long")
+    ).drop("__okey")
+
+
+def write_shards(
+    df: DataFrame,
+    path: str,
+    id_col: str,
+    shards: int,
+    seed: str = "",
+    fmt: str = "parquet",
+    mode: str = "error",
+) -> None:
+    """Materialize the :func:`train_shuffle` layout: one directory per
+    shard (``shard=K/``), rows inside each shard's files in ``pos``
+    order — the terasort-free way to write a globally shuffled corpus.
+    ``repartition(shards, shard)`` lines file boundaries up with shard
+    boundaries so a trainer maps one shard directory to one reader."""
+    out = train_shuffle(df, id_col, shards, seed)
+    (
+        out.repartition(shards, "shard")
+        .sortWithinPartitions("shard", "pos")
+        .write.partitionBy("shard")
+        .mode(mode)
+        .format(fmt)
+        .save(path)
+    )

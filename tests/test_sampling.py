@@ -204,3 +204,69 @@ def test_top_per_group(spark):
     assert top1 == {2, 5}
     asc = {r["id"] for r in top_per_group(df, "g", "v", 1, key_col="id", desc=False).collect()}
     assert asc == {1, 5}
+
+
+def test_train_shuffle_deterministic_and_dense(docs, spark):
+    from seqspark.pipeline.sampling import train_shuffle
+
+    out = train_shuffle(docs, "doc_id", shards=8, seed="t").select(
+        "doc_id", "shard", "pos"
+    )
+    a = sorted(map(tuple, out.collect()))
+    b = sorted(map(tuple, train_shuffle(
+        docs.repartition(13), "doc_id", shards=8, seed="t"
+    ).select("doc_id", "shard", "pos").collect()))
+    assert a == b  # layout is a pure function of (id, seed)
+    rows = out.collect()
+    n = len(rows)
+    assert len({(r["shard"], r["pos"]) for r in rows}) == n  # injective
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r["shard"], []).append(r["pos"])
+    for shard, poss in by_shard.items():
+        assert sorted(poss) == list(range(len(poss)))  # dense 0..k-1
+    # balanced in expectation: no shard is pathologically loaded
+    sizes = [len(v) for v in by_shard.values()]
+    assert max(sizes) < 3 * n / 8
+    # a different seed produces a different permutation
+    c = sorted(map(tuple, train_shuffle(
+        docs, "doc_id", shards=8, seed="u"
+    ).select("doc_id", "shard", "pos").collect()))
+    assert a != c
+
+
+def test_train_shuffle_single_shuffle_plan(docs):
+    """The 100 TB property: ONE hash exchange (by shard) feeds the
+    per-shard window rank — no global sort, no second exchange."""
+    from seqspark.pipeline.sampling import train_shuffle
+
+    plan = train_shuffle(docs, "doc_id", shards=8)._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "rangepartitioning" not in plan
+
+
+def test_write_shards_layout(docs, spark, tmp_path):
+    from seqspark.pipeline.sampling import train_shuffle, write_shards
+
+    path = str(tmp_path / "shards")
+    write_shards(docs, path, "doc_id", shards=4, seed="w")
+    back = spark.read.parquet(path)
+    want = train_shuffle(docs, "doc_id", shards=4, seed="w").select(
+        "doc_id", "shard", "pos"
+    )
+    assert sorted(map(tuple, back.select("doc_id", "shard", "pos").collect())) \
+        == sorted(map(tuple, want.collect()))
+    import os
+    dirs = {d for d in os.listdir(path) if d.startswith("shard=")}
+    assert dirs == {f"shard={k}" for k in range(4)}
+    # rows inside each shard's files are in pos order (a trainer streams
+    # a shard directory without sorting)
+    import pyarrow.parquet as pq
+    for d in sorted(dirs):
+        full = os.path.join(path, d)
+        files = [f for f in os.listdir(full) if f.endswith(".parquet")]
+        assert len(files) == 1  # shard boundary == file boundary
+        t = pq.read_table(os.path.join(full, files[0]), columns=["pos"])
+        poss = t.column("pos").to_pylist()
+        assert poss == sorted(poss)
