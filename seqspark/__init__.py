@@ -26,7 +26,7 @@ from .engine import (
 )
 from .circuitbreaker import CircuitBreaker, CircuitOpenError
 from .index import StoreIndex, build_inverted_index, search_tokens
-from .mapping import AutoMapping, Mapping
+from .mapping import AutoMapping, Mapping, MappingProvider
 from .ratelimit import RateLimiter
 from .seqql.legacy import parse_legacy
 from .seqql.parser import ParseError, parse
@@ -43,6 +43,7 @@ __all__ = [
     "build_inverted_index",
     "search_tokens",
     "AutoMapping",
+    "MappingProvider",
     "Mapping",
     "RateLimiter",
     "CircuitBreaker",

@@ -216,3 +216,121 @@ class AutoMapping(Mapping):
 
     def index_type(self, queried: str) -> Optional[str]:
         return "keyword"
+
+
+class MappingProvider:
+    """Live mapping reload (reference `mappingprovider/mapping_provider.go`,
+    flags ``--enable-mapping-updates`` / ``--mapping-update-period``,
+    default 30 s): a watcher thread periodically re-reads the mapping YAML
+    and, when its checksum changes, parses and swaps the mapping
+    atomically. Reload failure semantics match the reference's
+    ``reloadMapping``:
+
+    - an UNCHANGED checksum costs one file read + hash, no re-parse;
+    - an unreadable file or a mapping that fails to parse is logged and
+      IGNORED — the previous mapping keeps serving (a bad deploy of the
+      mapping file must not take ingest/search down);
+    - construction errors DO propagate (`initMapping`): starting with a
+      broken mapping is a configuration error, not a transient.
+
+    ``index_all_fields=True`` mirrors ``WithIndexAllFields``: the provider
+    always serves :class:`AutoMapping` and never touches the file.
+
+    Subscribers (e.g. a server's cached ingest transform) register a
+    zero-arg callback fired after every successful swap.
+    """
+
+    def __init__(
+        self,
+        file_path: Optional[str] = None,
+        update_period_s: float = 30.0,
+        mapping: Optional[Mapping] = None,
+        index_all_fields: bool = False,
+    ):
+        import hashlib
+        import threading
+
+        self._path = file_path
+        self._period = update_period_s
+        self._lock = threading.RLock()
+        self._stop = threading.Event()
+        self._thread: Optional[threading.Thread] = None
+        self._subscribers: List[object] = []
+        self._hashlib = hashlib
+        self._checksum: Optional[bytes] = None
+        if index_all_fields:
+            # WithIndexAllFields: GetMapping returns nil in the reference
+            # (the auto branch); here the sentinel AutoMapping — the file
+            # is never read or watched
+            self._mapping: Mapping = AutoMapping()
+            self._path = None
+        elif mapping is not None:
+            # WithMapping: pinned, no initial file read (the watcher still
+            # runs if a path was given, like the reference)
+            self._mapping = mapping
+        else:
+            if file_path is None:
+                raise ValueError("MappingProvider needs file_path, "
+                                 "mapping, or index_all_fields")
+            data = open(file_path, "rb").read()
+            self._mapping = Mapping.from_yaml(data.decode("utf-8"))
+            self._checksum = hashlib.sha256(data).digest()
+
+    def get(self) -> Mapping:
+        with self._lock:
+            return self._mapping
+
+    def subscribe(self, callback) -> None:
+        """``callback()`` fires after every successful mapping swap."""
+        with self._lock:
+            self._subscribers.append(callback)
+
+    def watch(self) -> "MappingProvider":
+        """Start the reload thread (``WatchUpdates``). Idempotent."""
+        import threading
+
+        if self._path is None or self._thread is not None:
+            return self
+        self._thread = threading.Thread(target=self._loop, daemon=True,
+                                        name="mapping-watcher")
+        self._thread.start()
+        return self
+
+    def stop(self) -> None:
+        self._stop.set()
+        if self._thread is not None:
+            self._thread.join(timeout=5)
+            self._thread = None
+            self._stop = __import__("threading").Event()
+
+    def _loop(self) -> None:
+        while not self._stop.wait(self._period):
+            self.reload()
+
+    def reload(self) -> bool:
+        """One reload pass; True if the mapping was swapped. Public so
+        tests and operators can force a check without waiting a period."""
+        import logging
+
+        log = logging.getLogger(__name__)
+        try:
+            data = open(self._path, "rb").read()
+        except OSError as e:
+            log.error("error opening mapping file %s: %s", self._path, e)
+            return False
+        checksum = self._hashlib.sha256(data).digest()
+        if checksum == self._checksum:
+            return False
+        try:
+            new = Mapping.from_yaml(data.decode("utf-8"))
+        except Exception as e:  # noqa: BLE001 - bad file must not kill serving
+            log.error("read new mapping error from %s: %s", self._path, e)
+            return False
+        with self._lock:
+            self._mapping = new
+            self._checksum = checksum
+            subs = list(self._subscribers)
+        for cb in subs:
+            cb()
+        log.info("mapping updated from %s", self._path)
+        return True

@@ -78,6 +78,8 @@ class SeqSparkServer:
         allowed_drift_ms: Optional[int] = None,
         future_drift_ms: Optional[int] = None,
         log_search_threshold_ms: int = LOG_SEARCH_THRESHOLD_MS,
+        log_bulk_threshold_ms: int = 0,
+        log_fetch_threshold_ms: int = LOG_SEARCH_THRESHOLD_MS,
         query_rate_limit: Optional[float] = None,
         bulk_breaker: Optional[CircuitBreaker] = None,
         max_inflight_searches: int = MAX_INFLIGHT_SEARCHES,
@@ -87,7 +89,19 @@ class SeqSparkServer:
     ):
         self.spark = spark
         self.store = store
-        self.mapping = mapping
+        # `--enable-mapping-updates`: a MappingProvider serves the mapping
+        # live — every request reads the CURRENT mapping through the
+        # property below, and a successful reload invalidates the cached
+        # ingest transform (the one mapping-derived thing we memoize)
+        from .mapping import MappingProvider
+
+        if isinstance(mapping, MappingProvider):
+            self._mapping_provider: Optional[MappingProvider] = mapping
+            mapping.subscribe(self._on_mapping_update)
+            mapping.watch()
+        else:
+            self._mapping_provider = None
+            self._mapping = mapping
         self._inflight = threading.Semaphore(max_inflight)
         # per-query-shape admission control (`docs/en/08-rate-limiting.md`):
         # enabled only when the flag is set, like --query-rate-limit
@@ -122,6 +136,11 @@ class SeqSparkServer:
         self._gc_pending: list = []
         self._gc_flushing = False
         self._slow_ms = log_search_threshold_ms
+        # `--log-bulk-threshold-ms` (default 0 = off) and
+        # `--log-fetch-threshold-ms` (default 3000), 0 disables like the
+        # reference (`storeapi/grpc_fetch.go:118`)
+        self._slow_bulk_ms = log_bulk_threshold_ms
+        self._slow_fetch_ms = log_fetch_threshold_ms
         # `--search-fraction-limit` (default 6000): cap how many time
         # partitions one search may touch (`fracmanager/searcher.go:88-97`)
         self._max_fraction_hits = max_fraction_hits
@@ -222,7 +241,17 @@ class SeqSparkServer:
                                 503, {"error": "circuit breaker open"}
                             )
                         try:
+                            _t0 = time.perf_counter()
                             resp = outer.bulk(body, gzipped)
+                            _took = (time.perf_counter() - _t0) * 1000
+                            if (outer._slow_bulk_ms
+                                    and _took >= outer._slow_bulk_ms):
+                                # `--log-bulk-threshold-ms` (0 = disabled,
+                                # the reference default)
+                                logger.warning(
+                                    "slow bulk took=%.0fms bytes=%d",
+                                    _took, len(body),
+                                )
                         except BadBulkRequest as e:
                             # client-shaped error: a 400 that proves nothing
                             # about backend health — recorded as success so
@@ -343,11 +372,17 @@ class SeqSparkServer:
                         t0 = time.perf_counter()
                         resp = handlers[self.path](req)
                         took_ms = (time.perf_counter() - t0) * 1000
-                        if took_ms >= outer._slow_ms:
-                            # slow-search log (`--log-search-threshold-ms`)
+                        # per-op slow logs (`--log-search-threshold-ms` /
+                        # `--log-fetch-threshold-ms`; reference: 0 disables,
+                        # `storeapi/grpc_fetch.go:118`, `grpc_search.go:169`)
+                        op, slow = ("fetch", outer._slow_fetch_ms) if (
+                            self.path == "/fetch"
+                        ) else ("search", outer._slow_ms)
+                        if slow and took_ms >= slow:
                             logger.warning(
-                                "slow search took=%.0fms path=%s query=%r",
-                                took_ms, self.path, req.get("query", ""),
+                                "slow %s took=%.0fms path=%s query=%r",
+                                op, took_ms, self.path,
+                                req.get("query", ""),
                             )
                         return self._json(200, resp)
                     except Exception as e:  # request-shaped errors → 400
@@ -610,6 +645,23 @@ class SeqSparkServer:
             with self._metrics_lock:
                 self._counters["bulk_docs_total"] += len(res.docs)
         return res.response()
+
+    @property
+    def mapping(self):
+        """The CURRENT mapping — live when backed by a MappingProvider
+        (`--enable-mapping-updates`), pinned otherwise. Every request path
+        resolves through here at call time, so a reload applies to the
+        next search/bulk without a restart."""
+        if self._mapping_provider is not None:
+            return self._mapping_provider.get()
+        return self._mapping
+
+    def _on_mapping_update(self) -> None:
+        # drop the memoized ingest projection; the next bulk rebuilds it
+        # from the swapped mapping (assignment is atomic under the GIL —
+        # a bulk mid-flight keeps the transform it already grabbed, the
+        # same read-your-epoch semantics as the reference's RWMutex get)
+        self._ingest_transform = None
 
     def _transform(self):
         # the ingest projection is built once per server (the Column
@@ -950,3 +1002,5 @@ class SeqSparkServer:
         self._httpd.server_close()
         if self._thread:
             self._thread.join(5)
+        if self._mapping_provider is not None:
+            self._mapping_provider.stop()

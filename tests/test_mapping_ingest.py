@@ -180,3 +180,158 @@ def test_auto_mapping_value_rendering(spark):
     assert toks["o"] == ['{"x":1}']
     assert toks["arr"] == ["[1,2]"]
     assert toks["n"] == ["4130134"]
+
+
+# ------------------------------------------------- live mapping updates
+
+INITIAL_YAML = """mapping-list:
+  - name: "k8s_pod"
+    type: "keyword"
+"""
+
+CHANGED_YAML = """mapping-list:
+  - name: "k8s_pod"
+    type: "keyword"
+  - name: "trace_id"
+    type: "keyword"
+"""
+
+
+def test_mapping_provider_reload_semantics(tmp_path):
+    """Mirror of the reference's TestMappingProvider
+    (`mappingprovider/mapping_provider_test.go`): a changed file swaps
+    the mapping; an unchanged checksum, a bad file and a missing file are
+    all no-ops that keep the previous mapping serving."""
+    from seqspark import MappingProvider
+
+    path = str(tmp_path / "mappings.yaml")
+    with open(path, "w") as f:
+        f.write(INITIAL_YAML)
+    p = MappingProvider(path, update_period_s=0.05)
+    assert p.get().index_type("k8s_pod") == "keyword"
+    assert p.get().index_type("trace_id") is None
+
+    fired = []
+    p.subscribe(lambda: fired.append(1))
+    assert p.reload() is False  # unchanged checksum: no swap, no callback
+    assert not fired
+
+    with open(path, "w") as f:
+        f.write(CHANGED_YAML)
+    assert p.reload() is True
+    assert p.get().index_type("trace_id") == "keyword"
+    assert fired == [1]
+
+    # a BAD new file is logged and ignored — the old mapping keeps serving
+    with open(path, "w") as f:
+        f.write("mapping-list: [{name: x, type: nosuchtype}]")
+    assert p.reload() is False
+    assert p.get().index_type("trace_id") == "keyword"
+
+    # a missing file is likewise a no-op
+    import os
+    os.remove(path)
+    assert p.reload() is False
+    assert p.get().index_type("trace_id") == "keyword"
+
+
+def test_mapping_provider_watcher_picks_up_change(tmp_path):
+    """The WatchUpdates analog: the daemon thread applies a file change
+    within a few periods (reference asserts EventuallyWithT)."""
+    import time
+
+    from seqspark import MappingProvider
+
+    path = str(tmp_path / "mappings.yaml")
+    with open(path, "w") as f:
+        f.write(INITIAL_YAML)
+    p = MappingProvider(path, update_period_s=0.05).watch()
+    try:
+        with open(path, "w") as f:
+            f.write(CHANGED_YAML)
+        deadline = time.time() + 5
+        while time.time() < deadline:
+            if p.get().index_type("trace_id") == "keyword":
+                break
+            time.sleep(0.05)
+        assert p.get().index_type("trace_id") == "keyword"
+    finally:
+        p.stop()
+
+
+def test_mapping_provider_modes(tmp_path):
+    from seqspark import AutoMapping, Mapping, MappingProvider
+
+    # index_all_fields never touches the file
+    p = MappingProvider(index_all_fields=True)
+    assert isinstance(p.get(), AutoMapping)
+    # pinned mapping, no file read
+    p2 = MappingProvider(mapping=Mapping({"a": "keyword"}))
+    assert p2.get().index_type("a") == "keyword"
+    # missing everything is a configuration error
+    with pytest.raises(ValueError):
+        MappingProvider()
+    # a broken INITIAL file propagates (initMapping semantics)
+    bad = str(tmp_path / "bad.yaml")
+    with open(bad, "w") as f:
+        f.write("mapping-list: [{name: x, type: nosuchtype}]")
+    with pytest.raises(Exception):
+        MappingProvider(bad)
+
+
+def test_server_applies_mapping_update_without_restart(spark, tmp_path):
+    """End to end over HTTP: a field added to the mapping file becomes
+    searchable and ingest-indexed after a reload — no server restart.
+    Before the swap, querying it is the reference's parse error."""
+    import urllib.request
+
+    from seqspark import MappingProvider
+    from seqspark.server import SeqSparkServer
+    from seqspark.store import DocStore
+
+    path = str(tmp_path / "mappings.yaml")
+    with open(path, "w") as f:
+        f.write(INITIAL_YAML)
+    provider = MappingProvider(path, update_period_s=3600)  # manual reload
+    store = DocStore(spark, str(tmp_path / "store"))
+    srv = SeqSparkServer(
+        spark, store, provider,
+        allowed_drift_ms=10**15, future_drift_ms=10**15,
+    ).start()
+
+    def post(p, body):
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{srv.port}{p}", data=body)
+        try:
+            with urllib.request.urlopen(req) as r:
+                return r.status, json.loads(r.read())
+        except urllib.error.HTTPError as e:
+            return e.code, json.loads(e.read())
+
+    try:
+        bulk = (
+            '{"index": {}}\n'
+            '{"timestamp": "2024-01-01 10:00:00.000", "k8s_pod": "p1",'
+            ' "trace_id": "t1"}\n'
+        ).encode()
+        assert post("/_bulk", bulk)[0] == 200
+        code, _ = post("/search", b'{"query": "k8s_pod:p1"}')
+        assert code == 200
+        code, err = post("/search", b'{"query": "trace_id:t1"}')
+        assert code == 400 and "not indexed" in err["error"]
+
+        with open(path, "w") as f:
+            f.write(CHANGED_YAML)
+        assert provider.reload() is True
+
+        # the new field resolves for search AND the next bulk indexes it
+        code, res = post("/search", b'{"query": "trace_id:t1"}')
+        assert code == 200
+        # the pre-swap doc was ingested under the OLD mapping: trace_id
+        # was not tokenized then (reference: unmapped fields are skipped
+        # at indexing), so re-ship the doc post-swap
+        assert post("/_bulk", bulk)[0] == 200
+        code, res = post("/search", b'{"query": "trace_id:t1"}')
+        assert code == 200 and len(res["docs"]) == 1
+    finally:
+        srv.stop()

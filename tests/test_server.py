@@ -144,13 +144,41 @@ def test_slow_search_logged(spark, tmp_path, caplog):
     srv = SeqSparkServer(
         spark, store, MAPPING,
         allowed_drift_ms=BIG, future_drift_ms=BIG,
-        log_search_threshold_ms=0,  # every search is "slow"
+        log_search_threshold_ms=1,   # every real search is "slow"
+        log_bulk_threshold_ms=1,     # every real bulk is "slow"
+        log_fetch_threshold_ms=1,    # every real fetch is "slow"
     ).start()
     try:
-        _post(srv, "/_bulk", BULK)
         with caplog.at_level(logging.WARNING, logger="seqspark.server"):
+            _post(srv, "/_bulk", BULK)
             _post(srv, "/search", json.dumps({"query": "service:auth"}).encode())
-        assert any("slow search" in r.message for r in caplog.records)
+            _post(srv, "/fetch", json.dumps({"ids": [[0, 0]]}).encode())
+        msgs = [r.message for r in caplog.records]
+        assert any("slow search" in m for m in msgs)
+        assert any("slow bulk" in m for m in msgs)
+        assert any("slow fetch" in m for m in msgs)
+    finally:
+        srv.stop()
+
+
+def test_slow_logs_disabled_at_zero(spark, tmp_path, caplog):
+    """Threshold 0 DISABLES the log — the reference's semantics
+    (`storeapi/grpc_search.go:169` checks `!= 0` first)."""
+    import logging
+
+    store = DocStore(spark, str(tmp_path / "quiet_store"))
+    srv = SeqSparkServer(
+        spark, store, MAPPING,
+        allowed_drift_ms=BIG, future_drift_ms=BIG,
+        log_search_threshold_ms=0, log_bulk_threshold_ms=0,
+        log_fetch_threshold_ms=0,
+    ).start()
+    try:
+        with caplog.at_level(logging.WARNING, logger="seqspark.server"):
+            _post(srv, "/_bulk", BULK)
+            _post(srv, "/search", json.dumps({"query": "service:auth"}).encode())
+            _post(srv, "/fetch", json.dumps({"ids": [[0, 0]]}).encode())
+        assert not any("slow" in r.message for r in caplog.records)
     finally:
         srv.stop()
 
