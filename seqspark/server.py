@@ -86,6 +86,8 @@ class SeqSparkServer:
         mirror_url: Optional[str] = None,
         async_dir: Optional[str] = None,
         max_fraction_hits: int = 6000,
+        async_parallelism: Optional[int] = None,
+        es_version: Optional[str] = None,
     ):
         self.spark = spark
         self.store = store
@@ -160,7 +162,13 @@ class SeqSparkServer:
             spark,
             async_dir
             or _os.path.join(store.path.removeprefix("file:"), "_async_search"),
+            parallelism=async_parallelism,
         )
+        # `--es-version`: the version string shippers read off the banner
+        # (`proxyapi/ingestor_config.go:18`)
+        self._banner = dict(ES_BANNER)
+        if es_version is not None:
+            self._banner = {**ES_BANNER, "version": {"number": es_version}}
         outer = self
 
         class Handler(BaseHTTPRequestHandler):
@@ -177,7 +185,7 @@ class SeqSparkServer:
 
             def do_GET(self):
                 if self.path == "/":
-                    return self._json(200, ES_BANNER)
+                    return self._json(200, outer._banner)
                 if self.path == "/status":
                     return self._json(200, outer.status())
                 # debug-server surface (`docs/en/internal/debug-server.md`)

@@ -283,7 +283,8 @@ class AsyncSearcher:
     - :meth:`expire` drops jobs past their TTL (retention loop).
     """
 
-    def __init__(self, spark: SparkSession, base_dir: str):
+    def __init__(self, spark: SparkSession, base_dir: str,
+                 parallelism: Optional[int] = None):
         self.spark = spark
         self.base_dir = base_dir
         os.makedirs(base_dir, exist_ok=True)
@@ -294,6 +295,14 @@ class AsyncSearcher:
         import threading as _threading
 
         self._meta_lock = _threading.Lock()
+        # `--async-searches-concurrency` (default numCPU,
+        # `cmd/seq-db/flags.go:109`): at most this many async searches
+        # EXECUTE at once; start() still returns immediately and excess
+        # jobs queue as "running" until a slot frees. Unbounded async
+        # submission would otherwise pile arbitrary concurrent Spark jobs
+        # onto the scheduler (each is a full search at scale).
+        n = parallelism if parallelism is not None else (os.cpu_count() or 4)
+        self._run_slots = _threading.Semaphore(max(1, n))
 
     def _job_dir(self, job_id: str) -> str:
         return os.path.join(self.base_dir, job_id)
@@ -308,10 +317,14 @@ class AsyncSearcher:
     def _run(self, job_id: str, df_factory) -> None:
         meta = self.status(job_id) or {}
         try:
-            df = df_factory()
-            df.write.mode("overwrite").parquet(
-                os.path.join(self._job_dir(job_id), "result")
-            )
+            with self._run_slots:
+                # a job canceled while queued must not execute at all
+                if (self.status(job_id) or {}).get("status") == "canceled":
+                    return
+                df = df_factory()
+                df.write.mode("overwrite").parquet(
+                    os.path.join(self._job_dir(job_id), "result")
+                )
             meta["status"] = "done"
         except Exception as e:  # surfaced via status(), like the reference's
             meta["status"] = "error"  # per-job error field

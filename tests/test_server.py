@@ -1065,3 +1065,20 @@ def test_export_bad_query_still_raises_eagerly(server):
     lazy resume drain must not swallow them into a truncated stream."""
     with pytest.raises(Exception):
         server.export_docs({"query": "service:((", "order": "asc"})
+
+
+def test_es_version_flag(spark, tmp_path):
+    """`--es-version`: the banner version shippers read is configurable
+    (`proxyapi/ingestor_config.go:18`)."""
+    store = DocStore(spark, str(tmp_path / "esv_store"))
+    srv = SeqSparkServer(
+        spark, store, MAPPING, allowed_drift_ms=BIG, future_drift_ms=BIG,
+        es_version="7.17.0",
+    ).start()
+    try:
+        code, body = _get(srv, "/")
+        assert code == 200
+        assert body["version"]["number"] == "7.17.0"
+        assert body["tagline"] == "You Know, for Search"
+    finally:
+        srv.stop()

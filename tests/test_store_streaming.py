@@ -1125,3 +1125,45 @@ def test_retention_under_running_query_yields_partial_not_error(spark, tmp):
     victim = store.partitions()[0]
     shutil.rmtree(os.path.join(path, f"ts_bucket={victim}"))
     assert df.count() == 20  # partial, no exception
+
+
+def test_async_search_concurrency_capped(spark, tmp):
+    """`--async-searches-concurrency` (`cmd/seq-db/flags.go:109`): at most
+    N async searches execute at once; start() still returns immediately
+    and queued jobs run (and finish) when a slot frees. A job canceled
+    while queued never executes."""
+    import threading
+    import time as _t
+
+    searcher = AsyncSearcher(spark, os.path.join(tmp, "async_cap"),
+                             parallelism=1)
+    running = []
+    peak = []
+    gate = threading.Event()
+    lock = threading.Lock()
+
+    def factory():
+        with lock:
+            running.append(1)
+            peak.append(len(running))
+        gate.wait(timeout=30)
+        with lock:
+            running.pop()
+        return spark.range(1)
+
+    ids = [searcher.start(f"q{i}", factory) for i in range(3)]
+    _t.sleep(1.0)  # give queued threads a chance to (wrongly) start
+    with lock:
+        assert max(peak) == 1  # only one slot executes
+    # cancel a queued job: it must never run
+    statuses = {j: searcher.status(j)["status"] for j in ids}
+    assert all(s == "running" for s in statuses.values())
+    queued = ids[-1]
+    searcher.cancel(queued)
+    gate.set()
+    for j in ids[:-1]:
+        searcher.wait(j, timeout=120)
+        assert searcher.status(j)["status"] == "done"
+    searcher.wait(queued, timeout=120)
+    assert searcher.status(queued)["status"] == "canceled"
+    assert max(peak) == 1  # the cap held for the whole drain
