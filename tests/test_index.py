@@ -329,3 +329,42 @@ def test_index_semi_join_prunes_time_buckets(spark, tmp_path):
     bounded = [plan[i : i + 260] for i in spans]
     with_bounds = [w for w in bounded if "2024-01-02" in w and "ts_bucket" in w]
     assert len(with_bounds) >= 2, f"index scan unpruned: {bounded}"
+
+
+def test_index_report_tool(spark, tmp_path):
+    """tools/index_report.py — the cmd/index_analyzer analog: per-bucket
+    doc/token/posting stats with cumulative-unique columns and a
+    power-of-2 posting-length histogram, verified against hand counts."""
+    import sys
+
+    sys.path.insert(0, "tools")
+    try:
+        from index_report import report
+    finally:
+        sys.path.pop(0)
+
+    df = spark.createDataFrame(
+        [
+            # bucket A: token "x" in 3 docs, "y" in 1
+            ("A", "f", "x", 1), ("A", "f", "x", 2), ("A", "f", "x", 3),
+            ("A", "f", "y", 1),
+            # bucket B: "x" again (not new), "zz" new, 2 docs
+            ("B", "f", "x", 4), ("B", "f", "zz", 4), ("B", "f", "zz", 5),
+        ],
+        "ts_bucket string, field string, token string, mid long",
+    )
+    path = str(tmp_path / "idx")
+    df.write.partitionBy("ts_bucket").parquet(path)
+    rep = report(spark, path)
+    a, b = rep["buckets"]
+    assert (a["ts_bucket"], a["docs"], a["tokens"], a["lids"]) == ("A", 3, 2, 4)
+    assert (b["ts_bucket"], b["docs"], b["tokens"], b["lids"]) == ("B", 2, 2, 3)
+    assert a["uniq_tokens_sum"] == 2          # x, y
+    assert b["uniq_tokens_sum"] == 3          # + zz (x not recounted)
+    assert b["docs_sum"] == 5 and b["tokens_sum"] == 4
+    assert a["token_size"] == 4 and b["token_size"] == 5  # x+x+x+y; x+zz+zz
+    assert b["uniq_token_size_sum"] == 4      # x(1) + y(1) + zz(2)
+    # posting lengths: A has [3 (x), 1 (y)] → buckets {4:1, 1:1};
+    # B has [1 (x), 2 (zz)] → {1:1, 2:1}
+    assert rep["lids_histogram"]["A"] == {4: 1, 1: 1}
+    assert rep["lids_histogram"]["B"] == {1: 1, 2: 1}

@@ -1082,3 +1082,46 @@ def test_es_version_flag(spark, tmp_path):
         assert body["tagline"] == "You Know, for Search"
     finally:
         srv.stop()
+
+
+def test_export_resume_exhaustive_fail_points(spark, tmp_path, monkeypatch):
+    """Sweep the fail point across every position, including a SECOND
+    failure mid-resume (progress between failures → must still succeed):
+    every drain equals the clean drain exactly."""
+    srv, expected = _flaky_rig(spark, tmp_path)
+    real_table = srv._table
+    n = len(expected)
+
+    state = {}
+
+    class Flaky:
+        def __init__(self, real):
+            self._real = real
+
+        def _wrap(self, df):
+            if state["fails"]:
+                return _FlakyDF(df, state["fails"].pop(0))
+            return df
+
+        def search(self, *a, **k):
+            return self._wrap(self._real.search(*a, **k))
+
+        def search_after(self, *a, **k):
+            return self._wrap(self._real.search_after(*a, **k))
+
+    monkeypatch.setattr(srv, "_table", lambda: Flaky(real_table()))
+    # single failure after k rows, for every k (k=n never fires: clean)
+    for k in range(n + 1):
+        state["fails"] = [k]
+        got = list(srv.export_docs({"query": "*", "order": "asc"}))
+        assert got == expected, f"fail@{k}"
+    # double failure: first drain dies after 2, the RESUME dies after 1
+    # more row (cursor moved → retry allowed), second resume finishes
+    state["fails"] = [2, 1]
+    got = list(srv.export_docs({"query": "*", "order": "asc"}))
+    assert got == expected
+    # desc order takes the same machinery through the other sort
+    clean = list(srv.export_docs({"query": "*", "order": "desc"}))
+    state["fails"] = [3]
+    got = list(srv.export_docs({"query": "*", "order": "desc"}))
+    assert got == clean
