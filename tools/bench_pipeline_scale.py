@@ -78,6 +78,17 @@ def fuzzy_job(docs):
     return run
 
 
+def shuffle_job(docs):
+    from seqspark.pipeline.sampling import train_shuffle
+
+    def run():
+        train_shuffle(docs, "doc_id", shards=256, seed="bench").agg(
+            F.max("pos"), F.sum("shard")
+        ).collect()
+
+    return run
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--runs", type=int, default=2)
@@ -118,7 +129,9 @@ def main() -> None:
     counts = {"sf0.01": d001.count(), "sf0.1": d01.count(), "sf1eq": d1.count()}
 
     results: dict[str, dict[str, float]] = {}
-    for name, job in (("span_removal", span_job), ("fuzzy_contamination", fuzzy_job)):
+    for name, job in (("span_removal", span_job),
+                      ("fuzzy_contamination", fuzzy_job),
+                      ("train_shuffle", shuffle_job)):
         results[name] = {
             "sf0.01": timed(job(d001), args.runs),
             "sf0.1": timed(job(d01), args.runs),

@@ -26,7 +26,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import SparkSession
 
-from seqspark import Mapping
+from seqspark import Mapping, MappingProvider
 from seqspark.grpcapi import SeqProxyGrpc
 from seqspark.server import SeqSparkServer
 from seqspark.store import DocStore
@@ -55,8 +55,17 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     tmp = tempfile.mkdtemp(prefix="soak_")
     store = DocStore(spark, os.path.join(tmp, "store"))
+    # live mapping reload under load: the provider swaps between a base
+    # and a widened mapping while bulks/searches run (the reference's
+    # --enable-mapping-updates path, exercised concurrently)
+    BASE_YAML = 'mapping-list:\n  - {name: service, type: keyword}\n  - {name: message, type: text}\n'
+    WIDE_YAML = BASE_YAML + '  - {name: extra, type: keyword}\n'
+    mapping_file = os.path.join(tmp, "mappings.yaml")
+    with open(mapping_file, "w") as f:
+        f.write(BASE_YAML)
+    provider = MappingProvider(mapping_file, update_period_s=3600)
     core = SeqSparkServer(
-        spark, store, Mapping({"service": "keyword", "message": "text"}),
+        spark, store, provider,
         allowed_drift_ms=BIG, future_drift_ms=BIG,
         async_dir=os.path.join(tmp, "async"),
     ).start()
@@ -65,7 +74,7 @@ def main() -> None:
     stop = threading.Event()
     errors: list = []
     counts = {"bulk": 0, "docs": 0, "search_http": 0, "search_grpc": 0,
-              "export": 0, "async": 0, "compact": 0}
+              "export": 0, "async": 0, "compact": 0, "mapping_flips": 0}
     lock = threading.Lock()
 
     def bump(k, v=1):
@@ -157,6 +166,19 @@ def main() -> None:
                 record_err("async", e)
             stop.wait(3.0)
 
+    def mapping_flipper():
+        wide = False
+        while not stop.is_set():
+            try:
+                wide = not wide
+                with open(mapping_file, "w") as f:
+                    f.write(WIDE_YAML if wide else BASE_YAML)
+                if provider.reload():
+                    bump("mapping_flips")
+            except Exception as e:  # noqa: BLE001
+                record_err("mapping_flip", e)
+            stop.wait(1.5)
+
     def maintainer():
         while not stop.is_set():
             try:
@@ -174,7 +196,8 @@ def main() -> None:
         + [threading.Thread(target=searcher_grpc),
            threading.Thread(target=exporter),
            threading.Thread(target=async_user),
-           threading.Thread(target=maintainer)]
+           threading.Thread(target=maintainer),
+           threading.Thread(target=mapping_flipper)]
     )
     t0 = time.time()
     for t in threads:
