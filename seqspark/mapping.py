@@ -253,6 +253,7 @@ class MappingProvider:
         self._path = file_path
         self._period = update_period_s
         self._lock = threading.RLock()
+        self._reload_lock = threading.Lock()
         self._stop = threading.Event()
         self._thread: Optional[threading.Thread] = None
         self._subscribers: List[object] = []
@@ -309,27 +310,34 @@ class MappingProvider:
 
     def reload(self) -> bool:
         """One reload pass; True if the mapping was swapped. Public so
-        tests and operators can force a check without waiting a period."""
+        tests and operators can force a check without waiting a period.
+        The whole read-compare-swap is serialized: a concurrent watcher
+        tick and manual reload could otherwise interleave so the OLDER
+        file content wins the swap (lost update, corrected only at the
+        next period)."""
         import logging
 
         log = logging.getLogger(__name__)
-        try:
-            data = open(self._path, "rb").read()
-        except OSError as e:
-            log.error("error opening mapping file %s: %s", self._path, e)
-            return False
-        checksum = self._hashlib.sha256(data).digest()
-        if checksum == self._checksum:
-            return False
-        try:
-            new = Mapping.from_yaml(data.decode("utf-8"))
-        except Exception as e:  # noqa: BLE001 - bad file must not kill serving
-            log.error("read new mapping error from %s: %s", self._path, e)
-            return False
-        with self._lock:
-            self._mapping = new
-            self._checksum = checksum
-            subs = list(self._subscribers)
+        with self._reload_lock:
+            try:
+                data = open(self._path, "rb").read()
+            except OSError as e:
+                log.error("error opening mapping file %s: %s",
+                          self._path, e)
+                return False
+            checksum = self._hashlib.sha256(data).digest()
+            if checksum == self._checksum:
+                return False
+            try:
+                new = Mapping.from_yaml(data.decode("utf-8"))
+            except Exception as e:  # noqa: BLE001 - must not kill serving
+                log.error("read new mapping error from %s: %s",
+                          self._path, e)
+                return False
+            with self._lock:
+                self._mapping = new
+                self._checksum = checksum
+                subs = list(self._subscribers)
         for cb in subs:
             cb()
         log.info("mapping updated from %s", self._path)

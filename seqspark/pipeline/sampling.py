@@ -272,7 +272,8 @@ def pack_sequences(
 
 
 def train_shuffle(
-    df: DataFrame, id_col: str, shards: int, seed: str = ""
+    df: DataFrame, id_col: str, shards: int, seed: str = "",
+    partitions: Optional[int] = None,
 ) -> DataFrame:
     """Deterministic global shuffle + fixed shard layout — the training
     OUTPUT stage: every document gets a ``(shard, pos)`` coordinate that
@@ -307,6 +308,13 @@ def train_shuffle(
     ).withColumn(
         "__okey", F.md5(F.concat(key, F.lit("order:" + seed)))
     )
+    if partitions is not None:
+        # pre-satisfy the window's ClusteredDistribution(shard) with an
+        # exchange of exactly this partition count — a downstream
+        # consumer that wants shard-aligned partitions (write_shards)
+        # then pays ONE exchange total instead of window-shuffle +
+        # re-repartition of the full corpus
+        out = out.repartition(partitions, "shard")
     w = Window.partitionBy("shard").orderBy("__okey", F.col(id_col))
     return out.withColumn(
         "pos", (F.row_number().over(w) - 1).cast("long")
@@ -327,10 +335,13 @@ def write_shards(
     order — the terasort-free way to write a globally shuffled corpus.
     ``repartition(shards, shard)`` lines file boundaries up with shard
     boundaries so a trainer maps one shard directory to one reader."""
-    out = train_shuffle(df, id_col, shards, seed)
+    out = train_shuffle(df, id_col, shards, seed, partitions=shards)
     (
-        out.repartition(shards, "shard")
-        .sortWithinPartitions("shard", "pos")
+        # the window above already hash-partitioned by shard into exactly
+        # `shards` partitions (partitions=shards satisfies the window's
+        # required distribution), so the write needs NO second exchange —
+        # each task holds one whole shard, already in pos order
+        out.sortWithinPartitions("shard", "pos")
         .write.partitionBy("shard")
         .mode(mode)
         .format(fmt)

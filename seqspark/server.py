@@ -672,16 +672,26 @@ class SeqSparkServer:
         self._ingest_transform = None
 
     def _transform(self):
-        # the ingest projection is built once per server (the Column
-        # tree is frame-independent); rebuilding it per bulk cost
-        # ~0.3 s of driver py4j per request on the hot ingest path
-        if self._ingest_transform is None:
-            self._ingest_transform = make_ingest_transform(
-                self.mapping,
-                allowed_drift_ms=self._drift,
-                future_drift_ms=self._future,
+        # the ingest projection is built once per mapping epoch (the
+        # Column tree is frame-independent); rebuilding it per bulk cost
+        # ~0.3 s of driver py4j per request on the hot ingest path. The
+        # cache carries the Mapping it was built FROM, and a hit requires
+        # identity with the CURRENT mapping — a reload firing mid-build
+        # can therefore never pin a stale transform: the next bulk sees
+        # the cached mapping is no longer current and rebuilds
+        m = self.mapping
+        cached = self._ingest_transform
+        if cached is None or cached[0] is not m:
+            cached = (
+                m,
+                make_ingest_transform(
+                    m,
+                    allowed_drift_ms=self._drift,
+                    future_drift_ms=self._future,
+                ),
             )
-        return self._ingest_transform
+            self._ingest_transform = cached
+        return cached[1]
 
     def _append_grouped(self, df) -> None:
         """Group-commit append: appends are serialized (one partitioned

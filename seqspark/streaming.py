@@ -296,13 +296,22 @@ class AsyncSearcher:
 
         self._meta_lock = _threading.Lock()
         # `--async-searches-concurrency` (default numCPU,
-        # `cmd/seq-db/flags.go:109`): at most this many async searches
-        # EXECUTE at once; start() still returns immediately and excess
-        # jobs queue as "running" until a slot frees. Unbounded async
-        # submission would otherwise pile arbitrary concurrent Spark jobs
-        # onto the scheduler (each is a full search at scale).
-        n = parallelism if parallelism is not None else (os.cpu_count() or 4)
-        self._run_slots = _threading.Semaphore(max(1, n))
+        # `cmd/seq-db/flags.go:109`): a FIXED pool of daemon workers
+        # drains a job queue, so at most ``parallelism`` async searches
+        # execute at once AND a flood of starts costs queue entries, not
+        # parked OS threads (thread-per-job with a semaphore would leak a
+        # blocked stack per queued job). start() still returns
+        # immediately; queued jobs report "running" until a worker picks
+        # them up. Workers spawn lazily on the first background job.
+        import queue as _queue
+
+        self._n_workers = max(
+            1, parallelism if parallelism is not None
+            else (os.cpu_count() or 4)
+        )
+        self._queue: "_queue.Queue" = _queue.Queue()
+        self._workers: list = []
+        self._pool_lock = _threading.Lock()
 
     def _job_dir(self, job_id: str) -> str:
         return os.path.join(self.base_dir, job_id)
@@ -314,17 +323,62 @@ class AsyncSearcher:
             json.dump(meta, f)
         os.replace(p + ".tmp", p)
 
+    class _JobHandle:
+        """Completion handle for a queued/running job — the Thread-shaped
+        surface ``wait``/``expire`` rely on (``join``/``is_alive``)."""
+
+        def __init__(self) -> None:
+            import threading
+
+            self._done = threading.Event()
+
+        def is_alive(self) -> bool:
+            return not self._done.is_set()
+
+        def join(self, timeout: Optional[float] = None) -> None:
+            self._done.wait(timeout)
+
+        def finish(self) -> None:
+            self._done.set()
+
+    def _ensure_workers(self) -> None:
+        import threading
+
+        with self._pool_lock:
+            if self._workers:
+                return
+            for i in range(self._n_workers):
+                t = threading.Thread(
+                    target=self._worker, daemon=True,
+                    name=f"async-search-{i}",
+                )
+                self._workers.append(t)
+                t.start()
+
+    def _worker(self) -> None:
+        while True:
+            job_id, factory, handle = self._queue.get()
+            try:
+                # a job canceled while queued must not execute at all
+                if (self.status(job_id) or {}).get("status") != "canceled":
+                    self._run(job_id, factory)
+            finally:
+                handle.finish()
+                self._queue.task_done()
+
+    def _submit(self, job_id: str, df_factory) -> None:
+        handle = self._JobHandle()
+        self._threads[job_id] = handle
+        self._ensure_workers()
+        self._queue.put((job_id, df_factory, handle))
+
     def _run(self, job_id: str, df_factory) -> None:
         meta = self.status(job_id) or {}
         try:
-            with self._run_slots:
-                # a job canceled while queued must not execute at all
-                if (self.status(job_id) or {}).get("status") == "canceled":
-                    return
-                df = df_factory()
-                df.write.mode("overwrite").parquet(
-                    os.path.join(self._job_dir(job_id), "result")
-                )
+            df = df_factory()
+            df.write.mode("overwrite").parquet(
+                os.path.join(self._job_dir(job_id), "result")
+            )
             meta["status"] = "done"
         except Exception as e:  # surfaced via status(), like the reference's
             meta["status"] = "error"  # per-job error field
@@ -369,8 +423,6 @@ class AsyncSearcher:
         """Register and launch a job. ``df_factory`` is a zero-arg callable
         producing the result DataFrame (so resume can re-create it from the
         persisted query). Returns the job id immediately."""
-        import threading
-
         job_id = uuid.uuid4().hex
         jd = self._job_dir(job_id)
         os.makedirs(jd, exist_ok=True)
@@ -385,11 +437,7 @@ class AsyncSearcher:
             },
         )
         if background:
-            t = threading.Thread(
-                target=self._run, args=(job_id, df_factory), daemon=True
-            )
-            self._threads[job_id] = t
-            t.start()
+            self._submit(job_id, df_factory)
         else:
             self._run(job_id, df_factory)
         return job_id
@@ -428,19 +476,13 @@ class AsyncSearcher:
         reference `fracmanager/async_searcher.go:77-82` resumes persisted
         unfinished requests on startup. ``df_factory_for_query(query_str)``
         rebuilds the result DataFrame from the persisted request."""
-        import threading
-
         resumed = []
         for meta in self.jobs():
             if meta.get("status") == "running" and meta["job_id"] not in self._threads:
                 job_id = meta["job_id"]
-                t = threading.Thread(
-                    target=self._run,
-                    args=(job_id, lambda q=meta["query"]: df_factory_for_query(q)),
-                    daemon=True,
+                self._submit(
+                    job_id, lambda q=meta["query"]: df_factory_for_query(q)
                 )
-                self._threads[job_id] = t
-                t.start()
                 resumed.append(job_id)
         return resumed
 

@@ -212,25 +212,32 @@ class _Conn:
     def _write(self, data: bytes) -> None:
         try:
             with self._write_lock:
-                self._sock.sendall(data)
-            return
-        except OSError:
-            pass
-        # the socket timeout applies to sends too: a timeout (or error)
-        # mid-sendall may have written a PARTIAL frame, and a multiplexed
-        # byte stream with a truncated frame in it is unrecoverable —
-        # every later frame would be misparsed. Tear the whole connection
-        # down instead of serving garbage to the other streams. The
-        # teardown runs AFTER _write_lock is released: taking _flow while
-        # holding _write_lock deadlocks against _send_data, whose caller
-        # may hold _flow while waiting for _write_lock (ABBA).
-        with self._flow:
-            self._closed = True
-            self._flow.notify_all()
-        try:
-            self._sock.close()
-        except OSError:
-            pass
+                try:
+                    self._sock.sendall(data)
+                    return
+                except OSError:
+                    # the socket timeout applies to sends too: a timeout
+                    # (or error) mid-sendall may have written a PARTIAL
+                    # frame, and a multiplexed byte stream with a
+                    # truncated frame in it is unrecoverable — every later
+                    # frame would be misparsed. The flag + close happen
+                    # while STILL holding _write_lock: that fences any
+                    # other writer from appending a well-formed frame
+                    # right after the truncated bytes.
+                    self._closed = True
+                    try:
+                        self._sock.close()
+                    except OSError:
+                        pass
+        finally:
+            # the _flow notification happens AFTER _write_lock is
+            # released: taking _flow while holding _write_lock deadlocks
+            # against _send_data, whose caller may hold _flow while
+            # waiting for _write_lock (ABBA). _closed is a plain flag —
+            # setting it under _write_lock and notifying later is safe.
+            if self._closed:
+                with self._flow:
+                    self._flow.notify_all()
         raise ConnectionError("h2 send failed mid-frame") from None
 
     def send_frame(self, ftype: int, flags: int, sid: int, payload: bytes) -> None:

@@ -244,6 +244,13 @@ def test_train_shuffle_single_shuffle_plan(docs):
     ).executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") == 1
     assert "rangepartitioning" not in plan
+    # the write path's variant: a shard-aligned exchange of exactly
+    # `shards` partitions satisfies the window's distribution, so
+    # write_shards pays ONE exchange total (no re-repartition)
+    plan2 = train_shuffle(docs, "doc_id", shards=8, partitions=8)._jdf \
+        .queryExecution().executedPlan().toString()
+    assert plan2.count("Exchange") == 1
+    assert "REPARTITION_BY_NUM" in plan2
 
 
 def test_write_shards_layout(docs, spark, tmp_path):
