@@ -228,6 +228,10 @@ class SearchTable:
         #: `proxy/bulk/indexer.go:162-167`; duplicates collapse at read like
         #: `seq/qpr.go:465-487`)
         self.default_dedup: Optional[Sequence[str]] = None
+        #: True when the table was built from a degraded store read (cold
+        #: tier down): results are served from what's reachable and the
+        #: transports mark the response PARTIAL_RESPONSE
+        self.partial = False
         #: optional inverted-index routing (attach_index)
         self._index: Optional[tuple] = None
         #: optional (partition_col, bucket_fmt) for time-bucket directory
@@ -509,7 +513,15 @@ class SearchTable:
         built its table through here and silently scanned every bucket's
         footers on time-ranged queries."""
         kw.setdefault("bucket_fmt", store.bucket_fmt)
-        return cls.from_docs(store.read(), mapping, **kw)
+        if hasattr(store, "read_with_status"):
+            # tiered store: a down cold tier degrades to hot-only results
+            # marked partial (the reference's PARTIAL_RESPONSE semantics)
+            df, partial = store.read_with_status()
+        else:
+            df, partial = store.read(), False
+        st = cls.from_docs(df, mapping, **kw)
+        st.partial = partial
+        return st
 
     @classmethod
     def from_docs(

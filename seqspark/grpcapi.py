@@ -53,6 +53,18 @@ SERVICE = "/seqproxyapi.v1.SeqProxyApi"
 
 _NO_ERROR = {"code": sp.ERROR_CODE_NO, "message": ""}
 
+
+def _apply_partial(resp: dict, out: dict) -> dict:
+    """Mark a response that came from a degraded store read: the
+    reference's proxy sets BOTH the boolean and
+    Error{PARTIAL_RESPONSE} when a store errored
+    (`grpc_complex_search.go:54`, `seq_proxy_api.proto` ErrorCode)."""
+    if out.get("partial_response"):
+        resp["partial_response"] = True
+        resp["error"] = {"code": sp.ERROR_CODE_PARTIAL_RESPONSE,
+                         "message": "partial response"}
+    return resp
+
 _DURATION_UNITS_MS = {
     "s": 1000,
     "m": 60_000,
@@ -297,7 +309,7 @@ class SeqProxyGrpc:
             resp["hist"] = cls._hist_proto(out["histogram"])
         if out.get("explain"):
             resp["explain"] = {"message": out["explain"], "children": []}
-        return resp
+        return _apply_partial(resp, out)
 
     # -------------------------------------------------- admission control
 
@@ -373,11 +385,11 @@ class SeqProxyGrpc:
             out = self._admitted("/search", hreq, lambda: self.core.search(hreq))
         except TooManyFractionsHit as e:
             return {"error": self._fractions_error(e)}
-        return {
+        return _apply_partial({
             "total": int(out.get("total", 0)),
             "docs": [self._doc_proto(d) for d in out.get("docs", [])],
             "error": _NO_ERROR,
-        }
+        }, out)
 
     @staticmethod
     def _fractions_error(e: Exception) -> dict:
@@ -481,11 +493,11 @@ class SeqProxyGrpc:
             out = self._admitted("/complex", hreq, lambda: self.core.complex(hreq))
         except TooManyFractionsHit as e:
             return {"error": self._fractions_error(e)}
-        return {
+        return _apply_partial({
             "total": int(out.get("total", 0)),
             "aggs": [self._agg_proto(rows) for rows in out.get("aggs", [])],
             "error": _NO_ERROR,
-        }
+        }, out)
 
     def get_histogram(self, req: dict, metadata: dict) -> dict:
         self._require_query_window(req)
@@ -498,11 +510,11 @@ class SeqProxyGrpc:
             out = self._admitted("/complex", hreq, lambda: self.core.complex(hreq))
         except TooManyFractionsHit as e:
             return {"error": self._fractions_error(e)}
-        return {
+        return _apply_partial({
             "total": int(out.get("total", 0)),
             "hist": self._hist_proto(out.get("histogram") or {}),
             "error": _NO_ERROR,
-        }
+        }, out)
 
     def fetch(self, req: dict, metadata: dict) -> Iterator[dict]:
         raw_ids = req.get("ids", [])

@@ -817,6 +817,11 @@ class SeqSparkServer:
             ).collect()[0]["total"]
         if req.get("explain"):
             out["explain"] = self._explain_of(st, req)
+        if st.partial:
+            # degraded store read (cold tier down): results carry what
+            # was reachable, flagged like the reference's proxy marking
+            # a store error (`grpc_complex_search.go:54`)
+            out["partial_response"] = True
         return out
 
     @staticmethod
@@ -889,6 +894,8 @@ class SeqSparkServer:
             ]
             if req.get("explain"):
                 out["explain"] = self._explain_of(st, req)
+            if st.partial:
+                out["partial_response"] = True
             return out
         finally:
             res.unpersist()

@@ -22,10 +22,13 @@ S3/GCS object stores — where a 100 TB store actually lives. No ``os.*`` /
 from __future__ import annotations
 
 import json
+import logging
 import os
 import threading
 from contextlib import contextmanager
 from typing import Optional
+
+logger = logging.getLogger(__name__)
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -722,15 +725,42 @@ class TieredStore:
         self.cold.append(df, ts_col)
 
     def read(self) -> DataFrame:
-        """Union of (all hot partitions) + (cold partitions the hot tier
-        does NOT hold). Ownership is by bucket MEMBERSHIP, not a
-        `< oldest_hot` threshold: a late-arriving old doc (within the
-        ingest drift allowance) can create a hot bucket OLDER than
-        buckets hot retention already dropped, and a threshold would then
-        silently exclude those retained-away buckets from BOTH tiers.
-        The isin literal list still prunes cold's partition listing (hot
-        holds a bounded recent window, so the list stays small)."""
+        return self.read_with_status()[0]
+
+    def read_with_status(self) -> tuple:
+        """(frame, partial): union of (all hot partitions) + (cold
+        partitions the hot tier does NOT hold). Ownership is by bucket
+        MEMBERSHIP, not a `< oldest_hot` threshold: a late-arriving old
+        doc (within the ingest drift allowance) can create a hot bucket
+        OLDER than buckets hot retention already dropped, and a threshold
+        would then silently exclude those retained-away buckets from BOTH
+        tiers. The isin literal list still prunes cold's partition
+        listing (hot holds a bounded recent window, so the list stays
+        small).
+
+        ``partial`` is True when the COLD tier is unreachable (remote
+        long-term storage down): the hot tier's window still serves, and
+        the caller surfaces the degradation as the reference's
+        PARTIAL_RESPONSE ("some of the seq-stores returned an error",
+        `seq_proxy_api.proto` ErrorCode) instead of failing every query
+        against the healthy recent window."""
         hot_parts = self.hot.partitions()
+        try:
+            return self._read_owned(hot_parts), False
+        except Exception:
+            # distinguish "cold tier down" from any other failure: the
+            # hot side must list cleanly for the degraded path to apply
+            try:
+                self.cold.partitions()
+            except Exception:
+                logger.warning(
+                    "cold tier at %s unreachable; serving hot-only "
+                    "(partial)", self.cold.path,
+                )
+                return self.hot.read(), True
+            raise
+
+    def _read_owned(self, hot_parts) -> DataFrame:
         # ownership: hot's buckets MINUS rotation tombstones — a bucket
         # hot once dropped is served by cold even if late/cycling writes
         # re-created a (partial) hot copy
@@ -762,9 +792,18 @@ class TieredStore:
 
     def partitions(self) -> list[str]:
         hot_parts = self.hot.partitions()
-        cold_only = [
-            b for b in self.cold.partitions() if b not in set(hot_parts)
-        ]
+        try:
+            cold_parts = self.cold.partitions()
+        except Exception:
+            # cold tier unreachable: admission checks and bucket math run
+            # on the reachable window (read_with_status marks the
+            # degradation on the response path)
+            logger.warning(
+                "cold tier at %s unreachable; partitions() serving "
+                "hot-only", self.cold.path,
+            )
+            return sorted(hot_parts)
+        cold_only = [b for b in cold_parts if b not in set(hot_parts)]
         return sorted(cold_only + hot_parts)
 
     def buckets_in_range(

@@ -243,3 +243,63 @@ def test_rotation_tombstones_keep_cold_ownership(spark, tmp_path):
     store2 = TieredStore(DocStore(spark, str(tmp_path / "t_hot")),
                          DocStore(spark, str(tmp_path / "t_cold")))
     assert store2.read().count() == 20
+
+
+def test_cold_tier_down_serves_partial_response(spark, tmp_path, monkeypatch):
+    """A dark cold tier must not fail queries against the healthy hot
+    window: reads degrade to hot-only and every transport marks the
+    response PARTIAL_RESPONSE (`seq_proxy_api.proto` ErrorCode 2,
+    `grpc_complex_search.go:54`)."""
+    from seqspark.server import SeqSparkServer
+
+    hot = DocStore(spark, str(tmp_path / "hot"))
+    cold = DocStore(spark, str(tmp_path / "cold"))
+    tiered = TieredStore(hot, cold)
+    tiered.append(ingest_frame(spark))
+    n = len(DOCS)
+    assert tiered.read_with_status()[1] is False  # healthy: not partial
+
+    def dark(*a, **k):
+        raise IOError("cold storage unreachable")
+
+    monkeypatch.setattr(cold, "partitions", dark)
+    monkeypatch.setattr(cold, "read", dark)
+
+    df, partial = tiered.read_with_status()
+    assert partial is True
+    assert df.count() == n  # hot still holds everything (no rotation yet)
+    assert tiered.partitions()  # admission path tolerates the dark tier
+
+    srv = SeqSparkServer(spark, tiered, MAPPING,
+                         allowed_drift_ms=BIG, future_drift_ms=BIG)
+    out = srv.search({"query": "*", "with_total": True})
+    assert out["partial_response"] is True
+    assert out["total"] == n
+    cx = srv.complex({"query": "*", "size": 2, "with_total": True})
+    assert cx["partial_response"] is True
+
+    # gRPC: the bool AND Error{PARTIAL_RESPONSE} ride the wire
+    from seqspark.grpcapi import SeqProxyGrpc
+    from seqspark.wire import seqproxy as sp
+    from seqspark.wire.grpc import GrpcChannel
+
+    g = SeqProxyGrpc(srv).start()
+    ch = GrpcChannel("127.0.0.1", g.port)
+    try:
+        resp = ch.unary(
+            "/seqproxyapi.v1.SeqProxyApi/Search",
+            {"query": {"query": "*", "from": sp.ms_to_ts(0),
+                       "to": sp.ms_to_ts(4102444800000)},
+             "size": 10, "with_total": True},
+            sp.SEARCH_REQUEST, sp.SEARCH_RESPONSE,
+        )
+        assert resp["partial_response"] is True
+        assert resp["error"]["code"] == sp.ERROR_CODE_PARTIAL_RESPONSE
+        assert len(resp["docs"]) == n
+    finally:
+        ch.close()
+        g.stop()
+
+    # a HEALTHY tiered store never carries the flag
+    monkeypatch.undo()
+    assert "partial_response" not in srv.search({"query": "*"})
