@@ -321,3 +321,58 @@ def test_auto_mapping_ingest_matches_python_model(spark, docs):
 
     for d, g in zip(docs, got):
         assert g == model(d), (d, g)
+
+
+# arbitrary JSON values, nested to depth 3 (the reference fuzzes its
+# ingest with RandomDocJSON the same way, `tests/setup/doc_test.go:33`)
+_JSON_LEAF = st.one_of(
+    st.none(),
+    st.booleans(),
+    st.integers(min_value=-(10**12), max_value=10**12),
+    st.floats(allow_nan=False, allow_infinity=False, width=32),
+    st.text(max_size=12),
+)
+_JSON_VAL = st.recursive(
+    _JSON_LEAF,
+    lambda children: st.one_of(
+        st.lists(children, max_size=3),
+        st.dictionaries(st.text(min_size=1, max_size=6), children,
+                        max_size=3),
+    ),
+    max_leaves=8,
+)
+_RANDOM_DOC = st.dictionaries(
+    st.text(min_size=1, max_size=8), _JSON_VAL, max_size=4
+).map(lambda d: {k: v for k, v in d.items() if k != "timestamp"})
+
+
+@settings(max_examples=10, deadline=None)
+@given(docs=st.lists(_RANDOM_DOC, min_size=1, max_size=25))
+def test_random_json_ingest_never_crashes(spark, docs):
+    """Arbitrary nested JSON through the full ingest stack — including
+    mapped fields carrying the WRONG shape (objects/arrays/numbers where
+    the mapping says keyword/text) — must never raise, must conserve the
+    row count, and must round-trip every raw line byte-exact."""
+    import json as _json
+
+    from seqspark import Mapping, SearchTable
+    from seqspark.ingest import ingest_docs
+
+    mapping = Mapping({"service": "keyword", "message": "text"})
+    # force type collisions on the mapped fields in half the docs
+    for i, d in enumerate(docs):
+        if i % 2 == 0:
+            d["service"] = d.get("service", [1, {"x": None}])
+            d["message"] = {"nested": ["not", "a", "string"]}
+    lines = [_json.dumps(d, sort_keys=True) for d in docs]
+    frame = ingest_docs(
+        spark.createDataFrame([(l,) for l in lines], "raw string"),
+        mapping, allowed_drift_ms=10**15, future_drift_ms=10**15,
+    )
+    rows = frame.select("raw", "mid", "rid").collect()
+    assert len(rows) == len(lines)
+    assert sorted(r["raw"] for r in rows) == sorted(lines)
+    assert all(r["mid"] is not None and r["rid"] is not None for r in rows)
+    # the table stays searchable; match-all sees every doc
+    st_ = SearchTable.from_docs(frame, mapping)
+    assert st_.search("*", size=100).count() == len(lines)
