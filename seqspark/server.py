@@ -129,6 +129,7 @@ class SeqSparkServer:
             "bulk_flushed_bulks_total": 0,
             "search_total": 0,
             "search_errors_total": 0,
+            "partial_responses_total": 0,
             "rate_limited_total": 0,
         }
         self._lock = threading.Lock()  # serialize parquet appends
@@ -822,6 +823,7 @@ class SeqSparkServer:
             # was reachable, flagged like the reference's proxy marking
             # a store error (`grpc_complex_search.go:54`)
             out["partial_response"] = True
+            self._count("partial_responses_total")
         return out
 
     @staticmethod
@@ -896,6 +898,7 @@ class SeqSparkServer:
                 out["explain"] = self._explain_of(st, req)
             if st.partial:
                 out["partial_response"] = True
+                self._count("partial_responses_total")
             return out
         finally:
             res.unpersist()
