@@ -204,14 +204,15 @@ class SeqProxyGrpc:
             return None
         return "seqql" if hdr.strip().lower() in ("1", "t", "true") else "legacy"
 
-    @staticmethod
-    def _http_req(query: dict, metadata: dict, **extra) -> dict:
+    def _http_req(self, query: dict, metadata: dict, **extra) -> dict:
         req = {
             "query": query.get("query") or "*",
             "from_ms": sp.ts_to_ms(query.get("from")),
             "to_ms": sp.ts_to_ms(query.get("to")),
         }
-        dialect = SeqProxyGrpc._dialect(metadata)
+        # absent metadata falls back to the server's default dialect
+        # (`--use-seq-ql-by-default`), same as the HTTP surface
+        dialect = self._dialect(metadata) or self.core._default_dialect
         if dialect:
             req["dialect"] = dialect
         if query.get("explain"):

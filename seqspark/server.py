@@ -88,6 +88,8 @@ class SeqSparkServer:
         max_fraction_hits: int = 6000,
         async_parallelism: Optional[int] = None,
         es_version: Optional[str] = None,
+        case_sensitive: bool = False,
+        use_seq_ql_by_default: bool = True,
     ):
         self.spark = spark
         self.store = store
@@ -151,6 +153,14 @@ class SeqSparkServer:
 
         self._drift = ALLOWED_DRIFT_MS if allowed_drift_ms is None else allowed_drift_ms
         self._future = FUTURE_DRIFT_MS if future_drift_ms is None else future_drift_ms
+        # `--case-sensitive`: no folding at ingest OR query compile (the
+        # reference applies the flag on both sides; a server folding one
+        # side only would never match)
+        self._case_sensitive = case_sensitive
+        # `--use-seq-ql-by-default`: the no-header default dialect. This
+        # library's own default stays seq-ql; the CLI passes False to
+        # match the reference binary's default (legacy unless opted in)
+        self._default_dialect = "seqql" if use_seq_ql_by_default else "legacy"
         # lazily-built, reused across bulks (guarded by self._lock)
         self._ingest_transform = None
         # async search jobs (`proxyapi/grpc_async_search.go:15-62` over
@@ -604,14 +614,14 @@ class SeqSparkServer:
 
         return lines()
 
-    @staticmethod
-    def _apply_dialect(headers, req: dict) -> None:
+    def _apply_dialect(self, headers, req: dict) -> None:
         """Per-request dialect selection, the `use-seq-ql` metadata key of
         the reference (`storeapi/grpc_search.go:206-216`): header
         `use-seq-ql: false` routes the query through the legacy parser,
-        `true` through seq-ql. A `dialect` field in the request body wins.
-        Unlike the reference (whose default is legacy), an absent header
-        keeps this server's established seq-ql default."""
+        `true` through seq-ql. A `dialect` field in the request body wins;
+        an absent header falls back to the server default
+        (`--use-seq-ql-by-default`; this library defaults to seq-ql, the
+        CLI to the reference binary's legacy)."""
         if "dialect" not in req:
             hdr = headers.get("use-seq-ql")
             if hdr is not None:
@@ -623,6 +633,8 @@ class SeqSparkServer:
                     if hdr.strip().lower() in ("1", "t", "true")
                     else "legacy"
                 )
+            else:
+                req["dialect"] = self._default_dialect
 
     def _rate_check(self, path: str, req: dict) -> bool:
         """Key the request like the reference proxy: search/complex by
@@ -687,6 +699,7 @@ class SeqSparkServer:
                 m,
                 make_ingest_transform(
                     m,
+                    case_sensitive=self._case_sensitive,
                     allowed_drift_ms=self._drift,
                     future_drift_ms=self._future,
                 ),
@@ -786,7 +799,9 @@ class SeqSparkServer:
             raise my_exc
 
     def _table(self) -> SearchTable:
-        return SearchTable.from_store(self.store, self.mapping)
+        return SearchTable.from_store(
+            self.store, self.mapping, case_sensitive=self._case_sensitive
+        )
 
     def search(self, req: dict) -> dict:
         return self._retry_transient(lambda: self._search_impl(req))
