@@ -99,16 +99,21 @@ def build_parser() -> argparse.ArgumentParser:
 class Runtime:
     """Live server bundle; ``stop()`` tears everything down in order."""
 
-    def __init__(self, spark, store, http, grpc, provider, maint_stop):
+    def __init__(self, spark, store, http, grpc, provider, maint_stop,
+                 maint_thread):
         self.spark = spark
         self.store = store
         self.http = http
         self.grpc = grpc
         self.provider = provider
         self._maint_stop = maint_stop
+        self._maint_thread = maint_thread
 
     def stop(self) -> None:
         self._maint_stop.set()
+        # join: a compaction swap still in flight after stop() returned
+        # would race the caller's cleanup (e.g. deleting the data dir)
+        self._maint_thread.join(timeout=60)
         self.grpc.stop()
         self.http.stop()
 
@@ -152,7 +157,7 @@ def main(argv: Optional[list] = None, spark=None, block: bool = True):
             .getOrCreate()
         )
 
-    from .mapping import AutoMapping, MappingProvider
+    from .mapping import MappingProvider
     from .store import DocStore, TieredStore
 
     if args.mapping == "auto":
@@ -197,14 +202,16 @@ def main(argv: Optional[list] = None, spark=None, block: bool = True):
                         port=int(gport or 0)).start()
 
     maint_stop = threading.Event()
-    threading.Thread(
+    maint_thread = threading.Thread(
         target=_maintenance_loop,
         args=(store, maint_stop, args.maintenance_period,
               args.total_size, args.max_files_per_partition),
         daemon=True, name="maintenance",
-    ).start()
+    )
+    maint_thread.start()
 
-    rt = Runtime(spark, store, http, grpc, mapping, maint_stop)
+    rt = Runtime(spark, store, http, grpc, mapping, maint_stop,
+                 maint_thread)
     print(f"seqspark serving http://127.0.0.1:{http.port} "
           f"grpc://127.0.0.1:{grpc.port} data={args.data_dir}")
     if block:

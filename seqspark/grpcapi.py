@@ -212,9 +212,7 @@ class SeqProxyGrpc:
         }
         # absent metadata falls back to the server's default dialect
         # (`--use-seq-ql-by-default`), same as the HTTP surface
-        dialect = self._dialect(metadata) or self.core._default_dialect
-        if dialect:
-            req["dialect"] = dialect
+        req["dialect"] = self._dialect(metadata) or self.core.default_dialect
         if query.get("explain"):
             req["explain"] = True
         req.update(extra)

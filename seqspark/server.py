@@ -102,7 +102,10 @@ class SeqSparkServer:
         if isinstance(mapping, MappingProvider):
             self._mapping_provider: Optional[MappingProvider] = mapping
             mapping.subscribe(self._on_mapping_update)
-            mapping.watch()
+            # the OWNER decides whether the watcher runs (the CLI's
+            # --enable-mapping-updates gate; the reference's default is
+            # updates DISABLED) — auto-starting here made that flag a
+            # no-op. Manual provider.reload() always applies.
         else:
             self._mapping_provider = None
             self._mapping = mapping
@@ -540,7 +543,16 @@ class SeqSparkServer:
         # parse, size cap, bad dialect) raise here — the transports turn
         # those into a clean 400 / INVALID_ARGUMENT before any bytes of
         # the stream are sent
-        first = self._table().search(
+        st0 = self._table()
+        if st0.partial:
+            # search degrades to partial results; an EXPORT is a
+            # completeness contract (backup/ETL) — a drain that would
+            # silently omit the entire cold history must fail loudly
+            raise RuntimeError(
+                "export requires the full store: cold tier unreachable "
+                "(search still serves partial results)"
+            )
+        first = st0.search(
             q, size=size, offset=offset, order=order, **kw
         ).select("mid", "rid", "raw")
 
@@ -573,6 +585,14 @@ class SeqSparkServer:
                         raise
                     failed_at = cursor
                 st = self._table()  # replan: post-swap file listing
+                if st.partial:
+                    # cold tier went dark MID-DRAIN: resuming would
+                    # silently omit its rows — abort (the missing end
+                    # sentinel / stream error marks the truncation)
+                    raise RuntimeError(
+                        "export aborted: cold tier became unreachable "
+                        "mid-drain"
+                    )
                 if cursor is None:
                     docs = st.search(
                         q, size=size, offset=offset, order=order, **kw
@@ -666,6 +686,11 @@ class SeqSparkServer:
             with self._metrics_lock:
                 self._counters["bulk_docs_total"] += len(res.docs)
         return res.response()
+
+    @property
+    def default_dialect(self) -> str:
+        """No-header query dialect (`--use-seq-ql-by-default`)."""
+        return self._default_dialect
 
     @property
     def mapping(self):
@@ -941,12 +966,18 @@ class SeqSparkServer:
                 docs,
                 [PipeFields(list(req["fields"]), bool(req.get("except")))],
             )
-        return {
+        out = {
             "docs": [
                 {"mid": r["mid"], "rid": r["rid"], "data": r["raw"]}
                 for r in docs.collect()
             ]
         }
+        if st.partial:
+            # a fetched id whose doc lives in the dark cold tier is
+            # missing from the result — mark it, like search
+            out["partial_response"] = True
+            self._count("partial_responses_total")
+        return out
 
     def status(self) -> dict:
         try:

@@ -743,7 +743,13 @@ class TieredStore:
         the caller surfaces the degradation as the reference's
         PARTIAL_RESPONSE ("some of the seq-stores returned an error",
         `seq_proxy_api.proto` ErrorCode) instead of failing every query
-        against the healthy recent window."""
+        against the healthy recent window.
+
+        Detection is at PLAN time (listing/schema read) — the common
+        shape of a down filesystem. A partial outage where LIST works
+        but reads fail at task execution surfaces as a query error, not
+        a partial result (classifying executor-side causes would need
+        task-failure introspection)."""
         hot_parts = self.hot.partitions()
         try:
             return self._read_owned(hot_parts), False
@@ -803,7 +809,8 @@ class TieredStore:
                 "hot-only", self.cold.path,
             )
             return sorted(hot_parts)
-        cold_only = [b for b in cold_parts if b not in set(hot_parts)]
+        hot_set = set(hot_parts)
+        cold_only = [b for b in cold_parts if b not in hot_set]
         return sorted(cold_only + hot_parts)
 
     def buckets_in_range(

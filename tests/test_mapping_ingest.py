@@ -335,3 +335,30 @@ def test_server_applies_mapping_update_without_restart(spark, tmp_path):
         assert code == 200 and len(res["docs"]) == 1
     finally:
         srv.stop()
+
+
+def test_server_does_not_auto_watch_provider(spark, tmp_path):
+    """Updates are gated by the OWNER starting the watcher (the CLI's
+    --enable-mapping-updates; the reference default is disabled): a
+    server over a provider must not reload the file on its own."""
+    import time
+
+    from seqspark import MappingProvider
+    from seqspark.server import SeqSparkServer
+    from seqspark.store import DocStore
+
+    path = str(tmp_path / "mappings.yaml")
+    with open(path, "w") as f:
+        f.write(INITIAL_YAML)
+    provider = MappingProvider(path, update_period_s=0.05)
+    srv = SeqSparkServer(
+        spark, DocStore(spark, str(tmp_path / "store")), provider,
+        allowed_drift_ms=10**15, future_drift_ms=10**15,
+    )
+    with open(path, "w") as f:
+        f.write(CHANGED_YAML)
+    time.sleep(0.5)  # many periods — nothing should fire
+    assert srv.mapping.index_type("trace_id") is None
+    # explicit reload still applies (and the server sees it immediately)
+    assert provider.reload() is True
+    assert srv.mapping.index_type("trace_id") == "keyword"

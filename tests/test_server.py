@@ -992,6 +992,7 @@ def test_export_resumes_after_transient_read_failure(spark, tmp_path,
     class FlakyTable:
         def __init__(self, real):
             self._real = real
+            self.partial = False
 
         def search(self, *a, **k):
             searches["n"] += 1
@@ -1022,6 +1023,7 @@ def test_export_resume_respects_size_budget(spark, tmp_path, monkeypatch):
     class FlakyTable:
         def __init__(self, real):
             self._real = real
+            self.partial = False
 
         def search(self, *a, **k):
             searches["n"] += 1
@@ -1047,6 +1049,7 @@ def test_export_gives_up_without_progress(spark, tmp_path, monkeypatch):
     class AlwaysFlaky:
         def __init__(self, real):
             self._real = real
+            self.partial = False
 
         def search(self, *a, **k):
             return _FlakyDF(self._real.search(*a, **k), 0)
@@ -1097,6 +1100,7 @@ def test_export_resume_exhaustive_fail_points(spark, tmp_path, monkeypatch):
     class Flaky:
         def __init__(self, real):
             self._real = real
+            self.partial = False
 
         def _wrap(self, df):
             if state["fails"]:

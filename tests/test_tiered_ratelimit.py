@@ -303,3 +303,29 @@ def test_cold_tier_down_serves_partial_response(spark, tmp_path, monkeypatch):
     # a HEALTHY tiered store never carries the flag
     monkeypatch.undo()
     assert "partial_response" not in srv.search({"query": "*"})
+
+
+def test_cold_tier_down_fails_export_loudly(spark, tmp_path, monkeypatch):
+    """Search degrades to partial; an EXPORT is a completeness contract —
+    with the cold tier dark it must raise (HTTP: a 400 before the stream
+    starts), never stream hot-only rows under a complete-looking
+    sentinel."""
+    from seqspark.server import SeqSparkServer
+
+    hot = DocStore(spark, str(tmp_path / "hot2"))
+    cold = DocStore(spark, str(tmp_path / "cold2"))
+    tiered = TieredStore(hot, cold)
+    tiered.append(ingest_frame(spark))
+
+    def dark(*a, **k):
+        raise IOError("cold storage unreachable")
+
+    monkeypatch.setattr(cold, "partitions", dark)
+    monkeypatch.setattr(cold, "read", dark)
+    srv = SeqSparkServer(spark, tiered, MAPPING,
+                         allowed_drift_ms=BIG, future_drift_ms=BIG)
+    with pytest.raises(RuntimeError, match="cold tier unreachable"):
+        srv.export_docs({"query": "*"})
+    # fetch still answers, marked partial
+    out = srv.fetch({"ids": [[1, 1]]})
+    assert out["partial_response"] is True
