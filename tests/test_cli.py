@@ -77,12 +77,15 @@ def test_cli_serves_end_to_end(spark, tmp_path):
         block=False,
     )
     try:
-        for _ in range(4):  # several small appends → compactable bucket
+        for i in range(4):  # several small appends → compactable bucket
+            # docs must be DISTINCT: identical content at the same
+            # timestamp can synthesize colliding (mid, rid) ids, which
+            # the engine (correctly) dedups at read
             code, body = _post(
                 rt.http.port, "/_bulk",
                 b'{"index": {}}\n'
-                b'{"timestamp": "2024-01-01 10:00:00.000", "service": '
-                b'"auth", "message": "login ok"}\n',
+                b'{"timestamp": "2024-01-01 10:00:0%d.000", "service": '
+                b'"auth", "message": "login ok %d"}\n' % (i, i),
             )
             assert code == 200 and not body["errors"]
         # legacy dialect is the CLI default (`--use-seq-ql-by-default`
