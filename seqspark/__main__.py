@@ -215,10 +215,17 @@ def main(argv: Optional[list] = None, spark=None, block: bool = True):
     print(f"seqspark serving http://127.0.0.1:{http.port} "
           f"grpc://127.0.0.1:{grpc.port} data={args.data_dir}")
     if block:
+        # SIGTERM (k8s/systemd shutdown) gets the same graceful stop as
+        # ^C: drain the maintenance pass, close both listeners
+        import signal
+
+        done = threading.Event()
+        signal.signal(signal.SIGTERM, lambda *a: done.set())
         try:
-            threading.Event().wait()
+            done.wait()
         except KeyboardInterrupt:
-            rt.stop()
+            pass
+        rt.stop()
     return rt
 
 

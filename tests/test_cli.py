@@ -141,3 +141,54 @@ def test_cli_serves_end_to_end(spark, tmp_path):
         assert rt.store.partition_file_count(bucket) == 1
     finally:
         rt.stop()
+
+
+def test_cli_tiered_store_rotation(spark, tmp_path):
+    """--long-term-dir wires the hot/cold TieredStore; the maintenance
+    loop rotates hot buckets past --total-size WITH tombstones (via
+    TieredStore.maintain), and full history stays readable through the
+    cold tier."""
+    mapping_file = tmp_path / "mapping.yaml"
+    mapping_file.write_text(
+        "mapping-list:\n  - {name: service, type: keyword}\n"
+    )
+    rt = main(
+        [
+            "--data-dir", str(tmp_path / "hot"),
+            "--long-term-dir", str(tmp_path / "cold"),
+            "--mapping", str(mapping_file),
+            "--allowed-time-drift", "100000d",
+            "--future-allowed-time-drift", "100000d",
+            "--maintenance-period", "500ms",
+            "--total-size", "1",  # any hot byte is over budget → rotate
+        ],
+        spark=spark,
+        block=False,
+    )
+    try:
+        assert hasattr(rt.store, "hot")  # tiered wiring
+        lines = []
+        for h in (10, 11, 12):
+            lines.append('{"index": {}}')
+            lines.append(json.dumps({
+                "timestamp": f"2024-01-01 {h}:00:00.000",
+                "service": f"svc{h}",
+            }))
+        code, body = _post(rt.http.port, "/_bulk",
+                           "\n".join(lines).encode())
+        assert code == 200 and not body["errors"]
+        # rotation drops hot buckets (total-size 1 byte) within a few
+        # maintenance periods; tombstones hand ownership to cold
+        deadline = time.time() + 30
+        while time.time() < deadline and rt.store.hot.partitions():
+            time.sleep(0.25)
+        assert rt.store.hot.partitions() == []
+        assert len(rt.store._rotated) == 3  # tombstoned, not forgotten
+        # full history still served — through the cold tier
+        code, res = _post(rt.http.port, "/search",
+                          json.dumps({"query": "*", "with_total": True,
+                                      "dialect": "seqql"}).encode())
+        assert code == 200 and res["total"] == 3
+        assert "partial_response" not in res  # healthy tiers: not partial
+    finally:
+        rt.stop()
