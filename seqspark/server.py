@@ -64,6 +64,78 @@ MAX_INFLIGHT_SEARCHES = 30
 MIRROR_REQUEST_LIMIT = 300
 
 
+def _rfc3339_ms(v) -> Optional[int]:
+    """RFC3339 string (gateway Timestamp JSON) or epoch-ms int → ms."""
+    if v is None:
+        return None
+    if isinstance(v, (int, float)):
+        return int(v)
+    return int(
+        _dt.datetime.fromisoformat(str(v).replace("Z", "+00:00")).timestamp()
+        * 1000
+    )
+
+
+def _gateway_search_req(req: dict) -> dict:
+    """grpc-gateway JSON shape → the flat HTTP shape.
+
+    The reference's documented quickstart drives the HTTP port with the
+    gateway rendering of SearchRequest (`docs/en/01-quickstart.md`):
+    a nested ``query`` object with RFC3339 ``from``/``to``, top-level
+    size/offset/order/withTotal. Accepting it verbatim means the
+    reference's own curl examples run unchanged against this server."""
+    q = req["query"]
+    out = {
+        "query": q.get("query", "*"),
+        "from_ms": _rfc3339_ms(q.get("from")),
+        "to_ms": _rfc3339_ms(q.get("to")),
+        "size": req.get("size", 100),
+        "offset": req.get("offset", 0),
+    }
+    order = req.get("order", 0)
+    out["order"] = (
+        "asc"
+        if order in (1, "1", "asc", "ORDER_ASC")
+        else "desc"
+    )
+    if req.get("with_total") or req.get("withTotal"):
+        out["with_total"] = True
+    if "dialect" in req:
+        out["dialect"] = req["dialect"]
+    return out
+
+
+def _gateway_search_resp(out: dict) -> dict:
+    """Flat response → gateway rendering of SearchResponse: int64 as
+    string, bytes as base64, Timestamp as RFC3339, lowerCamel keys."""
+    import base64
+
+    from .grpcapi import seq_id_str
+
+    def doc(d):
+        t = _dt.datetime.fromtimestamp(
+            d["mid"] / 1000.0, tz=_dt.timezone.utc
+        )
+        return {
+            "id": seq_id_str(d["mid"], d["rid"]),
+            "data": base64.b64encode(d["data"].encode("utf-8")).decode(),
+            "time": t.isoformat(timespec="milliseconds").replace(
+                "+00:00", "Z"
+            ),
+        }
+
+    resp = {
+        "total": str(out.get("total", 0)),
+        "docs": [doc(d) for d in out.get("docs", [])],
+        "error": {"code": "ERROR_CODE_NO", "message": ""},
+        "partialResponse": bool(out.get("partial_response", False)),
+    }
+    if out.get("partial_response"):
+        resp["error"] = {"code": "ERROR_CODE_PARTIAL_RESPONSE",
+                         "message": "partial response"}
+    return resp
+
+
 class SeqSparkServer:
     """Bind a DocStore + mapping to an HTTP endpoint."""
 
@@ -372,6 +444,12 @@ class SeqSparkServer:
                         req = json.loads(body.decode() or "{}")
                         if not isinstance(req, dict):
                             raise ValueError("request body must be a JSON object")
+                        gateway = (
+                            self.path == "/search"
+                            and isinstance(req.get("query"), dict)
+                        )
+                        if gateway:
+                            req = _gateway_search_req(req)
                         outer._apply_dialect(self.headers, req)
                         outer._count("search_total")
                         if not outer._rate_check(self.path, req):
@@ -406,6 +484,8 @@ class SeqSparkServer:
                                 op, took_ms, self.path,
                                 req.get("query", ""),
                             )
+                        if gateway:
+                            resp = _gateway_search_resp(resp)
                         return self._json(200, resp)
                     except Exception as e:  # request-shaped errors → 400
                         outer._count("search_errors_total")
@@ -643,7 +723,11 @@ class SeqSparkServer:
         (`--use-seq-ql-by-default`; this library defaults to seq-ql, the
         CLI to the reference binary's legacy)."""
         if "dialect" not in req:
+            # the grpc-gateway spelling (`Grpc-Metadata-use-seq-ql`, as in
+            # the reference's quickstart curl) is an accepted alias
             hdr = headers.get("use-seq-ql")
+            if hdr is None:
+                hdr = headers.get("Grpc-Metadata-use-seq-ql")
             if hdr is not None:
                 # Go strconv.ParseBool truth set; parse errors fall through
                 # to false → legacy, exactly like the reference's ignored

@@ -1129,3 +1129,66 @@ def test_export_resume_exhaustive_fail_points(spark, tmp_path, monkeypatch):
     state["fails"] = [3]
     got = list(srv.export_docs({"query": "*", "order": "desc"}))
     assert got == clean
+
+
+def test_reference_quickstart_curl_shapes_work_verbatim(server):
+    """The reference's documented quickstart (`docs/en/01-quickstart.md`)
+    drives the HTTP port with the grpc-gateway JSON rendering: nested
+    query object, RFC3339 from/to, Grpc-Metadata-use-seq-ql header. That
+    exact request must work against this server, and the response must
+    be the gateway rendering (int64-as-string total, base64 data,
+    RFC3339 time, reference id format)."""
+    import base64
+
+    bulk = "\n".join([
+        '{"index" : {"unused-key":""}}',
+        json.dumps({"timestamp": "2024-01-01 10:00:00.000",
+                    "service": "payment", "message":
+                    "Payment processing failed: insufficient funds"}),
+        '{"index" : {"unused-key":""}}',
+        json.dumps({"timestamp": "2024-01-01 10:01:00.000",
+                    "service": "frontend",
+                    "message": "Product list retrieved"}),
+    ]).encode()
+    code, _ = _post(server, "/_bulk", bulk)
+    assert code == 200
+    code, res = _post(
+        server, "/search",
+        json.dumps({
+            "query": {
+                "query": "message: failed",
+                "from": "2020-02-11T10:30:00Z",
+                "to": "2030-11-25T17:50:30Z",
+            },
+            "size": 100,
+            "offset": 0,
+        }).encode(),
+        headers={"Content-Type": "application/json",
+                 "Grpc-Metadata-use-seq-ql": "true"},
+    )
+    assert code == 200
+    assert len(res["docs"]) == 1
+    doc = res["docs"][0]
+    assert "-" in doc["id"] and len(doc["id"]) == 33  # seq.go hex id
+    payload = json.loads(base64.b64decode(doc["data"]))
+    assert payload["service"] == "payment"
+    assert doc["time"].endswith("Z")
+    assert res["error"]["code"] == "ERROR_CODE_NO"
+    assert res["partialResponse"] is False
+    assert isinstance(res["total"], str)  # gateway renders int64 as string
+    # withTotal + gateway order enum
+    code, res = _post(
+        server, "/search",
+        json.dumps({
+            "query": {"query": "*", "from": "2020-01-01T00:00:00Z",
+                      "to": "2030-01-01T00:00:00Z"},
+            "size": 10, "withTotal": True, "order": "ORDER_ASC",
+        }).encode(),
+    )
+    assert code == 200 and res["total"] == "2"
+    times = [d["time"] for d in res["docs"]]
+    assert times == sorted(times)  # ORDER_ASC honored
+    # the flat native shape keeps working unchanged
+    code, res = _post(server, "/search",
+                      json.dumps({"query": "message:failed"}).encode())
+    assert code == 200 and len(res["docs"]) == 1 and "mid" in res["docs"][0]
