@@ -1,0 +1,153 @@
+"""grpc-gateway JSON transcoding for the HTTP surface.
+
+The reference serves its HTTP API through grpc-gateway
+(`api/seqproxyapi/v1/seq_proxy_api.proto` google.api.http annotations:
+``/search``, ``/complex-search``, ``/aggregate``, ``/histogram``,
+``/mappings``, ``/async-search`` …), so every documented curl uses the
+gateway's JSON rendering of the proto messages: lowerCamel (or
+snake_case) keys, RFC3339 strings for ``google.protobuf.Timestamp``,
+base64 for ``bytes``, strings for int64, enum NAMES for enums.
+
+This module converts between that JSON shape and the proto-dict shape
+the :mod:`seqspark.grpcapi` handlers already speak, so the HTTP server
+serves the gateway routes through the SAME handlers as the real gRPC
+transport — one behavior, two renderings.
+"""
+
+from __future__ import annotations
+
+import base64
+import datetime as _dt
+from typing import Optional
+
+from .wire import seqproxy as sp
+
+#: enum value names per FIELD name (proto enum types, `seq_proxy_api.proto`)
+_ENUMS = {
+    "code": {0: "ERROR_CODE_UNSPECIFIED", 1: "ERROR_CODE_NO",
+             2: "ERROR_CODE_PARTIAL_RESPONSE",
+             3: "ERROR_CODE_TOO_MANY_FRACTIONS_HIT"},
+    "func": {0: "AGG_FUNC_COUNT", 1: "AGG_FUNC_SUM", 2: "AGG_FUNC_MIN",
+             3: "AGG_FUNC_MAX", 4: "AGG_FUNC_AVG", 5: "AGG_FUNC_QUANTILE",
+             6: "AGG_FUNC_UNIQUE"},
+    "order": {0: "ORDER_DESC", 1: "ORDER_ASC"},
+}
+_ENUM_VALUES = {
+    fld: {name: num for num, name in names.items()}
+    for fld, names in _ENUMS.items()
+}
+
+_INT64 = {"int64", "uint64", "sint64", "fixed64", "sfixed64"}
+
+
+def _camel(name: str) -> str:
+    parts = name.split("_")
+    return parts[0] + "".join(p.title() for p in parts[1:])
+
+
+def _ts_to_json(ts: Optional[dict]) -> Optional[str]:
+    if ts is None:
+        return None
+    t = _dt.datetime.fromtimestamp(
+        ts.get("seconds", 0) + ts.get("nanos", 0) / 1e9, tz=_dt.timezone.utc
+    )
+    return t.isoformat(timespec="milliseconds").replace("+00:00", "Z")
+
+
+def _ts_from_json(v) -> Optional[dict]:
+    if v is None:
+        return None
+    if isinstance(v, dict):  # already proto-shaped
+        return v
+    t = _dt.datetime.fromisoformat(str(v).replace("Z", "+00:00"))
+    ms = int(t.timestamp() * 1000)
+    return sp.ms_to_ts(ms)
+
+
+def _dur_to_json(d: Optional[dict]) -> Optional[str]:
+    if d is None:
+        return None
+    sec = d.get("seconds", 0) + d.get("nanos", 0) / 1e9
+    return f"{sec:.9f}".rstrip("0").rstrip(".") + "s" if sec else "0s"
+
+
+def json_to_proto(desc: dict, obj: dict) -> dict:
+    """Gateway JSON → the proto-dict shape grpcapi handlers consume.
+    Accepts both lowerCamel and snake_case keys (the gateway does)."""
+    out: dict = {}
+    for f in desc.values():
+        v = obj.get(f.name, obj.get(_camel(f.name)))
+        if v is None:
+            continue
+        if f.repeated:
+            out[f.name] = [_from_json_one(f, x) for x in v]
+        else:
+            out[f.name] = _from_json_one(f, v)
+    return out
+
+
+def _dur_from_json(v) -> dict:
+    if isinstance(v, dict):
+        return v
+    sec = float(str(v).rstrip("s"))
+    whole = int(sec)
+    return {"seconds": whole, "nanos": int(round((sec - whole) * 1e9))}
+
+
+def _from_json_one(f, v):
+    if f.type == "message":
+        if f.message is sp.TIMESTAMP:
+            return _ts_from_json(v)
+        if f.message is sp.DURATION:
+            return _dur_from_json(v)
+        return json_to_proto(f.message, v)
+    if f.type == "enum":
+        if isinstance(v, str) and not v.lstrip("-").isdigit():
+            return _ENUM_VALUES.get(f.name, {}).get(v, 0)
+        return int(v)
+    if f.type == "bytes":
+        return base64.b64decode(v) if isinstance(v, str) else v
+    if f.type in _INT64 or f.type in ("int32", "uint32", "sint32"):
+        return int(v)
+    if f.type == "double":
+        return float(v)
+    if f.type == "bool":
+        return bool(v)
+    return v
+
+
+def proto_to_json(desc: dict, msg: dict) -> dict:
+    """Proto-dict response → the gateway JSON rendering."""
+    out: dict = {}
+    for f in desc.values():
+        if f.name not in msg:
+            continue
+        v = msg[f.name]
+        if v is None:
+            continue
+        if f.repeated:
+            out[_camel(f.name)] = [_to_json_one(f, x) for x in v]
+        else:
+            out[_camel(f.name)] = _to_json_one(f, v)
+    return out
+
+
+def _to_json_one(f, v):
+    if f.type == "message":
+        if f.message is sp.TIMESTAMP:
+            return _ts_to_json(v)
+        if f.message is sp.DURATION:
+            return _dur_to_json(v)
+        return proto_to_json(f.message, v)
+    if f.type == "enum":
+        names = _ENUMS.get(f.name)
+        return names.get(int(v), int(v)) if names else int(v)
+    if f.type == "bytes":
+        b = v if isinstance(v, (bytes, bytearray)) else str(v).encode()
+        return base64.b64encode(bytes(b)).decode()
+    if f.type in _INT64:
+        return str(int(v))
+    if f.type == "double":
+        fv = float(v)
+        return "NaN" if fv != fv else fv
+    return v

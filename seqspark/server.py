@@ -250,6 +250,8 @@ class SeqSparkServer:
             or _os.path.join(store.path.removeprefix("file:"), "_async_search"),
             parallelism=async_parallelism,
         )
+        #: lazily-built unstarted SeqProxyGrpc backing the gateway routes
+        self._gw = None
         # `--es-version`: the version string shippers read off the banner
         # (`proxyapi/ingestor_config.go:18`)
         self._banner = dict(ES_BANNER)
@@ -274,6 +276,42 @@ class SeqSparkServer:
                     return self._json(200, outer._banner)
                 if self.path == "/status":
                     return self._json(200, outer.status())
+                if self.path == "/mappings" or self.path.startswith(
+                    "/async-search/"
+                ):
+                    # gateway GET routes: /mappings, /async-search/{id}
+                    # (remaining request fields ride as query params)
+                    from urllib.parse import parse_qs, urlparse
+
+                    from . import gateway as gw
+                    from .wire import seqproxy as sp
+                    from .wire.grpc import GrpcError
+
+                    g = outer._gateway_rpc()
+                    md = outer._gw_metadata(self.headers)
+                    try:
+                        if self.path == "/mappings":
+                            return self._json(200, gw.proto_to_json(
+                                sp.MAPPING_RESPONSE, g.mapping({}, md)))
+                        parsed = urlparse(self.path)
+                        req = {"search_id":
+                               parsed.path.split("/async-search/")[1]}
+                        qs = parse_qs(parsed.query)
+                        for k in ("withDocs", "with_docs"):
+                            if k in qs:
+                                req["with_docs"] = qs[k][0].lower() in (
+                                    "1", "t", "true")
+                        for k in ("size", "offset"):
+                            if k in qs:
+                                req[k] = int(qs[k][0])
+                        return self._json(200, gw.proto_to_json(
+                            sp.FETCH_ASYNC_SEARCH_RESULT_RESPONSE,
+                            g.fetch_async(req, md)))
+                    except GrpcError as e:
+                        return self._json(
+                            outer._GW_HTTP_STATUS.get(e.code, 500),
+                            {"code": e.code, "message": e.message},
+                        )
                 # debug-server surface (`docs/en/internal/debug-server.md`)
                 if self.path == "/metrics":
                     body = outer.metrics_text().encode()
@@ -302,6 +340,29 @@ class SeqSparkServer:
             # forever; handle_one_request catches socket.timeout and
             # closes the connection
             timeout = 300
+
+            def do_DELETE(self):
+                # gateway DELETE /async-search/{id} → CancelAsyncSearch
+                if self.path.startswith("/async-search/"):
+                    from . import gateway as gw
+                    from .wire import seqproxy as sp
+                    from .wire.grpc import GrpcError
+
+                    g = outer._gateway_rpc()
+                    try:
+                        out = g.cancel_async(
+                            {"search_id":
+                             self.path.split("/async-search/")[1]},
+                            outer._gw_metadata(self.headers),
+                        )
+                        return self._json(200, gw.proto_to_json(
+                            sp.CANCEL_ASYNC_SEARCH_RESPONSE, out))
+                    except GrpcError as e:
+                        return self._json(
+                            outer._GW_HTTP_STATUS.get(e.code, 500),
+                            {"code": e.code, "message": e.message},
+                        )
+                return self._json(404, {"error": "not found"})
 
             def do_POST(self):
                 try:
@@ -436,6 +497,32 @@ class SeqSparkServer:
                     "/fetch": outer.fetch,
                     "/async/start": outer.async_start,
                 }
+                if self.path in ("/complex-search", "/aggregate",
+                                 "/histogram", "/async-search"):
+                    # grpc-gateway routes (the reference's documented
+                    # HTTP surface): admission/rate-limit/validation run
+                    # inside the shared gRPC handlers themselves
+                    from .wire.grpc import GrpcError
+
+                    try:
+                        req = json.loads(body.decode() or "{}")
+                        if not isinstance(req, dict):
+                            raise ValueError(
+                                "request body must be a JSON object"
+                            )
+                        return self._json(200, outer._gw_call(
+                            self.path, req,
+                            outer._gw_metadata(self.headers),
+                        ))
+                    except GrpcError as e:
+                        outer._count("search_errors_total")
+                        return self._json(
+                            outer._GW_HTTP_STATUS.get(e.code, 500),
+                            {"code": e.code, "message": e.message},
+                        )
+                    except Exception as e:  # noqa: BLE001 - shaped → 400
+                        outer._count("search_errors_total")
+                        return self._json(400, {"error": str(e)})
                 if self.path in handlers:
                     if not outer._searches.acquire(blocking=False):
                         # `--search-requests-limit` exceeded
@@ -775,6 +862,54 @@ class SeqSparkServer:
     def default_dialect(self) -> str:
         """No-header query dialect (`--use-seq-ql-by-default`)."""
         return self._default_dialect
+
+    # ---------------------------------------------- grpc-gateway routes
+
+    def _gateway_rpc(self):
+        """An UNSTARTED SeqProxyGrpc bound to this core: the gateway
+        HTTP routes (`/complex-search`, `/aggregate`, `/histogram`,
+        `/mappings`, `/async-search`) run through the SAME handlers as
+        the real gRPC transport — one behavior, two renderings."""
+        if self._gw is None:
+            from .grpcapi import SeqProxyGrpc
+
+            self._gw = SeqProxyGrpc(self)
+        return self._gw
+
+    @staticmethod
+    def _gw_metadata(headers) -> dict:
+        md = {}
+        for k, v in headers.items():
+            kl = k.lower()
+            if kl.startswith("grpc-metadata-"):
+                md[kl[len("grpc-metadata-"):]] = v
+            elif kl == "use-seq-ql":
+                md[kl] = v
+        return md
+
+    #: gRPC status → HTTP status, the grpc-gateway mapping
+    _GW_HTTP_STATUS = {3: 400, 5: 404, 8: 429, 2: 500, 13: 500}
+
+    def _gw_call(self, path: str, req: dict, metadata: dict) -> dict:
+        from . import gateway as gw
+        from .wire import seqproxy as sp
+
+        g = self._gateway_rpc()
+        table = {
+            "/complex-search": (g.complex_search,
+                                sp.COMPLEX_SEARCH_REQUEST,
+                                sp.COMPLEX_SEARCH_RESPONSE),
+            "/aggregate": (g.get_aggregation, sp.GET_AGGREGATION_REQUEST,
+                           sp.GET_AGGREGATION_RESPONSE),
+            "/histogram": (g.get_histogram, sp.GET_HISTOGRAM_REQUEST,
+                           sp.GET_HISTOGRAM_RESPONSE),
+            "/async-search": (g.start_async,
+                              sp.START_ASYNC_SEARCH_REQUEST,
+                              sp.START_ASYNC_SEARCH_RESPONSE),
+        }
+        fn, req_desc, resp_desc = table[path]
+        out = fn(gw.json_to_proto(req_desc, req), metadata)
+        return gw.proto_to_json(resp_desc, out)
 
     @property
     def mapping(self):

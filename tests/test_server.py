@@ -1192,3 +1192,81 @@ def test_reference_quickstart_curl_shapes_work_verbatim(server):
     code, res = _post(server, "/search",
                       json.dumps({"query": "message:failed"}).encode())
     assert code == 200 and len(res["docs"]) == 1 and "mid" in res["docs"][0]
+
+
+def test_gateway_routes_full_surface(server):
+    """The reference's grpc-gateway HTTP routes (`seq_proxy_api.proto`
+    google.api.http): /complex-search, /aggregate, /histogram, /mappings,
+    /async-search (POST + GET + DELETE) — all served through the SAME
+    handlers as the real gRPC transport, rendered gateway-style."""
+    _post(server, "/_bulk", BULK)
+    win = {"from": "2020-01-01T00:00:00Z", "to": "2030-01-01T00:00:00Z"}
+
+    # /complex-search: docs + total + hist + agg in one request
+    code, res = _post(server, "/complex-search", json.dumps({
+        "query": {"query": "*", **win},
+        "size": 10, "withTotal": True,
+        "hist": {"interval": "1h"},
+        "aggs": [{"func": "AGG_FUNC_COUNT", "field": "service"}],
+    }).encode())
+    assert code == 200, res
+    assert res["total"] == "2"
+    assert len(res["docs"]) == 2
+    assert sum(int(b["docCount"]) for b in res["hist"]["buckets"]) == 2
+    keys = {b["key"]: b["value"] for b in res["aggs"][0]["buckets"]}
+    assert keys == {"auth": 1.0, "pay": 1.0}
+    assert res["error"]["code"] == "ERROR_CODE_NO"
+
+    # /aggregate
+    code, res = _post(server, "/aggregate", json.dumps({
+        "query": {"query": "*", **win},
+        "aggs": [{"func": "AGG_FUNC_COUNT", "field": "service"}],
+    }).encode())
+    assert code == 200
+    assert {b["key"] for b in res["aggs"][0]["buckets"]} == {"auth", "pay"}
+
+    # /histogram
+    code, res = _post(server, "/histogram", json.dumps({
+        "query": {"query": "service:auth", **win},
+        "hist": {"interval": "1h"},
+    }).encode())
+    assert code == 200
+    assert sum(int(b["docCount"]) for b in res["hist"]["buckets"]) == 1
+    assert res["hist"]["buckets"][0]["ts"].endswith("Z")
+
+    # gateway validation errors map to HTTP statuses (INVALID_ARGUMENT→400)
+    code, res = _post(server, "/histogram", json.dumps({
+        "query": {"query": "*", **win}, "hist": {}}).encode())
+    assert code == 400
+
+    # /mappings
+    import base64
+    import urllib.request as _u
+    with _u.urlopen(f"http://127.0.0.1:{server.port}/mappings") as r:
+        assert r.status == 200
+        fields = json.loads(base64.b64decode(json.loads(r.read())["data"]))
+    assert fields["service"] == "keyword"
+
+    # /async-search lifecycle: POST start → GET result → DELETE cancel
+    code, res = _post(server, "/async-search", json.dumps({
+        "retention": "3600s",
+        "query": {"query": "*", **win},
+        "aggs": [{"func": "AGG_FUNC_COUNT", "field": "service"}],
+    }).encode())
+    assert code == 200, res
+    sid = res["searchId"]
+    server._async.wait(sid, timeout=120)
+    with _u.urlopen(
+        f"http://127.0.0.1:{server.port}/async-search/{sid}?withDocs=true"
+        "&size=10"
+    ) as r:
+        assert r.status == 200
+        out = json.loads(r.read())
+    assert out["done"] is True
+    assert out["response"]["aggs"][0]["buckets"]
+    req = _u.Request(
+        f"http://127.0.0.1:{server.port}/async-search/{sid}",
+        method="DELETE",
+    )
+    with _u.urlopen(req) as r:
+        assert r.status == 200
