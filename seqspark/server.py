@@ -439,6 +439,17 @@ class SeqSparkServer:
                                 raise ValueError(
                                     "request body must be a JSON object"
                                 )
+                            gateway = isinstance(req.get("query"), dict)
+                            if gateway:
+                                # gateway ExportRequest: nested SearchQuery
+                                q = req["query"]
+                                req = {
+                                    "query": q.get("query", "*"),
+                                    "from_ms": _rfc3339_ms(q.get("from")),
+                                    "to_ms": _rfc3339_ms(q.get("to")),
+                                    "size": req.get("size"),
+                                    "offset": req.get("offset", 0),
+                                }
                             outer._apply_dialect(self.headers, req)
                             outer._count("search_total")
                             if not outer._rate_check("/search", req):
@@ -446,7 +457,11 @@ class SeqSparkServer:
                                 return self._json(
                                     429, {"error": "request was rate limited"}
                                 )
-                            lines = outer.export_lines(req)
+                            lines = (
+                                outer._gw_export_lines(req)
+                                if gateway
+                                else outer.export_lines(req)
+                            )
                         except Exception as e:
                             outer._count("search_errors_total")
                             return self._json(400, {"error": str(e)})
@@ -471,10 +486,13 @@ class SeqSparkServer:
                             logger.error("export truncated rows=%d: %s", n, e)
                             self.close_connection = True
                             return
-                        self.wfile.write(
-                            json.dumps({"end": True, "rows": n}).encode()
-                            + b"\n"
-                        )
+                        if not gateway:
+                            # gateway streams end by closing; the native
+                            # NDJSON shape carries an explicit sentinel
+                            self.wfile.write(
+                                json.dumps({"end": True, "rows": n}).encode()
+                                + b"\n"
+                            )
                         return
                     finally:
                         outer._searches.release()
@@ -910,6 +928,27 @@ class SeqSparkServer:
         fn, req_desc, resp_desc = table[path]
         out = fn(gw.json_to_proto(req_desc, req), metadata)
         return gw.proto_to_json(resp_desc, out)
+
+    def _gw_export_lines(self, req: dict):
+        """Gateway-framed export stream: one `{"result": ExportResponse}`
+        JSON object per line (grpc-gateway's server-streaming rendering),
+        over the same resumable drain as the native NDJSON shape."""
+        from . import gateway as gw
+        from .grpcapi import seq_id_str
+        from .wire import seqproxy as sp
+
+        rows = self.export_docs(req)
+
+        def lines():
+            for mid, rid, raw in rows:
+                frame = gw.proto_to_json(sp.EXPORT_RESPONSE, {"doc": {
+                    "id": seq_id_str(mid, rid),
+                    "data": raw.encode("utf-8"),
+                    "time": sp.ms_to_ts(mid),
+                }})
+                yield json.dumps({"result": frame})
+
+        return lines()
 
     @property
     def mapping(self):

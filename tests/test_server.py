@@ -1270,3 +1270,36 @@ def test_gateway_routes_full_surface(server):
     )
     with _u.urlopen(req) as r:
         assert r.status == 200
+
+
+def test_gateway_export_stream(server):
+    """Gateway-shaped /export: nested SearchQuery request, response as
+    grpc-gateway server-streaming frames ({"result": ExportResponse} per
+    line, no custom sentinel); the native flat shape is unchanged."""
+    import base64
+
+    _post(server, "/_bulk", BULK)
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{server.port}/export",
+        data=json.dumps({
+            "query": {"query": "*", "from": "2020-01-01T00:00:00Z",
+                      "to": "2030-01-01T00:00:00Z"},
+            "size": 100,
+        }).encode(),
+    )
+    with urllib.request.urlopen(req) as r:
+        assert r.status == 200
+        lines = [json.loads(l) for l in r.read().decode().splitlines()]
+    assert len(lines) == 2
+    for frame in lines:
+        doc = frame["result"]["doc"]
+        assert "-" in doc["id"] and doc["time"].endswith("Z")
+        json.loads(base64.b64decode(doc["data"]))  # valid doc bytes
+    # native flat shape still ends with the sentinel
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{server.port}/export",
+        data=json.dumps({"query": "*", "order": "asc"}).encode(),
+    )
+    with urllib.request.urlopen(req) as r:
+        native = [json.loads(l) for l in r.read().decode().splitlines()]
+    assert native[-1] == {"end": True, "rows": 2}
