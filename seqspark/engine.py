@@ -192,6 +192,23 @@ def validate_agg(aggq: "AggQuery") -> None:
         raise ValueError(f"unknown agg func {func!r}")
 
 
+def mapping_dict(mapping) -> Dict[str, object]:
+    """Mapping as field → type(s), the Mapping-endpoint rendering
+    (`proxyapi/grpc_mapping.go:9`). Module-level because the endpoint
+    must answer from configuration alone — an empty store with no
+    parquet yet still has a mapping to report."""
+    out: Dict[str, object] = {}
+    for fm in mapping.fields():
+        if fm.sub_types:
+            out[fm.name] = {
+                "type": fm.main_type,
+                "titles": {t: st for t, (st, _s) in fm.sub_types.items()},
+            }
+        else:
+            out[fm.name] = fm.main_type
+    return out
+
+
 class SearchTable:
     """A searchable table: a DataFrame + mapping + physical field layout.
 
@@ -929,16 +946,7 @@ class SearchTable:
     def mapping_dict(self) -> Dict[str, object]:
         """Active mapping as field → type(s) — the Mapping endpoint
         (`proxyapi/grpc_mapping.go:9`)."""
-        out: Dict[str, object] = {}
-        for fm in self.mapping.fields():
-            if fm.sub_types:
-                out[fm.name] = {
-                    "type": fm.main_type,
-                    "titles": {t: st for t, (st, _s) in fm.sub_types.items()},
-                }
-            else:
-                out[fm.name] = fm.main_type
-        return out
+        return mapping_dict(self.mapping)
 
     def explain(
         self,

@@ -60,6 +60,13 @@ def _ts_from_json(v) -> Optional[dict]:
     if isinstance(v, dict):  # already proto-shaped
         return v
     t = _dt.datetime.fromisoformat(str(v).replace("Z", "+00:00"))
+    if t.tzinfo is None:
+        # protobuf JSON Timestamps are RFC3339 WITH an offset; guessing
+        # the server's local zone would make the window depend on the
+        # deployment machine, so reject like the reference gateway does
+        raise ValueError(
+            f"invalid Timestamp {v!r}: RFC3339 requires a 'Z' or offset"
+        )
     ms = int(t.timestamp() * 1000)
     return sp.ms_to_ts(ms)
 

@@ -59,8 +59,8 @@ def _apply_partial(resp: dict, out: dict) -> dict:
     reference's proxy sets BOTH the boolean and
     Error{PARTIAL_RESPONSE} when a store errored
     (`grpc_complex_search.go:54`, `seq_proxy_api.proto` ErrorCode)."""
-    if out.get("partial_response"):
-        resp["partial_response"] = True
+    resp["partial_response"] = bool(out.get("partial_response"))
+    if resp["partial_response"]:
         resp["error"] = {"code": sp.ERROR_CODE_PARTIAL_RESPONSE,
                          "message": "partial response"}
     return resp
@@ -183,7 +183,10 @@ class SeqProxyGrpc:
             host=host,
             port=port,
         )
-        self.port = self._server.port
+    @property
+    def port(self) -> Optional[int]:
+        """Bound port — None until :meth:`start` binds the listener."""
+        return self._server.port
 
     def start(self) -> "SeqProxyGrpc":
         self._server.start()
@@ -591,8 +594,12 @@ class SeqProxyGrpc:
 
     def mapping(self, req: dict, metadata: dict) -> dict:
         """`proxyapi/grpc_mapping.go`: the raw mapping bytes (field →
-        type map, the same shape /status's ``fields`` carries)."""
-        fields = self.core._table().mapping_dict()
+        type map, the same shape /status's ``fields`` carries). Built
+        from the mapping alone — an empty store (no parquet yet) must
+        still answer, as the reference's config-backed endpoint does."""
+        from .engine import mapping_dict
+
+        fields = mapping_dict(self.core.mapping)
         return {"data": json.dumps(fields, sort_keys=True).encode()}
 
     def status(self, req: dict, metadata: dict) -> dict:
@@ -643,7 +650,12 @@ class SeqProxyGrpc:
         }
         if req.get("size"):
             hreq["size"] = req["size"]
-        out = self.core.async_fetch(hreq)
+        try:
+            out = self.core.async_fetch(hreq)
+        except KeyError as e:
+            # unknown search_id → NotFound on the wire (and 404 through
+            # the gateway), not an unhandled handler exception
+            raise GrpcError(NOT_FOUND, str(e.args[0])) from None
         resp: dict = {
             "done": bool(out.get("done")),
             "expiration": sp.ms_to_ts(out.get("expiration_ms")),

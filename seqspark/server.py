@@ -64,78 +64,6 @@ MAX_INFLIGHT_SEARCHES = 30
 MIRROR_REQUEST_LIMIT = 300
 
 
-def _rfc3339_ms(v) -> Optional[int]:
-    """RFC3339 string (gateway Timestamp JSON) or epoch-ms int → ms."""
-    if v is None:
-        return None
-    if isinstance(v, (int, float)):
-        return int(v)
-    return int(
-        _dt.datetime.fromisoformat(str(v).replace("Z", "+00:00")).timestamp()
-        * 1000
-    )
-
-
-def _gateway_search_req(req: dict) -> dict:
-    """grpc-gateway JSON shape → the flat HTTP shape.
-
-    The reference's documented quickstart drives the HTTP port with the
-    gateway rendering of SearchRequest (`docs/en/01-quickstart.md`):
-    a nested ``query`` object with RFC3339 ``from``/``to``, top-level
-    size/offset/order/withTotal. Accepting it verbatim means the
-    reference's own curl examples run unchanged against this server."""
-    q = req["query"]
-    out = {
-        "query": q.get("query", "*"),
-        "from_ms": _rfc3339_ms(q.get("from")),
-        "to_ms": _rfc3339_ms(q.get("to")),
-        "size": req.get("size", 100),
-        "offset": req.get("offset", 0),
-    }
-    order = req.get("order", 0)
-    out["order"] = (
-        "asc"
-        if order in (1, "1", "asc", "ORDER_ASC")
-        else "desc"
-    )
-    if req.get("with_total") or req.get("withTotal"):
-        out["with_total"] = True
-    if "dialect" in req:
-        out["dialect"] = req["dialect"]
-    return out
-
-
-def _gateway_search_resp(out: dict) -> dict:
-    """Flat response → gateway rendering of SearchResponse: int64 as
-    string, bytes as base64, Timestamp as RFC3339, lowerCamel keys."""
-    import base64
-
-    from .grpcapi import seq_id_str
-
-    def doc(d):
-        t = _dt.datetime.fromtimestamp(
-            d["mid"] / 1000.0, tz=_dt.timezone.utc
-        )
-        return {
-            "id": seq_id_str(d["mid"], d["rid"]),
-            "data": base64.b64encode(d["data"].encode("utf-8")).decode(),
-            "time": t.isoformat(timespec="milliseconds").replace(
-                "+00:00", "Z"
-            ),
-        }
-
-    resp = {
-        "total": str(out.get("total", 0)),
-        "docs": [doc(d) for d in out.get("docs", [])],
-        "error": {"code": "ERROR_CODE_NO", "message": ""},
-        "partialResponse": bool(out.get("partial_response", False)),
-    }
-    if out.get("partial_response"):
-        resp["error"] = {"code": "ERROR_CODE_PARTIAL_RESPONSE",
-                         "message": "partial response"}
-    return resp
-
-
 class SeqSparkServer:
     """Bind a DocStore + mapping to an HTTP endpoint."""
 
@@ -250,8 +178,12 @@ class SeqSparkServer:
             or _os.path.join(store.path.removeprefix("file:"), "_async_search"),
             parallelism=async_parallelism,
         )
-        #: lazily-built unstarted SeqProxyGrpc backing the gateway routes
-        self._gw = None
+        #: unstarted SeqProxyGrpc backing the gateway routes — handler
+        #: reuse only; it binds no socket unless start()ed (eager so two
+        #: concurrent first gateway requests can't race a lazy build)
+        from .grpcapi import SeqProxyGrpc
+
+        self._gw = SeqProxyGrpc(self)
         # `--es-version`: the version string shippers read off the banner
         # (`proxyapi/ingestor_config.go:18`)
         self._banner = dict(ES_BANNER)
@@ -312,6 +244,11 @@ class SeqSparkServer:
                             outer._GW_HTTP_STATUS.get(e.code, 500),
                             {"code": e.code, "message": e.message},
                         )
+                    except ValueError as e:
+                        # non-integer size/offset query params and the
+                        # like are request-shaped: 400, not a dropped
+                        # connection from an unhandled handler exception
+                        return self._json(400, {"error": str(e)})
                 # debug-server surface (`docs/en/internal/debug-server.md`)
                 if self.path == "/metrics":
                     body = outer.metrics_text().encode()
@@ -363,6 +300,61 @@ class SeqSparkServer:
                             {"code": e.code, "message": e.message},
                         )
                 return self._json(404, {"error": "not found"})
+
+            def _gw_export(self, req):
+                """Gateway-shaped /export: transcode into the shared
+                Export RPC handler (same validation, MaxRequestedDocuments
+                cap, admission and semaphore discipline as the real gRPC
+                transport), stream grpc-gateway server-streaming frames —
+                one ``{"result": ExportResponse}`` JSON object per line."""
+                from . import gateway as gw
+                from .wire import seqproxy as sp
+                from .wire.grpc import GrpcError
+
+                g = outer._gateway_rpc()
+                try:
+                    frames = g.export(
+                        gw.json_to_proto(sp.EXPORT_REQUEST, req),
+                        outer._gw_metadata(self.headers),
+                    )
+                except GrpcError as e:
+                    outer._gw_count_error(e.code)
+                    return self._json(
+                        outer._GW_HTTP_STATUS.get(e.code, 500),
+                        {"code": e.code, "message": e.message},
+                    )
+                except Exception as e:
+                    # transcode/validation-shaped: counted like the
+                    # native 400 path (a search_total/search_errors pair)
+                    outer._count("search_total")
+                    outer._count("search_errors_total")
+                    return self._json(400, {"error": str(e)})
+                self.send_response(200)
+                self.send_header("Content-Type", "application/x-ndjson")
+                self.send_header("Connection", "close")
+                self.end_headers()
+                n = 0
+                try:
+                    for frame in frames:
+                        line = json.dumps({"result": gw.proto_to_json(
+                            sp.EXPORT_RESPONSE, frame)})
+                        self.wfile.write(line.encode() + b"\n")
+                        n += 1
+                except Exception as e:
+                    # mid-stream failure: emit grpc-gateway's error
+                    # frame if the socket still accepts it, then close
+                    # (the handler's generator releases the search
+                    # semaphore via its own finally)
+                    outer._count("search_errors_total")
+                    logger.error("export truncated rows=%d: %s", n, e)
+                    try:
+                        self.wfile.write(json.dumps({"error": {
+                            "code": 13, "message": str(e)}}).encode() + b"\n")
+                    except OSError:
+                        pass
+                    self.close_connection = True
+                finally:
+                    frames.close()
 
             def do_POST(self):
                 try:
@@ -425,31 +417,29 @@ class SeqSparkServer:
                         outer._inflight.release()
                 if self.path == "/export":
                     # streaming NDJSON drain — Search's streaming twin
-                    # (`docs/en/10-public-api.md` /Export)
+                    # (`docs/en/10-public-api.md` /Export). A nested
+                    # query object is the gateway ExportRequest shape,
+                    # served through the shared Export RPC handler
+                    # (validation, caps, admission and metrics included)
+                    try:
+                        req = json.loads(body.decode() or "{}")
+                        if not isinstance(req, dict):
+                            raise ValueError(
+                                "request body must be a JSON object"
+                            )
+                    except Exception as e:
+                        outer._count("search_errors_total")
+                        return self._json(400, {"error": str(e)})
+                    if isinstance(req.get("query"), dict):
+                        return self._gw_export(req)
                     if not outer._searches.acquire(blocking=False):
                         return self._json(429, {"error": "too many requests"})
                     try:
                         # everything before the 200 status line is
-                        # request-shaped: malformed JSON, wrong body type,
-                        # parse/plan errors all become a clean 400 (the
-                        # mid-stream path below has its own handling)
+                        # request-shaped: parse/plan errors become a
+                        # clean 400 (the mid-stream path below has its
+                        # own handling)
                         try:
-                            req = json.loads(body.decode() or "{}")
-                            if not isinstance(req, dict):
-                                raise ValueError(
-                                    "request body must be a JSON object"
-                                )
-                            gateway = isinstance(req.get("query"), dict)
-                            if gateway:
-                                # gateway ExportRequest: nested SearchQuery
-                                q = req["query"]
-                                req = {
-                                    "query": q.get("query", "*"),
-                                    "from_ms": _rfc3339_ms(q.get("from")),
-                                    "to_ms": _rfc3339_ms(q.get("to")),
-                                    "size": req.get("size"),
-                                    "offset": req.get("offset", 0),
-                                }
                             outer._apply_dialect(self.headers, req)
                             outer._count("search_total")
                             if not outer._rate_check("/search", req):
@@ -457,11 +447,7 @@ class SeqSparkServer:
                                 return self._json(
                                     429, {"error": "request was rate limited"}
                                 )
-                            lines = (
-                                outer._gw_export_lines(req)
-                                if gateway
-                                else outer.export_lines(req)
-                            )
+                            lines = outer.export_lines(req)
                         except Exception as e:
                             outer._count("search_errors_total")
                             return self._json(400, {"error": str(e)})
@@ -486,13 +472,12 @@ class SeqSparkServer:
                             logger.error("export truncated rows=%d: %s", n, e)
                             self.close_connection = True
                             return
-                        if not gateway:
-                            # gateway streams end by closing; the native
-                            # NDJSON shape carries an explicit sentinel
-                            self.wfile.write(
-                                json.dumps({"end": True, "rows": n}).encode()
-                                + b"\n"
-                            )
+                        # gateway streams end by closing; the native
+                        # NDJSON shape carries an explicit sentinel
+                        self.wfile.write(
+                            json.dumps({"end": True, "rows": n}).encode()
+                            + b"\n"
+                        )
                         return
                     finally:
                         outer._searches.release()
@@ -515,30 +500,44 @@ class SeqSparkServer:
                     "/fetch": outer.fetch,
                     "/async/start": outer.async_start,
                 }
-                if self.path in ("/complex-search", "/aggregate",
-                                 "/histogram", "/async-search"):
-                    # grpc-gateway routes (the reference's documented
-                    # HTTP surface): admission/rate-limit/validation run
-                    # inside the shared gRPC handlers themselves
-                    from .wire.grpc import GrpcError
-
+                gw_routes = ("/complex-search", "/aggregate",
+                             "/histogram", "/async-search")
+                if self.path in gw_routes or self.path in handlers:
                     try:
                         req = json.loads(body.decode() or "{}")
                         if not isinstance(req, dict):
                             raise ValueError(
                                 "request body must be a JSON object"
                             )
+                    except Exception as e:
+                        outer._count("search_errors_total")
+                        return self._json(400, {"error": str(e)})
+                else:
+                    return self._json(404, {"error": "not found"})
+                if self.path in gw_routes or (
+                    self.path == "/search"
+                    and isinstance(req.get("query"), dict)
+                ):
+                    # grpc-gateway routes (the reference's documented
+                    # HTTP surface) — /search with a nested query object
+                    # is the gateway SearchRequest shape. Validation,
+                    # admission, rate limiting, mirroring and metrics
+                    # all run inside the shared gRPC handlers
+                    from .wire.grpc import GrpcError
+
+                    try:
                         return self._json(200, outer._gw_call(
                             self.path, req,
                             outer._gw_metadata(self.headers),
                         ))
                     except GrpcError as e:
-                        outer._count("search_errors_total")
+                        outer._gw_count_error(e.code)
                         return self._json(
                             outer._GW_HTTP_STATUS.get(e.code, 500),
                             {"code": e.code, "message": e.message},
                         )
                     except Exception as e:  # noqa: BLE001 - shaped → 400
+                        outer._count("search_total")
                         outer._count("search_errors_total")
                         return self._json(400, {"error": str(e)})
                 if self.path in handlers:
@@ -546,15 +545,6 @@ class SeqSparkServer:
                         # `--search-requests-limit` exceeded
                         return self._json(429, {"error": "too many requests"})
                     try:
-                        req = json.loads(body.decode() or "{}")
-                        if not isinstance(req, dict):
-                            raise ValueError("request body must be a JSON object")
-                        gateway = (
-                            self.path == "/search"
-                            and isinstance(req.get("query"), dict)
-                        )
-                        if gateway:
-                            req = _gateway_search_req(req)
                         outer._apply_dialect(self.headers, req)
                         outer._count("search_total")
                         if not outer._rate_check(self.path, req):
@@ -589,15 +579,12 @@ class SeqSparkServer:
                                 op, took_ms, self.path,
                                 req.get("query", ""),
                             )
-                        if gateway:
-                            resp = _gateway_search_resp(resp)
                         return self._json(200, resp)
                     except Exception as e:  # request-shaped errors → 400
                         outer._count("search_errors_total")
                         return self._json(400, {"error": str(e)})
                     finally:
                         outer._searches.release()
-                return self._json(404, {"error": "not found"})
 
         self._httpd = ThreadingHTTPServer((host, port), Handler)
         self.port = self._httpd.server_address[1]
@@ -884,14 +871,12 @@ class SeqSparkServer:
     # ---------------------------------------------- grpc-gateway routes
 
     def _gateway_rpc(self):
-        """An UNSTARTED SeqProxyGrpc bound to this core: the gateway
-        HTTP routes (`/complex-search`, `/aggregate`, `/histogram`,
-        `/mappings`, `/async-search`) run through the SAME handlers as
-        the real gRPC transport — one behavior, two renderings."""
-        if self._gw is None:
-            from .grpcapi import SeqProxyGrpc
-
-            self._gw = SeqProxyGrpc(self)
+        """The UNSTARTED SeqProxyGrpc bound to this core: the gateway
+        HTTP routes (`/search`, `/complex-search`, `/aggregate`,
+        `/histogram`, `/mappings`, `/async-search`, `/export`) run
+        through the SAME handlers as the real gRPC transport — one
+        behavior, two renderings. It binds no socket (GrpcServer defers
+        the listener to start(), which is never called here)."""
         return self._gw
 
     @staticmethod
@@ -914,6 +899,7 @@ class SeqSparkServer:
 
         g = self._gateway_rpc()
         table = {
+            "/search": (g.search, sp.SEARCH_REQUEST, sp.SEARCH_RESPONSE),
             "/complex-search": (g.complex_search,
                                 sp.COMPLEX_SEARCH_REQUEST,
                                 sp.COMPLEX_SEARCH_RESPONSE),
@@ -929,26 +915,26 @@ class SeqSparkServer:
         out = fn(gw.json_to_proto(req_desc, req), metadata)
         return gw.proto_to_json(resp_desc, out)
 
-    def _gw_export_lines(self, req: dict):
-        """Gateway-framed export stream: one `{"result": ExportResponse}`
-        JSON object per line (grpc-gateway's server-streaming rendering),
-        over the same resumable drain as the native NDJSON shape."""
-        from . import gateway as gw
-        from .grpcapi import seq_id_str
-        from .wire import seqproxy as sp
+    def _gw_count_error(self, code: int) -> None:
+        """Metric parity between the gateway routes and the native flat
+        routes for errors surfacing from the shared gRPC handlers:
 
-        rows = self.export_docs(req)
-
-        def lines():
-            for mid, rid, raw in rows:
-                frame = gw.proto_to_json(sp.EXPORT_RESPONSE, {"doc": {
-                    "id": seq_id_str(mid, rid),
-                    "data": raw.encode("utf-8"),
-                    "time": sp.ms_to_ts(mid),
-                }})
-                yield json.dumps({"result": frame})
-
-        return lines()
+        - RESOURCE_EXHAUSTED (8): admission — the handler already
+          counted ``rate_limited_total`` (or it's a capacity 429, which
+          the native path doesn't count either); nothing more.
+        - INVALID_ARGUMENT (3): validation raised BEFORE the handler's
+          ``_admit`` counted ``search_total`` — count the same
+          total+error pair the native 400 path produces, so
+          errors/total ratios stay comparable across routes.
+        - NOT_FOUND (5): async-id lookup; the native ``/async/fetch``
+          404 counts nothing.
+        - anything else: post-admission failure — ``search_total`` was
+          already counted, add the error only."""
+        if code in (8, 5):
+            return
+        if code == 3:
+            self._count("search_total")
+        self._count("search_errors_total")
 
     @property
     def mapping(self):

@@ -146,15 +146,27 @@ class GrpcServer:
     def __init__(self, methods: Dict[str, Method],
                  host: str = "127.0.0.1", port: int = 0):
         self._methods = methods
-        self._h2 = H2Server(self._handle, host=host, port=port)
-        self.port = self._h2.port
+        self._host = host
+        self._requested_port = port
+        # the listener binds at start(), not construction: the HTTP
+        # gateway routes construct a GrpcServer purely to reuse its
+        # handlers, and an eagerly-bound never-accepted socket would
+        # leak an fd and hang any client that connected to it
+        self._h2: Optional[H2Server] = None
+        self.port: Optional[int] = None
 
     def start(self) -> "GrpcServer":
+        if self._h2 is None:
+            self._h2 = H2Server(
+                self._handle, host=self._host, port=self._requested_port
+            )
+            self.port = self._h2.port
         self._h2.start()
         return self
 
     def stop(self) -> None:
-        self._h2.stop()
+        if self._h2 is not None:
+            self._h2.stop()
 
     # ---------------------------------------------------------------- app
 

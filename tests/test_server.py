@@ -1303,3 +1303,94 @@ def test_gateway_export_stream(server):
     with urllib.request.urlopen(req) as r:
         native = [json.loads(l) for l in r.read().decode().splitlines()]
     assert native[-1] == {"end": True, "rows": 2}
+
+
+def test_gateway_routes_share_grpc_validation_and_errors(server):
+    """Round-9 hardening: gateway-shaped /search and /export run through
+    the shared gRPC handlers, inheriting doSearch validation and the
+    MaxRequestedDocuments cap; gateway GET routes answer errors as clean
+    HTTP statuses instead of dropped connections; offset-less RFC3339
+    timestamps are rejected rather than read in the server's local zone."""
+    _post(server, "/_bulk", BULK)
+    win = {"from": "2020-01-01T00:00:00Z", "to": "2030-01-01T00:00:00Z"}
+
+    # missing window → the doSearch family's INVALID_ARGUMENT as a 400
+    # (was: silently accepted, defaulted, and scanned unbounded) — and
+    # the metric pair matches the native 400 path (total + error)
+    before = dict(server._counters)
+    code, res = _post(server, "/search", json.dumps({
+        "query": {"query": "*"}, "size": 10}).encode())
+    assert code == 400 and "must be provided" in res["message"]
+    after = dict(server._counters)
+    assert after["search_total"] - before.get("search_total", 0) == 1
+    assert (after["search_errors_total"]
+            - before.get("search_errors_total", 0) == 1)
+
+    # size must be > 0, exactly as over gRPC
+    code, res = _post(server, "/search", json.dumps({
+        "query": {"query": "*", **win}}).encode())
+    assert code == 400 and "size" in res["message"]
+
+    # an offset-less timestamp would mean "the server's local zone":
+    # results would differ per deployment machine, so it is rejected
+    code, res = _post(server, "/search", json.dumps({
+        "query": {"query": "*", "from": "2020-01-01T00:00:00",
+                  "to": "2030-01-01T00:00:00"}, "size": 10}).encode())
+    assert code == 400
+
+    # gateway /export: required window + MaxRequestedDocuments guard
+    code, res = _post(server, "/export", json.dumps({
+        "query": {"query": "*"}}).encode())
+    assert code == 400
+    from seqspark.engine import MAX_SEARCH_DOCS
+    code, res = _post(server, "/export", json.dumps({
+        "query": {"query": "*", **win},
+        "size": MAX_SEARCH_DOCS + 1}).encode())
+    assert code == 400 and "too many documents" in res["message"]
+
+    # unknown async-search id → 404 (was: unhandled KeyError dropped
+    # the connection with zero bytes sent); same NOT_FOUND over gRPC
+    code, res = _get(server, "/async-search/deadbeef")
+    assert code == 404
+
+    # non-integer query params → 400, not a dropped connection
+    code, res = _post(server, "/async-search", json.dumps({
+        "query": {"query": "*", **win}}).encode())
+    assert code == 200
+    sid = res["searchId"]
+    code, res = _get(server, f"/async-search/{sid}?size=abc")
+    assert code == 400
+    server._async.wait(sid, timeout=120)
+
+
+def test_gateway_rpc_binds_no_socket(server):
+    """The SeqProxyGrpc behind the gateway routes exists purely for
+    handler reuse: its GrpcServer must not bind a listening socket
+    unless start() is called (a bound, never-accepted listener leaks an
+    fd and hangs any client that connects to it)."""
+    g = server._gateway_rpc()
+    assert g.port is None
+    assert g._server._h2 is None
+    # the gateway routes work without any listener having been bound
+    code, _ = _get(server, "/mappings")
+    assert code == 200
+    assert g._server._h2 is None
+
+
+def test_mappings_answers_on_empty_store(spark, tmp_path):
+    """The Mapping endpoint is config-backed: an empty store with no
+    parquet yet must still report the mapping (both renderings)."""
+    import base64
+
+    store = DocStore(spark, str(tmp_path / "empty"))
+    srv = SeqSparkServer(spark, store, MAPPING).start()
+    try:
+        code, res = _get(srv, "/mappings")
+        assert code == 200
+        fields = json.loads(base64.b64decode(res["data"]))
+        assert fields["service"] == "keyword"
+        # the shared gRPC handler answers identically
+        out = srv._gateway_rpc().mapping({}, {})
+        assert json.loads(out["data"]) == fields
+    finally:
+        srv.stop()
