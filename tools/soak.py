@@ -74,6 +74,7 @@ def main() -> None:
     stop = threading.Event()
     errors: list = []
     counts = {"bulk": 0, "docs": 0, "search_http": 0, "search_grpc": 0,
+              "search_gateway": 0, "export_gateway": 0,
               "export": 0, "async": 0, "compact": 0, "mapping_flips": 0}
     lock = threading.Lock()
 
@@ -90,6 +91,13 @@ def main() -> None:
         )
         with urllib.request.urlopen(req, timeout=120) as r:
             return json.loads(r.read())
+
+    def http_raw(path, body):
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{core.port}{path}", data=body
+        )
+        with urllib.request.urlopen(req, timeout=120) as r:
+            return r.read().decode()
 
     def shipper(tid):
         k = 0
@@ -143,6 +151,34 @@ def main() -> None:
         finally:
             ch.close()
 
+    def searcher_gateway():
+        # the grpc-gateway HTTP rendering (nested query, RFC3339 window)
+        # served through the shared gRPC handlers; every few searches,
+        # drain a gateway-framed /export stream too
+        gwin = {"from": "2020-01-01T00:00:00Z", "to": "2100-01-01T00:00:00Z"}
+        k = 0
+        while not stop.is_set():
+            try:
+                http("/search", json.dumps(
+                    {"query": {"query": "message:msg", **gwin},
+                     "size": 5, "withTotal": True}).encode())
+                bump("search_gateway")
+                if k % 5 == 0:
+                    body = http_raw("/export", json.dumps(
+                        {"query": {"query": "*", **gwin},
+                         "size": 200}).encode())
+                    for line in body.splitlines():
+                        frame = json.loads(line)
+                        if "result" not in frame:
+                            record_err("export_gateway-frame", frame)
+                            break
+                    bump("export_gateway")
+            except urllib.error.HTTPError as e:
+                record_err("search_gateway", e.read().decode()[:400])
+            except Exception as e:  # noqa: BLE001
+                record_err("search_gateway", e)
+            k += 1
+
     def exporter():
         while not stop.is_set():
             try:
@@ -194,6 +230,7 @@ def main() -> None:
         + [threading.Thread(target=searcher_http, args=(t,))
            for t in range(args.searchers)]
         + [threading.Thread(target=searcher_grpc),
+           threading.Thread(target=searcher_gateway),
            threading.Thread(target=exporter),
            threading.Thread(target=async_user),
            threading.Thread(target=maintainer),
