@@ -270,7 +270,45 @@ class SeqSparkServer:
                         if outer.ready()
                         else self._json(503, {"status": "not ready"})
                     )
+                if self.path == "/log/level":
+                    # zap http_handler contract: GET reports the level
+                    # (`docs/en/internal/debug-server.md`)
+                    return self._json(200, {"level": outer.log_level()})
                 return self._json(404, {"error": "not found"})
+
+            def do_PUT(self):
+                # zap http_handler: PUT {"level": "..."} swaps the serving
+                # log level at runtime (`docs/en/internal/debug-server.md`,
+                # go.uber.org/zap http_handler.go)
+                if self.path != "/log/level":
+                    return self._json(404, {"error": "not found"})
+                try:
+                    length = int(self.headers.get("Content-Length", 0))
+                    if length < 0 or length > 4096:
+                        raise ValueError(length)
+                except ValueError:
+                    return self._json(
+                        400, {"error": "invalid Content-Length header"}
+                    )
+                try:
+                    payload = json.loads(self.rfile.read(length) or b"{}")
+                    level = payload.get("level")
+                except (ValueError, AttributeError):
+                    return self._json(
+                        400, {"error": "request body must be valid JSON"}
+                    )
+                if not level:
+                    return self._json(
+                        400,
+                        {"error":
+                         "must specify logging level via the 'level' key"},
+                    )
+                try:
+                    return self._json(
+                        200, {"level": outer.set_log_level(level)}
+                    )
+                except ValueError as e:
+                    return self._json(400, {"error": str(e)})
 
             # per-recv socket timeout: a shipper that stalls mid-body
             # (slowloris / dead connection) must not pin a handler thread
@@ -357,6 +395,11 @@ class SeqSparkServer:
                     frames.close()
 
             def do_POST(self):
+                if self.path == "/log/level":
+                    # zap http_handler rejects non-GET/PUT verbs explicitly
+                    return self._json(
+                        405, {"error": "Only GET and PUT are supported."}
+                    )
                 try:
                     length = int(self.headers.get("Content-Length", 0))
                     if length < 0:
@@ -615,6 +658,36 @@ class SeqSparkServer:
                 f"seqspark_rate_limiter_active_keys {self._limiter.active_keys()}"
             )
         return "\n".join(lines) + "\n"
+
+    # zap level name <-> python logging level (`/log/level`,
+    # `docs/en/internal/debug-server.md`; dpanic/panic/fatal all collapse
+    # onto CRITICAL — python has no panic tiers)
+    _ZAP_LEVELS = {
+        "debug": logging.DEBUG, "info": logging.INFO,
+        "warn": logging.WARNING, "error": logging.ERROR,
+        "dpanic": logging.CRITICAL, "panic": logging.CRITICAL,
+        "fatal": logging.CRITICAL,
+    }
+
+    def log_level(self) -> str:
+        """Current serving level as its zap name (GET /log/level)."""
+        eff = logging.getLogger("seqspark").getEffectiveLevel()
+        for name in ("debug", "info", "warn", "error", "fatal"):
+            if eff <= self._ZAP_LEVELS[name]:
+                return name
+        return "fatal"
+
+    def set_log_level(self, level: str) -> str:
+        """Atomically swap the package logger level (PUT /log/level).
+
+        Raises ValueError on a name zap would reject, so the handler can
+        400 instead of silently defaulting.
+        """
+        name = str(level).strip().lower()
+        if name not in self._ZAP_LEVELS:
+            raise ValueError(f"unrecognized level: {level!r}")
+        logging.getLogger("seqspark").setLevel(self._ZAP_LEVELS[name])
+        return self.log_level()
 
     def ready(self) -> bool:
         """Readiness = the store path is reachable (k8s /readiness probe)."""

@@ -183,6 +183,54 @@ def test_slow_logs_disabled_at_zero(spark, tmp_path, caplog):
         srv.stop()
 
 
+def test_log_level_endpoint(server):
+    # `/log/level` mirrors zap's http_handler (debug-server.md): GET
+    # reports, PUT swaps at runtime, bad input is a 400 not a default
+    import logging as _logging
+
+    def _put(path, body):
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{server.port}{path}", data=body, method="PUT"
+        )
+        try:
+            with urllib.request.urlopen(req) as r:
+                return r.status, json.loads(r.read())
+        except urllib.error.HTTPError as e:
+            return e.code, json.loads(e.read())
+
+    pkg = _logging.getLogger("seqspark")
+    before = pkg.level
+    try:
+        code, body = _get(server, "/log/level")
+        assert code == 200 and body["level"] in (
+            "debug", "info", "warn", "error", "fatal"
+        )
+
+        code, body = _put("/log/level", b'{"level": "debug"}')
+        assert (code, body["level"]) == (200, "debug")
+        assert pkg.getEffectiveLevel() == _logging.DEBUG
+        code, body = _get(server, "/log/level")
+        assert (code, body["level"]) == (200, "debug")
+
+        code, body = _put("/log/level", b'{"level": "warn"}')
+        assert (code, body["level"]) == (200, "warn")
+        assert pkg.getEffectiveLevel() == _logging.WARNING
+
+        # rejects: unknown name, missing key, malformed JSON, wrong verb
+        code, body = _put("/log/level", b'{"level": "loud"}')
+        assert code == 400 and "unrecognized" in body["error"]
+        code, body = _put("/log/level", b"{}")
+        assert code == 400 and "level" in body["error"]
+        code, body = _put("/log/level", b"not json")
+        assert code == 400
+        code, body = _post(server, "/log/level", b'{"level": "info"}')
+        assert code == 405
+        # the failed writes left the level untouched
+        assert pkg.getEffectiveLevel() == _logging.WARNING
+    finally:
+        pkg.setLevel(before)
+
+
 def test_debug_server_surface(server):
     # `docs/en/internal/debug-server.md`: /metrics, /live, /readiness
     code, body = _get(server, "/live")
