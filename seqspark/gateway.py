@@ -45,11 +45,19 @@ def _camel(name: str) -> str:
     return parts[0] + "".join(p.title() for p in parts[1:])
 
 
+_EPOCH = _dt.datetime(1970, 1, 1, tzinfo=_dt.timezone.utc)
+_MS = _dt.timedelta(milliseconds=1)
+
+
 def _ts_to_json(ts: Optional[dict]) -> Optional[str]:
+    # integer datetime arithmetic, not fromtimestamp(float): a float
+    # detour near a .xx9995 boundary mis-truncates the rendered
+    # millisecond, and a window edge that moves 1 ms drops real docs
     if ts is None:
         return None
-    t = _dt.datetime.fromtimestamp(
-        ts.get("seconds", 0) + ts.get("nanos", 0) / 1e9, tz=_dt.timezone.utc
+    t = _EPOCH + _dt.timedelta(
+        seconds=ts.get("seconds", 0),
+        microseconds=ts.get("nanos", 0) // 1000,
     )
     return t.isoformat(timespec="milliseconds").replace("+00:00", "Z")
 
@@ -67,15 +75,19 @@ def _ts_from_json(v) -> Optional[dict]:
         raise ValueError(
             f"invalid Timestamp {v!r}: RFC3339 requires a 'Z' or offset"
         )
-    ms = int(t.timestamp() * 1000)
+    ms = (t - _EPOCH) // _MS  # exact; timestamp()*1000 can lose the edge ms
     return sp.ms_to_ts(ms)
 
 
 def _dur_to_json(d: Optional[dict]) -> Optional[str]:
     if d is None:
         return None
-    sec = d.get("seconds", 0) + d.get("nanos", 0) / 1e9
-    return f"{sec:.9f}".rstrip("0").rstrip(".") + "s" if sec else "0s"
+    sec, nanos = int(d.get("seconds", 0)), int(d.get("nanos", 0))
+    if not sec and not nanos:
+        return "0s"
+    sign = "-" if (sec < 0 or nanos < 0) else ""
+    body = f"{abs(sec)}.{abs(nanos):09d}".rstrip("0").rstrip(".")
+    return sign + body + "s"
 
 
 def json_to_proto(desc: dict, obj: dict) -> dict:
@@ -96,9 +108,14 @@ def json_to_proto(desc: dict, obj: dict) -> dict:
 def _dur_from_json(v) -> dict:
     if isinstance(v, dict):
         return v
-    sec = float(str(v).rstrip("s"))
-    whole = int(sec)
-    return {"seconds": whole, "nanos": int(round((sec - whole) * 1e9))}
+    s = str(v).rstrip("s")
+    neg = s.startswith("-")
+    whole, _, frac = s.lstrip("+-").partition(".")
+    sec = int(whole or 0)
+    nanos = int((frac + "000000000")[:9]) if frac else 0
+    if neg:
+        sec, nanos = -sec, -nanos
+    return {"seconds": sec, "nanos": nanos}
 
 
 def _from_json_one(f, v):
