@@ -183,6 +183,89 @@ def test_slow_logs_disabled_at_zero(spark, tmp_path, caplog):
         srv.stop()
 
 
+def test_gateway_fuzz_never_drops_connection(server):
+    """Seeded random JSON (wrong shapes, wrong types, nested garbage,
+    non-JSON bytes) against every gateway route: the server must always
+    answer an HTTP response with a JSON body — malformed input is a
+    request-shaped 4xx, never an aborted connection or a handler 500
+    with a traceback body — and must still serve real queries after.
+    The reference gets this from grpc-gateway's transcoder; ours is
+    hand-rolled (`seqspark/gateway.py`), so pin it here."""
+    import random
+
+    rng = random.Random(20260815)
+
+    def rand_json(depth=0):
+        kinds = ["int", "float", "str", "bool", "none", "list", "dict"]
+        k = rng.choice(kinds if depth < 3 else kinds[:5])
+        if k == "int":
+            return rng.randint(-(2**70), 2**70)  # incl. out-of-int64
+        if k == "float":
+            return rng.choice([0.0, -1.5, 1e308, 3.14])
+        if k == "str":
+            return rng.choice(
+                ["", "*", "a:b", "2024-01-01T00:00:00Z", "not-a-time",
+                 "message:msg", "\x00 weird", "ORDER_ASC", "9" * 40]
+            )
+        if k == "bool":
+            return rng.random() < 0.5
+        if k == "none":
+            return None
+        if k == "list":
+            return [rand_json(depth + 1) for _ in range(rng.randint(0, 3))]
+        return {
+            rng.choice(["query", "from", "to", "size", "offset", "aggs",
+                        "hist", "field", "func", "order", "withTotal",
+                        "retention", "interval", "quantiles", "x"]):
+            rand_json(depth + 1)
+            for _ in range(rng.randint(0, 4))
+        }
+
+    routes = ["/search", "/complex-search", "/aggregate", "/histogram",
+              "/export", "/async-search", "/fetch"]
+    for i in range(120):
+        path = rng.choice(routes)
+        if i % 10 == 9:
+            body = bytes(rng.getrandbits(8) for _ in range(rng.randint(0, 60)))
+        else:
+            body = json.dumps(rand_json()).encode()
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{server.port}{path}", data=body
+        )
+        try:
+            with urllib.request.urlopen(req, timeout=60) as r:
+                code, raw = r.status, r.read()
+        except urllib.error.HTTPError as e:
+            code, raw = e.code, e.read()
+        # every answer is an HTTP status with a JSON body (export
+        # streams NDJSON: each line is JSON)
+        assert code in range(200, 600), (path, body, code)
+        for line in raw.splitlines() or [b"{}"]:
+            json.loads(line)
+
+    # GET/DELETE garbage ids on the REST async route
+    for method in ("GET", "DELETE"):
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{server.port}/async-search/%00junk!",
+            method=method,
+        )
+        try:
+            with urllib.request.urlopen(req, timeout=60) as r:
+                code, raw = r.status, r.read()
+        except urllib.error.HTTPError as e:
+            code, raw = e.code, e.read()
+        assert code in range(200, 600)
+        json.loads(raw)
+
+    # still alive and correct afterward
+    _post(server, "/_bulk", BULK)
+    code, out = _post(server, "/search", json.dumps(
+        {"query": {"query": "*", "from": "2000-01-01T00:00:00Z",
+                   "to": "2100-01-01T00:00:00Z"},
+         "size": 10, "withTotal": True}).encode())
+    assert code == 200 and out["total"] == "2", out
+
+
 def test_log_level_endpoint(server):
     # `/log/level` mirrors zap's http_handler (debug-server.md): GET
     # reports, PUT swaps at runtime, bad input is a 400 not a default
