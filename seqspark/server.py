@@ -736,10 +736,21 @@ class SeqSparkServer:
     #: throws java.nio NoSuchFileException (NOT a FileNotFoundException
     #: subclass) wrapped as FAILED_READ_FILE — transient by construction:
     #: the same query replanned sees the post-swap listing.
+    #: "Block rdd_N_M does not exist": Spark's CacheManager keys cached
+    #: plans by their canonicalized form, so two concurrent requests with
+    #: an IDENTICAL query share ONE cache entry — the first request's
+    #: unpersist() (ComplexSearchResult release, guard-FIFO eviction) can
+    #: drop blocks out from under the other's in-flight collect. A real
+    #: cluster absorbs this at the task layer (retry recomputes without
+    #: the cache); local[...] runs single-attempt tasks, so the request-
+    #: level retry plays that role. Surfaced by the burn-in soak: 1
+    #: failed async search in ~2300 ops under concurrent identical '*'
+    #: complex searches.
     _TRANSIENT_READ = (
         "FAILED_READ_FILE",
         "FileNotFoundException",
         "NoSuchFileException",
+        "Block rdd_",
     )
 
     def _retry_transient(self, fn):

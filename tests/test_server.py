@@ -1050,6 +1050,23 @@ def test_retry_transient_semantics(server):
 
     assert server._retry_transient(flaky) == "ok" and calls["n"] == 2
 
+    # cached-block eviction (CacheManager plan-dedup: a concurrent
+    # identical request's unpersist drops the shared entry mid-collect)
+    # is transient: the retry recomputes without the cache — found by
+    # the burn-in soak under concurrent identical complex searches
+    calls["n"] = 0
+
+    def evicted():
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError(
+                "org.apache.spark.SparkException: Block rdd_15529_3 "
+                "does not exist"
+            )
+        return "ok"
+
+    assert server._retry_transient(evicted) == "ok" and calls["n"] == 2
+
     def always():
         raise RuntimeError("java.nio.file.NoSuchFileException: part-0002")
 
