@@ -82,11 +82,16 @@ def _ts_from_json(v) -> Optional[dict]:
 def _dur_to_json(d: Optional[dict]) -> Optional[str]:
     if d is None:
         return None
-    sec, nanos = int(d.get("seconds", 0)), int(d.get("nanos", 0))
-    if not sec and not nanos:
+    # normalize through total nanos: the proto spec says seconds and
+    # nanos share a sign, but the dict passthrough in _dur_from_json
+    # accepts client-supplied dicts verbatim, so a mixed-sign pair must
+    # still render its true value (+5s-500ms = "4.5s", not "-5.5s")
+    total = int(d.get("seconds", 0)) * 1_000_000_000 + int(d.get("nanos", 0))
+    if not total:
         return "0s"
-    sign = "-" if (sec < 0 or nanos < 0) else ""
-    body = f"{abs(sec)}.{abs(nanos):09d}".rstrip("0").rstrip(".")
+    sign = "-" if total < 0 else ""
+    sec, nanos = divmod(abs(total), 1_000_000_000)
+    body = f"{sec}.{nanos:09d}".rstrip("0").rstrip(".")
     return sign + body + "s"
 
 
@@ -108,9 +113,23 @@ def json_to_proto(desc: dict, obj: dict) -> dict:
 def _dur_from_json(v) -> dict:
     if isinstance(v, dict):
         return v
-    s = str(v).rstrip("s")
+    if isinstance(v, (int, float)) and not isinstance(v, bool):
+        # bare JSON numbers (seconds) were historically accepted,
+        # including values whose str() is scientific notation (1e16)
+        sec = int(v)
+        return {"seconds": sec, "nanos": int(round((v - sec) * 1e9))}
+    s = str(v)
+    if not s.endswith("s"):
+        raise ValueError(f"invalid Duration {v!r}: missing 's' suffix")
+    s = s[:-1]
     neg = s.startswith("-")
-    whole, _, frac = s.lstrip("+-").partition(".")
+    body = s[1:] if s[:1] in "+-" else s
+    whole, _, frac = body.partition(".")
+    # digit-exact parse; degenerate spellings ("", "s", ".", "--5s")
+    # must 400 like the protobuf JSON codec, not quietly become 0
+    if (not (whole or frac) or not (whole or "0").isdigit()
+            or not (frac or "0").isdigit()):
+        raise ValueError(f"invalid Duration {v!r}")
     sec = int(whole or 0)
     nanos = int((frac + "000000000")[:9]) if frac else 0
     if neg:

@@ -283,8 +283,8 @@ class SeqSparkServer:
                 if self.path != "/log/level":
                     return self._json(404, {"error": "not found"})
                 try:
-                    length = int(self.headers.get("Content-Length", 0))
-                    if length < 0 or length > 4096:
+                    length = self._content_length()
+                    if length > 4096:
                         raise ValueError(length)
                 except ValueError:
                     return self._json(
@@ -337,7 +337,23 @@ class SeqSparkServer:
                             outer._GW_HTTP_STATUS.get(e.code, 500),
                             {"code": e.code, "message": e.message},
                         )
+                if self.path == "/log/level":
+                    return self._log_level_405()
                 return self._json(404, {"error": "not found"})
+
+            def _log_level_405(self):
+                # zap http_handler: EVERY non-GET/PUT verb is a 405
+                return self._json(
+                    405, {"error": "Only GET and PUT are supported."}
+                )
+
+            def _unsupported_verb(self):
+                if self.path == "/log/level":
+                    return self._log_level_405()
+                return self._json(501, {"error": "unsupported method"})
+
+            do_PATCH = _unsupported_verb
+            do_OPTIONS = _unsupported_verb
 
             def _gw_export(self, req):
                 """Gateway-shaped /export: transcode into the shared
@@ -394,19 +410,22 @@ class SeqSparkServer:
                 finally:
                     frames.close()
 
+            def _content_length(self) -> int:
+                """Parsed Content-Length; ValueError on a malformed or
+                negative header (the caller maps it to a 400 — never an
+                unhandled handler exception / connection abort)."""
+                length = int(self.headers.get("Content-Length", 0))
+                if length < 0:
+                    raise ValueError(length)
+                return length
+
             def do_POST(self):
                 if self.path == "/log/level":
                     # zap http_handler rejects non-GET/PUT verbs explicitly
-                    return self._json(
-                        405, {"error": "Only GET and PUT are supported."}
-                    )
+                    return self._log_level_405()
                 try:
-                    length = int(self.headers.get("Content-Length", 0))
-                    if length < 0:
-                        raise ValueError(length)
+                    length = self._content_length()
                 except ValueError:
-                    # malformed header must produce a 400, not an
-                    # unhandled handler exception / connection abort
                     return self._json(
                         400, {"error": "invalid Content-Length header"}
                     )

@@ -10,6 +10,7 @@ the HTTP rendering and the wire message carry the same information
 
 import json
 
+import pytest
 from hypothesis import given, settings, strategies as st
 
 from seqspark import gateway as gw
@@ -175,10 +176,28 @@ def test_duration_render_is_exact_digits():
     assert gw._dur_to_json({"seconds": 0, "nanos": 0}) == "0s"
     assert gw._dur_to_json({"seconds": 3, "nanos": 1}) == "3.000000001s"
     assert gw._dur_to_json({"seconds": -3, "nanos": -500_000_000}) == "-3.5s"
+    # mixed-sign dicts (spec-invalid but accepted verbatim from clients
+    # via the dict passthrough) render their true value, not a wrong sign
+    assert gw._dur_to_json({"seconds": 5, "nanos": -500_000_000}) == "4.5s"
+    assert gw._dur_to_json({"seconds": -1, "nanos": 999_999_999}) == (
+        "-0.000000001s")
     assert gw._dur_from_json("3.000000001s") == {"seconds": 3, "nanos": 1}
     assert gw._dur_from_json("-3.5s") == {
         "seconds": -3, "nanos": -500_000_000}
     assert gw._dur_from_json("60s") == {"seconds": 60, "nanos": 0}
+    assert gw._dur_from_json(".5s") == {"seconds": 0, "nanos": 500_000_000}
+    # bare JSON numbers stay accepted, incl. scientific-notation str()s
+    assert gw._dur_from_json(60) == {"seconds": 60, "nanos": 0}
+    assert gw._dur_from_json(1e16) == {"seconds": 10**16, "nanos": 0}
+    assert gw._dur_from_json(2.5) == {"seconds": 2, "nanos": 500_000_000}
+
+
+def test_duration_degenerate_spellings_rejected():
+    # the protobuf JSON codec 400s these; they must not become 0s
+    for bad in ("", "s", ".", "-s", "--5s", "+-1s", "5", "1.2.3s",
+                "abc", "1a.5s", "1.5as", True):
+        with pytest.raises((ValueError, TypeError)):
+            gw._dur_from_json(bad)
 
 
 def test_double_nan_renders_as_json_string():

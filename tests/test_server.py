@@ -183,6 +183,20 @@ def test_slow_logs_disabled_at_zero(spark, tmp_path, caplog):
         srv.stop()
 
 
+def test_gateway_degenerate_duration_is_400(server):
+    # {"retention": ""} must be rejected like the protobuf JSON codec
+    # does, not silently parsed as 0s (which would drop the caller's
+    # intent and store the search under the default retention)
+    win = {"from": "2020-01-01T00:00:00Z", "to": "2100-01-01T00:00:00Z"}
+    for bad in ("", "s", "--5s", "5"):
+        code, out = _post(server, "/async-search", json.dumps(
+            {"retention": bad, "query": {"query": "*", **win}}).encode())
+        assert code == 400, (bad, out)
+    code, out = _post(server, "/async-search", json.dumps(
+        {"retention": "2.5s", "query": {"query": "*", **win}}).encode())
+    assert code == 200 and out.get("searchId"), out
+
+
 def test_gateway_fuzz_never_drops_connection(server):
     """Seeded random JSON (wrong shapes, wrong types, nested garbage,
     non-JSON bytes) against every gateway route: the server must always
@@ -238,8 +252,9 @@ def test_gateway_fuzz_never_drops_connection(server):
         except urllib.error.HTTPError as e:
             code, raw = e.code, e.read()
         # every answer is an HTTP status with a JSON body (export
-        # streams NDJSON: each line is JSON)
-        assert code in range(200, 600), (path, body, code)
+        # streams NDJSON: each line is JSON); malformed input must be
+        # request-shaped (4xx) — a 500 means a handler exception leaked
+        assert code < 500, (path, body, code)
         for line in raw.splitlines() or [b"{}"]:
             json.loads(line)
 
@@ -308,6 +323,17 @@ def test_log_level_endpoint(server):
         assert code == 400
         code, body = _post(server, "/log/level", b'{"level": "info"}')
         assert code == 405
+        # zap's http_handler 405s EVERY non-GET/PUT verb
+        for method in ("DELETE", "PATCH", "OPTIONS"):
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{server.port}/log/level", method=method
+            )
+            try:
+                with urllib.request.urlopen(req) as r:
+                    code = r.status
+            except urllib.error.HTTPError as e:
+                code, _ = e.code, json.loads(e.read())
+            assert code == 405, method
         # the failed writes left the level untouched
         assert pkg.getEffectiveLevel() == _logging.WARNING
     finally:
