@@ -1344,8 +1344,15 @@ class SearchTable:
                 # don't accumulate persisted frames for the session's life.
                 # The lock guards concurrent HTTP handler threads: without
                 # it one request could evict (unpersist) a frame another
-                # request is still collecting from (recompute, not
-                # corruption — but why pay it).
+                # request is still collecting from. That eviction is NOT
+                # just a recompute: Spark's CacheManager dedupes entries
+                # by canonicalized plan, and dropping blocks under an
+                # in-flight collect fails the task ("Block rdd_N_M does
+                # not exist") — fatal under local mode's single-attempt
+                # tasks. The server's _retry_transient replays such
+                # requests once (soak-verified); library callers invoking
+                # aggregate() directly should expect one retryable error
+                # under identical-plan concurrency.
                 with self._guard_cache_lock:
                     self._guard_cache.append(out)
                     evicted = (
