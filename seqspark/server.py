@@ -772,17 +772,28 @@ class SeqSparkServer:
         "Block rdd_",
     )
 
+    #: bounded replan attempts: a missing-file failure after a FRESH
+    #: listing is always a live-maintenance race (a fresh listing never
+    #: includes truly-deleted files), so one retry is not enough under
+    #: sustained compaction — the second attempt can collide with the
+    #: NEXT swap (soak: 8 client-visible errors in 1200 searches with
+    #: single-retry). Four attempts with a short growing backoff outlive
+    #: any swap cadence; genuinely broken files (corrupt footer) still
+    #: surface after the bounded loop.
+    _TRANSIENT_ATTEMPTS = 4
+
     def _retry_transient(self, fn):
-        """Run ``fn`` once more if it failed on a file that maintenance
-        swapped/deleted under it; anything else (including the same error
-        twice — real corruption) propagates."""
-        try:
-            return fn()
-        except Exception as e:  # noqa: BLE001 - filtered by marker below
-            msg = str(e)
-            if any(t in msg for t in self._TRANSIENT_READ):
+        """Replan ``fn`` (bounded) while it fails on files maintenance
+        swapped/deleted under it; anything else propagates immediately."""
+        for attempt in range(self._TRANSIENT_ATTEMPTS):
+            try:
                 return fn()
-            raise
+            except Exception as e:  # noqa: BLE001 - filtered by marker below
+                if attempt == self._TRANSIENT_ATTEMPTS - 1 or not any(
+                    t in str(e) for t in self._TRANSIENT_READ
+                ):
+                    raise
+                time.sleep(0.05 * (attempt + 1))
 
     @staticmethod
     def _int_or(req: dict, key: str, default: int) -> int:
@@ -839,13 +850,17 @@ class SeqSparkServer:
             # call-shaped work). On a transient read failure, replan
             # against the post-swap listing and resume strictly after the
             # last yielded (mid, rid) via keyset search_after — no
-            # duplicates, no loss, O(remaining) cost. A transient failure
-            # with NO progress since the previous one is real corruption
-            # and propagates.
+            # duplicates, no loss, O(remaining) cost. Transient failures
+            # with NO progress retry a BOUNDED number of times with a
+            # short backoff (sustained compaction can collide with
+            # several consecutive replans — soak-observed); exhausting
+            # the bound (a genuinely broken file at the cursor)
+            # propagates.
             docs = first
             yielded = 0
             cursor = None  # (mid, rid) of the last row handed out
             failed_at: object = object()  # sentinel ≠ any cursor
+            stalls = 0
             while True:
                 try:
                     for r in docs.toLocalIterator(prefetchPartitions=True):
@@ -857,8 +872,13 @@ class SeqSparkServer:
                     if not any(t in str(e) for t in self._TRANSIENT_READ):
                         raise
                     if cursor == failed_at:
-                        raise
-                    failed_at = cursor
+                        stalls += 1
+                        if stalls >= self._TRANSIENT_ATTEMPTS - 1:
+                            raise
+                        time.sleep(0.05 * stalls)
+                    else:
+                        failed_at = cursor
+                        stalls = 0
                 st = self._table()  # replan: post-swap file listing
                 if st.partial:
                     # cold tier went dark MID-DRAIN: resuming would

@@ -402,12 +402,18 @@ class DocStore:
                 # must answer queries with zero results, like the
                 # reference's empty store
                 return self.spark.createDataFrame([], EMPTY_DOC_SCHEMA)
-        # ignoreMissingFiles: retention/compaction may delete partition
-        # files between a query's file listing and its tasks reading them;
-        # a rotated-away bucket then yields fewer rows, not a failed
-        # search — the reference's semantics when rotation deletes a
-        # fraction under a running query (`fracmanager` rotation)
-        reader = self.spark.read.option("ignoreMissingFiles", "true")
+        # ignoreMissingFiles=FALSE, deliberately: retention/compaction may
+        # delete partition files between a query's file listing and its
+        # tasks reading them. Skipping missing files silently is correct
+        # for retention (the bucket is intentionally gone — fewer rows)
+        # but WRONG for compaction: the data still exists in the swapped-
+        # in files, and a silent skip served 0 rows for a live bucket
+        # (caught by the CLI e2e test under a compact-every-tick loop).
+        # Failing loudly routes both cases through the caller's one-shot
+        # replan (`SeqSparkServer._retry_transient`, export keyset
+        # resume): the re-listing sees the post-swap files — correct data
+        # after compaction, correctly-fewer rows after retention.
+        reader = self.spark.read.option("ignoreMissingFiles", "false")
         if self._schema_cache is not None:
             # explicit schema: no footer-inference job, no plan-time race
             return reader.schema(self._schema_cache).parquet(self.path)

@@ -70,7 +70,12 @@ def test_cli_serves_end_to_end(spark, tmp_path):
             "--allowed-time-drift", "100000d",
             "--future-allowed-time-drift", "100000d",
             "--maintenance-period", "500ms",
-            "--max-files-per-partition", "2",
+            # threshold 1: compact any bucket with >=2 files. Group
+            # commit can coalesce the 4 bulks into as few as 2 appends
+            # (or 1), so a higher threshold may simply never trip and
+            # the file-count==1 wait below times out (seen flaking when
+            # the suite runs under load)
+            "--max-files-per-partition", "1",
             "--es-version", "8.12.0",
         ],
         spark=spark,

@@ -1093,11 +1093,29 @@ def test_retry_transient_semantics(server):
 
     assert server._retry_transient(evicted) == "ok" and calls["n"] == 2
 
+    # sustained-maintenance shape: several attempts collide with swaps
+    # before one lands — the bounded loop absorbs up to
+    # _TRANSIENT_ATTEMPTS-1 collisions
+    calls["n"] = 0
+
+    def thrice():
+        calls["n"] += 1
+        if calls["n"] < server._TRANSIENT_ATTEMPTS:
+            raise RuntimeError("[FAILED_READ_FILE.FILE_NOT_EXIST] part-0009")
+        return "ok"
+
+    assert server._retry_transient(thrice) == "ok"
+    assert calls["n"] == server._TRANSIENT_ATTEMPTS
+
+    calls["n"] = 0
+
     def always():
+        calls["n"] += 1
         raise RuntimeError("java.nio.file.NoSuchFileException: part-0002")
 
     with pytest.raises(RuntimeError):
-        server._retry_transient(always)  # transient twice -> surfaces
+        server._retry_transient(always)  # persistent -> surfaces, bounded
+    assert calls["n"] == server._TRANSIENT_ATTEMPTS
 
     def real():
         raise ValueError("field 'x' is not indexed")

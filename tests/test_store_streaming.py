@@ -1102,11 +1102,16 @@ def test_concurrent_append_and_compact_lose_nothing(spark, tmp):
     assert DocStore(spark, path).read().count() == expected
 
 
-def test_retention_under_running_query_yields_partial_not_error(spark, tmp):
-    """Retention deleting a partition between a query's planning and its
-    tasks reading the files must degrade to fewer rows (the reference's
-    rotation-under-query semantics), not fail the search."""
+def test_retention_under_running_query_fails_transient_then_replans(spark, tmp):
+    """Maintenance deleting files between a query's planning and its tasks
+    reading them must fail LOUDLY with a transient-classified error — a
+    silent skip (ignoreMissingFiles) would also swallow a compaction
+    swap's old files and serve 0 rows for a bucket that still has data.
+    The caller's one-shot replan (`_retry_transient`) then re-lists:
+    correctly-fewer rows after retention, correct data after compaction."""
     import shutil
+
+    from seqspark.server import SeqSparkServer
 
     path = os.path.join(tmp, "rot_store")
     store = DocStore(spark, path)
@@ -1124,7 +1129,10 @@ def test_retention_under_running_query_yields_partial_not_error(spark, tmp):
     assert df.count() == 40
     victim = store.partitions()[0]
     shutil.rmtree(os.path.join(path, f"ts_bucket={victim}"))
-    assert df.count() == 20  # partial, no exception
+    with pytest.raises(Exception) as exc:
+        df.count()  # the stale plan fails, never silently under-counts
+    assert any(m in str(exc.value) for m in SeqSparkServer._TRANSIENT_READ)
+    assert store.read().count() == 20  # the replanned read sees the rest
 
 
 def test_async_search_concurrency_capped(spark, tmp):
