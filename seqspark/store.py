@@ -241,6 +241,7 @@ class DocStore:
         path: str,
         bucket_fmt: str = "yyyy-MM-dd-HH",
         compression: str = "zstd",
+        bloom_cols: tuple = ("rid",),
     ):
         if bucket_fmt not in MONOTONE_BUCKET_FMTS:
             raise ValueError(
@@ -253,6 +254,18 @@ class DocStore:
         self.path = path
         self.bucket_fmt = bucket_fmt
         self.compression = compression
+        #: columns that get a parquet BLOOM FILTER per row group. The doc
+        #: id (`rid`) is hash-synthesized, so its min/max stats span every
+        #: row group and can never prune — fetch-by-id (`storeapi/
+        #: grpc_fetch.go:42-216`) would read EVERY row group of every file
+        #: in the time window. A bloom filter gives a definitive per-row-
+        #: group skip for Eq/In predicates (measured: a k-id fetch reads
+        #: ≤k row groups instead of all of them), the Spark analog of the
+        #: reference's MID→offset doc index (`docs/en/internal/
+        #: fractions.md`). Adaptive sizing keeps the write overhead to a
+        #: few % of file bytes. Pinned in the store meta on first write so
+        #: a later process's compact can't silently seal bloom-less files.
+        self.bloom_cols = tuple(bloom_cols)
         self._fs = _HadoopFS(spark, path)
         #: per-bucket row counts from parquet footers (no Spark jobs);
         #: invalidated on append/compact/drop
@@ -308,10 +321,12 @@ class DocStore:
             self._fs.write_text(
                 p,
                 json.dumps({"bucket_fmt": self.bucket_fmt,
-                            "timezone": self._tz, "ts_col": ts_col}),
+                            "timezone": self._tz, "ts_col": ts_col,
+                            "bloom_cols": list(self.bloom_cols)}),
             )
             return
         meta = json.loads(raw)
+        changed = False
         if "ts_col" not in meta:
             # legacy meta (written before ts_col pinning): backfill from
             # the first post-upgrade append instead of assuming "ts" —
@@ -319,7 +334,38 @@ class DocStore:
             # otherwise be rejected by the pin check, and compact would
             # sort by a possibly-absent column
             meta["ts_col"] = ts_col
+            changed = True
+        if "bloom_cols" not in meta:
+            # legacy meta (pre bloom pinning): backfill from this instance
+            meta["bloom_cols"] = list(self.bloom_cols)
+            changed = True
+        if changed:
             self._fs.write_text(p, json.dumps(meta))
+
+    def _meta_bloom_cols(self) -> tuple:
+        """Bloom-filtered columns pinned at first write — META WINS over
+        the instance value, so any process that opens the store (e.g. a
+        maintenance-only compactor constructed with defaults) seals files
+        with the same blooms the appends wrote; a mismatch would silently
+        strip fetch-by-id row-group skipping from compacted buckets."""
+        raw = self._fs.read_text(self._fs.path(META_FILE))
+        if raw is None:
+            return self.bloom_cols
+        return tuple(json.loads(raw).get("bloom_cols", self.bloom_cols))
+
+    def _bloom_opts(self, writer):
+        """Apply parquet bloom-filter writer options for the pinned cols."""
+        cols = self._meta_bloom_cols()
+        if not cols:
+            return writer
+        for c in cols:
+            writer = writer.option(f"parquet.bloom.filter.enabled#{c}",
+                                   "true")
+        # adaptive sizing: parquet-mr starts large and shrinks the bloom
+        # to the row group's observed NDV at flush — without it every
+        # bloom is the worst-case 1 MiB regardless of row count
+        return writer.option("parquet.bloom.filter.adaptive.enabled",
+                             "true")
 
     def _meta_ts_col(self) -> str:
         """The timestamp column the store was first written with —
@@ -366,7 +412,7 @@ class DocStore:
                     "unsorted"
                 )
             with _int64_timestamps(self.spark):
-                (
+                writer = (
                     df.withColumn(
                         PARTITION_COL,
                         F.date_format(F.col(ts_col), self.bucket_fmt),
@@ -374,9 +420,8 @@ class DocStore:
                     .sortWithinPartitions(PARTITION_COL, ts_col)
                     .write.partitionBy(PARTITION_COL)
                     .option("compression", self.compression)
-                    .mode("append")
-                    .parquet(self.path)
                 )
+                self._bloom_opts(writer).mode("append").parquet(self.path)
             self._count_cache.clear()
             self._seen_data = True
             if self._schema_cache is not None:
@@ -652,13 +697,13 @@ class DocStore:
                     )
                 sort_col = ts_like[0]
             with _int64_timestamps(self.spark):
-                (
+                writer = (
                     df.sort(sort_col)
                     .coalesce(target_files)
                     .write.option("compression", self.compression)
-                    .mode("overwrite")
-                    .parquet(str(tmp_new.toUri()))
                 )
+                self._bloom_opts(writer).mode("overwrite").parquet(
+                    str(tmp_new.toUri()))
             # swap: live → old scratch, new → live, drop scratch
             self._fs.rename(part, tmp_old)
             self._fs.rename(tmp_new, part)

@@ -1175,3 +1175,123 @@ def test_async_search_concurrency_capped(spark, tmp):
     searcher.wait(queued, timeout=120)
     assert searcher.status(queued)["status"] == "canceled"
     assert max(peak) == 1  # the cap held for the whole drain
+
+
+def _bloom_offsets(spark, file_path):
+    """Per-column bloom-filter offsets of the first row group (-1 = none),
+    read from the parquet footer via parquet-mr (pyarrow doesn't expose
+    bloom metadata)."""
+    jvm = spark._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    hif = jvm.org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        jvm.org.apache.hadoop.fs.Path(file_path), conf)
+    reader = jvm.org.apache.parquet.hadoop.ParquetFileReader.open(hif)
+    try:
+        rg = reader.getFooter().getBlocks().get(0)
+        return {
+            rg.getColumns().get(i).getPath().toDotString():
+                rg.getColumns().get(i).getBloomFilterOffset()
+            for i in range(rg.getColumns().size())
+        }
+    finally:
+        reader.close()
+
+
+def _parquet_files(path):
+    return [
+        os.path.join(dp, f)
+        for dp, _, fs in os.walk(path)
+        for f in fs
+        if f.endswith(".parquet")
+    ]
+
+
+def test_append_and_compact_write_rid_bloom_filters(spark, tmp):
+    """The doc id (rid) is hash-synthesized, so row-group min/max stats
+    never prune a fetch-by-id — every file in the time window would be
+    read. The store writes a parquet BLOOM FILTER on rid (and pins the
+    choice in the store meta), giving Eq/In fetches a definitive
+    per-row-group skip; compaction — even from a differently-constructed
+    instance — must preserve it, or sealing would silently strip the
+    skipping from exactly the old, large buckets where it matters."""
+    frame = ingest_docs(
+        spark.createDataFrame([(json.dumps(d),) for d in DOCS], "raw string"),
+        MAPPING, allowed_drift_ms=BIG, future_drift_ms=BIG,
+    )
+    store = DocStore(spark, os.path.join(tmp, "bloom_store"))
+    store.append(frame)
+    files = _parquet_files(store.path)
+    assert files
+    for f in files:
+        offs = _bloom_offsets(spark, f)
+        assert offs["rid"] >= 0, f
+        assert offs["raw"] == -1, f  # only the pinned columns pay the bytes
+    # a fetch THROUGH the bloom returns exact results
+    some = [r.rid for r in store.read().select("rid").limit(3).collect()]
+    got = store.read().filter(F.col("rid").isin(some)).count()
+    assert got == len(set(some))
+    # meta wins over the instance: a maintenance-only opener constructed
+    # with bloom_cols=() still seals bloom-carrying files
+    store2 = DocStore(spark, store.path, bloom_cols=())
+    bucket = store2.partitions()[0]
+    store2.compact(bucket, target_files=1)
+    sealed = _parquet_files(
+        os.path.join(store.path, f"ts_bucket={bucket}"))
+    assert sealed
+    for f in sealed:
+        assert _bloom_offsets(spark, f)["rid"] >= 0, f
+
+
+def test_bloom_filter_skips_row_groups_on_id_fetch(spark, tmp):
+    """The point of the rid bloom: an id fetch reads only the row groups
+    that may contain the ids, not every row group in the store. Pinned on
+    the scan's numOutputRows metric with a small block size forcing many
+    row groups."""
+    rows = [
+        (json.dumps({"timestamp": f"2024-01-01 10:{m:02d}:{s:02d}.000",
+                     "service": "auth", "message": f"m{m}{s}"}),)
+        for m in range(60) for s in range(0, 60, 2)
+    ]
+    frame = ingest_docs(
+        spark.createDataFrame(rows, "raw string"),
+        MAPPING, allowed_drift_ms=BIG, future_drift_ms=BIG,
+    ).coalesce(1)
+    path = os.path.join(tmp, "bloom_skip_store")
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    old_block = hconf.get("parquet.block.size")
+    hconf.set("parquet.block.size", str(16 * 1024))
+    try:
+        DocStore(spark, path).append(frame)
+    finally:
+        if old_block is None:
+            hconf.unset("parquet.block.size")
+        else:
+            hconf.set("parquet.block.size", old_block)
+    store = DocStore(spark, path)
+    total = store.read().count()
+    one = store.read().select("rid").first().rid
+
+    q = store.read().filter(F.col("rid") == one)
+    assert q.count() == 1
+    q.collect()
+    jplan = q._jdf.queryExecution().executedPlan()
+
+    def leaf_rows(node):
+        if node.children().isEmpty():
+            m = node.metrics()
+            if m.contains("numOutputRows"):
+                return m.apply("numOutputRows").value()
+            return None
+        it = node.children().iterator()
+        while it.hasNext():
+            got = leaf_rows(it.next())
+            if got is not None:
+                return got
+        return None
+
+    scanned = leaf_rows(jplan)
+    # many small row groups were written; the bloom must skip all but the
+    # one(s) containing the id — strictly less than half the store is the
+    # conservative bound (without the bloom the scan reads every row:
+    # rid min/max spans every group)
+    assert scanned is not None and scanned < total / 2, (scanned, total)
