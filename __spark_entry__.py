@@ -569,6 +569,69 @@ def q_unigram_perplexity(spark, sf_dir):
     )
 
 
+def q_dsir_score(spark, sf_dir):
+    # DSIR importance weights (Xie et al. 2023): hashed unigram+bigram
+    # distributions fit on target (lang='en') vs raw (all docs); per-doc
+    # log importance ratio. dim=512 so bucket collisions occur and the
+    # densified-ratio path is exercised.
+    from seqspark.pipeline.textstats import (
+        dsir_bucket_counts, dsir_log_ratios, dsir_score)
+
+    docs = load_table(spark, sf_dir, "documents")
+    dim = 512
+    tc = dsir_bucket_counts(docs.filter(F.col("lang") == "en"), dim=dim)
+    rc = dsir_bucket_counts(docs, dim=dim)
+    out = dsir_score(docs, dsir_log_ratios(tc, rc, dim=dim), "doc_id", dim=dim)
+    return out.select(
+        "doc_id",
+        F.col("n_grams").cast("long").alias("n_grams"),
+        F.round("log_importance", 3).alias("log_importance"),
+    )
+
+
+def q_dsir_resample(spark, sf_dir):
+    # Gumbel top-k resampling of the DSIR-scored corpus: k=60 docs drawn
+    # without replacement with P ∝ exp(log_importance), seeded md5 Gumbel
+    # noise so the draw is deterministic and engine-portable.
+    from seqspark.pipeline.textstats import (
+        dsir_bucket_counts, dsir_log_ratios, dsir_resample, dsir_score)
+
+    docs = load_table(spark, sf_dir, "documents")
+    dim = 512
+    tc = dsir_bucket_counts(docs.filter(F.col("lang") == "en"), dim=dim)
+    rc = dsir_bucket_counts(docs, dim=dim)
+    scored = dsir_score(
+        docs, dsir_log_ratios(tc, rc, dim=dim), "doc_id", dim=dim)
+    return dsir_resample(scored, "doc_id", 60, seed=7).select(
+        "doc_id", "lang", "source")
+
+
+def q_html_extract(spark, sf_dir):
+    # HTML→text extraction: synthetic page per document wrapping the text
+    # in boilerplate (style/script with TRAP markup inside, comments,
+    # block tags, entities incl. the &amp;amp; double-decode trap); the
+    # oracle runs the identical RE2-compatible regexp chain in DuckDB
+    from seqspark.pipeline.textstats import html_to_text
+
+    docs = load_table(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit("<html><head><title>Doc "),
+        F.col("doc_id").cast("string"),
+        F.lit("</title><style>p { color: red; }</style>"
+              "<script>var t = \"<p>trap</p>\";</script></head><body><h1>"),
+        F.col("source"),
+        F.lit(" &amp;amp; co</h1><!-- meta "),
+        F.col("lang"),
+        F.lit(" --><p>"),
+        F.col("text"),
+        F.lit("</p><div>tail&nbsp;&lt;"),
+        F.col("lang"),
+        F.lit("&gt;</div><br/>fin</body></html>"),
+    )
+    return docs.select(
+        "doc_id", html_to_text(html).alias("text_extracted"))
+
+
 def q_url_canonical(spark, sf_dir):
     # URL canonicalization + URL-level dedup: two messy variants per doc
     # (tracking params / default port / fragment / unsorted params /
@@ -1497,6 +1560,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_repetition": q_gopher_repetition,
         "url_canonical": q_url_canonical,
         "unigram_perplexity": q_unigram_perplexity,
+        "dsir_score": q_dsir_score,
+        "dsir_resample": q_dsir_resample,
+        "html_extract": q_html_extract,
         "token_budget": q_token_budget,
         "c4_filter": q_c4_filter,
         "path_prefix_tokens": q_path_prefix_tokens,
@@ -2025,6 +2091,85 @@ def oracle_sql() -> dict[str, str]:
         f"WHEN {bucket('split:')} < 800000 THEN 'train' "
         f"WHEN {bucket('split:')} < 900000 THEN 'val' "
         "ELSE 'test' END AS split FROM documents"
+    )
+    # DSIR: hashed unigram+bigram buckets, Laplace-smoothed target/raw
+    # log-ratios densified over all 512 buckets, per-doc importance sums
+    dsir_pre = (
+        f"WITH w AS (SELECT doc_id, lang, {_WORDS} AS ws FROM documents), "
+        "grams AS ("
+        "SELECT doc_id, lang, unnest(ws) AS gram FROM w "
+        "UNION ALL "
+        "SELECT doc_id, lang, ws[i] || ' ' || ws[i+1] AS gram "
+        "FROM (SELECT doc_id, lang, ws, "
+        "unnest(generate_series(1, len(ws) - 1)) AS i FROM w)), "
+        "b AS (SELECT doc_id, lang, "
+        "('0x' || substring(md5(gram), 1, 4))::INTEGER % 512 AS bucket "
+        "FROM grams), "
+        "tc AS (SELECT bucket, count(*) AS ct FROM b WHERE lang = 'en' "
+        "GROUP BY bucket), "
+        "rc AS (SELECT bucket, count(*) AS cr FROM b GROUP BY bucket), "
+        "tot AS (SELECT (SELECT sum(ct) FROM tc) AS t_total, "
+        "(SELECT sum(cr) FROM rc) AS r_total), "
+        "buckets AS (SELECT unnest(generate_series(0, 511)) AS bucket), "
+        "ratios AS (SELECT bucket, "
+        "ln((coalesce(ct, 0) + 1)::DOUBLE / (t_total + 512)) - "
+        "ln((coalesce(cr, 0) + 1)::DOUBLE / (r_total + 512)) AS log_ratio "
+        "FROM buckets LEFT JOIN tc USING (bucket) "
+        "LEFT JOIN rc USING (bucket), tot), "
+        "per AS (SELECT doc_id, count(*) AS n_grams, "
+        "sum(log_ratio) AS log_importance "
+        "FROM b JOIN ratios USING (bucket) GROUP BY doc_id)"
+    )
+    sql["dsir_score"] = (
+        dsir_pre +
+        " SELECT d.doc_id, coalesce(per.n_grams, 0)::BIGINT AS n_grams, "
+        "round(coalesce(per.log_importance, 0.0), 3) AS log_importance "
+        "FROM documents d LEFT JOIN per USING (doc_id)"
+    )
+    # seeded md5 Gumbel noise: u = (x32 + 0.5) / 2^32, g = -ln(-ln u);
+    # top-60 by (log_importance + g) IS the weighted sample
+    sql["dsir_resample"] = (
+        dsir_pre +
+        ", keyed AS (SELECT d.doc_id, d.lang, d.source, "
+        "coalesce(per.log_importance, 0.0) + "
+        "(-ln(-ln((('0x' || substring(md5(d.doc_id::VARCHAR || '|7'), 1, 8))"
+        "::BIGINT + 0.5) / 4294967296.0))) AS sample_key "
+        "FROM documents d LEFT JOIN per USING (doc_id)) "
+        "SELECT doc_id, lang, source FROM keyed "
+        "ORDER BY sample_key DESC LIMIT 60"
+    )
+    # html_extract: the IDENTICAL RE2-compatible regexp chain as
+    # seqspark.pipeline.textstats.html_to_text (no backreferences, \x0B
+    # spelled out — \v is a vertical-whitespace CLASS in Java regex)
+    _blk = ("p|div|br|li|ul|ol|h1|h2|h3|h4|h5|h6|tr|td|th|table|blockquote|"
+            "section|article|header|footer|pre|nav|aside|form|hr")
+    sql["html_extract"] = (
+        "WITH h AS (SELECT doc_id, "
+        "'<html><head><title>Doc ' || doc_id::VARCHAR || "
+        "'</title><style>p { color: red; }</style>"
+        "<script>var t = \"<p>trap</p>\";</script></head><body><h1>' || "
+        "source || ' &amp;amp; co</h1><!-- meta ' || lang || ' --><p>' || "
+        "text || '</p><div>tail&nbsp;&lt;' || lang || "
+        "'&gt;</div><br/>fin</body></html>' AS x FROM documents), "
+        "s1 AS (SELECT doc_id, regexp_replace(x, "
+        r"'(?is)<script\b[^>]*>.*?</script\s*>', ' ', 'g') AS x FROM h), "
+        "s2 AS (SELECT doc_id, regexp_replace(x, "
+        r"'(?is)<style\b[^>]*>.*?</style\s*>', ' ', 'g') AS x FROM s1), "
+        "s3 AS (SELECT doc_id, regexp_replace(x, "
+        "'(?s)<!--.*?-->', ' ', 'g') AS x FROM s2), "
+        "s4 AS (SELECT doc_id, regexp_replace(x, "
+        rf"'(?is)</?({_blk})\b[^>]*/?>', e'\n', 'g') AS x FROM s3), "
+        "s5 AS (SELECT doc_id, regexp_replace(x, "
+        "'(?s)<[^>]*>', ' ', 'g') AS x FROM s4), "
+        "e AS (SELECT doc_id, replace(replace(replace(replace(replace("
+        "replace(replace(x, '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), "
+        "'&quot;', '\"'), '&#39;', ''''), '&apos;', ''''), "
+        "'&amp;', '&') AS x FROM s5), "
+        "w AS (SELECT doc_id, regexp_replace(x, "
+        r"'[ \t\r\f\x0B]+', ' ', 'g') AS x FROM e) "
+        "SELECT doc_id, array_to_string(list_filter(list_transform("
+        "string_split(x, e'\n'), l -> trim(l)), l -> len(l) > 0), e'\n') "
+        "AS text_extracted FROM w"
     )
     shard8 = (
         "(CAST(CONCAT('0x', SUBSTR(md5(CONCAT(CAST(doc_id AS VARCHAR), "

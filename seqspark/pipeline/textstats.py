@@ -678,3 +678,243 @@ def quality_classifier_score(
     )
     z = F.lit(float(bias)) + F.when(n > 0, total / n).otherwise(F.lit(0.0))
     return F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+
+
+# ------------------------------------------------- DSIR importance resampling
+
+
+def dsir_ngram_buckets(text: Column, dim: int = 10_000) -> Column:
+    """Hashed unigram+bigram feature buckets of a document (DSIR, Xie et
+    al. 2023, "Data Selection for Language Models via Importance
+    Resampling" — the public method): every word and every adjacent word
+    pair hashed into ``dim`` buckets with the engine-portable md5-prefix
+    index (:func:`hashed_token_index`), so scores reproduce bit-identically
+    outside Spark. Pure Catalyst — a narrow map, no Python."""
+    return let(
+        words(text),
+        lambda ws: F.transform(
+            F.concat(ws, word_ngrams(ws, 2)),
+            lambda g: hashed_token_index(g, dim),
+        ),
+    )
+
+
+def dsir_bucket_counts(
+    df: DataFrame, text_col: str = "text", dim: int = 10_000
+) -> DataFrame:
+    """``(bucket INT, c BIGINT)`` hashed-feature counts of a corpus — the
+    sufficient statistics of DSIR's bag-of-hashed-ngrams model. One
+    explode + one groupBy keyed by BUCKET: cardinality is ``dim`` (10k),
+    not corpus size, so map-side partial aggregation reduces each task's
+    output to ≤dim rows no matter how many documents it scanned — the
+    whole 100 TB raw corpus contributes one dim-sized frame."""
+    return (
+        df.select(
+            F.explode(dsir_ngram_buckets(F.col(text_col), dim)).alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def dsir_log_ratios(
+    target_counts: DataFrame, raw_counts: DataFrame, dim: int = 10_000
+) -> DataFrame:
+    """``(bucket, log_ratio)`` for EVERY bucket in [0, dim): Laplace-
+    smoothed ``ln p_target(b) − ln p_raw(b)``. Densified over
+    ``spark.range(dim)`` so a gram whose bucket appears in neither corpus
+    still gets the correct smoothed ratio instead of a silent null. The
+    result is dim rows — broadcast-sized by construction."""
+    spark = target_counts.sparkSession
+    buckets = spark.range(dim).select(F.col("id").cast("int").alias("bucket"))
+    t_tot = target_counts.agg(F.sum("c").alias("t_total"))
+    r_tot = raw_counts.agg(F.sum("c").alias("r_total"))
+    return (
+        buckets.join(
+            target_counts.withColumnRenamed("c", "ct"), "bucket", "left")
+        .join(raw_counts.withColumnRenamed("c", "cr"), "bucket", "left")
+        .crossJoin(F.broadcast(t_tot))
+        .crossJoin(F.broadcast(r_tot))
+        .select(
+            "bucket",
+            (
+                F.log(
+                    (F.coalesce("ct", F.lit(0)) + 1)
+                    / (F.col("t_total") + F.lit(dim))
+                )
+                - F.log(
+                    (F.coalesce("cr", F.lit(0)) + 1)
+                    / (F.col("r_total") + F.lit(dim))
+                )
+            ).alias("log_ratio"),
+        )
+    )
+
+
+def dsir_score(
+    df: DataFrame,
+    log_ratios: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    dim: int = 10_000,
+) -> DataFrame:
+    """Per-document DSIR log importance weight: ``Σ_grams
+    log_ratio(bucket(gram))`` — how much more likely the doc's hashed
+    n-grams are under the target distribution than the raw one. Adds
+    ``n_grams`` and ``log_importance`` (0.0 for empty docs, pinned).
+
+    The ratio table is broadcast (dim rows); the only shuffle is the
+    per-document re-aggregation keyed by id — the same shape as
+    :func:`unigram_logprob_score`, corpus-scan-proportional and nothing
+    more."""
+    grams = df.select(
+        F.col(id_col),
+        F.explode(dsir_ngram_buckets(F.col(text_col), dim)).alias("bucket"),
+    )
+    per = (
+        grams.join(F.broadcast(log_ratios), "bucket", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum("log_ratio").alias("log_importance"),
+        )
+    )
+    return (
+        df.join(per, id_col, "left")
+        .withColumn("n_grams", F.coalesce("n_grams", F.lit(0)))
+        .withColumn(
+            "log_importance", F.coalesce("log_importance", F.lit(0.0))
+        )
+    )
+
+
+def gumbel_key(id_expr: Column, seed: int = 0) -> Column:
+    """Deterministic standard-Gumbel noise from md5(id || seed):
+    ``u = (x₃₂ + 0.5) / 2³²`` (never 0 or 1), ``g = −ln(−ln u)``.
+    Seeded and engine-portable — the same doc gets the same noise in any
+    engine, so a resample is reproducible and oracle-checkable, unlike
+    ``F.rand`` (partition-order-dependent) or ``Math.random``."""
+    x = F.conv(
+        F.substring(
+            F.md5(F.concat_ws("|", id_expr.cast("string"), F.lit(str(seed)))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("double")
+    u = (x + F.lit(0.5)) / F.lit(float(2**32))
+    return -F.log(-F.log(u))
+
+
+def dsir_resample(
+    scored: DataFrame,
+    id_col: str,
+    k: int,
+    seed: int = 0,
+    weight_col: str = "log_importance",
+    temperature: float = 1.0,
+) -> DataFrame:
+    """Gumbel top-k resampling: draw ``k`` documents WITHOUT replacement
+    with probability ∝ ``exp(weight / temperature)`` — the sampling half
+    of DSIR (and of any weighted corpus selection). ``key = weight/T +
+    Gumbel(id, seed)``; the top-k by key IS the weighted sample (the
+    Gumbel-max trick), and ``orderBy(...).limit(k)`` compiles to
+    TakeOrderedAndProject — per-partition heaps of size k, no global
+    sort, no shuffle of anything but k rows per partition."""
+    key = (F.col(weight_col) / F.lit(float(temperature))) + gumbel_key(
+        F.col(id_col), seed
+    )
+    return (
+        scored.withColumn("sample_key", key)
+        .orderBy(F.desc("sample_key"))
+        .limit(k)
+    )
+
+
+def dsir_select(
+    raw_df: DataFrame,
+    target_df: DataFrame,
+    id_col: str,
+    k: int,
+    text_col: str = "text",
+    dim: int = 10_000,
+    seed: int = 0,
+    temperature: float = 1.0,
+) -> DataFrame:
+    """End-to-end DSIR data selection: fit hashed-ngram distributions on
+    the target (small, quality) and raw (huge) corpora, score every raw
+    doc's importance ratio, and Gumbel-top-k resample ``k`` docs. At
+    100 TB: two dim-cardinality aggregations + one broadcast-join scoring
+    pass + one TakeOrdered — the raw corpus is scanned exactly twice and
+    shuffled only by doc id."""
+    tc = dsir_bucket_counts(target_df, text_col, dim)
+    rc = dsir_bucket_counts(raw_df, text_col, dim)
+    ratios = dsir_log_ratios(tc, rc, dim)
+    scored = dsir_score(raw_df, ratios, id_col, text_col, dim)
+    return dsir_resample(scored, id_col, k, seed, temperature=temperature)
+
+
+# ------------------------------------------------- HTML text extraction
+
+
+#: block-level tags that imply a line break when stripped — keeping the
+#: line structure is what makes the downstream line-based filters
+#: (C4 rules, paragraph dedup) work on extracted text
+_HTML_BLOCK_TAGS = (
+    "p|div|br|li|ul|ol|h1|h2|h3|h4|h5|h6|tr|td|th|table|blockquote|"
+    "section|article|header|footer|pre|nav|aside|form|hr"
+)
+
+#: named entities decoded (most-common set; ``&amp;`` must decode LAST or
+#: ``&amp;lt;`` would double-decode into ``<``)
+_HTML_ENTITIES = (
+    ("&nbsp;", " "),
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&apos;", "'"),
+    ("&amp;", "&"),
+)
+
+
+def html_to_text(html: Column) -> Column:
+    """Pragmatic HTML→text extraction for web-corpus ingestion — the
+    C4/CommonCrawl-style regex stripper, NOT a DOM parser (pipelines at
+    corpus scale use exactly this class of extractor; a browser-grade
+    parser buys little on the boilerplate-heavy tail and costs a UDF):
+
+    - ``<script>``/``<style>`` elements dropped with their CONTENT;
+      HTML comments dropped;
+    - block-level tags (`p div li h1-h6 tr table ...`) become line
+      breaks, so line-based filters (C4 rules, paragraph dedup) keep
+      working on the output; all other tags become spaces;
+    - the common named entities are decoded (``&amp;`` last, so
+      ``&amp;lt;`` round-trips to ``&lt;`` not ``<``); numeric entities
+      are left as-is (decoding them needs per-match codepoint
+      arithmetic, which no regexp engine expression can do);
+    - whitespace canonicalized: runs of spaces/tabs collapse, lines are
+      trimmed, empty lines dropped, output joined with ``\\n``.
+
+    Pure Catalyst regexp expressions — a narrow map inside whole-stage
+    codegen, no Python. Every pattern is RE2-compatible (no
+    backreferences), so the identical chain runs in DuckDB for the
+    oracle."""
+    t = F.regexp_replace(html, r"(?is)<script\b[^>]*>.*?</script\s*>", " ")
+    t = F.regexp_replace(t, r"(?is)<style\b[^>]*>.*?</style\s*>", " ")
+    t = F.regexp_replace(t, r"(?s)<!--.*?-->", " ")
+    t = F.regexp_replace(
+        t, r"(?is)</?(" + _HTML_BLOCK_TAGS + r")\b[^>]*/?>", "\n"
+    )
+    t = F.regexp_replace(t, r"(?s)<[^>]*>", " ")
+    for ent, ch in _HTML_ENTITIES:
+        t = F.replace(t, F.lit(ent), F.lit(ch))
+    # NB: \x0B spelled out — Java regex \v is the VERTICAL-WHITESPACE
+    # CLASS (it matches \n too) and would flatten the line structure
+    t = F.regexp_replace(t, "[ \\t\\r\\f\\x0B]+", " ")
+    lines = F.filter(
+        F.transform(F.split(t, "\n"), lambda l: F.trim(l)),
+        lambda l: F.length(l) > 0,
+    )
+    return F.array_join(lines, "\n")

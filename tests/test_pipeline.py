@@ -1749,3 +1749,142 @@ def test_quality_classifier_duplicate_docs_keep_weight(spark):
         d_heavy.repartition(11), "label", dim=32, sample_docs=100, iters=60
     )
     assert (w2, b2) == (w3, b3)
+
+
+# ------------------------------------------------------------- DSIR selection
+
+
+def test_dsir_target_docs_score_higher(spark, docs):
+    """Docs from the target distribution (lang='en') must get a higher
+    mean importance weight than any other language — the defining DSIR
+    property (Xie et al. 2023)."""
+    dim = 512
+    tc = textstats.dsir_bucket_counts(docs.filter(F.col("lang") == "en"),
+                                      dim=dim)
+    rc = textstats.dsir_bucket_counts(docs, dim=dim)
+    scored = textstats.dsir_score(
+        docs, textstats.dsir_log_ratios(tc, rc, dim=dim), "doc_id", dim=dim)
+    rows = (scored.groupBy("lang")
+            .agg(F.avg("log_importance").alias("w")).collect())
+    by_lang = {r.lang: r.w for r in rows}
+    assert max(by_lang, key=by_lang.get) == "en", by_lang
+
+
+def test_dsir_resample_deterministic_and_biased(spark, docs):
+    """Seeded Gumbel top-k: same seed → same sample; different seed →
+    (almost surely) different sample; high-weight docs over-represented
+    vs the corpus share."""
+    dim = 512
+    tc = textstats.dsir_bucket_counts(docs.filter(F.col("lang") == "en"),
+                                      dim=dim)
+    rc = textstats.dsir_bucket_counts(docs, dim=dim)
+    scored = textstats.dsir_score(
+        docs, textstats.dsir_log_ratios(tc, rc, dim=dim), "doc_id",
+        dim=dim).cache()
+    try:
+        total = scored.count()
+        en_share = scored.filter(F.col("lang") == "en").count() / total
+        k = min(40, total)
+        a = sorted(r.doc_id for r in
+                   textstats.dsir_resample(scored, "doc_id", k, seed=1)
+                   .collect())
+        b = sorted(r.doc_id for r in
+                   textstats.dsir_resample(scored, "doc_id", k, seed=1)
+                   .collect())
+        c = sorted(r.doc_id for r in
+                   textstats.dsir_resample(scored, "doc_id", k, seed=2)
+                   .collect())
+        assert a == b  # deterministic under a seed
+        assert len(a) == k
+        assert a != c  # a different seed draws a different sample
+        sample_en = (
+            textstats.dsir_resample(scored, "doc_id", k, seed=1)
+            .filter(F.col("lang") == "en").count() / k)
+        assert sample_en > en_share  # importance bias toward the target
+    finally:
+        scored.unpersist()
+
+
+def test_dsir_resample_no_global_sort(spark, docs):
+    """orderBy().limit(k) must compile to TakeOrderedAndProject — a
+    per-partition heap of k rows — never a full sort of the corpus."""
+    dim = 64
+    tc = textstats.dsir_bucket_counts(docs.limit(20), dim=dim)
+    rc = textstats.dsir_bucket_counts(docs, dim=dim)
+    scored = textstats.dsir_score(
+        docs, textstats.dsir_log_ratios(tc, rc, dim=dim), "doc_id", dim=dim)
+    plan = (textstats.dsir_resample(scored, "doc_id", 5)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort [" not in plan.split("TakeOrderedAndProject")[0]
+
+
+def test_dsir_empty_doc_scores_zero(spark):
+    """A doc with no words has no grams: n_grams=0, log_importance=0.0
+    (pinned), and it never crashes the bigram builder."""
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, ""), (3, "   ..!  "), (4, "solo")],
+        "doc_id long, text string")
+    dim = 64
+    tc = textstats.dsir_bucket_counts(df.filter("doc_id = 1"), dim=dim)
+    rc = textstats.dsir_bucket_counts(df, dim=dim)
+    out = textstats.dsir_score(
+        df, textstats.dsir_log_ratios(tc, rc, dim=dim), "doc_id", dim=dim)
+    rows = {r.doc_id: r for r in out.collect()}
+    assert rows[2].n_grams == 0 and rows[2].log_importance == 0.0
+    assert rows[3].n_grams == 0 and rows[3].log_importance == 0.0
+    assert rows[4].n_grams == 1  # single word → one unigram, no bigram
+    assert rows[1].n_grams == 5  # 3 unigrams + 2 bigrams
+    assert rows[1].log_importance > rows[2].log_importance
+
+
+# ----------------------------------------------------------- HTML extraction
+
+
+def test_html_to_text_vectors(spark):
+    """Hand vectors for the regex extractor: script/style CONTENT dropped
+    (markup inside them must not leak), comments dropped, block tags →
+    line breaks, inline tags → spaces, entities decoded exactly once
+    (&amp;lt; → &lt;, never <), whitespace canonicalized."""
+    vectors = [
+        # script content with trap markup inside
+        ('<script>var x = "<p>trap</p>";</script>ok', "ok"),
+        ('<style type="text/css">p > a { x: "<b>t</b>" }</style>ok', "ok"),
+        ("<!-- a <p>comment</p> -->ok", "ok"),
+        # block structure preserved as lines; inline tags are spaces
+        ("<h1>A</h1><p>b <b>c</b> d</p><div>e</div>", "A\nb c d\ne"),
+        ("one<br/>two<br>three", "one\ntwo\nthree"),
+        # entity decode order: &amp;lt; must NOT double-decode
+        ("&amp;lt; &lt; &gt; &quot; &#39; &nbsp; &amp;", "&lt; < > \" '  &".replace("  ", " ")),
+        # whitespace: tabs/CR collapse, blank lines dropped, trim
+        ("<p>  a\t\tb  </p>\r\n\r\n<p>c</p>", "a b\nc"),
+        # no markup passes through unchanged (modulo ws rules)
+        ("plain  text", "plain text"),
+        ("", ""),
+        # unclosed/hostile tags never crash: the quoted '<' stays inside
+        # the [^>]* match and the whole tag strips to a space
+        ("<p>a<xyz attr='<'>b", "a b"),
+    ]
+    df = spark.createDataFrame(
+        [(i, h) for i, (h, _) in enumerate(vectors)], "i int, h string")
+    got = {r.i: r.t for r in df.select(
+        "i", textstats.html_to_text(F.col("h")).alias("t")).collect()}
+    for i, (h, want) in enumerate(vectors):
+        assert got[i] == want, (h, got[i], want)
+
+
+def test_html_to_text_feeds_line_filters(spark):
+    """The extracted text's LINE structure must be usable by the
+    downstream line-based C4 cleaner — block boundaries become real
+    lines, so a boilerplate line inside a <div> is individually
+    droppable."""
+    html = ("<body><p>This is a long enough real sentence for the "
+            "filter to keep it around.</p><div>menu</div>"
+            "<p>Another full sentence with plenty of words in it "
+            "right here.</p></body>")
+    df = spark.createDataFrame([(1, html)], "doc_id int, h string")
+    extracted = df.select(
+        "doc_id", textstats.html_to_text(F.col("h")).alias("text"))
+    out = textstats.c4_filter(extracted).collect()[0]
+    kept = out.text_clean.split("\n")
+    assert len(kept) == 2 and "menu" not in out.text_clean
