@@ -727,8 +727,14 @@ def dsir_log_ratios(
     result is dim rows — broadcast-sized by construction."""
     spark = target_counts.sparkSession
     buckets = spark.range(dim).select(F.col("id").cast("int").alias("bucket"))
-    t_tot = target_counts.agg(F.sum("c").alias("t_total"))
-    r_tot = raw_counts.agg(F.sum("c").alias("r_total"))
+    # coalesce: sum() over an EMPTY counts frame is null, and a null total
+    # would null every ratio — which dsir_score's coalesce then pins to
+    # 0.0, silently degrading the draw to uniform. A zero total keeps the
+    # Laplace arithmetic well-defined for a degenerate (empty) corpus.
+    t_tot = target_counts.agg(
+        F.coalesce(F.sum("c"), F.lit(0)).alias("t_total"))
+    r_tot = raw_counts.agg(
+        F.coalesce(F.sum("c"), F.lit(0)).alias("r_total"))
     return (
         buckets.join(
             target_counts.withColumnRenamed("c", "ct"), "bucket", "left")
@@ -821,15 +827,14 @@ def dsir_resample(
     Gumbel(id, seed)``; the top-k by key IS the weighted sample (the
     Gumbel-max trick), and ``orderBy(...).limit(k)`` compiles to
     TakeOrderedAndProject — per-partition heaps of size k, no global
-    sort, no shuffle of anything but k rows per partition."""
+    sort, no shuffle of anything but k rows per partition. The key is
+    ordered on directly (never added as a column), so the output schema
+    is exactly the input's and a caller's own ``sample_key`` column is
+    never clobbered."""
     key = (F.col(weight_col) / F.lit(float(temperature))) + gumbel_key(
         F.col(id_col), seed
     )
-    return (
-        scored.withColumn("sample_key", key)
-        .orderBy(F.desc("sample_key"))
-        .limit(k)
-    )
+    return scored.orderBy(key.desc()).limit(k)
 
 
 def dsir_select(
@@ -846,8 +851,11 @@ def dsir_select(
     the target (small, quality) and raw (huge) corpora, score every raw
     doc's importance ratio, and Gumbel-top-k resample ``k`` docs. At
     100 TB: two dim-cardinality aggregations + one broadcast-join scoring
-    pass + one TakeOrdered — the raw corpus is scanned exactly twice and
-    shuffled only by doc id."""
+    pass + one TakeOrdered. The raw corpus is scanned THREE times (bucket
+    counts; the gram explode that feeds the per-doc sums; the join that
+    re-attaches the document columns) and shuffled only by doc id —
+    callers selecting only (id, weight) can drop the third scan by using
+    :func:`dsir_score`'s aggregate directly."""
     tc = dsir_bucket_counts(target_df, text_col, dim)
     rc = dsir_bucket_counts(raw_df, text_col, dim)
     ratios = dsir_log_ratios(tc, rc, dim)

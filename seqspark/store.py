@@ -314,18 +314,24 @@ class DocStore:
                 "timezone-dependent)"
             )
 
-    def _write_meta(self, ts_col: str = "ts") -> None:
+    def _read_meta(self) -> Optional[dict]:
+        """One read_text + parse of ``_store_meta.json`` (or None). On an
+        object store every read is a round-trip RPC — callers on the hot
+        write path read ONCE and derive everything from the dict."""
+        raw = self._fs.read_text(self._fs.path(META_FILE))
+        return None if raw is None else json.loads(raw)
+
+    def _write_meta(self, ts_col: str = "ts") -> dict:
+        """Create or backfill the store meta; returns the EFFECTIVE meta
+        dict so the caller never re-reads what was just written."""
         p = self._fs.path(META_FILE)
-        raw = self._fs.read_text(p)
-        if raw is None:
-            self._fs.write_text(
-                p,
-                json.dumps({"bucket_fmt": self.bucket_fmt,
-                            "timezone": self._tz, "ts_col": ts_col,
-                            "bloom_cols": list(self.bloom_cols)}),
-            )
-            return
-        meta = json.loads(raw)
+        meta = self._read_meta()
+        if meta is None:
+            meta = {"bucket_fmt": self.bucket_fmt,
+                    "timezone": self._tz, "ts_col": ts_col,
+                    "bloom_cols": list(self.bloom_cols)}
+            self._fs.write_text(p, json.dumps(meta))
+            return meta
         changed = False
         if "ts_col" not in meta:
             # legacy meta (written before ts_col pinning): backfill from
@@ -341,41 +347,44 @@ class DocStore:
             changed = True
         if changed:
             self._fs.write_text(p, json.dumps(meta))
+        return meta
 
-    def _meta_bloom_cols(self) -> tuple:
-        """Bloom-filtered columns pinned at first write — META WINS over
-        the instance value, so any process that opens the store (e.g. a
-        maintenance-only compactor constructed with defaults) seals files
-        with the same blooms the appends wrote; a mismatch would silently
-        strip fetch-by-id row-group skipping from compacted buckets."""
-        raw = self._fs.read_text(self._fs.path(META_FILE))
-        if raw is None:
+    def _meta_bloom_cols(self, meta: Optional[dict] = None) -> tuple:
+        """Bloom-filtered columns pinned at first write — META WINS, so
+        any process that opens the store (e.g. a maintenance-only
+        compactor constructed with defaults) seals files with the same
+        blooms the appends wrote; a mismatch would silently strip
+        fetch-by-id row-group skipping from compacted buckets. (Appends
+        additionally REJECT a mismatching instance — see append().)"""
+        if meta is None:
+            meta = self._read_meta()
+        if meta is None:
             return self.bloom_cols
-        return tuple(json.loads(raw).get("bloom_cols", self.bloom_cols))
+        return tuple(meta.get("bloom_cols", self.bloom_cols))
 
-    def _bloom_opts(self, writer):
-        """Apply parquet bloom-filter writer options for the pinned cols."""
-        cols = self._meta_bloom_cols()
-        if not cols:
-            return writer
+    def _bloom_opts(self, writer, cols: tuple):
+        """Apply parquet bloom-filter writer options for ``cols``."""
         for c in cols:
             writer = writer.option(f"parquet.bloom.filter.enabled#{c}",
                                    "true")
-        # adaptive sizing: parquet-mr starts large and shrinks the bloom
-        # to the row group's observed NDV at flush — without it every
-        # bloom is the worst-case 1 MiB regardless of row count
-        return writer.option("parquet.bloom.filter.adaptive.enabled",
-                             "true")
+        if cols:
+            # adaptive sizing: parquet-mr starts large and shrinks the
+            # bloom to the row group's observed NDV at flush — without it
+            # every bloom is the worst-case 1 MiB regardless of row count
+            writer = writer.option(
+                "parquet.bloom.filter.adaptive.enabled", "true")
+        return writer
 
-    def _meta_ts_col(self) -> str:
+    def _meta_ts_col(self, meta: Optional[dict] = None) -> str:
         """The timestamp column the store was first written with —
         compaction must sort by it (a hardcoded "ts" broke maintain() on
         stores appended with a custom ts_col). Pre-existing meta files
         without the key default to "ts"."""
-        raw = self._fs.read_text(self._fs.path(META_FILE))
-        if raw is None:
+        if meta is None:
+            meta = self._read_meta()
+        if meta is None:
             return "ts"
-        return json.loads(raw).get("ts_col", "ts")
+        return meta.get("ts_col", "ts")
 
     def _cleanup_stale_tmp(self) -> None:
         """Recover from a crashed compact: if the crash hit between the two
@@ -402,14 +411,28 @@ class DocStore:
         within a fraction (`docs/en/internal/fractions.md`)."""
         with _write_lock(self.path):
             self._check_meta()
-            self._write_meta(ts_col)
-            pinned = self._meta_ts_col()
+            meta = self._write_meta(ts_col)
+            pinned = self._meta_ts_col(meta)
             if ts_col != pinned:
                 raise ValueError(
                     f"store at {self.path} was first written with "
                     f"ts_col={pinned!r}; append got {ts_col!r} — compaction "
                     "sorts by the pinned column, so a mixed store would seal "
                     "unsorted"
+                )
+            bloom_cols = self._meta_bloom_cols(meta)
+            if self.bloom_cols != bloom_cols:
+                # same discipline as the ts_col pin: a writer that THINKS
+                # it blooms different columns than the store actually does
+                # would leave the caller believing fetches on those columns
+                # skip row groups when they never will (or strip the rid
+                # bloom from new files). Compact-only openers never hit
+                # this — they take the pinned value.
+                raise ValueError(
+                    f"store at {self.path} was first written with "
+                    f"bloom_cols={bloom_cols!r}; this writer was constructed "
+                    f"with {self.bloom_cols!r} — open it with the pinned "
+                    "value (new appends always write the pinned blooms)"
                 )
             with _int64_timestamps(self.spark):
                 writer = (
@@ -421,7 +444,8 @@ class DocStore:
                     .write.partitionBy(PARTITION_COL)
                     .option("compression", self.compression)
                 )
-                self._bloom_opts(writer).mode("append").parquet(self.path)
+                self._bloom_opts(writer, bloom_cols).mode("append").parquet(
+                    self.path)
             self._count_cache.clear()
             self._seen_data = True
             if self._schema_cache is not None:
@@ -680,7 +704,8 @@ class DocStore:
             tmp_new = self._fs.path(TMP_DIR, f"new-{bucket}")
             tmp_old = self._fs.path(TMP_DIR, f"old-{bucket}")
             df = self.spark.read.parquet(str(part.toUri()))
-            sort_col = self._meta_ts_col()
+            meta = self._read_meta()
+            sort_col = self._meta_ts_col(meta)
             if sort_col not in df.columns:
                 # legacy store (meta lacks ts_col, default "ts") written
                 # with a custom timestamp column: sorting by an absent
@@ -702,8 +727,9 @@ class DocStore:
                     .coalesce(target_files)
                     .write.option("compression", self.compression)
                 )
-                self._bloom_opts(writer).mode("overwrite").parquet(
-                    str(tmp_new.toUri()))
+                self._bloom_opts(
+                    writer, self._meta_bloom_cols(meta)
+                ).mode("overwrite").parquet(str(tmp_new.toUri()))
             # swap: live → old scratch, new → live, drop scratch
             self._fs.rename(part, tmp_old)
             self._fs.rename(tmp_new, part)

@@ -1888,3 +1888,32 @@ def test_html_to_text_feeds_line_filters(spark):
     out = textstats.c4_filter(extracted).collect()[0]
     kept = out.text_clean.split("\n")
     assert len(kept) == 2 and "menu" not in out.text_clean
+
+
+def test_dsir_empty_target_stays_well_defined(spark):
+    """A degenerate (empty) target corpus must yield FINITE smoothed
+    ratios — sum() over an empty frame is null, and an unguarded null
+    total would null every ratio and silently turn the draw uniform."""
+    df = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "gamma delta")], "doc_id long, text string")
+    dim = 32
+    tc = textstats.dsir_bucket_counts(df.filter("doc_id < 0"), dim=dim)
+    rc = textstats.dsir_bucket_counts(df, dim=dim)
+    ratios = textstats.dsir_log_ratios(tc, rc, dim=dim)
+    assert ratios.filter(F.col("log_ratio").isNull()).count() == 0
+    out = textstats.dsir_score(df, ratios, "doc_id", dim=dim)
+    rows = out.collect()
+    # with an empty target, seen raw grams are DOWN-weighted vs unseen
+    # buckets — nonzero, finite scores, never the pinned 0.0 fallback
+    assert all(r.log_importance < 0.0 for r in rows), rows
+
+
+def test_dsir_resample_preserves_schema(spark, docs):
+    """The Gumbel key must not appear in (or clobber a column of) the
+    output — the sample has exactly the input schema."""
+    scored = docs.limit(30).withColumn(
+        "log_importance", F.lit(1.0)).withColumn(
+        "sample_key", F.lit("mine"))
+    out = textstats.dsir_resample(scored, "doc_id", 5)
+    assert out.columns == scored.columns
+    assert all(r.sample_key == "mine" for r in out.collect())

@@ -1295,3 +1295,20 @@ def test_bloom_filter_skips_row_groups_on_id_fetch(spark, tmp):
     # conservative bound (without the bloom the scan reads every row:
     # rid min/max spans every group)
     assert scanned is not None and scanned < total / 2, (scanned, total)
+
+
+def test_append_rejects_mismatched_bloom_cols(spark, tmp):
+    """Same discipline as the ts_col pin: an appender constructed with
+    different bloom_cols than the store was pinned with must be rejected,
+    not silently overridden — the caller would otherwise believe fetches
+    on its columns skip row groups when they never will."""
+    frame = ingest_docs(
+        spark.createDataFrame([(json.dumps(DOCS[0]),)], "raw string"),
+        MAPPING, allowed_drift_ms=BIG, future_drift_ms=BIG,
+    )
+    store = DocStore(spark, os.path.join(tmp, "bloom_pin_store"))
+    store.append(frame)
+    with pytest.raises(ValueError, match="bloom_cols"):
+        DocStore(spark, store.path, bloom_cols=("rid", "mid")).append(frame)
+    # the pinned-value writer still appends fine
+    DocStore(spark, store.path).append(frame)
