@@ -9,7 +9,8 @@ partitioning — is fully testable without media libraries.
 detection, imported inside the executor batch function:
 
 - image: Pillow (``PIL.Image``) when installed; without it, a stdlib
-  header parser covers PNG (incl. APNG frame counts), BMP and GIF
+  header parser covers PNG (incl. APNG frame counts), BMP, GIF and JPEG
+  (SOF marker walk — baseline/progressive/arithmetic variants)
   metadata, and a pure-stdlib PNG codec (zlib + scanline unfilter)
   covers 8-bit RGB/RGBA PNG resize — other formats raise
   ``NotImplementedError``;
@@ -129,6 +130,45 @@ def _stdlib_image_meta(content: bytes) -> Optional[tuple[int, int, int]]:
         width, height = struct.unpack("<HH", b[6:10])
         # frame counting needs a full block walk; header-only path reports 1
         return int(width), int(height), 1
+    if b.startswith(b"\xff\xd8"):
+        return _jpeg_meta(b)
+    return None
+
+
+#: JPEG SOF (start-of-frame) markers carrying the image dimensions:
+#: 0xC0-0xCF minus DHT (C4), JPG-extension (C8) and DAC (CC) — covers
+#: baseline (C0), progressive (C2) and the arithmetic/lossless variants
+_JPEG_SOF = frozenset(range(0xC0, 0xD0)) - {0xC4, 0xC8, 0xCC}
+
+
+def _jpeg_meta(b: bytes) -> Optional[tuple[int, int, int]]:
+    """Header-only (width, height, 1) for JPEG by walking the marker
+    segments to the first SOF — the dominant web-corpus image format (the
+    round-8 gap). No entropy-coded data is touched, so it is bit-depth
+    and codec-variant independent; a truncated or malformed stream
+    returns None (caller raises), never throws."""
+    pos = 2  # past SOI
+    n = len(b)
+    while pos + 4 <= n:
+        if b[pos] != 0xFF:
+            return None  # desynced: not a marker where one must be
+        marker = b[pos + 1]
+        if marker == 0xFF:  # fill byte padding before a marker
+            pos += 1
+            continue
+        if 0xD0 <= marker <= 0xD9 or marker == 0x01:
+            pos += 2  # standalone markers (RST/SOI/EOI/TEM): no length
+            continue
+        (seg_len,) = struct.unpack(">H", b[pos + 2:pos + 4])
+        if seg_len < 2:
+            return None
+        if marker in _JPEG_SOF:
+            if pos + 9 > n:
+                return None
+            # SOF payload: precision u8, height u16, width u16
+            height, width = struct.unpack(">HH", b[pos + 5:pos + 9])
+            return int(width), int(height), 1
+        pos += 2 + seg_len
     return None
 
 
@@ -142,7 +182,7 @@ def _real_decode(media_type: str, content: bytes) -> tuple[int, int, int]:
             if meta is None:
                 raise NotImplementedError(
                     "image format not recognized by the stdlib header parser "
-                    "(PNG/BMP/GIF) and Pillow is not installed"
+                    "(PNG/BMP/GIF/JPEG) and Pillow is not installed"
                 )
             return meta
         with Image.open(io.BytesIO(content or b"")) as img:

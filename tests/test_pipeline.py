@@ -1917,3 +1917,70 @@ def test_dsir_resample_preserves_schema(spark, docs):
     out = textstats.dsir_resample(scored, "doc_id", 5)
     assert out.columns == scored.columns
     assert all(r.sample_key == "mine" for r in out.collect())
+
+
+def _jpeg_fixture(w: int, h: int, sof: int = 0xC0, pad: bool = False) -> bytes:
+    """Minimal structurally-valid JPEG header stream: SOI + APP0(JFIF) +
+    DQT stub + SOF + EOI. `sof` picks the frame marker (0xC0 baseline,
+    0xC2 progressive); `pad` inserts 0xFF fill bytes before the SOF."""
+    import struct as _struct
+
+    app0 = b"\xff\xe0" + _struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" + b"\x00" * 6
+    dqt = b"\xff\xdb" + _struct.pack(">H", 4) + b"\x00\x00"
+    fill = b"\xff\xff\xff" if pad else b""
+    sof_seg = (
+        bytes([0xFF, sof]) + _struct.pack(">H", 11) + b"\x08"
+        + _struct.pack(">HH", h, w) + b"\x01\x01\x11\x00"
+    )
+    return b"\xff\xd8" + app0 + dqt + fill + sof_seg + b"\xff\xd9"
+
+
+def test_multimodal_jpeg_header_decode(spark):
+    """fake=False decodes JPEG dimensions with the stdlib SOF walk — the
+    dominant web-corpus image format: baseline AND progressive SOFs,
+    fill-byte padding tolerated; a truncated stream and a DHT-only
+    stream (no SOF) raise the honest NotImplementedError instead of
+    returning garbage."""
+    rows = [
+        (1, "image", bytearray(_jpeg_fixture(640, 480)), "{}"),
+        (2, "image", bytearray(_jpeg_fixture(31, 17, sof=0xC2)), "{}"),
+        (3, "image", bytearray(_jpeg_fixture(9, 8, pad=True)), "{}"),
+    ]
+    assets = spark.createDataFrame(rows, multimodal.ASSET_SCHEMA)
+    got = {
+        r["asset_id"]: (r["width"], r["height"], r["n_frames"])
+        for r in multimodal.decode_assets(assets, fake=False).collect()
+    }
+    assert got[1] == (640, 480, 1)
+    assert got[2] == (31, 17, 1)
+    assert got[3] == (9, 8, 1)
+
+    for bad in (
+        _jpeg_fixture(640, 480)[:6],            # truncated mid-APP0
+        b"\xff\xd8\xff\xc4\x00\x04\x00\x00\xff\xd9",  # DHT only, no SOF
+        b"\xff\xd8" + b"\x00" * 8,              # desynced garbage
+    ):
+        bad_assets = spark.createDataFrame(
+            [(9, "image", bytearray(bad), "{}")], multimodal.ASSET_SCHEMA)
+        with pytest.raises(Exception, match="not recognized"):
+            multimodal.decode_assets(bad_assets, fake=False).collect()
+
+
+def test_dsir_murmur_bucket_fn_preserves_target_dominance(spark, docs):
+    """The fast murmur bucket hash must be a drop-in for the portable md5
+    one: different buckets, same statistical behavior — target-language
+    docs still dominate the importance ranking."""
+    dim = 512
+    sel = textstats.dsir_select(
+        docs, docs.filter(F.col("lang") == "en"), "doc_id", k=40,
+        dim=dim, seed=5, bucket_fn=textstats.murmur_token_index)
+    rows = sel.collect()
+    assert len(rows) == 40
+    en = sum(1 for r in rows if r.lang == "en")
+    corpus_en = docs.filter(F.col("lang") == "en").count() / docs.count()
+    assert en / len(rows) > corpus_en
+    # buckets stay in range under pmod (murmur is signed)
+    b = docs.select(F.explode(textstats.dsir_ngram_buckets(
+        F.col("text"), dim, textstats.murmur_token_index)).alias("b"))
+    lohi = b.agg(F.min("b"), F.max("b")).collect()[0]
+    assert 0 <= lohi[0] and lohi[1] < dim

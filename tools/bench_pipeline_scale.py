@@ -89,6 +89,19 @@ def shuffle_job(docs):
     return run
 
 
+def dsir_job(docs):
+    from seqspark.pipeline.textstats import dsir_select
+
+    target = docs.filter(F.col("lang") == "en")
+
+    def run():
+        dsir_select(
+            docs, target, "doc_id", k=1000, dim=10_000, seed=3
+        ).count()
+
+    return run
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--runs", type=int, default=2)
@@ -131,7 +144,8 @@ def main() -> None:
     results: dict[str, dict[str, float]] = {}
     for name, job in (("span_removal", span_job),
                       ("fuzzy_contamination", fuzzy_job),
-                      ("train_shuffle", shuffle_job)):
+                      ("train_shuffle", shuffle_job),
+                      ("dsir_select", dsir_job)):
         results[name] = {
             "sf0.01": timed(job(d001), args.runs),
             "sf0.1": timed(job(d01), args.runs),
