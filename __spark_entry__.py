@@ -606,6 +606,23 @@ def q_dsir_resample(spark, sf_dir):
         "doc_id", "lang", "source")
 
 
+def q_bigram_perplexity(spark, sf_dir):
+    # stupid-backoff bigram LM quality score (Brants et al. 2007):
+    # trained on the corpus itself with small vocab/bigram caps so the
+    # backoff AND OOV paths are both exercised
+    from seqspark.pipeline.textstats import (
+        bigram_logprob_score, train_bigram_lm)
+
+    docs = load_table(spark, sf_dir, "documents")
+    vocab, bi = train_bigram_lm(docs, vocab_k=100, bigram_k=300)
+    out = bigram_logprob_score(docs, vocab, bi, "doc_id")
+    return out.select(
+        "doc_id",
+        F.col("n_bigrams").cast("long").alias("n_bigrams"),
+        F.round("mean_logs", 4).alias("mean_logs"),
+    )
+
+
 def q_html_extract(spark, sf_dir):
     # HTML→text extraction: synthetic page per document wrapping the text
     # in boilerplate (style/script with TRAP markup inside, comments,
@@ -1563,6 +1580,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_score": q_dsir_score,
         "dsir_resample": q_dsir_resample,
         "html_extract": q_html_extract,
+        "bigram_perplexity": q_bigram_perplexity,
         "token_budget": q_token_budget,
         "c4_filter": q_c4_filter,
         "path_prefix_tokens": q_path_prefix_tokens,
@@ -2137,6 +2155,37 @@ def oracle_sql() -> dict[str, str]:
         "FROM documents d LEFT JOIN per USING (doc_id)) "
         "SELECT doc_id, lang, source FROM keyed "
         "ORDER BY sample_key DESC LIMIT 60"
+    )
+    # bigram_perplexity: stupid-backoff bigram LM — known-bigram scores
+    # ln(cb/c1) against FULL unigram counts, unseen pairs ln(0.4) +
+    # Laplace top-100 unigram logp, unknown words the OOV sentinel
+    sql["bigram_perplexity"] = (
+        f"WITH w AS (SELECT doc_id, {_WORDS} AS ws FROM documents), "
+        "toks AS (SELECT doc_id, unnest(ws) AS word FROM w), "
+        "counts AS (SELECT word, count(*) AS c FROM toks GROUP BY word), "
+        "agg AS (SELECT sum(c) AS total, count(*) AS v FROM counts), "
+        "top AS (SELECT word, c FROM counts ORDER BY c DESC, word LIMIT 100), "
+        "vocab AS (SELECT word, ln((c + 1)::DOUBLE / (total + v + 1)) AS logp "
+        "FROM top, agg), "
+        "oovp AS (SELECT ln(1.0 / (total + v + 1)) AS oov FROM agg), "
+        "bg AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] AS bigram "
+        "FROM (SELECT doc_id, ws, "
+        "unnest(generate_series(1, len(ws) - 1)) AS i FROM w)), "
+        "bcounts AS (SELECT bigram, count(*) AS cb FROM bg GROUP BY bigram), "
+        "btop AS (SELECT bigram, cb FROM bcounts "
+        "ORDER BY cb DESC, bigram LIMIT 300), "
+        "bmodel AS (SELECT bigram, ln(cb::DOUBLE / c1) AS logs FROM "
+        "(SELECT bigram, cb, split_part(bigram, ' ', 1) AS w1 FROM btop) "
+        "JOIN (SELECT word AS w1, c AS c1 FROM counts) USING (w1)), "
+        "sp AS (SELECT g.doc_id, coalesce(bm.logs, "
+        "ln(0.4) + coalesce(vb.logp, oovp.oov)) AS logs "
+        "FROM bg g LEFT JOIN bmodel bm USING (bigram) "
+        "LEFT JOIN vocab vb ON vb.word = split_part(g.bigram, ' ', 2), oovp), "
+        "per AS (SELECT doc_id, count(*) AS n_bigrams, avg(logs) AS mean_logs "
+        "FROM sp GROUP BY doc_id) "
+        "SELECT d.doc_id, coalesce(per.n_bigrams, 0)::BIGINT AS n_bigrams, "
+        "round(coalesce(per.mean_logs, 0.0), 4) AS mean_logs "
+        "FROM documents d LEFT JOIN per USING (doc_id)"
     )
     # html_extract: the IDENTICAL RE2-compatible regexp chain as
     # seqspark.pipeline.textstats.html_to_text (no backreferences, \x0B

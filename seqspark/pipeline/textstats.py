@@ -4,6 +4,8 @@ document fingerprinting. All pure Catalyst expressions over the
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -956,3 +958,104 @@ def html_to_text(html: Column) -> Column:
         lambda l: F.length(l) > 0,
     )
     return F.array_join(lines, "\n")
+
+
+# --------------------------------------------- bigram LM (stupid backoff)
+
+
+def train_bigram_lm(
+    df: DataFrame,
+    text_col: str = "text",
+    vocab_k: int = 50_000,
+    bigram_k: int = 200_000,
+) -> tuple:
+    """Train a stupid-backoff bigram LM (Brants et al. 2007, "Large
+    Language Models in Machine Translation" — the standard web-scale
+    backoff: no discounting to tune, scores are NOT normalized
+    probabilities, which is exactly right for corpus quality scoring).
+
+    Returns ``(vocab, bigrams)``:
+
+    - ``vocab``: ``(word, logp)`` — the Laplace-smoothed top ``vocab_k``
+      unigram model of :func:`train_unigram_lm`, with its OOV sentinel;
+    - ``bigrams``: ``(bigram, logs)`` — top ``bigram_k`` space-joined
+      word pairs with ``logs = ln(c(w1 w2) / c(w1))``, the conditional
+      score a scoring pass uses directly (ties at the boundary break by
+      bigram, deterministic).
+
+    Cost: two corpus-token aggs (word-keyed and bigram-keyed, map-side
+    combined) + two TakeOrdereds. At 100 TB train on a sample
+    (``hash_sample``), exactly like production CCNet/KenLM setups."""
+    vocab = train_unigram_lm(df, text_col, vocab_k)
+    toks = df.select(words(F.col(text_col)).alias("ws"))
+    uni_counts = (
+        toks.select(F.explode("ws").alias("w1"))
+        .groupBy("w1")
+        .agg(F.count(F.lit(1)).alias("c1"))
+    )
+    bi_counts = (
+        toks.select(F.explode(word_ngrams(F.col("ws"), 2)).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("cb"))
+    )
+    bigrams = (
+        bi_counts.orderBy(F.desc("cb"), "bigram")
+        .limit(bigram_k)
+        .withColumn("w1", F.substring_index("bigram", " ", 1))
+        .join(uni_counts, "w1")
+        .select("bigram", F.log(F.col("cb") / F.col("c1")).alias("logs"))
+    )
+    return vocab, bigrams
+
+
+#: stupid-backoff factor (Brants et al. 2007 §4: alpha = 0.4)
+_BACKOFF_ALPHA = 0.4
+
+
+def bigram_logprob_score(
+    df: DataFrame,
+    vocab: DataFrame,
+    bigrams: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+) -> DataFrame:
+    """Score each document with the mean stupid-backoff bigram score:
+    for every adjacent pair ``w1 w2``, ``S = logs(w1 w2)`` when the
+    bigram is in the model, else ``ln(0.4) + unigram_logp(w2)`` (OOV
+    sentinel when the word is unknown too). Adds ``n_bigrams`` and
+    ``mean_logs`` (0.0 for docs with <2 words, pinned) — low means the
+    word ORDER is improbable, which catches shuffled/boilerplate text
+    that per-token unigram scores cannot.
+
+    Both model tables are broadcast (≤ vocab_k+1 / bigram_k rows); the
+    only shuffle is the per-document re-aggregation keyed by id."""
+    oov = vocab.filter(F.col("word") == _OOV_WORD).select(
+        F.col("logp").alias("__oov"))
+    uni = vocab.filter(F.col("word") != _OOV_WORD).select(
+        F.col("word").alias("__w2"), F.col("logp").alias("__logp"))
+    pairs = df.select(
+        F.col(id_col),
+        F.explode(word_ngrams(words(F.col(text_col)), 2)).alias("bigram"),
+    ).withColumn("__w2", F.substring_index("bigram", " ", -1))
+    scored = (
+        pairs.join(F.broadcast(bigrams), "bigram", "left")
+        .join(F.broadcast(uni), "__w2", "left")
+        .crossJoin(F.broadcast(oov))
+        .select(
+            id_col,
+            F.coalesce(
+                "logs",
+                F.lit(float(math.log(_BACKOFF_ALPHA)))
+                + F.coalesce("__logp", "__oov"),
+            ).alias("logs"),
+        )
+    )
+    per = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.avg("logs").alias("mean_logs"),
+    )
+    return (
+        df.join(per, id_col, "left")
+        .withColumn("n_bigrams", F.coalesce("n_bigrams", F.lit(0)))
+        .withColumn("mean_logs", F.coalesce("mean_logs", F.lit(0.0)))
+    )

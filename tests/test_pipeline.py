@@ -1984,3 +1984,50 @@ def test_dsir_murmur_bucket_fn_preserves_target_dominance(spark, docs):
         F.col("text"), dim, textstats.murmur_token_index)).alias("b"))
     lohi = b.agg(F.min("b"), F.max("b")).collect()[0]
     assert 0 <= lohi[0] and lohi[1] < dim
+
+
+# ----------------------------------------------------- bigram LM (backoff)
+
+
+def test_bigram_lm_exact_backoff_values(spark):
+    """Hand-computed stupid-backoff scores (Brants et al. 2007, alpha=0.4)
+    on a controlled corpus: known bigram scores ln(c(w1 w2)/c(w1)); an
+    unseen pair backs off to ln(0.4) + Laplace unigram logp(w2); an
+    unknown word backs off to the OOV sentinel."""
+    import math as m
+
+    corpus = spark.createDataFrame(
+        [(i, "a b c") for i in range(10)], "doc_id long, text string")
+    vocab, bi = textstats.train_bigram_lm(corpus, vocab_k=10, bigram_k=10)
+    # c(a)=c(b)=c(c)=10, total=30, v=3; bigrams: "a b"=10, "b c"=10
+    logs = {r.bigram: r.logs for r in bi.collect()}
+    assert set(logs) == {"a b", "b c"}
+    assert abs(logs["a b"] - 0.0) < 1e-12  # ln(10/10)
+    logp_a = m.log((10 + 1) / (30 + 3 + 1))
+    oov = m.log(1 / (30 + 3 + 1))
+    test = spark.createDataFrame(
+        [(1, "a b"),      # known bigram: 0.0
+         (2, "b a"),      # unseen pair: ln(.4) + logp(a)
+         (3, "a zzz"),    # unknown word: ln(.4) + oov
+         (4, "a"),        # <2 words: pinned 0 bigrams / 0.0
+         (5, "")],
+        "doc_id long, text string")
+    got = {r.doc_id: r for r in textstats.bigram_logprob_score(
+        test, vocab, bi, "doc_id").collect()}
+    assert got[1].n_bigrams == 1 and abs(got[1].mean_logs) < 1e-12
+    assert abs(got[2].mean_logs - (m.log(0.4) + logp_a)) < 1e-9
+    assert abs(got[3].mean_logs - (m.log(0.4) + oov)) < 1e-9
+    assert got[4].n_bigrams == 0 and got[4].mean_logs == 0.0
+    assert got[5].n_bigrams == 0 and got[5].mean_logs == 0.0
+    # word order is what the bigram model scores: the in-order doc beats
+    # the reversed one
+    assert got[1].mean_logs > got[2].mean_logs
+
+
+def test_bigram_lm_broadcast_plan(spark, docs):
+    """Both model tables ride broadcast joins; the only exchange in the
+    scoring plan is the per-doc aggregation."""
+    vocab, bi = textstats.train_bigram_lm(docs, vocab_k=50, bigram_k=100)
+    out = textstats.bigram_logprob_score(docs, vocab, bi, "doc_id")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
