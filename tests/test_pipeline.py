@@ -2031,3 +2031,45 @@ def test_bigram_lm_broadcast_plan(spark, docs):
     out = textstats.bigram_logprob_score(docs, vocab, bi, "doc_id")
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_jpeg_meta_never_throws_property():
+    """_jpeg_meta is total: arbitrary byte garbage (including adversarial
+    marker-shaped prefixes) returns a tuple or None, never raises — a
+    corrupt JPEG in a 100 TB corpus must not kill the executor batch."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from seqspark.pipeline.multimodal import _jpeg_meta
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.binary(min_size=0, max_size=64))
+    def prop(tail):
+        out = _jpeg_meta(b"\xff\xd8" + tail)
+        assert out is None or (
+            len(out) == 3 and all(isinstance(v, int) for v in out))
+
+    prop()
+
+
+def test_html_to_text_never_throws_property(spark):
+    """html_to_text is total over arbitrary text (hostile partial tags,
+    entities, control chars): always returns a string with no blank
+    lines and no leading/trailing line whitespace."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=30, deadline=None)
+    @given(st.lists(st.text(
+        alphabet="<>&;/ab \t\n\"'=!-scriptyle", min_size=0, max_size=40),
+        min_size=1, max_size=8))
+    def prop(chunks):
+        df = spark.createDataFrame(
+            [(i, c) for i, c in enumerate(chunks)], "i int, h string")
+        for r in df.select(
+                textstats.html_to_text(F.col("h")).alias("t")).collect():
+            for line in r.t.split("\n"):
+                assert line == line.strip()
+                assert line != "" or r.t == ""
+
+    prop()
