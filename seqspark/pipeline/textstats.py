@@ -1059,3 +1059,18 @@ def bigram_logprob_score(
         .withColumn("n_bigrams", F.coalesce("n_bigrams", F.lit(0)))
         .withColumn("mean_logs", F.coalesce("mean_logs", F.lit(0.0)))
     )
+
+
+def dsir_merge_counts(*counts: DataFrame) -> DataFrame:
+    """Fold :func:`dsir_bucket_counts` frames — the DAILY-INCREMENT shape
+    of DSIR at corpus scale: bucket counts are additive sufficient
+    statistics, so the raw distribution of corpus ∪ batch is
+    ``merge(saved_counts, batch_counts)`` — a union + one
+    dim-cardinality aggregation over frames of ≤dim rows each. The
+    100 TB corpus is never rescanned when it grows; persist the counts
+    frame per snapshot exactly like :func:`corpus_digests` persists
+    dedup state, and refresh ratios/scores from the fold."""
+    out = counts[0]
+    for c in counts[1:]:
+        out = out.unionByName(c)
+    return out.groupBy("bucket").agg(F.sum("c").alias("c"))

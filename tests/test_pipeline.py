@@ -2073,3 +2073,26 @@ def test_html_to_text_never_throws_property(spark):
                 assert line != "" or r.t == ""
 
     prop()
+
+
+def test_dsir_merge_counts_exactly_incremental(spark, docs):
+    """Bucket counts are additive: fitting on corpus ∪ batch must equal
+    folding the two counts frames — the property that lets a growing
+    corpus update its DSIR distribution without a rescan. Checked all
+    the way through to the SCORES (bit-equal ratios)."""
+    dim = 256
+    a = docs.filter(F.col("doc_id") % 2 == 0)
+    b = docs.filter(F.col("doc_id") % 2 == 1)
+    full = textstats.dsir_bucket_counts(docs, dim=dim)
+    merged = textstats.dsir_merge_counts(
+        textstats.dsir_bucket_counts(a, dim=dim),
+        textstats.dsir_bucket_counts(b, dim=dim),
+    )
+    as_rows = lambda df: sorted((r.bucket, r.c) for r in df.collect())
+    assert as_rows(full) == as_rows(merged)
+    tc = textstats.dsir_bucket_counts(docs.filter(F.col("lang") == "en"),
+                                      dim=dim)
+    r_full = textstats.dsir_log_ratios(tc, full, dim=dim)
+    r_merged = textstats.dsir_log_ratios(tc, merged, dim=dim)
+    assert (sorted((r.bucket, r.log_ratio) for r in r_full.collect())
+            == sorted((r.bucket, r.log_ratio) for r in r_merged.collect()))
