@@ -1,0 +1,113 @@
+"""Measured ANN recall@k vs brute-force on the driver's embeddings table.
+
+Sweeps the two approximate paths' knobs so the recall/candidate-fraction
+trade-off is a TABLE of measured numbers, not a claim:
+
+- hyperplane-LSH (`lsh_topk`): bits x bands — recall rises with bands
+  (more OR-ed chances to collide) and falls with band width;
+- IVF (`ivf_topk`): nprobe — recall rises with probed cells, scan
+  fraction rises linearly with it.
+
+Recall@k = |approx_topk ∩ brute_topk| / k averaged over N query vectors
+drawn from the table itself (self-queries removed from neither side —
+both rankers see identical data). One JSON line.
+
+Usage: python tools/bench_ann_recall.py [--sf /root/testdata/sf0.1]
+       [--queries 20] [--k 10]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "16"))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", default="/root/testdata/sf0.1")
+    ap.add_argument("--queries", type=int, default=20)
+    ap.add_argument("--k", type=int, default=10)
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession, functions as F
+
+    spark = (
+        SparkSession.builder.master(f"local[{CPUS}]")
+        .config("spark.sql.shuffle.partitions", str(CPUS))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    from seqspark.data import load_table
+    from seqspark.pipeline import ann
+
+    emb = load_table(spark, args.sf, "embeddings").cache()
+    n = emb.count()
+    qrows = (
+        emb.filter(F.col("vec_id") % max(1, n // args.queries) == 3)
+        .limit(args.queries)
+        .collect()
+    )
+    queries = [list(r.embedding) for r in qrows]
+    dim = len(queries[0])
+    k = args.k
+
+    def topk_ids(df) -> set:
+        return {r.vec_id for r in df.collect()}
+
+    truth = [topk_ids(ann.brute_topk(emb, q, k)) for q in queries]
+
+    out = {"metric": "seqspark_ann_recall", "n_vectors": n, "dim": dim,
+           "k": k, "n_queries": len(queries), "lsh": [], "ivf": []}
+
+    for bits, bands in ((16, 2), (16, 4), (16, 8), (32, 8)):
+        sk = ann.hyperplane_sketch(emb, "embedding", bits=bits, seed=7,
+                                   dim=dim).cache()
+        recall = cand_frac = 0.0
+        for q, t in zip(queries, truth):
+            approx = ann.lsh_topk(sk, q, k, bits=bits, bands=bands, seed=7)
+            recall += len(topk_ids(approx) & t) / k
+            # candidate fraction: rows surviving the band filter
+            width = bits // bands
+            mask = (1 << width) - 1
+            qs = ann._sketch_of(q, ann._hyperplanes(dim, bits, 7))
+            cond = None
+            for b in range(bands):
+                c = (F.shiftright(F.col("sketch"), b * width)
+                     .bitwiseAND(F.lit(mask))
+                     == F.lit((qs >> (b * width)) & mask))
+                cond = c if cond is None else (cond | c)
+            cand_frac += sk.filter(cond).count() / n
+        sk.unpersist()
+        out["lsh"].append({
+            "bits": bits, "bands": bands,
+            "recall_at_k": round(recall / len(queries), 3),
+            "candidate_fraction": round(cand_frac / len(queries), 3),
+        })
+
+    n_cells = max(4, int(n ** 0.5) // 4)
+    centroids = ann.ivf_train(emb, k=n_cells, iters=5)
+    assigned = ann.ivf_assign(emb, centroids).cache()
+    assigned.count()
+    for nprobe in (1, 2, 4, 8):
+        recall = 0.0
+        for q, t in zip(queries, truth):
+            approx = ann.ivf_topk(assigned, centroids, q, k, nprobe=nprobe)
+            recall += len(topk_ids(approx) & t) / k
+        out["ivf"].append({
+            "n_cells": n_cells, "nprobe": nprobe,
+            "scan_fraction": round(nprobe / n_cells, 3),
+            "recall_at_k": round(recall / len(queries), 3),
+        })
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
