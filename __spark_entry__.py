@@ -606,6 +606,25 @@ def q_dsir_resample(spark, sf_dir):
         "doc_id", "lang", "source")
 
 
+def q_frame_sample(spark, sf_dir):
+    # frame sampling: assets synthesized from the documents table (content
+    # = utf-8 text bytes), fake decoder derives n_frames from sha256 —
+    # portable, so the uniformly-spaced SELECTION (the Spark-side logic)
+    # is hash-checked; the binary frame column is excluded (DuckDB views
+    # carry no binaries)
+    from seqspark.pipeline.multimodal import sample_frames
+
+    docs = load_table(spark, sf_dir, "documents")
+    assets = docs.select(
+        F.col("doc_id").alias("asset_id"),
+        F.lit("image").alias("media_type"),
+        F.encode("text", "UTF-8").alias("content"),
+        F.lit("{}").alias("meta_json"),
+    )
+    out = sample_frames(assets, n_samples=3)
+    return out.select("asset_id", "n_frames", "frame_index")
+
+
 def q_bigram_perplexity(spark, sf_dir):
     # stupid-backoff bigram LM quality score (Brants et al. 2007):
     # trained on the corpus itself with small vocab/bigram caps so the
@@ -1581,6 +1600,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_resample": q_dsir_resample,
         "html_extract": q_html_extract,
         "bigram_perplexity": q_bigram_perplexity,
+        "frame_sample": q_frame_sample,
         "token_budget": q_token_budget,
         "c4_filter": q_c4_filter,
         "path_prefix_tokens": q_path_prefix_tokens,
@@ -2155,6 +2175,20 @@ def oracle_sql() -> dict[str, str]:
         "FROM documents d LEFT JOIN per USING (doc_id)) "
         "SELECT doc_id, lang, source FROM keyed "
         "ORDER BY sample_key DESC LIMIT 60"
+    )
+    # frame_sample: the fake decoder's n_frames = 1 + (3rd sha256 byte % 8)
+    # — sha256 over the SAME utf-8 bytes in both engines; selection =
+    # distinct floor(i*n/k) for i in 0..k-1
+    sql["frame_sample"] = (
+        "WITH d AS (SELECT doc_id AS asset_id, "
+        "1 + (('0x' || substring(sha256(text), 5, 2))::INTEGER % 8) "
+        "AS n_frames FROM documents), "
+        "k AS (SELECT asset_id, n_frames, "
+        "least(3, n_frames) AS kk FROM d), "
+        "idx AS (SELECT asset_id, n_frames, "
+        "list_distinct(list_transform(generate_series(0, kk - 1), "
+        "i -> ((i * n_frames) // kk)::INTEGER)) AS fs FROM k) "
+        "SELECT asset_id, n_frames, unnest(fs) AS frame_index FROM idx"
     )
     # bigram_perplexity: stupid-backoff bigram LM — known-bigram scores
     # ln(cb/c1) against FULL unigram counts, unseen pairs ln(0.4) +

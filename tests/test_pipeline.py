@@ -306,9 +306,8 @@ def test_multimodal_decode_and_frames(spark):
     for r in rows:
         assert r["n_bytes"] > 0 and len(r["sha256"]) == 64
         assert r["width"] >= 16 and r["height"] >= 16
-    frames = multimodal.sample_frames(decoded, every_n=1)
-    vids = decoded.filter(F.col("media_type") == "video")
-    assert frames.count() == vids.agg(F.sum("n_frames")).collect()[0][0]
+    frames = multimodal.sample_frames(assets, every_n=1)
+    assert frames.count() == decoded.agg(F.sum("n_frames")).collect()[0][0]
 
 
 def test_multimodal_real_decode_raises(spark):
@@ -2096,3 +2095,40 @@ def test_dsir_merge_counts_exactly_incremental(spark, docs):
     r_merged = textstats.dsir_log_ratios(tc, merged, dim=dim)
     assert (sorted((r.bucket, r.log_ratio) for r in r_full.collect())
             == sorted((r.bucket, r.log_ratio) for r in r_merged.collect()))
+
+
+def test_sample_frames_selection_and_extraction(spark):
+    """Uniformly-spaced frame sampling: k' = min(n_samples, n_frames)
+    distinct indices floor(i*n/k'), frame 0 always included; fake frames
+    are deterministic digests; real mode returns the still image itself
+    for single-frame assets and raises for animated content."""
+    assets = multimodal.make_fake_assets(spark, 24)
+    out = multimodal.sample_frames(assets, n_samples=3).collect()
+    by_asset = {}
+    for r in out:
+        by_asset.setdefault(r.asset_id, []).append(r)
+    decoded = {r.asset_id: r.n_frames for r in
+               multimodal.decode_assets(assets).collect()}
+    for aid, rows in by_asset.items():
+        n = decoded[aid]
+        kk = min(3, n)
+        want = sorted({(i * n) // kk for i in range(kk)})
+        assert sorted(r.frame_index for r in rows) == want, (aid, n)
+        assert 0 in {r.frame_index for r in rows}  # frame 0 always kept
+        assert all(len(r.frame) == 16 for r in rows)  # md5 digest bytes
+    # determinism
+    again = multimodal.sample_frames(assets, n_samples=3).collect()
+    assert {(r.asset_id, r.frame_index, bytes(r.frame)) for r in again} == \
+           {(r.asset_id, r.frame_index, bytes(r.frame)) for r in out}
+    # exactly one of the selectors
+    with pytest.raises(ValueError):
+        multimodal.sample_frames(assets, n_samples=3, every_n=2)
+    with pytest.raises(ValueError):
+        multimodal.sample_frames(assets)
+    # real mode: a single-frame still image yields itself as frame 0
+    import struct as _struct
+    png = _png_fixture(8, 4)
+    still = spark.createDataFrame(
+        [(1, "image", bytearray(png), "{}")], multimodal.ASSET_SCHEMA)
+    real = multimodal.sample_frames(still, n_samples=2, fake=False).collect()
+    assert len(real) == 1 and bytes(real[0].frame) == png
