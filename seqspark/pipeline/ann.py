@@ -263,24 +263,36 @@ def lsh_topk(
     dim = len(query_vec)
     planes = _hyperplanes(dim, bits, seed)
     qs = _sketch_of(list(query_vec), planes)
-    width = bits // bands
-    mask = (1 << width) - 1
     if sketch_col in emb.columns:
         sk = emb
     else:
         sk = hyperplane_sketch(
             emb, vec_col, bits=bits, seed=seed, dim=dim, out_col=sketch_col
         )
+    cands = sk.filter(lsh_band_condition(sketch_col, qs, bits, bands))
+    return brute_topk(cands, query_vec, k, id_col, vec_col)
+
+
+def lsh_band_condition(
+    sketch_col: str, query_sketch: int, bits: int, bands: int
+) -> Column:
+    """The band filter of :func:`lsh_topk` as a reusable predicate: keep
+    rows whose sketch agrees with ``query_sketch`` on ≥1 of ``bands``
+    contiguous (bits//bands)-wide bands. ONE definition — anything that
+    measures or reasons about the candidate set (tools/bench_ann_recall)
+    must use this, or a band-layout change would silently desynchronize
+    the measurement from the filter the query actually applies."""
+    width = bits // bands
+    mask = (1 << width) - 1
     cond = None
     for b in range(bands):
-        qband = (qs >> (b * width)) & mask
+        qband = (query_sketch >> (b * width)) & mask
         c = (
             F.shiftright(F.col(sketch_col), b * width).bitwiseAND(F.lit(mask))
             == F.lit(qband)
         )
         cond = c if cond is None else (cond | c)
-    cands = sk.filter(cond)
-    return brute_topk(cands, query_vec, k, id_col, vec_col)
+    return cond
 
 
 def write_ivf(

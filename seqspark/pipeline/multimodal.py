@@ -278,7 +278,12 @@ def sample_frames(
     if (n_samples is None) == (every_n is None):
         raise ValueError("pass exactly one of n_samples / every_n")
     dec = decode_assets(assets, fake=fake).select("asset_id", "n_frames")
-    base = assets.join(dec, "asset_id")
+    # n_frames=0 happens on real decodes (a header-only WAV reports zero
+    # audio frames): such an asset has nothing to sample — without the
+    # guard the every_n path builds sequence(0,-1,step>0) (runtime error,
+    # kills the JOB) and the n_samples path divides by k=0 (a NULL
+    # frame_index row flows into extraction)
+    base = assets.join(dec, "asset_id").filter(F.col("n_frames") > 0)
     if every_n is not None:
         if every_n <= 0:
             raise ValueError("every_n must be positive")

@@ -5,6 +5,7 @@ document fingerprinting. All pure Catalyst expressions over the
 from __future__ import annotations
 
 import math
+from typing import Optional
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
@@ -410,8 +411,20 @@ def c4_filter(
 _OOV_WORD = ""
 
 
+def word_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """``(word, c)`` corpus token counts — ONE explode + one word-keyed
+    agg. The shared sufficient statistic of the unigram and bigram LMs;
+    compute it once and pass it to both trainers."""
+    return (
+        df.select(F.explode(words(F.col(text_col))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
 def train_unigram_lm(
-    df: DataFrame, text_col: str = "text", vocab_k: int = 50_000
+    df: DataFrame, text_col: str = "text", vocab_k: int = 50_000,
+    counts: Optional[DataFrame] = None,
 ) -> DataFrame:
     """Train a unigram language model for perplexity-proxy quality scoring
     (the CCNet-style LM filter, Wenzek et al. 2020, with a unigram model
@@ -425,12 +438,12 @@ def train_unigram_lm(
 
     Cost: one explode + one groupBy keyed by WORD (cardinality = vocab,
     not corpus) + a TakeOrdered — at 100 TB train on a sample
-    (``df.sample(...)``), exactly like production CCNet does."""
-    counts = (
-        df.select(F.explode(words(F.col(text_col))).alias("word"))
-        .groupBy("word")
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
+    (``df.sample(...)``), exactly like production CCNet does. Pass a
+    precomputed :func:`word_counts` frame via ``counts`` to share the
+    corpus-token aggregation with other trainers (``train_bigram_lm``
+    does)."""
+    if counts is None:
+        counts = word_counts(df, text_col)
     agg = counts.agg(
         F.sum("c").alias("total"), F.count(F.lit(1)).alias("v")
     )
@@ -983,18 +996,18 @@ def train_bigram_lm(
       score a scoring pass uses directly (ties at the boundary break by
       bigram, deterministic).
 
-    Cost: two corpus-token aggs (word-keyed and bigram-keyed, map-side
-    combined) + two TakeOrdereds. At 100 TB train on a sample
+    Cost: two corpus-token aggs (ONE word-keyed — shared with the
+    unigram model via :func:`word_counts` — and one bigram-keyed, both
+    map-side combined) + two TakeOrdereds. At 100 TB train on a sample
     (``hash_sample``), exactly like production CCNet/KenLM setups."""
-    vocab = train_unigram_lm(df, text_col, vocab_k)
-    toks = df.select(words(F.col(text_col)).alias("ws"))
-    uni_counts = (
-        toks.select(F.explode("ws").alias("w1"))
-        .groupBy("w1")
-        .agg(F.count(F.lit(1)).alias("c1"))
-    )
+    counts = word_counts(df, text_col)
+    vocab = train_unigram_lm(df, text_col, vocab_k, counts=counts)
+    uni_counts = counts.select(
+        F.col("word").alias("w1"), F.col("c").alias("c1"))
     bi_counts = (
-        toks.select(F.explode(word_ngrams(F.col("ws"), 2)).alias("bigram"))
+        df.select(
+            F.explode(word_ngrams(words(F.col(text_col)), 2)).alias("bigram")
+        )
         .groupBy("bigram")
         .agg(F.count(F.lit(1)).alias("cb"))
     )

@@ -2132,3 +2132,30 @@ def test_sample_frames_selection_and_extraction(spark):
         [(1, "image", bytearray(png), "{}")], multimodal.ASSET_SCHEMA)
     real = multimodal.sample_frames(still, n_samples=2, fake=False).collect()
     assert len(real) == 1 and bytes(real[0].frame) == png
+
+
+def test_sample_frames_zero_frame_asset_dropped(spark):
+    """A real decode can report n_frames=0 (header-only WAV): the asset
+    must simply produce no sampled frames — not crash the job (the
+    every_n sequence would be illegal) nor emit a NULL index row (the
+    n_samples path would divide by zero)."""
+    import io as _io
+    import wave as _wave
+
+    buf = _io.BytesIO()
+    w = _wave.open(buf, "wb")
+    w.setnchannels(1)
+    w.setsampwidth(2)
+    w.setframerate(8000)
+    w.close()  # zero frames written
+    empty_wav = buf.getvalue()
+    png = _png_fixture(6, 3)
+    assets = spark.createDataFrame(
+        [(1, "audio", bytearray(empty_wav), "{}"),
+         (2, "image", bytearray(png), "{}")],
+        multimodal.ASSET_SCHEMA)
+    for kwargs in ({"n_samples": 2}, {"every_n": 1}):
+        rows = multimodal.sample_frames(
+            assets, fake=False, **kwargs).collect()
+        assert {r.asset_id for r in rows} == {2}, rows
+        assert all(r.frame_index is not None for r in rows)

@@ -67,30 +67,32 @@ def main() -> None:
     out = {"metric": "seqspark_ann_recall", "n_vectors": n, "dim": dim,
            "k": k, "n_queries": len(queries), "lsh": [], "ivf": []}
 
-    for bits, bands in ((16, 2), (16, 4), (16, 8), (32, 8)):
+    sweeps = ((16, (2, 4, 8)), (32, (8,)))
+    for bits, band_list in sweeps:
+        # the sketch depends only on (bits, seed) — build it ONCE per
+        # bits value and sweep bands against the cached frame
         sk = ann.hyperplane_sketch(emb, "embedding", bits=bits, seed=7,
                                    dim=dim).cache()
-        recall = cand_frac = 0.0
-        for q, t in zip(queries, truth):
-            approx = ann.lsh_topk(sk, q, k, bits=bits, bands=bands, seed=7)
-            recall += len(topk_ids(approx) & t) / k
-            # candidate fraction: rows surviving the band filter
-            width = bits // bands
-            mask = (1 << width) - 1
-            qs = ann._sketch_of(q, ann._hyperplanes(dim, bits, 7))
-            cond = None
-            for b in range(bands):
-                c = (F.shiftright(F.col("sketch"), b * width)
-                     .bitwiseAND(F.lit(mask))
-                     == F.lit((qs >> (b * width)) & mask))
-                cond = c if cond is None else (cond | c)
-            cand_frac += sk.filter(cond).count() / n
+        sk.count()
+        planes = ann._hyperplanes(dim, bits, 7)
+        for bands in band_list:
+            recall = cand_frac = 0.0
+            for q, t in zip(queries, truth):
+                approx = ann.lsh_topk(sk, q, k, bits=bits, bands=bands,
+                                      seed=7)
+                recall += len(topk_ids(approx) & t) / k
+                # candidate fraction: rows surviving THE filter lsh_topk
+                # applies (shared predicate — never re-derived here)
+                qs = ann._sketch_of(q, planes)
+                cand_frac += sk.filter(
+                    ann.lsh_band_condition("sketch", qs, bits, bands)
+                ).count() / n
+            out["lsh"].append({
+                "bits": bits, "bands": bands,
+                "recall_at_k": round(recall / len(queries), 3),
+                "candidate_fraction": round(cand_frac / len(queries), 3),
+            })
         sk.unpersist()
-        out["lsh"].append({
-            "bits": bits, "bands": bands,
-            "recall_at_k": round(recall / len(queries), 3),
-            "candidate_fraction": round(cand_frac / len(queries), 3),
-        })
 
     n_cells = max(4, int(n ** 0.5) // 4)
     centroids = ann.ivf_train(emb, k=n_cells, iters=5)

@@ -13,9 +13,12 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import tempfile
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def scan_rows(q) -> int:
@@ -53,7 +56,6 @@ def main() -> None:
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
-    sys.path.insert(0, ".")
     from seqspark.store import DocStore
 
     docs = (
@@ -61,9 +63,14 @@ def main() -> None:
         .select(
             F.col("id").alias("mid"),
             # hash-random rid: min/max spans every row group, the
-            # fetch-by-id worst case the bloom exists for
-            (F.abs(F.hash(F.col("id").cast("string"))).cast("bigint")
-             * 100_000 + F.col("id")).alias("rid"),
+            # fetch-by-id worst case the bloom exists for. shiftleft by
+            # docs.bit_length() keeps the construction INJECTIVE — a
+            # fixed multiplier would let the id term overflow its slot
+            # and collide two rows on one rid, flaking the count assert
+            (F.shiftleft(
+                F.abs(F.hash(F.col("id").cast("string"))).cast("bigint"),
+                args.docs.bit_length(),
+            ) + F.col("id")).alias("rid"),
             (F.lit("2024-01-01 00:00:00").cast("timestamp")
              + F.make_interval(secs=(F.col("id") % (args.hours * 3600))
                                .cast("double"))).alias("ts"),
