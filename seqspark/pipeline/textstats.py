@@ -1087,3 +1087,51 @@ def dsir_merge_counts(*counts: DataFrame) -> DataFrame:
     for c in counts[1:]:
         out = out.unionByName(c)
     return out.groupBy("bucket").agg(F.sum("c").alias("c"))
+
+
+def dsir_update_state(
+    spark,
+    state_path: str,
+    batch_df: DataFrame,
+    text_col: str = "text",
+    dim: int = 10_000,
+    bucket_fn=None,
+) -> DataFrame:
+    """Maintain a PERSISTED DSIR counts frame as the corpus grows — the
+    ``foreachBatch``-callable state updater: fold the batch's bucket
+    counts into the parquet state at ``state_path`` (creating it on
+    first call) with a crash-safe write-then-swap, and return the
+    updated counts frame.
+
+    The swap discipline matches the doc store's compaction: the merged
+    frame lands in a ``_tmp`` sibling first, the live directory is moved
+    aside, tmp renamed in, the old state dropped — a crash at any point
+    leaves either the old or the new state readable, never a
+    half-written directory (Spark ignores the underscore-prefixed tmp).
+    State size is ≤dim rows regardless of corpus size; the historical
+    corpus is never rescanned (see :func:`dsir_merge_counts`)."""
+    from ..store import _HadoopFS, _write_lock
+
+    fs = _HadoopFS(spark, state_path)
+    batch = dsir_bucket_counts(batch_df, text_col, dim, bucket_fn)
+    with _write_lock(state_path):
+        live = fs.path()
+        if fs.exists(live):
+            merged = dsir_merge_counts(
+                spark.read.parquet(state_path), batch)
+        else:
+            merged = batch
+        parent = live.getParent()
+        Path = spark._jvm.org.apache.hadoop.fs.Path
+        tmp = Path(parent, "_tmp-" + live.getName())
+        old = Path(parent, "_old-" + live.getName())
+        # materialize BEFORE touching the live dir: the merged plan reads it
+        merged.coalesce(1).write.mode("overwrite").parquet(
+            str(tmp.toUri()))
+        if fs.exists(old):
+            fs.delete(old)
+        if fs.exists(live):
+            fs.rename(live, old)
+        fs.rename(tmp, live)
+        fs.delete(old)
+    return spark.read.parquet(state_path)

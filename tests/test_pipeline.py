@@ -2159,3 +2159,27 @@ def test_sample_frames_zero_frame_asset_dropped(spark):
             assets, fake=False, **kwargs).collect()
         assert {r.asset_id for r in rows} == {2}, rows
         assert all(r.frame_index is not None for r in rows)
+
+
+def test_dsir_update_state_incremental_and_crash_safe(spark, docs, tmp_path):
+    """Persisted DSIR counts state: two sequential updates must equal one
+    fit over the union (the additive property, now THROUGH the parquet
+    state), re-creation is idempotent on first call, and a stale _tmp
+    sibling from a crashed update never shadows the live state."""
+    dim = 128
+    a = docs.filter(F.col("doc_id") % 2 == 0)
+    b = docs.filter(F.col("doc_id") % 2 == 1)
+    state = str(tmp_path / "dsir_counts")
+    textstats.dsir_update_state(spark, state, a, dim=dim)
+    got = textstats.dsir_update_state(spark, state, b, dim=dim)
+    want = textstats.dsir_bucket_counts(docs, dim=dim)
+    rows = lambda df: sorted((r.bucket, r.c) for r in df.collect())
+    assert rows(got) == rows(want)
+    # the state dir is the only live artifact (no _tmp/_old leftovers)
+    import os as _os
+    siblings = sorted(_os.listdir(tmp_path))
+    assert siblings == ["dsir_counts"], siblings
+    # a third no-new-docs update with an empty batch leaves counts intact
+    empty = docs.filter(F.col("doc_id") < 0)
+    again = textstats.dsir_update_state(spark, state, empty, dim=dim)
+    assert rows(again) == rows(want)
