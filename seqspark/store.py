@@ -242,6 +242,7 @@ class DocStore:
         bucket_fmt: str = "yyyy-MM-dd-HH",
         compression: str = "zstd",
         bloom_cols: tuple = ("rid",),
+        bloom_at: str = "always",
     ):
         if bucket_fmt not in MONOTONE_BUCKET_FMTS:
             raise ValueError(
@@ -266,6 +267,20 @@ class DocStore:
         #: few % of file bytes. Pinned in the store meta on first write so
         #: a later process's compact can't silently seal bloom-less files.
         self.bloom_cols = tuple(bloom_cols)
+        #: when to pay the bloom write tax: "always" (default — appends
+        #: AND sealing; every file skippable) or "seal" (compaction only
+        #: — zero ingest tax, the reference's own seal-then-index shape:
+        #: `fracmanager/fracmanager.go` active fractions are unindexed).
+        #: Fresh unsealed buckets are small and cheap to scan, so "seal"
+        #: trades nothing but hot-bucket fetch I/O for the measured
+        #: +19% scattered-append cost. Behavioral, not layout: mixed
+        #: files are fine (the reader probes blooms per file), so this
+        #: is NOT meta-pinned and differently-configured writers may
+        #: coexist.
+        if bloom_at not in ("always", "seal"):
+            raise ValueError(
+                f"bloom_at must be 'always' or 'seal', got {bloom_at!r}")
+        self.bloom_at = bloom_at
         self._fs = _HadoopFS(spark, path)
         #: per-bucket row counts from parquet footers (no Spark jobs);
         #: invalidated on append/compact/drop
@@ -457,8 +472,9 @@ class DocStore:
                     .write.partitionBy(PARTITION_COL)
                     .option("compression", self.compression)
                 )
-                self._bloom_opts(writer, bloom_cols).mode("append").parquet(
-                    self.path)
+                if self.bloom_at == "always":
+                    writer = self._bloom_opts(writer, bloom_cols)
+                writer.mode("append").parquet(self.path)
             self._count_cache.clear()
             self._seen_data = True
             if self._schema_cache is not None:

@@ -1312,3 +1312,31 @@ def test_append_rejects_mismatched_bloom_cols(spark, tmp):
         DocStore(spark, store.path, bloom_cols=("rid", "mid")).append(frame)
     # the pinned-value writer still appends fine
     DocStore(spark, store.path).append(frame)
+
+
+def test_bloom_at_seal_defers_blooms_to_compaction(spark, tmp):
+    """bloom_at='seal': appends pay no bloom tax (fresh small files are
+    cheap to scan anyway), sealing writes them — the reference's own
+    active-fraction-unindexed / seal-then-index shape. Mixed files are
+    legal: the reader probes blooms per file."""
+    frame = ingest_docs(
+        spark.createDataFrame([(json.dumps(d),) for d in DOCS], "raw string"),
+        MAPPING, allowed_drift_ms=BIG, future_drift_ms=BIG,
+    )
+    store = DocStore(spark, os.path.join(tmp, "seal_bloom_store"),
+                     bloom_at="seal")
+    store.append(frame)
+    appended = _parquet_files(store.path)
+    assert appended
+    for f in appended:
+        assert _bloom_offsets(spark, f)["rid"] == -1, f
+    bucket = store.partitions()[0]
+    store.compact(bucket, target_files=1)
+    sealed = _parquet_files(
+        os.path.join(store.path, f"ts_bucket={bucket}"))
+    for f in sealed:
+        assert _bloom_offsets(spark, f)["rid"] >= 0, f
+    # data intact either way
+    assert store.read().count() == len(DOCS)
+    with pytest.raises(ValueError, match="bloom_at"):
+        DocStore(spark, os.path.join(tmp, "x"), bloom_at="never")
