@@ -606,6 +606,17 @@ def q_dsir_resample(spark, sf_dir):
         "doc_id", "lang", "source")
 
 
+def q_lang_detect(spark, sf_dir):
+    # stopword-vote language ID: the oracle replicates the sequential
+    # strictly-greater fold exactly — earliest language among those at
+    # the max wins, all-zero votes → 'und'
+    from seqspark.pipeline.textstats import detect_lang
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", detect_lang(F.col("text")).alias("lang_guess"))
+
+
 def q_frame_sample(spark, sf_dir):
     # frame sampling: assets synthesized from the documents table (content
     # = utf-8 text bytes), fake decoder derives n_frames from sha256 —
@@ -1601,6 +1612,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_extract": q_html_extract,
         "bigram_perplexity": q_bigram_perplexity,
         "frame_sample": q_frame_sample,
+        "lang_detect": q_lang_detect,
         "token_budget": q_token_budget,
         "c4_filter": q_c4_filter,
         "path_prefix_tokens": q_path_prefix_tokens,
@@ -2175,6 +2187,28 @@ def oracle_sql() -> dict[str, str]:
         "FROM documents d LEFT JOIN per USING (doc_id)) "
         "SELECT doc_id, lang, source FROM keyed "
         "ORDER BY sample_key DESC LIMIT 60"
+    )
+    # lang_detect: per-language stopword votes (lists verbatim from
+    # seqspark.pipeline.textstats._LANG_STOPWORDS); earliest language at
+    # the max wins, zero votes -> 'und' — the exact fold semantics
+    def _vote(words_sql):
+        return (f"len(list_filter(ws, w -> list_contains({words_sql}, w)))")
+
+    _sw = {
+        "en": "['the','a','and','of','to','in','is','that','it','for']",
+        "de": "['der','die','das','und','ist','nicht','ein','mit','zu']",
+        "fr": "['le','la','les','et','est','un','une','pour','dans']",
+        "es": "['el','la','los','y','es','un','una','por','para']",
+    }
+    sql["lang_detect"] = (
+        f"WITH w AS (SELECT doc_id, {_WORDS} AS ws FROM documents), "
+        "s AS (SELECT doc_id, "
+        + ", ".join(f"{_vote(v)} AS s_{k}" for k, v in _sw.items())
+        + " FROM w), "
+        "m AS (SELECT *, greatest(s_en, s_de, s_fr, s_es) AS mx FROM s) "
+        "SELECT doc_id, CASE WHEN mx <= 0 THEN 'und' "
+        "WHEN s_en = mx THEN 'en' WHEN s_de = mx THEN 'de' "
+        "WHEN s_fr = mx THEN 'fr' ELSE 'es' END AS lang_guess FROM m"
     )
     # frame_sample: the fake decoder's n_frames = 1 + (3rd sha256 byte % 8)
     # — sha256 over the SAME utf-8 bytes in both engines; selection =
