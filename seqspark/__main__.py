@@ -89,6 +89,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--maintenance-period", type=duration_ms,
                    default=duration_ms("10s"),
                    help="sealing/rotation loop period")
+    p.add_argument("--doc-bloom-at", choices=("always", "seal"),
+                   default="always",
+                   help="when the store writes the doc-id parquet bloom "
+                        "filter: 'always' (every file skippable for "
+                        "fetch-by-id) or 'seal' (compaction only — zero "
+                        "ingest tax, the reference's seal-then-index "
+                        "shape)")
     p.add_argument("--max-files-per-partition", type=int, default=8,
                    help="compaction trigger (files per time bucket)")
     p.add_argument("--spark-master", default=None,
@@ -170,9 +177,13 @@ def main(argv: Optional[list] = None, spark=None, block: bool = True):
         if args.enable_mapping_updates:
             mapping.watch()
 
-    store = DocStore(spark, args.data_dir)
+    store = DocStore(spark, args.data_dir, bloom_at=args.doc_bloom_at)
     if args.long_term_dir:
-        store = TieredStore(store, DocStore(spark, args.long_term_dir))
+        store = TieredStore(
+            store,
+            DocStore(spark, args.long_term_dir,
+                     bloom_at=args.doc_bloom_at),
+        )
 
     from .grpcapi import SeqProxyGrpc
     from .server import SeqSparkServer
