@@ -197,3 +197,29 @@ def test_cli_tiered_store_rotation(spark, tmp_path):
         assert "partial_response" not in res  # healthy tiers: not partial
     finally:
         rt.stop()
+
+
+def test_cli_doc_bloom_at_reaches_both_tiers(spark, tmp_path):
+    """--doc-bloom-at plumbs through to the DocStore(s): 'seal' on a
+    tiered launch configures hot AND cold; default is 'always'."""
+    from seqspark.__main__ import main
+
+    rt = main(
+        ["--data-dir", str(tmp_path / "hot"),
+         "--long-term-dir", str(tmp_path / "cold"),
+         "--mapping", "auto", "--doc-bloom-at", "seal",
+         "--addr", "127.0.0.1:0", "--proxy-grpc-addr", "127.0.0.1:0"],
+        spark=spark, block=False)
+    try:
+        assert rt.store.hot.bloom_at == "seal"
+        assert rt.store.cold.bloom_at == "seal"
+    finally:
+        rt.stop()
+    rt = main(
+        ["--data-dir", str(tmp_path / "hot2"), "--mapping", "auto",
+         "--addr", "127.0.0.1:0", "--proxy-grpc-addr", "127.0.0.1:0"],
+        spark=spark, block=False)
+    try:
+        assert rt.store.bloom_at == "always"
+    finally:
+        rt.stop()
