@@ -1,0 +1,237 @@
+"""Byte-pair-encoding subword tokenizer, Spark-first.
+
+Training (Sennrich et al. 2016, "Neural Machine Translation of Rare
+Words with Subword Units") counts words with ONE distributed
+aggregation over the whole corpus, collects only the top ``vocab_k``
+(word, count) rows to the driver, and runs the classic merge loop over
+that bounded table — the same sample-bounded-driver / corpus-side-apply
+split as the quality classifier (`textstats.train_quality_classifier`).
+At 100 TB the word-count agg is the only corpus-scale work (a single
+shuffle on the word key with map-side partial aggregation); driver
+traffic is ``vocab_k`` rows regardless of corpus size.
+
+Encoding applies a FROZEN merge list in pure Catalyst — no UDF, no
+shuffle, a narrow per-row projection that whole-stage codegen compiles.
+The trick that makes greedy BPE expressible as a literal
+``replace``-chain: each symbol is wrapped as ``\\x1f<sym>\\x1e``
+(prefix + suffix delimiters, two DISTINCT control characters that the
+``[\\p{L}\\p{N}_]+`` word tokenizer can never emit). A merge (a, b)
+is then the literal replacement
+
+    \\x1fa\\x1e\\x1fb\\x1e  ->  \\x1fab\\x1e
+
+which is exactly greedy left-to-right pair merging:
+
+- no false match can cross a symbol boundary (the pattern requires the
+  COMPLETE symbol ``a`` between its delimiters, and ``b``'s terminating
+  ``\\x1e`` anchors the full second symbol — ``\\x1fab..`` cannot match
+  a pattern ending in ``b\\x1e`` unless the symbol IS ``b``), and
+- adjacent occurrences never share a boundary character (the pattern is
+  self-delimited), so ``replace``'s left-to-right non-overlapping scan
+  merges every eligible pair in one pass, exactly like the reference
+  greedy implementation.
+
+Because the chain is nothing but ``regexp_replace`` + literal
+``replace`` + ``split``, a DuckDB oracle can run the IDENTICAL chain —
+the encode entry is hash-verified, not rows-only.
+
+Reference parity: seq-db has no subword tokenizer (its tokenizer is the
+word/keyword splitter, ``tokenizer/tokenizer.go``); this operator is
+part of the LLM-training-data pipeline family (token accounting for
+corpus budgeting, vocabulary induction), alongside
+``textstats.token_count`` / ``bpe_ish_token_count``.
+"""
+
+from __future__ import annotations
+
+from typing import List, Sequence, Tuple
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .textstats import words
+
+#: end-of-word marker appended to every word before char-splitting, so
+#: merges can learn word-final subwords ("ing</w>") distinct from
+#: word-internal ones — the classic Sennrich formulation. Rendered as
+#: the readable "</w>" in token output.
+EOW = "\x17"
+#: per-symbol wrapper delimiters (see module docstring). Control chars
+#: outside anything the word tokenizer can emit.
+SEP_L = "\x1f"
+SEP_R = "\x1e"
+EOW_DISPLAY = "</w>"
+
+
+def train_bpe(
+    df: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 160,
+    vocab_k: int = 4000,
+    min_pair_count: int = 2,
+) -> List[Tuple[str, str]]:
+    """Learn a BPE merge list from the corpus.
+
+    One distributed word-count aggregation (explode -> groupBy word,
+    map-side combined) feeds a deterministic driver-side merge loop over
+    the top ``vocab_k`` words. Returns merges in rank order; feed them
+    to :func:`bpe_tokens` / :func:`bpe_encoded` as literals.
+
+    Determinism: word ranking is (count DESC, word ASC) — a total order
+    because words are unique; pair selection is (count DESC, pair ASC).
+    Two runs over the same corpus produce identical merge lists
+    regardless of partitioning or layout.
+    """
+    top = (
+        df.select(F.explode(words(F.col(text_col))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("w"))
+        .limit(vocab_k)
+        .collect()
+    )
+    vocab: dict[Tuple[str, ...], int] = {}
+    for row in top:
+        syms = tuple(row["w"]) + (EOW,)
+        vocab[syms] = vocab.get(syms, 0) + row["n"]
+
+    merges: List[Tuple[str, str]] = []
+    for _ in range(n_merges):
+        pairs: dict[Tuple[str, str], int] = {}
+        for syms, n in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] = pairs.get((a, b), 0) + n
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        (a, b), count = best
+        if count < min_pair_count:
+            break
+        merges.append((a, b))
+        merged = a + b
+        new_vocab: dict[Tuple[str, ...], int] = {}
+        for syms, n in vocab.items():
+            out: List[str] = []
+            i = 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            key = tuple(out)
+            new_vocab[key] = new_vocab.get(key, 0) + n
+        vocab = new_vocab
+    return merges
+
+
+def encode_word(word: str, merges: Sequence[Tuple[str, str]]) -> List[str]:
+    """Reference (driver-side) greedy encoder: apply merges in rank
+    order, each pass merging left-to-right. The Catalyst replace-chain
+    in :func:`bpe_tokens` is pinned against this by property test."""
+    syms: List[str] = list(word) + [EOW]
+    for a, b in merges:
+        merged = a + b
+        out: List[str] = []
+        i = 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                out.append(merged)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return [s.replace(EOW, EOW_DISPLAY) for s in syms]
+
+
+def _encode_symbols(word: Column, merges: Sequence[Tuple[str, str]]) -> Column:
+    """Wrapped-symbol string for one word after the full merge chain."""
+    # "low" -> "\x1fl\x1e\x1fo\x1e\x1fw\x1e\x1f\x17\x1e"
+    s = F.regexp_replace(
+        F.concat(word, F.lit(EOW)), "(.)", SEP_L + "$1" + SEP_R
+    )
+    for a, b in merges:
+        s = F.replace(
+            s,
+            F.lit(SEP_L + a + SEP_R + SEP_L + b + SEP_R),
+            F.lit(SEP_L + a + b + SEP_R),
+        )
+    return s
+
+
+def bpe_tokens(text: Column, merges: Sequence[Tuple[str, str]]) -> Column:
+    """``array<string>`` of BPE tokens for a document, words in order.
+
+    Pure Catalyst: tokenize -> per-word replace-chain -> unwrap + split.
+    No shuffle, no UDF; the merge list is frozen into the plan as
+    literals (the quality-classifier deployment shape). End-of-word
+    markers render as ``</w>``.
+    """
+    per_word = F.transform(
+        words(text),
+        lambda w: F.filter(
+            F.split(F.replace(_encode_symbols(w, merges), F.lit(SEP_L)), SEP_R),
+            lambda t: F.length(t) > 0,
+        ),
+    )
+    return F.transform(
+        F.flatten(per_word), lambda t: F.replace(t, F.lit(EOW), F.lit(EOW_DISPLAY))
+    )
+
+
+def bpe_encoded(
+    df: DataFrame,
+    merges: Sequence[Tuple[str, str]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Encode a corpus: (id, bpe_text, n_bpe_tokens) — tokens joined by
+    a single space for engine-portable hashing, plus the count the
+    token-budget accounting consumes. Narrow projection; scales as a
+    map-only stage."""
+    toks = bpe_tokens(F.col(text_col), merges)
+    return df.select(
+        F.col(id_col),
+        F.array_join(toks, " ").alias("bpe_text"),
+        F.size(toks).cast("long").alias("n_bpe_tokens"),
+    )
+
+
+def bpe_oracle_chain_sql(merges: Sequence[Tuple[str, str]], word_expr: str) -> str:
+    """The DuckDB expression mirroring :func:`_encode_symbols` +
+    unwrap/split for one word — generated from the same frozen merge
+    list so the oracle runs the IDENTICAL chain. ``word_expr`` is the
+    SQL expression holding the word (e.g. a lambda variable)."""
+
+    def lit(s: str) -> str:
+        # control chars via chr() so the SQL stays printable
+        parts = []
+        buf = ""
+        for ch in s:
+            if ord(ch) < 32:
+                if buf:
+                    parts.append("'" + buf.replace("'", "''") + "'")
+                    buf = ""
+                parts.append(f"chr({ord(ch)})")
+            else:
+                buf += ch
+        if buf:
+            parts.append("'" + buf.replace("'", "''") + "'")
+        return " || ".join(parts) if parts else "''"
+
+    s = (
+        f"regexp_replace({word_expr} || chr({ord(EOW)}), '(.)', "
+        f"chr({ord(SEP_L)}) || '\\1' || chr({ord(SEP_R)}), 'g')"
+    )
+    for a, b in merges:
+        s = (
+            f"replace({s}, {lit(SEP_L + a + SEP_R + SEP_L + b + SEP_R)}, "
+            f"{lit(SEP_L + a + b + SEP_R)})"
+        )
+    unwrapped = (
+        f"list_filter(string_split(replace({s}, chr({ord(SEP_L)}), ''), "
+        f"chr({ord(SEP_R)})), t -> len(t) > 0)"
+    )
+    return unwrapped

@@ -1,0 +1,135 @@
+"""BPE subword tokenizer: training determinism, Catalyst/Python encode
+parity (the replace-chain delimiter trick), and oracle-chain edge cases
+— identical pairs, adjacent occurrences, symbol-boundary false matches."""
+
+import pytest
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from seqspark.pipeline.bpe import (
+    EOW,
+    EOW_DISPLAY,
+    bpe_encoded,
+    bpe_tokens,
+    encode_word,
+    train_bpe,
+)
+
+
+def _df(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id int, text string"
+    )
+
+
+def test_train_tiny_corpus_exact_merges(spark):
+    # "aaab" x3 + "aab" x2: chars a,b + EOW. Pair counts round 1:
+    # (a,a): 3*2 + 2*1 = 8; (a,b): 5; (b,EOW): 5 -> merge (a,a).
+    # round 2: aa,a,b / aa,b vocab -> (aa,a):3, (a,b):3, (aa,b):2,
+    # (b,EOW):5 -> (b,EOW) wins. round 3: counts tie at 3,3 ->
+    # lexicographic pair order breaks the tie deterministically.
+    df = _df(spark, ["aaab aaab aaab aab aab"])
+    merges = train_bpe(df, n_merges=3, vocab_k=10)
+    assert merges[0] == ("a", "a")
+    assert merges[1] == ("b", EOW)
+    assert merges[2] == ("a", "b" + EOW)  # ('a','b\x17') < ('aa','a')
+
+
+def test_train_deterministic_under_repartition(spark):
+    texts = [f"alpha beta gamma delta w{i} w{i % 7}" for i in range(60)]
+    df = _df(spark, texts)
+    m1 = train_bpe(df, n_merges=20, vocab_k=50)
+    m2 = train_bpe(df.repartition(13), n_merges=20, vocab_k=50)
+    assert m1 == m2
+
+
+def test_encode_identical_pair_greedy_left_to_right(spark):
+    # merge (a,a) on "aaa": greedy LTR -> [aa, a], never [a, aa]
+    merges = [("a", "a")]
+    assert encode_word("aaa", merges) == ["aa", "a", EOW_DISPLAY]
+    row = (
+        _df(spark, ["aaa"])
+        .select(bpe_tokens(F.col("text"), merges).alias("t"))
+        .head()
+    )
+    assert list(row["t"]) == ["aa", "a", EOW_DISPLAY]
+
+
+def test_encode_adjacent_occurrences_no_shared_boundary_miss(spark):
+    # merge (a,b) on "abab": both occurrences must merge in one pass —
+    # the failure mode of space-delimited replace patterns.
+    merges = [("a", "b")]
+    assert encode_word("abab", merges) == ["ab", "ab", EOW_DISPLAY]
+    row = (
+        _df(spark, ["abab"])
+        .select(bpe_tokens(F.col("text"), merges).alias("t"))
+        .head()
+    )
+    assert list(row["t"]) == ["ab", "ab", EOW_DISPLAY]
+
+
+def test_encode_no_cross_symbol_false_match(spark):
+    # after merging (b,a) the sequence [ba, b] must NOT match a
+    # pattern for (a,b) even though "a b" appears in a naive
+    # space-delimited rendering of "ba b".
+    merges = [("b", "a"), ("a", "b")]
+    # "bab": (b,a) -> [ba, b, EOW]; (a,b) must not fire.
+    assert encode_word("bab", merges) == ["ba", "b", EOW_DISPLAY]
+    row = (
+        _df(spark, ["bab"])
+        .select(bpe_tokens(F.col("text"), merges).alias("t"))
+        .head()
+    )
+    assert list(row["t"]) == ["ba", "b", EOW_DISPLAY]
+
+
+def test_encode_no_prefix_false_match(spark):
+    # pattern for (a,b) must not match symbol "bc" just because it
+    # STARTS with b: "abc" with merges [(b,c),(a,b)] -> after (b,c):
+    # [a, bc]; (a,b) must not merge a with the prefix of "bc".
+    merges = [("b", "c"), ("a", "b")]
+    assert encode_word("abc", merges) == ["a", "bc", EOW_DISPLAY]
+    row = (
+        _df(spark, ["abc"])
+        .select(bpe_tokens(F.col("text"), merges).alias("t"))
+        .head()
+    )
+    assert list(row["t"]) == ["a", "bc", EOW_DISPLAY]
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    st.lists(
+        st.text(alphabet="abcdeé0_", min_size=1, max_size=12),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_encode_catalyst_matches_python(spark, words_list):
+    text = " ".join(words_list)
+    df = _df(spark, [text])
+    merges = train_bpe(df, n_merges=12, vocab_k=30, min_pair_count=1)
+    expect = []
+    for w in words_list:
+        expect.extend(encode_word(w.lower(), merges))
+    got = df.select(bpe_tokens(F.col("text"), merges).alias("t")).head()["t"]
+    assert list(got) == expect
+
+
+def test_bpe_encoded_shape_and_budget(spark, documents):
+    merges = train_bpe(documents, n_merges=40, vocab_k=500)
+    out = bpe_encoded(documents, merges)
+    assert out.columns == ["doc_id", "bpe_text", "n_bpe_tokens"]
+    row = out.filter(F.col("n_bpe_tokens") > 0).head()
+    assert row["bpe_text"].count(" ") + 1 == row["n_bpe_tokens"]
+    # encoding is a narrow map: no exchange in the plan
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_encode_plan_stays_jvm_side(spark):
+    # no Python eval nodes: the chain is Catalyst expressions only
+    df = _df(spark, ["hello world"])
+    out = df.select(bpe_tokens(F.col("text"), [("l", "l"), ("h", "e")]).alias("t"))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan and "Arrow" not in plan
