@@ -36,6 +36,27 @@ DOCS_MAPPING = {
     "doc_id": "keyword",
 }
 
+#: FROZEN BPE merge list — trained once via
+#: ``train_bpe(sf0.001 documents, n_merges=48, vocab_k=4000)`` (deterministic:
+#: ranking is (count DESC, word ASC), pair choice (count DESC, pair ASC)) and
+#: pinned here as literals so queries() and oracle_sql() run the IDENTICAL
+#: replace-chain — the deployment shape for a production tokenizer, where the
+#: vocabulary is an artifact, not re-learned per query. "\x17" is the
+#: end-of-word symbol (rendered "</w>" in output).
+BPE_MERGES = [
+    ("e", "r"), ("e", "\x17"), ("n", "\x17"), ("o", "r"), ("t", "\x17"),
+    ("er", "\x17"), ("o", "w"), ("ow", "\x17"), ("l", "u"), ("i", "n"),
+    ("y", "\x17"), ("a", "r"), ("p", "ar"), ("g", "\x17"), ("a", "s"),
+    ("h", "\x17"), ("a", "\x17"), ("s", "t"), ("a", "t"), ("a", "n\x17"),
+    ("c", "an\x17"), ("s", "can\x17"), ("c", "o"), ("co", "lu"),
+    ("colu", "m"), ("colum", "n\x17"), ("d", "ow\x17"), ("in", "dow\x17"),
+    ("w", "indow\x17"), ("d", "er\x17"), ("or", "der\x17"), ("or", "t\x17"),
+    ("s", "ort\x17"), ("p", "\x17"), ("par", "t\x17"), ("u", "p\x17"),
+    ("a", "g"), ("ag", "g\x17"), ("a", "lu"), ("alu", "e\x17"),
+    ("v", "alue\x17"), ("in", "e\x17"), ("l", "ine\x17"), ("e", "y\x17"),
+    ("k", "ey\x17"), ("i", "n\x17"), ("j", "o"), ("jo", "in\x17"),
+]
+
 
 def _events_table(spark: SparkSession, sf_dir: str) -> SearchTable:
     # assume_folded: the synthetic keyword values are lower-case on disk (as
@@ -963,6 +984,16 @@ def q_text_fingerprint(spark, sf_dir):
     return docs.select("doc_id", fingerprint_md5(F.col("text")).alias("fp"))
 
 
+def q_bpe_encode(spark, sf_dir):
+    # subword tokenization with the FROZEN merge list (BPE_MERGES): pure
+    # Catalyst replace-chain per word, no UDF/shuffle; the oracle runs the
+    # byte-identical chain generated from the same literals
+    from seqspark.pipeline.bpe import bpe_encoded
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bpe_encoded(docs, BPE_MERGES, id_col="doc_id", text_col="text")
+
+
 def q_multimodal_decode(spark, sf_dir):
     # rows-only: binary-column decode plumbing over the deterministic fixture
     from seqspark.pipeline.multimodal import decode_assets, make_fake_assets
@@ -1631,6 +1662,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_token_count": q_text_token_count,
         "text_quality": q_text_quality,
         "text_fingerprint": q_text_fingerprint,
+        "bpe_encode": q_bpe_encode,
         "multimodal_decode": q_multimodal_decode,
         "join_broadcast": q_join_broadcast,
         "lineitem_pricing_summary": q_lineitem_pricing_summary,
@@ -2568,6 +2600,21 @@ def oracle_sql() -> dict[str, str]:
         "ON a.doc_id < b.doc_id WHERE bit_count(xor(a.h, b.h)) <= 4) "
         "SELECT h.doc_id, h.h FROM h LEFT JOIN losers l "
         "ON l.doc_id = h.doc_id WHERE l.doc_id IS NULL"
+    )
+    # BPE encode: the oracle runs the IDENTICAL frozen replace-chain,
+    # generated from the same BPE_MERGES literals the Spark plan froze in
+    # (seqspark/pipeline/bpe.py docstring proves the chain == greedy BPE).
+    # EOW (\x17) renders as '</w>' after the join — tokens never contain
+    # spaces, so the post-join replace equals Spark's per-token replace.
+    from seqspark.pipeline.bpe import EOW, bpe_oracle_chain_sql
+
+    _chain = bpe_oracle_chain_sql(BPE_MERGES, "w")
+    sql["bpe_encode"] = (
+        f"WITH t AS (SELECT doc_id, flatten(list_transform({_WORDS}, "
+        f"w -> {_chain})) AS toks FROM documents) "
+        f"SELECT doc_id, replace(array_to_string(toks, ' '), "
+        f"chr({ord(EOW)}), '</w>') AS bpe_text, "
+        "CAST(len(toks) AS BIGINT) AS n_bpe_tokens FROM t"
     )
     # rows-only entries (LSH candidate generation, multimodal plumbing)
     # have no SQL equivalent on purpose — the driver records a weaker

@@ -127,6 +127,81 @@ def test_bpe_encoded_shape_and_budget(spark, documents):
     assert "Exchange" not in plan
 
 
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(
+        st.text(alphabet="abcdeé0_", min_size=1, max_size=12),
+        min_size=1,
+        max_size=5,
+    )
+)
+def test_oracle_chain_matches_python_encoder(words_list):
+    # CI guard for bpe_oracle_chain_sql: DuckDB running the generated
+    # replace-chain must reproduce encode_word exactly (this is the chain
+    # the bpe_encode contract entry's oracle runs)
+    import duckdb
+
+    from seqspark.pipeline.bpe import bpe_oracle_chain_sql
+
+    corpus_words = [w.lower() for w in words_list]
+    # train driver-side on the same words (no spark needed: train only
+    # shapes the merge list; the subject under test is the SQL chain)
+    merges = []
+    vocab = {}
+    for w in corpus_words:
+        key = tuple(w) + (EOW,)
+        vocab[key] = vocab.get(key, 0) + 1
+    for _ in range(12):
+        pairs = {}
+        for syms, n in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] = pairs.get((a, b), 0) + n
+        if not pairs:
+            break
+        (a, b), _n = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((a, b))
+        new_vocab = {}
+        for syms, n in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + n
+        vocab = new_vocab
+
+    chain = bpe_oracle_chain_sql(merges, "w")
+    con = duckdb.connect()
+    for w in corpus_words:
+        got = con.execute(
+            f"SELECT {chain} FROM (SELECT ? AS w)", [w]
+        ).fetchone()[0]
+        assert [t.replace(EOW, EOW_DISPLAY) for t in got] == encode_word(
+            w, merges
+        ), f"word={w!r} merges={merges!r}"
+
+
+def test_bpe_encode_contract_entry_matches_oracle(spark, duck):
+    # end-to-end pin of the __spark_entry__ wiring: the bpe_encode entry
+    # and its oracle_sql twin agree row-for-row at sf0.001
+    import __spark_entry__ as em
+
+    sdf = em.queries()["bpe_encode"](spark, "/root/testdata/sf0.001")
+    spark_rows = sorted(
+        (r["doc_id"], r["bpe_text"], r["n_bpe_tokens"]) for r in sdf.collect()
+    )
+    duck_rows = sorted(
+        duck.execute(
+            em.oracle_sql()["bpe_encode"]
+        ).fetchall()
+    )
+    assert spark_rows == duck_rows
+    assert len(spark_rows) > 0 and any(n > 0 for _, _, n in spark_rows)
+
+
 def test_encode_plan_stays_jvm_side(spark):
     # no Python eval nodes: the chain is Catalyst expressions only
     df = _df(spark, ["hello world"])
