@@ -5,22 +5,32 @@ driver's synthetic tables, plus the scan-heavy pricing summary.
 Prints ONE JSON line:
   {"metric": "...", "value": <total sec = sum of per-query medians>,
    "unit": "sec", "queries": {"q1": median sec, ...},
-   "queries_min": {"q1": min sec, ...}, "runs_per_query": N, "sf": <sf>}
+   "queries_min": {"q1": min sec, ...}, "runs_per_query": N, "sf": <sf>,
+   "plan_digests": {"q1": <sha256[:16] of the canonicalized plan>, ...},
+   "plan_mismatches": [names whose digest drifted from bench_plans.json]}
 
 Each query runs N times (default 5) and reports the MEDIAN (headline) and
 MIN (plan floor) so a plan regression is distinguishable from transient
 machine load — the r3 bench was taken under concurrent load and q5/q6
 looked 2× worse than their steady state (see BASELINE.md).
 
-Env: SPARK_GRAFT_SF_DIR     (default /root/testdata/sf0.1),
-     SPARK_GRAFT_CPUS       (default 32),
-     SPARK_GRAFT_BENCH_RUNS (default 5).
+Plan-digest pinning (round 10): timings vary ±2x with machine load, plans
+do not. Each query's formatted physical plan is canonicalized (expression
+ids `#123`, file paths, and all digit runs masked, so the digest pins the
+OPERATOR SHAPE — scan/filter/exchange/join structure and pushed-filter
+fields — not literals or partition counts) and sha256-hashed against the
+committed `bench_plans.json`. A slow bench with `plan_mismatches: []` is
+machine load; any non-empty list is a real plan regression to diagnose.
+Regenerate expectations after an INTENDED plan change with:
+  python bench.py --write-plans
 """
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
+import re
 import statistics
 import sys
 import time
@@ -36,6 +46,7 @@ from seqspark.data import load_table
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 RUNS = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5")))
+PLANS_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_plans.json")
 
 EVENTS_MAPPING = {
     "event_type": "keyword",
@@ -46,7 +57,31 @@ EVENTS_MAPPING = {
 }
 
 
+def _plan_str(df) -> str:
+    jvm = df.sparkSession._jvm
+    return df._jdf.queryExecution().explainString(
+        jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+def _canon(plan: str) -> str:
+    # expression ids churn per session; paths churn per tmpdir; digit runs
+    # cover shuffle-partition counts, literals, and statistics so the digest
+    # pins plan SHAPE (operators + pushed-filter fields), not constants
+    plan = re.sub(r"#\d+L?", "#", plan)
+    plan = re.sub(r"file:[^\s,\]\)]+", "<path>", plan)
+    plan = re.sub(r"/[^\s,\]\)]*parquet[^\s,\]\)]*", "<path>", plan)
+    plan = re.sub(r"\d+", "N", plan)
+    return plan
+
+
+def plan_digest(dfs) -> str:
+    txt = "\n---\n".join(_plan_str(df) for df in dfs)
+    return hashlib.sha256(_canon(txt).encode()).hexdigest()[:16]
+
+
 def main() -> None:
+    write_plans = "--write-plans" in sys.argv
     spark = (
         SparkSession.builder.master(f"local[{CPUS}]")
         .appName("seqspark-bench")
@@ -99,49 +134,63 @@ def main() -> None:
     lineitem.count()
     st.aggregate(AggQuery(func="max", field="value", group_by="event_type")).collect()
 
-    def q1():
+    # each query is a builder returning the DataFrame list it drains; the
+    # timed run rebuilds + collects (planning cost is part of the number,
+    # as before), the digest is computed ONCE from the same builder
+    def b1():
         # match-all paging, ORDER_ASC, 3 pages of 100 (seq-db-paging.js)
-        n = 0
-        for page in range(3):
-            n += len(st.search("*", size=100, offset=page * 100, order="asc").collect())
-        return n
+        return [
+            st.search("*", size=100, offset=page * 100, order="asc")
+            for page in range(3)
+        ]
 
-    def q2():
+    def b2():
         # keyword OR + fetch (seq-db-fetch-5k-fulltext.js)
-        return len(
+        return [
             st.search(
                 "event_type:click or event_type:signup or event_type:error",
                 size=5000,
-            ).collect()
-        )
+            )
+        ]
 
-    def q3():
+    def b3():
         # full-text phrase = token-AND fetch (seq-db-fetch-5k-fulltext-2.js);
         # run on the text-mapped documents table
-        return len(sd.search('text:"table scan row"', size=5000).collect())
+        return [sd.search('text:"table scan row"', size=5000)]
 
-    def q4():
+    def b4():
         # numeric range, bounded + open (seq-db-fetch-5k-range.js / -5k.js)
-        n = len(st.search("value:[50, 100)", size=5000).collect())
-        n += len(st.search("value:[50, *]", size=5000).collect())
-        return n
+        return [
+            st.search("value:[50, 100)", size=5000),
+            st.search("value:[50, *]", size=5000),
+        ]
 
-    def q5():
+    def b5():
         # aggregation COUNT by keyword field, size=0 (seq-db-aggs.js)
-        return len(st.aggregate(AggQuery(func="count", field="event_type")).collect())
+        return [st.aggregate(AggQuery(func="count", field="event_type"))]
 
-    def q6():
+    def d5():
+        # guarded aggs run eagerly and return a LocalRelation — digest the
+        # plan the engine actually executed, not the local result frame
+        b5()
+        return [st.last_agg_plan_df()]
+
+    def b6():
         # aggregation MIN group-by (seq-db-aggs-min-by-status.js)
-        return len(
-            st.aggregate(
-                AggQuery(func="min", field="value", group_by="event_type")
-            ).collect()
-        )
+        return [
+            st.aggregate(AggQuery(func="min", field="value", group_by="event_type"))
+        ]
 
-    def q7():
+    def d6():
+        b6()
+        return [st.last_agg_plan_df()]
+
+    def b7():
         # scan-heavy pricing summary (TPC-H Q1 shape) on lineitem
-        return len(
-            lineitem.filter(F.col("l_shipdate") <= F.to_timestamp(F.lit("1998-09-02")))
+        return [
+            lineitem.filter(
+                F.col("l_shipdate") <= F.to_timestamp(F.lit("1998-09-02"))
+            )
             .groupBy("l_returnflag", "l_linestatus")
             .agg(
                 F.sum("l_quantity").alias("sum_qty"),
@@ -149,16 +198,34 @@ def main() -> None:
                 F.avg("l_discount").alias("avg_disc"),
                 F.count(F.lit(1)).alias("count_order"),
             )
-            .collect()
-        )
+        ]
+
+    builders = [
+        ("q1", b1), ("q2", b2), ("q3", b3), ("q4", b4),
+        ("q5", b5), ("q6", b6), ("q7", b7),
+    ]
+    digest_builders = {"q5": d5, "q6": d6}
+
+    digests = {
+        name: plan_digest(digest_builders.get(name, b)())
+        for name, b in builders
+    }
+    expected = {}
+    if os.path.exists(PLANS_PATH):
+        with open(PLANS_PATH) as f:
+            expected = json.load(f)
+    mismatches = sorted(
+        name for name, d in digests.items() if expected.get(name) not in (None, d)
+    )
 
     timings = {}
     timings_min = {}
-    for name, fn in [("q1", q1), ("q2", q2), ("q3", q3), ("q4", q4), ("q5", q5), ("q6", q6), ("q7", q7)]:
+    for name, b in builders:
         runs = []
         for _ in range(RUNS):
             t0 = time.perf_counter()
-            fn()
+            for df in b():
+                df.collect()
             runs.append(time.perf_counter() - t0)
         timings[name] = round(statistics.median(runs), 4)
         timings_min[name] = round(min(runs), 4)
@@ -177,9 +244,15 @@ def main() -> None:
                 "runs_per_query": RUNS,
                 "setup_sec": setup_sec,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "plan_digests": digests,
+                "plan_mismatches": mismatches,
             }
         )
     )
+    if write_plans:
+        with open(PLANS_PATH, "w") as f:
+            json.dump(digests, f, indent=2, sort_keys=True)
+            f.write("\n")
     _shutil.rmtree(tok_dir, ignore_errors=True)
     spark.stop()
 

@@ -1083,6 +1083,15 @@ class SearchTable:
             return df.withColumn(out, spec.scalar())
         return df.withColumn(out, F.explode_outer(spec.tokens()))
 
+    def last_agg_plan_df(self) -> Optional[DataFrame]:
+        """The DataFrame whose plan the last EAGER aggregate executed.
+
+        Guarded non-timeseries aggregates run in-job and return a
+        LocalRelation whose plan says nothing about the work done; this
+        accessor exposes the probe frame for plan diagnostics (bench.py's
+        plan-digest pinning). None if no eager aggregate has run."""
+        return getattr(self, "_last_agg_plan_df", None)
+
     def aggregate(
         self,
         aggq: AggQuery,
@@ -1304,6 +1313,10 @@ class SearchTable:
             # exactly max_group_tokens values plus missing docs would
             # otherwise fail spuriously
             probe = out.limit(max_group_tokens + 2) if group_guard else out
+            # the returned LocalRelation hides the executed plan; keep the
+            # probe frame so diagnostics (bench.py plan-digest pinning) can
+            # fingerprint what actually ran
+            self._last_agg_plan_df = probe
             rows = probe.collect()
             real_groups = sum(1 for r in rows if r["name"] != "_not_exists")
             if group_guard and real_groups > max_group_tokens:
