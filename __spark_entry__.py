@@ -653,7 +653,7 @@ def q_frame_sample(spark, sf_dir):
         F.encode("text", "UTF-8").alias("content"),
         F.lit("{}").alias("meta_json"),
     )
-    out = sample_frames(assets, n_samples=3)
+    out = sample_frames(assets, n_samples=3, fake=True)
     return out.select("asset_id", "n_frames", "frame_index")
 
 
@@ -999,7 +999,7 @@ def q_multimodal_decode(spark, sf_dir):
     from seqspark.pipeline.multimodal import decode_assets, make_fake_assets
 
     assets = make_fake_assets(spark, 64)
-    return decode_assets(assets).select(
+    return decode_assets(assets, fake=True).select(
         "asset_id", "media_type", "n_bytes", "sha256", "width", "height", "n_frames"
     )
 
@@ -1379,7 +1379,7 @@ def q_multimodal_resize(spark, sf_dir):
     from seqspark.pipeline.multimodal import make_fake_assets, resize_images
 
     assets = make_fake_assets(spark, 64)
-    return resize_images(assets, 32, 16).select(
+    return resize_images(assets, 32, 16, fake=True).select(
         "asset_id", F.length("content").alias("n_bytes"), "width", "height"
     )
 

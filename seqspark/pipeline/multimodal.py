@@ -1,12 +1,15 @@
 """Multimodal column plumbing: image/audio/video as opaque binary columns
 with typed metadata, processed through Arrow-batched ``mapInPandas``.
 
-``decode_assets(fake=True)`` (the CI default) runs a deterministic fake
-decoder so the Spark-side plumbing — schema, batch iteration,
-partitioning — is fully testable without media libraries.
+The DEFAULT (``fake=False``) runs REAL kernels — a production caller gets
+honest decoding or an honest ``NotImplementedError`` when a codec is
+absent, never silently fake bytes. ``fake=True`` (opt-in, used by tests
+and the synthetic contract entries) runs a deterministic fake decoder so
+the Spark-side plumbing — schema, batch iteration, partitioning — is
+fully testable without media libraries.
 
-``fake=False`` runs REAL kernels behind per-modality capability
-detection, imported inside the executor batch function:
+Real kernels sit behind per-modality capability detection, imported
+inside the executor batch function:
 
 - image: Pillow (``PIL.Image``) when installed; without it, a stdlib
   header parser covers PNG (incl. APNG frame counts), BMP, GIF and JPEG
@@ -195,7 +198,7 @@ def _real_decode(media_type: str, content: bytes) -> tuple[int, int, int]:
     raise NotImplementedError(f"no decoder for media_type={media_type!r}")
 
 
-def decode_assets(assets: DataFrame, fake: bool = True) -> DataFrame:
+def decode_assets(assets: DataFrame, fake: bool = False) -> DataFrame:
     """Decode/feature-extract binary assets via ``mapInPandas`` — Arrow
     batches keep the Python crossing amortized; output partitioning follows
     the input, so a downstream join back on asset_id is co-partitioned."""
@@ -252,7 +255,7 @@ def sample_frames(
     assets: DataFrame,
     n_samples: Optional[int] = None,
     every_n: Optional[int] = None,
-    fake: bool = True,
+    fake: bool = False,
 ) -> DataFrame:
     """Frame sampling for video/animation assets: one output row per
     SELECTED frame — ``n_samples`` uniformly-spaced indices
@@ -478,14 +481,14 @@ def resize_images(
     assets: DataFrame,
     width: int,
     height: int,
-    fake: bool = True,
+    fake: bool = False,
     on_other: str = "drop",
 ) -> DataFrame:
     """Resize image assets to (width, height) via ``mapInPandas``.
 
-    ``fake=True`` (CI default) emits a deterministic payload derived from
+    ``fake=True`` (opt-in, tests/CI) emits a deterministic payload derived from
     the source bytes + target size, so schema/partitioning/batch shape are
-    testable without Pillow; ``fake=False`` decodes and re-encodes PNG
+    testable without Pillow; the default (``fake=False``) decodes and re-encodes PNG
     through Pillow when installed, else through the stdlib PNG codec
     (8-bit RGB/RGBA non-interlaced; other formats raise).
 
@@ -609,7 +612,7 @@ def dhash_images(
     content_col: str = "content",
     out_col: str = "dhash",
     hash_size: int = 8,
-    fake: bool = True,
+    fake: bool = False,
 ) -> DataFrame:
     """Append a 64-bit perceptual dHash column for image payloads.
 

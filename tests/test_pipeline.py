@@ -300,13 +300,13 @@ def test_fingerprint_normalization(spark):
 
 def test_multimodal_decode_and_frames(spark):
     assets = multimodal.make_fake_assets(spark, 30)
-    decoded = multimodal.decode_assets(assets)
+    decoded = multimodal.decode_assets(assets, fake=True)
     rows = decoded.collect()
     assert len(rows) == 30
     for r in rows:
         assert r["n_bytes"] > 0 and len(r["sha256"]) == 64
         assert r["width"] >= 16 and r["height"] >= 16
-    frames = multimodal.sample_frames(assets, every_n=1)
+    frames = multimodal.sample_frames(assets, every_n=1, fake=True)
     assert frames.count() == decoded.agg(F.sum("n_frames")).collect()[0][0]
 
 
@@ -821,14 +821,14 @@ def test_ivf_train_rejects_null_elements(spark):
 
 def test_resize_images_plumbing(spark):
     assets = multimodal.make_fake_assets(spark, 12)
-    out = multimodal.resize_images(assets, 32, 16).collect()
+    out = multimodal.resize_images(assets, 32, 16, fake=True).collect()
     n_images = assets.filter(F.col("media_type") == "image").count()
     assert len(out) == n_images
     for r in out:
         assert (r["width"], r["height"]) == (32, 16)
         assert len(r["content"]) > 0
     # deterministic across reruns
-    again = multimodal.resize_images(assets, 32, 16).collect()
+    again = multimodal.resize_images(assets, 32, 16, fake=True).collect()
     assert sorted(bytes(r["content"]) for r in out) == sorted(bytes(r["content"]) for r in again)
 
 
@@ -854,9 +854,9 @@ def test_resize_images_real_kernel(spark):
 def test_resize_images_on_other(spark):
     assets = multimodal.make_fake_assets(spark, 9)  # 3 per media type
     # drop (default): images only
-    assert multimodal.resize_images(assets, 8, 8).count() == 3
+    assert multimodal.resize_images(assets, 8, 8, fake=True).count() == 3
     # keep: everything, non-image passed through with NULL dims
-    kept = multimodal.resize_images(assets, 8, 8, on_other="keep").collect()
+    kept = multimodal.resize_images(assets, 8, 8, fake=True, on_other="keep").collect()
     assert len(kept) == 9
     others = [r for r in kept if r["media_type"] != "image"]
     assert len(others) == 6
@@ -869,9 +869,9 @@ def test_resize_images_on_other(spark):
     from pyspark.errors.exceptions.captured import PythonException
 
     with pytest.raises((PythonException, Py4JJavaError)):
-        multimodal.resize_images(assets, 8, 8, on_other="error").collect()
+        multimodal.resize_images(assets, 8, 8, fake=True, on_other="error").collect()
     with pytest.raises(ValueError, match="drop|keep|error"):
-        multimodal.resize_images(assets, 8, 8, on_other="bogus")
+        multimodal.resize_images(assets, 8, 8, fake=True, on_other="bogus")
 
 def test_dup_clusters_diameter_exactly_max_iter_converges(spark):
     """Diameter == max_iter must converge (one extra observation round),
@@ -2103,12 +2103,12 @@ def test_sample_frames_selection_and_extraction(spark):
     are deterministic digests; real mode returns the still image itself
     for single-frame assets and raises for animated content."""
     assets = multimodal.make_fake_assets(spark, 24)
-    out = multimodal.sample_frames(assets, n_samples=3).collect()
+    out = multimodal.sample_frames(assets, n_samples=3, fake=True).collect()
     by_asset = {}
     for r in out:
         by_asset.setdefault(r.asset_id, []).append(r)
     decoded = {r.asset_id: r.n_frames for r in
-               multimodal.decode_assets(assets).collect()}
+               multimodal.decode_assets(assets, fake=True).collect()}
     for aid, rows in by_asset.items():
         n = decoded[aid]
         kk = min(3, n)
@@ -2117,14 +2117,14 @@ def test_sample_frames_selection_and_extraction(spark):
         assert 0 in {r.frame_index for r in rows}  # frame 0 always kept
         assert all(len(r.frame) == 16 for r in rows)  # md5 digest bytes
     # determinism
-    again = multimodal.sample_frames(assets, n_samples=3).collect()
+    again = multimodal.sample_frames(assets, n_samples=3, fake=True).collect()
     assert {(r.asset_id, r.frame_index, bytes(r.frame)) for r in again} == \
            {(r.asset_id, r.frame_index, bytes(r.frame)) for r in out}
     # exactly one of the selectors
     with pytest.raises(ValueError):
-        multimodal.sample_frames(assets, n_samples=3, every_n=2)
+        multimodal.sample_frames(assets, n_samples=3, every_n=2, fake=True)
     with pytest.raises(ValueError):
-        multimodal.sample_frames(assets)
+        multimodal.sample_frames(assets, fake=True)
     # real mode: a single-frame still image yields itself as frame 0
     import struct as _struct
     png = _png_fixture(8, 4)
