@@ -881,20 +881,25 @@ def q_ngram_jaccard(spark, sf_dir):
 
 
 def q_minhash_lsh_pairs(spark, sf_dir):
-    # rows-only: banded LSH candidate generation then exact verification
+    # hash-green (r10): the portable md5 minhash variant lets DuckDB
+    # replicate the ENTIRE pipeline — shingles, 32-permutation signature,
+    # 8 band keys, bucket cap, candidate join, exact-Jaccard verify
     from seqspark.pipeline.dedup import jaccard_pairs, minhash_lsh_candidates
 
     docs = load_table(spark, sf_dir, "documents")
-    cands = minhash_lsh_candidates(docs, "doc_id", "text", k=3, num_hashes=32, bands=8)
+    cands = minhash_lsh_candidates(
+        docs, "doc_id", "text", k=3, num_hashes=32, bands=8, portable=True
+    )
     return jaccard_pairs(docs, cands, "doc_id", "text", k=3, threshold=0.3).select(
         "id_a", "id_b", F.round("jaccard", 3).alias("jaccard")
     )
 
 
 def q_incremental_lsh_dupes(spark, sf_dir):
-    # rows-only: near-dup increment — batch docs verified (3-gram Jaccard)
-    # against a PERSISTED corpus band state plus within-batch. Planted:
-    # every doc_id % 10 == 0 corpus text re-enters the batch re-labeled.
+    # hash-green (r10): near-dup increment — batch docs verified (3-gram
+    # Jaccard) against a PERSISTED corpus band state plus within-batch;
+    # portable md5 minhash so the oracle replicates state + increment.
+    # Planted: every doc_id % 10 == 0 corpus text re-enters re-labeled.
     from seqspark.pipeline.dedup import (
         incremental_lsh_candidates,
         jaccard_pairs,
@@ -907,9 +912,11 @@ def q_incremental_lsh_dupes(spark, sf_dir):
         docs.filter(F.col("doc_id") % 10 == 0)
         .withColumn("doc_id", F.col("doc_id") + F.lit(500000))
     )
-    state = minhash_band_state(corpus, "doc_id", "text", k=3, num_hashes=32, bands=8)
+    state = minhash_band_state(
+        corpus, "doc_id", "text", k=3, num_hashes=32, bands=8, portable=True
+    )
     cands = incremental_lsh_candidates(
-        batch, state, "doc_id", "text", k=3, num_hashes=32, bands=8
+        batch, state, "doc_id", "text", k=3, num_hashes=32, bands=8, portable=True
     )
     union = corpus.unionByName(batch)
     return jaccard_pairs(union, cands, "doc_id", "text", k=3, threshold=0.3).select(
@@ -1584,8 +1591,6 @@ def q_image_dhash_dupes(spark, sf_dir):
 #: oracle_sql() entry — tests/test_contract.py pins the two key sets.
 ROWS_ONLY = frozenset(
     {
-        "minhash_lsh_pairs",
-        "incremental_lsh_dupes",
         "simhash_candidates",
         "ann_lsh_topk",
         "multimodal_decode",
@@ -2600,6 +2605,66 @@ def oracle_sql() -> dict[str, str]:
         "ON a.doc_id < b.doc_id WHERE bit_count(xor(a.h, b.h)) <= 4) "
         "SELECT h.doc_id, h.h FROM h LEFT JOIN losers l "
         "ON l.doc_id = h.doc_id WHERE l.doc_id IS NULL"
+    )
+    # MinHash-LSH, hash-green via the portable md5 variant: the oracle
+    # replicates the ENTIRE pipeline (shingles → 32-perm signature →
+    # 8 band keys → bucket cap → candidate join → exact-Jaccard verify)
+    # from the same parameters — dedup.portable_lsh_sql is the generator
+    from seqspark.pipeline.dedup import portable_lsh_sql
+
+    _lsh = portable_lsh_sql(k=3, num_hashes=32, bands=8, seed=73)
+    _lsh_stages = (
+        "sh AS (SELECT id, {sh} AS sh FROM ws), "
+        "sig AS (SELECT id, {sig} AS sig FROM sh), "
+        "keyed AS (SELECT id, unnest({bands}) AS band FROM sig)"
+    ).format(sh=_lsh["shingles"]("ws"), sig=_lsh["sig"]("sh"), bands=_lsh["bands"]("sig"))
+    sql["minhash_lsh_pairs"] = (
+        f"WITH ws AS (SELECT doc_id AS id, {_WORDS} AS ws FROM documents), "
+        + _lsh_stages
+        + ", capped AS (SELECT id, band FROM keyed "
+        "QUALIFY row_number() OVER (PARTITION BY band ORDER BY id) <= 200), "
+        "cands AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b "
+        "FROM capped a JOIN capped b USING (band) WHERE a.id < b.id), "
+        "j AS (SELECT c.id_a, c.id_b, "
+        "len(list_intersect(sa.sh, sb.sh))::DOUBLE / "
+        "len(list_distinct(sa.sh || sb.sh)) AS jac "
+        "FROM cands c JOIN sh sa ON sa.id = c.id_a "
+        "JOIN sh sb ON sb.id = c.id_b) "
+        "SELECT id_a, id_b, round(jac, 3) AS jaccard FROM j WHERE jac >= 0.3"
+    )
+    # incremental LSH: corpus band STATE (uncapped, as persisted) joined
+    # by a batch increment; within-batch side capped at 200 like the
+    # Spark path; batch = odd ids + re-labeled %10==0 texts (planted dups)
+    _b_stages = (
+        "bsh AS (SELECT id, {sh} AS sh FROM bws), "
+        "bsig AS (SELECT id, {sig} AS sig FROM bsh), "
+        "bkeyed AS (SELECT id, unnest({bands}) AS band FROM bsig)"
+    ).format(sh=_lsh["shingles"]("ws"), sig=_lsh["sig"]("sh"), bands=_lsh["bands"]("sig"))
+    sql["incremental_lsh_dupes"] = (
+        "WITH corpus AS (SELECT doc_id AS id, text FROM documents WHERE doc_id % 2 = 0), "
+        "batch AS (SELECT doc_id AS id, text FROM documents WHERE doc_id % 2 = 1 "
+        "UNION ALL SELECT doc_id + 500000 AS id, text "
+        "FROM documents WHERE doc_id % 10 = 0), "
+        f"ws AS (SELECT id, {_WORDS} AS ws FROM corpus), "
+        + _lsh_stages
+        + f", bws AS (SELECT id, {_WORDS} AS ws FROM batch), "
+        + _b_stages
+        + ", "
+        "vs_corpus AS (SELECT b.id AS id_a, s.id AS id_b "
+        "FROM bkeyed b JOIN keyed s USING (band) WHERE b.id != s.id), "
+        "bcapped AS (SELECT id, band FROM bkeyed "
+        "QUALIFY row_number() OVER (PARTITION BY band ORDER BY id) <= 200), "
+        "within AS (SELECT a.id AS id_a, b.id AS id_b "
+        "FROM bcapped a JOIN bcapped b USING (band) WHERE a.id > b.id), "
+        "cands AS (SELECT DISTINCT id_a, id_b FROM "
+        "(SELECT * FROM vs_corpus UNION ALL SELECT * FROM within)), "
+        "ush AS (SELECT * FROM sh UNION ALL SELECT * FROM bsh), "
+        "j AS (SELECT c.id_a, c.id_b, "
+        "len(list_intersect(sa.sh, sb.sh))::DOUBLE / "
+        "len(list_distinct(sa.sh || sb.sh)) AS jac "
+        "FROM cands c JOIN ush sa ON sa.id = c.id_a "
+        "JOIN ush sb ON sb.id = c.id_b) "
+        "SELECT id_a, id_b, round(jac, 3) AS jaccard FROM j WHERE jac >= 0.3"
     )
     # BPE encode: the oracle runs the IDENTICAL frozen replace-chain,
     # generated from the same BPE_MERGES literals the Spark plan froze in

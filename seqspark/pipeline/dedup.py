@@ -184,7 +184,24 @@ def shingles(text: Column, k: int = 5) -> Column:
     )
 
 
-def minhash_signature(shingle_col: Column, num_hashes: int = 64, seed: int = 73) -> Column:
+def _portable_perm_hash(s: Column, i: int) -> Column:
+    """Engine-portable 60-bit permutation hash: md5-prefix of
+    ``shingle || '|' || i`` parsed as an int — reproducible in any engine
+    with md5 (DuckDB: ``('0x'||substring(md5(s||'|'||i),1,15))::BIGINT``),
+    which is what lets the LSH contract entries be HASH-verified instead
+    of rows-only. ~md5-cost per gram; the xxhash64 default stays the
+    production path."""
+    return F.conv(
+        F.substring(F.md5(F.concat_ws("|", s, F.lit(str(i)))), 1, 15), 16, 10
+    ).cast("long")
+
+
+def minhash_signature(
+    shingle_col: Column,
+    num_hashes: int = 64,
+    seed: int = 73,
+    portable: bool = False,
+) -> Column:
     """Array of ``num_hashes`` minima of per-permutation hashes.
 
     Permutation i is ``xxhash64(shingle, i)`` — xxhash64 is a built-in JVM
@@ -192,8 +209,15 @@ def minhash_signature(shingle_col: Column, num_hashes: int = 64, seed: int = 73)
     shingle collection is ``let``-bound so the ``num_hashes`` transforms
     share ONE shingle evaluation instead of re-running the (split +
     k-gram) expression per permutation.
+
+    ``portable=True`` swaps each permutation for the md5-prefix hash
+    (:func:`_portable_perm_hash`, seeded ``seed + i``) so an external
+    engine can replicate the signature bit-for-bit — the oracle
+    requirement; keep the default for production runs.
     """
     def perm(i):
+        if portable:
+            return lambda s: _portable_perm_hash(s, seed + i)
         return lambda s: F.xxhash64(s, F.lit(seed + i))
 
     return let(
@@ -207,25 +231,79 @@ def minhash_signature(shingle_col: Column, num_hashes: int = 64, seed: int = 73)
     )
 
 
-def band_keys(sig: Column, bands: int, rows_per_band: int) -> Column:
-    """LSH band keys: hash of each contiguous signature slice."""
+def band_keys(
+    sig: Column, bands: int, rows_per_band: int, portable: bool = False
+) -> Column:
+    """LSH band keys: hash of each contiguous signature slice.
+
+    ``portable=True`` keys on the joined slice ITSELF (no xxhash64 —
+    hashing a band key only compacts it, never changes bucket identity),
+    so an external engine reproduces the exact buckets."""
+    def slice_str(b: int) -> Column:
+        return F.array_join(
+            F.transform(
+                F.slice(sig, b * rows_per_band + 1, rows_per_band),
+                lambda v: v.cast("string"),
+            ),
+            ",",
+        )
+
     return F.array(
         *[
             F.concat(
                 F.lit(f"b{b}:"),
-                F.xxhash64(
-                    F.array_join(
-                        F.transform(
-                            F.slice(sig, b * rows_per_band + 1, rows_per_band),
-                            lambda v: v.cast("string"),
-                        ),
-                        ",",
-                    )
-                ).cast("string"),
+                slice_str(b) if portable else F.xxhash64(slice_str(b)).cast("string"),
             )
             for b in range(bands)
         ]
     )
+
+
+def portable_lsh_sql(
+    k: int, num_hashes: int, bands: int, seed: int = 73
+) -> dict:
+    """DuckDB expression fragments mirroring the ``portable=True`` LSH
+    path bit-for-bit, generated from the same parameters — what makes the
+    LSH contract entries hash-verifiable instead of rows-only (same
+    pattern as ``bpe.bpe_oracle_chain_sql``). Returns ``{"shingles":
+    fn(ws_col), "sig": fn(sh_col), "bands": fn(sig_col)}`` — each a
+    function of the column NAME holding the previous stage (use CTEs so
+    every stage evaluates once, like the Spark side's ``let`` binding).
+
+    Parity notes (verified by the contract entries + pytest):
+    - ``coalesce(..., '')``: a zero-word document slices an empty list,
+      which DuckDB turns into NULL where Spark's ``array_join`` gives
+      ``''``;
+    - DuckDB list slicing is 1-based inclusive (``ws[i:i+k-1]`` ==
+      ``F.slice(ws, i, k)``), clamped at both ends like ``F.slice``;
+    - the permutation hash is the md5-prefix 60-bit int
+      (:func:`_portable_perm_hash`), identical text both engines.
+    """
+    rows = bands and num_hashes // bands
+
+    def shingles_sql(ws: str) -> str:
+        return (
+            f"list_distinct(list_transform("
+            f"generate_series(1, greatest(len({ws}) - {k - 1}, 1)), "
+            f"i -> coalesce(array_to_string({ws}[i:i+{k - 1}], ' '), '')))"
+        )
+
+    def sig_sql(sh: str) -> str:
+        mins = ", ".join(
+            f"list_min(list_transform({sh}, s -> "
+            f"('0x' || substring(md5(s || '|{seed + i}'), 1, 15))::BIGINT))"
+            for i in range(num_hashes)
+        )
+        return f"[{mins}]"
+
+    def bands_sql(sig: str) -> str:
+        keys = ", ".join(
+            f"'b{b}:' || array_to_string({sig}[{b * rows + 1}:{(b + 1) * rows}], ',')"
+            for b in range(bands)
+        )
+        return f"[{keys}]"
+
+    return {"shingles": shingles_sql, "sig": sig_sql, "bands": bands_sql}
 
 
 def minhash_lsh_candidates(
@@ -237,6 +315,7 @@ def minhash_lsh_candidates(
     bands: int = 16,
     max_bucket: int = 200,
     salt: bool = False,
+    portable: bool = False,
 ) -> DataFrame:
     """Candidate near-duplicate pairs (id_a < id_b) via banded MinHash-LSH.
 
@@ -257,10 +336,15 @@ def minhash_lsh_candidates(
       boilerplate makes million-doc buckets.
     """
     rows = bands and num_hashes // bands
-    sig = minhash_signature(shingles(F.col(text_col), k), num_hashes)
+    sig = minhash_signature(
+        shingles(F.col(text_col), k), num_hashes, portable=portable
+    )
     keyed = (
         df.select(F.col(id_col).alias("id"), sig.alias("sig"))
-        .withColumn("band", F.explode(band_keys(F.col("sig"), bands, rows)))
+        .withColumn(
+            "band",
+            F.explode(band_keys(F.col("sig"), bands, rows, portable=portable)),
+        )
         .select("id", "band")
     )
     if salt:
@@ -419,6 +503,7 @@ def minhash_band_state(
     num_hashes: int = 64,
     bands: int = 16,
     max_bucket: Optional[int] = None,
+    portable: bool = False,
 ) -> DataFrame:
     """The persistable LSH state of a corpus snapshot: one (band, id) row
     per document per band. Store this next to the corpus (it is
@@ -430,11 +515,16 @@ def minhash_band_state(
     ids win): the cap is paid ONCE when the snapshot is persisted, so
     increments never re-sort the corpus state —
     :func:`incremental_lsh_candidates` joins the state as-is."""
-    sig = minhash_signature(shingles(F.col(text_col), k), num_hashes)
+    sig = minhash_signature(
+        shingles(F.col(text_col), k), num_hashes, portable=portable
+    )
     rows = bands and num_hashes // bands
     state = (
         df.select(F.col(id_col).alias("id"), sig.alias("sig"))
-        .withColumn("band", F.explode(band_keys(F.col("sig"), bands, rows)))
+        .withColumn(
+            "band",
+            F.explode(band_keys(F.col("sig"), bands, rows, portable=portable)),
+        )
         .select("band", "id")
     )
     if max_bucket is not None:
@@ -463,6 +553,7 @@ def incremental_lsh_candidates(
     num_hashes: int = 64,
     bands: int = 16,
     max_bucket: int = 200,
+    portable: bool = False,
 ) -> DataFrame:
     """Near-duplicate CANDIDATE pairs for a new batch: ``(id_a, id_b)``
     where ``id_a`` is a batch doc and ``id_b`` is either a corpus doc
@@ -487,7 +578,7 @@ def incremental_lsh_candidates(
     O(corpus) work this function exists to avoid.
     """
     b_keyed = minhash_band_state(
-        batch, id_col, text_col, k, num_hashes, bands
+        batch, id_col, text_col, k, num_hashes, bands, portable=portable
     ).localCheckpoint(eager=False)
     vs_corpus = (
         b_keyed.join(state.withColumnRenamed("id", "id_b"), "band")
