@@ -355,6 +355,32 @@ def q_fetch_by_ids(spark, sf_dir):
     return _ev_cols(st.fetch_ids(list(range(0, 500, 7)), "event_id"))
 
 
+def q_store_bloom_fetch(spark, sf_dir):
+    # store-path equivalence pin for bloom row-group skipping
+    # (store.py:380-402): the same fetch-by-ids as `fetch_by_ids`, but
+    # read THROUGH a DocStore with a bloom filter on event_id — the rows
+    # must equal the plain-parquet oracle exactly, proving the bloom skip
+    # never drops a matching row group. Day buckets bound the dir count.
+    import tempfile
+
+    from seqspark.store import DocStore
+
+    ev = load_table(spark, sf_dir, "events")
+    path = tempfile.mkdtemp(prefix="seqspark-bloom-entry-") + "/store"
+    store = DocStore(
+        spark, path, bucket_fmt="yyyy-MM-dd", bloom_cols=("event_id",)
+    )
+    store.append(ev, ts_col="ts")
+    st = SearchTable.from_typed(
+        store.read(),
+        EVENTS_MAPPING,
+        ts_col="ts",
+        rid_col="event_id",
+        assume_folded=True,
+    )
+    return _ev_cols(st.fetch_ids(list(range(0, 500, 7)), "event_id"))
+
+
 def q_with_total(spark, sf_dir):
     return _events_table(spark, sf_dir).total("event_type:click")
 
@@ -1620,6 +1646,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "offset_pagination": q_offset_pagination,
         "merge_dedup": q_merge_dedup,
         "fetch_by_ids": q_fetch_by_ids,
+        "store_bloom_fetch": q_store_bloom_fetch,
         "with_total": q_with_total,
         "fulltext_and": q_fulltext_and,
         "fulltext_wildcard": q_fulltext_wildcard,
@@ -1772,6 +1799,12 @@ def oracle_sql() -> dict[str, str]:
         ),
         "merge_dedup": f"SELECT {_EV} FROM events WHERE lower(event_type) = 'error'",
         "fetch_by_ids": (
+            f"SELECT {_EV} FROM events WHERE event_id IN "
+            f"({', '.join(str(i) for i in range(0, 500, 7))})"
+        ),
+        # identical row set through the DocStore bloom path: a bloom
+        # row-group skip that dropped a matching group would diverge here
+        "store_bloom_fetch": (
             f"SELECT {_EV} FROM events WHERE event_id IN "
             f"({', '.join(str(i) for i in range(0, 500, 7))})"
         ),

@@ -795,6 +795,39 @@ def dsir_log_ratios(
     )
 
 
+def dsir_weights(
+    df: DataFrame,
+    log_ratios: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    dim: int = 10_000,
+    bucket_fn=None,
+) -> DataFrame:
+    """NARROW per-document DSIR frame: ``(id, n_grams, log_importance)``
+    — the aggregate :func:`dsir_score` computes, without re-attaching the
+    document columns. ``explode_outer`` keeps zero-gram documents in the
+    frame (n_grams 0, weight 0.0 — same pinned semantics), so coverage
+    equals ``df`` without a second pass over the corpus. This is the
+    frame a 100 TB selection should rank on: one text-column scan, one
+    id-keyed shuffle of three narrow columns, nothing wide."""
+    grams = df.select(
+        F.col(id_col),
+        F.explode_outer(
+            dsir_ngram_buckets(F.col(text_col), dim, bucket_fn)
+        ).alias("bucket"),
+    )
+    return (
+        grams.join(F.broadcast(log_ratios), "bucket", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count("bucket").alias("n_grams"),
+            F.coalesce(F.sum("log_ratio"), F.lit(0.0)).alias(
+                "log_importance"
+            ),
+        )
+    )
+
+
 def dsir_score(
     df: DataFrame,
     log_ratios: DataFrame,
@@ -811,21 +844,9 @@ def dsir_score(
     The ratio table is broadcast (dim rows); the only shuffle is the
     per-document re-aggregation keyed by id — the same shape as
     :func:`unigram_logprob_score`, corpus-scan-proportional and nothing
-    more."""
-    grams = df.select(
-        F.col(id_col),
-        F.explode(
-            dsir_ngram_buckets(F.col(text_col), dim, bucket_fn)
-        ).alias("bucket"),
-    )
-    per = (
-        grams.join(F.broadcast(log_ratios), "bucket", "left")
-        .groupBy(id_col)
-        .agg(
-            F.count(F.lit(1)).alias("n_grams"),
-            F.sum("log_ratio").alias("log_importance"),
-        )
-    )
+    more. Callers that only rank on the weight should use
+    :func:`dsir_weights` directly and skip the wide re-attach join."""
+    per = dsir_weights(df, log_ratios, id_col, text_col, dim, bucket_fn)
     return (
         df.join(per, id_col, "left")
         .withColumn("n_grams", F.coalesce("n_grams", F.lit(0)))
@@ -893,19 +914,21 @@ def dsir_select(
     the target (small, quality) and raw (huge) corpora, score every raw
     doc's importance ratio, and Gumbel-top-k resample ``k`` docs. At
     100 TB: two dim-cardinality aggregations + one broadcast-join scoring
-    pass + one TakeOrdered. The raw corpus is scanned THREE times (bucket
-    counts; the gram explode that feeds the per-doc sums; the join that
-    re-attaches the document columns) and shuffled only by doc id —
-    callers selecting only (id, weight) can drop the third scan by using
-    :func:`dsir_score`'s aggregate directly. For production runs pass
+    pass over the text column + one TakeOrdered over the NARROW
+    ``(id, n_grams, log_importance)`` frame — the resample never sees a
+    wide row. Document columns are re-attached ONLY for the k winners
+    (broadcast inner join: the corpus side is scan + hash-probe, no
+    shuffle), so the former third full-width corpus pass — and the wide
+    id-keyed shuffle it fed — is gone. For production runs pass
     ``bucket_fn=murmur_token_index`` (~1.7× cheaper per corpus pass; the
     md5 default exists for engine-portable, oracle-checkable scores) —
     ONE choice is threaded through fit and score, which must agree."""
     tc = dsir_bucket_counts(target_df, text_col, dim, bucket_fn)
     rc = dsir_bucket_counts(raw_df, text_col, dim, bucket_fn)
     ratios = dsir_log_ratios(tc, rc, dim)
-    scored = dsir_score(raw_df, ratios, id_col, text_col, dim, bucket_fn)
-    return dsir_resample(scored, id_col, k, seed, temperature=temperature)
+    weights = dsir_weights(raw_df, ratios, id_col, text_col, dim, bucket_fn)
+    winners = dsir_resample(weights, id_col, k, seed, temperature=temperature)
+    return raw_df.join(F.broadcast(winners), id_col, "inner")
 
 
 # ------------------------------------------------- HTML text extraction

@@ -61,3 +61,28 @@ def test_no_forced_broadcast_on_fact_side(spark, name, n_dim_hints):
         f"{name}: the orders fact join must be a shuffle join when "
         f"broadcast is not auto-chosen:\n{plan}"
     )
+
+
+def test_store_bloom_fetch_reads_through_the_store(spark):
+    """The bloom-equivalence entry must actually scan the DocStore it
+    builds (a regression to scanning the raw parquet would make the
+    entry a vacuous twin of fetch_by_ids), and the store files must
+    carry the event_id bloom filters the entry exists to pin."""
+    df = entry_mod.queries()["store_bloom_fetch"](spark, SF_DIR)
+    plan = _physical_plan(df)
+    assert "seqspark-bloom-entry" in plan, plan
+    assert "/root/testdata" not in plan, plan
+    # at least one store file has a bloom filter on event_id
+    import re
+
+    m = re.search(r"(/[^\s\[\],]*seqspark-bloom-entry[^\s\[\],]*/store)", plan)
+    assert m, plan
+    store_dir = m.group(1)
+    import glob
+
+    files = glob.glob(store_dir + "/*/*.parquet")
+    assert files, store_dir
+    from test_store_streaming import _bloom_offsets
+
+    offsets = _bloom_offsets(spark, files[0])
+    assert offsets.get("event_id", -1) != -1, offsets
