@@ -1156,6 +1156,87 @@ def test_h2_flow_stalled_stream_aborted(echo_server, monkeypatch):
     finally:
         ch.close()
 
+def test_h2_two_stream_dead_peer_unwinds_and_busy_drains(
+    echo_server, monkeypatch
+):
+    """End-to-end regression for the ABBA deadlock class at the SOCKET
+    level (the unit test below pins the lock ordering; this drives the
+    real frame loop): a peer opens TWO streaming downloads on a window-0
+    connection and goes completely silent — never reads, never writes.
+    Both parked handler threads must unwind within the stall bound and
+    ``_busy`` must drain to 0, so the idle timeout can later reclaim the
+    connection instead of being suppressed forever."""
+    import time as _time
+
+    monkeypatch.setattr(h2, "SEND_STALL_LIMIT_S", 1.0)
+    conns = []
+    orig_conn = h2._Conn
+
+    class _Capturing(orig_conn):
+        def __init__(self, *a, **kw):
+            super().__init__(*a, **kw)
+            conns.append(self)
+
+    monkeypatch.setattr(h2, "_Conn", _Capturing)
+
+    s = _connect(echo_server.port)
+    try:
+        # window-0 connection: HEADERS flow out, DATA never can
+        s.sendall(h2.PREFACE + h2.pack_frame(
+            h2.SETTINGS, 0, 0, struct.pack(">HI", 0x4, 0)
+        ))
+        enc = hpack.Encoder()
+        for sid in (1, 3):
+            block = enc.encode([
+                (":method", "POST"), (":scheme", "http"),
+                (":authority", "t"), (":path", "/t.S/Big"),
+                ("content-type", "application/grpc"), ("te", "trailers"),
+            ])
+            s.sendall(h2.pack_frame(h2.HEADERS, h2.FLAG_END_HEADERS, sid, block))
+            msg = pb.encode(REQ, {"name": "x", "n": 50, "vals": []})
+            body = b"\x00" + struct.pack(">I", len(msg)) + msg
+            s.sendall(h2.pack_frame(h2.DATA, h2.FLAG_END_STREAM, sid, body))
+        # dead peer: no reads, no writes, socket stays open
+
+        deadline = _time.time() + 10
+        conn = None
+        while _time.time() < deadline and conn is None:
+            conn = next((c for c in conns), None)
+            _time.sleep(0.02)
+        assert conn is not None, "server never accepted the connection"
+        # both handler threads must have started...
+        while _time.time() < deadline and conn._busy < 2:
+            _time.sleep(0.02)
+        assert conn._busy == 2, f"expected 2 parked handlers, got {conn._busy}"
+        # now the peer DIES hard (TCP RST via SO_LINGER 0) while both
+        # handlers sit in the stall loop: their RST_STREAM sends hit
+        # OSError and take _write's teardown — the exact interleaving
+        # that used to deadlock against the other handler holding _flow
+        import socket as _socket
+
+        s.setsockopt(
+            _socket.SOL_SOCKET, _socket.SO_LINGER,
+            struct.pack("ii", 1, 0),
+        )
+        s.close()
+        # both must unwind (old bug: the RST send of one stream
+        # deadlocked against the teardown of the other and _busy never
+        # drained, suppressing the idle timeout forever)
+        deadline = _time.time() + 15
+        while _time.time() < deadline and conn._busy > 0:
+            _time.sleep(0.05)
+        assert conn._busy == 0, f"_busy stuck at {conn._busy}: handlers parked"
+        # frame loop tore down too (serve()'s finally flags _closed)
+        while _time.time() < deadline and not conn._closed:
+            _time.sleep(0.05)
+        assert conn._closed, "frame loop never tore the connection down"
+    finally:
+        try:
+            s.close()
+        except OSError:
+            pass
+
+
 def test_h2_write_teardown_no_abba_deadlock():
     """Regression: _write's OSError teardown used to acquire _flow while
     still holding _write_lock, while _send_data's stall-abort sent
