@@ -146,6 +146,50 @@ def encode_word(word: str, merges: Sequence[Tuple[str, str]]) -> List[str]:
     return [s.replace(EOW, EOW_DISPLAY) for s in syms]
 
 
+def encode_word_ranked(
+    word: str,
+    merges: Sequence[Tuple[str, str]],
+    ranks: dict = None,
+) -> List[str]:
+    """Rank-map greedy encoder — EXACTLY :func:`encode_word`'s output
+    (property-pinned), in O(len² ) dict lookups per word, independent of
+    the merge-list size. :func:`encode_word` scans ALL merges per word
+    (32k-merge vocab → 32k passes per word); this walks a forward rank
+    pointer instead: repeatedly apply the lowest-ranked merge ≥ the last
+    applied rank that is PRESENT in the word. The forward pointer (not a
+    plain global min) is what makes it exact for arbitrary merge lists —
+    a pathological list can order a merge BEFORE the merge that creates
+    its input symbol, and encode_word (one forward pass) never revisits
+    it. Pass a precomputed ``ranks`` ({pair: index}) when encoding many
+    words against one vocabulary."""
+    if ranks is None:
+        ranks = {pair: i for i, pair in enumerate(merges)}
+    syms: List[str] = list(word) + [EOW]
+    prev = 0
+    while len(syms) > 1:
+        best = None
+        for pair in zip(syms, syms[1:]):
+            r = ranks.get(pair)
+            if r is not None and r >= prev and (best is None or r < best):
+                best = r
+        if best is None:
+            break
+        a, b = merges[best]
+        merged = a + b
+        out: List[str] = []
+        i = 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                out.append(merged)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+        prev = best + 1
+    return [s.replace(EOW, EOW_DISPLAY) for s in syms]
+
+
 def _encode_symbols(word: Column, merges: Sequence[Tuple[str, str]]) -> Column:
     """Wrapped-symbol string for one word after the full merge chain."""
     # "low" -> "\x1fl\x1e\x1fo\x1e\x1fw\x1e\x1f\x17\x1e"
@@ -169,15 +213,8 @@ def bpe_tokens(text: Column, merges: Sequence[Tuple[str, str]]) -> Column:
     literals (the quality-classifier deployment shape). End-of-word
     markers render as ``</w>``.
     """
-    per_word = F.transform(
-        words(text),
-        lambda w: F.filter(
-            F.split(F.replace(_encode_symbols(w, merges), F.lit(SEP_L)), SEP_R),
-            lambda t: F.length(t) > 0,
-        ),
-    )
-    return F.transform(
-        F.flatten(per_word), lambda t: F.replace(t, F.lit(EOW), F.lit(EOW_DISPLAY))
+    return F.flatten(
+        F.transform(words(text), lambda w: bpe_word_tokens_col(w, merges))
     )
 
 
@@ -196,6 +233,129 @@ def bpe_encoded(
         F.col(id_col),
         F.array_join(toks, " ").alias("bpe_text"),
         F.size(toks).cast("long").alias("n_bpe_tokens"),
+    )
+
+
+def bpe_word_tokens_col(word: Column, merges: Sequence[Tuple[str, str]]) -> Column:
+    """``array<string>`` of BPE tokens for ONE word column (the per-word
+    kernel :func:`bpe_tokens` maps over a document's words)."""
+    return F.transform(
+        F.filter(
+            F.split(F.replace(_encode_symbols(word, merges), F.lit(SEP_L)), SEP_R),
+            lambda t: F.length(t) > 0,
+        ),
+        lambda t: F.replace(t, F.lit(EOW), F.lit(EOW_DISPLAY)),
+    )
+
+
+def bpe_word_dict(
+    words_df: DataFrame,
+    merges: Sequence[Tuple[str, str]],
+    word_col: str = "w",
+    mode: str = "chain",
+    max_driver_vocab: int = 2_000_000,
+) -> DataFrame:
+    """``(w, toks array<string>)`` encoding dictionary over a DISTINCT-word
+    frame — each word encoded ONCE, however many times it occurs in the
+    corpus.
+
+    ``mode="chain"``: the Catalyst replace-chain runs over the word frame
+    (distributed, no driver traffic) — right whenever the chain itself is
+    viable. MEASURED envelope (tools/bench_bpe_encode.py, BASELINE.md):
+    the chain analyzes fine at 160 merges and dies with a driver
+    ``StackOverflowError`` at 320 — Catalyst's Column-tree conversion
+    recurses per nesting level, so the depth budget, not codegen, is the
+    binding constraint.
+
+    ``mode="driver"``: the bounded distinct-word set is collected and
+    encoded with :func:`encode_word_ranked` (rank-map greedy — cost
+    independent of BOTH plan depth and merge-list size), then returned
+    as a LocalRelation — the production path for real vocabularies
+    (32k merges: measured flat ~1 s over the fixture vocab). Raises if
+    the vocabulary exceeds ``max_driver_vocab`` (at that point shard the
+    word frame and encode per shard, or raise the bound consciously)."""
+    if mode == "chain":
+        return words_df.select(
+            F.col(word_col).alias("w"),
+            bpe_word_tokens_col(F.col(word_col), merges).alias("toks"),
+        )
+    if mode != "driver":
+        raise ValueError(f"mode must be chain|driver, got {mode!r}")
+    rows = words_df.select(F.col(word_col).alias("w")).limit(
+        max_driver_vocab + 1
+    ).collect()
+    if len(rows) > max_driver_vocab:
+        raise ValueError(
+            f"distinct vocabulary exceeds max_driver_vocab={max_driver_vocab}; "
+            "encode the dictionary with mode='chain' or raise the bound"
+        )
+    spark = words_df.sparkSession
+    ranks = {pair: i for i, pair in enumerate(merges)}
+    return spark.createDataFrame(
+        [(r["w"], encode_word_ranked(r["w"], merges, ranks)) for r in rows],
+        "w string, toks array<string>",
+    )
+
+
+def bpe_encoded_via_dict(
+    df: DataFrame,
+    merges: Sequence[Tuple[str, str]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    dict_mode: str = "chain",
+    broadcast_dict: bool = True,
+) -> DataFrame:
+    """Scalable corpus encode: encode each DISTINCT word once, then join
+    the dictionary back onto the positionally-exploded corpus and
+    reassemble per-document token streams in word order. Same output as
+    :func:`bpe_encoded` (pinned by parity test).
+
+    Why this exists: :func:`bpe_encoded`'s replace-chain is linear in
+    ``n_merges`` PER WORD OCCURRENCE — at a production 32k-merge
+    vocabulary that is a 32k-deep expression tree evaluated per token
+    (codegen/constant-pool risk, and re-paying the chain for every
+    repetition of "the"). Here the chain (or the driver encoder, see
+    :func:`bpe_word_dict`) runs once per distinct word — Zipf makes the
+    distinct set orders of magnitude smaller than the token stream — and
+    the corpus pass is one posexplode + one dictionary join + one id-keyed
+    reassembly shuffle. ``broadcast_dict=True`` (default) hints the
+    dictionary side: a word dictionary (even 10M rows of short strings)
+    is broadcast-sized next to a 100 TB corpus; pass False to let AQE
+    decide when the dictionary is itself huge."""
+    wcol = words(F.col(text_col))
+    distinct_words = df.select(F.explode(wcol).alias("w")).distinct()
+    wd = bpe_word_dict(distinct_words, merges, "w", mode=dict_mode)
+    if broadcast_dict:
+        wd = F.broadcast(wd)
+    ex = df.select(
+        F.col(id_col), F.posexplode(wcol).alias("pos", "w")
+    )
+    per_doc = (
+        ex.join(wd, "w")
+        .groupBy(id_col)
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "toks"))),
+                    lambda s: s["toks"],
+                )
+            ).alias("__toks")
+        )
+    )
+    # zero-word documents never explode a row: re-attach with an empty
+    # token stream so coverage equals the input (bpe_encoded parity)
+    return (
+        df.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(
+                F.array_join("__toks", " "), F.lit("")
+            ).alias("bpe_text"),
+            F.coalesce(F.size("__toks"), F.lit(0))
+            .cast("long")
+            .alias("n_bpe_tokens"),
+        )
     )
 
 

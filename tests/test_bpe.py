@@ -208,3 +208,77 @@ def test_encode_plan_stays_jvm_side(spark):
     out = df.select(bpe_tokens(F.col("text"), [("l", "l"), ("h", "e")]).alias("t"))
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Python" not in plan and "Arrow" not in plan
+
+
+@pytest.mark.parametrize("dict_mode", ["chain", "driver"])
+def test_encoded_via_dict_matches_chain(spark, documents, dict_mode):
+    # the scalable dictionary encode (distinct words -> encode once ->
+    # join back -> positional reassembly) must reproduce the per-token
+    # replace-chain exactly, empty-word docs included
+    from seqspark.pipeline.bpe import bpe_encoded_via_dict
+
+    merges = train_bpe(documents, n_merges=40, vocab_k=500)
+    base = {
+        r["doc_id"]: (r["bpe_text"], r["n_bpe_tokens"])
+        for r in bpe_encoded(documents, merges).collect()
+    }
+    got = {
+        r["doc_id"]: (r["bpe_text"], r["n_bpe_tokens"])
+        for r in bpe_encoded_via_dict(
+            documents, merges, dict_mode=dict_mode
+        ).collect()
+    }
+    assert got == base
+
+
+def test_encoded_via_dict_zero_word_doc(spark):
+    from seqspark.pipeline.bpe import bpe_encoded_via_dict
+
+    df = _df(spark, ["hello world", "", "...!!!"])
+    merges = [("l", "l"), ("o", EOW)]
+    rows = {r["doc_id"]: r for r in bpe_encoded_via_dict(df, merges).collect()}
+    assert rows[1]["bpe_text"] == "" and rows[1]["n_bpe_tokens"] == 0
+    assert rows[2]["bpe_text"] == "" and rows[2]["n_bpe_tokens"] == 0
+    assert rows[0]["n_bpe_tokens"] > 0
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.text(alphabet="abcde", min_size=0, max_size=14),
+    st.lists(
+        st.tuples(
+            st.text(alphabet="abcde", min_size=1, max_size=3),
+            st.text(alphabet="abcde", min_size=1, max_size=3),
+        ),
+        min_size=0,
+        max_size=24,
+    ),
+)
+def test_encode_word_ranked_exact_parity(word, merges):
+    # the rank-map encoder must equal the scan-all-merges reference on
+    # ARBITRARY merge lists — including pathological ones that order a
+    # merge before the merge creating its input symbol (the forward
+    # pointer is what keeps those exact)
+    from seqspark.pipeline.bpe import encode_word_ranked
+
+    assert encode_word_ranked(word, merges) == encode_word(word, merges)
+
+
+def test_encode_word_ranked_pathological_order():
+    # (x, ab) ranked BEFORE (a, b): a naive global-min-rank encoder would
+    # merge x+ab after (a,b) fires; encode_word's forward pass does not
+    from seqspark.pipeline.bpe import encode_word_ranked
+
+    merges = [("x", "a" + "b"), ("a", "b")]
+    assert encode_word("xab", merges) == encode_word_ranked("xab", merges) == [
+        "x", "ab", EOW_DISPLAY
+    ]
+
+
+def test_word_dict_driver_mode_bound(spark):
+    from seqspark.pipeline.bpe import bpe_word_dict
+
+    df = _df(spark, ["a b c d e f"])
+    wdf = df.select(F.explode(F.split(F.col("text"), " ")).alias("w")).distinct()
+    with pytest.raises(ValueError, match="max_driver_vocab"):
+        bpe_word_dict(wdf, [("a", "b")], mode="driver", max_driver_vocab=3)
