@@ -33,7 +33,16 @@ which is exactly greedy left-to-right pair merging:
 
 Because the chain is nothing but ``regexp_replace`` + literal
 ``replace`` + ``split``, a DuckDB oracle can run the IDENTICAL chain —
-the encode entry is hash-verified, not rows-only.
+the ``bpe_encode`` contract entry (frozen 48-merge list in
+``__spark_entry__.BPE_MERGES``) is hash-verified, not rows-only.
+
+The chain is the right plan ONLY for small frozen vocabularies: its
+measured envelope (BASELINE.md round 10) ends at 320 merges, where
+Catalyst's Column-tree conversion overflows the driver stack. Real
+vocabularies (32k merges) go through :func:`bpe_encoded_via_dict` —
+encode each DISTINCT word once (:func:`encode_word_ranked`, cost
+independent of merge count), broadcast-join the dictionary back, and
+reassemble token streams positionally.
 
 Reference parity: seq-db has no subword tokenizer (its tokenizer is the
 word/keyword splitter, ``tokenizer/tokenizer.go``); this operator is
