@@ -951,10 +951,15 @@ def q_incremental_lsh_dupes(spark, sf_dir):
 
 
 def q_simhash_candidates(spark, sf_dir):
+    # hash-green (r10): portable 60-bit md5 SimHash — the oracle rebuilds
+    # the fingerprint (per-token hash, 60 bit votes, sign) and the 15-bit
+    # band join bit-for-bit
     from seqspark.pipeline.dedup import simhash_candidates
 
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
-    return simhash_candidates(docs, "doc_id", "text", bands=4).select("id_a", "id_b")
+    return simhash_candidates(
+        docs, "doc_id", "text", bands=4, portable=True
+    ).select("id_a", "id_b")
 
 
 def q_ann_brute_topk(spark, sf_dir):
@@ -1617,7 +1622,6 @@ def q_image_dhash_dupes(spark, sf_dir):
 #: oracle_sql() entry — tests/test_contract.py pins the two key sets.
 ROWS_ONLY = frozenset(
     {
-        "simhash_candidates",
         "ann_lsh_topk",
         "multimodal_decode",
         "multimodal_resize",
@@ -2698,6 +2702,21 @@ def oracle_sql() -> dict[str, str]:
         "FROM cands c JOIN ush sa ON sa.id = c.id_a "
         "JOIN ush sb ON sb.id = c.id_b) "
         "SELECT id_a, id_b, round(jac, 3) AS jaccard FROM j WHERE jac >= 0.3"
+    )
+    # SimHash, hash-green via the portable 60-bit md5 fingerprint: the
+    # oracle rebuilds per-token hashes, 60 sign-of-vote bits, and the
+    # 15-bit band self-join from the same parameters
+    from seqspark.pipeline.dedup import simhash_oracle_sql
+
+    _sim = simhash_oracle_sql(bands=4, seed=73)
+    sql["simhash_candidates"] = (
+        f"WITH ws AS (SELECT doc_id AS id, {_WORDS} AS ws "
+        "FROM documents WHERE doc_id < 100), "
+        f"h AS (SELECT id, {_sim['hashes']('ws')} AS hs FROM ws), "
+        f"fp AS (SELECT id, {_sim['fp']('hs')} AS fp FROM h), "
+        f"keyed AS (SELECT id, unnest({_sim['bands']('fp')}) AS band FROM fp) "
+        "SELECT DISTINCT a.id AS id_a, b.id AS id_b "
+        "FROM keyed a JOIN keyed b USING (band) WHERE a.id < b.id"
     )
     # BPE encode: the oracle runs the IDENTICAL frozen replace-chain,
     # generated from the same BPE_MERGES literals the Spark plan froze in

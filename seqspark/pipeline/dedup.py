@@ -695,7 +695,7 @@ def cluster_dedup(
     return df.join(losers, df[id_col] == losers["id"], "left_anti")
 
 
-def simhash(text: Column, bits: int = 64) -> Column:
+def simhash(text: Column, bits: int = 64, portable: bool = False) -> Column:
     """64-bit SimHash of the token multiset.
 
     Classic Charikar scheme: per-token 64-bit hash votes ±1 on each bit;
@@ -704,6 +704,12 @@ def simhash(text: Column, bits: int = 64) -> Column:
     ``let``-bound so the ``bits`` per-bit vote folds share ONE
     tokenize+hash pass instead of re-running it per bit (a 64× constant
     saved on every row).
+
+    ``portable=True`` swaps the per-token hash for the md5-prefix 60-bit
+    int (:func:`_portable_perm_hash`, seed 73) so an external engine can
+    replicate the fingerprint — pass ``bits=60`` with it (the hash has
+    no entropy above bit 59). The xxhash64 default stays the production
+    path.
     """
     def bit_set(h, j):
         # bit j of a signed 64-bit hash; sign bit read via h < 0 (1 << 63
@@ -731,14 +737,27 @@ def simhash(text: Column, bits: int = 64) -> Column:
     words = F.filter(
         F.split(F.lower(text), r"[^\p{L}\p{N}_]+"), lambda w: F.length(w) > 0
     )
-    return let(F.transform(words, lambda w: F.xxhash64(w)), build)
+    tok_hash = (
+        (lambda w: _portable_perm_hash(w, 73)) if portable
+        else (lambda w: F.xxhash64(w))
+    )
+    return let(F.transform(words, tok_hash), build)
 
 
-def simhash_candidates(df: DataFrame, id_col: str, text_col: str, bands: int = 4) -> DataFrame:
+def simhash_candidates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    bands: int = 4,
+    portable: bool = False,
+) -> DataFrame:
     """Near-dup candidates: docs sharing any 16-bit SimHash band
-    (Hamming-distance ≤ bands-1 guarantee by pigeonhole)."""
-    width = 64 // bands
-    fp = simhash(F.col(text_col))
+    (Hamming-distance ≤ bands-1 guarantee by pigeonhole). ``portable``
+    switches to the 60-bit md5 fingerprint (15-bit bands at bands=4) an
+    oracle can replicate — see :func:`simhash_oracle_sql`."""
+    hash_bits = 60 if portable else 64
+    width = hash_bits // bands
+    fp = simhash(F.col(text_col), bits=hash_bits, portable=portable)
     keyed = df.select(F.col(id_col).alias("id"), fp.alias("fp"))
     keyed = keyed.withColumn(
         "band",
@@ -764,6 +783,43 @@ def simhash_candidates(df: DataFrame, id_col: str, text_col: str, bands: int = 4
         .select("id_a", "id_b", "fp_a", "fp_b")
         .distinct()
     )
+
+
+def simhash_oracle_sql(bands: int = 4, seed: int = 73) -> dict:
+    """DuckDB fragments replicating the ``portable=True`` SimHash path
+    (60-bit md5 token hashes): ``{"fp": fn(hashes_col), "bands":
+    fn(fp_col), "hashes": fn(ws_col)}`` — the same
+    generated-from-parameters pattern as :func:`portable_lsh_sql`."""
+    hash_bits = 60
+    width = hash_bits // bands
+
+    def hashes_sql(ws: str) -> str:
+        return (
+            f"list_transform({ws}, w -> "
+            f"('0x' || substring(md5(w || '|{seed}'), 1, 15))::BIGINT)"
+        )
+
+    def fp_sql(hs: str) -> str:
+        terms = []
+        for j in range(hash_bits):
+            vote = (
+                f"list_sum(list_transform({hs}, h -> "
+                f"CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END))"
+            )
+            terms.append(
+                f"CASE WHEN coalesce({vote}, 0) > 0 "
+                f"THEN {1 << j}::BIGINT ELSE 0 END"
+            )
+        return "(" + " + ".join(terms) + ")"
+
+    def bands_sql(fp: str) -> str:
+        keys = ", ".join(
+            f"'s{b}:' || (({fp} >> {b * width}) & {(1 << width) - 1})::VARCHAR"
+            for b in range(bands)
+        )
+        return f"[{keys}]"
+
+    return {"hashes": hashes_sql, "fp": fp_sql, "bands": bands_sql}
 
 
 def embedding_cosine_dupes(
