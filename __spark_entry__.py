@@ -972,7 +972,9 @@ def q_ann_brute_topk(spark, sf_dir):
 
 
 def q_ann_lsh_topk(spark, sf_dir):
-    # rows-only: approximate NN via hyperplane LSH (bucketed, no crossJoin)
+    # hash-green (r10): the hyperplanes are seed-deterministic Gaussians,
+    # so the oracle embeds them as literals and rebuilds sketch + band
+    # filter + exact cosine top-k (ann.lsh_oracle_sql)
     from seqspark.pipeline.ann import lsh_topk
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -1622,7 +1624,6 @@ def q_image_dhash_dupes(spark, sf_dir):
 #: oracle_sql() entry — tests/test_contract.py pins the two key sets.
 ROWS_ONLY = frozenset(
     {
-        "ann_lsh_topk",
         "multimodal_decode",
         "multimodal_resize",
         "image_dhash_dupes",
@@ -2702,6 +2703,22 @@ def oracle_sql() -> dict[str, str]:
         "FROM cands c JOIN ush sa ON sa.id = c.id_a "
         "JOIN ush sb ON sb.id = c.id_b) "
         "SELECT id_a, id_b, round(jac, 3) AS jaccard FROM j WHERE jac >= 0.3"
+    )
+    # hyperplane-LSH ANN, hash-green: planes are seed-deterministic and
+    # embedded as literals; same cosine idiom as ann_brute_topk
+    from seqspark.pipeline.ann import lsh_oracle_sql
+
+    _alsh = lsh_oracle_sql(dim=64, bits=12, bands=4, seed=7)
+    _cos = "list_cosine_similarity(s.embedding::DOUBLE[], (SELECT qv FROM q))"
+    sql["ann_lsh_topk"] = (
+        "WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0), "
+        f"qs AS (SELECT {_alsh['sketch']('(SELECT qv FROM q)')} AS qsk), "
+        "sk AS (SELECT vec_id, embedding, "
+        f"{_alsh['sketch']('embedding::DOUBLE[]')} AS sketch "
+        "FROM embeddings WHERE vec_id <> 0) "
+        f"SELECT s.vec_id, round({_cos}, 4) AS score FROM sk s, qs "
+        f"WHERE {_alsh['band_cond']('s.sketch', 'qs.qsk')} "
+        f"ORDER BY {_cos} DESC, s.vec_id ASC LIMIT 10"
     )
     # SimHash, hash-green via the portable 60-bit md5 fingerprint: the
     # oracle rebuilds per-token hashes, 60 sign-of-vote bits, and the

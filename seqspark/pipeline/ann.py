@@ -295,6 +295,41 @@ def lsh_band_condition(
     return cond
 
 
+def lsh_oracle_sql(
+    dim: int, bits: int, bands: int, seed: int = 7
+) -> dict:
+    """DuckDB fragments replicating the hyperplane-LSH path: the planes
+    are deterministic in (dim, bits, seed) — ``random.Random(seed)``
+    Gaussians — so they embed as literals and an external engine rebuilds
+    the SAME sketches and band filter (the ``portable_lsh_sql`` /
+    ``simhash_oracle_sql`` pattern, applied to float geometry: sign
+    parity holds because a Gaussian dot is essentially never within
+    float-rounding distance of zero). Returns ``{"sketch": fn(vec_expr),
+    "band_cond": fn(sketch_expr, query_sketch_expr)}``."""
+    planes = _hyperplanes(dim, bits, seed)
+
+    def sketch_sql(vec: str) -> str:
+        terms = []
+        for i, h in enumerate(planes):
+            lit = "[" + ", ".join(repr(x) for x in h) + "]::DOUBLE[]"
+            terms.append(
+                f"CASE WHEN list_dot_product({vec}, {lit}) > 0 "
+                f"THEN {1 << i}::BIGINT ELSE 0 END"
+            )
+        return "(" + " + ".join(terms) + ")"
+
+    width = bits // bands
+    mask = (1 << width) - 1
+
+    def band_cond_sql(sk: str, qs: str) -> str:
+        return " OR ".join(
+            f"(({sk} >> {b * width}) & {mask}) = (({qs} >> {b * width}) & {mask})"
+            for b in range(bands)
+        )
+
+    return {"sketch": sketch_sql, "band_cond": band_cond_sql}
+
+
 def write_ivf(
     emb_with_cells: DataFrame, path: str, cell_col: str = "cell",
     mode: str = "overwrite",
