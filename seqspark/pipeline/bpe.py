@@ -336,34 +336,32 @@ def bpe_encoded_via_dict(
     wd = bpe_word_dict(distinct_words, merges, "w", mode=dict_mode)
     if broadcast_dict:
         wd = F.broadcast(wd)
+    # posexplode_OUTER keeps zero-word documents as a (null pos, null w)
+    # row, so the id-keyed aggregation below covers the whole corpus and
+    # no second corpus-sized re-attach join is needed (one shuffle total);
+    # the left dictionary join leaves those rows with null toks, filtered
+    # out of the flatten
     ex = df.select(
-        F.col(id_col), F.posexplode(wcol).alias("pos", "w")
+        F.col(id_col), F.posexplode_outer(wcol).alias("pos", "w")
     )
-    per_doc = (
-        ex.join(wd, "w")
+    return (
+        ex.join(wd, "w", "left")
         .groupBy(id_col)
         .agg(
             F.flatten(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "toks"))),
-                    lambda s: s["toks"],
+                F.filter(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("pos", "toks"))),
+                        lambda s: s["toks"],
+                    ),
+                    lambda t: t.isNotNull(),
                 )
             ).alias("__toks")
         )
-    )
-    # zero-word documents never explode a row: re-attach with an empty
-    # token stream so coverage equals the input (bpe_encoded parity)
-    return (
-        df.select(id_col)
-        .join(per_doc, id_col, "left")
         .select(
             F.col(id_col),
-            F.coalesce(
-                F.array_join("__toks", " "), F.lit("")
-            ).alias("bpe_text"),
-            F.coalesce(F.size("__toks"), F.lit(0))
-            .cast("long")
-            .alias("n_bpe_tokens"),
+            F.array_join("__toks", " ").alias("bpe_text"),
+            F.size("__toks").cast("long").alias("n_bpe_tokens"),
         )
     )
 
