@@ -91,14 +91,60 @@ def train_bpe(
     Two runs over the same corpus produce identical merge lists
     regardless of partitioning or layout.
     """
-    top = (
+    return train_bpe_from_counts(
+        bpe_word_counts(df, text_col), n_merges, vocab_k, min_pair_count
+    )
+
+
+def bpe_word_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """``(w, n)`` word counts — the ADDITIVE sufficient statistics of BPE
+    training. One explode + one word-keyed groupBy, map-side combined;
+    persist per snapshot (:func:`bpe_update_state`) and the historical
+    corpus is never rescanned when the vocabulary is refreshed."""
+    return (
         df.select(F.explode(words(F.col(text_col))).alias("w"))
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("n"))
-        .orderBy(F.desc("n"), F.asc("w"))
-        .limit(vocab_k)
-        .collect()
     )
+
+
+def bpe_merge_counts(*counts: DataFrame) -> DataFrame:
+    """Fold word-count frames (corpus ∪ batch = sum of counts) — the
+    daily-increment shape, same as ``textstats.dsir_merge_counts``."""
+    out = counts[0]
+    for c in counts[1:]:
+        out = out.unionByName(c)
+    return out.groupBy("w").agg(F.sum("n").alias("n"))
+
+
+def bpe_update_state(
+    spark, state_path: str, batch_df: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Maintain a PERSISTED word-count frame as the corpus grows — the
+    ``foreachBatch``-callable state updater (crash-safe write-then-swap
+    via :func:`seqspark.pipeline.state.update_parquet_state`). Retrain
+    the vocabulary from state with :func:`train_bpe_from_counts` — no
+    corpus rescan, identical merges to training on the full union
+    (pytest-pinned). State is distinct-vocabulary-sized, so keep its own
+    partitioning (word counts can outgrow a single file at web scale)."""
+    from .state import update_parquet_state
+
+    batch = bpe_word_counts(batch_df, text_col)
+    return update_parquet_state(
+        spark, state_path, batch, bpe_merge_counts, coalesce=None
+    )
+
+
+def train_bpe_from_counts(
+    counts: DataFrame,
+    n_merges: int = 160,
+    vocab_k: int = 4000,
+    min_pair_count: int = 2,
+) -> List[Tuple[str, str]]:
+    """The driver-side merge loop over a ``(w, n)`` counts frame — the
+    back half of :func:`train_bpe`, callable on persisted incremental
+    state. Only the top ``vocab_k`` rows ever reach the driver."""
+    top = counts.orderBy(F.desc("n"), F.asc("w")).limit(vocab_k).collect()
     vocab: dict[Tuple[str, ...], int] = {}
     for row in top:
         syms = tuple(row["w"]) + (EOW,)

@@ -1132,29 +1132,10 @@ def dsir_update_state(
     leaves either the old or the new state readable, never a
     half-written directory (Spark ignores the underscore-prefixed tmp).
     State size is ≤dim rows regardless of corpus size; the historical
-    corpus is never rescanned (see :func:`dsir_merge_counts`)."""
-    from ..store import _HadoopFS, _write_lock
+    corpus is never rescanned (see :func:`dsir_merge_counts`). The swap
+    itself is the shared :func:`seqspark.pipeline.state.
+    update_parquet_state` discipline."""
+    from .state import update_parquet_state
 
-    fs = _HadoopFS(spark, state_path)
     batch = dsir_bucket_counts(batch_df, text_col, dim, bucket_fn)
-    with _write_lock(state_path):
-        live = fs.path()
-        if fs.exists(live):
-            merged = dsir_merge_counts(
-                spark.read.parquet(state_path), batch)
-        else:
-            merged = batch
-        parent = live.getParent()
-        Path = spark._jvm.org.apache.hadoop.fs.Path
-        tmp = Path(parent, "_tmp-" + live.getName())
-        old = Path(parent, "_old-" + live.getName())
-        # materialize BEFORE touching the live dir: the merged plan reads it
-        merged.coalesce(1).write.mode("overwrite").parquet(
-            str(tmp.toUri()))
-        if fs.exists(old):
-            fs.delete(old)
-        if fs.exists(live):
-            fs.rename(live, old)
-        fs.rename(tmp, live)
-        fs.delete(old)
-    return spark.read.parquet(state_path)
+    return update_parquet_state(spark, state_path, batch, dsir_merge_counts)

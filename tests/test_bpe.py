@@ -282,3 +282,39 @@ def test_word_dict_driver_mode_bound(spark):
     wdf = df.select(F.explode(F.split(F.col("text"), " ")).alias("w")).distinct()
     with pytest.raises(ValueError, match="max_driver_vocab"):
         bpe_word_dict(wdf, [("a", "b")], mode="driver", max_driver_vocab=3)
+
+
+def test_incremental_state_equals_full_retrain(spark, tmp_path):
+    # fold A then B into persisted word-count state; training from state
+    # must equal training on A ∪ B directly (additive sufficient stats)
+    from seqspark.pipeline.bpe import (
+        bpe_update_state,
+        train_bpe_from_counts,
+    )
+
+    a = _df(spark, ["low lower lowest", "new newer newest"] * 3)
+    b = spark.createDataFrame(
+        [(100 + i, t) for i, t in enumerate(["wide wider widest", "low new"] * 2)],
+        "doc_id int, text string",
+    )
+    state = str(tmp_path / "bpe_state")
+    bpe_update_state(spark, state, a)
+    counts = bpe_update_state(spark, state, b)
+    merges_inc = train_bpe_from_counts(counts, n_merges=20, vocab_k=50)
+    merges_full = train_bpe(a.unionByName(b), n_merges=20, vocab_k=50)
+    assert merges_inc == merges_full
+    # the persisted state is readable cold (crash-safe swap discipline)
+    cold = spark.read.parquet(state)
+    assert train_bpe_from_counts(cold, n_merges=20, vocab_k=50) == merges_full
+
+
+def test_incremental_state_idempotent_readback(spark, tmp_path):
+    from seqspark.pipeline.bpe import bpe_update_state, bpe_word_counts
+
+    docs = _df(spark, ["alpha beta alpha", "beta gamma"])
+    state = str(tmp_path / "s")
+    out = bpe_update_state(spark, state, docs)
+    direct = {
+        (r["w"], r["n"]) for r in bpe_word_counts(docs).collect()
+    }
+    assert {(r["w"], r["n"]) for r in out.collect()} == direct
