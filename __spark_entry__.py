@@ -1034,6 +1034,19 @@ def q_bpe_encode(spark, sf_dir):
     return bpe_encoded(docs, BPE_MERGES, id_col="doc_id", text_col="text")
 
 
+def q_bpe_encode_dict(spark, sf_dir):
+    # the SCALABLE encode path (distinct-word dictionary + positional
+    # reassembly — the 32k-merge production shape) pinned to the same
+    # oracle as the replace-chain: identical output by construction
+    from seqspark.pipeline.bpe import bpe_encoded_via_dict
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bpe_encoded_via_dict(
+        docs, BPE_MERGES, id_col="doc_id", text_col="text",
+        dict_mode="driver",
+    )
+
+
 def q_multimodal_decode(spark, sf_dir):
     # rows-only: binary-column decode plumbing over the deterministic fixture
     from seqspark.pipeline.multimodal import decode_assets, make_fake_assets
@@ -1700,6 +1713,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "text_fingerprint": q_text_fingerprint,
         "bpe_encode": q_bpe_encode,
+        "bpe_encode_dict": q_bpe_encode_dict,
         "multimodal_decode": q_multimodal_decode,
         "join_broadcast": q_join_broadcast,
         "lineitem_pricing_summary": q_lineitem_pricing_summary,
@@ -2750,6 +2764,8 @@ def oracle_sql() -> dict[str, str]:
         f"chr({ord(EOW)}), '</w>') AS bpe_text, "
         "CAST(len(toks) AS BIGINT) AS n_bpe_tokens FROM t"
     )
+    # the dictionary encode path produces the identical output — same oracle
+    sql["bpe_encode_dict"] = sql["bpe_encode"]
     # rows-only entries (LSH candidate generation, multimodal plumbing)
     # have no SQL equivalent on purpose — the driver records a weaker
     # check for the names in ROWS_ONLY (pinned by tests/test_contract.py)
