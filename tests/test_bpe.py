@@ -318,3 +318,43 @@ def test_incremental_state_idempotent_readback(spark, tmp_path):
         (r["w"], r["n"]) for r in bpe_word_counts(docs).collect()
     }
     assert {(r["w"], r["n"]) for r in out.collect()} == direct
+
+
+def test_bpe_state_under_real_foreachbatch(spark, tmp_path):
+    # the docstring's "foreachBatch-callable" claim pinned: word-count
+    # state maintained as text files stream in; retraining from the final
+    # state equals a batch train over everything that arrived
+    import json as _json
+
+    from seqspark.pipeline.bpe import (
+        bpe_update_state,
+        train_bpe_from_counts,
+    )
+
+    indir = tmp_path / "in"
+    indir.mkdir()
+    state = str(tmp_path / "wc_state")
+    batches = [["low lower", "lowest low"], ["newest newer new"]]
+    for i, lines in enumerate(batches):
+        (indir / f"b{i}.txt").write_text(
+            "\n".join(_json.dumps({"text": t}) for t in lines))
+
+    stream = (spark.readStream.format("text")
+              .schema("value string").load(str(indir)))
+
+    def fold(batch_df, _batch_id):
+        docs = batch_df.select(
+            F.get_json_object("value", "$.text").alias("text"))
+        bpe_update_state(spark, state, docs)
+
+    q = (stream.writeStream.foreachBatch(fold)
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    all_docs = spark.createDataFrame(
+        [(i, t) for i, lines in enumerate(batches) for t in lines],
+        "doc_id int, text string")
+    got = train_bpe_from_counts(
+        spark.read.parquet(state), n_merges=16, vocab_k=50)
+    assert got == train_bpe(all_docs, n_merges=16, vocab_k=50)
