@@ -1631,10 +1631,13 @@ def q_image_dhash_dupes(spark, sf_dir):
     return hamming_dupes(hashed, "asset_id", "dhash", max_distance=4)
 
 
-#: entries that deliberately have no SQL oracle twin (LSH candidate
-#: generation and multimodal plumbing are not SQL-expressible); the driver
-#: records a weaker rows-only check for these. Everything else MUST have an
-#: oracle_sql() entry — tests/test_contract.py pins the two key sets.
+#: entries that deliberately have no SQL oracle twin — binary multimodal
+#: plumbing over the in-memory fake-asset fixture, which DuckDB cannot
+#: see (r10: every LSH/sketch entry moved OUT of this set via portable
+#: md5 hashing / literal hyperplanes; see portable_lsh_sql,
+#: simhash_oracle_sql, ann.lsh_oracle_sql). The driver records a weaker
+#: rows-only check for these. Everything else MUST have an oracle_sql()
+#: entry — tests/test_contract.py pins the two key sets.
 ROWS_ONLY = frozenset(
     {
         "multimodal_decode",
