@@ -1776,7 +1776,7 @@ _WORDS = r"list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}_]+'), w -> 
 def oracle_sql() -> dict[str, str]:
     sql = {
         "keyword_eq": f"SELECT {_EV} FROM events WHERE lower(event_type) = 'click'",
-        "keyword_wildcard": f"SELECT {_EV} FROM events WHERE regexp_matches(lower(event_type), '^c.*ck$')",
+        "keyword_wildcard": f"SELECT {_EV} FROM events WHERE lower(event_type) LIKE 'c%ck'",
         "filter_in": f"SELECT {_EV} FROM events WHERE lower(event_type) IN ('click', 'view')",
         "range_numeric": (
             f"SELECT {_EV} FROM events WHERE "
@@ -1837,7 +1837,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "fulltext_wildcard": (
             "SELECT doc_id, source FROM documents WHERE "
-            f"len(list_filter({_TOKS}, t -> regexp_matches(t, '^sc.*n$'))) > 0"
+            f"len(list_filter({_TOKS}, t -> t LIKE 'sc%n')) > 0"
         ),
         "agg_count_group": (
             "SELECT lower(event_type) AS name, count(*) AS cnt FROM events GROUP BY 1"

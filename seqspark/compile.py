@@ -102,6 +102,12 @@ class FieldSpec:
     numeric_is_float: bool = False
     guard: Optional[Callable[[], Column]] = None
     max_token_bytes: Optional[int] = None
+    #: the UNGUARDED folded column (no byte-cap CASE). When set together
+    #: with ``guard``, filters compile to ``guard AND <bare check>`` so
+    #: the comparison pushes into the scan; ``scalar`` (guard-nulled)
+    #: remains the aggregation-path accessor, where the NULL is the
+    #: `_not_exists` bucket signal, not a filter.
+    scalar_raw: Optional[Callable[[], Column]] = None
 
     def exists_col(self) -> Column:
         if self.exists is not None:
@@ -125,16 +131,30 @@ class Resolver:
         return dict(self._specs)
 
 
-def wildcard_regex(terms) -> str:
-    """Anchored regex equivalent to the reference wildcard matcher
-    (`pattern/pattern.go:73-155`): text terms in order, ``*`` = any run."""
-    parts = ["^"]
+def wildcard_like(terms) -> str:
+    """SQL LIKE pattern equivalent to the reference wildcard matcher
+    (`pattern/pattern.go:73-155`): text terms in order, ``*`` = any run
+    (``%``); LIKE metacharacters in literal terms escaped with ``\\``.
+
+    LIKE over an anchored regex for two reasons, both measured on plans:
+
+    - Catalyst's LikeSimplification rewrites prefix/suffix/contains
+      shapes into StartsWith/EndsWith/Contains, and a StartsWith on a
+      scan column reaches the parquet scan as a pushed
+      ``StringStartsWith`` — ``rlike`` never simplifies or pushes;
+    - LIKE ``%`` crosses newlines, exactly like the reference matcher's
+      any-byte-run ``*``; Java-regex ``.*`` (no DOTALL) silently does
+      not."""
+    parts = []
     for t in terms:
         if t.kind is TermKind.SYMBOL:
-            parts.append(".*")
+            parts.append("%")
         else:
-            parts.append(re.escape(t.data))
-    parts.append("$")
+            parts.append(
+                t.data.replace("\\", "\\\\")
+                .replace("%", "\\%")
+                .replace("_", "\\_")
+            )
     return "".join(parts)
 
 
@@ -145,8 +165,8 @@ def _token_check_literal(lit: Literal) -> Callable[[Column], Column]:
     if lit.is_match_all:
         # bare '*' matches every token, including the empty one
         return lambda tok: tok.isNotNull()
-    rx = wildcard_regex(lit.terms)
-    return lambda tok: tok.rlike(rx)
+    pat = wildcard_like(lit.terms)
+    return lambda tok: tok.like(pat)
 
 
 def range_bounds(rng: Range) -> tuple[bool, Optional[float], Optional[float]]:
@@ -230,6 +250,18 @@ def _apply_check(
         # token was never indexed (`tokenizer/keyword_tokenizer.go:22-42`)
         return F.lit(False)
     if spec.scalar is not None:
+        if spec.scalar_raw is not None and spec.guard is not None:
+            # PUSHDOWN-SHAPED form: the bare folded column with the
+            # byte-cap guard as a SEPARATE conjunct. Identical semantics
+            # to checking the guard-nulled scalar (under guard-true the
+            # two columns are equal; under guard-false both forms are
+            # false), but check(s) stays a bare EqualTo/StartsWith/LIKE
+            # that reaches the parquet scan — wrapped in the guard CASE,
+            # Catalyst keeps the conditional and pushes NOTHING (a silent
+            # full-scan regression this shape fixes; plan-pinned in
+            # tests/test_search.py).
+            s = spec.scalar_raw()
+            return spec.guard() & s.isNotNull() & check(s)
         s = spec.scalar()
         cond = s.isNotNull() & check(s)
         if spec.guard is not None and eq_value is None:

@@ -299,9 +299,9 @@ class SearchTable:
         return self
 
     def _index_leaf(self, node) -> Optional[tuple]:
-        """(field, exact_token_or_None, prefix, regex_or_None) when ``node``
-        is an index-covered literal, else None."""
-        from .compile import wildcard_regex
+        """(field, exact_token_or_None, prefix, like_pattern_or_None) when
+        ``node`` is an index-covered literal, else None."""
+        from .compile import wildcard_like
         from .seqql.ast import TOKEN_ALL, TOKEN_EXISTS, Literal, TermKind
 
         covered = self._index[1]
@@ -319,7 +319,7 @@ class SearchTable:
             if node.terms and node.terms[0].kind is TermKind.TEXT
             else ""
         )
-        return (node.field, None, prefix, wildcard_regex(node.terms))
+        return (node.field, None, prefix, wildcard_like(node.terms))
 
     def _or_leaves(self, node) -> Optional[List[tuple]]:
         """Leaves of a pure-OR subtree when EVERY disjunct is index-covered
@@ -489,6 +489,10 @@ class SearchTable:
                             F.octet_length(c) <= max_token_size, fc
                         )
                     ),
+                    # filters use the bare folded column + guard conjunct
+                    # (compile._apply_check) so EqualTo/StartsWith push
+                    # into the scan instead of hiding inside the cap CASE
+                    scalar_raw=(lambda fc=folded: fc),
                     exists=(lambda c=col: c.isNotNull()),
                     numeric=numeric,
                     numeric_is_float=numeric_is_float,
@@ -763,8 +767,8 @@ class SearchTable:
                 if pairs:
                     ids = matching_ids_multi(index_df, pairs, id_cols)
                     df = df.join(ids, on=list(id_cols), how="left_semi")
-                for fld, prefix, rx in wildcards:
-                    ids = matching_ids_wildcard(index_df, fld, prefix, rx, id_cols)
+                for fld, prefix, pat in wildcards:
+                    ids = matching_ids_wildcard(index_df, fld, prefix, pat, id_cols)
                     df = df.join(ids, on=list(id_cols), how="left_semi")
                 for leaves in or_groups:
                     ids = matching_ids_or(index_df, leaves, id_cols)

@@ -175,19 +175,20 @@ def matching_ids_wildcard(
     index_df: DataFrame,
     field: str,
     prefix: str,
-    regex: Optional[str],
+    like_pattern: Optional[str],
     id_cols: Sequence[str] = ("mid", "rid"),
 ) -> DataFrame:
     """Doc ids with ANY token matching a wildcard — the dictionary-narrowing
     path of `pattern/pattern.go:110-121`: a literal prefix becomes a
     pushable ``startswith`` (parquet min/max pages on the token-sorted index
-    skip whole ranges), the full pattern is verified with the anchored
-    regex. OR-semantics per token → distinct ids."""
+    skip whole ranges), the full pattern is verified with the LIKE form
+    (`compile.wildcard_like` — simplifiable, newline-exact).
+    OR-semantics per token → distinct ids."""
     hits = index_df.filter(F.col("field") == F.lit(field))
     if prefix:
         hits = hits.filter(F.col("token").startswith(prefix))
-    if regex is not None:
-        hits = hits.filter(F.col("token").rlike(regex))
+    if like_pattern is not None:
+        hits = hits.filter(F.col("token").like(like_pattern))
     return hits.select(*[F.col(c) for c in id_cols]).distinct()
 
 
@@ -198,20 +199,20 @@ def matching_ids_or(
 ) -> DataFrame:
     """Doc ids matching ANY of the leaves — the OR-node posting-list union
     (`node/node_or.go`), e.g. an ``in()`` disjunction. Each leaf is
-    ``(field, exact_token_or_None, prefix, regex_or_None)``; one pruned
-    index scan, distinct ids."""
+    ``(field, exact_token_or_None, prefix, like_pattern_or_None)``; one
+    pruned index scan, distinct ids."""
     if not leaves:
         raise ValueError("at least one leaf required")
     cond = None
-    for fld, token, prefix, regex in leaves:
+    for fld, token, prefix, like_pattern in leaves:
         c = F.col("field") == F.lit(fld)
         if token is not None:
             c = c & (F.col("token") == F.lit(token))
         else:
             if prefix:
                 c = c & F.col("token").startswith(prefix)
-            if regex is not None:
-                c = c & F.col("token").rlike(regex)
+            if like_pattern is not None:
+                c = c & F.col("token").like(like_pattern)
         cond = c if cond is None else (cond | c)
     return index_df.filter(cond).select(*[F.col(c) for c in id_cols]).distinct()
 

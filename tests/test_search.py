@@ -187,3 +187,30 @@ def test_search_after_sub_ms_timestamps_lossless(spark):
         last = page[-1]
         cursor = (int(last["ts"].timestamp() * 1000), last["event_id"])
     assert paged == full, "keyset pages must tile the full ordered result"
+
+
+def test_keyword_filters_reach_parquet_pushdown(spark):
+    """Keyword equality AND wildcard shapes must reach the parquet scan
+    as pushed filters on an at-rest-folded table (the deployment shape):
+    the r9 byte-cap CASE silently swallowed ALL keyword pushdown (plan
+    showed PushedFilters: []), turning every keyword filter into a full
+    scan at 100 TB. compile._apply_check now emits guard AND <bare
+    check>; this pins EqualTo / StringStartsWith / StringEndsWith."""
+    from seqspark import SearchTable
+    from seqspark.data import load_table
+
+    # sf0.01 (not the cached sf0.001 fixture): the cache manager would
+    # substitute InMemoryTableScan and hide PushedFilters
+    ev = load_table(spark, "/root/testdata/sf0.01", "events")
+    st = SearchTable.from_typed(
+        ev, {"event_type": "keyword", "event_id": "keyword"},
+        ts_col="ts", rid_col="event_id", assume_folded=True,
+    )
+    for q, want in (
+        ("event_type:click", "EqualTo(event_type,click)"),
+        ("event_type:cli*", "StringStartsWith(event_type,cli)"),
+        ("event_type:*ick", "StringEndsWith(event_type,ick)"),
+    ):
+        plan = st.search(q, size=10)._jdf.queryExecution().executedPlan().toString()
+        i = plan.find("PushedFilters")
+        assert i != -1 and want in plan[i:i + 200], (q, plan[i:i + 200])
