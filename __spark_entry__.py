@@ -116,6 +116,13 @@ def q_keyword_eq(spark, sf_dir):
     return _search("event_type:click")(spark, sf_dir)
 
 
+def q_keyword_eq_native(spark, sf_dir):
+    # integral keyword equality: compiles to a bare typed EqualTo
+    # (pushable + bloom-skippable on store tables) while keeping
+    # string-token semantics — the oracle states those semantics directly
+    return _search("user_id:42")(spark, sf_dir)
+
+
 def q_keyword_wildcard(spark, sf_dir):
     return _search("event_type:c*ck")(spark, sf_dir)
 
@@ -1650,6 +1657,7 @@ ROWS_ONLY = frozenset(
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "keyword_eq": q_keyword_eq,
+        "keyword_eq_native": q_keyword_eq_native,
         "keyword_wildcard": q_keyword_wildcard,
         "filter_in": q_filter_in,
         "range_numeric": q_range_numeric,
@@ -1776,6 +1784,7 @@ _WORDS = r"list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}_]+'), w -> 
 def oracle_sql() -> dict[str, str]:
     sql = {
         "keyword_eq": f"SELECT {_EV} FROM events WHERE lower(event_type) = 'click'",
+        "keyword_eq_native": f"SELECT {_EV} FROM events WHERE CAST(user_id AS VARCHAR) = '42'",
         "keyword_wildcard": f"SELECT {_EV} FROM events WHERE lower(event_type) LIKE 'c%ck'",
         "filter_in": f"SELECT {_EV} FROM events WHERE lower(event_type) IN ('click', 'view')",
         "range_numeric": (

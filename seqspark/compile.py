@@ -108,6 +108,14 @@ class FieldSpec:
     #: remains the aggregation-path accessor, where the NULL is the
     #: `_not_exists` bucket signal, not a filter.
     scalar_raw: Optional[Callable[[], Column]] = None
+    #: equality compiler for natively-typed columns: given the query
+    #: literal, return a bare comparison on the RAW column (pushable;
+    #: engages the store's id blooms) or None to fall back to the string
+    #: path. Must preserve string-token semantics exactly — e.g. integral
+    #: columns match only the canonical decimal rendering, so a
+    #: non-canonical literal ('042') compiles to lit(False), same verdict
+    #: the string comparison would reach row by row.
+    eq_native: Optional[Callable[[str], Optional[Column]]] = None
 
     def exists_col(self) -> Column:
         if self.exists is not None:
@@ -249,6 +257,14 @@ def _apply_check(
         # the literal is longer than the index-time token cap — such a
         # token was never indexed (`tokenizer/keyword_tokenizer.go:22-42`)
         return F.lit(False)
+    if eq_value is not None and spec.eq_native is not None:
+        native = spec.eq_native(eq_value)
+        if native is not None:
+            # bare comparison on the raw typed column: pushes into the
+            # scan AND engages per-row-group id blooms on store tables —
+            # the string path compiles to EqualTo(cast(col as string), v),
+            # which parquet cannot use
+            return native
     if spec.scalar is not None:
         if spec.scalar_raw is not None and spec.guard is not None:
             # PUSHDOWN-SHAPED form: the bare folded column with the

@@ -463,6 +463,29 @@ class SearchTable:
                 )
             elif itype == "keyword":
                 folded = col if (case_sensitive or assume_folded) else F.lower(col)
+                eq_native = None
+                if dtype in _INT_TYPES:
+                    # integral column: equality against the CANONICAL
+                    # decimal rendering compiles to a bare typed
+                    # comparison (pushable + bloom-skippable); any other
+                    # literal can never equal a rendering → lit(False),
+                    # the verdict the string compare reaches row by row
+                    _INT_LO_HI = {
+                        "tinyint": (-(1 << 7), (1 << 7) - 1),
+                        "smallint": (-(1 << 15), (1 << 15) - 1),
+                        "int": (-(1 << 31), (1 << 31) - 1),
+                        "bigint": (-(1 << 63), (1 << 63) - 1),
+                    }
+                    lo, hi = _INT_LO_HI[dtype]
+
+                    def eq_native(v, c=colname, lo=lo, hi=hi):
+                        try:
+                            n = int(v)
+                        except ValueError:
+                            return F.lit(False)
+                        if str(n) != v or not (lo <= n <= hi):
+                            return F.lit(False)
+                        return F.col(c) == F.lit(n)
                 # over-cap values were never indexed (`tokenizer/
                 # keyword_tokenizer.go:22-42`): equality stays a bare
                 # pushable comparison (compile proves a within-cap literal
@@ -493,6 +516,7 @@ class SearchTable:
                     # (compile._apply_check) so EqualTo/StartsWith push
                     # into the scan instead of hiding inside the cap CASE
                     scalar_raw=(lambda fc=folded: fc),
+                    eq_native=eq_native,
                     exists=(lambda c=col: c.isNotNull()),
                     numeric=numeric,
                     numeric_is_float=numeric_is_float,

@@ -214,3 +214,33 @@ def test_keyword_filters_reach_parquet_pushdown(spark):
         plan = st.search(q, size=10)._jdf.queryExecution().executedPlan().toString()
         i = plan.find("PushedFilters")
         assert i != -1 and want in plan[i:i + 200], (q, plan[i:i + 200])
+
+
+def test_integral_keyword_equality_native_pushdown(spark):
+    """Equality on an integral-typed keyword column compiles to a bare
+    typed comparison (pushed EqualTo; OR-of-EqualTo for in()) while
+    keeping string-token semantics: only the canonical decimal rendering
+    matches — '042', 'abc', '+7', and out-of-range literals compile to
+    lit(False), the verdict the string compare reaches row by row."""
+    from seqspark import SearchTable
+    from seqspark.data import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.01", "events")
+    st = SearchTable.from_typed(
+        ev, {"event_id": "keyword", "user_id": "keyword"},
+        ts_col="ts", rid_col="event_id", assume_folded=True,
+    )
+    plan = st.search("user_id:42", size=10)._jdf.queryExecution(
+    ).executedPlan().toString()
+    i = plan.find("PushedFilters")
+    assert "EqualTo(user_id,42)" in plan[i:i + 200], plan[i:i + 200]
+    # string-compare parity on the whole result set
+    want = ev.filter(F.col("user_id").cast("string") == "42").count()
+    assert st.search("user_id:42", size=None).count() == want
+    # canonical-rendering semantics
+    # ("+42" never reaches compile: the lexer rejects a bare '+' term)
+    for q in ("user_id:042", "user_id:abc",
+              "user_id:99999999999999999999999"):
+        assert st.search(q, size=None).count() == 0, q
+    got = st.search("event_id:in(3, 5, 9)", size=None).count()
+    assert got == ev.filter(F.col("event_id").isin(3, 5, 9)).count()
