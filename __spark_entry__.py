@@ -120,7 +120,9 @@ def q_keyword_eq_native(spark, sf_dir):
     # integral keyword equality: compiles to a bare typed EqualTo
     # (pushable + bloom-skippable on store tables) while keeping
     # string-token semantics — the oracle states those semantics directly
-    return _search("user_id:42")(spark, sf_dir)
+    # user_id:7 exists at every scale factor (sf0.001 caps ids at 14;
+    # 42 was vacuous there)
+    return _search("user_id:7")(spark, sf_dir)
 
 
 def q_keyword_wildcard(spark, sf_dir):
@@ -1784,7 +1786,7 @@ _WORDS = r"list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}_]+'), w -> 
 def oracle_sql() -> dict[str, str]:
     sql = {
         "keyword_eq": f"SELECT {_EV} FROM events WHERE lower(event_type) = 'click'",
-        "keyword_eq_native": f"SELECT {_EV} FROM events WHERE CAST(user_id AS VARCHAR) = '42'",
+        "keyword_eq_native": f"SELECT {_EV} FROM events WHERE CAST(user_id AS VARCHAR) = '7'",
         "keyword_wildcard": f"SELECT {_EV} FROM events WHERE lower(event_type) LIKE 'c%ck'",
         "filter_in": f"SELECT {_EV} FROM events WHERE lower(event_type) IN ('click', 'view')",
         "range_numeric": (
