@@ -155,6 +155,29 @@ def q_sessionize(spark, sf_dir):
     return session_stats(ev, "user_id", "ts", gap_ms=3600_000)
 
 
+def q_sessionize_native(spark, sf_dir):
+    # the BUILT-IN session_window variant (pure JVM streaming state when
+    # run as a stream; identical grouping expression in batch) — 10-min
+    # gap per user; end = last event ts, matching the stateful operator
+    from seqspark.streaming import sessionize_native
+
+    ev = load_table(spark, sf_dir, "events")
+    return sessionize_native(ev, "user_id", "ts", gap_ms=600_000).select(
+        "user_id", "session_start_ms", "session_end_ms", "n_events"
+    )
+
+
+def q_sketch_balanced_sample(spark, sf_dir):
+    # topic-balanced selection: hyperplane-sketch buckets capped at 5
+    # hash-uniform members each — deterministic, oracle-reproducible
+    # (literal planes + md5 ranks)
+    from seqspark.pipeline.sampling import sketch_balanced_sample
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = sketch_balanced_sample(emb, per_bucket=5, bits=8, dim=64)
+    return out.select("vec_id", "sketch")
+
+
 def q_ivf_update(spark, sf_dir):
     # one Lloyd step of the IVF coarse-quantizer training (k=4 seeds = the
     # 4 lowest-id vectors): assignment by max cosine, element-wise mean per
@@ -1758,6 +1781,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cap_per_group": q_cap_per_group,
         "ivf_update": q_ivf_update,
         "sessionize": q_sessionize,
+        "sessionize_native": q_sessionize_native,
+        "sketch_balanced_sample": q_sketch_balanced_sample,
         "multimodal_resize": q_multimodal_resize,
         "embedding_dup_clusters": q_embedding_dup_clusters,
         "top_per_group": q_top_per_group,
@@ -2731,6 +2756,34 @@ def oracle_sql() -> dict[str, str]:
         "FROM cands c JOIN ush sa ON sa.id = c.id_a "
         "JOIN ush sb ON sb.id = c.id_b) "
         "SELECT id_a, id_b, round(jac, 3) AS jaccard FROM j WHERE jac >= 0.3"
+    )
+    # built-in session_window twin: SQL gap-and-islands at MICROSECOND
+    # precision (the gap compares event times before ms truncation, like
+    # Spark's TimestampType), outputs truncated to ms like unix_millis
+    sql["sessionize_native"] = (
+        "WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events), "
+        "m AS (SELECT user_id, us, CASE WHEN "
+        "lag(us) OVER (PARTITION BY user_id ORDER BY us) IS NULL "
+        "OR us - lag(us) OVER (PARTITION BY user_id ORDER BY us) >= 600000000 "
+        "THEN 1 ELSE 0 END AS brk FROM e), "
+        "s AS (SELECT user_id, us, sum(brk) OVER (PARTITION BY user_id "
+        "ORDER BY us ROWS UNBOUNDED PRECEDING) AS sid FROM m) "
+        "SELECT user_id, CAST(min(us) // 1000 AS BIGINT) AS session_start_ms, "
+        "CAST(max(us) // 1000 AS BIGINT) AS session_end_ms, "
+        "count(*) AS n_events FROM s GROUP BY user_id, sid"
+    )
+    # sketch-balanced sampling: literal hyperplanes (lsh_oracle_sql) +
+    # md5 rank — the whole selection replays in DuckDB
+    from seqspark.pipeline.ann import lsh_oracle_sql
+
+    _bal = lsh_oracle_sql(dim=64, bits=8, bands=1, seed=7)
+    sql["sketch_balanced_sample"] = (
+        f"WITH sk AS (SELECT vec_id, {_bal['sketch']('embedding::DOUBLE[]')} "
+        "AS sketch FROM embeddings) "
+        "SELECT vec_id, sketch FROM sk QUALIFY row_number() OVER ("
+        "PARTITION BY sketch ORDER BY "
+        "('0x' || substring(md5(vec_id::VARCHAR || 'balance:'), 1, 15))"
+        "::BIGINT % 1000000, vec_id) <= 5"
     )
     # hyperplane-LSH ANN, hash-green: planes are seed-deterministic and
     # embedded as literals; same cosine idiom as ann_brute_topk

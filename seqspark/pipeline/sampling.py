@@ -347,3 +347,43 @@ def write_shards(
         .format(fmt)
         .save(path)
     )
+
+
+def sketch_balanced_sample(
+    emb: DataFrame,
+    per_bucket: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bits: int = 8,
+    lsh_seed: int = 7,
+    dim: int = None,
+    seed: str = "",
+) -> DataFrame:
+    """Topic-balanced corpus selection over an embedding column: bucket by
+    the deterministic hyperplane sign-sketch (each bucket ≈ a region of
+    embedding space, :func:`seqspark.pipeline.ann.hyperplane_sketch`), then
+    keep a hash-uniform draw of at most ``per_bucket`` rows per bucket —
+    so no topic region contributes more than its cap, the cheap
+    deterministic counterpart of cluster-balanced sampling (SemDeDup /
+    IVF k-means are the learned-centroid variants; this one needs no
+    training pass and is ORACLE-reproducible end to end: literal planes +
+    md5 ranks).
+
+    Plan: one narrow sketch projection (``bits`` dot products per row,
+    whole-stage codegen), one shuffle on the sketch key for the windowed
+    cap — skewed mega-buckets are exactly what the cap discards. Returns
+    the input columns plus ``sketch``."""
+    if per_bucket < 0:
+        raise ValueError("per_bucket must be >= 0")
+    from .ann import hyperplane_sketch
+
+    sk = hyperplane_sketch(emb, vec_col, bits=bits, seed=lsh_seed, dim=dim)
+    rank = F.row_number().over(
+        Window.partitionBy("sketch").orderBy(
+            hash_bucket(F.col(id_col).cast("string"), "balance:" + seed),
+            F.col(id_col),
+        )
+    )
+    return sk.withColumn("__rk", rank).filter(
+        F.col("__rk") <= per_bucket
+    ).drop("__rk")

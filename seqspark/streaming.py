@@ -167,6 +167,48 @@ def stream_dedup(
     return wm.dropDuplicatesWithinWatermark(key_cols)
 
 
+def sessionize_native(
+    stream_df: DataFrame,
+    key_col: str,
+    ts_col: str = "ts",
+    gap_ms: int = 30 * 60 * 1000,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Gap sessionization with Spark's BUILT-IN ``session_window`` — the
+    whole state machine runs JVM-side in the streaming state store, no
+    Python crossing at all. This is the preferred path whenever the
+    per-session output is (start, end, count)-shaped; :func:`sessionize`
+    (``applyInPandasWithState``) stays for custom per-session state the
+    built-in cannot express (the §2.10 stance: built-ins first, Arrow
+    state second, never row-at-a-time Python).
+
+    Output: ``(key, session_start_ms, session_end_ms, n_events)`` where
+    ``session_end_ms`` is the LAST EVENT's time (max event ts), matching
+    :func:`sessionize` — the raw ``session_window.end`` is last-event +
+    gap, an implementation detail of the built-in, so it is not exposed.
+    Works identically on a batch frame (session_window is a grouping
+    expression, not a streaming-only operator)."""
+    return (
+        stream_df.withWatermark(ts_col, watermark)
+        .groupBy(
+            F.col(key_col),
+            F.session_window(F.col(ts_col), f"{gap_ms} milliseconds"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.max(F.col(ts_col)).alias("__last_ts"),
+        )
+        .select(
+            key_col,
+            F.unix_millis(F.col("session_window.start")).alias(
+                "session_start_ms"
+            ),
+            F.unix_millis(F.col("__last_ts")).alias("session_end_ms"),
+            "n_events",
+        )
+    )
+
+
 def sessionize(
     stream_df: DataFrame,
     key_col: str,

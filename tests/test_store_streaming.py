@@ -1340,3 +1340,86 @@ def test_bloom_at_seal_defers_blooms_to_compaction(spark, tmp):
     assert store.read().count() == len(DOCS)
     with pytest.raises(ValueError, match="bloom_at"):
         DocStore(spark, os.path.join(tmp, "x"), bloom_at="never")
+
+
+def test_sessionize_native_streaming_matches_stateful_semantics(spark, tmp):
+    """The built-in session_window variant under a real stream: sessions
+    emit (append mode) once the watermark passes, with the SAME output
+    contract as the applyInPandasWithState operator — session_end_ms is
+    the last event's time, not last+gap."""
+    from seqspark.streaming import sessionize_native
+
+    indir = os.path.join(tmp, "sessnat_in")
+    ckpt = os.path.join(tmp, "sessnat_ckpt")
+    emitted = []
+
+    def run_once():
+        raw = (
+            spark.readStream.schema("ts string, svc string")
+            .json(indir)
+            .withColumn("ts", F.to_timestamp("ts"))
+        )
+        sess = sessionize_native(raw, "svc", gap_ms=60_000, watermark="0 seconds")
+        q = (
+            sess.writeStream.foreachBatch(
+                lambda df, _id: emitted.extend(df.collect())
+            )
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    write_ndjson(os.path.join(indir, "b1.json"), [
+        {"ts": "2024-01-01 10:00:00", "svc": "auth"},
+        {"ts": "2024-01-01 10:00:10", "svc": "auth"},
+        {"ts": "2024-01-01 10:00:05", "svc": "pay"},
+    ])
+    run_once()
+    write_ndjson(os.path.join(indir, "b2.json"),
+                 [{"ts": "2024-01-01 12:00:00", "svc": "auth"}])
+    run_once()
+    write_ndjson(os.path.join(indir, "b3.json"),
+                 [{"ts": "2024-01-01 14:00:00", "svc": "pay"}])
+    run_once()
+
+    def ms(s):
+        import datetime as dt
+
+        return int(dt.datetime.strptime(s, "%Y-%m-%d %H:%M:%S")
+                   .replace(tzinfo=dt.timezone.utc).timestamp() * 1000)
+
+    rows = {
+        (r["svc"], r["n_events"]): (r["session_start_ms"], r["session_end_ms"])
+        for r in emitted
+    }
+    assert rows[("auth", 2)] == (ms("2024-01-01 10:00:00"), ms("2024-01-01 10:00:10"))
+    assert rows[("pay", 1)] == (ms("2024-01-01 10:00:05"), ms("2024-01-01 10:00:05"))
+
+
+def test_sessionize_native_batch_equals_stateful_outputs(spark):
+    """Batch parity: on a static frame the built-in variant produces the
+    same session set as the pipeline's batch sessionizer."""
+    from seqspark.pipeline.sessions import session_stats
+    from seqspark.streaming import sessionize_native
+
+    rows = [
+        (u, f"2024-01-01 10:{m:02d}:{s_:02d}")
+        for u in ("a", "b")
+        for m, s_ in ((0, 0), (0, 30), (2, 0), (10, 0), (10, 5))
+    ]
+    df = spark.createDataFrame(rows, "user string, ts string").withColumn(
+        "ts", F.to_timestamp("ts")
+    )
+    got = sorted(
+        (r["user"], r["session_start_ms"], r["session_end_ms"], r["n_events"])
+        for r in sessionize_native(df, "user", gap_ms=120_000).collect()
+    )
+    want = sorted(
+        (r["user"], r["start_ms"], r["end_ms"], r["n_events"])
+        for r in session_stats(df, "user", "ts", gap_ms=120_000).select(
+            "user", "start_ms", "end_ms", "n_events"
+        ).collect()
+    )
+    assert got == want and len(got) > 0
