@@ -393,16 +393,39 @@ def q_store_bloom_fetch(spark, sf_dir):
     # read THROUGH a DocStore with a bloom filter on event_id — the rows
     # must equal the plain-parquet oracle exactly, proving the bloom skip
     # never drops a matching row group. Day buckets bound the dir count.
+    import hashlib
+    import os
     import tempfile
 
     from seqspark.store import DocStore
 
     ev = load_table(spark, sf_dir, "events")
-    path = tempfile.mkdtemp(prefix="seqspark-bloom-entry-") + "/store"
+    # deterministic per-sf_dir cache: repeated contract runs reuse one
+    # store copy instead of leaking a fresh sf-sized table into /tmp
+    # every invocation (the _rows sentinel gates on a COMPLETED append)
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    base = os.path.join(
+        tempfile.gettempdir(), f"seqspark-bloom-entry-{tag}"
+    )
+    path = base + "/store"
+    sentinel = os.path.join(base, "_rows")
     store = DocStore(
         spark, path, bucket_fmt="yyyy-MM-dd", bloom_cols=("event_id",)
     )
-    store.append(ev, ts_col="ts")
+    n_events = ev.count()
+    if not (
+        os.path.exists(sentinel)
+        and open(sentinel).read() == str(n_events)
+    ):
+        import shutil
+
+        shutil.rmtree(base, ignore_errors=True)
+        store = DocStore(
+            spark, path, bucket_fmt="yyyy-MM-dd", bloom_cols=("event_id",)
+        )
+        store.append(ev, ts_col="ts")
+        with open(sentinel, "w") as f:
+            f.write(str(n_events))
     st = SearchTable.from_typed(
         store.read(),
         EVENTS_MAPPING,
@@ -2787,8 +2810,6 @@ def oracle_sql() -> dict[str, str]:
     )
     # hyperplane-LSH ANN, hash-green: planes are seed-deterministic and
     # embedded as literals; same cosine idiom as ann_brute_topk
-    from seqspark.pipeline.ann import lsh_oracle_sql
-
     _alsh = lsh_oracle_sql(dim=64, bits=12, bands=4, seed=7)
     _cos = "list_cosine_similarity(s.embedding::DOUBLE[], (SELECT qv FROM q))"
     sql["ann_lsh_topk"] = (

@@ -7,7 +7,8 @@ Prints ONE JSON line:
    "unit": "sec", "queries": {"q1": median sec, ...},
    "queries_min": {"q1": min sec, ...}, "runs_per_query": N, "sf": <sf>,
    "plan_digests": {"q1": <sha256[:16] of the canonicalized plan>, ...},
-   "plan_mismatches": [names whose digest drifted from bench_plans.json]}
+   "plan_mismatches": [names whose digest drifted from bench_plans.json],
+   "plan_unpinned": [names with no committed expectation — run --write-plans]}
 
 Each query runs N times (default 5) and reports the MEDIAN (headline) and
 MIN (plan floor) so a plan regression is distinguishable from transient
@@ -217,6 +218,10 @@ def main() -> None:
     mismatches = sorted(
         name for name, d in digests.items() if expected.get(name) not in (None, d)
     )
+    # an ABSENT expectation is not a match: fold it into its own list so
+    # "plan_mismatches: []" can never mean "nothing was pinned" — a
+    # missing/stale bench_plans.json would otherwise read as all-green
+    unpinned = sorted(name for name in digests if name not in expected)
 
     timings = {}
     timings_min = {}
@@ -246,6 +251,7 @@ def main() -> None:
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "plan_digests": digests,
                 "plan_mismatches": mismatches,
+                "plan_unpinned": unpinned,
             }
         )
     )

@@ -485,7 +485,11 @@ class SearchTable:
                             return F.lit(False)
                         if str(n) != v or not (lo <= n <= hi):
                             return F.lit(False)
-                        return F.col(c) == F.lit(n)
+                        # isNotNull conjunct: every compile leaf must be
+                        # two-valued — a bare `col == n` is NULL on NULL
+                        # rows and `not field:v` would then silently DROP
+                        # them instead of matching. Both conjuncts push.
+                        return F.col(c).isNotNull() & (F.col(c) == F.lit(n))
                 # over-cap values were never indexed (`tokenizer/
                 # keyword_tokenizer.go:22-42`): equality stays a bare
                 # pushable comparison (compile proves a within-cap literal

@@ -386,9 +386,13 @@ def bpe_encoded_via_dict(
     # row, so the id-keyed aggregation below covers the whole corpus and
     # no second corpus-sized re-attach join is needed (one shuffle total);
     # the left dictionary join leaves those rows with null toks, filtered
-    # out of the flatten
+    # out of the flatten. __has carries text-NULLness through the agg so
+    # NULL-text docs yield (NULL, NULL) exactly like bpe_encoded's chain
+    # (whose words(NULL) propagates NULL) — pinned by the parity test.
     ex = df.select(
-        F.col(id_col), F.posexplode_outer(wcol).alias("pos", "w")
+        F.col(id_col),
+        F.col(text_col).isNotNull().alias("__has"),
+        F.posexplode_outer(wcol).alias("pos", "w"),
     )
     return (
         ex.join(wd, "w", "left")
@@ -402,12 +406,17 @@ def bpe_encoded_via_dict(
                     ),
                     lambda t: t.isNotNull(),
                 )
-            ).alias("__toks")
+            ).alias("__toks"),
+            F.first("__has").alias("__has"),
         )
         .select(
             F.col(id_col),
-            F.array_join("__toks", " ").alias("bpe_text"),
-            F.size("__toks").cast("long").alias("n_bpe_tokens"),
+            F.when(F.col("__has"), F.array_join("__toks", " ")).alias(
+                "bpe_text"
+            ),
+            F.when(F.col("__has"), F.size("__toks"))
+            .cast("long")
+            .alias("n_bpe_tokens"),
         )
     )
 

@@ -40,16 +40,37 @@ def update_parquet_state(
     from ..store import _HadoopFS, _write_lock
 
     fs = _HadoopFS(spark, state_path)
+
+    def must(ok: bool, what: str) -> None:
+        # Hadoop FileSystem.rename reports failure as False, not an
+        # exception — an unchecked failed rename here would fall through
+        # to the old-state delete and destroy the only surviving copy
+        if not ok:
+            raise IOError(f"state swap failed: {what} under {state_path}")
+
     with _write_lock(state_path):
         live = fs.path()
-        if fs.exists(live):
-            merged = merge_fn(spark.read.parquet(state_path), batch)
-        else:
-            merged = batch
         parent = live.getParent()
         Path = spark._jvm.org.apache.hadoop.fs.Path
         tmp = Path(parent, "_tmp-" + live.getName())
         old = Path(parent, "_old-" + live.getName())
+        # CRASH RECOVERY before reading: a previous process may have died
+        # between its two renames, leaving no live dir. tmp (written
+        # COMPLETELY before any rename starts) is then the finished new
+        # state — complete its swap; failing that, _old- is the previous
+        # state — restore it. Without this, the next update would treat
+        # its batch as the entire state and the old-state delete below
+        # would silently drop all history.
+        if not fs.exists(live):
+            if fs.exists(tmp) and fs.exists(old):
+                must(fs.rename(tmp, live), "recover tmp -> live")
+                fs.delete(old)
+            elif fs.exists(old):
+                must(fs.rename(old, live), "recover old -> live")
+        if fs.exists(live):
+            merged = merge_fn(spark.read.parquet(state_path), batch)
+        else:
+            merged = batch
         # materialize BEFORE touching the live dir: the merged plan reads it
         if coalesce is not None:
             merged = merged.coalesce(coalesce)
@@ -57,7 +78,7 @@ def update_parquet_state(
         if fs.exists(old):
             fs.delete(old)
         if fs.exists(live):
-            fs.rename(live, old)
-        fs.rename(tmp, live)
+            must(fs.rename(live, old), "live -> old")
+        must(fs.rename(tmp, live), "tmp -> live")
         fs.delete(old)
     return spark.read.parquet(state_path)

@@ -358,3 +358,63 @@ def test_bpe_state_under_real_foreachbatch(spark, tmp_path):
     got = train_bpe_from_counts(
         spark.read.parquet(state), n_merges=16, vocab_k=50)
     assert got == train_bpe(all_docs, n_merges=16, vocab_k=50)
+
+
+def test_state_swap_crash_window_recovers_history(spark, tmp_path):
+    # simulate the two crash windows of the write-then-swap: (a) live
+    # renamed aside with the COMPLETE new state still in _tmp-, (b) live
+    # renamed aside with no tmp. Both must recover the history instead of
+    # treating the next batch as the entire state.
+    import os
+    import shutil
+
+    from seqspark.pipeline.bpe import bpe_update_state, bpe_word_counts
+
+    state = str(tmp_path / "s")
+    a = _df(spark, ["alpha beta", "alpha"])
+    b = spark.createDataFrame([(10, "gamma")], "doc_id int, text string")
+    c = spark.createDataFrame([(11, "delta")], "doc_id int, text string")
+    bpe_update_state(spark, state, a)
+    parent, name = os.path.dirname(state), os.path.basename(state)
+    tmp, old = os.path.join(parent, "_tmp-" + name), os.path.join(
+        parent, "_old-" + name
+    )
+    # window (a): between rename(live, old) and rename(tmp, live)
+    shutil.copytree(state, tmp)
+    os.rename(state, old)
+    out = {(r.w, r.n) for r in bpe_update_state(spark, state, b).collect()}
+    want = {
+        (r.w, r.n)
+        for r in bpe_word_counts(a.unionByName(b)).collect()
+    }
+    assert out == want, "tmp-phase crash lost history"
+    # window (b): live moved aside, no tmp survived
+    os.rename(state, old)
+    out = {(r.w, r.n) for r in bpe_update_state(spark, state, c).collect()}
+    want = {
+        (r.w, r.n)
+        for r in bpe_word_counts(
+            a.unionByName(b).unionByName(c)
+        ).collect()
+    }
+    assert out == want, "old-phase crash lost history"
+
+
+def test_encoded_via_dict_null_text_parity(spark):
+    # NULL text must round-trip as (NULL, NULL) in BOTH encode paths —
+    # the chain propagates words(NULL); the dict path must not turn it
+    # into ("", 0), which would diverge the shared oracle on real corpora
+    from seqspark.pipeline.bpe import bpe_encoded_via_dict
+
+    df = spark.createDataFrame(
+        [(0, "hello"), (1, None), (2, "")], "doc_id int, text string"
+    )
+    merges = [("l", "l")]
+    chain = {r["doc_id"]: (r["bpe_text"], r["n_bpe_tokens"])
+             for r in bpe_encoded(df, merges).collect()}
+    for mode in ("chain", "driver"):
+        got = {r["doc_id"]: (r["bpe_text"], r["n_bpe_tokens"])
+               for r in bpe_encoded_via_dict(df, merges, dict_mode=mode).collect()}
+        assert got == chain, (mode, got, chain)
+    assert chain[1] == (None, None)
+    assert chain[2] == ("", 0)

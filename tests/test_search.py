@@ -244,3 +244,23 @@ def test_integral_keyword_equality_native_pushdown(spark):
         assert st.search(q, size=None).count() == 0, q
     got = st.search("event_id:in(3, 5, 9)", size=None).count()
     assert got == ev.filter(F.col("event_id").isin(3, 5, 9)).count()
+
+
+def test_integral_keyword_negation_keeps_null_rows(spark):
+    """`not field:v` must MATCH rows where the field is NULL (no token ⇒
+    the negation holds — reference semantics). A bare `col == v` leaf is
+    NULL on those rows and `~NULL` silently drops them; the isNotNull
+    conjunct keeps every leaf two-valued."""
+    from seqspark import SearchTable
+
+    df = spark.createDataFrame(
+        [(1, 7, "2024-01-01 00:00:01"), (2, None, "2024-01-01 00:00:02"),
+         (3, 8, "2024-01-01 00:00:03")],
+        "event_id long, user_id long, ts string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    st = SearchTable.from_typed(
+        df, {"user_id": "keyword", "event_id": "keyword"},
+        ts_col="ts", rid_col="event_id", assume_folded=True,
+    )
+    got = {r["event_id"] for r in st.search("not user_id:7", size=None).collect()}
+    assert got == {2, 3}, got
