@@ -86,3 +86,32 @@ def test_store_bloom_fetch_reads_through_the_store(spark):
 
     offsets = _bloom_offsets(spark, files[0])
     assert offsets.get("event_id", -1) != -1, offsets
+
+
+def test_bench_plan_canonicalizer_masks_run_specific_noise():
+    """bench._canon must strip exactly the run-varying parts of a
+    formatted plan — expression ids, file paths, digit runs — so two
+    sessions' plans of the same shape digest identically, while operator
+    names and pushed-filter FIELDS survive (the thing the digest pins)."""
+    import bench
+
+    a = (
+        "(1) Scan parquet\n"
+        "Output [2]: [event_type#123, ts#45L]\n"
+        "Location: InMemoryFileIndex [file:/tmp/x1/events.parquet]\n"
+        "PushedFilters: [IsNotNull(event_type), EqualTo(event_type,click)]\n"
+        "(2) Exchange hashpartitioning(event_type#123, 32)"
+    )
+    b = (
+        "(1) Scan parquet\n"
+        "Output [2]: [event_type#9, ts#8811L]\n"
+        "Location: InMemoryFileIndex [file:/tmp/other-99/events.parquet]\n"
+        "PushedFilters: [IsNotNull(event_type), EqualTo(event_type,click)]\n"
+        "(2) Exchange hashpartitioning(event_type#9, 16)"
+    )
+    assert bench._canon(a) == bench._canon(b)
+    # a different operator shape must NOT collapse to the same canon
+    c = b.replace("EqualTo(event_type,click)", "StringStartsWith(event_type,cli)")
+    assert bench._canon(b) != bench._canon(c)
+    d = b.replace("Exchange hashpartitioning", "Sort [event_type")
+    assert bench._canon(b) != bench._canon(d)
