@@ -402,20 +402,34 @@ def q_store_bloom_fetch(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events")
     # deterministic per-sf_dir cache: repeated contract runs reuse one
     # store copy instead of leaking a fresh sf-sized table into /tmp
-    # every invocation (the _rows sentinel gates on a COMPLETED append)
+    # every invocation. The sentinel is a CONTENT fingerprint (source
+    # parquet paths + sizes + mtimes), not a bare row count — a
+    # regenerated dataset at the same path with the same cardinality
+    # must invalidate the cached DocStore copy, or the bloom-path
+    # contract entry would compare stale store rows against a fresh
+    # DuckDB oracle.
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
     base = os.path.join(
         tempfile.gettempdir(), f"seqspark-bloom-entry-{tag}"
     )
     path = base + "/store"
-    sentinel = os.path.join(base, "_rows")
+    sentinel = os.path.join(base, "_src")
+    src = os.path.join(sf_dir, "events.parquet")
+    parts = [src] if os.path.isfile(src) else sorted(
+        os.path.join(src, p) for p in os.listdir(src)
+        if not p.startswith(("_", "."))
+    )
+    stamp = hashlib.md5(
+        "\n".join(
+            f"{p}:{os.path.getsize(p)}:{os.path.getmtime(p)}" for p in parts
+        ).encode()
+    ).hexdigest()
     store = DocStore(
         spark, path, bucket_fmt="yyyy-MM-dd", bloom_cols=("event_id",)
     )
-    n_events = ev.count()
     if not (
         os.path.exists(sentinel)
-        and open(sentinel).read() == str(n_events)
+        and open(sentinel).read() == stamp
     ):
         import shutil
 
@@ -425,7 +439,7 @@ def q_store_bloom_fetch(spark, sf_dir):
         )
         store.append(ev, ts_col="ts")
         with open(sentinel, "w") as f:
-            f.write(str(n_events))
+            f.write(stamp)
     st = SearchTable.from_typed(
         store.read(),
         EVENTS_MAPPING,
@@ -1700,6 +1714,35 @@ ROWS_ONLY = frozenset(
         "image_dhash_dupes",
     }
 )
+
+
+def contract_diagnostics() -> dict[str, Callable[[SparkSession, str], str]]:
+    """Optional per-entry failure diagnostics the oracle checker runs when
+    an entry MISMATCHes, so an engine-noise artifact is distinguishable
+    from a real regression in the failure report. Today: the LSH sketch
+    entries' sign parity relies on Spark's sequential float dot and
+    DuckDB's list_dot_product agreeing on sign — a dot within rounding
+    distance of zero can flip a bit in exactly one engine (advisor r10)."""
+
+    def _lsh_margin(dim: int, bits: int, seed: int):
+        def diag(spark: SparkSession, sf_dir: str) -> str:
+            from seqspark.pipeline.ann import lsh_sign_margin
+
+            emb = load_table(spark, sf_dir, "embeddings")
+            mn, n = lsh_sign_margin(emb, dim=dim, bits=bits, seed=seed)
+            return (
+                f"lsh sign margin (dim={dim} bits={bits} seed={seed}): "
+                f"min |dot|={mn:.3g}, rows within 1e-6 of a sign flip={n} "
+                "(n>0 => likely Spark/DuckDB float-order sign flip, "
+                "not a regression; n=0 => real divergence)"
+            )
+
+        return diag
+
+    return {
+        "ann_lsh_topk": _lsh_margin(64, 12, 7),
+        "sketch_balanced_sample": _lsh_margin(64, 8, 7),
+    }
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

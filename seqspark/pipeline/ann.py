@@ -20,7 +20,7 @@ from __future__ import annotations
 
 import math
 import random
-from typing import List, Sequence
+from typing import List, Sequence, Tuple
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -328,6 +328,37 @@ def lsh_oracle_sql(
         )
 
     return {"sketch": sketch_sql, "band_cond": band_cond_sql}
+
+
+def lsh_sign_margin(
+    emb: DataFrame,
+    dim: int,
+    bits: int,
+    seed: int = 7,
+    vec_col: str = "embedding",
+    eps: float = 1e-6,
+) -> Tuple[float, int]:
+    """Sign-flip diagnostic for the hash-verified LSH contract entries:
+    ``(min |dot(vec, plane)| over every (row, plane) pair, count of rows
+    whose closest plane-dot is within eps of zero)``. Spark's ``dot``
+    (sequential F.aggregate) and DuckDB's ``list_dot_product`` may sum
+    floats in different orders, so a dot within rounding distance of
+    zero can flip a sketch bit in exactly one engine and spuriously fail
+    the parity hash. A parity failure WITH a near-zero margin here is
+    engine float noise; a failure with a healthy margin is a real
+    regression. One narrow aggregation — bits dot products per row,
+    no shuffle beyond the final global min."""
+    planes = _hyperplanes(dim, bits, seed)
+    m = None
+    for h in planes:
+        hv = F.array(*[F.lit(float(x)) for x in h])
+        d = F.abs(dot(F.col(vec_col), hv))
+        m = d if m is None else F.least(m, d)
+    row = emb.select(
+        F.min(m).alias("min_margin"),
+        F.sum((m < F.lit(eps)).cast("long")).alias("n_near_zero"),
+    ).collect()[0]
+    return float(row["min_margin"]), int(row["n_near_zero"] or 0)
 
 
 def write_ivf(

@@ -53,7 +53,8 @@ corpus budgeting, vocabulary induction), alongside
 
 from __future__ import annotations
 
-from typing import List, Sequence, Tuple
+from bisect import bisect_left
+from typing import Dict, List, Sequence, Tuple
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -201,10 +202,24 @@ def encode_word(word: str, merges: Sequence[Tuple[str, str]]) -> List[str]:
     return [s.replace(EOW, EOW_DISPLAY) for s in syms]
 
 
+def merge_ranks(
+    merges: Sequence[Tuple[str, str]],
+) -> Dict[Tuple[str, str], List[int]]:
+    """Pair -> SORTED list of every index where it appears in the merge
+    list. A plain ``{pair: index}`` map silently drops all but one index
+    of a duplicated pair and diverges from :func:`encode_word` (which
+    applies a pair at its FIRST listed rank); keeping every index keeps
+    :func:`encode_word_ranked` exact for arbitrary merge lists."""
+    ranks: Dict[Tuple[str, str], List[int]] = {}
+    for i, pair in enumerate(merges):
+        ranks.setdefault(pair, []).append(i)
+    return ranks
+
+
 def encode_word_ranked(
     word: str,
     merges: Sequence[Tuple[str, str]],
-    ranks: dict = None,
+    ranks: Dict[Tuple[str, str], List[int]] = None,
 ) -> List[str]:
     """Rank-map greedy encoder — EXACTLY :func:`encode_word`'s output
     (property-pinned), in O(len² ) dict lookups per word, independent of
@@ -215,18 +230,27 @@ def encode_word_ranked(
     plain global min) is what makes it exact for arbitrary merge lists —
     a pathological list can order a merge BEFORE the merge that creates
     its input symbol, and encode_word (one forward pass) never revisits
-    it. Pass a precomputed ``ranks`` ({pair: index}) when encoding many
-    words against one vocabulary."""
+    it. Duplicate pairs in the merge list are exact too: the rank map
+    keeps EVERY index of a pair (:func:`merge_ranks`) and bisect picks
+    the lowest one ≥ the forward pointer, matching encode_word's
+    first-listed-occurrence behavior. Pass a precomputed ``ranks``
+    (from :func:`merge_ranks`) when encoding many words against one
+    vocabulary."""
     if ranks is None:
-        ranks = {pair: i for i, pair in enumerate(merges)}
+        ranks = merge_ranks(merges)
     syms: List[str] = list(word) + [EOW]
     prev = 0
     while len(syms) > 1:
         best = None
         for pair in zip(syms, syms[1:]):
-            r = ranks.get(pair)
-            if r is not None and r >= prev and (best is None or r < best):
-                best = r
+            idxs = ranks.get(pair)
+            if not idxs:
+                continue
+            j = bisect_left(idxs, prev)
+            if j < len(idxs):
+                r = idxs[j]
+                if best is None or r < best:
+                    best = r
         if best is None:
             break
         a, b = merges[best]
@@ -345,7 +369,7 @@ def bpe_word_dict(
             "encode the dictionary with mode='chain' or raise the bound"
         )
     spark = words_df.sparkSession
-    ranks = {pair: i for i, pair in enumerate(merges)}
+    ranks = merge_ranks(merges)
     return spark.createDataFrame(
         [(r["w"], encode_word_ranked(r["w"], merges, ranks)) for r in rows],
         "w string, toks array<string>",

@@ -275,6 +275,21 @@ def test_encode_word_ranked_pathological_order():
     ]
 
 
+def test_encode_word_ranked_duplicate_pairs():
+    # a DUPLICATED pair must apply at its FIRST listed rank, exactly like
+    # encode_word's forward pass — a {pair: last_index} rank map diverged
+    # here (r10 advisor repro): ('a','b') at rank 2 shadowed rank 0, so
+    # ('b','c') fired first and 'abc' came out ['a','bc'] not ['ab','c']
+    from seqspark.pipeline.bpe import encode_word_ranked, merge_ranks
+
+    merges = [("a", "b"), ("b", "c"), ("a", "b")]
+    expected = ["ab", "c", EOW_DISPLAY]
+    assert encode_word("abc", merges) == expected
+    assert encode_word_ranked("abc", merges) == expected
+    # precomputed-ranks path (what bpe_word_dict mode='driver' uses)
+    assert encode_word_ranked("abc", merges, merge_ranks(merges)) == expected
+
+
 def test_word_dict_driver_mode_bound(spark):
     from seqspark.pipeline.bpe import bpe_word_dict
 

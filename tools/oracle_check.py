@@ -101,10 +101,20 @@ def main() -> int:
             results[name] = {"status": "fail", "err": f"ORACLE {e}"}
             continue
         if scols != ocols or srows != orows:
-            fails.append((name, f"MISMATCH rows={len(srows)}/{len(orows)}"))
+            err = f"MISMATCH rows={len(srows)}/{len(orows)}"
+            # entries with a registered diagnostic (e.g. LSH sign-margin)
+            # get it run on failure, so engine float noise is
+            # distinguishable from a real regression in the report
+            diag_fn = getattr(em, "contract_diagnostics", dict)().get(name)
+            if diag_fn is not None:
+                try:
+                    err += f" | {diag_fn(spark, sf_dir)}"
+                except Exception as de:
+                    err += f" | diagnostic failed: {de}"
+            fails.append((name, err))
             results[name] = {
                 "status": "fail",
-                "err": f"MISMATCH rows={len(srows)}/{len(orows)}",
+                "err": err,
                 "schema_match": scols == ocols,
             }
         elif not srows:
