@@ -1116,12 +1116,193 @@ def q_bpe_encode_dict(spark, sf_dir):
     )
 
 
-def q_multimodal_decode(spark, sf_dir):
-    # rows-only: binary-column decode plumbing over the deterministic fixture
-    from seqspark.pipeline.multimodal import decode_assets, make_fake_assets
+#: frozen expected outputs of the real-codec multimodal kernels
+#: over make_real_assets — generated ONCE by
+#: tools/gen_multimodal_expected.py and committed; the oracle
+#: compares the live Spark pipeline against these, so a kernel
+#: regression fails the contract instead of moving the oracle.
+MULTIMODAL_DECODE_EXPECTED = [
+    (0, 'image', 198, '67d5bb70648e6bcf1902f52193abca057d252f1a0a85a33767e85c377365ca4f', 8, 6, 1),
+    (1, 'image', 240, '2769baaacaeb2bff6f51b995c698120bfe3187ada7cc852bcb52821b4a4d6c4b', 9, 7, 1),
+    (2, 'image', 288, 'dc0c55b1633eb002ded48501419bf9950c9649dc6b67c5fc7ade5417c7e06959', 10, 8, 1),
+    (3, 'audio', 300, '1011300d1284917e5fc9379b0e78589459ca704cc90b6f01469debeedff73afb', 2, 16, 64),
+    (4, 'image', 269, '5901b855db891961c23ed9f1762c368063ae542416ffdfbd0b0567ce67517cc8', 12, 6, 1),
+    (5, 'image', 224, '7bcf2cff159818db474c9587088c071706218f0a740c5c2db9ab2237db03314a', 8, 7, 1),
+    (6, 'image', 262, 'c07d1362689c5e5c3ccd44aa4262ca4f64fec86419b99d93c849cd38f2589f02', 9, 8, 1),
+    (7, 'audio', 268, 'd34e03bdc8189a52d284d57bd1d2fd14a8b14f6697525c62f1c702a31892adaa', 2, 16, 56),
+    (8, 'image', 252, '4452c2cc206dd19a58c7d1a8dab1aeaf604691ab6ec83e717c2c5bc64f713870', 11, 6, 1),
+    (9, 'image', 295, '9389f02d6fc1cd50669675505ccd0abee3fab8f233a00b48ee644174c6adb621', 12, 7, 1),
+    (10, 'image', 246, '230fda5953c07f0377aa5847981c0f5c919fd6eb2b64990f9308402bbd2e1eab', 8, 8, 1),
+    (11, 'audio', 236, '82aa48f3d4afbd7651a460e9ce48163810d440ff545723aa7bef4450f276d77d', 2, 16, 48),
+    (12, 'image', 235, '0db073a413a2d034acdbd5da5527ea41fa452df23948b4ceee14e05b63cb5fbb', 10, 6, 1),
+    (13, 'image', 276, '1b99e2c7adc0c108aa443fd757e63ee48e61305205738d858905a33c708a7294', 11, 7, 1),
+    (14, 'image', 327, '54b7106ad167a5ab426736a8767e529f15d60b0d321dbaa41d0c667304768deb', 12, 8, 1),
+    (15, 'audio', 204, 'd34c027e45fe47ee65e62d8d2d63ab2ec4c9a95eba3d18cf4d1734a0b1d44b40', 2, 16, 40),
+    (16, 'image', 215, 'f0a42fb37617dc17cf916fc8a6a2c8be47e1ef859d054e74c645b740105dac67', 9, 6, 1),
+    (17, 'image', 266, '8f3d682f129ace167a0011cf744d63c4a2783375dd8b03fa6bedce1355770f1c', 10, 7, 1),
+    (18, 'image', 308, '8226301f1fe58fbce21fcffdca4c83e2af6d1f9288ae61edae79281866f7642d', 11, 8, 1),
+    (19, 'audio', 332, 'b2e91c502d39905adf844bc91b695c20cb97602226b0703dbffd82d1b4630430', 2, 16, 72),
+    (20, 'image', 205, '60b76c2979605015320b698d7d3f37cda08dfa68af150067dc4f73585535eaed', 8, 6, 1),
+    (21, 'image', 243, 'b9ac2b7f6cc35b0ad92cb91a73c9b01e260ce85108b80b82f01b946a5e47417d', 9, 7, 1),
+    (22, 'image', 282, '68a20eeb799252229648e6d61d9686a21d812b803a3c382e84c8f11f3f9acd20', 10, 8, 1),
+    (23, 'audio', 300, '4f6964c804b353dd161dc97657bfd7eca2dd3129ba15424b84fcc8683ab22f92', 2, 16, 64),
+    (24, 'image', 269, '874fd0674c2fcb1d91a901d4a0417237455971fd206c577a60cd5147a90389f3', 12, 6, 1),
+    (25, 'image', 226, 'e872fdc99a09a02419969ac3609c3691cc40600a9416c7d4b1d6580b7dea285c', 8, 7, 1),
+    (26, 'image', 261, 'f80194301ec6f6a15d46581bcdd15d53fc1b93da41c51d9f7582d23587a7bff5', 9, 8, 1),
+    (27, 'audio', 268, '70037c7edb1eec6e0404a56bd3aa8859dc7f24e0537b1c92ec91a887d273e09f', 2, 16, 56),
+    (28, 'image', 253, '218c0c3d34d4571cee8d812ee0a2e5ec20842f5273a2c4dda424d45d117edbed', 11, 6, 1),
+    (29, 'image', 296, '0d8d07c57c5e52c0aa075134fa63e9d2212d1bac41a10098e6fd5fc0135c2322', 12, 7, 1),
+    (30, 'image', 243, '835e9b7114805a4f786e411dfaa83040e41f838bc233770a78e0e3a3feb2d5a0', 8, 8, 1),
+    (31, 'audio', 236, 'a58ba23ddaa2c840b8b984d6d085cd0d8b7fd50f69ca2ad28b119e4f22207b6b', 2, 16, 48),
+    (32, 'image', 239, 'c04c7bec9a9c96584251ac689483eb7ec8b0eced72155de1092b3c5ff7e618b6', 10, 6, 1),
+    (33, 'image', 278, 'b10612ef958c3e1caab9763f11a8d96c37d273df34eb7c6baa7a9d65b952a338', 11, 7, 1),
+    (34, 'image', 330, '8d8eaf5bd5c3d823f5a9f02b3a5aedee3a79e2a5e68ab858484101db6c9e8100', 12, 8, 1),
+    (35, 'audio', 204, 'd63e5618b41c2e0ff6740ae7158f07e6314d3d820ab86dbabf978223b24f6e9a', 2, 16, 40),
+    (36, 'image', 219, '0445c8c3fdc11088aba722dec5ad4ab32a849edd632c2941cd7113533ac9256d', 9, 6, 1),
+    (37, 'image', 262, '479d674743bef0d79711b7dfcae4c04b50473341efc7fc6a1842fe0c17212c22', 10, 7, 1),
+    (38, 'image', 305, '158086e85084c5a7e2475148db10651a2399633227bd36c6312c4d864771f78e', 11, 8, 1),
+    (39, 'audio', 332, '1a4867f91c60117e2025038f0f029cfcaea9a02224faa5af927ec241a47df10f', 2, 16, 72),
+    (40, 'image', 207, '8ea82b397f9ace2760ea2810e6f75e45aa4bfbdab72a66a8bd3427778083d9c2', 8, 6, 1),
+    (41, 'image', 246, '73a9869b5ad8782723a29f44655fa0bb1e3843881e49ebc6738a0f0026082cf9', 9, 7, 1),
+    (42, 'image', 288, '047b3fff35ee47d8a572ba05dfd6bc3b47d79abaf2aff5316399f899222d7c38', 10, 8, 1),
+    (43, 'audio', 300, '788fecd6ebfef3d9af5bdca8d04aa679efd2cc05f7ff64313657ec246cd596f7', 2, 16, 64),
+    (44, 'image', 268, '49481eafe210a92696ff412ad9fb0e995e38872f5f5b9c15c78061cf9d76afbd', 12, 6, 1),
+    (45, 'image', 225, 'f8114b721c102a21d295c3530e4318fc2f77863445b24da1e8856d86a1b07ea5', 8, 7, 1),
+    (46, 'image', 264, '822d3eb637d8c720de94d4c28160f927f74a7387ec9f246c1d74ebf1f961dab3', 9, 8, 1),
+    (47, 'audio', 268, '4ab7fb2aff5e67b27834149e0d82d7a3ebe6e061fee8738034ded24cfc8a4c25', 2, 16, 56),
+    (48, 'image', 249, 'f833206aa170fdc8074f78527e0d1c5cd58bbb18ff210691af7ff1b14bd21c8d', 11, 6, 1),
+    (49, 'image', 293, 'e1bbcb1ae771394236fc5b32492e59b5e089b5c6422acb0b7f542edd93636aac', 12, 7, 1),
+    (50, 'image', 244, '71956d96d69048ceefff774527feb14e08cd111455d711eba7886d06cd406d92', 8, 8, 1),
+    (51, 'audio', 236, '47a8eb08c36afe438024ae1bce86c00cfae6bd4871db5f70127f057368d112c5', 2, 16, 48),
+    (52, 'image', 233, '6ad3e49a83d5a6f3f70065e6e2ea5e653c553cb6bb6125bf33bdba415cba333f', 10, 6, 1),
+    (53, 'image', 280, 'e98840c58ef4047a05845932dd8a37e28651b954ebfaf3042ae7a6e9a218b3c0', 11, 7, 1),
+    (54, 'image', 329, '970b80013b34f4178f859fdf719909d1935083dafce777b464afa69304c36178', 12, 8, 1),
+    (55, 'audio', 204, '86797648ef4a763a5fa211dee273e9af27f51719a5213737504f05b5f0f68f97', 2, 16, 40),
+    (56, 'image', 220, '8c784b89d17d57ee00f49dcb11bab08478143d15190a1a753a6d6f08edb18d13', 9, 6, 1),
+    (57, 'image', 263, '8702b181577253008bbec0c1cd82cab15a5d13324b7825456bce220ce3137a06', 10, 7, 1),
+    (58, 'image', 302, '95a956d52535ab83b5a2f2853897973f885b97c77ed27c29f87dbc9c5967f0e2', 11, 8, 1),
+    (59, 'audio', 332, 'e9e5ab71332b7a46f832f6f94c1491d8c6265e6fa26aeeb3db18f1ce1fcbbd70', 2, 16, 72),
+    (60, 'image', 202, '7693e78cdc448e2cf536a162f344829d58cd04923e16de5c42dedb33e9458105', 8, 6, 1),
+    (61, 'image', 244, 'bb040d89a6e15f53fdd621509b20d3eaa1bef9ca6ec69c79c21eea0241b42cec', 9, 7, 1),
+    (62, 'image', 278, '9f51ef9529d31a6f8d6febde7e9940c7549ecaad3533accf8b934d0050c358d5', 10, 8, 1),
+    (63, 'audio', 300, '6b6a0f609c681f72970967d43f68891ef0b21cd97a4c3529cec5b553155e8af6', 2, 16, 64),
+]
 
-    assets = make_fake_assets(spark, 64)
-    return decode_assets(assets, fake=True).select(
+MULTIMODAL_RESIZE_EXPECTED = [
+    (0, '9b9e81be6cceef262557bea9a787c37cd1359915cb33873ed518f62a94a19f58', 237, 32, 16),
+    (1, '449024abbfad4d66db2792294b7df409aa5ea77c569dcc647cd48934862c67cc', 291, 32, 16),
+    (2, 'bfbe4bcceda16e1351cda4f673f1b48b596e376b83ea9571b43ac535d7d9fcad', 344, 32, 16),
+    (4, 'e3c52078e903e9ccde4fa9712f41fd32ff5cfb77f138dba070c6d2a239d36070', 322, 32, 16),
+    (5, '8764371145e8a36effe4469456de37e7b39d82a850c28751174d7d86d6efd41d', 265, 32, 16),
+    (6, '6f83bce92800598671fc953022b6c8438c87b1b8c03e2645cc893d53c9dd419c', 316, 32, 16),
+    (8, '757ba9e6396c177e3b2c50d0dd4a3f662cc5f411de573e6bc00065b9db0f5d65', 297, 32, 16),
+    (9, 'e5d5004808e0d421b70073680f6636fa8e206e45b5fe41f6a311e2f8818ee38a', 356, 32, 16),
+    (10, '238b7b3a38691e7fcc79e2909328b3d2d0da9cef75860abf62f13fcd671835a2', 287, 32, 16),
+    (12, '717c88c62fb4324ffced4bbf284dcb9a0c008fe0473b009962e4a8bdf5c732df', 280, 32, 16),
+    (13, '5305acda1ab1ff83bdef670334ccb76891deba7ad6a53641108a6b10e40ee681', 329, 32, 16),
+    (14, '0ba497ee478dd2a40f0285ab7fe7addf02135da29fbd00e6a55a276b5f43786f', 397, 32, 16),
+    (16, 'b9869ee5ca0a4d6f51d6fb2e7f517c63cd1e039d9268074b57041c60f9a40292', 262, 32, 16),
+    (17, '702aa8575a4d5d6ea25c1a7cca58d0d4b0addcf3ccbf0f9a71916db5e19fac30', 317, 32, 16),
+    (18, '7baa5c914a38a6e777c24fb836d172a7a4db67d037138d207c00e8612fc3e578', 367, 32, 16),
+    (20, '32f1658023e02a5f3459af51bbf161672387cabfef8adc6960c55cab214f7f04', 239, 32, 16),
+    (21, '6ee0d64be480cffbd9ae00e8c00b35090e260149199d95c2d9be4fb3e12a1068', 293, 32, 16),
+    (22, '35615f00e77bf3f2338aff5453bb0d8456fc0a35be6ce66cc4a150bd77a60209', 340, 32, 16),
+    (24, 'd7bcc647d156c6e81d43de1dced25b8690221577e4c4fe255f65bef4fe44160c', 322, 32, 16),
+    (25, 'd72ef20f54447f7fc5024f7a26823ce0a0f5c763e9f84004f4fa85d2e1eba980', 266, 32, 16),
+    (26, '9fd062ba7b798c57d20bbcb9dd92b291fad926cbac6b0fb34f3461b0ad18a868', 317, 32, 16),
+    (28, '2de8c9ec15203fe67332584e174ba311e03a243fbea2646783e8b5b486b08abf', 298, 32, 16),
+    (29, '61200a83e34b16e0658d2b6c034363af85dcc047a831852db7fb24e479768632', 358, 32, 16),
+    (30, 'c7a3a2e33e176b7b0899d4a1044baa0f6e3b669863851845d1c7d9a10d800bce', 285, 32, 16),
+    (32, '1dfd1b127357c934a1c0d31a45d42e3056bd26cb8f805348a37b016c71e53668', 285, 32, 16),
+    (33, 'bd4208b44a6d7826fcf1b4700f564724767280bae612c25b6f37f4ef075461b0', 330, 32, 16),
+    (34, '93c576e6b57686c73949a019d1e06128238a543644f7000016adbc5d24079390', 399, 32, 16),
+    (36, '0300fac61e27e2cce44d17f356718741c0919c76ef90bda6f232b905790a57fd', 266, 32, 16),
+    (37, '60e14af0f667f4336afa6907f773154cc47eb25b10c21ffa43bf14c8e84e9b39', 314, 32, 16),
+    (38, '867144926b62caaaf621303e429c0ec87f046eced3622914f64216bce7932d6c', 363, 32, 16),
+    (40, '0de9521a8bd172f3eaf068debf31a3959c0e608c1a803b6d02d3fa710e7fa90d', 240, 32, 16),
+    (41, 'cd0285ac99e4fc34de653fe55ff0f666dfc242c1960640e8e999a8d52446e758', 295, 32, 16),
+    (42, '32f28e5040c7b0223a9a87d6c2867030db1f2d1bbee0015ed2cef33c02b824a8', 343, 32, 16),
+    (44, '580c24d5cf93166ece64a4dde4efa867ccfe931f2bdb0b72c5e82f2368cae8e3', 321, 32, 16),
+    (45, '5dd9b1425a3936b0b07e2a16f5afc356c465ac4475a4b51e95f8df8246117787', 261, 32, 16),
+    (46, '4440e674c0d5687d5a7017a254bf3faa2c678ec22d962d516279cf09cdce0800', 321, 32, 16),
+    (48, '2e368fd30ec112584291f8d90736852d9c217abfe28c0aaa9d150173ba4fff74', 295, 32, 16),
+    (49, 'df7029449dca880ef148f30decc81141540a1af986f799cc5ccb117f2ede781a', 356, 32, 16),
+    (50, '588040dee595ebe6c3b41728e94a3cd925c0665f42712961bd7078e54d7cba74', 285, 32, 16),
+    (52, '2b52c8705cccf69f00a04aca8e6b3aaaeae4b757090fb4f3c2293e51a34fe94e', 280, 32, 16),
+    (53, '07d4dd3dc46d96d547e2c6f7f00a4c6564ad7a58fae81ea335c33659938c101c', 331, 32, 16),
+    (54, '6116eeb2762abb27b1e2a80b1e3c0e28d464f25fe0ab2ca873f1c240f8dd9f53', 399, 32, 16),
+    (56, '075b39755ea96877b531a8c162bf1589c9f4389b06ef6c92c1f50e9f507ed0d3', 266, 32, 16),
+    (57, 'ebf95796cd92d968d7fb53b7120e3a0bbd61b8528e8b59237bb43bd213c52afe', 314, 32, 16),
+    (58, '738c70a9a12758441eee78ee92d94f5970a7a9343df210f6578c234fecd47f69', 358, 32, 16),
+    (60, '0a066be8db3f7f101504912a627a795f4d29e3a806fcf082671bcc99bc56ba15', 237, 32, 16),
+    (61, 'c802a2b8608b2572fa1cc275fecb2597b55962f8480f9f600cef57e454605cec', 294, 32, 16),
+    (62, '046f73dac67c2482aa06ee5298d160c1d6fbc385b6e701690083cd70ec99a210', 336, 32, 16),
+]
+
+#: (asset_id, dhash) — audio rows carry None (dhash_images
+#: hashes non-decodable payloads to NULL, and NULLs never pair)
+IMAGE_DHASH_EXPECTED = [
+    (0, 56524518407061696),
+    (1, 20486445324058688),
+    (2, -5610249112296349664),
+    (3, None),
+    (4, 12464166896404488),
+    (5, 65487672233205920),
+    (6, 2623531708667928608),
+    (7, None),
+    (8, 12534535644776456),
+    (9, 7930004751780876),
+    (10, -5996392714063017848),
+    (11, None),
+    (12, 19153647174943748),
+    (13, 37335620619895940),
+    (14, 4778994589627466306),
+    (15, None),
+    (16, 39428779030086660),
+    (17, 46660566068068737),
+    (18, 4883421286287622465),
+    (19, None),
+    (20, 38722329932562817),
+    (21, 56727729428595073),
+    (22, -3214649527805853375),
+    (23, None),
+    (24, 14724762799443984),
+    (25, 55389894884769984),
+    (26, 7225119949746880576),
+    (27, None),
+    (28, 17055727455049752),
+    (29, 7367037278488584),
+    (30, -5416536704614887280),
+    (31, None),
+    (32, 21400997411162120),
+    (33, 38892509552183304),
+    (34, -8748624062042569596),
+    (35, None),
+    (36, 38307156910934024),
+    (37, 9647158282289666),
+    (38, -4430795969549663614),
+    (39, None),
+    (40, 39004771276980866),
+    (41, 19855058854347266),
+    (42, -3196494115860545151),
+    (43, None),
+    (44, 10451034117841185),
+    (45, 46594629730140545),
+    (46, -6510646427721301631),
+    (47, None),
+]
+
+
+def q_multimodal_decode(spark, sf_dir):
+    # hash-pinned (r11, formerly rows-only): REAL stdlib-codec decode —
+    # PNG header parse + WAV meta — over the deterministic real-asset
+    # fixture, compared against digests frozen ONCE by
+    # tools/gen_multimodal_expected.py (a regression in the decode
+    # kernels fails the contract instead of moving the oracle)
+    from seqspark.pipeline.multimodal import decode_assets, make_real_assets
+
+    assets = make_real_assets(spark, 64)
+    return decode_assets(assets, fake=False).select(
         "asset_id", "media_type", "n_bytes", "sha256", "width", "height", "n_frames"
     )
 
@@ -1497,12 +1678,19 @@ def q_embedding_dup_clusters(spark, sf_dir):
 
 
 def q_multimodal_resize(spark, sf_dir):
-    # rows-only: resize plumbing (deterministic fake kernel) over the fixture
-    from seqspark.pipeline.multimodal import make_fake_assets, resize_images
+    # hash-pinned (r11, formerly rows-only): REAL stdlib nearest-neighbor
+    # PNG resize (decode → resample → re-encode), output bytes digested
+    # IN-ENGINE (F.sha2 over the binary column) and compared against the
+    # frozen expected digests — audio rows drop per on_other='drop'
+    from seqspark.pipeline.multimodal import make_real_assets, resize_images
 
-    assets = make_fake_assets(spark, 64)
-    return resize_images(assets, 32, 16, fake=True).select(
-        "asset_id", F.length("content").alias("n_bytes"), "width", "height"
+    assets = make_real_assets(spark, 64)
+    return resize_images(assets, 32, 16, fake=False).select(
+        "asset_id",
+        F.lower(F.sha2(F.col("content"), 256)).alias("sha256"),
+        F.length("content").alias("n_bytes"),
+        "width",
+        "height",
     )
 
 
@@ -1685,35 +1873,31 @@ def q_hamming_dedup(spark, sf_dir):
 
 
 def q_image_dhash_dupes(spark, sf_dir):
-    # rows-only: perceptual-hash dedup plumbing — dHash over the
-    # deterministic asset fixture (fake mode: sha-derived hashes), then
-    # the exact Hamming-banded pair join; fixture ids 0..63 with payloads
-    # repeated every id%4, so identical payloads pair at distance 0
+    # hash-pinned (r11, formerly rows-only): REAL dHash (stdlib PNG
+    # raster decode → luma grid → difference bits) over the real-asset
+    # fixture plus byte-identical copies under shifted ids, then the
+    # exact Hamming-banded pair join. The oracle freezes only the
+    # per-asset dHash values (IMAGE_DHASH_EXPECTED) and REPLAYS the pair
+    # semantics in DuckDB as brute-force bit_count(xor) over the literal
+    # table — pigeonhole banding is exact, so the sets must be equal.
+    # Audio rows dhash to NULL and never pair.
     from seqspark.pipeline.dedup import hamming_dupes
-    from seqspark.pipeline.multimodal import dhash_images, make_fake_assets
+    from seqspark.pipeline.multimodal import dhash_images, make_real_assets
 
-    assets = make_fake_assets(spark, 48)
-    # plant byte-identical copies under shifted ids: every asset pairs
-    # with its copy at distance 0 (48 deterministic pairs)
+    assets = make_real_assets(spark, 48)
     copies = assets.withColumn("asset_id", F.col("asset_id") + 1000)
-    hashed = dhash_images(assets.unionByName(copies), fake=True)
+    hashed = dhash_images(assets.unionByName(copies), fake=False)
     return hamming_dupes(hashed, "asset_id", "dhash", max_distance=4)
 
 
-#: entries that deliberately have no SQL oracle twin — binary multimodal
-#: plumbing over the in-memory fake-asset fixture, which DuckDB cannot
-#: see (r10: every LSH/sketch entry moved OUT of this set via portable
-#: md5 hashing / literal hyperplanes; see portable_lsh_sql,
-#: simhash_oracle_sql, ann.lsh_oracle_sql). The driver records a weaker
-#: rows-only check for these. Everything else MUST have an oracle_sql()
-#: entry — tests/test_contract.py pins the two key sets.
-ROWS_ONLY = frozenset(
-    {
-        "multimodal_decode",
-        "multimodal_resize",
-        "image_dhash_dupes",
-    }
-)
+#: entries that deliberately have no SQL oracle twin. EMPTY since r11:
+#: the last three (binary multimodal kernels) moved to hash-green via
+#: frozen expected digests over the deterministic real-codec fixture
+#: (tools/gen_multimodal_expected.py — the literal-hyperplane trick of
+#: r10's LSH conversions, applied to binary outputs). Every contract
+#: entry now carries a full rows+schema+hash oracle; tests/test_contract
+#: pins queries().keys() == oracle_sql().keys().
+ROWS_ONLY = frozenset()
 
 
 def contract_diagnostics() -> dict[str, Callable[[SparkSession, str], str]]:
@@ -1745,7 +1929,77 @@ def contract_diagnostics() -> dict[str, Callable[[SparkSession, str], str]]:
     }
 
 
+#: Driver-window rotation (r11): the driver's CORRECTNESS artifact checks
+#: the FIRST 50 queries() entries, and rounds 1-10 kept a stable ordering,
+#: so 46 of the 115 entries had never appeared in any driver artifact
+#: (only in the committed-and-independently-reproduced ORACLE_CHECK runs).
+#: This window front-loads all 46 never-driver-checked entries plus four
+#: long-stable canaries, so after this round every contract entry has
+#: been driver-green at least once. Rotate again if new entries land.
+DRIVER_WINDOW = [
+    # canaries: stable since r1, keep a cross-round comparison anchor
+    "keyword_eq",
+    "match_all",
+    "agg_count_group",
+    "time_range",
+    # never driver-checked before r11 (46)
+    "incremental_lsh_dupes",
+    "bpe_encode",
+    "bpe_encode_dict",
+    "complex_search",
+    "agg_notexists_bucket",
+    "agg_sum_notexists",
+    "agg_unique_total",
+    "agg_bucket_order",
+    "keyset_pagination",
+    "multitype_keyword_title",
+    "inverted_index_and",
+    "export_keyset",
+    "corpus_curation",
+    "case_sensitive_eq",
+    "pii_scrub",
+    "decontaminate",
+    "repetition_ratio",
+    "shipping_priority",
+    "local_supplier_volume",
+    "hash_sample",
+    "hash_split",
+    "train_shuffle",
+    "mix_sources",
+    "legacy_query",
+    "legacy_range",
+    "dup_clusters",
+    "stratified_sample",
+    "domain_stats",
+    "cap_per_group",
+    "ivf_update",
+    "sessionize",
+    "sessionize_native",
+    "sketch_balanced_sample",
+    "multimodal_resize",
+    "embedding_dup_clusters",
+    "top_per_group",
+    "heavy_hitters",
+    "semantic_dedup_pairs",
+    "semantic_dedup",
+    "span_dedup",
+    "fuzzy_contamination",
+    "quality_classifier",
+    "pack_sequences",
+    "hamming_dupes",
+    "hamming_dedup",
+    "image_dhash_dupes",
+]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    q = _all_queries()
+    ordered = {name: q[name] for name in DRIVER_WINDOW}
+    ordered.update((k, v) for k, v in q.items() if k not in ordered)
+    return ordered
+
+
+def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "keyword_eq": q_keyword_eq,
         "keyword_eq_native": q_keyword_eq_native,
@@ -2897,7 +3151,46 @@ def oracle_sql() -> dict[str, str]:
     )
     # the dictionary encode path produces the identical output — same oracle
     sql["bpe_encode_dict"] = sql["bpe_encode"]
-    # rows-only entries (LSH candidate generation, multimodal plumbing)
-    # have no SQL equivalent on purpose — the driver records a weaker
-    # check for the names in ROWS_ONLY (pinned by tests/test_contract.py)
+    # multimodal entries, hash-green (r11, formerly the last rows-only
+    # three): the real-codec kernels are deterministic functions of the
+    # deterministic fixture, so their outputs were digested ONCE
+    # (tools/gen_multimodal_expected.py) and frozen as literals — the
+    # same trick as ann_lsh_topk's literal hyperplanes, applied to
+    # binary kernels. A decode/resize/dhash regression now FAILS the
+    # contract; it cannot silently move the oracle.
+    sql["multimodal_decode"] = (
+        "SELECT * FROM (VALUES "
+        + ", ".join(
+            f"({i}, '{m}', CAST({nb} AS BIGINT), '{sha}', {w}, {h}, {nf})"
+            for i, m, nb, sha, w, h, nf in MULTIMODAL_DECODE_EXPECTED
+        )
+        + ") AS t(asset_id, media_type, n_bytes, sha256, width, height, n_frames)"
+    )
+    sql["multimodal_resize"] = (
+        "SELECT * FROM (VALUES "
+        + ", ".join(
+            f"({i}, '{sha}', {nb}, {w}, {h})"
+            for i, sha, nb, w, h in MULTIMODAL_RESIZE_EXPECTED
+        )
+        + ") AS t(asset_id, sha256, n_bytes, width, height)"
+    )
+    # dHash pairs: only the per-asset dHash values are frozen; the pair
+    # SEMANTICS (every id<id pair within Hamming distance 4, planted
+    # +1000 copies included, NULL audio hashes never pairing) are
+    # REPLAYED in DuckDB as brute-force bit_count(xor) over the literal
+    # table — pigeonhole banding is exact, so the sets must be equal
+    _dh_vals = ", ".join(
+        f"({i}, {'CAST(NULL AS BIGINT)' if d is None else f'CAST({d} AS BIGINT)'})"
+        for i, d in IMAGE_DHASH_EXPECTED
+    )
+    sql["image_dhash_dupes"] = (
+        f"WITH h(asset_id, dhash) AS (VALUES {_dh_vals}), "
+        "hh AS (SELECT asset_id, dhash FROM h WHERE dhash IS NOT NULL "
+        "UNION ALL "
+        "SELECT asset_id + 1000, dhash FROM h WHERE dhash IS NOT NULL) "
+        "SELECT a.asset_id AS id_a, b.asset_id AS id_b, "
+        "CAST(bit_count(xor(a.dhash, b.dhash)) AS INTEGER) AS distance "
+        "FROM hh a JOIN hh b ON a.asset_id < b.asset_id "
+        "WHERE bit_count(xor(a.dhash, b.dhash)) <= 4"
+    )
     return {k: v for k, v in sql.items() if v is not None}

@@ -572,6 +572,58 @@ def make_fake_assets(spark, n: int = 64) -> DataFrame:
     return spark.createDataFrame(rows, ASSET_SCHEMA)
 
 
+def real_asset_rows(n: int = 64) -> list:
+    """Driver-side rows of the REAL-codec asset fixture: deterministic
+    8-bit RGB PNGs (stdlib encoder, id-derived size and pixel pattern)
+    with every 4th asset a PCM WAV (stdlib ``wave`` writer). A pure
+    function of ``n`` — ``tools/gen_multimodal_expected.py`` computes the
+    frozen contract-oracle digests from these same rows without a
+    SparkSession. No video rows: real mode has no video decoder (honest
+    ``NotImplementedError``), so the real fixture carries exactly the
+    modalities the stdlib codecs can decode."""
+    import wave
+
+    rows = []
+    for i in range(n):
+        if i % 4 == 3:
+            buf = io.BytesIO()
+            with wave.open(buf, "wb") as w:
+                nch = 1 + i % 2
+                w.setnchannels(nch)
+                w.setsampwidth(2)
+                w.setframerate(8000)
+                nf = 40 + (i % 5) * 8
+                w.writeframes(
+                    bytes((i * 131 + k * 17) % 256 for k in range(nf * nch * 2))
+                )
+            content = buf.getvalue()
+            media = "audio"
+        else:
+            iw, ih = 8 + i % 5, 6 + i % 4
+            px = bytearray()
+            for y in range(ih):
+                for x in range(iw):
+                    px += bytes(
+                        (
+                            (x * 37 + i * 11) % 256,
+                            (y * 59 + i * 7) % 256,
+                            (x * y * 13 + i) % 256,
+                        )
+                    )
+            content = _png_encode(iw, ih, 3, px)
+            media = "image"
+        rows.append((i, media, bytearray(content), '{"src":"fixture-real"}'))
+    return rows
+
+
+def make_real_assets(spark, n: int = 64) -> DataFrame:
+    """Deterministic REAL-codec asset fixture (:func:`real_asset_rows`):
+    every payload decodes through the stdlib kernels with ``fake=False``,
+    so the decode/resize/dhash contract entries can be hash-pinned
+    against frozen expected digests instead of rows-only checked."""
+    return spark.createDataFrame(real_asset_rows(n), ASSET_SCHEMA)
+
+
 def _dhash_of_pixels(
     w: int, h: int, ch: int, pixels: bytearray, hash_size: int = 8
 ) -> int:

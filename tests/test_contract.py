@@ -33,6 +33,27 @@ def test_queries_and_oracles_cover_each_other():
     )
 
 
+def test_driver_window_shape():
+    # the driver checks the FIRST 50 queries() entries; DRIVER_WINDOW is
+    # the deliberate rotation (r11: all 46 never-driver-checked entries
+    # + 4 canaries). The window must stay exactly 50 names, all real,
+    # and queries() must actually lead with it — a dict-building change
+    # that silently reorders would un-rotate the official record.
+    win = entry_mod.DRIVER_WINDOW
+    assert len(win) == 50 and len(set(win)) == 50
+    q = list(entry_mod.queries())
+    assert q[:50] == win
+    assert set(q) == set(entry_mod._all_queries())
+
+
+def test_rows_only_is_empty():
+    # r11: every contract entry is hash-verified against a DuckDB oracle
+    # (the last three binary-kernel entries moved to frozen expected
+    # digests). Adding a new rows-only entry is a deliberate contract
+    # weakening — it must update this pin with a justification.
+    assert entry_mod.ROWS_ONLY == frozenset()
+
+
 def _physical_plan(df) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
 

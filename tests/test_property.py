@@ -376,3 +376,173 @@ def test_random_json_ingest_never_crashes(spark, docs):
     # the table stays searchable; match-all sees every doc
     st_ = SearchTable.from_docs(frame, mapping)
     assert st_.search("*", size=100).count() == len(lines)
+
+
+# ---------------------------------------------------------------------------
+# Wildcard matcher parity vs a direct Python port of the reference's
+# matcher (pattern/pattern.go:73-155 check path + pattern/substring.go
+# KMP greedy middle-term automaton). The port is a TEST MODEL ONLY —
+# the engine compiles wildcards to SQL LIKE (compile.wildcard_like) and
+# this property pins that the two agree on adversarial inputs:
+# overlapping terms (a*aa on aaa), LIKE metacharacters (% _ \) in DATA,
+# newlines (LIKE % must cross them like the reference's any-byte *),
+# multi-byte unicode (byte-level vs char-level matching — equal for
+# valid UTF-8 because the encoding is self-synchronizing), and empty
+# prefix/suffix (leading/trailing stars).
+
+
+class _GoSubstring:
+    """Port of substring.calcPrefFunc/findSubstring (substring.go)."""
+
+    def __init__(self, val: bytes):
+        assert val, "reference terms are never empty"
+        self.val = val
+        pf = [0] * len(val)
+        cur = 0
+        for i, b in enumerate(val[1:]):
+            while cur > 0 and b != val[cur]:
+                cur = pf[cur - 1]
+            if b == val[cur]:
+                cur += 1
+            pf[i + 1] = cur
+        self.pf = pf
+
+    def find(self, s: bytes) -> int:
+        cur = 0
+        for i, b in enumerate(s):
+            while cur > 0 and b != self.val[cur]:
+                cur = self.pf[cur - 1]
+            if b == self.val[cur]:
+                cur += 1
+            if cur == len(self.val):
+                return i + 1
+        return -1
+
+
+class _GoWildcard:
+    """Port of wildcardSearch (pattern/pattern.go:73-155): terms are
+    ('*' | non-empty text) with prefix = first term if text, suffix =
+    last term if text, middles = interior text terms found greedily
+    left-to-right in the region between prefix and suffix."""
+
+    def __init__(self, terms):
+        assert any(t is None for t in terms), "literal path handles no-star"
+        self.prefix = terms[0].encode() if terms[0] is not None else b""
+        self.suffix = (
+            terms[-1].encode() if len(terms) > 1 and terms[-1] is not None else b""
+        )
+        self.middle = [
+            _GoSubstring(t.encode()) for t in terms[1:-1] if t is not None
+        ]
+        self.middle_len = sum(len(m.val) for m in self.middle)
+
+    def check(self, val: str) -> bool:
+        v = val.encode()
+        np, ns = len(self.prefix), len(self.suffix)
+        if np and (np > len(v) or v[:np] != self.prefix):
+            return False
+        if ns and (len(v) - np < ns or v[-ns:] != self.suffix):
+            return False
+        if self.middle:
+            if len(v) - np - ns < self.middle_len:
+                return False
+            s = v[np : len(v) - ns]
+            for m in self.middle:
+                end = m.find(s)
+                if end == -1:
+                    return False
+                s = s[end:]
+        return True
+
+
+_WC_ALPHABET = "ab%_\\\n\tßẞé K"  # LIKE metachars, newline, multibyte, case pairs
+
+
+def _wc_text():
+    return st.text(alphabet=_WC_ALPHABET, min_size=1, max_size=4)
+
+
+@st.composite
+def _wildcard_case(draw):
+    texts = draw(st.lists(_wc_text(), min_size=0, max_size=3))
+    lead = draw(st.booleans())
+    trail = draw(st.booleans())
+    terms: list = []
+    if lead or not texts:
+        terms.append(None)  # '*'
+    for i, t in enumerate(texts):
+        if i:
+            terms.append(None)
+        terms.append(t)
+    if texts and trail:
+        terms.append(None)
+    if not any(t is None for t in terms):
+        terms.append(None)
+    # adversarial values: random, or a splice of the pattern's own text
+    # terms (overlap traps like a*aa on aaa come from here)
+    value = draw(
+        st.one_of(
+            st.text(alphabet=_WC_ALPHABET, min_size=0, max_size=10),
+            st.builds(
+                lambda sep, reps: sep.join(texts * reps),
+                st.sampled_from(["", "a", "aa"]),
+                st.integers(min_value=1, max_value=2),
+            )
+            if texts
+            else st.just(""),
+        )
+    )
+    return terms, value
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(_wildcard_case(), min_size=1, max_size=60))
+def test_wildcard_like_matches_go_matcher_model(spark, cases):
+    from seqspark.compile import wildcard_like
+    from seqspark.seqql.parser import Term
+
+    rows, expected = [], []
+    for terms_spec, value in cases:
+        terms = [
+            Term.wildcard() if t is None else Term.text(t) for t in terms_spec
+        ]
+        rows.append((value, wildcard_like(terms)))
+        expected.append(_GoWildcard(terms_spec).check(value))
+    df = spark.createDataFrame(rows, "v string, p string")
+    got = [r["m"] for r in df.select(F.expr("v LIKE p").alias("m")).collect()]
+    mism = [
+        (rows[i], expected[i], got[i])
+        for i in range(len(rows))
+        if bool(got[i]) != expected[i]
+    ]
+    assert not mism, f"LIKE vs Go-matcher divergence: {mism[:5]}"
+
+
+def test_wildcard_like_overlap_traps(spark):
+    # the named adversarial shapes, pinned explicitly (not just sampled):
+    # greedy-overlap, suffix-overlap-prefix, metachars in data, newline
+    # crossing, escaped backslash in data
+    from seqspark.compile import wildcard_like
+    from seqspark.seqql.parser import Term
+
+    T, W = Term.text, Term.wildcard
+    cases = [
+        ([T("a"), W(), T("aa")], "aaa", True),   # a*aa on aaa
+        ([T("a"), W(), T("aa")], "aa", False),   # suffix may not eat prefix
+        ([T("aa"), W(), T("a")], "aaa", True),
+        ([W(), T("a%b"), W()], "xa%by", True),   # % literal in data+term
+        ([W(), T("a_b"), W()], "axb", False),    # _ must not be a wildcard
+        ([W(), T("a_b"), W()], "a_b", True),
+        ([W(), T("\\"), W()], "a\\b", True),     # backslash in data+term
+        ([T("a"), W(), T("b")], "a\nb", True),   # * crosses newlines
+        ([T("ab"), W()], "a", False),            # prefix longer than value
+        ([W(), T("ab")], "ab", True),            # *ab on ab (empty run)
+    ]
+    rows = [(v, wildcard_like(t)) for t, v, _ in cases]
+    df = spark.createDataFrame(rows, "v string, p string")
+    got = [r["m"] for r in df.select(F.expr("v LIKE p").alias("m")).collect()]
+    for (terms, value, want), g in zip(cases, got):
+        assert bool(g) == want, (value, wildcard_like(terms), want, g)
+        assert _GoWildcard(
+            [None if t.kind.name == "SYMBOL" else t.data for t in terms]
+        ).check(value) == want

@@ -1,0 +1,98 @@
+"""Generate the FROZEN expected-digest literals for the three multimodal
+contract entries (multimodal_decode / multimodal_resize /
+image_dhash_dupes) from the deterministic real-codec fixture
+(`multimodal.real_asset_rows`), WITHOUT a SparkSession.
+
+The printed block is pasted into `__spark_entry__.py` ONCE and committed
+— the oracle compares the live Spark pipeline (mapInPandas /
+mapInArrow, real stdlib codecs) against these frozen values, so a
+kernel regression fails the contract instead of silently updating the
+oracle (the `ann_lsh_topk` literal-hyperplane trick, applied to binary
+kernels). Regenerate ONLY after an intended kernel/fixture change:
+
+    python tools/gen_multimodal_expected.py
+
+NOTE: the resize digests are the stdlib-PNG-codec outputs (this
+container has no Pillow). If the environment gains Pillow,
+`resize_images(fake=False)` routes through it and produces different
+(still deterministic) bytes — regenerate the literals then.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from seqspark.pipeline.multimodal import (  # noqa: E402
+    _dhash_of_pixels,
+    _png_decode_pixels,
+    _real_decode,
+    _stdlib_png_resize,
+    real_asset_rows,
+)
+
+N_DECODE = 64
+N_DHASH = 48
+RESIZE_W, RESIZE_H = 32, 16
+
+
+def main() -> None:
+    rows = real_asset_rows(N_DECODE)
+
+    decode = []
+    for i, media, content, _meta in rows:
+        b = bytes(content)
+        w, h, nf = _real_decode(media, b)
+        decode.append(
+            (i, media, len(b), hashlib.sha256(b).hexdigest(), w, h, nf)
+        )
+
+    resize = []
+    for i, media, content, _meta in rows:
+        if media != "image":
+            continue  # resize_images(on_other='drop') default
+        out = _stdlib_png_resize(bytes(content), RESIZE_W, RESIZE_H)
+        assert out is not None, f"asset {i} not stdlib-resizable"
+        resize.append(
+            (i, hashlib.sha256(out).hexdigest(), len(out), RESIZE_W, RESIZE_H)
+        )
+
+    dhash = []
+    for i, media, content, _meta in real_asset_rows(N_DHASH):
+        if media != "image":
+            dhash.append((i, None))
+            continue
+        dec = _png_decode_pixels(bytes(content))
+        assert dec is not None, f"asset {i} not stdlib-decodable"
+        w, h, ch, px = dec
+        u = _dhash_of_pixels(w, h, ch, px, 8)
+        dhash.append((i, u - (1 << 64) if u >= (1 << 63) else u))
+
+    print("#: frozen expected outputs of the real-codec multimodal kernels")
+    print("#: over make_real_assets — generated ONCE by")
+    print("#: tools/gen_multimodal_expected.py and committed; the oracle")
+    print("#: compares the live Spark pipeline against these, so a kernel")
+    print("#: regression fails the contract instead of moving the oracle.")
+    print("MULTIMODAL_DECODE_EXPECTED = [")
+    for r in decode:
+        print(f"    {r!r},")
+    print("]")
+    print()
+    print("MULTIMODAL_RESIZE_EXPECTED = [")
+    for r in resize:
+        print(f"    {r!r},")
+    print("]")
+    print()
+    print("#: (asset_id, dhash) — audio rows carry None (dhash_images")
+    print("#: hashes non-decodable payloads to NULL, and NULLs never pair)")
+    print("IMAGE_DHASH_EXPECTED = [")
+    for r in dhash:
+        print(f"    {r!r},")
+    print("]")
+
+
+if __name__ == "__main__":
+    main()
