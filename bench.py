@@ -172,9 +172,13 @@ def main() -> None:
 
     def d5():
         # guarded aggs run eagerly and return a LocalRelation — digest the
-        # plan the engine actually executed, not the local result frame
+        # plans the engine actually executed, not the local result frame.
+        # drain-before / drain-after so EVERY probe the query ran is
+        # fingerprinted (a multi-agg query would otherwise silently pin
+        # only its last aggregate)
+        st.drain_agg_plan_dfs()
         b5()
-        return [st.last_agg_plan_df()]
+        return st.drain_agg_plan_dfs()
 
     def b6():
         # aggregation MIN group-by (seq-db-aggs-min-by-status.js)
@@ -183,8 +187,9 @@ def main() -> None:
         ]
 
     def d6():
+        st.drain_agg_plan_dfs()
         b6()
-        return [st.last_agg_plan_df()]
+        return st.drain_agg_plan_dfs()
 
     def b7():
         # scan-heavy pricing summary (TPC-H Q1 shape) on lineitem

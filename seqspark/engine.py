@@ -1120,9 +1120,26 @@ class SearchTable:
 
         Guarded non-timeseries aggregates run in-job and return a
         LocalRelation whose plan says nothing about the work done; this
-        accessor exposes the probe frame for plan diagnostics (bench.py's
-        plan-digest pinning). None if no eager aggregate has run."""
+        accessor exposes the probe frame for plan diagnostics. None if no
+        eager aggregate has run. CAVEAT: this is the LAST probe only —
+        a caller that ran multiple aggregates sees one of them; plan
+        pinning must use :meth:`drain_agg_plan_dfs` instead."""
         return getattr(self, "_last_agg_plan_df", None)
+
+    #: bounded probe buffer: a long-running server that never drains must
+    #: not accumulate DataFrame handles without bound
+    _AGG_PLAN_BUFFER_CAP = 32
+
+    def drain_agg_plan_dfs(self) -> List[DataFrame]:
+        """ALL probe frames executed by eager aggregates since the last
+        drain, oldest first — and resets the buffer. bench.py drains
+        around each agg bench query so a multi-aggregate query
+        fingerprints EVERY executed probe plan, not silently just the
+        last one. The buffer keeps the most recent 32 probes; a server
+        that never drains stays bounded."""
+        out = getattr(self, "_agg_plan_dfs", [])
+        self._agg_plan_dfs = []
+        return out
 
     def aggregate(
         self,
@@ -1349,6 +1366,9 @@ class SearchTable:
             # probe frame so diagnostics (bench.py plan-digest pinning) can
             # fingerprint what actually ran
             self._last_agg_plan_df = probe
+            buf = getattr(self, "_agg_plan_dfs", [])
+            buf.append(probe)
+            self._agg_plan_dfs = buf[-self._AGG_PLAN_BUFFER_CAP:]
             rows = probe.collect()
             real_groups = sum(1 for r in rows if r["name"] != "_not_exists")
             if group_guard and real_groups > max_group_tokens:

@@ -194,3 +194,22 @@ def test_complex_search_agg_error_releases_cache(spark, events_table):
             aggs=[AggQuery(func="sum", field=None)],  # malformed: no field
         )
     assert jsc.getPersistentRDDs().size() == before
+
+
+def test_drain_agg_plan_dfs_captures_every_probe(events_table):
+    # bench plan pinning must fingerprint EVERY eager probe a query ran:
+    # two aggregates between drains -> two probe frames, oldest first,
+    # and the drain resets the buffer (r10 verdict: last_agg_plan_df
+    # alone would silently half-pin a multi-agg bench query)
+    events_table.drain_agg_plan_dfs()
+    events_table.aggregate(AggQuery(func="count", field="event_type"))
+    events_table.aggregate(
+        AggQuery(func="min", field="value", group_by="event_type")
+    )
+    probes = events_table.drain_agg_plan_dfs()
+    assert len(probes) == 2
+    plans = [p._jdf.queryExecution().executedPlan().toString() for p in probes]
+    assert all("LocalTableScan" not in pl for pl in plans)
+    assert events_table.drain_agg_plan_dfs() == []
+    # last_agg_plan_df still points at the most recent probe
+    assert events_table.last_agg_plan_df() is probes[-1]
