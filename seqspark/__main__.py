@@ -65,6 +65,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="HTTP listen host:port (port 0 = ephemeral)")
     p.add_argument("--proxy-grpc-addr", default="127.0.0.1:0",
                    help="gRPC listen host:port")
+    p.add_argument("--tls-cert", default=None,
+                   help="PEM certificate chain: serve the gRPC listener "
+                   "over TLS (ALPN h2) instead of h2c; requires --tls-key")
+    p.add_argument("--tls-key", default=None,
+                   help="PEM private key for --tls-cert")
     p.add_argument("--case-sensitive", action="store_true")
     p.add_argument("--allowed-time-drift", type=duration_ms,
                    default=duration_ms("24h"))
@@ -210,7 +215,9 @@ def main(argv: Optional[list] = None, spark=None, block: bool = True):
         use_seq_ql_by_default=args.use_seq_ql_by_default,
     ).start()
     grpc = SeqProxyGrpc(http, host=ghost or "127.0.0.1",
-                        port=int(gport or 0)).start()
+                        port=int(gport or 0),
+                        tls_cert=args.tls_cert,
+                        tls_key=args.tls_key).start()
 
     maint_stop = threading.Event()
     maint_thread = threading.Thread(

@@ -126,7 +126,8 @@ class SeqProxyGrpc:
     core (construct the core with ``port=0`` and never ``start()`` it if
     only the gRPC transport is wanted — both can serve concurrently)."""
 
-    def __init__(self, core, host: str = "127.0.0.1", port: int = 0):
+    def __init__(self, core, host: str = "127.0.0.1", port: int = 0,
+                 tls_cert=None, tls_key=None):
         self.core = core
         m = lambda fn, req, resp, streaming=False: Method(
             fn, req, resp, server_streaming=streaming
@@ -182,6 +183,8 @@ class SeqProxyGrpc:
             },
             host=host,
             port=port,
+            tls_cert=tls_cert,
+            tls_key=tls_key,
         )
     @property
     def port(self) -> Optional[int]:

@@ -31,7 +31,7 @@ sample membership with split assignment.
 
 from __future__ import annotations
 
-from typing import Dict
+from typing import Dict, Optional
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
@@ -125,6 +125,7 @@ def cap_per_group(
     group_col: str,
     n: int,
     seed: str = "",
+    salt_groups: Optional[int] = None,
 ) -> DataFrame:
     """Keep at most ``n`` rows per group, chosen deterministically by hash
     rank (per-domain / per-source caps after :func:`stratified_sample`'s
@@ -133,17 +134,28 @@ def cap_per_group(
     The hash rank makes the survivors a uniform, rerun-stable draw rather
     than "whatever sorted first". One shuffle on the group key; skewed hot
     groups are exactly the rows the cap discards, so the window never
-    materializes more than it must.
+    materializes more than it must — but row_number still SORTS the whole
+    hot group in one task first. ``salt_groups=S`` bounds that: an EXACT
+    two-stage rank (the ``top_per_group`` salt, same argument) first caps
+    each of S hash-of-key salt slices at ``n``, so the final per-group
+    task sorts at most ``n*S`` rows however hot the group. AQE cannot
+    split a window partition (its skew handling is join/shuffle-read
+    only), so the salt is the only lever for single-key window skew.
     """
     if n < 0:
         raise ValueError("n must be >= 0")
     from pyspark.sql import Window
 
-    rank = F.row_number().over(
-        Window.partitionBy(group_col).orderBy(
-            hash_bucket(F.col(key_col), "cap:" + seed), F.col(key_col)
+    order = (hash_bucket(F.col(key_col), "cap:" + seed), F.col(key_col))
+    if salt_groups is not None and salt_groups > 1:
+        pre = F.row_number().over(
+            Window.partitionBy(
+                F.col(group_col),
+                F.pmod(F.xxhash64(F.col(key_col)), F.lit(salt_groups)),
+            ).orderBy(*order)
         )
-    )
+        df = df.withColumn("__prk", pre).filter(F.col("__prk") <= n).drop("__prk")
+    rank = F.row_number().over(Window.partitionBy(group_col).orderBy(*order))
     return (
         df.withColumn("__rk", rank).filter(F.col("__rk") <= n).drop("__rk")
     )
@@ -156,16 +168,34 @@ def top_per_group(
     n: int,
     key_col: str,
     desc: bool = True,
+    salt_groups: Optional[int] = None,
 ) -> DataFrame:
     """Keep the top ``n`` rows of each group by ``order_col`` (ties broken
     by ``key_col`` ascending, so the draw is deterministic) — e.g. the
     best-quality documents per source after scoring. One shuffle on the
-    group key; rank + filter, no join."""
+    group key; rank + filter, no join.
+
+    Skew: a mega-group (one domain holding half the corpus) funnels into
+    a single window task — AQE does not split window partitions.
+    ``salt_groups=S`` makes the rank a two-stage EXACT computation: stage
+    1 ranks within (group, hash(key) % S) and keeps ``n`` per slice
+    (every member of the true top-n is in its slice's top-n, so nothing
+    is lost), stage 2 ranks the ≤ ``n*S`` survivors per group. The hot
+    group's serial work drops from |group| log |group| to ~|group|/S per
+    task; measured numbers in BASELINE.md (skew stress)."""
     if n < 0:
         raise ValueError("n must be >= 0")
     from pyspark.sql import Window
 
     order = F.col(order_col).desc() if desc else F.col(order_col).asc()
+    if salt_groups is not None and salt_groups > 1:
+        pre = F.row_number().over(
+            Window.partitionBy(
+                F.col(group_col),
+                F.pmod(F.xxhash64(F.col(key_col)), F.lit(salt_groups)),
+            ).orderBy(order, F.col(key_col))
+        )
+        df = df.withColumn("__prk", pre).filter(F.col("__prk") <= n).drop("__prk")
     rank = F.row_number().over(
         Window.partitionBy(group_col).orderBy(order, F.col(key_col))
     )

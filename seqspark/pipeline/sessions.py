@@ -29,6 +29,17 @@ def sessionize(
     A new session starts at the actor's first event and whenever the gap
     since their previous event is STRICTLY greater than ``gap_ms``.
     Deterministic for ties via the (ts) ordering within the actor.
+
+    Skew: lag/running-sum chain EVERY consecutive event pair of an actor,
+    so a mega-actor (a bot emitting half the stream) is irreducibly one
+    sorted window partition — salting would sever the chains it must
+    count, and AQE cannot split window partitions (its skew handling is
+    join/shuffle-read only). Measured envelope in BASELINE.md (skew
+    stress): the operator stays O(|actor| log |actor|) on the hot key and
+    the mitigation is upstream — bound per-actor volume first
+    (:func:`seqspark.pipeline.sampling.cap_per_group` with
+    ``salt_groups``) or split the actor key by a coarse time bucket when
+    cross-bucket session continuity is not required.
     """
     if gap_ms < 0:
         raise ValueError("gap_ms must be >= 0")

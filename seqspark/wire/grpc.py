@@ -144,10 +144,13 @@ class GrpcServer:
     (``/seqproxyapi.v1.SeqProxyApi/Search``) to :class:`Method`."""
 
     def __init__(self, methods: Dict[str, Method],
-                 host: str = "127.0.0.1", port: int = 0):
+                 host: str = "127.0.0.1", port: int = 0,
+                 tls_cert: Optional[str] = None,
+                 tls_key: Optional[str] = None):
         self._methods = methods
         self._host = host
         self._requested_port = port
+        self._tls = (tls_cert, tls_key)
         # the listener binds at start(), not construction: the HTTP
         # gateway routes construct a GrpcServer purely to reuse its
         # handlers, and an eagerly-bound never-accepted socket would
@@ -158,7 +161,8 @@ class GrpcServer:
     def start(self) -> "GrpcServer":
         if self._h2 is None:
             self._h2 = H2Server(
-                self._handle, host=self._host, port=self._requested_port
+                self._handle, host=self._host, port=self._requested_port,
+                tls_cert=self._tls[0], tls_key=self._tls[1],
             )
             self.port = self._h2.port
         self._h2.start()
@@ -289,10 +293,15 @@ class GrpcServer:
 
 
 class GrpcChannel:
-    """Client channel over one h2c connection (multiplexed streams)."""
+    """Client channel over one h2 connection (multiplexed streams) —
+    cleartext by default, TLS+ALPN when ``tls_ca`` is given (a PEM
+    bundle, or ``True`` for the system trust store)."""
 
-    def __init__(self, host: str, port: int, timeout: float = 120.0):
-        self._client = H2Client(host, port)
+    def __init__(self, host: str, port: int, timeout: float = 120.0,
+                 tls_ca=None, server_hostname: Optional[str] = None):
+        self._client = H2Client(
+            host, port, tls_ca=tls_ca, server_hostname=server_hostname
+        )
         self._authority = f"{host}:{port}"
         self._timeout = timeout
 

@@ -28,6 +28,7 @@ from __future__ import annotations
 import socket
 import struct
 import threading
+import time
 from typing import Callable, Iterable, List, Optional, Tuple
 
 from . import hpack
@@ -92,6 +93,84 @@ Handler = Callable[
     [List[Tuple[str, str]], bytes],
     Tuple[List[Tuple[str, str]], Iterable[bytes], List[Tuple[str, str]]],
 ]
+
+
+class _SerializedTLSSocket:
+    """Thread-safety shim for TLS connections: an OpenSSL connection is
+    NOT safe for concurrent SSL_read / SSL_write from two threads, and
+    both h2 endpoints have exactly that shape (a blocking frame-reader
+    thread plus handler/request threads writing frames). Interleaved
+    calls intermittently corrupt the connection state and BOTH peers
+    observe a spurious close (reproduced: ~50% failure rate on a
+    unary-then-stream gRPC sequence over TLS).
+
+    Every SSL call is serialized under one lock — but the reader never
+    BLOCKS inside it: it waits for readability on the raw fd OUTSIDE the
+    lock (select) and takes the lock only to drain data that has already
+    arrived (or plaintext the SSL layer already buffered, which select
+    cannot see — hence the ``pending()`` check). Writers therefore wait
+    at most one record-drain, not an entire idle period. Cleartext
+    connections never pass through here — plain sockets allow the
+    concurrent shape natively and pay no polling.
+
+    Exposes exactly the socket surface the h2 code uses: ``recv``,
+    ``sendall``, ``close`` (+ timeout passthrough). The configured
+    socket timeout keeps its meaning: recv raises ``TimeoutError`` after
+    that long without data (the server's idle reclaim)."""
+
+    _POLL_S = 0.25
+
+    def __init__(self, ssock):
+        self._s = ssock
+        self._lock = threading.Lock()
+
+    def recv(self, n: int) -> bytes:
+        import select as _select
+
+        timeout = self._s.gettimeout()
+        deadline = (time.monotonic() + timeout) if timeout else None
+        while True:
+            with self._lock:
+                if self._s.pending():
+                    return self._s.recv(n)
+            try:
+                r, _, _ = _select.select([self._s], [], [], self._POLL_S)
+            except (OSError, ValueError):
+                # closed underneath us mid-wait
+                raise ConnectionError("socket closed during recv") from None
+            if r:
+                with self._lock:
+                    prev = self._s.gettimeout()
+                    # a whole record is normally already queued; 1s bounds
+                    # a partial-record stall without pinning writers
+                    self._s.settimeout(1.0)
+                    try:
+                        return self._s.recv(n)
+                    except TimeoutError:
+                        pass  # partial record: wait for the rest
+                    finally:
+                        self._s.settimeout(prev)
+            if deadline is not None and time.monotonic() > deadline:
+                raise TimeoutError("recv idle timeout")
+
+    def sendall(self, data: bytes) -> None:
+        with self._lock:
+            self._s.sendall(data)
+
+    def settimeout(self, t) -> None:
+        self._s.settimeout(t)
+
+    def gettimeout(self):
+        return self._s.gettimeout()
+
+    def close(self) -> None:
+        try:
+            self._s.close()
+        except OSError:
+            pass
+
+    def selected_alpn_protocol(self):
+        return self._s.selected_alpn_protocol()
 
 
 def pack_frame(ftype: int, flags: int, stream_id: int, payload: bytes) -> bytes:
@@ -678,11 +757,19 @@ class _Conn:
 
 
 class H2Server:
-    """Threaded h2c server: one frame-loop thread per connection, one
-    worker thread per request stream."""
+    """Threaded h2 server: one frame-loop thread per connection, one
+    worker thread per request stream. Cleartext (h2c: prior knowledge or
+    the RFC 7540 §3.2 Upgrade) by default; pass ``tls_cert``/``tls_key``
+    (PEM paths) to serve h2-over-TLS instead — stdlib ``ssl`` with ALPN
+    ``h2`` (§3.3), the mode every production gRPC deployment uses. The
+    reference itself deploys without TLS (its compose files configure
+    none), so cleartext stays the default and feature-parity mode."""
 
     def __init__(self, handler: Handler, host: str = "127.0.0.1", port: int = 0,
-                 idle_timeout_s: float = 300.0):
+                 idle_timeout_s: float = 300.0,
+                 tls_cert: Optional[str] = None, tls_key: Optional[str] = None):
+        if (tls_cert is None) != (tls_key is None):
+            raise ValueError("tls_cert and tls_key must be given together")
         self._handler = handler
         self._lsock = socket.create_server((host, port))
         self.port = self._lsock.getsockname()[1]
@@ -693,6 +780,14 @@ class H2Server:
         #: thread forever — socket.timeout is an OSError, so the serve
         #: loop's normal close path reclaims the connection
         self._idle_timeout = idle_timeout_s
+        self._tls_ctx = None
+        if tls_cert is not None:
+            import ssl
+
+            ctx = ssl.SSLContext(ssl.PROTOCOL_TLS_SERVER)
+            ctx.load_cert_chain(tls_cert, tls_key)
+            ctx.set_alpn_protocols(["h2"])
+            self._tls_ctx = ctx
 
     def start(self) -> "H2Server":
         self._running = True
@@ -708,8 +803,26 @@ class H2Server:
                 return
             sock.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
             sock.settimeout(self._idle_timeout)
-            conn = _Conn(sock, self._handler)
-            threading.Thread(target=conn.serve, daemon=True).start()
+            # handshake + serve off the accept thread: a peer that stalls
+            # mid-TLS-handshake must not block accept for everyone else
+            threading.Thread(
+                target=self._serve_conn, args=(sock,), daemon=True
+            ).start()
+
+    def _serve_conn(self, sock: socket.socket) -> None:
+        if self._tls_ctx is not None:
+            try:
+                sock = self._tls_ctx.wrap_socket(sock, server_side=True)
+            except (OSError, ValueError):
+                # failed/garbage handshake: drop the connection quietly,
+                # exactly like a malformed cleartext preface
+                try:
+                    sock.close()
+                except OSError:
+                    pass
+                return
+            sock = _SerializedTLSSocket(sock)
+        _Conn(sock, self._handler).serve()
 
     def stop(self) -> None:
         self._running = False
@@ -736,13 +849,34 @@ class H2ClientStream:
 
 
 class H2Client:
-    """Prior-knowledge h2c client — enough HTTP/2 to drive unary and
+    """Prior-knowledge h2 client — enough HTTP/2 to drive unary and
     server-streaming gRPC calls (used by :class:`seqspark.wire.grpc.
-    GrpcChannel` and the e2e tests)."""
+    GrpcChannel` and the e2e tests). Cleartext by default; pass
+    ``tls_ca`` (a PEM bundle trusting the server, or ``True`` for the
+    system store) to speak h2-over-TLS with ALPN — the connection fails
+    loudly if the server does not negotiate ``h2``."""
 
-    def __init__(self, host: str, port: int, timeout: float = 60.0):
+    def __init__(self, host: str, port: int, timeout: float = 60.0,
+                 tls_ca=None, server_hostname: Optional[str] = None):
         self._sock = socket.create_connection((host, port), timeout=timeout)
         self._sock.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
+        if tls_ca is not None:
+            import ssl
+
+            ctx = ssl.create_default_context()
+            if tls_ca is not True:
+                ctx.load_verify_locations(tls_ca)
+            ctx.set_alpn_protocols(["h2"])
+            self._sock = ctx.wrap_socket(
+                self._sock, server_hostname=server_hostname or host
+            )
+            if self._sock.selected_alpn_protocol() != "h2":
+                alpn = self._sock.selected_alpn_protocol()
+                self._sock.close()
+                raise ConnectionError(
+                    f"server did not negotiate h2 over ALPN (got {alpn!r})"
+                )
+            self._sock = _SerializedTLSSocket(self._sock)
         self._encoder = hpack.Encoder()
         self._decoder = hpack.Decoder()
         self._write_lock = threading.Lock()

@@ -277,3 +277,44 @@ def test_write_shards_layout(docs, spark, tmp_path):
         t = pq.read_table(os.path.join(full, files[0]), columns=["pos"])
         poss = t.column("pos").to_pylist()
         assert poss == sorted(poss)
+
+
+def test_salted_rank_exactness_under_mega_group(spark):
+    # skew stress: one mega-group holds ~60% of rows. The two-stage salted
+    # rank must return EXACTLY the unsalted result for both operators —
+    # every member of the true top-n/cap-n survives its salt slice — while
+    # bounding the final per-group window to n*salt_groups rows.
+    from seqspark.pipeline.sampling import cap_per_group, top_per_group
+
+    rows = [(i, "mega" if i % 5 < 3 else f"g{i % 17}", float((i * 7919) % 1000))
+            for i in range(4000)]
+    df = spark.createDataFrame(rows, "id long, g string, v double")
+
+    plain_top = sorted(
+        map(tuple, top_per_group(df, "g", "v", 9, key_col="id").collect())
+    )
+    salted_top = sorted(
+        map(tuple,
+            top_per_group(df, "g", "v", 9, key_col="id", salt_groups=8).collect())
+    )
+    assert plain_top == salted_top and plain_top
+
+    plain_cap = sorted(
+        map(tuple, cap_per_group(df, "id", "g", 9, seed="s").collect())
+    )
+    salted_cap = sorted(
+        map(tuple, cap_per_group(df, "id", "g", 9, seed="s", salt_groups=8).collect())
+    )
+    assert plain_cap == salted_cap and plain_cap
+
+    # the salted plan really has the two-stage shape: two window exchanges,
+    # the first keyed by (group, salt)
+    plan = (
+        top_per_group(df, "g", "v", 9, key_col="id", salt_groups=8)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Window") >= 2 and "pmod" in plan
+
+    # degenerate knobs fall back to the single-stage plan
+    one = top_per_group(df, "g", "v", 9, key_col="id", salt_groups=1)
+    assert sorted(map(tuple, one.collect())) == plain_top

@@ -1288,3 +1288,142 @@ def test_h2_write_teardown_no_abba_deadlock():
     assert not tb.is_alive() and not ta.is_alive(), "ABBA deadlock"
     assert sorted(done) == ["flow_holder", "writer"]
     assert conn._closed
+
+
+# ---------------------------------------------------------------- round 11
+# h2-over-TLS (RFC 7540 §3.3: ALPN "h2") — the stdlib-ssl mode behind
+# --tls-cert/--tls-key. The reference deploys without TLS (its compose
+# files configure none), so cleartext h2c stays the default; this pins
+# that the TLS path carries the identical gRPC framing.
+
+
+@pytest.fixture(scope="module")
+def tls_pair(tmp_path_factory):
+    import shutil
+    import subprocess
+
+    if shutil.which("openssl") is None:
+        pytest.skip("openssl CLI unavailable to mint a test cert")
+    d = tmp_path_factory.mktemp("tls")
+    cert, key = str(d / "cert.pem"), str(d / "key.pem")
+    subprocess.run(
+        [
+            "openssl", "req", "-x509", "-newkey", "rsa:2048", "-nodes",
+            "-keyout", key, "-out", cert, "-days", "2", "-subj",
+            "/CN=localhost",
+            "-addext", "subjectAltName=DNS:localhost,IP:127.0.0.1",
+        ],
+        check=True, capture_output=True,
+    )
+    return cert, key
+
+
+@pytest.fixture()
+def tls_echo_server(tls_pair):
+    cert, key = tls_pair
+
+    def echo(req, md):
+        return {"echo": req["name"], "sum": float(req["n"])}
+
+    def stream(req, md):
+        for i in range(req["n"]):
+            yield {"echo": f"{req['name']}-{i}", "sum": float(i)}
+
+    srv = g.GrpcServer(
+        {
+            "/t.S/Echo": g.Method(echo, REQ, RESP),
+            "/t.S/Stream": g.Method(stream, REQ, RESP, server_streaming=True),
+        },
+        tls_cert=cert, tls_key=key,
+    ).start()
+    yield srv, cert
+    srv.stop()
+
+
+def test_grpc_over_tls_unary_and_stream(tls_echo_server):
+    srv, cert = tls_echo_server
+    ch = g.GrpcChannel("127.0.0.1", srv.port, tls_ca=cert)
+    try:
+        resp = ch.unary("/t.S/Echo", {"name": "secure", "n": 3, "vals": []},
+                        REQ, RESP)
+        assert resp["echo"] == "secure" and resp["sum"] == 3.0
+        got = list(ch.server_streaming(
+            "/t.S/Stream", {"name": "s", "n": 4, "vals": []}, REQ, RESP))
+        assert [r["echo"] for r in got] == ["s-0", "s-1", "s-2", "s-3"]
+    finally:
+        ch.close()
+
+
+def test_tls_server_rejects_cleartext_and_untrusting_clients(tls_echo_server):
+    import ssl
+
+    srv, cert = tls_echo_server
+    # a cleartext h2c client against the TLS listener must fail the
+    # connection, not hang or crash the server
+    with pytest.raises((ConnectionError, OSError)):
+        ch = g.GrpcChannel("127.0.0.1", srv.port)
+        try:
+            ch.unary("/t.S/Echo", {"name": "x", "n": 1, "vals": []}, REQ, RESP)
+        finally:
+            ch.close()
+    # a verifying client without the CA must refuse the self-signed cert
+    with pytest.raises((ssl.SSLError, ConnectionError, OSError)):
+        g.GrpcChannel("127.0.0.1", srv.port, tls_ca=True)
+    # and the server is still healthy afterwards
+    ch = g.GrpcChannel("127.0.0.1", srv.port, tls_ca=cert)
+    try:
+        assert ch.unary("/t.S/Echo", {"name": "ok", "n": 1, "vals": []},
+                        REQ, RESP)["echo"] == "ok"
+    finally:
+        ch.close()
+
+
+def test_java_httpclient_interop_over_tls(spark, tls_pair):
+    """REAL third-party h2-over-TLS interop: the JDK HttpClient performs
+    the TLS handshake + ALPN h2 negotiation against our stdlib-ssl
+    listener and speaks native h2 streams over it — trust for the test
+    cert is built JVM-side (KeyStore + TrustManagerFactory), no
+    environment flags."""
+    cert_path, key = tls_pair
+
+    def app(headers, body):
+        hmap = dict(headers)
+        resp = ("tls-echo:" + body.decode()
+                + "|scheme:" + hmap.get(":scheme", "")).encode()
+        return [(":status", "200"), ("content-type", "text/plain")], [resp], []
+
+    srv = h2.H2Server(app, tls_cert=cert_path, tls_key=key).start()
+    try:
+        jvm = spark._jvm
+        KeyStore = jvm.java.security.KeyStore
+        ks = KeyStore.getInstance(KeyStore.getDefaultType())
+        ks.load(None, None)
+        cf = jvm.java.security.cert.CertificateFactory.getInstance("X.509")
+        fis = jvm.java.io.FileInputStream(cert_path)
+        ks.setCertificateEntry("test-ca", cf.generateCertificate(fis))
+        fis.close()
+        tmf = jvm.javax.net.ssl.TrustManagerFactory.getInstance(
+            jvm.javax.net.ssl.TrustManagerFactory.getDefaultAlgorithm())
+        tmf.init(ks)
+        ctx = jvm.javax.net.ssl.SSLContext.getInstance("TLS")
+        ctx.init(None, tmf.getTrustManagers(), None)
+        client = (
+            jvm.java.net.http.HttpClient.newBuilder()
+            .version(jvm.java.net.http.HttpClient.Version.HTTP_2)
+            .sslContext(ctx)
+            .build()
+        )
+        BodyPublishers = jvm.java.net.http.HttpRequest.BodyPublishers
+        BodyHandlers = jvm.java.net.http.HttpResponse.BodyHandlers
+        req = (
+            jvm.java.net.http.HttpRequest.newBuilder(
+                jvm.java.net.URI.create(f"https://localhost:{srv.port}/t"))
+            .POST(BodyPublishers.ofString("from-java-tls"))
+            .build()
+        )
+        r = client.send(req, BodyHandlers.ofString())
+        assert r.version().toString() == "HTTP_2"  # ALPN picked h2
+        assert r.statusCode() == 200
+        assert r.body() == "tls-echo:from-java-tls|scheme:https"
+    finally:
+        srv.stop()
