@@ -136,9 +136,10 @@ def cap_per_group(
     groups are exactly the rows the cap discards, so the window never
     materializes more than it must — but row_number still SORTS the whole
     hot group in one task first. ``salt_groups=S`` bounds that: an EXACT
-    two-stage rank (the ``top_per_group`` salt, same argument) first caps
-    each of S hash-of-key salt slices at ``n``, so the final per-group
-    task sorts at most ``n*S`` rows however hot the group. AQE cannot
+    hot-only two-stage rank (:func:`_pre_cap_hot_groups`) first caps each
+    of S hash-of-key salt slices at ``n`` for groups detected larger than
+    ``n*S``, so the final per-group task sorts at most ``n*S`` rows
+    however hot the group, while balanced groups pay nothing. AQE cannot
     split a window partition (its skew handling is join/shuffle-read
     only), so the salt is the only lever for single-key window skew.
     """
@@ -148,17 +149,59 @@ def cap_per_group(
 
     order = (hash_bucket(F.col(key_col), "cap:" + seed), F.col(key_col))
     if salt_groups is not None and salt_groups > 1:
-        pre = F.row_number().over(
-            Window.partitionBy(
-                F.col(group_col),
-                F.pmod(F.xxhash64(F.col(key_col)), F.lit(salt_groups)),
-            ).orderBy(*order)
-        )
-        df = df.withColumn("__prk", pre).filter(F.col("__prk") <= n).drop("__prk")
+        df = _pre_cap_hot_groups(df, group_col, key_col, n, salt_groups, order)
     rank = F.row_number().over(Window.partitionBy(group_col).orderBy(*order))
     return (
         df.withColumn("__rk", rank).filter(F.col("__rk") <= n).drop("__rk")
     )
+
+
+def _pre_cap_hot_groups(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    n: int,
+    salt_groups: int,
+    order,
+) -> DataFrame:
+    """The EXACT hot-only pre-stage behind ``salt_groups``: rank within
+    (group, hash(key) % salt_groups) and keep ``n`` per slice — but ONLY
+    for groups larger than ``n * salt_groups`` rows, detected by one
+    map-side-combined count and broadcast back. Every member of a
+    group's true top/cap ``n`` is in its slice's top ``n``, so the final
+    rank sees ≤ ``n * salt_groups`` rows per hot group and the result is
+    identical (pytest-pinned).
+
+    Why hot-only: pre-capping a group smaller than ``n * salt_groups``
+    cannot shrink it, so an unconditional pre-stage just re-shuffles the
+    whole frame for nothing — measured at 20M rows / 50%-hot-key it LOST
+    2.5x (BASELINE.md skew stress); gated on detected-hot groups only
+    the hot rows pay the extra exchange. The broadcast is bounded:
+    at most N / (n * salt_groups) groups can exceed the threshold."""
+    cols = df.columns
+    hot = (
+        df.groupBy(group_col)
+        .agg(F.count(F.lit(1)).alias("__gn"))
+        .filter(F.col("__gn") > n * salt_groups)
+        .select(group_col)
+        .withColumn("__hot", F.lit(1))
+    )
+    tagged = df.join(F.broadcast(hot), [group_col], "left")
+    cold = tagged.filter(F.col("__hot").isNull()).select(*cols)
+    pre = F.row_number().over(
+        Window.partitionBy(
+            F.col(group_col),
+            F.pmod(F.xxhash64(F.col(key_col)), F.lit(salt_groups)),
+        ).orderBy(*order)
+    )
+    capped = (
+        tagged.filter(F.col("__hot").isNotNull())
+        .select(*cols)
+        .withColumn("__prk", pre)
+        .filter(F.col("__prk") <= n)
+        .select(*cols)
+    )
+    return cold.unionByName(capped)
 
 
 def top_per_group(
@@ -177,25 +220,23 @@ def top_per_group(
 
     Skew: a mega-group (one domain holding half the corpus) funnels into
     a single window task — AQE does not split window partitions.
-    ``salt_groups=S`` makes the rank a two-stage EXACT computation: stage
-    1 ranks within (group, hash(key) % S) and keeps ``n`` per slice
+    ``salt_groups=S`` makes the rank a two-stage EXACT computation for
+    DETECTED-HOT groups only (:func:`_pre_cap_hot_groups`): stage 1 ranks
+    hot groups within (group, hash(key) % S) and keeps ``n`` per slice
     (every member of the true top-n is in its slice's top-n, so nothing
     is lost), stage 2 ranks the ≤ ``n*S`` survivors per group. The hot
     group's serial work drops from |group| log |group| to ~|group|/S per
-    task; measured numbers in BASELINE.md (skew stress)."""
+    task, and balanced groups bypass the pre-stage entirely; measured
+    numbers in BASELINE.md (skew stress)."""
     if n < 0:
         raise ValueError("n must be >= 0")
     from pyspark.sql import Window
 
     order = F.col(order_col).desc() if desc else F.col(order_col).asc()
     if salt_groups is not None and salt_groups > 1:
-        pre = F.row_number().over(
-            Window.partitionBy(
-                F.col(group_col),
-                F.pmod(F.xxhash64(F.col(key_col)), F.lit(salt_groups)),
-            ).orderBy(order, F.col(key_col))
+        df = _pre_cap_hot_groups(
+            df, group_col, key_col, n, salt_groups, (order, F.col(key_col))
         )
-        df = df.withColumn("__prk", pre).filter(F.col("__prk") <= n).drop("__prk")
     rank = F.row_number().over(
         Window.partitionBy(group_col).orderBy(order, F.col(key_col))
     )

@@ -10,10 +10,19 @@ problem, not a data artifact.
 
 Usage:
     python tools/bench_scale.py [--runs 3] [--factor 10] [--keep-dir DIR]
+                                [--write-plans]
 
 Prints one JSON line:
     {"metric": "seqspark_scale_check", "factor": 10,
-     "queries_sf01": {...}, "queries_sf1": {...}, "ratio": {...}}
+     "queries_sf01": {...}, "queries_sf1": {...}, "ratio": {...},
+     "plan_digests": {...}, "plan_mismatches": [...], "plan_unpinned": [...]}
+
+Plan digests (bench.py's canonicalizer — expression ids / paths / digit
+runs masked) are computed for every query AT BOTH SCALES and checked
+against the committed ``bench_plans_scale.json``: a scale-point plan
+regression (a pushdown lost at 10x, an exchange appearing) is then a
+named mismatch, not a timing anomaly to argue about. After an INTENDED
+plan change regenerate with ``--write-plans`` and commit the diff.
 """
 
 from __future__ import annotations
@@ -118,11 +127,61 @@ def query_set(st, lineitem, window=None):
     return out
 
 
+def digest_set(st, lineitem, window):
+    """Same query shapes as :func:`query_set`, as digest-frame builders
+    (lists of DataFrames whose canonicalized physical plans get hashed).
+    The agg queries drain the engine's eager-probe buffer so EVERY
+    executed probe plan is fingerprinted (bench.py's d5/d6 pattern)."""
+    f, t = window
+
+    def agg_probe(aggq):
+        st.drain_agg_plan_dfs()
+        st.aggregate(aggq)
+        return st.drain_agg_plan_dfs()
+
+    return {
+        "q8_time_window": lambda: [
+            st.search("event_type:click", from_ms=f, to_ms=t, size=5000)
+        ],
+        "q2_keyword_or": lambda: [
+            st.search(
+                "event_type:click or event_type:signup or event_type:error",
+                size=5000,
+            )
+        ],
+        "q4_range": lambda: [st.search("value:[50, 100)", size=5000)],
+        "q5_agg_count": lambda: agg_probe(
+            AggQuery(func="count", field="event_type")
+        ),
+        "q6_agg_min_group": lambda: agg_probe(
+            AggQuery(func="min", field="value", group_by="event_type")
+        ),
+        "q7_pricing": lambda: [
+            lineitem.filter(
+                F.col("l_shipdate") <= F.to_timestamp(F.lit("1998-09-02"))
+            )
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(
+                F.sum("l_quantity").alias("sum_qty"),
+                F.avg("l_discount").alias("avg_disc"),
+                F.count(F.lit(1)).alias("count_order"),
+            )
+        ],
+    }
+
+
+PLANS_PATH = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "bench_plans_scale.json",
+)
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--runs", type=int, default=3)
     ap.add_argument("--factor", type=int, default=10)
     ap.add_argument("--keep-dir", default=None)
+    ap.add_argument("--write-plans", action="store_true")
     args = ap.parse_args()
 
     spark = (
@@ -189,6 +248,23 @@ def main() -> None:
     big = {k: timed(fn, args.runs)
            for k, fn in query_set(st_x, lineitem_x, window).items()}
     ratio = {k: round(big[k] / small[k], 2) if small[k] else None for k in small}
+
+    # plan digests at BOTH scales, pinned against bench_plans_scale.json
+    import bench
+
+    digests = {}
+    for scale, s_t, s_li in (("x1", st, lineitem), (f"x{args.factor}", st_x, lineitem_x)):
+        for name, builder in digest_set(s_t, s_li, window).items():
+            digests[f"{name}@{scale}"] = bench.plan_digest(builder())
+    expected = {}
+    if os.path.exists(PLANS_PATH):
+        with open(PLANS_PATH) as f:
+            expected = json.load(f)
+    mismatches = sorted(
+        k for k, d in digests.items() if expected.get(k) not in (None, d)
+    )
+    unpinned = sorted(k for k in digests if k not in expected)
+
     print(
         json.dumps(
             {
@@ -199,9 +275,16 @@ def main() -> None:
                 "queries_sf01": small,
                 "queries_sf1": big,
                 "ratio": ratio,
+                "plan_digests": digests,
+                "plan_mismatches": mismatches,
+                "plan_unpinned": unpinned,
             }
         )
     )
+    if args.write_plans:
+        with open(PLANS_PATH, "w") as f:
+            json.dump(digests, f, indent=2, sort_keys=True)
+            f.write("\n")
     if args.keep_dir is None:
         shutil.rmtree(base_dir, ignore_errors=True)
     spark.stop()
