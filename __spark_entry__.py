@@ -210,6 +210,20 @@ def q_cap_per_group(spark, sf_dir):
     )
 
 
+def q_cap_per_group_salted(spark, sf_dir):
+    # the r11 skew knob, contract-verified: the hot-only two-stage rank
+    # must be EXACTLY the single-stage result, hash-checked through the
+    # same window-SQL oracle. n*salt_groups = 12 < the 25 docs per
+    # source at sf0.01, so every source is detected hot and the
+    # pre-stage genuinely executes (a vacuous no-op would test nothing).
+    from seqspark.pipeline.sampling import cap_per_group
+
+    docs = load_table(spark, sf_dir, "documents")
+    return cap_per_group(
+        docs, "doc_id", "source", 3, seed="v1", salt_groups=4
+    ).select("doc_id", "source")
+
+
 def q_top_per_group(spark, sf_dir):
     # top-3 events by value per event_type (value DESC, event_id tiebreak)
     from seqspark.pipeline.sampling import top_per_group
@@ -2099,6 +2113,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "domain_stats": q_domain_stats,
         "cap_per_group": q_cap_per_group,
+        "cap_per_group_salted": q_cap_per_group_salted,
         "ivf_update": q_ivf_update,
         "sessionize": q_sessionize,
         "sessionize_native": q_sessionize_native,
@@ -2841,6 +2856,12 @@ def oracle_sql() -> dict[str, str]:
     sql["cap_per_group"] = (
         "SELECT doc_id, source FROM documents "
         f"QUALIFY row_number() OVER (PARTITION BY source ORDER BY {cap_bucket}, doc_id) <= 10"
+    )
+    # the salted (hot-only two-stage) variant must produce the IDENTICAL
+    # set — the oracle is the same single-stage window, cap 3
+    sql["cap_per_group_salted"] = (
+        "SELECT doc_id, source FROM documents "
+        f"QUALIFY row_number() OVER (PARTITION BY source ORDER BY {cap_bucket}, doc_id) <= 3"
     )
     sql["domain_stats"] = (
         "WITH synth AS (SELECT doc_id, 'intro https://' || source || "

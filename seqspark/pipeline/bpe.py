@@ -144,13 +144,119 @@ def train_bpe_from_counts(
 ) -> List[Tuple[str, str]]:
     """The driver-side merge loop over a ``(w, n)`` counts frame — the
     back half of :func:`train_bpe`, callable on persisted incremental
-    state. Only the top ``vocab_k`` rows ever reach the driver."""
+    state. Only the top ``vocab_k`` rows ever reach the driver.
+
+    The loop is the INCREMENTAL trainer (:func:`_merge_loop_fast`):
+    pair counts update by delta on only the words a merge touched, and
+    the next best pair pops from a lazy-invalidation heap — per-merge
+    cost ∝ touched words, not vocab size. The naive rebuild-all-counts
+    loop (O(vocab × merges); measured 94 s for 10k merges at
+    vocab_k=4000 and HOURS at a production 50k-word/32k-merge setting,
+    BASELINE.md round 11) survives as :func:`_merge_loop_reference`,
+    and a hypothesis property pins the two EQUAL on arbitrary counts
+    tables — same merges, same order, same tie-breaks."""
     top = counts.orderBy(F.desc("n"), F.asc("w")).limit(vocab_k).collect()
     vocab: dict[Tuple[str, ...], int] = {}
     for row in top:
         syms = tuple(row["w"]) + (EOW,)
         vocab[syms] = vocab.get(syms, 0) + row["n"]
+    return _merge_loop_fast(vocab, n_merges, min_pair_count)
 
+
+def _pairs_of(syms: Tuple[str, ...]) -> dict:
+    out: dict = {}
+    for p in zip(syms, syms[1:]):
+        out[p] = out.get(p, 0) + 1
+    return out
+
+
+def _merge_word(syms: Tuple[str, ...], a: str, b: str) -> Tuple[str, ...]:
+    """Greedy left-to-right non-overlapping merge of (a, b) — the single
+    definition both driver loops and :func:`encode_word` share
+    semantically (kept inline there for the property tests' benefit)."""
+    merged = a + b
+    out: List[str] = []
+    i = 0
+    while i < len(syms):
+        if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+            out.append(merged)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return tuple(out)
+
+
+def _merge_loop_fast(
+    vocab: dict, n_merges: int, min_pair_count: int
+) -> List[Tuple[str, str]]:
+    """Exact incremental BPE merge loop: maintain ``pair -> count`` and
+    ``pair -> {word ids}``, update both by DELTA on only the words that
+    contain the merged pair, and select each round's best pair from a
+    heap with lazy invalidation (every count change pushes a fresh
+    entry; stale ones are skipped when their recorded count no longer
+    matches). Heap entries order by (-count, pair) — the identical
+    tie-break as the reference loop's ``min(..., key=(-count, pair))``,
+    so the output is byte-identical (property-pinned), just O(touched)
+    per merge instead of O(vocab)."""
+    import heapq
+
+    words_list: List[Tuple[str, ...]] = []
+    word_n: List[int] = []
+    for syms, n in vocab.items():
+        words_list.append(syms)
+        word_n.append(n)
+    pair_counts: dict = {}
+    pair_words: dict = {}
+    for wi, syms in enumerate(words_list):
+        n = word_n[wi]
+        for p, k in _pairs_of(syms).items():
+            pair_counts[p] = pair_counts.get(p, 0) + k * n
+            pair_words.setdefault(p, set()).add(wi)
+    heap = [(-c, p) for p, c in pair_counts.items()]
+    heapq.heapify(heap)
+
+    merges: List[Tuple[str, str]] = []
+    while len(merges) < n_merges and heap:
+        negc, pair = heapq.heappop(heap)
+        cur = pair_counts.get(pair, 0)
+        if cur != -negc or cur == 0:
+            continue  # stale entry; the live one is still queued
+        if cur < min_pair_count:
+            break
+        a, b = pair
+        merges.append(pair)
+        touched = pair_words.pop(pair, set())
+        for wi in touched:
+            old = words_list[wi]
+            new = _merge_word(old, a, b)
+            words_list[wi] = new
+            n = word_n[wi]
+            op, np_ = _pairs_of(old), _pairs_of(new)
+            for p in op.keys() | np_.keys():
+                delta = (np_.get(p, 0) - op.get(p, 0)) * n
+                if delta:
+                    c = pair_counts.get(p, 0) + delta
+                    if c > 0:
+                        pair_counts[p] = c
+                        heapq.heappush(heap, (-c, p))
+                    else:
+                        pair_counts.pop(p, None)
+                if p in np_ and p not in op:
+                    pair_words.setdefault(p, set()).add(wi)
+                elif p in op and p not in np_:
+                    s = pair_words.get(p)
+                    if s is not None:
+                        s.discard(wi)
+        pair_counts.pop(pair, None)
+    return merges
+
+
+def _merge_loop_reference(
+    vocab: dict, n_merges: int, min_pair_count: int
+) -> List[Tuple[str, str]]:
+    """The naive recount-everything merge loop — O(vocab × merges), kept
+    ONLY as the parity oracle for :func:`_merge_loop_fast`."""
     merges: List[Tuple[str, str]] = []
     for _ in range(n_merges):
         pairs: dict[Tuple[str, str], int] = {}

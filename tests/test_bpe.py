@@ -433,3 +433,30 @@ def test_encoded_via_dict_null_text_parity(spark):
         assert got == chain, (mode, got, chain)
     assert chain[1] == (None, None)
     assert chain[2] == ("", 0)
+
+
+@settings(max_examples=120, deadline=None)
+@given(
+    st.dictionaries(
+        st.text(alphabet="abcd", min_size=1, max_size=6),
+        st.integers(min_value=1, max_value=50),
+        min_size=0,
+        max_size=12,
+    ),
+    st.integers(min_value=0, max_value=40),
+    st.integers(min_value=1, max_value=3),
+)
+def test_fast_merge_loop_equals_reference(word_counts, n_merges, min_pair):
+    # the incremental trainer (pair-delta updates + lazy-invalidation
+    # heap) must be byte-identical to the naive recount-everything loop:
+    # same merges, same order, same tie-breaks, same stopping point —
+    # including re-emergent pairs created by later merges
+    from seqspark.pipeline.bpe import (
+        EOW,
+        _merge_loop_fast,
+        _merge_loop_reference,
+    )
+
+    vocab = {tuple(w) + (EOW,): n for w, n in word_counts.items()}
+    assert _merge_loop_fast(dict(vocab), n_merges, min_pair) == \
+        _merge_loop_reference(dict(vocab), n_merges, min_pair)

@@ -12,7 +12,15 @@ min_pair_count, so the envelope also reports the merges actually
 produced (a bounded vocab_k word table exhausts its pairs well before
 32k).
 
+The sf0.1 documents fixture has only ~31 distinct words (template
+text), so its pair supply dies at ~107 merges — fine for the corpus-agg
+number, useless for the loop envelope. ``--synth N`` swaps in a
+deterministic Zipf-count pseudo-vocabulary (seeded RNG, 3-12 letter
+words, count ∝ 1/rank) so the merge loop is measured against a
+realistic word table all the way to 32k merge targets.
+
 Usage: python tools/bench_bpe_train.py [sf_dir] [--vocab-k 4000]
+                                       [--synth 50000]
 Prints one JSON line.
 """
 
@@ -33,6 +41,11 @@ def main() -> None:
         "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     ap.add_argument("--vocab-k", type=int, default=4000)
     ap.add_argument("--merge-points", default="160,640,2560,10240,32768")
+    ap.add_argument(
+        "--synth", type=int, default=0,
+        help="use a deterministic N-word Zipf pseudo-vocabulary instead "
+        "of the corpus word counts (the fixture has ~31 distinct words)",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -51,11 +64,31 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
-    docs = load_table(spark, args.sf_dir, "documents")
-    t0 = time.perf_counter()
-    counts = bpe_word_counts(docs).localCheckpoint()
-    n_distinct = counts.count()
-    agg_sec = round(time.perf_counter() - t0, 3)
+    if args.synth:
+        import random
+
+        rng = random.Random(13)
+        seen = set()
+        rows = []
+        rank = 1
+        while len(rows) < args.synth:
+            w = "".join(
+                rng.choice("abcdefghijklmnopqrstuvwxyz")
+                for _ in range(rng.randint(3, 12))
+            )
+            if w in seen:
+                continue
+            seen.add(w)
+            rows.append((w, max(2, 1_000_000 // rank)))
+            rank += 1
+        counts = spark.createDataFrame(rows, "w string, n long").localCheckpoint()
+        n_distinct, agg_sec = len(rows), None
+    else:
+        docs = load_table(spark, args.sf_dir, "documents")
+        t0 = time.perf_counter()
+        counts = bpe_word_counts(docs).localCheckpoint()
+        n_distinct = counts.count()
+        agg_sec = round(time.perf_counter() - t0, 3)
 
     points = []
     for n_merges in (int(x) for x in args.merge_points.split(",")):
