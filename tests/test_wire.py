@@ -1427,3 +1427,36 @@ def test_java_httpclient_interop_over_tls(spark, tls_pair):
         assert r.body() == "tls-echo:from-java-tls|scheme:https"
     finally:
         srv.stop()
+
+
+def test_tls_concurrent_multiplexed_streams(tls_echo_server):
+    # the _SerializedTLSSocket shim under real contention: 8 threads
+    # multiplex unary + streaming calls over ONE TLS connection while the
+    # channel's reader thread runs — the exact concurrent-read/write shape
+    # that corrupted raw SSLSocket state ~50% of the time pre-shim
+    srv, cert = tls_echo_server
+    ch = g.GrpcChannel("127.0.0.1", srv.port, tls_ca=cert)
+    errors = []
+
+    def worker(i):
+        try:
+            for j in range(5):
+                r = ch.unary(
+                    "/t.S/Echo", {"name": f"w{i}-{j}", "n": j, "vals": []},
+                    REQ, RESP)
+                assert r["echo"] == f"w{i}-{j}"
+                got = list(ch.server_streaming(
+                    "/t.S/Stream", {"name": f"s{i}", "n": 6, "vals": []},
+                    REQ, RESP))
+                assert [x["echo"] for x in got] == [
+                    f"s{i}-{k}" for k in range(6)]
+        except Exception as e:  # noqa: BLE001 — collected for the assert
+            errors.append((i, repr(e)))
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=120)
+    ch.close()
+    assert not errors, errors
