@@ -155,6 +155,27 @@ def q_sessionize(spark, sf_dir):
     return session_stats(ev, "user_id", "ts", gap_ms=3600_000)
 
 
+def q_sessionize_bucketed(spark, sf_dir):
+    # the sessionize skew mitigation (r11): window partitioned by
+    # (actor, day bucket) — a mega-actor shards into day slices; the
+    # stated semantics delta (sessions split at bucket boundaries,
+    # bucket-local seq) is replayed exactly by the oracle's
+    # two-key gap-and-islands
+    from seqspark.pipeline.sessions import sessionize_bucketed
+
+    ev = load_table(spark, sf_dir, "events")
+    out = sessionize_bucketed(
+        ev, "user_id", "ts", gap_ms=3600_000, bucket_ms=7 * 24 * 3600 * 1000
+    )
+    return (
+        out.groupBy("user_id", "session_bucket", "session_seq")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min(F.unix_millis("ts")).alias("start_ms"),
+        )
+    )
+
+
 def q_sessionize_native(spark, sf_dir):
     # the BUILT-IN session_window variant (pure JVM streaming state when
     # run as a stream; identical grouping expression in batch) — 10-min
@@ -2116,6 +2137,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cap_per_group_salted": q_cap_per_group_salted,
         "ivf_update": q_ivf_update,
         "sessionize": q_sessionize,
+        "sessionize_bucketed": q_sessionize_bucketed,
         "sessionize_native": q_sessionize_native,
         "sketch_balanced_sample": q_sketch_balanced_sample,
         "multimodal_resize": q_multimodal_resize,
@@ -2825,6 +2847,20 @@ def oracle_sql() -> dict[str, str]:
         "min(ts_ms) AS start_ms, max(ts_ms) AS end_ms, "
         "max(ts_ms) - min(ts_ms) AS duration_ms "
         "FROM numbered GROUP BY 1, 2"
+    )
+    # bucketed sessionization: identical gap-and-islands with the bucket
+    # folded into BOTH window partition keys (7-day buckets, 1h gap)
+    _bkt = "epoch_ms(ts) - epoch_ms(ts) % 604800000"
+    sql["sessionize_bucketed"] = (
+        f"WITH s AS (SELECT user_id, epoch_ms(ts) AS ts_ms, ({_bkt}) AS session_bucket, "
+        "CASE WHEN lag(epoch_ms(ts)) OVER w IS NULL "
+        "OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER w > 3600000 THEN 1 ELSE 0 END AS brk "
+        f"FROM events WINDOW w AS (PARTITION BY user_id, ({_bkt}) ORDER BY ts)), "
+        "numbered AS (SELECT user_id, ts_ms, session_bucket, CAST(sum(brk) OVER "
+        "(PARTITION BY user_id, session_bucket ORDER BY ts_ms ROWS UNBOUNDED PRECEDING) AS INT) AS session_seq "
+        "FROM s) "
+        "SELECT user_id, session_bucket, session_seq, count(*) AS n_events, "
+        "min(ts_ms) AS start_ms FROM numbered GROUP BY 1, 2, 3"
     )
     sql["ivf_update"] = (
         "WITH seeds AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, "

@@ -2221,3 +2221,41 @@ def test_dsir_update_state_from_streaming_foreachbatch(spark, tmp_path):
     got = sorted((r.bucket, r.c) for r in
                  spark.read.parquet(state).collect())
     assert got == want
+
+
+def test_sessionize_bucketed_semantics(spark):
+    # (1) a silence-free run straddling a bucket boundary SPLITS, with a
+    # bucket-local seq restart — the stated semantics delta; (2) with a
+    # bucket far larger than the data span, bucketed == plain sessionize
+    from pyspark.sql import functions as F
+
+    from seqspark.pipeline.sessions import sessionize, sessionize_bucketed
+
+    rows = [
+        ("u1", 9000), ("u1", 9900),       # bucket 0 tail, one session
+        ("u1", 10100), ("u1", 10900),     # bucket 1: same run, MUST split
+        ("u1", 50000),                    # bucket 5: gap > 2s anyway
+        ("u2", 500),                      # lone event
+    ]
+    df = spark.createDataFrame(rows, "user string, ms long").withColumn(
+        "ts", F.timestamp_millis(F.col("ms"))
+    )
+    out = sessionize_bucketed(df, "user", "ts", gap_ms=2000, bucket_ms=10000)
+    got = {
+        (r["user"], r["ms"]): (r["session_bucket"], r["session_seq"])
+        for r in out.collect()
+    }
+    assert got == {
+        ("u1", 9000): (0, 1), ("u1", 9900): (0, 1),
+        ("u1", 10100): (10000, 1), ("u1", 10900): (10000, 1),
+        ("u1", 50000): (50000, 1),
+        ("u2", 500): (0, 1),
+    }
+
+    huge = sessionize_bucketed(df, "user", "ts", gap_ms=2000, bucket_ms=10**9)
+    plain = sessionize(df, "user", "ts", gap_ms=2000)
+    assert sorted(
+        (r["user"], r["ms"], r["session_seq"]) for r in huge.collect()
+    ) == sorted(
+        (r["user"], r["ms"], r["session_seq"]) for r in plain.collect()
+    )
