@@ -70,10 +70,29 @@ def main() -> None:
         async_dir=os.path.join(tmp, "async"),
     ).start()
     grpc = SeqProxyGrpc(core).start()
+    # a second gRPC listener over TLS (r11): same handlers, stdlib-ssl +
+    # ALPN + the _SerializedTLSSocket shim, soaked concurrently with the
+    # cleartext transports. Skipped silently if openssl is unavailable.
+    grpc_tls = tls_ca = None
+    import shutil as _sh
+    import subprocess as _sp
+    if _sh.which("openssl"):
+        cert = os.path.join(tmp, "cert.pem")
+        key = os.path.join(tmp, "key.pem")
+        _sp.run(
+            ["openssl", "req", "-x509", "-newkey", "rsa:2048", "-nodes",
+             "-keyout", key, "-out", cert, "-days", "2",
+             "-subj", "/CN=localhost",
+             "-addext", "subjectAltName=DNS:localhost,IP:127.0.0.1"],
+            check=True, capture_output=True,
+        )
+        grpc_tls = SeqProxyGrpc(core, tls_cert=cert, tls_key=key).start()
+        tls_ca = cert
 
     stop = threading.Event()
     errors: list = []
     counts = {"bulk": 0, "docs": 0, "search_http": 0, "search_grpc": 0,
+              "search_grpc_tls": 0,
               "search_gateway": 0, "export_gateway": 0,
               "export": 0, "async": 0, "compact": 0, "mapping_flips": 0}
     lock = threading.Lock()
@@ -148,6 +167,26 @@ def main() -> None:
                     bump("search_grpc")
                 except GrpcError as e:
                     record_err("search_grpc", e)
+        finally:
+            ch.close()
+
+    def searcher_grpc_tls():
+        if grpc_tls is None:
+            return
+        ch = GrpcChannel("127.0.0.1", grpc_tls.port, tls_ca=tls_ca,
+                         server_hostname="localhost")
+        try:
+            while not stop.is_set():
+                try:
+                    ch.unary(
+                        "/seqproxyapi.v1.SeqProxyApi/Search",
+                        {"query": {"query": "message:msg", **WIN}, "size": 5,
+                         "with_total": True},
+                        sp.SEARCH_REQUEST, sp.SEARCH_RESPONSE,
+                    )
+                    bump("search_grpc_tls")
+                except GrpcError as e:
+                    record_err("search_grpc_tls", e)
         finally:
             ch.close()
 
@@ -230,6 +269,7 @@ def main() -> None:
         + [threading.Thread(target=searcher_http, args=(t,))
            for t in range(args.searchers)]
         + [threading.Thread(target=searcher_grpc),
+           threading.Thread(target=searcher_grpc_tls),
            threading.Thread(target=searcher_gateway),
            threading.Thread(target=exporter),
            threading.Thread(target=async_user),
@@ -249,6 +289,8 @@ def main() -> None:
     final = http("/search", b'{"query": "*", "with_total": true}')
     consistent = final["total"] == counts["docs"]
     grpc.stop()
+    if grpc_tls is not None:
+        grpc_tls.stop()
     core.stop()
     print(json.dumps({
         "metric": "seqspark_soak",
