@@ -307,13 +307,16 @@ def test_salted_rank_exactness_under_mega_group(spark):
     )
     assert plain_cap == salted_cap and plain_cap
 
-    # the salted plan really has the two-stage shape: two window exchanges,
-    # the first keyed by (group, salt)
+    # the salted plan really has the hot-only two-stage shape: two window
+    # exchanges (the pre-stage keyed by (group, salt)) AND the hot-key
+    # detection joined back as a BROADCAST, never a shuffle join
     plan = (
         top_per_group(df, "g", "v", 9, key_col="id", salt_groups=8)
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert plan.count("Window") >= 2 and "pmod" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
 
     # degenerate knobs fall back to the single-stage plan
     one = top_per_group(df, "g", "v", 9, key_col="id", salt_groups=1)

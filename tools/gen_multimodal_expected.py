@@ -16,6 +16,15 @@ NOTE: the resize digests are the stdlib-PNG-codec outputs (this
 container has no Pillow). If the environment gains Pillow,
 `resize_images(fake=False)` routes through it and produces different
 (still deterministic) bytes — regenerate the literals then.
+
+NOTE: PNG bytes embed `zlib.compress` output, so the source-asset and
+resized-output sha256 digests are additionally pinned to the zlib
+build's compressed byte stream (stable in practice across CPython
+releases, but a zlib algorithm change would shift them). The dHash and
+decode width/height/n_frames literals are pixel-level and immune. If a
+digest-only mismatch ever appears after an environment change,
+regenerate and diff: pixel-literal changes mean a REAL kernel
+regression; sha-only changes mean the compressor moved.
 """
 
 from __future__ import annotations
