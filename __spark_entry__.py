@@ -1720,7 +1720,9 @@ def q_multimodal_resize(spark, sf_dir):
     from seqspark.pipeline.multimodal import make_real_assets, resize_images
 
     assets = make_real_assets(spark, 64)
-    return resize_images(assets, 32, 16, fake=False).select(
+    # codec='stdlib' pins the kernel the frozen digests were generated
+    # from — an environment gaining Pillow must not shift the contract
+    return resize_images(assets, 32, 16, fake=False, codec="stdlib").select(
         "asset_id",
         F.lower(F.sha2(F.col("content"), 256)).alias("sha256"),
         F.length("content").alias("n_bytes"),

@@ -153,7 +153,13 @@ def _maintenance_loop(store, stop, period_ms, total_size, max_files):
 def main(argv: Optional[list] = None, spark=None, block: bool = True):
     """Build and start everything; returns the Runtime (tests pass
     ``block=False`` and an existing SparkSession)."""
-    args = build_parser().parse_args(argv)
+    parser = build_parser()
+    args = parser.parse_args(argv)
+    if (args.tls_cert is None) != (args.tls_key is None):
+        # fail as a clean usage error BEFORE any listener binds — the
+        # H2Server constructor would otherwise raise mid-startup with the
+        # HTTP core already started
+        parser.error("--tls-cert and --tls-key must be given together")
 
     if spark is None:
         from pyspark.sql import SparkSession

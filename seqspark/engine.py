@@ -1129,6 +1129,11 @@ class SearchTable:
     #: bounded probe buffer: a long-running server that never drains must
     #: not accumulate DataFrame handles without bound
     _AGG_PLAN_BUFFER_CAP = 32
+    #: class-level lock: append (aggregate) and drain race under the
+    #: server's concurrent searchers — an unsynchronized read-modify-write
+    #: could resurrect drained probes or drop fresh ones. Shared across
+    #: instances; the critical sections are tiny list ops.
+    _agg_plan_lock = threading.Lock()
 
     def drain_agg_plan_dfs(self) -> List[DataFrame]:
         """ALL probe frames executed by eager aggregates since the last
@@ -1137,8 +1142,9 @@ class SearchTable:
         fingerprints EVERY executed probe plan, not silently just the
         last one. The buffer keeps the most recent 32 probes; a server
         that never drains stays bounded."""
-        out = getattr(self, "_agg_plan_dfs", [])
-        self._agg_plan_dfs = []
+        with self._agg_plan_lock:
+            out = getattr(self, "_agg_plan_dfs", [])
+            self._agg_plan_dfs = []
         return out
 
     def aggregate(
@@ -1366,9 +1372,10 @@ class SearchTable:
             # probe frame so diagnostics (bench.py plan-digest pinning) can
             # fingerprint what actually ran
             self._last_agg_plan_df = probe
-            buf = getattr(self, "_agg_plan_dfs", [])
-            buf.append(probe)
-            self._agg_plan_dfs = buf[-self._AGG_PLAN_BUFFER_CAP:]
+            with self._agg_plan_lock:
+                buf = getattr(self, "_agg_plan_dfs", [])
+                buf.append(probe)
+                self._agg_plan_dfs = buf[-self._AGG_PLAN_BUFFER_CAP:]
             rows = probe.collect()
             real_groups = sum(1 for r in rows if r["name"] != "_not_exists")
             if group_guard and real_groups > max_group_tokens:

@@ -358,6 +358,10 @@ def lsh_sign_margin(
         F.min(m).alias("min_margin"),
         F.sum((m < F.lit(eps)).cast("long")).alias("n_near_zero"),
     ).collect()[0]
+    if row["min_margin"] is None:
+        # empty frame: no rows, no possible sign flip — don't crash the
+        # failure diagnostic that exists precisely for confusing cases
+        return float("inf"), 0
     return float(row["min_margin"]), int(row["n_near_zero"] or 0)
 
 

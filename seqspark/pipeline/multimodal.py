@@ -483,6 +483,7 @@ def resize_images(
     height: int,
     fake: bool = False,
     on_other: str = "drop",
+    codec: str = "auto",
 ) -> DataFrame:
     """Resize image assets to (width, height) via ``mapInPandas``.
 
@@ -496,9 +497,18 @@ def resize_images(
     historical behavior), ``"keep"`` passes them through with the original
     bytes and NULL width/height (``media_type`` in the output says which),
     ``"error"`` raises — so a caller feeding mixed assets gets an explicit
-    contract instead of a silently smaller frame."""
+    contract instead of a silently smaller frame.
+
+    ``codec="auto"`` (default) prefers Pillow when importable and falls
+    back to the stdlib PNG kernel; ``codec="stdlib"`` FORCES the stdlib
+    kernel — the mode the hash-pinned ``multimodal_resize`` contract
+    entry uses, because its frozen expected digests are stdlib-codec
+    bytes and must not drift if the environment gains Pillow (whose
+    resampler and encoder produce different, equally-valid bytes)."""
     if on_other not in ("drop", "keep", "error"):
         raise ValueError(f"on_other must be drop|keep|error, got {on_other!r}")
+    if codec not in ("auto", "stdlib"):
+        raise ValueError(f"codec must be auto|stdlib, got {codec!r}")
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -523,20 +533,24 @@ def resize_images(
                     return seed * (max(1, (width * height) // len(seed)))
             else:
                 def kernel(b: bytes) -> bytes:
-                    try:
-                        Image = _require_pil()
-                    except NotImplementedError:
-                        resized = _stdlib_png_resize(b, width, height)
-                        if resized is None:
-                            raise NotImplementedError(
-                                "resize without Pillow supports 8-bit "
-                                "RGB/RGBA non-interlaced PNG only"
-                            )
-                        return resized
-                    with Image.open(io.BytesIO(b or b"")) as img:
-                        out = io.BytesIO()
-                        img.resize((width, height)).save(out, format="PNG")
-                        return out.getvalue()
+                    if codec == "auto":
+                        try:
+                            Image = _require_pil()
+                        except NotImplementedError:
+                            Image = None
+                        if Image is not None:
+                            with Image.open(io.BytesIO(b or b"")) as img:
+                                out = io.BytesIO()
+                                img.resize((width, height)).save(
+                                    out, format="PNG")
+                                return out.getvalue()
+                    resized = _stdlib_png_resize(b, width, height)
+                    if resized is None:
+                        raise NotImplementedError(
+                            "stdlib resize supports 8-bit RGB/RGBA "
+                            "non-interlaced PNG only"
+                        )
+                    return resized
 
             if len(pdf):
                 yield pd.DataFrame(

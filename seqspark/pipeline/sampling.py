@@ -179,15 +179,23 @@ def _pre_cap_hot_groups(
     the hot rows pay the extra exchange. The broadcast is bounded:
     at most N / (n * salt_groups) groups can exceed the threshold."""
     cols = df.columns
+    # collision-proof temp names: a caller's frame may legitimately carry
+    # __hot/__prk columns, and an ambiguous-reference AnalysisException
+    # from the skew knob would break a previously-working pipeline
+    hot_c, prk_c = "__hot", "__prk"
+    while hot_c in cols:
+        hot_c += "_"
+    while prk_c in cols:
+        prk_c += "_"
     hot = (
         df.groupBy(group_col)
         .agg(F.count(F.lit(1)).alias("__gn"))
         .filter(F.col("__gn") > n * salt_groups)
         .select(group_col)
-        .withColumn("__hot", F.lit(1))
+        .withColumn(hot_c, F.lit(1))
     )
     tagged = df.join(F.broadcast(hot), [group_col], "left")
-    cold = tagged.filter(F.col("__hot").isNull()).select(*cols)
+    cold = tagged.filter(F.col(hot_c).isNull()).select(*cols)
     pre = F.row_number().over(
         Window.partitionBy(
             F.col(group_col),
@@ -195,10 +203,10 @@ def _pre_cap_hot_groups(
         ).orderBy(*order)
     )
     capped = (
-        tagged.filter(F.col("__hot").isNotNull())
+        tagged.filter(F.col(hot_c).isNotNull())
         .select(*cols)
-        .withColumn("__prk", pre)
-        .filter(F.col("__prk") <= n)
+        .withColumn(prk_c, pre)
+        .filter(F.col(prk_c) <= n)
         .select(*cols)
     )
     return cold.unionByName(capped)

@@ -128,6 +128,16 @@ class _SerializedTLSSocket:
         import select as _select
 
         timeout = self._s.gettimeout()
+        if timeout == 0:
+            # non-blocking semantics, preserved explicitly: 0 is falsy and
+            # would otherwise read as "no deadline" = block forever
+            with self._lock:
+                if self._s.pending():
+                    return self._s.recv(n)
+            if not _select.select([self._s], [], [], 0)[0]:
+                raise BlockingIOError("non-blocking recv: no data")
+            with self._lock:
+                return self._s.recv(n)
         deadline = (time.monotonic() + timeout) if timeout else None
         while True:
             with self._lock:
@@ -867,9 +877,15 @@ class H2Client:
             if tls_ca is not True:
                 ctx.load_verify_locations(tls_ca)
             ctx.set_alpn_protocols(["h2"])
-            self._sock = ctx.wrap_socket(
-                self._sock, server_hostname=server_hostname or host
-            )
+            try:
+                self._sock = ctx.wrap_socket(
+                    self._sock, server_hostname=server_hostname or host
+                )
+            except BaseException:
+                # a failed handshake (bad cert, refused verify) must not
+                # leak the TCP socket — retry loops would exhaust fds
+                self._sock.close()
+                raise
             if self._sock.selected_alpn_protocol() != "h2":
                 alpn = self._sock.selected_alpn_protocol()
                 self._sock.close()

@@ -2259,3 +2259,12 @@ def test_sessionize_bucketed_semantics(spark):
     ) == sorted(
         (r["user"], r["ms"], r["session_seq"]) for r in plain.collect()
     )
+
+
+def test_lsh_sign_margin_empty_frame(spark):
+    # the failure diagnostic must not itself crash on a 0-row frame
+    from seqspark.pipeline.ann import lsh_sign_margin
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    mn, n = lsh_sign_margin(empty, dim=8, bits=4, seed=7)
+    assert mn == float("inf") and n == 0

@@ -321,3 +321,21 @@ def test_salted_rank_exactness_under_mega_group(spark):
     # degenerate knobs fall back to the single-stage plan
     one = top_per_group(df, "g", "v", 9, key_col="id", salt_groups=1)
     assert sorted(map(tuple, one.collect())) == plain_top
+
+
+def test_salted_rank_survives_reserved_column_names(spark):
+    # a caller's frame may carry __hot/__prk columns; the skew knob must
+    # not raise ambiguous-reference and must still be exact
+    from seqspark.pipeline.sampling import cap_per_group, top_per_group
+
+    rows = [(i, f"g{i % 3}", float(i % 7), 1, 2) for i in range(300)]
+    df = spark.createDataFrame(
+        rows, "id long, g string, v double, __hot int, __prk int"
+    )
+    plain = sorted(map(tuple, top_per_group(df, "g", "v", 4, key_col="id").collect()))
+    salted = sorted(map(tuple, top_per_group(
+        df, "g", "v", 4, key_col="id", salt_groups=4).collect()))
+    assert plain == salted and plain
+    pc = sorted(map(tuple, cap_per_group(df, "id", "g", 4).collect()))
+    sc = sorted(map(tuple, cap_per_group(df, "id", "g", 4, salt_groups=4).collect()))
+    assert pc == sc and pc

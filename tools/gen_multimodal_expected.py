@@ -12,10 +12,10 @@ kernels). Regenerate ONLY after an intended kernel/fixture change:
 
     python tools/gen_multimodal_expected.py
 
-NOTE: the resize digests are the stdlib-PNG-codec outputs (this
-container has no Pillow). If the environment gains Pillow,
-`resize_images(fake=False)` routes through it and produces different
-(still deterministic) bytes — regenerate the literals then.
+NOTE: the resize digests are the stdlib-PNG-codec outputs, and the
+contract entry FORCES that kernel (`resize_images(codec="stdlib")`), so
+an environment gaining Pillow cannot shift the frozen digests — Pillow
+resize stays the `codec="auto"` default for library callers.
 
 NOTE: PNG bytes embed `zlib.compress` output, so the source-asset and
 resized-output sha256 digests are additionally pinned to the zlib
