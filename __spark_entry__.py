@@ -155,6 +155,29 @@ def q_sessionize(spark, sf_dir):
     return session_stats(ev, "user_id", "ts", gap_ms=3600_000)
 
 
+def q_sessionize_scalable(spark, sf_dir):
+    # EXACT sessionize with bounded window partitions (r11): two-phase
+    # per-(actor, 2-day-bucket) windows + summary-level stitch. The
+    # oracle is the SAME single-window gap-and-islands SQL as the plain
+    # `sessionize` entry — the hash gate itself is the exactness proof.
+    from seqspark.pipeline.sessions import sessionize_scalable
+
+    ev = load_table(spark, sf_dir, "events")
+    s = sessionize_scalable(
+        ev, "user_id", "ts", gap_ms=3600_000, bucket_ms=2 * 24 * 3600 * 1000
+    )
+    ts_ms = F.unix_millis(F.col("ts"))
+    return (
+        s.groupBy("user_id", "session_seq")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min(ts_ms).alias("start_ms"),
+            F.max(ts_ms).alias("end_ms"),
+        )
+        .withColumn("duration_ms", F.col("end_ms") - F.col("start_ms"))
+    )
+
+
 def q_sessionize_bucketed(spark, sf_dir):
     # the sessionize skew mitigation (r11): window partitioned by
     # (actor, day bucket) — a mega-actor shards into day slices; the
@@ -2142,6 +2165,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cap_per_group_salted": q_cap_per_group_salted,
         "ivf_update": q_ivf_update,
         "sessionize": q_sessionize,
+        "sessionize_scalable": q_sessionize_scalable,
         "sessionize_bucketed": q_sessionize_bucketed,
         "sessionize_native": q_sessionize_native,
         "sketch_balanced_sample": q_sketch_balanced_sample,
@@ -2867,6 +2891,9 @@ def oracle_sql() -> dict[str, str]:
         "SELECT user_id, session_bucket, session_seq, count(*) AS n_events, "
         "min(ts_ms) AS start_ms FROM numbered GROUP BY 1, 2, 3"
     )
+    # the scalable two-phase sessionize must equal the plain single
+    # window exactly — same oracle
+    sql["sessionize_scalable"] = sql["sessionize"]
     sql["ivf_update"] = (
         "WITH seeds AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, "
         "embedding::DOUBLE[] AS c FROM embeddings ORDER BY vec_id LIMIT 4), "

@@ -38,8 +38,10 @@ def sessionize(
     stress): the operator stays O(|actor| log |actor|) on the hot key and
     the mitigation is upstream — bound per-actor volume first
     (:func:`seqspark.pipeline.sampling.cap_per_group` with
-    ``salt_groups``) or use :func:`sessionize_bucketed` when
-    cross-bucket session continuity is not required.
+    ``salt_groups``), :func:`sessionize_bucketed` when cross-bucket
+    session continuity is not required, or :func:`sessionize_scalable`
+    — the EXACT two-phase variant whose window partitions are bounded
+    by construction.
     """
     if gap_ms < 0:
         raise ValueError("gap_ms must be >= 0")
@@ -99,6 +101,93 @@ def sessionize_bucketed(
         F.sum(is_break).over(
             w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
         ).cast("int"),
+    )
+
+
+def sessionize_scalable(
+    df: DataFrame,
+    actor_col: str,
+    ts_col: str = "ts",
+    gap_ms: int = 30 * 60 * 1000,
+    bucket_ms: int = 24 * 3600 * 1000,
+    out_col: str = "session_seq",
+) -> DataFrame:
+    """EXACT :func:`sessionize` with bounded window partitions — the
+    answer to the hot-actor skew this module documents, without the
+    boundary-splitting compromise of :func:`sessionize_bucketed`.
+
+    Two phases:
+
+    1. events window per (actor, time bucket): bucket-local session seq
+       plus per-bucket summaries (first/last ts, session count) — no
+       window task ever sorts more than ``bucket_ms`` of one actor;
+    2. summary window per actor ORDERED BY BUCKET: consecutive
+       non-empty buckets chain when ``first_ts(k) - last_ts(k-1) <=
+       gap_ms`` (exactly the event-gap rule — buckets between them are
+       empty, so that delta IS the real event gap). With ``S_k`` local
+       sessions in bucket k and merge flag ``m_k``, the global offset
+       for bucket k is ``Σ_{j<k} S_j − Σ_{j<=k} m_j``: each chained
+       boundary collapses two sessions into one, and bucket k's local
+       seq 1 lands exactly on the previous bucket's last global seq
+       when merged. The summary frame has one row per (actor, non-empty
+       bucket) — a 10M-event bot across 1000 day-buckets is 1000
+       summary rows, so phase 2's per-actor window partition is tiny
+       by construction.
+
+    Output: the input plus ``out_col`` — IDENTICAL to
+    :func:`sessionize` (hash-pinned by the ``sessionize_scalable``
+    contract entry against the single-window SQL oracle, and
+    property-tested including gap > bucket_ms, empty buckets, and
+    boundary ties). One extra aggregation + one (actor, bucket)-keyed
+    join over :func:`sessionize`'s single window — the cost of making
+    the partition key safe at any skew."""
+    if gap_ms < 0:
+        raise ValueError("gap_ms must be >= 0")
+    if bucket_ms <= 0:
+        raise ValueError("bucket_ms must be > 0")
+    cols = df.columns
+    b_c, l_c = "__sb", "__sl"
+    while b_c in cols:
+        b_c += "_"
+    while l_c in cols:
+        l_c += "_"
+    ts_ms = F.unix_millis(F.col(ts_col))
+    bucketed = df.withColumn(b_c, F.floor(ts_ms / F.lit(bucket_ms)))
+    w = Window.partitionBy(actor_col, b_c).orderBy(F.col(ts_col))
+    prev = F.lag(ts_ms).over(w)
+    is_break = F.when(
+        prev.isNull() | ((ts_ms - prev) > F.lit(gap_ms)), F.lit(1)
+    ).otherwise(F.lit(0))
+    local = bucketed.withColumn(
+        l_c,
+        F.sum(is_break).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    summary = local.groupBy(actor_col, b_c).agg(
+        F.min(ts_ms).alias("__first"),
+        F.max(ts_ms).alias("__last"),
+        F.max(F.col(l_c)).alias("__n"),
+    )
+    sw = Window.partitionBy(actor_col).orderBy(b_c)
+    merged = F.when(
+        (F.col("__first") - F.lag("__last").over(sw)) <= F.lit(gap_ms),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    run = sw.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    offsets = (
+        summary.withColumn("__m", merged)
+        .withColumn(
+            "__base",
+            F.coalesce(F.sum("__n").over(run) - F.col("__n"), F.lit(0))
+            - F.sum("__m").over(run),
+        )
+        .select(actor_col, b_c, "__base")
+    )
+    return (
+        local.join(offsets, [actor_col, b_c])
+        .withColumn(out_col, (F.col("__base") + F.col(l_c)).cast("int"))
+        .select(*cols, out_col)
     )
 
 

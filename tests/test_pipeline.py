@@ -2268,3 +2268,38 @@ def test_lsh_sign_margin_empty_frame(spark):
     empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
     mn, n = lsh_sign_margin(empty, dim=8, bits=4, seed=7)
     assert mn == float("inf") and n == 0
+
+
+def test_sessionize_scalable_equals_plain(spark):
+    # EXACT parity with the single-window sessionize on adversarial
+    # shapes: gap larger than the bucket (chains across EMPTY buckets),
+    # boundary tie (delta == gap chains), breaks inside a bucket, and a
+    # multi-bucket silence-free run (chains through many boundaries)
+    import random
+
+    from pyspark.sql import functions as F
+
+    from seqspark.pipeline.sessions import sessionize, sessionize_scalable
+
+    rng = random.Random(11)
+    rows = []
+    for u in range(6):
+        t = 0
+        for _ in range(rng.randint(1, 120)):
+            t += rng.choice([1, 5, 9, 10, 11, 40, 95, 300])
+            rows.append((f"u{u}", t * 100))
+    df = spark.createDataFrame(rows, "user string, ms long").withColumn(
+        "ts", F.timestamp_millis(F.col("ms"))
+    )
+    for gap, bucket in ((1000, 3000), (5000, 1000), (1000, 1000)):
+        plain = sorted(
+            (r["user"], r["ms"], r["session_seq"])
+            for r in sessionize(df, "user", "ts", gap_ms=gap).collect()
+        )
+        scaled = sorted(
+            (r["user"], r["ms"], r["session_seq"])
+            for r in sessionize_scalable(
+                df, "user", "ts", gap_ms=gap, bucket_ms=bucket
+            ).collect()
+        )
+        assert plain == scaled, (gap, bucket)

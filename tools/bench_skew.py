@@ -60,7 +60,7 @@ def main() -> None:
         pack_sequences,
         top_per_group,
     )
-    from seqspark.pipeline.sessions import sessionize
+    from seqspark.pipeline.sessions import sessionize, sessionize_scalable
 
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     spark = (
@@ -98,6 +98,19 @@ def main() -> None:
         res["sessionize_skewed"] = timed(
             lambda: sessionize(skewed, "actor").agg(
                 F.max("session_seq")).collect()
+        )
+    if want("sessionize_scalable"):
+        # the EXACT two-phase variant: per-(actor, bucket) windows +
+        # summary stitch — same output, bounded partitions. Bucket the
+        # replicated ts range into ~64 slices so the hot actor shards.
+        lo, hi = skewed.agg(
+            F.unix_millis(F.min("ts")), F.unix_millis(F.max("ts"))
+        ).head()
+        bucket = max(1, (hi - lo) // 64)
+        res["sessionize_scalable"] = timed(
+            lambda: sessionize_scalable(
+                skewed, "actor", bucket_ms=bucket
+            ).agg(F.max("session_seq")).collect()
         )
     # the upstream mitigation recommended in the sessionize docstring:
     # cap the hot actor first, then sessionize
