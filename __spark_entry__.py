@@ -1995,10 +1995,10 @@ def contract_diagnostics() -> dict[str, Callable[[SparkSession, str], str]]:
 #: (only in the committed-and-independently-reproduced ORACLE_CHECK runs).
 #: This window front-loads all 46 never-driver-checked entries plus four
 #: long-stable canaries, so after this round every contract entry has
-#: been driver-green at least once. r12 note: two entries added after
-#: this window was cut (`cap_per_group_salted`, `sessionize_bucketed`)
-#: have not yet appeared in a driver artifact — swap them into the next
-#: round's window.
+#: been driver-green at least once. r12 note: three entries added after
+#: this window was cut (`cap_per_group_salted`, `sessionize_bucketed`,
+#: `sessionize_scalable`) have not yet appeared in a driver artifact —
+#: swap them into the next round's window.
 DRIVER_WINDOW = [
     # canaries: stable since r1, keep a cross-round comparison anchor
     "keyword_eq",
