@@ -163,8 +163,13 @@ def q_sessionize_scalable(spark, sf_dir):
     from seqspark.pipeline.sessions import sessionize_scalable
 
     ev = load_table(spark, sf_dir, "events")
+    # hot_threshold=66 ~ the median per-user count at sf0.01, so BOTH
+    # branches of the hybrid (plain window for cold actors, two-phase
+    # for hot) execute and their union must still hash-match the
+    # single-window oracle
     s = sessionize_scalable(
-        ev, "user_id", "ts", gap_ms=3600_000, bucket_ms=2 * 24 * 3600 * 1000
+        ev, "user_id", "ts", gap_ms=3600_000,
+        bucket_ms=2 * 24 * 3600 * 1000, hot_threshold=66,
     )
     ts_ms = F.unix_millis(F.col("ts"))
     return (

@@ -13,6 +13,8 @@ evenly at 100 TB.
 
 from __future__ import annotations
 
+from typing import Optional
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -111,12 +113,24 @@ def sessionize_scalable(
     gap_ms: int = 30 * 60 * 1000,
     bucket_ms: int = 24 * 3600 * 1000,
     out_col: str = "session_seq",
+    hot_threshold: Optional[int] = 1_000_000,
 ) -> DataFrame:
     """EXACT :func:`sessionize` with bounded window partitions — the
     answer to the hot-actor skew this module documents, without the
     boundary-splitting compromise of :func:`sessionize_bucketed`.
 
-    Two phases:
+    ``hot_threshold`` (default 1M rows) routes ONLY detected-hot actors
+    (one map-side count + broadcast, the
+    :func:`~seqspark.pipeline.sampling._pre_cap_hot_groups` pattern)
+    through the two-phase computation below; everyone else takes the
+    plain single window. Measured reason (BASELINE.md round 11): on
+    UNIFORM actors the unconditional two-phase path cost 4.7x (the
+    extra agg + stitch window + join buy nothing when no partition is
+    hot), while on a 10M-event hot actor it wins 2.7x — the hybrid
+    takes each side's better branch, exactly. ``hot_threshold=None``
+    forces every actor through the two-phase path.
+
+    Two phases (for the hot rows):
 
     1. events window per (actor, time bucket): bucket-local session seq
        plus per-bucket summaries (first/last ts, session count) — no
@@ -146,6 +160,31 @@ def sessionize_scalable(
     if bucket_ms <= 0:
         raise ValueError("bucket_ms must be > 0")
     cols = df.columns
+    if hot_threshold is not None:
+        if hot_threshold < 1:
+            raise ValueError("hot_threshold must be >= 1 (or None)")
+        h_c = "__shot"
+        while h_c in cols:
+            h_c += "_"
+        hot = (
+            df.groupBy(actor_col)
+            .agg(F.count(F.lit(1)).alias("__sn"))
+            .filter(F.col("__sn") > hot_threshold)
+            .select(actor_col)
+            .withColumn(h_c, F.lit(1))
+        )
+        tagged = df.join(F.broadcast(hot), [actor_col], "left")
+        cold = sessionize(
+            tagged.filter(F.col(h_c).isNull()).select(*cols),
+            actor_col, ts_col, gap_ms, out_col,
+        )
+        hot_rows = tagged.filter(F.col(h_c).isNotNull()).select(*cols)
+        return cold.unionByName(
+            sessionize_scalable(
+                hot_rows, actor_col, ts_col, gap_ms, bucket_ms, out_col,
+                hot_threshold=None,
+            )
+        )
     b_c, l_c = "__sb", "__sl"
     while b_c in cols:
         b_c += "_"

@@ -2291,15 +2291,20 @@ def test_sessionize_scalable_equals_plain(spark):
     df = spark.createDataFrame(rows, "user string, ms long").withColumn(
         "ts", F.timestamp_millis(F.col("ms"))
     )
+    # hot_threshold=None: every actor two-phase; hot_threshold=40:
+    # HYBRID — some actors route through the plain window, some through
+    # two-phase, and the union must still be exact
     for gap, bucket in ((1000, 3000), (5000, 1000), (1000, 1000)):
         plain = sorted(
             (r["user"], r["ms"], r["session_seq"])
             for r in sessionize(df, "user", "ts", gap_ms=gap).collect()
         )
-        scaled = sorted(
-            (r["user"], r["ms"], r["session_seq"])
-            for r in sessionize_scalable(
-                df, "user", "ts", gap_ms=gap, bucket_ms=bucket
-            ).collect()
-        )
-        assert plain == scaled, (gap, bucket)
+        for thr in (None, 40):
+            scaled = sorted(
+                (r["user"], r["ms"], r["session_seq"])
+                for r in sessionize_scalable(
+                    df, "user", "ts", gap_ms=gap, bucket_ms=bucket,
+                    hot_threshold=thr,
+                ).collect()
+            )
+            assert plain == scaled, (gap, bucket, thr)
