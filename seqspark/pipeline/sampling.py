@@ -182,19 +182,25 @@ def _pre_cap_hot_groups(
     # collision-proof temp names: a caller's frame may legitimately carry
     # __hot/__prk columns, and an ambiguous-reference AnalysisException
     # from the skew knob would break a previously-working pipeline
-    hot_c, prk_c = "__hot", "__prk"
+    hot_c, prk_c, hk_c = "__hot", "__prk", "__hgk"
     while hot_c in cols:
         hot_c += "_"
     while prk_c in cols:
         prk_c += "_"
+    while hk_c in cols:
+        hk_c += "_"
     hot = (
         df.groupBy(group_col)
         .agg(F.count(F.lit(1)).alias("__gn"))
         .filter(F.col("__gn") > n * salt_groups)
-        .select(group_col)
+        .select(F.col(group_col).alias(hk_c))
         .withColumn(hot_c, F.lit(1))
     )
-    tagged = df.join(F.broadcast(hot), [group_col], "left")
+    # null-safe tag: a mega NULL-key group (missing domain/source) is
+    # often the hottest of all and must still route through the pre-cap.
+    tagged = df.join(
+        F.broadcast(hot), F.col(group_col).eqNullSafe(F.col(hk_c)), "left"
+    ).drop(hk_c)
     cold = tagged.filter(F.col(hot_c).isNull()).select(*cols)
     pre = F.row_number().over(
         Window.partitionBy(

@@ -91,7 +91,12 @@ def sessionize_bucketed(
     if bucket_ms <= 0:
         raise ValueError("bucket_ms must be > 0")
     ts_ms = F.unix_millis(F.col(ts_col))
-    bucket = (ts_ms - ts_ms % F.lit(bucket_ms)).alias(bucket_col)
+    # floor-aligned for ALL timestamps (Spark % keeps the dividend's
+    # sign, which would right-align pre-epoch buckets and disagree with
+    # sessionize_scalable's floor(ts/bucket) boundaries).
+    bucket = (F.floor(ts_ms / F.lit(bucket_ms)) * F.lit(bucket_ms)).alias(
+        bucket_col
+    )
     out = df.withColumn(bucket_col, bucket)
     w = Window.partitionBy(actor_col, bucket_col).orderBy(F.col(ts_col))
     prev = F.lag(ts_ms).over(w)
@@ -163,17 +168,25 @@ def sessionize_scalable(
     if hot_threshold is not None:
         if hot_threshold < 1:
             raise ValueError("hot_threshold must be >= 1 (or None)")
-        h_c = "__shot"
+        h_c, k_c = "__shot", "__shk"
         while h_c in cols:
             h_c += "_"
+        while k_c in cols:
+            k_c += "_"
         hot = (
             df.groupBy(actor_col)
             .agg(F.count(F.lit(1)).alias("__sn"))
             .filter(F.col("__sn") > hot_threshold)
-            .select(actor_col)
+            .select(F.col(actor_col).alias(k_c))
             .withColumn(h_c, F.lit(1))
         )
-        tagged = df.join(F.broadcast(hot), [actor_col], "left")
+        # null-safe tag: a mega NULL-actor group is often the hottest
+        # key of all (missing/unknown actor) and must still be detected.
+        tagged = df.join(
+            F.broadcast(hot),
+            F.col(actor_col).eqNullSafe(F.col(k_c)),
+            "left",
+        ).drop(k_c)
         cold = sessionize(
             tagged.filter(F.col(h_c).isNull()).select(*cols),
             actor_col, ts_col, gap_ms, out_col,
@@ -214,6 +227,11 @@ def sessionize_scalable(
         F.lit(1),
     ).otherwise(F.lit(0))
     run = sw.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    oa_c, ob_c = "__soa", "__sob"
+    while oa_c in cols:
+        oa_c += "_"
+    while ob_c in cols:
+        ob_c += "_"
     offsets = (
         summary.withColumn("__m", merged)
         .withColumn(
@@ -221,10 +239,21 @@ def sessionize_scalable(
             F.coalesce(F.sum("__n").over(run) - F.col("__n"), F.lit(0))
             - F.sum("__m").over(run),
         )
-        .select(actor_col, b_c, "__base")
+        .select(
+            F.col(actor_col).alias(oa_c),
+            F.col(b_c).alias(ob_c),
+            "__base",
+        )
     )
+    # null-safe join: plain sessionize keeps NULL-actor (and NULL-ts)
+    # rows — an inner equi-join here would silently drop them, breaking
+    # the documented exact equivalence.
     return (
-        local.join(offsets, [actor_col, b_c])
+        local.join(
+            offsets,
+            F.col(actor_col).eqNullSafe(F.col(oa_c))
+            & F.col(b_c).eqNullSafe(F.col(ob_c)),
+        )
         .withColumn(out_col, (F.col("__base") + F.col(l_c)).cast("int"))
         .select(*cols, out_col)
     )

@@ -119,6 +119,10 @@ class _SerializedTLSSocket:
     that long without data (the server's idle reclaim)."""
 
     _POLL_S = 0.25
+    #: bound on how long the reader may hold the lock draining a record
+    #: whose tail has not arrived — a peer trickling one byte per record
+    #: must not starve writer threads for a full second per attempt
+    _PARTIAL_S = 0.075
 
     def __init__(self, ssock):
         self._s = ssock
@@ -126,6 +130,7 @@ class _SerializedTLSSocket:
 
     def recv(self, n: int) -> bytes:
         import select as _select
+        import ssl as _ssl
 
         timeout = self._s.gettimeout()
         if timeout == 0:
@@ -137,8 +142,16 @@ class _SerializedTLSSocket:
             if not _select.select([self._s], [], [], 0)[0]:
                 raise BlockingIOError("non-blocking recv: no data")
             with self._lock:
-                return self._s.recv(n)
+                try:
+                    return self._s.recv(n)
+                except _ssl.SSLWantReadError:
+                    # readable fd but an incomplete TLS record: surface the
+                    # documented non-blocking contract, not an SSL internal
+                    raise BlockingIOError(
+                        "non-blocking recv: incomplete record"
+                    ) from None
         deadline = (time.monotonic() + timeout) if timeout else None
+        partials = 0
         while True:
             with self._lock:
                 if self._s.pending():
@@ -151,15 +164,22 @@ class _SerializedTLSSocket:
             if r:
                 with self._lock:
                     prev = self._s.gettimeout()
-                    # a whole record is normally already queued; 1s bounds
-                    # a partial-record stall without pinning writers
-                    self._s.settimeout(1.0)
+                    # a whole record is normally already queued; the short
+                    # bound keeps a partial-record stall from pinning
+                    # writers behind the lock (SSL_read consumes the
+                    # partial bytes into its record buffer, so select goes
+                    # quiet again until the peer sends more — no busy loop)
+                    self._s.settimeout(self._PARTIAL_S)
                     try:
                         return self._s.recv(n)
-                    except TimeoutError:
-                        pass  # partial record: wait for the rest
+                    except (TimeoutError, _ssl.SSLWantReadError):
+                        partials += 1  # partial record: wait for the rest
                     finally:
                         self._s.settimeout(prev)
+                if partials > 2:
+                    # a peer repeatedly trickling record fragments: back
+                    # off OUTSIDE the lock so writers run between attempts
+                    time.sleep(min(0.01 * partials, self._POLL_S))
             if deadline is not None and time.monotonic() > deadline:
                 raise TimeoutError("recv idle timeout")
 

@@ -2308,3 +2308,86 @@ def test_sessionize_scalable_equals_plain(spark):
                 ).collect()
             )
             assert plain == scaled, (gap, bucket, thr)
+
+
+def test_sessionize_scalable_keeps_null_actor_rows(spark):
+    # advisor r11 (medium): the forced two-phase path's inner equi-join
+    # silently dropped NULL-actor rows; plain sessionize keeps them, so
+    # the exactness claim requires a null-safe join. NULL must also be
+    # detectable as a HOT key (it is often the hottest: missing actor).
+    from pyspark.sql import functions as F
+
+    from seqspark.pipeline.sessions import sessionize, sessionize_scalable
+
+    rows = [
+        (None, 1000), (None, 1500), (None, 9000),   # NULL actor, 2 sessions
+        ("u1", 1000), ("u1", 9000),                  # 2 sessions
+        (None, 20000),
+    ]
+    df = spark.createDataFrame(rows, "user string, ms long").withColumn(
+        "ts", F.timestamp_millis(F.col("ms"))
+    )
+    plain = sorted(
+        ((r["user"], r["ms"], r["session_seq"]) for r in
+         sessionize(df, "user", "ts", gap_ms=2000).collect()),
+        key=str,
+    )
+    assert len(plain) == 6
+    # forced two-phase; hybrid with NULL detected hot (4 NULL rows > 3);
+    # hybrid with nothing hot
+    for thr in (None, 3, 100):
+        scaled = sorted(
+            ((r["user"], r["ms"], r["session_seq"]) for r in
+             sessionize_scalable(
+                 df, "user", "ts", gap_ms=2000, bucket_ms=5000,
+                 hot_threshold=thr,
+             ).collect()),
+            key=str,
+        )
+        assert plain == scaled, thr
+
+
+def test_sessionize_scalable_null_ts_rows(spark):
+    # NULL timestamps bucket to NULL; the null-safe join must keep them
+    # and their session numbering must match the plain window (NULLS
+    # FIRST ordering, each NULL-ts row its own break)
+    from pyspark.sql import functions as F
+
+    from seqspark.pipeline.sessions import sessionize, sessionize_scalable
+
+    rows = [("u1", None), ("u1", None), ("u1", 1000), ("u1", 1500)]
+    df = spark.createDataFrame(rows, "user string, ms long").withColumn(
+        "ts", F.timestamp_millis(F.col("ms"))
+    )
+    plain = sorted(
+        ((r["user"], r["ms"], r["session_seq"]) for r in
+         sessionize(df, "user", "ts", gap_ms=2000).collect()),
+        key=str,
+    )
+    scaled = sorted(
+        ((r["user"], r["ms"], r["session_seq"]) for r in
+         sessionize_scalable(
+             df, "user", "ts", gap_ms=2000, bucket_ms=5000,
+             hot_threshold=None,
+         ).collect()),
+        key=str,
+    )
+    assert plain == scaled and len(plain) == 4
+
+
+def test_sessionize_bucketed_pre_epoch_floor_aligned(spark):
+    # advisor r11 (low): buckets must be FLOOR-aligned for negative
+    # (pre-epoch) timestamps too — `ts - ts % bucket` with Spark's
+    # sign-keeping % right-aligned them, disagreeing with
+    # sessionize_scalable's floor(ts/bucket) boundaries
+    from pyspark.sql import functions as F
+
+    from seqspark.pipeline.sessions import sessionize_bucketed
+
+    rows = [("u1", -9500), ("u1", -500), ("u1", 500)]
+    df = spark.createDataFrame(rows, "user string, ms long").withColumn(
+        "ts", F.timestamp_millis(F.col("ms"))
+    )
+    out = sessionize_bucketed(df, "user", "ts", gap_ms=10**6, bucket_ms=10000)
+    got = {r["ms"]: r["session_bucket"] for r in out.collect()}
+    assert got == {-9500: -10000, -500: -10000, 500: 0}

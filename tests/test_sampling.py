@@ -339,3 +339,49 @@ def test_salted_rank_survives_reserved_column_names(spark):
     pc = sorted(map(tuple, cap_per_group(df, "id", "g", 4).collect()))
     sc = sorted(map(tuple, cap_per_group(df, "id", "g", 4, salt_groups=4).collect()))
     assert pc == sc and pc
+
+
+def test_salted_rank_detects_null_mega_group(spark):
+    # advisor r11 (low): the hot-detection broadcast join must be
+    # null-safe — a NULL group key (missing domain/source) is often THE
+    # hot key, and a plain equi-join left it undetected (exact results,
+    # but the skew mitigation silently never fired). Both operators must
+    # also stay exact with NULL groups present.
+    from seqspark.pipeline.sampling import (
+        _pre_cap_hot_groups, cap_per_group, top_per_group,
+    )
+    from pyspark.sql import functions as F
+
+    rows = [(i, None if i % 5 < 3 else f"g{i % 17}", float((i * 7919) % 1000))
+            for i in range(4000)]
+    df = spark.createDataFrame(rows, "id long, g string, v double")
+
+    # the pre-stage must actually shrink the NULL mega-group (detection
+    # fired): 2400 NULL rows -> at most n*salt_groups survivors
+    pre = _pre_cap_hot_groups(
+        df, "g", "id", 9, 8,
+        (F.xxhash64(F.col("id")), F.col("id")),
+    )
+    null_rows = pre.filter(F.col("g").isNull()).count()
+    assert null_rows <= 9 * 8
+
+    plain_top = sorted(
+        map(tuple, top_per_group(df, "g", "v", 9, key_col="id").collect()),
+        key=str,
+    )
+    salted_top = sorted(
+        map(tuple,
+            top_per_group(df, "g", "v", 9, key_col="id", salt_groups=8).collect()),
+        key=str,
+    )
+    assert plain_top == salted_top and plain_top
+
+    plain_cap = sorted(
+        map(tuple, cap_per_group(df, "id", "g", 9, seed="s").collect()), key=str
+    )
+    salted_cap = sorted(
+        map(tuple,
+            cap_per_group(df, "id", "g", 9, seed="s", salt_groups=8).collect()),
+        key=str,
+    )
+    assert plain_cap == salted_cap and plain_cap
