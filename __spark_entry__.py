@@ -1994,69 +1994,75 @@ def contract_diagnostics() -> dict[str, Callable[[SparkSession, str], str]]:
     }
 
 
-#: Driver-window rotation (r11): the driver's CORRECTNESS artifact checks
-#: the FIRST 50 queries() entries, and rounds 1-10 kept a stable ordering,
-#: so 46 of the 115 entries had never appeared in any driver artifact
-#: (only in the committed-and-independently-reproduced ORACLE_CHECK runs).
-#: This window front-loads all 46 never-driver-checked entries plus four
-#: long-stable canaries, so after this round every contract entry has
-#: been driver-green at least once. r12 note: three entries added after
-#: this window was cut (`cap_per_group_salted`, `sessionize_bucketed`,
-#: `sessionize_scalable`) have not yet appeared in a driver artifact —
-#: swap them into the next round's window.
+#: Driver-window rotation (r12): the driver's CORRECTNESS artifact checks
+#: the FIRST 50 queries() entries. The r11 window front-loaded the 46
+#: entries that had never appeared in any driver artifact; after it ran,
+#: only the 3 operators ADDED in r11 (after that window was cut) remained
+#: never-driver-checked: `cap_per_group_salted`, `sessionize_bucketed`,
+#: `sessionize_scalable`. This window leads with exactly those 3 (plus
+#: the same four long-stable canaries), then re-verifies the 43 entries
+#: whose last driver-green is OLDEST (r5-r10), so the window doubles as a
+#: staleness sweep. After this round every contract entry has been
+#: driver-green at least once.
 DRIVER_WINDOW = [
     # canaries: stable since r1, keep a cross-round comparison anchor
     "keyword_eq",
     "match_all",
     "agg_count_group",
     "time_range",
-    # never driver-checked before r11 (46)
-    "incremental_lsh_dupes",
-    "bpe_encode",
-    "bpe_encode_dict",
-    "complex_search",
-    "agg_notexists_bucket",
-    "agg_sum_notexists",
-    "agg_unique_total",
-    "agg_bucket_order",
-    "keyset_pagination",
-    "multitype_keyword_title",
-    "inverted_index_and",
-    "export_keyset",
-    "corpus_curation",
-    "case_sensitive_eq",
-    "pii_scrub",
-    "decontaminate",
-    "repetition_ratio",
-    "shipping_priority",
-    "local_supplier_volume",
-    "hash_sample",
-    "hash_split",
-    "train_shuffle",
-    "mix_sources",
-    "legacy_query",
-    "legacy_range",
-    "dup_clusters",
-    "stratified_sample",
-    "domain_stats",
-    "cap_per_group",
-    "ivf_update",
-    "sessionize",
-    "sessionize_native",
-    "sketch_balanced_sample",
-    "multimodal_resize",
-    "embedding_dup_clusters",
-    "top_per_group",
-    "heavy_hitters",
-    "semantic_dedup_pairs",
-    "semantic_dedup",
-    "span_dedup",
-    "fuzzy_contamination",
-    "quality_classifier",
-    "pack_sequences",
-    "hamming_dupes",
-    "hamming_dedup",
-    "image_dhash_dupes",
+    # the only 3 entries never seen in a driver CORRECTNESS artifact
+    "cap_per_group_salted",
+    "sessionize_bucketed",
+    "sessionize_scalable",
+    # least-recently driver-checked (last seen r5)
+    "join_broadcast",
+    "lineitem_pricing_summary",
+    "multimodal_decode",
+    "text_fingerprint",
+    "text_quality",
+    "text_token_count",
+    # last seen r6
+    "ann_brute_topk",
+    "ann_lsh_topk",
+    "embedding_cosine_pairs",
+    # last seen r7
+    "minhash_lsh_pairs",
+    "simhash_candidates",
+    # last seen r8
+    "dedup_exact",
+    "doc_size_tracking",
+    "incremental_dedup",
+    "ngram_jaccard",
+    "paragraph_dedup",
+    "timestamp_parse_chain",
+    # last seen r9
+    "c4_filter",
+    "path_prefix_tokens",
+    # last seen r10
+    "agg_avg_group",
+    "agg_filtered",
+    "agg_max_group",
+    "agg_min_group",
+    "agg_quantile",
+    "agg_sum_group",
+    "agg_timeseries",
+    "agg_unique",
+    "ann_batch_topk",
+    "auto_mapping_search",
+    "bigram_perplexity",
+    "bool_not",
+    "bool_precedence",
+    "comment_strip",
+    "date_histogram",
+    "dsir_resample",
+    "dsir_score",
+    "exists",
+    "fetch_by_ids",
+    "fields_pipe",
+    "filter_in",
+    "frame_sample",
+    "fulltext_and",
+    "fulltext_wildcard",
 ]
 
 
