@@ -40,10 +40,26 @@ from .seqql.ast import (
     TermKind,
 )
 
-#: Go strconv.ParseFloat syntax (no underscores, optional exponent); the
-#: reference additionally rejects NaN/Inf results
-#: (`pattern/pattern.go:294-296` isNaNOrInf).
-_GO_FLOAT_RE = re.compile(r"^[+-]?(\d+(\.\d*)?|\.\d+)([eE][+-]?\d+)?$")
+#: Go strconv.ParseFloat decimal syntax; the reference additionally
+#: rejects NaN/Inf results (`pattern/pattern.go:294-296` isNaNOrInf).
+#: ASCII digits ONLY — Python's ``\d`` also matches unicode digits
+#: (e.g. arabic-indic ``٤``), which Go rejects, and a bound like ``٤٢``
+#: must dispatch the range LEXICOGRAPHIC exactly like the reference
+#: (caught by the r12 differential fuzz). Documented delta vs real Go:
+#: ParseFloat also accepts Go-literal underscores (``1_0``) and hex
+#: floats (``0x1Ap0``); both are rejected here and by the token guard
+#: below — the stricter decimal-only model, applied consistently to
+#: bounds and tokens.
+_GO_FLOAT_SYNTAX = r"[+-]?([0-9]+(\.[0-9]*)?|\.[0-9]+)([eE][+-]?[0-9]+)?"
+_GO_FLOAT_RE = re.compile(r"^" + _GO_FLOAT_SYNTAX + r"$")
+
+#: Java-regex form for guarding TOKENS on the numeric-range path:
+#: ``try_cast(double)`` alone is LOOSER than Go ParseFloat (it trims
+#: whitespace, so token ``' 5'`` would match a numeric range the
+#: reference rejects). ``\A``/``\z`` anchors, not ``^``/``$`` — Java's
+#: ``$`` matches before a final newline, and keyword tokens can contain
+#: one.
+_GO_FLOAT_JAVA_RE = r"\A" + _GO_FLOAT_SYNTAX + r"\z"
 
 
 def parses_as_number(s: str) -> Optional[float]:
@@ -220,8 +236,17 @@ def _token_check_range(rng: Range) -> Callable[[Column], Column]:
     if numeric:
         def check_num(tok: Column) -> Column:
             v = tok.try_cast("double")
-            cond = v.isNotNull() & ~F.isnan(v) & (v != F.lit(float("inf"))) & (
-                v != F.lit(float("-inf"))
+            # rlike guard: try_cast alone trims whitespace and accepts
+            # 'Infinity'/'NaN' spellings — Go ParseFloat does not trim,
+            # and the decimal-syntax guard keeps token semantics exactly
+            # on the reference's dispatch (caught by the differential
+            # fuzz: token ' 5' must NOT match [0, 10])
+            cond = (
+                tok.rlike(_GO_FLOAT_JAVA_RE)
+                & v.isNotNull()
+                & ~F.isnan(v)
+                & (v != F.lit(float("inf")))
+                & (v != F.lit(float("-inf")))
             )
             if from_num is not None:
                 cond = cond & (v >= F.lit(from_num) if rng.include_from else v > F.lit(from_num))

@@ -5,6 +5,7 @@ generated strings, keeping runtime bounded."""
 
 import re
 
+import pytest
 from hypothesis import given, settings, strategies as st
 from pyspark.sql import functions as F
 
@@ -546,3 +547,649 @@ def test_wildcard_like_overlap_traps(spark):
         assert _GoWildcard(
             [None if t.kind.name == "SYMBOL" else t.data for t in terms]
         ).check(value) == want
+
+
+# ---------------------------------------------------------------------------
+# Generative differential query fuzz (r12): random well-typed seq-ql over a
+# fixture mapping, evaluated by TWO independent stacks and compared per
+# document — the engine (render → parse → compile → Spark Columns) versus a
+# direct translation of the same query SPEC to DuckDB SQL over documents
+# tokenized by the independent Python models above. The spirit of the
+# reference's `tests/suites/single.go:96-120` RunFracEnvs: one query, N
+# independent evaluations, identical verdicts. The golden corpora pin KNOWN
+# vectors; this explores the grammar PRODUCT space — nested not/parens,
+# in() mixing literals and wildcards, ranges on multi-type fields, unicode
+# idents and values, byte-cap edges, numeric-vs-lexicographic dispatch.
+#
+# Already caught for r12 (fixed in seqspark.compile, pinned below):
+#   - `parses_as_number` accepted unicode digits (Python \d), so a bound
+#     like '٤٢' dispatched a range NUMERIC where Go ParseFloat (ASCII only)
+#     dispatches LEXICOGRAPHIC;
+#   - the token numeric-range path used bare try_cast(double), which trims
+#     whitespace — token ' 5' matched [0, 10] where the reference's
+#     ParseFloat rejects it.
+
+_DIFF_CAP = 72
+
+
+def _go_num(s: str):
+    """Fresh Go-ParseFloat decimal model for the oracle side (ASCII digits;
+    finite results only) — intentionally NOT seqspark.compile's function."""
+    if not re.match(r"^[+-]?([0-9]+(\.[0-9]*)?|\.[0-9]+)([eE][+-]?[0-9]+)?$", s):
+        return None
+    v = float(s)
+    if v != v or v in (float("inf"), float("-inf")):
+        return None
+    return v
+
+
+def _kw_toks(v):
+    if v is None:
+        return None
+    return [] if len(v.encode("utf-8")) > _DIFF_CAP else [v.lower()]
+
+
+def _txt_toks(v):
+    return None if v is None else model_text_tokens(v)
+
+
+def _tok_nums(toks):
+    return None if toks is None else [_go_num(t) for t in toks]
+
+
+_DIFF_SERVICES = [
+    "auth", "API", "api-v2", "db 01", "ВЕБ", "x" * 80, "", "auth'q",
+    "a\\b", "conn42",
+]
+_DIFF_MSG_WORDS = [
+    "Error", "timeout", "user", "LOGIN", "conn42", "x_y", "ab*c", "ß",
+    "日本語", "retry", "42", "٤٢",
+]
+_DIFF_MSG_SEPS = [" ", " - ", ". ", "! ", ", ", "/"]
+_DIFF_CODES = [
+    "42", "007", "-3.5", ".5", "5.", "+5", "1e3", "1E3", "1e309",
+    "Infinity", "NaN", "nan", " 5", "5 ", "0x1A", "1_0", "abc", "",
+    "٤٢", "99999999999999999999", "-0", "0.0", "3.14",
+]
+_DIFF_KODS = ["красный", "Зелёный", "blue", "жёлтый", ""]
+_DIFF_NS = [0, -1, 5, 42, 1000, 123456789, -37]
+_DIFF_VALUES = [
+    float("nan"), float("inf"), float("-inf"), -0.0, 0.0, 1.5, -3.5,
+    42.0, 1e308, 0.1, 7.0,
+]
+
+_DIFF_MAPPING = {
+    "service": "keyword",
+    "code": "keyword",
+    "msg": {"types": [{"type": "text"}, {"title": "keyword", "type": "keyword"}]},
+    "код": "keyword",
+    "n": "keyword",
+    "value": "keyword",
+}
+
+
+def _diff_docs():
+    import random
+
+    rng = random.Random(1207)
+    docs = []
+    for i in range(280):
+        svc = rng.choice(_DIFF_SERVICES) if rng.random() > 0.12 else None
+        if rng.random() > 0.1:
+            msg = rng.choice(_DIFF_MSG_SEPS).join(
+                rng.choice(_DIFF_MSG_WORDS)
+                for _ in range(rng.randint(0, 6))
+            )
+        else:
+            msg = None
+        code = rng.choice(_DIFF_CODES) if rng.random() > 0.15 else None
+        kod = rng.choice(_DIFF_KODS) if rng.random() > 0.3 else None
+        n = rng.choice(_DIFF_NS) if rng.random() > 0.2 else None
+        value = rng.choice(_DIFF_VALUES) if rng.random() > 0.2 else None
+        docs.append((i, svc, msg, code, kod, n, value))
+    return docs
+
+
+@pytest.fixture(scope="module")
+def diff_rig(spark):
+    """(SearchTable, duckdb connection with `diffdocs`, Mapping)."""
+    import duckdb
+    import pyarrow as pa
+
+    from pyspark.sql.types import (
+        DoubleType, LongType, StringType, StructField, StructType,
+        TimestampType,
+    )
+
+    from seqspark import SearchTable
+    from seqspark.mapping import Mapping
+
+    docs = _diff_docs()
+    import datetime
+
+    schema = StructType([
+        StructField("id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("service", StringType()),
+        StructField("msg", StringType()),
+        StructField("code", StringType()),
+        StructField("код", StringType()),
+        StructField("n", LongType()),
+        StructField("value", DoubleType()),
+    ])
+    epoch = datetime.datetime(2024, 1, 1, tzinfo=datetime.timezone.utc)
+    rows = [
+        (i, epoch + datetime.timedelta(seconds=i), svc, msg, code, kod, n, v)
+        for (i, svc, msg, code, kod, n, v) in docs
+    ]
+    df = spark.createDataFrame(rows, schema).cache()
+    table = SearchTable.from_typed(df, _DIFF_MAPPING, ts_col="ts", rid_col="id")
+
+    cols = {"id": pa.array([d[0] for d in docs], pa.int64())}
+    tok_sets = {
+        "service_toks": [_kw_toks(d[1]) for d in docs],
+        "msg_toks": [_txt_toks(d[2]) for d in docs],
+        "title_toks": [_kw_toks(d[2]) for d in docs],
+        "code_toks": [_kw_toks(d[3]) for d in docs],
+        "kod_toks": [_kw_toks(d[4]) for d in docs],
+        "n_toks": [
+            _kw_toks(str(d[5])) if d[5] is not None else None for d in docs
+        ],
+    }
+    for name, toks in tok_sets.items():
+        cols[name] = pa.array(toks, pa.list_(pa.string()))
+        cols[name.replace("_toks", "_nums")] = pa.array(
+            [_tok_nums(t) for t in toks], pa.list_(pa.float64())
+        )
+    cols["n"] = pa.array([d[5] for d in docs], pa.int64())
+    cols["value"] = pa.array([d[6] for d in docs], pa.float64())
+    con = duckdb.connect()
+    con.register("diffdocs", pa.table(cols))
+    yield table, con, Mapping(dict(_DIFF_MAPPING))
+    con.close()
+
+
+# --- spec strategies -------------------------------------------------------
+# A spec is an independently-defined tuple tree; the renderer below turns it
+# into seq-ql text, `_diff_expected_ast` into the AST the parser must
+# produce, and `_duck_expr` into the DuckDB oracle expression.
+
+_DIFF_KW_FIELDS = ["service", "code", "msg.keyword", "код", "n"]
+_DIFF_ALL_FIELDS = _DIFF_KW_FIELDS + ["msg", "value"]
+_DIFF_HOT_TERMS = [
+    "auth", "api", "api-v2", "db 01", "веб", "error", "conn42", "42",
+    "007", "infinity", " 5", "красный", "x_y", "ab*c", "日本語", "timeout",
+    "login", "blue",
+]
+_DIFF_KW_ALPHA = "abz09AZ _-.!*'\\:äß日\n"
+_DIFF_WORD_ALPHA = "abcxz09_*äABC日"
+_DIFF_BOUNDS = [
+    "0", "5", "42", "-1", "3.14", ".5", "5.", "+5", "1e2", "1e309",
+    "infinity", "NaN", "٤٢", "abc", "z", "веб", "", "007", " 5",
+]
+_DIFF_NUM_BOUNDS = ["0", "5", "42", "-1", "3.14", "1e2", ".5", "+5"]
+
+_kw_text = st.one_of(
+    st.sampled_from(_DIFF_HOT_TERMS),
+    st.text(alphabet=_DIFF_KW_ALPHA, min_size=1, max_size=8),
+)
+_word_text = st.one_of(
+    st.sampled_from([w for w in _DIFF_MSG_WORDS if "٤" not in w]),
+    st.text(alphabet=_DIFF_WORD_ALPHA, min_size=1, max_size=6),
+)
+
+
+def _norm_parts(parts):
+    """Merge adjacent text parts and drop empty text — the normal form whose
+    render→parse round-trip is the identity."""
+    out = []
+    for p in parts:
+        if p[0] == "t" and not p[1]:
+            continue
+        if p[0] == "t" and out and out[-1][0] == "t":
+            out[-1] = ("t", out[-1][1] + p[1])
+        else:
+            out.append(("t", p[1]) if p[0] == "t" else ("w",))
+    return out
+
+
+def _parts_strategy(text_st):
+    part = st.one_of(
+        st.tuples(st.just("t"), text_st), st.just(("w",))
+    )
+    return st.lists(part, min_size=0, max_size=4).map(_norm_parts)
+
+
+_kw_parts = _parts_strategy(_kw_text)
+_text_groups = st.lists(
+    _parts_strategy(_word_text).filter(lambda g: g), min_size=0, max_size=3
+)
+_bound = st.one_of(
+    st.just(("*",)),
+    st.tuples(st.just("t"), st.sampled_from(_DIFF_BOUNDS)),
+    st.tuples(st.just("t"), _kw_text.filter(lambda s: "\n" not in s)),
+)
+_num_bound = st.one_of(
+    st.just(("*",)),
+    st.tuples(st.just("t"), st.sampled_from(_DIFF_NUM_BOUNDS)),
+)
+
+
+@st.composite
+def _range_spec(draw):
+    f = draw(st.sampled_from(_DIFF_ALL_FIELDS))
+    bpool = _num_bound if f == "value" else _bound
+    return (
+        "range", f, draw(bpool), draw(bpool),
+        draw(st.booleans()), draw(st.booleans()),
+    )
+
+
+@st.composite
+def _in_spec(draw):
+    f = draw(st.sampled_from(_DIFF_KW_FIELDS + ["msg"]))
+    if f == "msg":
+        vals = draw(st.lists(
+            st.tuples(_text_groups, st.sampled_from(_DIFF_MSG_SEPS)),
+            min_size=1, max_size=3,
+        ))
+    else:
+        vals = draw(st.lists(_kw_parts, min_size=1, max_size=3))
+    return ("in", f, vals)
+
+
+@st.composite
+def _textlit_spec(draw):
+    return (
+        "textlit", "msg", draw(_text_groups),
+        draw(st.sampled_from(_DIFF_MSG_SEPS)),
+    )
+
+
+_diff_leaf = st.one_of(
+    st.just(("all",)),
+    st.tuples(st.just("exists"), st.sampled_from(_DIFF_ALL_FIELDS)),
+    st.tuples(st.just("kwlit"), st.sampled_from(_DIFF_KW_FIELDS), _kw_parts),
+    _textlit_spec(),
+    _range_spec(),
+    _in_spec(),
+)
+_diff_spec = st.recursive(
+    _diff_leaf,
+    lambda ch: st.one_of(
+        st.tuples(st.just("and"), ch, ch),
+        st.tuples(st.just("or"), ch, ch),
+        st.tuples(st.just("not"), ch),
+    ),
+    max_leaves=5,
+)
+
+
+# --- renderer ---------------------------------------------------------------
+
+def _esc_quoted(ch: str) -> str:
+    if ch in ("\\", "'", "*"):
+        return "\\" + ch
+    if ch == "\n":
+        return "\\n"
+    if ch == "\r":
+        return "\\r"
+    return ch
+
+
+def _render_value(parts) -> str:
+    out = ["'"]
+    for p in parts:
+        if p[0] == "w":
+            out.append("*")  # unescaped * inside quotes IS the wildcard
+        else:
+            out.extend(_esc_quoted(c) for c in p[1])
+    out.append("'")
+    return "".join(out)
+
+
+def _render_text_value(groups, sep) -> str:
+    flat = []
+    for i, g in enumerate(groups):
+        if i:
+            flat.append(("t", sep))
+        flat.extend(g)
+    return _render_value(flat)
+
+
+def _render(spec) -> str:
+    k = spec[0]
+    if k == "all":
+        return "_all_:*"
+    if k == "exists":
+        return "_exists_:" + spec[1]
+    if k == "kwlit":
+        return spec[1] + ":" + _render_value(spec[2])
+    if k == "textlit":
+        return "msg:" + _render_text_value(spec[2], spec[3])
+    if k == "range":
+        _, f, lo, hi, ilo, ihi = spec
+
+        def b(t):
+            return "*" if t[0] == "*" else _render_value([("t", t[1])])
+
+        return (
+            f"{f}:{'[' if ilo else '('}{b(lo)}, {b(hi)}{']' if ihi else ')'}"
+        )
+    if k == "in":
+        _, f, vals = spec
+        if f == "msg":
+            rendered = [_render_text_value(g, s) for (g, s) in vals]
+        else:
+            rendered = [_render_value(p) for p in vals]
+        return f"{f}:in({', '.join(rendered)})"
+    if k == "and":
+        return f"({_render(spec[1])} and {_render(spec[2])})"
+    if k == "or":
+        return f"({_render(spec[1])} or {_render(spec[2])})"
+    return f"(not {_render(spec[1])})"
+
+
+# --- expected AST (independent construction, for the round-trip property) ---
+
+def _expected_terms(parts, fold=True):
+    from seqspark.seqql.ast import Term
+
+    if not parts:
+        return [Term.text("")]
+    return [
+        Term.wildcard() if p[0] == "w"
+        else Term.text(p[1].lower() if fold else p[1])
+        for p in parts
+    ]
+
+
+def _expected_text_nodes(field, groups):
+    from seqspark.seqql.ast import Literal, Term
+
+    if not groups:
+        return [Literal(field, [Term.text("")])]
+    return [Literal(field, _expected_terms(g)) for g in groups]
+
+
+def _diff_expected_ast(spec):
+    from seqspark.seqql.ast import (
+        TOKEN_ALL, TOKEN_EXISTS, Literal, Range, Term, build_and_tree,
+        and_node, not_node, or_node,
+    )
+
+    k = spec[0]
+    if k == "all":
+        return Literal(TOKEN_ALL, [Term.wildcard()])
+    if k == "exists":
+        return Literal(TOKEN_EXISTS, [Term.text(spec[1])])
+    if k == "kwlit":
+        return Literal(spec[1], _expected_terms(spec[2]))
+    if k == "textlit":
+        return build_and_tree(_expected_text_nodes("msg", spec[2]))
+    if k == "range":
+        _, f, lo, hi, ilo, ihi = spec
+
+        def term(t):
+            return Term.wildcard() if t[0] == "*" else Term.text(t[1].lower())
+
+        return Range(f, term(lo), term(hi), ilo, ihi)
+    if k == "in":
+        _, f, vals = spec
+        nodes = []
+        for v in vals:
+            if f == "msg":
+                nodes.append(build_and_tree(_expected_text_nodes("msg", v[0])))
+            else:
+                nodes.append(Literal(f, _expected_terms(v)))
+        root = nodes[0]
+        for nd in nodes[1:]:
+            root = or_node(root, nd)
+        return root
+    if k == "and":
+        return and_node(_diff_expected_ast(spec[1]), _diff_expected_ast(spec[2]))
+    if k == "or":
+        return or_node(_diff_expected_ast(spec[1]), _diff_expected_ast(spec[2]))
+    return not_node(_diff_expected_ast(spec[1]))
+
+
+# --- DuckDB oracle translation ----------------------------------------------
+
+_DIFF_COLS = {
+    "service": ("service_toks", "service_nums"),
+    "code": ("code_toks", "code_nums"),
+    "msg": ("msg_toks", "msg_nums"),
+    "msg.keyword": ("title_toks", "title_nums"),
+    "код": ("kod_toks", "kod_nums"),
+    "n": ("n_toks", "n_nums"),
+}
+_DIFF_NATIVE = {"n": ("n", False), "value": ("value", True)}
+
+
+def _sq(s: str) -> str:
+    return "'" + s.replace("'", "''") + "'"
+
+
+def _duck_lit(toks_col, parts) -> str:
+    folded = _norm_parts(
+        [("t", p[1].lower()) if p[0] == "t" else p for p in parts]
+    )
+    if not folded:
+        folded = [("t", "")]
+    if len(folded) == 1 and folded[0][0] == "t":
+        return f"coalesce(list_contains({toks_col}, {_sq(folded[0][1])}), FALSE)"
+    if len(folded) == 1 and folded[0][0] == "w":
+        return f"coalesce(len({toks_col}) > 0, FALSE)"
+    pat = "".join(
+        "%" if p[0] == "w"
+        else p[1].replace("\\", "\\\\").replace("%", "\\%").replace("_", "\\_")
+        for p in folded
+    )
+    return (
+        f"coalesce(len(list_filter({toks_col}, t -> t LIKE {_sq(pat)} "
+        f"ESCAPE '\\')) > 0, FALSE)"
+    )
+
+
+def _duck_range(spec) -> str:
+    _, f, lo, hi, ilo, ihi = spec
+    lo_s = None if lo[0] == "*" else lo[1].lower()
+    hi_s = None if hi[0] == "*" else hi[1].lower()
+    lo_n = None if lo_s is None else _go_num(lo_s)
+    hi_n = None if hi_s is None else _go_num(hi_s)
+    numeric = (lo_s is None or lo_n is not None) and (
+        hi_s is None or hi_n is not None
+    )
+    native = _DIFF_NATIVE.get(f)
+    if native is not None and numeric:
+        col, is_float = native
+        conds = [f"{col} IS NOT NULL"]
+        if is_float:
+            conds += [f"NOT isnan({col})", f"NOT isinf({col})"]
+        if lo_n is not None:
+            conds.append(f"{col} {'>=' if ilo else '>'} {lo_n!r}")
+        if hi_n is not None:
+            conds.append(f"{col} {'<=' if ihi else '<'} {hi_n!r}")
+        return "coalesce(" + " AND ".join(conds) + ", FALSE)"
+    toks_col, nums_col = _DIFF_COLS[f]
+    if numeric:
+        conds = ["v IS NOT NULL"]
+        if lo_n is not None:
+            conds.append(f"v {'>=' if ilo else '>'} {lo_n!r}")
+        if hi_n is not None:
+            conds.append(f"v {'<=' if ihi else '<'} {hi_n!r}")
+        inner = " AND ".join(conds)
+        return (
+            f"coalesce(len(list_filter({nums_col}, v -> {inner})) > 0, FALSE)"
+        )
+    conds = []
+    if lo_s is not None:
+        conds.append(f"t {'>=' if ilo else '>'} {_sq(lo_s)}")
+    if hi_s is not None:
+        conds.append(f"t {'<=' if ihi else '<'} {_sq(hi_s)}")
+    inner = " AND ".join(conds) or "TRUE"
+    return f"coalesce(len(list_filter({toks_col}, t -> {inner})) > 0, FALSE)"
+
+
+def _duck_expr(spec) -> str:
+    k = spec[0]
+    if k == "all":
+        return "TRUE"
+    if k == "exists":
+        f = spec[1]
+        if f == "value":
+            return "(value IS NOT NULL)"
+        return f"({_DIFF_COLS[f][0]} IS NOT NULL)"
+    if k == "kwlit":
+        return _duck_lit(_DIFF_COLS[spec[1]][0], spec[2])
+    if k == "textlit":
+        groups = spec[2]
+        if not groups:
+            return _duck_lit("msg_toks", [("t", "")])
+        return "(" + " AND ".join(
+            _duck_lit("msg_toks", g) for g in groups
+        ) + ")"
+    if k == "range":
+        return _duck_range(spec)
+    if k == "in":
+        _, f, vals = spec
+        if f == "msg":
+            exprs = [
+                _duck_expr(("textlit", "msg", g, s)) for (g, s) in vals
+            ]
+        else:
+            exprs = [_duck_lit(_DIFF_COLS[f][0], p) for p in vals]
+        return "(" + " OR ".join(exprs) + ")"
+    if k == "and":
+        return f"({_duck_expr(spec[1])} AND {_duck_expr(spec[2])})"
+    if k == "or":
+        return f"({_duck_expr(spec[1])} OR {_duck_expr(spec[2])})"
+    return f"(NOT {_duck_expr(spec[1])})"
+
+
+# --- the properties ----------------------------------------------------------
+
+
+@settings(max_examples=300, deadline=None)
+@given(_diff_spec)
+def test_seqql_render_parse_roundtrip(spec):
+    """parse(render(spec)) must produce EXACTLY the independently-built AST —
+    300 examples over the grammar product space, no Spark needed."""
+    from seqspark.mapping import Mapping
+    from seqspark.seqql.parser import parse
+
+    mapping = Mapping(dict(_DIFF_MAPPING))
+    q = _render(spec)
+    got = parse(q, mapping, case_sensitive=False)
+    assert got.root == _diff_expected_ast(spec), q
+
+
+@st.composite
+def _flat_chain(draw):
+    """Leaves joined by bare and/or with optional not-prefixes — NO parens,
+    so operator precedence itself is under test."""
+    leaves = draw(st.lists(
+        st.tuples(st.integers(0, 2), _diff_leaf), min_size=2, max_size=5,
+    ))
+    ops = draw(st.lists(
+        st.sampled_from(["and", "or"]),
+        min_size=len(leaves) - 1, max_size=len(leaves) - 1,
+    ))
+    return leaves, ops
+
+
+@settings(max_examples=300, deadline=None)
+@given(_flat_chain())
+def test_seqql_precedence_differential(chain):
+    """'and' binds tighter than 'or'; 'or' chains left-assoc; 'not' binds the
+    subexpression — pinned against an independent precedence builder."""
+    from seqspark.mapping import Mapping
+    from seqspark.seqql.ast import and_node, not_node, or_node
+    from seqspark.seqql.parser import parse
+
+    leaves, ops = chain
+    mapping = Mapping(dict(_DIFF_MAPPING))
+    q = " ".join(
+        ("not " * nots) + _render(leaf)
+        + ((" " + ops[i]) if i < len(ops) else "")
+        for i, (nots, leaf) in enumerate(leaves)
+    )
+    nodes = []
+    for nots, leaf in leaves:
+        nd = _diff_expected_ast(leaf)
+        for _ in range(nots):
+            nd = not_node(nd)
+        nodes.append(nd)
+    res, cur = None, nodes[0]
+    for op, nxt in zip(ops, nodes[1:]):
+        if op == "and":
+            cur = and_node(cur, nxt)
+        else:
+            res = cur if res is None else or_node(res, cur)
+            cur = nxt
+    expected = cur if res is None else or_node(res, cur)
+    got = parse(q, mapping, case_sensitive=False)
+    assert got.root == expected, q
+
+
+@settings(max_examples=45, deadline=None)
+@given(st.lists(_diff_spec, min_size=6, max_size=6))
+def test_seqql_differential_spark_vs_duckdb(diff_rig, specs):
+    """The engine's verdict per (document, query) must equal the DuckDB
+    oracle's on randomized queries — 45 batches x 6 queries = 270 queries.
+    Column-free of seqspark on the oracle side: tokens come from the Python
+    model tokenizers, numerics from the fresh Go-float model."""
+    table, con, _ = diff_rig
+    preds = []
+    for i, spec in enumerate(specs):
+        preds.append(table.predicate(_render(spec)).alias(f"q{i}"))
+    got = {
+        r["id"]: tuple(bool(r[f"q{i}"]) for i in range(len(specs)))
+        for r in table.df.select("id", *preds).collect()
+    }
+    sql = "SELECT id, " + ", ".join(
+        f"{_duck_expr(spec)} AS q{i}" for i, spec in enumerate(specs)
+    ) + " FROM diffdocs ORDER BY id"
+    want = {
+        row[0]: tuple(bool(v) for v in row[1:])
+        for row in con.execute(sql).fetchall()
+    }
+    assert set(got) == set(want)
+    for doc_id, flags in want.items():
+        if got[doc_id] != flags:
+            bad = [
+                (_render(specs[i]), flags[i], got[doc_id][i])
+                for i in range(len(specs))
+                if flags[i] != got[doc_id][i]
+            ]
+            raise AssertionError(
+                f"divergence on doc {doc_id}: {bad}"
+            )
+
+
+def test_numeric_token_dispatch_pins(diff_rig):
+    """Deterministic pins for the two bugs the fuzz design caught:
+    whitespace-padded tokens must NOT match numeric ranges (Go ParseFloat
+    does not trim), and unicode-digit bounds dispatch LEXICOGRAPHIC."""
+    table, con, _ = diff_rig
+    # doc code ' 5' exists in the corpus; [0, 10] must not match it
+    got = {
+        r["id"]
+        for r in table.df.filter(table.predicate("code:[0, 10]"))
+        .select("id").collect()
+    }
+    ws_ids = {
+        row[0] for row in con.execute(
+            "SELECT id FROM diffdocs WHERE coalesce("
+            "list_contains(code_toks, ' 5'), FALSE)"
+        ).fetchall()
+    }
+    assert ws_ids, "fixture must contain a whitespace-padded numeric token"
+    assert not (got & ws_ids)
+    # '٤٢' bound → lexicographic dispatch (Go rejects unicode digits)
+    from seqspark.compile import parses_as_number, range_bounds
+    from seqspark.seqql.ast import Range, Term
+
+    assert parses_as_number("٤٢") is None
+    rng = Range("code", Term.text("٤٢"), Term.text("٤٣"), True, True)
+    assert range_bounds(rng)[0] is False
