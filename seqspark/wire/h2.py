@@ -283,13 +283,19 @@ class _Conn:
         #: busy side (guarded by _flow)
         self._busy = 0
 
-    def _recv_conn(self, n: int) -> bytes:
+    def _recv_conn(self, n: int, deadline: Optional[float] = None) -> bytes:
         out = bytearray()
         if self._pending:
             take = self._pending[:n]
             self._pending = self._pending[len(take):]
             out += take
         while len(out) < n:
+            if deadline is not None and time.monotonic() > deadline:
+                # slow-loris bound: a peer trickling one byte per
+                # just-under-the-socket-timeout resets the per-recv timer
+                # forever — once a frame has STARTED, the remainder must
+                # arrive within one whole-frame budget, busy or not
+                raise ConnectionError("frame trickle exceeded budget")
             try:
                 chunk = self._sock.recv(n - len(out))
             except TimeoutError:
@@ -309,11 +315,16 @@ class _Conn:
         return bytes(out)
 
     def _read_frame(self) -> Tuple[int, int, int, bytes]:
-        head = self._recv_conn(9)
+        # waiting for a frame to START is governed by the idle/busy rules;
+        # once its first byte arrives the rest of the frame must complete
+        # within one socket-timeout budget (anti-slow-loris)
+        first = self._recv_conn(1)
+        deadline = time.monotonic() + (self._sock.gettimeout() or 300.0)
+        head = first + self._recv_conn(8, deadline)
         length = int.from_bytes(head[:3], "big")
         ftype, flags = head[3], head[4]
         stream_id = int.from_bytes(head[5:9], "big") & 0x7FFFFFFF
-        payload = self._recv_conn(length) if length else b""
+        payload = self._recv_conn(length, deadline) if length else b""
         return ftype, flags, stream_id, payload
 
     # ------------------------------------------------------------- writing
@@ -421,6 +432,7 @@ class _Conn:
         Returns None for prior knowledge, or the (headers, body) of the
         upgraded request to be served as stream 1."""
         buf = bytearray()
+        deadline = None
         while True:
             if buf.startswith(PREFACE[: len(buf)]) and len(buf) >= len(PREFACE):
                 # prior knowledge; keep any extra bytes for the frame loop
@@ -431,9 +443,17 @@ class _Conn:
                     break
                 if len(buf) > MAX_HEADER_BLOCK:
                     raise ValueError("oversized request head")
+            if deadline is not None and time.monotonic() > deadline:
+                raise ConnectionError("connection start trickle exceeded budget")
             chunk = self._sock.recv(4096)
             if not chunk:
                 raise ConnectionError("peer closed during start")
+            if deadline is None:
+                # anti-slow-loris: once the start sequence has begun it
+                # must complete within one socket-timeout budget
+                deadline = time.monotonic() + (
+                    self._sock.gettimeout() or 300.0
+                )
             buf += chunk
         head, _, rest = bytes(buf).partition(b"\r\n\r\n")
         lines = head.decode("latin-1").split("\r\n")
@@ -574,7 +594,15 @@ class _Conn:
 
     def _on_settings(self, flags: int, payload: bytes) -> None:
         if flags & FLAG_ACK:
+            if payload:
+                # §6.5: ACK with payload is FRAME_SIZE_ERROR
+                raise ValueError("SETTINGS ACK with payload")
             return
+        if len(payload) % 6:
+            # §6.5: length must be a multiple of 6 — FRAME_SIZE_ERROR;
+            # silently dropping the trailing bytes would desync the
+            # peer's view of which settings were applied
+            raise ValueError("SETTINGS length not a multiple of 6")
         self._apply_settings(payload)
         self.send_frame(SETTINGS, FLAG_ACK, 0, b"")
 

@@ -1460,3 +1460,454 @@ def test_tls_concurrent_multiplexed_streams(tls_echo_server):
         t.join(timeout=120)
     ch.close()
     assert not errors, errors
+
+
+# ---------------------------------------------------------------- round 12
+# h2spec-flavored adversarial conformance: hostile peers against wire/h2.py.
+# The reference outsources this layer to grpc-go (`network/grpcutil/`); our
+# hand-rolled stack owns it, so each hostile shape gets an explicit pin.
+
+
+def _std_block(enc, path="/t.S/Echo"):
+    return enc.encode([
+        (":method", "POST"), (":scheme", "http"), (":path", path),
+        (":authority", "x"), ("content-type", "application/grpc"),
+        ("te", "trailers"),
+    ])
+
+
+def _drain_all(s, timeout=10, cap=4 << 20):
+    s.settimeout(timeout)
+    buf = bytearray()
+    while True:
+        try:
+            chunk = s.recv(65536)
+        except OSError:
+            break
+        if not chunk:
+            break
+        buf += chunk
+        if len(buf) > cap:
+            break
+    return bytes(buf)
+
+
+def _frames_of(buf):
+    out, off = [], 0
+    while off + 9 <= len(buf):
+        ln = int.from_bytes(buf[off:off + 3], "big")
+        out.append((buf[off + 3], buf[off + 4],
+                    int.from_bytes(buf[off + 5:off + 9], "big") & 0x7FFFFFFF,
+                    buf[off + 9:off + 9 + ln]))
+        off += 9 + ln
+    return out
+
+
+def _goaway_codes(buf):
+    return [
+        struct.unpack_from(">I", p, 4)[0]
+        for (t, _f, _sid, p) in _frames_of(buf) if t == h2.GOAWAY
+    ]
+
+
+def _assert_server_alive(port):
+    ch = g.GrpcChannel("127.0.0.1", port)
+    try:
+        assert ch.unary("/t.S/Echo", {"name": "alive", "n": 0},
+                        REQ, RESP)["echo"] == "alive"
+    finally:
+        ch.close()
+
+
+def test_h2_interleaved_frame_during_continuation_is_fatal(echo_server):
+    """RFC 9113 §6.2: a header block in progress admits ONLY CONTINUATION
+    frames — interleaving any other frame (here a PING) is a connection
+    error, answered GOAWAY(PROTOCOL_ERROR)."""
+    enc = hpack.Encoder()
+    s = _connect(echo_server.port)
+    try:
+        block = _std_block(enc)
+        s.sendall(
+            h2.PREFACE + h2.pack_frame(h2.SETTINGS, 0, 0, b"")
+            + h2.pack_frame(h2.HEADERS, 0, 1, block[: len(block) // 2])
+            + h2.pack_frame(h2.PING, 0, 0, b"\0" * 8)
+        )
+        assert 0x1 in _goaway_codes(_drain_all(s))
+    finally:
+        s.close()
+    _assert_server_alive(echo_server.port)
+
+
+def test_h2_continuation_on_wrong_stream_is_fatal(echo_server):
+    enc = hpack.Encoder()
+    s = _connect(echo_server.port)
+    try:
+        block = _std_block(enc)
+        s.sendall(
+            h2.PREFACE + h2.pack_frame(h2.SETTINGS, 0, 0, b"")
+            + h2.pack_frame(h2.HEADERS, 0, 1, block[: len(block) // 2])
+            + h2.pack_frame(h2.CONTINUATION, h2.FLAG_END_HEADERS, 3,
+                            block[len(block) // 2:])
+        )
+        assert 0x1 in _goaway_codes(_drain_all(s))
+    finally:
+        s.close()
+    _assert_server_alive(echo_server.port)
+
+
+def test_h2_continuation_without_headers_is_fatal(echo_server):
+    """A CONTINUATION with no header block in progress is PROTOCOL_ERROR."""
+    enc = hpack.Encoder()
+    s = _connect(echo_server.port)
+    try:
+        s.sendall(
+            h2.PREFACE + h2.pack_frame(h2.SETTINGS, 0, 0, b"")
+            + h2.pack_frame(h2.CONTINUATION, h2.FLAG_END_HEADERS, 1,
+                            _std_block(enc))
+        )
+        assert 0x1 in _goaway_codes(_drain_all(s))
+    finally:
+        s.close()
+    _assert_server_alive(echo_server.port)
+
+
+def _lit_str(s: str) -> bytes:
+    return hpack.encode_int(len(s), 7, 0x00) + s.encode()
+
+
+def _grpc_exchange(s, sid, block, body, dec):
+    s.sendall(
+        h2.pack_frame(h2.HEADERS, h2.FLAG_END_HEADERS, sid, block)
+        + h2.pack_frame(h2.DATA, h2.FLAG_END_STREAM, sid, body)
+    )
+    data = bytearray()
+    while True:
+        ftype, flags, fsid, payload = h2.read_frame(s)
+        if fsid != sid:
+            continue
+        if ftype == h2.DATA:
+            data += payload
+        elif ftype == h2.HEADERS:
+            headers = dec.decode(payload)
+            if any(k == "grpc-status" for k, _v in headers):
+                assert ("grpc-status", "0") in headers
+                return bytes(data)
+
+
+def test_h2_hpack_dynamic_table_update_mid_connection(echo_server):
+    """The server's HPACK decoder must honor §6.3 size updates and
+    literal-with-incremental-indexing state ACROSS requests on one
+    connection: request 1 indexes ('x-extra', '!') into the dynamic
+    table; request 2 references it by dynamic index 62; request 3 shrinks
+    the table to 0 mid-block and a stale index is then a decode error
+    answered GOAWAY (COMPRESSION_ERROR is connection-fatal)."""
+    enc = hpack.Encoder()
+    dec = hpack.Decoder()
+    s = _connect(echo_server.port)
+    try:
+        s.sendall(h2.PREFACE + h2.pack_frame(h2.SETTINGS, 0, 0, b""))
+        body = g.frame_message(pb.encode(REQ, {"name": "dyn", "n": 1}))
+        # size update to 512 + incremental literal ('x-extra', '!')
+        block1 = (
+            hpack.encode_int(512, 5, 0x20)
+            + hpack.encode_int(0, 6, 0x40) + _lit_str("x-extra") + _lit_str("!")
+            + _std_block(enc)
+        )
+        out1 = _grpc_exchange(s, 1, block1, body, dec)
+        msg1 = pb.decode(RESP, list(g.iter_messages(out1))[0])
+        assert msg1["echo"] == "dyn!"  # the handler saw the literal
+        # dynamic index 62 == the entry indexed by request 1
+        block2 = _std_block(enc) + hpack.encode_int(62, 7, 0x80)
+        out2 = _grpc_exchange(s, 3, block2, body, dec)
+        msg2 = pb.decode(RESP, list(g.iter_messages(out2))[0])
+        assert msg2["echo"] == "dyn!"  # decoded from the DYNAMIC table
+        # shrink to 0 (evicts), then reference the evicted entry
+        block3 = (
+            hpack.encode_int(0, 5, 0x20) + _std_block(enc)
+            + hpack.encode_int(62, 7, 0x80)
+        )
+        s.sendall(
+            h2.pack_frame(h2.HEADERS, h2.FLAG_END_HEADERS, 5, block3)
+            + h2.pack_frame(h2.DATA, h2.FLAG_END_STREAM, 5, body)
+        )
+        assert 0x1 in _goaway_codes(_drain_all(s))
+    finally:
+        s.close()
+    _assert_server_alive(echo_server.port)
+
+
+def test_h2_settings_window_shrink_negative_then_recovers(echo_server):
+    """RFC 9113 §6.9.2: a SETTINGS_INITIAL_WINDOW_SIZE decrease applies
+    retroactively to OPEN streams and may drive a send window negative;
+    the server must stall (never violate the window) and resume exactly
+    where it stopped once SETTINGS raise the window again."""
+    import time as _time
+
+    enc = hpack.Encoder()
+    dec = hpack.Decoder()
+    s = _connect(echo_server.port)
+    try:
+        # tiny initial window: the server may send at most 6 bytes
+        s.sendall(h2.PREFACE + h2.pack_frame(
+            h2.SETTINGS, 0, 0,
+            struct.pack(">HI", h2.SETTINGS_INITIAL_WINDOW_SIZE, 6)))
+        body = g.frame_message(pb.encode(REQ, {"name": "s", "n": 3}))
+        s.sendall(
+            h2.pack_frame(h2.HEADERS, h2.FLAG_END_HEADERS, 1,
+                          _std_block(enc, "/t.S/Stream"))
+            + h2.pack_frame(h2.DATA, h2.FLAG_END_STREAM, 1, body)
+        )
+        data = bytearray()
+        # drain response HEADERS + the first <=6 window-limited bytes
+        got_first = False
+        while not got_first:
+            ftype, flags, sid, payload = h2.read_frame(s)
+            if ftype == h2.DATA and sid == 1 and payload:
+                assert len(payload) <= 6
+                data += payload
+                got_first = True
+        # shrink to 0: stream window goes NEGATIVE (6 - consumed - 6 < 0)
+        s.sendall(h2.pack_frame(
+            h2.SETTINGS, 0, 0,
+            struct.pack(">HI", h2.SETTINGS_INITIAL_WINDOW_SIZE, 0)))
+        s.settimeout(0.5)
+        stalled = True
+        try:
+            ftype, flags, sid, payload = h2.read_frame(s)
+            # SETTINGS ACK / WINDOW_UPDATE may still arrive; DATA must not
+            if ftype == h2.DATA and payload:
+                stalled = False
+        except OSError:
+            pass
+        assert stalled, "server sent DATA into a non-positive window"
+        # recover: window large, drain the whole stream
+        s.settimeout(15)
+        s.sendall(h2.pack_frame(
+            h2.SETTINGS, 0, 0,
+            struct.pack(">HI", h2.SETTINGS_INITIAL_WINDOW_SIZE, 1 << 20)))
+        done = False
+        while not done:
+            ftype, flags, sid, payload = h2.read_frame(s)
+            if sid != 1:
+                continue
+            if ftype == h2.DATA:
+                data += payload
+            elif ftype == h2.HEADERS:
+                headers = dec.decode(payload)
+                if any(k == "grpc-status" for k, _v in headers):
+                    assert ("grpc-status", "0") in headers
+                    done = True
+        msgs = [pb.decode(RESP, m) for m in g.iter_messages(bytes(data))]
+        assert [m["echo"] for m in msgs] == ["s-0", "s-1", "s-2"]
+    finally:
+        s.close()
+
+
+def test_h2_padded_headers_and_data_accepted(echo_server):
+    """PADDED flag on HEADERS and DATA: padding strips, the request still
+    parses, and flow accounting covers the padded length."""
+    enc = hpack.Encoder()
+    dec = hpack.Decoder()
+    s = _connect(echo_server.port)
+    try:
+        s.sendall(h2.PREFACE + h2.pack_frame(h2.SETTINGS, 0, 0, b""))
+        block = _std_block(enc)
+        body = g.frame_message(pb.encode(REQ, {"name": "pad", "n": 1}))
+        padded_headers = bytes([4]) + block + b"\0" * 4
+        padded_data = bytes([7]) + body + b"\0" * 7
+        s.sendall(
+            h2.pack_frame(h2.HEADERS,
+                          h2.FLAG_END_HEADERS | h2.FLAG_PADDED, 1,
+                          padded_headers)
+            + h2.pack_frame(h2.DATA, h2.FLAG_END_STREAM | h2.FLAG_PADDED, 1,
+                            padded_data)
+        )
+        data = bytearray()
+        while True:
+            ftype, flags, sid, payload = h2.read_frame(s)
+            if sid != 1:
+                continue
+            if ftype == h2.DATA:
+                data += payload
+            elif ftype == h2.HEADERS:
+                headers = dec.decode(payload)
+                if any(k == "grpc-status" for k, _v in headers):
+                    assert ("grpc-status", "0") in headers
+                    break
+        msg = pb.decode(RESP, list(g.iter_messages(bytes(data)))[0])
+        assert msg["echo"] == "pad"
+    finally:
+        s.close()
+
+
+def test_h2_padding_exceeding_frame_is_fatal(echo_server):
+    enc = hpack.Encoder()
+    s = _connect(echo_server.port)
+    try:
+        block = _std_block(enc)
+        # pad length byte >= the whole payload: PROTOCOL_ERROR
+        s.sendall(
+            h2.PREFACE + h2.pack_frame(h2.SETTINGS, 0, 0, b"")
+            + h2.pack_frame(h2.HEADERS,
+                            h2.FLAG_END_HEADERS | h2.FLAG_PADDED, 1,
+                            bytes([255]) + block)
+        )
+        assert 0x1 in _goaway_codes(_drain_all(s))
+    finally:
+        s.close()
+    _assert_server_alive(echo_server.port)
+
+
+def test_h2_settings_ack_with_payload_is_fatal(echo_server):
+    s = _connect(echo_server.port)
+    try:
+        s.sendall(
+            h2.PREFACE + h2.pack_frame(h2.SETTINGS, 0, 0, b"")
+            + h2.pack_frame(h2.SETTINGS, h2.FLAG_ACK, 0, b"\0" * 6)
+        )
+        assert 0x1 in _goaway_codes(_drain_all(s))
+    finally:
+        s.close()
+    _assert_server_alive(echo_server.port)
+
+
+def test_h2_settings_bad_length_is_fatal(echo_server):
+    """SETTINGS payload not a multiple of 6 (RFC 9113 §6.5): silently
+    applying a prefix would desync which settings took effect."""
+    s = _connect(echo_server.port)
+    try:
+        s.sendall(
+            h2.PREFACE + h2.pack_frame(h2.SETTINGS, 0, 0, b"")
+            + h2.pack_frame(h2.SETTINGS, 0, 0, b"\0" * 5)
+        )
+        assert 0x1 in _goaway_codes(_drain_all(s))
+    finally:
+        s.close()
+    _assert_server_alive(echo_server.port)
+
+
+def test_h2_oversized_settings_frame_is_fatal(echo_server):
+    s = _connect(echo_server.port)
+    try:
+        s.sendall(
+            h2.PREFACE + h2.pack_frame(h2.SETTINGS, 0, 0, b"")
+            + h2.pack_frame(h2.SETTINGS, 0, 0, b"\0" * (h2.MAX_RECV_FRAME + 6))
+        )
+        assert 0x1 in _goaway_codes(_drain_all(s))
+    finally:
+        s.close()
+    _assert_server_alive(echo_server.port)
+
+
+def test_h2_rst_stream_racing_streaming_response(echo_server):
+    """RST_STREAM(CANCEL) against an in-flight streaming response: the
+    handler must unwind promptly (no send into a reset stream) and the
+    CONNECTION stays fully usable for the next stream."""
+    enc = hpack.Encoder()
+    dec = hpack.Decoder()
+    s = _connect(echo_server.port)
+    try:
+        s.sendall(h2.PREFACE + h2.pack_frame(h2.SETTINGS, 0, 0, b""))
+        # big stream: 2000 x ~1KB >> the 64 KiB initial window, so the
+        # handler is guaranteed to still be mid-send when RST arrives
+        body = g.frame_message(pb.encode(REQ, {"name": "b", "n": 2000}))
+        s.sendall(
+            h2.pack_frame(h2.HEADERS, h2.FLAG_END_HEADERS, 1,
+                          _std_block(enc, "/t.S/Big"))
+            + h2.pack_frame(h2.DATA, h2.FLAG_END_STREAM, 1, body)
+        )
+        # read one DATA frame, then cancel mid-response
+        while True:
+            ftype, flags, sid, payload = h2.read_frame(s)
+            if ftype == h2.DATA and sid == 1 and payload:
+                break
+        s.sendall(h2.pack_frame(h2.RST_STREAM, 0, 1, struct.pack(">I", 0x8)))
+        # replenish the CONNECTION window the cancelled stream consumed
+        # (a real client keeps accounting for RST'd streams' DATA, §6.9)
+        s.sendall(h2.pack_frame(h2.WINDOW_UPDATE, 0, 0,
+                                struct.pack(">I", 1 << 30)))
+        # the same connection must serve a fresh unary stream; tolerate
+        # stale in-flight DATA for stream 1 that raced the RST
+        body2 = g.frame_message(pb.encode(REQ, {"name": "after", "n": 1}))
+        s.sendall(
+            h2.pack_frame(h2.HEADERS, h2.FLAG_END_HEADERS, 3,
+                          _std_block(enc))
+            + h2.pack_frame(h2.DATA, h2.FLAG_END_STREAM, 3, body2)
+        )
+        data3 = bytearray()
+        while True:
+            ftype, flags, sid, payload = h2.read_frame(s)
+            if sid != 3:
+                continue
+            if ftype == h2.DATA:
+                data3 += payload
+            elif ftype == h2.HEADERS:
+                headers = dec.decode(payload)
+                if any(k == "grpc-status" for k, _v in headers):
+                    assert ("grpc-status", "0") in headers
+                    break
+        msg = pb.decode(RESP, list(g.iter_messages(bytes(data3)))[0])
+        assert msg["echo"] == "after"
+    finally:
+        s.close()
+
+
+def test_h2_slow_loris_frame_trickle_bounded():
+    """A peer that starts a frame and trickles one byte per just-under-
+    the-idle-timeout resets the per-recv timer forever; the whole-frame
+    budget must close the connection within ~one extra timeout."""
+    import socket as _socket
+    import time as _time
+
+    from seqspark.wire import h2 as _h2
+
+    srv = _h2.H2Server(lambda headers, body: ([(":status", "200")], None, []),
+                       idle_timeout_s=1.0).start()
+    try:
+        s = _socket.create_connection(("127.0.0.1", srv.port), timeout=10)
+        s.sendall(_h2.PREFACE + _h2.pack_frame(_h2.SETTINGS, 0, 0, b""))
+        _time.sleep(0.2)
+        # frame header declaring a 64-byte HEADERS payload, then trickle
+        head = (64).to_bytes(3, "big") + bytes([_h2.HEADERS, 0]) \
+            + (1).to_bytes(4, "big")
+        s.sendall(head)
+        start = _time.time()
+        closed_at = None
+        try:
+            for _ in range(40):
+                s.sendall(b"\0")
+                _time.sleep(0.25)
+        except OSError:
+            closed_at = _time.time() - start
+        assert closed_at is not None and closed_at < 6.0, (
+            f"trickled frame kept the connection alive {closed_at}"
+        )
+        s.close()
+    finally:
+        srv.stop()
+
+
+def test_h2_slow_loris_connection_start_bounded():
+    """Same bound for the connection START sequence (HTTP/1.1 upgrade head
+    or preface trickled byte-by-byte)."""
+    import socket as _socket
+    import time as _time
+
+    from seqspark.wire import h2 as _h2
+
+    srv = _h2.H2Server(lambda headers, body: ([(":status", "200")], None, []),
+                       idle_timeout_s=1.0).start()
+    try:
+        s = _socket.create_connection(("127.0.0.1", srv.port), timeout=10)
+        start = _time.time()
+        closed_at = None
+        try:
+            for ch in b"GET / HTTP/1.1\r\nHost: x\r\n" * 4:
+                s.sendall(bytes([ch]))
+                _time.sleep(0.2)
+        except OSError:
+            closed_at = _time.time() - start
+        assert closed_at is not None and closed_at < 6.0
+        s.close()
+    finally:
+        srv.stop()
