@@ -119,6 +119,24 @@ def stratified_sample(
     return df.filter(hash_bucket(F.col(key_col), "strata:" + seed) < cut)
 
 
+def hot_group_keys(df: DataFrame, col: str, min_rows: int) -> DataFrame:
+    """One-column frame of the keys holding more than ``min_rows`` rows —
+    the detection pass behind every skew-aware operator here, exposed so a
+    pipeline can pay it ONCE and share the result: compute it (optionally
+    persist it), then pass it as ``hot_keys=`` to
+    :func:`cap_per_group`/:func:`top_per_group` and as ``hot_actors=`` to
+    :func:`seqspark.pipeline.sessions.sessionize_scalable`. The per-call
+    detection costs a full map-side-combined count of the frame (measured
+    1.59x on uniform data, BASELINE.md round 11); chained skew-aware
+    operators over the same frame should not pay it repeatedly."""
+    return (
+        df.groupBy(col)
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") > min_rows)
+        .select(col)
+    )
+
+
 def cap_per_group(
     df: DataFrame,
     key_col: str,
@@ -126,6 +144,7 @@ def cap_per_group(
     n: int,
     seed: str = "",
     salt_groups: Optional[int] = None,
+    hot_keys: Optional[DataFrame] = None,
 ) -> DataFrame:
     """Keep at most ``n`` rows per group, chosen deterministically by hash
     rank (per-domain / per-source caps after :func:`stratified_sample`'s
@@ -142,14 +161,25 @@ def cap_per_group(
     however hot the group, while balanced groups pay nothing. AQE cannot
     split a window partition (its skew handling is join/shuffle-read
     only), so the salt is the only lever for single-key window skew.
+
+    ``hot_keys`` (a one-column frame of group keys, e.g. from
+    :func:`hot_group_keys`) replaces the per-call detection count —
+    chained skew-aware operators over one frame should compute the hot
+    set once and share it. Exactness does not depend on the set's
+    accuracy (pre-capping a small group is wasted work, never a wrong
+    answer), so a stale or generous hot list is safe.
     """
     if n < 0:
         raise ValueError("n must be >= 0")
     from pyspark.sql import Window
 
     order = (hash_bucket(F.col(key_col), "cap:" + seed), F.col(key_col))
-    if salt_groups is not None and salt_groups > 1:
-        df = _pre_cap_hot_groups(df, group_col, key_col, n, salt_groups, order)
+    if (salt_groups is not None and salt_groups > 1) or hot_keys is not None:
+        df = _pre_cap_hot_groups(
+            df, group_col, key_col, n,
+            salt_groups if salt_groups and salt_groups > 1 else 2,
+            order, hot_keys,
+        )
     rank = F.row_number().over(Window.partitionBy(group_col).orderBy(*order))
     return (
         df.withColumn("__rk", rank).filter(F.col("__rk") <= n).drop("__rk")
@@ -163,6 +193,7 @@ def _pre_cap_hot_groups(
     n: int,
     salt_groups: int,
     order,
+    hot_keys: Optional[DataFrame] = None,
 ) -> DataFrame:
     """The EXACT hot-only pre-stage behind ``salt_groups``: rank within
     (group, hash(key) % salt_groups) and keep ``n`` per slice — but ONLY
@@ -189,13 +220,29 @@ def _pre_cap_hot_groups(
         prk_c += "_"
     while hk_c in cols:
         hk_c += "_"
-    hot = (
-        df.groupBy(group_col)
-        .agg(F.count(F.lit(1)).alias("__gn"))
-        .filter(F.col("__gn") > n * salt_groups)
-        .select(F.col(group_col).alias(hk_c))
-        .withColumn(hot_c, F.lit(1))
-    )
+    if hot_keys is not None:
+        # precomputed hot set (hot_group_keys): skip the detection count;
+        # distinct() guards against a caller-supplied frame with repeats,
+        # which would DUPLICATE tagged rows through the join. Empty hot
+        # set → no pre-stage at all (driver-side take(1) on the tiny,
+        # typically cached frame) — the common nothing-is-hot case then
+        # pays nothing beyond that probe.
+        if not hot_keys.take(1):
+            return df
+        src = hot_keys.columns[0]
+        hot = (
+            hot_keys.select(F.col(src).alias(hk_c))
+            .distinct()
+            .withColumn(hot_c, F.lit(1))
+        )
+    else:
+        hot = (
+            df.groupBy(group_col)
+            .agg(F.count(F.lit(1)).alias("__gn"))
+            .filter(F.col("__gn") > n * salt_groups)
+            .select(F.col(group_col).alias(hk_c))
+            .withColumn(hot_c, F.lit(1))
+        )
     # null-safe tag: a mega NULL-key group (missing domain/source) is
     # often the hottest of all and must still route through the pre-cap.
     tagged = df.join(
@@ -226,6 +273,7 @@ def top_per_group(
     key_col: str,
     desc: bool = True,
     salt_groups: Optional[int] = None,
+    hot_keys: Optional[DataFrame] = None,
 ) -> DataFrame:
     """Keep the top ``n`` rows of each group by ``order_col`` (ties broken
     by ``key_col`` ascending, so the draw is deterministic) — e.g. the
@@ -241,15 +289,19 @@ def top_per_group(
     is lost), stage 2 ranks the ≤ ``n*S`` survivors per group. The hot
     group's serial work drops from |group| log |group| to ~|group|/S per
     task, and balanced groups bypass the pre-stage entirely; measured
-    numbers in BASELINE.md (skew stress)."""
+    numbers in BASELINE.md (skew stress). ``hot_keys`` (see
+    :func:`hot_group_keys`) replaces the per-call detection count so
+    chained skew-aware operators share one detection pass."""
     if n < 0:
         raise ValueError("n must be >= 0")
     from pyspark.sql import Window
 
     order = F.col(order_col).desc() if desc else F.col(order_col).asc()
-    if salt_groups is not None and salt_groups > 1:
+    if (salt_groups is not None and salt_groups > 1) or hot_keys is not None:
         df = _pre_cap_hot_groups(
-            df, group_col, key_col, n, salt_groups, (order, F.col(key_col))
+            df, group_col, key_col, n,
+            salt_groups if salt_groups and salt_groups > 1 else 2,
+            (order, F.col(key_col)), hot_keys,
         )
     rank = F.row_number().over(
         Window.partitionBy(group_col).orderBy(order, F.col(key_col))

@@ -119,6 +119,7 @@ def sessionize_scalable(
     bucket_ms: int = 24 * 3600 * 1000,
     out_col: str = "session_seq",
     hot_threshold: Optional[int] = 1_000_000,
+    hot_actors: Optional[DataFrame] = None,
 ) -> DataFrame:
     """EXACT :func:`sessionize` with bounded window partitions — the
     answer to the hot-actor skew this module documents, without the
@@ -134,6 +135,13 @@ def sessionize_scalable(
     hot), while on a 10M-event hot actor it wins 2.7x — the hybrid
     takes each side's better branch, exactly. ``hot_threshold=None``
     forces every actor through the two-phase path.
+
+    ``hot_actors`` (a one-column frame of actor keys, e.g. from
+    :func:`seqspark.pipeline.sampling.hot_group_keys`) replaces the
+    detection count entirely — a pipeline chaining several skew-aware
+    operators over one frame should pay that pass once and share it.
+    Exact for ANY supplied set (the two-phase path is exact for every
+    actor; a generous or stale hot list only shifts which branch runs).
 
     Two phases (for the hot rows):
 
@@ -165,21 +173,38 @@ def sessionize_scalable(
     if bucket_ms <= 0:
         raise ValueError("bucket_ms must be > 0")
     cols = df.columns
-    if hot_threshold is not None:
-        if hot_threshold < 1:
-            raise ValueError("hot_threshold must be >= 1 (or None)")
+    if hot_actors is not None or hot_threshold is not None:
         h_c, k_c = "__shot", "__shk"
         while h_c in cols:
             h_c += "_"
         while k_c in cols:
             k_c += "_"
-        hot = (
-            df.groupBy(actor_col)
-            .agg(F.count(F.lit(1)).alias("__sn"))
-            .filter(F.col("__sn") > hot_threshold)
-            .select(F.col(actor_col).alias(k_c))
-            .withColumn(h_c, F.lit(1))
-        )
+        if hot_actors is not None:
+            # precomputed hot set: skip the detection count; distinct()
+            # guards a frame with repeats from duplicating joined rows.
+            # Driver-side emptiness check first: with nothing hot, the
+            # tag-join + two-filter + union machinery costs ~3x the plain
+            # window for zero benefit (measured, BASELINE.md round 12) —
+            # take(1) on the (typically cached, tiny) hot frame is the
+            # cheap escape to the exact plain path.
+            if not hot_actors.take(1):
+                return sessionize(df, actor_col, ts_col, gap_ms, out_col)
+            src = hot_actors.columns[0]
+            hot = (
+                hot_actors.select(F.col(src).alias(k_c))
+                .distinct()
+                .withColumn(h_c, F.lit(1))
+            )
+        else:
+            if hot_threshold < 1:
+                raise ValueError("hot_threshold must be >= 1 (or None)")
+            hot = (
+                df.groupBy(actor_col)
+                .agg(F.count(F.lit(1)).alias("__sn"))
+                .filter(F.col("__sn") > hot_threshold)
+                .select(F.col(actor_col).alias(k_c))
+                .withColumn(h_c, F.lit(1))
+            )
         # null-safe tag: a mega NULL-actor group is often the hottest
         # key of all (missing/unknown actor) and must still be detected.
         tagged = df.join(

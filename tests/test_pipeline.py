@@ -2391,3 +2391,37 @@ def test_sessionize_bucketed_pre_epoch_floor_aligned(spark):
     out = sessionize_bucketed(df, "user", "ts", gap_ms=10**6, bucket_ms=10000)
     got = {r["ms"]: r["session_bucket"] for r in out.collect()}
     assert got == {-9500: -10000, -500: -10000, 500: 0}
+
+
+def test_sessionize_scalable_precomputed_hot_actors(spark):
+    # hot_actors from hot_group_keys replaces the detection count; exact
+    # for the true hot set, a generous set, duplicates, and an empty set
+    from pyspark.sql import functions as F
+
+    from seqspark.pipeline.sampling import hot_group_keys
+    from seqspark.pipeline.sessions import sessionize, sessionize_scalable
+
+    rows = []
+    for u in range(5):
+        n = 200 if u == 0 else 30
+        for k in range(n):
+            rows.append((f"u{u}", k * 700 + u))
+    df = spark.createDataFrame(rows, "user string, ms long").withColumn(
+        "ts", F.timestamp_millis(F.col("ms"))
+    )
+    plain = sorted(
+        (r["user"], r["ms"], r["session_seq"])
+        for r in sessionize(df, "user", "ts", gap_ms=1000).collect()
+    )
+    hot = hot_group_keys(df, "user", 100)
+    assert [r["user"] for r in hot.collect()] == ["u0"]
+    for ha in (hot, df.select("user"), hot.unionByName(hot),
+               spark.createDataFrame([], "user string")):
+        got = sorted(
+            (r["user"], r["ms"], r["session_seq"])
+            for r in sessionize_scalable(
+                df, "user", "ts", gap_ms=1000, bucket_ms=3000,
+                hot_actors=ha,
+            ).collect()
+        )
+        assert got == plain

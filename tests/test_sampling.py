@@ -385,3 +385,58 @@ def test_salted_rank_detects_null_mega_group(spark):
         key=str,
     )
     assert plain_cap == salted_cap and plain_cap
+
+
+def test_salted_rank_precomputed_hot_keys(spark):
+    # the amortizable detection pass: hot_keys from hot_group_keys must
+    # give the same exact results as per-call detection; a GENEROUS set
+    # (every group) and a frame with duplicate keys must also stay exact
+    from pyspark.sql import functions as F
+
+    from seqspark.pipeline.sampling import (
+        cap_per_group, hot_group_keys, top_per_group,
+    )
+
+    rows = [(i, "mega" if i % 5 < 3 else f"g{i % 17}", float((i * 7919) % 1000))
+            for i in range(4000)]
+    df = spark.createDataFrame(rows, "id long, g string, v double")
+    plain_top = sorted(
+        map(tuple, top_per_group(df, "g", "v", 9, key_col="id").collect())
+    )
+    plain_cap = sorted(
+        map(tuple, cap_per_group(df, "id", "g", 9, seed="s").collect())
+    )
+
+    hot = hot_group_keys(df, "g", 200)  # mega has 2400 rows; g* ~94
+    assert [r["g"] for r in hot.collect()] == ["mega"]
+    for hk in (
+        hot,
+        df.select("g"),                      # generous: every group, dup keys
+        hot.unionByName(hot),                # explicit duplicates
+        spark.createDataFrame([], "g string"),  # empty: nothing pre-capped
+    ):
+        got_top = sorted(map(tuple, top_per_group(
+            df, "g", "v", 9, key_col="id", salt_groups=8, hot_keys=hk
+        ).collect()))
+        assert got_top == plain_top
+        got_cap = sorted(map(tuple, cap_per_group(
+            df, "id", "g", 9, seed="s", salt_groups=8, hot_keys=hk
+        ).collect()))
+        assert got_cap == plain_cap
+
+    # hot_keys alone engages the pre-stage with the default salt
+    got = sorted(map(tuple, cap_per_group(
+        df, "id", "g", 9, seed="s", hot_keys=hot).collect()))
+    assert got == plain_cap
+
+    # the precomputed path really skips the per-call detection count:
+    # its plan carries hot_group_keys' __n filter, never the internal
+    # __gn detection aggregate the threshold path would add
+    pre_plan = top_per_group(
+        df, "g", "v", 9, key_col="id", salt_groups=8, hot_keys=hot
+    )._jdf.queryExecution().optimizedPlan().toString()
+    assert "__gn" not in pre_plan and "__n" in pre_plan
+    det_plan = top_per_group(
+        df, "g", "v", 9, key_col="id", salt_groups=8
+    )._jdf.queryExecution().optimizedPlan().toString()
+    assert "__gn" in det_plan
