@@ -136,3 +136,30 @@ def test_bench_plan_canonicalizer_masks_run_specific_noise():
     assert bench._canon(b) != bench._canon(c)
     d = b.replace("Exchange hashpartitioning", "Sort [event_type")
     assert bench._canon(b) != bench._canon(d)
+
+
+def test_scale_plan_pins_cover_all_scale_queries():
+    # bench_plans_scale.json must pin EVERY scale-check query at BOTH
+    # scale points — including the r12 pipeline skew operators — so a
+    # scale-point plan regression is a committed-artifact diff, not an
+    # ad-hoc observation. (tools/bench_scale.py --write-plans regenerates
+    # after an intended plan change.)
+    import json
+    import os
+
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "bench_plans_scale.json")
+    with open(path) as f:
+        pins = json.load(f)
+    names = {
+        "q2_keyword_or", "q4_range", "q5_agg_count", "q6_agg_min_group",
+        "q7_pricing", "q8_time_window",
+        "p1_sessionize_scalable", "p2_cap_salted", "p3_top_salted",
+        "p4_span_dedup",
+    }
+    missing = [
+        f"{n}@{s}" for n in sorted(names) for s in ("x1", "x10")
+        if f"{n}@{s}" not in pins
+    ]
+    assert not missing, missing
+    assert all(isinstance(v, str) and v for v in pins.values())

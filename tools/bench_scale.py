@@ -170,6 +170,55 @@ def digest_set(st, lineitem, window):
     }
 
 
+def pipeline_query_set(events_df, docs_df):
+    """The heaviest pipeline shuffles (r12): the skew-aware operators'
+    scale behavior, measured at both scales like the engine queries."""
+    from seqspark.pipeline.dedup import duplicate_span_removal
+    from seqspark.pipeline.sampling import cap_per_group, top_per_group
+    from seqspark.pipeline.sessions import sessionize_scalable
+
+    ev = events_df.select("user_id", "ts", "event_id", "value")
+    return {
+        "p1_sessionize_scalable": lambda: sessionize_scalable(
+            ev, "user_id", gap_ms=3600_000, bucket_ms=6 * 3600_000
+        ).count(),
+        "p2_cap_salted": lambda: cap_per_group(
+            ev, "event_id", "user_id", 50, seed="sc", salt_groups=8
+        ).count(),
+        "p3_top_salted": lambda: top_per_group(
+            ev, "user_id", "value", 50, key_col="event_id", salt_groups=8
+        ).count(),
+        "p4_span_dedup": lambda: duplicate_span_removal(docs_df, k=8)
+        .select("doc_id", "clean_text").count(),
+    }
+
+
+def pipeline_digest_set(events_df, docs_df):
+    from seqspark.pipeline.dedup import duplicate_span_removal
+    from seqspark.pipeline.sampling import cap_per_group, top_per_group
+    from seqspark.pipeline.sessions import sessionize_scalable
+
+    ev = events_df.select("user_id", "ts", "event_id", "value")
+    return {
+        "p1_sessionize_scalable": lambda: [
+            sessionize_scalable(ev, "user_id", gap_ms=3600_000,
+                                bucket_ms=6 * 3600_000)
+        ],
+        "p2_cap_salted": lambda: [
+            cap_per_group(ev, "event_id", "user_id", 50, seed="sc",
+                          salt_groups=8)
+        ],
+        "p3_top_salted": lambda: [
+            top_per_group(ev, "user_id", "value", 50, key_col="event_id",
+                          salt_groups=8)
+        ],
+        "p4_span_dedup": lambda: [
+            duplicate_span_removal(docs_df, k=8).select(
+                "doc_id", "clean_text")
+        ],
+    }
+
+
 PLANS_PATH = os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
     "bench_plans_scale.json",
@@ -205,6 +254,9 @@ def main() -> None:
 
     events_raw = load_table(spark, SF_DIR, "events")
     lineitem = load_table(spark, SF_DIR, "lineitem")
+    docs_raw = load_table(spark, SF_DIR, "documents")
+    docs_small_path = os.path.join(base_dir, "documents_x1")
+    docs1_path = os.path.join(base_dir, f"documents_x{args.factor}")
     t0 = time.perf_counter()
     # events at BOTH scales go through the store's ts-clustered layout so
     # the time-window ratio is apples-to-apples
@@ -219,11 +271,17 @@ def main() -> None:
         )
     if not os.path.exists(li1_path):
         scale_out(lineitem, args.factor, []).write.parquet(li1_path)
+    if not os.path.exists(docs_small_path):
+        docs_raw.write.parquet(docs_small_path)
+    if not os.path.exists(docs1_path):
+        scale_out(docs_raw, args.factor, ["doc_id"]).write.parquet(docs1_path)
     setup = round(time.perf_counter() - t0, 2)
 
     events = spark.read.parquet(ev_small_path)
     events_x = spark.read.parquet(ev1_path)
     lineitem_x = spark.read.parquet(li1_path)
+    docs = spark.read.parquet(docs_small_path)
+    docs_x = spark.read.parquet(docs1_path)
 
     st = SearchTable.from_typed(
         events, EVENTS_MAPPING, ts_col="ts", rid_col="event_id", assume_folded=True
@@ -247,6 +305,10 @@ def main() -> None:
              for k, fn in query_set(st, lineitem, window).items()}
     big = {k: timed(fn, args.runs)
            for k, fn in query_set(st_x, lineitem_x, window).items()}
+    small.update({k: timed(fn, args.runs)
+                  for k, fn in pipeline_query_set(events, docs).items()})
+    big.update({k: timed(fn, args.runs)
+                for k, fn in pipeline_query_set(events_x, docs_x).items()})
     ratio = {k: round(big[k] / small[k], 2) if small[k] else None for k in small}
 
     # plan digests at BOTH scales, pinned against bench_plans_scale.json
@@ -255,6 +317,10 @@ def main() -> None:
     digests = {}
     for scale, s_t, s_li in (("x1", st, lineitem), (f"x{args.factor}", st_x, lineitem_x)):
         for name, builder in digest_set(s_t, s_li, window).items():
+            digests[f"{name}@{scale}"] = bench.plan_digest(builder())
+    for scale, s_ev, s_docs in (("x1", events, docs),
+                                (f"x{args.factor}", events_x, docs_x)):
+        for name, builder in pipeline_digest_set(s_ev, s_docs).items():
             digests[f"{name}@{scale}"] = bench.plan_digest(builder())
     expected = {}
     if os.path.exists(PLANS_PATH):
