@@ -1356,6 +1356,74 @@ IMAGE_DHASH_EXPECTED = [
 ]
 
 
+#: (asset_id, n_frames, frame_index, sha256 of the RGBA PNG
+#: re-encode of the composited canvas) over real_gif_asset_rows
+FRAME_SAMPLE_GIF_EXPECTED = [
+    (0, 2, 0, '543941e5fd2baa53dc763324f7bc23027fa57ebf7f698354b7b11a8f3eef5efd'),
+    (0, 2, 1, '02536e479d026c596cfda8e4784bf56344fefb331a34de3e3b1df7cdb27f20df'),
+    (1, 3, 0, 'f3ad630915dfaa0860ac43ac37e1e80037a090cf52b8c0441e9a2f90fdd331a9'),
+    (1, 3, 1, '92127009cccd83d0707b2028ea6fb4984699a34990541486c663aa7094c5acc9'),
+    (1, 3, 2, 'a7d740bdd84aa2d0fd8937c40671210ddf93e88f43184364b0ffda13b563f59d'),
+    (2, 4, 0, '733d04462416dfcc98f8f415b2234b3a0808a4aa8ffb85a7bd1fa0d02200e1ae'),
+    (2, 4, 1, '297a1f5660279a765f5f49da0af9484a3d33ab2e9a6af2386b1a14600d77a630'),
+    (2, 4, 2, 'ede857e87477a9d5d79f293a78dd12a08c39b69d0b43cdf0c65fddcf16b688cb'),
+    (3, 5, 0, 'abbcc4df6cb68b4d64934a2c93cddbabf0fb43dcaed08327ac0ea712095194f2'),
+    (3, 5, 1, 'b0a0b073942115e1cbc574c29ba921ca612e3527461f61ac6071d344cdc76b90'),
+    (3, 5, 3, '729b7486e85e3e378e7d829e1b4db2a0d956936a5fbc774032c1a54efbeb0c01'),
+    (4, 2, 0, '2bc19880a6a50fd3cce9c111298f316aa029b296fda21d162051a59a6a512f0b'),
+    (4, 2, 1, '63bdf6d1d20e6f42bc4544af88682612f60052db938d9449a188d13efe3cc93d'),
+    (5, 3, 0, 'ab3353a03068e45c206b1036353c93a5fe74ea7fa9097f36f3ad2ea96ad98a7b'),
+    (5, 3, 1, '0774c7539e76451c94adad938d7e4ce6a31ce480d5fb696fe9ae4dd3f30668f3'),
+    (5, 3, 2, 'dec4c71ad0bdc40d78ce06f788911acf77bcf867795f2a179a3e79c72528f533'),
+    (6, 4, 0, 'ba75991700728a1d7989b2002beafc3596dc7ab0ec41c64ddbbd9f755cab2559'),
+    (6, 4, 1, '30a9c20696d7cf2e2334021773bdcf2d1b7a428105e545abd7a326a92cb0049e'),
+    (6, 4, 2, '2b1158575a69532088a1e3b8066f467db5f6e5a6ec833dcd149d8ec389e0565c'),
+    (7, 5, 0, 'e12ac0494dcd5d836be9d59f63853d20c2b20357f78b42ed1373f1d86f8444f4'),
+    (7, 5, 1, '3d70b762cca03576890a00500fa12d989420cb1d2f54ee172c1623932e26d8b0'),
+    (7, 5, 3, '431a604dd78a0b29f0581033d267f544a292df8fbef9dfcb624585166c550cf2'),
+    (8, 2, 0, 'decc685f6da9222c16cfacd74d8d90f2310b3090ee4c47d01621616bd7966868'),
+    (8, 2, 1, 'decc685f6da9222c16cfacd74d8d90f2310b3090ee4c47d01621616bd7966868'),
+    (9, 3, 0, 'c3e5a15c28754a962766ebe48f7e8392f115406d81af04cab8f9c51122ed965d'),
+    (9, 3, 1, '16ad527312ca54e043ac9195d6971ea3c4fefbfb05664cec25bf3f47781dcd39'),
+    (9, 3, 2, 'c732d8a9034a8ccfbb786b0cac18478120141b6d1a90fc6b8846eff934646d95'),
+    (10, 4, 0, '4a070fae064f5c162a3a0029b667c8fff587b22caba0b1a22892f6dbdabfcc45'),
+    (10, 4, 1, '8e450d7eaf6bf219a8f11019df5c1d2183148536da3adb442f78da12cde1ee16'),
+    (10, 4, 2, '7722cd9a5478bcc519e503113875a33607c3682d48408b0246792fab3eaf39eb'),
+    (11, 5, 0, '8acb37e3e55c425bec0b0570f13d7a45b7cc84557313a8110345cc6e17bde1a0'),
+    (11, 5, 1, 'aa22aeea64228e03f456fa34442d7016e3b2aeff16ced1ce334ea9b30f623042'),
+    (11, 5, 3, '661cfb8f47db7b9d7ab8ac9b696849fea507e48b68ebd6cc19f3fc1eccd49e13'),
+    (12, 2, 0, '7804cd94c465d7f4b38f37bb8c562676a2f45dfc0aeb7a7f9ed938db5d39a0f0'),
+    (12, 2, 1, '5f72b97fb3f42fa361e25be4c39006cee159386290486fd9020c5939da837b50'),
+    (13, 3, 0, 'e6626a1575c03a29a09fc1e1d8b4f528ccab38ad2d563ae6fd5185cfc6ed8b3a'),
+    (13, 3, 1, '7a1739e6b3c286852aa9a8070adb68f770973871b1d60ce1707ff793e6a78ee0'),
+    (13, 3, 2, '51e97318745c4ee0f735d91a9a5794a2a0b4fff94fdf5f45c516291bb3211246'),
+    (14, 4, 0, '0a5041edaf3fbb65415b43fb2a13bf4c03fffaaad1615678af4aae9aa05bdcd1'),
+    (14, 4, 1, '0a5041edaf3fbb65415b43fb2a13bf4c03fffaaad1615678af4aae9aa05bdcd1'),
+    (14, 4, 2, '85e10ad3fa7b0b3627311c177df80c584a538d861256ba879afe84452dd40395'),
+    (15, 5, 0, '5381c63c8fefc2e6c1118ef36d1b5962e28f5e09882d9975a82f8fac4b9c813e'),
+    (15, 5, 1, 'd9e63acf08515cd2f9a1a94f4eabd3edf09c34addc9a92cc5a4b6759350f699f'),
+    (15, 5, 3, 'b4e5a9303cc21d5d68a1866632621ba937d98557ed216417b17886602c50b1ca'),
+]
+
+
+def q_frame_sample_gif(spark, sf_dir):
+    # hash-pinned (r12): REAL animated-GIF frame extraction — the stdlib
+    # LZW decoder + disposal/transparency/interlace compositing — over the
+    # deterministic GIF fixture; each selected frame's RGBA-PNG re-encode
+    # is digested against literals frozen ONCE by
+    # tools/gen_multimodal_expected.py (converting the last honest-raise
+    # in sample_frames' real path into hash-checked coverage)
+    from seqspark.pipeline.multimodal import (
+        make_real_gif_assets, sample_frames)
+
+    assets = make_real_gif_assets(spark, 16)
+    out = sample_frames(assets, n_samples=3, fake=False)
+    return out.select(
+        "asset_id", "n_frames", "frame_index",
+        F.sha2(F.col("frame"), 256).alias("frame_sha"),
+    )
+
+
 def q_multimodal_decode(spark, sf_dir):
     # hash-pinned (r11, formerly rows-only): REAL stdlib-codec decode —
     # PNG header parse + WAV meta — over the deterministic real-asset
@@ -2062,7 +2130,8 @@ DRIVER_WINDOW = [
     "filter_in",
     "frame_sample",
     "fulltext_and",
-    "fulltext_wildcard",
+    # r12 addition: never driver-checked yet
+    "frame_sample_gif",
 ]
 
 
@@ -2145,6 +2214,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_encode": q_bpe_encode,
         "bpe_encode_dict": q_bpe_encode_dict,
         "multimodal_decode": q_multimodal_decode,
+        "frame_sample_gif": q_frame_sample_gif,
         "join_broadcast": q_join_broadcast,
         "lineitem_pricing_summary": q_lineitem_pricing_summary,
         "complex_search": q_complex_search,
@@ -3258,6 +3328,14 @@ def oracle_sql() -> dict[str, str]:
     # same trick as ann_lsh_topk's literal hyperplanes, applied to
     # binary kernels. A decode/resize/dhash regression now FAILS the
     # contract; it cannot silently move the oracle.
+    sql["frame_sample_gif"] = (
+        "SELECT * FROM (VALUES "
+        + ", ".join(
+            f"({i}, {nf}, {fi}, '{sha}')"
+            for i, nf, fi, sha in FRAME_SAMPLE_GIF_EXPECTED
+        )
+        + ") AS t(asset_id, n_frames, frame_index, frame_sha)"
+    )
     sql["multimodal_decode"] = (
         "SELECT * FROM (VALUES "
         + ", ".join(

@@ -131,8 +131,14 @@ def _stdlib_image_meta(content: bytes) -> Optional[tuple[int, int, int]]:
         return None
     if b[:6] in (b"GIF87a", b"GIF89a") and len(b) >= 10:
         width, height = struct.unpack("<HH", b[6:10])
-        # frame counting needs a full block walk; header-only path reports 1
-        return int(width), int(height), 1
+        # real frame count via a block WALK (descriptor + sub-block
+        # skipping, no LZW decode — bounded by the input length): the
+        # r12 GIF frame extractor needs n_frames to drive sampling, and
+        # reporting 1 for an animation silently dropped every frame but
+        # the first. A malformed block stream degrades to the frames
+        # counted so far (min 1), never a throw.
+        n_frames = _gif_count_frames(b)
+        return int(width), int(height), max(1, n_frames)
     if b.startswith(b"\xff\xd8"):
         return _jpeg_meta(b)
     return None
@@ -322,13 +328,38 @@ def sample_frames(
                 ]
             else:
                 frames = []
-                for m, c, nf, i in zip(pdf["media_type"], pdf["content"],
-                                       pdf["n_frames"], pdf["frame_index"]):
+                # an asset's frames are decoded ONCE per batch however
+                # many of its indices were selected (the GIF compositing
+                # chain is sequential, so per-row decoding would redo
+                # frames 0..k for every sampled k)
+                gif_cache: dict = {}
+                for a, m, c, nf, i in zip(
+                    pdf["asset_id"], pdf["media_type"], pdf["content"],
+                    pdf["n_frames"], pdf["frame_index"],
+                ):
+                    cb = bytes(c or b"")
                     if m == "image" and nf == 1 and i == 0:
-                        frames.append(bytes(c or b""))
+                        frames.append(cb)
+                    elif m == "image" and cb[:6] in (b"GIF87a", b"GIF89a"):
+                        # animated GIF: stdlib LZW + compositing (r12);
+                        # each selected frame is emitted as an RGBA PNG
+                        # of the full logical screen
+                        if a not in gif_cache:
+                            gif_cache[a] = _gif_decode_frames(cb)
+                        dec = gif_cache[a]
+                        if dec is None or i >= len(dec[2]):
+                            raise NotImplementedError(
+                                "GIF outside the stdlib decoder's subset "
+                                f"(asset_id={a}, frame {i} of "
+                                f"{nf})"
+                            )
+                        gw, gh, all_frames = dec
+                        frames.append(
+                            _png_encode(gw, gh, 4, bytearray(all_frames[i]))
+                        )
                     else:
                         raise NotImplementedError(
-                            "frame extraction from animated/video assets "
+                            "frame extraction from APNG/video assets "
                             "needs a frame codec (ffmpeg/Pillow-seek) not "
                             "present in this container"
                         )
@@ -446,6 +477,357 @@ def _png_encode(w: int, h: int, ch: int, pixels: bytearray) -> bytes:
         + chunk(b"IDAT", zlib.compress(bytes(raw)))
         + chunk(b"IEND", b"")
     )
+
+
+# --------------------------------------------------------------------- GIF
+# Stdlib GIF87a/89a codec (r12): LZW + compositing, enough to extract real
+# frames from animated GIFs in sample_frames — the last honest-raise in the
+# multimodal surface that was implementable without external codecs. The
+# encoder exists for the deterministic fixture (real_gif_asset_rows) and is
+# round-trip property-tested against the decoder.
+
+
+def _gif_skip_subblocks(b: bytes, pos: int) -> int:
+    """Skip a sub-block chain; returns the position after the terminator,
+    or len(b) on truncation (callers treat end-of-input as end-of-walk)."""
+    n = len(b)
+    while pos < n:
+        size = b[pos]
+        pos += 1
+        if size == 0:
+            return pos
+        pos += size
+    return n
+
+
+def _gif_read_subblocks(b: bytes, pos: int):
+    """Concatenate a sub-block chain. Returns (data, new_pos) or
+    (None, pos) on truncation."""
+    out = bytearray()
+    n = len(b)
+    while True:
+        if pos >= n:
+            return None, pos
+        size = b[pos]
+        pos += 1
+        if size == 0:
+            return bytes(out), pos
+        if pos + size > n:
+            return None, pos
+        out += b[pos:pos + size]
+        pos += size
+
+
+def _gif_walk_start(b: bytes):
+    """Parse header + logical screen descriptor + GCT. Returns
+    (w, h, gct_or_None, pos) or None."""
+    if b[:6] not in (b"GIF87a", b"GIF89a") or len(b) < 13:
+        return None
+    w, h = struct.unpack("<HH", b[6:10])
+    packed = b[10]
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        ncol = 2 << (packed & 0x07)
+        if pos + 3 * ncol > len(b):
+            return None
+        gct = b[pos:pos + 3 * ncol]
+        pos += 3 * ncol
+    return int(w), int(h), gct, pos
+
+
+def _gif_count_frames(b: bytes) -> int:
+    start = _gif_walk_start(b)
+    if start is None:
+        return 1
+    _w, _h, _gct, pos = start
+    count = 0
+    n = len(b)
+    while pos < n:
+        block = b[pos]
+        pos += 1
+        if block == 0x3B:  # trailer
+            break
+        if block == 0x21:  # extension: label + sub-blocks
+            pos = _gif_skip_subblocks(b, pos + 1)
+        elif block == 0x2C:  # image descriptor
+            if pos + 9 > n:
+                break
+            ip = b[pos + 8]
+            pos += 9
+            if ip & 0x80:
+                pos += 3 * (2 << (ip & 0x07))
+            if pos >= n:
+                break
+            pos = _gif_skip_subblocks(b, pos + 1)  # +1: LZW min code size
+            count += 1
+        else:
+            break  # desynced
+    return count
+
+
+def _lzw_decode(min_code_size: int, data: bytes, max_out: int):
+    """GIF-flavor LZW (little-endian bit packing, CLEAR/END codes, 12-bit
+    cap). Returns the index stream or None on a malformed stream."""
+    if not 2 <= min_code_size <= 11:
+        return None
+    clear = 1 << min_code_size
+    end_code = clear + 1
+
+    def fresh():
+        return [bytes([i]) for i in range(clear)] + [b"", b""]
+
+    table = fresh()
+    code_size = min_code_size + 1
+    out = bytearray()
+    prev = None
+    acc = bits = pos = 0
+    n = len(data)
+    while True:
+        while bits < code_size:
+            if pos >= n:
+                # missing explicit END: tolerated (common in the wild)
+                return out
+            acc |= data[pos] << bits
+            pos += 1
+            bits += 8
+        code = acc & ((1 << code_size) - 1)
+        acc >>= code_size
+        bits -= code_size
+        if code == clear:
+            table = fresh()
+            code_size = min_code_size + 1
+            prev = None
+            continue
+        if code == end_code:
+            return out
+        if code < len(table):
+            entry = table[code]
+        elif code == len(table) and prev is not None:
+            entry = prev + prev[:1]  # KwKwK
+        else:
+            return None
+        out += entry
+        if len(out) > max_out:
+            return None
+        if prev is not None and len(table) < 4096:
+            table.append(prev + entry[:1])
+            if len(table) == (1 << code_size) and code_size < 12:
+                code_size += 1
+        prev = entry
+
+
+def _gif_interlace_rows(fh: int):
+    """Display-row order of an interlaced frame's sequential source rows."""
+    out = []
+    for start, step in ((0, 8), (4, 8), (2, 4), (1, 2)):
+        out.extend(range(start, fh, step))
+    return out
+
+
+def _gif_decode_frames(b: bytes, max_pixels: int = _PNG_MAX_PIXELS):
+    """Decode EVERY frame of a GIF to full-canvas RGBA bytes, honoring
+    local/global palettes, interlacing, transparency and disposal methods
+    0/1 (keep), 2 (restore region to transparent), 3 (restore previous).
+    Returns (w, h, [bytes]) or None when not a decodable GIF."""
+    start = _gif_walk_start(b)
+    if start is None:
+        return None
+    w, h, gct, pos = start
+    if w <= 0 or h <= 0 or w * h > max_pixels:
+        return None
+    canvas = bytearray(w * h * 4)  # starts fully transparent
+    frames: list = []
+    transparent = None
+    disposal = 0
+    n = len(b)
+    while pos < n:
+        block = b[pos]
+        pos += 1
+        if block == 0x3B:
+            break
+        if block == 0x21:
+            if pos >= n:
+                return None
+            label = b[pos]
+            subs, pos = _gif_read_subblocks(b, pos + 1)
+            if subs is None:
+                return None
+            if label == 0xF9 and len(subs) >= 4:
+                packed = subs[0]
+                disposal = (packed >> 2) & 0x07
+                transparent = subs[3] if packed & 0x01 else None
+            continue
+        if block != 0x2C or pos + 9 > n:
+            return None
+        fx, fy, fw, fh = struct.unpack("<HHHH", b[pos:pos + 8])
+        ip = b[pos + 8]
+        pos += 9
+        palette = gct
+        if ip & 0x80:
+            ncol = 2 << (ip & 0x07)
+            if pos + 3 * ncol > n:
+                return None
+            palette = b[pos:pos + 3 * ncol]
+            pos += 3 * ncol
+        if palette is None or fw <= 0 or fh <= 0 or fw * fh > max_pixels:
+            return None
+        if pos >= n:
+            return None
+        mcs = b[pos]
+        data, pos = _gif_read_subblocks(b, pos + 1)
+        if data is None:
+            return None
+        idx = _lzw_decode(mcs, data, fw * fh)
+        if idx is None or len(idx) < fw * fh:
+            return None
+        row_order = (
+            _gif_interlace_rows(fh) if ip & 0x40 else range(fh)
+        )
+        saved = bytes(canvas) if disposal == 3 else None
+        npal = len(palette) // 3
+        for src_y, dy in enumerate(row_order):
+            y = fy + dy
+            if y >= h:
+                continue
+            base = src_y * fw
+            crow = (y * w + fx) * 4
+            for x in range(min(fw, w - fx)):
+                ci = idx[base + x]
+                if ci == transparent or ci >= npal:
+                    continue
+                o = crow + x * 4
+                p = ci * 3
+                canvas[o] = palette[p]
+                canvas[o + 1] = palette[p + 1]
+                canvas[o + 2] = palette[p + 2]
+                canvas[o + 3] = 255
+        frames.append(bytes(canvas))
+        if disposal == 2:
+            for dy in range(min(fh, h - fy)):
+                o = ((fy + dy) * w + fx) * 4
+                span = min(fw, w - fx) * 4
+                canvas[o:o + span] = bytes(span)
+        elif disposal == 3 and saved is not None:
+            canvas = bytearray(saved)
+        disposal = 0
+        transparent = None  # a GCE governs exactly one image
+    if not frames:
+        return None
+    return w, h, frames
+
+
+def _lzw_encode(min_code_size: int, pixels) -> bytes:
+    """GIF-flavor LZW encoder (fixture/encoder side; round-trip
+    property-tested against :func:`_lzw_decode`). Code width growth
+    mirrors the DECODER's table — the decoder adds one entry per emitted
+    code except the first after CLEAR, so the encoder simulates that
+    count to widen codes exactly when the decoder will."""
+    clear = 1 << min_code_size
+    end_code = clear + 1
+    out = bytearray()
+    acc = bits = 0
+
+    state = {
+        "dict": {bytes([i]): i for i in range(clear)},
+        "next": end_code + 1,
+        "size": min_code_size + 1,
+        "dec_len": clear + 2,
+        "emitted": 0,
+    }
+
+    def emit(code: int) -> None:
+        nonlocal acc, bits
+        acc |= code << bits
+        bits += state["size"]
+        while bits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            bits -= 8
+        # decoder grows ITS table after every emitted code except the
+        # first after a clear; mirror that to keep widths in lockstep
+        if state["emitted"] >= 1 and state["dec_len"] < 4096:
+            state["dec_len"] += 1
+            if state["dec_len"] == (1 << state["size"]) and state["size"] < 12:
+                state["size"] += 1
+        state["emitted"] += 1
+
+    def reset() -> None:
+        emit(clear)
+        state["dict"] = {bytes([i]): i for i in range(clear)}
+        state["next"] = end_code + 1
+        state["size"] = min_code_size + 1
+        state["dec_len"] = clear + 2
+        state["emitted"] = 0
+
+    reset()
+    w = b""
+    for p in pixels:
+        c = bytes([p])
+        wc = w + c
+        if wc in state["dict"]:
+            w = wc
+            continue
+        emit(state["dict"][w])
+        if state["next"] < 4096:
+            state["dict"][wc] = state["next"]
+            state["next"] += 1
+            w = c
+        else:
+            w = c
+            reset()
+    if w:
+        emit(state["dict"][w])
+    emit(end_code)
+    if bits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _gif_encode(w: int, h: int, frame_specs, palette: bytes) -> bytes:
+    """Minimal GIF89a writer for the deterministic fixture: global palette
+    (len must be a power of two >= 4, flat RGB bytes), one GCE + image
+    descriptor per frame. ``frame_specs`` entries are dicts with keys
+    x, y, fw, fh, pixels (palette indices, fw*fh of them), and optional
+    disposal (default 0), transparent (index or None), interlaced."""
+    ncol = len(palette) // 3
+    if ncol < 4 or ncol & (ncol - 1):
+        raise ValueError("palette size must be a power of two >= 4")
+    depth = ncol.bit_length() - 1
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", w, h)
+    out += bytes([0x80 | (depth - 1), 0, 0])
+    out += palette
+    min_code_size = max(2, depth)
+    for spec in frame_specs:
+        transparent = spec.get("transparent")
+        disposal = spec.get("disposal", 0)
+        packed = (disposal & 7) << 2 | (1 if transparent is not None else 0)
+        out += bytes([0x21, 0xF9, 4, packed, 0, 0,
+                      transparent if transparent is not None else 0, 0])
+        ip = 0x40 if spec.get("interlaced") else 0
+        out += bytes([0x2C]) + struct.pack(
+            "<HHHH", spec["x"], spec["y"], spec["fw"], spec["fh"]
+        ) + bytes([ip])
+        pixels = spec["pixels"]
+        if len(pixels) != spec["fw"] * spec["fh"]:
+            raise ValueError("pixels must be fw*fh palette indices")
+        if spec.get("interlaced"):
+            # encoder stores rows in interlace pass order
+            order = _gif_interlace_rows(spec["fh"])
+            seq = bytearray()
+            for dy in order:
+                seq += bytes(pixels[dy * spec["fw"]:(dy + 1) * spec["fw"]])
+            pixels = bytes(seq)
+        data = _lzw_encode(min_code_size, bytes(pixels))
+        out.append(min_code_size)
+        for off in range(0, len(data), 255):
+            chunk = data[off:off + 255]
+            out.append(len(chunk))
+            out += chunk
+        out.append(0)
+    out.append(0x3B)
+    return bytes(out)
 
 
 def _stdlib_png_resize(b: bytes, width: int, height: int) -> Optional[bytes]:
@@ -628,6 +1010,50 @@ def real_asset_rows(n: int = 64) -> list:
             media = "image"
         rows.append((i, media, bytearray(content), '{"src":"fixture-real"}'))
     return rows
+
+
+def real_gif_asset_rows(n: int = 16) -> list:
+    """Driver-side rows of the ANIMATED-GIF fixture (r12): deterministic
+    multi-frame GIF89a payloads exercising the full stdlib decoder —
+    partial-rect frames with offsets, all four disposal methods,
+    transparency, and an interlaced frame. A pure function of ``n`` so
+    ``tools/gen_multimodal_expected.py`` can freeze the contract-oracle
+    digests from the same rows without a SparkSession."""
+    rows = []
+    for i in range(n):
+        w, h = 8 + i % 4, 6 + i % 3
+        palette = bytes(
+            ((c * 53 + i * 29 + ch * 17) % 256)
+            for c in range(8) for ch in range(3)
+        )
+        n_frames = 2 + i % 4
+        specs = []
+        for k in range(n_frames):
+            if k == 0:
+                fx, fy, fw, fh = 0, 0, w, h  # base frame covers the canvas
+            else:
+                fw = 2 + (i + k) % (w - 1)
+                fh = 2 + (i + 2 * k) % (h - 1)
+                fx = (i * 3 + k) % (w - fw + 1)
+                fy = (i + k * 5) % (h - fh + 1)
+            pixels = bytes(
+                ((x * 7 + y * 3 + i + k * 11) % 8)
+                for y in range(fh) for x in range(fw)
+            )
+            specs.append({
+                "x": fx, "y": fy, "fw": fw, "fh": fh, "pixels": pixels,
+                "disposal": k % 4,
+                "transparent": (k + i) % 8 if k % 2 else None,
+                "interlaced": (k == 1 and i % 3 == 0),
+            })
+        content = _gif_encode(w, h, specs, palette)
+        rows.append((i, "image", bytearray(content), '{"src":"fixture-gif"}'))
+    return rows
+
+
+def make_real_gif_assets(spark, n: int = 16) -> DataFrame:
+    """Animated-GIF fixture frame (:func:`real_gif_asset_rows`)."""
+    return spark.createDataFrame(real_gif_asset_rows(n), ASSET_SCHEMA)
 
 
 def make_real_assets(spark, n: int = 64) -> DataFrame:

@@ -2425,3 +2425,142 @@ def test_sessionize_scalable_precomputed_hot_actors(spark):
             ).collect()
         )
         assert got == plain
+
+
+# ------------------------------------------------------------------- r12 GIF
+# stdlib animated-GIF codec behind sample_frames' real path.
+
+
+def test_gif_lzw_roundtrip_property():
+    # encoder/decoder agree on random index streams, including streams
+    # long enough to overflow the 12-bit table (encoder emits CLEAR)
+    import random
+
+    from seqspark.pipeline.multimodal import _lzw_decode, _lzw_encode
+
+    rng = random.Random(7)
+    for trial in range(120):
+        mcs = rng.choice([2, 3, 4, 8])
+        n = rng.choice([0, 1, 5, 100, 5000, 20000])
+        px = bytes(rng.randrange(1 << mcs) for _ in range(n))
+        dec = _lzw_decode(mcs, _lzw_encode(mcs, px), max(1, n))
+        assert dec is not None and bytes(dec) == px, (trial, mcs, n)
+
+
+def test_gif_disposal_and_transparency_semantics():
+    from seqspark.pipeline.multimodal import _gif_decode_frames, _gif_encode
+
+    pal = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 9, 9, 9])
+    g = _gif_encode(4, 4, [
+        # red base, restore-to-previous after (canvas was transparent)
+        {"x": 0, "y": 0, "fw": 4, "fh": 4, "pixels": bytes([0] * 16),
+         "disposal": 3},
+        # green patch at (1,1), restore-region-to-transparent after
+        {"x": 1, "y": 1, "fw": 2, "fh": 2, "pixels": bytes([1] * 4),
+         "disposal": 2},
+        # blue pixel at origin, keep
+        {"x": 0, "y": 0, "fw": 1, "fh": 1, "pixels": bytes([2])},
+    ], pal)
+    w, h, fr = _gif_decode_frames(g)
+    assert (w, h, len(fr)) == (4, 4, 3)
+
+    def px(f, x, y):
+        o = (y * 4 + x) * 4
+        return tuple(f[o:o + 4])
+
+    assert px(fr[0], 1, 1) == (255, 0, 0, 255)
+    # disposal 3 on frame 0 restored the pre-frame (transparent) canvas
+    assert px(fr[1], 1, 1) == (0, 255, 0, 255)
+    assert px(fr[1], 0, 0) == (0, 0, 0, 0)
+    # disposal 2 on frame 1 cleared its region; frame 2 drew only (0,0)
+    assert px(fr[2], 1, 1) == (0, 0, 0, 0)
+    assert px(fr[2], 0, 0) == (0, 0, 255, 255)
+
+    # transparency: a transparent index must not overwrite the canvas
+    g2 = _gif_encode(2, 1, [
+        {"x": 0, "y": 0, "fw": 2, "fh": 1, "pixels": bytes([0, 1])},
+        {"x": 0, "y": 0, "fw": 2, "fh": 1, "pixels": bytes([3, 2]),
+         "transparent": 3},
+    ], pal)
+    _, _, fr2 = _gif_decode_frames(g2)
+    assert px(fr2[1], 0, 0) == (255, 0, 0, 255)  # kept from frame 0
+    assert px(fr2[1], 1, 0) == (0, 0, 255, 255)  # drawn by frame 1
+
+
+def test_gif_interlaced_equals_sequential():
+    from seqspark.pipeline.multimodal import _gif_decode_frames, _gif_encode
+
+    pal = bytes(range(12))
+    pxs = bytes(((x + y * 3) % 4) for y in range(9) for x in range(5))
+    plain = _gif_decode_frames(_gif_encode(5, 9, [
+        {"x": 0, "y": 0, "fw": 5, "fh": 9, "pixels": pxs}], pal))
+    inter = _gif_decode_frames(_gif_encode(5, 9, [
+        {"x": 0, "y": 0, "fw": 5, "fh": 9, "pixels": pxs,
+         "interlaced": True}], pal))
+    assert plain[2][0] == inter[2][0]
+
+
+def test_gif_meta_counts_frames(spark):
+    # decode_assets (real) must report the TRUE frame count for animated
+    # GIFs — the sampling explode is driven by it
+    from seqspark.pipeline.multimodal import (
+        _stdlib_image_meta, decode_assets, make_real_gif_assets,
+        real_gif_asset_rows)
+
+    for i, (_aid, _m, content, _meta) in enumerate(real_gif_asset_rows(8)):
+        w, h, nf = _stdlib_image_meta(bytes(content))
+        assert nf == 2 + i % 4 and w == 8 + i % 4 and h == 6 + i % 3
+
+    dec = decode_assets(make_real_gif_assets(spark, 8), fake=False)
+    got = {r["asset_id"]: r["n_frames"] for r in dec.collect()}
+    assert got == {i: 2 + i % 4 for i in range(8)}
+
+
+def test_sample_frames_real_gif_extraction(spark):
+    # end-to-end: selected frames come back as RGBA PNGs whose pixels
+    # equal the composited canvases the pure-Python decoder produces
+    from seqspark.pipeline.multimodal import (
+        _gif_decode_frames, _png_decode_pixels, make_real_gif_assets,
+        real_gif_asset_rows, sample_frames)
+
+    out = sample_frames(
+        make_real_gif_assets(spark, 6), every_n=2, fake=False
+    ).collect()
+    assert out
+    src = {i: bytes(c) for i, _m, c, _j in real_gif_asset_rows(6)}
+    for r in out:
+        w, h, frames = _gif_decode_frames(src[r["asset_id"]])
+        assert r["frame_index"] % 2 == 0
+        dec = _png_decode_pixels(bytes(r["frame"]))
+        assert dec is not None
+        pw, ph, ch, px = dec
+        assert (pw, ph, ch) == (w, h, 4)
+        assert bytes(px) == frames[r["frame_index"]]
+
+
+def test_sample_frames_apng_still_raises(spark):
+    # the honesty contract survives: multi-frame APNG (no stdlib frame
+    # decoder) still raises instead of returning wrong bytes
+    import pytest as _pytest
+
+    from pyspark.sql.utils import PythonException
+
+    from seqspark.pipeline.multimodal import ASSET_SCHEMA, sample_frames
+    from seqspark.pipeline.multimodal import _png_encode
+
+    png = _png_encode(4, 3, 3, bytearray(range(36)))
+    # splice an acTL chunk declaring 3 frames after IHDR
+    import struct as _struct
+    import zlib as _zlib
+
+    actl = _struct.pack(">I", 8) + b"acTL" + _struct.pack(">II", 3, 0)
+    actl += _struct.pack(
+        ">I", _zlib.crc32(b"acTL" + _struct.pack(">II", 3, 0)) & 0xFFFFFFFF
+    )
+    ihdr_end = 8 + 8 + 13 + 4
+    apng = png[:ihdr_end] + actl + png[ihdr_end:]
+    assets = spark.createDataFrame(
+        [(1, "image", bytearray(apng), "{}")], ASSET_SCHEMA
+    )
+    with _pytest.raises(PythonException, match="APNG|frame codec"):
+        sample_frames(assets, n_samples=2, fake=False).collect()

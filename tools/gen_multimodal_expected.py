@@ -37,14 +37,19 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from seqspark.pipeline.multimodal import (  # noqa: E402
     _dhash_of_pixels,
+    _gif_decode_frames,
     _png_decode_pixels,
+    _png_encode,
     _real_decode,
     _stdlib_png_resize,
     real_asset_rows,
+    real_gif_asset_rows,
 )
 
 N_DECODE = 64
 N_DHASH = 48
+N_GIF = 16
+GIF_SAMPLES = 3
 RESIZE_W, RESIZE_H = 32, 16
 
 
@@ -99,6 +104,27 @@ def main() -> None:
     print("#: hashes non-decodable payloads to NULL, and NULLs never pair)")
     print("IMAGE_DHASH_EXPECTED = [")
     for r in dhash:
+        print(f"    {r!r},")
+    print("]")
+
+    # r12: animated-GIF frame extraction — per selected frame, the sha256
+    # of the RGBA PNG re-encode of the composited canvas. The SELECTION
+    # mirrors sample_frames' Catalyst expression exactly: distinct
+    # floor(i*n_frames/k) for i in 0..k-1, k = min(GIF_SAMPLES, n_frames).
+    gif = []
+    for i, media, content, _meta in real_gif_asset_rows(N_GIF):
+        w, h, frames = _gif_decode_frames(bytes(content))
+        nf = len(frames)
+        k = min(GIF_SAMPLES, nf)
+        idxs = sorted({(j * nf) // k for j in range(k)})
+        for fi in idxs:
+            png = _png_encode(w, h, 4, bytearray(frames[fi]))
+            gif.append((i, nf, fi, hashlib.sha256(png).hexdigest()))
+    print()
+    print("#: (asset_id, n_frames, frame_index, sha256 of the RGBA PNG")
+    print("#: re-encode of the composited canvas) over real_gif_asset_rows")
+    print("FRAME_SAMPLE_GIF_EXPECTED = [")
+    for r in gif:
         print(f"    {r!r},")
     print("]")
 
