@@ -991,10 +991,10 @@ def _duck_lit(toks_col, parts) -> str:
     )
 
 
-def _duck_range(spec) -> str:
+def _duck_range(spec, fold_bounds: bool = True) -> str:
     _, f, lo, hi, ilo, ihi = spec
-    lo_s = None if lo[0] == "*" else lo[1].lower()
-    hi_s = None if hi[0] == "*" else hi[1].lower()
+    lo_s = None if lo[0] == "*" else (lo[1].lower() if fold_bounds else lo[1])
+    hi_s = None if hi[0] == "*" else (hi[1].lower() if fold_bounds else hi[1])
     lo_n = None if lo_s is None else _go_num(lo_s)
     hi_n = None if hi_s is None else _go_num(hi_s)
     numeric = (lo_s is None or lo_n is not None) and (
@@ -1031,7 +1031,7 @@ def _duck_range(spec) -> str:
     return f"coalesce(len(list_filter({toks_col}, t -> {inner})) > 0, FALSE)"
 
 
-def _duck_expr(spec) -> str:
+def _duck_expr(spec, legacy: bool = False) -> str:
     k = spec[0]
     if k == "all":
         return "TRUE"
@@ -1050,7 +1050,9 @@ def _duck_expr(spec) -> str:
             _duck_lit("msg_toks", g) for g in groups
         ) + ")"
     if k == "range":
-        return _duck_range(spec)
+        # legacy range bounds are NOT case-folded
+        # (`parser/term_builder.go:136-162` singleTermBuilder)
+        return _duck_range(spec, fold_bounds=not legacy)
     if k == "in":
         _, f, vals = spec
         if f == "msg":
@@ -1061,10 +1063,12 @@ def _duck_expr(spec) -> str:
             exprs = [_duck_lit(_DIFF_COLS[f][0], p) for p in vals]
         return "(" + " OR ".join(exprs) + ")"
     if k == "and":
-        return f"({_duck_expr(spec[1])} AND {_duck_expr(spec[2])})"
+        return (f"({_duck_expr(spec[1], legacy)} AND "
+                f"{_duck_expr(spec[2], legacy)})")
     if k == "or":
-        return f"({_duck_expr(spec[1])} OR {_duck_expr(spec[2])})"
-    return f"(NOT {_duck_expr(spec[1])})"
+        return (f"({_duck_expr(spec[1], legacy)} OR "
+                f"{_duck_expr(spec[2], legacy)})")
+    return f"(NOT {_duck_expr(spec[1], legacy)})"
 
 
 # --- the properties ----------------------------------------------------------
@@ -1193,3 +1197,162 @@ def test_numeric_token_dispatch_pins(diff_rig):
     assert parses_as_number("٤٢") is None
     rng = Range("code", Term.text("٤٢"), Term.text("٤٣"), True, True)
     assert range_bounds(rng)[0] is False
+
+
+# --- legacy dialect (r12): the same spec trees, rendered in the legacy
+# grammar and checked against the same oracle machinery. Legacy deltas
+# handled by normalization + flags: no in() (rewritten to an or-chain),
+# adjacent wildcards are a keyword-value parse error (collapsed; in text
+# values `**` SPLITS tokens, so collapsing keeps one well-defined
+# semantics for both render and oracle), and range bounds are NOT
+# case-folded (`parser/term_builder.go:136-162`).
+
+
+def _collapse_w(parts):
+    out = []
+    for p in parts:
+        if p[0] == "w" and out and out[-1][0] == "w":
+            continue
+        out.append(p)
+    return out
+
+
+def _legacy_normalize(spec):
+    k = spec[0]
+    if k == "kwlit":
+        return ("kwlit", spec[1], _collapse_w(spec[2]))
+    if k == "textlit":
+        return ("textlit", "msg", [_collapse_w(g) for g in spec[2]], spec[3])
+    if k == "in":
+        _, f, vals = spec
+        if f == "msg":
+            nodes = [
+                ("textlit", "msg", [_collapse_w(g) for g in v[0]], v[1])
+                for v in vals
+            ]
+        else:
+            nodes = [("kwlit", f, _collapse_w(v)) for v in vals]
+        root = nodes[0]
+        for nd in nodes[1:]:
+            root = ("or", root, nd)
+        return root
+    if k in ("and", "or"):
+        return (k, _legacy_normalize(spec[1]), _legacy_normalize(spec[2]))
+    if k == "not":
+        return ("not", _legacy_normalize(spec[1]))
+    return spec
+
+
+def _legacy_quote(parts) -> str:
+    out = ['"']
+    for p in parts:
+        if p[0] == "w":
+            out.append("*")
+        else:
+            for ch in p[1]:
+                out.append(("\\" + ch) if ch in '"\\*' else ch)
+    out.append('"')
+    return "".join(out)
+
+
+def _render_legacy(spec) -> str:
+    k = spec[0]
+    if k == "all":
+        return "_all_:*"
+    if k == "exists":
+        return "_exists_:" + spec[1]
+    if k == "kwlit":
+        return spec[1] + ":" + _legacy_quote(spec[2])
+    if k == "textlit":
+        flat = []
+        for i, g in enumerate(spec[2]):
+            if i:
+                flat.append(("t", spec[3]))
+            flat.extend(g)
+        return "msg:" + _legacy_quote(flat)
+    if k == "range":
+        _, f, lo, hi, ilo, ihi = spec
+
+        def b(t):
+            return "*" if t[0] == "*" else _legacy_quote([("t", t[1])])
+
+        return (
+            f"{f}:{'[' if ilo else '{'}{b(lo)} to {b(hi)}"
+            f"{']' if ihi else '}'}"
+        )
+    if k == "and":
+        return f"({_render_legacy(spec[1])} and {_render_legacy(spec[2])})"
+    if k == "or":
+        return f"({_render_legacy(spec[1])} or {_render_legacy(spec[2])})"
+    return f"(not {_render_legacy(spec[1])})"
+
+
+def _legacy_expected_ast(spec):
+    from seqspark.seqql.ast import Range, Term
+
+    if spec[0] == "range":
+        _, f, lo, hi, ilo, ihi = spec
+
+        def term(t):  # VERBATIM bounds — the legacy no-fold delta
+            return Term.wildcard() if t[0] == "*" else Term.text(t[1])
+
+        return Range(f, term(lo), term(hi), ilo, ihi)
+    if spec[0] in ("and", "or", "not"):
+        from seqspark.seqql.ast import and_node, not_node, or_node
+
+        if spec[0] == "and":
+            return and_node(
+                _legacy_expected_ast(spec[1]), _legacy_expected_ast(spec[2])
+            )
+        if spec[0] == "or":
+            return or_node(
+                _legacy_expected_ast(spec[1]), _legacy_expected_ast(spec[2])
+            )
+        return not_node(_legacy_expected_ast(spec[1]))
+    return _diff_expected_ast(spec)
+
+
+@settings(max_examples=300, deadline=None)
+@given(_diff_spec)
+def test_legacy_render_parse_roundtrip(spec):
+    from seqspark.mapping import Mapping
+    from seqspark.seqql.legacy import parse_legacy
+
+    spec = _legacy_normalize(spec)
+    mapping = Mapping(dict(_DIFF_MAPPING))
+    q = _render_legacy(spec)
+    got = parse_legacy(q, mapping, case_sensitive=False)
+    assert got.root == _legacy_expected_ast(spec), q
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(_diff_spec, min_size=6, max_size=6))
+def test_legacy_differential_spark_vs_duckdb(diff_rig, specs):
+    """Legacy-dialect twin of the seq-ql differential: the engine's
+    verdict per (document, query) equals the DuckDB oracle's, with the
+    legacy no-fold range-bound semantics."""
+    table, con, _ = diff_rig
+    specs = [_legacy_normalize(s) for s in specs]
+    preds = [
+        table.predicate(_render_legacy(s), dialect="legacy").alias(f"q{i}")
+        for i, s in enumerate(specs)
+    ]
+    got = {
+        r["id"]: tuple(bool(r[f"q{i}"]) for i in range(len(specs)))
+        for r in table.df.select("id", *preds).collect()
+    }
+    sql = "SELECT id, " + ", ".join(
+        f"{_duck_expr(s, legacy=True)} AS q{i}" for i, s in enumerate(specs)
+    ) + " FROM diffdocs ORDER BY id"
+    want = {
+        row[0]: tuple(bool(v) for v in row[1:])
+        for row in con.execute(sql).fetchall()
+    }
+    for doc_id, flags in want.items():
+        if got[doc_id] != flags:
+            bad = [
+                (_render_legacy(specs[i]), flags[i], got[doc_id][i])
+                for i in range(len(specs))
+                if flags[i] != got[doc_id][i]
+            ]
+            raise AssertionError(f"legacy divergence on doc {doc_id}: {bad}")
