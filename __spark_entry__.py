@@ -1406,6 +1406,68 @@ FRAME_SAMPLE_GIF_EXPECTED = [
 ]
 
 
+#: same shape over real_apng_asset_rows (stdlib APNG extractor)
+FRAME_SAMPLE_APNG_EXPECTED = [
+    (0, 2, 0, '36ff20e654b51d4700d535b144ce9859a45981572b420ee355e6ec4f3aecab09'),
+    (0, 2, 1, '53964f01208f6a35b6cebeff8e0b8f8526aa072c1c8e796fb7ae3469141d06f1'),
+    (1, 3, 0, '128a958eb166db260e20217b4f326d8d29d2263c059cb3f205bf4e92a41d8f43'),
+    (1, 3, 1, 'cada00015e353ec556b20a9c5050433633b691eda9215e99d0b8f3f3fea5a9c9'),
+    (1, 3, 2, '8d25f92f001f5b619eebf283d34bafb203d09695077d50c7466b549e0be8d279'),
+    (2, 4, 0, '7cd5f1db7bc62da717f8d48b2a078a530066a4ecaca2051f1a659143fb239ef9'),
+    (2, 4, 1, '21f0dec228b9b9eb0681689cf2bce619599c7adb313e9a3d865ce198e3f8b955'),
+    (2, 4, 2, '39978e92ee4dae49c512ec183b24f2329c061d58ac404e605f7c15ac97fd88fc'),
+    (3, 2, 0, '70ea16cf8803b75db2c80131055a4a7b22c0b3218274ffa3b358e318ba3aff14'),
+    (3, 2, 1, 'f8850c8c728cc48e7dfb2e7b342bbab1a0b901fea96e435c5846b1459c495044'),
+    (4, 3, 0, '60a609bdc0af6ebe356b53e7835ba81c0247b7c3527f8275475dfbba2a5cb524'),
+    (4, 3, 1, 'fd5ff4fcd5b8fb5c40c08fd39d0e2dadbb1aecf601fdc11a0898315e3e3309fe'),
+    (4, 3, 2, '3eed2c0c887d5732ea29463e2db767944b63656b663df8c2b79ecc520776b34a'),
+    (5, 4, 0, '478c02600b4775ae8266682cb96752b99d150b102fc63665de94310b92bd23f2'),
+    (5, 4, 1, 'd669bcc61a90c593cffccb0a1a6b95ddd4b952a7574b544c1d03c9193267d5a3'),
+    (5, 4, 2, '1dee27c47115161fc6fc4f7eb8139f060902d2c68edd67080942c575842b8c66'),
+    (6, 2, 0, 'cc7c036b19d99a3c478bf7d2cc89d917bcc604219b28097052753a2b4bf33feb'),
+    (6, 2, 1, '01ef0dbf029ddbbdaf7211b96a58c6bcb5a7596a40bd553fdafa5bf5bad1e6f1'),
+    (7, 3, 0, 'a904dfd7256073b5a9aa3717d7a0386703d9ad687027be0da615094fa524defe'),
+    (7, 3, 1, '0779c4ee9baf5840245849ff06a154d0e87c69e41b93c3a6946cc10399fe6472'),
+    (7, 3, 2, '2c73065722c439111359a6177328f5cb9a456968124e366f691c7ead826abfe6'),
+    (8, 4, 0, '5a9ba81cf4f46f12c3d479693a5ea74aef2f578d80dd38649f116ea6591f9560'),
+    (8, 4, 1, 'edc4d90b5965a240b9beaec9efb2005add599dfd19ebd0493680e28793a3aea7'),
+    (8, 4, 2, '2187e7306a62a5fc7de3c76d3e97a32bd03b464f01c2fb2f012bd52547a78137'),
+    (9, 2, 0, 'cfa198b2212daa67495764391420fd52b34e6d0b3504441c9d284f75ffa1213b'),
+    (9, 2, 1, 'c0f69e5f16ed51e7ea1ae1acf613879aa4282cfb8cda1ec8222a5a5205116b23'),
+    (10, 3, 0, '6e856897fc7d3d717c20daef0b16bc9f9015646b3567a92b25f856da8abaf8be'),
+    (10, 3, 1, 'df632c5035b204a9144e83382129ad101e2393118ed88315c139a9c403f92ede'),
+    (10, 3, 2, '8267133af540240e42e94f9f7435488f00acdcec44b74a9aaa8582552baa1876'),
+    (11, 4, 0, 'c9fd536dde5ba0e83f9d07465a1ab4d1c13b5b13fa0cc8922d4d4d97a4f8b175'),
+    (11, 4, 1, '196fab6003cb1c7de806bf12e931cd255d0f8b5e2d4dae6b6223bfc7af1666e2'),
+    (11, 4, 2, 'c82234f9b28eb0012dfb350f44f41af46084be11d44d96328fe665cf16342740'),
+    (12, 2, 0, 'b0d9a6609a88a5cf6b511a2a0b91224b7a1b5ecec760337af2eea1197be6ac8a'),
+    (12, 2, 1, '58b08407726e910e08b39dbe50f9d8d740fd2ba8e776700cf934bde6e5cf0ef7'),
+    (13, 3, 0, 'dd509c0a0f3efb7ca0afc0b30cf040551ea94e39466d0f88b059791888f63b2a'),
+    (13, 3, 1, 'e6590c826c952ae030291ac8493232017115e758db906e244646ef79e2a3409a'),
+    (13, 3, 2, '8e5e2a4d1f5ff493d1d072b5bff1a01890e2f0dd391b181ec2e393b19f28a1cc'),
+    (14, 4, 0, '8ff7ce1811552e43416177c7cf4d8bfac43dd569121c9e9825161822002fccca'),
+    (14, 4, 1, 'd9607a197b53db0e10e2b1c979397081fc7231dafac4624483429ee6df275663'),
+    (14, 4, 2, '243290e05084cad01b53aa74802d93c105e26973e5fe312d542246eb491e0b69'),
+    (15, 2, 0, '1e0d046c51c27e51162a0fe05fa925ccf08027a227ed50de4e387b5fbd081522'),
+    (15, 2, 1, 'cc422559d75790db42aedb9e6debc9cdf1978c34e9a77c7432afa47858a72c79'),
+]
+
+
+def q_frame_sample_apng(spark, sf_dir):
+    # hash-pinned (r12): REAL APNG frame extraction — acTL/fcTL/fdAT over
+    # the stdlib PNG codec with dispose 0/1/2 and source/over blending —
+    # digested against frozen literals like the GIF twin
+    from seqspark.pipeline.multimodal import (
+        make_real_apng_assets, sample_frames)
+
+    assets = make_real_apng_assets(spark, 16)
+    out = sample_frames(assets, n_samples=3, fake=False)
+    return out.select(
+        "asset_id", "n_frames", "frame_index",
+        F.sha2(F.col("frame"), 256).alias("frame_sha"),
+    )
+
+
 def q_frame_sample_gif(spark, sf_dir):
     # hash-pinned (r12): REAL animated-GIF frame extraction — the stdlib
     # LZW decoder + disposal/transparency/interlace compositing — over the
@@ -2129,7 +2191,7 @@ DRIVER_WINDOW = [
     "fields_pipe",
     "filter_in",
     "frame_sample",
-    "fulltext_and",
+    "frame_sample_apng",
     # r12 addition: never driver-checked yet
     "frame_sample_gif",
 ]
@@ -2215,6 +2277,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_encode_dict": q_bpe_encode_dict,
         "multimodal_decode": q_multimodal_decode,
         "frame_sample_gif": q_frame_sample_gif,
+        "frame_sample_apng": q_frame_sample_apng,
         "join_broadcast": q_join_broadcast,
         "lineitem_pricing_summary": q_lineitem_pricing_summary,
         "complex_search": q_complex_search,
@@ -3333,6 +3396,14 @@ def oracle_sql() -> dict[str, str]:
         + ", ".join(
             f"({i}, {nf}, {fi}, '{sha}')"
             for i, nf, fi, sha in FRAME_SAMPLE_GIF_EXPECTED
+        )
+        + ") AS t(asset_id, n_frames, frame_index, frame_sha)"
+    )
+    sql["frame_sample_apng"] = (
+        "SELECT * FROM (VALUES "
+        + ", ".join(
+            f"({i}, {nf}, {fi}, '{sha}')"
+            for i, nf, fi, sha in FRAME_SAMPLE_APNG_EXPECTED
         )
         + ") AS t(asset_id, n_frames, frame_index, frame_sha)"
     )

@@ -340,18 +340,26 @@ def sample_frames(
                     cb = bytes(c or b"")
                     if m == "image" and nf == 1 and i == 0:
                         frames.append(cb)
-                    elif m == "image" and cb[:6] in (b"GIF87a", b"GIF89a"):
-                        # animated GIF: stdlib LZW + compositing (r12);
-                        # each selected frame is emitted as an RGBA PNG
-                        # of the full logical screen
+                    elif m == "image" and (
+                        cb[:6] in (b"GIF87a", b"GIF89a")
+                        or cb.startswith(_PNG_SIG)
+                    ):
+                        # animated GIF (stdlib LZW + compositing) or APNG
+                        # (acTL/fcTL/fdAT over the stdlib PNG codec) —
+                        # each selected frame emitted as an RGBA PNG of
+                        # the full logical screen, decoded once per asset
+                        # per batch
                         if a not in gif_cache:
-                            gif_cache[a] = _gif_decode_frames(cb)
+                            gif_cache[a] = (
+                                _apng_decode_frames(cb)
+                                if cb.startswith(_PNG_SIG)
+                                else _gif_decode_frames(cb)
+                            )
                         dec = gif_cache[a]
                         if dec is None or i >= len(dec[2]):
                             raise NotImplementedError(
-                                "GIF outside the stdlib decoder's subset "
-                                f"(asset_id={a}, frame {i} of "
-                                f"{nf})"
+                                "animation outside the stdlib decoders' "
+                                f"subset (asset_id={a}, frame {i} of {nf})"
                             )
                         gw, gh, all_frames = dec
                         frames.append(
@@ -359,9 +367,9 @@ def sample_frames(
                         )
                     else:
                         raise NotImplementedError(
-                            "frame extraction from APNG/video assets "
-                            "needs a frame codec (ffmpeg/Pillow-seek) not "
-                            "present in this container"
+                            "frame extraction from video assets needs a "
+                            "frame codec (ffmpeg) not present in this "
+                            "container"
                         )
             yield pd.DataFrame({
                 "asset_id": pdf["asset_id"],
@@ -830,6 +838,176 @@ def _gif_encode(w: int, h: int, frame_specs, palette: bytes) -> bytes:
     return bytes(out)
 
 
+# -------------------------------------------------------------------- APNG
+# Stdlib APNG frame extraction (r12): acTL/fcTL/fdAT per the APNG spec,
+# frame rasters decoded by synthesizing a minimal single-frame PNG and
+# reusing the existing stdlib PNG decoder — so the supported subset is
+# exactly the PNG codec's (8-bit RGB/RGBA, non-interlaced). With GIF and
+# APNG both real, sample_frames' honest raise narrows to video.
+
+
+def _apng_decode_frames(b: bytes, max_pixels: int = _PNG_MAX_PIXELS):
+    """Decode every animation frame of an APNG to full-canvas RGBA bytes,
+    honoring fcTL x/y offsets, dispose_op 0/1/2 and blend_op 0 (source) /
+    1 (over). Returns (w, h, [bytes]) or None when not a decodable APNG
+    (no acTL, unsupported IHDR subset, malformed chunk stream)."""
+    if not (b or b"").startswith(_PNG_SIG):
+        return None
+    w = h = None
+    depth = color = interlace = None
+    has_actl = False
+    # frames under construction: list of [fctl_fields, bytearray(zlib)]
+    frames_raw: list = []
+    idat = bytearray()
+    idat_is_frame0 = False
+    try:
+        for ctype, payload in _png_chunks(b):
+            if ctype == b"IHDR" and len(payload) >= 13:
+                w, h, depth, color, _comp, _filt, interlace = struct.unpack(
+                    ">IIBBBBB", payload[:13]
+                )
+            elif ctype == b"acTL":
+                has_actl = True
+            elif ctype == b"fcTL" and len(payload) >= 26:
+                (_seq, fw, fh, fx, fy, _dn, _dd, dispose, blend) = (
+                    struct.unpack(">IIIIIHHBB", payload[:26])
+                )
+                frames_raw.append(
+                    [(fw, fh, fx, fy, dispose, blend), bytearray()]
+                )
+                if not idat and not idat_is_frame0:
+                    idat_is_frame0 = True  # fcTL precedes IDAT: frame 0
+            elif ctype == b"IDAT":
+                idat += payload
+            elif ctype == b"fdAT" and len(payload) > 4:
+                if not frames_raw:
+                    return None
+                frames_raw[-1][1] += payload[4:]  # strip sequence_number
+            elif ctype == b"IEND":
+                break
+    except (ValueError, struct.error):
+        return None
+    if not has_actl or not frames_raw or w is None:
+        return None
+    if depth != 8 or color not in (2, 6) or interlace != 0:
+        return None
+    if w <= 0 or h <= 0 or w * h > max_pixels:
+        return None
+    if idat_is_frame0:
+        frames_raw[0][1] = bytearray(idat)
+    elif not frames_raw[0][1]:
+        return None  # default image not in the animation, first fdAT absent
+    ch = 3 if color == 2 else 4
+    canvas = bytearray(w * h * 4)
+    out: list = []
+    for (fw, fh, fx, fy, dispose, blend), data in frames_raw:
+        if fw <= 0 or fh <= 0 or fw * fh > max_pixels or not data:
+            return None
+        # synthesize a one-frame PNG over the region's raster and reuse
+        # the bomb-guarded stdlib decoder
+        ihdr = struct.pack(">IIBBBBB", fw, fh, 8, color, 0, 0, 0)
+
+        def _chunk(ctype: bytes, payload: bytes) -> bytes:
+            return (
+                struct.pack(">I", len(payload)) + ctype + payload
+                + struct.pack(
+                    ">I", zlib.crc32(ctype + payload) & 0xFFFFFFFF)
+            )
+
+        mini = (
+            _PNG_SIG + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", bytes(data))
+            + _chunk(b"IEND", b"")
+        )
+        dec = _png_decode_pixels(mini)
+        if dec is None:
+            return None
+        _, _, dch, px = dec
+        saved = bytes(canvas) if dispose == 2 else None
+        for dy in range(min(fh, max(0, h - fy))):
+            srow = dy * fw * dch
+            crow = ((fy + dy) * w + fx) * 4
+            for x in range(min(fw, max(0, w - fx))):
+                sp = srow + x * dch
+                o = crow + x * 4
+                sr, sg, sb = px[sp], px[sp + 1], px[sp + 2]
+                sa = px[sp + 3] if dch == 4 else 255
+                if blend == 1 and sa < 255:
+                    # Porter-Duff OVER with straight alpha (APNG spec
+                    # formula), integer math rounded to nearest
+                    da = canvas[o + 3]
+                    oa = sa * 255 + da * (255 - sa)  # scaled by 255
+                    if oa == 0:
+                        canvas[o:o + 4] = b"\0\0\0\0"
+                        continue
+                    for k, sc in ((0, sr), (1, sg), (2, sb)):
+                        dc = canvas[o + k]
+                        num = sc * sa * 255 + dc * da * (255 - sa)
+                        canvas[o + k] = (num + oa // 2) // oa
+                    canvas[o + 3] = (oa + 127) // 255
+                else:
+                    canvas[o] = sr
+                    canvas[o + 1] = sg
+                    canvas[o + 2] = sb
+                    canvas[o + 3] = sa
+        out.append(bytes(canvas))
+        if dispose == 1:
+            for dy in range(min(fh, max(0, h - fy))):
+                o = ((fy + dy) * w + fx) * 4
+                span = min(fw, max(0, w - fx)) * 4
+                canvas[o:o + span] = bytes(span)
+        elif dispose == 2 and saved is not None:
+            canvas = bytearray(saved)
+    return int(w), int(h), out
+
+
+def _apng_encode(w: int, h: int, frame_specs, ch: int = 4) -> bytes:
+    """Minimal APNG writer for the deterministic fixture: 8-bit RGB
+    (ch=3) or RGBA (ch=4), first frame full-canvas (the default image
+    participates in the animation: fcTL precedes IDAT). ``frame_specs``
+    entries: dicts with x, y, fw, fh, pixels (raw rows, fw*fh*ch bytes),
+    and optional dispose (0/1/2), blend (0/1)."""
+    if ch not in (3, 4):
+        raise ValueError("ch must be 3 (RGB) or 4 (RGBA)")
+    color = 2 if ch == 3 else 6
+    first = frame_specs[0]
+    if (first["x"], first["y"], first["fw"], first["fh"]) != (0, 0, w, h):
+        raise ValueError("first frame must cover the canvas")
+
+    def chunk(ctype: bytes, payload: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(payload)) + ctype + payload
+            + struct.pack(">I", zlib.crc32(ctype + payload) & 0xFFFFFFFF)
+        )
+
+    def raster(fw: int, fh: int, pixels: bytes) -> bytes:
+        raw = bytearray()
+        stride = fw * ch
+        for y in range(fh):
+            raw.append(0)
+            raw.extend(pixels[y * stride:(y + 1) * stride])
+        return zlib.compress(bytes(raw))
+
+    out = bytearray(_PNG_SIG)
+    out += chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0))
+    out += chunk(b"acTL", struct.pack(">II", len(frame_specs), 0))
+    seq = 0
+    for i, spec in enumerate(frame_specs):
+        fctl = struct.pack(
+            ">IIIIIHHBB", seq, spec["fw"], spec["fh"], spec["x"], spec["y"],
+            1, 10, spec.get("dispose", 0), spec.get("blend", 0),
+        )
+        out += chunk(b"fcTL", fctl)
+        seq += 1
+        data = raster(spec["fw"], spec["fh"], bytes(spec["pixels"]))
+        if i == 0:
+            out += chunk(b"IDAT", data)
+        else:
+            out += chunk(b"fdAT", struct.pack(">I", seq) + data)
+            seq += 1
+    out += chunk(b"IEND", b"")
+    return bytes(out)
+
+
 def _stdlib_png_resize(b: bytes, width: int, height: int) -> Optional[bytes]:
     """Nearest-neighbor resize of a supported PNG, stdlib only."""
     dec = _png_decode_pixels(b or b"")
@@ -1054,6 +1232,50 @@ def real_gif_asset_rows(n: int = 16) -> list:
 def make_real_gif_assets(spark, n: int = 16) -> DataFrame:
     """Animated-GIF fixture frame (:func:`real_gif_asset_rows`)."""
     return spark.createDataFrame(real_gif_asset_rows(n), ASSET_SCHEMA)
+
+
+def real_apng_asset_rows(n: int = 16) -> list:
+    """Driver-side rows of the APNG fixture (r12): deterministic animated
+    PNGs exercising the stdlib APNG extractor — RGB and RGBA canvases,
+    partial-rect frames with offsets, dispose_op 0/1/2 and blend_op
+    source/over. A pure function of ``n`` for the digest-freezing tool."""
+    rows = []
+    for i in range(n):
+        w, h = 7 + i % 4, 5 + i % 3
+        ch = 3 if i % 2 else 4
+        n_frames = 2 + i % 3
+        specs = []
+        for k in range(n_frames):
+            if k == 0:
+                fx, fy, fw, fh = 0, 0, w, h
+            else:
+                fw = 2 + (i + k) % (w - 1)
+                fh = 2 + (i + 2 * k) % (h - 1)
+                fx = (i * 3 + k) % (w - fw + 1)
+                fy = (i + k * 5) % (h - fh + 1)
+            px = bytearray()
+            for y in range(fh):
+                for x in range(fw):
+                    px += bytes(
+                        ((x * 41 + i * 13 + k * 7) % 256,
+                         (y * 23 + i * 5) % 256,
+                         (x * y * 3 + k) % 256)
+                    )
+                    if ch == 4:
+                        px.append((x * 31 + y * 17 + i + k * 19) % 256)
+            specs.append({
+                "x": fx, "y": fy, "fw": fw, "fh": fh, "pixels": bytes(px),
+                "dispose": k % 3,
+                "blend": (k + i) % 2,
+            })
+        content = _apng_encode(w, h, specs, ch)
+        rows.append((i, "image", bytearray(content), '{"src":"fixture-apng"}'))
+    return rows
+
+
+def make_real_apng_assets(spark, n: int = 16) -> DataFrame:
+    """APNG fixture frame (:func:`real_apng_asset_rows`)."""
+    return spark.createDataFrame(real_apng_asset_rows(n), ASSET_SCHEMA)
 
 
 def make_real_assets(spark, n: int = 64) -> DataFrame:

@@ -2538,9 +2538,10 @@ def test_sample_frames_real_gif_extraction(spark):
         assert bytes(px) == frames[r["frame_index"]]
 
 
-def test_sample_frames_apng_still_raises(spark):
-    # the honesty contract survives: multi-frame APNG (no stdlib frame
-    # decoder) still raises instead of returning wrong bytes
+def test_sample_frames_malformed_apng_raises(spark):
+    # the honesty contract survives: an acTL WITHOUT fcTL/fdAT frames
+    # (or any APNG outside the stdlib subset) raises instead of
+    # returning wrong bytes
     import pytest as _pytest
 
     from pyspark.sql.utils import PythonException
@@ -2549,7 +2550,7 @@ def test_sample_frames_apng_still_raises(spark):
     from seqspark.pipeline.multimodal import _png_encode
 
     png = _png_encode(4, 3, 3, bytearray(range(36)))
-    # splice an acTL chunk declaring 3 frames after IHDR
+    # splice an acTL chunk declaring 3 frames after IHDR — but no fcTL
     import struct as _struct
     import zlib as _zlib
 
@@ -2562,5 +2563,70 @@ def test_sample_frames_apng_still_raises(spark):
     assets = spark.createDataFrame(
         [(1, "image", bytearray(apng), "{}")], ASSET_SCHEMA
     )
-    with _pytest.raises(PythonException, match="APNG|frame codec"):
+    with _pytest.raises(PythonException, match="stdlib decoders' subset"):
         sample_frames(assets, n_samples=2, fake=False).collect()
+
+
+def test_sample_frames_real_apng_extraction(spark):
+    # end-to-end APNG twin of the GIF test: selected frames come back as
+    # RGBA PNGs whose pixels equal the pure-Python composited canvases
+    from seqspark.pipeline.multimodal import (
+        _apng_decode_frames, _png_decode_pixels, make_real_apng_assets,
+        real_apng_asset_rows, sample_frames)
+
+    out = sample_frames(
+        make_real_apng_assets(spark, 6), every_n=2, fake=False
+    ).collect()
+    assert out
+    src = {i: bytes(c) for i, _m, c, _j in real_apng_asset_rows(6)}
+    for r in out:
+        w, h, frames = _apng_decode_frames(src[r["asset_id"]])
+        dec = _png_decode_pixels(bytes(r["frame"]))
+        pw, ph, ch, px = dec
+        assert (pw, ph, ch) == (w, h, 4)
+        assert bytes(px) == frames[r["frame_index"]]
+
+
+def test_apng_dispose_and_blend_semantics():
+    from seqspark.pipeline.multimodal import (
+        _apng_decode_frames, _apng_encode)
+
+    def px(f, w, x, y):
+        o = (y * w + x) * 4
+        return tuple(f[o:o + 4])
+
+    # blend over: semi-transparent green over opaque red -> mixed, a=255
+    b = _apng_encode(2, 2, [
+        {"x": 0, "y": 0, "fw": 2, "fh": 2,
+         "pixels": bytes([255, 0, 0, 255] * 4)},
+        {"x": 0, "y": 0, "fw": 1, "fh": 1,
+         "pixels": bytes([0, 255, 0, 128]), "blend": 1},
+        {"x": 1, "y": 1, "fw": 1, "fh": 1,
+         "pixels": bytes([0, 0, 255, 128]), "blend": 0},
+    ], 4)
+    _, _, fr = _apng_decode_frames(b)
+    r, g, bl, a = px(fr[1], 2, 0, 0)
+    assert a == 255 and 120 <= g <= 135 and 120 <= r <= 130
+    # blend source replaces INCLUDING alpha
+    assert px(fr[2], 2, 1, 1) == (0, 0, 255, 128)
+
+    # dispose 1 clears the region; dispose 2 restores the previous canvas
+    _, _, f2 = _apng_decode_frames(_apng_encode(2, 1, [
+        {"x": 0, "y": 0, "fw": 2, "fh": 1,
+         "pixels": bytes([255, 0, 0, 255] * 2), "dispose": 1},
+        {"x": 0, "y": 0, "fw": 1, "fh": 1,
+         "pixels": bytes([0, 255, 0, 255])},
+    ], 4))
+    assert px(f2[1], 2, 1, 0) == (0, 0, 0, 0)
+    assert px(f2[1], 2, 0, 0) == (0, 255, 0, 255)
+    _, _, f3 = _apng_decode_frames(_apng_encode(1, 1, [
+        {"x": 0, "y": 0, "fw": 1, "fh": 1,
+         "pixels": bytes([255, 0, 0, 255])},
+        {"x": 0, "y": 0, "fw": 1, "fh": 1,
+         "pixels": bytes([0, 255, 0, 255]), "dispose": 2},
+        {"x": 0, "y": 0, "fw": 1, "fh": 1,
+         "pixels": bytes([0, 0, 255, 64]), "blend": 1},
+    ], 4))
+    assert px(f3[1], 1, 0, 0) == (0, 255, 0, 255)
+    r, g, bl, a = px(f3[2], 1, 0, 0)
+    assert a == 255 and bl > 50 and r > 150  # blue over RESTORED red

@@ -36,12 +36,14 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from seqspark.pipeline.multimodal import (  # noqa: E402
+    _apng_decode_frames,
     _dhash_of_pixels,
     _gif_decode_frames,
     _png_decode_pixels,
     _png_encode,
     _real_decode,
     _stdlib_png_resize,
+    real_apng_asset_rows,
     real_asset_rows,
     real_gif_asset_rows,
 )
@@ -125,6 +127,22 @@ def main() -> None:
     print("#: re-encode of the composited canvas) over real_gif_asset_rows")
     print("FRAME_SAMPLE_GIF_EXPECTED = [")
     for r in gif:
+        print(f"    {r!r},")
+    print("]")
+
+    apng = []
+    for i, media, content, _meta in real_apng_asset_rows(N_GIF):
+        w, h, frames = _apng_decode_frames(bytes(content))
+        nf = len(frames)
+        k = min(GIF_SAMPLES, nf)
+        idxs = sorted({(j * nf) // k for j in range(k)})
+        for fi in idxs:
+            png = _png_encode(w, h, 4, bytearray(frames[fi]))
+            apng.append((i, nf, fi, hashlib.sha256(png).hexdigest()))
+    print()
+    print("#: same shape over real_apng_asset_rows (stdlib APNG extractor)")
+    print("FRAME_SAMPLE_APNG_EXPECTED = [")
+    for r in apng:
         print(f"    {r!r},")
     print("]")
 
