@@ -1453,6 +1453,72 @@ FRAME_SAMPLE_APNG_EXPECTED = [
 ]
 
 
+#: same shape over real_y4m_asset_rows (stdlib Y4M video
+#: decoder; frames are RGB PNG re-encodes)
+FRAME_SAMPLE_Y4M_EXPECTED = [
+    (0, 2, 0, '821c9ae6c829975055668dfed3363c729f3f857e3789bf56e86a419e56c2b7e5'),
+    (0, 2, 1, '7e2505149de72ef3d1fa66f19100559ae71edfcfdf85bdea1d18ac872335c6f0'),
+    (1, 3, 0, '6ae4838969e92d39bd68e3f9c4aceed70c789343c7ff443e12644ed4b7b69ae5'),
+    (1, 3, 1, 'd4ae7a2223621d352ec48b018bb95087b47560571a74924065555df084859d97'),
+    (1, 3, 2, '9b492540e59969cf754a132b2e464e8b2e2234684cbff3827736c0113ded6942'),
+    (2, 4, 0, '8ef0df08f0721aafbe9f9c8dc6ad9b73b618b79470847ef641c5d266b2da5bbd'),
+    (2, 4, 1, 'e0fe0ef5813e8ed70c074bca59adade84e0bb657e975dace68cbf217ee08c9ee'),
+    (2, 4, 2, 'afc5b2a92125d9c0062d3499dc7d69f36a8833956a6718ba80548d4abdf7791d'),
+    (3, 5, 0, '307944dd8293517c2c4686b43a7146ffe14c61c1adf0d040d050c6007fd61f9f'),
+    (3, 5, 1, '7d4841fe4a6e5c635058cc2855baca68362a6c92c301532aea4fd2384175850e'),
+    (3, 5, 3, '247c78fc6c07a754f74db79d6af5855c275eeac6341a90e664e7b08303935bb3'),
+    (4, 2, 0, '5ac4c3afd235152cfb8bf30287c9eee9e15a633f03909ec43ce76353f90ceb79'),
+    (4, 2, 1, '8d592ac36ee2ab889fcc11340ae5e27d3ff9e2b5ece7bfa45c6c0486c30f7a16'),
+    (5, 3, 0, 'ed63e4e666584536052ffe7eff1b608a6d31a0166bca57d7f31d0afa0be55b3e'),
+    (5, 3, 1, 'c7fda346a30279094a8168edd1e26ff3ee4a6601d67574d49c2eafd24dca0566'),
+    (5, 3, 2, 'fd748ce9ed9deb691ddb054e0cb0a4e40bb534eae85bf8358c2e59dc47a70a73'),
+    (6, 4, 0, '5fdce2d79aa218eb5e25f5771a56a4f6e8b9e935756b3c73a2835df08b1bab40'),
+    (6, 4, 1, 'e372c7ccaa7b2ccadc63a6673ae2fbed8d36ac0d001f0ff2f5891ca5ffe7130d'),
+    (6, 4, 2, '7fb4da43a0e38205f4280d515b9464e9f05bfe23a268adb4726aabc3b0b924c1'),
+    (7, 5, 0, 'ad03cddafe3fe1d3818b75b7c0fd2e0125de253899e09b4aaa687159133567aa'),
+    (7, 5, 1, 'e0c1a5d978c842e52a123979377722bf5d229b9df54d32847c7c5207a98d837b'),
+    (7, 5, 3, '7953301b1d40b9a07af30af1f73cbb6706e4b0884a496be275927270f4885a91'),
+    (8, 2, 0, '80f48eb5ae4ca8c28b8e019a3cf06fded355c010aac6e25d54be4ebb20e8dd55'),
+    (8, 2, 1, 'c5536fe7bb37096f8179299c5b99c5145972e3af04158a937bd3463b773b0eb0'),
+    (9, 3, 0, '82ccccf10dfc28fea587d62a7855d781ccf8994e5698ca4bf7b8b2a7fe3dfda8'),
+    (9, 3, 1, '51e0ffe65989252dbe48486b22797a75fc8c76d0bb42a69725a3847b8e6c1ad3'),
+    (9, 3, 2, '75c09ca6dfe3b23d9e5f9ae69c5a28a7248a820ee9f5e1a20559251e8462bd38'),
+    (10, 4, 0, 'a4cac654e023fefa7a9f9a012fbfc3d4fb3713a173642d4b7fa459970d924c16'),
+    (10, 4, 1, 'd016437d59181165500d7052ca03adc64821e7b819145e95cb4f5b5690c5ad9f'),
+    (10, 4, 2, 'a6d687ef0ca6eb693b1abe77979a91ff2967b2a0a8925aa7f1f91a5f3db66afb'),
+    (11, 5, 0, 'f7dd50f3978af95d00c28d1eee904160b9d1858e9c748ea550733aaf026dd387'),
+    (11, 5, 1, '30bd3954429932171b8a70b71f4f198ec89c52f3a34398f017b520568992a595'),
+    (11, 5, 3, 'cd28a57b024f6995e838b68ca0054af7c6c678d94391af384c98209bf799c3b8'),
+    (12, 2, 0, '72e67f768cbb3242723858720f331a89ce3e2534a250e3608fa9fdd2a7b7adeb'),
+    (12, 2, 1, '974c4e63e73e897e126763226f7891b3506113ae0955ebb4bb93f5a28a13ce56'),
+    (13, 3, 0, 'f95f1635094bc7967b52713f9dbb7449888e66ac01417986992ac750c5ad7ae2'),
+    (13, 3, 1, 'f48713663101ce0c18cbc05204e85c82b21bd3af75683826883fa5db8cf3edfa'),
+    (13, 3, 2, 'c75011a87dc0c1a4048ff4d5816b4a2950eede07a5fa9c58944d82fe128a5d72'),
+    (14, 4, 0, '5f41aef91702d08c38032d487ecd5036257befc4092558f4fccd6259306787d2'),
+    (14, 4, 1, 'c420901597f65d6b97370be485ceb3015aaa84df7d1b2ef070a782ecee83b391'),
+    (14, 4, 2, '4d9810f2aed4a0c2e11ef8032fdac9b8f2afb1bedd1092cbe8ed01142ee5c4b8'),
+    (15, 5, 0, 'bc7c33320a934e509e6e10833b23b94d6c053acdc4eb60be1744fd7d5b8d4cb8'),
+    (15, 5, 1, 'c0fa19792be98998bd4a44ad522133a8499d646c680781686d3eca4b885c4b3d'),
+    (15, 5, 3, 'c1068408bee6845e47c594a1409fa931545b74e534fd891ebcfdaba69c62b494'),
+]
+
+
+def q_frame_sample_y4m(spark, sf_dir):
+    # hash-pinned (r12): REAL video frame extraction — the Y4M raw
+    # container (BT.601 YUV->RGB, C420/C422/C444/Cmono) — against frozen
+    # per-frame digests like the GIF/APNG twins; compressed video keeps
+    # the honest raise
+    from seqspark.pipeline.multimodal import (
+        make_real_y4m_assets, sample_frames)
+
+    assets = make_real_y4m_assets(spark, 16)
+    out = sample_frames(assets, n_samples=3, fake=False)
+    return out.select(
+        "asset_id", "n_frames", "frame_index",
+        F.sha2(F.col("frame"), 256).alias("frame_sha"),
+    )
+
+
 def q_frame_sample_apng(spark, sf_dir):
     # hash-pinned (r12): REAL APNG frame extraction — acTL/fcTL/fdAT over
     # the stdlib PNG codec with dispose 0/1/2 and source/over blending —
@@ -2189,7 +2255,7 @@ DRIVER_WINDOW = [
     "exists",
     "fetch_by_ids",
     "fields_pipe",
-    "filter_in",
+    "frame_sample_y4m",
     "frame_sample",
     "frame_sample_apng",
     # r12 addition: never driver-checked yet
@@ -2278,6 +2344,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_decode": q_multimodal_decode,
         "frame_sample_gif": q_frame_sample_gif,
         "frame_sample_apng": q_frame_sample_apng,
+        "frame_sample_y4m": q_frame_sample_y4m,
         "join_broadcast": q_join_broadcast,
         "lineitem_pricing_summary": q_lineitem_pricing_summary,
         "complex_search": q_complex_search,
@@ -3396,6 +3463,14 @@ def oracle_sql() -> dict[str, str]:
         + ", ".join(
             f"({i}, {nf}, {fi}, '{sha}')"
             for i, nf, fi, sha in FRAME_SAMPLE_GIF_EXPECTED
+        )
+        + ") AS t(asset_id, n_frames, frame_index, frame_sha)"
+    )
+    sql["frame_sample_y4m"] = (
+        "SELECT * FROM (VALUES "
+        + ", ".join(
+            f"({i}, {nf}, {fi}, '{sha}')"
+            for i, nf, fi, sha in FRAME_SAMPLE_Y4M_EXPECTED
         )
         + ") AS t(asset_id, n_frames, frame_index, frame_sha)"
     )

@@ -19,7 +19,14 @@ inside the executor batch function:
   ``NotImplementedError``;
 - audio: stdlib ``wave`` (WAV) — always available; decoded metadata maps
   (width, height, n_frames) → (channels, bits-per-sample, audio frames);
-- video: no ffmpeg binding in this container → ``NotImplementedError``.
+- video: the Y4M (YUV4MPEG2) raw container decodes fully stdlib-side
+  (r12: header walk for metadata, BT.601 YUV→RGB for frame extraction,
+  C420/C422/C444/Cmono); compressed containers (mp4/webm/...) raise
+  ``NotImplementedError`` — no ffmpeg binding in this container.
+
+Frame extraction (``sample_frames``, real mode) covers stills, animated
+GIF (r12 stdlib LZW + compositing), APNG (r12 acTL/fcTL/fdAT over the
+PNG codec) and Y4M video; each selected frame is emitted as a PNG.
 """
 
 from __future__ import annotations
@@ -201,6 +208,17 @@ def _real_decode(media_type: str, content: bytes) -> tuple[int, int, int]:
 
         with wave.open(io.BytesIO(content or b""), "rb") as w:
             return w.getnchannels(), w.getsampwidth() * 8, w.getnframes()
+    if media_type == "video":
+        # Y4M (YUV4MPEG2): raw planar YUV, the one video container a
+        # stdlib can honestly decode (r12) — header + FRAME count only
+        # here (no raster work); compressed containers still raise
+        meta = _y4m_meta(content or b"")
+        if meta is not None:
+            return meta
+        raise NotImplementedError(
+            "video decode supports the Y4M (YUV4MPEG2) raw container "
+            "only; compressed video needs ffmpeg, absent here"
+        )
     raise NotImplementedError(f"no decoder for media_type={media_type!r}")
 
 
@@ -365,11 +383,25 @@ def sample_frames(
                         frames.append(
                             _png_encode(gw, gh, 4, bytearray(all_frames[i]))
                         )
+                    elif m == "video" and cb.startswith(_Y4M_MAGIC):
+                        # raw Y4M video (r12): YUV planes -> RGB PNG per
+                        # selected frame, decoded once per asset per batch
+                        if a not in gif_cache:
+                            gif_cache[a] = _y4m_decode_frames(cb)
+                        dec = gif_cache[a]
+                        if dec is None or i >= len(dec[2]):
+                            raise NotImplementedError(
+                                "Y4M outside the stdlib decoder's subset "
+                                f"(asset_id={a}, frame {i} of {nf})"
+                            )
+                        gw, gh, all_frames = dec
+                        frames.append(
+                            _png_encode(gw, gh, 3, bytearray(all_frames[i]))
+                        )
                     else:
                         raise NotImplementedError(
-                            "frame extraction from video assets needs a "
-                            "frame codec (ffmpeg) not present in this "
-                            "container"
+                            "frame extraction from compressed video needs "
+                            "a codec (ffmpeg) not present in this container"
                         )
             yield pd.DataFrame({
                 "asset_id": pdf["asset_id"],
@@ -1008,6 +1040,155 @@ def _apng_encode(w: int, h: int, frame_specs, ch: int = 4) -> bytes:
     return bytes(out)
 
 
+# --------------------------------------------------------------------- Y4M
+# Stdlib Y4M (YUV4MPEG2) video support (r12): raw planar YUV frames behind
+# a one-line text header — the one VIDEO container decodable without
+# ffmpeg, so sample_frames gains a real video path (compressed containers
+# keep the honest raise). BT.601 limited-range YUV→RGB in integer math.
+
+_Y4M_MAGIC = b"YUV4MPEG2"
+#: chroma tag → (x subsample shift, y subsample shift); mono has no chroma
+_Y4M_CHROMA = {
+    b"420": (1, 1), b"420jpeg": (1, 1), b"420mpeg2": (1, 1),
+    b"420paldv": (1, 1), b"422": (1, 0), b"444": (0, 0),
+}
+
+
+def _y4m_header(b: bytes):
+    """(w, h, cshift or None-for-mono, header_end) or None."""
+    if not b.startswith(_Y4M_MAGIC):
+        return None
+    nl = b.find(b"\n", 0, 2048)
+    if nl == -1:
+        return None
+    w = h = None
+    cshift: object = (1, 1)  # C420 variants are the Y4M default
+    for param in b[len(_Y4M_MAGIC):nl].split(b" "):
+        if not param:
+            continue
+        tag, val = param[:1], param[1:]
+        try:
+            if tag == b"W":
+                w = int(val)
+            elif tag == b"H":
+                h = int(val)
+            elif tag == b"C":
+                if val == b"mono":
+                    cshift = None
+                elif val in _Y4M_CHROMA:
+                    cshift = _Y4M_CHROMA[val]
+                else:
+                    return None  # e.g. C420p10: outside the 8-bit subset
+        except ValueError:
+            return None
+    if not w or not h or w <= 0 or h <= 0:
+        return None
+    return w, h, cshift, nl + 1
+
+
+def _y4m_frame_size(w: int, h: int, cshift) -> int:
+    if cshift is None:
+        return w * h
+    sx, sy = cshift
+    cw, chh = (w + (1 << sx) - 1) >> sx, (h + (1 << sy) - 1) >> sy
+    return w * h + 2 * cw * chh
+
+
+def _y4m_meta(b: bytes) -> Optional[tuple[int, int, int]]:
+    """(width, height, n_frames) by walking FRAME markers — plane sizes
+    are arithmetic, so the walk reads no raster bytes."""
+    head = _y4m_header(b)
+    if head is None:
+        return None
+    w, h, cshift, pos = head
+    fsize = _y4m_frame_size(w, h, cshift)
+    n = 0
+    total = len(b)
+    while pos < total:
+        if not b.startswith(b"FRAME", pos):
+            break
+        nl = b.find(b"\n", pos, pos + 1024)
+        if nl == -1 or nl + 1 + fsize > total:
+            break
+        pos = nl + 1 + fsize
+        n += 1
+    return (w, h, n) if n else None
+
+
+def _y4m_decode_frames(b: bytes, max_pixels: int = _PNG_MAX_PIXELS):
+    """Decode every Y4M frame to packed RGB bytes (BT.601 limited-range
+    integer conversion, nearest-neighbor chroma upsampling). Returns
+    (w, h, [bytes]) or None."""
+    head = _y4m_header(b)
+    if head is None:
+        return None
+    w, h, cshift, pos = head
+    if w * h > max_pixels:
+        return None
+    fsize = _y4m_frame_size(w, h, cshift)
+    frames: list = []
+    total = len(b)
+    while pos < total:
+        if not b.startswith(b"FRAME", pos):
+            break
+        nl = b.find(b"\n", pos, pos + 1024)
+        if nl == -1 or nl + 1 + fsize > total:
+            break
+        pos = nl + 1
+        yplane = b[pos:pos + w * h]
+        if cshift is None:
+            uplane = vplane = None
+            cw = 0
+        else:
+            sx, sy = cshift
+            cw, chh = (w + (1 << sx) - 1) >> sx, (h + (1 << sy) - 1) >> sy
+            off = pos + w * h
+            uplane = b[off:off + cw * chh]
+            vplane = b[off + cw * chh:off + 2 * cw * chh]
+        pos += fsize
+        rgb = bytearray(w * h * 3)
+        for yy in range(h):
+            yrow = yy * w
+            orow = yrow * 3
+            if cshift is not None:
+                crow = (yy >> cshift[1]) * cw
+            for xx in range(w):
+                c = yplane[yrow + xx] - 16
+                if cshift is None:
+                    d = e = 0
+                else:
+                    ci = crow + (xx >> cshift[0])
+                    d = uplane[ci] - 128
+                    e = vplane[ci] - 128
+                o = orow + xx * 3
+                r = (298 * c + 409 * e + 128) >> 8
+                g = (298 * c - 100 * d - 208 * e + 128) >> 8
+                bl = (298 * c + 516 * d + 128) >> 8
+                rgb[o] = 0 if r < 0 else (255 if r > 255 else r)
+                rgb[o + 1] = 0 if g < 0 else (255 if g > 255 else g)
+                rgb[o + 2] = 0 if bl < 0 else (255 if bl > 255 else bl)
+        frames.append(bytes(rgb))
+    if not frames:
+        return None
+    return w, h, frames
+
+
+def _y4m_encode(w: int, h: int, yuv_frames, chroma: bytes = b"420") -> bytes:
+    """Minimal Y4M writer for the deterministic fixture. ``yuv_frames``
+    entries are (y_plane, u_plane, v_plane) byte triples (u/v None for
+    Cmono); plane sizes must match the chroma subsampling."""
+    out = bytearray(
+        _Y4M_MAGIC + b" W%d H%d F25:1 Ip A1:1 C%s\n" % (w, h, chroma)
+    )
+    for y, u, v in yuv_frames:
+        out += b"FRAME\n"
+        out += y
+        if chroma != b"mono":
+            out += u
+            out += v
+    return bytes(out)
+
+
 def _stdlib_png_resize(b: bytes, width: int, height: int) -> Optional[bytes]:
     """Nearest-neighbor resize of a supported PNG, stdlib only."""
     dec = _png_decode_pixels(b or b"")
@@ -1276,6 +1457,50 @@ def real_apng_asset_rows(n: int = 16) -> list:
 def make_real_apng_assets(spark, n: int = 16) -> DataFrame:
     """APNG fixture frame (:func:`real_apng_asset_rows`)."""
     return spark.createDataFrame(real_apng_asset_rows(n), ASSET_SCHEMA)
+
+
+def real_y4m_asset_rows(n: int = 16) -> list:
+    """Driver-side rows of the Y4M video fixture (r12): deterministic raw
+    YUV4MPEG2 clips cycling the supported chroma modes (C420/C422/C444/
+    Cmono), 2-5 frames each. A pure function of ``n`` for the
+    digest-freezing tool."""
+    rows = []
+    chromas = [b"420", b"422", b"444", b"mono"]
+    for i in range(n):
+        w, h = 6 + 2 * (i % 3), 4 + 2 * (i % 2)  # even dims for 420/422
+        chroma = chromas[i % 4]
+        n_frames = 2 + i % 4
+        if chroma == b"mono":
+            cw = chh = 0
+        else:
+            sx, sy = _Y4M_CHROMA[chroma]
+            cw, chh = w >> sx, h >> sy
+        frames = []
+        for k in range(n_frames):
+            y = bytes(
+                (16 + (x * 9 + yy * 5 + i * 3 + k * 29) % 220)
+                for yy in range(h) for x in range(w)
+            )
+            if chroma == b"mono":
+                frames.append((y, None, None))
+            else:
+                u = bytes(
+                    (40 + (x * 7 + yy * 11 + i + k * 13) % 176)
+                    for yy in range(chh) for x in range(cw)
+                )
+                v = bytes(
+                    (40 + (x * 5 + yy * 3 + i * 7 + k * 17) % 176)
+                    for yy in range(chh) for x in range(cw)
+                )
+                frames.append((y, u, v))
+        content = _y4m_encode(w, h, frames, chroma)
+        rows.append((i, "video", bytearray(content), '{"src":"fixture-y4m"}'))
+    return rows
+
+
+def make_real_y4m_assets(spark, n: int = 16) -> DataFrame:
+    """Y4M video fixture frame (:func:`real_y4m_asset_rows`)."""
+    return spark.createDataFrame(real_y4m_asset_rows(n), ASSET_SCHEMA)
 
 
 def make_real_assets(spark, n: int = 64) -> DataFrame:

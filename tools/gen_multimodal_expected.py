@@ -37,6 +37,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from seqspark.pipeline.multimodal import (  # noqa: E402
     _apng_decode_frames,
+    _y4m_decode_frames,
     _dhash_of_pixels,
     _gif_decode_frames,
     _png_decode_pixels,
@@ -46,6 +47,7 @@ from seqspark.pipeline.multimodal import (  # noqa: E402
     real_apng_asset_rows,
     real_asset_rows,
     real_gif_asset_rows,
+    real_y4m_asset_rows,
 )
 
 N_DECODE = 64
@@ -143,6 +145,23 @@ def main() -> None:
     print("#: same shape over real_apng_asset_rows (stdlib APNG extractor)")
     print("FRAME_SAMPLE_APNG_EXPECTED = [")
     for r in apng:
+        print(f"    {r!r},")
+    print("]")
+
+    y4m = []
+    for i, media, content, _meta in real_y4m_asset_rows(N_GIF):
+        w, h, frames = _y4m_decode_frames(bytes(content))
+        nf = len(frames)
+        k = min(GIF_SAMPLES, nf)
+        idxs = sorted({(j * nf) // k for j in range(k)})
+        for fi in idxs:
+            png = _png_encode(w, h, 3, bytearray(frames[fi]))
+            y4m.append((i, nf, fi, hashlib.sha256(png).hexdigest()))
+    print()
+    print("#: same shape over real_y4m_asset_rows (stdlib Y4M video")
+    print("#: decoder; frames are RGB PNG re-encodes)")
+    print("FRAME_SAMPLE_Y4M_EXPECTED = [")
+    for r in y4m:
         print(f"    {r!r},")
     print("]")
 
