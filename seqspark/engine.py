@@ -38,7 +38,13 @@ from typing import Dict, List, Optional, Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .compile import CompileError, FieldSpec, Resolver, compile_node
+from .compile import (
+    _GO_FLOAT_JAVA_RE,
+    CompileError,
+    FieldSpec,
+    Resolver,
+    compile_node,
+)
 from .mapping import Mapping
 from .seqql.ast import PipeFields, Query
 from .seqql.legacy import parse_legacy
@@ -1261,19 +1267,31 @@ class SearchTable:
             if fieldname is None:
                 raise ValueError(f"agg func {func!r} requires a field")
             df = self._field_scalar_or_explode(df, fieldname, "__fieldtok")
-            df = df.withColumn("__val", F.col("__fieldtok").try_cast("double"))
+            # __val is non-NULL exactly for tokens the reference's parseNum
+            # accepts (`frac/processor/aggregator.go:150-157`: ParseFloat
+            # AND not NaN/Inf). A bare try_cast is LOOSER — it trims
+            # whitespace (token ' 5' would contribute 5.0) and passes
+            # 'Infinity'/'nan' spellings through as non-finite doubles that
+            # poison sum/min/max/avg in the skip-unparsable default mode
+            # (r12 agg-fuzz class of bug; the same Go-decimal guard the
+            # range matcher uses). 1e309-style overflows pass the regex but
+            # cast to inf — rejected by the finite checks.
+            raw = F.col("__fieldtok").try_cast("double")
+            ok = (
+                F.col("__fieldtok").rlike(_GO_FLOAT_JAVA_RE)
+                & raw.isNotNull()
+                & ~F.isnan(raw)
+                & (raw != F.lit(float("inf")))
+                & (raw != F.lit(float("-inf")))
+            )
+            df = df.withColumn("__val", F.when(ok, raw))
             if strict:
                 # fail the aggregation on the first unparsable token
-                # (`frac/processor/aggregator.go:150-157` parseNum) — one
-                # extra pruned pass over the filtered set, opt-in
+                # (`frac/processor/aggregator.go:128-133`: parseNum errors
+                # PROPAGATE — the reference always fails; here opt-in) —
+                # one extra pruned pass over the filtered set
                 bad = df.filter(
-                    F.col("__fieldtok").isNotNull()
-                    & (
-                        F.col("__val").isNull()
-                        | F.isnan("__val")
-                        | (F.col("__val") == F.lit(float("inf")))
-                        | (F.col("__val") == F.lit(float("-inf")))
-                    )
+                    F.col("__fieldtok").isNotNull() & F.col("__val").isNull()
                 )
                 sample = bad.select("__fieldtok").head(1)
                 if sample:

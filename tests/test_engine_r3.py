@@ -553,3 +553,39 @@ def test_keyword_token_cap_in_from_typed(spark):
     )
     assert st3.search(f"svc:{'k' * 72}").count() == 1  # the truncation
     assert st3.search(f"svc:{long_val}").count() == 0  # full value gone
+
+
+def test_agg_parse_matches_reference_parsenum(spark):
+    # r12: __val accepts exactly what parseNum accepts
+    # (`frac/processor/aggregator.go:150-157`: Go ParseFloat decimal AND
+    # finite). A bare try_cast was looser — ' 5' contributed a trimmed
+    # 5.0 and 'Infinity'/'nan' poisoned sums with non-finite doubles.
+    import math
+
+    from pyspark.sql import functions as F
+
+    rows = [
+        (0, "g", "1.5"), (1, "g", " 5"), (2, "g", "Infinity"),
+        (3, "g", "nan"), (4, "g", "1e309"), (5, "g", "2.5"),
+        (6, "g", None), (7, "h", "Infinity"),
+    ]
+    df = spark.createDataFrame(rows, "i long, g string, v string").withColumn(
+        "ts", F.timestamp_millis(F.col("i"))
+    )
+    st = SearchTable.from_typed(
+        df, {"g": "keyword", "v": "keyword"}, ts_col="ts", rid_col="i"
+    )
+    out = {r["name"]: (r["value"], r["not_exists"]) for r in
+           st.aggregate(AggQuery(func="sum", field="v", group_by="g")).collect()}
+    # skip mode: only 1.5 and 2.5 are parseNum-parsable; the missing-v doc
+    # counts as not_exists; 'h' has rows but zero parsed samples -> NaN
+    assert out["g"][0] == 4.0 and out["g"][1] == 1
+    assert math.isnan(out["h"][0]) and out["h"][1] == 0
+    # strict mode: the reference ALWAYS fails on these (parseNum error)
+    with pytest.raises(AggParseError):
+        st.aggregate(AggQuery(func="sum", field="v", group_by="g"),
+                     strict=True)
+    # min/max must not see +-Inf either
+    mx = {r["name"]: r["value"] for r in
+          st.aggregate(AggQuery(func="max", field="v", group_by="g")).collect()}
+    assert mx["g"] == 2.5
