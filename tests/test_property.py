@@ -703,6 +703,10 @@ def diff_rig(spark):
         )
     cols["n"] = pa.array([d[5] for d in docs], pa.int64())
     cols["value"] = pa.array([d[6] for d in docs], pa.float64())
+    # epoch ms of 2024-01-01T00:00:00Z + id seconds — mirrors the Spark ts
+    cols["ts_ms"] = pa.array(
+        [1704067200000 + d[0] * 1000 for d in docs], pa.int64()
+    )
     con = duckdb.connect()
     con.register("diffdocs", pa.table(cols))
     yield table, con, Mapping(dict(_DIFF_MAPPING))
@@ -1356,3 +1360,149 @@ def test_legacy_differential_spark_vs_duckdb(diff_rig, specs):
                 if flags[i] != got[doc_id][i]
             ]
             raise AssertionError(f"legacy divergence on doc {doc_id}: {bad}")
+
+
+# --- aggregation differential fuzz (r12): random AggQuery shapes over the
+# same corpus, engine vs a DuckDB replay of the reference's aggregation
+# semantics — explode_outer group/field tokens, parseNum-gated values
+# (the precomputed _nums arrays ARE the parseNum model), per-bucket
+# not_exists, the legacy `_not_exists` count bucket, NaN for buckets with
+# zero parsed samples, and interval binning.
+
+_AGG_GROUP_FIELDS = ["service", "code", "msg", "msg.keyword", "код", "n"]
+_AGG_VALUE_FIELDS = ["code", "n", "msg"]
+
+
+@st.composite
+def _agg_spec(draw):
+    func = draw(st.sampled_from(["count", "unique", "sum", "min", "max",
+                                 "avg"]))
+    filt = draw(st.one_of(st.just(("all",)), _diff_leaf))
+    if func in ("count", "unique"):
+        # unique forbids interval (reference parity)
+        interval = None if func == "unique" else draw(
+            st.sampled_from([None, 60_000]))
+        group = draw(st.sampled_from(_AGG_GROUP_FIELDS))
+        return ("agg", func, None, group, interval, filt)
+    field = draw(st.sampled_from(_AGG_VALUE_FIELDS))
+    group = draw(st.sampled_from(_AGG_GROUP_FIELDS + [None]))
+    interval = draw(st.sampled_from([None, 60_000]))
+    return ("agg", func, field, group, interval, filt)
+
+
+def _duck_outer(col: str) -> str:
+    """DuckDB twin of explode_outer: NULL/empty array -> one NULL row."""
+    return (
+        f"unnest(CASE WHEN {col} IS NULL OR len({col}) = 0 "
+        f"THEN [NULL]::VARCHAR[] ELSE {col} END)"
+    )
+
+
+def _duck_outer_num(col: str) -> str:
+    return (
+        f"unnest(CASE WHEN {col} IS NULL OR len({col}) = 0 "
+        f"THEN [NULL]::DOUBLE[] ELSE {col} END)"
+    )
+
+
+def _duck_agg_sql(spec) -> str:
+    _, func, field, group_by, interval, filt = spec
+    where = _duck_expr(filt)
+    mid = f"(ts_ms - ts_ms % {interval})" if interval else "NULL::BIGINT"
+    if func in ("count", "unique"):
+        gtoks = _DIFF_COLS[group_by][0]
+        base = (
+            f"SELECT {mid} AS mid_ms, {_duck_outer(gtoks)} AS grp "
+            f"FROM diffdocs WHERE {where}"
+        )
+        if func == "count":
+            return (
+                f"WITH base AS ({base}) "
+                "SELECT mid_ms, grp AS name, count(*)::DOUBLE AS value, "
+                "0::BIGINT AS not_exists FROM base WHERE grp IS NOT NULL "
+                "GROUP BY mid_ms, grp "
+                "UNION ALL "
+                "SELECT NULL::BIGINT, '_not_exists', count(*)::DOUBLE, "
+                "0::BIGINT FROM base WHERE grp IS NULL HAVING count(*) > 0"
+            )
+        return (
+            f"WITH base AS ({base}) "
+            "SELECT DISTINCT mid_ms, grp AS name, 0.0 AS value, "
+            "0::BIGINT AS not_exists FROM base WHERE grp IS NOT NULL"
+        )
+    ftoks, fnums = _DIFF_COLS[field]
+    agg = {"sum": "sum(val)", "min": "min(val)", "max": "max(val)",
+           "avg": "avg(val)"}[func]
+    if group_by is not None:
+        gtoks = _DIFF_COLS[group_by][0]
+        g = (
+            f"SELECT id, ts_ms, {ftoks} AS ftoks, {fnums} AS fnums, "
+            f"{_duck_outer(gtoks)} AS grp FROM diffdocs WHERE {where}"
+        )
+        e = (
+            f"SELECT {mid} AS mid_ms, grp, "
+            f"{_duck_outer('ftoks')} AS tok, {_duck_outer_num('fnums')} "
+            "AS val FROM g"
+        )
+        return (
+            f"WITH g AS ({g}), e AS ({e}) "
+            "SELECT mid_ms, grp AS name, "
+            f"CASE WHEN count(val) = 0 THEN 'NaN'::DOUBLE ELSE {agg} END "
+            "AS value, "
+            "count(CASE WHEN tok IS NULL THEN 1 END)::BIGINT AS not_exists "
+            "FROM e WHERE grp IS NOT NULL GROUP BY mid_ms, grp"
+        )
+    e = (
+        f"SELECT {mid} AS mid_ms, {_duck_outer(ftoks)} AS tok, "
+        f"{_duck_outer_num(fnums)} AS val FROM diffdocs WHERE {where}"
+    )
+    return (
+        f"WITH e AS ({e}) "
+        "SELECT mid_ms, NULL::VARCHAR AS name, "
+        f"CASE WHEN count(val) = 0 THEN 'NaN'::DOUBLE ELSE {agg} END "
+        "AS value, 0::BIGINT AS not_exists "
+        "FROM e WHERE tok IS NOT NULL GROUP BY mid_ms"
+    )
+
+
+def _norm_bucket_rows(rows):
+    out = []
+    for mid, name, value, ne in rows:
+        if value is not None and value != value:
+            value = "NaN"
+        out.append((mid, name, value, ne))
+    return sorted(out, key=str)
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.lists(_agg_spec(), min_size=3, max_size=3))
+def test_agg_differential_spark_vs_duckdb(diff_rig, specs):
+    """Engine aggregation buckets equal the DuckDB replay — 25x3 random
+    (func, field, group_by, interval, filter) shapes."""
+    import math
+
+    from seqspark import AggQuery
+
+    table, con, _ = diff_rig
+    for spec in specs:
+        _, func, field, group_by, interval, filt = spec
+        aggq = AggQuery(
+            func=func, field=field, group_by=group_by,
+            interval_ms=interval,
+        )
+        got = _norm_bucket_rows(
+            (r["mid_ms"], r["name"], r["value"], r["not_exists"])
+            for r in table.aggregate(aggq, q=_render(filt)).collect()
+        )
+        want = _norm_bucket_rows(con.execute(_duck_agg_sql(spec)).fetchall())
+        assert len(got) == len(want), (spec, _render(filt), len(got),
+                                       len(want))
+        for g, w in zip(got, want):
+            assert g[0] == w[0] and g[1] == w[1] and g[3] == w[3], (
+                spec, _render(filt), g, w)
+            if isinstance(g[2], str) or isinstance(w[2], str):
+                assert g[2] == w[2], (spec, _render(filt), g, w)
+            else:
+                assert math.isclose(
+                    g[2], w[2], rel_tol=1e-9, abs_tol=1e-9
+                ), (spec, _render(filt), g, w)
