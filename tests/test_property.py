@@ -612,6 +612,10 @@ _DIFF_CODES = [
     "٤٢", "99999999999999999999", "-0", "0.0", "3.14",
 ]
 _DIFF_KODS = ["красный", "Зелёный", "blue", "жёлтый", ""]
+_DIFF_URLS = [
+    "/api/v1/users", "/API/login", "/a/b", "/a", "a/b/c", "",
+    "/a/b/c/d/e", "/статика/css", "/x" * 40,
+]
 _DIFF_NS = [0, -1, 5, 42, 1000, 123456789, -37]
 _DIFF_VALUES = [
     float("nan"), float("inf"), float("-inf"), -0.0, 0.0, 1.5, -3.5,
@@ -620,6 +624,7 @@ _DIFF_VALUES = [
 
 _DIFF_MAPPING = {
     "service": "keyword",
+    "url": "path",
     "code": "keyword",
     "msg": {"types": [{"type": "text"}, {"title": "keyword", "type": "keyword"}]},
     "код": "keyword",
@@ -644,9 +649,10 @@ def _diff_docs():
             msg = None
         code = rng.choice(_DIFF_CODES) if rng.random() > 0.15 else None
         kod = rng.choice(_DIFF_KODS) if rng.random() > 0.3 else None
+        url = rng.choice(_DIFF_URLS) if rng.random() > 0.25 else None
         n = rng.choice(_DIFF_NS) if rng.random() > 0.2 else None
         value = rng.choice(_DIFF_VALUES) if rng.random() > 0.2 else None
-        docs.append((i, svc, msg, code, kod, n, value))
+        docs.append((i, svc, msg, code, kod, url, n, value))
     return docs
 
 
@@ -674,13 +680,15 @@ def diff_rig(spark):
         StructField("msg", StringType()),
         StructField("code", StringType()),
         StructField("код", StringType()),
+        StructField("url", StringType()),
         StructField("n", LongType()),
         StructField("value", DoubleType()),
     ])
     epoch = datetime.datetime(2024, 1, 1, tzinfo=datetime.timezone.utc)
     rows = [
-        (i, epoch + datetime.timedelta(seconds=i), svc, msg, code, kod, n, v)
-        for (i, svc, msg, code, kod, n, v) in docs
+        (i, epoch + datetime.timedelta(seconds=i), svc, msg, code, kod,
+         url, n, v)
+        for (i, svc, msg, code, kod, url, n, v) in docs
     ]
     df = spark.createDataFrame(rows, schema).cache()
     table = SearchTable.from_typed(df, _DIFF_MAPPING, ts_col="ts", rid_col="id")
@@ -692,8 +700,12 @@ def diff_rig(spark):
         "title_toks": [_kw_toks(d[2]) for d in docs],
         "code_toks": [_kw_toks(d[3]) for d in docs],
         "kod_toks": [_kw_toks(d[4]) for d in docs],
+        "url_toks": [
+            model_path_tokens(d[5]) if d[5] is not None else None
+            for d in docs
+        ],
         "n_toks": [
-            _kw_toks(str(d[5])) if d[5] is not None else None for d in docs
+            _kw_toks(str(d[6])) if d[6] is not None else None for d in docs
         ],
     }
     for name, toks in tok_sets.items():
@@ -701,8 +713,8 @@ def diff_rig(spark):
         cols[name.replace("_toks", "_nums")] = pa.array(
             [_tok_nums(t) for t in toks], pa.list_(pa.float64())
         )
-    cols["n"] = pa.array([d[5] for d in docs], pa.int64())
-    cols["value"] = pa.array([d[6] for d in docs], pa.float64())
+    cols["n"] = pa.array([d[6] for d in docs], pa.int64())
+    cols["value"] = pa.array([d[7] for d in docs], pa.float64())
     # epoch ms of 2024-01-01T00:00:00Z + id seconds — mirrors the Spark ts
     cols["ts_ms"] = pa.array(
         [1704067200000 + d[0] * 1000 for d in docs], pa.int64()
@@ -718,12 +730,13 @@ def diff_rig(spark):
 # into seq-ql text, `_diff_expected_ast` into the AST the parser must
 # produce, and `_duck_expr` into the DuckDB oracle expression.
 
-_DIFF_KW_FIELDS = ["service", "code", "msg.keyword", "код", "n"]
+_DIFF_KW_FIELDS = ["service", "code", "msg.keyword", "код", "n", "url"]
 _DIFF_ALL_FIELDS = _DIFF_KW_FIELDS + ["msg", "value"]
 _DIFF_HOT_TERMS = [
     "auth", "api", "api-v2", "db 01", "веб", "error", "conn42", "42",
     "007", "infinity", " 5", "красный", "x_y", "ab*c", "日本語", "timeout",
-    "login", "blue",
+    "login", "blue", "/api", "/api/v1", "/a/b", "/api/v1/users",
+    "/статика", "a/b",
 ]
 _DIFF_KW_ALPHA = "abz09AZ _-.!*'\\:äß日\n"
 _DIFF_WORD_ALPHA = "abcxz09_*äABC日"
@@ -965,6 +978,7 @@ _DIFF_COLS = {
     "msg": ("msg_toks", "msg_nums"),
     "msg.keyword": ("title_toks", "title_nums"),
     "код": ("kod_toks", "kod_nums"),
+    "url": ("url_toks", "url_nums"),
     "n": ("n_toks", "n_nums"),
 }
 _DIFF_NATIVE = {"n": ("n", False), "value": ("value", True)}
@@ -1369,7 +1383,7 @@ def test_legacy_differential_spark_vs_duckdb(diff_rig, specs):
 # not_exists, the legacy `_not_exists` count bucket, NaN for buckets with
 # zero parsed samples, and interval binning.
 
-_AGG_GROUP_FIELDS = ["service", "code", "msg", "msg.keyword", "код", "n"]
+_AGG_GROUP_FIELDS = ["service", "code", "msg", "msg.keyword", "код", "n", "url"]
 _AGG_VALUE_FIELDS = ["code", "n", "msg"]
 
 
