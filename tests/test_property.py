@@ -685,8 +685,10 @@ def diff_rig(spark):
         StructField("value", DoubleType()),
     ])
     epoch = datetime.datetime(2024, 1, 1, tzinfo=datetime.timezone.utc)
+    # i // 2: two docs share each second, so (ts, rid) ORDER tie-breaks
+    # and ms-window edges are both exercised by the pagination fuzz
     rows = [
-        (i, epoch + datetime.timedelta(seconds=i), svc, msg, code, kod,
+        (i, epoch + datetime.timedelta(seconds=i // 2), svc, msg, code, kod,
          url, n, v)
         for (i, svc, msg, code, kod, url, n, v) in docs
     ]
@@ -717,7 +719,7 @@ def diff_rig(spark):
     cols["value"] = pa.array([d[7] for d in docs], pa.float64())
     # epoch ms of 2024-01-01T00:00:00Z + id seconds — mirrors the Spark ts
     cols["ts_ms"] = pa.array(
-        [1704067200000 + d[0] * 1000 for d in docs], pa.int64()
+        [1704067200000 + (d[0] // 2) * 1000 for d in docs], pa.int64()
     )
     con = duckdb.connect()
     con.register("diffdocs", pa.table(cols))
@@ -1520,3 +1522,91 @@ def test_agg_differential_spark_vs_duckdb(diff_rig, specs):
                 assert math.isclose(
                     g[2], w[2], rel_tol=1e-9, abs_tol=1e-9
                 ), (spec, _render(filt), g, w)
+
+
+# --- search pagination / time-window differential fuzz (r12): random
+# (filter, window, order, size, offset) against a DuckDB replay of the
+# ordered drain, plus keyset (search_after) page-chain equivalence. The
+# corpus has two docs per second, so the (ts, rid) tie-break is live.
+
+_DIFF_EPOCH_MS = 1704067200000
+_DIFF_SPAN_S = 140  # 280 docs, two per second
+
+
+@st.composite
+def _page_spec(draw):
+    filt = draw(st.one_of(st.just(("all",)), _diff_leaf))
+    order = draw(st.sampled_from(["asc", "desc"]))
+    size = draw(st.sampled_from([None, 1, 7, 50, 500]))
+    offset = draw(st.sampled_from([0, 0, 1, 13, 400]))
+    if draw(st.booleans()):
+        a = draw(st.integers(0, _DIFF_SPAN_S))
+        b = draw(st.integers(0, _DIFF_SPAN_S))
+        lo, hi = sorted((a, b))
+        window = (_DIFF_EPOCH_MS + lo * 1000, _DIFF_EPOCH_MS + hi * 1000)
+    else:
+        window = (None, None)
+    return (filt, window, order, size, offset)
+
+
+def _duck_page_ids(con, spec):
+    filt, (f_ms, t_ms), order, size, offset = spec
+    conds = [_duck_expr(filt)]
+    if f_ms is not None:
+        conds.append(f"ts_ms >= {f_ms}")
+        conds.append(f"ts_ms <= {t_ms}")
+    d = "DESC" if order == "desc" else "ASC"
+    sql = (
+        f"SELECT id FROM diffdocs WHERE {' AND '.join(conds)} "
+        f"ORDER BY ts_ms {d}, id {d} "
+        f"OFFSET {offset} LIMIT {10_000 if size is None else size}"
+    )
+    return [r[0] for r in con.execute(sql).fetchall()]
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.lists(_page_spec(), min_size=3, max_size=3))
+def test_search_pagination_differential(diff_rig, specs):
+    table, con, _ = diff_rig
+    for spec in specs:
+        filt, (f_ms, t_ms), order, size, offset = spec
+        got = [
+            r["id"]
+            for r in table.search(
+                _render(filt), from_ms=f_ms, to_ms=t_ms, size=size,
+                offset=offset, order=order,
+            ).select("id").collect()
+        ]
+        want = _duck_page_ids(con, spec)
+        assert got == want, (spec, _render(filt), got[:5], want[:5])
+
+
+@settings(max_examples=10, deadline=None)
+@given(_page_spec())
+def test_search_after_chain_equals_offset_drain(diff_rig, spec):
+    """Keyset paging drains the SAME ordered id sequence as the oracle:
+    repeatedly resume strictly after the last (ts, rid) cursor."""
+    table, con, _ = diff_rig
+    filt, (f_ms, t_ms), order, _size, _offset = spec
+    want = _duck_page_ids(con, (filt, (f_ms, t_ms), order, None, 0))
+    got: list = []
+    cursor = (None, None)
+    while True:
+        page = table.search_after(
+            _render(filt), last_ts_ms=cursor[0], last_rid=cursor[1],
+            size=17, order=order, from_ms=f_ms, to_ms=t_ms,
+        ).select("id", "ts").collect()
+        if not page:
+            break
+        got.extend(r["id"] for r in page)
+        import calendar
+
+        last = page[-1]
+        cursor = (
+            calendar.timegm(last["ts"].timetuple()) * 1000
+            + last["ts"].microsecond // 1000,
+            last["id"],
+        )
+        if len(page) < 17:
+            break
+    assert got == want, (spec, _render(filt), len(got), len(want))
