@@ -866,10 +866,47 @@ def _adversarial_frame(draw):
     declared lengths — the shapes a conforming client never sends."""
     kind = draw(st.sampled_from(
         ["continuation", "win0", "settings", "settings_junk", "headers_junk",
-         "data_nostream", "ping", "rst", "priority", "unknown", "giant"]))
+         "data_nostream", "ping", "rst", "priority", "unknown", "giant",
+         # r12 additions: the targeted-test shapes, randomized
+         "settings_ack_payload", "settings_badlen", "settings_mutate",
+         "padded_headers", "padded_data", "headers_noend",
+         "win_update_random", "goaway"]))
     sid = draw(st.sampled_from([0, 1, 2, 3, 5, 7, 2**31 - 1]))
     flags = draw(st.sampled_from([0, 1, 4, 5, 8, 0x20, 0xFF]))
     blob = draw(st.binary(max_size=48))
+    if kind == "settings_ack_payload":
+        return h2.pack_frame(h2.SETTINGS, h2.FLAG_ACK, 0,
+                             blob[: draw(st.integers(1, 12))])
+    if kind == "settings_badlen":
+        return h2.pack_frame(
+            h2.SETTINGS, 0, 0, b"\0" * draw(st.sampled_from([1, 5, 7, 11])))
+    if kind == "settings_mutate":
+        # legal-but-hostile: INITIAL_WINDOW_SIZE / MAX_FRAME_SIZE swings
+        ident = draw(st.sampled_from(
+            [h2.SETTINGS_INITIAL_WINDOW_SIZE, h2.SETTINGS_MAX_FRAME_SIZE]))
+        value = draw(st.sampled_from([0, 1, 4096, 65535, 1 << 20, 2**31 - 1]))
+        return h2.pack_frame(
+            h2.SETTINGS, 0, 0, struct.pack(">HI", ident, value))
+    if kind == "padded_headers":
+        pad = draw(st.integers(0, 255))
+        return h2.pack_frame(
+            h2.HEADERS, h2.FLAG_END_HEADERS | h2.FLAG_PADDED, sid or 1,
+            bytes([pad]) + blob)
+    if kind == "padded_data":
+        pad = draw(st.integers(0, 255))
+        return h2.pack_frame(
+            h2.DATA, flags | h2.FLAG_PADDED, sid or 1, bytes([pad]) + blob)
+    if kind == "headers_noend":
+        # header block left OPEN: every following frame must be judged
+        # against the expected-CONTINUATION rule
+        return h2.pack_frame(h2.HEADERS, 0, sid or 1, blob)
+    if kind == "win_update_random":
+        return h2.pack_frame(
+            h2.WINDOW_UPDATE, 0, sid,
+            draw(st.integers(0, 2**32 - 1)).to_bytes(4, "big"))
+    if kind == "goaway":
+        return h2.pack_frame(
+            h2.GOAWAY, 0, 0, blob[:8].ljust(8, b"\0"))
     if kind == "continuation":
         return h2.pack_frame(h2.CONTINUATION, flags, sid, blob)
     if kind == "win0":
