@@ -1189,9 +1189,37 @@ def _y4m_encode(w: int, h: int, yuv_frames, chroma: bytes = b"420") -> bytes:
     return bytes(out)
 
 
+def _decode_any_pixels(b: bytes):
+    """(w, h, channels, pixels) for any stdlib-decodable raster: PNG via
+    the raster codec; animated GIF/APNG and Y4M video via their FIRST
+    frame (r12 — the representative frame perceptual pipelines use).
+    Returns None outside the supported subset."""
+    b = b or b""
+    dec = _png_decode_pixels(b)
+    if dec is not None:
+        return dec
+    if b[:6] in (b"GIF87a", b"GIF89a"):
+        g = _gif_decode_frames(b)
+        if g is not None:
+            w, h, frames = g
+            return w, h, 4, bytearray(frames[0])
+    if b.startswith(_PNG_SIG):
+        a = _apng_decode_frames(b)
+        if a is not None:
+            w, h, frames = a
+            return w, h, 4, bytearray(frames[0])
+    if b.startswith(_Y4M_MAGIC):
+        y = _y4m_decode_frames(b)
+        if y is not None:
+            w, h, frames = y
+            return w, h, 3, bytearray(frames[0])
+    return None
+
+
 def _stdlib_png_resize(b: bytes, width: int, height: int) -> Optional[bytes]:
-    """Nearest-neighbor resize of a supported PNG, stdlib only."""
-    dec = _png_decode_pixels(b or b"")
+    """Nearest-neighbor resize of a supported raster (PNG, or the first
+    frame of GIF/APNG/Y4M), stdlib only; output is always PNG."""
+    dec = _decode_any_pixels(b or b"")
     if dec is None:
         return None
     sw, sh, ch, px = dec
@@ -1289,7 +1317,8 @@ def resize_images(
                     if resized is None:
                         raise NotImplementedError(
                             "stdlib resize supports 8-bit RGB/RGBA "
-                            "non-interlaced PNG only"
+                            "non-interlaced PNG, or the first frame of "
+                            "GIF/APNG/Y4M, only"
                         )
                     return resized
 
@@ -1555,7 +1584,8 @@ def dhash_images(
 ) -> DataFrame:
     """Append a 64-bit perceptual dHash column for image payloads.
 
-    Real mode decodes with the stdlib PNG raster decoder (Pillow-free);
+    Real mode decodes with the stdlib raster decoders (Pillow-free):
+    PNG, or the FIRST frame of animated GIF / APNG / Y4M video (r12);
     non-decodable payloads hash to NULL. Fake mode (CI without image
     fixtures) derives a deterministic pseudo-hash from the content bytes
     so the plumbing — Arrow batching, schema, downstream joins — runs
@@ -1585,7 +1615,7 @@ def dhash_images(
                         )
                     )
                     continue
-                dec = _png_decode_pixels(b)
+                dec = _decode_any_pixels(b)
                 if dec is None:
                     hashes.append(None)
                     continue

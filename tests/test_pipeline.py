@@ -2687,3 +2687,39 @@ def test_y4m_bt601_color_points():
     assert fr[0][:3] == b"\0\0\0"
     _, _, fr = _y4m_decode_frames(solid(235, 128, 128))  # limited-range white
     assert fr[0][:3] == b"\xff\xff\xff"
+
+
+def test_dhash_and_resize_cover_animation_first_frames(spark):
+    # r12: dhash_images and resize_images accept GIF/APNG/Y4M via their
+    # first frame; the dHash equals hashing the decoded frame directly,
+    # and identical first frames across containers produce EQUAL hashes
+    # only when pixels agree (GIF/APNG here share nothing, so differ)
+    from pyspark.sql import functions as F
+
+    from seqspark.pipeline.multimodal import (
+        _decode_any_pixels, _dhash_of_pixels, dhash_images,
+        make_real_apng_assets, make_real_gif_assets, make_real_y4m_assets,
+        real_gif_asset_rows, resize_images)
+
+    gif = make_real_gif_assets(spark, 4)
+    apng = make_real_apng_assets(spark, 4).withColumn(
+        "asset_id", F.col("asset_id") + 100)
+    y4m = make_real_y4m_assets(spark, 4).withColumn(
+        "asset_id", F.col("asset_id") + 200)
+    allm = gif.unionByName(apng).unionByName(y4m)
+    got = {r["asset_id"]: r["dhash"]
+           for r in dhash_images(allm, fake=False).collect()}
+    assert all(v is not None for v in got.values()), got
+    # pure-Python parity on one GIF
+    b = bytes(real_gif_asset_rows(1)[0][2])
+    w, h, ch, px = _decode_any_pixels(b)
+    u = _dhash_of_pixels(w, h, ch, px, 8)
+    assert got[0] == (u - (1 << 64) if u >= (1 << 63) else u)
+
+    # resize_images is an IMAGE operator: video rows drop (on_other
+    # default), GIF/APNG resize via their first frame
+    out = resize_images(allm, 16, 8, fake=False, codec="stdlib").collect()
+    assert len(out) == 8 and {r["media_type"] for r in out} == {"image"}
+    for r in out:
+        dec = _decode_any_pixels(bytes(r["content"]))
+        assert dec is not None and (dec[0], dec[1]) == (16, 8)
