@@ -1610,3 +1610,45 @@ def test_search_after_chain_equals_offset_drain(diff_rig, spec):
         if len(page) < 17:
             break
     assert got == want, (spec, _render(filt), len(got), len(want))
+
+
+@st.composite
+def _hist_spec(draw):
+    filt = draw(st.one_of(st.just(("all",)), _diff_spec))
+    interval = draw(st.sampled_from([1000, 7000, 60_000]))
+    if draw(st.booleans()):
+        a = draw(st.integers(0, _DIFF_SPAN_S))
+        b = draw(st.integers(0, _DIFF_SPAN_S))
+        lo, hi = sorted((a, b))
+        window = (_DIFF_EPOCH_MS + lo * 1000, _DIFF_EPOCH_MS + hi * 1000)
+    else:
+        window = (None, None)
+    return (filt, interval, window)
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.lists(_hist_spec(), min_size=3, max_size=3))
+def test_histogram_and_total_differential(diff_rig, specs):
+    """with_total counts and date-histogram buckets equal the DuckDB
+    replay over random (filter, interval, window) shapes."""
+    table, con, _ = diff_rig
+    for filt, interval, (f_ms, t_ms) in specs:
+        conds = [_duck_expr(filt)]
+        if f_ms is not None:
+            conds += [f"ts_ms >= {f_ms}", f"ts_ms <= {t_ms}"]
+        where = " AND ".join(conds)
+        q = _render(filt)
+        got_total = table.total(q, from_ms=f_ms, to_ms=t_ms).head()["total"]
+        want_total = con.execute(
+            f"SELECT count(*) FROM diffdocs WHERE {where}").fetchone()[0]
+        assert got_total == want_total, (q, f_ms, t_ms)
+        got_hist = sorted(
+            (r["bucket_ms"], r["cnt"])
+            for r in table.histogram(
+                q, interval_ms=interval, from_ms=f_ms, to_ms=t_ms
+            ).collect()
+        )
+        want_hist = sorted(con.execute(
+            f"SELECT ts_ms - ts_ms % {interval}, count(*) FROM diffdocs "
+            f"WHERE {where} GROUP BY 1").fetchall())
+        assert got_hist == want_hist, (q, interval, f_ms, t_ms)
