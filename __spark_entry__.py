@@ -1503,6 +1503,88 @@ FRAME_SAMPLE_Y4M_EXPECTED = [
 ]
 
 
+#: (asset_id, sha256, n_bytes, w, h) of the stdlib resize of
+#: each baseline-JPEG fixture asset (r12b JPEG decoder)
+JPEG_RESIZE_EXPECTED = [
+    (0, '79be2dd74dc3a248a111f705f0594f5a304709bd247f17070df745107d5f14e2', 467, 32, 16),
+    (1, 'cf36eb85be21220bc5eb3f9c882e59077a9defabb2b6f9fcbca25492bbafceae', 984, 32, 16),
+    (2, 'd5a53e6d8a132c2f962e639a5f132edc2f71fa2a6dc065f5e42dc6fa328d890f', 1177, 32, 16),
+    (3, 'd958b6e01072051641d405c5060793b8cdb5a14bd90909f8928fdee8d40fa9a3', 1305, 32, 16),
+    (4, '7550afe12b5c60aa7e3f8dec1e2451ab8ef78d9f905f693e2978360288554e31', 714, 32, 16),
+    (5, 'aac2922ec8fa99c1022114477e1d7b3ccf1f19419eafd83a1c7449a0d2cd6a43', 870, 32, 16),
+    (6, 'cc1f6608341b780efe2d8636ec8b9af64d21049b275a41a629f96d6d1757e202', 1104, 32, 16),
+    (7, '3302d2884a2b34dae23f27d27c6da3963785c092f7a2a3136b977a0168198772', 1247, 32, 16),
+    (8, 'aa40228aa6c4aa2fc4ffaf745467a017bf40fa3875a02d3d4ff79ab179772294', 724, 32, 16),
+    (9, '23c5a2dc605b55afcf38da2ef0764ee2b84431a15550afb5359f9365dd33e008', 1080, 32, 16),
+    (10, 'd7240a524e25a53af9d9a7a85134b7810d5d3c5e3b37901771133742dc25580c', 1017, 32, 16),
+    (11, 'f11b79997299d288ab095e3ff9b0fe0548eb55db6fa45df4770c99ad151e9a0e', 1158, 32, 16),
+    (12, 'c61908ab6f89d748490314c628d0634fc82da2c923c92e680d9029c56bfd12b6', 634, 32, 16),
+    (13, 'd07dcdeab464a4ec7fe4f4c11486ad840e225f43eb0a4fc914ce50dfdc37958e', 1114, 32, 16),
+    (14, 'c714a2a21401639dfb163eab45c64eac908d65dfbc7ca8bd4d898534dd178c0d', 1315, 32, 16),
+    (15, '6cd2d5966d3972a8d6efce17d0f67aa3ada7c123a187d36ca1f04b70a307121a', 1061, 32, 16),
+]
+
+
+#: (asset_id, dhash) over real_jpeg_asset_rows
+IMAGE_DHASH_JPEG_EXPECTED = [
+    (0, 2531693994477127832),
+    (1, -9187343239835811840),
+    (2, 6944621819861155904),
+    (3, 3472310912078061600),
+    (4, 5280833241313612470),
+    (5, -2242686647380451232),
+    (6, 3490448659631312912),
+    (7, 1740756466463672328),
+    (8, 5534301462153310770),
+    (9, 1600508525971670534),
+    (10, 2622436404562756612),
+    (11, 807098449597235971),
+    (12, 5534230809773552162),
+    (13, -7948394013784964735),
+    (14, 7235156429326311648),
+    (15, 580999813328273408),
+]
+
+
+#: same shape over real_mjpeg_asset_rows (MJPEG-in-AVI: the
+#: r12b compressed-video path; frames are RGB PNG re-encodes)
+FRAME_SAMPLE_MJPEG_EXPECTED = [
+    (0, 2, 0, '9da73c645937fa51cb769fe259080578fd5deb19ca8f6ee4a3a47e6c211ed71b'),
+    (0, 2, 1, '9f85bd5fd6f3791b46b88a4d6d04e4288bebe752fb053ce7a130f8da5457e5dc'),
+    (1, 3, 0, 'f87925e03593cd14d7c589ae3f580e328226711d226569545142ea2fc9f4be21'),
+    (1, 3, 1, '085209af93a4c51024d0b979b158c9f8d2150510f4f8e44d4bf2a56644ca84fc'),
+    (1, 3, 2, '880e3f7abd1bf4a23ef6c1d81d7fdcf62f35c1aa69314afba004ae59022bd371'),
+    (2, 4, 0, 'e6ac28b05b6a08b4744ea0b22797ea7ebf98cd8589a928f4d35a95245910f349'),
+    (2, 4, 1, '296c855c9d3c44e2d2ac23a854b33bd72842d343eb0870046f5236d17aa7ab12'),
+    (2, 4, 2, 'c5d99d65c16113d8db0dd315e3a1eaf748633660c5a5175723d7efaeaa9fa5c5'),
+    (3, 5, 0, '025bc39373c6c47b4b78da65946a2845c0119820e705d7e0cdd4319cd2ffc550'),
+    (3, 5, 1, 'f4b574455284faf4e30252360cb224499a8763fac899091e5c0def578e55a0b0'),
+    (3, 5, 3, '2bd3255468c9288c5f9a0570046f5860e873e858a7b1644580b13ac062a81e9b'),
+    (4, 2, 0, '4b9ec1d9c493d352f233700486909f134accada3dd2bb46079017c312c1df285'),
+    (4, 2, 1, '75d203141379141a4b96ba1eb4dcdaf9894766566cad9e01b2183596fe9f12a1'),
+    (5, 3, 0, 'c434de227619c448633441e1e83034848adb3a023359bc93759b7eab58b8bed8'),
+    (5, 3, 1, '6ccf4423d0cc598d762a22433d3052815cb398c6208846a041507a9838c837e1'),
+    (5, 3, 2, 'e295ca0cf969a71b3227ba1d470147ecd18438ed577e8a1fd0367357269d8fa5'),
+    (6, 4, 0, 'a33de87ad6e66055544b65c3b5202f78381126a9498836af6cc9040fddbb1709'),
+    (6, 4, 1, 'a29aa60c551201cceb086c4ca9484951e0618bdadb3ee8f5cc3914af9598fd51'),
+    (6, 4, 2, '71a924da661bbfcbbe9da3391d38019bb4c554601e6679d5dd147eb2cb5021b7'),
+    (7, 5, 0, '6dbc878b508fbafb0b262ecf2109ea8593c7070e76f9e4bba1d3696a0334b45e'),
+    (7, 5, 1, '071fcf7305163eedd5aa2fc0442b14f924e1e311c9e7848b2411317d03c29b5a'),
+    (7, 5, 3, '112fed2c3e271115e3ee058d9f281cc9249fa475df433894438d0f0e33d8feec'),
+    (8, 2, 0, '81674a382bcd18ab905bef9f43a656e6c3efb0e562c3a8a209a9b5e4905a41de'),
+    (8, 2, 1, '304aa03eee0471da11b27d6b95dc2a6916681400cff193bb316a7ef823c98d9c'),
+    (9, 3, 0, '7f43257b5698cda82bc422abbb6bab0337bdc0078196d99b7b604e8e0867b90d'),
+    (9, 3, 1, '2b709b14e052a3adf143404f5350ca6c23cd3057b3c63d4585a494066baa805c'),
+    (9, 3, 2, '4bfdd972b5896472e27a33906d0837bb516a46293daa22132d03409f4a70c7c9'),
+    (10, 4, 0, '72749aa24ae679d3593a742a78826ef5266a6bcf2284321614490272d3f54dd9'),
+    (10, 4, 1, '37e1f4fb5115cad3bfef03af7e006b179e558c0dbe2682b4fdffc815ec4275d8'),
+    (10, 4, 2, 'fbc239fe170edebb374e70717584467d6a98d89f6396ac8a12a1bf380c895a85'),
+    (11, 5, 0, '7666b1d984325a5831f1705dfc88aff4bf72bd132ef49c2905a7a4359844124e'),
+    (11, 5, 1, '47904560acbcad252add59deb10e33f11690b80864752faccf37f348d804a69d'),
+    (11, 5, 3, '22a066e981765890eabbee263ebbef1d0356bacdae83b4ab27e48ca8a1c4d229'),
+]
+
+
 def q_frame_sample_y4m(spark, sf_dir):
     # hash-pinned (r12): REAL video frame extraction — the Y4M raw
     # container (BT.601 YUV->RGB, C420/C422/C444/Cmono) — against frozen
@@ -1532,6 +1614,51 @@ def q_frame_sample_apng(spark, sf_dir):
         "asset_id", "n_frames", "frame_index",
         F.sha2(F.col("frame"), 256).alias("frame_sha"),
     )
+
+
+def q_frame_sample_mjpeg(spark, sf_dir):
+    # hash-pinned (r12b): REAL frame extraction from a COMPRESSED video
+    # container — MJPEG-in-AVI, each frame an independent baseline JPEG
+    # through the stdlib Huffman+IDCT decoder (seqspark/pipeline/jpeg.py)
+    # — digested against frozen literals like the GIF/APNG/Y4M siblings;
+    # inter-frame codecs keep the honest raise
+    from seqspark.pipeline.multimodal import (
+        make_real_mjpeg_assets, sample_frames)
+
+    assets = make_real_mjpeg_assets(spark, 12)
+    out = sample_frames(assets, n_samples=3, fake=False)
+    return out.select(
+        "asset_id", "n_frames", "frame_index",
+        F.sha2(F.col("frame"), 256).alias("frame_sha"),
+    )
+
+
+def q_multimodal_resize_jpeg(spark, sf_dir):
+    # hash-pinned (r12b): stdlib resize over BASELINE JPEG pixels — the
+    # r12b Huffman + vectorized-IDCT decoder covering gray/444/422/420,
+    # restart intervals, 16-bit DQT and odd dimensions — digests frozen
+    # by tools/gen_multimodal_expected.py like the PNG set
+    from seqspark.pipeline.multimodal import (
+        make_real_jpeg_assets, resize_images)
+
+    assets = make_real_jpeg_assets(spark, 16)
+    return resize_images(assets, 32, 16, fake=False, codec="stdlib").select(
+        "asset_id",
+        F.lower(F.sha2(F.col("content"), 256)).alias("sha256"),
+        F.length("content").alias("n_bytes"),
+        "width",
+        "height",
+    )
+
+
+def q_image_dhash_jpeg(spark, sf_dir):
+    # hash-pinned (r12b): perceptual dHash over decoded JPEG rasters —
+    # frozen per-asset hash values (a JPEG pixel-path regression moves
+    # the luma grid and fails the contract)
+    from seqspark.pipeline.multimodal import dhash_images, make_real_jpeg_assets
+
+    assets = make_real_jpeg_assets(spark, 16)
+    return dhash_images(assets, fake=False).select("asset_id", "dhash")
 
 
 def q_frame_sample_gif(spark, sf_dir):
@@ -2210,6 +2337,11 @@ DRIVER_WINDOW = [
     "cap_per_group_salted",
     "sessionize_bucketed",
     "sessionize_scalable",
+    # r12b additions (baseline-JPEG pixels + MJPEG-AVI video): never
+    # driver-checked yet, so they take window slots this round
+    "multimodal_resize_jpeg",
+    "image_dhash_jpeg",
+    "frame_sample_mjpeg",
     # least-recently driver-checked (last seen r5)
     "join_broadcast",
     "lineitem_pricing_summary",
@@ -2234,13 +2366,12 @@ DRIVER_WINDOW = [
     # last seen r9
     "c4_filter",
     "path_prefix_tokens",
-    # last seen r10
-    "agg_avg_group",
+    # last seen r10 (agg_avg/max/sum_group rotated out to make room for
+    # the three r12b entries — same operator family stays covered via
+    # agg_min_group/agg_filtered/agg_quantile)
     "agg_filtered",
-    "agg_max_group",
     "agg_min_group",
     "agg_quantile",
-    "agg_sum_group",
     "agg_timeseries",
     "agg_unique",
     "ann_batch_topk",
@@ -2345,6 +2476,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frame_sample_gif": q_frame_sample_gif,
         "frame_sample_apng": q_frame_sample_apng,
         "frame_sample_y4m": q_frame_sample_y4m,
+        "frame_sample_mjpeg": q_frame_sample_mjpeg,
+        "multimodal_resize_jpeg": q_multimodal_resize_jpeg,
+        "image_dhash_jpeg": q_image_dhash_jpeg,
         "join_broadcast": q_join_broadcast,
         "lineitem_pricing_summary": q_lineitem_pricing_summary,
         "complex_search": q_complex_search,
@@ -3516,5 +3650,31 @@ def oracle_sql() -> dict[str, str]:
         "CAST(bit_count(xor(a.dhash, b.dhash)) AS INTEGER) AS distance "
         "FROM hh a JOIN hh b ON a.asset_id < b.asset_id "
         "WHERE bit_count(xor(a.dhash, b.dhash)) <= 4"
+    )
+    # r12b baseline-JPEG entries: same frozen-digest discipline over the
+    # JPEG fixture (gray/444/422/420, restart, wide DQT, odd dims) and
+    # the MJPEG-AVI video fixture
+    sql["multimodal_resize_jpeg"] = (
+        "SELECT * FROM (VALUES "
+        + ", ".join(
+            f"({i}, '{sha}', {nb}, {w}, {h})"
+            for i, sha, nb, w, h in JPEG_RESIZE_EXPECTED
+        )
+        + ") AS t(asset_id, sha256, n_bytes, width, height)"
+    )
+    sql["image_dhash_jpeg"] = (
+        "SELECT * FROM (VALUES "
+        + ", ".join(
+            f"({i}, CAST({d} AS BIGINT))" for i, d in IMAGE_DHASH_JPEG_EXPECTED
+        )
+        + ") AS t(asset_id, dhash)"
+    )
+    sql["frame_sample_mjpeg"] = (
+        "SELECT * FROM (VALUES "
+        + ", ".join(
+            f"({i}, {nf}, {fi}, '{sha}')"
+            for i, nf, fi, sha in FRAME_SAMPLE_MJPEG_EXPECTED
+        )
+        + ") AS t(asset_id, n_frames, frame_index, frame_sha)"
     )
     return {k: v for k, v in sql.items() if v is not None}

@@ -1,0 +1,739 @@
+"""Pure-stdlib(+numpy) baseline JPEG codec.
+
+Round 12 closes the last big still-image gap in the multimodal surface:
+JPEG was metadata-only (SOF marker walk in ``multimodal._jpeg_meta``),
+so resize / dHash / frame extraction honestly raised on the single most
+common web-corpus image format. This module implements a real baseline
+sequential decoder and a matching encoder with no third-party codec:
+
+- **decode**: baseline DCT (SOF0) and extended sequential (SOF1), 8-bit,
+  Huffman entropy coding, 1- or 3-component scans, any sampling factors
+  in {1,2}x{1,2} (4:4:4 / 4:2:2 / 4:4:0 / 4:2:0), restart intervals
+  (DRI + RSTn), fill bytes, 16-bit DQT entries. Out-of-subset streams
+  (progressive SOF2, arithmetic coding, 12-bit, CMYK) return ``None`` —
+  the multimodal layer turns that into its honest capability raise.
+- **encode**: baseline, quality-scaled Annex-K quantization tables and
+  the spec's standard Huffman tables, 4:4:4 or 4:2:0, grayscale or
+  color. Exists so fixtures are deterministic and the decoder is
+  round-trip property-tested (grayscale flat 8x8 blocks at quality 100
+  survive EXACTLY: integer DC, zero AC, unit quantizer).
+
+The hot loop is the per-bit Huffman decode (pure Python — fixture-sized
+assets, Arrow-batched upstream); everything O(pixels) after entropy
+decode (dequantize, IDCT, upsample, color transform) is vectorized
+numpy: the IDCT is two 8x8 matrix multiplications over all blocks of a
+component at once. Bomb-safe like the PNG codec: dimensions are capped
+before any allocation.
+
+Reference parity anchor: the reference stores media as opaque bytes and
+never decodes (seq-db is a log store); this module serves SURVEY §2's
+LLM-pipeline multimodal amendments, same standing as the PNG/GIF/APNG/
+Y4M codecs in ``multimodal.py``.
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import Optional
+
+#: decode refuses rasters above this many pixels (same bomb cap as PNG)
+_MAX_PIXELS = 64_000_000
+
+# zigzag scan: position k in the entropy stream -> raster index in the
+# 8x8 block (row*8+col)
+ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10,
+    17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+# Annex K.1/K.2 example quantization tables (raster order)
+_QT_LUM = [
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+]
+_QT_CHROM = [
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+]
+
+# Annex K.3 standard Huffman specs: (BITS[1..16], HUFFVAL)
+_HT_DC_LUM = (
+    [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_HT_DC_CHROM = (
+    [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_HT_AC_LUM = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+    [
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+        0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+        0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+        0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+        0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+        0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+        0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+        0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+        0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+        0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+        0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+        0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+        0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+        0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+        0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+        0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+        0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+        0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+        0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+        0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+        0xF9, 0xFA,
+    ],
+)
+_HT_AC_CHROM = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77],
+    [
+        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+        0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+        0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+        0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0,
+        0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+        0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+        0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38,
+        0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+        0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+        0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+        0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+        0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+        0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96,
+        0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+        0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+        0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3,
+        0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2,
+        0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+        0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9,
+        0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+        0xF9, 0xFA,
+    ],
+)
+
+_SOF_BASELINE = frozenset((0xC0, 0xC1))  # SOF0 baseline, SOF1 ext. sequential
+_SOF_ALL = frozenset(
+    (0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF)
+)
+
+
+def _idct_matrix():
+    """Orthonormal 8x8 DCT-II basis A (A @ f @ A.T == coefficients); the
+    inverse transform is A.T @ F @ A."""
+    import numpy as np
+
+    a = np.zeros((8, 8), dtype=np.float64)
+    for u in range(8):
+        c = (1.0 / 2.0) * (1.0 / np.sqrt(2.0) if u == 0 else 1.0)
+        for x in range(8):
+            a[u, x] = c * np.cos((2 * x + 1) * u * np.pi / 16.0)
+    return a
+
+
+class _HuffDecoder:
+    """Canonical Huffman decoder per the spec's MINCODE/MAXCODE/VALPTR
+    tables (F.2.2.3) — decode walks one bit at a time."""
+
+    __slots__ = ("mincode", "maxcode", "valptr", "vals")
+
+    def __init__(self, bits, vals):
+        self.vals = vals
+        self.mincode = [0] * 17
+        self.maxcode = [-1] * 17
+        self.valptr = [0] * 17
+        code = 0
+        k = 0
+        for ln in range(1, 17):
+            n = bits[ln - 1]
+            if n:
+                self.valptr[ln] = k
+                self.mincode[ln] = code
+                code += n
+                k += n
+                self.maxcode[ln] = code - 1
+            code <<= 1
+
+
+class _BitReader:
+    """MSB-first bit reader over an un-stuffed entropy segment."""
+
+    __slots__ = ("data", "pos", "acc", "nbits")
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.nbits = 0
+
+    def _fill(self) -> bool:
+        if self.pos >= len(self.data):
+            return False
+        self.acc = (self.acc << 8) | self.data[self.pos]
+        self.pos += 1
+        self.nbits += 8
+        return True
+
+    def read(self, n: int) -> int:
+        while self.nbits < n:
+            if not self._fill():
+                raise EOFError("entropy data exhausted")
+        self.nbits -= n
+        v = (self.acc >> self.nbits) & ((1 << n) - 1)
+        self.acc &= (1 << self.nbits) - 1
+        return v
+
+    def huff(self, table: _HuffDecoder) -> int:
+        code = 0
+        for ln in range(1, 17):
+            code = (code << 1) | self.read(1)
+            if code <= table.maxcode[ln]:
+                return table.vals[table.valptr[ln] + code - table.mincode[ln]]
+        raise ValueError("invalid Huffman code")
+
+
+def _extend(v: int, n: int) -> int:
+    """Sign-extend an n-bit magnitude per spec F.2.2.1 (EXTEND)."""
+    if n == 0:
+        return 0
+    return v if v >= (1 << (n - 1)) else v - (1 << n) + 1
+
+
+def _split_entropy(b: bytes, pos: int) -> tuple[list[bytes], int]:
+    """Un-stuff entropy-coded data starting at ``pos``, splitting at RST
+    markers. Returns (segments, position of the terminating marker's FF)."""
+    segs: list[bytes] = []
+    cur = bytearray()
+    n = len(b)
+    i = pos
+    while i < n:
+        c = b[i]
+        if c != 0xFF:
+            cur.append(c)
+            i += 1
+            continue
+        # 0xFF: stuffing, fill, RST, or a real marker terminating the scan
+        j = i + 1
+        while j < n and b[j] == 0xFF:  # fill bytes
+            j += 1
+        if j >= n:
+            break
+        m = b[j]
+        if m == 0x00:
+            cur.append(0xFF)
+            i = j + 1
+        elif 0xD0 <= m <= 0xD7:  # RSTn: segment boundary
+            segs.append(bytes(cur))
+            cur = bytearray()
+            i = j + 1
+        else:
+            segs.append(bytes(cur))
+            return segs, i
+    segs.append(bytes(cur))
+    return segs, n
+
+
+def decode(b: bytes) -> Optional[tuple[int, int, int, bytearray]]:
+    """Decode a baseline JPEG to (width, height, 3, RGB bytearray).
+
+    Grayscale sources are replicated to RGB so the output plugs straight
+    into the PNG-encoder / resize / dHash pipeline. Returns ``None`` for
+    anything outside the supported subset or malformed — never throws."""
+    try:
+        return _decode(b or b"")
+    except Exception:
+        return None
+
+
+def _decode(b: bytes) -> Optional[tuple[int, int, int, bytearray]]:
+    import numpy as np
+
+    if len(b) < 4 or b[0] != 0xFF or b[1] != 0xD8:
+        return None
+    qt: dict[int, "np.ndarray"] = {}
+    huff: dict[tuple[int, int], _HuffDecoder] = {}
+    restart = 0
+    frame = None  # (w, h, comps) with comps = [(cid, h, v, tq)]
+    pos = 2
+    n = len(b)
+    while pos + 2 <= n:
+        if b[pos] != 0xFF:
+            return None
+        marker = b[pos + 1]
+        if marker == 0xFF:
+            pos += 1
+            continue
+        if marker == 0xD9:  # EOI before any scan
+            return None
+        if 0xD0 <= marker <= 0xD7 or marker == 0x01:
+            pos += 2
+            continue
+        if pos + 4 > n:
+            return None
+        (seg_len,) = struct.unpack(">H", b[pos + 2 : pos + 4])
+        if seg_len < 2 or pos + 2 + seg_len > n:
+            return None
+        seg = b[pos + 4 : pos + 2 + seg_len]
+        if marker in _SOF_ALL:
+            if marker not in _SOF_BASELINE:
+                return None  # progressive / arithmetic / lossless
+            prec = seg[0]
+            h_, w_ = struct.unpack(">HH", seg[1:5])
+            nc = seg[5]
+            if prec != 8 or nc not in (1, 3) or not (w_ and h_):
+                return None
+            if w_ * h_ > _MAX_PIXELS:
+                return None
+            comps = []
+            for ci in range(nc):
+                cid = seg[6 + 3 * ci]
+                hv = seg[7 + 3 * ci]
+                comps.append((cid, hv >> 4, hv & 0xF, seg[8 + 3 * ci]))
+            if any(cc[1] not in (1, 2) or cc[2] not in (1, 2) for cc in comps):
+                return None
+            frame = (int(w_), int(h_), comps)
+        elif marker == 0xDB:  # DQT
+            p = 0
+            while p < len(seg):
+                pq, tq = seg[p] >> 4, seg[p] & 0xF
+                p += 1
+                if pq == 0:
+                    tbl = np.frombuffer(seg[p : p + 64], dtype=np.uint8).astype(
+                        np.int32
+                    )
+                    p += 64
+                else:
+                    tbl = np.frombuffer(seg[p : p + 128], dtype=">u2").astype(
+                        np.int32
+                    )
+                    p += 128
+                if len(tbl) != 64:
+                    return None
+                qt[tq] = tbl
+        elif marker == 0xC4:  # DHT
+            p = 0
+            while p + 17 <= len(seg):
+                tc, th = seg[p] >> 4, seg[p] & 0xF
+                bits = list(seg[p + 1 : p + 17])
+                cnt = sum(bits)
+                vals = list(seg[p + 17 : p + 17 + cnt])
+                if len(vals) != cnt:
+                    return None
+                huff[(tc, th)] = _HuffDecoder(bits, vals)
+                p += 17 + cnt
+        elif marker == 0xDD:  # DRI
+            (restart,) = struct.unpack(">H", seg[:2])
+        elif marker == 0xDA:  # SOS
+            if frame is None:
+                return None
+            ns = seg[0]
+            scan = []
+            for si in range(ns):
+                cs = seg[1 + 2 * si]
+                tt = seg[2 + 2 * si]
+                scan.append((cs, tt >> 4, tt & 0xF))
+            segs, _end = _split_entropy(b, pos + 2 + seg_len)
+            return _decode_scan(frame, scan, qt, huff, restart, segs)
+        pos += 2 + seg_len
+    return None
+
+
+def _decode_scan(frame, scan, qt, huff, restart, segs):
+    import numpy as np
+
+    w, h, comps = frame
+    if len(scan) != len(comps):
+        return None  # non-interleaved multi-scan not supported
+    by_id = {cid: (ci, ch, cv, tq) for ci, (cid, ch, cv, tq) in enumerate(comps)}
+    order = []
+    for cs, td, ta in scan:
+        if cs not in by_id:
+            return None
+        ci, ch, cv, tq = by_id[cs]
+        if (0, td) not in huff or (1, ta) not in huff or tq not in qt:
+            return None
+        order.append((ci, ch, cv, qt[tq], huff[(0, td)], huff[(1, ta)]))
+    hmax = max(ch for _, ch, _, _, _, _ in order)
+    vmax = max(cv for _, _, cv, _, _, _ in order)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    nmcu = mcux * mcuy
+    # coefficient planes per component, laid out as block grids
+    planes = []
+    for ci, ch, cv, _q, _d, _a in order:
+        planes.append(
+            np.zeros((mcuy * cv, mcux * ch, 64), dtype=np.int32)
+        )
+    preds = [0] * len(order)
+    seg_idx = 0
+    reader = _BitReader(segs[0] if segs else b"")
+    zz = ZIGZAG
+    for m in range(nmcu):
+        if restart and m and m % restart == 0:
+            seg_idx += 1
+            if seg_idx >= len(segs):
+                return None
+            reader = _BitReader(segs[seg_idx])
+            preds = [0] * len(order)
+        my, mx = divmod(m, mcux)
+        for k, (ci, ch, cv, _q, dtab, atab) in enumerate(order):
+            for by in range(cv):
+                for bx in range(ch):
+                    blk = planes[k][my * cv + by, mx * ch + bx]
+                    t = reader.huff(dtab)
+                    diff = _extend(reader.read(t), t) if t else 0
+                    preds[k] += diff
+                    blk[0] = preds[k]
+                    kk = 1
+                    while kk < 64:
+                        rs = reader.huff(atab)
+                        r, s = rs >> 4, rs & 0xF
+                        if s == 0:
+                            if r == 15:
+                                kk += 16  # ZRL
+                                continue
+                            break  # EOB
+                        kk += r
+                        if kk > 63:
+                            return None
+                        blk[zz[kk]] = _extend(reader.read(s), s)
+                        kk += 1
+    # dequantize + IDCT, vectorized per component
+    a = _idct_matrix()
+    out_planes = []
+    for k, (ci, ch, cv, q, _d, _a2) in enumerate(order):
+        grid = planes[k]
+        rows, cols = grid.shape[0], grid.shape[1]
+        flat = grid.reshape(rows * cols, 64)
+        # entropy layout is already raster order (dezigzagged at store
+        # time via zz[kk]); dequantize maps through the zigzag ordering
+        # of the quant table
+        qraster = np.empty(64, dtype=np.int64)
+        qraster[np.array(zz)] = q
+        deq = flat.astype(np.float64) * qraster[None, :]
+        blocks = deq.reshape(rows * cols, 8, 8)
+        spat = np.einsum("ux,nuv,vy->nxy", a, blocks, a) + 128.0
+        spat = np.clip(np.rint(spat), 0, 255).astype(np.uint8)
+        plane = (
+            spat.reshape(rows, cols, 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(rows * 8, cols * 8)
+        )
+        # crop to the component's true size, then upsample to full res
+        cw = -(-w * ch // hmax)  # ceil
+        chh = -(-h * cv // vmax)
+        plane = plane[:chh, :cw]
+        if ch != hmax or cv != vmax:
+            plane = np.repeat(
+                np.repeat(plane, vmax // cv, axis=0), hmax // ch, axis=1
+            )
+        out_planes.append(plane[:h, :w])
+    if len(out_planes) == 1:
+        y = out_planes[0]
+        rgb = np.stack([y, y, y], axis=-1)
+    else:
+        y = out_planes[0].astype(np.float64)
+        cb = out_planes[1].astype(np.float64) - 128.0
+        cr = out_planes[2].astype(np.float64) - 128.0
+        r = y + 1.402 * cr
+        g = y - 0.344136 * cb - 0.714136 * cr
+        bl = y + 1.772 * cb
+        rgb = np.clip(
+            np.rint(np.stack([r, g, bl], axis=-1)), 0, 255
+        ).astype(np.uint8)
+    return w, h, 3, bytearray(rgb.tobytes())
+
+
+def meta(b: bytes) -> Optional[tuple[int, int, int]]:
+    """(width, height, 1) if ``b`` is inside the decodable baseline
+    subset (so callers can distinguish 'real pixels available' from
+    'header-only metadata'). Cheap full parse minus the entropy decode
+    is not worth a second code path — fixture-sized inputs."""
+    dec = decode(b)
+    if dec is None:
+        return None
+    return dec[0], dec[1], 1
+
+
+# ---------------------------------------------------------------- encoder
+
+
+class _BitWriter:
+    __slots__ = ("out", "acc", "nbits")
+
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, n: int) -> None:
+        self.acc = (self.acc << n) | (code & ((1 << n) - 1))
+        self.nbits += n
+        while self.nbits >= 8:
+            self.nbits -= 8
+            byte = (self.acc >> self.nbits) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:
+                self.out.append(0x00)  # stuffing
+            self.acc &= (1 << self.nbits) - 1
+
+    def flush(self) -> None:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)
+
+
+def _huff_codes(bits, vals):
+    """value -> (code, length) canonical assignment."""
+    codes = {}
+    code = 0
+    k = 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            codes[vals[k]] = (code, ln)
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
+
+
+def _scaled_qt(base, quality: int):
+    import numpy as np
+
+    q = max(1, min(100, int(quality)))
+    scale = 5000 // q if q < 50 else 200 - 2 * q
+    t = (np.asarray(base, dtype=np.int64) * scale + 50) // 100
+    return np.clip(t, 1, 255).astype(np.int32)
+
+
+def _fdct_blocks(plane, a):
+    """Forward DCT over an (H, W) uint8 plane padded to 8-multiples;
+    returns (n_blocks_y, n_blocks_x, 64) int32 of UNQUANTIZED coefficients."""
+    import numpy as np
+
+    hh, ww = plane.shape
+    by, bx = hh // 8, ww // 8
+    blocks = (
+        plane.reshape(by, 8, bx, 8).transpose(0, 2, 1, 3).astype(np.float64)
+        - 128.0
+    )
+    coef = np.einsum("ux,nmxy,vy->nmuv", a, blocks, a)
+    return coef.reshape(by, bx, 64)
+
+
+def _pad_edge(plane, mh: int, mw: int):
+    """Replicate-pad a plane up to multiples of (mh, mw)."""
+    import numpy as np
+
+    hh, ww = plane.shape
+    ph = (-hh) % mh
+    pw = (-ww) % mw
+    if ph or pw:
+        plane = np.pad(plane, ((0, ph), (0, pw)), mode="edge")
+    return plane
+
+
+def _encode_block(bw, coefzz, pred, dc_codes, ac_codes) -> int:
+    """Huffman-encode one zigzagged quantized block; returns the new DC
+    predictor."""
+    dc = int(coefzz[0])
+    diff = dc - pred
+    mag = abs(diff)
+    t = mag.bit_length()
+    code, ln = dc_codes[t]
+    bw.write(code, ln)
+    if t:
+        bw.write(diff if diff >= 0 else diff + (1 << t) - 1, t)
+    run = 0
+    last_nz = 0
+    for k in range(63, 0, -1):
+        if coefzz[k]:
+            last_nz = k
+            break
+    for k in range(1, last_nz + 1):
+        v = int(coefzz[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            zc, zl = ac_codes[0xF0]
+            bw.write(zc, zl)
+            run -= 16
+        mag = abs(v)
+        s = mag.bit_length()
+        cc, cl = ac_codes[(run << 4) | s]
+        bw.write(cc, cl)
+        bw.write(v if v >= 0 else v + (1 << s) - 1, s)
+        run = 0
+    if last_nz < 63:
+        ec, el = ac_codes[0x00]
+        bw.write(ec, el)
+    return dc
+
+
+def encode(
+    w: int,
+    h: int,
+    ch: int,
+    pixels,
+    quality: int = 90,
+    subsample: str = "444",
+    restart: int = 0,
+    wide_dqt: bool = False,
+) -> bytes:
+    """Encode raw pixels to a baseline JFIF JPEG.
+
+    ``ch`` 1 (gray), 3 (RGB) or 4 (RGBA — alpha dropped); ``subsample``
+    '444', '422' or '420' (color only); ``restart`` emits DRI + RSTn
+    every that many MCUs; ``wide_dqt`` writes 16-bit DQT entries (same
+    values — exercises the decoder's Pq=1 path). Deterministic: fixed
+    tables, fixed traversal — fixtures hash-pin against it."""
+    import numpy as np
+
+    if subsample not in ("444", "422", "420"):
+        raise ValueError("subsample must be '444', '422' or '420'")
+    arr = np.frombuffer(bytes(pixels), dtype=np.uint8).reshape(h, w, ch)
+    if ch == 4:
+        arr = arr[:, :, :3]
+        ch = 3
+    a = _idct_matrix()
+    qlum = _scaled_qt(_QT_LUM, quality)
+    qchrom = _scaled_qt(_QT_CHROM, quality)
+    zz = np.array(ZIGZAG)
+    # zigzag-ordered quant tables (DQT payload order == entropy order)
+    qlum_zz = qlum.copy()
+    qchrom_zz = qchrom.copy()
+    gray = ch == 1
+    if gray:
+        planes = [arr[:, :, 0].astype(np.float64)]
+        samp = [(1, 1)]
+        qts = [qlum]
+    else:
+        rf = arr[:, :, 0].astype(np.float64)
+        gf = arr[:, :, 1].astype(np.float64)
+        bf = arr[:, :, 2].astype(np.float64)
+        yy = 0.299 * rf + 0.587 * gf + 0.114 * bf
+        cb = -0.168736 * rf - 0.331264 * gf + 0.5 * bf + 128.0
+        cr = 0.5 * rf - 0.418688 * gf - 0.081312 * bf + 128.0
+        if subsample == "420":
+            samp = [(2, 2), (1, 1), (1, 1)]
+        elif subsample == "422":
+            samp = [(2, 1), (1, 1), (1, 1)]
+        else:
+            samp = [(1, 1), (1, 1), (1, 1)]
+        planes = [yy, cb, cr]
+        qts = [qlum, qchrom, qchrom]
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    # pad full-res planes to MCU multiples, then downsample chroma
+    coef_grids = []
+    for pi, (plane, (sh, sv)) in enumerate(zip(planes, samp)):
+        p8 = np.clip(np.rint(plane), 0, 255).astype(np.uint8)
+        p8 = _pad_edge(p8, 8 * vmax, 8 * hmax)
+        if sh != hmax or sv != vmax:
+            fy, fx = vmax // sv, hmax // sh
+            hh, ww = p8.shape
+            p8 = (
+                p8.reshape(hh // fy, fy, ww // fx, fx)
+                .astype(np.float64)
+                .mean(axis=(1, 3))
+            )
+            p8 = np.clip(np.rint(p8), 0, 255).astype(np.uint8)
+        coef = _fdct_blocks(p8, a)
+        q = qts[pi].astype(np.float64)
+        qraster = np.empty(64, dtype=np.float64)
+        qraster[zz] = q  # q is zigzag-ordered; map to raster positions
+        quant = np.rint(coef / qraster[None, None, :]).astype(np.int32)
+        # store zigzag-ordered for the entropy coder
+        coef_grids.append(quant[:, :, zz])
+    # ---- emit the stream
+    out = bytearray(b"\xff\xd8")  # SOI
+
+    def seg(marker: int, payload: bytes) -> None:
+        out.extend(struct.pack(">BBH", 0xFF, marker, len(payload) + 2))
+        out.extend(payload)
+
+    seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")  # APP0
+
+    def dqt_payload(tid: int, tbl) -> bytes:
+        if wide_dqt:
+            return bytes([0x10 | tid]) + b"".join(
+                struct.pack(">H", int(x)) for x in tbl
+            )
+        return bytes([tid]) + bytes(int(x) for x in tbl)
+
+    seg(0xDB, dqt_payload(0, qlum_zz))
+    if not gray:
+        seg(0xDB, dqt_payload(1, qchrom_zz))
+    nc = 1 if gray else 3
+    sof = bytearray(struct.pack(">BHHB", 8, h, w, nc))
+    for ci in range(nc):
+        sh, sv = samp[ci]
+        sof.extend([ci + 1, (sh << 4) | sv, 0 if ci == 0 else 1])
+    seg(0xC0, bytes(sof))
+    ht_specs = [(0x00, _HT_DC_LUM), (0x10, _HT_AC_LUM)]
+    if not gray:
+        ht_specs += [(0x01, _HT_DC_CHROM), (0x11, _HT_AC_CHROM)]
+    for tc_th, (bits, vals) in ht_specs:
+        seg(0xC4, bytes([tc_th]) + bytes(bits) + bytes(vals))
+    if restart:
+        seg(0xDD, struct.pack(">H", restart))
+    sos = bytearray([nc])
+    for ci in range(nc):
+        sos.extend([ci + 1, 0x00 if ci == 0 else 0x11])
+    sos.extend([0, 63, 0])
+    seg(0xDA, bytes(sos))
+    dc_lum = _huff_codes(*_HT_DC_LUM)
+    ac_lum = _huff_codes(*_HT_AC_LUM)
+    dc_chrom = _huff_codes(*_HT_DC_CHROM)
+    ac_chrom = _huff_codes(*_HT_AC_CHROM)
+    tables = [(dc_lum, ac_lum)] + [(dc_chrom, ac_chrom)] * (nc - 1)
+    bw = _BitWriter()
+    mcux = coef_grids[0].shape[1] // samp[0][0]
+    mcuy = coef_grids[0].shape[0] // samp[0][1]
+    preds = [0] * nc
+    rst = 0
+    for m in range(mcux * mcuy):
+        if restart and m and m % restart == 0:
+            bw.flush()
+            out.extend(bw.out)
+            out.extend(bytes([0xFF, 0xD0 + rst]))
+            rst = (rst + 1) % 8
+            bw = _BitWriter()
+            preds = [0] * nc
+        my, mx = divmod(m, mcux)
+        for ci in range(nc):
+            sh, sv = samp[ci]
+            dct, act = tables[ci]
+            for by in range(sv):
+                for bx in range(sh):
+                    blk = coef_grids[ci][my * sv + by, mx * sh + bx]
+                    preds[ci] = _encode_block(bw, blk, preds[ci], dct, act)
+    bw.flush()
+    out.extend(bw.out)
+    out.extend(b"\xff\xd9")  # EOI
+    return bytes(out)

@@ -14,19 +14,24 @@ inside the executor batch function:
 - image: Pillow (``PIL.Image``) when installed; without it, a stdlib
   header parser covers PNG (incl. APNG frame counts), BMP, GIF and JPEG
   (SOF marker walk — baseline/progressive/arithmetic variants)
-  metadata, and a pure-stdlib PNG codec (zlib + scanline unfilter)
-  covers 8-bit RGB/RGBA PNG resize — other formats raise
+  metadata; a pure-stdlib PNG codec (zlib + scanline unfilter) covers
+  8-bit RGB/RGBA PNG pixels, and the r12 baseline JPEG decoder
+  (``jpeg.py``: Huffman + vectorized IDCT, 4:4:4/4:2:2/4:2:0, restart
+  intervals) covers real JPEG pixels — other formats raise
   ``NotImplementedError``;
 - audio: stdlib ``wave`` (WAV) — always available; decoded metadata maps
   (width, height, n_frames) → (channels, bits-per-sample, audio frames);
 - video: the Y4M (YUV4MPEG2) raw container decodes fully stdlib-side
   (r12: header walk for metadata, BT.601 YUV→RGB for frame extraction,
-  C420/C422/C444/Cmono); compressed containers (mp4/webm/...) raise
-  ``NotImplementedError`` — no ffmpeg binding in this container.
+  C420/C422/C444/Cmono), and MJPEG-in-AVI (``avi.py`` over the JPEG
+  codec) covers one COMPRESSED container; inter-frame codecs
+  (mp4/webm/...) raise ``NotImplementedError`` — no ffmpeg binding in
+  this container.
 
 Frame extraction (``sample_frames``, real mode) covers stills, animated
 GIF (r12 stdlib LZW + compositing), APNG (r12 acTL/fcTL/fdAT over the
-PNG codec) and Y4M video; each selected frame is emitted as a PNG.
+PNG codec), Y4M raw video and MJPEG-AVI; each selected frame is emitted
+as a PNG.
 """
 
 from __future__ import annotations
@@ -40,6 +45,9 @@ from typing import Iterator, Optional
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from . import avi as _avi
+from . import jpeg as _jpeg
 from pyspark.sql.types import (
     BinaryType,
     IntegerType,
@@ -209,15 +217,18 @@ def _real_decode(media_type: str, content: bytes) -> tuple[int, int, int]:
         with wave.open(io.BytesIO(content or b""), "rb") as w:
             return w.getnchannels(), w.getsampwidth() * 8, w.getnframes()
     if media_type == "video":
-        # Y4M (YUV4MPEG2): raw planar YUV, the one video container a
-        # stdlib can honestly decode (r12) — header + FRAME count only
-        # here (no raster work); compressed containers still raise
+        # Y4M (YUV4MPEG2): raw planar YUV — header + FRAME count only
+        # here (no raster work); MJPEG-in-AVI (r12): RIFF header walk,
+        # frame count from the movi chunk list. Inter-frame codecs raise.
         meta = _y4m_meta(content or b"")
         if meta is not None:
             return meta
+        meta = _avi.meta(content or b"")
+        if meta is not None:
+            return meta
         raise NotImplementedError(
-            "video decode supports the Y4M (YUV4MPEG2) raw container "
-            "only; compressed video needs ffmpeg, absent here"
+            "video decode supports Y4M (raw) and MJPEG-AVI containers; "
+            "inter-frame codecs need ffmpeg, absent here"
         )
     raise NotImplementedError(f"no decoder for media_type={media_type!r}")
 
@@ -295,9 +306,10 @@ def sample_frames(
       the selected (asset, index) rows — at 100 TB that is
       samples-per-asset rows, never frames-per-asset. Fake mode emits
       deterministic digest bytes; real mode returns the still image
-      itself for single-frame assets and raises ``NotImplementedError``
-      for animated/video content (no frame codec in this container —
-      same honesty contract as the video decoder).
+      itself for single-frame assets, extracts real frames from animated
+      GIF/APNG, Y4M raw video and MJPEG-AVI (r12), and raises
+      ``NotImplementedError`` for inter-frame-coded video (no ffmpeg in
+      this container — same honesty contract as the video decoder).
 
     Cost: one ``decode_assets`` pass + one asset_id-keyed join + the
     explode. Output: FRAME_SCHEMA (asset_id, media_type, n_frames,
@@ -383,15 +395,24 @@ def sample_frames(
                         frames.append(
                             _png_encode(gw, gh, 4, bytearray(all_frames[i]))
                         )
-                    elif m == "video" and cb.startswith(_Y4M_MAGIC):
-                        # raw Y4M video (r12): YUV planes -> RGB PNG per
-                        # selected frame, decoded once per asset per batch
+                    elif m == "video" and (
+                        cb.startswith(_Y4M_MAGIC)
+                        or (cb[:4] == b"RIFF" and cb[8:12] == b"AVI ")
+                    ):
+                        # raw Y4M video (YUV planes -> RGB) or MJPEG-AVI
+                        # (per-frame baseline JPEG -> RGB, r12); one PNG
+                        # per selected frame, decoded once per asset per
+                        # batch
                         if a not in gif_cache:
-                            gif_cache[a] = _y4m_decode_frames(cb)
+                            gif_cache[a] = (
+                                _y4m_decode_frames(cb)
+                                if cb.startswith(_Y4M_MAGIC)
+                                else _avi.decode_frames(cb)
+                            )
                         dec = gif_cache[a]
                         if dec is None or i >= len(dec[2]):
                             raise NotImplementedError(
-                                "Y4M outside the stdlib decoder's subset "
+                                "video outside the stdlib decoders' subset "
                                 f"(asset_id={a}, frame {i} of {nf})"
                             )
                         gw, gh, all_frames = dec
@@ -400,8 +421,8 @@ def sample_frames(
                         )
                     else:
                         raise NotImplementedError(
-                            "frame extraction from compressed video needs "
-                            "a codec (ffmpeg) not present in this container"
+                            "frame extraction from inter-frame-coded video "
+                            "needs a codec (ffmpeg) not present here"
                         )
             yield pd.DataFrame({
                 "asset_id": pdf["asset_id"],
@@ -1191,13 +1212,24 @@ def _y4m_encode(w: int, h: int, yuv_frames, chroma: bytes = b"420") -> bytes:
 
 def _decode_any_pixels(b: bytes):
     """(w, h, channels, pixels) for any stdlib-decodable raster: PNG via
-    the raster codec; animated GIF/APNG and Y4M video via their FIRST
-    frame (r12 — the representative frame perceptual pipelines use).
+    the raster codec; baseline JPEG via the r12 Huffman+IDCT decoder;
+    animated GIF/APNG, Y4M video and MJPEG-AVI via their FIRST frame
+    (r12 — the representative frame perceptual pipelines use).
     Returns None outside the supported subset."""
     b = b or b""
     dec = _png_decode_pixels(b)
     if dec is not None:
         return dec
+    if b[:2] == b"\xff\xd8":
+        j = _jpeg.decode(b)
+        if j is not None:
+            w, h, ch, px = j
+            return w, h, ch, bytearray(px)
+    if b[:4] == b"RIFF" and b[8:12] == b"AVI ":
+        v = _avi.decode_frames(b)
+        if v is not None:
+            w, h, frames = v
+            return w, h, 3, bytearray(frames[0])
     if b[:6] in (b"GIF87a", b"GIF89a"):
         g = _gif_decode_frames(b)
         if g is not None:
@@ -1530,6 +1562,82 @@ def real_y4m_asset_rows(n: int = 16) -> list:
 def make_real_y4m_assets(spark, n: int = 16) -> DataFrame:
     """Y4M video fixture frame (:func:`real_y4m_asset_rows`)."""
     return spark.createDataFrame(real_y4m_asset_rows(n), ASSET_SCHEMA)
+
+
+def real_jpeg_asset_rows(n: int = 16) -> list:
+    """Driver-side rows of the baseline-JPEG fixture (r12): deterministic
+    JPEGs from the stdlib encoder cycling the decoder's full subset —
+    grayscale and color, 4:4:4 / 4:2:2 / 4:2:0 sampling, restart
+    intervals, 16-bit DQT, qualities 80-100, odd (non-MCU-multiple)
+    dimensions. A pure function of ``n`` for the digest-freezing tool."""
+    rows = []
+    subs = ["444", "422", "420"]
+    for i in range(n):
+        w = 17 + 2 * (i % 5)  # odd widths force edge-block cropping
+        h = 11 + 2 * (i % 4)
+        quality = 80 + 5 * (i % 5)
+        if i % 4 == 0:
+            # grayscale
+            px = bytes(((x * 31 + y * 17 + i * 7) % 256)
+                       for y in range(h) for x in range(w))
+            content = _jpeg.encode(
+                w, h, 1, px, quality=quality, restart=(2 if i % 2 else 0)
+            )
+        else:
+            px = bytearray()
+            for y in range(h):
+                for x in range(w):
+                    px += bytes((
+                        (x * 13 + i * 19) % 256,
+                        (y * 23 + i * 5) % 256,
+                        ((x + y) * 9 + i * 3) % 256,
+                    ))
+            content = _jpeg.encode(
+                w, h, 3, px,
+                quality=quality,
+                subsample=subs[i % 3],
+                restart=(3 if i % 3 == 1 else 0),
+                wide_dqt=(i % 5 == 2),
+            )
+        rows.append((i, "image", bytearray(content), '{"src":"fixture-jpeg"}'))
+    return rows
+
+
+def make_real_jpeg_assets(spark, n: int = 16) -> DataFrame:
+    """Baseline-JPEG fixture frame (:func:`real_jpeg_asset_rows`)."""
+    return spark.createDataFrame(real_jpeg_asset_rows(n), ASSET_SCHEMA)
+
+
+def real_mjpeg_asset_rows(n: int = 12) -> list:
+    """Driver-side rows of the MJPEG-AVI video fixture (r12): each asset
+    is a minimal single-stream AVI whose frames are baseline JPEGs from
+    the stdlib encoder (smooth per-frame gradients so the lossy
+    round-trip stays perceptually stable). A pure function of ``n`` for
+    the digest-freezing tool."""
+    rows = []
+    for i in range(n):
+        w = 16 + 4 * (i % 3)
+        h = 12 + 4 * (i % 2)
+        n_frames = 2 + i % 4
+        jf = []
+        for k in range(n_frames):
+            px = bytearray()
+            for y in range(h):
+                for x in range(w):
+                    px += bytes((
+                        (x * 6 + k * 40 + i * 9) % 256,
+                        (y * 8 + k * 25 + i * 13) % 256,
+                        ((x + y) * 4 + k * 55 + i * 3) % 256,
+                    ))
+            jf.append(_jpeg.encode(w, h, 3, px, quality=95))
+        content = _avi.encode(w, h, jf, fps=4 + i % 3)
+        rows.append((i, "video", bytearray(content), '{"src":"fixture-mjpeg"}'))
+    return rows
+
+
+def make_real_mjpeg_assets(spark, n: int = 12) -> DataFrame:
+    """MJPEG-AVI video fixture frame (:func:`real_mjpeg_asset_rows`)."""
+    return spark.createDataFrame(real_mjpeg_asset_rows(n), ASSET_SCHEMA)
 
 
 def make_real_assets(spark, n: int = 64) -> DataFrame:

@@ -1,0 +1,269 @@
+"""Baseline JPEG codec (seqspark/pipeline/jpeg.py) + MJPEG-AVI container
+(avi.py) — codec unit tests and the Spark pipeline integration (r12b).
+
+The encoder exists for deterministic fixtures; every decoder path it can
+reach (gray/444/422/420, restart intervals, 16-bit DQT, odd dimensions)
+is exercised through a round-trip. The one EXACT property: grayscale
+images whose 8x8 blocks are uniform survive quality-100 unchanged
+(integer DC, zero AC, unit quantizer), so the full Huffman/IDCT chain is
+pinned without a lossy tolerance.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from seqspark.pipeline import avi, jpeg
+
+
+def _rng(seed=0):
+    return np.random.default_rng(seed)
+
+
+def _roundtrip(img, ch, **kw):
+    h, w = img.shape[:2]
+    b = jpeg.encode(w, h, ch, img.tobytes(), **kw)
+    dec = jpeg.decode(b)
+    assert dec is not None, kw
+    dw, dh, dch, px = dec
+    assert (dw, dh, dch) == (w, h, 3)
+    return np.frombuffer(bytes(px), dtype=np.uint8).reshape(h, w, 3)
+
+
+class TestJpegCodec:
+    def test_gray_flat_blocks_exact_q100(self):
+        rng = _rng(7)
+        vals = rng.integers(0, 256, size=(4, 6), dtype=np.uint8)
+        img = np.repeat(np.repeat(vals, 8, axis=0), 8, axis=1)
+        out = _roundtrip(img, 1, quality=100)
+        for c in range(3):  # gray replicates across RGB
+            assert np.array_equal(out[:, :, c], img)
+
+    def test_gray_flat_blocks_exact_with_restart(self):
+        rng = _rng(9)
+        vals = rng.integers(0, 256, size=(3, 5), dtype=np.uint8)
+        img = np.repeat(np.repeat(vals, 8, axis=0), 8, axis=1)
+        out = _roundtrip(img, 1, quality=100, restart=2)
+        assert np.array_equal(out[:, :, 0], img)
+
+    def test_color_flat_blocks_near_exact_q100(self):
+        rng = _rng(3)
+        vals = rng.integers(0, 256, size=(3, 4, 3), dtype=np.uint8)
+        img = np.repeat(np.repeat(vals, 8, axis=0), 8, axis=1)
+        out = _roundtrip(img, 3, quality=100, subsample="444")
+        # YCbCr rounding only: within 1 count per channel
+        assert int(np.abs(out.astype(int) - img.astype(int)).max()) <= 1
+
+    @pytest.mark.parametrize("subsample", ["444", "422", "420"])
+    def test_smooth_gradient_tolerance(self, subsample):
+        h, w = 24, 40
+        yy, xx = np.mgrid[0:h, 0:w]
+        img = np.stack(
+            [(xx * 3) % 256, (yy * 5) % 256, ((xx + yy) * 2) % 256], axis=-1
+        ).astype(np.uint8)
+        out = _roundtrip(img, 3, quality=90, subsample=subsample)
+        assert int(np.abs(out.astype(int) - img.astype(int)).max()) <= 40
+        assert float(np.abs(out.astype(float) - img).mean()) <= 4.0
+
+    def test_restart_and_wide_dqt_decode_identically(self):
+        rng = _rng(11)
+        img = rng.integers(0, 256, size=(24, 40, 3), dtype=np.uint8)
+        base = _roundtrip(img, 3, quality=92)
+        for kw in (
+            dict(restart=1),
+            dict(restart=2),
+            dict(wide_dqt=True),
+            dict(restart=3, wide_dqt=True),
+        ):
+            assert np.array_equal(_roundtrip(img, 3, quality=92, **kw), base)
+
+    @pytest.mark.parametrize("subsample", ["444", "422", "420"])
+    @pytest.mark.parametrize("dims", [(37, 21), (8, 8), (17, 9), (16, 16)])
+    def test_odd_dimensions(self, subsample, dims):
+        w, h = dims
+        rng = _rng(w * 100 + h)
+        img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        b = jpeg.encode(w, h, 3, img.tobytes(), quality=85, subsample=subsample)
+        dec = jpeg.decode(b)
+        assert dec is not None and (dec[0], dec[1]) == (w, h)
+
+    def test_rgba_alpha_dropped(self):
+        rng = _rng(5)
+        img = rng.integers(0, 256, size=(16, 16, 4), dtype=np.uint8)
+        b = jpeg.encode(16, 16, 4, img.tobytes(), quality=95)
+        dec = jpeg.decode(b)
+        assert dec is not None and dec[2] == 3
+
+    def test_progressive_rejected(self):
+        b = bytearray(jpeg.encode(16, 16, 1, bytes(256), quality=80))
+        i = b.find(b"\xff\xc0")
+        b[i + 1] = 0xC2  # SOF0 -> SOF2 (progressive)
+        assert jpeg.decode(bytes(b)) is None
+
+    def test_malformed_never_throws(self):
+        good = jpeg.encode(16, 16, 1, bytes(range(0, 256)), quality=80)
+        assert jpeg.decode(b"") is None
+        assert jpeg.decode(b"\xff\xd8") is None
+        assert jpeg.decode(b"\xff\xd8\xff\xd9") is None
+        assert jpeg.decode(b"notajpeg") is None
+        for cut in (10, len(good) // 2, len(good) - 2):
+            jpeg.decode(good[:cut])  # must not raise; None or partial ok
+        # bit-flip fuzz over the entropy segment must never throw
+        rng = _rng(1)
+        for _ in range(50):
+            bb = bytearray(good)
+            k = int(rng.integers(2, len(bb)))
+            bb[k] ^= 1 << int(rng.integers(0, 8))
+            jpeg.decode(bytes(bb))
+
+    def test_meta_matches_decode(self):
+        b = jpeg.encode(20, 12, 1, bytes(240), quality=80)
+        assert jpeg.meta(b) == (20, 12, 1)
+        assert jpeg.meta(b"junk") is None
+
+    def test_deterministic_bytes(self):
+        rng = _rng(2)
+        img = rng.integers(0, 256, size=(16, 24, 3), dtype=np.uint8)
+        a = jpeg.encode(24, 16, 3, img.tobytes(), quality=88, subsample="420")
+        b = jpeg.encode(24, 16, 3, img.tobytes(), quality=88, subsample="420")
+        assert a == b
+
+
+class TestAviContainer:
+    def _clip(self, n_frames=4, w=24, h=16, seed=0):
+        rng = _rng(seed)
+        frames = []
+        jf = []
+        for k in range(n_frames):
+            yy, xx = np.mgrid[0:h, 0:w]
+            img = np.stack(
+                [(xx * 4 + k * 30) % 256, (yy * 6 + k * 20) % 256,
+                 ((xx + yy) * 3 + k * 50) % 256],
+                axis=-1,
+            ).astype(np.uint8)
+            frames.append(img)
+            jf.append(jpeg.encode(w, h, 3, img.tobytes(), quality=95))
+        return frames, avi.encode(w, h, jf, fps=5)
+
+    def test_meta_and_frames(self):
+        frames, b = self._clip(5)
+        assert avi.meta(b) == (24, 16, 5)
+        dec = avi.decode_frames(b)
+        assert dec is not None
+        w, h, out = dec
+        assert (w, h, len(out)) == (24, 16, 5)
+        for k, f in enumerate(out):
+            got = np.frombuffer(f, dtype=np.uint8).reshape(16, 24, 3)
+            # mod-256 wraps in the synthetic gradient are hard edges —
+            # DCT ringing reaches ~13 at q95 there; 16 still catches a
+            # broken dequant/IDCT (which is off by >>100)
+            assert int(np.abs(got.astype(int) - frames[k].astype(int)).max()) <= 16
+
+    def test_malformed(self):
+        _frames, b = self._clip(2)
+        assert avi.meta(b"") is None
+        assert avi.meta(b"RIFF\x04\x00\x00\x00WAVE") is None
+        assert avi.meta(b[:40]) is None
+        assert avi.decode_frames(b[: len(b) // 2]) is None
+        # frame count bomb: advertise too many frames
+        bb = bytearray(b)
+        i = bb.find(b"avih")
+        import struct as _s
+
+        bb[i + 8 + 16 : i + 8 + 20] = _s.pack("<I", 1 << 20)
+        assert avi.meta(bytes(bb)) is None
+
+    def test_mismatched_frame_dims_rejected(self):
+        j1 = jpeg.encode(16, 16, 1, bytes(256), quality=80)
+        j2 = jpeg.encode(8, 8, 1, bytes(64), quality=80)
+        b = avi.encode(16, 16, [j1, j2])
+        assert avi.decode_frames(b) is None
+
+
+class TestJpegPipeline:
+    def test_decode_assets_metadata(self, spark):
+        from seqspark.pipeline.multimodal import (
+            decode_assets, make_real_jpeg_assets)
+
+        dec = decode_assets(make_real_jpeg_assets(spark, 8), fake=False)
+        got = {r["asset_id"]: (r["width"], r["height"], r["n_frames"])
+               for r in dec.collect()}
+        assert got == {
+            i: (17 + 2 * (i % 5), 11 + 2 * (i % 4), 1) for i in range(8)
+        }
+
+    def test_mjpeg_decode_and_sample_frames(self, spark):
+        from seqspark.pipeline.multimodal import (
+            _png_decode_pixels, decode_assets, make_real_mjpeg_assets,
+            real_mjpeg_asset_rows, sample_frames)
+
+        dec = decode_assets(make_real_mjpeg_assets(spark, 6), fake=False)
+        got = {r["asset_id"]: (r["width"], r["height"], r["n_frames"])
+               for r in dec.collect()}
+        assert got == {
+            i: (16 + 4 * (i % 3), 12 + 4 * (i % 2), 2 + i % 4)
+            for i in range(6)
+        }
+        out = sample_frames(
+            make_real_mjpeg_assets(spark, 4), every_n=2, fake=False
+        ).collect()
+        assert out
+        src = {i: bytes(c) for i, _m, c, _j in real_mjpeg_asset_rows(4)}
+        for r in out:
+            w, h, frames = avi.decode_frames(src[r["asset_id"]])
+            pw, ph, ch, px = _png_decode_pixels(bytes(r["frame"]))
+            assert (pw, ph, ch) == (w, h, 3)
+            assert bytes(px) == frames[r["frame_index"]]
+
+    def test_resize_and_dhash_over_jpeg(self, spark):
+        from pyspark.sql import functions as F  # noqa: F401
+
+        from seqspark.pipeline.multimodal import (
+            _decode_any_pixels, _dhash_of_pixels, dhash_images,
+            make_real_jpeg_assets, real_jpeg_asset_rows, resize_images)
+
+        assets = make_real_jpeg_assets(spark, 6)
+        out = resize_images(assets, 16, 8, fake=False, codec="stdlib").collect()
+        assert len(out) == 6
+        for r in out:
+            dec = _decode_any_pixels(bytes(r["content"]))
+            assert dec is not None and (dec[0], dec[1]) == (16, 8)
+        got = {r["asset_id"]: r["dhash"]
+               for r in dhash_images(assets, fake=False).collect()}
+        assert all(v is not None for v in got.values())
+        # pure-Python parity on one asset
+        b = bytes(real_jpeg_asset_rows(1)[0][2])
+        w, h, ch, px = _decode_any_pixels(b)
+        u = _dhash_of_pixels(w, h, ch, px, 8)
+        assert got[0] == (u - (1 << 64) if u >= (1 << 63) else u)
+
+    def test_dhash_cross_codec_robustness(self):
+        # the perceptual POINT of dHash: the same picture as PNG and as a
+        # lossy JPEG re-encode lands within a small Hamming distance
+        from seqspark.pipeline.multimodal import (
+            _decode_any_pixels, _dhash_of_pixels, _png_encode)
+
+        h, w = 32, 48
+        yy, xx = np.mgrid[0:h, 0:w]
+        img = np.stack(
+            [(xx * 5) % 256, (yy * 4) % 256, ((xx * yy) // 4) % 256], axis=-1
+        ).astype(np.uint8)
+        png = _png_encode(w, h, 3, bytearray(img.tobytes()))
+        jpg = jpeg.encode(w, h, 3, img.tobytes(), quality=85, subsample="420")
+        hp = _dhash_of_pixels(*_decode_any_pixels(png))
+        hj = _dhash_of_pixels(*_decode_any_pixels(jpg))
+        assert bin(hp ^ hj).count("1") <= 6
+
+    def test_interframe_video_still_raises(self, spark):
+        import pytest as _pytest
+        from pyspark.sql.utils import PythonException
+
+        from seqspark.pipeline.multimodal import ASSET_SCHEMA, decode_assets
+
+        fake_mp4 = b"\x00\x00\x00\x18ftypmp42" + b"\0" * 64
+        assets = spark.createDataFrame(
+            [(1, "video", bytearray(fake_mp4), "{}")], ASSET_SCHEMA
+        )
+        with _pytest.raises(PythonException, match="MJPEG|ffmpeg"):
+            decode_assets(assets, fake=False).collect()

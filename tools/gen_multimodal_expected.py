@@ -44,11 +44,15 @@ from seqspark.pipeline.multimodal import (  # noqa: E402
     _png_encode,
     _real_decode,
     _stdlib_png_resize,
+    _decode_any_pixels,
     real_apng_asset_rows,
     real_asset_rows,
     real_gif_asset_rows,
+    real_jpeg_asset_rows,
+    real_mjpeg_asset_rows,
     real_y4m_asset_rows,
 )
+from seqspark.pipeline import avi as _avi  # noqa: E402
 
 N_DECODE = 64
 N_DHASH = 48
@@ -162,6 +166,56 @@ def main() -> None:
     print("#: decoder; frames are RGB PNG re-encodes)")
     print("FRAME_SAMPLE_Y4M_EXPECTED = [")
     for r in y4m:
+        print(f"    {r!r},")
+    print("]")
+
+    # r12b: baseline-JPEG pixels (Huffman + vectorized IDCT) — resize
+    # digests and perceptual dHashes over the JPEG fixture, frozen like
+    # the PNG set; a JPEG kernel regression fails the contract.
+    jres = []
+    jdh = []
+    for i, media, content, _meta in real_jpeg_asset_rows(16):
+        b = bytes(content)
+        out = _stdlib_png_resize(b, RESIZE_W, RESIZE_H)
+        assert out is not None, f"jpeg asset {i} not stdlib-resizable"
+        jres.append(
+            (i, hashlib.sha256(out).hexdigest(), len(out), RESIZE_W, RESIZE_H)
+        )
+        dec = _decode_any_pixels(b)
+        assert dec is not None, f"jpeg asset {i} not stdlib-decodable"
+        w, h, ch, px = dec
+        u = _dhash_of_pixels(w, h, ch, px, 8)
+        jdh.append((i, u - (1 << 64) if u >= (1 << 63) else u))
+    print()
+    print("#: (asset_id, sha256, n_bytes, w, h) of the stdlib resize of")
+    print("#: each baseline-JPEG fixture asset (r12b JPEG decoder)")
+    print("JPEG_RESIZE_EXPECTED = [")
+    for r in jres:
+        print(f"    {r!r},")
+    print("]")
+    print()
+    print("#: (asset_id, dhash) over real_jpeg_asset_rows")
+    print("IMAGE_DHASH_JPEG_EXPECTED = [")
+    for r in jdh:
+        print(f"    {r!r},")
+    print("]")
+
+    # r12b: MJPEG-AVI frame extraction — one compressed video container
+    # decodes for real now (per-frame baseline JPEGs inside RIFF).
+    mj = []
+    for i, media, content, _meta in real_mjpeg_asset_rows(12):
+        w, h, frames = _avi.decode_frames(bytes(content))
+        nf = len(frames)
+        k = min(GIF_SAMPLES, nf)
+        idxs = sorted({(j * nf) // k for j in range(k)})
+        for fi in idxs:
+            png = _png_encode(w, h, 3, bytearray(frames[fi]))
+            mj.append((i, nf, fi, hashlib.sha256(png).hexdigest()))
+    print()
+    print("#: same shape over real_mjpeg_asset_rows (MJPEG-in-AVI: the")
+    print("#: r12b compressed-video path; frames are RGB PNG re-encodes)")
+    print("FRAME_SAMPLE_MJPEG_EXPECTED = [")
+    for r in mj:
         print(f"    {r!r},")
     print("]")
 
