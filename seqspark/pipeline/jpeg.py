@@ -156,105 +156,66 @@ def _idct_matrix():
 
 
 class _HuffDecoder:
-    """Canonical Huffman decoder per the spec's MINCODE/MAXCODE/VALPTR
-    tables (F.2.2.3) — decode walks one bit at a time."""
+    """LUT-driven canonical Huffman decoder: a 16-bit-prefix table maps
+    the next 16 stream bits directly to ``(length << 8) | value`` (0 =
+    invalid prefix), so each symbol costs one dict-free list index
+    instead of up-to-16 bit reads. JPEG codes never exceed 16 bits, so
+    the table is complete — no slow path. Built once per DHT segment,
+    slice-filled (≤256 ranges), ~65k-entry Python list per table."""
 
-    __slots__ = ("mincode", "maxcode", "valptr", "vals")
+    __slots__ = ("lut",)
 
     def __init__(self, bits, vals):
-        self.vals = vals
-        self.mincode = [0] * 17
-        self.maxcode = [-1] * 17
-        self.valptr = [0] * 17
+        lut = [0] * 65536
         code = 0
         k = 0
         for ln in range(1, 17):
-            n = bits[ln - 1]
-            if n:
-                self.valptr[ln] = k
-                self.mincode[ln] = code
-                code += n
-                k += n
-                self.maxcode[ln] = code - 1
+            for _ in range(bits[ln - 1]):
+                packed = (ln << 8) | vals[k]
+                lo = code << (16 - ln)
+                hi = (code + 1) << (16 - ln)
+                lut[lo:hi] = [packed] * (hi - lo)
+                code += 1
+                k += 1
             code <<= 1
-
-
-class _BitReader:
-    """MSB-first bit reader over an un-stuffed entropy segment."""
-
-    __slots__ = ("data", "pos", "acc", "nbits")
-
-    def __init__(self, data: bytes):
-        self.data = data
-        self.pos = 0
-        self.acc = 0
-        self.nbits = 0
-
-    def _fill(self) -> bool:
-        if self.pos >= len(self.data):
-            return False
-        self.acc = (self.acc << 8) | self.data[self.pos]
-        self.pos += 1
-        self.nbits += 8
-        return True
-
-    def read(self, n: int) -> int:
-        while self.nbits < n:
-            if not self._fill():
-                raise EOFError("entropy data exhausted")
-        self.nbits -= n
-        v = (self.acc >> self.nbits) & ((1 << n) - 1)
-        self.acc &= (1 << self.nbits) - 1
-        return v
-
-    def huff(self, table: _HuffDecoder) -> int:
-        code = 0
-        for ln in range(1, 17):
-            code = (code << 1) | self.read(1)
-            if code <= table.maxcode[ln]:
-                return table.vals[table.valptr[ln] + code - table.mincode[ln]]
-        raise ValueError("invalid Huffman code")
-
-
-def _extend(v: int, n: int) -> int:
-    """Sign-extend an n-bit magnitude per spec F.2.2.1 (EXTEND)."""
-    if n == 0:
-        return 0
-    return v if v >= (1 << (n - 1)) else v - (1 << n) + 1
+        self.lut = lut
 
 
 def _split_entropy(b: bytes, pos: int) -> tuple[list[bytes], int]:
     """Un-stuff entropy-coded data starting at ``pos``, splitting at RST
-    markers. Returns (segments, position of the terminating marker's FF)."""
+    markers. Returns (segments, position of the terminating marker's FF).
+    Span-copies between 0xFF sightings (``bytes.find`` skips the >99%
+    non-FF bulk in C) instead of walking byte-at-a-time."""
     segs: list[bytes] = []
-    cur = bytearray()
+    parts: list[bytes] = []
     n = len(b)
-    i = pos
-    while i < n:
-        c = b[i]
-        if c != 0xFF:
-            cur.append(c)
-            i += 1
-            continue
-        # 0xFF: stuffing, fill, RST, or a real marker terminating the scan
-        j = i + 1
-        while j < n and b[j] == 0xFF:  # fill bytes
-            j += 1
-        if j >= n:
-            break
-        m = b[j]
-        if m == 0x00:
-            cur.append(0xFF)
-            i = j + 1
+    start = pos
+    while True:
+        j = b.find(b"\xff", start)
+        if j < 0:
+            parts.append(b[start:n])
+            segs.append(b"".join(parts))
+            return segs, n
+        k = j + 1
+        while k < n and b[k] == 0xFF:  # fill bytes
+            k += 1
+        if k >= n:
+            parts.append(b[start:j])
+            segs.append(b"".join(parts))
+            return segs, n
+        m = b[k]
+        if m == 0x00:  # stuffed FF: keep one literal FF, drop the 00
+            parts.append(b[start : j + 1])
+            start = k + 1
         elif 0xD0 <= m <= 0xD7:  # RSTn: segment boundary
-            segs.append(bytes(cur))
-            cur = bytearray()
-            i = j + 1
+            parts.append(b[start:j])
+            segs.append(b"".join(parts))
+            parts = []
+            start = k + 1
         else:
-            segs.append(bytes(cur))
-            return segs, i
-    segs.append(bytes(cur))
-    return segs, n
+            parts.append(b[start:j])
+            segs.append(b"".join(parts))
+            return segs, j
 
 
 def decode(b: bytes) -> Optional[tuple[int, int, int, bytearray]]:
@@ -382,53 +343,102 @@ def _decode_scan(frame, scan, qt, huff, restart, segs):
     mcux = (w + 8 * hmax - 1) // (8 * hmax)
     mcuy = (h + 8 * vmax - 1) // (8 * vmax)
     nmcu = mcux * mcuy
-    # coefficient planes per component, laid out as block grids
-    planes = []
-    for ci, ch, cv, _q, _d, _a in order:
-        planes.append(
-            np.zeros((mcuy * cv, mcux * ch, 64), dtype=np.int32)
-        )
+    # entropy decode into per-component Python block lists (bulk numpy
+    # conversion afterwards — per-coefficient ndarray writes are 10x the
+    # cost of list stores in this loop)
+    comp_blocks: list[list[list[int]]] = [[] for _ in order]
     preds = [0] * len(order)
     seg_idx = 0
-    reader = _BitReader(segs[0] if segs else b"")
+    # inlined MSB-first bit state (locals, not attribute access — this
+    # loop is the codec's entire Python cost)
+    data = segs[0] if segs else b""
+    dlen = len(data)
+    pos = 0
+    acc = 0
+    nbits = 0
     zz = ZIGZAG
+    n_ord = len(order)
     for m in range(nmcu):
         if restart and m and m % restart == 0:
             seg_idx += 1
             if seg_idx >= len(segs):
                 return None
-            reader = _BitReader(segs[seg_idx])
-            preds = [0] * len(order)
-        my, mx = divmod(m, mcux)
-        for k, (ci, ch, cv, _q, dtab, atab) in enumerate(order):
-            for by in range(cv):
-                for bx in range(ch):
-                    blk = planes[k][my * cv + by, mx * ch + bx]
-                    t = reader.huff(dtab)
-                    diff = _extend(reader.read(t), t) if t else 0
-                    preds[k] += diff
-                    blk[0] = preds[k]
-                    kk = 1
-                    while kk < 64:
-                        rs = reader.huff(atab)
-                        r, s = rs >> 4, rs & 0xF
-                        if s == 0:
-                            if r == 15:
-                                kk += 16  # ZRL
-                                continue
-                            break  # EOB
-                        kk += r
-                        if kk > 63:
-                            return None
-                        blk[zz[kk]] = _extend(reader.read(s), s)
-                        kk += 1
+            data = segs[seg_idx]
+            dlen = len(data)
+            pos = 0
+            acc = 0
+            nbits = 0
+            preds = [0] * n_ord
+        for k in range(n_ord):
+            _ci, ch, cv, _q, dtab, atab = order[k]
+            dlut = dtab.lut
+            alut = atab.lut
+            for _blk_i in range(cv * ch):
+                blk = [0] * 64
+                # --- DC: one ≥32-bit fill covers code + magnitude bits
+                while nbits < 32 and pos < dlen:
+                    acc = (acc << 8) | data[pos]
+                    pos += 1
+                    nbits += 8
+                packed = dlut[
+                    ((acc >> (nbits - 16)) if nbits >= 16
+                     else (acc << (16 - nbits))) & 0xFFFF
+                ]
+                ln = packed >> 8
+                t = packed & 0xFF
+                if ln == 0 or ln + t > nbits:
+                    raise ValueError("bad DC code")
+                nbits -= ln + t
+                if t:
+                    v = (acc >> nbits) & ((1 << t) - 1)
+                    preds[k] += v if v >= (1 << (t - 1)) else v - (1 << t) + 1
+                acc &= (1 << nbits) - 1
+                blk[0] = preds[k]
+                # --- AC run-length symbols (same single-fill discipline)
+                kk = 1
+                while kk < 64:
+                    while nbits < 32 and pos < dlen:
+                        acc = (acc << 8) | data[pos]
+                        pos += 1
+                        nbits += 8
+                    packed = alut[
+                        ((acc >> (nbits - 16)) if nbits >= 16
+                         else (acc << (16 - nbits))) & 0xFFFF
+                    ]
+                    ln = packed >> 8
+                    rs = packed & 0xFF
+                    s = rs & 0xF
+                    if ln == 0 or ln + s > nbits:
+                        raise ValueError("bad AC code")
+                    nbits -= ln + s
+                    if s == 0:
+                        acc &= (1 << nbits) - 1
+                        if rs == 0xF0:
+                            kk += 16  # ZRL
+                            continue
+                        break  # EOB
+                    kk += rs >> 4
+                    if kk > 63:
+                        return None
+                    v = (acc >> nbits) & ((1 << s) - 1)
+                    acc &= (1 << nbits) - 1
+                    blk[zz[kk]] = (
+                        v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+                    )
+                    kk += 1
+                comp_blocks[k].append(blk)
     # dequantize + IDCT, vectorized per component
     a = _idct_matrix()
     out_planes = []
     for k, (ci, ch, cv, q, _d, _a2) in enumerate(order):
-        grid = planes[k]
-        rows, cols = grid.shape[0], grid.shape[1]
-        flat = grid.reshape(rows * cols, 64)
+        rows, cols = mcuy * cv, mcux * ch
+        # blocks were appended in MCU order: for MCU (my,mx), the cv*ch
+        # sub-blocks raster within the MCU — map list order -> grid
+        flat_list = comp_blocks[k]
+        flat = np.array(flat_list, dtype=np.int32).reshape(
+            mcuy, mcux, cv, ch, 64
+        )
+        flat = flat.transpose(0, 2, 1, 3, 4).reshape(rows * cols, 64)
         # entropy layout is already raster order (dezigzagged at store
         # time via zz[kk]); dequantize maps through the zigzag ordering
         # of the quant table
@@ -436,8 +446,12 @@ def _decode_scan(frame, scan, qt, huff, restart, segs):
         qraster[np.array(zz)] = q
         deq = flat.astype(np.float64) * qraster[None, :]
         blocks = deq.reshape(rows * cols, 8, 8)
-        spat = np.einsum("ux,nuv,vy->nxy", a, blocks, a) + 128.0
-        spat = np.clip(np.rint(spat), 0, 255).astype(np.uint8)
+        # IDCT = A.T @ block @ A, batched matmul over all blocks at once
+        spat = np.matmul(np.matmul(a.T, blocks), a)
+        spat += 128.0
+        np.rint(spat, out=spat)
+        np.clip(spat, 0, 255, out=spat)
+        spat = spat.astype(np.uint8)
         plane = (
             spat.reshape(rows, cols, 8, 8)
             .transpose(0, 2, 1, 3)
@@ -462,9 +476,11 @@ def _decode_scan(frame, scan, qt, huff, restart, segs):
         r = y + 1.402 * cr
         g = y - 0.344136 * cb - 0.714136 * cr
         bl = y + 1.772 * cb
-        rgb = np.clip(
-            np.rint(np.stack([r, g, bl], axis=-1)), 0, 255
-        ).astype(np.uint8)
+        rgb = np.empty((h, w, 3), dtype=np.uint8)
+        for ch_i, arr in enumerate((r, g, bl)):
+            np.rint(arr, out=arr)
+            np.clip(arr, 0, 255, out=arr)
+            rgb[:, :, ch_i] = arr
     return w, h, 3, bytearray(rgb.tobytes())
 
 

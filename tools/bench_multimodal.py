@@ -46,6 +46,8 @@ def main() -> None:
         make_real_apng_assets,
         make_real_assets,
         make_real_gif_assets,
+        make_real_jpeg_assets,
+        make_real_mjpeg_assets,
         make_real_y4m_assets,
         sample_frames,
     )
@@ -56,6 +58,8 @@ def main() -> None:
         "gif": make_real_gif_assets(spark, n),
         "apng": make_real_apng_assets(spark, n),
         "y4m": make_real_y4m_assets(spark, n),
+        "jpeg": make_real_jpeg_assets(spark, n),
+        "mjpeg": make_real_mjpeg_assets(spark, n),
     }
     # repartition so the Arrow batches spread over the executor threads
     fixtures = {
@@ -81,13 +85,17 @@ def main() -> None:
         rate(f"decode_{kind}",
              lambda df=df: decode_assets(df, fake=False).count(),
              lambda c: c)
-    for kind in ("gif", "apng", "y4m"):
+    for kind in ("gif", "apng", "y4m", "mjpeg"):
         rate(f"frames_{kind}",
              lambda kind=kind: sample_frames(
                  fixtures[kind], n_samples=3, fake=False).count(),
              lambda c: c)
     rate("dhash_gif",
          lambda: dhash_images(fixtures["gif"], fake=False)
+         .filter(F.col("dhash").isNotNull()).count(),
+         lambda c: c)
+    rate("dhash_jpeg",
+         lambda: dhash_images(fixtures["jpeg"], fake=False)
          .filter(F.col("dhash").isNotNull()).count(),
          lambda c: c)
 
