@@ -6,24 +6,29 @@ so resize / dHash / frame extraction honestly raised on the single most
 common web-corpus image format. This module implements a real baseline
 sequential decoder and a matching encoder with no third-party codec:
 
-- **decode**: baseline DCT (SOF0) and extended sequential (SOF1), 8-bit,
-  Huffman entropy coding, 1- or 3-component scans, any sampling factors
-  in {1,2}x{1,2} (4:4:4 / 4:2:2 / 4:4:0 / 4:2:0), restart intervals
-  (DRI + RSTn), fill bytes, 16-bit DQT entries. Out-of-subset streams
-  (progressive SOF2, arithmetic coding, 12-bit, CMYK) return ``None`` —
-  the multimodal layer turns that into its honest capability raise.
-- **encode**: baseline, quality-scaled Annex-K quantization tables and
-  the spec's standard Huffman tables, 4:4:4 or 4:2:0, grayscale or
-  color. Exists so fixtures are deterministic and the decoder is
-  round-trip property-tested (grayscale flat 8x8 blocks at quality 100
-  survive EXACTLY: integer DC, zero AC, unit quantizer).
+- **decode**: baseline DCT (SOF0), extended sequential (SOF1) AND
+  progressive (SOF2: spectral selection + successive approximation,
+  DC/AC first + refinement scans, EOB runs), 8-bit, Huffman entropy
+  coding, 1- or 3-component scans, any sampling factors in {1,2}x{1,2}
+  (4:4:4 / 4:2:2 / 4:4:0 / 4:2:0), restart intervals (DRI + RSTn), fill
+  bytes, 16-bit DQT entries. Out-of-subset streams (arithmetic coding,
+  lossless/hierarchical, 12-bit, CMYK) return ``None`` — the multimodal
+  layer turns that into its honest capability raise.
+- **encode** / **encode_progressive**: quality-scaled Annex-K
+  quantization tables; baseline uses the spec's standard Huffman tables,
+  progressive a uniform AC table so real EOBn runs are expressible.
+  They exist so fixtures are deterministic and the decoder is
+  round-trip property-tested two ways: grayscale flat 8x8 blocks at
+  quality 100 survive the baseline EXACTLY (integer DC, zero AC, unit
+  quantizer), and a full-precision progressive stream decodes to pixels
+  IDENTICAL to the baseline stream of the same image/quality.
 
-The hot loop is the per-bit Huffman decode (pure Python — fixture-sized
-assets, Arrow-batched upstream); everything O(pixels) after entropy
-decode (dequantize, IDCT, upsample, color transform) is vectorized
-numpy: the IDCT is two 8x8 matrix multiplications over all blocks of a
-component at once. Bomb-safe like the PNG codec: dimensions are capped
-before any allocation.
+The hot loop is the per-symbol Huffman decode (LUT-driven Python —
+fixture-sized assets, Arrow-batched upstream); everything O(pixels)
+after entropy decode (dequantize, IDCT, upsample, color transform) is
+vectorized numpy: the IDCT is two 8x8 matrix multiplications over all
+blocks of a component at once. Bomb-safe like the PNG codec: dimensions
+are capped before any allocation.
 
 Reference parity anchor: the reference stores media as opaque bytes and
 never decodes (seq-db is a log store); this module serves SURVEY §2's
@@ -181,6 +186,214 @@ class _HuffDecoder:
         self.lut = lut
 
 
+class _Bits:
+    """MSB-first bit reader for the progressive path (the baseline hot
+    loop inlines this; progressive scans are band-sized, so method-call
+    overhead is acceptable there)."""
+
+    __slots__ = ("data", "dlen", "pos", "acc", "nbits")
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.dlen = len(data)
+        self.pos = 0
+        self.acc = 0
+        self.nbits = 0
+
+    def huff(self, lut) -> int:
+        while self.nbits < 16 and self.pos < self.dlen:
+            self.acc = (self.acc << 8) | self.data[self.pos]
+            self.pos += 1
+            self.nbits += 8
+        idx = (
+            (self.acc >> (self.nbits - 16)) if self.nbits >= 16
+            else (self.acc << (16 - self.nbits))
+        ) & 0xFFFF
+        packed = lut[idx]
+        ln = packed >> 8
+        if ln == 0 or ln > self.nbits:
+            raise ValueError("bad Huffman code")
+        self.nbits -= ln
+        self.acc &= (1 << self.nbits) - 1
+        return packed & 0xFF
+
+    def bits(self, nb: int) -> int:
+        if nb == 0:
+            return 0
+        while self.nbits < nb:
+            if self.pos >= self.dlen:
+                raise EOFError("entropy data exhausted")
+            self.acc = (self.acc << 8) | self.data[self.pos]
+            self.pos += 1
+            self.nbits += 8
+        self.nbits -= nb
+        v = (self.acc >> self.nbits) & ((1 << nb) - 1)
+        self.acc &= (1 << self.nbits) - 1
+        return v
+
+    def recv_extend(self, t: int) -> int:
+        if t == 0:
+            return 0
+        v = self.bits(t)
+        return v if v >= (1 << (t - 1)) else v - (1 << t) + 1
+
+
+def _progressive_scan(
+    w, h, comps, scan, ss, se, ah, al, huff, restart, segs, coef, mcux, mcuy
+):
+    """Apply one progressive scan (spectral selection Ss..Se, successive
+    approximation Ah->Al) to the coefficient state. DC scans (Ss=0) may
+    be interleaved; AC scans are single-component per the spec, block
+    traversal over the component's OWN block grid. Raises on malformed
+    entropy data (caller turns that into decode() -> None)."""
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    by_id = {cid: i for i, (cid, _h, _v, _tq) in enumerate(comps)}
+    zz = ZIGZAG
+    sel = []
+    for cs, td, ta in scan:
+        if cs not in by_id:
+            raise ValueError("scan references unknown component")
+        sel.append((by_id[cs], td, ta))
+    bits = _Bits(segs[0] if segs else b"")
+    seg_idx = 0
+
+    def comp_blocks(k):
+        _cid, chs, cvs, _tq = comps[k]
+        bw = (-(-w * chs // hmax) + 7) // 8
+        bh = (-(-h * cvs // vmax) + 7) // 8
+        return bw, bh
+
+    if ss == 0:
+        if se != 0:
+            raise ValueError("DC scan with Se != 0")
+        preds = [0] * len(sel)
+        interleaved = len(sel) > 1
+        if interleaved:
+            nunits = mcux * mcuy
+        else:
+            bw, bh = comp_blocks(sel[0][0])
+            nunits = bw * bh
+        dluts = []
+        for _k, td, _ta in sel:
+            if ah == 0 and (0, td) not in huff:
+                raise ValueError("missing DC table")
+            dluts.append(huff[(0, td)].lut if ah == 0 else None)
+        for m in range(nunits):
+            if restart and m and m % restart == 0:
+                seg_idx += 1
+                if seg_idx >= len(segs):
+                    raise EOFError("missing restart segment")
+                bits = _Bits(segs[seg_idx])
+                preds = [0] * len(sel)
+            if interleaved:
+                my, mx = divmod(m, mcux)
+                for si, (k, _td, _ta) in enumerate(sel):
+                    _cid, chs, cvs, _tq = comps[k]
+                    for by in range(cvs):
+                        for bx in range(chs):
+                            row, col = my * cvs + by, mx * chs + bx
+                            if ah == 0:
+                                t = bits.huff(dluts[si])
+                                preds[si] += bits.recv_extend(t)
+                                coef[k][row, col, 0] = preds[si] << al
+                            elif bits.bits(1):
+                                coef[k][row, col, 0] |= 1 << al
+            else:
+                k = sel[0][0]
+                row, col = divmod(m, bw)
+                if ah == 0:
+                    t = bits.huff(dluts[0])
+                    preds[0] += bits.recv_extend(t)
+                    coef[k][row, col, 0] = preds[0] << al
+                elif bits.bits(1):
+                    coef[k][row, col, 0] |= 1 << al
+        return
+
+    # ---- AC scan: single component, own-grid traversal
+    if len(sel) != 1:
+        raise ValueError("interleaved AC scan")
+    k, _td, ta = sel[0]
+    if (1, ta) not in huff:
+        raise ValueError("missing AC table")
+    lut = huff[(1, ta)].lut
+    bw, bh = comp_blocks(k)
+    grid = coef[k]
+    eobrun = 0
+    p1 = 1 << al
+    m1 = -p1
+    for m in range(bw * bh):
+        if restart and m and m % restart == 0:
+            seg_idx += 1
+            if seg_idx >= len(segs):
+                raise EOFError("missing restart segment")
+            bits = _Bits(segs[seg_idx])
+            eobrun = 0
+        row, col = divmod(m, bw)
+        blk = grid[row, col]
+        if ah == 0:
+            # first scan for this band
+            if eobrun:
+                eobrun -= 1
+                continue
+            kk = ss
+            while kk <= se:
+                rs = bits.huff(lut)
+                r, s = rs >> 4, rs & 0xF
+                if s == 0:
+                    if r == 15:
+                        kk += 16  # ZRL
+                        continue
+                    eobrun = (1 << r) - 1
+                    if r:
+                        eobrun += bits.bits(r)
+                    break
+                kk += r
+                if kk > se:
+                    raise ValueError("AC run past band end")
+                blk[zz[kk]] = bits.recv_extend(s) << al
+                kk += 1
+            continue
+        # refinement scan (Ah > 0): correction bits for known-nonzero
+        # coefficients, new +/-1<<Al coefficients, EOB runs that still
+        # carry corrections for the remaining band
+        kk = ss
+        if eobrun == 0:
+            while kk <= se:
+                rs = bits.huff(lut)
+                r, s = rs >> 4, rs & 0xF
+                val = 0
+                if s == 0:
+                    if r != 15:
+                        eobrun = 1 << r
+                        if r:
+                            eobrun += bits.bits(r)
+                        break
+                    # r == 15: ZRL — skip 16 zero-history positions
+                else:
+                    val = p1 if bits.bits(1) else m1
+                while kk <= se:
+                    c = int(blk[zz[kk]])
+                    if c != 0:
+                        if bits.bits(1) and (c & p1) == 0:
+                            blk[zz[kk]] = c + (p1 if c >= 0 else m1)
+                    else:
+                        if r == 0:
+                            break
+                        r -= 1
+                    kk += 1
+                if val and kk <= se:
+                    blk[zz[kk]] = val
+                kk += 1
+        if eobrun > 0:
+            while kk <= se:
+                c = int(blk[zz[kk]])
+                if c != 0 and bits.bits(1) and (c & p1) == 0:
+                    blk[zz[kk]] = c + (p1 if c >= 0 else m1)
+                kk += 1
+            eobrun -= 1
+
+
 def _split_entropy(b: bytes, pos: int) -> tuple[list[bytes], int]:
     """Un-stuff entropy-coded data starting at ``pos``, splitting at RST
     markers. Returns (segments, position of the terminating marker's FF).
@@ -222,7 +435,8 @@ def decode(b: bytes) -> Optional[tuple[int, int, int, bytearray]]:
     """Decode a baseline JPEG to (width, height, 3, RGB bytearray).
 
     Grayscale sources are replicated to RGB so the output plugs straight
-    into the PNG-encoder / resize / dHash pipeline. Returns ``None`` for
+    into the PNG-encoder / resize / dHash pipeline. Handles baseline,
+    extended-sequential and progressive streams; returns ``None`` for
     anything outside the supported subset or malformed — never throws."""
     try:
         return _decode(b or b"")
@@ -239,6 +453,8 @@ def _decode(b: bytes) -> Optional[tuple[int, int, int, bytearray]]:
     huff: dict[tuple[int, int], _HuffDecoder] = {}
     restart = 0
     frame = None  # (w, h, comps) with comps = [(cid, h, v, tq)]
+    progressive = False
+    coef = None  # progressive: per-component coefficient grids
     pos = 2
     n = len(b)
     while pos + 2 <= n:
@@ -248,8 +464,8 @@ def _decode(b: bytes) -> Optional[tuple[int, int, int, bytearray]]:
         if marker == 0xFF:
             pos += 1
             continue
-        if marker == 0xD9:  # EOI before any scan
-            return None
+        if marker == 0xD9:  # EOI
+            break
         if 0xD0 <= marker <= 0xD7 or marker == 0x01:
             pos += 2
             continue
@@ -260,8 +476,9 @@ def _decode(b: bytes) -> Optional[tuple[int, int, int, bytearray]]:
             return None
         seg = b[pos + 4 : pos + 2 + seg_len]
         if marker in _SOF_ALL:
-            if marker not in _SOF_BASELINE:
-                return None  # progressive / arithmetic / lossless
+            if marker not in _SOF_BASELINE and marker != 0xC2:
+                return None  # arithmetic / lossless / hierarchical
+            progressive = marker == 0xC2
             prec = seg[0]
             h_, w_ = struct.unpack(">HH", seg[1:5])
             nc = seg[5]
@@ -317,9 +534,40 @@ def _decode(b: bytes) -> Optional[tuple[int, int, int, bytearray]]:
                 cs = seg[1 + 2 * si]
                 tt = seg[2 + 2 * si]
                 scan.append((cs, tt >> 4, tt & 0xF))
-            segs, _end = _split_entropy(b, pos + 2 + seg_len)
-            return _decode_scan(frame, scan, qt, huff, restart, segs)
+            if not progressive:
+                segs, _end = _split_entropy(b, pos + 2 + seg_len)
+                return _decode_scan(frame, scan, qt, huff, restart, segs)
+            # progressive: accumulate this scan into the coefficient
+            # state and continue the marker walk from the scan's end
+            ss_ = seg[1 + 2 * ns]
+            se_ = seg[2 + 2 * ns]
+            ahal = seg[3 + 2 * ns]
+            w_, h_, comps = frame
+            if coef is None:
+                hmax = max(c[1] for c in comps)
+                vmax = max(c[2] for c in comps)
+                mcux = (w_ + 8 * hmax - 1) // (8 * hmax)
+                mcuy = (h_ + 8 * vmax - 1) // (8 * vmax)
+                coef = [
+                    np.zeros((mcuy * cv, mcux * chs, 64), dtype=np.int32)
+                    for _cid, chs, cv, _tq in comps
+                ]
+            segs, scan_end = _split_entropy(b, pos + 2 + seg_len)
+            _progressive_scan(
+                w_, h_, comps, scan,
+                ss_, se_, ahal >> 4, ahal & 0xF,
+                huff, restart, segs, coef, mcux, mcuy,
+            )
+            pos = scan_end
+            continue
         pos += 2 + seg_len
+    if progressive and coef is not None and frame is not None:
+        w_, h_, comps = frame
+        if any(c[3] not in qt for c in comps):
+            return None
+        geo = [(chs, cv, qt[tq]) for _cid, chs, cv, tq in comps]
+        flats = [g.reshape(-1, 64) for g in coef]
+        return _assemble(w_, h_, geo, flats, mcux, mcuy)
     return None
 
 
@@ -427,21 +675,37 @@ def _decode_scan(frame, scan, qt, huff, restart, segs):
                     )
                     kk += 1
                 comp_blocks[k].append(blk)
-    # dequantize + IDCT, vectorized per component
-    a = _idct_matrix()
-    out_planes = []
-    for k, (ci, ch, cv, q, _d, _a2) in enumerate(order):
+    # reorder block lists MCU->grid and hand off to the shared backend
+    flats = []
+    for k, (ci, ch, cv, _q, _d, _a2) in enumerate(order):
         rows, cols = mcuy * cv, mcux * ch
         # blocks were appended in MCU order: for MCU (my,mx), the cv*ch
         # sub-blocks raster within the MCU — map list order -> grid
-        flat_list = comp_blocks[k]
-        flat = np.array(flat_list, dtype=np.int32).reshape(
+        flat = np.array(comp_blocks[k], dtype=np.int32).reshape(
             mcuy, mcux, cv, ch, 64
         )
-        flat = flat.transpose(0, 2, 1, 3, 4).reshape(rows * cols, 64)
-        # entropy layout is already raster order (dezigzagged at store
-        # time via zz[kk]); dequantize maps through the zigzag ordering
-        # of the quant table
+        flats.append(flat.transpose(0, 2, 1, 3, 4).reshape(rows * cols, 64))
+    geo = [(ch, cv, q) for _ci, ch, cv, q, _d, _a2 in order]
+    return _assemble(w, h, geo, flats, mcux, mcuy)
+
+
+def _assemble(w, h, geo, flats, mcux, mcuy):
+    """Dequantize + IDCT + upsample + color transform — shared by the
+    baseline and progressive paths. ``geo``: [(h_samp, v_samp, qtable)]
+    per component; ``flats``: matching (rows*cols, 64) int coefficient
+    arrays in RASTER coefficient order (dezigzagged at store time),
+    block-grid row-major."""
+    import numpy as np
+
+    zz = ZIGZAG
+    hmax = max(g[0] for g in geo)
+    vmax = max(g[1] for g in geo)
+    a = _idct_matrix()
+    out_planes = []
+    for k, (ch, cv, q) in enumerate(geo):
+        rows, cols = mcuy * cv, mcux * ch
+        flat = flats[k]
+        # dequantize maps through the zigzag ordering of the quant table
         qraster = np.empty(64, dtype=np.int64)
         qraster[np.array(zz)] = q
         deq = flat.astype(np.float64) * qraster[None, :]
@@ -573,6 +837,70 @@ def _pad_edge(plane, mh: int, mw: int):
     return plane
 
 
+def _prepare_coefficients(w, h, ch, pixels, quality, subsample):
+    """Color transform + subsample + forward DCT + quantize: the shared
+    front half of the baseline and progressive encoders. Returns
+    (gray, samp, qlum_zz, qchrom_zz, coef_grids) with coef_grids[k] of
+    shape (blocks_y, blocks_x, 64) ZIGZAG-ordered int32, MCU-padded."""
+    import numpy as np
+
+    arr = np.frombuffer(bytes(pixels), dtype=np.uint8).reshape(h, w, ch)
+    if ch == 4:
+        arr = arr[:, :, :3]
+        ch = 3
+    a = _idct_matrix()
+    qlum = _scaled_qt(_QT_LUM, quality)
+    qchrom = _scaled_qt(_QT_CHROM, quality)
+    zz = np.array(ZIGZAG)
+    # zigzag-ordered quant tables (DQT payload order == entropy order)
+    qlum_zz = qlum.copy()
+    qchrom_zz = qchrom.copy()
+    gray = ch == 1
+    if gray:
+        planes = [arr[:, :, 0].astype(np.float64)]
+        samp = [(1, 1)]
+        qts = [qlum]
+    else:
+        rf = arr[:, :, 0].astype(np.float64)
+        gf = arr[:, :, 1].astype(np.float64)
+        bf = arr[:, :, 2].astype(np.float64)
+        yy = 0.299 * rf + 0.587 * gf + 0.114 * bf
+        cb = -0.168736 * rf - 0.331264 * gf + 0.5 * bf + 128.0
+        cr = 0.5 * rf - 0.418688 * gf - 0.081312 * bf + 128.0
+        if subsample == "420":
+            samp = [(2, 2), (1, 1), (1, 1)]
+        elif subsample == "422":
+            samp = [(2, 1), (1, 1), (1, 1)]
+        else:
+            samp = [(1, 1), (1, 1), (1, 1)]
+        planes = [yy, cb, cr]
+        qts = [qlum, qchrom, qchrom]
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    # pad full-res planes to MCU multiples, then downsample chroma
+    coef_grids = []
+    for pi, (plane, (sh, sv)) in enumerate(zip(planes, samp)):
+        p8 = np.clip(np.rint(plane), 0, 255).astype(np.uint8)
+        p8 = _pad_edge(p8, 8 * vmax, 8 * hmax)
+        if sh != hmax or sv != vmax:
+            fy, fx = vmax // sv, hmax // sh
+            hh, ww = p8.shape
+            p8 = (
+                p8.reshape(hh // fy, fy, ww // fx, fx)
+                .astype(np.float64)
+                .mean(axis=(1, 3))
+            )
+            p8 = np.clip(np.rint(p8), 0, 255).astype(np.uint8)
+        coef = _fdct_blocks(p8, a)
+        q = qts[pi].astype(np.float64)
+        qraster = np.empty(64, dtype=np.float64)
+        qraster[zz] = q  # q is zigzag-ordered; map to raster positions
+        quant = np.rint(coef / qraster[None, None, :]).astype(np.int32)
+        # store zigzag-ordered for the entropy coder
+        coef_grids.append(quant[:, :, zz])
+    return gray, samp, qlum_zz, qchrom_zz, coef_grids
+
+
 def _encode_block(bw, coefzz, pred, dc_codes, ac_codes) -> int:
     """Huffman-encode one zigzagged quantized block; returns the new DC
     predictor."""
@@ -632,60 +960,9 @@ def encode(
 
     if subsample not in ("444", "422", "420"):
         raise ValueError("subsample must be '444', '422' or '420'")
-    arr = np.frombuffer(bytes(pixels), dtype=np.uint8).reshape(h, w, ch)
-    if ch == 4:
-        arr = arr[:, :, :3]
-        ch = 3
-    a = _idct_matrix()
-    qlum = _scaled_qt(_QT_LUM, quality)
-    qchrom = _scaled_qt(_QT_CHROM, quality)
-    zz = np.array(ZIGZAG)
-    # zigzag-ordered quant tables (DQT payload order == entropy order)
-    qlum_zz = qlum.copy()
-    qchrom_zz = qchrom.copy()
-    gray = ch == 1
-    if gray:
-        planes = [arr[:, :, 0].astype(np.float64)]
-        samp = [(1, 1)]
-        qts = [qlum]
-    else:
-        rf = arr[:, :, 0].astype(np.float64)
-        gf = arr[:, :, 1].astype(np.float64)
-        bf = arr[:, :, 2].astype(np.float64)
-        yy = 0.299 * rf + 0.587 * gf + 0.114 * bf
-        cb = -0.168736 * rf - 0.331264 * gf + 0.5 * bf + 128.0
-        cr = 0.5 * rf - 0.418688 * gf - 0.081312 * bf + 128.0
-        if subsample == "420":
-            samp = [(2, 2), (1, 1), (1, 1)]
-        elif subsample == "422":
-            samp = [(2, 1), (1, 1), (1, 1)]
-        else:
-            samp = [(1, 1), (1, 1), (1, 1)]
-        planes = [yy, cb, cr]
-        qts = [qlum, qchrom, qchrom]
-    hmax = max(s[0] for s in samp)
-    vmax = max(s[1] for s in samp)
-    # pad full-res planes to MCU multiples, then downsample chroma
-    coef_grids = []
-    for pi, (plane, (sh, sv)) in enumerate(zip(planes, samp)):
-        p8 = np.clip(np.rint(plane), 0, 255).astype(np.uint8)
-        p8 = _pad_edge(p8, 8 * vmax, 8 * hmax)
-        if sh != hmax or sv != vmax:
-            fy, fx = vmax // sv, hmax // sh
-            hh, ww = p8.shape
-            p8 = (
-                p8.reshape(hh // fy, fy, ww // fx, fx)
-                .astype(np.float64)
-                .mean(axis=(1, 3))
-            )
-            p8 = np.clip(np.rint(p8), 0, 255).astype(np.uint8)
-        coef = _fdct_blocks(p8, a)
-        q = qts[pi].astype(np.float64)
-        qraster = np.empty(64, dtype=np.float64)
-        qraster[zz] = q  # q is zigzag-ordered; map to raster positions
-        quant = np.rint(coef / qraster[None, None, :]).astype(np.int32)
-        # store zigzag-ordered for the entropy coder
-        coef_grids.append(quant[:, :, zz])
+    gray, samp, qlum_zz, qchrom_zz, coef_grids = _prepare_coefficients(
+        w, h, ch, pixels, quality, subsample
+    )
     # ---- emit the stream
     out = bytearray(b"\xff\xd8")  # SOI
 
@@ -752,4 +1029,252 @@ def encode(
     bw.flush()
     out.extend(bw.out)
     out.extend(b"\xff\xd9")  # EOI
+    return bytes(out)
+
+
+# ------------------------------------------------------- progressive encoder
+
+#: uniform Huffman table for progressive AC scans: every (run<<4)|size
+#: symbol with run 0..15, size 0..13 — covers EOBn (size 0) runs up to
+#: 2^14-1 blocks, which the standard baseline AC tables cannot express.
+#: 223 codes at 9 bits + 1 at 10 (canonical, no all-ones code).
+_HT_AC_PROG = (
+    [0] * 8 + [223, 1] + [0] * 6,
+    [(r << 4) | s for r in range(16) for s in range(14)],
+)
+
+
+def _emit_bits_value(bw, v: int, s: int) -> None:
+    """Magnitude bits of a signed value per F.1.2.2.1 (negative values
+    are sent as v + 2^s - 1)."""
+    bw.write(v if v >= 0 else v + (1 << s) - 1, s)
+
+
+class _EobState:
+    """EOBRUN + buffered-correction-bit state shared across blocks of a
+    progressive AC scan (libjpeg's EOBRUN/BE, as plain Python)."""
+
+    __slots__ = ("run", "bits")
+
+    def __init__(self):
+        self.run = 0
+        self.bits: list[int] = []
+
+    def flush(self, bw, ac_codes) -> None:
+        if self.run > 0:
+            r = self.run.bit_length() - 1
+            c, ln = ac_codes[r << 4]
+            bw.write(c, ln)
+            if r:
+                bw.write(self.run - (1 << r), r)
+            self.run = 0
+        for bit in self.bits:
+            bw.write(bit, 1)
+        self.bits = []
+
+
+def _emit_ac_first(bw, blocks, ss, se, al, ac_codes) -> None:
+    """First AC scan of a band (Ah=0): run-length + EOBRUN coding of the
+    point-transformed (toward-zero >>Al) coefficients."""
+    eob = _EobState()
+    for blkzz in blocks:
+        r = 0
+        for kk in range(ss, se + 1):
+            v = int(blkzz[kk])
+            t = (abs(v) >> al)
+            if t == 0:
+                r += 1
+                continue
+            if v < 0:
+                t = -t
+            eob.flush(bw, ac_codes)
+            while r > 15:
+                c, ln = ac_codes[0xF0]
+                bw.write(c, ln)
+                r -= 16
+            s = abs(t).bit_length()
+            c, ln = ac_codes[(r << 4) | s]
+            bw.write(c, ln)
+            _emit_bits_value(bw, t, s)
+            r = 0
+        if r > 0:
+            eob.run += 1
+            if eob.run == 0x7FFF:
+                eob.flush(bw, ac_codes)
+    eob.flush(bw, ac_codes)
+
+
+def _emit_ac_refine(bw, blocks, ss, se, al, ac_codes) -> None:
+    """AC refinement scan (Ah=Al+1): correction bits for known-nonzero
+    coefficients, (run<<4)|1 symbols for newly visible +/-1<<Al values,
+    EOBRUN carrying the buffered corrections (libjpeg
+    encode_mcu_AC_refine, reimplemented)."""
+    eob = _EobState()
+    for blkzz in blocks:
+        absv = [abs(int(blkzz[kk])) >> al for kk in range(ss, se + 1)]
+        eobidx = ss - 1
+        for i, t in enumerate(absv):
+            if t == 1:
+                eobidx = ss + i
+        r = 0
+        pend: list[int] = []  # correction bits behind the current run
+        for kk in range(ss, se + 1):
+            t = absv[kk - ss]
+            if t == 0:
+                r += 1
+                continue
+            while r > 15 and kk <= eobidx:
+                eob.flush(bw, ac_codes)
+                c, ln = ac_codes[0xF0]
+                bw.write(c, ln)
+                r -= 16
+                for bit in pend:
+                    bw.write(bit, 1)
+                pend = []
+            if t > 1:
+                pend.append(t & 1)
+                continue
+            # newly visible coefficient
+            eob.flush(bw, ac_codes)
+            c, ln = ac_codes[(r << 4) | 1]
+            bw.write(c, ln)
+            bw.write(1 if int(blkzz[kk]) >= 0 else 0, 1)
+            for bit in pend:
+                bw.write(bit, 1)
+            pend = []
+            r = 0
+        if r > 0 or pend:
+            eob.run += 1
+            eob.bits.extend(pend)
+            if eob.run == 0x7FFF:
+                eob.flush(bw, ac_codes)
+    eob.flush(bw, ac_codes)
+
+
+def encode_progressive(
+    w: int,
+    h: int,
+    ch: int,
+    pixels,
+    quality: int = 90,
+    subsample: str = "444",
+    spectral_split: int = 6,
+) -> bytes:
+    """Encode a PROGRESSIVE (SOF2) JFIF JPEG carrying full precision.
+
+    Scan script: interleaved DC first (Al=1) -> AC first scans with a
+    spectral split on the luma band (1..split-1, then split..63; chroma
+    full-band) at Al=1 -> DC refinement (raw bits) -> AC refinement
+    scans to Al=0. Because every bit reaches Al=0, the decoded pixels
+    are IDENTICAL to the baseline encode() of the same image/quality —
+    the round-trip equality the tests pin."""
+    import struct as _s
+
+    if subsample not in ("444", "422", "420"):
+        raise ValueError("subsample must be '444', '422' or '420'")
+    gray, samp, qlum_zz, qchrom_zz, coef_grids = _prepare_coefficients(
+        w, h, ch, pixels, quality, subsample
+    )
+    nc = 1 if gray else 3
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcux = coef_grids[0].shape[1] // samp[0][0]
+    mcuy = coef_grids[0].shape[0] // samp[0][1]
+    out = bytearray(b"\xff\xd8")
+
+    def seg(marker: int, payload: bytes) -> None:
+        out.extend(_s.pack(">BBH", 0xFF, marker, len(payload) + 2))
+        out.extend(payload)
+
+    seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    seg(0xDB, bytes([0x00]) + bytes(int(x) for x in qlum_zz))
+    if not gray:
+        seg(0xDB, bytes([0x01]) + bytes(int(x) for x in qchrom_zz))
+    sof = bytearray(_s.pack(">BHHB", 8, h, w, nc))
+    for ci in range(nc):
+        sh, sv = samp[ci]
+        sof.extend([ci + 1, (sh << 4) | sv, 0 if ci == 0 else 1])
+    seg(0xC2, bytes(sof))  # SOF2: progressive DCT
+    ht_specs = [(0x00, _HT_DC_LUM), (0x10, _HT_AC_PROG)]
+    if not gray:
+        ht_specs.append((0x01, _HT_DC_CHROM))
+    for tc_th, (bits_, vals_) in ht_specs:
+        seg(0xC4, bytes([tc_th]) + bytes(bits_) + bytes(vals_))
+    dc_codes = [_huff_codes(*_HT_DC_LUM)] + [
+        _huff_codes(*_HT_DC_CHROM)
+    ] * (nc - 1)
+    ac_codes = _huff_codes(*_HT_AC_PROG)
+
+    def sos(comps_td_ta, ss, se, ah, al) -> None:
+        p = bytearray([len(comps_td_ta)])
+        for cs, td, ta in comps_td_ta:
+            p.extend([cs, (td << 4) | ta])
+        p.extend([ss, se, (ah << 4) | al])
+        seg(0xDA, bytes(p))
+
+    def own_blocks(ci):
+        sh, sv = samp[ci]
+        bw_ = (-(-w * sh // hmax) + 7) // 8
+        bh_ = (-(-h * sv // vmax) + 7) // 8
+        return [
+            coef_grids[ci][row, col]
+            for row in range(bh_)
+            for col in range(bw_)
+        ]
+
+    al0 = 1
+    # ---- scan 1: DC first, interleaved, Al=1
+    sos([(ci + 1, 0 if ci == 0 else 1, 0) for ci in range(nc)], 0, 0, 0, al0)
+    bw = _BitWriter()
+    preds = [0] * nc
+    for m in range(mcux * mcuy):
+        my, mx = divmod(m, mcux)
+        for ci in range(nc):
+            sh, sv = samp[ci]
+            for by in range(sv):
+                for bx in range(sh):
+                    dc = int(coef_grids[ci][my * sv + by, mx * sh + bx][0])
+                    t = dc >> al0  # arithmetic shift (two's-complement SA)
+                    diff = t - preds[ci]
+                    preds[ci] = t
+                    s = abs(diff).bit_length()
+                    c, ln = dc_codes[ci][s]
+                    bw.write(c, ln)
+                    if s:
+                        _emit_bits_value(bw, diff, s)
+    bw.flush()
+    out.extend(bw.out)
+    # ---- AC first scans, Al=1 (luma band split; chroma full band)
+    split = max(2, min(63, spectral_split))
+    ac_scans_first = [(0, 1, split - 1)]
+    if nc == 3:
+        ac_scans_first += [(1, 1, 63), (2, 1, 63)]
+    ac_scans_first.append((0, split, 63))
+    for ci, ss_, se_ in ac_scans_first:
+        sos([(ci + 1, 0, 0)], ss_, se_, 0, al0)
+        bw = _BitWriter()
+        _emit_ac_first(bw, own_blocks(ci), ss_, se_, al0, ac_codes)
+        bw.flush()
+        out.extend(bw.out)
+    # ---- DC refinement: one raw bit per block, interleaved
+    sos([(ci + 1, 0, 0) for ci in range(nc)], 0, 0, 1, 0)
+    bw = _BitWriter()
+    for m in range(mcux * mcuy):
+        my, mx = divmod(m, mcux)
+        for ci in range(nc):
+            sh, sv = samp[ci]
+            for by in range(sv):
+                for bx in range(sh):
+                    dc = int(coef_grids[ci][my * sv + by, mx * sh + bx][0])
+                    bw.write(dc & 1, 1)
+    bw.flush()
+    out.extend(bw.out)
+    # ---- AC refinement scans to Al=0
+    for ci in range(nc):
+        sos([(ci + 1, 0, 0)], 1, 63, 1, 0)
+        bw = _BitWriter()
+        _emit_ac_refine(bw, own_blocks(ci), 1, 63, 0, ac_codes)
+        bw.flush()
+        out.extend(bw.out)
+    out.extend(b"\xff\xd9")
     return bytes(out)

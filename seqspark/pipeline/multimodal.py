@@ -15,10 +15,10 @@ inside the executor batch function:
   header parser covers PNG (incl. APNG frame counts), BMP, GIF and JPEG
   (SOF marker walk — baseline/progressive/arithmetic variants)
   metadata; a pure-stdlib PNG codec (zlib + scanline unfilter) covers
-  8-bit RGB/RGBA PNG pixels, and the r12 baseline JPEG decoder
-  (``jpeg.py``: Huffman + vectorized IDCT, 4:4:4/4:2:2/4:2:0, restart
-  intervals) covers real JPEG pixels — other formats raise
-  ``NotImplementedError``;
+  8-bit RGB/RGBA PNG pixels, and the r12 JPEG decoder (``jpeg.py``:
+  LUT Huffman + vectorized IDCT, 4:4:4/4:2:2/4:2:0, restart intervals,
+  baseline AND progressive SOF2) covers real JPEG pixels — other
+  formats raise ``NotImplementedError``;
 - audio: stdlib ``wave`` (WAV) — always available; decoded metadata maps
   (width, height, n_frames) → (channels, bits-per-sample, audio frames);
 - video: the Y4M (YUV4MPEG2) raw container decodes fully stdlib-side
@@ -1565,11 +1565,13 @@ def make_real_y4m_assets(spark, n: int = 16) -> DataFrame:
 
 
 def real_jpeg_asset_rows(n: int = 16) -> list:
-    """Driver-side rows of the baseline-JPEG fixture (r12): deterministic
-    JPEGs from the stdlib encoder cycling the decoder's full subset —
+    """Driver-side rows of the JPEG fixture (r12): deterministic JPEGs
+    from the stdlib encoder cycling the decoder's full subset —
     grayscale and color, 4:4:4 / 4:2:2 / 4:2:0 sampling, restart
     intervals, 16-bit DQT, qualities 80-100, odd (non-MCU-multiple)
-    dimensions. A pure function of ``n`` for the digest-freezing tool."""
+    dimensions, and PROGRESSIVE (SOF2) streams on every (i%4==2) asset
+    (spectral selection + successive approximation + EOB runs). A pure
+    function of ``n`` for the digest-freezing tool."""
     rows = []
     subs = ["444", "422", "420"]
     for i in range(n):
@@ -1592,13 +1594,21 @@ def real_jpeg_asset_rows(n: int = 16) -> list:
                         (y * 23 + i * 5) % 256,
                         ((x + y) * 9 + i * 3) % 256,
                     ))
-            content = _jpeg.encode(
-                w, h, 3, px,
-                quality=quality,
-                subsample=subs[i % 3],
-                restart=(3 if i % 3 == 1 else 0),
-                wide_dqt=(i % 5 == 2),
-            )
+            if i % 4 == 2:
+                content = _jpeg.encode_progressive(
+                    w, h, 3, px,
+                    quality=quality,
+                    subsample=subs[i % 3],
+                    spectral_split=5 + i % 4,
+                )
+            else:
+                content = _jpeg.encode(
+                    w, h, 3, px,
+                    quality=quality,
+                    subsample=subs[i % 3],
+                    restart=(3 if i % 3 == 1 else 0),
+                    wide_dqt=(i % 5 == 2),
+                )
         rows.append((i, "image", bytearray(content), '{"src":"fixture-jpeg"}'))
     return rows
 

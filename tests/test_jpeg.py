@@ -95,11 +95,20 @@ class TestJpegCodec:
         dec = jpeg.decode(b)
         assert dec is not None and dec[2] == 3
 
-    def test_progressive_rejected(self):
+    def test_relabeled_sof2_is_malformed_not_crash(self):
+        # a BASELINE stream relabeled SOF2 is an invalid progressive scan
+        # (Ss=0 with Se=63) — must return None, not decode garbage
         b = bytearray(jpeg.encode(16, 16, 1, bytes(256), quality=80))
         i = b.find(b"\xff\xc0")
-        b[i + 1] = 0xC2  # SOF0 -> SOF2 (progressive)
+        b[i + 1] = 0xC2
         assert jpeg.decode(bytes(b)) is None
+
+    def test_arithmetic_and_lossless_rejected(self):
+        for sof in (0xC3, 0xC9, 0xCB):  # lossless / arithmetic variants
+            b = bytearray(jpeg.encode(16, 16, 1, bytes(256), quality=80))
+            i = b.find(b"\xff\xc0")
+            b[i + 1] = sof
+            assert jpeg.decode(bytes(b)) is None, hex(sof)
 
     def test_malformed_never_throws(self):
         good = jpeg.encode(16, 16, 1, bytes(range(0, 256)), quality=80)
@@ -128,6 +137,107 @@ class TestJpegCodec:
         a = jpeg.encode(24, 16, 3, img.tobytes(), quality=88, subsample="420")
         b = jpeg.encode(24, 16, 3, img.tobytes(), quality=88, subsample="420")
         assert a == b
+
+
+class TestProgressive:
+    """SOF2: spectral selection + successive approximation. The master
+    property: a full-precision progressive stream decodes to pixels
+    IDENTICAL to the baseline stream of the same image/quality — both
+    paths share quantized coefficients, so any divergence is an entropy
+    or refinement bug, not rounding."""
+
+    @pytest.mark.parametrize("subsample", ["444", "422", "420"])
+    @pytest.mark.parametrize("dims", [(48, 32), (37, 21), (16, 16)])
+    def test_equals_baseline(self, subsample, dims):
+        w, h = dims
+        rng = _rng(w + h)
+        img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        base = jpeg.decode(
+            jpeg.encode(w, h, 3, img.tobytes(), quality=90, subsample=subsample)
+        )
+        prog = jpeg.decode(
+            jpeg.encode_progressive(
+                w, h, 3, img.tobytes(), quality=90, subsample=subsample
+            )
+        )
+        assert prog is not None
+        assert bytes(base[3]) == bytes(prog[3])
+
+    @pytest.mark.parametrize("split", [2, 6, 33, 63])
+    def test_spectral_splits(self, split):
+        rng = _rng(split)
+        img = rng.integers(0, 256, size=(24, 40, 3), dtype=np.uint8)
+        base = jpeg.decode(jpeg.encode(40, 24, 3, img.tobytes(), quality=92))
+        prog = jpeg.decode(
+            jpeg.encode_progressive(
+                40, 24, 3, img.tobytes(), quality=92, spectral_split=split
+            )
+        )
+        assert bytes(base[3]) == bytes(prog[3])
+
+    def test_gray_equals_baseline(self):
+        rng = _rng(4)
+        img = rng.integers(0, 256, size=(32, 48), dtype=np.uint8)
+        base = jpeg.decode(jpeg.encode(48, 32, 1, img.tobytes(), quality=88))
+        prog = jpeg.decode(
+            jpeg.encode_progressive(48, 32, 1, img.tobytes(), quality=88)
+        )
+        assert bytes(base[3]) == bytes(prog[3])
+
+    def test_long_eob_runs(self):
+        # a flat image quantizes to zero AC everywhere -> every AC scan
+        # is one long EOBn run across all blocks (the multi-block skip
+        # and refinement-during-EOB paths)
+        img = np.full((64, 64, 3), 77, dtype=np.uint8)
+        base = jpeg.decode(jpeg.encode(64, 64, 3, img.tobytes(), quality=75))
+        prog = jpeg.decode(
+            jpeg.encode_progressive(64, 64, 3, img.tobytes(), quality=75)
+        )
+        assert bytes(base[3]) == bytes(prog[3])
+        # and a half-flat image: EOB runs interrupted by busy blocks
+        img2 = img.copy()
+        rng = _rng(9)
+        img2[:16, :16] = rng.integers(0, 256, size=(16, 16, 3), dtype=np.uint8)
+        base = jpeg.decode(jpeg.encode(64, 64, 3, img2.tobytes(), quality=75))
+        prog = jpeg.decode(
+            jpeg.encode_progressive(64, 64, 3, img2.tobytes(), quality=75)
+        )
+        assert bytes(base[3]) == bytes(prog[3])
+
+    def test_dc_only_prefix_decodes(self):
+        # progressive's point: a truncated stream still renders. Cut at
+        # the second SOS and append EOI -> blocky DC-only preview with
+        # correct dimensions
+        rng = _rng(2)
+        img = rng.integers(0, 256, size=(24, 40, 3), dtype=np.uint8)
+        full = jpeg.encode_progressive(40, 24, 3, img.tobytes(), quality=90)
+        first_sos = full.find(b"\xff\xda")
+        second_sos = full.find(b"\xff\xda", first_sos + 2)
+        assert second_sos > 0
+        dec = jpeg.decode(full[:second_sos] + b"\xff\xd9")
+        assert dec is not None and (dec[0], dec[1]) == (40, 24)
+        # DC-only preview approximates the per-block means coarsely
+        out = np.frombuffer(bytes(dec[3]), dtype=np.uint8).reshape(24, 40, 3)
+        assert float(np.abs(out.astype(float) - img.astype(float)).mean()) < 80
+
+    def test_progressive_bitflip_never_throws(self):
+        rng = _rng(13)
+        img = rng.integers(0, 256, size=(16, 24, 3), dtype=np.uint8)
+        good = jpeg.encode_progressive(24, 16, 3, img.tobytes(), quality=85)
+        for _ in range(60):
+            bb = bytearray(good)
+            k = int(rng.integers(2, len(bb)))
+            bb[k] ^= 1 << int(rng.integers(0, 8))
+            jpeg.decode(bytes(bb))  # None or a decode; never an exception
+        for cut in (20, len(good) // 3, len(good) - 3):
+            jpeg.decode(good[:cut])
+
+    def test_fixture_contains_progressive(self):
+        from seqspark.pipeline.multimodal import real_jpeg_asset_rows
+
+        rows = real_jpeg_asset_rows(16)
+        prog = [i for i, _m, c, _j in rows if bytes(c).find(b"\xff\xc2") >= 0]
+        assert prog == [2, 6, 10, 14]
 
 
 class TestAviContainer:
