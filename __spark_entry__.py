@@ -1585,6 +1585,28 @@ FRAME_SAMPLE_MJPEG_EXPECTED = [
 ]
 
 
+#: (asset_id, sample_rate, n_channels, n_samples, rms, zcr,
+#: centroid_hz, fingerprint) over real_asset_rows' WAV rows
+AUDIO_FEATURES_EXPECTED = [
+    (3, 8000, 2, 64, 0.459711, 0.52381, 2220.094542, 72340172838076673),
+    (7, 8000, 2, 56, 0.452555, 0.527273, 2285.280397, 72340172838076673),
+    (11, 8000, 2, 48, 0.462356, 0.531915, 2308.037228, 144680345676153346),
+    (15, 8000, 2, 40, 0.477328, 0.538462, 2340.567176, 72340172838076673),
+    (19, 8000, 2, 72, 0.459995, 0.535211, 2274.17046, 361700864190383365),
+    (23, 8000, 2, 64, 0.459711, 0.539683, 2220.094542, 72340172838076673),
+    (27, 8000, 2, 56, 0.444335, 0.527273, 2225.179222, 72340172838076673),
+    (31, 8000, 2, 48, 0.456857, 0.553191, 2264.022446, 144680345676153346),
+    (35, 8000, 2, 40, 0.47243, 0.512821, 2150.341604, 72058697861366017),
+    (39, 8000, 2, 72, 0.469692, 0.521127, 2313.241175, 361700864190383365),
+    (43, 8000, 2, 64, 0.459711, 0.52381, 2220.094542, 72340172838076673),
+    (47, 8000, 2, 56, 0.446747, 0.527273, 2306.404398, 72340172838076673),
+    (51, 8000, 2, 48, 0.461658, 0.531915, 2346.906088, 144680345676153346),
+    (55, 8000, 2, 40, 0.481721, 0.538462, 2388.953185, 72340172838076673),
+    (59, 8000, 2, 72, 0.47133, 0.535211, 2292.331885, 361700864190383365),
+    (63, 8000, 2, 64, 0.459711, 0.539683, 2220.094542, 72340172838076673),
+]
+
+
 def q_frame_sample_y4m(spark, sf_dir):
     # hash-pinned (r12): REAL video frame extraction — the Y4M raw
     # container (BT.601 YUV->RGB, C420/C422/C444/Cmono) — against frozen
@@ -1614,6 +1636,19 @@ def q_frame_sample_apng(spark, sf_dir):
         "asset_id", "n_frames", "frame_index",
         F.sha2(F.col("frame"), 256).alias("frame_sha"),
     )
+
+
+def q_audio_features(spark, sf_dir):
+    # hash-pinned (r12b): audio DSP features over the WAV rows of the
+    # real-codec fixture — RMS / zero-crossing rate / spectral centroid
+    # (6dp-rounded in the kernel) and the 64-bit spectral fingerprint
+    # (8 time slices x 9 log bands, per-slice normalized with a 2%
+    # noise-floor clamp: bit-depth / gain / stereo-downmix invariant,
+    # property-pinned in tests/test_audio.py) — vs frozen literals
+    from seqspark.pipeline.multimodal import audio_features, make_real_assets
+
+    assets = make_real_assets(spark, 64)
+    return audio_features(assets, fake=False)
 
 
 def q_frame_sample_mjpeg(spark, sf_dir):
@@ -2337,11 +2372,13 @@ DRIVER_WINDOW = [
     "cap_per_group_salted",
     "sessionize_bucketed",
     "sessionize_scalable",
-    # r12b additions (baseline-JPEG pixels + MJPEG-AVI video): never
-    # driver-checked yet, so they take window slots this round
+    # r12b additions (JPEG pixels incl. progressive, MJPEG-AVI video,
+    # audio DSP features): never driver-checked yet, so they take
+    # window slots this round
     "multimodal_resize_jpeg",
     "image_dhash_jpeg",
     "frame_sample_mjpeg",
+    "audio_features",
     # least-recently driver-checked (last seen r5)
     "join_broadcast",
     "lineitem_pricing_summary",
@@ -2366,13 +2403,13 @@ DRIVER_WINDOW = [
     # last seen r9
     "c4_filter",
     "path_prefix_tokens",
-    # last seen r10 (agg_avg/max/sum_group rotated out to make room for
-    # the three r12b entries — same operator family stays covered via
-    # agg_min_group/agg_filtered/agg_quantile)
+    # last seen r10 (agg_avg/max/sum_group and agg_timeseries rotated
+    # out to make room for the four r12b entries — same operator family
+    # stays covered via agg_min_group/agg_filtered/agg_quantile and
+    # date_histogram)
     "agg_filtered",
     "agg_min_group",
     "agg_quantile",
-    "agg_timeseries",
     "agg_unique",
     "ann_batch_topk",
     "auto_mapping_search",
@@ -2479,6 +2516,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frame_sample_mjpeg": q_frame_sample_mjpeg,
         "multimodal_resize_jpeg": q_multimodal_resize_jpeg,
         "image_dhash_jpeg": q_image_dhash_jpeg,
+        "audio_features": q_audio_features,
         "join_broadcast": q_join_broadcast,
         "lineitem_pricing_summary": q_lineitem_pricing_summary,
         "complex_search": q_complex_search,
@@ -3676,5 +3714,15 @@ def oracle_sql() -> dict[str, str]:
             for i, nf, fi, sha in FRAME_SAMPLE_MJPEG_EXPECTED
         )
         + ") AS t(asset_id, n_frames, frame_index, frame_sha)"
+    )
+    sql["audio_features"] = (
+        "SELECT * FROM (VALUES "
+        + ", ".join(
+            f"({i}, {sr}, {nc}, CAST({ns} AS BIGINT), {rms!r}, {zc!r}, "
+            f"{cent!r}, CAST({fp} AS BIGINT))"
+            for i, sr, nc, ns, rms, zc, cent, fp in AUDIO_FEATURES_EXPECTED
+        )
+        + ") AS t(asset_id, sample_rate, n_channels, n_samples, rms, zcr,"
+        " centroid_hz, fingerprint)"
     )
     return {k: v for k, v in sql.items() if v is not None}

@@ -1,0 +1,174 @@
+"""Audio DSP features (multimodal.audio_features, r12b): WAV PCM decode
+across bit depths, feature sanity, and the 64-bit spectral fingerprint's
+invariances — the properties that make it usable for near-duplicate
+audio detection (pair with dedup.hamming_dupes like the image dHash).
+"""
+
+from __future__ import annotations
+
+import io
+import wave
+
+import numpy as np
+import pytest
+
+from seqspark.pipeline.multimodal import (
+    _audio_fingerprint_of,
+    _wav_pcm,
+    audio_features,
+    make_real_assets,
+)
+
+
+def make_wav(x, rate=8000, sw=2, nch=1):
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(nch)
+        w.setsampwidth(sw)
+        w.setframerate(rate)
+        if sw == 1:
+            w.writeframes(((np.clip(x, -1, 1) * 127) + 128).astype(np.uint8).tobytes())
+        elif sw == 2:
+            w.writeframes((np.clip(x, -1, 1) * 32767).astype("<i2").tobytes())
+        elif sw == 3:
+            v = (np.clip(x, -1, 1) * 8388607).astype(np.int32)
+            b = bytearray()
+            for q in v:
+                b += int(q & 0xFFFFFF).to_bytes(3, "little")
+            w.writeframes(bytes(b))
+        elif sw == 4:
+            w.writeframes((np.clip(x, -1, 1) * 2147483647).astype("<i4").tobytes())
+    return buf.getvalue()
+
+
+def _sweep(n=8000, rate=8000):
+    t = np.arange(n) / rate
+    return 0.5 * np.sin(2 * np.pi * (300 + 700 * t) * t) + 0.25 * np.sin(
+        2 * np.pi * 1800 * t
+    ) * (t > 0.5)
+
+
+class TestWavPcm:
+    @pytest.mark.parametrize("sw", [1, 2, 3, 4])
+    def test_bit_depths_decode(self, sw):
+        x = _sweep()
+        rate, nch, y = _wav_pcm(make_wav(x, sw=sw))
+        assert (rate, nch, len(y)) == (8000, 1, len(x))
+        tol = 0.02 if sw == 1 else 0.001
+        assert float(np.abs(y - x).max()) < tol
+
+    def test_stereo_downmix(self):
+        x = _sweep(1000)
+        st = np.empty(2000)
+        st[0::2] = x
+        st[1::2] = -x  # L/R cancel: downmix ~ silence
+        rate, nch, y = _wav_pcm(make_wav(st, sw=2, nch=2))
+        assert nch == 2 and float(np.abs(y).max()) < 0.001
+
+    def test_malformed(self):
+        assert _wav_pcm(b"") is None
+        assert _wav_pcm(b"RIFF\x00\x00\x00\x00WAVE") is None
+        assert _wav_pcm(b"not audio at all") is None
+
+
+class TestFingerprint:
+    def test_bit_depth_invariant(self):
+        x = _sweep()
+        fps = {}
+        for sw in (1, 2, 3, 4):
+            rate, _n, y = _wav_pcm(make_wav(x, sw=sw))
+            fps[sw] = _audio_fingerprint_of(y, rate)
+        assert fps[2] == fps[3] == fps[4]
+        assert bin((fps[1] ^ fps[2]) & (2**64 - 1)).count("1") <= 6
+
+    def test_gain_and_stereo_invariant(self):
+        x = _sweep()
+        _r, _n, y = _wav_pcm(make_wav(x, sw=2))
+        base = _audio_fingerprint_of(y, 8000)
+        _r, _n, y2 = _wav_pcm(make_wav(x * 0.3, sw=2))
+        assert _audio_fingerprint_of(y2, 8000) == base
+        _r, _n, y3 = _wav_pcm(make_wav(np.repeat(x, 2), sw=2, nch=2))
+        assert _audio_fingerprint_of(y3, 8000) == base
+
+    def test_distinct_signals_far_apart(self):
+        t = np.arange(8000) / 8000.0
+        _r, _n, a = _wav_pcm(make_wav(_sweep(), sw=2))
+        _r, _n, b = _wav_pcm(make_wav(0.4 * np.sin(2 * np.pi * 2600 * t), sw=2))
+        d = bin(
+            (_audio_fingerprint_of(a, 8000) ^ _audio_fingerprint_of(b, 8000))
+            & (2**64 - 1)
+        ).count("1")
+        assert d >= 8
+
+    def test_too_short_is_none(self):
+        assert _audio_fingerprint_of(np.zeros(4), 8000) is None
+
+
+class TestAudioFeaturesPipeline:
+    def test_over_fixture(self, spark):
+        out = audio_features(make_real_assets(spark, 32), fake=False).collect()
+        # audio rows are every i%4==3 in the mixed fixture
+        assert sorted(r["asset_id"] for r in out) == [
+            i for i in range(32) if i % 4 == 3
+        ]
+        for r in out:
+            assert r["sample_rate"] == 8000 and r["n_channels"] == 2
+            assert r["n_samples"] > 0
+            assert 0.0 < r["rms"] < 1.0
+            assert 0.0 <= r["zcr"] <= 1.0
+            assert 0.0 < r["centroid_hz"] < 4000.0
+            assert r["fingerprint"] is not None
+
+    def test_pure_python_parity(self, spark):
+        from seqspark.pipeline.multimodal import real_asset_rows
+
+        out = {
+            r["asset_id"]: r
+            for r in audio_features(make_real_assets(spark, 8), fake=False).collect()
+        }
+        for i, media, content, _m in real_asset_rows(8):
+            if media != "audio":
+                continue
+            rate, nch, x = _wav_pcm(bytes(content))
+            assert out[i]["rms"] == round(float(np.sqrt(np.mean(x * x))), 6)
+            assert out[i]["fingerprint"] == _audio_fingerprint_of(x, rate)
+
+    def test_undecodable_audio_keeps_row_with_nulls(self, spark):
+        from seqspark.pipeline.multimodal import ASSET_SCHEMA
+
+        assets = spark.createDataFrame(
+            [(1, "audio", bytearray(b"garbage"), "{}"),
+             (2, "image", bytearray(b"x"), "{}")],
+            ASSET_SCHEMA,
+        )
+        out = audio_features(assets, fake=False).collect()
+        assert len(out) == 1  # image row drops
+        r = out[0]
+        assert r["asset_id"] == 1 and r["rms"] is None and r["fingerprint"] is None
+
+    def test_hamming_dupes_over_fingerprints(self, spark):
+        # the fingerprint feeds the SAME banded Hamming join as the
+        # image dHash: a re-encoded (8-bit) copy of each clip must pair
+        # with its 16-bit original
+        from pyspark.sql import functions as F
+
+        from seqspark.pipeline.dedup import hamming_dupes
+        from seqspark.pipeline.multimodal import ASSET_SCHEMA
+
+        rows = []
+        rng = np.random.default_rng(3)
+        for i in range(4):
+            t = np.arange(4000) / 8000.0
+            f0 = 300 + 400 * i
+            x = 0.5 * np.sin(2 * np.pi * f0 * t) + 0.2 * np.sin(
+                2 * np.pi * (f0 * 2.7) * t
+            ) * (t > 0.25 * (i + 1) / 4)
+            rows.append((i, "audio", bytearray(make_wav(x, sw=2)), "{}"))
+            rows.append((100 + i, "audio", bytearray(make_wav(x, sw=1)), "{}"))
+        assets = spark.createDataFrame(rows, ASSET_SCHEMA)
+        feats = audio_features(assets, fake=False).select(
+            "asset_id", F.col("fingerprint").alias("fp"))
+        pairs = hamming_dupes(feats, "asset_id", "fp", max_distance=6).collect()
+        got = {(r["id_a"], r["id_b"]) for r in pairs}
+        for i in range(4):
+            assert (i, 100 + i) in got, (i, sorted(got))

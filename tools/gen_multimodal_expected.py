@@ -219,6 +219,37 @@ def main() -> None:
         print(f"    {r!r},")
     print("]")
 
+    # r12b: audio DSP features over the WAV rows of the mixed fixture —
+    # RMS / zero-crossing rate / spectral centroid (rounded to 6dp in
+    # the kernel) + the 64-bit spectral fingerprint.
+    from seqspark.pipeline.multimodal import (  # noqa: E402
+        _audio_fingerprint_of, _wav_pcm)
+    import numpy as _np  # noqa: E402
+
+    au = []
+    for i, media, content, _meta in real_asset_rows(N_DECODE):
+        if media != "audio":
+            continue
+        rate, nch, x = _wav_pcm(bytes(content))
+        ns = int(len(x))
+        rms = round(float(_np.sqrt(_np.mean(x * x))), 6)
+        zc = round(
+            float(_np.mean(_np.signbit(x[1:]) != _np.signbit(x[:-1]))), 6
+        )
+        mag = _np.abs(_np.fft.rfft(x))
+        freqs = _np.fft.rfftfreq(ns, d=1.0 / rate)
+        tot = float(mag.sum())
+        cent = round(float((freqs * mag).sum() / tot) if tot > 0 else 0.0, 6)
+        au.append((i, rate, nch, ns, rms, zc, cent,
+                   _audio_fingerprint_of(x, rate)))
+    print()
+    print("#: (asset_id, sample_rate, n_channels, n_samples, rms, zcr,")
+    print("#: centroid_hz, fingerprint) over real_asset_rows' WAV rows")
+    print("AUDIO_FEATURES_EXPECTED = [")
+    for r in au:
+        print(f"    {r!r},")
+    print("]")
+
 
 if __name__ == "__main__":
     main()
