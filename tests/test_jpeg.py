@@ -377,3 +377,80 @@ class TestJpegPipeline:
         )
         with _pytest.raises(PythonException, match="MJPEG|ffmpeg"):
             decode_assets(assets, fake=False).collect()
+
+
+class TestJpegHypothesis:
+    """Generative coverage over the codec's parameter product space —
+    random dimensions x content x quality x subsampling x restart x
+    progressive, the combinations the fixed tests can't enumerate."""
+
+    from hypothesis import given, settings, strategies as st
+
+    @staticmethod
+    def _image(rng, w, h, mode):
+        if mode == 0:  # random noise
+            return rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        if mode == 1:  # flat
+            return np.full((h, w, 3), int(rng.integers(0, 256)), dtype=np.uint8)
+        yy, xx = np.mgrid[0:h, 0:w]  # smooth gradient
+        return np.stack(
+            [(xx * 3) % 256, (yy * 5) % 256, ((xx + yy) * 2) % 256], axis=-1
+        ).astype(np.uint8)
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        w=st.integers(1, 50),
+        h=st.integers(1, 40),
+        seed=st.integers(0, 10_000),
+        mode=st.integers(0, 2),
+        quality=st.sampled_from([60, 80, 92, 100]),
+        subsample=st.sampled_from(["444", "422", "420"]),
+        restart=st.sampled_from([0, 1, 3]),
+        progressive=st.booleans(),
+    )
+    def test_roundtrip_never_throws_and_dims_survive(
+        self, w, h, seed, mode, quality, subsample, restart, progressive
+    ):
+        rng = np.random.default_rng(seed)
+        img = self._image(rng, w, h, mode)
+        if progressive:
+            b = jpeg.encode_progressive(
+                w, h, 3, img.tobytes(), quality=quality, subsample=subsample
+            )
+        else:
+            b = jpeg.encode(
+                w, h, 3, img.tobytes(), quality=quality,
+                subsample=subsample, restart=restart,
+            )
+        dec = jpeg.decode(b)
+        assert dec is not None and (dec[0], dec[1], dec[2]) == (w, h, 3)
+        out = np.frombuffer(bytes(dec[3]), dtype=np.uint8).reshape(h, w, 3)
+        if mode == 1:  # flat images survive within rounding everywhere
+            assert int(np.abs(out.astype(int) - img.astype(int)).max()) <= 2
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        w=st.integers(1, 40),
+        h=st.integers(1, 33),
+        seed=st.integers(0, 10_000),
+        quality=st.sampled_from([70, 90, 100]),
+        subsample=st.sampled_from(["444", "422", "420"]),
+        split=st.integers(2, 63),
+    )
+    def test_progressive_equals_baseline_generative(
+        self, w, h, seed, quality, subsample, split
+    ):
+        rng = np.random.default_rng(seed)
+        img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        base = jpeg.decode(
+            jpeg.encode(w, h, 3, img.tobytes(), quality=quality,
+                        subsample=subsample)
+        )
+        prog = jpeg.decode(
+            jpeg.encode_progressive(
+                w, h, 3, img.tobytes(), quality=quality,
+                subsample=subsample, spectral_split=split,
+            )
+        )
+        assert prog is not None
+        assert bytes(base[3]) == bytes(prog[3])

@@ -41,6 +41,7 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     from seqspark.pipeline.multimodal import (
+        audio_features,
         decode_assets,
         dhash_images,
         make_real_apng_assets,
@@ -97,6 +98,10 @@ def main() -> None:
     rate("dhash_jpeg",
          lambda: dhash_images(fixtures["jpeg"], fake=False)
          .filter(F.col("dhash").isNotNull()).count(),
+         lambda c: c)
+    rate("audio_features",
+         lambda: audio_features(fixtures["png_wav"], fake=False)
+         .filter(F.col("fingerprint").isNotNull()).count(),
          lambda c: c)
 
     print(json.dumps(res))
