@@ -1638,6 +1638,45 @@ def q_frame_sample_apng(spark, sf_dir):
     )
 
 
+#: (asset_id, fingerprint) over real_audio_pair_rows: each
+#: signal twice (16-bit PCM at id i, 8-bit re-encode at 1000+i)
+AUDIO_PAIR_FP_EXPECTED = [
+    (0, -3980961305908428608),
+    (1000, -3980961305908428608),
+    (1, 3472893997115159216),
+    (1001, 3472893997115159216),
+    (2, 2894737211004816428),
+    (1002, 2894737211004816428),
+    (3, 146941769450963650),
+    (1003, 146941769450963650),
+    (4, 3602881909543284738),
+    (1004, 3602881910625415170),
+    (5, -4555179054625406776),
+    (1005, -4555179054625406776),
+    (6, -5570336255781064014),
+    (1006, -5570336255781064014),
+    (7, 877089273311661096),
+    (1007, 877089273311661096),
+]
+
+
+def q_audio_dupes(spark, sf_dir):
+    # hash-pinned (r12b): near-duplicate AUDIO via the spectral
+    # fingerprint — each fixture signal appears as 16-bit PCM and as an
+    # 8-bit re-encode (different bytes, same sound); the banded Hamming
+    # join must pair them. Oracle freezes the per-asset fingerprints and
+    # replays the pair semantics brute-force in DuckDB (pigeonhole
+    # banding is exact) — the image_dhash_dupes discipline on audio
+    from seqspark.pipeline.dedup import hamming_dupes
+    from seqspark.pipeline.multimodal import (
+        audio_features, make_real_audio_pair_assets)
+
+    assets = make_real_audio_pair_assets(spark, 8)
+    feats = audio_features(assets, fake=False).select(
+        "asset_id", F.col("fingerprint").alias("fp"))
+    return hamming_dupes(feats, "asset_id", "fp", max_distance=3)
+
+
 def q_audio_features(spark, sf_dir):
     # hash-pinned (r12b): audio DSP features over the WAV rows of the
     # real-codec fixture — RMS / zero-crossing rate / spectral centroid
@@ -2379,6 +2418,7 @@ DRIVER_WINDOW = [
     "image_dhash_jpeg",
     "frame_sample_mjpeg",
     "audio_features",
+    "audio_dupes",
     # least-recently driver-checked (last seen r5)
     "join_broadcast",
     "lineitem_pricing_summary",
@@ -2403,15 +2443,14 @@ DRIVER_WINDOW = [
     # last seen r9
     "c4_filter",
     "path_prefix_tokens",
-    # last seen r10 (agg_avg/max/sum_group and agg_timeseries rotated
-    # out to make room for the four r12b entries — same operator family
-    # stays covered via agg_min_group/agg_filtered/agg_quantile and
-    # date_histogram)
+    # last seen r10 (agg_avg/max/sum_group, agg_timeseries and
+    # ann_batch_topk rotated out to make room for the five r12b entries
+    # — the operator families stay covered via agg_min_group/
+    # agg_filtered/agg_quantile, date_histogram and ann_brute_topk)
     "agg_filtered",
     "agg_min_group",
     "agg_quantile",
     "agg_unique",
-    "ann_batch_topk",
     "auto_mapping_search",
     "bigram_perplexity",
     "bool_not",
@@ -2517,6 +2556,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_resize_jpeg": q_multimodal_resize_jpeg,
         "image_dhash_jpeg": q_image_dhash_jpeg,
         "audio_features": q_audio_features,
+        "audio_dupes": q_audio_dupes,
         "join_broadcast": q_join_broadcast,
         "lineitem_pricing_summary": q_lineitem_pricing_summary,
         "complex_search": q_complex_search,
@@ -3724,5 +3764,15 @@ def oracle_sql() -> dict[str, str]:
         )
         + ") AS t(asset_id, sample_rate, n_channels, n_samples, rms, zcr,"
         " centroid_hz, fingerprint)"
+    )
+    _afp_vals = ", ".join(
+        f"({i}, CAST({fp} AS BIGINT))" for i, fp in AUDIO_PAIR_FP_EXPECTED
+    )
+    sql["audio_dupes"] = (
+        f"WITH h(asset_id, fp) AS (VALUES {_afp_vals}) "
+        "SELECT a.asset_id AS id_a, b.asset_id AS id_b, "
+        "CAST(bit_count(xor(a.fp, b.fp)) AS INTEGER) AS distance "
+        "FROM h a JOIN h b ON a.asset_id < b.asset_id "
+        "WHERE bit_count(xor(a.fp, b.fp)) <= 3"
     )
     return {k: v for k, v in sql.items() if v is not None}

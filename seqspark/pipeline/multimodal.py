@@ -1651,6 +1651,70 @@ def make_real_mjpeg_assets(spark, n: int = 12) -> DataFrame:
     return spark.createDataFrame(real_mjpeg_asset_rows(n), ASSET_SCHEMA)
 
 
+def real_audio_pair_rows(n: int = 8) -> list:
+    """Driver-side rows of the audio near-dup fixture (r12b): ``n``
+    distinct synthetic signals (two-tone with a mid-clip onset — real
+    temporal structure, so fingerprints differ across signals), each
+    emitted TWICE: 16-bit PCM under id ``i`` and an 8-bit re-encode
+    under id ``1000+i``. Byte-level dedup can never pair them; the
+    spectral fingerprint must. A pure function of ``n`` for the
+    digest-freezing tool."""
+    import wave
+
+    import numpy as np
+
+    rows = []
+    rate = 8000
+    t = np.arange(4000) / rate
+    # fingerprint band centers (geomspace(50, 4000, 10) midpoints): park
+    # each signal's tones mid-band so 8-bit quantization noise cannot
+    # move energy across a band edge
+    centers = [78.0, 190.0, 470.0, 1160.0, 2860.0]
+    slice_idx = np.minimum((t * rate / 500).astype(int), 7)
+    for i in range(n):
+        # three tones parked in distinct bands, two of them gated by the
+        # bits of per-signal patterns across the 8 time slices — each
+        # signal gets a distinct slice-by-band grid (measured: 16-vs-8-bit
+        # pair Hamming <= 2, cross-signal >= 5 at the production clamp)
+        f0 = centers[i % 5]
+        f1 = centers[(i + 2) % 5]
+        f2 = centers[(i + 4) % 5]
+        p1 = (i * 73 + 29) & 0xFF
+        p2 = (i * 151 + 97) & 0xFF
+        g1 = np.array([(p1 >> s) & 1 for s in range(8)])[slice_idx]
+        g2 = np.array([(p2 >> s) & 1 for s in range(8)])[slice_idx]
+        x = (
+            0.35 * np.sin(2 * np.pi * f0 * t)
+            + 0.3 * np.sin(2 * np.pi * f1 * t) * g1
+            + 0.3 * np.sin(2 * np.pi * f2 * t) * g2
+        )
+        for sw, base in ((2, 0), (1, 1000)):
+            buf = io.BytesIO()
+            with wave.open(buf, "wb") as wv:
+                wv.setnchannels(1)
+                wv.setsampwidth(sw)
+                wv.setframerate(rate)
+                if sw == 2:
+                    wv.writeframes(
+                        (np.clip(x, -1, 1) * 32767).astype("<i2").tobytes()
+                    )
+                else:
+                    wv.writeframes(
+                        ((np.clip(x, -1, 1) * 127) + 128)
+                        .astype(np.uint8).tobytes()
+                    )
+            rows.append((
+                base + i, "audio", bytearray(buf.getvalue()),
+                '{"src":"fixture-audio-pair"}',
+            ))
+    return rows
+
+
+def make_real_audio_pair_assets(spark, n: int = 8) -> DataFrame:
+    """Audio near-dup pair fixture (:func:`real_audio_pair_rows`)."""
+    return spark.createDataFrame(real_audio_pair_rows(n), ASSET_SCHEMA)
+
+
 def make_real_assets(spark, n: int = 64) -> DataFrame:
     """Deterministic REAL-codec asset fixture (:func:`real_asset_rows`):
     every payload decodes through the stdlib kernels with ``fake=False``,
@@ -1838,11 +1902,13 @@ def _audio_fingerprint_of(x, rate: int) -> Optional[int]:
                 energies[bnd] = float(np.sqrt(np.mean(mag[m] ** 2)))
         # normalize per slice and clamp the quantization-noise floor:
         # comparisons between two near-silent bands flip with bit depth
-        # (the noise differs), so bands under 2% of the slice peak are
-        # treated as equal — bits come from tonal structure only
+        # (the noise differs), so bands under 5% of the slice peak are
+        # treated as equal — bits come from tonal structure only (5%
+        # measured to absorb 8-bit WAV's offset+rounding noise: pair
+        # Hamming <=2 on the re-encode fixture, was 5 at a 2% floor)
         peak = float(energies.max())
         if peak > 0:
-            energies = np.maximum(energies / peak, 0.02)
+            energies = np.maximum(energies / peak, 0.05)
         for bnd in range(n_bands - 1):
             bits = (bits << 1) | (1 if energies[bnd] > energies[bnd + 1] else 0)
     return bits - (1 << 64) if bits >= (1 << 63) else bits

@@ -172,3 +172,37 @@ class TestAudioFeaturesPipeline:
         got = {(r["id_a"], r["id_b"]) for r in pairs}
         for i in range(4):
             assert (i, 100 + i) in got, (i, sorted(got))
+
+
+class TestAudioPairFixture:
+    def test_separability(self):
+        # the property the audio_dupes contract entry rests on: 16-bit
+        # vs 8-bit re-encodes within Hamming 3, distinct signals beyond
+        from seqspark.pipeline.multimodal import real_audio_pair_rows
+
+        rows = real_audio_pair_rows(8)
+        fp = {}
+        for i, _m, c, _j in rows:
+            rate, _n, x = _wav_pcm(bytes(c))
+            fp[i] = _audio_fingerprint_of(x, rate)
+        for i in range(8):
+            d = bin((fp[i] ^ fp[1000 + i]) & (2**64 - 1)).count("1")
+            assert d <= 3, (i, d)
+        for i in range(8):
+            for j in range(i + 1, 8):
+                d = bin((fp[i] ^ fp[j]) & (2**64 - 1)).count("1")
+                assert d > 3, (i, j, d)
+
+    def test_pair_join(self, spark):
+        from pyspark.sql import functions as F
+
+        from seqspark.pipeline.dedup import hamming_dupes
+        from seqspark.pipeline.multimodal import make_real_audio_pair_assets
+
+        feats = audio_features(
+            make_real_audio_pair_assets(spark, 8), fake=False
+        ).select("asset_id", F.col("fingerprint").alias("fp"))
+        pairs = hamming_dupes(feats, "asset_id", "fp", max_distance=3).collect()
+        assert {(r["id_a"], r["id_b"]) for r in pairs} == {
+            (i, 1000 + i) for i in range(8)
+        }

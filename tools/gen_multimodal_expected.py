@@ -250,6 +250,23 @@ def main() -> None:
         print(f"    {r!r},")
     print("]")
 
+    # r12b: audio near-dup pair fixture — per-asset fingerprints frozen;
+    # the oracle REPLAYS the banded-Hamming pair join brute-force in
+    # DuckDB (pigeonhole banding is exact, so the sets must be equal).
+    from seqspark.pipeline.multimodal import real_audio_pair_rows  # noqa: E402
+
+    ap = []
+    for i, media, content, _meta in real_audio_pair_rows(8):
+        rate, _nch, x = _wav_pcm(bytes(content))
+        ap.append((i, _audio_fingerprint_of(x, rate)))
+    print()
+    print("#: (asset_id, fingerprint) over real_audio_pair_rows: each")
+    print("#: signal twice (16-bit PCM at id i, 8-bit re-encode at 1000+i)")
+    print("AUDIO_PAIR_FP_EXPECTED = [")
+    for r in ap:
+        print(f"    {r!r},")
+    print("]")
+
 
 if __name__ == "__main__":
     main()
