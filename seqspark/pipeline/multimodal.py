@@ -19,8 +19,10 @@ inside the executor batch function:
   LUT Huffman + vectorized IDCT, 4:4:4/4:2:2/4:2:0, restart intervals,
   baseline AND progressive SOF2) covers real JPEG pixels — other
   formats raise ``NotImplementedError``;
-- audio: stdlib ``wave`` (WAV) — always available; decoded metadata maps
-  (width, height, n_frames) → (channels, bits-per-sample, audio frames);
+- audio: stdlib ``wave`` (WAV), plus r12b parsers for AIFF
+  (big-endian PCM) and Sun/NeXT ``.snd`` (G.711 mu-law + linear PCM);
+  decoded metadata maps (width, height, n_frames) → (channels,
+  bits-per-sample, audio frames);
 - video: the Y4M (YUV4MPEG2) raw container decodes fully stdlib-side
   (r12: header walk for metadata, BT.601 YUV→RGB for frame extraction,
   C420/C422/C444/Cmono), and MJPEG-in-AVI (``avi.py`` over the JPEG
@@ -215,8 +217,21 @@ def _real_decode(media_type: str, content: bytes) -> tuple[int, int, int]:
     if media_type == "audio":
         import wave
 
-        with wave.open(io.BytesIO(content or b""), "rb") as w:
-            return w.getnchannels(), w.getsampwidth() * 8, w.getnframes()
+        try:
+            with wave.open(io.BytesIO(content or b""), "rb") as w:
+                return w.getnchannels(), w.getsampwidth() * 8, w.getnframes()
+        except Exception:
+            # r12b: AIFF (FORM/COMM) and AU (.snd) metadata
+            meta = _aiff_meta(content or b"")
+            if meta is None:
+                meta = _au_meta(content or b"")
+            if meta is None:
+                raise NotImplementedError(
+                    "audio decode supports WAV, AIFF and AU (.snd incl. "
+                    "mu-law) containers; compressed audio needs a codec "
+                    "absent here"
+                ) from None
+            return meta
     if media_type == "video":
         # Y4M (YUV4MPEG2): raw planar YUV — header + FRAME count only
         # here (no raster work); MJPEG-in-AVI (r12): RIFF header walk,
@@ -1876,6 +1891,172 @@ def _wav_pcm(b: bytes):
     return rate, nch, x
 
 
+def _iff_chunks(b: bytes, pos: int, end: int):
+    """Big-endian IFF chunk walk (AIFF), word-aligned like RIFF."""
+    while pos + 8 <= end:
+        fourcc = b[pos : pos + 4]
+        (size,) = struct.unpack(">I", b[pos + 4 : pos + 8])
+        start = pos + 8
+        if start + size > end:
+            return
+        yield fourcc, start, size
+        pos = start + size + (size & 1)
+
+
+def _f80_to_float(b: bytes) -> float:
+    """80-bit IEEE extended float (AIFF sample rates)."""
+    exp = struct.unpack(">H", b[:2])[0]
+    mant = struct.unpack(">Q", b[2:10])[0]
+    sign = -1.0 if exp & 0x8000 else 1.0
+    exp &= 0x7FFF
+    if exp == 0 and mant == 0:
+        return 0.0
+    return sign * mant * 2.0 ** (exp - 16383 - 63)
+
+
+def _aiff_parse(b: bytes):
+    """(rate, nch, sample_width_bytes, n_frames, ssnd_payload) or None."""
+    if len(b) < 12 or b[:4] != b"FORM" or b[8:12] != b"AIFF":
+        return None
+    comm = ssnd = None
+    for fourcc, start, size in _iff_chunks(b, 12, len(b)):
+        if fourcc == b"COMM" and size >= 18:
+            comm = b[start : start + 18]
+        elif fourcc == b"SSND" and size >= 8:
+            (off, _blk) = struct.unpack(">II", b[start : start + 8])
+            ssnd = b[start + 8 + off : start + size]
+    if comm is None or ssnd is None:
+        return None
+    nch, nframes, bits = struct.unpack(">HIH", comm[:8])
+    rate = _f80_to_float(comm[8:18])
+    if nch <= 0 or rate <= 0 or bits not in (8, 16, 24, 32):
+        return None
+    return int(round(rate)), nch, bits // 8, nframes, ssnd
+
+
+def _aiff_meta(b: bytes) -> Optional[tuple[int, int, int]]:
+    p = _aiff_parse(b)
+    if p is None:
+        return None
+    _rate, nch, sw, nframes, _d = p
+    return nch, sw * 8, nframes
+
+
+def _aiff_pcm(b: bytes):
+    """AIFF: big-endian signed PCM (8/16/24/32-bit)."""
+    import numpy as np
+
+    p = _aiff_parse(b)
+    if p is None:
+        return None
+    rate, nch, sw, _nf, raw = p
+    raw = raw[: (len(raw) // sw) * sw]
+    if sw == 1:
+        x = np.frombuffer(raw, dtype=np.int8).astype(np.float64) / 128.0
+    elif sw == 2:
+        x = np.frombuffer(raw, dtype=">i2").astype(np.float64) / 32768.0
+    elif sw == 3:
+        a = np.frombuffer(raw, dtype=np.uint8)
+        a = a[: (len(a) // 3) * 3].reshape(-1, 3)
+        v = (
+            (a[:, 0].astype(np.int32) << 16)
+            | (a[:, 1].astype(np.int32) << 8)
+            | a[:, 2].astype(np.int32)
+        )
+        v = (v ^ 0x800000) - 0x800000
+        x = v.astype(np.float64) / 8388608.0
+    else:
+        x = np.frombuffer(raw, dtype=">i4").astype(np.float64) / 2147483648.0
+    n = (len(x) // nch) * nch
+    return rate, nch, x[:n].reshape(-1, nch).mean(axis=1)
+
+
+def _au_parse(b: bytes):
+    """(rate, nch, encoding, payload) for Sun/NeXT .snd, or None."""
+    if len(b) < 24 or b[:4] != b".snd":
+        return None
+    off, size, enc, rate, nch = struct.unpack(">IIIII", b[4:24])
+    if off < 24 or nch <= 0 or rate <= 0:
+        return None
+    end = len(b) if size in (0, 0xFFFFFFFF) else min(len(b), off + size)
+    return int(rate), int(nch), int(enc), b[off:end]
+
+
+_MULAW_BIAS = 0x84
+
+
+def _mulaw_decode_table():
+    """256-entry mu-law -> linear16 table (G.711)."""
+    tbl = []
+    for u in range(256):
+        u = ~u & 0xFF
+        sign = u & 0x80
+        exp = (u >> 4) & 0x07
+        mant = u & 0x0F
+        mag = ((mant << 3) + _MULAW_BIAS) << exp
+        mag -= _MULAW_BIAS
+        tbl.append(-mag if sign else mag)
+    return tbl
+
+
+def _au_meta(b: bytes) -> Optional[tuple[int, int, int]]:
+    p = _au_parse(b)
+    if p is None:
+        return None
+    _rate, nch, enc, raw = p
+    widths = {1: 1, 2: 1, 3: 2, 4: 3, 5: 4}
+    if enc not in widths:
+        return None
+    sw = widths[enc]
+    return nch, (8 if enc == 1 else sw * 8), len(raw) // (sw * nch)
+
+
+def _au_pcm(b: bytes):
+    """AU/.snd: mu-law (enc 1) and big-endian linear PCM (enc 2-5)."""
+    import numpy as np
+
+    p = _au_parse(b)
+    if p is None:
+        return None
+    rate, nch, enc, raw = p
+    if enc == 1:  # G.711 mu-law
+        tbl = np.array(_mulaw_decode_table(), dtype=np.float64)
+        x = tbl[np.frombuffer(raw, dtype=np.uint8)] / 32768.0
+    elif enc == 2:
+        x = np.frombuffer(raw, dtype=np.int8).astype(np.float64) / 128.0
+    elif enc == 3:
+        x = np.frombuffer(raw[: (len(raw) // 2) * 2], dtype=">i2").astype(
+            np.float64) / 32768.0
+    elif enc == 4:
+        a = np.frombuffer(raw, dtype=np.uint8)
+        a = a[: (len(a) // 3) * 3].reshape(-1, 3)
+        v = (
+            (a[:, 0].astype(np.int32) << 16)
+            | (a[:, 1].astype(np.int32) << 8)
+            | a[:, 2].astype(np.int32)
+        )
+        v = (v ^ 0x800000) - 0x800000
+        x = v.astype(np.float64) / 8388608.0
+    elif enc == 5:
+        x = np.frombuffer(raw[: (len(raw) // 4) * 4], dtype=">i4").astype(
+            np.float64) / 2147483648.0
+    else:
+        return None
+    n = (len(x) // nch) * nch
+    return rate, nch, x[:n].reshape(-1, nch).mean(axis=1)
+
+
+def _audio_pcm(b: bytes):
+    """(rate, nch, mono float64) for any stdlib-decodable audio container:
+    WAV, AIFF (BE PCM) or AU (.snd — mu-law + linear). None otherwise."""
+    dec = _wav_pcm(b)
+    if dec is None:
+        dec = _aiff_pcm(b or b"")
+    if dec is None:
+        dec = _au_pcm(b or b"")
+    return dec
+
+
 def _audio_fingerprint_of(x, rate: int) -> Optional[int]:
     """64-bit spectral fingerprint — dHash's idea applied to audio: an
     8-time-slice x 9-log-band energy grid, bit = band louder than its
@@ -1915,7 +2096,9 @@ def _audio_fingerprint_of(x, rate: int) -> Optional[int]:
 
 
 def audio_features(assets: DataFrame, fake: bool = False) -> DataFrame:
-    """Per-asset audio DSP features over WAV payloads: RMS level,
+    """Per-asset audio DSP features over WAV / AIFF / AU payloads
+    (r12b adds the AIFF big-endian-PCM and Sun .snd mu-law+linear
+    containers): RMS level,
     zero-crossing rate, spectral centroid (Hz) and the 64-bit spectral
     fingerprint — the audio analogue of decode/dhash for images. Floats
     are rounded to 6dp in the kernel so the frozen-digest oracle is
@@ -1943,7 +2126,7 @@ def audio_features(assets: DataFrame, fake: bool = False) -> DataFrame:
                         int.from_bytes(hsh[8:16], "big", signed=True),
                     ))
                     continue
-                dec = _wav_pcm(b)
+                dec = _audio_pcm(b)
                 if dec is None:
                     rows.append((a, None, None, None, None, None, None, None))
                     continue

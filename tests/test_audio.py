@@ -206,3 +206,140 @@ class TestAudioPairFixture:
         assert {(r["id_a"], r["id_b"]) for r in pairs} == {
             (i, 1000 + i) for i in range(8)
         }
+
+
+def _f80(rate):
+    import struct
+
+    m, e = rate, 16383 + 63
+    while m < (1 << 63):
+        m <<= 1
+        e -= 1
+    return struct.pack(">HQ", e, m)
+
+
+def make_aiff(x, rate=8000, sw=2, nch=1):
+    import struct
+
+    if sw == 2:
+        pcm = (np.clip(x, -1, 1) * 32767).astype(">i2").tobytes()
+    elif sw == 3:
+        v = (np.clip(x, -1, 1) * 8388607).astype(np.int32)
+        b = bytearray()
+        for q in v:
+            b += int(q & 0xFFFFFF).to_bytes(3, "big")
+        pcm = bytes(b)
+    else:
+        pcm = (np.clip(x, -1, 1) * 2147483647).astype(">i4").tobytes()
+    nf = len(x) // nch
+    comm = struct.pack(">HIH", nch, nf, sw * 8) + _f80(rate)
+    ssnd = struct.pack(">II", 0, 0) + pcm
+
+    def chunk(cc, p):
+        return cc + struct.pack(">I", len(p)) + p + (b"\0" if len(p) & 1 else b"")
+
+    body = b"AIFF" + chunk(b"COMM", comm) + chunk(b"SSND", ssnd)
+    return b"FORM" + struct.pack(">I", len(body)) + body
+
+
+def mulaw_encode(x):
+    out = bytearray()
+    for v in (np.clip(x, -1, 1) * 32635).astype(int):
+        s = 0x80 if v < 0 else 0
+        if v < 0:
+            v = -v
+        v += 0x84
+        e = 0
+        for ee in range(7, -1, -1):
+            if v & (0x4000 >> (7 - ee)):
+                e = ee
+                break
+        m = (v >> (e + 3)) & 0x0F
+        out.append(~(s | (e << 4) | m) & 0xFF)
+    return bytes(out)
+
+
+def make_au(x, rate=8000, enc=1, nch=1):
+    import struct
+
+    if enc == 1:
+        payload = mulaw_encode(x)
+    elif enc == 3:
+        payload = (np.clip(x, -1, 1) * 32767).astype(">i2").tobytes()
+    elif enc == 5:
+        payload = (np.clip(x, -1, 1) * 2147483647).astype(">i4").tobytes()
+    return b".snd" + struct.pack(">IIIII", 24, len(payload), enc, rate, nch) + payload
+
+
+class TestAiffAu:
+    """r12b: AIFF (big-endian PCM) and Sun .snd (mu-law + linear)
+    containers — the same signal through every container must land on
+    the SAME fingerprint (cross-container dedup, the operator's point)."""
+
+    def test_cross_container_fingerprint_equality(self):
+        from seqspark.pipeline.multimodal import _audio_pcm
+
+        x = _sweep(4000)
+        _r, _n, ref = _wav_pcm(make_wav(x, sw=2))
+        fp_ref = _audio_fingerprint_of(ref, 8000)
+        variants = {
+            "aiff16": make_aiff(x, sw=2),
+            "aiff24": make_aiff(x, sw=3),
+            "aiff32": make_aiff(x, sw=4),
+            "au_mulaw": make_au(x, enc=1),
+            "au_pcm16": make_au(x, enc=3),
+            "au_pcm32": make_au(x, enc=5),
+        }
+        for name, b in variants.items():
+            dec = _audio_pcm(b)
+            assert dec is not None, name
+            rate, _nch, y = dec
+            d = bin(
+                (_audio_fingerprint_of(y, rate) ^ fp_ref) & (2**64 - 1)
+            ).count("1")
+            assert d <= 3, (name, d)
+
+    def test_mulaw_amplitude_error_bounded(self):
+        from seqspark.pipeline.multimodal import _au_pcm
+
+        x = _sweep(2000)
+        _r, _n, y = _au_pcm(make_au(x, enc=1))
+        assert float(np.abs(y - x).max()) < 0.04  # G.711 quantization
+
+    def test_metadata_paths(self):
+        from seqspark.pipeline.multimodal import _aiff_meta, _au_meta, _real_decode
+
+        x = _sweep(1000)
+        assert _aiff_meta(make_aiff(x, sw=2)) == (1, 16, 1000)
+        assert _au_meta(make_au(x, enc=1)) == (1, 8, 1000)
+        assert _real_decode("audio", make_aiff(x)) == (1, 16, 1000)
+        assert _real_decode("audio", make_au(x, enc=3)) == (1, 16, 1000)
+
+    def test_malformed(self):
+        from seqspark.pipeline.multimodal import _aiff_pcm, _au_pcm, _audio_pcm
+
+        assert _aiff_pcm(b"FORM\x00\x00\x00\x04AIFF") is None
+        assert _au_pcm(b".snd" + b"\x00" * 8) is None
+        assert _audio_pcm(b"") is None
+        assert _audio_pcm(b"\x00" * 64) is None
+        good = make_aiff(_sweep(500))
+        for cut in (10, len(good) // 2):
+            _audio_pcm(good[:cut])  # must not throw
+
+    def test_audio_features_over_mixed_containers(self, spark):
+        from seqspark.pipeline.multimodal import ASSET_SCHEMA, audio_features
+
+        x = _sweep(2000)
+        assets = spark.createDataFrame(
+            [
+                (1, "audio", bytearray(make_wav(x, sw=2)), "{}"),
+                (2, "audio", bytearray(make_aiff(x, sw=3)), "{}"),
+                (3, "audio", bytearray(make_au(x, enc=1)), "{}"),
+            ],
+            ASSET_SCHEMA,
+        )
+        out = {r["asset_id"]: r for r in audio_features(assets, fake=False).collect()}
+        assert len(out) == 3
+        fps = {i: out[i]["fingerprint"] for i in (1, 2, 3)}
+        assert fps[1] == fps[2]  # lossless containers agree exactly
+        assert bin((fps[1] ^ fps[3]) & (2**64 - 1)).count("1") <= 3
