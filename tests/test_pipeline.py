@@ -2723,3 +2723,67 @@ def test_dhash_and_resize_cover_animation_first_frames(spark):
     for r in out:
         dec = _decode_any_pixels(bytes(r["content"]))
         assert dec is not None and (dec[0], dec[1]) == (16, 8)
+
+
+def test_png_unfilter_all_filter_types():
+    # r12b: the unfilter split (vectorized None/Sub/Up, sequential
+    # Average/Paeth) must reproduce pixels exactly for every per-row
+    # filter type real encoders emit (our own encoder writes only 0)
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from seqspark.pipeline.multimodal import _png_decode_pixels
+
+    rng = np.random.default_rng(7)
+    h, w, ch = 40, 53, 3
+    img = rng.integers(0, 256, size=(h, w, ch), dtype=np.uint8)
+
+    def encode_with(ftypes):
+        stride = w * ch
+        raw = bytearray()
+        prev = np.zeros(stride, dtype=np.int32)
+        flat = img.reshape(h, stride).astype(np.int32)
+        for y in range(h):
+            ft = ftypes[y % len(ftypes)]
+            line = flat[y]
+            left = np.concatenate([np.zeros(ch, dtype=np.int32), line[:-ch]])
+            upleft = np.concatenate([np.zeros(ch, dtype=np.int32), prev[:-ch]])
+            if ft == 0:
+                enc = line.copy()
+            elif ft == 1:
+                enc = line - left
+            elif ft == 2:
+                enc = line - prev
+            elif ft == 3:
+                enc = line - ((left + prev) // 2)
+            else:
+                p = left + prev - upleft
+                pa, pb, pc = abs(p - left), abs(p - prev), abs(p - upleft)
+                pred = np.where(
+                    (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, upleft)
+                )
+                enc = line - pred
+            raw.append(ft)
+            raw.extend((enc & 0xFF).astype(np.uint8).tobytes())
+            prev = line
+
+        def chunk(t, p):
+            return (
+                struct.pack(">I", len(p)) + t + p
+                + struct.pack(">I", zlib.crc32(t + p) & 0xFFFFFFFF)
+            )
+
+        return (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+            + chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + chunk(b"IEND", b"")
+        )
+
+    for fts in ([0], [1], [2], [3], [4], [1, 2, 3, 4], [4, 0, 3, 1, 2]):
+        dec = _png_decode_pixels(encode_with(fts))
+        assert dec is not None, fts
+        out = np.frombuffer(bytes(dec[3]), dtype=np.uint8).reshape(h, w, ch)
+        assert np.array_equal(out, img), fts
