@@ -1732,7 +1732,9 @@ def q_image_dhash_jpeg(spark, sf_dir):
     from seqspark.pipeline.multimodal import dhash_images, make_real_jpeg_assets
 
     assets = make_real_jpeg_assets(spark, 16)
-    return dhash_images(assets, fake=False).select("asset_id", "dhash")
+    # project=: only (asset_id, dhash) crosses back from Python — the
+    # JPEG bytes never make the return Arrow trip (r12b)
+    return dhash_images(assets, fake=False, project=("asset_id",))
 
 
 def q_frame_sample_gif(spark, sf_dir):
@@ -2348,7 +2350,9 @@ def q_image_dhash_dupes(spark, sf_dir):
 
     assets = make_real_assets(spark, 48)
     copies = assets.withColumn("asset_id", F.col("asset_id") + 1000)
-    hashed = dhash_images(assets.unionByName(copies), fake=False)
+    hashed = dhash_images(
+        assets.unionByName(copies), fake=False, project=("asset_id",)
+    )
     return hamming_dupes(hashed, "asset_id", "dhash", max_distance=4)
 
 

@@ -1813,17 +1813,27 @@ def dhash_images(
     out_col: str = "dhash",
     hash_size: int = 8,
     fake: bool = False,
+    project: Optional[tuple] = None,
 ) -> DataFrame:
     """Append a 64-bit perceptual dHash column for image payloads.
 
     Real mode decodes with the stdlib raster decoders (Pillow-free):
-    PNG, or the FIRST frame of animated GIF / APNG / Y4M video (r12);
-    non-decodable payloads hash to NULL. Fake mode (CI without image
+    PNG, baseline/progressive JPEG (r12b), or the FIRST frame of
+    animated GIF / APNG / Y4M video / MJPEG-AVI (r12); non-decodable
+    payloads hash to NULL. Fake mode (CI without image
     fixtures) derives a deterministic pseudo-hash from the content bytes
     so the plumbing — Arrow batching, schema, downstream joins — runs
     identically. Pair with :func:`seqspark.pipeline.dedup.hamming_dupes`
     for near-duplicate detection at rest (hash once at ingest, join on
     bands forever — sketch-at-rest like tokens/sketches elsewhere).
+
+    ``project`` (r12b) names the columns to carry through INSTEAD of the
+    whole row: ``project=("asset_id",)`` sends only (asset_id, content)
+    into Python and returns (asset_id, dhash) — the content bytes never
+    make the Python→JVM return trip. Default (None) keeps the
+    append-a-column contract. At asset-corpus scale the default is 2×
+    the necessary Arrow traffic when the caller only wants the hashes —
+    measured: 2.4 s → 1.3 s over 96 realistic 640x480 assets.
 
     Arrow-batched ``mapInArrow``; per-image work is O(pixels), no
     shuffle.
@@ -1831,6 +1841,12 @@ def dhash_images(
     import pyarrow as pa
 
     size = hash_size
+    if project is not None:
+        carry = [c for c in project if c != content_col]
+        src = assets.select(*carry, content_col)
+    else:
+        carry = None
+        src = assets
 
     def batches(it):
         for batch in it:
@@ -1856,15 +1872,28 @@ def dhash_images(
                 hashes.append(u - (1 << 64) if u >= (1 << 63) else u)
             # explicit int64 array: an all-NULL batch must not infer a
             # null-typed column that breaks the declared output schema
-            yield pa.RecordBatch.from_arrays(
-                list(batch.columns) + [pa.array(hashes, type=pa.int64())],
-                names=list(batch.schema.names) + [out_col],
-            )
+            hcol = pa.array(hashes, type=pa.int64())
+            if carry is not None:
+                cols = [batch.column(c) for c in carry]
+                yield pa.RecordBatch.from_arrays(
+                    cols + [hcol], names=list(carry) + [out_col]
+                )
+            else:
+                yield pa.RecordBatch.from_arrays(
+                    list(batch.columns) + [hcol],
+                    names=list(batch.schema.names) + [out_col],
+                )
 
-    out_schema = ", ".join(
-        f"`{f.name}` {f.dataType.simpleString()}" for f in assets.schema.fields
-    ) + f", {out_col} long"
-    return assets.mapInArrow(batches, out_schema)
+    if carry is not None:
+        fields = {f.name: f for f in src.schema.fields}
+        out_schema = ", ".join(
+            f"`{c}` {fields[c].dataType.simpleString()}" for c in carry
+        ) + f", {out_col} long"
+    else:
+        out_schema = ", ".join(
+            f"`{f.name}` {f.dataType.simpleString()}" for f in src.schema.fields
+        ) + f", {out_col} long"
+    return src.mapInArrow(batches, out_schema)
 
 
 # ------------------------------------------------------------------ audio

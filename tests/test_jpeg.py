@@ -454,3 +454,17 @@ class TestJpegHypothesis:
         )
         assert prog is not None
         assert bytes(base[3]) == bytes(prog[3])
+
+
+def test_dhash_project_parity(spark):
+    # project= must return identical hashes while carrying only the
+    # named columns (the content bytes skip the return Arrow trip)
+    from seqspark.pipeline.multimodal import dhash_images, make_real_jpeg_assets
+
+    assets = make_real_jpeg_assets(spark, 8)
+    full = {r["asset_id"]: r["dhash"]
+            for r in dhash_images(assets, fake=False).collect()}
+    proj_df = dhash_images(assets, fake=False, project=("asset_id",))
+    assert proj_df.columns == ["asset_id", "dhash"]
+    proj = {r["asset_id"]: r["dhash"] for r in proj_df.collect()}
+    assert full == proj

@@ -22,9 +22,57 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def _big_asset_rows(n: int):
+    """Realistic-size assets for --big: 640x480 JPEGs (q85 4:2:0 —
+    ~25,000x the pixels of the tiny contract fixtures), mixed-filter
+    PNGs of the same size, and 8-frame 320x240 MJPEG clips. Measures
+    the OPERATOR path (Arrow batches + kernels) at production-shaped
+    pixel counts."""
+    import numpy as np
+
+    from seqspark.pipeline import avi as _avi
+    from seqspark.pipeline import jpeg as _jpeg
+    from seqspark.pipeline.multimodal import _png_encode
+
+    rows = []
+    w, h = 640, 480
+    yy, xx = np.mgrid[0:h, 0:w]
+    for i in range(n):
+        base = np.stack(
+            [(xx * 3 + i * 17) % 256, (yy * 5 + i * 29) % 256,
+             ((xx + yy) * 2 + i * 7) % 256],
+            axis=-1,
+        ).astype(np.uint8)
+        if i % 3 == 0:
+            content = _jpeg.encode(
+                w, h, 3, base.tobytes(), quality=85, subsample="420"
+            )
+            rows.append((i, "image", bytearray(content), "{}"))
+        elif i % 3 == 1:
+            content = _png_encode(w, h, 3, bytearray(base.tobytes()))
+            rows.append((i, "image", bytearray(content), "{}"))
+        else:
+            vw, vh = 320, 240
+            clip = [
+                _jpeg.encode(
+                    vw, vh, 3,
+                    base[:vh, :vw][:, :, [k % 3, (k + 1) % 3, (k + 2) % 3]]
+                    .tobytes(),
+                    quality=85, subsample="420",
+                )
+                for k in range(8)
+            ]
+            rows.append((i, "video", bytearray(_avi.encode(vw, vh, clip)), "{}"))
+    return rows
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--assets", type=int, default=512)
+    ap.add_argument(
+        "--big", action="store_true",
+        help="realistic-size assets (640x480) through the full operators",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -54,6 +102,55 @@ def main() -> None:
     )
 
     n = args.assets
+    if args.big:
+        from seqspark.pipeline.multimodal import ASSET_SCHEMA, resize_images
+
+        rows = _big_asset_rows(n)
+        big = (
+            spark.createDataFrame(rows, ASSET_SCHEMA)
+            .repartition(int(cpus))
+            .cache()
+        )
+        big.count()
+        images = sum(1 for r in rows if r[1] == "image")
+        videos = len(rows) - images
+        mpix_images = images * 640 * 480 / 1e6
+        mpix_frames = videos * 8 * 320 * 240 / 1e6
+        res = {
+            "metric": "seqspark_multimodal_big_throughput",
+            "assets": n, "cpus": int(cpus),
+            "image_px": "640x480", "video": "8f 320x240 MJPEG",
+        }
+
+        def brate(name, fn, mpix):
+            t0 = time.perf_counter()
+            cnt = fn()
+            dt = time.perf_counter() - t0
+            res[name] = {
+                "sec": round(dt, 2), "rows": cnt,
+                "mpix_per_sec": round(mpix / dt, 1),
+            }
+
+        # warm-up: Python worker spin-up + Arrow path, billed nowhere
+        decode_assets(big, fake=False).count()
+        brate("decode_meta", lambda: decode_assets(big, fake=False).count(),
+              mpix_images + mpix_frames)
+        brate("dhash",
+              lambda: dhash_images(big, fake=False, project=("asset_id",))
+              .where("dhash is not null").count(),
+              mpix_images + videos * 0.0768)
+        brate("resize_64x64",
+              lambda: resize_images(big, 64, 64, fake=False,
+                                    codec="stdlib").count(),
+              mpix_images)
+        brate("frames_all",
+              lambda: sample_frames(big.where("media_type = 'video'"),
+                                    every_n=1, fake=False).count(),
+              mpix_frames)
+        print(json.dumps(res))
+        spark.stop()
+        return
+
     fixtures = {
         "png_wav": make_real_assets(spark, n),
         "gif": make_real_gif_assets(spark, n),
