@@ -254,6 +254,10 @@ def decode_assets(assets: DataFrame, fake: bool = False) -> DataFrame:
     batches keep the Python crossing amortized; output partitioning follows
     the input, so a downstream join back on asset_id is co-partitioned."""
 
+    # only the three consumed columns cross into Python (meta_json and
+    # any caller-added columns stay JVM-side — r12b Arrow-traffic pass)
+    assets = assets.select("asset_id", "media_type", "content")
+
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             if len(pdf) == 0:
@@ -2171,7 +2175,9 @@ def audio_features(assets: DataFrame, fake: bool = False) -> DataFrame:
     no shuffle."""
     import numpy as np
 
-    audio = assets.filter(F.col("media_type") == "audio")
+    audio = assets.filter(F.col("media_type") == "audio").select(
+        "asset_id", "content"
+    )
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
