@@ -1660,6 +1660,174 @@ AUDIO_PAIR_FP_EXPECTED = [
 ]
 
 
+#: frozen PQ codebooks (m=8 subspaces x k=16 centroids x 8 dims):
+#: trained ONCE by pq_train(m=8, k=16, iters=5, sample=2048) on the
+#: sf0.01 embeddings (id-ordered sample), rounded to 6dp — inputs
+#: of the entry, not outputs (the SEMDEDUP_CENTROIDS standing)
+PQ_CODEBOOKS = [
+    [
+        [0.012859, 0.013619, -0.009693, -0.168309, 0.126119, -0.016715, -0.018597, -0.073433],
+        [-0.025805, -0.036216, 0.018403, -0.078993, -0.107258, -0.038468, -0.099874, 0.04038],
+        [-0.035956, 0.018762, -0.072683, 0.12468, -0.07429, 0.056772, 0.057499, 0.116225],
+        [-0.131971, -0.009962, 0.042848, -0.009281, 0.082347, 0.02472, 0.13394, -0.049054],
+        [-0.042456, 0.007868, 0.036853, -0.002063, -0.002995, -0.186276, 0.133386, 0.102663],
+        [-0.0438, -0.083376, 0.113974, 0.012733, 0.129384, -0.128552, -0.105614, 0.113016],
+        [-0.018357, 0.12519, 0.075665, -0.083004, -0.1128, 0.123085, 0.000129, -0.014775],
+        [0.209998, 0.003257, 0.063111, -0.044647, -0.031576, -0.048839, 0.03284, 0.072002],
+        [-0.079185, -0.178864, -0.00683, -0.020504, 0.002652, 0.11012, -0.111179, 0.072901],
+        [0.118378, -0.133206, 0.005464, 0.012723, 0.006899, 0.117573, -0.045236, -0.10373],
+        [0.063084, -0.023545, -0.190447, 0.010826, -0.033894, 0.028936, 0.046479, -0.095156],
+        [-0.083156, 0.024359, -0.056401, 0.037033, 0.054482, 0.025135, -0.150168, -0.148707],
+        [0.003082, 0.012749, 0.104312, 0.01128, 0.141019, 0.189989, -0.176455, 0.001631],
+        [0.062907, 0.045705, 0.056701, 0.154362, 0.049436, -0.014768, -0.064279, -0.017743],
+        [0.061637, -0.006512, -0.079647, -0.059722, 0.105062, 0.014832, -0.04859, 0.166301],
+        [-0.076173, 0.064662, 0.014294, 0.049649, -0.147118, -0.189359, -0.039901, -0.083767],
+    ],
+    [
+        [0.174202, 0.014292, -0.034179, 0.028693, -0.143812, -0.047185, -0.00282, -0.034856],
+        [-0.070827, 0.109327, -0.089531, 0.128235, 0.086699, -0.085118, 0.049588, -0.021581],
+        [-0.118232, -0.122399, -0.016212, -0.006584, -0.094321, 0.103812, 0.072862, 0.103385],
+        [-0.076645, 0.02381, -0.093896, 0.052144, 0.100697, 0.236806, 0.016962, -0.010097],
+        [-0.008744, 0.10759, 0.15329, 0.010447, 0.001123, -0.001544, 0.109709, -0.080299],
+        [-0.064607, 0.043402, 0.092151, 0.173662, -0.039587, -0.016434, -0.12971, 0.02238],
+        [0.020215, 0.233595, 0.024836, 0.021339, -0.082837, 0.126726, -0.004261, -0.018094],
+        [-0.068434, -0.113549, 0.060048, -0.04232, -0.092562, -0.03216, 0.076573, -0.153632],
+        [0.005775, 0.032519, -0.094892, 0.054506, 0.024285, 0.026938, -0.075873, 0.184311],
+        [-0.083913, 0.039549, -0.019805, -0.094875, -0.151051, -0.018739, -0.119449, -0.033255],
+        [0.025973, -0.080675, -0.081485, -0.081508, 0.044228, -0.124432, -0.008137, 0.005065],
+        [0.047856, 0.019793, 0.065187, -0.135011, 0.089861, 0.076182, -0.092747, 0.046373],
+        [0.070243, -0.116911, 0.068911, 0.037073, 0.069384, 0.050195, 0.111039, 0.074085],
+        [-0.031163, -0.044603, 0.168388, -0.116047, 0.037851, -0.172222, -0.038475, 0.070504],
+        [0.115721, 0.136459, -0.05412, -0.004761, 0.09378, -0.057913, 0.169922, -0.008662],
+        [-0.037462, -0.153897, -0.029976, 0.039945, -0.00923, 0.070947, -0.097543, -0.147433],
+    ],
+    [
+        [0.033848, 0.072905, -0.061131, 0.116909, -0.111294, -0.04772, 0.039464, -0.12123],
+        [-0.063883, -0.022777, 0.06888, -0.098495, 0.018975, 0.202137, -0.003158, -0.02992],
+        [-0.120114, 0.01427, -0.016174, -0.206656, 0.117225, 0.033118, 0.189145, -0.157616],
+        [0.025816, -0.084067, -0.111066, 0.087083, 0.118033, -0.031118, -0.072741, 0.011175],
+        [-0.037391, 0.204173, -0.029844, -0.00497, 0.050856, 0.080009, -0.051513, 0.007739],
+        [0.163054, -0.036941, 0.020476, 0.031753, -0.072245, -0.082213, -0.060399, 0.120985],
+        [-0.036611, 0.147881, -0.035381, -0.073235, 0.015761, -0.144577, -0.023912, -0.030263],
+        [0.051878, -0.007175, -0.094519, 0.130701, 0.006516, 0.109481, 0.0832, 0.042755],
+        [0.025198, -0.065129, 0.126337, 0.063666, 0.0732, -0.020391, 0.114703, -0.008181],
+        [-0.006541, 0.043052, 0.032392, -0.081234, -0.011917, 0.068988, 0.100888, 0.234609],
+        [0.023316, 0.112049, 0.066049, -0.070346, -0.161042, 0.075513, 0.011096, -0.047282],
+        [0.163743, -0.035646, -0.018159, -0.10304, -0.041559, -0.052588, 0.092705, -0.045755],
+        [-0.08333, -0.130774, -0.130409, -0.072883, -0.026925, 0.046539, -0.01934, -0.023906],
+        [0.068776, 0.059419, 0.086543, -0.038534, 0.134785, -0.009109, -0.010824, -0.227654],
+        [-0.022694, -0.068568, 0.114857, 0.014987, 0.043955, -0.054618, -0.140642, 0.042576],
+        [-0.159487, 0.003433, 0.018443, 0.08272, -0.047019, -0.057732, 0.016253, -0.000564],
+    ],
+    [
+        [0.040045, 0.179615, 0.126953, 0.022332, 0.03494, 0.023965, 0.000782, 0.160368],
+        [0.081063, 0.060074, -0.05877, -0.016866, 0.025826, 0.165471, -0.070227, 0.037855],
+        [-0.07452, -0.063046, -0.079238, -0.125672, 0.064449, 0.021883, -0.053716, -0.140252],
+        [-0.060253, -0.015038, 0.00668, -0.101365, -0.131132, -0.042812, -0.079328, 0.045248],
+        [-0.010574, -0.088836, 0.168465, -0.027419, 0.065512, 0.044147, 0.071017, -0.024196],
+        [0.139294, 0.070983, -0.002376, -0.040639, 0.072198, 0.079791, 0.094438, -0.137618],
+        [-0.068971, -0.120281, 0.023271, 0.135726, 0.066026, 0.000303, 0.03483, -0.027138],
+        [0.061361, -0.103268, -0.096214, -0.012076, -0.048219, 0.049051, 0.130411, 0.093153],
+        [-0.071679, 0.149378, 0.013661, -0.042863, 0.035268, -0.245379, 0.059828, -0.032684],
+        [0.009275, -0.090184, -0.104053, 0.099642, -0.076333, -0.089637, 0.016837, -0.144509],
+        [0.053024, 0.051235, -0.076668, 0.188581, -0.038065, 0.035438, -0.10822, -0.000366],
+        [0.130697, 0.10455, 0.056357, 0.01124, -0.107829, -0.039386, -0.014573, 0.046467],
+        [-0.078013, 0.212023, -0.076663, 0.039164, -0.030279, -0.036325, 0.053717, -0.130588],
+        [0.042297, -0.02482, 0.022003, 0.026041, 0.087683, -0.127728, -0.076258, 0.073021],
+        [-0.189248, 0.05481, -0.026813, -0.009342, 0.058882, 0.094326, -0.060456, 0.041372],
+        [-0.079375, -0.000586, 0.01827, 0.029795, -0.146052, -0.013307, 0.161603, -0.083236],
+    ],
+    [
+        [-0.219611, -0.117912, 0.040049, 0.079997, -0.013532, 0.035266, 0.007505, 0.070366],
+        [-0.015733, -0.005111, -0.004816, 0.087796, -0.052134, -0.071696, 0.05839, -0.167006],
+        [0.054576, 0.016349, -0.062473, 0.178176, 0.093338, 0.019643, 0.114339, 0.045076],
+        [0.156577, -0.039246, -0.09603, -0.045837, -0.024052, -0.051027, 0.051478, -0.088362],
+        [-0.13945, 0.009977, -0.024384, -0.100454, -0.079119, 0.066591, -0.077657, -0.074534],
+        [0.00423, -0.021505, 0.02485, 0.131244, 0.002501, 0.069419, -0.161938, -0.034397],
+        [-0.067658, -0.088602, -0.07879, 0.037852, 0.157294, 0.116401, 0.008374, -0.001223],
+        [-0.055038, -0.063033, -0.054632, 0.012511, -0.039287, -0.153355, 0.050625, 0.137236],
+        [0.003938, -0.055914, 0.156403, -0.035316, 0.093552, -0.023351, 0.083038, -0.059959],
+        [-0.028049, -0.011223, 0.084837, 0.0741, -0.240779, -0.045938, 0.13093, 0.036836],
+        [0.118475, -0.103619, 0.06165, -0.017, 0.034194, 0.036171, -0.012493, 0.117375],
+        [0.007051, -0.131238, -0.079092, -0.098894, 0.052787, -0.115653, -0.140622, 0.010402],
+        [0.014418, 0.105849, -0.059404, -0.028026, -0.072149, 0.067264, -0.009301, 0.132005],
+        [0.084996, 0.113769, 0.09888, -0.003029, -0.017754, 0.181662, 0.038372, -0.013476],
+        [0.071206, 0.146179, 0.024994, 0.039407, 0.06761, -0.137123, -0.126528, -0.049537],
+        [0.030529, 0.018843, 0.04855, -0.192431, -0.075457, -0.082229, 0.104247, -0.032014],
+    ],
+    [
+        [0.002852, 0.010014, -0.07021, 0.055924, -0.022896, 0.159912, 0.080954, -0.083579],
+        [0.042129, -0.069252, 0.198499, 0.017111, 0.066201, 0.038426, -0.005562, -0.114882],
+        [0.01972, -0.004294, 0.118267, 0.05431, -0.170302, 0.091637, -0.115529, -0.054477],
+        [-0.053684, -0.087066, -0.08662, 0.048206, 0.105641, 0.071414, -0.085249, -0.029715],
+        [-0.020099, 0.068091, -0.143058, -0.057941, 0.002669, 0.001236, -0.108336, 0.15629],
+        [-0.055283, 0.101917, -0.123549, 0.035877, -0.147587, -0.053818, 0.055551, 0.035577],
+        [0.170194, -0.065908, -0.009938, -0.074605, 0.025034, 0.076299, 0.056576, 0.124702],
+        [-0.109898, -0.109096, 0.039789, 0.077468, -0.037661, 0.03411, 0.032448, 0.120379],
+        [-0.052391, -0.065577, -0.066477, 0.017999, 0.087285, -0.074533, 0.112522, -0.088459],
+        [0.13041, 0.088412, 0.101304, 0.064038, -0.113562, -0.008641, 0.100006, -0.110084],
+        [0.005098, -0.196287, -0.032998, -0.10405, -0.055511, -0.064745, 0.033038, -0.057053],
+        [0.077638, 0.011678, -0.014125, -0.14532, 0.053843, -0.082911, -0.11191, -0.011856],
+        [0.065174, 0.01885, -0.023906, 0.155192, 0.038911, -0.061727, -0.046609, 0.054568],
+        [-0.101383, -0.006019, -0.026026, -0.131029, -0.109549, 0.017463, -0.103174, -0.014827],
+        [-0.058994, 0.075377, 0.105589, -0.048408, -0.062816, -0.187219, 0.033567, 0.003412],
+        [-0.063586, 0.182082, 0.042206, -0.049822, 0.107185, 0.003279, 0.074648, 0.100103],
+    ],
+    [
+        [0.032525, -0.15025, -0.061239, 0.126997, 0.075919, -0.07476, 0.057948, -0.0191],
+        [-0.031354, -0.178971, 0.057618, 0.015762, 0.001921, 0.089924, 0.015072, 0.125012],
+        [0.056591, 0.034604, 0.107531, -0.080725, -0.000281, -0.090885, 0.121376, 0.205488],
+        [0.227353, -0.185555, -0.003138, -0.055173, 0.011197, 0.094963, -0.09523, 0.02063],
+        [-0.068162, -0.021611, 0.032543, 0.029188, 0.012146, 0.160785, 0.101248, -0.021046],
+        [-0.003578, -0.005035, 0.103302, 0.013616, -0.03202, 0.055851, -0.137477, -0.175354],
+        [0.036029, 0.017196, -0.111384, 0.101533, -0.015798, -0.014872, -0.024826, 0.123274],
+        [-0.033766, 0.002747, 0.152092, 0.083561, 0.03631, -0.061626, -0.060876, 0.090797],
+        [-0.151284, 0.040178, -0.037483, 0.099727, -0.163326, 0.058131, -0.024172, -0.095999],
+        [0.070823, -0.060535, 0.0915, -0.130154, -0.147485, 0.021682, -0.029406, 0.030668],
+        [0.092103, 0.151705, 0.088958, -0.032658, 0.085686, -0.021835, -0.00514, -0.039433],
+        [0.078677, 0.049625, -0.107457, -0.125481, 0.015659, 0.049343, 0.104918, 0.006821],
+        [-0.116733, 0.00045, -0.019703, -0.02486, 0.168735, -0.000666, -0.069751, -0.007945],
+        [-0.12255, -0.112454, -0.096459, -0.069707, -0.055328, -0.067266, -0.052903, -0.010974],
+        [-0.066112, 0.010196, 0.073421, 0.086879, 0.017349, -0.090967, 0.144675, -0.02499],
+        [0.040118, 0.027689, -0.030081, -0.06691, -0.024911, -0.154892, -0.034067, -0.121635],
+    ],
+    [
+        [-0.020601, -0.100702, -0.109734, -0.073984, -0.073384, -0.045013, 0.07533, -0.168375],
+        [0.043057, -0.064547, -0.00229, 0.094902, -0.098467, 0.045241, -0.087893, -0.08793],
+        [0.062848, -0.088374, -0.000322, 0.098482, 0.022767, 0.160051, 0.076112, 0.003017],
+        [-0.082587, -0.062345, -0.041423, -0.136568, 0.104758, -0.043956, -0.033367, -0.05208],
+        [0.090478, -0.124654, -0.013652, -0.079244, -0.017054, 0.00186, 0.079122, 0.106241],
+        [-0.021266, 0.074724, -0.000883, 0.02025, -0.165596, 0.041928, -0.049922, 0.091756],
+        [-0.10972, 0.035538, 0.000391, 0.026153, 0.068618, 0.001233, 0.175576, 0.026525],
+        [-0.000388, 0.13845, -0.171764, -0.082166, 0.009415, 0.049212, -0.069278, -0.083467],
+        [-0.110403, 0.04984, 0.095041, -0.099318, -0.07662, -0.114995, 0.033396, 0.030437],
+        [0.022187, 0.025446, 0.040997, -0.141332, 0.003586, 0.135214, -0.006411, -0.026025],
+        [0.144982, 0.059397, 0.019014, 0.032246, 0.109379, -0.120277, -0.034754, 0.050478],
+        [-0.035263, 0.108075, -0.091067, 0.00617, 0.127725, 0.022109, -0.075716, 0.180495],
+        [0.031842, -0.058302, 0.182221, -0.015982, 0.097894, 0.067066, -0.110174, -0.092326],
+        [-0.128308, 0.037415, 0.034043, 0.138463, 0.053611, -0.002425, -0.123772, -0.028069],
+        [0.001126, -0.00488, -0.182643, 0.103306, 0.013413, -0.091941, 0.082699, 0.004194],
+        [0.059142, 0.086522, 0.132134, 0.054755, -0.076822, -0.049169, -0.007578, -0.131976],
+    ],
+]
+
+
+
+def q_ann_pq_topk(spark, sf_dir):
+    # hash-pinned (r12b): IVF-PQ's scoring half — vectors encoded to m=8
+    # uint8 codes (one numpy GEMM per subspace at ingest), then top-k by
+    # ADC entirely in Catalyst: the per-query lookup table is m literal
+    # arrays, the score an element_at chain in whole-stage codegen, the
+    # top-k a TakeOrderedAndProject. Codebooks are frozen literals
+    # (inputs, like SEMDEDUP_CENTROIDS); the oracle replays encode + ADC
+    # + top-k in DuckDB with the same 6dp-before-argmin discipline.
+    from seqspark.pipeline.ann import pq_encode, pq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    codes = pq_encode(emb, PQ_CODEBOOKS)
+    return pq_topk(codes, PQ_CODEBOOKS, PQ_QUERY, k=10)
+
+
 def q_audio_dupes(spark, sf_dir):
     # hash-pinned (r12b): near-duplicate AUDIO via the spectral
     # fingerprint — each fixture signal appears as 16-bit PCM and as an
@@ -2171,6 +2339,11 @@ SEMDEDUP_CENTROIDS: list[list[float]] = [
 ]
 
 
+#: fixed 64-d query for the PQ entry: SEMDEDUP centroid 0 (already a
+#: frozen literal input)
+PQ_QUERY = SEMDEDUP_CENTROIDS[0]
+
+
 def _semdedup_rounded_pairs(spark, sf_dir):
     """Within-cell pairs with the cosine ROUNDED to 4dp before the
     threshold, so Spark and the DuckDB oracle apply the identical cut."""
@@ -2423,6 +2596,7 @@ DRIVER_WINDOW = [
     "frame_sample_mjpeg",
     "audio_features",
     "audio_dupes",
+    "ann_pq_topk",
     # least-recently driver-checked (last seen r5)
     "join_broadcast",
     "lineitem_pricing_summary",
@@ -2455,7 +2629,6 @@ DRIVER_WINDOW = [
     "agg_min_group",
     "agg_quantile",
     "agg_unique",
-    "auto_mapping_search",
     "bigram_perplexity",
     "bool_not",
     "bool_precedence",
@@ -2561,6 +2734,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_dhash_jpeg": q_image_dhash_jpeg,
         "audio_features": q_audio_features,
         "audio_dupes": q_audio_dupes,
+        "ann_pq_topk": q_ann_pq_topk,
         "join_broadcast": q_join_broadcast,
         "lineitem_pricing_summary": q_lineitem_pricing_summary,
         "complex_search": q_complex_search,
@@ -3769,6 +3943,9 @@ def oracle_sql() -> dict[str, str]:
         + ") AS t(asset_id, sample_rate, n_channels, n_samples, rms, zcr,"
         " centroid_hz, fingerprint)"
     )
+    from seqspark.pipeline.ann import pq_oracle_sql
+
+    sql["ann_pq_topk"] = pq_oracle_sql(PQ_CODEBOOKS, PQ_QUERY, k=10)
     _afp_vals = ", ".join(
         f"({i}, CAST({fp} AS BIGINT))" for i, fp in AUDIO_PAIR_FP_EXPECTED
     )

@@ -58,6 +58,25 @@ def brute_topk(
     )
 
 
+def brute_l2_topk(
+    emb: DataFrame, query_vec: Sequence[float], k: int = 10,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact squared-L2 top-k (ascending) — PQ's ground truth metric.
+    Same TakeOrderedAndProject shape as :func:`brute_topk`."""
+    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    d2 = F.aggregate(
+        F.zip_with(F.col(vec_col), q, lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    ).alias("d2")
+    return (
+        emb.select(F.col(id_col), d2)
+        .orderBy(F.col("d2").asc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
 def batch_topk(
     emb: DataFrame,
     queries: DataFrame,
@@ -512,3 +531,289 @@ def ivf_train(
                 )
             centroids[ci] = [got[p] for p in range(dim)]
     return centroids
+
+
+# ------------------------------------------------------ product quantization
+# r12b: IVF-PQ — the canonical memory-bounded ANN design at corpus scale.
+# Vectors are stored as m uint8 codes (dim*4 bytes -> m bytes, 32x at
+# dim=64/m=8); queries score against the codes with an ADC lookup table
+# that lives entirely in Catalyst literals, so the scan+top-k is JVM-side
+# whole-stage codegen over the code column — no Python, no shuffle
+# (TakeOrderedAndProject), and non-probed IVF cells are never read.
+# Distances are SQUARED L2 (the standard PQ metric; equals cosine order
+# for normalized vectors). Rounding discipline for the DuckDB oracle is
+# semantic_dedup's: subspace distances round to 6dp before the argmin in
+# BOTH engines, so code assignment cannot flip on float summation order.
+
+
+def _pq_check(codebooks) -> tuple[int, int, int]:
+    m = len(codebooks)
+    k = len(codebooks[0])
+    dsub = len(codebooks[0][0])
+    if any(len(cb) != k for cb in codebooks) or any(
+        len(c) != dsub for cb in codebooks for c in cb
+    ):
+        raise ValueError("ragged codebooks")
+    return m, k, dsub
+
+
+def pq_train(
+    emb: DataFrame,
+    m: int = 8,
+    k: int = 16,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample: int = 4096,
+) -> List[List[List[float]]]:
+    """Per-subspace Lloyd's k-means over a bounded, deterministic sample
+    (the ``sample`` lowest-id vectors — id order, not data order, so the
+    result is layout-independent). Returns ``codebooks[m][k][dim/m]``.
+
+    Driver traffic: sample x dim floats in, m x k x dim/m floats out —
+    the codebooks are broadcast-sized by construction, like
+    :func:`ivf_train`'s centroids. Centroids round to 6dp so they can be
+    frozen as oracle literals without re-rounding."""
+    import numpy as np
+
+    rows = emb.orderBy(id_col).limit(sample).select(vec_col).collect()
+    if len(rows) < k:
+        raise ValueError(f"corpus has {len(rows)} vectors, fewer than k={k}")
+    X = np.array([[float(v) for v in r[vec_col]] for r in rows],
+                 dtype=np.float64)
+    dim = X.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    books = []
+    for s in range(m):
+        Xs = X[:, s * dsub:(s + 1) * dsub]
+        # deterministic seeds: first k DISTINCT subvectors in id order
+        seen: list = []
+        for row in Xs:
+            t = tuple(row)
+            if t not in seen:
+                seen.append(t)
+            if len(seen) == k:
+                break
+        if len(seen) < k:
+            raise ValueError(
+                f"subspace {s}: only {len(seen)} distinct subvectors < k={k}"
+            )
+        C = np.array(seen, dtype=np.float64)
+        for _ in range(iters):
+            d2 = (
+                (Xs * Xs).sum(axis=1)[:, None]
+                - 2.0 * Xs @ C.T
+                + (C * C).sum(axis=1)[None, :]
+            )
+            assign = np.argmin(d2, axis=1)
+            for j in range(k):
+                mask = assign == j
+                if mask.any():
+                    C[j] = Xs[mask].mean(axis=0)
+        books.append([[round(float(x), 6) for x in c] for c in C])
+    return books
+
+
+def pq_encode(
+    emb: DataFrame,
+    codebooks: Sequence[Sequence[Sequence[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode vectors to PQ codes: (id, code array<int> of length m).
+
+    One numpy GEMM per subspace per Arrow batch (``mapInArrow``) — the
+    codes-at-rest step a pipeline runs once at ingest. Subspace distances
+    round to 6dp before the argmin (first index wins ties) so the DuckDB
+    oracle replays the assignment exactly. NULL/ragged vectors encode to
+    NULL codes (hygiene rule of batch_topk)."""
+    import numpy as np
+    import pyarrow as pa
+
+    m, k, dsub = _pq_check(codebooks)
+    dim = m * dsub
+    C = [np.array(cb, dtype=np.float64) for cb in codebooks]
+    cc = [(cb * cb).sum(axis=1) for cb in C]
+    id_type = emb.schema[id_col].dataType.simpleString()
+    src = emb.select(id_col, vec_col)
+
+    def batches(it):
+        for batch in it:
+            vecs = batch.column(vec_col).to_pylist()
+            ids = batch.column(id_col)
+            codes: list = []
+            ok_rows = []
+            mat = []
+            for i, v in enumerate(vecs):
+                if v is None or len(v) != dim or any(x is None for x in v):
+                    codes.append(None)
+                else:
+                    codes.append([])  # placeholder, filled below
+                    ok_rows.append(i)
+                    mat.append(v)
+            if mat:
+                X = np.array(mat, dtype=np.float64)
+                for s in range(m):
+                    Xs = X[:, s * dsub:(s + 1) * dsub]
+                    d2 = (
+                        (Xs * Xs).sum(axis=1)[:, None]
+                        - 2.0 * Xs @ C[s].T
+                        + cc[s][None, :]
+                    )
+                    assign = np.argmin(np.round(d2, 6), axis=1)
+                    for row_i, j in zip(ok_rows, assign):
+                        codes[row_i].append(int(j))
+            yield pa.RecordBatch.from_arrays(
+                [ids, pa.array(codes, type=pa.list_(pa.int32()))],
+                names=[batch.schema.names[0], "code"],
+            )
+
+    return src.mapInArrow(batches, f"{id_col} {id_type}, code array<int>")
+
+
+def pq_adc_lut(
+    codebooks: Sequence[Sequence[Sequence[float]]],
+    query_vec: Sequence[float],
+) -> List[List[float]]:
+    """ADC lookup tables: lut[s][j] = squared L2 between the query's s-th
+    subvector and codebook centroid j, rounded to 6dp (oracle literals)."""
+    m, k, dsub = _pq_check(codebooks)
+    if len(query_vec) != m * dsub:
+        raise ValueError("query dim mismatch")
+    lut = []
+    for s in range(m):
+        q = [float(x) for x in query_vec[s * dsub:(s + 1) * dsub]]
+        row = []
+        for c in codebooks[s]:
+            row.append(round(sum((a - b) * (a - b) for a, b in zip(q, c)), 6))
+        lut.append(row)
+    return lut
+
+
+def pq_topk(
+    codes: DataFrame,
+    codebooks: Sequence[Sequence[Sequence[float]]],
+    query_vec: Sequence[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    code_col: str = "code",
+) -> DataFrame:
+    """Approximate top-k by ADC over PQ codes, entirely in Catalyst.
+
+    The per-query lookup table becomes m literal arrays; the score is a
+    chain of ``element_at(lut_s, code[s]+1)`` additions inside
+    whole-stage codegen, and the top-k is orderBy+limit =
+    TakeOrderedAndProject (per-partition heaps, no shuffle). Output:
+    (id, adist) ascending squared-L2, ties by id."""
+    m, _kk, _dsub = _pq_check(codebooks)
+    lut = pq_adc_lut(codebooks, query_vec)
+    score = None
+    for s in range(m):
+        lits = F.array(*[F.lit(float(x)) for x in lut[s]])
+        term = F.element_at(lits, F.element_at(F.col(code_col), s + 1) + 1)
+        score = term if score is None else score + term
+    return (
+        codes.filter(F.col(code_col).isNotNull())
+        .select(F.col(id_col), F.round(score, 6).alias("adist"))
+        .orderBy(F.col("adist").asc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def ivf_pq_topk(
+    codes_with_cells: DataFrame,
+    centroids: Sequence[Sequence[float]],
+    codebooks: Sequence[Sequence[Sequence[float]]],
+    query_vec: Sequence[float],
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    code_col: str = "code",
+    cell_col: str = "cell",
+) -> DataFrame:
+    """IVF cell pruning composed with PQ ADC scoring: probe the nprobe
+    nearest coarse cells (partition pruning when the code table is
+    written partitioned by cell), then score only those codes."""
+    qn = math.sqrt(sum(v * v for v in query_vec)) or 1.0
+
+    def cos_py(c: Sequence[float]) -> float:
+        cn = math.sqrt(sum(x * x for x in c)) or 1.0
+        return sum(x * y for x, y in zip(c, query_vec)) / (cn * qn)
+
+    order = sorted(range(len(centroids)), key=lambda i: -cos_py(centroids[i]))
+    cands = codes_with_cells.filter(F.col(cell_col).isin(order[:nprobe]))
+    return pq_topk(cands, codebooks, query_vec, k, id_col, code_col)
+
+
+def pq_rerank_topk(
+    codes: DataFrame,
+    emb: DataFrame,
+    codebooks: Sequence[Sequence[Sequence[float]]],
+    query_vec: Sequence[float],
+    k: int = 10,
+    shortlist: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    code_col: str = "code",
+) -> DataFrame:
+    """ADC shortlist -> exact re-rank: the production IVF-PQ pattern.
+
+    :func:`pq_topk` produces a ``shortlist`` (default 4k) of candidate
+    ids from the 8-byte codes; only THOSE ids' raw vectors are fetched
+    (broadcast semi-join on a k-sized id set — the big vector table is
+    touched for shortlist rows, the full scan ran over codes 64x
+    smaller) and re-ranked by exact squared L2. Recovers the recall PQ's
+    quantization loses while keeping the scan on the compressed
+    representation."""
+    c = shortlist or 4 * k
+    short = pq_topk(codes, codebooks, query_vec, c, id_col, code_col)
+    cands = emb.join(
+        F.broadcast(short.select(id_col)), id_col
+    )
+    return brute_l2_topk(cands, query_vec, k, id_col, vec_col)
+
+
+def pq_oracle_sql(
+    codebooks: Sequence[Sequence[Sequence[float]]],
+    query_vec: Sequence[float],
+    k: int = 10,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """Generate DuckDB SQL replaying encode + ADC + top-k from literal
+    codebooks (inputs, not outputs — the SEMDEDUP_CENTROIDS standing).
+    Mirrors the engine exactly: subspace distances round to 6dp before a
+    first-index argmin; the ADC sum adds the m terms in subspace order."""
+    m, kk, dsub = _pq_check(codebooks)
+    lut = pq_adc_lut(codebooks, query_vec)
+    code_exprs = []
+    for s in range(m):
+        dists = ", ".join(
+            "round("
+            + " + ".join(
+                f"({vec_col}[{s * dsub + d + 1}] - ({codebooks[s][j][d]!r}))"
+                f" * ({vec_col}[{s * dsub + d + 1}] - ({codebooks[s][j][d]!r}))"
+                for d in range(dsub)
+            )
+            + ", 6)"
+            for j in range(kk)
+        )
+        code_exprs.append(
+            f"list_position([{dists}], list_min([{dists}])) AS c{s}"
+        )
+    adist = " + ".join(
+        "["
+        + ", ".join(repr(float(x)) for x in lut[s])
+        + f"][c{s}]"
+        for s in range(m)
+    )
+    return (
+        f"WITH coded AS (SELECT {id_col}, "
+        + ", ".join(code_exprs)
+        + f" FROM {table}) "
+        f"SELECT {id_col}, round({adist}, 6) AS adist FROM coded "
+        f"ORDER BY adist ASC, {id_col} ASC LIMIT {k}"
+    )

@@ -65,7 +65,8 @@ def main() -> None:
     truth = [topk_ids(ann.brute_topk(emb, q, k)) for q in queries]
 
     out = {"metric": "seqspark_ann_recall", "n_vectors": n, "dim": dim,
-           "k": k, "n_queries": len(queries), "lsh": [], "ivf": []}
+           "k": k, "n_queries": len(queries), "lsh": [], "ivf": [],
+           "pq": []}
 
     sweeps = ((16, (2, 4, 8)), (32, (8,)))
     for bits, band_list in sweeps:
@@ -108,6 +109,32 @@ def main() -> None:
             "scan_fraction": round(nprobe / n_cells, 3),
             "recall_at_k": round(recall / len(queries), 3),
         })
+    # PQ (r12b): recall vs exact-L2 truth (PQ's metric), swept over
+    # codebook size; code bytes per vector = m (vs dim*8 raw)
+    truth_l2 = [topk_ids(ann.brute_l2_topk(emb, q, k)) for q in queries]
+    for kc in (16, 64, 256):
+        try:
+            books = ann.pq_train(emb, m=8, k=kc, iters=4, sample=4096)
+        except ValueError:
+            continue  # corpus smaller than kc distinct subvectors
+        codes = ann.pq_encode(emb, books).cache()
+        codes.count()
+        recall = 0.0
+        for q, t in zip(queries, truth_l2):
+            approx = ann.pq_topk(codes, books, q, k)
+            recall += len(topk_ids(approx) & t) / k
+        rerank = 0.0
+        for q, t in zip(queries, truth_l2):
+            approx = ann.pq_rerank_topk(codes, emb, books, q, k)
+            rerank += len(topk_ids(approx) & t) / k
+        out["pq"].append({
+            "m": 8, "k_codes": kc,
+            "code_bytes_per_vec": 8,
+            "raw_bytes_per_vec": dim * 8,
+            "recall_at_k": round(recall / len(queries), 3),
+            "recall_at_k_rerank4k": round(rerank / len(queries), 3),
+        })
+        codes.unpersist()
     print(json.dumps(out))
 
 
