@@ -1813,6 +1813,20 @@ PQ_CODEBOOKS = [
 
 
 
+def q_ann_pq_rerank(spark, sf_dir):
+    # hash-pinned (r12b): the production IVF-PQ pattern — ADC shortlist
+    # over 64x-compressed codes, exact squared-L2 re-rank of only the
+    # broadcast-shortlisted raw vectors (recall@10 0.52 -> 0.97 measured,
+    # BASELINE.md). Oracle replays shortlist + rerank with the identical
+    # sequential 64-term float sum.
+    from seqspark.pipeline.ann import pq_encode, pq_rerank_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    codes = pq_encode(emb, PQ_CODEBOOKS)
+    out = pq_rerank_topk(codes, emb, PQ_CODEBOOKS, PQ_QUERY, k=10)
+    return out.select("vec_id", F.round(F.col("d2"), 6).alias("d2"))
+
+
 def q_ann_pq_topk(spark, sf_dir):
     # hash-pinned (r12b): IVF-PQ's scoring half — vectors encoded to m=8
     # uint8 codes (one numpy GEMM per subspace at ingest), then top-k by
@@ -2597,6 +2611,7 @@ DRIVER_WINDOW = [
     "audio_features",
     "audio_dupes",
     "ann_pq_topk",
+    "ann_pq_rerank",
     # least-recently driver-checked (last seen r5)
     "join_broadcast",
     "lineitem_pricing_summary",
@@ -2629,7 +2644,6 @@ DRIVER_WINDOW = [
     "agg_min_group",
     "agg_quantile",
     "agg_unique",
-    "bigram_perplexity",
     "bool_not",
     "bool_precedence",
     "comment_strip",
@@ -2735,6 +2749,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_features": q_audio_features,
         "audio_dupes": q_audio_dupes,
         "ann_pq_topk": q_ann_pq_topk,
+        "ann_pq_rerank": q_ann_pq_rerank,
         "join_broadcast": q_join_broadcast,
         "lineitem_pricing_summary": q_lineitem_pricing_summary,
         "complex_search": q_complex_search,
@@ -3946,6 +3961,9 @@ def oracle_sql() -> dict[str, str]:
     from seqspark.pipeline.ann import pq_oracle_sql
 
     sql["ann_pq_topk"] = pq_oracle_sql(PQ_CODEBOOKS, PQ_QUERY, k=10)
+    from seqspark.pipeline.ann import pq_rerank_oracle_sql
+
+    sql["ann_pq_rerank"] = pq_rerank_oracle_sql(PQ_CODEBOOKS, PQ_QUERY, k=10)
     _afp_vals = ", ".join(
         f"({i}, CAST({fp} AS BIGINT))" for i, fp in AUDIO_PAIR_FP_EXPECTED
     )

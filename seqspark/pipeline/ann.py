@@ -791,11 +791,16 @@ def pq_oracle_sql(
     lut = pq_adc_lut(codebooks, query_vec)
     code_exprs = []
     for s in range(m):
+        # explicit ::DOUBLE on every literal: DuckDB parses bare decimal
+        # literals as DECIMAL, and FLOAT-vs-DECIMAL arithmetic diverges
+        # from Spark's float->double promotion at the 1e-8 level
         dists = ", ".join(
             "round("
             + " + ".join(
-                f"({vec_col}[{s * dsub + d + 1}] - ({codebooks[s][j][d]!r}))"
-                f" * ({vec_col}[{s * dsub + d + 1}] - ({codebooks[s][j][d]!r}))"
+                f"({vec_col}[{s * dsub + d + 1}] - "
+                f"({codebooks[s][j][d]!r})::DOUBLE)"
+                f" * ({vec_col}[{s * dsub + d + 1}] - "
+                f"({codebooks[s][j][d]!r})::DOUBLE)"
                 for d in range(dsub)
             )
             + ", 6)"
@@ -806,7 +811,7 @@ def pq_oracle_sql(
         )
     adist = " + ".join(
         "["
-        + ", ".join(repr(float(x)) for x in lut[s])
+        + ", ".join(f"{float(x)!r}::DOUBLE" for x in lut[s])
         + f"][c{s}]"
         for s in range(m)
     )
@@ -816,4 +821,35 @@ def pq_oracle_sql(
         + f" FROM {table}) "
         f"SELECT {id_col}, round({adist}, 6) AS adist FROM coded "
         f"ORDER BY adist ASC, {id_col} ASC LIMIT {k}"
+    )
+
+
+def pq_rerank_oracle_sql(
+    codebooks: Sequence[Sequence[Sequence[float]]],
+    query_vec: Sequence[float],
+    k: int = 10,
+    shortlist: int = 0,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """DuckDB replay of :func:`pq_rerank_topk`: the ADC shortlist from
+    :func:`pq_oracle_sql` re-ranked by exact squared L2, the distance
+    generated as the SAME sequential 64-term sum the engine's zip_with/
+    aggregate chain evaluates (identical add order -> identical float64
+    bits), rounded to 6dp like the engine output."""
+    c = shortlist or 4 * k
+    dim = sum(len(cb[0]) for cb in codebooks)
+    inner = pq_oracle_sql(
+        codebooks, query_vec, c, table, id_col, vec_col
+    )
+    d2 = " + ".join(
+        f"(t.{vec_col}[{d + 1}] - ({float(query_vec[d])!r})::DOUBLE)"
+        f" * (t.{vec_col}[{d + 1}] - ({float(query_vec[d])!r})::DOUBLE)"
+        for d in range(dim)
+    )
+    return (
+        f"SELECT t.{id_col}, round({d2}, 6) AS d2 "
+        f"FROM {table} t JOIN ({inner}) s ON t.{id_col} = s.{id_col} "
+        f"ORDER BY d2 ASC, t.{id_col} ASC LIMIT {k}"
     )
