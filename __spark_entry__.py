@@ -1813,6 +1813,23 @@ PQ_CODEBOOKS = [
 
 
 
+def q_ann_pq_batch(spark, sf_dir):
+    # hash-pinned (r12b): batched ADC — a literal query SET scored in ONE
+    # pass over the codes (m numpy gathers per Arrow batch, running
+    # per-query bottom-k, window merge); every row must be bit-identical
+    # to single-query pq_topk, so the oracle is the UNION of per-query
+    # replays
+    from seqspark.pipeline.ann import pq_batch_topk, pq_encode
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    codes = pq_encode(emb, PQ_CODEBOOKS)
+    queries = spark.createDataFrame(
+        [(0, PQ_QUERY), (1, SEMDEDUP_CENTROIDS[1])],
+        "query_id int, query_vec array<double>",
+    )
+    return pq_batch_topk(codes, queries, PQ_CODEBOOKS, k=10)
+
+
 def q_ann_pq_rerank(spark, sf_dir):
     # hash-pinned (r12b): the production IVF-PQ pattern — ADC shortlist
     # over 64x-compressed codes, exact squared-L2 re-rank of only the
@@ -2612,6 +2629,7 @@ DRIVER_WINDOW = [
     "audio_dupes",
     "ann_pq_topk",
     "ann_pq_rerank",
+    "ann_pq_batch",
     # least-recently driver-checked (last seen r5)
     "join_broadcast",
     "lineitem_pricing_summary",
@@ -2649,7 +2667,6 @@ DRIVER_WINDOW = [
     "comment_strip",
     "date_histogram",
     "dsir_resample",
-    "dsir_score",
     "exists",
     "fetch_by_ids",
     "fields_pipe",
@@ -2750,6 +2767,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_dupes": q_audio_dupes,
         "ann_pq_topk": q_ann_pq_topk,
         "ann_pq_rerank": q_ann_pq_rerank,
+        "ann_pq_batch": q_ann_pq_batch,
         "join_broadcast": q_join_broadcast,
         "lineitem_pricing_summary": q_lineitem_pricing_summary,
         "complex_search": q_complex_search,
@@ -3964,6 +3982,12 @@ def oracle_sql() -> dict[str, str]:
     from seqspark.pipeline.ann import pq_rerank_oracle_sql
 
     sql["ann_pq_rerank"] = pq_rerank_oracle_sql(PQ_CODEBOOKS, PQ_QUERY, k=10)
+    sql["ann_pq_batch"] = " UNION ALL ".join(
+        f"SELECT {qi} AS query_id, vec_id, adist FROM ("
+        + pq_oracle_sql(PQ_CODEBOOKS, qv, k=10)
+        + ")"
+        for qi, qv in ((0, PQ_QUERY), (1, SEMDEDUP_CENTROIDS[1]))
+    )
     _afp_vals = ", ".join(
         f"({i}, CAST({fp} AS BIGINT))" for i, fp in AUDIO_PAIR_FP_EXPECTED
     )

@@ -853,3 +853,122 @@ def pq_rerank_oracle_sql(
         f"FROM {table} t JOIN ({inner}) s ON t.{id_col} = s.{id_col} "
         f"ORDER BY d2 ASC, t.{id_col} ASC LIMIT {k}"
     )
+
+
+def pq_batch_topk(
+    codes: DataFrame,
+    queries: DataFrame,
+    codebooks: Sequence[Sequence[Sequence[float]]],
+    k: int = 10,
+    id_col: str = "vec_id",
+    code_col: str = "code",
+    q_id_col: str = "query_id",
+    q_vec_col: str = "query_vec",
+) -> DataFrame:
+    """ADC top-k for a SET of queries in ONE pass over the codes —
+    :func:`batch_topk`'s shape on the 64x-compressed representation (the
+    many-query regime of dedup-by-NN and retrieval-eval pipelines).
+
+    The query set becomes a (|Q|, m, k_codes) lookup tensor in the task
+    closure; each Arrow batch of codes scores all queries with m numpy
+    gathers (no per-row Python), keeps a running per-query bottom-k, and
+    a final window merges partitions x k x |Q| rows — the |codes| x |Q|
+    product is never materialized. Per-row distances accumulate the m
+    LUT terms in subspace order and round to 6dp, so every (query, id,
+    adist) row is bit-identical to single-query :func:`pq_topk`
+    (parity-tested). NULL codes never take slots."""
+    import numpy as np
+    import pyarrow as pa
+    from pyspark.sql import Window
+
+    m, kcodes, _dsub = _pq_check(codebooks)
+    q_rows = queries.select(q_id_col, q_vec_col).collect()
+    id_type = codes.schema[id_col].dataType.simpleString()
+    q_id_type = queries.schema[q_id_col].dataType.simpleString()
+    out_schema = f"{q_id_col} {q_id_type}, {id_col} {id_type}, adist double"
+    empty = codes.sparkSession.createDataFrame([], out_schema)
+    if not q_rows:
+        return empty
+    q_ids = [r[q_id_col] for r in q_rows]
+    L = np.array(
+        [pq_adc_lut(codebooks, r[q_vec_col]) for r in q_rows],
+        dtype=np.float64,
+    )  # (nq, m, kcodes)
+    nq = len(q_ids)
+
+    def local_topk(batches):
+        def _merge(dists, ids, prev_d, prev_i):
+            if prev_d is not None:
+                dists = np.concatenate([prev_d, dists])
+                ids = np.concatenate([prev_i, ids])
+            if len(dists) > k:
+                part = np.argpartition(dists, k - 1)[:k]
+                boundary = dists[part].max()
+                keep = dists <= boundary
+                dists, ids = dists[keep], ids[keep]
+            order = np.lexsort((ids, dists))[:k]
+            return dists[order], ids[order]
+
+        best = [(None, None)] * nq
+        id_arrow_type = None
+        for batch in batches:
+            ids_arr = batch.column(0)
+            if id_arrow_type is None:
+                id_arrow_type = ids_arr.type
+            code_lists = batch.column(1).to_pylist()
+            mask = [
+                c is not None and len(c) == m and all(x is not None for x in c)
+                for c in code_lists
+            ]
+            if not any(mask):
+                continue
+            Cd = np.array(
+                [c for c, ok in zip(code_lists, mask) if ok], dtype=np.int64
+            )
+            if Cd.size and (Cd.min() < 0 or Cd.max() >= kcodes):
+                raise ValueError("code out of codebook range")
+            ids_np = np.asarray(ids_arr.to_pylist())[np.asarray(mask)]
+            # accumulate in subspace order (matches pq_topk's chain)
+            S = L[:, 0, :][:, Cd[:, 0]]  # (nq, n)
+            for s in range(1, m):
+                S = S + L[:, s, :][:, Cd[:, s]]
+            S = np.round(S, 6)
+            for qi in range(nq):
+                d, i = _merge(S[qi], ids_np, *best[qi])
+                best[qi] = (d, i)
+        out_q, out_id, out_d = [], [], []
+        for qi in range(nq):
+            d, i = best[qi]
+            if d is None:
+                continue
+            out_q.extend([q_ids[qi]] * len(d))
+            out_id.extend(i.tolist())
+            out_d.extend(d.tolist())
+        if out_q:
+            # the declared schema fixes the query-id width; inference
+            # from Python ints would widen int -> int64 and crash the
+            # ArrowColumnVector accessor
+            qt = {
+                "int": pa.int32(), "bigint": pa.int64(),
+                "smallint": pa.int16(), "string": pa.string(),
+            }.get(q_id_type)
+            yield pa.record_batch(
+                [
+                    pa.array(out_q, type=qt) if qt else pa.array(out_q),
+                    pa.array(out_id, type=id_arrow_type),
+                    pa.array(out_d, type=pa.float64()),
+                ],
+                names=[q_id_col, id_col, "adist"],
+            )
+
+    local = codes.select(F.col(id_col), F.col(code_col)).mapInArrow(
+        local_topk, out_schema
+    )
+    w = Window.partitionBy(q_id_col).orderBy(
+        F.col("adist").asc(), F.col(id_col).asc()
+    )
+    return (
+        local.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )

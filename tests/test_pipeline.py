@@ -2901,3 +2901,37 @@ def test_pq_rerank_recovers_exact_order(spark):
     # IN ORDER (exact L2 on the shortlisted originals)
     assert got[0] == 3
     assert len(set(got) & set(exact)) >= 4, (got, exact)
+
+
+def test_pq_batch_topk_matches_per_query(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(21)
+    rows = [(i, [float(x) for x in rng.normal(0, 1, 64)], "x")
+            for i in range(180)]
+    emb2 = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label string")
+    books = ann.pq_train(emb2, m=8, k=16, iters=3)
+    codes = ann.pq_encode(emb2, books).repartition(6)
+    queries = spark.createDataFrame(
+        [(i, rows[i][1]) for i in (2, 9, 40)],
+        "query_id long, query_vec array<double>")
+    got = {}
+    for r in ann.pq_batch_topk(codes, queries, books, k=5).collect():
+        got.setdefault(r["query_id"], []).append((r["vec_id"], r["adist"]))
+    for qid in (2, 9, 40):
+        single = [(r["vec_id"], r["adist"]) for r in
+                  ann.pq_topk(codes, books, rows[qid][1], k=5).collect()]
+        assert got[qid] == single, qid
+
+
+def test_pq_batch_topk_null_codes_never_take_slots(spark):
+    books = [[[0.0] * 8, [1.0] * 8] for _ in range(8)]
+    emb2 = spark.createDataFrame(
+        [(1, [0.0] * 64, "x"), (2, None, "x"), (3, [1.0] * 64, "x")],
+        "vec_id long, embedding array<double>, label string")
+    codes = ann.pq_encode(emb2, books)
+    queries = spark.createDataFrame(
+        [(7, [0.0] * 64)], "query_id long, query_vec array<double>")
+    out = ann.pq_batch_topk(codes, queries, books, k=5).collect()
+    assert [r["vec_id"] for r in out] == [1, 3]
