@@ -2935,3 +2935,72 @@ def test_pq_batch_topk_null_codes_never_take_slots(spark):
         [(7, [0.0] * 64)], "query_id long, query_vec array<double>")
     out = ann.pq_batch_topk(codes, queries, books, k=5).collect()
     assert [r["vec_id"] for r in out] == [1, 3]
+
+
+def test_pq_oracle_differential_fuzz(spark):
+    # generative engine-vs-DuckDB differential over random (m, k_codes,
+    # dim, data) configurations — the property that would have caught
+    # the DECIMAL-literal divergence (bare decimal literals parse as
+    # DECIMAL in DuckDB; all generated SQL must cast ::DOUBLE)
+    import duckdb
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(31)
+    for trial in range(6):
+        m = int(rng.choice([2, 4, 8]))
+        dsub = int(rng.choice([2, 4, 8]))
+        dim = m * dsub
+        kc = int(rng.choice([4, 8, 16]))
+        n = int(rng.integers(40, 120))
+        scale = float(rng.choice([0.01, 1.0, 100.0]))
+        rows = [
+            (i, [float(x) for x in rng.normal(0, scale, dim)], "x")
+            for i in range(n)
+        ]
+        emb2 = spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>, label string")
+        books = ann.pq_train(emb2, m=m, k=kc, iters=2, sample=n)
+        q = rows[int(rng.integers(0, n))][1]
+        k = int(rng.integers(3, 12))
+        sp = pd.DataFrame(
+            [(r["vec_id"], r["adist"]) for r in
+             ann.pq_topk(ann.pq_encode(emb2, books), books, q, k).collect()],
+            columns=["vec_id", "adist"],
+        )
+        con = duckdb.connect()
+        con.register("embeddings", pd.DataFrame(
+            {"vec_id": [r[0] for r in rows],
+             "embedding": [r[1] for r in rows]}))
+        oc = con.execute(ann.pq_oracle_sql(books, q, k)).df()
+        assert sp.reset_index(drop=True).equals(oc.reset_index(drop=True)), (
+            trial, m, dsub, kc, scale)
+
+
+def test_ivf_pq_partitioned_codes_store_prunes(spark, tmp_path):
+    # the full at-rest IVF-PQ shape: codes joined with coarse cells,
+    # written partitioned by cell (write_ivf is representation-agnostic)
+    # — ivf_pq_topk's probe filter becomes PartitionFilters, so
+    # non-probed cells' CODES are never read either
+    import numpy as np
+
+    rng = np.random.default_rng(17)
+    centers = rng.normal(0, 1, size=(3, 64))
+    rows = [(i, [float(x) for x in centers[i % 3] + rng.normal(0, 0.05, 64)],
+             "x") for i in range(120)]
+    emb2 = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label string")
+    cents = ann.ivf_train(emb2, k=3, iters=4)
+    books = ann.pq_train(emb2, m=8, k=8, iters=3)
+    coded = ann.pq_encode(emb2, books).join(
+        ann.ivf_assign(emb2, cents).select("vec_id", "cell"), "vec_id")
+    path = str(tmp_path / "ivfpq")
+    ann.write_ivf(coded, path)
+    stored = spark.read.parquet(path)
+    q = rows[4][1]
+    top = ann.ivf_pq_topk(stored, cents, books, q, k=5, nprobe=1)
+    plan = top._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "cell" in plan.split("PartitionFilters", 1)[1][:120]
+    ids = [r["vec_id"] for r in top.collect()]
+    assert ids[0] == 4 and all(i % 3 == 1 for i in ids)
