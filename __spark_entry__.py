@@ -1813,6 +1813,354 @@ PQ_CODEBOOKS = [
 
 
 
+#: frozen unigram-LM vocabulary: trained ONCE by train_unigram(
+#: vocab_size=400, vocab_k=4000, seed_size=2000, em_iters=2) on the
+#: sf0.01 documents; (piece, logp@6dp) — inputs of the entry, the
+#: SEMDEDUP_CENTROIDS standing
+UNIGRAM_PIECES = [
+    ('join', -3.338593),
+    ('hash', -3.356386),
+    ('row', -3.360618),
+    ('batch', -3.367001),
+    ('scan', -3.368069),
+    ('column', -3.370208),
+    ('customer', -3.370208),
+    ('filter', -3.37128),
+    ('small', -3.376653),
+    ('merge', -3.387487),
+    ('slow', -3.387487),
+    ('order', -3.394045),
+    ('vector', -3.394045),
+    ('line', -3.39624),
+    ('table', -3.39844),
+    ('data', -3.398442),
+    ('agg', -3.406181),
+    ('value', -3.410629),
+    ('key', -3.411744),
+    ('stream', -3.420713),
+    ('window', -3.422968),
+    ('a', -3.42976),
+    ('spark', -3.429763),
+    ('group', -3.432038),
+    ('part', -3.432038),
+    ('big', -3.434319),
+    ('sort', -3.438895),
+    ('query', -3.440043),
+    ('fast', -3.459754),
+    ('the', -3.476283),
+    ('dup', -6.951588),
+    ('dat', -17.006816),
+    ('gg', -17.014555),
+    ('b', -24.025195),
+    ('c', -24.025195),
+    ('d', -24.025195),
+    ('e', -24.025195),
+    ('f', -24.025195),
+    ('g', -24.025195),
+    ('h', -24.025195),
+    ('i', -24.025195),
+    ('j', -24.025195),
+    ('k', -24.025195),
+    ('l', -24.025195),
+    ('m', -24.025195),
+    ('n', -24.025195),
+    ('o', -24.025195),
+    ('p', -24.025195),
+    ('q', -24.025195),
+    ('r', -24.025195),
+    ('s', -24.025195),
+    ('t', -24.025195),
+    ('u', -24.025195),
+    ('v', -24.025195),
+    ('w', -24.025195),
+    ('y', -24.025195),
+    ('ab', -37.840706),
+    ('abl', -37.840706),
+    ('able', -37.840706),
+    ('ag', -37.840706),
+    ('al', -37.840706),
+    ('all', -37.840706),
+    ('alu', -37.840706),
+    ('alue', -37.840706),
+    ('am', -37.840706),
+    ('an', -37.840706),
+    ('ar', -37.840706),
+    ('ark', -37.840706),
+    ('art', -37.840706),
+    ('as', -37.840706),
+    ('ash', -37.840706),
+    ('ast', -37.840706),
+    ('at', -37.840706),
+    ('ata', -37.840706),
+    ('atc', -37.840706),
+    ('atch', -37.840706),
+    ('ba', -37.840706),
+    ('bat', -37.840706),
+    ('batc', -37.840706),
+    ('bi', -37.840706),
+    ('bl', -37.840706),
+    ('ble', -37.840706),
+    ('ca', -37.840706),
+    ('can', -37.840706),
+    ('ch', -37.840706),
+    ('co', -37.840706),
+    ('col', -37.840706),
+    ('colu', -37.840706),
+    ('colum', -37.840706),
+    ('ct', -37.840706),
+    ('cto', -37.840706),
+    ('ctor', -37.840706),
+    ('cu', -37.840706),
+    ('cus', -37.840706),
+    ('cust', -37.840706),
+    ('custo', -37.840706),
+    ('custom', -37.840706),
+    ('custome', -37.840706),
+    ('da', -37.840706),
+    ('de', -37.840706),
+    ('der', -37.840706),
+    ('do', -37.840706),
+    ('dow', -37.840706),
+    ('du', -37.840706),
+    ('ea', -37.840706),
+    ('eam', -37.840706),
+    ('ec', -37.840706),
+    ('ect', -37.840706),
+    ('ecto', -37.840706),
+    ('ector', -37.840706),
+    ('er', -37.840706),
+    ('erg', -37.840706),
+    ('erge', -37.840706),
+    ('ery', -37.840706),
+    ('ey', -37.840706),
+    ('fa', -37.840706),
+    ('fas', -37.840706),
+    ('fi', -37.840706),
+    ('fil', -37.840706),
+    ('filt', -37.840706),
+    ('filte', -37.840706),
+    ('ge', -37.840706),
+    ('gr', -37.840706),
+    ('gro', -37.840706),
+    ('grou', -37.840706),
+    ('ha', -37.840706),
+    ('has', -37.840706),
+    ('he', -37.840706),
+    ('ig', -37.840706),
+    ('il', -37.840706),
+    ('ilt', -37.840706),
+    ('ilte', -37.840706),
+    ('ilter', -37.840706),
+    ('in', -37.840706),
+    ('ind', -37.840706),
+    ('indo', -37.840706),
+    ('indow', -37.840706),
+    ('ine', -37.840706),
+    ('jo', -37.840706),
+    ('joi', -37.840706),
+    ('ke', -37.840706),
+    ('le', -37.840706),
+    ('li', -37.840706),
+    ('lin', -37.840706),
+    ('ll', -37.840706),
+    ('lo', -37.840706),
+    ('low', -37.840706),
+    ('lt', -37.840706),
+    ('lte', -37.840706),
+    ('lter', -37.840706),
+    ('lu', -37.840706),
+    ('lue', -37.840706),
+    ('lum', -37.840706),
+    ('lumn', -37.840706),
+    ('ma', -37.840706),
+    ('mal', -37.840706),
+    ('mall', -37.840706),
+    ('me', -37.840706),
+    ('mer', -37.840706),
+    ('merg', -37.840706),
+    ('mn', -37.840706),
+    ('nd', -37.840706),
+    ('ndo', -37.840706),
+    ('ndow', -37.840706),
+    ('ne', -37.840706),
+    ('oi', -37.840706),
+    ('oin', -37.840706),
+    ('ol', -37.840706),
+    ('olu', -37.840706),
+    ('olum', -37.840706),
+    ('olumn', -37.840706),
+    ('om', -37.840706),
+    ('ome', -37.840706),
+    ('omer', -37.840706),
+    ('or', -37.840706),
+    ('ord', -37.840706),
+    ('orde', -37.840706),
+    ('ort', -37.840706),
+    ('ou', -37.840706),
+    ('oup', -37.840706),
+    ('ow', -37.840706),
+    ('pa', -37.840706),
+    ('par', -37.840706),
+    ('park', -37.840706),
+    ('qu', -37.840706),
+    ('que', -37.840706),
+    ('quer', -37.840706),
+    ('rd', -37.840706),
+    ('rde', -37.840706),
+    ('rder', -37.840706),
+    ('re', -37.840706),
+    ('rea', -37.840706),
+    ('ream', -37.840706),
+    ('rg', -37.840706),
+    ('rge', -37.840706),
+    ('rk', -37.840706),
+    ('ro', -37.840706),
+    ('rou', -37.840706),
+    ('roup', -37.840706),
+    ('rt', -37.840706),
+    ('ry', -37.840706),
+    ('sc', -37.840706),
+    ('sca', -37.840706),
+    ('sh', -37.840706),
+    ('sl', -37.840706),
+    ('slo', -37.840706),
+    ('sm', -37.840706),
+    ('sma', -37.840706),
+    ('smal', -37.840706),
+    ('so', -37.840706),
+    ('sor', -37.840706),
+    ('sp', -37.840706),
+    ('spa', -37.840706),
+    ('spar', -37.840706),
+    ('st', -37.840706),
+    ('sto', -37.840706),
+    ('stom', -37.840706),
+    ('stome', -37.840706),
+    ('stomer', -37.840706),
+    ('str', -37.840706),
+    ('stre', -37.840706),
+    ('strea', -37.840706),
+    ('ta', -37.840706),
+    ('tab', -37.840706),
+    ('tabl', -37.840706),
+    ('tc', -37.840706),
+    ('tch', -37.840706),
+    ('te', -37.840706),
+    ('ter', -37.840706),
+    ('th', -37.840706),
+    ('to', -37.840706),
+    ('tom', -37.840706),
+    ('tome', -37.840706),
+    ('tomer', -37.840706),
+    ('tor', -37.840706),
+    ('tr', -37.840706),
+    ('tre', -37.840706),
+    ('trea', -37.840706),
+    ('tream', -37.840706),
+    ('ue', -37.840706),
+    ('uer', -37.840706),
+    ('uery', -37.840706),
+    ('um', -37.840706),
+    ('umn', -37.840706),
+    ('up', -37.840706),
+    ('us', -37.840706),
+    ('ust', -37.840706),
+    ('usto', -37.840706),
+    ('ustom', -37.840706),
+    ('ustome', -37.840706),
+    ('ustomer', -37.840706),
+    ('va', -37.840706),
+    ('val', -37.840706),
+    ('valu', -37.840706),
+    ('ve', -37.840706),
+    ('vec', -37.840706),
+    ('vect', -37.840706),
+    ('vecto', -37.840706),
+    ('wi', -37.840706),
+    ('win', -37.840706),
+    ('wind', -37.840706),
+    ('windo', -37.840706),
+]
+
+
+#: the unigram contract entry's fixture corpus — literal docs, so
+#: (NULL-text docs stay out of the CONTRACT fixture — DuckDB's
+#: pandas bridge renders a NULL BIGINT as NaN, which the checker
+#: cannot distinguish from a real NaN; NULL semantics are pinned by
+#: the pytest parity suite instead)
+#: the frozen segmentation map below is closed over its words at
+#: ANY scale factor (the entry is corpus-independent by design)
+UNIGRAM_FIXTURE_DOCS = [
+    (1, 'the hash join scans every row group in the partitioned table'),
+    (2, 'broadcast joins skip the shuffle when one side is small'),
+    (3, 'Tokenization and tokenizers: internationalization-ready!'),
+    (4, 'ZZZ unknowns: qwxyzzy 42 rows'),
+    (5, 'the the the the'),
+    (6, ''),
+    (8, 'predicate pushdown prunes partitions before any scan happens'),
+]
+
+#: frozen Viterbi segmentations of every fixture word under
+#: UNIGRAM_PIECES — generated ONCE and committed, so a Viterbi or
+#: trainer regression FAILS the contract instead of moving the
+#: oracle (the frozen-digest principle)
+UNIGRAM_SEG = [
+    ('42', ['4', '2']),
+    ('and', ['a', 'nd']),
+    ('any', ['a', 'n', 'y']),
+    ('before', ['b', 'e', 'f', 'o', 're']),
+    ('broadcast', ['b', 'ro', 'a', 'd', 'c', 'ast']),
+    ('every', ['e', 'v', 'ery']),
+    ('group', ['group']),
+    ('happens', ['h', 'a', 'p', 'p', 'e', 'n', 's']),
+    ('hash', ['hash']),
+    ('in', ['in']),
+    ('internationalization', ['in', 'ter', 'n', 'a', 't', 'i', 'o', 'n', 'a', 'li', 'z', 'a', 't', 'i', 'o', 'n']),
+    ('is', ['i', 's']),
+    ('join', ['join']),
+    ('joins', ['join', 's']),
+    ('one', ['o', 'ne']),
+    ('partitioned', ['part', 'i', 't', 'i', 'o', 'ne', 'd']),
+    ('partitions', ['part', 'i', 't', 'i', 'o', 'n', 's']),
+    ('predicate', ['p', 're', 'd', 'i', 'c', 'a', 'te']),
+    ('prunes', ['p', 'r', 'u', 'ne', 's']),
+    ('pushdown', ['p', 'us', 'h', 'dow', 'n']),
+    ('qwxyzzy', ['q', 'w', 'x', 'y', 'z', 'z', 'y']),
+    ('ready', ['rea', 'd', 'y']),
+    ('row', ['row']),
+    ('rows', ['row', 's']),
+    ('scan', ['scan']),
+    ('scans', ['scan', 's']),
+    ('shuffle', ['sh', 'u', 'f', 'f', 'le']),
+    ('side', ['s', 'i', 'de']),
+    ('skip', ['s', 'k', 'i', 'p']),
+    ('small', ['small']),
+    ('table', ['table']),
+    ('the', ['the']),
+    ('tokenization', ['to', 'ke', 'n', 'i', 'z', 'a', 't', 'i', 'o', 'n']),
+    ('tokenizers', ['to', 'ke', 'n', 'i', 'z', 'er', 's']),
+    ('unknowns', ['u', 'n', 'k', 'n', 'ow', 'n', 's']),
+    ('when', ['w', 'he', 'n']),
+    ('zzz', ['z', 'z', 'z']),
+]
+
+
+def q_unigram_encode(spark, sf_dir):
+    # hash-pinned (r12b): the SECOND tokenizer family — unigram-LM
+    # (SentencePiece-style): EM-trained piece vocabulary (frozen as
+    # literals), Viterbi segmentation of each DISTINCT word once
+    # driver-side, broadcast dictionary join + in-order reassembly (the
+    # BPE dict path's plan). The fixture corpus is literal, so the
+    # frozen segmentation map is closed over its words at any sf; the
+    # oracle replays the word split + dictionary join + reassembly in
+    # DuckDB against the frozen map.
+    from seqspark.pipeline.unigram import unigram_encoded
+
+    docs = spark.createDataFrame(
+        UNIGRAM_FIXTURE_DOCS, "doc_id long, text string")
+    return unigram_encoded(docs, UNIGRAM_PIECES)
+
+
 def q_ann_pq_batch(spark, sf_dir):
     # hash-pinned (r12b): batched ADC — a literal query SET scored in ONE
     # pass over the codes (m numpy gathers per Arrow batch, running
@@ -2630,6 +2978,7 @@ DRIVER_WINDOW = [
     "ann_pq_topk",
     "ann_pq_rerank",
     "ann_pq_batch",
+    "unigram_encode",
     # least-recently driver-checked (last seen r5)
     "join_broadcast",
     "lineitem_pricing_summary",
@@ -2666,7 +3015,6 @@ DRIVER_WINDOW = [
     "bool_precedence",
     "comment_strip",
     "date_histogram",
-    "dsir_resample",
     "exists",
     "fetch_by_ids",
     "fields_pipe",
@@ -2768,6 +3116,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_pq_topk": q_ann_pq_topk,
         "ann_pq_rerank": q_ann_pq_rerank,
         "ann_pq_batch": q_ann_pq_batch,
+        "unigram_encode": q_unigram_encode,
         "join_broadcast": q_join_broadcast,
         "lineitem_pricing_summary": q_lineitem_pricing_summary,
         "complex_search": q_complex_search,
@@ -3987,6 +4336,31 @@ def oracle_sql() -> dict[str, str]:
         + pq_oracle_sql(PQ_CODEBOOKS, qv, k=10)
         + ")"
         for qi, qv in ((0, PQ_QUERY), (1, SEMDEDUP_CENTROIDS[1]))
+    )
+    _udocs = ", ".join(
+        f"({i}, {('NULL' if t is None else chr(39) + t.replace(chr(39), chr(39)*2) + chr(39))})"
+        for i, t in UNIGRAM_FIXTURE_DOCS
+    )
+    _useg = ", ".join(
+        "(" + repr(w) + ", [" + ", ".join(repr(t) for t in toks) + "])"
+        for w, toks in UNIGRAM_SEG
+    )
+    sql["unigram_encode"] = (
+        f"WITH docs(doc_id, text) AS (VALUES {_udocs}), "
+        f"seg(w, toks) AS (VALUES {_useg}), "
+        f"t AS (SELECT doc_id, text, {_WORDS} AS ws FROM docs), "
+        "ex AS (SELECT doc_id, unnest(generate_series(1, len(ws))) AS pos, "
+        "ws FROM t), "
+        "exw AS (SELECT doc_id, pos, ws[pos] AS w FROM ex), "
+        "j AS (SELECT e.doc_id, e.pos, s.toks FROM exw e "
+        "JOIN seg s ON s.w = e.w), "
+        "agg AS (SELECT doc_id, flatten(list(toks ORDER BY pos)) AS toks "
+        "FROM j GROUP BY doc_id) "
+        "SELECT d.doc_id, CASE WHEN d.text IS NULL THEN NULL "
+        "ELSE coalesce(array_to_string(a.toks, ' '), '') END "
+        "AS unigram_text, CASE WHEN d.text IS NULL THEN NULL ELSE "
+        "CAST(coalesce(len(a.toks), 0) AS BIGINT) END AS n_unigram_tokens "
+        "FROM docs d LEFT JOIN agg a USING (doc_id)"
     )
     _afp_vals = ", ".join(
         f"({i}, CAST({fp} AS BIGINT))" for i, fp in AUDIO_PAIR_FP_EXPECTED

@@ -512,13 +512,32 @@ def bpe_encoded_via_dict(
     wd = bpe_word_dict(distinct_words, merges, "w", mode=dict_mode)
     if broadcast_dict:
         wd = F.broadcast(wd)
-    # posexplode_OUTER keeps zero-word documents as a (null pos, null w)
-    # row, so the id-keyed aggregation below covers the whole corpus and
-    # no second corpus-sized re-attach join is needed (one shuffle total);
-    # the left dictionary join leaves those rows with null toks, filtered
-    # out of the flatten. __has carries text-NULLness through the agg so
-    # NULL-text docs yield (NULL, NULL) exactly like bpe_encoded's chain
-    # (whose words(NULL) propagates NULL) — pinned by the parity test.
+    return encoded_via_word_dict(
+        df, wd, id_col, text_col, "bpe_text", "n_bpe_tokens"
+    )
+
+
+def encoded_via_word_dict(
+    df: DataFrame,
+    wd: DataFrame,
+    id_col: str,
+    text_col: str,
+    text_out: str,
+    count_out: str,
+) -> DataFrame:
+    """Shared dictionary-join reassembly (r12b: also the unigram
+    tokenizer's corpus pass): join a ``(w, toks)`` dictionary onto the
+    positionally-exploded corpus and rebuild per-document token streams
+    in word order.
+
+    posexplode_OUTER keeps zero-word documents as a (null pos, null w)
+    row, so the id-keyed aggregation below covers the whole corpus and
+    no second corpus-sized re-attach join is needed (one shuffle total);
+    the left dictionary join leaves those rows with null toks, filtered
+    out of the flatten. __has carries text-NULLness through the agg so
+    NULL-text docs yield (NULL, NULL) exactly like the chain path
+    (whose words(NULL) propagates NULL) — pinned by the parity test."""
+    wcol = words(F.col(text_col))
     ex = df.select(
         F.col(id_col),
         F.col(text_col).isNotNull().alias("__has"),
@@ -542,11 +561,11 @@ def bpe_encoded_via_dict(
         .select(
             F.col(id_col),
             F.when(F.col("__has"), F.array_join("__toks", " ")).alias(
-                "bpe_text"
+                text_out
             ),
             F.when(F.col("__has"), F.size("__toks"))
             .cast("long")
-            .alias("n_bpe_tokens"),
+            .alias(count_out),
         )
     )
 
