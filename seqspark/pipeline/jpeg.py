@@ -1278,3 +1278,85 @@ def encode_progressive(
         out.extend(bw.out)
     out.extend(b"\xff\xd9")
     return bytes(out)
+
+
+# ------------------------------------------------------- EXIF orientation
+
+#: orientation -> (rot90 k counterclockwise, mirror-horizontally-first)
+#: per the TIFF/EXIF 0x0112 semantics
+_EXIF_TRANSFORMS = {
+    1: (0, False), 2: (0, True), 3: (2, False), 4: (2, True),
+    5: (3, True), 6: (3, False), 7: (1, True), 8: (1, False),
+}
+
+
+def exif_orientation(b: bytes) -> int:
+    """EXIF orientation (1..8) from the first APP1 segment's IFD0, or 1
+    when absent/malformed. Pure marker/TIFF walk — no entropy decode;
+    real-world corpora carry camera rotations as METADATA, so perceptual
+    pipelines must normalize before hashing or rotated duplicates never
+    pair."""
+    try:
+        if len(b) < 4 or b[0] != 0xFF or b[1] != 0xD8:
+            return 1
+        pos = 2
+        n = len(b)
+        while pos + 4 <= n:
+            if b[pos] != 0xFF:
+                return 1
+            marker = b[pos + 1]
+            if marker == 0xFF:
+                pos += 1
+                continue
+            if 0xD0 <= marker <= 0xD9 or marker == 0x01:
+                pos += 2
+                continue
+            (seg_len,) = struct.unpack(">H", b[pos + 2 : pos + 4])
+            if marker == 0xDA:  # scan: no EXIF past this point
+                return 1
+            if marker == 0xE1:
+                seg = b[pos + 4 : pos + 2 + seg_len]
+                if seg[:6] == b"Exif\x00\x00":
+                    tiff = seg[6:]
+                    if tiff[:2] == b"II":
+                        end = "<"
+                    elif tiff[:2] == b"MM":
+                        end = ">"
+                    else:
+                        return 1
+                    (magic,) = struct.unpack(end + "H", tiff[2:4])
+                    if magic != 42:
+                        return 1
+                    (ifd0,) = struct.unpack(end + "I", tiff[4:8])
+                    (cnt,) = struct.unpack(
+                        end + "H", tiff[ifd0 : ifd0 + 2])
+                    for e in range(cnt):
+                        off = ifd0 + 2 + 12 * e
+                        tag, typ = struct.unpack(
+                            end + "HH", tiff[off : off + 4])
+                        if tag == 0x0112 and typ == 3:
+                            (val,) = struct.unpack(
+                                end + "H", tiff[off + 8 : off + 10])
+                            return val if 1 <= val <= 8 else 1
+                return 1  # first APP1 wins, EXIF or not
+            pos += 2 + seg_len
+        return 1
+    except Exception:
+        return 1
+
+
+def apply_orientation(w: int, h: int, ch: int, pixels, orientation: int):
+    """Transform raw pixels to the upright view for an EXIF orientation.
+    Returns (w, h, ch, bytearray) — identity for orientation 1."""
+    import numpy as np
+
+    k, mirror = _EXIF_TRANSFORMS.get(orientation, (0, False))
+    if k == 0 and not mirror:
+        return w, h, ch, pixels if isinstance(pixels, bytearray) else bytearray(pixels)
+    arr = np.frombuffer(bytes(pixels), dtype=np.uint8).reshape(h, w, ch)
+    if mirror:
+        arr = arr[:, ::-1, :]
+    if k:
+        arr = np.rot90(arr, k)
+    oh, ow = arr.shape[0], arr.shape[1]
+    return ow, oh, ch, bytearray(np.ascontiguousarray(arr).tobytes())

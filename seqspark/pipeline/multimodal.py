@@ -194,6 +194,11 @@ def _jpeg_meta(b: bytes) -> Optional[tuple[int, int, int]]:
                 return None
             # SOF payload: precision u8, height u16, width u16
             height, width = struct.unpack(">HH", b[pos + 5:pos + 9])
+            # report the UPRIGHT dims (r12b): EXIF orientations 5-8
+            # transpose the image, and the metadata must agree with the
+            # oriented pixels the decode pipeline produces
+            if _jpeg.exif_orientation(b) in (5, 6, 7, 8):
+                width, height = height, width
             return int(width), int(height), 1
         pos += 2 + seg_len
     return None
@@ -1278,6 +1283,12 @@ def _decode_any_pixels(b: bytes):
         j = _jpeg.decode(b)
         if j is not None:
             w, h, ch, px = j
+            # normalize EXIF camera rotation (r12b): perceptual hashes
+            # and resizes must see the upright image, or rotated-by-
+            # metadata duplicates never pair
+            o = _jpeg.exif_orientation(b)
+            if o != 1:
+                return _jpeg.apply_orientation(w, h, ch, px, o)
             return w, h, ch, bytearray(px)
     if b[:4] == b"RIFF" and b[8:12] == b"AVI ":
         v = _avi.decode_frames(b)

@@ -468,3 +468,97 @@ def test_dhash_project_parity(spark):
     assert proj_df.columns == ["asset_id", "dhash"]
     proj = {r["asset_id"]: r["dhash"] for r in proj_df.collect()}
     assert full == proj
+
+
+class TestExifOrientation:
+    """r12b: EXIF 0x0112 camera rotations are METADATA — the perceptual
+    pipeline must normalize to the upright view or rotated-by-metadata
+    duplicates never pair."""
+
+    @staticmethod
+    def _exif_app1(orientation, little=False):
+        import struct
+
+        if little:
+            tiff = (b"II" + struct.pack("<H", 42) + struct.pack("<I", 8)
+                    + struct.pack("<H", 1)
+                    + struct.pack("<HHIHH", 0x0112, 3, 1, orientation, 0)
+                    + struct.pack("<I", 0))
+        else:
+            tiff = (b"MM" + struct.pack(">H", 42) + struct.pack(">I", 8)
+                    + struct.pack(">H", 1)
+                    + struct.pack(">HHIHH", 0x0112, 3, 1, orientation, 0)
+                    + struct.pack(">I", 0))
+        payload = b"Exif\x00\x00" + tiff
+        return (b"\xff\xe1"
+                + struct.pack(">H", len(payload) + 2) + payload)
+
+    @classmethod
+    def _tagged(cls, b, orientation, little=False):
+        return b[:2] + cls._exif_app1(orientation, little) + b[2:]
+
+    def _upright(self):
+        h, w = 24, 16
+        yy, xx = np.mgrid[0:h, 0:w]
+        return np.stack(
+            [xx * 16, yy * 10, 255 - xx * 12], axis=-1).astype(np.uint8)
+
+    def _stored(self, up, o):
+        k, mirror = jpeg._EXIF_TRANSFORMS[o]
+        a = np.rot90(up, -k)
+        if mirror:
+            a = a[:, ::-1, :]
+        return np.ascontiguousarray(a)
+
+    @pytest.mark.parametrize("o", list(range(1, 9)))
+    @pytest.mark.parametrize("little", [False, True])
+    def test_all_orientations_decode_upright(self, o, little):
+        from seqspark.pipeline.multimodal import _decode_any_pixels
+
+        up = self._upright()
+        stored = self._stored(up, o)
+        sh, sw = stored.shape[0], stored.shape[1]
+        b = self._tagged(
+            jpeg.encode(sw, sh, 3, stored.tobytes(), quality=100), o, little)
+        assert jpeg.exif_orientation(b) == o
+        dw, dh, ch, px = _decode_any_pixels(b)
+        assert (dw, dh) == (16, 24)
+        got = np.frombuffer(bytes(px), dtype=np.uint8).reshape(dh, dw, 3)
+        assert int(np.abs(got.astype(int) - up.astype(int)).max()) <= 2
+
+    def test_metadata_reports_upright_dims(self):
+        from seqspark.pipeline.multimodal import _jpeg_meta
+
+        up = self._upright()
+        stored = self._stored(up, 6)  # 90-degree camera rotation
+        sh, sw = stored.shape[0], stored.shape[1]
+        b = self._tagged(jpeg.encode(sw, sh, 3, stored.tobytes()), 6)
+        assert _jpeg_meta(b) == (16, 24, 1)  # upright, not stored
+        assert _jpeg_meta(
+            jpeg.encode(sw, sh, 3, stored.tobytes())) == (24, 16, 1)
+
+    def test_rotated_duplicate_pairs_by_dhash(self):
+        from seqspark.pipeline.multimodal import (
+            _decode_any_pixels, _dhash_of_pixels)
+
+        up = self._upright()
+        plain = jpeg.encode(16, 24, 3, up.tobytes(), quality=92)
+        stored = self._stored(up, 8)
+        rotated = self._tagged(
+            jpeg.encode(24, 16, 3, stored.tobytes(), quality=92), 8)
+        ha = _dhash_of_pixels(*_decode_any_pixels(plain))
+        hb = _dhash_of_pixels(*_decode_any_pixels(rotated))
+        assert bin(ha ^ hb).count("1") <= 4
+
+    def test_no_exif_and_malformed_default_to_1(self):
+        import struct
+
+        plain = jpeg.encode(16, 16, 1, bytes(256), quality=80)
+        assert jpeg.exif_orientation(plain) == 1
+        assert jpeg.exif_orientation(b"") == 1
+        xmp = b"\xff\xe1" + struct.pack(">H", 12) + b"http://ns.a"
+        assert jpeg.exif_orientation(plain[:2] + xmp + plain[2:]) == 1
+        # truncated EXIF must not throw
+        good = self._tagged(plain, 6)
+        for cut in range(4, 40, 7):
+            jpeg.exif_orientation(good[:cut])
