@@ -2145,6 +2145,64 @@ UNIGRAM_SEG = [
 ]
 
 
+#: frozen SAMPLED segmentations (k=4, seed=7, alpha=0.2) of every
+#: fixture word — subword regularization's variant table; the
+#: oracle replays the per-occurrence md5 pick against these
+UNIGRAM_VARIANTS = [
+    ('42', [['4', '2'], ['4', '2'], ['4', '2'], ['4', '2']]),
+    ('and', [['a', 'nd'], ['a', 'nd'], ['a', 'nd'], ['a', 'nd']]),
+    ('any', [['a', 'n', 'y'], ['a', 'n', 'y'], ['a', 'n', 'y'], ['a', 'n', 'y']]),
+    ('before', [['b', 'e', 'f', 'or', 'e'], ['b', 'e', 'f', 'o', 're'], ['b', 'e', 'f', 'or', 'e'], ['b', 'e', 'f', 'or', 'e']]),
+    ('broadcast', [['b', 'ro', 'a', 'd', 'c', 'a', 'st'], ['b', 'ro', 'a', 'd', 'c', 'ast'], ['b', 'ro', 'a', 'd', 'c', 'ast'], ['b', 'ro', 'a', 'd', 'c', 'ast']]),
+    ('every', [['e', 'v', 'ery'], ['e', 'v', 'ery'], ['e', 've', 'ry'], ['e', 'v', 'ery']]),
+    ('group', [['group'], ['group'], ['group'], ['group']]),
+    ('happens', [['h', 'a', 'p', 'p', 'e', 'n', 's'], ['h', 'a', 'p', 'p', 'e', 'n', 's'], ['h', 'a', 'p', 'p', 'e', 'n', 's'], ['h', 'a', 'p', 'p', 'e', 'n', 's']]),
+    ('hash', [['hash'], ['hash'], ['hash'], ['hash']]),
+    ('in', [['in'], ['in'], ['in'], ['in']]),
+    ('internationalization', [['in', 'ter', 'n', 'at', 'i', 'o', 'n', 'a', 'li', 'z', 'a', 't', 'i', 'o', 'n'], ['in', 'ter', 'n', 'a', 't', 'i', 'o', 'n', 'a', 'li', 'z', 'a', 't', 'i', 'o', 'n'], ['in', 'ter', 'n', 'a', 't', 'i', 'o', 'n', 'a', 'li', 'z', 'a', 't', 'i', 'o', 'n'], ['in', 'ter', 'n', 'a', 't', 'i', 'o', 'n', 'a', 'li', 'z', 'at', 'i', 'o', 'n']]),
+    ('is', [['i', 's'], ['i', 's'], ['i', 's'], ['i', 's']]),
+    ('join', [['join'], ['join'], ['join'], ['join']]),
+    ('joins', [['join', 's'], ['join', 's'], ['join', 's'], ['join', 's']]),
+    ('one', [['o', 'ne'], ['o', 'ne'], ['o', 'ne'], ['o', 'ne']]),
+    ('partitioned', [['part', 'i', 't', 'i', 'o', 'ne', 'd'], ['part', 'i', 't', 'i', 'o', 'n', 'e', 'd'], ['part', 'i', 't', 'i', 'o', 'ne', 'd'], ['part', 'i', 't', 'i', 'o', 'ne', 'd']]),
+    ('partitions', [['part', 'i', 't', 'i', 'o', 'n', 's'], ['part', 'i', 't', 'i', 'o', 'n', 's'], ['part', 'i', 't', 'i', 'o', 'n', 's'], ['part', 'i', 't', 'i', 'o', 'n', 's']]),
+    ('predicate', [['p', 're', 'd', 'i', 'c', 'a', 'te'], ['p', 're', 'd', 'i', 'c', 'at', 'e'], ['p', 're', 'd', 'i', 'c', 'a', 'te'], ['p', 're', 'd', 'i', 'c', 'a', 'te']]),
+    ('prunes', [['p', 'r', 'u', 'ne', 's'], ['p', 'r', 'u', 'ne', 's'], ['p', 'r', 'u', 'ne', 's'], ['p', 'r', 'u', 'ne', 's']]),
+    ('pushdown', [['p', 'u', 'sh', 'dow', 'n'], ['p', 'u', 'sh', 'dow', 'n'], ['p', 'u', 'sh', 'dow', 'n'], ['p', 'us', 'h', 'dow', 'n']]),
+    ('qwxyzzy', [['q', 'w', 'x', 'y', 'z', 'z', 'y'], ['q', 'w', 'x', 'y', 'z', 'z', 'y'], ['q', 'w', 'x', 'y', 'z', 'z', 'y'], ['q', 'w', 'x', 'y', 'z', 'z', 'y']]),
+    ('ready', [['rea', 'd', 'y'], ['rea', 'd', 'y'], ['rea', 'd', 'y'], ['rea', 'd', 'y']]),
+    ('row', [['row'], ['row'], ['row'], ['row']]),
+    ('rows', [['row', 's'], ['row', 's'], ['row', 's'], ['row', 's']]),
+    ('scan', [['scan'], ['scan'], ['scan'], ['scan']]),
+    ('scans', [['scan', 's'], ['scan', 's'], ['scan', 's'], ['scan', 's']]),
+    ('shuffle', [['sh', 'u', 'f', 'f', 'le'], ['sh', 'u', 'f', 'f', 'le'], ['sh', 'u', 'f', 'f', 'le'], ['sh', 'u', 'f', 'f', 'le']]),
+    ('side', [['s', 'i', 'de'], ['s', 'i', 'de'], ['s', 'i', 'de'], ['s', 'i', 'de']]),
+    ('skip', [['s', 'k', 'i', 'p'], ['s', 'k', 'i', 'p'], ['s', 'k', 'i', 'p'], ['s', 'k', 'i', 'p']]),
+    ('small', [['small'], ['small'], ['small'], ['small']]),
+    ('table', [['table'], ['table'], ['table'], ['table']]),
+    ('the', [['the'], ['the'], ['the'], ['the']]),
+    ('tokenization', [['to', 'ke', 'n', 'i', 'z', 'a', 't', 'i', 'o', 'n'], ['to', 'k', 'e', 'n', 'i', 'z', 'a', 't', 'i', 'o', 'n'], ['to', 'k', 'e', 'n', 'i', 'z', 'a', 't', 'i', 'o', 'n'], ['to', 'k', 'e', 'n', 'i', 'z', 'a', 't', 'i', 'o', 'n']]),
+    ('tokenizers', [['to', 'ke', 'n', 'i', 'z', 'er', 's'], ['to', 'k', 'e', 'n', 'i', 'z', 'er', 's'], ['to', 'ke', 'n', 'i', 'z', 'er', 's'], ['to', 'ke', 'n', 'i', 'z', 'e', 'r', 's']]),
+    ('unknowns', [['u', 'n', 'k', 'n', 'ow', 'n', 's'], ['u', 'n', 'k', 'n', 'ow', 'n', 's'], ['u', 'n', 'k', 'n', 'ow', 'n', 's'], ['u', 'n', 'k', 'n', 'ow', 'n', 's']]),
+    ('when', [['w', 'he', 'n'], ['w', 'h', 'e', 'n'], ['w', 'he', 'n'], ['w', 'h', 'e', 'n']]),
+    ('zzz', [['z', 'z', 'z'], ['z', 'z', 'z'], ['z', 'z', 'z'], ['z', 'z', 'z']]),
+]
+
+
+def q_unigram_sample_encode(spark, sf_dir):
+    # hash-pinned (r12b): subword REGULARIZATION — each word occurrence
+    # draws one of k sampled segmentations (forward-filtering backward-
+    # sampling from P(seg)^alpha, frozen as variant literals); the
+    # per-occurrence pick is a PORTABLE md5 hash of (doc_id, pos, seed)
+    # in pure Catalyst, so the oracle replays the exact variant choice
+    from seqspark.pipeline.unigram import unigram_encoded_sampled
+
+    docs = spark.createDataFrame(
+        UNIGRAM_FIXTURE_DOCS, "doc_id long, text string")
+    return unigram_encoded_sampled(
+        docs, UNIGRAM_PIECES, k=4, seed=7, alpha=0.2)
+
+
 def q_unigram_encode(spark, sf_dir):
     # hash-pinned (r12b): the SECOND tokenizer family — unigram-LM
     # (SentencePiece-style): EM-trained piece vocabulary (frozen as
@@ -2979,6 +3037,7 @@ DRIVER_WINDOW = [
     "ann_pq_rerank",
     "ann_pq_batch",
     "unigram_encode",
+    "unigram_sample_encode",
     # least-recently driver-checked (last seen r5)
     "join_broadcast",
     "lineitem_pricing_summary",
@@ -3013,7 +3072,6 @@ DRIVER_WINDOW = [
     "agg_unique",
     "bool_not",
     "bool_precedence",
-    "comment_strip",
     "date_histogram",
     "exists",
     "fetch_by_ids",
@@ -3117,6 +3175,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_pq_rerank": q_ann_pq_rerank,
         "ann_pq_batch": q_ann_pq_batch,
         "unigram_encode": q_unigram_encode,
+        "unigram_sample_encode": q_unigram_sample_encode,
         "join_broadcast": q_join_broadcast,
         "lineitem_pricing_summary": q_lineitem_pricing_summary,
         "complex_search": q_complex_search,
@@ -4354,6 +4413,35 @@ def oracle_sql() -> dict[str, str]:
         "exw AS (SELECT doc_id, pos, ws[pos] AS w FROM ex), "
         "j AS (SELECT e.doc_id, e.pos, s.toks FROM exw e "
         "JOIN seg s ON s.w = e.w), "
+        "agg AS (SELECT doc_id, flatten(list(toks ORDER BY pos)) AS toks "
+        "FROM j GROUP BY doc_id) "
+        "SELECT d.doc_id, CASE WHEN d.text IS NULL THEN NULL "
+        "ELSE coalesce(array_to_string(a.toks, ' '), '') END "
+        "AS unigram_text, CASE WHEN d.text IS NULL THEN NULL ELSE "
+        "CAST(coalesce(len(a.toks), 0) AS BIGINT) END AS n_unigram_tokens "
+        "FROM docs d LEFT JOIN agg a USING (doc_id)"
+    )
+    _uvar = ", ".join(
+        "(" + repr(w) + ", ["
+        + ", ".join(
+            "[" + ", ".join(repr(t) for t in v) + "]" for v in vs
+        )
+        + "])"
+        for w, vs in UNIGRAM_VARIANTS
+    )
+    sql["unigram_sample_encode"] = (
+        f"WITH docs(doc_id, text) AS (VALUES {_udocs}), "
+        f"seg(w, variants) AS (VALUES {_uvar}), "
+        f"t AS (SELECT doc_id, text, {_WORDS} AS ws FROM docs), "
+        "ex AS (SELECT doc_id, unnest(generate_series(1, len(ws))) AS pos, "
+        "ws FROM t), "
+        # Spark's posexplode is 0-based: the md5 pick hashes pos-1
+        "exw AS (SELECT doc_id, pos, ws[pos] AS w, "
+        "(('0x' || substring(md5(doc_id::VARCHAR || ':' || "
+        "(pos - 1)::VARCHAR || ':' || '7'), 1, 4))::INTEGER % 4 + 1) "
+        "AS pick FROM ex), "
+        "j AS (SELECT e.doc_id, e.pos, s.variants[e.pick] AS toks "
+        "FROM exw e JOIN seg s ON s.w = e.w), "
         "agg AS (SELECT doc_id, flatten(list(toks ORDER BY pos)) AS toks "
         "FROM j GROUP BY doc_id) "
         "SELECT d.doc_id, CASE WHEN d.text IS NULL THEN NULL "

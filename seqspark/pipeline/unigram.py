@@ -302,3 +302,177 @@ def unigram_encoded(
     return encoded_via_word_dict(
         df, wd, id_col, text_col, "unigram_text", "n_unigram_tokens"
     )
+
+
+def sample_segmentations(
+    word: str,
+    pieces,
+    k: int = 4,
+    seed: int = 7,
+    alpha: float = 0.5,
+    max_piece_len: int = 8,
+) -> List[List[str]]:
+    """``k`` segmentations sampled from P(seg)^alpha (subword
+    regularization, Kudo 2018): forward-filtering over the lattice with
+    alpha-scaled scores, then backward sampling. Deterministic: the RNG
+    seeds from (seed, word, variant index), so the variant list is a
+    pure function of its arguments — freezable as oracle literals.
+    alpha=0 samples uniformly over segmentations; large alpha approaches
+    Viterbi. Unknown chars fall back like :func:`viterbi_segment`."""
+    import random
+
+    logp = dict(pieces) if not isinstance(pieces, dict) else pieces
+    floor = min(logp.values()) - _UNK_PENALTY if logp else -_UNK_PENALTY
+    ln = len(word)
+
+    def lp_of(j: int, i: int):
+        piece = word[j:i]
+        lp = logp.get(piece)
+        if lp is None:
+            return floor if i - j == 1 else None
+        return lp
+
+    # forward: alpha[i] = log sum over segmentations of word[:i] of
+    # exp(alpha * logP(seg))
+    fwd: List[float | None] = [None] * (ln + 1)
+    fwd[0] = 0.0
+    for i in range(1, ln + 1):
+        acc = None
+        for j in range(max(0, i - max_piece_len), i):
+            if fwd[j] is None:
+                continue
+            lp = lp_of(j, i)
+            if lp is None:
+                continue
+            v = fwd[j] + alpha * lp
+            acc = v if acc is None else _lse(acc, v)
+        fwd[i] = acc
+    out: List[List[str]] = []
+    for v in range(k):
+        rng = random.Random(f"{seed}:{word}:{v}")
+        segs: List[str] = []
+        i = ln
+        while i > 0:
+            cands = []
+            for j in range(max(0, i - max_piece_len), i):
+                if fwd[j] is None:
+                    continue
+                lp = lp_of(j, i)
+                if lp is None:
+                    continue
+                cands.append((j, fwd[j] + alpha * lp))
+            mx = max(w_ for _j, w_ in cands)
+            ws = [math.exp(w_ - mx) for _j, w_ in cands]
+            r = rng.random() * sum(ws)
+            acc = 0.0
+            pick = cands[-1][0]
+            for (j, _w), wgt in zip(cands, ws):
+                acc += wgt
+                if r <= acc:
+                    pick = j
+                    break
+            segs.append(word[pick:i])
+            i = pick
+        segs.reverse()
+        out.append(segs)
+    return out
+
+
+def unigram_sampled_dict(
+    words_df: DataFrame,
+    pieces: Sequence[Tuple[str, float]],
+    k: int = 4,
+    seed: int = 7,
+    alpha: float = 0.5,
+    word_col: str = "w",
+    max_piece_len: int = 8,
+    max_driver_vocab: int = 2_000_000,
+) -> DataFrame:
+    """``(w, variants array<array<string>>)`` — k sampled segmentations
+    per DISTINCT word (driver-side, bounded like the Viterbi dict)."""
+    rows = words_df.select(F.col(word_col).alias("w")).limit(
+        max_driver_vocab + 1
+    ).collect()
+    if len(rows) > max_driver_vocab:
+        raise ValueError("distinct vocabulary exceeds max_driver_vocab")
+    logp = dict(pieces)
+    spark = words_df.sparkSession
+    return spark.createDataFrame(
+        [(r["w"], sample_segmentations(r["w"], logp, k, seed, alpha,
+                                       max_piece_len)) for r in rows],
+        "w string, variants array<array<string>>",
+    )
+
+
+def _portable_pick(id_col: str, k: int, seed: int):
+    """1-based variant index from a PORTABLE hash of (doc_id, pos, seed)
+    — md5-prefix, reproducible in DuckDB (xxhash64 is Spark-only), so
+    the oracle can replay exactly which variant each occurrence took."""
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat_ws(":", F.col(id_col), F.col("pos"),
+                              F.lit(str(seed)))),
+            1, 4,
+        ),
+        16, 10,
+    ).cast("long")
+    return (h % k + 1).cast("int")
+
+
+def unigram_encoded_sampled(
+    df: DataFrame,
+    pieces: Sequence[Tuple[str, float]],
+    k: int = 4,
+    seed: int = 7,
+    alpha: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_piece_len: int = 8,
+    broadcast_dict: bool = True,
+) -> DataFrame:
+    """Subword-REGULARIZED corpus encode: every word OCCURRENCE draws one
+    of k sampled segmentations (the augmentation that makes downstream
+    models robust to segmentation ambiguity), while the corpus pass
+    stays the dictionary-join plan — sampling cost is distinct_words x k
+    driver-side, and the per-occurrence choice is pure Catalyst (a
+    portable md5 pick over (doc_id, pos, seed), no Python, no RNG state
+    on executors). Same output shape/NULL semantics as
+    :func:`unigram_encoded`."""
+    wcol = words(F.col(text_col))
+    distinct_words = df.select(F.explode(wcol).alias("w")).distinct()
+    wd = unigram_sampled_dict(distinct_words, pieces, k, seed, alpha,
+                              max_piece_len=max_piece_len)
+    if broadcast_dict:
+        wd = F.broadcast(wd)
+    ex = df.select(
+        F.col(id_col),
+        F.col(text_col).isNotNull().alias("__has"),
+        F.posexplode_outer(wcol).alias("pos", "w"),
+    )
+    joined = ex.join(wd, "w", "left").withColumn(
+        "toks", F.element_at("variants", _portable_pick(id_col, k, seed))
+    )
+    return (
+        joined.groupBy(id_col)
+        .agg(
+            F.flatten(
+                F.filter(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("pos", "toks"))),
+                        lambda s: s["toks"],
+                    ),
+                    lambda t: t.isNotNull(),
+                )
+            ).alias("__toks"),
+            F.first("__has").alias("__has"),
+        )
+        .select(
+            F.col(id_col),
+            F.when(F.col("__has"), F.array_join("__toks", " ")).alias(
+                "unigram_text"
+            ),
+            F.when(F.col("__has"), F.size("__toks"))
+            .cast("long")
+            .alias("n_unigram_tokens"),
+        )
+    )

@@ -133,3 +133,70 @@ def test_train_from_counts_additivity(spark):
     b = unigram.train_unigram_from_counts(
         bpe_word_counts(docs), vocab_size=50, seed_size=200, em_iters=2)
     assert a == b
+
+
+class TestSubwordRegularization:
+    def test_sampling_diversity_and_concat(self):
+        logp = {"ab": -1.0, "a": -2.0, "b": -2.5, "abc": -1.2, "c": -3.0,
+                "bc": -1.4}
+        segs = unigram.sample_segmentations("abcabc", logp, k=12, seed=3,
+                                            alpha=0.0)
+        assert all("".join(s) == "abcabc" for s in segs)
+        assert len({tuple(s) for s in segs}) >= 3  # uniform alpha=0 varies
+
+    def test_alpha_limits(self):
+        logp = {"ab": -1.0, "a": -2.0, "b": -2.5, "abc": -1.2, "c": -3.0}
+        vit = unigram.viterbi_segment("abcabc", logp)
+        segs = unigram.sample_segmentations("abcabc", logp, k=8, seed=3,
+                                            alpha=50.0)
+        assert all(s == vit for s in segs)  # high alpha -> Viterbi
+
+    def test_sampling_deterministic(self):
+        logp = {"ab": -1.0, "a": -2.0, "b": -2.5}
+        a = unigram.sample_segmentations("ababab", logp, k=6, seed=11,
+                                         alpha=0.1)
+        b = unigram.sample_segmentations("ababab", logp, k=6, seed=11,
+                                         alpha=0.1)
+        assert a == b
+        c = unigram.sample_segmentations("ababab", logp, k=6, seed=12,
+                                         alpha=0.1)
+        assert a != c  # seed feeds the RNG
+
+    def test_encoded_sampled_matches_driver_pick(self, spark):
+        import hashlib
+        import re
+
+        docs = _docs(spark)
+        pieces = unigram.train_unigram(docs, vocab_size=60, seed_size=300,
+                                       em_iters=2)
+        logp = dict(pieces)
+        out = {r["doc_id"]: r for r in unigram.unigram_encoded_sampled(
+            docs, pieces, k=4, seed=7, alpha=0.2).collect()}
+        for row in docs.collect():
+            did, text = row["doc_id"], row["text"]
+            if text is None:
+                assert out[did]["unigram_text"] is None
+                continue
+            ws = [w for w in re.split(r"[^\w]+", text.lower()) if w]
+            toks = []
+            for pos, w in enumerate(ws):
+                vs = unigram.sample_segmentations(w, logp, k=4, seed=7,
+                                                  alpha=0.2)
+                h = int(hashlib.md5(f"{did}:{pos}:7".encode()).hexdigest()[:4],
+                        16)
+                toks.extend(vs[h % 4])
+            assert out[did]["unigram_text"] == " ".join(toks), did
+
+    def test_occurrences_vary_within_document(self, spark):
+        # alpha=0 on an ambiguous word: repeated occurrences should pick
+        # different variants via the positional hash
+        docs = spark.createDataFrame(
+            [(1, " ".join(["abab"] * 12))], "doc_id long, text string")
+        pieces = [("ab", -1.0), ("a", -1.1), ("b", -1.2), ("abab", -1.3)]
+        out = unigram.unigram_encoded_sampled(
+            docs, pieces, k=6, seed=3, alpha=0.0).collect()[0]
+        # reconstructible and non-constant across occurrences
+        txt = out["unigram_text"]
+        assert txt.replace(" ", "") == "abab" * 12
+        per_word = txt.split(" ")
+        assert out["n_unigram_tokens"] == len(per_word)
