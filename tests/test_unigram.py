@@ -200,3 +200,22 @@ class TestSubwordRegularization:
         assert txt.replace(" ", "") == "abab" * 12
         per_word = txt.split(" ")
         assert out["n_unigram_tokens"] == len(per_word)
+
+
+def test_incremental_counts_feed_unigram(spark, tmp_path):
+    # the SAME persisted word-count state BPE maintains retrains the
+    # unigram vocabulary without a corpus rescan: training from the
+    # incrementally-updated state equals training on the full union
+    from seqspark.pipeline.bpe import bpe_update_state
+
+    docs = _docs(spark)
+    b1 = docs.filter(F.col("doc_id") <= 3)
+    b2 = docs.filter(F.col("doc_id") > 3)
+    path = str(tmp_path / "wc_state")
+    bpe_update_state(spark, path, b1)
+    state = bpe_update_state(spark, path, b2)
+    inc = unigram.train_unigram_from_counts(
+        state, vocab_size=50, seed_size=200, em_iters=2)
+    full = unigram.train_unigram(docs, vocab_size=50, seed_size=200,
+                                 em_iters=2)
+    assert inc == full
