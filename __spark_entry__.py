@@ -2189,6 +2189,89 @@ UNIGRAM_VARIANTS = [
 ]
 
 
+#: frozen per-frame dHashes over the MJPEG (ids 0..7) and Y4M
+#: (ids 1000..1007) video fixtures — the keyframe oracle replays
+#: the lag-window novelty selection over these literals
+FRAME_DHASH_EXPECTED = [
+    (0, 2, 0, 0),
+    (0, 2, 1, 0),
+    (1, 3, 0, 0),
+    (1, 3, 1, 0),
+    (1, 3, 2, 0),
+    (2, 4, 0, 0),
+    (2, 4, 1, 0),
+    (2, 4, 2, 0),
+    (2, 4, 3, -3974196938173005632),
+    (3, 5, 0, 0),
+    (3, 5, 1, 0),
+    (3, 5, 2, 0),
+    (3, 5, 3, 871499719992410112),
+    (3, 5, 4, 6944656592472335980),
+    (4, 2, 0, 0),
+    (4, 2, 1, 0),
+    (5, 3, 0, 0),
+    (5, 3, 1, 0),
+    (5, 3, 2, -4557501533498867584),
+    (6, 4, 0, 0),
+    (6, 4, 1, 0),
+    (6, 4, 2, 0),
+    (6, 4, 3, -2814502511195406144),
+    (7, 5, 0, 0),
+    (7, 5, 1, 0),
+    (7, 5, 2, -4575515932008349568),
+    (7, 5, 3, 3690203156701016304),
+    (7, 5, 4, 434041037028460295),
+    (1000, 2, 0, 41095973674549394),
+    (1000, 2, 1, 41095973674549394),
+    (1001, 3, 0, 36170084271554688),
+    (1001, 3, 1, 36170084271554688),
+    (1001, 3, 2, 36170084271554688),
+    (1002, 4, 0, 0),
+    (1002, 4, 1, 0),
+    (1002, 4, 2, 0),
+    (1002, 4, 3, 0),
+    (1003, 5, 0, 41256502372242066),
+    (1003, 5, 1, 41256502372242066),
+    (1003, 5, 2, 41256502372242066),
+    (1003, 5, 3, 41256502372242066),
+    (1003, 5, 4, 41256502372242066),
+    (1004, 2, 0, 36029346783166592),
+    (1004, 2, 1, 36029346783166592),
+    (1005, 3, 0, 0),
+    (1005, 3, 1, 0),
+    (1005, 3, 2, 0),
+    (1006, 4, 0, 41095973674549394),
+    (1006, 4, 1, 41095973674549394),
+    (1006, 4, 2, 41095973674549394),
+    (1006, 4, 3, 41095973674549394),
+    (1007, 5, 0, 36170084271554688),
+    (1007, 5, 1, 36170084271554688),
+    (1007, 5, 2, 36170084271554688),
+    (1007, 5, 3, 36170084271554688),
+    (1007, 5, 4, 54114114036859008),
+]
+
+
+def q_video_keyframes(spark, sf_dir):
+    # hash-pinned (r12b): scene-change key-frame selection — one Python
+    # crossing computes per-frame dHashes (decode once per asset), then
+    # the selection is PURE CATALYST: novelty = bit_count(dhash XOR
+    # lag(dhash)) per asset, frame 0 always kept, top-(k-1) by novelty.
+    # The oracle freezes the per-frame hashes and replays the window SQL
+    # in DuckDB.
+    from pyspark.sql import functions as FF
+
+    from seqspark.pipeline.multimodal import (
+        frame_dhashes, keyframes, make_real_mjpeg_assets,
+        make_real_y4m_assets)
+
+    mj = make_real_mjpeg_assets(spark, 8)
+    y4 = make_real_y4m_assets(spark, 8).withColumn(
+        "asset_id", FF.col("asset_id") + 1000)
+    fdh = frame_dhashes(mj.unionByName(y4), fake=False)
+    return keyframes(fdh, k=3)
+
+
 def q_unigram_sample_encode(spark, sf_dir):
     # hash-pinned (r12b): subword REGULARIZATION — each word occurrence
     # draws one of k sampled segmentations (forward-filtering backward-
@@ -3038,6 +3121,7 @@ DRIVER_WINDOW = [
     "ann_pq_batch",
     "unigram_encode",
     "unigram_sample_encode",
+    "video_keyframes",
     # least-recently driver-checked (last seen r5)
     "join_broadcast",
     "lineitem_pricing_summary",
@@ -3072,7 +3156,6 @@ DRIVER_WINDOW = [
     "agg_unique",
     "bool_not",
     "bool_precedence",
-    "date_histogram",
     "exists",
     "fetch_by_ids",
     "fields_pipe",
@@ -3176,6 +3259,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_pq_batch": q_ann_pq_batch,
         "unigram_encode": q_unigram_encode,
         "unigram_sample_encode": q_unigram_sample_encode,
+        "video_keyframes": q_video_keyframes,
         "join_broadcast": q_join_broadcast,
         "lineitem_pricing_summary": q_lineitem_pricing_summary,
         "complex_search": q_complex_search,
@@ -4449,6 +4533,22 @@ def oracle_sql() -> dict[str, str]:
         "AS unigram_text, CASE WHEN d.text IS NULL THEN NULL ELSE "
         "CAST(coalesce(len(a.toks), 0) AS BIGINT) END AS n_unigram_tokens "
         "FROM docs d LEFT JOIN agg a USING (doc_id)"
+    )
+    _fdh = ", ".join(
+        f"({a}, {nf}, {fi}, CAST({d} AS BIGINT))"
+        for a, nf, fi, d in FRAME_DHASH_EXPECTED
+    )
+    sql["video_keyframes"] = (
+        f"WITH fdh(asset_id, n_frames, frame_index, dhash) AS "
+        f"(VALUES {_fdh}), "
+        "d AS (SELECT asset_id, n_frames, frame_index, CAST(CASE WHEN "
+        "frame_index = 0 THEN 64 ELSE bit_count(xor(dhash, "
+        "lag(dhash) OVER (PARTITION BY asset_id ORDER BY frame_index))) "
+        "END AS INTEGER) AS novelty FROM fdh), "
+        "r AS (SELECT *, row_number() OVER (PARTITION BY asset_id "
+        "ORDER BY novelty DESC, frame_index ASC) AS rk FROM d) "
+        "SELECT asset_id, n_frames, frame_index, novelty FROM r "
+        "WHERE rk <= 3"
     )
     _afp_vals = ", ".join(
         f"({i}, CAST({fp} AS BIGINT))" for i, fp in AUDIO_PAIR_FP_EXPECTED

@@ -2238,3 +2238,105 @@ def audio_features(assets: DataFrame, fake: bool = False) -> DataFrame:
             )
 
     return audio.mapInPandas(batches, AUDIO_FEATURES_SCHEMA)
+
+
+FRAME_DHASH_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType()),
+        StructField("n_frames", IntegerType()),
+        StructField("frame_index", IntegerType()),
+        StructField("dhash", LongType()),
+    ]
+)
+
+
+def frame_dhashes(assets: DataFrame, fake: bool = False) -> DataFrame:
+    """Per-FRAME perceptual dHash for video/animation assets: one row per
+    frame of every decodable asset (animated GIF/APNG, Y4M, MJPEG-AVI;
+    stills emit their single frame). Each asset decodes ONCE per Arrow
+    batch — the per-frame work is O(pixels), and the output is a narrow
+    (asset_id, n_frames, frame_index, dhash) frame, so everything
+    downstream (key-frame selection, near-dup frame joins) is pure
+    Catalyst over longs. Undecodable payloads emit no rows."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            out_rows = []
+            for a, c in zip(pdf["asset_id"], pdf["content"]):
+                b = bytes(c or b"")
+                if fake:
+                    h0 = int.from_bytes(
+                        hashlib.sha256(b).digest()[:8], "big", signed=True)
+                    nf = 1 + hashlib.sha256(b).digest()[8] % 4
+                    for i in range(nf):
+                        out_rows.append((a, nf, i, h0 + i))
+                    continue
+                dec = None
+                ch = 4
+                if b[:6] in (b"GIF87a", b"GIF89a"):
+                    dec = _gif_decode_frames(b)
+                elif b.startswith(_PNG_SIG):
+                    dec = _apng_decode_frames(b)
+                    if dec is None:
+                        p = _png_decode_pixels(b)
+                        if p is not None:
+                            dec = (p[0], p[1], [bytes(p[3])])
+                            ch = p[2]
+                elif b.startswith(_Y4M_MAGIC):
+                    dec = _y4m_decode_frames(b)
+                    ch = 3
+                elif b[:4] == b"RIFF" and b[8:12] == b"AVI ":
+                    dec = _avi.decode_frames(b)
+                    ch = 3
+                elif b[:2] == b"\xff\xd8":
+                    p = _decode_any_pixels(b)
+                    if p is not None:
+                        dec = (p[0], p[1], [bytes(p[3])])
+                        ch = p[2]
+                if dec is None:
+                    continue
+                w, h, frames = dec
+                nf = len(frames)
+                for i, fr in enumerate(frames):
+                    u = _dhash_of_pixels(w, h, ch, bytearray(fr), 8)
+                    out_rows.append(
+                        (a, nf, i, u - (1 << 64) if u >= (1 << 63) else u))
+            yield pd.DataFrame(
+                out_rows,
+                columns=["asset_id", "n_frames", "frame_index", "dhash"],
+            )
+
+    src = assets.select("asset_id", "content")
+    return src.mapInPandas(batches, FRAME_DHASH_SCHEMA)
+
+
+def keyframes(fdh: DataFrame, k: int = 3) -> DataFrame:
+    """Scene-change key-frame selection over a :func:`frame_dhashes`
+    frame, entirely in Catalyst: each frame's novelty is the Hamming
+    distance of its dHash to the PREVIOUS frame (lag window); frame 0
+    scores the maximum 64 (a scene start by definition — which also
+    makes the selection a single top-k, no special case). The k frames
+    with the largest novelty win, ties to the earliest frame. One
+    window shuffle on asset_id — the pixels never re-enter the picture.
+    Output: (asset_id, n_frames, frame_index, novelty)."""
+    from pyspark.sql import Window
+
+    w_ord = Window.partitionBy("asset_id").orderBy("frame_index")
+    with_d = fdh.withColumn(
+        "novelty",
+        F.when(F.col("frame_index") == 0, F.lit(64)).otherwise(
+            F.bit_count(
+                F.col("dhash").bitwiseXOR(F.lag("dhash").over(w_ord))
+            )
+        ).cast("int"),
+    )
+    w_rank = Window.partitionBy("asset_id").orderBy(
+        F.col("novelty").desc(), F.col("frame_index").asc()
+    )
+    return (
+        with_d.withColumn("__rk", F.row_number().over(w_rank))
+        .filter(F.col("__rk") <= k)
+        .select("asset_id", "n_frames", "frame_index", "novelty")
+    )

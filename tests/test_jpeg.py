@@ -562,3 +562,72 @@ class TestExifOrientation:
         good = self._tagged(plain, 6)
         for cut in range(4, 40, 7):
             jpeg.exif_orientation(good[:cut])
+
+
+class TestKeyframes:
+    def test_frame_dhashes_and_selection(self, spark):
+        from pyspark.sql import functions as F
+
+        from seqspark.pipeline.multimodal import (
+            frame_dhashes, keyframes, make_real_mjpeg_assets)
+
+        mj = make_real_mjpeg_assets(spark, 6)
+        fdh = frame_dhashes(mj, fake=False)
+        rows = fdh.collect()
+        # one row per frame of every asset
+        per = {}
+        for r in rows:
+            per.setdefault(r["asset_id"], set()).add(r["frame_index"])
+        for i in range(6):
+            assert per[i] == set(range(2 + i % 4)), i
+        kf = keyframes(fdh, k=2).collect()
+        by_asset = {}
+        for r in kf:
+            by_asset.setdefault(r["asset_id"], []).append(r)
+        for i, sel in by_asset.items():
+            assert len(sel) <= 2
+            # frame 0 always selected (novelty 64 beats any Hamming)
+            zero = [r for r in sel if r["frame_index"] == 0]
+            assert zero and zero[0]["novelty"] == 64
+
+    def test_keyframes_pick_the_scene_change(self, spark):
+        # craft a clip: frames 0,1,2 identical, frame 3 very different —
+        # the second key frame must be frame 3
+        from seqspark.pipeline import avi as _avi
+        from seqspark.pipeline.multimodal import (
+            ASSET_SCHEMA, frame_dhashes, keyframes)
+
+        w, h = 32, 24
+        yy, xx = np.mgrid[0:h, 0:w]
+        flat = np.stack([xx * 8, yy * 8, xx * 4], axis=-1).astype(np.uint8)
+        other = np.ascontiguousarray(flat[::-1, ::-1])  # reversed gradient
+        jf = [jpeg.encode(w, h, 3, flat.tobytes(), quality=95)] * 3 + [
+            jpeg.encode(w, h, 3, other.tobytes(), quality=95)]
+        assets = spark.createDataFrame(
+            [(1, "video", bytearray(_avi.encode(w, h, jf)), "{}")],
+            ASSET_SCHEMA)
+        kf = keyframes(frame_dhashes(assets, fake=False), k=2).collect()
+        assert sorted(r["frame_index"] for r in kf) == [0, 3]
+
+    def test_stills_and_undecodable(self, spark):
+        from seqspark.pipeline.multimodal import (
+            ASSET_SCHEMA, frame_dhashes, make_real_jpeg_assets)
+
+        jp = make_real_jpeg_assets(spark, 4)
+        rows = frame_dhashes(jp, fake=False).collect()
+        assert sorted(r["asset_id"] for r in rows) == [0, 1, 2, 3]
+        assert all(r["n_frames"] == 1 and r["frame_index"] == 0
+                   for r in rows)
+        bad = spark.createDataFrame(
+            [(9, "video", bytearray(b"not media"), "{}")], ASSET_SCHEMA)
+        assert frame_dhashes(bad, fake=False).count() == 0  # no rows
+
+    def test_selection_plan_is_jvm_side(self, spark):
+        from seqspark.pipeline.multimodal import (
+            frame_dhashes, keyframes, make_real_mjpeg_assets)
+
+        kf = keyframes(
+            frame_dhashes(make_real_mjpeg_assets(spark, 4), fake=False), k=2)
+        plan = kf._jdf.queryExecution().executedPlan().toString()
+        # the SELECTION stage adds no second Python crossing
+        assert plan.count("MapInPandas") == 1
