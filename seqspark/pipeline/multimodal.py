@@ -1313,13 +1313,40 @@ def _decode_any_pixels(b: bytes):
     return None
 
 
-def _stdlib_png_resize(b: bytes, width: int, height: int) -> Optional[bytes]:
-    """Nearest-neighbor resize of a supported raster (PNG, or the first
-    frame of GIF/APNG/Y4M), stdlib only; output is always PNG."""
+def _stdlib_png_resize(
+    b: bytes, width: int, height: int, method: str = "nearest"
+) -> Optional[bytes]:
+    """Resize a supported raster (PNG, JPEG, or the first frame of
+    GIF/APNG/Y4M/MJPEG) to an RGB(A) PNG. ``method="nearest"`` is the
+    historical kernel the frozen contract digests pin; ``"bilinear"``
+    (r12b) is the perceptual-pipeline default quality — vectorized
+    numpy, pixel-center convention, round-half-up."""
     dec = _decode_any_pixels(b or b"")
     if dec is None:
         return None
     sw, sh, ch, px = dec
+    if method == "bilinear":
+        import numpy as np
+
+        src = np.frombuffer(bytes(px), dtype=np.uint8).reshape(
+            sh, sw, ch
+        ).astype(np.float64)
+        xs = np.clip((np.arange(width) + 0.5) * sw / width - 0.5, 0, sw - 1)
+        ys = np.clip((np.arange(height) + 0.5) * sh / height - 0.5, 0, sh - 1)
+        x0 = np.floor(xs).astype(np.int64)
+        y0 = np.floor(ys).astype(np.int64)
+        x1 = np.minimum(x0 + 1, sw - 1)
+        y1 = np.minimum(y0 + 1, sh - 1)
+        fx = (xs - x0)[None, :, None]
+        fy = (ys - y0)[:, None, None]
+        top = src[y0][:, x0] * (1 - fx) + src[y0][:, x1] * fx
+        bot = src[y1][:, x0] * (1 - fx) + src[y1][:, x1] * fx
+        out_np = np.clip(
+            np.floor(top * (1 - fy) + bot * fy + 0.5), 0, 255
+        ).astype(np.uint8)
+        return _png_encode(width, height, ch, bytearray(out_np.tobytes()))
+    if method != "nearest":
+        return None
     sstride = sw * ch
     out = bytearray(width * height * ch)
     for y in range(height):
@@ -1350,6 +1377,7 @@ def resize_images(
     fake: bool = False,
     on_other: str = "drop",
     codec: str = "auto",
+    method: str = "nearest",
 ) -> DataFrame:
     """Resize image assets to (width, height) via ``mapInPandas``.
 
@@ -1375,6 +1403,8 @@ def resize_images(
         raise ValueError(f"on_other must be drop|keep|error, got {on_other!r}")
     if codec not in ("auto", "stdlib"):
         raise ValueError(f"codec must be auto|stdlib, got {codec!r}")
+    if method not in ("nearest", "bilinear"):
+        raise ValueError(f"method must be nearest|bilinear, got {method!r}")
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -1410,12 +1440,13 @@ def resize_images(
                                 img.resize((width, height)).save(
                                     out, format="PNG")
                                 return out.getvalue()
-                    resized = _stdlib_png_resize(b, width, height)
+                    resized = _stdlib_png_resize(b, width, height,
+                                                  method=method)
                     if resized is None:
                         raise NotImplementedError(
                             "stdlib resize supports 8-bit RGB/RGBA "
-                            "non-interlaced PNG, or the first frame of "
-                            "GIF/APNG/Y4M, only"
+                            "non-interlaced PNG, JPEG, or the first "
+                            "frame of GIF/APNG/Y4M/MJPEG, only"
                         )
                     return resized
 

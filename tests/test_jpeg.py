@@ -631,3 +631,48 @@ class TestKeyframes:
         plan = kf._jdf.queryExecution().executedPlan().toString()
         # the SELECTION stage adds no second Python crossing
         assert plan.count("MapInPandas") == 1
+
+
+class TestBilinearResize:
+    def test_bilinear_smooths_and_matches_dims(self):
+        from seqspark.pipeline.multimodal import (
+            _decode_any_pixels, _png_encode, _stdlib_png_resize)
+
+        # checkerboard: nearest keeps hard 0/255 pixels; bilinear blends
+        h, w = 32, 32
+        board = np.indices((h, w)).sum(axis=0) % 2 * 255
+        img = np.stack([board] * 3, axis=-1).astype(np.uint8)
+        b = _png_encode(w, h, 3, bytearray(img.tobytes()))
+        near = _decode_any_pixels(_stdlib_png_resize(b, 16, 16, "nearest"))
+        bil = _decode_any_pixels(_stdlib_png_resize(b, 16, 16, "bilinear"))
+        assert (near[0], near[1]) == (16, 16) and (bil[0], bil[1]) == (16, 16)
+        nv = np.frombuffer(bytes(near[3]), dtype=np.uint8)
+        bv = np.frombuffer(bytes(bil[3]), dtype=np.uint8)
+        # nearest samples the lattice (pure 0/255, here phase-locked to
+        # all-0); bilinear lands exactly between the board's extremes
+        assert set(np.unique(nv).tolist()) <= {0, 255}
+        assert set(np.unique(bv).tolist()) == {128}
+
+    def test_bilinear_identity_at_same_size(self):
+        from seqspark.pipeline.multimodal import (
+            _decode_any_pixels, _png_encode, _stdlib_png_resize)
+
+        rng = _rng(3)
+        img = rng.integers(0, 256, size=(12, 17, 3), dtype=np.uint8)
+        b = _png_encode(17, 12, 3, bytearray(img.tobytes()))
+        out = _decode_any_pixels(_stdlib_png_resize(b, 17, 12, "bilinear"))
+        got = np.frombuffer(bytes(out[3]), dtype=np.uint8).reshape(12, 17, 3)
+        assert np.array_equal(got, img)  # 1:1 bilinear is exact
+
+    def test_operator_param_and_jpeg_input(self, spark):
+        from seqspark.pipeline.multimodal import (
+            _decode_any_pixels, make_real_jpeg_assets, resize_images)
+
+        out = resize_images(
+            make_real_jpeg_assets(spark, 4), 20, 10,
+            fake=False, codec="stdlib", method="bilinear",
+        ).collect()
+        assert len(out) == 4
+        for r in out:
+            dec = _decode_any_pixels(bytes(r["content"]))
+            assert (dec[0], dec[1]) == (20, 10)
