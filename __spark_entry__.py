@@ -2369,7 +2369,7 @@ def q_audio_features(spark, sf_dir):
     # hash-pinned (r12b): audio DSP features over the WAV rows of the
     # real-codec fixture — RMS / zero-crossing rate / spectral centroid
     # (6dp-rounded in the kernel) and the 64-bit spectral fingerprint
-    # (8 time slices x 9 log bands, per-slice normalized with a 2%
+    # (8 time slices x 9 log bands, per-slice normalized with a 5%
     # noise-floor clamp: bit-depth / gain / stereo-downmix invariant,
     # property-pinned in tests/test_audio.py) — vs frozen literals
     from seqspark.pipeline.multimodal import audio_features, make_real_assets

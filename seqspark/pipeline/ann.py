@@ -63,7 +63,13 @@ def brute_l2_topk(
     id_col: str = "vec_id", vec_col: str = "embedding",
 ) -> DataFrame:
     """Exact squared-L2 top-k (ascending) — PQ's ground truth metric.
-    Same TakeOrderedAndProject shape as :func:`brute_topk`."""
+    Same TakeOrderedAndProject shape as :func:`brute_topk`.
+
+    NULL or wrong-length embeddings make ``zip_with``/``aggregate`` yield
+    a NULL distance, and ascending ``orderBy`` puts NULLs FIRST — so a
+    dirty corpus would fill the top-k with undecodable vectors (the desc
+    ordering in :func:`brute_topk` pushes them last for free; here we
+    must filter, mirroring ``pq_topk``'s isNotNull guard on codes)."""
     q = F.array(*[F.lit(float(v)) for v in query_vec])
     d2 = F.aggregate(
         F.zip_with(F.col(vec_col), q, lambda a, b: (a - b) * (a - b)),
@@ -72,6 +78,7 @@ def brute_l2_topk(
     ).alias("d2")
     return (
         emb.select(F.col(id_col), d2)
+        .filter(F.col("d2").isNotNull())
         .orderBy(F.col("d2").asc(), F.col(id_col).asc())
         .limit(k)
     )

@@ -49,6 +49,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from . import avi as _avi
+from . import codec_accel as _accel
+from . import flac as _flac
 from . import jpeg as _jpeg
 from pyspark.sql.types import (
     BinaryType,
@@ -207,18 +209,21 @@ def _jpeg_meta(b: bytes) -> Optional[tuple[int, int, int]]:
 def _real_decode(media_type: str, content: bytes) -> tuple[int, int, int]:
     """Real per-modality decode, capability-detected at call time."""
     if media_type == "image":
-        try:
-            Image = _require_pil()
-        except NotImplementedError:
-            meta = _stdlib_image_meta(content)
-            if meta is None:
-                raise NotImplementedError(
-                    "image format not recognized by the stdlib header parser "
-                    "(PNG/BMP/GIF/JPEG) and Pillow is not installed"
-                )
+        # accelerated seam first (None when Pillow is absent or can't
+        # open the payload) — meta_accel reports EXIF-upright dims, the
+        # same convention as the stdlib parser, so the two environments
+        # can never disagree on geometry (r13 parity fix: the old PIL
+        # branch reported the STORED dims for orientations 5-8)
+        meta = _accel.meta_accel(content)
+        if meta is not None:
             return meta
-        with Image.open(io.BytesIO(content or b"")) as img:
-            return img.width, img.height, int(getattr(img, "n_frames", 1))
+        meta = _stdlib_image_meta(content)
+        if meta is None:
+            raise NotImplementedError(
+                "image format not recognized by the stdlib header parser "
+                "(PNG/BMP/GIF/JPEG) or by Pillow (when installed)"
+            )
+        return meta
     if media_type == "audio":
         import wave
 
@@ -231,10 +236,13 @@ def _real_decode(media_type: str, content: bytes) -> tuple[int, int, int]:
             if meta is None:
                 meta = _au_meta(content or b"")
             if meta is None:
+                # r13: FLAC via the stdlib codec (STREAMINFO only here)
+                meta = _flac.meta(content or b"")
+            if meta is None:
                 raise NotImplementedError(
-                    "audio decode supports WAV, AIFF and AU (.snd incl. "
-                    "mu-law) containers; compressed audio needs a codec "
-                    "absent here"
+                    "audio decode supports WAV, AIFF, AU (.snd incl. "
+                    "mu-law) and FLAC containers; other compressed audio "
+                    "needs a codec absent here"
                 ) from None
             return meta
     if media_type == "video":
@@ -1313,6 +1321,29 @@ def _decode_any_pixels(b: bytes):
     return None
 
 
+def _resize_kernel(
+    b: bytes, width: int, height: int, method: str, codec: str
+) -> bytes:
+    """Per-row resize dispatch (module-level so the codec seam is
+    unit-testable without executors): ``codec="auto"`` tries the
+    accelerated Pillow path (``codec_accel.resize_png_accel`` — honors
+    ``method`` via the matching Pillow resample filter, ADVICE r12) and
+    falls back to the stdlib kernel whenever Pillow is absent or the
+    payload doesn't decode there; ``codec="stdlib"`` forces the stdlib
+    kernel (the mode the hash-pinned contract digests use)."""
+    if codec == "auto":
+        accel = _accel.resize_png_accel(b, width, height, method=method)
+        if accel is not None:
+            return accel
+    resized = _stdlib_png_resize(b, width, height, method=method)
+    if resized is None:
+        raise NotImplementedError(
+            "stdlib resize supports 8-bit RGB/RGBA non-interlaced PNG, "
+            "JPEG, or the first frame of GIF/APNG/Y4M/MJPEG, only"
+        )
+    return resized
+
+
 def _stdlib_png_resize(
     b: bytes, width: int, height: int, method: str = "nearest"
 ) -> Optional[bytes]:
@@ -1429,26 +1460,7 @@ def resize_images(
                     return seed * (max(1, (width * height) // len(seed)))
             else:
                 def kernel(b: bytes) -> bytes:
-                    if codec == "auto":
-                        try:
-                            Image = _require_pil()
-                        except NotImplementedError:
-                            Image = None
-                        if Image is not None:
-                            with Image.open(io.BytesIO(b or b"")) as img:
-                                out = io.BytesIO()
-                                img.resize((width, height)).save(
-                                    out, format="PNG")
-                                return out.getvalue()
-                    resized = _stdlib_png_resize(b, width, height,
-                                                  method=method)
-                    if resized is None:
-                        raise NotImplementedError(
-                            "stdlib resize supports 8-bit RGB/RGBA "
-                            "non-interlaced PNG, JPEG, or the first "
-                            "frame of GIF/APNG/Y4M/MJPEG, only"
-                        )
-                    return resized
+                    return _resize_kernel(b, width, height, method, codec)
 
             if len(pdf):
                 yield pd.DataFrame(
@@ -1810,6 +1822,48 @@ def make_real_audio_pair_assets(spark, n: int = 8) -> DataFrame:
     return spark.createDataFrame(real_audio_pair_rows(n), ASSET_SCHEMA)
 
 
+def fixture_pcm(i: int) -> tuple[int, int, list]:
+    """Deterministic int16 PCM for the FLAC/WAV parity fixtures: sine
+    carrier + id-derived dither, mono/stereo alternating. A pure
+    function of ``i`` so frozen digests are reproducible without Spark."""
+    import math
+
+    nch = 1 + i % 2
+    nf = 400 + (i % 5) * 80
+    chans = []
+    for c in range(nch):
+        step = 0.02 + 0.003 * (i % 7)
+        chans.append(
+            [
+                int(9000 * math.sin(k * step + c))
+                + ((i * 131 + k * 17) % 97 - 48)
+                for k in range(nf)
+            ]
+        )
+    return 8000, nch, chans
+
+
+def real_flac_asset_rows(n: int = 16) -> list:
+    """Driver-side rows of the FLAC fixture (r13): deterministic PCM
+    (:func:`fixture_pcm`) through the stdlib FLAC encoder — every third
+    stereo asset mid/side-decorrelated so the decoder's stereo
+    reconstruction is exercised at rest, not just in unit tests."""
+    rows = []
+    for i in range(n):
+        rate, nch, chans = fixture_pcm(i)
+        content = _flac.encode(
+            rate, nch, 16, chans, block_size=256,
+            mid_side=(nch == 2 and i % 3 == 0),
+        )
+        rows.append((i, "audio", bytearray(content), '{"src":"fixture-flac"}'))
+    return rows
+
+
+def make_real_flac_assets(spark, n: int = 16) -> DataFrame:
+    """Deterministic FLAC asset fixture (:func:`real_flac_asset_rows`)."""
+    return spark.createDataFrame(real_flac_asset_rows(n), ASSET_SCHEMA)
+
+
 def make_real_assets(spark, n: int = 64) -> DataFrame:
     """Deterministic REAL-codec asset fixture (:func:`real_asset_rows`):
     every payload decodes through the stdlib kernels with ``fake=False``,
@@ -1860,8 +1914,21 @@ def dhash_images(
     hash_size: int = 8,
     fake: bool = False,
     project: Optional[tuple] = None,
+    codec: str = "stdlib",
 ) -> DataFrame:
     """Append a 64-bit perceptual dHash column for image payloads.
+
+    ``codec`` (r13): ``"stdlib"`` (default) decodes with this repo's
+    deterministic kernels so the SAME bytes hash to the SAME 64 bits in
+    every environment — the property at-rest dedup joins depend on;
+    ``"auto"`` prefers the Pillow seam (``codec_accel``) for decode
+    throughput, falling back to stdlib per payload. The tradeoff is
+    explicit: lossless formats (PNG/GIF) decode bit-identically either
+    way, but JPEG pixels may differ by ±1-2 levels between IDCT
+    implementations, which can flip near-tie gradient bits — so "auto"
+    hashes stay within a small Hamming distance of stdlib hashes
+    (fine for thresholded near-dup joins) but are NOT byte-stable
+    across environments. Never mix codecs within one at-rest corpus.
 
     Real mode decodes with the stdlib raster decoders (Pillow-free):
     PNG, baseline/progressive JPEG (r12b), or the FIRST frame of
@@ -1886,6 +1953,8 @@ def dhash_images(
     """
     import pyarrow as pa
 
+    if codec not in ("auto", "stdlib"):
+        raise ValueError(f"codec must be auto|stdlib, got {codec!r}")
     size = hash_size
     if project is not None:
         carry = [c for c in project if c != content_col]
@@ -1909,7 +1978,11 @@ def dhash_images(
                         )
                     )
                     continue
-                dec = _decode_any_pixels(b)
+                dec = (
+                    _accel.decode_pixels_accel(b) if codec == "auto" else None
+                )
+                if dec is None:
+                    dec = _decode_any_pixels(b)
                 if dec is None:
                     hashes.append(None)
                     continue
@@ -2157,12 +2230,15 @@ def _au_pcm(b: bytes):
 
 def _audio_pcm(b: bytes):
     """(rate, nch, mono float64) for any stdlib-decodable audio container:
-    WAV, AIFF (BE PCM) or AU (.snd — mu-law + linear). None otherwise."""
+    WAV, AIFF (BE PCM), AU (.snd — mu-law + linear) or FLAC (r13, full
+    decode via the stdlib Rice/LPC codec). None otherwise."""
     dec = _wav_pcm(b)
     if dec is None:
         dec = _aiff_pcm(b or b"")
     if dec is None:
         dec = _au_pcm(b or b"")
+    if dec is None:
+        dec = _flac.pcm(b or b"")
     return dec
 
 

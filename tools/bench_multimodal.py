@@ -143,6 +143,30 @@ def main() -> None:
               lambda: resize_images(big, 64, 64, fake=False,
                                     codec="stdlib").count(),
               mpix_images)
+        # the accelerated (Pillow) seam, measured wherever Pillow exists:
+        # same operators with codec="auto" — in a Pillow-less env this is
+        # the stdlib fallback and the honest result is "pil absent"
+        from seqspark.pipeline import codec_accel
+
+        if codec_accel.pil_image_module() is not None:
+            # (decode_meta above is ALREADY the accelerated path when
+            # Pillow exists — decode_assets is seam-automatic)
+            brate("resize_64x64_accel",
+                  lambda: resize_images(big, 64, 64, fake=False,
+                                        codec="auto").count(),
+                  mpix_images)
+            brate("dhash_accel",
+                  lambda: dhash_images(big, fake=False,
+                                       project=("asset_id",),
+                                       codec="auto")
+                  .where("dhash is not null").count(),
+                  mpix_images + videos * 0.0768)
+            res["accel"] = "pillow"
+            res["resize_accel_speedup"] = round(
+                res["resize_64x64"]["sec"]
+                / max(res["resize_64x64_accel"]["sec"], 1e-9), 2)
+        else:
+            res["accel"] = "pil absent (stdlib kernels only)"
         brate("frames_all",
               lambda: sample_frames(big.where("media_type = 'video'"),
                                     every_n=1, fake=False).count(),
