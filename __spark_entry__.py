@@ -1607,6 +1607,28 @@ AUDIO_FEATURES_EXPECTED = [
 ]
 
 
+#: (asset_id, sample_rate, n_channels, n_samples, rms, zcr,
+#: centroid_hz, fingerprint) over real_flac_asset_rows (r13)
+AUDIO_FEATURES_FLAC_EXPECTED = [
+    (0, 8000, 1, 400, 0.195707, 0.007519, 498.555718, 4557149413822119743),
+    (1, 8000, 2, 480, 0.176883, 0.006263, 587.445205, 4557430888798830398),
+    (2, 8000, 1, 560, 0.196541, 0.007156, 446.106493, 6872313121065623391),
+    (3, 8000, 2, 640, 0.171444, 0.00939, 302.743405, 8682516213269429886),
+    (4, 8000, 1, 720, 0.192273, 0.011127, 405.613939, 8681953263416671870),
+    (5, 8000, 2, 400, 0.174817, 0.010025, 328.99712, 4485372195249274687),
+    (6, 8000, 1, 480, 0.196618, 0.012526, 442.679579, 4557430875913928510),
+    (7, 8000, 2, 560, 0.177197, 0.005367, 567.966301, 6872316419617283928),
+    (8, 8000, 1, 640, 0.197105, 0.00626, 410.977797, 9115141057846148990),
+    (9, 8000, 2, 720, 0.170818, 0.008345, 195.855955, 8682516213135212158),
+    (10, 8000, 1, 400, 0.197918, 0.007519, 498.821801, 4557430888798764862),
+    (11, 8000, 2, 480, 0.171961, 0.010438, 331.755283, 4341258106684587839),
+    (12, 8000, 1, 560, 0.191632, 0.012522, 469.101846, 6800258825461915487),
+    (13, 8000, 2, 640, 0.172927, 0.010955, 498.629326, 8970177016493013116),
+    (14, 8000, 1, 720, 0.195764, 0.005563, 452.13647, 9114859578540850814),
+    (15, 8000, 2, 400, 0.17193, 0.007519, 383.906387, 4557430888798830143),
+]
+
+
 def q_frame_sample_y4m(spark, sf_dir):
     # hash-pinned (r12): REAL video frame extraction — the Y4M raw
     # container (BT.601 YUV->RGB, C420/C422/C444/Cmono) — against frozen
@@ -2378,6 +2400,20 @@ def q_audio_features(spark, sf_dir):
     return audio_features(assets, fake=False)
 
 
+def q_audio_features_flac(spark, sf_dir):
+    # hash-pinned (r13): the SAME audio DSP kernel over FLAC assets —
+    # every sample flows through the stdlib FLAC decoder (Rice
+    # residuals, FIXED predictors, mid/side reconstruction on every
+    # third stereo asset), so a decoder bug anywhere in that path flips
+    # a frozen literal. Real web corpora are FLAC, not WAV — this was
+    # the largest honest-raise left in the audio path (r12 verdict #3).
+    from seqspark.pipeline.multimodal import (
+        audio_features, make_real_flac_assets)
+
+    assets = make_real_flac_assets(spark, 16)
+    return audio_features(assets, fake=False)
+
+
 def q_frame_sample_mjpeg(spark, sf_dir):
     # hash-pinned (r12b): REAL frame extraction from a COMPRESSED video
     # container — MJPEG-in-AVI, each frame an independent baseline JPEG
@@ -3104,16 +3140,16 @@ DRIVER_WINDOW = [
     "match_all",
     "agg_count_group",
     "time_range",
-    # the only 3 entries never seen in a driver CORRECTNESS artifact
-    "cap_per_group_salted",
-    "sessionize_bucketed",
-    "sessionize_scalable",
-    # r12b additions (JPEG pixels incl. progressive, MJPEG-AVI video,
-    # audio DSP features): never driver-checked yet, so they take
-    # window slots this round
-    "multimodal_resize_jpeg",
-    "image_dhash_jpeg",
-    "frame_sample_mjpeg",
+    # r13 additions: never driver-checked yet, so they lead the window
+    "audio_features_flac",
+    # the five entries rotated out in r12 (last driver-green r10) —
+    # cycled back per the r12 verdict so no entry goes >2 rounds stale
+    "agg_avg_group",
+    "agg_max_group",
+    "agg_sum_group",
+    "agg_timeseries",
+    "ann_batch_topk",
+    # r12b additions, driver-checked once (r12) — keep one more round
     "audio_features",
     "audio_dupes",
     "ann_pq_topk",
@@ -3253,6 +3289,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_resize_jpeg": q_multimodal_resize_jpeg,
         "image_dhash_jpeg": q_image_dhash_jpeg,
         "audio_features": q_audio_features,
+        "audio_features_flac": q_audio_features_flac,
         "audio_dupes": q_audio_dupes,
         "ann_pq_topk": q_ann_pq_topk,
         "ann_pq_rerank": q_ann_pq_rerank,
@@ -4464,6 +4501,17 @@ def oracle_sql() -> dict[str, str]:
             f"({i}, {sr}, {nc}, CAST({ns} AS BIGINT), {rms!r}, {zc!r}, "
             f"{cent!r}, CAST({fp} AS BIGINT))"
             for i, sr, nc, ns, rms, zc, cent, fp in AUDIO_FEATURES_EXPECTED
+        )
+        + ") AS t(asset_id, sample_rate, n_channels, n_samples, rms, zcr,"
+        " centroid_hz, fingerprint)"
+    )
+    sql["audio_features_flac"] = (
+        "SELECT * FROM (VALUES "
+        + ", ".join(
+            f"({i}, {sr}, {nc}, CAST({ns} AS BIGINT), {rms!r}, {zc!r}, "
+            f"{cent!r}, CAST({fp} AS BIGINT))"
+            for i, sr, nc, ns, rms, zc, cent, fp
+            in AUDIO_FEATURES_FLAC_EXPECTED
         )
         + ") AS t(asset_id, sample_rate, n_channels, n_samples, rms, zcr,"
         " centroid_hz, fingerprint)"

@@ -250,6 +250,35 @@ def main() -> None:
         print(f"    {r!r},")
     print("]")
 
+    # r13: FLAC fixture — the SAME feature kernel over the stdlib FLAC
+    # decoder's PCM (fixture encoder: FIXED+Rice, mid/side every third
+    # stereo asset), so a decoder regression anywhere in the Rice / LPC /
+    # stereo-reconstruction path flips a frozen literal.
+    from seqspark.pipeline import flac as _flac  # noqa: E402
+    from seqspark.pipeline.multimodal import real_flac_asset_rows  # noqa: E402
+
+    fl = []
+    for i, media, content, _meta in real_flac_asset_rows(16):
+        rate, nch, x = _flac.pcm(bytes(content))
+        ns = int(len(x))
+        rms = round(float(_np.sqrt(_np.mean(x * x))), 6)
+        zc = round(
+            float(_np.mean(_np.signbit(x[1:]) != _np.signbit(x[:-1]))), 6
+        )
+        mag = _np.abs(_np.fft.rfft(x))
+        freqs = _np.fft.rfftfreq(ns, d=1.0 / rate)
+        tot = float(mag.sum())
+        cent = round(float((freqs * mag).sum() / tot) if tot > 0 else 0.0, 6)
+        fl.append((i, rate, nch, ns, rms, zc, cent,
+                   _audio_fingerprint_of(x, rate)))
+    print()
+    print("#: (asset_id, sample_rate, n_channels, n_samples, rms, zcr,")
+    print("#: centroid_hz, fingerprint) over real_flac_asset_rows (r13)")
+    print("AUDIO_FEATURES_FLAC_EXPECTED = [")
+    for r in fl:
+        print(f"    {r!r},")
+    print("]")
+
     # r12b: audio near-dup pair fixture — per-asset fingerprints frozen;
     # the oracle REPLAYS the banded-Hamming pair join brute-force in
     # DuckDB (pigeonhole banding is exact, so the sets must be equal).
