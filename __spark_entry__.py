@@ -2370,6 +2370,48 @@ def q_ann_pq_topk(spark, sf_dir):
     return pq_topk(codes, PQ_CODEBOOKS, PQ_QUERY, k=10)
 
 
+def q_ann_opq_topk(spark, sf_dir):
+    # hash-pinned (r13): OPQ — PQ with a learned orthogonal rotation
+    # (Ge et al. 2013) aligning the subspace split with the data's
+    # principal directions; 10-20 recall points at IDENTICAL scan cost
+    # (tools/bench_ann_recall.py sweep in BASELINE.md). Rotation +
+    # codebooks are frozen literal INPUTS; the engine rotates each
+    # vector with one extra GEMM per Arrow batch (rounded 6dp) and the
+    # query driver-side with sequential sums; the oracle replays the
+    # rotation as a literal-matrix CTE with the same 6dp round. Plan is
+    # pq_topk's unchanged: literal-LUT element_at chain in whole-stage
+    # codegen, TakeOrderedAndProject, no shuffle, no raw-vector read.
+    from seqspark.pipeline.ann import opq_topk, pq_encode
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    codes = pq_encode(emb, OPQ_CODEBOOKS, rotation=OPQ_ROTATION)
+    return opq_topk(codes, OPQ_CODEBOOKS, OPQ_ROTATION, PQ_QUERY, k=10)
+
+
+def q_ann_ivfpq_residual(spark, sf_dir):
+    # hash-pinned (r13): residual IVF-PQ (the original IVFADC layout,
+    # Jégou et al. 2011) — codes quantize v - centroid[cell], so the
+    # codebook budget resolves neighborhoods instead of cluster offsets
+    # (recall 0.36 -> 0.58 on the clustered fixture, tests/
+    # test_ann_opq.py). Probe the 2 nearest of the frozen SemDeDup
+    # centroids; each probed cell scores with a LUT built from the
+    # query's residual against THAT centroid. Plan: a union of 2
+    # cell-filtered literal-LUT projections into ONE
+    # TakeOrderedAndProject — no shuffle; partition-pruned when codes
+    # are written partitioned by cell.
+    from seqspark.pipeline.ann import (
+        ivf_assign, ivf_pq_residual_topk, pq_encode_residual)
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cells = ivf_assign(emb, SEMDEDUP_CENTROIDS).select(
+        "vec_id", "cell", "embedding")
+    codes = pq_encode_residual(
+        cells, SEMDEDUP_CENTROIDS, PQ_RESIDUAL_CODEBOOKS)
+    return ivf_pq_residual_topk(
+        codes, SEMDEDUP_CENTROIDS, PQ_RESIDUAL_CODEBOOKS, PQ_QUERY,
+        k=10, nprobe=2)
+
+
 def q_audio_dupes(spark, sf_dir):
     # hash-pinned (r12b): near-duplicate AUDIO via the spectral
     # fingerprint — each fixture signal appears as 16-bit PCM and as an
@@ -2900,6 +2942,247 @@ SEMDEDUP_CENTROIDS: list[list[float]] = [
 PQ_QUERY = SEMDEDUP_CENTROIDS[0]
 
 
+#: frozen OPQ rotation (64x64, orthogonal): trained ONCE by opq_train(m=8, k=8,
+#: iters=5, opq_iters=6, sample=2048) on the sf0.01 embeddings — an INPUT
+#: of the entry (the SEMDEDUP_CENTROIDS standing)
+OPQ_ROTATION = [
+    [0.573172, 0.267644, -0.152818, 0.11465, 0.296821, -0.031399, 0.069281, 0.255712, -0.091139, -0.000281, -0.050264, 0.057596, 0.176285, -0.001781, -0.062328, -0.027497, -0.005587, -0.095848, -0.068248, 0.011063, -0.116162, -0.003947, 0.029218, -0.098857, -0.081031, -0.017848, -0.094954, 0.045851, -0.055279, -0.047474, -0.035834, 0.086858, -0.08055, 0.040464, 0.169719, 0.010482, -0.148177, 0.151882, 0.056291, 0.155262, -0.073553, 0.095842, 0.111112, -0.023153, -0.109065, -0.103249, 0.122805, 0.016257, -0.031199, 0.082198, -0.026289, -0.120027, -0.116619, -0.134927, 0.029662, 0.082439, 0.031626, 0.109517, -0.001781, -0.116506, 0.044341, -0.047209, -0.124976, 0.022543],
+    [0.210462, 0.405469, 0.073663, -0.299632, -0.436147, 0.059386, 0.095004, -0.083707, -0.009174, 0.025113, 0.044766, -0.024373, 0.078926, -0.06377, 0.050248, 0.006989, -0.153726, 0.060706, -0.024765, 0.102183, 0.040913, -0.179122, -0.054688, 0.049922, 0.004487, -0.043554, 0.181006, -0.050574, 0.069826, 0.048793, -0.081567, 0.069249, -0.12735, -0.023266, -0.05395, -0.11691, 0.11882, 0.179154, 0.016718, 0.123, -0.016103, -0.067146, 0.140661, 0.041823, 0.167356, -0.00533, -0.17038, 0.087408, 0.057692, 0.060946, 0.176001, 0.127393, -0.071797, 0.005698, 0.147512, -0.190078, 0.049642, -0.049634, -0.13931, -0.031992, 0.01579, 0.041595, -0.023093, 0.073527],
+    [-0.033412, 0.044106, 0.632432, 0.157063, 0.122466, -0.019626, -0.026451, -0.037489, 0.177858, -0.085756, -0.105239, -0.074671, 0.126675, -0.003007, -0.070751, -0.055434, -0.04935, -0.011051, 0.073068, 0.098455, 0.032321, 0.236187, -0.019993, -0.129938, 0.044652, -0.113988, 0.04028, 0.049452, -0.08305, 0.059447, -0.162437, -0.10434, -0.065653, 0.186087, -0.001219, -0.047975, -0.100422, 0.23571, 0.022536, 0.107364, 0.137847, 0.025308, 0.062325, 0.009577, 0.026566, -0.164462, 0.061169, 0.071264, 0.004511, 0.09358, 0.094924, 0.16258, 0.021253, 0.127657, -0.099397, 0.039854, 0.100619, 0.041565, 0.143629, 0.057429, -0.075088, 0.059333, 0.137165, 0.035735],
+    [0.123065, -0.140008, -0.113088, 0.434251, -0.181116, 0.058292, -0.002199, 0.075913, 0.077192, -0.047901, 0.191192, -0.000322, -0.11024, -0.010091, -0.011456, -0.023329, 0.01656, 0.017725, -0.292231, 0.070571, 0.032681, 0.131724, 0.030626, 0.102408, 0.072706, 0.009075, -0.033556, -0.102729, 0.082336, -0.340637, 0.08046, 0.194068, -0.050858, 0.038594, -0.160813, 0.123915, -0.008002, 0.013459, 0.058529, 0.146864, 0.127755, -0.162333, 0.149288, -0.058394, -0.021116, -0.174319, -0.086325, 0.008222, 0.032518, -0.205274, 0.059503, 0.183157, -0.056179, 0.108099, 0.02251, -0.03211, 0.000746, 0.035259, -0.019173, -0.016207, -0.040031, 0.281656, 0.020214, -0.047375],
+    [0.148096, -0.360471, 0.068588, -0.224283, 0.501251, 0.06594, -0.031206, -0.128921, 0.011046, -0.022853, -0.037549, 0.063719, -0.207875, -0.064622, 0.054116, 0.008639, -0.028957, 0.083007, -0.009735, 0.003771, 0.099371, -0.091064, -0.159644, 0.084976, -0.086754, 0.074793, 0.011794, -0.125803, 0.068596, -0.000923, 0.0082, 0.007803, 0.01005, 0.048793, 0.074988, -0.112807, 0.113624, 0.068828, 0.221339, 0.084368, -0.115236, 0.122757, 0.11054, 0.054415, 0.153072, -0.157905, -0.227038, -0.0012, 0.100629, -0.075355, -0.0165, 0.176335, -0.052043, -0.027256, 0.221095, -0.077798, 0.062895, -0.047461, -0.090961, -0.025973, 0.029771, 0.059757, 0.029018, -0.082129],
+    [0.096702, 0.006306, -0.057452, 0.097095, -0.083025, 0.767356, -0.092908, 0.002205, 0.068274, -0.034698, -0.065938, 0.090503, 0.011845, -0.106851, 0.047147, 0.032344, 0.121689, -0.054328, 0.070117, 0.037564, -0.072495, 0.030953, 0.082284, 0.024129, -0.01527, 0.079987, 0.106309, 0.067204, 0.002321, 0.050066, 0.063488, -0.165819, -0.14918, 0.007993, 0.019016, -0.03284, 0.009629, -0.002088, -0.101913, -0.059368, -0.006757, 0.101026, 0.091821, 0.025469, 0.119122, -0.12007, 0.087659, -0.114431, 0.036336, 0.014036, -0.212329, -0.028167, 0.0623, 0.016574, -0.036046, -0.150228, -0.057668, 0.0789, 0.021791, 0.07216, -0.042601, -0.116337, 0.137248, -0.121752],
+    [0.010731, 0.080425, -0.11204, 0.198638, 0.111663, -0.101183, 0.541064, -0.084351, -0.060426, -0.102754, -0.102372, -0.038447, 0.015525, -0.02965, 0.060866, 0.127024, 0.102952, 0.183003, -0.025752, -0.005225, -0.085698, 0.067358, -0.013408, 0.069506, -0.004247, 0.009418, -0.098351, 0.181566, 0.07274, -0.002551, 0.01898, -0.184621, -0.126809, 0.027861, -0.210633, 0.104522, 0.184664, -0.036767, -0.03808, -0.020963, 0.171824, 0.049096, -0.11988, 0.149117, 0.013921, -0.050797, -0.124942, 0.045751, 0.065786, 0.135741, 0.021964, 0.151262, -0.090223, -0.013611, -0.033925, -0.045873, 0.158293, -0.075628, -0.107456, 0.101657, 0.005121, -0.289049, 0.019719, -0.186331],
+    [0.181556, -0.335377, 0.008615, -0.021347, -0.190333, -0.095089, -0.11278, 0.564835, 0.043728, 0.009313, -0.077172, 0.093866, 0.073846, -0.095936, 0.026664, 0.082918, -0.140056, 0.032613, 0.165723, -0.022555, 0.068941, -0.057797, -0.118633, 0.101455, -0.006088, 0.068292, -0.030737, 0.222631, 0.085797, 0.094876, 0.08391, -0.200338, -0.014634, -0.036331, 0.035308, -0.012456, -0.059607, -0.001965, 0.132281, 0.020209, 0.16613, 0.009923, -0.055046, 0.228826, -0.033891, 0.060177, 0.034482, 0.067382, 0.079372, 0.024539, 0.141529, 0.001824, 0.046411, 0.192894, -0.067805, -0.123432, -0.055415, -0.091922, -0.106912, 0.019495, -0.091688, 0.010166, -0.044819, 0.012861],
+    [-0.029963, -0.017484, -0.111494, -0.165929, 0.023728, -0.032024, 0.157648, 0.030987, 0.654318, 0.156887, -0.104166, 0.042745, -0.13515, -0.019136, 0.0253, 0.031174, -0.007933, -0.032733, -0.065318, 0.026752, 0.104435, 0.125524, -0.057798, -0.093527, 0.042131, -0.018999, -0.014218, 0.039395, -0.079739, -0.103926, 0.040584, 0.005643, 0.073057, 0.007291, -0.140699, -0.14942, 0.01107, 0.172065, -0.138083, 0.111315, 0.024284, -0.027281, -0.017102, -0.057264, -0.088811, -0.064083, 0.027765, 0.00274, -0.014327, -0.187014, -0.00069, -0.217179, -0.065775, -0.122408, 0.012157, -0.112199, -0.079126, -0.004201, -0.033222, -0.085529, -0.245534, -0.224708, -0.092128, 0.058579],
+    [-0.092245, 0.099822, 0.031356, 0.074542, 0.071442, -0.012988, 0.00989, 0.102232, 0.09059, 0.804219, 0.028268, -0.05486, 0.128199, -0.027294, 0.008043, -0.044113, 0.063018, 0.022784, -0.043294, 0.010129, 0.021648, 0.061692, 0.116504, 0.058791, -0.064758, 0.197331, -0.080091, -0.09887, 0.026783, 0.000276, -0.124945, -0.044936, -0.042725, 0.032481, 0.031474, 0.075519, 0.088278, 0.010258, -0.005145, -0.058565, -0.031937, 0.133979, -0.010473, 0.025262, 0.10806, 0.04604, -0.0166, 0.118715, 0.014782, 0.05191, -0.084182, 0.061824, 0.024073, 0.186889, 0.052828, -0.015157, 0.029968, 0.033846, -0.062987, 0.02479, 0.08751, 0.117658, -0.078126, -0.142673],
+    [-0.001946, -0.026588, -0.13069, -0.021549, 0.215907, -0.00586, -0.003674, 0.094783, 0.050939, -0.049427, 0.685778, -0.124302, 0.092122, 0.009274, -0.014796, -0.074007, -0.101228, -0.033294, 0.087765, 0.176254, -0.015807, 0.178484, -0.002867, -0.032158, -0.016611, -0.184641, 0.110884, 0.15601, -0.021776, 0.090325, -0.000833, 0.009613, -0.007978, -0.010546, -0.013182, -0.105899, -0.011853, -0.060448, -0.23818, -0.083977, 0.010921, 0.088472, 0.08619, 0.057199, 0.081392, 0.090212, -0.021768, 0.197128, 0.126802, -0.031428, 0.073319, 0.027657, 0.163795, -0.112236, 0.064092, -0.118721, 0.035276, 0.012932, 0.026423, 0.139205, -0.01035, -0.018005, -0.027473, -0.051537],
+    [-0.191832, 0.212294, -0.095905, 0.039327, 0.193398, -0.070298, -0.075031, 0.213464, 0.02002, -0.109308, -0.102954, 0.454586, 0.059357, 0.03347, 0.133255, 0.076136, 0.015106, -0.101785, 0.168236, 0.176922, 0.248085, 0.097154, 0.141564, -0.005323, -0.113486, 0.045192, 0.273427, -0.040701, 0.014734, 0.048484, 0.063091, 0.038024, -0.160341, 0.061052, -0.160528, 0.053528, -0.038387, -0.042917, -0.093708, -0.0013, 0.046688, -0.142557, -0.044083, -0.11485, 0.077973, -0.036181, -0.209699, -0.112124, 0.009863, 0.003504, 0.006657, 0.036449, 0.104384, 0.111237, 0.125484, 0.102226, 0.08867, -0.091389, 0.044193, -0.172562, 0.102829, 0.024434, -0.115268, -0.019499],
+    [0.10437, -0.33103, 0.076844, 0.148082, -0.129957, -0.016721, -0.08712, -0.237317, -0.125553, 0.180686, 0.076137, 0.159044, 0.414955, -0.000872, 0.109236, 0.282022, 0.110535, -0.006218, 0.023437, 0.025445, -0.068204, 0.043778, -0.043059, -0.03978, -0.011251, -0.15966, 0.066051, -0.048896, -0.196056, -0.033583, -0.041896, 0.06917, -0.094058, 0.017429, -0.080054, -0.114709, 0.091283, 0.074145, -0.006913, -0.001159, -0.006095, 0.074763, 0.053203, 0.03934, -0.095616, -0.027325, -0.081545, -0.1798, -0.067951, -0.087756, 0.009613, -0.134098, -0.03993, -0.088322, 0.05371, 0.02994, 0.079161, -0.295687, -0.021811, 0.094292, 0.016183, -0.117206, -0.198788, 0.154604],
+    [-0.048838, -0.041595, -0.059489, -0.04219, -0.057398, 0.031015, 0.140189, 0.049918, -0.003811, -0.047299, -0.043387, 0.014501, 0.124537, 0.78929, 0.051313, -0.039667, 0.011706, -0.159699, 0.003941, -0.10664, 0.00403, 0.079289, -0.080215, 0.076862, 0.046164, 0.055553, 0.017595, -0.037278, -0.006873, -0.056153, 0.037275, 0.059826, -0.169465, 0.11768, -0.00923, -0.09069, 0.069493, -0.008547, 0.113029, 0.04599, -0.136725, 0.189016, 0.06937, 0.068955, 0.096482, 0.03683, 0.022941, 0.015535, 0.110265, 0.030902, 0.028226, 0.042969, 0.09951, 0.080601, -0.002795, 0.072623, -0.134011, 0.072578, -0.052709, 0.016289, -0.18291, -0.009343, 0.045368, 0.031109],
+    [-0.086313, 0.013376, 0.044381, -0.036928, 0.082227, 0.038604, 0.014612, 0.026922, 0.061537, -0.075156, 0.015738, -0.031608, 0.229197, 0.022863, 0.721414, -0.107276, 0.051914, -0.059948, -0.006912, -0.102948, -0.081711, -0.183066, -0.010779, 0.04226, -0.02707, 0.09775, -0.080339, 0.012749, 0.076145, -0.141469, 0.026212, 0.084161, 0.216337, -0.087554, -0.048421, -0.158108, -0.054447, 0.100733, -0.11887, 0.037426, 0.050539, -0.114057, -0.040761, 0.164019, -0.117543, -0.121108, 0.051358, 0.089342, -0.06283, 0.08759, -0.005593, -0.023392, 0.004419, 0.001282, -0.000412, -0.038826, 0.080711, 0.100565, 0.08923, 0.076432, 0.111105, 0.140191, 0.029977, -0.062567],
+    [0.002605, 0.151781, 0.085881, -0.110177, 0.162564, 0.028438, -0.076474, -0.00996, 0.054009, -0.049518, -0.046021, 0.025798, 0.128281, 0.046812, -0.075401, 0.707519, -0.005622, 0.047121, -0.05966, 0.060901, 0.025524, -0.07641, 0.037794, 0.046876, 0.219084, -0.000837, -0.125718, 0.07022, 0.174619, -0.061647, 0.040506, 0.176761, 0.128327, 0.024062, 0.065213, 0.1233, 0.025069, -0.00165, -0.099324, -0.057722, 0.035542, -0.017021, -0.090998, 0.047763, 0.129522, 0.03429, 0.183003, 0.045125, 0.07264, -0.110368, -0.0411, 0.156338, 0.049387, -0.046431, 0.012723, -0.061936, -0.138183, 0.098133, 0.031957, 0.102747, -0.048997, 0.129333, -0.089408, 0.010657],
+    [-0.013051, 0.03575, 0.057061, -0.057077, -0.144114, -0.128624, -0.132195, 0.093169, 0.006641, -0.003032, -0.052469, -0.091898, -0.10065, 0.127008, -0.023923, 0.059369, 0.474533, 0.099826, -0.158596, -0.070964, 0.017287, 0.068242, -0.057706, 0.151785, -0.069298, -0.131271, 0.058536, 0.168112, -0.123598, 0.206939, 0.058371, -0.036918, 0.123655, -0.158655, -0.006529, 0.080055, -0.147127, 0.041471, -0.118083, -0.1734, 0.031015, 0.148837, 0.17576, 0.153049, 0.098886, -0.252513, -0.118956, -0.047174, 0.020278, 0.015348, -0.044213, -0.018616, 0.016526, -0.16443, 0.073085, -0.000504, 0.221693, 0.110192, -0.016213, -0.226641, -0.073964, 0.153893, -0.098775, -0.068111],
+    [0.081447, -0.086818, -0.091123, -0.066673, 0.017421, 0.050693, -0.132625, -0.011948, 0.003876, -0.036924, -0.059853, 0.106707, 0.217249, 0.155559, -0.145057, -0.183205, -0.01482, 0.613658, 0.038511, -0.071646, 0.181194, -0.020944, 0.245447, 0.079478, 0.0237, -0.096532, 0.065838, -0.017535, 0.017562, 0.025086, -0.075488, 0.019452, 0.133061, 0.170989, -0.076417, 0.02345, 0.066293, 0.028949, -0.173361, -0.003403, -0.085223, -0.088137, -0.070611, -0.068158, -0.291687, -0.13189, 0.050669, 0.142639, 0.00204, 0.127419, -0.099695, 0.058521, -0.01407, -0.001777, 0.079018, -0.059439, -0.069255, 0.045442, -0.107986, 0.057297, -0.060143, 0.021546, 0.034318, -0.00432],
+    [0.024331, 0.14387, 0.04759, -0.01339, -0.144349, -0.036461, -0.11546, 0.109859, 0.037247, -0.029823, 0.130521, -0.077613, -0.097975, 0.040585, 0.00878, 0.067464, -0.020069, 0.195544, 0.482552, -0.104658, -0.08578, 0.334885, -0.36778, -0.110624, 0.009488, 0.154487, -0.152943, -0.129704, 0.088712, -0.117381, 0.052904, 0.109305, 0.021701, 0.123188, 0.020541, 0.091238, 0.146265, -0.019789, -0.058737, 0.066185, -0.107044, -0.018039, -0.014568, 0.091937, -0.040256, -0.107057, -0.01477, -0.209419, -0.07885, -0.030917, -0.151455, -0.048167, -0.038246, -0.039381, 0.091617, -0.000996, 0.142483, 0.063758, -0.052769, 0.009683, 0.176092, -0.038297, 0.007923, -0.04723],
+    [-0.037852, -0.045445, 0.151702, 0.058735, -0.01176, -0.02238, -0.036399, 0.05017, -0.157752, 0.031162, -0.129674, -0.02541, -0.052861, 0.101883, 0.103249, -0.083411, -0.103313, 0.14154, -0.154466, 0.698557, -0.054386, -0.059919, -0.16938, 0.178398, 0.074064, 0.028808, -0.084054, -0.115306, -0.013009, 0.002222, 0.064812, -0.033455, 0.017726, 0.111527, -0.020553, 0.048704, -0.129954, -0.085858, -0.079539, 0.10135, -0.012334, 0.013264, -0.059961, 0.004544, 0.060585, 0.073037, -0.027485, -0.027074, -0.070282, 0.014912, -0.083547, -0.264568, 0.080219, -0.137023, 0.028735, -0.08126, 0.025079, 0.164194, -0.124358, 0.068094, -0.038277, -0.105738, -0.054213, -0.02776],
+    [-0.006913, -0.014344, -0.112446, 0.075769, 0.013706, 0.149164, 0.086955, 0.105341, -0.163032, -0.009938, 0.018945, -0.30999, -0.037059, -0.05248, 0.125678, 0.145507, -0.039932, 0.121883, -0.128957, -0.153868, 0.622666, 0.023022, -0.11263, -0.033531, 0.070677, -0.005482, 0.030864, 0.044246, -0.006833, 0.046077, -0.075617, 0.039363, -0.012252, 0.129413, 0.024118, -0.039123, -0.01327, 0.199481, -0.018477, 0.100627, -0.069859, 0.102568, -0.026372, -0.119628, 0.103897, 0.12744, -0.077254, -0.095823, -0.185177, 0.04922, 0.068355, -0.19631, 0.120364, -0.004884, -0.185141, 0.078534, 0.11018, -0.016319, 0.070445, 0.044038, 0.022422, 0.032989, -0.005481, -0.044852],
+    [0.023547, 0.133138, 0.081236, -0.110517, -0.032216, 0.062367, -0.102747, -0.066779, -0.196137, -0.021909, -0.060983, 0.08311, -0.027147, -0.022128, -0.00136, -0.053812, -0.198835, -0.168148, -0.187508, -0.039488, 0.173036, 0.515538, 0.125291, 0.302778, -0.076966, 0.162751, -0.212983, 0.06832, -0.00491, 0.012419, 0.134511, 0.095252, 0.094475, -0.01057, -0.085711, -0.110451, -0.042647, 0.092387, 0.110812, -0.185072, -0.004042, 0.012216, -0.079023, 0.10448, -0.112333, -0.007306, 0.076475, 0.149995, 0.077929, -0.02569, -0.061623, -0.035891, -0.061236, -0.140865, 0.043424, -0.106189, 0.064222, -0.255918, -0.006444, 0.039872, 0.033807, -0.062416, 0.04583, 0.032879],
+    [0.103862, 0.018062, 0.043818, -0.181442, 0.03657, -0.075604, -0.136015, 0.126287, -0.057887, 0.009815, -0.091128, -0.230689, -0.01125, 0.070668, 0.270161, 0.005648, 0.14638, 0.160945, -0.168824, 0.045089, -0.152154, 0.259933, 0.239168, -0.320005, 0.074167, 0.035405, 0.099568, 0.144152, -0.015316, 0.041582, 0.069082, -0.065617, -0.072432, 0.029596, 0.068492, 0.173806, 0.095771, -0.045924, 0.1175, 0.097096, -0.000584, -0.149858, 0.100146, -0.017279, 0.029102, 0.142058, -0.275137, -0.012193, 0.004419, -0.151865, -0.074825, -0.025987, -0.04064, -0.023314, 0.014847, -0.055165, -0.296728, -0.148143, 0.125443, 0.086305, 0.055709, -0.056951, 0.114024, -0.014818],
+    [-0.02841, -0.001427, -0.03616, -0.072846, 0.048941, -0.03672, 0.048439, 0.089664, 0.079071, -0.017716, -0.000602, -0.153662, 0.108494, -0.205333, 0.077522, -0.016747, 0.264323, -0.122555, 0.218765, 0.00845, -0.075834, 0.131363, 0.091095, 0.601966, 0.24633, -0.080424, 0.11332, -0.034486, 0.073595, -0.008489, -0.212957, 0.034322, 0.003162, 0.144003, 0.042337, 0.064005, 0.012915, -0.142616, 0.139714, 0.145075, -0.182538, -0.034843, 0.035499, -0.168489, -0.028748, -0.011306, 0.006863, -0.089344, 0.027238, 0.063237, 0.154303, -0.031002, -0.078076, -0.094184, -0.046911, 0.000836, -0.079374, -0.020737, 0.050654, -0.000198, -0.068491, -0.041299, 0.049105, 0.052043],
+    [0.064499, -0.06574, -0.141655, -0.197698, -0.006063, -0.020155, 0.005898, 0.029186, -0.159587, 0.136446, -0.082369, 0.216674, -0.019272, -0.10277, -0.013648, -0.172455, 0.075903, -0.077216, -0.124536, -0.010702, 0.008578, 0.110698, -0.184768, -0.169064, 0.706327, -0.059167, -0.050634, -0.01905, -0.013077, 0.039438, 0.041255, -0.011927, -0.078433, 0.043895, -0.085253, -0.154176, -0.064029, -0.014241, -0.163417, -0.057223, 0.025543, 0.027705, -0.02992, 0.041351, -0.038642, -0.031355, -0.007682, -0.058451, 0.080656, 0.074844, 0.008479, 0.185184, -0.008452, 0.053917, 0.009085, 0.058351, 0.08482, 0.097996, 0.133733, 0.044463, 0.086289, 0.018414, 0.01745, 0.002343],
+    [0.151882, -0.036798, 0.057618, 0.059485, -0.055103, -0.106257, 0.024559, -0.106365, 0.031707, -0.119383, 0.179376, 0.145247, 0.033595, 0.060769, -0.074687, -0.010608, 0.092232, -0.047605, 0.036801, 0.082761, 0.02534, -0.027659, 0.068336, 0.061106, 0.166183, 0.626961, 0.154941, 0.103881, -0.051563, 0.045714, -0.165001, -0.049576, 0.308283, -0.122055, 0.083175, 0.030558, 0.03323, 0.24962, -0.040579, -0.026474, 0.079582, 0.065703, 0.091593, -0.126686, -0.072572, 0.153854, -0.172569, -0.073353, -0.01765, -0.051079, -0.070103, 0.055429, 0.025883, 0.019804, -0.091813, 0.076617, 0.018786, 0.10855, -0.076728, 0.058325, -0.015227, -0.116964, 0.011472, -0.015655],
+    [-0.10834, -0.097886, 0.004042, -0.079315, 0.027675, 0.045054, 0.202338, 0.069668, -0.076256, 0.063847, -0.168338, -0.107184, 0.226529, -0.086318, -0.139147, 0.014659, -0.09588, 0.098899, -0.106455, -0.030092, -0.142019, 0.130248, -0.206434, -0.03952, -0.129324, 0.131576, 0.527486, -0.065723, 0.069515, -0.118339, 0.054509, 0.152593, -0.010435, -0.141729, -0.03191, 0.077349, -0.166736, 0.052168, -0.002554, -0.005988, -0.093092, 0.067008, -0.149005, 0.047324, -0.166572, 0.028801, 0.056078, -0.039939, 0.235017, -0.154911, 0.074553, 0.014676, 0.097588, -0.146068, -0.101145, -0.092131, 0.057483, 0.097886, 0.093486, -0.079005, 0.109135, 0.06472, 0.106939, -0.053376],
+    [-0.121073, 0.031464, -0.029323, 0.046548, 0.058605, 0.083139, -0.147757, -0.247204, 0.02588, 0.07815, -0.021169, 0.066616, 0.114916, 0.017302, -0.00591, -0.104976, -0.010162, 0.011056, -0.01157, 0.074767, 0.06754, -0.00661, -0.342762, 0.005126, -0.011577, 0.089542, -0.072876, 0.689315, 0.018534, -0.037461, -0.03612, 0.057966, -0.150011, -0.026254, 0.030444, 0.072985, 0.121129, -0.107011, 0.057494, 0.132421, -0.015701, -0.049601, -0.006902, -0.151866, -0.105422, 0.030573, 0.013511, 0.016063, 0.002342, 0.073445, 0.079269, -0.012175, -0.09501, -0.056552, 0.041936, -0.036164, -0.110496, 0.018112, -0.039576, -0.195136, 0.05268, 0.176011, -0.026737, -0.014984],
+    [0.068206, -0.021503, 0.061941, 0.030427, -0.014444, -0.008746, -0.0149, -0.055259, 0.003637, 0.057134, 0.027537, 0.020621, 0.041166, 0.085348, -0.118898, -0.13507, 0.156046, -0.144949, -0.008559, 0.109693, 0.086046, -0.028454, -0.045579, -0.059041, -0.021118, -0.118008, 0.07787, 0.003629, 0.802614, 0.14747, 0.017915, -0.040542, 0.035583, -0.051711, -0.060456, -0.005295, 0.088526, 0.119626, 0.018421, -0.048805, -0.029642, -0.025719, 0.008185, 0.096298, -0.079303, -0.103417, -0.000127, 0.037704, -0.16029, -0.119201, -0.041708, -0.106489, -0.025218, -0.058043, -0.079054, 0.14673, -0.065736, -0.092584, 0.085975, 0.050277, 0.031842, -0.068995, -0.057623, -0.05195],
+    [0.010238, -0.115944, 0.011605, 0.139559, -0.012382, -0.014885, -0.026679, -0.000533, 0.167483, -0.054806, 0.011947, -0.078419, 0.081727, -0.029929, 0.07803, 0.011166, -0.108847, -0.090971, -0.123622, -0.12583, 0.000105, 0.029851, -0.016277, -0.038987, -0.030895, 0.194558, -0.08139, -0.226399, 0.064767, 0.635673, 0.032234, 0.172346, -0.176277, 0.035004, -0.091252, 0.068633, 0.015127, -0.136835, -0.142181, 0.158038, 0.095689, 0.03029, -0.073009, -0.037695, -0.063167, 0.056492, -0.029347, -0.085084, 0.031847, 0.158394, -0.050157, 0.136892, -0.137197, -0.261211, 0.003163, -0.089935, -0.094149, 0.07614, -0.067687, -0.043616, -0.014938, 0.101334, -0.032831, 0.090478],
+    [0.080863, 0.109465, 0.112539, 0.160427, 0.059425, -0.029404, -0.04259, -0.082497, 0.101928, 0.12261, 0.049228, 0.011232, -0.054485, 0.031923, 0.072098, 0.055583, -0.086029, 0.029732, 0.056703, -0.086102, 0.003908, -0.039028, -0.093887, 0.170268, 0.134324, -0.17657, 0.213224, -0.054943, -0.041217, 0.038159, 0.666976, -0.089463, 0.060879, -0.104263, 0.06048, 0.074764, 0.08571, 0.108981, 0.153118, -0.029448, -0.025941, 0.051689, 0.085545, -0.184337, -0.199721, 0.177257, -0.062923, 0.070409, -0.086159, 0.21617, -0.053069, 0.057211, 0.006328, 0.036347, 0.013923, -0.04002, 0.001714, 0.073936, 0.096805, 0.027345, -0.011811, -0.059745, -0.034274, -0.041691],
+    [0.093665, -0.091708, 0.033259, 0.054794, 0.014889, 0.142725, 0.039689, 0.050923, -0.010139, 0.132236, -0.123453, -0.016053, -0.253938, 0.096229, 0.020374, -0.058038, -0.00035, 0.048857, 0.239972, 0.078116, -0.077903, -0.027519, 0.155851, 0.021235, 0.064681, -0.126769, 0.134489, 0.185455, -0.069939, 0.133846, -0.047517, 0.660556, 0.038783, -0.077825, 0.006095, -0.078898, 0.096845, 0.010994, 0.09067, -0.04472, 0.23344, -0.014273, -0.129558, 0.070664, 0.072899, 0.084147, -0.045197, 0.118507, -0.029331, -0.026311, -0.01771, -0.046343, -0.107269, 0.029083, -0.098192, 0.111375, 0.150291, 0.05784, 0.009013, 0.055272, 0.024385, -0.069293, 0.013024, 0.002553],
+    [-0.054122, 0.056376, 0.210697, 0.118975, 0.001887, 0.236678, 0.142135, 0.287139, -0.075722, -0.012862, -0.011408, 0.122294, 0.009323, 0.007741, -0.055754, -0.117997, 0.143922, -0.035461, -0.086357, -0.061931, -0.049407, -0.010343, -0.106488, -0.174589, -0.024947, -0.096093, -0.006755, 0.006216, -0.025169, 0.002776, 0.005668, -0.01411, 0.549395, 0.112653, -0.194921, -0.045944, 0.192664, -0.101203, 0.054485, 0.072719, -0.085736, 0.040226, -0.021522, -0.162079, 0.136047, 0.186344, 0.042994, -0.0509, 0.138502, 0.0569, 0.107022, 0.057004, -0.079711, -0.150643, 0.110875, -0.021124, -0.064855, -0.15086, -0.085121, 0.006098, 0.051402, 0.050495, -0.164698, 0.031086],
+    [-0.052616, -0.09849, -0.076007, -0.093924, -0.150154, -0.075707, 0.115683, -0.053707, -0.020709, 0.055016, 0.049097, 0.102419, -0.057053, -0.048401, 0.029478, 0.066376, 0.016969, -0.119637, -0.059542, 0.000697, -0.077407, -0.045565, -0.023279, 0.004345, -0.176716, -0.021319, 0.08247, 0.10539, 0.008037, 0.037735, 0.128591, 0.081062, 0.115378, 0.744929, 0.204499, -0.01359, -0.120907, 0.076906, -0.063253, -0.167136, 0.084558, 0.004807, 0.098479, -0.008066, -0.036558, -0.047675, -0.046562, 0.027445, -0.059237, 0.008223, -0.007728, 0.079731, -0.090654, 0.003296, -0.145728, -0.064705, -0.115062, 0.076274, -0.010673, -0.071165, 0.192261, -0.048078, 0.029618, -0.0774],
+    [0.181373, 0.011903, 0.173396, 0.020959, 0.097193, -0.189215, -0.04855, 0.020167, -0.091295, 0.040846, -0.084522, -0.081863, -0.009492, 0.022316, -0.162943, -0.086265, 0.03221, -0.206124, 0.117972, -0.160502, 0.125056, -0.250768, -0.012017, 0.118849, 0.05339, 0.095071, 0.145025, 0.037696, -0.178714, -0.092309, 0.101266, -0.029992, -0.120436, 0.129455, -0.323062, 0.016228, 0.17588, -0.044629, -0.270151, 0.026794, 0.072759, -0.143332, 0.091389, 0.118097, 0.105135, 0.034326, 0.122494, 0.036379, -0.011145, -0.156147, -0.129038, -0.203573, -0.035195, -0.177219, 0.026271, -0.08362, -0.097226, -0.074136, 0.016928, 0.113338, 0.071278, 0.134174, 0.182054, -0.203987],
+    [-0.043014, 0.032383, -0.020471, -0.056497, 0.032471, 0.114883, 0.071834, 0.04407, 0.055717, 0.032808, 0.084506, 0.113951, 0.038505, 0.107689, 0.024087, -0.161249, -0.114424, -0.119493, -0.025122, -0.027155, 0.11116, -0.12394, -0.18798, 0.012177, 0.108824, -0.077753, 0.025764, -0.080858, -0.143572, 0.00336, -0.111581, 0.04484, 0.07556, -0.04398, 0.237908, 0.654842, -0.001023, 0.082562, 0.005192, -0.10041, 0.109443, -0.031146, -0.110283, 0.090993, 0.029209, -0.252277, -0.091818, 0.020773, -0.011899, 0.03018, -0.017538, -0.036165, -0.060477, -0.094222, -0.01697, -0.102873, -0.030102, -0.260032, 0.09421, 0.158031, -0.052282, -0.051691, 0.01324, 0.072702],
+    [0.011999, -0.063996, -0.104256, -0.042153, -0.023713, -0.088063, 0.033879, 0.050349, -0.017686, -0.07057, -0.110749, -0.020189, 0.045589, -0.069253, -0.004275, -0.007504, -0.175953, -0.184297, -0.116951, 0.089059, -0.059916, 0.108853, 0.048982, 0.045629, -0.026179, -0.131735, 0.053131, 0.063495, -0.128622, 0.121892, -0.054673, -0.058922, 0.131525, -0.03331, -0.009215, 0.048837, 0.586641, 0.021013, 0.025487, 0.079437, -0.14503, -0.007748, 0.010196, 0.039237, -0.01189, -0.213221, 0.044539, 0.018805, -0.149929, -0.080749, -0.20386, 0.065142, 0.293106, 0.104831, -0.209902, -0.079441, 0.076945, 0.221646, -0.007026, -0.061484, 0.135923, 0.070736, -0.090883, 0.145587],
+    [-0.204119, -0.068736, -0.084513, -0.040162, 0.100422, 0.061743, -0.037929, 0.072031, -0.103213, -0.023761, 0.073858, -0.028852, -0.150124, 0.035192, -0.02587, -0.021491, -0.046257, 0.087131, 0.004068, -0.045062, -0.340474, -0.039682, 0.053725, 0.138423, 0.052955, -0.033081, -0.089587, 0.051994, 0.011984, 0.109704, -0.026196, -0.029214, -0.135705, 0.039106, -0.252354, 0.141247, -0.00404, 0.678883, -0.028236, 0.024695, 0.011414, -0.019132, -0.022073, -0.035158, 0.038038, 0.105861, 0.139216, -0.150495, -0.002875, 0.018049, 0.051016, -0.067365, 0.042251, 0.053786, 0.116227, -0.000897, -0.10462, -0.067804, -0.013549, -0.080526, 0.112101, 0.082684, -0.101155, 0.044212],
+    [-0.109162, 0.062904, -0.081295, -0.096685, 0.003793, 0.05291, -7.1e-05, -0.015384, 0.040689, 0.029878, 0.204696, 0.098554, 0.106216, 0.027516, -0.053461, 0.093305, -0.056639, 0.063376, -0.010424, -0.00765, 0.005494, -0.023337, 0.101202, -0.116771, 0.135502, 0.060303, 0.071419, -0.03685, -0.060459, 0.092955, -0.031085, -0.15048, 0.027264, 0.116075, -0.228229, -0.007216, 0.013604, -0.071442, 0.620461, -0.037876, 0.232032, -0.044904, -0.017958, 0.108957, -0.012025, -0.125792, 0.061887, -0.011127, -0.105074, 0.001375, 0.054438, -0.259283, -0.056412, -0.223883, 0.048715, 0.027867, 0.104235, 0.254912, 0.022889, 0.015305, 0.01522, 0.11874, 0.070948, -0.107084],
+    [-0.239201, 0.005606, -0.078104, 0.077433, -0.052168, -0.074804, -0.170654, -0.012652, -0.100171, 0.057311, 0.040142, 0.142899, -0.145872, 0.054087, -0.064164, 0.085325, 0.038023, -0.046945, -0.090744, -0.097337, 0.045576, 0.061824, 0.099083, 0.033503, 0.006281, -0.072673, 0.190214, 0.00607, 0.025226, -0.072451, -0.016819, -0.092955, 0.071808, -0.087252, 0.247591, -0.079164, 0.002382, 0.051488, -0.086896, 0.624512, 0.150133, 0.109641, -0.049951, 0.190894, 0.058418, -0.059024, 0.117555, 0.080405, 0.027925, 0.104684, -0.011766, 0.005116, -0.136857, -0.105793, 0.071563, -0.023826, -0.025723, 0.032566, -0.07536, 0.110233, 0.20048, -0.17851, 0.083653, -0.014027],
+    [0.142271, -0.059179, 0.059511, -0.211068, 0.043168, 0.002772, 0.000883, -0.06355, -0.042206, 0.054307, -0.059908, 0.088267, 0.017133, 0.073588, 0.097444, -0.062266, -0.237713, 0.02887, -0.008092, -0.186346, -0.07978, 0.159316, 0.052568, 0.106951, -0.068663, -0.17245, 0.007721, -0.010834, 0.211442, -0.198392, -0.133326, -0.099328, 0.045063, -0.043676, -0.022157, 0.116561, 0.00469, -0.137889, -0.155338, -0.003482, 0.507111, 0.202147, 0.149814, -0.251082, 0.095383, 0.175536, -0.016836, -0.234553, -0.097102, 0.024743, -0.035207, -0.043292, 0.054348, -0.075148, -0.060147, -0.044439, 0.082782, 0.102325, -0.042477, -0.084219, -0.037335, 0.082955, -0.02761, 0.011148],
+    [-0.056893, 0.090648, -0.059207, 0.022764, -0.054691, -0.093999, -0.231116, -0.004497, 0.071925, -0.169451, -0.073022, -0.1172, 0.000595, -0.123315, 0.046903, -0.052911, -0.036255, -0.014668, 0.057087, 0.118149, 0.016297, -0.103553, 0.098473, -0.097334, 0.072803, 0.053744, 0.016562, -0.039886, -0.00039, -0.145115, 0.029041, 0.109647, -0.005963, 0.040557, -0.213519, 0.064078, 0.086628, -0.021816, 0.022125, -0.072569, 0.026191, 0.740894, -0.045811, -0.01522, -0.07345, -0.155398, -0.057224, 0.078356, 0.053427, 0.037432, 0.108027, -0.038401, -0.086935, 0.050969, -0.064251, -0.014773, -0.192665, -0.090727, 0.020075, -0.006261, 0.097255, 0.005651, -0.073408, -0.068028],
+    [-0.236816, -0.032906, -0.100281, 0.017961, 0.061066, 0.022065, 0.121971, 0.07277, -0.040013, 0.00257, -0.162396, -0.043509, 0.076705, -0.083698, -0.103498, 0.055181, -0.084003, 0.05899, 0.045027, 0.053889, 0.063621, 0.033593, -0.114353, -0.003655, -0.004579, 0.062294, -0.044562, -0.048213, -0.005974, 0.026734, -0.049819, 0.170376, 0.086014, -0.135577, -0.077331, -0.004196, -0.026953, -0.043062, 0.008553, -0.064513, 0.11402, -0.061547, 0.739749, 0.119739, -0.06248, -0.030161, 0.036786, 0.074426, -0.077809, 0.192408, -0.018866, -0.026123, 0.031951, 0.030808, 0.096332, 0.054713, -0.216359, -0.014191, 0.063275, 0.078873, 0.086871, -0.125879, 0.021994, 0.096025],
+    [0.013108, -0.018467, 0.067862, 0.053516, 0.013102, -0.007802, 0.030927, -0.149944, 0.113252, -0.016084, 0.015228, 0.128825, 0.006425, -0.109718, -0.008042, -0.088288, -0.194788, -0.000178, -0.032143, -0.086402, 0.001828, 0.015249, 0.236189, -0.035059, 0.075087, -0.044346, 0.024272, 0.158263, 0.074354, -0.060313, 0.031198, 0.083748, 0.095712, 0.096441, -0.096295, 0.225675, -0.13768, -0.074636, -0.025809, 0.110011, -0.375193, 0.07477, 0.111075, 0.525781, 0.085757, 0.258247, -0.101315, -0.241703, -0.06101, 0.095571, -0.007004, -0.059959, -0.018815, 0.062968, -0.01081, -0.011569, 0.105176, 0.075344, 0.003518, -0.067402, -0.151285, 0.048959, -0.054074, -0.002079],
+    [0.008372, -0.021827, -0.072031, 0.143264, 0.005675, -0.204787, -0.02649, -0.083753, 0.051633, -0.070971, -0.038662, 0.090077, 0.163157, -0.165061, 0.006858, -0.190906, 0.024085, 0.169374, -0.022718, -0.092858, -0.039762, 0.150344, -0.057915, -0.014422, 0.031337, 0.073382, 0.102132, -0.015946, 0.043801, -0.08818, 0.140144, 0.112986, -0.023061, -0.05039, 0.134115, -0.129655, 0.01523, 0.099813, 0.075446, -0.166234, 0.015527, -0.079406, -0.117683, -0.015248, 0.619418, -0.122952, 0.091145, -0.015753, -0.066456, 0.200589, -0.037964, -0.085457, 0.064259, -0.100694, -0.099639, -0.019538, -0.263638, 0.017065, -0.110272, 0.060877, -0.091399, 0.016354, -0.087848, 0.041673],
+    [0.052671, 0.000444, -0.133825, 0.197959, 0.013706, 0.050848, -0.171909, -0.075572, 0.20317, -0.150278, -0.213194, -0.071192, -0.020391, 0.058421, 0.012499, -0.053261, 0.117285, -0.056379, 0.012907, 0.033589, 0.08081, 0.076022, -0.09372, 0.007215, 0.05471, -0.097901, 0.081482, -0.174292, -0.027984, -0.122288, -0.260128, -0.127729, -0.069842, 0.062332, 0.154464, -0.009499, 0.108226, 0.092162, 0.067081, -0.245592, 0.10549, -0.075895, -0.029702, 0.253962, -0.08036, 0.43295, -0.000832, 0.165083, -0.013373, 0.016388, 0.052737, 0.086365, 0.013781, -0.170056, 0.117511, -0.133656, 0.014157, 0.068602, -0.019904, -0.077885, 0.221121, 0.043019, -0.190153, -0.03605],
+    [0.166713, -0.092064, 0.040552, -0.075263, -0.086173, -0.127783, 0.023543, -0.15589, -0.009813, 0.023273, 0.067026, 0.066525, -0.206699, 0.018541, 0.259928, -0.032415, 0.123105, 0.068734, 0.00945, 0.090908, 0.175077, 0.042812, 0.036684, -0.111821, -0.05272, 0.069024, 0.118388, -0.014702, 0.004551, 0.06935, -0.042848, 0.0468, -0.055116, 0.003838, -0.079946, 0.22954, 0.003265, -0.064791, 0.110999, 0.020661, -0.063433, -0.018364, 0.146355, -0.080471, 0.021145, 0.006986, 0.645945, -0.040054, 0.193829, 0.053785, 0.070577, 0.084965, 0.099558, 0.053956, -0.026129, -0.079256, 0.075116, -0.047597, 0.057018, -0.008321, 0.047147, -0.139444, -0.181577, -0.111218],
+    [0.004503, -0.122431, 0.086224, 0.001495, -0.08465, 0.047906, 0.078141, -0.03061, -0.093569, -0.019936, -0.008328, 0.261386, -0.116404, -0.062454, 0.090679, 0.123451, 0.047073, 0.027033, 0.130419, -0.155899, -0.108759, 0.075646, -0.039391, -0.065135, 0.050133, 0.034627, -0.040947, -0.052312, 0.042526, -0.02758, -0.09098, -0.054849, -0.106426, -0.005278, -0.141435, 0.168202, -0.125137, 0.000804, -0.036347, 0.109155, -0.193273, 0.060402, 0.072546, -0.139058, 0.082751, 0.059533, -0.132862, 0.670137, -0.083768, -0.009475, -0.075764, -0.139653, 0.083085, -0.15736, -0.16685, -0.016248, 0.025914, 0.060509, 0.004207, -0.097947, -0.020995, 0.074856, -0.054711, 0.08142],
+    [0.032208, -0.064698, -0.049904, 0.192062, -0.111846, -0.081528, 0.058547, -0.090326, 0.017398, 0.081172, -0.07454, -0.007418, -0.012655, 0.048152, 0.090533, 0.05298, -0.199806, -0.007642, 0.191006, 0.055387, 0.118932, -0.031408, 0.137349, -0.024596, 0.056804, -0.142922, -0.143579, 0.031713, 0.070706, 0.039507, -0.027065, -0.128617, 0.105303, -0.05155, 0.080263, -0.012607, 0.022352, 0.117128, -0.007468, -0.074531, -0.064959, -0.058867, 0.078795, -0.079372, 0.072261, -0.087839, -0.142391, -0.077936, 0.671357, 0.015871, -0.078716, -0.20518, -0.071794, -0.141689, -0.052747, 0.062546, -0.045972, 0.11629, 0.104961, -0.082623, 0.17803, 0.076872, 0.112136, 0.030377],
+    [0.033868, -0.235624, 0.071368, -0.198141, -0.071034, 0.031839, 0.054802, 0.075627, 0.037443, 0.006863, 0.060242, -0.118992, -0.08242, 0.031125, -0.156925, 0.121595, 0.103461, -0.210264, 0.008405, 0.161438, 0.027097, 0.022765, 0.180157, -0.150661, -0.052319, 0.079111, -0.013536, 0.005462, 0.042333, -0.294406, 0.033252, 0.064688, -0.08184, -0.0508, -0.021682, 0.012763, 0.077698, 0.05295, -0.031211, -0.011778, -0.018514, -0.120214, -0.106198, -0.037937, -0.109354, -0.059867, -0.091391, -0.052936, -0.014727, 0.661014, -0.045625, -0.009754, 0.097598, -0.172733, 0.010074, -0.036702, 0.036773, -0.057678, -0.00266, -0.029003, 0.003652, 0.118689, -0.021984, -0.055126],
+    [0.097357, 0.013809, -0.012704, 0.159662, 0.100362, 0.057331, -0.125633, -0.065341, -0.035897, 0.146417, -0.113012, -0.025058, -0.208011, 0.148863, 0.02975, 0.096745, -0.157321, -0.004763, 0.007631, -0.086224, -0.129377, 0.047508, 0.093791, -0.039578, 0.071329, 0.137411, 0.0859, 0.020638, 0.038987, 0.048061, -0.000705, -0.095528, 0.077524, 0.005222, 0.004958, -0.006639, 0.031054, -0.104267, -0.176199, -0.146866, -0.110448, -0.104202, 0.026054, -0.006378, -0.014462, -0.251403, -0.044428, -0.030038, -0.135455, 0.039106, 0.680063, -0.090244, 0.130097, -0.088379, -0.007757, -0.079908, 0.006034, 0.029832, -0.096934, 0.056484, 0.088804, -0.057755, 0.013335, 0.076731],
+    [-0.107341, -0.087756, -0.070703, 0.094122, -0.108413, -0.093637, 0.100296, 0.133944, -0.084496, 0.089541, -0.100139, 0.013685, -0.002117, -0.022058, 0.137557, -0.012647, -0.11139, -0.057611, 0.198259, 0.139197, 0.096389, -0.017586, 0.152072, -0.117298, 0.012752, -0.056295, 0.011113, 0.118494, 0.010743, -0.055904, 0.012667, -0.073535, -0.031303, -0.072424, 0.068665, 0.021517, -0.014218, 0.13734, 0.012747, -0.131013, -0.16106, 0.133985, 0.048483, -0.106295, 0.027784, 0.015013, 0.153191, -0.054127, -0.284181, -0.156392, -0.029131, 0.376829, -0.139042, -0.408978, 0.19766, 0.011686, 0.051004, 0.036534, -0.102789, 0.044798, -0.155421, 0.08294, 0.265805, 0.038213],
+    [0.074207, 0.1159, 0.006689, 0.068654, -0.040949, -0.018263, 0.098459, -0.137096, -0.062967, 0.092682, -0.03786, 0.055899, -0.046478, -0.118589, 0.015908, -0.078762, 0.141301, -0.025301, 0.151828, -0.046207, 0.048712, -0.026353, 0.014398, -0.028289, -0.002077, -0.066952, -0.14775, -0.001183, -0.019142, 0.048553, 0.022554, 0.116616, 0.06254, 0.052601, 0.027743, -0.002566, -0.103197, 0.040829, 0.113421, 0.171771, 0.163624, 0.06421, -0.079236, 0.107766, -0.17345, -0.016449, -0.099412, -0.067039, 0.048412, -0.074976, 0.026391, 0.078117, 0.709463, -0.158955, 0.133814, -0.027663, -0.25754, -0.044922, -0.092389, -0.031351, -0.085848, 0.029396, 0.079242, -0.053994],
+    [0.160355, -0.043535, -0.223027, 0.05891, 0.017915, -0.047124, -0.059544, -0.190251, -0.112783, 0.060269, -0.096215, -0.210202, 0.013218, 0.063303, 0.015947, 0.101286, -0.027782, -0.236682, 0.157632, 0.033975, 0.032906, 0.137647, -0.123505, -0.078791, -0.050154, -0.105938, 0.154399, 0.031498, -0.007724, 0.078446, -0.124672, -0.064404, 0.295142, -0.02335, -0.304267, 0.070917, -0.30905, 0.019094, 0.048698, 0.039527, 0.000815, -0.060744, -0.159694, -0.067, 0.083991, -0.063903, -0.047497, 0.053487, -0.083342, 0.11304, -0.15505, 0.045662, -0.108214, 0.289959, 0.210047, -0.206104, -0.130467, 0.104207, -0.074156, 0.037082, -0.052831, -0.009062, 0.037821, 0.036721],
+    [0.05121, -0.122373, 0.14093, 0.040732, -0.154188, -0.026577, 0.254102, 0.027497, 0.081119, -0.12379, -0.017432, 0.022245, -0.025849, -0.079171, 0.002532, 0.015987, -0.046118, -0.009893, -0.125019, -0.089922, -0.003987, 0.057079, 0.058033, 0.049573, 0.034703, 0.050134, 0.068603, 0.106662, 0.047231, 0.050786, -0.02557, 0.02611, -0.070134, 0.036466, 0.176016, 0.033194, 0.068269, -0.077252, -0.073097, -0.079999, -0.018634, 0.130591, -0.113931, -0.087038, 0.002105, -0.030853, 0.054415, 0.074162, -0.066337, -0.014007, -0.008917, -0.275374, 0.061942, 0.164205, 0.682702, 0.118591, -0.029424, 0.12158, 0.186079, 0.108279, 0.119029, 0.054428, -0.010157, 0.037798],
+    [0.10165, -0.025426, -0.105185, -0.087719, -0.095167, 0.095682, -0.158771, -0.042488, 0.139498, 0.023365, -0.069236, -0.141232, 0.017412, -0.051496, 0.064461, 0.037052, -0.220737, -0.016051, -0.064165, 0.015999, -0.105186, 0.030424, -0.101326, 0.086868, -0.039629, 0.009493, 0.105618, 0.03701, -0.078028, 0.003886, -7.8e-05, -0.102426, 0.087925, 0.08752, -0.105178, 0.085369, -0.026506, -0.020933, -0.045136, 0.059028, 0.008506, -0.073629, -0.024044, 0.04128, 0.079056, -0.031309, 0.014136, 0.121137, 0.059478, 0.048744, -0.027705, 0.166643, 0.095385, -0.141884, 0.055481, 0.744936, 0.002627, -0.105575, -0.063367, 0.057301, -0.035079, -0.047694, -0.087024, -0.190703],
+    [-0.113729, -0.039989, -0.196069, 0.030714, -0.006041, -0.028707, -0.167497, -0.041057, 0.071064, -0.063417, -0.189685, -0.202581, 0.216921, 0.00918, -0.119349, -0.089383, 0.011336, -0.081939, 0.03167, -0.041514, -0.118813, -0.116744, 0.100263, -0.113465, 0.109316, 0.131034, -0.079434, 0.048153, 0.140828, 0.010907, 0.176114, 0.062863, 0.066476, 0.188091, 0.078384, 0.070266, -0.019959, 0.014442, 0.045338, 0.128992, 0.066197, -0.024952, 0.121741, -0.177187, 0.148159, 0.026563, 0.02321, 0.12751, 0.102266, -0.043793, -0.013562, -0.05195, 0.186007, 0.002702, 0.14042, -0.162163, 0.543365, -0.192113, 0.002329, 0.025241, -0.089066, -0.087058, 0.003582, 0.045293],
+    [-0.029278, -0.094309, 0.031793, -0.1559, -0.018321, 0.050541, -0.130053, -0.015855, -0.130445, -0.003241, -0.018204, 0.009743, 0.185841, -0.14, -0.042259, -0.10109, 0.19255, -0.131828, 0.036162, -0.028851, 0.166998, 0.048923, 0.018106, -0.041999, -0.218931, -0.033836, -0.19878, -0.058424, -0.037567, -0.079336, 0.175915, 0.072, -0.054602, -0.019579, -0.087928, 0.236334, 0.133607, 0.132633, -0.050723, 0.013992, 0.045163, -0.058154, -0.038376, -0.001492, 0.048139, 0.086567, -0.088424, 0.043899, 0.113975, -0.081166, 0.30466, 0.037312, -0.089218, 0.019256, 0.066904, 0.100971, -0.020829, 0.515723, -0.019655, 0.138232, -0.101636, -0.263323, -0.010516, 0.048933],
+    [0.117094, -0.028795, -0.182739, -0.024539, -0.087228, -0.004286, 0.030327, -0.066553, 0.028059, 0.05832, -0.064617, 0.079647, -0.008506, 0.088328, -0.111735, -0.028397, 0.009337, 0.136788, 0.109523, 0.126949, -0.034009, -0.002125, -0.021551, 0.108485, -0.198736, 0.112006, -0.130136, -0.011839, -0.067205, 0.031584, 0.035498, -0.076361, 0.102585, 0.003044, -0.063527, -0.072885, 0.013133, -0.003824, -0.025998, 0.160547, 0.027071, 0.048309, -0.065612, 0.050047, 0.150282, 0.04827, -0.037086, -0.01551, -0.121206, 0.017643, 0.128234, 0.141849, -0.009074, -0.10762, -0.032047, -0.068158, -0.015674, -0.036947, 0.765832, 0.073676, -0.008247, 0.105806, -0.060453, 0.017453],
+    [-0.019471, 0.100277, -0.060074, -0.017474, -0.023927, -0.10716, -0.075705, 0.044429, 0.138965, -0.021951, -0.121574, 0.152756, -0.142453, -0.01206, -0.019717, -0.007096, 0.035874, -0.02307, -0.085663, -0.078842, -0.064058, -0.015972, -0.081547, 0.016821, -0.162735, -0.076364, 0.00925, 0.125902, 0.020902, 0.018906, -0.115316, 0.029156, -0.110968, 0.003956, -0.064452, -0.039324, -0.122045, 0.019062, 0.096941, -0.029398, -0.140005, 0.030456, 0.067345, -0.144546, -0.098403, 0.033972, -0.102354, -0.116789, 0.089155, 0.035495, -0.06995, 0.000564, 0.067186, -0.053096, -0.092824, -0.053886, 0.100873, 0.078159, -0.077205, 0.758209, 0.058585, 0.168364, -0.104511, -0.001853],
+    [0.080849, -0.112368, 0.085332, -0.108744, -0.037634, 0.071028, 0.123122, -0.008723, 0.259357, -0.039362, 0.018137, -0.05321, 0.161396, 0.132574, -0.11447, -0.070885, 0.033293, 0.020403, 0.02659, 0.019354, 0.104015, -0.03466, 0.123863, 0.076775, 0.058096, -0.056021, -0.168222, 0.067819, -0.063908, -0.007987, 0.144366, -0.010085, -0.01681, -0.146137, -0.100937, 0.064816, -0.279651, -0.068657, 0.062121, 0.055067, -0.063456, 0.00779, -0.036425, -0.064866, 0.166467, -0.009654, -0.012262, -0.033069, -0.166315, -0.109793, 0.020343, 0.124582, 0.068817, -0.022875, -0.073989, 0.002204, -0.012641, -0.016856, -0.142873, -0.008019, 0.662789, -0.102664, 0.008103, 0.065019],
+    [0.009407, -0.015912, -0.135107, -0.137871, 0.033234, 0.090708, 0.242141, -0.174979, -0.014543, -0.071526, -0.104882, -0.009482, 0.049893, -0.02413, -0.033326, -0.037444, 0.130019, -0.023067, 0.209442, 0.188574, 0.028586, 0.200317, 0.076884, -0.067335, 0.003076, 0.01915, -0.009122, -0.101774, -0.078478, 0.11847, 0.236142, -0.103011, 0.068285, -0.039307, 0.188057, 0.049254, 0.02453, 0.037714, -0.110181, 0.124397, 0.093133, 0.038516, 0.052118, 0.075739, -0.051104, 0.046046, 0.095778, 0.045488, -0.019433, -0.080449, 0.169684, -0.162431, -0.149591, 0.131733, -0.084824, 0.106148, -0.000665, -0.114654, -0.232883, 0.132952, -0.027784, 0.521402, -0.087287, -0.049232],
+    [0.134644, 0.012796, -0.12984, -0.002897, 0.007966, -0.084251, -0.099177, 0.00017, 0.180049, -0.000656, 0.022459, 0.215401, 0.046393, -0.022107, 0.029281, 0.110168, 0.140651, 0.039929, -0.163876, 0.10618, -0.057943, 0.041078, -0.159211, -0.000793, -0.108545, -0.101723, -0.069208, -0.08326, 0.01099, 0.074807, -0.046388, 0.087406, 0.084563, -0.024507, -0.067652, 0.077907, 0.124522, 0.049941, -0.023611, -0.043654, -0.057124, 0.084459, -0.012053, -0.011719, 0.061017, 0.194683, 0.082537, 0.015006, -0.02273, 0.151339, 0.116298, -0.129334, 0.062083, 0.109522, -0.023104, 0.078184, 0.089349, -0.106178, -0.04558, -0.040625, 0.070238, 0.042562, 0.713398, 0.024283],
+    [0.05587, 0.074845, -0.021634, 0.011564, 0.101152, 0.050788, 0.023754, -0.015711, -0.00192, 0.087265, 0.064924, -0.10604, -0.136666, -0.030454, 0.053557, -0.031065, 0.13766, 0.076554, 0.012352, 0.033669, 0.066056, -0.066589, -0.01567, 0.025764, -0.047528, 0.137251, 0.13025, 0.062639, 0.058286, -0.115131, 0.107708, -0.123941, -0.048534, 0.145145, -0.106313, 0.024033, -0.001966, -0.064333, -0.003242, -0.040087, 0.129056, 0.05498, -0.050523, 0.152868, -0.010671, 0.003835, 0.06342, 0.011443, 0.098903, 0.026845, -0.112394, 0.03826, 0.019427, -0.040407, 0.000298, 0.144482, 0.044139, 0.007859, -0.02613, 0.041697, 0.028885, 0.070176, 0.042442, 0.811611],
+]
+
+#: frozen OPQ codebooks (m=8 x k=8 x 8 dims) from the same training run
+OPQ_CODEBOOKS = [
+    [
+        [0.041158, 0.083459, -0.055824, -0.162229, 0.157981, 0.039275, -0.019363, -0.002819],
+        [-0.111054, -0.085078, -0.090069, 0.027803, -0.050383, -0.057612, -0.154462, -0.03722],
+        [0.016499, -0.028082, -0.148099, 0.052276, -0.09358, 0.078808, 0.110812, 0.030906],
+        [-0.039878, -0.03941, 0.075135, 0.011414, 0.069265, -0.030038, 0.090073, -0.15674],
+        [-0.026151, 0.015962, 0.060363, -0.045701, -0.057473, -0.179559, 0.053332, 0.13276],
+        [-0.03325, -0.126266, 0.056815, 0.035276, 0.10621, 0.106283, -0.112386, 0.098254],
+        [-0.053464, 0.116891, 0.061168, -0.032488, -0.114487, 0.108688, -0.084035, -0.039862],
+        [0.211458, 0.008582, -0.001884, 0.080548, 0.032267, -0.03691, -0.027348, 0.064387],
+    ],
+    [
+        [0.190535, -0.021202, -0.047223, 0.011045, -0.112613, -0.036702, -0.054362, 0.015894],
+        [-0.043719, 0.048878, -0.080228, 0.111902, 0.057629, -0.155858, 0.082487, 0.031484],
+        [-0.047031, -0.159955, 0.060292, -0.06634, 0.008535, 0.024101, 0.032445, 0.121194],
+        [-0.023362, -0.040862, -0.102669, 0.096158, 0.019582, 0.18901, 0.014977, -0.005532],
+        [0.096522, 0.086192, 0.101637, -0.002562, 0.045602, -0.010565, 0.157201, -0.0219],
+        [-0.05605, -0.012553, 0.117681, 0.036397, 0.0348, -0.077103, -0.165478, 0.076226],
+        [-0.040854, 0.203792, -0.020295, -0.099136, -0.016801, 0.040632, -0.041692, 0.018437],
+        [-0.08568, -0.099006, 0.006608, -0.055429, -0.089751, -0.044716, -0.024258, -0.178965],
+    ],
+    [
+        [0.072604, 0.025246, 0.077195, 0.060874, -0.100241, -0.104272, 0.1007, -0.07005],
+        [-0.086553, -0.118254, 0.014155, -0.124053, 0.018159, 0.159724, 0.044987, -0.063522],
+        [0.018062, 0.134717, 0.019794, -0.036259, 0.180511, -0.008404, 0.079262, 0.01291],
+        [-0.064698, -0.063194, -0.020747, 0.10985, 0.036897, 0.025395, -0.11928, -0.087232],
+        [-0.003387, 0.046213, 0.129449, -0.015098, -0.029305, 0.070456, -0.050669, 0.129056],
+        [0.100293, -0.086809, -0.050785, -0.029449, -0.013186, -0.100493, -0.07588, 0.074764],
+        [-0.052138, 0.111824, -0.018906, -0.132653, -0.052469, -0.045158, 0.007114, -0.183101],
+        [0.019093, 0.009517, -0.125336, 0.075815, -0.021158, 0.089983, 0.124134, 0.055889],
+    ],
+    [
+        [-0.006472, 0.146463, 0.140336, 0.036774, 0.026141, 0.0776, 0.00176, 0.117413],
+        [0.137282, 0.013313, -0.056333, -0.022926, 0.021094, 0.081344, -0.152217, 0.100904],
+        [-0.147124, -0.042733, -0.046076, -0.04901, 0.048289, 0.09071, -0.022758, -0.091898],
+        [-0.043894, 0.070411, -0.003419, -0.006875, -0.184385, -0.057186, -0.058798, -0.035966],
+        [-0.030998, -0.091058, 0.110199, -0.09992, 0.024315, -0.117358, 0.069423, -0.003432],
+        [0.132195, 0.1034, -0.004671, -0.00323, 0.056908, 0.021539, 0.081257, -0.138706],
+        [-0.032035, -0.015656, -0.018088, 0.196256, 0.073066, -0.097483, -0.064994, -0.035835],
+        [0.048342, -0.077591, -0.121472, 0.039925, -0.067551, -0.021909, 0.131113, 0.095459],
+    ],
+    [
+        [-0.139129, 0.044301, 0.047534, -0.142621, -0.062804, 0.076624, -0.045403, -0.069182],
+        [0.010776, -0.017342, 0.007337, 0.083072, -0.015726, -0.088913, 0.070331, -0.162908],
+        [0.095752, 0.01072, -0.044607, 0.040734, -0.010243, 0.121891, 0.167403, 0.059012],
+        [0.153694, 0.148114, 0.05457, 0.02115, 0.040519, -0.037823, -0.047668, -0.002375],
+        [-0.072202, 0.012083, -0.123914, -0.042633, -0.176676, -0.052256, -0.014103, 0.012838],
+        [-0.006776, -0.041793, -0.030181, 0.083481, 0.090958, 0.078739, -0.127159, 0.038382],
+        [-0.069183, -0.122161, 0.061879, -0.004006, -0.023592, 0.060396, 0.061546, 0.095367],
+        [0.021801, -0.06958, 0.0127, -0.148638, 0.028884, -0.161531, -0.008837, 0.059983],
+    ],
+    [
+        [-0.029564, 0.051952, -0.117729, 0.077081, 0.012764, 0.11195, 0.092033, -0.102195],
+        [0.062037, -0.034812, 0.154111, -0.026788, 0.073755, -0.061126, 0.046914, -0.107256],
+        [0.028533, -0.009857, 0.118287, 0.087224, -0.178148, 0.055621, -0.078142, -0.051459],
+        [-0.110076, -0.113828, -0.067966, -0.025947, -0.068808, -0.051922, -0.043677, -0.075217],
+        [0.044231, 0.079294, -0.093325, -0.068329, 0.058338, -0.001132, -0.164851, 0.096273],
+        [-0.07227, 0.137005, -0.044017, -0.02234, -0.071272, -0.143808, 0.078543, 0.034194],
+        [0.133841, -0.092971, -0.022303, -0.156721, -0.011627, 0.037382, 0.061854, 0.059821],
+        [-0.055794, -0.070818, 0.035168, 0.091062, 0.066133, 0.056173, 0.005983, 0.154779],
+    ],
+    [
+        [-0.11872, 0.071429, 0.050084, -0.019171, 0.115419, -0.063462, -0.060436, 0.084157],
+        [-0.086033, -0.123657, 0.052793, 0.031536, -0.130145, 0.051703, 0.034905, 0.06053],
+        [0.138439, 0.095823, 0.072596, -0.058051, -0.032079, -0.014511, 0.111816, 0.066996],
+        [0.108236, -0.170136, 0.023265, -0.13432, 0.00632, 0.025418, -0.065956, -0.03562],
+        [-0.082978, 0.054257, -0.057304, -0.008104, 0.065572, 0.045393, 0.122985, -0.099271],
+        [0.005758, 0.106593, 0.082179, 0.012533, -0.073575, -0.010635, -0.128387, -0.156738],
+        [0.043424, 0.001143, -0.141308, 0.069381, -0.008682, -0.034331, -0.079952, 0.066526],
+        [-0.049391, -0.099811, 0.15266, 0.102935, 0.092146, -0.068996, 0.006579, 0.007634],
+    ],
+    [
+        [0.024915, 0.02395, -0.038636, -0.089202, -0.134894, -0.047476, 0.081454, -0.124391],
+        [0.058026, 0.001052, 0.095522, 0.104087, -0.060576, 0.029247, -0.094864, -0.080115],
+        [0.016358, -0.066868, -0.043227, 0.086577, -0.007116, 0.15058, 0.123174, 0.009612],
+        [-0.061561, -0.06464, 0.129566, -0.100999, 0.117708, 0.037055, -0.035159, -0.09738],
+        [0.126832, -0.089455, -0.035216, -0.076991, 0.030681, -0.013655, 0.035145, 0.121876],
+        [-0.059879, 0.090747, -0.034481, -0.033207, -0.081788, -0.019861, -0.108468, 0.117158],
+        [-0.09945, 0.08413, 0.062882, 0.064401, 0.075956, -0.11788, 0.147062, 0.010518],
+        [-0.004302, 0.018368, -0.201148, -0.041352, 0.114652, -0.025229, -0.02378, -0.076543],
+    ],
+]
+
+#: frozen residual-PQ codebooks (m=8 x k=8 x 8 dims): _pq_fit on the sf0.01
+#: sample's residuals against the frozen SEMDEDUP_CENTROIDS (ivf_assign cells)
+PQ_RESIDUAL_CODEBOOKS = [
+    [
+        [0.01551, 0.046564, -0.039443, -0.124773, 0.112693, -0.016535, -0.048608, -0.003334],
+        [-0.047819, -0.035242, -0.017635, 0.021013, -0.035712, -0.03503, -0.132312, -0.083671],
+        [0.028237, -0.008896, -0.159514, 0.047184, -0.041556, 0.064758, 0.059071, 0.016243],
+        [-0.088521, 0.00693, 0.046567, 0.0561, 0.050535, 0.003254, 0.115683, -0.069032],
+        [-0.028288, -0.016402, 0.039242, 0.0004, -0.014302, -0.202695, 0.080909, 0.076104],
+        [0.003903, -0.129623, 0.064002, 0.006553, 0.077811, 0.07322, -0.069884, 0.087485],
+        [-0.033211, 0.115983, 0.061019, -0.052738, -0.122754, 0.08134, 0.009169, -0.010775],
+        [0.17699, 0.0099, 0.037512, 0.036724, -0.015065, -0.020983, 0.019749, 0.053083],
+    ],
+    [
+        [0.105489, 0.036235, -0.062561, 0.093596, -0.094426, -0.025921, -0.040918, -0.014079],
+        [-0.007875, -0.06469, -0.051965, 0.044655, 0.055781, -0.11009, 0.072569, 0.014881],
+        [-0.032282, -0.112804, -0.028197, -0.063368, -0.036732, 0.071482, -0.027168, 0.100203],
+        [-0.01875, 0.050614, -0.098566, 0.035261, 0.102817, 0.144295, 0.006992, 0.03175],
+        [0.069816, 0.016758, 0.109538, -0.100345, 0.045217, -0.024869, 0.107724, 0.02295],
+        [-0.040083, 0.061734, 0.089358, 0.02445, 0.065676, -0.037145, -0.130737, 0.022373],
+        [-0.033338, 0.168755, 0.07042, 0.016524, -0.089371, 0.091756, 0.044481, -0.045961],
+        [-0.078761, -0.086528, -0.000686, -0.057029, -0.053555, -0.058006, -0.018849, -0.179351],
+    ],
+    [
+        [-0.051211, -0.019509, 0.014326, 0.078641, -0.086431, -0.108499, 0.03035, -0.064749],
+        [-0.02728, -0.038355, 0.027142, -0.08754, -0.001277, 0.145424, 0.03448, -0.095917],
+        [-0.00663, 0.149058, -0.032879, -0.030663, 0.077289, -0.012839, 0.121621, -0.064724],
+        [-0.050527, -0.054496, 0.038844, 0.054827, 0.110088, 0.000309, -0.07954, 0.009897],
+        [-0.021505, 0.113593, 0.07198, -0.055216, -0.079294, 0.085241, 0.007192, 0.092777],
+        [0.14977, -0.042753, 0.032579, 0.01012, -0.02806, -0.069725, -0.030516, 0.119815],
+        [0.029657, 0.059513, 0.00303, -0.101138, -0.004181, -0.086972, -0.078943, -0.074734],
+        [0.016892, -0.07719, -0.138109, 0.048306, -0.018085, 0.050886, 0.045598, 0.058287],
+    ],
+    [
+        [0.034559, 0.152391, 0.11749, -0.032266, 0.023675, -0.06083, 0.000535, 0.084343],
+        [0.031642, 0.035965, -0.091427, 0.014367, 0.052208, 0.126945, -0.065251, 0.063888],
+        [-0.102316, 0.013022, 0.025472, -0.019517, -0.005892, 0.105547, -0.046404, -0.119237],
+        [-0.01638, -0.046976, -0.0116, -0.078801, -0.114625, -0.009675, -0.085098, 0.078561],
+        [-0.036237, -0.101749, 0.065992, -0.066122, 0.076239, -0.047673, 0.090228, -0.036184],
+        [0.158975, 0.084025, 0.027146, -0.028245, -0.01787, 0.055899, 0.082732, -0.066342],
+        [-0.022365, -0.029036, -0.012359, 0.109338, 0.050326, -0.100739, -0.079448, 0.022534],
+        [0.008219, -0.046774, -0.09652, 0.067553, -0.088322, -0.058632, 0.116919, -0.02167],
+    ],
+    [
+        [-0.167981, -0.074301, 0.051453, 0.002586, 0.054792, 0.007581, 0.058794, -0.008376],
+        [0.009419, 0.00577, -0.040224, 0.069313, -0.048041, -0.094856, 0.045665, -0.11318],
+        [0.036947, 0.001032, -0.040085, 0.04261, -0.019738, 0.119608, 0.134221, 0.037543],
+        [0.122463, 0.142636, 0.021944, -0.038502, 0.041448, -0.016188, 0.043749, 0.006737],
+        [-0.098099, 0.033514, -0.016838, -0.099716, -0.097081, 0.06665, -0.056529, -0.033996],
+        [0.03981, -0.010148, 0.066215, 0.06911, -0.004812, 0.072576, -0.133052, 0.014272],
+        [0.032175, -0.09811, -0.045408, 0.074086, 0.156829, 0.022257, -0.01929, 0.043689],
+        [-0.012062, -0.060007, 0.008719, -0.097554, 0.006102, -0.144658, -0.024462, 0.088959],
+    ],
+    [
+        [-0.025419, 0.035196, -0.086898, 0.022136, -0.003995, 0.080382, 0.083677, -0.111968],
+        [0.048868, -0.029346, 0.144359, -0.01679, 0.038345, -0.04915, 0.041778, -0.148382],
+        [0.055662, 0.039823, 0.077132, 0.018209, -0.099771, 0.038348, -0.115204, -0.031721],
+        [-0.041634, -0.120617, -0.08179, 0.08704, -0.02169, 0.018458, -0.021364, -0.025609],
+        [0.021594, 0.093655, -0.090839, -0.002626, 0.06834, 0.00744, -0.102683, 0.101146],
+        [-0.056826, 0.116484, -0.039177, -0.054542, -0.054026, -0.134913, 0.024216, 0.019343],
+        [0.124722, -0.050773, 0.016511, -0.086117, 0.071649, 0.033771, 0.060094, 0.063517],
+        [-0.108273, -0.05003, 0.058687, 0.018038, 0.024206, 0.005115, 0.022522, 0.114373],
+    ],
+    [
+        [0.051359, -0.073483, -0.034612, 0.134556, -0.048481, -0.084693, 0.054921, -0.019304],
+        [-0.039702, -0.095589, 0.027772, 0.012983, -0.083916, 0.109356, 0.04378, 0.047675],
+        [0.089792, 0.061133, 0.077932, -0.049268, 0.057832, -0.020252, 0.044009, 0.0904],
+        [0.160092, -0.057945, 0.022068, -0.095231, -0.019597, 0.051512, -0.069745, -0.049035],
+        [-0.049262, 0.049538, -0.035299, -0.054882, 0.067395, 0.048303, 0.084479, -0.077581],
+        [-0.037542, 0.064021, 0.026658, 0.004995, -0.105903, 0.003259, -0.096639, -0.155053],
+        [-0.009026, -0.019162, -0.1285, 0.000562, 0.064812, -0.045032, -0.073261, 0.070753],
+        [-0.100286, 0.043, 0.076159, 0.061024, 0.009612, -0.082048, -0.050432, 0.054173],
+    ],
+    [
+        [-0.015495, -0.046118, -0.031385, -0.092483, -0.089226, -0.013699, 0.087634, -0.096955],
+        [0.070228, -0.022341, 0.066995, 0.095885, -0.020525, -0.01379, -0.105129, -0.05386],
+        [-0.002452, -0.040228, 0.046877, 0.064758, 0.017074, 0.157766, 0.042425, -0.023908],
+        [-0.037288, -0.039816, -0.039955, -0.022796, 0.084507, -0.121597, -0.007318, -0.040084],
+        [0.055195, -0.101959, -0.015201, -0.11058, 0.011006, 0.039884, 0.016408, 0.12369],
+        [-0.091146, 0.087995, 0.04776, -0.00166, -0.093436, -0.022961, -0.077544, 0.112628],
+        [-0.033328, 0.121089, 0.05099, 0.036249, 0.006288, -0.022911, 0.119795, -0.001986],
+        [0.058083, 0.083285, -0.144802, 0.002479, 0.071388, 0.035405, -0.031995, 0.020774],
+    ],
+]
+
+
+
 def _semdedup_rounded_pairs(spark, sf_dir):
     """Within-cell pairs with the cosine ROUNDED to 4dp before the
     threshold, so Spark and the DuckDB oracle apply the identical cut."""
@@ -3142,6 +3425,8 @@ DRIVER_WINDOW = [
     "time_range",
     # r13 additions: never driver-checked yet, so they lead the window
     "audio_features_flac",
+    "ann_opq_topk",
+    "ann_ivfpq_residual",
     # the five entries rotated out in r12 (last driver-green r10) —
     # cycled back per the r12 verdict so no entry goes >2 rounds stale
     "agg_avg_group",
@@ -3156,8 +3441,9 @@ DRIVER_WINDOW = [
     "ann_pq_rerank",
     "ann_pq_batch",
     "unigram_encode",
-    "unigram_sample_encode",
-    "video_keyframes",
+    # (unigram_sample_encode and video_keyframes rotate out: r12-green,
+    # untouched this round, families covered by unigram_encode and the
+    # frame_sample entries — makes room for the r13 ANN additions)
     # least-recently driver-checked (last seen r5)
     "join_broadcast",
     "lineitem_pricing_summary",
@@ -3292,6 +3578,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_features_flac": q_audio_features_flac,
         "audio_dupes": q_audio_dupes,
         "ann_pq_topk": q_ann_pq_topk,
+        "ann_opq_topk": q_ann_opq_topk,
+        "ann_ivfpq_residual": q_ann_ivfpq_residual,
         "ann_pq_rerank": q_ann_pq_rerank,
         "ann_pq_batch": q_ann_pq_batch,
         "unigram_encode": q_unigram_encode,
@@ -4519,6 +4807,12 @@ def oracle_sql() -> dict[str, str]:
     from seqspark.pipeline.ann import pq_oracle_sql
 
     sql["ann_pq_topk"] = pq_oracle_sql(PQ_CODEBOOKS, PQ_QUERY, k=10)
+    sql["ann_opq_topk"] = pq_oracle_sql(
+        OPQ_CODEBOOKS, PQ_QUERY, k=10, rotation=OPQ_ROTATION)
+    from seqspark.pipeline.ann import ivf_pq_residual_oracle_sql
+
+    sql["ann_ivfpq_residual"] = ivf_pq_residual_oracle_sql(
+        SEMDEDUP_CENTROIDS, PQ_RESIDUAL_CODEBOOKS, PQ_QUERY, k=10, nprobe=2)
     from seqspark.pipeline.ann import pq_rerank_oracle_sql
 
     sql["ann_pq_rerank"] = pq_rerank_oracle_sql(PQ_CODEBOOKS, PQ_QUERY, k=10)

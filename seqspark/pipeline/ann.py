@@ -20,7 +20,7 @@ from __future__ import annotations
 
 import math
 import random
-from typing import List, Sequence, Tuple
+from typing import List, Optional, Sequence, Tuple
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -588,6 +588,19 @@ def pq_train(
         raise ValueError(f"corpus has {len(rows)} vectors, fewer than k={k}")
     X = np.array([[float(v) for v in r[vec_col]] for r in rows],
                  dtype=np.float64)
+    return [
+        [[round(float(x), 6) for x in c] for c in C]
+        for C in _pq_fit(X, m, k, iters)
+    ]
+
+
+def _pq_fit(X, m: int, k: int, iters: int) -> list:
+    """Numpy core of :func:`pq_train` (and the OPQ alternation): per-
+    subspace Lloyd's k-means seeded from the first k DISTINCT subvectors
+    in row (= id) order. Returns UNROUNDED (k, dsub) arrays per subspace
+    — callers round for freezing."""
+    import numpy as np
+
     dim = X.shape[1]
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m}")
@@ -619,8 +632,113 @@ def pq_train(
                 mask = assign == j
                 if mask.any():
                     C[j] = Xs[mask].mean(axis=0)
-        books.append([[round(float(x), 6) for x in c] for c in C])
+        books.append(C)
     return books
+
+
+def opq_train(
+    emb: DataFrame,
+    m: int = 8,
+    k: int = 16,
+    iters: int = 5,
+    opq_iters: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample: int = 4096,
+) -> tuple:
+    """Optimized Product Quantization (the non-parametric alternation of
+    Ge et al. 2013, public): learn an orthogonal rotation R jointly with
+    the codebooks so the subspace split aligns with the data's principal
+    directions — typically buys 10-20 recall points over plain PQ at
+    IDENTICAL scan cost, because rotation preserves L2 (``||Rx - Rq|| =
+    ||x - q||``) while the quantization error drops.
+
+    Alternation over the same bounded, id-ordered sample as
+    :func:`pq_train`: (1) fit per-subspace k-means on the rotated
+    sample, (2) reconstruct, (3) solve the orthogonal Procrustes problem
+    ``min_R ||X Rᵀ - X̂||_F`` via one SVD (R = VUᵀ of svd(XᵀX̂) = USVᵀ).
+    Returns ``(rotation[dim][dim], codebooks[m][k][dim/m])``, both
+    6dp-rounded so they can be frozen as oracle literals. Downstream:
+    ``pq_encode(..., rotation=R)`` and :func:`opq_topk` — ADC plans and
+    code layout are completely unchanged, rotation is metadata.
+
+    Determinism: k-means seeding is id-ordered (layout-independent);
+    the SVD sign convention is LAPACK's, stable per platform — the
+    contract freezes the TRAINED literals, so cross-BLAS sign drift
+    can't reach the oracle (same standing as PQ_CODEBOOKS)."""
+    import numpy as np
+
+    rows = emb.orderBy(id_col).limit(sample).select(vec_col).collect()
+    if len(rows) < k:
+        raise ValueError(f"corpus has {len(rows)} vectors, fewer than k={k}")
+    X = np.array([[float(v) for v in r[vec_col]] for r in rows],
+                 dtype=np.float64)
+    dim = X.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    R = np.eye(dim)
+    books = None
+    for _ in range(max(1, opq_iters)):
+        Xr = X @ R.T
+        books = _pq_fit(Xr, m, k, iters)
+        # reconstruct Xr from its nearest centroids
+        Xhat = np.empty_like(Xr)
+        for s in range(m):
+            Xs = Xr[:, s * dsub:(s + 1) * dsub]
+            C = books[s]
+            d2 = (
+                (Xs * Xs).sum(axis=1)[:, None]
+                - 2.0 * Xs @ C.T
+                + (C * C).sum(axis=1)[None, :]
+            )
+            Xhat[:, s * dsub:(s + 1) * dsub] = C[np.argmin(d2, axis=1)]
+        # Procrustes: min over orthogonal Q of ||X Q - Xhat||, Q = R^T
+        U, _sv, Vt = np.linalg.svd(X.T @ Xhat)
+        R = (U @ Vt).T
+    # final fit in the final rotation, then freeze at 6dp
+    books = _pq_fit(np.round(X @ R.T, 6), m, k, iters)
+    rotation = [[round(float(x), 6) for x in row] for row in R]
+    codebooks = [
+        [[round(float(x), 6) for x in c] for c in C] for C in books
+    ]
+    return rotation, codebooks
+
+
+def rotate_query(rotation: Sequence[Sequence[float]],
+                 query_vec: Sequence[float]) -> List[float]:
+    """Driver-side rotation of one vector with SEQUENTIAL left-to-right
+    sums (bit-identical to the DuckDB oracle's ``+`` chains), rounded to
+    6dp exactly like the executor-side corpus rotation in
+    :func:`pq_encode`."""
+    dim = len(rotation)
+    if len(query_vec) != dim:
+        raise ValueError("query dim mismatch")
+    out = []
+    for i in range(dim):
+        acc = 0.0
+        for d in range(dim):
+            acc = acc + float(rotation[i][d]) * float(query_vec[d])
+        out.append(round(acc, 6))
+    return out
+
+
+def opq_topk(
+    codes: DataFrame,
+    codebooks: Sequence[Sequence[Sequence[float]]],
+    rotation: Sequence[Sequence[float]],
+    query_vec: Sequence[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    code_col: str = "code",
+) -> DataFrame:
+    """ADC top-k over OPQ codes: rotate the query driver-side (rotation
+    preserves L2, so rotated-space ADC distances ARE the approximate
+    original-space distances) and reuse :func:`pq_topk` unchanged — the
+    same literal-LUT element_at chain in whole-stage codegen, the same
+    TakeOrderedAndProject, zero extra plan cost at any scale."""
+    return pq_topk(codes, codebooks, rotate_query(rotation, query_vec),
+                   k, id_col, code_col)
 
 
 def pq_encode(
@@ -628,6 +746,7 @@ def pq_encode(
     codebooks: Sequence[Sequence[Sequence[float]]],
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    rotation: Optional[Sequence[Sequence[float]]] = None,
 ) -> DataFrame:
     """Encode vectors to PQ codes: (id, code array<int> of length m).
 
@@ -635,7 +754,13 @@ def pq_encode(
     codes-at-rest step a pipeline runs once at ingest. Subspace distances
     round to 6dp before the argmin (first index wins ties) so the DuckDB
     oracle replays the assignment exactly. NULL/ragged vectors encode to
-    NULL codes (hygiene rule of batch_topk)."""
+    NULL codes (hygiene rule of batch_topk).
+
+    ``rotation`` (r13, OPQ): an orthogonal dim×dim matrix from
+    :func:`opq_train`; each vector is rotated (one extra GEMM per batch)
+    and the rotated coordinates ROUNDED to 6dp before subspace split, so
+    the oracle's sequential-sum replay of the rotation agrees bit-for-bit
+    after its own round(…, 6)."""
     import numpy as np
     import pyarrow as pa
 
@@ -643,6 +768,12 @@ def pq_encode(
     dim = m * dsub
     C = [np.array(cb, dtype=np.float64) for cb in codebooks]
     cc = [(cb * cb).sum(axis=1) for cb in C]
+    RT = None
+    if rotation is not None:
+        R = np.array(rotation, dtype=np.float64)
+        if R.shape != (dim, dim):
+            raise ValueError(f"rotation must be {dim}x{dim}, got {R.shape}")
+        RT = R.T
     id_type = emb.schema[id_col].dataType.simpleString()
     src = emb.select(id_col, vec_col)
 
@@ -662,6 +793,8 @@ def pq_encode(
                     mat.append(v)
             if mat:
                 X = np.array(mat, dtype=np.float64)
+                if RT is not None:
+                    X = np.round(X @ RT, 6)
                 for s in range(m):
                     Xs = X[:, s * dsub:(s + 1) * dsub]
                     d2 = (
@@ -754,6 +887,212 @@ def ivf_pq_topk(
     return pq_topk(cands, codebooks, query_vec, k, id_col, code_col)
 
 
+def pq_encode_residual(
+    emb_with_cells: DataFrame,
+    centroids: Sequence[Sequence[float]],
+    codebooks: Sequence[Sequence[Sequence[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "cell",
+) -> DataFrame:
+    """Residual-encode for IVF-PQ (r13): quantize ``v - centroid[cell]``
+    instead of ``v`` — the production recall lever at fixed scan cost
+    (residuals are much smaller than raw vectors, so the same m×k
+    codebook budget spends its resolution near the data instead of on
+    cluster offsets; 10-20 recall points typical, measured in
+    BASELINE.md). Cells come from :func:`ivf_assign` upstream (JVM-side
+    cosine argmax). Output: (id, cell, code array<int>).
+
+    Float64 subtraction is IEEE-exact, so the DuckDB oracle's
+    ``v[d] - centroid_literal`` replays the residual bit-for-bit — no
+    extra rounding discipline needed beyond pq_encode's 6dp-before-
+    argmin. NULL/ragged vectors encode to NULL codes."""
+    import numpy as np
+    import pyarrow as pa
+
+    m, k, dsub = _pq_check(codebooks)
+    dim = m * dsub
+    if any(len(c) != dim for c in centroids):
+        raise ValueError("centroid dim mismatch")
+    C = [np.array(cb, dtype=np.float64) for cb in codebooks]
+    cc = [(cb * cb).sum(axis=1) for cb in C]
+    CEN = np.array(centroids, dtype=np.float64)
+    id_type = emb_with_cells.schema[id_col].dataType.simpleString()
+    src = emb_with_cells.select(id_col, cell_col, vec_col)
+
+    def batches(it):
+        for batch in it:
+            ids = batch.column(0)
+            cells = batch.column(1)
+            vecs = batch.column(2).to_pylist()
+            cell_list = cells.to_pylist()
+            codes: list = []
+            ok_rows = []
+            mat = []
+            for i, (v, cl) in enumerate(zip(vecs, cell_list)):
+                if (
+                    v is None or len(v) != dim
+                    or any(x is None for x in v)
+                    or cl is None or not (0 <= cl < len(CEN))
+                ):
+                    codes.append(None)
+                else:
+                    codes.append([])
+                    ok_rows.append(i)
+                    mat.append((v, cl))
+            if mat:
+                X = np.array([v for v, _ in mat], dtype=np.float64)
+                X = X - CEN[np.array([cl for _, cl in mat])]
+                for s in range(m):
+                    Xs = X[:, s * dsub:(s + 1) * dsub]
+                    d2 = (
+                        (Xs * Xs).sum(axis=1)[:, None]
+                        - 2.0 * Xs @ C[s].T
+                        + cc[s][None, :]
+                    )
+                    assign = np.argmin(np.round(d2, 6), axis=1)
+                    for row_i, j in zip(ok_rows, assign):
+                        codes[row_i].append(int(j))
+            yield pa.RecordBatch.from_arrays(
+                [ids, cells, pa.array(codes, type=pa.list_(pa.int32()))],
+                names=[batch.schema.names[0], batch.schema.names[1], "code"],
+            )
+
+    return src.mapInArrow(
+        batches, f"{id_col} {id_type}, {cell_col} int, code array<int>"
+    )
+
+
+def ivf_pq_residual_topk(
+    codes_with_cells: DataFrame,
+    centroids: Sequence[Sequence[float]],
+    codebooks: Sequence[Sequence[Sequence[float]]],
+    query_vec: Sequence[float],
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    code_col: str = "code",
+    cell_col: str = "cell",
+) -> DataFrame:
+    """IVF + residual-PQ ADC top-k: probe the nprobe nearest cells; in
+    each, the lookup table is built from the query's OWN residual
+    against that cell's centroid (``||q - (c + dec(code))||² =
+    ||(q - c) - dec(code)||²``), so scores across probed cells are
+    directly comparable squared-L2 estimates.
+
+    Plan shape: a UNION of nprobe narrow filtered projections (each
+    cell's literal LUT element_at chain in whole-stage codegen) feeding
+    ONE TakeOrderedAndProject — still no shuffle, still no Python; with
+    the code table written partitioned by cell, each branch is a
+    partition-pruned scan."""
+    qn = math.sqrt(sum(v * v for v in query_vec)) or 1.0
+
+    def cos_py(c: Sequence[float]) -> float:
+        cn = math.sqrt(sum(x * x for x in c)) or 1.0
+        return sum(x * y for x, y in zip(c, query_vec)) / (cn * qn)
+
+    order = sorted(range(len(centroids)), key=lambda i: -cos_py(centroids[i]))
+    m = len(codebooks)
+    branches = []
+    for cell in order[:nprobe]:
+        rq = [float(q) - float(c) for q, c in zip(query_vec, centroids[cell])]
+        lut = pq_adc_lut(codebooks, rq)
+        score = None
+        for s in range(m):
+            lits = F.array(*[F.lit(float(x)) for x in lut[s]])
+            term = F.element_at(lits, F.element_at(F.col(code_col), s + 1) + 1)
+            score = term if score is None else score + term
+        branches.append(
+            codes_with_cells.filter(
+                (F.col(cell_col) == cell) & F.col(code_col).isNotNull()
+            ).select(F.col(id_col), F.round(score, 6).alias("adist"))
+        )
+    out = branches[0]
+    for b in branches[1:]:
+        out = out.unionAll(b)
+    return out.orderBy(F.col("adist").asc(), F.col(id_col).asc()).limit(k)
+
+
+def ivf_pq_residual_oracle_sql(
+    centroids: Sequence[Sequence[float]],
+    codebooks: Sequence[Sequence[Sequence[float]]],
+    query_vec: Sequence[float],
+    k: int = 10,
+    nprobe: int = 2,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """DuckDB replay of ivf_assign → :func:`pq_encode_residual` →
+    :func:`ivf_pq_residual_topk` from literal centroids + codebooks:
+    cells via first-index cosine argmax (``list_position`` over
+    ``list_cosine_similarity`` against DOUBLE[] literals — the
+    semantic_dedup standing), then one UNION ALL branch per probed cell
+    whose encode distances and LUT shift every vector component by that
+    cell's literal centroid."""
+    m, kk, dsub = _pq_check(codebooks)
+    dim = m * dsub
+    qn = math.sqrt(sum(v * v for v in query_vec)) or 1.0
+
+    def cos_py(c: Sequence[float]) -> float:
+        cn = math.sqrt(sum(x * x for x in c)) or 1.0
+        return sum(x * y for x, y in zip(c, query_vec)) / (cn * qn)
+
+    order = sorted(range(len(centroids)), key=lambda i: -cos_py(centroids[i]))
+
+    def clit(c):
+        return "[" + ",".join(repr(float(x)) for x in c) + "]::DOUBLE[]"
+
+    sims = ", ".join(
+        f"list_cosine_similarity({vec_col}::DOUBLE[], {clit(c)})"
+        for c in centroids
+    )
+    cells_cte = (
+        f"cells AS (SELECT {id_col}, {vec_col}, "
+        f"list_position([{sims}], list_max([{sims}])) - 1 AS cell "
+        f"FROM {table})"
+    )
+    branches = []
+    for cell in order[:nprobe]:
+        cen = centroids[cell]
+        rq = [float(q) - float(c) for q, c in zip(query_vec, cen)]
+        lut = pq_adc_lut(codebooks, rq)
+
+        def comp(i):
+            return f"({vec_col}[{i}] - ({float(cen[i - 1])!r})::DOUBLE)"
+
+        code_exprs = []
+        for s in range(m):
+            dists = ", ".join(
+                "round("
+                + " + ".join(
+                    f"({comp(s * dsub + d + 1)} - "
+                    f"({codebooks[s][j][d]!r})::DOUBLE)"
+                    f" * ({comp(s * dsub + d + 1)} - "
+                    f"({codebooks[s][j][d]!r})::DOUBLE)"
+                    for d in range(dsub)
+                )
+                + ", 6)"
+                for j in range(kk)
+            )
+            code_exprs.append(f"list_position([{dists}], list_min([{dists}]))")
+        adist = " + ".join(
+            "["
+            + ", ".join(f"{float(x)!r}::DOUBLE" for x in lut[s])
+            + f"][{code_exprs[s]}]"
+            for s in range(m)
+        )
+        branches.append(
+            f"SELECT {id_col}, round({adist}, 6) AS adist "
+            f"FROM cells WHERE cell = {cell}"
+        )
+    return (
+        f"WITH {cells_cte} SELECT {id_col}, adist FROM ("
+        + " UNION ALL ".join(branches)
+        + f") ORDER BY adist ASC, {id_col} ASC LIMIT {k}"
+    )
+
+
 def pq_rerank_topk(
     codes: DataFrame,
     emb: DataFrame,
@@ -789,13 +1128,46 @@ def pq_oracle_sql(
     table: str = "embeddings",
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    rotation: Optional[Sequence[Sequence[float]]] = None,
 ) -> str:
     """Generate DuckDB SQL replaying encode + ADC + top-k from literal
     codebooks (inputs, not outputs — the SEMDEDUP_CENTROIDS standing).
     Mirrors the engine exactly: subspace distances round to 6dp before a
-    first-index argmin; the ADC sum adds the m terms in subspace order."""
+    first-index argmin; the ADC sum adds the m terms in subspace order.
+
+    ``rotation`` (r13, OPQ): replays ``pq_encode(rotation=...)`` — a
+    ``rot`` CTE computes each rotated coordinate as a sequential
+    left-to-right sum-of-products over literal matrix rows, rounded to
+    6dp exactly like the executor's post-GEMM round; the query is
+    rotated via :func:`rotate_query` (the same sequential sums) before
+    the LUT is built, so the literals agree bit-for-bit."""
     m, kk, dsub = _pq_check(codebooks)
-    lut = pq_adc_lut(codebooks, query_vec)
+    if rotation is not None:
+        dim = m * dsub
+        rot_exprs = ", ".join(
+            "round("
+            + " + ".join(
+                f"({rotation[i][d]!r})::DOUBLE * {vec_col}[{d + 1}]"
+                for d in range(dim)
+            )
+            + f", 6) AS r{i}"
+            for i in range(dim)
+        )
+        rot_cte = f"rot AS (SELECT {id_col}, {rot_exprs} FROM {table}), "
+        src_table = "rot"
+
+        def comp(i: int) -> str:
+            return f"r{i - 1}"
+
+        lut = pq_adc_lut(codebooks, rotate_query(rotation, query_vec))
+    else:
+        rot_cte = ""
+        src_table = table
+
+        def comp(i: int) -> str:
+            return f"{vec_col}[{i}]"
+
+        lut = pq_adc_lut(codebooks, query_vec)
     code_exprs = []
     for s in range(m):
         # explicit ::DOUBLE on every literal: DuckDB parses bare decimal
@@ -804,9 +1176,9 @@ def pq_oracle_sql(
         dists = ", ".join(
             "round("
             + " + ".join(
-                f"({vec_col}[{s * dsub + d + 1}] - "
+                f"({comp(s * dsub + d + 1)} - "
                 f"({codebooks[s][j][d]!r})::DOUBLE)"
-                f" * ({vec_col}[{s * dsub + d + 1}] - "
+                f" * ({comp(s * dsub + d + 1)} - "
                 f"({codebooks[s][j][d]!r})::DOUBLE)"
                 for d in range(dsub)
             )
@@ -823,9 +1195,9 @@ def pq_oracle_sql(
         for s in range(m)
     )
     return (
-        f"WITH coded AS (SELECT {id_col}, "
+        f"WITH {rot_cte}coded AS (SELECT {id_col}, "
         + ", ".join(code_exprs)
-        + f" FROM {table}) "
+        + f" FROM {src_table}) "
         f"SELECT {id_col}, round({adist}, 6) AS adist FROM coded "
         f"ORDER BY adist ASC, {id_col} ASC LIMIT {k}"
     )

@@ -1,0 +1,233 @@
+"""OPQ rotation + residual IVF-PQ (r13): the two public recall levers
+production tunes at fixed scan cost (Ge et al. 2013 OPQ-NP; residual
+encoding as in the original IVFADC of Jégou et al. 2011). Pins:
+orthogonality, recall improvement on adversarial (rotated-basis /
+clustered) corpora, DuckDB oracle parity for both paths, NULL hygiene,
+and the identity-rotation degenerate case."""
+
+import math
+
+import numpy as np
+import pytest
+
+from seqspark.pipeline import ann
+
+
+def _rot_corpus(n=160, dim=16, seed=5):
+    """Data with variance concentrated along a NON-axis-aligned basis:
+    axis-aligned subspace split (plain PQ) sees correlated coordinates
+    everywhere; OPQ should recover (approximately) the mixing rotation."""
+    rng = np.random.default_rng(seed)
+    Q, _ = np.linalg.qr(rng.normal(0, 1, (dim, dim)))
+    scales = np.geomspace(3.0, 0.05, dim)
+    Z = rng.normal(0, 1, (n, dim)) * scales
+    X = Z @ Q.T
+    return [(i, [float(x) for x in X[i]], "x") for i in range(n)]
+
+
+@pytest.fixture(scope="module")
+def rot_emb(spark):
+    rows = _rot_corpus()
+    return rows, spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label string"
+    ).cache()
+
+
+def _recall(spark_df_ids, exact_ids):
+    return len(set(spark_df_ids) & set(exact_ids)) / len(exact_ids)
+
+
+def test_opq_rotation_is_orthogonal(spark, rot_emb):
+    rows, emb = rot_emb
+    R, books = ann.opq_train(emb, m=4, k=8, iters=3, opq_iters=4)
+    Rm = np.array(R)
+    assert Rm.shape == (16, 16)
+    # 6dp rounding of the literals -> loose orthogonality tolerance
+    assert np.abs(Rm @ Rm.T - np.eye(16)).max() < 1e-4
+    m, k, dsub = ann._pq_check(books)
+    assert (m, k, dsub) == (4, 8, 4)
+
+
+def test_opq_beats_pq_on_rotated_basis(spark, rot_emb):
+    rows, emb = rot_emb
+    X = np.array([r[1] for r in rows])
+    pq_books = ann.pq_train(emb, m=4, k=8, iters=3)
+    R, opq_books = ann.opq_train(emb, m=4, k=8, iters=3, opq_iters=6)
+    pq_codes = ann.pq_encode(emb, pq_books).cache()
+    opq_codes = ann.pq_encode(emb, opq_books, rotation=R).cache()
+    r_pq, r_opq = [], []
+    for qi in (3, 17, 42, 71, 99):
+        q = rows[qi][1]
+        exact = np.argsort(
+            ((X - np.array(q)) ** 2).sum(axis=1), kind="stable"
+        )[:10].tolist()
+        pq_ids = [r["vec_id"] for r in
+                  ann.pq_topk(pq_codes, pq_books, q, k=10).collect()]
+        opq_ids = [r["vec_id"] for r in
+                   ann.opq_topk(opq_codes, opq_books, R, q, k=10).collect()]
+        r_pq.append(_recall(pq_ids, exact))
+        r_opq.append(_recall(opq_ids, exact))
+    # rotation-aligned quantization must recover strictly more of the
+    # exact top-10 on this construction (typical gap here is ~2x)
+    assert sum(r_opq) > sum(r_pq), (r_pq, r_opq)
+    assert sum(r_opq) / 5 >= 0.5, r_opq
+
+
+def test_opq_oracle_sql_parity(spark, rot_emb):
+    import duckdb
+    import pandas as pd
+
+    rows, emb = rot_emb
+    R, books = ann.opq_train(emb, m=4, k=8, iters=3, opq_iters=3)
+    q = rows[7][1]
+    sp = pd.DataFrame(
+        [(r["vec_id"], r["adist"]) for r in
+         ann.opq_topk(ann.pq_encode(emb, books, rotation=R),
+                      books, R, q, k=8).collect()],
+        columns=["vec_id", "adist"],
+    )
+    con = duckdb.connect()
+    con.register("embeddings", pd.DataFrame(
+        {"vec_id": [r[0] for r in rows], "embedding": [r[1] for r in rows]}))
+    oc = con.execute(ann.pq_oracle_sql(books, q, k=8, rotation=R)).df()
+    assert sp.reset_index(drop=True).equals(oc.reset_index(drop=True))
+
+
+def test_pq_encode_identity_rotation_matches_plain(spark):
+    # vectors already at 6dp -> the rotation path's round(X @ I, 6) is a
+    # no-op and codes must equal the unrotated encoder's exactly
+    rng = np.random.default_rng(8)
+    rows = [(i, [round(float(x), 6) for x in rng.normal(0, 1, 16)], "x")
+            for i in range(60)]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label string")
+    books = ann.pq_train(emb, m=4, k=8, iters=2)
+    eye = [[1.0 if i == j else 0.0 for j in range(16)] for i in range(16)]
+    plain = {r["vec_id"]: r["code"]
+             for r in ann.pq_encode(emb, books).collect()}
+    rot = {r["vec_id"]: r["code"]
+           for r in ann.pq_encode(emb, books, rotation=eye).collect()}
+    assert plain == rot
+
+
+def _clustered_corpus(n=180, dim=16, nc=3, seed=11, spread=0.15):
+    rng = np.random.default_rng(seed)
+    centers = rng.normal(0, 2.0, (nc, dim))
+    X = np.array([centers[i % nc] + rng.normal(0, spread, dim)
+                  for i in range(n)])
+    return centers, [(i, [float(x) for x in X[i]], "x") for i in range(n)]
+
+
+def test_residual_beats_plain_ivfpq_recall(spark):
+    centers, rows = _clustered_corpus()
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label string").cache()
+    X = np.array([r[1] for r in rows])
+    cents = ann.ivf_train(emb, k=3, iters=4)
+    books_plain = ann.pq_train(emb, m=4, k=8, iters=3)
+    cells = ann.ivf_assign(emb, cents).select("vec_id", "cell", "embedding")
+    plain = ann.pq_encode(emb, books_plain).join(
+        cells.select("vec_id", "cell"), "vec_id").cache()
+
+    # residual codebooks: train on residual vectors (sampled driver-side
+    # like pq_train, via the residual of each row against its cell)
+    crows = cells.orderBy("vec_id").limit(512).collect()
+    Xr = np.array([
+        np.array(r["embedding"]) - np.array(cents[r["cell"]])
+        for r in crows
+    ])
+    books_res = [
+        [[round(float(x), 6) for x in c] for c in C]
+        for C in ann._pq_fit(Xr, 4, 8, 3)
+    ]
+    res = ann.pq_encode_residual(cells, cents, books_res).cache()
+
+    rec_plain, rec_res = [], []
+    for qi in (2, 31, 64, 97, 120):
+        q = rows[qi][1]
+        exact = np.argsort(
+            ((X - np.array(q)) ** 2).sum(axis=1), kind="stable"
+        )[:10].tolist()
+        p_ids = [r["vec_id"] for r in ann.ivf_pq_topk(
+            plain, cents, books_plain, q, k=10, nprobe=2).collect()]
+        r_ids = [r["vec_id"] for r in ann.ivf_pq_residual_topk(
+            res, cents, books_res, q, k=10, nprobe=2).collect()]
+        rec_plain.append(_recall(p_ids, exact))
+        rec_res.append(_recall(r_ids, exact))
+    # residuals are tiny vs cluster offsets here: the same codebook
+    # budget resolves them far better (measured: 0.58 vs 0.36 mean
+    # recall@10 with m=4,k=8 — the relative gap is the pinned claim)
+    assert sum(rec_res) > sum(rec_plain) + 0.5, (rec_plain, rec_res)
+    assert sum(rec_res) / 5 >= 0.5, rec_res
+
+
+def test_residual_oracle_sql_parity(spark):
+    import duckdb
+    import pandas as pd
+
+    centers, rows = _clustered_corpus(n=120, seed=23)
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label string")
+    cents = ann.ivf_train(emb, k=3, iters=3)
+    cells = ann.ivf_assign(emb, cents).select("vec_id", "cell", "embedding")
+    crows = cells.orderBy("vec_id").limit(256).collect()
+    Xr = np.array([
+        np.array(r["embedding"]) - np.array(cents[r["cell"]])
+        for r in crows
+    ])
+    books = [
+        [[round(float(x), 6) for x in c] for c in C]
+        for C in ann._pq_fit(Xr, 4, 8, 2)
+    ]
+    codes = ann.pq_encode_residual(cells, cents, books)
+    q = rows[9][1]
+    sp = pd.DataFrame(
+        [(r["vec_id"], r["adist"]) for r in ann.ivf_pq_residual_topk(
+            codes, cents, books, q, k=8, nprobe=2).collect()],
+        columns=["vec_id", "adist"],
+    )
+    con = duckdb.connect()
+    con.register("embeddings", pd.DataFrame(
+        {"vec_id": [r[0] for r in rows], "embedding": [r[1] for r in rows]}))
+    oc = con.execute(
+        ann.ivf_pq_residual_oracle_sql(cents, books, q, k=8, nprobe=2)
+    ).df()
+    assert sp.reset_index(drop=True).equals(oc.reset_index(drop=True))
+
+
+def test_residual_null_hygiene(spark):
+    cents = [[0.0] * 8, [10.0] * 8]
+    books = [[[0.0] * 4, [1.0] * 4] for _ in range(2)]
+    emb = spark.createDataFrame(
+        [(1, 0, [0.5] * 8), (2, 0, None), (3, 1, [1.0] * 7),
+         (4, None, [0.5] * 8), (5, 7, [0.5] * 8)],
+        "vec_id long, cell int, embedding array<double>",
+    )
+    got = {r["vec_id"]: r["code"] for r in
+           ann.pq_encode_residual(emb, cents, books).collect()}
+    assert got[1] is not None
+    assert got[2] is None and got[3] is None  # null / ragged vector
+    assert got[4] is None and got[5] is None  # null / out-of-range cell
+    top = ann.ivf_pq_residual_topk(
+        ann.pq_encode_residual(emb, cents, books), cents, books,
+        [0.5] * 8, k=5, nprobe=2)
+    assert [r["vec_id"] for r in top.collect()] == [1]
+
+
+def test_opq_and_residual_plan_shapes(spark, rot_emb):
+    rows, emb = rot_emb
+    R, books = ann.opq_train(emb, m=4, k=8, iters=2, opq_iters=2)
+    codes = ann.pq_encode(emb, books, rotation=R)
+    plan = ann.opq_topk(codes, books, R, rows[0][1], k=5)._jdf \
+        .queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+
+    cents = [[0.0] * 16, [1.0] * 16]
+    emb_cells = ann.ivf_assign(emb, cents).select(
+        "vec_id", "cell", "embedding")
+    rcodes = ann.pq_encode_residual(emb_cells, cents, books)
+    rplan = ann.ivf_pq_residual_topk(
+        rcodes, cents, books, rows[0][1], k=5, nprobe=2)._jdf \
+        .queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in rplan
+    assert "Exchange" not in rplan  # union of pruned branches, no shuffle

@@ -135,6 +135,70 @@ def main() -> None:
             "recall_at_k_rerank4k": round(rerank / len(queries), 3),
         })
         codes.unpersist()
+
+    # OPQ (r13): identical scan cost and code layout as PQ — any recall
+    # delta is pure rotation (Ge et al. 2013 OPQ-NP alternation)
+    out["opq"] = []
+    for kc in (16, 64):
+        try:
+            R, books = ann.opq_train(emb, m=8, k=kc, iters=4,
+                                     opq_iters=6, sample=4096)
+        except ValueError:
+            continue
+        codes = ann.pq_encode(emb, books, rotation=R).cache()
+        codes.count()
+        recall = 0.0
+        for q, t in zip(queries, truth_l2):
+            recall += len(topk_ids(ann.opq_topk(codes, books, R, q, k))
+                          & t) / k
+        out["opq"].append({
+            "m": 8, "k_codes": kc, "code_bytes_per_vec": 8,
+            "recall_at_k": round(recall / len(queries), 3),
+        })
+        codes.unpersist()
+
+    # residual IVF-PQ (r13) vs plain IVF-PQ at the SAME nprobe and the
+    # SAME codebook budget — the delta is pure residual encoding
+    out["ivf_pq"] = []
+    try:
+        import numpy as np
+
+        books_p = ann.pq_train(emb, m=8, k=64, iters=4, sample=4096)
+        cells = assigned.select("vec_id", "cell", "embedding")
+        plain_codes = ann.pq_encode(emb, books_p).join(
+            assigned.select("vec_id", "cell"), "vec_id").cache()
+        plain_codes.count()
+        crows = cells.orderBy("vec_id").limit(4096).collect()
+        Xr = np.array([
+            np.array(r["embedding"]) - np.array(centroids[r["cell"]])
+            for r in crows
+        ])
+        books_r = [
+            [[round(float(x), 6) for x in c] for c in C]
+            for C in ann._pq_fit(Xr, 8, 64, 4)
+        ]
+        rcodes = ann.pq_encode_residual(cells, centroids, books_r).cache()
+        rcodes.count()
+        for nprobe in (2, 4, 8):
+            rec_p = rec_r = 0.0
+            for q, t in zip(queries, truth_l2):
+                rec_p += len(topk_ids(ann.ivf_pq_topk(
+                    plain_codes, centroids, books_p, q, k,
+                    nprobe=nprobe)) & t) / k
+                rec_r += len(topk_ids(ann.ivf_pq_residual_topk(
+                    rcodes, centroids, books_r, q, k,
+                    nprobe=nprobe)) & t) / k
+            out["ivf_pq"].append({
+                "m": 8, "k_codes": 64, "n_cells": n_cells,
+                "nprobe": nprobe,
+                "scan_fraction": round(nprobe / n_cells, 3),
+                "recall_at_k_plain": round(rec_p / len(queries), 3),
+                "recall_at_k_residual": round(rec_r / len(queries), 3),
+            })
+        plain_codes.unpersist()
+        rcodes.unpersist()
+    except ValueError:
+        pass  # corpus too small for k=64 codebooks
     print(json.dumps(out))
 
 
