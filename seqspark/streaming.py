@@ -461,11 +461,24 @@ class AsyncSearcher:
         df_factory,
         ttl_sec: int = 3600,
         background: bool = True,
+        job_id: str = None,
     ) -> str:
         """Register and launch a job. ``df_factory`` is a zero-arg callable
         producing the result DataFrame (so resume can re-create it from the
-        persisted query). Returns the job id immediately."""
-        job_id = uuid.uuid4().hex
+        persisted query). Returns the job id immediately.
+
+        ``job_id`` (r13): caller-supplied id — the internal StoreApi's
+        StartAsyncSearch carries the PROXY-generated search_id
+        (`api/storeapi/store_api.proto` StartAsyncSearchRequest.search_id),
+        so the store must accept it instead of minting its own. Sanitized
+        to [A-Za-z0-9._-] because it becomes a directory name."""
+        if job_id is not None:
+            if not job_id or any(
+                not (c.isalnum() or c in "._-") for c in job_id
+            ):
+                raise ValueError(f"invalid job id {job_id!r}")
+        else:
+            job_id = uuid.uuid4().hex
         jd = self._job_dir(job_id)
         os.makedirs(jd, exist_ok=True)
         self._write_meta(

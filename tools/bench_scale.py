@@ -219,6 +219,38 @@ def pipeline_digest_set(events_df, docs_df):
     }
 
 
+def ml_query_set(codes_df, docs_df, mj_assets, books, query, pieces):
+    """r13 scale pins for the r12b ML operators (verdict #4): PQ ADC
+    top-k over codes-at-rest, unigram-LM encode, video key-frames."""
+    from seqspark.pipeline.multimodal import frame_dhashes, keyframes
+    from seqspark.pipeline.ann import pq_topk
+    from seqspark.pipeline.unigram import unigram_encoded
+
+    return {
+        "p5_pq_topk": lambda: pq_topk(codes_df, books, query, k=10).count(),
+        "p6_unigram_encode": lambda: unigram_encoded(
+            docs_df.select("doc_id", "text"), pieces).count(),
+        "p7_keyframes": lambda: keyframes(
+            frame_dhashes(mj_assets, fake=False), k=3).count(),
+    }
+
+
+def ml_digest_set(codes_df, docs_df, mj_assets, books, query, pieces):
+    from seqspark.pipeline.multimodal import frame_dhashes, keyframes
+    from seqspark.pipeline.ann import pq_topk
+    from seqspark.pipeline.unigram import unigram_encoded
+
+    return {
+        "p5_pq_topk": lambda: [pq_topk(codes_df, books, query, k=10)],
+        "p6_unigram_encode": lambda: [
+            unigram_encoded(docs_df.select("doc_id", "text"), pieces)
+        ],
+        "p7_keyframes": lambda: [
+            keyframes(frame_dhashes(mj_assets, fake=False), k=3)
+        ],
+    }
+
+
 PLANS_PATH = os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
     "bench_plans_scale.json",
@@ -301,6 +333,38 @@ def main() -> None:
     ).head()
     window = (lo + (hi - lo) * 48 // 100, lo + (hi - lo) * 53 // 100)
 
+    # r13: ML-operator scale fixtures — PQ codes-at-rest written per
+    # scale (the realistic layout: encode once at ingest), MJPEG asset
+    # count scaled, documents reuse docs/docs_x
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "entry", os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "__spark_entry__.py"))
+    entry = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(entry)
+    from seqspark.pipeline.ann import pq_encode
+    from seqspark.pipeline.multimodal import make_real_mjpeg_assets
+
+    books, query, pieces = (
+        entry.PQ_CODEBOOKS, entry.PQ_QUERY, entry.UNIGRAM_PIECES)
+    emb_raw = load_table(spark, SF_DIR, "embeddings")
+    codes_small_path = os.path.join(base_dir, "pq_codes_x1")
+    codes1_path = os.path.join(base_dir, f"pq_codes_x{args.factor}")
+    if not os.path.exists(codes_small_path):
+        pq_encode(emb_raw, books).write.parquet(codes_small_path)
+    if not os.path.exists(codes1_path):
+        emb_x = emb_raw.withColumn(
+            "__r", F.explode(F.sequence(F.lit(0), F.lit(args.factor - 1)))
+        ).withColumn(
+            "vec_id", F.col("vec_id") + F.col("__r") * 100_000_000
+        ).drop("__r")
+        pq_encode(emb_x, books).write.parquet(codes1_path)
+    codes = spark.read.parquet(codes_small_path)
+    codes_x = spark.read.parquet(codes1_path)
+    mj = make_real_mjpeg_assets(spark, 16)
+    mj_x = make_real_mjpeg_assets(spark, 16 * args.factor)
+
     small = {k: timed(fn, args.runs)
              for k, fn in query_set(st, lineitem, window).items()}
     big = {k: timed(fn, args.runs)
@@ -309,6 +373,10 @@ def main() -> None:
                   for k, fn in pipeline_query_set(events, docs).items()})
     big.update({k: timed(fn, args.runs)
                 for k, fn in pipeline_query_set(events_x, docs_x).items()})
+    small.update({k: timed(fn, args.runs) for k, fn in ml_query_set(
+        codes, docs, mj, books, query, pieces).items()})
+    big.update({k: timed(fn, args.runs) for k, fn in ml_query_set(
+        codes_x, docs_x, mj_x, books, query, pieces).items()})
     ratio = {k: round(big[k] / small[k], 2) if small[k] else None for k in small}
 
     # plan digests at BOTH scales, pinned against bench_plans_scale.json
@@ -321,6 +389,14 @@ def main() -> None:
     for scale, s_ev, s_docs in (("x1", events, docs),
                                 (f"x{args.factor}", events_x, docs_x)):
         for name, builder in pipeline_digest_set(s_ev, s_docs).items():
+            digests[f"{name}@{scale}"] = bench.plan_digest(builder())
+    for scale, s_codes, s_docs, s_mj in (
+        ("x1", codes, docs, mj),
+        (f"x{args.factor}", codes_x, docs_x, mj_x),
+    ):
+        for name, builder in ml_digest_set(
+            s_codes, s_docs, s_mj, books, query, pieces
+        ).items():
             digests[f"{name}@{scale}"] = bench.plan_digest(builder())
     expected = {}
     if os.path.exists(PLANS_PATH):

@@ -77,8 +77,14 @@ def child_main(dir_: str) -> None:
         allowed_drift_ms=BIG, future_drift_ms=BIG,
         async_dir=os.path.join(dir_, "async"),
     ).start()
+    # r13: the INTERNAL StoreApi gRPC transport on the same core — the
+    # drill can ship bulks over gRPC framing, not just HTTP
+    from seqspark.storegrpc import StoreGrpc
+
+    grpc_srv = StoreGrpc(core).start()
     resumed = core.resume_async()
-    print(json.dumps({"port": core.port, "resumed": resumed}), flush=True)
+    print(json.dumps({"port": core.port, "grpc_port": grpc_srv.port,
+                      "resumed": resumed}), flush=True)
     # compaction pressure so a SIGKILL lands mid-compaction with real odds;
     # the count ledger lets the parent assert compactions actually ran
     log = os.path.join(dir_, "compactions.log")
@@ -133,7 +139,8 @@ def _spawn(dir_: str):
             if time.time() > deadline:
                 raise
             time.sleep(0.2)
-    return proc, port, time.time() - t0, info.get("resumed", [])
+    return (proc, port, time.time() - t0, info.get("resumed", []),
+            info.get("grpc_port"))
 
 
 def main() -> None:
@@ -142,6 +149,12 @@ def main() -> None:
     ap.add_argument("--dir")
     ap.add_argument("--rounds", type=int, default=3)
     ap.add_argument("--ship-seconds", type=float, default=6.0)
+    ap.add_argument(
+        "--transport", choices=("http", "grpc"), default="http",
+        help="bulk + async framing: ES HTTP _bulk, or the internal "
+             "api.StoreApi gRPC service (r13 — same engine, different "
+             "wire path; the kill must lose nothing either way)",
+    )
     args = ap.parse_args()
     if args.child:
         child_main(args.dir)
@@ -154,8 +167,24 @@ def main() -> None:
     seq_counter = [0]
     rounds_out = []
 
+    def _grpc_bulk(gport: int, docs: list, timeout=30.0) -> None:
+        """One StoreApi Bulk over a fresh channel (the drill kills the
+        server mid-flight; per-call channels keep failures isolated)."""
+        from seqspark.wire import storeapi as sa
+        from seqspark.wire.grpc import GrpcChannel
+
+        ch = GrpcChannel("127.0.0.1", gport, timeout=timeout)
+        try:
+            ch.unary(
+                f"{sa.SERVICE}/Bulk",
+                {"count": len(docs),
+                 "docs": "\n".join(docs).encode()},
+                sa.BULK_REQUEST, sa.EMPTY)
+        finally:
+            ch.close()
+
     for rnd in range(args.rounds):
-        proc, port, start_s, resumed = _spawn(dir_)
+        proc, port, start_s, resumed, gport = _spawn(dir_)
         stop = threading.Event()
         async_ids: list = []
 
@@ -172,29 +201,45 @@ def main() -> None:
                 "service": "warm", "seq": str(wbase + d),
                 "message": f"warm {wbase + d}",
             }))
-        wresp = _http(port, "/_bulk", "\n".join(wlines).encode(), timeout=120)
-        if not wresp.get("errors"):
+        if args.transport == "grpc":
+            _grpc_bulk(gport, [json.dumps({
+                "timestamp": "2024-01-01 10:00:00.000",
+                "service": "warm", "seq": str(wbase + d),
+                "message": f"warm {wbase + d}",
+            }) for d in range(5)], timeout=120.0)
+            # an unraised gRPC Bulk IS the ack (Empty arrived)
             acked.update(str(wbase + d) for d in range(5))
+        else:
+            wresp = _http(port, "/_bulk", "\n".join(wlines).encode(),
+                          timeout=120)
+            if not wresp.get("errors"):
+                acked.update(str(wbase + d) for d in range(5))
 
-        def shipper(tid: int, port=port, stop=stop):
+        def shipper(tid: int, port=port, gport=gport, stop=stop):
             while not stop.is_set():
                 with seq_lock:
                     base = seq_counter[0]
                     seq_counter[0] += 20
-                lines = []
-                for d in range(20):
-                    lines.append('{"index": {}}')
-                    lines.append(json.dumps({
-                        "timestamp": f"2024-01-01 {10 + (base % 6):02d}"
-                                     f":00:{(tid * 7 + d) % 60:02d}.000",
-                        "service": f"svc{tid}",
-                        "seq": str(base + d),
-                        "message": f"msg {tid} {base + d}",
-                    }))
+                docs = [json.dumps({
+                    "timestamp": f"2024-01-01 {10 + (base % 6):02d}"
+                                 f":00:{(tid * 7 + d) % 60:02d}.000",
+                    "service": f"svc{tid}",
+                    "seq": str(base + d),
+                    "message": f"msg {tid} {base + d}",
+                }) for d in range(20)]
                 try:
-                    resp = _http(port, "/_bulk", "\n".join(lines).encode(),
-                                 timeout=30)
-                    if not resp.get("errors"):
+                    if args.transport == "grpc":
+                        _grpc_bulk(gport, docs)
+                        ok = True
+                    else:
+                        lines = []
+                        for doc in docs:
+                            lines.append('{"index": {}}')
+                            lines.append(doc)
+                        resp = _http(port, "/_bulk",
+                                     "\n".join(lines).encode(), timeout=30)
+                        ok = not resp.get("errors")
+                    if ok:
                         with seq_lock:
                             acked.update(
                                 str(base + d) for d in range(20)
@@ -208,15 +253,36 @@ def main() -> None:
         time.sleep(args.ship_seconds)
         if rnd == args.rounds - 1:
             # async-resume scenario: searches in flight at the kill
-            for _ in range(3):
-                try:
-                    out = _http(port, "/async/start",
-                                json.dumps({"query": "*", "size": 10,
-                                            "with_total": True}).encode(),
-                                timeout=30)
-                    async_ids.append(out["search_id"])
-                except Exception:  # noqa: BLE001
-                    pass
+            if args.transport == "grpc":
+                from seqspark.wire import storeapi as sa
+                from seqspark.wire.grpc import GrpcChannel
+
+                for i in range(3):
+                    sid = f"drill-{rnd}-{i}"
+                    try:
+                        ch = GrpcChannel("127.0.0.1", gport, timeout=30)
+                        try:
+                            ch.unary(
+                                f"{sa.SERVICE}/StartAsyncSearch",
+                                {"search_id": sid, "query": "*",
+                                 "from": 0, "to": 4102444800000},
+                                sa.START_ASYNC_SEARCH_REQUEST,
+                                sa.START_ASYNC_SEARCH_RESPONSE)
+                            async_ids.append(sid)
+                        finally:
+                            ch.close()
+                    except Exception:  # noqa: BLE001
+                        pass
+            else:
+                for _ in range(3):
+                    try:
+                        out = _http(port, "/async/start",
+                                    json.dumps({"query": "*", "size": 10,
+                                                "with_total": True}).encode(),
+                                    timeout=30)
+                        async_ids.append(out["search_id"])
+                    except Exception:  # noqa: BLE001
+                        pass
             time.sleep(0.2)
         # SIGKILL while bulks (and possibly a compaction) are mid-flight
         os.kill(proc.pid, signal.SIGKILL)
@@ -226,7 +292,7 @@ def main() -> None:
             t.join(timeout=60)
         proc.wait(timeout=30)
 
-        proc2, port2, recovery_s, resumed2 = _spawn(dir_)
+        proc2, port2, recovery_s, resumed2, gport2 = _spawn(dir_)
         # verify: every acked seq present EXACTLY once
         body = _http_raw(port2, "/export", json.dumps(
             {"query": {"query": "*",
@@ -256,12 +322,30 @@ def main() -> None:
             while pending and time.time() < deadline:
                 for sid in list(pending):
                     try:
-                        res = _http(port2, "/async/fetch",
-                                    json.dumps({"search_id": sid}).encode(),
-                                    timeout=30)
-                        if res.get("status") == "done":
-                            done_async += 1
-                            pending.remove(sid)
+                        if args.transport == "grpc":
+                            from seqspark.wire import storeapi as sa
+                            from seqspark.wire.grpc import GrpcChannel
+
+                            ch = GrpcChannel("127.0.0.1", gport2, timeout=30)
+                            try:
+                                res = ch.unary(
+                                    f"{sa.SERVICE}/FetchAsyncSearchResult",
+                                    {"search_id": sid},
+                                    sa.FETCH_ASYNC_SEARCH_RESULT_REQUEST,
+                                    sa.FETCH_ASYNC_SEARCH_RESULT_RESPONSE)
+                            finally:
+                                ch.close()
+                            if res.get("done"):
+                                done_async += 1
+                                pending.remove(sid)
+                        else:
+                            res = _http(
+                                port2, "/async/fetch",
+                                json.dumps({"search_id": sid}).encode(),
+                                timeout=30)
+                            if res.get("status") == "done":
+                                done_async += 1
+                                pending.remove(sid)
                     except Exception:  # noqa: BLE001
                         pass
                 time.sleep(0.5)
@@ -291,6 +375,7 @@ def main() -> None:
     ) and compactions > 0
     print(json.dumps({
         "metric": "seqspark_crash_drill",
+        "transport": args.transport,
         "rounds": rounds_out,
         "compactions_across_rounds": compactions,
         "ok": ok,
