@@ -1652,3 +1652,151 @@ def test_histogram_and_total_differential(diff_rig, specs):
             f"SELECT ts_ms - ts_ms % {interval}, count(*) FROM diffdocs "
             f"WHERE {where} GROUP BY 1").fetchall())
         assert got_hist == want_hist, (q, interval, f_ms, t_ms)
+
+
+# --- ComplexSearch differential fuzz (r13, verdict #6): ONE random query
+# + window drives docs-page, with_total, date histogram and MULTIPLE
+# simultaneous aggregations through complex_search's single-scan
+# multi-output path (`frac/processor/search.go:71-85` semantics), each
+# output checked against its independent DuckDB replay; an optional
+# `| fields` pipe must project the returned docs without perturbing
+# filtering, ordering or any sibling output.
+
+_COMPLEX_PIPE_FIELDS = ["service", "code", "msg"]
+
+
+@st.composite
+def _complex_spec(draw):
+    filt = draw(st.one_of(st.just(("all",)), _diff_spec))
+    if draw(st.booleans()):
+        a = draw(st.integers(0, _DIFF_SPAN_S))
+        b = draw(st.integers(0, _DIFF_SPAN_S))
+        lo, hi = sorted((a, b))
+        window = (_DIFF_EPOCH_MS + lo * 1000, _DIFF_EPOCH_MS + hi * 1000)
+    else:
+        window = (None, None)
+    order = draw(st.sampled_from(["asc", "desc"]))
+    size = draw(st.sampled_from([0, 7, 50]))
+    offset = draw(st.sampled_from([0, 3]))
+    hist_interval = draw(st.sampled_from([None, 1000, 60_000]))
+    n_aggs = draw(st.integers(1, 3))
+    aggs = []
+    for _ in range(n_aggs):
+        func = draw(st.sampled_from(
+            ["count", "unique", "sum", "min", "max", "avg"]))
+        if func in ("count", "unique"):
+            interval = None if func == "unique" else draw(
+                st.sampled_from([None, 60_000]))
+            aggs.append(("agg", func, None,
+                         draw(st.sampled_from(_AGG_GROUP_FIELDS)),
+                         interval, filt))
+        else:
+            aggs.append((
+                "agg", func, draw(st.sampled_from(_AGG_VALUE_FIELDS)),
+                draw(st.sampled_from(_AGG_GROUP_FIELDS + [None])),
+                draw(st.sampled_from([None, 60_000])), filt,
+            ))
+    pipe = draw(st.one_of(
+        st.none(),
+        st.lists(st.sampled_from(_COMPLEX_PIPE_FIELDS), min_size=1,
+                 max_size=2, unique=True),
+    ))
+    return (filt, window, order, size, offset, hist_interval, aggs, pipe)
+
+
+@settings(max_examples=20, deadline=None)
+@given(_complex_spec())
+def test_complex_search_differential(diff_rig, spec):
+    import math
+
+    from seqspark import AggQuery
+
+    table, con, _ = diff_rig
+    filt, (f_ms, t_ms), order, size, offset, hist_iv, agg_specs, pipe = spec
+    q = _render(filt)
+    aggqs = [
+        AggQuery(func=a[1], field=a[2], group_by=a[3], interval_ms=a[4])
+        for a in agg_specs
+    ]
+    res = table.complex_search(
+        q, from_ms=f_ms, to_ms=t_ms, size=size, offset=offset, order=order,
+        with_total=True, hist_interval_ms=hist_iv, aggs=aggqs,
+    )
+    try:
+        # the shared time window, applied to every oracle replay via a
+        # temp view (the agg SQL builder reads the filter from the spec)
+        conds = []
+        if f_ms is not None:
+            conds += [f"ts_ms >= {f_ms}", f"ts_ms <= {t_ms}"]
+        con.execute(
+            "CREATE OR REPLACE TEMP VIEW cfuzz AS SELECT * FROM diffdocs"
+            + (f" WHERE {' AND '.join(conds)}" if conds else "")
+        )
+
+        # docs page (size=0 means "no docs" in complex, like the proxy)
+        rows_full = []
+        want_ids = []
+        if size > 0:
+            rows_full = res.docs.select(
+                "id", *_COMPLEX_PIPE_FIELDS).collect()
+            got_ids = [r["id"] for r in rows_full]
+            want_ids = _duck_page_ids(
+                con, (filt, (f_ms, t_ms), order, size, offset))
+            assert got_ids == want_ids, (q, order, size, offset)
+
+        # total
+        where = _duck_expr(filt)
+        want_total = con.execute(
+            f"SELECT count(*) FROM cfuzz WHERE {where}").fetchone()[0]
+        assert res.total.head()["total"] == want_total, q
+
+        # histogram
+        if hist_iv is not None:
+            got_hist = sorted(
+                (r["bucket_ms"], r["cnt"]) for r in res.histogram.collect()
+            )
+            want_hist = sorted(con.execute(
+                f"SELECT ts_ms - ts_ms % {hist_iv}, count(*) FROM cfuzz "
+                f"WHERE {where} GROUP BY 1").fetchall())
+            assert got_hist == want_hist, (q, hist_iv)
+
+        # every aggregation, all fed by the SAME cached scan
+        for a_spec, adf in zip(agg_specs, res.aggs):
+            got = _norm_bucket_rows(
+                (r["mid_ms"], r["name"], r["value"], r["not_exists"])
+                for r in adf.collect()
+            )
+            want = _norm_bucket_rows(con.execute(
+                _duck_agg_sql(a_spec).replace("FROM diffdocs", "FROM cfuzz")
+            ).fetchall())
+            assert len(got) == len(want), (q, a_spec, len(got), len(want))
+            for g, w in zip(got, want):
+                assert g[0] == w[0] and g[1] == w[1] and g[3] == w[3], (
+                    q, a_spec, g, w)
+                if isinstance(g[2], str) or isinstance(w[2], str):
+                    assert g[2] == w[2], (q, a_spec, g, w)
+                else:
+                    assert math.isclose(g[2], w[2], rel_tol=1e-9,
+                                        abs_tol=1e-9), (q, a_spec, g, w)
+    finally:
+        res.unpersist()
+
+    # fields pipe: projects the returned docs to EXACTLY the named
+    # columns, perturbing neither filtering, ordering nor the total
+    if pipe is not None and size > 0:
+        piped = table.complex_search(
+            f"{q} | fields {', '.join(pipe)}",
+            from_ms=f_ms, to_ms=t_ms, size=size, offset=offset,
+            order=order, with_total=True, hist_interval_ms=None, aggs=[],
+        )
+        try:
+            rows = piped.docs.collect()
+            assert set(rows[0].asDict().keys()) == set(pipe) if rows \
+                else len(want_ids) == 0, (q, pipe)
+            assert len(rows) == len(rows_full), (q, pipe)
+            for got_r, full_r in zip(rows, rows_full):
+                for c in pipe:
+                    assert got_r[c] == full_r[c], (q, pipe, c)
+            assert piped.total.head()["total"] == want_total, (q, pipe)
+        finally:
+            piped.unpersist()
