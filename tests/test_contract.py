@@ -156,6 +156,8 @@ def test_scale_plan_pins_cover_all_scale_queries():
         "q7_pricing", "q8_time_window",
         "p1_sessionize_scalable", "p2_cap_salted", "p3_top_salted",
         "p4_span_dedup",
+        # r13 (verdict #4): the r12b ML operators' scale pins
+        "p5_pq_topk", "p6_unigram_encode", "p7_keyframes",
     }
     missing = [
         f"{n}@{s}" for n in sorted(names) for s in ("x1", "x10")
