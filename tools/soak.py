@@ -92,7 +92,7 @@ def main() -> None:
     stop = threading.Event()
     errors: list = []
     counts = {"bulk": 0, "docs": 0, "search_http": 0, "search_grpc": 0,
-              "search_grpc_tls": 0,
+              "search_grpc_tls": 0, "search_storeapi": 0,
               "search_gateway": 0, "export_gateway": 0,
               "export": 0, "async": 0, "compact": 0, "mapping_flips": 0}
     lock = threading.Lock()
@@ -169,6 +169,47 @@ def main() -> None:
                     record_err("search_grpc", e)
         finally:
             ch.close()
+
+    def store_api_user():
+        # r13: the INTERNAL StoreApi transport under the same pressure —
+        # bulks over gRPC framing interleaved with store-shaped searches
+        # (id_sources + aggs), sharing the engine with every other worker
+        from seqspark.storegrpc import StoreGrpc
+        from seqspark.wire import storeapi as sa
+
+        srv = StoreGrpc(core).start()
+        ch = GrpcChannel("127.0.0.1", srv.port)
+        k = 0
+        try:
+            while not stop.is_set():
+                try:
+                    docs = [json.dumps({
+                        "timestamp": f"2024-01-01 {10 + (k % 6):02d}"
+                                     f":00:{(k * 13) % 60:02d}.000",
+                        "service": "svcg",
+                        "message": f"grpcbulk {k} {d}",
+                    }) for d in range(20)]
+                    ch.unary(f"{sa.SERVICE}/Bulk",
+                             {"count": 20, "docs": "\n".join(docs).encode()},
+                             sa.BULK_REQUEST, sa.EMPTY)
+                    bump("bulk")
+                    bump("docs", 20)
+                    ch.unary(
+                        f"{sa.SERVICE}/Search",
+                        {"query": "service:svcg", "from": 0,
+                         "to": 4102444800000, "size": 5, "with_total": True,
+                         "aggs": [{"field": "service", "group_by": "service",
+                                   "func": 0}]},
+                        sa.SEARCH_REQUEST, sa.SEARCH_RESPONSE)
+                    bump("search_storeapi")
+                except GrpcError as e:
+                    record_err("storeapi", e)
+                except Exception as e:  # noqa: BLE001
+                    record_err("storeapi", e)
+                k += 1
+        finally:
+            ch.close()
+            srv.stop()
 
     def searcher_grpc_tls():
         if grpc_tls is None:
@@ -269,6 +310,7 @@ def main() -> None:
         + [threading.Thread(target=searcher_http, args=(t,))
            for t in range(args.searchers)]
         + [threading.Thread(target=searcher_grpc),
+           threading.Thread(target=store_api_user),
            threading.Thread(target=searcher_grpc_tls),
            threading.Thread(target=searcher_gateway),
            threading.Thread(target=exporter),
