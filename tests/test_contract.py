@@ -158,6 +158,7 @@ def test_scale_plan_pins_cover_all_scale_queries():
         "p4_span_dedup",
         # r13 (verdict #4): the r12b ML operators' scale pins
         "p5_pq_topk", "p6_unigram_encode", "p7_keyframes",
+        "p8_ivfpq_residual",
     }
     missing = [
         f"{n}@{s}" for n in sorted(names) for s in ("x1", "x10")

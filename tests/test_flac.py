@@ -335,3 +335,50 @@ def test_fixture_rows_deterministic():
     a = real_flac_asset_rows(5)
     b = real_flac_asset_rows(5)
     assert [bytes(r[2]) for r in a] == [bytes(r[2]) for r in b]
+
+
+# ------------------------------------------------------- round-trip fuzz
+
+from hypothesis import given, settings, strategies as hst
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    hst.integers(0, 2**31),
+    hst.sampled_from([8, 16]),
+    hst.sampled_from([1, 2]),
+    hst.sampled_from([192, 256, 1000]),
+    hst.booleans(),
+    hst.integers(1, 1200),
+)
+def test_roundtrip_fuzz(seed, bits, nch, block, mid_side, n):
+    """Any PCM the encoder accepts must decode back bit-exact — random
+    amplitude mixes (tonal, noisy, constant runs, full-scale clipping
+    edges), random block sizes incl. a non-power-of-two, both stereo
+    layouts, partial tail blocks."""
+    rng = random.Random(seed)
+    lim = (1 << (bits - 1)) - 1
+    chans = []
+    for c in range(nch):
+        mode = rng.randrange(4)
+        if mode == 0:  # constant run
+            v = rng.randint(-lim - 1, lim)
+            ch = [v] * n
+        elif mode == 1:  # full-scale noise
+            ch = [rng.randint(-lim - 1, lim) for _ in range(n)]
+        elif mode == 2:  # tonal + dither
+            ch = [
+                int(0.7 * lim * math.sin(k * 0.07 + c))
+                + rng.randint(-3, 3)
+                for k in range(n)
+            ]
+            ch = [max(-lim - 1, min(lim, v)) for v in ch]
+        else:  # step edges (stress Rice parameter choice)
+            ch = [(-lim - 1 if (k // 37) % 2 else lim) for k in range(n)]
+        chans.append(ch)
+    b = flac.encode(8000, nch, bits, chans, block_size=block,
+                    mid_side=(mid_side and nch == 2))
+    dec = flac.decode(b)
+    assert dec is not None
+    assert dec[3] == chans
+    assert flac.meta(b) == (nch, bits, n)

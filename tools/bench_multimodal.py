@@ -96,6 +96,7 @@ def main() -> None:
         make_real_assets,
         make_real_gif_assets,
         make_real_jpeg_assets,
+        make_real_flac_assets,
         make_real_mjpeg_assets,
         make_real_y4m_assets,
         sample_frames,
@@ -182,6 +183,7 @@ def main() -> None:
         "y4m": make_real_y4m_assets(spark, n),
         "jpeg": make_real_jpeg_assets(spark, n),
         "mjpeg": make_real_mjpeg_assets(spark, n),
+        "flac": make_real_flac_assets(spark, n),
     }
     # repartition so the Arrow batches spread over the executor threads
     fixtures = {
@@ -222,6 +224,12 @@ def main() -> None:
          lambda c: c)
     rate("audio_features",
          lambda: audio_features(fixtures["png_wav"], fake=False)
+         .filter(F.col("fingerprint").isNotNull()).count(),
+         lambda c: c)
+    # r13: the same DSP features through the stdlib FLAC decoder (Rice
+    # decode is the pure-Python cost; WAV above is the near-free baseline)
+    rate("audio_features_flac",
+         lambda: audio_features(fixtures["flac"], fake=False)
          .filter(F.col("fingerprint").isNotNull()).count(),
          lambda c: c)
 

@@ -219,11 +219,13 @@ def pipeline_digest_set(events_df, docs_df):
     }
 
 
-def ml_query_set(codes_df, docs_df, mj_assets, books, query, pieces):
-    """r13 scale pins for the r12b ML operators (verdict #4): PQ ADC
-    top-k over codes-at-rest, unigram-LM encode, video key-frames."""
+def ml_query_set(codes_df, docs_df, mj_assets, books, query, pieces,
+                 rcodes_df, cents, rbooks):
+    """r13 scale pins for the r12b/r13 ML operators (verdict #4): PQ ADC
+    top-k over codes-at-rest, unigram-LM encode, video key-frames, and
+    residual IVF-PQ (the union-of-pruned-branches plan)."""
     from seqspark.pipeline.multimodal import frame_dhashes, keyframes
-    from seqspark.pipeline.ann import pq_topk
+    from seqspark.pipeline.ann import ivf_pq_residual_topk, pq_topk
     from seqspark.pipeline.unigram import unigram_encoded
 
     return {
@@ -232,12 +234,15 @@ def ml_query_set(codes_df, docs_df, mj_assets, books, query, pieces):
             docs_df.select("doc_id", "text"), pieces).count(),
         "p7_keyframes": lambda: keyframes(
             frame_dhashes(mj_assets, fake=False), k=3).count(),
+        "p8_ivfpq_residual": lambda: ivf_pq_residual_topk(
+            rcodes_df, cents, rbooks, query, k=10, nprobe=2).count(),
     }
 
 
-def ml_digest_set(codes_df, docs_df, mj_assets, books, query, pieces):
+def ml_digest_set(codes_df, docs_df, mj_assets, books, query, pieces,
+                  rcodes_df, cents, rbooks):
     from seqspark.pipeline.multimodal import frame_dhashes, keyframes
-    from seqspark.pipeline.ann import pq_topk
+    from seqspark.pipeline.ann import ivf_pq_residual_topk, pq_topk
     from seqspark.pipeline.unigram import unigram_encoded
 
     return {
@@ -247,6 +252,10 @@ def ml_digest_set(codes_df, docs_df, mj_assets, books, query, pieces):
         ],
         "p7_keyframes": lambda: [
             keyframes(frame_dhashes(mj_assets, fake=False), k=3)
+        ],
+        "p8_ivfpq_residual": lambda: [
+            ivf_pq_residual_topk(rcodes_df, cents, rbooks, query,
+                                 k=10, nprobe=2)
         ],
     }
 
@@ -360,6 +369,30 @@ def main() -> None:
             "vec_id", F.col("vec_id") + F.col("__r") * 100_000_000
         ).drop("__r")
         pq_encode(emb_x, books).write.parquet(codes1_path)
+    # residual IVF-PQ codes-at-rest (r13): cells + residual codes against
+    # the frozen centroids, materialized per scale like the plain codes
+    from seqspark.pipeline.ann import ivf_assign, pq_encode_residual
+
+    cents, rbooks = entry.SEMDEDUP_CENTROIDS, entry.PQ_RESIDUAL_CODEBOOKS
+    rcodes_small_path = os.path.join(base_dir, "ivfpq_res_x1")
+    rcodes1_path = os.path.join(base_dir, f"ivfpq_res_x{args.factor}")
+    if not os.path.exists(rcodes_small_path):
+        pq_encode_residual(
+            ivf_assign(emb_raw, cents).select("vec_id", "cell", "embedding"),
+            cents, rbooks,
+        ).write.parquet(rcodes_small_path)
+    if not os.path.exists(rcodes1_path):
+        emb_x = emb_raw.withColumn(
+            "__r", F.explode(F.sequence(F.lit(0), F.lit(args.factor - 1)))
+        ).withColumn(
+            "vec_id", F.col("vec_id") + F.col("__r") * 100_000_000
+        ).drop("__r")
+        pq_encode_residual(
+            ivf_assign(emb_x, cents).select("vec_id", "cell", "embedding"),
+            cents, rbooks,
+        ).write.parquet(rcodes1_path)
+    rcodes = spark.read.parquet(rcodes_small_path)
+    rcodes_x = spark.read.parquet(rcodes1_path)
     codes = spark.read.parquet(codes_small_path)
     codes_x = spark.read.parquet(codes1_path)
     mj = make_real_mjpeg_assets(spark, 16)
@@ -374,9 +407,11 @@ def main() -> None:
     big.update({k: timed(fn, args.runs)
                 for k, fn in pipeline_query_set(events_x, docs_x).items()})
     small.update({k: timed(fn, args.runs) for k, fn in ml_query_set(
-        codes, docs, mj, books, query, pieces).items()})
+        codes, docs, mj, books, query, pieces,
+        rcodes, cents, rbooks).items()})
     big.update({k: timed(fn, args.runs) for k, fn in ml_query_set(
-        codes_x, docs_x, mj_x, books, query, pieces).items()})
+        codes_x, docs_x, mj_x, books, query, pieces,
+        rcodes_x, cents, rbooks).items()})
     ratio = {k: round(big[k] / small[k], 2) if small[k] else None for k in small}
 
     # plan digests at BOTH scales, pinned against bench_plans_scale.json
@@ -390,12 +425,13 @@ def main() -> None:
                                 (f"x{args.factor}", events_x, docs_x)):
         for name, builder in pipeline_digest_set(s_ev, s_docs).items():
             digests[f"{name}@{scale}"] = bench.plan_digest(builder())
-    for scale, s_codes, s_docs, s_mj in (
-        ("x1", codes, docs, mj),
-        (f"x{args.factor}", codes_x, docs_x, mj_x),
+    for scale, s_codes, s_docs, s_mj, s_rc in (
+        ("x1", codes, docs, mj, rcodes),
+        (f"x{args.factor}", codes_x, docs_x, mj_x, rcodes_x),
     ):
         for name, builder in ml_digest_set(
-            s_codes, s_docs, s_mj, books, query, pieces
+            s_codes, s_docs, s_mj, books, query, pieces,
+            s_rc, cents, rbooks
         ).items():
             digests[f"{name}@{scale}"] = bench.plan_digest(builder())
     expected = {}
