@@ -782,6 +782,17 @@ class SeqSparkServer:
     #: surface after the bounded loop.
     _TRANSIENT_ATTEMPTS = 4
 
+    #: export no-progress stall bound (r13): a MULTI-partition `maintain`
+    #: burst swaps partitions sequentially for >1s, and the export
+    #: drain's old 4×(0.05s·n) stall window (~0.3s total) could land a
+    #: replan inside the same burst every time — the r13 closing soak
+    #: caught exactly one such exhaustion (1 error in 162 drains under a
+    #: 1s-period compactor). Six attempts with exponential backoff
+    #: (0.1→1.6s, ~3s total) outlast any burst; a genuinely broken file
+    #: at the cursor still propagates after ~3s — noise against a drain
+    #: that runs minutes at scale.
+    _EXPORT_STALL_ATTEMPTS = 6
+
     def _retry_transient(self, fn):
         """Replan ``fn`` (bounded) while it fails on files maintenance
         swapped/deleted under it; anything else propagates immediately."""
@@ -828,19 +839,26 @@ class SeqSparkServer:
         # the first plan is built EAGERLY so request-shaped errors (seq-ql
         # parse, size cap, bad dialect) raise here — the transports turn
         # those into a clean 400 / INVALID_ARGUMENT before any bytes of
-        # the stream are sent
-        st0 = self._table()
-        if st0.partial:
-            # search degrades to partial results; an EXPORT is a
-            # completeness contract (backup/ETL) — a drain that would
-            # silently omit the entire cold history must fail loudly
-            raise RuntimeError(
-                "export requires the full store: cold tier unreachable "
-                "(search still serves partial results)"
-            )
-        first = st0.search(
-            q, size=size, offset=offset, order=order, **kw
-        ).select("mid", "rid", "raw")
+        # the stream are sent. The build goes through _retry_transient:
+        # a compaction swap renames a bucket directory away for an
+        # instant, and a concurrent parquet LISTING of it throws
+        # FileNotFoundException at plan-build time (r13 stress catch) —
+        # transient by construction, exactly like a mid-task read race.
+        def _first_plan():
+            st0 = self._table()
+            if st0.partial:
+                # search degrades to partial results; an EXPORT is a
+                # completeness contract (backup/ETL) — a drain that would
+                # silently omit the entire cold history must fail loudly
+                raise RuntimeError(
+                    "export requires the full store: cold tier unreachable "
+                    "(search still serves partial results)"
+                )
+            return st0.search(
+                q, size=size, offset=offset, order=order, **kw
+            ).select("mid", "rid", "raw")
+
+        first = self._retry_transient(_first_plan)
 
         def rows():
             # Resume-on-transient-failure drain: an export is a LONG read
@@ -863,6 +881,39 @@ class SeqSparkServer:
             stalls = 0
             while True:
                 try:
+                    if docs is None:
+                        # replan against the post-swap file listing —
+                        # INSIDE the guard: the listing itself can race
+                        # the NEXT swap (a bucket dir is briefly absent
+                        # between compaction's two renames, r13 stress
+                        # catch) and must count as a stall, not escape
+                        st = self._table()
+                        if st.partial:
+                            # cold tier went dark MID-DRAIN: resuming
+                            # would silently omit its rows — abort (the
+                            # missing end sentinel / stream error marks
+                            # the truncation). No transient marker in
+                            # the message, so the filter below re-raises.
+                            raise RuntimeError(
+                                "export aborted: cold tier became "
+                                "unreachable mid-drain"
+                            )
+                        if cursor is None:
+                            docs = st.search(
+                                q, size=size, offset=offset, order=order,
+                                **kw
+                            )
+                        else:
+                            remaining = (
+                                None if size is None else size - yielded
+                            )
+                            if remaining == 0:
+                                return
+                            docs = st.search_after(
+                                q, last_ts_ms=cursor[0], last_rid=cursor[1],
+                                size=remaining, order=order, **kw
+                            )
+                        docs = docs.select("mid", "rid", "raw")
                     for r in docs.toLocalIterator(prefetchPartitions=True):
                         yield r["mid"], r["rid"], r["raw"]
                         yielded += 1
@@ -871,36 +922,15 @@ class SeqSparkServer:
                 except Exception as e:  # noqa: BLE001 - filtered below
                     if not any(t in str(e) for t in self._TRANSIENT_READ):
                         raise
+                    docs = None  # next iteration replans from a new listing
                     if cursor == failed_at:
                         stalls += 1
-                        if stalls >= self._TRANSIENT_ATTEMPTS - 1:
+                        if stalls >= self._EXPORT_STALL_ATTEMPTS - 1:
                             raise
-                        time.sleep(0.05 * stalls)
+                        time.sleep(min(0.1 * (2 ** (stalls - 1)), 2.0))
                     else:
                         failed_at = cursor
                         stalls = 0
-                st = self._table()  # replan: post-swap file listing
-                if st.partial:
-                    # cold tier went dark MID-DRAIN: resuming would
-                    # silently omit its rows — abort (the missing end
-                    # sentinel / stream error marks the truncation)
-                    raise RuntimeError(
-                        "export aborted: cold tier became unreachable "
-                        "mid-drain"
-                    )
-                if cursor is None:
-                    docs = st.search(
-                        q, size=size, offset=offset, order=order, **kw
-                    )
-                else:
-                    remaining = None if size is None else size - yielded
-                    if remaining == 0:
-                        return
-                    docs = st.search_after(
-                        q, last_ts_ms=cursor[0], last_rid=cursor[1],
-                        size=remaining, order=order, **kw
-                    )
-                docs = docs.select("mid", "rid", "raw")
 
         return rows()
 

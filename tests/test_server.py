@@ -3,6 +3,7 @@ search with totals, status, per-item error statuses."""
 
 import gzip
 import json
+import time
 import urllib.request
 
 import pytest
@@ -1233,10 +1234,13 @@ def test_export_resume_respects_size_budget(spark, tmp_path, monkeypatch):
 
 
 def test_export_gives_up_without_progress(spark, tmp_path, monkeypatch):
-    """Two consecutive transient failures at the SAME cursor are real
-    corruption, not a swap race — the drain must propagate, not loop."""
+    """Sustained transient failures at the SAME cursor are real
+    corruption, not a swap race — the drain must propagate after the
+    bounded stall window, not loop forever. (Backoffs shrunk so the
+    test doesn't sleep through the real ~3s production window.)"""
     srv, _ = _flaky_rig(spark, tmp_path)
     real_table = srv._table
+    monkeypatch.setattr(time, "sleep", lambda s: None)
 
     class AlwaysFlaky:
         def __init__(self, real):
@@ -1252,6 +1256,49 @@ def test_export_gives_up_without_progress(spark, tmp_path, monkeypatch):
     monkeypatch.setattr(srv, "_table", lambda: AlwaysFlaky(real_table()))
     with pytest.raises(RuntimeError, match="FAILED_READ_FILE"):
         list(srv.export_docs({"query": "*", "order": "asc"}))
+
+
+def test_export_survives_compaction_burst_at_one_cursor(spark, tmp_path,
+                                                        monkeypatch):
+    """r13 soak catch: a MULTI-partition `maintain` burst swaps
+    partitions sequentially for over a second, so SEVERAL consecutive
+    replans can land mid-burst with zero progress. The old 4-attempt /
+    ~0.3s stall window exhausted exactly once in 162 drains; the
+    exponential-backoff bound must absorb a burst of
+    ``_EXPORT_STALL_ATTEMPTS - 2`` consecutive no-progress failures and
+    still drain completely."""
+    srv, expected = _flaky_rig(spark, tmp_path)
+    real_table = srv._table
+    burst = {"left": srv._EXPORT_STALL_ATTEMPTS - 2}
+    slept = []
+    monkeypatch.setattr(time, "sleep", lambda s: slept.append(s))
+
+    class BurstFlaky:
+        def __init__(self, real):
+            self._real = real
+            self.partial = False
+
+        def _wrap(self, df):
+            if burst["left"] > 0:
+                burst["left"] -= 1
+                return _FlakyDF(df, 0)
+            return df
+
+        def search(self, *a, **k):
+            return self._wrap(self._real.search(*a, **k))
+
+        def search_after(self, *a, **k):
+            return self._wrap(self._real.search_after(*a, **k))
+
+    monkeypatch.setattr(srv, "_table", lambda: BurstFlaky(real_table()))
+    got = list(srv.export_docs({"query": "*", "order": "asc"}))
+    assert got == expected  # complete, ordered, no dup/loss
+    assert burst["left"] == 0
+    # backoff grew exponentially across the burst (outlasting it); the
+    # global sleep patch also records unrelated 1s+ waits from other
+    # engine threads — the drain's backoffs are the sub-second ones
+    backoffs = [s for s in slept if s < 1]
+    assert backoffs == [0.1, 0.2, 0.4], backoffs
 
 
 def test_export_bad_query_still_raises_eagerly(server):
