@@ -1243,10 +1243,17 @@ def pq_batch_topk(
     code_col: str = "code",
     q_id_col: str = "query_id",
     q_vec_col: str = "query_vec",
+    rotation: Optional[Sequence[Sequence[float]]] = None,
 ) -> DataFrame:
     """ADC top-k for a SET of queries in ONE pass over the codes —
     :func:`batch_topk`'s shape on the 64x-compressed representation (the
     many-query regime of dedup-by-NN and retrieval-eval pipelines).
+
+    ``rotation`` (r13, OPQ): when the codes came from
+    ``pq_encode(rotation=R)``, pass the same R — each query is rotated
+    driver-side via :func:`rotate_query` before its LUT is built (the
+    single-query :func:`opq_topk` composition, batched); the scan and
+    merge are completely unchanged.
 
     The query set becomes a (|Q|, m, k_codes) lookup tensor in the task
     closure; each Arrow batch of codes scores all queries with m numpy
@@ -1269,8 +1276,13 @@ def pq_batch_topk(
     if not q_rows:
         return empty
     q_ids = [r[q_id_col] for r in q_rows]
+    q_vecs = [
+        rotate_query(rotation, r[q_vec_col]) if rotation is not None
+        else r[q_vec_col]
+        for r in q_rows
+    ]
     L = np.array(
-        [pq_adc_lut(codebooks, r[q_vec_col]) for r in q_rows],
+        [pq_adc_lut(codebooks, qv) for qv in q_vecs],
         dtype=np.float64,
     )  # (nq, m, kcodes)
     nq = len(q_ids)

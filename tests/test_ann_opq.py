@@ -231,3 +231,24 @@ def test_opq_and_residual_plan_shapes(spark, rot_emb):
         .queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in rplan
     assert "Exchange" not in rplan  # union of pruned branches, no shuffle
+
+
+def test_opq_batch_matches_per_query(spark, rot_emb):
+    # pq_batch_topk(rotation=R) must be row-identical to per-query
+    # opq_topk — the single-query path is the pinned semantics
+    rows, emb = rot_emb
+    R, books = ann.opq_train(emb, m=4, k=8, iters=2, opq_iters=2)
+    codes = ann.pq_encode(emb, books, rotation=R).cache()
+    queries = spark.createDataFrame(
+        [(0, rows[3][1]), (1, rows[40][1])],
+        "query_id int, query_vec array<double>",
+    )
+    batched = {}
+    for r in ann.pq_batch_topk(codes, queries, books, k=7,
+                               rotation=R).collect():
+        batched.setdefault(r["query_id"], []).append(
+            (r["vec_id"], r["adist"]))
+    for qi, qv in ((0, rows[3][1]), (1, rows[40][1])):
+        single = [(r["vec_id"], r["adist"]) for r in
+                  ann.opq_topk(codes, books, R, qv, k=7).collect()]
+        assert batched[qi] == single, qi
