@@ -232,7 +232,10 @@ def _real_decode(media_type: str, content: bytes) -> tuple[int, int, int]:
                 return w.getnchannels(), w.getsampwidth() * 8, w.getnframes()
         except Exception:
             # r12b: AIFF (FORM/COMM) and AU (.snd) metadata
-            meta = _aiff_meta(content or b"")
+            # r13: IMA-ADPCM WAV (fmt 0x0011 — stdlib wave refuses it)
+            meta = _wav_ima_meta(content or b"")
+            if meta is None:
+                meta = _aiff_meta(content or b"")
             if meta is None:
                 meta = _au_meta(content or b"")
             if meta is None:
@@ -240,9 +243,9 @@ def _real_decode(media_type: str, content: bytes) -> tuple[int, int, int]:
                 meta = _flac.meta(content or b"")
             if meta is None:
                 raise NotImplementedError(
-                    "audio decode supports WAV, AIFF, AU (.snd incl. "
-                    "mu-law) and FLAC containers; other compressed audio "
-                    "needs a codec absent here"
+                    "audio decode supports WAV (PCM + IMA-ADPCM), AIFF, "
+                    "AU (.snd incl. mu-law) and FLAC containers; other "
+                    "compressed audio needs a codec absent here"
                 ) from None
             return meta
     if media_type == "video":
@@ -1277,16 +1280,99 @@ def _y4m_encode(w: int, h: int, yuv_frames, chroma: bytes = b"420") -> bytes:
     return bytes(out)
 
 
+def _bmp_decode_pixels(b: bytes):
+    """(w, h, ch, pixels top-down RGB/RGBA) for uncompressed BMP —
+    BITMAPINFOHEADER(+) with 24/32-bit BI_RGB or 8-bit paletted data
+    (the formats real uncompressed BMPs use). BMP rows are bottom-up
+    unless height is negative, padded to 4 bytes, and BGR(A)-ordered —
+    all normalized here so the perceptual kernels see the same layout
+    every decoder produces. None outside the subset (r13: BMP had
+    header-only metadata, so dhash/resize raised on decodable files)."""
+    import numpy as np
+
+    if len(b) < 54 or b[:2] != b"BM":
+        return None
+    (data_off,) = struct.unpack("<I", b[10:14])
+    (dib,) = struct.unpack("<I", b[14:18])
+    if dib < 40:  # BITMAPCOREHEADER etc. — rare, out of subset
+        return None
+    w, h_raw = struct.unpack("<ii", b[18:26])
+    planes, bpp = struct.unpack("<HH", b[26:30])
+    (compression,) = struct.unpack("<I", b[30:34])
+    if w <= 0 or h_raw == 0 or planes != 1:
+        return None
+    top_down = h_raw < 0
+    h = abs(h_raw)
+    if w * h > _PNG_MAX_PIXELS:
+        return None
+    # BI_RGB only (0); BI_BITFIELDS(3) with the canonical masks would
+    # decode identically for 32-bit but needs mask validation — punt
+    if compression != 0 or bpp not in (8, 24, 32):
+        return None
+    stride = (w * bpp // 8 + 3) & ~3
+    if data_off + stride * h > len(b):
+        return None
+    raw = np.frombuffer(b, dtype=np.uint8,
+                        count=stride * h, offset=data_off)
+    rows = raw.reshape(h, stride)
+    if not top_down:
+        rows = rows[::-1]
+    if bpp == 8:
+        # palette: dib-sized header then BGRA quads (used count or 256)
+        (used,) = struct.unpack("<I", b[46:50])
+        n_col = used or 256
+        pal_off = 14 + dib
+        pal = np.frombuffer(b, dtype=np.uint8, count=n_col * 4,
+                            offset=pal_off).reshape(n_col, 4)
+        idx = rows[:, :w]
+        if int(idx.max(initial=0)) >= n_col:
+            return None
+        px = pal[idx][:, :, [2, 1, 0]]  # BGRA quads -> RGB
+        return w, h, 3, bytearray(px.tobytes())
+    ch = bpp // 8
+    px = rows[:, : w * ch].reshape(h, w, ch)
+    if ch == 3:
+        px = px[:, :, [2, 1, 0]]  # BGR -> RGB
+        return w, h, 3, bytearray(px.tobytes())
+    px = px[:, :, [2, 1, 0, 3]]  # BGRA -> RGBA
+    return w, h, 4, bytearray(px.tobytes())
+
+
+def _bmp_encode(w: int, h: int, ch: int, pixels) -> bytes:
+    """Minimal bottom-up BI_RGB BMP writer (24-bit from RGB input) for
+    deterministic fixtures — pairs with :func:`_bmp_decode_pixels`."""
+    import numpy as np
+
+    px = np.frombuffer(bytes(pixels), dtype=np.uint8).reshape(h, w, ch)
+    rgb = px[:, :, :3][:, :, [2, 1, 0]]  # -> BGR
+    stride = (w * 3 + 3) & ~3
+    body = bytearray()
+    pad = b"\x00" * (stride - w * 3)
+    for y in range(h - 1, -1, -1):
+        body += rgb[y].tobytes() + pad
+    off = 14 + 40
+    header = (
+        b"BM" + struct.pack("<IHHI", off + len(body), 0, 0, off)
+        + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body),
+                      2835, 2835, 0, 0)
+    )
+    return bytes(header) + bytes(body)
+
+
 def _decode_any_pixels(b: bytes):
     """(w, h, channels, pixels) for any stdlib-decodable raster: PNG via
     the raster codec; baseline JPEG via the r12 Huffman+IDCT decoder;
-    animated GIF/APNG, Y4M video and MJPEG-AVI via their FIRST frame
-    (r12 — the representative frame perceptual pipelines use).
-    Returns None outside the supported subset."""
+    uncompressed BMP (r13); animated GIF/APNG, Y4M video and MJPEG-AVI
+    via their FIRST frame (r12 — the representative frame perceptual
+    pipelines use). Returns None outside the supported subset."""
     b = b or b""
     dec = _png_decode_pixels(b)
     if dec is not None:
         return dec
+    if b[:2] == b"BM":
+        dec = _bmp_decode_pixels(b)
+        if dec is not None:
+            return dec
     if b[:2] == b"\xff\xd8":
         j = _jpeg.decode(b)
         if j is not None:
@@ -1339,7 +1425,8 @@ def _resize_kernel(
     if resized is None:
         raise NotImplementedError(
             "stdlib resize supports 8-bit RGB/RGBA non-interlaced PNG, "
-            "JPEG, or the first frame of GIF/APNG/Y4M/MJPEG, only"
+            "JPEG, uncompressed BMP, or the first frame of "
+            "GIF/APNG/Y4M/MJPEG, only"
         )
     return resized
 
@@ -1347,8 +1434,8 @@ def _resize_kernel(
 def _stdlib_png_resize(
     b: bytes, width: int, height: int, method: str = "nearest"
 ) -> Optional[bytes]:
-    """Resize a supported raster (PNG, JPEG, or the first frame of
-    GIF/APNG/Y4M/MJPEG) to an RGB(A) PNG. ``method="nearest"`` is the
+    """Resize a supported raster (PNG, JPEG, uncompressed BMP, or the
+    first frame of GIF/APNG/Y4M/MJPEG) to an RGB(A) PNG. ``method="nearest"`` is the
     historical kernel the frozen contract digests pin; ``"bilinear"``
     (r12b) is the perceptual-pipeline default quality — vectorized
     numpy, pixel-center convention, round-half-up."""
@@ -2031,6 +2118,196 @@ AUDIO_FEATURES_SCHEMA = StructType(
 )
 
 
+#: IMA ADPCM step table (public spec — the 89-entry exponential ladder)
+_IMA_STEPS = [
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+]
+_IMA_INDEX = [-1, -1, -1, -1, 2, 4, 6, 8]
+
+
+def _ima_decode_nibble(nib: int, predictor: int, index: int):
+    step = _IMA_STEPS[index]
+    vpdiff = step >> 3
+    if nib & 1:
+        vpdiff += step >> 2
+    if nib & 2:
+        vpdiff += step >> 1
+    if nib & 4:
+        vpdiff += step
+    predictor = predictor - vpdiff if nib & 8 else predictor + vpdiff
+    predictor = max(-32768, min(32767, predictor))
+    index = max(0, min(88, index + _IMA_INDEX[nib & 7]))
+    return predictor, index
+
+
+def _riff_chunks(b: bytes):
+    """Yield (fourcc, start, size) for RIFF/WAVE chunks (word-aligned)."""
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        return
+    pos = 12
+    while pos + 8 <= len(b):
+        fourcc = b[pos:pos + 4]
+        (size,) = struct.unpack("<I", b[pos + 4:pos + 8])
+        start = pos + 8
+        if start + size > len(b):
+            return
+        yield fourcc, start, size
+        pos = start + size + (size & 1)
+
+
+def _wav_ima_parse(b: bytes):
+    """(rate, nch, block_align, samples_per_block, n_samples, data) for
+    an IMA-ADPCM WAV (format tag 0x0011 — the compressed WAV variant the
+    stdlib ``wave`` module refuses), else None. ``n_samples`` prefers the
+    ``fact`` chunk (authoritative for compressed WAV), falling back to
+    whole-blocks arithmetic."""
+    fmt = data = None
+    fact_n = None
+    for fourcc, start, size in _riff_chunks(b or b""):
+        if fourcc == b"fmt " and size >= 16:
+            fmt = b[start:start + size]
+        elif fourcc == b"fact" and size >= 4:
+            (fact_n,) = struct.unpack("<I", b[start:start + 4])
+        elif fourcc == b"data":
+            data = b[start:start + size]
+    if fmt is None or data is None:
+        return None
+    tag, nch, rate, _br, block_align, bits = struct.unpack(
+        "<HHIIHH", fmt[:16])
+    if tag != 0x0011 or bits != 4 or nch < 1 or block_align < 4 * nch:
+        return None
+    spb = (block_align - 4 * nch) * 2 // nch + 1
+    n_blocks = len(data) // block_align
+    n = fact_n if fact_n is not None else n_blocks * spb
+    return rate, nch, block_align, spb, n, data
+
+
+def _wav_ima_meta(b: bytes):
+    """(n_channels, bits, n_frames) for IMA-ADPCM WAV — the audio
+    metadata convention (bits reported as the DECODED 16, matching what
+    the PCM seam emits)."""
+    parsed = _wav_ima_parse(b)
+    if parsed is None:
+        return None
+    _rate, nch, _ba, _spb, n, _data = parsed
+    return nch, 16, n
+
+
+def _wav_ima_pcm(b: bytes):
+    """(rate, nch, mono float64) for IMA-ADPCM WAV (r13): per-block
+    4-byte channel headers (int16 predictor + step index), then nibble
+    data interleaved per channel in 4-byte groups (8 samples), low
+    nibble first — the published IMA/DVI layout."""
+    import numpy as np
+
+    parsed = _wav_ima_parse(b)
+    if parsed is None:
+        return None
+    rate, nch, block_align, spb, n_total, data = parsed
+    chans = [[] for _ in range(nch)]
+    for boff in range(0, len(data) - block_align + 1, block_align):
+        block = data[boff:boff + block_align]
+        preds, idxs = [], []
+        for c in range(nch):
+            p, i = struct.unpack_from("<hB", block, c * 4)
+            if i > 88:
+                return None
+            preds.append(p)
+            idxs.append(i)
+            chans[c].append(p)  # the header predictor IS sample 0
+        pos = 4 * nch
+        # nibble payload: 4-byte per-channel groups, round-robin
+        need = spb - 1
+        got = [0] * nch
+        while pos + 4 * nch <= block_align and any(
+            g < need for g in got
+        ):
+            for c in range(nch):
+                for byte in block[pos:pos + 4]:
+                    for nib in (byte & 0xF, byte >> 4):
+                        if got[c] < need:
+                            preds[c], idxs[c] = _ima_decode_nibble(
+                                nib, preds[c], idxs[c])
+                            chans[c].append(preds[c])
+                            got[c] += 1
+                pos += 4
+    if not chans[0]:
+        return None
+    a = np.asarray(chans, dtype=np.float64)[:, :n_total]
+    return rate, nch, (a / 32768.0).mean(axis=0)
+
+
+def _wav_ima_encode(rate: int, chans, block_samples: int = 505) -> bytes:
+    """Minimal IMA-ADPCM WAV writer (fixtures): int16 per-channel input,
+    standard quantizer — the decoder recovers the encoder's internal
+    reconstruction bit-exactly (ADPCM is lossy vs the ORIGINAL only)."""
+    nch = len(chans)
+    n = len(chans[0])
+    block_align = 4 * nch + (block_samples - 1) * nch // 2
+    idxs = [0] * nch
+    out = bytearray()
+    pos = 0
+    while pos < n:
+        take = min(block_samples, n - pos)
+        headers = bytearray()
+        payload = [bytearray() for _ in range(nch)]
+        preds = []
+        for c in range(nch):
+            p = int(chans[c][pos])
+            preds.append(p)
+            headers += struct.pack("<hBB", p, idxs[c], 0)
+        nibs = [[] for _ in range(nch)]
+        for k in range(1, block_samples):
+            for c in range(nch):
+                s = int(chans[c][pos + k]) if pos + k < n else preds[c]
+                step = _IMA_STEPS[idxs[c]]
+                diff = s - preds[c]
+                nib = 8 if diff < 0 else 0
+                diff = abs(diff)
+                if diff >= step:
+                    nib |= 4
+                    diff -= step
+                if diff >= step >> 1:
+                    nib |= 2
+                    diff -= step >> 1
+                if diff >= step >> 2:
+                    nib |= 1
+                preds[c], idxs[c] = _ima_decode_nibble(
+                    nib, preds[c], idxs[c])
+                nibs[c].append(nib)
+        for c in range(nch):
+            for j in range(0, len(nibs[c]), 2):
+                lo = nibs[c][j]
+                hi = nibs[c][j + 1] if j + 1 < len(nibs[c]) else 0
+                payload[c].append(lo | (hi << 4))
+        # interleave per-channel 4-byte groups
+        body = bytearray()
+        groups = (len(payload[0]) + 3) // 4
+        for g in range(groups):
+            for c in range(nch):
+                chunk = bytes(payload[c][g * 4:(g + 1) * 4])
+                body += chunk + b"\x00" * (4 - len(chunk))
+        out += headers + body
+        pos += take
+    byte_rate = rate * block_align // block_samples
+    fmt = struct.pack("<HHIIHH", 0x0011, nch, rate, byte_rate,
+                      block_align, 4) + struct.pack("<HH", 2, block_samples)
+    data = bytes(out)
+    riff = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"fact" + struct.pack("<II", 4, n)
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", len(riff)) + riff
+
+
 def _wav_pcm(b: bytes):
     """Decode a WAV payload to (sample_rate, n_channels, mono float64
     samples in [-1, 1]). 8/16/24/32-bit PCM; returns None outside that
@@ -2233,6 +2510,8 @@ def _audio_pcm(b: bytes):
     WAV, AIFF (BE PCM), AU (.snd — mu-law + linear) or FLAC (r13, full
     decode via the stdlib Rice/LPC codec). None otherwise."""
     dec = _wav_pcm(b)
+    if dec is None:
+        dec = _wav_ima_pcm(b or b"")
     if dec is None:
         dec = _aiff_pcm(b or b"")
     if dec is None:

@@ -343,3 +343,132 @@ class TestAiffAu:
         fps = {i: out[i]["fingerprint"] for i in (1, 2, 3)}
         assert fps[1] == fps[2]  # lossless containers agree exactly
         assert bin((fps[1] ^ fps[3]) & (2**64 - 1)).count("1") <= 3
+
+
+class TestImaAdpcm:
+    """IMA-ADPCM WAV (r13, fmt 0x0011): the compressed WAV variant the
+    stdlib wave module refuses — 4-byte per-channel block headers, low-
+    nibble-first payload in interleaved 4-byte groups (public IMA/DVI
+    spec)."""
+
+    def _sig(self, n=3000, nch=1):
+        import numpy as np
+
+        from seqspark.pipeline.multimodal import _wav_ima_encode
+
+        t = np.arange(n)
+        chans = [
+            (9000 * np.sin(t * (0.05 + 0.01 * c))).astype(int).tolist()
+            for c in range(nch)
+        ]
+        return chans, _wav_ima_encode(8000, chans)
+
+    @pytest.mark.parametrize("nch", [1, 2])
+    def test_decode_tracks_signal(self, nch):
+        from seqspark.pipeline.multimodal import _wav_ima_pcm
+
+        chans, b = self._sig(nch=nch)
+        rate, got_nch, x = _wav_ima_pcm(b)
+        assert (rate, got_nch, len(x)) == (8000, nch, 3000)
+        ref = np.mean([np.array(c) for c in chans], axis=0) / 32768.0
+        # ADPCM is lossy vs the ORIGINAL: bounded tracking error on a
+        # smooth signal (4-bit quantizer; the max lands on step-ramp
+        # attack transients — measured 0.052 on this fixture)
+        assert float(np.abs(x - ref).max()) < 0.08
+        assert float(np.abs(x - ref).mean()) < 0.01
+
+    def test_decoder_matches_encoder_reconstruction_exactly(self):
+        # the encoder predicts with the DECODER's update, so the decoded
+        # stream equals the encoder's internal reconstruction bit-exact
+        import numpy as np
+
+        from seqspark.pipeline.multimodal import (
+            _ima_decode_nibble, _IMA_STEPS, _wav_ima_pcm, _wav_ima_encode)
+
+        rng = np.random.default_rng(3)
+        sig = (rng.normal(0, 6000, 1200)).astype(int).tolist()
+        b = _wav_ima_encode(8000, [sig], block_samples=257)
+        rate, nch, x = _wav_ima_pcm(b)
+        # replay the encoder driver-side
+        pred, idx = sig[0], 0
+        recon = [pred]
+        k = 1
+        while len(recon) < len(x):
+            if (len(recon)) % 257 == 0:
+                pred = sig[k] if k < len(sig) else pred
+                recon.append(pred)
+                k += 1
+                continue
+            s = sig[k] if k < len(sig) else pred
+            step = _IMA_STEPS[idx]
+            diff = s - pred
+            nib = 8 if diff < 0 else 0
+            diff = abs(diff)
+            if diff >= step:
+                nib |= 4
+                diff -= step
+            if diff >= step >> 1:
+                nib |= 2
+                diff -= step >> 1
+            if diff >= step >> 2:
+                nib |= 1
+            pred, idx = _ima_decode_nibble(nib, pred, idx)
+            recon.append(pred)
+            k += 1
+        got = np.round(np.asarray(x) * 32768.0).astype(int)
+        assert got.tolist() == recon[: len(got)]
+
+    def test_meta_and_seam(self, spark):
+        from seqspark.pipeline.multimodal import (
+            ASSET_SCHEMA, _wav_ima_meta, audio_features, decode_assets)
+
+        chans, b = self._sig(nch=2)
+        assert _wav_ima_meta(b) == (2, 16, 3000)
+        assets = spark.createDataFrame(
+            [(1, "audio", bytearray(b), "{}")], ASSET_SCHEMA)
+        meta = decode_assets(assets, fake=False).collect()[0]
+        assert (meta["width"], meta["height"], meta["n_frames"]) == (
+            2, 16, 3000)
+        feats = audio_features(assets, fake=False).collect()[0]
+        assert feats["sample_rate"] == 8000
+        assert feats["fingerprint"] is not None
+        assert 0.1 < feats["rms"] < 0.3
+
+    def test_fingerprint_survives_adpcm_reencode(self):
+        # the spectral fingerprint's whole point: a lossy re-encode of
+        # the same audio must stay within the dedup Hamming threshold
+        import io
+        import wave as _w
+
+        from seqspark.pipeline.multimodal import (
+            _audio_fingerprint_of, _wav_ima_pcm, _wav_ima_encode, _wav_pcm)
+
+        chans, b = self._sig(nch=1)
+        buf = io.BytesIO()
+        with _w.open(buf, "wb") as wv:
+            wv.setnchannels(1)
+            wv.setsampwidth(2)
+            wv.setframerate(8000)
+            wv.writeframes(np.array(chans[0], dtype="<i2").tobytes())
+        r1, _n1, x1 = _wav_pcm(buf.getvalue())
+        r2, _n2, x2 = _wav_ima_pcm(b)
+        f1 = _audio_fingerprint_of(x1, r1)
+        f2 = _audio_fingerprint_of(x2, r2)
+        assert bin((f1 ^ f2) & (1 << 64) - 1).count("1") <= 3
+
+    def test_malformed(self):
+        from seqspark.pipeline.multimodal import _wav_ima_pcm, _wav_ima_meta
+
+        assert _wav_ima_pcm(b"RIFF....WAVE") is None
+        assert _wav_ima_meta(b"") is None
+        # PCM WAV (tag 1) must NOT route through the ADPCM decoder
+        import io
+        import wave as _w
+
+        buf = io.BytesIO()
+        with _w.open(buf, "wb") as wv:
+            wv.setnchannels(1)
+            wv.setsampwidth(2)
+            wv.setframerate(8000)
+            wv.writeframes(b"\x00\x01" * 50)
+        assert _wav_ima_pcm(buf.getvalue()) is None

@@ -3004,3 +3004,96 @@ def test_ivf_pq_partitioned_codes_store_prunes(spark, tmp_path):
     assert "cell" in plan.split("PartitionFilters", 1)[1][:120]
     ids = [r["vec_id"] for r in top.collect()]
     assert ids[0] == 4 and all(i % 3 == 1 for i in ids)
+
+
+# ---------------------------------------------------------- BMP (r13)
+
+def test_bmp_24bit_roundtrip_and_padding():
+    # odd width -> 3-byte row padding; bottom-up storage normalized
+    import numpy as np
+
+    from seqspark.pipeline.multimodal import (
+        _bmp_decode_pixels, _bmp_encode, _decode_any_pixels)
+
+    w, h = 7, 5
+    yy, xx = np.mgrid[0:h, 0:w]
+    px = np.stack([xx * 30, yy * 40, (xx + yy) * 9], axis=-1).astype(
+        np.uint8)
+    b = _bmp_encode(w, h, 3, bytearray(px.tobytes()))
+    dec = _bmp_decode_pixels(b)
+    assert dec is not None and (dec[0], dec[1], dec[2]) == (w, h, 3)
+    assert bytes(dec[3]) == px.tobytes()
+    # and the generic dispatcher routes BMP now
+    assert _decode_any_pixels(b) is not None
+
+
+def test_bmp_32bit_topdown_and_8bit_palette():
+    import struct as st
+
+    import numpy as np
+
+    from seqspark.pipeline.multimodal import _bmp_decode_pixels
+
+    # 32-bit BGRA, TOP-DOWN (negative height), no padding needed
+    w, h = 3, 2
+    rows = bytes(
+        v for y in range(h) for x in range(w)
+        for v in (x * 10, y * 20, x + y, 200))  # B,G,R,A per pixel
+    hdr = (b"BM" + st.pack("<IHHI", 54 + len(rows), 0, 0, 54)
+           + st.pack("<IiiHHIIiiII", 40, w, -h, 1, 32, 0, len(rows),
+                     0, 0, 0, 0))
+    dec = _bmp_decode_pixels(hdr + rows)
+    assert dec is not None and (dec[0], dec[1], dec[2]) == (w, h, 4)
+    a = np.frombuffer(bytes(dec[3]), np.uint8).reshape(h, w, 4)
+    assert a[1, 2].tolist() == [2 + 1, 1 * 20, 2 * 10, 200]  # R,G,B,A
+
+    # 8-bit paletted, bottom-up
+    pal = bytes(v for i in range(4) for v in (i * 60, i * 3, i * 7, 0))
+    idx_rows = bytes([0, 1, 2, 0]) + bytes([3, 2, 1, 0])  # stride 4, w=3
+    hdr8 = (b"BM" + st.pack("<IHHI", 54 + 16 + 8, 0, 0, 54 + 16)
+            + st.pack("<IiiHHIIiiII", 40, 3, 2, 1, 8, 0, 8, 0, 0, 4, 0))
+    dec8 = _bmp_decode_pixels(hdr8 + pal + idx_rows)
+    assert dec8 is not None and (dec8[0], dec8[1], dec8[2]) == (3, 2, 3)
+    a8 = np.frombuffer(bytes(dec8[3]), np.uint8).reshape(2, 3, 3)
+    # bottom-up: stored row 0 is IMAGE row 1; palette quad is B,G,R,0
+    assert a8[1, 1].tolist() == [1 * 7, 1 * 3, 1 * 60]
+    assert a8[0, 0].tolist() == [3 * 7, 3 * 3, 3 * 60]
+
+
+def test_bmp_malformed_and_out_of_subset():
+    import struct as st
+
+    from seqspark.pipeline.multimodal import _bmp_decode_pixels
+
+    assert _bmp_decode_pixels(b"BM short") is None
+    # RLE8 compression (1) is out of subset
+    hdr = (b"BM" + st.pack("<IHHI", 60, 0, 0, 54)
+           + st.pack("<IiiHHIIiiII", 40, 2, 2, 1, 8, 1, 4, 0, 0, 0, 0))
+    assert _bmp_decode_pixels(hdr + b"\x00" * 16) is None
+    # truncated pixel data
+    hdr = (b"BM" + st.pack("<IHHI", 60, 0, 0, 54)
+           + st.pack("<IiiHHIIiiII", 40, 100, 100, 1, 24, 0, 0, 0, 0, 0, 0))
+    assert _bmp_decode_pixels(hdr + b"\x00" * 10) is None
+
+
+def test_bmp_through_dhash_and_resize_executors(spark):
+    import numpy as np
+
+    from seqspark.pipeline.multimodal import (
+        ASSET_SCHEMA, _bmp_encode, _png_encode, dhash_images, resize_images)
+
+    w, h = 12, 9
+    yy, xx = np.mgrid[0:h, 0:w]
+    px = np.stack([xx * 21, yy * 28, xx * yy], axis=-1).astype(np.uint8)
+    bmp = _bmp_encode(w, h, 3, bytearray(px.tobytes()))
+    png = _png_encode(w, h, 3, bytearray(px.tobytes()))
+    assets = spark.createDataFrame(
+        [(1, "image", bytearray(bmp), "{}"),
+         (2, "image", bytearray(png), "{}")], ASSET_SCHEMA)
+    hashes = {r["asset_id"]: r["dhash"] for r in dhash_images(
+        assets, project=("asset_id",)).collect()}
+    # identical pixels -> identical perceptual hash across containers
+    assert hashes[1] is not None and hashes[1] == hashes[2]
+    sizes = {r["asset_id"]: (r["width"], r["height"]) for r in
+             resize_images(assets, 6, 6, codec="stdlib").collect()}
+    assert sizes[1] == sizes[2] == (6, 6)
