@@ -1629,6 +1629,50 @@ AUDIO_FEATURES_FLAC_EXPECTED = [
 ]
 
 
+#: (asset_id, sample_rate, n_channels, n_samples, rms, zcr,
+#: centroid_hz, fingerprint) over real_adpcm_asset_rows (r13)
+AUDIO_FEATURES_ADPCM_EXPECTED = [
+    (0, 8000, 1, 400, 0.195705, 0.007519, 494.747223, 4557149413822119743),
+    (1, 8000, 2, 480, 0.176818, 0.006263, 592.303117, 4557430888798830398),
+    (2, 8000, 1, 560, 0.196535, 0.007156, 442.156337, 6872313121065623391),
+    (3, 8000, 2, 640, 0.171357, 0.00939, 311.634513, 8106055460966006398),
+    (4, 8000, 1, 720, 0.192296, 0.011127, 412.744959, 8681953263416671870),
+    (5, 8000, 2, 400, 0.174681, 0.010025, 324.812283, 4485372195249274687),
+    (6, 8000, 1, 480, 0.196556, 0.012526, 458.153355, 4557430875913928510),
+    (7, 8000, 2, 560, 0.177158, 0.005367, 570.855104, 6872316419617283928),
+    (8, 8000, 1, 640, 0.197118, 0.00626, 406.43295, 9115141057846148990),
+    (9, 8000, 2, 720, 0.170762, 0.008345, 213.996843, 8106055460831788670),
+    (10, 8000, 1, 400, 0.197878, 0.007519, 509.085385, 4557430888798764862),
+    (11, 8000, 2, 480, 0.171837, 0.010438, 334.183774, 4341258106684587839),
+    (12, 8000, 1, 560, 0.191622, 0.012522, 463.0586, 6656143633091026783),
+    (13, 8000, 2, 640, 0.172798, 0.010955, 507.18352, 8970177016493013116),
+    (14, 8000, 1, 720, 0.195773, 0.005563, 450.046965, 9114859578540850814),
+    (15, 8000, 2, 400, 0.17185, 0.007519, 386.332745, 4557430888798830143),
+]
+
+
+#: (asset_id, n_bytes, sha256, width, height, n_frames, dhash)
+#: over real_bmp_asset_rows (r13)
+MULTIMODAL_BMP_EXPECTED = [
+    (0, 174, '95fbf6c7dd9d6fc5d8934bb8184df0bfd629b6e2428d82e28c47481b1134ba98', 7, 5, 1, 38281458107844744),
+    (1, 198, '3f2f7375cd6e618089a61d31499cab3213001a976fcc803be1ee10f68d819141', 8, 6, 1, 46347370058784928),
+    (2, 250, 'eed88ad56ddda862dc6ac73eab3007ef2e12da65464184f4594ec2a865164f95', 9, 7, 1, 50705800596824096),
+    (3, 310, '87cae13ea673cff2044b2b84be0f6c17cafec5bd9a7aefe508ca9fd9a4a69980', 10, 8, 1, -5018537944868188144),
+    (4, 234, 'a47413ef7300a794b002a2be5d631f4566ab6def439f8fc69a42830d0b86f298', 11, 5, 1, 12385483761911816),
+    (5, 270, '3a736ac05e8046c679faaf28cbb805a66eab7b7feef02fdc6b1a3c2f61cebacc', 12, 6, 1, 40124254505438348),
+    (6, 222, '509156bf5938260d74976c929d7688ee9cd7102900b501cfb45d86d4d0fadd8c', 7, 7, 1, 48673905122519208),
+    (7, 246, 'daab1d348cf4c47c2614eaf519ae1114c7933f15826959f225305207841df1e1', 8, 8, 1, -3272792461833891696),
+    (8, 194, '4a620b9f66f3ac7f66ef3fbbd9fadf1c1c6a4bb802220f0f583a39af7b607815', 9, 5, 1, 38280701119825928),
+    (9, 246, 'c68d586b19298f4b6402840b7b6b3d3540c4d1f3496c3f73bec26de2fe8a8d43', 10, 6, 1, 42296064839255044),
+    (10, 306, '19576ef431dab868fde1a500f5443a2351389b1faf8cbca0a0bb57a5e909f713', 11, 7, 1, 46943256169448580),
+    (11, 342, '9167b1077c014709dd748b49d163ec537549f0c49aa28d3428ffeeef5b0c4e46', 12, 8, 1, -981113044359552414),
+    (12, 174, '68acceb53b544a1ff9042187b29878eb1c5c96b09251bad7034a945dcfaedb8b', 7, 5, 1, 39407237822712972),
+    (13, 198, '0a6d85348b9f7cb306fc5bffbb27457e62938c63fb8d6cb6f88efa80c0c4299e', 8, 6, 1, 46386832220652676),
+    (14, 250, 'f6db5e0d5a292a3674b26781878e86ec55b842705c55971d2f3f4fdf93e261c0', 9, 7, 1, 42263346082349570),
+    (15, 310, '9c9454e69b360d0b1945e901bd8297cbb915e24db1c27d182f2e0a2e3b3db1f6', 10, 8, 1, -1924211983794486975),
+]
+
+
 def q_frame_sample_y4m(spark, sf_dir):
     # hash-pinned (r12): REAL video frame extraction — the Y4M raw
     # container (BT.601 YUV->RGB, C420/C422/C444/Cmono) — against frozen
@@ -2453,6 +2497,37 @@ def q_audio_features_flac(spark, sf_dir):
         audio_features, make_real_flac_assets)
 
     assets = make_real_flac_assets(spark, 16)
+    return audio_features(assets, fake=False)
+
+
+def q_multimodal_bmp(spark, sf_dir):
+    # hash-pinned (r13): BMP decode through the stdlib codec — metadata
+    # (header parse) AND pixels (row padding, bottom-up normalization,
+    # BGR->RGB) both pinned: the perceptual dHash is computed from the
+    # decoded raster, so a pixel-path regression flips a frozen literal
+    # even when the header parse stays right. One broadcastable join of
+    # two mapInPandas/mapInArrow outputs on the co-partitioned asset_id.
+    from seqspark.pipeline.multimodal import (
+        decode_assets, dhash_images, make_real_bmp_assets)
+
+    assets = make_real_bmp_assets(spark, 16)
+    meta = decode_assets(assets, fake=False)
+    hashes = dhash_images(assets, project=("asset_id",))
+    return meta.join(hashes, "asset_id").select(
+        "asset_id", "n_bytes", "sha256", "width", "height", "n_frames",
+        "dhash")
+
+
+def q_audio_features_adpcm(spark, sf_dir):
+    # hash-pinned (r13): the audio DSP kernel over IMA-ADPCM WAV — every
+    # sample flows through the nibble decoder (block headers, adaptive
+    # step ladder, 4-byte channel-group deinterleave). The fixture
+    # carries the SAME signals as the FLAC fixture, so the frozen
+    # lossy-vs-lossless feature drift is itself inspectable.
+    from seqspark.pipeline.multimodal import (
+        audio_features, make_real_adpcm_assets)
+
+    assets = make_real_adpcm_assets(spark, 16)
     return audio_features(assets, fake=False)
 
 
@@ -3425,6 +3500,8 @@ DRIVER_WINDOW = [
     "time_range",
     # r13 additions: never driver-checked yet, so they lead the window
     "audio_features_flac",
+    "audio_features_adpcm",
+    "multimodal_bmp",
     "ann_opq_topk",
     "ann_ivfpq_residual",
     # the five entries rotated out in r12 (last driver-green r10) —
@@ -3436,10 +3513,12 @@ DRIVER_WINDOW = [
     "ann_batch_topk",
     # r12b additions, driver-checked once (r12) — keep one more round
     "audio_features",
-    "audio_dupes",
     "ann_pq_topk",
-    "ann_pq_rerank",
     "ann_pq_batch",
+    # (audio_dupes and ann_pq_rerank rotate out: r12-green; the modified
+    # code paths they share — _audio_pcm chain, pq_encode — stay window-
+    # covered via audio_features/audio_features_flac/adpcm, ann_pq_topk
+    # and ann_pq_batch, whose batch path changed this round)
     "unigram_encode",
     # (unigram_sample_encode and video_keyframes rotate out: r12-green,
     # untouched this round, families covered by unigram_encode and the
@@ -3576,6 +3655,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_dhash_jpeg": q_image_dhash_jpeg,
         "audio_features": q_audio_features,
         "audio_features_flac": q_audio_features_flac,
+        "audio_features_adpcm": q_audio_features_adpcm,
+        "multimodal_bmp": q_multimodal_bmp,
         "audio_dupes": q_audio_dupes,
         "ann_pq_topk": q_ann_pq_topk,
         "ann_opq_topk": q_ann_opq_topk,
@@ -4803,6 +4884,26 @@ def oracle_sql() -> dict[str, str]:
         )
         + ") AS t(asset_id, sample_rate, n_channels, n_samples, rms, zcr,"
         " centroid_hz, fingerprint)"
+    )
+    sql["audio_features_adpcm"] = (
+        "SELECT * FROM (VALUES "
+        + ", ".join(
+            f"({i}, {sr}, {nc}, CAST({ns} AS BIGINT), {rms!r}, {zc!r}, "
+            f"{cent!r}, CAST({fp} AS BIGINT))"
+            for i, sr, nc, ns, rms, zc, cent, fp
+            in AUDIO_FEATURES_ADPCM_EXPECTED
+        )
+        + ") AS t(asset_id, sample_rate, n_channels, n_samples, rms, zcr,"
+        " centroid_hz, fingerprint)"
+    )
+    sql["multimodal_bmp"] = (
+        "SELECT * FROM (VALUES "
+        + ", ".join(
+            f"({i}, {nb}, '{sha}', {w}, {h}, {nf}, CAST({dh} AS BIGINT))"
+            for i, nb, sha, w, h, nf, dh in MULTIMODAL_BMP_EXPECTED
+        )
+        + ") AS t(asset_id, n_bytes, sha256, width, height, n_frames,"
+        " dhash)"
     )
     from seqspark.pipeline.ann import pq_oracle_sql
 

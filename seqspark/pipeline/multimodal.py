@@ -1951,6 +1951,50 @@ def make_real_flac_assets(spark, n: int = 16) -> DataFrame:
     return spark.createDataFrame(real_flac_asset_rows(n), ASSET_SCHEMA)
 
 
+def real_bmp_asset_rows(n: int = 16) -> list:
+    """Driver-side rows of the BMP fixture (r13): deterministic 24-bit
+    uncompressed BMPs (id-derived size and pixel pattern, odd widths so
+    row padding is always live). Pure function of ``n``."""
+    rows = []
+    for i in range(n):
+        iw, ih = 7 + i % 6, 5 + i % 4
+        px = bytearray()
+        for y in range(ih):
+            for x in range(iw):
+                px += bytes((
+                    (x * 41 + i * 13) % 256,
+                    (y * 67 + i * 5) % 256,
+                    (x * y * 17 + i * 3) % 256,
+                ))
+        rows.append((i, "image", bytearray(_bmp_encode(iw, ih, 3, px)),
+                     '{"src":"fixture-bmp"}'))
+    return rows
+
+
+def make_real_bmp_assets(spark, n: int = 16) -> DataFrame:
+    """Deterministic BMP asset fixture (:func:`real_bmp_asset_rows`)."""
+    return spark.createDataFrame(real_bmp_asset_rows(n), ASSET_SCHEMA)
+
+
+def real_adpcm_asset_rows(n: int = 16) -> list:
+    """Driver-side rows of the IMA-ADPCM WAV fixture (r13): the same
+    deterministic PCM as the FLAC fixture (:func:`fixture_pcm`) through
+    the IMA encoder — so the lossy ADPCM features are pinned against
+    the SAME underlying signals the lossless containers carry."""
+    rows = []
+    for i in range(n):
+        rate, nch, chans = fixture_pcm(i)
+        content = _wav_ima_encode(rate, chans, block_samples=129)
+        rows.append((i, "audio", bytearray(content),
+                     '{"src":"fixture-adpcm"}'))
+    return rows
+
+
+def make_real_adpcm_assets(spark, n: int = 16) -> DataFrame:
+    """Deterministic IMA-ADPCM fixture (:func:`real_adpcm_asset_rows`)."""
+    return spark.createDataFrame(real_adpcm_asset_rows(n), ASSET_SCHEMA)
+
+
 def make_real_assets(spark, n: int = 64) -> DataFrame:
     """Deterministic REAL-codec asset fixture (:func:`real_asset_rows`):
     every payload decodes through the stdlib kernels with ``fake=False``,

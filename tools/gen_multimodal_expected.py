@@ -279,6 +279,55 @@ def main() -> None:
         print(f"    {r!r},")
     print("]")
 
+    # r13: BMP fixture — decode meta + perceptual dHash via the stdlib
+    # BMP decoder (row padding, bottom-up normalization, BGR->RGB all on
+    # the pinned path)
+    from seqspark.pipeline.multimodal import real_bmp_asset_rows  # noqa: E402
+
+    bm = []
+    for i, media, content, _meta in real_bmp_asset_rows(16):
+        b = bytes(content)
+        w, h, nf = _real_decode("image", b)
+        dec = _decode_any_pixels(b)
+        u = _dhash_of_pixels(dec[0], dec[1], dec[2], dec[3], 8)
+        bm.append((i, len(b), hashlib.sha256(b).hexdigest(), w, h, nf,
+                   u - (1 << 64) if u >= (1 << 63) else u))
+    print()
+    print("#: (asset_id, n_bytes, sha256, width, height, n_frames, dhash)")
+    print("#: over real_bmp_asset_rows (r13)")
+    print("MULTIMODAL_BMP_EXPECTED = [")
+    for r in bm:
+        print(f"    {r!r},")
+    print("]")
+
+    # r13: IMA-ADPCM fixture — the audio feature kernel over the ADPCM
+    # decoder's PCM (same underlying signals as the FLAC fixture, so the
+    # lossy-vs-lossless feature drift is itself frozen and inspectable)
+    from seqspark.pipeline.multimodal import (  # noqa: E402
+        _wav_ima_pcm, real_adpcm_asset_rows)
+
+    ad = []
+    for i, media, content, _meta in real_adpcm_asset_rows(16):
+        rate, nch, x = _wav_ima_pcm(bytes(content))
+        ns = int(len(x))
+        rms = round(float(_np.sqrt(_np.mean(x * x))), 6)
+        zc = round(
+            float(_np.mean(_np.signbit(x[1:]) != _np.signbit(x[:-1]))), 6
+        )
+        mag = _np.abs(_np.fft.rfft(x))
+        freqs = _np.fft.rfftfreq(ns, d=1.0 / rate)
+        tot = float(mag.sum())
+        cent = round(float((freqs * mag).sum() / tot) if tot > 0 else 0.0, 6)
+        ad.append((i, rate, nch, ns, rms, zc, cent,
+                   _audio_fingerprint_of(x, rate)))
+    print()
+    print("#: (asset_id, sample_rate, n_channels, n_samples, rms, zcr,")
+    print("#: centroid_hz, fingerprint) over real_adpcm_asset_rows (r13)")
+    print("AUDIO_FEATURES_ADPCM_EXPECTED = [")
+    for r in ad:
+        print(f"    {r!r},")
+    print("]")
+
     # r12b: audio near-dup pair fixture — per-asset fingerprints frozen;
     # the oracle REPLAYS the banded-Hamming pair join brute-force in
     # DuckDB (pigeonhole banding is exact, so the sets must be equal).
