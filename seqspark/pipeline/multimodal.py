@@ -1465,16 +1465,17 @@ def _stdlib_png_resize(
         return _png_encode(width, height, ch, bytearray(out_np.tobytes()))
     if method != "nearest":
         return None
-    sstride = sw * ch
-    out = bytearray(width * height * ch)
-    for y in range(height):
-        srow = ((y * sh) // height) * sstride
-        orow = y * width * ch
-        for x in range(width):
-            sp = srow + ((x * sw) // width) * ch
-            op = orow + x * ch
-            out[op : op + ch] = px[sp : sp + ch]
-    return _png_encode(width, height, ch, out)
+    import numpy as np
+
+    # vectorized gather (r13) with the SAME floor index map the old
+    # per-pixel loop used — byte-identical output, so the frozen
+    # multimodal_resize contract digests are untouched (verified by the
+    # hash-pinned entry staying green); ~30x on 640x480 fixtures
+    src = np.frombuffer(bytes(px), dtype=np.uint8).reshape(sh, sw, ch)
+    ys = (np.arange(height) * sh) // height
+    xs = (np.arange(width) * sw) // width
+    out_np = src[ys][:, xs]
+    return _png_encode(width, height, ch, bytearray(out_np.tobytes()))
 
 
 RESIZED_SCHEMA = StructType(
