@@ -124,7 +124,7 @@ def _png_chunks(data: bytes) -> Iterator[tuple[bytes, bytes]]:
 
 
 def _stdlib_image_meta(content: bytes) -> Optional[tuple[int, int, int]]:
-    """Header-only (width, height, n_frames) for PNG/BMP/GIF via struct —
+    """Header-only (width, height, n_frames) for PNG/BMP/GIF/JPEG/TIFF via struct —
     no raster decode, so it works for any bit depth / color type. Returns
     None for unrecognized formats (caller raises)."""
     b = content or b""
@@ -161,6 +161,8 @@ def _stdlib_image_meta(content: bytes) -> Optional[tuple[int, int, int]]:
         return int(width), int(height), max(1, n_frames)
     if b.startswith(b"\xff\xd8"):
         return _jpeg_meta(b)
+    if b[:4] in (b"II*\x00", b"MM\x00*"):
+        return _tiff_meta(b)
     return None
 
 
@@ -168,6 +170,60 @@ def _stdlib_image_meta(content: bytes) -> Optional[tuple[int, int, int]]:
 #: 0xC0-0xCF minus DHT (C4), JPG-extension (C8) and DAC (CC) — covers
 #: baseline (C0), progressive (C2) and the arithmetic/lossless variants
 _JPEG_SOF = frozenset(range(0xC0, 0xD0)) - {0xC4, 0xC8, 0xCC}
+
+
+def _tiff_meta(b: bytes) -> Optional[tuple[int, int, int]]:
+    """Header-only (width, height, n_pages) for TIFF (r13) by walking
+    the IFD chain — the same classic TIFF structure the JPEG EXIF
+    parser reads inside APP1, here at file offset 0. Both byte orders;
+    SHORT(3)/LONG(4) tag values; n_frames = linked IFD count (multi-page
+    TIFF), bounded so a cyclic next-IFD pointer can't spin. No raster
+    decode (TIFF payload compression varies too much for an honest
+    stdlib pixel path — metadata is what the sampling planner needs)."""
+    if len(b) < 8:
+        return None
+    if b[:4] == b"II*\x00":
+        endian = "<"
+    elif b[:4] == b"MM\x00*":
+        endian = ">"
+    else:
+        return None
+
+    def u16(off):
+        return struct.unpack_from(endian + "H", b, off)[0]
+
+    def u32(off):
+        return struct.unpack_from(endian + "I", b, off)[0]
+
+    try:
+        ifd_off = u32(4)
+        width = height = None
+        pages = 0
+        seen = set()
+        while ifd_off and ifd_off not in seen and pages < 10_000:
+            if ifd_off + 2 > len(b):
+                return None
+            seen.add(ifd_off)
+            n = u16(ifd_off)
+            if ifd_off + 2 + n * 12 + 4 > len(b):
+                return None
+            if pages == 0:
+                for i in range(n):
+                    e = ifd_off + 2 + i * 12
+                    tag, typ = u16(e), u16(e + 2)
+                    if tag in (256, 257) and typ in (3, 4):
+                        val = u16(e + 8) if typ == 3 else u32(e + 8)
+                        if tag == 256:
+                            width = val
+                        else:
+                            height = val
+            pages += 1
+            ifd_off = u32(ifd_off + 2 + n * 12)
+    except struct.error:
+        return None
+    if width is None or height is None or width <= 0 or height <= 0:
+        return None
+    return int(width), int(height), max(1, pages)
 
 
 def _jpeg_meta(b: bytes) -> Optional[tuple[int, int, int]]:
@@ -221,7 +277,7 @@ def _real_decode(media_type: str, content: bytes) -> tuple[int, int, int]:
         if meta is None:
             raise NotImplementedError(
                 "image format not recognized by the stdlib header parser "
-                "(PNG/BMP/GIF/JPEG) or by Pillow (when installed)"
+                "(PNG/BMP/GIF/JPEG/TIFF) or by Pillow (when installed)"
             )
         return meta
     if media_type == "audio":

@@ -3097,3 +3097,39 @@ def test_bmp_through_dhash_and_resize_executors(spark):
     sizes = {r["asset_id"]: (r["width"], r["height"]) for r in
              resize_images(assets, 6, 6, codec="stdlib").collect()}
     assert sizes[1] == sizes[2] == (6, 6)
+
+
+def test_tiff_meta_both_orders_and_multipage():
+    import struct as st
+
+    from seqspark.pipeline.multimodal import _stdlib_image_meta, _tiff_meta
+
+    def tiff(endian, pages):
+        e = "<" if endian == "II" else ">"
+        magic = b"II*\x00" if endian == "II" else b"MM\x00*"
+        out = bytearray(magic + st.pack(e + "I", 8))
+        off = 8
+        for p in range(pages):
+            n = 2
+            entries = (
+                st.pack(e + "HHI", 256, 3, 1) + st.pack(e + "HH", 640, 0)
+                + st.pack(e + "HHI", 257, 4, 1) + st.pack(e + "I", 480)
+            )
+            nxt = off + 2 + n * 12 + 4 if p + 1 < pages else 0
+            out += st.pack(e + "H", n) + entries + st.pack(e + "I", nxt)
+            off = len(out)
+        return bytes(out)
+
+    for endian in ("II", "MM"):
+        assert _tiff_meta(tiff(endian, 1)) == (640, 480, 1)
+        assert _tiff_meta(tiff(endian, 3)) == (640, 480, 3)
+        # the generic header parser routes TIFF now
+        assert _stdlib_image_meta(tiff(endian, 1)) == (640, 480, 1)
+
+    # malformed: truncated IFD, cyclic next pointer, missing dims
+    assert _tiff_meta(b"II*\x00\x08\x00\x00\x00\x02\x00") is None
+    cyc = bytearray(tiff("II", 1))
+    st.pack_into("<I", cyc, len(cyc) - 4, 8)  # next IFD -> itself
+    assert _tiff_meta(bytes(cyc)) == (640, 480, 1)  # bounded, no spin
+    assert _tiff_meta(b"II*\x00" + st.pack("<I", 8)
+                      + st.pack("<H", 0) + st.pack("<I", 0)) is None
