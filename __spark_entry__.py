@@ -1651,6 +1651,28 @@ AUDIO_FEATURES_ADPCM_EXPECTED = [
 ]
 
 
+#: (asset_id, n_bytes, sha256, width, height, n_frames)
+#: over real_tiff_asset_rows (r13, header-only)
+MULTIMODAL_TIFF_EXPECTED = [
+    (0, 38, '1c6d2358ecd8176085a13168048023cd697820c42b8d6d687d3ad91f57abfee0', 240, 180, 1),
+    (1, 68, '3fddf306ac0f318c6db2f3b54a220ff4ad4f3c0734b1fbf61d2cfdeb50c00f56', 247, 185, 2),
+    (2, 98, '31c31351eb158cfb91e71800cc2408e8f35d9dbfcbca4d7b5456f4d33c08ade6', 254, 190, 3),
+    (3, 128, 'bf97bb61a807761e100f1495204ae9ae487dd72cd62d6a9885bf5ac79931446d', 261, 195, 4),
+    (4, 38, '18ad0d1de3345d1d0fd8921ccedb6095e3aeb9e879e12fa0ed9a139ed61d34bb', 268, 200, 1),
+    (5, 68, 'd84ea1686bb560cec148e5465d927d7dce97d35ffa1e5d0b4c5586a8af7996c8', 275, 205, 2),
+    (6, 98, '514deb8d65dd69ef625f7704f504e7806ab6ec5212ea7b49ca63057b83f9b1cc', 282, 210, 3),
+    (7, 128, 'b7c54de08a416f8d780046754ad8123360b2c48d3d0946eee53eef969c8174bf', 289, 215, 4),
+    (8, 38, '69f3280e8c672a5225059db05068427f5218cd701fbe2a4b6022a74807906a7a', 296, 220, 1),
+    (9, 68, 'b909d78ed0c5a4f0376e150fbebdbb045406139111d4cb58f3b94dc459d0483f', 303, 225, 2),
+    (10, 98, 'f2fcd64a9819e7e79245e6f78f3bbf982018f3ada5ed12f6b1661e4ea30e6b5b', 310, 230, 3),
+    (11, 128, 'e01ffcc237ad75539af531d036bff11f6e40f88d24b4323d65befde3f1b2246d', 317, 235, 4),
+    (12, 38, 'eba0b9330a6004e58342d7e8710aeb73ef3c23f50afcc161e15acfd0fe79ccd3', 324, 240, 1),
+    (13, 68, 'ce8ca1d26cc6160f02f3e515daa3ee8bfd532c4f2868435b8fcc22fdfd9bf770', 331, 245, 2),
+    (14, 98, '65b5d02e6fffdacc901229eee4a963a700a4fbafcfaae415e9732ee03e387252', 338, 250, 3),
+    (15, 128, '3dd52b2be0dabccb4306be98e6d166ef5f4d705ccf84fa02975eaa19837b761a', 345, 255, 4),
+]
+
+
 #: (asset_id, n_bytes, sha256, width, height, n_frames, dhash)
 #: over real_bmp_asset_rows (r13)
 MULTIMODAL_BMP_EXPECTED = [
@@ -2516,6 +2538,21 @@ def q_multimodal_bmp(spark, sf_dir):
     return meta.join(hashes, "asset_id").select(
         "asset_id", "n_bytes", "sha256", "width", "height", "n_frames",
         "dhash")
+
+
+def q_multimodal_tiff(spark, sf_dir):
+    # hash-pinned (r13): TIFF metadata through the stdlib IFD walker —
+    # both byte orders and multi-page chains in one fixture; header-only
+    # by design (TIFF payload compression varies too much for an honest
+    # stdlib pixel path), so the entry pins exactly the surface that
+    # exists. dhash is deliberately NOT selected: it would be NULL for
+    # every row and DuckDB's pandas bridge renders NULL BIGINT as NaN.
+    from seqspark.pipeline.multimodal import (
+        decode_assets, make_real_tiff_assets)
+
+    assets = make_real_tiff_assets(spark, 16)
+    return decode_assets(assets, fake=False).select(
+        "asset_id", "n_bytes", "sha256", "width", "height", "n_frames")
 
 
 def q_audio_features_adpcm(spark, sf_dir):
@@ -3502,6 +3539,7 @@ DRIVER_WINDOW = [
     "audio_features_flac",
     "audio_features_adpcm",
     "multimodal_bmp",
+    "multimodal_tiff",
     "ann_opq_topk",
     "ann_ivfpq_residual",
     # the five entries rotated out in r12 (last driver-green r10) —
@@ -3512,9 +3550,10 @@ DRIVER_WINDOW = [
     "agg_timeseries",
     "ann_batch_topk",
     # r12b additions, driver-checked once (r12) — keep one more round
-    "audio_features",
     "ann_pq_topk",
     "ann_pq_batch",
+    # (audio_features also rotates out — r12-green; the identical DSP
+    # kernel runs in-window through the harder FLAC and ADPCM decoders)
     # (audio_dupes and ann_pq_rerank rotate out: r12-green; the modified
     # code paths they share — _audio_pcm chain, pq_encode — stay window-
     # covered via audio_features/audio_features_flac/adpcm, ann_pq_topk
@@ -3657,6 +3696,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_features_flac": q_audio_features_flac,
         "audio_features_adpcm": q_audio_features_adpcm,
         "multimodal_bmp": q_multimodal_bmp,
+        "multimodal_tiff": q_multimodal_tiff,
         "audio_dupes": q_audio_dupes,
         "ann_pq_topk": q_ann_pq_topk,
         "ann_opq_topk": q_ann_opq_topk,
@@ -4904,6 +4944,14 @@ def oracle_sql() -> dict[str, str]:
         )
         + ") AS t(asset_id, n_bytes, sha256, width, height, n_frames,"
         " dhash)"
+    )
+    sql["multimodal_tiff"] = (
+        "SELECT * FROM (VALUES "
+        + ", ".join(
+            f"({i}, {nb}, '{sha}', {w}, {h}, {nf})"
+            for i, nb, sha, w, h, nf in MULTIMODAL_TIFF_EXPECTED
+        )
+        + ") AS t(asset_id, n_bytes, sha256, width, height, n_frames)"
     )
     from seqspark.pipeline.ann import pq_oracle_sql
 

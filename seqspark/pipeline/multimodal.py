@@ -2008,6 +2008,47 @@ def make_real_flac_assets(spark, n: int = 16) -> DataFrame:
     return spark.createDataFrame(real_flac_asset_rows(n), ASSET_SCHEMA)
 
 
+def _tiff_encode_meta(w: int, h: int, pages: int, endian: str = "II") -> bytes:
+    """Minimal classic-TIFF writer for the METADATA fixture: a chain of
+    ``pages`` IFDs each carrying ImageWidth/ImageLength (SHORT/LONG mix,
+    both byte orders) and no strip data — exactly the surface
+    :func:`_tiff_meta` parses (the pixel path is honestly absent)."""
+    e = "<" if endian == "II" else ">"
+    magic = b"II*\x00" if endian == "II" else b"MM\x00*"
+    out = bytearray(magic + struct.pack(e + "I", 8))
+    off = 8
+    for p in range(pages):
+        n = 2
+        entries = (
+            struct.pack(e + "HHI", 256, 3, 1) + struct.pack(e + "HH", w, 0)
+            + struct.pack(e + "HHI", 257, 4, 1) + struct.pack(e + "I", h)
+        )
+        nxt = off + 2 + n * 12 + 4 if p + 1 < pages else 0
+        out += struct.pack(e + "H", n) + entries + struct.pack(e + "I", nxt)
+        off = len(out)
+    return bytes(out)
+
+
+def real_tiff_asset_rows(n: int = 16) -> list:
+    """Driver-side rows of the TIFF metadata fixture (r13): id-derived
+    dimensions and page counts, byte order alternating II/MM. Pure
+    function of ``n``."""
+    rows = []
+    for i in range(n):
+        content = _tiff_encode_meta(
+            240 + i * 7, 180 + i * 5, 1 + i % 4,
+            "II" if i % 2 == 0 else "MM",
+        )
+        rows.append((i, "image", bytearray(content),
+                     '{"src":"fixture-tiff"}'))
+    return rows
+
+
+def make_real_tiff_assets(spark, n: int = 16) -> DataFrame:
+    """Deterministic TIFF metadata fixture (:func:`real_tiff_asset_rows`)."""
+    return spark.createDataFrame(real_tiff_asset_rows(n), ASSET_SCHEMA)
+
+
 def real_bmp_asset_rows(n: int = 16) -> list:
     """Driver-side rows of the BMP fixture (r13): deterministic 24-bit
     uncompressed BMPs (id-derived size and pixel pattern, odd widths so

@@ -300,6 +300,23 @@ def main() -> None:
         print(f"    {r!r},")
     print("]")
 
+    # r13: TIFF metadata fixture — header-only IFD walk (both byte
+    # orders, multi-page chains)
+    from seqspark.pipeline.multimodal import real_tiff_asset_rows  # noqa: E402
+
+    tf = []
+    for i, media, content, _meta in real_tiff_asset_rows(16):
+        b = bytes(content)
+        w, h, nf = _real_decode("image", b)
+        tf.append((i, len(b), hashlib.sha256(b).hexdigest(), w, h, nf))
+    print()
+    print("#: (asset_id, n_bytes, sha256, width, height, n_frames)")
+    print("#: over real_tiff_asset_rows (r13, header-only)")
+    print("MULTIMODAL_TIFF_EXPECTED = [")
+    for r in tf:
+        print(f"    {r!r},")
+    print("]")
+
     # r13: IMA-ADPCM fixture — the audio feature kernel over the ADPCM
     # decoder's PCM (same underlying signals as the FLAC fixture, so the
     # lossy-vs-lossless feature drift is itself frozen and inspectable)
