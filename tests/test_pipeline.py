@@ -3133,3 +3133,45 @@ def test_tiff_meta_both_orders_and_multipage():
     assert _tiff_meta(bytes(cyc)) == (640, 480, 1)  # bounded, no spin
     assert _tiff_meta(b"II*\x00" + st.pack("<I", 8)
                       + st.pack("<H", 0) + st.pack("<I", 0)) is None
+
+
+def test_bmp_roundtrip_fuzz():
+    """Random sizes (odd widths keep row padding live) and random pixel
+    fields must survive encode->decode bit-exact."""
+    import numpy as np
+    from hypothesis import given, settings, strategies as hst
+
+    from seqspark.pipeline.multimodal import (
+        _bmp_decode_pixels, _bmp_encode)
+
+    @settings(max_examples=30, deadline=None)
+    @given(hst.integers(1, 40), hst.integers(1, 25), hst.integers(0, 2**31))
+    def run(w, h, seed):
+        rng = np.random.default_rng(seed)
+        px = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        dec = _bmp_decode_pixels(_bmp_encode(w, h, 3, bytearray(px.tobytes())))
+        assert dec is not None and (dec[0], dec[1], dec[2]) == (w, h, 3)
+        assert bytes(dec[3]) == px.tobytes()
+
+    run()
+
+
+def test_tiff_meta_fuzz_never_throws():
+    """The TIFF header walker must return a tuple or None on ARBITRARY
+    bytes behind the magic — never raise, never spin (corpus scanners
+    feed it whatever the web serves)."""
+    from hypothesis import given, settings, strategies as hst
+
+    from seqspark.pipeline.multimodal import _tiff_meta
+
+    @settings(max_examples=150, deadline=None)
+    @given(hst.sampled_from([b"II*\x00", b"MM\x00*"]),
+           hst.binary(min_size=0, max_size=200))
+    def run(magic, tail):
+        out = _tiff_meta(magic + tail)
+        assert out is None or (
+            len(out) == 3 and all(isinstance(v, int) for v in out)
+            and out[0] > 0 and out[1] > 0 and out[2] >= 1
+        )
+
+    run()
