@@ -2540,6 +2540,20 @@ def q_multimodal_bmp(spark, sf_dir):
         "dhash")
 
 
+def q_weighted_sample(spark, sf_dir):
+    # hash-pinned (r13): weighted sampling WITHOUT replacement
+    # (Efraimidis-Spirakis A-ES) — k docs with inclusion probability
+    # proportional to length(text)+1 (the quality-score-proportional
+    # sampling a training pipeline runs instead of uniform). u derives
+    # from a 52-bit md5 prefix (exact in float64 on both engines), key
+    # = ln(u)/w, top-k = TakeOrderedAndProject — one scan, no shuffle.
+    from seqspark.pipeline.sampling import weighted_sample
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", (F.length("text") + 1).cast("double").alias("w"))
+    return weighted_sample(docs, 50, "w", "doc_id", seed="docs")
+
+
 def q_multimodal_tiff(spark, sf_dir):
     # hash-pinned (r13): TIFF metadata through the stdlib IFD walker —
     # both byte orders and multi-page chains in one fixture; header-only
@@ -3540,6 +3554,7 @@ DRIVER_WINDOW = [
     "audio_features_adpcm",
     "multimodal_bmp",
     "multimodal_tiff",
+    "weighted_sample",
     "ann_opq_topk",
     "ann_ivfpq_residual",
     # the five entries rotated out in r12 (last driver-green r10) —
@@ -3558,10 +3573,10 @@ DRIVER_WINDOW = [
     # code paths they share — _audio_pcm chain, pq_encode — stay window-
     # covered via audio_features/audio_features_flac/adpcm, ann_pq_topk
     # and ann_pq_batch, whose batch path changed this round)
-    "unigram_encode",
-    # (unigram_sample_encode and video_keyframes rotate out: r12-green,
-    # untouched this round, families covered by unigram_encode and the
-    # frame_sample entries — makes room for the r13 ANN additions)
+    # (unigram_encode, unigram_sample_encode and video_keyframes rotate
+    # out: r12-green, untouched this round, the unigram corpus plan is
+    # scale-pinned (p6) and frame families stay covered by the
+    # frame_sample entries — makes room for the r13 additions)
     # least-recently driver-checked (last seen r5)
     "join_broadcast",
     "lineitem_pricing_summary",
@@ -3697,6 +3712,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_features_adpcm": q_audio_features_adpcm,
         "multimodal_bmp": q_multimodal_bmp,
         "multimodal_tiff": q_multimodal_tiff,
+        "weighted_sample": q_weighted_sample,
         "audio_dupes": q_audio_dupes,
         "ann_pq_topk": q_ann_pq_topk,
         "ann_opq_topk": q_ann_opq_topk,
@@ -4945,6 +4961,11 @@ def oracle_sql() -> dict[str, str]:
         + ") AS t(asset_id, n_bytes, sha256, width, height, n_frames,"
         " dhash)"
     )
+    from seqspark.pipeline.sampling import weighted_sample_oracle_sql
+
+    sql["weighted_sample"] = weighted_sample_oracle_sql(
+        50, "length(text) + 1", "doc_id", "documents",
+        "doc_id, (length(text) + 1)::DOUBLE AS w", seed="docs")
     sql["multimodal_tiff"] = (
         "SELECT * FROM (VALUES "
         + ", ".join(

@@ -61,6 +61,74 @@ def hash_sample(
     )
 
 
+def weighted_sample(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    key_col: str,
+    seed: str = "",
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement (r13): k rows with
+    inclusion probability proportional to ``weight_col`` — the
+    Efraimidis-Spirakis A-ES algorithm (public, 2006): each row gets
+    key ``ln(u)/w`` with ``u ~ U(0,1]``, and the k LARGEST keys are the
+    sample. The training-data use: sample documents proportional to a
+    quality score instead of uniformly.
+
+    Deterministic and layout-independent: ``u`` derives from a portable
+    md5 hash of (key, seed) — 13 hex digits = 52 bits, exact in a
+    float64 on BOTH engines, so the DuckDB oracle replays the selection
+    bit-for-bit (the md5-prefix standing). Rows with NULL or
+    non-positive weights have zero inclusion probability and are
+    filtered (A-ES is undefined for them).
+
+    Plan: one narrow projection + ``orderBy(key desc).limit(k)`` =
+    TakeOrderedAndProject — per-partition heaps, no shuffle, no Python;
+    at 100 TB the sample costs one scan."""
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col(key_col).cast("string"),
+                           F.lit("wsample:" + seed))), 1, 13),
+        16, 10,
+    ).cast("double")
+    u = (h + F.lit(1.0)) / F.lit(float(1 << 52))  # (0, 1]
+    w = F.col(weight_col).cast("double")
+    key = (F.log(u) / w).alias("__es_key")
+    return (
+        df.filter(w.isNotNull() & (w > 0))
+        .withColumn("__es_key", key)
+        .orderBy(F.col("__es_key").desc(), F.col(key_col).asc())
+        .limit(k)
+        .drop("__es_key")
+    )
+
+
+def weighted_sample_oracle_sql(
+    k: int,
+    weight_expr: str,
+    key_col: str,
+    table: str,
+    select_cols: str,
+    seed: str = "",
+    where: str = "TRUE",
+) -> str:
+    """DuckDB replay of :func:`weighted_sample`: the identical md5-
+    prefix uniform, the identical ``ln(u)/w`` key, the identical
+    order-and-limit."""
+    h = (f"('0x' || substring(md5({key_col}::VARCHAR || "
+         f"'wsample:{seed}'), 1, 13))::BIGINT")
+    u = f"(({h})::DOUBLE + 1.0) / {float(1 << 52)!r}"
+    key = f"(ln({u}) / ({weight_expr})::DOUBLE)"
+    return (
+        f"SELECT {select_cols} FROM {table} "
+        f"WHERE {where} AND ({weight_expr}) IS NOT NULL "
+        f"AND ({weight_expr}) > 0 "
+        f"ORDER BY {key} DESC, {key_col} ASC LIMIT {k}"
+    )
+
+
 def hash_split(
     df: DataFrame,
     key_col: str,

@@ -440,3 +440,77 @@ def test_salted_rank_precomputed_hot_keys(spark):
         df, "g", "v", 9, key_col="id", salt_groups=8
     )._jdf.queryExecution().optimizedPlan().toString()
     assert "__gn" in det_plan
+
+
+class TestWeightedSample:
+    """Efraimidis-Spirakis A-ES weighted sampling (r13)."""
+
+    def test_frequency_tracks_weight(self, spark):
+        # over many seeds, a row with weight 9 should appear ~9x as
+        # often as weight 1 (inclusion probability ∝ weight for k=1)
+        from seqspark.pipeline.sampling import weighted_sample
+
+        rows = [(i, 9.0 if i == 0 else 1.0) for i in range(10)]
+        df = spark.createDataFrame(rows, "doc_id long, w double").cache()
+        wins = 0
+        trials = 120
+        for s in range(trials):
+            got = weighted_sample(df, 1, "w", "doc_id", seed=str(s)).collect()
+            wins += got[0]["doc_id"] == 0
+        # p = 9/18 = 0.5; binomial(120, 0.5) within ±5 sigma
+        assert 33 <= wins <= 87, wins
+
+    def test_without_replacement_and_plan(self, spark):
+        from seqspark.pipeline.sampling import weighted_sample
+
+        rows = [(i, float(1 + i % 7)) for i in range(200)]
+        df = spark.createDataFrame(rows, "doc_id long, w double")
+        got = weighted_sample(df, 25, "w", "doc_id", seed="x")
+        ids = [r["doc_id"] for r in got.collect()]
+        assert len(ids) == 25 and len(set(ids)) == 25
+        plan = got._jdf.queryExecution().executedPlan().toString()
+        assert "TakeOrderedAndProject" in plan
+        assert "Exchange" not in plan  # per-partition heaps, no shuffle
+
+    def test_null_and_nonpositive_weights_excluded(self, spark):
+        from seqspark.pipeline.sampling import weighted_sample
+
+        df = spark.createDataFrame(
+            [(1, 2.0), (2, None), (3, 0.0), (4, -1.0), (5, 1.0)],
+            "doc_id long, w double")
+        ids = {r["doc_id"] for r in
+               weighted_sample(df, 10, "w", "doc_id").collect()}
+        assert ids == {1, 5}
+
+    def test_oracle_parity(self, spark):
+        import duckdb
+        import pandas as pd
+
+        from seqspark.pipeline.sampling import (
+            weighted_sample, weighted_sample_oracle_sql)
+
+        rows = [(i, float(1 + (i * 13) % 11)) for i in range(300)]
+        df = spark.createDataFrame(rows, "doc_id long, w double")
+        got = pd.DataFrame(
+            [(r["doc_id"], r["w"]) for r in
+             weighted_sample(df, 40, "w", "doc_id", seed="par").collect()],
+            columns=["doc_id", "w"])
+        con = duckdb.connect()
+        con.register("t", pd.DataFrame(
+            {"doc_id": [r[0] for r in rows], "w": [r[1] for r in rows]}))
+        want = con.execute(weighted_sample_oracle_sql(
+            40, "w", "doc_id", "t", "doc_id, w", seed="par")).df()
+        assert got.reset_index(drop=True).equals(want.reset_index(drop=True))
+
+    def test_deterministic_across_layouts(self, spark):
+        from seqspark.pipeline.sampling import weighted_sample
+
+        rows = [(i, float(1 + i % 5)) for i in range(120)]
+        df1 = spark.createDataFrame(rows, "doc_id long, w double")
+        df2 = spark.createDataFrame(
+            list(reversed(rows)), "doc_id long, w double").repartition(7)
+        a = {r["doc_id"] for r in
+             weighted_sample(df1, 15, "w", "doc_id", seed="z").collect()}
+        b = {r["doc_id"] for r in
+             weighted_sample(df2, 15, "w", "doc_id", seed="z").collect()}
+        assert a == b
