@@ -1749,8 +1749,10 @@ AUDIO_PAIR_FP_EXPECTED = [
 
 
 #: frozen PQ codebooks (m=8 subspaces x k=16 centroids x 8 dims):
-#: trained ONCE by pq_train(m=8, k=16, iters=5, sample=2048) on the
-#: sf0.01 embeddings (id-ordered sample), rounded to 6dp — inputs
+#: trained ONCE by pq_train(m=8, k=16, iters=5, sample=2048,
+#: sample_order="id") on the sf0.01 embeddings (id-ordered sample —
+#: the oracle-replay mode; live corpora default to md5(id) order),
+#: rounded to 6dp — inputs
 #: of the entry, not outputs (the SEMDEDUP_CENTROIDS standing)
 PQ_CODEBOOKS = [
     [
@@ -3051,7 +3053,8 @@ def q_multimodal_resize(spark, sf_dir):
 
 
 #: fixed k-means centroids (k=4, dim=64) for the semantic-dedup entries:
-#: trained ONCE via `ivf_train(k=4, iters=5)` on the sf0.01 embeddings,
+#: trained ONCE via `ivf_train(k=4, iters=5, sample_order="id")` on the
+#: sf0.01 embeddings (id-order = the oracle-replay seeding mode),
 #: rounded to 6 decimals and frozen as literals so the DuckDB oracle can
 #: replicate the exact cell assignment (centroids are inputs, not outputs,
 #: of SemDeDup-style dedup)
@@ -3069,7 +3072,7 @@ PQ_QUERY = SEMDEDUP_CENTROIDS[0]
 
 
 #: frozen OPQ rotation (64x64, orthogonal): trained ONCE by opq_train(m=8, k=8,
-#: iters=5, opq_iters=6, sample=2048) on the sf0.01 embeddings — an INPUT
+#: iters=5, opq_iters=6, sample=2048, sample_order="id") on the sf0.01 embeddings — an INPUT
 #: of the entry (the SEMDEDUP_CENTROIDS standing)
 OPQ_ROTATION = [
     [0.573172, 0.267644, -0.152818, 0.11465, 0.296821, -0.031399, 0.069281, 0.255712, -0.091139, -0.000281, -0.050264, 0.057596, 0.176285, -0.001781, -0.062328, -0.027497, -0.005587, -0.095848, -0.068248, 0.011063, -0.116162, -0.003947, 0.029218, -0.098857, -0.081031, -0.017848, -0.094954, 0.045851, -0.055279, -0.047474, -0.035834, 0.086858, -0.08055, 0.040464, 0.169719, 0.010482, -0.148177, 0.151882, 0.056291, 0.155262, -0.073553, 0.095842, 0.111112, -0.023153, -0.109065, -0.103249, 0.122805, 0.016257, -0.031199, 0.082198, -0.026289, -0.120027, -0.116619, -0.134927, 0.029662, 0.082439, 0.031626, 0.109517, -0.001781, -0.116506, 0.044341, -0.047209, -0.124976, 0.022543],

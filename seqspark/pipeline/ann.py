@@ -484,16 +484,46 @@ def ivf_update(
     )
 
 
+def _train_sample(
+    emb: DataFrame, id_col: str, n: int, sample_order: str
+) -> DataFrame:
+    """The trainers' shared sampling contract. ``sample_order`` picks the
+    deterministic, layout-independent total order whose ``n`` lowest rows
+    form the bounded training sample:
+
+    - ``"hash"`` (default) — ascending ``md5(id)``: a uniform pseudo-random
+      draw over the WHOLE corpus. Ids in this engine embed the ingest
+      timestamp (mid), so any id-prefix sample would see only the oldest
+      slice of a 100 TB corpus and quantizers would under-represent
+      post-drift content; the md5 order is immune to that while staying
+      reproducible across runs and partition layouts.
+    - ``"id"`` — ascending id: the legacy oracle-replay mode, kept so
+      frozen contract fixtures (which must be replayable as SQL
+      ``ORDER BY id LIMIT n`` CTEs) stay regenerable byte-for-byte.
+    """
+    if sample_order == "hash":
+        key = F.md5(F.col(id_col).cast("string"))
+        return emb.orderBy(key, id_col).limit(n)
+    if sample_order == "id":
+        return emb.orderBy(id_col).limit(n)
+    raise ValueError(f"sample_order must be 'hash' or 'id', got {sample_order!r}")
+
+
 def ivf_train(
     emb: DataFrame,
     k: int = 8,
     iters: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    sample_order: str = "hash",
 ) -> List[List[float]]:
     """Lloyd's k-means for the coarse quantizer. Deterministic: seeds are
-    the ``k`` lowest-id vectors; assignment is max-cosine (the same metric
-    :func:`ivf_topk` probes with); update is the element-wise mean.
+    the ``k`` first vectors in the :func:`_train_sample` order (default
+    ``md5(id)`` — drift-robust; ``sample_order="id"`` replays the legacy
+    lowest-id seeding used by frozen oracle fixtures); assignment is
+    max-cosine (the same metric :func:`ivf_topk` probes with); update is
+    the element-wise mean over the FULL corpus, so only the seeds — not
+    the fitted centroids' support — depend on the sample order.
 
     Only k x dim floats ever cross the driver per iteration — the same
     broadcast-centroid shape in which :func:`ivf_assign` consumes the
@@ -501,11 +531,21 @@ def ivf_train(
     every member keep their previous centroid."""
     if k < 1:
         raise ValueError("k must be >= 1")
-    seeds = emb.orderBy(id_col).limit(k).select(vec_col).collect()
+    # seeds come only from fully non-null vectors: with hash-order
+    # sampling ANY row can land in the seed set, and one dirty row in a
+    # 100 TB corpus must not make training fail (or succeed) depending on
+    # where its id hashes — scattered nulls outside the seeds stay
+    # tolerated (avg() skips them in the update step)
+    seed_pool = emb.filter(
+        F.col(vec_col).isNotNull()
+        & F.forall(F.col(vec_col), lambda x: x.isNotNull())
+    )
+    seeds = _train_sample(seed_pool, id_col, k, sample_order).select(vec_col).collect()
     if len(seeds) < k:
         raise ValueError(
-            f"corpus has only {len(seeds)} vectors, fewer than k={k} — "
-            "callers sizing structures to k would get a mismatched quantizer"
+            f"corpus has only {len(seeds)} fully non-null vectors, fewer "
+            f"than k={k} — callers sizing structures to k would get a "
+            "mismatched quantizer"
         )
     centroids = []
     for r in seeds:
@@ -572,10 +612,15 @@ def pq_train(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     sample: int = 4096,
+    sample_order: str = "hash",
 ) -> List[List[List[float]]]:
     """Per-subspace Lloyd's k-means over a bounded, deterministic sample
-    (the ``sample`` lowest-id vectors — id order, not data order, so the
-    result is layout-independent). Returns ``codebooks[m][k][dim/m]``.
+    (:func:`_train_sample`: the ``sample`` lowest ``md5(id)`` vectors by
+    default — a uniform draw over the whole corpus, so codebooks do not
+    skew to the oldest time slice even though ids embed timestamps;
+    ``sample_order="id"`` keeps the legacy lowest-id draw that frozen
+    oracle fixtures replay as ``ORDER BY id LIMIT n``). Either order is
+    layout-independent. Returns ``codebooks[m][k][dim/m]``.
 
     Driver traffic: sample x dim floats in, m x k x dim/m floats out —
     the codebooks are broadcast-sized by construction, like
@@ -583,7 +628,7 @@ def pq_train(
     frozen as oracle literals without re-rounding."""
     import numpy as np
 
-    rows = emb.orderBy(id_col).limit(sample).select(vec_col).collect()
+    rows = _train_sample(emb, id_col, sample, sample_order).select(vec_col).collect()
     if len(rows) < k:
         raise ValueError(f"corpus has {len(rows)} vectors, fewer than k={k}")
     X = np.array([[float(v) for v in r[vec_col]] for r in rows],
@@ -645,6 +690,7 @@ def opq_train(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     sample: int = 4096,
+    sample_order: str = "hash",
 ) -> tuple:
     """Optimized Product Quantization (the non-parametric alternation of
     Ge et al. 2013, public): learn an orthogonal rotation R jointly with
@@ -653,8 +699,10 @@ def opq_train(
     IDENTICAL scan cost, because rotation preserves L2 (``||Rx - Rq|| =
     ||x - q||``) while the quantization error drops.
 
-    Alternation over the same bounded, id-ordered sample as
-    :func:`pq_train`: (1) fit per-subspace k-means on the rotated
+    Alternation over the same bounded sample contract as
+    :func:`pq_train` (:func:`_train_sample` — default ``md5(id)`` order,
+    drift-robust; ``sample_order="id"`` for oracle-replayable fixtures):
+    (1) fit per-subspace k-means on the rotated
     sample, (2) reconstruct, (3) solve the orthogonal Procrustes problem
     ``min_R ||X Rᵀ - X̂||_F`` via one SVD (R = VUᵀ of svd(XᵀX̂) = USVᵀ).
     Returns ``(rotation[dim][dim], codebooks[m][k][dim/m])``, both
@@ -668,7 +716,7 @@ def opq_train(
     can't reach the oracle (same standing as PQ_CODEBOOKS)."""
     import numpy as np
 
-    rows = emb.orderBy(id_col).limit(sample).select(vec_col).collect()
+    rows = _train_sample(emb, id_col, sample, sample_order).select(vec_col).collect()
     if len(rows) < k:
         raise ValueError(f"corpus has {len(rows)} vectors, fewer than k={k}")
     X = np.array([[float(v) for v in r[vec_col]] for r in rows],

@@ -252,3 +252,76 @@ def test_opq_batch_matches_per_query(spark, rot_emb):
         single = [(r["vec_id"], r["adist"]) for r in
                   ann.opq_topk(codes, books, R, qv, k=7).collect()]
         assert batched[qi] == single, qi
+
+
+class TestTrainSampleOrder:
+    """r14 (verdict #3): the trainers' bounded sample must not be the
+    lowest-id slice by default — ids in this engine embed the ingest
+    timestamp, so id-order sampling trains quantizers on only the OLDEST
+    corpus slice and content drift goes unrepresented at 100 TB. The
+    default is now md5(id) order (deterministic, layout-independent,
+    uniform over the whole id range); ``sample_order="id"`` keeps the
+    legacy mode the frozen oracle fixtures replay as SQL."""
+
+    def _drift_emb(self, spark, n=200, dim=8):
+        # first half centered at -1, second half (later ids) at +1:
+        # a corpus whose content drifted over ingest time
+        rows = [
+            (i, [(-1.0 if i < n // 2 else 1.0) + 0.001 * ((i * 7) % 10)]
+             * dim, "x")
+            for i in range(n)
+        ]
+        return rows, spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>, label string")
+
+    def test_hash_sample_spans_id_range(self, spark):
+        rows, emb = self._drift_emb(spark)
+        got = ann._train_sample(emb, "vec_id", 40, "hash") \
+            .select("vec_id").collect()
+        ids = [r["vec_id"] for r in got]
+        assert len(ids) == 40
+        # a uniform draw of 40 from [0, 200) lands in both halves;
+        # the id-order draw by construction cannot
+        assert any(i < 100 for i in ids) and any(i >= 100 for i in ids)
+        id_ids = [r["vec_id"] for r in
+                  ann._train_sample(emb, "vec_id", 40, "id")
+                  .select("vec_id").collect()]
+        assert id_ids == list(range(40))  # legacy mode unchanged
+
+    def test_hash_sample_is_layout_independent(self, spark):
+        rows, emb = self._drift_emb(spark)
+        a = [r["vec_id"] for r in
+             ann._train_sample(emb.repartition(7), "vec_id", 25, "hash")
+             .select("vec_id").collect()]
+        b = [r["vec_id"] for r in
+             ann._train_sample(emb.coalesce(1), "vec_id", 25, "hash")
+             .select("vec_id").collect()]
+        assert a == b
+
+    def test_default_codebooks_see_drifted_content(self, spark):
+        rows, emb = self._drift_emb(spark)
+        import numpy as np
+        # id-order sample = only the old (-1) mode: every centroid near -1
+        books_id = ann.pq_train(emb, m=2, k=4, iters=3, sample=64,
+                                sample_order="id")
+        assert all(c[0] < 0 for cb in books_id for c in cb)
+        # hash-order default: centroids cover BOTH modes
+        books_hash = ann.pq_train(emb, m=2, k=4, iters=3, sample=64)
+        signs = {c[0] > 0 for cb in books_hash for c in cb}
+        assert signs == {True, False}
+
+    def test_ivf_train_seed_order_modes(self, spark):
+        rows, emb = self._drift_emb(spark)
+        # legacy seeding reproduces lowest-id seeds (oracle-replay mode)
+        cents_id = ann.ivf_train(emb, k=2, iters=0, sample_order="id")
+        assert cents_id == [list(map(float, rows[0][1])),
+                            list(map(float, rows[1][1]))]
+        # default seeding converges on the true two-mode structure
+        cents = ann.ivf_train(emb, k=2, iters=4)
+        m0, m1 = sorted(c[0] for c in cents)
+        assert m0 < 0 < m1
+
+    def test_bad_sample_order_rejected(self, spark):
+        rows, emb = self._drift_emb(spark)
+        with pytest.raises(ValueError, match="sample_order"):
+            ann.pq_train(emb, m=2, k=4, sample_order="random")

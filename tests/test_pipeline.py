@@ -804,20 +804,22 @@ def test_dup_clusters_long_chain_raises_then_converges(spark):
 
 
 def test_ivf_train_rejects_null_elements(spark):
-    # avg() skips scattered nulls (fine); a position that is null in EVERY
-    # member of a cell yields a NULL mean, which must fail loudly
+    # r14: seeds draw only from fully non-null vectors (one dirty row in
+    # a huge corpus must not flip training success on where its id
+    # hashes); a corpus with NO clean vector fails loudly at seeding
     emb = spark.createDataFrame(
         [(0, [1.0, None]), (1, [3.0, None]), (2, [5.0, None])],
         "vec_id long, embedding array<double>",
     )
-    with pytest.raises(ValueError, match="ragged or contain nulls"):
+    with pytest.raises(ValueError, match="fully non-null"):
         ann.ivf_train(emb, k=1, iters=1)
-    # null past the seed set: caught by the dense-position check instead
+    # scattered nulls outside the seed: avg skips, fine — in BOTH orders
     emb2 = spark.createDataFrame(
         [(0, [1.0, 2.0]), (1, [3.0, None]), (2, [5.0, None])],
         "vec_id long, embedding array<double>",
     )
-    ann.ivf_train(emb2, k=1, iters=1)  # scattered nulls: avg skips, fine
+    ann.ivf_train(emb2, k=1, iters=1)
+    ann.ivf_train(emb2, k=1, iters=1, sample_order="id")
 
 def test_resize_images_plumbing(spark):
     assets = multimodal.make_fake_assets(spark, 12)
@@ -2867,8 +2869,11 @@ def test_ivf_pq_composes(spark):
              "x") for i in range(150)]
     emb2 = spark.createDataFrame(
         rows, "vec_id long, embedding array<double>, label string")
-    cents = ann.ivf_train(emb2, k=3, iters=4)
-    books = ann.pq_train(emb2, m=8, k=8, iters=3)
+    # id-order: this test pins top-1 identity under SPECIFIC codebooks
+    # (approximate ranking is seeding-sensitive); the sampling default
+    # itself is pinned in test_ann_opq.py::TestTrainSampleOrder
+    cents = ann.ivf_train(emb2, k=3, iters=4, sample_order="id")
+    books = ann.pq_train(emb2, m=8, k=8, iters=3, sample_order="id")
     codes = ann.pq_encode(emb2, books)
     cells = ann.ivf_assign(emb2, cents).select("vec_id", "cell")
     coded_cells = codes.join(cells, "vec_id")
@@ -2990,8 +2995,9 @@ def test_ivf_pq_partitioned_codes_store_prunes(spark, tmp_path):
              "x") for i in range(120)]
     emb2 = spark.createDataFrame(
         rows, "vec_id long, embedding array<double>, label string")
-    cents = ann.ivf_train(emb2, k=3, iters=4)
-    books = ann.pq_train(emb2, m=8, k=8, iters=3)
+    # id-order for the same reason as test_ivf_pq_composes
+    cents = ann.ivf_train(emb2, k=3, iters=4, sample_order="id")
+    books = ann.pq_train(emb2, m=8, k=8, iters=3, sample_order="id")
     coded = ann.pq_encode(emb2, books).join(
         ann.ivf_assign(emb2, cents).select("vec_id", "cell"), "vec_id")
     path = str(tmp_path / "ivfpq")

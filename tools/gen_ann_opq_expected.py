@@ -46,8 +46,11 @@ def main() -> None:
     spec.loader.exec_module(entry)
 
     emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    # sample_order="id": the frozen fixtures stay in the oracle-replay
+    # order (the entry's DuckDB CTEs replay the sample as ORDER BY vec_id
+    # LIMIT 2048) — the drift-robust md5(id) default is for live corpora
     R, books = ann.opq_train(emb, m=8, k=8, iters=5, opq_iters=6,
-                             sample=2048)
+                             sample=2048, sample_order="id")
 
     def fmt_mat(name, mat, comment):
         print(f"#: {comment}")
@@ -69,8 +72,9 @@ def main() -> None:
     print()
     fmt_mat("OPQ_ROTATION", R,
             "frozen OPQ rotation (64x64, orthogonal): trained ONCE by "
-            "opq_train(m=8, k=8,\n#: iters=5, opq_iters=6, sample=2048) "
-            "on the sf0.01 embeddings — an INPUT\n#: of the entry (the "
+            "opq_train(m=8, k=8,\n#: iters=5, opq_iters=6, sample=2048, "
+            "sample_order=\"id\") on the sf0.01 embeddings"
+            " — an INPUT\n#: of the entry (the "
             "SEMDEDUP_CENTROIDS standing)")
     print()
     fmt_books("OPQ_CODEBOOKS", books,
