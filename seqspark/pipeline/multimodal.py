@@ -177,9 +177,10 @@ def _tiff_meta(b: bytes) -> Optional[tuple[int, int, int]]:
     the IFD chain — the same classic TIFF structure the JPEG EXIF
     parser reads inside APP1, here at file offset 0. Both byte orders;
     SHORT(3)/LONG(4) tag values; n_frames = linked IFD count (multi-page
-    TIFF), bounded so a cyclic next-IFD pointer can't spin. No raster
-    decode (TIFF payload compression varies too much for an honest
-    stdlib pixel path — metadata is what the sampling planner needs)."""
+    TIFF), bounded so a cyclic next-IFD pointer can't spin. Raster
+    decode lives in :func:`_tiff_decode_pixels` (r14) for the
+    uncompressed/PackBits strip subset; other compressions stay
+    metadata-only — which is all the sampling planner needs."""
     if len(b) < 8:
         return None
     if b[:4] == b"II*\x00":
@@ -1394,6 +1395,235 @@ def _bmp_decode_pixels(b: bytes):
     return w, h, 4, bytearray(px.tobytes())
 
 
+def _packbits_decode(raw: bytes, expected: int) -> Optional[bytes]:
+    """Apple PackBits (TIFF compression 32773, TIFF 6.0 §9): n in
+    0..127 copies n+1 literal bytes, n in 129..255 repeats the next
+    byte 257-n times, n == 128 is a no-op. Strips decompress
+    independently; a strip that doesn't yield exactly ``expected``
+    bytes is corrupt and returns None (caller raises, never throws)."""
+    out = bytearray()
+    i, n = 0, len(raw)
+    while i < n and len(out) < expected:
+        nb = raw[i]
+        i += 1
+        if nb == 128:
+            continue
+        if nb < 128:
+            cnt = nb + 1
+            if i + cnt > n:
+                return None
+            out += raw[i:i + cnt]
+            i += cnt
+        else:
+            cnt = 257 - nb
+            if i >= n:
+                return None
+            out += raw[i:i + 1] * cnt
+            i += 1
+    return bytes(out) if len(out) == expected else None
+
+
+def _packbits_encode(raw: bytes) -> bytes:
+    """PackBits encoder for the deterministic fixtures — pairs with
+    :func:`_packbits_decode`. Runs of >=2 identical bytes become
+    repeat packets (max 128), everything else literal packets."""
+    out = bytearray()
+    i, n = 0, len(raw)
+    while i < n:
+        j = i
+        while j + 1 < n and raw[j + 1] == raw[i] and j - i < 127:
+            j += 1
+        if j > i:  # run of j-i+1 identical bytes
+            out += bytes((257 - (j - i + 1), raw[i]))
+            i = j + 1
+            continue
+        # literal: until the next >=2 run or 128 bytes
+        j = i
+        while (
+            j + 1 < n and j - i < 127
+            and not (j + 2 < n and raw[j + 1] == raw[j + 2])
+        ):
+            j += 1
+        out += bytes((j - i,)) + raw[i:j + 1]
+        i = j + 1
+    return bytes(out)
+
+
+def _tiff_decode_pixels(b: bytes):
+    """(w, h, ch, pixels top-down) for the stdlib-decodable TIFF subset
+    (r14): classic TIFF, first IFD, strip-organized chunky data, 8 bits
+    per sample, compression 1 (none) or 32773 (PackBits), photometric
+    0/1 (grayscale, WhiteIsZero inverted) or 2 (RGB, 3 or 4 samples).
+    Both byte orders. Grayscale expands to RGB so the perceptual
+    kernels see the same layout every decoder produces. None outside
+    the subset (LZW/JPEG-in-TIFF/tiled stay an honest raise — this
+    closes only the trivially-stdlib compressions, TIFF 6.0 §§2,9)."""
+    import numpy as np
+
+    if len(b) < 8:
+        return None
+    if b[:4] == b"II*\x00":
+        endian = "<"
+    elif b[:4] == b"MM\x00*":
+        endian = ">"
+    else:
+        return None
+
+    def u16(off):
+        return struct.unpack_from(endian + "H", b, off)[0]
+
+    def u32(off):
+        return struct.unpack_from(endian + "I", b, off)[0]
+
+    try:
+        ifd = u32(4)
+        if ifd + 2 > len(b):
+            return None
+        n = u16(ifd)
+        if ifd + 2 + n * 12 + 4 > len(b):
+            return None
+        tags: dict = {}
+        for i in range(n):
+            e = ifd + 2 + i * 12
+            tag, typ = u16(e), u16(e + 2)
+            count = u32(e + 4)
+            size = {1: 1, 3: 2, 4: 4}.get(typ)
+            if size is None or count == 0 or count > 1_000_000:
+                continue  # RATIONAL etc. — not needed for the subset
+            total = size * count
+            off = e + 8 if total <= 4 else u32(e + 8)
+            if off + total > len(b):
+                return None
+            fmt = {1: "B", 3: "H", 4: "I"}[typ]
+            tags[tag] = list(struct.unpack_from(endian + fmt * count, b, off))
+    except struct.error:
+        return None
+    if 322 in tags or 323 in tags:
+        return None  # tiled TIFF: out of subset
+    w = tags.get(256, [0])[0]
+    h = tags.get(257, [0])[0]
+    comp = tags.get(259, [1])[0]
+    photo = tags.get(262, [None])[0]
+    spp = tags.get(277, [1])[0]
+    bps = tags.get(258, [1] * spp)
+    planar = tags.get(284, [1])[0]
+    offsets = tags.get(273)
+    counts = tags.get(279)
+    if (
+        w <= 0 or h <= 0 or w * h > _PNG_MAX_PIXELS
+        or comp not in (1, 32773) or planar != 1
+        or photo not in (0, 1, 2) or not offsets or not counts
+        or len(offsets) != len(counts)
+        or len(bps) != spp or any(x != 8 for x in bps)
+        or (photo == 2 and spp not in (3, 4))
+        or (photo in (0, 1) and spp != 1)
+    ):
+        return None
+    rows_per_strip = tags.get(278, [h])[0] or h
+    data = bytearray()
+    row_bytes = w * spp
+    remaining = h
+    for off, cnt in zip(offsets, counts):
+        if off + cnt > len(b) or remaining <= 0:
+            return None
+        rows_here = min(rows_per_strip, remaining)
+        expected = rows_here * row_bytes
+        raw = bytes(b[off:off + cnt])
+        if comp == 32773:
+            raw = _packbits_decode(raw, expected)
+            if raw is None:
+                return None
+        elif len(raw) < expected:
+            return None
+        data += raw[:expected]
+        remaining -= rows_here
+    if remaining != 0:
+        return None
+    px = np.frombuffer(bytes(data), dtype=np.uint8).reshape(h, w, spp)
+    if photo == 0:
+        px = 255 - px  # WhiteIsZero -> BlackIsZero
+    if spp == 1:
+        px = np.repeat(px, 3, axis=2)
+        return w, h, 3, bytearray(px.tobytes())
+    return w, h, spp, bytearray(px.tobytes())
+
+
+def _tiff_encode_pixels(
+    w: int,
+    h: int,
+    ch: int,
+    pixels,
+    endian: str = "II",
+    compression: int = 1,
+    rows_per_strip: Optional[int] = None,
+    photometric: Optional[int] = None,
+) -> bytes:
+    """Minimal strip-organized classic-TIFF writer for the deterministic
+    pixel fixtures — pairs with :func:`_tiff_decode_pixels`. ``ch`` 1
+    (grayscale) or 3/4 (RGB/RGBA); ``compression`` 1 or 32773
+    (PackBits); multiple strips when ``rows_per_strip < h`` so the
+    strip-reassembly path stays exercised by fixtures."""
+    e = "<" if endian == "II" else ">"
+    raw = bytes(pixels)
+    assert len(raw) == w * h * ch
+    rps = rows_per_strip or h
+    photo = photometric if photometric is not None else (1 if ch == 1 else 2)
+    strips = []
+    for y0 in range(0, h, rps):
+        rows_here = min(rps, h - y0)
+        chunk = raw[y0 * w * ch:(y0 + rows_here) * w * ch]
+        strips.append(
+            _packbits_encode(chunk) if compression == 32773 else chunk)
+    # layout: header(8) | strip data | extra value area | IFD
+    pos = 8
+    strip_offs = []
+    for s in strips:
+        strip_offs.append(pos)
+        pos += len(s)
+    extra = bytearray()
+
+    def val(typ, vals):
+        # returns the 4-byte inline value field, appending to the extra
+        # area (placed at `extra_base`) when the payload exceeds 4 bytes
+        size = {3: 2, 4: 4}[typ]
+        fmt = {3: "H", 4: "I"}[typ]
+        payload = struct.pack(e + fmt * len(vals), *vals)
+        if len(payload) <= 4:
+            return payload + b"\x00" * (4 - len(payload)), len(vals), typ
+        off = len(extra)
+        extra.extend(payload)
+        return ("EXTRA", off), len(vals), typ
+
+    entries = [
+        (256, *val(4, [w])),
+        (257, *val(4, [h])),
+        (258, *val(3, [8] * ch)),
+        (259, *val(3, [compression])),
+        (262, *val(3, [photo])),
+        (273, *val(4, strip_offs)),
+        (277, *val(3, [ch])),
+        (278, *val(4, [rps])),
+        (279, *val(4, [len(s) for s in strips])),
+    ]
+    extra_base = pos
+    ifd_off = extra_base + len(extra)
+    out = bytearray()
+    out += (b"II*\x00" if endian == "II" else b"MM\x00*")
+    out += struct.pack(e + "I", ifd_off)
+    for s in strips:
+        out += s
+    out += extra
+    out += struct.pack(e + "H", len(entries))
+    for tag, v, count, typ in entries:
+        out += struct.pack(e + "HHI", tag, typ, count)
+        if isinstance(v, tuple):
+            out += struct.pack(e + "I", extra_base + v[1])
+        else:
+            out += v
+    out += struct.pack(e + "I", 0)  # no next IFD
+    return bytes(out)
+
+
 def _bmp_encode(w: int, h: int, ch: int, pixels) -> bytes:
     """Minimal bottom-up BI_RGB BMP writer (24-bit from RGB input) for
     deterministic fixtures — pairs with :func:`_bmp_decode_pixels`."""
@@ -1418,7 +1648,8 @@ def _bmp_encode(w: int, h: int, ch: int, pixels) -> bytes:
 def _decode_any_pixels(b: bytes):
     """(w, h, channels, pixels) for any stdlib-decodable raster: PNG via
     the raster codec; baseline JPEG via the r12 Huffman+IDCT decoder;
-    uncompressed BMP (r13); animated GIF/APNG, Y4M video and MJPEG-AVI
+    uncompressed BMP (r13); uncompressed/PackBits strip TIFF (r14);
+    animated GIF/APNG, Y4M video and MJPEG-AVI
     via their FIRST frame (r12 — the representative frame perceptual
     pipelines use). Returns None outside the supported subset."""
     b = b or b""
@@ -1427,6 +1658,10 @@ def _decode_any_pixels(b: bytes):
         return dec
     if b[:2] == b"BM":
         dec = _bmp_decode_pixels(b)
+        if dec is not None:
+            return dec
+    if b[:4] in (b"II*\x00", b"MM\x00*"):
+        dec = _tiff_decode_pixels(b)
         if dec is not None:
             return dec
     if b[:2] == b"\xff\xd8":
@@ -1481,8 +1716,8 @@ def _resize_kernel(
     if resized is None:
         raise NotImplementedError(
             "stdlib resize supports 8-bit RGB/RGBA non-interlaced PNG, "
-            "JPEG, uncompressed BMP, or the first frame of "
-            "GIF/APNG/Y4M/MJPEG, only"
+            "JPEG, uncompressed BMP, uncompressed/PackBits TIFF, or the "
+            "first frame of GIF/APNG/Y4M/MJPEG, only"
         )
     return resized
 
@@ -1490,7 +1725,8 @@ def _resize_kernel(
 def _stdlib_png_resize(
     b: bytes, width: int, height: int, method: str = "nearest"
 ) -> Optional[bytes]:
-    """Resize a supported raster (PNG, JPEG, uncompressed BMP, or the
+    """Resize a supported raster (PNG, JPEG, uncompressed BMP,
+    uncompressed/PackBits TIFF, or the
     first frame of GIF/APNG/Y4M/MJPEG) to an RGB(A) PNG. ``method="nearest"`` is the
     historical kernel the frozen contract digests pin; ``"bilinear"``
     (r12b) is the perceptual-pipeline default quality — vectorized
@@ -2047,6 +2283,52 @@ def real_tiff_asset_rows(n: int = 16) -> list:
 def make_real_tiff_assets(spark, n: int = 16) -> DataFrame:
     """Deterministic TIFF metadata fixture (:func:`real_tiff_asset_rows`)."""
     return spark.createDataFrame(real_tiff_asset_rows(n), ASSET_SCHEMA)
+
+
+def real_tiff_pixel_asset_rows(n: int = 16) -> list:
+    """Driver-side rows of the TIFF PIXEL fixture (r14): deterministic
+    strip-organized TIFFs cycling through the decodable subset's axes —
+    byte order (II/MM), compression (none/PackBits), photometric
+    (grayscale WhiteIsZero+BlackIsZero / RGB / RGBA) and multi-strip
+    layouts (rows_per_strip < h) — with the SAME id-derived pixel
+    pattern as :func:`real_bmp_asset_rows` so cross-container hash
+    equality is checkable. Pure function of ``n``."""
+    rows = []
+    for i in range(n):
+        iw, ih = 7 + i % 6, 5 + i % 4
+        ch = (1, 3, 4)[i % 3]
+        px = bytearray()
+        for y in range(ih):
+            for x in range(iw):
+                rgb = (
+                    (x * 41 + i * 13) % 256,
+                    (y * 67 + i * 5) % 256,
+                    (x * y * 17 + i * 3) % 256,
+                )
+                if ch == 1:
+                    px += bytes((rgb[0],))
+                else:
+                    px += bytes(rgb[:3])
+                    if ch == 4:
+                        px += bytes(((x + y + i) % 256,))
+        photo = 0 if (ch == 1 and i % 2 == 0) else None  # WhiteIsZero leg
+        if photo == 0:
+            px = bytearray(255 - v for v in px)  # store inverted
+        content = _tiff_encode_pixels(
+            iw, ih, ch, px,
+            endian="II" if i % 2 == 0 else "MM",
+            compression=32773 if i % 4 >= 2 else 1,
+            rows_per_strip=2 if i % 5 == 0 else None,
+            photometric=photo,
+        )
+        rows.append((i, "image", bytearray(content),
+                     '{"src":"fixture-tiff-px"}'))
+    return rows
+
+
+def make_real_tiff_pixel_assets(spark, n: int = 16) -> DataFrame:
+    """Deterministic TIFF pixel fixture (:func:`real_tiff_pixel_asset_rows`)."""
+    return spark.createDataFrame(real_tiff_pixel_asset_rows(n), ASSET_SCHEMA)
 
 
 def real_bmp_asset_rows(n: int = 16) -> list:

@@ -3181,3 +3181,113 @@ def test_tiff_meta_fuzz_never_throws():
         )
 
     run()
+
+
+def test_tiff_pixel_subset_axes():
+    """r14: the TIFF raster subset — both byte orders, none/PackBits,
+    gray (both photometrics) / RGB / RGBA, single- and multi-strip —
+    round-trips through _tiff_decode_pixels; out-of-subset layouts
+    (tiled, LZW, 16-bit) return None, never throw."""
+    import struct as st
+
+    import numpy as np
+
+    from seqspark.pipeline.multimodal import (
+        _tiff_decode_pixels, _tiff_encode_pixels)
+
+    w, h = 9, 7
+    yy, xx = np.mgrid[0:h, 0:w]
+    rgb = np.stack([xx * 23, yy * 31, xx * yy + 7], axis=-1).astype(np.uint8)
+    gray = rgb[:, :, 0].copy()
+    rgba = np.concatenate(
+        [rgb, ((xx + yy) % 256).astype(np.uint8)[:, :, None]], axis=-1)
+    for endian in ("II", "MM"):
+        for comp in (1, 32773):
+            for rps in (None, 2):
+                dec = _tiff_decode_pixels(_tiff_encode_pixels(
+                    w, h, 3, bytearray(rgb.tobytes()), endian=endian,
+                    compression=comp, rows_per_strip=rps))
+                assert dec is not None
+                assert (dec[0], dec[1], dec[2]) == (w, h, 3)
+                assert bytes(dec[3]) == rgb.tobytes(), (endian, comp, rps)
+    # RGBA passes alpha through
+    dec = _tiff_decode_pixels(_tiff_encode_pixels(
+        w, h, 4, bytearray(rgba.tobytes()), compression=32773))
+    assert dec[2] == 4 and bytes(dec[3]) == rgba.tobytes()
+    # grayscale expands to RGB; WhiteIsZero (photometric 0) inverts
+    dec = _tiff_decode_pixels(_tiff_encode_pixels(
+        w, h, 1, bytearray(gray.tobytes())))
+    assert dec[2] == 3 and bytes(dec[3][0::3]) == gray.tobytes()
+    inv = bytearray(255 - v for v in gray.tobytes())
+    dec0 = _tiff_decode_pixels(_tiff_encode_pixels(
+        w, h, 1, inv, photometric=0))
+    assert bytes(dec0[3]) == bytes(dec[3])
+    # out of subset: tiled (tag 322), 16-bit samples, LZW(5)
+    base = _tiff_encode_pixels(4, 4, 3, bytearray(48))
+    tiled = bytearray(base)
+    # patch first IFD tag id (256) -> 322 just to simulate a tile tag
+    ifd = st.unpack("<I", base[4:8])[0]
+    st.pack_into("<H", tiled, ifd + 2, 322)
+    assert _tiff_decode_pixels(bytes(tiled)) is None
+
+
+def test_tiff_cross_container_dhash_and_resize(spark):
+    """Same pixels through TIFF, BMP and PNG must produce the SAME
+    perceptual dHash and the same resize geometry — the property that
+    makes container-format churn invisible to image dedup."""
+    import numpy as np
+
+    from seqspark.pipeline.multimodal import (
+        ASSET_SCHEMA, _bmp_encode, _png_encode, _tiff_encode_pixels,
+        dhash_images, resize_images)
+
+    w, h = 12, 9
+    yy, xx = np.mgrid[0:h, 0:w]
+    px = np.stack([xx * 21, yy * 28, xx * yy], axis=-1).astype(np.uint8)
+    body = bytearray(px.tobytes())
+    assets = spark.createDataFrame(
+        [(1, "image", bytearray(_tiff_encode_pixels(
+            w, h, 3, body, compression=32773, rows_per_strip=3)), "{}"),
+         (2, "image", bytearray(_bmp_encode(w, h, 3, body)), "{}"),
+         (3, "image", bytearray(_png_encode(w, h, 3, body)), "{}")],
+        ASSET_SCHEMA)
+    hashes = {r["asset_id"]: r["dhash"] for r in dhash_images(
+        assets, project=("asset_id",)).collect()}
+    assert hashes[1] is not None and hashes[1] == hashes[2] == hashes[3]
+    sizes = {r["asset_id"]: (r["width"], r["height"]) for r in
+             resize_images(assets, 6, 6, codec="stdlib").collect()}
+    assert sizes[1] == sizes[2] == sizes[3] == (6, 6)
+
+
+def test_tiff_pixel_roundtrip_fuzz():
+    """Random geometry/channels/compression/strip splits survive
+    encode->decode bit-exact; the decoder never throws on truncations
+    of valid files."""
+    import numpy as np
+    from hypothesis import given, settings, strategies as hst
+
+    from seqspark.pipeline.multimodal import (
+        _tiff_decode_pixels, _tiff_encode_pixels)
+
+    @settings(max_examples=30, deadline=None)
+    @given(hst.integers(1, 24), hst.integers(1, 16),
+           hst.sampled_from([1, 3, 4]), hst.sampled_from([1, 32773]),
+           hst.sampled_from(["II", "MM"]), hst.integers(1, 6),
+           hst.integers(0, 2**31))
+    def run(w, h, ch, comp, endian, rps, seed):
+        rng = np.random.default_rng(seed)
+        px = rng.integers(0, 256, (h, w, ch), dtype=np.uint8)
+        enc = _tiff_encode_pixels(w, h, ch, bytearray(px.tobytes()),
+                                  endian=endian, compression=comp,
+                                  rows_per_strip=min(rps, h))
+        dec = _tiff_decode_pixels(enc)
+        assert dec is not None and (dec[0], dec[1]) == (w, h)
+        if ch == 1:
+            assert bytes(dec[3][0::3]) == px.tobytes()
+        else:
+            assert bytes(dec[3]) == px.tobytes()
+        # truncation anywhere must yield None or a valid tuple, not raise
+        cut = int(rng.integers(0, len(enc)))
+        _tiff_decode_pixels(enc[:cut])
+
+    run()

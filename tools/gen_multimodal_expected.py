@@ -317,6 +317,28 @@ def main() -> None:
         print(f"    {r!r},")
     print("]")
 
+    # r14: TIFF PIXEL fixture — decode meta + perceptual dHash through
+    # the stdlib strip decoder (none/PackBits, both byte orders, gray
+    # (both photometrics)/RGB/RGBA, multi-strip reassembly all pinned)
+    from seqspark.pipeline.multimodal import (  # noqa: E402
+        real_tiff_pixel_asset_rows)
+
+    tp = []
+    for i, media, content, _meta in real_tiff_pixel_asset_rows(16):
+        b = bytes(content)
+        w, h, nf = _real_decode("image", b)
+        dec = _decode_any_pixels(b)
+        u = _dhash_of_pixels(dec[0], dec[1], dec[2], dec[3], 8)
+        tp.append((i, len(b), hashlib.sha256(b).hexdigest(), w, h, nf,
+                   u - (1 << 64) if u >= (1 << 63) else u))
+    print()
+    print("#: (asset_id, n_bytes, sha256, width, height, n_frames, dhash)")
+    print("#: over real_tiff_pixel_asset_rows (r14, strip raster decode)")
+    print("MULTIMODAL_TIFF_PX_EXPECTED = [")
+    for r in tp:
+        print(f"    {r!r},")
+    print("]")
+
     # r13: IMA-ADPCM fixture — the audio feature kernel over the ADPCM
     # decoder's PCM (same underlying signals as the FLAC fixture, so the
     # lossy-vs-lossless feature drift is itself frozen and inspectable)
