@@ -1695,6 +1695,29 @@ MULTIMODAL_TIFF_PX_EXPECTED = [
 ]
 
 
+#: (asset_id, n_bytes, sha256, container, sample_rate,
+#: n_channels, n_samples, duration_s) over real_mp3_asset_rows
+#: (r14, header-only frame accounting)
+MULTIMODAL_MP3_EXPECTED = [
+    (0, 360, '57efd0314519e614457cdb4fdebc6575e7f5c9a4da1484e94cfaf2ad12f055ac', 'mp3', 44100, 1, 3456, 0.078367),
+    (1, 658, '29c63fef021e0b59a8778ab9af95296d7aca95ba4aee378c7cd7a333403132ed', 'mp3', 24000, 2, 2304, 0.096),
+    (2, 7202, '0a9401500089e3014dd4e464f2e29a89521496d04d3a5d88d2568caaedba8c30', 'mp3', 8000, 1, 5760, 0.72),
+    (3, 2739, '6ec2c833c2cd13b47cf4ae6ec4c4d384c0ef5ef00759b0b03be58fcb3b00111b', 'mp3', 44100, 2, 6912, 0.156735),
+    (4, 3148, '5d17b4f672a34a25093269d0b8aa6c5a7ecfabfd09596465db27979c77518849', 'mp3', 24000, 1, 2688, 0.112),
+    (5, 778, 'dc4adcf99b74f1790e49405ccfc23953d1a780af36a06b118207bd44034bc52c', 'mp3', 8000, 2, 1728, 0.216),
+    (6, 1619, '6d2cc44c209cb03f73ba4bcb3ac11716f59f9ee72422b484488d1237ca4ee085', 'mp3', 44100, 1, 4608, 0.10449),
+    (7, 2451, '0bbea457cd54728430b64355365142347708091c2088fea897905f8170b2e186', 'mp3', 24000, 2, 5760, 0.24),
+    (8, 6051, '85ccb53fc7514848bc7385822f0c47f1a1c32bc07d110b4c151645589cae2edc', 'mp3', 8000, 1, 3456, 0.432),
+    (9, 1404, '4cd92b8dd263288d615bfa61790de938c124999c100601d5214017c83e66c16e', 'mp3', 44100, 2, 2688, 0.060952),
+    (10, 361, '6ad82e0c0a3cd87e531b45ee1689e08ac147bd67b3ab1bcc034bfca0cd06c130', 'mp3', 24000, 1, 1728, 0.072),
+    (11, 2378, 'e0608d3e7e129729f34aceb7a64bbdf0f3994fd3222df90c5fa7f415429f2920', 'mp3', 8000, 2, 2304, 0.288),
+    (12, 2671, '9636eafe1afdd97178911b4d9d64f66a74ac988fbf9a538ecc84c325ef5ae361', 'mp3', 44100, 1, 5760, 0.130612),
+    (13, 1571, 'd54d0b298cea9748979828def0158a02fb736d3b4e8a22a98e72b0a232e526bf', 'mp3', 24000, 2, 3456, 0.144),
+    (14, 4956, '7468a787640ff723e465918d75fb28da1c65d3a59380bfa64620634ab7e24fb7', 'mp3', 8000, 1, 2688, 0.336),
+    (15, 1081, '156c125d08e8f328791a97e3906f78f8b45bf0d8750a112ac23bfba2767e8512', 'mp3', 44100, 2, 3456, 0.078367),
+]
+
+
 #: (asset_id, n_bytes, sha256, width, height, n_frames, dhash)
 #: over real_bmp_asset_rows (r13)
 MULTIMODAL_BMP_EXPECTED = [
@@ -2612,6 +2635,19 @@ def q_multimodal_tiff_pixels(spark, sf_dir):
     return meta.join(hashes, "asset_id").select(
         "asset_id", "n_bytes", "sha256", "width", "height", "n_frames",
         "dhash")
+
+
+def q_multimodal_mp3(spark, sf_dir):
+    # hash-pinned (r14): the audio_meta PLANNER tier over MPEG audio —
+    # container sniff, frame-header walk (MPEG1/2/2.5, Layer I/II/III,
+    # per-frame VBR bitrate accounting, ID3v2 skip, ID3v1 stop, padding
+    # bits) all frozen: rate, channels, exact sample count and duration
+    # per asset WITHOUT decoding samples. One Arrow-batched mapInPandas,
+    # header bytes only — the shape that lets a 100 TB audio corpus be
+    # duration-budgeted before any decode CPU is spent.
+    from seqspark.pipeline.multimodal import audio_meta, make_real_mp3_assets
+
+    return audio_meta(make_real_mp3_assets(spark, 16))
 
 
 def q_audio_features_adpcm(spark, sf_dir):
@@ -3759,6 +3795,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_bmp": q_multimodal_bmp,
         "multimodal_tiff": q_multimodal_tiff,
         "multimodal_tiff_pixels": q_multimodal_tiff_pixels,
+        "multimodal_mp3": q_multimodal_mp3,
         "weighted_sample": q_weighted_sample,
         "audio_dupes": q_audio_dupes,
         "ann_pq_topk": q_ann_pq_topk,
@@ -5029,6 +5066,16 @@ def oracle_sql() -> dict[str, str]:
         )
         + ") AS t(asset_id, n_bytes, sha256, width, height, n_frames,"
         " dhash)"
+    )
+    sql["multimodal_mp3"] = (
+        "SELECT * FROM (VALUES "
+        + ", ".join(
+            f"({i}, {nb}, '{sha}', '{cont}', {sr}, {nc}, "
+            f"CAST({ns} AS BIGINT), {dur!r})"
+            for i, nb, sha, cont, sr, nc, ns, dur in MULTIMODAL_MP3_EXPECTED
+        )
+        + ") AS t(asset_id, n_bytes, sha256, container, sample_rate,"
+        " n_channels, n_samples, duration_s)"
     )
     from seqspark.pipeline.ann import pq_oracle_sql
 

@@ -299,10 +299,19 @@ def _real_decode(media_type: str, content: bytes) -> tuple[int, int, int]:
                 # r13: FLAC via the stdlib codec (STREAMINFO only here)
                 meta = _flac.meta(content or b"")
             if meta is None:
+                # r14: MPEG audio (MP3) frame-header walk — metadata
+                # only (bits-per-sample reported 0: MP3 has no integer
+                # bit depth; n_frames = accounted PCM samples)
+                m = _mp3_meta(content or b"")
+                if m is not None:
+                    _rate, nch, _frames, samples = m
+                    meta = (nch, 0, samples)
+            if meta is None:
                 raise NotImplementedError(
                     "audio decode supports WAV (PCM + IMA-ADPCM), AIFF, "
-                    "AU (.snd incl. mu-law) and FLAC containers; other "
-                    "compressed audio needs a codec absent here"
+                    "AU (.snd incl. mu-law), FLAC and MPEG-audio (MP3, "
+                    "metadata-only) containers; other compressed audio "
+                    "needs a codec absent here"
                 ) from None
             return meta
     if media_type == "video":
@@ -2927,6 +2936,287 @@ def _au_pcm(b: bytes):
         return None
     n = (len(x) // nch) * nch
     return rate, nch, x[:n].reshape(-1, nch).mean(axis=1)
+
+
+#: MPEG audio bitrate tables, kbps, index 1..14 (ISO/IEC 11172-3 /
+#: 13818-3): key = (version_group, layer) where version_group is 1 for
+#: MPEG1 and 2 for MPEG2/2.5 (which share tables), layer in 1..3
+_MP3_BITRATES = {
+    (1, 1): (32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384,
+             416, 448),
+    (1, 2): (32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320,
+             384),
+    (1, 3): (32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256,
+             320),
+    (2, 1): (32, 48, 56, 64, 80, 96, 112, 128, 144, 160, 176, 192, 224,
+             256),
+    (2, 2): (8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160),
+    (2, 3): (8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160),
+}
+
+#: sample-rate tables by header version bits (3=MPEG1, 2=MPEG2,
+#: 0=MPEG2.5), indexed by the 2-bit sample-rate field
+_MP3_RATES = {
+    3: (44100, 48000, 32000),
+    2: (22050, 24000, 16000),
+    0: (11025, 12000, 8000),
+}
+
+
+def _mp3_frame_header(b: bytes, pos: int):
+    """Parse one MPEG audio frame header at ``pos``. Returns
+    ``(version_bits, layer, rate, n_channels, samples_per_frame,
+    frame_bytes)`` or None. Free-format (bitrate index 0) returns None —
+    the frame length is undefined without decoding, so accounting would
+    be a guess."""
+    if pos + 4 > len(b):
+        return None
+    b1, b2, b3 = b[pos + 1], b[pos + 2], b[pos + 3]
+    if b[pos] != 0xFF or (b1 & 0xE0) != 0xE0:
+        return None
+    ver = (b1 >> 3) & 3          # 3=MPEG1, 2=MPEG2, 0=MPEG2.5, 1=reserved
+    layer_bits = (b1 >> 1) & 3   # 3=Layer I, 2=Layer II, 1=Layer III
+    if ver == 1 or layer_bits == 0:
+        return None
+    layer = 4 - layer_bits       # -> 1/2/3
+    br_idx = (b2 >> 4) & 0xF
+    sr_idx = (b2 >> 2) & 3
+    pad = (b2 >> 1) & 1
+    if br_idx in (0, 15) or sr_idx == 3:
+        return None
+    vgroup = 1 if ver == 3 else 2
+    kbps = _MP3_BITRATES[(vgroup, layer)][br_idx - 1]
+    rate = _MP3_RATES[ver][sr_idx]
+    mode = (b3 >> 6) & 3
+    nch = 1 if mode == 3 else 2
+    if layer == 1:
+        spf = 384
+        flen = (12 * kbps * 1000 // rate + pad) * 4
+    else:
+        spf = 1152 if (layer == 2 or ver == 3) else 576
+        flen = spf // 8 * kbps * 1000 // rate + pad
+    if flen < 4:
+        return None
+    return ver, layer, rate, nch, spf, flen
+
+
+def _mp3_meta(b: bytes):
+    """Header-only ``(sample_rate, n_channels, n_mpeg_frames,
+    n_samples)`` for MPEG audio (MP3 and Layer I/II siblings, r14) by
+    walking the frame-header chain — the dominant lossy web-audio
+    container joins the metadata-without-decode tier: duration comes
+    from frame accounting (each frame carries its own bitrate index, so
+    VBR streams account exactly), no audio is synthesized. Skips a
+    leading ID3v2 tag (syncsafe size) and stops at an ID3v1 ``TAG``
+    trailer. A candidate first sync must be CONFIRMED by the next frame
+    landing on another same-parameter header (or end-of-stream) before
+    it is trusted — arbitrary bytes contain 0xFFEx runs. None when no
+    confirmed frame chain exists."""
+    b = b or b""
+    pos = 0
+    if b[:3] == b"ID3" and len(b) >= 10:
+        size = ((b[6] & 0x7F) << 21 | (b[7] & 0x7F) << 14
+                | (b[8] & 0x7F) << 7 | (b[9] & 0x7F))
+        pos = 10 + size
+    n = len(b)
+    lock = None
+    frames = samples = 0
+    rate = nch = None
+    scan_limit = pos + 4096  # first sync must appear near the start
+    while pos + 4 <= n:
+        hdr = _mp3_frame_header(b, pos)
+        if hdr is None or (lock is not None and
+                           (hdr[0], hdr[1], hdr[2]) != lock):
+            if lock is None:
+                pos += 1
+                if pos > scan_limit:
+                    return None
+                continue
+            break  # desync after a valid chain: stop accounting
+        ver, layer, r, ch, spf, flen = hdr
+        if lock is None:
+            nxt = pos + flen
+            at_end = nxt >= n or b[nxt:nxt + 3] == b"TAG"
+            nh = _mp3_frame_header(b, nxt)
+            if not at_end and (
+                nh is None or (nh[0], nh[1], nh[2]) != (ver, layer, r)
+            ):
+                pos += 1  # unconfirmed sync: keep scanning
+                if pos > scan_limit:
+                    return None
+                continue
+            lock = (ver, layer, r)
+            rate, nch = r, ch
+        if pos + flen > n:
+            break  # truncated final frame: don't count it
+        frames += 1
+        samples += spf
+        pos += flen
+        if b[pos:pos + 3] == b"TAG":
+            break
+    if frames == 0:
+        return None
+    return rate, nch, frames, samples
+
+
+def _mp3_encode_meta(
+    frame_specs,
+    endian_pad: int = 0,
+    id3v2: int = 0,
+    id3v1: bool = False,
+) -> bytes:
+    """Minimal MPEG-audio writer for the deterministic METADATA fixture:
+    a chain of valid frame headers with zero'd payloads (no audio is
+    synthesized — exactly the surface :func:`_mp3_meta` parses).
+    ``frame_specs`` is a list of ``(ver, layer, br_idx, sr_idx, pad,
+    mode)`` tuples so VBR chains (per-frame bitrate) are expressible.
+    ``id3v2`` prepends a tag of that payload size; ``id3v1`` appends
+    the 128-byte TAG trailer."""
+    out = bytearray()
+    if id3v2:
+        out += b"ID3\x04\x00\x00" + bytes((
+            (id3v2 >> 21) & 0x7F, (id3v2 >> 14) & 0x7F,
+            (id3v2 >> 7) & 0x7F, id3v2 & 0x7F)) + b"\x00" * id3v2
+    for ver, layer, br_idx, sr_idx, pad, mode in frame_specs:
+        layer_bits = 4 - layer
+        h = bytes((
+            0xFF,
+            0xE0 | (ver << 3) | (layer_bits << 1) | 1,
+            (br_idx << 4) | (sr_idx << 2) | (pad << 1),
+            mode << 6,
+        ))
+        parsed = _mp3_frame_header(h + b"\x00" * 4, 0)
+        assert parsed is not None, (ver, layer, br_idx, sr_idx)
+        flen = parsed[5]
+        out += h + b"\x00" * (flen - 4)
+    if id3v1:
+        out += b"TAG" + b"\x00" * 125
+    return bytes(out)
+
+
+def real_mp3_asset_rows(n: int = 16) -> list:
+    """Driver-side rows of the MP3 metadata fixture (r14): deterministic
+    frame chains cycling the walker's axes — MPEG1/2/2.5, Layer I/II/III,
+    all three rates per version, mono/stereo, CBR and per-frame-varying
+    VBR, padding bits, ID3v2 prefixes and ID3v1 trailers. Pure function
+    of ``n``."""
+    rows = []
+    for i in range(n):
+        ver = (3, 2, 0)[i % 3]
+        layer = (3, 3, 2, 3, 1)[i % 5]
+        sr_idx = i % 3
+        mode = 3 if i % 2 == 0 else 0
+        n_frames = 3 + i % 5
+        specs = []
+        for f in range(n_frames):
+            br_idx = 1 + ((i * 3 + f * (i % 4)) % 14)  # VBR when i%4 != 0
+            specs.append((ver, layer, br_idx, sr_idx, (i + f) % 2, mode))
+        content = _mp3_encode_meta(
+            specs, id3v2=(0 if i % 3 else 37 + i), id3v1=(i % 4 == 1))
+        rows.append((i, "audio", bytearray(content),
+                     '{"src":"fixture-mp3"}'))
+    return rows
+
+
+def make_real_mp3_assets(spark, n: int = 16) -> DataFrame:
+    """Deterministic MP3 metadata fixture (:func:`real_mp3_asset_rows`)."""
+    return spark.createDataFrame(real_mp3_asset_rows(n), ASSET_SCHEMA)
+
+
+def _audio_meta_of(b: bytes):
+    """``(container, sample_rate, n_channels, n_samples)`` for any
+    header-parseable audio payload — the planner tier: everything a
+    sampling/cost planner needs (duration = n_samples / rate) WITHOUT
+    decoding samples. Covers the full decodable set (WAV PCM, IMA-ADPCM
+    WAV, AIFF, AU, FLAC) plus MP3, which is metadata-only (no stdlib
+    synthesis path — :func:`audio_features` keeps its honest raise).
+    None when the container is unrecognized."""
+    b = b or b""
+    import io
+    import wave
+
+    try:
+        with wave.open(io.BytesIO(b), "rb") as w:
+            return ("wav", w.getframerate(), w.getnchannels(),
+                    w.getnframes())
+    except Exception:
+        pass
+    p = _wav_ima_parse(b)
+    if p is not None:
+        rate, nch, _ba, _spb, nf, _data = p
+        return "wav-ima", rate, nch, nf
+    p = _aiff_parse(b)
+    if p is not None:
+        rate, nch, _sw, nf, _d = p
+        return "aiff", int(rate), nch, nf
+    p = _au_parse(b)
+    if p is not None:
+        rate, nch, enc, raw = p
+        widths = {1: 1, 2: 1, 3: 2, 4: 3, 5: 4}
+        if enc in widths:
+            sw = widths[enc]
+            return "au", rate, nch, len(raw) // (sw * nch)
+    info = _flac._parse_streaminfo(b)
+    if info is not None:
+        rate, nch, _bits, total, _off = info
+        return "flac", rate, nch, total
+    m = _mp3_meta(b)
+    if m is not None:
+        rate, nch, _frames, samples = m
+        return "mp3", rate, nch, samples
+    return None
+
+
+def audio_meta(assets: DataFrame, fake: bool = False) -> DataFrame:
+    """Header-only audio metadata over ``mapInPandas`` (r14): the
+    sampling-planner tier of the audio pipeline — container, sample
+    rate, channel count, per-channel sample count and duration for every
+    audio asset, WITHOUT decoding samples (one header parse per asset,
+    so planning a 100 TB audio corpus costs header bytes, not decode
+    CPU). MP3 joins here even though it has no stdlib decode path.
+    Unrecognized audio payloads raise, like :func:`decode_assets`."""
+    assets = assets.filter(F.col("media_type") == "audio").select(
+        "asset_id", "content")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            metas = []
+            for c in pdf["content"]:
+                b = bytes(c) if c is not None else b""
+                if fake:
+                    m = ("fake", 16000, 1, 16000)
+                else:
+                    m = _audio_meta_of(b)
+                if m is None:
+                    raise NotImplementedError(
+                        "audio metadata supports WAV (PCM + IMA-ADPCM), "
+                        "AIFF, AU, FLAC and MPEG audio (MP3) containers"
+                    )
+                metas.append(m)
+            yield pd.DataFrame({
+                "asset_id": pdf["asset_id"],
+                "n_bytes": pdf["content"].map(
+                    lambda x: len(x) if x is not None else 0),
+                "sha256": pdf["content"].map(
+                    lambda x: hashlib.sha256(x or b"").hexdigest()),
+                "container": [m[0] for m in metas],
+                "sample_rate": [m[1] for m in metas],
+                "n_channels": [m[2] for m in metas],
+                "n_samples": [m[3] for m in metas],
+                "duration_s": [
+                    round(m[3] / m[1], 6) if m[1] else 0.0 for m in metas],
+            })
+
+    return assets.mapInPandas(
+        batches,
+        schema=(
+            "asset_id long, n_bytes long, sha256 string, container string,"
+            " sample_rate int, n_channels int, n_samples long,"
+            " duration_s double"
+        ),
+    )
 
 
 def _audio_pcm(b: bytes):

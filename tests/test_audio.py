@@ -472,3 +472,99 @@ class TestImaAdpcm:
             wv.setframerate(8000)
             wv.writeframes(b"\x00\x01" * 50)
         assert _wav_ima_pcm(buf.getvalue()) is None
+
+
+class TestMp3Meta:
+    """r14: MPEG-audio (MP3) frame-header metadata — the dominant lossy
+    web-audio container joins the metadata-without-decode tier (rate,
+    channels, exact VBR duration from frame accounting); the PCM/feature
+    path keeps its honest raise."""
+
+    def test_versions_layers_and_accounting(self):
+        from seqspark.pipeline.multimodal import _mp3_encode_meta, _mp3_meta
+
+        # (ver_bits, layer, expected_rate, expected_spf)
+        cases = [
+            (3, 3, 0, 44100, 1152),   # MPEG1 Layer III
+            (3, 2, 1, 48000, 1152),   # MPEG1 Layer II
+            (3, 1, 2, 32000, 384),    # MPEG1 Layer I
+            (2, 3, 0, 22050, 576),    # MPEG2 Layer III
+            (0, 3, 2, 8000, 576),     # MPEG2.5 Layer III
+        ]
+        for ver, layer, sr_idx, rate, spf in cases:
+            b = _mp3_encode_meta([(ver, layer, 5, sr_idx, 0, 3)] * 4)
+            assert _mp3_meta(b) == (rate, 1, 4, 4 * spf), (ver, layer)
+        # stereo modes: anything but mode 3 is 2 channels
+        for mode, nch in ((0, 2), (1, 2), (2, 2), (3, 1)):
+            b = _mp3_encode_meta([(3, 3, 9, 0, 0, mode)] * 2)
+            assert _mp3_meta(b)[1] == nch
+
+    def test_vbr_id3_padding_truncation(self):
+        from seqspark.pipeline.multimodal import _mp3_encode_meta, _mp3_meta
+
+        specs = [(3, 3, 1 + i % 14, 1, i % 2, 0) for i in range(9)]
+        b = _mp3_encode_meta(specs, id3v2=200, id3v1=True)
+        assert _mp3_meta(b) == (48000, 2, 9, 9 * 1152)
+        # truncated final frame is not counted
+        assert _mp3_meta(b[: len(b) - 200])[2] < 9
+        # free-format (bitrate index 0) is indeterminable -> encoder
+        # refuses to build it and the parser rejects it
+        hdr = bytes((0xFF, 0xFB, 0x02, 0xC0))  # br_idx=0
+        assert _mp3_meta(hdr + b"\x00" * 400) is None
+
+    def test_sync_confirmation_rejects_garbage(self):
+        from seqspark.pipeline.multimodal import _mp3_meta
+
+        assert _mp3_meta(b"") is None
+        assert _mp3_meta(bytes(range(256)) * 8) is None
+        # a lone plausible header followed by garbage: unconfirmed
+        assert _mp3_meta(bytes((0xFF, 0xFB, 0x92, 0x00)) + b"\x55" * 4000) is None
+
+    def test_mp3_meta_fuzz_never_throws(self):
+        from hypothesis import given, settings, strategies as hst
+
+        from seqspark.pipeline.multimodal import _mp3_meta
+
+        @settings(max_examples=150, deadline=None)
+        @given(hst.binary(min_size=0, max_size=600))
+        def run(payload):
+            for prefix in (b"", b"\xff\xfb", b"ID3\x04\x00\x00\x00\x00\x00\x05"):
+                m = _mp3_meta(prefix + payload)
+                assert m is None or (m[0] > 0 and m[2] > 0)
+
+        run()
+
+    def test_audio_meta_operator_all_containers(self, spark):
+        from seqspark.pipeline.multimodal import (
+            audio_meta, make_real_adpcm_assets, make_real_flac_assets,
+            make_real_mp3_assets)
+
+        for maker, container in (
+            (make_real_flac_assets, "flac"),
+            (make_real_adpcm_assets, "wav-ima"),
+            (make_real_mp3_assets, "mp3"),
+        ):
+            rows = audio_meta(maker(spark, 4)).collect()
+            assert len(rows) == 4
+            for r in rows:
+                assert r["container"] == container, (container, r)
+                assert r["sample_rate"] > 0 and r["n_samples"] > 0
+                assert r["duration_s"] == round(
+                    r["n_samples"] / r["sample_rate"], 6)
+
+    def test_mp3_decode_assets_and_honest_feature_raise(self, spark):
+        from seqspark.pipeline.multimodal import (
+            audio_features, decode_assets, make_real_mp3_assets)
+
+        assets = make_real_mp3_assets(spark, 6)
+        rows = decode_assets(assets, fake=False).collect()
+        assert len(rows) == 6  # metadata path works (bits reported 0)
+        for r in rows:
+            assert r["height"] == 0 and r["n_frames"] > 0  # bits n/a
+        # the feature path has no MP3 decode: rows survive with NULL
+        # features (the documented undecodable-audio contract), no fake
+        # synthesis
+        feats = audio_features(assets, fake=False).collect()
+        assert len(feats) == 6
+        assert all(r["rms"] is None and r["fingerprint"] is None
+                   for r in feats)

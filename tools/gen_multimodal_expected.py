@@ -339,6 +339,26 @@ def main() -> None:
         print(f"    {r!r},")
     print("]")
 
+    # r14: MP3 metadata fixture — the audio_meta planner tier over the
+    # frame-header walker (versions, layers, VBR accounting, ID3 tags)
+    from seqspark.pipeline.multimodal import (  # noqa: E402
+        _audio_meta_of, real_mp3_asset_rows)
+
+    mp = []
+    for i, media, content, _meta in real_mp3_asset_rows(16):
+        b = bytes(content)
+        cont, rate, nch, ns = _audio_meta_of(b)
+        mp.append((i, len(b), hashlib.sha256(b).hexdigest(), cont, rate,
+                   nch, ns, round(ns / rate, 6)))
+    print()
+    print("#: (asset_id, n_bytes, sha256, container, sample_rate,")
+    print("#: n_channels, n_samples, duration_s) over real_mp3_asset_rows")
+    print("#: (r14, header-only frame accounting)")
+    print("MULTIMODAL_MP3_EXPECTED = [")
+    for r in mp:
+        print(f"    {r!r},")
+    print("]")
+
     # r13: IMA-ADPCM fixture — the audio feature kernel over the ADPCM
     # decoder's PCM (same underlying signals as the FLAC fixture, so the
     # lossy-vs-lossless feature drift is itself frozen and inspectable)
