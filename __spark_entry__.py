@@ -3615,23 +3615,30 @@ def contract_diagnostics() -> dict[str, Callable[[SparkSession, str], str]]:
     }
 
 
-#: Driver-window rotation (r12): the driver's CORRECTNESS artifact checks
-#: the FIRST 50 queries() entries. The r11 window front-loaded the 46
-#: entries that had never appeared in any driver artifact; after it ran,
-#: only the 3 operators ADDED in r11 (after that window was cut) remained
-#: never-driver-checked: `cap_per_group_salted`, `sessionize_bucketed`,
-#: `sessionize_scalable`. This window leads with exactly those 3 (plus
-#: the same four long-stable canaries), then re-verifies the 43 entries
-#: whose last driver-green is OLDEST (r5-r10), so the window doubles as a
-#: staleness sweep. After this round every contract entry has been
-#: driver-green at least once.
+#: Driver-window rotation (r14): the driver's CORRECTNESS artifact checks
+#: the FIRST 50 queries() entries. The r13 window re-verified the r5-r10
+#: tail; after it ran, the staleness profile was 31 entries last
+#: driver-green at r10 and 46 at r11 (vs a 141-entry contract — the
+#: window can only re-green 50/round, so it is pointed at the OLDEST
+#: tail every round). This window: the 4 cross-round canaries, the 2
+#: never-driver-checked r14 additions, the 7 r13 additions kept one more
+#: round as canaries (they also cover the ANN scoring paths around this
+#: round's trainer-sampling change and the codec seams), then ALL 31
+#: r10-stale entries, then the 6 r11 entries most adjacent to this
+#: round's changed surfaces (export/keyset paging, legacy dialect, the
+#: ComplexSearch shape, and inverted_index_and beside the r14 index-
+#: routing scale measurements). After this round no entry's last
+#: driver-green is older than r11.
 DRIVER_WINDOW = [
     # canaries: stable since r1, keep a cross-round comparison anchor
     "keyword_eq",
     "match_all",
     "agg_count_group",
     "time_range",
-    # r13 additions: never driver-checked yet, so they lead the window
+    # r14 additions: never driver-checked yet
+    "multimodal_tiff_pixels",
+    "multimodal_mp3",
+    # r13 additions, driver-checked once (r13) — keep one more round
     "audio_features_flac",
     "audio_features_adpcm",
     "multimodal_bmp",
@@ -3639,68 +3646,46 @@ DRIVER_WINDOW = [
     "weighted_sample",
     "ann_opq_topk",
     "ann_ivfpq_residual",
-    # the five entries rotated out in r12 (last driver-green r10) —
-    # cycled back per the r12 verdict so no entry goes >2 rounds stale
-    "agg_avg_group",
-    "agg_max_group",
-    "agg_sum_group",
-    "agg_timeseries",
-    "ann_batch_topk",
-    # r12b additions, driver-checked once (r12) — keep one more round
-    "ann_pq_topk",
-    "ann_pq_batch",
-    # (audio_features also rotates out — r12-green; the identical DSP
-    # kernel runs in-window through the harder FLAC and ADPCM decoders)
-    # (audio_dupes and ann_pq_rerank rotate out: r12-green; the modified
-    # code paths they share — _audio_pcm chain, pq_encode — stay window-
-    # covered via audio_features/audio_features_flac/adpcm, ann_pq_topk
-    # and ann_pq_batch, whose batch path changed this round)
-    # (unigram_encode, unigram_sample_encode and video_keyframes rotate
-    # out: r12-green, untouched this round, the unigram corpus plan is
-    # scale-pinned (p6) and frame families stay covered by the
-    # frame_sample entries — makes room for the r13 additions)
-    # least-recently driver-checked (last seen r5)
-    "join_broadcast",
-    "lineitem_pricing_summary",
-    "multimodal_decode",
-    "text_fingerprint",
-    "text_quality",
-    "text_token_count",
-    # last seen r6
-    "ann_brute_topk",
-    "ann_lsh_topk",
-    "embedding_cosine_pairs",
-    # last seen r7
-    "minhash_lsh_pairs",
-    "simhash_candidates",
-    # last seen r8
-    "dedup_exact",
-    "doc_size_tracking",
-    "incremental_dedup",
-    "ngram_jaccard",
-    "paragraph_dedup",
-    "timestamp_parse_chain",
-    # last seen r9
-    "c4_filter",
-    "path_prefix_tokens",
-    # last seen r10 (agg_avg/max/sum_group, agg_timeseries and
-    # ann_batch_topk rotated out to make room for the five r12b entries
-    # — the operator families stay covered via agg_min_group/
-    # agg_filtered/agg_quantile, date_histogram and ann_brute_topk)
-    "agg_filtered",
-    "agg_min_group",
-    "agg_quantile",
-    "agg_unique",
-    "bool_not",
-    "bool_precedence",
-    "exists",
-    "fetch_by_ids",
-    "fields_pipe",
-    "frame_sample_y4m",
-    "frame_sample",
-    "frame_sample_apng",
-    # r12 addition: never driver-checked yet
-    "frame_sample_gif",
+    # the 31 entries whose last driver-green is r10 — the whole stale
+    # tail in one sweep
+    "auto_mapping_search",
+    "bigram_perplexity",
+    "comment_strip",
+    "date_histogram",
+    "dsir_resample",
+    "dsir_score",
+    "filter_in",
+    "fulltext_and",
+    "fulltext_wildcard",
+    "gopher_quality",
+    "gopher_repetition",
+    "html_extract",
+    "index_hot_tokens",
+    "ingest_tokenize",
+    "json_field_extract",
+    "keyword_eq_native",
+    "keyword_wildcard",
+    "lang_detect",
+    "merge_dedup",
+    "notexists_accounting",
+    "offset_pagination",
+    "order_limit_asc",
+    "order_limit_desc",
+    "range_lexicographic",
+    "range_numeric",
+    "range_open",
+    "store_bloom_fetch",
+    "token_budget",
+    "unigram_perplexity",
+    "url_canonical",
+    "with_total",
+    # 6 of the r11 tail, picked beside this round's changed surfaces
+    "complex_search",
+    "export_keyset",
+    "keyset_pagination",
+    "legacy_query",
+    "legacy_range",
+    "inverted_index_and",
 ]
 
 
