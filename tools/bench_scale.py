@@ -260,6 +260,27 @@ def ml_digest_set(codes_df, docs_df, mj_assets, books, query, pieces,
     }
 
 
+def text_routing_query_set(st_routed, st_scan, query: str):
+    """r14 (verdict #1): the inverted-index routing crossover — the SAME
+    rare-token phrase query through the posting-list semi-join
+    (attach_index + stats, the `frac/sealed_index.go:218-266` path) and
+    through the tokens-at-rest column scan. Identical results by
+    construction; the ratio vs corpus scale is the measurement the 100 TB
+    text claim was missing (r3 measured routing LOSING at 5k docs,
+    nothing since)."""
+    return {
+        "p9_text_routed": lambda: st_routed.search(query, size=1000).collect(),
+        "p10_text_scan": lambda: st_scan.search(query, size=1000).collect(),
+    }
+
+
+def text_routing_digest_set(st_routed, st_scan, query: str):
+    return {
+        "p9_text_routed": lambda: [st_routed.search(query, size=1000)],
+        "p10_text_scan": lambda: [st_scan.search(query, size=1000)],
+    }
+
+
 PLANS_PATH = os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
     "bench_plans_scale.json",
@@ -366,7 +387,7 @@ def main() -> None:
         emb_x = emb_raw.withColumn(
             "__r", F.explode(F.sequence(F.lit(0), F.lit(args.factor - 1)))
         ).withColumn(
-            "vec_id", F.col("vec_id") + F.col("__r") * 100_000_000
+            "vec_id", F.col("vec_id") + F.col("__r").cast("long") * 100_000_000
         ).drop("__r")
         pq_encode(emb_x, books).write.parquet(codes1_path)
     # residual IVF-PQ codes-at-rest (r13): cells + residual codes against
@@ -385,12 +406,78 @@ def main() -> None:
         emb_x = emb_raw.withColumn(
             "__r", F.explode(F.sequence(F.lit(0), F.lit(args.factor - 1)))
         ).withColumn(
-            "vec_id", F.col("vec_id") + F.col("__r") * 100_000_000
+            "vec_id", F.col("vec_id") + F.col("__r").cast("long") * 100_000_000
         ).drop("__r")
         pq_encode_residual(
             ivf_assign(emb_x, cents).select("vec_id", "cell", "embedding"),
             cents, rbooks,
         ).write.parquet(rcodes1_path)
+    # r14: text-routing fixtures — events with TOKENS AT REST (the store's
+    # actual ingest layout) plus a materialized inverted index per scale,
+    # both through the ts-clustered writer. Separate parquet paths so the
+    # q2-q8 scans (and their pinned digests) never see the extra column.
+    from seqspark.engine import materialize_tokens
+    from seqspark.index import (
+        build_inverted_index, collect_index_stats, write_inverted_index)
+
+    ev_tok_small_path = os.path.join(base_dir, "events_tok_x1")
+    ev_tok1_path = os.path.join(base_dir, f"events_tok_x{args.factor}")
+    idx_small_path = os.path.join(base_dir, "props_index_x1")
+    idx1_path = os.path.join(base_dir, f"props_index_x{args.factor}")
+    if not os.path.exists(ev_tok_small_path):
+        write_ts_clustered(
+            spark,
+            materialize_tokens(events_raw, {"props": "text"}),
+            ev_tok_small_path, 4,
+        )
+    if not os.path.exists(ev_tok1_path):
+        write_ts_clustered(
+            spark,
+            materialize_tokens(
+                scale_out(events_raw, args.factor, ["event_id"]),
+                {"props": "text"},
+            ),
+            ev_tok1_path, 4 * args.factor,
+        )
+    events_tok = spark.read.parquet(ev_tok_small_path)
+    events_tok_x = spark.read.parquet(ev_tok1_path)
+    if not os.path.exists(idx_small_path):
+        write_inverted_index(
+            build_inverted_index(
+                events_tok, {"props": "__tok_props"}, id_cols=["event_id"]),
+            idx_small_path,
+        )
+    if not os.path.exists(idx1_path):
+        write_inverted_index(
+            build_inverted_index(
+                events_tok_x, {"props": "__tok_props"},
+                id_cols=["event_id"]),
+            idx1_path,
+        )
+    idx_small = spark.read.parquet(idx_small_path)
+    idx_x = spark.read.parquet(idx1_path)
+
+    def _text_tables(ev_df, idx_df):
+        n = ev_df.count()
+        stats = collect_index_stats(idx_df, total_docs=n, top_k=4096)
+        routed = SearchTable.from_typed(
+            ev_df, EVENTS_MAPPING, ts_col="ts", rid_col="event_id",
+            assume_folded=True,
+        ).attach_index(idx_df, ["props"], ["event_id"], stats=stats,
+                       max_selectivity=0.1)
+        scan = SearchTable.from_typed(
+            ev_df, EVENTS_MAPPING, ts_col="ts", rid_col="event_id",
+            assume_folded=True,
+        )
+        return routed, scan
+
+    st_routed, st_scan = _text_tables(events_tok, idx_small)
+    st_routed_x, st_scan_x = _text_tables(events_tok_x, idx_x)
+    # props is '{"k": N}': token "k" is a stop word (df 1.0, stays on the
+    # scan side), the number is ~1%-selective and routes — the mixed
+    # phrase the heuristic was built for
+    TEXT_QUERY = 'props:"k 81"'
+
     rcodes = spark.read.parquet(rcodes_small_path)
     rcodes_x = spark.read.parquet(rcodes1_path)
     codes = spark.read.parquet(codes_small_path)
@@ -412,6 +499,16 @@ def main() -> None:
     big.update({k: timed(fn, args.runs) for k, fn in ml_query_set(
         codes_x, docs_x, mj_x, books, query, pieces,
         rcodes_x, cents, rbooks).items()})
+    # routed-vs-scan rows must be identical before timing them
+    routed_rows = st_routed.search(TEXT_QUERY, size=1000).count()
+    scan_rows = st_scan.search(TEXT_QUERY, size=1000).count()
+    assert routed_rows == scan_rows, (routed_rows, scan_rows)
+    small.update({k: timed(fn, args.runs) for k, fn in
+                  text_routing_query_set(st_routed, st_scan,
+                                         TEXT_QUERY).items()})
+    big.update({k: timed(fn, args.runs) for k, fn in
+                text_routing_query_set(st_routed_x, st_scan_x,
+                                       TEXT_QUERY).items()})
     ratio = {k: round(big[k] / small[k], 2) if small[k] else None for k in small}
 
     # plan digests at BOTH scales, pinned against bench_plans_scale.json
@@ -432,6 +529,12 @@ def main() -> None:
         for name, builder in ml_digest_set(
             s_codes, s_docs, s_mj, books, query, pieces,
             s_rc, cents, rbooks
+        ).items():
+            digests[f"{name}@{scale}"] = bench.plan_digest(builder())
+    for scale, s_r, s_s in (("x1", st_routed, st_scan),
+                            (f"x{args.factor}", st_routed_x, st_scan_x)):
+        for name, builder in text_routing_digest_set(
+            s_r, s_s, TEXT_QUERY
         ).items():
             digests[f"{name}@{scale}"] = bench.plan_digest(builder())
     expected = {}
@@ -460,8 +563,13 @@ def main() -> None:
         )
     )
     if args.write_plans:
+        # MERGE with the existing pins: runs at different --factor values
+        # pin different @xN keys (x10 and x100 decade points coexist) —
+        # a replace would silently drop the other factor's pins
+        merged = dict(expected)
+        merged.update(digests)
         with open(PLANS_PATH, "w") as f:
-            json.dump(digests, f, indent=2, sort_keys=True)
+            json.dump(merged, f, indent=2, sort_keys=True)
             f.write("\n")
     if args.keep_dir is None:
         shutil.rmtree(base_dir, ignore_errors=True)
