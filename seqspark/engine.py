@@ -273,6 +273,7 @@ class SearchTable:
         id_cols: Sequence[str] = ("mid", "rid"),
         stats: Optional["IndexStats"] = None,
         max_selectivity: float = 0.1,
+        broadcast_max_docs: int = 200_000,
     ) -> "SearchTable":
         """Route text-token predicates through a materialized inverted index
         (SURVEY §7.2; the posting-list path of `frac/sealed_index.go:
@@ -294,6 +295,17 @@ class SearchTable:
         matches most rows anyway and a semi-join would only add a shuffle.
         Results are identical either way — the heuristic picks the plan,
         never the answer.
+
+        ``broadcast_max_docs`` extends the stats routing to the JOIN
+        STRATEGY (r14, measured at ×1/×10/×100 in tools/bench_scale.py:
+        the plain semi-join's marginal cost grew FASTER than the column
+        scan's because the corpus side shuffles on the id): when the
+        stats upper-bound on the posting id set — min conjunct ratio ×
+        total docs for an AND group, the ratio sum for an OR group — is
+        at most this many docs, the id set is broadcast-hinted and the
+        semi-join runs map-side, shuffle-free on the corpus at any
+        scale. Prefix wildcards have no bounded posting estimate and
+        never broadcast. 0 disables the hint.
         """
         self._index = (
             index_df,
@@ -301,6 +313,7 @@ class SearchTable:
             tuple(id_cols),
             stats,
             max_selectivity,
+            broadcast_max_docs,
         )
         return self
 
@@ -753,7 +766,7 @@ class SearchTable:
                 df = df.filter(F.col(pcol) <= bound(to_ms))
         if self._index is not None:
             pairs, wildcards, or_groups = self._index_conjuncts(query.root)
-            index_df, _, id_cols, stats, max_sel = self._index
+            index_df, _, id_cols, stats, max_sel, bcast_max = self._index
             # the index is time-partitioned like the store (one directory
             # per ts_bucket, index.py) — apply the SAME bucket bounds to
             # the posting scan, or a 1-hour query over a month-old corpus
@@ -798,15 +811,43 @@ class SearchTable:
                     matching_ids_or,
                     matching_ids_wildcard,
                 )
+
+                def sized(ids, est_docs):
+                    # stats-driven join strategy: a provably-small id set
+                    # broadcasts, so the corpus side never shuffles on the
+                    # id — the distinction between "smaller scan" and
+                    # "shuffle-free scan" is what dominates at 100 TB
+                    if (
+                        stats is not None
+                        and est_docs is not None
+                        and est_docs <= bcast_max
+                    ):
+                        return F.broadcast(ids)
+                    return ids
+
                 if pairs:
                     ids = matching_ids_multi(index_df, pairs, id_cols)
-                    df = df.join(ids, on=list(id_cols), how="left_semi")
+                    est = (
+                        min(stats.ratio(*p) for p in pairs)
+                        * stats.total_docs
+                        if stats is not None
+                        else None
+                    )
+                    df = df.join(sized(ids, est), on=list(id_cols),
+                                 how="left_semi")
                 for fld, prefix, pat in wildcards:
                     ids = matching_ids_wildcard(index_df, fld, prefix, pat, id_cols)
                     df = df.join(ids, on=list(id_cols), how="left_semi")
                 for leaves in or_groups:
                     ids = matching_ids_or(index_df, leaves, id_cols)
-                    df = df.join(ids, on=list(id_cols), how="left_semi")
+                    est = (
+                        self._or_group_ratio(leaves, stats)
+                        * stats.total_docs
+                        if stats is not None
+                        else None
+                    )
+                    df = df.join(sized(ids, est), on=list(id_cols),
+                                 how="left_semi")
         df = df.filter(pred)
         dedup = dedup_cols if dedup_cols is not None else self.default_dedup
         if dedup:

@@ -403,6 +403,7 @@ class StoreIndex:
         total_docs: Optional[int] = None,
         top_k: int = 4096,
         max_selectivity: float = 0.1,
+        broadcast_max_docs: int = 200_000,
     ):
         """Attach this index to a :class:`~seqspark.engine.SearchTable`
         with selectivity routing. Stats come from the per-bucket metadata
@@ -426,4 +427,5 @@ class StoreIndex:
             self.id_cols,
             stats=stats,
             max_selectivity=max_selectivity,
+            broadcast_max_docs=broadcast_max_docs,
         )

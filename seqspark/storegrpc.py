@@ -116,7 +116,10 @@ class StoreGrpc:
             "query": req.get("query") or "*",
             "from_ms": req.get("from"),
             "to_ms": req.get("to"),
-            "size": int(req.get("size") or 100),
+            # `storeapi/grpc_search.go:95` limit := size + offset — a
+            # zero size means ZERO docs (the proxy's aggs-only searches),
+            # not a server-chosen page default
+            "size": int(req.get("size") or 0),
             "offset": int(req.get("offset") or 0),
             "order": sa.ORDER.get(int(req.get("order") or 0), "desc"),
         }

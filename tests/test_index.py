@@ -161,6 +161,72 @@ def test_selectivity_routing_rare_vs_hot(spark):
     assert "LeftSemi" in st_all.search("text:the")._jdf.queryExecution().executedPlan().toString()
 
 
+def test_stats_driven_broadcast_semi_join(spark):
+    """The stats routing extends to JOIN STRATEGY (r14): when the stats
+    upper-bound on the posting id set is within ``broadcast_max_docs``,
+    the semi-join is broadcast-hinted — the corpus side never shuffles on
+    the id. Measured motivation in BASELINE.md (×1/×10/×100: the plain
+    semi-join's marginal cost grew faster than the column scan's).
+    autoBroadcastJoinThreshold is disabled around the pins so the HINT,
+    not the optimizer's size estimate, is what's proven."""
+    from seqspark import SearchTable
+    from seqspark.index import collect_index_stats
+
+    n = 200
+    rows = [
+        (i,
+         ("needle niche text" if i < 10
+          else "the common words here"),
+         "en")
+        for i in range(n)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    d = df.withColumn("ts", F.timestamp_millis(F.col("doc_id") * 1000))
+    m = {"text": "text", "lang": "keyword", "doc_id": "keyword"}
+    tok = materialize_tokens(d, {"text": "text"})
+    idx = build_inverted_index(
+        tok, {"text": "__tok_text"}, id_cols=["doc_id"]).cache()
+    stats = collect_index_stats(idx, total_docs=n, top_k=100)
+
+    def table(**kw):
+        return SearchTable.from_typed(
+            d, m, ts_col="ts", rid_col="doc_id"
+        ).attach_index(idx, ["text"], ["doc_id"], stats=stats,
+                       max_selectivity=0.1, **kw)
+
+    def plan(st, q):
+        return st.search(q)._jdf.queryExecution().executedPlan().toString()
+
+    thr = "spark.sql.autoBroadcastJoinThreshold"
+    old = spark.conf.get(thr)
+    spark.conf.set(thr, "-1")
+    try:
+        st = table()
+        # est = 10/200 * 200 = 10 docs <= 200k -> broadcast semi-join
+        p = plan(st, "text:needle")
+        assert "LeftSemi" in p and "BroadcastHashJoin" in p, p
+        # covered OR of two rare tokens: ratio sum bounds the union
+        p = plan(st, "text:needle or text:niche")
+        assert "LeftSemi" in p and "BroadcastHashJoin" in p, p
+        # cap below the estimate -> routed, but shuffled (no broadcast)
+        p = plan(table(broadcast_max_docs=5), "text:needle")
+        assert "LeftSemi" in p and "BroadcastHashJoin" not in p, p
+        # 0 disables the hint entirely
+        p = plan(table(broadcast_max_docs=0), "text:needle")
+        assert "LeftSemi" in p and "BroadcastHashJoin" not in p, p
+        # no stats -> no estimate -> no hint (routing itself stays on)
+        st_ns = SearchTable.from_typed(
+            d, m, ts_col="ts", rid_col="doc_id"
+        ).attach_index(idx, ["text"], ["doc_id"])
+        p = plan(st_ns, "text:needle")
+        assert "LeftSemi" in p and "BroadcastHashJoin" not in p, p
+    finally:
+        spark.conf.set(thr, old)
+    # the hint picks the plan, never the answer
+    assert st.search("text:needle").count() == 10
+    assert table(broadcast_max_docs=0).search("text:needle").count() == 10
+
+
 def test_store_index_lifecycle(spark, tmp_path):
     """Per-bucket index co-maintained with the DocStore: refresh after
     ingest, search == direct token scan, prune after retention."""

@@ -1,0 +1,325 @@
+"""Cross-transport equivalence fuzz (r14, verdict #8): one random
+ComplexSearch-shaped request driven through all three wire surfaces —
+HTTP JSON ``POST /complex``, seqproxyapi.v1 ``ComplexSearch`` (proto3
+over h2), and the internal ``api.StoreApi/Search`` — against the SAME
+core and store must yield identical ids, totals, histograms and agg
+buckets once each wire's representation is unfolded.
+
+The engine under all three is one code path (``SeqSparkServer.complex``);
+what this fuzzes is the remaining divergence surface: response MAPPING —
+`grpcapi._complex_proto` (Aggregation buckets + Timestamp math,
+`proxyapi/grpc_complex_search.go:34-60`), `storegrpc._response_proto`
+(the store Histogram row dicts of `storeapi/grpc_search.go`; a proto3
+map whose entry order is unspecified), and the plain JSON dict of the
+HTTP handler. Known representational differences this test encodes
+rather than papers over:
+
+- StoreApi's ``Histogram`` has no NaN: a None/NaN agg value ships as
+  the field's zero value (`storegrpc._hist_of`), so the expectation is
+  coerced the same way.
+- StoreApi ``avg`` ships sum=value,total=1 (proxy-merge semantics);
+  the division reconstructs the value exactly.
+- StoreApi carries ids only (``IdWithHint``), no doc bodies — body
+  parity is asserted HTTP vs seqproxy.
+"""
+
+import json
+import math
+import urllib.request
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from seqspark import Mapping
+from seqspark.grpcapi import SeqProxyGrpc, seq_id_parse
+from seqspark.server import SeqSparkServer
+from seqspark.storegrpc import StoreGrpc
+from seqspark.store import DocStore
+from seqspark.wire import seqproxy as sp
+from seqspark.wire import storeapi as sa
+from seqspark.wire.grpc import GrpcChannel
+
+BIG = 10**15
+MAPPING = Mapping({"service": "keyword", "msg": "text", "code": "keyword"})
+EPOCH_MS = 1704067200000  # 2024-01-01 00:00:00 UTC
+SPAN_S = 3600
+N_DOCS = 120
+
+_SERVICES = ["auth", "pay", "web", "cart"]
+_WORDS = ["alpha", "beta", "gamma", "delta", "epsilon"]
+
+
+def _corpus():
+    from datetime import datetime, timezone
+
+    docs = []
+    for i in range(N_DOCS):
+        ts_ms = EPOCH_MS + (i * 37 % SPAN_S) * 1000
+        ts = datetime.fromtimestamp(ts_ms / 1000, tz=timezone.utc)
+        docs.append({
+            "timestamp": ts.strftime("%Y-%m-%d %H:%M:%S.") + f"{ts_ms % 1000:03d}",
+            "service": _SERVICES[i % len(_SERVICES)],
+            "msg": f"{_WORDS[i % 5]} {_WORDS[(i * 3) % 5]} run {i}",
+            # every third doc misses `code` so not_exists paths light up
+            **({} if i % 3 == 0 else {"code": str(i * 7 % 100)}),
+        })
+    return docs
+
+
+@pytest.fixture(scope="module")
+def rig(spark, tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("equiv")
+    store = DocStore(spark, str(tmp / "store"))
+    core = SeqSparkServer(
+        spark, store, MAPPING, allowed_drift_ms=BIG, future_drift_ms=BIG,
+        async_dir=str(tmp / "async"),
+    ).start()
+    lines = []
+    for d in _corpus():
+        lines.append('{"index": {}}')
+        lines.append(json.dumps(d))
+    core.bulk("\n".join(lines).encode(), gzipped=False)
+    proxy = SeqProxyGrpc(core).start()
+    storeapi = StoreGrpc(core).start()
+    ch_p = GrpcChannel("127.0.0.1", proxy.port)
+    ch_s = GrpcChannel("127.0.0.1", storeapi.port)
+    yield core, ch_p, ch_s
+    ch_p.close()
+    ch_s.close()
+    proxy.stop()
+    storeapi.stop()
+    core.stop()
+
+
+# ----------------------------------------------------------- the spec
+
+_QUERIES = [
+    "*",
+    "service:auth",
+    "service:auth or service:pay",
+    "service:in(auth, web)",
+    "msg:gamma",
+    "msg:ga*",
+    "msg:gamma and not service:pay",
+    "code:[10, 60)",
+    "code:[5, 95] and service:web",
+    "_exists_:code",
+]
+
+
+@st.composite
+def _spec(draw):
+    q = draw(st.sampled_from(_QUERIES))
+    if draw(st.booleans()):
+        a = draw(st.integers(0, SPAN_S))
+        b = draw(st.integers(0, SPAN_S))
+        lo, hi = sorted((a, b))
+        window = (EPOCH_MS + lo * 1000, EPOCH_MS + hi * 1000)
+    else:
+        window = (EPOCH_MS, EPOCH_MS + SPAN_S * 1000)
+    order = draw(st.sampled_from([0, 1]))  # both ORDER enums: 0=desc 1=asc
+    size = draw(st.sampled_from([0, 7, 40]))
+    offset = draw(st.sampled_from([0, 3]))
+    hist_iv = draw(st.sampled_from([None, 60_000]))
+    n_aggs = draw(st.integers(0, 2))
+    aggs = []
+    for _ in range(n_aggs):
+        func = draw(st.sampled_from(
+            ["count", "unique", "sum", "min", "max", "avg"]))
+        if func in ("count", "unique"):
+            iv = None if func == "unique" else draw(
+                st.sampled_from([None, 60_000]))
+            aggs.append((func, None, "service", iv))
+        else:
+            aggs.append((
+                func, "code",
+                draw(st.sampled_from([None, "service"])),
+                draw(st.sampled_from([None, 60_000])),
+            ))
+    if not aggs and hist_iv is None and size == 0:
+        size = 7  # every surface requires one of size/hist/aggs
+    return (q, window, order, size, offset, hist_iv, aggs)
+
+
+_FUNC_NUM = {v: k for k, v in sa.AGG_FUNC.items()}
+
+
+# --------------------------------------------- per-transport canon
+
+def _canon_value(v):
+    if v is None or (isinstance(v, float) and math.isnan(v)):
+        return None
+    return float(v)
+
+
+def _bucket_key(b):
+    return (b[0], -1 if b[1] is None else b[1])
+
+
+def _canon_http(out):
+    ids = [(d["mid"], d["rid"]) for d in out.get("docs", [])]
+    data = [d["data"] for d in out.get("docs", [])]
+    total = out.get("total")
+    hist = sorted((int(k), int(v))
+                  for k, v in (out.get("histogram") or {}).items())
+    aggs = []
+    for rows in out.get("aggs", []):
+        aggs.append(sorted((
+            ("" if r.get("name") is None else str(r["name"]),
+             r.get("mid_ms"),
+             _canon_value(r.get("value")),
+             int(r.get("not_exists") or 0))
+            for r in rows
+        ), key=_bucket_key))
+    return ids, data, total, hist, aggs
+
+
+def _canon_proxy(resp):
+    docs = resp.get("docs", [])
+    ids = [seq_id_parse(d["id"]) for d in docs]
+    data = [bytes(d.get("data") or b"").decode() for d in docs]
+    total = resp.get("total", 0)
+    hist = sorted(
+        (sp.ts_to_ms(b.get("ts")), int(b.get("doc_count") or 0))
+        for b in (resp.get("hist") or {}).get("buckets", [])
+    )
+    aggs = []
+    for a in resp.get("aggs", []):
+        aggs.append(sorted((
+            (b.get("key", ""),
+             sp.ts_to_ms(b["ts"]) if b.get("ts") is not None else None,
+             _canon_value(b.get("value", 0.0)),
+             int(b.get("not_exists") or 0))
+            for b in a.get("buckets", [])
+        ), key=_bucket_key))
+    return ids, data, total, hist, aggs
+
+
+def _store_value(func, h):
+    if func in ("count", "unique"):
+        return float(h.get("total", 0))
+    if func == "sum":
+        return float(h.get("sum", 0.0))
+    if func == "min":
+        return float(h.get("min", 0.0))
+    if func == "max":
+        return float(h.get("max", 0.0))
+    if func == "avg":
+        return float(h.get("sum", 0.0)) / float(h.get("total", 1) or 1)
+    raise AssertionError(func)
+
+
+def _canon_store(resp, agg_specs):
+    ids = [seq_id_parse(s["hint"]) for s in resp.get("id_sources", [])]
+    total = resp.get("total", 0)
+    hist = sorted(
+        (int(b.get("key") or 0), int(b.get("value") or 0))
+        for b in resp.get("histogram", [])
+    )
+    aggs = []
+    for (func, _f, _g, _iv), a in zip(agg_specs, resp.get("aggs", [])):
+        buckets = []
+        for e in a.get("agg_histogram", []):
+            buckets.append((
+                e.get("key", ""), None,
+                _store_value(func, e.get("value") or {}),
+                int((e.get("value") or {}).get("not_exists") or 0),
+            ))
+        for b in a.get("timeseries", []):
+            buckets.append((
+                b.get("label", ""), sp.ts_to_ms(b["ts"]),
+                _store_value(func, b.get("hist") or {}),
+                int((b.get("hist") or {}).get("not_exists") or 0),
+            ))
+        aggs.append(sorted(buckets, key=_bucket_key))
+    return ids, total, hist, aggs
+
+
+# ------------------------------------------------------------ the fuzz
+
+@settings(max_examples=15, deadline=None)
+@given(_spec())
+def test_three_transport_equivalence(rig, spec):
+    core, ch_p, ch_s = rig
+    q, (f_ms, t_ms), order, size, offset, hist_iv, agg_specs = spec
+
+    # 1. HTTP JSON /complex over the real socket
+    hreq = {
+        "query": q, "from_ms": f_ms, "to_ms": t_ms, "size": size,
+        "offset": offset, "order": sp.ORDER[order], "with_total": True,
+    }
+    if hist_iv is not None:
+        hreq["hist_interval_ms"] = hist_iv
+    hreq["aggs"] = [
+        {"func": fn, **({"field": fl} if fl else {}),
+         **({"group_by": gb} if gb else {}),
+         **({"interval_ms": iv} if iv else {})}
+        for fn, fl, gb, iv in agg_specs
+    ]
+    r = urllib.request.Request(
+        f"http://127.0.0.1:{core.port}/complex",
+        data=json.dumps(hreq).encode(),
+        headers={"Content-Type": "application/json"},
+    )
+    with urllib.request.urlopen(r, timeout=120) as resp:
+        http_out = json.loads(resp.read())
+    h_ids, h_data, h_total, h_hist, h_aggs = _canon_http(http_out)
+
+    # 2. seqproxyapi.v1 ComplexSearch (proto3 over h2)
+    preq = {
+        "query": {"query": q, "from": sp.ms_to_ts(f_ms),
+                  "to": sp.ms_to_ts(t_ms)},
+        "size": size, "offset": offset, "with_total": True, "order": order,
+        "aggs": [
+            {"func": _FUNC_NUM[fn], **({"field": fl} if fl else {}),
+             **({"group_by": gb} if gb else {}),
+             **({"interval": f"{iv // 1000}s"} if iv else {})}
+            for fn, fl, gb, iv in agg_specs
+        ],
+    }
+    if hist_iv is not None:
+        preq["hist"] = {"interval": f"{hist_iv // 1000}s"}
+    presp = ch_p.unary(
+        "/seqproxyapi.v1.SeqProxyApi/ComplexSearch", preq,
+        sp.COMPLEX_SEARCH_REQUEST, sp.COMPLEX_SEARCH_RESPONSE,
+    )
+    p_ids, p_data, p_total, p_hist, p_aggs = _canon_proxy(presp)
+
+    # 3. api.StoreApi/Search (ids + store Histogram shaping)
+    sreq = {
+        "query": q, "from": f_ms, "to": t_ms, "size": size,
+        "offset": offset, "with_total": True, "order": order,
+        "aggs": [
+            {"func": _FUNC_NUM[fn], "field": fl or "",
+             **({"group_by": gb} if gb else {}),
+             **({"interval": iv} if iv else {})}
+            for fn, fl, gb, iv in agg_specs
+        ],
+    }
+    if hist_iv is not None:
+        sreq["interval"] = hist_iv
+    sresp = ch_s.unary(f"{sa.SERVICE}/Search", sreq,
+                       sa.SEARCH_REQUEST, sa.SEARCH_RESPONSE)
+    s_ids, s_total, s_hist, s_aggs = _canon_store(sresp, agg_specs)
+
+    # ids: same docs, same order, on all three
+    assert h_ids == p_ids == s_ids, (spec, h_ids, p_ids, s_ids)
+    # doc bodies: byte-equal where the wire carries them
+    assert h_data == p_data, spec
+    assert h_total == p_total == s_total, (spec, h_total, p_total, s_total)
+    assert h_hist == p_hist == s_hist, (spec, h_hist, p_hist, s_hist)
+    # agg buckets: HTTP vs proxy carry NaN faithfully; StoreApi's
+    # Histogram zero-codes it
+    assert h_aggs == p_aggs, (spec, h_aggs, p_aggs)
+    coerced = [
+        [(k, m, 0.0 if v is None else v, ne) for k, m, v, ne in rows]
+        for rows in h_aggs
+    ]
+    for want, got, a_spec in zip(coerced, s_aggs, agg_specs):
+        assert len(want) == len(got), (spec, a_spec, want, got)
+        for w, g in zip(want, got):
+            assert w[0] == g[0] and w[1] == g[1] and w[3] == g[3], (
+                spec, a_spec, w, g)
+            assert math.isclose(w[2], g[2], rel_tol=1e-9, abs_tol=1e-9), (
+                spec, a_spec, w, g)
