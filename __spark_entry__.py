@@ -1677,21 +1677,21 @@ MULTIMODAL_TIFF_EXPECTED = [
 #: over real_tiff_pixel_asset_rows (r14, strip raster decode)
 MULTIMODAL_TIFF_PX_EXPECTED = [
     (0, 181, '8757dcf9fae6c9295d7cfc35471a1d981530cbfa4a98fa57199e3fd71c2eccbb', 7, 5, 1, 38281183229937800),
-    (1, 272, '31babc863247a5ad8859e75fe4a8afff4fafdd26f17f2651b78374e25ef42bba', 8, 6, 1, 46347370058784928),
+    (1, 279, 'f0ca0551e411c347ec7b44d07996f8f2020236ee2ab4ba956615b6fe00bcd2c0', 8, 6, 1, 46347370058784928),
     (2, 387, '089ad2f8a94f75da34aaf2c32326ca25b4cea76a19de403565d950702b86877a', 9, 7, 1, 50705800596824096),
-    (3, 203, 'cdee19c6a56ccc13559eae4e2f81db51ca38980c90a95251e5def28abd557d3c', 10, 8, 1, 1157442765409226768),
+    (3, 160, '31caedd2079b6a959b48fdf7c47e5deecca09e0985b1638fb24a784ca32620fe', 10, 8, 1, 1157442765409226768),
     (4, 293, '373769471cc7e62984128e7498e8aba17ec326d89f6b7861d8fdc5e0b8b012ae', 11, 5, 1, 12385483761911816),
-    (5, 442, '6b92411646b90cf3bff55ef64c4338f990ed8da85102b6c890c0c1c526ca1493', 12, 6, 1, 40124254505438348),
+    (5, 472, '011724908a30aaf8ce550eca47eb155eb116ab8220afc06eed5d54ef542d3bdb', 12, 6, 1, 40124254505438348),
     (6, 172, 'da8fc9ea643e2e7172147ed1ede2f38b9bb39367ab1619d1a22e2bd2f60b33d1', 7, 7, 1, 47473238424987816),
-    (7, 322, '01b87a362bc32860e8d88035f9cec0620be0e69eb0e6cbf57604d0fcf2d71d7a', 8, 8, 1, -3272792461833891696),
+    (7, 245, '60e40df66ae5cec3282f9bf263137384567951d44c328ecbed17ecd4fb2baa7e', 8, 8, 1, -3272792461833891696),
     (8, 310, '0f07300b72bc3e0e26fb868d7c69180cd60629dc6cc000ae52b842834e8e915c', 9, 5, 1, 38280701119825928),
-    (9, 182, '38ce61ec8cc32e7d8e45a4a6090dd3d7d3b5ded126ab93e356308fade8479249', 10, 6, 1, 1130315133486084),
+    (9, 158, 'ff55f5d8708e6862f9ddd216370b01cf2eae81121dfcfcafa9f96a8717feb552', 10, 6, 1, 1130315133486084),
     (10, 396, '7849a5b1116d0b2083fdeebc8f8bb8547bc4d7e507c5f366ffbbad3a0e5d1807', 11, 7, 1, 46943256169448580),
-    (11, 518, '5397e5f3f4519d392227b036589c120238be6873eeeb66b606cce8bb3fc65444', 12, 8, 1, -981113044359552414),
+    (11, 310, 'ac2976508fa42c7ed2010aa0a7b74466aa6f6f01b472d7a6fcdd18269299db7b', 12, 8, 1, -981113044359552414),
     (12, 157, 'f5460c680f5e3b88a674c1b454c2640133a658b33fd062cc6d71a7dcab3a7ffa', 7, 5, 1, 39407100383759500),
-    (13, 272, 'c9b75e58c893f18f3b4c4e800889ef7a9c0c28b69280e4142a19dab9be9b7ff7', 8, 6, 1, 46386832220652676),
+    (13, 279, '7159e87a120a23118558e421d1165cb94b8b5d9236cbbb520232526c307ac58f', 8, 6, 1, 46386832220652676),
     (14, 384, '2b68b098ad9f09948d1335e7e4efd5b49c9b74bbf3b1a6bd7f96205e72e9ef38', 9, 7, 1, 42263346082349570),
-    (15, 238, 'e73a83fd9a935b4ff46062c0d77378347bc98b571bd28ee177410dc8c69e7d0e', 10, 8, 1, 4702111234474983745),
+    (15, 214, 'f0a856503d2a6b5f4b02745f5e8b85fcdd49c52d38a3dbd9eef583989b949bb5', 10, 8, 1, 4702111234474983745),
 ]
 
 
@@ -2618,9 +2618,10 @@ def q_multimodal_tiff(spark, sf_dir):
 
 def q_multimodal_tiff_pixels(spark, sf_dir):
     # hash-pinned (r14): TIFF RASTER decode through the stdlib strip
-    # decoder — none + PackBits compression, both byte orders, grayscale
-    # (both photometrics: WhiteIsZero inverts), RGB, RGBA, and
-    # multi-strip reassembly (rows_per_strip < h) all in one fixture.
+    # decoder — none + LZW (incl. the tag-317 horizontal predictor) +
+    # PackBits compression, both byte orders, grayscale (both
+    # photometrics: WhiteIsZero inverts), RGB, RGBA, and multi-strip
+    # reassembly (rows_per_strip < h) all in one fixture.
     # The perceptual dHash is computed from the decoded raster, so any
     # pixel-path regression (strip order, PackBits runs, inversion,
     # channel expansion) flips a frozen literal even when the header

@@ -1458,15 +1458,111 @@ def _packbits_encode(raw: bytes) -> bytes:
     return bytes(out)
 
 
+def _tiff_lzw_decode(raw: bytes, expected: int) -> Optional[bytes]:
+    """TIFF-flavor LZW (TIFF 6.0 §13, compression 5): MSB-first bit
+    packing (GIF packs LSB-first), fixed 8-bit roots with ClearCode 256
+    / EOI 257, and the spec's EARLY CHANGE — the code width bumps when
+    the table reaches 2^width - 1 entries, one entry before GIF would.
+    Returns exactly ``expected`` bytes or None on a malformed stream."""
+    CLEAR, EOI = 256, 257
+
+    def fresh():
+        return [bytes([i]) for i in range(256)] + [b"", b""]
+
+    table = fresh()
+    width = 9
+    out = bytearray()
+    prev = None
+    acc = bits = pos = 0
+    n = len(raw)
+    while len(out) < expected:
+        while bits < width:
+            if pos >= n:
+                return None
+            acc = (acc << 8) | raw[pos]
+            pos += 1
+            bits += 8
+        code = (acc >> (bits - width)) & ((1 << width) - 1)
+        bits -= width
+        if code == CLEAR:
+            table = fresh()
+            width = 9
+            prev = None
+            continue
+        if code == EOI:
+            break
+        if code < len(table):
+            entry = table[code]
+        elif code == len(table) and prev is not None:
+            entry = prev + prev[:1]  # KwKwK
+        else:
+            return None
+        out += entry
+        if prev is not None:
+            table.append(prev + entry[:1])
+        prev = entry
+        if len(table) == (1 << width) - 1 and width < 12:
+            width += 1  # early change
+    return bytes(out) if len(out) == expected else None
+
+
+def _tiff_lzw_encode(raw: bytes) -> bytes:
+    """TIFF-flavor LZW encoder (fixture side — pairs with
+    :func:`_tiff_lzw_decode`): MSB-first packing, leading ClearCode,
+    trailing EOI, early width change mirroring the decoder."""
+    CLEAR, EOI = 256, 257
+    out = bytearray()
+    acc = bits = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal acc, bits
+        acc = (acc << width) | code
+        bits += width
+        while bits >= 8:
+            out.append((acc >> (bits - 8)) & 0xFF)
+            bits -= 8
+
+    table = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    width = 9
+    emit(CLEAR, width)
+    prev = b""
+    for byte in raw:
+        cur = prev + bytes([byte])
+        if cur in table:
+            prev = cur
+            continue
+        emit(table[prev], width)
+        table[cur] = next_code
+        next_code += 1
+        # the DECODER adds its mirror entry one step behind, so the
+        # width bump (at 2^w - 1) is checked against next_code - 1
+        if next_code - 1 == (1 << width) - 1 and width < 12:
+            width += 1
+        if next_code > 4094:
+            emit(CLEAR, width)
+            table = {bytes([i]): i for i in range(256)}
+            next_code = 258
+            width = 9
+        prev = bytes([byte])
+    if prev:
+        emit(table[prev], width)
+    emit(EOI, width)
+    if bits:
+        out.append((acc << (8 - bits)) & 0xFF)
+    return bytes(out)
+
+
 def _tiff_decode_pixels(b: bytes):
     """(w, h, ch, pixels top-down) for the stdlib-decodable TIFF subset
     (r14): classic TIFF, first IFD, strip-organized chunky data, 8 bits
-    per sample, compression 1 (none) or 32773 (PackBits), photometric
-    0/1 (grayscale, WhiteIsZero inverted) or 2 (RGB, 3 or 4 samples).
+    per sample, compression 1 (none), 5 (LZW, incl. the horizontal
+    predictor of tag 317) or 32773 (PackBits), photometric 0/1
+    (grayscale, WhiteIsZero inverted) or 2 (RGB, 3 or 4 samples).
     Both byte orders. Grayscale expands to RGB so the perceptual
     kernels see the same layout every decoder produces. None outside
-    the subset (LZW/JPEG-in-TIFF/tiled stay an honest raise — this
-    closes only the trivially-stdlib compressions, TIFF 6.0 §§2,9)."""
+    the subset (JPEG-in-TIFF/tiled stay an honest raise — TIFF 6.0
+    §§2,9,13-14)."""
     import numpy as np
 
     if len(b) < 8:
@@ -1516,16 +1612,19 @@ def _tiff_decode_pixels(b: bytes):
     spp = tags.get(277, [1])[0]
     bps = tags.get(258, [1] * spp)
     planar = tags.get(284, [1])[0]
+    predictor = tags.get(317, [1])[0]
     offsets = tags.get(273)
     counts = tags.get(279)
     if (
         w <= 0 or h <= 0 or w * h > _PNG_MAX_PIXELS
-        or comp not in (1, 32773) or planar != 1
+        or comp not in (1, 5, 32773) or planar != 1
         or photo not in (0, 1, 2) or not offsets or not counts
         or len(offsets) != len(counts)
         or len(bps) != spp or any(x != 8 for x in bps)
         or (photo == 2 and spp not in (3, 4))
         or (photo in (0, 1) and spp != 1)
+        or predictor not in (1, 2)
+        or (predictor == 2 and comp != 5)
     ):
         return None
     rows_per_strip = tags.get(278, [h])[0] or h
@@ -1542,6 +1641,10 @@ def _tiff_decode_pixels(b: bytes):
             raw = _packbits_decode(raw, expected)
             if raw is None:
                 return None
+        elif comp == 5:
+            raw = _tiff_lzw_decode(raw, expected)
+            if raw is None:
+                return None
         elif len(raw) < expected:
             return None
         data += raw[:expected]
@@ -1549,6 +1652,11 @@ def _tiff_decode_pixels(b: bytes):
     if remaining != 0:
         return None
     px = np.frombuffer(bytes(data), dtype=np.uint8).reshape(h, w, spp)
+    if predictor == 2:
+        # horizontal differencing (TIFF 6.0 §14): each sample stores the
+        # delta to its left neighbor, per channel — undo with a running
+        # sum along the row, mod 256
+        px = (np.cumsum(px, axis=1, dtype=np.int64) & 0xFF).astype(np.uint8)
     if photo == 0:
         px = 255 - px  # WhiteIsZero -> BlackIsZero
     if spp == 1:
@@ -1566,23 +1674,36 @@ def _tiff_encode_pixels(
     compression: int = 1,
     rows_per_strip: Optional[int] = None,
     photometric: Optional[int] = None,
+    predictor: int = 1,
 ) -> bytes:
     """Minimal strip-organized classic-TIFF writer for the deterministic
     pixel fixtures — pairs with :func:`_tiff_decode_pixels`. ``ch`` 1
-    (grayscale) or 3/4 (RGB/RGBA); ``compression`` 1 or 32773
+    (grayscale) or 3/4 (RGB/RGBA); ``compression`` 1, 5 (LZW; pair
+    with ``predictor=2`` for horizontal differencing) or 32773
     (PackBits); multiple strips when ``rows_per_strip < h`` so the
     strip-reassembly path stays exercised by fixtures."""
+    import numpy as np
+
     e = "<" if endian == "II" else ">"
     raw = bytes(pixels)
     assert len(raw) == w * h * ch
+    assert predictor == 1 or compression == 5
+    if predictor == 2:
+        px = np.frombuffer(raw, dtype=np.uint8).reshape(h, w, ch)
+        diff = px.astype(np.int16)
+        diff[:, 1:, :] -= px[:, :-1, :].astype(np.int16)
+        raw = (diff & 0xFF).astype(np.uint8).tobytes()
     rps = rows_per_strip or h
     photo = photometric if photometric is not None else (1 if ch == 1 else 2)
     strips = []
     for y0 in range(0, h, rps):
         rows_here = min(rps, h - y0)
         chunk = raw[y0 * w * ch:(y0 + rows_here) * w * ch]
-        strips.append(
-            _packbits_encode(chunk) if compression == 32773 else chunk)
+        if compression == 32773:
+            chunk = _packbits_encode(chunk)
+        elif compression == 5:
+            chunk = _tiff_lzw_encode(chunk)
+        strips.append(chunk)
     # layout: header(8) | strip data | extra value area | IFD
     pos = 8
     strip_offs = []
@@ -1614,6 +1735,9 @@ def _tiff_encode_pixels(
         (278, *val(4, [rps])),
         (279, *val(4, [len(s) for s in strips])),
     ]
+    if predictor != 1:
+        entries.append((317, *val(3, [predictor])))
+        entries.sort()
     extra_base = pos
     ifd_off = extra_base + len(extra)
     out = bytearray()
@@ -2297,11 +2421,12 @@ def make_real_tiff_assets(spark, n: int = 16) -> DataFrame:
 def real_tiff_pixel_asset_rows(n: int = 16) -> list:
     """Driver-side rows of the TIFF PIXEL fixture (r14): deterministic
     strip-organized TIFFs cycling through the decodable subset's axes —
-    byte order (II/MM), compression (none/PackBits), photometric
-    (grayscale WhiteIsZero+BlackIsZero / RGB / RGBA) and multi-strip
-    layouts (rows_per_strip < h) — with the SAME id-derived pixel
-    pattern as :func:`real_bmp_asset_rows` so cross-container hash
-    equality is checkable. Pure function of ``n``."""
+    byte order (II/MM), compression (none / LZW / PackBits / LZW with
+    the horizontal predictor), photometric (grayscale
+    WhiteIsZero+BlackIsZero / RGB / RGBA) and multi-strip layouts
+    (rows_per_strip < h) — with the SAME id-derived pixel pattern as
+    :func:`real_bmp_asset_rows` so cross-container hash equality is
+    checkable. Pure function of ``n``."""
     rows = []
     for i in range(n):
         iw, ih = 7 + i % 6, 5 + i % 4
@@ -2326,9 +2451,10 @@ def real_tiff_pixel_asset_rows(n: int = 16) -> list:
         content = _tiff_encode_pixels(
             iw, ih, ch, px,
             endian="II" if i % 2 == 0 else "MM",
-            compression=32773 if i % 4 >= 2 else 1,
+            compression=(1, 5, 32773, 5)[i % 4],
             rows_per_strip=2 if i % 5 == 0 else None,
             photometric=photo,
+            predictor=2 if i % 4 == 3 else 1,
         )
         rows.append((i, "image", bytearray(content),
                      '{"src":"fixture-tiff-px"}'))

@@ -3184,10 +3184,11 @@ def test_tiff_meta_fuzz_never_throws():
 
 
 def test_tiff_pixel_subset_axes():
-    """r14: the TIFF raster subset — both byte orders, none/PackBits,
-    gray (both photometrics) / RGB / RGBA, single- and multi-strip —
-    round-trips through _tiff_decode_pixels; out-of-subset layouts
-    (tiled, LZW, 16-bit) return None, never throw."""
+    """r14: the TIFF raster subset — both byte orders, none/LZW (incl.
+    the tag-317 horizontal predictor)/PackBits, gray (both
+    photometrics) / RGB / RGBA, single- and multi-strip — round-trips
+    through _tiff_decode_pixels; out-of-subset layouts (tiled, 16-bit)
+    return None, never throw."""
     import struct as st
 
     import numpy as np
@@ -3202,14 +3203,18 @@ def test_tiff_pixel_subset_axes():
     rgba = np.concatenate(
         [rgb, ((xx + yy) % 256).astype(np.uint8)[:, :, None]], axis=-1)
     for endian in ("II", "MM"):
-        for comp in (1, 32773):
+        for comp in (1, 5, 32773):
             for rps in (None, 2):
-                dec = _tiff_decode_pixels(_tiff_encode_pixels(
-                    w, h, 3, bytearray(rgb.tobytes()), endian=endian,
-                    compression=comp, rows_per_strip=rps))
-                assert dec is not None
-                assert (dec[0], dec[1], dec[2]) == (w, h, 3)
-                assert bytes(dec[3]) == rgb.tobytes(), (endian, comp, rps)
+                preds = (1, 2) if comp == 5 else (1,)
+                for pred in preds:
+                    dec = _tiff_decode_pixels(_tiff_encode_pixels(
+                        w, h, 3, bytearray(rgb.tobytes()), endian=endian,
+                        compression=comp, rows_per_strip=rps,
+                        predictor=pred))
+                    assert dec is not None
+                    assert (dec[0], dec[1], dec[2]) == (w, h, 3)
+                    assert bytes(dec[3]) == rgb.tobytes(), (
+                        endian, comp, rps, pred)
     # RGBA passes alpha through
     dec = _tiff_decode_pixels(_tiff_encode_pixels(
         w, h, 4, bytearray(rgba.tobytes()), compression=32773))
@@ -3222,13 +3227,35 @@ def test_tiff_pixel_subset_axes():
     dec0 = _tiff_decode_pixels(_tiff_encode_pixels(
         w, h, 1, inv, photometric=0))
     assert bytes(dec0[3]) == bytes(dec[3])
-    # out of subset: tiled (tag 322), 16-bit samples, LZW(5)
+    # out of subset: tiled (tag 322), 16-bit samples
     base = _tiff_encode_pixels(4, 4, 3, bytearray(48))
     tiled = bytearray(base)
     # patch first IFD tag id (256) -> 322 just to simulate a tile tag
     ifd = st.unpack("<I", base[4:8])[0]
     st.pack_into("<H", tiled, ifd + 2, 322)
     assert _tiff_decode_pixels(bytes(tiled)) is None
+
+
+def test_tiff_lzw_stream_fuzz():
+    """r14: TIFF-flavor LZW (MSB-first, early change, 12-bit cap, CLEAR
+    recycling past 4094) round-trips arbitrary byte streams — incl.
+    ones long/repetitive enough to force every width bump and a
+    mid-stream CLEAR; truncated streams return None, never throw."""
+    import random
+
+    from seqspark.pipeline.multimodal import (
+        _tiff_lzw_decode, _tiff_lzw_encode)
+
+    rng = random.Random(1405)
+    cases = [b"", b"\x00", b"A" * 10_000, bytes(range(256)) * 40]
+    for n in (17, 300, 2_000, 60_000):
+        cases.append(bytes(rng.randrange(4) for _ in range(n)))
+        cases.append(bytes(rng.randrange(256) for _ in range(n)))
+    for data in cases:
+        enc = _tiff_lzw_encode(data)
+        assert _tiff_lzw_decode(enc, len(data)) == data, len(data)
+        if len(enc) > 4:
+            assert _tiff_lzw_decode(enc[: len(enc) // 2], len(data)) is None
 
 
 def test_tiff_cross_container_dhash_and_resize(spark):
@@ -3249,14 +3276,18 @@ def test_tiff_cross_container_dhash_and_resize(spark):
         [(1, "image", bytearray(_tiff_encode_pixels(
             w, h, 3, body, compression=32773, rows_per_strip=3)), "{}"),
          (2, "image", bytearray(_bmp_encode(w, h, 3, body)), "{}"),
-         (3, "image", bytearray(_png_encode(w, h, 3, body)), "{}")],
+         (3, "image", bytearray(_png_encode(w, h, 3, body)), "{}"),
+         (4, "image", bytearray(_tiff_encode_pixels(
+             w, h, 3, body, compression=5, predictor=2, endian="MM")),
+          "{}")],
         ASSET_SCHEMA)
     hashes = {r["asset_id"]: r["dhash"] for r in dhash_images(
         assets, project=("asset_id",)).collect()}
-    assert hashes[1] is not None and hashes[1] == hashes[2] == hashes[3]
+    assert hashes[1] is not None
+    assert hashes[1] == hashes[2] == hashes[3] == hashes[4]
     sizes = {r["asset_id"]: (r["width"], r["height"]) for r in
              resize_images(assets, 6, 6, codec="stdlib").collect()}
-    assert sizes[1] == sizes[2] == sizes[3] == (6, 6)
+    assert sizes[1] == sizes[2] == sizes[3] == sizes[4] == (6, 6)
 
 
 def test_tiff_pixel_roundtrip_fuzz():
