@@ -1718,6 +1718,29 @@ MULTIMODAL_MP3_EXPECTED = [
 ]
 
 
+#: (asset_id, n_bytes, sha256, container, sample_rate,
+#: n_channels, n_samples, duration_s) over real_ogg_asset_rows
+#: (r14, page-walk metadata)
+MULTIMODAL_OGG_EXPECTED = [
+    (0, 507, 'be0d5768bc1fcd98648f508156d54408386872d66e9a3b48acb7d87fabda873e', 'ogg-vorbis', 8000, 1, 4000, 0.5),
+    (1, 531, 'd692d6c372671a6307fedfde5da8d9401f3ca8ff557b6fd9b1a86bdfe273e24f', 'ogg-opus', 48000, 1, 15749, 0.328104),
+    (2, 624, '1f0c6b89154cd9ea8c2b86ff786916508dc790e848e1ed91e7a68fb0a8ea74fa', 'ogg-vorbis', 22050, 2, 33297, 1.510068),
+    (3, 742, '7b6368c44ccebec62dec89030205f0993c34846bbc58c3ece7456517f000c56e', 'ogg-opus', 48000, 2, 88293, 1.839438),
+    (4, 467, 'be6a85ffdf93f5c754edf28856cfce1649923c885bf61dcc8721dc81413bcf12', 'ogg-vorbis', 48000, 1, 24148, 0.503083),
+    (5, 531, '69c803e0fdd0033721ef07751c2f2e405dcebdc363901fffe4713568a2a74474', 'ogg-opus', 48000, 1, 7993, 0.166521),
+    (6, 664, '7231558549932ca4e800b70be0c333e313cb11a6058811dc1d077453eee6cb59', 'ogg-vorbis', 16000, 2, 24666, 1.541625),
+    (7, 702, '9fb1d10356d5d3d237464e83f5cab98aa3e88c703100ca3bb87acac9b4351033', 'ogg-opus', 48000, 2, 44733, 0.931937),
+    (8, 467, 'efe742166ec569f5d14f058108649db6393ad9eb4f7260889cd0bad890db1dd5', 'ogg-vorbis', 44100, 1, 22346, 0.506712),
+    (9, 571, '99a08d2e6e3acdbe9c0297a3bb8e7a652d3281163c599ae1fd9713bdf44121b0', 'ogg-opus', 48000, 1, 48237, 1.004938),
+    (10, 624, 'e98bba7e3334930fc7d7e6b49c9e61fd5253890d6e2c3d324d2f3cbb6c6a12c9', 'ogg-vorbis', 8000, 2, 13110, 1.63875),
+    (11, 702, 'f14b3751974793dc826a37a4e788f0b91e4a17c8629dbc31fea3c3f99df9d536', 'ogg-opus', 48000, 2, 33173, 0.691104),
+    (12, 507, '74d1873875792473efb371ebe412ecaaac465e77b80674baff563b2d15ea180e', 'ogg-vorbis', 22050, 1, 11469, 0.520136),
+    (13, 531, 'b91b282f5d485375ea6acce9c839157266f30f6998c8926bb8d8e14d754eb6d0', 'ogg-opus', 48000, 1, 44581, 0.928771),
+    (14, 624, '8a4898b3bae873181532513d3a3d69a39ef763950052f2422873cc0a11d04e10', 'ogg-vorbis', 48000, 2, 73554, 1.532375),
+    (15, 742, '212cc698a5225773ec9946bd877b01895399403b2b2b78b1782048808774e5d6', 'ogg-opus', 48000, 2, 17713, 0.369021),
+]
+
+
 #: (asset_id, n_bytes, sha256, width, height, n_frames, dhash)
 #: over real_bmp_asset_rows (r13)
 MULTIMODAL_BMP_EXPECTED = [
@@ -2649,6 +2672,19 @@ def q_multimodal_mp3(spark, sf_dir):
     from seqspark.pipeline.multimodal import audio_meta, make_real_mp3_assets
 
     return audio_meta(make_real_mp3_assets(spark, 16))
+
+
+def q_multimodal_ogg(spark, sf_dir):
+    # hash-pinned (r14): the audio_meta planner tier over Ogg — the RFC
+    # 3533 page walk (capture pattern, lacing incl. 255-spans, the Ogg
+    # CRC-32 verified per page), Vorbis and Opus identification headers,
+    # duration from the audio stream's last granule (Opus: 48 kHz
+    # granule clock, pre-skip subtracted per RFC 7845), multiplexed
+    # foreign-BOS skip — all frozen. Same Arrow-batched header-only
+    # shape as multimodal_mp3.
+    from seqspark.pipeline.multimodal import audio_meta, make_real_ogg_assets
+
+    return audio_meta(make_real_ogg_assets(spark, 16))
 
 
 def q_audio_features_adpcm(spark, sf_dir):
@@ -3639,6 +3675,7 @@ DRIVER_WINDOW = [
     # r14 additions: never driver-checked yet
     "multimodal_tiff_pixels",
     "multimodal_mp3",
+    "multimodal_ogg",
     # r13 additions, driver-checked once (r13) — keep one more round
     "audio_features_flac",
     "audio_features_adpcm",
@@ -3782,6 +3819,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_tiff": q_multimodal_tiff,
         "multimodal_tiff_pixels": q_multimodal_tiff_pixels,
         "multimodal_mp3": q_multimodal_mp3,
+        "multimodal_ogg": q_multimodal_ogg,
         "weighted_sample": q_weighted_sample,
         "audio_dupes": q_audio_dupes,
         "ann_pq_topk": q_ann_pq_topk,
@@ -5059,6 +5097,16 @@ def oracle_sql() -> dict[str, str]:
             f"({i}, {nb}, '{sha}', '{cont}', {sr}, {nc}, "
             f"CAST({ns} AS BIGINT), {dur!r})"
             for i, nb, sha, cont, sr, nc, ns, dur in MULTIMODAL_MP3_EXPECTED
+        )
+        + ") AS t(asset_id, n_bytes, sha256, container, sample_rate,"
+        " n_channels, n_samples, duration_s)"
+    )
+    sql["multimodal_ogg"] = (
+        "SELECT * FROM (VALUES "
+        + ", ".join(
+            f"({i}, {nb}, '{sha}', '{cont}', {sr}, {nc}, "
+            f"CAST({ns} AS BIGINT), {dur!r})"
+            for i, nb, sha, cont, sr, nc, ns, dur in MULTIMODAL_OGG_EXPECTED
         )
         + ") AS t(asset_id, n_bytes, sha256, container, sample_rate,"
         " n_channels, n_samples, duration_s)"

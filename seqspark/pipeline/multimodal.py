@@ -307,11 +307,17 @@ def _real_decode(media_type: str, content: bytes) -> tuple[int, int, int]:
                     _rate, nch, _frames, samples = m
                     meta = (nch, 0, samples)
             if meta is None:
+                # r14: Ogg Vorbis/Opus — metadata only, like MP3
+                m = _ogg_meta(content or b"")
+                if m is not None:
+                    _cont, _rate, nch, samples, _pre = m
+                    meta = (nch, 0, samples)
+            if meta is None:
                 raise NotImplementedError(
                     "audio decode supports WAV (PCM + IMA-ADPCM), AIFF, "
-                    "AU (.snd incl. mu-law), FLAC and MPEG-audio (MP3, "
-                    "metadata-only) containers; other compressed audio "
-                    "needs a codec absent here"
+                    "AU (.snd incl. mu-law), FLAC, MPEG-audio (MP3) and "
+                    "Ogg Vorbis/Opus (both metadata-only) containers; "
+                    "other compressed audio needs a codec absent here"
                 ) from None
             return meta
     if media_type == "video":
@@ -3249,14 +3255,202 @@ def make_real_mp3_assets(spark, n: int = 16) -> DataFrame:
     return spark.createDataFrame(real_mp3_asset_rows(n), ASSET_SCHEMA)
 
 
+# --------------------------------------------------------------------- Ogg
+# Ogg container metadata (r14, RFC 3533): page walk with CRC verify,
+# Vorbis/Opus identification headers, duration from the audio stream's
+# last granule position. Header/metadata tier only — no sample synthesis
+# (audio_features keeps its honest raise for Ogg payloads).
+
+_OGG_CRC_TABLE = None
+
+
+def _ogg_crc(data: bytes) -> int:
+    """Ogg page CRC-32 (RFC 3533 §6: poly 0x04c11db7, non-reflected,
+    init 0, no final xor — NOT zlib's crc32)."""
+    global _OGG_CRC_TABLE
+    if _OGG_CRC_TABLE is None:
+        tbl = []
+        for i in range(256):
+            r = i << 24
+            for _ in range(8):
+                r = ((r << 1) ^ 0x04C11DB7) if r & 0x80000000 else (r << 1)
+            tbl.append(r & 0xFFFFFFFF)
+        _OGG_CRC_TABLE = tbl
+    crc = 0
+    tbl = _OGG_CRC_TABLE
+    for byte in data:
+        crc = ((crc << 8) & 0xFFFFFFFF) ^ tbl[((crc >> 24) & 0xFF) ^ byte]
+    return crc
+
+
+def _ogg_pages(b: bytes):
+    """Yield ``(header_type, granule, serial, payload)`` per CRC-valid
+    page; stops at the first malformed or CRC-failing page (truncated
+    trailing bytes are ignored, matching tolerant demuxers)."""
+    pos = 0
+    n = len(b)
+    while pos + 27 <= n:
+        if b[pos:pos + 4] != b"OggS" or b[pos + 4] != 0:
+            return
+        htype = b[pos + 5]
+        granule = struct.unpack_from("<q", b, pos + 6)[0]
+        serial = struct.unpack_from("<I", b, pos + 14)[0]
+        crc = struct.unpack_from("<I", b, pos + 22)[0]
+        nseg = b[pos + 26]
+        seg_end = pos + 27 + nseg
+        if seg_end > n:
+            return
+        body_len = sum(b[pos + 27:seg_end])
+        end = seg_end + body_len
+        if end > n:
+            return
+        page = bytearray(b[pos:end])
+        page[22:26] = b"\x00\x00\x00\x00"
+        if _ogg_crc(bytes(page)) != crc:
+            return
+        yield htype, granule, serial, bytes(b[seg_end:end])
+        pos = end
+
+
+def _ogg_meta(b: bytes):
+    """``(container, rate, nch, n_samples, pre_skip)`` for an Ogg stream
+    carrying Vorbis or Opus — or None. The FIRST audio BOS stream wins
+    (multiplexed files: other serials are skipped). Vorbis: rate and
+    channels from the ``\\x01vorbis`` id header, samples = the stream's
+    last non-(-1) granule. Opus: channels and pre-skip from ``OpusHead``;
+    the granule clock is ALWAYS 48 kHz regardless of the input rate, and
+    pre-skip samples are decoder priming, subtracted from the playable
+    count (RFC 7845 §4-5)."""
+    b = b or b""
+    if b[:4] != b"OggS":
+        return None
+    audio_serial = None
+    container = rate = nch = None
+    pre_skip = 0
+    last_granule = None
+    for htype, granule, serial, payload in _ogg_pages(b):
+        if audio_serial is None and htype & 0x02:  # BOS
+            if payload[:7] == b"\x01vorbis" and len(payload) >= 30:
+                nch = payload[11]
+                rate = struct.unpack_from("<I", payload, 12)[0]
+                if nch == 0 or rate == 0:
+                    return None
+                container, audio_serial = "ogg-vorbis", serial
+            elif payload[:8] == b"OpusHead" and len(payload) >= 19:
+                nch = payload[9]
+                pre_skip = struct.unpack_from("<H", payload, 10)[0]
+                if nch == 0:
+                    return None
+                # granule positions count 48 kHz samples whatever the
+                # original input rate was
+                container, audio_serial, rate = "ogg-opus", serial, 48000
+            continue
+        if serial == audio_serial and granule != -1:
+            last_granule = granule
+    if audio_serial is None:
+        return None
+    samples = max(0, (last_granule or 0) - pre_skip)
+    return container, rate, nch, samples, pre_skip
+
+
+def _ogg_page(htype: int, granule: int, serial: int, seq: int,
+              payload: bytes) -> bytes:
+    """One CRC-stamped Ogg page; payloads >255·255 span max-lacing
+    segments (255-valued lacing bytes with a terminating short one)."""
+    segs = []
+    i = 0
+    while True:
+        seg = payload[i:i + 255]
+        segs.append(len(seg))
+        i += 255
+        if len(seg) < 255:
+            break
+    head = (b"OggS\x00" + bytes((htype,))
+            + struct.pack("<qII", granule, serial, seq)
+            + b"\x00\x00\x00\x00" + bytes((len(segs),)) + bytes(segs))
+    page = bytearray(head + payload)
+    struct.pack_into("<I", page, 22, _ogg_crc(bytes(page)))
+    return bytes(page)
+
+
+def _ogg_encode_meta(
+    codec: str,
+    rate: int,
+    nch: int,
+    granules,
+    serial: int = 0x5E01,
+    pre_skip: int = 0,
+    prepend_stream: Optional[bytes] = None,
+) -> bytes:
+    """Minimal Ogg writer for the deterministic METADATA fixture: a BOS
+    page carrying the Vorbis/Opus id header, one comment/junk page, then
+    one audio page per entry of ``granules`` (ascending granule
+    positions; last page gets EOS). ``prepend_stream`` interleaves a
+    foreign BOS page first, exercising the multiplexed-skip path. No
+    audio is synthesized — exactly the surface :func:`_ogg_meta`
+    parses."""
+    if codec == "vorbis":
+        ident = (b"\x01vorbis" + struct.pack("<I", 0) + bytes((nch,))
+                 + struct.pack("<Iiii", rate, 0, 0, 0) + b"\xb8\x01")
+    elif codec == "opus":
+        ident = (b"OpusHead\x01" + bytes((nch,))
+                 + struct.pack("<H", pre_skip)
+                 + struct.pack("<I", rate) + b"\x00\x00\x00")
+    else:
+        raise ValueError(codec)
+    out = bytearray()
+    if prepend_stream is not None:
+        out += _ogg_page(0x02, 0, 0x7EEF, 0, prepend_stream)
+    out += _ogg_page(0x02, 0, serial, 0, ident)
+    out += _ogg_page(0x00, -1, serial, 1,
+                     b"\x03junkcomment" + b"\x00" * 300)
+    for k, g in enumerate(granules):
+        htype = 0x04 if k == len(granules) - 1 else 0x00
+        out += _ogg_page(htype, g, serial, 2 + k, b"\x00" * (40 + 7 * k))
+    return bytes(out)
+
+
+def real_ogg_asset_rows(n: int = 16) -> list:
+    """Driver-side rows of the Ogg metadata fixture (r14): deterministic
+    CRC-valid page chains cycling the walker's axes — Vorbis and Opus id
+    headers, mono/stereo, several rates, multi-page granule ladders,
+    Opus pre-skip, and multiplexed streams (a foreign BOS serial before
+    the audio one). Pure function of ``n``."""
+    rows = []
+    for i in range(n):
+        codec = "vorbis" if i % 2 == 0 else "opus"
+        rate = (8000, 16000, 22050, 44100, 48000)[i % 5]
+        nch = 1 + (i // 2) % 2
+        n_pages = 1 + i % 4
+        step = rate // 2 + i * 37
+        granules = [step * (k + 1) for k in range(n_pages)]
+        rows.append((
+            i, "audio",
+            bytearray(_ogg_encode_meta(
+                codec, rate, nch, granules,
+                serial=0x1000 + i,
+                pre_skip=(312 + 13 * i) if codec == "opus" else 0,
+                prepend_stream=(b"\x7ftheora-ish" + bytes((i,))
+                                if i % 3 == 0 else None),
+            )),
+            '{"src":"fixture-ogg"}',
+        ))
+    return rows
+
+
+def make_real_ogg_assets(spark, n: int = 16) -> DataFrame:
+    """Deterministic Ogg metadata fixture (:func:`real_ogg_asset_rows`)."""
+    return spark.createDataFrame(real_ogg_asset_rows(n), ASSET_SCHEMA)
+
+
 def _audio_meta_of(b: bytes):
     """``(container, sample_rate, n_channels, n_samples)`` for any
     header-parseable audio payload — the planner tier: everything a
     sampling/cost planner needs (duration = n_samples / rate) WITHOUT
     decoding samples. Covers the full decodable set (WAV PCM, IMA-ADPCM
-    WAV, AIFF, AU, FLAC) plus MP3, which is metadata-only (no stdlib
-    synthesis path — :func:`audio_features` keeps its honest raise).
-    None when the container is unrecognized."""
+    WAV, AIFF, AU, FLAC) plus MP3 and Ogg Vorbis/Opus, which are
+    metadata-only (no stdlib synthesis path — :func:`audio_features`
+    keeps its honest raise). None when the container is unrecognized."""
     b = b or b""
     import io
     import wave
@@ -3290,6 +3484,10 @@ def _audio_meta_of(b: bytes):
     if m is not None:
         rate, nch, _frames, samples = m
         return "mp3", rate, nch, samples
+    m = _ogg_meta(b)
+    if m is not None:
+        container, rate, nch, samples, _pre = m
+        return container, rate, nch, samples
     return None
 
 
@@ -3318,7 +3516,8 @@ def audio_meta(assets: DataFrame, fake: bool = False) -> DataFrame:
                 if m is None:
                     raise NotImplementedError(
                         "audio metadata supports WAV (PCM + IMA-ADPCM), "
-                        "AIFF, AU, FLAC and MPEG audio (MP3) containers"
+                        "AIFF, AU, FLAC, MPEG audio (MP3) and Ogg "
+                        "(Vorbis/Opus) containers"
                     )
                 metas.append(m)
             yield pd.DataFrame({

@@ -359,6 +359,26 @@ def main() -> None:
         print(f"    {r!r},")
     print("]")
 
+    # r14: Ogg metadata fixture — the audio_meta planner tier over the
+    # RFC 3533 page walker (CRC verify, Vorbis/Opus id headers, granule
+    # duration, Opus pre-skip, multiplexed-skip)
+    from seqspark.pipeline.multimodal import real_ogg_asset_rows  # noqa: E402
+
+    og = []
+    for i, media, content, _meta in real_ogg_asset_rows(16):
+        b = bytes(content)
+        cont, rate, nch, ns = _audio_meta_of(b)
+        og.append((i, len(b), hashlib.sha256(b).hexdigest(), cont, rate,
+                   nch, ns, round(ns / rate, 6)))
+    print()
+    print("#: (asset_id, n_bytes, sha256, container, sample_rate,")
+    print("#: n_channels, n_samples, duration_s) over real_ogg_asset_rows")
+    print("#: (r14, page-walk metadata)")
+    print("MULTIMODAL_OGG_EXPECTED = [")
+    for r in og:
+        print(f"    {r!r},")
+    print("]")
+
     # r13: IMA-ADPCM fixture — the audio feature kernel over the ADPCM
     # decoder's PCM (same underlying signals as the FLAC fixture, so the
     # lossy-vs-lossless feature drift is itself frozen and inspectable)
