@@ -1741,6 +1741,28 @@ MULTIMODAL_OGG_EXPECTED = [
 ]
 
 
+#: (asset_id, n_bytes, sha256, width, height, n_frames)
+#: over real_webp_asset_rows (r14, header-only)
+MULTIMODAL_WEBP_EXPECTED = [
+    (0, 36, '220f2847b22c5176a8d714b77749189019a9eaaa6f6458dfa419bd7c6d201257', 16, 9, 1),
+    (1, 30, '74139e939797c2a6c6763e33686cd91e8698d1194de9624a33d2fe8015515f69', 23, 14, 1),
+    (2, 80, 'd9eca149370116f05aec978af2743d98b3e56fca0592147efc04cc3dd7b92369', 30, 19, 2),
+    (3, 36, '3a337b59c71f0dc3bc9810f6d7dbd6a138a7b3eb7e54bbe40fbad0d0537fa08a', 37, 24, 1),
+    (4, 30, 'b12fecea5df2bfda93ea2388add857f940704034f39d64763f4ae15e98971be1', 44, 29, 1),
+    (5, 54, '36d18576a72fb65fb2fe252f8a28502af576c882e3002685ff106bd2ad139cf0', 51, 34, 1),
+    (6, 36, '12b3eb1d24579f34d0f4b9a479720222795b9bcb95f71e0d58c7ee988dca6ca2', 58, 9, 1),
+    (7, 30, '462757d62c099a261f1272165839664988487f3d5a7dcd767b58248bf35e2119', 65, 14, 1),
+    (8, 30, '60668f09698970a8db003a7d6fb95708066ca0dc9b6b8311fa031207940297e7', 72, 19, 1),
+    (9, 36, 'c1fc17e9518745e86000098263696a7efe1ac2f80abf721ffd8ec93e4e488aa0', 79, 24, 1),
+    (10, 30, 'd6de2ff722302223a43c47b9e1fb19bcf5a535a2f9c1d1fdbb27151c740673ca', 86, 29, 1),
+    (11, 106, '18c4b3537f67a5ba4f6abb3363695864bcdd15585318805f1c6c9d70046e346c', 93, 34, 3),
+    (12, 36, '7144878917e10b996a1b0da3d2a3543b8f4cc017d52c708653d4774dd9c097c9', 100, 9, 1),
+    (13, 30, '5db33380f6a2d2a8778f6de687a03a419229f5b4b410e98790d9baf61de9a866', 107, 14, 1),
+    (14, 80, 'b9952b44996e214c348fd46cffec5f391a504ad05358678200c5e613178a74ca', 114, 19, 2),
+    (15, 36, 'f0e9c24a82ec9d22e421d7bd4b098e8454bbbac8e2fd4f8156b029103fdfe358', 121, 24, 1),
+]
+
+
 #: (asset_id, n_bytes, sha256, width, height, n_frames, dhash)
 #: over real_bmp_asset_rows (r13)
 MULTIMODAL_BMP_EXPECTED = [
@@ -2685,6 +2707,20 @@ def q_multimodal_ogg(spark, sf_dir):
     from seqspark.pipeline.multimodal import audio_meta, make_real_ogg_assets
 
     return audio_meta(make_real_ogg_assets(spark, 16))
+
+
+def q_multimodal_webp(spark, sf_dir):
+    # hash-pinned (r14): WebP metadata through the stdlib RIFF walk —
+    # VP8 lossy key-frame dims, VP8L lossless 14-bit dims, VP8X canvas
+    # with animated ANMF frame counts, odd-size chunk alignment — all
+    # frozen; header-only by design (VP8 entropy decode needs a real
+    # codec, the honest raise stays). Same shape as multimodal_tiff.
+    from seqspark.pipeline.multimodal import (
+        decode_assets, make_real_webp_assets)
+
+    assets = make_real_webp_assets(spark, 16)
+    return decode_assets(assets, fake=False).select(
+        "asset_id", "n_bytes", "sha256", "width", "height", "n_frames")
 
 
 def q_audio_features_adpcm(spark, sf_dir):
@@ -3676,6 +3712,7 @@ DRIVER_WINDOW = [
     "multimodal_tiff_pixels",
     "multimodal_mp3",
     "multimodal_ogg",
+    "multimodal_webp",
     # r13 additions, driver-checked once (r13) — keep one more round
     "audio_features_flac",
     "audio_features_adpcm",
@@ -3820,6 +3857,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_tiff_pixels": q_multimodal_tiff_pixels,
         "multimodal_mp3": q_multimodal_mp3,
         "multimodal_ogg": q_multimodal_ogg,
+        "multimodal_webp": q_multimodal_webp,
         "weighted_sample": q_weighted_sample,
         "audio_dupes": q_audio_dupes,
         "ann_pq_topk": q_ann_pq_topk,
@@ -5110,6 +5148,14 @@ def oracle_sql() -> dict[str, str]:
         )
         + ") AS t(asset_id, n_bytes, sha256, container, sample_rate,"
         " n_channels, n_samples, duration_s)"
+    )
+    sql["multimodal_webp"] = (
+        "SELECT * FROM (VALUES "
+        + ", ".join(
+            f"({i}, {nb}, '{sha}', {w}, {h}, {nf})"
+            for i, nb, sha, w, h, nf in MULTIMODAL_WEBP_EXPECTED
+        )
+        + ") AS t(asset_id, n_bytes, sha256, width, height, n_frames)"
     )
     from seqspark.pipeline.ann import pq_oracle_sql
 

@@ -124,7 +124,7 @@ def _png_chunks(data: bytes) -> Iterator[tuple[bytes, bytes]]:
 
 
 def _stdlib_image_meta(content: bytes) -> Optional[tuple[int, int, int]]:
-    """Header-only (width, height, n_frames) for PNG/BMP/GIF/JPEG/TIFF via struct —
+    """Header-only (width, height, n_frames) for PNG/BMP/GIF/JPEG/TIFF/WebP via struct —
     no raster decode, so it works for any bit depth / color type. Returns
     None for unrecognized formats (caller raises)."""
     b = content or b""
@@ -163,7 +163,113 @@ def _stdlib_image_meta(content: bytes) -> Optional[tuple[int, int, int]]:
         return _jpeg_meta(b)
     if b[:4] in (b"II*\x00", b"MM\x00*"):
         return _tiff_meta(b)
+    if b[:4] == b"RIFF" and b[8:12] == b"WEBP":
+        return _webp_meta(b)
     return None
+
+
+def _webp_meta(b: bytes) -> Optional[tuple[int, int, int]]:
+    """Header-only (width, height, n_frames) for WebP (r14): RIFF chunk
+    walk covering all three bitstream flavors — ``VP8 `` (lossy: key
+    frame start code + 14-bit dims), ``VP8L`` (lossless: 0x2f signature
+    + two 14-bit dims-minus-one), ``VP8X`` (extended: 24-bit canvas
+    dims-minus-one; animated files report the ANMF frame count). Pixel
+    decode stays an honest raise — VP8 entropy decoding needs a real
+    codec."""
+    pos = 12
+    n = len(b)
+    w = h = None
+    n_frames = 0
+    animated = False
+    while pos + 8 <= n:
+        fourcc = b[pos:pos + 4]
+        (size,) = struct.unpack("<I", b[pos + 4:pos + 8])
+        body = b[pos + 8:pos + 8 + size]
+        if len(body) < size:
+            break
+        if fourcc == b"VP8X" and len(body) >= 10:
+            flags = body[0]
+            animated = bool(flags & 0x02)
+            w = 1 + int.from_bytes(body[4:7], "little")
+            h = 1 + int.from_bytes(body[7:10], "little")
+        elif fourcc == b"VP8 " and len(body) >= 10 and w is None:
+            # key frame: 3-byte frame tag, start code 9d 01 2a, dims
+            if body[3:6] == b"\x9d\x01\x2a":
+                w = struct.unpack("<H", body[6:8])[0] & 0x3FFF
+                h = struct.unpack("<H", body[8:10])[0] & 0x3FFF
+        elif fourcc == b"VP8L" and len(body) >= 5 and w is None:
+            if body[0] == 0x2F:
+                bits = int.from_bytes(body[1:5], "little")
+                w = (bits & 0x3FFF) + 1
+                h = ((bits >> 14) & 0x3FFF) + 1
+        elif fourcc == b"ANMF":
+            n_frames += 1
+        pos += 8 + size + (size & 1)  # chunks are 2-byte aligned
+    if w is None or w <= 0 or h <= 0:
+        return None
+    return int(w), int(h), max(1, n_frames if animated else 1)
+
+
+def _webp_encode_meta(
+    w: int,
+    h: int,
+    flavor: str = "vp8",
+    n_frames: int = 0,
+) -> bytes:
+    """Minimal RIFF/WEBP writer for the deterministic METADATA fixture:
+    a ``VP8 ``/``VP8L`` chunk with a valid signature + dimensions and
+    zeroed payload (no bitstream is synthesized — exactly the surface
+    :func:`_webp_meta` parses), or a ``VP8X`` canvas with ``n_frames``
+    ANMF chunks when animated."""
+    chunks = []
+
+    def chunk(fourcc: bytes, body: bytes) -> bytes:
+        return (fourcc + struct.pack("<I", len(body)) + body
+                + (b"\x00" if len(body) & 1 else b""))
+
+    if flavor == "vp8":
+        body = (b"\x00\x00\x00" + b"\x9d\x01\x2a"
+                + struct.pack("<HH", w & 0x3FFF, h & 0x3FFF) + b"\x00" * 6)
+        chunks.append(chunk(b"VP8 ", body))
+    elif flavor == "vp8l":
+        bits = (w - 1) | ((h - 1) << 14)
+        chunks.append(chunk(
+            b"VP8L", b"\x2f" + bits.to_bytes(4, "little") + b"\x00" * 5))
+    elif flavor == "vp8x":
+        flags = 0x02 if n_frames else 0x00
+        body = (bytes((flags,)) + b"\x00\x00\x00"
+                + (w - 1).to_bytes(3, "little")
+                + (h - 1).to_bytes(3, "little"))
+        chunks.append(chunk(b"VP8X", body))
+        for k in range(n_frames):
+            chunks.append(chunk(b"ANMF", b"\x00" * (16 + k)))
+    else:
+        raise ValueError(flavor)
+    payload = b"WEBP" + b"".join(chunks)
+    return b"RIFF" + struct.pack("<I", len(payload)) + payload
+
+
+def real_webp_asset_rows(n: int = 16) -> list:
+    """Driver-side rows of the WebP metadata fixture (r14): lossy
+    (VP8 key-frame header), lossless (VP8L) and extended (VP8X, still
+    and animated with varying ANMF counts) flavors with id-derived
+    dimensions. Pure function of ``n``."""
+    rows = []
+    for i in range(n):
+        w, h = 16 + 7 * i, 9 + 5 * (i % 6)
+        flavor = ("vp8", "vp8l", "vp8x")[i % 3]
+        frames = (i % 4) if flavor == "vp8x" else 0
+        rows.append((
+            i, "image",
+            bytearray(_webp_encode_meta(w, h, flavor, n_frames=frames)),
+            '{"src":"fixture-webp"}',
+        ))
+    return rows
+
+
+def make_real_webp_assets(spark, n: int = 16) -> DataFrame:
+    """Deterministic WebP metadata fixture (:func:`real_webp_asset_rows`)."""
+    return spark.createDataFrame(real_webp_asset_rows(n), ASSET_SCHEMA)
 
 
 #: JPEG SOF (start-of-frame) markers carrying the image dimensions:
@@ -278,7 +384,7 @@ def _real_decode(media_type: str, content: bytes) -> tuple[int, int, int]:
         if meta is None:
             raise NotImplementedError(
                 "image format not recognized by the stdlib header parser "
-                "(PNG/BMP/GIF/JPEG/TIFF) or by Pillow (when installed)"
+                "(PNG/BMP/GIF/JPEG/TIFF/WebP) or by Pillow (when installed)"
             )
         return meta
     if media_type == "audio":

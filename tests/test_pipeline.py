@@ -3236,6 +3236,49 @@ def test_tiff_pixel_subset_axes():
     assert _tiff_decode_pixels(bytes(tiled)) is None
 
 
+def test_webp_meta_flavors_and_rejection():
+    """r14: WebP header metadata — VP8 lossy key-frame dims, VP8L
+    lossless, VP8X canvas + animated ANMF counts, odd-chunk alignment;
+    non-WEBP RIFF and truncated chunks return None, never throw."""
+    from seqspark.pipeline.multimodal import (
+        _stdlib_image_meta, _webp_encode_meta, _webp_meta)
+
+    assert _webp_meta(_webp_encode_meta(320, 240, "vp8")) == (320, 240, 1)
+    assert _webp_meta(_webp_encode_meta(16383, 2, "vp8l")) == (16383, 2, 1)
+    assert _webp_meta(_webp_encode_meta(1920, 1080, "vp8x")) == (
+        1920, 1080, 1)
+    assert _webp_meta(_webp_encode_meta(64, 48, "vp8x", n_frames=5)) == (
+        64, 48, 5)
+    # dispatched from the shared image-meta sniffer
+    assert _stdlib_image_meta(_webp_encode_meta(10, 20, "vp8")) == (10, 20, 1)
+    # a lossy chunk without the key-frame start code carries no dims
+    broken = bytearray(_webp_encode_meta(10, 20, "vp8"))
+    broken[15] ^= 0xFF  # corrupt the 9d 01 2a start code
+    assert _webp_meta(bytes(broken)) is None
+    assert _webp_meta(b"RIFF\x10\x00\x00\x00WAVEdata") is None
+    assert _webp_meta(b"RIFF\x00\x00\x00\x00WEBP") is None
+    # truncated chunk body: walk stops, no dims -> None
+    t = _webp_encode_meta(100, 100, "vp8")
+    assert _webp_meta(t[:14]) is None
+
+
+def test_webp_meta_fuzz_never_throws():
+    from hypothesis import given, settings
+    from hypothesis import strategies as hst
+
+    from seqspark.pipeline.multimodal import _stdlib_image_meta
+
+    @settings(max_examples=120, deadline=None)
+    @given(hst.binary(min_size=0, max_size=300))
+    def run(payload):
+        for prefix in (b"", b"RIFF\x40\x00\x00\x00WEBP",
+                       b"RIFF\x40\x00\x00\x00WEBPVP8X"):
+            m = _stdlib_image_meta(prefix + payload)
+            assert m is None or (m[0] > 0 and m[1] > 0 and m[2] >= 1)
+
+    run()
+
+
 def test_tiff_lzw_stream_fuzz():
     """r14: TIFF-flavor LZW (MSB-first, early change, 12-bit cap, CLEAR
     recycling past 4094) round-trips arbitrary byte streams — incl.

@@ -317,6 +317,23 @@ def main() -> None:
         print(f"    {r!r},")
     print("]")
 
+    # r14: WebP metadata fixture — header-only RIFF walk (VP8 lossy,
+    # VP8L lossless, VP8X extended/animated with ANMF counts)
+    from seqspark.pipeline.multimodal import real_webp_asset_rows  # noqa: E402
+
+    wp = []
+    for i, media, content, _meta in real_webp_asset_rows(16):
+        b = bytes(content)
+        w, h, nf = _real_decode("image", b)
+        wp.append((i, len(b), hashlib.sha256(b).hexdigest(), w, h, nf))
+    print()
+    print("#: (asset_id, n_bytes, sha256, width, height, n_frames)")
+    print("#: over real_webp_asset_rows (r14, header-only)")
+    print("MULTIMODAL_WEBP_EXPECTED = [")
+    for r in wp:
+        print(f"    {r!r},")
+    print("]")
+
     # r14: TIFF PIXEL fixture — decode meta + perceptual dHash through
     # the stdlib strip decoder (none/PackBits, both byte orders, gray
     # (both photometrics)/RGB/RGBA, multi-strip reassembly all pinned)
