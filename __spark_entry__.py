@@ -1681,17 +1681,17 @@ MULTIMODAL_TIFF_PX_EXPECTED = [
     (2, 387, '089ad2f8a94f75da34aaf2c32326ca25b4cea76a19de403565d950702b86877a', 9, 7, 1, 50705800596824096),
     (3, 160, '31caedd2079b6a959b48fdf7c47e5deecca09e0985b1638fb24a784ca32620fe', 10, 8, 1, 1157442765409226768),
     (4, 293, '373769471cc7e62984128e7498e8aba17ec326d89f6b7861d8fdc5e0b8b012ae', 11, 5, 1, 12385483761911816),
-    (5, 472, '011724908a30aaf8ce550eca47eb155eb116ab8220afc06eed5d54ef542d3bdb', 12, 6, 1, 40124254505438348),
+    (5, 470, '7eb3959fd7cc7a3d3111280358d337312a49c547d13b4234a12214a38cdc86f1', 12, 6, 1, 40124254505438348),
     (6, 172, 'da8fc9ea643e2e7172147ed1ede2f38b9bb39367ab1619d1a22e2bd2f60b33d1', 7, 7, 1, 47473238424987816),
-    (7, 245, '60e40df66ae5cec3282f9bf263137384567951d44c328ecbed17ecd4fb2baa7e', 8, 8, 1, -3272792461833891696),
+    (7, 201, '723ce5201df63cf5d62f93d5a1024da5ceee47077381db5e1e96b8f17e71c449', 8, 8, 1, -3272792461833891696),
     (8, 310, '0f07300b72bc3e0e26fb868d7c69180cd60629dc6cc000ae52b842834e8e915c', 9, 5, 1, 38280701119825928),
     (9, 158, 'ff55f5d8708e6862f9ddd216370b01cf2eae81121dfcfcafa9f96a8717feb552', 10, 6, 1, 1130315133486084),
     (10, 396, '7849a5b1116d0b2083fdeebc8f8bb8547bc4d7e507c5f366ffbbad3a0e5d1807', 11, 7, 1, 46943256169448580),
     (11, 310, 'ac2976508fa42c7ed2010aa0a7b74466aa6f6f01b472d7a6fcdd18269299db7b', 12, 8, 1, -981113044359552414),
     (12, 157, 'f5460c680f5e3b88a674c1b454c2640133a658b33fd062cc6d71a7dcab3a7ffa', 7, 5, 1, 39407100383759500),
-    (13, 279, '7159e87a120a23118558e421d1165cb94b8b5d9236cbbb520232526c307ac58f', 8, 6, 1, 46386832220652676),
+    (13, 264, '65eff66695d4927ccd70076b941d07812c599d6c180831db9381f73d9b3ef747', 8, 6, 1, 46386832220652676),
     (14, 384, '2b68b098ad9f09948d1335e7e4efd5b49c9b74bbf3b1a6bd7f96205e72e9ef38', 9, 7, 1, 42263346082349570),
-    (15, 214, 'f0a856503d2a6b5f4b02745f5e8b85fcdd49c52d38a3dbd9eef583989b949bb5', 10, 8, 1, 4702111234474983745),
+    (15, 222, 'f9c511aa3752949be9225727f18578f96af56615e6c1322107b854d80b12b7b8', 10, 8, 1, 4702111234474983745),
 ]
 
 
@@ -2663,8 +2663,8 @@ def q_multimodal_tiff(spark, sf_dir):
 
 def q_multimodal_tiff_pixels(spark, sf_dir):
     # hash-pinned (r14): TIFF RASTER decode through the stdlib strip
-    # decoder — none + LZW (incl. the tag-317 horizontal predictor) +
-    # PackBits compression, both byte orders, grayscale (both
+    # decoder — none + LZW + Deflate (both with the tag-317 horizontal
+    # predictor) + PackBits compression, both byte orders, grayscale (both
     # photometrics: WhiteIsZero inverts), RGB, RGBA, and multi-strip
     # reassembly (rows_per_strip < h) all in one fixture.
     # The perceptual dHash is computed from the decoded raster, so any

@@ -1668,8 +1668,9 @@ def _tiff_lzw_encode(raw: bytes) -> bytes:
 def _tiff_decode_pixels(b: bytes):
     """(w, h, ch, pixels top-down) for the stdlib-decodable TIFF subset
     (r14): classic TIFF, first IFD, strip-organized chunky data, 8 bits
-    per sample, compression 1 (none), 5 (LZW, incl. the horizontal
-    predictor of tag 317) or 32773 (PackBits), photometric 0/1
+    per sample, compression 1 (none), 5 (LZW), 8/32946 (Deflate — both
+    the TIFF 6.0 TechNote code and the legacy one) or 32773 (PackBits),
+    the tag-317 horizontal predictor for LZW/Deflate, photometric 0/1
     (grayscale, WhiteIsZero inverted) or 2 (RGB, 3 or 4 samples).
     Both byte orders. Grayscale expands to RGB so the perceptual
     kernels see the same layout every decoder produces. None outside
@@ -1729,14 +1730,14 @@ def _tiff_decode_pixels(b: bytes):
     counts = tags.get(279)
     if (
         w <= 0 or h <= 0 or w * h > _PNG_MAX_PIXELS
-        or comp not in (1, 5, 32773) or planar != 1
+        or comp not in (1, 5, 8, 32946, 32773) or planar != 1
         or photo not in (0, 1, 2) or not offsets or not counts
         or len(offsets) != len(counts)
         or len(bps) != spp or any(x != 8 for x in bps)
         or (photo == 2 and spp not in (3, 4))
         or (photo in (0, 1) and spp != 1)
         or predictor not in (1, 2)
-        or (predictor == 2 and comp != 5)
+        or (predictor == 2 and comp not in (5, 8, 32946))
     ):
         return None
     rows_per_strip = tags.get(278, [h])[0] or h
@@ -1756,6 +1757,13 @@ def _tiff_decode_pixels(b: bytes):
         elif comp == 5:
             raw = _tiff_lzw_decode(raw, expected)
             if raw is None:
+                return None
+        elif comp in (8, 32946):
+            try:
+                raw = zlib.decompress(raw)
+            except zlib.error:
+                return None
+            if len(raw) != expected:
                 return None
         elif len(raw) < expected:
             return None
@@ -1790,16 +1798,17 @@ def _tiff_encode_pixels(
 ) -> bytes:
     """Minimal strip-organized classic-TIFF writer for the deterministic
     pixel fixtures — pairs with :func:`_tiff_decode_pixels`. ``ch`` 1
-    (grayscale) or 3/4 (RGB/RGBA); ``compression`` 1, 5 (LZW; pair
-    with ``predictor=2`` for horizontal differencing) or 32773
-    (PackBits); multiple strips when ``rows_per_strip < h`` so the
-    strip-reassembly path stays exercised by fixtures."""
+    (grayscale) or 3/4 (RGB/RGBA); ``compression`` 1, 5 (LZW), 8
+    (Deflate — 5 and 8 pair with ``predictor=2`` for horizontal
+    differencing) or 32773 (PackBits); multiple strips when
+    ``rows_per_strip < h`` so the strip-reassembly path stays
+    exercised by fixtures."""
     import numpy as np
 
     e = "<" if endian == "II" else ">"
     raw = bytes(pixels)
     assert len(raw) == w * h * ch
-    assert predictor == 1 or compression == 5
+    assert predictor == 1 or compression in (5, 8, 32946)
     if predictor == 2:
         px = np.frombuffer(raw, dtype=np.uint8).reshape(h, w, ch)
         diff = px.astype(np.int16)
@@ -1815,6 +1824,8 @@ def _tiff_encode_pixels(
             chunk = _packbits_encode(chunk)
         elif compression == 5:
             chunk = _tiff_lzw_encode(chunk)
+        elif compression in (8, 32946):
+            chunk = zlib.compress(chunk, 6)
         strips.append(chunk)
     # layout: header(8) | strip data | extra value area | IFD
     pos = 8
@@ -2533,8 +2544,8 @@ def make_real_tiff_assets(spark, n: int = 16) -> DataFrame:
 def real_tiff_pixel_asset_rows(n: int = 16) -> list:
     """Driver-side rows of the TIFF PIXEL fixture (r14): deterministic
     strip-organized TIFFs cycling through the decodable subset's axes —
-    byte order (II/MM), compression (none / LZW / PackBits / LZW with
-    the horizontal predictor), photometric (grayscale
+    byte order (II/MM), compression (none / LZW / Deflate / PackBits /
+    LZW+Deflate with the horizontal predictor), photometric (grayscale
     WhiteIsZero+BlackIsZero / RGB / RGBA) and multi-strip layouts
     (rows_per_strip < h) — with the SAME id-derived pixel pattern as
     :func:`real_bmp_asset_rows` so cross-container hash equality is
@@ -2563,10 +2574,10 @@ def real_tiff_pixel_asset_rows(n: int = 16) -> list:
         content = _tiff_encode_pixels(
             iw, ih, ch, px,
             endian="II" if i % 2 == 0 else "MM",
-            compression=(1, 5, 32773, 5)[i % 4],
+            compression=(1, 5, 32773, 5, 1, 8, 32773, 8)[i % 8],
             rows_per_strip=2 if i % 5 == 0 else None,
             photometric=photo,
-            predictor=2 if i % 4 == 3 else 1,
+            predictor=2 if i % 8 in (3, 7) else 1,
         )
         rows.append((i, "image", bytearray(content),
                      '{"src":"fixture-tiff-px"}'))

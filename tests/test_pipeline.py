@@ -3203,9 +3203,9 @@ def test_tiff_pixel_subset_axes():
     rgba = np.concatenate(
         [rgb, ((xx + yy) % 256).astype(np.uint8)[:, :, None]], axis=-1)
     for endian in ("II", "MM"):
-        for comp in (1, 5, 32773):
+        for comp in (1, 5, 8, 32773):
             for rps in (None, 2):
-                preds = (1, 2) if comp == 5 else (1,)
+                preds = (1, 2) if comp in (5, 8) else (1,)
                 for pred in preds:
                     dec = _tiff_decode_pixels(_tiff_encode_pixels(
                         w, h, 3, bytearray(rgb.tobytes()), endian=endian,
