@@ -1763,6 +1763,28 @@ MULTIMODAL_WEBP_EXPECTED = [
 ]
 
 
+#: (asset_id, n_bytes, sha256, media_type, width, height,
+#: n_frames) over real_isobmff_asset_rows (r14, header-only)
+MULTIMODAL_ISOBMFF_EXPECTED = [
+    (0, 456, 'e9d87020ae438eae8e5cd08702a39954c4a427cf57e7574b4111c752bf38fdbe', 'video', 320, 180, 48),
+    (1, 448, 'd3c6ea61f29ec9a5aec16de222c9ba4ab6b92a352a663201ab5653eb6ac65701', 'audio', 2, 0, 48000),
+    (2, 72, '7d64ec35bb6d0367efde1b651a55d180950cff907317ada382984083a9546f3b', 'image', 66, 44, 1),
+    (3, 728, 'b53058044e0d6552c5b18952d283e548cf7e851feabd92bceaaf057434088b8f', 'video', 368, 207, 69),
+    (4, 460, '3cdce54053ab331b281471cdd0965b44f55630eaed1be4ba41bc72de62153bf3', 'audio', 1, 0, 81000),
+    (5, 72, '8a3bb91fdbc9436fb75626971830d3b895102747c1675bb919214ab29400856d', 'image', 105, 65, 1),
+    (6, 456, '458f5c527eca06605e11aea2b0a021a1cf741a6cb176a1418dc531eccf19fd95', 'video', 416, 234, 90),
+    (7, 448, '3e151cdb0a6fe267666c165341584f607a3986bfbe8c6757f76deb3f545e1f55', 'audio', 2, 0, 114000),
+    (8, 496, 'd5724b5c2718f55180944175a1d558644a80dd11a6f864c47a99e0a7d205ec31', 'image', 144, 86, 14),
+    (9, 728, '25b9165495c37a39eee74f24a171ba3161e5570fc4dbac3aab3550e5aefe4b18', 'video', 464, 261, 111),
+    (10, 460, '205decebeb7b210e6b6919eedc33d83fc4603db8e8be3dbd0a052c4cb87eef77', 'audio', 1, 0, 147000),
+    (11, 72, '1b938a9681facb300f018d1faceed90fc353831c2947af49b40fb3bcc6b1021e', 'image', 183, 107, 1),
+    (12, 456, 'aa20f9bc3d260fcc5d731dab5378310e55cce977a7746bc04099153ba3c189d8', 'video', 512, 288, 132),
+    (13, 448, '83d7a6de800fb82e32631f2f3b0775f5fdc61456be48a1df7da6ee2fc7dc3ec2', 'audio', 2, 0, 180000),
+    (14, 72, '0bad01a30f8d3bee6a6ddeb3b96b224b43d334d1be9a4a87ceb4b01f842a1586', 'image', 222, 128, 1),
+    (15, 728, '14f5078ccc327cf3e87bc5a50e42e7385b82a75e18faad28521934bd05c67029', 'video', 560, 315, 153),
+]
+
+
 #: (asset_id, n_bytes, sha256, width, height, n_frames, dhash)
 #: over real_bmp_asset_rows (r13)
 MULTIMODAL_BMP_EXPECTED = [
@@ -2721,6 +2743,23 @@ def q_multimodal_webp(spark, sf_dir):
     assets = make_real_webp_assets(spark, 16)
     return decode_assets(assets, fake=False).select(
         "asset_id", "n_bytes", "sha256", "width", "height", "n_frames")
+
+
+def q_multimodal_isobmff(spark, sf_dir):
+    # hash-pinned (r14): the ISO-BMFF box walk feeding THREE planner
+    # tiers at once — MP4 video (tkhd 16.16 dims + stsz frame count,
+    # largesize moov, multi-track), M4A audio (mdhd v0/v1 sample clock
+    # + mp4a channel count via decode_assets' (nch, 0, samples)
+    # shaping) and AVIF/HEIC stills (meta/iprp/ipco/ispe; animated avis
+    # pict-track counts) — all frozen; sample bitstreams (H.26x/AAC/
+    # AV1) keep the honest raise.
+    from seqspark.pipeline.multimodal import (
+        decode_assets, make_real_isobmff_assets)
+
+    assets = make_real_isobmff_assets(spark, 16)
+    return decode_assets(assets, fake=False).select(
+        "asset_id", "n_bytes", "sha256", "media_type", "width", "height",
+        "n_frames")
 
 
 def q_audio_features_adpcm(spark, sf_dir):
@@ -3713,6 +3752,7 @@ DRIVER_WINDOW = [
     "multimodal_mp3",
     "multimodal_ogg",
     "multimodal_webp",
+    "multimodal_isobmff",
     # r13 additions, driver-checked once (r13) — keep one more round
     "audio_features_flac",
     "audio_features_adpcm",
@@ -3858,6 +3898,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_mp3": q_multimodal_mp3,
         "multimodal_ogg": q_multimodal_ogg,
         "multimodal_webp": q_multimodal_webp,
+        "multimodal_isobmff": q_multimodal_isobmff,
         "weighted_sample": q_weighted_sample,
         "audio_dupes": q_audio_dupes,
         "ann_pq_topk": q_ann_pq_topk,
@@ -5156,6 +5197,15 @@ def oracle_sql() -> dict[str, str]:
             for i, nb, sha, w, h, nf in MULTIMODAL_WEBP_EXPECTED
         )
         + ") AS t(asset_id, n_bytes, sha256, width, height, n_frames)"
+    )
+    sql["multimodal_isobmff"] = (
+        "SELECT * FROM (VALUES "
+        + ", ".join(
+            f"({i}, {nb}, '{sha}', '{mt}', {w}, {h}, {nf})"
+            for i, nb, sha, mt, w, h, nf in MULTIMODAL_ISOBMFF_EXPECTED
+        )
+        + ") AS t(asset_id, n_bytes, sha256, media_type, width, height,"
+        " n_frames)"
     )
     from seqspark.pipeline.ann import pq_oracle_sql
 

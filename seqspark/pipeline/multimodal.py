@@ -165,6 +165,8 @@ def _stdlib_image_meta(content: bytes) -> Optional[tuple[int, int, int]]:
         return _tiff_meta(b)
     if b[:4] == b"RIFF" and b[8:12] == b"WEBP":
         return _webp_meta(b)
+    if b[4:8] == b"ftyp":
+        return _avif_meta(b)
     return None
 
 
@@ -419,11 +421,18 @@ def _real_decode(media_type: str, content: bytes) -> tuple[int, int, int]:
                     _cont, _rate, nch, samples, _pre = m
                     meta = (nch, 0, samples)
             if meta is None:
+                # r14: M4A/mp4-contained audio — metadata only
+                m = _m4a_meta(content or b"")
+                if m is not None:
+                    _cont, _rate, nch, samples = m
+                    meta = (nch, 0, samples)
+            if meta is None:
                 raise NotImplementedError(
                     "audio decode supports WAV (PCM + IMA-ADPCM), AIFF, "
-                    "AU (.snd incl. mu-law), FLAC, MPEG-audio (MP3) and "
-                    "Ogg Vorbis/Opus (both metadata-only) containers; "
-                    "other compressed audio needs a codec absent here"
+                    "AU (.snd incl. mu-law), FLAC, MPEG-audio (MP3), "
+                    "Ogg Vorbis/Opus and M4A (metadata-only) "
+                    "containers; other compressed audio needs a codec "
+                    "absent here"
                 ) from None
             return meta
     if media_type == "video":
@@ -436,9 +445,15 @@ def _real_decode(media_type: str, content: bytes) -> tuple[int, int, int]:
         meta = _avi.meta(content or b"")
         if meta is not None:
             return meta
+        # r14: MP4/MOV — metadata only (tkhd dims + stsz frame count);
+        # the H.26x/AV1 sample bitstreams keep the honest raise
+        meta = _mp4_meta(content or b"")
+        if meta is not None:
+            return meta
         raise NotImplementedError(
-            "video decode supports Y4M (raw) and MJPEG-AVI containers; "
-            "inter-frame codecs need ffmpeg, absent here"
+            "video decode supports Y4M (raw), MJPEG-AVI and MP4/MOV "
+            "(metadata-only) containers; inter-frame codecs need "
+            "ffmpeg, absent here"
         )
     raise NotImplementedError(f"no decoder for media_type={media_type!r}")
 
@@ -3527,6 +3542,312 @@ def _ogg_encode_meta(
     return bytes(out)
 
 
+# ----------------------------------------------------------------- ISO-BMFF
+# ISO base-media (r14, ISO/IEC 14496-12): one tolerant box walk feeding
+# three planner tiers — MP4 video (tkhd dims + stsz frame count), M4A
+# audio (mdhd timescale/duration + mp4a channel count) and AVIF stills
+# (meta/iprp/ipco/ispe). Metadata only — the sample bitstreams (H.26x,
+# AAC, AV1) need real codecs and keep their honest raises.
+
+
+def _bmff_boxes(b: bytes, pos: int, end: int):
+    """Yield ``(fourcc, body_start, body_end)`` for the child boxes of
+    ``b[pos:end]``; stops at the first malformed size (truncated or
+    non-monotonic), never throws."""
+    while pos + 8 <= end:
+        (size,) = struct.unpack_from(">I", b, pos)
+        fourcc = b[pos + 4:pos + 8]
+        body = pos + 8
+        if size == 1:
+            if pos + 16 > end:
+                return
+            (size,) = struct.unpack_from(">Q", b, pos + 8)
+            body = pos + 16
+        elif size == 0:
+            size = end - pos
+        if size < body - pos or pos + size > end:
+            return
+        yield fourcc, body, pos + size
+        pos += size
+
+
+def _bmff_find(b: bytes, pos: int, end: int, fourcc: bytes):
+    for fc, s, e in _bmff_boxes(b, pos, end):
+        if fc == fourcc:
+            return s, e
+    return None
+
+
+def _bmff_is(b: bytes, brands: tuple) -> bool:
+    """True when the payload starts with an ftyp whose major or any
+    compatible brand is in ``brands``."""
+    for fc, s, e in _bmff_boxes(b, 0, len(b)):
+        if fc != b"ftyp":
+            return False
+        listed = [b[i:i + 4] for i in range(s, e - 3, 4)]
+        # major brand, then (skipping minor_version) the compatibles
+        cands = listed[:1] + listed[2:]
+        return any(c in brands for c in cands)
+    return False
+
+
+_MP4_VIDEO_BRANDS = (b"isom", b"iso2", b"mp41", b"mp42", b"avc1",
+                     b"qt  ", b"M4V ", b"dash")
+_M4A_BRANDS = (b"M4A ", b"mp42", b"isom", b"iso2", b"mp41")
+_AVIF_BRANDS = (b"avif", b"avis", b"heic", b"heix", b"mif1")
+
+
+def _mp4_tracks(b: bytes):
+    """Yield ``(handler, tkhd_w, tkhd_h, timescale, duration, n_samples,
+    stsd_body)`` per trak of the first moov."""
+    moov = _bmff_find(b, 0, len(b), b"moov")
+    if moov is None:
+        return
+    for fc, s, e in _bmff_boxes(b, *moov):
+        if fc != b"trak":
+            continue
+        handler = w = h = timescale = duration = n_samples = None
+        stsd = None
+        tk = _bmff_find(b, s, e, b"tkhd")
+        if tk is not None:
+            ts_, te = tk
+            ver = b[ts_]
+            # fixed 16.16 width/height are the LAST 8 body bytes
+            if te - ts_ >= 8:
+                w = struct.unpack_from(">I", b, te - 8)[0] >> 16
+                h = struct.unpack_from(">I", b, te - 4)[0] >> 16
+            del ver
+        mdia = _bmff_find(b, s, e, b"mdia")
+        if mdia is None:
+            continue
+        md = _bmff_find(b, *mdia, b"mdhd")
+        if md is not None:
+            ms, me = md
+            ver = b[ms]
+            if ver == 1 and me - ms >= 32:
+                timescale = struct.unpack_from(">I", b, ms + 20)[0]
+                duration = struct.unpack_from(">Q", b, ms + 24)[0]
+            elif ver == 0 and me - ms >= 24:
+                timescale = struct.unpack_from(">I", b, ms + 12)[0]
+                duration = struct.unpack_from(">I", b, ms + 16)[0]
+        hd = _bmff_find(b, *mdia, b"hdlr")
+        if hd is not None:
+            hs, he = hd
+            if he - hs >= 12:
+                handler = b[hs + 8:hs + 12]
+        minf = _bmff_find(b, *mdia, b"minf")
+        if minf is not None:
+            stbl = _bmff_find(b, *minf, b"stbl")
+            if stbl is not None:
+                sz = _bmff_find(b, *stbl, b"stsz")
+                if sz is not None:
+                    zs, ze = sz
+                    if ze - zs >= 12:
+                        n_samples = struct.unpack_from(">I", b, zs + 8)[0]
+                sd = _bmff_find(b, *stbl, b"stsd")
+                if sd is not None:
+                    stsd = sd
+        yield handler, w, h, timescale, duration, n_samples, stsd
+
+
+def _mp4_meta(b: bytes) -> Optional[tuple[int, int, int]]:
+    """Header-only (width, height, n_frames) for MP4/MOV video: tkhd
+    display dims + stsz sample count of the first ``vide`` track."""
+    b = b or b""
+    if not _bmff_is(b, _MP4_VIDEO_BRANDS + _M4A_BRANDS):
+        return None
+    for handler, w, h, _ts, _dur, n_samples, _sd in _mp4_tracks(b):
+        if handler == b"vide" and w and h:
+            return int(w), int(h), max(1, int(n_samples or 1))
+    return None
+
+
+def _m4a_meta(b: bytes):
+    """``(container, rate, nch, n_samples)`` for the first ``soun``
+    track of an ISO-BMFF audio file (M4A/AAC or any mp4-contained
+    audio): mdhd timescale is the sample clock, mdhd duration the
+    per-channel sample count, channels from the mp4a/AudioSampleEntry
+    in stsd. Metadata only — no AAC decode."""
+    b = b or b""
+    if not _bmff_is(b, _M4A_BRANDS + _MP4_VIDEO_BRANDS):
+        return None
+    for handler, _w, _h, ts, dur, _n, stsd in _mp4_tracks(b):
+        if handler != b"soun" or not ts:
+            continue
+        nch = None
+        if stsd is not None:
+            ss, se = stsd
+            for fc, es, ee in _bmff_boxes(b, ss + 8, se):
+                # AudioSampleEntry: 8 (SampleEntry) + 8 reserved, then
+                # channelcount(2) at +16 (ISO 14496-12 §12.2.3)
+                if ee - es >= 18:
+                    nch = struct.unpack_from(">H", b, es + 16)[0]
+                    break
+        return "m4a", int(ts), int(nch or 0), int(dur or 0)
+    return None
+
+
+def _avif_meta(b: bytes) -> Optional[tuple[int, int, int]]:
+    """Header-only (width, height, n_frames) for AVIF/HEIC stills: the
+    ispe property inside meta/iprp/ipco. Sequences (``avis``) report
+    the moov video track's sample count like MP4."""
+    b = b or b""
+    if not _bmff_is(b, _AVIF_BRANDS):
+        return None
+    meta = _bmff_find(b, 0, len(b), b"meta")
+    if meta is None:
+        return None
+    # meta is a FullBox: 4 bytes version/flags before its children
+    iprp = _bmff_find(b, meta[0] + 4, meta[1], b"iprp")
+    if iprp is None:
+        return None
+    ipco = _bmff_find(b, *iprp, b"ipco")
+    if ipco is None:
+        return None
+    isp = _bmff_find(b, *ipco, b"ispe")
+    if isp is None:
+        return None
+    s, e = isp
+    if e - s < 12:
+        return None
+    w, h = struct.unpack_from(">II", b, s + 4)
+    if w == 0 or h == 0:
+        return None
+    n_frames = 1
+    for handler, _w, _h, _ts, _dur, n_samples, _sd in _mp4_tracks(b):
+        if handler == b"pict" and n_samples:
+            n_frames = int(n_samples)
+    return int(w), int(h), max(1, n_frames)
+
+
+def _bmff_box(fourcc: bytes, body: bytes) -> bytes:
+    return struct.pack(">I", 8 + len(body)) + fourcc + body
+
+
+def _mp4_encode_meta(
+    tracks,
+    brand: bytes = b"isom",
+    largesize_moov: bool = False,
+) -> bytes:
+    """Minimal ISO-BMFF writer for the deterministic METADATA fixture.
+    ``tracks`` is a list of dicts with ``handler`` (b"vide"/b"soun"/
+    b"pict"), optional ``w``/``h``, ``timescale``, ``duration``,
+    ``n_samples``, ``nch``, ``mdhd_v1``. No sample bitstream is written
+    — exactly the surface the _mp4/_m4a walkers parse."""
+    ftyp = _bmff_box(b"ftyp", brand + struct.pack(">I", 0) + brand + b"isom")
+    traks = b""
+    for t in tracks:
+        w, h = t.get("w", 0), t.get("h", 0)
+        tkhd = _bmff_box(
+            b"tkhd", b"\x00\x00\x00\x07" + b"\x00" * 72
+            + struct.pack(">II", w << 16, h << 16))
+        if t.get("mdhd_v1"):
+            mdhd = _bmff_box(
+                b"mdhd", b"\x01\x00\x00\x00" + b"\x00" * 16
+                + struct.pack(">IQ", t.get("timescale", 0),
+                              t.get("duration", 0)) + b"\x00" * 4)
+        else:
+            mdhd = _bmff_box(
+                b"mdhd", b"\x00\x00\x00\x00" + b"\x00" * 8
+                + struct.pack(">II", t.get("timescale", 0),
+                              t.get("duration", 0)) + b"\x00" * 4)
+        hdlr = _bmff_box(
+            b"hdlr", b"\x00\x00\x00\x00" + b"\x00" * 4 + t["handler"]
+            + b"\x00" * 12 + b"fixture\x00")
+        entry_fc = b"mp4a" if t["handler"] == b"soun" else b"avc1"
+        sample_entry = _bmff_box(
+            entry_fc, b"\x00" * 16
+            + struct.pack(">HH", t.get("nch", 0), 16) + b"\x00" * 8)
+        stsd = _bmff_box(
+            b"stsd", b"\x00" * 4 + struct.pack(">I", 1) + sample_entry)
+        stsz = _bmff_box(
+            b"stsz", b"\x00" * 4
+            + struct.pack(">II", 0, t.get("n_samples", 0)))
+        stbl = _bmff_box(b"stbl", stsd + stsz)
+        minf = _bmff_box(b"minf", stbl)
+        mdia = _bmff_box(b"mdia", mdhd + hdlr + minf)
+        traks += _bmff_box(b"trak", tkhd + mdia)
+    mvhd = _bmff_box(b"mvhd", b"\x00" * 100)
+    moov_body = mvhd + traks
+    if largesize_moov:
+        moov = (struct.pack(">I", 1) + b"moov"
+                + struct.pack(">Q", 16 + len(moov_body)) + moov_body)
+    else:
+        moov = _bmff_box(b"moov", moov_body)
+    mdat = _bmff_box(b"mdat", b"\x00" * 32)
+    return ftyp + moov + mdat
+
+
+def _avif_encode_meta(
+    w: int,
+    h: int,
+    brand: bytes = b"avif",
+    n_frames: int = 0,
+) -> bytes:
+    """Minimal AVIF/HEIC metadata writer: ftyp + meta(iprp(ipco(ispe)));
+    ``n_frames`` > 0 adds an ``avis``-style moov pict track."""
+    ftyp = _bmff_box(b"ftyp", brand + struct.pack(">I", 0) + brand + b"mif1")
+    ispe = _bmff_box(b"ispe", b"\x00" * 4 + struct.pack(">II", w, h))
+    meta = _bmff_box(
+        b"meta", b"\x00" * 4
+        + _bmff_box(b"iprp", _bmff_box(b"ipco", ispe)))
+    out = ftyp + meta
+    if n_frames:
+        out += _mp4_encode_meta(
+            [{"handler": b"pict", "timescale": 30, "duration": n_frames,
+              "n_samples": n_frames}],
+            brand=brand)[len(ftyp):]  # moov+mdat only, keep ONE ftyp
+    return out
+
+
+def real_isobmff_asset_rows(n: int = 16) -> list:
+    """Driver-side rows of the ISO-BMFF metadata fixture (r14), cycling
+    all three planner tiers the shared box walk feeds: MP4 video (tkhd
+    dims + stsz frame count, some with a second audio track, some with
+    a 64-bit largesize moov), M4A audio (mdhd v0/v1, mono/stereo,
+    several sample clocks) and AVIF/HEIC stills (ispe; animated avis
+    legs with pict-track frame counts). Pure function of ``n``."""
+    rows = []
+    for i in range(n):
+        kind = i % 3
+        if kind == 0:
+            w, h = 320 + 16 * i, 180 + 9 * i
+            tracks = [{"handler": b"vide", "w": w, "h": h,
+                       "timescale": 24 + i, "duration": 240 + 24 * i,
+                       "n_samples": 48 + 7 * i}]
+            if i % 6 == 3:
+                tracks.append({"handler": b"soun", "timescale": 44100,
+                               "duration": 44100 * (1 + i), "nch": 2,
+                               "mdhd_v1": True})
+            content = _mp4_encode_meta(
+                tracks, brand=(b"isom", b"mp42", b"qt  ")[i % 9 // 3],
+                largesize_moov=(i % 6 == 0))
+            media = "video"
+        elif kind == 1:
+            content = _mp4_encode_meta(
+                [{"handler": b"soun",
+                  "timescale": (8000, 22050, 44100, 48000)[i % 4],
+                  "duration": 1000 * (37 + 11 * i),
+                  "n_samples": 40 + i, "nch": 1 + i % 2,
+                  "mdhd_v1": i % 2 == 0}],
+                brand=b"M4A ")
+            media = "audio"
+        else:
+            content = _avif_encode_meta(
+                40 + 13 * i, 30 + 7 * i,
+                brand=(b"avif", b"heic", b"avis")[i % 9 // 3],
+                n_frames=(6 + i) if i % 9 // 3 == 2 else 0)
+            media = "image"
+        rows.append((i, media, bytearray(content),
+                     '{"src":"fixture-isobmff"}'))
+    return rows
+
+
+def make_real_isobmff_assets(spark, n: int = 16) -> DataFrame:
+    """Deterministic ISO-BMFF fixture (:func:`real_isobmff_asset_rows`)."""
+    return spark.createDataFrame(real_isobmff_asset_rows(n), ASSET_SCHEMA)
+
+
 def real_ogg_asset_rows(n: int = 16) -> list:
     """Driver-side rows of the Ogg metadata fixture (r14): deterministic
     CRC-valid page chains cycling the walker's axes — Vorbis and Opus id
@@ -3605,6 +3926,9 @@ def _audio_meta_of(b: bytes):
     if m is not None:
         container, rate, nch, samples, _pre = m
         return container, rate, nch, samples
+    m = _m4a_meta(b)
+    if m is not None:
+        return m
     return None
 
 
@@ -3633,8 +3957,8 @@ def audio_meta(assets: DataFrame, fake: bool = False) -> DataFrame:
                 if m is None:
                     raise NotImplementedError(
                         "audio metadata supports WAV (PCM + IMA-ADPCM), "
-                        "AIFF, AU, FLAC, MPEG audio (MP3) and Ogg "
-                        "(Vorbis/Opus) containers"
+                        "AIFF, AU, FLAC, MPEG audio (MP3), Ogg "
+                        "(Vorbis/Opus) and M4A containers"
                     )
                 metas.append(m)
             yield pd.DataFrame({

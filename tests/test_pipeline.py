@@ -3262,6 +3262,88 @@ def test_webp_meta_flavors_and_rejection():
     assert _webp_meta(t[:14]) is None
 
 
+def test_isobmff_meta_three_tiers():
+    """r14: one ISO-BMFF box walk feeds MP4 video (tkhd dims + stsz
+    frames), M4A audio (mdhd clock + mp4a channels) and AVIF/HEIC
+    stills (ispe); largesize moov, mdhd v0/v1 and multi-track files all
+    parse; garbage and wrong brands return None, never throw."""
+    from seqspark.pipeline.multimodal import (
+        _avif_encode_meta, _avif_meta, _m4a_meta, _mp4_encode_meta,
+        _mp4_meta, _real_decode, _stdlib_image_meta)
+
+    b = _mp4_encode_meta([
+        {"handler": b"vide", "w": 1920, "h": 1080, "timescale": 30000,
+         "duration": 90000, "n_samples": 90},
+        {"handler": b"soun", "timescale": 44100, "duration": 441000,
+         "n_samples": 430, "nch": 2, "mdhd_v1": True},
+    ])
+    assert _mp4_meta(b) == (1920, 1080, 90)
+    assert _real_decode("video", b) == (1920, 1080, 90)
+    assert _m4a_meta(b) == ("m4a", 44100, 2, 441000)
+    # pure m4a (v0 mdhd): audio tier only
+    m4a = _mp4_encode_meta([{"handler": b"soun", "timescale": 48000,
+                             "duration": 96000, "nch": 1}], brand=b"M4A ")
+    assert _m4a_meta(m4a) == ("m4a", 48000, 1, 96000)
+    assert _mp4_meta(m4a) is None
+    # 64-bit largesize moov
+    big = _mp4_encode_meta(
+        [{"handler": b"vide", "w": 320, "h": 240, "timescale": 10,
+          "duration": 50, "n_samples": 50}], largesize_moov=True)
+    assert _mp4_meta(big) == (320, 240, 50)
+    # avif still, heic brand, animated avis with pict track count
+    assert _avif_meta(_avif_encode_meta(800, 600)) == (800, 600, 1)
+    assert _stdlib_image_meta(
+        _avif_encode_meta(64, 32, brand=b"heic")) == (64, 32, 1)
+    assert _avif_meta(
+        _avif_encode_meta(128, 128, brand=b"avis", n_frames=24)
+    ) == (128, 128, 24)
+    # rejection
+    assert _mp4_meta(b"") is None
+    assert _mp4_meta(b[:20]) is None
+    assert _avif_meta(b) is None  # video brand is not a still
+    assert _stdlib_image_meta(b"\x00\x00\x00\x08ftyp") is None
+
+
+def test_isobmff_fuzz_never_throws():
+    from hypothesis import given, settings
+    from hypothesis import strategies as hst
+
+    from seqspark.pipeline.multimodal import (
+        _avif_meta, _m4a_meta, _mp4_meta)
+
+    @settings(max_examples=120, deadline=None)
+    @given(hst.binary(min_size=0, max_size=400))
+    def run(payload):
+        for prefix in (b"", b"\x00\x00\x00\x18ftypisom\x00\x00\x00\x00isomisom",
+                       b"\x00\x00\x00\x01moov"):
+            blob = prefix + payload
+            for fn in (_mp4_meta, _avif_meta, _m4a_meta):
+                m = fn(blob)
+                if m is not None and fn is _m4a_meta:
+                    assert m[1] > 0 and m[3] >= 0
+                elif m is not None:
+                    assert m[0] > 0 and m[1] > 0 and m[2] >= 1
+
+    run()
+
+
+def test_isobmff_decode_assets_operator(spark):
+    from seqspark.pipeline.multimodal import (
+        decode_assets, make_real_isobmff_assets)
+
+    rows = decode_assets(
+        make_real_isobmff_assets(spark, 9), fake=False).collect()
+    assert len(rows) == 9
+    by_media = {}
+    for r in rows:
+        by_media.setdefault(r["media_type"], []).append(r)
+    assert set(by_media) == {"image", "audio", "video"}
+    for r in by_media["video"]:
+        assert r["width"] > 0 and r["height"] > 0 and r["n_frames"] >= 1
+    for r in by_media["audio"]:
+        assert r["height"] == 0 and r["n_frames"] > 0  # (nch, 0, samples)
+
+
 def test_webp_meta_fuzz_never_throws():
     from hypothesis import given, settings
     from hypothesis import strategies as hst

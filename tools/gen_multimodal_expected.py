@@ -317,6 +317,24 @@ def main() -> None:
         print(f"    {r!r},")
     print("]")
 
+    # r14: ISO-BMFF metadata fixture — MP4 video (tkhd/stsz), M4A audio
+    # (mdhd clock + mp4a channels) and AVIF/HEIC stills (ispe), all
+    # through the shared box walk
+    from seqspark.pipeline.multimodal import real_isobmff_asset_rows  # noqa: E402
+
+    bm = []
+    for i, media, content, _meta in real_isobmff_asset_rows(16):
+        b = bytes(content)
+        w, h, nf = _real_decode(media, b)
+        bm.append((i, len(b), hashlib.sha256(b).hexdigest(), media, w, h, nf))
+    print()
+    print("#: (asset_id, n_bytes, sha256, media_type, width, height,")
+    print("#: n_frames) over real_isobmff_asset_rows (r14, header-only)")
+    print("MULTIMODAL_ISOBMFF_EXPECTED = [")
+    for r in bm:
+        print(f"    {r!r},")
+    print("]")
+
     # r14: WebP metadata fixture — header-only RIFF walk (VP8 lossy,
     # VP8L lossless, VP8X extended/animated with ANMF counts)
     from seqspark.pipeline.multimodal import real_webp_asset_rows  # noqa: E402
