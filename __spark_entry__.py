@@ -3794,12 +3794,11 @@ DRIVER_WINDOW = [
     "unigram_perplexity",
     "url_canonical",
     "with_total",
-    # 6 of the r11 tail, picked beside this round's changed surfaces
+    # r11-tail picks beside this round's changed surfaces: the
+    # transport-fuzzed complex path, the drain, and the index routing
+    # whose join strategy changed (broadcast hint)
     "complex_search",
     "export_keyset",
-    "keyset_pagination",
-    "legacy_query",
-    "legacy_range",
     "inverted_index_and",
 ]
 
