@@ -1630,6 +1630,28 @@ AUDIO_FEATURES_FLAC_EXPECTED = [
 
 
 #: (asset_id, sample_rate, n_channels, n_samples, rms, zcr,
+#: centroid_hz, fingerprint) over real_wavext_asset_rows (r14)
+AUDIO_FEATURES_WAVEXT_EXPECTED = [
+    (0, 8000, 1, 400, 0.195707, 0.007519, 498.555718, 4557149413822119743),
+    (1, 8000, 2, 480, 0.176883, 0.006263, 587.445205, 4557430888798830398),
+    (2, 8000, 1, 560, 0.196541, 0.007156, 446.106493, 6872313121065623391),
+    (3, 8000, 2, 640, 0.171444, 0.00939, 302.743405, 8682516213269429886),
+    (4, 8000, 1, 720, 0.192273, 0.011127, 405.613939, 8681953263416671870),
+    (5, 8000, 2, 400, 0.174817, 0.010025, 328.99712, 4485372195249274687),
+    (6, 8000, 1, 480, 0.196618, 0.012526, 442.679579, 4557430875913928510),
+    (7, 8000, 2, 560, 0.177197, 0.005367, 567.966301, 6872316419617283928),
+    (8, 8000, 1, 640, 0.197105, 0.00626, 410.977797, 9115141057846148990),
+    (9, 8000, 2, 720, 0.170818, 0.008345, 195.855955, 8682516213135212158),
+    (10, 8000, 1, 400, 0.197918, 0.007519, 498.821801, 4557430888798764862),
+    (11, 8000, 2, 480, 0.171961, 0.010438, 331.755283, 4341258106684587839),
+    (12, 8000, 1, 560, 0.191632, 0.012522, 469.101846, 6800258825461915487),
+    (13, 8000, 2, 640, 0.172927, 0.010955, 498.629326, 8970177016493013116),
+    (14, 8000, 1, 720, 0.195764, 0.005563, 452.13647, 9114859578540850814),
+    (15, 8000, 2, 400, 0.17193, 0.007519, 383.906387, 4557430888798830143),
+]
+
+
+#: (asset_id, sample_rate, n_channels, n_samples, rms, zcr,
 #: centroid_hz, fingerprint) over real_adpcm_asset_rows (r13)
 AUDIO_FEATURES_ADPCM_EXPECTED = [
     (0, 8000, 1, 400, 0.195705, 0.007519, 494.747223, 4557149413822119743),
@@ -2633,6 +2655,19 @@ def q_audio_features_flac(spark, sf_dir):
         audio_features, make_real_flac_assets)
 
     assets = make_real_flac_assets(spark, 16)
+    return audio_features(assets, fake=False)
+
+
+def q_audio_features_wavext(spark, sf_dir):
+    # hash-pinned (r14): the SAME audio DSP kernel over IEEE-float and
+    # WAVE_FORMAT_EXTENSIBLE WAV — every sample flows through the
+    # float32/float64/GUID-subformat decoder the stdlib wave module
+    # (3.11) refuses. Same signals as the FLAC fixture, so the
+    # float-vs-lossless feature drift is itself a frozen literal.
+    from seqspark.pipeline.multimodal import (
+        audio_features, make_real_wavext_assets)
+
+    assets = make_real_wavext_assets(spark, 16)
     return audio_features(assets, fake=False)
 
 
@@ -3890,6 +3925,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_dhash_jpeg": q_image_dhash_jpeg,
         "audio_features": q_audio_features,
         "audio_features_flac": q_audio_features_flac,
+        "audio_features_wavext": q_audio_features_wavext,
         "audio_features_adpcm": q_audio_features_adpcm,
         "multimodal_bmp": q_multimodal_bmp,
         "multimodal_tiff": q_multimodal_tiff,
@@ -5123,6 +5159,17 @@ def oracle_sql() -> dict[str, str]:
             f"{cent!r}, CAST({fp} AS BIGINT))"
             for i, sr, nc, ns, rms, zc, cent, fp
             in AUDIO_FEATURES_FLAC_EXPECTED
+        )
+        + ") AS t(asset_id, sample_rate, n_channels, n_samples, rms, zcr,"
+        " centroid_hz, fingerprint)"
+    )
+    sql["audio_features_wavext"] = (
+        "SELECT * FROM (VALUES "
+        + ", ".join(
+            f"({i}, {sr}, {nc}, CAST({ns} AS BIGINT), {rms!r}, {zc!r}, "
+            f"{cent!r}, CAST({fp} AS BIGINT))"
+            for i, sr, nc, ns, rms, zc, cent, fp
+            in AUDIO_FEATURES_WAVEXT_EXPECTED
         )
         + ") AS t(asset_id, sample_rate, n_channels, n_samples, rms, zcr,"
         " centroid_hz, fingerprint)"

@@ -400,6 +400,12 @@ def _real_decode(media_type: str, content: bytes) -> tuple[int, int, int]:
             # r13: IMA-ADPCM WAV (fmt 0x0011 — stdlib wave refuses it)
             meta = _wav_ima_meta(content or b"")
             if meta is None:
+                # r14: IEEE-float / WAVE_FORMAT_EXTENSIBLE WAV
+                m = _wav_ext_meta(content or b"")
+                if m is not None:
+                    _cont, _rate, nch, bits, nf = m
+                    meta = (nch, bits, nf)
+            if meta is None:
                 meta = _aiff_meta(content or b"")
             if meta is None:
                 meta = _au_meta(content or b"")
@@ -2515,6 +2521,37 @@ def make_real_flac_assets(spark, n: int = 16) -> DataFrame:
     return spark.createDataFrame(real_flac_asset_rows(n), ASSET_SCHEMA)
 
 
+def real_wavext_asset_rows(n: int = 16) -> list:
+    """Driver-side rows of the float/extensible WAV fixture (r14): the
+    SAME deterministic PCM as the FLAC fixture (:func:`fixture_pcm`)
+    through float32/float64 and WAVE_FORMAT_EXTENSIBLE (incl. wrapped
+    int16) containers — so float-vs-FLAC feature drift is itself frozen
+    and inspectable. Pure function of ``n``."""
+    import numpy as np
+
+    rows = []
+    for i in range(n):
+        rate, nch, chans = fixture_pcm(i)
+        x = np.asarray(chans, dtype=np.float64) / 32768.0
+        ext = i % 4 >= 2
+        if i % 4 == 3:
+            content = _wav_ext_encode(
+                rate, nch, x, fmt_tag=1, bits=16, extensible=True)
+        else:
+            content = _wav_ext_encode(
+                rate, nch, x, fmt_tag=3, bits=32 if i % 2 == 0 else 64,
+                extensible=ext)
+        rows.append((i, "audio", bytearray(content),
+                     '{"src":"fixture-wavext"}'))
+    return rows
+
+
+def make_real_wavext_assets(spark, n: int = 16) -> DataFrame:
+    """Deterministic float/extensible WAV fixture
+    (:func:`real_wavext_asset_rows`)."""
+    return spark.createDataFrame(real_wavext_asset_rows(n), ASSET_SCHEMA)
+
+
 def _tiff_encode_meta(w: int, h: int, pages: int, endian: str = "II") -> bytes:
     """Minimal classic-TIFF writer for the METADATA fixture: a chain of
     ``pages`` IFDs each carrying ImageWidth/ImageLength (SHORT/LONG mix,
@@ -3003,6 +3040,141 @@ def _wav_ima_encode(rate: int, chans, block_samples: int = 505) -> bytes:
         + b"data" + struct.pack("<I", len(data)) + data
     )
     return b"RIFF" + struct.pack("<I", len(riff)) + riff
+
+
+def _wav_ext_pcm(b: bytes):
+    """(rate, nch, mono float64) for the WAV variants the stdlib
+    ``wave`` module (3.11) refuses (r14): IEEE-float PCM (fmt tag 3,
+    32/64-bit) and WAVE_FORMAT_EXTENSIBLE (tag 0xFFFE) wrapping integer
+    or float PCM — the SubFormat GUID's leading u16 is the effective
+    tag. Common in ML audio corpora (float feature dumps, >2ch
+    recorders). None outside that subset."""
+    import numpy as np
+
+    fmt = data = None
+    for fourcc, start, size in _riff_chunks(b or b""):
+        if fourcc == b"fmt " and size >= 16:
+            fmt = bytes(b[start:start + size])
+        elif fourcc == b"data":
+            data = b[start:start + size]
+    if fmt is None or data is None:
+        return None
+    tag, nch, rate, _br, _ba, bits = struct.unpack("<HHIIHH", fmt[:16])
+    if tag == 0xFFFE:
+        # EXTENSIBLE: cbSize(2) + valid_bits(2) + channel_mask(4) +
+        # SubFormat GUID whose first 16 bits are the wrapped tag
+        if len(fmt) < 40:
+            return None
+        tag = struct.unpack("<H", fmt[24:26])[0]
+    if nch < 1 or rate <= 0:
+        return None
+    if tag == 3:
+        if bits == 32:
+            x = np.frombuffer(
+                data[: len(data) // 4 * 4], dtype="<f4").astype(np.float64)
+        elif bits == 64:
+            x = np.frombuffer(data[: len(data) // 8 * 8], dtype="<f8").copy()
+        else:
+            return None
+    elif tag == 1:
+        if bits == 8:
+            x = (np.frombuffer(data, dtype=np.uint8).astype(np.float64)
+                 - 128.0) / 128.0
+        elif bits == 16:
+            x = np.frombuffer(
+                data[: len(data) // 2 * 2], dtype="<i2"
+            ).astype(np.float64) / 32768.0
+        elif bits == 24:
+            a = np.frombuffer(data[: len(data) // 3 * 3], dtype=np.uint8)
+            a = a.reshape(-1, 3)
+            v = (a[:, 0].astype(np.int32)
+                 | (a[:, 1].astype(np.int32) << 8)
+                 | (a[:, 2].astype(np.int32) << 16))
+            v = (v ^ 0x800000) - 0x800000
+            x = v.astype(np.float64) / 8388608.0
+        elif bits == 32:
+            x = np.frombuffer(
+                data[: len(data) // 4 * 4], dtype="<i4"
+            ).astype(np.float64) / 2147483648.0
+        else:
+            return None
+    else:
+        return None
+    n = (len(x) // nch) * nch
+    x = x[:n].reshape(-1, nch).mean(axis=1)
+    return rate, nch, x
+
+
+def _wav_ext_encode(
+    rate: int,
+    nch: int,
+    signal,
+    fmt_tag: int = 3,
+    bits: int = 32,
+    extensible: bool = False,
+) -> bytes:
+    """Minimal float/extensible WAV writer for the deterministic
+    fixtures — pairs with :func:`_wav_ext_pcm`. ``signal`` is either a
+    mono array (replicated across channels, so the mixdown recovers it
+    exactly) or a list of per-channel arrays."""
+    import numpy as np
+
+    x = np.asarray(signal, dtype=np.float64)
+    if x.ndim == 1:
+        frames = np.repeat(x[:, None], nch, axis=1).ravel()
+    else:
+        assert x.shape[0] == nch
+        frames = x.T.ravel()
+    if fmt_tag == 3:
+        raw = frames.astype("<f4" if bits == 32 else "<f8").tobytes()
+    else:
+        assert fmt_tag == 1 and bits == 16
+        # x/32768-scaled inputs round-trip to their exact int16 values
+        raw = np.clip(
+            np.round(frames * 32768.0), -32768, 32767
+        ).astype("<i2").tobytes()
+    ba = nch * bits // 8
+    if extensible:
+        guid = (struct.pack("<H", fmt_tag)
+                + b"\x00\x00\x00\x00\x10\x00\x80\x00\x00\xaa\x008\x9bq")
+        fmt = struct.pack("<HHIIHH", 0xFFFE, nch, rate, rate * ba, ba,
+                          bits) + struct.pack("<HHI", 22, bits, 0) + guid
+    else:
+        fmt = struct.pack("<HHIIHH", fmt_tag, nch, rate, rate * ba, ba, bits)
+    body = (b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(raw)) + raw)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def _wav_ext_meta(b: bytes):
+    """(container, rate, nch, bits, n_frames) for the float/extensible
+    WAV subset — header-only (fmt + data length arithmetic)."""
+    fmt = None
+    data_len = None
+    for fourcc, start, size in _riff_chunks(b or b""):
+        if fourcc == b"fmt " and size >= 16:
+            fmt = bytes(b[start:start + size])
+        elif fourcc == b"data":
+            data_len = size
+    if fmt is None or data_len is None:
+        return None
+    tag, nch, rate, _br, _ba, bits = struct.unpack("<HHIIHH", fmt[:16])
+    container = "wav-float"
+    if tag == 0xFFFE:
+        if len(fmt) < 40:
+            return None
+        tag = struct.unpack("<H", fmt[24:26])[0]
+        container = "wav-ext"
+    if (tag == 3 and bits in (32, 64)) or (
+        tag == 1 and bits in (8, 16, 24, 32)
+    ):
+        if tag != 3 and container == "wav-float":
+            return None  # plain integer PCM belongs to the stdlib path
+        if nch < 1 or rate <= 0 or bits == 0:
+            return None
+        return container, rate, nch, bits, data_len // (nch * bits // 8)
+    return None
 
 
 def _wav_pcm(b: bytes):
@@ -3903,6 +4075,10 @@ def _audio_meta_of(b: bytes):
     if p is not None:
         rate, nch, _ba, _spb, nf, _data = p
         return "wav-ima", rate, nch, nf
+    p = _wav_ext_meta(b)
+    if p is not None:
+        container, rate, nch, _bits, nf = p
+        return container, rate, nch, nf
     p = _aiff_parse(b)
     if p is not None:
         rate, nch, _sw, nf, _d = p
@@ -3992,6 +4168,8 @@ def _audio_pcm(b: bytes):
     dec = _wav_pcm(b)
     if dec is None:
         dec = _wav_ima_pcm(b or b"")
+    if dec is None:
+        dec = _wav_ext_pcm(b or b"")
     if dec is None:
         dec = _aiff_pcm(b or b"")
     if dec is None:

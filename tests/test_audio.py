@@ -638,3 +638,76 @@ class TestOggMeta:
         feats = audio_features(assets, fake=False).collect()
         assert all(r["rms"] is None and r["fingerprint"] is None
                    for r in feats)
+
+
+class TestWavFloatExtensible:
+    """r14: IEEE-float (fmt 3) and WAVE_FORMAT_EXTENSIBLE (fmt 0xFFFE)
+    WAV — the variants stdlib wave (3.11) refuses. Float samples are
+    exact (int16/32768 is a power-of-two scale), so features over the
+    float containers equal the FLAC literals bit-for-bit."""
+
+    def test_round_trips_and_meta(self):
+        import numpy as np
+
+        from seqspark.pipeline.multimodal import (
+            _audio_meta_of, _wav_ext_encode, _wav_ext_pcm, _wav_pcm)
+
+        t = np.arange(2000) / 16000.0
+        sig = 0.5 * np.sin(2 * np.pi * 440 * t)
+        for bits in (32, 64):
+            for nch in (1, 2, 6):
+                for ext in (False, True):
+                    b = _wav_ext_encode(16000, nch, sig, fmt_tag=3,
+                                        bits=bits, extensible=ext)
+                    rate, gnch, x = _wav_ext_pcm(b)
+                    assert (rate, gnch) == (16000, nch)
+                    tol = 1e-12 if bits == 64 else 1e-7
+                    assert np.abs(x - sig).max() < tol, (bits, nch, ext)
+                    cont = "wav-ext" if ext else "wav-float"
+                    assert _audio_meta_of(b) == (cont, 16000, nch, 2000)
+                    # stdlib wave indeed refuses these containers
+                    assert _wav_pcm(b) is None
+        # EXTENSIBLE wrapping plain int16: ours decodes, stdlib refuses
+        b = _wav_ext_encode(8000, 2, sig, fmt_tag=1, bits=16,
+                            extensible=True)
+        assert _wav_pcm(b) is None
+        rate, nch, x = _wav_ext_pcm(b)
+        assert rate == 8000 and nch == 2
+        assert np.abs(x - sig).max() < 1.0 / 32768
+
+    def test_features_equal_flac_literals_exactly(self):
+        """The frozen wavext literals ARE the FLAC literals (same
+        fixture signals, exact float containers): rms/zcr/centroid/
+        fingerprint identical on all 16 rows — any divergence means a
+        decoder bug on one side."""
+        import importlib.util
+        import os
+
+        spec = importlib.util.spec_from_file_location(
+            "entry", os.path.join(os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__))), "__spark_entry__.py"))
+        entry = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(entry)
+        fl = entry.AUDIO_FEATURES_FLAC_EXPECTED
+        wx = entry.AUDIO_FEATURES_WAVEXT_EXPECTED
+        assert len(fl) == len(wx) == 16
+        for a, b in zip(fl, wx):
+            assert a[1:4] == b[1:4]   # rate / channels / samples
+            assert a[4:] == b[4:]     # rms / zcr / centroid / fingerprint
+
+    def test_rejection_never_throws(self):
+        from hypothesis import given, settings, strategies as hst
+
+        from seqspark.pipeline.multimodal import _wav_ext_meta, _wav_ext_pcm
+
+        assert _wav_ext_pcm(b"") is None
+        assert _wav_ext_meta(b"RIFF\x00\x00\x00\x00WAVE") is None
+
+        @settings(max_examples=100, deadline=None)
+        @given(hst.binary(min_size=0, max_size=200))
+        def run(payload):
+            for prefix in (b"", b"RIFF\x60\x00\x00\x00WAVEfmt "):
+                _wav_ext_pcm(prefix + payload)
+                _wav_ext_meta(prefix + payload)
+
+        run()

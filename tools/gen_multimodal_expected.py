@@ -279,6 +279,34 @@ def main() -> None:
         print(f"    {r!r},")
     print("]")
 
+    # r14: float/extensible WAV fixture — SAME signals as the FLAC
+    # fixture through the float32/float64/EXTENSIBLE decoder, so the
+    # float-vs-lossless feature drift is frozen and inspectable
+    from seqspark.pipeline.multimodal import (  # noqa: E402
+        _wav_ext_pcm, real_wavext_asset_rows)
+
+    wx = []
+    for i, media, content, _meta in real_wavext_asset_rows(16):
+        rate, nch, x = _wav_ext_pcm(bytes(content))
+        ns = int(len(x))
+        rms = round(float(_np.sqrt(_np.mean(x * x))), 6)
+        zc = round(
+            float(_np.mean(_np.signbit(x[1:]) != _np.signbit(x[:-1]))), 6
+        )
+        mag = _np.abs(_np.fft.rfft(x))
+        freqs = _np.fft.rfftfreq(ns, d=1.0 / rate)
+        tot = float(mag.sum())
+        cent = round(float((freqs * mag).sum() / tot) if tot > 0 else 0.0, 6)
+        wx.append((i, rate, nch, ns, rms, zc, cent,
+                   _audio_fingerprint_of(x, rate)))
+    print()
+    print("#: (asset_id, sample_rate, n_channels, n_samples, rms, zcr,")
+    print("#: centroid_hz, fingerprint) over real_wavext_asset_rows (r14)")
+    print("AUDIO_FEATURES_WAVEXT_EXPECTED = [")
+    for r in wx:
+        print(f"    {r!r},")
+    print("]")
+
     # r13: BMP fixture — decode meta + perceptual dHash via the stdlib
     # BMP decoder (row padding, bottom-up normalization, BGR->RGB all on
     # the pinned path)
