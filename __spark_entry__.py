@@ -2572,6 +2572,22 @@ def q_ann_pq_topk(spark, sf_dir):
     return pq_topk(codes, PQ_CODEBOOKS, PQ_QUERY, k=10)
 
 
+def q_ann_sq_topk(spark, sf_dir):
+    # hash-pinned (r14): scalar quantization (the faiss SQ8 operating
+    # point) — per-dimension linear [min, max] -> uint8, 4x smaller at
+    # rest with near-exact recall: the complement of PQ (32x, coarser)
+    # on the compression/recall curve. Encode AND ADC top-k are pure
+    # Catalyst (nested zip_with/aggregate over literal bound arrays, no
+    # Python crossing anywhere); the quantizer is floor(x + 0.5) — the
+    # one rounding Spark and DuckDB replay identically. Bounds are
+    # frozen INPUT literals like the PQ codebooks.
+    from seqspark.pipeline.ann import sq_encode, sq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    codes = sq_encode(emb, SQ_BOUNDS)
+    return sq_topk(codes, SQ_BOUNDS, PQ_QUERY, k=10)
+
+
 def q_ann_opq_topk(spark, sf_dir):
     # hash-pinned (r13): OPQ — PQ with a learned orthogonal rotation
     # (Ge et al. 2013) aligning the subspace split with the data's
@@ -3296,6 +3312,35 @@ SEMDEDUP_CENTROIDS: list[list[float]] = [
 #: frozen literal input)
 PQ_QUERY = SEMDEDUP_CENTROIDS[0]
 
+#: frozen SQ8 per-dimension bounds (r14): (mins, invs) from a one-time
+#: id-ordered 400-vector train at sf0.01 — INPUT literals like
+#: SEMDEDUP_CENTROIDS (the quantizer is defined BY these numbers; any
+#: corpus works with any bounds, recall just tracks their fit)
+SQ_BOUNDS = (
+    [-0.366539, -0.409497, -0.340171, -0.399964, -0.360501, -0.351993,
+     -0.418898, -0.416176, -0.380706, -0.329569, -0.371737, -0.433843,
+     -0.403942, -0.467645, -0.338209, -0.316463, -0.375889, -0.423745,
+     -0.391647, -0.311202, -0.428121, -0.302534, -0.333694, -0.468478,
+     -0.387906, -0.382189, -0.385737, -0.319389, -0.393388, -0.483361,
+     -0.455012, -0.407459, -0.381865, -0.334067, -0.316009, -0.362675,
+     -0.525206, -0.338691, -0.355766, -0.343586, -0.385972, -0.380225,
+     -0.356627, -0.396885, -0.417665, -0.400791, -0.317732, -0.437289,
+     -0.311783, -0.343334, -0.320105, -0.470477, -0.378748, -0.343886,
+     -0.27372, -0.390303, -0.331706, -0.436871, -0.414895, -0.381678,
+     -0.313926, -0.303902, -0.310907, -0.361478],
+    [353.143366, 337.447893, 345.014318, 310.956142, 380.869793, 350.953171,
+     318.413114, 331.909143, 316.319984, 338.007686, 369.450057, 314.563115,
+     333.873143, 311.533784, 355.436691, 368.931122, 328.913338, 313.605744,
+     340.021326, 403.03721, 337.821035, 358.903317, 337.306826, 300.090034,
+     362.793459, 326.1386, 311.172894, 387.808065, 361.030787, 292.839232,
+     323.65829, 337.041268, 377.91726, 344.684329, 367.454351, 328.386957,
+     292.355342, 339.569846, 348.160254, 355.338337, 338.971035, 317.245595,
+     339.892283, 331.591069, 337.616213, 353.956713, 395.285202, 311.395218,
+     394.842467, 379.742348, 385.027574, 298.044091, 357.961632, 369.259725,
+     397.989698, 365.152496, 365.261659, 284.838382, 351.77572, 378.438574,
+     360.642057, 394.216905, 389.727246, 375.838166],
+)
+
 
 #: frozen OPQ rotation (64x64, orthogonal): trained ONCE by opq_train(m=8, k=8,
 #: iters=5, opq_iters=6, sample=2048, sample_order="id") on the sf0.01 embeddings — an INPUT
@@ -3937,6 +3982,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample": q_weighted_sample,
         "audio_dupes": q_audio_dupes,
         "ann_pq_topk": q_ann_pq_topk,
+        "ann_sq_topk": q_ann_sq_topk,
         "ann_opq_topk": q_ann_opq_topk,
         "ann_ivfpq_residual": q_ann_ivfpq_residual,
         "ann_pq_rerank": q_ann_pq_rerank,
@@ -5256,6 +5302,9 @@ def oracle_sql() -> dict[str, str]:
     from seqspark.pipeline.ann import pq_oracle_sql
 
     sql["ann_pq_topk"] = pq_oracle_sql(PQ_CODEBOOKS, PQ_QUERY, k=10)
+    from seqspark.pipeline.ann import sq_oracle_sql
+
+    sql["ann_sq_topk"] = sq_oracle_sql(SQ_BOUNDS, PQ_QUERY, k=10)
     sql["ann_opq_topk"] = pq_oracle_sql(
         OPQ_CODEBOOKS, PQ_QUERY, k=10, rotation=OPQ_ROTATION)
     from seqspark.pipeline.ann import ivf_pq_residual_oracle_sql

@@ -325,3 +325,70 @@ class TestTrainSampleOrder:
         rows, emb = self._drift_emb(spark)
         with pytest.raises(ValueError, match="sample_order"):
             ann.pq_train(emb, m=2, k=4, sample_order="random")
+
+
+class TestScalarQuantization:
+    """r14: SQ8 — per-dim linear uint8 (the faiss SQ8 operating point).
+    Pins: near-exact recall (the 4x point should dominate PQ's 32x on
+    recall), DuckDB replay parity via floor(x+0.5), pure-JVM plans,
+    NULL hygiene, constant-dimension degenerate case."""
+
+    def test_recall_near_exact_and_beats_pq(self, spark, rot_emb):
+        rows, emb = rot_emb
+        q = [float(v) for v in rows[3][1]]
+        exact = [r["vec_id"] for r in ann.brute_l2_topk(emb, q, k=10).collect()]
+        bounds = ann.sq_train(emb, sample=160, sample_order="id")
+        codes = ann.sq_encode(emb, bounds)
+        sq_ids = [r["vec_id"] for r in
+                  ann.sq_topk(codes, bounds, q, k=10).collect()]
+        sq_rec = _recall(sq_ids, exact)
+        assert sq_rec >= 0.9, sq_rec
+        books = ann.pq_train(emb, m=8, k=8, sample=160, sample_order="id")
+        pq_ids = [r["vec_id"] for r in ann.pq_topk(
+            ann.pq_encode(emb, books), books, q, k=10).collect()]
+        assert sq_rec >= _recall(pq_ids, exact)
+
+    def test_duckdb_replay_parity(self, spark, rot_emb):
+        import duckdb
+
+        rows, emb = rot_emb
+        q = [float(v) for v in rows[7][1]]
+        bounds = ann.sq_train(emb, sample=160, sample_order="id")
+        got = [(r["vec_id"], r["adist"]) for r in ann.sq_topk(
+            ann.sq_encode(emb, bounds), bounds, q, k=10).collect()]
+        con = duckdb.connect()
+        con.register("embeddings_src", __import__("pandas").DataFrame(
+            {"vec_id": [r[0] for r in rows],
+             "embedding": [r[1] for r in rows]}))
+        con.execute("CREATE VIEW embeddings AS SELECT * FROM embeddings_src")
+        want = con.execute(ann.sq_oracle_sql(bounds, q, k=10)).fetchall()
+        assert got == [(a, b) for a, b in want]
+
+    def test_plans_pure_jvm(self, spark, rot_emb):
+        _rows, emb = rot_emb
+        bounds = ann.sq_train(emb, sample=160, sample_order="id")
+        codes = ann.sq_encode(emb, bounds)
+        p_enc = codes._jdf.queryExecution().executedPlan().toString()
+        assert "Python" not in p_enc  # no crossing anywhere
+        q = [0.0] * 16
+        p_top = ann.sq_topk(codes, bounds, q, k=5)._jdf.queryExecution(
+        ).executedPlan().toString()
+        assert "TakeOrderedAndProject" in p_top and "Python" not in p_top
+
+    def test_null_and_constant_dim_hygiene(self, spark):
+        emb = spark.createDataFrame(
+            [(1, [0.5, 2.0]), (2, [0.25, 2.0]), (3, None),
+             (4, [0.1]), (5, [None, 2.0])],
+            "vec_id long, embedding array<double>",
+        )
+        # dim 2 is CONSTANT in the sample -> inv 1.0, codes clamp to 0
+        bounds = ann.sq_train(
+            emb.filter("vec_id <= 2"), sample=10, sample_order="id")
+        assert bounds[1][1] == 1.0
+        rows = {r["vec_id"]: r["code"] for r in
+                ann.sq_encode(emb, bounds).collect()}
+        assert rows[3] is None and rows[4] is None and rows[5] is None
+        assert rows[1] is not None and rows[1][1] == 0
+        got = ann.sq_topk(ann.sq_encode(emb, bounds), bounds,
+                          [0.5, 2.0], k=10).collect()
+        assert [r["vec_id"] for r in got] == [1, 2]  # NULLs filtered
