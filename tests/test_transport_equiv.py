@@ -236,6 +236,69 @@ def _canon_store(resp, agg_specs):
     return ids, total, hist, aggs
 
 
+# ------------------------------------------------- export drain parity
+
+@st.composite
+def _export_spec(draw):
+    q = draw(st.sampled_from(_QUERIES))
+    if draw(st.booleans()):
+        a = draw(st.integers(0, SPAN_S))
+        b = draw(st.integers(0, SPAN_S))
+        lo, hi = sorted((a, b))
+        window = (EPOCH_MS + lo * 1000, EPOCH_MS + hi * 1000)
+    else:
+        window = (EPOCH_MS, EPOCH_MS + SPAN_S * 1000)
+    return (q, window, draw(st.sampled_from([5, 37, 1000])))
+
+
+_ID_RE = __import__("re").compile(r"^(\d+)-(-?\d+)$")
+
+
+@settings(max_examples=8, deadline=None)
+@given(_export_spec())
+def test_export_transport_parity(rig, spec):
+    """The same export drain through HTTP NDJSON and the seqproxy gRPC
+    Export stream: identical (mid, rid, body) sequences, in order."""
+    core, ch_p, _ch_s = rig
+    q, (f_ms, t_ms), size = spec
+
+    r = urllib.request.Request(
+        f"http://127.0.0.1:{core.port}/export",
+        data=json.dumps({"query": q, "from_ms": f_ms, "to_ms": t_ms,
+                         "size": size}).encode(),
+        headers={"Content-Type": "application/json"},
+    )
+    with urllib.request.urlopen(r, timeout=120) as resp:
+        http_docs = []
+        sentinel = None
+        for line in resp.read().decode().splitlines():
+            if not line.strip():
+                continue
+            obj = json.loads(line)
+            if obj.get("end"):
+                sentinel = obj
+                continue
+            d = obj["doc"]
+            m = _ID_RE.match(d["id"])
+            http_docs.append((int(m.group(1)), int(m.group(2)), d["data"]))
+    # a complete drain always ends with the explicit sentinel
+    assert sentinel is not None and sentinel["rows"] == len(http_docs)
+
+    msgs = ch_p.server_streaming(
+        "/seqproxyapi.v1.SeqProxyApi/Export",
+        {"query": {"query": q, "from": sp.ms_to_ts(f_ms),
+                   "to": sp.ms_to_ts(t_ms)}, "size": size},
+        sp.EXPORT_REQUEST, sp.EXPORT_RESPONSE,
+    )
+    grpc_docs = [
+        (*seq_id_parse(m["doc"]["id"]),
+         bytes(m["doc"].get("data") or b"").decode())
+        for m in msgs
+    ]
+    assert http_docs == grpc_docs, (spec, len(http_docs), len(grpc_docs))
+    assert len(http_docs) <= size
+
+
 # ------------------------------------------------------------ the fuzz
 
 @settings(max_examples=15, deadline=None)

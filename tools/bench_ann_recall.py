@@ -136,6 +136,22 @@ def main() -> None:
         })
         codes.unpersist()
 
+    # SQ8 (r14): per-dim scalar quantization — the 4x-at-rest /
+    # near-exact-recall point, measured against the same exact-L2 truth
+    sq_bounds = ann.sq_train(emb, sample=4096)
+    sq_codes = ann.sq_encode(emb, sq_bounds).cache()
+    sq_codes.count()
+    recall = 0.0
+    for q, t in zip(queries, truth_l2):
+        recall += len(
+            topk_ids(ann.sq_topk(sq_codes, sq_bounds, q, k)) & t) / k
+    out["sq"] = [{
+        "code_bytes_per_vec": dim,
+        "raw_bytes_per_vec": dim * 8,
+        "recall_at_k": round(recall / len(queries), 3),
+    }]
+    sq_codes.unpersist()
+
     # OPQ (r13): identical scan cost and code layout as PQ — any recall
     # delta is pure rotation (Ge et al. 2013 OPQ-NP alternation)
     out["opq"] = []
