@@ -236,6 +236,65 @@ def _canon_store(resp, agg_specs):
     return ids, total, hist, aggs
 
 
+def test_quantile_parity_across_transports(rig):
+    """Quantile aggs carry a vector per bucket, shaped differently on
+    each wire (HTTP qN row keys, seqproxy `quantiles` list, StoreApi
+    Histogram `samples`); the fuzz excludes them, so this deterministic
+    case pins all three agree."""
+    core, ch_p, ch_s = rig
+    qs = [0.5, 0.9]
+    spec = {"func": "quantile", "field": "code", "group_by": "service",
+            "quantiles": qs}
+    r = urllib.request.Request(
+        f"http://127.0.0.1:{core.port}/complex",
+        data=json.dumps({
+            "query": "*", "from_ms": EPOCH_MS,
+            "to_ms": EPOCH_MS + SPAN_S * 1000, "size": 0,
+            "with_total": True, "aggs": [spec],
+        }).encode(),
+        headers={"Content-Type": "application/json"},
+    )
+    with urllib.request.urlopen(r, timeout=120) as resp:
+        rows = json.loads(resp.read())["aggs"][0]
+    qkeys = sorted((k for k in rows[0] if k[0] == "q" and k[1:].isdigit()),
+                   key=lambda k: int(k[1:]))
+    http_b = {r["name"]: [r[k] for k in qkeys] for r in rows}
+
+    presp = ch_p.unary(
+        "/seqproxyapi.v1.SeqProxyApi/GetAggregation",
+        {"query": {"query": "*", "from": sp.ms_to_ts(EPOCH_MS),
+                   "to": sp.ms_to_ts(EPOCH_MS + SPAN_S * 1000)},
+         "aggs": [{"func": _FUNC_NUM["quantile"], "field": "code",
+                   "group_by": "service", "quantiles": qs}]},
+        sp.GET_AGGREGATION_REQUEST, sp.GET_AGGREGATION_RESPONSE,
+    )
+    proxy_b = {b.get("key", ""): list(b.get("quantiles", []))
+               for b in presp["aggs"][0]["buckets"]}
+
+    sresp = ch_s.unary(
+        f"{sa.SERVICE}/Search",
+        {"query": "*", "from": EPOCH_MS, "to": EPOCH_MS + SPAN_S * 1000,
+         "size": 0, "with_total": True,
+         "aggs": [{"func": _FUNC_NUM["quantile"], "field": "code",
+                   "group_by": "service", "quantiles": qs}]},
+        sa.SEARCH_REQUEST, sa.SEARCH_RESPONSE,
+    )
+    store_b = {
+        e.get("key", ""): list((e.get("value") or {}).get("samples", []))
+        for e in sresp["aggs"][0]["agg_histogram"]
+    }
+    assert set(http_b) == set(proxy_b) == set(store_b)
+    for name, vec in http_b.items():
+        # None quantiles (NotExists-only buckets): proxy carries NaN,
+        # StoreApi's Histogram zero-codes — each wire's documented shape
+        for i, v in enumerate(vec):
+            p, s = proxy_b[name][i], store_b[name][i]
+            if v is None:
+                assert math.isnan(p) and s == 0.0, (name, i, p, s)
+            else:
+                assert p == float(v) == s, (name, i, v, p, s)
+
+
 # ------------------------------------------------- export drain parity
 
 @st.composite
