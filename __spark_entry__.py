@@ -2588,6 +2588,23 @@ def q_ann_sq_topk(spark, sf_dir):
     return sq_topk(codes, SQ_BOUNDS, PQ_QUERY, k=10)
 
 
+def q_ann_ivfsq_topk(spark, sf_dir):
+    # hash-pinned (r14): IVF cell pruning composed with SQ8 scoring —
+    # the faiss IVF+SQ8 index shape: coarse cosine-argmax cells (the
+    # frozen SEMDEDUP_CENTROIDS, partition-prunable at rest), SQ codes
+    # carried through encode as an extra projection column, then the
+    # dequantized-L2 ADC on the probed cells only. Zero Python
+    # crossings end to end; the oracle replays cell argmax + quantize +
+    # ADC in DuckDB.
+    from seqspark.pipeline.ann import ivf_assign, ivf_sq_topk, sq_encode
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned = ivf_assign(emb, SEMDEDUP_CENTROIDS)
+    codes = sq_encode(assigned, SQ_BOUNDS, extra_cols=("cell",))
+    return ivf_sq_topk(
+        codes, SEMDEDUP_CENTROIDS, SQ_BOUNDS, PQ_QUERY, k=10, nprobe=2)
+
+
 def q_ann_opq_topk(spark, sf_dir):
     # hash-pinned (r13): OPQ — PQ with a learned orthogonal rotation
     # (Ge et al. 2013) aligning the subspace split with the data's
@@ -3983,6 +4000,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_dupes": q_audio_dupes,
         "ann_pq_topk": q_ann_pq_topk,
         "ann_sq_topk": q_ann_sq_topk,
+        "ann_ivfsq_topk": q_ann_ivfsq_topk,
         "ann_opq_topk": q_ann_opq_topk,
         "ann_ivfpq_residual": q_ann_ivfpq_residual,
         "ann_pq_rerank": q_ann_pq_rerank,
@@ -5305,6 +5323,10 @@ def oracle_sql() -> dict[str, str]:
     from seqspark.pipeline.ann import sq_oracle_sql
 
     sql["ann_sq_topk"] = sq_oracle_sql(SQ_BOUNDS, PQ_QUERY, k=10)
+    from seqspark.pipeline.ann import ivf_sq_oracle_sql
+
+    sql["ann_ivfsq_topk"] = ivf_sq_oracle_sql(
+        SEMDEDUP_CENTROIDS, SQ_BOUNDS, PQ_QUERY, k=10, nprobe=2)
     sql["ann_opq_topk"] = pq_oracle_sql(
         OPQ_CODEBOOKS, PQ_QUERY, k=10, rotation=OPQ_ROTATION)
     from seqspark.pipeline.ann import ivf_pq_residual_oracle_sql

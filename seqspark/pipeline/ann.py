@@ -1460,12 +1460,15 @@ def sq_encode(
     bounds: tuple,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    extra_cols: Sequence[str] = (),
 ) -> DataFrame:
     """Encode to SQ8 codes: (id, code array<int>, each 0..255) — pure
     Catalyst (two nested zip_with over literal bound arrays), no Python.
     Quantizer: ``floor((v - min) * inv + 0.5)`` clamped to [0, 255] —
     floor(x + 0.5) on purpose, the one rounding both Spark and DuckDB
-    replay identically. NULL/ragged vectors encode to NULL codes."""
+    replay identically. NULL/ragged vectors encode to NULL codes.
+    ``extra_cols`` (e.g. an IVF ``cell``) project through unchanged —
+    still one shuffle-free projection."""
     mins, invs = bounds
     dim = len(mins)
     mins_lit = F.array(*[F.lit(float(x)) for x in mins])
@@ -1487,7 +1490,8 @@ def sq_encode(
         F.col(vec_col), lambda x: x.isNull()
     )
     return emb.select(
-        F.col(id_col), F.when(ok, q).otherwise(F.lit(None)).alias("code")
+        F.col(id_col), F.when(ok, q).otherwise(F.lit(None)).alias("code"),
+        *[F.col(c) for c in extra_cols]
     )
 
 
@@ -1559,6 +1563,91 @@ def sq_oracle_sql(
     return (
         f"WITH coded AS (SELECT {id_col}, {code} FROM {table} "
         f"WHERE {vec_col} IS NOT NULL) "
+        f"SELECT {id_col}, round({adist}, 6) AS adist FROM coded "
+        f"ORDER BY adist ASC, {id_col} ASC LIMIT {k}"
+    )
+
+
+def ivf_sq_topk(
+    codes_with_cells: DataFrame,
+    centroids: Sequence[Sequence[float]],
+    bounds: tuple,
+    query_vec: Sequence[float],
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    code_col: str = "code",
+    cell_col: str = "cell",
+) -> DataFrame:
+    """IVF cell pruning composed with SQ8 scoring — the faiss IVF+SQ8
+    index shape: probe the ``nprobe`` nearest coarse cells (partition
+    pruning when the code table is written partitioned by cell), then
+    dequantized-L2 score only those codes. Same cosine-argmax cell
+    choice as :func:`ivf_pq_topk`; still zero Python crossings."""
+    qn = math.sqrt(sum(v * v for v in query_vec)) or 1.0
+
+    def cos_py(c: Sequence[float]) -> float:
+        cn = math.sqrt(sum(x * x for x in c)) or 1.0
+        return sum(x * y for x, y in zip(c, query_vec)) / (cn * qn)
+
+    order = sorted(range(len(centroids)), key=lambda i: -cos_py(centroids[i]))
+    cands = codes_with_cells.filter(F.col(cell_col).isin(order[:nprobe]))
+    return sq_topk(cands, bounds, query_vec, k, id_col, code_col)
+
+
+def ivf_sq_oracle_sql(
+    centroids: Sequence[Sequence[float]],
+    bounds: tuple,
+    query_vec: Sequence[float],
+    k: int = 10,
+    nprobe: int = 2,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """DuckDB replay of ivf_assign → :func:`sq_encode` →
+    :func:`ivf_sq_topk` from literal centroids + bounds: cells via
+    first-index cosine argmax (the semantic_dedup standing), the probed
+    cell list computed by the same driver-side cosine ordering, then the
+    SQ quantize/dequantize scoring of :func:`sq_oracle_sql` on the
+    surviving rows."""
+    mins, invs = bounds
+    dim = len(mins)
+    qn = math.sqrt(sum(v * v for v in query_vec)) or 1.0
+
+    def cos_py(c: Sequence[float]) -> float:
+        cn = math.sqrt(sum(x * x for x in c)) or 1.0
+        return sum(x * y for x, y in zip(c, query_vec)) / (cn * qn)
+
+    order = sorted(range(len(centroids)), key=lambda i: -cos_py(centroids[i]))
+    probe = ", ".join(str(c) for c in order[:nprobe])
+
+    def clit(c):
+        return "[" + ",".join(repr(float(x)) for x in c) + "]::DOUBLE[]"
+
+    sims = ", ".join(
+        f"list_cosine_similarity({vec_col}::DOUBLE[], {clit(c)})"
+        for c in centroids
+    )
+    qadj = [round(float(q) - mn, 6) for q, mn in zip(query_vec, mins)]
+    scale = [round(1.0 / inv, 9) for inv in invs]
+    code = ", ".join(
+        f"least(255, greatest(0, floor(({vec_col}[{i + 1}] - "
+        f"({mins[i]!r})::DOUBLE) * ({invs[i]!r})::DOUBLE + 0.5)))"
+        f" AS c{i}"
+        for i in range(dim)
+    )
+    adist = " + ".join(
+        f"(({qadj[i]!r})::DOUBLE - c{i} * ({scale[i]!r})::DOUBLE)"
+        f" * (({qadj[i]!r})::DOUBLE - c{i} * ({scale[i]!r})::DOUBLE)"
+        for i in range(dim)
+    )
+    return (
+        f"WITH cells AS (SELECT {id_col}, {vec_col}, "
+        f"list_position([{sims}], list_max([{sims}])) - 1 AS cell "
+        f"FROM {table} WHERE {vec_col} IS NOT NULL), "
+        f"coded AS (SELECT {id_col}, {code} FROM cells "
+        f"WHERE cell IN ({probe})) "
         f"SELECT {id_col}, round({adist}, 6) AS adist FROM coded "
         f"ORDER BY adist ASC, {id_col} ASC LIMIT {k}"
     )

@@ -392,3 +392,28 @@ class TestScalarQuantization:
         got = ann.sq_topk(ann.sq_encode(emb, bounds), bounds,
                           [0.5, 2.0], k=10).collect()
         assert [r["vec_id"] for r in got] == [1, 2]  # NULLs filtered
+
+
+def test_ivf_sq_compose_and_prune(spark, rot_emb):
+    """r14: IVF + SQ8 (the faiss IVF-SQ8 shape) — probed-cells-only SQ
+    scoring equals plain sq_topk restricted to those cells, and recall
+    rises with nprobe toward the full-scan SQ result."""
+    rows, emb = rot_emb
+    q = [float(v) for v in rows[11][1]]
+    bounds = ann.sq_train(emb, sample=160, sample_order="id")
+    cents = ann.ivf_train(emb, k=4, iters=4, sample_order="id")
+    assigned = ann.ivf_assign(emb, cents)
+    codes = ann.sq_encode(assigned, bounds, extra_cols=("cell",))
+    full = [r["vec_id"] for r in ann.sq_topk(
+        codes, bounds, q, k=10).collect()]
+    rec = {}
+    for nprobe in (1, 2, 4):
+        ids = [r["vec_id"] for r in ann.ivf_sq_topk(
+            codes, cents, bounds, q, k=10, nprobe=nprobe).collect()]
+        rec[nprobe] = len(set(ids) & set(full)) / 10
+    assert rec[4] == 1.0  # all cells probed == full-scan SQ
+    assert rec[1] <= rec[2] <= rec[4]
+    # plan stays pure-JVM with the cell filter visible
+    p = ann.ivf_sq_topk(codes, cents, bounds, q, k=5, nprobe=2)\
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in p and "TakeOrderedAndProject" in p
