@@ -3242,43 +3242,76 @@ def _f80_to_float(b: bytes) -> float:
     return sign * mant * 2.0 ** (exp - 16383 - 63)
 
 
+#: AIFF-C compression types the stdlib path decodes (r14): NONE = plain
+#: big-endian PCM, sowt = byte-swapped (little-endian) 16-bit PCM (the
+#: Mac-origin default), fl32/fl64 = big-endian IEEE float
+_AIFC_COMPS = (b"NONE", b"sowt", b"fl32", b"FL32", b"fl64", b"FL64")
+
+
 def _aiff_parse(b: bytes):
-    """(rate, nch, sample_width_bytes, n_frames, ssnd_payload) or None."""
-    if len(b) < 12 or b[:4] != b"FORM" or b[8:12] != b"AIFF":
+    """(rate, nch, sample_width_bytes, n_frames, ssnd_payload, comp) or
+    None. ``comp`` is the AIFF-C compression fourcc (b"NONE" for plain
+    AIFF)."""
+    if len(b) < 12 or b[:4] != b"FORM" or b[8:12] not in (b"AIFF", b"AIFC"):
         return None
+    aifc = b[8:12] == b"AIFC"
     comm = ssnd = None
+    comp = b"NONE"
     for fourcc, start, size in _iff_chunks(b, 12, len(b)):
         if fourcc == b"COMM" and size >= 18:
             comm = b[start : start + 18]
+            if aifc and size >= 22:
+                comp = b[start + 18 : start + 22]
         elif fourcc == b"SSND" and size >= 8:
             (off, _blk) = struct.unpack(">II", b[start : start + 8])
             ssnd = b[start + 8 + off : start + size]
-    if comm is None or ssnd is None:
+    if comm is None or ssnd is None or comp not in _AIFC_COMPS:
         return None
     nch, nframes, bits = struct.unpack(">HIH", comm[:8])
     rate = _f80_to_float(comm[8:18])
-    if nch <= 0 or rate <= 0 or bits not in (8, 16, 24, 32):
+    if nch <= 0 or rate <= 0 or bits not in (8, 16, 24, 32, 64):
         return None
-    return int(round(rate)), nch, bits // 8, nframes, ssnd
+    if comp == b"NONE" and bits == 64:
+        return None
+    if comp == b"sowt" and bits != 16:
+        return None
+    if comp in (b"fl32", b"FL32") and bits != 32:
+        return None
+    if comp in (b"fl64", b"FL64") and bits != 64:
+        return None
+    return int(round(rate)), nch, bits // 8, nframes, ssnd, comp
 
 
 def _aiff_meta(b: bytes) -> Optional[tuple[int, int, int]]:
     p = _aiff_parse(b)
     if p is None:
         return None
-    _rate, nch, sw, nframes, _d = p
+    _rate, nch, sw, nframes, _d, _comp = p
     return nch, sw * 8, nframes
 
 
 def _aiff_pcm(b: bytes):
-    """AIFF: big-endian signed PCM (8/16/24/32-bit)."""
+    """AIFF: big-endian signed PCM (8/16/24/32-bit); AIFF-C (r14):
+    sowt (little-endian 16-bit) and fl32/fl64 (big-endian float)."""
     import numpy as np
 
     p = _aiff_parse(b)
     if p is None:
         return None
-    rate, nch, sw, _nf, raw = p
+    rate, nch, sw, _nf, raw, comp = p
     raw = raw[: (len(raw) // sw) * sw]
+    if comp == b"sowt":
+        x = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
+        n = (len(x) // nch) * nch
+        return rate, nch, x[:n].reshape(-1, nch).mean(axis=1)
+    if comp in (b"fl32", b"FL32"):
+        x = np.frombuffer(raw, dtype=">f4").astype(np.float64)
+        n = (len(x) // nch) * nch
+        return rate, nch, x[:n].reshape(-1, nch).mean(axis=1)
+    if comp in (b"fl64", b"FL64"):
+        x = np.frombuffer(raw, dtype=">f8").copy()
+        n = (len(x) // nch) * nch
+        return rate, nch, x[:n].reshape(-1, nch).mean(axis=1)
     if sw == 1:
         x = np.frombuffer(raw, dtype=np.int8).astype(np.float64) / 128.0
     elif sw == 2:
@@ -3332,7 +3365,7 @@ def _au_meta(b: bytes) -> Optional[tuple[int, int, int]]:
     if p is None:
         return None
     _rate, nch, enc, raw = p
-    widths = {1: 1, 2: 1, 3: 2, 4: 3, 5: 4}
+    widths = {1: 1, 2: 1, 3: 2, 4: 3, 5: 4, 6: 4, 7: 8}
     if enc not in widths:
         return None
     sw = widths[enc]
@@ -3340,7 +3373,8 @@ def _au_meta(b: bytes) -> Optional[tuple[int, int, int]]:
 
 
 def _au_pcm(b: bytes):
-    """AU/.snd: mu-law (enc 1) and big-endian linear PCM (enc 2-5)."""
+    """AU/.snd: mu-law (enc 1), big-endian linear PCM (enc 2-5) and
+    big-endian IEEE float (enc 6-7, r14)."""
     import numpy as np
 
     p = _au_parse(b)
@@ -3368,6 +3402,11 @@ def _au_pcm(b: bytes):
     elif enc == 5:
         x = np.frombuffer(raw[: (len(raw) // 4) * 4], dtype=">i4").astype(
             np.float64) / 2147483648.0
+    elif enc == 6:  # r14: IEEE float32, big-endian
+        x = np.frombuffer(
+            raw[: (len(raw) // 4) * 4], dtype=">f4").astype(np.float64)
+    elif enc == 7:  # r14: IEEE float64, big-endian
+        x = np.frombuffer(raw[: (len(raw) // 8) * 8], dtype=">f8").copy()
     else:
         return None
     n = (len(x) // nch) * nch
@@ -4081,12 +4120,12 @@ def _audio_meta_of(b: bytes):
         return container, rate, nch, nf
     p = _aiff_parse(b)
     if p is not None:
-        rate, nch, _sw, nf, _d = p
-        return "aiff", int(rate), nch, nf
+        rate, nch, _sw, nf, _d, comp = p
+        return ("aiff" if comp == b"NONE" else "aifc"), int(rate), nch, nf
     p = _au_parse(b)
     if p is not None:
         rate, nch, enc, raw = p
-        widths = {1: 1, 2: 1, 3: 2, 4: 3, 5: 4}
+        widths = {1: 1, 2: 1, 3: 2, 4: 3, 5: 4, 6: 4, 7: 8}
         if enc in widths:
             sw = widths[enc]
             return "au", rate, nch, len(raw) // (sw * nch)

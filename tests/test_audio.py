@@ -711,3 +711,74 @@ class TestWavFloatExtensible:
                 _wav_ext_meta(prefix + payload)
 
         run()
+
+
+def make_aifc(x, rate=8000, comp=b"sowt", nch=1):
+    import struct
+
+    if comp == b"sowt":
+        pcm = (np.clip(x, -1, 1) * 32767).astype("<i2").tobytes()
+        bits = 16
+    elif comp in (b"fl32", b"FL32"):
+        pcm = np.asarray(x, dtype=">f4").tobytes()
+        bits = 32
+    else:
+        pcm = np.asarray(x, dtype=">f8").tobytes()
+        bits = 64
+    nf = len(x) // nch
+    comm = (struct.pack(">HIH", nch, nf, bits) + _f80(rate)
+            + comp + b"\x00")  # pstring name (empty)
+    ssnd = struct.pack(">II", 0, 0) + pcm
+
+    def chunk(cc, p):
+        return cc + struct.pack(">I", len(p)) + p + (
+            b"\0" if len(p) & 1 else b"")
+
+    body = b"AIFC" + chunk(b"COMM", comm) + chunk(b"SSND", ssnd)
+    return b"FORM" + struct.pack(">I", len(body)) + body
+
+
+class TestAifcAndAuFloat:
+    """r14: AIFF-C (sowt little-endian PCM, fl32/fl64 float — the
+    Mac-origin containers) and AU float encodings 6/7."""
+
+    def test_aifc_sowt_and_float(self):
+        from seqspark.pipeline.multimodal import (
+            _aiff_pcm, _audio_meta_of, _real_decode)
+
+        t = np.arange(1000) / 8000.0
+        x = 0.5 * np.sin(2 * np.pi * 440 * t)
+        sw = _aiff_pcm(make_aifc(x, comp=b"sowt"))
+        assert sw is not None and np.abs(sw[2] - x).max() < 1e-3
+        f32 = _aiff_pcm(make_aifc(x, comp=b"fl32"))
+        assert np.abs(f32[2] - x).max() < 1e-7
+        f64 = _aiff_pcm(make_aifc(x, comp=b"fl64"))
+        assert np.abs(f64[2] - x).max() < 1e-12
+        assert _audio_meta_of(make_aifc(x, comp=b"fl32")) == (
+            "aifc", 8000, 1, 1000)
+        assert _real_decode("audio", make_aifc(x, comp=b"fl64")) == (
+            1, 64, 1000)
+        # unknown compression (e.g. 'ima4') is an honest None, not junk
+        bad = make_aifc(x, comp=b"fl32").replace(b"fl32", b"ima4")
+        from seqspark.pipeline.multimodal import _aiff_parse
+
+        assert _aiff_parse(bad) is None
+
+    def test_au_float_encodings(self):
+        import struct
+
+        from seqspark.pipeline.multimodal import (
+            _au_meta, _au_pcm, _audio_meta_of)
+
+        t = np.arange(500) / 8000.0
+        x = 0.25 * np.sin(2 * np.pi * 300 * t)
+        for enc, dt, tol in ((6, ">f4", 1e-7), (7, ">f8", 1e-12)):
+            payload = np.asarray(x, dtype=dt).tobytes()
+            au = (b".snd" + struct.pack(">IIIII", 24, len(payload), enc,
+                                        8000, 1) + payload)
+            rate, nch, got = _au_pcm(au)
+            assert (rate, nch) == (8000, 1)
+            assert np.abs(got - x).max() < tol
+            sw = 4 if enc == 6 else 8
+            assert _au_meta(au) == (1, sw * 8, 500)
+            assert _audio_meta_of(au) == ("au", 8000, 1, 500)
