@@ -3655,6 +3655,28 @@ def _ogg_pages(b: bytes):
         pos = end
 
 
+def _ogg_page_at(b: bytes, pos: int):
+    """Parse + CRC-verify the single page at ``pos``; returns
+    (header_type, granule, serial) or None."""
+    n = len(b)
+    if pos + 27 > n or b[pos:pos + 4] != b"OggS" or b[pos + 4] != 0:
+        return None
+    nseg = b[pos + 26]
+    seg_end = pos + 27 + nseg
+    if seg_end > n:
+        return None
+    end = seg_end + sum(b[pos + 27:seg_end])
+    if end > n:
+        return None
+    crc = struct.unpack_from("<I", b, pos + 22)[0]
+    page = bytearray(b[pos:end])
+    page[22:26] = b"\x00\x00\x00\x00"
+    if _ogg_crc(bytes(page)) != crc:
+        return None
+    return (b[pos + 5], struct.unpack_from("<q", b, pos + 6)[0],
+            struct.unpack_from("<I", b, pos + 14)[0])
+
+
 def _ogg_meta(b: bytes):
     """``(container, rate, nch, n_samples, pre_skip)`` for an Ogg stream
     carrying Vorbis or Opus — or None. The FIRST audio BOS stream wins
@@ -3663,7 +3685,15 @@ def _ogg_meta(b: bytes):
     last non-(-1) granule. Opus: channels and pre-skip from ``OpusHead``;
     the granule clock is ALWAYS 48 kHz regardless of the input rate, and
     pre-skip samples are decoder priming, subtracted from the playable
-    count (RFC 7845 §4-5)."""
+    count (RFC 7845 §4-5).
+
+    Cost is header-tier by construction, like the MP3 walk: the forward
+    page walk stops once the BOS section ends (BOS pages come first,
+    RFC 3533 §6), and the duration granule comes from a BACKWARD scan —
+    the last CRC-valid page of the audio serial — exactly how
+    opusfile/liboggz seek-to-end for duration. The page CRC (a Python
+    byte loop, ~6 MB/s) therefore runs over the head and tail pages
+    only, never the asset body."""
     b = b or b""
     if b[:4] != b"OggS":
         return None
@@ -3672,7 +3702,9 @@ def _ogg_meta(b: bytes):
     pre_skip = 0
     last_granule = None
     for htype, granule, serial, payload in _ogg_pages(b):
-        if audio_serial is None and htype & 0x02:  # BOS
+        if htype & 0x02:  # BOS
+            if audio_serial is not None:
+                continue
             if payload[:7] == b"\x01vorbis" and len(payload) >= 30:
                 nch = payload[11]
                 rate = struct.unpack_from("<I", payload, 12)[0]
@@ -3688,10 +3720,26 @@ def _ogg_meta(b: bytes):
                 # original input rate was
                 container, audio_serial, rate = "ogg-opus", serial, 48000
             continue
+        # first non-BOS page: the BOS section is over — record its
+        # granule as the floor and leave the rest to the tail scan
         if serial == audio_serial and granule != -1:
             last_granule = granule
+        break
     if audio_serial is None:
         return None
+    pos = len(b)
+    while True:
+        pos = b.rfind(b"OggS", 0, pos)
+        if pos < 0:
+            break
+        page = _ogg_page_at(b, pos)
+        if page is not None:
+            _ht, granule, serial = page
+            if serial == audio_serial and granule != -1:
+                last_granule = granule
+                break
+        if pos == 0:
+            break
     samples = max(0, (last_granule or 0) - pre_skip)
     return container, rate, nch, samples, pre_skip
 
@@ -3708,6 +3756,8 @@ def _ogg_page(htype: int, granule: int, serial: int, seq: int,
         i += 255
         if len(seg) < 255:
             break
+    if len(segs) > 255:
+        raise ValueError("payload exceeds one page (255 lacing segments)")
     head = (b"OggS\x00" + bytes((htype,))
             + struct.pack("<qII", granule, serial, seq)
             + b"\x00\x00\x00\x00" + bytes((len(segs),)) + bytes(segs))

@@ -782,3 +782,26 @@ class TestAifcAndAuFloat:
             sw = 4 if enc == 6 else 8
             assert _au_meta(au) == (1, sw * 8, 500)
             assert _audio_meta_of(au) == ("au", 8000, 1, 500)
+
+
+def test_ogg_meta_cost_is_header_tier():
+    """r14: duration comes from a BACKWARD scan to the last CRC-valid
+    page (the opusfile seek-to-end idiom) — the Python-loop page CRC
+    never runs over the asset body, so a multi-MB file costs head+tail
+    pages only, and fake OggS captures inside payloads are rejected by
+    CRC during the tail scan."""
+    import time
+
+    from seqspark.pipeline import multimodal as mm
+
+    head = mm._ogg_encode_meta("opus", 48000, 2, [960])
+    body = b"".join(
+        mm._ogg_page(0, 777, 0x7EEF, i + 50, bytes(60000))
+        for i in range(85))  # ~5 MB of a foreign serial
+    tail = mm._ogg_page(0x04, 480000, 0x5E01, 999, b"\x00" * 40)
+    blob = head + body + tail + b"OggS" + b"\x00" * 30  # trailing junk
+    t0 = time.perf_counter()
+    m = mm._ogg_meta(blob)
+    dt = time.perf_counter() - t0
+    assert m == ("ogg-opus", 48000, 2, 480000, 0), m
+    assert dt < 0.25, dt  # full-body CRC would cost ~1 s at ~6 MB/s
