@@ -675,54 +675,19 @@ def sample_frames(
 _PNG_MAX_PIXELS = 64_000_000
 
 
-def _png_decode_pixels(
-    b: bytes,
-) -> Optional[tuple[int, int, int, bytearray]]:
-    """Decode an 8-bit RGB/RGBA non-interlaced PNG to raw pixels with the
-    stdlib only (zlib inflate + scanline unfilter per the PNG spec's five
-    filter types). Returns (w, h, channels, pixels) or None when the image
-    is outside the supported subset. Bomb-safe: dimensions are capped
-    BEFORE any allocation and the inflate is bounded to the expected
-    raster size, so a tiny adversarial IDAT cannot exhaust executor
-    memory."""
-    if not b.startswith(_PNG_SIG):
-        return None
-    ihdr = None
-    idat = bytearray()
-    for ctype, payload in _png_chunks(b):
-        if ctype == b"IHDR":
-            ihdr = payload
-        elif ctype == b"IDAT":
-            idat.extend(payload)
-        elif ctype == b"IEND":
-            break
-    if ihdr is None or len(ihdr) < 13:
-        return None
-    w, h, depth, color, _comp, _filt, interlace = struct.unpack(">IIBBBBB", ihdr[:13])
-    if depth != 8 or color not in (2, 6) or interlace != 0 or not (w and h):
-        return None
-    if w * h > _PNG_MAX_PIXELS:
-        return None
-    ch = 3 if color == 2 else 4
-    stride = w * ch
-    expected = h * (stride + 1)
-    try:
-        # bounded inflate: never produce more than the raster needs
-        raw = zlib.decompressobj().decompress(bytes(idat), expected)
-    except zlib.error:
-        return None
-    if len(raw) < expected:
-        return None
-    # unfilter: None/Sub/Up rows vectorize (copy / per-channel cumsum
-    # mod 256 / row add); Average and Paeth carry a left-neighbor
-    # dependency through a floor-div / argmin nonlinearity, so those
-    # rows stay on the sequential byte loop (r12b — mixed-filter 640x480
-    # went 1.4 -> ~4 MPix/s with typical encoder filter mixes)
+def _png_unfilter(raw: bytes, pos: int, h: int, stride: int, bpp: int):
+    """Unfilter ``h`` scanlines of ``stride`` bytes starting at ``pos``
+    (PNG spec filters 0-4; ``bpp`` is the filter's byte distance,
+    max(1, bits_per_pixel // 8)). None/Sub/Up rows vectorize (copy /
+    per-channel cumsum mod 256 / row add); Average and Paeth carry a
+    left-neighbor dependency through a floor-div / argmin nonlinearity,
+    so those rows stay on the sequential byte loop (r12b — mixed-filter
+    640x480 went 1.4 -> ~4 MPix/s with typical encoder filter mixes).
+    Returns (bytes, new_pos) or (None, pos) on a bad filter byte."""
     import numpy as np
 
     out = bytearray(h * stride)
     prev = bytearray(stride)
-    pos = 0
     for y in range(h):
         ft = raw[pos]
         pos += 1
@@ -734,7 +699,7 @@ def _png_decode_pixels(
                     raw[pos : pos + stride], dtype=np.uint8
                 ).astype(np.int64)
                 line_np = (
-                    np.cumsum(line_np.reshape(-1, ch), axis=0) & 0xFF
+                    np.cumsum(line_np.reshape(-1, bpp), axis=0) & 0xFF
                 ).reshape(-1)
                 line = bytearray(line_np.astype(np.uint8).tobytes())
             else:  # Up
@@ -752,20 +717,20 @@ def _png_decode_pixels(
         pos += stride
         if ft == 3:  # Average
             pv = prev
-            for i in range(ch):
+            for i in range(bpp):
                 line[i] = (line[i] + (pv[i] >> 1)) & 0xFF
-            for i in range(ch, stride):
-                line[i] = (line[i] + ((line[i - ch] + pv[i]) >> 1)) & 0xFF
+            for i in range(bpp, stride):
+                line[i] = (line[i] + ((line[i - bpp] + pv[i]) >> 1)) & 0xFF
         elif ft == 4:  # Paeth
             # pa = |up-c| is left-independent: precompute it (and up/c)
             # per row; the loop carries only the a-dependent terms
             pv = prev
-            for i in range(ch):  # c = a = 0: predictor is up
+            for i in range(bpp):  # c = a = 0: predictor is up
                 line[i] = (line[i] + pv[i]) & 0xFF
-            for i in range(ch, stride):
-                a = line[i - ch]
+            for i in range(bpp, stride):
+                a = line[i - bpp]
                 up = pv[i]
-                c = pv[i - ch]
+                c = pv[i - bpp]
                 d1 = up - c
                 d2 = a - c
                 pa = d1 if d1 >= 0 else -d1
@@ -777,10 +742,142 @@ def _png_decode_pixels(
                     + (a if pa <= pb and pa <= pc else (up if pb <= pc else c))
                 ) & 0xFF
         else:
-            return None
+            return None, pos
         out[y * stride : (y + 1) * stride] = line
         prev = line
-    return int(w), int(h), ch, out
+    return bytes(out), pos
+
+
+def _png_rows_to_samples(sub: bytes, pw: int, ph: int, depth: int,
+                         nsamp: int, palette_indices: bool):
+    """Unfiltered scanline bytes -> (ph, pw, nsamp) uint8 sample grid.
+    depth 16 presents the high byte (the spec's 16->8 presentation);
+    sub-byte depths (1/2/4, gray or palette) unpack MSB-first and gray
+    values scale to full range; palette indices stay raw."""
+    import numpy as np
+
+    stride = (pw * depth * nsamp + 7) // 8
+    a = np.frombuffer(sub, dtype=np.uint8).reshape(ph, stride)
+    if depth == 8:
+        return a[:, : pw * nsamp].reshape(ph, pw, nsamp)
+    if depth == 16:
+        return a[:, : pw * nsamp * 2 : 2].reshape(ph, pw, nsamp)
+    bits = np.unpackbits(a, axis=1)[:, : pw * depth].reshape(ph, pw, depth)
+    weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint16)
+    vals = (bits.astype(np.uint16) * weights).sum(axis=2)
+    if not palette_indices:
+        vals = vals * (255 // ((1 << depth) - 1))
+    return vals.astype(np.uint8)[:, :, None]
+
+
+#: Adam7 pass grid: (x0, y0, dx, dy) per pass
+_ADAM7 = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+
+
+def _png_decode_pixels(
+    b: bytes,
+) -> Optional[tuple[int, int, int, bytearray]]:
+    """Decode a PNG to raw pixels with the stdlib only (zlib inflate +
+    scanline unfilter per the PNG spec's five filter types). r14: ALL
+    spec color types and depths — gray (0), RGB (2), palette (3, PLTE
+    + tRNS alpha), gray+alpha (4), RGBA (6); bit depths 1/2/4/8/16 (16
+    presents the high byte); Adam7 interlace. Gray expands to RGB and
+    gray+alpha to RGBA so perceptual kernels always see 3/4 channels.
+    Returns (w, h, channels, pixels) or None when malformed. Bomb-safe:
+    dimensions are capped BEFORE any allocation and the inflate is
+    bounded to the expected raster size, so a tiny adversarial IDAT
+    cannot exhaust executor memory."""
+    import numpy as np
+
+    if not b.startswith(_PNG_SIG):
+        return None
+    ihdr = plte = trns = None
+    idat = bytearray()
+    for ctype, payload in _png_chunks(b):
+        if ctype == b"IHDR":
+            ihdr = payload
+        elif ctype == b"PLTE":
+            plte = payload
+        elif ctype == b"tRNS":
+            trns = payload
+        elif ctype == b"IDAT":
+            idat.extend(payload)
+        elif ctype == b"IEND":
+            break
+    if ihdr is None or len(ihdr) < 13:
+        return None
+    w, h, depth, color, comp, filt, interlace = struct.unpack(
+        ">IIBBBBB", ihdr[:13])
+    valid_depths = {0: (1, 2, 4, 8, 16), 2: (8, 16), 3: (1, 2, 4, 8),
+                    4: (8, 16), 6: (8, 16)}
+    if (
+        color not in valid_depths or depth not in valid_depths[color]
+        or comp != 0 or filt != 0 or interlace not in (0, 1)
+        or not (w and h)
+    ):
+        return None
+    if w * h > _PNG_MAX_PIXELS:
+        return None
+    if color == 3 and (plte is None or len(plte) < 3):
+        return None
+    nsamp = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color]
+    bits_pp = depth * nsamp
+    bpp = max(1, bits_pp // 8)
+    passes = ((0, 0, 1, 1),) if interlace == 0 else _ADAM7
+    dims = []
+    expected = 0
+    for x0, y0, dx, dy in passes:
+        pw = (w - x0 + dx - 1) // dx if w > x0 else 0
+        ph = (h - y0 + dy - 1) // dy if h > y0 else 0
+        dims.append((pw, ph))
+        if pw > 0 and ph > 0:
+            expected += ph * ((pw * bits_pp + 7) // 8 + 1)
+    try:
+        # bounded inflate: never produce more than the raster needs
+        raw = zlib.decompressobj().decompress(bytes(idat), expected)
+    except zlib.error:
+        return None
+    if len(raw) < expected:
+        return None
+    samples = np.zeros((h, w, nsamp), dtype=np.uint8)
+    pos = 0
+    for (x0, y0, dx, dy), (pw, ph) in zip(passes, dims):
+        if pw <= 0 or ph <= 0:
+            continue
+        stride = (pw * bits_pp + 7) // 8
+        sub, pos = _png_unfilter(raw, pos, ph, stride, bpp)
+        if sub is None:
+            return None
+        samples[y0::dy, x0::dx, :] = _png_rows_to_samples(
+            sub, pw, ph, depth, nsamp, color == 3)
+    if color == 2:
+        return int(w), int(h), 3, bytearray(samples.tobytes())
+    if color == 6:
+        return int(w), int(h), 4, bytearray(samples.tobytes())
+    if color == 0:
+        return int(w), int(h), 3, bytearray(
+            np.repeat(samples, 3, axis=2).tobytes())
+    if color == 4:
+        out = np.empty((h, w, 4), dtype=np.uint8)
+        out[:, :, 0:3] = samples[:, :, 0:1]
+        out[:, :, 3] = samples[:, :, 1]
+        return int(w), int(h), 4, bytearray(out.tobytes())
+    # color 3: palette lookup; tRNS adds per-index alpha (RGBA)
+    n_entries = len(plte) // 3
+    idx = samples[:, :, 0]
+    if int(idx.max()) >= n_entries:
+        return None
+    pal = np.frombuffer(plte[: n_entries * 3], dtype=np.uint8).reshape(
+        n_entries, 3)
+    rgb = pal[idx]
+    if trns is None:
+        return int(w), int(h), 3, bytearray(rgb.tobytes())
+    alpha_tab = np.full(n_entries, 255, dtype=np.uint8)
+    t = np.frombuffer(trns[:n_entries], dtype=np.uint8)
+    alpha_tab[: len(t)] = t
+    out = np.concatenate([rgb, alpha_tab[idx][:, :, None]], axis=2)
+    return int(w), int(h), 4, bytearray(out.tobytes())
 
 
 def _png_encode(w: int, h: int, ch: int, pixels: bytearray) -> bytes:
@@ -1992,9 +2089,10 @@ def _resize_kernel(
     resized = _stdlib_png_resize(b, width, height, method=method)
     if resized is None:
         raise NotImplementedError(
-            "stdlib resize supports 8-bit RGB/RGBA non-interlaced PNG, "
-            "JPEG, uncompressed BMP, uncompressed/PackBits TIFF, or the "
-            "first frame of GIF/APNG/Y4M/MJPEG, only"
+            "stdlib resize supports PNG (all color types/depths/"
+            "interlace), JPEG, uncompressed BMP, "
+            "none/LZW/Deflate/PackBits TIFF, or the first frame of "
+            "GIF/APNG/Y4M/MJPEG, only"
         )
     return resized
 
@@ -2073,7 +2171,7 @@ def resize_images(
     the source bytes + target size, so schema/partitioning/batch shape are
     testable without Pillow; the default (``fake=False``) decodes and re-encodes PNG
     through Pillow when installed, else through the stdlib PNG codec
-    (8-bit RGB/RGBA non-interlaced; other formats raise).
+    (r14: all spec color types/depths/interlace; other formats raise).
 
     Non-image rows follow ``on_other``: ``"drop"`` removes them (the
     historical behavior), ``"keep"`` passes them through with the original

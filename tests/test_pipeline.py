@@ -3447,3 +3447,169 @@ def test_tiff_pixel_roundtrip_fuzz():
         _tiff_decode_pixels(enc[:cut])
 
     run()
+
+
+def _png_encode_full(arr, color, depth, palette=None, trns=None,
+                     interlace=0):
+    """Test-side PNG writer covering every spec shape the r14 decoder
+    accepts: color types 0/2/3/4/6, depths 1-16, Adam7. ``arr`` is a
+    numpy (h, w, nsamp) array — uint8 (depth<=8; palette indices for
+    color 3) or uint16 (depth 16)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    h, w, nsamp = arr.shape
+    passes = (((0, 0, 1, 1),) if interlace == 0 else
+              ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+               (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2)))
+    raw = bytearray()
+    for x0, y0, dx, dy in passes:
+        sub = arr[y0::dy, x0::dx, :]
+        ph, pw = sub.shape[:2]
+        if ph == 0 or pw == 0:
+            continue
+        for y in range(ph):
+            raw.append(0)  # filter None
+            row = sub[y]
+            if depth == 16:
+                raw.extend(row.astype(">u2").tobytes())
+            elif depth == 8:
+                raw.extend(row.astype(np.uint8).tobytes())
+            else:  # sub-byte: MSB-first packing
+                vals = row[:, 0].astype(np.uint8)
+                bits = ((vals[:, None] >> np.arange(depth - 1, -1, -1))
+                        & 1).astype(np.uint8).reshape(-1)
+                raw.extend(np.packbits(bits).tobytes())
+
+    def chunk(ctype, payload):
+        return (struct.pack(">I", len(payload)) + ctype + payload
+                + struct.pack(">I", zlib.crc32(ctype + payload)
+                              & 0xFFFFFFFF))
+
+    out = bytearray(b"\x89PNG\r\n\x1a\n")
+    out += chunk(b"IHDR", struct.pack(
+        ">IIBBBBB", w, h, depth, color, 0, 0, interlace))
+    if palette is not None:
+        out += chunk(b"PLTE", bytes(palette))
+    if trns is not None:
+        out += chunk(b"tRNS", bytes(trns))
+    out += chunk(b"IDAT", zlib.compress(bytes(raw)))
+    out += chunk(b"IEND", b"")
+    return bytes(out)
+
+
+def test_png_full_color_types_and_depths():
+    """r14: the stdlib PNG decoder covers every spec color type and
+    depth — gray 1/2/4/8/16 (scaled + RGB-expanded), palette 1/2/4/8
+    (PLTE + tRNS alpha), gray+alpha, RGB/RGBA 16-bit (high-byte
+    presentation) — and round-trips this test's own spec-shaped
+    writer."""
+    import numpy as np
+
+    from seqspark.pipeline.multimodal import _png_decode_pixels
+
+    rng = np.random.default_rng(14)
+    w, h = 13, 9
+    # gray, all depths
+    for depth in (1, 2, 4, 8):
+        mx = (1 << depth) - 1
+        g = rng.integers(0, mx + 1, (h, w, 1)).astype(np.uint8)
+        out = _png_decode_pixels(_png_encode_full(g, 0, depth))
+        assert out is not None and out[:3] == (w, h, 3)
+        want = np.repeat(g * (255 // mx), 3, axis=2)
+        assert bytes(out[3]) == want.tobytes(), depth
+    # gray 16: high byte presents
+    g16 = rng.integers(0, 65536, (h, w, 1)).astype(np.uint16)
+    out = _png_decode_pixels(_png_encode_full(g16, 0, 16))
+    want = np.repeat((g16 >> 8).astype(np.uint8), 3, axis=2)
+    assert bytes(out[3]) == want.tobytes()
+    # RGB/RGBA 16-bit
+    for color, ns in ((2, 3), (6, 4)):
+        a16 = rng.integers(0, 65536, (h, w, ns)).astype(np.uint16)
+        out = _png_decode_pixels(_png_encode_full(a16, color, 16))
+        assert out[:3] == (w, h, ns)
+        assert bytes(out[3]) == (a16 >> 8).astype(np.uint8).tobytes()
+    # gray+alpha
+    ga = rng.integers(0, 256, (h, w, 2)).astype(np.uint8)
+    out = _png_decode_pixels(_png_encode_full(ga, 4, 8))
+    assert out[:3] == (w, h, 4)
+    px = np.frombuffer(bytes(out[3]), np.uint8).reshape(h, w, 4)
+    assert (px[:, :, 0] == ga[:, :, 0]).all() and (
+        px[:, :, 3] == ga[:, :, 1]).all()
+    # palette at every depth, with and without tRNS
+    for depth in (1, 2, 4, 8):
+        n = 1 << depth
+        pal = rng.integers(0, 256, n * 3).astype(np.uint8)
+        idx = rng.integers(0, n, (h, w, 1)).astype(np.uint8)
+        out = _png_decode_pixels(_png_encode_full(idx, 3, depth, palette=pal))
+        assert out[:3] == (w, h, 3)
+        want = pal.reshape(n, 3)[idx[:, :, 0]]
+        assert bytes(out[3]) == want.tobytes(), depth
+        tr = rng.integers(0, 256, max(1, n // 2)).astype(np.uint8)
+        out = _png_decode_pixels(_png_encode_full(
+            idx, 3, depth, palette=pal, trns=tr))
+        assert out[2] == 4
+        alpha = np.full(n, 255, np.uint8)
+        alpha[: len(tr)] = tr
+        px = np.frombuffer(bytes(out[3]), np.uint8).reshape(h, w, 4)
+        assert (px[:, :, 3] == alpha[idx[:, :, 0]]).all(), depth
+    # out-of-range palette index is malformed, never a crash
+    pal3 = np.array([10, 20, 30, 40, 50, 60], np.uint8)  # 2 entries
+    bad = rng.integers(3, 4, (h, w, 1)).astype(np.uint8)
+    assert _png_decode_pixels(_png_encode_full(bad, 3, 8, palette=pal3)) is None
+
+
+def test_png_adam7_interlace():
+    """Adam7 round-trips to the same pixels as the sequential layout,
+    for every color type incl. sub-byte palettes and dimensions that
+    exercise empty/partial passes."""
+    import numpy as np
+
+    from seqspark.pipeline.multimodal import _png_decode_pixels
+
+    rng = np.random.default_rng(7)
+    for w, h in ((1, 1), (3, 2), (8, 8), (13, 9), (21, 5)):
+        rgb = rng.integers(0, 256, (h, w, 3)).astype(np.uint8)
+        seq = _png_decode_pixels(_png_encode_full(rgb, 2, 8))
+        lace = _png_decode_pixels(_png_encode_full(rgb, 2, 8, interlace=1))
+        assert lace is not None and bytes(lace[3]) == bytes(seq[3]), (w, h)
+    idx = rng.integers(0, 4, (9, 13, 1)).astype(np.uint8)
+    pal = rng.integers(0, 256, 12).astype(np.uint8)
+    seq = _png_decode_pixels(_png_encode_full(idx, 3, 2, palette=pal))
+    lace = _png_decode_pixels(_png_encode_full(
+        idx, 3, 2, palette=pal, interlace=1))
+    assert bytes(lace[3]) == bytes(seq[3])
+
+
+def test_png_decodes_real_world_corpus():
+    """Every PNG shipped with this OS image (libpng-era encoders:
+    palettes, grayscale, interlace) must decode with correct
+    dimensions — an independent-encoder validation set. Skips quietly
+    in containers without /usr/share PNGs."""
+    import glob
+    import struct
+
+    import pytest as _pytest
+
+    from seqspark.pipeline.multimodal import (
+        _PNG_SIG, _png_chunks, _png_decode_pixels)
+
+    files = glob.glob("/usr/share/**/*.png", recursive=True)[:200]
+    if not files:
+        _pytest.skip("no system PNGs in this container")
+    decoded = 0
+    for f in files:
+        b = open(f, "rb").read()
+        if not b.startswith(_PNG_SIG):
+            continue
+        for ct, p in _png_chunks(b):
+            if ct == b"IHDR":
+                w, h = struct.unpack(">II", p[:8])
+                break
+        out = _png_decode_pixels(b)
+        assert out is not None, f
+        assert (out[0], out[1]) == (w, h) and len(out[3]) == w * h * out[2], f
+        decoded += 1
+    assert decoded > 0
