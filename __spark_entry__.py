@@ -1701,17 +1701,17 @@ MULTIMODAL_TIFF_PX_EXPECTED = [
     (0, 181, '8757dcf9fae6c9295d7cfc35471a1d981530cbfa4a98fa57199e3fd71c2eccbb', 7, 5, 1, 38281183229937800),
     (1, 279, 'f0ca0551e411c347ec7b44d07996f8f2020236ee2ab4ba956615b6fe00bcd2c0', 8, 6, 1, 46347370058784928),
     (2, 387, '089ad2f8a94f75da34aaf2c32326ca25b4cea76a19de403565d950702b86877a', 9, 7, 1, 50705800596824096),
-    (3, 160, '31caedd2079b6a959b48fdf7c47e5deecca09e0985b1638fb24a784ca32620fe', 10, 8, 1, 1157442765409226768),
+    (3, 250, '47674760177fb8b399df45b920940c81b72b6cf0b2673b8bfeb53f579039f38e', 10, 8, 1, 1157442765409226768),
     (4, 293, '373769471cc7e62984128e7498e8aba17ec326d89f6b7861d8fdc5e0b8b012ae', 11, 5, 1, 12385483761911816),
     (5, 470, '7eb3959fd7cc7a3d3111280358d337312a49c547d13b4234a12214a38cdc86f1', 12, 6, 1, 40124254505438348),
     (6, 172, 'da8fc9ea643e2e7172147ed1ede2f38b9bb39367ab1619d1a22e2bd2f60b33d1', 7, 7, 1, 47473238424987816),
     (7, 201, '723ce5201df63cf5d62f93d5a1024da5ceee47077381db5e1e96b8f17e71c449', 8, 8, 1, -3272792461833891696),
-    (8, 310, '0f07300b72bc3e0e26fb868d7c69180cd60629dc6cc000ae52b842834e8e915c', 9, 5, 1, 38280701119825928),
+    (8, 686, '8259356bfc27ae95d8c2aa8054384a45aa4e2dd84eb7d59b48b31cc29edcaa24', 9, 5, 1, 38280701119825928),
     (9, 158, 'ff55f5d8708e6862f9ddd216370b01cf2eae81121dfcfcafa9f96a8717feb552', 10, 6, 1, 1130315133486084),
     (10, 396, '7849a5b1116d0b2083fdeebc8f8bb8547bc4d7e507c5f366ffbbad3a0e5d1807', 11, 7, 1, 46943256169448580),
     (11, 310, 'ac2976508fa42c7ed2010aa0a7b74466aa6f6f01b472d7a6fcdd18269299db7b', 12, 8, 1, -981113044359552414),
     (12, 157, 'f5460c680f5e3b88a674c1b454c2640133a658b33fd062cc6d71a7dcab3a7ffa', 7, 5, 1, 39407100383759500),
-    (13, 264, '65eff66695d4927ccd70076b941d07812c599d6c180831db9381f73d9b3ef747', 8, 6, 1, 46386832220652676),
+    (13, 316, 'a59b15646ec98711254d915ba8498fecf59faec01d61c11ce52d35795c8906a9', 8, 6, 1, 46386832220652676),
     (14, 384, '2b68b098ad9f09948d1335e7e4efd5b49c9b74bbf3b1a6bd7f96205e72e9ef38', 9, 7, 1, 42263346082349570),
     (15, 222, 'f9c511aa3752949be9225727f18578f96af56615e6c1322107b854d80b12b7b8', 10, 8, 1, 4702111234474983745),
 ]
@@ -1826,6 +1826,24 @@ MULTIMODAL_BMP_EXPECTED = [
     (13, 198, '0a6d85348b9f7cb306fc5bffbb27457e62938c63fb8d6cb6f88efa80c0c4299e', 8, 6, 1, 46386832220652676),
     (14, 250, 'f6db5e0d5a292a3674b26781878e86ec55b842705c55971d2f3f4fdf93e261c0', 9, 7, 1, 42263346082349570),
     (15, 310, '9c9454e69b360d0b1945e901bd8297cbb915e24db1c27d182f2e0a2e3b3db1f6', 10, 8, 1, -1924211983794486975),
+]
+
+
+#: (asset_id, n_bytes, sha256, width, height, n_frames, dhash)
+#: over real_bmp_rle_asset_rows (r14, BI_RLE8/4 decode)
+MULTIMODAL_BMP_RLE_EXPECTED = [
+    (0, 254, '7d45746bab0315d211ffe0acc4f0a6dce9699e6645640dfad8d6598578eb4e31', 9, 5, 1, 20266852500412496),
+    (1, 180, '8e8ec48b4cc713b868650ab08abb22d01d10b5671e7bb453a5dcf68efd362225', 10, 6, 1, 40717801805602984),
+    (2, 304, '475d4435701099129dcae684d461929ae323e913a8ee1fb7984fa452de184fca', 11, 7, 1, 42820034343479504),
+    (3, 200, '673967c1662a8805768b6ffc525a8a174c076d8593cee333da1c393a7360816e', 12, 8, 1, 7552642885885649048),
+    (4, 360, '6645e8681c2013f43e1bc634dc0c5700a1e9153704e09d911b5fce2cf9c77fb2', 13, 9, 1, 2904866084258619496),
+    (5, 180, '3fe2566d7a4e73d3e7bb3da366c574cddb701c34de5b92b402922add809247d6', 14, 5, 1, 56295204856017096),
+    (6, 328, 'df2ec6e16cbc86f44f5702151454ec1657039980711250f8f2f0a3f5b045e2d8', 15, 6, 1, 47376478577420368),
+    (7, 188, '20dea8ade7710e2f5c72ae1b2989110948955c4c57581efc4d69f8f4010e981a', 9, 7, 1, 22703096871297104),
+    (8, 328, 'b8c4309529343d8db7d8e7b23e646693cf19f6c45b060474e1c3c7e678f2fc46', 10, 8, 1, 2922880482902288456),
+    (9, 210, 'bc08733d4af6e4753fc7590bde9402bdaf4f0965b4e98fde8899b40d453a9952', 11, 9, 1, 5800874539082623016),
+    (10, 302, '2d910b2b9612605de820774348692faf8e0dd9710dfddcdc1d954e361f084f57', 12, 5, 1, 45036342555463840),
+    (11, 190, '57f0b33191579a2088ee183b478d3fbb53e7603b5e941ff1dd8520b6d6958b42', 13, 6, 1, 38439270114947088),
 ]
 
 
@@ -2715,6 +2733,23 @@ def q_multimodal_bmp(spark, sf_dir):
         decode_assets, dhash_images, make_real_bmp_assets)
 
     assets = make_real_bmp_assets(spark, 16)
+    meta = decode_assets(assets, fake=False)
+    hashes = dhash_images(assets, project=("asset_id",))
+    return meta.join(hashes, "asset_id").select(
+        "asset_id", "n_bytes", "sha256", "width", "height", "n_frames",
+        "dhash")
+
+
+def q_multimodal_bmp_rle(spark, sf_dir):
+    # hash-pinned (r14): BI_RLE8/BI_RLE4 decode — encoded runs, nibble
+    # phases, absolute-mode word-aligned literals, EOL/EOB framing,
+    # bottom-up flip and palette lookup all flow into the perceptual
+    # dHash, so any RLE cursor bug flips a frozen literal. Same plan
+    # shape as multimodal_bmp.
+    from seqspark.pipeline.multimodal import (
+        decode_assets, dhash_images, make_real_bmp_rle_assets)
+
+    assets = make_real_bmp_rle_assets(spark, 12)
     meta = decode_assets(assets, fake=False)
     hashes = dhash_images(assets, project=("asset_id",))
     return meta.join(hashes, "asset_id").select(
@@ -3990,6 +4025,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_features_wavext": q_audio_features_wavext,
         "audio_features_adpcm": q_audio_features_adpcm,
         "multimodal_bmp": q_multimodal_bmp,
+        "multimodal_bmp_rle": q_multimodal_bmp_rle,
         "multimodal_tiff": q_multimodal_tiff,
         "multimodal_tiff_pixels": q_multimodal_tiff_pixels,
         "multimodal_mp3": q_multimodal_mp3,
@@ -5254,6 +5290,15 @@ def oracle_sql() -> dict[str, str]:
         + ", ".join(
             f"({i}, {nb}, '{sha}', {w}, {h}, {nf}, CAST({dh} AS BIGINT))"
             for i, nb, sha, w, h, nf, dh in MULTIMODAL_BMP_EXPECTED
+        )
+        + ") AS t(asset_id, n_bytes, sha256, width, height, n_frames,"
+        " dhash)"
+    )
+    sql["multimodal_bmp_rle"] = (
+        "SELECT * FROM (VALUES "
+        + ", ".join(
+            f"({i}, {nb}, '{sha}', {w}, {h}, {nf}, CAST({dh} AS BIGINT))"
+            for i, nb, sha, w, h, nf, dh in MULTIMODAL_BMP_RLE_EXPECTED
         )
         + ") AS t(asset_id, n_bytes, sha256, width, height, n_frames,"
         " dhash)"

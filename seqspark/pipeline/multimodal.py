@@ -1601,8 +1601,27 @@ def _bmp_decode_pixels(b: bytes):
     h = abs(h_raw)
     if w * h > _PNG_MAX_PIXELS:
         return None
-    # BI_RGB only (0); BI_BITFIELDS(3) with the canonical masks would
-    # decode identically for 32-bit but needs mask validation — punt
+    # BI_RGB (0) + BI_RLE8/BI_RLE4 (r14); BI_BITFIELDS(3) with the
+    # canonical masks would decode identically for 32-bit but needs
+    # mask validation — punt
+    if compression in (1, 2):
+        if (compression, bpp) not in ((1, 8), (2, 4)) or top_down:
+            return None  # RLE is defined bottom-up only
+        idx = _bmp_rle_decode(
+            b[data_off:], w, h, four_bit=(compression == 2))
+        if idx is None:
+            return None
+        (used,) = struct.unpack("<I", b[46:50])
+        n_col = used or (256 if bpp == 8 else 16)
+        pal_off = 14 + dib
+        if pal_off + n_col * 4 > len(b):
+            return None
+        pal = np.frombuffer(b, dtype=np.uint8, count=n_col * 4,
+                            offset=pal_off).reshape(n_col, 4)
+        if int(idx.max(initial=0)) >= n_col:
+            return None
+        px = pal[idx[::-1]][:, :, [2, 1, 0]]  # bottom-up -> top-down, RGB
+        return w, h, 3, bytearray(px.tobytes())
     if compression != 0 or bpp not in (8, 24, 32):
         return None
     stride = (w * bpp // 8 + 3) & ~3
@@ -1632,6 +1651,142 @@ def _bmp_decode_pixels(b: bytes):
         return w, h, 3, bytearray(px.tobytes())
     px = px[:, :, [2, 1, 0, 3]]  # BGRA -> RGBA
     return w, h, 4, bytearray(px.tobytes())
+
+
+def _bmp_rle_decode(data: bytes, w: int, h: int, four_bit: bool):
+    """BI_RLE8 / BI_RLE4 (r14, the classic BMP compressions): encoded
+    runs (count, index-or-nibble-pair), absolute runs (word-aligned),
+    EOL (00 00), EOB (00 01) and delta (00 02 dx dy) cursor jumps.
+    Returns an (h, w) uint8 index grid in FILE row order (row 0 =
+    bottom) with unwritten pixels 0, or None when malformed."""
+    import numpy as np
+
+    out = np.zeros((h, w), dtype=np.uint8)
+    x = y = 0  # y counts from the BOTTOM row, per the format
+    i, n = 0, len(data)
+    while i + 1 < n:
+        cnt, val = data[i], data[i + 1]
+        i += 2
+        if cnt > 0:  # encoded run
+            if y >= h:
+                return None
+            m = min(cnt, w - x)
+            if four_bit:
+                pair = np.empty(m, dtype=np.uint8)
+                pair[0::2] = val >> 4
+                pair[1::2] = val & 0x0F
+                out[y, x:x + m] = pair
+            else:
+                out[y, x:x + m] = val
+            x += cnt
+            continue
+        if val == 0:  # EOL
+            x, y = 0, y + 1
+            continue
+        if val == 1:  # EOB
+            return out
+        if val == 2:  # delta
+            if i + 2 > n:
+                return None
+            x += data[i]
+            y += data[i + 1]
+            i += 2
+            continue
+        # absolute mode: val literal indices, padded to a 16-bit boundary
+        cnt = val
+        nbytes = ((cnt + 1) // 2) if four_bit else cnt
+        nbytes += nbytes & 1
+        if i + nbytes > n or y >= h:
+            return None
+        m = min(cnt, w - x)
+        if four_bit:
+            nib = np.empty(cnt, dtype=np.uint8)
+            src = np.frombuffer(data, np.uint8, count=(cnt + 1) // 2,
+                                offset=i)
+            nib[0::2] = src[: (cnt + 1) // 2] >> 4
+            nib[1::2] = src[: cnt // 2] & 0x0F
+            out[y, x:x + m] = nib[:m]
+        else:
+            out[y, x:x + m] = np.frombuffer(data, np.uint8, count=cnt,
+                                            offset=i)[:m]
+        x += cnt
+        i += nbytes
+    return out  # missing explicit EOB: tolerated
+
+
+def _bmp_rle_encode(idx, four_bit: bool = False,
+                    absolute_every: int = 0) -> bytes:
+    """RLE8/RLE4 encoder for the deterministic fixtures — pairs with
+    :func:`_bmp_rle_decode`. Encodes each row as maximal runs, an
+    optional absolute-mode literal block every ``absolute_every``-th
+    row (word-padded), EOL per row, EOB at the end."""
+    import numpy as np
+
+    idx = np.asarray(idx, dtype=np.uint8)
+    h, w = idx.shape
+    out = bytearray()
+    for y in range(h):  # file order: caller passes bottom-up rows
+        row = idx[y]
+        if absolute_every and y % absolute_every == 1 and 3 <= w <= 255:
+            # absolute block covering the whole row
+            out += bytes((0, w))
+            if four_bit:
+                pairs = bytearray()
+                for j in range(0, w, 2):
+                    hi = int(row[j]) << 4
+                    lo = int(row[j + 1]) if j + 1 < w else 0
+                    pairs.append(hi | lo)
+                if len(pairs) & 1:
+                    pairs.append(0)
+                out += pairs
+            else:
+                out += row.tobytes()
+                if w & 1:
+                    out.append(0)
+        else:
+            j = 0
+            while j < w:
+                k = j
+                if four_bit:
+                    # run of a repeating nibble PAIR
+                    a = int(row[j])
+                    bnib = int(row[j + 1]) if j + 1 < w else 0
+                    while (k < w and int(row[k]) == (a if (k - j) % 2 == 0
+                                                     else bnib)
+                           and k - j < 255):
+                        k += 1
+                    out += bytes((k - j, (a << 4) | bnib))
+                else:
+                    while k < w and row[k] == row[j] and k - j < 255:
+                        k += 1
+                    out += bytes((k - j, int(row[j])))
+                j = k
+        out += bytes((0, 0))  # EOL
+    out += bytes((0, 1))  # EOB
+    return bytes(out)
+
+
+def _bmp_encode_rle(w, h, palette, idx_topdown, four_bit=False,
+                    absolute_every=0) -> bytes:
+    """Minimal RLE-compressed BMP writer (palette + BI_RLE4/8 data) for
+    fixtures; ``idx_topdown`` is an (h, w) index grid in display order
+    (the writer flips to the format's bottom-up row order)."""
+    import numpy as np
+
+    idx = np.asarray(idx_topdown, dtype=np.uint8)[::-1]  # bottom-up
+    data = _bmp_rle_encode(idx, four_bit=four_bit,
+                           absolute_every=absolute_every)
+    n_col = len(palette) // 3
+    quads = bytearray()
+    for i in range(n_col):
+        r, g, bb = palette[3 * i:3 * i + 3]
+        quads += bytes((bb, g, r, 0))  # BGRA quads
+    off = 14 + 40 + len(quads)
+    hdr = (b"BM" + struct.pack("<IHHI", off + len(data), 0, 0, off)
+           + struct.pack("<IiiHHIIiiII", 40, w, h, 1,
+                         4 if four_bit else 8, 2 if four_bit else 1,
+                         len(data), 0, 0, n_col, 0))
+    return hdr + bytes(quads) + data
 
 
 def _packbits_decode(raw: bytes, expected: int) -> Optional[bytes]:
@@ -1790,10 +1945,11 @@ def _tiff_decode_pixels(b: bytes):
     the TIFF 6.0 TechNote code and the legacy one) or 32773 (PackBits),
     the tag-317 horizontal predictor for LZW/Deflate, photometric 0/1
     (grayscale, WhiteIsZero inverted) or 2 (RGB, 3 or 4 samples).
-    Both byte orders. Grayscale expands to RGB so the perceptual
+    Both byte orders; strip-organized or TILED (tags 322-325, edge
+    tiles clipped — r14). Grayscale expands to RGB so the perceptual
     kernels see the same layout every decoder produces. None outside
-    the subset (JPEG-in-TIFF/tiled stay an honest raise — TIFF 6.0
-    §§2,9,13-14)."""
+    the subset (JPEG-in-TIFF stays an honest raise — TIFF 6.0
+    §§2,9,13-15)."""
     import numpy as np
 
     if len(b) < 8:
@@ -1834,8 +1990,6 @@ def _tiff_decode_pixels(b: bytes):
             tags[tag] = list(struct.unpack_from(endian + fmt * count, b, off))
     except struct.error:
         return None
-    if 322 in tags or 323 in tags:
-        return None  # tiled TIFF: out of subset
     w = tags.get(256, [0])[0]
     h = tags.get(257, [0])[0]
     comp = tags.get(259, [1])[0]
@@ -1844,8 +1998,9 @@ def _tiff_decode_pixels(b: bytes):
     bps = tags.get(258, [1] * spp)
     planar = tags.get(284, [1])[0]
     predictor = tags.get(317, [1])[0]
-    offsets = tags.get(273)
-    counts = tags.get(279)
+    tiled = 322 in tags or 323 in tags
+    offsets = tags.get(324) if tiled else tags.get(273)
+    counts = tags.get(325) if tiled else tags.get(279)
     if (
         w <= 0 or h <= 0 or w * h > _PNG_MAX_PIXELS
         or comp not in (1, 5, 8, 32946, 32773) or planar != 1
@@ -1858,15 +2013,12 @@ def _tiff_decode_pixels(b: bytes):
         or (predictor == 2 and comp not in (5, 8, 32946))
     ):
         return None
-    rows_per_strip = tags.get(278, [h])[0] or h
-    data = bytearray()
-    row_bytes = w * spp
-    remaining = h
-    for off, cnt in zip(offsets, counts):
-        if off + cnt > len(b) or remaining <= 0:
+
+    def chunk_pixels(off, cnt, rows, row_bytes):
+        # one strip/tile -> (rows, row_bytes) uint8, or None
+        if off + cnt > len(b):
             return None
-        rows_here = min(rows_per_strip, remaining)
-        expected = rows_here * row_bytes
+        expected = rows * row_bytes
         raw = bytes(b[off:off + cnt])
         if comp == 32773:
             raw = _packbits_decode(raw, expected)
@@ -1885,16 +2037,55 @@ def _tiff_decode_pixels(b: bytes):
                 return None
         elif len(raw) < expected:
             return None
-        data += raw[:expected]
-        remaining -= rows_here
-    if remaining != 0:
-        return None
-    px = np.frombuffer(bytes(data), dtype=np.uint8).reshape(h, w, spp)
-    if predictor == 2:
-        # horizontal differencing (TIFF 6.0 §14): each sample stores the
-        # delta to its left neighbor, per channel — undo with a running
-        # sum along the row, mod 256
-        px = (np.cumsum(px, axis=1, dtype=np.int64) & 0xFF).astype(np.uint8)
+        arr = np.frombuffer(raw[:expected], dtype=np.uint8).reshape(
+            rows, row_bytes)
+        if predictor == 2:
+            # horizontal differencing (TIFF 6.0 §14), per strip/tile
+            # row: each sample stores the delta to its left neighbor —
+            # undo with a running sum along the row, mod 256. Rows are
+            # tile-local, so this happens BEFORE placement.
+            a3 = arr.reshape(rows, row_bytes // spp, spp)
+            arr = (np.cumsum(a3, axis=1, dtype=np.int64) & 0xFF).astype(
+                np.uint8).reshape(rows, row_bytes)
+        return arr
+
+    if tiled:
+        # TIFF 6.0 §15: row-major grid of tw x th tiles, edge tiles
+        # padded to full size; clip on placement
+        tw = tags.get(322, [0])[0]
+        th = tags.get(323, [0])[0]
+        if tw <= 0 or th <= 0 or tw * th > _PNG_MAX_PIXELS:
+            return None
+        tiles_x = (w + tw - 1) // tw
+        tiles_y = (h + th - 1) // th
+        if len(offsets) != tiles_x * tiles_y:
+            return None
+        px = np.zeros((h, w, spp), dtype=np.uint8)
+        for t, (off, cnt) in enumerate(zip(offsets, counts)):
+            arr = chunk_pixels(off, cnt, th, tw * spp)
+            if arr is None:
+                return None
+            ty, tx = divmod(t, tiles_x)
+            y0, x0 = ty * th, tx * tw
+            ch_h, ch_w = min(th, h - y0), min(tw, w - x0)
+            px[y0:y0 + ch_h, x0:x0 + ch_w, :] = arr.reshape(
+                th, tw, spp)[:ch_h, :ch_w, :]
+    else:
+        rows_per_strip = tags.get(278, [h])[0] or h
+        parts = []
+        remaining = h
+        for off, cnt in zip(offsets, counts):
+            if remaining <= 0:
+                return None
+            rows_here = min(rows_per_strip, remaining)
+            arr = chunk_pixels(off, cnt, rows_here, w * spp)
+            if arr is None:
+                return None
+            parts.append(arr)
+            remaining -= rows_here
+        if remaining != 0:
+            return None
+        px = np.concatenate(parts, axis=0).reshape(h, w, spp)
     if photo == 0:
         px = 255 - px  # WhiteIsZero -> BlackIsZero
     if spp == 1:
@@ -1913,38 +2104,56 @@ def _tiff_encode_pixels(
     rows_per_strip: Optional[int] = None,
     photometric: Optional[int] = None,
     predictor: int = 1,
+    tile: Optional[tuple] = None,
 ) -> bytes:
-    """Minimal strip-organized classic-TIFF writer for the deterministic
-    pixel fixtures — pairs with :func:`_tiff_decode_pixels`. ``ch`` 1
-    (grayscale) or 3/4 (RGB/RGBA); ``compression`` 1, 5 (LZW), 8
-    (Deflate — 5 and 8 pair with ``predictor=2`` for horizontal
-    differencing) or 32773 (PackBits); multiple strips when
-    ``rows_per_strip < h`` so the strip-reassembly path stays
-    exercised by fixtures."""
+    """Minimal classic-TIFF writer for the deterministic pixel fixtures
+    — pairs with :func:`_tiff_decode_pixels`. ``ch`` 1 (grayscale) or
+    3/4 (RGB/RGBA); ``compression`` 1, 5 (LZW), 8 (Deflate — 5 and 8
+    pair with ``predictor=2`` for horizontal differencing) or 32773
+    (PackBits); multiple strips when ``rows_per_strip < h``; a TILED
+    layout (tags 322-325, edge tiles zero-padded) when ``tile=(tw,
+    th)`` — the strip-vs-tile axis the decoder reassembles (r14)."""
     import numpy as np
 
     e = "<" if endian == "II" else ">"
     raw = bytes(pixels)
     assert len(raw) == w * h * ch
     assert predictor == 1 or compression in (5, 8, 32946)
-    if predictor == 2:
-        px = np.frombuffer(raw, dtype=np.uint8).reshape(h, w, ch)
-        diff = px.astype(np.int16)
-        diff[:, 1:, :] -= px[:, :-1, :].astype(np.int16)
-        raw = (diff & 0xFF).astype(np.uint8).tobytes()
-    rps = rows_per_strip or h
+
+    def pack(chunk: bytes) -> bytes:
+        if compression == 32773:
+            return _packbits_encode(chunk)
+        if compression == 5:
+            return _tiff_lzw_encode(chunk)
+        if compression in (8, 32946):
+            return zlib.compress(chunk, 6)
+        return chunk
+
+    px0 = np.frombuffer(raw, dtype=np.uint8).reshape(h, w, ch)
+
+    def diff2(a):
+        if predictor != 2:
+            return a
+        d = a.astype(np.int16)
+        d[:, 1:, :] -= a[:, :-1, :].astype(np.int16)
+        return (d & 0xFF).astype(np.uint8)
+
     photo = photometric if photometric is not None else (1 if ch == 1 else 2)
     strips = []
-    for y0 in range(0, h, rps):
-        rows_here = min(rps, h - y0)
-        chunk = raw[y0 * w * ch:(y0 + rows_here) * w * ch]
-        if compression == 32773:
-            chunk = _packbits_encode(chunk)
-        elif compression == 5:
-            chunk = _tiff_lzw_encode(chunk)
-        elif compression in (8, 32946):
-            chunk = zlib.compress(chunk, 6)
-        strips.append(chunk)
+    if tile is not None:
+        tw, th = tile
+        for y0 in range(0, h, th):
+            for x0 in range(0, w, tw):
+                t = np.zeros((th, tw, ch), dtype=np.uint8)
+                sub = px0[y0:y0 + th, x0:x0 + tw, :]
+                t[: sub.shape[0], : sub.shape[1], :] = sub
+                strips.append(pack(diff2(t).tobytes()))
+    else:
+        raw = diff2(px0).tobytes()
+        rps = rows_per_strip or h
+        for y0 in range(0, h, rps):
+            rows_here = min(rps, h - y0)
+            strips.append(pack(raw[y0 * w * ch:(y0 + rows_here) * w * ch]))
     # layout: header(8) | strip data | extra value area | IFD
     pos = 8
     strip_offs = []
@@ -1971,11 +2180,22 @@ def _tiff_encode_pixels(
         (258, *val(3, [8] * ch)),
         (259, *val(3, [compression])),
         (262, *val(3, [photo])),
-        (273, *val(4, strip_offs)),
         (277, *val(3, [ch])),
-        (278, *val(4, [rps])),
-        (279, *val(4, [len(s) for s in strips])),
     ]
+    if tile is not None:
+        entries += [
+            (322, *val(4, [tile[0]])),
+            (323, *val(4, [tile[1]])),
+            (324, *val(4, strip_offs)),
+            (325, *val(4, [len(s) for s in strips])),
+        ]
+    else:
+        entries += [
+            (273, *val(4, strip_offs)),
+            (278, *val(4, [rows_per_strip or h])),
+            (279, *val(4, [len(s) for s in strips])),
+        ]
+    entries.sort()
     if predictor != 1:
         entries.append((317, *val(3, [predictor])))
         entries.sort()
@@ -2691,13 +2911,46 @@ def make_real_tiff_assets(spark, n: int = 16) -> DataFrame:
     return spark.createDataFrame(real_tiff_asset_rows(n), ASSET_SCHEMA)
 
 
+def real_bmp_rle_asset_rows(n: int = 12) -> list:
+    """Driver-side rows of the BMP RLE fixture (r14): BI_RLE8 and
+    BI_RLE4 palettes with id-derived index grids that mix long runs,
+    noisy spans (forcing short runs), absolute-mode rows and both
+    nibble phases. Pure function of ``n``."""
+    import numpy as np
+
+    rows = []
+    for i in range(n):
+        four_bit = i % 2 == 1
+        ncol = 16 if four_bit else 32 + i
+        w, h = 9 + i % 7, 5 + i % 5
+        idx = np.empty((h, w), dtype=np.uint8)
+        for y in range(h):
+            for x in range(w):
+                # runs along x broken by an id-derived stripe
+                idx[y, x] = ((y * 3 + i) if x < w // 2
+                             else (x * 7 + y + i)) % ncol
+        pal = bytes(((j * 41 + i * 13) % 256) for j in range(ncol * 3))
+        content = _bmp_encode_rle(
+            w, h, pal, idx, four_bit=four_bit,
+            absolute_every=3 if i % 3 == 0 else 0)
+        rows.append((i, "image", bytearray(content),
+                     '{"src":"fixture-bmp-rle"}'))
+    return rows
+
+
+def make_real_bmp_rle_assets(spark, n: int = 12) -> DataFrame:
+    """Deterministic BMP RLE fixture (:func:`real_bmp_rle_asset_rows`)."""
+    return spark.createDataFrame(real_bmp_rle_asset_rows(n), ASSET_SCHEMA)
+
+
 def real_tiff_pixel_asset_rows(n: int = 16) -> list:
     """Driver-side rows of the TIFF PIXEL fixture (r14): deterministic
-    strip-organized TIFFs cycling through the decodable subset's axes —
-    byte order (II/MM), compression (none / LZW / Deflate / PackBits /
+    TIFFs cycling through the decodable subset's axes — byte order
+    (II/MM), compression (none / LZW / Deflate / PackBits /
     LZW+Deflate with the horizontal predictor), photometric (grayscale
-    WhiteIsZero+BlackIsZero / RGB / RGBA) and multi-strip layouts
-    (rows_per_strip < h) — with the SAME id-derived pixel pattern as
+    WhiteIsZero+BlackIsZero / RGB / RGBA), multi-strip layouts
+    (rows_per_strip < h) and TILED layouts with edge clipping (r14) —
+    with the SAME id-derived pixel pattern as
     :func:`real_bmp_asset_rows` so cross-container hash equality is
     checkable. Pure function of ``n``."""
     rows = []
@@ -2728,6 +2981,7 @@ def real_tiff_pixel_asset_rows(n: int = 16) -> list:
             rows_per_strip=2 if i % 5 == 0 else None,
             photometric=photo,
             predictor=2 if i % 8 in (3, 7) else 1,
+            tile=(8, 4) if i % 5 == 3 else None,
         )
         rows.append((i, "image", bytearray(content),
                      '{"src":"fixture-tiff-px"}'))

@@ -3613,3 +3613,91 @@ def test_png_decodes_real_world_corpus():
         assert (out[0], out[1]) == (w, h) and len(out[3]) == w * h * out[2], f
         decoded += 1
     assert decoded > 0
+
+
+def test_bmp_rle_round_trips_and_delta():
+    """r14: BI_RLE8/BI_RLE4 — encoded runs (both nibble phases),
+    absolute-mode word-aligned literals, EOL/EOB framing; a hand-built
+    delta (00 02 dx dy) jump leaves skipped pixels at index 0;
+    truncation never throws."""
+    import numpy as np
+
+    from seqspark.pipeline.multimodal import (
+        _bmp_decode_pixels, _bmp_encode_rle, _stdlib_image_meta)
+
+    rng = np.random.default_rng(3)
+    for four_bit in (False, True):
+        for absolute_every in (0, 3):
+            w, h = 13, 7
+            ncol = 16 if four_bit else 40
+            pal = rng.integers(0, 256, ncol * 3).astype(np.uint8)
+            idx = rng.integers(0, ncol, (h, w)).astype(np.uint8)
+            idx[2, :] = 5
+            bmp = _bmp_encode_rle(w, h, pal, idx, four_bit=four_bit,
+                                  absolute_every=absolute_every)
+            out = _bmp_decode_pixels(bmp)
+            assert out is not None and out[:3] == (w, h, 3)
+            want = pal.reshape(ncol, 3)[idx]
+            got = np.frombuffer(bytes(out[3]), np.uint8).reshape(h, w, 3)
+            assert (got == want).all(), (four_bit, absolute_every)
+            assert _stdlib_image_meta(bmp) == (w, h, 1)
+    # delta jump: run of 2, delta (+2,+1), run of 1 -> exact cursor math
+    import struct
+
+    pal = bytes(range(48))
+    data = bytes((2, 1)) + bytes((0, 2, 2, 1)) + bytes((1, 2)) + bytes((0, 1))
+    off = 14 + 40 + 16 * 4
+    quads = b"".join(bytes((pal[3*i+2], pal[3*i+1], pal[3*i], 0))
+                     for i in range(16))
+    hdr = (b"BM" + struct.pack("<IHHI", off + len(data), 0, 0, off)
+           + struct.pack("<IiiHHIIiiII", 40, 6, 3, 1, 8, 1,
+                         len(data), 0, 0, 16, 0))
+    out = _bmp_decode_pixels(hdr + quads + data)
+    assert out is not None
+    px = np.frombuffer(bytes(out[3]), np.uint8).reshape(3, 6, 3)
+    # bottom row (file row 0): two pixels of index 1 then zeros
+    assert list(px[2, 0]) == list(pal[3:6]) == list(px[2, 1])
+    assert list(px[2, 2]) == list(pal[0:3])
+    # after delta +2,+1: one pixel of index 2 at x=4, file row 1
+    assert list(px[1, 4]) == list(pal[6:9])
+    # truncated stream: decode returns, never throws
+    _bmp_decode_pixels((hdr + quads + data)[:-3])
+
+
+def test_tiff_tiled_layout():
+    """r14: tiled TIFF (tags 322-325) — every compression, both byte
+    orders, predictor-2 applied per tile row, edge tiles clipped; a
+    tile-count mismatch is malformed, never a crash."""
+    import random
+
+    import numpy as np
+
+    from seqspark.pipeline.multimodal import (
+        _tiff_decode_pixels, _tiff_encode_pixels)
+
+    rng = random.Random(99)
+    for comp in (1, 5, 8, 32773):
+        for pred in ((1, 2) if comp in (5, 8) else (1,)):
+            for endian in ("II", "MM"):
+                for (w, h, tw, th) in ((13, 7, 8, 4), (5, 9, 16, 16)):
+                    for ch in (1, 3):
+                        px = bytearray(rng.randrange(256)
+                                       for _ in range(w * h * ch))
+                        enc = _tiff_encode_pixels(
+                            w, h, ch, px, endian=endian, compression=comp,
+                            predictor=pred, tile=(tw, th))
+                        dec = _tiff_decode_pixels(enc)
+                        assert dec is not None, (comp, pred, endian, w, h)
+                        want = bytes(px)
+                        if ch == 1:
+                            want = np.repeat(np.frombuffer(
+                                want, np.uint8).reshape(h, w, 1), 3, 2
+                            ).tobytes()
+                        assert bytes(dec[3]) == want, (comp, pred, endian)
+    # cross-layout: same pixels via strips and tiles -> same raster
+    w, h = 12, 10
+    px = bytearray(rng.randrange(256) for _ in range(w * h * 3))
+    s = _tiff_decode_pixels(_tiff_encode_pixels(w, h, 3, px,
+                                                rows_per_strip=3))
+    t = _tiff_decode_pixels(_tiff_encode_pixels(w, h, 3, px, tile=(8, 4)))
+    assert bytes(s[3]) == bytes(t[3])

@@ -363,6 +363,26 @@ def main() -> None:
         print(f"    {r!r},")
     print("]")
 
+    # r14: BMP RLE fixture — decode meta + perceptual dHash through the
+    # BI_RLE8/BI_RLE4 decoder (runs, absolute mode, EOL/EOB)
+    from seqspark.pipeline.multimodal import real_bmp_rle_asset_rows  # noqa: E402
+
+    br = []
+    for i, media, content, _meta in real_bmp_rle_asset_rows(12):
+        b = bytes(content)
+        w, h, nf = _real_decode("image", b)
+        dec = _decode_any_pixels(b)
+        u = _dhash_of_pixels(dec[0], dec[1], dec[2], dec[3], 8)
+        br.append((i, len(b), hashlib.sha256(b).hexdigest(), w, h, nf,
+                   u - (1 << 64) if u >= (1 << 63) else u))
+    print()
+    print("#: (asset_id, n_bytes, sha256, width, height, n_frames, dhash)")
+    print("#: over real_bmp_rle_asset_rows (r14, BI_RLE8/4 decode)")
+    print("MULTIMODAL_BMP_RLE_EXPECTED = [")
+    for r in br:
+        print(f"    {r!r},")
+    print("]")
+
     # r14: WebP metadata fixture — header-only RIFF walk (VP8 lossy,
     # VP8L lossless, VP8X extended/animated with ANMF counts)
     from seqspark.pipeline.multimodal import real_webp_asset_rows  # noqa: E402
