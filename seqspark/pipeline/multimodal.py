@@ -4481,7 +4481,7 @@ def real_ogg_asset_rows(n: int = 16) -> list:
                 codec, rate, nch, granules,
                 serial=0x1000 + i,
                 pre_skip=(312 + 13 * i) if codec == "opus" else 0,
-                prepend_stream=(b"\x7ftheora-ish" + bytes((i,))
+                prepend_stream=(b"\x7ftheora-ish" + bytes((i % 256,))
                                 if i % 3 == 0 else None),
             )),
             '{"src":"fixture-ogg"}',

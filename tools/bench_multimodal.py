@@ -176,6 +176,11 @@ def main() -> None:
         spark.stop()
         return
 
+    from seqspark.pipeline.multimodal import (
+        audio_meta, make_real_bmp_rle_assets, make_real_isobmff_assets,
+        make_real_mp3_assets, make_real_ogg_assets, make_real_tiff_pixel_assets,
+        make_real_wavext_assets, make_real_webp_assets)
+
     fixtures = {
         "png_wav": make_real_assets(spark, n),
         "gif": make_real_gif_assets(spark, n),
@@ -184,6 +189,16 @@ def main() -> None:
         "jpeg": make_real_jpeg_assets(spark, n),
         "mjpeg": make_real_mjpeg_assets(spark, n),
         "flac": make_real_flac_assets(spark, n),
+        # r14 containers: pixel tiers (tiff/bmp-rle) and the header-only
+        # planner tiers (webp/isobmff/mp3/ogg) whose decode_<kind> rate
+        # IS the "planning costs header bytes" claim, measured
+        "tiff": make_real_tiff_pixel_assets(spark, n),
+        "bmp_rle": make_real_bmp_rle_assets(spark, n),
+        "webp": make_real_webp_assets(spark, n),
+        "isobmff": make_real_isobmff_assets(spark, n),
+        "mp3": make_real_mp3_assets(spark, n),
+        "ogg": make_real_ogg_assets(spark, n),
+        "wavext": make_real_wavext_assets(spark, n),
     }
     # repartition so the Arrow batches spread over the executor threads
     fixtures = {
@@ -230,6 +245,17 @@ def main() -> None:
     # decode is the pure-Python cost; WAV above is the near-free baseline)
     rate("audio_features_flac",
          lambda: audio_features(fixtures["flac"], fake=False)
+         .filter(F.col("fingerprint").isNotNull()).count(),
+         lambda c: c)
+    # r14: the audio planner tier — container/rate/channels/duration
+    # without decoding samples, across every metadata-capable container
+    for kind in ("mp3", "ogg", "flac", "wavext", "isobmff"):
+        rate(f"audio_meta_{kind}",
+             lambda kind=kind: audio_meta(
+                 fixtures[kind], fake=False).count(),
+             lambda c: c)
+    rate("audio_features_wavext",
+         lambda: audio_features(fixtures["wavext"], fake=False)
          .filter(F.col("fingerprint").isNotNull()).count(),
          lambda c: c)
 
