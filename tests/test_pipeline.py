@@ -3701,3 +3701,29 @@ def test_tiff_tiled_layout():
                                                 rows_per_strip=3))
     t = _tiff_decode_pixels(_tiff_encode_pixels(w, h, 3, px, tile=(8, 4)))
     assert bytes(s[3]) == bytes(t[3])
+
+
+def test_tiff_mutation_fuzz_never_throws():
+    """Random byte flips over valid strip/tiled TIFFs (all compressions)
+    must decode or return None — never throw, never hang."""
+    import random
+
+    from seqspark.pipeline.multimodal import (
+        _tiff_decode_pixels, _tiff_encode_pixels)
+
+    rng = random.Random(1406)
+    bases = []
+    px = bytearray(rng.randrange(256) for _ in range(10 * 6 * 3))
+    for comp in (1, 5, 8, 32773):
+        bases.append(_tiff_encode_pixels(10, 6, 3, px, compression=comp))
+        bases.append(_tiff_encode_pixels(10, 6, 3, px, compression=comp,
+                                         tile=(8, 4)))
+    for base in bases:
+        for _ in range(60):
+            mut = bytearray(base)
+            for _k in range(rng.randrange(1, 4)):
+                mut[rng.randrange(len(mut))] ^= rng.randrange(1, 256)
+            _tiff_decode_pixels(bytes(mut))  # result unused; no throw
+        # truncations
+        for cut in (4, len(base) // 2, len(base) - 3):
+            _tiff_decode_pixels(bytes(base[:cut]))
