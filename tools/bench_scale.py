@@ -220,12 +220,14 @@ def pipeline_digest_set(events_df, docs_df):
 
 
 def ml_query_set(codes_df, docs_df, mj_assets, books, query, pieces,
-                 rcodes_df, cents, rbooks):
+                 rcodes_df, cents, rbooks, sqcodes_df, sqbounds):
     """r13 scale pins for the r12b/r13 ML operators (verdict #4): PQ ADC
     top-k over codes-at-rest, unigram-LM encode, video key-frames, and
-    residual IVF-PQ (the union-of-pruned-branches plan)."""
+    residual IVF-PQ (the union-of-pruned-branches plan). r14: SQ8 ADC
+    over codes-at-rest and its IVF-pruned composition."""
     from seqspark.pipeline.multimodal import frame_dhashes, keyframes
-    from seqspark.pipeline.ann import ivf_pq_residual_topk, pq_topk
+    from seqspark.pipeline.ann import (
+        ivf_pq_residual_topk, ivf_sq_topk, pq_topk, sq_topk)
     from seqspark.pipeline.unigram import unigram_encoded
 
     return {
@@ -236,13 +238,18 @@ def ml_query_set(codes_df, docs_df, mj_assets, books, query, pieces,
             frame_dhashes(mj_assets, fake=False), k=3).count(),
         "p8_ivfpq_residual": lambda: ivf_pq_residual_topk(
             rcodes_df, cents, rbooks, query, k=10, nprobe=2).count(),
+        "p11_sq_topk": lambda: sq_topk(
+            sqcodes_df, sqbounds, query, k=10).count(),
+        "p12_ivfsq_topk": lambda: ivf_sq_topk(
+            sqcodes_df, cents, sqbounds, query, k=10, nprobe=2).count(),
     }
 
 
 def ml_digest_set(codes_df, docs_df, mj_assets, books, query, pieces,
-                  rcodes_df, cents, rbooks):
+                  rcodes_df, cents, rbooks, sqcodes_df, sqbounds):
     from seqspark.pipeline.multimodal import frame_dhashes, keyframes
-    from seqspark.pipeline.ann import ivf_pq_residual_topk, pq_topk
+    from seqspark.pipeline.ann import (
+        ivf_pq_residual_topk, ivf_sq_topk, pq_topk, sq_topk)
     from seqspark.pipeline.unigram import unigram_encoded
 
     return {
@@ -256,6 +263,10 @@ def ml_digest_set(codes_df, docs_df, mj_assets, books, query, pieces,
         "p8_ivfpq_residual": lambda: [
             ivf_pq_residual_topk(rcodes_df, cents, rbooks, query,
                                  k=10, nprobe=2)
+        ],
+        "p11_sq_topk": lambda: [sq_topk(sqcodes_df, sqbounds, query, k=10)],
+        "p12_ivfsq_topk": lambda: [
+            ivf_sq_topk(sqcodes_df, cents, sqbounds, query, k=10, nprobe=2)
         ],
     }
 
@@ -412,6 +423,28 @@ def main() -> None:
             ivf_assign(emb_x, cents).select("vec_id", "cell", "embedding"),
             cents, rbooks,
         ).write.parquet(rcodes1_path)
+    # r14: SQ8 codes-at-rest with IVF cells (the faiss IVF-SQ8 layout),
+    # written per scale like the PQ codes — SQ_BOUNDS are the entry's
+    # frozen literals
+    from seqspark.pipeline.ann import sq_encode
+
+    sqbounds = entry.SQ_BOUNDS
+    sqcodes_small_path = os.path.join(base_dir, "sq_codes_x1")
+    sqcodes1_path = os.path.join(base_dir, f"sq_codes_x{args.factor}")
+    if not os.path.exists(sqcodes_small_path):
+        sq_encode(ivf_assign(emb_raw, cents), sqbounds,
+                  extra_cols=("cell",)).write.parquet(sqcodes_small_path)
+    if not os.path.exists(sqcodes1_path):
+        emb_x = emb_raw.withColumn(
+            "__r", F.explode(F.sequence(F.lit(0), F.lit(args.factor - 1)))
+        ).withColumn(
+            "vec_id", F.col("vec_id") + F.col("__r").cast("long") * 100_000_000
+        ).drop("__r")
+        sq_encode(ivf_assign(emb_x, cents), sqbounds,
+                  extra_cols=("cell",)).write.parquet(sqcodes1_path)
+    sqcodes = spark.read.parquet(sqcodes_small_path)
+    sqcodes_x = spark.read.parquet(sqcodes1_path)
+
     # r14: text-routing fixtures — events with TOKENS AT REST (the store's
     # actual ingest layout) plus a materialized inverted index per scale,
     # both through the ts-clustered writer. Separate parquet paths so the
@@ -495,10 +528,10 @@ def main() -> None:
                 for k, fn in pipeline_query_set(events_x, docs_x).items()})
     small.update({k: timed(fn, args.runs) for k, fn in ml_query_set(
         codes, docs, mj, books, query, pieces,
-        rcodes, cents, rbooks).items()})
+        rcodes, cents, rbooks, sqcodes, sqbounds).items()})
     big.update({k: timed(fn, args.runs) for k, fn in ml_query_set(
         codes_x, docs_x, mj_x, books, query, pieces,
-        rcodes_x, cents, rbooks).items()})
+        rcodes_x, cents, rbooks, sqcodes_x, sqbounds).items()})
     # routed-vs-scan rows must be identical before timing them
     routed_rows = st_routed.search(TEXT_QUERY, size=1000).count()
     scan_rows = st_scan.search(TEXT_QUERY, size=1000).count()
@@ -522,13 +555,13 @@ def main() -> None:
                                 (f"x{args.factor}", events_x, docs_x)):
         for name, builder in pipeline_digest_set(s_ev, s_docs).items():
             digests[f"{name}@{scale}"] = bench.plan_digest(builder())
-    for scale, s_codes, s_docs, s_mj, s_rc in (
-        ("x1", codes, docs, mj, rcodes),
-        (f"x{args.factor}", codes_x, docs_x, mj_x, rcodes_x),
+    for scale, s_codes, s_docs, s_mj, s_rc, s_sq in (
+        ("x1", codes, docs, mj, rcodes, sqcodes),
+        (f"x{args.factor}", codes_x, docs_x, mj_x, rcodes_x, sqcodes_x),
     ):
         for name, builder in ml_digest_set(
             s_codes, s_docs, s_mj, books, query, pieces,
-            s_rc, cents, rbooks
+            s_rc, cents, rbooks, s_sq, sqbounds
         ).items():
             digests[f"{name}@{scale}"] = bench.plan_digest(builder())
     for scale, s_r, s_s in (("x1", st_routed, st_scan),
