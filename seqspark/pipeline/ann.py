@@ -1505,27 +1505,29 @@ def sq_topk(
 ) -> DataFrame:
     """Approximate top-k over SQ8 codes, entirely in Catalyst: the score
     is squared L2 between the query and the DEQUANTIZED code —
-    ``sum_i ((q_i - min_i) - code_i/inv_i)^2`` — as a JVM-side zip_with
-    + aggregate expression, then TakeOrderedAndProject.
-    Output: (id, adist) ascending, ties by id."""
+    ``sum_i ((q_i - min_i) - code_i/inv_i)^2`` — as an UNROLLED chain of
+    ``element_at`` terms (r14: measured at the ×100 decade, the
+    equivalent zip_with/aggregate form is an interpreted expression
+    while this chain enters whole-stage codegen like PQ's LUT chain;
+    identical adds in identical order, so values are bit-equal), then
+    TakeOrderedAndProject. Output: (id, adist) ascending, ties by id."""
     mins, invs = bounds
     dim = len(mins)
     if len(query_vec) != dim:
         raise ValueError("query dim mismatch")
-    # fold (q - min) and 1/inv into literal arrays; each is rounded so
-    # the oracle literals are short and identical
+    # fold (q - min) and 1/inv into literals; each is rounded so the
+    # oracle literals are short and identical
     qadj = [round(float(q) - mn, 6) for q, mn in zip(query_vec, mins)]
     scale = [round(1.0 / inv, 9) for inv in invs]
-    qadj_lit = F.array(*[F.lit(x) for x in qadj])
-    scale_lit = F.array(*[F.lit(x) for x in scale])
-    deq = F.zip_with(
-        F.col(code_col).cast("array<double>"), scale_lit,
-        lambda c, s: c * s,
-    )
-    diffs = F.zip_with(qadj_lit, deq, lambda qa, d: qa - d)
-    score = F.aggregate(
-        diffs, F.lit(0.0), lambda acc, x: acc + x * x
-    )
+    score = None
+    for i in range(dim):
+        term = (
+            F.lit(qadj[i])
+            - F.element_at(F.col(code_col), i + 1).cast("double")
+            * F.lit(scale[i])
+        )
+        term = term * term
+        score = term if score is None else score + term
     return (
         codes.filter(F.col(code_col).isNotNull())
         .select(F.col(id_col), F.round(score, 6).alias("adist"))
