@@ -1516,18 +1516,19 @@ def sq_topk(
     if len(query_vec) != dim:
         raise ValueError("query dim mismatch")
     # fold (q - min) and 1/inv into literals; each is rounded so the
-    # oracle literals are short and identical
+    # oracle literals are short and identical. The chain is built as ONE
+    # F.expr string: per-Column py4j construction costs ~6 JVM round
+    # trips per term (~1.5 s of driver time for dim=64 — the known
+    # Column-tree-construction tax), while one SQL parse is ~ms.
     qadj = [round(float(q) - mn, 6) for q, mn in zip(query_vec, mins)]
     scale = [round(1.0 / inv, 9) for inv in invs]
-    score = None
-    for i in range(dim):
-        term = (
-            F.lit(qadj[i])
-            - F.element_at(F.col(code_col), i + 1).cast("double")
-            * F.lit(scale[i])
-        )
-        term = term * term
-        score = term if score is None else score + term
+
+    def term(i: int) -> str:
+        d = (f"({qadj[i]!r}D - CAST(element_at({code_col}, {i + 1}) AS"
+             f" DOUBLE) * {scale[i]!r}D)")
+        return f"({d} * {d})"
+
+    score = F.expr(" + ".join(term(i) for i in range(dim)))
     return (
         codes.filter(F.col(code_col).isNotNull())
         .select(F.col(id_col), F.round(score, 6).alias("adist"))
