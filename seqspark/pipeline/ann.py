@@ -1471,20 +1471,17 @@ def sq_encode(
     still one shuffle-free projection."""
     mins, invs = bounds
     dim = len(mins)
-    mins_lit = F.array(*[F.lit(float(x)) for x in mins])
-    invs_lit = F.array(*[F.lit(float(x)) for x in invs])
-    q = F.zip_with(
-        F.zip_with(
-            F.col(vec_col).cast("array<double>"), mins_lit,
-            lambda v, mn: v - mn,
-        ),
-        invs_lit,
-        lambda d, inv: F.least(
-            F.lit(255),
-            F.greatest(
-                F.lit(0), F.floor(d * inv + F.lit(0.5)).cast("int")
-            ),
-        ),
+    # one F.expr array of unrolled per-dim quantizers: enters whole-stage
+    # codegen (the zip_with form is interpreted) and parses in ~ms where
+    # dim x py4j Column construction costs ~1.5 s of driver time (r14,
+    # same finding as sq_topk's chain)
+    q = F.expr(
+        "array(" + ", ".join(
+            f"least(255, greatest(0, CAST(floor((CAST(element_at("
+            f"{vec_col}, {i + 1}) AS DOUBLE) - {float(mins[i])!r}D) * "
+            f"{float(invs[i])!r}D + 0.5D) AS INT)))"
+            for i in range(dim)
+        ) + ")"
     )
     ok = F.col(vec_col).isNotNull() & (F.size(vec_col) == dim) & ~F.exists(
         F.col(vec_col), lambda x: x.isNull()
