@@ -1670,14 +1670,18 @@ def _bmp_rle_decode(data: bytes, w: int, h: int, four_bit: bool):
         if cnt > 0:  # encoded run
             if y >= h:
                 return None
-            m = min(cnt, w - x)
-            if four_bit:
-                pair = np.empty(m, dtype=np.uint8)
-                pair[0::2] = val >> 4
-                pair[1::2] = val & 0x0F
-                out[y, x:x + m] = pair
-            else:
-                out[y, x:x + m] = val
+            # a prior run or delta may already have pushed x past w:
+            # clamp to a non-negative write width so malformed streams
+            # degrade to None/partial rows, never a numpy shape error
+            m = max(0, min(cnt, w - x))
+            if m > 0:
+                if four_bit:
+                    pair = np.empty(m, dtype=np.uint8)
+                    pair[0::2] = val >> 4
+                    pair[1::2] = val & 0x0F
+                    out[y, x:x + m] = pair
+                else:
+                    out[y, x:x + m] = val
             x += cnt
             continue
         if val == 0:  # EOL
@@ -1698,17 +1702,18 @@ def _bmp_rle_decode(data: bytes, w: int, h: int, four_bit: bool):
         nbytes += nbytes & 1
         if i + nbytes > n or y >= h:
             return None
-        m = min(cnt, w - x)
-        if four_bit:
-            nib = np.empty(cnt, dtype=np.uint8)
-            src = np.frombuffer(data, np.uint8, count=(cnt + 1) // 2,
-                                offset=i)
-            nib[0::2] = src[: (cnt + 1) // 2] >> 4
-            nib[1::2] = src[: cnt // 2] & 0x0F
-            out[y, x:x + m] = nib[:m]
-        else:
-            out[y, x:x + m] = np.frombuffer(data, np.uint8, count=cnt,
-                                            offset=i)[:m]
+        m = max(0, min(cnt, w - x))  # same past-w clamp as encoded runs
+        if m > 0:
+            if four_bit:
+                nib = np.empty(cnt, dtype=np.uint8)
+                src = np.frombuffer(data, np.uint8, count=(cnt + 1) // 2,
+                                    offset=i)
+                nib[0::2] = src[: (cnt + 1) // 2] >> 4
+                nib[1::2] = src[: cnt // 2] & 0x0F
+                out[y, x:x + m] = nib[:m]
+            else:
+                out[y, x:x + m] = np.frombuffer(data, np.uint8, count=cnt,
+                                                offset=i)[:m]
         x += cnt
         i += nbytes
     return out  # missing explicit EOB: tolerated
@@ -2029,8 +2034,11 @@ def _tiff_decode_pixels(b: bytes):
             if raw is None:
                 return None
         elif comp in (8, 32946):
+            # bomb-safe like the PNG path: bound the inflate to
+            # expected+1 so a crafted ~1000:1 strip can never
+            # materialize more than one byte past the strip size
             try:
-                raw = zlib.decompress(raw)
+                raw = zlib.decompressobj().decompress(raw, expected + 1)
             except zlib.error:
                 return None
             if len(raw) != expected:
@@ -4506,6 +4514,15 @@ def _audio_meta_of(b: bytes):
     import io
     import wave
 
+    # decide float/extensible WAV HERE, before the stdlib wave parse:
+    # Python >= 3.12's wave module accepts WAVE_FORMAT_EXTENSIBLE, so
+    # the stdlib-first order would label extensible int16 WAVs "wav" or
+    # "wav-ext" depending on interpreter version. _wav_ext_meta returns
+    # None for plain integer PCM, which falls through to stdlib below.
+    p = _wav_ext_meta(b)
+    if p is not None:
+        container, rate, nch, _bits, nf = p
+        return container, rate, nch, nf
     try:
         with wave.open(io.BytesIO(b), "rb") as w:
             return ("wav", w.getframerate(), w.getnchannels(),
@@ -4516,10 +4533,6 @@ def _audio_meta_of(b: bytes):
     if p is not None:
         rate, nch, _ba, _spb, nf, _data = p
         return "wav-ima", rate, nch, nf
-    p = _wav_ext_meta(b)
-    if p is not None:
-        container, rate, nch, _bits, nf = p
-        return container, rate, nch, nf
     p = _aiff_parse(b)
     if p is not None:
         rate, nch, _sw, nf, _d, comp = p

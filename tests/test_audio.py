@@ -671,6 +671,10 @@ class TestWavFloatExtensible:
         b = _wav_ext_encode(8000, 2, sig, fmt_tag=1, bits=16,
                             extensible=True)
         assert _wav_pcm(b) is None
+        # _audio_meta_of decides this BEFORE the stdlib wave parse, so
+        # the label stays "wav-ext" even on Python >= 3.12 where the
+        # stdlib wave module accepts WAVE_FORMAT_EXTENSIBLE
+        assert _audio_meta_of(b) == ("wav-ext", 8000, 2, 2000)
         rate, nch, x = _wav_ext_pcm(b)
         assert rate == 8000 and nch == 2
         assert np.abs(x - sig).max() < 1.0 / 32768

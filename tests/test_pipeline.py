@@ -3664,6 +3664,70 @@ def test_bmp_rle_round_trips_and_delta():
     _bmp_decode_pixels((hdr + quads + data)[:-3])
 
 
+def test_bmp_rle_past_width_overrun_degrades_not_crashes():
+    """r15 (advisor): an encoded run or delta jump that pushes the
+    cursor past the row width must clamp the write to zero pixels —
+    not feed a negative size into numpy. The malformed stream returns
+    a grid (or None), never raises, in both RLE4 and RLE8 and in both
+    encoded and absolute modes."""
+    from seqspark.pipeline.multimodal import _bmp_rle_decode
+
+    # run of 10 on a 4-wide row, then another run starting past w
+    out = _bmp_rle_decode(bytes([10, 0x12, 2, 0x34, 0, 0, 0, 1]), 4, 2,
+                          four_bit=True)
+    assert out is None or out.shape == (2, 4)
+    out = _bmp_rle_decode(bytes([10, 7, 2, 9, 0, 0, 0, 1]), 4, 2,
+                          four_bit=False)
+    assert out is None or out.shape == (2, 4)
+    # delta jump past w, then an absolute run (the nib[:m] shape path)
+    for four_bit in (True, False):
+        stream = bytes([0, 2, 200, 0,            # delta x += 200
+                        0, 4, 0x12, 0x34, 0, 0,  # absolute run of 4
+                        0, 0, 0, 1])             # EOL, EOB
+        out = _bmp_rle_decode(stream, 4, 2, four_bit=four_bit)
+        assert out is None or out.shape == (2, 4)
+
+
+def test_tiff_deflate_strip_inflate_is_bounded():
+    """r15 (advisor): a crafted Deflate strip with a ~1000:1 ratio must
+    not materialize the full inflated buffer before the size check —
+    the inflate is bounded at expected+1 bytes, mirroring the PNG
+    path's bomb cap. Pinned with tracemalloc: peak stays megabytes
+    below the 64 MB the bomb would inflate to."""
+    import struct
+    import tracemalloc
+    import zlib
+
+    from seqspark.pipeline.multimodal import _tiff_decode_pixels
+
+    def mini_tiff(w, h, strip):
+        tags = [(256, 3, w), (257, 3, h), (258, 3, 8), (259, 3, 8),
+                (262, 3, 1), (273, 4, None), (277, 3, 1), (278, 4, h),
+                (279, 4, len(strip))]
+        strip_off = 8 + 2 + len(tags) * 12 + 4
+        out = b"II*\x00" + struct.pack("<I", 8)
+        out += struct.pack("<H", len(tags))
+        for tag, typ, val in tags:
+            out += struct.pack("<HHII", tag, typ, 1,
+                               strip_off if val is None else val)
+        return out + struct.pack("<I", 0) + strip
+
+    # sanity: the hand-built container decodes a valid deflate strip
+    good = mini_tiff(4, 4, zlib.compress(bytes(range(16))))
+    dec = _tiff_decode_pixels(good)
+    assert dec is not None and dec[:3] == (4, 4, 3)
+
+    bomb = mini_tiff(256, 256, zlib.compress(b"\x00" * (64 << 20), 9))
+    assert len(bomb) < 256 << 10  # the strip itself is tiny
+    tracemalloc.start()
+    try:
+        assert _tiff_decode_pixels(bomb) is None
+        _cur, peak = tracemalloc.get_traced_memory()
+    finally:
+        tracemalloc.stop()
+    assert peak < 8 << 20, peak
+
+
 def test_tiff_tiled_layout():
     """r14: tiled TIFF (tags 322-325) — every compression, both byte
     orders, predictor-2 applied per tile row, edge tiles clipped; a
