@@ -2595,10 +2595,12 @@ def q_ann_sq_topk(spark, sf_dir):
     # point) — per-dimension linear [min, max] -> uint8, 4x smaller at
     # rest with near-exact recall: the complement of PQ (32x, coarser)
     # on the compression/recall curve. Encode AND ADC top-k are pure
-    # Catalyst (nested zip_with/aggregate over literal bound arrays, no
-    # Python crossing anywhere); the quantizer is floor(x + 0.5) — the
-    # one rounding Spark and DuckDB replay identically. Bounds are
-    # frozen INPUT literals like the PQ codebooks.
+    # Catalyst — unrolled per-dim element_at chains built as one F.expr,
+    # which enter whole-stage codegen (the zip_with/aggregate HOF form
+    # was interpreted and 12x slower at the ×100 decade, r14); no Python
+    # crossing anywhere. The quantizer is floor(x + 0.5) — the one
+    # rounding Spark and DuckDB replay identically. Bounds are frozen
+    # INPUT literals like the PQ codebooks.
     from seqspark.pipeline.ann import sq_encode, sq_topk
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -3865,73 +3867,67 @@ def contract_diagnostics() -> dict[str, Callable[[SparkSession, str], str]]:
 #: driver-green at r10 and 46 at r11 (vs a 141-entry contract — the
 #: window can only re-green 50/round, so it is pointed at the OLDEST
 #: tail every round). This window: the 4 cross-round canaries, the 2
-#: never-driver-checked r14 additions, the 7 r13 additions kept one more
-#: round as canaries (they also cover the ANN scoring paths around this
-#: round's trainer-sampling change and the codec seams), then ALL 31
-#: r10-stale entries, then the 6 r11 entries most adjacent to this
-#: round's changed surfaces (export/keyset paging, legacy dialect, the
-#: ComplexSearch shape, and inverted_index_and beside the r14 index-
-#: routing scale measurements). After this round no entry's last
-#: driver-green is older than r11.
+#: r15 (verdict #2): the rotation is now MECHANICAL —
+#: ``tools/rotate_window.py`` computes last driver-green age per entry
+#: from the committed CORRECTNESS_r*.json artifacts and takes the 50
+#: oldest (never-checked first, contract order within a round).
+#: This window = ``rotate_window.py --as-of 14``: the 4 never-driver-
+#: green entries (ann_sq_topk, ann_ivfsq_topk, audio_features_wavext,
+#: multimodal_bmp_rle), the whole 43-entry r11-stale tail, and the 3
+#: oldest r12 entries. tests/test_contract.py pins the window against
+#: the mechanism, so a hand-edit that drifts fails fast. After this
+#: round no entry's last driver-green is older than r12.
 DRIVER_WINDOW = [
-    # canaries: stable since r1, keep a cross-round comparison anchor
-    "keyword_eq",
-    "match_all",
-    "agg_count_group",
-    "time_range",
-    # r14 additions: never driver-checked yet
-    "multimodal_tiff_pixels",
-    "multimodal_mp3",
-    "multimodal_ogg",
-    "multimodal_webp",
-    "multimodal_isobmff",
-    # r13 additions, driver-checked once (r13) — keep one more round
-    "audio_features_flac",
-    "audio_features_adpcm",
-    "multimodal_bmp",
-    "multimodal_tiff",
-    "weighted_sample",
-    "ann_opq_topk",
-    "ann_ivfpq_residual",
-    # the 31 entries whose last driver-green is r10 — the whole stale
-    # tail in one sweep
-    "auto_mapping_search",
-    "bigram_perplexity",
-    "comment_strip",
-    "date_histogram",
-    "dsir_resample",
-    "dsir_score",
-    "filter_in",
-    "fulltext_and",
-    "fulltext_wildcard",
-    "gopher_quality",
-    "gopher_repetition",
-    "html_extract",
-    "index_hot_tokens",
-    "ingest_tokenize",
-    "json_field_extract",
-    "keyword_eq_native",
-    "keyword_wildcard",
-    "lang_detect",
-    "merge_dedup",
-    "notexists_accounting",
-    "offset_pagination",
-    "order_limit_asc",
-    "order_limit_desc",
-    "range_lexicographic",
-    "range_numeric",
-    "range_open",
-    "store_bloom_fetch",
-    "token_budget",
-    "unigram_perplexity",
-    "url_canonical",
-    "with_total",
-    # r11-tail picks beside this round's changed surfaces: the
-    # transport-fuzzed complex path, the drain, and the index routing
-    # whose join strategy changed (broadcast hint)
-    "complex_search",
-    "export_keyset",
-    "inverted_index_and",
+    "audio_features_wavext",
+    "multimodal_bmp_rle",
+    "ann_sq_topk",
+    "ann_ivfsq_topk",
+    "incremental_lsh_dupes",
+    "bpe_encode",
+    "bpe_encode_dict",
+    "agg_notexists_bucket",
+    "agg_sum_notexists",
+    "agg_unique_total",
+    "agg_bucket_order",
+    "keyset_pagination",
+    "multitype_keyword_title",
+    "corpus_curation",
+    "case_sensitive_eq",
+    "pii_scrub",
+    "decontaminate",
+    "repetition_ratio",
+    "shipping_priority",
+    "local_supplier_volume",
+    "hash_sample",
+    "hash_split",
+    "train_shuffle",
+    "mix_sources",
+    "legacy_query",
+    "legacy_range",
+    "dup_clusters",
+    "stratified_sample",
+    "domain_stats",
+    "cap_per_group",
+    "ivf_update",
+    "sessionize",
+    "sessionize_native",
+    "sketch_balanced_sample",
+    "multimodal_resize",
+    "embedding_dup_clusters",
+    "top_per_group",
+    "heavy_hitters",
+    "semantic_dedup_pairs",
+    "semantic_dedup",
+    "span_dedup",
+    "fuzzy_contamination",
+    "quality_classifier",
+    "pack_sequences",
+    "hamming_dupes",
+    "hamming_dedup",
+    "image_dhash_dupes",
+    "frame_sample_mjpeg",
+    "multimodal_resize_jpeg",
+    "image_dhash_jpeg",
 ]
 
 

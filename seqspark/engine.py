@@ -837,7 +837,17 @@ class SearchTable:
                                  how="left_semi")
                 for fld, prefix, pat in wildcards:
                     ids = matching_ids_wildcard(index_df, fld, prefix, pat, id_cols)
-                    df = df.join(ids, on=list(id_cols), how="left_semi")
+                    # prefix-dictionary bound (index.prefix_bound): only
+                    # a full (untruncated) hot list can bound the union
+                    # of matching tokens' postings — truncated stats
+                    # yield None and the join stays unhinted
+                    est = (
+                        stats.prefix_bound(fld, prefix)
+                        if stats is not None
+                        else None
+                    )
+                    df = df.join(sized(ids, est), on=list(id_cols),
+                                 how="left_semi")
                 for leaves in or_groups:
                     ids = matching_ids_or(index_df, leaves, id_cols)
                     est = (

@@ -55,6 +55,26 @@ class IndexStats:
             return self.floor
         return n / max(1, self.total_docs)
 
+    def prefix_bound(self, fld: str, prefix: str) -> Optional[int]:
+        """Upper bound on the number of docs whose ``fld`` has ANY token
+        starting with ``prefix`` — the wildcard analogue of the per-token
+        ratios (the prefix dictionary narrowing of
+        `pattern/pattern.go:110-121`): the per-token doc counts summed
+        over the matching dictionary range bound the union's size.
+
+        Only sound when the hot list holds the FULL dictionary
+        (``floor == 0.0``): a truncated list can hide arbitrarily many
+        sub-floor tokens under the prefix, so the tail is unbounded and
+        the answer is honestly ``None`` (no broadcast hint, never a
+        wrong one)."""
+        if self.floor > 0.0:
+            return None
+        return sum(
+            n
+            for (f, t), n in self.df.items()
+            if f == fld and t.startswith(prefix)
+        )
+
 
 def collect_index_stats(
     index_df: DataFrame, total_docs: int, top_k: int = 4096

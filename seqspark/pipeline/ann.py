@@ -1463,7 +1463,10 @@ def sq_encode(
     extra_cols: Sequence[str] = (),
 ) -> DataFrame:
     """Encode to SQ8 codes: (id, code array<int>, each 0..255) — pure
-    Catalyst (two nested zip_with over literal bound arrays), no Python.
+    Catalyst: ONE ``F.expr`` array of unrolled per-dim quantizer chains
+    (``element_at`` per dimension), which enters whole-stage codegen; the
+    zip_with/aggregate HOF form is interpreted and measured 12× slower at
+    the ×100 decade (r14, SURVEY §2.11). No Python anywhere.
     Quantizer: ``floor((v - min) * inv + 0.5)`` clamped to [0, 255] —
     floor(x + 0.5) on purpose, the one rounding both Spark and DuckDB
     replay identically. NULL/ragged vectors encode to NULL codes.

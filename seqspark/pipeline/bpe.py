@@ -508,7 +508,10 @@ def bpe_encoded_via_dict(
     is broadcast-sized next to a 100 TB corpus; pass False to let AQE
     decide when the dictionary is itself huge."""
     wcol = words(F.col(text_col))
-    distinct_words = df.select(F.explode(wcol).alias("w")).distinct()
+    # per-doc array_distinct first (codegen) — shrinks the distinct
+    # shuffle by the in-doc repetition factor, result-identical (r15)
+    distinct_words = df.select(
+        F.explode(F.array_distinct(wcol)).alias("w")).distinct()
     wd = bpe_word_dict(distinct_words, merges, "w", mode=dict_mode)
     if broadcast_dict:
         wd = F.broadcast(wd)

@@ -294,7 +294,11 @@ def unigram_encoded(
     joined back in word order — ``bpe_encoded_via_dict``'s plan with the
     unigram dictionary. Output: (id, unigram_text, n_unigram_tokens)."""
     wcol = words(F.col(text_col))
-    distinct_words = df.select(F.explode(wcol).alias("w")).distinct()
+    # array_distinct BEFORE the explode: per-doc dedup runs in codegen
+    # and shrinks the distinct shuffle's input by the per-doc repetition
+    # factor; distinct(explode(array_distinct(x))) == distinct(explode(x))
+    distinct_words = df.select(
+        F.explode(F.array_distinct(wcol)).alias("w")).distinct()
     wd = unigram_word_dict(distinct_words, pieces,
                            max_piece_len=max_piece_len)
     if broadcast_dict:

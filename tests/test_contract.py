@@ -35,8 +35,7 @@ def test_queries_and_oracles_cover_each_other():
 
 def test_driver_window_shape():
     # the driver checks the FIRST 50 queries() entries; DRIVER_WINDOW is
-    # the deliberate rotation (r11: all 46 never-driver-checked entries
-    # + 4 canaries). The window must stay exactly 50 names, all real,
+    # the rotation. The window must stay exactly 50 names, all real,
     # and queries() must actually lead with it — a dict-building change
     # that silently reorders would un-rotate the official record.
     win = entry_mod.DRIVER_WINDOW
@@ -44,6 +43,28 @@ def test_driver_window_shape():
     q = list(entry_mod.queries())
     assert q[:50] == win
     assert set(q) == set(entry_mod._all_queries())
+
+
+def test_driver_window_is_the_mechanical_rotation():
+    # r15 (verdict #2): the rotation is computed, not hand-picked —
+    # tools/rotate_window.py ranks entries by last driver-green round
+    # (never-checked first, contract order within a round) over the
+    # committed CORRECTNESS_r*.json artifacts. The committed window must
+    # equal the mechanism's output for the round it was authored against
+    # (bump AS_OF when regenerating the window for a new round).
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))))
+    from tools.rotate_window import compute_window, last_green
+
+    AS_OF = 14
+    names = list(entry_mod._all_queries().keys())
+    want = compute_window(names, last_green(as_of=AS_OF))
+    assert entry_mod.DRIVER_WINDOW == want, (
+        "DRIVER_WINDOW drifted from rotate_window.py --as-of "
+        f"{AS_OF}; regenerate it from the tool")
 
 
 def test_rows_only_is_empty():

@@ -208,6 +208,29 @@ def test_stats_driven_broadcast_semi_join(spark):
         # covered OR of two rare tokens: ratio sum bounds the union
         p = plan(st, "text:needle or text:niche")
         assert "LeftSemi" in p and "BroadcastHashJoin" in p, p
+        # r15: prefix WILDCARD — the hot list is the full dictionary
+        # (floor == 0), so the prefix-bucket sum bounds the union of
+        # matching tokens' postings (needle+niche = 20 docs) -> hinted
+        p = plan(st, "text:n*")
+        assert "LeftSemi" in p and "BroadcastHashJoin" in p, p
+        # wildcard with the cap below the bound -> routed, not hinted
+        p = plan(table(broadcast_max_docs=15), "text:n*")
+        assert "LeftSemi" in p and "BroadcastHashJoin" not in p, p
+        # ...but a narrower prefix (just "niche", 10 docs) fits again
+        p = plan(table(broadcast_max_docs=15), "text:ni*")
+        assert "LeftSemi" in p and "BroadcastHashJoin" in p, p
+        # TRUNCATED stats (top_k reached -> floor > 0): the sub-floor
+        # tail under the prefix is unbounded, so the wildcard join must
+        # honestly stay unhinted even though listed tokens match
+        stats_tr = collect_index_stats(idx, total_docs=n, top_k=2)
+        assert stats_tr.floor > 0.0
+        assert stats_tr.prefix_bound("text", "n") is None
+        st_tr = SearchTable.from_typed(
+            d, m, ts_col="ts", rid_col="doc_id"
+        ).attach_index(idx, ["text"], ["doc_id"], stats=stats_tr,
+                       max_selectivity=0.9)
+        p = plan(st_tr, "text:ni*")
+        assert "LeftSemi" in p and "BroadcastHashJoin" not in p, p
         # cap below the estimate -> routed, but shuffled (no broadcast)
         p = plan(table(broadcast_max_docs=5), "text:needle")
         assert "LeftSemi" in p and "BroadcastHashJoin" not in p, p
@@ -225,6 +248,8 @@ def test_stats_driven_broadcast_semi_join(spark):
     # the hint picks the plan, never the answer
     assert st.search("text:needle").count() == 10
     assert table(broadcast_max_docs=0).search("text:needle").count() == 10
+    assert st.search("text:n*").count() == 10
+    assert table(broadcast_max_docs=15).search("text:n*").count() == 10
 
 
 def test_store_index_lifecycle(spark, tmp_path):

@@ -282,6 +282,14 @@ def text_routing_query_set(st_routed, st_scan, query: str):
     return {
         "p9_text_routed": lambda: st_routed.search(query, size=1000).collect(),
         "p10_text_scan": lambda: st_scan.search(query, size=1000).collect(),
+        # r15 (verdict #1): prefix WILDCARD through the routed path — the
+        # prefix-dictionary bound (IndexStats.prefix_bound) must keep the
+        # posting semi-join broadcast-hinted at every decade; token "81"
+        # is ~0.9%-selective, under broadcast_max_docs at ×100 too
+        "p9w_text_routed_wc": lambda: st_routed.search(
+            WILDCARD_QUERY, size=1000).collect(),
+        "p10w_text_scan_wc": lambda: st_scan.search(
+            WILDCARD_QUERY, size=1000).collect(),
     }
 
 
@@ -289,7 +297,17 @@ def text_routing_digest_set(st_routed, st_scan, query: str):
     return {
         "p9_text_routed": lambda: [st_routed.search(query, size=1000)],
         "p10_text_scan": lambda: [st_scan.search(query, size=1000)],
+        "p9w_text_routed_wc": lambda: [
+            st_routed.search(WILDCARD_QUERY, size=1000)],
+        "p10w_text_scan_wc": lambda: [
+            st_scan.search(WILDCARD_QUERY, size=1000)],
     }
+
+
+#: prefix wildcard over the props tokens: matches exactly token "81"
+#: (values are 0-99, so no other token starts with "81") — rare enough
+#: to route AND to broadcast, exercising the r15 prefix_bound hint
+WILDCARD_QUERY = "props:81*"
 
 
 PLANS_PATH = os.path.join(
@@ -344,10 +362,16 @@ def main() -> None:
         )
     if not os.path.exists(li1_path):
         scale_out(lineitem, args.factor, []).write.parquet(li1_path)
+    # r15: splits must scale WITH the data like the events fixture's
+    # write_ts_clustered(4 * factor) — the r14 fixture wrote the ×100
+    # corpus into 2 splits, so p6's "46×" was parallelism collapse
+    # (the whole encode serialized on 2 cores), not algorithm cost.
+    # A 100 TB corpus arrives in thousands of splits; the fixture must.
     if not os.path.exists(docs_small_path):
-        docs_raw.write.parquet(docs_small_path)
+        docs_raw.repartition(4).write.parquet(docs_small_path)
     if not os.path.exists(docs1_path):
-        scale_out(docs_raw, args.factor, ["doc_id"]).write.parquet(docs1_path)
+        scale_out(docs_raw, args.factor, ["doc_id"]).repartition(
+            4 * args.factor).write.parquet(docs1_path)
     setup = round(time.perf_counter() - t0, 2)
 
     events = spark.read.parquet(ev_small_path)
@@ -533,9 +557,17 @@ def main() -> None:
         codes_x, docs_x, mj_x, books, query, pieces,
         rcodes_x, cents, rbooks, sqcodes_x, sqbounds).items()})
     # routed-vs-scan rows must be identical before timing them
-    routed_rows = st_routed.search(TEXT_QUERY, size=1000).count()
-    scan_rows = st_scan.search(TEXT_QUERY, size=1000).count()
-    assert routed_rows == scan_rows, (routed_rows, scan_rows)
+    for q in (TEXT_QUERY, WILDCARD_QUERY):
+        routed_rows = st_routed.search(q, size=1000).count()
+        scan_rows = st_scan.search(q, size=1000).count()
+        assert routed_rows == scan_rows, (q, routed_rows, scan_rows)
+    # r15: the wildcard semi-join must stay BROADCAST at the big scale —
+    # the prefix-dictionary bound (~0.9% of docs) is under the cap at
+    # ×100, so a shuffle here would be the exact regression the
+    # stats-driven hint exists to prevent
+    wc_plan = (st_routed_x.search(WILDCARD_QUERY, size=1000)
+               ._jdf.queryExecution().executedPlan().toString())
+    assert "BroadcastHashJoin" in wc_plan, wc_plan[:2000]
     small.update({k: timed(fn, args.runs) for k, fn in
                   text_routing_query_set(st_routed, st_scan,
                                          TEXT_QUERY).items()})
