@@ -1763,6 +1763,29 @@ MULTIMODAL_OGG_EXPECTED = [
 ]
 
 
+#: (asset_id, n_bytes, sha256, container, sample_rate,
+#: n_channels, n_samples, duration_s) over
+#: real_oggflac_asset_rows (r15, FLAC-in-Ogg mapping)
+MULTIMODAL_OGGFLAC_EXPECTED = [
+    (0, 528, '27169c8c800e8ca9dd56037880a81f69b3c69c5384166af8b3af31de9c95a335', 'ogg-flac', 8000, 1, 4000, 0.5),
+    (1, 563, 'b86c28366ef7d95f6c2ab166e303dfc8fed46a24fcc41414e95ed3947c3d7fc8', 'ogg-flac', 16000, 2, 16106, 1.006625),
+    (2, 645, 'b51151dfd5df071bda3c4a58e4cbd39ec8639a05d9f059563d064084b82289d8', 'ogg-flac', 22050, 1, 33393, 1.514422),
+    (3, 774, '54ea47f67636d01f8a70f04e50b65413a6339ab83def5db23954826628012283', 'ogg-flac', 44100, 2, 88836, 2.014422),
+    (4, 488, '17504216a9bc044255c4528c8b5aa3f566b6ab79d7650d11ec2844ed66c1ed0c', 'ogg-flac', 48000, 1, 24212, 0.504417),
+    (5, 563, 'bcbf60f0b21a4bbd3f218e69f284f48bff19957f415f921c2e0dacb0b057b70a', 'ogg-flac', 8000, 2, 8530, 1.06625),
+    (6, 685, 'b407de5805fb9a5e0c3aae8869dac5634f07553e9577fbb68503dd78a13162fe', 'ogg-flac', 16000, 1, 24954, 1.559625),
+    (7, 734, '9f4cf986c744015c0046d9fe6177a8eb57acebb69cfb90c74c75b6b9363652ef', 'ogg-flac', 22050, 2, 45584, 2.067302),
+    (8, 488, '82eb5c9aedee259f6ee0ec7f1fe92cf6eeea990e51e09a614365d914836cf254', 'ogg-flac', 44100, 1, 22474, 0.509615),
+    (9, 603, 'af0d8effb917cb19001d1b1db8ddfb1263c0420400e66b5b8357f577fcac2aaa', 'ogg-flac', 48000, 2, 48954, 1.019875),
+    (10, 645, '6454e1054e274ec30e5b65a1c599f1dceec24a38490b26efcbb7fc4745b74a98', 'ogg-flac', 8000, 1, 13590, 1.69875),
+    (11, 734, '66abacf9c57f97f630f2329b77a22ba5fc07eda025a2a07a89b7338826db3e73', 'ogg-flac', 16000, 2, 34332, 2.14575),
+    (12, 528, '7913c180b72b9c69c4b687d0e98e2b9fcd25c077fb9291b6b2480127dc3d3183', 'ogg-flac', 22050, 1, 11661, 0.528844),
+    (13, 563, '5eb6f5293030bccf00ae4e00f16b1ed9983f17cc82f874580da7fa79ea6110ba', 'ogg-flac', 44100, 2, 45478, 1.031247),
+    (14, 645, '1e3313e0e98c5facbf549c5b106add57a3e9d6257054c1c1e2b8bb3f89f55200', 'ogg-flac', 48000, 1, 74226, 1.546375),
+    (15, 774, 'ddb453f2bbf567114ba728503c612d0f0f604dac786ecbc27feb6ead7cf2bbd4', 'ogg-flac', 8000, 2, 19180, 2.3975),
+]
+
+
 #: (asset_id, n_bytes, sha256, width, height, n_frames)
 #: over real_webp_asset_rows (r14, header-only)
 MULTIMODAL_WEBP_EXPECTED = [
@@ -2836,6 +2859,19 @@ def q_multimodal_ogg(spark, sf_dir):
     return audio_meta(make_real_ogg_assets(spark, 16))
 
 
+def q_multimodal_oggflac(spark, sf_dir):
+    # hash-pinned (r15): FLAC-in-Ogg through the same RFC 3533 page
+    # walk — the 0x7F "FLAC" BOS mapping (xiph ogg_mapping: mapping
+    # version + header-packet count + the native fLaC STREAMINFO head),
+    # rate/channels from STREAMINFO, duration from the last granule on
+    # the NATIVE sample clock (no pre-skip). The one Ogg BOS kind the
+    # r14 walker honestly raised on.
+    from seqspark.pipeline.multimodal import (
+        audio_meta, make_real_oggflac_assets)
+
+    return audio_meta(make_real_oggflac_assets(spark, 16))
+
+
 def q_multimodal_webp(spark, sf_dir):
     # hash-pinned (r14): WebP metadata through the stdlib RIFF walk —
     # VP8 lossy key-frame dims, VP8L lossless 14-bit dims, VP8X canvas
@@ -3871,15 +3907,17 @@ def contract_diagnostics() -> dict[str, Callable[[SparkSession, str], str]]:
 #: ``tools/rotate_window.py`` computes last driver-green age per entry
 #: from the committed CORRECTNESS_r*.json artifacts and takes the 50
 #: oldest (never-checked first, contract order within a round).
-#: This window = ``rotate_window.py --as-of 14``: the 4 never-driver-
+#: This window = ``rotate_window.py --as-of 14``: the 5 never-driver-
 #: green entries (ann_sq_topk, ann_ivfsq_topk, audio_features_wavext,
-#: multimodal_bmp_rle), the whole 43-entry r11-stale tail, and the 3
-#: oldest r12 entries. tests/test_contract.py pins the window against
-#: the mechanism, so a hand-edit that drifts fails fast. After this
-#: round no entry's last driver-green is older than r12.
+#: multimodal_bmp_rle, and this round's multimodal_oggflac), the whole
+#: 43-entry r11-stale tail, and the 2 oldest r12 entries.
+#: tests/test_contract.py pins the window against the mechanism, so a
+#: hand-edit that drifts fails fast. After this round no entry's last
+#: driver-green is older than r12.
 DRIVER_WINDOW = [
     "audio_features_wavext",
     "multimodal_bmp_rle",
+    "multimodal_oggflac",
     "ann_sq_topk",
     "ann_ivfsq_topk",
     "incremental_lsh_dupes",
@@ -3927,7 +3965,6 @@ DRIVER_WINDOW = [
     "image_dhash_dupes",
     "frame_sample_mjpeg",
     "multimodal_resize_jpeg",
-    "image_dhash_jpeg",
 ]
 
 
@@ -4026,6 +4063,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_tiff_pixels": q_multimodal_tiff_pixels,
         "multimodal_mp3": q_multimodal_mp3,
         "multimodal_ogg": q_multimodal_ogg,
+        "multimodal_oggflac": q_multimodal_oggflac,
         "multimodal_webp": q_multimodal_webp,
         "multimodal_isobmff": q_multimodal_isobmff,
         "weighted_sample": q_weighted_sample,
@@ -5337,6 +5375,17 @@ def oracle_sql() -> dict[str, str]:
             f"({i}, {nb}, '{sha}', '{cont}', {sr}, {nc}, "
             f"CAST({ns} AS BIGINT), {dur!r})"
             for i, nb, sha, cont, sr, nc, ns, dur in MULTIMODAL_OGG_EXPECTED
+        )
+        + ") AS t(asset_id, n_bytes, sha256, container, sample_rate,"
+        " n_channels, n_samples, duration_s)"
+    )
+    sql["multimodal_oggflac"] = (
+        "SELECT * FROM (VALUES "
+        + ", ".join(
+            f"({i}, {nb}, '{sha}', '{cont}', {sr}, {nc}, "
+            f"CAST({ns} AS BIGINT), {dur!r})"
+            for i, nb, sha, cont, sr, nc, ns, dur
+            in MULTIMODAL_OGGFLAC_EXPECTED
         )
         + ") AS t(asset_id, n_bytes, sha256, container, sample_rate,"
         " n_channels, n_samples, duration_s)"

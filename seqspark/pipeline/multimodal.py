@@ -436,7 +436,7 @@ def _real_decode(media_type: str, content: bytes) -> tuple[int, int, int]:
                 raise NotImplementedError(
                     "audio decode supports WAV (PCM + IMA-ADPCM), AIFF, "
                     "AU (.snd incl. mu-law), FLAC, MPEG-audio (MP3), "
-                    "Ogg Vorbis/Opus and M4A (metadata-only) "
+                    "Ogg Vorbis/Opus/FLAC and M4A (metadata-only) "
                     "containers; other compressed audio needs a codec "
                     "absent here"
                 ) from None
@@ -4079,6 +4079,19 @@ def _ogg_meta(b: bytes):
                 # granule positions count 48 kHz samples whatever the
                 # original input rate was
                 container, audio_serial, rate = "ogg-opus", serial, 48000
+            elif payload[:5] == b"\x7fFLAC" and len(payload) >= 51:
+                # FLAC-in-Ogg mapping (r15; xiph ogg_mapping: the BOS
+                # packet is 0x7F "FLAC" + major/minor + header-packet
+                # count (BE16) + the native "fLaC" stream head) — the
+                # STREAMINFO parse is the same one native FLAC uses;
+                # the granule clock is the native sample rate
+                info = _flac._parse_streaminfo(bytes(payload[9:]))
+                if info is None:
+                    return None
+                rate, nch = info[0], info[1]
+                if nch == 0 or rate == 0:
+                    return None
+                container, audio_serial = "ogg-flac", serial
             continue
         # first non-BOS page: the BOS section is over — record its
         # granule as the floor and leave the rest to the tail scan
@@ -4149,6 +4162,19 @@ def _ogg_encode_meta(
         ident = (b"OpusHead\x01" + bytes((nch,))
                  + struct.pack("<H", pre_skip)
                  + struct.pack("<I", rate) + b"\x00\x00\x00")
+    elif codec == "flac":
+        # FLAC-in-Ogg BOS packet (r15): 0x7F "FLAC" + mapping version
+        # 1.0 + header-packet count + the native fLaC STREAMINFO head.
+        # STREAMINFO bit layout (flac._parse_streaminfo reads it back):
+        # minblk(16) maxblk(16) minfrm(24) maxfrm(24) rate(20) nch-1(3)
+        # bits-1(5) total(36) md5(128)
+        total = granules[-1] if granules else 0
+        packed = ((rate << 44) | ((nch - 1) << 41) | ((16 - 1) << 36)
+                  | (total & ((1 << 36) - 1)))
+        body = (struct.pack(">HH", 4096, 4096) + b"\x00" * 6
+                + struct.pack(">Q", packed) + b"\x00" * 16)
+        ident = (b"\x7fFLAC\x01\x00" + struct.pack(">H", 0)
+                 + b"fLaC" + bytes((0x80,)) + b"\x00\x00\x22" + body)
     else:
         raise ValueError(codec)
     out = bytearray()
@@ -4502,12 +4528,45 @@ def make_real_ogg_assets(spark, n: int = 16) -> DataFrame:
     return spark.createDataFrame(real_ogg_asset_rows(n), ASSET_SCHEMA)
 
 
+def real_oggflac_asset_rows(n: int = 16) -> list:
+    """Driver-side rows of the FLAC-in-Ogg metadata fixture (r15):
+    CRC-valid page chains whose BOS packet carries the 0x7F "FLAC"
+    mapping header + native STREAMINFO — the one Ogg BOS kind the r14
+    walker fell through to a raise on. Cycles rates, channel counts,
+    multi-page granule ladders and the multiplexed-skip path, like the
+    Vorbis/Opus fixture. Pure function of ``n``; kept separate from
+    :func:`real_ogg_asset_rows` so its frozen literals never move."""
+    rows = []
+    for i in range(n):
+        rate = (8000, 16000, 22050, 44100, 48000)[i % 5]
+        nch = 1 + i % 2
+        n_pages = 1 + i % 4
+        step = rate // 2 + i * 53
+        granules = [step * (k + 1) for k in range(n_pages)]
+        rows.append((
+            i, "audio",
+            bytearray(_ogg_encode_meta(
+                "flac", rate, nch, granules,
+                serial=0x2000 + i,
+                prepend_stream=(b"\x7ftheora-ish" + bytes((i % 256,))
+                                if i % 3 == 0 else None),
+            )),
+            '{"src":"fixture-oggflac"}',
+        ))
+    return rows
+
+
+def make_real_oggflac_assets(spark, n: int = 16) -> DataFrame:
+    """Deterministic FLAC-in-Ogg fixture (:func:`real_oggflac_asset_rows`)."""
+    return spark.createDataFrame(real_oggflac_asset_rows(n), ASSET_SCHEMA)
+
+
 def _audio_meta_of(b: bytes):
     """``(container, sample_rate, n_channels, n_samples)`` for any
     header-parseable audio payload — the planner tier: everything a
     sampling/cost planner needs (duration = n_samples / rate) WITHOUT
     decoding samples. Covers the full decodable set (WAV PCM, IMA-ADPCM
-    WAV, AIFF, AU, FLAC) plus MP3 and Ogg Vorbis/Opus, which are
+    WAV, AIFF, AU, FLAC) plus MP3 and Ogg Vorbis/Opus/FLAC, which are
     metadata-only (no stdlib synthesis path — :func:`audio_features`
     keeps its honest raise). None when the container is unrecognized."""
     b = b or b""
@@ -4588,7 +4647,7 @@ def audio_meta(assets: DataFrame, fake: bool = False) -> DataFrame:
                     raise NotImplementedError(
                         "audio metadata supports WAV (PCM + IMA-ADPCM), "
                         "AIFF, AU, FLAC, MPEG audio (MP3), Ogg "
-                        "(Vorbis/Opus) and M4A containers"
+                        "(Vorbis/Opus/FLAC) and M4A containers"
                     )
                 metas.append(m)
             yield pd.DataFrame({

@@ -628,6 +628,35 @@ class TestOggMeta:
 
         run()
 
+    def test_oggflac_meta(self):
+        """r15: FLAC-in-Ogg — the 0x7F 'FLAC' BOS mapping (native
+        STREAMINFO head, native-rate granule clock, no pre-skip).
+        Truncation and CRC-flip degrade like Vorbis/Opus; a corrupt
+        STREAMINFO inside the mapping is None, never a throw."""
+        from seqspark.pipeline.multimodal import (
+            _audio_meta_of, _ogg_encode_meta, _ogg_meta)
+
+        good = _ogg_encode_meta("flac", 44100, 2, [100, 44100],
+                                serial=0x42)
+        assert _ogg_meta(good) == ("ogg-flac", 44100, 2, 44100, 0)
+        assert _audio_meta_of(good) == ("ogg-flac", 44100, 2, 44100)
+        # multiplexed foreign BOS first: the audio serial still wins
+        muxed = _ogg_encode_meta("flac", 8000, 1, [4000],
+                                 prepend_stream=b"\x7ftheora-ish")
+        assert _ogg_meta(muxed)[0] == "ogg-flac"
+        # last-page CRC flip: duration falls back to the prior granule
+        bad = bytearray(good)
+        bad[-1] ^= 0xFF
+        assert _ogg_meta(bytes(bad))[3] == 100
+        # corrupt STREAMINFO magic inside the mapping: None, no throw
+        corrupt = bytearray(good)
+        idx = bytes(corrupt).find(b"fLaC")
+        corrupt[idx] ^= 0xFF
+        assert _ogg_meta(bytes(corrupt)) is None
+        # truncation anywhere never throws
+        for cut in range(0, len(good), 37):
+            _ogg_meta(good[:cut])
+
     def test_ogg_decode_assets_and_null_features(self, spark):
         from seqspark.pipeline.multimodal import (
             audio_features, decode_assets, make_real_ogg_assets)

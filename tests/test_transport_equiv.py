@@ -1,7 +1,9 @@
-"""Cross-transport equivalence fuzz (r14, verdict #8): one random
-ComplexSearch-shaped request driven through all three wire surfaces —
-HTTP JSON ``POST /complex``, seqproxyapi.v1 ``ComplexSearch`` (proto3
-over h2), and the internal ``api.StoreApi/Search`` — against the SAME
+"""Cross-transport equivalence fuzz (r14, verdict #8; gateway leg r15,
+verdict #6): one random ComplexSearch-shaped request driven through all
+FOUR wire surfaces — HTTP JSON ``POST /complex``, seqproxyapi.v1
+``ComplexSearch`` (proto3 over h2), the internal ``api.StoreApi/Search``,
+and the grpc-gateway transcoder ``POST /complex-search`` (RFC3339
+times, base64 bytes, int64-as-string, enum names) — against the SAME
 core and store must yield identical ids, totals, histograms and agg
 buckets once each wire's representation is unfolded.
 
@@ -191,6 +193,42 @@ def _canon_proxy(resp):
              sp.ts_to_ms(b["ts"]) if b.get("ts") is not None else None,
              _canon_value(b.get("value", 0.0)),
              int(b.get("not_exists") or 0))
+            for b in a.get("buckets", [])
+        ), key=_bucket_key))
+    return ids, data, total, hist, aggs
+
+
+def _canon_gateway(out):
+    """Unfold the grpc-gateway JSON rendering (r15, verdict #6):
+    RFC3339 Timestamp strings, base64 bytes, int64-as-string, enum
+    names, and "NaN" for a NaN double — the fourth response mapping
+    that can drift independently of the three wire canonicalizers."""
+    import base64
+
+    from seqspark import gateway as gw
+
+    def ms(v):
+        return sp.ts_to_ms(gw._ts_from_json(v)) if v is not None else None
+
+    def val(v):
+        if v is None or v == "NaN":
+            return None
+        return float(v)
+
+    ids = [seq_id_parse(d["id"]) for d in out.get("docs", [])]
+    data = [base64.b64decode(d.get("data") or "").decode()
+            for d in out.get("docs", [])]
+    total = int(out.get("total", 0))
+    hist = sorted(
+        (ms(b.get("ts")), int(b.get("docCount") or 0))
+        for b in (out.get("hist") or {}).get("buckets", [])
+    )
+    aggs = []
+    for a in out.get("aggs", []):
+        aggs.append(sorted((
+            (b.get("key", ""), ms(b.get("ts")),
+             _canon_value(val(b.get("value", 0.0))),
+             int(b.get("notExists") or 0))
             for b in a.get("buckets", [])
         ), key=_bucket_key))
     return ids, data, total, hist, aggs
@@ -425,12 +463,45 @@ def test_three_transport_equivalence(rig, spec):
                        sa.SEARCH_REQUEST, sa.SEARCH_RESPONSE)
     s_ids, s_total, s_hist, s_aggs = _canon_store(sresp, agg_specs)
 
-    # ids: same docs, same order, on all three
-    assert h_ids == p_ids == s_ids, (spec, h_ids, p_ids, s_ids)
+    # 4. grpc-gateway /complex-search (r15, verdict #6): the transcoder
+    # surface — RFC3339 times in, gateway JSON out — through the SAME
+    # unstarted SeqProxyGrpc handlers, rendered by gateway.proto_to_json
+    from seqspark import gateway as gw
+
+    greq = {
+        "query": {"query": q, "from": gw._ts_to_json(sp.ms_to_ts(f_ms)),
+                  "to": gw._ts_to_json(sp.ms_to_ts(t_ms))},
+        "size": size, "offset": offset, "withTotal": True,
+        "order": "ORDER_DESC" if order == 0 else "ORDER_ASC",
+        "aggs": [
+            {"func": f"AGG_FUNC_{fn.upper()}",
+             **({"field": fl} if fl else {}),
+             **({"groupBy": gb} if gb else {}),
+             **({"interval": f"{iv // 1000}s"} if iv else {})}
+            for fn, fl, gb, iv in agg_specs
+        ],
+    }
+    if hist_iv is not None:
+        greq["hist"] = {"interval": f"{hist_iv // 1000}s"}
+    r = urllib.request.Request(
+        f"http://127.0.0.1:{core.port}/complex-search",
+        data=json.dumps(greq).encode(),
+        headers={"Content-Type": "application/json"},
+    )
+    with urllib.request.urlopen(r, timeout=120) as resp:
+        gw_out = json.loads(resp.read())
+    g_ids, g_data, g_total, g_hist, g_aggs = _canon_gateway(gw_out)
+
+    # ids: same docs, same order, on all four
+    assert h_ids == p_ids == s_ids == g_ids, (
+        spec, h_ids, p_ids, s_ids, g_ids)
     # doc bodies: byte-equal where the wire carries them
-    assert h_data == p_data, spec
-    assert h_total == p_total == s_total, (spec, h_total, p_total, s_total)
-    assert h_hist == p_hist == s_hist, (spec, h_hist, p_hist, s_hist)
+    assert h_data == p_data == g_data, spec
+    assert h_total == p_total == s_total == g_total, (
+        spec, h_total, p_total, s_total, g_total)
+    assert h_hist == p_hist == s_hist == g_hist, (
+        spec, h_hist, p_hist, s_hist, g_hist)
+    assert h_aggs == g_aggs, (spec, h_aggs, g_aggs)
     # agg buckets: HTTP vs proxy carry NaN faithfully; StoreApi's
     # Histogram zero-codes it
     assert h_aggs == p_aggs, (spec, h_aggs, p_aggs)

@@ -462,6 +462,25 @@ def main() -> None:
         print(f"    {r!r},")
     print("]")
 
+    # r15: FLAC-in-Ogg fixture — the same page walker with the 0x7F
+    # "FLAC" BOS mapping (native STREAMINFO head, native-rate granules)
+    from seqspark.pipeline.multimodal import real_oggflac_asset_rows  # noqa: E402
+
+    ogf = []
+    for i, media, content, _meta in real_oggflac_asset_rows(16):
+        b = bytes(content)
+        cont, rate, nch, ns = _audio_meta_of(b)
+        ogf.append((i, len(b), hashlib.sha256(b).hexdigest(), cont, rate,
+                    nch, ns, round(ns / rate, 6)))
+    print()
+    print("#: (asset_id, n_bytes, sha256, container, sample_rate,")
+    print("#: n_channels, n_samples, duration_s) over")
+    print("#: real_oggflac_asset_rows (r15, FLAC-in-Ogg mapping)")
+    print("MULTIMODAL_OGGFLAC_EXPECTED = [")
+    for r in ogf:
+        print(f"    {r!r},")
+    print("]")
+
     # r13: IMA-ADPCM fixture — the audio feature kernel over the ADPCM
     # decoder's PCM (same underlying signals as the FLAC fixture, so the
     # lossy-vs-lossless feature drift is itself frozen and inspectable)
