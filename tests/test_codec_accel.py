@@ -317,7 +317,12 @@ def test_decode_assets_metadata_upright_via_seam(spark):
 
 # --------------------------------------------- real Pillow differential
 
-@pytest.mark.skipif(not HAS_PIL, reason="Pillow not installed")
+@pytest.mark.skipif(
+    not HAS_PIL,
+    reason="Pillow not installed — PERMANENT waiver in the PIL-less "
+    "verification container (COVERAGE.md §r15 permanent waiver); "
+    "activates automatically wherever Pillow exists",
+)
 class TestRealPillowParity:
     def test_png_decode_exact(self):
         for ch in (3, 4):
