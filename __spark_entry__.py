@@ -3231,6 +3231,36 @@ def q_inverted_index_and(spark, sf_dir):
     return out.select("doc_id", "lang", "source")
 
 
+def q_two_phase_fetch(spark, sf_dir):
+    # hash-pinned (r15): the reference's ACTUAL search architecture as
+    # one operator — top-(size+offset) ids from the posting lists alone
+    # (narrow index scan + TakeOrdered in (mid, rid) order,
+    # `frac/sealed_index.go:218-266`), then ONE id-page fetch
+    # (`storeapi/grpc_fetch.go:42-216`) where rid blooms skip row
+    # groups. Measured winner on wide corpora (BASELINE.md §r15:
+    # 0.28x the scan at x10, 0.67x at x100 on ~3 KB bodies).
+    from seqspark.engine import materialize_tokens
+    from seqspark.index import build_inverted_index
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "ts", F.timestamp_millis(F.col("doc_id") * 1000)
+    )
+    tok = materialize_tokens(docs, {"text": "text"}).withColumn(
+        "mid", F.unix_millis(F.col("ts"))
+    )
+    idx = build_inverted_index(
+        tok, {"text": "__tok_text"}, id_cols=["mid", "doc_id"]
+    )
+    st = SearchTable.from_typed(
+        docs, DOCS_MAPPING, ts_col="ts", rid_col="doc_id",
+        assume_folded=True,
+    ).attach_index(idx, ["text"], ["mid", "doc_id"])
+    return st.two_phase_search(
+        "text:table and text:sc*",
+        from_ms=50_000, to_ms=450_000, size=40, offset=5, order="desc",
+    ).select("doc_id", "lang", "source")
+
+
 def q_export_keyset(spark, sf_dir):
     # export-style full ordered drain of a filtered set (size=None)
     st = _events_table(spark, sf_dir)
@@ -3907,19 +3937,20 @@ def contract_diagnostics() -> dict[str, Callable[[SparkSession, str], str]]:
 #: ``tools/rotate_window.py`` computes last driver-green age per entry
 #: from the committed CORRECTNESS_r*.json artifacts and takes the 50
 #: oldest (never-checked first, contract order within a round).
-#: This window = ``rotate_window.py --as-of 14``: the 5 never-driver-
+#: This window = ``rotate_window.py --as-of 14``: the 6 never-driver-
 #: green entries (ann_sq_topk, ann_ivfsq_topk, audio_features_wavext,
-#: multimodal_bmp_rle, and this round's multimodal_oggflac), the whole
-#: 43-entry r11-stale tail, and the 2 oldest r12 entries.
-#: tests/test_contract.py pins the window against the mechanism, so a
-#: hand-edit that drifts fails fast. After this round no entry's last
-#: driver-green is older than r12.
+#: multimodal_bmp_rle, and this round's multimodal_oggflac and
+#: two_phase_fetch), the whole 43-entry r11-stale tail, and the oldest
+#: r12 entry. tests/test_contract.py pins the window against the
+#: mechanism, so a hand-edit that drifts fails fast. After this round
+#: no entry's last driver-green is older than r12.
 DRIVER_WINDOW = [
     "audio_features_wavext",
     "multimodal_bmp_rle",
     "multimodal_oggflac",
     "ann_sq_topk",
     "ann_ivfsq_topk",
+    "two_phase_fetch",
     "incremental_lsh_dupes",
     "bpe_encode",
     "bpe_encode_dict",
@@ -3964,7 +3995,6 @@ DRIVER_WINDOW = [
     "hamming_dedup",
     "image_dhash_dupes",
     "frame_sample_mjpeg",
-    "multimodal_resize_jpeg",
 ]
 
 
@@ -4088,6 +4118,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "keyset_pagination": q_keyset_pagination,
         "multitype_keyword_title": q_multitype_keyword_title,
         "inverted_index_and": q_inverted_index_and,
+        "two_phase_fetch": q_two_phase_fetch,
         "export_keyset": q_export_keyset,
         "corpus_curation": q_corpus_curation,
         "case_sensitive_eq": q_case_sensitive_eq,
@@ -4527,6 +4558,16 @@ def oracle_sql() -> dict[str, str]:
         "inverted_index_and": (
             "SELECT doc_id, lang, source FROM documents WHERE "
             f"list_contains({_TOKS}, 'table') AND list_contains({_TOKS}, 'scan')"
+        ),
+        "two_phase_fetch": (
+            # the id page is the top-(size+offset) of the EXACT match
+            # set in (mid, rid) order, so the whole two-phase pipeline
+            # collapses to one ordered LIMIT/OFFSET over the predicate
+            "SELECT doc_id, lang, source FROM documents WHERE "
+            f"list_contains({_TOKS}, 'table') AND "
+            f"len(list_filter({_TOKS}, t -> t LIKE 'sc%')) > 0 AND "
+            "doc_id * 1000 BETWEEN 50000 AND 450000 "
+            "ORDER BY doc_id DESC LIMIT 40 OFFSET 5"
         ),
         "export_keyset": (
             f"SELECT {_EV} FROM events WHERE "

@@ -932,6 +932,132 @@ class SearchTable:
             df = df.limit(size)
         return df
 
+    def two_phase_search(
+        self,
+        q: str,
+        from_ms: Optional[int] = None,
+        to_ms: Optional[int] = None,
+        size: int = 100,
+        offset: int = 0,
+        order: str = "desc",
+        dialect: Optional[str] = None,
+    ) -> DataFrame:
+        """The reference's actual search architecture as one operator:
+        top-(size+offset) ids from the POSTING LISTS alone (a narrow
+        index scan + TakeOrdered — cost independent of document width),
+        then ONE id-page fetch against the store, where parquet blooms /
+        dictionary pages skip row groups that hold no page doc
+        (`storeapi/grpc_fetch.go:42-216`; posting iteration in MID order,
+        `frac/sealed_index.go:218-266`).
+
+        Measured motivation (BASELINE.md §r15): on ~3 KB bodies this
+        shape beats the tokens-at-rest column scan from ×10 on (0.28×)
+        and stays ahead at ×100 (0.67×), while the in-plan routed
+        semi-join returns to parity — only the two-phase plan's I/O is
+        width-independent, which is the 100 TB text-search story.
+
+        Strictness (correctness over convenience — each would silently
+        change results, so they raise instead):
+
+        - the query must be FULLY index-covered (an AND-tree of exact
+          tokens, prefix wildcards and covered OR groups); a residual
+          conjunct would underfill pages after the re-filter,
+        - the index ``id_cols`` must contain ``rid_col`` and be ordered
+          like the search order — ``("mid", "rid")`` reproduces
+          :meth:`search` exactly,
+        - a time window needs ``id_cols[0] == "mid"`` (the engine's
+          millisecond identity) so exact bounds apply on the posting
+          side; window semantics are ms-granular like the reference's
+          (MIDs are milliseconds, `seq/seq.go:37-90`).
+        """
+        if size is None or size + offset > MAX_SEARCH_DOCS:
+            raise ValueError(
+                f"two_phase_search pages are bounded: size+offset must be "
+                f"<= {MAX_SEARCH_DOCS}")
+        if self._index is None:
+            raise ValueError("two_phase_search requires attach_index()")
+        index_df, _fields, id_cols, _stats, _max_sel, _bcast = self._index
+        if self.rid_col not in id_cols:
+            raise ValueError(
+                f"index id_cols {tuple(id_cols)} must include rid_col "
+                f"{self.rid_col!r} — the fetch pages by rid")
+        query = self.parse(q, dialect)
+        if not self._index_covers(query.root):
+            raise ValueError(
+                "query is not fully index-covered; a residual conjunct "
+                "would underfill pages — use search()")
+        if (from_ms is not None or to_ms is not None) and id_cols[0] != "mid":
+            raise ValueError(
+                "a time window needs id_cols[0] == 'mid' so exact ms "
+                "bounds apply on the posting side")
+        from .index import (
+            matching_ids_multi,
+            matching_ids_or,
+            matching_ids_wildcard,
+        )
+
+        pairs, wildcards, or_groups = self._index_conjuncts(query.root)
+        if from_ms is not None:
+            index_df = index_df.filter(F.col("mid") >= F.lit(from_ms))
+        if to_ms is not None:
+            index_df = index_df.filter(F.col("mid") <= F.lit(to_ms))
+        ids: Optional[DataFrame] = None
+
+        def meet(nxt: DataFrame) -> DataFrame:
+            # conjunct intersection stays on the narrow id frames
+            return nxt if ids is None else ids.join(nxt, on=list(id_cols),
+                                                    how="left_semi")
+
+        if pairs:
+            ids = meet(matching_ids_multi(index_df, pairs, id_cols))
+        for fld, prefix, pat in wildcards:
+            ids = meet(matching_ids_wildcard(index_df, fld, prefix, pat,
+                                             id_cols))
+        for leaves in or_groups:
+            ids = meet(matching_ids_or(index_df, leaves, id_cols))
+        sort = [F.col(c).desc() if order == "desc" else F.col(c).asc()
+                for c in id_cols]
+        page = ids.orderBy(*sort).limit(size + offset).collect()
+        rid_page = [row[self.rid_col] for row in page]
+        # phase 2: one pushed-In fetch — rid blooms / dictionary pages
+        # skip whole row groups; everything after runs on <= page rows
+        df = self.df.filter(F.col(self.rid_col).isin(rid_page))
+        if from_ms is not None or to_ms is not None:
+            mid = self._mid_col()
+            if from_ms is not None:
+                df = df.filter(mid >= F.lit(from_ms))
+            if to_ms is not None:
+                df = df.filter(mid <= F.lit(to_ms))
+        df = df.filter(compile_node(query.root, self.resolver))
+        if self.default_dedup:
+            df = df.dropDuplicates(list(self.default_dedup))
+        df = df.orderBy(*self._sort_cols(order))
+        if offset > 0:
+            df = df.offset(offset)
+        return self.apply_pipes(self._public(df.limit(size)), query.pipes)
+
+    def _index_covers(self, node) -> bool:
+        """True when the ENTIRE predicate decomposes into index-routable
+        conjuncts — the precondition for posting-only id pages."""
+        from .seqql.ast import Logical, LogicalOp
+
+        if isinstance(node, Logical) and node.op is LogicalOp.AND:
+            return all(self._index_covers(c) for c in node.children)
+        if self._index_leaf(node) is not None:
+            return True
+        return self._or_leaves(node) is not None
+
+    def _mid_col(self) -> Column:
+        """Millisecond identity of ``ts_col`` (MID, `seq/seq.go:37-90`)."""
+        dtype = dict(self.df.dtypes).get(self.ts_col, "")
+        if dtype.startswith("timestamp"):
+            return F.unix_millis(
+                F.col(self.ts_col).cast("timestamp")
+                if dtype == "timestamp_ntz"
+                else F.col(self.ts_col)
+            )
+        return F.col(self.ts_col)
+
     def search_after(
         self,
         q: str = "*",

@@ -459,3 +459,96 @@ def test_index_report_tool(spark, tmp_path):
     # B has [1 (x), 2 (zz)] → {1:1, 2:1}
     assert rep["lids_histogram"]["A"] == {4: 1, 1: 1}
     assert rep["lids_histogram"]["B"] == {1: 1, 2: 1}
+
+
+def test_two_phase_search_parity_and_strictness(spark):
+    """r15: two_phase_search (posting-only id page -> bloomed id fetch,
+    the reference's search->fetch pair) must return EXACTLY what
+    search() returns — same rows, same order — for every fully-covered
+    query shape, window, order and offset; and must refuse the cases
+    that would silently change results."""
+    from seqspark import SearchTable
+    from seqspark.index import collect_index_stats
+
+    n = 300
+    words = ["alpha", "beta", "gamma", "delta"]
+    rows = []
+    for i in range(n):
+        rows.append((
+            1_700_000_000_000 + (i * 7919) % 86_400_000,  # mid (ms)
+            i,                                            # rid
+            f"{words[i % 4]} {words[(i * 3) % 4]} tail{i % 50}",
+            ("even" if i % 2 == 0 else "odd"),
+        ))
+    df = spark.createDataFrame(
+        rows, "mid long, rid long, text string, kind string"
+    ).withColumn("ts", F.timestamp_millis(F.col("mid")))
+    m = {"text": "text", "kind": "keyword"}
+    tok = materialize_tokens(df, {"text": "text"})
+    # keyword fields have no __tok_ array: the posting token is the
+    # (already-folded) value itself
+    idx = build_inverted_index(
+        tok, {"text": "__tok_text", "kind": F.array(F.col("kind"))},
+        id_cols=["mid", "rid"]).cache()
+    stats = collect_index_stats(idx, total_docs=n)
+    st = SearchTable.from_typed(
+        df, m, ts_col="ts", rid_col="rid", assume_folded=True,
+    ).attach_index(idx, ["text", "kind"], ["mid", "rid"], stats=stats)
+
+    lo = 1_700_000_000_000
+    shapes = [
+        ("text:alpha", None, None, 10, 0, "desc"),
+        ("text:alpha", None, None, 10, 5, "asc"),
+        ("text:alpha and text:gamma", None, None, 50, 0, "desc"),
+        ("text:tail7", None, None, 100, 0, "asc"),
+        ("text:ta*", None, None, 25, 3, "desc"),
+        ("text:in(alpha, beta)", None, None, 30, 0, "desc"),
+        ("kind:even and text:alpha", lo, lo + 43_200_000, 20, 0, "desc"),
+        ("text:alpha", lo + 1000, lo + 80_000_000, 15, 2, "asc"),
+    ]
+    for q, f_ms, t_ms, size, off, order in shapes:
+        want = [tuple(r) for r in st.search(
+            q, from_ms=f_ms, to_ms=t_ms, size=size, offset=off,
+            order=order).select("mid", "rid").collect()]
+        got = [tuple(r) for r in st.two_phase_search(
+            q, from_ms=f_ms, to_ms=t_ms, size=size, offset=off,
+            order=order).select("mid", "rid").collect()]
+        assert got == want, (q, f_ms, t_ms, size, off, order)
+
+    # pipes ride along like search()
+    cols = st.two_phase_search("text:alpha | fields rid, kind",
+                               size=5).columns
+    assert cols == ["rid", "kind"]
+
+    # strictness: each of these would silently change results
+    with pytest.raises(ValueError, match="not fully index-covered"):
+        st.two_phase_search("text:alpha and not text:beta", size=5)
+    with pytest.raises(ValueError, match="not fully index-covered"):
+        st.two_phase_search("*", size=5)
+    with pytest.raises(ValueError, match="bounded"):
+        st.two_phase_search("text:alpha", size=100_001)
+    st_plain = SearchTable.from_typed(
+        df, m, ts_col="ts", rid_col="rid", assume_folded=True)
+    with pytest.raises(ValueError, match="attach_index"):
+        st_plain.two_phase_search("text:alpha", size=5)
+    # rid-less index id_cols
+    idx_doc = build_inverted_index(
+        tok, {"text": "__tok_text"}, id_cols=["mid"])
+    st_bad = SearchTable.from_typed(
+        df, m, ts_col="ts", rid_col="rid", assume_folded=True,
+    ).attach_index(idx_doc, ["text"], ["mid"])
+    with pytest.raises(ValueError, match="must include rid_col"):
+        st_bad.two_phase_search("text:alpha", size=5)
+    # window without a mid-first index
+    idx_rid = build_inverted_index(
+        tok, {"text": "__tok_text"}, id_cols=["rid"])
+    st_rid = SearchTable.from_typed(
+        df, m, ts_col="ts", rid_col="rid", assume_folded=True,
+    ).attach_index(idx_rid, ["text"], ["rid"])
+    with pytest.raises(ValueError, match="id_cols\\[0\\] == 'mid'"):
+        st_rid.two_phase_search("text:alpha", from_ms=lo, size=5)
+    # windowless rid-keyed page still works (set parity, rid order)
+    got = {r.rid for r in st_rid.two_phase_search(
+        "text:alpha", size=300, order="asc").collect()}
+    want = {r.rid for r in st.search("text:alpha", size=300).collect()}
+    assert got == want
