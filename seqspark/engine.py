@@ -969,6 +969,13 @@ class SearchTable:
           millisecond identity) so exact bounds apply on the posting
           side; window semantics are ms-granular like the reference's
           (MIDs are milliseconds, `seq/seq.go:37-90`).
+
+        Deployment note: the id-page ``isin`` reaches the parquet
+        reader per-value (bloom + dictionary probes) only while
+        ``spark.sql.parquet.pushdown.inFilterThreshold`` >= the page
+        size — above it Spark degrades the push to a min/max RANGE,
+        which random ids never prune. Size that conf to the max page
+        (the engine caps pages at ``MAX_SEARCH_DOCS``).
         """
         if size is None or size + offset > MAX_SEARCH_DOCS:
             raise ValueError(

@@ -15,10 +15,11 @@ three ways at ×1 / ×``factor``:
   A. scan      — `array_contains` over the wide tokens-at-rest column
                  (every row group's token pages decompressed)
   B. routed    — `attach_index` in-plan broadcast semi-join (r14 shape)
-  C. two-phase — posting ids (narrow index scan) → `fetch_ids` id page
-                 against the bloomed store: the reference's actual
-                 search→fetch RPC pair (`storeapi/grpc_fetch.go:42-216`),
-                 where non-matching row groups are never read
+  C. two-phase — `SearchTable.two_phase_search` (r15, the productized
+                 operator): posting-only id page → bloomed pushed-In
+                 fetch, the reference's actual search→fetch RPC pair
+                 (`storeapi/grpc_fetch.go:42-216`), where non-matching
+                 row groups are never read
 
 Rows are asserted identical across all three before timing. The
 `scan_rows` columns are the scan-leaf numOutputRows — the I/O-volume
@@ -169,9 +170,11 @@ def main() -> None:
         page = [r.doc_id for r in
                 matching_ids_multi(idx, [("body", "m503")], ["doc_id"])
                 .limit(1000).collect()]
+        # C is the productized operator (engine.two_phase_search) —
+        # posting-only id page, then the bloomed pushed-In fetch
         c_ids = {r.doc_id for r in
-                 st_scan.fetch_ids(page, "doc_id").select("doc_id")
-                 .collect()}
+                 st_routed.two_phase_search(QUERY, size=1000, order="asc")
+                 .select("doc_id").collect()}
         n_hits = n_docs // 1000
         capped = min(n_hits, 1000)
         assert len(a_ids) == len(b_ids) == capped, (len(a_ids), len(b_ids))
@@ -188,11 +191,8 @@ def main() -> None:
                 lambda: st_routed.search(QUERY, size=1000).collect(),
                 args.runs),
             "two_phase_s": timed(
-                lambda: st_scan.fetch_ids(
-                    [r.doc_id for r in
-                     matching_ids_multi(idx, [("body", "m503")],
-                                        ["doc_id"]).limit(1000).collect()],
-                    "doc_id").collect(),
+                lambda: st_routed.two_phase_search(
+                    QUERY, size=1000, order="asc").collect(),
                 args.runs),
             # I/O-volume evidence: rows emitted by the scan leaves
             "scan_rows_scan": scan_rows(st_scan.search(QUERY, size=1000)),
