@@ -492,6 +492,33 @@ def test_three_transport_equivalence(rig, spec):
         gw_out = json.loads(resp.read())
     g_ids, g_data, g_total, g_hist, g_aggs = _canon_gateway(gw_out)
 
+    # 4b. the gateway's OTHER response mappings: /aggregate and
+    # /histogram render through GET_AGGREGATION_RESPONSE /
+    # GET_HISTOGRAM_RESPONSE — different descriptors that can drift
+    # independently of /complex-search's
+    if agg_specs:
+        r = urllib.request.Request(
+            f"http://127.0.0.1:{core.port}/aggregate",
+            data=json.dumps(
+                {"query": greq["query"], "aggs": greq["aggs"]}).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(r, timeout=120) as resp:
+            agg_out = json.loads(resp.read())
+        _, _, _, _, ga_aggs = _canon_gateway(agg_out)
+        assert ga_aggs == h_aggs, (spec, ga_aggs, h_aggs)
+    if hist_iv is not None:
+        r = urllib.request.Request(
+            f"http://127.0.0.1:{core.port}/histogram",
+            data=json.dumps(
+                {"query": greq["query"], "hist": greq["hist"]}).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(r, timeout=120) as resp:
+            hist_out = json.loads(resp.read())
+        _, _, _, gh_hist, _ = _canon_gateway(hist_out)
+        assert gh_hist == h_hist, (spec, gh_hist, h_hist)
+
     # ids: same docs, same order, on all four
     assert h_ids == p_ids == s_ids == g_ids, (
         spec, h_ids, p_ids, s_ids, g_ids)
