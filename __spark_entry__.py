@@ -1717,6 +1717,28 @@ MULTIMODAL_TIFF_PX_EXPECTED = [
 ]
 
 
+#: (asset_id, n_bytes, sha256, width, height, n_frames, dhash)
+#: over real_webp_pixel_asset_rows (r15, VP8L raster decode)
+MULTIMODAL_WEBP_PX_EXPECTED = [
+    (0, 190, '4d2e2886bba9720dcae7d4cd1e16175d71fd661db0478c4967aef1386f05df2d', 7, 5, 1, 38281183229937800),
+    (1, 246, 'a08a51054f050d73d9b575a9e952cbdf76a7809c7c4906372e8f39672010d0f4', 8, 6, 1, 46347370058784928),
+    (2, 312, 'e69a2f2acfb922430afdfc6070333c56c008c8fe507bc835556829a4162e3a83', 9, 7, 1, 50705800596824096),
+    (3, 108, '9506d08cdb4569bfd2726b30500aab4cc12d71dc06a9f2c5f2eed94a84b658c0', 10, 8, 1, 1157442765409226768),
+    (4, 228, 'e29d61dd76b566a9e37f7bb4e7a58145ef45716487f33b40041855ac99672ab8', 11, 5, 1, 12385483761911816),
+    (5, 374, '77efb45f0ba370cdc87f6ce65e2401f113a2f3d950cee2aa4ac66cfd402e9b29', 12, 6, 1, 40124254505438348),
+    (6, 206, '625f406de9cdb98ed81c2042c85c83fb13b8c5b5ce0091cd47610bb5ec8b8255', 7, 7, 1, 47473238424987816),
+    (7, 274, 'b292cc7ba16fc9878dabe4cdb85799c7c8b241f8bc5108d86991ec490ec57049', 8, 8, 1, -3272792461833891696),
+    (8, 270, 'e909e26bbf72b3cec6f05ee4358e18b4c1b0ba218454075991b9ff0193a1e7b8', 9, 5, 1, 38280701119825928),
+    (9, 100, '2b52e24b219a4b4a4c5c4dbc5cc86b1fb65e1d1eb95333d20a0df30b7e1f2507', 10, 6, 1, 1130315133486084),
+    (10, 264, '701f8eae54938a499b3cae06a9813dab57ec62d396c57b2a496fa0b075b40a86', 11, 7, 1, 46943256169448580),
+    (11, 452, '9cfb91e18fe1c6598be61a938d2c06017d4c613c950290b63667a90ae94a911c', 12, 8, 1, -981113044359552414),
+    (12, 190, '48d478c7ee6d27d26a517ae314e4f3a31a13dcdf939d1b241ae420ad14cffa9b', 7, 5, 1, 39407100383759500),
+    (13, 246, '6cb14260abc0ae0775f05a4b43ebc64f4a0712ec467f638e80581dccedc96076', 8, 6, 1, 46386832220652676),
+    (14, 312, '603b2e07a92f10a6422a5600e75be4c857657095b193e0cfa4dd3366e86b09b2', 9, 7, 1, 42263346082349570),
+    (15, 108, '8d622fa5b7ed973c490e751727d378ef2bebfc680ba337da999151a7c678c1a9', 10, 8, 1, 4702111234474983745),
+]
+
+
 #: (asset_id, n_bytes, sha256, container, sample_rate,
 #: n_channels, n_samples, duration_s) over real_mp3_asset_rows
 #: (r14, header-only frame accounting)
@@ -2833,6 +2855,26 @@ def q_multimodal_tiff_pixels(spark, sf_dir):
         "dhash")
 
 
+def q_multimodal_webp_pixels(spark, sf_dir):
+    # hash-pinned (r15): WebP-lossless RASTER decode through the
+    # pure-Python VP8L codec (canonical prefix codes, subtract-green,
+    # varying-alpha legs) — differential-pinned byte-exact against the
+    # reference libwebp decoder in tests/test_vp8l.py, frozen here.
+    # Same pixel pattern as the TIFF/BMP fixtures, so cross-container
+    # dHash equality pins the whole decode path. Same plan shape as
+    # multimodal_tiff_pixels: one broadcastable join of two
+    # Arrow-batched outputs on asset_id.
+    from seqspark.pipeline.multimodal import (
+        decode_assets, dhash_images, make_real_webp_pixel_assets)
+
+    assets = make_real_webp_pixel_assets(spark, 16)
+    meta = decode_assets(assets, fake=False)
+    hashes = dhash_images(assets, project=("asset_id",))
+    return meta.join(hashes, "asset_id").select(
+        "asset_id", "n_bytes", "sha256", "width", "height", "n_frames",
+        "dhash")
+
+
 def q_multimodal_mp3(spark, sf_dir):
     # hash-pinned (r14): the audio_meta PLANNER tier over MPEG audio —
     # container sniff, frame-header walk (MPEG1/2/2.5, Layer I/II/III,
@@ -3937,17 +3979,18 @@ def contract_diagnostics() -> dict[str, Callable[[SparkSession, str], str]]:
 #: ``tools/rotate_window.py`` computes last driver-green age per entry
 #: from the committed CORRECTNESS_r*.json artifacts and takes the 50
 #: oldest (never-checked first, contract order within a round).
-#: This window = ``rotate_window.py --as-of 14``: the 6 never-driver-
+#: This window = ``rotate_window.py --as-of 14``: the 7 never-driver-
 #: green entries (ann_sq_topk, ann_ivfsq_topk, audio_features_wavext,
-#: multimodal_bmp_rle, and this round's multimodal_oggflac and
-#: two_phase_fetch), the whole 43-entry r11-stale tail, and the oldest
-#: r12 entry. tests/test_contract.py pins the window against the
+#: multimodal_bmp_rle, and this round's multimodal_oggflac,
+#: two_phase_fetch and multimodal_webp_pixels), and the whole 43-entry
+#: r11-stale tail. tests/test_contract.py pins the window against the
 #: mechanism, so a hand-edit that drifts fails fast. After this round
 #: no entry's last driver-green is older than r12.
 DRIVER_WINDOW = [
     "audio_features_wavext",
     "multimodal_bmp_rle",
     "multimodal_oggflac",
+    "multimodal_webp_pixels",
     "ann_sq_topk",
     "ann_ivfsq_topk",
     "two_phase_fetch",
@@ -3994,7 +4037,6 @@ DRIVER_WINDOW = [
     "hamming_dupes",
     "hamming_dedup",
     "image_dhash_dupes",
-    "frame_sample_mjpeg",
 ]
 
 
@@ -4095,6 +4137,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_ogg": q_multimodal_ogg,
         "multimodal_oggflac": q_multimodal_oggflac,
         "multimodal_webp": q_multimodal_webp,
+        "multimodal_webp_pixels": q_multimodal_webp_pixels,
         "multimodal_isobmff": q_multimodal_isobmff,
         "weighted_sample": q_weighted_sample,
         "audio_dupes": q_audio_dupes,
@@ -5396,6 +5439,15 @@ def oracle_sql() -> dict[str, str]:
         + ", ".join(
             f"({i}, {nb}, '{sha}', {w}, {h}, {nf}, CAST({dh} AS BIGINT))"
             for i, nb, sha, w, h, nf, dh in MULTIMODAL_TIFF_PX_EXPECTED
+        )
+        + ") AS t(asset_id, n_bytes, sha256, width, height, n_frames,"
+        " dhash)"
+    )
+    sql["multimodal_webp_pixels"] = (
+        "SELECT * FROM (VALUES "
+        + ", ".join(
+            f"({i}, {nb}, '{sha}', {w}, {h}, {nf}, CAST({dh} AS BIGINT))"
+            for i, nb, sha, w, h, nf, dh in MULTIMODAL_WEBP_PX_EXPECTED
         )
         + ") AS t(asset_id, n_bytes, sha256, width, height, n_frames,"
         " dhash)"

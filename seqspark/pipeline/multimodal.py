@@ -51,6 +51,7 @@ from pyspark.sql import functions as F
 from . import avi as _avi
 from . import codec_accel as _accel
 from . import flac as _flac
+from . import vp8l as _vp8l
 from . import jpeg as _jpeg
 from pyspark.sql.types import (
     BinaryType,
@@ -175,9 +176,10 @@ def _webp_meta(b: bytes) -> Optional[tuple[int, int, int]]:
     walk covering all three bitstream flavors — ``VP8 `` (lossy: key
     frame start code + 14-bit dims), ``VP8L`` (lossless: 0x2f signature
     + two 14-bit dims-minus-one), ``VP8X`` (extended: 24-bit canvas
-    dims-minus-one; animated files report the ANMF frame count). Pixel
-    decode stays an honest raise — VP8 entropy decoding needs a real
-    codec."""
+    dims-minus-one; animated files report the ANMF frame count). r15:
+    VP8L payloads additionally PIXEL-decode through the pure-Python
+    codec (`vp8l.py`); lossy ``VP8 `` pixel decode stays an honest
+    raise — it needs a boolean-arithmetic entropy decoder."""
     pos = 12
     n = len(b)
     w = h = None
@@ -2297,6 +2299,13 @@ def _decode_any_pixels(b: bytes):
         if y is not None:
             w, h, frames = y
             return w, h, 3, bytearray(frames[0])
+    if b[:4] == b"RIFF" and b[8:12] == b"WEBP":
+        # r15: lossless WebP pixels through the pure-Python VP8L codec
+        # (differential-pinned against libwebp in tests/test_vp8l.py);
+        # lossy VP8 payloads return None here and keep the honest raise
+        dec = _vp8l.decode(b)
+        if dec is not None:
+            return dec
     return None
 
 
@@ -2319,8 +2328,8 @@ def _resize_kernel(
         raise NotImplementedError(
             "stdlib resize supports PNG (all color types/depths/"
             "interlace), JPEG, uncompressed BMP, "
-            "none/LZW/Deflate/PackBits TIFF, or the first frame of "
-            "GIF/APNG/Y4M/MJPEG, only"
+            "none/LZW/Deflate/PackBits TIFF, lossless WebP (VP8L), or the "
+            "first frame of GIF/APNG/Y4M/MJPEG, only"
         )
     return resized
 
@@ -2999,6 +3008,46 @@ def real_tiff_pixel_asset_rows(n: int = 16) -> list:
 def make_real_tiff_pixel_assets(spark, n: int = 16) -> DataFrame:
     """Deterministic TIFF pixel fixture (:func:`real_tiff_pixel_asset_rows`)."""
     return spark.createDataFrame(real_tiff_pixel_asset_rows(n), ASSET_SCHEMA)
+
+
+def real_webp_pixel_asset_rows(n: int = 16) -> list:
+    """Driver-side rows of the WebP-lossless PIXEL fixture (r15):
+    deterministic VP8L files through the pure-Python encoder
+    (`vp8l.encode` — literal prefix codes, subtract-green on
+    alternating legs), carrying the SAME id-derived pixel pattern as
+    :func:`real_tiff_pixel_asset_rows` / `real_bmp_asset_rows`, so
+    cross-container dHash equality is checkable. Grayscale legs
+    replicate into RGB; the ch==4 legs carry a varying alpha (ignored
+    by dHash, exercised by the decoder). Pure function of ``n``."""
+    from . import vp8l as _v
+
+    rows = []
+    for i in range(n):
+        iw, ih = 7 + i % 6, 5 + i % 4
+        ch = (1, 3, 4)[i % 3]
+        px = bytearray()
+        for y in range(ih):
+            for x in range(iw):
+                rgb = (
+                    (x * 41 + i * 13) % 256,
+                    (y * 67 + i * 5) % 256,
+                    (x * y * 17 + i * 3) % 256,
+                )
+                if ch == 1:
+                    px += bytes((rgb[0], rgb[0], rgb[0], 255))
+                elif ch == 3:
+                    px += bytes(rgb) + b"\xff"
+                else:
+                    px += bytes(rgb) + bytes(((x + y + i) % 256,))
+        content = _v.encode(iw, ih, px, subtract_green=(i % 2 == 1))
+        rows.append((i, "image", bytearray(content),
+                     '{"src":"fixture-webp-px"}'))
+    return rows
+
+
+def make_real_webp_pixel_assets(spark, n: int = 16) -> DataFrame:
+    """Deterministic VP8L pixel fixture (:func:`real_webp_pixel_asset_rows`)."""
+    return spark.createDataFrame(real_webp_pixel_asset_rows(n), ASSET_SCHEMA)
 
 
 def real_bmp_asset_rows(n: int = 16) -> list:

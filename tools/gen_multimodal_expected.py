@@ -422,6 +422,28 @@ def main() -> None:
         print(f"    {r!r},")
     print("]")
 
+    # r15: WebP-lossless PIXEL fixture — decode meta + perceptual dHash
+    # through the pure-Python VP8L codec (literal prefix codes,
+    # subtract-green legs, RGBA alpha legs)
+    from seqspark.pipeline.multimodal import (  # noqa: E402
+        real_webp_pixel_asset_rows)
+
+    wp = []
+    for i, media, content, _meta in real_webp_pixel_asset_rows(16):
+        b = bytes(content)
+        w, h, nf = _real_decode("image", b)
+        dec = _decode_any_pixels(b)
+        u = _dhash_of_pixels(dec[0], dec[1], dec[2], dec[3], 8)
+        wp.append((i, len(b), hashlib.sha256(b).hexdigest(), w, h, nf,
+                   u - (1 << 64) if u >= (1 << 63) else u))
+    print()
+    print("#: (asset_id, n_bytes, sha256, width, height, n_frames, dhash)")
+    print("#: over real_webp_pixel_asset_rows (r15, VP8L raster decode)")
+    print("MULTIMODAL_WEBP_PX_EXPECTED = [")
+    for r in wp:
+        print(f"    {r!r},")
+    print("]")
+
     # r14: MP3 metadata fixture — the audio_meta planner tier over the
     # frame-header walker (versions, layers, VBR accounting, ID3 tags)
     from seqspark.pipeline.multimodal import (  # noqa: E402
