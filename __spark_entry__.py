@@ -1739,6 +1739,35 @@ MULTIMODAL_WEBP_PX_EXPECTED = [
 ]
 
 
+#: (asset_id, n_frames, frame_index, dhash) over
+#: real_webp_anim_asset_rows (r15, ANMF/VP8L animation)
+FRAME_SAMPLE_WEBP_EXPECTED = [
+    (0, 2, 0, -3978709506094217016),
+    (0, 2, 1, -3978709505824728872),
+    (1, 3, 0, 7803696145446497388),
+    (1, 3, 1, 103483447296),
+    (1, 3, 2, 123628225042432),
+    (2, 4, 0, 7215932240598148132),
+    (2, 4, 1, 7215912501128602660),
+    (2, 4, 2, 7215907947858895908),
+    (2, 4, 3, 7215908016846879804),
+    (3, 2, 0, 5497853135693827148),
+    (3, 2, 1, 202116108),
+    (4, 3, 0, -6619125538728156060),
+    (4, 3, 1, -6619125534030011036),
+    (4, 3, 2, -6619154241658723996),
+    (5, 4, 0, 2604246222170760228),
+    (5, 4, 1, 26491762507776),
+    (5, 4, 2, 26595279515648),
+    (5, 4, 3, 26448644410894),
+    (6, 2, 0, 4919131752989213764),
+    (6, 2, 1, 4919131753191338096),
+    (7, 3, 0, 2640275019223410214),
+    (7, 3, 1, 60365344256),
+    (7, 3, 2, 30872696589824),
+]
+
+
 #: (asset_id, n_bytes, sha256, container, sample_rate,
 #: n_channels, n_samples, duration_s) over real_mp3_asset_rows
 #: (r14, header-only frame accounting)
@@ -2958,6 +2987,18 @@ def q_audio_features_adpcm(spark, sf_dir):
     return audio_features(assets, fake=False)
 
 
+def q_multimodal_webp_anim(spark, sf_dir):
+    # hash-pinned (r15): ANIMATED WebP — VP8L-framed ANMF composition
+    # (sub-canvas rectangles with halved x/y offsets, dispose-to-
+    # background, spec alpha blending) through the same full-canvas
+    # frame-dHash shape as the GIF/APNG/Y4M/MJPEG siblings; lossy-VP8
+    # animations keep the honest raise.
+    from seqspark.pipeline.multimodal import (
+        frame_dhashes, make_real_webp_anim_assets)
+
+    return frame_dhashes(make_real_webp_anim_assets(spark, 8), fake=False)
+
+
 def q_frame_sample_mjpeg(spark, sf_dir):
     # hash-pinned (r12b): REAL frame extraction from a COMPRESSED video
     # container — MJPEG-in-AVI, each frame an independent baseline JPEG
@@ -3979,11 +4020,12 @@ def contract_diagnostics() -> dict[str, Callable[[SparkSession, str], str]]:
 #: ``tools/rotate_window.py`` computes last driver-green age per entry
 #: from the committed CORRECTNESS_r*.json artifacts and takes the 50
 #: oldest (never-checked first, contract order within a round).
-#: This window = ``rotate_window.py --as-of 14``: the 7 never-driver-
+#: This window = ``rotate_window.py --as-of 14``: the 8 never-driver-
 #: green entries (ann_sq_topk, ann_ivfsq_topk, audio_features_wavext,
 #: multimodal_bmp_rle, and this round's multimodal_oggflac,
-#: two_phase_fetch and multimodal_webp_pixels), and the whole 43-entry
-#: r11-stale tail. tests/test_contract.py pins the window against the
+#: two_phase_fetch, multimodal_webp_pixels and multimodal_webp_anim),
+#: and 42 of the 43-entry r11-stale tail (the overflow entry waits one
+#: round). tests/test_contract.py pins the window against the
 #: mechanism, so a hand-edit that drifts fails fast. After this round
 #: no entry's last driver-green is older than r12.
 DRIVER_WINDOW = [
@@ -3991,6 +4033,7 @@ DRIVER_WINDOW = [
     "multimodal_bmp_rle",
     "multimodal_oggflac",
     "multimodal_webp_pixels",
+    "multimodal_webp_anim",
     "ann_sq_topk",
     "ann_ivfsq_topk",
     "two_phase_fetch",
@@ -4036,7 +4079,6 @@ DRIVER_WINDOW = [
     "pack_sequences",
     "hamming_dupes",
     "hamming_dedup",
-    "image_dhash_dupes",
 ]
 
 
@@ -4138,6 +4180,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_oggflac": q_multimodal_oggflac,
         "multimodal_webp": q_multimodal_webp,
         "multimodal_webp_pixels": q_multimodal_webp_pixels,
+        "multimodal_webp_anim": q_multimodal_webp_anim,
         "multimodal_isobmff": q_multimodal_isobmff,
         "weighted_sample": q_weighted_sample,
         "audio_dupes": q_audio_dupes,
@@ -5359,6 +5402,14 @@ def oracle_sql() -> dict[str, str]:
             for i, nf, fi, sha in FRAME_SAMPLE_MJPEG_EXPECTED
         )
         + ") AS t(asset_id, n_frames, frame_index, frame_sha)"
+    )
+    sql["multimodal_webp_anim"] = (
+        "SELECT * FROM (VALUES "
+        + ", ".join(
+            f"({i}, {nf}, {fi}, CAST({dh} AS BIGINT))"
+            for i, nf, fi, dh in FRAME_SAMPLE_WEBP_EXPECTED
+        )
+        + ") AS t(asset_id, n_frames, frame_index, dhash)"
     )
     sql["audio_features"] = (
         "SELECT * FROM (VALUES "

@@ -253,6 +253,174 @@ def _webp_encode_meta(
     return b"RIFF" + struct.pack("<I", len(payload)) + payload
 
 
+def _webp_decode_frames(b: bytes, max_pixels: Optional[int] = None):
+    """Decode every frame of an ANIMATED WebP whose frames are VP8L
+    bitstreams to full-canvas RGBA bytes (r15): VP8X canvas, ANMF frame
+    rectangles (x/y stored halved per the spec), disposal 0 (none) / 1
+    (dispose to background = clear the rect to transparent), blending 0
+    (alpha-blend over the canvas, spec formula) / 1 (overwrite).
+    Returns (w, h, [bytes]) or None when not an animated
+    VP8L-framed WebP (lossy VP8 frames keep the honest raise path)."""
+    if max_pixels is None:
+        max_pixels = _PNG_MAX_PIXELS  # defined below; resolved at call
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WEBP":
+        return None
+    w = h = None
+    frames = []
+    pos = 12
+    n = len(b)
+    animated = False
+    while pos + 8 <= n:
+        fourcc = b[pos:pos + 4]
+        (size,) = struct.unpack_from("<I", b, pos + 4)
+        body = b[pos + 8:pos + 8 + size]
+        if fourcc == b"VP8X" and len(body) >= 10:
+            animated = bool(body[0] & 0x02)
+            w = 1 + int.from_bytes(body[4:7], "little")
+            h = 1 + int.from_bytes(body[7:10], "little")
+        elif fourcc == b"ANMF" and len(body) >= 16:
+            fx = 2 * int.from_bytes(body[0:3], "little")
+            fy = 2 * int.from_bytes(body[3:6], "little")
+            fw = 1 + int.from_bytes(body[6:9], "little")
+            fh = 1 + int.from_bytes(body[9:12], "little")
+            flags = body[15]
+            # frame sub-chunks: the VP8L bitstream payload
+            sub = body[16:]
+            spos = 0
+            payload = None
+            while spos + 8 <= len(sub):
+                scc = sub[spos:spos + 4]
+                (ssz,) = struct.unpack_from("<I", sub, spos + 4)
+                if scc == b"VP8L":
+                    payload = sub[spos + 8:spos + 8 + ssz]
+                    break
+                spos += 8 + ssz + (ssz & 1)
+            if payload is None:
+                return None  # lossy / alpha frames: not this path
+            frames.append((fx, fy, fw, fh, flags & 0x01, (flags >> 1) & 1,
+                           payload))
+        pos += 8 + size + (size & 1)
+    if not animated or w is None or not frames:
+        return None
+    if w <= 0 or h <= 0 or w * h > max_pixels:
+        return None
+    canvas = bytearray(w * h * 4)  # transparent background
+    out = []
+    for fx, fy, fw, fh, dispose, no_blend, payload in frames:
+        dec = _vp8l.decode(bytes(payload))
+        if dec is None or dec[0] != fw or dec[1] != fh:
+            return None
+        px = dec[3]
+        for y in range(fh):
+            cy = fy + y
+            if cy >= h:
+                break
+            for x in range(fw):
+                cx = fx + x
+                if cx >= w:
+                    break
+                s = 4 * (y * fw + x)
+                d = 4 * (cy * w + cx)
+                sa = px[s + 3]
+                if no_blend or sa == 255 or canvas[d + 3] == 0:
+                    canvas[d:d + 4] = px[s:s + 4]
+                elif sa == 0:
+                    pass  # fully transparent source: canvas unchanged
+                else:
+                    # spec alpha compositing (over), integer arithmetic
+                    da = canvas[d + 3]
+                    oa = sa + da * (255 - sa) // 255
+                    for c in range(3):
+                        sv = px[s + c]
+                        dv = canvas[d + c]
+                        canvas[d + c] = (
+                            (sv * sa + dv * da * (255 - sa) // 255) // oa
+                            if oa else 0)
+                    canvas[d + 3] = oa
+        out.append(bytes(canvas))
+        if dispose:  # dispose to background: clear the frame rect
+            for y in range(fh):
+                cy = fy + y
+                if cy >= h:
+                    break
+                st = 4 * (cy * w + fx)
+                canvas[st:st + 4 * min(fw, w - fx)] = bytes(
+                    4 * min(fw, w - fx))
+    return w, h, out
+
+
+def _webp_encode_anim(w: int, h: int, frames) -> bytes:
+    """Animated-WebP writer for the deterministic fixtures: VP8X canvas
+    + ANIM + one ANMF per ``(fx, fy, fw, fh, dispose, no_blend, rgba)``
+    frame, each carrying a VP8L bitstream from :func:`vp8l.encode` —
+    exactly the surface :func:`_webp_decode_frames` parses."""
+    def chunk(cc: bytes, body: bytes) -> bytes:
+        pad = b"\x00" if len(body) & 1 else b""
+        return cc + struct.pack("<I", len(body)) + body + pad
+
+    vp8x = bytes((0x12,)) + b"\x00\x00\x00" + (
+        (w - 1).to_bytes(3, "little") + (h - 1).to_bytes(3, "little"))
+    anim = struct.pack("<IH", 0, 0)  # transparent bg, loop forever
+    out = chunk(b"VP8X", vp8x) + chunk(b"ANIM", anim)
+    for fx, fy, fw, fh, dispose, no_blend, rgba in frames:
+        sub = _vp8l_chunk_of(fw, fh, rgba)
+        hdr = ((fx // 2).to_bytes(3, "little")
+               + (fy // 2).to_bytes(3, "little")
+               + (fw - 1).to_bytes(3, "little")
+               + (fh - 1).to_bytes(3, "little")
+               + (40).to_bytes(3, "little")
+               + bytes(((dispose & 1) | ((no_blend & 1) << 1),)))
+        out += chunk(b"ANMF", hdr + sub)
+    payload = b"WEBP" + out
+    return b"RIFF" + struct.pack("<I", len(payload)) + payload
+
+
+def _vp8l_chunk_of(w: int, h: int, rgba) -> bytes:
+    """A bare VP8L sub-chunk (fourcc+size+payload) from RGBA bytes."""
+    full = _vp8l.encode(w, h, rgba)
+    payload = _vp8l._vp8l_payload(full)
+    pad = b"\x00" if len(payload) & 1 else b""
+    return b"VP8L" + struct.pack("<I", len(payload)) + payload + pad
+
+
+def real_webp_anim_asset_rows(n: int = 8) -> list:
+    """Driver-side rows of the ANIMATED WebP fixture (r15): VP8L-framed
+    animations cycling frame counts, sub-canvas rectangles with x/y
+    offsets, both disposal modes and both blending modes (a
+    half-transparent overlay frame exercises the spec alpha
+    compositing). Pure function of ``n``."""
+    rows = []
+    for i in range(n):
+        w, h = 20 + 2 * (i % 3), 14 + 2 * (i % 2)
+        nf = 2 + i % 3
+        frames = []
+        for f in range(nf):
+            if f == 0:
+                fw, fh, fx, fy = w, h, 0, 0
+            else:
+                fw, fh = 8 + f, 6 + f
+                fx, fy = 2 * ((i + f) % 4), 2 * ((i * f) % 3)
+            px = bytearray()
+            for y in range(fh):
+                for x in range(fw):
+                    px += bytes((
+                        (x * 31 + i * 7 + f * 11) % 256,
+                        (y * 53 + f * 29) % 256,
+                        (x * y + i) % 256,
+                        255 if f % 2 == 0 else 128,
+                    ))
+            frames.append((fx, fy, fw, fh, (i + f) % 2, f % 2, bytes(px)))
+        rows.append((i, "video",
+                     bytearray(_webp_encode_anim(w, h, frames)),
+                     '{"src":"fixture-webp-anim"}'))
+    return rows
+
+
+def make_real_webp_anim_assets(spark, n: int = 8) -> DataFrame:
+    """Deterministic animated-WebP fixture (:func:`real_webp_anim_asset_rows`)."""
+    return spark.createDataFrame(real_webp_anim_asset_rows(n), ASSET_SCHEMA)
+
+
 def real_webp_asset_rows(n: int = 16) -> list:
     """Driver-side rows of the WebP metadata fixture (r14): lossy
     (VP8 key-frame header), lossless (VP8L) and extended (VP8X, still
@@ -2302,10 +2470,15 @@ def _decode_any_pixels(b: bytes):
     if b[:4] == b"RIFF" and b[8:12] == b"WEBP":
         # r15: lossless WebP pixels through the pure-Python VP8L codec
         # (differential-pinned against libwebp in tests/test_vp8l.py);
+        # animated VP8L-framed files yield their FIRST composed frame;
         # lossy VP8 payloads return None here and keep the honest raise
         dec = _vp8l.decode(b)
         if dec is not None:
             return dec
+        anim = _webp_decode_frames(b)
+        if anim is not None:
+            w, h, frames = anim
+            return w, h, 4, bytearray(frames[0])
     return None
 
 
@@ -4896,6 +5069,14 @@ def frame_dhashes(assets: DataFrame, fake: bool = False) -> DataFrame:
                 elif b[:4] == b"RIFF" and b[8:12] == b"AVI ":
                     dec = _avi.decode_frames(b)
                     ch = 3
+                elif b[:4] == b"RIFF" and b[8:12] == b"WEBP":
+                    # r15: animated WebP with VP8L frames; still WebPs
+                    # fall through to the single-pixel decode below
+                    dec = _webp_decode_frames(b)
+                    if dec is None:
+                        p = _vp8l.decode(b)
+                        if p is not None:
+                            dec = (p[0], p[1], [bytes(p[3])])
                 elif b[:2] == b"\xff\xd8":
                     p = _decode_any_pixels(b)
                     if p is not None:

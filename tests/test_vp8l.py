@@ -197,6 +197,56 @@ def test_cross_container_dhash_webp_equals_tiff():
         assert th == wh, (i, j)
 
 
+def test_animated_webp_composition():
+    """r15: ANMF/VP8L animation — offsets land on the right canvas
+    cells, do-not-blend overwrites, dispose-to-background clears the
+    rect for the NEXT frame, and alpha blending follows the spec
+    formula. Truncation/corruption never throws."""
+    from seqspark.pipeline.multimodal import (
+        _webp_decode_frames, _webp_encode_anim)
+
+    w, h = 10, 6
+    red = bytes((255, 0, 0, 255)) * (w * h)
+    # frame 2: 2x2 green at (4, 2), do-not-blend, dispose-to-background
+    green = bytes((0, 255, 0, 255)) * 4
+    # frame 3: full-canvas half-alpha blue, alpha-BLENDED over canvas
+    blue = bytes((0, 0, 255, 128)) * (w * h)
+    anim = _webp_encode_anim(w, h, [
+        (0, 0, w, h, 0, 1, red),
+        (4, 2, 2, 2, 1, 1, green),
+        (0, 0, w, h, 0, 0, blue),
+    ])
+    dec = _webp_decode_frames(anim)
+    assert dec is not None and (dec[0], dec[1]) == (w, h)
+    f1, f2, f3 = [bytearray(f) for f in dec[2]]
+    assert bytes(f1[0:4]) == bytes((255, 0, 0, 255))
+    # frame 2: green rect over red background
+    at = lambda fr, x, y: bytes(fr[4 * (y * w + x):4 * (y * w + x) + 4])
+    assert at(f2, 4, 2) == bytes((0, 255, 0, 255))
+    assert at(f2, 3, 2) == bytes((255, 0, 0, 255))
+    # frame 3: the disposed rect was TRANSPARENT before the blue frame,
+    # so there the blue is composited over nothing (keeps 128 alpha);
+    # elsewhere it blends with opaque red per the spec formula
+    assert at(f3, 4, 2) == bytes((0, 0, 255, 128))
+    da, sa = 255, 128
+    oa = sa + da * (255 - sa) // 255
+    r_mix = (255 * da * (255 - sa) // 255) // oa
+    b_mix = (255 * sa) // oa
+    assert at(f3, 0, 0) == bytes((r_mix, 0, b_mix, oa))
+    # never throws on truncation / corruption
+    for cut in range(0, len(anim), 11):
+        _webp_decode_frames(anim[:cut])
+    for pos in range(12, len(anim), 9):
+        bad = bytearray(anim)
+        bad[pos] ^= 0xFF
+        _webp_decode_frames(bytes(bad))
+    # first composed frame is the still-decode answer
+    from seqspark.pipeline.multimodal import _decode_any_pixels
+
+    still = _decode_any_pixels(anim)
+    assert still is not None and bytes(still[3]) == bytes(dec[2][0])
+
+
 @needs_libwebp
 class TestLibwebpDifferential:
     def test_reference_encoder_to_our_decoder(self):

@@ -444,6 +444,27 @@ def main() -> None:
         print(f"    {r!r},")
     print("]")
 
+    # r15: animated-WebP fixture — full-canvas frame dHashes through
+    # the ANMF composer (offsets, both disposal and blending modes)
+    from seqspark.pipeline.multimodal import (  # noqa: E402
+        _webp_decode_frames, real_webp_anim_asset_rows)
+
+    wa = []
+    for i, media, content, _meta in real_webp_anim_asset_rows(8):
+        b = bytes(content)
+        w, h, frames = _webp_decode_frames(b)
+        for f, fr in enumerate(frames):
+            u = _dhash_of_pixels(w, h, 4, bytearray(fr), 8)
+            wa.append((i, len(frames), f,
+                       u - (1 << 64) if u >= (1 << 63) else u))
+    print()
+    print("#: (asset_id, n_frames, frame_index, dhash) over")
+    print("#: real_webp_anim_asset_rows (r15, ANMF/VP8L animation)")
+    print("FRAME_SAMPLE_WEBP_EXPECTED = [")
+    for r in wa:
+        print(f"    {r!r},")
+    print("]")
+
     # r14: MP3 metadata fixture — the audio_meta planner tier over the
     # frame-header walker (versions, layers, VBR accounting, ID3 tags)
     from seqspark.pipeline.multimodal import (  # noqa: E402
