@@ -114,13 +114,24 @@ def main() -> None:
     os.makedirs(base_dir, exist_ok=True)
     mapping = {"body": "text", "doc_id": "keyword"}
     QUERY = "body:m503"
+    CLUSTERED_QUERY = "body:hotzone"
 
     def build(n_docs: int, store_path: str, idx_path: str):
         if not os.path.exists(store_path):
+            # marker m### is UNIFORM over time buckets (bloom worst
+            # case); marker "hotzone" sits on a CONTIGUOUS id range =
+            # contiguous seconds = 1-2 ts buckets (the reference's
+            # MID-ordered reality, bloom/row-group-skip best case)
+            hot_lo = n_docs // 2
+            hot_hi = hot_lo + max(1, n_docs // 1000)
             body = F.concat(
                 F.expr(f"repeat('{BASE} ', {args.width_reps})"),
                 F.lit("m"),
                 F.lpad((F.col("id") % 1000).cast("string"), 3, "0"),
+                F.when(
+                    (F.col("id") >= hot_lo) & (F.col("id") < hot_hi),
+                    F.lit(" hotzone"),
+                ).otherwise(F.lit("")),
             )
             docs = spark.range(n_docs).select(
                 F.concat(F.lit("d"), F.col("id").cast("string"))
@@ -195,10 +206,24 @@ def main() -> None:
                     QUERY, size=1000, order="asc").collect(),
                 args.runs),
             # I/O-volume evidence: rows emitted by the scan leaves
+            # clustered-page leg: same operator, the marker whose id
+            # page is time-contiguous — the reference's MID-ordered case
+            "two_phase_clustered_s": timed(
+                lambda: st_routed.two_phase_search(
+                    CLUSTERED_QUERY, size=1000, order="asc").collect(),
+                args.runs),
             "scan_rows_scan": scan_rows(st_scan.search(QUERY, size=1000)),
             "scan_rows_fetch": scan_rows(
                 st_scan.fetch_ids(page, "doc_id")),
+            "scan_rows_fetch_clustered": scan_rows(
+                st_scan.fetch_ids(
+                    [r.doc_id for r in
+                     matching_ids_multi(idx, [("body", "hotzone")],
+                                        ["doc_id"]).limit(1000).collect()],
+                    "doc_id")),
         }
+        rec["n_matches_clustered"] = st_scan.search(
+            CLUSTERED_QUERY, size=1000).count()
         rec["two_phase_vs_scan"] = round(
             rec["two_phase_s"] / rec["scan_s"], 2) if rec["scan_s"] else None
         rec["routed_vs_scan"] = round(
