@@ -552,3 +552,42 @@ def test_two_phase_search_parity_and_strictness(spark):
         "text:alpha", size=300, order="asc").collect()}
     want = {r.rid for r in st.search("text:alpha", size=300).collect()}
     assert got == want
+
+
+def test_two_phase_fetch_plan_shape(spark, tmp_path):
+    """r15: the two-phase fetch's id page must reach the parquet scan
+    as a per-value In (PushedFilters — the bloom/dictionary probe
+    shape), and the final page must be a TakeOrderedAndProject. The In
+    threshold conf is raised around the assert: above it Spark degrades
+    the push to a min/max range that random ids never prune. The table
+    must be parquet-backed (an in-memory frame has nothing to push)."""
+    from seqspark import SearchTable
+
+    n = 120
+    rows = [(1_700_000_000_000 + i * 1000, i,
+             ("alpha beta" if i % 6 == 0 else "beta gamma"))
+            for i in range(n)]
+    spark.createDataFrame(rows, "mid long, rid long, text string"
+                          ).withColumn(
+        "ts", F.timestamp_millis(F.col("mid"))
+    ).write.parquet(str(tmp_path / "t"))
+    df = spark.read.parquet(str(tmp_path / "t"))
+    tok = materialize_tokens(df, {"text": "text"})
+    idx = build_inverted_index(tok, {"text": "__tok_text"},
+                               id_cols=["mid", "rid"])
+    st = SearchTable.from_typed(
+        df, {"text": "text"}, ts_col="ts", rid_col="rid",
+        assume_folded=True,
+    ).attach_index(idx, ["text"], ["mid", "rid"])
+    thr = "spark.sql.parquet.pushdown.inFilterThreshold"
+    old = spark.conf.get(thr)
+    spark.conf.set(thr, "2000")
+    try:
+        out = st.two_phase_search("text:alpha", size=15)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set(thr, old)
+    i = plan.find("PushedFilters")
+    assert i >= 0 and "In(rid" in plan[i:i + 300], plan[i:i + 300]
+    assert "TakeOrderedAndProject" in plan
+    assert out.count() == 15

@@ -272,6 +272,60 @@ class TestLibwebpDifferential:
                 assert got is not None and got[:2] == (w, h), (w, h, sg)
                 assert got[2] == px, (w, h, sg)
 
+    def test_hypothesis_differential(self):
+        """Property form of the differential: ANY small RGBA grid
+        through libwebp's lossless encoder must decode byte-identically
+        to libwebp's own decoder (covers whatever transform/cache/LZ77
+        mix the reference encoder picks for each shape)."""
+        import numpy as np
+        from hypothesis import given, settings
+        from hypothesis import strategies as hst
+
+        @settings(max_examples=40, deadline=None)
+        @given(hst.integers(1, 40), hst.integers(1, 40),
+               hst.integers(0, 2**32 - 1), hst.sampled_from(
+                   ["noise", "quantized", "palette", "gradient"]))
+        def run(w, h, seed, kind):
+            rng = np.random.default_rng(seed)
+            if kind == "noise":
+                a = rng.integers(0, 256, (h, w, 4), dtype=np.uint8)
+            elif kind == "quantized":
+                a = (rng.integers(0, 256, (h, w, 4), dtype=np.uint8)
+                     // 64) * 64
+            elif kind == "palette":
+                pal = rng.integers(0, 256, (5, 4), dtype=np.uint8)
+                a = pal[rng.integers(0, 5, (h, w))]
+            else:
+                yy, xx = np.mgrid[0:h, 0:w]
+                a = np.stack([(xx * 9) % 256, (yy * 7) % 256,
+                              (xx + yy) % 256,
+                              np.full((h, w), 255)], -1).astype(np.uint8)
+            enc = _ref_encode(w, h, a.tobytes())
+            want = _ref_decode(enc)
+            dec = vp8l.decode(enc)
+            assert dec is not None and dec[:3] == (w, h, 4)
+            assert bytes(dec[3]) == want[2]
+
+        run()
+
+    def test_real_system_webp_is_lossy_and_honestly_none(self):
+        """The system python.webp is VP8X+ALPH+VP8 (lossy) — exactly
+        the subset that must stay out of the VP8L path: decode returns
+        None (the honest raise happens at the decode_assets tier)."""
+        import glob
+        import os
+
+        hits = glob.glob(
+            "/root/.pyenv/versions/*/lib/python*/test/test_email/data/"
+            "python.webp")
+        if not hits:
+            pytest.skip("no system webp fixture")
+        b = open(hits[0], "rb").read()
+        assert b[:4] == b"RIFF" and b[8:12] == b"WEBP"
+        assert vp8l.decode(b) is None
+        # but libwebp confirms it IS a real webp (sanity on the fixture)
+        assert _ref_decode(b) is not None
+
     def test_distance_map_spot_probe(self):
         """Hand-built single-backref streams: for a sample of the 120
         short-distance codes, our decoder and libwebp must copy the
