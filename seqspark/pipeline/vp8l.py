@@ -63,6 +63,13 @@ class _Malformed(Exception):
     """Internal: any structural error — callers translate to None."""
 
 
+#: bit-reversal of a byte — composes an LSB-first bit window into the
+#: MSB-first prefix the canonical Huffman table is indexed by
+_REV8 = bytes(
+    sum(((i >> b) & 1) << (7 - b) for b in range(8)) for i in range(256)
+)
+
+
 class _Br:
     """LSB-first bit reader (VP8L bit order, spec §"RIFF container")."""
 
@@ -77,12 +84,11 @@ class _Br:
         p = self.pos
         if p + bits > self.n:
             raise _Malformed("bitstream overrun")
-        v = 0
-        d = self.d
-        for i in range(bits):
-            v |= ((d[(p + i) >> 3] >> ((p + i) & 7)) & 1) << i
+        bp = p >> 3
+        sh = p & 7
+        w = int.from_bytes(self.d[bp:bp + ((sh + bits + 7) >> 3)], "little")
         self.pos = p + bits
-        return v
+        return (w >> sh) & ((1 << bits) - 1)
 
     def read1(self) -> int:
         p = self.pos
@@ -91,13 +97,24 @@ class _Br:
         self.pos = p + 1
         return (self.d[p >> 3] >> (p & 7)) & 1
 
+    def peek8(self) -> int:
+        """Next 8 bits as the MSB-first prefix (first-read bit highest);
+        past-the-end bits read as 0 (the table fallback re-checks)."""
+        p = self.pos
+        bp = p >> 3
+        d = self.d
+        w = d[bp] if bp < len(d) else 0
+        if bp + 1 < len(d):
+            w |= d[bp + 1] << 8
+        return _REV8[(w >> (p & 7)) & 0xFF]
+
 
 class _Huff:
     """Canonical prefix decoder (DEFLATE-style canonical assignment:
     shorter codes first, within a length by symbol order; codes are
     transmitted MSB-first into the LSB-first stream — the puff walk)."""
 
-    __slots__ = ("count", "symbols", "single")
+    __slots__ = ("count", "symbols", "single", "table")
 
     def __init__(self, lengths: Sequence[int]):
         nz = [(ln, s) for s, ln in enumerate(lengths) if ln > 0]
@@ -108,6 +125,7 @@ class _Huff:
             self.single = nz[0][1]
             self.count = None
             self.symbols = None
+            self.table = None
             return
         self.single = None
         count = [0] * (_MAX_CODE_LEN + 1)
@@ -133,10 +151,29 @@ class _Huff:
                 offs[ln] += 1
         self.count = count
         self.symbols = symbols
+        # one-level fast table over the next 8 bits (MSB-first prefix):
+        # entry = (symbol << 4) | length for codes <= 8 bits, 0 = walk
+        table = [0] * 256
+        code = 0
+        index = 0
+        for ln in range(1, 9):
+            for k in range(count[ln]):
+                base = (code + k) << (8 - ln)
+                packed = (symbols[index + k] << 4) | ln
+                for idx in range(base, base + (1 << (8 - ln))):
+                    table[idx] = packed
+            index += count[ln]
+            code = (code + count[ln]) << 1
+        self.table = table
 
     def decode(self, br: _Br) -> int:
         if self.single is not None:
             return self.single
+        if br.n - br.pos >= 8:
+            packed = self.table[br.peek8()]
+            if packed:
+                br.pos += packed & 0xF
+                return packed >> 4
         code = 0
         first = 0
         index = 0
