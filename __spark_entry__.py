@@ -3344,6 +3344,34 @@ def q_two_phase_fetch(spark, sf_dir):
     ).select("doc_id", "lang", "source")
 
 
+def q_two_phase_residual(spark, sf_dir):
+    # hash-pinned (r16): PARTIALLY index-covered two-phase — the
+    # covered conjunct (text:table) drives the posting-only id page,
+    # the residual NOT conjunct is re-checked on the fetched rows with
+    # geometric page refill until size+offset rows survive (the
+    # reference's fetch-then-FieldsFilter shape,
+    # `storeapi/grpc_fetch.go:42-216`)
+    from seqspark.engine import materialize_tokens
+    from seqspark.index import build_inverted_index
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "ts", F.timestamp_millis(F.col("doc_id") * 1000)
+    )
+    tok = materialize_tokens(docs, {"text": "text"}).withColumn(
+        "mid", F.unix_millis(F.col("ts"))
+    )
+    idx = build_inverted_index(
+        tok, {"text": "__tok_text"}, id_cols=["mid", "doc_id"]
+    )
+    st = SearchTable.from_typed(
+        docs, DOCS_MAPPING, ts_col="ts", rid_col="doc_id",
+        assume_folded=True,
+    ).attach_index(idx, ["text"], ["mid", "doc_id"])
+    return st.two_phase_search(
+        "text:table and not text:scan", size=30, offset=3, order="asc",
+    ).select("doc_id", "lang", "source")
+
+
 def q_export_keyset(spark, sf_dir):
     # export-style full ordered drain of a filtered set (size=None)
     st = _events_table(spark, sf_dir)
@@ -4020,65 +4048,65 @@ def contract_diagnostics() -> dict[str, Callable[[SparkSession, str], str]]:
 #: ``tools/rotate_window.py`` computes last driver-green age per entry
 #: from the committed CORRECTNESS_r*.json artifacts and takes the 50
 #: oldest (never-checked first, contract order within a round).
-#: This window = ``rotate_window.py --as-of 14``: the 8 never-driver-
-#: green entries (ann_sq_topk, ann_ivfsq_topk, audio_features_wavext,
-#: multimodal_bmp_rle, and this round's multimodal_oggflac,
-#: two_phase_fetch, multimodal_webp_pixels and multimodal_webp_anim),
-#: and 42 of the 43-entry r11-stale tail (the overflow entry waits one
-#: round). tests/test_contract.py pins the window against the
-#: mechanism, so a hand-edit that drifts fails fast. After this round
-#: no entry's last driver-green is older than r12.
+#: This window = ``rotate_window.py --as-of 15``: the one never-driver-
+#: green entry (this round's two_phase_residual), the one r11-stale
+#: entry the r15 rotation missed (image_dhash_dupes — the exact gap
+#: verdict r15 #2 flagged), all 12 r12-stale entries, and 36 of the 39
+#: r13 cohort (3 overflow entries wait one round).
+#: tests/test_contract.py pins the window against the mechanism, so a
+#: hand-edit that drifts fails fast. After this round no entry's last
+#: driver-green is older than r13.
 DRIVER_WINDOW = [
-    "audio_features_wavext",
-    "multimodal_bmp_rle",
-    "multimodal_oggflac",
-    "multimodal_webp_pixels",
-    "multimodal_webp_anim",
-    "ann_sq_topk",
-    "ann_ivfsq_topk",
-    "two_phase_fetch",
-    "incremental_lsh_dupes",
-    "bpe_encode",
-    "bpe_encode_dict",
-    "agg_notexists_bucket",
-    "agg_sum_notexists",
-    "agg_unique_total",
-    "agg_bucket_order",
-    "keyset_pagination",
-    "multitype_keyword_title",
-    "corpus_curation",
-    "case_sensitive_eq",
-    "pii_scrub",
-    "decontaminate",
-    "repetition_ratio",
-    "shipping_priority",
-    "local_supplier_volume",
-    "hash_sample",
-    "hash_split",
-    "train_shuffle",
-    "mix_sources",
-    "legacy_query",
-    "legacy_range",
-    "dup_clusters",
-    "stratified_sample",
-    "domain_stats",
-    "cap_per_group",
-    "ivf_update",
-    "sessionize",
-    "sessionize_native",
-    "sketch_balanced_sample",
-    "multimodal_resize",
-    "embedding_dup_clusters",
-    "top_per_group",
-    "heavy_hitters",
-    "semantic_dedup_pairs",
-    "semantic_dedup",
-    "span_dedup",
-    "fuzzy_contamination",
-    "quality_classifier",
-    "pack_sequences",
-    "hamming_dupes",
-    "hamming_dedup",
+    "two_phase_residual",
+    "image_dhash_dupes",
+    "frame_sample_mjpeg",
+    "multimodal_resize_jpeg",
+    "image_dhash_jpeg",
+    "audio_features",
+    "audio_dupes",
+    "ann_pq_rerank",
+    "unigram_encode",
+    "unigram_sample_encode",
+    "video_keyframes",
+    "cap_per_group_salted",
+    "sessionize_scalable",
+    "sessionize_bucketed",
+    "exists",
+    "bool_precedence",
+    "bool_not",
+    "fields_pipe",
+    "fetch_by_ids",
+    "agg_unique",
+    "agg_sum_group",
+    "agg_min_group",
+    "agg_max_group",
+    "agg_avg_group",
+    "agg_filtered",
+    "agg_quantile",
+    "agg_timeseries",
+    "ann_batch_topk",
+    "frame_sample",
+    "c4_filter",
+    "path_prefix_tokens",
+    "timestamp_parse_chain",
+    "doc_size_tracking",
+    "dedup_exact",
+    "incremental_dedup",
+    "paragraph_dedup",
+    "ngram_jaccard",
+    "minhash_lsh_pairs",
+    "simhash_candidates",
+    "ann_brute_topk",
+    "ann_lsh_topk",
+    "embedding_cosine_pairs",
+    "text_token_count",
+    "text_quality",
+    "text_fingerprint",
+    "multimodal_decode",
+    "frame_sample_gif",
+    "frame_sample_apng",
+    "frame_sample_y4m",
+    "ann_pq_topk",
 ]
 
 
@@ -4205,6 +4233,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multitype_keyword_title": q_multitype_keyword_title,
         "inverted_index_and": q_inverted_index_and,
         "two_phase_fetch": q_two_phase_fetch,
+        "two_phase_residual": q_two_phase_residual,
         "export_keyset": q_export_keyset,
         "corpus_curation": q_corpus_curation,
         "case_sensitive_eq": q_case_sensitive_eq,
@@ -4654,6 +4683,14 @@ def oracle_sql() -> dict[str, str]:
             f"len(list_filter({_TOKS}, t -> t LIKE 'sc%')) > 0 AND "
             "doc_id * 1000 BETWEEN 50000 AND 450000 "
             "ORDER BY doc_id DESC LIMIT 40 OFFSET 5"
+        ),
+        "two_phase_residual": (
+            # page refill makes the residual NOT conjunct exact, so the
+            # operator still collapses to one ordered LIMIT/OFFSET
+            "SELECT doc_id, lang, source FROM documents WHERE "
+            f"list_contains({_TOKS}, 'table') AND "
+            f"NOT list_contains({_TOKS}, 'scan') "
+            "ORDER BY doc_id ASC LIMIT 30 OFFSET 3"
         ),
         "export_keyset": (
             f"SELECT {_EV} FROM events WHERE "

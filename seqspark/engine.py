@@ -743,27 +743,7 @@ class SearchTable:
         tf = self._time_filter(from_ms, to_ms)
         if tf is not None:
             df = df.filter(tf)
-        if self._partition_hint is not None:
-            # redundant-but-prunable bucket bounds: lexicographic compare is
-            # valid because date_format patterns like yyyy-MM-dd-HH order
-            # fields most-significant first; bucket granularity ⊇ the ts
-            # window, so the bounds are conservative (never drop matches).
-            # Bucket labels follow the session timezone, same as
-            # DocStore.append wrote them.
-            pcol, fmt, pdtype = self._partition_hint
-
-            def bound(ms: int) -> Column:
-                label = F.date_format(F.timestamp_millis(F.lit(ms)), fmt)
-                if pdtype == "date":
-                    return F.to_date(label)
-                if pdtype in ("int", "bigint"):
-                    return label.cast(pdtype)
-                return label
-
-            if from_ms is not None:
-                df = df.filter(F.col(pcol) >= bound(from_ms))
-            if to_ms is not None:
-                df = df.filter(F.col(pcol) <= bound(to_ms))
+        df = self._apply_bucket_bounds(df, from_ms, to_ms)
         if self._index is not None:
             pairs, wildcards, or_groups = self._index_conjuncts(query.root)
             index_df, _, id_cols, stats, max_sel, bcast_max = self._index
@@ -771,29 +751,7 @@ class SearchTable:
             # per ts_bucket, index.py) — apply the SAME bucket bounds to
             # the posting scan, or a 1-hour query over a month-old corpus
             # reads every index bucket before the semi-join
-            if self._partition_hint is not None:
-                pcol, fmt, _pdtype = self._partition_hint
-                if pcol in index_df.columns:
-                    idx_pdtype = dict(index_df.dtypes).get(pcol)
-
-                    def ibound(ms: int) -> Column:
-                        label = F.date_format(
-                            F.timestamp_millis(F.lit(ms)), fmt
-                        )
-                        if idx_pdtype == "date":
-                            return F.to_date(label)
-                        if idx_pdtype in ("int", "bigint"):
-                            return label.cast(idx_pdtype)
-                        return label
-
-                    if from_ms is not None:
-                        index_df = index_df.filter(
-                            F.col(pcol) >= ibound(from_ms)
-                        )
-                    if to_ms is not None:
-                        index_df = index_df.filter(
-                            F.col(pcol) <= ibound(to_ms)
-                        )
+            index_df = self._apply_bucket_bounds(index_df, from_ms, to_ms)
             if stats is not None:
                 # selectivity routing: hot tokens (df ratio > max_sel) match
                 # most of the corpus — the semi-join would not shrink the
@@ -863,6 +821,40 @@ class SearchTable:
         if dedup:
             df = df.dropDuplicates(list(dedup))
         return df, query.pipes
+
+    def _apply_bucket_bounds(
+        self, df: DataFrame, from_ms: Optional[int], to_ms: Optional[int]
+    ) -> DataFrame:
+        """Redundant-but-prunable time-bucket partition bounds on any
+        frame that carries the store's partition column (store scan OR
+        posting index): lexicographic compare is valid because
+        date_format patterns like yyyy-MM-dd-HH order fields
+        most-significant first; bucket granularity ⊇ the ts window, so
+        the bounds are conservative (never drop matches). Bucket labels
+        follow the session timezone, same as DocStore.append wrote
+        them. No-op without a partition hint, a window, or the column."""
+        if self._partition_hint is None or (from_ms is None and to_ms is None):
+            return df
+        pcol, fmt, _pdtype = self._partition_hint
+        if pcol not in df.columns:
+            return df
+        # partition type inference can differ between store and index
+        # directories — compare in THIS frame's own column type
+        pdtype = dict(df.dtypes).get(pcol)
+
+        def bound(ms: int) -> Column:
+            label = F.date_format(F.timestamp_millis(F.lit(ms)), fmt)
+            if pdtype == "date":
+                return F.to_date(label)
+            if pdtype in ("int", "bigint"):
+                return label.cast(pdtype)
+            return label
+
+        if from_ms is not None:
+            df = df.filter(F.col(pcol) >= bound(from_ms))
+        if to_ms is not None:
+            df = df.filter(F.col(pcol) <= bound(to_ms))
+        return df
 
     def _sort_cols(self, order: str) -> List[Column]:
         """Result order is (MID, RID) = (millisecond timestamp, rid) — the
@@ -956,26 +948,42 @@ class SearchTable:
         semi-join returns to parity — only the two-phase plan's I/O is
         width-independent, which is the 100 TB text-search story.
 
+        Residual conjuncts (r16): a query that is only PARTIALLY
+        index-covered (e.g. ``text:alpha and not text:beta``) runs the
+        covered conjuncts in phase 1 and the FULL predicate in phase 2,
+        refilling with geometrically larger id pages until
+        ``size + offset`` rows survive the re-filter or the postings are
+        exhausted — the reference's own fetch-then-re-check shape
+        (`storeapi/grpc_fetch.go:42-216` applies `FieldsFilter` after
+        the fetch). Still bounded: the id page never exceeds
+        ``MAX_SEARCH_DOCS``; if that cap underfills while postings
+        remain, the method raises rather than silently truncating.
+
         Strictness (correctness over convenience — each would silently
         change results, so they raise instead):
 
-        - the query must be FULLY index-covered (an AND-tree of exact
-          tokens, prefix wildcards and covered OR groups); a residual
-          conjunct would underfill pages after the re-filter,
-        - the index ``id_cols`` must contain ``rid_col`` and be ordered
-          like the search order — ``("mid", "rid")`` reproduces
-          :meth:`search` exactly,
-        - a time window needs ``id_cols[0] == "mid"`` (the engine's
-          millisecond identity) so exact bounds apply on the posting
-          side; window semantics are ms-granular like the reference's
-          (MIDs are milliseconds, `seq/seq.go:37-90`).
+        - at least one conjunct must be index-covered (an exact token,
+          prefix wildcard or covered OR group at the top AND level) —
+          otherwise there is no posting-only phase 1,
+        - the index ``id_cols`` must be ``("mid", rid_col)`` — phase 1
+          TakeOrders by ``id_cols``, which must agree with the engine's
+          (mid, rid) search order (`seq/seq.go:37-90`; ms-granular
+          windows apply exactly on the posting side),
+        - ``default_dedup``, when set, must contain every id column —
+          a dedup key coarser than the id would collapse rows AFTER
+          pagination here but BEFORE it in :meth:`search`, underfilling
+          pages without an error.
 
-        Deployment note: the id-page ``isin`` reaches the parquet
-        reader per-value (bloom + dictionary probes) only while
+        The id-page ``isin`` reaches the parquet reader per-value
+        (bloom + dictionary probes) only while
         ``spark.sql.parquet.pushdown.inFilterThreshold`` >= the page
         size — above it Spark degrades the push to a min/max RANGE,
-        which random ids never prune. Size that conf to the max page
-        (the engine caps pages at ``MAX_SEARCH_DOCS``).
+        which random ids never prune. The operator OWNS that conf
+        (r16): it raises the session threshold to cover its own page
+        before returning, so the row-group-skipping win needs no
+        deployment folklore. The raise is sticky session-wide and
+        bounded by ``MAX_SEARCH_DOCS``; a larger In threshold only ever
+        widens per-value pushdown, it cannot change results.
         """
         if size is None or size + offset > MAX_SEARCH_DOCS:
             raise ValueError(
@@ -988,22 +996,34 @@ class SearchTable:
             raise ValueError(
                 f"index id_cols {tuple(id_cols)} must include rid_col "
                 f"{self.rid_col!r} — the fetch pages by rid")
+        if tuple(id_cols) != ("mid", self.rid_col):
+            raise ValueError(
+                f"index id_cols {tuple(id_cols)} must be "
+                f"('mid', {self.rid_col!r}) — phase 1 TakeOrders by "
+                f"id_cols, which must agree with the (mid, rid) search "
+                f"order or pages silently diverge from search()")
+        if self.default_dedup and not set(id_cols) <= set(self.default_dedup):
+            raise ValueError(
+                f"default_dedup {tuple(self.default_dedup)} is coarser "
+                f"than id_cols {tuple(id_cols)}: search() dedups the full "
+                f"match set before paginating, a page-local dedup would "
+                f"underfill — use search()")
         query = self.parse(q, dialect)
-        if not self._index_covers(query.root):
+        pairs, wildcards, or_groups = self._index_conjuncts(query.root)
+        if not (pairs or wildcards or or_groups):
             raise ValueError(
-                "query is not fully index-covered; a residual conjunct "
-                "would underfill pages — use search()")
-        if (from_ms is not None or to_ms is not None) and id_cols[0] != "mid":
-            raise ValueError(
-                "a time window needs id_cols[0] == 'mid' so exact ms "
-                "bounds apply on the posting side")
+                "query has no index-covered conjunct; there is no "
+                "posting-only phase 1 — use search()")
+        fully_covered = self._index_covers(query.root)
         from .index import (
             matching_ids_multi,
             matching_ids_or,
             matching_ids_wildcard,
         )
 
-        pairs, wildcards, or_groups = self._index_conjuncts(query.root)
+        # same bucket-directory pruning as search(): a windowed query
+        # must not list every time bucket of the index or the store
+        index_df = self._apply_bucket_bounds(index_df, from_ms, to_ms)
         if from_ms is not None:
             index_df = index_df.filter(F.col("mid") >= F.lit(from_ms))
         if to_ms is not None:
@@ -1024,20 +1044,54 @@ class SearchTable:
             ids = meet(matching_ids_or(index_df, leaves, id_cols))
         sort = [F.col(c).desc() if order == "desc" else F.col(c).asc()
                 for c in id_cols]
-        page = ids.orderBy(*sort).limit(size + offset).collect()
-        rid_page = [row[self.rid_col] for row in page]
-        # phase 2: one pushed-In fetch — rid blooms / dictionary pages
-        # skip whole row groups; everything after runs on <= page rows
-        df = self.df.filter(F.col(self.rid_col).isin(rid_page))
-        if from_ms is not None or to_ms is not None:
-            mid = self._mid_col()
-            if from_ms is not None:
-                df = df.filter(mid >= F.lit(from_ms))
-            if to_ms is not None:
-                df = df.filter(mid <= F.lit(to_ms))
-        df = df.filter(compile_node(query.root, self.resolver))
-        if self.default_dedup:
-            df = df.dropDuplicates(list(self.default_dedup))
+        spark = self.df.sparkSession
+        thr_key = "spark.sql.parquet.pushdown.inFilterThreshold"
+
+        def page_ids(k: int) -> list:
+            page = ids.orderBy(*sort).limit(k).collect()
+            rid_page = [row[self.rid_col] for row in page]
+            # own the pushdown conf: per-value In push (bloom/dictionary
+            # probes) only happens while the threshold covers the page
+            cur = int(spark.conf.get(thr_key, "10") or 10)
+            if cur < len(rid_page):
+                spark.conf.set(thr_key, str(len(rid_page)))
+            return rid_page
+
+        def fetch(rid_page: list) -> DataFrame:
+            # phase 2: one pushed-In fetch — rid blooms / dictionary
+            # pages skip whole row groups; then <= page rows remain
+            df = self._apply_bucket_bounds(self.df, from_ms, to_ms)
+            df = df.filter(F.col(self.rid_col).isin(rid_page))
+            if from_ms is not None or to_ms is not None:
+                mid = self._mid_col()
+                if from_ms is not None:
+                    df = df.filter(mid >= F.lit(from_ms))
+                if to_ms is not None:
+                    df = df.filter(mid <= F.lit(to_ms))
+            df = df.filter(compile_node(query.root, self.resolver))
+            if self.default_dedup:
+                df = df.dropDuplicates(list(self.default_dedup))
+            return df
+
+        need = size + offset
+        if fully_covered:
+            df = fetch(page_ids(need))
+        else:
+            # residual re-filter: over-fetch, count survivors, refill
+            # geometrically (O(log MAX/need) bounded iterations)
+            k = min(MAX_SEARCH_DOCS, max(2 * need, need + 64))
+            while True:
+                rid_page = page_ids(k)
+                df = fetch(rid_page)
+                exhausted = len(rid_page) < k
+                if exhausted or df.count() >= need:
+                    break
+                if k >= MAX_SEARCH_DOCS:
+                    raise ValueError(
+                        f"residual conjuncts underfill even the maximum "
+                        f"id page ({MAX_SEARCH_DOCS}) with postings "
+                        f"remaining — use search()")
+                k = min(MAX_SEARCH_DOCS, k * 2)
         df = df.orderBy(*self._sort_cols(order))
         if offset > 0:
             df = df.offset(offset)

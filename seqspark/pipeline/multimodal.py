@@ -339,13 +339,17 @@ def _webp_decode_frames(b: bytes, max_pixels: Optional[int] = None):
                     canvas[d + 3] = oa
         out.append(bytes(canvas))
         if dispose:  # dispose to background: clear the frame rect
-            for y in range(fh):
-                cy = fy + y
-                if cy >= h:
-                    break
-                st = 4 * (cy * w + fx)
-                canvas[st:st + 4 * min(fw, w - fx)] = bytes(
-                    4 * min(fw, w - fx))
+            # clamp like the BMP RLE delta fix: a frame rect whose x
+            # offset starts past the canvas (fx >= w) must clear nothing,
+            # not build a negative byte count
+            m = max(0, min(fw, w - fx))
+            if m:
+                for y in range(fh):
+                    cy = fy + y
+                    if cy >= h:
+                        break
+                    st = 4 * (cy * w + fx)
+                    canvas[st:st + 4 * m] = bytes(4 * m)
     return w, h, out
 
 

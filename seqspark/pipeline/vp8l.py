@@ -679,7 +679,6 @@ def _canonical_codes(lengths: Sequence[int]) -> List[int]:
         next_code[ln] = code
     order = sorted((s for s in range(len(lengths)) if lengths[s]),
                    key=lambda s: (lengths[s], s))
-    assign = dict(next_code and [])
     nxt = list(next_code)
     for s in order:
         codes[s] = nxt[lengths[s]]

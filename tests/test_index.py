@@ -422,6 +422,51 @@ def test_index_semi_join_prunes_time_buckets(spark, tmp_path):
     assert len(with_bounds) >= 2, f"index scan unpruned: {bounded}"
 
 
+def test_two_phase_prunes_time_buckets(spark, tmp_path):
+    """r16 (ADVICE): windowed two_phase_search must push the same
+    ts_bucket directory bounds as search() onto the phase-2 fetch (and
+    the phase-1 posting scan via the shared helper) — without them a
+    1-hour query over a month-old corpus lists every time bucket."""
+    import json
+
+    from seqspark import Mapping
+    from seqspark.index import StoreIndex
+    from seqspark.ingest import ingest_docs
+    from seqspark.store import DocStore
+
+    m = Mapping({"service": "keyword", "message": "text"})
+    docs = [
+        {"timestamp": f"2024-01-0{d} 00:00:00.000", "service": s,
+         "message": f"alpha beta {s} d{d}"}
+        for d in (1, 2, 3)
+        for s in ("auth", "pay")
+    ]
+    BIG = 10**15
+    frame = ingest_docs(
+        spark.createDataFrame([(json.dumps(x),) for x in docs], "raw string"),
+        m, allowed_drift_ms=BIG, future_drift_ms=BIG,
+    )
+    store = DocStore(spark, str(tmp_path / "store"))
+    store.append(frame)
+    idx = StoreIndex(
+        store, str(tmp_path / "index"),
+        {"message": F.col("tokens")["message"]},
+    )
+    idx.refresh()
+    st = idx.attach_to(store.search_table(m), top_k=64, max_selectivity=0.5)
+    f_ms, t_ms = 1704153600000, 1704239999999  # 2024-01-02 only
+    out = st.two_phase_search("message:alpha", from_ms=f_ms, to_ms=t_ms,
+                              size=10)
+    got = {r["raw"] for r in out.collect()}
+    want = {r["raw"] for r in st.search(
+        "message:alpha", from_ms=f_ms, to_ms=t_ms).collect()}
+    assert got == want and len(got) == 2
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    i = plan.find("PartitionFilters")
+    assert i >= 0 and "ts_bucket" in plan[i:i + 260], plan[i:i + 260]
+    assert "2024-01-02" in plan[i:i + 260], plan[i:i + 260]
+
+
 def test_index_report_tool(spark, tmp_path):
     """tools/index_report.py — the cmd/index_analyzer analog: per-bucket
     doc/token/posting stats with cumulative-unique columns and a
@@ -505,6 +550,14 @@ def test_two_phase_search_parity_and_strictness(spark):
         ("text:in(alpha, beta)", None, None, 30, 0, "desc"),
         ("kind:even and text:alpha", lo, lo + 43_200_000, 20, 0, "desc"),
         ("text:alpha", lo + 1000, lo + 80_000_000, 15, 2, "asc"),
+        # r16: residual conjuncts — covered phase 1 + full-predicate
+        # re-filter with page refill must still match search() exactly
+        ("text:alpha and not text:beta", None, None, 10, 0, "desc"),
+        ("text:alpha and not text:gamma", None, None, 60, 5, "asc"),
+        ("text:alpha and not text:nosuch", lo, lo + 43_200_000, 20, 0,
+         "desc"),
+        ("text:beta and (kind:even or text:tail7)", None, None, 15, 0,
+         "asc"),
     ]
     for q, f_ms, t_ms, size, off, order in shapes:
         want = [tuple(r) for r in st.search(
@@ -521,10 +574,10 @@ def test_two_phase_search_parity_and_strictness(spark):
     assert cols == ["rid", "kind"]
 
     # strictness: each of these would silently change results
-    with pytest.raises(ValueError, match="not fully index-covered"):
-        st.two_phase_search("text:alpha and not text:beta", size=5)
-    with pytest.raises(ValueError, match="not fully index-covered"):
+    with pytest.raises(ValueError, match="no index-covered conjunct"):
         st.two_phase_search("*", size=5)
+    with pytest.raises(ValueError, match="no index-covered conjunct"):
+        st.two_phase_search("not text:beta", size=5)
     with pytest.raises(ValueError, match="bounded"):
         st.two_phase_search("text:alpha", size=100_001)
     st_plain = SearchTable.from_typed(
@@ -539,28 +592,50 @@ def test_two_phase_search_parity_and_strictness(spark):
     ).attach_index(idx_doc, ["text"], ["mid"])
     with pytest.raises(ValueError, match="must include rid_col"):
         st_bad.two_phase_search("text:alpha", size=5)
-    # window without a mid-first index
+    # an index whose id order disagrees with the (mid, rid) search
+    # order would TakeOrder phase 1 by the wrong key and silently
+    # return a different page than search() — raises, window or not
+    # (r16, was a silent windowless divergence before)
     idx_rid = build_inverted_index(
-        tok, {"text": "__tok_text"}, id_cols=["rid"])
+        tok, {"text": "__tok_text"}, id_cols=["rid", "mid"])
     st_rid = SearchTable.from_typed(
         df, m, ts_col="ts", rid_col="rid", assume_folded=True,
-    ).attach_index(idx_rid, ["text"], ["rid"])
-    with pytest.raises(ValueError, match="id_cols\\[0\\] == 'mid'"):
+    ).attach_index(idx_rid, ["text"], ["rid", "mid"])
+    with pytest.raises(ValueError, match="must be \\('mid'"):
         st_rid.two_phase_search("text:alpha", from_ms=lo, size=5)
-    # windowless rid-keyed page still works (set parity, rid order)
-    got = {r.rid for r in st_rid.two_phase_search(
-        "text:alpha", size=300, order="asc").collect()}
-    want = {r.rid for r in st.search("text:alpha", size=300).collect()}
+    with pytest.raises(ValueError, match="must be \\('mid'"):
+        st_rid.two_phase_search("text:alpha", size=5)
+    # a default_dedup coarser than the id dedups the full match set in
+    # search() but only the page here — underfilled pages, so it raises
+    st_coarse = SearchTable.from_typed(
+        df, m, ts_col="ts", rid_col="rid", assume_folded=True,
+    ).attach_index(idx, ["text", "kind"], ["mid", "rid"])
+    st_coarse.default_dedup = ["kind"]
+    with pytest.raises(ValueError, match="coarser"):
+        st_coarse.two_phase_search("text:alpha", size=5)
+    # ...but a dedup key at least as fine as the id is allowed
+    st_fine = SearchTable.from_typed(
+        df, m, ts_col="ts", rid_col="rid", assume_folded=True,
+    ).attach_index(idx, ["text", "kind"], ["mid", "rid"])
+    st_fine.default_dedup = ["mid", "rid"]
+    got = [tuple(r) for r in st_fine.two_phase_search(
+        "text:alpha", size=10).select("mid", "rid").collect()]
+    want = [tuple(r) for r in st_fine.search(
+        "text:alpha", size=10).select("mid", "rid").collect()]
     assert got == want
 
 
 def test_two_phase_fetch_plan_shape(spark, tmp_path):
-    """r15: the two-phase fetch's id page must reach the parquet scan
-    as a per-value In (PushedFilters — the bloom/dictionary probe
-    shape), and the final page must be a TakeOrderedAndProject. The In
-    threshold conf is raised around the assert: above it Spark degrades
-    the push to a min/max range that random ids never prune. The table
-    must be parquet-backed (an in-memory frame has nothing to push)."""
+    """r15/r16: the two-phase fetch's id page must reach the parquet
+    scan as a per-value In (PushedFilters — the bloom/dictionary probe
+    shape), and the final page must be a TakeOrderedAndProject. r16:
+    the operator OWNS the In-threshold conf — this test pins the
+    session conf at Spark's DEFAULT (10, below the 15-id page) and the
+    push must still be per-value, because two_phase_search raises the
+    threshold itself; before r16 this degraded to a min/max range that
+    random ids never prune (the whole row-group-skipping win gone).
+    The table must be parquet-backed (an in-memory frame has nothing
+    to push)."""
     from seqspark import SearchTable
 
     n = 120
@@ -581,13 +656,16 @@ def test_two_phase_fetch_plan_shape(spark, tmp_path):
     ).attach_index(idx, ["text"], ["mid", "rid"])
     thr = "spark.sql.parquet.pushdown.inFilterThreshold"
     old = spark.conf.get(thr)
-    spark.conf.set(thr, "2000")
+    spark.conf.set(thr, "10")  # Spark's default — below the 15-id page
     try:
         out = st.two_phase_search("text:alpha", size=15)
+        # the operator must have raised the session threshold to cover
+        # its own page — self-sufficiency, no deployment folklore
+        assert int(spark.conf.get(thr)) >= 15
         plan = out._jdf.queryExecution().executedPlan().toString()
+        i = plan.find("PushedFilters")
+        assert i >= 0 and "In(rid" in plan[i:i + 300], plan[i:i + 300]
+        assert "TakeOrderedAndProject" in plan
+        assert out.count() == 15
     finally:
         spark.conf.set(thr, old)
-    i = plan.find("PushedFilters")
-    assert i >= 0 and "In(rid" in plan[i:i + 300], plan[i:i + 300]
-    assert "TakeOrderedAndProject" in plan
-    assert out.count() == 15

@@ -233,6 +233,29 @@ def test_animated_webp_composition():
     r_mix = (255 * da * (255 - sa) // 255) // oa
     b_mix = (255 * sa) // oa
     assert at(f3, 0, 0) == bytes((r_mix, 0, b_mix, oa))
+    # r16 (ADVICE): a crafted ANMF whose rect starts PAST the canvas
+    # (fx >= w or fy >= h) with dispose-to-background used to build a
+    # negative byte count in the rect clear and raise ValueError —
+    # must compose (clearing nothing) and never throw
+    for fx, fy in ((12, 0), (0, 8), (12, 8)):
+        off = _webp_decode_frames(_webp_encode_anim(w, h, [
+            (0, 0, w, h, 0, 1, red),
+            (fx, fy, 2, 2, 1, 1, green),
+            (0, 0, w, h, 0, 1, red),
+        ]))
+        assert off is not None and len(off[2]) == 3, (fx, fy)
+        assert bytes(off[2][1]) == bytes(off[2][0]), (fx, fy)
+    # partially-overhanging rect with dispose: clamps to the canvas
+    part = _webp_decode_frames(_webp_encode_anim(w, h, [
+        (0, 0, w, h, 0, 1, red),
+        (8, 4, 4, 4, 1, 1, bytes((0, 255, 0, 255)) * 16),
+        (0, 0, 1, 1, 0, 1, bytes((255, 0, 0, 255))),
+    ]))
+    assert part is not None
+    pf = part[2]
+    assert at(bytearray(pf[1]), 8, 4) == bytes((0, 255, 0, 255))
+    assert at(bytearray(pf[2]), 8, 4) == bytes((0, 0, 0, 0))  # disposed
+    assert at(bytearray(pf[2]), 7, 4) == bytes((255, 0, 0, 255))
     # never throws on truncation / corruption
     for cut in range(0, len(anim), 11):
         _webp_decode_frames(anim[:cut])
