@@ -257,6 +257,12 @@ class SearchTable:
         self.partial = False
         #: optional inverted-index routing (attach_index)
         self._index: Optional[tuple] = None
+        #: width-aware two-phase routing threshold (attach_index
+        #: two_phase_min_doc_bytes); None = routing off
+        self._two_phase_min_bytes: Optional[int] = None
+        #: memoized avg_doc_bytes() — () = not yet computed; a server
+        #: fronting many requests may pre-seed this from its own cache
+        self._avg_doc_bytes_cache: tuple = ()
         #: optional (partition_col, bucket_fmt) for time-bucket directory
         #: pruning (set by from_docs(bucket_fmt=...))
         self._partition_hint: Optional[tuple] = None
@@ -274,6 +280,7 @@ class SearchTable:
         stats: Optional["IndexStats"] = None,
         max_selectivity: float = 0.1,
         broadcast_max_docs: int = 200_000,
+        two_phase_min_doc_bytes: Optional[int] = None,
     ) -> "SearchTable":
         """Route text-token predicates through a materialized inverted index
         (SURVEY §7.2; the posting-list path of `frac/sealed_index.go:
@@ -306,6 +313,18 @@ class SearchTable:
         semi-join runs map-side, shuffle-free on the corpus at any
         scale. Prefix wildcards have no bounded posting estimate and
         never broadcast. 0 disables the hint.
+
+        ``two_phase_min_doc_bytes`` (r16) enables WIDTH-AWARE two-phase
+        routing — the reference's search→fetch wire architecture
+        (`proxy/search/ingestor.go:140-151`) picked by a cost signal: a
+        bounded, fully index-covered :meth:`search` whose average stored
+        doc width (parquet footer bytes/rows, driver-side metadata only,
+        zero Spark jobs) is at least this many bytes is served by
+        :meth:`two_phase_search`, whose phase-1 I/O is independent of
+        document width (measured crossover ≈3 KB bodies from ×10,
+        BASELINE.md §r15). Any precondition failure falls back silently
+        to the scan plan; results are identical either way. ``None``
+        (default) disables routing.
         """
         self._index = (
             index_df,
@@ -315,6 +334,7 @@ class SearchTable:
             max_selectivity,
             broadcast_max_docs,
         )
+        self._two_phase_min_bytes = two_phase_min_doc_bytes
         return self
 
     def _index_leaf(self, node) -> Optional[tuple]:
@@ -904,9 +924,124 @@ class SearchTable:
         """
         if size is not None and size > MAX_SEARCH_DOCS:
             raise ValueError(f"size {size} exceeds max-search-docs {MAX_SEARCH_DOCS}")
+        routed = self._route_two_phase(
+            q, from_ms, to_ms, size, offset, order, dedup_cols, dialect
+        )
+        if routed is not None:
+            return routed
         df, pipes = self._filtered(q, from_ms, to_ms, dedup_cols, dialect)
         df = self._paginate(df, size, offset, order)
         return self.apply_pipes(self._public(df), pipes)
+
+    def avg_doc_bytes(self, sample_files: int = 16) -> Optional[float]:
+        """Average stored bytes per document — compressed parquet file
+        size over footer record count, sampled over at most
+        ``sample_files`` files spread across the table. Driver-side
+        metadata reads only (Hadoop FileStatus + parquet footers, the
+        same channel as DocStore's footer row counts): ZERO Spark jobs,
+        works on any Hadoop filesystem. ``None`` when the frame is not
+        file-backed (nothing to sample) or the metadata read fails —
+        callers must treat that as "width unknown", never as narrow."""
+        if self._avg_doc_bytes_cache:
+            return self._avg_doc_bytes_cache[0]
+        value: Optional[float] = None
+        try:
+            files = [f for f in self.df.inputFiles()
+                     if f.endswith(".parquet")]
+            if files:
+                step = max(1, len(files) // sample_files)
+                sample = files[::step][:sample_files]
+                spark = self.df.sparkSession
+                jvm = spark._jvm
+                conf = spark._jsc.hadoopConfiguration()
+                total_b = total_r = 0
+                for p in sample:
+                    jpath = jvm.org.apache.hadoop.fs.Path(p)
+                    fs = jpath.getFileSystem(conf)
+                    total_b += fs.getFileStatus(jpath).getLen()
+                    inf = (jvm.org.apache.parquet.hadoop.util
+                           .HadoopInputFile.fromPath(jpath, conf))
+                    reader = (jvm.org.apache.parquet.hadoop
+                              .ParquetFileReader.open(inf))
+                    try:
+                        total_r += reader.getRecordCount()
+                    finally:
+                        reader.close()
+                if total_r:
+                    value = total_b / total_r
+        except Exception:
+            value = None
+        self._avg_doc_bytes_cache = (value,)
+        return value
+
+    def _route_two_phase(
+        self,
+        q: str,
+        from_ms: Optional[int],
+        to_ms: Optional[int],
+        size: Optional[int],
+        offset: int,
+        order: str,
+        dedup_cols: Optional[Sequence[str]],
+        dialect: Optional[str],
+    ) -> Optional[DataFrame]:
+        """Width-aware scan-vs-two-phase router (r16, verdict #2): when
+        :meth:`attach_index` enabled it, a bounded, fully index-covered
+        search over a WIDE corpus is served by :meth:`two_phase_search`
+        — the reference's search→fetch architecture
+        (`proxy/search/ingestor.go:140-151`) — because only the
+        posting-page plan's I/O is independent of document width. The
+        decision reads two zero-job signals: IndexStats selectivity
+        (the same conjunct-ratio test the in-plan semi-join uses — a
+        query with no selective conjunct stays on the scan, where the
+        predicate matches most rows anyway) and the average stored doc
+        width from parquet footers. Results are identical on both paths
+        (pinned by the parity suite); EVERY precondition failure returns
+        None and the caller falls back to the scan plan, so the router
+        can never turn a servable query into an error."""
+        if self._two_phase_min_bytes is None or self._index is None:
+            return None
+        if size is None or size + offset > MAX_SEARCH_DOCS:
+            return None
+        _idx, _f, id_cols, stats, max_sel, _b = self._index
+        if tuple(id_cols) != ("mid", self.rid_col):
+            return None
+        dedup = dedup_cols if dedup_cols is not None else self.default_dedup
+        if dedup and not set(id_cols) <= set(dedup):
+            return None
+        if dedup_cols is not None and list(dedup_cols) != list(
+                self.default_dedup or []):
+            # two_phase_search applies default_dedup; a caller-supplied
+            # override must not be silently swapped for it
+            return None
+        try:
+            query = self.parse(q, dialect)
+        except Exception:
+            return None  # the scan path re-parses and raises identically
+        if not self._index_covers(query.root):
+            return None
+        pairs, wildcards, or_groups = self._index_conjuncts(query.root)
+        if not (pairs or wildcards or or_groups):
+            return None
+        if stats is not None:
+            ests = [stats.ratio(f, t) for f, t in pairs]
+            ests += [self._or_group_ratio(g, stats) for g in or_groups]
+            for fld, prefix, _pat in wildcards:
+                bound = stats.prefix_bound(fld, prefix)
+                if bound is not None:
+                    ests.append(bound / max(1, stats.total_docs))
+            if not ests or min(ests) > max_sel:
+                return None
+        width = self.avg_doc_bytes()
+        if width is None or width < self._two_phase_min_bytes:
+            return None
+        try:
+            return self.two_phase_search(
+                q, from_ms=from_ms, to_ms=to_ms, size=size, offset=offset,
+                order=order, dialect=dialect,
+            )
+        except ValueError:
+            return None
 
     def _paginate(
         self, df: DataFrame, size: Optional[int], offset: int, order: str

@@ -281,6 +281,9 @@ class StoreIndex:
         #: job per read(), so the frame is built once and invalidated when
         #: refresh()/prune() change the files underneath
         self._frame: Optional[DataFrame] = None
+        #: memoized merged IndexStats ((value,) once computed) — same
+        #: lifecycle as the frame cache
+        self._stats_cache: Optional[tuple] = None
 
     def _bucket_dir(self, bucket: str) -> str:
         return f"{self.path}/{self.PARTITION_COL}={bucket}"
@@ -387,6 +390,7 @@ class StoreIndex:
                 self._write_bucket_stats(fs, bucket, idx)
             done.append(bucket)
         self._frame = None
+        self._stats_cache = None
         return done
 
     def prune(self) -> List[str]:
@@ -405,6 +409,7 @@ class StoreIndex:
                     dropped.append(bucket)
         if dropped:
             self._frame = None
+            self._stats_cache = None
         return dropped
 
     def read(self) -> DataFrame:
@@ -424,16 +429,26 @@ class StoreIndex:
         top_k: int = 4096,
         max_selectivity: float = 0.1,
         broadcast_max_docs: int = 200_000,
+        two_phase_min_doc_bytes: Optional[int] = None,
     ):
         """Attach this index to a :class:`~seqspark.engine.SearchTable`
         with selectivity routing. Stats come from the per-bucket metadata
         persisted at :meth:`refresh` time — NO Spark job runs here; only
         when a live bucket predates the stats files (or ``total_docs`` /
         ``top_k`` force a live collection) does it fall back to the
-        TakeOrdered aggregation over the index. Returns the table for
-        chaining."""
+        TakeOrdered aggregation over the index. The merged stats are
+        memoized alongside the frame (a server attaches per request;
+        re-reading every bucket's stats JSON each time is pure waste) and
+        invalidated when :meth:`refresh`/:meth:`prune` change the files.
+        ``two_phase_min_doc_bytes`` forwards to
+        :meth:`~seqspark.engine.SearchTable.attach_index` — width-aware
+        search→fetch routing. Returns the table for chaining."""
         idx = self.read()
-        stats = self.load_stats() if total_docs is None else None
+        stats = None
+        if total_docs is None:
+            if self._stats_cache is None:
+                self._stats_cache = (self.load_stats(),)
+            stats = self._stats_cache[0]
         if stats is None:
             total = (
                 total_docs
@@ -441,6 +456,8 @@ class StoreIndex:
                 else self.store.read().count()
             )
             stats = collect_index_stats(idx, total, top_k)
+            if total_docs is None:
+                self._stats_cache = (stats,)
         return table.attach_index(
             idx,
             list(self.token_cols),
@@ -448,4 +465,5 @@ class StoreIndex:
             stats=stats,
             max_selectivity=max_selectivity,
             broadcast_max_docs=broadcast_max_docs,
+            two_phase_min_doc_bytes=two_phase_min_doc_bytes,
         )

@@ -4484,19 +4484,20 @@ def _mp4_tracks(b: bytes):
         tk = _bmff_find(b, s, e, b"tkhd")
         if tk is not None:
             ts_, te = tk
-            ver = b[ts_]
             # fixed 16.16 width/height are the LAST 8 body bytes
             if te - ts_ >= 8:
                 w = struct.unpack_from(">I", b, te - 8)[0] >> 16
                 h = struct.unpack_from(">I", b, te - 4)[0] >> 16
-            del ver
         mdia = _bmff_find(b, s, e, b"mdia")
         if mdia is None:
             continue
         md = _bmff_find(b, *mdia, b"mdhd")
         if md is not None:
             ms, me = md
-            ver = b[ms]
+            # an EMPTY FullBox at the buffer end has ms == len(b):
+            # reading the version byte unguarded was an IndexError on
+            # crafted input (r16 BMFF fuzz)
+            ver = b[ms] if me > ms else -1
             if ver == 1 and me - ms >= 32:
                 timescale = struct.unpack_from(">I", b, ms + 20)[0]
                 duration = struct.unpack_from(">Q", b, ms + 24)[0]

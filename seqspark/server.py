@@ -90,6 +90,8 @@ class SeqSparkServer:
         es_version: Optional[str] = None,
         case_sensitive: bool = False,
         use_seq_ql_by_default: bool = True,
+        index: Optional[object] = None,
+        two_phase_min_doc_bytes: int = 1024,
     ):
         self.spark = spark
         self.store = store
@@ -164,6 +166,17 @@ class SeqSparkServer:
         # library's own default stays seq-ql; the CLI passes False to
         # match the reference binary's default (legacy unless opted in)
         self._default_dialect = "seqql" if use_seq_ql_by_default else "legacy"
+        # optional StoreIndex (seqspark.index.StoreIndex): attaching it
+        # per request wires BOTH the in-plan posting semi-join and the
+        # width-aware two-phase (search→fetch) router into every
+        # transport — HTTP here, gRPC + the gateway through this core
+        # (the reference's wire architecture IS search→fetch,
+        # `proxy/search/ingestor.go:140-151`). The width signal is a
+        # driver-side footer read, memoized below with a short TTL: a
+        # stale width only flips a plan heuristic, never a result.
+        self._store_index = index
+        self._two_phase_min_doc_bytes = two_phase_min_doc_bytes
+        self._width_cache: Optional[tuple] = None  # (expires_mono, value)
         # lazily-built, reused across bulks (guarded by self._lock)
         self._ingest_transform = None
         # async search jobs (`proxyapi/grpc_async_search.go:15-62` over
@@ -1221,9 +1234,18 @@ class SeqSparkServer:
             raise my_exc
 
     def _table(self) -> SearchTable:
-        return SearchTable.from_store(
+        st = SearchTable.from_store(
             self.store, self.mapping, case_sensitive=self._case_sensitive
         )
+        if self._store_index is not None:
+            st = self._store_index.attach_to(
+                st, two_phase_min_doc_bytes=self._two_phase_min_doc_bytes
+            )
+            now = time.monotonic()
+            if self._width_cache is None or self._width_cache[0] < now:
+                self._width_cache = (now + 30.0, st.avg_doc_bytes())
+            st._avg_doc_bytes_cache = (self._width_cache[1],)
+        return st
 
     def search(self, req: dict) -> dict:
         return self._retry_transient(lambda: self._search_impl(req))
