@@ -46,7 +46,7 @@ from seqspark.data import load_table
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-RUNS = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5")))
+RUNS = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "9")))
 PLANS_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_plans.json")
 
 EVENTS_MAPPING = {
@@ -56,6 +56,35 @@ EVENTS_MAPPING = {
     "event_id": "keyword",
     "props": "text",
 }
+
+
+def _proc_cpu_seconds() -> float:
+    """CPU seconds burned so far by this Python process PLUS its child
+    JVM (local-mode executors live inside that one java child) — read
+    from /proc, no dependencies. Wall time swings ±2x with host load
+    while plans are byte-identical (the r15 bench recorded +37% wall
+    with zero plan drift); CPU time moves far less under contention, so
+    reporting both lets a reader separate host noise from a real
+    regression. Falls back to Python-only CPU when /proc is absent."""
+    cpu = time.process_time()
+    try:
+        clk = os.sysconf("SC_CLK_TCK")
+        me = os.getpid()
+        for pid in os.listdir("/proc"):
+            if not pid.isdigit():
+                continue
+            try:
+                with open(f"/proc/{pid}/stat") as f:
+                    head, rest = f.read().rsplit(")", 1)
+                comm = head.split("(", 1)[1]
+                fields = rest.split()
+            except (OSError, IndexError, ValueError):
+                continue
+            if int(fields[1]) == me and "java" in comm:
+                cpu += (int(fields[11]) + int(fields[12])) / clk
+    except (OSError, ValueError):
+        pass
+    return cpu
 
 
 def _plan_str(df) -> str:
@@ -230,27 +259,39 @@ def main() -> None:
 
     timings = {}
     timings_min = {}
+    timings_cpu = {}
     for name, b in builders:
         runs = []
+        cpu_runs = []
         for _ in range(RUNS):
+            c0 = _proc_cpu_seconds()
             t0 = time.perf_counter()
             for df in b():
                 df.collect()
             runs.append(time.perf_counter() - t0)
+            cpu_runs.append(_proc_cpu_seconds() - c0)
         timings[name] = round(statistics.median(runs), 4)
         timings_min[name] = round(min(runs), 4)
+        timings_cpu[name] = round(statistics.median(cpu_runs), 4)
 
     total = round(sum(timings.values()), 4)
+    total_cpu = round(sum(timings_cpu.values()), 4)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(
         json.dumps(
             {
                 "metric": "seqspark_q1_q7_total",
-                "bench_schema": 2,  # v2: value = sum of per-query medians
+                # v3: + CPU-time medians (host-noise separation, r16)
+                "bench_schema": 3,
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
                 "queries_min": timings_min,
+                # CPU seconds (python + child JVM) per query, median —
+                # compare THIS across rounds before believing a wall-time
+                # regression with empty plan_mismatches
+                "queries_cpu": timings_cpu,
+                "cpu_value": total_cpu,
                 "runs_per_query": RUNS,
                 "setup_sec": setup_sec,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,

@@ -417,3 +417,81 @@ def test_ivf_sq_compose_and_prune(spark, rot_emb):
     p = ann.ivf_sq_topk(codes, cents, bounds, q, k=5, nprobe=2)\
         ._jdf.queryExecution().executedPlan().toString()
     assert "Python" not in p and "TakeOrderedAndProject" in p
+
+
+class TestSQIncrementalBounds:
+    """r16 (verdict #6): SQ8 min/max bounds are additive sufficient
+    statistics — folded batch-by-batch through the shared crash-safe
+    state swap, so growing the corpus never rescans it. Pins:
+    fold == retrain-on-the-union (bit-for-bit, including sq_train's 6dp
+    rounding), fold order independence, re-derivation from the persisted
+    state alone, and the staleness contract (old bounds only SATURATE
+    new out-of-range dims to 0/255, in-range dims quantize exactly)."""
+
+    def test_fold_equals_retrain_on_union(self, spark, tmp_path, rot_emb):
+        from pyspark.sql import functions as F
+
+        rows, emb = rot_emb
+        b1 = emb.filter(F.col("vec_id") % 2 == 0)
+        b2 = emb.filter(F.col("vec_id") % 2 == 1)
+        path = str(tmp_path / "sqstate")
+        ann.sq_bounds_update(spark, path, b1)
+        state = ann.sq_bounds_update(spark, path, b2)
+        got = ann.sq_state_bounds(state)
+        # sample >= corpus makes sq_train the exact union answer
+        want = ann.sq_train(emb, sample=10**6, sample_order="hash")
+        assert got == want
+        # fold order must not matter (min/max are associative+commutative)
+        path2 = str(tmp_path / "sqstate2")
+        ann.sq_bounds_update(spark, path2, b2)
+        assert ann.sq_state_bounds(
+            ann.sq_bounds_update(spark, path2, b1)) == want
+        # re-derive later from the persisted state alone — no corpus scan
+        assert ann.sq_state_bounds(spark.read.parquet(path)) == want
+        # the state never grows past dim rows
+        assert spark.read.parquet(path).count() == len(rows[0][1])
+        # and codes under folded bounds are the retrained codes
+        a = ann.sq_encode(emb, got).orderBy("vec_id").collect()
+        b = ann.sq_encode(emb, want).orderBy("vec_id").collect()
+        assert [r["code"] for r in a] == [r["code"] for r in b]
+
+    def test_stale_bounds_saturate_only_new_outliers(self, spark, tmp_path):
+        old = spark.createDataFrame(
+            [(i, [float(i % 7), float(10 + i % 5)]) for i in range(20)],
+            "vec_id long, embedding array<double>",
+        )
+        path = str(tmp_path / "sqstate")
+        stale = ann.sq_state_bounds(ann.sq_bounds_update(spark, path, old))
+        # new batch: dim 0 explodes past the old max, dim 1 stays in range
+        new = spark.createDataFrame(
+            [(100, [1000.0, 12.0]), (101, [-1000.0, 11.0]),
+             (102, [3.0, 13.0])],
+            "vec_id long, embedding array<double>",
+        )
+        codes = {r["vec_id"]: r["code"] for r in
+                 ann.sq_encode(new, stale).collect()}
+        assert codes[100][0] == 255 and codes[101][0] == 0  # saturated
+        mins, invs = stale
+        for vid, vec in ((100, [1000.0, 12.0]), (101, [-1000.0, 11.0]),
+                         (102, [3.0, 13.0])):
+            want = math.floor((vec[1] - mins[1]) * invs[1] + 0.5)
+            assert codes[vid][1] == want  # in-range dims quantize exactly
+        # folding the new batch extends exactly the outlier dims
+        fresh = ann.sq_state_bounds(ann.sq_bounds_update(spark, path, new))
+        assert fresh[0][0] == -1000.0 and fresh[0][1] == stale[0][1]
+
+    def test_state_hygiene(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        # NULL and ragged-NULL vectors are skipped like sq_encode
+        df = spark.createDataFrame(
+            [(1, [1.0, 2.0]), (2, None), (3, [None, 9.0])],
+            "vec_id long, embedding array<double>",
+        )
+        b = ann.sq_dim_bounds(df).orderBy("pos").collect()
+        assert [(r["pos"], r["mn"], r["mx"]) for r in b] == [
+            (0, 1.0, 1.0), (1, 2.0, 2.0)]
+        with pytest.raises(ValueError, match="empty"):
+            ann.sq_state_bounds(df.limit(0).select(
+                F.lit(0).alias("pos"), F.lit(0.0).alias("mn"),
+                F.lit(0.0).alias("mx")))
