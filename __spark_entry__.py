@@ -1739,6 +1739,20 @@ MULTIMODAL_WEBP_PX_EXPECTED = [
 ]
 
 
+#: (asset_id, n_bytes, sha256, width, height, n_frames, dhash)
+#: over real_webp_lossy_asset_rows (r16, VP8 key-frame decode)
+MULTIMODAL_WEBP_LOSSY_EXPECTED = [
+    (0, 216, 'e42a069430909c71d7f35026b59cb8b1c220857cefa1eba73a6b159b2e920219', 24, 16, 1, 5931898588016039510),
+    (1, 276, 'f4a7d51ffed5e81f8e8f00d3f47cff31ce25efb422fe69153e0f8654b7a346bc', 33, 21, 1, 1284980180827941525),
+    (2, 192, 'a8cc46185df60a5451bd1dffbbf83a17520fc8f062dee2694384f63f8292ca0a', 16, 16, 1, 578721382704613384),
+    (3, 1144, '62330fbe12fc16749e4ad47a1c3cc91f4eb29628bc4253b9f20dec1606da950f', 48, 32, 1, -6795468231925451851),
+    (4, 130, 'd6343e313b7a041f4303ada358e4ee72efb453bcd6d4f36321a4bd4ca30da458', 20, 12, 1, 5497853027901000780),
+    (5, 482, '439fca02aa35ecceb1992e68de8b4c8a21e93325f2244e831b690a02a2e1a077', 40, 24, 1, -7378697629483812471),
+    (6, 204, '28ba2c3a10a8dfa6e2d2b5e53fb01e0b156625ad66057826d819089b568c5f8c', 32, 32, 1, -5383291072094227126),
+    (7, 386, '67d6c4b3d12c08d36f02b8357d21affe2a1d6f1c7c120ae92af4ac49e4652ec7', 28, 20, 1, -7306357490062290286),
+]
+
+
 #: (asset_id, n_frames, frame_index, dhash) over
 #: real_webp_anim_asset_rows (r15, ANMF/VP8L animation)
 FRAME_SAMPLE_WEBP_EXPECTED = [
@@ -2904,6 +2918,27 @@ def q_multimodal_webp_pixels(spark, sf_dir):
         "dhash")
 
 
+def q_multimodal_webp_lossy(spark, sf_dir):
+    # hash-pinned (r16): lossy-WebP RASTER decode through the pure-
+    # Python VP8 key-frame decoder (bool coder, token partitions,
+    # segmentation, all intra modes, normal+simple loop filters, ALPH
+    # alpha planes via the VP8L alpha stream) — Y/U/V planes pinned
+    # BYTE-EXACT against the reference libwebp decoder in
+    # tests/test_vp8_lossy.py, frozen here over the committed 8-file
+    # corpus (there is deliberately no lossy encoder in this repo).
+    # Same plan shape as multimodal_webp_pixels: one broadcastable
+    # join of two Arrow-batched outputs on asset_id.
+    from seqspark.pipeline.multimodal import (
+        decode_assets, dhash_images, make_real_webp_lossy_assets)
+
+    assets = make_real_webp_lossy_assets(spark, 8)
+    meta = decode_assets(assets, fake=False)
+    hashes = dhash_images(assets, project=("asset_id",))
+    return meta.join(hashes, "asset_id").select(
+        "asset_id", "n_bytes", "sha256", "width", "height", "n_frames",
+        "dhash")
+
+
 def q_multimodal_mp3(spark, sf_dir):
     # hash-pinned (r14): the audio_meta PLANNER tier over MPEG audio —
     # container sniff, frame-header walk (MPEG1/2/2.5, Layer I/II/III,
@@ -4048,15 +4083,17 @@ def contract_diagnostics() -> dict[str, Callable[[SparkSession, str], str]]:
 #: ``tools/rotate_window.py`` computes last driver-green age per entry
 #: from the committed CORRECTNESS_r*.json artifacts and takes the 50
 #: oldest (never-checked first, contract order within a round).
-#: This window = ``rotate_window.py --as-of 15``: the one never-driver-
-#: green entry (this round's two_phase_residual), the one r11-stale
-#: entry the r15 rotation missed (image_dhash_dupes — the exact gap
-#: verdict r15 #2 flagged), all 12 r12-stale entries, and 36 of the 39
-#: r13 cohort (3 overflow entries wait one round).
+#: This window = ``rotate_window.py --as-of 15``: the two never-driver-
+#: green entries (this round's two_phase_residual and
+#: multimodal_webp_lossy), the one r11-stale entry the r15 rotation
+#: missed (image_dhash_dupes — the exact gap verdict r15 #2 flagged),
+#: all 12 r12-stale entries, and 35 of the 39 r13 cohort (4 overflow
+#: entries wait one round).
 #: tests/test_contract.py pins the window against the mechanism, so a
 #: hand-edit that drifts fails fast. After this round no entry's last
 #: driver-green is older than r13.
 DRIVER_WINDOW = [
+    "multimodal_webp_lossy",
     "two_phase_residual",
     "image_dhash_dupes",
     "frame_sample_mjpeg",
@@ -4106,7 +4143,6 @@ DRIVER_WINDOW = [
     "frame_sample_gif",
     "frame_sample_apng",
     "frame_sample_y4m",
-    "ann_pq_topk",
 ]
 
 
@@ -4208,6 +4244,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_oggflac": q_multimodal_oggflac,
         "multimodal_webp": q_multimodal_webp,
         "multimodal_webp_pixels": q_multimodal_webp_pixels,
+        "multimodal_webp_lossy": q_multimodal_webp_lossy,
         "multimodal_webp_anim": q_multimodal_webp_anim,
         "multimodal_isobmff": q_multimodal_isobmff,
         "weighted_sample": q_weighted_sample,
@@ -5527,6 +5564,15 @@ def oracle_sql() -> dict[str, str]:
         + ", ".join(
             f"({i}, {nb}, '{sha}', {w}, {h}, {nf}, CAST({dh} AS BIGINT))"
             for i, nb, sha, w, h, nf, dh in MULTIMODAL_TIFF_PX_EXPECTED
+        )
+        + ") AS t(asset_id, n_bytes, sha256, width, height, n_frames,"
+        " dhash)"
+    )
+    sql["multimodal_webp_lossy"] = (
+        "SELECT * FROM (VALUES "
+        + ", ".join(
+            f"({i}, {nb}, '{sha}', {w}, {h}, {nf}, CAST({dh} AS BIGINT))"
+            for i, nb, sha, w, h, nf, dh in MULTIMODAL_WEBP_LOSSY_EXPECTED
         )
         + ") AS t(asset_id, n_bytes, sha256, width, height, n_frames,"
         " dhash)"

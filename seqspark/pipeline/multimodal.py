@@ -2475,7 +2475,10 @@ def _decode_any_pixels(b: bytes):
         # r15: lossless WebP pixels through the pure-Python VP8L codec
         # (differential-pinned against libwebp in tests/test_vp8l.py);
         # animated VP8L-framed files yield their FIRST composed frame;
-        # lossy VP8 payloads return None here and keep the honest raise
+        # r16: lossy `VP8 ` key frames through the pure-Python VP8
+        # decoder (vp8.py — YUV planes pinned byte-exact against
+        # libwebp in tests/test_vp8_lossy.py), closing the last raise
+        # on the web's majority WebP flavor
         dec = _vp8l.decode(b)
         if dec is not None:
             return dec
@@ -2483,7 +2486,99 @@ def _decode_any_pixels(b: bytes):
         if anim is not None:
             w, h, frames = anim
             return w, h, 4, bytearray(frames[0])
+        lossy = _webp_lossy_pixels(b)
+        if lossy is not None:
+            return lossy
     return None
+
+
+def _webp_lossy_pixels(b: bytes):
+    """RGBA of a still lossy WebP: decode the `VP8 ` key frame
+    (seqspark.pipeline.vp8) and, when a VP8X/ALPH alpha plane rides
+    along, decode and unfilter it into channel 3 (container spec:
+    method 0 = raw, 1 = headerless VP8L stream with alpha in green;
+    filters none/horizontal/vertical/gradient — libwebp
+    dec/alpha_dec.c is the behavioral reference, pinned against the
+    system library in tests/test_vp8_lossy.py). None when absent or
+    malformed."""
+    pos = 12
+    n = len(b)
+    vp8_body = alph_body = None
+    while pos + 8 <= n:
+        fourcc = b[pos:pos + 4]
+        (size,) = struct.unpack_from("<I", b, pos + 4)
+        if fourcc == b"VP8 ":
+            vp8_body = b[pos + 8:pos + 8 + size]
+            break  # ALPH precedes the bitstream chunk in the container
+        if fourcc == b"ALPH":
+            alph_body = b[pos + 8:pos + 8 + size]
+        pos += 8 + size + (size & 1)
+    if vp8_body is None:
+        return None
+    from . import vp8 as _vp8
+
+    dec = _vp8.decode(vp8_body)
+    if dec is None:
+        return None
+    w, h, ch, px = dec
+    out = bytearray(px)
+    if alph_body is not None:
+        alpha = _alph_decode(alph_body, w, h)
+        if alpha is None:
+            return None
+        out[3::4] = alpha
+    return w, h, ch, out
+
+
+def _alph_decode(body: bytes, w: int, h: int) -> Optional[bytes]:
+    """WebP ALPH chunk → w*h alpha bytes, or None when malformed."""
+    if len(body) < 1 or w <= 0 or h <= 0:
+        return None
+    method = body[0] & 0x03
+    filt = (body[0] >> 2) & 0x03
+    # pre-processing (level reduction) only matters under alpha
+    # dithering, which is a display option this pipeline never enables
+    data = body[1:]
+    if method == 0:
+        if len(data) < w * h:
+            return None
+        raw = bytearray(data[:w * h])
+    elif method == 1:
+        # headerless VP8L stream, dimensions from the canvas, alpha in
+        # the GREEN channel
+        try:
+            argb, _ = _vp8l._decode_image(_vp8l._Br(bytes(data)), w, h, True)
+        except (_vp8l._Malformed, IndexError, ValueError, MemoryError):
+            return None
+        if len(argb) != w * h:
+            return None
+        raw = bytearray((p >> 8) & 0xFF for p in argb)
+    else:
+        return None
+    if filt == 0:
+        return bytes(raw)
+    out = bytearray(w * h)
+    for y in range(h):
+        row = y * w
+        prev = row - w
+        if y == 0 or filt == 1:  # horizontal (row 0 of all filters)
+            pred = out[prev] if y > 0 else 0
+            for x in range(w):
+                pred = (pred + raw[row + x]) & 0xFF
+                out[row + x] = pred
+        elif filt == 2:  # vertical
+            for x in range(w):
+                out[row + x] = (out[prev + x] + raw[row + x]) & 0xFF
+        else:  # gradient
+            left = tl = out[prev]
+            for x in range(w):
+                top = out[prev + x]
+                g = left + top - tl
+                g = 0 if g < 0 else (255 if g > 255 else g)
+                left = (raw[row + x] + g) & 0xFF
+                out[row + x] = left
+                tl = top
+    return bytes(out)
 
 
 def _resize_kernel(
@@ -2505,7 +2600,8 @@ def _resize_kernel(
         raise NotImplementedError(
             "stdlib resize supports PNG (all color types/depths/"
             "interlace), JPEG, uncompressed BMP, "
-            "none/LZW/Deflate/PackBits TIFF, lossless WebP (VP8L), or the "
+            "none/LZW/Deflate/PackBits TIFF, WebP (lossless VP8L and "
+            "lossy VP8 key frames), or the "
             "first frame of GIF/APNG/Y4M/MJPEG, only"
         )
     return resized
@@ -3225,6 +3321,135 @@ def real_webp_pixel_asset_rows(n: int = 16) -> list:
 def make_real_webp_pixel_assets(spark, n: int = 16) -> DataFrame:
     """Deterministic VP8L pixel fixture (:func:`real_webp_pixel_asset_rows`)."""
     return spark.createDataFrame(real_webp_pixel_asset_rows(n), ASSET_SCHEMA)
+
+
+#: Frozen lossy-WebP fixture corpus (r16): 8 committed files ENCODED
+#: ONCE by the reference libwebp (there is deliberately no lossy
+#: encoder in this repo) over id-derived deterministic rasters —
+#: gradients, blocky tiles, and two varying-alpha legs that carry an
+#: ALPH chunk; two advanced-encoder legs (simple loop filter; 4 token
+#: partitions + 4 segments; filter sharpness) so the contract entry
+#: exercises every decode path. The DECODE side is this repo's pure
+#: Python `vp8.py`, pinned byte-exact against libwebp's YUV output in
+#: tests/test_vp8_lossy.py; these bytes freeze that behavior into the
+#: oracle-checked contract.
+_WEBP_LOSSY_FILES = (
+    # asset 0
+    "52494646d00000005745425056503820c40000009005009d012a180010003ed154a34b"
+    "a824a321b00801001a096c009d32844805d047aaea007a0079487eb77c1b018c172b73"
+    "3154c000fec1d876d29f0545806bda8377698fd1213f898c3d2ecc3bf70924a40a79b0"
+    "23896365a2c82084d6675e14139823e63b71ff3146c44d6a19da898a0c5a898e33e10a"
+    "c3df34869bb929477906b1fa45ed842cb60bf0231d1aefc4545c137c8d1a30e354931f"
+    "9babb2d623daae2eb6960235fe18d6cfc52f877487433e2aad7ef4566deae09d575966"
+    "de03785bc000",
+    # asset 1
+    "524946460c010000574542505650382000010000f009009d012a210015003f2584b051"
+    "ae29a422b01aaaa9c024896c013a03fa06c807f40a434c6f1dc74474bfc03ae48817f8"
+    "d896fe01fc03f2abf80767fe7fff4807ffff333de00ffcffe1ff8ef6fffa000170c128"
+    "b7d80000fee8dc03ada1c465188b6093009e313ce077e05ee52660b94eaba270907377"
+    "38a835cea196e8a94b13ae8742256b8ab66f961c0652035953e45d1742166f6e724117"
+    "83b28e98bcd885f2344a0d4844b9ff4e358b9eff0ddf7f7b9f7190befef73ee2a4a6d3"
+    "ffdcff28f0110a3ffb9fe51e021c9c002e8af6be691dee3ee02330bdbd4be0d1c738f9"
+    "ca33c245b48847e72e20f11c4e9783fc973d6ef17cfc8388fc04bbd8d00000",
+    # asset 2
+    "52494646b800000057454250565038580a000000100000000f00000f0000414c504817"
+    "00000001990a44f43f40346d035595fdffe1c9d988094866e92e00565038207a000000"
+    "9003009d012a1000100002003425b002746f806400fd00e9ffe8ffd240fd55eb0006be"
+    "1df000fef1a9599f5113f6c89ee627e689e796cdd047731c578d56ffe9a0eda34f8879"
+    "bcc93e867a9cc7fff913e6b2796b4ef0761bc07d0063fd28bf73d92b35c7e4bbb4b628"
+    "fffd48b46f3773da92579b94f022000000",
+    # asset 3
+    "52494646700400005745425056503820640400007017009d012a300020003e31148842"
+    "a22121180d5554200304b60e00a5038dd72913811c1a175ccff257f19be412acfd5758"
+    "4481756dfb1e901b64fcc07ea27f8cf544fe8dec03f403fc07b807e9bfaa37f40f649f"
+    "d66f600fe15fcc3d23ffdd7fc0f824fd6dfdbef80cfd90ffef8209b02f87fe287983df"
+    "0fcf2a0175aff91c72be20ac43aa03cd33502b9d3d15fe35fe3bc41be67fd2ffda7a3c"
+    "ff65ec83fd97d337b38fa97d82fa3bfa187eceb22dceaec3bade448a8fef544c496287"
+    "04853bd203b000fef9678a75c4a126047e47cfc51adc32e5730ff868ce82c9ec666f72"
+    "8c8079c7f12f89f45ff9ede913fbc45bd01171320a3638bf4cd6b2d27b34b3feacfd8a"
+    "9963fcfa93f8d27b61fd95b456247adadc057a70ed8cfd6d4beb8e7d697e4cb793fa8d"
+    "61b4c8e3f7bdd2ac2e7fcedd07307c62b1e0c08b731867fec118a6782299e17917ff31"
+    "637e369bef30eb6ba6f405c347ad94f7dbdbbe7239eddef068b008feea329ab72ffa15"
+    "84be84d325c50721585e9269d5ea682d83b90f4257a78b9347846d820ba7fb69f7608a"
+    "feb38346d12d665b7cff897bebe7c283763ff0c8d397d27d5001040f1a19beae8d6c86"
+    "877c9f73ee12cca9211e6107d2dacfd9ee466f872e694c2109f37737c38c76d7757b71"
+    "ad6b0eea161b4683e98ba4047ff5554ad16084221652562d051160fabbb5576fc5ff5f"
+    "a9afe7e4b34d30f125c7cf20cbc65d23ab5e2d138e6f5bf9c232de2191a544aa502d01"
+    "2826516f594437d586889de980fbd459c5dbac9f3c3cffc9af1e5529b523f0d9f319f0"
+    "2618edf446708c028529effaadd5d92de646973e4c15226a444328f1b3f4806dbdfc36"
+    "9b1b44f7e304c465c3da7e5769460caf327d70ebd14e324ae3f7f1d66b1fd52cc4f6b2"
+    "0e0530e3822874fd0ddc253679f192ba3208ed2a311fda17906bce436e9995fae57b99"
+    "42c4626ad9fc72e81ffac968b0ff0dc91339c3b0af294bf86d35d0a35e964994717c4e"
+    "72980dd7f7d9987616618ff508b5791289c77a71cb8c45adf027ebd425fa35411f6bd9"
+    "3430525c67ae5ffcff8beadaf0a32e6a3fb88d0365cd5c17429275d9ab997ed9bd379d"
+    "37727c654418f37734716f72862dc31e689d168530c3a982819fe1fb1b83cb5d9d7d0d"
+    "87ac015ad6212a741daff73971c318308d463746a813b7eb52863f8876ce9919c97922"
+    "14992598b11e1e324adab03dfdd1efd09ffdca98c60f05d6c1dd80127dca5ca99a08dc"
+    "bfb287b9d47640d6898937d58a8552e52eea3c265aa7e66df09e9da08b019b92a643fe"
+    "f907d79e6e3d9ff3b7bbe6a846939ba80bdbfdf735f3e0d5b9cf7d3852a9be08e9f18f"
+    "90a880dd743ee7bc9dc309ada4d8912dcdebc8005ee3f24e96e4e804217320b75c1cf9"
+    "afad654518ebb04c800e43a14b5ad8f5c38d7a472442b9448730ee4bf163d5a8f25ff3"
+    "528fa2e4b7bb3762790cc77de030ee3d745b7f2774ba70e36a60b3097b7d81e0f5f17d"
+    "a5dcde149e6cba2b37d5a627fdfdcb3737ca0f1d38a325e7d26063cfcfe35c3244c044"
+    "110bc4a4948140cd444dc2699e814621fa0b489df0000000",
+    # asset 4
+    "524946467a00000057454250565038206e000000b004009d012a14000c003f71a2c758"
+    "b4ac28a3b00802902e096c009d3284701ee03f805c7ff47fe9407e8002063800fee0c7"
+    "db8312b1d4cdb62559f7d5ef9454f12829ba93154c19e1121f321f6faecf94a27b57c4"
+    "07fac8096ba9f076507bf1f0b99dd30968fde13e68d0000000",
+    # asset 5
+    "52494646da0100005745425056503820ce010000520b009d012a280018003eb54a9c4a"
+    "24a2a1a12aadfc9016896c009d32847c3c8129dfd83ef36e681988516da2e765fe97fa"
+    "d7bee5ec01e827faabe96fec9bfea2bcfbeabe09d6add02b675ec8ce0f6db87e5a6bca"
+    "d1b3c098b085d366b942fc32d5c000fc0266093c4f120b4621a6f25dadd26786877bb8"
+    "cdbff97be4c9876a7ead663ec19f03cb5b9f9bc899ab40a6cc10f01d44d4cc4f54a1f1"
+    "4939c794f016f66d6380ceb2ca6715ef4aa20d5aed355872e6019d9eebe8708498fe9a"
+    "192c36a9d4822436c247601012223c221ea41dc3873990219a0289518358e112d7a981"
+    "e119af94e520aa3525e1e7cbe72a5fcb01680fa0a7f82bdc6842e2faca5f3a8e6758f5"
+    "bf7659351d233da88a93b49562d10b9a41234f560ce20bc0ec011d646ce0fddd0c1957"
+    "51d1105c37facf8e714d06df3107d982a364c2c00fe29fdba93abd0352cf9d8fc6bca9"
+    "8bb34f3c74d716abf7297c6c76a53d01e1bcf64db67be595682df555e01501138a463a"
+    "f2fca5da043f48040e95af8b10fe71d3c212179ed9c1203a7345f253a5d4251b507954"
+    "7b99b491682266136b6461bf129e920aa84bd80347f34d492afb6d5cc3e30b70248a84"
+    "283ab03ff9ff99477aa4b39c456495c03f07214058b62ede200000",
+    # asset 6
+    "52494646c40000005745425056503820b8000000b007009d012a200020003edd6aad51"
+    "28a62422a80801101b896c0141ff5403f80521a227aae52d57fbeff4001ffff4803fd5"
+    "7f20fe4bffffbc03ffffa007effffff0bca06e0000feee0cde73852b491ea8bbb2b541"
+    "262d0dae765aa3ff5c1849d1f9fc4a078fd980961579acd48c9236b8c086340e131e25"
+    "84ebd7ef1ad9a832841d6bd60933edd75168184ebd76361dcf23205118dcb18c7168c1"
+    "4408fcccfc03e714e0368681f38a70200a15616d607c050ab0b6afc200",
+    # asset 7
+    "524946467a01000057454250565038580a000000100000001b0000130000414c504817"
+    "00000001998ce87f8048db066e70fe1d9f1e454cc004304b5d0200565038203c010000"
+    "5008009d012a1c0014003e913c994825232221300c00a812096c009d328474ffcfbbab"
+    "b42240b925d203940399cbd1dbf527dc06f007a007952feb37c27818c171a836415734"
+    "c8844102c000fc02083d2d7f445f1553e29bf0bcf1bd561e8d0d5781ffdcef6e53abf5"
+    "6c3c7fe0dc6ff26e77bd1de9df88be624c7029db00f92b725023e92e27fdc26e78df88"
+    "dc980b573debec4b4730553f4ecfcf9d5a502539c6038fc46c1f6a08a4c8bac726d733"
+    "f632eabfbdb48466795e5d4337f99ff955a4e76611ce2c7c5518f8d72861749670becf"
+    "0acb77ff1a278cae8e49cb5041cf3be4c59c3625a03b5559afe4ee5b8d74fbc9e8d0ea"
+    "3fa735e42df7bbd7956a3af3b7fc9e42a939bc9e9c9696e2b12f68133eef3c3f250ff2"
+    "030fa50627ff84e372f71dd6209647f82decf54887a29727995c022fd14b93ccadde00"
+    "00",
+)
+
+
+def real_webp_lossy_asset_rows(n: int = 8) -> list:
+    """Driver-side rows of the lossy-WebP PIXEL fixture (r16): the
+    committed `_WEBP_LOSSY_FILES` corpus (cycled when n > 8). Pure
+    function of ``n``."""
+    rows = []
+    for i in range(n):
+        content = bytes.fromhex(_WEBP_LOSSY_FILES[i % len(_WEBP_LOSSY_FILES)])
+        rows.append((i, "image", bytearray(content),
+                     '{"src":"fixture-webp-lossy"}'))
+    return rows
+
+
+def make_real_webp_lossy_assets(spark, n: int = 8) -> DataFrame:
+    """Deterministic lossy-WebP fixture (:func:`real_webp_lossy_asset_rows`)."""
+    return spark.createDataFrame(real_webp_lossy_asset_rows(n), ASSET_SCHEMA)
 
 
 def real_bmp_asset_rows(n: int = 16) -> list:
@@ -5077,9 +5302,12 @@ def frame_dhashes(assets: DataFrame, fake: bool = False) -> DataFrame:
                 elif b[:4] == b"RIFF" and b[8:12] == b"WEBP":
                     # r15: animated WebP with VP8L frames; still WebPs
                     # fall through to the single-pixel decode below
+                    # (r16: including lossy VP8 key frames)
                     dec = _webp_decode_frames(b)
                     if dec is None:
                         p = _vp8l.decode(b)
+                        if p is None:
+                            p = _webp_lossy_pixels(b)
                         if p is not None:
                             dec = (p[0], p[1], [bytes(p[3])])
                 elif b[:2] == b"\xff\xd8":

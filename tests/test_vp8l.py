@@ -333,8 +333,10 @@ class TestLibwebpDifferential:
 
     def test_real_system_webp_is_lossy_and_honestly_none(self):
         """The system python.webp is VP8X+ALPH+VP8 (lossy) — exactly
-        the subset that must stay out of the VP8L path: decode returns
-        None (the honest raise happens at the decode_assets tier)."""
+        the subset that must stay out of the VP8L path: vp8l.decode
+        returns None. (Since r16 the lossy path decodes it for real —
+        seqspark.pipeline.vp8 + the ALPH plane, pinned against libwebp
+        in tests/test_vp8_lossy.py — but never through THIS codec.)"""
         import glob
         import os
 

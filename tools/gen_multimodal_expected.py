@@ -444,6 +444,28 @@ def main() -> None:
         print(f"    {r!r},")
     print("]")
 
+    # r16: lossy-WebP PIXEL fixture — decode meta + perceptual dHash
+    # through the pure-Python VP8 key-frame decoder (ALPH alpha legs,
+    # simple/none/sharp loop-filter legs, multi-partition leg)
+    from seqspark.pipeline.multimodal import (  # noqa: E402
+        real_webp_lossy_asset_rows)
+
+    wl = []
+    for i, media, content, _meta in real_webp_lossy_asset_rows(8):
+        b = bytes(content)
+        w, h, nf = _real_decode("image", b)
+        dec = _decode_any_pixels(b)
+        u = _dhash_of_pixels(dec[0], dec[1], dec[2], dec[3], 8)
+        wl.append((i, len(b), hashlib.sha256(b).hexdigest(), w, h, nf,
+                   u - (1 << 64) if u >= (1 << 63) else u))
+    print()
+    print("#: (asset_id, n_bytes, sha256, width, height, n_frames, dhash)")
+    print("#: over real_webp_lossy_asset_rows (r16, VP8 key-frame decode)")
+    print("MULTIMODAL_WEBP_LOSSY_EXPECTED = [")
+    for r in wl:
+        print(f"    {r!r},")
+    print("]")
+
     # r15: animated-WebP fixture — full-canvas frame dHashes through
     # the ANMF composer (offsets, both disposal and blending modes)
     from seqspark.pipeline.multimodal import (  # noqa: E402
