@@ -284,21 +284,29 @@ def _webp_decode_frames(b: bytes, max_pixels: Optional[int] = None):
             fw = 1 + int.from_bytes(body[6:9], "little")
             fh = 1 + int.from_bytes(body[9:12], "little")
             flags = body[15]
-            # frame sub-chunks: the VP8L bitstream payload
+            # frame sub-chunks: a VP8L bitstream, or (r16) a lossy
+            # VP8 key frame with an optional preceding ALPH plane
             sub = body[16:]
             spos = 0
-            payload = None
+            kind = payload = alph = None
             while spos + 8 <= len(sub):
                 scc = sub[spos:spos + 4]
                 (ssz,) = struct.unpack_from("<I", sub, spos + 4)
                 if scc == b"VP8L":
+                    kind = "vp8l"
                     payload = sub[spos + 8:spos + 8 + ssz]
                     break
+                if scc == b"VP8 ":
+                    kind = "vp8"
+                    payload = sub[spos + 8:spos + 8 + ssz]
+                    break
+                if scc == b"ALPH":
+                    alph = sub[spos + 8:spos + 8 + ssz]
                 spos += 8 + ssz + (ssz & 1)
             if payload is None:
-                return None  # lossy / alpha frames: not this path
+                return None
             frames.append((fx, fy, fw, fh, flags & 0x01, (flags >> 1) & 1,
-                           payload))
+                           kind, payload, alph))
         pos += 8 + size + (size & 1)
     if not animated or w is None or not frames:
         return None
@@ -306,8 +314,20 @@ def _webp_decode_frames(b: bytes, max_pixels: Optional[int] = None):
         return None
     canvas = bytearray(w * h * 4)  # transparent background
     out = []
-    for fx, fy, fw, fh, dispose, no_blend, payload in frames:
-        dec = _vp8l.decode(bytes(payload))
+    for fx, fy, fw, fh, dispose, no_blend, kind, payload, alph in frames:
+        if kind == "vp8l":
+            dec = _vp8l.decode(bytes(payload))
+        else:
+            from . import vp8 as _vp8
+
+            dec = _vp8.decode(bytes(payload))
+            if dec is not None and alph is not None:
+                alpha = _alph_decode(bytes(alph), dec[0], dec[1])
+                if alpha is None:
+                    return None
+                buf = bytearray(dec[3])
+                buf[3::4] = alpha
+                dec = (dec[0], dec[1], 4, buf)
         if dec is None or dec[0] != fw or dec[1] != fh:
             return None
         px = dec[3]

@@ -468,3 +468,75 @@ class TestMultimodalDispatch:
         assert _alph_decode(b"", w, h) is None
         assert _alph_decode(bytes([2]) + alpha, w, h) is None
         assert _alph_decode(bytes([0]) + alpha[:10], w, h) is None
+
+
+def test_animated_webp_with_lossy_frames():
+    """r16: ANMF frames carrying `VP8 ` (+optional ALPH) payloads now
+    compose — the first frame must equal the still decode of the same
+    bitstream, the ALPH frame must land alpha-exact on the canvas, and
+    truncation/corruption still never throws. (No libwebpdemux in this
+    container, so the per-frame payload exactness pin is the still
+    differential above.)"""
+    from seqspark.pipeline.multimodal import (
+        _WEBP_LOSSY_FILES, _webp_decode_frames, _webp_lossy_pixels)
+
+    def chunk(cc, body):
+        pad = b"\x00" if len(body) & 1 else b""
+        return cc + struct.pack("<I", len(body)) + body + pad
+
+    def payload_chunks(webp):
+        out = b""
+        pos = 12
+        while pos + 8 <= len(webp):
+            fcc = webp[pos:pos + 4]
+            (sz,) = struct.unpack_from("<I", webp, pos + 4)
+            if fcc in (b"ALPH", b"VP8 "):
+                out += chunk(fcc, webp[pos + 8:pos + 8 + sz])
+            pos += 8 + sz + (sz & 1)
+        return out
+
+    def anmf(fx, fy, fw, fh, flags, sub):
+        hdr = ((fx // 2).to_bytes(3, "little")
+               + (fy // 2).to_bytes(3, "little")
+               + (fw - 1).to_bytes(3, "little")
+               + (fh - 1).to_bytes(3, "little")
+               + (40).to_bytes(3, "little") + bytes((flags,)))
+        return chunk(b"ANMF", hdr + sub)
+
+    big = bytes.fromhex(_WEBP_LOSSY_FILES[3])    # 48x32
+    alpha_sm = bytes.fromhex(_WEBP_LOSSY_FILES[2])  # 16x16 with ALPH
+    w, h = 48, 32
+    vp8x = bytes((0x12,)) + b"\x00\x00\x00" + (
+        (w - 1).to_bytes(3, "little") + (h - 1).to_bytes(3, "little"))
+    body = chunk(b"VP8X", vp8x) + chunk(b"ANIM", struct.pack("<IH", 0, 0))
+    body += anmf(0, 0, 48, 32, 0x02, payload_chunks(big))
+    body += anmf(16, 8, 16, 16, 0x01, payload_chunks(alpha_sm))
+    anim = b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WEBP" + body
+
+    dec = _webp_decode_frames(anim)
+    assert dec is not None and (dec[0], dec[1], len(dec[2])) == (48, 32, 2)
+    still = _webp_lossy_pixels(big)
+    assert bytes(dec[2][0]) == bytes(still[3])
+    # the ALPH frame's alpha landed on the canvas (blended region)
+    sm = _webp_lossy_pixels(alpha_sm)
+    f2 = dec[2][1]
+    # spot-check a fully-opaque pixel of the small frame overwrote
+    sa = bytes(sm[3])
+    for yy in range(16):
+        for xx in range(16):
+            if sa[4 * (yy * 16 + xx) + 3] == 255:
+                i = 4 * ((8 + yy) * 48 + (16 + xx))
+                j = 4 * (yy * 16 + xx)
+                assert f2[i:i + 4] == sa[j:j + 4]
+                break
+        else:
+            continue
+        break
+    # never throws on truncation / corruption
+    for cut in range(0, len(anim), 17):
+        _webp_decode_frames(anim[:cut])
+    rng = random.Random(2)
+    for _ in range(120):
+        bad = bytearray(anim)
+        bad[rng.randrange(12, len(bad))] ^= 0xFF
+        _webp_decode_frames(bytes(bad))
