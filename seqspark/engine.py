@@ -260,6 +260,10 @@ class SearchTable:
         #: width-aware two-phase routing threshold (attach_index
         #: two_phase_min_doc_bytes); None = routing off
         self._two_phase_min_bytes: Optional[int] = None
+        #: which plan served the LAST search() call — "two_phase" or
+        #: "scan"; observability for transports/explain (None before
+        #: any search)
+        self.route: Optional[str] = None
         #: memoized avg_doc_bytes() — () = not yet computed; a server
         #: fronting many requests may pre-seed this from its own cache
         self._avg_doc_bytes_cache: tuple = ()
@@ -928,7 +932,9 @@ class SearchTable:
             q, from_ms, to_ms, size, offset, order, dedup_cols, dialect
         )
         if routed is not None:
+            self.route = "two_phase"
             return routed
+        self.route = "scan"
         df, pipes = self._filtered(q, from_ms, to_ms, dedup_cols, dialect)
         df = self._paginate(df, size, offset, order)
         return self.apply_pipes(self._public(df), pipes)

@@ -902,7 +902,9 @@ def _reconstruct(hdr, max_pixels: int):
 
 
 def _s8(x):
-    return np.clip(x, -128, 127)
+    # np.minimum/np.maximum are raw ufuncs; np.clip's Python dispatch
+    # wrapper measured ~3x slower in the per-edge filter hot path
+    return np.minimum(np.maximum(x, -128), 127)
 
 
 def _lf_normal(p, vertical: bool, y0: int, x0: int, n: int,

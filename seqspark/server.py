@@ -136,6 +136,10 @@ class SeqSparkServer:
             "bulk_flushed_bulks_total": 0,
             "search_total": 0,
             "search_errors_total": 0,
+            # searches served by the width-routed two-phase
+            # (search→fetch) plan — the reference's wire architecture;
+            # stays 0 without an attached index (r16)
+            "two_phase_searches_total": 0,
             "partial_responses_total": 0,
             "rate_limited_total": 0,
         }
@@ -1262,6 +1266,8 @@ class SeqSparkServer:
             order=req.get("order", "desc"),
             dialect=req.get("dialect"),
         ).select("mid", "rid", "raw")
+        if st.route == "two_phase":
+            self._count("two_phase_searches_total")
         out = {
             "docs": [
                 {"mid": r["mid"], "rid": r["rid"], "data": r["raw"]}

@@ -172,7 +172,10 @@ def test_transports_reach_two_phase(spark, tmp_path, monkeypatch):
     req = {"query": "message:login1", "size": 10}
     http = core.search(dict(req))
     assert calls, "HTTP search never reached two_phase_search"
+    # observability: the route is counted (debug-server /metrics)
+    assert core._counters["two_phase_searches_total"] == 1
     plain = core_plain.search(dict(req))
+    assert core_plain._counters["two_phase_searches_total"] == 0
     assert http["docs"] == plain["docs"] and len(http["docs"]) == 4
 
     calls.clear()
@@ -196,6 +199,8 @@ def test_transports_reach_two_phase(spark, tmp_path, monkeypatch):
 
     # a query the router can't serve still works through the same server
     calls.clear()
+    before = core._counters["two_phase_searches_total"]
     resid = core.search({"query": "message:login1 and not message:login2",
                          "size": 10})
     assert calls == [] and len(resid["docs"]) == 4
+    assert core._counters["two_phase_searches_total"] == before

@@ -95,11 +95,10 @@ def main() -> None:
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", "16g")
-        # the fetch page is up to 1000 ids: per-value parquet pushdown
-        # (bloom + dictionary probes) needs the In threshold above the
-        # page size, or Spark degrades the push to a min/max range that
-        # random ids never prune
-        .config("spark.sql.parquet.pushdown.inFilterThreshold", "2000")
+        # r16: the In-threshold conf is deliberately NOT set here —
+        # two_phase_search owns it (raises the session threshold to
+        # cover its own id page, verdict r15 #1); this bench doubles as
+        # the self-sufficiency proof at scale
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
@@ -144,10 +143,14 @@ def main() -> None:
             tok = materialize_tokens(docs, {"body": "text"})
             DocStore(spark, store_path, bloom_cols=("doc_id",)).append(tok)
         store = DocStore(spark, store_path, bloom_cols=("doc_id",))
-        df = store.read()
+        # (mid, rid) posting ids — the engine's real id order; r16's
+        # two_phase_search strictness refuses anything else. The corpus
+        # frame carries the same mid so the in-plan semi-join (leg B)
+        # can meet on the full id.
+        df = store.read().withColumn("mid", F.unix_millis(F.col("ts")))
         if not os.path.exists(idx_path):
             build_inverted_index(
-                df, {"body": "__tok_body"}, id_cols=["doc_id"]
+                df, {"body": "__tok_body"}, id_cols=["mid", "doc_id"]
             ).write.parquet(idx_path)
         idx = spark.read.parquet(idx_path)
         return df, idx
@@ -169,7 +172,7 @@ def main() -> None:
             df, mapping, ts_col="ts", rid_col="doc_id", assume_folded=True)
         st_routed = SearchTable.from_typed(
             df, mapping, ts_col="ts", rid_col="doc_id", assume_folded=True,
-        ).attach_index(idx, ["body"], ["doc_id"], stats=stats,
+        ).attach_index(idx, ["body"], ["mid", "doc_id"], stats=stats,
                        max_selectivity=0.1)
 
         # identity: all three shapes return the same doc set
@@ -179,7 +182,8 @@ def main() -> None:
                  st_routed.search(QUERY, size=1000).select("doc_id")
                  .collect()}
         page = [r.doc_id for r in
-                matching_ids_multi(idx, [("body", "m503")], ["doc_id"])
+                matching_ids_multi(idx, [("body", "m503")],
+                                   ["mid", "doc_id"])
                 .limit(1000).collect()]
         # C is the productized operator (engine.two_phase_search) —
         # posting-only id page, then the bloomed pushed-In fetch
@@ -219,7 +223,8 @@ def main() -> None:
                 st_scan.fetch_ids(
                     [r.doc_id for r in
                      matching_ids_multi(idx, [("body", "hotzone")],
-                                        ["doc_id"]).limit(1000).collect()],
+                                        ["mid", "doc_id"])
+                     .limit(1000).collect()],
                     "doc_id")),
         }
         rec["n_matches_clustered"] = st_scan.search(
