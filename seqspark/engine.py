@@ -33,7 +33,7 @@ from __future__ import annotations
 import math
 import threading
 from dataclasses import dataclass, field as dc_field
-from typing import Dict, List, Optional, Sequence
+from typing import Dict, List, Optional, Sequence, Tuple
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -990,6 +990,7 @@ class SearchTable:
         order: str,
         dedup_cols: Optional[Sequence[str]],
         dialect: Optional[str],
+        after: Optional[Tuple[int, int]] = None,
     ) -> Optional[DataFrame]:
         """Width-aware scan-vs-two-phase router (r16, verdict #2): when
         :meth:`attach_index` enabled it, a bounded, fully index-covered
@@ -1044,7 +1045,7 @@ class SearchTable:
         try:
             return self.two_phase_search(
                 q, from_ms=from_ms, to_ms=to_ms, size=size, offset=offset,
-                order=order, dialect=dialect,
+                order=order, dialect=dialect, after=after,
             )
         except ValueError:
             return None
@@ -1074,6 +1075,7 @@ class SearchTable:
         offset: int = 0,
         order: str = "desc",
         dialect: Optional[str] = None,
+        after: Optional[Tuple[int, int]] = None,
     ) -> DataFrame:
         """The reference's actual search architecture as one operator:
         top-(size+offset) ids from the POSTING LISTS alone (a narrow
@@ -1125,11 +1127,22 @@ class SearchTable:
         deployment folklore. The raise is sticky session-wide and
         bounded by ``MAX_SEARCH_DOCS``; a larger In threshold only ever
         widens per-value pushdown, it cannot change results.
+
+        ``after=(last_mid, last_rid)`` (r16) is the KEYSET cursor —
+        resume strictly after that id, the deep-paging/export-resume
+        shape of :meth:`search_after`: the cursor prunes the POSTING
+        scan (phase 1 reads only ids past it) and re-filters the fetch,
+        so page N of a wide-corpus drain stays width-independent
+        instead of re-scanning O(cursor) documents. Mutually exclusive
+        with ``offset``; ms-granular exactly like the posting mids.
         """
         if size is None or size + offset > MAX_SEARCH_DOCS:
             raise ValueError(
                 f"two_phase_search pages are bounded: size+offset must be "
                 f"<= {MAX_SEARCH_DOCS}")
+        if after is not None and offset:
+            raise ValueError("after (keyset cursor) and offset are "
+                             "mutually exclusive")
         if self._index is None:
             raise ValueError("two_phase_search requires attach_index()")
         index_df, _fields, id_cols, _stats, _max_sel, _bcast = self._index
@@ -1169,6 +1182,17 @@ class SearchTable:
             index_df = index_df.filter(F.col("mid") >= F.lit(from_ms))
         if to_ms is not None:
             index_df = index_df.filter(F.col("mid") <= F.lit(to_ms))
+        if after is not None:
+            a_mid, a_rid = after
+            im, ir = F.col("mid"), F.col(self.rid_col)
+            if order == "desc":
+                index_df = index_df.filter(
+                    (im < F.lit(a_mid))
+                    | ((im == F.lit(a_mid)) & (ir < F.lit(a_rid))))
+            else:
+                index_df = index_df.filter(
+                    (im > F.lit(a_mid))
+                    | ((im == F.lit(a_mid)) & (ir > F.lit(a_rid))))
         ids: Optional[DataFrame] = None
 
         def meet(nxt: DataFrame) -> DataFrame:
@@ -1209,6 +1233,17 @@ class SearchTable:
                     df = df.filter(mid >= F.lit(from_ms))
                 if to_ms is not None:
                     df = df.filter(mid <= F.lit(to_ms))
+            if after is not None:
+                a_mid, a_rid = after
+                fm, fr = self._mid_col(), F.col(self.rid_col)
+                if order == "desc":
+                    df = df.filter(
+                        (fm < F.lit(a_mid))
+                        | ((fm == F.lit(a_mid)) & (fr < F.lit(a_rid))))
+                else:
+                    df = df.filter(
+                        (fm > F.lit(a_mid))
+                        | ((fm == F.lit(a_mid)) & (fr > F.lit(a_rid))))
             df = df.filter(compile_node(query.root, self.resolver))
             if self.default_dedup:
                 df = df.dropDuplicates(list(self.default_dedup))
@@ -1279,7 +1314,24 @@ class SearchTable:
         pays (the reference's iterative fraction search exists for exactly
         this reason, `fracmanager/searcher.go:50-123`). The cursor predicate
         on ``ts`` also prunes time partitions/row groups.
+
+        r16: when width-aware two-phase routing is enabled
+        (:meth:`attach_index` ``two_phase_min_doc_bytes``) and the
+        cursor is complete, eligible pages route through
+        :meth:`two_phase_search` with its keyset cursor — a wide-corpus
+        export drain then reads postings + page rows per page instead
+        of re-scanning wide documents. Same silent-fallback contract as
+        :meth:`search`.
         """
+        if last_ts_ms is not None and last_rid is not None:
+            routed = self._route_two_phase(
+                q, from_ms, to_ms, size, 0, order, None, dialect,
+                after=(last_ts_ms, last_rid),
+            )
+            if routed is not None:
+                self.route = "two_phase"
+                return routed
+        self.route = "scan"
         df, pipes = self._filtered(q, from_ms, to_ms, dialect=dialect)
         if last_ts_ms is not None:
             # bare ts comparisons (not unix_millis(ts) wrappers) so the

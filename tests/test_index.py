@@ -573,6 +573,29 @@ def test_two_phase_search_parity_and_strictness(spark):
                                size=5).columns
     assert cols == ["rid", "kind"]
 
+    # r16: keyset cursor (after=) — full cursor walks must equal
+    # search_after page-for-page, in both orders, incl. residuals
+    for q, order in (("text:alpha", "desc"), ("text:alpha", "asc"),
+                     ("text:alpha and not text:beta", "desc")):
+        cursor = None
+        for _page in range(4):
+            kw = {} if cursor is None else {
+                "last_ts_ms": cursor[0], "last_rid": cursor[1]}
+            want = [tuple(r) for r in st.search_after(
+                q, size=7, order=order, **kw
+            ).select("mid", "rid").collect()]
+            tkw = {} if cursor is None else {"after": cursor}
+            got = [tuple(r) for r in st.two_phase_search(
+                q, size=7, order=order, **tkw
+            ).select("mid", "rid").collect()]
+            assert got == want, (q, order, cursor)
+            if not want:
+                break
+            cursor = want[-1]
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        st.two_phase_search("text:alpha", size=5, offset=2,
+                            after=(1, 2))
+
     # strictness: each of these would silently change results
     with pytest.raises(ValueError, match="no index-covered conjunct"):
         st.two_phase_search("*", size=5)

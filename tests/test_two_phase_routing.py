@@ -204,3 +204,28 @@ def test_transports_reach_two_phase(spark, tmp_path, monkeypatch):
                          "size": 10})
     assert calls == [] and len(resid["docs"]) == 4
     assert core._counters["two_phase_searches_total"] == before
+
+    # r16: keyset deep-paging routes too — cursor pages through the
+    # routed table must equal the index-less table's pages exactly
+    st_routed = core._table()
+    st_plain = core_plain._table()
+    calls.clear()
+    cursor = None
+    walked = 0
+    while True:
+        kw = {} if cursor is None else {
+            "last_ts_ms": cursor[0], "last_rid": cursor[1]}
+        want = [(r["mid"], r["rid"]) for r in st_plain.search_after(
+            "message:login1", size=3, order="asc", **kw
+        ).select("mid", "rid").collect()]
+        got = [(r["mid"], r["rid"]) for r in st_routed.search_after(
+            "message:login1", size=3, order="asc", **kw
+        ).select("mid", "rid").collect()]
+        assert got == want, cursor
+        if cursor is not None:
+            assert st_routed.route == "two_phase"
+        walked += len(got)
+        if not want:
+            break
+        cursor = want[-1]
+    assert walked == 4 and calls, "cursor pages never routed"
