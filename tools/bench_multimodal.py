@@ -179,7 +179,8 @@ def main() -> None:
     from seqspark.pipeline.multimodal import (
         audio_meta, make_real_bmp_rle_assets, make_real_isobmff_assets,
         make_real_mp3_assets, make_real_ogg_assets, make_real_tiff_pixel_assets,
-        make_real_wavext_assets, make_real_webp_assets)
+        make_real_wavext_assets, make_real_webp_assets,
+        make_real_webp_lossy_assets)
 
     fixtures = {
         "png_wav": make_real_assets(spark, n),
@@ -199,6 +200,9 @@ def main() -> None:
         "mp3": make_real_mp3_assets(spark, n),
         "ogg": make_real_ogg_assets(spark, n),
         "wavext": make_real_wavext_assets(spark, n),
+        # r16: lossy VP8 pixel tier (the committed libwebp-encoded
+        # corpus, cycled) — dhash_webp_lossy below is the pixel rate
+        "webp_lossy": make_real_webp_lossy_assets(spark, n),
     }
     # repartition so the Arrow batches spread over the executor threads
     fixtures = {
@@ -235,6 +239,10 @@ def main() -> None:
          lambda c: c)
     rate("dhash_jpeg",
          lambda: dhash_images(fixtures["jpeg"], fake=False)
+         .filter(F.col("dhash").isNotNull()).count(),
+         lambda c: c)
+    rate("dhash_webp_lossy",
+         lambda: dhash_images(fixtures["webp_lossy"], fake=False)
          .filter(F.col("dhash").isNotNull()).count(),
          lambda c: c)
     rate("audio_features",
