@@ -320,7 +320,10 @@ def _webp_decode_frames(b: bytes, max_pixels: Optional[int] = None):
         else:
             from . import vp8 as _vp8
 
-            dec = _vp8.decode(bytes(payload))
+            # cap BEFORE decoding: a lying ANMF frame header must not
+            # make the codec reconstruct a bomb the fw/fh check would
+            # only reject afterwards
+            dec = _vp8.decode(bytes(payload), max_pixels=max_pixels)
             if dec is not None and alph is not None:
                 alpha = _alph_decode(bytes(alph), dec[0], dec[1])
                 if alpha is None:
@@ -2537,7 +2540,8 @@ def _webp_lossy_pixels(b: bytes):
         return None
     from . import vp8 as _vp8
 
-    dec = _vp8.decode(vp8_body)
+    # same decompression-bomb cap as every other raster codec here
+    dec = _vp8.decode(vp8_body, max_pixels=_PNG_MAX_PIXELS)
     if dec is None:
         return None
     w, h, ch, px = dec
