@@ -103,6 +103,17 @@ def build_parser() -> argparse.ArgumentParser:
                         "shape)")
     p.add_argument("--max-files-per-partition", type=int, default=8,
                    help="compaction trigger (files per time bucket)")
+    p.add_argument("--index-dir", default=None,
+                   help="materialized inverted-index directory (r16): "
+                        "built over the startup mapping's text fields, "
+                        "refreshed by the maintenance loop after appends "
+                        "(the reference's seal-time index build); wires "
+                        "posting-list routing AND width-aware two-phase "
+                        "search→fetch into every transport")
+    p.add_argument("--two-phase-min-doc-bytes", type=int, default=1024,
+                   help="average stored doc width (parquet footer "
+                        "bytes/rows) above which bounded, fully "
+                        "index-covered searches take the two-phase plan")
     p.add_argument("--spark-master", default=None,
                    help="override (default local[$SPARK_GRAFT_CPUS])")
     return p
@@ -130,7 +141,8 @@ class Runtime:
         self.http.stop()
 
 
-def _maintenance_loop(store, stop, period_ms, total_size, max_files):
+def _maintenance_loop(store, stop, period_ms, total_size, max_files,
+                      http=None):
     """`fracmanager` background pass: compact oversized buckets, then
     rotate oldest buckets past the size bound. TieredStore.maintain does
     both with rotation TOMBSTONES (plain hot.retain would lose bucket
@@ -146,6 +158,11 @@ def _maintenance_loop(store, stop, period_ms, total_size, max_files):
             else:
                 store.maintain(max_files_per_partition=max_files)
                 store.retain(max_total_bytes=total_size)
+            if (http is not None and http._store_index is not None
+                    and http._index_fresh_seq != http._index_append_seq):
+                # appends landed since the last index build: rebuild and
+                # re-arm index routing (seal-time indexing cadence)
+                http.refresh_index()
         except Exception as e:  # noqa: BLE001 - loop must survive
             log.error("maintenance pass failed: %s", e)
 
@@ -196,6 +213,28 @@ def main(argv: Optional[list] = None, spark=None, block: bool = True):
                      bloom_at=args.doc_bloom_at),
         )
 
+    index = None
+    if args.index_dir:
+        from pyspark.sql import functions as F
+
+        from .index import StoreIndex
+
+        # token columns follow the STARTUP mapping's text/path fields
+        # (live mapping updates change query compilation, not the
+        # seal-time index schema — same as the reference)
+        text_fields = [
+            fm.name for fm in mapping.get().fields()
+            if fm.main_type in ("text", "path")
+        ]
+        if not text_fields:
+            parser.error("--index-dir needs at least one text/path field "
+                         "in the mapping")
+        index = StoreIndex(
+            store, args.index_dir,
+            {f: F.col("tokens")[f] for f in text_fields},
+        )
+        index.refresh()  # cover whatever the store already holds
+
     from .grpcapi import SeqProxyGrpc
     from .server import SeqSparkServer
 
@@ -219,6 +258,8 @@ def main(argv: Optional[list] = None, spark=None, block: bool = True):
         es_version=args.es_version,
         case_sensitive=args.case_sensitive,
         use_seq_ql_by_default=args.use_seq_ql_by_default,
+        index=index,
+        two_phase_min_doc_bytes=args.two_phase_min_doc_bytes,
     ).start()
     grpc = SeqProxyGrpc(http, host=ghost or "127.0.0.1",
                         port=int(gport or 0),
@@ -229,7 +270,7 @@ def main(argv: Optional[list] = None, spark=None, block: bool = True):
     maint_thread = threading.Thread(
         target=_maintenance_loop,
         args=(store, maint_stop, args.maintenance_period,
-              args.total_size, args.max_files_per_partition),
+              args.total_size, args.max_files_per_partition, http),
         daemon=True, name="maintenance",
     )
     maint_thread.start()

@@ -181,6 +181,16 @@ class SeqSparkServer:
         self._store_index = index
         self._two_phase_min_doc_bytes = two_phase_min_doc_bytes
         self._width_cache: Optional[tuple] = None  # (expires_mono, value)
+        # FRESHNESS: an attached index is AUTHORITATIVE (the semi-join
+        # drops docs it doesn't list), so serving with an index that
+        # predates an append would silently hide fresh docs. The caller
+        # hands over a refreshed index (seq 0 == trusted); every append
+        # flush bumps the sequence, searches attach the index only while
+        # fresh_seq == append_seq, and refresh_index() re-arms (the
+        # CLI's maintenance loop calls it — the reference's seal-time
+        # index build cadence, frac/active_sealer.go).
+        self._index_append_seq = 0
+        self._index_fresh_seq = 0
         # lazily-built, reused across bulks (guarded by self._lock)
         self._ingest_transform = None
         # async search jobs (`proxyapi/grpc_async_search.go:15-62` over
@@ -1194,6 +1204,9 @@ class SeqSparkServer:
                         out = out.unionByName(e[0])
                     with self._lock:
                         self.store.append(self._transform()(out))
+                        # new durable docs the index doesn't list yet:
+                        # index routing disarms until refresh_index()
+                        self._index_append_seq += 1
                     # flush count + group size expose the group-commit
                     # amortization (flushes_total << bulk_total under load)
                     with self._metrics_lock:
@@ -1241,7 +1254,8 @@ class SeqSparkServer:
         st = SearchTable.from_store(
             self.store, self.mapping, case_sensitive=self._case_sensitive
         )
-        if self._store_index is not None:
+        if (self._store_index is not None
+                and self._index_fresh_seq == self._index_append_seq):
             st = self._store_index.attach_to(
                 st, two_phase_min_doc_bytes=self._two_phase_min_doc_bytes
             )
@@ -1250,6 +1264,21 @@ class SeqSparkServer:
                 self._width_cache = (now + 30.0, st.avg_doc_bytes())
             st._avg_doc_bytes_cache = (self._width_cache[1],)
         return st
+
+    def refresh_index(self) -> bool:
+        """Rebuild the attached StoreIndex's stale buckets and re-arm
+        index routing. Appends landing DURING the rebuild keep the index
+        marked stale (the sequence is captured before the rebuild
+        starts), so a search can never be served from an index missing
+        durable docs. Returns True when routing is armed afterwards."""
+        if self._store_index is None:
+            return False
+        seq = self._index_append_seq
+        self._store_index.refresh()
+        self._store_index.prune()
+        self._index_fresh_seq = seq
+        self._width_cache = None
+        return self._index_fresh_seq == self._index_append_seq
 
     def search(self, req: dict) -> dict:
         return self._retry_transient(lambda: self._search_impl(req))

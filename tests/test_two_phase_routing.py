@@ -11,6 +11,7 @@ the router may only ever pick a plan, never change results or errors.
 """
 
 import hashlib
+import time
 import json
 
 import pytest
@@ -229,3 +230,109 @@ def test_transports_reach_two_phase(spark, tmp_path, monkeypatch):
             break
         cursor = want[-1]
     assert walked == 4 and calls, "cursor pages never routed"
+
+
+def test_index_freshness_guard(spark, tmp_path):
+    """r16: an attached index is AUTHORITATIVE (the semi-join drops docs
+    it doesn't list), so a bulk landing after the last refresh must
+    DISARM index routing — searches still see the new doc through the
+    scan plan — and refresh_index() must re-arm it. A search served
+    from a stale index would silently hide durable docs."""
+    from seqspark.server import SeqSparkServer
+    from seqspark.store import DocStore
+
+    mapping = Mapping({"service": "keyword", "message": "text"})
+    store = DocStore(spark, str(tmp_path / "store"))
+
+    def bulk_lines(i):
+        body = " ".join(
+            hashlib.sha256(f"f{i}:{j}".encode()).hexdigest()
+            for j in range(24))
+        return ('{"index": {}}\n'
+                + json.dumps({"timestamp": f"2024-01-01 10:00:{i:02d}.000",
+                              "service": "auth",
+                              "message": f"needle {body}"}))
+
+    seed = SeqSparkServer(spark, store, mapping,
+                          allowed_drift_ms=BIG, future_drift_ms=BIG)
+    seed.bulk("\n".join(bulk_lines(i) for i in range(6)).encode(),
+              gzipped=False)
+    sidx = StoreIndex(store, str(tmp_path / "index"),
+                      {"message": F.col("tokens")["message"]})
+    sidx.refresh()
+    core = SeqSparkServer(spark, store, mapping, allowed_drift_ms=BIG,
+                          future_drift_ms=BIG, index=sidx,
+                          two_phase_min_doc_bytes=1)
+    # armed: the index serves (semi-join or two-phase — either way the
+    # index frame is attached)
+    assert core._table()._index is not None
+    assert len(core.search({"query": "message:needle",
+                            "size": 50})["docs"]) == 6
+    # a bulk through THIS server disarms routing until refresh...
+    core.bulk(bulk_lines(7).encode(), gzipped=False)
+    assert core._index_fresh_seq != core._index_append_seq
+    assert core._table()._index is None
+    # ...and the new doc is searchable immediately (scan plan)
+    assert len(core.search({"query": "message:needle",
+                            "size": 50})["docs"]) == 7
+    # refresh re-arms; the index now lists the new doc too
+    assert core.refresh_index() is True
+    assert core._table()._index is not None
+    assert len(core.search({"query": "message:needle",
+                            "size": 50})["docs"]) == 7
+
+
+def test_cli_index_flag_end_to_end(spark, tmp_path):
+    """--index-dir wires posting + two-phase routing into the binary
+    analog: startup refresh covers pre-existing docs, searches route,
+    and the maintenance loop's refresh_index re-arms after a bulk."""
+    import urllib.request
+
+    from seqspark.__main__ import main
+
+    (tmp_path / "m.yaml").write_text(
+        "mapping-list:\n"
+        "  - {name: service, type: keyword}\n"
+        "  - {name: message, type: text}\n")
+    rt = main([
+        "--data-dir", str(tmp_path / "data"),
+        "--mapping", str(tmp_path / "m.yaml"),
+        "--index-dir", str(tmp_path / "index"),
+        "--two-phase-min-doc-bytes", "1",
+        "--allowed-time-drift", "20000d",
+        "--future-allowed-time-drift", "20000d",
+        "--maintenance-period", "1s",
+    ], spark=spark, block=False)
+    try:
+        def post(path, body):
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{rt.http.port}{path}", data=body)
+            with urllib.request.urlopen(req) as r:
+                return json.loads(r.read())
+
+        body = " ".join(
+            hashlib.sha256(f"c{j}".encode()).hexdigest() for j in range(24))
+        lines = []
+        for i in range(5):
+            lines.append('{"index": {}}')
+            lines.append(json.dumps(
+                {"timestamp": f"2024-01-01 10:00:0{i}.000",
+                 "service": "auth", "message": f"clineedle {body}"}))
+        post("/_bulk", "\n".join(lines).encode())
+        # new docs visible right away (scan while the index is stale)
+        out = post("/search", json.dumps(
+            {"query": "message:clineedle", "size": 10}).encode())
+        assert len(out["docs"]) == 5
+        # the maintenance loop re-arms index routing within a few periods
+        deadline = time.time() + 30
+        while time.time() < deadline:
+            if rt.http._index_fresh_seq == rt.http._index_append_seq:
+                break
+            time.sleep(0.5)
+        assert rt.http._index_fresh_seq == rt.http._index_append_seq
+        out = post("/search", json.dumps(
+            {"query": "message:clineedle", "size": 10}).encode())
+        assert len(out["docs"]) == 5
+        assert rt.http._table()._index is not None
+    finally:
+        rt.stop()
