@@ -442,7 +442,20 @@ class StoreIndex:
         invalidated when :meth:`refresh`/:meth:`prune` change the files.
         ``two_phase_min_doc_bytes`` forwards to
         :meth:`~seqspark.engine.SearchTable.attach_index` — width-aware
-        search→fetch routing. Returns the table for chaining."""
+        search→fetch routing. Returns the table for chaining.
+
+        An index that has never been refreshed (no data on disk yet —
+        e.g. a server starting against an empty store) attaches NOTHING
+        and returns the table as-is: there are no postings to
+        accelerate with, and reading the absent parquet path would fail
+        every search until the first refresh (caught by the r16 indexed
+        soak)."""
+        fs = self._fs()
+        if not fs.exists(fs.path()) or not any(
+            p.getName().startswith(f"{self.PARTITION_COL}=")
+            for p in fs.list_dirs(fs.path())
+        ):
+            return table
         idx = self.read()
         stats = None
         if total_docs is None:

@@ -43,6 +43,10 @@ def main() -> None:
     ap.add_argument("--seconds", type=int, default=60)
     ap.add_argument("--shippers", type=int, default=3)
     ap.add_argument("--searchers", type=int, default=3)
+    ap.add_argument("--index", action="store_true",
+                    help="attach a StoreIndex (r16): soaks the append-"
+                         "freshness guard, concurrent refresh_index vs "
+                         "compaction, and width-routed two-phase serves")
     args = ap.parse_args()
 
     spark = (
@@ -64,10 +68,22 @@ def main() -> None:
     with open(mapping_file, "w") as f:
         f.write(BASE_YAML)
     provider = MappingProvider(mapping_file, update_period_s=3600)
+    sidx = None
+    if args.index:
+        from pyspark.sql import functions as F
+
+        from seqspark.index import StoreIndex
+
+        sidx = StoreIndex(
+            store, os.path.join(tmp, "index"),
+            {"message": F.col("tokens")["message"],
+             "service": F.col("tokens")["service"]},
+        )
     core = SeqSparkServer(
         spark, store, provider,
         allowed_drift_ms=BIG, future_drift_ms=BIG,
         async_dir=os.path.join(tmp, "async"),
+        index=sidx, two_phase_min_doc_bytes=1,
     ).start()
     grpc = SeqProxyGrpc(core).start()
     # a second gRPC listener over TLS (r11): same handlers, stdlib-ssl +
@@ -94,7 +110,8 @@ def main() -> None:
     counts = {"bulk": 0, "docs": 0, "search_http": 0, "search_grpc": 0,
               "search_grpc_tls": 0, "search_storeapi": 0,
               "search_gateway": 0, "export_gateway": 0,
-              "export": 0, "async": 0, "compact": 0, "mapping_flips": 0}
+              "export": 0, "async": 0, "compact": 0, "mapping_flips": 0,
+              "index_refresh": 0, "search_routed": 0}
     lock = threading.Lock()
 
     def bump(k, v=1):
@@ -295,6 +312,39 @@ def main() -> None:
                 record_err("mapping_flip", e)
             stop.wait(1.5)
 
+    def indexer():
+        # the seal-time cadence under load: re-arm index routing
+        # whenever appends have landed; races hunted here — refresh's
+        # per-bucket write locks vs compaction swaps vs per-request
+        # attach_to reading the frame/stats caches
+        while not stop.is_set():
+            try:
+                if core._index_fresh_seq != core._index_append_seq:
+                    core.refresh_index()
+                    bump("index_refresh")
+            except Exception as e:  # noqa: BLE001
+                record_err("index_refresh", e)
+            stop.wait(2.0)
+
+    def searcher_routed(tid):
+        # rare-token conjunct (<=0.1 df ratio) on covered fields: the
+        # width/selectivity router serves this TWO-PHASE whenever the
+        # index is armed, and via the scan while a bulk has it disarmed
+        # — results must be right either way (end-state check)
+        k = 0
+        while not stop.is_set():
+            try:
+                http("/search", json.dumps(
+                    {"query": f"service:svc{tid % 3} and "
+                              f"message:{k % 20}", "size": 20}
+                ).encode())
+                bump("search_routed")
+                k += 1
+            except urllib.error.HTTPError as e:
+                record_err("search_routed", e.read().decode()[:400])
+            except Exception as e:  # noqa: BLE001
+                record_err("search_routed", e)
+
     def maintainer():
         while not stop.is_set():
             try:
@@ -317,6 +367,9 @@ def main() -> None:
            threading.Thread(target=async_user),
            threading.Thread(target=maintainer),
            threading.Thread(target=mapping_flipper)]
+        + ([threading.Thread(target=indexer),
+            threading.Thread(target=searcher_routed, args=(0,))]
+           if args.index else [])
     )
     t0 = time.time()
     for t in threads:
@@ -343,6 +396,9 @@ def main() -> None:
         "final_total": final["total"],
         "acked_docs": counts["docs"],
         "consistent": consistent,
+        # how many searches the two-phase plan actually served (0
+        # without --index; with it, > 0 proves the armed windows routed)
+        "routed_served": core._counters["two_phase_searches_total"],
     }))
 
 
