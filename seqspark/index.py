@@ -293,6 +293,23 @@ class StoreIndex:
 
         return _HadoopFS(self.store.spark, self.path)
 
+    def _bucket_sig(self, bucket: str) -> str:
+        """Content signature of one STORE bucket: sha256 over the sorted
+        (name, length, mtime) of its files — driver-side listing only.
+        Recorded with the bucket's stats at build time; a differing live
+        signature marks the bucket stale (:meth:`stale_buckets`)."""
+        import hashlib as _hashlib
+
+        from .store import PARTITION_COL as STORE_PART, _HadoopFS
+
+        sfs = _HadoopFS(self.store.spark, self.store.path)
+        parts = sorted(
+            (s.getPath().getName(), s.getLen(), s.getModificationTime())
+            for s in sfs.list_file_status(
+                sfs.path(f"{STORE_PART}={bucket}"))
+        )
+        return _hashlib.sha256(repr(parts).encode()).hexdigest()[:24]
+
     def _write_bucket_stats(self, fs, bucket: str, idx: DataFrame) -> None:
         """Persist this bucket's hot-token doc frequencies + doc count at
         build time, so attaching the index later is a metadata read, not a
@@ -309,6 +326,8 @@ class StoreIndex:
             "top_k": self.stats_top_k,
             "floor_count": min(s.df.values()) if truncated and s.df else 0,
             "df": [[f, t, n] for (f, t), n in s.df.items()],
+            # store-content signature at build time → incremental refresh
+            "sig": self._bucket_sig(bucket),
         }
         fs.write_text(
             fs.path(self.STATS_DIR, f"{bucket}.json"), _json.dumps(payload)
@@ -391,6 +410,40 @@ class StoreIndex:
             done.append(bucket)
         self._frame = None
         self._stats_cache = None
+        return done
+
+    def stale_buckets(self) -> List[str]:
+        """Store buckets whose index build is missing or no longer
+        matches the store's files — the incremental-refresh work list
+        (r16): a maintenance pass then rebuilds ONLY what changed, so
+        the seal-time cadence costs O(appended buckets), not a
+        full-index rebuild per pass. Driver-side metadata reads only
+        (stats JSON + one listing per bucket; no Spark jobs). Buckets
+        indexed before signatures existed report stale ONCE and are
+        re-signed by the rebuild."""
+        import json as _json
+
+        fs = self._fs()
+        out: List[str] = []
+        for b in self.store.partitions():
+            raw = fs.read_text(fs.path(self.STATS_DIR, f"{b}.json"))
+            if raw is None:
+                out.append(b)
+                continue
+            try:
+                sig = _json.loads(raw).get("sig")
+            except ValueError:
+                sig = None
+            if sig is None or sig != self._bucket_sig(b):
+                out.append(b)
+        return out
+
+    def refresh_stale(self) -> List[str]:
+        """Incremental :meth:`refresh`: rebuild only
+        :meth:`stale_buckets` (plus :meth:`prune` of dead ones)."""
+        stale = self.stale_buckets()
+        done = self.refresh(stale) if stale else []
+        self.prune()
         return done
 
     def prune(self) -> List[str]:

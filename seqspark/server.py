@@ -1274,8 +1274,11 @@ class SeqSparkServer:
         if self._store_index is None:
             return False
         seq = self._index_append_seq
-        self._store_index.refresh()
-        self._store_index.prune()
+        # incremental: only buckets whose store files changed since
+        # their last build are rebuilt (signature match, r16) — the
+        # maintenance cadence costs O(appended buckets), not a
+        # full-index rebuild per pass
+        self._store_index.refresh_stale()
         self._index_fresh_seq = seq
         self._width_cache = None
         return self._index_fresh_seq == self._index_append_seq

@@ -181,6 +181,17 @@ class _HadoopFS:
         finally:
             stream.close()
 
+    def list_file_status(self, p) -> list:
+        """FileStatus of the plain DATA files under ``p`` (non-recursive,
+        underscore-prefixed markers like _SUCCESS skipped) — name, size
+        and mtime in one listing, for content signatures."""
+        if not self._fs.exists(p):
+            return []
+        return [
+            s for s in self._fs.listStatus(p)
+            if s.isFile() and not s.getPath().getName().startswith("_")
+        ]
+
     def list_files(self, p) -> list:
         if not self._fs.exists(p):
             return []

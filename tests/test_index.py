@@ -692,3 +692,60 @@ def test_two_phase_fetch_plan_shape(spark, tmp_path):
         assert out.count() == 15
     finally:
         spark.conf.set(thr, old)
+
+
+def test_incremental_refresh_rebuilds_only_stale_buckets(spark, tmp_path):
+    """r16: per-bucket store-content signatures make refresh
+    incremental — a maintenance pass rebuilds O(appended buckets), not
+    the whole index (the 100 TB seal-time cadence). Also: pre-signature
+    stats report stale exactly once, and a compaction (same rows, new
+    files) is detected."""
+    import json
+
+    from seqspark import Mapping
+    from seqspark.index import StoreIndex
+    from seqspark.ingest import ingest_docs
+    from seqspark.store import DocStore
+
+    m = Mapping({"service": "keyword", "message": "text"})
+    BIG = 10**15
+
+    def frame(day, msg):
+        docs = [{"timestamp": f"2024-01-0{day} 00:00:00.000",
+                 "service": "auth", "message": msg}]
+        return ingest_docs(
+            spark.createDataFrame([(json.dumps(x),) for x in docs],
+                                  "raw string"),
+            m, allowed_drift_ms=BIG, future_drift_ms=BIG)
+
+    store = DocStore(spark, str(tmp_path / "store"))
+    for d in (1, 2, 3):
+        store.append(frame(d, f"alpha d{d}"))
+    idx = StoreIndex(store, str(tmp_path / "index"),
+                     {"message": F.col("tokens")["message"]})
+    idx.refresh()
+    assert idx.stale_buckets() == []
+    # append into ONE bucket: only it reports stale and only it rebuilds
+    store.append(frame(2, "alpha extra"))
+    stale = idx.stale_buckets()
+    assert len(stale) == 1 and stale[0].startswith("2024-01-02")
+    done = idx.refresh_stale()
+    assert done == stale and idx.stale_buckets() == []
+    # the rebuilt index serves the new doc
+    st = idx.attach_to(store.search_table(m))
+    assert st.search("message:extra").count() == 1
+    assert st.search("message:alpha").count() == 4
+    # compaction rewrites files without changing rows: sig must differ
+    if store.maintain(max_files_per_partition=1):
+        assert idx.stale_buckets() != []
+        idx.refresh_stale()
+        assert idx.stale_buckets() == []
+    # pre-signature stats (old format): stale once, re-signed by rebuild
+    fs = idx._fs()
+    b = stale[0]
+    raw = json.loads(fs.read_text(fs.path(idx.STATS_DIR, f"{b}.json")))
+    raw.pop("sig")
+    fs.write_text(fs.path(idx.STATS_DIR, f"{b}.json"), json.dumps(raw))
+    assert idx.stale_buckets() == [b]
+    idx.refresh_stale()
+    assert idx.stale_buckets() == []
