@@ -336,3 +336,21 @@ def test_cli_index_flag_end_to_end(spark, tmp_path):
         assert rt.http._table()._index is not None
     finally:
         rt.stop()
+
+
+def test_cli_refuses_index_with_tiered_store(tmp_path, capsys):
+    """--index-dir + --long-term-dir must be a clean usage error: an
+    authoritative index that does not span the cold tier would silently
+    drop rotated docs from routed searches."""
+    from seqspark.__main__ import main
+
+    (tmp_path / "m.yaml").write_text(
+        "mapping-list:\n  - {name: message, type: text}\n")
+    with pytest.raises(SystemExit):
+        main([
+            "--data-dir", str(tmp_path / "data"),
+            "--long-term-dir", str(tmp_path / "cold"),
+            "--mapping", str(tmp_path / "m.yaml"),
+            "--index-dir", str(tmp_path / "index"),
+        ], spark=None, block=False)
+    assert "tiered" in capsys.readouterr().err
