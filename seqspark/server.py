@@ -1327,8 +1327,12 @@ class SeqSparkServer:
     def _explain_of(st: SearchTable, req: dict) -> str:
         """Per-request explain (`proxyapi/grpc_v1.go:228`,
         `grpc_complex_search.go:34-60` attach an explain tree): the parsed
-        AST + Spark's logical→physical trace."""
-        return st.explain(
+        AST + Spark's logical→physical trace, prefixed with which plan
+        actually served THIS request (r16 — `st.route` was recorded by
+        the search that just ran on the same table; the trace below
+        always shows the scan-path plan)."""
+        route = f"Route: {st.route}\n" if st.route else ""
+        return route + st.explain(
             req.get("query", "*"),
             from_ms=req.get("from_ms"),
             to_ms=req.get("to_ms"),

@@ -533,7 +533,8 @@ def test_search_explain_flag(server):
         json.dumps({"query": "service:auth", "explain": True}).encode(),
     )
     assert code == 200
-    assert res["explain"].startswith("Query: service:auth")
+    # r16: the explain leads with the plan that served the request
+    assert res["explain"].startswith("Route: scan\nQuery: service:auth")
     assert "AST: " in res["explain"]
     assert "Physical Plan" in res["explain"]
     # absent by default

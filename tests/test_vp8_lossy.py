@@ -540,3 +540,46 @@ def test_animated_webp_with_lossy_frames():
         bad = bytearray(anim)
         bad[rng.randrange(12, len(bad))] ^= 0xFF
         _webp_decode_frames(bytes(bad))
+
+
+@needs_libwebp
+def test_hypothesis_differential_yuv_exact():
+    """Property form of the differential: ARBITRARY small images through
+    the reference encoder at arbitrary quality must decode plane-exact,
+    both filter modes. Catches interactions the structured corpus
+    doesn't enumerate (odd dims x quality x content class)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as hst
+
+    abi = _dec_abi()
+    assert abi is not None
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        hst.integers(min_value=1, max_value=40),
+        hst.integers(min_value=1, max_value=40),
+        hst.integers(min_value=0, max_value=100),
+        hst.randoms(use_true_random=False),
+    )
+    def run(w, h, q, rng):
+        mode = rng.randrange(3)
+        px = bytearray()
+        for y in range(h):
+            for x in range(w):
+                if mode == 0:
+                    rgb = (rng.randrange(256), rng.randrange(256),
+                           rng.randrange(256))
+                elif mode == 1:
+                    rgb = ((x * 9 + y) % 256, (y * 7) % 256, (x ^ y) % 256)
+                else:
+                    v = 255 if (x // 3 + y // 3) % 2 else 0
+                    rgb = (v, v, 255 - v)
+                px += bytes(rgb) + b"\xff"
+        enc = _enc_simple(w, h, bytes(px), float(q))
+        pay = _payload(enc)
+        for bypass in (True, False):
+            ref = _ref_yuv(abi, enc, bypass)
+            got = vp8.decode_yuv(pay, filtered=not bypass)
+            assert got == ref, (w, h, q, mode, bypass)
+
+    run()
