@@ -214,14 +214,6 @@ def main(argv: Optional[list] = None, spark=None, block: bool = True):
         )
 
     index = None
-    if args.index_dir and args.long_term_dir:
-        # the attached index is AUTHORITATIVE over the whole read frame;
-        # a hot-only index would silently drop rotated (cold) docs from
-        # routed searches, and StoreIndex does not span tiers yet —
-        # refuse loudly instead
-        parser.error("--index-dir does not support tiered stores "
-                     "(--long-term-dir): the index would not cover "
-                     "rotated buckets")
     if args.index_dir:
         from pyspark.sql import functions as F
 

@@ -293,6 +293,15 @@ class StoreIndex:
 
         return _HadoopFS(self.store.spark, self.path)
 
+    def _owner(self, bucket: str):
+        """The store whose copy of ``bucket`` this index must read —
+        the owning TIER for a TieredStore (tombstoned buckets belong to
+        cold even when a late append re-created them in hot), the store
+        itself otherwise."""
+        if hasattr(self.store, "owner_store"):
+            return self.store.owner_store(bucket)
+        return self.store
+
     def _bucket_sig(self, bucket: str) -> str:
         """Content signature of one STORE bucket: sha256 over the sorted
         (name, length, mtime) of its files — driver-side listing only.
@@ -302,7 +311,8 @@ class StoreIndex:
 
         from .store import PARTITION_COL as STORE_PART, _HadoopFS
 
-        sfs = _HadoopFS(self.store.spark, self.store.path)
+        owner = self._owner(bucket)
+        sfs = _HadoopFS(self.store.spark, owner.path)
         parts = sorted(
             (s.getPath().getName(), s.getLen(), s.getModificationTime())
             for s in sfs.list_file_status(
@@ -396,8 +406,9 @@ class StoreIndex:
             # append landing a file after this read would leave the index
             # PERMANENTLY missing those docs — and a routed index is
             # authoritative (left_semi drops what it doesn't list)
-            with _write_lock(self.store.path):
-                part = f"{self.store.path}/{STORE_PART}={bucket}"
+            owner = self._owner(bucket)
+            with _write_lock(owner.path):
+                part = f"{owner.path}/{STORE_PART}={bucket}"
                 df = self.store.spark.read.parquet(part)
                 idx = build_inverted_index(df, self.token_cols, self.id_cols)
                 (

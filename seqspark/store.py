@@ -963,6 +963,22 @@ class TieredStore:
             self.read(), mapping, bucket_fmt=self.bucket_fmt, **kwargs
         )
 
+    def owner_store(self, bucket: str) -> DocStore:
+        """The tier whose copy of ``bucket`` is AUTHORITATIVE for reads
+        (exactly :meth:`read_with_status`'s ownership rule): cold for
+        tombstoned (rotated) buckets — a late append can re-create them
+        in hot with only post-rotation rows — else hot while it holds
+        the bucket, else cold. `StoreIndex` resolves per-bucket data
+        through this, so a tiered index always indexes the complete
+        copy (r16)."""
+        if bucket in self._rotated or bucket not in self.hot.partitions():
+            return self.cold
+        return self.hot
+
+    def bucket_row_count(self, bucket: str) -> int:
+        """Footer row count of the OWNED copy (see owner_store)."""
+        return self.owner_store(bucket).bucket_row_count(bucket)
+
     def maintain(
         self,
         hot_max_total_bytes: Optional[int] = None,

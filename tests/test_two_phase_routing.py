@@ -338,19 +338,54 @@ def test_cli_index_flag_end_to_end(spark, tmp_path):
         rt.stop()
 
 
-def test_cli_refuses_index_with_tiered_store(tmp_path, capsys):
-    """--index-dir + --long-term-dir must be a clean usage error: an
-    authoritative index that does not span the cold tier would silently
-    drop rotated docs from routed searches."""
-    from seqspark.__main__ import main
+def test_tiered_store_index_follows_ownership(spark, tmp_path):
+    """r16: a StoreIndex over a TieredStore indexes each bucket's
+    AUTHORITATIVE copy (read_with_status's ownership rule). The killer
+    case is the tombstone-recreate: after rotation drops a hot bucket, a
+    late append re-creates it in hot with ONLY the new rows while cold
+    holds everything — the index must build from cold, or pre-rotation
+    docs silently vanish from routed searches."""
+    from seqspark.server import SeqSparkServer
+    from seqspark.store import DocStore, TieredStore
 
-    (tmp_path / "m.yaml").write_text(
-        "mapping-list:\n  - {name: message, type: text}\n")
-    with pytest.raises(SystemExit):
-        main([
-            "--data-dir", str(tmp_path / "data"),
-            "--long-term-dir", str(tmp_path / "cold"),
-            "--mapping", str(tmp_path / "m.yaml"),
-            "--index-dir", str(tmp_path / "index"),
-        ], spark=None, block=False)
-    assert "tiered" in capsys.readouterr().err
+    mapping = Mapping({"service": "keyword", "message": "text"})
+    hot = DocStore(spark, str(tmp_path / "hot"))
+    cold = DocStore(spark, str(tmp_path / "cold"))
+    store = TieredStore(hot, cold)
+
+    def bulk(core, i, msg):
+        core.bulk((
+            '{"index": {}}\n' + json.dumps(
+                {"timestamp": f"2024-01-0{i} 00:00:00.000",
+                 "service": "auth", "message": msg})).encode(),
+            gzipped=False)
+
+    sidx = StoreIndex(store, str(tmp_path / "index"),
+                      {"message": F.col("tokens")["message"]})
+    core = SeqSparkServer(spark, store, mapping, allowed_drift_ms=BIG,
+                          future_drift_ms=BIG, index=sidx,
+                          two_phase_min_doc_bytes=10**12)
+    for d in (1, 2, 3):
+        bulk(core, d, f"needle old{d}")
+    assert core.refresh_index() is True
+    assert {r["mid"] for r in core.search(
+        {"query": "message:needle", "size": 10})["docs"]} and len(
+        core.search({"query": "message:needle", "size": 10})["docs"]) == 3
+    # rotate EVERYTHING out of hot; cold keeps full history
+    res = store.maintain(hot_max_total_bytes=0)
+    assert res["hot_dropped"]
+    # rotation changed ownership -> those buckets are stale, rebuild
+    assert sidx.stale_buckets()
+    assert core.refresh_index() is True
+    assert len(core.search({"query": "message:needle",
+                            "size": 10})["docs"]) == 3
+    # tombstone-recreate: late append lands the bucket back in hot with
+    # only the new row; cold owns it and holds all rows
+    bulk(core, 1, "needle late")
+    assert core.refresh_index() is True
+    docs = core.search({"query": "message:needle", "size": 10})["docs"]
+    assert len(docs) == 4  # 3 old + 1 late; nothing vanished
+    owner = store.owner_store(store.partitions()[0])
+    assert owner is cold  # tombstoned bucket stays cold-owned
+    # the index itself lists all 4 docs (authoritative copies)
+    assert sidx.read().filter(F.col("token") == "needle").count() == 4
