@@ -870,8 +870,12 @@ class H2Server:
             sock.settimeout(self._idle_timeout)
             # handshake + serve off the accept thread: a peer that stalls
             # mid-TLS-handshake must not block accept for everyone else
+            # (named so tests can count THESE threads, not the global
+            # count — a full-suite run has unrelated threads coming and
+            # going, which made the reclaim test flaky)
             threading.Thread(
-                target=self._serve_conn, args=(sock,), daemon=True
+                target=self._serve_conn, args=(sock,), daemon=True,
+                name=f"h2-conn-{self.port}",
             ).start()
 
     def _serve_conn(self, sock: socket.socket) -> None:

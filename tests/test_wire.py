@@ -1115,17 +1115,25 @@ def test_h2_idle_connection_reclaimed():
     srv = h2.H2Server(lambda headers, body: ([(":status", "200")], None, []),
                       idle_timeout_s=1.0).start()
     try:
-        before = threading.active_count()
+        # count THIS server's connection threads by name — the global
+        # active_count races unrelated suite threads (flaky under a
+        # full-suite run)
+        def conn_threads():
+            return sum(1 for t in threading.enumerate()
+                       if t.name == f"h2-conn-{srv.port}")
+
         socks = [_socket.create_connection(("127.0.0.1", srv.port))
                  for _ in range(4)]
-        _time.sleep(0.2)
-        assert threading.active_count() >= before + 4
+        deadline = _time.time() + 5
+        while _time.time() < deadline and conn_threads() < 4:
+            _time.sleep(0.05)
+        assert conn_threads() >= 4
         deadline = _time.time() + 10
         while _time.time() < deadline:
-            if threading.active_count() <= before:
+            if conn_threads() == 0:
                 break
             _time.sleep(0.1)
-        assert threading.active_count() <= before  # all reclaimed
+        assert conn_threads() == 0  # all reclaimed
         for s in socks:
             # server closed its side: recv yields EOF (or reset)
             s.settimeout(2)
