@@ -233,7 +233,11 @@ def main(argv: Optional[list] = None, spark=None, block: bool = True):
             store, args.index_dir,
             {f: F.col("tokens")[f] for f in text_fields},
         )
-        index.refresh()  # cover whatever the store already holds
+        # cover whatever the store already holds — incrementally: only
+        # signature-mismatched buckets rebuild (a restart over a current
+        # on-disk index is a no-op, not a full re-index under the store
+        # write locks), and dead buckets are pruned
+        index.refresh_stale()
 
     from .grpcapi import SeqProxyGrpc
     from .server import SeqSparkServer

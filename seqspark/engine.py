@@ -267,6 +267,16 @@ class SearchTable:
         #: memoized avg_doc_bytes() — () = not yet computed; a server
         #: fronting many requests may pre-seed this from its own cache
         self._avg_doc_bytes_cache: tuple = ()
+        #: two_phase_search conf ownership (r17 knob): when True (the
+        #: default) the operator raises the SESSION-global
+        #: ``spark.sql.parquet.pushdown.inFilterThreshold`` to cover its
+        #: id page so per-value bloom/dictionary pushdown happens with
+        #: zero deployment conf. The raise is sticky and shared-session
+        #: visible (a larger In threshold only widens per-value pushdown
+        #: — monotone-safe, never result-changing); deployments that
+        #: must not see any session mutation set this False and own the
+        #: threshold themselves
+        self.own_in_filter_threshold = True
         #: optional (partition_col, bucket_fmt) for time-bucket directory
         #: pruning (set by from_docs(bucket_fmt=...))
         self._partition_hint: Optional[tuple] = None
@@ -339,7 +349,19 @@ class SearchTable:
             broadcast_max_docs,
         )
         self._two_phase_min_bytes = two_phase_min_doc_bytes
+        # a (re)attach is the library user's "the store changed" signal
+        # (the server re-attaches after refresh_index): drop the memoized
+        # doc width so routing decisions track the current store rather
+        # than the first-ever sample (the server additionally TTLs this)
+        self.clear_width_cache()
         return self
+
+    def clear_width_cache(self) -> None:
+        """Invalidate the memoized :meth:`avg_doc_bytes` sample. Called
+        automatically by :meth:`attach_index`; long-lived library holders
+        of a table over a growing/compacting store can also call it
+        directly (the server layer instead re-samples on a 30 s TTL)."""
+        self._avg_doc_bytes_cache = ()
 
     def _index_leaf(self, node) -> Optional[tuple]:
         """(field, exact_token_or_None, prefix, like_pattern_or_None) when
@@ -1126,7 +1148,9 @@ class SearchTable:
         before returning, so the row-group-skipping win needs no
         deployment folklore. The raise is sticky session-wide and
         bounded by ``MAX_SEARCH_DOCS``; a larger In threshold only ever
-        widens per-value pushdown, it cannot change results.
+        widens per-value pushdown, it cannot change results. Set
+        ``table.own_in_filter_threshold = False`` (r17) to opt out and
+        manage the threshold externally.
 
         ``after=(last_mid, last_rid)`` (r16) is the KEYSET cursor —
         resume strictly after that id, the deep-paging/export-resume
@@ -1216,10 +1240,15 @@ class SearchTable:
             page = ids.orderBy(*sort).limit(k).collect()
             rid_page = [row[self.rid_col] for row in page]
             # own the pushdown conf: per-value In push (bloom/dictionary
-            # probes) only happens while the threshold covers the page
-            cur = int(spark.conf.get(thr_key, "10") or 10)
-            if cur < len(rid_page):
-                spark.conf.set(thr_key, str(len(rid_page)))
+            # probes) only happens while the threshold covers the page.
+            # Sticky session mutation by design (see
+            # own_in_filter_threshold) — restore-after-return cannot
+            # work because the conf is read at ACTION time, after this
+            # method's lazy DataFrame has been handed back
+            if self.own_in_filter_threshold:
+                cur = int(spark.conf.get(thr_key, "10") or 10)
+                if cur < len(rid_page):
+                    spark.conf.set(thr_key, str(len(rid_page)))
             return rid_page
 
         def fetch(rid_page: list) -> DataFrame:

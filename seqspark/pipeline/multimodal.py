@@ -316,7 +316,9 @@ def _webp_decode_frames(b: bytes, max_pixels: Optional[int] = None):
     out = []
     for fx, fy, fw, fh, dispose, no_blend, kind, payload, alph in frames:
         if kind == "vp8l":
-            dec = _vp8l.decode(bytes(payload))
+            # same pre-decode cap as the VP8 branch below: reject an
+            # oversized frame before reconstruction, not after
+            dec = _vp8l.decode(bytes(payload), max_pixels=max_pixels)
         else:
             from . import vp8 as _vp8
 
@@ -1310,13 +1312,17 @@ def _gif_decode_frames(b: bytes, max_pixels: int = _PNG_MAX_PIXELS):
         )
         saved = bytes(canvas) if disposal == 3 else None
         npal = len(palette) // 3
+        # clamp like the ANMF dispose fix above: a descriptor whose x
+        # offset starts past the canvas (fx >= w) paints/clears nothing
+        # rather than producing a negative width
+        vis_w = max(0, min(fw, w - fx))
         for src_y, dy in enumerate(row_order):
             y = fy + dy
             if y >= h:
                 continue
             base = src_y * fw
             crow = (y * w + fx) * 4
-            for x in range(min(fw, w - fx)):
+            for x in range(vis_w):
                 ci = idx[base + x]
                 if ci == transparent or ci >= npal:
                     continue
@@ -1327,10 +1333,10 @@ def _gif_decode_frames(b: bytes, max_pixels: int = _PNG_MAX_PIXELS):
                 canvas[o + 2] = palette[p + 2]
                 canvas[o + 3] = 255
         frames.append(bytes(canvas))
-        if disposal == 2:
-            for dy in range(min(fh, h - fy)):
+        if disposal == 2 and vis_w:
+            span = vis_w * 4
+            for dy in range(max(0, min(fh, h - fy))):
                 o = ((fy + dy) * w + fx) * 4
-                span = min(fw, w - fx) * 4
                 canvas[o:o + span] = bytes(span)
         elif disposal == 3 and saved is not None:
             canvas = bytearray(saved)

@@ -564,9 +564,13 @@ def _inverse_palette(px: List[int], xsize: int, ysize: int,
     return out
 
 
-def decode(data: bytes) -> Optional[tuple]:
+def decode(data: bytes, max_pixels: int = 64_000_000) -> Optional[tuple]:
     """RIFF/WEBP (or bare VP8L payload) → ``(w, h, 4, bytearray(RGBA))``
-    for a lossless bitstream; None when not VP8L or malformed."""
+    for a lossless bitstream; None when not VP8L or malformed.
+    ``max_pixels`` rejects a decompression bomb BEFORE reconstruction
+    (callers compositing ANMF frames pass their canvas cap so a lying
+    frame payload cannot burn CPU on an image the fw/fh check would
+    only reject afterwards)."""
     try:
         payload = _vp8l_payload(data)
         if payload is None:
@@ -579,7 +583,7 @@ def decode(data: bytes) -> Optional[tuple]:
         br.read1()  # alpha-used hint
         if br.read(3) != 0:  # version
             return None
-        if w * h > 64_000_000:  # same bomb cap class as the PNG codec
+        if w * h > max_pixels:  # same bomb cap class as the PNG codec
             return None
         argb, _ = _decode_image(br, w, h, True)
         if len(argb) != w * h:

