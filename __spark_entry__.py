@@ -4083,66 +4083,64 @@ def contract_diagnostics() -> dict[str, Callable[[SparkSession, str], str]]:
 #: ``tools/rotate_window.py`` computes last driver-green age per entry
 #: from the committed CORRECTNESS_r*.json artifacts and takes the 50
 #: oldest (never-checked first, contract order within a round).
-#: This window = ``rotate_window.py --as-of 15``: the two never-driver-
-#: green entries (this round's two_phase_residual and
-#: multimodal_webp_lossy), the one r11-stale entry the r15 rotation
-#: missed (image_dhash_dupes — the exact gap verdict r15 #2 flagged),
-#: all 12 r12-stale entries, and 35 of the 39 r13 cohort (4 overflow
-#: entries wait one round).
+#: This window = ``rotate_window.py --as-of 16``: the 4 r13-cohort
+#: entries that overflowed the r16 window (ann_pq_topk, ann_pq_batch,
+#: join_broadcast, lineitem_pricing_summary) plus 46 of the 50-entry
+#: r14 cohort.
 #: tests/test_contract.py pins the window against the mechanism, so a
 #: hand-edit that drifts fails fast. After this round no entry's last
-#: driver-green is older than r13.
+#: driver-green is older than r14.
 DRIVER_WINDOW = [
-    "multimodal_webp_lossy",
-    "two_phase_residual",
-    "image_dhash_dupes",
-    "frame_sample_mjpeg",
-    "multimodal_resize_jpeg",
-    "image_dhash_jpeg",
-    "audio_features",
-    "audio_dupes",
-    "ann_pq_rerank",
-    "unigram_encode",
-    "unigram_sample_encode",
-    "video_keyframes",
-    "cap_per_group_salted",
-    "sessionize_scalable",
-    "sessionize_bucketed",
-    "exists",
-    "bool_precedence",
-    "bool_not",
-    "fields_pipe",
-    "fetch_by_ids",
-    "agg_unique",
-    "agg_sum_group",
-    "agg_min_group",
-    "agg_max_group",
-    "agg_avg_group",
-    "agg_filtered",
-    "agg_quantile",
-    "agg_timeseries",
-    "ann_batch_topk",
-    "frame_sample",
-    "c4_filter",
-    "path_prefix_tokens",
-    "timestamp_parse_chain",
-    "doc_size_tracking",
-    "dedup_exact",
-    "incremental_dedup",
-    "paragraph_dedup",
-    "ngram_jaccard",
-    "minhash_lsh_pairs",
-    "simhash_candidates",
-    "ann_brute_topk",
-    "ann_lsh_topk",
-    "embedding_cosine_pairs",
-    "text_token_count",
-    "text_quality",
-    "text_fingerprint",
-    "multimodal_decode",
-    "frame_sample_gif",
-    "frame_sample_apng",
-    "frame_sample_y4m",
+    "ann_pq_topk",
+    "ann_pq_batch",
+    "join_broadcast",
+    "lineitem_pricing_summary",
+    "keyword_eq",
+    "keyword_eq_native",
+    "keyword_wildcard",
+    "filter_in",
+    "range_numeric",
+    "range_open",
+    "range_lexicographic",
+    "match_all",
+    "comment_strip",
+    "time_range",
+    "order_limit_desc",
+    "order_limit_asc",
+    "offset_pagination",
+    "merge_dedup",
+    "store_bloom_fetch",
+    "with_total",
+    "fulltext_and",
+    "fulltext_wildcard",
+    "agg_count_group",
+    "date_histogram",
+    "notexists_accounting",
+    "json_field_extract",
+    "auto_mapping_search",
+    "ingest_tokenize",
+    "index_hot_tokens",
+    "gopher_quality",
+    "gopher_repetition",
+    "url_canonical",
+    "unigram_perplexity",
+    "dsir_score",
+    "dsir_resample",
+    "html_extract",
+    "bigram_perplexity",
+    "lang_detect",
+    "token_budget",
+    "audio_features_flac",
+    "audio_features_adpcm",
+    "multimodal_bmp",
+    "multimodal_tiff",
+    "multimodal_tiff_pixels",
+    "multimodal_mp3",
+    "multimodal_ogg",
+    "multimodal_webp",
+    "multimodal_isobmff",
+    "weighted_sample",
+    "ann_opq_topk",
 ]
 
 
