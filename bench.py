@@ -120,6 +120,15 @@ def main() -> None:
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", "16g")
+        # r17 (guide §1/§4): PySpark 4 wraps every DataFrame API call with
+        # a Python stack walk + an extra py4j round trip to record the
+        # user call site for error decoration. Measured A/B on this host:
+        # it DOUBLES driver-side Python CPU of query construction (search
+        # build 21→10 ms CPU, aggregate build 123→42 ms CPU). Static conf,
+        # so it must be set at builder time. Not a scale knob — pure
+        # driver overhead; production sessions (seqspark/__main__.py) set
+        # the same value.
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")

@@ -189,6 +189,10 @@ def main(argv: Optional[list] = None, spark=None, block: bool = True):
             .config("spark.sql.shuffle.partitions", cpus)
             .config("spark.sql.adaptive.enabled", "true")
             .config("spark.sql.session.timeZone", "UTC")
+            # per-DataFrame-call Python stack capture for error
+            # decoration costs ~2x driver CPU on query construction
+            # (measured r17); serving paths build many frames per request
+            .config("spark.python.sql.dataFrameDebugging.enabled", "false")
             .getOrCreate()
         )
 

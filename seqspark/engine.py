@@ -32,6 +32,7 @@ from __future__ import annotations
 
 import math
 import threading
+from collections import OrderedDict
 from dataclasses import dataclass, field as dc_field
 from typing import Dict, List, Optional, Sequence, Tuple
 
@@ -163,6 +164,31 @@ def _local_frame(spark, data, schema) -> DataFrame:
     return spark.createDataFrame(tbl, relaxed)
 
 
+@dataclass
+class _AggBuilt:
+    """Prepared (lazy) frames + flags for one aggregation shape — the
+    cacheable product of :meth:`SearchTable._agg_build`. Holds NO
+    executed state: every action (strict probe, guard collect, persist)
+    belongs to :meth:`SearchTable._agg_execute`, so reusing a cached
+    construction still computes results from parquet on every call."""
+
+    out: DataFrame                    # bucket frame (field aggs keep __ftok)
+    post: DataFrame                   # out minus __ftok, bucket-ordered
+    probe: Optional[DataFrame]        # eager guard path: limit-capped probe
+    bad: Optional[DataFrame]          # strict mode: unparsable-token frame
+    src: DataFrame                    # pre-agg frame (field-guard confirm)
+    func: str
+    group_by: Optional[str]
+    fieldname: Optional[str]
+    group_guard: bool
+    field_guard: bool
+    eager: bool
+    timeseries_guard: bool
+    #: memoized on first eager execute (schema reads cost a py4j parse)
+    local_schema: Optional[object] = None
+    local_names: Optional[List[str]] = None
+
+
 def validate_agg(aggq: "AggQuery") -> None:
     """Request validation, mirroring `proxyapi/grpc_v1.go:356-399`
     validateAgg: COUNT needs group_by-or-field (legacy alias), UNIQUE needs
@@ -285,6 +311,18 @@ class SearchTable:
         #: makes append/evict safe from concurrent HTTP handler threads
         self._guard_cache: List[DataFrame] = []
         self._guard_cache_lock = threading.Lock()
+        #: r17 prepared-plan cache (guide §1.2 "per-task work" applied to
+        #: the DRIVER): building a search/aggregate frame costs hundreds
+        #: of py4j round trips (~60 ms a search, ~200 ms an aggregate,
+        #: measured); a repeated query re-uses the constructed LAZY frame
+        #: — the prepared-statement shape every engine has. EXECUTION is
+        #: never cached: collect() on a cached frame re-runs the scan from
+        #: parquet every time. Only plans whose construction is
+        #: side-effect-free are cached (scan-route searches, non-persisted
+        #: aggregates); invalidated by :meth:`clear_width_cache` /
+        #: :meth:`attach_index` (the "store changed" signals).
+        self._plan_cache: "OrderedDict[tuple, tuple]" = OrderedDict()
+        self._plan_cache_lock = threading.Lock()
 
     def attach_index(
         self,
@@ -357,11 +395,14 @@ class SearchTable:
         return self
 
     def clear_width_cache(self) -> None:
-        """Invalidate the memoized :meth:`avg_doc_bytes` sample. Called
-        automatically by :meth:`attach_index`; long-lived library holders
-        of a table over a growing/compacting store can also call it
-        directly (the server layer instead re-samples on a 30 s TTL)."""
+        """Invalidate the memoized :meth:`avg_doc_bytes` sample AND the
+        prepared-plan cache. Called automatically by :meth:`attach_index`;
+        long-lived library holders of a table over a growing/compacting
+        store can also call it directly (the server layer instead
+        re-samples on a 30 s TTL)."""
         self._avg_doc_bytes_cache = ()
+        with self._plan_cache_lock:
+            self._plan_cache.clear()
 
     def _index_leaf(self, node) -> Optional[tuple]:
         """(field, exact_token_or_None, prefix, like_pattern_or_None) when
@@ -950,6 +991,25 @@ class SearchTable:
         """
         if size is not None and size > MAX_SEARCH_DOCS:
             raise ValueError(f"size {size} exceeds max-search-docs {MAX_SEARCH_DOCS}")
+        # prepared-plan cache: only when index routing is fully off — a
+        # routed two_phase frame embeds an EXECUTED phase-1 id page and a
+        # cached scan route could pin a decision the width TTL would
+        # revisit; the un-indexed scan plan has neither concern. The
+        # cached object is a lazy frame: every collect re-scans parquet.
+        cacheable = self._index is None and self._two_phase_min_bytes is None
+        key = (
+            "search", q, from_ms, to_ms, size, offset, order,
+            tuple(dedup_cols) if dedup_cols is not None else None,
+            tuple(self.default_dedup) if self.default_dedup else None,
+            dialect or self.dialect,
+        )
+        if cacheable:
+            with self._plan_cache_lock:
+                hit = self._plan_cache.get(key)
+                if hit is not None:
+                    self._plan_cache.move_to_end(key)
+                    self.route = "scan"
+                    return hit[0]
         routed = self._route_two_phase(
             q, from_ms, to_ms, size, offset, order, dedup_cols, dialect
         )
@@ -959,7 +1019,13 @@ class SearchTable:
         self.route = "scan"
         df, pipes = self._filtered(q, from_ms, to_ms, dedup_cols, dialect)
         df = self._paginate(df, size, offset, order)
-        return self.apply_pipes(self._public(df), pipes)
+        df = self.apply_pipes(self._public(df), pipes)
+        if cacheable:
+            with self._plan_cache_lock:
+                self._plan_cache[key] = (df,)
+                while len(self._plan_cache) > self._PLAN_CACHE_CAP:
+                    self._plan_cache.popitem(last=False)
+        return df
 
     def avg_doc_bytes(self, sample_files: int = 16) -> Optional[float]:
         """Average stored bytes per document — compressed parquet file
@@ -1595,6 +1661,9 @@ class SearchTable:
     #: bounded probe buffer: a long-running server that never drains must
     #: not accumulate DataFrame handles without bound
     _AGG_PLAN_BUFFER_CAP = 32
+    #: prepared-plan cache entries per table (search + aggregate shapes);
+    #: LRU-evicted, cleared by clear_width_cache()/attach_index()
+    _PLAN_CACHE_CAP = 64
     #: class-level lock: append (aggregate) and drain race under the
     #: server's concurrent searchers — an unsynchronized read-modify-write
     #: could resurrect drained probes or drop fresh ones. Shared across
@@ -1648,16 +1717,36 @@ class SearchTable:
         ``ordered=True`` returns buckets in the reference order
         (`seq/qpr.go:216-253`).
         """
-        df, _ = self._filtered(q, from_ms, to_ms, dialect=dialect)
-        return self._aggregate_on(
-            df,
-            aggq,
-            max_group_tokens,
-            strict,
-            enforce_guard,
-            ordered,
-            max_field_tokens=max_field_tokens,
+        key = (
+            "agg", q, from_ms, to_ms,
+            aggq.func.lower(), aggq.field, aggq.group_by,
+            tuple(aggq.quantiles or ()), aggq.interval_ms,
+            bool(aggq.exact_quantiles),
+            max_group_tokens, strict, enforce_guard, ordered,
+            max_field_tokens, dialect or self.dialect,
+            tuple(self.default_dedup) if self.default_dedup else None,
         )
+        built = None
+        with self._plan_cache_lock:
+            hit = self._plan_cache.get(key)
+            if hit is not None:
+                self._plan_cache.move_to_end(key)
+                built = hit[0]
+        if built is None:
+            df, _ = self._filtered(q, from_ms, to_ms, dialect=dialect)
+            built = self._agg_build(
+                df, aggq, max_group_tokens, strict, enforce_guard,
+                ordered, max_field_tokens,
+            )
+            # the timeseries-guard path persists per call (FIFO-owned);
+            # caching its construction would alias persist bookkeeping
+            # across calls — leave it uncached
+            if not built.timeseries_guard:
+                with self._plan_cache_lock:
+                    self._plan_cache[key] = (built,)
+                    while len(self._plan_cache) > self._PLAN_CACHE_CAP:
+                        self._plan_cache.popitem(last=False)
+        return self._agg_execute(built, max_group_tokens, max_field_tokens, ordered)
 
     def _aggregate_on(
         self,
@@ -1670,6 +1759,29 @@ class SearchTable:
         persisted_sink: Optional[List[DataFrame]] = None,
         max_field_tokens: int = AGG_MAX_FIELD_TOKENS,
     ) -> DataFrame:
+        built = self._agg_build(
+            df, aggq, max_group_tokens, strict, enforce_guard, ordered,
+            max_field_tokens,
+        )
+        return self._agg_execute(
+            built, max_group_tokens, max_field_tokens, ordered,
+            persisted_sink=persisted_sink,
+        )
+
+    def _agg_build(
+        self,
+        df: DataFrame,
+        aggq: AggQuery,
+        max_group_tokens: int,
+        strict: bool,
+        enforce_guard: bool,
+        ordered: bool,
+        max_field_tokens: int,
+    ) -> "_AggBuilt":
+        """Construct every LAZY frame one aggregation needs — the
+        expensive py4j half of :meth:`aggregate`, split from execution
+        (r17) so repeated identical requests reuse the prepared plans.
+        No Spark job runs here; :meth:`_agg_execute` owns every action."""
         validate_agg(aggq)
         func = aggq.func.lower()
         group_by = aggq.group_by
@@ -1689,28 +1801,40 @@ class SearchTable:
             df = df.withColumn("__group", F.lit(None).cast("string"))
 
         zero = F.lit(0).cast("long")
+        bad = None
         if func == "count":
-            out = (
-                df.filter(F.col("__group").isNotNull() | F.lit(group_by is None))
-                .groupBy("__mid", "__group")
-                .agg(F.count(F.lit(1)).cast("double").alias("value"))
-                .withColumn("not_exists", zero)
-            )
-            if group_by is not None:
-                # legacy `_not_exists` bucket: docs whose group token is
-                # missing (`frac/processor/aggregator.go:219-227`)
-                ne = (
-                    df.filter(F.col("__group").isNull())
+            if group_by is None:
+                out = (
+                    df.groupBy("__mid", "__group")
                     .agg(F.count(F.lit(1)).cast("double").alias("value"))
-                    .filter(F.col("value") > 0)
-                    .select(
-                        F.lit(None).cast("long").alias("__mid"),
-                        F.lit("_not_exists").alias("__group"),
-                        F.col("value"),
-                        zero.alias("not_exists"),
-                    )
+                    .withColumn("not_exists", zero)
                 )
-                out = out.unionByName(ne)
+            else:
+                # legacy `_not_exists` bucket (docs whose group token is
+                # missing, `frac/processor/aggregator.go:219-227`) folded
+                # into the SAME aggregation pass (r17, guide §2.4): the
+                # union shape this replaced scanned the corpus twice and
+                # paid two exchanges; mapping missing rows to the
+                # synthetic bucket key pre-shuffle yields identical rows
+                # from one scan + one exchange. __missing keeps a REAL
+                # group token spelled "_not_exists" in its own bucket,
+                # exactly as the union kept it a separate row.
+                missing = F.col("__group").isNull()
+                out = (
+                    df.select(
+                        F.when(missing, F.lit(None).cast("long"))
+                        .otherwise(F.col("__mid"))
+                        .alias("__mid"),
+                        F.when(missing, F.lit("_not_exists"))
+                        .otherwise(F.col("__group"))
+                        .alias("__group"),
+                        missing.alias("__missing"),
+                    )
+                    .groupBy("__mid", "__group", "__missing")
+                    .agg(F.count(F.lit(1)).cast("double").alias("value"))
+                    .drop("__missing")
+                    .withColumn("not_exists", zero)
+                )
         elif func == "unique":
             # distinct group tokens as buckets, value 0 (the reference's
             # unique buckets carry empty sample containers,
@@ -1749,15 +1873,11 @@ class SearchTable:
                 # fail the aggregation on the first unparsable token
                 # (`frac/processor/aggregator.go:128-133`: parseNum errors
                 # PROPAGATE — the reference always fails; here opt-in) —
-                # one extra pruned pass over the filtered set
+                # one extra pruned pass over the filtered set, executed by
+                # _agg_execute before the aggregation runs
                 bad = df.filter(
                     F.col("__fieldtok").isNotNull() & F.col("__val").isNull()
-                )
-                sample = bad.select("__fieldtok").head(1)
-                if sample:
-                    raise AggParseError(
-                        f"parse errors reached, last_value={sample[0][0]!r}"
-                    )
+                ).select("__fieldtok")
             has_field = F.col("__fieldtok").isNotNull()
             # Single-pass bucket accounting: with group_by, keep the
             # missing-field rows IN the aggregation — every value expr runs
@@ -1807,7 +1927,7 @@ class SearchTable:
                 out = out.withColumn("value", F.col("q0"))
             else:
                 raise ValueError(f"unknown agg func {func!r}")
-            # buckets with rows but zero parsed samples → NaN
+            # buckets with rows but zero parsed samples -> NaN
             # (`seq/qpr.go:288-290`)
             out = out.withColumn(
                 "value",
@@ -1819,7 +1939,7 @@ class SearchTable:
                 out = out.withColumn("not_exists", zero)
             # with group_by, not_exists was computed inside the single
             # aggregation pass above; groups that only have missing-field
-            # docs still get a bucket (their __n is 0 → value NaN)
+            # docs still get a bucket (their __n is 0 -> value NaN)
 
         out = out.withColumnRenamed("__mid", "mid_ms").withColumnRenamed(
             "__group", "name"
@@ -1827,18 +1947,13 @@ class SearchTable:
         is_field_agg = func not in ("count", "unique")
         group_guard = enforce_guard and group_by is not None
         field_guard = enforce_guard and is_field_agg and max_field_tokens > 0
-        if (group_guard or field_guard) and not aggq.interval_ms:
-            # Non-timeseries guarded agg: the group guard BOUNDS the bucket
-            # set (≤ max_group_tokens rows; a single bucket without
-            # group_by), so materialize the buckets driver-side in the ONE
-            # job the caller would run anyway and check both guards on the
-            # collected rows — no persist, no second job, no cache
-            # bookkeeping. This is the reference-proxy shape: buckets merge
-            # on the coordinator (`seq/qpr.go:199-254`) before the guard
-            # verdict (`frac/processor/eval_tree.go:78-85`). limit(cap+1)
-            # keeps the failure path bounded too: a runaway group collects
-            # at most cap+1 rows before the error, never the full bucket
-            # set.
+        eager = (group_guard or field_guard) and not aggq.interval_ms
+        timeseries_guard = (group_guard or field_guard) and bool(aggq.interval_ms)
+        probe = None
+        if eager:
+            # group guard BOUNDS the bucket set; limit(cap+2) keeps the
+            # failure path bounded too (a runaway group collects at most
+            # cap+2 rows before the error, never the full bucket set).
             # +2, not +1: the synthetic `_not_exists` bucket (count aggs,
             # missing-field docs) rides along and must NOT count toward
             # the group-token guard — the reference guard counts unique
@@ -1846,6 +1961,53 @@ class SearchTable:
             # exactly max_group_tokens values plus missing docs would
             # otherwise fail spuriously
             probe = out.limit(max_group_tokens + 2) if group_guard else out
+        post = out.drop("__ftok")
+        if ordered:
+            post = self.order_buckets(post, func)
+        return _AggBuilt(
+            out=out,
+            post=post,
+            probe=probe,
+            bad=bad,
+            src=df,
+            func=func,
+            group_by=group_by,
+            fieldname=fieldname,
+            group_guard=group_guard,
+            field_guard=field_guard,
+            eager=eager,
+            timeseries_guard=timeseries_guard,
+        )
+
+    def _agg_execute(
+        self,
+        built: "_AggBuilt",
+        max_group_tokens: int,
+        max_field_tokens: int,
+        ordered: bool,
+        persisted_sink: Optional[List[DataFrame]] = None,
+    ) -> DataFrame:
+        """Run one aggregation from its prepared frames — every Spark
+        ACTION of the aggregate path lives here, so a cached construction
+        still computes from parquet on every call."""
+        if built.bad is not None:
+            sample = built.bad.head(1)
+            if sample:
+                raise AggParseError(
+                    f"parse errors reached, last_value={sample[0][0]!r}"
+                )
+        out = built.out
+        func = built.func
+        if built.eager:
+            # Non-timeseries guarded agg: the group guard BOUNDS the bucket
+            # set (<= max_group_tokens rows; a single bucket without
+            # group_by), so materialize the buckets driver-side in the ONE
+            # job the caller would run anyway and check both guards on the
+            # collected rows — no persist, no second job, no cache
+            # bookkeeping. This is the reference-proxy shape: buckets merge
+            # on the coordinator (`seq/qpr.go:199-254`) before the guard
+            # verdict (`frac/processor/eval_tree.go:78-85`).
+            probe = built.probe
             # the returned LocalRelation hides the executed plan; keep the
             # probe frame so diagnostics (bench.py plan-digest pinning) can
             # fingerprint what actually ran
@@ -1856,28 +2018,35 @@ class SearchTable:
                 self._agg_plan_dfs = buf[-self._AGG_PLAN_BUFFER_CAP:]
             rows = probe.collect()
             real_groups = sum(1 for r in rows if r["name"] != "_not_exists")
-            if group_guard and real_groups > max_group_tokens:
+            if built.group_guard and real_groups > max_group_tokens:
                 n = out.count()  # failure path only: exact n for the message
                 raise TooManyUniqValuesError(
-                    f"group_by {group_by!r} has {n} unique tokens > "
+                    f"group_by {built.group_by!r} has {n} unique tokens > "
                     f"{max_group_tokens}"
                 )
-            if field_guard and sum(r["__ftok"] or 0 for r in rows) > max_field_tokens:
-                self._confirm_field_guard(df, fieldname, max_field_tokens)
+            if built.field_guard and (
+                sum(r["__ftok"] or 0 for r in rows) > max_field_tokens
+            ):
+                self._confirm_field_guard(
+                    built.src, built.fieldname, max_field_tokens
+                )
             # rebuild as a JVM-side LocalRelation: the caller's collect (and
-            # any downstream op) then reads ≤ guard-cap rows without
+            # any downstream op) then reads <= guard-cap rows without
             # re-running the aggregation. Ordering happens driver-side in
             # Python (`_bucket_sort_key` mirrors `bucket_order_cols`
             # exactly, property-tested) because orderBy on a LocalRelation
             # still pays a range-partitioning sampling job.
-            local_schema = out.drop("__ftok").schema
-            names = [fld.name for fld in local_schema.fields]
+            if built.local_schema is None:
+                schema = out.drop("__ftok").schema
+                built.local_names = [fld.name for fld in schema.fields]
+                built.local_schema = schema
+            names = built.local_names
             data = [tuple(r[nm] for nm in names) for r in rows]
             if ordered:
                 data.sort(key=self._bucket_sort_key(func, names))
-            return _local_frame(df.sparkSession, data, local_schema)
-        if group_guard or field_guard:
-            # Timeseries guarded agg: bins × groups rows are NOT bounded by
+            return _local_frame(out.sparkSession, data, built.local_schema)
+        if built.timeseries_guard:
+            # Timeseries guarded agg: bins x groups rows are NOT bounded by
             # the group guard (which counts distinct group tokens), so stay
             # lazy/distributed. Persist so the guard action and the caller's
             # collect share ONE aggregation run — the cache plays the role of
@@ -1920,28 +2089,27 @@ class SearchTable:
                     F.when(F.col("name") != "_not_exists", F.col("name"))
                 ).alias("__groups"),
             ]
-            if field_guard:
+            if built.field_guard:
                 stat_cols.append(F.sum("__ftok").alias("__ftoks"))
             stats = out.agg(*stat_cols).head()
-            if group_guard:
-                # the guard counts distinct group tokens, not bins × groups
+            if built.group_guard:
+                # the guard counts distinct group tokens, not bins x groups
                 n = stats["__groups"]
                 if n > max_group_tokens:
                     out.unpersist()
                     raise TooManyUniqValuesError(
-                        f"group_by {group_by!r} has {n} unique tokens > "
+                        f"group_by {built.group_by!r} has {n} unique tokens > "
                         f"{max_group_tokens}"
                     )
-            if field_guard and (stats["__ftoks"] or 0) > max_field_tokens:
+            if built.field_guard and (stats["__ftoks"] or 0) > max_field_tokens:
                 try:
-                    self._confirm_field_guard(df, fieldname, max_field_tokens)
+                    self._confirm_field_guard(
+                        built.src, built.fieldname, max_field_tokens
+                    )
                 except TooManyUniqValuesError:
                     out.unpersist()
                     raise
-        out = out.drop("__ftok")
-        if ordered:
-            out = self.order_buckets(out, func)
-        return out
+        return built.post
 
     @staticmethod
     def _confirm_field_guard(df, fieldname, max_field_tokens) -> None:
