@@ -58,24 +58,56 @@ BPE_MERGES = [
 ]
 
 
+#: per-(session, sf_dir) memo (r17): SearchTable construction is ~50 ms
+#: of py4j on top of load_table's ~100 ms, and most entries build the
+#: same two tables. Entries NEVER mutate these shared instances (the
+#: index-routing entries build their own via from_typed + attach_index);
+#: the table's own prepared-plan cache stays valid because the testdata
+#: parquet is immutable. Weak-keyed so a stopped session is collectable.
+import weakref as _weakref
+
+_ST_MEMO: "_weakref.WeakKeyDictionary[SparkSession, dict]" = (
+    _weakref.WeakKeyDictionary()
+)
+
+
+def _st_memo(spark: SparkSession, key, build):
+    try:
+        memo = _ST_MEMO.setdefault(spark, {})
+    except TypeError:
+        memo = {}
+    st = memo.get(key)
+    if st is None:
+        st = memo[key] = build()
+    return st
+
+
 def _events_table(spark: SparkSession, sf_dir: str) -> SearchTable:
     # assume_folded: the synthetic keyword values are lower-case on disk (as
     # the reference's index guarantees by folding at ingest) — this is the
     # same fast path bench.py runs, so the pushed-down plans are
     # oracle-verified here (VERDICT r2 "What's wrong #6")
-    ev = load_table(spark, sf_dir, "events")
-    return SearchTable.from_typed(
-        ev, EVENTS_MAPPING, ts_col="ts", rid_col="event_id", assume_folded=True
-    )
+    def build():
+        ev = load_table(spark, sf_dir, "events")
+        return SearchTable.from_typed(
+            ev, EVENTS_MAPPING, ts_col="ts", rid_col="event_id",
+            assume_folded=True,
+        )
+
+    return _st_memo(spark, (sf_dir, "events"), build)
 
 
 def _docs_table(spark: SparkSession, sf_dir: str) -> SearchTable:
-    docs = load_table(spark, sf_dir, "documents").withColumn(
-        "ts", F.timestamp_millis(F.col("doc_id") * 1000)
-    )
-    return SearchTable.from_typed(
-        docs, DOCS_MAPPING, ts_col="ts", rid_col="doc_id", assume_folded=True
-    )
+    def build():
+        docs = load_table(spark, sf_dir, "documents").withColumn(
+            "ts", F.timestamp_millis(F.col("doc_id") * 1000)
+        )
+        return SearchTable.from_typed(
+            docs, DOCS_MAPPING, ts_col="ts", rid_col="doc_id",
+            assume_folded=True,
+        )
+
+    return _st_memo(spark, (sf_dir, "documents"), build)
 
 
 def _ev_cols(df: DataFrame) -> DataFrame:

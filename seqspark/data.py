@@ -9,6 +9,8 @@ precision loss on large epoch-nanos).
 
 from __future__ import annotations
 
+import weakref
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -58,6 +60,17 @@ _SCAN_CONFS = {
 }
 
 
+#: per-session memo of loaded tables (r17): `spark.read.parquet` costs
+#: ~100 ms of file listing + footer schema read per call, and a contract
+#: run loads the same handful of immutable testdata tables hundreds of
+#: times. The cached object is a LAZY DataFrame — every action re-reads
+#: the parquet bytes; only the plan construction is reused. Weak-keyed on
+#: the session so a stopped session's frames are collectable.
+_TABLE_MEMO: "weakref.WeakKeyDictionary[SparkSession, dict]" = (
+    weakref.WeakKeyDictionary()
+)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one testdata table with timestamp columns normalized to UTC
     TIMESTAMP.
@@ -73,6 +86,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     for k, v in _SCAN_CONFS.items():
         if spark.conf.get(k, None) != v:
             spark.conf.set(k, v)
+    try:
+        memo = _TABLE_MEMO.setdefault(spark, {})
+    except TypeError:  # session type not weak-referenceable
+        memo = {}
+    cached = memo.get((sf_dir, name))
+    if cached is not None:
+        return cached
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     for c, t in df.dtypes:
         if c in TS_COLS.get(name, ()) and t == "bigint":
@@ -85,4 +105,5 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # cast would shift epochs by the session offset. Matches
             # DuckDB's epoch() over the same naive value.
             df = df.withColumn(c, _ntz_as_utc(F.col(c)))
+    memo[(sf_dir, name)] = df
     return df
