@@ -1905,9 +1905,13 @@ class SearchTable:
             # per-bucket approx-distinct of the raw field tokens: summed
             # over buckets it upper-bounds the GLOBAL distinct-token count,
             # so the `--agg-max-field-tokens` guard rides the same
-            # aggregation job for free (`frac/processor/eval_tree.go:78-85`,
+            # aggregation job (`frac/processor/eval_tree.go:78-85`,
             # MaxFieldTokens); only a sum past the limit triggers a real
-            # second pass to confirm
+            # second pass to confirm. Measured r17: the HLL is an
+            # ImperativeAggregate, so it keeps the agg operator out of
+            # whole-stage codegen (~+40-100 ms on a 100k-row job) — still
+            # far cheaper than the second full pass it replaces, and at
+            # scale the scan dominates
             ftok = F.approx_count_distinct("__fieldtok").alias("__ftok")
             if func in agg_exprs:
                 out = base.groupBy("__mid", "__group").agg(
