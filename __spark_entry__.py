@@ -4115,64 +4115,64 @@ def contract_diagnostics() -> dict[str, Callable[[SparkSession, str], str]]:
 #: ``tools/rotate_window.py`` computes last driver-green age per entry
 #: from the committed CORRECTNESS_r*.json artifacts and takes the 50
 #: oldest (never-checked first, contract order within a round).
-#: This window = ``rotate_window.py --as-of 16``: the 4 r13-cohort
-#: entries that overflowed the r16 window (ann_pq_topk, ann_pq_batch,
-#: join_broadcast, lineitem_pricing_summary) plus 46 of the 50-entry
-#: r14 cohort.
+#: This window = ``rotate_window.py --as-of 17``: the 4 remaining
+#: r14-cohort entries (ann_ivfpq_residual, complex_search,
+#: inverted_index_and, export_keyset) plus 46 of the 50-entry r15
+#: cohort.
 #: tests/test_contract.py pins the window against the mechanism, so a
 #: hand-edit that drifts fails fast. After this round no entry's last
-#: driver-green is older than r14.
+#: driver-green is older than r15.
 DRIVER_WINDOW = [
-    "ann_pq_topk",
-    "ann_pq_batch",
-    "join_broadcast",
-    "lineitem_pricing_summary",
-    "keyword_eq",
-    "keyword_eq_native",
-    "keyword_wildcard",
-    "filter_in",
-    "range_numeric",
-    "range_open",
-    "range_lexicographic",
-    "match_all",
-    "comment_strip",
-    "time_range",
-    "order_limit_desc",
-    "order_limit_asc",
-    "offset_pagination",
-    "merge_dedup",
-    "store_bloom_fetch",
-    "with_total",
-    "fulltext_and",
-    "fulltext_wildcard",
-    "agg_count_group",
-    "date_histogram",
-    "notexists_accounting",
-    "json_field_extract",
-    "auto_mapping_search",
-    "ingest_tokenize",
-    "index_hot_tokens",
-    "gopher_quality",
-    "gopher_repetition",
-    "url_canonical",
-    "unigram_perplexity",
-    "dsir_score",
-    "dsir_resample",
-    "html_extract",
-    "bigram_perplexity",
-    "lang_detect",
-    "token_budget",
-    "audio_features_flac",
-    "audio_features_adpcm",
-    "multimodal_bmp",
-    "multimodal_tiff",
-    "multimodal_tiff_pixels",
-    "multimodal_mp3",
-    "multimodal_ogg",
-    "multimodal_webp",
-    "multimodal_isobmff",
-    "weighted_sample",
-    "ann_opq_topk",
+    "ann_ivfpq_residual",
+    "complex_search",
+    "inverted_index_and",
+    "export_keyset",
+    "incremental_lsh_dupes",
+    "bpe_encode",
+    "bpe_encode_dict",
+    "audio_features_wavext",
+    "multimodal_bmp_rle",
+    "multimodal_oggflac",
+    "multimodal_webp_pixels",
+    "multimodal_webp_anim",
+    "ann_sq_topk",
+    "ann_ivfsq_topk",
+    "agg_notexists_bucket",
+    "agg_sum_notexists",
+    "agg_unique_total",
+    "agg_bucket_order",
+    "keyset_pagination",
+    "multitype_keyword_title",
+    "two_phase_fetch",
+    "corpus_curation",
+    "case_sensitive_eq",
+    "pii_scrub",
+    "decontaminate",
+    "repetition_ratio",
+    "shipping_priority",
+    "local_supplier_volume",
+    "hash_sample",
+    "hash_split",
+    "train_shuffle",
+    "mix_sources",
+    "legacy_query",
+    "legacy_range",
+    "dup_clusters",
+    "stratified_sample",
+    "domain_stats",
+    "cap_per_group",
+    "ivf_update",
+    "sessionize",
+    "sessionize_native",
+    "sketch_balanced_sample",
+    "multimodal_resize",
+    "embedding_dup_clusters",
+    "top_per_group",
+    "heavy_hitters",
+    "semantic_dedup_pairs",
+    "semantic_dedup",
+    "span_dedup",
+    "fuzzy_contamination",
 ]
 
 

@@ -59,7 +59,7 @@ def test_driver_window_is_the_mechanical_rotation():
         os.path.dirname(os.path.dirname(os.path.abspath(__file__)))))
     from tools.rotate_window import compute_window, last_green
 
-    AS_OF = 16
+    AS_OF = 17
     names = list(entry_mod._all_queries().keys())
     want = compute_window(names, last_green(as_of=AS_OF))
     assert entry_mod.DRIVER_WINDOW == want, (
