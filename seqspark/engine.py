@@ -288,8 +288,11 @@ class SearchTable:
         self._two_phase_min_bytes: Optional[int] = None
         #: which plan served the LAST search() call — "two_phase" or
         #: "scan"; observability for transports/explain (None before
-        #: any search)
-        self.route: Optional[str] = None
+        #: any search). Backed by a thread-local (r18): the server
+        #: shares ONE memoized table across request handler threads,
+        #: and each must read the route of ITS OWN search, not whichever
+        #: ran last globally (see the `route` property below)
+        self._route_local = threading.local()
         #: memoized avg_doc_bytes() — () = not yet computed; a server
         #: fronting many requests may pre-seed this from its own cache
         self._avg_doc_bytes_cache: tuple = ()
@@ -323,6 +326,19 @@ class SearchTable:
         #: :meth:`attach_index` (the "store changed" signals).
         self._plan_cache: "OrderedDict[tuple, tuple]" = OrderedDict()
         self._plan_cache_lock = threading.Lock()
+
+    @property
+    def route(self) -> Optional[str]:
+        """Which plan served THIS THREAD's last :meth:`search` on this
+        table — "two_phase" or "scan"; None before any search. Request-
+        local by design: concurrent server threads sharing one table
+        each observe their own route (the metric/explain signal), never
+        a neighbor's."""
+        return getattr(self._route_local, "value", None)
+
+    @route.setter
+    def route(self, value: Optional[str]) -> None:
+        self._route_local.value = value
 
     def attach_index(
         self,

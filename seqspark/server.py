@@ -181,6 +181,10 @@ class SeqSparkServer:
         self._store_index = index
         self._two_phase_min_doc_bytes = two_phase_min_doc_bytes
         self._width_cache: Optional[tuple] = None  # (expires_mono, value)
+        #: generation-keyed SearchTable memo: (key, mapping, table) —
+        #: see :meth:`_table`. Tuple assignment is atomic under the GIL;
+        #: two racing builders both build lazy state and one wins.
+        self._st_memo: Optional[tuple] = None
         # FRESHNESS: an attached index is AUTHORITATIVE (the semi-join
         # drops docs it doesn't list), so serving with an index that
         # predates an append would silently hide fresh docs. The caller
@@ -831,6 +835,10 @@ class SeqSparkServer:
                     t in str(e) for t in self._TRANSIENT_READ
                 ):
                     raise
+                # the failing frame may be the memoized table's (files
+                # changed without an observed generation bump): rebuild
+                # from a fresh listing on the replan
+                self._invalidate_table()
                 time.sleep(0.05 * (attempt + 1))
 
     @staticmethod
@@ -950,6 +958,7 @@ class SeqSparkServer:
                     if not any(t in str(e) for t in self._TRANSIENT_READ):
                         raise
                     docs = None  # next iteration replans from a new listing
+                    self._invalidate_table()  # never resume on a stale memo
                     if cursor == failed_at:
                         stalls += 1
                         if stalls >= self._EXPORT_STALL_ATTEMPTS - 1:
@@ -1251,19 +1260,56 @@ class SeqSparkServer:
             raise my_exc
 
     def _table(self) -> SearchTable:
-        st = SearchTable.from_store(
-            self.store, self.mapping, case_sensitive=self._case_sensitive
-        )
-        if (self._store_index is not None
-                and self._index_fresh_seq == self._index_append_seq):
-            st = self._store_index.attach_to(
-                st, two_phase_min_doc_bytes=self._two_phase_min_doc_bytes
+        """The serving SearchTable, memoized on the store's MUTATION
+        GENERATION (r18). Building one costs ~100+ ms of file listing +
+        py4j per request, and the per-request rebuild also meant the
+        engine's prepared-plan cache never engaged on the serving path
+        (a fresh instance each time). The store bumps its generation
+        after every visible mutation — append, compact swap, retention
+        drop, tier rotation, cold-tier reachability flip — so a hit
+        serves exactly the file listing a fresh build would pin, and a
+        bulk acked before this request is ALWAYS visible (its append
+        bumped the generation before returning). Also keyed on mapping
+        identity (live mapping reloads swap the object) and the index
+        arm state (append staleness disarms; refresh_index re-arms).
+        Request-local state stays request-local: ``st.route`` is
+        thread-local in the engine, and a transient read failure
+        invalidates the memo before the replan (:meth:`_retry_transient`)
+        so external/raced file changes can never pin a stale listing."""
+        gen = self.store.generation
+        armed = (self._store_index is not None
+                 and self._index_fresh_seq == self._index_append_seq)
+        key = (gen, armed, self._index_fresh_seq if armed else None)
+        m = self.mapping
+        cached = self._st_memo
+        if cached is not None and cached[0] == key and cached[1] is m:
+            st = cached[2]
+        else:
+            st = SearchTable.from_store(
+                self.store, m, case_sensitive=self._case_sensitive
             )
+            if armed:
+                st = self._store_index.attach_to(
+                    st,
+                    two_phase_min_doc_bytes=self._two_phase_min_doc_bytes,
+                )
+            self._st_memo = (key, m, st)
+        if armed:
             now = time.monotonic()
             if self._width_cache is None or self._width_cache[0] < now:
+                # force a fresh sample on TTL expiry: the memoized
+                # table's own width memo would otherwise answer forever
+                st._avg_doc_bytes_cache = ()
                 self._width_cache = (now + 30.0, st.avg_doc_bytes())
             st._avg_doc_bytes_cache = (self._width_cache[1],)
         return st
+
+    def _invalidate_table(self) -> None:
+        """Drop the memoized SearchTable so the next :meth:`_table`
+        rebuilds from a fresh listing — called on transient read
+        failures, where the files changed without a generation bump this
+        process observed (or a cold tier went dark mid-frame)."""
+        self._st_memo = None
 
     def refresh_index(self) -> bool:
         """Rebuild the attached StoreIndex's stale buckets and re-arm

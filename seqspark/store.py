@@ -55,18 +55,48 @@ _WRITE_LOCKS_GUARD = threading.Lock()
 _WRITE_LOCKS: dict = {}
 
 
-def _write_lock(path: str) -> "threading.RLock":
+def _store_key(path: str) -> str:
     # URI paths (s3a://, hdfs://) must NOT go through os.path.abspath —
     # it would join them onto the cwd, and a cwd change between lookups
     # would hand the same store two different locks, silently losing the
     # append-vs-compact serialization. Local paths are normalized so two
     # spellings of one directory share a lock.
-    key = path.rstrip("/") if "://" in path else os.path.abspath(path)
+    return path.rstrip("/") if "://" in path else os.path.abspath(path)
+
+
+def _write_lock(path: str) -> "threading.RLock":
+    key = _store_key(path)
     with _WRITE_LOCKS_GUARD:
         lock = _WRITE_LOCKS.get(key)
         if lock is None:
             lock = _WRITE_LOCKS[key] = threading.RLock()
         return lock
+
+
+#: per-store-path MUTATION GENERATION, shared by every DocStore instance
+#: over one path in this process (same keying as the write locks, same
+#: runtime model: one process owns a store). Bumped AFTER every visible
+#: mutation — append, compact swap, retention drop, crash-recovery
+#: rename — so a serving layer can memoize expensive derived state (a
+#: SearchTable's pinned file listing + prepared plans) and rebuild
+#: exactly when the store actually changed. Bumping after (never
+#: before) the mutation means a concurrent reader that observes the OLD
+#: generation memoizes at worst the pre-mutation listing under the old
+#: key, which the post-mutation generation immediately invalidates.
+_GENERATIONS_GUARD = threading.Lock()
+_GENERATIONS: dict = {}
+
+
+def _bump_generation(path: str) -> None:
+    key = _store_key(path)
+    with _GENERATIONS_GUARD:
+        _GENERATIONS[key] = _GENERATIONS.get(key, 0) + 1
+
+
+def _generation(path: str) -> int:
+    key = _store_key(path)
+    with _GENERATIONS_GUARD:
+        return _GENERATIONS.get(key, 0)
 
 #: compaction scratch space; the leading underscore makes Spark's partition
 #: discovery ignore it, so a crash mid-compact can never surface duplicate
@@ -432,13 +462,28 @@ class DocStore:
         tmp = self._fs.path(TMP_DIR)
         if not self._fs.exists(tmp):
             return
+        recovered = False
         for child in self._fs.list_dirs(tmp):
             name = child.getName()
             if name.startswith("old-"):
                 live = self._fs.path(f"{PARTITION_COL}={name[4:]}")
                 if not self._fs.exists(live):
                     self._fs.rename(child, live)
+                    recovered = True
         self._fs.delete(tmp)
+        if recovered:
+            # the rename made a parked partition visible again — a data
+            # mutation from any other instance's point of view
+            _bump_generation(self.path)
+
+    @property
+    def generation(self) -> int:
+        """Monotone mutation counter for this store PATH — shared by
+        every DocStore instance over the path in this process (like the
+        write locks) and bumped after append/compact/retention. A caller
+        that memoizes derived state (e.g. the server's SearchTable) keys
+        it on this and rebuilds exactly when the store changed."""
+        return _generation(self.path)
 
     def append(self, df: DataFrame, ts_col: str = "ts") -> None:
         """Append, ts-clustered: each task sorts its slice by (bucket, ts)
@@ -486,6 +531,7 @@ class DocStore:
                 if self.bloom_at == "always":
                     writer = self._bloom_opts(writer, bloom_cols)
                 writer.mode("append").parquet(self.path)
+            _bump_generation(self.path)
             self._count_cache.clear()
             self._seen_data = True
             if self._schema_cache is not None:
@@ -702,6 +748,7 @@ class DocStore:
 
     def _drop(self, bucket: str) -> None:
         self._fs.delete(self._fs.path(f"{PARTITION_COL}={bucket}"))
+        _bump_generation(self.path)
         self._count_cache.pop(bucket, None)
         self._seen_data = False  # read() re-checks after retention
 
@@ -774,6 +821,7 @@ class DocStore:
             self._fs.rename(part, tmp_old)
             self._fs.rename(tmp_new, part)
             self._fs.delete(tmp_old)
+            _bump_generation(self.path)
             self._count_cache.pop(bucket, None)
 
 
@@ -828,12 +876,36 @@ class TieredStore:
         #: from reads (found by the tiered burn-in).
         raw = hot._fs.read_text(hot._fs.path(self.ROTATED_FILE))
         self._rotated: set = set(json.loads(raw)) if raw else set()
+        #: last observed cold-tier reachability; a TRANSITION (up→down or
+        #: down→up) changes what read_with_status serves (full vs
+        #: partial hot-only), so it must invalidate memoized tables like
+        #: any other mutation — observed by partitions(), which the
+        #: server's per-request fraction check already calls
+        self._cold_reachable = True
+
+    @property
+    def generation(self) -> int:
+        """Mutation generation across both tiers (each tier's shared
+        per-path counter; sums of monotone counters are monotone).
+        Tombstone updates and cold-reachability flips bump the hot/cold
+        counters respectively, so every state change that affects
+        :meth:`read_with_status` moves this value."""
+        return _generation(self.hot.path) + _generation(self.cold.path)
+
+    def _note_cold_reachability(self, reachable: bool) -> None:
+        if self._cold_reachable != reachable:
+            self._cold_reachable = reachable
+            _bump_generation(self.cold.path)
 
     def _persist_rotated(self) -> None:
         self.hot._fs.write_text(
             self.hot._fs.path(self.ROTATED_FILE),
             json.dumps(sorted(self._rotated)),
         )
+        # ownership changed (a bucket moved to cold authority): a data
+        # mutation for any memoized reader even though hot's retention
+        # drop already bumped — belt and braces for direct callers
+        _bump_generation(self.hot.path)
 
     def append(self, df: DataFrame, ts_col: str = "ts") -> None:
         """Dual write — hot first, then cold, like the reference's bulk
@@ -869,7 +941,9 @@ class TieredStore:
         task-failure introspection)."""
         hot_parts = self.hot.partitions()
         try:
-            return self._read_owned(hot_parts), False
+            out = self._read_owned(hot_parts), False
+            self._note_cold_reachability(True)
+            return out
         except Exception:
             # distinguish "cold tier down" from any other failure: the
             # hot side must list cleanly for the degraded path to apply
@@ -880,6 +954,7 @@ class TieredStore:
                     "cold tier at %s unreachable; serving hot-only "
                     "(partial)", self.cold.path,
                 )
+                self._note_cold_reachability(False)
                 return self.hot.read(), True
             raise
 
@@ -917,14 +992,19 @@ class TieredStore:
         hot_parts = self.hot.partitions()
         try:
             cold_parts = self.cold.partitions()
+            self._note_cold_reachability(True)
         except Exception:
             # cold tier unreachable: admission checks and bucket math run
             # on the reachable window (read_with_status marks the
-            # degradation on the response path)
+            # degradation on the response path). The reachability flip
+            # bumps the generation so a memoized full-store table is
+            # rebuilt (degraded, partial) instead of erroring on every
+            # read of the dark tier's files
             logger.warning(
                 "cold tier at %s unreachable; partitions() serving "
                 "hot-only", self.cold.path,
             )
+            self._note_cold_reachability(False)
             return sorted(hot_parts)
         hot_set = set(hot_parts)
         cold_only = [b for b in cold_parts if b not in hot_set]
