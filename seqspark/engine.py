@@ -132,7 +132,23 @@ class AggQuery:
     exact_quantiles: bool = False
 
 
-def _local_frame(spark, data, schema) -> DataFrame:
+def _local_frame_schemas(schema) -> tuple:
+    """(relaxed StructType, matching pyarrow schema) for a LocalRelation
+    build — split out (r18) so repeated executions of one cached
+    aggregate shape prepare these once at build time (~17 ms of
+    conversion per call otherwise) instead of per execution."""
+    from pyspark.sql.pandas.types import to_arrow_schema
+    from pyspark.sql.types import StructField, StructType
+
+    # relax nullability: collected rows may hold NULLs in fields Catalyst
+    # inferred non-nullable (codegen would read them unchecked otherwise)
+    relaxed = StructType(
+        [StructField(f.name, f.dataType, True, f.metadata) for f in schema.fields]
+    )
+    return relaxed, to_arrow_schema(relaxed)
+
+
+def _local_frame(spark, data, schema, prepared=None) -> DataFrame:
     """Build a JVM-side LocalRelation (`LocalTableScan`) from driver rows.
 
     A tuples-based ``createDataFrame`` routes through a pickled Python RDD
@@ -143,19 +159,14 @@ def _local_frame(spark, data, schema) -> DataFrame:
     the null-vs-NaN distinction exactly: ``float('nan')`` stays a DOUBLE
     value, ``None`` stays SQL NULL — both occur in bucket frames (NaN =
     zero parsed samples, NULL = quantile columns of NotExists-only
-    buckets).
+    buckets). ``prepared`` takes the pre-computed
+    :func:`_local_frame_schemas` pair for callers on a hot path.
     """
     import pyarrow as pa
 
-    from pyspark.sql.pandas.types import to_arrow_schema
-    from pyspark.sql.types import StructField, StructType
-
-    # relax nullability: collected rows may hold NULLs in fields Catalyst
-    # inferred non-nullable (codegen would read them unchecked otherwise)
-    relaxed = StructType(
-        [StructField(f.name, f.dataType, True, f.metadata) for f in schema.fields]
+    relaxed, aschema = (
+        prepared if prepared is not None else _local_frame_schemas(schema)
     )
-    aschema = to_arrow_schema(relaxed)
     cols = list(zip(*data)) if data else [[] for _ in relaxed.fields]
     tbl = pa.Table.from_arrays(
         [pa.array(list(c), type=f.type) for c, f in zip(cols, aschema)],
@@ -184,9 +195,14 @@ class _AggBuilt:
     field_guard: bool
     eager: bool
     timeseries_guard: bool
-    #: memoized on first eager execute (schema reads cost a py4j parse)
+    #: LocalRelation schema state for the EAGER path, computed at build
+    #: time (r18 — a schema read costs a py4j parse, and the pyarrow
+    #: conversion ~17 ms; doing it in _agg_build sets the fields before
+    #: the object is published to the plan cache, so concurrent
+    #: executes never mutate shared state)
     local_schema: Optional[object] = None
     local_names: Optional[List[str]] = None
+    local_arrow: Optional[tuple] = None  # (_local_frame_schemas pair)
 
 
 def validate_agg(aggq: "AggQuery") -> None:
@@ -326,6 +342,14 @@ class SearchTable:
         #: :meth:`attach_index` (the "store changed" signals).
         self._plan_cache: "OrderedDict[tuple, tuple]" = OrderedDict()
         self._plan_cache_lock = threading.Lock()
+        #: invalidation epoch (r18): bumped by clear_width_cache() under
+        #: the lock. Builders capture it before constructing a plan and
+        #: insert only if it is unchanged — without this, an
+        #: attach_index() firing between build and insert would leave a
+        #: plan built against the OLD index cached indefinitely (for
+        #: aggregates, an embedded stale posting semi-join could silently
+        #: exclude docs added by the refresh)
+        self._plan_cache_epoch = 0
 
     @property
     def route(self) -> Optional[str]:
@@ -419,6 +443,7 @@ class SearchTable:
         self._avg_doc_bytes_cache = ()
         with self._plan_cache_lock:
             self._plan_cache.clear()
+            self._plan_cache_epoch += 1
 
     def _index_leaf(self, node) -> Optional[tuple]:
         """(field, exact_token_or_None, prefix, like_pattern_or_None) when
@@ -1019,6 +1044,7 @@ class SearchTable:
             tuple(self.default_dedup) if self.default_dedup else None,
             dialect or self.dialect,
         )
+        epoch = None
         if cacheable:
             with self._plan_cache_lock:
                 hit = self._plan_cache.get(key)
@@ -1026,6 +1052,7 @@ class SearchTable:
                     self._plan_cache.move_to_end(key)
                     self.route = "scan"
                     return hit[0]
+                epoch = self._plan_cache_epoch
         routed = self._route_two_phase(
             q, from_ms, to_ms, size, offset, order, dedup_cols, dialect
         )
@@ -1038,9 +1065,16 @@ class SearchTable:
         df = self.apply_pipes(self._public(df), pipes)
         if cacheable:
             with self._plan_cache_lock:
-                self._plan_cache[key] = (df,)
-                while len(self._plan_cache) > self._PLAN_CACHE_CAP:
-                    self._plan_cache.popitem(last=False)
+                # insert only if no attach_index()/clear_width_cache()
+                # fired since the epoch was captured (and the table is
+                # STILL index-free): a plan built against superseded
+                # state must never outlive the invalidation
+                if (self._plan_cache_epoch == epoch
+                        and self._index is None
+                        and self._two_phase_min_bytes is None):
+                    self._plan_cache[key] = (df,)
+                    while len(self._plan_cache) > self._PLAN_CACHE_CAP:
+                        self._plan_cache.popitem(last=False)
         return df
 
     def avg_doc_bytes(self, sample_files: int = 16) -> Optional[float]:
@@ -1748,6 +1782,7 @@ class SearchTable:
             if hit is not None:
                 self._plan_cache.move_to_end(key)
                 built = hit[0]
+            epoch = self._plan_cache_epoch
         if built is None:
             df, _ = self._filtered(q, from_ms, to_ms, dialect=dialect)
             built = self._agg_build(
@@ -1756,12 +1791,16 @@ class SearchTable:
             )
             # the timeseries-guard path persists per call (FIFO-owned);
             # caching its construction would alias persist bookkeeping
-            # across calls — leave it uncached
+            # across calls — leave it uncached. The epoch guard keeps a
+            # plan built across a concurrent attach_index() (whose
+            # embedded posting semi-join is already stale) out of the
+            # cache — see clear_width_cache()
             if not built.timeseries_guard:
                 with self._plan_cache_lock:
-                    self._plan_cache[key] = (built,)
-                    while len(self._plan_cache) > self._PLAN_CACHE_CAP:
-                        self._plan_cache.popitem(last=False)
+                    if self._plan_cache_epoch == epoch:
+                        self._plan_cache[key] = (built,)
+                        while len(self._plan_cache) > self._PLAN_CACHE_CAP:
+                            self._plan_cache.popitem(last=False)
         return self._agg_execute(built, max_group_tokens, max_field_tokens, ordered)
 
     def _aggregate_on(
@@ -1981,9 +2020,19 @@ class SearchTable:
             # exactly max_group_tokens values plus missing docs would
             # otherwise fail spuriously
             probe = out.limit(max_group_tokens + 2) if group_guard else out
-        post = out.drop("__ftok")
+        dropped = out.drop("__ftok")
+        post = dropped
         if ordered:
             post = self.order_buckets(post, func)
+        local_schema = local_names = local_arrow = None
+        if eager:
+            # the eager path rebuilds its result as a LocalRelation —
+            # prepare the schema state HERE so a cached construction
+            # never pays the py4j schema parse + pyarrow conversion per
+            # execute, and concurrent executes share immutable state
+            local_schema = dropped.schema
+            local_names = [fld.name for fld in local_schema.fields]
+            local_arrow = _local_frame_schemas(local_schema)
         return _AggBuilt(
             out=out,
             post=post,
@@ -1997,6 +2046,9 @@ class SearchTable:
             field_guard=field_guard,
             eager=eager,
             timeseries_guard=timeseries_guard,
+            local_schema=local_schema,
+            local_names=local_names,
+            local_arrow=local_arrow,
         )
 
     def _agg_execute(
@@ -2056,15 +2108,14 @@ class SearchTable:
             # Python (`_bucket_sort_key` mirrors `bucket_order_cols`
             # exactly, property-tested) because orderBy on a LocalRelation
             # still pays a range-partitioning sampling job.
-            if built.local_schema is None:
-                schema = out.drop("__ftok").schema
-                built.local_names = [fld.name for fld in schema.fields]
-                built.local_schema = schema
             names = built.local_names
             data = [tuple(r[nm] for nm in names) for r in rows]
             if ordered:
                 data.sort(key=self._bucket_sort_key(func, names))
-            return _local_frame(out.sparkSession, data, built.local_schema)
+            return _local_frame(
+                out.sparkSession, data, built.local_schema,
+                prepared=built.local_arrow,
+            )
         if built.timeseries_guard:
             # Timeseries guarded agg: bins x groups rows are NOT bounded by
             # the group guard (which counts distinct group tokens), so stay

@@ -132,3 +132,69 @@ def test_cached_pages_disjoint(spark, order):
     p1 = [r["event_id"] for r in st.search("*", size=2, offset=2, order=order).collect()]
     p0b = [r["event_id"] for r in st.search("*", size=2, offset=0, order=order).collect()]
     assert p0 == p0b and not set(p0) & set(p1)
+
+
+def test_agg_built_schema_state_set_at_build(spark):
+    # r18: the eager path's LocalRelation schema state is computed in
+    # _agg_build, BEFORE the object is published to the plan cache —
+    # concurrent executes share immutable state instead of racing a
+    # lazy memo write
+    st = _table(spark)
+    aq = AggQuery(func="count", group_by="grp")
+    st.aggregate(aq).collect()
+    (built,) = [v[0] for k, v in st._plan_cache.items() if k[0] == "agg"]
+    assert built.eager
+    assert built.local_schema is not None
+    assert built.local_names is not None
+    assert built.local_arrow is not None
+
+
+def test_concurrent_aggregate_execute(spark):
+    # concurrent executes of ONE cached shape: identical results, no
+    # errors (the pre-r18 lazy local_schema write was the only shared
+    # mutation on this path)
+    import threading
+
+    st = _table(spark)
+    aq = AggQuery(func="count", group_by="grp")
+    expected = sorted(
+        tuple(r) for r in st.aggregate(aq).collect()
+    )
+    results: list = []
+    errors: list = []
+
+    def run():
+        try:
+            rows = sorted(tuple(r) for r in st.aggregate(aq).collect())
+            results.append(rows)
+        except Exception as e:  # noqa: BLE001
+            errors.append(e)
+
+    threads = [threading.Thread(target=run) for _ in range(6)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors
+    assert all(r == expected for r in results)
+
+
+def test_plan_cache_epoch_blocks_stale_insert(spark):
+    # r18 (advice): a clear_width_cache() firing between plan build and
+    # cache insert must win — the plan built against superseded state
+    # never enters the cache
+    st = _table(spark)
+    orig_build = st._agg_build
+
+    def build_then_invalidate(*a, **kw):
+        built = orig_build(*a, **kw)
+        st.clear_width_cache()  # concurrent attach_index analog
+        return built
+
+    st._agg_build = build_then_invalidate
+    st.aggregate(AggQuery(func="count", group_by="grp")).collect()
+    st._agg_build = orig_build
+    assert not st._plan_cache, "stale-epoch plan must not be cached"
+    # and the same request afterwards caches normally again
+    st.aggregate(AggQuery(func="count", group_by="grp")).collect()
+    assert st._plan_cache
