@@ -116,6 +116,16 @@ def build_parser() -> argparse.ArgumentParser:
                         "index-covered searches take the two-phase plan")
     p.add_argument("--spark-master", default=None,
                    help="override (default local[$SPARK_GRAFT_CPUS])")
+    p.add_argument("--arrow-max-bytes-per-batch", type=size_bytes,
+                   default=size_bytes("64MiB"),
+                   help="Arrow record-batch byte cap for Python stages "
+                        "(spark.sql.execution.arrow.maxBytesPerBatch). "
+                        "Multimodal mapInArrow stages carry multi-MB "
+                        "binary assets; the default rows-per-batch cap "
+                        "alone would let one batch hold GBs and pressure "
+                        "Python worker memory. Only applied to sessions "
+                        "this CLI builds (an externally passed session "
+                        "keeps its own conf)")
     return p
 
 
@@ -193,6 +203,12 @@ def main(argv: Optional[list] = None, spark=None, block: bool = True):
             # decoration costs ~2x driver CPU on query construction
             # (measured r17); serving paths build many frames per request
             .config("spark.python.sql.dataFrameDebugging.enabled", "false")
+            # bound Arrow batches by BYTES, not just rows: multimodal
+            # mapInArrow stages move multi-MB binary assets, and 10k
+            # rows of those in one batch would pressure Python worker
+            # memory (guide §4.2/§5); --arrow-max-bytes-per-batch
+            .config("spark.sql.execution.arrow.maxBytesPerBatch",
+                    str(args.arrow_max_bytes_per_batch))
             .getOrCreate()
         )
 

@@ -223,3 +223,33 @@ def test_cli_doc_bloom_at_reaches_both_tiers(spark, tmp_path):
         assert rt.store.bloom_at == "always"
     finally:
         rt.stop()
+
+
+def test_cli_arrow_byte_cap_reaches_session(tmp_path):
+    """--arrow-max-bytes-per-batch (r18): the CLI session builder caps
+    Arrow batches by BYTES (multimodal mapInArrow stages carry multi-MB
+    assets; a rows-only cap can let one batch hold GBs). Default 64MiB,
+    overridable. getOrCreate applies runtime confs to an existing
+    session too, which is what this asserts through."""
+    from pyspark.sql import SparkSession
+
+    from seqspark.__main__ import build_parser, main
+
+    KEY = "spark.sql.execution.arrow.maxBytesPerBatch"
+    assert build_parser().get_default("arrow_max_bytes_per_batch") == 64 * 2**20
+
+    active = SparkSession.getActiveSession()
+    saved = active.conf.get(KEY, None) if active else None
+    rt = main(
+        ["--data-dir", str(tmp_path / "store"), "--mapping", "auto",
+         "--addr", "127.0.0.1:0", "--proxy-grpc-addr", "127.0.0.1:0",
+         "--arrow-max-bytes-per-batch", "16MiB"],
+        spark=None, block=False)
+    try:
+        assert rt.spark.conf.get(KEY) == str(16 * 2**20)
+    finally:
+        rt.stop()
+        if saved is not None:
+            rt.spark.conf.set(KEY, saved)
+        else:
+            rt.spark.conf.unset(KEY)
