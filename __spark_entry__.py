@@ -63,7 +63,9 @@ BPE_MERGES = [
 #: same two tables. Entries NEVER mutate these shared instances (the
 #: index-routing entries build their own via from_typed + attach_index);
 #: the table's own prepared-plan cache stays valid because the testdata
-#: parquet is immutable. Weak-keyed so a stopped session is collectable.
+#: parquet is immutable. Entries live for the PROCESS lifetime (r18):
+#: the weak key never fires because cached tables strongly reference
+#: the session — a few tables per session is the intended cost.
 import weakref as _weakref
 
 _ST_MEMO: "_weakref.WeakKeyDictionary[SparkSession, dict]" = (

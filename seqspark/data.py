@@ -64,11 +64,28 @@ _SCAN_CONFS = {
 #: ~100 ms of file listing + footer schema read per call, and a contract
 #: run loads the same handful of immutable testdata tables hundreds of
 #: times. The cached object is a LAZY DataFrame — every action re-reads
-#: the parquet bytes; only the plan construction is reused. Weak-keyed on
-#: the session so a stopped session's frames are collectable.
+#: the parquet bytes; only the plan construction is reused.
+#: RETENTION (r18, honest version): entries live for the PROCESS
+#: lifetime. The weak key never fires, because the value dict's
+#: DataFrames strongly reference their SparkSession — the same cycle
+#: would defeat a finalize-based eviction, so none is pretended.
+#: A handful of cached frames per session is the intended cost; callers
+#: that must drop them call :func:`clear_table_memo`.
 _TABLE_MEMO: "weakref.WeakKeyDictionary[SparkSession, dict]" = (
     weakref.WeakKeyDictionary()
 )
+
+
+def clear_table_memo(spark: SparkSession) -> None:
+    """Drop the session's memoized table frames. The memo pins each
+    frame's FILE LISTING and schema at first read — correct for the
+    immutable testdata it targets, wrong for a directory whose files
+    change; call this (or reopen a new session) after rewriting files
+    under a previously loaded path."""
+    try:
+        _TABLE_MEMO.pop(spark, None)
+    except TypeError:
+        pass
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -82,7 +99,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     needs the same values; if other code on the session reads parquet with
     nanos timestamps or relies on TIMESTAMP_NTZ inference, set the confs
     back after loading. Values already equal are skipped (no redundant
-    set); DIFFERING values are overwritten."""
+    set); DIFFERING values are overwritten.
+
+    CACHING CAVEAT: results are memoized per (session, sf_dir, name),
+    and a cached lazy frame re-reads parquet BYTES on every action but
+    pins its file LISTING and schema at first read — files added,
+    removed or rewritten under ``sf_dir`` later are invisible (or raise
+    FileNotFound) for the session's lifetime. Intended for immutable
+    test/benchmark data; for a changing directory call
+    :func:`clear_table_memo` first."""
     for k, v in _SCAN_CONFS.items():
         if spark.conf.get(k, None) != v:
             spark.conf.set(k, v)

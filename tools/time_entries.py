@@ -65,28 +65,41 @@ def main() -> int:
             pass
 
     timings: dict[str, float] = {}
+    cpu_timings: dict[str, float] = {}
     errors: dict[str, str] = {}
     for name, fn in qs.items():
         spark.sparkContext.setJobDescription(f"time:{name}")
         runs = []
+        cpu_runs = []
         try:
             for _ in range(args.runs):
+                c0 = time.process_time()
                 t0 = time.perf_counter()
                 df = fn(spark, args.sf_dir)
                 df.write.format("noop").mode("overwrite").save()
                 runs.append(time.perf_counter() - t0)
+                cpu_runs.append(time.process_time() - c0)
         except Exception as e:  # noqa: BLE001 — record and continue
             errors[name] = f"{type(e).__name__}: {e}"[:200]
             continue
         timings[name] = round(statistics.median(runs), 4)
-        print(f"{timings[name]:9.3f}  {name}", file=sys.stderr, flush=True)
+        # driver-process CPU median (r18): wall swings ±2-3x with host
+        # load on this box; the CPU medians make per-entry deltas
+        # attributable (Python build + py4j + local execution share the
+        # driver process; executor CPU in local mode is JVM-side and
+        # shows up in neither, but tracks wall when the host is idle)
+        cpu_timings[name] = round(statistics.median(cpu_runs), 4)
+        print(f"{timings[name]:9.3f} {cpu_timings[name]:8.3f}  {name}",
+              file=sys.stderr, flush=True)
 
     out = {
         "metric": "seqspark_entry_timings",
         "sf_dir": args.sf_dir,
         "runs": args.runs,
         "total": round(sum(timings.values()), 3),
+        "cpu_total": round(sum(cpu_timings.values()), 3),
         "timings": timings,
+        "cpu": cpu_timings,
         "errors": errors,
     }
     print(json.dumps(out))
