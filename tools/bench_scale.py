@@ -67,6 +67,17 @@ def scale_out(df, factor: int, id_cols):
     return rep.drop("__r")
 
 
+#: replica-writer row-group cap (r18): the scaled fixtures are a scale
+#: MODEL of a 100 TB at-rest corpus (thousands of splittable row
+#: groups), but a default 128 MB block size turns e.g. the ×100
+#: lineitem replica into a near-single-row-group file per task — every
+#: scan then runs a handful of tasks and the 8c-vs-32c curve measures
+#: the task-count floor, not the plan (exactly the r17 single-row-group
+#: fixture problem at sf0.1). 4 MiB row groups keep the split geometry
+#: proportional to the modeled scale.
+BLOCK_BYTES = 4 * 1024 * 1024
+
+
 def write_ts_clustered(spark, df, path, parts: int):
     """Materialize with the DocStore's at-rest layout: ts-range partitioned
     files, each sorted by ts, INT64 TIMESTAMP_MICROS encoding (row-group
@@ -80,7 +91,8 @@ def write_ts_clustered(spark, df, path, parts: int):
         (
             df.repartitionByRange(parts, "ts")
             .sortWithinPartitions("ts")
-            .write.parquet(path)
+            .write.option("parquet.block.size", str(BLOCK_BYTES))
+            .parquet(path)
         )
     finally:
         spark.conf.set(key, old)
@@ -332,6 +344,17 @@ def main() -> None:
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", "16g")
+        # split sizing proportional to the scale MODEL (r18): the ×100
+        # fixture is a few hundred MB standing in for 100 TB, so the
+        # default 128 MB/4 MB split/open-cost geometry collapses its
+        # hundreds of files and row groups into ~a dozen scan tasks —
+        # the core-count curve then measures the task floor, not the
+        # plan. 16 MiB splits + 256 KiB open cost keep scan task counts
+        # in the hundreds at ×100, the shape a real at-rest corpus has
+        # with default confs. Same conf at every core count, so
+        # 8c-vs-32c comparisons stay apples-to-apples.
+        .config("spark.sql.files.maxPartitionBytes", str(16 * 1024 * 1024))
+        .config("spark.sql.files.openCostInBytes", str(256 * 1024))
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
@@ -361,7 +384,14 @@ def main() -> None:
             4 * args.factor,
         )
     if not os.path.exists(li1_path):
-        scale_out(lineitem, args.factor, []).write.parquet(li1_path)
+        # multi-row-group + repartition (r18): without both, the ×100
+        # replica is ONE ~1 GB file written by the single upstream task,
+        # and the pricing scan can never use more than a handful of
+        # cores regardless of the plan
+        (scale_out(lineitem, args.factor, [])
+         .repartition(max(4, min(args.factor, 64)))
+         .write.option("parquet.block.size", str(BLOCK_BYTES))
+         .parquet(li1_path))
     # r15: splits must scale WITH the data like the events fixture's
     # write_ts_clustered(4 * factor) — the r14 fixture wrote the ×100
     # corpus into 2 splits, so p6's "46×" was parallelism collapse
